@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver test tables (TPC-H-ish star schema plus
+  * `events`/`documents`/`embeddings`; see /root/repo/TESTDATA.md).
+  *
+  * Reads bind columns by name from the parquet footers — schemas are never
+  * hardcoded, mirroring the reference's schema-on-read external tables
+  * (reference: samples/scripts/data-load/CTASLoad-Example.sql:67-83).
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a raw long (nanos since epoch) under the legacy flag. Convert
+    * to microsecond TimestampType by truncation — the same truncation DuckDB
+    * applies, so oracle comparisons agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer division — double `/` would lose precision above 2^53 ns.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** T-SQL-compatible scalar function layer (SURVEY.md §2.8).
+  *
+  * Every function here is a pure composition of Catalyst expressions
+  * (`org.apache.spark.sql.functions._`) — zero serialization boundaries, all
+  * codegen-friendly, no Scala UDFs. Semantics follow the dialect documented in
+  * the reference white paper (reference:
+  * white-papers/Integrating MicroStrategy Analytics with Azure SQL Data
+  * Warehouse.md:508-603) and the live usage in its scripts.
+  */
+object TSql {
+
+  // ---------------------------------------------------------------- null ops
+
+  /** T-SQL ISNULL(x, d) (reference: samples/sqlops/MonitoringScripts/MemoryGrant.sql:85). */
+  def isnull(c: Column, d: Column): Column = coalesce(c, d)
+
+  /** T-SQL NULLIF (whitepaper.md:553,555). */
+  def nullif(c: Column, d: Column): Column = when(c === d, lit(null)).otherwise(c)
+
+  // ---------------------------------------------------------------- strings
+
+  /** T-SQL QUOTENAME: bracket-quote an identifier, doubling any `]`
+    * (reference: solutions/monitoring/scripts/views/microsoft.vw_table_sizes.sql:48).
+    */
+  def quotename(c: Column): Column =
+    concat(lit("["), regexp_replace(c, "\\]", "]]"), lit("]"))
+
+  /** T-SQL LEN: string length ignoring trailing spaces (whitepaper.md:595). */
+  def len(c: Column): Column = length(rtrim(c))
+
+  /** T-SQL CHARINDEX(needle, haystack): 1-based position, 0 when absent
+    * (reference: samples/scripts/data-load/GenerateLoadScript-V2.sql:155).
+    */
+  def charindex(needle: Column, haystack: Column): Column = instr(haystack, needle)
+
+  /** T-SQL LEFT(s, n) (whitepaper.md:594). */
+  def left(c: Column, n: Int): Column = substring(c, 1, n)
+
+  /** T-SQL RIGHT(s, n): last n chars, whole string when n exceeds length
+    * (whitepaper.md:599). Spark's negative-start substring has exactly these
+    * semantics.
+    */
+  def right(c: Column, n: Int): Column = substring(c, -n, n)
+
+  /** T-SQL-style InitCap pattern: capitalize ONLY the first character, keep
+    * the rest unchanged (whitepaper.md:593 — unlike Spark's per-word initcap).
+    */
+  def initcapFirst(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), substring(c, 2, Int.MaxValue))
+
+  // ---------------------------------------------------------------- datetime
+
+  /** T-SQL GETDATE() (vw_table_sizes.sql:44). */
+  def getdate(): Column = current_timestamp()
+
+  /** T-SQL DATEADD(unit, n, ts) (whitepaper.md:515-516,
+    * TableHealthCount.sql:95). Month/quarter/year arithmetic is calendar-aware
+    * (add_months); sub-day units are exact interval arithmetic.
+    */
+  def dateadd(unit: String, n: Column, ts: Column): Column = unit.toLowerCase match {
+    // Calendar-aware month arithmetic that keeps time-of-day and clamps to
+    // month end (Jan 31 + 1 month = Feb 28/29), matching T-SQL.
+    case "year" | "yy" | "yyyy"  => timestamp_add("MONTH", n * 12, ts)
+    case "quarter" | "qq" | "q"  => timestamp_add("MONTH", n * 3, ts)
+    case "month" | "mm" | "m"    => timestamp_add("MONTH", n, ts)
+    case "week" | "wk" | "ww"    => timestamp_add("DAY", n * 7, ts)
+    case "day" | "dd" | "d"      => timestamp_add("DAY", n, ts)
+    case "hour" | "hh"           => timestamp_add("HOUR", n, ts)
+    case "minute" | "mi" | "n"   => timestamp_add("MINUTE", n, ts)
+    case "second" | "ss" | "s"   => timestamp_add("SECOND", n, ts)
+    case "millisecond" | "ms"    => timestamp_add("MILLISECOND", n, ts)
+    case u => throw new IllegalArgumentException(s"DATEADD unit: $u")
+  }
+
+  def dateadd(unit: String, n: Int, ts: Column): Column = dateadd(unit, lit(n), ts)
+
+  /** T-SQL DATEDIFF(unit, a, b): counts **unit-boundary crossings**, not
+    * elapsed intervals (e.g. DATEDIFF(year, '2023-12-31', '2024-01-01') = 1).
+    * The monitoring toolkit depends on this exact semantic
+    * (reference: solutions/monitoring/scripts/views/microsoft.vw_query_queue.sql:19
+    * uses MILLISECOND; samples/sqlops/MonitoringScripts/LatestBackup.sql:6 uses
+    * SECOND). Implemented by truncating both endpoints to the unit boundary
+    * and differencing — pure long arithmetic, codegen-friendly.
+    */
+  def datediff(unit: String, a: Column, b: Column): Column = {
+    def floorDiv(c: Column, micros: Long): Column =
+      floor(unix_micros(c).cast("double") / lit(micros.toDouble)).cast("long")
+    unit.toLowerCase match {
+      case "year" | "yy" | "yyyy" => (year(b) - year(a)).cast("long")
+      case "quarter" | "qq" | "q" =>
+        ((year(b) * 4 + quarter(b)) - (year(a) * 4 + quarter(a))).cast("long")
+      case "month" | "mm" | "m" =>
+        ((year(b) * 12 + month(b)) - (year(a) * 12 + month(a))).cast("long")
+      case "week" | "wk" | "ww" =>
+        // T-SQL counts Sunday-start week boundaries; 1970-01-01 was a Thursday
+        // so shift epoch-days by 4 to align floor-division to Sundays.
+        (floor((date_diff(to_date(b), to_date(lit("1970-01-01"))) + lit(4)) / 7) -
+          floor((date_diff(to_date(a), to_date(lit("1970-01-01"))) + lit(4)) / 7)).cast("long")
+      case "day" | "dd" | "d" => date_diff(to_date(b), to_date(a)).cast("long")
+      case "hour" | "hh"      => floorDiv(b, 3600000000L) - floorDiv(a, 3600000000L)
+      case "minute" | "mi" | "n" => floorDiv(b, 60000000L) - floorDiv(a, 60000000L)
+      case "second" | "ss" | "s" => floorDiv(b, 1000000L) - floorDiv(a, 1000000L)
+      case "millisecond" | "ms"  => floorDiv(b, 1000L) - floorDiv(a, 1000L)
+      case u => throw new IllegalArgumentException(s"DATEDIFF unit: $u")
+    }
+  }
+
+  /** T-SQL DATEPART(unit, ts) (whitepaper.md:521-531). WEEKDAY is 1=Sunday..7
+    * like the T-SQL default `@@DATEFIRST`=7 — matches Spark's dayofweek.
+    */
+  def datepart(unit: String, ts: Column): Column = unit.toLowerCase match {
+    case "year" | "yy" | "yyyy"    => year(ts)
+    case "quarter" | "qq" | "q"    => quarter(ts)
+    case "month" | "mm" | "m"      => month(ts)
+    case "day" | "dd" | "d"        => dayofmonth(ts)
+    case "dayofyear" | "dy" | "y"  => dayofyear(ts)
+    case "week" | "wk" | "ww"      => weekofyear(ts)
+    case "weekday" | "dw"          => dayofweek(ts)
+    case "hour" | "hh"             => hour(ts)
+    case "minute" | "mi" | "n"     => minute(ts)
+    case "second" | "ss" | "s"     => second(ts)
+    case u => throw new IllegalArgumentException(s"DATEPART unit: $u")
+  }
+
+  /** Month-start idiom (whitepaper.md:525). */
+  def monthStart(ts: Column): Column = trunc(ts, "month")
+
+  /** Month-end idiom (whitepaper.md:526). */
+  def monthEnd(ts: Column): Column = last_day(ts)
+
+  // ---------------------------------------------------------------- numeric
+
+  /** T-SQL STDEVP / VARP aliases (whitepaper.md:511-514). */
+  def stdev(c: Column): Column  = stddev_samp(c)
+  def stdevp(c: Column): Column = stddev_pop(c)
+  def varSamp(c: Column): Column = var_samp(c)
+  def varp(c: Column): Column    = var_pop(c)
+
+  /** MOD with divide-by-zero → NULL guard, as the whitepaper's composite
+    * (whitepaper.md:553).
+    */
+  def modSafe(a: Column, b: Column): Column = a % nullif(b, lit(0))
+
+  // ------------------------------------------------------------- conversions
+
+  /** Canonical money-ish decimal casts used across the engine so that results
+    * are exact and engine-independent (T-SQL DECIMAL(18,2)/(18,3) columns,
+    * reference: samples/databases/wide-world-importers/tables/fact.sale.sql:15-20).
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec3(c: Column): Column = c.cast(DecimalType(18, 3))
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data preparation:
+  * tokenization, shingling, MinHash signatures, SimHash, winnowing
+  * fingerprints, language-ID scoring, quality metrics.
+  *
+  * Everything is a pure Catalyst expression over array columns (`transform`,
+  * `aggregate`, `filter`, `sequence`, `slice`, `xxhash64`) — no UDFs, so the
+  * whole layer stays inside WholeStageCodegen and runs at scan speed on a
+  * cluster. Algorithms follow the published literature: MinHash/LSH (Broder
+  * 1997; "Mining of Massive Datasets" ch.3), SimHash (Charikar 2002),
+  * winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003).
+  */
+object Text {
+
+  /** Whitespace tokenization (single-space-separated corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles, preserving document order; empty array when the
+    * document has fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Distinct shingle set (the input to Jaccard / MinHash). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(tokens(text), n))
+
+  /** MinHash signature: k independent permutation estimates, component i =
+    * min over shingles of a seeded 64-bit hash. Family of hash functions is
+    * xxhash64(shingle, seed_i). Null-safe: empty shingle set → nulls.
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH band keys for a MinHash signature: split the k-component signature
+    * into `bands` rows of k/bands, hash each band. Docs sharing ANY band key
+    * are near-dup candidates (probability ramp per Broder/LSH theory).
+    */
+  def minhashBands(signature: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",", slice(signature, b * rows + 1, rows)))
+    }: _*)
+  }
+
+  /** 64-bit SimHash over a token array: per bit j, sum +1/-1 votes of each
+    * token's xxhash64 bit j; bit j of the result = (vote > 0).
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(shiftleft(lit(1L), j)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing document fingerprint (Schleimer et al. 2003): hash each
+    * k-shingle, then keep the minimum hash of every sliding window of w
+    * consecutive shingle hashes; the distinct set of kept hashes is the
+    * fingerprint.
+    */
+  def winnowFingerprint(toks: Column, k: Int, w: Int): Column = {
+    val hs = transform(shingles(toks, k), s => xxhash64(s))
+    val mins = when(size(hs) < w, when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<bigint>")))
+      .otherwise(transform(
+        sequence(lit(1), size(hs) - lit(w - 1)),
+        i => array_min(slice(hs, i, lit(w)))))
+    array_distinct(mins)
+  }
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+    * heuristic (public-knowledge function-word lists).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "von"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  /** Per-language stopword hit count (distinct stopwords present). */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(array_intersect(array_distinct(toks),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Language-ID heuristic: argmax of stopword hits with a fixed language
+    * priority for ties; "und" (undetermined) when nothing matches.
+    */
+  def langId(toks: Column): Column = {
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val hits = langs.map(l => l -> stopwordHits(toks, l))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((l, h), els) =>
+      when(h === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+}

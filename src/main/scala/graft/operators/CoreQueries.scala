@@ -1,0 +1,630 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TSql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator inventory — SURVEY.md §2.2 (projection/filter),
+  * §2.3 (joins), §2.4 (aggregation), §2.5 (windows), §2.6 (sort/limit),
+  * §2.7 (set ops).
+  *
+  * Numeric discipline: every aggregate over a double column is computed over
+  * an exact DECIMAL cast, and every output aggregate is cast to an explicit
+  * DECIMAL type that both Spark and the DuckDB oracle produce bit-identically
+  * (the reference's money columns are DECIMAL(18,2)/(18,3) —
+  * reference: samples/databases/wide-world-importers/tables/fact.sale.sql:15-20).
+  * Ordering discipline: every window/top-k has a total order (unique
+  * tiebreaker) so results are deterministic across engines.
+  *
+  * Scale notes (100 TB design): aggregations pre-reduce map-side
+  * (HashAggregate partial/final — the same per-distribution partial aggregation
+  * the reference MPP engine performs); small dimensions (region, nation,
+  * supplier) are broadcast exactly like the reference's REPLICATE tables
+  * (reference: whitepaper.md:37-39,50-51); large-large joins shuffle on their
+  * equi-keys and rely on AQE for skew.
+  */
+object CoreQueries {
+
+  // -------------------------------------------------------------------------
+  // Aggregations (§2.4)
+  // -------------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with SUM/AVG/COUNT +
+    * arithmetic on decimal expressions (A1, A2, A9).
+    */
+  val q01Agg: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount")))
+          * (dec2(lit(1)) + dec2(col("l_tax"))))
+          .cast(DecimalType(18, 6)).as("sum_charge"),
+        avg(dec2(col("l_quantity"))).cast(DecimalType(18, 6)).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      |  CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** COUNT(DISTINCT) per group (A3) — exact at test scale; the 100 TB path is
+    * approx_count_distinct (exposed in BenchQueries).
+    */
+  val q02CountDistinct: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q02Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Conditional aggregation SUM(CASE WHEN ...) pivot-style widgets (A4) —
+    * the monitoring toolkit's signature idiom
+    * (reference: samples/sqlops/MonitoringScripts/TableHealthCount.sql:16-36).
+    */
+  val q03ConditionalAgg: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast("long").as("n_p"),
+        sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
+          .otherwise(dec2(lit(0)))).cast(DecimalType(18, 2)).as("f_total"),
+        avg(when(col("o_orderstatus") === "F", dec2(col("o_totalprice"))))
+          .cast(DecimalType(18, 6)).as("f_avg"))
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS f_total,
+      |  CAST(AVG(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE NULL END) AS DECIMAL(18,6)) AS f_avg
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** HAVING over aggregates (A5) — skew-check idiom
+    * (reference: solutions/monitoring/scripts/views/microsoft.vw_tables_with_skew.sql:19).
+    */
+  val q04Having: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_suppkey"), col("l_returnflag"))
+      .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .filter(col("sum_qty") > dec2(lit(5100)))
+  }
+
+  val q04Sql: String =
+    """SELECT l_suppkey, l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_suppkey, l_returnflag
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > CAST(5100 AS DECIMAL(18,2))""".stripMargin
+
+  /** Grand-total scalar aggregate, no GROUP BY (A6)
+    * (reference: samples/sqlops/MonitoringScripts/UserActivities.sql:6-8).
+    */
+  val q05ScalarAgg: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.agg(
+      count(lit(1)).as("n_rows"),
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("total_price"))
+  }
+
+  val q05Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      |FROM lineitem""".stripMargin
+
+  /** STDEV/VAR family (A8) computed from exact decimal power sums so the
+    * result is bit-identical across engines: both sides evaluate the same
+    * IEEE-double expression over exactly-converted decimal sums.
+    */
+  val q06Stats: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val q = dec2(col("l_quantity"))
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(q).cast("double").as("s1"),
+        sum(q * q).cast("double").as("s2"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1.0)))
+          .as("var_samp"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1.0)))
+          .as("stdev"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("var_pop"))
+  }
+
+  val q06Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  ((s2 - s1 * s1 / n) / (n - 1.0)) AS var_samp,
+      |  sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stdev,
+      |  ((s2 - s1 * s1 / n) / n) AS var_pop
+      |FROM t""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Joins (§2.3)
+  // -------------------------------------------------------------------------
+
+  /** Multi-table inner equi-join chain (J1) with broadcast dimensions (J9):
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue rollup.
+    * nation/region are REPLICATE-class tables → broadcast; lineitem⋈orders is
+    * the large-large shuffle join on the hash key (reference distribution key
+    * pattern: fact.sale.sql:27-30).
+    */
+  val q10StarJoin: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+          .cast(DecimalType(18, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q10Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** LEFT OUTER join (J2), written scale-first: pre-aggregate the fact side
+    * before joining so the join input is |customers| not |orders|.
+    */
+  val q11LeftJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val byCust = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("tot"))
+    c.join(byCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), dec2(lit(0)).cast(DecimalType(18, 2))).as("total_spent"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name""".stripMargin
+
+  /** RIGHT OUTER join (J3)
+    * (reference: solutions/monitoring/scripts/views/microsoft.vw_sql_requests.sql:21-22).
+    */
+  val q12RightJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "right")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"),
+        col("o_orderstatus"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_orderkey, l_linenumber, o_orderdate, o_orderstatus
+      |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      |RIGHT JOIN (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00') l
+      |ON o_orderkey = l_orderkey""".stripMargin
+
+  /** FULL OUTER join (J4) of two aggregates (whitepaper.md:261). */
+  val q13FullJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val q13Sql: String =
+    """SELECT COALESCE(c.c_nationkey, p.s_nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      |FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) p
+      |ON c.c_nationkey = p.s_nationkey""".stripMargin
+
+  /** Anti-join (J5): customers with no orders — the outer-join-null-probe
+    * pattern (reference: samples/scripts/deployments/AddTableChanges.sql:62-65)
+    * expressed as a proper left_anti join.
+    */
+  val q14AntiJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Semi-join (J6/J7): parts that ship in large quantities — EXISTS/IN
+    * (reference: microsoft.vw_tables_with_skew.sql:9-19; whitepaper.md:391-411).
+    */
+  val q15SemiJoin: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+    p.join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+  }
+
+  val q15Sql: String =
+    """SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 49)""".stripMargin
+
+  /** Cross join of single-row scalar-aggregate derived tables (J8) — the
+    * monitoring dashboard widget pattern
+    * (reference: samples/sqlops/MonitoringScripts/UserActivities.sql:3-31).
+    */
+  val q16CrossScalars: Q = (s, dir) => {
+    val a = Tables.orders(s, dir).agg(count(lit(1)).as("total_orders"))
+    val b = Tables.customer(s, dir).agg(count(lit(1)).as("total_customers"))
+    val c = Tables.lineitem(s, dir)
+      .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("total_revenue"))
+    a.crossJoin(b).crossJoin(c)
+  }
+
+  val q16Sql: String =
+    """SELECT total_orders, total_customers, total_revenue
+      |FROM (SELECT COUNT(*) AS total_orders FROM orders) a
+      |CROSS JOIN (SELECT COUNT(*) AS total_customers FROM customer) b
+      |CROSS JOIN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue FROM lineitem) c""".stripMargin
+
+  /** Scalar subquery in a predicate (J11): parts priced above the mean
+    * (reference: microsoft.vw_sql_requests.sql:18-19 uses a scalar subquery).
+    */
+  val q17ScalarSubquery: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+    val avgPrice = p.agg(avg(dec2(col("p_retailprice"))).cast(DecimalType(18, 6)).as("avg_price"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(dec2(col("p_retailprice")) > col("avg_price"))
+      .select(col("p_partkey"), col("p_name"),
+        dec2(col("p_retailprice")).as("p_price"))
+  }
+
+  val q17Sql: String =
+    """SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_price
+      |FROM part
+      |WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
+      |  (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) FROM part)""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Window functions (§2.5)
+  // -------------------------------------------------------------------------
+
+  /** ROW_NUMBER per partition with a total order (W1/W2): first 5 shipments
+    * per supplier. (The reference's ORDER BY (SELECT NULL) form is
+    * nondeterministic; here the order key is total so results hash-match.)
+    */
+  val q20RowNumber: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    l.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+  }
+
+  val q20Sql: String =
+    """SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, l_shipdate FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 5""".stripMargin
+
+  /** RANK over an aggregate (W3) — the whitepaper's flagship OLAP example
+    * (reference: whitepaper.md:188-197): rank nations by revenue within
+    * region.
+    */
+  val q21RankAgg: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("revenue"))
+    rev.withColumn("rnk",
+      rank().over(Window.partitionBy(col("r_name")).orderBy(col("revenue").desc)))
+  }
+
+  val q21Sql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name, revenue,
+      |  CAST(RANK() OVER (PARTITION BY r_name ORDER BY revenue DESC) AS INT) AS rnk
+      |FROM rev""".stripMargin
+
+  /** LAG/LEAD (W4) (whitepaper.md:568-569): previous/next order totals per
+    * customer.
+    */
+  val q22LagLead: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      dec2(col("o_totalprice")).as("total"),
+      lag(dec2(col("o_totalprice")), 1).over(w).as("prev_total"),
+      lead(dec2(col("o_totalprice")), 1).over(w).as("next_total"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+      |  LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total,
+      |  LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_total
+      |FROM orders""".stripMargin
+
+  /** Running (cumulative) aggregate (W7) — RunningSum/RunningCount
+    * (whitepaper.md:582-588).
+    */
+  val q23Running: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("running_total"),
+      count(lit(1)).over(w).as("running_n"))
+  }
+
+  val q23Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM orders""".stripMargin
+
+  /** Moving-window aggregate (W6) — MovingSum/MovingMax over a bounded frame
+    * (whitepaper.md:570-576).
+    */
+  val q24Moving: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("moving_sum"),
+      max(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("moving_max"),
+      min(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("moving_min"))
+  }
+
+  val q24Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_max,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_min
+      |FROM orders""".stripMargin
+
+  /** FIRST_VALUE / LAST_VALUE over explicit frames (W5, W8)
+    * (whitepaper.md:567,577-581).
+    */
+  val q25FirstLast: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      first(dec2(col("o_totalprice"))).over(ord).as("first_total"),
+      last(dec2(col("o_totalprice"))).over(full).as("last_total"))
+  }
+
+  val q25Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_total,
+      |  LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_total
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Sorts / limits (§2.6)
+  // -------------------------------------------------------------------------
+
+  /** TOP n + ORDER BY (O2): planned as TakeOrderedAndProject — no global sort
+    * materialization (reference: samples/sqlops/MonitoringScripts/LatestBackup.sql:2-10).
+    * Total order via o_orderkey tiebreak for cross-engine determinism.
+    */
+  val q30TopK: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec2(col("o_totalprice")).as("total"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Set operations (§2.7)
+  // -------------------------------------------------------------------------
+
+  /** UNION ALL (U1) (reference: samples/sqlops/MonitoringScripts/StorageSize.sql:100,199). */
+  val q32UnionAll: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        lit("customer").as("src"))
+    val p = Tables.supplier(s, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey"),
+        lit("supplier").as("src"))
+    c.unionAll(p)
+  }
+
+  val q32Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS src FROM customer
+      |UNION ALL
+      |SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS src FROM supplier""".stripMargin
+
+  /** UNION DISTINCT (U2) (whitepaper.md:437-456). */
+  val q33UnionDistinct: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    val p = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    c.union(p).distinct()
+  }
+
+  val q33Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      |UNION
+      |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""".stripMargin
+
+  /** INTERSECT (U2) (whitepaper.md:451). Nations that have both a customer
+    * with negative balance and a supplier.
+    */
+  val q34Intersect: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val p = Tables.supplier(s, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    c.intersect(p)
+  }
+
+  val q34Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal < 0
+      |INTERSECT
+      |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""".stripMargin
+
+  /** EXCEPT (U2) (whitepaper.md:437-456). */
+  val q35Except: Q = (s, dir) => {
+    val n = Tables.nation(s, dir).select(col("n_nationkey").cast("int").as("nationkey"))
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9900)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    n.except(c)
+  }
+
+  val q35Sql: String =
+    """SELECT CAST(n_nationkey AS INT) AS nationkey FROM nation
+      |EXCEPT
+      |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9900""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01Agg,
+    "q02_count_distinct" -> q02CountDistinct,
+    "q03_conditional_agg" -> q03ConditionalAgg,
+    "q04_having" -> q04Having,
+    "q05_scalar_agg" -> q05ScalarAgg,
+    "q06_stats_agg" -> q06Stats,
+    "q10_star_join" -> q10StarJoin,
+    "q11_left_join" -> q11LeftJoin,
+    "q12_right_join" -> q12RightJoin,
+    "q13_full_join" -> q13FullJoin,
+    "q14_anti_join" -> q14AntiJoin,
+    "q15_semi_join" -> q15SemiJoin,
+    "q16_cross_scalars" -> q16CrossScalars,
+    "q17_scalar_subquery" -> q17ScalarSubquery,
+    "q20_row_number" -> q20RowNumber,
+    "q21_rank_agg" -> q21RankAgg,
+    "q22_lag_lead" -> q22LagLead,
+    "q23_running_sum" -> q23Running,
+    "q24_moving_agg" -> q24Moving,
+    "q25_first_last" -> q25FirstLast,
+    "q30_topk" -> q30TopK,
+    "q32_union_all" -> q32UnionAll,
+    "q33_union_distinct" -> q33UnionDistinct,
+    "q34_intersect" -> q34Intersect,
+    "q35_except" -> q35Except)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_count_distinct" -> q02Sql,
+    "q03_conditional_agg" -> q03Sql,
+    "q04_having" -> q04Sql,
+    "q05_scalar_agg" -> q05Sql,
+    "q06_stats_agg" -> q06Sql,
+    "q10_star_join" -> q10Sql,
+    "q11_left_join" -> q11Sql,
+    "q12_right_join" -> q12Sql,
+    "q13_full_join" -> q13Sql,
+    "q14_anti_join" -> q14Sql,
+    "q15_semi_join" -> q15Sql,
+    "q16_cross_scalars" -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q20_row_number" -> q20Sql,
+    "q21_rank_agg" -> q21Sql,
+    "q22_lag_lead" -> q22Sql,
+    "q23_running_sum" -> q23Sql,
+    "q24_moving_agg" -> q24Sql,
+    "q25_first_last" -> q25Sql,
+    "q30_topk" -> q30Sql,
+    "q32_union_all" -> q32Sql,
+    "q33_union_distinct" -> q33Sql,
+    "q34_intersect" -> q34Sql,
+    "q35_except" -> q35Sql)
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TSql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table — the batch expression of
+  * the engine's streaming extensions (SURVEY.md §2.10: the reference is pure
+  * batch MPP, so tumbling/session windows are our extension; the identical
+  * logic runs under Structured Streaming in graft.streaming.EventStream).
+  */
+object EventQueries {
+
+  /** Tumbling-window aggregate: epoch-aligned 1-hour windows via the same
+    * `window()` operator the streaming path uses.
+    */
+  val q70Tumbling: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("total_value"), col("n_users"))
+  }
+
+  val q70Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Session windows (30-minute inactivity gap) per user via Spark's
+    * session_window; the oracle reproduces the identical semantics with the
+    * gaps-and-islands pattern (session end = last event + gap, end-exclusive
+    * boundary ⇒ a new session starts when the gap is ≥ 30 min).
+    */
+  val q71Sessions: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+  }
+
+  val q71Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  /** Semi-structured JSON extraction from the `props` column (the engine's
+    * answer to schema-on-read attributes).
+    */
+  val q72Json: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
+  }
+
+  val q72Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+      |FROM events""".stripMargin
+
+  /** Per-user activity profile: conditional-agg pivot over event_type plus
+    * first/last activity timestamps.
+    */
+  val q73UserProfile: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).cast("long").as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("n_purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("n_errors"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        sum(when(col("event_type") === "purchase", dec2(col("value")))
+          .otherwise(dec2(lit(0)))).cast(DecimalType(18, 2)).as("purchase_value"))
+  }
+
+  val q73Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+      |  MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS purchase_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q70_tumbling_window" -> q70Tumbling,
+    "q71_session_window" -> q71Sessions,
+    "q72_json_extract" -> q72Json,
+    "q73_user_profile" -> q73UserProfile)
+
+  val oracles: Map[String, String] = Map(
+    "q70_tumbling_window" -> q70Sql,
+    "q71_session_window" -> q71Sql,
+    "q72_json_extract" -> q72Sql,
+    "q73_user_profile" -> q73Sql)
+}

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TSql
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scalar-function surface — SURVEY.md §2.8 (string / date / math / null /
+  * conversion / CASE / predicate forms P4–P10), exercised end-to-end so every
+  * function is oracle-checked, not just unit-tested.
+  *
+  * All of these are pure Catalyst expression compositions — they stay inside
+  * WholeStageCodegen, which is the property that matters at 100 TB: the scalar
+  * layer adds zero serialization or virtual-call overhead on the scan path.
+  */
+object FunctionQueries {
+
+  /** String functions (whitepaper.md:591-603 + live usages):
+    * UPPER/LOWER/SUBSTRING/REPLACE/CONCAT/TRIM ladders, T-SQL LEN
+    * (trailing-space-insensitive), QUOTENAME, CHARINDEX, LEFT/RIGHT.
+    */
+  val q40Strings: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+    p.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      lower(col("p_brand")).as("low_brand"),
+      substring(col("p_type"), 1, 4).as("type4"),
+      length(col("p_name")).as("name_len"),
+      regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      TSql.charindex(lit("e"), col("p_name")).as("pos_e"),
+      TSql.left(col("p_name"), 3).as("left3"),
+      TSql.right(col("p_name"), 3).as("right3"),
+      TSql.quotename(col("p_name")).as("quoted"),
+      TSql.len(concat(col("p_name"), lit("   "))).as("tsql_len"),
+      ltrim(rtrim(concat(lit("  "), col("p_name"), lit("  ")))).as("trimmed"))
+  }
+
+  val q40Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS up_name,
+      |  LOWER(p_brand) AS low_brand,
+      |  SUBSTRING(p_type, 1, 4) AS type4,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  REPLACE(p_name, ' ', '_') AS snake_name,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  CAST(STRPOS(p_name, 'e') AS INT) AS pos_e,
+      |  LEFT(p_name, 3) AS left3,
+      |  RIGHT(p_name, 3) AS right3,
+      |  '[' || REPLACE(p_name, ']', ']]') || ']' AS quoted,
+      |  CAST(LENGTH(RTRIM(p_name || '   ')) AS INT) AS tsql_len,
+      |  LTRIM(RTRIM('  ' || p_name || '  ')) AS trimmed
+      |FROM part""".stripMargin
+
+  /** Date/time functions with T-SQL semantics: DATEPART family, DATEADD
+    * (calendar-aware, keeps time-of-day), boundary-crossing DATEDIFF, month
+    * start/end idioms (whitepaper.md:515-532; DATEDIFF boundary semantics per
+    * reference: solutions/monitoring/scripts/views/microsoft.vw_query_queue.sql:19).
+    */
+  val q41Dates: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.select(
+      col("o_orderkey"),
+      TSql.datepart("year", col("o_orderdate")).as("yr"),
+      TSql.datepart("quarter", col("o_orderdate")).as("qtr"),
+      TSql.datepart("month", col("o_orderdate")).as("mo"),
+      TSql.datepart("day", col("o_orderdate")).as("dy"),
+      TSql.datepart("dayofyear", col("o_orderdate")).as("doy"),
+      TSql.datepart("weekday", col("o_orderdate")).as("dow"),
+      TSql.dateadd("day", 30, col("o_orderdate")).as("plus30d"),
+      TSql.dateadd("month", 2, col("o_orderdate")).as("plus2mo"),
+      TSql.datediff("day", lit("1995-01-01").cast("timestamp"), col("o_orderdate"))
+        .as("days_since"),
+      TSql.datediff("month", lit("1995-01-01").cast("timestamp"), col("o_orderdate"))
+        .as("months_since"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      TSql.monthEnd(col("o_orderdate")).as("month_end"),
+      col("o_orderdate").cast("date").as("as_date"))
+  }
+
+  val q41Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INT) AS yr,
+      |  CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+      |  CAST(MONTH(o_orderdate) AS INT) AS mo,
+      |  CAST(DAY(o_orderdate) AS INT) AS dy,
+      |  CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy,
+      |  CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+      |  o_orderdate + INTERVAL 30 DAY AS plus30d,
+      |  o_orderdate + INTERVAL 2 MONTH AS plus2mo,
+      |  DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+      |  DATE_DIFF('month', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS months_since,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  LAST_DAY(o_orderdate) AS month_end,
+      |  CAST(o_orderdate AS DATE) AS as_date
+      |FROM orders""".stripMargin
+
+  /** Math functions (whitepaper.md:535-564): ABS/CEILING/FLOOR/SQRT/ROUND/
+    * MOD/SIGN plus deterministic POWER-by-multiplication. Doubles here are
+    * bit-identical across engines (exact inputs, IEEE ops).
+    */
+  val q42Math: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("abs_dev"),
+      ceil(col("l_extendedprice") / 1000.0).cast("long").as("price_ceil_k"),
+      floor(col("l_extendedprice") / 1000.0).cast("long").as("price_floor_k"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+      (col("l_orderkey") % 7).as("mod7"),
+      signum(col("l_quantity") - 25.0).as("sign_dev"),
+      round(col("l_quantity") / 2.0, 0).as("half_rounded"),
+      greatest(col("l_quantity"), lit(25.0)).as("qty_hi"),
+      least(col("l_quantity"), lit(25.0)).as("qty_lo"))
+  }
+
+  val q42Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_quantity - 25.0) AS abs_dev,
+      |  CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_ceil_k,
+      |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
+      |  SQRT(l_quantity) AS qty_sqrt,
+      |  l_quantity * l_quantity AS qty_sq,
+      |  l_orderkey % 7 AS mod7,
+      |  CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS sign_dev,
+      |  ROUND(l_quantity / 2.0, 0) AS half_rounded,
+      |  GREATEST(l_quantity, 25.0) AS qty_hi,
+      |  LEAST(l_quantity, 25.0) AS qty_lo
+      |FROM lineitem""".stripMargin
+
+  /** Searched CASE banding (P10) + BETWEEN (P7) + compound booleans (P9) —
+    * the query-slots widget idiom
+    * (reference: solutions/monitoring/scripts/views/microsoft.vw_query_slots.sql:30-33).
+    */
+  val q43CaseBanding: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.select(
+      when(col("o_totalprice") < 10000, "small")
+        .when(col("o_totalprice").between(10000, 100000), "medium")
+        .otherwise("large").as("band"),
+      when(col("o_orderstatus") === "F" || col("o_orderstatus") === "P", "done_ish")
+        .otherwise("open").as("phase"))
+      .groupBy(col("band"), col("phase"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q43Sql: String =
+    """SELECT
+      |  CASE WHEN o_totalprice < 10000 THEN 'small'
+      |       WHEN o_totalprice BETWEEN 10000 AND 100000 THEN 'medium'
+      |       ELSE 'large' END AS band,
+      |  CASE WHEN o_orderstatus = 'F' OR o_orderstatus = 'P' THEN 'done_ish'
+      |       ELSE 'open' END AS phase,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** NULL handling (whitepaper.md:553-566): NULLIF / ISNULL(coalesce) /
+    * IS NULL predicates / null-skipping aggregation over synthesized nulls.
+    */
+  val q44Nulls: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val disc = TSql.nullif(col("l_discount"), lit(0.0))
+    l.select(
+      col("l_orderkey"), col("l_linenumber"),
+      disc.as("disc_or_null"),
+      TSql.isnull(disc, lit(-1.0)).as("disc_filled"),
+      disc.isNull.cast("int").as("is_free"),
+      TSql.modSafe(col("l_orderkey"), lit(0)).as("mod_zero_null"))
+  }
+
+  val q44Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  NULLIF(l_discount, 0.0) AS disc_or_null,
+      |  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_filled,
+      |  CAST(NULLIF(l_discount, 0.0) IS NULL AS INT) AS is_free,
+      |  l_orderkey % NULLIF(0, 0) AS mod_zero_null
+      |FROM lineitem""".stripMargin
+
+  /** CAST/CONVERT surface (68 CAST occurrences in the reference; §2.8):
+    * double→int on whole values, decimal→string exact-scale rendering,
+    * timestamp→date, int→string, string→int round-trip.
+    */
+  val q45Casts: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_quantity").cast("int").as("qty_int"),
+      TSql.dec2(col("l_extendedprice")).cast("string").as("price_str"),
+      col("l_shipdate").cast("date").as("ship_date"),
+      col("l_shipdate").cast("date").cast("string").as("ship_str"),
+      col("l_linenumber").cast("string").as("line_str"),
+      col("l_linenumber").cast("string").cast("int").as("line_roundtrip"),
+      col("l_quantity").cast("decimal(18,3)").as("qty_dec3"))
+  }
+
+  val q45Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS INT) AS qty_int,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+      |  CAST(l_shipdate AS DATE) AS ship_date,
+      |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+      |  CAST(l_linenumber AS VARCHAR) AS line_str,
+      |  CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS line_roundtrip,
+      |  CAST(l_quantity AS DECIMAL(18,3)) AS qty_dec3
+      |FROM lineitem""".stripMargin
+
+  /** Predicate forms (P3-P5): LIKE / NOT LIKE / IN / NOT IN / inequality
+    * (reference: samples/scripts/deployments/GenerateScripts.ps1:49,
+    * whitepaper.md:135-137).
+    */
+  val q46Predicates: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+    p.filter(
+      col("p_name").like("%e%") &&
+        !col("p_name").like("small%") &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5") &&
+        !col("p_type").isin("ECONOMY") &&
+        col("p_size") >= 5 && col("p_size") <= 45 && col("p_size") =!= 20)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q46Sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+      |WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'small%'
+      |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+      |  AND p_type NOT IN ('ECONOMY')
+      |  AND p_size >= 5 AND p_size <= 45 AND p_size <> 20""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q40_string_funcs" -> q40Strings,
+    "q41_date_funcs" -> q41Dates,
+    "q42_math_funcs" -> q42Math,
+    "q43_case_banding" -> q43CaseBanding,
+    "q44_null_handling" -> q44Nulls,
+    "q45_casts" -> q45Casts,
+    "q46_predicates" -> q46Predicates)
+
+  val oracles: Map[String, String] = Map(
+    "q40_string_funcs" -> q40Sql,
+    "q41_date_funcs" -> q41Sql,
+    "q42_math_funcs" -> q42Sql,
+    "q43_case_banding" -> q43Sql,
+    "q44_null_handling" -> q44Sql,
+    "q45_casts" -> q45Sql,
+    "q46_predicates" -> q46Sql)
+}

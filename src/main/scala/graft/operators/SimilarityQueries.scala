@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths:
+  *  - brute-force exact top-k (the correctness baseline): probe set ⨯
+  *    candidates with a broadcast of the (small) probe side — at scale the
+  *    probe batch is what's broadcast, candidates stream by partition;
+  *  - LSH-bucketed (the 100 TB path): random-hyperplane signatures bucket the
+  *    space; each probe only scans its bucket, turning ANN into an equi-join.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+
+  /** Exact brute-force cosine top-k for a 10-probe batch. Output is rank-only
+    * (ints), so the result is robust to last-ulp float noise.
+    */
+  val q60KnnBrute: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val sims = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("embedding"), col("probe_vec")).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Embedding norm/label rollup: per-row sequential-fold norms (exact given
+    * identical IEEE order), aggregated per label over per-row decimal casts
+    * so the rollup is engine-exact.
+    */
+  val q62NormStats: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    e.select(col("label"), col("vec_id"),
+        Vectors.norm(col("embedding")).cast("decimal(18,6)").as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("nrm")).cast("decimal(18,6)").as("total_norm"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+  }
+
+  /** LSH-bucketed ANN (no SQL oracle — approximate by construction): 8
+    * hyperplanes → 256 buckets; probes meet candidates through an equi-join
+    * on bucket id, then exact cosine re-ranks within the bucket.
+    */
+  val q61AnnLsh: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      Vectors.hyperplaneBucket(
+        Vectors.hyperplaneSignature(col("embedding"), 64, 8)).as("bucket"))
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+        col("bucket"))
+    val cands = bucketed.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("embedding"), col("probe_vec")).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q60_knn_brute" -> q60KnnBrute,
+    "q61_ann_lsh" -> q61AnnLsh,
+    "q62_norm_stats" -> q62NormStats)
+
+  /** q60's oracle mirrors the double-precision sequential fold via UNNEST
+    * ordinality — exact same IEEE operation order as the Spark side.
+    */
+  val oracles: Map[String, String] = Map(
+    "q60_knn_brute" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.probe_vec AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(p.probe_vec AS DOUBLE[]), CAST(p.probe_vec AS DOUBLE[])))) AS sim
+        |  FROM embeddings e CROSS JOIN probes p
+        |  WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT probe_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims) t
+        |WHERE rnk <= 5""".stripMargin,
+    "q62_norm_stats" ->
+      """SELECT label,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_norm,
+        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        |FROM embeddings GROUP BY label""".stripMargin)
+}
