@@ -158,10 +158,17 @@ object TextQueries {
     val k = 32
     val bands = 8
     val d = Tables.documents(s, dir)
-    val sig = d
-      .select(col("doc_id"),
-        Text.minhashSignature(Text.shingleSet(col("text"), 3), k).as("sig"))
-      .filter(size(col("sig")) > 0)
+    // Explode shingles to flat rows, then k min-aggregates: partial (map-side)
+    // min means the shuffle carries |docs|×k longs, not the shingle stream —
+    // this is the formulation that scales, and it codegens flat (no nested
+    // array transforms).
+    val sh = d.select(col("doc_id"),
+      explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("shingle"), lit(0))).as("m0"),
+        (1 until k).map(i =>
+          min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(Text.minhashBands(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx")
@@ -211,13 +218,25 @@ object TextQueries {
     * extremes — the primitive behind plagiarism-style containment detection.
     */
   val q57Fingerprint: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
-    val fp = Text.winnowFingerprint(Text.tokens(col("text")), 3, 4)
-    d.select(
-      col("doc_id"),
-      size(fp).as("n_fingerprints"),
-      array_min(fp).as("min_fp"),
-      array_max(fp).as("max_fp"))
+    // Distributed winnowing: explode shingle hashes with position, take the
+    // min over each w-row sliding window (window function — partial sort per
+    // doc partition), keep the distinct mins. Scales as a single shuffle on
+    // doc_id instead of per-row O(shingles × w) array copies.
+    val w = 4
+    val hashed = d.select(col("doc_id"),
+        posexplode(Text.shingles(Text.tokens(col("text")), 3)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    hashed
+      .withColumn("win_min", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("win_min")).as("n_fingerprints"),
+        min(col("win_min")).as("min_fp"),
+        max(col("win_min")).as("max_fp"))
   }
 
   /** Language-ID heuristic vs. the labelled lang column (no SQL oracle):

@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** T-SQL semantic edge cases (SURVEY.md §7.4 risk 1): boundary-crossing
+  * DATEDIFF, calendar DATEADD with clamping, LEN trailing spaces, QUOTENAME
+  * escaping, CHARINDEX absence, LEFT/RIGHT overlong, NULL composites.
+  */
+class TSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(colExpr: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(colExpr.as("r")).collect()(0).get(0)
+
+  test("DATEDIFF counts unit-boundary crossings, not elapsed time") {
+    val a = lit("2023-12-31 23:59:59").cast("timestamp")
+    val b = lit("2024-01-01 00:00:00").cast("timestamp")
+    assert(one(TSql.datediff("year", a, b)) === 1L)
+    assert(one(TSql.datediff("quarter", a, b)) === 1L)
+    assert(one(TSql.datediff("month", a, b)) === 1L)
+    assert(one(TSql.datediff("day", a, b)) === 1L)
+    assert(one(TSql.datediff("hour", a, b)) === 1L)
+    assert(one(TSql.datediff("minute", a, b)) === 1L)
+    assert(one(TSql.datediff("second", a, b)) === 1L)
+    // elapsed is 1s but two whole days apart crosses 1 boundary only
+    val c = lit("2024-01-02 23:59:59").cast("timestamp")
+    assert(one(TSql.datediff("day", b, c)) === 1L)
+  }
+
+  test("DATEDIFF week counts Sunday-start boundaries") {
+    // 2024-01-06 was a Saturday, 2024-01-07 a Sunday.
+    val sat = lit("2024-01-06 12:00:00").cast("timestamp")
+    val sun = lit("2024-01-07 00:00:00").cast("timestamp")
+    assert(one(TSql.datediff("week", sat, sun)) === 1L)
+    val mon = lit("2024-01-08 00:00:00").cast("timestamp")
+    assert(one(TSql.datediff("week", sun, mon)) === 0L)
+  }
+
+  test("DATEADD month clamps to month end and keeps time-of-day") {
+    val jan31 = lit("2024-01-31 10:30:00").cast("timestamp")
+    assert(one(TSql.dateadd("month", 1, jan31)).toString
+      === "2024-02-29 10:30:00.0")
+    assert(one(TSql.dateadd("year", 1, jan31)).toString
+      === "2025-01-31 10:30:00.0")
+    assert(one(TSql.dateadd("hour", -11, jan31)).toString
+      === "2024-01-30 23:30:00.0")
+  }
+
+  test("LEN ignores trailing spaces only") {
+    assert(one(TSql.len(lit("ab  "))) === 2)
+    assert(one(TSql.len(lit("  ab"))) === 4)
+    assert(one(TSql.len(lit(""))) === 0)
+  }
+
+  test("QUOTENAME doubles closing brackets") {
+    assert(one(TSql.quotename(lit("a]b"))) === "[a]]b]")
+    assert(one(TSql.quotename(lit("plain"))) === "[plain]")
+  }
+
+  test("CHARINDEX is 1-based, 0 when absent") {
+    assert(one(TSql.charindex(lit("b"), lit("abc"))) === 2)
+    assert(one(TSql.charindex(lit("z"), lit("abc"))) === 0)
+  }
+
+  test("LEFT/RIGHT tolerate n longer than the string") {
+    assert(one(TSql.left(lit("abc"), 10)) === "abc")
+    assert(one(TSql.right(lit("abc"), 10)) === "abc")
+    assert(one(TSql.right(lit("abcdef"), 2)) === "ef")
+  }
+
+  test("ISNULL / NULLIF / modSafe") {
+    assert(one(TSql.isnull(lit(null).cast("int"), lit(7))) === 7)
+    assert(one(TSql.nullif(lit(5), lit(5))) === null)
+    assert(one(TSql.nullif(lit(5), lit(4))) === 5)
+    assert(one(TSql.modSafe(lit(10), lit(0))) === null)
+    assert(one(TSql.modSafe(lit(10), lit(3))) === 1)
+  }
+
+  test("initcapFirst only capitalizes the first character") {
+    assert(one(TSql.initcapFirst(lit("hello world"))) === "Hello world")
+  }
+
+  test("DATEPART weekday is 1=Sunday..7=Saturday") {
+    val sun = lit("2024-01-07 00:00:00").cast("timestamp")
+    assert(one(TSql.datepart("weekday", sun)) === 1)
+    val sat = lit("2024-01-06 00:00:00").cast("timestamp")
+    assert(one(TSql.datepart("weekday", sat)) === 7)
+  }
+}

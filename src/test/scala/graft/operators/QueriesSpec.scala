@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Cross-checks of the operator inventory at sf0.001: every query runs,
+  * flagship invariants hold, and a few results are re-derived through an
+  * independent spark.sql formulation (the full DuckDB oracle runs via
+  * graft.Verify + tools/check_oracle.py — see .claude/skills/verify).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key exists in queries") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
+    }
+    SparkEntry.queries.foreach { case (name, q) =>
+      val n = q(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("q01 aggregates reconcile with an independent SQL formulation") {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_v")
+    val expect = spark.sql(
+      """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |FROM li_v WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |""".stripMargin).collect()(0).getDecimal(0)
+    val got = CoreQueries.q01Agg(spark, sfDir)
+      .agg(sum(col("sum_qty")).cast("decimal(18,2)")).collect()(0).getDecimal(0)
+    assert(got === expect)
+  }
+
+  test("anti join + semi join partition the customer set") {
+    val c = Tables.customer(spark, sfDir).count()
+    val without = CoreQueries.q14AntiJoin(spark, sfDir).count()
+    val withOrders = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(without + withOrders === c)
+  }
+
+  test("top-k returns exactly k rows in descending order") {
+    val rows = CoreQueries.q30TopK(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val totals = rows.map(_.getDecimal(2).doubleValue())
+    assert(totals.sameElements(totals.sorted.reverse))
+  }
+
+  test("set ops: except + intersect-complement consistency") {
+    val n = Tables.nation(spark, sfDir).count()
+    val all = CoreQueries.q33UnionDistinct(spark, sfDir).count()
+    assert(all <= n)
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val d = Tables.documents(spark, sfDir)
+    val distinctTexts = d.select("text").distinct().count()
+    assert(TextQueries.q50DedupExact(spark, sfDir).count() === distinctTexts)
+  }
+
+  test("knn ranks are a permutation of 1..k per probe") {
+    val rows = SimilarityQueries.q60KnnBrute(spark, sfDir)
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === 5L && r.getInt(2) === 1 && r.getInt(3) === 5)
+    }
+  }
+
+  test("session windows cover all events exactly once") {
+    val total = Tables.events(spark, sfDir).count()
+    val inSessions = EventQueries.q71Sessions(spark, sfDir)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(inSessions === total)
+  }
+}
