@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema-on-read external tables over delimited text — the engine's PolyBase
+  * analog (SURVEY.md §2.1 S1).
+  *
+  * Mirrors the reference's external-object triple — DATA SOURCE + FILE FORMAT
+  * + EXTERNAL TABLE (reference: samples/scripts/data-load/
+  * CTASLoad-Example.sql:47-83) — as plain Scala config over the Spark CSV
+  * source. Parallelism comes from file splits exactly as the reference's DMS
+  * readers scale with the number of gzip inputs (reference:
+  * samples/scripts/data-load/README.md:5).
+  */
+final case class ExternalFileFormat(
+    fieldTerminator: String = ",",       // FIELD_TERMINATOR (incl. "")
+    stringDelimiter: String = "\"",      // STRING_DELIMITER
+    dateFormat: Option[String] = None,   // DATE_FORMAT
+    firstRowHeader: Boolean = false,
+    compression: Option[String] = None)  // DATA_COMPRESSION (inferred by ext if None)
+
+sealed trait RejectType
+object RejectType {
+  /** REJECT_TYPE = VALUE: fail when more than `n` rows are malformed. */
+  final case class Value(n: Long) extends RejectType
+  /** REJECT_TYPE = PERCENTAGE: fail when malformed rows exceed pct of total. */
+  final case class Percentage(pct: Double) extends RejectType
+}
+
+/** Raised when the malformed-row count breaches the declared reject
+  * threshold, matching PolyBase's load-failure semantics
+  * (REJECT_VALUE=0 ⇒ first bad row fails the load,
+  * reference: CTASLoad-Example.sql:79-82).
+  */
+final case class RejectThresholdExceeded(rejected: Long, total: Long,
+    threshold: RejectType)
+  extends RuntimeException(
+    s"external scan rejected $rejected of $total rows (threshold $threshold)")
+
+final case class ExternalTable(
+    location: String,
+    schema: StructType,
+    format: ExternalFileFormat = ExternalFileFormat(),
+    reject: RejectType = RejectType.Value(0)) {
+
+  private val corruptCol = "_graft_corrupt"
+
+  /** Raw permissive read: malformed rows carry the original line in
+    * `_graft_corrupt` and nulls elsewhere.
+    */
+  def readRaw(spark: SparkSession): DataFrame = {
+    val reader = spark.read
+      .schema(schema.add(StructField(corruptCol, StringType)))
+      .option("sep", format.fieldTerminator)
+      .option("quote", format.stringDelimiter)
+      .option("header", format.firstRowHeader)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+    val withDate = format.dateFormat.fold(reader)(f =>
+      reader.option("dateFormat", f).option("timestampFormat", f))
+    val withComp = format.compression.fold(withDate)(c =>
+      withDate.option("compression", c))
+    withComp.csv(location)
+  }
+
+  /** Validated read with PolyBase reject accounting: one extra counting pass
+    * over the (cached) scan; breaching the threshold throws before any
+    * downstream consumption — callers write to a staging path and commit on
+    * success (SURVEY.md §7.4 risk 3).
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val raw = readRaw(spark).cache()
+    try {
+      val total = raw.count()
+      val rejected = raw.filter(col(corruptCol).isNotNull).count()
+      val breach = reject match {
+        case RejectType.Value(n) => rejected > n
+        case RejectType.Percentage(p) => total > 0 && rejected * 100.0 / total > p
+      }
+      if (breach) throw RejectThresholdExceeded(rejected, total, reject)
+      raw.filter(col(corruptCol).isNull).drop(corruptCol)
+    } catch {
+      case e: RejectThresholdExceeded => raw.unpersist(); throw e
+    }
+  }
+}

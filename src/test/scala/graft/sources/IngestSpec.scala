@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.catalog.{Distribution, Layout, MonthPartition, TablePolicy}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** External-table scan + reject semantics + cast/clean pipeline + CTAS with
+  * distribution policy (SURVEY.md §2.1 S1/S3/S8, §3.2).
+  */
+class IngestSpec extends SparkSpec {
+
+  private def tmpCsv(lines: String*): String = {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.write(dir.resolve("part-000.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  test("external scan reads delimited text with custom terminator") {
+    val loc = tmpCsv("1|alice|10.5", "2|bob|20.25")
+    val et = ExternalTable(loc, schema, ExternalFileFormat(fieldTerminator = "|"))
+    val df = et.read(spark)
+    assert(df.count() === 2)
+    assert(df.filter(col("name") === "alice").collect()(0).getDouble(2) === 10.5)
+  }
+
+  test("REJECT_VALUE=0 fails the load on the first bad row") {
+    val loc = tmpCsv("1,alice,10.5", "not_an_int,bob,oops,extra", "3,carol,1.0")
+    val et = ExternalTable(loc, schema)
+    val e = intercept[RejectThresholdExceeded](et.read(spark).count())
+    assert(e.rejected === 1)
+  }
+
+  test("REJECT_VALUE=N tolerates up to N bad rows and filters them out") {
+    val loc = tmpCsv("1,alice,10.5", "x,bob,oops,extra", "3,carol,1.0")
+    val et = ExternalTable(loc, schema, reject = RejectType.Value(1))
+    val df = et.read(spark)
+    assert(df.count() === 2)
+  }
+
+  test("REJECT_TYPE=PERCENTAGE thresholds on the bad-row fraction") {
+    val loc = tmpCsv("1,alice,10.5", "x,bob,oops,extra", "3,carol,1.0", "4,dan,2.0")
+    assert(ExternalTable(loc, schema,
+      reject = RejectType.Percentage(30.0)).read(spark).count() === 3)
+    intercept[RejectThresholdExceeded] {
+      ExternalTable(loc, schema,
+        reject = RejectType.Percentage(10.0)).read(spark).count()
+    }
+  }
+
+  test("cast/clean pipeline: null literal, date floor, NOT NULL default") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", "null", "1700-01-01 00:00:00"),
+      ("2", "real", "2020-06-15 12:00:00")).toDF("id", "note", "created")
+    val target = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("note", StringType, nullable = true),
+      StructField("created", TimestampType, nullable = true)))
+    val out = CastClean(raw, target).orderBy("id").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(0).getTimestamp(2).toString === "1753-01-01 00:00:00.0")
+    assert(out(1).getString(1) === "real")
+    assert(out(1).getTimestamp(2).toString === "2020-06-15 12:00:00.0")
+  }
+
+  test("CTAS with HASH distribution produces a bucketed, collocated table") {
+    val li = graft.Tables.lineitem(spark, sfDir).limit(1000)
+    Ctas.create(spark, li, "li_bucketed",
+      TablePolicy(Distribution.Hash("l_orderkey", 4)), label = Some("test load"))
+    val t = spark.table("li_bucketed")
+    assert(t.count() === 1000)
+    val props = spark.sql("SHOW TBLPROPERTIES li_bucketed").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(TablePolicy.PropDistribution) === "hash(l_orderkey,4)")
+    // collocated self-join on the bucket key must not shuffle
+    val joined = spark.table("li_bucketed").as("a")
+      .join(spark.table("li_bucketed").as("b"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("CTAS REPLICATE marks the table for auto-broadcast") {
+    val n = graft.Tables.nation(spark, sfDir)
+    Ctas.create(spark, n, "nation_rep", TablePolicy(Distribution.Replicate))
+    val props = spark.sql("SHOW TBLPROPERTIES nation_rep").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(TablePolicy.PropDistribution) === "replicate")
+  }
+
+  test("CTAS month partitioning prunes by partition directory") {
+    val o = graft.Tables.orders(spark, sfDir)
+    Ctas.create(spark, o, "orders_bymonth",
+      TablePolicy(partition = Some(MonthPartition("o_orderdate"))))
+    val pruned = spark.table("orders_bymonth")
+      .filter(col(Ctas.MonthKeyCol) === "1995-03")
+    val expected = o.filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03")
+    assert(pruned.count() === expected.count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+}
