@@ -1,0 +1,112 @@
+package graft.observability
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import scala.jdk.CollectionConverters._
+
+/** Request/step/data-movement journal — the engine's observability layer
+  * standing in for the reference's DMV surface (SURVEY.md §3.1):
+  *
+  *  - `requests`     ≈ sys.dm_pdw_exec_requests (reference:
+  *    solutions/monitoring/scripts/views/microsoft.vw_active_queries.sql:4-11)
+  *  - `steps`        ≈ sys.dm_pdw_request_steps — one row per Spark stage,
+  *    the engine's DSQL-step analog (microsoft.vw_query_steps.sql:38-56)
+  *  - `stepDetails`  ≈ sys.dm_pdw_dms_workers — shuffle/data-movement bytes
+  *    and rows per step (microsoft.vw_query_step_details.sql:24-33)
+  *
+  * Labels: the reference's OPTION(LABEL='...') workload tracing
+  * (CTASLoad-Example.sql:90, whitepaper.md:133-138) maps to the Spark job
+  * description. Local properties are thread-local, so the label is captured
+  * from the event payloads (SQLExecutionStart.description, JobStart
+  * properties) rather than read back on the listener thread.
+  */
+object QueryJournal {
+  final case class RequestRow(request_id: Long, label: String, status: String,
+      error: String, submit_time: java.sql.Timestamp, duration_ms: Long)
+  final case class StepRow(request_label: String, stage_id: Int, attempt: Int,
+      name: String, n_tasks: Int, status: String,
+      input_bytes: Long, input_rows: Long, output_rows: Long,
+      shuffle_read_bytes: Long, shuffle_write_bytes: Long, duration_ms: Long)
+}
+
+final class QueryJournal(spark: SparkSession) {
+  import QueryJournal.{RequestRow, StepRow}
+
+  private val requestsBuf = new ConcurrentLinkedQueue[RequestRow]()
+  private val stepsBuf = new ConcurrentLinkedQueue[StepRow]()
+  private val execStarts = new ConcurrentHashMap[Long, (String, Long)]()
+  private val stageLabels = new ConcurrentHashMap[Int, String]()
+
+  private val listener = new SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val lbl = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      js.stageIds.foreach(id => stageLabels.put(id, lbl))
+    }
+
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+      val si = ev.stageInfo
+      val m = si.taskMetrics
+      stepsBuf.add(StepRow(
+        stageLabels.getOrDefault(si.stageId, ""),
+        si.stageId, si.attemptNumber(), si.name, si.numTasks,
+        si.failureReason.fold("Complete")(_ => "Failed"),
+        m.inputMetrics.bytesRead, m.inputMetrics.recordsRead,
+        m.outputMetrics.recordsWritten,
+        m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+        si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)))
+    }
+
+    override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+      case s: SparkListenerSQLExecutionStart =>
+        // description = spark.job.description when set, else the call site
+        execStarts.put(s.executionId, (s.description, s.time))
+      case e: SparkListenerSQLExecutionEnd =>
+        Option(execStarts.remove(e.executionId)).foreach {
+          case (desc, start) =>
+            val err = e.errorMessage.getOrElse("")
+            requestsBuf.add(RequestRow(
+              e.executionId, desc,
+              if (err.isEmpty) "Completed" else "Failed", err,
+              new java.sql.Timestamp(start), e.time - start))
+        }
+      case _ => ()
+    }
+  }
+
+  def start(): this.type = {
+    spark.sparkContext.addSparkListener(listener)
+    this
+  }
+
+  def stop(): Unit = spark.sparkContext.removeSparkListener(listener)
+
+  /** Listener delivery is async; give the bus a moment before reads. */
+  def flush(): Unit = Thread.sleep(300)
+
+  def requests: DataFrame = {
+    import spark.implicits._
+    flush(); requestsBuf.asScala.toSeq.toDF()
+  }
+
+  def steps: DataFrame = {
+    import spark.implicits._
+    flush(); stepsBuf.asScala.toSeq.toDF()
+  }
+
+  /** Data-movement summary per label ≈ DMS worker rollup. */
+  def stepDetails: DataFrame = {
+    import org.apache.spark.sql.functions._
+    steps.groupBy(col("request_label"))
+      .agg(
+        count(lit(1)).as("n_steps"),
+        sum(col("input_bytes")).as("input_bytes"),
+        sum(col("shuffle_read_bytes")).as("shuffle_read_bytes"),
+        sum(col("shuffle_write_bytes")).as("shuffle_write_bytes"),
+        sum(col("duration_ms")).as("total_ms"))
+  }
+}

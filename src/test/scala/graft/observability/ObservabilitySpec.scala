@@ -1,0 +1,115 @@
+package graft.observability
+
+import graft.{SparkSpec, Tables}
+import graft.catalog.StorageViews
+import graft.maintenance.{Compaction, Ddl, Statistics}
+import org.apache.spark.sql.functions._
+
+class ObservabilitySpec extends SparkSpec {
+
+  test("query journal records labelled requests and shuffle steps") {
+    val j = new QueryJournal(spark).start()
+    try {
+      spark.sparkContext.setJobDescription("journal-test-agg")
+      Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity"))).collect()
+      spark.sparkContext.setJobDescription(null)
+      val reqs = j.requests.filter(col("label") === "journal-test-agg")
+      assert(reqs.count() >= 1)
+      assert(reqs.filter(col("status") === "Completed").count() >= 1)
+      val steps = j.steps
+      assert(steps.count() >= 1)
+      val dms = j.stepDetails.filter(col("request_label") === "journal-test-agg")
+      assert(dms.agg(sum(col("shuffle_write_bytes"))).collect()(0).getLong(0) > 0,
+        "aggregation should journal shuffle movement")
+    } finally j.stop()
+  }
+
+  test("storage views read parquet footers: sizes, rowgroups, health") {
+    val tables = Map(
+      "lineitem" -> s"$sfDir/lineitem.parquet",
+      "orders" -> s"$sfDir/orders.parquet")
+    val sizes = StorageViews.tableSizes(spark, tables).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sizes("lineitem") === 6000L)
+    assert(sizes("orders") === 1500L)
+    val rg = StorageViews.rowgroupDetails(spark, tables)
+    assert(rg.count() >= 2)
+    val health = StorageViews.rowgroupHealth(spark, tables)
+      .filter(col("table_name") === "lineitem").collect()(0)
+    assert(health.getAs[Boolean]("rebuild_recommended") === true) // tiny files
+  }
+
+  test("skew report flags a constant distribution key and passes a good one") {
+    val li = Tables.lineitem(spark, sfDir)
+    val good = StorageViews.tableSkew(spark, li, "l_orderkey", 8).collect()(0)
+    assert(good.getAs[Boolean]("skewed") === false)
+    val skewed = StorageViews.tableSkew(spark, li.withColumn("k", lit(1)), "k", 8)
+      .collect()(0)
+    assert(skewed.getAs[Long]("n_distributions") === 1L)
+  }
+
+  test("WLM queues beyond slot capacity and journals waits") {
+    val wlm = new Wlm(spark, totalSlots = 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (1 to 3).map { i =>
+      scala.concurrent.Future {
+        wlm.submit(s"wlm-$i", "mediumrc") { // 4 slots each => serialized
+          Thread.sleep(50); i
+        }
+      }
+    }
+    import scala.concurrent.duration._
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), 30.seconds)
+    pool.shutdown()
+    assert(results.sum === 6)
+    val j = wlm.queueJournal.collect()
+    assert(j.length === 3)
+    assert(j.count(_.getAs[Long]("queue_ms") >= 40) >= 2,
+      "later submissions must have queued behind the 4-slot gate")
+    assert(wlm.availableSlots === 4)
+  }
+
+  test("statistics maintenance analyzes untracked columns and journals age") {
+    Tables.nation(spark, sfDir).write.mode("overwrite").saveAsTable("nation_stats")
+    val before = Statistics.unanalyzedColumns(spark, "nation_stats")
+    assert(before.nonEmpty)
+    val stmts = Statistics.createStatistics(spark, "nation_stats")
+    assert(stmts.exists(_.startsWith("ANALYZE TABLE nation_stats")))
+    assert(Statistics.unanalyzedColumns(spark, "nation_stats").isEmpty)
+    assert(Statistics.createStatistics(spark, "nation_stats").isEmpty) // idempotent
+    val age = Statistics.statisticsAge(spark)
+      .filter(col("table_name") === "nation_stats").collect()(0)
+    assert(age.getAs[Boolean]("stale") === false)
+    intercept[IllegalArgumentException](Statistics.Sample(0))
+  }
+
+  test("compaction rebuild resizes files and preserves data") {
+    Tables.orders(spark, sfDir).repartition(17)
+      .write.mode("overwrite").saveAsTable("orders_frag")
+    val before = spark.table("orders_frag").count()
+    val nFiles = Compaction.rebuild(spark, "orders_frag")
+    assert(nFiles === 1) // 1500 rows << rowgroup target
+    assert(spark.table("orders_frag").count() === before)
+  }
+
+  test("DDL reverse-engineering emits policy-bearing CREATE TABLE") {
+    import graft.catalog.{Distribution, TablePolicy}
+    graft.sources.Ctas.create(spark, Tables.region(spark, sfDir), "region_ddl",
+      TablePolicy(Distribution.Hash("r_regionkey", 4)))
+    val ddl = Ddl.createTableStatement(spark, "region_ddl")
+    assert(ddl.contains("CREATE TABLE `region_ddl`"))
+    assert(ddl.contains("`r_name` STRING"))
+    assert(ddl.contains("DISTRIBUTION = hash(r_regionkey,4)"))
+    val alters = Ddl.addColumnChanges(spark, "region_ddl",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r_regionkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("new_col",
+          org.apache.spark.sql.types.StringType))))
+    assert(alters === Seq("ALTER TABLE `region_ddl` ADD COLUMNS (`new_col` STRING)"))
+  }
+}
