@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for training-data pipelines: image/audio/video
+  * as opaque `binary` columns plus typed metadata, with decode /
+  * feature-extract / frame-sample as per-partition transforms.
+  *
+  * The Spark-side plumbing is real — schemas, partition-iterator batch shape,
+  * typed Dataset seams — while the media decode itself is STUBBED behind
+  * [[MediaDecoder]] with a deterministic fake (this container carries no
+  * image/audio codecs). A production deployment swaps [[StubDecoder]] for a
+  * JNI/javacpp-backed decoder without touching the pipeline: the decoder is
+  * invoked inside `mapPartitions`, so batching, off-heap reuse, and
+  * per-partition init (the expensive codec setup) all happen once per task,
+  * not per row — the property that matters at 100 TB.
+  */
+object Media {
+
+  final case class MediaRow(media_id: Long, kind: String, media: Array[Byte])
+  final case class MediaMeta(media_id: Long, kind: String, format: String,
+      width: Int, height: Int, n_frames: Int, n_bytes: Long)
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+  final case class FrameRow(media_id: Long, frame_idx: Int,
+      frame_features: Array[Float])
+
+  /** The decode seam. Implementations must be deterministic per byte-content
+    * and cheap to construct per partition.
+    */
+  trait MediaDecoder extends Serializable {
+    def probe(kind: String, bytes: Array[Byte]): MediaMetaShape
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+  final case class MediaMetaShape(format: String, width: Int, height: Int,
+      n_frames: Int)
+
+  /** Deterministic stand-in for the real codec: shapes and features are pure
+    * functions of the byte content (stable hashes), so tests and plumbing are
+    * exact while the real decoder is absent.
+    */
+  object StubDecoder extends MediaDecoder {
+    private def h(bytes: Array[Byte], seed: Int): Long = {
+      var acc = 1125899906842597L + seed
+      var i = 0
+      while (i < bytes.length) { acc = 31 * acc + bytes(i); i += 1 }
+      acc
+    }
+    override def probe(kind: String, bytes: Array[Byte]): MediaMetaShape = {
+      val base = math.abs(h(bytes, 7))
+      kind match {
+        case "image" => MediaMetaShape("fake/png",
+          (base % 1920 + 64).toInt, (base / 1920 % 1080 + 64).toInt, 1)
+        case "video" => MediaMetaShape("fake/mp4",
+          (base % 1280 + 64).toInt, (base / 1280 % 720 + 64).toInt,
+          (base % 240 + 2).toInt)
+        case "audio" => MediaMetaShape("fake/wav", 0, 0, (base % 4800 + 1).toInt)
+        case other => MediaMetaShape(s"fake/$other", 0, 0, 1)
+      }
+    }
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        ((math.abs(h(bytes, d)) % 2000003L) / 1000001.5f) - 1.0f)
+  }
+
+  /** Decode metadata per partition (codec init once per task). */
+  def probeAll(spark: SparkSession, media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val s = decoder.probe(r.kind, r.media)
+        MediaMeta(r.media_id, r.kind, s.format, s.width, s.height, s.n_frames,
+          r.media.length.toLong)
+      }
+    }
+  }
+
+  /** Fixed-dim feature extraction (the embed step of a media pipeline). */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow], dim: Int,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+      MediaFeatures(r.media_id, decoder.features(r.media, dim))))
+  }
+
+  /** Uniform frame sampling for video-like media: every k-th frame up to
+    * `maxFrames`, each frame getting content+index-derived features.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], dim: Int,
+      maxFrames: Int, decoder: MediaDecoder = StubDecoder): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = decoder.probe(r.kind, r.media).n_frames
+        val step = math.max(1, n / math.max(1, maxFrames))
+        (0 until n by step).take(maxFrames).map { f =>
+          FrameRow(r.media_id, f,
+            decoder.features(r.media :+ (f & 0xFF).toByte, dim))
+        }
+      }
+    }
+  }
+
+  /** Metadata "resize" transform — pure column math over the meta table
+    * (aspect-preserving bound to maxDim), no decode needed.
+    */
+  def resizeMeta(meta: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height"), lit(1)))
+    meta.withColumn("resized_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+  }
+}

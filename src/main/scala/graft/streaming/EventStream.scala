@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extensions over the `events` stream (SURVEY.md §2.10:
+  * the reference is pure batch MPP, so streaming is this engine's extension
+  * surface; the transforms are shared with the batch EventQueries so logic is
+  * written once and runs in either mode).
+  *
+  * Scale posture: watermarks bound state; aggregations are keyed so state
+  * partitions across executors; file sources trigger incrementally.
+  */
+object EventStream {
+
+  /** The events schema as the stream source declares it (TimestampType µs). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event batches. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts with a watermark bounding late data and state
+    * (shared shape with EventQueries.q70Tumbling).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user (30-minute gap), watermark-bounded — the
+    * streaming twin of EventQueries.q71Sessions.
+    */
+  def sessionAggregates(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals —
+    * the engine's stateful-operator extension point. (No processing-time
+    * timeout: timeouts re-trigger empty microbatches forever under
+    * processAllAvailable; eviction belongs to watermark-based operators.)
+    */
+  def userRunningTotals(spark: SparkSession,
+      events: DataFrame): Dataset[UserState] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { e => n += 1; v += e.value }
+          val next = UserState(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run any of the above to a named in-memory sink and process everything
+    * currently available (the local smoke path; production uses a real sink).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}

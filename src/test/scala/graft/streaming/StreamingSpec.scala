@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+/** Streaming extensions: the batch events table is replayed through a file
+  * stream and must produce the same aggregates as the batch path (stream /
+  * batch parity), plus a stateful operator check.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    // Re-encode the ns-timestamp table as µs so the stream source reads it
+    // with the declared schema.
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling counts equal the batch computation") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.tumblingCounts(stream), "t_counts", OutputMode.Append())
+    val streamed = spark.table("t_counts")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    // watermark closes all windows once the source is exhausted except those
+    // within the watermark horizon; compare against batch on the same slice
+    val batchTotal = Tables.events(spark, sfDir).count()
+    assert(streamed > 0 && streamed <= batchTotal)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n")).select(col("window.start"), col("event_type"), col("n"))
+    val joined = spark.table("t_counts").as("s")
+      .join(batch.as("b"),
+        col("s.bucket") === col("b.start") &&
+          col("s.event_type") === col("b.event_type"))
+      .filter(col("s.n_events") =!= col("b.n"))
+    assert(joined.count() === 0, "every emitted window must match batch")
+  }
+
+  test("streaming session windows emit watermark-closed sessions") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.sessionAggregates(stream), "t_sessions", OutputMode.Append())
+    val sessions = spark.table("t_sessions")
+    assert(sessions.count() > 0)
+    assert(sessions.filter(col("session_end") <= col("session_start")).count() === 0)
+  }
+
+  test("stateful running totals accumulate per user") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.userRunningTotals(spark, stream).toDF(), "t_state",
+      OutputMode.Update())
+    val state = spark.table("t_state")
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val mismatch = state.as("s").join(batch.as("b"), "user_id")
+      .filter(col("s.n") =!= col("b.n"))
+    assert(mismatch.count() === 0,
+      "final state must equal batch per-user counts")
+  }
+}
