@@ -181,6 +181,51 @@ object CoreQueries {
       |  ((s2 - s1 * s1 / n) / n) AS var_pop
       |FROM t""".stripMargin
 
+  /** Aggregate over view-over-view composition (A7, D2) — the monitoring
+    * toolkit's layered-view pattern (reference:
+    * solutions/monitoring/scripts/views/microsoft.vw_table_space_by_distribution_type.sql:19-30
+    * reads vw_table_sizes): SQL text through temp views, exercising the
+    * engine's SQL entry point.
+    */
+  val q07ViewComposition: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW g_supp_rollup AS
+        |SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM g_lineitem GROUP BY l_suppkey""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(r.sum_qty) AS DECIMAL(18,2)) AS rollup_qty
+        |FROM g_lineitem l JOIN g_supp_rollup r ON l.l_suppkey = r.l_suppkey
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  val q07Sql: String =
+    """WITH g_supp_rollup AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT l_returnflag,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(r.sum_qty) AS DECIMAL(18,2)) AS rollup_qty
+      |FROM lineitem l JOIN g_supp_rollup r ON l.l_suppkey = r.l_suppkey
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** approx_count_distinct — the 100 TB cardinality path (HLL sketch; rows
+    * checked only, sketch estimates are engine-specific).
+    */
+  val q08ApproxDistinct: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+  }
+
   // -------------------------------------------------------------------------
   // Joins (§2.3)
   // -------------------------------------------------------------------------
@@ -581,6 +626,8 @@ object CoreQueries {
     "q04_having" -> q04Having,
     "q05_scalar_agg" -> q05ScalarAgg,
     "q06_stats_agg" -> q06Stats,
+    "q07_view_composition" -> q07ViewComposition,
+    "q08_approx_distinct" -> q08ApproxDistinct,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
     "q12_right_join" -> q12RightJoin,
@@ -608,6 +655,7 @@ object CoreQueries {
     "q04_having" -> q04Sql,
     "q05_scalar_agg" -> q05Sql,
     "q06_stats_agg" -> q06Sql,
+    "q07_view_composition" -> q07Sql,
     "q10_star_join" -> q10Sql,
     "q11_left_join" -> q11Sql,
     "q12_right_join" -> q12Sql,

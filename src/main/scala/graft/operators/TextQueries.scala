@@ -195,8 +195,22 @@ object TextQueries {
     */
   val q56Simhash: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    val fp = d.select(col("doc_id"),
-      Text.simhash64(Text.tokens(col("text"))).as("simhash"))
+    // Same explode+aggregate formulation as MinHash: one xxhash64 per token
+    // row, 64 ±1-vote partial sums (map-side combined), bits packed after the
+    // shuffle — identical result to Text.simhash64, scalable codegen.
+    val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = toks.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("h").bitwiseAND(shiftleft(lit(1L), 0)) =!= 0L, 1L)
+          .otherwise(-1L)).as("b0"),
+        (1 until 64).map(j =>
+          sum(when(col("h").bitwiseAND(shiftleft(lit(1L), j)) =!= 0L, 1L)
+            .otherwise(-1L)).as(s"b$j")): _*)
+    val fp = votes.select(col("doc_id"),
+      (0 until 64).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
     val chunked = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map { c =>
           shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))

@@ -59,4 +59,26 @@ class TextSpec extends SparkSpec {
   test("tokenCount") {
     assert(eval(Text.tokenCount(lit("one two three"))) === 3)
   }
+
+  test("q56's exploded simhash equals the per-row Text.simhash64") {
+    val perRow = graft.Tables.documents(spark, sfDir).limit(20)
+      .select($"doc_id", Text.simhash64(Text.tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = graft.Tables.documents(spark, sfDir).limit(20)
+      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val votes = toks.groupBy($"doc_id")
+      .agg(
+        sum(when($"h".bitwiseAND(shiftleft(lit(1L), 0)) =!= 0L, 1L)
+          .otherwise(-1L)).as("b0"),
+        (1 until 64).map(j =>
+          sum(when($"h".bitwiseAND(shiftleft(lit(1L), j)) =!= 0L, 1L)
+            .otherwise(-1L)).as(s"b$j")): _*)
+    val exploded = votes.select($"doc_id",
+      (0 until 64).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exploded === perRow)
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB posture in executable form:
+  * filters reach the parquet scan, projection pruning reaches ReadSchema,
+  * dimensions broadcast, top-k avoids global sort, aggregation is
+  * partial+final, and the hot paths stay inside WholeStageCodegen.
+  */
+class PlansSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter and column pruning are pushed to the scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+    assert(p.contains("partial_sum"), "aggregation must be partial+final")
+  }
+
+  test("q10: star join broadcasts dimensions and prunes the fact scan") {
+    val p = plan("q10_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation+region must broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "fact scan must read only the 3 needed columns")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter must push into the orders scan")
+  }
+
+  test("q30: TOP-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q30_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11: pre-aggregated left join keeps partial aggregation map-side") {
+    val p = plan("q11_left_join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q15: semi join plans as a semi join, not a full join + distinct") {
+    val p = plan("q15_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+}
