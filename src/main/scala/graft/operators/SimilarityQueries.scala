@@ -77,10 +77,32 @@ object SimilarityQueries {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (no SQL oracle — LSH recall is
+    * approximate by construction): coarse 4-plane signature buckets the
+    * space, candidate pairs within a bucket are verified with exact cosine ≥
+    * 0.4. The dedup-by-embedding member of the dedup family — at 100 TB the
+    * bucket join bounds the pair fan-out to collisions, never n².
+    */
+  val q63CosineNearDup: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      Vectors.hyperplaneBucket(
+        Vectors.hyperplaneSignature(col("embedding"), 64, 4)).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
-    "q62_norm_stats" -> q62NormStats)
+    "q62_norm_stats" -> q62NormStats,
+    "q63_cosine_neardup" -> q63CosineNearDup)
 
   /** q60's oracle mirrors the double-precision sequential fold via UNNEST
     * ordinality — exact same IEEE operation order as the Spark side.
