@@ -109,8 +109,11 @@ object TextQueries {
     */
   val q54NgramJaccard: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
+    // Join on the 64-bit shingle hash instead of the shingle string: same
+    // pairs (collision probability ~n²/2^64), ~3× lighter shuffle rows.
     val sh = d.select(col("doc_id"),
-        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+        explode(Text.shingleSet(col("text"), 3)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
