@@ -147,6 +147,18 @@ object TSql {
     */
   def modSafe(a: Column, b: Column): Column = a % nullif(b, lit(0))
 
+  // --------------------------------------------------------------- collation
+
+  /** Case-insensitive equality — T-SQL's default collation compares strings
+    * case-insensitively (SURVEY.md §7.4 risk 1), unlike Spark's binary
+    * default. Use where dialect parity requires CI semantics.
+    */
+  def ciEquals(a: Column, b: Column): Column = upper(a) === upper(b)
+
+  /** Case-insensitive LIKE. */
+  def ciLike(c: Column, pattern: String): Column =
+    upper(c).like(pattern.toUpperCase)
+
   // ------------------------------------------------------------- conversions
 
   /** Canonical money-ish decimal casts used across the engine so that results

@@ -82,6 +82,12 @@ class TSqlSpec extends SparkSpec {
     assert(one(TSql.initcapFirst(lit("hello world"))) === "Hello world")
   }
 
+  test("case-insensitive comparison helpers match T-SQL default collation") {
+    assert(one(TSql.ciEquals(lit("Hello"), lit("hELLo"))) === true)
+    assert(one(TSql.ciEquals(lit("Hello"), lit("world"))) === false)
+    assert(one(TSql.ciLike(lit("WareHouse"), "ware%")) === true)
+  }
+
   test("DATEPART weekday is 1=Sunday..7=Saturday") {
     val sun = lit("2024-01-07 00:00:00").cast("timestamp")
     assert(one(TSql.datepart("weekday", sun)) === 1)
