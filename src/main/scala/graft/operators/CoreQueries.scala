@@ -536,6 +536,63 @@ object CoreQueries {
       |  LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_total
       |FROM orders""".stripMargin
 
+  /** Correlated EXISTS through the SQL entry point (P8/J7) — Catalyst's
+    * RewritePredicateSubquery decorrelates it to a semi join (SURVEY.md §4;
+    * reference: whitepaper.md:391-411).
+    */
+  val q18ExistsSql: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM g_customer
+        |WHERE EXISTS (SELECT 1 FROM g_orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin
+
+  /** IN (subquery) semi-join through SQL (J6; reference:
+    * microsoft.vw_tables_with_skew.sql:9-19 uses IN over a grouped-HAVING
+    * subquery).
+    */
+  val q19InSubquery: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_orderdate FROM g_orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM g_lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING COUNT(*) >= 7)""".stripMargin)
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderkey, o_orderdate FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING COUNT(*) >= 7)""".stripMargin
+
+  /** DENSE_RANK + NTILE quartiles (extended W-family). */
+  val q26DenseNtile: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      dense_rank().over(byCust).as("drnk"),
+      ntile(4).over(byCust).as("quartile"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS drnk,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+      |FROM orders""".stripMargin
+
   // -------------------------------------------------------------------------
   // Sorts / limits (§2.6)
   // -------------------------------------------------------------------------
@@ -636,12 +693,15 @@ object CoreQueries {
     "q15_semi_join" -> q15SemiJoin,
     "q16_cross_scalars" -> q16CrossScalars,
     "q17_scalar_subquery" -> q17ScalarSubquery,
+    "q18_exists_sql" -> q18ExistsSql,
+    "q19_in_subquery" -> q19InSubquery,
     "q20_row_number" -> q20RowNumber,
     "q21_rank_agg" -> q21RankAgg,
     "q22_lag_lead" -> q22LagLead,
     "q23_running_sum" -> q23Running,
     "q24_moving_agg" -> q24Moving,
     "q25_first_last" -> q25FirstLast,
+    "q26_dense_ntile" -> q26DenseNtile,
     "q30_topk" -> q30TopK,
     "q32_union_all" -> q32UnionAll,
     "q33_union_distinct" -> q33UnionDistinct,
@@ -664,12 +724,15 @@ object CoreQueries {
     "q15_semi_join" -> q15Sql,
     "q16_cross_scalars" -> q16Sql,
     "q17_scalar_subquery" -> q17Sql,
+    "q18_exists_sql" -> q18Sql,
+    "q19_in_subquery" -> q19Sql,
     "q20_row_number" -> q20Sql,
     "q21_rank_agg" -> q21Sql,
     "q22_lag_lead" -> q22Sql,
     "q23_running_sum" -> q23Sql,
     "q24_moving_agg" -> q24Sql,
     "q25_first_last" -> q25Sql,
+    "q26_dense_ntile" -> q26Sql,
     "q30_topk" -> q30Sql,
     "q32_union_all" -> q32Sql,
     "q33_union_distinct" -> q33Sql,

@@ -110,13 +110,34 @@ object EventQueries {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS purchase_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Typed JSON parsing: from_json into a struct column, then typed field
+    * access — the schema-declared twin of q72's path extraction.
+    */
+  val q74TypedJson: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    e.select(col("event_id"), from_json(col("props"), schema).as("p"))
+      .select(col("event_id"), col("p.k").as("k"),
+        (col("p.k") >= 50).cast("int").as("k_high"))
+  }
+
+  val q74Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(CAST(json_extract_string(props, '$.k') AS INT) >= 50 AS INT) AS k_high
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q74_typed_json" -> q74TypedJson,
     "q70_tumbling_window" -> q70Tumbling,
     "q71_session_window" -> q71Sessions,
     "q72_json_extract" -> q72Json,
     "q73_user_profile" -> q73UserProfile)
 
   val oracles: Map[String, String] = Map(
+    "q74_typed_json" -> q74Sql,
     "q70_tumbling_window" -> q70Sql,
     "q71_session_window" -> q71Sql,
     "q72_json_extract" -> q72Sql,
