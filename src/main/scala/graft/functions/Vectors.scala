@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — a custom codegen
+    * Expression (graft.plans.DotProductExpr); bit-identical to the
+    * zip_with/aggregate fold but without the interpreted-HOF allocation per
+    * row.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.DotProductExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -21,19 +27,37 @@ object Vectors {
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH signature (Charikar 2002): `planes` pseudo-random
-    * hyperplanes with components derived deterministically from
-    * xxhash64(planeIdx, dimIdx) mapped to [-0.5, 0.5); signature bit p = sign
-    * of the projection. Vectors with high cosine similarity agree on most
-    * bits.
+  /** Deterministic pseudo-random plane matrix (splitmix64 over (plane, dim)),
+    * components in [-0.5, 0.5). Computed plan-side so the signature
+    * expression stays small: one zip_with + aggregate per plane instead of a
+    * dim×planes flat term tree (codegen compiles in milliseconds, not
+    * seconds).
+    */
+  def planeMatrix(dim: Int, planes: Int): Seq[Seq[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val h = splitmix64(p.toLong * 1000003L + d)
+        ((h & 0xFFFFFFFFL).toDouble / 4294967296.0) - 0.5
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH signature (Charikar 2002): signature bit p = sign
+    * of the projection onto deterministic pseudo-random plane p. Vectors with
+    * high cosine similarity agree on most bits.
     */
   def hyperplaneSignature(v: Column, dim: Int, planes: Int): Column = {
-    def component(p: Int, d: Int): Column =
-      (pmod(xxhash64(lit(p), lit(d)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-    array((0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(v, d + 1).cast("double") * component(p, d)
-      }.reduce(_ + _)
+    val m = planeMatrix(dim, planes)
+    array(m.map { plane =>
+      val proj = aggregate(
+        zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t)
       when(proj >= 0, 1).otherwise(0)
     }: _*)
   }

@@ -23,12 +23,18 @@ object SimilarityQueries {
     */
   val q60KnnBrute: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"))
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+        col("nrm").as("probe_nrm"))
+    // norms are precomputed per row (identical arithmetic, evaluated once);
+    // each pair costs a single codegen'd dot product
     val sims = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vectors.cosine(col("embedding"), col("probe_vec")).as("sim"))
+        (Vectors.dot(col("embedding"), col("probe_vec")) /
+          (col("nrm") * col("probe_nrm"))).as("sim"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -60,15 +66,17 @@ object SimilarityQueries {
   val q61AnnLsh: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val bucketed = e.select(col("vec_id"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"),
       Vectors.hyperplaneBucket(
         Vectors.hyperplaneSignature(col("embedding"), 64, 8)).as("bucket"))
     val probes = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-        col("bucket"))
+        col("nrm").as("probe_nrm"), col("bucket"))
     val cands = bucketed.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vectors.cosine(col("embedding"), col("probe_vec")).as("sim"))
+        (Vectors.dot(col("embedding"), col("probe_vec")) /
+          (col("nrm") * col("probe_nrm"))).as("sim"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -86,6 +94,7 @@ object SimilarityQueries {
   val q63CosineNearDup: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val bucketed = e.select(col("vec_id"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"),
       Vectors.hyperplaneBucket(
         Vectors.hyperplaneSignature(col("embedding"), 64, 4)).as("bucket"))
     bucketed.as("a")
@@ -93,7 +102,8 @@ object SimilarityQueries {
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        (Vectors.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"))
   }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen-native dense dot product over `array<float>` / `array<double>`
+  * columns — the one operator in this engine where the built-in surface
+  * genuinely can't deliver: `aggregate(zip_with(a, b, _*_), 0d, _+_)` runs on
+  * the interpreted higher-order-function path and allocates an intermediate
+  * array per row, which dominates ANN/near-dup joins (millions of pairs).
+  * This expression emits a tight primitive loop instead (SURVEY.md §7.3
+  * preference order: compose built-ins → custom Expression → custom
+  * operator).
+  *
+  * Semantics are IDENTICAL to the sequential double fold (left-to-right
+  * `acc += (double)a(i) * (double)b(i)`), so results are bit-equal to the
+  * zip_with/aggregate form and to the DuckDB oracle's list_dot_product.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects two array<float> or two array<double>, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.$getter($i) * (double) $y.$getter($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
