@@ -115,6 +115,10 @@ object TextQueries {
         explode(Text.shingleSet(col("text"), 3)).as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // (Size-ratio pruning from the set-similarity-join literature was
+    // measured here and reverted: on uniform-length corpora the length filter
+    // never prunes, and the cost is intersection-driven. The scale path for
+    // heavy-duty near-dup remains MinHash/LSH — q55.)
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
