@@ -169,4 +169,26 @@ object TSql {
   def dec3(c: Column): Column = c.cast(DecimalType(18, 3))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Money as exact integer cents. T-SQL's MONEY is itself a fixed-point
+    * int64 (10^-4 units — reference:
+    * samples/scripts/data-load/GenerateLoadScript-V2.sql:108-109 maps MONEY),
+    * so integer fixed-point is the faithful money representation — and unlike
+    * a double→DECIMAL cast, `round(x*100)` is engine-exact: the ×100 product
+    * is the same IEEE double everywhere, and its half-away-from-zero rounding
+    * at scale 0 (a representable boundary) agrees between Spark's
+    * BigDecimal(HALF_UP-on-shortest-string) and DuckDB's binary rounding.
+    * Double→DECIMAL(p,s) casts do NOT have that property (the x.xx5 boundary
+    * is not a representable double) — never use them where cross-engine
+    * bit-exactness matters (SURVEY.md §7.4 risk 1).
+    */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact integer thousandths — same engine-exactness argument as [[cents]]. */
+  def mills(c: Column): Column = round(c * 1000, 0).cast("long")
+
+  /** Hundredths of a unit fraction (e.g. discount 0.07 → 7): exact integer
+    * percent for 2-decimal rate columns.
+    */
+  def pct(c: Column): Column = round(c * 100, 0).cast("long")
 }

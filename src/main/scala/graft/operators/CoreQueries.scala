@@ -10,11 +10,13 @@ import org.apache.spark.sql.types.DecimalType
   * §2.3 (joins), §2.4 (aggregation), §2.5 (windows), §2.6 (sort/limit),
   * §2.7 (set ops).
   *
-  * Numeric discipline: every aggregate over a double column is computed over
-  * an exact DECIMAL cast, and every output aggregate is cast to an explicit
-  * DECIMAL type that both Spark and the DuckDB oracle produce bit-identically
-  * (the reference's money columns are DECIMAL(18,2)/(18,3) —
-  * reference: samples/databases/wide-world-importers/tables/fact.sale.sql:15-20).
+  * Numeric discipline: money aggregates are computed in exact integer cents
+  * (`TSql.cents` — T-SQL MONEY is itself a scaled int64, reference:
+  * samples/scripts/data-load/GenerateLoadScript-V2.sql:108-109), so sums are
+  * pure int64 arithmetic and the only fractional outputs are single IEEE
+  * divisions of exact integers — bit-identical across engines. Double→DECIMAL
+  * casts are avoided in outputs: engines disagree on the unrepresentable
+  * x.xx5 rounding boundary (SURVEY.md §7.4 risk 1).
   * Ordering discipline: every window/top-k has a total order (unique
   * tiebreaker) so results are deterministic across engines.
   *
@@ -31,32 +33,41 @@ object CoreQueries {
   // Aggregations (§2.4)
   // -------------------------------------------------------------------------
 
-  /** TPC-H Q1-shaped pricing summary: hash aggregate with SUM/AVG/COUNT +
-    * arithmetic on decimal expressions (A1, A2, A9).
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with SUM/AVG/COUNT over
+    * exact fixed-point money (A1, A2, A9). Money lives in integer cents
+    * (`TSql.cents` — T-SQL MONEY is itself a scaled int64), so sums are exact
+    * int64 arithmetic on both engines; disc/charge composites stay in integer
+    * 10^-4/10^-6 units; the one fractional output (avg) is a single IEEE
+    * division of two exact integers — bit-identical everywhere.
     */
   val q01Agg: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
+    val qtyC = cents(col("l_quantity"))
+    val extC = cents(col("l_extendedprice"))
+    val discP = pct(col("l_discount"))
+    val taxP = pct(col("l_tax"))
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount")))
-          * (dec2(lit(1)) + dec2(col("l_tax"))))
-          .cast(DecimalType(18, 6)).as("sum_charge"),
-        avg(dec2(col("l_quantity"))).cast(DecimalType(18, 6)).as("avg_qty"),
+        sum(qtyC).as("sum_qty_c"),
+        sum(extC).as("sum_base_price_c"),
+        sum(extC * (lit(100L) - discP)).as("sum_disc_price_e4"),
+        sum(extC * (lit(100L) - discP) * (lit(100L) + taxP)).as("sum_charge_e6"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty_c"),
+        col("sum_base_price_c"), col("sum_disc_price_e4"), col("sum_charge_e6"),
+        (col("sum_qty_c").cast("double") /
+          (col("count_order") * lit(100L)).cast("double")).as("avg_qty"),
+        col("count_order"))
   }
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
-      |  CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS avg_qty,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -87,15 +98,19 @@ object CoreQueries {
     */
   val q03ConditionalAgg: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
+    val tpC = cents(col("o_totalprice"))
     o.groupBy(col("o_orderpriority"))
       .agg(
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_f"),
         sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_o"),
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast("long").as("n_p"),
-        sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
-          .otherwise(dec2(lit(0)))).cast(DecimalType(18, 2)).as("f_total"),
-        avg(when(col("o_orderstatus") === "F", dec2(col("o_totalprice"))))
-          .cast(DecimalType(18, 6)).as("f_avg"))
+        sum(when(col("o_orderstatus") === "F", tpC).otherwise(lit(0L))).as("f_total_c"))
+      .select(col("o_orderpriority"), col("n_f"), col("n_o"), col("n_p"),
+        col("f_total_c"),
+        // NULL-skipping AVG(CASE) (A9): one exact-integer IEEE division,
+        // NULL when the group has no 'F' rows — identical on both engines.
+        when(col("n_f") > 0, col("f_total_c").cast("double") /
+          (col("n_f") * lit(100L)).cast("double")).as("f_avg"))
   }
 
   val q03Sql: String =
@@ -103,8 +118,11 @@ object CoreQueries {
       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
       |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS f_total,
-      |  CAST(AVG(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE NULL END) AS DECIMAL(18,6)) AS f_avg
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS f_total_c,
+      |  CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0
+      |       THEN CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |            / CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+      |       ELSE NULL END AS f_avg
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   /** HAVING over aggregates (A5) — skew-check idiom
@@ -113,17 +131,17 @@ object CoreQueries {
   val q04Having: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     l.groupBy(col("l_suppkey"), col("l_returnflag"))
-      .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
         count(lit(1)).as("n"))
-      .filter(col("sum_qty") > dec2(lit(5100)))
+      .filter(col("sum_qty_c") > lit(510000L))
   }
 
   val q04Sql: String =
     """SELECT l_suppkey, l_returnflag,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_suppkey, l_returnflag
-      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > CAST(5100 AS DECIMAL(18,2))""".stripMargin
+      |HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 510000""".stripMargin
 
   /** Grand-total scalar aggregate, no GROUP BY (A6)
     * (reference: samples/sqlops/MonitoringScripts/UserActivities.sql:6-8).
@@ -192,13 +210,13 @@ object CoreQueries {
     s.sql(
       """CREATE OR REPLACE TEMPORARY VIEW g_supp_rollup AS
         |SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         |  COUNT(*) AS n
         |FROM g_lineitem GROUP BY l_suppkey""".stripMargin)
     s.sql(
       """SELECT l_returnflag,
         |  COUNT(*) AS n_rows,
-        |  CAST(SUM(r.sum_qty) AS DECIMAL(18,2)) AS rollup_qty
+        |  CAST(SUM(r.sum_qty_c) AS BIGINT) AS rollup_qty_c
         |FROM g_lineitem l JOIN g_supp_rollup r ON l.l_suppkey = r.l_suppkey
         |GROUP BY l_returnflag""".stripMargin)
   }
@@ -206,12 +224,12 @@ object CoreQueries {
   val q07Sql: String =
     """WITH g_supp_rollup AS (
       |  SELECT l_suppkey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
       |    COUNT(*) AS n
       |  FROM lineitem GROUP BY l_suppkey)
       |SELECT l_returnflag,
       |  COUNT(*) AS n_rows,
-      |  CAST(SUM(r.sum_qty) AS DECIMAL(18,2)) AS rollup_qty
+      |  CAST(SUM(r.sum_qty_c) AS BIGINT) AS rollup_qty_c
       |FROM lineitem l JOIN g_supp_rollup r ON l.l_suppkey = r.l_suppkey
       |GROUP BY l_returnflag""".stripMargin
 
@@ -276,18 +294,18 @@ object CoreQueries {
     val o = Tables.orders(s, dir)
     val byCust = o.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("tot"))
+        sum(cents(col("o_totalprice"))).as("tot_c"))
     c.join(byCust, col("c_custkey") === col("o_custkey"), "left")
       .select(
         col("c_custkey"), col("c_name"),
         coalesce(col("cnt"), lit(0L)).as("n_orders"),
-        coalesce(col("tot"), dec2(lit(0)).cast(DecimalType(18, 2))).as("total_spent"))
+        coalesce(col("tot_c"), lit(0L)).as("total_spent_c"))
   }
 
   val q11Sql: String =
     """SELECT c_custkey, c_name,
       |  COUNT(o_orderkey) AS n_orders,
-      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+      |  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_spent_c
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name""".stripMargin
 
@@ -381,18 +399,21 @@ object CoreQueries {
     */
   val q17ScalarSubquery: Q = (s, dir) => {
     val p = Tables.part(s, dir)
-    val avgPrice = p.agg(avg(dec2(col("p_retailprice"))).cast(DecimalType(18, 6)).as("avg_price"))
+    // price > AVG(price) as an exact integer cross-multiply (price_c * n >
+    // sum_c) — no division, so no float rounding at the predicate boundary.
+    val avgPrice = p.agg(sum(cents(col("p_retailprice"))).as("sum_c"),
+      count(lit(1)).as("n_parts"))
     p.crossJoin(broadcast(avgPrice))
-      .filter(dec2(col("p_retailprice")) > col("avg_price"))
+      .filter(cents(col("p_retailprice")) * col("n_parts") > col("sum_c"))
       .select(col("p_partkey"), col("p_name"),
-        dec2(col("p_retailprice")).as("p_price"))
+        cents(col("p_retailprice")).as("p_price_c"))
   }
 
   val q17Sql: String =
-    """SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS p_price
+    """SELECT p_partkey, p_name, CAST(ROUND(p_retailprice*100) AS BIGINT) AS p_price_c
       |FROM part
-      |WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
-      |  (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,6)) FROM part)""".stripMargin
+      |WHERE CAST(ROUND(p_retailprice*100) AS BIGINT) * (SELECT COUNT(*) FROM part) >
+      |  (SELECT CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) FROM part)""".stripMargin
 
   // -------------------------------------------------------------------------
   // Window functions (§2.5)
@@ -434,23 +455,23 @@ object CoreQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("revenue"))
+      .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
     rev.withColumn("rnk",
-      rank().over(Window.partitionBy(col("r_name")).orderBy(col("revenue").desc)))
+      rank().over(Window.partitionBy(col("r_name")).orderBy(col("revenue_c").desc)))
   }
 
   val q21Sql: String =
     """WITH rev AS (
       |  SELECT r_name, n_name,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY r_name, n_name)
-      |SELECT r_name, n_name, revenue,
-      |  CAST(RANK() OVER (PARTITION BY r_name ORDER BY revenue DESC) AS INT) AS rnk
+      |SELECT r_name, n_name, revenue_c,
+      |  CAST(RANK() OVER (PARTITION BY r_name ORDER BY revenue_c DESC) AS INT) AS rnk
       |FROM rev""".stripMargin
 
   /** LAG/LEAD (W4) (whitepaper.md:568-569): previous/next order totals per
@@ -462,16 +483,16 @@ object CoreQueries {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     o.select(
       col("o_custkey"), col("o_orderkey"),
-      dec2(col("o_totalprice")).as("total"),
-      lag(dec2(col("o_totalprice")), 1).over(w).as("prev_total"),
-      lead(dec2(col("o_totalprice")), 1).over(w).as("next_total"))
+      cents(col("o_totalprice")).as("total_c"),
+      lag(cents(col("o_totalprice")), 1).over(w).as("prev_total_c"),
+      lead(cents(col("o_totalprice")), 1).over(w).as("next_total_c"))
   }
 
   val q22Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS total,
-      |  LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total,
-      |  LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_total
+      |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+      |  LAG(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total_c,
+      |  LEAD(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_total_c
       |FROM orders""".stripMargin
 
   /** Running (cumulative) aggregate (W7) — RunningSum/RunningCount
@@ -484,13 +505,13 @@ object CoreQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     o.select(
       col("o_custkey"), col("o_orderkey"),
-      sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("running_total"),
+      sum(cents(col("o_totalprice"))).over(w).as("running_total_c"),
       count(lit(1)).over(w).as("running_n"))
   }
 
   val q23Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_c,
       |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
       |FROM orders""".stripMargin
 
@@ -504,16 +525,16 @@ object CoreQueries {
       .rowsBetween(-2, Window.currentRow)
     o.select(
       col("o_custkey"), col("o_orderkey"),
-      sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("moving_sum"),
-      max(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("moving_max"),
-      min(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("moving_min"))
+      sum(cents(col("o_totalprice"))).over(w).as("moving_sum_c"),
+      max(cents(col("o_totalprice"))).over(w).as("moving_max_c"),
+      min(cents(col("o_totalprice"))).over(w).as("moving_min_c"))
   }
 
   val q24Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum,
-      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_max,
-      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_min
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_c,
+      |  CAST(MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_max_c,
+      |  CAST(MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_min_c
       |FROM orders""".stripMargin
 
   /** FIRST_VALUE / LAST_VALUE over explicit frames (W5, W8)
@@ -526,14 +547,14 @@ object CoreQueries {
     val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     o.select(
       col("o_custkey"), col("o_orderkey"),
-      first(dec2(col("o_totalprice"))).over(ord).as("first_total"),
-      last(dec2(col("o_totalprice"))).over(full).as("last_total"))
+      first(cents(col("o_totalprice"))).over(ord).as("first_total_c"),
+      last(cents(col("o_totalprice"))).over(full).as("last_total_c"))
   }
 
   val q25Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_total,
-      |  LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_total
+      |  FIRST_VALUE(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_total_c,
+      |  LAST_VALUE(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_total_c
       |FROM orders""".stripMargin
 
   /** Correlated EXISTS through the SQL entry point (P8/J7) — Catalyst's

@@ -20,16 +20,16 @@ object EventQueries {
     e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"),
+        sum(cents(col("value"))).as("total_value_c"),
         countDistinct(col("user_id")).as("n_users"))
       .select(col("window.start").as("bucket"), col("event_type"),
-        col("n_events"), col("total_value"), col("n_users"))
+        col("n_events"), col("total_value_c"), col("n_users"))
   }
 
   val q70Sql: String =
     """SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_value_c,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -42,11 +42,11 @@ object EventQueries {
     val e = Tables.events(s, dir)
     e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("session_value"))
+        sum(cents(col("value"))).as("session_value_c"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("n_events"), col("session_value"))
+        col("n_events"), col("session_value_c"))
   }
 
   val q71Sql: String =
@@ -64,7 +64,7 @@ object EventQueries {
       |  MIN(ts) AS session_start,
       |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS session_value_c
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
   /** Semi-structured JSON extraction from the `props` column (the engine's
@@ -97,8 +97,8 @@ object EventQueries {
         sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("n_errors"),
         min(col("ts")).as("first_seen"),
         max(col("ts")).as("last_seen"),
-        sum(when(col("event_type") === "purchase", dec2(col("value")))
-          .otherwise(dec2(lit(0)))).cast(DecimalType(18, 2)).as("purchase_value"))
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(lit(0L))).as("purchase_value_c"))
   }
 
   val q73Sql: String =
@@ -107,7 +107,7 @@ object EventQueries {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
       |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
       |  MIN(ts) AS first_seen, MAX(ts) AS last_seen,
-      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS purchase_value
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_value_c
       |FROM events GROUP BY user_id""".stripMargin
 
   /** Typed JSON parsing: from_json into a struct column, then typed field

@@ -185,27 +185,34 @@ object FunctionQueries {
     */
   val q45Casts: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
+    // Fixed-point rendering built from exact integer cents (engine-exact;
+    // double→DECIMAL→string diverges at the x.xx5 boundary, see TSql.cents).
+    val c = TSql.cents(col("l_extendedprice"))
+    val priceStr = concat(
+      floor(c / lit(100)).cast("long").cast("string"), lit("."),
+      lpad((c % 100).cast("string"), 2, "0"))
     l.select(
       col("l_orderkey"),
       col("l_linenumber"),
       col("l_quantity").cast("int").as("qty_int"),
-      TSql.dec2(col("l_extendedprice")).cast("string").as("price_str"),
+      priceStr.as("price_str"),
       col("l_shipdate").cast("date").as("ship_date"),
       col("l_shipdate").cast("date").cast("string").as("ship_str"),
       col("l_linenumber").cast("string").as("line_str"),
       col("l_linenumber").cast("string").cast("int").as("line_roundtrip"),
-      col("l_quantity").cast("decimal(18,3)").as("qty_dec3"))
+      TSql.mills(col("l_quantity")).as("qty_mills"))
   }
 
   val q45Sql: String =
     """SELECT l_orderkey, l_linenumber,
       |  CAST(l_quantity AS INT) AS qty_int,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+      |  CAST(CAST(FLOOR(CAST(ROUND(l_extendedprice*100) AS BIGINT) / 100) AS BIGINT) AS VARCHAR)
+      |    || '.' || LPAD(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_str,
       |  CAST(l_shipdate AS DATE) AS ship_date,
       |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
       |  CAST(l_linenumber AS VARCHAR) AS line_str,
       |  CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS line_roundtrip,
-      |  CAST(l_quantity AS DECIMAL(18,3)) AS qty_dec3
+      |  CAST(ROUND(l_quantity*1000) AS BIGINT) AS qty_mills
       |FROM lineitem""".stripMargin
 
   /** Predicate forms (P3-P5): LIKE / NOT LIKE / IN / NOT IN / inequality

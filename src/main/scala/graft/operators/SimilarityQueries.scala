@@ -44,17 +44,18 @@ object SimilarityQueries {
   }
 
   /** Embedding norm/label rollup: per-row sequential-fold norms (exact given
-    * identical IEEE order), aggregated per label over per-row decimal casts
-    * so the rollup is engine-exact.
+    * identical IEEE order), rounded per row to exact integer cents before the
+    * rollup so the sum is int64 arithmetic — engine-exact (a decimal/double
+    * fold would be summation-order-sensitive).
     */
   val q62NormStats: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     e.select(col("label"), col("vec_id"),
-        Vectors.norm(col("embedding")).cast("decimal(18,6)").as("nrm"))
+        round(Vectors.norm(col("embedding")) * 100, 0).cast("long").as("nrm_c"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        sum(col("nrm")).cast("decimal(18,6)").as("total_norm"),
+        sum(col("nrm_c")).as("total_norm_c"),
         min(col("vec_id")).as("min_vec"),
         max(col("vec_id")).as("max_vec"))
   }
@@ -136,7 +137,7 @@ object SimilarityQueries {
     "q62_norm_stats" ->
       """SELECT label,
         |  COUNT(*) AS n_vecs,
-        |  CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_norm,
+        |  CAST(SUM(CAST(ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 100) AS BIGINT)) AS BIGINT) AS total_norm_c,
         |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
         |FROM embeddings GROUP BY label""".stripMargin)
 }
