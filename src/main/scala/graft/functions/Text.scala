@@ -19,6 +19,40 @@ object Text {
   /** Whitespace tokenization (single-space-separated corpora). */
   def tokens(text: Column): Column = split(text, " ")
 
+  // ------------------------------------------------------- portable hashing
+
+  /** Engine-portable 60-bit hash: the top 15 hex chars of md5, parsed base-16.
+    * MD5 is bit-identical in every engine, so this hash — unlike xxhash64 —
+    * can be reproduced by the DuckDB oracle
+    * (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`), making the whole
+    * MinHash/SimHash/winnowing family oracle-checkable. 60 bits keeps the
+    * value strictly inside a signed int64 on both engines.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne prime 2^61-1: modulus of the universal hash family below. */
+  val HashP: Long = 2305843009213693951L
+
+  /** Deterministic (a_i, b_i) coefficients for the universal hash family
+    * h_i(x) = (a_i·x32 + b_i) mod P over 32-bit inputs. a_i < 2^29 keeps the
+    * product < 2^61 — exact in int64 arithmetic on both engines, no wrapping
+    * multiply needed (DuckDB raises on int64 overflow rather than wrapping).
+    */
+  def hashFamily(k: Int): Seq[(Long, Long)] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until k).map { i =>
+      val a = (splitmix64(2L * i) & ((1L << 29) - 1)) | 1L
+      val b = splitmix64(2L * i + 1) & ((1L << 29) - 1)
+      (a, b)
+    }
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles, preserving document order; empty array when the

@@ -65,4 +65,17 @@ object Vectors {
   /** Bucket id = the signature packed into a long (planes ≤ 32). */
   def hyperplaneBucket(sig: Column): Column =
     aggregate(sig, lit(0L), (acc, bit) => acc * 2 + bit.cast("long"))
+
+  /** Banded bucket ids (the multi-table LSH form): split the signature into
+    * `bands` groups of `bitsPerBand` bits and pack each group into a long
+    * (first bit of the band is the most significant). Vectors colliding in
+    * ANY band are candidates — each band is an independent hash table, so
+    * recall stays high while each band's bucket count (2^bitsPerBand) bounds
+    * the within-bucket fan-out.
+    */
+  def bandedBuckets(sig: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      aggregate(slice(sig, b * bitsPerBand + 1, bitsPerBand), lit(0L),
+        (acc, bit) => acc * 2 + bit.cast("long"))
+    }: _*)
 }

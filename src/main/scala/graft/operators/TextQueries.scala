@@ -153,37 +153,44 @@ object TextQueries {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3""".stripMargin
 
-  /** MinHash + LSH near-dup candidates (no SQL oracle — driver rows-only
-    * check): 32-component signature, 8 bands × 4 rows; docs sharing a band
-    * bucket become candidate pairs, then candidates are verified with the
-    * signature-estimated Jaccard ≥ 0.5.
+  private val MinhashK = 32
+  private val MinhashBands = 8
+  private val MinhashRows = MinhashK / MinhashBands
+
+  /** MinHash + LSH near-dup candidates: 32-component signature from the
+    * engine-portable universal hash family (`Text.portableHash` +
+    * `Text.hashFamily` — md5-derived, so the DuckDB oracle reproduces it
+    * bit-exactly), 8 bands × 4 rows; docs sharing a band bucket become
+    * candidate pairs, verified with the signature-estimated Jaccard ≥ 0.5.
     *
     * Scale path: only band buckets shuffle; the candidate join is on
-    * (band_index, band_hash) so work is proportional to collisions, not n².
+    * (band_index, band_value) so work is proportional to collisions, not n².
     */
   val q55MinhashLsh: Q = (s, dir) => {
-    val k = 32
-    val bands = 8
+    val fam = Text.hashFamily(MinhashK)
     val d = Tables.documents(s, dir)
-    // Explode shingles to flat rows, then k min-aggregates: partial (map-side)
-    // min means the shuffle carries |docs|×k longs, not the shingle stream —
-    // this is the formulation that scales, and it codegens flat (no nested
-    // array transforms).
+    // Explode shingles to flat rows (one md5 each), then k min-aggregates of
+    // cheap integer mixes: partial (map-side) min means the shuffle carries
+    // |docs|×k longs, not the shingle stream — the formulation that scales.
     val sh = d.select(col("doc_id"),
-      explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"),
+        Text.portableHash(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)).as("h32"))
+    def hi(i: Int) = (col("h32") * fam(i)._1 + fam(i)._2) % Text.HashP
     val sig = sh.groupBy(col("doc_id"))
-      .agg(min(xxhash64(col("shingle"), lit(0))).as("m0"),
-        (1 until k).map(i =>
-          min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-        posexplode(Text.minhashBands(col("sig"), k, bands)))
+      .agg(min(hi(0)).as("m0"),
+        (1 until MinhashK).map(i => min(hi(i)).as(s"m$i")): _*)
+    val banded = sig.select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"),
+        posexplode(array((0 until MinhashBands).map { b =>
+          concat_ws(",", (0 until MinhashRows).map(r => col(s"m${b * MinhashRows + r}")): _*)
+        }: _*)))
       .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_val")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -191,36 +198,76 @@ object TextQueries {
     cands
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / k).as("est_jaccard"))
+          b => b)).cast("double") / MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
 
-  /** SimHash near-dup candidates (no SQL oracle): 64-bit fingerprints,
-    * candidates share at least one of four 16-bit chunks (a Hamming-distance
-    * LSH — any pair within Hamming ≤ 3 must agree on ≥ 1 chunk), verified
-    * with exact Hamming distance ≤ 3.
+  /** DuckDB oracle for q55, generated from the same hash-family constants. */
+  val q55Sql: String = {
+    val fam = Text.hashFamily(MinhashK)
+    val minExprs = fam.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h32*$a+$b) % ${Text.HashP}) AS m$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until MinhashK).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cols = (0 until MinhashRows).map(r => s"sig[${b * MinhashRows + r + 1}]").mkString(", ")
+      s"SELECT doc_id, sig, $b AS band_idx, concat_ws(',', $cols) AS band_val FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eqSum = (1 to MinhashK).map(i =>
+      s"CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |shd AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) & 4294967295 AS h32
+       |  FROM shd),
+       |sig AS (
+       |  SELECT doc_id, $sigList AS sig FROM (
+       |    SELECT doc_id,
+       |    $minExprs
+       |    FROM h GROUP BY doc_id)),
+       |banded AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $MinhashK AS est_jaccard
+       |  FROM cands) t
+       |WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
+  /** SimHash near-dup candidates: 60-bit fingerprints over the portable md5
+    * hash (oracle-reproducible), candidates share at least one of four 15-bit
+    * chunks (a Hamming-distance LSH — any pair within Hamming ≤ 3 must agree
+    * on ≥ 1 chunk), verified with exact Hamming distance ≤ 3.
     */
   val q56Simhash: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    // Same explode+aggregate formulation as MinHash: one xxhash64 per token
-    // row, 64 ±1-vote partial sums (map-side combined), bits packed after the
-    // shuffle — identical result to Text.simhash64, scalable codegen.
+    // Same explode+aggregate formulation as MinHash: one md5 per token row,
+    // 60 ±1-vote partial sums (map-side combined), bits packed after the
+    // shuffle — scalable codegen, no per-row array transforms.
     val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), Text.portableHash(col("tok")).as("h"))
     val votes = toks.groupBy(col("doc_id"))
       .agg(
         sum(when(col("h").bitwiseAND(shiftleft(lit(1L), 0)) =!= 0L, 1L)
           .otherwise(-1L)).as("b0"),
-        (1 until 64).map(j =>
+        (1 until 60).map(j =>
           sum(when(col("h").bitwiseAND(shiftleft(lit(1L), j)) =!= 0L, 1L)
             .otherwise(-1L)).as(s"b$j")): _*)
     val fp = votes.select(col("doc_id"),
-      (0 until 64).map(j =>
+      (0 until 60).map(j =>
         when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
     val chunked = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map { c =>
-          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+          shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))
         }: _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
@@ -235,8 +282,37 @@ object TextQueries {
       .filter(col("hamming") <= 3)
   }
 
-  /** Winnowing fingerprints (no SQL oracle): per-doc fingerprint set size and
-    * extremes — the primitive behind plagiarism-style containment detection.
+  /** DuckDB oracle for q56 — the same 60 bit-votes, generated. */
+  val q56Sql: String = {
+    val votes = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+    val pack = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $pack AS simhash FROM votes),
+       |chunked AS (
+       |  SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * 15)) & 32767 AS chunk_val
+       |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(c))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM chunked a JOIN chunked b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
+  /** Winnowing fingerprints: per-doc fingerprint set size and extremes — the
+    * primitive behind plagiarism-style containment detection. Hashes are the
+    * portable md5-derived 60-bit family, so the DuckDB oracle reproduces the
+    * exact fingerprints.
     */
   val q57Fingerprint: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
@@ -248,7 +324,7 @@ object TextQueries {
     val w = 4
     val hashed = d.select(col("doc_id"),
         posexplode(Text.shingles(Text.tokens(col("text")), 3)))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+      .select(col("doc_id"), col("pos"), Text.portableHash(col("col")).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     hashed
@@ -260,14 +336,61 @@ object TextQueries {
         max(col("win_min")).as("max_fp"))
   }
 
-  /** Language-ID heuristic vs. the labelled lang column (no SQL oracle):
-    * per-language confusion rollup.
+  /** DuckDB oracle for q57 (positions are 1-based in the oracle, 0-based in
+    * Spark's posexplode — the `pos >= w` filters select the same windows).
+    */
+  val q57Sql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+      |h AS (
+      |  SELECT doc_id, pos,
+      |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS hv
+      |  FROM sh),
+      |w AS (
+      |  SELECT doc_id, pos,
+      |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_min
+      |  FROM h)
+      |SELECT doc_id, COUNT(DISTINCT win_min) AS n_fingerprints,
+      |  MIN(win_min) AS min_fp, MAX(win_min) AS max_fp
+      |FROM w WHERE pos >= 4 GROUP BY doc_id""".stripMargin
+
+  /** Language-ID heuristic vs. the labelled lang column: per-language
+    * confusion rollup.
     */
   val q58LangId: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
     d.select(col("lang"), Text.langId(Text.tokens(col("text"))).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle for q58, generated from the same stopword lexicons (ties
+    * resolve in the same fixed language order as Text.langId).
+    */
+  val q58Sql: String = {
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val hitExprs = langs.map { l =>
+      val words = Text.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"LEN(LIST_INTERSECT(dt, [$words])) AS h_$l"
+    }.mkString(",\n    ")
+    val caseArms = langs.map(l =>
+      s"WHEN h_$l = best AND best > 0 THEN '$l'").mkString("\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS dt
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang,
+       |    $hitExprs
+       |  FROM toks),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE $caseArms
+       |         ELSE 'und' END AS predicted
+       |  FROM (SELECT *, GREATEST(h_en, h_fr, h_es, h_de, h_zh) AS best FROM hits))
+       |SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -286,5 +409,9 @@ object TextQueries {
     "q51_token_stats" -> q51Sql,
     "q52_text_quality" -> q52Sql,
     "q53_lang_rollup" -> q53Sql,
-    "q54_ngram_jaccard" -> q54Sql)
+    "q54_ngram_jaccard" -> q54Sql,
+    "q55_minhash_lsh" -> q55Sql,
+    "q56_simhash" -> q56Sql,
+    "q57_winnow_fingerprint" -> q57Sql,
+    "q58_lang_id" -> q58Sql)
 }
