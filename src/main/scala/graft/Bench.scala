@@ -35,7 +35,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout under sbt is noisy ([info] prefixes, log4j) — the file is the
+    // machine-readable channel (BENCH_r01 recorded "parsed": null).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -53,4 +53,33 @@ object TablePolicy {
   val PropDistribution = "graft.distribution"
   val PropLayout = "graft.layout"
   val PropPartition = "graft.partition"
+
+  private val HashRe = """hash\(([^,]+),(\d+)\)""".r
+  private val ClusteredRe = """clustered\((.*)\)""".r
+  private val MonthRe = """month\((.+)\)""".r
+
+  /** Inverse of the `describe` strings Ctas writes into TBLPROPERTIES — so
+    * maintenance jobs (compaction, replicated-cache refresh) can recover and
+    * preserve a table's physical policy.
+    */
+  def fromProps(props: Map[String, String]): TablePolicy = TablePolicy(
+    distribution = props.get(PropDistribution) match {
+      case Some(HashRe(c, n)) => Distribution.Hash(c, n.toInt)
+      case Some("replicate") => Distribution.Replicate
+      case _ => Distribution.RoundRobin
+    },
+    layout = props.get(PropLayout) match {
+      case Some(ClusteredRe(cs)) => Layout.Clustered(cs.split(",").toSeq)
+      case Some("heap") => Layout.Heap
+      case _ => Layout.Columnstore
+    },
+    partition = props.get(PropPartition) match {
+      case Some(MonthRe(c)) => Some(MonthPartition(c))
+      case _ => None
+    })
+
+  /** Read a table's policy back from the catalog. */
+  def of(spark: org.apache.spark.sql.SparkSession, table: String): TablePolicy =
+    fromProps(spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
 }

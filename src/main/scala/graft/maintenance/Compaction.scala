@@ -11,23 +11,34 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Rebuild `table` targeting `targetRows` rows per output file. Returns the
-    * new file count.
+  /** Rebuild `table` targeting `targetRows` rows per output file, PRESERVING
+    * its physical policy (distribution/bucketing, clustered sort, month
+    * partitioning, graft.* TBLPROPERTIES) by routing the rewrite back through
+    * Ctas.create — a REPLICATE table keeps auto-broadcasting and a HASH table
+    * keeps collocation after the rebuild. Returns the target file count
+    * (hash-bucketed tables keep their bucket count instead).
     */
   def rebuild(spark: SparkSession, table: String,
       targetRows: Long = StorageViews.RowgroupTarget): Int = {
+    import graft.catalog.{Distribution, TablePolicy}
+    import graft.sources.Ctas
     val df = spark.table(table)
     val total = df.count()
     val nFiles = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     val cols = df.columns
+    val policy = TablePolicy.of(spark, table)
+    val prepared = policy.distribution match {
+      case Distribution.Hash(_, _) => df // bucket spec governs the layout
+      case _ => df.repartition(nFiles)
+    }
     val tmp = s"${table}_graft_rebuild"
-    df.repartition(nFiles).write.mode("overwrite").format("parquet")
-      .saveAsTable(tmp)
+    Ctas.create(spark, prepared, tmp, policy, label = Some(s"rebuild $table"))
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     // RENAME on a managed table moves the location; verify integrity
     require(spark.table(table).count() == total, "rebuild lost rows")
-    require(spark.table(table).columns.sameElements(cols), "rebuild lost columns")
+    require(spark.table(table).columns.sorted.sameElements(cols.sorted),
+      "rebuild lost columns")
     nFiles
   }
 

@@ -85,8 +85,12 @@ final class QueryJournal(spark: SparkSession) {
 
   def stop(): Unit = spark.sparkContext.removeSparkListener(listener)
 
-  /** Listener delivery is async; give the bus a moment before reads. */
-  def flush(): Unit = Thread.sleep(300)
+  /** Listener delivery is async: block until the bus has drained (a fixed
+    * sleep silently misses recently finished queries under load).
+    */
+  def flush(): Unit =
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(
+      spark.sparkContext, 10000L)
 
   def requests: DataFrame = {
     import spark.implicits._

@@ -50,12 +50,24 @@ object Scd2 {
     val current = currentRows(dim, validTo)
     val dimCols = dim.columns.toSeq
 
+    // The SCD-2 invariant (one open row per key) requires at most one update
+    // row per business key; a duplicated key would fan out through the join
+    // into multiple open versions. Updates carry no ordering column, so
+    // last-wins is undefined — dedupe deterministically on the tracked
+    // attributes (callers with a meaningful event order must pre-dedupe).
+    val dedupWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(businessKey))
+      .orderBy(tracked.map(c => col(c).desc_nulls_last): _*)
+    val updates1 = updates
+      .withColumn("_graft_rn", row_number().over(dedupWin))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+
     val changeCond = tracked
       .map(c => !(col(s"u.$c") <=> col(s"c.$c")))
       .reduce(_ || _)
 
     val joined = current.as("c")
-      .join(updates.as("u"),
+      .join(updates1.as("u"),
         col(s"c.$businessKey") === col(s"u.$businessKey"), "full")
 
     // current rows whose key got an update with a tracked-attribute change

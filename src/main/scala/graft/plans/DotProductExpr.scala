@@ -17,11 +17,17 @@ import org.apache.spark.sql.types._
   * Semantics are IDENTICAL to the sequential double fold (left-to-right
   * `acc += (double)a(i) * (double)b(i)`), so results are bit-equal to the
   * zip_with/aggregate form and to the DuckDB oracle's list_dot_product.
+  * That includes the mismatched-length case: zip_with pads the shorter array
+  * with nulls, which poisons the fold to NULL — so a dimension mismatch
+  * returns NULL here too rather than a plausible-looking partial product.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on length mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -41,7 +47,8 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     if (isFloat) {
@@ -59,12 +66,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.$getter($i) * (double) $y.$getter($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $x.$getter($i) * (double) $y.$getter($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -65,24 +65,34 @@ final case class ExternalTable(
     withComp.csv(location)
   }
 
-  /** Validated read with PolyBase reject accounting: one extra counting pass
-    * over the (cached) scan; breaching the threshold throws before any
-    * downstream consumption — callers write to a staging path and commit on
-    * success (SURVEY.md §7.4 risk 3).
+  /** Validated read with PolyBase reject accounting, in ONE pass: the
+    * permissive scan streams straight into a parquet staging directory while
+    * an `Observation` counts total/malformed rows on the fly; the threshold
+    * is checked before the staging data is exposed (staging-commit design,
+    * SURVEY.md §7.4 risk 3). No cache, no second scan — at 100 TB the load
+    * path reads the text exactly once and the returned frame is a columnar
+    * re-read of the staged parquet.
     */
-  def read(spark: SparkSession): DataFrame = {
-    val raw = readRaw(spark).cache()
-    try {
-      val total = raw.count()
-      val rejected = raw.filter(col(corruptCol).isNotNull).count()
-      val breach = reject match {
-        case RejectType.Value(n) => rejected > n
-        case RejectType.Percentage(p) => total > 0 && rejected * 100.0 / total > p
-      }
-      if (breach) throw RejectThresholdExceeded(rejected, total, reject)
-      raw.filter(col(corruptCol).isNull).drop(corruptCol)
-    } catch {
-      case e: RejectThresholdExceeded => raw.unpersist(); throw e
+  def load(spark: SparkSession, stagingDir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = readRaw(spark).observe(obs,
+      count(lit(1)).as("total"),
+      sum(col(corruptCol).isNotNull.cast("long")).as("rejected"))
+    observed.filter(col(corruptCol).isNull).drop(corruptCol)
+      .write.mode("overwrite").parquet(stagingDir)
+    val m = obs.get
+    val total = m("total").asInstanceOf[Long]
+    val rejected = Option(m("rejected")).collect { case l: Long => l }.getOrElse(0L)
+    val breach = reject match {
+      case RejectType.Value(n) => rejected > n
+      case RejectType.Percentage(p) => total > 0 && rejected * 100.0 / total > p
     }
+    if (breach) throw RejectThresholdExceeded(rejected, total, reject)
+    spark.read.parquet(stagingDir)
   }
+
+  /** `load` into a generated staging directory. */
+  def read(spark: SparkSession): DataFrame =
+    load(spark,
+      java.nio.file.Files.createTempDirectory("graft_ext_stage").toString)
 }

@@ -87,10 +87,20 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
-  /** Streaming load pipeline: append each micro-batch into a catalog table
-    * (creating it on the first batch) — the streaming twin of the CTAS load
-    * path. Batch id + checkpoint give exactly-once appends across restarts;
-    * per-batch work runs under a job label so the QueryJournal attributes it.
+  /** Partition column recording which micro-batch wrote each row. */
+  val BatchIdCol = "graft_batch_id"
+
+  /** Streaming load pipeline: land each micro-batch into a catalog table
+    * partitioned by batch id — the streaming twin of the CTAS load path.
+    *
+    * foreachBatch alone is only at-least-once (a batch whose write completes
+    * but whose checkpoint commit doesn't will be replayed on restart), so the
+    * write is made idempotent: every row carries its batch id as a partition
+    * column and the write is a DYNAMIC PARTITION OVERWRITE of exactly that
+    * partition — a replayed batch rewrites its own partition instead of
+    * duplicating rows, which upgrades the end-to-end guarantee to effective
+    * exactly-once. Per-batch work runs under a job label so the QueryJournal
+    * attributes it.
     */
   def appendToTable(spark: SparkSession, df: DataFrame, table: String,
       checkpointDir: String, label: String = "stream-load"): Unit = {
@@ -98,13 +108,22 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         spark.sparkContext.setJobDescription(s"$label batch=$batchId")
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         try {
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          val stamped = batch.withColumn(BatchIdCol, lit(batchId))
           if (!spark.catalog.tableExists(table)) {
-            batch.write.format("parquet").saveAsTable(table)
+            stamped.write.format("parquet").partitionBy(BatchIdCol)
+              .saveAsTable(table)
           } else {
-            batch.write.mode("append").format("parquet").insertInto(table)
+            stamped.write.mode("overwrite").insertInto(table)
           }
-        } finally spark.sparkContext.setJobDescription(null)
+        } finally {
+          prevMode.fold(
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+          spark.sparkContext.setJobDescription(null)
+        }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
