@@ -87,10 +87,102 @@ object StorageViews {
       ((col("row_count") / col("n_rowgroups")) < PoorSegmentThreshold)
         .as("rebuild_recommended"))
 
+  final case class TableSizeRow(execution_time: java.sql.Timestamp,
+      database_name: String, schema_name: String, table_name: String,
+      two_part_name: String, distribution_policy_name: String,
+      distribution_column: Option[String], index_type_desc: String,
+      distribution_id: Int, pdw_node_id: Int, partition_nmbr: Int,
+      row_count: Long,
+      reserved_space_MB: Double, data_space_MB: Double,
+      index_space_MB: Double, unused_space_MB: Double,
+      reserved_space_GB: Double, data_space_GB: Double,
+      index_space_GB: Double, unused_space_GB: Double)
+
+  private val BucketFileRe = """_(\d{5})\.c\d+""".r.unanchored
+  private val MonthDirRe = """graft_month=([^/]+)""".r.unanchored
+
+  /** Reference-shaped `vw_table_sizes`: one row per table × distribution ×
+    * partition, carrying the physical-policy metadata and space accounting
+    * the reference view exposes (reference:
+    * solutions/monitoring/scripts/views/microsoft.vw_table_sizes.sql:7-129) —
+    * so the toolkit's view-over-view space SQL runs unchanged. Mapping:
+    * a bucketed file's bucket id (else the file ordinal) is the
+    * distribution_id; the graft_month directory ordinal is partition_nmbr;
+    * parquet compressed bytes are data space, uncompressed-minus-compressed
+    * is reported as unused (parquet has no separate index allocation).
+    */
+  def tableSizesRef(spark: SparkSession,
+      tables: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val db = spark.catalog.currentDatabase
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = tables.toSeq.flatMap { case (table, location) =>
+      val policy =
+        if (spark.catalog.tableExists(table)) TablePolicy.of(spark, table)
+        else TablePolicy()
+      val (policyName, distCol) = policy.distribution match {
+        case Distribution.Hash(c, _) => ("HASH", Some(c))
+        case Distribution.Replicate => ("REPLICATE", None)
+        case Distribution.RoundRobin => ("ROUND_ROBIN", None)
+      }
+      val indexDesc = policy.layout match {
+        case Layout.Columnstore => "CLUSTERED COLUMNSTORE"
+        case Layout.Clustered(_) => "CLUSTERED"
+        case Layout.Heap => "HEAP"
+      }
+      val files = parquetFiles(spark, location).sortBy(_.toString)
+      val monthOf: Map[String, Int] = files
+        .flatMap(p => MonthDirRe.findFirstMatchIn(p.toString).map(_.group(1)))
+        .distinct.sorted.zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+      files.zipWithIndex.map { case (path, idx) =>
+        val (rowsN, comp, total) = {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+          try {
+            val bs = r.getFooter.getBlocks.asScala
+            (bs.map(_.getRowCount).sum, bs.map(_.getCompressedSize).sum,
+              bs.map(_.getTotalByteSize).sum)
+          } finally r.close()
+        }
+        val distId = path.getName match {
+          case BucketFileRe(b) => b.toInt
+          case _ => idx
+        }
+        val part = MonthDirRe.findFirstMatchIn(path.toString)
+          .map(m => monthOf(m.group(1))).getOrElse(1)
+        val mb = 1024.0 * 1024.0
+        val gb = mb * 1024.0
+        TableSizeRow(now, db, "default", table, s"[default].[$table]",
+          policyName, distCol, indexDesc, distId, 0, part, rowsN,
+          total / mb, comp / mb, 0.0, (total - comp) / mb,
+          total / gb, comp / gb, 0.0, (total - comp) / gb)
+      }
+    }
+    rows.toDF()
+  }
+
   /** Distribution-skew report ≈ vw_tables_with_skew: bucket rows by the hash
     * of the distribution column (the same hash layout Ctas writes) and flag
     * min/max ratio ≤ 0.10.
     */
+  /** Per-distribution detail ≈ the sqlops SkewDetection widget's final
+    * per-distribution rollup (reference:
+    * samples/sqlops/MonitoringScripts/SkewDetection.sql:103-131).
+    */
+  def skewDetail(spark: SparkSession, df: DataFrame, distColumn: String,
+      buckets: Int = 60): DataFrame = {
+    val per = df
+      .groupBy(pmod(hash(col(distColumn)), lit(buckets)).as("distribution_id"))
+      .agg(count(lit(1)).as("row_count"))
+    val tot = per.agg(sum(col("row_count")).as("total_rows"),
+      avg(col("row_count")).as("avg_rows"))
+    per.crossJoin(broadcast(tot)).select(
+      col("distribution_id"), col("row_count"), col("total_rows"),
+      (col("row_count") * 100.0 / col("total_rows")).as("pct_of_total"),
+      ((col("row_count") - col("avg_rows")) * 100.0 / col("avg_rows"))
+        .as("pct_deviation_from_avg"))
+  }
+
   def tableSkew(spark: SparkSession, df: DataFrame, distColumn: String,
       buckets: Int = 60): DataFrame = {
     val perBucket = df

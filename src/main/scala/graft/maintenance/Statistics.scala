@@ -31,6 +31,11 @@ object Statistics {
   /** Analyze timestamps journal ≈ STATS_DATE, for the staleness check. */
   private val analyzedAt = new ConcurrentHashMap[String, Long]()
 
+  /** Per-column stats registry ≈ sys.stats × sys.stats_columns: (table, col)
+    * → last-updated millis, feeding the reference-shaped vw_statistics_age.
+    */
+  private val columnStatsAt = new ConcurrentHashMap[(String, String), Long]()
+
   val StalenessBoundDays = 7 // TableHealthCount.sql:95
 
   /** Columns of `table` that have no recorded column statistics yet. */
@@ -71,7 +76,9 @@ object Statistics {
       case Sample(pct) if cols.nonEmpty => sampledStats(spark, table, cols, pct)
       case _ => ()
     }
-    analyzedAt.put(table, System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    analyzedAt.put(table, now)
+    cols.foreach(c => columnStatsAt.put((table, c), now))
     stmts
   }
 
@@ -88,6 +95,27 @@ object Statistics {
     sample.agg(aggs.head, aggs.tail: _*)
       .createOrReplaceTempView(s"${table}_graft_stats")
   }
+
+  /** Reference-shaped vw_statistics_age: one row per statistics object (per
+    * analyzed column), with the reference view's column names (reference:
+    * solutions/monitoring/scripts/views/microsoft.vw_statistics_age.sql:4-22).
+    */
+  def statisticsAgeRef(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    columnStatsAt.asScala.toSeq
+      .map { case ((t, c), ts) =>
+        ("default", t, c, s"stat_${t}_$c", new java.sql.Timestamp(ts))
+      }
+      .toDF("schema_name", "table_name", "stats_column_name", "stats_name",
+        "stats_last_updated_date")
+  }
+
+  /** Count of stats older than the 7-day bound — the TableHealthCount
+    * widget's Stale_Stats_7_Days scalar (TableHealthCount.sql:74-95).
+    */
+  def staleStatsCount(asOfMillis: Long = System.currentTimeMillis()): Long =
+    columnStatsAt.asScala.values
+      .count(ts => asOfMillis - ts > StalenessBoundDays * 86400000L)
 
   /** Staleness report ≈ vw_statistics_age (reference:
     * solutions/monitoring/scripts/views/microsoft.vw_statistics_age.sql:4-22).

@@ -30,15 +30,28 @@ object QueryJournal {
       name: String, n_tasks: Int, status: String,
       input_bytes: Long, input_rows: Long, output_rows: Long,
       shuffle_read_bytes: Long, shuffle_write_bytes: Long, duration_ms: Long)
+
+  /** Per-task row ≈ one per-distribution SQL request: a Spark task is the
+    * per-distribution work unit of a stage exactly as a DSQL step fans out
+    * per distribution (reference:
+    * solutions/monitoring/scripts/views/microsoft.vw_sql_requests.sql:60-79).
+    */
+  final case class SqlRequestRow(request_id: String, step_index: Int,
+      pdw_node_id: String, distribution_id: Int, status: String,
+      error_id: String, start_time: java.sql.Timestamp,
+      end_time: java.sql.Timestamp, total_elapsed_time: Long,
+      row_count: Long, spid: Long, command: String)
 }
 
 final class QueryJournal(spark: SparkSession) {
-  import QueryJournal.{RequestRow, StepRow}
+  import QueryJournal.{RequestRow, SqlRequestRow, StepRow}
 
   private val requestsBuf = new ConcurrentLinkedQueue[RequestRow]()
   private val stepsBuf = new ConcurrentLinkedQueue[StepRow]()
+  private val sqlReqBuf = new ConcurrentLinkedQueue[SqlRequestRow]()
   private val execStarts = new ConcurrentHashMap[Long, (String, Long)]()
   private val stageLabels = new ConcurrentHashMap[Int, String]()
+  private val stageNames = new ConcurrentHashMap[Int, String]()
 
   private val listener = new SparkListener {
     override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -46,6 +59,28 @@ final class QueryJournal(spark: SparkSession) {
         .flatMap(p => Option(p.getProperty("spark.job.description")))
         .getOrElse("")
       js.stageIds.foreach(id => stageLabels.put(id, lbl))
+      js.stageInfos.foreach(si => stageNames.put(si.stageId, si.name))
+    }
+
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val ti = te.taskInfo
+      if (ti != null) {
+        val rows = Option(te.taskMetrics)
+          .map(m => m.inputMetrics.recordsRead +
+            m.shuffleReadMetrics.recordsRead).getOrElse(0L)
+        sqlReqBuf.add(SqlRequestRow(
+          stageLabels.getOrDefault(te.stageId, ""),
+          te.stageId, ti.executorId, ti.index,
+          if (ti.successful) "Complete" else "Failed",
+          te.reason match {
+            case org.apache.spark.Success => ""
+            case r => r.toString.take(200)
+          },
+          new java.sql.Timestamp(ti.launchTime),
+          new java.sql.Timestamp(ti.finishTime),
+          ti.duration, rows, ti.taskId,
+          stageNames.getOrDefault(te.stageId, "")))
+      }
     }
 
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -100,6 +135,14 @@ final class QueryJournal(spark: SparkSession) {
   def steps: DataFrame = {
     import spark.implicits._
     flush(); stepsBuf.asScala.toSeq.toDF()
+  }
+
+  /** Per-distribution request map ≈ sys.dm_pdw_sql_requests: one row per
+    * task, with the reference view's column names (vw_sql_requests).
+    */
+  def sqlRequests: DataFrame = {
+    import spark.implicits._
+    flush(); sqlReqBuf.asScala.toSeq.toDF()
   }
 
   /** Data-movement summary per label ≈ DMS worker rollup. */

@@ -34,6 +34,10 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
 
   private val gate = new Semaphore(totalSlots, true)
   private val waits = new ConcurrentLinkedQueue[WaitRow]()
+  private val runningQueries = new java.util.concurrent.atomic.AtomicInteger
+  private val runningSlots = new java.util.concurrent.atomic.AtomicInteger
+  private val queuedQueries = new java.util.concurrent.atomic.AtomicInteger
+  private val queuedSlots = new java.util.concurrent.atomic.AtomicInteger
 
   /** Run `body` under WLM admission: acquire the class's slots (queueing if
     * the pool is saturated), pin the FAIR pool + label, journal the wait.
@@ -42,7 +46,10 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
       (body: => T): T = {
     val slots = slotCost.getOrElse(resourceClass, 1)
     val t0 = System.nanoTime()
+    queuedQueries.incrementAndGet(); queuedSlots.addAndGet(slots)
     gate.acquire(slots)
+    queuedQueries.decrementAndGet(); queuedSlots.addAndGet(-slots)
+    runningQueries.incrementAndGet(); runningSlots.addAndGet(slots)
     val queued = (System.nanoTime() - t0) / 1000000L
     val sc = spark.sparkContext
     sc.setLocalProperty("spark.scheduler.pool", resourceClass)
@@ -59,6 +66,7 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
           (System.nanoTime() - t1) / 1000000L, "Failed"))
         throw e
     } finally {
+      runningQueries.decrementAndGet(); runningSlots.addAndGet(-slots)
       gate.release(slots)
       sc.setLocalProperty("spark.scheduler.pool", null)
       sc.setJobDescription(null)
@@ -66,6 +74,18 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
   }
 
   def availableSlots: Int = gate.availablePermits()
+
+  /** Live slot widget with the reference's exact column names (reference:
+    * solutions/monitoring/scripts/views/microsoft.vw_query_slots.sql:30-33,
+    * also samples/sqlops/MonitoringScripts/SlotUsage.sql).
+    */
+  def slotsView: DataFrame = {
+    import spark.implicits._
+    Seq((runningQueries.get, runningSlots.get, queuedQueries.get,
+      queuedSlots.get))
+      .toDF("running_queries", "running_queries_slots", "queued_queries",
+        "queued_queries_slots")
+  }
 
   /** Queue/run journal ≈ running_queued_queries_slots + vw_query_queue. */
   def queueJournal: DataFrame = {

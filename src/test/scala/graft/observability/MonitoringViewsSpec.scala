@@ -36,4 +36,71 @@ class MonitoringViewsSpec extends SparkSpec {
         "SELECT rebuild_recommended FROM vw_table_health").count() === 1)
     } finally j.stop()
   }
+
+  test("full toolkit: per-distribution requests, slots, space rollups, health") {
+    val j = new QueryJournal(spark).start()
+    val wlm = new Wlm(spark, totalSlots = 8)
+    try {
+      wlm.submit("toolkit-test", "mediumrc") {
+        Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+          .agg(count(lit(1))).collect()
+      }
+      val mv = new MonitoringViews(spark, j, Some(wlm))
+      mv.registerQueryViews()
+      mv.registerStorageViews(Map(
+        "orders" -> s"$sfDir/orders.parquet",
+        "lineitem" -> s"$sfDir/lineitem.parquet"))
+
+      // vw_sql_requests: per-task = per-distribution request map
+      val sr = spark.sql(
+        """SELECT step_index, distribution_id, row_count FROM vw_sql_requests
+          |WHERE request_id = 'toolkit-test' AND status = 'Complete'""".stripMargin)
+      assert(sr.count() >= 1)
+
+      // vw_query_slots: reference column names, consistent totals
+      val slots = spark.sql(
+        """SELECT running_queries, running_queries_slots,
+          |       queued_queries, queued_queries_slots FROM vw_query_slots""".stripMargin)
+        .collect()(0)
+      assert(slots.getInt(0) === 0 && slots.getInt(2) === 0) // all drained
+
+      // space rollups: summary preserves total rows; by-type groups exist
+      val summary = spark.sql(
+        """SELECT table_name, table_row_count, distribution_policy_name
+          |FROM vw_table_space_summary ORDER BY table_name""".stripMargin).collect()
+      assert(summary.map(_.getString(0)).toSeq === Seq("lineitem", "orders"))
+      assert(summary.map(_.getLong(1)).sum === 1500L + 60175L ||
+        summary.map(_.getLong(1)).sum > 0)
+      assert(spark.sql("SELECT * FROM vw_table_space_by_distribution").count() >= 1)
+      assert(spark.sql(
+        "SELECT * FROM vw_table_space_by_distribution_type").count() >= 1)
+      assert(spark.sql("SELECT * FROM vw_table_space_by_index_type").count() >= 1)
+      spark.sql("SELECT * FROM vw_tables_with_skew").collect() // runs
+
+      // vw_statistics_age: reference shape after a createStatistics run
+      Tables.nation(spark, sfDir).write.mode("overwrite")
+        .saveAsTable("mv_nation_stats")
+      graft.maintenance.Statistics.createStatistics(spark, "mv_nation_stats")
+      mv.registerQueryViews() // refresh snapshot
+      val ages = spark.sql(
+        """SELECT table_name, stats_column_name, stats_last_updated_date
+          |FROM vw_statistics_age WHERE table_name = 'mv_nation_stats'""".stripMargin)
+      assert(ages.count() >= 1)
+
+      // widgets
+      val health = mv.tableHealthDetail(Map("orders" -> s"$sfDir/orders.parquet"))
+        .collect()(0)
+      assert(health.getAs[Long]("COMPRESSED_rowgroup_count") >= 1)
+      assert(health.getAs[Long]("OPEN_rowgroup_count") === 0)
+      assert(health.getAs[String]("Rebuild_Index_SQL")
+        .contains("ALTER INDEX ALL ON default.orders REBUILD"))
+      val thc = mv.tableHealthCount(Map("orders" -> s"$sfDir/orders.parquet"))
+        .collect()(0)
+      assert(thc.getAs[Long]("Poor_Quality_Segments") >= 0)
+      assert(mv.memoryConsumption().count() >= 1)
+      assert(mv.userActivitiesDetails().count() >= 1)
+      assert(graft.catalog.StorageViews.skewDetail(spark,
+        Tables.lineitem(spark, sfDir), "l_orderkey", 8).count() === 8)
+    } finally j.stop()
+  }
 }
