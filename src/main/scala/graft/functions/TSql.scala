@@ -147,6 +147,18 @@ object TSql {
     */
   def modSafe(a: Column, b: Column): Column = a % nullif(b, lit(0))
 
+  /** InverseFisher composite: (EXP(2x)-1)/(EXP(2x)+1) = tanh, exactly the
+    * documented expression (whitepaper.md:589).
+    */
+  def inverseFisher(x: Column): Column =
+    (exp(lit(2) * x) - 1) / (exp(lit(2) * x) + 1)
+
+  /** Standardize composite: (x-mean)/stdev, NULL when stdev ≤ 0
+    * (whitepaper.md:590).
+    */
+  def standardize(x: Column, mean: Column, stdevC: Column): Column =
+    when(stdevC > 0, (x - mean) / stdevC).otherwise(lit(null))
+
   // --------------------------------------------------------------- collation
 
   /** Case-insensitive equality — T-SQL's default collation compares strings

@@ -238,7 +238,46 @@ object FunctionQueries {
       |  AND p_type NOT IN ('ECONOMY')
       |  AND p_size >= 5 AND p_size <= 45 AND p_size <> 20""".stripMargin
 
+  /** Statistical composites (whitepaper.md:589-590): per-row Standardize
+    * against group mean/stdev derived from exact integer power sums — every
+    * double is produced by the same IEEE-exact op chain (-, *, /, sqrt) on
+    * both engines, so raw doubles hash-match. (InverseFisher = tanh is
+    * exercised in TSqlSpec only: libm exp() is not bit-portable across
+    * engines.)
+    */
+  val q47StatComposites: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val qtyC = TSql.cents(col("l_quantity"))
+    val stats = l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(qtyC).cast("double").as("s1"),
+        sum(qtyC * qtyC).cast("double").as("s2"))
+      .select(col("l_returnflag"),
+        (col("s1") / col("n")).as("mean_c"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - lit(1.0))).as("stdev_c"))
+    l.join(broadcast(stats), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        TSql.standardize(qtyC.cast("double"), col("mean_c"), col("stdev_c"))
+          .as("z_qty"))
+  }
+
+  val q47Sql: String =
+    """WITH stats AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_c,
+      |    sqrt((CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+      |      - CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) * CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS stdev_c
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+      |  CASE WHEN stdev_c > 0
+      |       THEN (CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS DOUBLE) - mean_c) / stdev_c
+      |       ELSE NULL END AS z_qty
+      |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q47_stat_composites" -> q47StatComposites,
     "q40_string_funcs" -> q40Strings,
     "q41_date_funcs" -> q41Dates,
     "q42_math_funcs" -> q42Math,
@@ -248,6 +287,7 @@ object FunctionQueries {
     "q46_predicates" -> q46Predicates)
 
   val oracles: Map[String, String] = Map(
+    "q47_stat_composites" -> q47Sql,
     "q40_string_funcs" -> q40Sql,
     "q41_date_funcs" -> q41Sql,
     "q42_math_funcs" -> q42Sql,

@@ -78,6 +78,15 @@ class TSqlSpec extends SparkSpec {
     assert(one(TSql.modSafe(lit(10), lit(3))) === 1)
   }
 
+  test("InverseFisher composite equals tanh; Standardize guards stdev<=0") {
+    import org.apache.spark.sql.functions._
+    val x = 0.42
+    val got = one(TSql.inverseFisher(lit(x))).asInstanceOf[Double]
+    assert(math.abs(got - math.tanh(x)) < 1e-15)
+    assert(one(TSql.standardize(lit(5.0), lit(3.0), lit(2.0))) === 1.0)
+    assert(one(TSql.standardize(lit(5.0), lit(3.0), lit(0.0))) === null)
+  }
+
   test("initcapFirst only capitalizes the first character") {
     assert(one(TSql.initcapFirst(lit("hello world"))) === "Hello world")
   }
