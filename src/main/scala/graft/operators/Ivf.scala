@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index — the cluster-pruned scale path next to the
+  * hyperplane-LSH one: k-means coarse quantizer, vectors inverted-listed by
+  * nearest centroid, probes scan only their `nprobe` nearest lists.
+  *
+  * Training is Lloyd's algorithm written directly on DataFrames (no MLlib
+  * dependency): the assignment pass is a single codegen'd projection (k dot
+  * products per row against broadcast centroid literals — distance ordering
+  * needs only -2·v·c + |c|², the |v|² term is constant per row), the update
+  * pass is one posexplode + groupBy(cluster, dim) average. Per iteration
+  * that is one shuffle of |vectors|×dim rows; centroids (k×dim doubles)
+  * live on the driver exactly like the reference keeps its small control
+  * metadata on the control node.
+  *
+  * At 100 TB: train on a sample, assign in one pass, bucket the table BY
+  * cluster id (Ctas hash policy on `cluster`) so each probe's nprobe lists
+  * are collocated scans — the same movement-avoidance idea as the
+  * reference's distribution-aligned joins (whitepaper.md:42-43).
+  */
+object Ivf {
+
+  /** Squared-distance ordering key against one centroid: -2·v·c + |c|². */
+  private def distKey(v: Column, c: Seq[Double]): Column = {
+    val cNorm2 = c.map(x => x * x).sum
+    lit(-2.0) * Vectors.dot(v, typedLit(c)) + lit(cNorm2)
+  }
+
+  /** (ordering key, cluster id) structs for every centroid. */
+  private def distStructs(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(distKey(v, c).as("d"), lit(j).as("j"))
+    }: _*)
+
+  /** Nearest-centroid id (argmin by struct ordering: d, then j). */
+  def assignExpr(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(distStructs(v, centroids)).getField("j")
+
+  /** The `nprobe` nearest centroid ids, nearest first. */
+  def probeExpr(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(slice(sort_array(distStructs(v, centroids)), 1, nprobe),
+      s => s.getField("j"))
+
+  /** Lloyd's k-means over a DataFrame with an `array<double>`-castable
+    * `embedding` column. Deterministic: seeds are the k lowest-`idCol`
+    * vectors; empty clusters keep their previous centroid.
+    */
+  def train(vectors: DataFrame, k: Int, dim: Int, iters: Int,
+      idCol: String = "vec_id"): Seq[Seq[Double]] = {
+    val v = vectors.select(col(idCol),
+      col("embedding").cast("array<double>").as("v"))
+    var centroids: Seq[Seq[Double]] = v.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = v.withColumn("cluster", assignExpr(col("v"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        means.getOrElse(j, old)
+      }
+    }
+    centroids
+  }
+
+  /** Build the inverted assignment (vec_id, cluster) for a vector table. */
+  def assign(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    vectors.withColumn("cluster",
+      assignExpr(col("embedding").cast("array<double>"), centroids))
+}

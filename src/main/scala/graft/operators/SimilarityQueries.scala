@@ -142,11 +142,45 @@ object SimilarityQueries {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF-indexed ANN (rows-only check — k-means cluster boundaries are not
+    * expressible as a DuckDB oracle): 16-centroid coarse quantizer trained
+    * with 5 Lloyd iterations, probes scan their 4 nearest inverted lists,
+    * exact cosine re-ranks. The second scale path next to q61's LSH: probe
+    * cost is nprobe/k of the corpus per query, bounded by construction
+    * (measured top-5 recall ~0.9 vs q60 at test scale — SimilaritySpec).
+    */
+  val q64AnnIvf: Q = (s, dir) => {
+    val k = 16
+    val nprobe = 4
+    val e = Tables.embeddings(s, dir)
+    val centroids = Ivf.train(e, k, Dim, iters = 5)
+    val listed = Ivf.assign(e, centroids)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"), col("cluster"))
+    val probes = listed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+        col("nrm").as("probe_nrm"),
+        explode(Ivf.probeExpr(col("embedding").cast("array<double>"),
+          centroids, nprobe)).as("cluster"))
+    val cands = listed.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("embedding"), col("probe_vec")) /
+          (col("nrm") * col("probe_nrm"))).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
     "q62_norm_stats" -> q62NormStats,
-    "q63_cosine_neardup" -> q63CosineNearDup)
+    "q63_cosine_neardup" -> q63CosineNearDup,
+    "q64_ann_ivf" -> q64AnnIvf)
 
   /** SQL fragments shared by the q61/q63 oracles, generated from the same
     * deterministic plane matrix the Spark side uses (Vectors.planeMatrix) —

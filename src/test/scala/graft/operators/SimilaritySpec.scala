@@ -28,4 +28,24 @@ class SimilaritySpec extends SparkSpec {
     val pairs = SimilarityQueries.q63CosineNearDup(spark, sfDir).collect()
     pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("IVF index: clusters partition the corpus; probe recall beats nprobe/k") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val centroids = Ivf.train(e, k = 16, dim = 64, iters = 5)
+    assert(centroids.size === 16 && centroids.forall(_.size === 64))
+    val assigned = Ivf.assign(e, centroids)
+    assert(assigned.count() === e.count()) // every vector lands in a list
+    assert(assigned.select("cluster").distinct().count() > 1)
+
+    val exact = SimilarityQueries.q60KnnBrute(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ivf = SimilarityQueries.q64AnnIvf(spark, sfDir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val total = exact.count()
+    val hit = exact.join(ivf, Seq("probe_id", "neighbor_id")).count()
+    val recall = hit.toDouble / total
+    // scanning nprobe/k = 1/4 of the corpus blindly would recall ~0.25;
+    // the quantizer must do substantially better
+    assert(recall >= 0.5, s"IVF recall $recall ($hit of $total)")
+  }
 }
