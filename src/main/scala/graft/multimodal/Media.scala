@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * feature-extract / frame-sample as per-partition transforms.
   *
   * The Spark-side plumbing is real — schemas, partition-iterator batch shape,
-  * typed Dataset seams — while the media decode itself is STUBBED behind
-  * [[MediaDecoder]] with a deterministic fake (this container carries no
-  * image/audio codecs). A production deployment swaps [[StubDecoder]] for a
-  * JNI/javacpp-backed decoder without touching the pipeline: the decoder is
-  * invoked inside `mapPartitions`, so batching, off-heap reuse, and
-  * per-partition init (the expensive codec setup) all happen once per task,
-  * not per row — the property that matters at 100 TB.
+  * typed Dataset seams — and the decode seam ([[MediaDecoder]]) has two
+  * implementations: [[CodecDecoder]], a REAL pure-JVM decoder for
+  * byte-parseable formats (PPM pixel decode + resize + content features,
+  * PNG IHDR probe, RIFF/PCM WAV with RMS features, concatenated-PPM frame
+  * streams), and [[StubDecoder]], a deterministic stand-in for codec-bound
+  * formats (JPEG/H.264/...) this container can't decode. A production
+  * deployment swaps in a JNI/javacpp-backed decoder without touching the
+  * pipeline: the decoder is invoked inside `mapPartitions`, so batching,
+  * off-heap reuse, and per-partition init (the expensive codec setup) all
+  * happen once per task, not per row — the property that matters at 100 TB.
   */
 object Media {
 
@@ -31,6 +34,12 @@ object Media {
   trait MediaDecoder extends Serializable {
     def probe(kind: String, bytes: Array[Byte]): MediaMetaShape
     def features(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Per-frame features for multi-frame media; the default derives them
+      * from content+index (what the stub provides), real decoders override
+      * with an actual frame decode.
+      */
+    def frameFeatures(bytes: Array[Byte], frame: Int, dim: Int): Array[Float] =
+      features(bytes :+ (frame & 0xFF).toByte, dim)
   }
   final case class MediaMetaShape(format: String, width: Int, height: Int,
       n_frames: Int)
@@ -95,8 +104,7 @@ object Media {
         val n = decoder.probe(r.kind, r.media).n_frames
         val step = math.max(1, n / math.max(1, maxFrames))
         (0 until n by step).take(maxFrames).map { f =>
-          FrameRow(r.media_id, f,
-            decoder.features(r.media :+ (f & 0xFF).toByte, dim))
+          FrameRow(r.media_id, f, decoder.frameFeatures(r.media, f, dim))
         }
       }
     }
