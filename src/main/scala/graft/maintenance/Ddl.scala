@@ -15,6 +15,23 @@ object Ddl {
 
   private def quote(id: String): String = s"`${id.replace("`", "``")}`"
 
+  /** CREATE SCHEMA (SURVEY.md §2.9 D1; reference:
+    * samples/databases/wide-world-importers/security/schemas/fact.sql:1,
+    * solutions/monitoring/scripts/schema/microsoft.sql:4) — a T-SQL schema
+    * maps to a Spark namespace/database; tables land in it via the
+    * `schema.table` qualified name (Ctas passes qualified names through).
+    */
+  def createSchema(spark: SparkSession, name: String,
+      ifNotExists: Boolean = true): Unit = {
+    val guard = if (ifNotExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE DATABASE $guard${quote(name)}")
+  }
+
+  def dropSchema(spark: SparkSession, name: String,
+      cascade: Boolean = false): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS ${quote(name)}" +
+      (if (cascade) " CASCADE" else ""))
+
   private def sqlType(dt: DataType): String = dt.sql
 
   def createTableStatement(spark: SparkSession, table: String): String = {

@@ -112,4 +112,18 @@ class ObservabilitySpec extends SparkSpec {
           org.apache.spark.sql.types.StringType))))
     assert(alters === Seq("ALTER TABLE `region_ddl` ADD COLUMNS (`new_col` STRING)"))
   }
+
+  test("CREATE SCHEMA namespaces hold policy-bearing tables (D1)") {
+    import graft.catalog.{Distribution, TablePolicy}
+    Ddl.createSchema(spark, "dimension")
+    graft.sources.Ctas.create(spark, Tables.nation(spark, sfDir),
+      "dimension.nation_t", TablePolicy(Distribution.Replicate))
+    assert(spark.table("dimension.nation_t").count() === 25)
+    assert(TablePolicy.of(spark, "dimension.nation_t").distribution ===
+      Distribution.Replicate)
+    assert(spark.catalog.listTables("dimension").collect()
+      .exists(_.name === "nation_t"))
+    Ddl.dropSchema(spark, "dimension", cascade = true)
+    assert(!spark.catalog.databaseExists("dimension"))
+  }
 }

@@ -44,4 +44,30 @@ class PlansSpec extends SparkSpec {
     val p = plan("q15_semi_join")
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("q54: pair generation is join-free — one shuffle on the shingle hash") {
+    val p = plan("q54_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    // the old self-join shape is gone; pairs come from the grouped doc list
+    assert(p.contains("collect_list"), p)
+    assert(p.contains("partial_count"), "pair counting must map-side combine")
+  }
+
+  test("q61: banded LSH joins on band keys, never cartesian") {
+    val p = plan("q61_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("band"), p)
+  }
+
+  test("q47: group stats broadcast to the per-row standardize join") {
+    val p = plan("q47_stat_composites")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("scalar layer stays inside WholeStageCodegen (no UDF breaks)") {
+    val p = plan("q40_string_funcs")
+    assert(p.contains("*("), s"codegen stage marker missing:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }
