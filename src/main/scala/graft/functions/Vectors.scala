@@ -50,15 +50,16 @@ object Vectors {
 
   /** Random-hyperplane LSH signature (Charikar 2002): signature bit p = sign
     * of the projection onto deterministic pseudo-random plane p. Vectors with
-    * high cosine similarity agree on most bits.
+    * high cosine similarity agree on most bits. Projections run through the
+    * codegen dot product (mixed float×double) — the interpreted
+    * zip_with/aggregate form allocates per plane per row and dominated the
+    * LSH queries at 32 planes; the fold order (and hence every bit) is
+    * unchanged.
     */
   def hyperplaneSignature(v: Column, dim: Int, planes: Int): Column = {
     val m = planeMatrix(dim, planes)
     array(m.map { plane =>
-      val proj = aggregate(
-        zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, t) => acc + t)
-      when(proj >= 0, 1).otherwise(0)
+      when(dot(v, typedLit(plane)) >= 0, 1).otherwise(0)
     }: _*)
   }
 

@@ -114,6 +114,13 @@ object TextQueries {
     */
   val DfCap = 1000
 
+  /** LSH band-bucket size cap — same construction-time fan-out bound as
+    * [[DfCap]], applied to band/chunk buckets (a degenerate bucket holding m
+    * docs is m²/2 candidate pairs). No-op on this corpus; mirrored in the
+    * oracles.
+    */
+  val BandCap = 1000
+
   /** Near-duplicate detection by exact 3-gram-shingle Jaccard ≥ 0.3.
     *
     * Shape (r2, replacing the shingle self-join): group doc-ids per shingle
@@ -211,13 +218,23 @@ object TextQueries {
         }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    // In-place pair generation (the q54 shape): group bucket members per
+    // band key and enumerate i<j pairs from the sorted member list — ONE
+    // signature aggregation and one shuffle, where a banded self-join would
+    // recompute the whole minhash pipeline on both sides (no exchange
+    // reuse). BandCap bounds pathological hot buckets by construction.
+    val cands = banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("members"))
+      .filter(size(col("members")).between(2, BandCap))
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            x.getField("sig").as("sig_a"),
+            y.getField("sig").as("sig_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
       .select(col("doc_a"), col("doc_b"),
@@ -254,10 +271,15 @@ object TextQueries {
        |    FROM h GROUP BY doc_id)),
        |banded AS (
        |  $bandSelects),
+       |capped AS (
+       |  SELECT band_idx, band_val FROM banded
+       |  GROUP BY band_idx, band_val HAVING COUNT(*) BETWEEN 2 AND $BandCap),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.sig AS sig_a, b.sig AS sig_b
-       |  FROM banded a JOIN banded b
+       |  FROM banded a
+       |  JOIN capped c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       |  JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, est_jaccard FROM (
@@ -295,13 +317,20 @@ object TextQueries {
         }: _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        Text.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+    // in-place pair generation per chunk bucket (the q54/q55 shape): one
+    // fingerprint aggregation instead of a self-join recomputing it twice
+    chunked
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("members"))
+      .filter(size(col("members")).between(2, BandCap))
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            Text.hamming64(x.getField("simhash"), y.getField("simhash"))
+              .as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
   }
@@ -324,10 +353,15 @@ object TextQueries {
        |fp AS (SELECT doc_id, $pack AS simhash FROM votes),
        |chunked AS (
        |  SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * 15)) & 32767 AS chunk_val
-       |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(c))
+       |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(c)),
+       |capped AS (
+       |  SELECT chunk_idx, chunk_val FROM chunked
+       |  GROUP BY chunk_idx, chunk_val HAVING COUNT(*) BETWEEN 2 AND $BandCap)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM chunked a JOIN chunked b
+       |FROM chunked a
+       |JOIN capped c ON a.chunk_idx = c.chunk_idx AND a.chunk_val = c.chunk_val
+       |JOIN chunked b
        |  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        | AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin

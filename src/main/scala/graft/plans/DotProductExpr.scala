@@ -31,36 +31,42 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
-           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        // mixed float/double is allowed: each element is widened to double
+        // exactly as zip_with's x.cast("double") * w would
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dot_product expects two array<float> or two array<double>, got " +
+          s"dot_product expects array<float|double> on both sides, got " +
             s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
   }
 
-  private def isFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
-    if (isFloat) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getter = if (isFloat) "getFloat" else "getDouble"
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -72,7 +78,7 @@ case class DotProductExpr(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double) $x.$getter($i) * (double) $y.$getter($i);
+         |    $acc += (double) $x.$lGet($i) * (double) $y.$rGet($i);
          |  }
          |  ${ev.value} = $acc;
          |}
