@@ -49,10 +49,17 @@ object Ivf {
     * `embedding` column. Deterministic: seeds are the k lowest-`idCol`
     * vectors; empty clusters keep their previous centroid.
     */
+  /** Upper bound on the training sample: the quantizer only needs a sketch
+    * of the density, not the corpus — at 100 TB training runs on a fixed-size
+    * sample while assignment streams the full table in one pass.
+    */
+  val TrainSampleCap = 4096
+
   def train(vectors: DataFrame, k: Int, dim: Int, iters: Int,
       idCol: String = "vec_id"): Seq[Seq[Double]] = {
     val v = vectors.select(col(idCol),
-      col("embedding").cast("array<double>").as("v"))
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(TrainSampleCap)
     var centroids: Seq[Seq[Double]] = v.orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     (1 to iters).foreach { _ =>

@@ -103,4 +103,40 @@ class MonitoringViewsSpec extends SparkSpec {
         Tables.lineitem(spark, sfDir), "l_orderkey", 8).count() === 8)
     } finally j.stop()
   }
+
+  test("golden column contracts: reference view shapes never drift") {
+    val j = new QueryJournal(spark).start()
+    try {
+      val mv = new MonitoringViews(spark, j, Some(new Wlm(spark, 4)))
+      mv.registerQueryViews()
+      mv.registerStorageViews(Map("orders" -> s"$sfDir/orders.parquet"))
+      def cols(view: String): Seq[String] =
+        spark.table(view).schema.fieldNames.toSeq
+      // microsoft.vw_sql_requests.sql:60-79
+      assert(cols("vw_sql_requests") === Seq("request_id", "step_index",
+        "pdw_node_id", "distribution_id", "status", "error_id", "start_time",
+        "end_time", "total_elapsed_time", "row_count", "spid", "command"))
+      // microsoft.vw_query_slots.sql:30-33
+      assert(cols("vw_query_slots") === Seq("running_queries",
+        "running_queries_slots", "queued_queries", "queued_queries_slots"))
+      // microsoft.vw_table_space_summary.sql:49-71
+      assert(cols("vw_table_space_summary") === Seq("database_name",
+        "schema_name", "table_name", "distribution_policy_name",
+        "distribution_column", "index_type_desc", "nbr_partitions",
+        "table_row_count", "table_reserved_space_GB", "table_data_space_GB",
+        "table_index_space_GB", "table_unused_space_GB"))
+      // microsoft.vw_table_space_by_distribution.sql:5-15
+      assert(cols("vw_table_space_by_distribution") === Seq("distribution_id",
+        "total_node_distribution_row_count",
+        "total_node_distribution_reserved_space_MB",
+        "total_node_distribution_data_space_MB",
+        "total_node_distribution_index_space_MB",
+        "total_node_distribution_unused_space_MB"))
+      // microsoft.vw_statistics_age.sql:4-22
+      assert(cols("vw_statistics_age") === Seq("schema_name", "table_name",
+        "stats_column_name", "stats_name", "stats_last_updated_date"))
+      // vw_tables_with_skew is SELECT * over vw_table_sizes
+      assert(cols("vw_tables_with_skew") === cols("vw_table_sizes"))
+    } finally j.stop()
+  }
 }
