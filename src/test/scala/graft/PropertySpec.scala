@@ -21,6 +21,17 @@ class PropertySpec extends SparkSpec {
       .collect { case Some(v) => v }.take(n).foreach(f)
   }
 
+  test("cents round-trips every 2-decimal money value exactly") {
+    // the oracle-parity primitive: for any value representable with 2
+    // decimals, round(v*100) must recover the integer cents exactly —
+    // including negatives and values whose double repr sits below the true
+    // decimal (e.g. 0.29 -> 28.999999999999996 * 100)
+    forAll(Gen.choose(-200000000000L, 200000000000L), n = 200) { c =>
+      val v = c / 100.0
+      assert(evalOne(TSql.cents(lit(v))) === c, s"v=$v")
+    }
+  }
+
   test("QUOTENAME round-trip: unquoting recovers the identifier") {
     forAll(Gen.alphaNumStr.suchThat(_.length <= 20)) { s0 =>
       val s = s0 + "]x]"
