@@ -113,6 +113,23 @@ class ObservabilitySpec extends SparkSpec {
     assert(alters === Seq("ALTER TABLE `region_ddl` ADD COLUMNS (`new_col` STRING)"))
   }
 
+  test("backup runs journal and the LatestBackup widget shape (S10)") {
+    import graft.maintenance.Backup
+    val b = new Backup(spark)
+    Tables.region(spark, sfDir).write.mode("overwrite").saveAsTable("bk_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bk").toString
+    val id1 = b.backup("bk_src", dir)
+    spark.sql("DROP TABLE bk_src")
+    b.restore(dir, "bk_src")
+    assert(spark.table("bk_src").count() === 5)
+    val latest = b.latestBackup.collect()(0)
+    assert(latest.schema.fieldNames === Array("start_time", "end_time",
+      "progress_percent", "duration_seconds"))
+    assert(latest.getAs[Int]("progress_percent") === 100)
+    assert(b.backupRuns.filter(col("operation_type") === "BACKUP")
+      .filter(col("run_id") === id1).count() === 1)
+  }
+
   test("CREATE SCHEMA namespaces hold policy-bearing tables (D1)") {
     import graft.catalog.{Distribution, TablePolicy}
     Ddl.createSchema(spark, "dimension")
