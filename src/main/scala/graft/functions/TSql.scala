@@ -128,6 +128,19 @@ object TSql {
     case u => throw new IllegalArgumentException(s"DATEPART unit: $u")
   }
 
+  /** T-SQL CONVERT(varchar, ts, style) — the commonly used date styles
+    * (style-coded formats; CONVERT usage at reference:
+    * solutions/monitoring/scripts/procs/microsoft.sp_create_statistics.sql:69).
+    */
+  def convertStyle(ts: Column, style: Int): Column = style match {
+    case 101 => date_format(ts, "MM/dd/yyyy")
+    case 103 => date_format(ts, "dd/MM/yyyy")
+    case 112 => date_format(ts, "yyyyMMdd")
+    case 120 => date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    case 23 => date_format(ts, "yyyy-MM-dd")
+    case s => throw new IllegalArgumentException(s"CONVERT style: $s")
+  }
+
   /** Month-start idiom (whitepaper.md:525). */
   def monthStart(ts: Column): Column = trunc(ts, "month")
 

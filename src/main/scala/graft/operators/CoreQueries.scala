@@ -614,6 +614,24 @@ object CoreQueries {
       |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
       |FROM orders""".stripMargin
 
+  /** ROLLUP hierarchy totals — an extension beyond the reference corpus
+    * (SURVEY.md §2.4 notes GROUPING SETS/CUBE/ROLLUP appear nowhere in it),
+    * included because any BI tool pointed at this engine will emit them.
+    * Subtotal rows carry NULL group keys identically on both engines.
+    */
+  val q36Rollup: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"))
+  }
+
+  val q36Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   // -------------------------------------------------------------------------
   // Sorts / limits (§2.6)
   // -------------------------------------------------------------------------
@@ -727,9 +745,11 @@ object CoreQueries {
     "q32_union_all" -> q32UnionAll,
     "q33_union_distinct" -> q33UnionDistinct,
     "q34_intersect" -> q34Intersect,
-    "q35_except" -> q35Except)
+    "q35_except" -> q35Except,
+    "q36_rollup" -> q36Rollup)
 
   val oracles: Map[String, String] = Map(
+    "q36_rollup" -> q36Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,

@@ -276,7 +276,27 @@ object FunctionQueries {
       |       ELSE NULL END AS z_qty
       |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag""".stripMargin
 
+  /** T-SQL CONVERT style-coded date rendering (styles 23/101/112/120). */
+  val q48ConvertStyles: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.select(
+      col("o_orderkey"),
+      TSql.convertStyle(col("o_orderdate"), 101).as("style_101"),
+      TSql.convertStyle(col("o_orderdate"), 112).as("style_112"),
+      TSql.convertStyle(col("o_orderdate"), 120).as("style_120"),
+      TSql.convertStyle(col("o_orderdate"), 23).as("style_23"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%m/%d/%Y') AS style_101,
+      |  strftime(o_orderdate, '%Y%m%d') AS style_112,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS style_120,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS style_23
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_convert_styles" -> q48ConvertStyles,
     "q47_stat_composites" -> q47StatComposites,
     "q40_string_funcs" -> q40Strings,
     "q41_date_funcs" -> q41Dates,
@@ -287,6 +307,7 @@ object FunctionQueries {
     "q46_predicates" -> q46Predicates)
 
   val oracles: Map[String, String] = Map(
+    "q48_convert_styles" -> q48Sql,
     "q47_stat_composites" -> q47Sql,
     "q40_string_funcs" -> q40Sql,
     "q41_date_funcs" -> q41Sql,
