@@ -632,6 +632,46 @@ object CoreQueries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Native PIVOT — the declarative twin of the reference's SUM(CASE...)
+    * widget pivots (TableHealthCount.sql:16-36): status counts spread into
+    * columns per priority. Absent combinations are 0 on both engines.
+    */
+  val q37Pivot: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** STRING_AGG with deterministic ordering (sorted distinct members), the
+    * list-building idiom of dynamic-SQL generators.
+    */
+  val q38StringAgg: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+  }
+
+  val q38Sql: String =
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      |  COUNT(DISTINCT l_linestatus) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------------------
   // Sorts / limits (§2.6)
   // -------------------------------------------------------------------------
@@ -746,10 +786,14 @@ object CoreQueries {
     "q33_union_distinct" -> q33UnionDistinct,
     "q34_intersect" -> q34Intersect,
     "q35_except" -> q35Except,
-    "q36_rollup" -> q36Rollup)
+    "q36_rollup" -> q36Rollup,
+    "q37_pivot" -> q37Pivot,
+    "q38_string_agg" -> q38StringAgg)
 
   val oracles: Map[String, String] = Map(
     "q36_rollup" -> q36Sql,
+    "q37_pivot" -> q37Sql,
+    "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,

@@ -451,7 +451,33 @@ object TextQueries {
        |SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin
   }
 
+  /** BPE-style pre-tokenization counting: alongside whitespace tokens, count
+    * the GPT-2-ish pre-tokenizer segments (alnum runs | punctuation runs) —
+    * the unit that upper-bounds BPE merge input. The regex is engine-portable
+    * ASCII classes, so counts are oracle-exact.
+    */
+  val q59BpeTokens: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val bpeish = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+    d.select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+        .as("n_bpe_tokens"),
+      (size(regexp_extract_all(col("text"), lit(bpeish), lit(0))) * 100L /
+        Text.tokenCount(col("text"))).as("bpe_per_100_words"))
+  }
+
+  val q59Sql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) * 100
+      |    / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS bpe_per_100_words
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_bpe_tokens" -> q59BpeTokens,
     "q50_dedup_exact" -> q50DedupExact,
     "q51_token_stats" -> q51TokenStats,
     "q52_text_quality" -> q52Quality,
@@ -463,6 +489,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q59_bpe_tokens" -> q59Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_token_stats" -> q51Sql,
     "q52_text_quality" -> q52Sql,
