@@ -10,8 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (reference: samples/scripts/data-load/CTASLoad-Example.sql:67-83).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Footer-derived schemas, remembered per path: the testdata is immutable,
+  // and re-inferring the schema costs a footer read + file listing on EVERY
+  // query — measurable across a 60-query bench run. (At 100 TB the analog is
+  // the catalog: saveAsTable'd tables carry their schema and never infer.)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
