@@ -43,7 +43,7 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
     journal.stepDetails.createOrReplaceTempView("vw_query_step_details")
     journal.sqlRequests.createOrReplaceTempView("vw_sql_requests")
     wlm.foreach { w =>
-      w.queueJournal.createOrReplaceTempView("vw_query_queue")
+      w.resourceWaits.createOrReplaceTempView("vw_query_queue")
       w.slotsView.createOrReplaceTempView("vw_query_slots")
     }
     Statistics.statisticsAgeRef(spark)

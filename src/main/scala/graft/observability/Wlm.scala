@@ -92,4 +92,21 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
     import spark.implicits._
     waits.asScala.toSeq.toDF()
   }
+
+  /** Reference-shaped resource-wait rows ≈ sys.dm_pdw_resource_waits with
+    * vw_query_queue's derived queued_sec (reference:
+    * solutions/monitoring/scripts/views/microsoft.vw_query_queue.sql:15-23 —
+    * the DATEDIFF-milliseconds/1000.0 idiom).
+    */
+  def resourceWaits: DataFrame = {
+    import org.apache.spark.sql.functions._
+    queueJournal.select(
+      col("label").as("request_id"),
+      lit("UserConcurrencyResourceType").as("type"),
+      col("status").as("state"),
+      col("resource_class"),
+      col("slots_used").as("concurrency_slots_used"),
+      (col("queue_ms") / 1000.0).as("queued_sec"),
+      col("run_ms"))
+  }
 }

@@ -119,6 +119,9 @@ class MonitoringViewsSpec extends SparkSpec {
       // microsoft.vw_query_slots.sql:30-33
       assert(cols("vw_query_slots") === Seq("running_queries",
         "running_queries_slots", "queued_queries", "queued_queries_slots"))
+      // microsoft.vw_query_queue.sql:15-23 (resource-wait shape + queued_sec)
+      assert(cols("vw_query_queue") === Seq("request_id", "type", "state",
+        "resource_class", "concurrency_slots_used", "queued_sec", "run_ms"))
       // microsoft.vw_table_space_summary.sql:49-71
       assert(cols("vw_table_space_summary") === Seq("database_name",
         "schema_name", "table_name", "distribution_policy_name",
