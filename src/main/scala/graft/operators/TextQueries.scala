@@ -385,17 +385,33 @@ object TextQueries {
     // shuffle — scalable codegen, no per-row array transforms.
     val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Text.portableHash(col("tok")).as("h"))
-    val votes = toks.groupBy(col("doc_id"))
+    // Bit-vote counters packed 4-per-aggregate in 16-bit lanes: 15 sums
+    // instead of 60 — 4× narrower shuffle rows and far smaller generated
+    // aggregate code. A lane holds the count of set bits at position j;
+    // counts stay lane-local for docs ≤ 65535 tokens (guarded below).
+    // bit j of the fingerprint is set iff 2·ones_j > n_tokens — identical to
+    // the ±1-vote formulation the oracle computes.
+    val packed = toks.groupBy(col("doc_id"))
       .agg(
-        sum(when(col("h").bitwiseAND(shiftleft(lit(1L), 0)) =!= 0L, 1L)
-          .otherwise(-1L)).as("b0"),
-        (1 until 60).map(j =>
-          sum(when(col("h").bitwiseAND(shiftleft(lit(1L), j)) =!= 0L, 1L)
-            .otherwise(-1L)).as(s"b$j")): _*)
-    val fp = votes.select(col("doc_id"),
-      (0 until 60).map(j =>
-        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        count(lit(1)).as("n_toks"),
+        (0 until 15).map { g =>
+          sum((0 until 4).map { k =>
+            shiftleft(
+              shiftrightunsigned(col("h"), g * 4 + k).bitwiseAND(lit(1L)),
+              16 * k)
+          }.reduce(_ + _)).as(s"p$g")
+        }: _*)
+    def ones(j: Int) =
+      shiftrightunsigned(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+    val laneGuard = coalesce(
+      assert_true(col("n_toks") <= 65535,
+        lit("simhash lane counters support docs up to 65535 tokens"))
+        .cast("long"), lit(0L))
+    val fp = packed.select(col("doc_id"),
+      ((0 until 60).map(j =>
+        when(ones(j) * 2 > col("n_toks"), shiftleft(lit(1L), j))
+          .otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)) + laneGuard).as("simhash"))
     val chunked = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map { c =>
           shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))
