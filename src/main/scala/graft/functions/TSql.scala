@@ -160,6 +160,47 @@ object TSql {
     */
   def modSafe(a: Column, b: Column): Column = a % nullif(b, lit(0))
 
+  // The whitepaper's documented composite ladder for functions the engine
+  // lacks natively (whitepaper.md:535-564). All are expression compositions;
+  // the libm-backed ones (log/exp/trig) are unit-tested rather than
+  // oracle-checked — libm is not bit-portable across engines.
+
+  /** DEGREES composite (whitepaper.md:544). */
+  def degrees(x: Column): Column = x * lit(180.0) / lit(math.Pi)
+
+  /** RADIANS composite (whitepaper.md:557). */
+  def radians(x: Column): Column = x * lit(math.Pi) / lit(180.0)
+
+  /** ATN2 — T-SQL's atan2 argument order (whitepaper.md:540). */
+  def atn2(y: Column, x: Column): Column = atan2(y, x)
+
+  /** ACOSH composite ln(x + √(x²−1)) (whitepaper.md:536). */
+  def acosh(x: Column): Column = log(x + sqrt(x * x - 1))
+
+  /** ASINH composite ln(x + √(x²+1)) (whitepaper.md:537). */
+  def asinh(x: Column): Column = log(x + sqrt(x * x + 1))
+
+  /** ATANH composite ln((1+x)/(1−x))/2 (whitepaper.md:539). */
+  def atanh(x: Column): Column = log((lit(1.0) + x) / (lit(1.0) - x)) / 2
+
+  /** QUOTIENT composite: integer part of a division, NULL on zero divisor
+    * (whitepaper.md:556).
+    */
+  def quotient(a: Column, b: Column): Column =
+    (a.cast("double") / nullif(b, lit(0)).cast("double")).cast("long")
+
+  /** TRUNC toward zero at scale n (whitepaper.md:562 TruncFunction). */
+  def truncNum(x: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    (x * p).cast("long").cast("double") / p
+  }
+
+  /** RANDBETWEEN composite over RAND (whitepaper.md:558): uniform integer in
+    * [lo, hi], seeded for determinism.
+    */
+  def randbetween(lo: Int, hi: Int, seed: Long): Column =
+    (rand(seed) * (hi - lo + 1)).cast("int") + lo
+
   /** InverseFisher composite: (EXP(2x)-1)/(EXP(2x)+1) = tanh, exactly the
     * documented expression (whitepaper.md:589).
     */

@@ -78,6 +78,23 @@ class TSqlSpec extends SparkSpec {
     assert(one(TSql.modSafe(lit(10), lit(3))) === 1)
   }
 
+  test("math composite ladder matches java.lang.Math semantics") {
+    import org.apache.spark.sql.functions._
+    def d(c: org.apache.spark.sql.Column): Double =
+      one(c).asInstanceOf[Double]
+    assert(math.abs(d(TSql.degrees(lit(math.Pi))) - 180.0) < 1e-12)
+    assert(math.abs(d(TSql.radians(lit(180.0))) - math.Pi) < 1e-15)
+    assert(math.abs(d(TSql.atn2(lit(1.0), lit(1.0))) - math.Pi / 4) < 1e-15)
+    assert(math.abs(d(TSql.acosh(lit(2.0))) - 1.3169578969248166) < 1e-12)
+    assert(math.abs(d(TSql.asinh(lit(1.0))) - 0.881373587019543) < 1e-12)
+    assert(math.abs(d(TSql.atanh(lit(0.5))) - 0.5493061443340549) < 1e-12)
+    assert(one(TSql.quotient(lit(17), lit(5))) === 3L)
+    assert(one(TSql.quotient(lit(17), lit(0))) === null)
+    assert(one(TSql.truncNum(lit(-2.789), 2)) === -2.78)
+    val rb = one(TSql.randbetween(5, 9, seed = 1)).asInstanceOf[Int]
+    assert(rb >= 5 && rb <= 9)
+  }
+
   test("InverseFisher composite equals tanh; Standardize guards stdev<=0") {
     import org.apache.spark.sql.functions._
     val x = 0.42
