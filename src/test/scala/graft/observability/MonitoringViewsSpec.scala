@@ -69,8 +69,12 @@ class MonitoringViewsSpec extends SparkSpec {
         """SELECT table_name, table_row_count, distribution_policy_name
           |FROM vw_table_space_summary ORDER BY table_name""".stripMargin).collect()
       assert(summary.map(_.getString(0)).toSeq === Seq("lineitem", "orders"))
-      assert(summary.map(_.getLong(1)).sum === 1500L + 60175L ||
-        summary.map(_.getLong(1)).sum > 0)
+      // footer-derived row accounting must match the actual table contents
+      val expected = Map(
+        "lineitem" -> Tables.lineitem(spark, sfDir).count(),
+        "orders" -> Tables.orders(spark, sfDir).count())
+      summary.foreach(r =>
+        assert(r.getLong(1) === expected(r.getString(0)), r.getString(0)))
       assert(spark.sql("SELECT * FROM vw_table_space_by_distribution").count() >= 1)
       assert(spark.sql(
         "SELECT * FROM vw_table_space_by_distribution_type").count() >= 1)
