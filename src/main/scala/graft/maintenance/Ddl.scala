@@ -51,6 +51,16 @@ object Ddl {
     s"CREATE TABLE ${quote(table)} (\n$colDefs\n) USING parquet$withClause"
   }
 
+  /** Reconstruct a CREATE VIEW statement from the catalog — the
+    * `sys.sql_modules.definition` extraction the deployment tooling uses
+    * (reference:
+    * samples/scripts/deployments/GetCreateStatement_Function_Proc_View.sql:104-108).
+    */
+  def createViewStatement(spark: SparkSession, view: String): String = {
+    val rows = spark.sql(s"SHOW CREATE TABLE ${quote(view)}").collect()
+    rows(0).getString(0)
+  }
+
   /** Schema-diff → ALTER TABLE ADD COLUMNS, the catalog-diffing deployment
     * pattern (reference: samples/scripts/deployments/AddTableChanges.sql:62-98):
     * the anti-join of desired columns against current ones.

@@ -130,6 +130,18 @@ class ObservabilitySpec extends SparkSpec {
       .filter(col("run_id") === id1).count() === 1)
   }
 
+  test("view DDL reverse-engineering recovers the definition (D11)") {
+    spark.sql("DROP VIEW IF EXISTS ddl_view")
+    spark.sql(
+      "CREATE VIEW ddl_view AS SELECT r_regionkey, r_name FROM parquet.`" +
+        s"$sfDir/region.parquet`")
+    try {
+      val ddl = Ddl.createViewStatement(spark, "ddl_view")
+      assert(ddl.contains("CREATE VIEW"))
+      assert(ddl.contains("r_regionkey"))
+    } finally spark.sql("DROP VIEW ddl_view")
+  }
+
   test("CREATE SCHEMA namespaces hold policy-bearing tables (D1)") {
     import graft.catalog.{Distribution, TablePolicy}
     Ddl.createSchema(spark, "dimension")
