@@ -38,6 +38,26 @@ class IngestSpec extends SparkSpec {
     assert(e.rejected === 1)
   }
 
+  test("reject accounting reads the text input exactly once") {
+    // single-pass design (Observation + staging write): journaled input
+    // bytes over the load must stay ~csv-size + staged-parquet-size; the old
+    // cache+double-count formulation read the text twice
+    val rows = (1 to 5000).map(i => s"$i,name_$i,${i % 97}.25")
+    val loc = tmpCsv(rows: _*)
+    val csvBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(loc))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    val j = new graft.observability.QueryJournal(spark).start()
+    try {
+      val df = ExternalTable(loc, schema, reject = RejectType.Value(0)).read(spark)
+      df.count() // consume the staged result
+      val read = j.steps.agg(sum(col("input_bytes"))).collect()(0).getLong(0)
+      assert(read < 2 * csvBytes,
+        s"load read $read bytes for a $csvBytes-byte input — double scan?")
+      assert(read > 0)
+    } finally j.stop()
+  }
+
   test("REJECT_VALUE=N tolerates up to N bad rows and filters them out") {
     val loc = tmpCsv("1,alice,10.5", "x,bob,oops,extra", "3,carol,1.0")
     val et = ExternalTable(loc, schema, reject = RejectType.Value(1))
