@@ -114,30 +114,58 @@ object SimilarityQueries {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** LSH band-bucket size cap for pair generation — the same
+    * construction-time fan-out bound as [[TextQueries.BandCap]]: a degenerate
+    * bucket holding m vectors is m²/2 candidate pairs (skewed embedding
+    * distributions DO concentrate — near-zero or cluster-heavy vectors share
+    * sign patterns), so buckets above the cap are dropped. No-op on this
+    * corpus; mirrored in the q63 oracle.
+    */
+  val PairBandCap = 1000
+
+  /** In-place i<j candidate pairs from (band_idx, band_val, vec_id) bucket
+    * rows — the q55/q56 grouped shape: one shuffle on the band key, members
+    * sorted so pairs come out vec_a < vec_b, and `cap` bounds per-bucket
+    * fan-out BY CONSTRUCTION (≤ cap²/2 pairs per bucket). A banded self-join
+    * has no such bound and recomputes the signature pipeline on both sides.
+    */
+  private[operators] def bandedPairs(banded: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame =
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+      .filter(size(col("members")).between(2, cap))
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+
   /** Embedding-cosine near-duplicate pairs through the same 4×8-bit banded
     * LSH; candidate pairs colliding in any band are verified with exact
     * cosine ≥ 0.4. The dedup-by-embedding member of the dedup family — at
-    * 100 TB each band's bucket join bounds the pair fan-out to collisions,
-    * never n².
+    * 100 TB the grouped in-place pair generation plus [[PairBandCap]] bounds
+    * each bucket's fan-out by construction, never n²; only surviving pairs
+    * join back to the (narrow) embedding table for verification.
     */
   val q63CosineNearDup: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val banded = e.select(col("vec_id"), col("embedding"),
-        Vectors.norm(col("embedding")).as("nrm"),
+    val base = e.select(col("vec_id"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"))
+    val banded = e.select(col("vec_id"),
         posexplode(Vectors.bandedBuckets(
           Vectors.hyperplaneSignature(col("embedding"), Dim, Planes),
           Bands, BitsPerBand)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (Vectors.dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .dropDuplicates("vec_a", "vec_b")
+    bandedPairs(banded, PairBandCap)
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (Vectors.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"))
   }
@@ -241,9 +269,14 @@ object SimilarityQueries {
        |  FROM base),
        |banded AS (
        |  $bandSelectsSql),
+       |capped AS (
+       |  SELECT band_idx, band_val FROM banded
+       |  GROUP BY band_idx, band_val HAVING COUNT(*) BETWEEN 2 AND $PairBandCap),
        |cands AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM banded a JOIN banded b
+       |  FROM banded a
+       |  JOIN capped c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       |  JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b FROM (

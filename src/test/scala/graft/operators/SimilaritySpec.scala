@@ -29,6 +29,20 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("degenerate LSH bucket: pair fan-out is capped by construction") {
+    // 50 identical-sign vectors all collide into ONE (band_idx, band_val)
+    // bucket — the skew shape that made the r2 self-join unbounded at scale.
+    import spark.implicits._
+    val banded = (1L to 50L).map(id => (id, 0, 7L))
+      .toDF("vec_id", "band_idx", "band_val")
+    // cap below bucket size: the whole bucket is dropped, zero pairs emitted
+    assert(SimilarityQueries.bandedPairs(banded, cap = 10).count() === 0L)
+    // cap at/above bucket size: exactly m(m-1)/2 ordered pairs, vec_a < vec_b
+    val pairs = SimilarityQueries.bandedPairs(banded, cap = 50)
+    assert(pairs.count() === 50L * 49 / 2)
+    assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0L)
+  }
+
   test("IVF index: clusters partition the corpus; probe recall beats nprobe/k") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val centroids = Ivf.train(e, k = 16, dim = 64, iters = 5)
