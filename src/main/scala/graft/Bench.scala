@@ -24,7 +24,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for it.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Gate queries plus the production-hash fingerprint twins: the *_prod
+    // numbers document what the md5 oracle portability costs at scale.
+    val benchSet = SparkEntry.queries ++ operators.TextQueries.productionQueries
+    val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

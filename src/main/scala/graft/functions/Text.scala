@@ -31,6 +31,31 @@ object Text {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Hash-family switch for the fingerprint stack (MinHash / SimHash /
+    * winnowing). Both members map a string column to a nonnegative 60-bit
+    * long, so every downstream construction (32-bit masking, bit votes over
+    * bits 0..59, window minima) behaves identically — only the hash function
+    * itself changes.
+    */
+  sealed trait HashMode { def hash(c: Column): Column }
+  object HashMode {
+    /** Oracle mode: the md5-derived [[portableHash]] — bit-identical across
+      * engines, so the DuckDB correctness gate reproduces every fingerprint.
+      * Costs a full md5 digest + string ops per token/shingle.
+      */
+    case object Portable extends HashMode {
+      def hash(c: Column): Column = portableHash(c)
+    }
+    /** Production mode: `xxhash64` masked to the same nonnegative 60-bit
+      * range — a few ALU ops per row instead of a cryptographic digest. The
+      * 100 TB default whenever cross-engine hash reproduction isn't needed.
+      */
+    case object Fast extends HashMode {
+      def hash(c: Column): Column =
+        xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+    }
+  }
+
   /** Mersenne prime 2^61-1: modulus of the universal hash family below. */
   val HashP: Long = 2305843009213693951L
 

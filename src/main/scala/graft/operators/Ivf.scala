@@ -57,27 +57,46 @@ object Ivf {
 
   def train(vectors: DataFrame, k: Int, dim: Int, iters: Int,
       idCol: String = "vec_id"): Seq[Seq[Double]] = {
-    val v = vectors.select(col(idCol),
-        col("embedding").cast("array<double>").as("v"))
+    // Driver-side Lloyd over the capped sample, folding sums in vec_id order:
+    // bit-deterministic across runs and session configs, which is what lets
+    // the q64 oracle inline the trained centroids as SQL literals. (The
+    // previous distributed avg() merged partial sums in task-completion
+    // order — last-ulp nondeterminism that an exact-compare gate can't
+    // tolerate.) The sample is TrainSampleCap rows regardless of corpus
+    // size, so driver memory stays fixed at 100 TB; only assignment streams
+    // the full table.
+    val sample: Array[Array[Double]] = vectors
+      .select(col(idCol), col("embedding").cast("array<double>").as("v"))
       .orderBy(col(idCol)).limit(TrainSampleCap)
-    var centroids: Seq[Seq[Double]] = v.orderBy(col(idCol)).limit(k)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      .collect().map(_.getSeq[Double](1).toArray)
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
     (1 to iters).foreach { _ =>
-      val assigned = v.withColumn("cluster", assignExpr(col("v"), centroids))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cl, rows) =>
-          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      val cn2 = centroids.map(c => c.map(x => x * x).sum)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        // same (-2·v·c + |c|², then j) argmin ordering as assignExpr
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          var dp = 0.0
+          var i = 0
+          while (i < dim) { dp += v(i) * centroids(j)(i); i += 1 }
+          val d = -2.0 * dp + cn2(j)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
         }
-      centroids = centroids.zipWithIndex.map { case (old, j) =>
-        means.getOrElse(j, old)
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { j =>
+        if (counts(j) == 0) centroids(j)
+        else Array.tabulate(dim)(i => sums(j)(i) / counts(j))
       }
     }
-    centroids
+    centroids.map(_.toSeq).toSeq
   }
 
   /** Build the inverted assignment (vec_id, cluster) for a vector table. */

@@ -170,18 +170,23 @@ object SimilarityQueries {
       .select(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF-indexed ANN (rows-only check — k-means cluster boundaries are not
-    * expressible as a DuckDB oracle): 16-centroid coarse quantizer trained
-    * with 5 Lloyd iterations, probes scan their 4 nearest inverted lists,
-    * exact cosine re-ranks. The second scale path next to q61's LSH: probe
-    * cost is nprobe/k of the corpus per query, bounded by construction
-    * (measured top-5 recall ~0.9 vs q60 at test scale — SimilaritySpec).
+  /** IVF-indexed ANN: 16-centroid coarse quantizer trained with 5
+    * deterministic Lloyd iterations (driver-side over the capped sample —
+    * Ivf.train), probes scan their 4 nearest inverted lists, exact cosine
+    * re-ranks. The second scale path next to q61's LSH: probe cost is
+    * nprobe/k of the corpus per query, bounded by construction (measured
+    * top-5 recall ~0.9 vs q60 at test scale — SimilaritySpec). Oracle-exact
+    * since r3: training is bit-deterministic, so [[q64SqlFor]] inlines the
+    * trained centroids into DuckDB SQL the way sigBitsSql inlines the plane
+    * matrix.
     */
+  private val IvfK = 16
+  private val IvfNprobe = 4
+  private val IvfIters = 5
+
   val q64AnnIvf: Q = (s, dir) => {
-    val k = 16
-    val nprobe = 4
     val e = Tables.embeddings(s, dir)
-    val centroids = Ivf.train(e, k, Dim, iters = 5)
+    val centroids = Ivf.train(e, IvfK, Dim, iters = IvfIters)
     val listed = Ivf.assign(e, centroids)
       .select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding")).as("nrm"), col("cluster"))
@@ -189,7 +194,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
         col("nrm").as("probe_nrm"),
         explode(Ivf.probeExpr(col("embedding").cast("array<double>"),
-          centroids, nprobe)).as("cluster"))
+          centroids, IvfNprobe)).as("cluster"))
     val cands = listed.join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -287,6 +292,47 @@ object SimilarityQueries {
        |  JOIN base a ON c.vec_a = a.vec_id
        |  JOIN base b ON c.vec_b = b.vec_id) t
        |WHERE sim >= 0.4""".stripMargin
+
+  /** Data-dependent oracle for q64: trains the quantizer (bit-deterministic
+    * — Ivf.train folds the capped sample in vec_id order on the driver) and
+    * inlines the centroid vectors plus their |c|² terms as SQL literals,
+    * exactly as [[sigBitsSql]] inlines the plane matrix. Generated at Verify
+    * time because, unlike the plane matrix, the centroids derive from the
+    * data. Assignment/probe argmin mirrors Ivf.assignExpr/probeExpr:
+    * ORDER BY -2·v·c + |c|², then centroid id.
+    */
+  def q64SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val centroids = Ivf.train(Tables.embeddings(s, dir), IvfK, Dim, IvfIters)
+    val centRows = centroids.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}], $cn2)"
+    }.mkString(",\n    ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent(j, c, cn2) AS (SELECT * FROM (VALUES
+       |    $centRows)),
+       |assigned AS (
+       |  SELECT vec_id, v,
+       |    (SELECT j FROM cent
+       |     ORDER BY -2.0 * list_dot_product(b.v, c) + cn2, j LIMIT 1) AS cluster
+       |  FROM base b),
+       |probes AS (
+       |  SELECT b.vec_id AS probe_id, b.v AS pv, p.j AS cluster
+       |  FROM base b, LATERAL (
+       |    SELECT j FROM cent
+       |    ORDER BY -2.0 * list_dot_product(b.v, c) + cn2, j LIMIT $IvfNprobe) p
+       |  WHERE b.vec_id < 10),
+       |sims AS (
+       |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(a.v, p.pv) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS sim
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM sims) t
+       |WHERE rnk <= $K""".stripMargin
+  }
 
   /** q60's oracle mirrors the double-precision sequential fold via UNNEST
     * ordinality — exact same IEEE operation order as the Spark side.

@@ -282,16 +282,16 @@ object TextQueries {
     * Scale path: only band buckets shuffle; the candidate join is on
     * (band_index, band_value) so work is proportional to collisions, not n².
     */
-  val q55MinhashLsh: Q = (s, dir) => {
+  private def minhashLsh(mode: Text.HashMode): Q = (s, dir) => {
     val fam = Text.hashFamily(MinhashK)
     val d = Tables.documents(s, dir)
-    // Explode shingles to flat rows (one md5 each), then k min-aggregates of
+    // Explode shingles to flat rows (one hash each), then k min-aggregates of
     // cheap integer mixes: partial (map-side) min means the shuffle carries
     // |docs|×k longs, not the shingle stream — the formulation that scales.
     val sh = d.select(col("doc_id"),
         explode(Text.shingleSet(col("text"), 3)).as("shingle"))
       .select(col("doc_id"),
-        Text.portableHash(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)).as("h32"))
+        mode.hash(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)).as("h32"))
     def hi(i: Int) = (col("h32") * fam(i)._1 + fam(i)._2) % Text.HashP
     val sig = sh.groupBy(col("doc_id"))
       .agg(min(hi(0)).as("m0"),
@@ -327,6 +327,8 @@ object TextQueries {
           b => b)).cast("double") / MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
+
+  val q55MinhashLsh: Q = minhashLsh(Text.HashMode.Portable)
 
   /** DuckDB oracle for q55, generated from the same hash-family constants. */
   val q55Sql: String = {
@@ -378,13 +380,13 @@ object TextQueries {
     * chunks (a Hamming-distance LSH — any pair within Hamming ≤ 3 must agree
     * on ≥ 1 chunk), verified with exact Hamming distance ≤ 3.
     */
-  val q56Simhash: Q = (s, dir) => {
+  private def simhashNearDup(mode: Text.HashMode): Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    // Same explode+aggregate formulation as MinHash: one md5 per token row,
+    // Same explode+aggregate formulation as MinHash: one hash per token row,
     // 60 ±1-vote partial sums (map-side combined), bits packed after the
     // shuffle — scalable codegen, no per-row array transforms.
     val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), Text.portableHash(col("tok")).as("h"))
+      .select(col("doc_id"), mode.hash(col("tok")).as("h"))
     // Bit-vote counters packed 4-per-aggregate in 16-bit lanes: 15 sums
     // instead of 60 — 4× narrower shuffle rows and far smaller generated
     // aggregate code. A lane holds the count of set bits at position j;
@@ -436,6 +438,8 @@ object TextQueries {
       .filter(col("hamming") <= 3)
   }
 
+  val q56Simhash: Q = simhashNearDup(Text.HashMode.Portable)
+
   /** DuckDB oracle for q56 — the same 60 bit-votes, generated. */
   val q56Sql: String = {
     val votes = (0 until 60).map(j =>
@@ -473,7 +477,7 @@ object TextQueries {
     * portable md5-derived 60-bit family, so the DuckDB oracle reproduces the
     * exact fingerprints.
     */
-  val q57Fingerprint: Q = (s, dir) => {
+  private def winnowFingerprintQ(mode: Text.HashMode): Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
     // Distributed winnowing: explode shingle hashes with position, take the
@@ -483,7 +487,7 @@ object TextQueries {
     val w = 4
     val hashed = d.select(col("doc_id"),
         posexplode(Text.shingles(Text.tokens(col("text")), 3)))
-      .select(col("doc_id"), col("pos"), Text.portableHash(col("col")).as("h"))
+      .select(col("doc_id"), col("pos"), mode.hash(col("col")).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     hashed
@@ -494,6 +498,20 @@ object TextQueries {
         min(col("win_min")).as("min_fp"),
         max(col("win_min")).as("max_fp"))
   }
+
+  val q57Fingerprint: Q = winnowFingerprintQ(Text.HashMode.Portable)
+
+  /** Production-hash twins of the fingerprint stack: identical plans with
+    * `xxhash64` in place of the oracle-portable md5 family — the engine's
+    * 100 TB default (VERDICT r2 measured the md5 family as the single
+    * biggest avoidable CPU cost). Benched alongside the gate queries, not
+    * oracle-gated: a different hash yields different (equally valid)
+    * fingerprints, so there is nothing for DuckDB to reproduce.
+    */
+  val productionQueries: Map[String, Q] = Map(
+    "q55_minhash_lsh_prod" -> minhashLsh(Text.HashMode.Fast),
+    "q56_simhash_prod" -> simhashNearDup(Text.HashMode.Fast),
+    "q57_winnow_fingerprint_prod" -> winnowFingerprintQ(Text.HashMode.Fast))
 
   /** DuckDB oracle for q57 (positions are 1-based in the oracle, 0-based in
     * Spark's posexplode — the `pos >= w` filters select the same windows).

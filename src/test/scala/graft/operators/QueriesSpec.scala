@@ -24,6 +24,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("production-hash fingerprint twins run with identical shapes") {
+    TextQueries.productionQueries.foreach { case (name, q) =>
+      val base = name.stripSuffix("_prod")
+      val prod = q(spark, sfDir)
+      val oracleMode = TextQueries.queries(base)(spark, sfDir)
+      assert(prod.schema === oracleMode.schema, s"$name schema drifted")
+      assert(prod.count() >= 0, s"$name failed")
+    }
+    // winnowing emits one row per doc with >= w+2 tokens no matter which
+    // hash family picked the window minima — counts must agree exactly
+    val n = TextQueries.productionQueries("q57_winnow_fingerprint_prod")(
+      spark, sfDir).count()
+    assert(n === TextQueries.q57Fingerprint(spark, sfDir).count())
+  }
+
   test("q01 aggregates reconcile with an independent SQL formulation") {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_v")
     val expect = spark.sql(
