@@ -257,4 +257,17 @@ object TSql {
     * percent for 2-decimal rate columns.
     */
   def pct(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Render integer cents as a fixed-point money string ("-123.45"). Built
+    * from abs(c) with a sign prefix: floor(c/100) rounds toward -inf while
+    * (c % 100) keeps the dividend's sign, so rendering negative cents
+    * directly would produce garbage like "-124.-4" (ADVICE r2).
+    */
+  def moneyString(c: Column): Column = {
+    val a = abs(c)
+    concat(
+      when(c < 0, lit("-")).otherwise(lit("")),
+      floor(a / lit(100)).cast("long").cast("string"), lit("."),
+      lpad((a % 100).cast("string"), 2, "0"))
+  }
 }

@@ -47,8 +47,10 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
     val slots = slotCost.getOrElse(resourceClass, 1)
     val t0 = System.nanoTime()
     queuedQueries.incrementAndGet(); queuedSlots.addAndGet(slots)
-    gate.acquire(slots)
-    queuedQueries.decrementAndGet(); queuedSlots.addAndGet(-slots)
+    // always un-queue, even if the wait is interrupted — otherwise the
+    // queued counters stay inflated for the session (ADVICE r2)
+    try gate.acquire(slots)
+    finally { queuedQueries.decrementAndGet(); queuedSlots.addAndGet(-slots) }
     runningQueries.incrementAndGet(); runningSlots.addAndGet(slots)
     val queued = (System.nanoTime() - t0) / 1000000L
     val sc = spark.sparkContext

@@ -39,6 +39,13 @@ object CoreQueries {
     * int64 arithmetic on both engines; disc/charge composites stay in integer
     * 10^-4/10^-6 units; the one fractional output (avg) is a single IEEE
     * division of two exact integers — bit-identical everywhere.
+    *
+    * The e4/e6 composites accumulate in DECIMAL(38,0): a per-row charge term
+    * is ~1.1e11, which would silently wrap an int64 sum at ~10^8 rows per
+    * group (real at 100 TB; Spark wraps with ansi off where DuckDB raises).
+    * Decimal sums are exact to 38 digits (~10^27 rows/group) and overflow to
+    * NULL — loud, not wrong. The final cast to long keeps the driver-stable
+    * BIGINT output type; qty/base-price sums (≤10^7/row) stay int64.
     */
   val q01Agg: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
@@ -51,8 +58,10 @@ object CoreQueries {
       .agg(
         sum(qtyC).as("sum_qty_c"),
         sum(extC).as("sum_base_price_c"),
-        sum(extC * (lit(100L) - discP)).as("sum_disc_price_e4"),
-        sum(extC * (lit(100L) - discP) * (lit(100L) + taxP)).as("sum_charge_e6"),
+        sum((extC * (lit(100L) - discP)).cast("decimal(38,0)"))
+          .cast("long").as("sum_disc_price_e4"),
+        sum((extC * (lit(100L) - discP) * (lit(100L) + taxP))
+          .cast("decimal(38,0)")).cast("long").as("sum_charge_e6"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty_c"),
         col("sum_base_price_c"), col("sum_disc_price_e4"), col("sum_charge_e6"),

@@ -187,10 +187,7 @@ object FunctionQueries {
     val l = Tables.lineitem(s, dir)
     // Fixed-point rendering built from exact integer cents (engine-exact;
     // double→DECIMAL→string diverges at the x.xx5 boundary, see TSql.cents).
-    val c = TSql.cents(col("l_extendedprice"))
-    val priceStr = concat(
-      floor(c / lit(100)).cast("long").cast("string"), lit("."),
-      lpad((c % 100).cast("string"), 2, "0"))
+    val priceStr = TSql.moneyString(TSql.cents(col("l_extendedprice")))
     l.select(
       col("l_orderkey"),
       col("l_linenumber"),
@@ -206,8 +203,9 @@ object FunctionQueries {
   val q45Sql: String =
     """SELECT l_orderkey, l_linenumber,
       |  CAST(l_quantity AS INT) AS qty_int,
-      |  CAST(CAST(FLOOR(CAST(ROUND(l_extendedprice*100) AS BIGINT) / 100) AS BIGINT) AS VARCHAR)
-      |    || '.' || LPAD(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_str,
+      |  CASE WHEN CAST(ROUND(l_extendedprice*100) AS BIGINT) < 0 THEN '-' ELSE '' END
+      |    || CAST(CAST(FLOOR(ABS(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100) AS BIGINT) AS VARCHAR)
+      |    || '.' || LPAD(CAST(ABS(CAST(ROUND(l_extendedprice*100) AS BIGINT)) % 100 AS VARCHAR), 2, '0') AS price_str,
       |  CAST(l_shipdate AS DATE) AS ship_date,
       |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
       |  CAST(l_linenumber AS VARCHAR) AS line_str,
@@ -248,10 +246,13 @@ object FunctionQueries {
   val q47StatComposites: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     val qtyC = TSql.cents(col("l_quantity"))
+    // s2's per-row term (qtyC² ≤ 2.5e7) would wrap an int64 sum at ~4e11
+    // rows per group; DECIMAL(38,0) accumulation is exact to ~10^30 rows
+    // and overflows to NULL instead of silently wrapping (ADVICE r2).
     val stats = l.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(qtyC).cast("double").as("s1"),
-        sum(qtyC * qtyC).cast("double").as("s2"))
+        sum((qtyC * qtyC).cast("decimal(38,0)")).cast("double").as("s2"))
       .select(col("l_returnflag"),
         (col("s1") / col("n")).as("mean_c"),
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) /

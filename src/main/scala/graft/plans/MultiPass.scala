@@ -62,9 +62,12 @@ object MultiPass {
     require(passes.map(_.name).distinct.size == passes.size, "duplicate names")
     val byName = passes.map(p => p.name -> p).toMap
 
-    // 1. unused-pass elimination: keep only passes reachable from the final
+    // 1. unused-pass elimination: keep only passes reachable from the final.
+    // WHERE and SELECT text count as references too — a pass read only by a
+    // predicate subquery (WHERE x IN (SELECT ... FROM p)) is live (ADVICE r2).
     def refs(p: Pass): Set[String] = {
-      val text = (p.from +: p.joins).mkString(" ")
+      val text =
+        ((p.from +: p.joins) ++ p.where.toSeq ++ p.select.map(_._2)).mkString(" ")
       passes.map(_.name).filter(n => text.matches(s"(?s).*\\b$n\\b.*")).toSet
     }
     val used = {
@@ -108,11 +111,28 @@ object MultiPass {
       case (_, group) => group
     }
 
-    // 4. WHERE→CASE merge: same SELECT/FROM/JOIN/GROUP BY, aggregates only
+    // 4. WHERE→CASE merge: same SELECT/FROM/JOIN/GROUP BY, aggregates only.
+    // The aggregate's argument must survive being wrapped in CASE WHEN:
+    // COUNT(*), DISTINCT args, and compound expressions like SUM(a)+SUM(b)
+    // (AggRe's greedy group swallows the middle) would all emit invalid SQL,
+    // so they fall through to the unmerged group instead (ADVICE r2).
+    def caseableArg(arg: String): Boolean = {
+      val t = arg.trim
+      var depth = 0
+      val balanced = t.forall { ch =>
+        if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        depth >= 0
+      } && depth == 0
+      t != "*" && !t.toLowerCase.startsWith("distinct ") && balanced
+    }
     def caseable(p: Pass): Boolean =
       p.where.isDefined && p.groupBy.nonEmpty &&
         p.select.forall { case (a, e) =>
-          p.groupBy.contains(e) || AggRe.findFirstIn(e.trim).isDefined
+          p.groupBy.contains(e) || (e.trim match {
+            case AggRe(_, arg) => caseableArg(arg)
+            case _ => false
+          })
         }
     val byWhereShape = selMerged.groupBy(p => (p.from, p.joins, p.groupBy, p.select))
     val whereMerged = byWhereShape.toSeq.sortBy(g => selMerged.indexWhere(_.name == g._2.head.name)).flatMap {

@@ -87,12 +87,39 @@ final case class ExternalTable(
       case RejectType.Value(n) => rejected > n
       case RejectType.Percentage(p) => total > 0 && rejected * 100.0 / total > p
     }
-    if (breach) throw RejectThresholdExceeded(rejected, total, reject)
+    if (breach) {
+      // a failed load must not leave its staged parquet on disk — repeated
+      // loads (e.g. LoadScriptGenerator.loadAll) would leak the temp dir
+      ExternalTable.deleteRecursively(new java.io.File(stagingDir))
+      throw RejectThresholdExceeded(rejected, total, reject)
+    }
     spark.read.parquet(stagingDir)
   }
 
-  /** `load` into a generated staging directory. */
-  def read(spark: SparkSession): DataFrame =
-    load(spark,
-      java.nio.file.Files.createTempDirectory("graft_ext_stage").toString)
+  /** `load` into a generated staging directory, removed on JVM exit (the
+    * returned frame lazily re-reads the staging parquet, so it must outlive
+    * the call — callers that want deterministic cleanup own the dir via
+    * [[load]]).
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_stage")
+    ExternalTable.cleanupOnExit(dir.toFile)
+    load(spark, dir.toString)
+  }
+}
+
+object ExternalTable {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  private lazy val exitHook: java.util.concurrent.ConcurrentLinkedQueue[java.io.File] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q.forEach(deleteRecursively)))
+    q
+  }
+
+  private def cleanupOnExit(dir: java.io.File): Unit = exitHook.add(dir): Unit
 }

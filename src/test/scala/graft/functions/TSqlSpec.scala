@@ -104,6 +104,14 @@ class TSqlSpec extends SparkSpec {
     assert(one(TSql.standardize(lit(5.0), lit(3.0), lit(0.0))) === null)
   }
 
+  test("moneyString renders negative cents with a single sign") {
+    assert(one(TSql.moneyString(lit(12345L))) === "123.45")
+    assert(one(TSql.moneyString(lit(-12345L))) === "-123.45")
+    assert(one(TSql.moneyString(lit(-5L))) === "-0.05")
+    assert(one(TSql.moneyString(lit(0L))) === "0.00")
+    assert(one(TSql.moneyString(lit(-100L))) === "-1.00")
+  }
+
   test("initcapFirst only capitalizes the first character") {
     assert(one(TSql.initcapFirst(lit("hello world"))) === "Hello world")
   }

@@ -75,6 +75,41 @@ class MultiPassSpec extends SparkSpec {
       .collect().zip(fOnly).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("non-case-able aggregates and subquery references survive (ADVICE r2)") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("mp_orders")
+    val passes = Seq(
+      // COUNT(*), COUNT(DISTINCT x), and SUM(a)+SUM(b): same shape,
+      // different WHEREs, but CASE-wrapping their args would emit invalid
+      // SQL — the merge must skip them and keep both passes runnable
+      Pass("p_star_f", "mp_orders", where = Some("o_orderstatus = 'F'"),
+        groupBy = Seq("o_custkey"),
+        select = Seq("ck" -> "o_custkey", "n" -> "COUNT(*)",
+          "nd" -> "COUNT(DISTINCT o_orderpriority)",
+          "mix" -> "SUM(o_totalprice) + SUM(o_orderkey)")),
+      Pass("p_star_o", "mp_orders", where = Some("o_orderstatus = 'O'"),
+        groupBy = Seq("o_custkey"),
+        select = Seq("ck" -> "o_custkey", "n" -> "COUNT(*)",
+          "nd" -> "COUNT(DISTINCT o_orderpriority)",
+          "mix" -> "SUM(o_totalprice) + SUM(o_orderkey)")),
+      // referenced ONLY from the final pass's WHERE subquery — must stay live
+      Pass("p_where_ref", "mp_orders", groupBy = Seq("o_custkey"),
+        select = Seq("ck" -> "o_custkey", "total" -> "SUM(o_totalprice)")),
+      Pass("p_final2", "p_star_f",
+        joins = Seq("JOIN p_star_o ON p_star_f.ck = p_star_o.ck"),
+        where = Some(
+          "p_star_f.ck IN (SELECT ck FROM p_where_ref WHERE total > 0)"),
+        select = Seq("ck" -> "p_star_f.ck", "f_n" -> "p_star_f.n",
+          "o_n" -> "p_star_o.n")))
+    val opt = MultiPass.optimize(passes, "p_final2")
+    // no WHERE->CASE merge happened (both unmergeable passes survive) and
+    // the subquery-only reference was not eliminated as unused
+    assert(opt.passes.map(_.name).toSet ===
+      Set("p_star_f", "p_star_o", "p_where_ref", "p_final2"))
+    val got = MultiPass.execute(spark, opt, "p_final2").count()
+    val naive = MultiPass.executeNaive(spark, passes, "p_final2").count()
+    assert(got === naive && got > 0)
+  }
+
   test("temp-table fallback kicks in past the documented pass bound") {
     val passes = plan
     val opt = MultiPass.optimize(passes, "p_final")
