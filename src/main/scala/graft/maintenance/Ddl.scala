@@ -32,6 +32,40 @@ object Ddl {
     spark.sql(s"DROP DATABASE IF EXISTS ${quote(name)}" +
       (if (cascade) " CASCADE" else ""))
 
+  private def quoteQualified(name: String): String =
+    name.split('.').map(quote).mkString(".")
+
+  /** TRUNCATE TABLE (SURVEY.md §2.1 S6; reference:
+    * samples/scripts/data-load/GenerateLoadScript-V1.sql:87 — the
+    * per-iteration work-table reset). Metadata-only on managed parquet
+    * tables: Spark drops the table's files/partitions without touching the
+    * catalog entry, the same contract as the reference's TRUNCATE.
+    */
+  def truncateTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"TRUNCATE TABLE ${quoteQualified(table)}")
+
+  /** DROP TABLE (SURVEY.md §2.1 S7; reference:
+    * samples/scripts/data-load/GenerateLoadScript-V1.sql:134-153 — cleanup
+    * between load iterations). `ifExists` mirrors the reference's
+    * OBJECT_ID-guarded conditional drop, making cleanup loops idempotent.
+    */
+  def dropTable(spark: SparkSession, table: String,
+      ifExists: Boolean = true): Unit = {
+    val guard = if (ifExists) "IF EXISTS " else ""
+    spark.sql(s"DROP TABLE $guard${quoteQualified(table)}")
+  }
+
+  /** DROP VIEW — the external-object cleanup companion
+    * (reference: GenerateLoadScript-V1.sql:134-153 drops the external
+    * table/data source pair; our external scans are unmanaged, so the
+    * cataloged artifact to drop is the view layer).
+    */
+  def dropView(spark: SparkSession, view: String,
+      ifExists: Boolean = true): Unit = {
+    val guard = if (ifExists) "IF EXISTS " else ""
+    spark.sql(s"DROP VIEW $guard${quoteQualified(view)}")
+  }
+
   private def sqlType(dt: DataType): String = dt.sql
 
   def createTableStatement(spark: SparkSession, table: String): String = {

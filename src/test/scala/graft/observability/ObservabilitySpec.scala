@@ -142,6 +142,25 @@ class ObservabilitySpec extends SparkSpec {
     } finally spark.sql("DROP VIEW ddl_view")
   }
 
+  test("TRUNCATE empties but keeps the table; DROP is idempotent (S6/S7)") {
+    import graft.catalog.{Distribution, TablePolicy}
+    graft.sources.Ctas.create(spark, Tables.region(spark, sfDir), "trunc_t",
+      TablePolicy(Distribution.Hash("r_regionkey", 4)))
+    assert(spark.table("trunc_t").count() === 5)
+    Ddl.truncateTable(spark, "trunc_t")
+    // rows gone, catalog entry + schema + policy metadata survive
+    assert(spark.table("trunc_t").count() === 0)
+    assert(spark.table("trunc_t").schema.fieldNames.contains("r_name"))
+    assert(TablePolicy.of(spark, "trunc_t").distribution ===
+      Distribution.Hash("r_regionkey", 4))
+    Ddl.dropTable(spark, "trunc_t")
+    assert(!spark.catalog.tableExists("trunc_t"))
+    Ddl.dropTable(spark, "trunc_t") // IF EXISTS: second drop is a no-op
+    intercept[Exception] {
+      Ddl.dropTable(spark, "trunc_t", ifExists = false)
+    }
+  }
+
   test("CREATE SCHEMA namespaces hold policy-bearing tables (D1)") {
     import graft.catalog.{Distribution, TablePolicy}
     Ddl.createSchema(spark, "dimension")
