@@ -46,9 +46,17 @@ object StorageViews {
 
   final case class RowgroupRow(table_name: String, file_name: String,
       rowgroup_id: Int, row_count: Long, compressed_bytes: Long,
-      total_bytes: Long)
+      total_bytes: Long, state_desc: String, trim_reason_desc: String)
 
-  /** Per-rowgroup detail from parquet footers. */
+  /** Per-rowgroup detail from parquet footers, with the columnstore rowgroup
+    * lifecycle mapped onto parquet semantics (reference:
+    * samples/sqlops/MonitoringScripts/RowgroupDetails.sql:1-23): every
+    * parquet row group is COMPRESSED (no delta store), and a group below the
+    * rowgroup target trimmed either because the writer hit its block-size
+    * memory bound mid-file (MEMORY_LIMITATION) or because the load ran out
+    * of rows at the end of the file (BULKLOAD — the trailing-batch trim).
+    * DICTIONARY_SIZE has no parquet analog and is structurally absent.
+    */
   def rowgroupDetails(spark: SparkSession,
       tables: Map[String, String]): DataFrame = {
     import spark.implicits._
@@ -56,13 +64,21 @@ object StorageViews {
     val rows = for {
       (table, location) <- tables.toSeq
       path <- parquetFiles(spark, location)
-      (block, idx) <- {
+      (block, idx, n) <- {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-        try r.getFooter.getBlocks.asScala.toSeq.zipWithIndex
-        finally r.close()
+        try {
+          val bs = r.getFooter.getBlocks.asScala.toSeq
+          bs.zipWithIndex.map { case (b, i) => (b, i, bs.size) }
+        } finally r.close()
       }
-    } yield RowgroupRow(table, path.getName, idx, block.getRowCount,
-      block.getCompressedSize, block.getTotalByteSize)
+    } yield {
+      val trim =
+        if (block.getRowCount >= RowgroupTarget) "NO_TRIM"
+        else if (idx == n - 1) "BULKLOAD"
+        else "MEMORY_LIMITATION"
+      RowgroupRow(table, path.getName, idx, block.getRowCount,
+        block.getCompressedSize, block.getTotalByteSize, "COMPRESSED", trim)
+    }
     rows.toDF()
   }
 
@@ -181,6 +197,64 @@ object StorageViews {
       (col("row_count") * 100.0 / col("total_rows")).as("pct_of_total"),
       ((col("row_count") - col("avg_rows")) * 100.0 / col("avg_rows"))
         .as("pct_deviation_from_avg"))
+  }
+
+  /** ImpactedTables report (reference:
+    * samples/sqlops/MonitoringScripts/ImpactedTables:1-58): flags tables
+    * whose catalog statistics are missing or outdated relative to the actual
+    * compute-side row counts, or whose per-distribution layout is skewed.
+    * The control side is Spark's catalog statistics (ANALYZE output — our
+    * stand-in for the control node's sys.partitions counts); the compute
+    * side is the footer-derived per-distribution accounting of
+    * [[tableSizesRef]]. Reference thresholds are the defaults; `minRows`
+    * gates reporting to tables big enough to matter, exactly as the
+    * reference's @minRows = 1,000,000 does.
+    */
+  def impactedTables(spark: SparkSession, tables: Map[String, String],
+      minRows: Long = 1000000L, minSkewPercent: Double = 10.0,
+      outdatedPercent: Double = 20.0): DataFrame = {
+    import spark.implicits._
+    val sizes = tableSizesRef(spark, tables)
+    val perDist = sizes.groupBy(col("table_name"), col("schema_name"),
+        col("distribution_policy_name"), col("index_type_desc"),
+        col("distribution_id"))
+      .agg(sum(col("row_count")).as("dist_rows"),
+        countDistinct(col("partition_nmbr")).as("dist_partitions"))
+    val cmp = perDist.groupBy(col("table_name"), col("schema_name"),
+        col("distribution_policy_name"), col("index_type_desc"))
+      .agg(sum(col("dist_rows")).as("cmp_row_count"),
+        (max(col("dist_rows")) - min(col("dist_rows")))
+          .as("highest_skew_rows_difference"),
+        ((max(col("dist_rows")) - min(col("dist_rows"))) * 100.0 /
+          nullif(sum(col("dist_rows")), lit(0L))).as("skew_percent"),
+        max(col("dist_partitions")).as("partitions"))
+    val ctl = tables.keys.toSeq.map { t =>
+      val stats =
+        if (spark.catalog.tableExists(t))
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).stats
+        else None
+      (t, stats.flatMap(_.rowCount).map(_.toLong))
+    }.toDF("table_name", "ctl_row_count")
+    val diffPct = org.apache.spark.sql.functions.abs(
+      col("ctl_row_count") - col("cmp_row_count")) * 100.0 /
+      nullif(col("cmp_row_count"), lit(0L))
+    cmp.join(ctl, Seq("table_name"))
+      .select(
+        col("schema_name").as("sch_name"), col("table_name"),
+        col("index_type_desc").as("table_type"),
+        col("distribution_policy_name").as("distribution_type"),
+        col("partitions"), col("ctl_row_count"), col("cmp_row_count"),
+        diffPct.as("ctl_cmp_difference_percent"),
+        col("highest_skew_rows_difference"), col("skew_percent"),
+        when(col("ctl_row_count").isNull, "missing stats")
+          .when(col("ctl_row_count") =!= col("cmp_row_count") &&
+            diffPct > outdatedPercent, "outdated stats")
+          .as("stat_info"),
+        when(col("skew_percent") >= minSkewPercent, "data skew").as("skew_info"))
+      .filter(col("cmp_row_count") > minRows &&
+        (col("stat_info").isNotNull || col("skew_info").isNotNull))
+      .orderBy(col("sch_name"), col("table_name"))
   }
 
   def tableSkew(spark: SparkSession, df: DataFrame, distColumn: String,

@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *  - vw_tables_with_skew                ← (microsoft.vw_tables_with_skew.sql:9-19)
   *  - vw_statistics_age                  ← Statistics.statisticsAgeRef
   *    (microsoft.vw_statistics_age.sql:4-22)
+  *  - vw_security_role_members           ← Security.securityRoleMembers
+  *    (microsoft.vw_security_role_members.sql:1-25)
   *  - vw_rowgroup_details / vw_table_health ← StorageViews (engine-shaped)
   */
 final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
@@ -49,6 +51,14 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
     Statistics.statisticsAgeRef(spark)
       .createOrReplaceTempView("vw_statistics_age")
   }
+
+  /** Register the security toolkit view over a principal catalog (the 15th
+    * and final reference view name — reference:
+    * microsoft.vw_security_role_members.sql:4).
+    */
+  def registerSecurityViews(security: graft.catalog.Security): Unit =
+    security.securityRoleMembers
+      .createOrReplaceTempView("vw_security_role_members")
 
   /** Register the storage views for the given table → location map, plus the
     * reference's view-over-view space rollups as direct SQL transcriptions.
@@ -217,6 +227,36 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
       .toDF("Stale_Stats_7_Days")
     poor.crossJoin(stale)
   }
+
+  /** Trim-reason counts ≈ Rowgroups.sql (reference:
+    * samples/sqlops/MonitoringScripts/Rowgroups.sql:1-33): the widget's
+    * three one-row derived tables cross-joined (Memory_Limitation, Bulkload,
+    * Dictionary_Size). Parquet has no dictionary-size trim, so C is
+    * structurally 0 — the same structural-zero treatment as the OPEN/CLOSED
+    * rowgroup states in [[tableHealthDetail]].
+    */
+  def rowgroups(tables: Map[String, String]): DataFrame = {
+    val rg = StorageViews.rowgroupDetails(spark, tables)
+    def cnt(reason: String, as: String) =
+      rg.filter(col("trim_reason_desc") === reason)
+        .agg(count(lit(1)).as(as))
+    cnt("MEMORY_LIMITATION", "Memory_Limitation")
+      .crossJoin(cnt("BULKLOAD", "Bulkload"))
+      .crossJoin(cnt("DICTIONARY_SIZE", "Dictionary_Size"))
+  }
+
+  /** Per-node tempdb widget ≈ TempdbConsumption.sql — delegates to the
+    * journal's executor-scratch accounting.
+    */
+  def tempdbConsumption(): DataFrame = journal.tempdbConsumption
+
+  /** Impacted-tables triage report ≈ sqlops ImpactedTables (missing stats /
+    * outdated stats / data skew). `minRows` defaults to the reference's
+    * 1 M-row reporting gate.
+    */
+  def impactedTables(tables: Map[String, String],
+      minRows: Long = 1000000L): DataFrame =
+    StorageViews.impactedTables(spark, tables, minRows = minRows)
 
   /** Per-node memory utilization ≈ MemoryConsumption.sql (storage-memory
     * used/total per executor — the engine analog of the node performance

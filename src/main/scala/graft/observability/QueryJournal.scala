@@ -52,6 +52,11 @@ final class QueryJournal(spark: SparkSession) {
   private val execStarts = new ConcurrentHashMap[Long, (String, Long)]()
   private val stageLabels = new ConcurrentHashMap[Int, String]()
   private val stageNames = new ConcurrentHashMap[Int, String]()
+  // per-executor scratch-space accounting: (memory spilled, disk spilled,
+  // shuffle bytes written) — the node-local temp allocation the reference's
+  // TempdbConsumption widget reads from session space usage
+  private val nodeScratch =
+    new ConcurrentHashMap[String, Array[java.util.concurrent.atomic.AtomicLong]]()
 
   private val listener = new SparkListener {
     override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -65,6 +70,13 @@ final class QueryJournal(spark: SparkSession) {
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val ti = te.taskInfo
       if (ti != null) {
+        Option(te.taskMetrics).foreach { m =>
+          val a = nodeScratch.computeIfAbsent(ti.executorId,
+            _ => Array.fill(3)(new java.util.concurrent.atomic.AtomicLong))
+          a(0).addAndGet(m.memoryBytesSpilled)
+          a(1).addAndGet(m.diskBytesSpilled)
+          a(2).addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
         val rows = Option(te.taskMetrics)
           .map(m => m.inputMetrics.recordsRead +
             m.shuffleReadMetrics.recordsRead).getOrElse(0L)
@@ -143,6 +155,31 @@ final class QueryJournal(spark: SparkSession) {
   def sqlRequests: DataFrame = {
     import spark.implicits._
     flush(); sqlReqBuf.asScala.toSeq.toDF()
+  }
+
+  /** Per-node scratch-space widget ≈ TempdbConsumption.sql (reference:
+    * samples/sqlops/MonitoringScripts/TempdbConsumption.sql:1-8): the
+    * reference sums user+internal tempdb page allocations per node; the
+    * Spark analog of node-local temp allocation is shuffle files (user
+    * objects) plus spill files (internal objects) written to executor-local
+    * disk. Reference column shape exactly.
+    */
+  def tempdbConsumption: DataFrame = {
+    import spark.implicits._
+    flush()
+    nodeScratch.asScala.toSeq
+      .map { case (exec, a) => (exec, (a(1).get() + a(2).get()) / 1024L) }
+      .toDF("pdw_node_id", "Tempdb_Space_Allocated_KB")
+  }
+
+  /** Engine-shaped spill detail behind [[tempdbConsumption]]. */
+  def spillDetail: DataFrame = {
+    import spark.implicits._
+    flush()
+    nodeScratch.asScala.toSeq
+      .map { case (exec, a) => (exec, a(0).get(), a(1).get(), a(2).get()) }
+      .toDF("pdw_node_id", "memory_bytes_spilled", "disk_bytes_spilled",
+        "shuffle_write_bytes")
   }
 
   /** Data-movement summary per label ≈ DMS worker rollup. */

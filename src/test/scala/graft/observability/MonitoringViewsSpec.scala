@@ -108,6 +108,84 @@ class MonitoringViewsSpec extends SparkSpec {
     } finally j.stop()
   }
 
+  test("security role model feeds vw_security_role_members (15/15 toolkit)") {
+    val sec = new graft.catalog.Security(spark)
+    sec.createRole("db_datareader")
+    sec.createRole("etl_operators")
+    sec.createUser("alice")
+    sec.createUser("bob")
+    sec.addRoleMember("db_datareader", "alice")
+    sec.addRoleMember("db_datareader", "bob")
+    // nested role membership, as sys.database_role_members allows
+    sec.addRoleMember("etl_operators", "db_datareader")
+    val j = new QueryJournal(spark)
+    new MonitoringViews(spark, j).registerSecurityViews(sec)
+
+    // golden column contract (microsoft.vw_security_role_members.sql:6-9)
+    assert(spark.table("vw_security_role_members").schema.fieldNames.toSeq ===
+      Seq("role_principal_name", "member_principal_name"))
+    val rows = spark.sql(
+      """SELECT role_principal_name, member_principal_name
+        |FROM vw_security_role_members ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(
+      ("db_datareader", "alice"), ("db_datareader", "bob"),
+      ("etl_operators", "db_datareader")))
+
+    // only roles appear on the role side; membership is revocable; guards
+    sec.dropRoleMember("db_datareader", "bob")
+    assert(sec.securityRoleMembers
+      .filter(col("member_principal_name") === "bob").count() === 0)
+    intercept[IllegalArgumentException] { sec.addRoleMember("alice", "bob") }
+    intercept[IllegalArgumentException] { sec.createUser("alice") }
+    intercept[IllegalArgumentException] { sec.addRoleMember("nope", "alice") }
+  }
+
+  test("tempdb, rowgroups and impacted-tables widgets (sqlops set complete)") {
+    val j = new QueryJournal(spark).start()
+    try {
+      // force a shuffle so executor scratch (shuffle files) is non-zero
+      Tables.lineitem(spark, sfDir).repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1))).collect()
+      val mv = new MonitoringViews(spark, j)
+
+      // TempdbConsumption.sql reference shape: exactly the two columns
+      val tempdb = mv.tempdbConsumption()
+      assert(tempdb.schema.fieldNames.toSeq ===
+        Seq("pdw_node_id", "Tempdb_Space_Allocated_KB"))
+      val kb = tempdb.agg(sum(col("Tempdb_Space_Allocated_KB"))).collect()(0)
+      assert(kb.getLong(0) > 0, "shuffle writes must count as scratch")
+      assert(j.spillDetail.count() >= 1)
+
+      // Rowgroups.sql widget: A,B,C cross join; single-rowgroup test files
+      // are all trailing-batch (BULKLOAD) trims, dictionary is structural 0
+      val tabs = Map("orders" -> s"$sfDir/orders.parquet",
+        "lineitem" -> s"$sfDir/lineitem.parquet")
+      val rg = mv.rowgroups(tabs).collect()(0)
+      assert(rg.schema.fieldNames.toSeq ===
+        Seq("Memory_Limitation", "Bulkload", "Dictionary_Size"))
+      assert(rg.getAs[Long]("Bulkload") >= 2)
+      assert(rg.getAs[Long]("Dictionary_Size") === 0)
+      val details = graft.catalog.StorageViews.rowgroupDetails(spark, tabs)
+      assert(details.filter(col("state_desc") =!= "COMPRESSED").count() === 0)
+
+      // ImpactedTables: an unanalyzed table ("missing stats") must surface
+      // once it clears the row gate; after ANALYZE it reports clean
+      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        .saveAsTable("impact_t")
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED impact_t")
+        .filter(col("col_name") === "Location").collect()(0).getString(1)
+      val impacted = mv.impactedTables(Map("impact_t" -> loc), minRows = 100)
+      val row = impacted.collect()
+      assert(row.length === 1 && row(0).getAs[String]("stat_info") === "missing stats")
+      assert(row(0).getAs[Long]("cmp_row_count") === 60175L ||
+        row(0).getAs[Long]("cmp_row_count") > 100)
+      spark.sql("ANALYZE TABLE impact_t COMPUTE STATISTICS")
+      val after = mv.impactedTables(Map("impact_t" -> loc), minRows = 100)
+      assert(after.filter(col("stat_info").isNotNull).count() === 0)
+    } finally j.stop()
+  }
+
   test("golden column contracts: reference view shapes never drift") {
     val j = new QueryJournal(spark).start()
     try {
