@@ -91,7 +91,7 @@ object Ddl {
     * samples/scripts/deployments/GetCreateStatement_Function_Proc_View.sql:104-108).
     */
   def createViewStatement(spark: SparkSession, view: String): String = {
-    val rows = spark.sql(s"SHOW CREATE TABLE ${quote(view)}").collect()
+    val rows = spark.sql(s"SHOW CREATE TABLE ${quoteQualified(view)}").collect()
     rows(0).getString(0)
   }
 
