@@ -273,6 +273,54 @@ object TextQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3""".stripMargin
 
+  /** Expected candidate fan-out per shingle row: Σdf²/Σdf, i.e. the
+    * df-weighted mean posting length — the bucket size an average shingle
+    * occurrence lands in, which is exactly the per-row candidate cost of the
+    * direct formulation. A plain mean or p99 over distinct shingles misses a
+    * single corpus-wide stop-shingle; the weighted mean is dominated by it.
+    */
+  private[operators] def candidateFanout(sh: org.apache.spark.sql.DataFrame): Double = {
+    val row = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("s2"), sum(col("df")).as("s1"))
+      .collect()(0)
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+    else row.getLong(0).toDouble / row.getLong(1)
+  }
+
+  /** Fan-out above which the PPJoin prefix filter beats the direct grouped
+    * join: the direct plan emits ~fanout candidates per shingle row, while
+    * PPJoin's fixed costs (df join, per-doc array build, intersection
+    * verify) amortize once buckets are this hot (measured crossover well
+    * below this on skewed corpora; sf0.1's fanout is ~3).
+    */
+  val FanoutSwitchThreshold = 32.0
+
+  /** Cost-based q54↔q65 switch (VERDICT r2 #8): the engine — not the caller
+    * — picks the exact-Jaccard formulation from the shingle df distribution.
+    * Direct candidate cost is Σdf² over shingles (quadratic in hot-shingle
+    * df); PPJoin bounds candidates to prefix postings but pays fixed costs
+    * that lose when postings are short (q65 Scaladoc). The stats pass is one
+    * aggregation over a document sample's shingle stream — at 100 TB run it
+    * on the sample, not the corpus; the df *distribution shape* is what
+    * decides, and both formulations return identical rows either way.
+    */
+  def chooseJaccardFormulation(s: org.apache.spark.sql.SparkSession,
+      dir: String, sampleFraction: Double = 1.0): String = {
+    val d = Tables.documents(s, dir)
+    val sampled = if (sampleFraction < 1.0) d.sample(sampleFraction, 42L) else d
+    val sh = sampled.select(col("doc_id"),
+        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    if (candidateFanout(sh) > FanoutSwitchThreshold) "ppjoin" else "direct"
+  }
+
+  /** The adaptive entry point: same rows as q54/q65 (they are proven
+    * equivalent in QueriesSpec), plan chosen by [[chooseJaccardFormulation]].
+    */
+  val q54Adaptive: Q = (s, dir) =>
+    if (chooseJaccardFormulation(s, dir) == "ppjoin") q65PpjoinJaccard(s, dir)
+    else q54NgramJaccard(s, dir)
+
   /** MinHash + LSH near-dup candidates: 32-component signature from the
     * engine-portable universal hash family (`Text.portableHash` +
     * `Text.hashFamily` — md5-derived, so the DuckDB oracle reproduces it

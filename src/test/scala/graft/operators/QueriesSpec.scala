@@ -84,6 +84,30 @@ class QueriesSpec extends SparkSpec {
     assert(allPairs.nonEmpty)
   }
 
+  test("cost-based Jaccard planner switches on skewed shingle postings") {
+    import spark.implicits._
+    // uniform postings: every shingle shared by exactly 2 docs → fanout 2
+    val uniform = (1L to 500L).flatMap(h =>
+      Seq((h * 2, h), (h * 2 + 1, h))).toDF("doc_id", "h")
+    assert(TextQueries.candidateFanout(uniform) === 2.0)
+
+    // one corpus-wide stop-shingle in 500 docs among 500 rare shingles:
+    // the df-weighted fanout is dominated by the hot posting
+    val skewed = ((1L to 500L).map(d => (d, 0L)) ++
+      (1L to 500L).map(h => (h, h))).toDF("doc_id", "h")
+    val fan = TextQueries.candidateFanout(skewed)
+    assert(fan > TextQueries.FanoutSwitchThreshold, s"fanout $fan")
+
+    // real corpus: short postings (max df ~25) → the direct plan, and the
+    // adaptive entry returns exactly q54's rows
+    assert(TextQueries.chooseJaccardFormulation(spark, sfDir) === "direct")
+    val adaptive = TextQueries.q54Adaptive(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = TextQueries.q54NgramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive === direct)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = Tables.documents(spark, sfDir)
     val distinctTexts = d.select("text").distinct().count()
