@@ -24,26 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared-distance ordering key against one centroid: -2·v·c + |c|². */
-  private def distKey(v: Column, c: Seq[Double]): Column = {
-    val cNorm2 = c.map(x => x * x).sum
-    lit(-2.0) * Vectors.dot(v, typedLit(c)) + lit(cNorm2)
-  }
+  /** Top-nprobe centroids by (-2·v·c + |c|², then id) through the codegen
+    * expression whose generated code is O(1) in k — the literal
+    * array_min-over-structs formulation inlined k×dim doubles and fell back
+    * to interpreted past the codegen method limits at k ≥ 1024
+    * (graft.plans.NearestCentroidsExpr).
+    */
+  private def nearest(v: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.NearestCentroidsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), centroids,
+        nprobe))
 
-  /** (ordering key, cluster id) structs for every centroid. */
-  private def distStructs(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, j) =>
-      struct(distKey(v, c).as("d"), lit(j).as("j"))
-    }: _*)
-
-  /** Nearest-centroid id (argmin by struct ordering: d, then j). */
+  /** Nearest-centroid id (argmin by (d, id) ordering). */
   def assignExpr(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array_min(distStructs(v, centroids)).getField("j")
+    element_at(nearest(v, centroids, 1), 1)
 
   /** The `nprobe` nearest centroid ids, nearest first. */
   def probeExpr(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
-    transform(slice(sort_array(distStructs(v, centroids)), 1, nprobe),
-      s => s.getField("j"))
+    nearest(v, centroids, nprobe)
 
   /** Lloyd's k-means over a DataFrame with an `array<double>`-castable
     * `embedding` column. Deterministic: seeds are the k lowest-`idCol`

@@ -43,6 +43,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0L)
   }
 
+  test("IVF assignment survives k=1024 under forced codegen (no fallback)") {
+    import spark.implicits._
+    // a realistic coarse-quantizer size: the old literal formulation blew
+    // past the codegen method limit here and fell back to interpreted
+    val dim = 64
+    val k = 1024
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 13 - 6).toDouble)
+    val centroids = (0 until k).map(vec)
+    val df = Seq(5, 99, 512, 1023).map(s => Tuple1(vec(s))).toDF("v")
+    // CODEGEN_ONLY turns any compile fallback into a hard failure
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = df.select(Ivf.assignExpr(col("v"), centroids).as("c"),
+        Ivf.probeExpr(col("v"), centroids, 4).as("probes")).collect()
+      // argmin oracle computed independently in Scala
+      def nearestOf(v: Seq[Double]): Int =
+        centroids.zipWithIndex.minBy { case (c, j) =>
+          (-2.0 * v.zip(c).map { case (a, b) => a * b }.sum +
+            c.map(x => x * x).sum, j)
+        }._2
+      Seq(5, 99, 512, 1023).zip(got).foreach { case (s, r) =>
+        assert(r.getInt(0) === nearestOf(vec(s)), s"seed $s")
+        val probes = r.getSeq[Int](1)
+        assert(probes.length === 4 && probes.head === r.getInt(0))
+        assert(probes.distinct.length === 4)
+      }
+      // dimension mismatch stays NULL, not a partial answer
+      val bad = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+        .select(Ivf.assignExpr(col("v"), centroids).as("c")).collect()(0)
+      assert(bad.isNullAt(0))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("IVF index: clusters partition the corpus; probe recall beats nprobe/k") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val centroids = Ivf.train(e, k = 16, dim = 64, iters = 5)
