@@ -7,9 +7,11 @@ import graft.multimodal.Media.{MediaDecoder, MediaMetaShape}
   *
   *  - PPM (P6) images: full pixel decode, content features (mean luminance
   *    over a grid), nearest-neighbor resize back to P6 bytes
-  *  - PNG: IHDR metadata probe (width/height from the spec'd big-endian
-  *    fields) — pixel decode needs zlib inflate of IDAT, which IS in the JVM
-  *    (java.util.zip), but filters/interlacing are out of scope here
+  *  - JPEG: dimensions from a marker walk to the SOF segment (cheap probe,
+  *    no pixel work); full pixel decode for features through the JDK's own
+  *    `javax.imageio` (part of every standard JVM — still zero native deps)
+  *  - PNG: IHDR metadata probe from the spec'd big-endian fields; pixel
+  *    decode for features through `javax.imageio` like JPEG
   *  - WAV (RIFF/PCM): fmt/data chunk walk, sample-accurate frame count,
   *    per-window RMS-energy features
   *  - PPMS streams (concatenated P6 frames): the video stand-in — frame
@@ -122,6 +124,59 @@ object CodecDecoder extends MediaDecoder {
     ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
       ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
 
+  // ------------------------------------------------------------------ JPEG
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** (width, height) from the SOF marker — a segment walk over the spec'd
+    * layout ([0xFF marker][len][precision][height][width]...), no pixel
+    * decode. Standalone markers (RSTn/SOI/EOI/TEM) carry no length field.
+    */
+  def jpegDims(b: Array[Byte]): (Int, Int) = {
+    var i = 2
+    while (i + 9 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) i += 1
+      else {
+        val m = b(i + 1) & 0xFF
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+          return (be16(b, i + 7), be16(b, i + 5))
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2
+        else i += 2 + be16(b, i + 2)
+      }
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
+  /** Decode JPEG/PNG pixels through the JDK's ImageIO into the PPM pixel
+    * model, so the feature grid and resize reuse the same machinery.
+    */
+  def decodeImage(b: Array[Byte]): Ppm = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "undecodable image bytes")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        out(i) = ((rgb >> 16) & 0xFF).toByte
+        out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+        out(i + 2) = (rgb & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(w, h, out)
+  }
+
   // ------------------------------------------------------------------- WAV
 
   def isWav(b: Array[Byte]): Boolean =
@@ -204,6 +259,9 @@ object CodecDecoder extends MediaDecoder {
       if (frames.size == 1) MediaMetaShape("image/x-portable-pixmap",
         h.width, h.height, 1)
       else MediaMetaShape("video/x-ppm-stream", h.width, h.height, frames.size)
+    } else if (isJpeg(bytes)) {
+      val (w, h) = jpegDims(bytes)
+      MediaMetaShape("image/jpeg", w, h, 1)
     } else if (isPng(bytes)) {
       // IHDR is the first chunk: width/height at fixed offsets 16/20
       MediaMetaShape("image/png", be32(bytes, 16), be32(bytes, 20), 1)
@@ -214,6 +272,7 @@ object CodecDecoder extends MediaDecoder {
 
   override def features(bytes: Array[Byte], dim: Int): Array[Float] =
     if (isPpm(bytes)) ppmFeatures(parsePpmStream(bytes).head, dim)
+    else if (isJpeg(bytes) || isPng(bytes)) ppmFeatures(decodeImage(bytes), dim)
     else if (isWav(bytes)) { val w = parseWav(bytes); wavFeatures(bytes, w, dim) }
     else new Array[Float](dim)
 

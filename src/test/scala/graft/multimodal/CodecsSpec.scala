@@ -102,6 +102,46 @@ class CodecsSpec extends SparkSpec {
     assert(mean(frames(1).frame_features) > mean(frames(2).frame_features))
   }
 
+  /** Encode a left→right luminance gradient as JPEG/PNG via the JDK codec. */
+  private def encodedImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / math.max(1, w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("JPEG: SOF-walk probe dims, ImageIO pixel decode, content features") {
+    val jpg = encodedImage(48, 20, "jpg")
+    assert(CodecDecoder.isJpeg(jpg))
+    assert(CodecDecoder.jpegDims(jpg) === ((48, 20)))
+    val shape = CodecDecoder.probe("image", jpg)
+    assert(shape.format === "image/jpeg")
+    assert(shape.width === 48 && shape.height === 20 && shape.n_frames === 1)
+    // features survive JPEG's lossy round-trip: gradient still rises
+    val f = CodecDecoder.features(jpg, 4)
+    assert(f(0) < f(1), f.toSeq)
+    val p = CodecDecoder.decodeImage(jpg)
+    assert(p.width === 48 && p.height === 20)
+    assert(p.luminance(0, 0) < p.luminance(47, 0))
+  }
+
+  test("PNG: pixel decode upgrades the probe-only path; lossless features") {
+    val png = encodedImage(32, 32, "png")
+    val shape = CodecDecoder.probe("image", png)
+    assert(shape.format === "image/png" && shape.width === 32)
+    // PNG is lossless: decoded features equal the PPM-encoded equivalent
+    val fromPng = CodecDecoder.features(png, 4)
+    val fromPpm = CodecDecoder.features(ppm(32, 32), 4)
+    fromPng.zip(fromPpm).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+  }
+
   test("unknown bytes are reported honestly, not faked") {
     val shape = CodecDecoder.probe("image", Array[Byte](1, 2, 3, 4))
     assert(shape.format === "application/octet-stream")
