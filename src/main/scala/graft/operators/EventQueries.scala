@@ -67,6 +67,35 @@ object EventQueries {
       |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS session_value_c
       |FROM numbered GROUP BY user_id, session_id""".stripMargin
 
+  /** Sliding-window aggregate (1-hour windows every 30 minutes): each event
+    * lands in duration/slide = 2 overlapping windows — the third window
+    * shape of §2.10 next to tumbling and session. The oracle enumerates the
+    * same two epoch-aligned window starts per event (the 30-minute floor and
+    * its predecessor) via UNNEST.
+    */
+  val q75Sliding: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("total_value_c"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("total_value_c"), col("n_users"))
+  }
+
+  val q75Sql: String =
+    """WITH b AS (
+      |  SELECT *,
+      |    DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+      |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 SECOND END AS ws0
+      |  FROM events)
+      |SELECT ws AS bucket, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_value_c,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM b, UNNEST([ws0, ws0 - INTERVAL 30 MINUTE]) AS u(ws)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Semi-structured JSON extraction from the `props` column (the engine's
     * answer to schema-on-read attributes).
     */
@@ -131,6 +160,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q74_typed_json" -> q74TypedJson,
+    "q75_sliding_window" -> q75Sliding,
     "q70_tumbling_window" -> q70Tumbling,
     "q71_session_window" -> q71Sessions,
     "q72_json_extract" -> q72Json,
@@ -138,6 +168,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q74_typed_json" -> q74Sql,
+    "q75_sliding_window" -> q75Sql,
     "q70_tumbling_window" -> q70Sql,
     "q71_session_window" -> q71Sql,
     "q72_json_extract" -> q72Sql,

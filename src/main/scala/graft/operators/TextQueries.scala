@@ -646,6 +646,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "q59_bpe_tokens" -> q59BpeTokens,
     "q65_ppjoin_jaccard" -> q65PpjoinJaccard,
+    "q66_adaptive_jaccard" -> q54Adaptive,
     "q50_dedup_exact" -> q50DedupExact,
     "q51_token_stats" -> q51TokenStats,
     "q52_text_quality" -> q52Quality,
@@ -659,6 +660,9 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q59_bpe_tokens" -> q59Sql,
     "q65_ppjoin_jaccard" -> q65Sql,
+    // the adaptive plan returns exactly the direct formulation's rows (the
+    // two plans are equivalence-tested), so q54's oracle applies verbatim
+    "q66_adaptive_jaccard" -> q54Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_token_stats" -> q51Sql,
     "q52_text_quality" -> q52Sql,

@@ -40,6 +40,20 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding-window counts (windowLen every slide) — the overlapping-window
+    * twin of EventQueries.q75Sliding. Each event contributes to
+    * windowLen/slide windows; the watermark still bounds state, which grows
+    * by that same factor relative to tumbling.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Session windows per user (30-minute gap), watermark-bounded — the
     * streaming twin of EventQueries.q71Sessions.
     */

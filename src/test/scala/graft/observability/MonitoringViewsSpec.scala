@@ -95,6 +95,9 @@ class MonitoringViewsSpec extends SparkSpec {
       val health = mv.tableHealthDetail(Map("orders" -> s"$sfDir/orders.parquet"))
         .collect()(0)
       assert(health.getAs[Long]("COMPRESSED_rowgroup_count") >= 1)
+      // value-level golden: footer row accounting equals the table contents
+      assert(health.getAs[Long]("row_count_total") === 1500L)
+      assert(health.getAs[Long]("COMPRESSED_rowgroup_rows") === 1500L)
       assert(health.getAs[Long]("OPEN_rowgroup_count") === 0)
       assert(health.getAs[String]("Rebuild_Index_SQL")
         .contains("ALTER INDEX ALL ON default.orders REBUILD"))

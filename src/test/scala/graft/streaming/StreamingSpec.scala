@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() === 0, "every emitted window must match batch")
   }
 
+  test("streaming sliding windows equal the batch computation") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.slidingCounts(stream), "s_counts", OutputMode.Append())
+    // duration/slide = 2: every event lands in exactly two emitted windows
+    // (modulo the open watermark horizon at the tail)
+    val streamed = spark.table("s_counts")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val batchTotal = Tables.events(spark, sfDir).count()
+    assert(streamed > 0 && streamed <= 2 * batchTotal)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+    val joined = spark.table("s_counts").as("s")
+      .join(batch.as("b"),
+        col("s.bucket") === col("b.start") &&
+          col("s.event_type") === col("b.event_type"))
+      .filter(col("s.n_events") =!= col("b.n"))
+    assert(joined.count() === 0, "every emitted sliding window must match batch")
+  }
+
   test("streaming session windows emit watermark-closed sessions") {
     val stream = EventStream.read(spark, streamDir)
     EventStream.runToMemory(
