@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * distribution-aware re-optimization), CBO over collected statistics,
   * shuffle partitions sized to the local cores (not the 200 default), the
   * replicated-table auto-broadcast extension, and the T-SQL SQL dialect.
+  *
+  * ANSI stays off deliberately: the T-SQL compatibility layer relies on
+  * non-ANSI null-on-bad-cast semantics. Integer-overflow safety for
+  * high-magnitude composite sums is handled where it matters instead —
+  * those aggregates accumulate in DECIMAL(38,0) (exact to ~10^27 rows per
+  * group, NULL on overflow) rather than wrapping int64; see q01/q47.
   */
 object Session {
 

@@ -83,7 +83,7 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** COUNT(DISTINCT) per group (A3) — exact at test scale; the 100 TB path is
-    * approx_count_distinct (exposed in BenchQueries).
+    * approx_count_distinct (q08).
     */
   val q02CountDistinct: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)

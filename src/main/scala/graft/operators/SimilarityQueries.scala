@@ -129,7 +129,7 @@ object SimilarityQueries {
     * fan-out BY CONSTRUCTION (≤ cap²/2 pairs per bucket). A banded self-join
     * has no such bound and recomputes the signature pipeline on both sides.
     */
-  private[operators] def bandedPairs(banded: org.apache.spark.sql.DataFrame,
+  private[graft] def bandedPairs(banded: org.apache.spark.sql.DataFrame,
       cap: Int): org.apache.spark.sql.DataFrame =
     banded
       .groupBy(col("band_idx"), col("band_val"))

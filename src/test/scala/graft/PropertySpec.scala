@@ -88,6 +88,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("moneyString renders any cents value losslessly with one sign") {
+    forAll(Gen.choose(-200000000000L, 200000000000L), n = 200) { c =>
+      val s = evalOne(TSql.moneyString(lit(c))).asInstanceOf[String]
+      // grammar: optional '-', digits, '.', exactly two digits
+      assert(s.matches("-?\\d+\\.\\d{2}"), s)
+      // lossless: parse back to the original cents
+      val neg = s.startsWith("-")
+      val Array(whole, frac) = s.stripPrefix("-").split("\\.")
+      val back = (whole.toLong * 100 + frac.toLong) * (if (neg) -1 else 1)
+      assert(back === c, s"c=$c s=$s")
+    }
+  }
+
+  test("banded pair generation: fan-out is m(m-1)/2 under the cap, 0 above") {
+    import graft.operators.SimilarityQueries
+    forAll(Gen.zip(Gen.choose(0, 40), Gen.choose(1, 30)), n = 15) {
+      case (m, cap) =>
+        val banded = (1L to m.toLong).map(id => (id, 0, 7L))
+          .toDF("vec_id", "band_idx", "band_val")
+        val got = SimilarityQueries.bandedPairs(banded, cap).count()
+        val expect = if (m >= 2 && m <= cap) m.toLong * (m - 1) / 2 else 0L
+        assert(got === expect, s"m=$m cap=$cap")
+    }
+  }
+
   test("identical shingle sets give identical minhash; estimate bounded by [0,1]") {
     forAll(Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)), 10) { words =>
       if (words.size >= 4) {

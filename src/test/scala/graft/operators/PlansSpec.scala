@@ -59,6 +59,24 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("band"), p)
   }
 
+  test("q63: one banding pass, grouped pair generation, no signature self-join") {
+    val p = plan("q63_cosine_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("collect_list"), "pairs must come from grouped members")
+    // the r2 self-join computed the posexplode banding pipeline on BOTH
+    // sides; the grouped shape runs it exactly once
+    assert("posexplode".r.findAllIn(p).size === 1,
+      s"banding must be computed once:\n$p")
+  }
+
+  test("q64: IVF assignment uses the O(1)-codegen expression, equi-join on cluster") {
+    val p = plan("q64_ann_ivf")
+    assert(p.contains("nearest_centroids"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("sort_array"),
+      "probe selection must be the top-nprobe insertion, not a k-wide sort")
+  }
+
   test("q47: group stats broadcast to the per-row standardize join") {
     val p = plan("q47_stat_composites")
     assert(p.contains("BroadcastHashJoin"), p)
