@@ -44,8 +44,11 @@ object Ctas {
           distributed.sortWithinPartitions(cols.map(col): _*)
         case _ => distributed
       }
+      // row count rides the write itself (Observation) — no second scan
+      val obs = org.apache.spark.sql.Observation()
+      val observed = ordered.observe(obs, count(lit(1)).as("rows"))
       // 3. writer: directory partitioning and/or bucketing
-      var writer = ordered.write.format("parquet").mode("overwrite")
+      var writer = observed.write.format("parquet").mode("overwrite")
       if (policy.partition.isDefined) writer = writer.partitionBy(MonthKeyCol)
       policy.distribution match {
         case Distribution.Hash(c, n) =>
@@ -64,6 +67,21 @@ object Ctas {
         policy.partition.map(p => TablePolicy.PropPartition -> s"month(${p.column})")
       val propSql = props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES($propSql)")
+      // Auto-stats hook (SURVEY.md §4): the reference engine auto-creates
+      // statistics on materialized tables; here the exact row count was
+      // observed during the write and size comes from the committed files,
+      // stored through the same catalog channel ANALYZE uses — CBO join
+      // reordering and the ImpactedTables control side see fresh stats with
+      // ZERO post-write scans (an ANALYZE COMPUTE STATISTICS after a 100 TB
+      // CTAS would read the table again).
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val (size, _) = org.apache.spark.sql.execution.command.CommandUtils
+        .calculateTotalSize(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], meta)
+      spark.sessionState.catalog.alterTableStats(ident,
+        Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          size, Some(BigInt(obs.get("rows").asInstanceOf[Long])))))
     } finally {
       label.foreach(_ => spark.sparkContext.setJobDescription(null))
     }

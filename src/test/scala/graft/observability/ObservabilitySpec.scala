@@ -142,6 +142,18 @@ class ObservabilitySpec extends SparkSpec {
     } finally spark.sql("DROP VIEW ddl_view")
   }
 
+  test("CTAS auto-stats: exact rowCount/size land in the catalog, no rescan") {
+    import graft.catalog.{Distribution, TablePolicy}
+    graft.sources.Ctas.create(spark, Tables.orders(spark, sfDir), "stats_t",
+      TablePolicy(Distribution.Hash("o_orderkey", 4)))
+    val stats = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("stats_t")).stats
+    assert(stats.isDefined, "CTAS must leave catalog statistics behind")
+    assert(stats.get.rowCount === Some(BigInt(1500)))
+    assert(stats.get.sizeInBytes > 0)
+    spark.sql("DROP TABLE stats_t")
+  }
+
   test("TRUNCATE empties but keeps the table; DROP is idempotent (S6/S7)") {
     import graft.catalog.{Distribution, TablePolicy}
     graft.sources.Ctas.create(spark, Tables.region(spark, sfDir), "trunc_t",
