@@ -253,6 +253,76 @@ object CoreQueries {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
   }
 
+  // deterministic portable-HLL constants: p=8 → m=256 registers over the
+  // top 8 bits of the 60-bit portable hash; the remaining 52 bits feed the
+  // leading-zero rank (1..53). m is sized so the raw (uncorrected) regime
+  // n ≳ 2.5·m holds at every test SF — the small-range linear-counting
+  // correction needs ln, which is not bit-portable across engines; at
+  // larger corpora raise p (the construction is identical for any p). The
+  // estimator constant alpha·m²·2^W is ONE Scala-computed double inlined
+  // identically into engine and oracle.
+  private val HllP = 8
+  private val HllM = 1 << HllP
+  private val HllW = 60 - HllP // rank window bits; ranks run 1..HllW+1
+  private val HllEstC: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
+      math.pow(2.0, HllW + 1)
+
+  /** Approximate NDV that the exact-compare gate can still check — unlike
+    * q08's engine-native sketch (whose binary registers differ per engine),
+    * this HLL is built entirely from the portable md5 hash family: register
+    * index = top p hash bits, register value = max leading-zero rank of the
+    * low W bits (a W-arm comparison ladder — no libm), and the raw Flajolet
+    * estimator is exact integer register sums (Σ 2^(W+1-rank) ≤ 2^61,
+    * int64-exact) finished by a single IEEE division. Both engines produce
+    * the bit-identical estimate. Raw-regime caveat: no small-range
+    * linear-counting correction (it needs ln, which is not bit-portable),
+    * so m is sized for the n ≳ 2.5·m loads where HLL runs uncorrected
+    * (~1.04/√m ≈ 6.5% standard error at m=256); measured against q02's
+    * exact counts in QueriesSpec.
+    *
+    * Scale shape: two map-side-combining shuffles — (flag, register) max,
+    * then an m-row-per-group register sum. The shuffle carries at most
+    * groups×m tiny rows regardless of data volume.
+    */
+  val q09PortableHll: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val h = graft.functions.Text.portableHash(col("l_orderkey").cast("string"))
+    val bucket = shiftrightunsigned(h, HllW)
+    val w = h.bitwiseAND(lit((1L << HllW) - 1))
+    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
+      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
+    }
+    l.select(col("l_returnflag"), bucket.as("b"), rank.as("r"))
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(max(col("r")).as("mr"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(expr(s"shiftleft(cast(1 as bigint), ${HllW + 1} - mr)")) +
+        (lit(HllM.toLong) - count(lit(1))) * lit(1L << (HllW + 1))).as("t"))
+      .select(col("l_returnflag"),
+        (lit(HllEstC) / col("t").cast("double")).as("est_orders"))
+  }
+
+  val q09Sql: String = {
+    val ladder = (1 to HllW).map(r =>
+      s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM lineitem),
+       |ranked AS (
+       |  SELECT l_returnflag, hv >> $HllW AS b, w,
+       |    CASE $ladder
+       |      ELSE ${HllW + 1} END AS r
+       |  FROM (SELECT l_returnflag, hv, hv & ${(1L << HllW) - 1} AS w FROM h)),
+       |regs AS (
+       |  SELECT l_returnflag, b, MAX(r) AS mr FROM ranked GROUP BY 1, 2)
+       |SELECT l_returnflag,
+       |  $HllEstC / CAST(SUM(CAST(1 AS BIGINT) << (${HllW + 1} - mr)) +
+       |    ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << ${HllW + 1}) AS DOUBLE) AS est_orders
+       |FROM regs GROUP BY l_returnflag""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Joins (§2.3)
   // -------------------------------------------------------------------------
@@ -773,6 +843,7 @@ object CoreQueries {
     "q06_stats_agg" -> q06Stats,
     "q07_view_composition" -> q07ViewComposition,
     "q08_approx_distinct" -> q08ApproxDistinct,
+    "q09_portable_hll" -> q09PortableHll,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
     "q12_right_join" -> q12RightJoin,
@@ -804,6 +875,7 @@ object CoreQueries {
     "q37_pivot" -> q37Sql,
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,
+    "q09_portable_hll" -> q09Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,
     "q04_having" -> q04Sql,

@@ -84,6 +84,21 @@ class QueriesSpec extends SparkSpec {
     assert(allPairs.nonEmpty)
   }
 
+  test("portable HLL estimates within sketch error of the exact counts") {
+    val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
+      .select(col("l_returnflag"), col("n_orders")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q09_portable_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (flag, e) =>
+      val err = math.abs(e - exact(flag)) / exact(flag)
+      // raw (uncorrected) regime at m=1024: standard error ~1.04/sqrt(m)
+      // ≈ 3%; allow small-load bias headroom at sf0.001
+      assert(err < 0.15, s"$flag est=$e exact=${exact(flag)} err=$err")
+    }
+  }
+
   test("cost-based Jaccard planner switches on skewed shingle postings") {
     import spark.implicits._
     // uniform postings: every shingle shared by exactly 2 docs → fanout 2
