@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate cluster resolution: turn undirected candidate pairs (the
+  * output of the MinHash/SimHash/cosine dedup queries) into connected
+  * components, each labelled by its minimum member id — the canonical
+  * keep-one-representative step of a dedup pipeline.
+  *
+  * Algorithm: iterative minimum-label propagation on DataFrames — per round
+  * every node adopts the smallest label among itself and its neighbours'
+  * labels, so labels flood one hop per round and the loop stops at the first
+  * round with no change (≤ graph diameter rounds). Near-dup components are
+  * diameter-bounded in practice (duplicates of a document collide with each
+  * other), so a handful of rounds suffices; pathological chain topologies
+  * would want the pointer-doubling large-star/small-star formulation
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+  * 2014) — `maxIters` is the honest guard, and hitting it raises rather
+  * than returning a half-converged labelling.
+  *
+  * Scale shape per round: one join of edges to labels on dst (both keyed
+  * shuffles, AQE-coalesced) + one aggregation; lineage is cut each round
+  * with localCheckpoint so plan depth stays constant.
+  */
+object NearDup {
+
+  /** Resolve pairs (a, b) — undirected, any orientation — into
+    * (id, cluster_rep). Only ids appearing in pairs are returned (singletons
+    * are trivially their own cluster).
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = directed.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = directed
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("rep")).as("nbr_rep"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).isEmpty
+      labels = updated
+      iters += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters or use pointer doubling")
+    labels.select(col("id"), col("rep").as("cluster_rep"))
+  }
+}

@@ -378,6 +378,30 @@ object TextQueries {
 
   val q55MinhashLsh: Q = minhashLsh(Text.HashMode.Portable)
 
+  /** Cluster resolution over the MinHash candidates: q55's verified pairs →
+    * connected components labelled by minimum doc_id ([[NearDup.clusters]])
+    * — the keep-one-representative step. The oracle computes the same
+    * components with a recursive CTE (transitive reachability, MIN label).
+    */
+  val q68DedupClusters: Q = (s, dir) =>
+    NearDup.clusters(q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("id", "doc_id")
+
+  // lazy: composes q55Sql, which is declared further down the object
+  lazy val q68Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$q55Sql
+       |  ) q),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   /** DuckDB oracle for q55, generated from the same hash-family constants. */
   val q55Sql: String = {
     val fam = Text.hashFamily(MinhashK)
@@ -643,7 +667,44 @@ object TextQueries {
       |    / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS bpe_per_100_words
       |FROM documents""".stripMargin
 
+  // exact 90/95 percentile thresholds of the 60-bit hash space, computed in
+  // integer arithmetic and inlined identically into engine and oracle
+  private val SplitT1 = ((1L << 60) / 100) * 90
+  private val SplitT2 = ((1L << 60) / 100) * 95
+
+  /** Deterministic train/val/test split (90/5/5) by hash-range assignment
+    * over the portable hash of the document id — the reproducible-split
+    * primitive every training pipeline needs: assignment is a pure function
+    * of the id, so it is stable across runs, engines, cluster sizes and
+    * data order, and any doc joins back to its split without storing one.
+    * Rollup per (split, lang) with id extremes as the checkable summary.
+    */
+  val q67HashSplit: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val h = Text.portableHash(col("doc_id").cast("string"))
+    val split = when(h < SplitT1, "train").when(h < SplitT2, "val")
+      .otherwise("test")
+    d.select(split.as("split"), col("lang"), col("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  val q67Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM documents)
+       |SELECT CASE WHEN hv < $SplitT1 THEN 'train'
+       |            WHEN hv < $SplitT2 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM h GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q67_hash_split" -> q67HashSplit,
+    "q68_dedup_clusters" -> q68DedupClusters,
     "q59_bpe_tokens" -> q59BpeTokens,
     "q65_ppjoin_jaccard" -> q65PpjoinJaccard,
     "q66_adaptive_jaccard" -> q54Adaptive,
@@ -658,6 +719,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q67_hash_split" -> q67Sql,
+    "q68_dedup_clusters" -> q68Sql,
     "q59_bpe_tokens" -> q59Sql,
     "q65_ppjoin_jaccard" -> q65Sql,
     // the adaptive plan returns exactly the direct formulation's rows (the
