@@ -702,9 +702,39 @@ object TextQueries {
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM h GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic stratified sample: a fixed quota of documents per
+    * language, chosen by portable-hash order — "random" in distribution but
+    * a pure function of the ids, so the curated mix is reproducible across
+    * engines and re-runs (the data-mixing primitive behind per-source /
+    * per-language quotas in training-corpus assembly). Hash-order top-k per
+    * stratum = one window over the (lang)-partitioned hash ordering.
+    */
+  val q69StratifiedSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val h = Text.portableHash(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 50)
+      .select(col("lang"), col("doc_id"), col("rnk"))
+  }
+
+  val q69Sql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+      |  FROM h) t
+      |WHERE rnk <= 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q67_hash_split" -> q67HashSplit,
     "q68_dedup_clusters" -> q68DedupClusters,
+    "q69_stratified_sample" -> q69StratifiedSample,
     "q59_bpe_tokens" -> q59BpeTokens,
     "q65_ppjoin_jaccard" -> q65PpjoinJaccard,
     "q66_adaptive_jaccard" -> q54Adaptive,
@@ -721,6 +751,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q67_hash_split" -> q67Sql,
     "q68_dedup_clusters" -> q68Sql,
+    "q69_stratified_sample" -> q69Sql,
     "q59_bpe_tokens" -> q59Sql,
     "q65_ppjoin_jaccard" -> q65Sql,
     // the adaptive plan returns exactly the direct formulation's rows (the
