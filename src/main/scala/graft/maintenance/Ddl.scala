@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   */
 object Ddl {
 
-  private def quote(id: String): String = s"`${id.replace("`", "``")}`"
+  private[maintenance] def quote(id: String): String =
+    s"`${id.replace("`", "``")}`"
 
   /** CREATE SCHEMA (SURVEY.md §2.9 D1; reference:
     * samples/databases/wide-world-importers/security/schemas/fact.sql:1,

@@ -33,7 +33,7 @@ object Deployment {
     def drop(name: String): Unit = synchronized { modules.remove(name): Unit }
   }
 
-  private def quote(id: String): String = s"`${id.replace("`", "``")}`"
+  private def quote(id: String): String = Ddl.quote(id)
 
   /** Export every view definition in a namespace (GenerateScripts' view
     * branch): name → runnable CREATE VIEW statement.

@@ -143,7 +143,8 @@ object CodecDecoder extends MediaDecoder {
       if ((b(i) & 0xFF) != 0xFF) i += 1
       else {
         val m = b(i + 1) & 0xFF
-        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+        if (m == 0xFF) i += 1 // spec'd fill byte (B.1.1.2), not a marker
+        else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
           return (be16(b, i + 7), be16(b, i + 5))
         else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2
         else i += 2 + be16(b, i + 2)

@@ -38,6 +38,10 @@ object NearDup {
     var labels = directed.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint()
+    // the eagerly-checkpointed frame backing the current labels: superseded
+    // generations are unpersisted each round (a localCheckpoint truncates
+    // lineage, so the latest backing must stay cached for the result)
+    var backing = labels
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -45,18 +49,25 @@ object NearDup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("rep")).as("nbr_rep"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // old and new label ride the same checkpointed frame, so the
+      // convergence test scans materialized blocks instead of re-running
+      // the join a second time per round
+      val step = labels.withColumnRenamed("rep", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr_rep"), col("old"))).as("rep"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).isEmpty
-      labels = updated
+      converged = step.filter(col("rep") =!= col("old")).isEmpty
+      labels = step.select(col("id"), col("rep"))
+      backing.unpersist()
+      backing = step
       iters += 1
     }
     require(converged,
       s"label propagation did not converge in $maxIters rounds — component " +
         "diameter exceeds the bound; raise maxIters or use pointer doubling")
-    labels.select(col("id"), col("rep").as("cluster_rep"))
+    val out = labels.select(col("id"), col("rep").as("cluster_rep"))
+    directed.unpersist()
+    out
   }
 }

@@ -280,11 +280,15 @@ object TextQueries {
     * single corpus-wide stop-shingle; the weighted mean is dominated by it.
     */
   private[operators] def candidateFanout(sh: org.apache.spark.sql.DataFrame): Double = {
+    // df² sums accumulate in DECIMAL(38,0): a stop-shingle with df ~ 4e9
+    // squares past int64, and a wrapped-negative fanout would pick the
+    // direct plan at exactly the scale the switch exists to avoid
     val row = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df")).as("s2"), sum(col("df")).as("s1"))
+      .agg(sum((col("df") * col("df")).cast("decimal(38,0)")).as("s2"),
+        sum(col("df")).as("s1"))
       .collect()(0)
     if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
-    else row.getLong(0).toDouble / row.getLong(1)
+    else row.getDecimal(0).doubleValue() / row.getLong(1)
   }
 
   /** Fan-out above which the PPJoin prefix filter beats the direct grouped
@@ -318,7 +322,11 @@ object TextQueries {
     * equivalent in QueriesSpec), plan chosen by [[chooseJaccardFormulation]].
     */
   val q54Adaptive: Q = (s, dir) =>
-    if (chooseJaccardFormulation(s, dir) == "ppjoin") q65PpjoinJaccard(s, dir)
+    // the stats pass runs on a 10% document sample — the df distribution
+    // SHAPE decides, and a full-corpus pass would cost as much as the
+    // chosen query's own shingle stage; either choice returns the same rows
+    if (chooseJaccardFormulation(s, dir, sampleFraction = 0.1) == "ppjoin")
+      q65PpjoinJaccard(s, dir)
     else q54NgramJaccard(s, dir)
 
   /** MinHash + LSH near-dup candidates: 32-component signature from the

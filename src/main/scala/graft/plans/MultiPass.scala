@@ -124,7 +124,7 @@ object MultiPass {
         else if (ch == ')') depth -= 1
         depth >= 0
       } && depth == 0
-      t != "*" && !t.toLowerCase.startsWith("distinct ") && balanced
+      t != "*" && !t.matches("(?is)^distinct\\b.*") && balanced
     }
     def caseable(p: Pass): Boolean =
       p.where.isDefined && p.groupBy.nonEmpty &&

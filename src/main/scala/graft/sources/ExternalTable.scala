@@ -87,24 +87,26 @@ final case class ExternalTable(
       case RejectType.Value(n) => rejected > n
       case RejectType.Percentage(p) => total > 0 && rejected * 100.0 / total > p
     }
-    if (breach) {
-      // a failed load must not leave its staged parquet on disk — repeated
-      // loads (e.g. LoadScriptGenerator.loadAll) would leak the temp dir
-      ExternalTable.deleteRecursively(new java.io.File(stagingDir))
-      throw RejectThresholdExceeded(rejected, total, reject)
-    }
+    if (breach) throw RejectThresholdExceeded(rejected, total, reject)
     spark.read.parquet(stagingDir)
   }
 
-  /** `load` into a generated staging directory, removed on JVM exit (the
-    * returned frame lazily re-reads the staging parquet, so it must outlive
-    * the call — callers that want deterministic cleanup own the dir via
-    * [[load]]).
+  /** `load` into a generated staging directory: deleted immediately when the
+    * reject threshold fails the load (repeated loads, e.g.
+    * LoadScriptGenerator.loadAll, must not leak failed stages) and removed
+    * on JVM exit otherwise — the returned frame lazily re-reads the staging
+    * parquet, so it must outlive the call. `load` itself never deletes: a
+    * caller-provided staging dir is caller-owned.
     */
   def read(spark: SparkSession): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext_stage")
     ExternalTable.cleanupOnExit(dir.toFile)
-    load(spark, dir.toString)
+    try load(spark, dir.toString)
+    catch {
+      case e: RejectThresholdExceeded =>
+        ExternalTable.deleteRecursively(dir.toFile)
+        throw e
+    }
   }
 }
 

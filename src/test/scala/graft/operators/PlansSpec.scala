@@ -77,6 +77,13 @@ class PlansSpec extends SparkSpec {
       "probe selection must be the top-nprobe insertion, not a k-wide sort")
   }
 
+  test("q09: portable HLL registers aggregate map-side at both stages") {
+    val p = plan("q09_portable_hll")
+    assert(p.contains("partial_max"), "register max must map-side combine")
+    assert(p.contains("partial_sum"), "register sum must map-side combine")
+    assert(!p.contains("Generate"), "no explode — the sketch is pure aggregation")
+  }
+
   test("q47: group stats broadcast to the per-row standardize join") {
     val p = plan("q47_stat_composites")
     assert(p.contains("BroadcastHashJoin"), p)

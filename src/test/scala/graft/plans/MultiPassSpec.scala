@@ -84,12 +84,12 @@ class MultiPassSpec extends SparkSpec {
       Pass("p_star_f", "mp_orders", where = Some("o_orderstatus = 'F'"),
         groupBy = Seq("o_custkey"),
         select = Seq("ck" -> "o_custkey", "n" -> "COUNT(*)",
-          "nd" -> "COUNT(DISTINCT o_orderpriority)",
+          "nd" -> "COUNT(DISTINCT(o_orderpriority))",
           "mix" -> "SUM(o_totalprice) + SUM(o_orderkey)")),
       Pass("p_star_o", "mp_orders", where = Some("o_orderstatus = 'O'"),
         groupBy = Seq("o_custkey"),
         select = Seq("ck" -> "o_custkey", "n" -> "COUNT(*)",
-          "nd" -> "COUNT(DISTINCT o_orderpriority)",
+          "nd" -> "COUNT(DISTINCT(o_orderpriority))",
           "mix" -> "SUM(o_totalprice) + SUM(o_orderkey)")),
       // referenced ONLY from the final pass's WHERE subquery — must stay live
       Pass("p_where_ref", "mp_orders", groupBy = Seq("o_custkey"),
