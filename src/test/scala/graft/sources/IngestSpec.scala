@@ -38,6 +38,23 @@ class IngestSpec extends SparkSpec {
     assert(e.rejected === 1)
   }
 
+  test("a breached read() leaves no staged parquet behind; load() keeps the caller's dir") {
+    def stageDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith("graft_ext_stage"))
+        .map(_.getName).toSet
+    }
+    val loc = tmpCsv("1,alice,10.5", "bad,row,x,y")
+    val et = ExternalTable(loc, schema)
+    val before = stageDirs()
+    intercept[RejectThresholdExceeded](et.read(spark))
+    assert(stageDirs() === before, "generated staging dir must be deleted on breach")
+    // caller-owned dir via load(): the library must NOT delete it
+    val mine = java.nio.file.Files.createTempDirectory("graft_caller_stage")
+    intercept[RejectThresholdExceeded](et.load(spark, mine.toString))
+    assert(java.nio.file.Files.exists(mine), "caller-provided dir is caller-owned")
+  }
+
   test("reject accounting reads the text input exactly once") {
     // single-pass design (Observation + staging write): journaled input
     // bytes over the load must stay ~csv-size + staged-parquet-size; the old
