@@ -107,4 +107,109 @@ object Ivf {
   def assign(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     vectors.withColumn("cluster",
       assignExpr(col("embedding").cast("array<double>"), centroids))
+
+  // ------------------------------------------------- two-level quantizer
+
+  /** A trained two-level quantizer: k1 coarse cells, k2 fine centroids per
+    * cell (cell-major flat layout — global list id = cell·k2 + fine).
+    */
+  final case class TwoLevel(coarse: Seq[Seq[Double]], fine: Seq[Seq[Double]],
+      k2: Int) {
+    def lists: Int = coarse.size * k2
+  }
+
+  /** Train coarse then per-cell fine quantizers — the K = k1·k2 list count
+    * a billion-vector corpus needs, with per-row assignment cost O(k1 + k2)
+    * instead of a flat quantizer's O(K) (standard IVF practice past ~10^4
+    * lists; cf. the coarse-quantizer hierarchy in Johnson et al., "Billion-
+    * scale similarity search with GPUs", 2017). Deterministic like
+    * [[train]]: same capped vec_id-ordered sample, sequential folds; a cell
+    * with fewer than k2 sample rows pads its remaining fine centroids with
+    * copies of the cell's coarse centroid — ties among identical padded
+    * copies resolve to the smallest id, so assignment stays deterministic.
+    */
+  def trainTwoLevel(vectors: DataFrame, k1: Int, k2: Int, dim: Int,
+      iters: Int, idCol: String = "vec_id"): TwoLevel = {
+    val coarse = train(vectors, k1, dim, iters, idCol)
+    val sample: Array[Array[Double]] = vectors
+      .select(col(idCol), col("embedding").cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(TrainSampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cn2 = coarse.map(c => c.map(x => x * x).sum).toArray
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < coarse.size) {
+        var dp = 0.0
+        var i = 0
+        while (i < dim) { dp += v(i) * coarse(j)(i); i += 1 }
+        val d = -2.0 * dp + cn2(j)
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+    val byCell = sample.zipWithIndex.groupBy { case (v, _) => cellOf(v) }
+    val fine = (0 until coarse.size).flatMap { c =>
+      val members = byCell.getOrElse(c, Array.empty).sortBy(_._2).map(_._1)
+      val trained =
+        if (members.isEmpty) Seq.empty
+        else localLloyd(members, math.min(k2, members.length), dim, iters)
+      trained ++ Seq.fill(k2 - trained.size)(coarse(c))
+    }
+    TwoLevel(coarse, fine, k2)
+  }
+
+  /** Driver-side Lloyd over an in-memory sample (the per-cell fine step) —
+    * identical ordering/arithmetic discipline to [[train]].
+    */
+  private def localLloyd(sample: Array[Array[Double]], k: Int, dim: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
+    (1 to iters).foreach { _ =>
+      val cn2 = centroids.map(c => c.map(x => x * x).sum)
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < centroids.length) {
+          var dp = 0.0
+          var i = 0
+          while (i < dim) { dp += v(i) * centroids(j)(i); i += 1 }
+          val d = -2.0 * dp + cn2(j)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(centroids.length) { j =>
+        if (counts(j) == 0) centroids(j)
+        else Array.tabulate(dim)(i => sums(j)(i) / counts(j))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Two-hop assignment: coarse argmin (O(k1) codegen loop), then fine
+    * argmin inside the chosen cell (O(k2) loop over that cell's slice).
+    * Output is the global fine list id.
+    */
+  def assignTwoLevelExpr(v: Column, q: TwoLevel): Column = {
+    val cell = assignExpr(v, q.coarse)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.NearestInCellExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        org.apache.spark.sql.graft.ColumnBridge.expression(cell),
+        q.fine, q.coarse.size))
+  }
+
+  /** Inverted two-level assignment (vec_id, cluster = global fine list). */
+  def assignTwoLevel(vectors: DataFrame, q: TwoLevel): DataFrame =
+    vectors.withColumn("cluster",
+      assignTwoLevelExpr(col("embedding").cast("array<double>"), q))
 }

@@ -118,7 +118,7 @@ case class NearestCentroidsExpr(child: Expression,
          |    }
          |  }
          |  ${ev.value} =
-         |    org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($bestJ);
+         |    ${classOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData].getName}.fromPrimitiveArray($bestJ);
          |}
        """.stripMargin
     })

@@ -77,6 +77,41 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("two-level IVF: 4096 lists, O(k1+k2) assignment, codegen-only") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = Ivf.trainTwoLevel(e, k1 = 64, k2 = 64, dim = 64, iters = 3)
+    assert(q.lists === 4096)
+    assert(q.coarse.size === 64 && q.fine.size === 4096)
+    assert(q.fine.forall(_.size === 64))
+
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val assigned = Ivf.assignTwoLevel(e, q)
+        .select("vec_id", "cluster", "embedding").collect()
+      assert(assigned.length === e.count())
+      // hierarchical contract, checked against a driver-side recompute:
+      // cluster = coarse argmin, then fine argmin within that cell's slice
+      def argmin(v: Seq[Double], cents: Seq[Seq[Double]], base: Int): Int =
+        cents.zipWithIndex.minBy { case (c, j) =>
+          (-2.0 * v.zip(c).map(p => p._1 * p._2).sum + c.map(x => x * x).sum,
+            j)
+        }._2 + base
+      assigned.take(50).foreach { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble)
+        val cell = argmin(v, q.coarse, 0)
+        val expect = argmin(v, q.fine.slice(cell * 64, cell * 64 + 64), cell * 64)
+        assert(r.getInt(1) === expect, s"vec ${r.getLong(0)}")
+      }
+      // lists genuinely partition the space (many distinct lists in use)
+      val used = assigned.map(_.getInt(1)).distinct.length
+      assert(used > 64, s"only $used lists used")
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+
+    // determinism: retraining yields the identical quantizer
+    val q2 = Ivf.trainTwoLevel(e, k1 = 64, k2 = 64, dim = 64, iters = 3)
+    assert(q2.coarse === q.coarse && q2.fine === q.fine)
+  }
+
   test("IVF index: clusters partition the corpus; probe recall beats nprobe/k") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val centroids = Ivf.train(e, k = 16, dim = 64, iters = 5)
