@@ -26,14 +26,23 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // Gate queries plus the production-hash fingerprint twins: the *_prod
     // numbers document what the md5 oracle portability costs at scale.
-    val benchSet = SparkEntry.queries ++ operators.TextQueries.productionQueries
-    val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val allBench = SparkEntry.queries ++ operators.TextQueries.productionQueries
+    // Iteration knobs (unset in driver runs): ONLY=substring filter,
+    // REPS=run each query n times (reports each rep, so warm-vs-cold plan
+    // and codegen costs are visible).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val benchSet = only.fold(allBench)(f => allBench.filter(_._1.contains(f)))
+    val results = benchSet.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      (1 to reps).map { rep =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val label = if (reps == 1) name else s"$name#$rep"
+        label -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

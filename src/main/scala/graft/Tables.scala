@@ -39,7 +39,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
+    val withTs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // Integer division — double `/` would lose precision above 2^53 ns.
         raw.withColumn("ts",
@@ -47,7 +47,23 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
+    parallelized(withTs)
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    parallelized(apply(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    parallelized(apply(s, d, "embeddings"))
+
+  /** Small-input parallelism guard for CPU-heavy per-row pipelines (shingle
+    * explosion, fingerprinting, embedding math): a table that arrives as
+    * fewer splits than the cluster has cores would run its whole map stage
+    * on a fraction of the machine — a single-row-group parquet file is ONE
+    * split no matter what `maxPartitionBytes` says. Repartition up to the
+    * default parallelism in that case; at scale (splits ≥ cores) this is a
+    * no-op, so no shuffle is ever added to a 100 TB scan.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }
