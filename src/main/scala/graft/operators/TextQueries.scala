@@ -213,8 +213,13 @@ object TextQueries {
     val sh = d.select(col("doc_id"),
         explode(Text.shingleSet(col("text"), 3)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val kept = sh.join(dfs.filter(col("df") <= DfCap), "h")
+    // df via an unordered window over h: ONE shuffle of the shingle stream
+    // (partition by h, full-frame count) where a groupBy-then-join-back
+    // would shuffle it twice and re-run the explode on the second branch
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= DfCap)
     val docs = kept.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
       .select(col("doc_id"),
@@ -739,7 +744,108 @@ object TextQueries {
       |  FROM h) t
       |WHERE rnk <= 50""".stripMargin
 
+  /** TF-IDF cosine top-k document similarity over 3-gram shingle terms —
+    * the sparse-vector similarity search of a retrieval/dedup pipeline,
+    * entirely in exact integer arithmetic so it passes the bit-exact gate:
+    *
+    *  - term = word 3-gram WITH multiplicity (tf), not the distinct set;
+    *    shingle terms keep df low (vs this corpus's 31-word unigram vocab,
+    *    where every posting would be corpus-wide)
+    *  - integer-quantized idf: w = tf · ((N·1000) div df) — no logarithm
+    *    (libm isn't bit-portable), monotone in 1/df, which preserves the
+    *    rare-term-dominates ranking
+    *  - dot products and norms accumulate w·w in DECIMAL(38,0) (int64 would
+    *    wrap on long documents at corpus scale); the single cast to double
+    *    and the sqrt/divide are each correctly-rounded IEEE ops
+    *
+    * Scale shape = q54's: postings grouped per term, df ≤ DfCap bounds
+    * bucket fan-out by construction, i<j pairs emitted in place, one
+    * shuffle for the dot-product aggregation, top-k by one window over the
+    * symmetric pair set. N rides the plan as a broadcast scalar (no
+    * driver-side count action).
+    */
+  val q80TfidfTopk: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val terms = d.select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val posted = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df").between(2, DfCap))
+    val w = posted.crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("(n_docs * 1000) div df")).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val dots = w.groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            (x.getField("w") * y.getField("w")).as("wp")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(sum(col("p.wp").cast("decimal(38,0)")).as("dot"))
+    val cosPairs = dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cosine"))
+    val sym = cosPairs.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("neighbor_id"), col("cosine"))
+      .unionByName(cosPairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("neighbor_id"), col("cosine")))
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sym.withColumn("rk", row_number().over(rw).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  val q80Sql: String =
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |terms AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+       |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       |posted AS (
+       |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df
+       |  FROM tf),
+       |w AS (
+       |  SELECT doc_id, term, tf * ((n_docs * 1000) // df) AS w
+       |  FROM posted, n WHERE df BETWEEN 2 AND $DfCap),
+       |norms AS (SELECT doc_id, SUM(w*w) AS n2 FROM w GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+       |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cosp AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN norms na ON doc_a = na.doc_id
+       |  JOIN norms nb ON doc_b = nb.doc_id),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS neighbor_id, cosine FROM cosp
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, cosine FROM cosp)
+       |SELECT doc_id, neighbor_id, cosine, rk FROM (
+       |  SELECT doc_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM sym) t
+       |WHERE rk <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q80_tfidf_topk" -> q80TfidfTopk,
     "q67_hash_split" -> q67HashSplit,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q69_stratified_sample" -> q69StratifiedSample,
@@ -757,6 +863,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q80_tfidf_topk" -> q80Sql,
     "q67_hash_split" -> q67Sql,
     "q68_dedup_clusters" -> q68Sql,
     "q69_stratified_sample" -> q69Sql,
