@@ -711,6 +711,82 @@ object CoreQueries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** GROUPING SETS with GROUPING_ID — the general multi-granularity
+    * aggregate (ROLLUP/CUBE are special cases; q36 covers ROLLUP). The set
+    * list ((rf, ls), (ls), ()) is deliberately NOT a rollup of either
+    * column order, exercising the arbitrary-sets path; grouping_id's bit
+    * vector (first listed column = MSB, 1 = aggregated-away) matches
+    * GROUPING(rf, ls) on the oracle side. One Expand + one hash aggregate:
+    * the multi-granularity answer costs one shuffle, not one scan per set.
+    */
+  val q77GroupingSets: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"))
+  }
+
+  val q77Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+
+  /** Distribution window functions: PERCENT_RANK and CUME_DIST over the
+    * per-returnflag quantity ordering. Both are rational counts ((rank-1)/
+    * (n-1), peers/n) — IEEE divisions of exact integers, so bit-portable
+    * across engines; ties share a value, so no tie-break ordering is needed
+    * for determinism.
+    */
+  val q78DistributionFuncs: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(cents(col("l_quantity")))
+    l.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      cents(col("l_quantity")).as("qty_c"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  val q78Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT))""".stripMargin
+
+  /** Ordered-set aggregates: PERCENTILE_DISC quartiles (an actual data
+    * value — no arithmetic, portable by construction) and PERCENTILE_CONT
+    * median over integer cents (interpolation at 0.5 between int64 values
+    * is exact in IEEE doubles on both engines: sum ≤ 2^53 and halving only
+    * shifts the exponent).
+    */
+  val q79Percentiles: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        // disc picks an actual (integer-cents) value but Spark evaluates the
+        // percentile family in doubles — cast back; exact, the value is an
+        // int64-representable member of the input
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT))").cast("long").as("q1_c"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT))").as("median_c"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT))").cast("long").as("q3_c"))
+  }
+
+  val q79Sql: String =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT)) AS q1_c,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT)) AS median_c,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT)) AS q3_c
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Native PIVOT — the declarative twin of the reference's SUM(CASE...)
     * widget pivots (TableHealthCount.sql:16-36): status counts spread into
     * columns per priority. Absent combinations are 0 on both engines.
@@ -868,10 +944,16 @@ object CoreQueries {
     "q35_except" -> q35Except,
     "q36_rollup" -> q36Rollup,
     "q37_pivot" -> q37Pivot,
-    "q38_string_agg" -> q38StringAgg)
+    "q38_string_agg" -> q38StringAgg,
+    "q77_grouping_sets" -> q77GroupingSets,
+    "q78_distribution_funcs" -> q78DistributionFuncs,
+    "q79_percentiles" -> q79Percentiles)
 
   val oracles: Map[String, String] = Map(
     "q36_rollup" -> q36Sql,
+    "q77_grouping_sets" -> q77Sql,
+    "q78_distribution_funcs" -> q78Sql,
+    "q79_percentiles" -> q79Sql,
     "q37_pivot" -> q37Sql,
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,

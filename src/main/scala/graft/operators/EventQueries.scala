@@ -158,7 +158,39 @@ object EventQueries {
       |  CAST(CAST(json_extract_string(props, '$.k') AS INT) >= 50 AS INT) AS k_high
       |FROM events""".stripMargin
 
+  /** As-of join: every click event annotated with the user's most recent
+    * prior purchase (value + timestamp) — the point-in-time feature lookup,
+    * via [[AsOfJoin.latestPrior]]'s single-shuffle union+window plan. The
+    * oracle states the same semantics declaratively with a LATERAL TOP-1.
+    */
+  val q76AsOfJoin: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.latestPrior(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("value"), tieBreak = Seq("event_id"))
+      .withColumnRenamed("prior_ts", "prior_purchase_ts")
+      .withColumnRenamed("prior_value", "prior_purchase_value")
+  }
+
+  val q76Sql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |  p.prior_purchase_value, p.prior_purchase_ts
+      |FROM l LEFT JOIN LATERAL (
+      |  SELECT r.value AS prior_purchase_value, r.ts AS prior_purchase_ts
+      |  FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+      |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON TRUE""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q76_asof_join" -> q76AsOfJoin,
     "q74_typed_json" -> q74TypedJson,
     "q75_sliding_window" -> q75Sliding,
     "q70_tumbling_window" -> q70Tumbling,
@@ -167,6 +199,7 @@ object EventQueries {
     "q73_user_profile" -> q73UserProfile)
 
   val oracles: Map[String, String] = Map(
+    "q76_asof_join" -> q76Sql,
     "q74_typed_json" -> q74Sql,
     "q75_sliding_window" -> q75Sql,
     "q70_tumbling_window" -> q70Sql,
