@@ -189,6 +189,59 @@ class MonitoringViewsSpec extends SparkSpec {
     } finally j.stop()
   }
 
+  test("value-level goldens: space and skew accounting equal the physical data") {
+    val j = new QueryJournal(spark)
+    val mv = new MonitoringViews(spark, j)
+    val tabs = Map("orders" -> s"$sfDir/orders.parquet",
+      "lineitem" -> s"$sfDir/lineitem.parquet")
+    mv.registerStorageViews(tabs)
+    val actualRows = Map(
+      "orders" -> Tables.orders(spark, sfDir).count(),
+      "lineitem" -> Tables.lineitem(spark, sfDir).count())
+
+    // rowgroup accounting: per-table rowgroup rows sum to the table's
+    // actual contents, and compressed bytes never exceed the on-disk file
+    val rg = graft.catalog.StorageViews.rowgroupDetails(spark, tabs)
+    rg.groupBy(col("table_name")).agg(sum(col("row_count")).as("rows"))
+      .collect().foreach(r =>
+        assert(r.getLong(1) === actualRows(r.getString(0)), r.getString(0)))
+    tabs.foreach { case (t, loc) =>
+      val fileBytes = java.nio.file.Files.size(java.nio.file.Paths.get(loc))
+      val comp = rg.filter(col("table_name") === t)
+        .agg(sum(col("compressed_bytes"))).collect()(0).getLong(0)
+      assert(comp <= fileBytes && comp > 0, s"$t: $comp vs $fileBytes")
+    }
+
+    // view-over-view consistency: the per-table summary equals the sum of
+    // its per-distribution detail rows in vw_table_sizes (same invariant
+    // the reference's summary-over-sizes SQL relies on)
+    val detail = spark.sql(
+      """SELECT table_name, SUM(row_count) AS rows,
+        |  SUM(reserved_space_GB) AS res_gb
+        |FROM vw_table_sizes GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    spark.sql(
+      """SELECT table_name, table_row_count, table_reserved_space_GB
+        |FROM vw_table_space_summary""".stripMargin)
+      .collect().foreach { r =>
+        val (rows, gb) = detail(r.getString(0))
+        assert(r.getLong(1) === rows)
+        assert(math.abs(r.getDouble(2) - gb) < 1e-9)
+      }
+
+    // skew detail: bucket rows sum to the table total, percentages to 100,
+    // every bucket id within [0, buckets)
+    val sk = graft.catalog.StorageViews.skewDetail(spark,
+      Tables.lineitem(spark, sfDir), "l_orderkey", 8).collect()
+    assert(sk.map(_.getAs[Long]("row_count")).sum === actualRows("lineitem"))
+    assert(math.abs(sk.map(_.getAs[Double]("pct_of_total")).sum - 100.0) < 1e-6)
+    assert(sk.forall { r =>
+      val id = r.getAs[Int]("distribution_id"); id >= 0 && id < 8
+    })
+    // deviations average out to zero across distributions by construction
+    assert(math.abs(sk.map(_.getAs[Double]("pct_deviation_from_avg")).sum) < 1e-6)
+  }
+
   test("golden column contracts: reference view shapes never drift") {
     val j = new QueryJournal(spark).start()
     try {
