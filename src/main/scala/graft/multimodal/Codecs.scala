@@ -237,6 +237,153 @@ object CodecDecoder extends MediaDecoder {
     out
   }
 
+  // ------------------------------------------------------------------- GIF
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Logical screen size from the fixed header (no pixel decode). */
+  def gifDims(b: Array[Byte]): (Int, Int) = (le16(b, 6), le16(b, 8))
+
+  /** All GIF frames through the JDK's ImageIO (multi-frame aware). Frames
+    * are decoded as stored — no disposal-method compositing — which is the
+    * right input for frame-level feature extraction (each frame's own
+    * pixels, not the animation's composited state).
+    */
+  def gifFrames(b: Array[Byte]): Seq[Ppm] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val j = (y * w + x) * 3
+            out(j) = ((rgb >> 16) & 0xFF).toByte
+            out(j + 1) = ((rgb >> 8) & 0xFF).toByte
+            out(j + 2) = (rgb & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Ppm(w, h, out)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Frame count without decoding pixels. */
+  def gifFrameCount(b: Array[Byte]): Int = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try { reader.setInput(iis); reader.getNumImages(true) }
+    finally { reader.dispose(); iis.close() }
+  }
+
+  // ------------------------------------------------------------ AVI (MJPEG)
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Parsed AVI: main-header geometry plus the offsets of the video chunks
+    * ('00dc'/'00db' — for MJPEG each one is a complete JPEG).
+    */
+  final case class Avi(width: Int, height: Int, totalFrames: Int,
+      frameChunks: Seq[(Int, Int)])
+
+  /** Walk the RIFF tree (spec layout: chunks are [id][size LE32][data],
+    * 'LIST' carries a 4-byte list type then subchunks, odd sizes pad one
+    * byte) collecting the avih geometry and the movi video chunks.
+    */
+  def parseAvi(b: Array[Byte]): Avi = {
+    var width = 0; var height = 0; var total = 0
+    val frames = Seq.newBuilder[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (id == "LIST") walk(i + 12, i + 8 + len)
+        else if (id == "avih") {
+          total = le32(b, i + 8 + 16)
+          width = le32(b, i + 8 + 32); height = le32(b, i + 8 + 36)
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          frames += ((i + 8, len))
+        }
+        i += 8 + len + (len & 1)
+      }
+    }
+    walk(12, b.length)
+    val fs = frames.result()
+    require(width > 0 && fs.nonEmpty, "malformed avi")
+    Avi(width, height, if (total > 0) total else fs.size, fs)
+  }
+
+  /** Decode AVI frame `i` (MJPEG chunk → JPEG decode). */
+  def aviFrame(b: Array[Byte], avi: Avi, i: Int): Ppm = {
+    val (off, len) = avi.frameChunks(math.min(i, avi.frameChunks.size - 1))
+    decodeImage(java.util.Arrays.copyOfRange(b, off, off + len))
+  }
+
+  /** Minimal MJPEG-AVI writer (RIFF/LIST hdrl+movi layout) — the sink side
+    * of the video path, and the generator for round-trip specs.
+    */
+  def writeAviMjpeg(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 25): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(jpegFrames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0.toShort).putShort(0.toShort).putInt(0)
+      .putInt(1).putInt(fps).putInt(0).putInt(jpegFrames.size)
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height).putShort(1.toShort)
+      .putShort(24.toShort).put("MJPG".getBytes("US-ASCII"))
+      .putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    // nested lists are rendered bottom-up as byte arrays
+    def chunkBytes(id: String, data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("US-ASCII"))
+      val l = data.length
+      o.write(l & 0xFF); o.write((l >> 8) & 0xFF)
+      o.write((l >> 16) & 0xFF); o.write((l >> 24) & 0xFF)
+      o.write(data); if ((l & 1) == 1) o.write(0)
+      o.toByteArray
+    }
+    def listBytes(listType: String, parts: Seq[Array[Byte]]): Array[Byte] = {
+      val payload = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+      chunkBytes("LIST", listType.getBytes("US-ASCII") ++ payload)
+    }
+    val strl = listBytes("strl",
+      Seq(chunkBytes("strh", strh.array()), chunkBytes("strf", strf.array())))
+    val hdrl = listBytes("hdrl", Seq(chunkBytes("avih", avih.array()), strl))
+    val movi = listBytes("movi", jpegFrames.map(f => chunkBytes("00dc", f)))
+    val riffPayload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    tag("RIFF"); w32(riffPayload.length); bos.write(riffPayload)
+    bos.toByteArray
+  }
+
   // ------------------------------------------------- PPMS frame container
 
   /** Parse all concatenated P6 frames (the video stand-in format). */
@@ -266,6 +413,13 @@ object CodecDecoder extends MediaDecoder {
     } else if (isPng(bytes)) {
       // IHDR is the first chunk: width/height at fixed offsets 16/20
       MediaMetaShape("image/png", be32(bytes, 16), be32(bytes, 20), 1)
+    } else if (isGif(bytes)) {
+      val (w, h) = gifDims(bytes)
+      val n = gifFrameCount(bytes)
+      MediaMetaShape(if (n > 1) "video/gif" else "image/gif", w, h, n)
+    } else if (isAvi(bytes)) {
+      val a = parseAvi(bytes)
+      MediaMetaShape("video/avi", a.width, a.height, a.frameChunks.size)
     } else if (isWav(bytes)) {
       val w = parseWav(bytes)
       MediaMetaShape("audio/wav", 0, 0, w.nSamples)
@@ -274,7 +428,10 @@ object CodecDecoder extends MediaDecoder {
   override def features(bytes: Array[Byte], dim: Int): Array[Float] =
     if (isPpm(bytes)) ppmFeatures(parsePpmStream(bytes).head, dim)
     else if (isJpeg(bytes) || isPng(bytes)) ppmFeatures(decodeImage(bytes), dim)
-    else if (isWav(bytes)) { val w = parseWav(bytes); wavFeatures(bytes, w, dim) }
+    else if (isGif(bytes)) ppmFeatures(gifFrames(bytes).head, dim)
+    else if (isAvi(bytes)) {
+      val a = parseAvi(bytes); ppmFeatures(aviFrame(bytes, a, 0), dim)
+    } else if (isWav(bytes)) { val w = parseWav(bytes); wavFeatures(bytes, w, dim) }
     else new Array[Float](dim)
 
   override def frameFeatures(bytes: Array[Byte], frame: Int,
@@ -282,5 +439,11 @@ object CodecDecoder extends MediaDecoder {
     if (isPpm(bytes)) {
       val frames = parsePpmStream(bytes)
       ppmFeatures(frames(math.min(frame, frames.size - 1)), dim)
+    } else if (isGif(bytes)) {
+      val frames = gifFrames(bytes)
+      ppmFeatures(frames(math.min(frame, frames.size - 1)), dim)
+    } else if (isAvi(bytes)) {
+      val a = parseAvi(bytes)
+      ppmFeatures(aviFrame(bytes, a, frame), dim)
     } else features(bytes, dim)
 }

@@ -142,6 +142,66 @@ class CodecsSpec extends SparkSpec {
     }
   }
 
+  test("GIF: multi-frame probe, per-frame decode, content features") {
+    // animated GIF via ImageIO's writer: three gradient frames of rising
+    // brightness
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (bright <- Seq(64, 128, 255)) {
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val v = x * bright / 23
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    assert(CodecDecoder.isGif(gif))
+    val shape = CodecDecoder.probe("video", gif)
+    assert(shape.format === "video/gif")
+    assert(shape.width === 24 && shape.height === 16 && shape.n_frames === 3)
+    // later frames are brighter; within a frame the gradient rises
+    val f0 = CodecDecoder.frameFeatures(gif, 0, 4)
+    val f2 = CodecDecoder.frameFeatures(gif, 2, 4)
+    assert(f0(3) < f2(3), s"${f0.toSeq} vs ${f2.toSeq}")
+    assert(f2(0) < f2(3), f2.toSeq)
+  }
+
+  test("AVI/MJPEG: RIFF walk, geometry, frame decode round-trip") {
+    val jpegs = Seq(64, 128, 255).map { bright =>
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val v = x * bright / 31
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", o))
+      o.toByteArray
+    }
+    val avi = CodecDecoder.writeAviMjpeg(jpegs, 32, 24, fps = 10)
+
+    assert(CodecDecoder.isAvi(avi))
+    val parsed = CodecDecoder.parseAvi(avi)
+    assert(parsed.width === 32 && parsed.height === 24)
+    assert(parsed.totalFrames === 3 && parsed.frameChunks.size === 3)
+    val shape = CodecDecoder.probe("video", avi)
+    assert(shape.format === "video/avi" && shape.n_frames === 3)
+    // per-frame pixel decode: geometry and rising gradient survive MJPEG
+    val p = CodecDecoder.aviFrame(avi, parsed, 1)
+    assert(p.width === 32 && p.height === 24)
+    assert(p.luminance(0, 5) < p.luminance(31, 5))
+    val f0 = CodecDecoder.frameFeatures(avi, 0, 4)
+    val f2 = CodecDecoder.frameFeatures(avi, 2, 4)
+    assert(f0(3) < f2(3), s"${f0.toSeq} vs ${f2.toSeq}")
+  }
+
   test("unknown bytes are reported honestly, not faked") {
     val shape = CodecDecoder.probe("image", Array[Byte](1, 2, 3, 4))
     assert(shape.format === "application/octet-stream")
