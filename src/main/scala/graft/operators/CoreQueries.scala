@@ -787,6 +787,48 @@ object CoreQueries {
       |  percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(ROUND(l_quantity*100) AS BIGINT)) AS q3_c
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Range (interval) join without an equality key — shipments in transit
+    * during each urgent order's fulfillment window. The window is a
+    * deterministic derivation of the order row ([o_orderdate,
+    * +((o_orderkey%3)+1) days]); the join keys on NOTHING but time overlap,
+    * the case Spark would otherwise plan as a broadcast-nested-loop.
+    * [[RangeJoin.pointInInterval]] turns it into a bucket equi-join (4-day
+    * buckets ≥ the max 4-day window ⇒ ≤ 2 buckets per interval). Same-order
+    * lines are excluded so the match is a genuine cross-entity range probe;
+    * empty windows survive via aggregate-then-left-join with zero defaults.
+    */
+  val q81RangeJoin: Q = (s, dir) => {
+    val windows = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+        expr("o_orderdate + make_interval(0,0,0,(o_orderkey % 3)+1,0,0,0)")
+          .as("win_end"))
+    val ships = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
+    val matched = RangeJoin.pointInInterval(ships, "l_shipdate",
+        windows, "win_start", "win_end", binDays = 4)
+      .filter(col("l_orderkey") =!= col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_in_transit"), sum(col("qty_c")).as("transit_qty_c"))
+    windows.join(matched, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("win_start"), col("win_end"),
+        coalesce(col("n_in_transit"), lit(0L)).as("n_in_transit"),
+        coalesce(col("transit_qty_c"), lit(0L)).as("transit_qty_c"))
+  }
+
+  val q81Sql: String =
+    """WITH w AS (
+      |  SELECT o_orderkey, o_orderdate AS win_start,
+      |    o_orderdate + INTERVAL 1 DAY * ((o_orderkey % 3) + 1) AS win_end
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT w.o_orderkey, w.win_start, w.win_end,
+      |  COUNT(l.l_orderkey) AS n_in_transit,
+      |  COALESCE(CAST(SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) AS BIGINT), 0) AS transit_qty_c
+      |FROM w LEFT JOIN lineitem l
+      |  ON l.l_shipdate >= w.win_start AND l.l_shipdate <= w.win_end
+      | AND l.l_orderkey <> w.o_orderkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Native PIVOT — the declarative twin of the reference's SUM(CASE...)
     * widget pivots (TableHealthCount.sql:16-36): status counts spread into
     * columns per priority. Absent combinations are 0 on both engines.
@@ -947,13 +989,15 @@ object CoreQueries {
     "q38_string_agg" -> q38StringAgg,
     "q77_grouping_sets" -> q77GroupingSets,
     "q78_distribution_funcs" -> q78DistributionFuncs,
-    "q79_percentiles" -> q79Percentiles)
+    "q79_percentiles" -> q79Percentiles,
+    "q81_range_join" -> q81RangeJoin)
 
   val oracles: Map[String, String] = Map(
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,
     "q78_distribution_funcs" -> q78Sql,
     "q79_percentiles" -> q79Sql,
+    "q81_range_join" -> q81Sql,
     "q37_pivot" -> q37Sql,
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval join: exact containment across bucket
+  * boundaries, no duplicate matches from multi-bucket intervals, and the
+  * in-plan fan-out contract.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("matches exactly the contained points, across bucket boundaries") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-05 12:00:00")),
+      (3L, ts("2024-01-09 23:59:59")),
+      (4L, ts("2024-02-01 00:00:00"))
+    ).toDF("pid", "t")
+    // interval spans several 2-day buckets; a second one is empty
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-09 23:59:59")),
+      (200L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))
+    ).toDF("iid", "s", "e")
+
+    val out = RangeJoin.pointInInterval(points, "t", intervals, "s", "e",
+      binDays = 2)
+    val got = out.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 100L), (3L, 100L)))
+    // multi-bucket interval must not duplicate matches
+    assert(out.count() === 3L)
+  }
+
+  test("interval longer than the fan-out contract fails loudly") {
+    val points = Seq((1L, ts("2024-01-02 00:00:00"))).toDF("pid", "t")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"))
+    ).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "t", intervals, "s", "e",
+        binDays = 1, maxBinsPerInterval = 8).collect()
+    }
+    assert(ex.getMessage.contains("bins") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bins")))
+  }
+
+  test("q81 plan: bucket equi-join, not a nested-loop cross product") {
+    val plan = CoreQueries.q81RangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
