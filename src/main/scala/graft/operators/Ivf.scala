@@ -161,11 +161,12 @@ object Ivf {
     TwoLevel(coarse, fine, k2)
   }
 
-  /** Driver-side Lloyd over an in-memory sample (the per-cell fine step) —
-    * identical ordering/arithmetic discipline to [[train]].
+  /** Driver-side Lloyd over an in-memory sample (the per-cell fine step,
+    * also the per-subspace step of [[Pq.train]]) — identical
+    * ordering/arithmetic discipline to [[train]].
     */
-  private def localLloyd(sample: Array[Array[Double]], k: Int, dim: Int,
-      iters: Int): Seq[Seq[Double]] = {
+  private[operators] def localLloyd(sample: Array[Array[Double]], k: Int,
+      dim: Int, iters: Int): Seq[Seq[Double]] = {
     var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
     (1 to iters).foreach { _ =>
       val cn2 = centroids.map(c => c.map(x => x * x).sum)

@@ -208,12 +208,141 @@ object SimilarityQueries {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** IVF-PQ: q64's inverted lists with product-quantized candidates and
+    * asymmetric-distance ranking — the full billion-scale ANN recipe
+    * (coarse pruning bounds the scan, PQ codes bound the memory: M=8 codes
+    * instead of 64 floats per stored vector). Probes carry their M×ksub ADC
+    * table as one array column computed once per probe row; every candidate
+    * costs M lookups + adds, no full-width dot product. Exact-gate-checkable
+    * because training is deterministic (capped vec_id-ordered sample) and
+    * the ADC arithmetic is the same correlated-subquery form the oracle
+    * states — see [[q82SqlFor]].
+    */
+  private val PqM = 8
+  private val PqKsub = 16
+  /** ADC shortlist size for the exact-refine stage: candidates surviving
+    * the M-lookup ranking whose full vectors are actually fetched — R/K = 4
+    * is the standard refine multiplier; only these R rows per probe pay a
+    * full-width dot product.
+    */
+  private val PqRefine = 20
+
+  val q82AnnIvfPq: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val coarse = Ivf.train(e, IvfK, Dim, iters = IvfIters)
+    val cb = Pq.train(e, PqM, PqKsub, Dim, iters = IvfIters)
+    val listed = Ivf.assign(e, coarse)
+      .select(col("vec_id"), col("cluster"),
+        Pq.encodeExpr(col("embedding").cast("array<double>"), cb).as("codes"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        Pq.adcTableExpr(col("embedding").cast("array<double>"), cb).as("adc"),
+        explode(Ivf.probeExpr(col("embedding").cast("array<double>"),
+          coarse, IvfNprobe)).as("cluster"))
+    val cands = listed.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Pq.adcDistance(col("adc"), col("codes"), PqM).as("adist"))
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = cands.withColumn("rnk0", row_number().over(wAdc))
+      .filter(col("rnk0") <= PqRefine)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact-refine: fetch full vectors ONLY for the R-per-probe shortlist
+    // and re-rank by true cosine — the compressed codes bound the scan, the
+    // refine stage restores exact ordering among survivors
+    val withN = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nvec"), Vectors.norm(col("embedding")).as("nnrm"))
+    val withP = e.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pvec"), Vectors.norm(col("embedding")).as("pnrm"))
+    val exact = shortlist.join(withN, "neighbor_id").join(withP, "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        (Vectors.dot(col("nvec"), col("pvec")) /
+          (col("nnrm") * col("pnrm"))).as("sim"))
+    val wSim = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** DuckDB oracle for q82: trained coarse centroids AND per-subspace PQ
+    * codebooks inlined as VALUES; code assignment and ADC entries are the
+    * same `-2·v·c + |c|²` correlated-subquery scalars the engine computes,
+    * summed per candidate in the same subspace order.
+    */
+  def q82SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = Ivf.train(e, IvfK, Dim, iters = IvfIters)
+    val cb = Pq.train(e, PqM, PqKsub, Dim, iters = IvfIters)
+    val centRows = coarse.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
+    }.mkString(",\n    ")
+    val pqRows = (for {
+      mi <- 0 until cb.m
+      (c, j) <- cb.books(mi).zipWithIndex
+    } yield s"($mi, $j, [${c.mkString(", ")}], ${c.map(x => x * x).sum})")
+      .mkString(",\n    ")
+    def sub(mi: Int) = s"[${mi * cb.dsub + 1}:${(mi + 1) * cb.dsub}]"
+    val codeExprs = (0 until cb.m).map { mi =>
+      s"""(SELECT j FROM pq WHERE m = $mi
+         |       ORDER BY -2.0 * list_dot_product(b.v${sub(mi)}, c) + cn2, j
+         |       LIMIT 1)""".stripMargin
+    }.mkString("[", ",\n      ", "] AS codes")
+    val adcTerms = (0 until cb.m).map { mi =>
+      s"""(SELECT -2.0 * list_dot_product(p.pv${sub(mi)}, c) + cn2
+         |     FROM pq WHERE m = $mi AND j = a.codes[${mi + 1}])""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent(j, c, cn2) AS (SELECT * FROM (VALUES
+       |    $centRows)),
+       |pq(m, j, c, cn2) AS (SELECT * FROM (VALUES
+       |    $pqRows)),
+       |assigned AS (
+       |  SELECT vec_id,
+       |    (SELECT j FROM cent
+       |     ORDER BY -2.0 * list_dot_product(b.v, c) + cn2, j LIMIT 1) AS cluster,
+       |    $codeExprs
+       |  FROM base b),
+       |probes AS (
+       |  SELECT b.vec_id AS probe_id, b.v AS pv, p.j AS cluster
+       |  FROM base b, LATERAL (
+       |    SELECT j FROM cent
+       |    ORDER BY -2.0 * list_dot_product(b.v, c) + cn2, j LIMIT $IvfNprobe) p
+       |  WHERE b.vec_id < 10),
+       |adc AS (
+       |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |    $adcTerms AS adist
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.probe_id),
+       |shortlist AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id) AS rnk0
+       |    FROM adc) t
+       |  WHERE rnk0 <= $PqRefine),
+       |refined AS (
+       |  SELECT s.probe_id, s.neighbor_id,
+       |    list_dot_product(n.v, p.v) /
+       |      (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(p.v, p.v))) AS sim
+       |  FROM shortlist s
+       |  JOIN base n ON s.neighbor_id = n.vec_id
+       |  JOIN base p ON s.probe_id = p.vec_id)
+       |SELECT probe_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM refined) t
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
     "q62_norm_stats" -> q62NormStats,
     "q63_cosine_neardup" -> q63CosineNearDup,
-    "q64_ann_ivf" -> q64AnnIvf)
+    "q64_ann_ivf" -> q64AnnIvf,
+    "q82_ann_ivfpq" -> q82AnnIvfPq)
 
   /** SQL fragments shared by the q61/q63 oracles, generated from the same
     * deterministic plane matrix the Spark side uses (Vectors.planeMatrix) —
