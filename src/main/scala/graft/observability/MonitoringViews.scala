@@ -47,6 +47,7 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
     wlm.foreach { w =>
       w.resourceWaits.createOrReplaceTempView("vw_query_queue")
       w.slotsView.createOrReplaceTempView("vw_query_slots")
+      w.classifiersView.createOrReplaceTempView("vw_workload_classifiers")
     }
     Statistics.statisticsAgeRef(spark)
       .createOrReplaceTempView("vw_statistics_age")

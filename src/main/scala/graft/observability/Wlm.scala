@@ -21,6 +21,18 @@ import scala.jdk.CollectionConverters._
 object Wlm {
   final case class WaitRow(label: String, resource_class: String,
       slots_used: Int, queue_ms: Long, run_ms: Long, status: String)
+
+  /** A workload-classification rule: requests matching the rule's member
+    * (submitting principal) and/or label are routed to `workloadGroup`
+    * (a resource class). Matching follows the engine convention for
+    * classifier precedence: parameter specificity is weighted (member match
+    * 64, label match 16), the highest total wins, and ties resolve to the
+    * highest `importance` then classifier name — so adding a broad fallback
+    * rule can never hijack requests from a more specific one.
+    */
+  final case class Classifier(name: String, workloadGroup: String,
+      memberName: Option[String] = None, label: Option[String] = None,
+      importance: Int = 2)
 }
 
 final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
@@ -45,6 +57,11 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
   def submit[T](label: String, resourceClass: String = "smallrc")
       (body: => T): T = {
     val slots = slotCost.getOrElse(resourceClass, 1)
+    // a class costing more than the pool can ever grant would queue forever;
+    // reject at submission like the engine rejects an oversized resource
+    // class instead of deadlocking the session
+    require(slots <= totalSlots,
+      s"$resourceClass needs $slots slots but the pool only has $totalSlots")
     val t0 = System.nanoTime()
     queuedQueries.incrementAndGet(); queuedSlots.addAndGet(slots)
     // always un-queue, even if the wait is interrupted — otherwise the
@@ -76,6 +93,63 @@ final class Wlm(spark: SparkSession, totalSlots: Int = 32) {
   }
 
   def availableSlots: Int = gate.availablePermits()
+
+  // ------------------------------------------------- workload classifiers
+
+  private val classifiers =
+    new java.util.concurrent.ConcurrentHashMap[String, Wlm.Classifier]()
+
+  def createClassifier(c: Wlm.Classifier): Unit = {
+    require(slotCost.contains(c.workloadGroup),
+      s"unknown workload group ${c.workloadGroup}")
+    require(c.memberName.nonEmpty || c.label.nonEmpty,
+      "classifier needs at least one matching parameter")
+    require(classifiers.putIfAbsent(c.name, c) == null,
+      s"classifier ${c.name} already exists")
+  }
+
+  def dropClassifier(name: String): Unit =
+    require(classifiers.remove(name) != null, s"no classifier $name")
+
+  /** Route a request to its resource class: weighted-specificity match over
+    * the registered classifiers (member 64, label 16; ties by importance
+    * desc then name), falling back to smallrc like an unclassified request.
+    */
+  def classify(member: String, label: Option[String] = None): String = {
+    val scored = classifiers.values.asScala.flatMap { c =>
+      val mScore = c.memberName match {
+        case Some(m) => if (m == member) 64 else -1
+        case None => 0
+      }
+      val lScore = c.label match {
+        case Some(l) => if (label.contains(l)) 16 else -1
+        case None => 0
+      }
+      if (mScore < 0 || lScore < 0) None
+      else Some(((mScore + lScore, c.importance), c))
+    }
+    if (scored.isEmpty) "smallrc"
+    else scored.toSeq
+      .sortBy { case ((score, imp), c) => (-score, -imp, c.name) }
+      .head._2.workloadGroup
+  }
+
+  /** Submit with classification: the classifier — not the caller — picks
+    * the resource class, as the reference routes sessions via workload
+    * classifiers rather than per-query hints.
+    */
+  def submitAs[T](member: String, label: String)(body: => T): T =
+    submit(label, classify(member, Some(label)))(body)
+
+  /** Registered classifiers in a catalog-view shape. */
+  def classifiersView: DataFrame = {
+    import spark.implicits._
+    classifiers.values.asScala.toSeq.sortBy(_.name)
+      .map(c => (c.name, c.workloadGroup, c.memberName.orNull,
+        c.label.orNull, c.importance))
+      .toDF("classifier_name", "workload_group", "member_name", "wlm_label",
+        "importance")
+  }
 
   /** Live slot widget with the reference's exact column names (reference:
     * solutions/monitoring/scripts/views/microsoft.vw_query_slots.sql:30-33,

@@ -93,6 +93,42 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment: the streaming fact joined to a (small) static
+    * dimension — the streaming twin of the star-schema broadcast join. The
+    * static side is re-resolved per micro-batch by Spark, so a slowly-
+    * changing dimension table picks up changes between batches; broadcast
+    * keeps the join shuffle-free on the stream side at any scale.
+    */
+  def enriched(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: purchases attributed to a prior click by
+    * the same user within `within` — the conversion-attribution shape.
+    * Watermarks on BOTH sides plus the time-range condition let the engine
+    * evict join state (a click older than the watermark minus `within` can
+    * never match again); without them stream-stream state grows without
+    * bound. Inner join emits eagerly on match, so results don't wait on the
+    * watermark.
+    */
+  def clickToPurchase(events: DataFrame, within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Run any of the above to a named in-memory sink and process everything
     * currently available (the local smoke path; production uses a real sink).
     */

@@ -73,6 +73,61 @@ class ObservabilitySpec extends SparkSpec {
     assert(wlm.availableSlots === 4)
   }
 
+  test("workload classifiers route by weighted specificity, not rule order") {
+    val wlm = new Wlm(spark, totalSlots = 32)
+    wlm.createClassifier(Wlm.Classifier("etl_member", "largerc",
+      memberName = Some("etl_svc")))
+    wlm.createClassifier(Wlm.Classifier("nightly_label", "mediumrc",
+      label = Some("nightly-load")))
+    wlm.createClassifier(Wlm.Classifier("etl_nightly", "xlargerc",
+      memberName = Some("etl_svc"), label = Some("nightly-load")))
+
+    // member+label (80) beats member-only (64) beats label-only (16)
+    assert(wlm.classify("etl_svc", Some("nightly-load")) === "xlargerc")
+    assert(wlm.classify("etl_svc", Some("adhoc")) === "largerc")
+    assert(wlm.classify("analyst", Some("nightly-load")) === "mediumrc")
+    // no classifier matches -> unclassified default
+    assert(wlm.classify("analyst", Some("adhoc")) === "smallrc")
+
+    // equal specificity resolves by importance, never rule-creation order
+    wlm.createClassifier(Wlm.Classifier("analysts_a", "mediumrc",
+      memberName = Some("analyst2"), importance = 1))
+    wlm.createClassifier(Wlm.Classifier("analysts_b", "largerc",
+      memberName = Some("analyst2"), importance = 5))
+    assert(wlm.classify("analyst2") === "largerc")
+
+    // classified submission journals the routed class
+    wlm.submitAs("etl_svc", "nightly-load") { 42 }
+    val row = wlm.queueJournal
+      .filter(org.apache.spark.sql.functions.col("label") === "nightly-load")
+      .collect()(0)
+    assert(row.getAs[String]("resource_class") === "xlargerc")
+
+    // guards: unknown group, parameterless rule, duplicate name
+    intercept[IllegalArgumentException] {
+      wlm.createClassifier(Wlm.Classifier("bad", "nope",
+        memberName = Some("x")))
+    }
+    intercept[IllegalArgumentException] {
+      wlm.createClassifier(Wlm.Classifier("bad2", "smallrc"))
+    }
+    intercept[IllegalArgumentException] {
+      wlm.createClassifier(Wlm.Classifier("etl_member", "smallrc",
+        memberName = Some("y")))
+    }
+    // catalog view shape
+    assert(wlm.classifiersView.columns.toSeq === Seq("classifier_name",
+      "workload_group", "member_name", "wlm_label", "importance"))
+    wlm.dropClassifier("etl_nightly")
+    assert(wlm.classify("etl_svc", Some("nightly-load")) === "largerc")
+
+    // an oversized class is rejected at submission, never deadlocked on
+    val tiny = new Wlm(spark, totalSlots = 8)
+    intercept[IllegalArgumentException] {
+      tiny.submit("too-big", "xlargerc") { 1 }
+    }
+  }
+
   test("statistics maintenance analyzes untracked columns and journals age") {
     Tables.nation(spark, sfDir).write.mode("overwrite").saveAsTable("nation_stats")
     val before = Statistics.unanalyzedColumns(spark, "nation_stats")

@@ -73,6 +73,47 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.filter(col("session_end") <= col("session_start")).count() === 0)
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    import spark.implicits._
+    // static dimension: user segment derived once, batch-side
+    val dim = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+      .withColumn("segment",
+        when(col("user_id") % 3 === 0, "gold").otherwise("std"))
+    EventStream.runToMemory(
+      EventStream.enriched(EventStream.read(spark, streamDir), dim)
+        .groupBy(col("segment")).agg(count(lit(1)).as("n")),
+      "enriched_counts", OutputMode.Complete())
+    val streamed = spark.table("enriched_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sfDir).join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.clickToPurchase(stream), "conversions", OutputMode.Append())
+    val streamed = spark.table("conversions")
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 hour"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() > 0, "corpus must contain conversions")
+    // spot-check: every streamed pair exists in the batch join
+    val missing = streamed.select(col("click_id"), col("purchase_ts"))
+      .except(batch.select(col("click_id"), col("purchase_ts")))
+    assert(missing.count() === 0)
+  }
+
   test("foreachBatch streaming load appends micro-batches into a table") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val stream = EventStream.read(spark, streamDir)
