@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+import graft.functions.Text
+
+/** Training-data curation operators: the corpus-hygiene passes a large-scale
+  * LLM data pipeline runs between raw ingest and tokenization — repetition
+  * quality gates (Gopher-style), cross-document segment deduplication
+  * (C4-style), benchmark decontamination, temperature-weighted language
+  * resampling, and sequence packing. Every query is exact integer/IEEE
+  * arithmetic end-to-end so the DuckDB oracle verifies it bit-for-bit.
+  *
+  * Scale posture (100 TB): q83 is shuffle-free per-row compute; q84 shuffles
+  * the segment stream once on uniform segment keys; q85 broadcasts the
+  * (small by construction) benchmark gram set; q86 replaces per-stratum
+  * sort/rank with a hash threshold — a scan plus a 5-row broadcast join; q87
+  * packs within (lang) partitions so no global sort exists.
+  */
+object CurationQueries {
+
+  // ------------------------------------------------ q83: repetition metrics
+
+  /** Repetition-quality thresholds (e6-scaled fractions). Documents whose
+    * most-frequent bigram covers ≥ 15% of tokens, or whose duplicate-bigram
+    * occupancy is ≥ 15%, read as boilerplate/loops in quality-filter
+    * literature (Gopher's repetition rules use the same construction over
+    * n-gram coverage fractions).
+    */
+  val TopNgramRejectE6 = 150000L
+  val DupNgramRejectE6 = 150000L
+
+  /** Gopher-style repetition metrics, entirely per-row: top-bigram coverage
+    * (tokens under the most frequent 2-gram / all tokens), duplicate-bigram
+    * and duplicate-trigram occupancy (occurrences of grams seen more than
+    * once / all gram occurrences), and the keep/reject band.
+    *
+    * The gram counting is array HOFs over the token array — O(distinct·n)
+    * per document with NO shuffle and no UDF, so the whole filter runs at
+    * scan speed and scales embarrassingly: the 100 TB plan is map-only.
+    */
+  val q83RepetitionMetrics: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val withG = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .withColumn("g2", Text.shingles(col("t"), 2))
+      .withColumn("g3", Text.shingles(col("t"), 3))
+    def cnts(g: String) =
+      transform(array_distinct(col(g)), x => size(filter(col(g), y => y === x)))
+    val m = withG.select(
+      col("doc_id"),
+      size(col("t")).as("n_tok"),
+      greatest(size(col("g2")), lit(1)).as("n2"),
+      greatest(size(col("g3")), lit(1)).as("n3"),
+      array_max(cnts("g2")).as("top2"),
+      size(filter(cnts("g2"), c => c === 1)).as("s2"),
+      size(filter(cnts("g3"), c => c === 1)).as("s3"))
+    m.select(
+      col("doc_id"),
+      col("n_tok").as("n_tokens"),
+      col("top2").as("top_bigram_count"),
+      floor(col("top2") * 2 * 1000000.0 / col("n_tok")).as("top_bigram_frac_e6"),
+      floor((col("n2") - col("s2")) * 1000000.0 / col("n2")).as("dup_bigram_frac_e6"),
+      floor((col("n3") - col("s3")) * 1000000.0 / col("n3")).as("dup_trigram_frac_e6"),
+      when(floor(col("top2") * 2 * 1000000.0 / col("n_tok")) >= TopNgramRejectE6 ||
+          floor((col("n2") - col("s2")) * 1000000.0 / col("n2")) >= DupNgramRejectE6,
+        "reject").otherwise("keep").as("rep_band"))
+  }
+
+  val q83Sql: String =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, t,
+      |  LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g2,
+      |  LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      | FROM toks),
+      |m AS (SELECT doc_id, LEN(t) AS n_tok,
+      |  GREATEST(LEN(g2), 1) AS n2, GREATEST(LEN(g3), 1) AS n3,
+      |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g2), x -> LEN(LIST_FILTER(g2, y -> y = x)))) AS top2,
+      |  LEN(LIST_FILTER(LIST_TRANSFORM(LIST_DISTINCT(g2), x -> LEN(LIST_FILTER(g2, y -> y = x))), c -> c = 1)) AS s2,
+      |  LEN(LIST_FILTER(LIST_TRANSFORM(LIST_DISTINCT(g3), x -> LEN(LIST_FILTER(g3, y -> y = x))), c -> c = 1)) AS s3
+      | FROM g)
+      |SELECT doc_id, CAST(n_tok AS INT) AS n_tokens, CAST(top2 AS INT) AS top_bigram_count,
+      |  CAST(FLOOR(top2 * 2 * 1000000.0 / n_tok) AS BIGINT) AS top_bigram_frac_e6,
+      |  CAST(FLOOR((n2 - s2) * 1000000.0 / n2) AS BIGINT) AS dup_bigram_frac_e6,
+      |  CAST(FLOOR((n3 - s3) * 1000000.0 / n3) AS BIGINT) AS dup_trigram_frac_e6,
+      |  CASE WHEN FLOOR(top2 * 2 * 1000000.0 / n_tok) >= $TopNgramRejectE6
+      |         OR FLOOR((n2 - s2) * 1000000.0 / n2) >= $DupNgramRejectE6
+      |       THEN 'reject' ELSE 'keep' END AS rep_band
+      |FROM m""".stripMargin
+
+  // ------------------------------------------- q84: corpus segment dedup
+
+  /** Non-overlapping segment width for cross-document dedup. */
+  val SegmentTokens = 8
+
+  /** C4-style cross-document segment deduplication: split every document
+    * into non-overlapping [[SegmentTokens]]-token segments (trailing partial
+    * dropped), count each segment's occurrences across the WHOLE corpus, and
+    * rebuild each document keeping only segments that occur once. Output is
+    * per-document accounting plus the md5 of the cleaned text (order
+    * preserved), so the gate verifies the reassembly byte-for-byte.
+    *
+    * Plan: one explode of the segment stream, ONE shuffle on the segment
+    * string for the corpus-wide occurrence window, one doc_id aggregation.
+    * Segment keys are effectively uniform (near-dup text concentrates into
+    * the same key but contributes only a counter, never a pair blowup), so
+    * the shape survives 100 TB: it is the same two-shuffle profile as a
+    * groupBy-count plus re-aggregate.
+    */
+  val q84SegmentDedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val segArr = {
+      val t = Text.tokens(col("text"))
+      when(size(t) < SegmentTokens, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), (size(t) / SegmentTokens).cast("int") - 1),
+          i => concat_ws(" ", slice(t, i * SegmentTokens + 1, lit(SegmentTokens)))))
+    }
+    val segs = d.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg")))
+    val withDf = segs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("seg"))))
+    withDf.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_removed"),
+      md5(concat_ws(" ", transform(
+        sort_array(collect_list(
+          when(col("df") < 2, struct(col("idx"), col("seg"))))),
+        p => p.getField("seg")))).as("clean_hash"))
+  }
+
+  val q84Sql: String =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS idx,
+      |    ARRAY_TO_STRING(t[(i*$SegmentTokens+1):(i*$SegmentTokens+$SegmentTokens)], ' ') AS seg
+      |  FROM toks, UNNEST(GENERATE_SERIES(0, LEN(t)//$SegmentTokens - 1)) AS u(i)
+      |  WHERE LEN(t) >= $SegmentTokens),
+      |dfc AS (SELECT seg, COUNT(*) AS df FROM segs GROUP BY seg)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  md5(COALESCE(STRING_AGG(CASE WHEN df < 2 THEN seg END, ' ' ORDER BY idx), '')) AS clean_hash
+      |FROM segs JOIN dfc USING (seg)
+      |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------- q85: benchmark decontamination
+
+  /** Held-out "benchmark" membership rule: doc_id ≡ 0 (mod 97). */
+  val BenchMod = 97
+
+  /** Benchmark decontamination: flag training documents sharing any distinct
+    * word 3-gram with the held-out benchmark slice, with the contaminated
+    * fraction of each document's distinct grams. The n-gram-overlap test is
+    * the standard pre-training decontamination pass (GPT-3 appendix C uses
+    * 13-gram collisions; 3 here because the synthetic corpus is short-range).
+    *
+    * Plan: the benchmark gram set is small by construction (benchmarks are
+    * fixed-size, not corpus-scale), so it BROADCASTS; the training side is
+    * one scan + map-side hash probe — no shuffle of the 100 TB stream. The
+    * zero-overlap left join keeps clean documents in the report.
+    */
+  val q85Decontaminate: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val grams = d.select(col("doc_id"),
+      explode(Text.shingleSet(col("text"), 3)).as("gram"))
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("gram")).distinct()
+    val overlap = grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    d.filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"),
+        size(Text.shingleSet(col("text"), 3)).as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_overlap"),
+        floor(coalesce(col("hits"), lit(0L)) * 1000000.0 / col("n_grams"))
+          .as("contam_e6"),
+        when(coalesce(col("hits"), lit(0L)) > 0, "contaminated")
+          .otherwise("clean").as("flag"))
+  }
+
+  val q85Sql: String =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      |      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS hits FROM g
+      |  WHERE doc_id % $BenchMod <> 0 AND gram IN (SELECT gram FROM bench)
+      |  GROUP BY doc_id),
+      |sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams FROM g
+      |  WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(s.n_grams AS INT) AS n_grams,
+      |  COALESCE(h.hits, 0) AS n_overlap,
+      |  CAST(FLOOR(COALESCE(h.hits, 0) * 1000000.0 / s.n_grams) AS BIGINT) AS contam_e6,
+      |  CASE WHEN COALESCE(h.hits, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS flag
+      |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""".stripMargin
+
+  // --------------------------------- q86: temperature-weighted resampling
+
+  /** Temperature-weighted language resampling WITHOUT a sort: per-language
+    * keep probability p_l ∝ count^α / count (α = 0.5 → sqrt upweights rare
+    * languages, the multilingual-pretraining convention), realized as a
+    * deterministic hash threshold — keep a document iff its portable 60-bit
+    * hash is below p_l·2^60. sqrt and each division are single IEEE
+    * operations on exact integers, so both engines compute the identical
+    * threshold and the identical sample.
+    *
+    * vs q69 (rank-based stratified top-k): no per-stratum window sort — the
+    * 100 TB plan is one aggregate for the 5-row language table plus a
+    * broadcast-join filter on the scan. Exactly the shape a trillion-token
+    * resample runs.
+    */
+  val q86TemperatureResample: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("w_l", floor(sqrt(col("n_l")) * 1000000.0))
+    val tot = counts.agg(sum(col("w_l")).as("w_tot"), sum(col("n_l")).as("n_tot"))
+    val thresholds = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_l"),
+        floor(least(
+          floor(col("n_tot") / 2) * col("w_l") / col("w_tot") / col("n_l"),
+          lit(1.0)) * lit(1152921504606846976.0)).as("thr"))
+    d.select(col("doc_id"), col("lang"),
+        Text.portableHash(col("doc_id").cast("string")).as("h"))
+      .join(broadcast(thresholds), "lang")
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("h"))
+  }
+
+  val q86Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, COUNT(*) AS n_l, FLOOR(SQRT(COUNT(*)) * 1000000.0) AS w_l
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT SUM(w_l) AS w_tot, SUM(n_l) AS n_tot FROM counts),
+      |thr AS (
+      |  SELECT lang,
+      |    FLOOR(LEAST(FLOOR(n_tot / 2) * w_l / w_tot / n_l, 1.0)
+      |          * 1152921504606846976.0) AS thr
+      |  FROM counts, tot),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT h.doc_id, h.lang, h.h
+      |FROM h JOIN thr ON h.lang = thr.lang
+      |WHERE h.h < thr.thr""".stripMargin
+
+  // ------------------------------------------------ q87: sequence packing
+
+  /** Context-window capacity (tokens) for packing. */
+  val PackCapacity = 512L
+
+  /** Sequence packing: concatenate documents in deterministic (doc_id) order
+    * within each language and cut the stream into [[PackCapacity]]-token
+    * context bins — bin = floor(preceding-token-count / capacity), the
+    * "concatenate then chunk" packing used to build training batches. A
+    * document straddling a boundary belongs to the bin where it starts, so
+    * bins can overfill by at most one document — the standard greedy
+    * stream-packing contract. Output is per-bin occupancy accounting.
+    *
+    * The prefix sum is windowed PER LANGUAGE — no global sort; in production
+    * the partition key is (lang, shard) so each sort stays executor-sized.
+    */
+  val q87SequencePacking: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tok) DIV $PackCapacity"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_e6",
+        floor(col("bin_tokens") * 1000000.0 / PackCapacity))
+  }
+
+  val q87Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT lang, CAST((cum - n_tok) // $PackCapacity AS BIGINT) AS bin_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(FLOOR(SUM(n_tok) * 1000000.0 / $PackCapacity) AS BIGINT) AS fill_e6
+      |FROM c GROUP BY lang, (cum - n_tok) // $PackCapacity""".stripMargin
+
+  // ----------------------------------------------------------- registration
+
+  val queries: Map[String, Q] = Map(
+    "q83_repetition_metrics" -> q83RepetitionMetrics,
+    "q84_segment_dedup" -> q84SegmentDedup,
+    "q85_decontaminate" -> q85Decontaminate,
+    "q86_temperature_resample" -> q86TemperatureResample,
+    "q87_sequence_packing" -> q87SequencePacking)
+
+  val oracles: Map[String, String] = Map(
+    "q83_repetition_metrics" -> q83Sql,
+    "q84_segment_dedup" -> q84Sql,
+    "q85_decontaminate" -> q85Sql,
+    "q86_temperature_resample" -> q86Sql,
+    "q87_sequence_packing" -> q87Sql)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end tests for the curation operators, on the driver corpus for
+  * distribution invariants and on a handcrafted corpus (written as a real
+  * documents.parquet so each Q runs its full path) for value-level edges.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Write a synthetic documents table and return its directory. */
+  private def corpus(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curation").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q83 flags a looping document and keeps varied text") {
+    val dir = corpus(Seq(
+      (1L, ("spam ham " * 20).trim, "en", "s0"),              // one bigram everywhere
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "s0"))) // all distinct
+    val out = CurationQueries.q83RepetitionMetrics(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("rep_band") === "reject")
+    assert(out(2L).getAs[String]("rep_band") === "keep")
+    assert(out(2L).getAs[Long]("dup_bigram_frac_e6") === 0L)
+    // coverage of the dominant bigram approaches 100% on the loop
+    assert(out(1L).getAs[Long]("top_bigram_frac_e6") > 900000L)
+  }
+
+  test("q84 removes exactly the corpus-repeated segments, order-preserved") {
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val aTail = (1 to 8).map(i => s"a$i").mkString(" ")
+    val bTail = (1 to 8).map(i => s"b$i").mkString(" ")
+    val dir = corpus(Seq(
+      (1L, s"$shared $aTail", "en", "s0"),
+      (2L, s"$shared $bTail", "en", "s0"),
+      (3L, "tiny doc", "en", "s0"))) // < 8 tokens: no segments at all
+    val out = CurationQueries.q84SegmentDedup(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getAs[Long]("n_segs") === 2L)
+    assert(out(1L).getAs[Long]("n_removed") === 1L)
+    // the cleaned doc is exactly the unique tail
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("clean_hash") === md5hex(aTail))
+    assert(out(2L).getAs[String]("clean_hash") === md5hex(bTail))
+  }
+
+  test("q85 contamination is the benchmark 3-gram overlap, zero rows kept") {
+    val dir = corpus(Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),        // benchmark (0 % 97 = 0)
+      (1L, "alpha beta gamma other words here", "en", "s0"), // shares 'alpha beta gamma'
+      (2L, "completely different tokens entirely now", "en", "s0")))
+    val out = CurationQueries.q85Decontaminate(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(0L)) // benchmark rows are not in the training report
+    assert(out(1L).getAs[String]("flag") === "contaminated")
+    assert(out(1L).getAs[Long]("n_overlap") === 1L)
+    assert(out(2L).getAs[String]("flag") === "clean")
+    assert(out(2L).getAs[Long]("n_overlap") === 0L)
+  }
+
+  test("q86 upweights rare languages and the sample is hash-thresholded") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val perLang = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = CurationQueries.q86TemperatureResample(spark, sfDir)
+    val selLang = sel.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // overall take is about half the corpus
+    val total = perLang.values.sum
+    val taken = selLang.values.sum
+    assert(taken > total / 3 && taken < 2 * total / 3)
+    // sqrt temperature: the rarest language keeps a larger FRACTION than the
+    // most common one
+    val rare = perLang.minBy(_._2)._1
+    val common = perLang.maxBy(_._2)._1
+    val rareRate = selLang(rare).toDouble / perLang(rare)
+    val commonRate = selLang(common).toDouble / perLang(common)
+    assert(rareRate > commonRate,
+      s"rare $rare rate $rareRate should exceed common $common rate $commonRate")
+  }
+
+  test("q87 packing conserves tokens and bins are contiguous from zero") {
+    val bins = CurationQueries.q87SequencePacking(spark, sfDir)
+    val d = graft.Tables.documents(spark, sfDir)
+    val totTokens = d.select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(bins.agg(sum("bin_tokens")).collect()(0).getLong(0) === totTokens)
+    // per lang: bin ids are exactly 0..max with no holes
+    val byLang = bins.groupBy("lang")
+      .agg(countDistinct("bin_id").as("n"), min("bin_id").as("lo"),
+        max("bin_id").as("hi")).collect()
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("lo") === 0L)
+      assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1)
+    }
+    // a bin never starts mid-capacity: every bin except the last holds at
+    // least one document and fill accounting matches the sum
+    assert(bins.filter(col("n_docs") < 1).count() === 0)
+  }
+}
