@@ -336,13 +336,70 @@ object SimilarityQueries {
        |WHERE rnk <= $K""".stripMargin
   }
 
+  /** Embedding-cluster label purity: assign every vector to its nearest
+    * trained IVF centroid and score each cluster by its majority label's
+    * share — the cluster-coherence evaluation behind cluster-based curation
+    * (SemDeDup-style semantic dedup prunes within exactly such k-means
+    * cells; purity against a reference label is the standard quality read).
+    * Deterministic end-to-end: the quantizer is Ivf.train's bit-exact Lloyd,
+    * ties in the majority vote break on the lower label id.
+    *
+    * Plan: one codegen argmin scan (O(1) generated-code size in k), one
+    * (cluster, label) hash aggregate, one window over the k-row result —
+    * nothing here grows with corpus size except the map-side scan.
+    */
+  val q88ClusterPurity: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val centroids = Ivf.train(e, IvfK, Dim, iters = IvfIters)
+    val byLab = Ivf.assign(e, centroids)
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    byLab
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy(col("cluster"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("majority_n"),
+        floor(col("n") * 1000000.0 / col("n_vecs")).as("purity_e6"))
+  }
+
+  /** Data-dependent oracle for q88 — same inlined-centroid scheme as
+    * [[q64SqlFor]].
+    */
+  def q88SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val centroids = Ivf.train(Tables.embeddings(s, dir), IvfK, Dim, IvfIters)
+    val centRows = centroids.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}], $cn2)"
+    }.mkString(",\n    ")
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent(j, c, cn2) AS (SELECT * FROM (VALUES
+       |    $centRows)),
+       |assigned AS (
+       |  SELECT vec_id, label,
+       |    (SELECT j FROM cent
+       |     ORDER BY -2.0 * list_dot_product(b.v, c) + cn2, j LIMIT 1) AS cluster
+       |  FROM base b),
+       |byl AS (SELECT cluster, label, COUNT(*) AS n FROM assigned GROUP BY 1, 2),
+       |w AS (
+       |  SELECT cluster, label, n,
+       |    CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk
+       |  FROM byl)
+       |SELECT cluster, n_vecs, label AS majority_label, n AS majority_n,
+       |  CAST(FLOOR(n * 1000000.0 / n_vecs) AS BIGINT) AS purity_e6
+       |FROM w WHERE rk = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
     "q62_norm_stats" -> q62NormStats,
     "q63_cosine_neardup" -> q63CosineNearDup,
     "q64_ann_ivf" -> q64AnnIvf,
-    "q82_ann_ivfpq" -> q82AnnIvfPq)
+    "q82_ann_ivfpq" -> q82AnnIvfPq,
+    "q88_cluster_purity" -> q88ClusterPurity)
 
   /** SQL fragments shared by the q61/q63 oracles, generated from the same
     * deterministic plane matrix the Spark side uses (Vectors.planeMatrix) —

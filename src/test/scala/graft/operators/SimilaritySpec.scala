@@ -131,4 +131,22 @@ class SimilaritySpec extends SparkSpec {
     // the quantizer must do substantially better
     assert(recall >= 0.5, s"IVF recall $recall ($hit of $total)")
   }
+
+  test("cluster purity partitions the corpus and beats the base rate") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val out = SimilarityQueries.q88ClusterPurity(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n) // clusters partition
+    out.foreach { r =>
+      val purity = r.getAs[Long]("purity_e6")
+      assert(purity > 0L && purity <= 1000000L)
+      assert(r.getAs[Long]("majority_n") <= r.getAs[Long]("n_vecs"))
+    }
+    // weighted mean purity must beat the majority-class base rate — i.e.
+    // the clusters actually carry label signal, they aren't random cuts
+    val base = e.groupBy("label").count().collect().map(_.getLong(1)).max
+    val majoritySum = out.map(_.getAs[Long]("majority_n")).sum
+    assert(majoritySum > base,
+      s"cluster-majority total $majoritySum should beat base rate $base")
+  }
 }
