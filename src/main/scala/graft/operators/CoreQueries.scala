@@ -806,7 +806,7 @@ object CoreQueries {
     val ships = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
     val matched = RangeJoin.pointInInterval(ships, "l_shipdate",
-        windows, "win_start", "win_end", binDays = 4)
+        windows, "win_start", "win_end", binDays = 1)
       .filter(col("l_orderkey") =!= col("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_in_transit"), sum(col("qty_c")).as("transit_qty_c"))
@@ -828,6 +828,38 @@ object CoreQueries {
       |  ON l.l_shipdate >= w.win_start AND l.l_shipdate <= w.win_end
       | AND l.l_orderkey <> w.o_orderkey
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q81's range AGGREGATE restated as prefix-sum arithmetic
+    * ([[RangeJoin.rangeAggregate]]): per-window count/sum = prefix(end) −
+    * prefix(start−1) over a dense daily spine, minus an equi-join correction
+    * for the excluded same-order lines. Identical output to q81 (same
+    * oracle SQL) from an O(points + windows) plan — no per-match pair
+    * materialization, so it stays flat where q81's matched-pair volume
+    * grows with window length × point density. The pair: q81 is the plan
+    * when you need the matches; q89 is the plan when you need only the
+    * aggregate.
+    */
+  val q89RangeAggPrefix: Q = (s, dir) => {
+    val windows = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+        expr("o_orderdate + make_interval(0,0,0,(o_orderkey % 3)+1,0,0,0)")
+          .as("win_end"))
+    val ships = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
+    val gross = RangeJoin.rangeAggregate(ships, "l_shipdate", "qty_c",
+      windows, "win_start", "win_end")
+    // same-order lines inside the window: a plain equi-join on the order key
+    val own = windows.join(ships, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("win_start") &&
+        col("l_shipdate") <= col("win_end"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("own_n"), sum(col("qty_c")).as("own_qty"))
+    gross.join(own, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("win_start"), col("win_end"),
+        (col("n_points") - coalesce(col("own_n"), lit(0L))).as("n_in_transit"),
+        (col("sum_qty_c") - coalesce(col("own_qty"), lit(0L))).as("transit_qty_c"))
+  }
 
   /** Native PIVOT — the declarative twin of the reference's SUM(CASE...)
     * widget pivots (TableHealthCount.sql:16-36): status counts spread into
@@ -990,7 +1022,8 @@ object CoreQueries {
     "q77_grouping_sets" -> q77GroupingSets,
     "q78_distribution_funcs" -> q78DistributionFuncs,
     "q79_percentiles" -> q79Percentiles,
-    "q81_range_join" -> q81RangeJoin)
+    "q81_range_join" -> q81RangeJoin,
+    "q89_range_agg_prefix" -> q89RangeAggPrefix)
 
   val oracles: Map[String, String] = Map(
     "q36_rollup" -> q36Sql,
@@ -998,6 +1031,7 @@ object CoreQueries {
     "q78_distribution_funcs" -> q78Sql,
     "q79_percentiles" -> q79Sql,
     "q81_range_join" -> q81Sql,
+    "q89_range_agg_prefix" -> q81Sql,
     "q37_pivot" -> q37Sql,
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -59,4 +59,52 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Range AGGREGATE via dense daily prefix sums — when the caller wants
+    * per-interval counts/sums (not the matched pairs themselves), the
+    * bucket join above still materializes every (point, interval) match:
+    * output-bound, Ω(matches). This plan is O(points + intervals) instead:
+    *
+    *   agg over [s, e]  =  prefix(e) − prefix(s − 1 day)
+    *
+    * 1. aggregate points per day (one map-side-combining shuffle),
+    * 2. densify onto the full day spine and prefix-sum (the spine is
+    *    #distinct-days rows — thousands at any corpus size, so the single
+    *    unpartitioned window is driver-scale by construction),
+    * 3. broadcast the spine to the intervals and subtract the two lookups.
+    *
+    * Interval endpoints outside the spine clamp to its edges (before the
+    * spine ⇒ zero prefix, after ⇒ grand total). Returns the intervals table
+    * with `n_points` / `sum_<valueCol>` appended; every interval survives,
+    * empty ones with zeros.
+    */
+  def rangeAggregate(points: DataFrame, pointCol: String, valueCol: String,
+      intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = points
+      .groupBy(to_date(col(pointCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__v"))
+    val bounds = daily.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val spine = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+      .join(daily, Seq("__day"), "left")
+      .withColumn("__cn", sum(coalesce(col("__n"), lit(0L)))
+        .over(Window.orderBy(col("__day"))))
+      .withColumn("__cv", sum(coalesce(col("__v"), lit(0L)))
+        .over(Window.orderBy(col("__day"))))
+      .select(col("__day"), col("__cn"), col("__cv"))
+    val lookups = intervals.crossJoin(broadcast(bounds))
+      .withColumn("__de", least(greatest(to_date(col(endCol)), date_sub(col("__lo"), 1)), col("__hi")))
+      .withColumn("__ds", least(greatest(date_sub(to_date(col(startCol)), 1), date_sub(col("__lo"), 1)), col("__hi")))
+    val e = broadcast(spine.select(col("__day").as("__de"),
+      col("__cn").as("__cne"), col("__cv").as("__cve")))
+    val sp = broadcast(spine.select(col("__day").as("__ds"),
+      col("__cn").as("__cns"), col("__cv").as("__cvs")))
+    lookups
+      .join(e, Seq("__de"), "left")   // miss only when clamped below __lo
+      .join(sp, Seq("__ds"), "left")
+      .select(intervals.columns.map(col) :+
+        (coalesce(col("__cne"), lit(0L)) - coalesce(col("__cns"), lit(0L))).as("n_points") :+
+        (coalesce(col("__cve"), lit(0L)) - coalesce(col("__cvs"), lit(0L))).as(s"sum_$valueCol"): _*)
+  }
 }

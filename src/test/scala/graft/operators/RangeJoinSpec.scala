@@ -54,4 +54,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q89 prefix-sum range aggregate equals the q81 range join") {
+    val a = CoreQueries.q81RangeJoin(spark, sfDir)
+    val b = CoreQueries.q89RangeAggPrefix(spark, sfDir)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // and the aggregate answers are non-trivial
+    assert(b.agg(org.apache.spark.sql.functions.sum("n_in_transit"))
+      .collect()(0).getLong(0) > 0)
+  }
+
+  test("rangeAggregate clamps intervals outside the point spine to zeros/total") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-06-01 00:00:00"), 10L),
+      (2L, ts("2024-06-03 00:00:00"), 20L)).toDF("pid", "t", "v")
+    val intervals = Seq(
+      (1L, ts("2023-01-01 00:00:00"), ts("2023-02-01 00:00:00")), // fully before
+      (2L, ts("2025-01-01 00:00:00"), ts("2025-02-01 00:00:00")), // fully after
+      (3L, ts("2023-01-01 00:00:00"), ts("2025-02-01 00:00:00")), // covers all
+      (4L, ts("2024-06-02 00:00:00"), ts("2024-06-04 00:00:00"))  // partial
+    ).toDF("iid", "s", "e")
+    val out = RangeJoin.rangeAggregate(points, "t", "v", intervals, "s", "e")
+      .select("iid", "n_points", "sum_v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((0L, 0L)))
+    assert(out(3L) === ((2L, 30L)))
+    assert(out(4L) === ((1L, 20L)))
+  }
 }
