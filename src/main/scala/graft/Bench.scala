@@ -26,7 +26,8 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // Gate queries plus the production-hash fingerprint twins: the *_prod
     // numbers document what the md5 oracle portability costs at scale.
-    val allBench = SparkEntry.queries ++ operators.TextQueries.productionQueries
+    val allBench = SparkEntry.queries ++ operators.TextQueries.productionQueries ++
+      operators.EventQueries.productionQueries
     // Iteration knobs (unset in driver runs): ONLY=substring filter,
     // REPS=run each query n times (reports each rep, so warm-vs-cold plan
     // and codegen costs are visible).

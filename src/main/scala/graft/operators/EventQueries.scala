@@ -189,7 +189,112 @@ object EventQueries {
       |  FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
       |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON TRUE""".stripMargin
 
+  /** Idempotent-ingest accounting under at-least-once delivery: the source
+    * redelivers every third event (a deterministic stand-in for the
+    * retry-duplicates a streaming ingest sees), and the report counts
+    * delivered vs unique rows per event type — exactly what a
+    * dedup-on-ingest stage (streaming: EventStream.dedup's
+    * dropDuplicatesWithinWatermark; batch: distinct on the idempotency key)
+    * must reconcile. One union, one aggregate: COUNT(DISTINCT) carries the
+    * dedup; at 100 TB the same accounting runs on the post-dedup stream
+    * with the sketch NDV (q08) when exactness isn't required.
+    */
+  val q90DedupIngest: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val delivered = e.unionByName(e.filter(col("event_id") % 3 === 0))
+    delivered.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_delivered"),
+        countDistinct(col("event_id")).as("n_unique"))
+      .select(col("event_type"), col("n_delivered"), col("n_unique"),
+        (col("n_delivered") - col("n_unique")).as("n_dups"))
+  }
+
+  val q90Sql: String =
+    """WITH delivered AS (
+      |  SELECT event_id, event_type FROM events
+      |  UNION ALL
+      |  SELECT event_id, event_type FROM events WHERE event_id % 3 = 0)
+      |SELECT event_type, COUNT(*) AS n_delivered,
+      |  COUNT(DISTINCT event_id) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT event_id) AS n_dups
+      |FROM delivered GROUP BY event_type""".stripMargin
+
+  /** Sample size for the sketch-quantile operators. */
+  val SketchK = 64
+
+  /** Approximate quantiles from a deterministic bottom-k-by-hash sample
+    * (KMV-style: the k smallest md5 hashes are a uniform random sample, and
+    * the same k rows in every engine) — the sketch-quantile pattern that
+    * the exact gate can still verify bit-for-bit, like q09's portable HLL.
+    * percentile_disc over the sample returns an actual sample member, so
+    * the output is exact int64 cents.
+    *
+    * This gate formulation selects the sample with a per-group window rank
+    * (oracle-portable). The 100 TB path is [[q91SketchQuantilesProd]]: the
+    * same sample via the BottomKAgg partial aggregate — O(k) state per
+    * group, no per-group sort — asserted result-identical in QueriesSpec.
+    */
+  val q91SketchQuantiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val h = graft.functions.Text.portableHash(col("event_id").cast("string"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+    e.select(col("event_type"), col("event_id"), h.as("h"),
+        cents(col("value")).as("v_c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SketchK)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("v_c"))).as("vals"),
+        count(lit(1)).as("n_sample"))
+      .select(col("event_type"), col("n_sample"),
+        element_at(col("vals"), ceil(col("n_sample") * 0.5).cast("int")).as("median_c"),
+        element_at(col("vals"), ceil(col("n_sample") * 0.9).cast("int")).as("p90_c"))
+  }
+
+  /** The production twin: identical output via the bottom-k partial
+    * aggregate instead of the window sort.
+    */
+  val q91SketchQuantilesProd: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val h = graft.functions.Text.portableHash(col("event_id").cast("string"))
+    e.select(col("event_type"), h.as("h"), cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Sampling.bottomK(col("h"), col("v_c"), SketchK)
+        .as("sample"))
+      .select(col("event_type"),
+        size(col("sample")).cast("long").as("n_sample"),
+        sort_array(transform(col("sample"), p => p.getField("v"))).as("vals"))
+      .select(col("event_type"), col("n_sample"),
+        element_at(col("vals"), ceil(col("n_sample") * 0.5).cast("int")).as("median_c"),
+        element_at(col("vals"), ceil(col("n_sample") * 0.9).cast("int")).as("p90_c"))
+  }
+
+  val q91Sql: String =
+    s"""WITH h AS (
+      |  SELECT event_type, event_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, v_c FROM (
+      |    SELECT event_type, v_c,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rk
+      |    FROM h) t
+      |  WHERE rk <= $SketchK),
+      |g AS (
+      |  SELECT event_type, LIST_SORT(LIST(v_c)) AS vals, COUNT(*) AS n_sample
+      |  FROM s GROUP BY event_type)
+      |SELECT event_type, n_sample,
+      |  vals[CAST(CEIL(n_sample * 0.5) AS INT)] AS median_c,
+      |  vals[CAST(CEIL(n_sample * 0.9) AS INT)] AS p90_c
+      |FROM g""".stripMargin
+
+  /** Production-path twins benchmarked next to the gate formulations. */
+  val productionQueries: Map[String, Q] = Map(
+    "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
+
   val queries: Map[String, Q] = Map(
+    "q91_sketch_quantiles" -> q91SketchQuantiles,
+    "q90_dedup_ingest" -> q90DedupIngest,
     "q76_asof_join" -> q76AsOfJoin,
     "q74_typed_json" -> q74TypedJson,
     "q75_sliding_window" -> q75Sliding,
@@ -199,6 +304,8 @@ object EventQueries {
     "q73_user_profile" -> q73UserProfile)
 
   val oracles: Map[String, String] = Map(
+    "q91_sketch_quantiles" -> q91Sql,
+    "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,
     "q74_typed_json" -> q74Sql,
     "q75_sliding_window" -> q75Sql,

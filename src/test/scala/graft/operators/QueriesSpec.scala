@@ -145,4 +145,25 @@ class QueriesSpec extends SparkSpec {
       .agg(sum(col("n_events"))).collect()(0).getLong(0)
     assert(inSessions === total)
   }
+
+  test("bottom-k aggregate equals the window-rank sample formulation") {
+    val gate = EventQueries.q91SketchQuantiles(spark, sfDir)
+    val prod = EventQueries.q91SketchQuantilesProd(spark, sfDir)
+    assert(gate.count() > 0)
+    assert(gate.exceptAll(prod).count() === 0)
+    assert(prod.exceptAll(gate).count() === 0)
+    // the merge path specifically: many partitions, each with partial heaps
+    import spark.implicits._
+    val rows = (1L to 10000L).map(i => (i % 7, i * 2654435761L % 100000, i))
+    val df = rows.toDF("g", "h", "v").repartition(16)
+    val agg = df.groupBy(col("g"))
+      .agg(graft.functions.Sampling.bottomK(col("h"), col("v"), 5).as("s"))
+      .select(col("g"), col("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val expect = rs.map(t => (t._2, t._3)).sorted.take(5)
+      val got = agg(g).map(r => (r.getLong(0), r.getLong(1)))
+      assert(got === expect, s"group $g")
+    }
+  }
 }

@@ -114,6 +114,23 @@ class StreamingSpec extends SparkSpec {
     assert(missing.count() === 0)
   }
 
+  test("streaming dedup drops redeliveries down to the batch-distinct count") {
+    // at-least-once source: the stream dir plus a second copy of every third
+    // event, written as extra files so redeliveries arrive as real rows
+    val dupDir = Files.createTempDirectory("graft_stream_dup").toString
+    val e = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    e.coalesce(2).write.mode("overwrite").parquet(dupDir)
+    e.filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(dupDir)
+    EventStream.runToMemory(
+      EventStream.dedup(EventStream.read(spark, dupDir)),
+      "dedup_out", OutputMode.Append())
+    val kept = spark.table("dedup_out")
+    assert(kept.count() === e.count(), "every unique event exactly once")
+    assert(kept.select("event_id").distinct().count() === e.count())
+  }
+
   test("foreachBatch streaming load appends micro-batches into a table") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val stream = EventStream.read(spark, streamDir)
