@@ -95,4 +95,42 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("*("), s"codegen stage marker missing:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("q83: repetition metrics are map-only — no aggregate, join, or window") {
+    val p = plan("q83_repetition_metrics")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q85: decontamination probes a BROADCAST benchmark gram set") {
+    val p = plan("q85_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast, not shuffle the training stream:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q86: temperature resampling is sort-free (hash threshold, no rank)") {
+    val p = plan("q86_temperature_resample")
+    assert(!p.contains("Window"), s"no per-stratum window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language thresholds must broadcast:\n$p")
+  }
+
+  test("q89: range aggregate uses broadcast spine lookups, no pair join") {
+    val p = plan("q89_range_agg_prefix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both prefix lookups must broadcast:\n$p")
+    // the whole point: no explode of interval x point candidates
+    assert(!p.contains("posexplode"), p)
+  }
+
+  test("q91 production twin aggregates bottom-k partials map-side") {
+    val p = EventQueries.q91SketchQuantilesProd(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_bottomkagg"),
+      s"BottomKAgg must run partial+final:\n$p")
+    assert(!p.contains("Window"), "no per-group sort in the production path")
+  }
 }
