@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TSql
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 /** Scalar-function surface — SURVEY.md §2.8 (string / date / math / null /
@@ -296,7 +297,102 @@ object FunctionQueries {
       |  strftime(o_orderdate, '%Y-%m-%d') AS style_23
       |FROM orders""".stripMargin
 
+  /** Fan-out bound for fuzzy-match blocks, same construction as
+    * TextQueries.DfCap: a block of m records emits ≤ m²/2 pairs, so capping
+    * block size bounds candidates BY CONSTRUCTION (oversized blocks mean
+    * the blocking key is wrong, not that the engine should grind through
+    * them).
+    */
+  val FuzzyBlockCap = 1000
+
+  /** Fuzzy record linkage: near-duplicate customer names by Levenshtein
+    * distance ≤ 1 inside blocking buckets (all but the last two name
+    * characters — the standard blocking strategy that makes record linkage
+    * subquadratic). Pair generation is the grouped in-place i<j shape
+    * shared with q54/q63: one shuffle on the block key, fan-out capped,
+    * and the edit distance — identical dynamic-program semantics in both
+    * engines — runs only on candidates.
+    */
+  val q92FuzzyMatch: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val blocked = c.select(col("c_custkey"),
+      col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+    blocked.groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("c_custkey"), col("c_name"))))
+        .as("ms"))
+      .filter(size(col("ms")).between(2, FuzzyBlockCap))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("c_custkey").as("cust_a"),
+            y.getField("c_custkey").as("cust_b"),
+            levenshtein(x.getField("c_name"), y.getField("c_name"))
+              .as("edit_dist")))))).as("p"))
+      .select(col("p.cust_a"), col("p.cust_b"), col("p.edit_dist"))
+      .filter(col("edit_dist") <= 1)
+  }
+
+  val q92Sql: String =
+    s"""WITH blocked AS (
+      |  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer),
+      |capped AS (
+      |  SELECT blk FROM blocked GROUP BY blk
+      |  HAVING COUNT(*) BETWEEN 2 AND $FuzzyBlockCap)
+      |SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+      |FROM blocked a
+      |JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      |WHERE a.blk IN (SELECT blk FROM capped)
+      |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+  /** Time-series gap filling with forward fill: densify each user's event
+    * history onto a per-user daily spine and carry the last observed daily
+    * total across gap days — the resample/ffill every feature pipeline
+    * needs before windowed training features. Spine fan-out is bounded by
+    * each user's own active span (never the global calendar), the fill is
+    * one window with IGNORE NULLS `last`, and all values are exact integer
+    * cents.
+    */
+  val q93GapFill: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(TSql.cents(col("value"))).as("day_value_c"),
+        count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value_c"), ignoreNulls = true).over(w)
+          .as("filled_value_c"),
+        when(col("day_value_c").isNull, "gap").otherwise("observed")
+          .as("status"))
+  }
+
+  val q93Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS day_value_c,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1) b),
+      |f AS (
+      |  SELECT s.user_id, s.day, d.day_value_c,
+      |    COALESCE(d.n_events, 0) AS n_events
+      |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day, n_events,
+      |  LAST_VALUE(day_value_c IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_value_c,
+      |  CASE WHEN day_value_c IS NULL THEN 'gap' ELSE 'observed' END AS status
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q92_fuzzy_match" -> q92FuzzyMatch,
+    "q93_gap_fill" -> q93GapFill,
     "q48_convert_styles" -> q48ConvertStyles,
     "q47_stat_composites" -> q47StatComposites,
     "q40_string_funcs" -> q40Strings,
@@ -308,6 +404,8 @@ object FunctionQueries {
     "q46_predicates" -> q46Predicates)
 
   val oracles: Map[String, String] = Map(
+    "q92_fuzzy_match" -> q92Sql,
+    "q93_gap_fill" -> q93Sql,
     "q48_convert_styles" -> q48Sql,
     "q47_stat_composites" -> q47Sql,
     "q40_string_funcs" -> q40Sql,

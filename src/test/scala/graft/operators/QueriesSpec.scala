@@ -146,6 +146,38 @@ class QueriesSpec extends SparkSpec {
     assert(inSessions === total)
   }
 
+  test("fuzzy match emits only within-block near-duplicates") {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    val pairs = FunctionQueries.q92FuzzyMatch(spark, sfDir)
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("edit_dist") > 1).count() === 0)
+    assert(pairs.filter(col("cust_a") >= col("cust_b")).count() === 0)
+    // every reported pair really is distance <= 1 on the full names
+    val joined = pairs
+      .join(c.select(col("c_custkey").as("cust_a"), col("c_name").as("na")), "cust_a")
+      .join(c.select(col("c_custkey").as("cust_b"), col("c_name").as("nb")), "cust_b")
+    assert(joined.filter(levenshtein(col("na"), col("nb")) =!= col("edit_dist"))
+      .count() === 0)
+  }
+
+  test("gap fill densifies each user's span and forward-fills values") {
+    val out = FunctionQueries.q93GapFill(spark, sfDir).cache()
+    try {
+      // contiguous per-user spine: row count == span days
+      val spans = out.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), min("day").as("lo"), max("day").as("hi"))
+        .withColumn("span", datediff(col("hi"), col("lo")) + 1)
+      assert(spans.filter(col("n") =!= col("span")).count() === 0)
+      // the first row per user is observed, so the fill is never null
+      assert(out.filter(col("filled_value_c").isNull).count() === 0)
+      // gap rows exist (the corpus has inactive days) and carry 0 events
+      assert(out.filter(col("status") === "gap").count() > 0)
+      assert(out.filter(col("status") === "gap" && col("n_events") =!= 0)
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
   test("bottom-k aggregate equals the window-rank sample formulation") {
     val gate = EventQueries.q91SketchQuantiles(spark, sfDir)
     val prod = EventQueries.q91SketchQuantilesProd(spark, sfDir)
