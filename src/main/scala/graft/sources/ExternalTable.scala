@@ -111,6 +111,32 @@ final case class ExternalTable(
 }
 
 object ExternalTable {
+
+  /** CETAS-style export — the write half of the PolyBase loop (the
+    * whitepaper scales "readers and writers for data ingestion and export"
+    * with DWU, whitepaper.md:17): unload a query result to delimited text
+    * at `location` using the same [[ExternalFileFormat]] options the scan
+    * side declares, in `writers` parallel files (the export analog of the
+    * DMS writer count). Returns the row count written. Round-trips through
+    * `ExternalTable(location, df.schema, format).read` — the spec's
+    * contract.
+    */
+  def export(df: DataFrame, location: String,
+      format: ExternalFileFormat = ExternalFileFormat(),
+      writers: Int = 0): Long = {
+    val out = if (writers > 0) df.repartition(writers) else df
+    val writer = out.write
+      .option("sep", format.fieldTerminator)
+      .option("quote", format.stringDelimiter)
+      .option("header", format.firstRowHeader)
+      .option("emptyValue", "")
+    format.dateFormat.foreach(f => writer.option("timestampFormat", f): Unit)
+    format.compression.foreach(c => writer.option("compression", c): Unit)
+    writer.mode("overwrite").csv(location)
+    df.sparkSession.read.schema(df.schema)
+      .option("sep", format.fieldTerminator).csv(location).count()
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

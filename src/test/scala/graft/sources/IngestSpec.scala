@@ -133,6 +133,22 @@ class IngestSpec extends SparkSpec {
     assert(props(TablePolicy.PropDistribution) === "replicate")
   }
 
+  test("CETAS export round-trips through the external scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cetas").toString
+    val src = graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val fmt = ExternalFileFormat(fieldTerminator = "|")
+    val written = ExternalTable.export(src, s"$dir/out", fmt, writers = 3)
+    assert(written === src.count())
+    // the writer fan-out is the DMS-writer analog: one csv part per writer
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts === 3)
+    val back = ExternalTable(s"$dir/out", src.schema, fmt).read(spark)
+    assert(back.count() === src.count())
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("CTAS month partitioning prunes by partition directory") {
     val o = graft.Tables.orders(spark, sfDir)
     Ctas.create(spark, o, "orders_bymonth",
