@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{Q, Tables}
-import graft.functions.Text
+import graft.functions.{Pii, Text}
 
 /** Training-data curation operators: the corpus-hygiene passes a large-scale
   * LLM data pipeline runs between raw ingest and tokenization — repetition
@@ -298,6 +298,123 @@ object CurationQueries {
       |  CAST(FLOOR(SUM(n_tok) * 1000000.0 / $PackCapacity) AS BIGINT) AS fill_e6
       |FROM c GROUP BY lang, (cum - n_tok) // $PackCapacity""".stripMargin
 
+  // ------------------------------------------------- q94: PII redaction
+
+  /** PII masking over a synthesized contact line (the testdata corpus is
+    * digit-free words, so the query derives a realistic contact string from
+    * the customer table — name, email, IPv4, phone, free-standing ids — and
+    * the oracle derives the identical string). [[Pii.redact]] applies the
+    * email → ip → phone → number passes in specificity order; the gate
+    * verifies per-pass counts AND the md5 of the redacted bytes, so the
+    * masking itself is checked byte-for-byte, not just tallied.
+    *
+    * 100 TB shape: map-only — four regexp passes inside one codegen stage,
+    * no shuffle at all until the (optional) downstream aggregation.
+    */
+  val q94PiiRedact: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val raw = concat(
+      col("c_name"), lit(" <"),
+      lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@ex"), col("c_nationkey").cast("string"), lit(".com> ip 10."),
+      col("c_nationkey").cast("string"), lit(".0."),
+      pmod(col("c_custkey"), lit(256)).cast("string"),
+      lit(" call 555-"),
+      lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"),
+      lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+      lit(" ref "), col("c_custkey").cast("string"))
+    val base = c.select(col("c_custkey"), raw.as("t"))
+    val cnts = Pii.counts(col("t"))
+    base.select(
+      col("c_custkey") +:
+        cnts.map { case (n, cc) => cc.as(s"n_$n") } :+
+        md5(Pii.redact(col("t"))).as("red_hash"): _*)
+  }
+
+  val q94Sql: String = {
+    val rawExpr =
+      """c_name || ' <' || lower(replace(c_name, '#', '.')) || '@ex' ||
+        |    CAST(c_nationkey AS VARCHAR) || '.com> ip 10.' ||
+        |    CAST(c_nationkey AS VARCHAR) || '.0.' ||
+        |    CAST(c_custkey % 256 AS VARCHAR) || ' call 555-' ||
+        |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ref ' || CAST(c_custkey AS VARCHAR)""".stripMargin
+    val steps = Pii.Passes.zipWithIndex.map {
+      case ((name, re, tok), i) =>
+        val prev = if (i == 0) "raw" else s"p$i"
+        val carried = Pii.Passes.take(i)
+          .map { case (n, _, _) => s"n_$n" }
+        val cols = (carried :+
+          s"CAST(LEN(regexp_extract_all(t, '$re')) AS INT) AS n_$name") :+
+          s"regexp_replace(t, '$re', '$tok', 'g') AS t"
+        s"p${i + 1} AS (SELECT c_custkey, ${cols.mkString(", ")} FROM $prev)"
+    }
+    val names = Pii.Passes.map { case (n, _, _) => s"n_$n" }
+    s"""WITH raw AS (SELECT c_custkey, $rawExpr AS t FROM customer),
+       |${steps.mkString(",\n")}
+       |SELECT c_custkey, ${names.mkString(", ")}, md5(t) AS red_hash
+       |FROM p${Pii.Passes.size}""".stripMargin
+  }
+
+  // --------------------------------------- q96: bigram surprisal scoring
+
+  /** N-gram language-model surprisal as a fluency/quality signal — the
+    * KenLM-perplexity slot of a curation pipeline, made bit-portable by
+    * measuring information in WHOLE BITS: surprisal of an occurrence of
+    * bigram (w1, w2) is bitlen(c(w1·)) − bitlen(c(w1 w2)) where bitlen(x) =
+    * len(bin(x)) − 1 = floor(log2 x) computed by binary-string length, an
+    * integer in both engines — no libm, no FP log whose last ulp could
+    * diverge. Low mean surprisal ⇒ the corpus LM predicts the document well
+    * (fluent/common text); high ⇒ unusual token transitions.
+    *
+    * Plan: one explode of the bigram stream, two window counts (by bigram,
+    * by context word), one doc_id aggregation. At 100 TB the two windows
+    * become count-table shuffle-joins with identical asymptotics — either
+    * way the stream is shuffled once per key, never squared.
+    */
+  val q96BigramSurprisal: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val pairs = when(size(col("t")) < 2,
+        array().cast("array<struct<w1:string,bg:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(
+          element_at(col("t"), i).as("w1"),
+          concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1)).as("bg"))))
+    val g = toks.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val counted = g
+      .withColumn("c_bg", count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .withColumn("c_ctx", count(lit(1)).over(Window.partitionBy(col("w1"))))
+    counted
+      .select(col("doc_id"),
+        (length(bin(col("c_ctx"))) - length(bin(col("c_bg")))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).cast("long").as("sum_bits"))
+      .withColumn("mean_bits_e6",
+        floor(col("sum_bits") * 1000000.0 / col("n_bigrams")))
+  }
+
+  val q96Sql: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)),
+      |c AS (
+      |  SELECT doc_id,
+      |    COUNT(*) OVER (PARTITION BY bg) AS c_bg,
+      |    COUNT(*) OVER (PARTITION BY w1) AS c_ctx
+      |  FROM bg)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(LEN(BIN(c_ctx)) - LEN(BIN(c_bg))) AS BIGINT) AS sum_bits,
+      |  CAST(FLOOR(SUM(LEN(BIN(c_ctx)) - LEN(BIN(c_bg))) * 1000000.0
+      |             / COUNT(*)) AS BIGINT) AS mean_bits_e6
+      |FROM c GROUP BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registration
 
   val queries: Map[String, Q] = Map(
@@ -305,12 +422,16 @@ object CurationQueries {
     "q84_segment_dedup" -> q84SegmentDedup,
     "q85_decontaminate" -> q85Decontaminate,
     "q86_temperature_resample" -> q86TemperatureResample,
-    "q87_sequence_packing" -> q87SequencePacking)
+    "q87_sequence_packing" -> q87SequencePacking,
+    "q94_pii_redact" -> q94PiiRedact,
+    "q96_bigram_surprisal" -> q96BigramSurprisal)
 
   val oracles: Map[String, String] = Map(
     "q83_repetition_metrics" -> q83Sql,
     "q84_segment_dedup" -> q84Sql,
     "q85_decontaminate" -> q85Sql,
     "q86_temperature_resample" -> q86Sql,
-    "q87_sequence_packing" -> q87Sql)
+    "q87_sequence_packing" -> q87Sql,
+    "q94_pii_redact" -> q94Sql,
+    "q96_bigram_surprisal" -> q96Sql)
 }

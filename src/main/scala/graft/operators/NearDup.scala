@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate cluster resolution: turn undirected candidate pairs (the
@@ -68,6 +69,68 @@ object NearDup {
         "diameter exceeds the bound; raise maxIters or use pointer doubling")
     val out = labels.select(col("id"), col("rep").as("cluster_rep"))
     directed.unpersist()
+    out
+  }
+
+  /** Connected components by alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) — the logarithmic-round scale path next to [[clusters]]'s one-hop
+    * label propagation. Propagation needs diameter-many rounds (a length-n
+    * chain of near-dup shingles costs n shuffles); star contraction halves
+    * component height per round pair, so even pathological chains converge in
+    * O(log n) rounds — the formulation a 100 TB dedup graph wants when
+    * component shape is not diameter-bounded by construction.
+    *
+    * Per round: large-star hangs every strictly-larger neighbour of each node
+    * under the minimum of its closed neighbourhood; small-star re-hangs each
+    * node's smaller-or-equal neighbourhood under its minimum. Both are ONE
+    * window-min plus a projection over the edge stream — no collect_list of
+    * neighbourhoods, so a high-degree hub never materializes its adjacency in
+    * a single row. Fixpoint = the canonical edge set stops changing; at that
+    * point the graph is a forest of depth-1 stars centred on component
+    * minima.
+    */
+  def clustersStar(pairs: DataFrame, maxIters: Int = 24): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(pairs.toDF("u", "v")).localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // large-star over the bidirected adjacency: m = min(N(x) ∪ {x}); emit
+      // (m, w) for every neighbour w > x. m ≤ x < w, so output is canonical.
+      val bi = edges.select(col("u").as("x"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("x"), col("u").as("nbr")))
+      val large = bi
+        .withColumn("m", least(col("x"),
+          min(col("nbr")).over(Window.partitionBy(col("x")))))
+        .filter(col("nbr") > col("x"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .distinct()
+      // small-star on canonical edges: for each hub v its neighbours u are
+      // all smaller; m = min of them. Re-hang every u (and v itself) on m.
+      val withM = large
+        .withColumn("m", min(col("u")).over(Window.partitionBy(col("v"))))
+      val small = canon(
+        withM.select(col("m").as("u"), col("u").as("v"))
+          .union(withM.select(col("m").as("u"), col("v"))))
+        .localCheckpoint()
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = small
+      iters += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $maxIters rounds")
+    // fixpoint is a star forest: every v hangs directly off its component
+    // minimum u; centres label themselves.
+    val out = edges.select(col("v").as("id"), col("u").as("rep"))
+      .union(edges.select(col("u").as("id"), col("u").as("rep")))
+      .groupBy(col("id")).agg(min(col("rep")).as("cluster_rep"))
     out
   }
 }

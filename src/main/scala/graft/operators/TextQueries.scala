@@ -400,6 +400,16 @@ object TextQueries {
     NearDup.clusters(q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
       .withColumnRenamed("id", "doc_id")
 
+  /** Star-contraction twin of q68: the same component labelling (min doc_id
+    * over the q55 candidate graph) computed by [[NearDup.clustersStar]] —
+    * O(log n) rounds instead of diameter-many, the formulation that stays
+    * bounded when the dedup graph contains long chains. Shares q68's
+    * recursive-CTE oracle because the output contract is identical.
+    */
+  val q95CcStarContract: Q = (s, dir) =>
+    NearDup.clustersStar(q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("id", "doc_id")
+
   // lazy: composes q55Sql, which is declared further down the object
   lazy val q68Sql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -848,6 +858,7 @@ object TextQueries {
     "q80_tfidf_topk" -> q80TfidfTopk,
     "q67_hash_split" -> q67HashSplit,
     "q68_dedup_clusters" -> q68DedupClusters,
+    "q95_cc_starcontract" -> q95CcStarContract,
     "q69_stratified_sample" -> q69StratifiedSample,
     "q59_bpe_tokens" -> q59BpeTokens,
     "q65_ppjoin_jaccard" -> q65PpjoinJaccard,
@@ -866,6 +877,9 @@ object TextQueries {
     "q80_tfidf_topk" -> q80Sql,
     "q67_hash_split" -> q67Sql,
     "q68_dedup_clusters" -> q68Sql,
+    // star contraction and propagation share one output contract, so the
+    // recursive-CTE reachability oracle applies to both
+    "q95_cc_starcontract" -> q68Sql,
     "q69_stratified_sample" -> q69Sql,
     "q59_bpe_tokens" -> q59Sql,
     "q65_ppjoin_jaccard" -> q65Sql,

@@ -108,4 +108,42 @@ class CurationSpec extends SparkSpec {
     // least one document and fill accounting matches the sum
     assert(bins.filter(col("n_docs") < 1).count() === 0)
   }
+
+  test("q94 redacts every synthesized contact field and nothing else") {
+    val out = CurationQueries.q94PiiRedact(spark, sfDir)
+    // the contact line carries exactly one email, one IP, one phone per row;
+    // bare numbers = the name's id digits + the trailing ref
+    assert(out.filter(col("n_email") =!= 1 || col("n_ip") =!= 1 ||
+      col("n_phone") =!= 1 || col("n_num") =!= 2).count() === 0)
+    // full redaction leaves no digit anywhere (placeholders are digit-free)
+    val c = graft.Tables.customer(spark, sfDir)
+    val raw = concat(
+      col("c_name"), lit(" <"),
+      lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@ex"), col("c_nationkey").cast("string"), lit(".com> ip 10."),
+      col("c_nationkey").cast("string"), lit(".0."),
+      pmod(col("c_custkey"), lit(256)).cast("string"),
+      lit(" call 555-"),
+      lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"),
+      lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+      lit(" ref "), col("c_custkey").cast("string"))
+    val redacted = c.select(graft.functions.Pii.redact(raw).as("r"))
+    assert(redacted.filter(col("r").rlike("[0-9]")).count() === 0)
+  }
+
+  test("q96 surprisal: nonnegative whole bits, bigram accounting exact") {
+    val out = CurationQueries.q96BigramSurprisal(spark, sfDir)
+    assert(out.filter(col("sum_bits") < 0).count() === 0)
+    // n_bigrams per doc = token count − 1 (all test docs have ≥ 2 tokens)
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("exp_n"))
+    assert(out.join(d, "doc_id")
+      .filter(col("n_bigrams") =!= col("exp_n")).count() === 0)
+    // a repeated (w1 w2) everywhere-bigram has surprisal 0; sanity: the mean
+    // is strictly below the unigram entropy ceiling bitlen(total bigrams)
+    val totBg = out.agg(sum("n_bigrams")).collect()(0).getLong(0)
+    val ceil = 64 - java.lang.Long.numberOfLeadingZeros(totBg)
+    assert(out.filter(col("mean_bits_e6") > ceil * 1000000L).count() === 0)
+  }
 }

@@ -60,4 +60,43 @@ class NearDupSpec extends SparkSpec {
       NearDup.clusters(chain.toDF("a", "b"), maxIters = 3)
     }
   }
+
+  test("star contraction matches union-find on mixed topologies") {
+    val pairs: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (4L, 10L),
+      (30L, 31L),
+      (7L, 7L)) // self-loop must be ignored, 7 dropped as a singleton edge
+    val got = NearDup.clustersStar(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(pairs.filter(p => p._1 != p._2)))
+  }
+
+  test("star contraction converges on a long chain in logarithmic rounds") {
+    // a 200-node path has diameter 199: propagation at the default 16-round
+    // cap must refuse, star contraction must finish well under its cap
+    val chain = (1L to 199L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      NearDup.clusters(chain.toDF("a", "b"))
+    }
+    val got = NearDup.clustersStar(chain.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200 && got.values.forall(_ === 1L))
+  }
+
+  test("random graphs: star contraction equals union-find") {
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)))
+    val seed0 = org.scalacheck.rng.Seed(21L)
+    Iterator.iterate(seed0)(_.next)
+      .map(s => gen.apply(Gen.Parameters.default, s))
+      .collect { case Some(ps) => ps }.take(5).foreach { ps =>
+        val pairs = ps.filter(p => p._1 != p._2)
+        val got = NearDup.clustersStar(pairs.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === unionFind(pairs), pairs)
+      }
+  }
 }
