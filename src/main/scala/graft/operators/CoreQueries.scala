@@ -861,6 +861,60 @@ object CoreQueries {
         (col("sum_qty_c") - coalesce(col("own_qty"), lit(0L))).as("transit_qty_c"))
   }
 
+  /** Interval-OVERLAP join ([[RangeJoin.intervalOverlap]]): urgent-order
+    * fulfillment windows vs high-priority windows, matched on nothing but
+    * time intersection — the interval×interval generalization of q81's
+    * point-in-interval probe. The bucket equi-join emits each overlapping
+    * pair exactly once (first-shared-bucket rule, no dedup shuffle); the
+    * aggregate reports per urgent window how many high windows it collides
+    * with and the summed overlap length in whole days — exact integer date
+    * arithmetic. Zero-overlap windows survive via the left re-join.
+    */
+  val q97IntervalOverlap: Q = (s, dir) => {
+    def windows(prio: String, prefix: String) = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === prio)
+      .select(col("o_orderkey").as(s"${prefix}key"),
+        col("o_orderdate").as(s"${prefix}start"),
+        expr(s"o_orderdate + make_interval(0,0,0,(o_orderkey % 3)+1,0,0,0)")
+          .as(s"${prefix}end"))
+    val urgent = windows("1-URGENT", "u_")
+    val high = windows("2-HIGH", "h_")
+    val matched = RangeJoin.intervalOverlap(
+        urgent, "u_start", "u_end", high, "h_start", "h_end", binDays = 4)
+      .groupBy(col("u_key"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(org.apache.spark.sql.functions.datediff(to_date(least(col("u_end"), col("h_end"))),
+          to_date(greatest(col("u_start"), col("h_start")))) + 1)
+          .as("overlap_days"))
+    urgent.join(matched, Seq("u_key"), "left")
+      .select(col("u_key").as("o_orderkey"), col("u_start").as("win_start"),
+        col("u_end").as("win_end"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+        coalesce(col("overlap_days"), lit(0L)).as("overlap_days"))
+  }
+
+  val q97Sql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_orderdate AS win_start,
+      |    o_orderdate + INTERVAL 1 DAY * ((o_orderkey % 3) + 1) AS win_end
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |h AS (
+      |  SELECT o_orderkey, o_orderdate AS win_start,
+      |    o_orderdate + INTERVAL 1 DAY * ((o_orderkey % 3) + 1) AS win_end
+      |  FROM orders WHERE o_orderpriority = '2-HIGH')
+      |SELECT u.o_orderkey, u.win_start, u.win_end,
+      |  COUNT(h.o_orderkey) AS n_overlaps,
+      |  -- DuckDB GREATEST/LEAST skip NULLs, so the unmatched left rows must
+      |  -- be excluded explicitly or they'd contribute their own window length
+      |  COALESCE(CAST(SUM(CASE WHEN h.o_orderkey IS NOT NULL THEN
+      |    DATE_DIFF('day',
+      |      CAST(GREATEST(u.win_start, h.win_start) AS DATE),
+      |      CAST(LEAST(u.win_end, h.win_end) AS DATE)) + 1 END) AS BIGINT), 0)
+      |    AS overlap_days
+      |FROM u LEFT JOIN h
+      |  ON u.win_start <= h.win_end AND h.win_start <= u.win_end
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Native PIVOT — the declarative twin of the reference's SUM(CASE...)
     * widget pivots (TableHealthCount.sql:16-36): status counts spread into
     * columns per priority. Absent combinations are 0 on both engines.
@@ -1023,7 +1077,8 @@ object CoreQueries {
     "q78_distribution_funcs" -> q78DistributionFuncs,
     "q79_percentiles" -> q79Percentiles,
     "q81_range_join" -> q81RangeJoin,
-    "q89_range_agg_prefix" -> q89RangeAggPrefix)
+    "q89_range_agg_prefix" -> q89RangeAggPrefix,
+    "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
     "q36_rollup" -> q36Sql,
@@ -1032,6 +1087,7 @@ object CoreQueries {
     "q79_percentiles" -> q79Sql,
     "q81_range_join" -> q81Sql,
     "q89_range_agg_prefix" -> q81Sql,
+    "q97_interval_overlap" -> q97Sql,
     "q37_pivot" -> q37Sql,
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -415,6 +415,92 @@ object CurationQueries {
       |             / COUNT(*)) AS BIGINT) AS mean_bits_e6
       |FROM c GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------- q98: weighted reservoir sample
+
+  /** Weighted sample size. */
+  val WeightedSampleK = 200
+
+  /** Deterministic weighted sampling without replacement: every document
+    * draws priority = h DIV weight (portable 60-bit hash, weight = n_chars)
+    * and the k smallest priorities win — longer documents draw smaller
+    * priorities proportionally more often, the integer-arithmetic analog of
+    * the exponential-keys reservoir scheme (Efraimidis-Spirakis keys
+    * u^(1/w) need pow, which is not bit-portable; h/w keeps the
+    * monotone-in-weight property with exact int64 ops). Ties break by
+    * doc_id, so the sample is a pure function of the corpus.
+    *
+    * Scale: ORDER BY + LIMIT k compiles to TakeOrderedAndProject — each
+    * partition keeps its top k and the driver merges k·partitions rows; no
+    * global sort of the corpus ever happens.
+    */
+  val q98WeightedSample: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), col("lang"), col("n_chars"),
+        Text.portableHash(col("doc_id").cast("string")).as("h"))
+      .withColumn("priority", expr("h DIV n_chars"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedSampleK)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"))
+  }
+
+  val q98Sql: String =
+    s"""SELECT doc_id, lang, n_chars, h // n_chars AS priority
+       |FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents)
+       |ORDER BY priority, doc_id LIMIT $WeightedSampleK""".stripMargin
+
+  // ------------------------------------- q99: hashed linear classifier
+
+  /** Feature-hashing bucket count (2^16). */
+  val FeatBuckets = 65536L
+
+  /** Hashing-trick linear classifier scoring — the serving side of a
+    * fastText-style quality filter: distinct word features hash into
+    * [[FeatBuckets]] buckets, each bucket carries a fixed signed weight
+    * (derived deterministically from the bucket id's portable hash, range
+    * ±1000), and the document score is the integer sum of its feature
+    * weights; the keep/drop band is score ≥ 0. Bucket collisions sharing
+    * one weight is the hashing trick's defining property, reproduced
+    * exactly by the oracle.
+    *
+    * Plan: map-only — array_distinct + transform + aggregate inside one
+    * codegen stage, no shuffle, no UDF, no model file: the weight table is
+    * an expression. Swapping in trained weights = replacing the
+    * weight-of-bucket expression with a broadcast 2^16-row join, same
+    * shape.
+    */
+  val q99HashClassifier: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    def weightOf(t: org.apache.spark.sql.Column) =
+      pmod(Text.portableHash(concat(lit("w"),
+        pmod(Text.portableHash(t), lit(FeatBuckets)).cast("string"))),
+        lit(2001L)) - 1000L
+    val feats = array_distinct(Text.tokens(col("text")))
+    d.select(col("doc_id"), size(feats).as("n_feats"),
+        aggregate(transform(feats, weightOf _), lit(0L),
+          (acc, x) => acc + x).as("score"))
+      .withColumn("band", when(col("score") >= 0, "keep").otherwise("drop"))
+  }
+
+  val q99Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS feats
+       |  FROM documents)
+       |SELECT doc_id, CAST(LEN(feats) AS INT) AS n_feats,
+       |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
+       |    CAST(concat('0x', substr(md5('w' ||
+       |      CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+       |        % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 2001 - 1000)), 0) AS BIGINT) AS score,
+       |  CASE WHEN COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
+       |    CAST(concat('0x', substr(md5('w' ||
+       |      CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+       |        % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 2001 - 1000)), 0) >= 0 THEN 'keep' ELSE 'drop' END AS band
+       |FROM f""".stripMargin
+
   // ----------------------------------------------------------- registration
 
   val queries: Map[String, Q] = Map(
@@ -424,7 +510,9 @@ object CurationQueries {
     "q86_temperature_resample" -> q86TemperatureResample,
     "q87_sequence_packing" -> q87SequencePacking,
     "q94_pii_redact" -> q94PiiRedact,
-    "q96_bigram_surprisal" -> q96BigramSurprisal)
+    "q96_bigram_surprisal" -> q96BigramSurprisal,
+    "q98_weighted_sample" -> q98WeightedSample,
+    "q99_hash_classifier" -> q99HashClassifier)
 
   val oracles: Map[String, String] = Map(
     "q83_repetition_metrics" -> q83Sql,
@@ -433,5 +521,7 @@ object CurationQueries {
     "q86_temperature_resample" -> q86Sql,
     "q87_sequence_packing" -> q87Sql,
     "q94_pii_redact" -> q94Sql,
-    "q96_bigram_surprisal" -> q96Sql)
+    "q96_bigram_surprisal" -> q96Sql,
+    "q98_weighted_sample" -> q98Sql,
+    "q99_hash_classifier" -> q99Sql)
 }

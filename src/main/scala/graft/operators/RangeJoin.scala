@@ -60,6 +60,45 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join — every (left, right) pair whose time ranges
+    * intersect (`lStart <= rEnd AND rStart <= lEnd`), again with no equality
+    * key anywhere. Both interval sets explode into the fixed-width buckets
+    * they cover and the join runs as a bucket equi-join + exact overlap
+    * filter. Two overlapping intervals share every bucket their overlap
+    * covers, so instead of a dedup shuffle the match is kept only in the
+    * FIRST shared bucket (= max of the two start buckets) — each qualifying
+    * pair is emitted exactly once, for free.
+    *
+    * Fan-out per row is bounded by `maxBinsPerInterval` with the same
+    * in-plan raise_error contract as [[pointInInterval]]; both streams
+    * shuffle once on the bucket id.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binDays: Int, maxBinsPerInterval: Int = 64): DataFrame = {
+    require(binDays > 0, "binDays must be positive")
+    val binSec = SecPerDay * binDays
+    def binOfName(name: String): Column =
+      expr(s"unix_timestamp(`$name`) div $binSec")
+    def spanned(df: DataFrame, s0: String, e0: String): DataFrame = df
+      .withColumn("__b0", binOfName(s0))
+      .withColumn("__b1", binOfName(e0))
+      .withColumn("__bins",
+        when(col("__b1") - col("__b0") >= maxBinsPerInterval,
+          raise_error(concat(lit(s"interval spans more than " +
+            s"$maxBinsPerInterval bins of $binDays day(s): "),
+            col(s0).cast("string"), lit(" .. "), col(e0).cast("string"))))
+          .otherwise(sequence(col("__b0"), col("__b1"))))
+      .select(df.columns.map(col) :+ col("__b0") :+
+        explode(col("__bins")).as("__bin"): _*)
+    val l = spanned(left, lStart, lEnd).withColumnRenamed("__b0", "__lb0")
+    val r = spanned(right, rStart, rEnd).withColumnRenamed("__b0", "__rb0")
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") === greatest(col("__lb0"), col("__rb0")))
+      .drop("__bin", "__lb0", "__rb0")
+  }
+
   /** Range AGGREGATE via dense daily prefix sums — when the caller wants
     * per-interval counts/sums (not the matched pairs themselves), the
     * bucket join above still materializes every (point, interval) match:

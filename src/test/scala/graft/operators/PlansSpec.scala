@@ -126,6 +126,29 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("posexplode"), p)
   }
 
+  test("q97: interval overlap joins on bucket ids, never nested-loop") {
+    val p = plan("q97_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must be the bucket equi-join, not BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q98: weighted sample is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q98_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only exchange allowed is the small-input round-robin guard; a
+    // global sort would show as a RangePartitioning exchange
+    assert(!p.contains("RangePartitioning"),
+      s"no range-partitioned global sort before the top-k:\n$p")
+  }
+
+  test("q99: classifier scoring is map-only inside codegen") {
+    val p = plan("q99_hash_classifier")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("q91 production twin aggregates bottom-k partials map-side") {
     val p = EventQueries.q91SketchQuantilesProd(spark, sfDir)
       .queryExecution.executedPlan.toString

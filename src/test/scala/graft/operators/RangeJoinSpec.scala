@@ -85,4 +85,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(out(3L) === ((2L, 30L)))
     assert(out(4L) === ((1L, 20L)))
   }
+
+  test("interval overlap matches the naive theta join, each pair once") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")),
+      (2L, ts("2024-01-20 00:00:00"), ts("2024-01-21 00:00:00")),
+      (3L, ts("2024-03-01 00:00:00"), ts("2024-03-05 00:00:00"))
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, ts("2024-01-05 00:00:00"), ts("2024-01-25 00:00:00")), // hits 1 and 2
+      (20L, ts("2024-01-10 00:00:00"), ts("2024-01-12 00:00:00")), // touches 1's end
+      (30L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"))  // hits nothing
+    ).toDF("rid", "rs", "re")
+    val out = RangeJoin.intervalOverlap(left, "ls", "le",
+      right, "rs", "re", binDays = 3)
+    val got = out.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // same pair set AND no duplicates from shared buckets
+    assert(got.sorted === naive.sorted)
+    assert(got.distinct.size === got.size)
+    assert(got.toSet === Set((1L, 10L), (1L, 20L), (2L, 10L)))
+  }
 }
