@@ -19,7 +19,22 @@ final case class ExternalFileFormat(
     stringDelimiter: String = "\"",      // STRING_DELIMITER
     dateFormat: Option[String] = None,   // DATE_FORMAT
     firstRowHeader: Boolean = false,
-    compression: Option[String] = None)  // DATA_COMPRESSION (inferred by ext if None)
+    compression: Option[String] = None,  // DATA_COMPRESSION (inferred by ext if None)
+    formatType: FormatType = FormatType.DelimitedText) // FORMAT_TYPE
+
+/** FORMAT_TYPE of the external file format — the reference's CREATE EXTERNAL
+  * FILE FORMAT supports DELIMITEDTEXT, PARQUET and ORC; the delimiter/header
+  * options above apply only to [[FormatType.DelimitedText]], and so does
+  * REJECT accounting (columnar formats are self-describing — a malformed-row
+  * concept does not exist for them, matching the reference's rule that
+  * reject options only fire on text loads).
+  */
+sealed trait FormatType
+object FormatType {
+  case object DelimitedText extends FormatType
+  case object Parquet extends FormatType
+  case object Orc extends FormatType
+}
 
 sealed trait RejectType
 object RejectType {
@@ -51,6 +66,8 @@ final case class ExternalTable(
     * `_graft_corrupt` and nulls elsewhere.
     */
   def readRaw(spark: SparkSession): DataFrame = {
+    require(format.formatType == FormatType.DelimitedText,
+      "permissive corrupt-row capture applies to delimited text only")
     val reader = spark.read
       .schema(schema.add(StructField(corruptCol, StringType)))
       .option("sep", format.fieldTerminator)
@@ -74,6 +91,8 @@ final case class ExternalTable(
     * re-read of the staged parquet.
     */
   def load(spark: SparkSession, stagingDir: String): DataFrame = {
+    if (format.formatType != FormatType.DelimitedText)
+      return columnarScan(spark)
     val obs = org.apache.spark.sql.Observation()
     val observed = readRaw(spark).observe(obs,
       count(lit(1)).as("total"),
@@ -98,7 +117,24 @@ final case class ExternalTable(
     * parquet, so it must outlive the call. `load` itself never deletes: a
     * caller-provided staging dir is caller-owned.
     */
+  /** Columnar external scan (PARQUET / ORC): already splittable and
+    * self-describing, so there is no staging copy and no reject pass — the
+    * declared schema is enforced on read exactly as the external table DDL
+    * pins column types over the file footer's.
+    */
+  private def columnarScan(spark: SparkSession): DataFrame = {
+    val src = format.formatType match {
+      case FormatType.Parquet => "parquet"
+      case FormatType.Orc => "orc"
+      case FormatType.DelimitedText =>
+        throw new IllegalStateException("not a columnar format")
+    }
+    spark.read.schema(schema).format(src).load(location)
+  }
+
   def read(spark: SparkSession): DataFrame = {
+    if (format.formatType != FormatType.DelimitedText)
+      return columnarScan(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_ext_stage")
     ExternalTable.cleanupOnExit(dir.toFile)
     try load(spark, dir.toString)
@@ -125,16 +161,25 @@ object ExternalTable {
       format: ExternalFileFormat = ExternalFileFormat(),
       writers: Int = 0): Long = {
     val out = if (writers > 0) df.repartition(writers) else df
-    val writer = out.write
-      .option("sep", format.fieldTerminator)
-      .option("quote", format.stringDelimiter)
-      .option("header", format.firstRowHeader)
-      .option("emptyValue", "")
-    format.dateFormat.foreach(f => writer.option("timestampFormat", f): Unit)
-    format.compression.foreach(c => writer.option("compression", c): Unit)
-    writer.mode("overwrite").csv(location)
-    df.sparkSession.read.schema(df.schema)
-      .option("sep", format.fieldTerminator).csv(location).count()
+    format.formatType match {
+      case FormatType.DelimitedText =>
+        val writer = out.write
+          .option("sep", format.fieldTerminator)
+          .option("quote", format.stringDelimiter)
+          .option("header", format.firstRowHeader)
+          .option("emptyValue", "")
+        format.dateFormat.foreach(f => writer.option("timestampFormat", f): Unit)
+        format.compression.foreach(c => writer.option("compression", c): Unit)
+        writer.mode("overwrite").csv(location)
+        df.sparkSession.read.schema(df.schema)
+          .option("sep", format.fieldTerminator).csv(location).count()
+      case FormatType.Parquet | FormatType.Orc =>
+        val src = if (format.formatType == FormatType.Parquet) "parquet" else "orc"
+        val writer = out.write
+        format.compression.foreach(c => writer.option("compression", c): Unit)
+        writer.mode("overwrite").format(src).save(location)
+        df.sparkSession.read.format(src).load(location).count()
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -149,6 +149,29 @@ class IngestSpec extends SparkSpec {
     assert(src.exceptAll(back).count() === 0)
   }
 
+  test("PARQUET and ORC external formats round-trip without a staging pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_colfmt").toString
+    val src = graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    for (ft <- Seq(FormatType.Parquet, FormatType.Orc)) {
+      val fmt = ExternalFileFormat(formatType = ft)
+      val loc = s"$dir/${ft.toString.toLowerCase}"
+      val written = ExternalTable.export(src, loc, fmt, writers = 2)
+      assert(written === src.count())
+      val back = ExternalTable(loc, src.schema, fmt).read(spark)
+      assert(back.schema === src.schema)
+      assert(src.exceptAll(back).count() === 0)
+      // no graft staging dir is created for columnar scans: the plan reads
+      // the external location directly
+      assert(back.queryExecution.executedPlan.toString.contains(loc))
+    }
+    // reject accounting is a text-only concept, enforced loudly
+    intercept[IllegalArgumentException] {
+      ExternalTable(s"$dir/parquet", src.schema,
+        ExternalFileFormat(formatType = FormatType.Parquet)).readRaw(spark)
+    }
+  }
+
   test("CTAS month partitioning prunes by partition directory") {
     val o = graft.Tables.orders(spark, sfDir)
     Ctas.create(spark, o, "orders_bymonth",
