@@ -501,6 +501,169 @@ object CurationQueries {
        |      % 2001 - 1000)), 0) >= 0 THEN 'keep' ELSE 'drop' END AS band
        |FROM f""".stripMargin
 
+  // ------------------------------------- q100: end-to-end curation funnel
+
+  /** The whole curation pipeline in ONE call — the capstone composition of
+    * this module's stages in their production order, reported as a funnel:
+    *
+    *   raw → repetition gate (q83) → exact dedup (q50) → benchmark
+    *   decontamination (q85) → temperature resample (q86) → packing (q87)
+    *
+    * Each document is labelled once with the furthest stage it survives
+    * (p1..p4 as boolean columns over a single scan + the md5-dedup window +
+    * the broadcast contamination probe), and the funnel rows unpivot from
+    * one conditional aggregate — counting five stages costs one aggregation,
+    * not five pipeline replays. Dedup may window over ALL documents rather
+    * than gate survivors because identical text implies identical gate fate:
+    * a group's minimum survivor equals its minimum member whenever the group
+    * survives at all. Resample thresholds are corpus statistics of the
+    * decontaminated population — that branch is the one genuine second pass,
+    * cut short here by a localCheckpoint of the labelled frame (at 100 TB:
+    * persist the labelled corpus, exactly the same shape).
+    *
+    * Output: (stage, n_docs, n_tokens) per stage plus a `5_packed` row with
+    * the bin count and the packed token total — all exact integers.
+    */
+  val q100CurationFunnel: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), col("lang"), col("text"),
+        Text.tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+    // stage 1: q83's repetition gate (bigram conditions)
+    val cnts = transform(array_distinct(col("g2")),
+      x => size(filter(col("g2"), y => y === x)))
+    val rep = toks
+      .withColumn("g2", Text.shingles(col("t"), 2))
+      .withColumn("n2", greatest(size(col("g2")), lit(1)))
+      .withColumn("top2", array_max(cnts))
+      .withColumn("s2c", size(filter(cnts, c => c === 1)))
+      .withColumn("p1",
+        !(floor(col("top2") * 2 * 1000000.0 / col("n_tok")) >= TopNgramRejectE6 ||
+          floor((col("n2") - col("s2c")) * 1000000.0 / col("n2")) >= DupNgramRejectE6))
+    // stage 2: exact dedup (md5 window; group fate is uniform under the gate)
+    val deduped = rep.withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("p2", col("p1") && col("doc_id") === col("keep_id"))
+    // stage 3: benchmark decontamination (broadcast gram probe, q85 shape)
+    val bench = toks.filter(col("doc_id") % BenchMod === 0)
+      .select(explode(Text.shingleSet(col("text"), 3)).as("gram")).distinct()
+    val contaminated = toks
+      .select(col("doc_id"), explode(Text.shingleSet(col("text"), 3)).as("gram"))
+      .join(broadcast(bench), "gram").select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val labeled = deduped.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("p3", col("p2") && col("doc_id") % BenchMod =!= 0 &&
+        coalesce(col("contam"), lit(false)) === false)
+      .select("doc_id", "lang", "n_tok", "p1", "p2", "p3")
+      .localCheckpoint()
+    // stage 4: temperature resample over the decontaminated population (q86)
+    val counts = labeled.filter(col("p3")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("w_l", floor(sqrt(col("n_l")) * 1000000.0))
+    val tot = counts.agg(sum(col("w_l")).as("w_tot"), sum(col("n_l")).as("n_tot"))
+    val thr = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(least(
+          floor(col("n_tot") / 2) * col("w_l") / col("w_tot") / col("n_l"),
+          lit(1.0)) * lit(1152921504606846976.0)).as("thr"))
+    val sampled = labeled.join(broadcast(thr), Seq("lang"), "left")
+      .withColumn("p4", col("p3") &&
+        Text.portableHash(col("doc_id").cast("string")) < coalesce(col("thr"), lit(0L)))
+      .localCheckpoint()
+    // funnel: one conditional aggregate, unpivoted
+    val funnel = sampled.agg(
+        count(lit(1)).as("n0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        coalesce(sum(when(col("p1"), col("n_tok"))), lit(0L)).as("t1"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
+        coalesce(sum(when(col("p2"), col("n_tok"))), lit(0L)).as("t2"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("n3"),
+        coalesce(sum(when(col("p3"), col("n_tok"))), lit(0L)).as("t3"),
+        sum(when(col("p4"), 1L).otherwise(0L)).as("n4"),
+        coalesce(sum(when(col("p4"), col("n_tok"))), lit(0L)).as("t4"))
+      .selectExpr("stack(5, '0_raw', n0, t0, '1_rep_gate', n1, t1, " +
+        "'2_exact_dedup', n2, t2, '3_decontam', n3, t3, '4_resample', n4, t4) " +
+        "AS (stage, n_docs, n_tokens)")
+    // stage 5: q87 packing of the survivors
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = sampled.filter(col("p4"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tok) DIV $PackCapacity"))
+      .groupBy(col("lang"), col("bin_id")).agg(count(lit(1)).as("nd"))
+    val packed = bins.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sampled.filter(col("p4"))
+        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens")))
+      .select(lit("5_packed").as("stage"), col("n_docs"), col("n_tokens"))
+    funnel.union(packed)
+  }
+
+  val q100Sql: String =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, lang, text, STRING_SPLIT(text, ' ') AS t,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |rep AS (
+       |  SELECT doc_id, lang, text, t, n_tok,
+       |    GREATEST(LEN(g2), 1) AS n2,
+       |    LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g2), x -> LEN(LIST_FILTER(g2, y -> y = x)))) AS top2,
+       |    LEN(LIST_FILTER(LIST_TRANSFORM(LIST_DISTINCT(g2), x -> LEN(LIST_FILTER(g2, y -> y = x))), c -> c = 1)) AS s2c
+       |  FROM (SELECT *, LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g2 FROM d2)),
+       |lab1 AS (
+       |  SELECT *, NOT (FLOOR(top2 * 2 * 1000000.0 / n_tok) >= $TopNgramRejectE6
+       |              OR FLOOR((n2 - s2c) * 1000000.0 / n2) >= $DupNgramRejectE6) AS p1
+       |  FROM rep),
+       |lab2 AS (
+       |  SELECT *, p1 AND doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS p2
+       |  FROM lab1),
+       |bench AS (
+       |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM d2, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+       |  WHERE doc_id % $BenchMod = 0),
+       |cont AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT d2.doc_id, d2.t[i] || ' ' || d2.t[i+1] || ' ' || d2.t[i+2] AS gram
+       |    FROM d2, UNNEST(GENERATE_SERIES(1, LEN(d2.t) - 2)) AS u(i))
+       |  WHERE gram IN (SELECT gram FROM bench)),
+       |lab3 AS (
+       |  SELECT *, p2 AND doc_id % $BenchMod <> 0
+       |         AND doc_id NOT IN (SELECT doc_id FROM cont) AS p3
+       |  FROM lab2),
+       |counts AS (
+       |  SELECT lang, COUNT(*) AS n_l, FLOOR(SQRT(COUNT(*)) * 1000000.0) AS w_l
+       |  FROM lab3 WHERE p3 GROUP BY lang),
+       |tot AS (SELECT SUM(w_l) AS w_tot, SUM(n_l) AS n_tot FROM counts),
+       |thr AS (
+       |  SELECT lang,
+       |    FLOOR(LEAST(FLOOR(n_tot / 2) * w_l / w_tot / n_l, 1.0)
+       |          * 1152921504606846976.0) AS thr
+       |  FROM counts, tot),
+       |lab4 AS (
+       |  SELECT lab3.*, p3 AND
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      < COALESCE(thr.thr, 0) AS p4
+       |  FROM lab3 LEFT JOIN thr ON lab3.lang = thr.lang),
+       |bins AS (
+       |  SELECT lang, (cum - n_tok) // $PackCapacity AS bin_id
+       |  FROM (SELECT lang, n_tok,
+       |          SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |                           ROWS UNBOUNDED PRECEDING) AS cum
+       |        FROM lab4 WHERE p4)
+       |  GROUP BY 1, 2)
+       |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+       |  COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens FROM lab4
+       |UNION ALL SELECT '1_rep_gate', COUNT(*) FILTER (WHERE p1),
+       |  COALESCE(CAST(SUM(n_tok) FILTER (WHERE p1) AS BIGINT), 0) FROM lab4
+       |UNION ALL SELECT '2_exact_dedup', COUNT(*) FILTER (WHERE p2),
+       |  COALESCE(CAST(SUM(n_tok) FILTER (WHERE p2) AS BIGINT), 0) FROM lab4
+       |UNION ALL SELECT '3_decontam', COUNT(*) FILTER (WHERE p3),
+       |  COALESCE(CAST(SUM(n_tok) FILTER (WHERE p3) AS BIGINT), 0) FROM lab4
+       |UNION ALL SELECT '4_resample', COUNT(*) FILTER (WHERE p4),
+       |  COALESCE(CAST(SUM(n_tok) FILTER (WHERE p4) AS BIGINT), 0) FROM lab4
+       |UNION ALL SELECT '5_packed', COUNT(*),
+       |  (SELECT COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM lab4 WHERE p4)
+       |  FROM bins""".stripMargin
+
   // ----------------------------------------------------------- registration
 
   val queries: Map[String, Q] = Map(
@@ -512,7 +675,8 @@ object CurationQueries {
     "q94_pii_redact" -> q94PiiRedact,
     "q96_bigram_surprisal" -> q96BigramSurprisal,
     "q98_weighted_sample" -> q98WeightedSample,
-    "q99_hash_classifier" -> q99HashClassifier)
+    "q99_hash_classifier" -> q99HashClassifier,
+    "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
     "q83_repetition_metrics" -> q83Sql,
@@ -523,5 +687,6 @@ object CurationQueries {
     "q94_pii_redact" -> q94Sql,
     "q96_bigram_surprisal" -> q96Sql,
     "q98_weighted_sample" -> q98Sql,
-    "q99_hash_classifier" -> q99Sql)
+    "q99_hash_classifier" -> q99Sql,
+    "q100_curation_funnel" -> q100Sql)
 }

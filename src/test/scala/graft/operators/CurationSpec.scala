@@ -146,4 +146,26 @@ class CurationSpec extends SparkSpec {
     val ceil = 64 - java.lang.Long.numberOfLeadingZeros(totBg)
     assert(out.filter(col("mean_bits_e6") > ceil * 1000000L).count() === 0)
   }
+
+  test("q100 funnel is monotone and consistent with its stage operators") {
+    val rows = CurationQueries.q100CurationFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val d = graft.Tables.documents(spark, sfDir)
+    assert(rows("0_raw")._1 === d.count())
+    // docs and tokens shrink (weakly) at every gate
+    val order = Seq("0_raw", "1_rep_gate", "2_exact_dedup", "3_decontam", "4_resample")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._1 >= rows(b)._1, s"$a -> $b docs must not grow")
+      assert(rows(a)._2 >= rows(b)._2, s"$a -> $b tokens must not grow")
+    }
+    // packing conserves the resampled tokens; bins ≥ ceil(tokens / capacity)
+    assert(rows("5_packed")._2 === rows("4_resample")._2)
+    val minBins = (rows("4_resample")._2 + CurationQueries.PackCapacity - 1) /
+      CurationQueries.PackCapacity
+    assert(rows("5_packed")._1 >= minBins)
+    // the rep gate matches q83's band column
+    val q83Keep = CurationQueries.q83RepetitionMetrics(spark, sfDir)
+      .filter(col("rep_band") === "keep").count()
+    assert(rows("1_rep_gate")._1 === q83Keep)
+  }
 }
