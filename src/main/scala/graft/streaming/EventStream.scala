@@ -93,6 +93,78 @@ object EventStream {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class OpenSession(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, session_value: Double)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      last_event: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState + EVENT-TIME timeout —
+    * the full custom-state pattern next to [[sessionAggregates]]'s built-in
+    * session_window: sessions are held open in keyed state, extended while
+    * events arrive within `gapMinutes` of the session's last event, and
+    * emitted ONLY when closed — either by a later event starting the next
+    * session or by the watermark passing the session's gap horizon (the
+    * timeout). Emitting closed sessions only is what the built-in operator
+    * cannot express when the output needs exactly one record per session
+    * (e.g. feeding a session table with no upserts).
+    *
+    * State per key is one open session — bounded by the user population, not
+    * the stream length; the event-time timeout guarantees idle users' state
+    * is evicted as the watermark advances, never by wall clock (restart-safe,
+    * no empty-batch storms). A timeout can only be set beyond the current
+    * watermark, so sessions already past their horizon when a batch commits
+    * close on the next trigger.
+    */
+  def userSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, s.start, s.end, s.n_events, s.session_value))
+          } else {
+            // group iterators carry no order contract — sort the micro-batch
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  Some(s.copy(
+                    end = if (e.ts.after(s.end)) e.ts else s.end,
+                    n_events = s.n_events + 1,
+                    session_value = s.session_value + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, s.start, s.end, s.n_events,
+                    s.session_value)
+                  Some(OpenSession(uid, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  Some(OpenSession(uid, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit beyond the current watermark; a session
+              // whose horizon already passed fires on the next trigger
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  s.end.getTime + gapMs))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: the streaming fact joined to a (small) static
     * dimension — the streaming twin of the star-schema broadcast join. The
     * static side is re-resolved per micro-batch by Spark, so a slowly-

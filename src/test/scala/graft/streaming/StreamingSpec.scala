@@ -177,4 +177,44 @@ class StreamingSpec extends SparkSpec {
     assert(mismatch.count() === 0,
       "final state must equal batch per-user counts")
   }
+
+  test("closed sessions from event-time-timeout state equal batch session windows") {
+    val dir = Files.createTempDirectory("graft_fmg_sess").toString
+    val real = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.mode("overwrite").parquet(dir)
+    val maxTs = real.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def flush(hoursAfter: Int): Unit = {
+      import spark.implicits._
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + hoursAfter * 3600000L),
+        -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = EventStream.userSessions(spark, EventStream.read(spark, dir)).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fmg_sessions").start()
+    try {
+      q.processAllAvailable()  // batch 1: every real event, sessions open
+      flush(10); q.processAllAvailable()  // watermark passes every horizon
+      flush(20); q.processAllAvailable()  // next trigger fires the timeouts
+    } finally q.stop()
+    val streamed = spark.table("fmg_sessions").filter(col("user_id") >= 0)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("v"))
+    // every batch session appears exactly once, closed, with the same count;
+    // values agree to FP-reassociation tolerance
+    assert(streamed.count() === batch.count(),
+      s"closed=${streamed.count()} batch=${batch.count()}")
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.user_id") === col("b.user_id") &&
+        col("s.session_start") === col("b.session_start"))
+    assert(joined.count() === batch.count(), "every session must match on start")
+    assert(joined.filter(col("s.n_events") =!= col("b.n")).count() === 0)
+    assert(joined.filter(
+      abs(col("s.session_value") - col("b.v")) > 1e-6).count() === 0)
+  }
 }
