@@ -311,20 +311,25 @@ object CurationQueries {
     * 100 TB shape: map-only — four regexp passes inside one codegen stage,
     * no shuffle at all until the (optional) downstream aggregation.
     */
+  /** The synthesized contact line q94 redacts — shared with its spec so the
+    * no-digits-remain assertion always checks the exact string the query
+    * masks; q94Sql's rawExpr must mirror this construction.
+    */
+  val contactLine: org.apache.spark.sql.Column = concat(
+    col("c_name"), lit(" <"),
+    lower(regexp_replace(col("c_name"), "#", ".")),
+    lit("@ex"), col("c_nationkey").cast("string"), lit(".com> ip 10."),
+    col("c_nationkey").cast("string"), lit(".0."),
+    pmod(col("c_custkey"), lit(256)).cast("string"),
+    lit(" call 555-"),
+    lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+    lit("-"),
+    lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+    lit(" ref "), col("c_custkey").cast("string"))
+
   val q94PiiRedact: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
-    val raw = concat(
-      col("c_name"), lit(" <"),
-      lower(regexp_replace(col("c_name"), "#", ".")),
-      lit("@ex"), col("c_nationkey").cast("string"), lit(".com> ip 10."),
-      col("c_nationkey").cast("string"), lit(".0."),
-      pmod(col("c_custkey"), lit(256)).cast("string"),
-      lit(" call 555-"),
-      lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
-      lit("-"),
-      lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
-      lit(" ref "), col("c_custkey").cast("string"))
-    val base = c.select(col("c_custkey"), raw.as("t"))
+    val base = c.select(col("c_custkey"), contactLine.as("t"))
     val cnts = Pii.counts(col("t"))
     base.select(
       col("c_custkey") +:

@@ -110,13 +110,6 @@ final case class ExternalTable(
     spark.read.parquet(stagingDir)
   }
 
-  /** `load` into a generated staging directory: deleted immediately when the
-    * reject threshold fails the load (repeated loads, e.g.
-    * LoadScriptGenerator.loadAll, must not leak failed stages) and removed
-    * on JVM exit otherwise — the returned frame lazily re-reads the staging
-    * parquet, so it must outlive the call. `load` itself never deletes: a
-    * caller-provided staging dir is caller-owned.
-    */
   /** Columnar external scan (PARQUET / ORC): already splittable and
     * self-describing, so there is no staging copy and no reject pass — the
     * declared schema is enforced on read exactly as the external table DDL
@@ -132,6 +125,14 @@ final case class ExternalTable(
     spark.read.schema(schema).format(src).load(location)
   }
 
+  /** Delimited text: `load` into a generated staging directory — deleted
+    * immediately when the reject threshold fails the load (repeated loads,
+    * e.g. LoadScriptGenerator.loadAll, must not leak failed stages) and
+    * removed on JVM exit otherwise; the returned frame lazily re-reads the
+    * staging parquet, so it must outlive the call. `load` itself never
+    * deletes: a caller-provided staging dir is caller-owned. Columnar
+    * formats scan the location directly with no staging at all.
+    */
   def read(spark: SparkSession): DataFrame = {
     if (format.formatType != FormatType.DelimitedText)
       return columnarScan(spark)
@@ -171,8 +172,14 @@ object ExternalTable {
         format.dateFormat.foreach(f => writer.option("timestampFormat", f): Unit)
         format.compression.foreach(c => writer.option("compression", c): Unit)
         writer.mode("overwrite").csv(location)
+        // the verification read-back must use the same parse options as the
+        // write — with a header, an option-less read would count one extra
+        // (all-null) row per part file
         df.sparkSession.read.schema(df.schema)
-          .option("sep", format.fieldTerminator).csv(location).count()
+          .option("sep", format.fieldTerminator)
+          .option("quote", format.stringDelimiter)
+          .option("header", format.firstRowHeader)
+          .csv(location).count()
       case FormatType.Parquet | FormatType.Orc =>
         val src = if (format.formatType == FormatType.Parquet) "parquet" else "orc"
         val writer = out.write

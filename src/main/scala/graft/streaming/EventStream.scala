@@ -95,73 +95,73 @@ object EventStream {
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
-  final case class OpenSession(user_id: Long, start: java.sql.Timestamp,
+  final case class OpenSession(start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Long, session_value: Double)
+  final case class SessionState(sessions: Seq[OpenSession])
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       last_event: java.sql.Timestamp, n_events: Long, session_value: Double)
 
   /** Custom sessionization via flatMapGroupsWithState + EVENT-TIME timeout —
     * the full custom-state pattern next to [[sessionAggregates]]'s built-in
-    * session_window: sessions are held open in keyed state, extended while
-    * events arrive within `gapMinutes` of the session's last event, and
-    * emitted ONLY when closed — either by a later event starting the next
-    * session or by the watermark passing the session's gap horizon (the
-    * timeout). Emitting closed sessions only is what the built-in operator
-    * cannot express when the output needs exactly one record per session
-    * (e.g. feeding a session table with no upserts).
+    * session_window: sessions are held open in keyed state and emitted ONLY
+    * when the watermark passes their gap horizon (the event-time timeout).
+    * Emitting exactly one record per closed session is what the built-in
+    * operator cannot express in this form (e.g. feeding a session table
+    * with no upserts).
     *
-    * State per key is one open session — bounded by the user population, not
-    * the stream length; the event-time timeout guarantees idle users' state
-    * is evicted as the watermark advances, never by wall clock (restart-safe,
-    * no empty-batch storms). A timeout can only be set beyond the current
-    * watermark, so sessions already past their horizon when a batch commits
-    * close on the next trigger.
+    * A session is never closed eagerly by a later event: any event still
+    * above the watermark may legally arrive out of order, start an earlier
+    * session, extend an open one backwards, or BRIDGE two open sessions into
+    * one — so state holds the LIST of open sessions per key (interval-merge
+    * under the gap), and only the watermark retires them. Gap semantics
+    * match session_window exactly: an event at precisely end + gap starts a
+    * new session (strict inequality).
+    *
+    * State per key is the handful of concurrently-open sessions inside the
+    * watermark horizon — bounded by horizon/gap, not the stream length; the
+    * event-time timeout evicts idle users' state as the watermark advances,
+    * never by wall clock (restart-safe, no empty-batch storms).
     */
   def userSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[ClosedSession] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    // insert an event as a unit session, then coalesce: two sessions merge
+    // when one starts strictly inside the other's gap extension
+    def insert(sessions: Seq[OpenSession], e: SessionEvent): Seq[OpenSession] = {
+      val all = (OpenSession(e.ts, e.ts, 1L, e.value) +: sessions)
+        .sortBy(_.start.getTime)
+      all.tail.foldLeft(List(all.head)) { (acc, s) =>
+        val cur = acc.head
+        if (s.start.getTime < cur.end.getTime + gapMs)
+          OpenSession(cur.start,
+            if (s.end.after(cur.end)) s.end else cur.end,
+            cur.n_events + s.n_events,
+            cur.session_value + s.session_value) :: acc.tail
+        else s :: acc
+      }.reverse
+    }
     events.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, rows, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              ClosedSession(uid, s.start, s.end, s.n_events, s.session_value))
-          } else {
-            // group iterators carry no order contract — sort the micro-batch
-            val evs = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            evs.foreach { e =>
-              cur = cur match {
-                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
-                  Some(s.copy(
-                    end = if (e.ts.after(s.end)) e.ts else s.end,
-                    n_events = s.n_events + 1,
-                    session_value = s.session_value + e.value))
-                case Some(s) =>
-                  closed ::= ClosedSession(uid, s.start, s.end, s.n_events,
-                    s.session_value)
-                  Some(OpenSession(uid, e.ts, e.ts, 1L, e.value))
-                case None =>
-                  Some(OpenSession(uid, e.ts, e.ts, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // the timeout must sit beyond the current watermark; a session
-              // whose horizon already passed fires on the next trigger
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1,
-                  s.end.getTime + gapMs))
-            }
-            closed.reverse.iterator
-          }
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged = rows.foldLeft(prior)(insert)
+          // retire every session whose horizon the watermark has passed —
+          // no admissible event can reach it anymore
+          val (done, open) = merged.partition(_.end.getTime + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessionState(open))
+            // the timeout must sit strictly beyond the current watermark; a
+            // horizon already passed fires on the next trigger
+            state.setTimeoutTimestamp(
+              math.max(wm + 1, open.map(_.end.getTime + gapMs).min))
+          } else state.remove()
+          done.sortBy(_.start.getTime).iterator.map(s =>
+            ClosedSession(uid, s.start, s.end, s.n_events, s.session_value))
       }
   }
 

@@ -115,20 +115,11 @@ class CurationSpec extends SparkSpec {
     // bare numbers = the name's id digits + the trailing ref
     assert(out.filter(col("n_email") =!= 1 || col("n_ip") =!= 1 ||
       col("n_phone") =!= 1 || col("n_num") =!= 2).count() === 0)
-    // full redaction leaves no digit anywhere (placeholders are digit-free)
+    // full redaction leaves no digit anywhere (placeholders are digit-free);
+    // the shared contactLine is exactly the string the query masks
     val c = graft.Tables.customer(spark, sfDir)
-    val raw = concat(
-      col("c_name"), lit(" <"),
-      lower(regexp_replace(col("c_name"), "#", ".")),
-      lit("@ex"), col("c_nationkey").cast("string"), lit(".com> ip 10."),
-      col("c_nationkey").cast("string"), lit(".0."),
-      pmod(col("c_custkey"), lit(256)).cast("string"),
-      lit(" call 555-"),
-      lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
-      lit("-"),
-      lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
-      lit(" ref "), col("c_custkey").cast("string"))
-    val redacted = c.select(graft.functions.Pii.redact(raw).as("r"))
+    val redacted = c.select(
+      graft.functions.Pii.redact(CurationQueries.contactLine).as("r"))
     assert(redacted.filter(col("r").rlike("[0-9]")).count() === 0)
   }
 

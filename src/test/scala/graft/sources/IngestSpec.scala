@@ -149,6 +149,17 @@ class IngestSpec extends SparkSpec {
     assert(src.exceptAll(back).count() === 0)
   }
 
+  test("CETAS export with a header row reports the true data row count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cetas_hdr").toString
+    val src = graft.Tables.region(spark, sfDir)
+    val fmt = ExternalFileFormat(firstRowHeader = true)
+    // the verification read-back must skip the per-part header lines
+    val written = ExternalTable.export(src, s"$dir/out", fmt, writers = 2)
+    assert(written === src.count())
+    val back = ExternalTable(s"$dir/out", src.schema, fmt).read(spark)
+    assert(back.count() === src.count())
+  }
+
   test("PARQUET and ORC external formats round-trip without a staging pass") {
     val dir = java.nio.file.Files.createTempDirectory("graft_colfmt").toString
     val src = graft.Tables.nation(spark, sfDir)

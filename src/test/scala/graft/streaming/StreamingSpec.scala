@@ -217,4 +217,39 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(
       abs(col("s.session_value") - col("b.v")) > 1e-6).count() === 0)
   }
+
+  test("late events merge, bridge, or start earlier sessions; exact gap splits") {
+    import spark.implicits._
+    def ev(id: Long, t: String, uid: Long): (Long, java.sql.Timestamp, Long, String, Double, String) =
+      (id, java.sql.Timestamp.valueOf(t), uid, "click", 1.0, "{}")
+    val dir = Files.createTempDirectory("graft_ooo_sess").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStream.userSessions(spark, EventStream.read(spark, dir),
+        gapMinutes = 90).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ooo_sessions").start()
+    try {
+      // batch 1: user 1 at 10:00 and 12:00 (two open sessions);
+      //          user 2 at 12:00
+      write(Seq(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 12:00:00", 1),
+        ev(3, "2024-01-01 12:00:00", 2)))
+      q.processAllAvailable()
+      // batch 2, above the 10:00 watermark: 11:00 BRIDGES user 1's two open
+      // sessions into one; 10:30 is exactly gap before user 2's 12:00 —
+      // strict semantics keep them separate sessions
+      write(Seq(ev(4, "2024-01-01 11:00:00", 1), ev(5, "2024-01-01 10:30:00", 2)))
+      q.processAllAvailable()
+      write(Seq(ev(6, "2024-01-02 12:00:00", 99))); q.processAllAvailable()
+      write(Seq(ev(7, "2024-01-03 12:00:00", 99))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ooo_sessions").filter(col("user_id") < 99)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00.0", 3L),   // bridged into one session
+      (2L, "2024-01-01 10:30:00.0", 1L),   // late event, its own session
+      (2L, "2024-01-01 12:00:00.0", 1L)))  // exact-gap pair stays split
+  }
 }
