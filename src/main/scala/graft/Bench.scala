@@ -42,7 +42,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val label = if (reps == 1) name else s"$name#$rep"
-        label -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop any blocks the query pinned (localCheckpoint registers as a
+        // persistent RDD) so later queries never pay for earlier ones' state
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        label -> elapsed
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
