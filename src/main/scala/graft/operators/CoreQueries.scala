@@ -303,6 +303,69 @@ object CoreQueries {
         (lit(HllEstC) / col("t").cast("double")).as("est_orders"))
   }
 
+  /** Sketch MERGE rollup — the property that makes sketches the 100 TB
+    * answer to distinct counting: per-group HLL registers (q09's portable
+    * construction) merge by elementwise MAX into a grand-total sketch
+    * without touching the raw data again. Output = each group's estimate
+    * plus an `ALL` row whose estimate comes from the MERGED registers —
+    * associativity of max means the merged sketch is bit-identical to one
+    * built directly over the union, which QueriesSpec asserts and the
+    * oracle reproduces. At scale this is how per-partition / per-day
+    * sketches roll up to corpus NDV with a shuffle of m rows per group.
+    */
+  val q101HllRollup: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val h = graft.functions.Text.portableHash(col("l_orderkey").cast("string"))
+    val bucket = shiftrightunsigned(h, HllW)
+    val w = h.bitwiseAND(lit((1L << HllW) - 1))
+    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
+      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
+    }
+    val regs = l.select(col("l_returnflag"), bucket.as("b"), rank.as("r"))
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(max(col("r")).as("mr"))
+      .localCheckpoint() // the group sketches feed both branches once
+    def estimate(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        scope: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      grouped
+        .agg((sum(expr(s"shiftleft(cast(1 as bigint), ${HllW + 1} - mr)")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(1L << (HllW + 1))).as("t"))
+        .select(scope.as("scope"),
+          (lit(HllEstC) / col("t").cast("double")).as("est_orders"))
+    val perFlag = estimate(regs.groupBy(col("l_returnflag")), col("l_returnflag"))
+    // MERGE: elementwise max over the per-group registers, then estimate
+    val merged = estimate(
+      regs.groupBy(col("b")).agg(max(col("mr")).as("mr")).groupBy(),
+      lit("ALL"))
+    perFlag.union(merged)
+  }
+
+  val q101Sql: String = {
+    val ladder = (1 to HllW).map(r =>
+      s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM lineitem),
+       |ranked AS (
+       |  SELECT l_returnflag, hv >> $HllW AS b, w,
+       |    CASE $ladder
+       |      ELSE ${HllW + 1} END AS r
+       |  FROM (SELECT l_returnflag, hv, hv & ${(1L << HllW) - 1} AS w FROM h)),
+       |regs AS (
+       |  SELECT l_returnflag, b, MAX(r) AS mr FROM ranked GROUP BY 1, 2),
+       |merged AS (SELECT b, MAX(mr) AS mr FROM regs GROUP BY b)
+       |SELECT l_returnflag AS scope,
+       |  $HllEstC / CAST(SUM(CAST(1 AS BIGINT) << (${HllW + 1} - mr)) +
+       |    ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << ${HllW + 1}) AS DOUBLE) AS est_orders
+       |FROM regs GROUP BY l_returnflag
+       |UNION ALL
+       |SELECT 'ALL',
+       |  $HllEstC / CAST(SUM(CAST(1 AS BIGINT) << (${HllW + 1} - mr)) +
+       |    ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << ${HllW + 1}) AS DOUBLE)
+       |FROM merged""".stripMargin
+  }
+
   val q09Sql: String = {
     val ladder = (1 to HllW).map(r =>
       s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
@@ -1048,6 +1111,7 @@ object CoreQueries {
     "q07_view_composition" -> q07ViewComposition,
     "q08_approx_distinct" -> q08ApproxDistinct,
     "q09_portable_hll" -> q09PortableHll,
+    "q101_hll_rollup" -> q101HllRollup,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
     "q12_right_join" -> q12RightJoin,
@@ -1092,6 +1156,7 @@ object CoreQueries {
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,
     "q09_portable_hll" -> q09Sql,
+    "q101_hll_rollup" -> q101Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,
     "q04_having" -> q04Sql,

@@ -99,6 +99,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q101 sketch rollup: per-group rows equal q09; merged ALL tracks exact NDV") {
+    val rollup = SparkEntry.queries("q101_hll_rollup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q09 = SparkEntry.queries("q09_portable_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // identical construction ⇒ bit-identical per-group estimates
+    q09.foreach { case (flag, e) => assert(rollup(flag) === e, flag) }
+    // the merged sketch estimates the union's NDV within sketch error
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct().count()
+    val err = math.abs(rollup("ALL") - exact) / exact
+    assert(err < 0.15, s"ALL est=${rollup("ALL")} exact=$exact err=$err")
+    // merging can only raise registers: ALL ≤ sum of group estimates and
+    // ≥ the largest group estimate
+    assert(rollup("ALL") >= q09.values.max * 0.99)
+    assert(rollup("ALL") <= q09.values.sum * 1.01)
+  }
+
   test("cost-based Jaccard planner switches on skewed shingle postings") {
     import spark.implicits._
     // uniform postings: every shingle shared by exactly 2 docs → fanout 2
