@@ -149,6 +149,29 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("q100: funnel counts five stages in one aggregate over labelled rows") {
+    // the labelling pipeline ends in a localCheckpoint (lineage cut), so this
+    // plan shows exactly the funnel arithmetic: ONE partial+final aggregate
+    // feeding a stack unpivot — five stages never replay the pipeline. The
+    // contamination probe's broadcast is asserted on q85, which shares it.
+    val p = plan("q100_curation_funnel")
+    assert("Generate stack".r.findAllIn(p).size === 1, s"stack unpivot expected:\n$p")
+    assert(p.contains("partial_count"), "funnel aggregate must map-side combine")
+    assert(!p.contains("CartesianProduct"), p)
+    // aggregate census: funnel partial+final (2) + bin grouping (2) +
+    // bin count (2) + packed-token total (2) — five stages sharing one
+    // aggregate means nothing beyond these 8 appears
+    assert("HashAggregate".r.findAllIn(p).size <= 8,
+      s"stage counting must not multiply aggregates:\n$p")
+  }
+
+  test("q101: register max and merge both aggregate map-side") {
+    val p = plan("q101_hll_rollup")
+    assert(p.contains("partial_max"), "register max must map-side combine")
+    assert(p.contains("partial_sum"), "estimator sum must map-side combine")
+    assert(!p.contains("Generate"), "no explode — sketches are pure aggregation")
+  }
+
   test("q91 production twin aggregates bottom-k partials map-side") {
     val p = EventQueries.q91SketchQuantilesProd(spark, sfDir)
       .queryExecution.executedPlan.toString
