@@ -8,16 +8,21 @@ import graft.functions.{Pii, Text}
 
 /** Training-data curation operators: the corpus-hygiene passes a large-scale
   * LLM data pipeline runs between raw ingest and tokenization — repetition
-  * quality gates (Gopher-style), cross-document segment deduplication
-  * (C4-style), benchmark decontamination, temperature-weighted language
-  * resampling, and sequence packing. Every query is exact integer/IEEE
-  * arithmetic end-to-end so the DuckDB oracle verifies it bit-for-bit.
+  * quality gates (Gopher-style, q83), cross-document segment deduplication
+  * (C4-style, q84), benchmark decontamination (q85), temperature-weighted
+  * language resampling (q86), sequence packing (q87), PII redaction (q94),
+  * LM-surprisal fluency scoring (q96), weighted sampling (q98), hashed
+  * linear-classifier scoring (q99), and the end-to-end funnel composing the
+  * stages in one call (q100). Every query is exact integer/IEEE arithmetic
+  * end-to-end so the DuckDB oracle verifies it bit-for-bit.
   *
-  * Scale posture (100 TB): q83 is shuffle-free per-row compute; q84 shuffles
-  * the segment stream once on uniform segment keys; q85 broadcasts the
-  * (small by construction) benchmark gram set; q86 replaces per-stratum
+  * Scale posture (100 TB): q83/q94/q99 are shuffle-free per-row compute; q84
+  * shuffles the segment stream once on uniform segment keys; q85 broadcasts
+  * the (small by construction) benchmark gram set; q86 replaces per-stratum
   * sort/rank with a hash threshold — a scan plus a 5-row broadcast join; q87
-  * packs within (lang) partitions so no global sort exists.
+  * packs within (lang) partitions so no global sort exists; q96 shuffles the
+  * bigram stream once per count key; q98 is per-partition top-k; q100 labels
+  * each document once and counts all five stages in one aggregate.
   */
 object CurationQueries {
 
