@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Text
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline over the `documents` table: deduplication
@@ -409,6 +410,64 @@ object TextQueries {
   val q95CcStarContract: Q = (s, dir) =>
     NearDup.clustersStar(q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
       .withColumnRenamed("id", "doc_id")
+
+  /** Incremental dedup — the INGESTION-time shape of near-dup detection: an
+    * incoming batch (doc_id ≡ 0 mod 4 plays the new crawl) is checked
+    * against the already-ingested corpus, and every incoming document is
+    * classified `novel` or `duplicate` with its best seen match. Candidates
+    * are the q55 MinHash pairs that CROSS the seen/incoming boundary —
+    * within-batch and within-corpus pairs never materialize, which is the
+    * whole point at 100 TB: nightly ingest probes the corpus signature
+    * index instead of re-deduplicating the world. Best match = highest
+    * estimated Jaccard, ties to the smallest seen id (total order, so the
+    * gate hashes it).
+    */
+  val q102IncrementalDedup: Q = (s, dir) => {
+    val pairs = q55MinhashLsh(s, dir)
+      .filter((col("doc_a") % 4 === 0) =!= (col("doc_b") % 4 === 0))
+    val crossed = pairs.select(
+      when(col("doc_a") % 4 === 0, col("doc_a")).otherwise(col("doc_b")).as("inc_id"),
+      when(col("doc_a") % 4 === 0, col("doc_b")).otherwise(col("doc_a")).as("seen"),
+      col("est_jaccard"))
+    val w = Window.partitionBy(col("inc_id"))
+    val best = crossed
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("est_jaccard").desc, col("seen"))))
+      .filter(col("rk") === 1)
+      .select(col("inc_id"), col("n_matches"),
+        col("seen").as("best_match"), col("est_jaccard").as("best_sim"))
+    Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("inc_id"))
+      .join(best, Seq("inc_id"), "left")
+      .select(col("inc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_sim"),
+        when(col("best_match").isNull, "novel").otherwise("duplicate").as("status"))
+  }
+
+  lazy val q102Sql: String =
+    s"""WITH pairs AS (
+       |$q55Sql
+       |),
+       |crossed AS (
+       |  SELECT CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS inc_id,
+       |         CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS seen,
+       |         est_jaccard
+       |  FROM pairs WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0)),
+       |best AS (
+       |  SELECT inc_id, n_matches, seen AS best_match, est_jaccard AS best_sim
+       |  FROM (SELECT inc_id, seen, est_jaccard,
+       |          COUNT(*) OVER (PARTITION BY inc_id) AS n_matches,
+       |          ROW_NUMBER() OVER (PARTITION BY inc_id
+       |            ORDER BY est_jaccard DESC, seen) AS rk
+       |        FROM crossed)
+       |  WHERE rk = 1)
+       |SELECT d.doc_id AS inc_id,
+       |  COALESCE(b.n_matches, 0) AS n_matches, b.best_match, b.best_sim,
+       |  CASE WHEN b.best_match IS NULL THEN 'novel' ELSE 'duplicate' END AS status
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+       |LEFT JOIN best b ON d.doc_id = b.inc_id""".stripMargin
 
   // lazy: composes q55Sql, which is declared further down the object
   lazy val q68Sql: String =
@@ -859,6 +918,7 @@ object TextQueries {
     "q67_hash_split" -> q67HashSplit,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q95_cc_starcontract" -> q95CcStarContract,
+    "q102_incremental_dedup" -> q102IncrementalDedup,
     "q69_stratified_sample" -> q69StratifiedSample,
     "q59_bpe_tokens" -> q59BpeTokens,
     "q65_ppjoin_jaccard" -> q65PpjoinJaccard,
@@ -880,6 +940,7 @@ object TextQueries {
     // star contraction and propagation share one output contract, so the
     // recursive-CTE reachability oracle applies to both
     "q95_cc_starcontract" -> q68Sql,
+    "q102_incremental_dedup" -> q102Sql,
     "q69_stratified_sample" -> q69Sql,
     "q59_bpe_tokens" -> q59Sql,
     "q65_ppjoin_jaccard" -> q65Sql,
