@@ -288,6 +288,102 @@ object EventQueries {
       |  vals[CAST(CEIL(n_sample * 0.9) AS INT)] AS p90_c
       |FROM g""".stripMargin
 
+  // -------------------------------------------------- q103: ordered funnel
+
+  /** Ordered-step conversion funnel — the product-analytics sequence query
+    * (MATCH_RECOGNIZE-lite): per user, the first `view`, the first `click`
+    * STRICTLY AFTER that view, and the first `purchase` strictly after that
+    * click; the funnel reports survivors and the total conversion lag in
+    * whole seconds at each step. Order matters: a purchase before the click
+    * does not count — this is exactly what a bare groupBy-by-type cannot
+    * express.
+    *
+    * Plan: each step is a per-user MIN aggregate joined to the previous
+    * step's frame — three keyed shuffles of per-user rows (already
+    * aggregated, so step frames are |users|-sized, not |events|-sized).
+    */
+  val q103EventFunnel: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val step1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val step2 = e.filter(col("event_type") === "click")
+      .join(step1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val step3 = e.filter(col("event_type") === "purchase")
+      .join(step2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("ts")).as("t3"))
+    def row(stage: String, df: org.apache.spark.sql.DataFrame, lag: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(lag), lit(0L)).as("total_lag_sec"))
+        .select(lit(stage).as("stage"), col("n_users"), col("total_lag_sec"))
+    row("1_view", step1, lit(0L))
+      .union(row("2_click", step2,
+        unix_timestamp(col("t2")) - unix_timestamp(col("t1"))))
+      .union(row("3_purchase", step3,
+        unix_timestamp(col("t3")) - unix_timestamp(col("t2"))))
+  }
+
+  val q103Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, t1, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY e.user_id, t1),
+      |s3 AS (
+      |  SELECT e.user_id, t2, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY e.user_id, t2)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+      |  CAST(0 AS BIGINT) AS total_lag_sec FROM s1
+      |UNION ALL
+      |SELECT '2_click', COUNT(*),
+      |  COALESCE(CAST(SUM(CAST(FLOOR(epoch(t2)) AS BIGINT)
+      |    - CAST(FLOOR(epoch(t1)) AS BIGINT)) AS BIGINT), 0) FROM s2
+      |UNION ALL
+      |SELECT '3_purchase', COUNT(*),
+      |  COALESCE(CAST(SUM(CAST(FLOOR(epoch(t3)) AS BIGINT)
+      |    - CAST(FLOOR(epoch(t2)) AS BIGINT)) AS BIGINT), 0) FROM s3""".stripMargin
+
+  // ---------------------------------------------- q104: retention cohorts
+
+  /** Weekly retention cohorts: users grouped by their first-activity week
+    * (integer epoch-week — days DIV 7, no calendar-truncation portability
+    * risk), each later active week counted as (cohort, offset, n_users)
+    * with the retained fraction against the cohort size in e6 — the
+    * engagement-analytics staple. Distinct (user, week) activity first, so
+    * the cohort join moves |users × active-weeks| rows, never raw events.
+    */
+  val q104RetentionCohorts: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val weeks = e.select(col("user_id"),
+        expr("(unix_timestamp(ts) DIV 86400) DIV 7").as("w"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("w")).as("c"))
+    val sizes = cohort.groupBy(col("c")).agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("c").as("cohort_week"), (col("w") - col("c")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes.withColumnRenamed("c", "cohort_week"), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        floor(col("n_users") * 1000000.0 / col("cohort_size")).as("retained_e6"))
+  }
+
+  val q104Sql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 // 7 AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(w) AS c FROM weeks GROUP BY user_id),
+      |sizes AS (SELECT c, COUNT(*) AS cohort_size FROM cohort GROUP BY c)
+      |SELECT c AS cohort_week, w - c AS week_offset, COUNT(*) AS n_users,
+      |  cohort_size,
+      |  CAST(FLOOR(COUNT(*) * 1000000.0 / cohort_size) AS BIGINT) AS retained_e6
+      |FROM weeks JOIN cohort USING (user_id) JOIN sizes USING (c)
+      |GROUP BY c, w - c, cohort_size""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -301,9 +397,13 @@ object EventQueries {
     "q70_tumbling_window" -> q70Tumbling,
     "q71_session_window" -> q71Sessions,
     "q72_json_extract" -> q72Json,
-    "q73_user_profile" -> q73UserProfile)
+    "q73_user_profile" -> q73UserProfile,
+    "q103_event_funnel" -> q103EventFunnel,
+    "q104_retention_cohorts" -> q104RetentionCohorts)
 
   val oracles: Map[String, String] = Map(
+    "q103_event_funnel" -> q103Sql,
+    "q104_retention_cohorts" -> q104Sql,
     "q91_sketch_quantiles" -> q91Sql,
     "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,

@@ -117,6 +117,23 @@ class QueriesSpec extends SparkSpec {
     assert(rollup("ALL") <= q09.values.sum * 1.01)
   }
 
+  test("q103 funnel is ordered-monotone; q104 cohorts are self-complete") {
+    val f = SparkEntry.queries("q103_event_funnel")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // each stage keeps a subset of the previous one; lags are nonnegative
+    assert(f("1_view")._1 >= f("2_click")._1)
+    assert(f("2_click")._1 >= f("3_purchase")._1)
+    assert(f.values.forall(_._2 >= 0))
+    val r = SparkEntry.queries("q104_retention_cohorts")(spark, sfDir).collect()
+    // offset 0 = the cohort's own first week: everyone is active in it
+    r.filter(_.getLong(1) == 0L).foreach { row =>
+      assert(row.getLong(2) === row.getLong(3), s"cohort ${row.getLong(0)}")
+      assert(row.getLong(4) === 1000000L)
+    }
+    // retention never exceeds the cohort
+    assert(r.forall(row => row.getLong(2) <= row.getLong(3)))
+  }
+
   test("cost-based Jaccard planner switches on skewed shingle postings") {
     import spark.implicits._
     // uniform postings: every shingle shared by exactly 2 docs → fanout 2
