@@ -28,33 +28,39 @@ object Bench {
     // numbers document what the md5 oracle portability costs at scale.
     val allBench = SparkEntry.queries ++ operators.TextQueries.productionQueries ++
       operators.EventQueries.productionQueries
-    // Iteration knobs (unset in driver runs): ONLY=substring filter,
-    // REPS=run each query n times (reports each rep, so warm-vs-cold plan
-    // and codegen costs are visible).
+    // Iteration knobs: ONLY=substring filter; SAMPLES=runs per query (the
+    // reported number is the MIN across samples — steady-state behaviour,
+    // not first-sample codegen/JIT noise; the default 2 was chosen after a
+    // single-sample driver run showed 3-8× inflation on the MinHash family
+    // from cold classloading). REPS>1 instead reports every rep separately
+    // (warm-vs-cold inspection; overrides SAMPLES).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val samples =
+      if (reps > 1) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
     val benchSet = only.fold(allBench)(f => allBench.filter(_._1.contains(f)))
-    val results = benchSet.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      (1 to reps).map { rep =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val label = if (reps == 1) name else s"$name#$rep"
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // drop any blocks the query pinned (localCheckpoint registers as a
-        // persistent RDD) so later queries never pay for earlier ones' state
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        label -> elapsed
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop any blocks the query pinned (localCheckpoint registers as a
+      // persistent RDD) so later queries never pay for earlier ones' state
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      elapsed
+    }
+    val results = benchSet.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (reps > 1) (1 to reps).map(rep => s"$name#$rep" -> timeOnce(name, fn))
+      else Seq(name -> (1 to samples).map(_ => timeOnce(name, fn)).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // stdout under sbt is noisy ([info] prefixes, log4j) — the file is the
     // machine-readable channel (BENCH_r01 recorded "parsed": null).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -86,9 +86,9 @@ object NearDup {
     * node's smaller-or-equal neighbourhood under its minimum. Both are ONE
     * window-min plus a projection over the edge stream — no collect_list of
     * neighbourhoods, so a high-degree hub never materializes its adjacency in
-    * a single row. Fixpoint = the canonical edge set stops changing; at that
-    * point the graph is a forest of depth-1 stars centred on component
-    * minima.
+    * a single row. Fixpoint = the edge set is a star forest (depth-1 stars
+    * centred on component minima), detected structurally — one role
+    * aggregation per round, not an edge-set diff.
     */
   def clustersStar(pairs: DataFrame, maxIters: Int = 24): DataFrame = {
     def canon(df: DataFrame): DataFrame =
@@ -118,8 +118,21 @@ object NearDup {
         withM.select(col("m").as("u"), col("u").as("v"))
           .union(withM.select(col("m").as("u"), col("v"))))
         .localCheckpoint()
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+      // Fixpoint test in ONE job: the contraction is complete exactly when
+      // the edge set is a star forest — every leaf v hangs off a single
+      // centre u and no centre is itself a leaf. (⇔ fixpoint: both star
+      // rounds map a depth-1 star to itself, while any multi-parent leaf or
+      // centre-that-is-a-leaf keeps contracting.) One role aggregation
+      // replaces the former count + exceptAll pair of jobs per round, and
+      // fires a round earlier than edge-set-unchanged.
+      val roles = small.select(col("v").as("id"),
+          lit(1L).as("leaf_deg"), lit(0).as("centre"))
+        .union(small.select(col("u").as("id"),
+          lit(0L).as("leaf_deg"), lit(1).as("centre")))
+        .groupBy(col("id"))
+        .agg(sum(col("leaf_deg")).as("leaf_deg"), max(col("centre")).as("centre"))
+      converged = roles.filter(col("leaf_deg") > 1 ||
+        (col("leaf_deg") === 1 && col("centre") === 1)).isEmpty
       edges.unpersist()
       edges = small
       iters += 1
