@@ -185,6 +185,64 @@ object TextQueries {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3""".stripMargin
 
+  /** q106: near-containment detection by overlap coefficient
+    * |A∩B| / min(|A|,|B|) ≥ 0.6 over 3-gram shingle sets — the asymmetric
+    * twin of q54. A short document quoted inside a long one scores low on
+    * Jaccard (the union is dominated by the long side) but high on overlap,
+    * which is how curation pipelines catch boilerplate inclusion and
+    * quotation rather than only whole-document duplicates. Same bounded
+    * candidate generation as q54 (one explode, df-capped in-place i<j
+    * pairs); only the verification formula differs.
+    */
+  val q106Containment: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val sh = d.select(col("doc_id"),
+        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_hash"))
+    val pairs = sh.groupBy(col("sh_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, DfCap))
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = d.select(col("doc_id"),
+      size(Text.shingleSet(col("text"), 3)).as("n_sh"))
+    inter
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        least(col("ca.n_sh"), col("cb.n_sh")).as("n_min"),
+        (col("n_inter").cast("double") /
+          least(col("ca.n_sh"), col("cb.n_sh"))).as("containment"))
+      .filter(col("containment") >= 0.6)
+  }
+
+  val q106Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+      |capped AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING COUNT(*) BETWEEN 2 AND $DfCap),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.shingle IN (SELECT shingle FROM capped)
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, n_inter,
+      |  LEAST(sa.n_sh, sb.n_sh) AS n_min,
+      |  CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.6""".stripMargin
+
   private val MinhashK = 32
   private val MinhashBands = 8
   private val MinhashRows = MinhashK / MinhashBands
@@ -928,6 +986,7 @@ object TextQueries {
     "q52_text_quality" -> q52Quality,
     "q53_lang_rollup" -> q53LangRollup,
     "q54_ngram_jaccard" -> q54NgramJaccard,
+    "q106_containment" -> q106Containment,
     "q55_minhash_lsh" -> q55MinhashLsh,
     "q56_simhash" -> q56Simhash,
     "q57_winnow_fingerprint" -> q57Fingerprint,
@@ -952,6 +1011,7 @@ object TextQueries {
     "q52_text_quality" -> q52Sql,
     "q53_lang_rollup" -> q53Sql,
     "q54_ngram_jaccard" -> q54Sql,
+    "q106_containment" -> q106Sql,
     "q55_minhash_lsh" -> q55Sql,
     "q56_simhash" -> q56Sql,
     "q57_winnow_fingerprint" -> q57Sql,

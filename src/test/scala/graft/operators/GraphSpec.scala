@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PageRank must agree with a driver-side integer reference implementation
+  * on hand-built graphs, and q105's shape invariants must hold on testdata.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: the same integer fixed-point recurrence, computed serially. */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.map(_._1).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .map { case (u, v) => v -> r(u) / outdeg(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(n => n -> (150000L + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankInt(edges.toDF("src", "dst"), iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("matches the serial reference on a directed triangle with a tail") {
+    // 1→2→3→1 cycle plus 4→1 (4 receives only the damping floor)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    for (iters <- Seq(1, 3, 5))
+      assert(run(edges, iters) === refRanks(edges, iters), s"iters=$iters")
+  }
+
+  test("matches the serial reference on a hub-and-spoke graph") {
+    // hub 1 points at 5 spokes, every spoke points back: outdeg(1)=5 splits
+    // its rank while each spoke forwards everything to the hub
+    val edges = (2L to 6L).flatMap(sp => Seq((1L, sp), (sp, 1L)))
+    val got = run(edges, 3)
+    assert(got === refRanks(edges, 3))
+    // the hub strictly outranks every spoke
+    assert((2L to 6L).forall(sp => got(1L) > got(sp)))
+    // symmetric spokes rank identically
+    assert((2L to 6L).map(got).toSet.size === 1)
+  }
+
+  test("rank mass is conserved up to integer-division truncation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val got = run(edges, 3)
+    val n = got.size
+    // each round loses < 1 micro-unit per edge-division + per-node damping
+    // rounding; total stays within that slack of the initial mass n * 1e6
+    val total = got.values.sum
+    assert(total <= n * 1000000L)
+    assert(total >= n * 1000000L - 3 * (edges.size + n))
+  }
+
+  test("q105 ranks the full node set and orders deterministically") {
+    val out = GraphQueries.q105PageRank(spark, sfDir).collect()
+    assert(out.length === 25)
+    val ranks = out.map(_.getLong(2))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "descending by rank")
+    assert(ranks.forall(_ >= 150000L), "damping floor")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("supplier", "customer")))
+  }
+}

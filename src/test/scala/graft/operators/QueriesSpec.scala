@@ -84,6 +84,25 @@ class QueriesSpec extends SparkSpec {
     assert(allPairs.nonEmpty)
   }
 
+  test("containment dominates Jaccard and subsumes high-Jaccard pairs") {
+    // overlap = n_inter/min(|A|,|B|) ≥ n_inter/|A∪B| = Jaccard, so every
+    // q54 pair at Jaccard ≥ 0.6 must reappear in q106, with the same
+    // intersection count and containment ≥ its Jaccard
+    val jac = TextQueries.q54NgramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val cont = TextQueries.q106Containment(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(cont.nonEmpty)
+    jac.filter(_._2._2 >= 0.6).foreach { case (pair, (nInter, j)) =>
+      val (cInter, c) = cont(pair)
+      assert(cInter === nInter && c >= j, pair)
+    }
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
