@@ -384,6 +384,49 @@ object EventQueries {
       |FROM weeks JOIN cohort USING (user_id) JOIN sizes USING (c)
       |GROUP BY c, w - c, cohort_size""".stripMargin
 
+  // ---------------------------------------------- q108: Markov transitions
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * P(next = b | current = a) estimated from adjacent event pairs, the
+    * behavioural-model staple (next-action prediction, anomaly scoring of
+    * improbable transitions). One window pass (lead over user_id ordered by
+    * ts with event_id as the deterministic tie-break) then a count
+    * aggregation over at most |event_types|² cells — the output is tiny
+    * regardless of input scale, and the window shuffles each user's events
+    * to one partition exactly once.
+    */
+  val q108MarkovTransitions: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = e.select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        (col("n_trans").cast("double") / col("n_from")).as("prob"))
+  }
+
+  val q108Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |totals AS (
+      |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      |  FROM trans GROUP BY from_type)
+      |SELECT from_type, to_type, n_trans, n_from,
+      |  CAST(n_trans AS DOUBLE) / n_from AS prob
+      |FROM trans JOIN totals USING (from_type)""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -399,11 +442,13 @@ object EventQueries {
     "q72_json_extract" -> q72Json,
     "q73_user_profile" -> q73UserProfile,
     "q103_event_funnel" -> q103EventFunnel,
-    "q104_retention_cohorts" -> q104RetentionCohorts)
+    "q104_retention_cohorts" -> q104RetentionCohorts,
+    "q108_markov_transitions" -> q108MarkovTransitions)
 
   val oracles: Map[String, String] = Map(
     "q103_event_funnel" -> q103Sql,
     "q104_retention_cohorts" -> q104Sql,
+    "q108_markov_transitions" -> q108Sql,
     "q91_sketch_quantiles" -> q91Sql,
     "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,

@@ -66,9 +66,68 @@ object GraphQueries {
       |  id // 2 AS node_key, r AS rank_micro
       |FROM top""".stripMargin
 
+  private val MinSupport = 2
+
+  /** q107: association rules from the weighted bipartite projection of the
+    * order–part graph — parts co-ordered in the same order, with support,
+    * directional confidence, and lift (the market-basket staple). Pair
+    * generation is the grouped in-place i<j shape shared with the Jaccard
+    * family: one shuffle keyed by order, per-order fan-out bounded by the
+    * line-count cap squared (orders have bounded line counts by schema, the
+    * analog of the text side's DfCap) — never a part×part cartesian. Lift's
+    * numerator and denominator are exact integer products; the one division
+    * is a single IEEE op, so the oracle matches bit-for-bit.
+    */
+  val q107Copurchase: Q = (s, dir) => {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    // scalar |orders| rides a broadcast cross join — no driver-side action
+    val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
+    val partFreq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.groupBy(col("o"))
+      .agg(sort_array(collect_list(col("p"))).as("parts"))
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+    pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinSupport)
+      .join(partFreq.select(col("p").as("part_a"), col("n_p").as("n_a")), "part_a")
+      .join(partFreq.select(col("p").as("part_b"), col("n_p").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_a")).as("conf_a_to_b"),
+        (col("n_ab").cast("double") / col("n_b")).as("conf_b_to_a"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b"))).as("lift"))
+  }
+
+  def q107Sql: String =
+    s"""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+      |freq AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY a.p, b.p
+      |  HAVING COUNT(*) >= $MinSupport)
+      |SELECT part_a, part_b, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+      |  CAST(n_ab AS DOUBLE) / fa.n_p AS conf_a_to_b,
+      |  CAST(n_ab AS DOUBLE) / fb.n_p AS conf_b_to_a,
+      |  CAST(n_ab * n_orders AS DOUBLE) / (fa.n_p * fb.n_p) AS lift
+      |FROM pairs
+      |JOIN freq fa ON part_a = fa.p
+      |JOIN freq fb ON part_b = fb.p
+      |CROSS JOIN n""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "q105_pagerank" -> q105PageRank)
+    "q105_pagerank" -> q105PageRank,
+    "q107_copurchase" -> q107Copurchase)
 
   def oracles: Map[String, String] = Map(
-    "q105_pagerank" -> q105Sql)
+    "q105_pagerank" -> q105Sql,
+    "q107_copurchase" -> q107Sql)
 }

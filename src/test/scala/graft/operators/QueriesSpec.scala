@@ -103,6 +103,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q107 rules are internally consistent; q108 rows partition each source") {
+    val rules = GraphQueries.q107Copurchase(spark, sfDir).collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      val (nAb, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nAb <= nA && nAb <= nB, "support bounded by item frequencies")
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0, "confidence in (0,1]")
+      assert(r.getLong(0) < r.getLong(1), "canonical part_a < part_b")
+    }
+    val trans = EventQueries.q108MarkovTransitions(spark, sfDir).collect()
+    // each source type's transition counts sum exactly to its row total,
+    // so the estimated distribution rows per from_type are complete
+    trans.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum === rows.head.getLong(3))
+    }
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
