@@ -114,6 +114,26 @@ object CodecDecoder extends MediaDecoder {
     out
   }
 
+  /** 64-bit average perceptual hash (aHash): area-mean luminance on an 8×8
+    * grid, each cell a bit set iff its mean exceeds the grid's mean. Robust
+    * to resizing and mild noise (the threshold is relative), so duplicate
+    * images that differ in scale or compression artefacts collide within a
+    * few bits — the image analog of SimHash's near-metric property:
+    * Hamming(aHash(a), aHash(b)) tracks visual difference. Reuses
+    * [[ppmFeatures]]'s grid-mean pass (dim 64 = the 8×8 grid exactly).
+    */
+  def averageHash(p: Ppm): Long = {
+    val cells = ppmFeatures(p, 64)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += cells(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (cells(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
   // ------------------------------------------------------------------- PNG
 
   def isPng(b: Array[Byte]): Boolean =
@@ -152,6 +172,13 @@ object CodecDecoder extends MediaDecoder {
     }
     throw new IllegalArgumentException("no SOF marker found")
   }
+
+  /** Pixel decode for any byte-parseable still format: PPM through the
+    * native parser, everything else through [[decodeImage]]'s ImageIO path
+    * (which does not speak PPM).
+    */
+  def decodeStill(b: Array[Byte]): Ppm =
+    if (isPpm(b)) parsePpm(b)._1 else decodeImage(b)
 
   /** Decode JPEG/PNG pixels through the JDK's ImageIO into the PPM pixel
     * model, so the feature grid and resize reuse the same machinery.

@@ -110,6 +110,50 @@ object Media {
     }
   }
 
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** Decode each image and fingerprint it with the 64-bit average hash —
+    * the per-partition decode seam feeding [[nearDupImages]].
+    */
+  def perceptualHashes(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+      MediaHash(r.media_id, CodecDecoder.averageHash(CodecDecoder.decodeStill(r.media)))))
+  }
+
+  /** Near-duplicate image detection over perceptual hashes — the image twin
+    * of the SimHash text path: the 64-bit aHash splits into 4 × 16-bit
+    * chunks, candidates collide on at least one identical chunk (pigeonhole:
+    * Hamming ≤ 3 guarantees one of 4 chunks is untouched, so recall is exact
+    * for maxHamming ≤ 3), and the XOR-popcount verification runs only on
+    * candidates. Bucket fan-out is bounded by `bandCap` by construction —
+    * the same guarantee the text LSH paths carry, so the plan survives a
+    * skewed corpus (e.g. millions of near-black frames sharing a chunk).
+    */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3,
+      bandCap: Int = 1000): DataFrame = {
+    require(maxHamming <= 3,
+      s"pigeonhole over 4 chunks is exact only for Hamming ≤ 3, got $maxHamming")
+    val banded = hashes.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("(phash >> (band * 16)) & 65535"))
+    banded.groupBy(col("band"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("media_id"), col("phash"))))
+        .as("ms"))
+      .filter(size(col("ms")).between(2, bandCap))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.getField("media_id").as("id_a"),
+            x.getField("phash").as("ha"),
+            y.getField("media_id").as("id_b"),
+            y.getField("phash").as("hb")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        expr("bit_count(p.ha ^ p.hb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Metadata "resize" transform — pure column math over the meta table
     * (aspect-preserving bound to maxDim), no decode needed.
     */

@@ -42,6 +42,45 @@ class MediaSpec extends SparkSpec {
     assert(fs(0).frame_features.toSeq !== fs(1).frame_features.toSeq)
   }
 
+  test("perceptual-hash near-dup finds rescaled duplicates, not distinct content") {
+    import spark.implicits._
+    // a P6 gradient, its half-size rescale (visual duplicate), a noisy copy
+    // (one corner brightened), and the inverted gradient (distinct content)
+    def grad(w: Int, h: Int, invert: Boolean, blotch: Boolean): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = x * 255 / math.max(1, w - 1)
+        val v0 = if (invert) 255 - base else base
+        val v = (if (blotch && x < w / 8 && y < h / 8) 255 else v0).toByte
+        val i = (y * w + x) * 3
+        px(i) = v; px(i + 1) = v; px(i + 2) = v
+      }
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", grad(64, 64, invert = false, blotch = false)),
+      MediaRow(2L, "image", grad(32, 32, invert = false, blotch = false)),
+      MediaRow(3L, "image", grad(64, 64, invert = false, blotch = true)),
+      MediaRow(4L, "image", grad(64, 64, invert = true, blotch = false))).toDS()
+    val hashes = Media.perceptualHashes(spark, rows).toDF()
+    val pairs = Media.nearDupImages(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "rescaled duplicate must collide")
+    assert(pairs.contains((1L, 3L)), "mildly noisy duplicate must collide")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      "inverted content must not pass verification")
+  }
+
+  test("near-dup bucket cap bounds degenerate fan-out by construction") {
+    import spark.implicits._
+    // 20 identical hashes: every chunk bucket holds all 20 → capping at 10
+    // must drop the bucket entirely (bounded work, no m² pair blowup)
+    val flat = (1L to 20L).map(i => (i, 0x1234567812345678L))
+      .toDF("media_id", "phash")
+    assert(Media.nearDupImages(flat, 3, bandCap = 10).count() === 0)
+    assert(Media.nearDupImages(flat, 3).count() === 20L * 19 / 2)
+  }
+
   test("resize preserves aspect ratio within the bound") {
     val meta = Media.probeAll(spark, mediaDs).toDF()
     val resized = Media.resizeMeta(meta, 256)
