@@ -404,9 +404,14 @@ object EventQueries {
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val totals = trans.groupBy(col("from_type"))
-      .agg(sum(col("n_trans")).as("n_from"))
-    trans.join(totals, "from_type")
+    // row totals as a whole-partition window sum over the |types|²-row
+    // matrix — a self-join on the rollup would duplicate the heavy window
+    // subtree in the plan; this keeps the event pass single
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    trans
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        sum(col("n_trans")).over(totals).as("n_from"))
       .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
         (col("n_trans").cast("double") / col("n_from")).as("prob"))
   }

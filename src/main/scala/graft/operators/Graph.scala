@@ -42,9 +42,11 @@ object Graph {
     * N * 1e6, so the 85× step fits int64 while N < ~1e11 vertices.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val e = edges.toDF("src", "dst")
+    // cut the edge-derivation lineage ONCE: degrees, the node set, and every
+    // iteration all re-read these materialized blocks instead of replaying
+    // however the caller built the graph (e.g. a multi-table join) per round
+    val e = edges.toDF("src", "dst").localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // static across rounds: checkpoint once, reuse every iteration
     val edgesDeg = e.join(deg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("id")).distinct()
     var ranks = nodes.withColumn("r", lit(1000000L))

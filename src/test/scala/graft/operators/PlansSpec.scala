@@ -172,6 +172,36 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode — sketches are pure aggregation")
   }
 
+  test("q105: each PageRank round is join + partial-agg over the cut edge list") {
+    val p = plan("q105_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), "contribution sums must map-side combine")
+    // the checkpointed edge list truncates lineage: the final plan must not
+    // re-derive lineitem ⋈ orders once per iteration
+    assert(!p.contains("l_orderkey"),
+      s"edge derivation must be cut by the checkpoint, not replayed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-25 must not global-sort the rank table")
+  }
+
+  test("q107: basket pairs are join-free; the order count broadcasts") {
+    val p = plan("q107_copurchase")
+    assert(p.contains("collect_list"), "pairs must come from grouped baskets")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar cross join must broadcast, not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar |orders| must ride a broadcast:\n$p")
+    assert(p.contains("partial_count"), "support counting must map-side combine")
+  }
+
+  test("q108: one pass over events — the lead window subtree is not duplicated") {
+    val p = plan("q108_markov_transitions")
+    assert("lead\\(".r.findAllIn(p).size === 1,
+      s"row totals must not self-join the event window subtree:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q91 production twin aggregates bottom-k partials map-side") {
     val p = EventQueries.q91SketchQuantilesProd(spark, sfDir)
       .queryExecution.executedPlan.toString
