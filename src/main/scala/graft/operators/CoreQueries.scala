@@ -868,15 +868,32 @@ object CoreQueries {
           .as("win_end"))
     val ships = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
-    val matched = RangeJoin.pointInInterval(ships, "l_shipdate",
+    // Density collapse before the bin join: its cost is points-per-bucket ×
+    // intervals-per-bucket, and ship events are day-granular, so they
+    // collapse ~|lineitem|/|days|-fold onto their day first (a 240× candidate
+    // reduction at sf0.1). The per-pair same-order exclusion that collapse
+    // erases is restored by SUBTRACTING a plain o_orderkey equi-join
+    // correction — the inclusion-exclusion move q89 uses, applied to the
+    // range-join plan. Output is identical to the direct pair formulation.
+    val dayRollup = ships.groupBy(col("l_shipdate"))
+      .agg(count(lit(1)).as("n_day"), sum(col("qty_c")).as("qty_day_c"))
+    val matchedAll = RangeJoin.pointInInterval(dayRollup, "l_shipdate",
         windows, "win_start", "win_end", binDays = 1)
-      .filter(col("l_orderkey") =!= col("o_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_in_transit"), sum(col("qty_c")).as("transit_qty_c"))
-    windows.join(matched, Seq("o_orderkey"), "left")
+      .agg(sum(col("n_day")).as("n_all"), sum(col("qty_day_c")).as("qty_all_c"))
+    val sameOrder = windows
+      .join(ships, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("win_start") &&
+        col("l_shipdate") <= col("win_end"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_same"), sum(col("qty_c")).as("qty_same_c"))
+    windows.join(matchedAll, Seq("o_orderkey"), "left")
+      .join(sameOrder, Seq("o_orderkey"), "left")
       .select(col("o_orderkey"), col("win_start"), col("win_end"),
-        coalesce(col("n_in_transit"), lit(0L)).as("n_in_transit"),
-        coalesce(col("transit_qty_c"), lit(0L)).as("transit_qty_c"))
+        (coalesce(col("n_all"), lit(0L)) -
+          coalesce(col("n_same"), lit(0L))).as("n_in_transit"),
+        (coalesce(col("qty_all_c"), lit(0L)) -
+          coalesce(col("qty_same_c"), lit(0L))).as("transit_qty_c"))
   }
 
   val q81Sql: String =
@@ -896,11 +913,12 @@ object CoreQueries {
     * ([[RangeJoin.rangeAggregate]]): per-window count/sum = prefix(end) −
     * prefix(start−1) over a dense daily spine, minus an equi-join correction
     * for the excluded same-order lines. Identical output to q81 (same
-    * oracle SQL) from an O(points + windows) plan — no per-match pair
-    * materialization, so it stays flat where q81's matched-pair volume
-    * grows with window length × point density. The pair: q81 is the plan
-    * when you need the matches; q89 is the plan when you need only the
-    * aggregate.
+    * oracle SQL) from an O(points + windows) plan — no bucket join at all,
+    * where q81 runs the day-collapsed bucket join (its candidate volume
+    * grows with window length × DAY density, flat in point count). The
+    * trio: raw [[RangeJoin.pointInInterval]] when you need the matched
+    * pairs themselves (q97's shape), q81 when you aggregate over
+    * collapsible points, q89 when you need only prefix-summable aggregates.
     */
   val q89RangeAggPrefix: Q = (s, dir) => {
     val windows = Tables.orders(s, dir)

@@ -432,6 +432,98 @@ object EventQueries {
       |  CAST(n_trans AS DOUBLE) / n_from AS prob
       |FROM trans JOIN totals USING (from_type)""".stripMargin
 
+  // ---------------------------------------------- q109: OHLC bars
+
+  /** Hourly OHLC resampling of the purchase stream — the time-series bar
+    * aggregation (finance candles, telemetry downsampling). Open/close are
+    * SELECTED values (first/last by a deterministic (ts, event_id) order via
+    * two row_number passes over the same sort — Spark reuses the single
+    * sort+shuffle for both directions' windows on the same partition key),
+    * high/low are min/max, and volume sums exact integer cents — every
+    * output is either a selection or integer arithmetic, never an
+    * order-dependent float sum.
+    */
+  val q109OhlcBars: Q = (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(expr("unix_timestamp(ts) DIV 3600").as("hour_bucket"),
+        col("ts"), col("event_id"), col("value"))
+    val asc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_bucket")).orderBy(col("ts"), col("event_id"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_bucket")).orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("hour_bucket"))
+      .agg(count(lit(1)).as("n_trades"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        sum(cents(col("value"))).as("volume_c"))
+  }
+
+  val q109Sql: String =
+    """WITH p AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+      |    ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY hour_bucket
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY hour_bucket
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM p)
+      |SELECT hour_bucket, COUNT(*) AS n_trades,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS volume_c
+      |FROM r GROUP BY hour_bucket""".stripMargin
+
+  // ---------------------------------------------- q110: growth accounting
+
+  /** Daily growth accounting: active users split into new (first-ever day)
+    * vs returning, plus the cumulative user base — the product-growth
+    * staple next to q104's cohort view. Distinct (user, day) activity
+    * first so the heavy pass is one distinct + one min-aggregation over
+    * |users × active-days|; the running total's single-partition window is
+    * over the per-day rollup (row count = #days), never event-scale.
+    */
+  val q110GrowthAccounting: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val days = e.select(col("user_id"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct()
+    val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val running = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    days.join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .select(col("day"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        sum(col("new_users")).over(running).as("cumulative_users"))
+  }
+
+  val q110Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |fd AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS active_users,
+      |    CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+      |  FROM days JOIN fd USING (user_id) GROUP BY day)
+      |SELECT day, active_users, new_users,
+      |  active_users - new_users AS returning_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumulative_users
+      |FROM daily""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -448,12 +540,16 @@ object EventQueries {
     "q73_user_profile" -> q73UserProfile,
     "q103_event_funnel" -> q103EventFunnel,
     "q104_retention_cohorts" -> q104RetentionCohorts,
-    "q108_markov_transitions" -> q108MarkovTransitions)
+    "q108_markov_transitions" -> q108MarkovTransitions,
+    "q109_ohlc_bars" -> q109OhlcBars,
+    "q110_growth_accounting" -> q110GrowthAccounting)
 
   val oracles: Map[String, String] = Map(
     "q103_event_funnel" -> q103Sql,
     "q104_retention_cohorts" -> q104Sql,
     "q108_markov_transitions" -> q108Sql,
+    "q109_ohlc_bars" -> q109Sql,
+    "q110_growth_accounting" -> q110Sql,
     "q91_sketch_quantiles" -> q91Sql,
     "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,

@@ -42,13 +42,15 @@ object Graph {
     * N * 1e6, so the 85× step fits int64 while N < ~1e11 vertices.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
-    // cut the edge-derivation lineage ONCE: degrees, the node set, and every
-    // iteration all re-read these materialized blocks instead of replaying
-    // however the caller built the graph (e.g. a multi-table join) per round
-    val e = edges.toDF("src", "dst").localCheckpoint()
+    // ONE materialization cuts the edge-derivation lineage: the node set
+    // and every iteration re-read the degree-annotated blocks instead of
+    // replaying however the caller built the graph (e.g. a multi-table
+    // join) per round. Inside the checkpoint job the derivation feeds both
+    // the degree aggregate and the join probe — Spark reuses the exchange.
+    val e = edges.toDF("src", "dst")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("id")).distinct()
+    val nodes = edgesDeg.select(col("src").as("id")).distinct()
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       val sums = edgesDeg

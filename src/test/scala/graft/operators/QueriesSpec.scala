@@ -120,6 +120,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q109 bars bound open/close by high/low; q110 accounting reconciles") {
+    EventQueries.q109OhlcBars(spark, sfDir).collect().foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h, r)
+      assert(r.getLong(1) >= 1)
+    }
+    val g = EventQueries.q110GrowthAccounting(spark, sfDir)
+      .orderBy(col("day")).collect()
+    // new + returning = active; cumulative = running sum of new; the final
+    // cumulative equals the distinct user population
+    g.foreach(r => assert(r.getLong(2) + r.getLong(3) === r.getLong(1), r))
+    assert(g.map(_.getLong(2)).sum === g.last.getLong(4))
+    val users = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(g.last.getLong(4) === users)
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
