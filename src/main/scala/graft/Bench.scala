@@ -38,29 +38,48 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val samples =
       if (reps > 1) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
+    require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
     val benchSet = only.fold(allBench)(f => allBench.filter(_._1.contains(f)))
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // returns (elapsed, succeeded) — a failed sample must never win the
+    // min (its early abort looks fast), and failures are surfaced in the
+    // machine-readable JSON, not only on stderr
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop any blocks the query pinned (localCheckpoint registers as a
       // persistent RDD) so later queries never pay for earlier ones' state
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      elapsed
+      (elapsed, ok)
     }
     val results = benchSet.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (reps > 1) (1 to reps).map(rep => s"$name#$rep" -> timeOnce(name, fn))
-      else Seq(name -> (1 to samples).map(_ => timeOnce(name, fn)).min)
+      if (reps > 1) (1 to reps).map { rep =>
+        val (t, ok) = timeOnce(name, fn)
+        if (!ok) failed += name
+        s"$name#$rep" -> t
+      } else {
+        val runs = (1 to samples).map(_ => timeOnce(name, fn))
+        val good = runs.collect { case (t, true) => t }
+        if (good.size < samples) failed += name
+        // all samples failed → report the slowest abort, flagged via "failed"
+        Seq(name -> (if (good.nonEmpty) good.min else runs.map(_._1).max))
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val agg = if (reps > 1) "reps" else "min"
+    val sampleCount = if (reps > 1) reps else samples
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","samples":$sampleCount,"agg":"$agg","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // stdout under sbt is noisy ([info] prefixes, log4j) — the file is the
     // machine-readable channel (BENCH_r01 recorded "parsed": null).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

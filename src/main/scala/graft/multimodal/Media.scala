@@ -142,16 +142,15 @@ object Media {
       .agg(sort_array(collect_list(struct(col("media_id"), col("phash"))))
         .as("ms"))
       .filter(size(col("ms")).between(2, bandCap))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
-          struct(x.getField("media_id").as("id_a"),
-            x.getField("phash").as("ha"),
-            y.getField("media_id").as("id_b"),
-            y.getField("phash").as("hb")))))).as("p"))
+      .select(graft.functions.Pairs.inPlace(col("ms"), (x, y) =>
+        struct(x.getField("media_id").as("id_a"),
+          x.getField("phash").as("ha"),
+          y.getField("media_id").as("id_b"),
+          y.getField("phash").as("hb"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         expr("bit_count(p.ha ^ p.hb)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Metadata "resize" transform — pure column math over the meta table

@@ -855,10 +855,11 @@ object CoreQueries {
     * deterministic derivation of the order row ([o_orderdate,
     * +((o_orderkey%3)+1) days]); the join keys on NOTHING but time overlap,
     * the case Spark would otherwise plan as a broadcast-nested-loop.
-    * [[RangeJoin.pointInInterval]] turns it into a bucket equi-join (4-day
-    * buckets ≥ the max 4-day window ⇒ ≤ 2 buckets per interval). Same-order
-    * lines are excluded so the match is a genuine cross-entity range probe;
-    * empty windows survive via aggregate-then-left-join with zero defaults.
+    * [[RangeJoin.pointInInterval]] turns it into a bucket equi-join on
+    * one-day bins (≤ 5 bins per ≤ 4-day window). Same-order lines are
+    * excluded — via the subtraction described below, since day-collapse
+    * erases per-pair identity — and empty windows survive via
+    * aggregate-then-left-join with zero defaults.
     */
   val q81RangeJoin: Q = (s, dir) => {
     val windows = Tables.orders(s, dir)

@@ -321,12 +321,11 @@ object FunctionQueries {
       .agg(sort_array(collect_list(struct(col("c_custkey"), col("c_name"))))
         .as("ms"))
       .filter(size(col("ms")).between(2, FuzzyBlockCap))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("c_custkey").as("cust_a"),
-            y.getField("c_custkey").as("cust_b"),
-            levenshtein(x.getField("c_name"), y.getField("c_name"))
-              .as("edit_dist")))))).as("p"))
+      .select(graft.functions.Pairs.inPlace(col("ms"), (x, y) =>
+        struct(x.getField("c_custkey").as("cust_a"),
+          y.getField("c_custkey").as("cust_b"),
+          levenshtein(x.getField("c_name"), y.getField("c_name"))
+            .as("edit_dist"))).as("p"))
       .select(col("p.cust_a"), col("p.cust_b"), col("p.edit_dist"))
       .filter(col("edit_dist") <= 1)
   }

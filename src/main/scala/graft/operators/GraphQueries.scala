@@ -87,9 +87,8 @@ object GraphQueries {
     val partFreq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairs = items.groupBy(col("o"))
       .agg(sort_array(collect_list(col("p"))).as("parts"))
-      .select(explode(flatten(transform(col("parts"), (x, i) =>
-        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
-          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
+        struct(x.as("part_a"), y.as("part_b"))).as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
     pairs.groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))

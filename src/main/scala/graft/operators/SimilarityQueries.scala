@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.Vectors
+import graft.functions.{Pairs, Vectors}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -135,9 +135,8 @@ object SimilarityQueries {
       .groupBy(col("band_idx"), col("band_val"))
       .agg(sort_array(collect_list(col("vec_id"))).as("members"))
       .filter(size(col("members")).between(2, cap))
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))),
-          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+      .select(Pairs.inPlace(col("members"), (x, y) =>
+        struct(x.as("vec_a"), y.as("vec_b"))).as("p"))
       .select(col("p.vec_a"), col("p.vec_b"))
       .dropDuplicates("vec_a", "vec_b")
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.Text
+import graft.functions.{Pairs, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,9 +144,8 @@ object TextQueries {
     val pairs = sh.groupBy(col("sh_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, DfCap))
-      .select(explode(flatten(transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(Pairs.inPlace(col("docs"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -202,9 +201,8 @@ object TextQueries {
     val pairs = sh.groupBy(col("sh_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, DfCap))
-      .select(explode(flatten(transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(Pairs.inPlace(col("docs"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -236,7 +234,7 @@ object TextQueries {
       |  WHERE a.shingle IN (SELECT shingle FROM capped)
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT doc_a, doc_b, n_inter,
-      |  LEAST(sa.n_sh, sb.n_sh) AS n_min,
+      |  CAST(LEAST(sa.n_sh, sb.n_sh) AS INT) AS n_min,
       |  CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
       |FROM inter
       |JOIN sizes sa ON doc_a = sa.doc_id
@@ -293,9 +291,8 @@ object TextQueries {
     val cands = prefix.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, BandCap))
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(Pairs.inPlace(col("ds"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val inter = size(array_intersect(col("arr_a"), col("arr_b")))
@@ -433,12 +430,11 @@ object TextQueries {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
         .as("members"))
       .filter(size(col("members")).between(2, BandCap))
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))),
-          y => struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            x.getField("sig").as("sig_a"),
-            y.getField("sig").as("sig_b")))))).as("p"))
+      .select(Pairs.inPlace(col("members"), (x, y) =>
+        struct(x.getField("doc_id").as("doc_a"),
+          y.getField("doc_id").as("doc_b"),
+          x.getField("sig").as("sig_a"),
+          y.getField("sig").as("sig_b"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
@@ -639,12 +635,11 @@ object TextQueries {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("members"))
       .filter(size(col("members")).between(2, BandCap))
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))),
-          y => struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            Text.hamming64(x.getField("simhash"), y.getField("simhash"))
-              .as("hamming")))))).as("p"))
+      .select(Pairs.inPlace(col("members"), (x, y) =>
+        struct(x.getField("doc_id").as("doc_a"),
+          y.getField("doc_id").as("doc_b"),
+          Text.hamming64(x.getField("simhash"), y.getField("simhash"))
+            .as("hamming"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
@@ -911,11 +906,10 @@ object TextQueries {
     val dots = w.groupBy(col("term"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            (x.getField("w") * y.getField("w")).as("wp")))))).as("p"))
+      .select(Pairs.inPlace(col("ms"), (x, y) =>
+        struct(x.getField("doc_id").as("doc_a"),
+          y.getField("doc_id").as("doc_b"),
+          (x.getField("w") * y.getField("w")).as("wp"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(sum(col("p.wp").cast("decimal(38,0)")).as("dot"))
     val cosPairs = dots
