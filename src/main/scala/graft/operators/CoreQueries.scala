@@ -366,6 +366,129 @@ object CoreQueries {
        |FROM merged""".stripMargin
   }
 
+  /** q113: sketch SET ALGEBRA — union and intersection cardinalities of two
+    * part populations (parts on urgent vs high-priority orders) from HLL
+    * registers alone. The union sketch is the elementwise max (exact for
+    * union), intersection comes from inclusion-exclusion over three
+    * estimates — the standard sketch move where exact distinct-intersection
+    * would need a shuffle of both raw sets. ONE scan, ONE register shuffle:
+    * all three sketches are conditional maxes in the same bucket
+    * aggregation. The overlap estimate composes three identically-ordered
+    * IEEE divisions, so the oracle reproduces it bit-for-bit. The sets are
+    * sized well past the register count on purpose: the raw estimator has
+    * no small-range (linear counting) branch — its `ln` is not
+    * bit-portable — so cardinalities must dominate m for accuracy.
+    */
+  val q113HllSetAlgebra: Q = (s, dir) => {
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val h = graft.functions.Text.portableHash(col("l_partkey").cast("string"))
+    val bucket = shiftrightunsigned(h, HllW)
+    val w = h.bitwiseAND(lit((1L << HllW) - 1))
+    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
+      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
+    }
+    val regs = e.select(col("o_orderpriority"), bucket.as("b"), rank.as("r"))
+      .groupBy(col("b"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", col("r"))).as("mr_a"),
+        max(when(col("o_orderpriority") === "2-HIGH", col("r"))).as("mr_b"),
+        max(col("r")).as("mr_u"))
+    def t(mr: String) =
+      sum(when(col(mr).isNotNull,
+        expr(s"shiftleft(cast(1 as bigint), ${HllW + 1} - $mr)"))
+        .otherwise(lit(0L))) +
+        (lit(HllM.toLong) - count(col(mr))) * lit(1L << (HllW + 1))
+    def est(tc: String) = lit(HllEstC) / col(tc).cast("double")
+    regs.agg(t("mr_a").as("ta"), t("mr_b").as("tb"), t("mr_u").as("tu"))
+      .select(est("ta").as("est_urgent_parts"),
+        est("tb").as("est_high_parts"),
+        est("tu").as("est_union"),
+        (est("ta") + est("tb") - est("tu")).as("est_overlap"))
+  }
+
+  val q113Sql: String = {
+    val ladder = (1 to HllW).map(r =>
+      s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
+    def t(mr: String) =
+      s"""SUM(CASE WHEN $mr IS NOT NULL
+         |      THEN CAST(1 AS BIGINT) << (${HllW + 1} - $mr) ELSE 0 END) +
+         |    ($HllM - COUNT($mr)) * (CAST(1 AS BIGINT) << ${HllW + 1})""".stripMargin
+    s"""WITH h AS (
+       |  SELECT o_orderpriority,
+       |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+       |ranked AS (
+       |  SELECT o_orderpriority, hv >> $HllW AS b,
+       |    CASE $ladder
+       |      ELSE ${HllW + 1} END AS r
+       |  FROM (SELECT o_orderpriority, hv, hv & ${(1L << HllW) - 1} AS w FROM h)),
+       |regs AS (
+       |  SELECT b,
+       |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN r END) AS mr_a,
+       |    MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN r END) AS mr_b,
+       |    MAX(r) AS mr_u
+       |  FROM ranked GROUP BY b),
+       |ts AS (
+       |  SELECT ${t("mr_a")} AS ta,
+       |    ${t("mr_b")} AS tb,
+       |    ${t("mr_u")} AS tu
+       |  FROM regs)
+       |SELECT $HllEstC / CAST(ta AS DOUBLE) AS est_urgent_parts,
+       |  $HllEstC / CAST(tb AS DOUBLE) AS est_high_parts,
+       |  $HllEstC / CAST(tu AS DOUBLE) AS est_union,
+       |  $HllEstC / CAST(ta AS DOUBLE) + $HllEstC / CAST(tb AS DOUBLE)
+       |    - $HllEstC / CAST(tu AS DOUBLE) AS est_overlap
+       |FROM ts""".stripMargin
+  }
+
+  /** q112: Pareto / ABC classification — parts ranked by revenue with the
+    * cumulative revenue share banded into A (first 80%), B (to 95%), C
+    * (tail): the inventory-analysis staple. The heavy pass is the per-part
+    * revenue rollup (exact integer cents); the running share is a window
+    * over the ROLLUP (|parts| rows, not lineitems) ordered with a unique
+    * tie-break, and the grand total broadcasts. At a part dimension too
+    * large for one window partition, the prefix-sum would range-partition
+    * exactly like q89's spine — the banding arithmetic is unchanged.
+    */
+  val q112AbcClasses: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val rev = l.groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
+    val total = rev.select(sum(col("revenue_c")).as("total_c"))
+    val running = Window.orderBy(col("revenue_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("revenue_c"),
+        (sum(col("revenue_c")).over(running).cast("double") /
+          col("total_c")).as("cum_share"))
+      .select(col("l_partkey"), col("revenue_c"), col("cum_share"),
+        when(col("cum_share") <= 0.8, lit("A"))
+          .when(col("cum_share") <= 0.95, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+  }
+
+  val q112Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(revenue_c) AS BIGINT) AS total_c FROM rev),
+      |shares AS (
+      |  SELECT l_partkey, revenue_c,
+      |    CAST(SUM(revenue_c) OVER (ORDER BY revenue_c DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / total_c AS cum_share
+      |  FROM rev CROSS JOIN tot)
+      |SELECT l_partkey, revenue_c, cum_share,
+      |  CASE WHEN cum_share <= 0.8 THEN 'A'
+      |       WHEN cum_share <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM shares""".stripMargin
+
   val q09Sql: String = {
     val ladder = (1 to HllW).map(r =>
       s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
@@ -1131,6 +1254,8 @@ object CoreQueries {
     "q08_approx_distinct" -> q08ApproxDistinct,
     "q09_portable_hll" -> q09PortableHll,
     "q101_hll_rollup" -> q101HllRollup,
+    "q112_abc_classes" -> q112AbcClasses,
+    "q113_hll_set_algebra" -> q113HllSetAlgebra,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
     "q12_right_join" -> q12RightJoin,
@@ -1176,6 +1301,8 @@ object CoreQueries {
     "q01_pricing_summary" -> q01Sql,
     "q09_portable_hll" -> q09Sql,
     "q101_hll_rollup" -> q101Sql,
+    "q112_abc_classes" -> q112Sql,
+    "q113_hll_set_algebra" -> q113Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,
     "q04_having" -> q04Sql,

@@ -524,6 +524,43 @@ object EventQueries {
       |    AS cumulative_users
       |FROM daily""".stripMargin
 
+  // ---------------------------------------------- q111: path n-grams
+
+  /** Top event-path trigrams: the most common three-step journeys across
+    * user sessions — behavioural path analysis (where q108 models one-step
+    * transitions, this surfaces whole flows). Two leads over ONE window
+    * sort produce each user's consecutive triples in a single pass; the
+    * count aggregation is bounded by |event_types|³ cells and top-20
+    * plans as TakeOrderedAndProject with a full deterministic tie-break.
+    */
+  val q111PathTrigrams: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("event_type").as("step_1"),
+        lead(col("event_type"), 1).over(w).as("step_2"),
+        lead(col("event_type"), 2).over(w).as("step_3"))
+      .filter(col("step_2").isNotNull && col("step_3").isNotNull)
+      .groupBy(col("step_1"), col("step_2"), col("step_3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step_1"), col("step_2"), col("step_3"))
+      .limit(20)
+  }
+
+  val q111Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS step_1,
+      |    LEAD(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS step_2,
+      |    LEAD(event_type, 2) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS step_3
+      |  FROM events)
+      |SELECT step_1, step_2, step_3, COUNT(*) AS n_paths
+      |FROM seq WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+      |GROUP BY step_1, step_2, step_3
+      |ORDER BY n_paths DESC, step_1, step_2, step_3
+      |LIMIT 20""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -542,7 +579,8 @@ object EventQueries {
     "q104_retention_cohorts" -> q104RetentionCohorts,
     "q108_markov_transitions" -> q108MarkovTransitions,
     "q109_ohlc_bars" -> q109OhlcBars,
-    "q110_growth_accounting" -> q110GrowthAccounting)
+    "q110_growth_accounting" -> q110GrowthAccounting,
+    "q111_path_trigrams" -> q111PathTrigrams)
 
   val oracles: Map[String, String] = Map(
     "q103_event_funnel" -> q103Sql,
@@ -550,6 +588,7 @@ object EventQueries {
     "q108_markov_transitions" -> q108Sql,
     "q109_ohlc_bars" -> q109Sql,
     "q110_growth_accounting" -> q110Sql,
+    "q111_path_trigrams" -> q111Sql,
     "q91_sketch_quantiles" -> q91Sql,
     "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,

@@ -137,6 +137,41 @@ class QueriesSpec extends SparkSpec {
     assert(g.last.getLong(4) === users)
   }
 
+  test("q112 shares are monotone to 1.0; q113 set estimates track exact sets") {
+    val abc = CoreQueries.q112AbcClasses(spark, sfDir)
+      .orderBy(col("cum_share")).collect()
+    assert(math.abs(abc.last.getDouble(2) - 1.0) < 1e-9)
+    // descending revenue order means shares rise and classes never go C→A
+    assert(abc.map(_.getDouble(2)).sliding(2).forall(p => p(0) <= p(1)))
+    val classes = abc.map(_.getString(3))
+    assert(classes.mkString.matches("A+B*C*"), classes.distinct.mkString)
+    // accuracy is asserted at sf0.01: its ~2000-part sets dominate the
+    // register count, which the raw estimator (deliberately no linear-
+    // counting branch — ln is not bit-portable) requires; sf0.001's ~200
+    // parts sit below m=256 where ANY raw HLL floors at ~0.72m
+    val sketchDir = "/root/testdata/sf0.01"
+    val est = CoreQueries.q113HllSetAlgebra(spark, sketchDir).collect()(0)
+    val (ea, eb, eu, eo) = (est.getDouble(0), est.getDouble(1),
+      est.getDouble(2), est.getDouble(3))
+    assert(eu <= ea + eb + 1e-9 && eo >= -0.1 * eu, est)
+    val li = graft.Tables.lineitem(spark, sketchDir)
+      .join(graft.Tables.orders(spark, sketchDir),
+        col("l_orderkey") === col("o_orderkey"))
+    def parts(p: String) = li.filter(col("o_orderpriority") === p)
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
+    val (va, vb) = (parts("1-URGENT"), parts("2-HIGH"))
+    val tol = 0.15 // a few σ of the sketch's 1.04/√m
+    assert(math.abs(ea - va.size) <= tol * va.size, s"$ea vs ${va.size}")
+    assert(math.abs(eb - vb.size) <= tol * vb.size, s"$eb vs ${vb.size}")
+    assert(math.abs(eu - (va ++ vb).size) <= tol * (va ++ vb).size)
+    // inclusion-exclusion accumulates the THREE sketches' errors, so the
+    // overlap estimate's absolute error scales with the union magnitude,
+    // not the true intersection — the known weakness of HLL intersections,
+    // asserted as such
+    val inter = (va & vb).size
+    assert(math.abs(eo - inter) <= 3 * tol * (va ++ vb).size, s"$eo vs $inter")
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
