@@ -494,22 +494,76 @@ object CurationQueries {
       .withColumn("band", when(col("score") >= 0, "keep").otherwise("drop"))
   }
 
-  val q99Sql: String =
-    s"""WITH f AS (
+  /** q99's scoring as reusable CTEs (`f`, `scored`) — q99 selects from them
+    * directly and q114's lift table evaluates the SAME model by extending
+    * the chain.
+    */
+  private val q99ScoreCtes: String =
+    s"""f AS (
        |  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS feats
-       |  FROM documents)
-       |SELECT doc_id, CAST(LEN(feats) AS INT) AS n_feats,
-       |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
-       |    CAST(concat('0x', substr(md5('w' ||
-       |      CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
-       |        % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
-       |      % 2001 - 1000)), 0) AS BIGINT) AS score,
-       |  CASE WHEN COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
-       |    CAST(concat('0x', substr(md5('w' ||
-       |      CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
-       |        % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
-       |      % 2001 - 1000)), 0) >= 0 THEN 'keep' ELSE 'drop' END AS band
-       |FROM f""".stripMargin
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, CAST(LEN(feats) AS INT) AS n_feats,
+       |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
+       |      CAST(concat('0x', substr(md5('w' ||
+       |        CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+       |          % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 2001 - 1000)), 0) AS BIGINT) AS score
+       |  FROM f)""".stripMargin
+
+  val q99Sql: String =
+    s"""WITH $q99ScoreCtes
+       |SELECT doc_id, n_feats, score,
+       |  CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS band
+       |FROM scored""".stripMargin
+
+  // ------------------------------------- q114: classifier decile lift
+
+  /** Decile lift table for the q99 classifier — the model-evaluation staple:
+    * documents rank into score deciles (ntile over a fully tie-broken
+    * order), each decile reports its response rate against the global rate
+    * as lift. The "response" is a deterministic corpus property (long
+    * document, n_chars ≥ 300) so the evaluation is self-contained and
+    * oracle-exact: rates and lift are single IEEE divisions of exact
+    * integer products. The ranking window runs over the per-doc SCORE
+    * rollup (one row per document), not raw tokens; at a corpus too large
+    * for one ntile partition the decile boundaries would come from q91's
+    * quantile machinery instead — the lift arithmetic is unchanged.
+    */
+  val q114DecileLift: Q = (s, dir) => {
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+    val rankW = Window.orderBy(col("score").desc, col("doc_id"))
+    val deciles = scored
+      .select(col("doc_id"), col("score"), col("n_chars"),
+        ntile(10).over(rankW).as("decile"),
+        (col("n_chars") >= 300).cast("long").as("resp"))
+    val totals = deciles.select(count(lit(1)).as("n_all"),
+      sum(col("resp")).as("resp_all"))
+    deciles.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("resp")).as("n_resp"))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_docs"), col("n_resp"),
+        (col("n_resp").cast("double") / col("n_docs")).as("resp_rate"),
+        ((col("n_resp") * col("n_all")).cast("double") /
+          (col("n_docs") * col("resp_all"))).as("lift"))
+  }
+
+  val q114Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |j AS (
+       |  SELECT scored.doc_id, score, n_chars
+       |  FROM scored JOIN documents USING (doc_id)),
+       |dec AS (
+       |  SELECT doc_id, score, n_chars,
+       |    NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile,
+       |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS resp
+       |  FROM j),
+       |tot AS (SELECT COUNT(*) AS n_all, CAST(SUM(resp) AS BIGINT) AS resp_all FROM dec)
+       |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(resp) AS BIGINT) AS n_resp,
+       |  CAST(SUM(resp) AS DOUBLE) / COUNT(*) AS resp_rate,
+       |  CAST(SUM(resp) * n_all AS DOUBLE) / (COUNT(*) * resp_all) AS lift
+       |FROM dec CROSS JOIN tot GROUP BY decile, n_all, resp_all""".stripMargin
 
   // ------------------------------------- q100: end-to-end curation funnel
 
@@ -686,6 +740,7 @@ object CurationQueries {
     "q96_bigram_surprisal" -> q96BigramSurprisal,
     "q98_weighted_sample" -> q98WeightedSample,
     "q99_hash_classifier" -> q99HashClassifier,
+    "q114_decile_lift" -> q114DecileLift,
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
@@ -698,5 +753,6 @@ object CurationQueries {
     "q96_bigram_surprisal" -> q96Sql,
     "q98_weighted_sample" -> q98Sql,
     "q99_hash_classifier" -> q99Sql,
+    "q114_decile_lift" -> q114Sql,
     "q100_curation_funnel" -> q100Sql)
 }

@@ -172,6 +172,20 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(eo - inter) <= 3 * tol * (va ++ vb).size, s"$eo vs $inter")
   }
 
+  test("q114 deciles tile the corpus and lift reconciles with global rates") {
+    val rows = CurationQueries.q114DecileLift(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).sorted.sameElements(1 to 10))
+    val (nAll, respAll) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(nAll === nDocs, "deciles must tile the whole corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      // lift definition holds exactly: lift = (n_resp * n_all)/(n_docs * resp_all)
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble * nAll / (r.getLong(1) * respAll)) < 1e-12, r)
+    }
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
