@@ -54,6 +54,30 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hourly OHLC bars over the purchase stream — the streaming twin of
+    * EventQueries.q109OhlcBars. Open/close come from struct-ordered min/max
+    * ((ts, event_id, value) lexicographic — the earliest/latest row's value
+    * with a deterministic tie-break), which are PLAIN aggregates and so run
+    * incrementally under streaming where the batch twin's row_number
+    * formulation cannot. Volume stays exact integer cents; the watermark
+    * bounds open-window state.
+    */
+  def ohlcBars(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_trades"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        sum(graft.functions.TSql.cents(col("value"))).as("volume_c"))
+      .select(col("window.start").as("bucket"), col("n_trades"), col("open"),
+        col("high"), col("low"), col("close"), col("volume_c"))
+
   /** Session windows per user (30-minute gap), watermark-bounded — the
     * streaming twin of EventQueries.q71Sessions.
     */

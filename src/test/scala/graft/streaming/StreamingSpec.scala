@@ -42,6 +42,25 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() === 0, "every emitted window must match batch")
   }
 
+  test("streaming OHLC bars equal the batch q109 on every closed window") {
+    val stream = EventStream.read(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.ohlcBars(stream), "t_ohlc", OutputMode.Append())
+    // the batch twin keys bars by epoch-hour; align the streaming window
+    // start to the same key and every emitted bar must agree on all fields
+    val batch = graft.operators.EventQueries.q109OhlcBars(spark, sfDir)
+    val joined = spark.table("t_ohlc")
+      .withColumn("hour_bucket", expr("unix_timestamp(bucket) DIV 3600"))
+      .as("s")
+      .join(batch.as("b"), Seq("hour_bucket"))
+      .filter(col("s.n_trades") =!= col("b.n_trades") ||
+        col("s.open") =!= col("b.open") || col("s.high") =!= col("b.high") ||
+        col("s.low") =!= col("b.low") || col("s.close") =!= col("b.close") ||
+        col("s.volume_c") =!= col("b.volume_c"))
+    assert(spark.table("t_ohlc").count() > 0)
+    assert(joined.count() === 0, "every emitted bar must match the batch twin")
+  }
+
   test("streaming sliding windows equal the batch computation") {
     val stream = EventStream.read(spark, streamDir)
     EventStream.runToMemory(
