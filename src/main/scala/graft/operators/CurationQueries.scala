@@ -560,7 +560,8 @@ object CurationQueries {
        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS resp
        |  FROM j),
        |tot AS (SELECT COUNT(*) AS n_all, CAST(SUM(resp) AS BIGINT) AS resp_all FROM dec)
-       |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(resp) AS BIGINT) AS n_resp,
+       |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+       |  CAST(SUM(resp) AS BIGINT) AS n_resp,
        |  CAST(SUM(resp) AS DOUBLE) / COUNT(*) AS resp_rate,
        |  CAST(SUM(resp) * n_all AS DOUBLE) / (COUNT(*) * resp_all) AS lift
        |FROM dec CROSS JOIN tot GROUP BY decile, n_all, resp_all""".stripMargin
