@@ -68,6 +68,14 @@ object GraphQueries {
 
   private val MinSupport = 2
 
+  /** Basket-size cap — the same construction-time fan-out bound as the text
+    * side's DfCap: a basket of m items emits m(m-1)/2 pairs, so a degenerate
+    * mega-basket is a quadratic blowup on one key. TPC-H orders hold ≤ 13
+    * lines, making the cap a pure no-op here (the oracle applies it too),
+    * but the operator carries its bound by construction, not by luck.
+    */
+  private val BasketCap = 1000
+
   /** q107: association rules from the weighted bipartite projection of the
     * order–part graph — parts co-ordered in the same order, with support,
     * directional confidence, and lift (the market-basket staple). Pair
@@ -87,6 +95,7 @@ object GraphQueries {
     val partFreq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairs = items.groupBy(col("o"))
       .agg(sort_array(collect_list(col("p"))).as("parts"))
+      .filter(size(col("parts")).between(2, BasketCap))
       .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
         struct(x.as("part_a"), y.as("part_b"))).as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
@@ -108,9 +117,13 @@ object GraphQueries {
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
       |freq AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+      |capped AS (
+      |  SELECT o FROM items GROUP BY o
+      |  HAVING COUNT(*) BETWEEN 2 AND $BasketCap),
       |pairs AS (
       |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  WHERE a.o IN (SELECT o FROM capped)
       |  GROUP BY a.p, b.p
       |  HAVING COUNT(*) >= $MinSupport)
       |SELECT part_a, part_b, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
