@@ -50,6 +50,8 @@ object Graph {
     val e = edges.toDF("src", "dst")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = e.join(deg, "src").localCheckpoint()
+    // recomputed per round from the checkpointed blocks — measured cheaper
+    // than materializing it as its own job
     val nodes = edgesDeg.select(col("src").as("id")).distinct()
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
