@@ -264,6 +264,23 @@ object CodecDecoder extends MediaDecoder {
     out
   }
 
+  /** 64-bit audio fingerprint: RMS energy over 65 equal time windows, each
+    * bit the sign of the adjacent-window energy DELTA (rising = 1). Delta
+    * signs are invariant to overall volume scaling and robust to mild
+    * noise — the energy-contour construction audio fingerprinting
+    * (Haitsma-Kalker style) builds on — so re-encoded or gain-adjusted
+    * copies land within a few bits and the image path's Hamming-banded
+    * near-dup join applies unchanged.
+    */
+  def audioHash(b: Array[Byte]): Long = {
+    val w = parseWav(b)
+    val e = wavFeatures(b, w, 65)
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (e(i + 1) > e(i)) h |= (1L << i); i += 1 }
+    h
+  }
+
   // ------------------------------------------------------------------- GIF
 
   def isGif(b: Array[Byte]): Boolean =

@@ -122,9 +122,21 @@ object Media {
       MediaHash(r.media_id, CodecDecoder.averageHash(CodecDecoder.decodeStill(r.media)))))
   }
 
-  /** Near-duplicate image detection over perceptual hashes — the image twin
-    * of the SimHash text path: the 64-bit aHash splits into 4 × 16-bit
-    * chunks, candidates collide on at least one identical chunk (pigeonhole:
+  /** Decode each audio row to its 64-bit energy-contour fingerprint
+    * ([[CodecDecoder.audioHash]]) — feeds [[nearDupImages]]'s banded join,
+    * which is agnostic to which perceptual hash produced the bits.
+    */
+  def audioHashes(spark: SparkSession,
+      media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+      MediaHash(r.media_id, CodecDecoder.audioHash(r.media))))
+  }
+
+  /** Near-duplicate detection over 64-bit perceptual hashes (images via
+    * [[perceptualHashes]], audio via [[audioHashes]]) — the media twin of
+    * the SimHash text path: the hash splits into 4 × 16-bit chunks,
+    * candidates collide on at least one identical chunk (pigeonhole:
     * Hamming ≤ 3 guarantees one of 4 chunks is untouched, so recall is exact
     * for maxHamming ≤ 3), and the XOR-popcount verification runs only on
     * candidates. Bucket fan-out is bounded by `bandCap` by construction —

@@ -71,6 +71,42 @@ class MediaSpec extends SparkSpec {
       "inverted content must not pass verification")
   }
 
+  test("audio fingerprints match gain-scaled copies, not reversed envelopes") {
+    import spark.implicits._
+    // PCM16 mono WAV whose square-wave amplitude follows a time envelope:
+    // a gain-scaled copy keeps every window-to-window energy DELTA sign
+    // (identical fingerprint); the reversed envelope flips them all
+    def wav(n: Int, gain: Double, invert: Boolean): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      for (s <- 0 until n) {
+        val frac = s.toDouble / n
+        val env = if (invert) 1.0 - frac else frac
+        val amp = (16384 * env * gain).toInt
+        val v: Short = (if (s % 8 < 4) amp else -amp).toShort
+        data(s * 2) = (v & 0xFF).toByte
+        data(s * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + data.length); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+      bb.array()
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(8000, 1.0, invert = false)),
+      MediaRow(2L, "audio", wav(8000, 0.5, invert = false)),
+      MediaRow(3L, "audio", wav(8000, 1.0, invert = true))).toDS()
+    val hashes = Media.audioHashes(spark, rows).toDF()
+    val pairs = Media.nearDupImages(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "gain-scaled copy must collide")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "reversed envelope must not collide")
+  }
+
   test("near-dup bucket cap bounds degenerate fan-out by construction") {
     import spark.implicits._
     // 20 identical hashes: every chunk bucket holds all 20 → capping at 10
