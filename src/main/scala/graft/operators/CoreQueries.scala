@@ -268,6 +268,23 @@ object CoreQueries {
     0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
       math.pow(2.0, HllW + 1)
 
+  /** The shared register derivation (q09/q101/q113 build the SAME sketch):
+    * (bucket, rank) from a portable-hash column — bucket = top p bits,
+    * rank = leading-zero ladder over the low W bits (no libm).
+    */
+  private def hllBucketRank(h: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val w = h.bitwiseAND(lit((1L << HllW) - 1))
+    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
+      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
+    }
+    (shiftrightunsigned(h, HllW), rank)
+  }
+
+  /** The DuckDB twin of [[hllBucketRank]]'s comparison ladder. */
+  private val hllLadderSql: String = (1 to HllW).map(r =>
+    s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
+
   /** Approximate NDV that the exact-compare gate can still check — unlike
     * q08's engine-native sketch (whose binary registers differ per engine),
     * this HLL is built entirely from the portable md5 hash family: register
@@ -288,11 +305,7 @@ object CoreQueries {
   val q09PortableHll: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     val h = graft.functions.Text.portableHash(col("l_orderkey").cast("string"))
-    val bucket = shiftrightunsigned(h, HllW)
-    val w = h.bitwiseAND(lit((1L << HllW) - 1))
-    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
-      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
-    }
+    val (bucket, rank) = hllBucketRank(h)
     l.select(col("l_returnflag"), bucket.as("b"), rank.as("r"))
       .groupBy(col("l_returnflag"), col("b"))
       .agg(max(col("r")).as("mr"))
@@ -316,11 +329,7 @@ object CoreQueries {
   val q101HllRollup: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     val h = graft.functions.Text.portableHash(col("l_orderkey").cast("string"))
-    val bucket = shiftrightunsigned(h, HllW)
-    val w = h.bitwiseAND(lit((1L << HllW) - 1))
-    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
-      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
-    }
+    val (bucket, rank) = hllBucketRank(h)
     val regs = l.select(col("l_returnflag"), bucket.as("b"), rank.as("r"))
       .groupBy(col("l_returnflag"), col("b"))
       .agg(max(col("r")).as("mr"))
@@ -341,15 +350,13 @@ object CoreQueries {
   }
 
   val q101Sql: String = {
-    val ladder = (1 to HllW).map(r =>
-      s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
     s"""WITH h AS (
        |  SELECT l_returnflag,
        |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
        |  FROM lineitem),
        |ranked AS (
        |  SELECT l_returnflag, hv >> $HllW AS b, w,
-       |    CASE $ladder
+       |    CASE $hllLadderSql
        |      ELSE ${HllW + 1} END AS r
        |  FROM (SELECT l_returnflag, hv, hv & ${(1L << HllW) - 1} AS w FROM h)),
        |regs AS (
@@ -386,11 +393,7 @@ object CoreQueries {
           .select(col("o_orderkey"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
     val h = graft.functions.Text.portableHash(col("l_partkey").cast("string"))
-    val bucket = shiftrightunsigned(h, HllW)
-    val w = h.bitwiseAND(lit((1L << HllW) - 1))
-    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
-      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
-    }
+    val (bucket, rank) = hllBucketRank(h)
     val regs = e.select(col("o_orderpriority"), bucket.as("b"), rank.as("r"))
       .groupBy(col("b"))
       .agg(max(when(col("o_orderpriority") === "1-URGENT", col("r"))).as("mr_a"),
@@ -410,8 +413,6 @@ object CoreQueries {
   }
 
   val q113Sql: String = {
-    val ladder = (1 to HllW).map(r =>
-      s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
     def t(mr: String) =
       s"""SUM(CASE WHEN $mr IS NOT NULL
          |      THEN CAST(1 AS BIGINT) << (${HllW + 1} - $mr) ELSE 0 END) +
@@ -423,7 +424,7 @@ object CoreQueries {
        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
        |ranked AS (
        |  SELECT o_orderpriority, hv >> $HllW AS b,
-       |    CASE $ladder
+       |    CASE $hllLadderSql
        |      ELSE ${HllW + 1} END AS r
        |  FROM (SELECT o_orderpriority, hv, hv & ${(1L << HllW) - 1} AS w FROM h)),
        |regs AS (
@@ -490,15 +491,13 @@ object CoreQueries {
       |FROM shares""".stripMargin
 
   val q09Sql: String = {
-    val ladder = (1 to HllW).map(r =>
-      s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
     s"""WITH h AS (
        |  SELECT l_returnflag,
        |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
        |  FROM lineitem),
        |ranked AS (
        |  SELECT l_returnflag, hv >> $HllW AS b, w,
-       |    CASE $ladder
+       |    CASE $hllLadderSql
        |      ELSE ${HllW + 1} END AS r
        |  FROM (SELECT l_returnflag, hv, hv & ${(1L << HllW) - 1} AS w FROM h)),
        |regs AS (

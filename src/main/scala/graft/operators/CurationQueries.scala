@@ -538,15 +538,16 @@ object CurationQueries {
       .select(col("doc_id"), col("score"), col("n_chars"),
         ntile(10).over(rankW).as("decile"),
         (col("n_chars") >= 300).cast("long").as("resp"))
-    val totals = deciles.select(count(lit(1)).as("n_all"),
-      sum(col("resp")).as("resp_all"))
+    // global totals come from the 10-row decile rollup itself (a whole-
+    // frame window), never by re-deriving the per-document scoring chain
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     deciles.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("resp")).as("n_resp"))
-      .crossJoin(broadcast(totals))
       .select(col("decile"), col("n_docs"), col("n_resp"),
         (col("n_resp").cast("double") / col("n_docs")).as("resp_rate"),
-        ((col("n_resp") * col("n_all")).cast("double") /
-          (col("n_docs") * col("resp_all"))).as("lift"))
+        ((col("n_resp") * sum(col("n_docs")).over(all)).cast("double") /
+          (col("n_docs") * sum(col("n_resp")).over(all))).as("lift"))
   }
 
   val q114Sql: String =

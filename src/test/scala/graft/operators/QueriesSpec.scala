@@ -141,10 +141,13 @@ class QueriesSpec extends SparkSpec {
     val abc = CoreQueries.q112AbcClasses(spark, sfDir)
       .orderBy(col("cum_share")).collect()
     assert(math.abs(abc.last.getDouble(2) - 1.0) < 1e-9)
-    // descending revenue order means shares rise and classes never go C→A
-    assert(abc.map(_.getDouble(2)).sliding(2).forall(p => p(0) <= p(1)))
+    // descending revenue order means shares rise and classes never regress
+    // (sliding over a 1-row result yields a short window — guard it; a
+    // single dominant part may start the sequence at B or C legitimately)
+    assert(abc.map(_.getDouble(2)).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)))
     val classes = abc.map(_.getString(3))
-    assert(classes.mkString.matches("A+B*C*"), classes.distinct.mkString)
+    assert(classes.mkString.matches("A*B*C*"), classes.distinct.mkString)
     // accuracy is asserted at sf0.01: its ~2000-part sets dominate the
     // register count, which the raw estimator (deliberately no linear-
     // counting branch — ln is not bit-portable) requires; sf0.001's ~200

@@ -49,16 +49,20 @@ class StreamingSpec extends SparkSpec {
     // the batch twin keys bars by epoch-hour; align the streaming window
     // start to the same key and every emitted bar must agree on all fields
     val batch = graft.operators.EventQueries.q109OhlcBars(spark, sfDir)
-    val joined = spark.table("t_ohlc")
+    val emitted = spark.table("t_ohlc")
       .withColumn("hour_bucket", expr("unix_timestamp(bucket) DIV 3600"))
-      .as("s")
-      .join(batch.as("b"), Seq("hour_bucket"))
+    val joined = emitted.as("s").join(batch.as("b"), Seq("hour_bucket"))
+    // the join must actually cover every emitted bar — an empty join from a
+    // broken bucket alignment must fail, not pass vacuously
+    assert(emitted.count() > 0)
+    assert(joined.count() === emitted.count(),
+      "every emitted bar must find its batch twin by bucket")
+    val mismatched = joined
       .filter(col("s.n_trades") =!= col("b.n_trades") ||
         col("s.open") =!= col("b.open") || col("s.high") =!= col("b.high") ||
         col("s.low") =!= col("b.low") || col("s.close") =!= col("b.close") ||
         col("s.volume_c") =!= col("b.volume_c"))
-    assert(spark.table("t_ohlc").count() > 0)
-    assert(joined.count() === 0, "every emitted bar must match the batch twin")
+    assert(mismatched.count() === 0, "every emitted bar must match the batch twin")
   }
 
   test("streaming sliding windows equal the batch computation") {
