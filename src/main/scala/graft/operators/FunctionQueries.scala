@@ -317,6 +317,14 @@ object FunctionQueries {
     val c = Tables.customer(s, dir)
     val blocked = c.select(col("c_custkey"),
       col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+    // members of a block share their 16-char prefix BY CONSTRUCTION, and a
+    // common prefix never changes edit distance (any optimal alignment maps
+    // it to itself), so the DP runs on the short suffixes only — the full
+    // n×m table on every candidate pair is pure waste. The oracle computes
+    // the full-string distance independently, so the gate also proves the
+    // stripping is distance-preserving.
+    val suffix = (m: org.apache.spark.sql.Column) =>
+      substring(m.getField("c_name"), 17, Int.MaxValue)
     blocked.groupBy(col("blk"))
       .agg(sort_array(collect_list(struct(col("c_custkey"), col("c_name"))))
         .as("ms"))
@@ -324,8 +332,7 @@ object FunctionQueries {
       .select(graft.functions.Pairs.inPlace(col("ms"), (x, y) =>
         struct(x.getField("c_custkey").as("cust_a"),
           y.getField("c_custkey").as("cust_b"),
-          levenshtein(x.getField("c_name"), y.getField("c_name"))
-            .as("edit_dist"))).as("p"))
+          levenshtein(suffix(x), suffix(y)).as("edit_dist"))).as("p"))
       .select(col("p.cust_a"), col("p.cust_b"), col("p.edit_dist"))
       .filter(col("edit_dist") <= 1)
   }
