@@ -56,6 +56,19 @@ class GraphSpec extends SparkSpec {
     assert(total >= n * 1000000L - 3 * (edges.size + n))
   }
 
+  test("random directed graphs: distributed ranks equal the serial reference") {
+    val gen = org.scalacheck.Gen.listOfN(40,
+      org.scalacheck.Gen.zip(org.scalacheck.Gen.choose(1L, 15L),
+        org.scalacheck.Gen.choose(1L, 15L)))
+    val seed0 = org.scalacheck.rng.Seed(11L)
+    Iterator.iterate(seed0)(_.next)
+      .map(s => gen.apply(org.scalacheck.Gen.Parameters.default, s))
+      .collect { case Some(es) => es }.take(5).foreach { es =>
+        val edges = es.filter(p => p._1 != p._2).distinct
+        assert(run(edges, 3) === refRanks(edges, 3), edges)
+      }
+  }
+
   test("q105 ranks the full node set and orders deterministically") {
     val out = GraphQueries.q105PageRank(spark, sfDir).collect()
     assert(out.length === 25)
