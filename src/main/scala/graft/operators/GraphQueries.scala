@@ -86,22 +86,36 @@ object GraphQueries {
     * numerator and denominator are exact integer products; the one division
     * is a single IEEE op, so the oracle matches bit-for-bit.
     */
-  val q107Copurchase: Q = (s, dir) => {
-    val items = Tables.lineitem(s, dir)
+  /** Distinct (order, part) incidence — the bipartite graph both q107 and
+    * q115 project.
+    */
+  private def orderItems(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    // scalar |orders| rides a broadcast cross join — no driver-side action
-    val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
-    val partFreq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-    val pairs = items.groupBy(col("o"))
+
+  /** The supported co-purchase edge list (part_a < part_b, co-order count ≥
+    * [[MinSupport]]) — q107 decorates it into rules, q115 counts its
+    * triangles.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    orderItems(s, dir).groupBy(col("o"))
       .agg(sort_array(collect_list(col("p"))).as("parts"))
       .filter(size(col("parts")).between(2, BasketCap))
       .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
         struct(x.as("part_a"), y.as("part_b"))).as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
-    pairs.groupBy(col("part_a"), col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinSupport)
+
+  val q107Copurchase: Q = (s, dir) => {
+    val items = orderItems(s, dir)
+    // scalar |orders| rides a broadcast cross join — no driver-side action
+    val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
+    val partFreq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    copurchaseEdges(s, dir)
       .join(partFreq.select(col("p").as("part_a"), col("n_p").as("n_a")), "part_a")
       .join(partFreq.select(col("p").as("part_b"), col("n_p").as("n_b")), "part_b")
       .crossJoin(broadcast(nOrders))
@@ -112,11 +126,12 @@ object GraphQueries {
           (col("n_a") * col("n_b"))).as("lift"))
   }
 
-  def q107Sql: String =
-    s"""WITH items AS (
+  /** Shared oracle CTEs producing the supported co-purchase edge list
+    * (`pairs`) — the SQL twin of [[copurchaseEdges]].
+    */
+  private def edgesCtes: String =
+    s"""items AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
-      |freq AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
       |capped AS (
       |  SELECT o FROM items GROUP BY o
       |  HAVING COUNT(*) BETWEEN 2 AND $BasketCap),
@@ -125,7 +140,12 @@ object GraphQueries {
       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
       |  WHERE a.o IN (SELECT o FROM capped)
       |  GROUP BY a.p, b.p
-      |  HAVING COUNT(*) >= $MinSupport)
+      |  HAVING COUNT(*) >= $MinSupport)""".stripMargin
+
+  def q107Sql: String =
+    s"""WITH $edgesCtes,
+      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+      |freq AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p)
       |SELECT part_a, part_b, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
       |  CAST(n_ab AS DOUBLE) / fa.n_p AS conf_a_to_b,
       |  CAST(n_ab AS DOUBLE) / fb.n_p AS conf_b_to_a,
@@ -135,11 +155,77 @@ object GraphQueries {
       |JOIN freq fb ON part_b = fb.p
       |CROSS JOIN n""".stripMargin
 
+  /** q115: triangle census of the co-purchase graph — triangle count and
+    * global clustering coefficient, the cohesion metrics next to q105's
+    * centrality. Uses DEGREE ORIENTATION (Schank–Wagner): every edge points
+    * from its lower-(degree, id) endpoint to the higher, so wedges are
+    * enumerated at their lowest-degree vertex and per-vertex fan-out is
+    * bounded by oriented out-degree ≤ √(2·|E|) — the bound that makes
+    * distributed triangle counting survive power-law graphs, where a naive
+    * hub-centred wedge join is quadratic in the hub degree. Closure is one
+    * equi-join of wedges against the canonical edge list. All counts are
+    * exact integers; the clustering coefficient is a single IEEE division.
+    */
+  val q115TriangleCensus: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir).select(col("part_a").as("u"), col("part_b").as("v"))
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val aLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(aLower, col("u")).otherwise(col("v")).as("lo"),
+      when(aLower, col("v")).otherwise(col("u")).as("hi"))
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.lo") === col("b.lo") && col("a.hi") < col("b.hi"))
+      .select(col("a.hi").as("x"), col("b.hi").as("y"))
+    val tris = wedges.join(e.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nodeStats
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise((col("n_triangles") * lit(3L)).cast("double") /
+            col("n_wedges")).as("global_cc"))
+  }
+
+  def q115Sql: String =
+    s"""WITH $edgesCtes,
+      |e AS (SELECT part_a AS u, part_b AS v FROM pairs),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS lo,
+      |         CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS hi
+      |  FROM e JOIN deg da ON e.u = da.n JOIN deg db ON e.v = db.n),
+      |wedges AS (
+      |  SELECT a.hi AS x, b.hi AS y FROM oriented a
+      |  JOIN oriented b ON a.lo = b.lo AND a.hi < b.hi),
+      |tris AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM wedges JOIN e ON wedges.x = e.u AND wedges.y = e.v),
+      |ns AS (
+      |  SELECT COUNT(*) AS n_nodes,
+      |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges = 0 THEN 0.0
+      |       ELSE CAST(n_triangles * 3 AS DOUBLE) / n_wedges END AS global_cc
+      |FROM ns CROSS JOIN ne CROSS JOIN tris""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q105_pagerank" -> q105PageRank,
-    "q107_copurchase" -> q107Copurchase)
+    "q107_copurchase" -> q107Copurchase,
+    "q115_triangle_census" -> q115TriangleCensus)
 
   def oracles: Map[String, String] = Map(
     "q105_pagerank" -> q105Sql,
-    "q107_copurchase" -> q107Sql)
+    "q107_copurchase" -> q107Sql,
+    "q115_triangle_census" -> q115Sql)
 }

@@ -69,6 +69,29 @@ class GraphSpec extends SparkSpec {
       }
   }
 
+  test("triangle census equals a brute-force count of the rule graph") {
+    import org.apache.spark.sql.functions.col
+    val edges = GraphQueries.q107Copurchase(spark, sfDir)
+      .select(col("part_a"), col("part_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(p => Seq(p._1, p._2))
+    val adj = nodes.map(n =>
+      n -> edges.collect { case (a, b) if a == n => b
+                           case (a, b) if b == n => a }).toMap
+    // each triangle a<b<c is found exactly once: at edge (a,b) via common
+    // neighbour c > b
+    val tri = edges.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(_ > b).toLong
+    }.sum
+    val wedges = nodes.toSeq.map(n => adj(n).size.toLong)
+      .map(d => d * (d - 1) / 2).sum
+    val row = GraphQueries.q115TriangleCensus(spark, sfDir).collect()(0)
+    assert(row.getLong(0) === nodes.size && row.getLong(1) === edges.size)
+    assert(row.getLong(2) === wedges && row.getLong(3) === tri)
+    if (wedges > 0)
+      assert(math.abs(row.getDouble(4) - 3.0 * tri / wedges) < 1e-12)
+  }
+
   test("q105 ranks the full node set and orders deterministically") {
     val out = GraphQueries.q105PageRank(spark, sfDir).collect()
     assert(out.length === 25)
