@@ -219,13 +219,72 @@ object GraphQueries {
       |       ELSE CAST(n_triangles * 3 AS DOUBLE) / n_wedges END AS global_cc
       |FROM ns CROSS JOIN ne CROSS JOIN tris""".stripMargin
 
+  /** q116: related products by personalized, weighted PageRank — rank mass
+    * teleports only to one brand's parts and flows along co-purchase edges
+    * proportionally to co-order counts, so high-rank parts are those most
+    * reachable from the brand through actual purchasing behaviour: the
+    * recsys "related items" query. [[Graph.personalizedPageRankInt]]'s
+    * integer fixed-point arithmetic keeps the three-iteration oracle
+    * bit-exact; top 50 with id tie-break.
+    */
+  val q116RelatedProducts: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val edges = e.select(col("part_a").as("src"), col("part_b").as("dst"),
+        col("n_ab").as("w"))
+      .union(e.select(col("part_b").as("src"), col("part_a").as("dst"),
+        col("n_ab").as("w")))
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    Graph.personalizedPageRankInt(edges, seeds, PrIters)
+      .orderBy(col("r").desc, col("id"))
+      .limit(50)
+      .select(col("id").as("part_key"), col("r").as("affinity_micro"))
+  }
+
+  def q116Sql: String = {
+    def step(prev: String, cur: String) =
+      s"""s$cur AS (
+         |  SELECT e.dst AS id, SUM(r$prev.r * e.w // wt.wtot) AS s
+         |  FROM ew e JOIN r$prev ON e.src = r$prev.id
+         |  JOIN wt ON wt.src = e.src
+         |  GROUP BY e.dst),
+         |r$cur AS (
+         |  SELECT b.id, CAST(b.boost + (85 * COALESCE(s$cur.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM base b LEFT JOIN s$cur ON b.id = s$cur.id)""".stripMargin
+    s"""WITH $edgesCtes,
+      |ew AS (
+      |  SELECT part_a AS src, part_b AS dst, n_ab AS w FROM pairs
+      |  UNION ALL SELECT part_b, part_a, n_ab FROM pairs),
+      |wt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM ew GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM ew),
+      |sd AS (
+      |  SELECT n.id,
+      |    CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT p_partkey FROM part WHERE p_brand = 'Brand#1') p
+      |    ON n.id = p.p_partkey),
+      |cnt AS (
+      |  SELECT COUNT(*) AS n_v, CAST(SUM(is_seed) AS BIGINT) AS n_s FROM sd),
+      |base AS (
+      |  SELECT id, CAST(is_seed * ((150000 * n_v) // n_s) AS BIGINT) AS boost
+      |  FROM sd CROSS JOIN cnt),
+      |r0 AS (SELECT id, boost AS r FROM base),
+      |${step("0", "1")},
+      |${step("1", "2")},
+      |${step("2", "3")},
+      |top AS (SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 50)
+      |SELECT id AS part_key, r AS affinity_micro FROM top""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q105_pagerank" -> q105PageRank,
     "q107_copurchase" -> q107Copurchase,
-    "q115_triangle_census" -> q115TriangleCensus)
+    "q115_triangle_census" -> q115TriangleCensus,
+    "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
     "q105_pagerank" -> q105Sql,
     "q107_copurchase" -> q107Sql,
-    "q115_triangle_census" -> q115Sql)
+    "q115_triangle_census" -> q115Sql,
+    "q116_related_products" -> q116Sql)
 }

@@ -69,6 +69,36 @@ class GraphSpec extends SparkSpec {
       }
   }
 
+  test("personalized weighted ranks match the serial recurrence; seeds dominate") {
+    import spark.implicits._
+    def refPersonal(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+        iters: Int): Map[Long, Long] = {
+      val wtot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = edges.map(_._1).distinct
+      val nV = nodes.size
+      val nS = nodes.count(seeds)
+      val boost = nodes.map(n =>
+        n -> (if (seeds(n)) 150000L * nV / nS else 0L)).toMap
+      var r = boost
+      for (_ <- 1 to iters) {
+        val sums = edges.map { case (u, v, w) => v -> r(u) * w / wtot(u) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        r = nodes.map(n =>
+          n -> (boost(n) + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+      }
+      r
+    }
+    // seed 1 in a weighted chain 1↔2↔3↔4: affinity must decay with distance
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (3L, 4L, 1L), (4L, 3L, 1L))
+    val got = Graph.personalizedPageRankInt(
+        edges.toDF("src", "dst", "w"), Seq(1L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPersonal(edges, Set(1L), 3))
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L),
+      "affinity must decay with distance from the seed")
+  }
+
   test("triangle census equals a brute-force count of the rule graph") {
     import org.apache.spark.sql.functions.col
     val edges = GraphQueries.q107Copurchase(spark, sfDir)
