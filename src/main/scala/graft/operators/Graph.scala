@@ -41,55 +41,6 @@ object Graph {
     * Overflow headroom: per-node rank is bounded by the total mass
     * N * 1e6, so the 85× step fits int64 while N < ~1e11 vertices.
     */
-  /** Personalized, WEIGHTED PageRank in the same exact integer fixed-point
-    * scheme: the teleport mass returns only to `seeds` (so ranks measure
-    * proximity to the seed set — the "related items" recsys shape), and a
-    * node distributes rank to its out-neighbours proportionally to integer
-    * edge weights:
-    *
-    *   r'(v) = [v ∈ seeds] * 150000·|V|/|S|  +
-    *           (85 * Σ_{u→v} ((r(u) * w(u,v)) div W(u))) div 100
-    *
-    * where W(u) is u's total outgoing weight. All integer: the weighted
-    * split uses one multiply before the division, so precision loss is
-    * ≤ 1 micro-unit per edge per round, identical in every engine. The
-    * seed boost scales by |V|/|S| so total mass stays ≈ |V|·1e6 like the
-    * uniform variant. Same per-round join+sum shape as [[pageRankInt]].
-    *
-    * Overflow headroom: r(u) * w(u,v) must fit int64 — ranks are bounded
-    * by total mass N·1e6, so weights up to ~10^18/(N·1e6) are safe
-    * (e.g. weights ≤ 10^6 for N ≤ 10^6 nodes; scale weights down first
-    * for larger graphs).
-    */
-  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 3): DataFrame = {
-    val e = edges.toDF("src", "dst", "w")
-    val wtot = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
-    val edgesW = e.join(wtot, "src").localCheckpoint()
-    val nodes = edgesW.select(col("src").as("id")).distinct()
-    val seeded = nodes.join(
-      seeds.toDF("id").withColumn("is_seed", lit(1L)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-    // |V| and |S| ride a broadcast scalar — the boost expression needs both
-    val counts = seeded.agg(count(lit(1)).as("n_v"), sum(col("is_seed")).as("n_s"))
-    val base = seeded.crossJoin(broadcast(counts))
-      .select(col("id"),
-        (col("is_seed") * expr("150000L * n_v div n_s")).as("boost"))
-    var ranks = base.select(col("id"), col("boost").as("r"))
-    for (_ <- 1 to iters) {
-      val sums = edgesW
-        .join(ranks, edgesW("src") === ranks("id"))
-        .select(col("dst"), expr("r * w div wtot").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("s"))
-      ranks = base
-        .join(sums, base("id") === sums("dst"), "left")
-        .select(col("id"),
-          (col("boost") + expr("85 * coalesce(s, 0L) div 100")).as("r"))
-    }
-    ranks
-  }
-
   def pageRankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
     // ONE materialization cuts the edge-derivation lineage: the node set
     // and every iteration re-read the degree-annotated blocks instead of
@@ -113,6 +64,67 @@ object Graph {
         .join(sums, nodes("id") === sums("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  /** Personalized, WEIGHTED PageRank in the same exact integer fixed-point
+    * scheme: the teleport mass returns only to `seeds` (so ranks measure
+    * proximity to the seed set — the "related items" recsys shape), and a
+    * node distributes rank to its out-neighbours proportionally to integer
+    * edge weights:
+    *
+    *   r'(v) = [v ∈ seeds] * 150000·|V|/|S|  +
+    *           (85 * Σ_{u→v} ((r(u) * w(u,v)) div W(u))) div 100
+    *
+    * where W(u) is u's total outgoing weight. All integer: the weighted
+    * split uses one multiply before the division, so precision loss is
+    * ≤ 1 micro-unit per edge per round, identical in every engine. The
+    * seed boost scales by |V|/|S| so total mass stays ≈ |V|·1e6 like the
+    * uniform variant. Same per-round join+sum shape as [[pageRankInt]].
+    *
+    * Overflow headroom: r(u) * w(u,v) must fit int64 — ranks are bounded
+    * by total mass N·1e6, so weights up to ~10^18/(N·1e6) are safe
+    * (e.g. weights ≤ 10^6 for N ≤ 10^6 nodes; scale weights down first
+    * for larger graphs).
+    *
+    * As with [[pageRankInt]], nodes appear only via out-edges — feed a
+    * symmetrized edge list (as q116 does) if sinks must be ranked; a seed
+    * with no out-edge otherwise silently leaves the seed set. A seed set
+    * that misses the node set entirely raises in-plan rather than
+    * returning NULL ranks.
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val e = edges.toDF("src", "dst", "w")
+    val wtot = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    val edgesW = e.join(wtot, "src").localCheckpoint()
+    val nodes = edgesW.select(col("src").as("id")).distinct()
+    // seeds deduplicated: a repeated id would multiply node rows through
+    // the join, inflating |V| and double-counting that node's mass
+    val seeded = nodes.join(
+      seeds.toDF("id").distinct().withColumn("is_seed", lit(1L)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    // |V| and |S| ride a broadcast scalar — the boost expression needs both
+    val counts = seeded.agg(count(lit(1)).as("n_v"), sum(col("is_seed")).as("n_s"))
+    val base = seeded.crossJoin(broadcast(counts))
+      .select(col("id"),
+        (col("is_seed") * expr(
+          """if(n_s = 0,
+            |  raise_error('personalized PageRank: no seed id appears in the node set'),
+            |  150000L * n_v div n_s)""".stripMargin)).as("boost"))
+    var ranks = base.select(col("id"), col("boost").as("r"))
+    for (_ <- 1 to iters) {
+      val sums = edgesW
+        .join(ranks, edgesW("src") === ranks("id"))
+        .select(col("dst"), expr("r * w div wtot").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+      ranks = base
+        .join(sums, base("id") === sums("dst"), "left")
+        .select(col("id"),
+          (col("boost") + expr("85 * coalesce(s, 0L) div 100")).as("r"))
     }
     ranks
   }

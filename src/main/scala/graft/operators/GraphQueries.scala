@@ -76,16 +76,6 @@ object GraphQueries {
     */
   private val BasketCap = 1000
 
-  /** q107: association rules from the weighted bipartite projection of the
-    * order–part graph — parts co-ordered in the same order, with support,
-    * directional confidence, and lift (the market-basket staple). Pair
-    * generation is the grouped in-place i<j shape shared with the Jaccard
-    * family: one shuffle keyed by order, per-order fan-out bounded by the
-    * line-count cap squared (orders have bounded line counts by schema, the
-    * analog of the text side's DfCap) — never a part×part cartesian. Lift's
-    * numerator and denominator are exact integer products; the one division
-    * is a single IEEE op, so the oracle matches bit-for-bit.
-    */
   /** Distinct (order, part) incidence — the bipartite graph both q107 and
     * q115 project.
     */
@@ -110,6 +100,16 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinSupport)
 
+  /** q107: association rules from the weighted bipartite projection of the
+    * order–part graph — parts co-ordered in the same order, with support,
+    * directional confidence, and lift (the market-basket staple). Pair
+    * generation is the grouped in-place i<j shape shared with the Jaccard
+    * family: one shuffle keyed by order, per-order fan-out bounded by the
+    * line-count cap squared (orders have bounded line counts by schema, the
+    * analog of the text side's DfCap) — never a part×part cartesian. Lift's
+    * numerator and denominator are exact integer products; the one division
+    * is a single IEEE op, so the oracle matches bit-for-bit.
+    */
   val q107Copurchase: Q = (s, dir) => {
     val items = orderItems(s, dir)
     // scalar |orders| rides a broadcast cross join — no driver-side action
@@ -167,7 +167,13 @@ object GraphQueries {
     * exact integers; the clustering coefficient is a single IEEE division.
     */
   val q115TriangleCensus: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir).select(col("part_a").as("u"), col("part_b").as("v"))
+    // the edge list is consumed by degree counting, both wedge sides, the
+    // closure join, and the edge count — materialize the (small,
+    // support-filtered) frame once instead of trusting exchange reuse to
+    // dedupe eight copies of the basket-explode derivation
+    val e = copurchaseEdges(s, dir)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+      .localCheckpoint()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = e

@@ -99,6 +99,20 @@ class GraphSpec extends SparkSpec {
       "affinity must decay with distance from the seed")
   }
 
+  test("seed hygiene: duplicates are harmless, a disjoint seed set raises") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 2L), (2L, 3L, 1L), (3L, 2L, 1L))
+    def run(seedIds: Seq[Long]) =
+      Graph.personalizedPageRankInt(edges.toDF("src", "dst", "w"),
+          seedIds.toDF("id"), 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a repeated seed id must not inflate |V| or double-count mass
+    assert(run(Seq(1L, 1L, 1L)) === run(Seq(1L)))
+    // a seed set that misses the graph raises in-plan, never NULL ranks
+    val ex = intercept[Exception] { run(Seq(99L)) }
+    assert(ex.getMessage.contains("no seed id appears"), ex.getMessage)
+  }
+
   test("triangle census equals a brute-force count of the rule graph") {
     import org.apache.spark.sql.functions.col
     val edges = GraphQueries.q107Copurchase(spark, sfDir)
