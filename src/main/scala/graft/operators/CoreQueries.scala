@@ -446,6 +446,75 @@ object CoreQueries {
        |FROM ts""".stripMargin
   }
 
+  /** q117: correlation & regression — Pearson r, population covariance,
+    * and the least-squares slope/intercept of price against quantity per
+    * return flag. Spark's corr/covar/regr_* aggregates stream double
+    * co-moments in partition order (not reproducible across engines or
+    * partitionings), so the co-moments here are EXACT integer sums over
+    * integer cents accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    *   A = n·Σxy − Σx·Σy,  B = n·Σx² − (Σx)²,  C = n·Σy² − (Σy)²
+    * then r = A / (√B·√C), cov_pop = A/n², slope = A/B — each a fixed
+    * expression over exactly-represented integers, identical in both
+    * engines. ONE aggregation pass; the shuffle carries five sums per
+    * group.
+    */
+  val q117CorrRegression: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val x = cents(col("l_quantity"))
+    val y = cents(col("l_extendedprice"))
+    val dec = "decimal(38,0)"
+    val g = l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(x).cast(dec).as("sx"), sum(y).cast(dec).as("sy"),
+        sum((x * y).cast(dec)).as("sxy"),
+        sum((x * x).cast(dec)).as("sxx"),
+        sum((y * y).cast(dec)).as("syy"))
+    g.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("a"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("b"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("c"),
+        col("sx"), col("sy"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("a").cast("double") /
+          (sqrt(col("b").cast("double")) * sqrt(col("c").cast("double"))))
+          .as("corr_qty_price"),
+        (col("a").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double")).as("covar_pop"),
+        (col("a").cast("double") / col("b").cast("double")).as("regr_slope"),
+        ((col("sy").cast("double") -
+          (col("a").cast("double") / col("b").cast("double")) *
+            col("sx").cast("double")) /
+          col("n_rows").cast("double")).as("regr_intercept"))
+  }
+
+  val q117Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sx,
+      |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sy,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) *
+      |        CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxy,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) *
+      |        CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
+      |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+      |        CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    n * sxy - sx * sy AS a,
+      |    n * sxx - sx * sx AS b,
+      |    n * syy - sy * sy AS c,
+      |    sx, sy
+      |  FROM s)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(a AS DOUBLE) / (sqrt(CAST(b AS DOUBLE)) * sqrt(CAST(c AS DOUBLE)))
+      |    AS corr_qty_price,
+      |  CAST(a AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop,
+      |  CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS regr_slope,
+      |  (CAST(sy AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+      |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS regr_intercept
+      |FROM m""".stripMargin
+
   /** q112: Pareto / ABC classification — parts ranked by revenue with the
     * cumulative revenue share banded into A (first 80%), B (to 95%), C
     * (tail): the inventory-analysis staple. The heavy pass is the per-part
@@ -1255,6 +1324,7 @@ object CoreQueries {
     "q101_hll_rollup" -> q101HllRollup,
     "q112_abc_classes" -> q112AbcClasses,
     "q113_hll_set_algebra" -> q113HllSetAlgebra,
+    "q117_corr_regression" -> q117CorrRegression,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
     "q12_right_join" -> q12RightJoin,
@@ -1302,6 +1372,7 @@ object CoreQueries {
     "q101_hll_rollup" -> q101Sql,
     "q112_abc_classes" -> q112Sql,
     "q113_hll_set_algebra" -> q113Sql,
+    "q117_corr_regression" -> q117Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,
     "q04_having" -> q04Sql,

@@ -189,6 +189,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q117 integer-sum moments agree with Spark's streaming aggregates") {
+    val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val streaming = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("sl"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, r) =>
+      val s = streaming(flag)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+      assert(math.abs(r.getDouble(2) - s.getDouble(1)) < 1e-9, flag)
+      // integer-cents moments scale covariance/slope by 100² / 100⁰
+      assert(math.abs(r.getDouble(3) / 10000.0 - s.getDouble(2)) <
+        math.abs(s.getDouble(2)) * 1e-9, flag)
+      assert(math.abs(r.getDouble(4) - s.getDouble(3)) <
+        math.abs(s.getDouble(3)) * 1e-9, flag)
+    }
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
