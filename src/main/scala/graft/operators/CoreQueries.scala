@@ -515,6 +515,56 @@ object CoreQueries {
       |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS regr_intercept
       |FROM m""".stripMargin
 
+  /** Benford expectations log10(1 + 1/d), computed ONCE in Scala and
+    * inlined as identical double literals into both engines — runtime libm
+    * is not bit-portable, plan-build constants are.
+    */
+  private val BenfordShare: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** q118: Benford's-law digit audit — the first-digit distribution of
+    * invoice amounts against the log expectation, the forensic-accounting
+    * screen for fabricated figures. First digits come from the integer-cent
+    * string (no float formatting), shares are single divisions over a
+    * 9-row rollup, and each digit's deviation is one subtraction against
+    * the inlined constant. Map-side combining count, 9-row window.
+    */
+  val q118Benford: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val digit = substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+      .cast("int")
+    val all = Window.partitionBy()
+    val benford = BenfordShare.foldLeft(lit(null).cast("double")) {
+      case (els, (d, p)) => when(col("digit") === d, lit(p)).otherwise(els)
+    }
+    l.select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(all)).as("share"))
+      .select(col("digit"), col("n"), col("share"),
+        benford.as("benford_share"),
+        (col("share") - benford).as("deviation"))
+  }
+
+  val q118Sql: String = {
+    // string-cast literals: DuckDB types a bare decimal literal as DECIMAL
+    // and its decimal→double conversion double-rounds (one ulp off strtod);
+    // CAST('…' AS DOUBLE) parses with strtod exactly like the JVM
+    val cases = (1 to 9).map(d =>
+      s"WHEN $d THEN CAST('${BenfordShare(d)}' AS DOUBLE)").mkString("\n      ")
+    s"""WITH d AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |s AS (
+      |  SELECT digit, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share FROM c)
+      |SELECT digit, n, share,
+      |  CASE digit $cases END AS benford_share,
+      |  share - CASE digit $cases END AS deviation
+      |FROM s""".stripMargin
+  }
+
   /** q112: Pareto / ABC classification — parts ranked by revenue with the
     * cumulative revenue share banded into A (first 80%), B (to 95%), C
     * (tail): the inventory-analysis staple. The heavy pass is the per-part
@@ -1325,6 +1375,7 @@ object CoreQueries {
     "q112_abc_classes" -> q112AbcClasses,
     "q113_hll_set_algebra" -> q113HllSetAlgebra,
     "q117_corr_regression" -> q117CorrRegression,
+    "q118_benford" -> q118Benford,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
     "q12_right_join" -> q12RightJoin,
@@ -1373,6 +1424,7 @@ object CoreQueries {
     "q112_abc_classes" -> q112Sql,
     "q113_hll_set_algebra" -> q113Sql,
     "q117_corr_regression" -> q117Sql,
+    "q118_benford" -> q118Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,
     "q04_having" -> q04Sql,

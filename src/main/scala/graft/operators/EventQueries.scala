@@ -561,6 +561,44 @@ object EventQueries {
       |ORDER BY n_paths DESC, step_1, step_2, step_3
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------- q119: duplicate charges
+
+  /** Suspected duplicate submissions: consecutive purchases by the same
+    * user within an hour of each other — the double-billing / idempotency
+    * audit (a production rule would also match the amount; this corpus's
+    * amounts are continuous doubles, so the time rule carries the test
+    * load). ONE window pass per user ordered by time: the gap to the
+    * previous purchase decides the flag, so no self-join and no pair
+    * blowup — a user hammering purchases produces n flagged rows, not
+    * n²/2 pairs. Deterministic event_id tie-break as everywhere.
+    */
+  val q119DuplicateCharges: Q = (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("amount_c"),
+        (expr("unix_timestamp(ts)") -
+          lag(expr("unix_timestamp(ts)"), 1).over(w)).as("gap_sec"))
+      .filter(col("gap_sec").isNotNull && col("gap_sec") <= 3600)
+  }
+
+  val q119Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(ROUND(value*100) AS BIGINT) AS amount_c
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT user_id, event_id, ts, amount_c,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) -
+      |      LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER (
+      |        PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS gap_sec
+      |  FROM p)
+      |SELECT user_id, event_id, ts, amount_c, gap_sec
+      |FROM g WHERE gap_sec IS NOT NULL AND gap_sec <= 3600""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -580,7 +618,8 @@ object EventQueries {
     "q108_markov_transitions" -> q108MarkovTransitions,
     "q109_ohlc_bars" -> q109OhlcBars,
     "q110_growth_accounting" -> q110GrowthAccounting,
-    "q111_path_trigrams" -> q111PathTrigrams)
+    "q111_path_trigrams" -> q111PathTrigrams,
+    "q119_duplicate_charges" -> q119DuplicateCharges)
 
   val oracles: Map[String, String] = Map(
     "q103_event_funnel" -> q103Sql,
@@ -589,6 +628,7 @@ object EventQueries {
     "q109_ohlc_bars" -> q109Sql,
     "q110_growth_accounting" -> q110Sql,
     "q111_path_trigrams" -> q111Sql,
+    "q119_duplicate_charges" -> q119Sql,
     "q91_sketch_quantiles" -> q91Sql,
     "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,

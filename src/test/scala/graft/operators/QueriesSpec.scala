@@ -210,6 +210,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q118 digit shares tile to one; q119 flags only sub-hour gaps") {
+    val rows = CoreQueries.q118Benford(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3) - r.getDouble(4)) < 1e-15))
+    val flagged = EventQueries.q119DuplicateCharges(spark, sfDir).collect()
+    flagged.foreach(r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 3600, r))
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
