@@ -599,6 +599,109 @@ object EventQueries {
       |SELECT user_id, event_id, ts, amount_c, gap_sec
       |FROM g WHERE gap_sec IS NOT NULL AND gap_sec <= 3600""".stripMargin
 
+  // ---------------------------------------------- q120: anomalous days
+
+  /** Anomalous-day detection: days whose per-type revenue total sits more
+    * than 2 population standard deviations from that type's daily mean.
+    * The 2σ test runs ENTIRELY in exact integer arithmetic — no float
+    * mean/stddev anywhere:
+    *
+    *   (n·x − Σx)² > 4 · (n·Σx² − (Σx)²)
+    *
+    * is (x − μ)² > 4σ² scaled by n², with every term an exact integer
+    * (DECIMAL(38,0) / HUGEINT), so the flag is bit-reproducible on any
+    * engine and any partitioning — the property a monitoring rule that
+    * pages people should have. The reported z² is the one ratio, scaled
+    * e6 and floored. Two aggregations (day rollup, then moment rollup
+    * broadcast back); the day rollup is the only event-scale pass.
+    */
+  val q120AnomalousDays: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val dec = "decimal(38,0)"
+    val daily = e.groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("total_c"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("total_c")).cast(dec).as("sx"),
+        sum((col("total_c") * col("total_c")).cast(dec)).as("sxx"))
+    daily.join(broadcast(moments), "event_type")
+      .select(col("event_type"), col("day"), col("total_c"),
+        (col("n") * col("total_c") - col("sx")).as("dev_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_nn"),
+        col("n"))
+      .filter(col("dev_n") * col("dev_n") > lit(4) * col("var_nn"))
+      .select(col("event_type"), col("day"), col("total_c"),
+        floor((col("dev_n") * col("dev_n")).cast("double") * 1000000.0 /
+          col("var_nn").cast("double")).cast("long").as("z2_e6"))
+  }
+
+  val q120Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(total_c) AS sx,
+      |    SUM(total_c * total_c) AS sxx
+      |  FROM daily GROUP BY event_type),
+      |j AS (
+      |  SELECT daily.event_type, day, total_c,
+      |    n * total_c - sx AS dev_n,
+      |    n * sxx - sx * sx AS var_nn
+      |  FROM daily JOIN m ON daily.event_type = m.event_type)
+      |SELECT event_type, day, total_c,
+      |  CAST(FLOOR(CAST(dev_n * dev_n AS DOUBLE) * 1000000.0 /
+      |    CAST(var_nn AS DOUBLE)) AS BIGINT) AS z2_e6
+      |FROM j WHERE dev_n * dev_n > 4 * var_nn""".stripMargin
+
+  // ---------------------------------------------- q121: seasonality index
+
+  /** Day-of-week seasonality of purchase revenue: each weekday's average
+    * daily total as a ratio of the overall daily average, e6-scaled. The
+    * weekday comes from pure epoch-day arithmetic — (epoch_day + 4) % 7
+    * maps 0→Sunday … 6→Saturday (1970-01-01 was a Thursday) — so no
+    * engine calendar/locale function is involved, and the index is ONE
+    * integer division of exact integer products:
+    *
+    *   index_e6 = (Σ_dow · n_days · 1e6) div (n_dow · Σ_all)
+    *
+    * Two tiny rollups after the one event-scale pass; the grand totals
+    * broadcast.
+    */
+  val q121Seasonality: Q = (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val dec = "decimal(38,0)"
+    val daily = e.groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("total_c"))
+    val byDow = daily.groupBy(((col("day") + 4) % 7).as("day_of_week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("total_c")).as("sum_c"))
+    val overall = daily.agg(count(lit(1)).as("n_all"),
+      sum(col("total_c")).as("sum_all"))
+    byDow.crossJoin(broadcast(overall))
+      .select(col("day_of_week"), col("n_days"), col("sum_c"),
+        expr(s"""CAST((CAST(sum_c AS $dec) * n_all * 1000000)
+                | DIV (CAST(n_days AS $dec) * sum_all) AS BIGINT)""".stripMargin)
+          .as("index_e6"))
+  }
+
+  val q121Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400),
+      |dw AS (
+      |  SELECT (day + 4) % 7 AS day_of_week, COUNT(*) AS n_days,
+      |    CAST(SUM(total_c) AS BIGINT) AS sum_c
+      |  FROM daily GROUP BY (day + 4) % 7),
+      |o AS (SELECT COUNT(*) AS n_all, CAST(SUM(total_c) AS BIGINT) AS sum_all
+      |      FROM daily)
+      |SELECT day_of_week, n_days, sum_c,
+      |  CAST((sum_c * n_all * 1000000) // (n_days * sum_all) AS BIGINT)
+      |    AS index_e6
+      |FROM dw CROSS JOIN o""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -619,7 +722,9 @@ object EventQueries {
     "q109_ohlc_bars" -> q109OhlcBars,
     "q110_growth_accounting" -> q110GrowthAccounting,
     "q111_path_trigrams" -> q111PathTrigrams,
-    "q119_duplicate_charges" -> q119DuplicateCharges)
+    "q119_duplicate_charges" -> q119DuplicateCharges,
+    "q120_anomalous_days" -> q120AnomalousDays,
+    "q121_seasonality" -> q121Seasonality)
 
   val oracles: Map[String, String] = Map(
     "q103_event_funnel" -> q103Sql,
@@ -629,6 +734,8 @@ object EventQueries {
     "q110_growth_accounting" -> q110Sql,
     "q111_path_trigrams" -> q111Sql,
     "q119_duplicate_charges" -> q119Sql,
+    "q120_anomalous_days" -> q120Sql,
+    "q121_seasonality" -> q121Sql,
     "q91_sketch_quantiles" -> q91Sql,
     "q90_dedup_ingest" -> q90Sql,
     "q76_asof_join" -> q76Sql,

@@ -221,6 +221,20 @@ class QueriesSpec extends SparkSpec {
       assert(r.getLong(4) >= 0 && r.getLong(4) <= 3600, r))
   }
 
+  test("q120 flags exceed the 2σ bound; q121 indexes partition the revenue") {
+    EventQueries.q120AnomalousDays(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(3) > 4000000L, s"z² must exceed the 4e6 threshold: $r")
+    }
+    val season = EventQueries.q121Seasonality(spark, sfDir).collect()
+    assert(season.map(_.getLong(0)).toSet.subsetOf((0L to 6L).toSet))
+    season.foreach(r => assert(r.getLong(3) > 0L))
+    // weekday sums partition the total purchase revenue exactly
+    val total = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.functions.TSql.cents(col("value")))).collect()(0).getLong(0)
+    assert(season.map(_.getLong(2)).sum === total)
+  }
+
   test("portable HLL estimates within sketch error of the exact counts") {
     val exact = SparkEntry.queries("q02_count_distinct")(spark, sfDir)
       .select(col("l_returnflag"), col("n_orders")).collect()
