@@ -463,13 +463,16 @@ object CoreQueries {
     val x = cents(col("l_quantity"))
     val y = cents(col("l_extendedprice"))
     val dec = "decimal(38,0)"
+    // sums accumulate IN decimal (a long sum would wrap silently first at
+    // large scale); n² runs in decimal for the same reason
     val g = l.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast(dec).as("n"),
-        sum(x).cast(dec).as("sx"), sum(y).cast(dec).as("sy"),
+        sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
         sum((x * y).cast(dec)).as("sxy"),
         sum((x * x).cast(dec)).as("sxx"),
         sum((y * y).cast(dec)).as("syy"))
     g.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("a"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("b"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("c"),
@@ -479,7 +482,7 @@ object CoreQueries {
           (sqrt(col("b").cast("double")) * sqrt(col("c").cast("double"))))
           .as("corr_qty_price"),
         (col("a").cast("double") /
-          (col("n_rows") * col("n_rows")).cast("double")).as("covar_pop"),
+          (col("n") * col("n")).cast("double")).as("covar_pop"),
         (col("a").cast("double") / col("b").cast("double")).as("regr_slope"),
         ((col("sy").cast("double") -
           (col("a").cast("double") / col("b").cast("double")) *
@@ -507,12 +510,18 @@ object CoreQueries {
       |    sx, sy
       |  FROM s)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      |  CAST(a AS DOUBLE) / (sqrt(CAST(b AS DOUBLE)) * sqrt(CAST(c AS DOUBLE)))
-      |    AS corr_qty_price,
-      |  CAST(a AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop,
-      |  CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS regr_slope,
-      |  (CAST(sy AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
-      |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS regr_intercept
+      |  CAST(CAST(a AS VARCHAR) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(b AS VARCHAR) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(c AS VARCHAR) AS DOUBLE))) AS corr_qty_price,
+      |  CAST(CAST(a AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(n * n AS VARCHAR) AS DOUBLE) AS covar_pop,
+      |  CAST(CAST(a AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(b AS VARCHAR) AS DOUBLE) AS regr_slope,
+      |  (CAST(CAST(sy AS VARCHAR) AS DOUBLE) -
+      |    (CAST(CAST(a AS VARCHAR) AS DOUBLE) /
+      |     CAST(CAST(b AS VARCHAR) AS DOUBLE))
+      |    * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
+      |    AS regr_intercept
       |FROM m""".stripMargin
 
   /** Benford expectations log10(1 + 1/d), computed ONCE in Scala and

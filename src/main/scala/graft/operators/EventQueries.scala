@@ -621,10 +621,12 @@ object EventQueries {
     val daily = e.groupBy(col("event_type"),
         expr("unix_timestamp(ts) DIV 86400").as("day"))
       .agg(sum(cents(col("value"))).as("total_c"))
+    // sums and squares run IN decimal — a long square of a day total wraps
+    // silently above ~$30M/day, precisely the rows this rule must catch
     val moments = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("total_c")).cast(dec).as("sx"),
-        sum((col("total_c") * col("total_c")).cast(dec)).as("sxx"))
+        sum(col("total_c").cast(dec)).as("sx"),
+        sum(col("total_c").cast(dec) * col("total_c").cast(dec)).as("sxx"))
     daily.join(broadcast(moments), "event_type")
       .select(col("event_type"), col("day"), col("total_c"),
         (col("n") * col("total_c") - col("sx")).as("dev_n"),
@@ -634,6 +636,8 @@ object EventQueries {
       .select(col("event_type"), col("day"), col("total_c"),
         floor((col("dev_n") * col("dev_n")).cast("double") * 1000000.0 /
           col("var_nn").cast("double")).cast("long").as("z2_e6"))
+      // z2_e6 doubles go through Spark's correctly-rounded decimal cast; the
+      // oracle routes its HUGEINTs through VARCHAR for the same rounding
   }
 
   val q120Sql: String =
@@ -643,7 +647,7 @@ object EventQueries {
       |  FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400),
       |m AS (
       |  SELECT event_type, COUNT(*) AS n, SUM(total_c) AS sx,
-      |    SUM(total_c * total_c) AS sxx
+      |    SUM(CAST(total_c AS HUGEINT) * total_c) AS sxx
       |  FROM daily GROUP BY event_type),
       |j AS (
       |  SELECT daily.event_type, day, total_c,
@@ -651,8 +655,8 @@ object EventQueries {
       |    n * sxx - sx * sx AS var_nn
       |  FROM daily JOIN m ON daily.event_type = m.event_type)
       |SELECT event_type, day, total_c,
-      |  CAST(FLOOR(CAST(dev_n * dev_n AS DOUBLE) * 1000000.0 /
-      |    CAST(var_nn AS DOUBLE)) AS BIGINT) AS z2_e6
+      |  CAST(FLOOR(CAST(CAST(dev_n * dev_n AS VARCHAR) AS DOUBLE) * 1000000.0 /
+      |    CAST(CAST(var_nn AS VARCHAR) AS DOUBLE)) AS BIGINT) AS z2_e6
       |FROM j WHERE dev_n * dev_n > 4 * var_nn""".stripMargin
 
   // ---------------------------------------------- q121: seasonality index
@@ -674,13 +678,16 @@ object EventQueries {
     val dec = "decimal(38,0)"
     val daily = e.groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
       .agg(sum(cents(col("value"))).as("total_c"))
+    // weekday sums accumulate IN decimal (long sums wrap silently first at
+    // scale); the BIGINT output column is a final, loud-on-overflow cast
     val byDow = daily.groupBy(((col("day") + 4) % 7).as("day_of_week"))
-      .agg(count(lit(1)).as("n_days"), sum(col("total_c")).as("sum_c"))
+      .agg(count(lit(1)).as("n_days"), sum(col("total_c").cast(dec)).as("sum_h"))
     val overall = daily.agg(count(lit(1)).as("n_all"),
-      sum(col("total_c")).as("sum_all"))
+      sum(col("total_c").cast(dec)).as("sum_all"))
     byDow.crossJoin(broadcast(overall))
-      .select(col("day_of_week"), col("n_days"), col("sum_c"),
-        expr(s"""CAST((CAST(sum_c AS $dec) * n_all * 1000000)
+      .select(col("day_of_week"), col("n_days"),
+        col("sum_h").cast("long").as("sum_c"),
+        expr(s"""CAST((sum_h * n_all * 1000000)
                 | DIV (CAST(n_days AS $dec) * sum_all) AS BIGINT)""".stripMargin)
           .as("index_e6"))
   }
@@ -693,12 +700,11 @@ object EventQueries {
       |  GROUP BY CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400),
       |dw AS (
       |  SELECT (day + 4) % 7 AS day_of_week, COUNT(*) AS n_days,
-      |    CAST(SUM(total_c) AS BIGINT) AS sum_c
+      |    SUM(total_c) AS sum_h
       |  FROM daily GROUP BY (day + 4) % 7),
-      |o AS (SELECT COUNT(*) AS n_all, CAST(SUM(total_c) AS BIGINT) AS sum_all
-      |      FROM daily)
-      |SELECT day_of_week, n_days, sum_c,
-      |  CAST((sum_c * n_all * 1000000) // (n_days * sum_all) AS BIGINT)
+      |o AS (SELECT COUNT(*) AS n_all, SUM(total_c) AS sum_all FROM daily)
+      |SELECT day_of_week, n_days, CAST(sum_h AS BIGINT) AS sum_c,
+      |  CAST((sum_h * n_all * 1000000) // (n_days * sum_all) AS BIGINT)
       |    AS index_e6
       |FROM dw CROSS JOIN o""".stripMargin
 

@@ -223,7 +223,9 @@ class QueriesSpec extends SparkSpec {
 
   test("q120 flags exceed the 2σ bound; q121 indexes partition the revenue") {
     EventQueries.q120AnomalousDays(spark, sfDir).collect().foreach { r =>
-      assert(r.getLong(3) > 4000000L, s"z² must exceed the 4e6 threshold: $r")
+      // the exact filter is strict but its floored e6 ratio can land ON the
+      // boundary, so the reported statistic is asserted inclusively
+      assert(r.getLong(3) >= 4000000L, s"z² must meet the 4e6 threshold: $r")
     }
     val season = EventQueries.q121Seasonality(spark, sfDir).collect()
     assert(season.map(_.getLong(0)).toSet.subsetOf((0L to 6L).toSet))
