@@ -1370,7 +1370,60 @@ object CoreQueries {
 
   // -------------------------------------------------------------------------
 
+  // -------------------------------------- q123: skyline (Pareto frontier)
+
+  /** Skyline (Pareto frontier) of the part catalog under (price ↓, size ↑):
+    * a part survives iff no other part is at-most-as-expensive AND
+    * at-least-as-large with one strict — the multi-objective "best
+    * tradeoffs" operator (Börzsönyi et al., ICDE 2001) that T-SQL writes as
+    * a quadratic NOT EXISTS self-join (exactly what the oracle runs).
+    *
+    * The 2-D skyline needs no pairwise comparison at all: sort by price and
+    * a part is dominated iff a strictly-cheaper part reaches its size, or an
+    * equal-priced part exceeds it. The scalable shape avoids a global
+    * row-level sort window:
+    *
+    *  1. collapse to one row per DISTINCT price (map-combining shuffle;
+    *     the collapsed frame is price-domain-sized — cents in a bounded
+    *     catalog range — independent of row count, the same bounded-spine
+    *     argument as [[RangeJoin.rangeAggregate]]),
+    *  2. running max of size over strictly-cheaper prices on that collapsed
+    *     frame (single-partition window over a bounded-domain frame),
+    *  3. broadcast the per-price thresholds back and filter: survive iff
+    *     size > best-at-cheaper AND size = best-at-same-price.
+    *
+    * Ties survive together (neither strictly dominates), matching the NOT
+    * EXISTS semantics row-for-row.
+    */
+  val q123Skyline: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+        col("p_size"))
+    val perPrice = p.groupBy(col("price_c"))
+      .agg(max(col("p_size")).as("best_sz"))
+    val cheaper = Window.orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thresholds = perPrice
+      .withColumn("best_cheaper", max(col("best_sz")).over(cheaper))
+    p.join(broadcast(thresholds), Seq("price_c"))
+      .filter(col("p_size") === col("best_sz") &&
+        (col("best_cheaper").isNull || col("p_size") > col("best_cheaper")))
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+  }
+
+  val q123Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c,
+      |    p_size
+      |  FROM part)
+      |SELECT p_partkey, price_c, p_size FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+      |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
     "q03_conditional_agg" -> q03ConditionalAgg,
@@ -1418,6 +1471,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,
     "q78_distribution_funcs" -> q78Sql,

@@ -12,9 +12,10 @@ import graft.functions.{Pii, Text}
   * (C4-style, q84), benchmark decontamination (q85), temperature-weighted
   * language resampling (q86), sequence packing (q87), PII redaction (q94),
   * LM-surprisal fluency scoring (q96), weighted sampling (q98), hashed
-  * linear-classifier scoring (q99), and the end-to-end funnel composing the
-  * stages in one call (q100). Every query is exact integer/IEEE arithmetic
-  * end-to-end so the DuckDB oracle verifies it bit-for-bit.
+  * linear-classifier scoring (q99), the end-to-end funnel composing the
+  * stages in one call (q100), and source-level corpus overlap for
+  * mirror/re-crawl detection (q125). Every query is exact integer/IEEE
+  * arithmetic end-to-end so the DuckDB oracle verifies it bit-for-bit.
   *
   * Scale posture (100 TB): q83/q94/q99 are shuffle-free per-row compute; q84
   * shuffles the segment stream once on uniform segment keys; q85 broadcasts
@@ -732,7 +733,75 @@ object CurationQueries {
 
   // ----------------------------------------------------------- registration
 
+  // --------------------------------------- q125: source-level corpus overlap
+
+  /** Shingles present in more sources than this are dropped before pair
+    * generation — corpus-universal phrases carry no provenance signal, and
+    * the cap bounds per-shingle pair fan-out at SrcCap²/2 by construction
+    * (the DfCap argument one level up: sources, not documents). A no-op at
+    * test scale (20 sources), load-bearing when "source" means one of 10⁵
+    * crawl domains.
+    */
+  val SrcCap = 1000
+
+  /** Source-level corpus overlap: Jaccard and containment between the
+    * distinct trigram vocabularies of every source pair — near-dup detection
+    * lifted from document grain to PROVENANCE grain. This is the pass that
+    * catches mirror domains, re-crawls, and shared syndicated content
+    * before any per-document comparison runs: a source pair with high
+    * containment is a candidate for wholesale exclusion, far cheaper than
+    * deduplicating its documents pairwise. Same bounded-candidates shape as
+    * the document-level family (q54/q55): one shingle explode, distinct
+    * incidence, grouped in-place i<j pair generation under [[SrcCap]] —
+    * never a source×source cartesian.
+    */
+  val q125SourceOverlap: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val inc = d.select(col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val vocab = inc.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = inc.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .filter(size(col("srcs")).between(2, SrcCap))
+      .select(graft.functions.Pairs.inPlace(col("srcs"), (a, b) =>
+        struct(a.as("src_a"), b.as("src_b"))).as("pr"))
+      .select(col("pr.src_a"), col("pr.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(vocab.select(col("source").as("src_a"), col("nv").as("n_a")), "src_a")
+      .join(vocab.select(col("source").as("src_b"), col("nv").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"),
+        (col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
+  val q125Sql: String =
+    s"""WITH toks AS (SELECT source, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+      |  WHERE LEN(t) >= 3),
+      |v AS (SELECT source, COUNT(*) AS nv FROM sh GROUP BY source),
+      |keep AS (SELECT sh FROM sh GROUP BY sh
+      |         HAVING COUNT(*) BETWEEN 2 AND $SrcCap),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  WHERE a.sh IN (SELECT sh FROM keep)
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_inter, va.nv AS n_a, vb.nv AS n_b,
+      |  CAST(n_inter AS DOUBLE) / (va.nv + vb.nv - n_inter) AS jaccard,
+      |  CAST(n_inter AS DOUBLE) / LEAST(va.nv, vb.nv) AS containment
+      |FROM inter
+      |JOIN v va ON src_a = va.source
+      |JOIN v vb ON src_b = vb.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_source_overlap" -> q125SourceOverlap,
     "q83_repetition_metrics" -> q83RepetitionMetrics,
     "q84_segment_dedup" -> q84SegmentDedup,
     "q85_decontaminate" -> q85Decontaminate,
@@ -746,6 +815,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q125_source_overlap" -> q125Sql,
     "q83_repetition_metrics" -> q83Sql,
     "q84_segment_dedup" -> q84Sql,
     "q85_decontaminate" -> q85Sql,

@@ -708,6 +708,209 @@ object EventQueries {
       |    AS index_e6
       |FROM dw CROSS JOIN o""".stripMargin
 
+  // ---------------------------------------------- q124: CUSUM level shift
+
+  /** CUSUM level-shift series over daily purchase revenue — the sustained-
+    * change companion to q120's single-day 2σ outlier flag (a slow drift
+    * never trips a per-day z-test; the cumulative sum accumulates it). The
+    * clamped CUSUM recursion S_t = max(0, S_{t-1} + d_t) is not a window
+    * function, but its closed form is:
+    *
+    *   S⁺_t = RS_t − min(0, min_{j≤t} RS_j)   (upward shifts)
+    *   S⁻_t = max(0, max_{j≤t} RS_j) − RS_t   (downward shifts)
+    *
+    * where RS is the running sum of the n-scaled deviations d_t = n·x_t −
+    * Σx (exact integers — no float mean anywhere). So the whole detector is
+    * one event-scale day rollup, a broadcast of the two grand totals, and
+    * two chained windows over the tiny daily frame (a single sort that both
+    * window passes share; single-partition is fine BECAUSE the frame is
+    * already collapsed to days). Deviations accumulate in DECIMAL(38,0) —
+    * n·x products wrap int64 exactly on the high-revenue days a shift
+    * detector exists to catch — and the outputs cross to double through
+    * correctly-rounded casts on both engines.
+    */
+  val q124CusumShift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val daily = e.groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("total_c"))
+    val totals = daily.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("total_c").cast(dec)).as("s_all"))
+    val dev = daily.crossJoin(broadcast(totals))
+      .select(col("day"), col("total_c"),
+        (col("n") * col("total_c").cast(dec) - col("s_all")).as("dev_n"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev
+      .withColumn("rs", sum(col("dev_n")).over(w))
+      .withColumn("mn", min(col("rs")).over(w))
+      .withColumn("mx", max(col("rs")).over(w))
+      .select(col("day"), col("total_c"),
+        (col("rs") - least(lit(0).cast(dec), col("mn")))
+          .cast("double").as("cusum_up"),
+        (greatest(lit(0).cast(dec), col("mx")) - col("rs"))
+          .cast("double").as("cusum_dn"))
+  }
+
+  val q124Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400),
+      |t AS (SELECT COUNT(*) AS n, SUM(CAST(total_c AS HUGEINT)) AS s_all
+      |      FROM daily),
+      |d AS (SELECT day, total_c,
+      |        CAST(n AS HUGEINT) * total_c - s_all AS dev_n
+      |      FROM daily CROSS JOIN t),
+      |r AS (SELECT day, total_c, SUM(dev_n) OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+      |      FROM d),
+      |m AS (SELECT day, total_c, rs,
+      |        MIN(rs) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
+      |        MAX(rs) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+      |      FROM r)
+      |SELECT day, total_c,
+      |  CAST(CAST(rs - LEAST(CAST(0 AS HUGEINT), mn) AS VARCHAR) AS DOUBLE)
+      |    AS cusum_up,
+      |  CAST(CAST(GREATEST(CAST(0 AS HUGEINT), mx) - rs AS VARCHAR) AS DOUBLE)
+      |    AS cusum_dn
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------- q127: A/B two-proportion z
+
+  /** Conversion threshold for the experiment readout: a user "converts" when
+    * their purchase total reaches $700 — chosen so both arms sit strictly
+    * between 0% and 100% at every SF (an all-convert metric degenerates the
+    * pooled variance to zero).
+    */
+  val ConvThresholdC = 70000L
+
+  /** A/B experiment readout: users split into two arms by the portable hash
+    * of their id (the q67 hash-range primitive at coarser grain — assignment
+    * is a pure function of the id, stable across runs and engines), arm
+    * conversion rates compared with the pooled two-proportion z statistic.
+    * All counts are exact integers from one user-keyed rollup; the z value
+    * is a fixed tree of IEEE divisions, products and one sqrt evaluated
+    * identically by both engines, so even the float output is bit-exact.
+    * Shape: one event-scale shuffle on user_id, then a 2-row rollup.
+    */
+  val q127AbZtest: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L)).as("purch_c"))
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val one = perUser
+      .select(when(hv % 2 === 0, "A").otherwise("B").as("variant"),
+        when(col("purch_c") >= ConvThresholdC, 1L).otherwise(0L).as("conv"))
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a")
+    val rateB = col("conv_b").cast("double") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      ((rateA - rateB) / se).as("z"))
+  }
+
+  val q127Sql: String =
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS purch_c
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS variant,
+      |    CASE WHEN purch_c >= $ConvThresholdC THEN 1 ELSE 0 END AS conv
+      |  FROM u),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM arms)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+      |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |      (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |      (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------- q128: last-touch attribution
+
+  /** Attribution lookback: a purchase more than 7 days after the last
+    * click/view is credited to no channel.
+    */
+  val AttrWindowMs = 7L * 86400000L
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRIOR click or view (the marketing-attribution staple), rolled
+    * up to channel totals. The "most recent eligible prior event" is not a
+    * lag — arbitrary ineligible events sit between — so it is encoded as a
+    * running MAX over an integer key, epoch_ms·4 + channel_code, NULL for
+    * ineligible rows: max of the key IS the latest eligible event (ms
+    * order), the low bits recover its channel, and millisecond ties break
+    * to the higher code identically in both engines — no struct-ordered
+    * aggregates, no self-join. One shuffle on user_id; the window frame
+    * (rows to 1 preceding, ordered by ts then event_id) never scans more
+    * than the user's own history.
+    */
+  val q128Attribution: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val tkey = when(col("event_type") === "click", unix_millis(col("ts")) * 4 + 1)
+      .when(col("event_type") === "view", unix_millis(col("ts")) * 4 + 2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = e.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), tkey.as("tkey"))
+      .withColumn("attr_key", max(col("tkey")).over(w))
+    val channel = when(col("attr_key").isNull, "none")
+      .when(unix_millis(col("ts")) - expr("attr_key div 4") > AttrWindowMs,
+        "stale")
+      .when(col("attr_key") % 4 === 1, "click")
+      .otherwise("view")
+    attr.filter(col("event_type") === "purchase")
+      .select(channel.as("channel"), cents(col("value")).as("v_c"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("revenue_c"))
+  }
+
+  val q128Sql: String =
+    s"""WITH keyed AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) * 4 + 1
+      |         WHEN event_type = 'view'  THEN epoch_ms(ts) * 4 + 2 END AS tkey
+      |  FROM events),
+      |attr AS (
+      |  SELECT *, MAX(tkey) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_key
+      |  FROM keyed)
+      |SELECT CASE WHEN attr_key IS NULL THEN 'none'
+      |            WHEN epoch_ms(ts) - attr_key // 4 > $AttrWindowMs THEN 'stale'
+      |            WHEN attr_key % 4 = 1 THEN 'click'
+      |            ELSE 'view' END AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM attr WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -730,9 +933,15 @@ object EventQueries {
     "q111_path_trigrams" -> q111PathTrigrams,
     "q119_duplicate_charges" -> q119DuplicateCharges,
     "q120_anomalous_days" -> q120AnomalousDays,
-    "q121_seasonality" -> q121Seasonality)
+    "q121_seasonality" -> q121Seasonality,
+    "q124_cusum_shift" -> q124CusumShift,
+    "q127_ab_ztest" -> q127AbZtest,
+    "q128_attribution" -> q128Attribution)
 
   val oracles: Map[String, String] = Map(
+    "q124_cusum_shift" -> q124Sql,
+    "q127_ab_ztest" -> q127Sql,
+    "q128_attribution" -> q128Sql,
     "q103_event_funnel" -> q103Sql,
     "q104_retention_cohorts" -> q104Sql,
     "q108_markov_transitions" -> q108Sql,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TSql
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -396,7 +397,88 @@ object FunctionQueries {
       |  CASE WHEN day_value_c IS NULL THEN 'gap' ELSE 'observed' END AS status
       |FROM f""".stripMargin
 
+  // ----------------------------------------- q126: one-pass column profile
+
+  /** Table profiling — the engine-side twin of the reference's CREATE
+    * STATISTICS surface (graft.maintenance.Statistics manages stats
+    * lifecycle; this query COMPUTES a full profile): per column of `orders`,
+    * row/null/distinct counts and min/max, in long format.
+    *
+    * Values canonicalize to sortable strings first — integers, cents and
+    * epoch-millis zero-padded to fixed width so lexicographic order IS
+    * numeric order, strings as-is — then ONE scan explodes each row into
+    * (col_name, repr) pairs and a two-level aggregation does the rest:
+    * groupBy(col_name, repr) with map-side combine (well-distributed — the
+    * heavy keys are exactly the low-cardinality columns that combine best),
+    * then groupBy(col_name) over the distinct-value frame. That is the
+    * at-scale profile shape: naive per-column DISTINCT would either rescan
+    * the table per column or expand one aggregate per COUNT(DISTINCT);
+    * here distinct counting is a COUNT over the first-level groups. The
+    * zero-padding strips off the min/max reprs on output.
+    */
+  val q126ColumnProfile: Q = (s, dir) => {
+    def pad(c: Column): Column = lpad(c.cast("string"), 20, "0")
+    val reprs = Seq(
+      "o_orderkey" -> pad(col("o_orderkey")),
+      "o_custkey" -> pad(col("o_custkey")),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> pad(TSql.cents(col("o_totalprice"))),
+      // o_orderdate arrives TIMESTAMP_NTZ; unix_millis needs TIMESTAMP — the
+      // cast is identity under the session's fixed UTC zone
+      "o_orderdate" -> pad(unix_millis(col("o_orderdate").cast("timestamp"))),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val padded = Set("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val exploded = Tables.orders(s, dir)
+      .select(explode(array(reprs.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.as("repr")) }: _*)).as("c"))
+      .select(col("c.col_name"), col("c.repr"))
+    def unpad(c: Column): Column =
+      when(col("col_name").isin(padded.toSeq: _*),
+        coalesce(nullif(regexp_replace(c, "^0+", ""), lit("")), lit("0")))
+        .otherwise(c)
+    exploded
+      .groupBy(col("col_name"), col("repr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("repr").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(col("repr")).as("n_distinct"),
+        min(col("repr")).as("mn"), max(col("repr")).as("mx"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        unpad(col("mn")).as("min_repr"),
+        unpad(col("mx")).as("max_repr"))
+  }
+
+  val q126Sql: String =
+    """WITH l AS (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    LPAD(CAST(o_orderkey AS VARCHAR), 20, '0') AS repr FROM orders
+      |  UNION ALL SELECT 'o_custkey',
+      |    LPAD(CAST(o_custkey AS VARCHAR), 20, '0') FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_totalprice',
+      |    LPAD(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 20, '0')
+      |    FROM orders
+      |  UNION ALL SELECT 'o_orderdate',
+      |    LPAD(CAST(epoch_ms(o_orderdate) AS VARCHAR), 20, '0') FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      |agg AS (
+      |  SELECT col_name, COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN repr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |    COUNT(DISTINCT repr) AS n_distinct,
+      |    MIN(repr) AS mn, MAX(repr) AS mx
+      |  FROM l GROUP BY col_name)
+      |SELECT col_name, n_rows, n_nulls, n_distinct,
+      |  CASE WHEN col_name IN ('o_orderkey','o_custkey','o_totalprice','o_orderdate')
+      |    THEN COALESCE(NULLIF(REGEXP_REPLACE(mn, '^0+', ''), ''), '0')
+      |    ELSE mn END AS min_repr,
+      |  CASE WHEN col_name IN ('o_orderkey','o_custkey','o_totalprice','o_orderdate')
+      |    THEN COALESCE(NULLIF(REGEXP_REPLACE(mx, '^0+', ''), ''), '0')
+      |    ELSE mx END AS max_repr
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q126_column_profile" -> q126ColumnProfile,
     "q92_fuzzy_match" -> q92FuzzyMatch,
     "q93_gap_fill" -> q93GapFill,
     "q48_convert_styles" -> q48ConvertStyles,
@@ -410,6 +492,7 @@ object FunctionQueries {
     "q46_predicates" -> q46Predicates)
 
   val oracles: Map[String, String] = Map(
+    "q126_column_profile" -> q126Sql,
     "q92_fuzzy_match" -> q92Sql,
     "q93_gap_fill" -> q93Sql,
     "q48_convert_styles" -> q48Sql,

@@ -128,4 +128,44 @@ object Graph {
     }
     ranks
   }
+
+  /** k-core of an undirected graph by fixed-round simultaneous peeling:
+    * each round drops every node whose degree in the surviving induced
+    * subgraph is below k, then recomputes. Peeling is monotone (a dropped
+    * node never returns), so once the fixpoint is reached further rounds
+    * are no-ops and a generous fixed `rounds` budget returns the true
+    * k-core; fixed rounds keep the recursion expressible as unrolled SQL
+    * CTEs for bit-exact cross-engine checking (the q105 pattern). Worst
+    * case (a long path peeled one end at a time) needs O(|V|) rounds —
+    * real co-occurrence graphs collapse in a handful (GraphSpec asserts
+    * the budget).
+    *
+    * Input `edges` must be one row per undirected edge (u < v); both
+    * directions are derived internally. Returns survivors as (id, deg) —
+    * deg is the node's degree within the final induced subgraph. Each
+    * round is one degree aggregation (shuffle on node id) plus two
+    * semi-joins restricting the (checkpointed, never re-derived) edge
+    * list to the shrinking survivor set — broadcastable as soon as the
+    * survivor frame drops under the AQE threshold.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.toDF("u", "v").localCheckpoint()
+    val bi = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    def degrees(g: DataFrame): DataFrame =
+      g.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+    // the survivor frame is referenced TWICE per round (once per edge
+    // endpoint), so an unmaterialized lineage would double every round —
+    // 2^rounds copies of round 1 in the final plan. Each round therefore
+    // materializes its (small, shrinking) survivor set; this is the
+    // standard per-iteration lineage cut, unlike PageRank where the rank
+    // frame is consumed once per round and the chain stays linear.
+    var nodes = degrees(bi).localCheckpoint()
+    for (_ <- 2 to rounds) {
+      val induced = bi.join(nodes.select(col("u")), Seq("u"))
+        .join(nodes.select(col("u").as("v")), Seq("v"))
+      nodes = degrees(induced).localCheckpoint()
+    }
+    nodes.select(col("u").as("id"), col("deg"))
+  }
 }

@@ -88,7 +88,7 @@ object GraphQueries {
     * [[MinSupport]]) — q107 decorates it into rules, q115 counts its
     * triangles.
     */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[operators] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     orderItems(s, dir).groupBy(col("o"))
       .agg(sort_array(collect_list(col("p"))).as("parts"))
@@ -282,13 +282,58 @@ object GraphQueries {
       |SELECT id AS part_key, r AS affinity_micro FROM top""".stripMargin
   }
 
+  private val CoreK = 3
+  private val CoreRounds = 8
+
+  /** q122: k-core decomposition of the co-purchase graph (k = [[CoreK]]) —
+    * the cohesive subgraph where every surviving part co-sells with at
+    * least k other survivors, the standard noise-robust community core
+    * next to q115's triangle census. Computed by [[CoreRounds]] rounds of
+    * simultaneous peeling (drop all nodes of degree < k, recompute): the
+    * peel is monotone, so once the fixpoint is reached every further round
+    * is a no-op and a generous fixed round count IS the k-core — fixed
+    * rounds keep the oracle expressible as unrolled CTEs exactly like
+    * q105's PageRank iterations (GraphSpec asserts the fixpoint lands
+    * within budget). See [[Graph.kCore]] for the per-round plan shape;
+    * the checkpoint inside it keeps eight rounds from re-deriving the
+    * basket explode.
+    */
+  val q122KCore: Q = (s, dir) =>
+    Graph.kCore(
+        copurchaseEdges(s, dir)
+          .select(col("part_a").as("u"), col("part_b").as("v")),
+        CoreK, CoreRounds)
+      .select(col("id").as("part_key"), col("deg").as("core_degree"))
+
+  def q122Sql: String = {
+    def round(prev: String, cur: String) =
+      s"""e$cur AS (
+         |  SELECT bi.u, bi.v FROM bi
+         |  JOIN n$prev a ON bi.u = a.u JOIN n$prev b ON bi.v = b.u),
+         |n$cur AS (
+         |  SELECT u, COUNT(*) AS deg FROM e$cur
+         |  GROUP BY u HAVING COUNT(*) >= $CoreK)""".stripMargin
+    val rounds = (2 to CoreRounds)
+      .map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+    s"""WITH $edgesCtes,
+      |e AS (SELECT part_a AS u, part_b AS v FROM pairs),
+      |bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |n1 AS (
+      |  SELECT u, COUNT(*) AS deg FROM bi
+      |  GROUP BY u HAVING COUNT(*) >= $CoreK),
+      |$rounds
+      |SELECT u AS part_key, deg AS core_degree FROM n$CoreRounds""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q122_kcore" -> q122KCore,
     "q105_pagerank" -> q105PageRank,
     "q107_copurchase" -> q107Copurchase,
     "q115_triangle_census" -> q115TriangleCensus,
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q122_kcore" -> q122Sql,
     "q105_pagerank" -> q105Sql,
     "q107_copurchase" -> q107Sql,
     "q115_triangle_census" -> q115Sql,

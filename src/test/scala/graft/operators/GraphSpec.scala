@@ -144,4 +144,61 @@ class GraphSpec extends SparkSpec {
     assert(ranks.forall(_ >= 150000L), "damping floor")
     assert(out.map(_.getString(0)).toSet.subsetOf(Set("supplier", "customer")))
   }
+
+  /** Serial k-core reference: peel to the true fixpoint, however many
+    * rounds that takes.
+    */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val keep = adj.filter(_._2.size >= k).keySet
+      changed = keep.size != adj.size
+      adj = adj.collect { case (n, ns) if keep(n) => n -> (ns & keep) }.toMap
+    }
+    adj.view.mapValues(_.size).toMap
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Graph.kCore(edges.toDF("u", "v"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+
+  test("k-core matches the serial peel on hand graphs") {
+    // K4 (every node degree 3) + a pendant chain that must peel away
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L))
+    assert(runKCore(k4 ++ chain, 3, 8) === refKCore(k4 ++ chain, 3))
+    assert(runKCore(k4 ++ chain, 3, 8).keySet === Set(1L, 2L, 3L, 4L))
+    // a 6-cycle is its own 2-core but has no 3-core at all
+    val cycle = (1L to 6L).map(i => (i, i % 6 + 1))
+    assert(runKCore(cycle, 2, 8) === refKCore(cycle, 2))
+    assert(runKCore(cycle, 3, 8) === Map.empty)
+  }
+
+  test("k-core matches the serial peel on random graphs") {
+    val gen = org.scalacheck.Gen.listOfN(30,
+      org.scalacheck.Gen.zip(org.scalacheck.Gen.choose(1L, 12L),
+        org.scalacheck.Gen.choose(1L, 12L)))
+    Iterator.iterate(org.scalacheck.rng.Seed(7L))(_.next)
+      .map(s => gen.apply(org.scalacheck.Gen.Parameters.default, s))
+      .collect { case Some(es) => es }.take(5).foreach { es =>
+        val edges = es.filter(p => p._1 != p._2)
+          .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+        // 12 nodes peel in at most 12 rounds; budget matches
+        assert(runKCore(edges, 3, 12) === refKCore(edges, 3), edges)
+      }
+  }
+
+  test("q122's round budget reaches the k-core fixpoint on testdata") {
+    import org.apache.spark.sql.functions.col
+    // one extra round changes nothing: the fixed budget landed the fixpoint
+    val at = GraphQueries.q122KCore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beyond = Graph.kCore(
+        GraphQueries.copurchaseEdges(spark, sfDir)
+          .select(col("part_a").as("u"), col("part_b").as("v")), 3, 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at === beyond, "8 rounds must already be the fixpoint")
+  }
 }

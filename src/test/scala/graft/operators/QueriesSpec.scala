@@ -386,4 +386,101 @@ class QueriesSpec extends SparkSpec {
       assert(got === expect, s"group $g")
     }
   }
+
+  test("q123 skyline equals the quadratic NOT EXISTS formulation") {
+    val got = CoreQueries.q123Skyline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Tables.part(spark, sfDir).createOrReplaceTempView("part_v")
+    val naive = spark.sql(
+      """WITH p AS (SELECT p_partkey,
+        |  CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c, p_size
+        |  FROM part_v)
+        |SELECT a.* FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+    // pairwise non-domination within the skyline itself
+    for (a <- got; b <- got if a != b)
+      assert(!(b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)),
+        s"$b dominates $a")
+  }
+
+  test("q124 closed-form CUSUM equals the serial clamp recursion") {
+    val rows = EventQueries.q124CusumShift(spark, sfDir)
+      .orderBy(col("day")).collect()
+    val daily = rows.map(_.getLong(1))
+    val n = daily.length.toLong
+    val tot = daily.sum
+    // serial max(0, S + d) over BigInt deviations, both directions
+    var up = BigInt(0); var dn = BigInt(0)
+    rows.zip(daily).foreach { case (r, x) =>
+      val d = BigInt(n) * x - tot
+      up = (up + d).max(0); dn = (dn - d).max(0)
+      assert(r.getDouble(2) === up.toDouble, s"up day ${r.getLong(0)}")
+      assert(r.getDouble(3) === dn.toDouble, s"dn day ${r.getLong(0)}")
+    }
+  }
+
+  test("q126 profile agrees with per-column aggregates") {
+    val prof = EventQueriesProfileHelper.profileMap(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val nRows = o.count()
+    prof.values.foreach { r => assert(r._1 === nRows) }
+    assert(prof("o_orderkey")._3 === nRows, "order key is unique")
+    val statuses = o.select(col("o_orderstatus")).distinct().count()
+    assert(prof("o_orderstatus")._3 === statuses)
+    // numeric min/max round-trip through the padded-string canonicalization
+    val (mnK, mxK) = (prof("o_orderkey")._4.toLong, prof("o_orderkey")._5.toLong)
+    val Array(expMn, expMx) = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    assert(mnK === expMn && mxK === expMx)
+  }
+
+  test("q127 z-statistic reconciles with driver-side IEEE arithmetic") {
+    val r = EventQueries.q127AbZtest(spark, sfDir).collect()(0)
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(na + nb === users, "arms partition the user set")
+    assert(ca <= na && cb <= nb)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(4) === pa && r.getDouble(5) === pb)
+    assert(r.getDouble(6) === z, "bit-identical z")
+  }
+
+  test("q128 attribution partitions the purchase set; channels are known") {
+    val out = EventQueries.q128Attribution(spark, sfDir).collect()
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getLong(1)).sum === purchases)
+    assert(out.map(_.getString(0)).toSet
+      .subsetOf(Set("none", "stale", "click", "view")))
+  }
+
+  test("q125 source overlap: symmetric bounds hold pairwise") {
+    val rows = CurationQueries.q125SourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (jac, cont) = (r.getDouble(5), r.getDouble(6))
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      assert(inter <= math.min(na, nb))
+      assert(jac > 0.0 && jac <= 1.0 && cont >= jac && cont <= 1.0)
+    }
+  }
+}
+
+/** Pulls q126's long-format profile into a keyed map for assertions. */
+object EventQueriesProfileHelper {
+  def profileMap(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : Map[String, (Long, Long, Long, String, String)] =
+    FunctionQueries.q126ColumnProfile(spark, sfDir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))
+    }.toMap
 }
