@@ -800,8 +800,92 @@ object CurationQueries {
       |JOIN v va ON src_a = va.source
       |JOIN v vb ON src_b = vb.source""".stripMargin
 
+  // ------------------------------------------ q132: negative sampling
+
+  /** Negatives kept per customer, and the oversampling factor that absorbs
+    * hash collisions and positive hits before the rank cut.
+    */
+  val NegK = 4
+  val NegOversample = 8
+
+  /** Deterministic negative sampling for recommender training: for every
+    * customer, [[NegK]] parts they have NEVER ordered, drawn
+    * pseudo-randomly but reproducibly — candidate i is
+    * portableHash(custkey:i) mod |part| + 1, so the "random" draw is a
+    * pure function of the ids (the q67 reproducible-split principle
+    * applied to example GENERATION: stable across runs, engines and
+    * partitioning, and regenerable without storing the samples).
+    *
+    * The scalable shape: per-customer fan-out is a constant
+    * [[NegOversample]] explode — never a customer × part cartesian, never
+    * a per-customer scan of the catalog — followed by one anti-join
+    * against the positives (the only data-sized shuffle) and a rank cut.
+    * The testdata's part keys are contiguous 0..|part|-1, so `mod` lands
+    * on a real part (QueriesSpec's dense-rank assertion would catch a
+    * silent drop at the final brand-attach join — it caught exactly that
+    * when this query briefly assumed 1-based keys).
+    */
+  val q132NegativeSamples: Q = (s, dir) => {
+    val positives = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("part_key"))
+      .distinct()
+    val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
+    val cands = positives.select(col("custkey")).distinct()
+      .crossJoin(broadcast(nParts))
+      .select(col("custkey"), col("n_parts"),
+        explode(sequence(lit(1), lit(NegOversample))).as("i"))
+      .select(col("custkey"), col("i"),
+        (Text.portableHash(concat_ws(":", col("custkey"), col("i")))
+          % col("n_parts")).as("part_key"))
+      // two draws can collide on the same part: keep the earliest i so the
+      // later duplicate never crowds out a fresh candidate
+      .groupBy(col("custkey"), col("part_key"))
+      .agg(min(col("i")).as("i"))
+    val negatives = cands.join(positives, Seq("custkey", "part_key"),
+      "left_anti")
+    val ranked = negatives.withColumn("sample_rank",
+      row_number().over(Window.partitionBy(col("custkey"))
+        .orderBy(col("i"), col("part_key"))))
+      .filter(col("sample_rank") <= NegK)
+    ranked.join(Tables.part(s, dir),
+        col("part_key") === col("p_partkey"))
+      .select(col("custkey"), col("sample_rank"), col("part_key"),
+        col("p_brand"))
+  }
+
+  val q132Sql: String =
+    s"""WITH positives AS (
+      |  SELECT DISTINCT o_custkey AS custkey, l_partkey AS part_key
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |np AS (SELECT COUNT(*) AS n_parts FROM part),
+      |cands AS (
+      |  SELECT custkey, MIN(i) AS i, part_key FROM (
+      |    SELECT c.custkey, u.i,
+      |      CAST(concat('0x', substr(md5(concat(c.custkey, ':', u.i)), 1, 15))
+      |        AS BIGINT) % n_parts AS part_key
+      |    FROM (SELECT DISTINCT custkey FROM positives) c
+      |    CROSS JOIN np
+      |    CROSS JOIN UNNEST(GENERATE_SERIES(1, $NegOversample)) AS u(i))
+      |  GROUP BY custkey, part_key),
+      |negs AS (
+      |  SELECT c.* FROM cands c
+      |  WHERE NOT EXISTS (SELECT 1 FROM positives p
+      |    WHERE p.custkey = c.custkey AND p.part_key = c.part_key)),
+      |ranked AS (
+      |  SELECT custkey, part_key,
+      |    ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY i, part_key)
+      |      AS sample_rank
+      |  FROM negs)
+      |SELECT custkey, CAST(sample_rank AS INT) AS sample_rank, part_key,
+      |  p_brand
+      |FROM ranked JOIN part ON part_key = p_partkey
+      |WHERE sample_rank <= $NegK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q125_source_overlap" -> q125SourceOverlap,
+    "q132_negative_samples" -> q132NegativeSamples,
     "q83_repetition_metrics" -> q83RepetitionMetrics,
     "q84_segment_dedup" -> q84SegmentDedup,
     "q85_decontaminate" -> q85Decontaminate,
@@ -816,6 +900,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q125_source_overlap" -> q125Sql,
+    "q132_negative_samples" -> q132Sql,
     "q83_repetition_metrics" -> q83Sql,
     "q84_segment_dedup" -> q84Sql,
     "q85_decontaminate" -> q85Sql,

@@ -911,6 +911,168 @@ object EventQueries {
       |FROM attr WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- q129: time-to-convert
+
+  /** Conversion-latency distribution: for every purchase attributed by
+    * q128's running-max key mechanism (last prior click/view within the
+    * 7-day lookback), the latency from touch to purchase in milliseconds,
+    * rolled up per channel as count, median/p90 (percentile_disc over exact
+    * integer latencies — picks actual members, so bit-portable) and max.
+    * The funnel question q103 counts ("how many convert") answered in TIME
+    * ("how fast"). Same single user-keyed shuffle as q128; the percentile
+    * aggregation touches only purchase rows.
+    */
+  val q129TimeToConvert: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tkey = when(col("event_type") === "click", unix_millis(col("ts")) * 4 + 1)
+      .when(col("event_type") === "view", unix_millis(col("ts")) * 4 + 2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        tkey.as("tkey"))
+      .withColumn("attr_key", max(col("tkey")).over(w))
+      .filter(col("event_type") === "purchase" && col("attr_key").isNotNull)
+      .select(
+        when(col("attr_key") % 4 === 1, "click").otherwise("view").as("channel"),
+        (unix_millis(col("ts")) - expr("attr_key div 4")).as("latency_ms"))
+      .filter(col("latency_ms") <= AttrWindowMs)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_ms)")
+          .cast("long").as("median_ms"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_ms)")
+          .cast("long").as("p90_ms"),
+        max(col("latency_ms")).as("max_ms"))
+  }
+
+  val q129Sql: String =
+    s"""WITH keyed AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) * 4 + 1
+      |         WHEN event_type = 'view'  THEN epoch_ms(ts) * 4 + 2 END AS tkey
+      |  FROM events),
+      |attr AS (
+      |  SELECT *, MAX(tkey) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_key
+      |  FROM keyed),
+      |conv AS (
+      |  SELECT CASE WHEN attr_key % 4 = 1 THEN 'click' ELSE 'view' END AS channel,
+      |    epoch_ms(ts) - attr_key // 4 AS latency_ms
+      |  FROM attr
+      |  WHERE event_type = 'purchase' AND attr_key IS NOT NULL
+      |    AND epoch_ms(ts) - attr_key // 4 <= $AttrWindowMs)
+      |SELECT channel, COUNT(*) AS n_conversions,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_ms) AS median_ms,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_ms) AS p90_ms,
+      |  MAX(latency_ms) AS max_ms
+      |FROM conv GROUP BY channel""".stripMargin
+
+  // ------------------------------------------- q130: seasonal backtest
+
+  /** Walk-forward backtest of the naive seasonal forecast — predict each
+    * day's purchase revenue as the floor-average of all PRIOR same-weekday
+    * days, score with per-weekday MAE. The evaluation harness every
+    * forecasting pipeline needs, and q121's seasonality claim actually
+    * TESTED out-of-sample. Strictly causal by construction: the prediction
+    * window frames rows to 1 preceding, so no day ever sees itself or the
+    * future. Prior-day sums accumulate in DECIMAL(38,0) (the q121 rule);
+    * predictions and errors are exact integer cents via DIV. One
+    * event-scale day rollup; windows and rollups run on the daily frame.
+    */
+  val q130SeasonalBacktest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val daily = e.groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("total_c"))
+      .withColumn("dow", (col("day") + 4) % 7)
+    val w = Window.partitionBy(col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("psum", sum(col("total_c").cast(dec)).over(w))
+      .withColumn("pcnt", count(lit(1)).over(w))
+      .filter(col("pcnt") >= 1)
+      .select(col("dow"),
+        expr(s"CAST(psum DIV CAST(pcnt AS $dec) AS BIGINT)").as("pred_c"),
+        col("total_c"))
+      .groupBy(col("dow").as("day_of_week"))
+      .agg(count(lit(1)).as("n_evals"),
+        expr(s"""CAST(sum(CAST(abs(total_c - pred_c) AS $dec))
+                | DIV CAST(count(1) AS $dec) AS BIGINT)""".stripMargin)
+          .as("mae_c"),
+        max(abs(col("total_c") - col("pred_c"))).as("max_err_c"))
+  }
+
+  val q130Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400),
+      |pred AS (
+      |  SELECT (day + 4) % 7 AS dow, total_c,
+      |    SUM(CAST(total_c AS HUGEINT)) OVER (PARTITION BY (day + 4) % 7
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS psum,
+      |    COUNT(*) OVER (PARTITION BY (day + 4) % 7
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcnt
+      |  FROM daily),
+      |evals AS (
+      |  SELECT dow, total_c, CAST(psum // pcnt AS BIGINT) AS pred_c
+      |  FROM pred WHERE pcnt >= 1)
+      |SELECT dow AS day_of_week, COUNT(*) AS n_evals,
+      |  CAST(SUM(CAST(ABS(total_c - pred_c) AS HUGEINT)) // COUNT(*) AS BIGINT)
+      |    AS mae_c,
+      |  MAX(ABS(total_c - pred_c)) AS max_err_c
+      |FROM evals GROUP BY dow""".stripMargin
+
+  // ------------------------------------------- q131: churn-label generation
+
+  /** Supervised-label generation for churn modelling: one training example
+    * per (user, active epoch-week) with behavioural features (events,
+    * active days, spend) and the LABEL — did the user go silent the
+    * following week? Label leakage is structurally impossible: the label
+    * for week w reads only the NEXT element of the user's ordered active-
+    * week list (lead), never features, and the final week is emitted with
+    * a NULL label (its outcome window hasn't closed — exactly what a
+    * production labeller must do, not silently call it churned). One
+    * shuffle keyed by user for both the weekly rollup and the window.
+    */
+  val q131ChurnLabels: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val weekly = e.groupBy(col("user_id"),
+        expr("unix_timestamp(ts) DIV 86400 DIV 7").as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(expr("unix_timestamp(ts) DIV 86400")).as("active_days"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("spend_c"))
+    val nextWeek = lead(col("week"), 1)
+      .over(Window.partitionBy(col("user_id")).orderBy(col("week")))
+    weekly.select(col("user_id"), col("week"), col("n_events"),
+      col("active_days"), col("spend_c"),
+      when(nextWeek.isNull, lit(null).cast("long"))
+        .when(nextWeek > col("week") + 1, 1L).otherwise(0L).as("churned"))
+  }
+
+  val q131Sql: String =
+    """WITH weekly AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 // 7 AS week,
+      |    COUNT(*) AS n_events,
+      |    COUNT(DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS active_days,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend_c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, week, n_events, active_days, spend_c,
+      |  CAST(CASE
+      |    WHEN LEAD(week) OVER (PARTITION BY user_id ORDER BY week) IS NULL
+      |      THEN NULL
+      |    WHEN LEAD(week) OVER (PARTITION BY user_id ORDER BY week) > week + 1
+      |      THEN 1 ELSE 0 END AS BIGINT) AS churned
+      |FROM weekly""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -936,12 +1098,18 @@ object EventQueries {
     "q121_seasonality" -> q121Seasonality,
     "q124_cusum_shift" -> q124CusumShift,
     "q127_ab_ztest" -> q127AbZtest,
-    "q128_attribution" -> q128Attribution)
+    "q128_attribution" -> q128Attribution,
+    "q129_time_to_convert" -> q129TimeToConvert,
+    "q130_seasonal_backtest" -> q130SeasonalBacktest,
+    "q131_churn_labels" -> q131ChurnLabels)
 
   val oracles: Map[String, String] = Map(
     "q124_cusum_shift" -> q124Sql,
     "q127_ab_ztest" -> q127Sql,
     "q128_attribution" -> q128Sql,
+    "q129_time_to_convert" -> q129Sql,
+    "q130_seasonal_backtest" -> q130Sql,
+    "q131_churn_labels" -> q131Sql,
     "q103_event_funnel" -> q103Sql,
     "q104_retention_cohorts" -> q104Sql,
     "q108_markov_transitions" -> q108Sql,

@@ -462,6 +462,76 @@ class QueriesSpec extends SparkSpec {
       .subsetOf(Set("none", "stale", "click", "view")))
   }
 
+  test("q129 latency percentiles are ordered and inside the lookback") {
+    val rows = EventQueries.q129TimeToConvert(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("click", "view")(r.getString(0)))
+      val (med, p90, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(0L <= med && med <= p90 && p90 <= mx)
+      assert(mx <= EventQueries.AttrWindowMs)
+    }
+  }
+
+  test("q130 backtest is causal: serial walk-forward reproduces every MAE") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("total_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = daily.groupBy { case (d, _) => (d + 4) % 7 }
+      .filter(_._2.length >= 2).map { case (dow, days) =>
+        val errs = days.zipWithIndex.drop(1).map { case ((_, x), i) =>
+          val prior = days.take(i).map(_._2)
+          (BigInt(x) - prior.map(BigInt(_)).sum / prior.length).abs
+        }
+        dow -> (errs.length.toLong,
+          (errs.sum / errs.length).toLong, errs.max.toLong)
+      }
+    val got = EventQueries.q130SeasonalBacktest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("q131 labels never leak: churned weeks have silent successors") {
+    val rows = EventQueries.q131ChurnLabels(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    val active = rows.map(r => (r._1, r._2)).toSet
+    rows.foreach { case (u, w, label) =>
+      label match {
+        case Some(1L) => assert(!active((u, w + 1)), s"user $u week $w")
+        case Some(0L) => assert(active((u, w + 1)), s"user $u week $w")
+        case Some(x) => fail(s"unexpected label $x")
+        case None => // final observed week: outcome window still open
+          assert(rows.filter(_._1 == u).map(_._2).max === w)
+      }
+    }
+  }
+
+  test("q132 negatives are disjoint from positives, capped and deterministic") {
+    val out = CurationQueries.q132NegativeSamples(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val positives = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (c, _, p) =>
+      assert(!positives((c, p)), s"negative ($c,$p) was actually purchased")
+    }
+    // per-customer: at most NegK samples, ranks dense from 1
+    out.groupBy(_._1).foreach { case (c, rs) =>
+      val ranks = rs.map(_._2).sorted
+      assert(ranks.length <= CurationQueries.NegK)
+      assert(ranks === (1 to ranks.length).toArray, s"customer $c")
+    }
+    // pure function of the ids: a second run is identical
+    val again = CurationQueries.q132NegativeSamples(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet === again.toSet)
+  }
+
   test("q125 source overlap: symmetric bounds hold pairwise") {
     val rows = CurationQueries.q125SourceOverlap(spark, sfDir).collect()
     assert(rows.nonEmpty)
