@@ -832,7 +832,11 @@ object CurationQueries {
       .select(col("o_custkey").as("custkey"), col("l_partkey").as("part_key"))
       .distinct()
     val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
-    val cands = positives.select(col("custkey")).distinct()
+    // customer universe straight off orders — re-deriving it from
+    // `positives` would run the lineitem⋈orders join a second time just to
+    // throw away the part column (the plan audit caught exactly that)
+    val cands = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey")).distinct()
       .crossJoin(broadcast(nParts))
       .select(col("custkey"), col("n_parts"),
         explode(sequence(lit(1), lit(NegOversample))).as("i"))
@@ -865,7 +869,7 @@ object CurationQueries {
       |    SELECT c.custkey, u.i,
       |      CAST(concat('0x', substr(md5(concat(c.custkey, ':', u.i)), 1, 15))
       |        AS BIGINT) % n_parts AS part_key
-      |    FROM (SELECT DISTINCT custkey FROM positives) c
+      |    FROM (SELECT DISTINCT o_custkey AS custkey FROM orders) c
       |    CROSS JOIN np
       |    CROSS JOIN UNNEST(GENERATE_SERIES(1, $NegOversample)) AS u(i))
       |  GROUP BY custkey, part_key),

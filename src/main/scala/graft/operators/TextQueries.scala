@@ -965,7 +965,55 @@ object TextQueries {
        |  FROM sym) t
        |WHERE rk <= 3""".stripMargin
 
+  // ------------------------------------------- q133: LSH quality evaluation
+
+  /** Ground-truth threshold for the recall evaluation — matches q55's
+    * est_jaccard cut so recall compares like against like.
+    */
+  val EvalJaccard = 0.5
+
+  /** MinHash-LSH quality harness: recall and precision of q55's banded
+    * candidates against the exact n-gram Jaccard ground truth (q54 at the
+    * same ≥ [[EvalJaccard]] threshold). Approximate operators in this
+    * engine ship with their error measured, not asserted — the LSH recall
+    * spec-checks (q61/q64) promoted to a standing, oracle-checked query a
+    * monitoring dashboard can track as the corpus drifts. One inner join
+    * of the two (small) pair sets; counts are exact integers, recall and
+    * precision the usual single IEEE divisions. The ground truth carries
+    * q54's DfCap discipline, so "recall" is measured against the
+    * candidates any bounded exact plan could produce — the honest
+    * at-scale baseline, stated here rather than hidden.
+    */
+  val q133LshQuality: Q = (s, dir) => {
+    val truth = q54NgramJaccard(s, dir)
+      .filter(col("jaccard") >= EvalJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(nCand).crossJoin(nHit)
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        (col("n_hit").cast("double") / col("n_candidates")).as("prec"))
+  }
+
+  def q133Sql: String =
+    s"""WITH exact AS (
+      |  SELECT doc_a, doc_b FROM ($q54Sql) x WHERE jaccard >= $EvalJaccard),
+      |est AS (SELECT doc_a, doc_b FROM ($q55Sql) y),
+      |t AS (SELECT COUNT(*) AS n_truth FROM exact),
+      |c AS (SELECT COUNT(*) AS n_candidates FROM est),
+      |h AS (SELECT COUNT(*) AS n_hit
+      |      FROM exact JOIN est USING (doc_a, doc_b))
+      |SELECT n_truth, n_candidates, n_hit,
+      |  CAST(n_hit AS DOUBLE) / n_truth AS recall,
+      |  CAST(n_hit AS DOUBLE) / n_candidates AS prec
+      |FROM t CROSS JOIN c CROSS JOIN h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q133_lsh_quality" -> q133LshQuality,
     "q80_tfidf_topk" -> q80TfidfTopk,
     "q67_hash_split" -> q67HashSplit,
     "q68_dedup_clusters" -> q68DedupClusters,
@@ -987,6 +1035,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q133_lsh_quality" -> q133Sql,
     "q80_tfidf_topk" -> q80Sql,
     "q67_hash_split" -> q67Sql,
     "q68_dedup_clusters" -> q68Sql,

@@ -225,6 +225,96 @@ object EventStream {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  final case class TouchEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+  final case class TouchState(lastTouchKey: Option[Long],
+    pending: Seq[TouchEvent])
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, channel: String, value_c: Long)
+
+  /** Last-touch attribution as keyed streaming state — the streaming twin
+    * of the batch q128 (EventQueries.q128Attribution): every purchase is
+    * credited to the user's most recent prior click/view within the
+    * lookback, using the SAME integer key encoding (epoch_ms·4 +
+    * channel code, running max), so batch and stream agree event-for-event
+    * (StreamingSpec proves parity).
+    *
+    * Unlike the stream-stream interval join ([[clickToPurchase]]), which
+    * emits every qualifying (click, purchase) pair eagerly, attribution is
+    * order-sensitive — "the LAST touch before" — so events must apply in
+    * event-time order. State therefore buffers events still above the
+    * watermark and drains them in (ts, event_id) order only once the
+    * watermark passes (the same buffer-until-finality discipline as
+    * [[userSessions]]); the running max key survives drains indefinitely
+    * while the user stays active. State is bounded: the pending buffer by
+    * the watermark horizon, and idle users' state by an event-time timeout
+    * at last-seen + lookback — safe to evict because any later purchase
+    * would find the touch expired anyway. One semantic seam: an EVICTED
+    * touch and a never-present touch both report 'none'; keeping the
+    * batch twin's finer none/stale distinction would mean retaining every
+    * idle user's state forever, exactly what the timeout exists to avoid.
+    */
+  def attributedPurchases(spark: SparkSession, events: DataFrame,
+      lookbackMs: Long = 7L * 86400000L,
+      watermark: String = "2 hours"): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[TouchEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[TouchState]) =>
+          val prev = state.getOption.getOrElse(TouchState(None, Nil))
+          val buffered = prev.pending ++ rows
+          val wm = state.getCurrentWatermarkMs()
+          // finality boundary: rows at or below the watermark can no longer
+          // be preceded by an unseen event, so their order is settled
+          val (ready, pending) = buffered.partition(_.ts.getTime <= wm)
+          var lastKey = prev.lastTouchKey
+          val out = ready.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val ms = e.ts.getTime
+            val emitted = if (e.event_type == "purchase") {
+              val channel = lastKey match {
+                case None => "none"
+                case Some(k) if ms - k / 4 > lookbackMs => "none"
+                case Some(k) if k % 4 == 1 => "click"
+                case Some(_) => "view"
+              }
+              Some(AttributedPurchase(uid, e.event_id, e.ts, channel,
+                math.round(e.value * 100)))
+            } else None
+            val key = e.event_type match {
+              case "click" => Some(ms * 4 + 1)
+              case "view" => Some(ms * 4 + 2)
+              case _ => None
+            }
+            key.foreach(k => lastKey = Some(math.max(lastKey.getOrElse(k), k)))
+            emitted
+          }
+          // The event-time timeout serves two purposes. With events still
+          // pending it is the DRAIN trigger: the function is only invoked
+          // for keys with new data or an expired timeout, so without it a
+          // quiet user's buffered purchases would wait on their next event,
+          // not on the watermark — arm it just past the newest pending
+          // event and the group wakes the moment its order is settled.
+          // With nothing pending it is EVICTION: one lookback past the
+          // touch key, after which any future purchase would find the
+          // touch expired anyway — state removal is semantically free.
+          val evictAt = lastKey.map(_ / 4).getOrElse(0L) + lookbackMs + 1
+          if (pending.isEmpty && evictAt <= wm) {
+            state.remove()
+          } else {
+            state.update(TouchState(lastKey, pending))
+            val timeoutAt =
+              if (pending.nonEmpty) pending.map(_.ts.getTime).max + 1
+              else evictAt
+            state.setTimeoutTimestamp(math.max(timeoutAt, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Exactly-once ingest from an at-least-once source: drop redelivered
     * events by their idempotency key. `dropDuplicatesWithinWatermark` keeps
     * per-key state only until the watermark passes it, so state is bounded

@@ -275,4 +275,47 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 10:30:00.0", 1L),   // late event, its own session
       (2L, "2024-01-01 12:00:00.0", 1L)))  // exact-gap pair stays split
   }
+
+  test("streaming last-touch attribution equals the batch q128 per purchase") {
+    val dir = Files.createTempDirectory("graft_attr").toString
+    val real = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.mode("overwrite").parquet(dir)
+    val maxTs = real.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def flush(hoursAfter: Int): Unit = {
+      import spark.implicits._
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + hoursAfter * 3600000L),
+        -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = EventStream.attributedPurchases(spark, EventStream.read(spark, dir))
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream").start()
+    try {
+      q.processAllAvailable()
+      flush(10); q.processAllAvailable()  // watermark passes every purchase
+      flush(20); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr_stream").filter(col("user_id") >= 0)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("v_c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the streaming surface folds the batch twin's 'stale' into 'none'
+    // (an evicted touch is indistinguishable from an absent one)
+    val batch = graft.operators.EventQueries.q128Attribution(spark, sfDir)
+      .withColumn("channel", when(col("channel") === "stale", "none")
+        .otherwise(col("channel")))
+      .groupBy(col("channel"))
+      .agg(sum(col("n_purchases")).as("n"), sum(col("revenue_c")).as("v_c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch)
+    // per-purchase, not just in aggregate: every purchase event appears
+    // exactly once in the stream output
+    val nPurchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(spark.table("attr_stream").filter(col("user_id") >= 0).count()
+      === nPurchases)
+  }
 }
