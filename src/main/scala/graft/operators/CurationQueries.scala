@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -887,7 +888,178 @@ object CurationQueries {
       |FROM ranked JOIN part ON part_key = p_partkey
       |WHERE sample_rank <= $NegK""".stripMargin
 
+  // ------------------------------------------ q134/q135: BPE tokenizer
+
+  /** Merge rounds the BPE trainer runs (Sennrich et al. 2016's algorithm,
+    * fixed small R so the oracle unrolls one CTE block per round).
+    */
+  val BpeRounds = 10
+
+  /** Word → wrapped symbol sequence: every symbol sits between its OWN pair
+    * of '|' separators ("spark" → "|s||p||a||r||k|"), so applying a merge is
+    * ONE left-to-right non-overlapping string replace — "|l||r|" → "|lr|" —
+    * with no boundary character shared between adjacent matches (the
+    * single-separator encoding breaks on "a b a b": the first match consumes
+    * the separator the second needs). A merge can never manufacture a new
+    * occurrence of its own pair (merged = l+r differs from both l and r), so
+    * non-overlapping left-to-right replace IS the textbook greedy-left merge
+    * application — and both engines' `replace` scan exactly that way.
+    */
+  private def bpeWrapped(word: Column): Column =
+    concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), "||"),
+      lit("|"))
+
+  private def bpeSymbols(ws: Column): Column =
+    split(trim(ws, "|"), "\\|\\|")
+
+  /** Corpus vocabulary: distinct whitespace words with occurrence counts,
+    * each as a wrapped character sequence. One token-stream shuffle; from
+    * here on the trainer touches only the vocab table (words × counts), the
+    * same state compression every published BPE trainer uses — corpus size
+    * stops mattering after this line.
+    */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), bpeWrapped(col("word")).as("ws"), col("cnt"))
+
+  /** Run [[BpeRounds]] merge rounds: each round counts adjacent symbol pairs
+    * across the vocab (weighted by word frequency, distributed explode +
+    * groupBy), collects ONLY the single winning pair (count desc, then pair
+    * asc — a total order, so ties are deterministic), and applies it with
+    * one string replace. Returns the merge table and the merged vocabulary.
+    *
+    * Scale posture: the per-round job runs over the vocabulary, not the
+    * corpus — millions of rows at web scale, cached once; the per-round
+    * collect is one row (metadata-scale control flow, like IVF's trained
+    * centroids). R rounds = R small jobs.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = bpeVocab(s, dir).cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val syms = bpeSymbols(col("ws"))
+      val best = vocab
+        .select(col("cnt"), syms.as("s"))
+        .where(size(col("s")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE pair space exhausted at round $r < $BpeRounds")
+      val l = best(0).getString(0)
+      val rr = best(0).getString(1)
+      val f = best(0).getLong(2)
+      merges += ((r, l, rr, f))
+      vocab = vocab.withColumn("ws",
+        replace(col("ws"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")))
+    }
+    (merges.result(), vocab)
+  }
+
+  /** BPE merge-table training over the corpus: the [[BpeRounds]] most
+    * frequent adjacent symbol pairs, merged greedily in frequency order.
+    * Output is the learned merge table — rank, pair, merged symbol,
+    * frequency at merge time — i.e. the tokenizer artifact a training
+    * pipeline ships.
+    */
+  val q134BpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val (merges, _) = bpeTrain(s, dir)
+    merges.toDF("merge_rank", "left_sym", "right_sym", "freq")
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"), col("freq"))
+  }
+
+  /** Shared oracle scaffolding: words → wrapped vocab w0, then one
+    * (pairs → best → replace) CTE block per round, exactly the Spark
+    * trainer's loop unrolled. `w$BpeRounds` is the merged vocabulary.
+    */
+  private def bpeCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""s$r AS (SELECT STRING_SPLIT(TRIM(ws, '|'), '||') AS s, cnt FROM w${r - 1}),
+         |p$r AS (SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS freq
+         |  FROM s$r, UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, freq FROM p$r ORDER BY freq DESC, l, r LIMIT 1),
+         |w$r AS (SELECT word,
+         |    REPLACE(ws, '|'||l||'||'||r||'|', '|'||l||r||'|') AS ws, cnt
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(w)
+       |  GROUP BY 1),
+       |w0 AS (
+       |  SELECT word,
+       |    '|' || LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(word)),
+       |      i -> word[i]), 'string_agg', '||') || '|' AS ws, cnt
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
+
+  val q134Sql: String = {
+    val outs = (1 to BpeRounds).map { r =>
+      s"SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"l||r AS merged, freq FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH $bpeCtes\n$outs"
+  }
+
+  /** Tokenizer application at corpus scale: every document re-tokenized with
+    * the q134 merge table — per document, the whitespace word count, the
+    * pre-merge symbol count (characters), the post-merge BPE token count,
+    * and the e6-scaled compression ratio. The merged vocabulary is a
+    * broadcast dimension (vocab ≪ corpus by construction), so application
+    * is one map-side join over the token stream: the 100 TB plan is scan +
+    * broadcast-join + one doc_id aggregation.
+    */
+  val q135BpeApply: Q = (s, dir) => {
+    val (_, vocab) = bpeTrain(s, dir)
+    val vsize = vocab.select(col("word"),
+      length(col("word")).as("n_char"),
+      size(bpeSymbols(col("ws"))).as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .join(broadcast(vsize), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_char").as("n_chars"),
+        sum("n_sym").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        floor(col("n_chars") * 1000000.0 / col("n_bpe_tokens"))
+          .as("compression_e6"))
+  }
+
+  val q135Sql: String =
+    s"""WITH $bpeCtes,
+       |vs AS (SELECT word, LEN(word) AS n_char,
+       |    LEN(STRING_SPLIT(TRIM(ws, '|'), '||')) AS n_sym
+       |  FROM w$BpeRounds),
+       |toks AS (SELECT doc_id, u.w AS word
+       |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(w))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_char) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(FLOOR(SUM(n_char) * 1000000.0 / SUM(n_sym)) AS BIGINT)
+       |    AS compression_e6
+       |FROM toks JOIN vs USING (word)
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q134_bpe_train" -> q134BpeTrain,
+    "q135_bpe_apply" -> q135BpeApply,
     "q125_source_overlap" -> q125SourceOverlap,
     "q132_negative_samples" -> q132NegativeSamples,
     "q83_repetition_metrics" -> q83RepetitionMetrics,
@@ -903,6 +1075,8 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q134_bpe_train" -> q134Sql,
+    "q135_bpe_apply" -> q135Sql,
     "q125_source_overlap" -> q125Sql,
     "q132_negative_samples" -> q132Sql,
     "q83_repetition_metrics" -> q83Sql,

@@ -1012,7 +1012,104 @@ object TextQueries {
       |  CAST(n_hit AS DOUBLE) / n_candidates AS prec
       |FROM t CROSS JOIN c CROSS JOIN h""".stripMargin
 
+  // ----------------------------------- q136: exact repeated-substring spans
+
+  /** Character width of the duplicated-substring detector. 25 chars ≈ a
+    * 4-6 word clause: long enough that chance collisions vanish, short
+    * enough to catch boilerplate fragments sentence-level dedup misses.
+    */
+  val DupGramChars = 25
+
+  /** Exact repeated-substring accounting (the character-level dedup signal
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every [[DupGramChars]]-char substring that occurs more than
+    * once ANYWHERE in the corpus marks its positions; overlapping/adjacent
+    * marked positions merge into maximal spans per document. Output per
+    * document: duplicated-span count, duplicated character mass, and the
+    * e6-scaled duplicated fraction — the quantity a pipeline thresholds to
+    * drop or trim boilerplate-heavy documents.
+    *
+    * Plan: one gram explode (≈ one row per character), ONE shuffle on the
+    * gram string for the corpus-wide occurrence window, one doc_id shuffle
+    * for span merging. The gram itself is the key, so the result is EXACT —
+    * no hash-collision caveat — and the 25-byte key costs about the same
+    * shuffle width as a 16-byte digest. Fixed gram width makes span merging
+    * a lag comparison (ends are monotone in starts), not a running max. A
+    * corpus-hot gram (licence boilerplate) concentrates only a counter into
+    * one window partition — counts, never pairs, so no quadratic blowup.
+    * The suffix-array formulation is the single-node alternative; this
+    * hash-partition shape is the one that distributes.
+    */
+  val q136DupSpans: Q = (s, dir) => {
+    val k = DupGramChars
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val grams = d.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - (k - 1)),
+          i => struct(i.as("pos"),
+            col("text").substr(i, lit(k)).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dup = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .where(col("cnt") > 1)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("chars")).as("dup_chars"))
+    d.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        floor(coalesce(col("dup_chars"), lit(0L)) * 1000000.0 /
+          length(col("text"))).as("dup_frac_e6"))
+  }
+
+  val q136Sql: String = {
+    val k = DupGramChars
+    s"""WITH g AS (
+      |  SELECT doc_id, i AS pos, SUBSTR(text, i, $k) AS gram
+      |  FROM documents, UNNEST(GENERATE_SERIES(1, LEN(text) - ${k - 1}))
+      |    AS u(i)
+      |  WHERE LEN(text) >= $k),
+      |dup AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt
+      |    FROM g) WHERE cnt > 1),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN LAG(pos) OVER w IS NULL
+      |           OR pos > LAG(pos) OVER w + $k THEN 1 ELSE 0 END AS brk
+      |  FROM dup
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |islands AS (
+      |  SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM marked),
+      |spans AS (
+      |  SELECT doc_id, island, MAX(pos) - MIN(pos) + $k AS chars
+      |  FROM islands GROUP BY doc_id, island),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+      |    CAST(SUM(chars) AS BIGINT) AS dup_chars
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(LEN(d.text) AS BIGINT) AS n_chars,
+      |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(p.dup_chars, 0) AS dup_chars,
+      |  CAST(FLOOR(COALESCE(p.dup_chars, 0) * 1000000.0 / LEN(d.text))
+      |    AS BIGINT) AS dup_frac_e6
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_dup_spans" -> q136DupSpans,
     "q133_lsh_quality" -> q133LshQuality,
     "q80_tfidf_topk" -> q80TfidfTopk,
     "q67_hash_split" -> q67HashSplit,
@@ -1035,6 +1132,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q136_dup_spans" -> q136Sql,
     "q133_lsh_quality" -> q133Sql,
     "q80_tfidf_topk" -> q80Sql,
     "q67_hash_split" -> q67Sql,

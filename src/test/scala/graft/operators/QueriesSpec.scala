@@ -532,6 +532,83 @@ class QueriesSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("q134 BPE merges equal the serial reference trainer") {
+    // serial greedy-left BPE over the collected word counts: the textbook
+    // algorithm, no Spark, no string-replace encoding — if the distributed
+    // pair counting, tie-breaking, or wrapped-replace application diverges
+    // anywhere, the merge tables differ
+    val words = Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seqs = collection.mutable.ArrayBuffer(
+      words.map { case (w, c) =>
+        (collection.mutable.ArrayBuffer(w.map(_.toString): _*), c) }: _*)
+    val expect = (1 to CurationQueries.BpeRounds).map { rank =>
+      val pc = collection.mutable.Map[(String, String), Long]()
+      for ((s, c) <- seqs; i <- 0 until s.length - 1)
+        pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + c
+      val ((l, r), f) = pc.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.head
+      for ((s, _) <- seqs) {
+        var i = 0
+        while (i < s.length - 1) {
+          if (s(i) == l && s(i + 1) == r) { s(i) = l + r; s.remove(i + 1) }
+          else i += 1
+        }
+      }
+      (rank, l, r, l + r, f)
+    }
+    val got = CurationQueries.q134BpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === expect)
+  }
+
+  test("q135 BPE application: conservation and compression invariants") {
+    val rows = CurationQueries.q135BpeApply(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(rows.length === docs, "every document tokenizes")
+    rows.foreach { r =>
+      val (nw, nc, nb, comp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nb >= nw, "a word never drops below one token")
+      assert(nb <= nc, "merges only shrink the symbol count")
+      assert(comp >= 1000000L, "compression ratio is >= 1")
+    }
+    // merges actually bit: the corpus compresses strictly overall
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
+  }
+
+  test("q136 duplicate spans equal the serial reference scan") {
+    val k = TextQueries.DupGramChars
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // serial reference: count every k-gram corpus-wide, mark positions of
+    // repeated grams, merge overlapping/adjacent marks into spans
+    val counts = collection.mutable.Map[String, Int]()
+    for ((_, t) <- docs; i <- 0 to t.length - k)
+      counts(t.substring(i, i + k)) = counts.getOrElse(t.substring(i, i + k), 0) + 1
+    val expect = docs.map { case (id, t) =>
+      val marks = (0 to t.length - k)
+        .filter(i => counts(t.substring(i, i + k)) > 1)
+      var spans = List.empty[(Int, Int)] // (start, end) inclusive, 0-based
+      for (i <- marks) spans match {
+        case (s0, e0) :: rest if i <= e0 + 1 =>
+          spans = (s0, math.max(e0, i + k - 1)) :: rest
+        case _ => spans = (i, i + k - 1) :: spans
+      }
+      val dupChars = spans.map { case (s0, e0) => e0 - s0 + 1 }.sum
+      (id, (t.length.toLong, spans.length.toLong, dupChars.toLong,
+        math.floor(dupChars * 1000000.0 / t.length).toLong))
+    }.toMap
+    val got = TextQueries.q136DupSpans(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    assert(got === expect)
+    assert(expect.values.exists(_._2 > 0), "corpus exercises the detector")
+  }
+
   test("q125 source overlap: symmetric bounds hold pairwise") {
     val rows = CurationQueries.q125SourceOverlap(spark, sfDir).collect()
     assert(rows.nonEmpty)
