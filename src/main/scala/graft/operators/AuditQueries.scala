@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TSql._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality auditing and statistics-build operators — the engine-side
+  * expression of the reference's hygiene surface: the monitoring toolkit's
+  * table-health triage (reference:
+  * solutions/monitoring/scripts/views/microsoft.vw_table_health.sql) and
+  * CREATE STATISTICS ... WITH FULLSCAN (reference:
+  * samples/scripts/statistics/Statistics-Examples.sql), generalized to the
+  * declarative constraint-audit shape every warehouse load pipeline runs
+  * before publishing a batch.
+  */
+object AuditQueries {
+
+  // ------------------------------------------- q139: data-quality audit
+
+  /** Declarative data-quality audit: one report row per (table, check) with
+    * the violation count and the table's row count. All single-table checks
+    * for one table fold into ONE conditional-aggregate scan (the map-then-
+    * explode unpivot — adding a check adds a column, not a pass), and the
+    * two referential checks are anti-joins: orders→customer broadcasts the
+    * dimension; lineitem→orders is the one genuine shuffle in the audit.
+    * Domain/range predicates compare integer cents, never raw doubles, so
+    * both engines evaluate identical integer comparisons. The final UNION
+    * of per-table reports is metadata-sized.
+    */
+  val q139QualityAudit: Q = (s, dir) => {
+    // one wide conditional-agg row per table, unpivoted via map+explode
+    def audit(tbl: String, df: DataFrame, checks: (String, Column)*): DataFrame = {
+      val aggCols = count(lit(1)).as("total") +:
+        checks.map { case (n, c) => c.as(n) }
+      val agg = df.agg(aggCols.head, aggCols.tail: _*)
+      val pairs = checks.flatMap { case (n, _) => Seq(lit(n), col(n)) }
+      agg.select(lit(tbl).as("tbl"), explode(map(pairs: _*)).as(Seq("chk", "violations")),
+        col("total"))
+    }
+    def bad(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+    val li = Tables.lineitem(s, dir)
+    val ords = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val docs = Tables.documents(s, dir)
+
+    val liAudit = audit("lineitem", li,
+      "qty_range" -> bad(!cents(col("l_quantity")).between(100L, 5000L)),
+      "discount_range" -> bad(!cents(col("l_discount")).between(0L, 10L)),
+      "tax_le_discount" -> bad(cents(col("l_tax")) > cents(col("l_discount"))),
+      "linenumber_range" -> bad(!col("l_linenumber").between(1, 4)))
+    val ordAudit = audit("orders", ords,
+      "status_domain" -> bad(!col("o_orderstatus").isin("O", "F", "P")),
+      "price_positive" -> bad(cents(col("o_totalprice")) <= 0L),
+      "custkey_complete" -> bad(col("o_custkey").isNull))
+    val custAudit = audit("customer", cust,
+      "custkey_unique" -> (count(lit(1)) - countDistinct(col("c_custkey"))))
+    val docAudit = audit("documents", docs,
+      "nchars_consistent" -> bad(col("n_chars") =!= length(col("text"))))
+
+    // referential integrity: orphan counts via anti-join
+    def orphans(tbl: String, chk: String, child: DataFrame, total: DataFrame,
+        anti: DataFrame): DataFrame =
+      anti.agg(count(lit(1)).as("violations"))
+        .join(total.agg(count(lit(1)).as("total")))
+        .select(lit(tbl).as("tbl"), lit(chk).as("chk"), col("violations"),
+          col("total"))
+    val ordOrphans = orphans("orders", "fk_custkey", ords, ords,
+      ords.join(broadcast(cust), ords("o_custkey") === cust("c_custkey"),
+        "left_anti"))
+    val liOrphans = orphans("lineitem", "fk_orderkey", li, li,
+      li.join(ords, li("l_orderkey") === ords("o_orderkey"), "left_anti"))
+
+    liAudit.unionByName(ordAudit).unionByName(custAudit)
+      .unionByName(docAudit).unionByName(ordOrphans).unionByName(liOrphans)
+  }
+
+  val q139Sql: String =
+    """WITH li AS (
+      |  SELECT COUNT(*) AS total,
+      |    CAST(SUM(CASE WHEN CAST(ROUND(l_quantity*100) AS BIGINT)
+      |      NOT BETWEEN 100 AND 5000 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+      |    CAST(SUM(CASE WHEN CAST(ROUND(l_discount*100) AS BIGINT)
+      |      NOT BETWEEN 0 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+      |    CAST(SUM(CASE WHEN CAST(ROUND(l_tax*100) AS BIGINT) >
+      |      CAST(ROUND(l_discount*100) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tax_le_discount,
+      |    CAST(SUM(CASE WHEN l_linenumber NOT BETWEEN 1 AND 4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS linenumber_range
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT COUNT(*) AS total,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS status_domain,
+      |    CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) <= 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS custkey_complete
+      |  FROM orders),
+      |c AS (
+      |  SELECT COUNT(*) AS total,
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) AS custkey_unique
+      |  FROM customer),
+      |d AS (
+      |  SELECT COUNT(*) AS total,
+      |    CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nchars_consistent
+      |  FROM documents)
+      |SELECT 'lineitem' AS tbl, 'qty_range' AS chk, qty_range AS violations, total FROM li
+      |UNION ALL SELECT 'lineitem', 'discount_range', discount_range, total FROM li
+      |UNION ALL SELECT 'lineitem', 'tax_le_discount', tax_le_discount, total FROM li
+      |UNION ALL SELECT 'lineitem', 'linenumber_range', linenumber_range, total FROM li
+      |UNION ALL SELECT 'orders', 'status_domain', status_domain, total FROM o
+      |UNION ALL SELECT 'orders', 'price_positive', price_positive, total FROM o
+      |UNION ALL SELECT 'orders', 'custkey_complete', custkey_complete, total FROM o
+      |UNION ALL SELECT 'customer', 'custkey_unique', custkey_unique, total FROM c
+      |UNION ALL SELECT 'documents', 'nchars_consistent', nchars_consistent, total FROM d
+      |UNION ALL SELECT 'orders', 'fk_custkey',
+      |  (SELECT COUNT(*) FROM orders o2 WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c2 WHERE c2.c_custkey = o2.o_custkey)),
+      |  (SELECT COUNT(*) FROM orders)
+      |UNION ALL SELECT 'lineitem', 'fk_orderkey',
+      |  (SELECT COUNT(*) FROM lineitem l2 WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o3 WHERE o3.o_orderkey = l2.l_orderkey)),
+      |  (SELECT COUNT(*) FROM lineitem)""".stripMargin
+
+  // ------------------------------------------- q140: equi-depth histogram
+
+  /** Histogram bucket count (the reference's stats histograms use up to 200
+    * steps; 16 keeps the gate output readable).
+    */
+  val HistBuckets = 16
+
+  /** Equi-depth histogram of l_extendedprice — the CREATE STATISTICS ...
+    * WITH FULLSCAN build (reference:
+    * samples/scripts/statistics/Statistics-Examples.sql): NTILE over a
+    * total order (integer cents, then the unique (orderkey, linenumber)
+    * tie-break so bucket assignment is deterministic in both engines),
+    * rolled up to per-bucket row count and [lo, hi] bounds. This is the
+    * exact full-scan path and carries a global sort by construction — the
+    * sampled production path for the same question is q91's bottom-k
+    * sketch; stats builds are scheduled maintenance, not hot-path queries.
+    */
+  val q140Histogram: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(
+      cents(col("l_extendedprice")).as("c"),
+      col("l_orderkey"), col("l_linenumber"))
+    val nt = ntile(HistBuckets).over(
+      Window.orderBy(col("c"), col("l_orderkey"), col("l_linenumber")))
+    li.withColumn("bucket", nt)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+  }
+
+  val q140Sql: String =
+    s"""WITH ranked AS (
+      |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+      |    NTILE($HistBuckets) OVER (ORDER BY
+      |      CAST(ROUND(l_extendedprice*100) AS BIGINT),
+      |      l_orderkey, l_linenumber) AS bucket
+      |  FROM lineitem)
+      |SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+      |  MIN(c) AS lo_c, MAX(c) AS hi_c
+      |FROM ranked GROUP BY bucket""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q139_quality_audit" -> q139QualityAudit,
+    "q140_stats_histogram" -> q140Histogram)
+
+  val oracles: Map[String, String] = Map(
+    "q139_quality_audit" -> q139Sql,
+    "q140_stats_histogram" -> q140Sql)
+}

@@ -1073,6 +1073,114 @@ object EventQueries {
       |      THEN 1 ELSE 0 END AS BIGINT) AS churned
       |FROM weekly""".stripMargin
 
+  // ------------------------------------------- q137: rolling 7-day actives
+
+  /** Rolling-window length in days: windows are [w-6, w] inclusive. */
+  val RollingDays = 7
+
+  /** Rolling 7-day distinct active users per day WITHOUT any distinct
+    * aggregation — the exact-DAU/WAU staple that naive plans compute as a
+    * per-day COUNT(DISTINCT) over a 7-day self-join (7× the events,
+    * distinct state per window). Instead: a user counts toward window-end
+    * day w iff their EARLIEST active day in [w-6, w] — i.e. a user-day
+    * whose previous active day is < w-6 — so each user-day with previous
+    * active day p contributes exactly to w ∈ [max(day, p+7), day+6], a
+    * closed integer interval. One user-keyed window pass finds p (the lag
+    * over day-ordered events; the first event of each day is the one whose
+    * lag-day differs), a ≤7-row bounded explode emits the interval, and a
+    * plain SUM per day replaces every distinct aggregate. Fan-out ≤ 7× the
+    * DEDUPLICATED user-days; no distinct state anywhere.
+    *
+    * Windows are truncated at the corpus' last day so the output domain
+    * matches the calendar spine [min day, max day]. The oracle is the
+    * independent naive formulation (spine join + COUNT(DISTINCT)) — the
+    * gate proves the interval algebra equals textbook semantics.
+    */
+  val q137RollingActives: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+    // lag over day-ordered events: within a day the order is ambiguous but
+    // immaterial — exactly one row per user-day sees a lag-day < its own
+    // (the rest see their own day), and its lag IS the previous active day.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val firsts = e.withColumn("pday", lag(col("day"), 1).over(w))
+      .filter(col("pday").isNull || col("pday") < col("day"))
+    val mx = Tables.events(s, dir)
+      .agg(max(expr("unix_timestamp(ts) DIV 86400")).as("maxday"))
+    firsts
+      .select(
+        greatest(col("day"),
+          coalesce(col("pday") + RollingDays, col("day"))).as("lo"),
+        (col("day") + (RollingDays - 1)).as("hi"))
+      .join(broadcast(mx))
+      .select(col("lo"), least(col("hi"), col("maxday")).as("hi"))
+      .filter(col("lo") <= col("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_7d"))
+  }
+
+  val q137Sql: String =
+    s"""WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |spine AS (
+      |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM act),
+      |                                (SELECT MAX(day) FROM act))) AS day)
+      |SELECT s.day AS day, COUNT(DISTINCT a.user_id) AS active_7d
+      |FROM spine s JOIN act a
+      |  ON a.day BETWEEN s.day - ${RollingDays - 1} AND s.day
+      |GROUP BY s.day""".stripMargin
+
+  // ------------------------------------------- q138: exact heavy hitters
+
+  /** Misra-Gries summary size; guarantees candidates ⊇ items above
+    * 1/(HeavyK+1) frequency, so any threshold 1/HeavyFrac with
+    * HeavyFrac < HeavyK+1 is exact after the recount.
+    */
+  val HeavyK = 256
+  /** Heavy-hitter threshold denominator: report items with ≥ N/HeavyFrac
+    * occurrences.
+    */
+  val HeavyFrac = 128
+
+  /** Exact φ-heavy hitters (φ = 1/128) in two bounded passes — the only
+    * shape that survives a key column with billions of distinct values,
+    * where the naive GROUP BY key HAVING count ≥ φN shuffles one row per
+    * distinct key. Pass 1: a Misra-Gries candidate summary
+    * ([[graft.plans.FrequentItemsAgg]]) — O(k) state per map partition,
+    * map-side combinable, shuffles ≤ k rows per partition, provably a
+    * superset of every φ-heavy hitter for φ > 1/(k+1); the grand total
+    * rides the same aggregate. Pass 2: exact recount of candidate keys
+    * only, behind a broadcast semi-join, so the second shuffle carries just
+    * the ≤ k surviving keys. The result is EXACT — the DuckDB oracle is the
+    * naive full GROUP BY — because the superset guarantee means no
+    * qualifying key can be missing and the recount removes false positives.
+    */
+  val q138HeavyHitters: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val cands = e.agg(
+      graft.functions.Sampling.frequentCandidates(col("user_id"), HeavyK)
+        .as("cand"),
+      count(lit(1)).as("total"))
+    val candKeys = cands.select(explode(col("cand")).as("user_id"),
+      col("total"))
+    e.join(broadcast(candKeys), Seq("user_id"))
+      .groupBy(col("user_id"), col("total"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * HeavyFrac >= col("total"))
+      .select(col("user_id"), col("n_events"))
+  }
+
+  val q138Sql: String =
+    s"""WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+      |t AS (SELECT COUNT(*) AS total FROM events)
+      |SELECT user_id, n_events FROM c, t
+      |WHERE n_events * $HeavyFrac >= total""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1101,9 +1209,13 @@ object EventQueries {
     "q128_attribution" -> q128Attribution,
     "q129_time_to_convert" -> q129TimeToConvert,
     "q130_seasonal_backtest" -> q130SeasonalBacktest,
-    "q131_churn_labels" -> q131ChurnLabels)
+    "q131_churn_labels" -> q131ChurnLabels,
+    "q137_rolling_actives" -> q137RollingActives,
+    "q138_heavy_hitters" -> q138HeavyHitters)
 
   val oracles: Map[String, String] = Map(
+    "q137_rolling_actives" -> q137Sql,
+    "q138_heavy_hitters" -> q138Sql,
     "q124_cusum_shift" -> q124Sql,
     "q127_ab_ztest" -> q127Sql,
     "q128_attribution" -> q128Sql,
