@@ -261,29 +261,18 @@ object CoreQueries {
   // larger corpora raise p (the construction is identical for any p). The
   // estimator constant alpha·m²·2^W is ONE Scala-computed double inlined
   // identically into engine and oracle.
-  private val HllP = 8
-  private val HllM = 1 << HllP
-  private val HllW = 60 - HllP // rank window bits; ranks run 1..HllW+1
-  private val HllEstC: Double =
-    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
-      math.pow(2.0, HllW + 1)
+  // the shared portable-HLL construction lives in graft.functions.Hll;
+  // q09/q101/q113 build the SAME p=8 sketch
+  private val Hll8 = graft.functions.Hll(8)
+  private val HllM = Hll8.m
+  private val HllW = Hll8.w
+  private val HllEstC: Double = Hll8.estC
 
-  /** The shared register derivation (q09/q101/q113 build the SAME sketch):
-    * (bucket, rank) from a portable-hash column — bucket = top p bits,
-    * rank = leading-zero ladder over the low W bits (no libm).
-    */
   private def hllBucketRank(h: org.apache.spark.sql.Column)
-      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val w = h.bitwiseAND(lit((1L << HllW) - 1))
-    val rank = (1 to HllW).foldRight(lit(HllW + 1): org.apache.spark.sql.Column) {
-      (r, els) => when(w >= lit(1L << (HllW - r)), lit(r)).otherwise(els)
-    }
-    (shiftrightunsigned(h, HllW), rank)
-  }
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    Hll8.bucketRank(h)
 
-  /** The DuckDB twin of [[hllBucketRank]]'s comparison ladder. */
-  private val hllLadderSql: String = (1 to HllW).map(r =>
-    s"WHEN w >= ${1L << (HllW - r)} THEN $r").mkString("\n      ")
+  private val hllLadderSql: String = Hll8.ladderSql
 
   /** Approximate NDV that the exact-compare gate can still check — unlike
     * q08's engine-native sketch (whose binary registers differ per engine),
@@ -445,6 +434,87 @@ object CoreQueries {
        |    - $HllEstC / CAST(tu AS DOUBLE) AS est_overlap
        |FROM ts""".stripMargin
   }
+
+  // ---------------------------------------- q141: rolling sketch NDV
+
+  /** q141's sketch: m=64 registers — sized down from the q09 family's 256
+    * so the 28-day windows (hundreds of distinct parts at test SFs) stay in
+    * the raw-estimator regime n ≳ 2.5·m.
+    */
+  private val HllRoll = graft.functions.Hll(6)
+
+  /** Rolling NDV window length in days (windows are [w-27, w]). */
+  val RollWindowDays = 28
+
+  /** Rolling 28-day distinct-parts-shipped per day via MERGEABLE sketches —
+    * the long-window companion to q137's exact trick. An exact 28-day
+    * rolling distinct pays 28× the deduplicated entity-days; the sketch
+    * path pays a constant per CALENDAR DAY: one scan folds each day into
+    * m=64 portable-HLL registers (map-side max-combine), each day's
+    * register row is exploded to the ≤28 window-ends it serves, and
+    * windows merge by elementwise register MAX — associative, so the
+    * merged sketch is bit-identical to one built directly over the window,
+    * and the estimate stays oracle-exact (the q09 portable construction:
+    * integer register sums, one IEEE division). Every stage after the
+    * first rollup is calendar-bounded — days × m × 28 rows regardless of
+    * raw data volume — which is why sketch rollup is THE 100 TB answer to
+    * sliding distinct counts.
+    */
+  val q141RollingSketchNdv: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val h = graft.functions.Text.portableHash(col("l_partkey").cast("string"))
+    val (bucket, rank) = HllRoll.bucketRank(h)
+    val daily = li.select(
+        expr("unix_timestamp(l_shipdate) DIV 86400").as("day"),
+        bucket.as("b"), rank.as("r"))
+      .groupBy(col("day"), col("b")).agg(max(col("r")).as("mr"))
+    val mx = li.agg(
+      max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("maxday"))
+    daily.join(broadcast(mx))
+      .select(col("b"), col("mr"),
+        explode(sequence(col("day"),
+          least(col("day") + (RollWindowDays - 1), col("maxday")))).as("wday"))
+      .groupBy(col("wday"), col("b")).agg(max(col("mr")).as("mr"))
+      .groupBy(col("wday"))
+      .agg(HllRoll.tCol("mr").as("t"))
+      .select(col("wday").as("day"), HllRoll.estCol(col("t")).as("est_parts_28d"))
+  }
+
+  /** Spec hook: the window sketch built DIRECTLY (filter days first, then
+    * registers) — SketchLinkageSpec pins merge ≡ direct bit-for-bit.
+    */
+  private[operators] def directWindowEstimate(
+      dfDayPart: org.apache.spark.sql.DataFrame): Double = {
+    val h = graft.functions.Text.portableHash(col("l_partkey").cast("string"))
+    val (bucket, rank) = HllRoll.bucketRank(h)
+    dfDayPart.select(bucket.as("b"), rank.as("r"))
+      .groupBy(col("b")).agg(max(col("r")).as("mr"))
+      .groupBy()
+      .agg(HllRoll.tCol("mr").as("t"))
+      .select(HllRoll.estCol(col("t")))
+      .collect()(0).getDouble(0)
+  }
+
+  val q141Sql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+       |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM lineitem),
+       |ranked AS (
+       |  SELECT day, hv >> ${HllRoll.w} AS b,
+       |    CASE ${HllRoll.ladderSql}
+       |      ELSE ${HllRoll.w + 1} END AS r
+       |  FROM (SELECT day, hv, hv & ${(1L << HllRoll.w) - 1} AS w FROM h)),
+       |regs AS (SELECT day, b, MAX(r) AS mr FROM ranked GROUP BY 1, 2),
+       |mx AS (SELECT MAX(day) AS maxday FROM regs),
+       |contrib AS (
+       |  SELECT b, mr,
+       |    UNNEST(generate_series(day, LEAST(day + ${RollWindowDays - 1}, maxday))) AS wday
+       |  FROM regs, mx),
+       |merged AS (SELECT wday, b, MAX(mr) AS mr FROM contrib GROUP BY 1, 2)
+       |SELECT wday AS day,
+       |  ${HllRoll.estSql("mr")} AS est_parts_28d
+       |FROM merged GROUP BY wday""".stripMargin
 
   /** q117: correlation & regression — Pearson r, population covariance,
     * and the least-squares slope/intercept of price against quantity per
@@ -1437,6 +1507,7 @@ object CoreQueries {
     "q112_abc_classes" -> q112AbcClasses,
     "q113_hll_set_algebra" -> q113HllSetAlgebra,
     "q117_corr_regression" -> q117CorrRegression,
+    "q141_rolling_sketch_ndv" -> q141RollingSketchNdv,
     "q118_benford" -> q118Benford,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
@@ -1487,6 +1558,7 @@ object CoreQueries {
     "q112_abc_classes" -> q112Sql,
     "q113_hll_set_algebra" -> q113Sql,
     "q117_corr_regression" -> q117Sql,
+    "q141_rolling_sketch_ndv" -> q141Sql,
     "q118_benford" -> q118Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,

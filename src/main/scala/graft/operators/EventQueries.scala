@@ -1181,6 +1181,60 @@ object EventQueries {
       |SELECT user_id, n_events FROM c, t
       |WHERE n_events * $HeavyFrac >= total""".stripMargin
 
+  // ------------------------------------------- q144: time-decayed value
+
+  /** Decay floor: purchases older than this many weeks all carry the
+    * minimum weight 1/2^DecayCapWeeks (never zero — the standard
+    * exponential-recency floor).
+    */
+  val DecayCapWeeks = 8
+
+  /** Recency-weighted customer value — exponential decay with a one-week
+    * half-life, computed EXACTLY: the weight for age a weeks is the dyadic
+    * rational 2^-min(a,8), so the numerator Σ value_c · 2^(8−min(a,8)) is
+    * an exact int64 (weights are integer 1..256) and the final /256.0 is
+    * one exact IEEE scale by a power of two — both engines produce the
+    * bit-identical double with no libm exp() anywhere. The generic e^−λt
+    * formulation is NOT reproducible across engines (libm transcendentals
+    * differ); restricting half-lives to week granularity turns decay into
+    * shifts. One groupBy shuffle keyed by user; the reference "now" rides a
+    * broadcast scalar.
+    */
+  val q144DecayedValue: Q = (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val mx = e.agg(max(expr("unix_timestamp(ts) DIV 86400")).as("maxday"))
+    e.select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"),
+        cents(col("value")).as("v_c"))
+      .join(broadcast(mx))
+      .withColumn("wt", expr(
+        s"""shiftleft(cast(1 as bigint), cast($DecayCapWeeks -
+           | least((maxday - day) DIV 7, $DecayCapWeeks) as int))""".stripMargin))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_c") * col("wt")).as("decayed_256ths"),
+        sum(col("v_c")).as("total_c"))
+      .select(col("user_id"), col("decayed_256ths"),
+        (col("decayed_256ths").cast("double") / (1L << DecayCapWeeks))
+          .as("decayed_c"),
+        col("total_c"))
+  }
+
+  val q144Sql: String =
+    s"""WITH mx AS (
+      |  SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS maxday
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    (CAST(1 AS BIGINT) << CAST($DecayCapWeeks - LEAST(
+      |      (maxday - CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) // 7,
+      |      $DecayCapWeeks) AS INT)) AS wt
+      |  FROM events, mx WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |  CAST(SUM(v_c * wt) AS BIGINT) AS decayed_256ths,
+      |  CAST(CAST(SUM(v_c * wt) AS BIGINT) AS DOUBLE) / ${1L << DecayCapWeeks}
+      |    AS decayed_c,
+      |  CAST(SUM(v_c) AS BIGINT) AS total_c
+      |FROM p GROUP BY user_id""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1211,11 +1265,13 @@ object EventQueries {
     "q130_seasonal_backtest" -> q130SeasonalBacktest,
     "q131_churn_labels" -> q131ChurnLabels,
     "q137_rolling_actives" -> q137RollingActives,
-    "q138_heavy_hitters" -> q138HeavyHitters)
+    "q138_heavy_hitters" -> q138HeavyHitters,
+    "q144_decayed_value" -> q144DecayedValue)
 
   val oracles: Map[String, String] = Map(
     "q137_rolling_actives" -> q137Sql,
     "q138_heavy_hitters" -> q138Sql,
+    "q144_decayed_value" -> q144Sql,
     "q124_cusum_shift" -> q124Sql,
     "q127_ab_ztest" -> q127Sql,
     "q128_attribution" -> q128Sql,

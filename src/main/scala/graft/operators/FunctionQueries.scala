@@ -351,6 +351,83 @@ object FunctionQueries {
       |WHERE a.blk IN (SELECT blk FROM capped)
       |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Sorted-neighborhood candidate window: records within SnmWindow−1 rank
+    * positions of each other (per pass) become candidate pairs — fan-out is
+    * SnmWindow−1 per record BY CONSTRUCTION, the sort-order analog of
+    * FuzzyBlockCap.
+    */
+  val SnmWindow = 4
+
+  /** Multi-pass sorted-neighborhood record linkage — the OTHER classic
+    * blocking strategy next to q92's key blocking: sort by a fuzzy key,
+    * slide a fixed window over the sort order, and verify only
+    * window-local pairs. Two passes with complementary keys (name, and
+    * reversed name) so a typo ANYWHERE in the string still lands the pair
+    * adjacent in at least one order — prefix blocking (q92) structurally
+    * misses edits inside its block key. Ranks come from
+    * [[graft.functions.Identity.zipDense]] (per-partition offsets over the
+    * range-partitioned sort — no single-partition ROW_NUMBER window), the
+    * window explode is a bounded ≤3-row fan-out joined back on rank, and
+    * Levenshtein runs only on candidates. Output: verified pairs (edit
+    * distance ≤ 1) with how many passes surfaced them.
+    */
+  val q142SortedNeighborhood: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    def pass(key: org.apache.spark.sql.Column, src: String) = {
+      val ranked = graft.functions.Identity.zipDense(
+        c.orderBy(key, col("c_custkey")), "rn")
+      val probes = ranked.select(col("c_custkey").as("k_a"),
+        col("c_name").as("n_a"),
+        explode(sequence(col("rn") + 1, col("rn") + (SnmWindow - 1)))
+          .as("rn2"))
+      probes.join(ranked.select(col("c_custkey").as("k_b"),
+          col("c_name").as("n_b"), col("rn").as("rn2")), "rn2")
+        .select(lit(src).as("src"),
+          least(col("k_a"), col("k_b")).as("cust_a"),
+          greatest(col("k_a"), col("k_b")).as("cust_b"),
+          when(col("k_a") <= col("k_b"), col("n_a")).otherwise(col("n_b"))
+            .as("name_a"),
+          when(col("k_a") <= col("k_b"), col("n_b")).otherwise(col("n_a"))
+            .as("name_b"))
+    }
+    pass(col("c_name"), "fwd").unionByName(pass(reverse(col("c_name")), "rev"))
+      .groupBy(col("cust_a"), col("cust_b"), col("name_a"), col("name_b"))
+      .agg(countDistinct(col("src")).as("n_passes"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("cust_a"), col("cust_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"),
+        col("n_passes"))
+  }
+
+  val q142Sql: String =
+    s"""WITH ra AS (
+      |  SELECT c_custkey, c_name,
+      |    ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer),
+      |rb AS (
+      |  SELECT c_custkey, c_name,
+      |    ROW_NUMBER() OVER (ORDER BY reverse(c_name), c_custkey) AS rn
+      |  FROM customer),
+      |cand AS (
+      |  SELECT 'fwd' AS src,
+      |    LEAST(a.c_custkey, b.c_custkey) AS cust_a,
+      |    GREATEST(a.c_custkey, b.c_custkey) AS cust_b
+      |  FROM ra a JOIN ra b ON b.rn - a.rn BETWEEN 1 AND ${SnmWindow - 1}
+      |  UNION ALL
+      |  SELECT 'rev',
+      |    LEAST(a.c_custkey, b.c_custkey),
+      |    GREATEST(a.c_custkey, b.c_custkey)
+      |  FROM rb a JOIN rb b ON b.rn - a.rn BETWEEN 1 AND ${SnmWindow - 1}),
+      |grouped AS (
+      |  SELECT cust_a, cust_b, COUNT(DISTINCT src) AS n_passes
+      |  FROM cand GROUP BY 1, 2)
+      |SELECT cust_a, cust_b,
+      |  CAST(levenshtein(x.c_name, y.c_name) AS INT) AS edit_dist, n_passes
+      |FROM grouped
+      |JOIN customer x ON cust_a = x.c_custkey
+      |JOIN customer y ON cust_b = y.c_custkey
+      |WHERE levenshtein(x.c_name, y.c_name) <= 1""".stripMargin
+
   /** Time-series gap filling with forward fill: densify each user's event
     * history onto a per-user daily spine and carry the last observed daily
     * total across gap days — the resample/ffill every feature pipeline
@@ -480,6 +557,7 @@ object FunctionQueries {
   val queries: Map[String, Q] = Map(
     "q126_column_profile" -> q126ColumnProfile,
     "q92_fuzzy_match" -> q92FuzzyMatch,
+    "q142_sorted_neighborhood" -> q142SortedNeighborhood,
     "q93_gap_fill" -> q93GapFill,
     "q48_convert_styles" -> q48ConvertStyles,
     "q47_stat_composites" -> q47StatComposites,
@@ -494,6 +572,7 @@ object FunctionQueries {
   val oracles: Map[String, String] = Map(
     "q126_column_profile" -> q126Sql,
     "q92_fuzzy_match" -> q92Sql,
+    "q142_sorted_neighborhood" -> q142Sql,
     "q93_gap_fill" -> q93Sql,
     "q48_convert_styles" -> q48Sql,
     "q47_stat_composites" -> q47Sql,

@@ -325,7 +325,72 @@ object GraphQueries {
       |SELECT u AS part_key, deg AS core_degree FROM n$CoreRounds""".stripMargin
   }
 
+  // ---------------------------------------------- q143: BFS reachability
+
+  /** Bounded BFS depth; enough hops to cover the co-purchase graph's small
+    * diameter at test SFs while keeping the unrolled oracle readable.
+    */
+  val BfsMaxHops = 3
+
+  /** Hop-distance BFS from a seed set (one brand's parts) over the
+    * co-purchase graph — SEMI-NAIVE delta iteration, the evaluation shape
+    * recursive queries need at scale: each round joins only the FRONTIER
+    * (vertices first reached last round) against the edge list, and an
+    * anti-join against the known set keeps every vertex's first (= minimal)
+    * hop count — never re-deriving settled vertices, so total work is
+    * Σ frontier×degree rather than rounds×|reached|×degree, the difference
+    * between semi-naive and naive Datalog evaluation. Lineage is cut per
+    * round (localCheckpoint) exactly like q105's PageRank loop. The oracle
+    * unrolls the same rounds as CTEs.
+    */
+  val q143BfsReach: Q = (s, dir) => {
+    val edges = copurchaseEdges(s, dir).select(col("part_a"), col("part_b"))
+    val und = edges.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(
+        edges.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .localCheckpoint()
+    val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey").as("part"))
+    var dist = seeds.withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = dist.select(col("part"))
+    for (h <- 1 to BfsMaxHops) {
+      val next = frontier.withColumnRenamed("part", "src")
+        .join(und, "src")
+        .select(col("dst").as("part")).distinct()
+        .join(dist, Seq("part"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(next.withColumn("hops", lit(h)))
+        .localCheckpoint()
+      frontier = next
+    }
+    dist
+  }
+
+  def q143Sql: String = {
+    def round(prev: String, cur: String, known: Seq[String]): String = {
+      val notKnown = known.map(k => s"SELECT part FROM $k").mkString(" UNION ")
+      s"""f$cur AS (
+         |  SELECT DISTINCT und.dst AS part
+         |  FROM und JOIN d$prev ON und.src = d$prev.part),
+         |d$cur AS (
+         |  SELECT part FROM f$cur WHERE part NOT IN ($notKnown))""".stripMargin
+    }
+    val rounds = (1 to BfsMaxHops).map(h =>
+      round((h - 1).toString, h.toString,
+        (0 until h).map(i => s"d$i"))).mkString(",\n")
+    val select = (0 to BfsMaxHops).map(h =>
+      s"SELECT part, CAST($h AS INT) AS hops FROM d$h")
+      .mkString("\nUNION ALL ")
+    s"""WITH $edgesCtes,
+      |und AS (SELECT part_a AS src, part_b AS dst FROM pairs
+      |        UNION ALL SELECT part_b, part_a FROM pairs),
+      |d0 AS (SELECT p_partkey AS part FROM part WHERE p_brand = 'Brand#1'),
+      |$rounds
+      |$select""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q143_bfs_reach" -> q143BfsReach,
     "q122_kcore" -> q122KCore,
     "q105_pagerank" -> q105PageRank,
     "q107_copurchase" -> q107Copurchase,
@@ -333,6 +398,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q143_bfs_reach" -> q143Sql,
     "q122_kcore" -> q122Sql,
     "q105_pagerank" -> q105Sql,
     "q107_copurchase" -> q107Sql,

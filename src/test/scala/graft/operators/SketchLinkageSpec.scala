@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** q141 rolling sketch NDV, q142 sorted-neighborhood linkage, q143 BFS
+  * reachability, q144 decayed value — the structural claims: sketch merge ≡
+  * direct construction, SNM soundness vs brute force, BFS hops = true
+  * shortest distances, dyadic decay exactness.
+  */
+class SketchLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q141 merged rolling sketch equals the directly-built window sketch") {
+    val roll = CoreQueries.q141RollingSketchNdv(spark, sfDir)
+      .as[(Long, Double)].collect().toMap
+    // rebuild three windows from scratch: same register pipeline but
+    // filtered to the window's days BEFORE any merge — associativity of
+    // register max means the estimates must be bit-identical
+    val li = Tables.lineitem(spark, sfDir)
+      .select(expr("unix_timestamp(l_shipdate) DIV 86400").as("day"),
+        col("l_partkey"))
+    val days = roll.keys.toSeq.sorted
+    for (w <- Seq(days.head, days(days.size / 2), days.last)) {
+      val direct = CoreQueries.directWindowEstimate(
+        li.filter(col("day").between(w - CoreQueries.RollWindowDays + 1, w)))
+      assert(direct === roll(w), s"window $w: merge path diverged")
+    }
+  }
+
+  test("q142 reported pairs are sound and deterministic") {
+    val got = FunctionQueries.q142SortedNeighborhood(spark, sfDir)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, d, np) =>
+      assert(a < b); assert(d <= 1); assert(np >= 1 && np <= 2)
+    }
+    // soundness: every reported pair is genuinely edit-distance ≤ 1, with
+    // the reported distance (brute-force recheck on the reported pairs)
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      .collect().toMap
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(x.length)
+    }
+    got.foreach { case (a, b, d, _) =>
+      assert(lev(names(a), names(b)) === d, s"pair ($a,$b) distance wrong")
+    }
+    val again = FunctionQueries.q142SortedNeighborhood(spark, sfDir)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.sortBy(p => (p._1, p._2)) === again.sortBy(p => (p._1, p._2)))
+  }
+
+  test("q143 hop counts are the true shortest distances from the seed set") {
+    val got = GraphQueries.q143BfsReach(spark, sfDir)
+      .as[(Long, Int)].collect().toMap
+    // serial BFS over the collected edge list
+    val edges = GraphQueries.copurchaseEdges(spark, sfDir)
+      .select(col("part_a"), col("part_b")).as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+      .withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey")).as[Long].collect().toSet
+    val dist = scala.collection.mutable.Map[Long, Int]()
+    seeds.foreach(s => dist(s) = 0)
+    var frontier = seeds
+    for (h <- 1 to GraphQueries.BfsMaxHops) {
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    assert(got === dist.toMap)
+  }
+
+  test("q144 dyadic decay is exact and bounded by the undecayed total") {
+    val rows = EventQueries.q144DecayedValue(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, num, dc, total) =>
+      // the double is EXACTLY numerator / 2^8 (dyadic, no rounding)
+      assert(dc === num.toDouble / (1L << EventQueries.DecayCapWeeks))
+      // weights are in (0, 256]: decayed ≤ total, and > total/256 floor
+      assert(num <= total * (1L << EventQueries.DecayCapWeeks))
+      assert(num >= total)
+    }
+  }
+}
