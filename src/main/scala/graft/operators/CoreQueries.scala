@@ -516,6 +516,105 @@ object CoreQueries {
        |  ${HllRoll.estSql("mr")} AS est_parts_28d
        |FROM merged GROUP BY wday""".stripMargin
 
+  // ---------------------------------------- q145: bloom-reduced join
+
+  /** Expected build-side cardinality for q145's bloom (8 bits each ≈ 3%
+    * false positives; sized for the largest test SF's one-year order
+    * subset).
+    */
+  val BloomExpectedOrders = 65536L
+
+  /** Star join with explicit semi-join reduction ([[graft.plans.BloomReduce]]):
+    * revenue by priority for one year of orders, where the lineitem scan is
+    * pre-filtered by a bloom filter built from the qualifying orderkeys —
+    * rows that cannot join are dropped AT THE SCAN, before the join
+    * shuffle, which at 100 TB is the difference between shuffling the
+    * whole fact table and shuffling the ~1/7 that survives the dimension
+    * predicate. This is the engine-forced version of Spark's own
+    * InjectRuntimeFilter (same BloomFilterAggregate/MightContain machinery,
+    * same false-positive safety: the equi-join re-checks exactly, so the
+    * result — and the oracle, a plain join — is unchanged by construction).
+    */
+  val q145BloomJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloom = graft.plans.BloomReduce.bloomOf(
+      o, col("o_orderkey"), BloomExpectedOrders)
+    Tables.lineitem(s, dir)
+      .filter(graft.plans.BloomReduce.mightContain(bloom, col("l_orderkey")))
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("v_c"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("v_c")).as("revenue_c"))
+  }
+
+  val q145Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------- q146: snapshot rollup diff
+
+  /** q146's snapshot cutoff: v1 = shipments before this instant, v2 = the
+    * full table.
+    */
+  val SnapshotCutoff = "1999-01-01"
+
+  /** Snapshot diff of the per-part revenue rollup between two points in
+    * time — the table-compare every incremental pipeline runs after a
+    * load. Because both snapshots are PREDICATES over one immutable fact
+    * table (shipdate < cutoff vs all), the diff needs NO self-join and no
+    * second scan: one conditional-aggregate pass computes both rollups and
+    * classifies each part added / changed / unchanged. The general
+    * two-table form of this diff is a FULL OUTER join on the key (q13's
+    * shape); the temporal special case is the one worth optimizing because
+    * it is the common case — same table, two as-of predicates — and halves
+    * the scan cost.
+    */
+  val q146SnapshotDiff: Q = (s, dir) => {
+    val isV1 = col("l_shipdate") < lit(SnapshotCutoff).cast("timestamp")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(isV1, 1L).otherwise(0L)).as("n_v1"),
+        count(lit(1)).as("n_v2"),
+        sum(when(isV1, cents(col("l_extendedprice"))).otherwise(0L))
+          .as("rev_v1_c"),
+        sum(cents(col("l_extendedprice"))).as("rev_v2_c"))
+      .select(col("l_partkey"), col("n_v1"), col("n_v2"),
+        col("rev_v1_c"), col("rev_v2_c"),
+        (col("rev_v2_c") - col("rev_v1_c")).as("delta_c"),
+        when(col("n_v1") === 0L, "added")
+          .when(col("n_v2") > col("n_v1"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  val q146Sql: String =
+    s"""SELECT l_partkey,
+      |  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+      |  COUNT(*) AS n_v2,
+      |  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS rev_v1_c,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS rev_v2_c,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) -
+      |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |      THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS delta_c,
+      |  CASE WHEN SUM(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |      THEN 1 ELSE 0 END) = 0 THEN 'added'
+      |    WHEN COUNT(*) > SUM(CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |      THEN 1 ELSE 0 END) THEN 'changed'
+      |    ELSE 'unchanged' END AS status
+      |FROM lineitem GROUP BY l_partkey""".stripMargin
+
   /** q117: correlation & regression — Pearson r, population covariance,
     * and the least-squares slope/intercept of price against quantity per
     * return flag. Spark's corr/covar/regr_* aggregates stream double
@@ -1508,6 +1607,8 @@ object CoreQueries {
     "q113_hll_set_algebra" -> q113HllSetAlgebra,
     "q117_corr_regression" -> q117CorrRegression,
     "q141_rolling_sketch_ndv" -> q141RollingSketchNdv,
+    "q145_bloom_join" -> q145BloomJoin,
+    "q146_snapshot_diff" -> q146SnapshotDiff,
     "q118_benford" -> q118Benford,
     "q10_star_join" -> q10StarJoin,
     "q11_left_join" -> q11LeftJoin,
@@ -1559,6 +1660,8 @@ object CoreQueries {
     "q113_hll_set_algebra" -> q113Sql,
     "q117_corr_regression" -> q117Sql,
     "q141_rolling_sketch_ndv" -> q141Sql,
+    "q145_bloom_join" -> q145Sql,
+    "q146_snapshot_diff" -> q146Sql,
     "q118_benford" -> q118Sql,
     "q02_count_distinct" -> q02Sql,
     "q03_conditional_agg" -> q03Sql,

@@ -1235,6 +1235,59 @@ object EventQueries {
       |  CAST(SUM(v_c) AS BIGINT) AS total_c
       |FROM p GROUP BY user_id""".stripMargin
 
+  // ------------------------------------------- q147: time-weighted average
+
+  /** Time-weighted average purchase value per user — the step-function
+    * integral (TWAP) that a plain AVG gets wrong whenever observations are
+    * irregularly spaced: each observation holds until the next one, so its
+    * weight is its segment DURATION. One lead-window pass builds the
+    * segments (ts ties broken by event_id, zero-duration segments weigh
+    * zero), the numerator Σ value_c · dur_ms accumulates in DECIMAL(38,0)
+    * (cents × a month of milliseconds overflows int64 only past ~10⁵
+    * segments/user — the q117 accumulation rule), and the final statistic
+    * is ONE IEEE division of two exactly-converted int64s, so the double
+    * is bit-portable. Users whose observations all share one timestamp
+    * have no integrable span and are excluded (dur_total = 0).
+    */
+  val q147Twap: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).as("v_c"))
+      .withColumn("next_ms", lead(unix_millis(col("ts")), 1).over(w))
+      .filter(col("next_ms").isNotNull)
+      .select(col("user_id"), col("v_c"),
+        (col("next_ms") - unix_millis(col("ts"))).as("dur_ms"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_c").cast("decimal(38,0)") * col("dur_ms")).as("numd"),
+        sum(col("dur_ms")).as("dur_total_ms"))
+      .filter(col("dur_total_ms") > 0)
+      .select(col("user_id"),
+        col("numd").cast("long").as("twap_num"),
+        col("dur_total_ms"),
+        (col("numd").cast("long").cast("double") /
+          col("dur_total_ms").cast("double")).as("twap_c"))
+  }
+
+  val q147Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_ms
+      |  FROM events WHERE event_type = 'purchase'),
+      |seg AS (
+      |  SELECT user_id, v_c, next_ms - ms AS dur_ms
+      |  FROM p WHERE next_ms IS NOT NULL)
+      |SELECT user_id,
+      |  CAST(SUM(CAST(v_c AS HUGEINT) * dur_ms) AS BIGINT) AS twap_num,
+      |  CAST(SUM(dur_ms) AS BIGINT) AS dur_total_ms,
+      |  CAST(CAST(SUM(CAST(v_c AS HUGEINT) * dur_ms) AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(SUM(dur_ms) AS BIGINT) AS DOUBLE) AS twap_c
+      |FROM seg GROUP BY user_id
+      |HAVING SUM(dur_ms) > 0""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1266,9 +1319,11 @@ object EventQueries {
     "q131_churn_labels" -> q131ChurnLabels,
     "q137_rolling_actives" -> q137RollingActives,
     "q138_heavy_hitters" -> q138HeavyHitters,
-    "q144_decayed_value" -> q144DecayedValue)
+    "q144_decayed_value" -> q144DecayedValue,
+    "q147_twap" -> q147Twap)
 
   val oracles: Map[String, String] = Map(
+    "q147_twap" -> q147Sql,
     "q137_rolling_actives" -> q137Sql,
     "q138_heavy_hitters" -> q138Sql,
     "q144_decayed_value" -> q144Sql,

@@ -83,6 +83,77 @@ class SketchLinkageSpec extends SparkSpec {
     assert(got === dist.toMap)
   }
 
+  test("q145 bloom reduction shrinks the probe side and loses no matches") {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val bloom = graft.plans.BloomReduce.bloomOf(
+      o, col("o_orderkey"), CoreQueries.BloomExpectedOrders)
+    val li = Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    val surviving = li.filter(
+      graft.plans.BloomReduce.mightContain(bloom, col("l_orderkey"))).count()
+    val trueMatches = li.join(o, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    assert(surviving >= trueMatches, "bloom dropped a real match")
+    assert(surviving < (total * 2) / 5,
+      s"bloom reduced $total to only $surviving — no real scan-side cut")
+    // and the reduced join's result is identical to the plain join
+    val reduced = CoreQueries.q145BloomJoin(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    val plain = li.join(
+        Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.TSql.cents(col("l_extendedprice"))).as("r"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(reduced === plain)
+  }
+
+  test("q146 snapshot diff classifications are internally consistent") {
+    val rows = CoreQueries.q146SnapshotDiff(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.map(_._3).sum === Tables.lineitem(spark, sfDir).count())
+    rows.foreach { case (_, n1, n2, r1, r2, d, st) =>
+      assert(n1 <= n2); assert(d === r2 - r1); assert(d >= 0)
+      val expected = if (n1 == 0) "added"
+        else if (n2 > n1) "changed" else "unchanged"
+      assert(st === expected)
+      if (st == "unchanged") assert(r1 === r2)
+    }
+    assert(rows.exists(_._7 == "changed"))
+  }
+
+  test("q147 TWAP matches a serial step-function integral") {
+    val got = EventQueries.q147Twap(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val raw = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), graft.functions.TSql.cents(col("value")).as("v"))
+      .as[(Long, Long, Long, Long)].collect()
+    val serial = raw.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val segs = sorted.zip(sorted.tail)
+        .map { case (a, b) => (a._4, b._2 - a._2) }
+      val dur = segs.map(_._2).sum
+      if (dur > 0)
+        Some(u -> ((segs.map { case (v, d) => v * d }.sum, dur)))
+      else None
+    }
+    assert(got.keySet === serial.keySet)
+    serial.foreach { case (u, (num, dur)) =>
+      val (gn, gd, gt) = got(u)
+      assert(gn === num); assert(gd === dur)
+      assert(gt === num.toDouble / dur.toDouble)
+    }
+  }
+
   test("q144 dyadic decay is exact and bounded by the undecayed total") {
     val rows = EventQueries.q144DecayedValue(spark, sfDir)
       .as[(Long, Long, Double, Long)].collect()
