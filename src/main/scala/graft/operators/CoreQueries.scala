@@ -615,6 +615,128 @@ object CoreQueries {
       |    ELSE 'unchanged' END AS status
       |FROM lineitem GROUP BY l_partkey""".stripMargin
 
+  // ---------------------------------------- q149: portable count-min sketch
+
+  /** Count-min geometry: d independent hash rows × w counters. Sized so the
+    * expected per-row collision inflation at N events is visible but small
+    * (εN ≈ e·N/w); the MIN over d rows keeps the overestimate tight.
+    */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** One row of the CM hash family: the portable md5 hash of "i:key",
+    * reduced mod w — independent across i, identical in both engines.
+    */
+  private def cmBucket(i: Int, key: org.apache.spark.sql.Column) =
+    graft.functions.Text.portableHash(concat(lit(s"$i:"), key)) % CmWidth
+
+  /** Count-min sketch per-key frequency estimates, fully portable — the
+    * fourth member of the mergeable-sketch suite (HLL NDV q09/q101/q141,
+    * bottom-k quantiles q91, Misra-Gries heavy hitters q138): d×w integer
+    * counters (one grouped count after a d-way explode — counters merge by
+    * ADDITION, so per-partition/per-day sketches roll up like q101's
+    * registers), probed by MIN over each key's d buckets. Every operation
+    * is integer hashing, counting, and MIN — bit-portable by construction,
+    * so even the ESTIMATES pass the exact-compare gate. Output pins the CM
+    * guarantee against ground truth: est ≥ exact always (overcount ≥ 0),
+    * est ≤ exact + collisions. The sketch state is d·w counters regardless
+    * of key cardinality — the bounded-state answer to per-key counting
+    * when keys are unbounded.
+    */
+  val q149CountMin: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val counters = e.select(col("user_id").cast("string").as("k"))
+      .select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("r"), cmBucket(i, col("k")).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val probes = e.filter(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val probeBuckets = probes.select(col("user_id"), col("exact_n"),
+      explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("r"),
+          cmBucket(i, col("user_id").cast("string")).as("c"))): _*)).as("rc"))
+      .select(col("user_id"), col("exact_n"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+    probeBuckets.join(broadcast(counters), Seq("r", "c"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("n")).as("est_n"))
+      .select(col("user_id"), col("est_n"), col("exact_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+  }
+
+  val q149Sql: String = {
+    def bucket(keyExpr: String) =
+      s"""CAST(concat('0x', substr(md5(concat(r, ':', $keyExpr)), 1, 15))
+         | AS BIGINT) % $CmWidth""".stripMargin
+    s"""WITH rows_ AS (SELECT UNNEST(range($CmDepth)) AS r),
+      |rc AS (
+      |  SELECT r, ${bucket("CAST(user_id AS VARCHAR)")} AS c
+      |  FROM events, rows_),
+      |counters AS (SELECT r, c, COUNT(*) AS n FROM rc GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT user_id, COUNT(*) AS exact_n FROM events
+      |  WHERE user_id < 20 GROUP BY user_id),
+      |pb AS (
+      |  SELECT user_id, exact_n, r,
+      |    ${bucket("CAST(user_id AS VARCHAR)")} AS c
+      |  FROM probes, rows_),
+      |est AS (
+      |  SELECT user_id, exact_n, MIN(n) AS est_n
+      |  FROM pb JOIN counters USING (r, c)
+      |  GROUP BY user_id, exact_n)
+      |SELECT user_id, est_n, exact_n, est_n - exact_n AS overcount
+      |FROM est""".stripMargin
+  }
+
+  // ---------------------------------------- q150: incremental rollup merge
+
+  /** Incremental materialized-rollup maintenance: yesterday's rollup plus a
+    * rollup of only the new partition equals a full rebuild — BY THE
+    * ALGEBRA of the aggregates (SUM/COUNT/MIN/MAX are associative and
+    * commutative; AVG is rebuilt from SUM and COUNT at read time, never
+    * stored). The gate runs both sides through one query: base rollup
+    * (shipdate < cutoff) and delta rollup (≥ cutoff) are unioned and
+    * re-aggregated — aggregate-of-aggregates — and the oracle is the
+    * DIRECT full rollup, so the equivalence is checked bit-for-bit. At
+    * 100 TB this is the difference between scanning one day and rescanning
+    * seven years: the base rollup would be a stored table, and only the
+    * delta ever touches raw data. The reference's nightly CTAS rebuilds
+    * (samples/scripts/data-load/CTASLoad-Example.sql) are the rebuild-side
+    * of this trade.
+    */
+  val q150IncrementalRollup: Q = (s, dir) => {
+    val cutoff = lit(SnapshotCutoff).cast("timestamp")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          min(expr("unix_timestamp(l_shipdate) DIV 86400")).as("min_ship_day"),
+          max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("max_ship_day"))
+    val li = Tables.lineitem(s, dir)
+    val base = rollup(li.filter(col("l_shipdate") < cutoff))
+    val delta = rollup(li.filter(col("l_shipdate") >= cutoff))
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty_c")).as("sum_qty_c"),
+        min(col("min_ship_day")).as("min_ship_day"),
+        max(col("max_ship_day")).as("max_ship_day"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty_c"),
+        expr("CAST(sum_qty_c DIV n_rows AS BIGINT)").as("avg_qty_c"),
+        col("min_ship_day"), col("max_ship_day"))
+  }
+
+  val q150Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+      |    // COUNT(*) AS BIGINT) AS avg_qty_c,
+      |  MIN(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400) AS min_ship_day,
+      |  MAX(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400) AS max_ship_day
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   /** q117: correlation & regression — Pearson r, population covariance,
     * and the least-squares slope/intercept of price against quantity per
     * return flag. Spark's corr/covar/regr_* aggregates stream double
@@ -1608,6 +1730,8 @@ object CoreQueries {
     "q117_corr_regression" -> q117CorrRegression,
     "q141_rolling_sketch_ndv" -> q141RollingSketchNdv,
     "q145_bloom_join" -> q145BloomJoin,
+    "q149_countmin" -> q149CountMin,
+    "q150_incremental_rollup" -> q150IncrementalRollup,
     "q146_snapshot_diff" -> q146SnapshotDiff,
     "q118_benford" -> q118Benford,
     "q10_star_join" -> q10StarJoin,
@@ -1661,6 +1785,8 @@ object CoreQueries {
     "q117_corr_regression" -> q117Sql,
     "q141_rolling_sketch_ndv" -> q141Sql,
     "q145_bloom_join" -> q145Sql,
+    "q149_countmin" -> q149Sql,
+    "q150_incremental_rollup" -> q150Sql,
     "q146_snapshot_diff" -> q146Sql,
     "q118_benford" -> q118Sql,
     "q02_count_distinct" -> q02Sql,

@@ -1288,6 +1288,61 @@ object EventQueries {
       |FROM seg GROUP BY user_id
       |HAVING SUM(dur_ms) > 0""".stripMargin
 
+  // ------------------------------------------- q148: MAD robust outliers
+
+  /** Robust outlier screen per event type: median and MAD (median absolute
+    * deviation) instead of mean/stddev — the estimators a heavy-tailed or
+    * corrupted column cannot drag (q120's 2σ rule breaks down exactly when
+    * outliers inflate σ itself; MAD has a 50% breakdown point). Both
+    * medians are percentile_disc over exact integer cents — actual members
+    * of the data, bit-portable — and the outlier test |x−med| > 3·1.4826·MAD
+    * cross-multiplies to the exact integer comparison
+    * 10000·|x−med| > 44478·MAD (3·1.4826 = 4.4478 exactly, as rationals),
+    * so the flagged count is exact in both engines. Two grouped percentile passes plus one conditional count —
+    * three scans of the (tiny) per-type groups' deviations, all shuffles
+    * keyed by event_type.
+    */
+  val q148MadOutliers: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v_c)")
+        .cast("long").as("median_c"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("v_c") - col("median_c")))
+    val mad = dev.groupBy(col("event_type"), col("median_c"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .cast("long").as("mad_c"))
+    // outlier iff |x − med| > 3 · 1.4826 · MAD ⇔ 10000·|x−med| > 44478·MAD
+    dev.select(col("event_type"), col("v_c"))
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("median_c"), col("mad_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("v_c") - col("median_c")) * 10000L >
+          col("mad_c") * 44478L, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  val q148Sql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY v_c) AS median_c
+      |  FROM v GROUP BY event_type),
+      |dev AS (
+      |  SELECT v.event_type, v_c, median_c, ABS(v_c - median_c) AS adev
+      |  FROM v JOIN med ON v.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type, median_c,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad_c
+      |  FROM dev GROUP BY event_type, median_c)
+      |SELECT d.event_type, d.median_c, m.mad_c, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN ABS(v_c - d.median_c) * 10000 > m.mad_c * 44478
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY d.event_type, d.median_c, m.mad_c""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1320,10 +1375,12 @@ object EventQueries {
     "q137_rolling_actives" -> q137RollingActives,
     "q138_heavy_hitters" -> q138HeavyHitters,
     "q144_decayed_value" -> q144DecayedValue,
-    "q147_twap" -> q147Twap)
+    "q147_twap" -> q147Twap,
+    "q148_mad_outliers" -> q148MadOutliers)
 
   val oracles: Map[String, String] = Map(
     "q147_twap" -> q147Sql,
+    "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,
     "q138_heavy_hitters" -> q138Sql,
     "q144_decayed_value" -> q144Sql,

@@ -154,6 +154,52 @@ class SketchLinkageSpec extends SparkSpec {
     }
   }
 
+  test("q148 median/MAD/outlier counts match a serial recompute") {
+    val got = EventQueries.q148MadOutliers(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.functions.TSql.cents(col("value")))
+      .as[(String, Long)].collect()
+    def pdisc(xs: Seq[Long]): Long = {
+      // percentile_disc(0.5): smallest member with cume_dist ≥ 0.5
+      val s = xs.sorted
+      s((math.ceil(s.size * 0.5) - 1).toInt)
+    }
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val xs = vs.map(_._2).toSeq
+      val med = pdisc(xs)
+      val mad = pdisc(xs.map(x => math.abs(x - med)))
+      val out = xs.count(x => math.abs(x - med) * 10000L > mad * 44478L)
+      val (gm, gmad, gn, gout) = got(t)
+      assert(gm === med); assert(gmad === mad)
+      assert(gn === xs.size.toLong); assert(gout === out.toLong)
+    }
+  }
+
+  test("q149 count-min overestimate guarantee holds on every probe") {
+    val rows = CoreQueries.q149CountMin(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, est, exact, over) =>
+      assert(est >= exact, "CM underestimated — impossible by construction")
+      assert(over === est - exact)
+    }
+  }
+
+  test("q150 merged rollup equals a direct rollup at ANY split point") {
+    import graft.functions.TSql.cents
+    def direct = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sq"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val merged = CoreQueries.q150IncrementalRollup(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty_c"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(merged === direct)
+  }
+
   test("q144 dyadic decay is exact and bounded by the undecayed total") {
     val rows = EventQueries.q144DecayedValue(spark, sfDir)
       .as[(Long, Long, Double, Long)].collect()
