@@ -328,6 +328,22 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming heavy-hitter candidates — the Misra-Gries summary
+    * ([[graft.plans.FrequentItemsAgg]], q138's pass 1) as a streaming
+    * aggregation: state is the single O(k) merged buffer in the state
+    * store, updated each micro-batch through the same partial/merge path
+    * the batch aggregate uses. The candidate-SUPERSET guarantee is proved
+    * for arbitrary merge trees, so it survives any micro-batch slicing;
+    * the exact verification recount stays a (cheap, candidate-filtered)
+    * batch pass over the landed table, exactly as in q138. Complete-mode
+    * output: one row per trigger with the live candidate set and total.
+    */
+  def trendingCandidates(events: DataFrame, k: Int = 256): DataFrame =
+    events.agg(
+      graft.functions.Sampling.frequentCandidates(col("user_id"), k)
+        .as("candidates"),
+      count(lit(1)).as("total"))
+
   /** Run any of the above to a named in-memory sink and process everything
     * currently available (the local smoke path; production uses a real sink).
     */

@@ -318,4 +318,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("attr_stream").filter(col("user_id") >= 0).count()
       === nPurchases)
   }
+
+  test("streaming heavy-hitter candidates verify to the exact batch answer") {
+    EventStream.runToMemory(
+      EventStream.trendingCandidates(EventStream.read(spark, streamDir)),
+      "trending", OutputMode.Complete())
+    val row = spark.table("trending").collect()(0)
+    val cands = row.getSeq[Long](0).toSet
+    val total = row.getLong(1)
+    val e = Tables.events(spark, sfDir)
+    assert(total === e.count())
+    // verification recount over the streamed candidates == batch q138
+    import spark.implicits._
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    val verified = exact.filter { case (u, n) =>
+      cands.contains(u) &&
+        n * graft.operators.EventQueries.HeavyFrac >= total
+    }.toMap
+    val batch = graft.operators.EventQueries.q138HeavyHitters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(verified === batch,
+      "streamed candidate superset lost a heavy hitter")
+  }
 }
