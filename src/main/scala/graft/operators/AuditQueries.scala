@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TSql._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality auditing and statistics-build operators — the engine-side
@@ -166,11 +167,84 @@ object AuditQueries {
       |  MIN(c) AS lo_c, MAX(c) AS hi_c
       |FROM ranked GROUP BY bucket""".stripMargin
 
+  // ------------------------------------------- q153: chi-square independence
+
+  /** q153: χ² test of independence — the order-priority × order-status
+    * contingency table with each cell's observed count, expected count, and
+    * χ² contribution. The screening question every warehouse monitor asks
+    * ("did the priority mix shift between open and finalized orders?") as
+    * one aggregation: groupBy the fact ONCE (map-side combined), then row /
+    * column / grand totals are windows over the tiny cell rollup — the
+    * fact table is scanned exactly once and everything downstream is
+    * metadata-sized.
+    *
+    * Portability: O, R, C, N are exact integers; the cross-products
+    * O·N − R·C and R·C·N accumulate in DECIMAL(38,0)/HUGEINT (corpus-scale
+    * safe), and each cell's statistic is ONE fixed IEEE expression
+    * (d² / denom, expected = RC/N) over those exact integers — per-row
+    * independent, so no float-summation-order hazard exists anywhere.
+    * The global χ² = Σ cells is left to the reader of the 15-row result
+    * (a float sum over a result that small is presentation, not engine).
+    */
+  val q153ChiSquare: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wRow = Window.partitionBy(col("o_orderpriority"))
+    val wCol = Window.partitionBy(col("o_orderstatus"))
+    val wAll = Window.partitionBy()
+    val t = cells
+      .withColumn("row_total", sum(col("n_obs")).over(wRow))
+      .withColumn("col_total", sum(col("n_obs")).over(wCol))
+      .withColumn("grand_total", sum(col("n_obs")).over(wAll))
+    val diff = (col("n_obs").cast(dec) * col("grand_total").cast(dec) -
+      col("row_total").cast(dec) * col("col_total").cast(dec))
+    val rc = col("row_total").cast(dec) * col("col_total").cast(dec)
+    val denom = rc * col("grand_total").cast(dec)
+    t.select(col("o_orderpriority"), col("o_orderstatus"), col("n_obs"),
+        col("row_total"), col("col_total"), col("grand_total"),
+        (rc.cast("double") / col("grand_total").cast("double"))
+          .as("expected"),
+        ((diff.cast("double") * diff.cast("double")) / denom.cast("double"))
+          .as("chi_cell"))
+  }
+
+  val q153Sql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_obs
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *,
+      |    SUM(n_obs) OVER (PARTITION BY o_orderpriority) AS row_total,
+      |    SUM(n_obs) OVER (PARTITION BY o_orderstatus) AS col_total,
+      |    SUM(n_obs) OVER () AS grand_total
+      |  FROM cells),
+      |x AS (
+      |  SELECT *,
+      |    CAST(n_obs AS HUGEINT) * CAST(grand_total AS HUGEINT) -
+      |      CAST(row_total AS HUGEINT) * CAST(col_total AS HUGEINT) AS d,
+      |    CAST(row_total AS HUGEINT) * CAST(col_total AS HUGEINT) AS rc
+      |  FROM t)
+      |SELECT o_orderpriority, o_orderstatus, n_obs,
+      |  CAST(row_total AS BIGINT) AS row_total,
+      |  CAST(col_total AS BIGINT) AS col_total,
+      |  CAST(grand_total AS BIGINT) AS grand_total,
+      |  CAST(CAST(rc AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(grand_total AS BIGINT) AS DOUBLE) AS expected,
+      |  (CAST(CAST(d AS VARCHAR) AS DOUBLE) *
+      |   CAST(CAST(d AS VARCHAR) AS DOUBLE)) /
+      |    CAST(CAST(rc * CAST(grand_total AS HUGEINT) AS VARCHAR) AS DOUBLE)
+      |    AS chi_cell
+      |FROM x""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q139_quality_audit" -> q139QualityAudit,
-    "q140_stats_histogram" -> q140Histogram)
+    "q140_stats_histogram" -> q140Histogram,
+    "q153_chi_square" -> q153ChiSquare)
 
   val oracles: Map[String, String] = Map(
     "q139_quality_audit" -> q139Sql,
-    "q140_stats_histogram" -> q140Sql)
+    "q140_stats_histogram" -> q140Sql,
+    "q153_chi_square" -> q153Sql)
 }

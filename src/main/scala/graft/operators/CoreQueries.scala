@@ -1713,7 +1713,168 @@ object CoreQueries {
       |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
       |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))""".stripMargin
 
+  // ------------------------------------------- q152: proportional allocation
+
+  /** q152: exact proportional allocation with largest-remainder rounding —
+    * spread each order's header total (integer cents) across its line items
+    * proportionally to extended price, such that the allocated cents SUM
+    * EXACTLY to the header total per order (the invoice/GL allocation every
+    * warehouse finance pipeline runs; the reference's orders carry the same
+    * header-total-vs-line-detail split, reference:
+    * samples/databases/wide-world-importers/tables/fact.order.sql).
+    *
+    * Pure integer arithmetic: base share = ⌊T·w/W⌋, then the per-order
+    * deficit r = T − Σ⌊·⌋ goes to the r lines with the largest remainder
+    * (T·w mod W), line number as the deterministic tie-break — the
+    * largest-remainder (Hamilton) method. T·w is bounded PER ORDER
+    * (≤ ~5e14 for TPC-H money domains), so int64 never overflows at any
+    * corpus scale — the bound is per-group, not corpus-wide.
+    *
+    * Scale shape: one shuffle join lineitem⋈orders on the order key, then
+    * per-order windows over ≤ 7 rows each; the date filter prunes the scan
+    * before the join (PushedFilters on both sides at the parquet scan).
+    */
+  val q152Allocation: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("w_c"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-02-01"))
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("t_c"))
+    val ord = Window.partitionBy(col("l_orderkey"))
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("w_ord", sum(col("w_c")).over(ord))
+      .withColumn("tw", col("t_c") * col("w_c"))
+      .withColumn("base_c", expr("tw div w_ord"))
+      .withColumn("rem", col("tw") % col("w_ord"))
+    j.withColumn("deficit", col("t_c") - sum(col("base_c")).over(ord))
+      .withColumn("rk", row_number().over(
+        ord.orderBy(col("rem").desc, col("l_linenumber"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("w_c"),
+        (col("base_c") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc_c"))
+  }
+
+  val q152Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS w_c
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS t_c
+      |  FROM orders
+      |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-02-01'),
+      |j AS (
+      |  SELECT l_orderkey, l_linenumber, w_c, t_c,
+      |    CAST(SUM(w_c) OVER (PARTITION BY l_orderkey) AS BIGINT) AS w_ord,
+      |    t_c * w_c AS tw
+      |  FROM li JOIN o ON l_orderkey = o_orderkey),
+      |b AS (
+      |  SELECT *, tw // w_ord AS base_c, tw % w_ord AS rem FROM j),
+      |d AS (
+      |  SELECT *,
+      |    t_c - SUM(base_c) OVER (PARTITION BY l_orderkey) AS deficit,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber) AS rk
+      |  FROM b)
+      |SELECT l_orderkey, l_linenumber, w_c,
+      |  base_c + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc_c
+      |FROM d""".stripMargin
+
+  // ------------------------------------------- q154: two-feature OLS
+
+  /** q154: multiple linear regression (two regressors) per group — extended
+    * price regressed on quantity and discount per return flag, solved in
+    * closed form from the 2×2 normal equations (Cramer's rule). Extends
+    * q117's single-regressor scheme: all nine moments are EXACT integer
+    * sums over cents accumulated in DECIMAL(38,0)/HUGEINT, the centered
+    * co-moments (n·Σxy − Σx·Σy) stay exact in decimal, and only the final
+    * Cramer expressions run in IEEE double — each a fixed expression over
+    * exactly-agreed inputs, so both engines produce bit-identical
+    * coefficients. ONE aggregation pass; the shuffle carries nine sums per
+    * group (the same partial/final shape as any MPP aggregate).
+    */
+  val q154Ols2: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val x1 = cents(col("l_quantity"))
+    val x2 = cents(col("l_discount"))
+    val y = cents(col("l_extendedprice"))
+    val dec = "decimal(38,0)"
+    val g = l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(x1.cast(dec)).as("sx1"), sum(x2.cast(dec)).as("sx2"),
+        sum(y.cast(dec)).as("sy"),
+        sum((x1 * x1).cast(dec)).as("sx1x1"),
+        sum((x2 * x2).cast(dec)).as("sx2x2"),
+        sum((x1 * x2).cast(dec)).as("sx1x2"),
+        sum((x1 * y).cast(dec)).as("sx1y"),
+        sum((x2 * y).cast(dec)).as("sx2y"))
+    val m = g.select(col("l_returnflag"), col("n"),
+      col("sx1"), col("sx2"), col("sy"),
+      (col("n") * col("sx1x1") - col("sx1") * col("sx1")).as("a11"),
+      (col("n") * col("sx1x2") - col("sx1") * col("sx2")).as("a12"),
+      (col("n") * col("sx2x2") - col("sx2") * col("sx2")).as("a22"),
+      (col("n") * col("sx1y") - col("sx1") * col("sy")).as("b1"),
+      (col("n") * col("sx2y") - col("sx2") * col("sy")).as("b2"))
+    def d(c: String) = col(c).cast("double")
+    val det = d("a11") * d("a22") - d("a12") * d("a12")
+    val beta1 = (d("b1") * d("a22") - d("b2") * d("a12")) / det
+    val beta2 = (d("a11") * d("b2") - d("a12") * d("b1")) / det
+    m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      beta1.as("beta_qty"), beta2.as("beta_disc"),
+      ((d("sy") - beta1 * d("sx1") - beta2 * d("sx2")) / d("n"))
+        .as("beta_intercept"))
+  }
+
+  val q154Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sx1,
+      |    SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sx2,
+      |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sy,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) *
+      |        CAST(ROUND(l_quantity*100) AS BIGINT)) AS sx1x1,
+      |    SUM(CAST(ROUND(l_discount*100) AS BIGINT) *
+      |        CAST(ROUND(l_discount*100) AS BIGINT)) AS sx2x2,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) *
+      |        CAST(ROUND(l_discount*100) AS BIGINT)) AS sx1x2,
+      |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) *
+      |        CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sx1y,
+      |    SUM(CAST(ROUND(l_discount*100) AS BIGINT) *
+      |        CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sx2y
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n, sx1, sx2, sy,
+      |    n * sx1x1 - sx1 * sx1 AS a11,
+      |    n * sx1x2 - sx1 * sx2 AS a12,
+      |    n * sx2x2 - sx2 * sx2 AS a22,
+      |    n * sx1y - sx1 * sy AS b1,
+      |    n * sx2y - sx2 * sy AS b2
+      |  FROM s),
+      |dd AS (
+      |  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |    CAST(CAST(a11 AS VARCHAR) AS DOUBLE) AS a11,
+      |    CAST(CAST(a12 AS VARCHAR) AS DOUBLE) AS a12,
+      |    CAST(CAST(a22 AS VARCHAR) AS DOUBLE) AS a22,
+      |    CAST(CAST(b1 AS VARCHAR) AS DOUBLE) AS b1,
+      |    CAST(CAST(b2 AS VARCHAR) AS DOUBLE) AS b2,
+      |    CAST(CAST(sx1 AS VARCHAR) AS DOUBLE) AS sx1,
+      |    CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2,
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd
+      |  FROM m)
+      |SELECT l_returnflag, n_rows,
+      |  (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta_qty,
+      |  (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta_disc,
+      |  (sy - ((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) * sx1
+      |      - ((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)) * sx2) / nd
+      |    AS beta_intercept
+      |FROM dd""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q152_allocation" -> q152Allocation,
+    "q154_ols2" -> q154Ols2,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -1767,6 +1928,8 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q152_allocation" -> q152Sql,
+    "q154_ols2" -> q154Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

@@ -1343,6 +1343,72 @@ object EventQueries {
       |FROM dev d JOIN mad m ON d.event_type = m.event_type
       |GROUP BY d.event_type, d.median_c, m.mad_c""".stripMargin
 
+  // ------------------------------------------- q151: SCD-2 rebuild from log
+
+  /** q151: rebuild an SCD-2 validity history from the raw event log — the
+    * set-based complement to [[graft.operators.Scd2.applyUpdates]] (which
+    * merges one incremental batch): collapse each user's event stream into
+    * maximal runs of constant state (event_type as the tracked attribute)
+    * and emit one versioned row per run with end-exclusive
+    * [valid_from, valid_to) bounds, the open run closed by the end-of-time
+    * sentinel. The gaps-and-islands pattern: a lag-change flag, a running
+    * change count as the version number, a per-(user, version) rollup, and
+    * a lead for the closing bound — two window passes and one aggregation,
+    * all partitioned by user (ONE shuffle on user_id; at 100 TB each user's
+    * history is small, so no per-partition memory hazard, and a skewed
+    * power-user key degrades one window task, not the plan).
+    *
+    * The open run's valid_to is NULL, not the reference's '9999-12-31'
+    * sentinel ([[graft.operators.Scd2.EndOfTime]]): year 9999 is outside
+    * the int64 nanosecond timestamp range (max 2262-04-11), so any
+    * ns-precision consumer would silently wrap it; NULL is the portable
+    * open-interval encoding (and the other common SCD-2 convention).
+    */
+  val q151ScdRebuild: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = e.groupBy(col("user_id"), col("version"))
+      .agg(first(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs.select(col("user_id"), col("version"), col("state"),
+      col("valid_from"),
+      lead(col("valid_from"), 1).over(byVer).as("valid_to"),
+      col("n_events"))
+  }
+
+  val q151Sql: String =
+    s"""WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |versioned AS (
+      |  SELECT user_id, ts, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |runs AS (
+      |  SELECT user_id, version, MIN(event_type) AS state,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM versioned GROUP BY user_id, version)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  n_events
+      |FROM runs""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1376,9 +1442,11 @@ object EventQueries {
     "q138_heavy_hitters" -> q138HeavyHitters,
     "q144_decayed_value" -> q144DecayedValue,
     "q147_twap" -> q147Twap,
-    "q148_mad_outliers" -> q148MadOutliers)
+    "q148_mad_outliers" -> q148MadOutliers,
+    "q151_scd_rebuild" -> q151ScdRebuild)
 
   val oracles: Map[String, String] = Map(
+    "q151_scd_rebuild" -> q151Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

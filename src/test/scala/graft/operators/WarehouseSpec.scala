@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TSql.cents
+import org.apache.spark.sql.functions._
+
+/** q151 SCD-2 rebuild, q152 largest-remainder allocation, q153 χ²
+  * independence cells, q154 two-feature OLS — the structural claims:
+  * rebuilt validity intervals partition each user's history, allocations
+  * sum EXACTLY to the header total with error ≤ 1 cent per line, the
+  * contingency marginals are consistent, and the closed-form coefficients
+  * solve the normal equations.
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q151 rebuilt SCD-2 intervals partition each user's event history") {
+    val runs = EventQueries.q151ScdRebuild(spark, sfDir)
+      .select(col("user_id"), col("version"), col("state"),
+        unix_millis(col("valid_from")).as("from_ms"),
+        unix_millis(col("valid_to")).as("to_ms"), col("n_events"))
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect()
+    assert(runs.nonEmpty)
+    val events = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    runs.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // versions are 1..k with no gaps
+      assert(sorted.map(_._2).toSeq === (1L to sorted.size).toSeq)
+      // exactly one open interval, and it is the last version
+      assert(sorted.count(_._5.isEmpty) === 1)
+      assert(sorted.last._5.isEmpty)
+      // end-exclusive bounds chain: each run closes where the next opens,
+      // and adjacent runs really changed state (maximal runs)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5.contains(b._4), s"user $u: gap or overlap in history")
+        assert(a._3 != b._3, s"user $u: adjacent runs share state")
+      }
+      // run sizes account for every event of the user
+      assert(sorted.map(_._6).sum === events(u))
+    }
+  }
+
+  test("q152 allocations sum exactly to the header total per order") {
+    val rows = CoreQueries.q152Allocation(spark, sfDir)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-02-01"))
+      .select(col("o_orderkey"), cents(col("o_totalprice")))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (ok, ls) =>
+      val t = totals(ok)
+      // the defining invariant: cents are conserved exactly
+      assert(ls.map(_._4).sum === t, s"order $ok: allocation lost cents")
+      // each line is within 1 cent of its exact proportional share
+      val w = ls.map(_._3).sum
+      ls.foreach { case (_, ln, wc, ac) =>
+        val exact = t.toDouble * wc.toDouble / w.toDouble
+        assert(math.abs(ac - exact) <= 1.0,
+          s"order $ok line $ln: |$ac - $exact| > 1 cent")
+      }
+    }
+  }
+
+  test("q153 contingency marginals are consistent and χ² matches a recount") {
+    val cells = AuditQueries.q153ChiSquare(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(cells.nonEmpty)
+    val grand = cells.map(_._3).sum
+    cells.foreach { case (_, _, _, _, _, g, _, _) => assert(g === grand) }
+    // marginals recompose from the cells themselves
+    val byRow = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val byCol = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    cells.foreach { case (r, c, n, rt, ct, g, exp, chi) =>
+      assert(rt === byRow(r)); assert(ct === byCol(c))
+      val e = rt.toDouble * ct.toDouble / g.toDouble
+      assert(math.abs(exp - e) < 1e-9 * e)
+      val d = (n.toDouble * g.toDouble - rt.toDouble * ct.toDouble)
+      val expect = d * d / (rt.toDouble * ct.toDouble * g.toDouble)
+      assert(math.abs(chi - expect) < 1e-9 * (expect max 1.0))
+      assert(chi >= 0.0)
+    }
+  }
+
+  test("q154 closed-form coefficients solve the 2x2 normal equations") {
+    val got = CoreQueries.q154Ols2(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), cents(col("l_quantity")),
+        cents(col("l_discount")), cents(col("l_extendedprice")))
+      .as[(String, Long, Long, Long)].collect()
+    got.foreach { case (rf, n, b1, b2, b0) =>
+      val g = raw.filter(_._1 == rf)
+      assert(n === g.size.toLong)
+      // the normal equations: X'X β = X'y must hold at the returned β
+      val (sx1, sx2, sy) = (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      val sx1x1 = g.map(r => r._2 * r._2).sum
+      val sx2x2 = g.map(r => r._3 * r._3).sum
+      val sx1x2 = g.map(r => r._2 * r._3).sum
+      val sx1y = g.map(r => r._2 * r._4).sum
+      val sx2y = g.map(r => r._3 * r._4).sum
+      def near(a: Double, b: Double): Boolean =
+        math.abs(a - b) <= 1e-6 * (math.abs(a) max math.abs(b) max 1.0)
+      val eq1 = b0 * n + b1 * sx1 + b2 * sx2
+      val eq2 = b0 * sx1 + b1 * sx1x1 + b2 * sx1x2
+      val eq3 = b0 * sx2 + b1 * sx1x2 + b2 * sx2x2
+      assert(near(eq1, sy.toDouble), s"$rf: sum of fitted y != sum y")
+      assert(near(eq2, sx1y.toDouble), s"$rf: x1 normal equation violated")
+      assert(near(eq3, sx2y.toDouble), s"$rf: x2 normal equation violated")
+    }
+  }
+}
