@@ -238,13 +238,88 @@ object AuditQueries {
       |    AS chi_cell
       |FROM x""".stripMargin
 
+  // ------------------------------------------- q157: two-sample KS test
+
+  /** q157: two-sample Kolmogorov–Smirnov distance in EXACT integer
+    * arithmetic — does the order-value distribution differ between urgent
+    * and low-priority orders? D = sup|F₁(v) − F₂(v)| is found without a
+    * single intermediate float: at each distinct value the cross-multiplied
+    * deviation |cum₁·N₂ − cum₂·N₁| is an exact integer (DECIMAL(38,0)/
+    * HUGEINT so corpus-scale counts cannot wrap), the argmax is an integer
+    * sort with the value itself as the deterministic tie-break, and the
+    * statistic becomes IEEE only in the final single division. Plan shape:
+    * one scan of orders, a per-value rollup (map-side combined), running
+    * sums over the value order, then a 1-row top-k — the sort is over
+    * DISTINCT values, not rows.
+    */
+  val q157KsTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents(col("o_totalprice")).as("v_c"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("is_a"))
+    val byV = Window.partitionBy().orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val g = o.groupBy(col("v_c"))
+      .agg(sum(col("is_a")).as("c1"), sum(lit(1L) - col("is_a")).as("c2"))
+      .withColumn("cum1", sum(col("c1")).over(byV))
+      .withColumn("cum2", sum(col("c2")).over(byV))
+      .withColumn("n1", sum(col("c1")).over(all))
+      .withColumn("n2", sum(col("c2")).over(all))
+    g.select(col("v_c"), col("n1"), col("n2"),
+        abs(col("cum1").cast(dec) * col("n2").cast(dec) -
+          col("cum2").cast(dec) * col("n1").cast(dec)).as("d_num"))
+      .orderBy(col("d_num").desc, col("v_c"))
+      .limit(1)
+      .select(col("v_c").as("at_value_c"), col("n1"), col("n2"),
+        (col("d_num").cast("double") /
+          (col("n1").cast(dec) * col("n2").cast(dec)).cast("double"))
+          .as("ks_d"))
+  }
+
+  val q157Sql: String =
+    """WITH tagged AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS v_c,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |g AS (
+      |  SELECT v_c, CAST(SUM(is_a) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - is_a) AS BIGINT) AS c2
+      |  FROM tagged GROUP BY v_c),
+      |cum AS (
+      |  SELECT v_c,
+      |    CAST(SUM(c1) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum1,
+      |    CAST(SUM(c2) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum2,
+      |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+      |    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      |  FROM g),
+      |d AS (
+      |  SELECT v_c, n1, n2,
+      |    ABS(CAST(cum1 AS HUGEINT) * CAST(n2 AS HUGEINT) -
+      |        CAST(cum2 AS HUGEINT) * CAST(n1 AS HUGEINT)) AS d_num
+      |  FROM cum)
+      |SELECT v_c AS at_value_c, n1, n2,
+      |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS VARCHAR)
+      |      AS DOUBLE) AS ks_d
+      |FROM d
+      |ORDER BY d_num DESC, v_c
+      |LIMIT 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q139_quality_audit" -> q139QualityAudit,
     "q140_stats_histogram" -> q140Histogram,
-    "q153_chi_square" -> q153ChiSquare)
+    "q153_chi_square" -> q153ChiSquare,
+    "q157_ks_test" -> q157KsTest)
 
   val oracles: Map[String, String] = Map(
     "q139_quality_audit" -> q139Sql,
     "q140_stats_histogram" -> q140Sql,
-    "q153_chi_square" -> q153Sql)
+    "q153_chi_square" -> q153Sql,
+    "q157_ks_test" -> q157Sql)
 }

@@ -1782,6 +1782,74 @@ object CoreQueries {
       |  base_c + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc_c
       |FROM d""".stripMargin
 
+  // ------------------------------------------- q155: clamped running balance
+
+  /** q155: non-negative running inventory balance per part — the stock
+    * ledger recurrence x_t = max(0, x_{t-1} + δ_t) (shipments draw down,
+    * returns restock, stock never goes negative), which looks inherently
+    * serial but has the exact closed form
+    *   x_t = S_t − min(0, min_{τ≤t} S_τ)
+    * over the raw prefix sums S: TWO stacked window passes (running sum,
+    * then running min of it) turn the sequential recurrence into a fully
+    * parallel plan — no recursion, no iteration, one shuffle on the part
+    * key. All arithmetic is integer quantity-cents; the per-part rollup
+    * reports the ending and peak clamped balance next to the raw net.
+    * The same trick generalizes to any max(0, ·)-clamped accumulator
+    * (credit limits, token buckets, drawdown accounting).
+    */
+  val q155ClampedBalance: Q = (s, dir) => {
+    val byTime = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_returnflag") === "R", cents(col("l_quantity")))
+          .otherwise(-cents(col("l_quantity"))).as("delta_q"))
+      .withColumn("s_run", sum(col("delta_q")).over(run))
+    val x = l.withColumn("m_run", min(col("s_run")).over(run))
+      .withColumn("bal_q",
+        col("s_run") - least(lit(0L), col("m_run")))
+      .withColumn("rn_last", row_number().over(
+        Window.partitionBy(col("l_partkey")).orderBy(
+          col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc)))
+    x.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_moves"),
+        sum(when(col("rn_last") === 1, col("bal_q"))).as("end_balance_q"),
+        max(col("bal_q")).as("peak_balance_q"),
+        sum(col("delta_q")).as("raw_net_q"))
+  }
+
+  val q155Sql: String =
+    """WITH moves AS (
+      |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+      |    CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(ROUND(l_quantity*100) AS BIGINT)
+      |      ELSE -CAST(ROUND(l_quantity*100) AS BIGINT) END AS delta_q
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT *, CAST(SUM(delta_q) OVER w AS BIGINT) AS s_run
+      |  FROM moves
+      |  WINDOW w AS (PARTITION BY l_partkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS UNBOUNDED PRECEDING)),
+      |x AS (
+      |  SELECT *, s_run - LEAST(0, MIN(s_run) OVER w) AS bal_q,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC)
+      |      AS rn_last
+      |  FROM s
+      |  WINDOW w AS (PARTITION BY l_partkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT l_partkey, COUNT(*) AS n_moves,
+      |  CAST(SUM(CASE WHEN rn_last = 1 THEN bal_q END) AS BIGINT)
+      |    AS end_balance_q,
+      |  MAX(bal_q) AS peak_balance_q,
+      |  CAST(SUM(delta_q) AS BIGINT) AS raw_net_q
+      |FROM x GROUP BY l_partkey""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -1875,6 +1943,7 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     "q152_allocation" -> q152Allocation,
     "q154_ols2" -> q154Ols2,
+    "q155_clamped_balance" -> q155ClampedBalance,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -1930,6 +1999,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q152_allocation" -> q152Sql,
     "q154_ols2" -> q154Sql,
+    "q155_clamped_balance" -> q155Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

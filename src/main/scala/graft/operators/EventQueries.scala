@@ -1409,6 +1409,74 @@ object EventQueries {
       |  n_events
       |FROM runs""".stripMargin
 
+  // ------------------------------------------- q156: interval-union coverage
+
+  /** Attention window each event opens, ms (15 minutes). */
+  val CoverageWindowMs = 900000L
+
+  /** q156: interval-union coverage — total attention time per user when
+    * every event opens a fixed 15-minute window, with overlapping windows
+    * counted ONCE (the interval-union / "merge overlapping intervals"
+    * problem: billed machine-uptime, on-call coverage, dwell time). The
+    * sweep is the gaps-and-islands shape: per user in event order, a
+    * window MAX of all PRIOR interval ends detects whether the current
+    * interval extends the running union or opens a new island, the island
+    * id is a running flag sum, and each island's contribution is
+    * max(end) − min(start) — exact because within an island every interval
+    * starts at or before the running max end, so the union is contiguous
+    * by construction. Integer-ms arithmetic throughout; one shuffle on
+    * user_id, two window passes, one rollup.
+    */
+  val q156IntervalUnion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prior = byTs.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("s_ms"),
+        (unix_millis(col("ts")) + CoverageWindowMs).as("e_ms"))
+      .withColumn("prev_max_e", max(col("e_ms")).over(prior))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull ||
+          col("s_ms") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+    e.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_ms")).as("i_start"), max(col("e_ms")).as("i_end"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_ms"),
+        sum(col("n_ev")).as("n_events"))
+  }
+
+  val q156Sql: String =
+    s"""WITH iv AS (
+      |  SELECT user_id, ts, event_id, epoch_ms(ts) AS s_ms,
+      |    epoch_ms(ts) + $CoverageWindowMs AS e_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    MAX(e_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |  FROM iv),
+      |islands AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN prev_max_e IS NULL OR s_ms > prev_max_e
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS island
+      |  FROM flagged),
+      |per_island AS (
+      |  SELECT user_id, island, MIN(s_ms) AS i_start, MAX(e_ms) AS i_end,
+      |    COUNT(*) AS n_ev
+      |  FROM islands GROUP BY user_id, island)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_ms,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+      |FROM per_island GROUP BY user_id""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1443,10 +1511,12 @@ object EventQueries {
     "q144_decayed_value" -> q144DecayedValue,
     "q147_twap" -> q147Twap,
     "q148_mad_outliers" -> q148MadOutliers,
-    "q151_scd_rebuild" -> q151ScdRebuild)
+    "q151_scd_rebuild" -> q151ScdRebuild,
+    "q156_interval_union" -> q156IntervalUnion)
 
   val oracles: Map[String, String] = Map(
     "q151_scd_rebuild" -> q151Sql,
+    "q156_interval_union" -> q156Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

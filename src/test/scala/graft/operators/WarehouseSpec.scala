@@ -85,6 +85,73 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q155 prefix-min closed form equals the serial clamped recurrence") {
+    val got = CoreQueries.q155ClampedBalance(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")),
+        col("l_orderkey"), col("l_linenumber").cast("long"),
+        when(col("l_returnflag") === "R", cents(col("l_quantity")))
+          .otherwise(-cents(col("l_quantity"))))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    raw.groupBy(_._1).foreach { case (pk, ms) =>
+      val deltas = ms.sortBy(m => (m._2, m._3, m._4)).map(_._5)
+      // the serial ledger: x_t = max(0, x_{t-1} + delta_t)
+      val xs = deltas.scanLeft(0L)((x, d) => math.max(0L, x + d)).tail
+      val (nMoves, endBal, peakBal, rawNet) = got(pk)
+      assert(nMoves === deltas.size.toLong)
+      assert(endBal === xs.last, s"part $pk: closed form != recurrence")
+      assert(peakBal === xs.max)
+      assert(rawNet === deltas.sum)
+    }
+  }
+
+  test("q156 island sweep equals a serial interval-union merge") {
+    val got = EventQueries.q156IntervalUnion(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val w = EventQueries.CoverageWindowMs
+    raw.groupBy(_._1).foreach { case (u, evs) =>
+      val ivs = evs.sortBy(e => (e._2, e._3)).map(e => (e._2, e._2 + w))
+      // serial merge of sorted intervals
+      val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, (s1, e1)) if s1 <= e0 =>
+          (s0, math.max(e0, e1)) :: rest
+        case (acc, iv) => iv :: acc
+      }.reverse
+      val (nIslands, covered, nEvents) = got(u)
+      assert(nIslands === merged.size.toLong, s"user $u: island count")
+      assert(covered === merged.map { case (s0, e0) => e0 - s0 }.sum)
+      assert(nEvents === evs.size.toLong)
+    }
+  }
+
+  test("q157 KS distance equals a serial empirical-CDF sweep") {
+    val Seq((atV, n1, n2, ksD)) = AuditQueries.q157KsTest(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val raw = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents(col("o_totalprice")), col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val a = raw.filter(_._2 == "1-URGENT").map(_._1).sorted
+    val b = raw.filter(_._2 == "5-LOW").map(_._1).sorted
+    assert(n1 === a.length.toLong); assert(n2 === b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    val devs = values.map { v =>
+      val c1 = a.count(_ <= v).toLong
+      val c2 = b.count(_ <= v).toLong
+      (math.abs(c1 * n2 - c2 * n1), v)
+    }
+    val best = devs.maxBy { case (d, v) => (d, -v) }
+    assert(atV === best._2, "argmax value differs from serial sweep")
+    assert(ksD === best._1.toDouble / (n1 * n2).toDouble)
+  }
+
   test("q154 closed-form coefficients solve the 2x2 normal equations") {
     val got = CoreQueries.q154Ols2(spark, sfDir)
       .as[(String, Long, Double, Double, Double)].collect()
