@@ -1850,6 +1850,110 @@ object CoreQueries {
       |  CAST(SUM(delta_q) AS BIGINT) AS raw_net_q
       |FROM x GROUP BY l_partkey""".stripMargin
 
+  // ------------------------------------------- q159: weighted median
+
+  /** q159: weighted median — the quantity-weighted median unit price per
+    * return flag (each lineitem's price counts with its quantity's weight:
+    * the "typical traded price", robust where the unweighted median is
+    * distorted by many small lots). Exact integer sweep: pre-aggregate
+    * weight per distinct price (map-side combined — the window then runs
+    * over DISTINCT prices, not rows), running weight over the price order,
+    * and the weighted median is the smallest price whose doubled
+    * cumulative weight reaches the total — 2·cumw ≥ W in pure int64, no
+    * fractional comparison anywhere.
+    */
+  val q159WeightedMedian: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v_c"),
+        cents(col("l_quantity")).as("w"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val g = l.groupBy(col("l_returnflag"), col("v_c"))
+      .agg(sum(col("w")).as("wv"))
+      .withColumn("cumw", sum(col("wv")).over(
+        byFlag.orderBy(col("v_c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("w_total", sum(col("wv")).over(byFlag))
+    g.filter(col("cumw") * 2 >= col("w_total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v_c")).as("wmedian_c"), max(col("w_total")).as("w_total"))
+  }
+
+  val q159Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v_c,
+      |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS wv
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, v_c,
+      |    CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v_c
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+      |    CAST(SUM(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS w_total
+      |  FROM g)
+      |SELECT l_returnflag, MIN(v_c) AS wmedian_c, MAX(w_total) AS w_total
+      |FROM c WHERE cumw * 2 >= w_total
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------- q160: Gini concentration
+
+  /** q160: Gini coefficient of customer revenue per nation — the
+    * concentration summary next to q112's ABC classes: how unequal is the
+    * revenue distribution across a nation's customers? Uses the rank
+    * formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over revenue sorted
+    * ascending: revenue is an exact integer-cents rollup, ranks come from
+    * one window pass (custkey as the deterministic tie-break — swapping
+    * equal values leaves Σi·x unchanged, so ties are benign), the two
+    * moments accumulate in DECIMAL(38,0)/HUGEINT, and the coefficient is
+    * ONE fixed IEEE expression over them. Customers with no orders are out
+    * of scope (revenue rollup is an inner join); the window runs per
+    * nation over customer-level rollups — thousands of rows per nation,
+    * not fact rows.
+    */
+  val q160Gini: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val byNation = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev_c"), col("c_custkey"))
+    val ranked = rev.withColumn("i", row_number().over(byNation))
+    val g = ranked.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rev_c").cast(dec)).as("s0"),
+        sum(col("i").cast(dec) * col("rev_c").cast(dec)).as("s1"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    g.select(col("c_nationkey"), col("n").cast("long").as("n_customers"),
+      col("s0").cast("long").as("revenue_c"),
+      ((lit(2.0) * d(col("s1")) - d(col("n") + lit(1)) * d(col("s0"))) /
+        (d(col("n")) * d(col("s0")))).as("gini"))
+  }
+
+  val q160Sql: String =
+    """WITH rev AS (
+      |  SELECT c_nationkey, c_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |    ORDER BY rev_c, c_custkey) AS i
+      |  FROM rev),
+      |m AS (
+      |  SELECT c_nationkey, COUNT(*) AS n,
+      |    SUM(CAST(rev_c AS HUGEINT)) AS s0,
+      |    SUM(CAST(i AS HUGEINT) * CAST(rev_c AS HUGEINT)) AS s1
+      |  FROM ranked GROUP BY 1)
+      |SELECT c_nationkey, CAST(n AS BIGINT) AS n_customers,
+      |  CAST(s0 AS BIGINT) AS revenue_c,
+      |  (2.0 * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) -
+      |    CAST(CAST(n + 1 AS VARCHAR) AS DOUBLE) *
+      |    CAST(CAST(s0 AS VARCHAR) AS DOUBLE)) /
+      |  (CAST(CAST(n AS VARCHAR) AS DOUBLE) *
+      |    CAST(CAST(s0 AS VARCHAR) AS DOUBLE)) AS gini
+      |FROM m""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -1944,6 +2048,8 @@ object CoreQueries {
     "q152_allocation" -> q152Allocation,
     "q154_ols2" -> q154Ols2,
     "q155_clamped_balance" -> q155ClampedBalance,
+    "q159_weighted_median" -> q159WeightedMedian,
+    "q160_gini" -> q160Gini,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -2000,6 +2106,8 @@ object CoreQueries {
     "q152_allocation" -> q152Sql,
     "q154_ols2" -> q154Sql,
     "q155_clamped_balance" -> q155Sql,
+    "q159_weighted_median" -> q159Sql,
+    "q160_gini" -> q160Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

@@ -1477,6 +1477,56 @@ object EventQueries {
       |  CAST(SUM(n_ev) AS BIGINT) AS n_events
       |FROM per_island GROUP BY user_id""".stripMargin
 
+  // ------------------------------------------- q158: CDC snapshot apply
+
+  /** q158: CDC last-writer-wins snapshot apply — collapse a change-data
+    * stream into the current row set, the bread-and-butter warehouse
+    * ingestion merge (the reference loads via CTAS + re-insert; the
+    * engine-side equivalent of its incremental loads is exactly this
+    * collapse). Event types map to ops: signup = insert, click/view/
+    * purchase = update, error = delete-marker. Per key, ONE window pass
+    * picks the latest op by (ts, event_id) — no self-join, no sort beyond
+    * the per-key order — and keys whose latest op is a delete vanish from
+    * the snapshot. Emits the surviving current rows with their change
+    * counts (the audit column every CDC landing table carries). One
+    * shuffle on the key; at 100 TB this is the standard "compact the log
+    * into current state" job, and the plan is the one you'd want: shuffle
+    * once, window once, filter.
+    */
+  val q158CdcApply: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        cents(col("value")).as("v_c"))
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("ts").as("last_ts"), col("v_c").as("last_value_c"),
+        col("n_changes"))
+  }
+
+  val q158Sql: String =
+    """WITH log AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D'
+      |         ELSE 'U' END AS op,
+      |    CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events)
+      |SELECT user_id, op AS last_op, ts AS last_ts, v_c AS last_value_c,
+      |  CAST(n_changes AS BIGINT) AS n_changes
+      |FROM log WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1512,11 +1562,13 @@ object EventQueries {
     "q147_twap" -> q147Twap,
     "q148_mad_outliers" -> q148MadOutliers,
     "q151_scd_rebuild" -> q151ScdRebuild,
-    "q156_interval_union" -> q156IntervalUnion)
+    "q156_interval_union" -> q156IntervalUnion,
+    "q158_cdc_apply" -> q158CdcApply)
 
   val oracles: Map[String, String] = Map(
     "q151_scd_rebuild" -> q151Sql,
     "q156_interval_union" -> q156Sql,
+    "q158_cdc_apply" -> q158Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

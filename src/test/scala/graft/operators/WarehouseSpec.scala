@@ -152,6 +152,81 @@ class WarehouseSpec extends SparkSpec {
     assert(ksD === best._1.toDouble / (n1 * n2).toDouble)
   }
 
+  test("q158 CDC collapse equals a serial last-writer-wins replay") {
+    val got = EventQueries.q158CdcApply(spark, sfDir)
+      .select(col("user_id"), col("last_op"), unix_millis(col("last_ts")),
+        col("last_value_c"), col("n_changes"))
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")), col("event_id"),
+        col("event_type"), cents(col("value")))
+      .as[(Long, Long, Long, String, Long)].collect()
+    def opOf(t: String) =
+      if (t == "signup") "I" else if (t == "error") "D" else "U"
+    raw.groupBy(_._1).foreach { case (u, evs) =>
+      val last = evs.maxBy(e => (e._2, e._3))
+      if (opOf(last._4) == "D")
+        assert(!got.contains(u), s"user $u: deleted key survived")
+      else {
+        val (op, ts, v, n) = got(u)
+        assert(op === opOf(last._4)); assert(ts === last._2)
+        assert(v === last._5); assert(n === evs.size.toLong)
+      }
+    }
+  }
+
+  test("q159 weighted median halves the total weight on each side") {
+    val got = CoreQueries.q159WeightedMedian(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")),
+        cents(col("l_quantity")))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (rf, med, wTotal) =>
+      val g = raw.filter(_._1 == rf)
+      assert(wTotal === g.map(_._3).sum)
+      // the defining property of the weighted median, exactly as computed
+      val below = g.filter(_._2 < med).map(_._3).sum
+      val upTo = g.filter(_._2 <= med).map(_._3).sum
+      assert(2 * below < wTotal, s"$rf: too much weight strictly below")
+      assert(2 * upTo >= wTotal, s"$rf: median does not reach half weight")
+    }
+  }
+
+  test("q160 Gini equals a serial rank-formula recompute and is in [0,1)") {
+    val got = CoreQueries.q160Gini(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val rev = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("r"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (nk, n, s0, gini) =>
+      val xs = rev.filter(_._1 == nk).sortBy(r => (r._3, r._2)).map(_._3)
+      assert(n === xs.size.toLong)
+      assert(s0 === xs.sum)
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      val expect = (2.0 * s1 - (n + 1).toDouble * s0) / (n.toDouble * s0)
+      assert(math.abs(gini - expect) < 1e-9)
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+  }
+
+  test("q155/q156/q158 plans shuffle exactly once on their partition key") {
+    // the 100×-scale claim in each scaladoc, held by the optimizer: the
+    // stacked windows + final rollup all reuse ONE hash partitioning
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(CoreQueries.q155ClampedBalance(spark, sfDir)) === 1)
+    assert(exchanges(EventQueries.q156IntervalUnion(spark, sfDir)) === 1)
+    assert(exchanges(EventQueries.q158CdcApply(spark, sfDir)) === 1)
+  }
+
   test("q154 closed-form coefficients solve the 2x2 normal equations") {
     val got = CoreQueries.q154Ols2(spark, sfDir)
       .as[(String, Long, Double, Double, Double)].collect()

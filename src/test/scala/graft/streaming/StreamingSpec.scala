@@ -319,6 +319,42 @@ class StreamingSpec extends SparkSpec {
       === nPurchases)
   }
 
+  test("streaming session windows reproduce the batch interval-union coverage") {
+    import graft.operators.EventQueries
+    import spark.implicits._
+    // precondition: half-open session_window and closed interval-union
+    // differ ONLY when two events sit exactly one gap apart (touching
+    // intervals: coverage merges them, session_window does not) — assert
+    // the fixture has no such edge so the parity claim below is exact
+    val gapMs = EventQueries.CoverageWindowMs
+    val exactGaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ms"))))
+      .filter(col("gap") === gapMs).count()
+    assert(exactGaps === 0, "fixture has a touching-interval edge case")
+
+    // Complete mode: append only emits watermark-CLOSED sessions, so each
+    // user's open tail session would be missing from the parity set
+    EventStream.runToMemory(
+      EventStream.sessionAggregates(EventStream.read(spark, streamDir),
+        gap = "15 minutes"),
+      "coverage_sessions", OutputMode.Complete())
+    val got = spark.table("coverage_sessions")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(unix_millis(col("session_end")) -
+          unix_millis(col("session_start"))).as("covered_ms"),
+        sum(col("n_events")).as("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventQueries.q156IntervalUnion(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got === batch,
+      "streamed session state machine diverged from the batch island sweep")
+  }
+
   test("streaming heavy-hitter candidates verify to the exact batch answer") {
     EventStream.runToMemory(
       EventStream.trendingCandidates(EventStream.read(spark, streamDir)),
