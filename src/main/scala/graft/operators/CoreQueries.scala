@@ -1954,6 +1954,59 @@ object CoreQueries {
       |    CAST(CAST(s0 AS VARCHAR) AS DOUBLE)) AS gini
       |FROM m""".stripMargin
 
+  // ------------------------------------------- q163: percent-of-parent
+
+  /** q163: percent-of-parent hierarchical shares — revenue by region →
+    * nation → share of nation within its region and of the region within
+    * the whole, the drill-down decomposition every BI hierarchy renders.
+    * ONE fact aggregation at the leaf grain (nation), then parent and
+    * grand totals are windows over the 25-row rollup — the fact table is
+    * never re-scanned per level (the multi-pass shape the reference's
+    * report stacks simulate with nested views). Shares are single IEEE
+    * divisions of exact integer cents; dimensions broadcast.
+    */
+  val q163PercentOfParent: Q = (s, dir) => {
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val byRegion = Window.partitionBy(col("r_name"))
+    val all = Window.partitionBy()
+    rev.withColumn("region_c", sum(col("rev_c")).over(byRegion))
+      .withColumn("grand_c", sum(col("rev_c")).over(all))
+      .select(col("r_name"), col("n_name"), col("rev_c"),
+        (col("rev_c").cast("double") / col("region_c").cast("double"))
+          .as("share_of_region"),
+        (col("region_c").cast("double") / col("grand_c").cast("double"))
+          .as("region_share_of_total"))
+  }
+
+  val q163Sql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_c,
+      |    CAST(SUM(rev_c) OVER () AS BIGINT) AS grand_c
+      |  FROM rev)
+      |SELECT r_name, n_name, rev_c,
+      |  CAST(rev_c AS DOUBLE) / CAST(region_c AS DOUBLE) AS share_of_region,
+      |  CAST(region_c AS DOUBLE) / CAST(grand_c AS DOUBLE)
+      |    AS region_share_of_total
+      |FROM t""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -2050,6 +2103,7 @@ object CoreQueries {
     "q155_clamped_balance" -> q155ClampedBalance,
     "q159_weighted_median" -> q159WeightedMedian,
     "q160_gini" -> q160Gini,
+    "q163_percent_of_parent" -> q163PercentOfParent,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -2108,6 +2162,7 @@ object CoreQueries {
     "q155_clamped_balance" -> q155Sql,
     "q159_weighted_median" -> q159Sql,
     "q160_gini" -> q160Sql,
+    "q163_percent_of_parent" -> q163Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

@@ -1527,6 +1527,120 @@ object EventQueries {
       |  CAST(n_changes AS BIGINT) AS n_changes
       |FROM log WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  // ------------------------------------------- q161: distribution drift
+
+  /** q161: total-variation distribution drift — does the event-type mix
+    * differ between weekday and weekend traffic? The train/serve-skew and
+    * corpus-drift monitor every ML pipeline wants, computed without one
+    * intermediate float: per-category counts are exact, each category's
+    * deviation |cᵢ·M − dᵢ·N| is an exact integer cross-product in
+    * DECIMAL(38,0)/HUGEINT, their sum stays exact (no float-summation
+    * order anywhere), and TV = Σ|·| / (2·N·M) becomes IEEE only in the
+    * final division. Weekday comes from pure epoch-day arithmetic
+    * ((day+4) % 7, locale-free, as q121). One scan, one tiny rollup;
+    * every per-category row carries the shared exact total so the
+    * statistic and its decomposition ship together.
+    */
+  val q161DriftTv: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val tagged = Tables.events(s, dir)
+      .select(col("event_type"),
+        when(((expr("unix_timestamp(ts) DIV 86400") + 4) % 7) < 5, 1L)
+          .otherwise(0L).as("is_wd"))
+    val cells = tagged.groupBy(col("event_type"))
+      .agg(sum(col("is_wd")).as("n_wd"),
+        sum(lit(1L) - col("is_wd")).as("n_we"))
+    val all = Window.partitionBy()
+    val t = cells
+      .withColumn("tot_wd", sum(col("n_wd")).over(all))
+      .withColumn("tot_we", sum(col("n_we")).over(all))
+      .withColumn("dev",
+        abs(col("n_wd").cast(dec) * col("tot_we").cast(dec) -
+          col("n_we").cast(dec) * col("tot_wd").cast(dec)))
+      .withColumn("dev_sum", sum(col("dev")).over(all))
+    t.select(col("event_type"), col("n_wd"), col("n_we"),
+      (col("dev").cast("double") /
+        (col("tot_wd").cast(dec) * col("tot_we").cast(dec)).cast("double"))
+        .as("contrib"),
+      (col("dev_sum").cast("double") /
+        (lit(2).cast(dec) * col("tot_wd").cast(dec) * col("tot_we").cast(dec))
+          .cast("double")).as("tv_total"))
+  }
+
+  val q161Sql: String =
+    """WITH tagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) < 5
+      |      THEN 1 ELSE 0 END AS is_wd
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, CAST(SUM(is_wd) AS BIGINT) AS n_wd,
+      |    CAST(SUM(1 - is_wd) AS BIGINT) AS n_we
+      |  FROM tagged GROUP BY event_type),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(n_wd) OVER () AS BIGINT) AS tot_wd,
+      |    CAST(SUM(n_we) OVER () AS BIGINT) AS tot_we,
+      |    ABS(CAST(n_wd AS HUGEINT) * CAST(SUM(n_we) OVER () AS HUGEINT) -
+      |        CAST(n_we AS HUGEINT) * CAST(SUM(n_wd) OVER () AS HUGEINT))
+      |      AS dev
+      |  FROM cells),
+      |d AS (SELECT *, SUM(dev) OVER () AS dev_sum FROM t)
+      |SELECT event_type, n_wd, n_we,
+      |  CAST(CAST(dev AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(CAST(tot_wd AS HUGEINT) * CAST(tot_we AS HUGEINT)
+      |      AS VARCHAR) AS DOUBLE) AS contrib,
+      |  CAST(CAST(dev_sum AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(2 * CAST(tot_wd AS HUGEINT) * CAST(tot_we AS HUGEINT)
+      |      AS VARCHAR) AS DOUBLE) AS tv_total
+      |FROM d""".stripMargin
+
+  // ------------------------------------------- q162: activity streaks
+
+  /** q162: longest consecutive-day activity streak per user — the
+    * engagement metric behind retention dashboards, exact and
+    * engine-portable: distinct active epoch-days per user, then the
+    * classic "day − row_number() = streak anchor" gaps-and-islands
+    * identity (consecutive days share an anchor; any gap shifts it),
+    * one rollup per (user, anchor), and a max per user. Pure integer
+    * day arithmetic; one shuffle on user_id. The per-user day lists are
+    * bounded by the calendar, not the event volume — the distinct step
+    * collapses 100 TB of events into at most (users × days) rows.
+    */
+  val q162Streaks: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct()
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val anchored = days
+      .withColumn("anchor", col("day") - row_number().over(byDay))
+    anchored.groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  val q162Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |anchored AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS anchor
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, anchor, COUNT(*) AS len
+      |  FROM anchored GROUP BY user_id, anchor)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+      |FROM streaks GROUP BY user_id""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1563,12 +1677,16 @@ object EventQueries {
     "q148_mad_outliers" -> q148MadOutliers,
     "q151_scd_rebuild" -> q151ScdRebuild,
     "q156_interval_union" -> q156IntervalUnion,
-    "q158_cdc_apply" -> q158CdcApply)
+    "q158_cdc_apply" -> q158CdcApply,
+    "q161_drift_tv" -> q161DriftTv,
+    "q162_streaks" -> q162Streaks)
 
   val oracles: Map[String, String] = Map(
     "q151_scd_rebuild" -> q151Sql,
     "q156_interval_union" -> q156Sql,
     "q158_cdc_apply" -> q158Sql,
+    "q161_drift_tv" -> q161Sql,
+    "q162_streaks" -> q162Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -227,6 +227,65 @@ class WarehouseSpec extends SparkSpec {
     assert(exchanges(EventQueries.q158CdcApply(spark, sfDir)) === 1)
   }
 
+  test("q161 TV drift equals a serial exact-integer recompute") {
+    val rows = EventQueries.q161DriftTv(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        ((expr("unix_timestamp(ts) DIV 86400") + 4) % 7 < 5).as("wd"))
+      .as[(String, Boolean)].collect()
+    val nWd = raw.count(_._2).toLong
+    val nWe = raw.size - nWd
+    var devSum = BigInt(0)
+    rows.foreach { case (et, cw, ce, contrib, _) =>
+      assert(cw === raw.count(r => r._1 == et && r._2).toLong)
+      assert(ce === raw.count(r => r._1 == et && !r._2).toLong)
+      val dev = (BigInt(cw) * nWe - BigInt(ce) * nWd).abs
+      assert(contrib === dev.toDouble / (BigInt(nWd) * nWe).toDouble)
+      devSum += dev
+    }
+    val tv = devSum.toDouble / (BigInt(2) * nWd * nWe).toDouble
+    rows.foreach { case (_, _, _, _, t) => assert(t === tv) }
+    assert(tv >= 0.0 && tv <= 1.0)
+  }
+
+  test("q162 streaks equal a serial consecutive-day replay") {
+    val got = EventQueries.q162Streaks(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400"))
+      .as[(Long, Long)].collect()
+    raw.groupBy(_._1).foreach { case (u, evs) =>
+      val days = evs.map(_._2).distinct.sorted
+      // serial streak scan
+      val streaks = days.foldLeft(List.empty[Long]) {
+        case (h :: t, d) if days.contains(d - 1) => (h + 1) :: t
+        case (acc, _) => 1L :: acc
+      }
+      val (nDays, nStreaks, longest) = got(u)
+      assert(nDays === days.size.toLong)
+      assert(nStreaks === streaks.size.toLong)
+      assert(longest === streaks.max)
+    }
+  }
+
+  test("q163 shares recompose: nations to their region, regions to one") {
+    val rows = CoreQueries.q163PercentOfParent(spark, sfDir)
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ns) =>
+      assert(math.abs(ns.map(_._4).sum - 1.0) < 1e-9,
+        "nation shares must sum to 1 within each region")
+    }
+    // each region's share appears identically on its nations; they sum to 1
+    val regionShares = rows.groupBy(_._1).map { case (r, ns) =>
+      assert(ns.map(_._5).distinct.size === 1); ns.head._5
+    }
+    assert(math.abs(regionShares.sum - 1.0) < 1e-9)
+  }
+
   test("q154 closed-form coefficients solve the 2x2 normal equations") {
     val got = CoreQueries.q154Ols2(spark, sfDir)
       .as[(String, Long, Double, Double, Double)].collect()
