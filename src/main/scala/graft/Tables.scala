@@ -19,6 +19,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    // The driver writes parquet TIMESTAMP columns with isAdjustedToUTC =
+    // false, which Spark 4 infers as TIMESTAMP_NTZ by default. The whole
+    // engine (and the DuckDB oracle) treats those values as UTC instants —
+    // every session pins spark.sql.session.timeZone=UTC — so read them as
+    // plain TimestampType: same microsecond values, and the temporal
+    // function surface (unix_millis, window(), watermarks) stays available.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = schemaCache.computeIfAbsent(path,
       p => spark.read.parquet(p).schema)
     spark.read.schema(schema).parquet(path)

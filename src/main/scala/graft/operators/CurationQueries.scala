@@ -569,6 +569,103 @@ object CurationQueries {
        |  CAST(SUM(resp) * n_all AS DOUBLE) / (COUNT(*) * resp_all) AS lift
        |FROM dec CROSS JOIN tot GROUP BY decile, n_all, resp_all""".stripMargin
 
+  // ------------------------------------- q164: exact ROC AUC + KS separation
+
+  /** Exact ROC AUC (Mann-Whitney) and KS separation for the q99 classifier
+    * against the same long-document response q114 uses — the other half of
+    * the model-evaluation pair: lift tables rank deciles, AUC/KS rank the
+    * whole score axis.
+    *
+    * Arithmetic stays exact until one final division: per-score positive /
+    * negative counts roll up first, cumulative windows run over that
+    * DISTINCT-SCORE rollup (cardinality bounded by the score range, never
+    * the corpus — this is what makes the window survive 100 TB; a per-row
+    * rank() would be a global sort of the corpus), and the tie-corrected
+    * rank identity
+    *
+    *   2·U = Σ_s pos_s · (2·neg_below(s) + neg_s)
+    *
+    * accumulates in DECIMAL(38,0) (pos·neg cross-products overflow int64
+    * past ~3·10^9 rows of each class). AUC = 2U / (2·n_pos·n_neg) and the
+    * KS statistic max_s |F_pos(s) − F_neg(s)| both become IEEE in single
+    * divisions of exact integers, so DuckDB reproduces them bit-for-bit.
+    * Gini = 2·AUC − 1 ships alongside because every scorecard report wants
+    * it.
+    */
+  val q164Auc: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("score"), (col("n_chars") >= 300).cast("long").as("resp"))
+    val byScore = scored.groupBy(col("score"))
+      .agg(sum(col("resp")).as("pos"), sum(lit(1L) - col("resp")).as("neg"))
+    val asc = Window.orderBy(col("score"))
+    val below = asc.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = asc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = byScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(below), lit(0L)))
+      .withColumn("cum_pos", sum(col("pos")).over(upto))
+      .withColumn("cum_neg", sum(col("neg")).over(upto))
+      .withColumn("tot_pos", sum(col("pos")).over(whole))
+      .withColumn("tot_neg", sum(col("neg")).over(whole))
+    cum.agg(
+        max(col("tot_pos")).as("n_pos"), max(col("tot_neg")).as("n_neg"),
+        sum(col("pos").cast(dec) *
+          (lit(2L) * col("neg_below") + col("neg")).cast(dec)).as("u2"),
+        max(abs(col("cum_pos").cast(dec) * col("tot_neg").cast(dec) -
+          col("cum_neg").cast(dec) * col("tot_pos").cast(dec))).as("ks_num"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast("double") /
+          (lit(2).cast(dec) * col("n_pos").cast(dec) * col("n_neg").cast(dec))
+            .cast("double")).as("auc"),
+        ((col("u2") - col("n_pos").cast(dec) * col("n_neg").cast(dec))
+          .cast("double") /
+          (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double"))
+          .as("gini"),
+        (col("ks_num").cast("double") /
+          (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double"))
+          .as("ks"))
+  }
+
+  val q164Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |lab AS (
+       |  SELECT score, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS resp
+       |  FROM scored JOIN documents USING (doc_id)),
+       |by_score AS (
+       |  SELECT score, CAST(SUM(resp) AS BIGINT) AS pos,
+       |    CAST(SUM(1 - resp) AS BIGINT) AS neg
+       |  FROM lab GROUP BY score),
+       |cum AS (
+       |  SELECT *,
+       |    COALESCE(CAST(SUM(neg) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS neg_below,
+       |    CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cum_pos,
+       |    CAST(SUM(neg) OVER (ORDER BY score) AS BIGINT) AS cum_neg,
+       |    CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
+       |    CAST(SUM(neg) OVER () AS BIGINT) AS n_neg
+       |  FROM by_score),
+       |agg AS (
+       |  SELECT MAX(n_pos) AS n_pos, MAX(n_neg) AS n_neg,
+       |    SUM(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS u2,
+       |    MAX(ABS(CAST(cum_pos AS HUGEINT) * n_neg -
+       |            CAST(cum_neg AS HUGEINT) * n_pos)) AS ks_num
+       |  FROM cum)
+       |SELECT n_pos, n_neg,
+       |  CAST(CAST(u2 AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR) AS DOUBLE)
+       |    AS auc,
+       |  CAST(CAST(u2 - CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR) AS DOUBLE)
+       |    AS gini,
+       |  CAST(CAST(ks_num AS VARCHAR) AS DOUBLE) /
+       |    CAST(CAST(CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR) AS DOUBLE)
+       |    AS ks
+       |FROM agg""".stripMargin
+
   // ------------------------------------- q100: end-to-end curation funnel
 
   /** The whole curation pipeline in ONE call — the capstone composition of
@@ -1072,6 +1169,7 @@ object CurationQueries {
     "q98_weighted_sample" -> q98WeightedSample,
     "q99_hash_classifier" -> q99HashClassifier,
     "q114_decile_lift" -> q114DecileLift,
+    "q164_auc" -> q164Auc,
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
@@ -1089,5 +1187,6 @@ object CurationQueries {
     "q98_weighted_sample" -> q98Sql,
     "q99_hash_classifier" -> q99Sql,
     "q114_decile_lift" -> q114Sql,
+    "q164_auc" -> q164Sql,
     "q100_curation_funnel" -> q100Sql)
 }

@@ -1641,6 +1641,225 @@ object EventQueries {
       |  COUNT(*) AS n_streaks, MAX(len) AS longest_streak
       |FROM streaks GROUP BY user_id""".stripMargin
 
+  // ---------------------------------- q165: Markov next-event prediction
+
+  /** Train/test split boundary for q165 (events span 2024-01: the last
+    * third of the month is held out). */
+  val MarkovSplit = "2024-01-21"
+
+  /** q165: walk-forward evaluation of the q108 Markov model as a next-event
+    * predictor — the "is the transition matrix actually predictive?"
+    * question every path-analysis dashboard should answer. Consecutive
+    * (prev → next) pairs split leak-free on [[MarkovSplit]]: a pair trains
+    * the model only if its NEXT event lands before the boundary (nothing
+    * after the boundary influences training), is evaluated only if its
+    * PREV event lands on/after it (every prediction uses a model frozen
+    * before the input was seen), and boundary-straddling pairs drop from
+    * both. The predicted next event per from_type is the train-count argmax
+    * (ties break to the lexicographically first to_type).
+    *
+    * One event pass: the per-user lead window feeds ONE (from, to) rollup
+    * carrying both n_train and n_test, the model argmax is a row_number
+    * over that |types|²-bounded matrix, and — the trick that avoids a
+    * second corpus scan — per-from hits equal the n_test of the argmax
+    * cell itself, so accuracy falls out of the same matrix. Exact integer
+    * counts; accuracies are single IEEE divisions; overall accuracy rides
+    * a whole-frame window over the per-from rollup.
+    */
+  val q165MarkovEval: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val split = lit(MarkovSplit).cast("timestamp")
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type").as("from_type"), col("ts"),
+        lead(col("event_type"), 1).over(w).as("to_type"),
+        lead(col("ts"), 1).over(w).as("to_ts"))
+      .filter(col("to_type").isNotNull)
+    val matrix = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(sum(when(col("to_ts") < split, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_test"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+      .orderBy(col("n_train").desc, col("to_type"))
+    val ranked = matrix.withColumn("rk", row_number().over(byFrom))
+    val perFrom = ranked.groupBy(col("from_type"))
+      .agg(max(when(col("rk") === 1 && col("n_train") > 0, col("to_type")))
+          .as("predicted"),
+        sum(col("n_train")).as("n_train"),
+        sum(col("n_test")).as("n_test"),
+        sum(when(col("rk") === 1 && col("n_train") > 0, col("n_test"))
+          .otherwise(0L)).as("n_hit"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    perFrom
+      .withColumn("acc", when(col("n_test") > 0,
+        col("n_hit").cast("double") / col("n_test")))
+      .withColumn("acc_overall",
+        sum(col("n_hit")).over(all).cast("double") /
+          sum(col("n_test")).over(all))
+  }
+
+  val q165Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type, ts,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+       |    LEAD(ts) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS to_ts
+       |  FROM events),
+       |matrix AS (
+       |  SELECT from_type, to_type,
+       |    CAST(SUM(CASE WHEN to_ts < TIMESTAMP '$MarkovSplit' THEN 1
+       |      ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$MarkovSplit' THEN 1
+       |      ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM pairs WHERE to_type IS NOT NULL
+       |  GROUP BY from_type, to_type),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+       |    ORDER BY n_train DESC, to_type) AS rk
+       |  FROM matrix),
+       |per_from AS (
+       |  SELECT from_type,
+       |    MAX(CASE WHEN rk = 1 AND n_train > 0 THEN to_type END)
+       |      AS predicted,
+       |    CAST(SUM(n_train) AS BIGINT) AS n_train,
+       |    CAST(SUM(n_test) AS BIGINT) AS n_test,
+       |    CAST(SUM(CASE WHEN rk = 1 AND n_train > 0 THEN n_test
+       |      ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM ranked GROUP BY from_type)
+       |SELECT from_type, predicted, n_train, n_test, n_hit,
+       |  CASE WHEN n_test > 0
+       |    THEN CAST(n_hit AS DOUBLE) / n_test END AS acc,
+       |  CAST(SUM(n_hit) OVER () AS DOUBLE) / SUM(n_test) OVER ()
+       |    AS acc_overall
+       |FROM per_from""".stripMargin
+
+  // ------------------------------- q166: U-shaped multi-touch attribution
+
+  /** q166: position-weighted (U-shaped) multi-touch attribution — the
+    * complement of q128's last-touch rule: each purchase's credit spreads
+    * over its WHOLE touch path (all clicks/views since the user's previous
+    * purchase; conversion resets the path), 40% to the first touch, 40% to
+    * the last, the middle 20% split evenly — the standard U curve. A
+    * single-touch path takes 100%, a two-touch path splits 50/50, and a
+    * purchase with no prior touches books as `direct`.
+    *
+    * Credit is conserved EXACTLY in integer cents: per-touch weights are
+    * rationals over one shared denominator (1, 2, or 10·(m−2)), each touch
+    * takes the floor of its share, and the leftover cents go to the largest
+    * remainders (ties to earlier touches) — the same largest-remainder
+    * scheme as q152, so Σ credit ≡ Σ purchase cents as an identity, not an
+    * approximation. No floats exist anywhere in the query.
+    *
+    * Plan: one user-ordered window assigns each event its path id (count
+    * of purchases strictly before it), then (user, path) windows derive
+    * path length, purchase value, touch position, and the remainder ranks
+    * — two event-scale shuffles (user, then user+path), no self-join, no
+    * explode. The final rollup is |channels|×|bands|-sized.
+    */
+  val q166UShapeAttribution: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val isP = (col("event_type") === "purchase").cast("long")
+    val grouped = e
+      .withColumn("is_p", isP)
+      .withColumn("grp", coalesce(sum(col("is_p")).over(
+        byUser.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val whole = W.partitionBy(col("user_id"), col("grp"))
+    val byGrp = whole.orderBy(col("ts"), col("event_id"))
+    val t = grouped
+      .withColumn("m", sum(lit(1L) - col("is_p")).over(whole))
+      .withColumn("v_c",
+        max(when(col("is_p") === 1L, cents(col("value")))).over(whole))
+      .withColumn("rn", sum(lit(1L) - col("is_p")).over(
+        byGrp.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val touches = t.filter(col("is_p") === 0L && col("v_c").isNotNull)
+      .withColumn("num",
+        when(col("m") <= 2L, 1L)
+          .when(col("rn") === 1L || col("rn") === col("m"),
+            lit(4L) * (col("m") - 2L))
+          .otherwise(lit(2L)))
+      .withColumn("den",
+        when(col("m") === 1L, 1L).when(col("m") === 2L, 2L)
+          .otherwise(lit(10L) * (col("m") - 2L)))
+      .withColumn("vn", col("v_c") * col("num"))
+      .withColumn("base_c", expr("vn div den"))
+      .withColumn("rem", col("vn") % col("den"))
+    val fixed = touches
+      .withColumn("deficit", col("v_c") - sum(col("base_c")).over(whole))
+      .withColumn("rk", row_number().over(
+        whole.orderBy(col("rem").desc, col("rn"))))
+      .withColumn("credit_c",
+        col("base_c") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+    val band = when(col("m") === 1L, "only")
+      .when(col("rn") === 1L, "first")
+      .when(col("rn") === col("m"), "last")
+      .otherwise("middle")
+    val touchRows = fixed.select(col("event_type").as("channel"),
+      band.as("band"), col("credit_c"))
+    val directRows = t.filter(col("is_p") === 1L && col("m") === 0L)
+      .select(lit("direct").as("channel"), lit("none").as("band"),
+        cents(col("value")).as("credit_c"))
+    touchRows.unionByName(directRows)
+      .groupBy(col("channel"), col("band"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_c")).as("credit_c"))
+  }
+
+  val q166Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |g AS (
+      |  SELECT *, COALESCE(CAST(SUM(is_p) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    AS grp
+      |  FROM e),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(1 - is_p) OVER (PARTITION BY user_id, grp) AS BIGINT)
+      |      AS m,
+      |    CAST(MAX(CASE WHEN is_p = 1
+      |        THEN CAST(ROUND(value*100) AS BIGINT) END)
+      |      OVER (PARTITION BY user_id, grp) AS BIGINT) AS v_c,
+      |    CAST(SUM(1 - is_p) OVER (PARTITION BY user_id, grp
+      |      ORDER BY ts, event_id) AS BIGINT) AS rn
+      |  FROM g),
+      |touch AS (
+      |  SELECT *,
+      |    CASE WHEN m <= 2 THEN 1
+      |         WHEN rn = 1 OR rn = m THEN 4*(m-2) ELSE 2 END AS num,
+      |    CASE WHEN m = 1 THEN 1 WHEN m = 2 THEN 2
+      |         ELSE 10*(m-2) END AS den
+      |  FROM t WHERE is_p = 0 AND v_c IS NOT NULL),
+      |b AS (
+      |  SELECT *, (v_c*num) // den AS base_c, (v_c*num) % den AS rem
+      |  FROM touch),
+      |fx AS (
+      |  SELECT *,
+      |    v_c - CAST(SUM(base_c) OVER (PARTITION BY user_id, grp) AS BIGINT)
+      |      AS deficit,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, grp
+      |      ORDER BY rem DESC, rn) AS rk
+      |  FROM b),
+      |credits AS (
+      |  SELECT event_type AS channel,
+      |    CASE WHEN m = 1 THEN 'only' WHEN rn = 1 THEN 'first'
+      |         WHEN rn = m THEN 'last' ELSE 'middle' END AS band,
+      |    base_c + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS credit_c
+      |  FROM fx
+      |  UNION ALL
+      |  SELECT 'direct', 'none', CAST(ROUND(value*100) AS BIGINT)
+      |  FROM t WHERE is_p = 1 AND m = 0)
+      |SELECT channel, band, COUNT(*) AS n_touches,
+      |  CAST(SUM(credit_c) AS BIGINT) AS credit_c
+      |FROM credits GROUP BY channel, band""".stripMargin
+
   /** Production-path twins benchmarked next to the gate formulations. */
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
@@ -1679,7 +1898,9 @@ object EventQueries {
     "q156_interval_union" -> q156IntervalUnion,
     "q158_cdc_apply" -> q158CdcApply,
     "q161_drift_tv" -> q161DriftTv,
-    "q162_streaks" -> q162Streaks)
+    "q162_streaks" -> q162Streaks,
+    "q165_markov_eval" -> q165MarkovEval,
+    "q166_ushape_attribution" -> q166UShapeAttribution)
 
   val oracles: Map[String, String] = Map(
     "q151_scd_rebuild" -> q151Sql,
@@ -1687,6 +1908,8 @@ object EventQueries {
     "q158_cdc_apply" -> q158Sql,
     "q161_drift_tv" -> q161Sql,
     "q162_streaks" -> q162Sql,
+    "q165_markov_eval" -> q165Sql,
+    "q166_ushape_attribution" -> q166Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -189,6 +189,94 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q164 AUC/KS match the brute-force pairwise definitions") {
+    val Array(r) = CurationQueries.q164Auc(spark, sfDir).collect()
+    // ground truth from the O(n²) definitions over the same (score, resp)
+    val pairs = CurationQueries.q99HashClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+      .join(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("score"), (col("n_chars") >= 300).cast("long").as("resp"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pos = pairs.filter(_._2 == 1L).map(_._1)
+    val neg = pairs.filter(_._2 == 0L).map(_._1)
+    assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+    var wins = 0L; var ties = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) wins += 1 else if (p == n) ties += 1
+    }
+    val auc = (wins + 0.5 * ties) / (pos.length.toDouble * neg.length)
+    assert(math.abs(r.getAs[Double]("auc") - auc) < 1e-12, r)
+    assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 1e-12, r)
+    // KS: max CDF gap over the observed score thresholds
+    val ks = pairs.map(_._1).distinct.map { s =>
+      math.abs(pos.count(_ <= s).toDouble / pos.length -
+        neg.count(_ <= s).toDouble / neg.length)
+    }.max
+    assert(math.abs(r.getAs[Double]("ks") - ks) < 1e-12, r)
+  }
+
+  test("q165 matches a serial walk-forward Markov evaluation") {
+    val rows = EventQueries.q165MarkovEval(spark, sfDir).collect()
+      .map(r => r.getAs[String]("from_type") -> r).toMap
+    // serial reference: replay the per-user sequences in Scala
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val split = java.time.Instant.parse(
+      s"${EventQueries.MarkovSplit}T00:00:00Z").toEpochMilli
+    val pairs = evs.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a._4, b._4, a._2, b._2)
+      }
+    }.toSeq
+    val train = pairs.filter(_._4 < split)
+    val test = pairs.filter(_._3 >= split)
+    val model = train.groupBy(_._1).map { case (f, ps) =>
+      f -> ps.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (t, n) => (-n, t) }.head._1
+    }
+    for ((f, tests) <- test.groupBy(_._1)) {
+      val r = rows(f)
+      assert(r.getAs[Long]("n_test") === tests.size.toLong, f)
+      val hits = model.get(f).map(p => tests.count(_._2 == p)).getOrElse(0)
+      assert(r.getAs[Long]("n_hit") === hits.toLong, f)
+      assert(Option(r.getAs[String]("predicted")) === model.get(f), f)
+    }
+    val (hitAll, testAll) = (test.count(p => model.get(p._1).contains(p._2)),
+      test.size)
+    rows.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("acc_overall") -
+        hitAll.toDouble / testAll) < 1e-12)
+    }
+  }
+
+  test("q166 conserves every purchase's cents exactly across the U curve") {
+    val rows = EventQueries.q166UShapeAttribution(spark, sfDir).collect()
+    val bands = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    // channel/band domains: touches carry positions, direct carries none
+    assert(bands.forall { case (c, b) =>
+      (Set("click", "view").contains(c) &&
+        Set("only", "first", "middle", "last").contains(b)) ||
+        (c == "direct" && b == "none")
+    }, bands)
+    // exact conservation: credit across all rows == total purchase cents
+    val total = rows.map(_.getAs[Long]("credit_c")).sum
+    val purchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value*100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(total === purchases)
+    // first/last bands exist and dominate middle per the 40/20/40 curve
+    val byBand = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getAs[Long]("credit_c")).sum).toMap
+    for (b <- Seq("first", "last"))
+      assert(byBand.getOrElse(b, 0L) > byBand.getOrElse("middle", 0L), byBand)
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
