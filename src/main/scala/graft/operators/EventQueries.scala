@@ -1777,9 +1777,18 @@ object EventQueries {
         max(when(col("is_p") === 1L, cents(col("value")))).over(whole))
       .withColumn("rn", sum(lit(1L) - col("is_p")).over(
         byGrp.rowsBetween(W.unboundedPreceding, W.currentRow)))
-    val touches = t.filter(col("is_p") === 0L && col("v_c").isNotNull)
+    // ONE branch keeps both credited touches and direct (touchless)
+    // purchases — a union of two filters over `t` would recompute the
+    // whole two-window subtree and scan events twice. A direct purchase
+    // is alone in its (user, grp) partition, so the remainder windows
+    // below see it as a degenerate singleton whose touch-credit terms are
+    // zeroed by `num = 0`; its credit overrides to its own cents.
+    val keep = t.filter(
+      (col("is_p") === 0L && col("v_c").isNotNull) ||
+        (col("is_p") === 1L && col("m") === 0L))
       .withColumn("num",
-        when(col("m") <= 2L, 1L)
+        when(col("is_p") === 1L, 0L)
+          .when(col("m") <= 2L, 1L)
           .when(col("rn") === 1L || col("rn") === col("m"),
             lit(4L) * (col("m") - 2L))
           .otherwise(lit(2L)))
@@ -1789,22 +1798,20 @@ object EventQueries {
       .withColumn("vn", col("v_c") * col("num"))
       .withColumn("base_c", expr("vn div den"))
       .withColumn("rem", col("vn") % col("den"))
-    val fixed = touches
+    val fixed = keep
       .withColumn("deficit", col("v_c") - sum(col("base_c")).over(whole))
       .withColumn("rk", row_number().over(
         whole.orderBy(col("rem").desc, col("rn"))))
       .withColumn("credit_c",
-        col("base_c") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
-    val band = when(col("m") === 1L, "only")
+        when(col("is_p") === 1L, col("v_c")).otherwise(
+          col("base_c") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)))
+    val band = when(col("is_p") === 1L, "none")
+      .when(col("m") === 1L, "only")
       .when(col("rn") === 1L, "first")
       .when(col("rn") === col("m"), "last")
       .otherwise("middle")
-    val touchRows = fixed.select(col("event_type").as("channel"),
-      band.as("band"), col("credit_c"))
-    val directRows = t.filter(col("is_p") === 1L && col("m") === 0L)
-      .select(lit("direct").as("channel"), lit("none").as("band"),
-        cents(col("value")).as("credit_c"))
-    touchRows.unionByName(directRows)
+    val channel = when(col("is_p") === 1L, "direct").otherwise(col("event_type"))
+    fixed.select(channel.as("channel"), band.as("band"), col("credit_c"))
       .groupBy(col("channel"), col("band"))
       .agg(count(lit(1)).as("n_touches"), sum(col("credit_c")).as("credit_c"))
   }

@@ -202,6 +202,32 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q164: AUC windows run over the score rollup, not per-row ranks") {
+    val p = plan("q164_auc")
+    // the corpus aggregates (score rollup) run partial+final; the
+    // cumulative windows sit above that tiny rollup — no global per-row
+    // rank/sort of the corpus exists anywhere
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("rank("), "no per-row rank over the corpus")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q165: model and accuracy derive from one event pass — no join back") {
+    val p = plan("q165_markov_eval")
+    assert("events\\.parquet".r.findAllIn(p).size === 1,
+      s"the (from,to) matrix must be built in a single event scan:\n$p")
+    assert(!p.contains("Join"), "hits come from the argmax cell, not a join")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q166: attribution is one event scan, two keyed windows, no union") {
+    val p = plan("q166_ushape_attribution")
+    assert("events\\.parquet".r.findAllIn(p).size === 1,
+      s"direct purchases must ride the same pass as credited touches:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), "final rollup aggregates map-side")
+  }
+
   test("q91 production twin aggregates bottom-k partials map-side") {
     val p = EventQueries.q91SketchQuantilesProd(spark, sfDir)
       .queryExecution.executedPlan.toString
