@@ -1734,6 +1734,106 @@ object EventQueries {
        |    AS acc_overall
        |FROM per_from""".stripMargin
 
+  // ------------------------------- q167: additive seasonal decomposition
+
+  /** q167: classical additive decomposition of daily purchase revenue —
+    * series = trend + seasonal + remainder, the moving-average/
+    * seasonal-index construction behind every "is this dip weather or
+    * weekday?" dashboard (and the deseasonalized input q130's backtest
+    * wants). Trend is the centered 7-day moving average (defined only
+    * where all 7 consecutive days exist — a gap or series edge yields
+    * NULL, never a silently shorter average); the seasonal index is the
+    * per-weekday mean of the detrended series; the remainder is what's
+    * left.
+    *
+    * Exactness: every component is integer micro-cents (e6) derived by
+    * truncating division whose operands are kept NON-NEGATIVE by
+    * sign-factoring — Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, and they agree only on non-negative operands, so the
+    * detrended values (which go negative on below-trend days) never meet
+    * a raw engine division. Numerators scale through DECIMAL(38,0):
+    * daily_cents × 7 × 1e6 would overflow int64 at ~$13B/day.
+    *
+    * Plan: the event pass collapses to a |days|-row rollup; the ±3-day
+    * window, the 7-row weekday index, and the broadcast join back all run
+    * over that rollup — the window's single global order is over days,
+    * never events.
+    */
+  val q167SeasonalDecomp: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("v_c"))
+    val w7 = W.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("span6",
+        max(col("day")).over(w7) - min(col("day")).over(w7))
+      .withColumn("t7", when(col("n7") === 7L && col("span6") === 6L,
+        sum(col("v_c")).over(w7)))
+      .withColumn("detr7", lit(7L) * col("v_c") - col("t7"))
+      .withColumn("dow", (col("day") + 4) % 7)
+    val seasonal = t.groupBy(col("dow"))
+      .agg(sum(col("detr7").cast(dec)).as("s_sum"),
+        count(col("detr7")).as("s_n"))
+    // truncating division with non-negative operands only (see Scaladoc)
+    def sdiv(num: String, den: String): org.apache.spark.sql.Column = expr(
+      s"""CAST(CASE WHEN $num < 0 THEN -((-($num)) div ($den))
+         |     ELSE ($num) div ($den) END AS BIGINT)""".stripMargin)
+    t.join(broadcast(seasonal), "dow")
+      .withColumn("t7e", col("t7").cast(dec) * lit(1000000L))
+      .withColumn("de", col("detr7").cast(dec) * lit(1000000L))
+      .withColumn("se", col("s_sum") * lit(1000000L))
+      .withColumn("sden", (lit(7L) * col("s_n")).cast(dec))
+      .withColumn("trend_e6", sdiv("t7e", "7"))
+      .withColumn("seasonal_e6", when(col("s_n") > 0L, sdiv("se", "sden")))
+      .withColumn("remainder_e6", sdiv("de", "7") - col("seasonal_e6"))
+      .select(col("day"), col("dow"), col("v_c"), col("trend_e6"),
+        col("seasonal_e6"), col("remainder_e6"))
+  }
+
+  val q167Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_c
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT *,
+      |    COUNT(*) OVER w7 AS n7,
+      |    MAX(day) OVER w7 - MIN(day) OVER w7 AS span6,
+      |    CASE WHEN COUNT(*) OVER w7 = 7
+      |           AND MAX(day) OVER w7 - MIN(day) OVER w7 = 6
+      |      THEN CAST(SUM(v_c) OVER w7 AS BIGINT) END AS t7,
+      |    (day + 4) % 7 AS dow
+      |  FROM daily
+      |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t2 AS (SELECT *, 7 * v_c - t7 AS detr7 FROM t),
+      |seasonal AS (
+      |  SELECT dow, CAST(SUM(detr7) AS HUGEINT) AS s_sum,
+      |    COUNT(detr7) AS s_n
+      |  FROM t2 GROUP BY dow)
+      |SELECT day, dow, v_c,
+      |  CASE WHEN t7 < 0
+      |    THEN -CAST((-(CAST(t7 AS HUGEINT) * 1000000)) // 7 AS BIGINT)
+      |    ELSE CAST((CAST(t7 AS HUGEINT) * 1000000) // 7 AS BIGINT) END
+      |    AS trend_e6,
+      |  CASE WHEN s_n > 0 THEN
+      |    CASE WHEN s_sum < 0
+      |      THEN -CAST((-(s_sum * 1000000)) // (7 * s_n) AS BIGINT)
+      |      ELSE CAST((s_sum * 1000000) // (7 * s_n) AS BIGINT) END
+      |  END AS seasonal_e6,
+      |  (CASE WHEN detr7 < 0
+      |    THEN -CAST((-(CAST(detr7 AS HUGEINT) * 1000000)) // 7 AS BIGINT)
+      |    ELSE CAST((CAST(detr7 AS HUGEINT) * 1000000) // 7 AS BIGINT) END)
+      |  - (CASE WHEN s_n > 0 THEN
+      |      CASE WHEN s_sum < 0
+      |        THEN -CAST((-(s_sum * 1000000)) // (7 * s_n) AS BIGINT)
+      |        ELSE CAST((s_sum * 1000000) // (7 * s_n) AS BIGINT) END
+      |    END) AS remainder_e6
+      |FROM t2 JOIN seasonal USING (dow)""".stripMargin
+
   // ------------------------------- q166: U-shaped multi-touch attribution
 
   /** q166: position-weighted (U-shaped) multi-touch attribution — the
@@ -1907,7 +2007,8 @@ object EventQueries {
     "q161_drift_tv" -> q161DriftTv,
     "q162_streaks" -> q162Streaks,
     "q165_markov_eval" -> q165MarkovEval,
-    "q166_ushape_attribution" -> q166UShapeAttribution)
+    "q166_ushape_attribution" -> q166UShapeAttribution,
+    "q167_seasonal_decomp" -> q167SeasonalDecomp)
 
   val oracles: Map[String, String] = Map(
     "q151_scd_rebuild" -> q151Sql,
@@ -1917,6 +2018,7 @@ object EventQueries {
     "q162_streaks" -> q162Sql,
     "q165_markov_eval" -> q165Sql,
     "q166_ushape_attribution" -> q166Sql,
+    "q167_seasonal_decomp" -> q167Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -277,6 +277,31 @@ class QueriesSpec extends SparkSpec {
       assert(byBand.getOrElse(b, 0L) > byBand.getOrElse("middle", 0L), byBand)
   }
 
+  test("q167 components re-add to the series within truncation bounds") {
+    val rows = EventQueries.q167SeasonalDecomp(spark, sfDir).collect()
+    val byDay = rows.map(r => r.getAs[Long]("day") -> r).toMap
+    val days = byDay.keys.toSeq.sorted
+    val dset = days.toSet
+    for (d <- days) {
+      val r = byDay(d)
+      val hasTrend = r.getAs[Any]("trend_e6") != null
+      // trend defined exactly where all 7 consecutive days exist
+      assert(hasTrend === (-3L to 3L).forall(o => dset(d + o)), s"day $d")
+      if (hasTrend) {
+        // v = trend + seasonal + remainder up to two truncating divisions
+        val recomposed = r.getAs[Long]("trend_e6") +
+          r.getAs[Long]("seasonal_e6") + r.getAs[Long]("remainder_e6")
+        assert(math.abs(r.getAs[Long]("v_c") * 1000000L - recomposed) <= 2L,
+          s"day $d: $r")
+      }
+    }
+    // seasonal index is a pure function of weekday
+    val perDow = rows.filter(_.getAs[Any]("seasonal_e6") != null)
+      .groupBy(_.getAs[Long]("dow"))
+      .view.mapValues(_.map(_.getAs[Long]("seasonal_e6")).distinct.size)
+    perDow.foreach { case (dow, n) => assert(n === 1, s"dow $dow") }
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
