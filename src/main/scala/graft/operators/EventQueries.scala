@@ -1834,6 +1834,94 @@ object EventQueries {
       |    END) AS remainder_e6
       |FROM t2 JOIN seasonal USING (dow)""".stripMargin
 
+  // ------------------------------- q168: lead-lag cross-correlation
+
+  /** q168: lead-lag cross-correlation — Pearson r between clicks on day
+    * d−k and purchases on day d, for every lag k ∈ [0, 7]: the "does
+    * engagement lead conversion, and by how many days?" question, answered
+    * as a proper cross-correlogram instead of an eyeballed chart. Pairs
+    * form by CALENDAR join (day − k must actually exist in the series) —
+    * a row-order LAG would silently pair across gaps.
+    *
+    * All five co-moments per lag are exact integer sums in DECIMAL(38,0)/
+    * HUGEINT (daily counts cross-multiply past int64 at ~10^9 events/day ×
+    * a year), r is one IEEE expression over them (sqrt and divide only,
+    * same operation order in both engines), and zero-variance lags yield
+    * NULL rather than a 0/0 NaN. The event pass collapses to the |days|
+    * rollup before the 8-way lag expansion, so the join and moments run
+    * over ~8·|days| rows, never events.
+    */
+  val q168LeadLag: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c_cnt"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p_cnt"))
+    val expanded = daily.select(col("day"), col("p_cnt"))
+      .withColumn("lag", explode(array((0 to 7).map(lit(_)): _*)))
+    val joined = expanded.join(
+      daily.select(col("day").as("c_day"), col("c_cnt")),
+      col("c_day") === col("day") - col("lag"))
+    val m = joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c_cnt").cast(dec)).as("sx"),
+        sum(col("p_cnt").cast(dec)).as("sy"),
+        sum((col("c_cnt") * col("p_cnt")).cast(dec)).as("sxy"),
+        sum((col("c_cnt") * col("c_cnt")).cast(dec)).as("sxx"),
+        sum((col("p_cnt") * col("p_cnt")).cast(dec)).as("syy"))
+    m.select(col("lag"), col("n_days"),
+        (col("n_days").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .as("cov_n"),
+        (col("n_days").cast(dec) * col("sxx") - col("sx") * col("sx"))
+          .as("vx_n"),
+        (col("n_days").cast(dec) * col("syy") - col("sy") * col("sy"))
+          .as("vy_n"))
+      .select(col("lag"), col("n_days"),
+        when(col("vx_n") > 0 && col("vy_n") > 0,
+          col("cov_n").cast("double") /
+            (sqrt(col("vx_n").cast("double")) *
+              sqrt(col("vy_n").cast("double")))).as("r"))
+  }
+
+  val q168Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_cnt,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p_cnt
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |lags AS (SELECT UNNEST(generate_series(0, 7)) AS lag),
+      |j AS (
+      |  SELECT g.lag, c.c_cnt, p.p_cnt
+      |  FROM daily p CROSS JOIN lags g
+      |  JOIN daily c ON c.day = p.day - g.lag),
+      |m AS (
+      |  SELECT lag, COUNT(*) AS n_days,
+      |    SUM(CAST(c_cnt AS HUGEINT)) AS sx,
+      |    SUM(CAST(p_cnt AS HUGEINT)) AS sy,
+      |    SUM(CAST(c_cnt AS HUGEINT) * p_cnt) AS sxy,
+      |    SUM(CAST(c_cnt AS HUGEINT) * c_cnt) AS sxx,
+      |    SUM(CAST(p_cnt AS HUGEINT) * p_cnt) AS syy
+      |  FROM j GROUP BY lag),
+      |v AS (
+      |  SELECT lag, n_days,
+      |    n_days * sxy - sx * sy AS cov_n,
+      |    n_days * sxx - sx * sx AS vx_n,
+      |    n_days * syy - sy * sy AS vy_n
+      |  FROM m)
+      |SELECT CAST(lag AS INT) AS lag, n_days,
+      |  CASE WHEN vx_n > 0 AND vy_n > 0 THEN
+      |    CAST(CAST(cov_n AS VARCHAR) AS DOUBLE) /
+      |      (sqrt(CAST(CAST(vx_n AS VARCHAR) AS DOUBLE)) *
+      |       sqrt(CAST(CAST(vy_n AS VARCHAR) AS DOUBLE)))
+      |  END AS r
+      |FROM v""".stripMargin
+
   // ------------------------------- q166: U-shaped multi-touch attribution
 
   /** q166: position-weighted (U-shaped) multi-touch attribution — the
@@ -2008,7 +2096,8 @@ object EventQueries {
     "q162_streaks" -> q162Streaks,
     "q165_markov_eval" -> q165MarkovEval,
     "q166_ushape_attribution" -> q166UShapeAttribution,
-    "q167_seasonal_decomp" -> q167SeasonalDecomp)
+    "q167_seasonal_decomp" -> q167SeasonalDecomp,
+    "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
     "q151_scd_rebuild" -> q151Sql,
@@ -2019,6 +2108,7 @@ object EventQueries {
     "q165_markov_eval" -> q165Sql,
     "q166_ushape_attribution" -> q166Sql,
     "q167_seasonal_decomp" -> q167Sql,
+    "q168_lead_lag" -> q168Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -302,6 +302,34 @@ class QueriesSpec extends SparkSpec {
     perDow.foreach { case (dow, n) => assert(n === 1, s"dow $dow") }
   }
 
+  test("q168 cross-correlogram matches a serial Pearson at every lag") {
+    val rows = EventQueries.q168LeadLag(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet === (0 to 7).toSet)
+    val daily = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (k <- 0 to 7) {
+      val pairs = daily.toSeq.flatMap { case (d, (_, p)) =>
+        daily.get(d - k).map { case (c, _) => (c.toDouble, p.toDouble) }
+      }
+      assert(rows(k).getAs[Long]("n_days") === pairs.size.toLong, s"lag $k")
+      val n = pairs.size
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(t => t._1 * t._2).sum
+      val sxx = pairs.map(t => t._1 * t._1).sum
+      val syy = pairs.map(t => t._2 * t._2).sum
+      val num = n * sxy - sx * sy
+      val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      if (den > 0)
+        assert(math.abs(rows(k).getAs[Double]("r") - num / den) < 1e-9,
+          s"lag $k")
+    }
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
