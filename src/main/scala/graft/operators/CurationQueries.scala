@@ -1154,9 +1154,74 @@ object CurationQueries {
        |FROM toks JOIN vs USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------- q169: tokenizer fit by language
+
+  /** q169: vocabulary-fit report for the q134 BPE merges, by language —
+    * the "who does this tokenizer serve?" audit run before committing a
+    * vocabulary: a BPE table trained on a mixed corpus compresses its
+    * dominant language best, and this rollup quantifies that skew as, per
+    * language, the fraction of running words that collapse to a SINGLE
+    * symbol (fully-merged rate), the mean symbols per word (fertility —
+    * the metric tokenizer papers report), and chars-per-symbol
+    * compression. Same trained merge table, same symbol counting, same
+    * broadcast join as q135 — one corpus pass grouped by language instead
+    * of doc_id; ratios are integer-e6 truncating divisions of exact
+    * DECIMAL(38,0) sums (running-word counts cross 10^12 per language at
+    * corpus scale, so the ×1e6 numerators leave int64).
+    */
+  val q169VocabCoverage: Q = (s, dir) => {
+    val (_, vocab) = bpeTrain(s, dir)
+    val vsize = vocab.select(col("word"),
+      length(col("word")).as("n_char"),
+      size(bpeSymbols(col("ws"))).as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .join(broadcast(vsize), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_sym") === 1, 1L).otherwise(0L)).as("n_single"),
+        sum(col("n_sym").cast("long")).as("n_sym_total"),
+        sum(col("n_char").cast("long")).as("n_char_total"))
+      .select(col("lang"), col("n_words"), col("n_single"),
+        col("n_sym_total"), col("n_char_total"),
+        expr("""CAST(CAST(n_single AS DECIMAL(38,0)) * 1000000
+                | div n_words AS BIGINT)""".stripMargin)
+          .as("single_rate_e6"),
+        expr("""CAST(CAST(n_sym_total AS DECIMAL(38,0)) * 1000000
+                | div n_words AS BIGINT)""".stripMargin)
+          .as("fertility_e6"),
+        expr("""CAST(CAST(n_char_total AS DECIMAL(38,0)) * 1000000
+                | div n_sym_total AS BIGINT)""".stripMargin)
+          .as("compression_e6"))
+  }
+
+  val q169Sql: String =
+    s"""WITH $bpeCtes,
+       |vs AS (SELECT word, LEN(word) AS n_char,
+       |    LEN(STRING_SPLIT(TRIM(ws, '|'), '||')) AS n_sym
+       |  FROM w$BpeRounds),
+       |toks AS (SELECT lang, u.w AS word
+       |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(w)),
+       |agg AS (
+       |  SELECT lang, COUNT(*) AS n_words,
+       |    CAST(SUM(CASE WHEN n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_single,
+       |    CAST(SUM(n_sym) AS BIGINT) AS n_sym_total,
+       |    CAST(SUM(n_char) AS BIGINT) AS n_char_total
+       |  FROM toks JOIN vs USING (word) GROUP BY lang)
+       |SELECT lang, n_words, n_single, n_sym_total, n_char_total,
+       |  CAST((CAST(n_single AS HUGEINT) * 1000000) // n_words AS BIGINT)
+       |    AS single_rate_e6,
+       |  CAST((CAST(n_sym_total AS HUGEINT) * 1000000) // n_words AS BIGINT)
+       |    AS fertility_e6,
+       |  CAST((CAST(n_char_total AS HUGEINT) * 1000000) // n_sym_total
+       |    AS BIGINT) AS compression_e6
+       |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q134_bpe_train" -> q134BpeTrain,
     "q135_bpe_apply" -> q135BpeApply,
+    "q169_vocab_coverage" -> q169VocabCoverage,
     "q125_source_overlap" -> q125SourceOverlap,
     "q132_negative_samples" -> q132NegativeSamples,
     "q83_repetition_metrics" -> q83RepetitionMetrics,
@@ -1175,6 +1240,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q134_bpe_train" -> q134Sql,
     "q135_bpe_apply" -> q135Sql,
+    "q169_vocab_coverage" -> q169Sql,
     "q125_source_overlap" -> q125Sql,
     "q132_negative_samples" -> q132Sql,
     "q83_repetition_metrics" -> q83Sql,

@@ -35,6 +35,21 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("top_bigram_frac_e6") > 900000L)
   }
 
+  test("q169 language rollup reconciles with the per-document q135 totals") {
+    val byLang = CurationQueries.q169VocabCoverage(spark, sfDir).collect()
+    val docTotals = CurationQueries.q135BpeApply(spark, sfDir)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens")), sum(col("n_chars")))
+      .collect()(0)
+    assert(byLang.map(_.getAs[Long]("n_words")).sum === docTotals.getLong(0))
+    assert(byLang.map(_.getAs[Long]("n_sym_total")).sum === docTotals.getLong(1))
+    assert(byLang.map(_.getAs[Long]("n_char_total")).sum === docTotals.getLong(2))
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("n_single") <= r.getAs[Long]("n_words"), r)
+      // fertility ≥ 1 symbol per word by construction
+      assert(r.getAs[Long]("fertility_e6") >= 1000000L, r)
+    }
+  }
+
   test("q84 removes exactly the corpus-repeated segments, order-preserved") {
     val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
     val aTail = (1 to 8).map(i => s"a$i").mkString(" ")
