@@ -2007,6 +2007,162 @@ object CoreQueries {
       |    AS region_share_of_total
       |FROM t""".stripMargin
 
+  // ------------------------------------------- q170: shipping SLA latency
+
+  /** q170: order-to-ship latency SLA report per order priority — the
+    * fulfillment dashboard staple: per priority band, line count, exact
+    * median/p90 latency in days (percentile_disc picks actual members of
+    * the integer day-latency set, so both engines select the identical
+    * element — no interpolated float percentiles), worst case, and the
+    * fraction shipped within the 90-day SLA as integer e6. Latencies are
+    * pure epoch-day subtractions; the one shuffle is the co-partitioned
+    * lineitem↔orders key join, and the rollup is |priorities|-sized.
+    */
+  val q170SlaLatency: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      expr("unix_timestamp(l_shipdate) DIV 86400").as("ship_day"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      expr("unix_timestamp(o_orderdate) DIV 86400").as("order_day"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("latency_d"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_d)")
+          .cast("long").as("median_d"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_d)")
+          .cast("long").as("p90_d"),
+        max(col("latency_d")).as("max_d"),
+        sum(when(col("latency_d") <= 90L, 1L).otherwise(0L))
+          .as("n_within_sla"))
+      .withColumn("sla_rate_e6",
+        expr("""CAST(CAST(n_within_sla AS DECIMAL(38,0)) * 1000000
+                | div n_lines AS BIGINT)""".stripMargin))
+  }
+
+  val q170Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 -
+      |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS latency_d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_d)
+      |    AS BIGINT) AS median_d,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_d)
+      |    AS BIGINT) AS p90_d,
+      |  MAX(latency_d) AS max_d,
+      |  CAST(SUM(CASE WHEN latency_d <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_within_sla,
+      |  CAST((CAST(SUM(CASE WHEN latency_d <= 90 THEN 1 ELSE 0 END)
+      |    AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS sla_rate_e6
+      |FROM j GROUP BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------- q171: open-order backlog
+
+  /** q171: open-order backlog over time by event differencing — how many
+    * orders are open (placed but not fully shipped) at the end of each
+    * day. Each order contributes +1 on its order day and −1 the day after
+    * its LAST line ships; the running sum of those deltas over the day
+    * axis IS the backlog. This is the scalable formulation: the naive
+    * day×order interval join materializes |days|·|open orders| rows, the
+    * delta stream is exactly 2 rows per order collapsing into a
+    * |days|-sized rollup, and the running sum runs over that tiny series.
+    * Both deltas emit from ONE joined pass via an inline explode — no
+    * union re-scan. Output: every day the backlog changes, its net change
+    * and end-of-day level.
+    */
+  val q171Backlog: Q = (s, dir) => {
+    val close = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("close_day"))
+    val bounds = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("order_day"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+    // an order is open at least on its order day: the synthetic data has
+    // lines shipping before the order date, which would otherwise emit the
+    // -1 before the +1 and undercount every day in between
+    val deltas = bounds
+      .withColumn("eff_close", greatest(col("close_day"), col("order_day")))
+      .select(explode(array(
+        struct(col("order_day").as("day"), lit(1L).as("delta")),
+        struct((col("eff_close") + 1L).as("day"), lit(-1L).as("delta"))))
+        .as("e"))
+      .select(col("e.day").as("day"), col("e.delta").as("delta"))
+      .groupBy(col("day")).agg(sum(col("delta")).as("net_change"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open_orders", sum(col("net_change")).over(byDay))
+  }
+
+  val q171Sql: String =
+    """WITH close AS (
+      |  SELECT l_orderkey,
+      |    MAX(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400)
+      |      AS close_day
+      |  FROM lineitem GROUP BY l_orderkey),
+      |bounds AS (
+      |  SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400
+      |      AS order_day,
+      |    close_day
+      |  FROM orders JOIN close ON o_orderkey = l_orderkey),
+      |b2 AS (
+      |  SELECT order_day, GREATEST(close_day, order_day) AS eff_close
+      |  FROM bounds),
+      |deltas AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change FROM (
+      |    SELECT order_day AS day, 1 AS delta FROM b2
+      |    UNION ALL
+      |    SELECT eff_close + 1, -1 FROM b2)
+      |  GROUP BY day)
+      |SELECT day, net_change,
+      |  CAST(SUM(net_change) OVER (ORDER BY day) AS BIGINT) AS open_orders
+      |FROM deltas""".stripMargin
+
+  // ------------------------------------------- q172: supplier HHI
+
+  /** q172: supplier concentration per part as the Herfindahl–Hirschman
+    * index — Σ share² of each supplier's revenue in the part, the
+    * antitrust/procurement-risk measure that q160's Gini complements
+    * (Gini ranks inequality, HHI flags single-source dependency; a part
+    * with HHI near 1e6 has one effective supplier). Exact: HHI_e6 =
+    * (Σ rᵢ² × 1e6) DIV R² with every product in DECIMAL(38,0) — squared
+    * cent revenues cross int64 at ~$10⁷ per (part, supplier). Two
+    * aggregations, both partial+final: (part, supplier) revenue, then the
+    * |parts|-sized moment rollup.
+    */
+  val q172SupplierHhi: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r_c"))
+    rev.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r_c").cast(dec)).as("tot"),
+        sum((col("r_c").cast(dec) * col("r_c").cast(dec))).as("sum_sq"))
+      .select(col("l_partkey"), col("n_suppliers"),
+        col("tot").cast("long").as("total_c"),
+        expr("""CAST(sum_sq * 1000000 div (tot * tot) AS BIGINT)""")
+          .as("hhi_e6"))
+  }
+
+  val q172Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS r_c
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |m AS (
+      |  SELECT l_partkey, COUNT(*) AS n_suppliers,
+      |    SUM(CAST(r_c AS HUGEINT)) AS tot,
+      |    SUM(CAST(r_c AS HUGEINT) * r_c) AS sum_sq
+      |  FROM rev GROUP BY l_partkey)
+      |SELECT l_partkey, n_suppliers, CAST(tot AS BIGINT) AS total_c,
+      |  CAST((sum_sq * 1000000) // (tot * tot) AS BIGINT) AS hhi_e6
+      |FROM m""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -2104,6 +2260,9 @@ object CoreQueries {
     "q159_weighted_median" -> q159WeightedMedian,
     "q160_gini" -> q160Gini,
     "q163_percent_of_parent" -> q163PercentOfParent,
+    "q170_sla_latency" -> q170SlaLatency,
+    "q171_backlog" -> q171Backlog,
+    "q172_supplier_hhi" -> q172SupplierHhi,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -2163,6 +2322,9 @@ object CoreQueries {
     "q159_weighted_median" -> q159Sql,
     "q160_gini" -> q160Sql,
     "q163_percent_of_parent" -> q163Sql,
+    "q170_sla_latency" -> q170Sql,
+    "q171_backlog" -> q171Sql,
+    "q172_supplier_hhi" -> q172Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

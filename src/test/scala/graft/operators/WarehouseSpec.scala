@@ -42,6 +42,50 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q171 backlog equals a serial interval sweep and ends at zero") {
+    val rows = CoreQueries.q171Backlog(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // running sum identity and the all-orders-eventually-ship invariant
+    var acc = 0L
+    for ((_, net, open) <- rows) { acc += net; assert(open === acc) }
+    assert(rows.last._3 === 0L, "every order closes after its last shipment")
+    // serial reference: sweep the per-order intervals
+    val close = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("c"))
+    val iv = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("s"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .select(col("s"), col("c")).collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(0), r.getLong(1))))
+    for ((d, _, open) <- rows.take(50))
+      assert(open === iv.count { case (s, c) => s <= d && d <= c }.toLong, d)
+  }
+
+  test("q172 HHI is bounded by [1/n, 1] and hits 1e6 for single-source parts") {
+    val rows = CoreQueries.q172SupplierHhi(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_suppliers"), r.getAs[Long]("hhi_e6"))
+      assert(hhi <= 1000000L, r)
+      // HHI ≥ 1/n (equality at equal shares); allow the e6 truncation
+      assert(hhi >= 1000000L / n - 1, r)
+      if (n == 1) assert(hhi === 1000000L, r)
+    }
+  }
+
+  test("q170 SLA percentiles are ordered and the rate matches the counts") {
+    val rows = CoreQueries.q170SlaLatency(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("median_d") <= r.getAs[Long]("p90_d"), r)
+      assert(r.getAs[Long]("p90_d") <= r.getAs[Long]("max_d"), r)
+      val expected = BigInt(r.getAs[Long]("n_within_sla")) * 1000000 /
+        BigInt(r.getAs[Long]("n_lines"))
+      assert(r.getAs[Long]("sla_rate_e6") === expected.toLong, r)
+    }
+  }
+
   test("q152 allocations sum exactly to the header total per order") {
     val rows = CoreQueries.q152Allocation(spark, sfDir)
       .as[(Long, Int, Long, Long)].collect()
