@@ -1922,6 +1922,173 @@ object EventQueries {
       |  END AS r
       |FROM v""".stripMargin
 
+  // ------------------------------- q173: cohort lifetime-value curves
+
+  /** q173: cumulative lifetime value by signup cohort — revenue per user
+    * as a function of account age, the curve every growth team projects
+    * forward: users cohort by the WEEK of their first event, purchases
+    * roll up per (cohort_week, age_week), and a per-cohort running sum
+    * turns the increments into the cumulative LTV curve, normalized per
+    * cohort member (integer-e4 cents — an exact truncating division).
+    *
+    * Scale: the user-grain first-event rollup and the purchase pass are
+    * the two event-scale aggregations (both partial+final on user_id);
+    * everything after — the cohort×age matrix, the running window, the
+    * broadcast join against the |weeks|-sized cohort-size rollup — is
+    * calendar-bounded (weeks², not events).
+    */
+  val q173CohortLtv: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_timestamp(ts) DIV 604800")).as("cohort_week"))
+    val cohortSize = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v_c"),
+        expr("unix_timestamp(ts) DIV 604800").as("week"))
+    val cells = purchases.join(firsts, "user_id")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_week"), col("v_c"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(sum(col("v_c")).as("rev_c"), count(lit(1)).as("n_purchases"))
+    val byCohort = W.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cells.join(broadcast(cohortSize), "cohort_week")
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(byCohort))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("n_purchases"), col("rev_c"), col("cum_rev_c"),
+        expr("""CAST(CAST(cum_rev_c AS DECIMAL(38,0)) * 10000
+                | div n_users AS BIGINT)""".stripMargin)
+          .as("cum_ltv_per_user_e4"))
+  }
+
+  val q173Sql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |cohort_size AS (
+      |  SELECT cohort_week, COUNT(*) AS n_users
+      |  FROM firsts GROUP BY cohort_week),
+      |cells AS (
+      |  SELECT cohort_week,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 - cohort_week
+      |      AS age_week,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS rev_c,
+      |    COUNT(*) AS n_purchases
+      |  FROM events JOIN firsts USING (user_id)
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT *, CAST(SUM(rev_c) OVER (PARTITION BY cohort_week
+      |    ORDER BY age_week) AS BIGINT) AS cum_rev_c
+      |  FROM cells)
+      |SELECT cohort_week, age_week, n_users, n_purchases, rev_c, cum_rev_c,
+      |  CAST((CAST(cum_rev_c AS HUGEINT) * 10000) // n_users AS BIGINT)
+      |    AS cum_ltv_per_user_e4
+      |FROM c2 JOIN cohort_size USING (cohort_week)""".stripMargin
+
+  // ------------------------------- q174: RFM segmentation
+
+  /** q174: RFM (recency / frequency / monetary) quintile segmentation of
+    * purchasers — the classic CRM cut. Each user's three metrics roll up
+    * in one purchase pass; the FIVE quintile boundaries per metric come
+    * from exact percentile_disc over the user rollup (actual member
+    * values, bit-portable); and each user's 1–5 score per metric counts
+    * how many boundaries its value strictly exceeds. Scoring via a
+    * broadcast 1-row boundary frame + fixed comparisons is the 100 TB
+    * path — a global ntile() would sort every user three times; the
+    * boundary approach is one tiny aggregate plus a map-side band, at the
+    * cost of quintiles that split ties deterministically to the lower
+    * band (documented, mirrored exactly in the oracle). Output: one row
+    * per populated (r, f, m) segment with its population and value.
+    *
+    * Recency scores band the last-purchase day directly (more recent =
+    * higher score — banding the day is order-isomorphic to banding
+    * days-since-max, with no wall clock anywhere).
+    */
+  val q174RfmSegments: Q = (s, dir) => {
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v_c"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val users = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("v_c")).as("monetary_c"))
+    val bounds = users.agg(
+      expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY last_day)").as("r1"),
+      expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY last_day)").as("r2"),
+      expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY last_day)").as("r3"),
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY last_day)").as("r4"),
+      expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY frequency)").as("f1"),
+      expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY frequency)").as("f2"),
+      expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY frequency)").as("f3"),
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY frequency)").as("f4"),
+      expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY monetary_c)").as("m1"),
+      expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY monetary_c)").as("m2"),
+      expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY monetary_c)").as("m3"),
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY monetary_c)").as("m4"))
+    def score(v: org.apache.spark.sql.Column, b: Seq[String]) =
+      lit(1L) + b.map(c => when(v > col(c), 1L).otherwise(0L)).reduce(_ + _)
+    users.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("frequency"), col("monetary_c"),
+        // recency score: MORE recent (higher last_day) = higher score
+        score(col("last_day"), Seq("r1", "r2", "r3", "r4")).as("r_score"),
+        score(col("frequency"), Seq("f1", "f2", "f3", "f4")).as("f_score"),
+        score(col("monetary_c"), Seq("m1", "m2", "m3", "m4")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_c")).as("segment_value_c"))
+  }
+
+  val q174Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |users AS (
+      |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+      |    CAST(SUM(v_c) AS BIGINT) AS monetary_c
+      |  FROM p GROUP BY user_id),
+      |bounds AS (
+      |  SELECT
+      |    percentile_disc(0.2) WITHIN GROUP (ORDER BY last_day) AS r1,
+      |    percentile_disc(0.4) WITHIN GROUP (ORDER BY last_day) AS r2,
+      |    percentile_disc(0.6) WITHIN GROUP (ORDER BY last_day) AS r3,
+      |    percentile_disc(0.8) WITHIN GROUP (ORDER BY last_day) AS r4,
+      |    percentile_disc(0.2) WITHIN GROUP (ORDER BY frequency) AS f1,
+      |    percentile_disc(0.4) WITHIN GROUP (ORDER BY frequency) AS f2,
+      |    percentile_disc(0.6) WITHIN GROUP (ORDER BY frequency) AS f3,
+      |    percentile_disc(0.8) WITHIN GROUP (ORDER BY frequency) AS f4,
+      |    percentile_disc(0.2) WITHIN GROUP (ORDER BY monetary_c) AS m1,
+      |    percentile_disc(0.4) WITHIN GROUP (ORDER BY monetary_c) AS m2,
+      |    percentile_disc(0.6) WITHIN GROUP (ORDER BY monetary_c) AS m3,
+      |    percentile_disc(0.8) WITHIN GROUP (ORDER BY monetary_c) AS m4
+      |  FROM users),
+      |scored AS (
+      |  SELECT user_id, monetary_c,
+      |    1 + (CASE WHEN last_day > r1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN last_day > r2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN last_day > r3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN last_day > r4 THEN 1 ELSE 0 END) AS r_score,
+      |    1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN frequency > f4 THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN monetary_c > m1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_c > m2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_c > m3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_c > m4 THEN 1 ELSE 0 END) AS m_score
+      |  FROM users CROSS JOIN bounds)
+      |SELECT CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(monetary_c) AS BIGINT) AS segment_value_c
+      |FROM scored GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------- q166: U-shaped multi-touch attribution
 
   /** q166: position-weighted (U-shaped) multi-touch attribution — the
@@ -2097,6 +2264,8 @@ object EventQueries {
     "q165_markov_eval" -> q165MarkovEval,
     "q166_ushape_attribution" -> q166UShapeAttribution,
     "q167_seasonal_decomp" -> q167SeasonalDecomp,
+    "q173_cohort_ltv" -> q173CohortLtv,
+    "q174_rfm_segments" -> q174RfmSegments,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2109,6 +2278,8 @@ object EventQueries {
     "q166_ushape_attribution" -> q166Sql,
     "q167_seasonal_decomp" -> q167Sql,
     "q168_lead_lag" -> q168Sql,
+    "q173_cohort_ltv" -> q173Sql,
+    "q174_rfm_segments" -> q174Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

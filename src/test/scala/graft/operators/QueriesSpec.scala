@@ -330,6 +330,47 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q173 LTV curves are cumulative and reconcile with total revenue") {
+    val rows = EventQueries.q173CohortLtv(spark, sfDir).collect()
+    // per cohort: cum_rev is the running sum of rev over age order
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age_week"))
+      var acc = 0L
+      sorted.foreach { r =>
+        acc += r.getAs[Long]("rev_c")
+        assert(r.getAs[Long]("cum_rev_c") === acc, s"cohort $cw")
+        assert(r.getAs[Long]("age_week") >= 0L, s"cohort $cw")
+      }
+    }
+    // final cumulative revenue across cohorts == corpus purchase revenue
+    val lastPerCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+      .map(_._2.maxBy(_.getAs[Long]("age_week")).getAs[Long]("cum_rev_c"))
+      .sum
+    val total = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value*100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(lastPerCohort === total)
+  }
+
+  test("q174 segments tile the purchaser set; scores stay in 1..5") {
+    val rows = EventQueries.q174RfmSegments(spark, sfDir).collect()
+    val users = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    rows.foreach { r =>
+      for (c <- Seq("r_score", "f_score", "m_score"))
+        assert(r.getAs[Long](c) >= 1L && r.getAs[Long](c) <= 5L, r)
+    }
+    // ties band to the LOWER score, so heavy ties can leave upper bands
+    // empty (e.g. most users' last purchase lands in the final days) —
+    // band 1 is always populated and the axis must still discriminate
+    val rTotals = rows.groupBy(_.getAs[Long]("r_score"))
+      .view.mapValues(_.map(_.getAs[Long]("n_users")).sum).toMap
+    assert(rTotals.keySet.min === 1L && rTotals.size >= 2, rTotals)
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
