@@ -2163,6 +2163,144 @@ object CoreQueries {
       |  CAST((sum_sq * 1000000) // (tot * tot) AS BIGINT) AS hhi_e6
       |FROM m""".stripMargin
 
+  // ------------------------------------------- q175: price-volume-mix bridge
+
+  /** q175: price-volume-mix revenue bridge between two periods — the FP&A
+    * waterfall explaining WHY revenue moved: per part, the month-over-month
+    * change splits into a price effect (old volume at the new unit price),
+    * a volume effect (old price on the volume change), and the joint/mix
+    * residual; effects then roll up by brand. The decomposition CONSERVES
+    * exactly — price + volume + joint ≡ Δrevenue per row — because the two
+    * rational effects truncate through sign-factored integer division and
+    * the joint term is defined as the remainder. Parts active in only one
+    * period take the whole change as volume (new/discontinued), skipping
+    * the zero-quantity divisions.
+    *
+    * One lineitem pass: both periods aggregate as conditional sums in the
+    * same (part) rollup — no period self-join — then a broadcast part-dim
+    * join and a |brands|-sized rollup. Quantity×revenue cross-products run
+    * in DECIMAL(38,0).
+    */
+  val q175PriceVolumeMix: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-05-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_shipdate") < lit("1995-04-01").cast("timestamp")).as("p1"),
+        cents(col("l_quantity")).as("q_c"),
+        cents(col("l_extendedprice")).as("r_c"))
+    val byPart = li.groupBy(col("l_partkey"))
+      .agg(sum(when(col("p1"), col("q_c")).otherwise(0L)).as("q1"),
+        sum(when(col("p1"), col("r_c")).otherwise(0L)).as("r1"),
+        sum(when(!col("p1"), col("q_c")).otherwise(0L)).as("q2"),
+        sum(when(!col("p1"), col("r_c")).otherwise(0L)).as("r2"))
+    // sign-factored truncating division (non-negative operands only; the
+    // two engines disagree on negative integer division — q167 note)
+    def sdiv(num: String, den: String) = expr(
+      s"""CASE WHEN $num < 0 THEN -CAST(((-($num)) div ($den)) AS BIGINT)
+         |     ELSE CAST((($num) div ($den)) AS BIGINT) END""".stripMargin)
+    val eff = byPart
+      .withColumn("delta_c", col("r2") - col("r1"))
+      .withColumn("pn",
+        col("q1").cast(dec) * col("r2").cast(dec) -
+          col("q2").cast(dec) * col("r1").cast(dec))
+      .withColumn("vn", col("r1").cast(dec) * (col("q2") - col("q1")).cast(dec))
+      .withColumn("price_eff_c",
+        when(col("q1") > 0L && col("q2") > 0L, sdiv("pn", "q2")).otherwise(0L))
+      .withColumn("volume_eff_c",
+        when(col("q1") > 0L && col("q2") > 0L, sdiv("vn", "q1"))
+          .otherwise(col("delta_c")))
+      .withColumn("joint_c",
+        col("delta_c") - col("price_eff_c") - col("volume_eff_c"))
+    eff.join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("r1")).as("r1_c"), sum(col("r2")).as("r2_c"),
+        sum(col("delta_c")).as("delta_c"),
+        sum(col("price_eff_c")).as("price_eff_c"),
+        sum(col("volume_eff_c")).as("volume_eff_c"),
+        sum(col("joint_c")).as("joint_c"))
+  }
+
+  val q175Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    l_shipdate < TIMESTAMP '1995-04-01' AS p1,
+      |    CAST(ROUND(l_quantity*100) AS BIGINT) AS q_c,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS r_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+      |    AND l_shipdate < TIMESTAMP '1995-05-01'),
+      |by_part AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CASE WHEN p1 THEN q_c ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN p1 THEN r_c ELSE 0 END) AS BIGINT) AS r1,
+      |    CAST(SUM(CASE WHEN NOT p1 THEN q_c ELSE 0 END) AS BIGINT) AS q2,
+      |    CAST(SUM(CASE WHEN NOT p1 THEN r_c ELSE 0 END) AS BIGINT) AS r2
+      |  FROM li GROUP BY l_partkey),
+      |eff AS (
+      |  SELECT *,
+      |    r2 - r1 AS delta_c,
+      |    CAST(q1 AS HUGEINT) * r2 - CAST(q2 AS HUGEINT) * r1 AS pn,
+      |    CAST(r1 AS HUGEINT) * (q2 - q1) AS vn
+      |  FROM by_part),
+      |eff2 AS (
+      |  SELECT *,
+      |    CASE WHEN q1 > 0 AND q2 > 0 THEN
+      |      CASE WHEN pn < 0 THEN -CAST((-pn) // q2 AS BIGINT)
+      |           ELSE CAST(pn // q2 AS BIGINT) END
+      |    ELSE 0 END AS price_eff_c,
+      |    CASE WHEN q1 > 0 AND q2 > 0 THEN
+      |      CASE WHEN vn < 0 THEN -CAST((-vn) // q1 AS BIGINT)
+      |           ELSE CAST(vn // q1 AS BIGINT) END
+      |    ELSE delta_c END AS volume_eff_c
+      |  FROM eff)
+      |SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(r1) AS BIGINT) AS r1_c, CAST(SUM(r2) AS BIGINT) AS r2_c,
+      |  CAST(SUM(delta_c) AS BIGINT) AS delta_c,
+      |  CAST(SUM(price_eff_c) AS BIGINT) AS price_eff_c,
+      |  CAST(SUM(volume_eff_c) AS BIGINT) AS volume_eff_c,
+      |  CAST(SUM(delta_c - price_eff_c - volume_eff_c) AS BIGINT) AS joint_c
+      |FROM eff2 JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  // ------------------------------------------- q176: surrogate-key gaps
+
+  /** q176: surrogate-key gap detection over the FACT table's foreign-key
+    * sequence — the load-audit that catches silently dropped batches and
+    * childless orders: every missing run in the orderkey sequence observed
+    * in lineitem (the driver data has 27 such keys per 1500 at sf0.001)
+    * reports its bounds and size via the sorted-lag formulation. The
+    * window runs over the distinct-key stream — at scale this is the one
+    * global sort the audit genuinely needs, and it carries one BIGINT per
+    * key. Output is one row per GAP (rare by construction), not per key.
+    */
+  val q176KeyGaps: Q = (s, dir) => {
+    val keys = Tables.lineitem(s, dir).select(col("l_orderkey")
+      .as("o_orderkey")).distinct()
+    val w = Window.orderBy(col("o_orderkey"))
+    keys
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .filter(col("prev_key").isNotNull &&
+        col("o_orderkey") - col("prev_key") > 1L)
+      .select((col("prev_key") + 1L).as("gap_start"),
+        (col("o_orderkey") - 1L).as("gap_end"),
+        (col("o_orderkey") - col("prev_key") - 1L).as("n_missing"))
+  }
+
+  val q176Sql: String =
+    """WITH keys AS (SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem),
+      |l AS (
+      |  SELECT o_orderkey,
+      |    LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
+      |  FROM keys)
+      |SELECT prev_key + 1 AS gap_start, o_orderkey - 1 AS gap_end,
+      |  o_orderkey - prev_key - 1 AS n_missing
+      |FROM l WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -2263,6 +2401,8 @@ object CoreQueries {
     "q170_sla_latency" -> q170SlaLatency,
     "q171_backlog" -> q171Backlog,
     "q172_supplier_hhi" -> q172SupplierHhi,
+    "q175_price_volume_mix" -> q175PriceVolumeMix,
+    "q176_key_gaps" -> q176KeyGaps,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -2325,6 +2465,8 @@ object CoreQueries {
     "q170_sla_latency" -> q170Sql,
     "q171_backlog" -> q171Sql,
     "q172_supplier_hhi" -> q172Sql,
+    "q175_price_volume_mix" -> q175Sql,
+    "q176_key_gaps" -> q176Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

@@ -86,6 +86,33 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q175 bridge effects reconcile exactly to the revenue delta") {
+    val rows = CoreQueries.q175PriceVolumeMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_c") ===
+        r.getAs[Long]("price_eff_c") + r.getAs[Long]("volume_eff_c") +
+          r.getAs[Long]("joint_c"), r)
+      assert(r.getAs[Long]("delta_c") ===
+        r.getAs[Long]("r2_c") - r.getAs[Long]("r1_c"), r)
+    }
+  }
+
+  test("q176 gap report accounts for the whole key span") {
+    val keys = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct().collect().map(_.getLong(0))
+    val gaps = CoreQueries.q176KeyGaps(spark, sfDir).collect()
+    assert(gaps.nonEmpty, "the driver data has childless orders")
+    val missing = gaps.map(_.getAs[Long]("n_missing")).sum
+    assert(keys.length + missing === keys.max - keys.min + 1)
+    gaps.foreach { g =>
+      val (a, b) = (g.getAs[Long]("gap_start"), g.getAs[Long]("gap_end"))
+      assert(a <= b)
+      assert(g.getAs[Long]("n_missing") === b - a + 1)
+      assert(!keys.exists(k => k >= a && k <= b), g)
+    }
+  }
+
   test("q152 allocations sum exactly to the header total per order") {
     val rows = CoreQueries.q152Allocation(spark, sfDir)
       .as[(Long, Int, Long, Long)].collect()
