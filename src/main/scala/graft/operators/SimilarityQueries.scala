@@ -60,6 +60,100 @@ object SimilarityQueries {
         max(col("vec_id")).as("max_vec"))
   }
 
+  // ------------------------------- q177: class separability (Fisher-style)
+
+  /** q177: embedding-space class separability — per label, the mean squared
+    * radius around the class centroid (within-class scatter) and the
+    * squared distance from the class centroid to the global centroid
+    * (between-class), plus their Fisher-style ratio: the "are these labels
+    * actually separable clusters?" diagnostic run before training on a
+    * labelled embedding table (and the exact-arithmetic cousin of what
+    * q88 measures against the IVF quantizer).
+    *
+    * Exactness at any scale: components quantize per ROW to e4 integers
+    * (float→double→round, identical in both engines), centroids are
+    * sign-factored truncating integer divisions at the same e4 resolution
+    * — deliberately DEFINED as integer centroids so every downstream term
+    * (Σ(q−c)² via the ss − 2cs + nc² identity, per-dim centroid diffs) is
+    * bounded integer arithmetic forever: no (n·N)²-scaled cross-products
+    * that overflow DECIMAL(38,0) at cluster scale. Scatter sums accumulate
+    * in DECIMAL; ratios are truncating e6 divisions.
+    *
+    * Plan: one posexplode pass → (label, dim) rollup (|labels|·64 rows);
+    * the global per-dim rollup and the join back are metadata-sized.
+    */
+  val q177ClassSeparability: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val qv = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+    val ld = qv.groupBy(col("label"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum((col("q") * col("q")).cast(dec)).as("ss"))
+    val gd = ld.groupBy(col("d"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    def sdiv(num: String, den: String) = expr(
+      s"""CASE WHEN $num < 0 THEN -CAST(((-($num)) div ($den)) AS BIGINT)
+         |     ELSE CAST((($num) div ($den)) AS BIGINT) END""".stripMargin)
+    val cent = ld.join(gd, "d")
+      .withColumn("c_ld", sdiv("s", "n"))
+      .withColumn("c_gd", sdiv("gs", "gn"))
+      .withColumn("diff", col("c_ld") - col("c_gd"))
+      .withColumn("term",
+        col("ss") - (lit(2L) * col("c_ld")).cast(dec) * col("s").cast(dec) +
+          col("n").cast(dec) * col("c_ld").cast(dec) * col("c_ld").cast(dec))
+    cent.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("term")).as("w_sum"),
+        sum(col("diff") * col("diff")).as("cdist2_e8"))
+      .withColumn("msr_e8", expr("CAST(w_sum div n_vecs AS BIGINT)"))
+      .withColumn("fisher_e6", when(col("msr_e8") > 0L,
+        expr("""CAST(CAST(cdist2_e8 AS DECIMAL(38,0)) * 1000000
+               | div msr_e8 AS BIGINT)""".stripMargin)))
+      .select(col("label"), col("n_vecs"), col("msr_e8"),
+        col("cdist2_e8"), col("fisher_e6"))
+  }
+
+  val q177Sql: String =
+    """WITH qv AS (
+      |  SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS d,
+      |    CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings),
+      |ld AS (
+      |  SELECT label, d, COUNT(*) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS s,
+      |    SUM(CAST(q AS HUGEINT) * q) AS ss
+      |  FROM qv GROUP BY label, d),
+      |gd AS (
+      |  SELECT d, CAST(SUM(s) AS BIGINT) AS gs,
+      |    CAST(SUM(n) AS BIGINT) AS gn
+      |  FROM ld GROUP BY d),
+      |cent AS (
+      |  SELECT label, n, s, ss,
+      |    CASE WHEN s < 0 THEN -CAST((-s) // n AS BIGINT)
+      |         ELSE CAST(s // n AS BIGINT) END AS c_ld,
+      |    CASE WHEN gs < 0 THEN -CAST((-gs) // gn AS BIGINT)
+      |         ELSE CAST(gs // gn AS BIGINT) END AS c_gd
+      |  FROM ld JOIN gd USING (d)),
+      |t AS (
+      |  SELECT label, n,
+      |    ss - CAST(2 * c_ld AS HUGEINT) * s
+      |       + CAST(n AS HUGEINT) * c_ld * c_ld AS term,
+      |    (c_ld - c_gd) * (c_ld - c_gd) AS diff2
+      |  FROM cent),
+      |per AS (
+      |  SELECT label, MAX(n) AS n_vecs, SUM(term) AS w_sum,
+      |    CAST(SUM(diff2) AS BIGINT) AS cdist2_e8
+      |  FROM t GROUP BY label)
+      |SELECT label, n_vecs,
+      |  CAST(w_sum // n_vecs AS BIGINT) AS msr_e8, cdist2_e8,
+      |  CASE WHEN w_sum // n_vecs > 0 THEN
+      |    CAST((CAST(cdist2_e8 AS HUGEINT) * 1000000) // (w_sum // n_vecs)
+      |      AS BIGINT) END AS fisher_e6
+      |FROM per""".stripMargin
+
   private val Dim = 64
   private val Planes = 32
   private val Bands = 4
@@ -395,6 +489,7 @@ object SimilarityQueries {
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
     "q62_norm_stats" -> q62NormStats,
+    "q177_class_separability" -> q177ClassSeparability,
     "q63_cosine_neardup" -> q63CosineNearDup,
     "q64_ann_ivf" -> q64AnnIvf,
     "q82_ann_ivfpq" -> q82AnnIvfPq,
@@ -524,6 +619,7 @@ object SimilarityQueries {
     */
   val oracles: Map[String, String] = Map(
     "q61_ann_lsh" -> q61Sql,
+    "q177_class_separability" -> q177Sql,
     "q63_cosine_neardup" -> q63Sql,
     "q60_knn_brute" ->
       """WITH probes AS (

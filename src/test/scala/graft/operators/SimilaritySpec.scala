@@ -132,6 +132,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall ($hit of $total)")
   }
 
+  test("q177 separability matches a serial integer-centroid recompute") {
+    val rows = SimilarityQueries.q177ClassSeparability(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray
+        .map(x => BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val dim = vecs.head._2.length
+    def trunc(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    val byLabel = vecs.groupBy(_._1)
+    val gSum = Array.tabulate(dim)(d => vecs.map(_._2(d)).sum)
+    val gC = gSum.map(trunc(_, vecs.length.toLong))
+    for ((lbl, vs) <- byLabel) {
+      val n = vs.length.toLong
+      val c = Array.tabulate(dim)(d => trunc(vs.map(_._2(d)).sum, n))
+      val w = vs.map(v => (0 until dim).map { d =>
+        val e = v._2(d) - c(d); e * e
+      }.sum).sum
+      val cd = (0 until dim).map { d =>
+        val e = c(d) - gC(d); e * e
+      }.sum
+      val r = rows(lbl)
+      assert(r.getAs[Long]("n_vecs") === n, lbl)
+      assert(r.getAs[Long]("msr_e8") === w / n, lbl)
+      assert(r.getAs[Long]("cdist2_e8") === cd, lbl)
+    }
+    // classes sit measurably apart from the global centroid
+    assert(rows.values.exists(_.getAs[Long]("cdist2_e8") > 0L))
+  }
+
   test("cluster purity partitions the corpus and beats the base rate") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val n = e.count()
