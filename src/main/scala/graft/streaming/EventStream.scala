@@ -344,6 +344,26 @@ object EventStream {
         .as("candidates"),
       count(lit(1)).as("total"))
 
+  /** Daily net order-flow from an order-lifecycle delta stream — the
+    * streaming twin of the batch backlog query (operators/CoreQueries
+    * q171): upstream emits +1 when an order opens and −1 the day after its
+    * last line ships; this aggregation closes each day at the watermark
+    * and appends its net change. The BACKLOG LEVEL is, by design, the
+    * prefix sum of the emitted day stream computed at the sink (a running
+    * total across event-time windows is not a streaming aggregation —
+    * it's a one-line batch query over the appended series, and keeping the
+    * streaming side a plain windowed sum keeps state bounded to the
+    * watermark horizon). StreamingSpec proves net-change and prefix-sum
+    * parity against the batch q171.
+    */
+  def backlogDeltas(orderEvents: DataFrame,
+      watermark: String = "2 days"): DataFrame =
+    orderEvents
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(sum(col("delta")).as("net_change"))
+      .select(col("window.start").as("day_start"), col("net_change"))
+
   /** Run any of the above to a named in-memory sink and process everything
     * currently available (the local smoke path; production uses a real sink).
     */

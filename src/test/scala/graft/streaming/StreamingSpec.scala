@@ -355,6 +355,50 @@ class StreamingSpec extends SparkSpec {
       "streamed session state machine diverged from the batch island sweep")
   }
 
+  test("streaming backlog deltas reproduce the batch q171 series") {
+    // build the order-lifecycle delta stream exactly as q171 derives it
+    val close = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("close_day"))
+    val bounds = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("order_day"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("eff_close", greatest(col("close_day"), col("order_day")))
+    val deltas = bounds.select(explode(array(
+        struct(col("order_day").as("day"), lit(1L).as("delta")),
+        struct((col("eff_close") + 1L).as("day"), lit(-1L).as("delta"))))
+        .as("e"))
+      .select(timestamp_seconds(col("e.day") * 86400L).as("ts"),
+        col("e.delta").as("delta"))
+    val dir = Files.createTempDirectory("graft_backlog_stream").toString
+    deltas.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, delta BIGINT").parquet(dir)
+    EventStream.runToMemory(
+      EventStream.backlogDeltas(stream), "t_backlog", OutputMode.Append())
+    val streamed = spark.table("t_backlog")
+      .select(expr("unix_timestamp(day_start) DIV 86400").as("day"),
+        col("net_change")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "watermark must close at least the early days")
+    val batch = graft.operators.CoreQueries.q171Backlog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val batchNet = batch.map(t => t._1 -> t._2).toMap
+    // every emitted day matches the batch net change exactly
+    streamed.foreach { case (d, net) => assert(batchNet(d) === net, s"day $d") }
+    // prefix-summing the emitted prefix reproduces the batch backlog level
+    val horizon = streamed.keys.max
+    var acc = 0L
+    batch.takeWhile(_._1 <= horizon).foreach { case (d, _, open) =>
+      // days absent from the stream were never emitted (no deltas) — the
+      // batch series has a row for every change day, so they must agree
+      acc += streamed.getOrElse(d, 0L)
+      assert(acc === open, s"day $d")
+    }
+  }
+
   test("streaming heavy-hitter candidates verify to the exact batch answer") {
     EventStream.runToMemory(
       EventStream.trendingCandidates(EventStream.read(spark, streamDir)),
