@@ -1766,6 +1766,9 @@ object EventQueries {
       .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
       .agg(sum(cents(col("value"))).as("v_c"))
     val w7 = W.orderBy(col("day")).rowsBetween(-3, 3)
+    // the |days|-row windowed frame feeds both the weekday index and the
+    // final join — localCheckpoint so the event pass runs once, not per
+    // reference (q100 precedent; at scale: persist the rollup)
     val t = daily
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("span6",
@@ -1774,6 +1777,7 @@ object EventQueries {
         sum(col("v_c")).over(w7)))
       .withColumn("detr7", lit(7L) * col("v_c") - col("t7"))
       .withColumn("dow", (col("day") + 4) % 7)
+      .localCheckpoint()
     val seasonal = t.groupBy(col("dow"))
       .agg(sum(col("detr7").cast(dec)).as("s_sum"),
         count(col("detr7")).as("s_n"))
@@ -1860,6 +1864,9 @@ object EventQueries {
           .as("c_cnt"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("p_cnt"))
+      // referenced as both join sides — checkpoint the |days| rollup so
+      // the event pass runs once
+      .localCheckpoint()
     val expanded = daily.select(col("day"), col("p_cnt"))
       .withColumn("lag", explode(array((0 to 7).map(lit(_)): _*)))
     val joined = expanded.join(
@@ -1942,6 +1949,9 @@ object EventQueries {
     val firsts = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(min(expr("unix_timestamp(ts) DIV 604800")).as("cohort_week"))
+      // feeds both the cohort-size rollup and the purchase join —
+      // checkpoint so the first-event pass over events runs once
+      .localCheckpoint()
     val cohortSize = firsts.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("n_users"))
     val purchases = Tables.events(s, dir)
@@ -2017,6 +2027,9 @@ object EventQueries {
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(col("v_c")).as("monetary_c"))
+      // scored AND reduced to boundaries — checkpoint so the purchase
+      // rollup isn't recomputed per reference
+      .localCheckpoint()
     val bounds = users.agg(
       expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY last_day)").as("r1"),
       expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY last_day)").as("r2"),

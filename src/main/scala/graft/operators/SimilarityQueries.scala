@@ -91,6 +91,9 @@ object SimilarityQueries {
     val ld = qv.groupBy(col("label"), col("d"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
         sum((col("q") * col("q")).cast(dec)).as("ss"))
+      // the |labels|·dim rollup feeds the global rollup AND the join —
+      // checkpoint so the corpus explode runs once
+      .localCheckpoint()
     val gd = ld.groupBy(col("d"))
       .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
     def sdiv(num: String, den: String) = expr(

@@ -228,6 +228,37 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_count"), "final rollup aggregates map-side")
   }
 
+  test("q175: both periods aggregate in one lineitem scan; part broadcasts") {
+    val p = plan("q175_price_volume_mix")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1,
+      s"no period self-join — conditional sums share one scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q174: RFM banding broadcasts boundaries — no global ntile sort") {
+    val p = plan("q174_rfm_segments")
+    assert(!p.contains("ntile("), p)
+    assert(p.contains("Broadcast"), "the 1-row boundary frame must broadcast")
+    // the user rollup is checkpointed, so the events scan never repeats
+    assert("events\\.parquet".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q171: backlog join is key-equi, never day-by-order nested loop") {
+    val p = plan("q171_backlog")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_max"), p)
+  }
+
+  test("q177: separability is one explode pass into partial aggregation") {
+    val p = plan("q177_class_separability")
+    // the (label, dim) rollup is checkpointed — the embeddings explode
+    // must not appear (and so cannot repeat) in the final plan
+    assert("embeddings\\.parquet".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q91 production twin aggregates bottom-k partials map-side") {
     val p = EventQueries.q91SketchQuantilesProd(spark, sfDir)
       .queryExecution.executedPlan.toString
