@@ -2301,6 +2301,141 @@ object CoreQueries {
       |  o_orderkey - prev_key - 1 AS n_missing
       |FROM l WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1""".stripMargin
 
+  // ------------------------------------------- q178: split-shipment spans
+
+  /** q178: split-shipment analysis — per order, the span in days between
+    * its first and last line shipment, rolled up per priority: how often
+    * does an order ship as one consignment (span 0), and how long do the
+    * stragglers drag? Two partial+final aggregations (order grain, then
+    * |priorities|); the span percentile is percentile_disc over integer
+    * days — an actual member, bit-portable.
+    */
+  val q178ShipSpans: Q = (s, dir) => {
+    val spans = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg((max(expr("unix_timestamp(l_shipdate) DIV 86400")) -
+        min(expr("unix_timestamp(l_shipdate) DIV 86400"))).as("span_d"),
+        count(lit(1)).as("n_lines"))
+    spans.join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("span_d") === 0L, 1L).otherwise(0L)).as("n_single"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY span_d)")
+          .cast("long").as("p90_span_d"),
+        max(col("span_d")).as("max_span_d"))
+      .withColumn("single_rate_e6",
+        expr("""CAST(CAST(n_single AS DECIMAL(38,0)) * 1000000
+                | div n_orders AS BIGINT)""".stripMargin))
+  }
+
+  val q178Sql: String =
+    """WITH spans AS (
+      |  SELECT l_orderkey,
+      |    MAX(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400) -
+      |    MIN(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400) AS span_d
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN span_d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_single,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY span_d) AS BIGINT)
+      |    AS p90_span_d,
+      |  MAX(span_d) AS max_span_d,
+      |  CAST((CAST(SUM(CASE WHEN span_d = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * 1000000) // COUNT(*) AS BIGINT) AS single_rate_e6
+      |FROM spans JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------- q179: dispersion index
+
+  /** q179: order-arrival burstiness per market segment — the index of
+    * dispersion (variance-to-mean ratio) of per-customer order counts:
+    * ≈1e6 means Poisson-like arrivals, above means bursty/clumped, below
+    * means regular — the statistical backbone of capacity planning.
+    * Computed exactly: D = (n·Σx² − (Σx)²) / (n·Σx) as one e6 truncating
+    * division of DECIMAL(38,0) moments. Only customers with ≥1 order are
+    * observed (the orders table defines the population; the zero-order
+    * tail would need the customer dimension and is a different question).
+    */
+  val q179DispersionIndex: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+    perCust.join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .select(col("c_mktsegment"), col("n_customers"), col("sx"),
+        expr(s"""CAST((CAST(n_customers AS $dec) * sxx
+                 |  - CAST(sx AS $dec) * CAST(sx AS $dec)) * 1000000
+                 |  div (CAST(n_customers AS $dec) * CAST(sx AS $dec))
+                 |  AS BIGINT)""".stripMargin).as("dispersion_e6"))
+  }
+
+  val q179Sql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey),
+      |j AS (
+      |  SELECT c_mktsegment, x
+      |  FROM per_cust JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(x) AS BIGINT) AS sx,
+      |  CAST(((COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+      |    - CAST(SUM(x) AS HUGEINT) * SUM(x)) * 1000000)
+      |    // (COUNT(*) * CAST(SUM(x) AS HUGEINT)) AS BIGINT)
+      |    AS dispersion_e6
+      |FROM j GROUP BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------- q180: OTIF by order month
+
+  /** q180: on-time-in-full — per order month, the fraction of orders whose
+    * EVERY line shipped within the 90-day SLA (q170 grades lines; OTIF
+    * grades whole orders, the customer-promise KPI). The per-order verdict
+    * is a max-latency comparison (in-full-on-time ⇔ the slowest line made
+    * it), so the order grain needs only the worst line, not the line list.
+    * Month keys are date_format/strftime numeric strings — locale-free in
+    * both engines.
+    */
+  val q180Otif: Q = (s, dir) => {
+    val worst = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("worst_day"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("order_day"))
+      .join(worst, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("otif",
+        when(col("worst_day") - col("order_day") <= 90L, 1L).otherwise(0L))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("otif")).as("n_otif"))
+      .withColumn("otif_rate_e6",
+        expr("""CAST(CAST(n_otif AS DECIMAL(38,0)) * 1000000
+                | div n_orders AS BIGINT)""".stripMargin))
+  }
+
+  val q180Sql: String =
+    """WITH worst AS (
+      |  SELECT l_orderkey,
+      |    MAX(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400)
+      |      AS worst_day
+      |  FROM lineitem GROUP BY l_orderkey),
+      |graded AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |    CASE WHEN worst_day -
+      |        CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 <= 90
+      |      THEN 1 ELSE 0 END AS otif
+      |  FROM orders JOIN worst ON o_orderkey = l_orderkey)
+      |SELECT order_month, COUNT(*) AS n_orders,
+      |  CAST(SUM(otif) AS BIGINT) AS n_otif,
+      |  CAST((CAST(SUM(otif) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+      |    AS otif_rate_e6
+      |FROM graded GROUP BY order_month""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -2403,6 +2538,9 @@ object CoreQueries {
     "q172_supplier_hhi" -> q172SupplierHhi,
     "q175_price_volume_mix" -> q175PriceVolumeMix,
     "q176_key_gaps" -> q176KeyGaps,
+    "q178_ship_spans" -> q178ShipSpans,
+    "q179_dispersion_index" -> q179DispersionIndex,
+    "q180_otif" -> q180Otif,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -2467,6 +2605,9 @@ object CoreQueries {
     "q172_supplier_hhi" -> q172Sql,
     "q175_price_volume_mix" -> q175Sql,
     "q176_key_gaps" -> q176Sql,
+    "q178_ship_spans" -> q178Sql,
+    "q179_dispersion_index" -> q179Sql,
+    "q180_otif" -> q180Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

@@ -113,6 +113,44 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q178/q180 order-grain rollups tile the shipped-order population") {
+    val shippedOrders = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct().count()
+    val spans = CoreQueries.q178ShipSpans(spark, sfDir).collect()
+    assert(spans.map(_.getAs[Long]("n_orders")).sum === shippedOrders)
+    spans.foreach { r =>
+      assert(r.getAs[Long]("n_single") <= r.getAs[Long]("n_orders"), r)
+      assert(r.getAs[Long]("p90_span_d") <= r.getAs[Long]("max_span_d"), r)
+    }
+    val otif = CoreQueries.q180Otif(spark, sfDir).collect()
+    assert(otif.map(_.getAs[Long]("n_orders")).sum === shippedOrders)
+    otif.foreach { r =>
+      val rate = BigInt(r.getAs[Long]("n_otif")) * 1000000 /
+        BigInt(r.getAs[Long]("n_orders"))
+      assert(r.getAs[Long]("otif_rate_e6") === rate.toLong, r)
+    }
+  }
+
+  test("q179 dispersion index matches a serial variance/mean recompute") {
+    val rows = CoreQueries.q179DispersionIndex(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val counts = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .join(graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for ((seg, xs0) <- counts.groupBy(_._1)) {
+      val xs = xs0.map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val d = (n * xs.map(x => x * x).sum - math.pow(xs.sum, 2)) /
+        (n * xs.sum)
+      val got = rows(seg).getAs[Long]("dispersion_e6")
+      assert(math.abs(got - math.floor(d * 1e6)) <= 1, s"$seg: $got vs $d")
+    }
+  }
+
   test("q152 allocations sum exactly to the header total per order") {
     val rows = CoreQueries.q152Allocation(spark, sfDir)
       .as[(Long, Int, Long, Long)].collect()
