@@ -110,6 +110,49 @@ object Media {
     }
   }
 
+  final case class SceneCut(media_id: Long, frame: Int, dist: Double)
+
+  /** Shot-boundary (scene-change) detection for multi-frame media: a cut is
+    * declared at frame f when the L2 distance between frame f's and frame
+    * f−1's content features exceeds `threshold` — the segmentation step a
+    * video training pipeline runs before sampling representative frames
+    * per shot (sampling uniformly across a 2-shot clip oversamples the
+    * long shot; sampling per cut doesn't). Runs at the same per-partition
+    * decode seam as [[sampleFrames]]; the previous frame's features carry
+    * through the in-order fold so each pair costs one new frame decode.
+    * Single-frame and still media yield no cuts. Spec-proven (CodecsSpec
+    * constructs a two-shot PPM stream; DuckDB cannot decode media, so no
+    * SQL oracle can exist).
+    */
+  def sceneChanges(spark: SparkSession, media: Dataset[MediaRow], dim: Int,
+      threshold: Double,
+      decoder: MediaDecoder = CodecDecoder): Dataset[SceneCut] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = decoder.probe(r.kind, r.media).n_frames
+        if (n <= 1) Iterator.empty
+        else {
+          var prev = decoder.frameFeatures(r.media, 0, dim)
+          (1 until n).iterator.flatMap { f =>
+            val cur = decoder.frameFeatures(r.media, f, dim)
+            var s = 0.0
+            var i = 0
+            while (i < cur.length) {
+              val d = cur(i).toDouble - prev(i).toDouble
+              s += d * d
+              i += 1
+            }
+            prev = cur
+            val dist = math.sqrt(s)
+            if (dist > threshold) Some(SceneCut(r.media_id, f, dist))
+            else None
+          }
+        }
+      }
+    }
+  }
+
   final case class MediaHash(media_id: Long, phash: Long)
 
   /** Decode each image and fingerprint it with the 64-bit average hash —

@@ -102,6 +102,25 @@ class CodecsSpec extends SparkSpec {
     assert(mean(frames(1).frame_features) > mean(frames(2).frame_features))
   }
 
+  test("scene-change detection cuts exactly at the shot boundary") {
+    import spark.implicits._
+    // shot 1: three bright frames; shot 2: three dark frames — one cut
+    val stream = ppm(8, 6, 255) ++ ppm(8, 6, 250) ++ ppm(8, 6, 245) ++
+      ppm(8, 6, 10) ++ ppm(8, 6, 12) ++ ppm(8, 6, 8)
+    val rows = Seq(
+      Media.MediaRow(1, "video", stream),
+      Media.MediaRow(2, "image", ppm(8, 6, 200))).toDS() // still: no cuts
+    val cuts = Media.sceneChanges(spark, rows, dim = 8, threshold = 0.2,
+      CodecDecoder).collect()
+    assert(cuts.map(_.media_id).toSet === Set(1L))
+    assert(cuts.length === 1, cuts.mkString(", "))
+    assert(cuts.head.frame === 3)
+    // threshold zero flags every inter-frame delta
+    val all = Media.sceneChanges(spark, rows, dim = 8, threshold = 0.0,
+      CodecDecoder).collect()
+    assert(all.length === 5)
+  }
+
   /** Encode a left→right luminance gradient as JPEG/PNG via the JDK codec. */
   private def encodedImage(w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
