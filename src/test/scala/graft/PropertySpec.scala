@@ -123,4 +123,84 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("U-curve largest-remainder credits conserve any amount over any path") {
+    // the q166 weight scheme as pure arithmetic: for every path length m
+    // and amount v, floor shares + top-remainder cents sum EXACTLY to v,
+    // and every credit sits within one cent of its real share
+    forAll(Gen.zip(Gen.choose(1, 25), Gen.choose(0L, 2000000000L)), n = 60) {
+      case (m, v) =>
+        val num = (1 to m).map { rn =>
+          if (m <= 2) 1L
+          else if (rn == 1 || rn == m) 4L * (m - 2)
+          else 2L
+        }
+        val den = if (m == 1) 1L else if (m == 2) 2L else 10L * (m - 2)
+        assert(num.sum === den, s"m=$m")
+        val base = num.map(n => v * n / den)
+        val rem = num.map(n => v * n % den)
+        val leftover = v - base.sum
+        assert(leftover >= 0 && leftover < m, s"m=$m v=$v")
+        val rk = rem.zipWithIndex.sortBy { case (r, i) => (-r, i) }
+          .map(_._2).zipWithIndex.toMap // position -> rank
+        val credit = base.zipWithIndex.map { case (b, i) =>
+          b + (if (rk(i) < leftover) 1L else 0L)
+        }
+        assert(credit.sum === v, s"m=$m v=$v")
+        credit.zip(num).foreach { case (c, n) =>
+          assert(math.abs(c * den - v * n) <= den, s"m=$m v=$v")
+        }
+    }
+  }
+
+  test("Spark div matches BigInt truncation toward zero for any sign") {
+    // the sign-factored division contract q167/q175/q177 build on
+    forAll(Gen.zip(Gen.choose(-1000000000000L, 1000000000000L),
+      Gen.choose(1L, 999999L)), n = 40) { case (num, den) =>
+      val got = evalOne(expr(s"CAST($num div $den AS BIGINT)"))
+      assert(got === (BigInt(num) / BigInt(den)).toLong, s"$num div $den")
+    }
+  }
+
+  test("rank-sum AUC identity equals pairwise counting on random labels") {
+    // the q164 formula as pure arithmetic over random (score, label) sets
+    val g = Gen.listOfN(30, Gen.zip(Gen.choose(-5L, 5L), Gen.oneOf(0L, 1L)))
+    forAll(g, n = 30) { pts =>
+      val pos = pts.filter(_._2 == 1L).map(_._1)
+      val neg = pts.filter(_._2 == 0L).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // distinct-score rollup formulation (what the query computes)
+        val byScore = pts.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (s, xs) => (s, xs.count(_._2 == 1L).toLong,
+            xs.count(_._2 == 0L).toLong)
+        }
+        var negBelow = 0L
+        var u2 = 0L
+        byScore.foreach { case (_, p, n) =>
+          u2 += p * (2 * negBelow + n); negBelow += n
+        }
+        // ground truth: pairwise wins + half-ties
+        val wins = (for (p <- pos; n <- neg) yield
+          (if (p > n) 2L else if (p == n) 1L else 0L)).sum
+        assert(u2 === wins, s"pts=$pts")
+      }
+    }
+  }
+
+  test("event-differencing equals interval sweeping at every change day") {
+    // the q171 scheme over random (possibly inverted) intervals
+    val g = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 30L), Gen.choose(-5L, 35L)))
+    forAll(g, n = 30) { iv0 =>
+      val iv = iv0.map { case (s, c) => (s, math.max(s, c)) } // clamp as q171
+      val deltas = iv.flatMap { case (s, c) => Seq((s, 1L), (c + 1, -1L)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var acc = 0L
+      deltas.foreach { case (d, net) =>
+        acc += net
+        val open = iv.count { case (s, c) => s <= d && d <= c }.toLong
+        assert(acc === open, s"day $d of $iv")
+      }
+      assert(acc === 0L, "every interval eventually closes")
+    }
+  }
 }
