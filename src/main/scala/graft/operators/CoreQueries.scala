@@ -2436,6 +2436,75 @@ object CoreQueries {
       |    AS otif_rate_e6
       |FROM graded GROUP BY order_month""".stripMargin
 
+  // ------------------------------------------- q181: k-anonymity audit
+
+  /** q181: k-anonymity / l-diversity audit — before publishing a customer
+    * extract, how identifiable are its rows? Quasi-identifier = (nation,
+    * $1000 account-balance band); sensitive attribute = market segment.
+    * The report is one row: group count, minimum group size (the k in
+    * k-anonymity), minimum sensitive-value diversity (the l), how many
+    * ROWS sit in groups smaller than 5 (re-identification candidates) and
+    * how many GROUPS expose a single segment value (attribute-disclosure
+    * candidates), each as an exact e6 rate.
+    *
+    * The balance band offsets by +100000 cents before the truncating
+    * division so the operand is never negative (negative operands are
+    * where Spark's div and DuckDB's // part ways — q167 note); band 0 is
+    * the overdrawn cohort. Two aggregations, both partial+final; the QI
+    * rollup is the only corpus-scale shuffle.
+    */
+  val q181KAnonymity: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        expr("(CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) div 100000")
+          .as("bal_band"),
+        col("c_mktsegment"))
+    val groups = c.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_rows"),
+        min(col("k")).as("k_min"),
+        min(col("l")).as("l_min"),
+        sum(when(col("k") < 5L, col("k")).otherwise(0L)).as("rows_below_k5"),
+        sum(when(col("l") < 2L, 1L).otherwise(0L)).as("groups_below_l2"))
+      .select(col("n_groups"), col("n_rows"), col("k_min"), col("l_min"),
+        col("rows_below_k5"), col("groups_below_l2"),
+        expr("""CAST(CAST(rows_below_k5 AS DECIMAL(38,0)) * 1000000
+                | div n_rows AS BIGINT)""".stripMargin)
+          .as("risky_row_rate_e6"),
+        expr("""CAST(CAST(groups_below_l2 AS DECIMAL(38,0)) * 1000000
+                | div n_groups AS BIGINT)""".stripMargin)
+          .as("exposed_group_rate_e6"))
+  }
+
+  val q181Sql: String =
+    """WITH qi AS (
+      |  SELECT c_nationkey,
+      |    (CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) // 100000
+      |      AS bal_band,
+      |    c_mktsegment
+      |  FROM customer),
+      |groups AS (
+      |  SELECT c_nationkey, bal_band, COUNT(*) AS k,
+      |    COUNT(DISTINCT c_mktsegment) AS l
+      |  FROM qi GROUP BY c_nationkey, bal_band),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |    MIN(k) AS k_min, MIN(l) AS l_min,
+      |    CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |      AS rows_below_k5,
+      |    CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS groups_below_l2
+      |  FROM groups)
+      |SELECT n_groups, n_rows, k_min, l_min, rows_below_k5, groups_below_l2,
+      |  CAST((CAST(rows_below_k5 AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+      |    AS risky_row_rate_e6,
+      |  CAST((CAST(groups_below_l2 AS HUGEINT) * 1000000) // n_groups
+      |    AS BIGINT) AS exposed_group_rate_e6
+      |FROM agg""".stripMargin
+
   // ------------------------------------------- q154: two-feature OLS
 
   /** q154: multiple linear regression (two regressors) per group — extended
@@ -2541,6 +2610,7 @@ object CoreQueries {
     "q178_ship_spans" -> q178ShipSpans,
     "q179_dispersion_index" -> q179DispersionIndex,
     "q180_otif" -> q180Otif,
+    "q181_k_anonymity" -> q181KAnonymity,
     "q123_skyline" -> q123Skyline,
     "q01_pricing_summary" -> q01Agg,
     "q02_count_distinct" -> q02CountDistinct,
@@ -2608,6 +2678,7 @@ object CoreQueries {
     "q178_ship_spans" -> q178Sql,
     "q179_dispersion_index" -> q179Sql,
     "q180_otif" -> q180Sql,
+    "q181_k_anonymity" -> q181Sql,
     "q123_skyline" -> q123Sql,
     "q36_rollup" -> q36Sql,
     "q77_grouping_sets" -> q77Sql,

@@ -151,6 +151,25 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q181 k-anonymity report matches a serial group-size recount") {
+    val Array(r) = CoreQueries.q181KAnonymity(spark, sfDir).collect()
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"),
+        expr("(CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) div 100000"),
+        col("c_mktsegment")).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getString(2)))
+    val groups = rows.groupBy(_._1)
+    assert(r.getAs[Long]("n_groups") === groups.size.toLong)
+    assert(r.getAs[Long]("n_rows") === rows.length.toLong)
+    assert(r.getAs[Long]("k_min") === groups.values.map(_.length).min.toLong)
+    assert(r.getAs[Long]("l_min") ===
+      groups.values.map(_.map(_._2).distinct.length).min.toLong)
+    assert(r.getAs[Long]("rows_below_k5") ===
+      groups.values.filter(_.length < 5).map(_.length).sum.toLong)
+    assert(r.getAs[Long]("groups_below_l2") ===
+      groups.values.count(_.map(_._2).distinct.length < 2).toLong)
+  }
+
   test("q152 allocations sum exactly to the header total per order") {
     val rows = CoreQueries.q152Allocation(spark, sfDir)
       .as[(Long, Int, Long, Long)].collect()
