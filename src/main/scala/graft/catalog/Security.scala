@@ -80,4 +80,25 @@ final class Security(spark: SparkSession) {
       .filter(col("r.type_desc") === "DATABASE_ROLE")
       .select(col("r.name").as("role_principal_name"),
         col("m.name").as("member_principal_name"))
+
+  /** IS_ROLEMEMBER with nesting: true when `member` reaches `role` through
+    * any chain of role memberships (roles may be members of roles, as in
+    * sys.database_role_members). Driver-side BFS over the metadata sets —
+    * principals are catalog-scale, never data-scale.
+    */
+  def isMemberTransitive(role: String, member: String): Boolean = synchronized {
+    val target = principal(role).id
+    val start = principal(member).id
+    // walk upward: which roles contain X, which roles contain those...
+    val containing = members.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val seen = scala.collection.mutable.Set[Int]()
+    var frontier = containing.getOrElse(start, Set.empty[Int]).toSet
+    while (frontier.nonEmpty) {
+      if (frontier.contains(target)) return true
+      seen ++= frontier
+      frontier = frontier.flatMap(id => containing.getOrElse(id, Set.empty))
+        .diff(seen)
+    }
+    false
+  }
 }

@@ -144,6 +144,43 @@ class MonitoringViewsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { sec.addRoleMember("nope", "alice") }
   }
 
+  test("dynamic data masking honors transitive unmask roles per audience") {
+    import spark.implicits._
+    val sec = new graft.catalog.Security(spark)
+    sec.createRole("pii_readers")
+    sec.createRole("analysts")       // nested inside pii_readers
+    sec.createUser("carol")          // analyst → transitively unmasked
+    sec.createUser("mallory")        // no roles → masked
+    sec.addRoleMember("pii_readers", "analysts")
+    sec.addRoleMember("analysts", "carol")
+    assert(sec.isMemberTransitive("pii_readers", "carol"))
+    assert(!sec.isMemberTransitive("pii_readers", "mallory"))
+
+    Seq((1L, "ada@math.org", "Ada Lovelace", 1234.56),
+        (2L, "bob@eng.io", "Bo", -7.25))
+      .toDF("id", "email", "name", "balance")
+      .createOrReplaceTempView("pii_src")
+    val masks = Map("email" -> "email", "name" -> "partial:1:1",
+      "balance" -> "default")
+
+    graft.catalog.Masking.createMaskedView(spark, sec, "pii_src", masks,
+      "v_pii_carol", Set("pii_readers"), "carol")
+    graft.catalog.Masking.createMaskedView(spark, sec, "pii_src", masks,
+      "v_pii_mallory", Set("pii_readers"), "mallory")
+
+    val clear = spark.table("v_pii_carol").orderBy("id").collect()
+    assert(clear(0).getString(1) === "ada@math.org")
+    assert(clear(0).getDouble(3) === 1234.56)
+
+    val m = spark.table("v_pii_mallory").orderBy("id").collect()
+    assert(m(0).getString(1) === "axxx@xxxx.com")
+    assert(m(0).getString(2) === "Axxxxe")         // partial:1:1
+    assert(m(1).getString(2) === "xxxx")           // too short → full mask
+    assert(m(0).getDouble(3) === 0.0)
+    // unmasked columns pass through untouched
+    assert(m(0).getLong(0) === 1L)
+  }
+
   test("tempdb, rowgroups and impacted-tables widgets (sqlops set complete)") {
     val j = new QueryJournal(spark).start()
     try {
