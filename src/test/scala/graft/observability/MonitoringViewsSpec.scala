@@ -181,6 +181,33 @@ class MonitoringViewsSpec extends SparkSpec {
     assert(m(0).getLong(0) === 1L)
   }
 
+  test("row-level security filters per audience and pushes to the scan") {
+    val sec = new graft.catalog.Security(spark)
+    sec.createRole("rls_bypass")
+    sec.createUser("admin")
+    sec.createUser("regional")
+    sec.addRoleMember("rls_bypass", "admin")
+    graft.Tables.customer(spark, sfDir).createOrReplaceTempView("rls_src")
+    val pred = Seq(col("c_nationkey") < 5)
+    graft.catalog.Rls.createFilteredView(spark, sec, "rls_src", pred,
+      "v_cust_admin", Set("rls_bypass"), "admin")
+    graft.catalog.Rls.createFilteredView(spark, sec, "rls_src", pred,
+      "v_cust_regional", Set("rls_bypass"), "regional")
+    val all = graft.Tables.customer(spark, sfDir).count()
+    val scoped = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") < 5).count()
+    assert(spark.table("v_cust_admin").count() === all)
+    assert(spark.table("v_cust_regional").count() === scoped)
+    assert(scoped < all, "the predicate must actually scope rows")
+    // the RLS predicate reaches the parquet scan as a pushed filter
+    val plan = spark.table("v_cust_regional")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(c_nationkey,5)"), plan)
+    // consumer predicates compose on top of the policy
+    assert(spark.table("v_cust_regional")
+      .filter(col("c_nationkey") === 20).count() === 0)
+  }
+
   test("tempdb, rowgroups and impacted-tables widgets (sqlops set complete)") {
     val j = new QueryJournal(spark).start()
     try {
