@@ -1027,6 +1027,100 @@ object EventQueries {
       |  MAX(ABS(total_c - pred_c)) AS max_err_c
       |FROM evals GROUP BY dow""".stripMargin
 
+  // ------------------------------------------- q182: forecast scorecard
+
+  /** q182: the forecast-accuracy scorecard q130's backtest feeds — one row
+    * with the metrics a forecasting review actually reads: WAPE (weighted
+    * absolute percentage error), signed bias, and the SKILL ratio against
+    * the naive same-weekday carry-forward (beat-the-naive is the
+    * walk-forward literature's MASE test: a model with skill < 1e6 loses
+    * to "same as last week" and should not ship). Both the expanding-mean
+    * model and the naive baseline evaluate on the SAME eval rows (every
+    * day with at least one prior same-weekday observation — lag-1 exists
+    * exactly where the expanding window is non-empty).
+    *
+    * All error sums accumulate in DECIMAL(38,0); every ratio is one
+    * truncating e6 division (the signed bias through the sign-factored
+    * form); zero model error yields NULL skill rather than a division
+    * blow-up. One event pass to the |days| rollup; windows and the final
+    * single-row aggregate run over that rollup.
+    */
+  val q182ForecastScorecard: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("total_c"))
+      .withColumn("dow", (col("day") + 4) % 7)
+    val w = Window.partitionBy(col("dow")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagW = Window.partitionBy(col("dow")).orderBy(col("day"))
+    val evals = daily
+      .withColumn("psum", sum(col("total_c").cast(dec)).over(w))
+      .withColumn("pcnt", count(lit(1)).over(w))
+      .withColumn("pred_naive", lag(col("total_c"), 1).over(lagW))
+      .filter(col("pcnt") >= 1)
+      .select(col("total_c"),
+        expr(s"CAST(psum DIV CAST(pcnt AS $dec) AS BIGINT)").as("pred_m"),
+        col("pred_naive"))
+    evals.agg(
+        count(lit(1)).as("n_evals"),
+        sum(col("total_c").cast(dec)).as("sum_act"),
+        sum(abs(col("total_c") - col("pred_m")).cast(dec)).as("err_m"),
+        sum(abs(col("total_c") - col("pred_naive")).cast(dec)).as("err_n"),
+        sum((col("total_c") - col("pred_m")).cast(dec)).as("bias_num"))
+      .select(col("n_evals"),
+        expr("CAST(err_m * 1000000 div sum_act AS BIGINT)")
+          .as("wape_model_e6"),
+        expr("CAST(err_n * 1000000 div sum_act AS BIGINT)")
+          .as("wape_naive_e6"),
+        expr("""CASE WHEN bias_num < 0
+               |  THEN -CAST((-bias_num) * 1000000 div sum_act AS BIGINT)
+               |  ELSE CAST(bias_num * 1000000 div sum_act AS BIGINT)
+               |END""".stripMargin).as("bias_e6"),
+        expr("""CASE WHEN err_m > 0
+               |  THEN CAST(err_n * 1000000 div err_m AS BIGINT)
+               |END""".stripMargin).as("skill_e6"))
+  }
+
+  val q182Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |pred AS (
+      |  SELECT (day + 4) % 7 AS dow, total_c,
+      |    SUM(CAST(total_c AS HUGEINT)) OVER (PARTITION BY (day + 4) % 7
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS psum,
+      |    COUNT(*) OVER (PARTITION BY (day + 4) % 7
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pcnt,
+      |    LAG(total_c) OVER (PARTITION BY (day + 4) % 7 ORDER BY day)
+      |      AS pred_naive
+      |  FROM daily),
+      |evals AS (
+      |  SELECT total_c, CAST(psum // pcnt AS BIGINT) AS pred_m, pred_naive
+      |  FROM pred WHERE pcnt >= 1),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_evals,
+      |    SUM(CAST(total_c AS HUGEINT)) AS sum_act,
+      |    SUM(CAST(ABS(total_c - pred_m) AS HUGEINT)) AS err_m,
+      |    SUM(CAST(ABS(total_c - pred_naive) AS HUGEINT)) AS err_n,
+      |    SUM(CAST(total_c - pred_m AS HUGEINT)) AS bias_num
+      |  FROM evals)
+      |SELECT n_evals,
+      |  CAST((err_m * 1000000) // sum_act AS BIGINT) AS wape_model_e6,
+      |  CAST((err_n * 1000000) // sum_act AS BIGINT) AS wape_naive_e6,
+      |  CASE WHEN bias_num < 0
+      |    THEN -CAST(((-bias_num) * 1000000) // sum_act AS BIGINT)
+      |    ELSE CAST((bias_num * 1000000) // sum_act AS BIGINT) END
+      |    AS bias_e6,
+      |  CASE WHEN err_m > 0
+      |    THEN CAST((err_n * 1000000) // err_m AS BIGINT) END AS skill_e6
+      |FROM agg""".stripMargin
+
   // ------------------------------------------- q131: churn-label generation
 
   /** Supervised-label generation for churn modelling: one training example
@@ -2279,6 +2373,7 @@ object EventQueries {
     "q167_seasonal_decomp" -> q167SeasonalDecomp,
     "q173_cohort_ltv" -> q173CohortLtv,
     "q174_rfm_segments" -> q174RfmSegments,
+    "q182_forecast_scorecard" -> q182ForecastScorecard,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2293,6 +2388,7 @@ object EventQueries {
     "q168_lead_lag" -> q168Sql,
     "q173_cohort_ltv" -> q173Sql,
     "q174_rfm_segments" -> q174Sql,
+    "q182_forecast_scorecard" -> q182Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -371,6 +371,38 @@ class QueriesSpec extends SparkSpec {
     assert(rTotals.keySet.min === 1L && rTotals.size >= 2, rTotals)
   }
 
+  test("q182 scorecard reconciles with the q130 per-weekday error sums") {
+    val Array(r) = EventQueries.q182ForecastScorecard(spark, sfDir).collect()
+    val q130 = EventQueries.q130SeasonalBacktest(spark, sfDir).collect()
+    assert(r.getAs[Long]("n_evals") ===
+      q130.map(_.getAs[Long]("n_evals")).sum)
+    // WAPE and bias definitions hold against a direct recompute
+    val daily = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .agg(sum(expr("cast(round(value*100) as bigint)")).as("t"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val byDow = daily.groupBy { case (d, _) => (d + 4) % 7 }
+    var (sumAct, errM, errN, biasNum) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    for ((_, days) <- byDow) {
+      val seq = days.sortBy(_._1).map(_._2)
+      for (i <- 1 until seq.length) {
+        val a = BigInt(seq(i))
+        val predM = seq.take(i).map(BigInt(_)).sum / i
+        val predN = BigInt(seq(i - 1))
+        sumAct += a; errM += (a - predM).abs; errN += (a - predN).abs
+        biasNum += a - predM
+      }
+    }
+    assert(r.getAs[Long]("wape_model_e6") === (errM * 1000000 / sumAct).toLong)
+    assert(r.getAs[Long]("wape_naive_e6") === (errN * 1000000 / sumAct).toLong)
+    val bias = if (biasNum < 0) -((-biasNum) * 1000000 / sumAct)
+      else biasNum * 1000000 / sumAct
+    assert(r.getAs[Long]("bias_e6") === bias.toLong)
+    if (errM > 0)
+      assert(r.getAs[Long]("skill_e6") === (errN * 1000000 / errM).toLong)
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
