@@ -11,6 +11,45 @@ import java.nio.file.Files
   */
 class IngestSpec extends SparkSpec {
 
+  test("erasure removes exactly the matched docs and audits them per source") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_erase").toString
+    val before = graft.Tables.documents(spark, sfDir)
+    val srcToErase = before.select(col("source")).distinct()
+      .orderBy(col("source")).limit(1).collect()(0).getString(0)
+    val idToErase = before.filter(col("source") =!= srcToErase)
+      .agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val report = graft.sources.Erasure.eraseDocuments(spark, sfDir, out,
+        bySource = Seq(srcToErase), byDocId = Seq(idToErase))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("docs_removed"), r.getAs[Long]("chars_removed"))).toMap
+    val after = spark.read.parquet(s"$out/documents.parquet")
+    // removed set = the source + the single id, nothing else
+    assert(after.filter(col("source") === srcToErase).count() === 0)
+    assert(after.filter(col("doc_id") === idToErase).count() === 0)
+    val expectRemoved = before.filter(
+      col("source") === srcToErase || col("doc_id") === idToErase).count()
+    assert(before.count() - after.count() === expectRemoved)
+    assert(report.values.map(_._1).sum === expectRemoved)
+    // audit chars reconcile with the erased rows' actual text
+    val charsBySrc = before.filter(
+        col("source") === srcToErase || col("doc_id") === idToErase)
+      .groupBy(col("source")).agg(sum(length(col("text")).cast("long")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    charsBySrc.foreach { case (src, chars) =>
+      assert(report(src)._2 === chars, src)
+    }
+    // the ids-frame regime removes the same rows with a broadcast join
+    val out2 = java.nio.file.Files.createTempDirectory("graft_erase2").toString
+    val report2 = graft.sources.Erasure.eraseDocuments(spark, sfDir, out2,
+      bySource = Seq(srcToErase),
+      idsDf = Some(Seq(idToErase).toDF("doc_id")))
+    assert(report2.agg(sum(col("docs_removed"))).collect()(0).getLong(0)
+      === expectRemoved)
+    assert(spark.read.parquet(s"$out2/documents.parquet").count()
+      === after.count())
+  }
+
   private def tmpCsv(lines: String*): String = {
     val dir = Files.createTempDirectory("graft_csv")
     Files.write(dir.resolve("part-000.csv"),
