@@ -1228,6 +1228,67 @@ object EventQueries {
       |  ON a.day BETWEEN s.day - ${RollingDays - 1} AND s.day
       |GROUP BY s.day""".stripMargin
 
+  // ------------------------------------------- q183: DAU/MAU stickiness
+
+  /** 28-day window for the stickiness denominator. */
+  val MauDays = 28L
+
+  /** q183: DAU/MAU stickiness — the growth metric: distinct daily actives
+    * over distinct 28-day actives per day, EXACT (no sketch), using q137's
+    * interval-coverage trick at both granularities: the per-user active-day
+    * stream (one row per user-day via the day-ordered lag filter) feeds
+    * DAU as a plain day rollup, and MAU as per-user NEW-coverage intervals
+    * ([max(day, prev+28), day+27] — the days this activity newly covers)
+    * exploded onto the day axis. No |days|×|users| join, no 28-wide
+    * self-join: the MAU explode emits at most 28 rows per user-day and
+    * collapses immediately. The user-day stream localCheckpoints because
+    * both metrics branch from it.
+    */
+  val q183Stickiness: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val userDays = e.withColumn("pday", lag(col("day"), 1).over(w))
+      .filter(col("pday").isNull || col("pday") < col("day"))
+      .localCheckpoint()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mx = Tables.events(s, dir)
+      .agg(max(expr("unix_timestamp(ts) DIV 86400")).as("maxday"))
+    val mau = userDays
+      .select(greatest(col("day"),
+          coalesce(col("pday") + MauDays, col("day"))).as("lo"),
+        (col("day") + (MauDays - 1)).as("hi"))
+      .join(broadcast(mx))
+      .select(col("lo"), least(col("hi"), col("maxday")).as("hi"))
+      .filter(col("lo") <= col("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("""CAST(CAST(dau AS DECIMAL(38,0)) * 1000000
+                | div mau AS BIGINT)""".stripMargin).as("stickiness_e6"))
+  }
+
+  val q183Sql: String =
+    s"""WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |spine AS (
+      |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM act),
+      |                                (SELECT MAX(day) FROM act))) AS day),
+      |m AS (
+      |  SELECT s.day AS day, COUNT(DISTINCT a.user_id) AS mau
+      |  FROM spine s JOIN act a
+      |    ON a.day BETWEEN s.day - ${MauDays - 1} AND s.day
+      |  GROUP BY s.day),
+      |d AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day)
+      |SELECT day, dau, mau,
+      |  CAST((CAST(dau AS HUGEINT) * 1000000) // mau AS BIGINT)
+      |    AS stickiness_e6
+      |FROM d JOIN m USING (day)""".stripMargin
+
   // ------------------------------------------- q138: exact heavy hitters
 
   /** Misra-Gries summary size; guarantees candidates ⊇ items above
@@ -2374,6 +2435,7 @@ object EventQueries {
     "q173_cohort_ltv" -> q173CohortLtv,
     "q174_rfm_segments" -> q174RfmSegments,
     "q182_forecast_scorecard" -> q182ForecastScorecard,
+    "q183_stickiness" -> q183Stickiness,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2389,6 +2451,7 @@ object EventQueries {
     "q173_cohort_ltv" -> q173Sql,
     "q174_rfm_segments" -> q174Sql,
     "q182_forecast_scorecard" -> q182Sql,
+    "q183_stickiness" -> q183Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

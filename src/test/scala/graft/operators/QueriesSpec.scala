@@ -403,6 +403,28 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("skill_e6") === (errN * 1000000 / errM).toLong)
   }
 
+  test("q183 DAU/MAU equals distinct recounts on every day") {
+    val rows = EventQueries.q183Stickiness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val userDays = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val activeDays = userDays.map(_._2).distinct
+    assert(rows.keySet === activeDays.toSet)
+    for (d <- activeDays) {
+      val dau = userDays.count(_._2 == d).toLong
+      val mau = userDays.filter { case (_, ad) =>
+        ad >= d - (EventQueries.MauDays - 1) && ad <= d
+      }.map(_._1).distinct.length.toLong
+      val r = rows(d)
+      assert(r.getAs[Long]("dau") === dau, s"day $d")
+      assert(r.getAs[Long]("mau") === mau, s"day $d")
+      assert(dau <= mau)
+      assert(r.getAs[Long]("stickiness_e6") ===
+        (BigInt(dau) * 1000000 / BigInt(mau)).toLong, s"day $d")
+    }
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
