@@ -8,6 +8,45 @@ import graft.SparkSpec
   */
 class DeploymentSpec extends SparkSpec {
 
+  test("schema-compat gate classifies every evolution class correctly") {
+    import org.apache.spark.sql.types._
+    val before = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("qty", IntegerType, nullable = true),
+      StructField("price", FloatType, nullable = true),
+      StructField("note", StringType, nullable = true),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("strict", StringType, nullable = true)))
+    val after = StructType(Seq(
+      StructField("id", LongType, nullable = true),      // relaxed: ok
+      StructField("qty", LongType, nullable = true),     // widened: ok
+      StructField("price", IntegerType, nullable = true), // narrowed: break
+      StructField("added_ok", StringType, nullable = true),
+      StructField("added_bad", LongType, nullable = false),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("strict", StringType, nullable = false))) // tightened
+    val changes = graft.maintenance.SchemaCompat.diff(before, after)
+      .map(c => (c.column, c.change) -> c.compatibility).toMap
+    assert(changes(("id", "made_nullable")) === "compatible")
+    assert(changes(("qty", "type_changed")) === "compatible")
+    assert(changes(("price", "type_changed")) === "breaking")
+    assert(changes(("added_ok", "added")) === "compatible")
+    assert(changes(("added_bad", "added")) === "breaking")
+    assert(changes(("note", "dropped")) === "breaking")
+    assert(changes(("strict", "made_required")) === "breaking")
+    assert(!changes.contains(("flag", "type_changed")), "unchanged is silent")
+    assert(!graft.maintenance.SchemaCompat.isDeployable(before, after))
+    // a purely additive nullable evolution passes the gate
+    val safe = StructType(before.fields :+
+      StructField("extra", StringType, nullable = true))
+    assert(graft.maintenance.SchemaCompat.isDeployable(before, safe))
+    // and the report surfaces as a queryable frame
+    val rep = graft.maintenance.SchemaCompat.report(spark, before, after)
+    assert(rep.filter(
+      org.apache.spark.sql.functions.col("compatibility") === "breaking")
+      .count() === 4)
+  }
+
   test("view diff-deploy: mutate then sync restores the exported definition") {
     spark.sql("CREATE DATABASE IF NOT EXISTS dep_src")
     spark.sql(
