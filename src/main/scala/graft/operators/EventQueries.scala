@@ -1289,6 +1289,109 @@ object EventQueries {
       |    AS stickiness_e6
       |FROM d JOIN m USING (day)""".stripMargin
 
+  // ------------------------------------------- q184: new vs repeat revenue
+
+  /** q184: new-vs-repeat revenue split per week — the e-commerce health
+    * panel: of each week's purchase revenue, how much came from customers
+    * making their FIRST-EVER purchase that week? A falling new share with
+    * flat revenue means the business is living off its base. "First" is
+    * the user's first purchase week over all history (min over the
+    * per-user purchase stream — one user-keyed rollup), so a user is
+    * "new" in exactly one week. Shares are exact e6 divisions.
+    */
+  val q184NewVsRepeat: Q = (s, dir) => {
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v_c"),
+        expr("unix_timestamp(ts) DIV 604800").as("week"))
+    val firsts = p.groupBy(col("user_id"))
+      .agg(min(col("week")).as("first_week"))
+    p.join(firsts, "user_id")
+      .withColumn("is_new", (col("week") === col("first_week")).cast("long"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v_c")).as("revenue_c"),
+        sum(col("is_new") * col("v_c")).as("new_revenue_c"),
+        sum(col("is_new")).as("n_new_purchases"))
+      .withColumn("new_share_e6",
+        expr("""CAST(CAST(new_revenue_c AS DECIMAL(38,0)) * 1000000
+                | div revenue_c AS BIGINT)""".stripMargin))
+  }
+
+  val q184Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS week
+      |  FROM events WHERE event_type = 'purchase'),
+      |firsts AS (
+      |  SELECT user_id, MIN(week) AS first_week FROM p GROUP BY user_id)
+      |SELECT week, COUNT(*) AS n_purchases,
+      |  CAST(SUM(v_c) AS BIGINT) AS revenue_c,
+      |  CAST(SUM(CASE WHEN week = first_week THEN v_c ELSE 0 END) AS BIGINT)
+      |    AS new_revenue_c,
+      |  CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_purchases,
+      |  CAST((CAST(SUM(CASE WHEN week = first_week THEN v_c ELSE 0 END)
+      |    AS HUGEINT) * 1000000) // SUM(v_c) AS BIGINT) AS new_share_e6
+      |FROM p JOIN firsts USING (user_id)
+      |GROUP BY week""".stripMargin
+
+  // ------------------------------------------- q185: peak concurrency
+
+  /** q185: peak concurrent activity per day — the capacity-planning
+    * number: each event opens a [[CoverageWindowMs]] attention window
+    * (q156's semantics), and the day's peak is the maximum number of
+    * windows simultaneously open. Event differencing again (+1 at open,
+    * −1 at close), with the running sum maximized per start-of-window
+    * day: the concurrency level changes only at a delta, so the maximum
+    * over the day is the maximum over its deltas. The delta stream is 2
+    * rows per event collapsing to per-ms-timestamp nets before the one
+    * ordered window.
+    *
+    * The running sum orders globally over the distinct delta-timestamp
+    * rollup — bounded by distinct event times, the same single-series
+    * posture as q171's backlog (and partitionable by day at 100 TB
+    * because windows never cross more than one boundary: add a per-day
+    * carry-in from the previous day's closing level).
+    */
+  val q185PeakConcurrency: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(unix_millis(col("ts")).as("open_ms"))
+      .withColumn("close_ms", col("open_ms") + CoverageWindowMs)
+    val deltas = e.select(explode(array(
+        struct(col("open_ms").as("ms"), lit(1L).as("delta")),
+        struct(col("close_ms").as("ms"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.ms").as("ms"), col("x.delta").as("delta"))
+      .groupBy(col("ms")).agg(sum(col("delta")).as("net"))
+    val run = Window.orderBy(col("ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("level", sum(col("net")).over(run))
+      .groupBy(expr("ms DIV 86400000").as("day"))
+      .agg(max(col("level")).as("peak_concurrency"),
+        count(lit(1)).as("n_changes"))
+  }
+
+  // lazy: interpolates CoverageWindowMs, which declares later in the file —
+  // an eager val would capture the pre-init 0 (it did; the gate caught it)
+  lazy val q185Sql: String =
+    s"""WITH e AS (
+      |  SELECT epoch_ms(ts) AS open_ms,
+      |    epoch_ms(ts) + $CoverageWindowMs AS close_ms
+      |  FROM events),
+      |deltas AS (
+      |  SELECT ms, CAST(SUM(delta) AS BIGINT) AS net FROM (
+      |    SELECT open_ms AS ms, 1 AS delta FROM e
+      |    UNION ALL
+      |    SELECT close_ms, -1 FROM e)
+      |  GROUP BY ms),
+      |lv AS (
+      |  SELECT ms, CAST(SUM(net) OVER (ORDER BY ms) AS BIGINT) AS level
+      |  FROM deltas)
+      |SELECT ms // 86400000 AS day,
+      |  MAX(level) AS peak_concurrency, COUNT(*) AS n_changes
+      |FROM lv GROUP BY ms // 86400000""".stripMargin
+
   // ------------------------------------------- q138: exact heavy hitters
 
   /** Misra-Gries summary size; guarantees candidates ⊇ items above
@@ -2436,6 +2539,8 @@ object EventQueries {
     "q174_rfm_segments" -> q174RfmSegments,
     "q182_forecast_scorecard" -> q182ForecastScorecard,
     "q183_stickiness" -> q183Stickiness,
+    "q184_new_vs_repeat" -> q184NewVsRepeat,
+    "q185_peak_concurrency" -> q185PeakConcurrency,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2452,6 +2557,8 @@ object EventQueries {
     "q174_rfm_segments" -> q174Sql,
     "q182_forecast_scorecard" -> q182Sql,
     "q183_stickiness" -> q183Sql,
+    "q184_new_vs_repeat" -> q184Sql,
+    "q185_peak_concurrency" -> q185Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

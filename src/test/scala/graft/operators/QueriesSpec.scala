@@ -425,6 +425,43 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q184 new+repeat tiles weekly revenue; every user is new once") {
+    val rows = EventQueries.q184NewVsRepeat(spark, sfDir).collect()
+    val total = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value*100) as bigint)")), count(lit(1)))
+      .collect()(0)
+    assert(rows.map(_.getAs[Long]("revenue_c")).sum === total.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === total.getLong(1))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_revenue_c") <= r.getAs[Long]("revenue_c"), r)
+    }
+    // the first observed week is 100% new revenue
+    val first = rows.minBy(_.getAs[Long]("week"))
+    assert(first.getAs[Long]("new_share_e6") === 1000000L)
+  }
+
+  test("q185 peak concurrency equals a serial sweep over open windows") {
+    val rows = EventQueries.q185PeakConcurrency(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("peak_concurrency")).toMap
+    val opens = graft.Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts)")).collect().map(_.getLong(0)).sorted
+    val closes = opens.map(_ + EventQueries.CoverageWindowMs)
+    // serial sweep: walk the merged delta stream
+    val deltas = (opens.map((_, 1)) ++ closes.map((_, -1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    var level = 0L
+    val peaks = scala.collection.mutable.Map[Long, Long]()
+    deltas.foreach { case (ms, net) =>
+      level += net
+      val day = ms / 86400000L
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), level)
+    }
+    assert(rows.keySet === peaks.keySet)
+    rows.foreach { case (d, p) => assert(p === peaks(d), s"day $d") }
+  }
+
   test("q117 integer-sum moments agree with Spark's streaming aggregates") {
     val exact = CoreQueries.q117CorrRegression(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
