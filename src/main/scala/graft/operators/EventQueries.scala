@@ -1392,6 +1392,126 @@ object EventQueries {
       |  MAX(level) AS peak_concurrency, COUNT(*) AS n_changes
       |FROM lv GROUP BY ms // 86400000""".stripMargin
 
+  // ------------------------------------------- q186: session quality
+
+  /** q186: daily session-quality panel — the engagement health metrics over
+    * the q71 sessionization: per day (of session start), session count,
+    * bounce rate (single-event sessions), events-per-session, and the total
+    * and maximum in-session span. Sessions come from the SAME
+    * `session_window` operator as q71 (streaming-portable semantics); the
+    * in-session span subtracts the 30-minute gap padding session_window
+    * appends to the last event, recovering max(ts) − min(ts) exactly.
+    * Shares and means are exact integer e6/e3 divisions on nonnegative
+    * operands (Spark DIV ≡ DuckDB // there). One user-keyed session
+    * shuffle + one day rollup — the q71 scale posture.
+    */
+  val q186SessionQuality: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val sess = e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        expr("unix_millis(session_window.start) DIV 86400000").as("day"),
+        (unix_millis(col("session_window.end")) - lit(1800000L) -
+          unix_millis(col("session_window.start"))).as("span_ms"),
+        col("n_events"))
+    sess.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("n_events") === 1).cast("long")).as("n_bounces"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("span_ms")).as("total_span_ms"),
+        max(col("span_ms")).as("max_span_ms"))
+      .withColumn("bounce_share_e6",
+        expr("n_bounces * 1000000 DIV n_sessions"))
+      .withColumn("events_per_session_e3",
+        expr("n_events * 1000 DIV n_sessions"))
+  }
+
+  val q186Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |sess AS (
+      |  SELECT epoch_ms(MIN(ts)) // 86400000 AS day,
+      |    epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS span_ms,
+      |    COUNT(*) AS n_events
+      |  FROM numbered GROUP BY user_id, session_id)
+      |SELECT day, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(span_ms) AS BIGINT) AS total_span_ms,
+      |  MAX(span_ms) AS max_span_ms,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS bounce_share_e6,
+      |  CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT) AS events_per_session_e3
+      |FROM sess GROUP BY day""".stripMargin
+
+  // ------------------------------------------- q187: time to repeat purchase
+
+  /** q187: time-to-repeat-purchase — the loyalty-loop metric: among users
+    * whose first purchase falls in each epoch-week cohort, how many ever
+    * purchase again, and how fast? One user-keyed window pass ranks each
+    * user's purchases (ts then event_id for determinism); rows 1 and 2
+    * pivot to first/second timestamps via a conditional aggregate (no
+    * self-join), and the gap quartiles are percentile_disc over exact
+    * whole-day integers — actual sample members, bit-portable. Scale: the
+    * window partitions by user_id (millions of independent partitions) and
+    * the final rollup is |cohorts| rows.
+    */
+  val q187TimeToRepeat: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val firstTwo = p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, col("ms"))).as("ms1"),
+        min(when(col("rn") === 2, col("ms"))).as("ms2"))
+      .select(expr("ms1 DIV 604800000").as("cohort_week"),
+        expr("(ms2 - ms1) DIV 86400000").as("gap_days"))
+    firstTwo.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(col("gap_days").isNotNull.cast("long")).as("n_repeat"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days)")
+          .cast("long").as("gap_q1_days"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+          .cast("long").as("gap_median_days"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days)")
+          .cast("long").as("gap_q3_days"))
+      .withColumn("repeat_share_e6", expr("n_repeat * 1000000 DIV n_buyers"))
+  }
+
+  val q187Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |ft AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN rn = 1 THEN ms END) AS ms1,
+      |    MIN(CASE WHEN rn = 2 THEN ms END) AS ms2
+      |  FROM p WHERE rn <= 2 GROUP BY user_id),
+      |gaps AS (
+      |  SELECT ms1 // 604800000 AS cohort_week,
+      |    (ms2 - ms1) // 86400000 AS gap_days
+      |  FROM ft)
+      |SELECT cohort_week, COUNT(*) AS n_buyers,
+      |  CAST(SUM(CASE WHEN gap_days IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days) AS gap_q1_days,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days) AS gap_median_days,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days) AS gap_q3_days,
+      |  CAST(SUM(CASE WHEN gap_days IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS repeat_share_e6
+      |FROM gaps GROUP BY cohort_week""".stripMargin
+
   // ------------------------------------------- q138: exact heavy hitters
 
   /** Misra-Gries summary size; guarantees candidates ⊇ items above
@@ -2541,6 +2661,8 @@ object EventQueries {
     "q183_stickiness" -> q183Stickiness,
     "q184_new_vs_repeat" -> q184NewVsRepeat,
     "q185_peak_concurrency" -> q185PeakConcurrency,
+    "q186_session_quality" -> q186SessionQuality,
+    "q187_time_to_repeat" -> q187TimeToRepeat,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2559,6 +2681,8 @@ object EventQueries {
     "q183_stickiness" -> q183Sql,
     "q184_new_vs_repeat" -> q184Sql,
     "q185_peak_concurrency" -> q185Sql,
+    "q186_session_quality" -> q186Sql,
+    "q187_time_to_repeat" -> q187Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -389,7 +389,145 @@ object GraphQueries {
       |$select""".stripMargin
   }
 
+  // ------------------------------------------- q188: degree assortativity
+
+  /** q188: graph topology panel — node/edge counts, degree extremes, leaf
+    * share, and the degree assortativity coefficient of the co-purchase
+    * graph (Newman's r: do well-connected parts co-occur with other
+    * well-connected parts, or with the periphery?). Assortativity is the
+    * Pearson correlation of endpoint degrees over the DIRECTED edge list
+    * (each undirected edge contributes both orientations — the standard
+    * symmetrized estimator, which makes Σx = Σy and Σx² = Σy²), computed
+    * from EXACT integer co-moments in DECIMAL(38,0)/HUGEINT exactly like
+    * q117: r = (M·Σxy − Σx²) / (M·Σx² − (Σx)²), one division at the end.
+    * Scale: two broadcast-able degree joins against the edge list, then a
+    * scalar aggregate — no new shuffle beyond the q107/q115 edge
+    * derivation it shares.
+    */
+  val q188DegreeAssortativity: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val deg = e.select(col("part_a").as("n")).union(e.select(col("part_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val dec = "decimal(38,0)"
+    val directed = e
+      .join(deg.select(col("n").as("part_a"), col("deg").as("da")), "part_a")
+      .join(deg.select(col("n").as("part_b"), col("deg").as("db")), "part_b")
+      .select(col("da"), col("db"))
+    val sym = directed.union(directed.select(col("db").as("da"), col("da").as("db")))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+      sum((col("deg") === 1).cast("long")).as("n_leaves"))
+    val moments = sym.agg(count(lit(1)).cast(dec).as("m"),
+      sum(col("da").cast(dec)).as("sx"),
+      sum((col("da") * col("db")).cast(dec)).as("sxy"),
+      sum((col("da") * col("da")).cast(dec)).as("sxx"))
+    degStats.crossJoin(broadcast(moments))
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        col("min_deg"), col("max_deg"), col("n_leaves"),
+        ((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
+  def q188Sql: String =
+    s"""WITH $edgesCtes,
+      |deg AS (
+      |  SELECT n, COUNT(*) AS deg FROM (
+      |    SELECT part_a AS n FROM pairs UNION ALL SELECT part_b FROM pairs)
+      |  GROUP BY n),
+      |directed AS (
+      |  SELECT da.deg AS x, db.deg AS y
+      |  FROM pairs e
+      |  JOIN deg da ON da.n = e.part_a
+      |  JOIN deg db ON db.n = e.part_b),
+      |sym AS (SELECT x, y FROM directed UNION ALL SELECT y, x FROM directed),
+      |mo AS (
+      |  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      |  FROM sym),
+      |ds AS (
+      |  SELECT COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+      |    CAST(SUM(CASE WHEN deg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaves
+      |  FROM deg)
+      |SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges, min_deg, max_deg,
+      |  n_leaves,
+      |  CAST(CAST(m * sxy - sx * sx AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(m * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS assortativity
+      |FROM ds, mo""".stripMargin
+
+  // ------------------------------------------- q189: link prediction
+
+  /** Neighbor-list cap for candidate generation: nodes with more than this
+    * many neighbors contribute no candidate pairs (hub posting lists are
+    * the quadratic risk — the same DfCap/BandCap posture as the text side).
+    */
+  private val NbrCap = 64
+
+  /** Minimum common-neighbor count for a reported candidate pair. */
+  private val MinCommon = 2
+
+  /** q189: link prediction over the co-purchase graph — for part pairs NOT
+    * yet co-purchased, score the likelihood of a future edge by common
+    * neighbors, neighborhood Jaccard, and preferential attachment
+    * (du·dv) — the classic unsupervised link-prediction triple. Candidates
+    * enumerate at their shared neighbor via the grouped in-place i<j
+    * generator over the SORTED neighbor list (one explode, fan-out ≤
+    * NbrCap²/2 per node by construction), aggregate to common-neighbor
+    * counts, anti-join the existing edge list, then decorate with exact
+    * integer degrees; Jaccard is one e6 integer division on nonnegative
+    * operands. Scale: identical posture to q115's wedge enumeration —
+    * bounded fan-out, one aggregation keyed by the candidate pair.
+    */
+  val q189LinkPrediction: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val und = e.select(col("part_a").as("u"), col("part_b").as("v"))
+      .union(e.select(col("part_b").as("u"), col("part_a").as("v")))
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val wedges = und.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .filter(size(col("nbrs")).between(2, NbrCap))
+      .select(graft.functions.Pairs.inPlace(col("nbrs"), (x, y) =>
+        struct(x.as("a"), y.as("b"))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    val cn = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= MinCommon)
+    cn.join(e, cn("a") === e("part_a") && cn("b") === e("part_b"), "left_anti")
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        expr("common_neighbors * 1000000 DIV (deg_a + deg_b - common_neighbors)")
+          .as("jaccard_e6"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"))
+  }
+
+  def q189Sql: String =
+    s"""WITH $edgesCtes,
+      |und AS (SELECT part_a AS u, part_b AS v FROM pairs
+      |        UNION ALL SELECT part_b, part_a FROM pairs),
+      |deg AS (SELECT u AS n, COUNT(*) AS deg FROM und GROUP BY u),
+      |adj AS (SELECT u, v FROM und
+      |        WHERE u IN (SELECT n FROM deg WHERE deg BETWEEN 2 AND $NbrCap)),
+      |cand AS (
+      |  SELECT x.v AS a, y.v AS b, COUNT(*) AS common_neighbors
+      |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+      |  GROUP BY x.v, y.v
+      |  HAVING COUNT(*) >= $MinCommon),
+      |new_pairs AS (
+      |  SELECT c.* FROM cand c
+      |  LEFT JOIN pairs p ON p.part_a = c.a AND p.part_b = c.b
+      |  WHERE p.part_a IS NULL)
+      |SELECT a, b, common_neighbors, da.deg AS deg_a, db.deg AS deg_b,
+      |  CAST(common_neighbors * 1000000
+      |    // (da.deg + db.deg - common_neighbors) AS BIGINT) AS jaccard_e6,
+      |  da.deg * db.deg AS pref_attach
+      |FROM new_pairs
+      |JOIN deg da ON da.n = a
+      |JOIN deg db ON db.n = b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q188_assortativity" -> q188DegreeAssortativity,
+    "q189_link_prediction" -> q189LinkPrediction,
     "q143_bfs_reach" -> q143BfsReach,
     "q122_kcore" -> q122KCore,
     "q105_pagerank" -> q105PageRank,
@@ -398,6 +536,8 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q188_assortativity" -> q188Sql,
+    "q189_link_prediction" -> q189Sql,
     "q143_bfs_reach" -> q143Sql,
     "q122_kcore" -> q122Sql,
     "q105_pagerank" -> q105Sql,

@@ -201,4 +201,53 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(at === beyond, "8 rounds must already be the fixpoint")
   }
+
+  test("q188 assortativity equals the serial Newman estimator on testdata") {
+    import org.apache.spark.sql.functions.col
+    val edges = GraphQueries.copurchaseEdges(spark, sfDir)
+      .select(col("part_a"), col("part_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xy = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m = BigInt(xy.length)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val expect = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble
+    val r = GraphQueries.q188DegreeAssortativity(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("n_nodes") === deg.size.toLong)
+    assert(r.getAs[Long]("max_deg") === deg.values.max)
+    assert(r.getAs[Double]("assortativity") === expect)
+    assert(math.abs(r.getAs[Double]("assortativity")) <= 1.0)
+  }
+
+  test("q189 link prediction: no existing edges, exact CN/Jaccard recount") {
+    import org.apache.spark.sql.functions.col
+    val edges = GraphQueries.copurchaseEdges(spark, sfDir)
+      .select(col("part_a"), col("part_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = GraphQueries.q189LinkPrediction(spark, sfDir).collect()
+    assert(rows.nonEmpty, "sf0.001 co-purchase graph must yield candidates")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a < b, "canonical order")
+      assert(!edges.contains((a, b)), s"($a,$b) already an edge")
+      val cn = r.getAs[Long]("common_neighbors")
+      // recount common neighbors RESTRICTED to capped enumerating nodes
+      val expectCn = (adj(a) & adj(b))
+        .count(w => adj(w).size >= 2 && adj(w).size <= 64)
+      assert(cn === expectCn.toLong, s"($a,$b)")
+      assert(r.getAs[Long]("deg_a") === adj(a).size.toLong)
+      assert(r.getAs[Long]("deg_b") === adj(b).size.toLong)
+      assert(r.getAs[Long]("jaccard_e6") ===
+        cn * 1000000L / (adj(a).size + adj(b).size - cn))
+      assert(r.getAs[Long]("pref_attach") ===
+        adj(a).size.toLong * adj(b).size)
+    }
+  }
 }

@@ -893,6 +893,74 @@ class QueriesSpec extends SparkSpec {
       assert(jac > 0.0 && jac <= 1.0 && cont >= jac && cont <= 1.0)
     }
   }
+
+  test("q186 session quality equals a serial per-user sessionization") {
+    val rows = EventQueries.q186SessionQuality(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    // serial recount: per user, split the sorted event stream on gaps >= 30min
+    val byUser = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    val gap = 30L * 60000
+    case class S(day: Long, span: Long, n: Long)
+    val sessions = byUser.values.flatMap { ts =>
+      val out = scala.collection.mutable.ArrayBuffer[S]()
+      var start = ts.head; var last = ts.head; var n = 0L
+      ts.foreach { t =>
+        if (t - last >= gap) {
+          out += S(start / 86400000L, last - start, n); start = t; n = 0
+        }
+        last = t; n += 1
+      }
+      out += S(start / 86400000L, last - start, n)
+      out
+    }.toSeq
+    val expect = sessions.groupBy(_.day).view.mapValues { ss =>
+      (ss.size.toLong, ss.count(_.n == 1).toLong, ss.map(_.n).sum,
+        ss.map(_.span).sum, ss.map(_.span).max)
+    }.toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (d, (ns, nb, ne, tot, mx)) =>
+      val r = rows(d)
+      assert(r.getAs[Long]("n_sessions") === ns, s"day $d sessions")
+      assert(r.getAs[Long]("n_bounces") === nb, s"day $d bounces")
+      assert(r.getAs[Long]("n_events") === ne, s"day $d events")
+      assert(r.getAs[Long]("total_span_ms") === tot, s"day $d span")
+      assert(r.getAs[Long]("max_span_ms") === mx, s"day $d max span")
+      assert(r.getAs[Long]("bounce_share_e6") === nb * 1000000L / ns)
+    }
+  }
+
+  test("q187 time-to-repeat: exact recount of cohorts and quartile membership") {
+    val rows = EventQueries.q187TimeToRepeat(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cohort_week") -> r).toMap
+    val firstTwo = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_millis(ts)"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { es =>
+        val s = es.sortBy(e => (e._2, e._3)).map(_._2).take(2)
+        (s.head, if (s.size > 1) Some(s(1)) else None)
+      }
+    val cohorts = firstTwo.values.toSeq.groupBy(_._1 / 604800000L)
+    assert(rows.keySet === cohorts.keySet)
+    cohorts.foreach { case (wk, us) =>
+      val r = rows(wk)
+      val gaps = us.flatMap { case (m1, m2) => m2.map(m => (m - m1) / 86400000L) }
+      assert(r.getAs[Long]("n_buyers") === us.size.toLong)
+      assert(r.getAs[Long]("n_repeat") === gaps.size.toLong)
+      if (gaps.nonEmpty) {
+        val med = r.getAs[Long]("gap_median_days")
+        assert(gaps.contains(med), s"median $med not a sample member")
+        // percentile_disc(0.5): smallest member with cume_dist >= 0.5
+        val sorted = gaps.sorted
+        assert(med === sorted((gaps.size - 1) / 2))
+      }
+      assert(r.getAs[Long]("repeat_share_e6") ===
+        gaps.size.toLong * 1000000L / us.size)
+    }
+  }
 }
 
 /** Pulls q126's long-format profile into a keyed map for assertions. */
