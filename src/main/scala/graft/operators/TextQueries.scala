@@ -866,6 +866,123 @@ object TextQueries {
       |  FROM h) t
       |WHERE rnk <= 50""".stripMargin
 
+  /** q190: lexical-diversity panel per source — the corpus-linguistics
+    * health report training-data curation reads before mixing sources:
+    * token mass, vocabulary size (types), type-token ratio, hapax
+    * legomena (types seen exactly once — the Heaps'-law frontier; a
+    * boilerplate-heavy or template-generated source shows an abnormally
+    * low hapax share), and the token-mass share captured by the 10 most
+    * frequent types (the Zipf head — near 1 means the source is
+    * repeating itself). All counts are exact integers from ONE
+    * (source, token) aggregation; the head share is a source-partitioned
+    * rank window over the |vocabulary|-sized rollup (tiny next to the
+    * token stream), and every ratio is a single e6 integer division on
+    * nonnegative operands. Scale: the only big shuffle is keyed by
+    * (source, token) — map-side combining absorbs the token stream.
+    */
+  val q190LexicalDiversity: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok"))
+    tf.withColumn("rnk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("cnt") === 1).cast("long")).as("n_hapax"),
+        sum(when(col("rnk") <= 10, col("cnt")).otherwise(0L)).as("top10_mass"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 DIV n_tokens").as("ttr_e6"),
+        col("n_hapax"),
+        expr("n_hapax * 1000000 DIV n_types").as("hapax_share_e6"),
+        expr("top10_mass * 1000000 DIV n_tokens").as("top10_coverage_e6"))
+  }
+
+  val q190Sql: String =
+    """WITH tf AS (
+      |  SELECT source, tok, COUNT(*) AS cnt FROM (
+      |    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY source, tok),
+      |ranked AS (
+      |  SELECT source, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk
+      |  FROM tf)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(COUNT(*) * 1000000 // SUM(cnt) AS BIGINT) AS ttr_e6,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS hapax_share_e6,
+      |  CAST(SUM(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) * 1000000 // SUM(cnt)
+      |    AS BIGINT) AS top10_coverage_e6
+      |FROM ranked GROUP BY source""".stripMargin
+
+  /** q191: leakage-free train/val/test split — q67's hash split assigns
+    * per DOCUMENT, which lets two near-duplicates straddle train and test
+    * and leak evaluation data into training (the classic contamination
+    * bug benchmark decontamination (q85) exists to catch). The fix is to
+    * split at the NEAR-DUP-CLUSTER granularity: every document inherits
+    * its q68 cluster representative (its own id when unclustered), and
+    * the split is the q67 hash-range assignment of the REP — so a whole
+    * near-dup cluster lands in exactly one split by construction. Output
+    * is the per-split audit rollup; the no-straddle property is the
+    * QueriesSpec invariant. Scale: one left join of the cluster map
+    * (candidate-graph members only — a small fraction of the corpus,
+    * usually broadcast-able; left to AQE rather than hinted, since a
+    * crawl-heavy corpus can make it large) onto the document stream;
+    * everything else is q67's map-only arithmetic.
+    */
+  val q191ClusterSplit: Q = (s, dir) => {
+    val reps = q68DedupClusters(s, dir)
+    val h = Text.portableHash(col("rep").cast("string"))
+    Tables.documents(s, dir)
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("n_chars"), col("rep"),
+        when(h < SplitT1, "train").when(h < SplitT2, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  lazy val q191Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$q55Sql
+       |  ) q),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id),
+       |assigned AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    COALESCE(cl.cluster_rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+       |split AS (
+       |  SELECT doc_id, n_chars, rep,
+       |    CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM assigned)
+       |SELECT CASE WHEN hv < $SplitT1 THEN 'train'
+       |            WHEN hv < $SplitT2 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT rep) AS n_clusters,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM split GROUP BY 1""".stripMargin
+
   /** TF-IDF cosine top-k document similarity over 3-gram shingle terms —
     * the sparse-vector similarity search of a retrieval/dedup pipeline,
     * entirely in exact integer arithmetic so it passes the bit-exact gate:
@@ -1113,6 +1230,8 @@ object TextQueries {
     "q133_lsh_quality" -> q133LshQuality,
     "q80_tfidf_topk" -> q80TfidfTopk,
     "q67_hash_split" -> q67HashSplit,
+    "q190_lexical_diversity" -> q190LexicalDiversity,
+    "q191_cluster_split" -> q191ClusterSplit,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q95_cc_starcontract" -> q95CcStarContract,
     "q102_incremental_dedup" -> q102IncrementalDedup,
@@ -1136,6 +1255,8 @@ object TextQueries {
     "q133_lsh_quality" -> q133Sql,
     "q80_tfidf_topk" -> q80Sql,
     "q67_hash_split" -> q67Sql,
+    "q190_lexical_diversity" -> q190Sql,
+    "q191_cluster_split" -> q191Sql,
     "q68_dedup_clusters" -> q68Sql,
     // star contraction and propagation share one output contract, so the
     // recursive-CTE reachability oracle applies to both

@@ -894,6 +894,62 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q190 lexical diversity equals a serial token recount per source") {
+    val rows = TextQueries.q190LexicalDiversity(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view.mapValues { ds =>
+      val toks = ds.flatMap(_._2.split(" ", -1))
+      val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val top10 = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+        .map(_._2).sum
+      (toks.length.toLong, tf.size.toLong,
+        tf.values.count(_ == 1L).toLong, top10)
+    }.toMap
+    assert(rows.keySet === bySource.keySet)
+    bySource.foreach { case (src, (nTok, nTyp, hapax, top10)) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_tokens") === nTok, src)
+      assert(r.getAs[Long]("n_types") === nTyp, src)
+      assert(r.getAs[Long]("n_hapax") === hapax, src)
+      assert(r.getAs[Long]("ttr_e6") === nTyp * 1000000L / nTok, src)
+      assert(r.getAs[Long]("top10_coverage_e6") === top10 * 1000000L / nTok, src)
+    }
+  }
+
+  test("q191 cluster split: clusters never straddle splits; totals tile") {
+    val rows = TextQueries.q191ClusterSplit(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // leakage check at DOC level: recompute each doc's split via its rep
+    // and assert every cluster maps to exactly one split
+    val reps = TextQueries.q68DedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def split(rep: Long): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(md5, 16)
+      val t1 = ((1L << 60) / 100) * 90; val t2 = ((1L << 60) / 100) * 95
+      if (h < t1) "train" else if (h < t2) "val" else "test"
+    }
+    val perCluster = ids.map(id => (reps.getOrElse(id, id), split(reps.getOrElse(id, id))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    perCluster.foreach { case (c, ss) =>
+      assert(ss.size === 1, s"cluster $c straddles splits: $ss")
+    }
+    // per-split doc counts agree with the serial assignment
+    val expect = ids.map(id => split(reps.getOrElse(id, id)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === expect(r.getAs[String]("split")))
+    }
+  }
+
   test("q186 session quality equals a serial per-user sessionization") {
     val rows = EventQueries.q186SessionQuality(spark, sfDir).collect()
       .map(r => r.getAs[Long]("day") -> r).toMap
