@@ -266,4 +266,37 @@ class PlansSpec extends SparkSpec {
       s"BottomKAgg must run partial+final:\n$p")
     assert(!p.contains("Window"), "no per-group sort in the production path")
   }
+
+  test("q186/q187: session + repeat metrics are join-free single passes") {
+    val p186 = plan("q186_session_quality")
+    assert(!p186.contains("Join"), s"sessionization must not self-join:\n$p186")
+    assert(p186.contains("partial_count"), "day rollup must map-side combine")
+    val p187 = plan("q187_time_to_repeat")
+    assert(!p187.contains("Join"),
+      s"first/second purchase must pivot from one window, not a self-join:\n$p187")
+    // exactly one Window exec; extra "Window" hits are WindowGroupLimit —
+    // Spark pushing the rn<=2 filter into partial/final group limits
+    assert("Window \\[".r.findAllIn(p187).size === 1, "one ranking window pass")
+  }
+
+  test("q188: moments and degree stats aggregate partially; scalar cross join only") {
+    val p = plan("q188_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), "co-moment sums must map-side combine")
+    // the only nested-loop is the deliberate 1-row × 1-row scalar stitch
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q189: wedge pairs come from the grouped neighbor list, anti-join prunes edges") {
+    val p = plan("q189_link_prediction")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("collect_list"), "in-place pair generation, not a self-join")
+    assert(p.contains("LeftAnti"), "existing edges must prune via anti-join")
+  }
+
+  test("q190: token stream aggregates map-side; head share is a window on the rollup") {
+    val p = plan("q190_lexical_diversity")
+    assert(!p.contains("Join"), s"single token pipeline, no joins:\n$p")
+    assert(p.contains("partial_count"), "tf counting must map-side combine")
+  }
 }
