@@ -167,6 +167,70 @@ object AuditQueries {
       |  MIN(c) AS lo_c, MAX(c) AS hi_c
       |FROM ranked GROUP BY bucket""".stripMargin
 
+  // ------------------------- q193: join-cardinality estimator audit
+
+  /** Fixed key-range width for the q193 histogram buckets (the optimizer-
+    * statistics step size over the orderkey domain).
+    */
+  val CardBucketWidth = 4096L
+
+  /** q193: join-cardinality estimator audit — the optimizer-statistics
+    * validation loop behind D4/D5: build fixed-width histograms over the
+    * join key on BOTH sides of orders ⋈ lineitem (rows and distinct keys
+    * per bucket — exactly what CREATE STATISTICS persists), apply the
+    * textbook containment estimate Σ_b n₁(b)·n₂(b)/max(v₁(b),v₂(b)), and
+    * compare against the TRUE join cardinality — computed exactly as
+    * Σ_k n₁(k)·n₂(k) over the per-key count rollups, never by
+    * materializing the join. One row: estimated vs actual vs error. At
+    * 100 TB this is how you regression-test statistics freshness — both
+    * sides are single scans into map-side-combined rollups, and the
+    * stitch joins are |buckets| and |keys| sized, not |join| sized.
+    * Integer arithmetic throughout (DECIMAL(38,0) accumulation, one final
+    * e6 division), so the audit itself passes the exact gate.
+    */
+  val q193JoinCardAudit: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    def hist(df: DataFrame) = df
+      .groupBy(expr(s"k DIV $CardBucketWidth").as("b"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("v"))
+    val est = hist(o).as("h1")
+      .join(hist(l).as("h2"), Seq("b"))
+      .select(((col("h1.n") * col("h2.n")).cast(dec)).as("prod"),
+        greatest(col("h1.v"), col("h2.v")).as("vmax"))
+      .agg(sum(expr("prod DIV vmax")).cast("long").as("est_rows"))
+    def perKey(df: DataFrame) = df.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val actual = perKey(o).as("k1").join(perKey(l).as("k2"), Seq("k"))
+      .agg(sum((col("k1.n") * col("k2.n")).cast(dec)).cast("long")
+        .as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .select(col("est_rows"), col("actual_rows"),
+        expr("est_rows * 1000000 DIV actual_rows").as("est_over_actual_e6"))
+  }
+
+  val q193Sql: String =
+    s"""WITH h1 AS (
+      |  SELECT o_orderkey // $CardBucketWidth AS b, COUNT(*) AS n,
+      |    COUNT(DISTINCT o_orderkey) AS v
+      |  FROM orders GROUP BY 1),
+      |h2 AS (
+      |  SELECT l_orderkey // $CardBucketWidth AS b, COUNT(*) AS n,
+      |    COUNT(DISTINCT l_orderkey) AS v
+      |  FROM lineitem GROUP BY 1),
+      |est AS (
+      |  SELECT CAST(SUM((h1.n * h2.n) // GREATEST(h1.v, h2.v)) AS BIGINT)
+      |    AS est_rows
+      |  FROM h1 JOIN h2 USING (b)),
+      |k1 AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+      |k2 AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |act AS (
+      |  SELECT CAST(SUM(k1.n * k2.n) AS BIGINT) AS actual_rows
+      |  FROM k1 JOIN k2 USING (k))
+      |SELECT est_rows, actual_rows,
+      |  CAST(est_rows * 1000000 // actual_rows AS BIGINT) AS est_over_actual_e6
+      |FROM est, act""".stripMargin
+
   // ------------------------------------------- q153: chi-square independence
 
   /** q153: χ² test of independence — the order-priority × order-status
@@ -314,12 +378,14 @@ object AuditQueries {
   val queries: Map[String, Q] = Map(
     "q139_quality_audit" -> q139QualityAudit,
     "q140_stats_histogram" -> q140Histogram,
+    "q193_join_card_audit" -> q193JoinCardAudit,
     "q153_chi_square" -> q153ChiSquare,
     "q157_ks_test" -> q157KsTest)
 
   val oracles: Map[String, String] = Map(
     "q139_quality_audit" -> q139Sql,
     "q140_stats_histogram" -> q140Sql,
+    "q193_join_card_audit" -> q193Sql,
     "q153_chi_square" -> q153Sql,
     "q157_ks_test" -> q157Sql)
 }

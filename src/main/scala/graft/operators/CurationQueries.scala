@@ -898,6 +898,53 @@ object CurationQueries {
       |JOIN v va ON src_a = va.source
       |JOIN v vb ON src_b = vb.source""".stripMargin
 
+  // ------------------------- q192: cross-source contamination matrix
+
+  /** q192: cross-source near-duplicate contamination matrix — q125 asks
+    * "do two sources share VOCABULARY?"; this asks the sharper question
+    * "do they share near-duplicate DOCUMENTS?", aggregating the q55
+    * MinHash candidate pairs up to provenance grain: for every source
+    * pair (including the diagonal — within-source near-dup load), the
+    * number of near-dup document pairs and their mean estimated Jaccard.
+    * The matrix is what a curation run reads to pick WHICH source of a
+    * mirrored pair to drop wholesale. Mean similarity stays exact: each
+    * estimate is matches/64, so the sum is carried as the INTEGER match
+    * count (est·64 — exact by construction) and divided once at the end.
+    * Scale: two doc→source hash joins against the (already bounded) q55
+    * pair stream, then a |sources|² rollup — nothing new shuffles the
+    * corpus.
+    */
+  val q192ContaminationMatrix: Q = (s, dir) => {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val pairs = TextQueries.q55MinhashLsh(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        (col("est_jaccard") * 64).cast("long").as("m64"))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m64")).as("sum_match64"))
+      .withColumn("mean_est_jaccard",
+        col("sum_match64").cast("double") / (col("n_pairs") * 64))
+  }
+
+  lazy val q192Sql: String =
+    s"""WITH cand AS (
+      |${TextQueries.q55Sql}
+      |),
+      |src AS (SELECT doc_id, source FROM documents),
+      |labelled AS (
+      |  SELECT LEAST(a.source, b.source) AS source_a,
+      |    GREATEST(a.source, b.source) AS source_b,
+      |    CAST(est_jaccard * 64 AS BIGINT) AS m64
+      |  FROM cand c
+      |  JOIN src a ON a.doc_id = c.doc_a
+      |  JOIN src b ON b.doc_id = c.doc_b)
+      |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+      |  CAST(SUM(m64) AS BIGINT) AS sum_match64,
+      |  CAST(SUM(m64) AS DOUBLE) / (COUNT(*) * 64) AS mean_est_jaccard
+      |FROM labelled GROUP BY source_a, source_b""".stripMargin
+
   // ------------------------------------------ q132: negative sampling
 
   /** Negatives kept per customer, and the oversampling factor that absorbs
@@ -1223,6 +1270,7 @@ object CurationQueries {
     "q135_bpe_apply" -> q135BpeApply,
     "q169_vocab_coverage" -> q169VocabCoverage,
     "q125_source_overlap" -> q125SourceOverlap,
+    "q192_contamination_matrix" -> q192ContaminationMatrix,
     "q132_negative_samples" -> q132NegativeSamples,
     "q83_repetition_metrics" -> q83RepetitionMetrics,
     "q84_segment_dedup" -> q84SegmentDedup,
@@ -1242,6 +1290,7 @@ object CurationQueries {
     "q135_bpe_apply" -> q135Sql,
     "q169_vocab_coverage" -> q169Sql,
     "q125_source_overlap" -> q125Sql,
+    "q192_contamination_matrix" -> q192Sql,
     "q132_negative_samples" -> q132Sql,
     "q83_repetition_metrics" -> q83Sql,
     "q84_segment_dedup" -> q84Sql,

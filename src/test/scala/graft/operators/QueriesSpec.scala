@@ -894,6 +894,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q192 contamination matrix tiles the q55 pair set; similarity bounded") {
+    val rows = CurationQueries.q192ContaminationMatrix(spark, sfDir).collect()
+    val nPairs = TextQueries.q55MinhashLsh(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs,
+      "every candidate pair lands in exactly one source cell")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"))
+      val mean = r.getAs[Double]("mean_est_jaccard")
+      assert(mean >= 0.5 && mean <= 1.0, s"q55 cut is 0.5: $mean")
+      assert(r.getAs[Long]("sum_match64") ===
+        math.round(mean * 64 * r.getAs[Long]("n_pairs")))
+    }
+  }
+
+  test("q193 actual cardinality is exact; estimate is within the histogram bound") {
+    val r = AuditQueries.q193JoinCardAudit(spark, sfDir).collect()(0)
+    val actual = graft.Tables.orders(spark, sfDir).select(col("o_orderkey"))
+      .join(graft.Tables.lineitem(spark, sfDir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(r.getAs[Long]("actual_rows") === actual,
+      "per-key rollup product must equal the materialized join size")
+    val est = r.getAs[Long]("est_rows")
+    // containment estimate with per-bucket distincts can undershoot (DIV
+    // truncation) but never by more than one row per bucket, and overshoots
+    // only when keys collide inside a bucket — sanity-band it
+    assert(est > 0 && est <= actual * 2, s"est $est vs actual $actual")
+    assert(r.getAs[Long]("est_over_actual_e6") === est * 1000000L / actual)
+  }
+
   test("q190 lexical diversity equals a serial token recount per source") {
     val rows = TextQueries.q190LexicalDiversity(spark, sfDir).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
