@@ -405,7 +405,9 @@ object GraphQueries {
     * derivation it shares.
     */
   val q188DegreeAssortativity: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir)
+    // the edge rollup feeds deg, both decoration joins, and the symmetrized
+    // union — checkpoint it once instead of re-deriving per reference
+    val e = copurchaseEdges(s, dir).localCheckpoint()
     val deg = e.select(col("part_a").as("n")).union(e.select(col("part_b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val dec = "decimal(38,0)"
@@ -478,7 +480,9 @@ object GraphQueries {
     * bounded fan-out, one aggregation keyed by the candidate pair.
     */
   val q189LinkPrediction: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir)
+    // referenced by und (twice), the degree rollup, and the anti-join —
+    // one checkpoint of the derived edge list, not four derivations
+    val e = copurchaseEdges(s, dir).localCheckpoint()
     val und = e.select(col("part_a").as("u"), col("part_b").as("v"))
       .union(e.select(col("part_b").as("u"), col("part_a").as("v")))
     val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))

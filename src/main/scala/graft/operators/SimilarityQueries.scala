@@ -488,7 +488,120 @@ object SimilarityQueries {
        |FROM w WHERE rk = 1""".stripMargin
   }
 
+  // ------------------------------- q194: MMR diversified top-k
+
+  /** MMR pool size (candidates kept from the similarity cut) and the
+    * number of diversified picks.
+    */
+  val MmrC = 16
+  val MmrK = 5
+
+  /** q194: maximal-marginal-relevance diversified top-k — the re-ranking
+    * step between "nearest neighbors" and "useful retrieval set": greedy
+    * picks maximize λ·sim(query,d) − (1−λ)·max_{s∈picked} sim(d,s), so the
+    * result covers the query's neighborhood instead of returning five
+    * near-copies of the same cluster (λ = 0.7). The expensive part — the
+    * similarity cut to [[MmrC]] candidates — is the one corpus-scale pass
+    * (q60's machinery, one broadcast probe + one top-C window); the greedy
+    * recurrence then runs [[MmrK]] − 1 unrolled rounds over the
+    * checkpointed C-row candidate set and its C² pairwise similarities,
+    * each round a metadata-scale join. Every score is single IEEE ops over
+    * the same sequential-fold dot products the q60 oracle mirrors, and the
+    * λ constants enter both engines through identical double literals, so
+    * the greedy trace is bit-reproducible.
+    */
+  val q194MmrDiversify: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"), col("nrm").as("pn"))
+    val wAll = Window.orderBy(col("sim").desc, col("vec_id"))
+    val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (Vectors.dot(col("embedding"), col("pv")) /
+          (col("nrm") * col("pn"))).as("sim"))
+      .withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= MmrC)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sim"))
+      .localCheckpoint() // referenced by every greedy round
+    val pairs = cand
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na"))
+      .crossJoin(cand.select(
+        col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb")))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("psim"))
+      .localCheckpoint() // C² rows — the deliberate tiny cartesian
+    var sel = cand.withColumn("rk", row_number().over(wAll)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("sim"),
+        (lit(0.7) * col("sim")).as("mmr_score"), lit(1).as("rank"))
+    for (r <- 2 to MmrK) {
+      val selIds = sel.select(col("vec_id").as("s_id"))
+      val mx = pairs.join(selIds, col("b_id") === col("s_id"))
+        .groupBy(col("a_id")).agg(max(col("psim")).as("mx"))
+      val pick = cand.join(selIds, col("vec_id") === col("s_id"), "left_anti")
+        .join(mx, col("vec_id") === col("a_id"))
+        .select(col("vec_id"), col("sim"),
+          (lit(0.7) * col("sim") - lit(0.3) * col("mx")).as("mmr_score"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mmr_score").desc, col("vec_id"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sim"), col("mmr_score"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint() // keep round plans flat
+    }
+    sel.select(col("rank"), col("vec_id"), col("sim"), col("mmr_score"))
+  }
+
+  /** Unrolled greedy oracle: same candidate cut, same pairwise sims, same
+    * λ constants via CAST('…' AS DOUBLE) (DuckDB types bare decimal
+    * literals as DECIMAL and double-rounds the conversion — the q118 rule).
+    */
+  def q194Sql: String = {
+    def ldp(a: String, b: String) = s"list_dot_product($a, $b)"
+    val L = "CAST('0.7' AS DOUBLE)"
+    val M = "CAST('0.3' AS DOUBLE)"
+    val rounds = (2 to MmrK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS (
+         |  SELECT vec_id, sim, mmr_score, $r AS rank FROM (
+         |    SELECT c.vec_id, c.sim, $L * c.sim - $M * m.mx AS mmr_score
+         |    FROM cand c
+         |    JOIN (SELECT a_id, MAX(psim) AS mx FROM pairs
+         |          WHERE b_id IN ($prev) GROUP BY a_id) m
+         |      ON c.vec_id = m.a_id
+         |    WHERE c.vec_id NOT IN ($prev))
+         |  ORDER BY mmr_score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |cand0 AS (
+       |  SELECT vec_id, v,
+       |    ${ldp("v", "pv")} / (sqrt(${ldp("v", "v")}) * sqrt(${ldp("pv", "pv")})) AS sim
+       |  FROM e, probe WHERE vec_id <> 0),
+       |cand AS (
+       |  SELECT vec_id, v, sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+       |    FROM cand0) t
+       |  WHERE rn <= $MmrC),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${ldp("a.v", "b.v")} / (sqrt(${ldp("a.v", "a.v")}) * sqrt(${ldp("b.v", "b.v")})) AS psim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS (
+       |  SELECT vec_id, sim, $L * sim AS mmr_score, 1 AS rank FROM cand
+       |  ORDER BY sim DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, vec_id, sim, mmr_score FROM (
+       |$all) f""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q194_mmr_diversify" -> q194MmrDiversify,
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
     "q62_norm_stats" -> q62NormStats,
@@ -621,6 +734,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q194_mmr_diversify" -> q194Sql,
     "q61_ann_lsh" -> q61Sql,
     "q177_class_separability" -> q177Sql,
     "q63_cosine_neardup" -> q63Sql,

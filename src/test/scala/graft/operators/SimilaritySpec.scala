@@ -181,4 +181,43 @@ class SimilaritySpec extends SparkSpec {
     assert(majoritySum > base,
       s"cluster-majority total $majoritySum should beat base rate $base")
   }
+
+  test("q194 MMR equals the serial greedy trace and diversifies the set") {
+    val rows = SimilarityQueries.q194MmrDiversify(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length === SimilarityQueries.MmrK)
+    // serial reference: same candidate cut, same greedy recurrence
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def sim(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val cand = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => id -> sim(id, 0L))
+      .sortBy { case (id, s) => (-s, id) }.take(SimilarityQueries.MmrC)
+    var picked = Vector(cand.head._1)
+    var expectScores = Vector(0.7 * cand.head._2)
+    while (picked.size < SimilarityQueries.MmrK) {
+      val best = cand.filterNot(c => picked.contains(c._1)).map { case (id, s) =>
+        val mx = picked.map(p => sim(id, p)).max
+        (id, 0.7 * s - 0.3 * mx)
+      }.sortBy { case (id, sc) => (-sc, id) }.head
+      picked :+= best._1
+      expectScores :+= best._2
+    }
+    assert(rows.map(_.getAs[Long]("vec_id")).toVector === picked)
+    rows.zip(expectScores).foreach { case (r, sc) =>
+      assert(r.getAs[Double]("mmr_score") === sc, r)
+    }
+    // diversification bites: the MMR set differs from plain top-k
+    val topK = cand.take(SimilarityQueries.MmrK).map(_._1).toSet
+    assert(picked.toSet !== topK,
+      "on this corpus MMR should trade at least one nearest neighbor for coverage")
+  }
 }
