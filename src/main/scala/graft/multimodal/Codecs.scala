@@ -264,6 +264,57 @@ object CodecDecoder extends MediaDecoder {
     out
   }
 
+  /** Integer sum-of-squares energy of channel-0 PCM16 samples per
+    * fixed-length frame (trailing partial frame dropped) — EXACT Long
+    * arithmetic (max per-frame energy at 16 bit ≈ samples·2³⁰, far inside
+    * int64), so silence classification below is bit-reproducible.
+    */
+  def energyFrames(b: Array[Byte], w: Wav, samplesPerFrame: Int): Array[Long] = {
+    require(w.bitsPerSample == 16, "only PCM16 supported")
+    require(samplesPerFrame > 0, "frame must hold at least one sample")
+    val stride = w.channels * 2
+    val nFrames = w.nSamples / samplesPerFrame
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0L
+      var s = f * samplesPerFrame
+      val end = s + samplesPerFrame
+      while (s < end) {
+        val v = le16(b, w.dataOff + s * stride).toShort.toLong
+        acc += v * v; s += 1
+      }
+      out(f) = acc; f += 1
+    }
+    out
+  }
+
+  /** Run-length silence segmentation: frames whose energy is at most
+    * `silencePermille`‰ of the LOUDEST frame are silent (relative
+    * threshold — gain-invariant, like the audio hash), and consecutive
+    * same-class frames merge into `(startFrame, nFrames, isSilent)` runs.
+    * All comparisons are exact integer products.
+    */
+  def silenceRuns(b: Array[Byte], samplesPerFrame: Int,
+      silencePermille: Int): Seq[(Int, Int, Boolean)] = {
+    val e = energyFrames(b, parseWav(b), samplesPerFrame)
+    if (e.isEmpty) return Nil
+    val emax = e.max
+    // a silent recording (emax = 0) is one all-silent run
+    val silent = e.map(x => emax == 0L || x * 1000 <= silencePermille * emax)
+    val runs = scala.collection.mutable.ArrayBuffer[(Int, Int, Boolean)]()
+    var start = 0
+    var i = 1
+    while (i <= silent.length) {
+      if (i == silent.length || silent(i) != silent(start)) {
+        runs += ((start, i - start, silent(start)))
+        start = i
+      }
+      i += 1
+    }
+    runs.toSeq
+  }
+
   /** 64-bit audio fingerprint: RMS energy over 65 equal time windows, each
     * bit the sign of the adjacent-window energy DELTA (rising = 1). Delta
     * signs are invariant to overall volume scaling and robust to mild

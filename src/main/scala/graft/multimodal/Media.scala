@@ -176,6 +176,33 @@ object Media {
       MediaHash(r.media_id, CodecDecoder.audioHash(r.media))))
   }
 
+  final case class AudioSegment(media_id: Long, seg_idx: Int, kind: String,
+      start_ms: Long, end_ms: Long, n_frames: Int)
+
+  /** Voice-activity-style silence segmentation at the decode seam — the
+    * chunking pass an ASR/speech training pipeline runs before
+    * transcription: each audio row splits into fixed `frameMs` frames,
+    * frames at or below `silencePermille`‰ of the row's loudest frame are
+    * silent ([[CodecDecoder.silenceRuns]] — exact integer energies), and
+    * consecutive same-class frames merge into typed segments with
+    * millisecond boundaries. Same mapPartitions posture as every decode
+    * transform: one decoder per task, segments ride out as a typed
+    * Dataset keyed by media_id for downstream joins.
+    */
+  def silenceSegments(spark: SparkSession, media: Dataset[MediaRow],
+      frameMs: Int = 10, silencePermille: Int = 10): Dataset[AudioSegment] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val w = CodecDecoder.parseWav(r.media)
+      val spf = math.max(1, w.sampleRate * frameMs / 1000)
+      CodecDecoder.silenceRuns(r.media, spf, silencePermille)
+        .zipWithIndex.map { case ((start, n, silent), i) =>
+          AudioSegment(r.media_id, i, if (silent) "silence" else "speech",
+            start.toLong * frameMs, (start + n).toLong * frameMs, n)
+        }
+    })
+  }
+
   /** Near-duplicate detection over 64-bit perceptual hashes (images via
     * [[perceptualHashes]], audio via [[audioHashes]]) — the media twin of
     * the SimHash text path: the hash splits into 4 × 16-bit chunks,

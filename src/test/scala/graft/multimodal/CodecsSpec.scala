@@ -226,4 +226,43 @@ class CodecsSpec extends SparkSpec {
     assert(shape.format === "application/octet-stream")
     assert(shape.width === 0 && shape.n_frames === 0)
   }
+
+  /** Mono PCM16 WAV at 8 kHz whose amplitude per 80-sample block follows
+    * `amps` — tone/silence layouts with exact block boundaries.
+    */
+  private def enveloped(amps: Seq[Short]): Array[Byte] = {
+    val data = new Array[Byte](amps.length * 80 * 2)
+    for ((a, blk) <- amps.zipWithIndex; s <- 0 until 80) {
+      val v: Short = if (s % 8 < 4) a else (-a).toShort
+      val i = (blk * 80 + s) * 2
+      data(i) = (v & 0xFF).toByte
+      data(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + data.length)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+    bb.array()
+  }
+
+  test("silence segmentation cuts exactly at the tone/silence boundaries") {
+    // 10 ms frames at 8 kHz = 80 samples = one envelope block:
+    // 3 tone, 4 silent, 2 tone, 1 silent
+    val amps = Seq.fill(3)(16384.toShort) ++ Seq.fill(4)(0.toShort) ++
+      Seq.fill(2)(16384.toShort) ++ Seq(0.toShort)
+    val b = enveloped(amps)
+    val runs = CodecDecoder.silenceRuns(b, 80, 10)
+    assert(runs === Seq((0, 3, false), (3, 4, true), (7, 2, false), (9, 1, true)))
+    // low-level hum below 1% of peak energy still counts as silence
+    val hum = enveloped(Seq.fill(2)(16384.toShort) ++ Seq.fill(3)(512.toShort))
+    assert(CodecDecoder.silenceRuns(hum, 80, 10) ===
+      Seq((0, 2, false), (2, 3, true)))
+    // all-silent input is one silent run, not a divide-by-zero
+    val flat = enveloped(Seq.fill(4)(0.toShort))
+    assert(CodecDecoder.silenceRuns(flat, 80, 10) === Seq((0, 4, true)))
+  }
 }

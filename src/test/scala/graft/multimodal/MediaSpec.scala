@@ -127,4 +127,31 @@ class MediaSpec extends SparkSpec {
     assert(rw <= 256 + 1 && rh <= 256 + 1)
     assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.1)
   }
+
+  test("silence segmentation emits typed ms-bounded segments per media row") {
+    import spark.implicits._
+    // 8 kHz mono: 30 ms tone, 40 ms silence, 20 ms tone (10 ms frames)
+    def block(amp: Short, n: Int): Array[Byte] = {
+      val d = new Array[Byte](n * 2)
+      for (s <- 0 until n) {
+        val v: Short = (if (s % 8 < 4) amp else -amp).toShort
+        d(s * 2) = (v & 0xFF).toByte; d(s * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      d
+    }
+    val data = block(16384, 240) ++ block(0, 320) ++ block(16384, 160)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + data.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+    val rows = Seq(Media.MediaRow(7L, "audio", bb.array())).toDS()
+    val segs = Media.silenceSegments(spark, rows).collect()
+      .sortBy(_.seg_idx)
+    assert(segs.map(s => (s.kind, s.start_ms, s.end_ms)).toSeq === Seq(
+      ("speech", 0L, 30L), ("silence", 30L, 70L), ("speech", 70L, 90L)))
+    assert(segs.forall(_.media_id === 7L))
+  }
 }
