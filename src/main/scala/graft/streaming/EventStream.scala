@@ -364,6 +364,63 @@ object EventStream {
       .agg(sum(col("delta")).as("net_change"))
       .select(col("window.start").as("day_start"), col("net_change"))
 
+  final case class DeltaRow(dts: java.sql.Timestamp, delta: Long)
+  final case class ConcurrencyState(nets: Map[Long, Long])
+  final case class DayConcurrency(day: Long, max_prefix: Long,
+      net_change: Long, n_changes: Long)
+
+  /** Streaming twin of batch q185 (peak concurrency): every event opens a
+    * `windowMs` attention window, the ±1 deltas key by THEIR OWN day, and
+    * keyed state accumulates per-millisecond nets until the watermark
+    * passes midnight — then the day emits `(max_prefix, net_change,
+    * n_changes)` and its state retires (event-time timeout, same
+    * drain-on-watermark posture as [[userSessions]]). The emission is the
+    * day-local summary on purpose: absolute peaks need the carry-in level
+    * from all prior days, which is exactly the associative downstream
+    * prefix pass the batch query's 100 TB note describes —
+    * peak(day) = Σ_{d<day} net_change(d) + max_prefix(day) — and
+    * StreamingSpec proves that composition reproduces q185 exactly.
+    * State per key is the day's distinct delta timestamps (bounded by
+    * seconds-per-day, not stream length).
+    */
+  def concurrencyProfile(spark: SparkSession, events: DataFrame,
+      windowMs: Long, watermark: String = "2 hours"): Dataset[DayConcurrency] = {
+    import spark.implicits._
+    val deltas = events
+      .select(explode(array(
+        struct(col("ts").as("dts"), lit(1L).as("delta")),
+        struct(timestamp_millis(unix_millis(col("ts")) + windowMs).as("dts"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.dts").as("dts"), col("e.delta").as("delta"))
+      .withWatermark("dts", watermark)
+    deltas.as[DeltaRow]
+      .groupByKey(_.dts.getTime / 86400000L)
+      .flatMapGroupsWithState[ConcurrencyState, DayConcurrency](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, rows, state: GroupState[ConcurrencyState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var nets = state.getOption.map(_.nets).getOrElse(Map.empty)
+          rows.foreach { r =>
+            val ms = r.dts.getTime
+            nets = nets.updated(ms, nets.getOrElse(ms, 0L) + r.delta)
+          }
+          val dayEnd = (day + 1) * 86400000L
+          if (wm >= dayEnd) {
+            state.remove()
+            var run = 0L; var mx = Long.MinValue
+            nets.toSeq.sortBy(_._1).foreach { case (_, net) =>
+              run += net; if (run > mx) mx = run
+            }
+            Iterator.single(
+              DayConcurrency(day, mx, run, nets.size.toLong))
+          } else {
+            state.update(ConcurrencyState(nets))
+            state.setTimeoutTimestamp(math.max(wm + 1, dayEnd))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Run any of the above to a named in-memory sink and process everything
     * currently available (the local smoke path; production uses a real sink).
     */

@@ -421,4 +421,51 @@ class StreamingSpec extends SparkSpec {
     assert(verified === batch,
       "streamed candidate superset lost a heavy hitter")
   }
+
+  test("streaming concurrency profiles compose to the batch q185 peaks") {
+    val dir = Files.createTempDirectory("graft_conc_stream").toString
+    val real = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.mode("overwrite").parquet(dir)
+    val maxTs = real.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // last REAL delta day: the close window of the final event (sentinel
+    // flush days sit 72h+ beyond and must not leak into the comparison)
+    val maxRealDay = (maxTs.getTime +
+      graft.operators.EventQueries.CoverageWindowMs) / 86400000L
+    def flush(hoursAfter: Int): Unit = {
+      import spark.implicits._
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + hoursAfter * 3600000L),
+        -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = EventStream.concurrencyProfile(spark, EventStream.read(spark, dir),
+        graft.operators.EventQueries.CoverageWindowMs).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_conc").start()
+    try {
+      q.processAllAvailable() // batch 1: all real deltas, days open
+      flush(72); q.processAllAvailable() // watermark passes every midnight
+      flush(96); q.processAllAvailable() // next trigger fires the timeouts
+    } finally q.stop()
+    val streamed = spark.table("t_conc")
+      .filter(col("day") <= maxRealDay) // sentinel days excluded
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("max_prefix"), r.getAs[Long]("net_change"),
+          r.getAs[Long]("n_changes"))).toMap
+    val batch = graft.operators.EventQueries.q185PeakConcurrency(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("day"),
+        r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_changes")))
+      .sortBy(_._1)
+    // same day set, same change counts, and the associative composition —
+    // carry-in prefix + day-local max prefix — reproduces the batch peaks
+    assert(streamed.keySet === batch.map(_._1).toSet)
+    var carry = 0L
+    batch.foreach { case (d, peak, nChanges) =>
+      val (mx, net, n) = streamed(d)
+      assert(n === nChanges, s"day $d n_changes")
+      assert(carry + mx === peak, s"day $d peak")
+      carry += net
+    }
+  }
 }
