@@ -1512,6 +1512,132 @@ object EventQueries {
       |    // COUNT(*) AS BIGINT) AS repeat_share_e6
       |FROM gaps GROUP BY cohort_week""".stripMargin
 
+  // ------------------------------------------- q195: discrete hazard curve
+
+  /** Inactivity horizon that classifies a user as churned: no events in the
+    * final [[ChurnHorizonWeeks]] weeks of the corpus ⇒ their last event was
+    * their exit; later-active users are right-censored, not churned.
+    */
+  val ChurnHorizonWeeks = 4L
+
+  /** q195: discrete survival analysis — the churn hazard by tenure week
+    * (the life-table / Kaplan-Meier denominator machinery, kept in exact
+    * rationals instead of the non-portable cumulative float product):
+    * each user contributes an observation window from first to last event;
+    * users silent through the corpus-final [[ChurnHorizonWeeks]] churned
+    * AT their last-event tenure week, the rest are right-censored there.
+    * hazard(w) = churns(w) / at-risk(w), where at-risk(w) is the suffix
+    * count of users whose observation reaches week w — one descending
+    * running sum over the |weeks|-sized rollup, after ONE user-keyed
+    * aggregation over the event stream. The week spine rides a sequence
+    * explode off the scalar max so quiet weeks still report their at-risk
+    * denominator. Exact integers end to end.
+    */
+  val q195HazardCurve: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wk = 604800000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val users = e.groupBy(col("user_id"))
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+    val endSc = e.agg(max(col("ms")).as("corpus_end"))
+    val classified = users.crossJoin(broadcast(endSc))
+      .select(expr(s"(last_ms - first_ms) DIV $wk").as("end_week"),
+        (col("last_ms") + lit(ChurnHorizonWeeks * wk) <= col("corpus_end"))
+          .cast("long").as("churned"))
+    val ends = classified.groupBy(col("end_week"))
+      .agg(count(lit(1)).as("n_end"), sum(col("churned")).as("n_churned"))
+    val spine = ends.agg(max(col("end_week")).as("mx"))
+      .select(explode(sequence(lit(0L), col("mx"))).as("week"))
+    val suffix = Window.orderBy(col("week").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(ends, spine("week") === ends("end_week"), "left")
+      .select(col("week"),
+        coalesce(col("n_end"), lit(0L)).as("n_end"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("n_at_risk", sum(col("n_end")).over(suffix))
+      .withColumn("hazard_e6", expr("n_churned * 1000000 DIV n_at_risk"))
+      .select(col("week"), col("n_at_risk"), col("n_churned"), col("hazard_e6"))
+  }
+
+  val q195Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |users AS (
+      |  SELECT user_id, MIN(ms) AS first_ms, MAX(ms) AS last_ms
+      |  FROM e GROUP BY user_id),
+      |sc AS (SELECT MAX(ms) AS corpus_end FROM e),
+      |classified AS (
+      |  SELECT (last_ms - first_ms) // 604800000 AS end_week,
+      |    CASE WHEN last_ms + ${ChurnHorizonWeeks * 604800000L} <= corpus_end
+      |         THEN 1 ELSE 0 END AS churned
+      |  FROM users, sc),
+      |ends AS (
+      |  SELECT end_week, COUNT(*) AS n_end,
+      |    CAST(SUM(churned) AS BIGINT) AS n_churned
+      |  FROM classified GROUP BY end_week),
+      |spine AS (
+      |  SELECT UNNEST(GENERATE_SERIES(0, (SELECT MAX(end_week) FROM ends)))
+      |    AS week),
+      |filled AS (
+      |  SELECT week, COALESCE(n_end, 0) AS n_end,
+      |    COALESCE(n_churned, 0) AS n_churned
+      |  FROM spine LEFT JOIN ends ON week = end_week)
+      |SELECT week, CAST(SUM(n_end) OVER (ORDER BY week DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_at_risk,
+      |  CAST(n_churned AS BIGINT) AS n_churned,
+      |  CAST(n_churned * 1000000 // (SUM(n_end) OVER (ORDER BY week DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |    AS hazard_e6
+      |FROM filled""".stripMargin
+
+  // ------------------------------------------- q196: transition dwell times
+
+  /** q196: dwell-time distribution per event-type transition — the
+    * time-in-state decoration of the q108 Markov matrix: for every
+    * (from, to) transition, how long does the user sit in `from` before
+    * moving? Same single lead-window pass as q108 (ts then event_id
+    * tie-break), dwell in exact whole seconds, and the distribution
+    * reported as count, median and p90 via percentile_disc over exact
+    * integers — actual sample members, bit-portable. One user-keyed
+    * window shuffle plus one (from, to) rollup.
+    */
+  val q196DwellTimes: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_ms", lead(col("ms"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"),
+        expr("(to_ms - ms) DIV 1000").as("dwell_s"))
+    e.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("dwell_s")).as("total_dwell_s"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dwell_s)")
+          .cast("long").as("median_dwell_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_s)")
+          .cast("long").as("p90_dwell_s"))
+  }
+
+  val q196Sql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER w AS to_type,
+      |    (LEAD(epoch_ms(ts)) OVER w - epoch_ms(ts)) // 1000 AS dwell_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT from_type, to_type, COUNT(*) AS n_transitions,
+      |  CAST(SUM(dwell_s) AS BIGINT) AS total_dwell_s,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY dwell_s) AS median_dwell_s,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_s) AS p90_dwell_s
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type""".stripMargin
+
   // ------------------------------------------- q138: exact heavy hitters
 
   /** Misra-Gries summary size; guarantees candidates ⊇ items above
@@ -2663,6 +2789,8 @@ object EventQueries {
     "q185_peak_concurrency" -> q185PeakConcurrency,
     "q186_session_quality" -> q186SessionQuality,
     "q187_time_to_repeat" -> q187TimeToRepeat,
+    "q195_hazard_curve" -> q195HazardCurve,
+    "q196_dwell_times" -> q196DwellTimes,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2683,6 +2811,8 @@ object EventQueries {
     "q185_peak_concurrency" -> q185Sql,
     "q186_session_quality" -> q186Sql,
     "q187_time_to_repeat" -> q187Sql,
+    "q195_hazard_curve" -> q195Sql,
+    "q196_dwell_times" -> q196Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -894,6 +894,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q195 hazard curve equals a serial life-table recount") {
+    val rows = EventQueries.q195HazardCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("week") -> r).toMap
+    val spans = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(ts => (ts.map(_._2).min, ts.map(_._2).max))
+      .values.toSeq
+    val corpusEnd = spans.map(_._2).max
+    val wk = 604800000L
+    val classified = spans.map { case (f, l) =>
+      ((l - f) / wk, l + EventQueries.ChurnHorizonWeeks * wk <= corpusEnd)
+    }
+    val maxWeek = classified.map(_._1).max
+    (0L to maxWeek).foreach { w =>
+      val atRisk = classified.count(_._1 >= w).toLong
+      val churned = classified.count(c => c._1 == w && c._2).toLong
+      val r = rows(w)
+      assert(r.getAs[Long]("n_at_risk") === atRisk, s"week $w at-risk")
+      assert(r.getAs[Long]("n_churned") === churned, s"week $w churns")
+      assert(r.getAs[Long]("hazard_e6") === churned * 1000000L / atRisk)
+    }
+    assert(rows.keySet === (0L to maxWeek).toSet)
+    // everyone still at risk in week 0; the curve's denominators decrease
+    assert(rows(0L).getAs[Long]("n_at_risk") === classified.size.toLong)
+  }
+
+  test("q196 dwell rows partition the per-user event stream; medians are members") {
+    val rows = EventQueries.q196DwellTimes(spark, sfDir).collect()
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    // every event except each user's last contributes exactly one transition
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum === nEvents - nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("median_dwell_s") <= r.getAs[Long]("p90_dwell_s"))
+      assert(r.getAs[Long]("median_dwell_s") * r.getAs[Long]("n_transitions")
+        <= r.getAs[Long]("total_dwell_s") * 2 + r.getAs[Long]("n_transitions"),
+        "median can at most double the mean on nonnegative data (Markov-ish sanity)")
+    }
+  }
+
   test("q192 contamination matrix tiles the q55 pair set; similarity bounded") {
     val rows = CurationQueries.q192ContaminationMatrix(spark, sfDir).collect()
     val nPairs = TextQueries.q55MinhashLsh(spark, sfDir).count()
