@@ -737,6 +737,122 @@ object CoreQueries {
       |  MAX(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400) AS max_ship_day
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // -------------------------------- q197: incremental JOIN-view maintenance
+
+  /** q197: incremental maintenance of a JOIN view — q150 maintains a
+    * single-table rollup; the join view V = π(orders ⋈ lineitem) needs the
+    * classic delta algebra: with both bases split into old + delta,
+    *   V_new = agg( R_old⋈S_old ∪ ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS )
+    * (distributivity of ⋈ over ∪, then aggregate-of-aggregates exactly as
+    * q150). The engine computes the FOUR maintenance terms separately —
+    * R_old⋈S_old standing in for the stored view — and merges; the oracle
+    * is the direct full join rollup, so the equivalence is the gate check
+    * itself. The splits are deliberately independent (orders by date,
+    * lineitem by line number) so every term is non-empty. At 100 TB only
+    * the two Δ-sided joins touch new data, and each joins a day's delta
+    * against the other base — the nightly-maintenance cost model.
+    */
+  val q197JoinViewMaintenance: Q = (s, dir) => {
+    val cutoff = lit(SnapshotCutoff).cast("timestamp")
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_linenumber"), cents(col("l_extendedprice")).as("rev_c"))
+    val oOld = o.filter(col("o_orderdate") < cutoff)
+    val oNew = o.filter(col("o_orderdate") >= cutoff)
+    val lOld = l.filter(col("l_linenumber") <= 3)
+    val lNew = l.filter(col("l_linenumber") > 3)
+    def term(r: org.apache.spark.sql.DataFrame,
+        ss: org.apache.spark.sql.DataFrame) =
+      r.join(ss, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev_c")).as("revenue_c"))
+    term(oOld, lOld).unionByName(term(oNew, lOld))
+      .unionByName(term(oOld, lNew)).unionByName(term(oNew, lNew))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_lines")).as("n_lines"),
+        sum(col("revenue_c")).as("revenue_c"))
+  }
+
+  val q197Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_c
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------- q198: event-study lift
+
+  /** Event-study window length in days on each side of the pivot. */
+  val EventStudyDays = 28L
+
+  /** q198: event-study / promotion-lift analysis per brand — mean daily
+    * shipped revenue in the [[EventStudyDays]]-day window before the pivot
+    * date vs the window after, and the relative lift: the standard
+    * pre/post panel behind "did the price change move the needle?". Both
+    * windows aggregate in ONE scan of the date-pruned fact slice
+    * (conditional aggregation, the q146 pattern); means and lift are exact
+    * integer divisions. At scale the shipdate predicate prunes partitions
+    * to the 56-day study window before any shuffle.
+    */
+  val q198EventStudy: Q = (s, dir) => {
+    val pivot = lit(SnapshotCutoff).cast("timestamp")
+    val lo = date_sub(pivot.cast("date"), EventStudyDays.toInt)
+    val hi = date_add(pivot.cast("date"), EventStudyDays.toInt)
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo.cast("timestamp") &&
+        col("l_shipdate") < hi.cast("timestamp"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val isPre = col("l_shipdate") < pivot
+    li.groupBy(col("p_brand"))
+      .agg(sum(when(isPre, cents(col("l_extendedprice"))).otherwise(0L))
+          .as("pre_rev_c"),
+        sum(when(!isPre, cents(col("l_extendedprice"))).otherwise(0L))
+          .as("post_rev_c"),
+        sum(isPre.cast("long")).as("n_pre_lines"),
+        sum((!isPre).cast("long")).as("n_post_lines"))
+      .withColumn("pre_daily_c", expr(s"pre_rev_c DIV $EventStudyDays"))
+      .withColumn("post_daily_c", expr(s"post_rev_c DIV $EventStudyDays"))
+      .filter(col("pre_rev_c") > 0)
+      // sign-factored: Spark DIV truncates, DuckDB // floors — they agree
+      // only on non-negative operands, and below-baseline brands go negative
+      .withColumn("lift_e6", expr(
+        """CASE WHEN post_rev_c >= pre_rev_c
+          |  THEN (post_rev_c - pre_rev_c) * 1000000 DIV pre_rev_c
+          |  ELSE -((pre_rev_c - post_rev_c) * 1000000 DIV pre_rev_c)
+          |END""".stripMargin))
+  }
+
+  val q198Sql: String =
+    s"""WITH w AS (
+      |  SELECT p_brand, l_shipdate,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS rev_c,
+      |    CASE WHEN l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |         THEN 1 ELSE 0 END AS pre
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |      - INTERVAL $EventStudyDays DAY
+      |    AND l_shipdate < TIMESTAMP '$SnapshotCutoff 00:00:00'
+      |      + INTERVAL $EventStudyDays DAY),
+      |g AS (
+      |  SELECT p_brand,
+      |    CAST(SUM(CASE WHEN pre = 1 THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS pre_rev_c,
+      |    CAST(SUM(CASE WHEN pre = 0 THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS post_rev_c,
+      |    CAST(SUM(pre) AS BIGINT) AS n_pre_lines,
+      |    CAST(SUM(1 - pre) AS BIGINT) AS n_post_lines
+      |  FROM w GROUP BY p_brand)
+      |SELECT p_brand, pre_rev_c, post_rev_c, n_pre_lines, n_post_lines,
+      |  CAST(pre_rev_c // $EventStudyDays AS BIGINT) AS pre_daily_c,
+      |  CAST(post_rev_c // $EventStudyDays AS BIGINT) AS post_daily_c,
+      |  CAST(CASE WHEN post_rev_c >= pre_rev_c
+      |    THEN (post_rev_c - pre_rev_c) * 1000000 // pre_rev_c
+      |    ELSE -((pre_rev_c - post_rev_c) * 1000000 // pre_rev_c)
+      |  END AS BIGINT) AS lift_e6
+      |FROM g WHERE pre_rev_c > 0""".stripMargin
+
   /** q117: correlation & regression — Pearson r, population covariance,
     * and the least-squares slope/intercept of price against quantity per
     * return flag. Spark's corr/covar/regr_* aggregates stream double
@@ -2629,6 +2745,8 @@ object CoreQueries {
     "q145_bloom_join" -> q145BloomJoin,
     "q149_countmin" -> q149CountMin,
     "q150_incremental_rollup" -> q150IncrementalRollup,
+    "q197_join_view_maintenance" -> q197JoinViewMaintenance,
+    "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
     "q118_benford" -> q118Benford,
     "q10_star_join" -> q10StarJoin,
@@ -2699,6 +2817,8 @@ object CoreQueries {
     "q145_bloom_join" -> q145Sql,
     "q149_countmin" -> q149Sql,
     "q150_incremental_rollup" -> q150Sql,
+    "q197_join_view_maintenance" -> q197Sql,
+    "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,
     "q118_benford" -> q118Sql,
     "q02_count_distinct" -> q02Sql,

@@ -894,6 +894,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q197 maintenance terms tile the direct join view") {
+    val maintained = CoreQueries.q197JoinViewMaintenance(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("revenue_c"))).toMap
+    val direct = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(l_extendedprice*100) as bigint)")).as("rev"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(maintained === direct,
+      "delta-algebra merge must equal the full recompute")
+  }
+
+  test("q198 event study: windows partition the slice, lift sign matches") {
+    val rows = CoreQueries.q198EventStudy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pre, post) = (r.getAs[Long]("pre_rev_c"), r.getAs[Long]("post_rev_c"))
+      val lift = r.getAs[Long]("lift_e6")
+      assert(pre > 0)
+      assert((lift >= 0) === (post >= pre), r)
+      val expect = if (post >= pre) (post - pre) * 1000000L / pre
+        else -((pre - post) * 1000000L / pre)
+      assert(lift === expect, r)
+      assert(r.getAs[Long]("pre_daily_c") === pre / CoreQueries.EventStudyDays)
+    }
+  }
+
   test("q195 hazard curve equals a serial life-table recount") {
     val rows = EventQueries.q195HazardCurve(spark, sfDir).collect()
       .map(r => r.getAs[Long]("week") -> r).toMap
