@@ -1638,6 +1638,104 @@ object EventQueries {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------- q200: sequential patterns
+
+  /** q200: sequential pattern mining over sessions — for every ordered
+    * event-type pair (a → b), in how many sessions does SOME a-occurrence
+    * precede SOME b-occurrence (the "eventually follows" relation of
+    * classic sequence mining — not adjacency, which is q111's trigram
+    * view)? Sessions are the q71 gaps-and-islands; the eventually-follows
+    * test per session reduces to first(a) < last(b) over the per-type
+    * (ms, event_id) extremes — so a session contributes ONE row per type,
+    * not per event, and the pair enumeration is the grouped in-place
+    * generator over the ≤|event-types| per-session type list (fan-out
+    * bounded by the type alphabet squared, both orders kept since the
+    * relation is asymmetric). support = sessions containing a→b;
+    * confidence = support / sessions containing a, an exact e6 division.
+    */
+  val q200SequencePatterns: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"), col("ts"))
+    // q71-identical sessionization, but as explicit gaps-and-islands: a
+    // session_window grouped WITH event_type would sessionize per type
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = e
+      .withColumn("new_session",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"), col("event_type"))
+      .agg(min(struct(col("ms"), col("event_id"))).as("first_occ"),
+        max(struct(col("ms"), col("event_id"))).as("last_occ"))
+      .localCheckpoint() // feeds the pair stream AND the per-type counts
+    val perSession = sess.groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(struct(col("event_type").as("t"),
+        col("first_occ"), col("last_occ")))).as("types"))
+    // both orders of every type pair: the relation is asymmetric
+    val pairs = perSession.select(
+        graft.functions.Pairs.inPlace(col("types"), (x, y) =>
+          array(
+            struct(x.getField("t").as("a"), y.getField("t").as("b"),
+              (x.getField("first_occ") < y.getField("last_occ")).as("holds")),
+            struct(y.getField("t").as("a"), x.getField("t").as("b"),
+              (y.getField("first_occ") < x.getField("last_occ")).as("holds"))))
+          .as("pp"))
+      .select(explode(col("pp")).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.holds").cast("long").as("holds"))
+    val typeSessions = sess.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sessions_with"))
+    val nSessions = perSession.select(count(lit(1)).as("n_sessions"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(sum(col("holds")).as("support"))
+      .filter(col("support") > 0)
+      .join(typeSessions.select(col("event_type").as("a"),
+        col("n_sessions_with").as("n_with_a")), "a")
+      .crossJoin(broadcast(nSessions))
+      .select(col("a"), col("b"), col("support"), col("n_with_a"),
+        col("n_sessions"),
+        expr("support * 1000000 DIV n_with_a").as("confidence_e6"),
+        expr("support * 1000000 DIV n_sessions").as("support_share_e6"))
+  }
+
+  val q200Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_type, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, event_type, ms, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |per_type AS (
+      |  SELECT user_id, sid, event_type,
+      |    MIN(ROW(ms, event_id)) AS first_occ,
+      |    MAX(ROW(ms, event_id)) AS last_occ
+      |  FROM numbered GROUP BY user_id, sid, event_type),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b,
+      |    CASE WHEN x.first_occ < y.last_occ THEN 1 ELSE 0 END AS holds
+      |  FROM per_type x JOIN per_type y
+      |    ON x.user_id = y.user_id AND x.sid = y.sid
+      |   AND x.event_type <> y.event_type),
+      |sup AS (
+      |  SELECT a, b, CAST(SUM(holds) AS BIGINT) AS support
+      |  FROM pairs GROUP BY a, b HAVING SUM(holds) > 0),
+      |with_a AS (
+      |  SELECT event_type AS a, COUNT(*) AS n_with_a FROM per_type GROUP BY 1),
+      |sc AS (
+      |  SELECT COUNT(*) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, sid FROM numbered) t)
+      |SELECT a, b, support, n_with_a, n_sessions,
+      |  CAST(support * 1000000 // n_with_a AS BIGINT) AS confidence_e6,
+      |  CAST(support * 1000000 // n_sessions AS BIGINT) AS support_share_e6
+      |FROM sup JOIN with_a USING (a), sc""".stripMargin
+
   // ------------------------------------------- q138: exact heavy hitters
 
   /** Misra-Gries summary size; guarantees candidates ⊇ items above
@@ -2791,6 +2889,7 @@ object EventQueries {
     "q187_time_to_repeat" -> q187TimeToRepeat,
     "q195_hazard_curve" -> q195HazardCurve,
     "q196_dwell_times" -> q196DwellTimes,
+    "q200_sequence_patterns" -> q200SequencePatterns,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2813,6 +2912,7 @@ object EventQueries {
     "q187_time_to_repeat" -> q187Sql,
     "q195_hazard_curve" -> q195Sql,
     "q196_dwell_times" -> q196Sql,
+    "q200_sequence_patterns" -> q200Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

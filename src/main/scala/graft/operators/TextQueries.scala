@@ -983,6 +983,76 @@ object TextQueries {
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM split GROUP BY 1""".stripMargin
 
+  /** q199: dedup-effectiveness report per source — the capstone accounting
+    * over the dedup family: for each source, how many documents (and how
+    * much token mass) would exact dedup (q50: keep the min doc_id of each
+    * identical-content group) and near dedup (q68: keep each MinHash
+    * cluster's representative) remove? Removal attributes to the REMOVED
+    * document's source — the number a curation run reads to see which
+    * crawls are paying for their storage. Near-dup removal counts only
+    * docs exact dedup kept (no double counting), so
+    * exact_removed + near_removed + kept = n_docs tiles exactly. One
+    * md5 rollup join + one cluster-map join onto the document stream;
+    * shares are exact e6 divisions.
+    */
+  val q199DedupEffectiveness: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).as("n_toks"), md5(col("text")).as("h"))
+    val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val reps = q68DedupClusters(s, dir)
+    d.join(keepers, "h")
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("source"), col("n_toks"),
+        (col("doc_id") =!= col("keep_id")).cast("long").as("exact_rm"),
+        (col("doc_id") === col("keep_id") && col("cluster_rep").isNotNull &&
+          col("cluster_rep") =!= col("doc_id")).cast("long").as("near_rm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("exact_rm")).as("n_exact_removed"),
+        sum(col("near_rm")).as("n_near_removed"),
+        sum((col("exact_rm") + col("near_rm")) * col("n_toks"))
+          .as("tokens_saved"))
+      .withColumn("savings_share_e6",
+        expr("tokens_saved * 1000000 DIV n_tokens"))
+  }
+
+  lazy val q199Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$q55Sql
+       |  ) q),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_toks,
+       |    md5(text) AS h
+       |  FROM documents),
+       |keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+       |marked AS (
+       |  SELECT d.source, d.n_toks,
+       |    CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS exact_rm,
+       |    CASE WHEN d.doc_id = k.keep_id AND cl.cluster_rep IS NOT NULL
+       |              AND cl.cluster_rep <> d.doc_id THEN 1 ELSE 0 END AS near_rm
+       |  FROM d JOIN keepers k USING (h)
+       |  LEFT JOIN cl ON cl.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(exact_rm) AS BIGINT) AS n_exact_removed,
+       |  CAST(SUM(near_rm) AS BIGINT) AS n_near_removed,
+       |  CAST(SUM((exact_rm + near_rm) * n_toks) AS BIGINT) AS tokens_saved,
+       |  CAST(SUM((exact_rm + near_rm) * n_toks) * 1000000 // SUM(n_toks)
+       |    AS BIGINT) AS savings_share_e6
+       |FROM marked GROUP BY source""".stripMargin
+
   /** TF-IDF cosine top-k document similarity over 3-gram shingle terms —
     * the sparse-vector similarity search of a retrieval/dedup pipeline,
     * entirely in exact integer arithmetic so it passes the bit-exact gate:
@@ -1232,6 +1302,7 @@ object TextQueries {
     "q67_hash_split" -> q67HashSplit,
     "q190_lexical_diversity" -> q190LexicalDiversity,
     "q191_cluster_split" -> q191ClusterSplit,
+    "q199_dedup_effectiveness" -> q199DedupEffectiveness,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q95_cc_starcontract" -> q95CcStarContract,
     "q102_incremental_dedup" -> q102IncrementalDedup,
@@ -1257,6 +1328,7 @@ object TextQueries {
     "q67_hash_split" -> q67Sql,
     "q190_lexical_diversity" -> q190Sql,
     "q191_cluster_split" -> q191Sql,
+    "q199_dedup_effectiveness" -> q199Sql,
     "q68_dedup_clusters" -> q68Sql,
     // star contraction and propagation share one output contract, so the
     // recursive-CTE reachability oracle applies to both

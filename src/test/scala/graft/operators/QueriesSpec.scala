@@ -966,6 +966,39 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q199 dedup accounting tiles the corpus; removals never exceed docs") {
+    val rows = TextQueries.q199DedupEffectiveness(spark, sfDir).collect()
+    val d = graft.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === d.count())
+    // corpus-wide exact removals = docs minus distinct contents
+    val distinctContents = d.select(col("text")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_exact_removed")).sum ===
+      d.count() - distinctContents)
+    // near removals = cluster members minus representatives, exact-kept only
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_removed") + r.getAs[Long]("n_near_removed")
+        <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_saved") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("q200 sequence patterns: support bounded by sessions-with-a; funnel order holds") {
+    val rows = EventQueries.q200SequencePatterns(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sup, withA, n) = (r.getAs[Long]("support"),
+        r.getAs[Long]("n_with_a"), r.getAs[Long]("n_sessions"))
+      assert(sup >= 1 && sup <= withA && withA <= n, r)
+      assert(r.getAs[Long]("confidence_e6") === sup * 1000000L / withA)
+    }
+    // the funnel direction dominates its reverse: view→purchase sessions
+    // are at least as common as purchase→view (purchases end funnels)
+    val m = rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+      r.getAs[Long]("support")).toMap
+    for (vp <- m.get(("view", "purchase")); pv <- m.get(("purchase", "view")))
+      assert(vp >= pv / 2, "sanity: funnels mostly run forward")
+  }
+
   test("q192 contamination matrix tiles the q55 pair set; similarity bounded") {
     val rows = CurationQueries.q192ContaminationMatrix(spark, sfDir).collect()
     val nPairs = TextQueries.q55MinhashLsh(spark, sfDir).count()
