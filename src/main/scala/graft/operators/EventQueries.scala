@@ -1638,6 +1638,64 @@ object EventQueries {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type""".stripMargin
 
+  // --------------------------------------- q201: resurrection accounting
+
+  /** Absence horizon (days) past which a returning user counts as
+    * RESURRECTED rather than retained.
+    */
+  val ResurrectDays = 28L
+
+  /** q201: growth accounting with resurrection — q110's new/returning
+    * split refined into the full active-side state machine: on each
+    * active day a user is NEW (first day ever), RETAINED (previous
+    * active day within [[ResurrectDays]]), or RESURRECTED (returned
+    * after a longer absence) — the standard growth-accounting states.
+    * One lag window over the deduplicated user-day rollup (the q110/q137
+    * posture: windows never see raw events), classification by exact
+    * day arithmetic, and a day rollup whose three states tile
+    * active_users exactly.
+    */
+  val q201Resurrection: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("prev_day", lag(col("day"), 1).over(w))
+      .select(col("day"),
+        when(col("prev_day").isNull, "new")
+          .when(col("day") - col("prev_day") > ResurrectDays, "resurrected")
+          .otherwise("retained").as("state"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum((col("state") === "new").cast("long")).as("new_users"),
+        sum((col("state") === "retained").cast("long")).as("retained_users"),
+        sum((col("state") === "resurrected").cast("long"))
+          .as("resurrected_users"))
+  }
+
+  val q201Sql: String =
+    s"""WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |st AS (
+      |  SELECT day,
+      |    CASE WHEN prev_day IS NULL THEN 'new'
+      |         WHEN day - prev_day > $ResurrectDays THEN 'resurrected'
+      |         ELSE 'retained' END AS state
+      |  FROM (SELECT day,
+      |          LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      |        FROM days) t)
+      |SELECT day, COUNT(*) AS active_users,
+      |  CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_users,
+      |  CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS retained_users,
+      |  CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS resurrected_users
+      |FROM st GROUP BY day""".stripMargin
+
   // ------------------------------------------- q200: sequential patterns
 
   /** q200: sequential pattern mining over sessions — for every ordered
@@ -2890,6 +2948,7 @@ object EventQueries {
     "q195_hazard_curve" -> q195HazardCurve,
     "q196_dwell_times" -> q196DwellTimes,
     "q200_sequence_patterns" -> q200SequencePatterns,
+    "q201_resurrection" -> q201Resurrection,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2913,6 +2972,7 @@ object EventQueries {
     "q195_hazard_curve" -> q195Sql,
     "q196_dwell_times" -> q196Sql,
     "q200_sequence_patterns" -> q200Sql,
+    "q201_resurrection" -> q201Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

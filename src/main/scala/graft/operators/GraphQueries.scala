@@ -529,7 +529,103 @@ object GraphQueries {
       |JOIN deg da ON da.n = a
       |JOIN deg db ON db.n = b""".stripMargin
 
+  // ------------------------------------------- q202: recommender evaluation
+
+  /** Recommendations kept per source part in the q202 evaluation. */
+  private val RecK = 5
+
+  /** Temporal split date: train on orders strictly before, test on the rest
+    * (reuses CoreQueries' snapshot instant so the corpus splits match).
+    */
+  private def recCutoff = CoreQueries.SnapshotCutoff
+
+  /** q202: offline recommender evaluation — the leak-free hit-rate@k
+    * protocol: train co-purchase counts on orders BEFORE the cutoff date,
+    * recommend each part's top-[[RecK]] co-purchased partners (count desc,
+    * id tiebreak — one window over the train edge list), then score
+    * against co-purchases that actually happened in TEST-period orders:
+    * a directional test pair (a,b) hits when b is in a's top-k. One
+    * summary row: directional pairs, hits, hit-rate, and the evaluated-k.
+    * The time split makes it honest (no test leakage into training edges);
+    * both edge derivations are the bounded q107 in-place pair shape, and
+    * the scoring join is test-pairs × recommendations on (a,b) — never a
+    * part×part product.
+    */
+  val q202RecsysEval: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def itemsIn(test: Boolean) = {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val cond = if (test) col("o_orderdate") >= lit(recCutoff).cast("timestamp")
+        else col("o_orderdate") < lit(recCutoff).cast("timestamp")
+      Tables.lineitem(s, dir)
+        .join(o.filter(cond), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    }
+    def edges(items: org.apache.spark.sql.DataFrame) = items
+      .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("parts"))
+      .filter(size(col("parts")).between(2, BasketCap))
+      .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
+        struct(x.as("part_a"), y.as("part_b"))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    def directional(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
+        .union(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
+    val train = directional(edges(itemsIn(test = false)))
+    val recs = train
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b"))))
+      .filter(col("rk") <= RecK)
+      .select(col("a"), col("b"))
+    val testPairs = directional(edges(itemsIn(test = true)))
+      .select(col("a"), col("b"))
+    testPairs
+      .join(recs.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_test_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_test_pairs"), col("n_hits"), lit(RecK).as("k"),
+        expr("n_hits * 1000000 DIV n_test_pairs").as("hit_rate_e6"))
+  }
+
+  def q202Sql: String = {
+    def edgeCte(name: String, cmp: String) =
+      s"""${name}_items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate $cmp TIMESTAMP '$recCutoff 00:00:00'),
+         |${name}_baskets AS (
+         |  SELECT o, LIST_SORT(LIST(p)) AS parts FROM ${name}_items
+         |  GROUP BY o HAVING COUNT(*) BETWEEN 2 AND $BasketCap),
+         |${name}_pairs AS (
+         |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+         |  FROM ${name}_items a JOIN ${name}_items b
+         |    ON a.o = b.o AND a.p < b.p
+         |  WHERE a.o IN (SELECT o FROM ${name}_baskets)
+         |  GROUP BY 1, 2),
+         |${name}_dir AS (
+         |  SELECT part_a AS a, part_b AS b, n_ab FROM ${name}_pairs
+         |  UNION ALL SELECT part_b, part_a, n_ab FROM ${name}_pairs)""".stripMargin
+    s"""WITH ${edgeCte("tr", "<")},
+       |${edgeCte("te", ">=")},
+       |recs AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY n_ab DESC, b) AS rk
+       |    FROM tr_dir) t
+       |  WHERE rk <= $RecK)
+       |SELECT COUNT(*) AS n_test_pairs,
+       |  CAST(SUM(CASE WHEN r.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST($RecK AS INT) AS k,
+       |  CAST(SUM(CASE WHEN r.b IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS hit_rate_e6
+       |FROM te_dir t LEFT JOIN recs r ON t.a = r.a AND t.b = r.b""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q202_recsys_eval" -> q202RecsysEval,
     "q188_assortativity" -> q188DegreeAssortativity,
     "q189_link_prediction" -> q189LinkPrediction,
     "q143_bfs_reach" -> q143BfsReach,
@@ -540,6 +636,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q202_recsys_eval" -> q202Sql,
     "q188_assortativity" -> q188Sql,
     "q189_link_prediction" -> q189Sql,
     "q143_bfs_reach" -> q143Sql,

