@@ -1638,6 +1638,165 @@ object EventQueries {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type""".stripMargin
 
+  // ------------------------- q204: attribution-window sensitivity
+
+  /** q204: attribution-window sensitivity — the robustness check every
+    * attribution report needs before anyone trusts q128's single-window
+    * number: the SAME last-touch derivation (q128's packed
+    * timestamp·4+channel key, one user-keyed window pass), but each
+    * purchase is scored against three lookback windows at once (1 h, 6 h,
+    * 24 h) via conditional aggregation — one event scan total, not one
+    * per window. Output per touch channel: attributed purchases and
+    * revenue under each window; a channel whose numbers swing hard across
+    * windows is riding stale touches.
+    */
+  val q204AttributionSensitivity: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val tkey = when(col("event_type") === "click", unix_millis(col("ts")) * 4 + 1)
+      .when(col("event_type") === "view", unix_millis(col("ts")) * 4 + 2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = e.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), tkey.as("tkey"))
+      .withColumn("attr_key", max(col("tkey")).over(w))
+      .filter(col("event_type") === "purchase" && col("attr_key").isNotNull)
+      .select(
+        when(col("attr_key") % 4 === 1, "click").otherwise("view").as("channel"),
+        (unix_millis(col("ts")) - expr("attr_key div 4")).as("lat_ms"),
+        cents(col("value")).as("v_c"))
+    def win(ms: Long, tag: String) = Seq(
+      sum((col("lat_ms") <= ms).cast("long")).as(s"n_$tag"),
+      sum(when(col("lat_ms") <= ms, col("v_c")).otherwise(0L)).as(s"rev_${tag}_c"))
+    attr.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touched"),
+        (win(3600000L, "1h") ++ win(21600000L, "6h") ++
+          win(86400000L, "24h")): _*)
+  }
+
+  val q204Sql: String =
+    """WITH keyed AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type = 'click' THEN epoch_ms(ts) * 4 + 1
+      |         WHEN event_type = 'view'  THEN epoch_ms(ts) * 4 + 2 END AS tkey
+      |  FROM events),
+      |attr AS (
+      |  SELECT *, MAX(tkey) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_key
+      |  FROM keyed),
+      |p AS (
+      |  SELECT CASE WHEN attr_key % 4 = 1 THEN 'click' ELSE 'view' END AS channel,
+      |    epoch_ms(ts) - attr_key // 4 AS lat_ms,
+      |    CAST(ROUND(value*100) AS BIGINT) AS v_c
+      |  FROM attr WHERE event_type = 'purchase' AND attr_key IS NOT NULL)
+      |SELECT channel, COUNT(*) AS n_touched,
+      |  CAST(SUM(CASE WHEN lat_ms <= 3600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_1h,
+      |  CAST(SUM(CASE WHEN lat_ms <= 3600000 THEN v_c ELSE 0 END) AS BIGINT) AS rev_1h_c,
+      |  CAST(SUM(CASE WHEN lat_ms <= 21600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_6h,
+      |  CAST(SUM(CASE WHEN lat_ms <= 21600000 THEN v_c ELSE 0 END) AS BIGINT) AS rev_6h_c,
+      |  CAST(SUM(CASE WHEN lat_ms <= 86400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_24h,
+      |  CAST(SUM(CASE WHEN lat_ms <= 86400000 THEN v_c ELSE 0 END) AS BIGINT) AS rev_24h_c
+      |FROM p GROUP BY channel""".stripMargin
+
+  // ------------------------------------------- q203: CUPED adjustment
+
+  /** Pre-period length in days for the q203 covariate window. */
+  val CupedPreDays = 14L
+
+  /** q203: CUPED variance reduction for the A/B readout — the standard
+    * experimentation upgrade over q127's raw comparison: each user's
+    * PRE-period revenue (first [[CupedPreDays]] observed days) is the
+    * covariate x, their post-period revenue the metric y, and the
+    * adjusted metric y − θ·(x − x̄) with θ = cov(x,y)/var(x) removes the
+    * variance x explains. θ and the correlation come from EXACT integer
+    * co-moments in DECIMAL(38,0) (the q117 machinery — never streaming
+    * float covariances), pooled across variants as the method requires
+    * (assignment ⊥ x, so pooling biases nothing); every reported double
+    * is a fixed IEEE expression over those sums, mirrored operation for
+    * operation in the oracle. One user rollup, one 2-row variant rollup,
+    * one broadcast scalar stitch. Also reports var_reduction = ρ²(x,y) —
+    * the fraction of metric variance CUPED removes.
+    */
+  val q203Cuped: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val d0 = e.agg(min(col("day")).as("d0"))
+    val isPurch = col("event_type") === "purchase"
+    val users = e.crossJoin(broadcast(d0))
+      .groupBy(col("user_id"))
+      .agg(sum(when(isPurch && col("day") < col("d0") + CupedPreDays,
+          cents(col("value"))).otherwise(0L)).as("x_c"),
+        sum(when(isPurch && col("day") >= col("d0") + CupedPreDays,
+          cents(col("value"))).otherwise(0L)).as("y_c"))
+      .withColumn("variant",
+        when(graft.functions.Text.portableHash(
+          col("user_id").cast("string")) % 2 === 0, "A").otherwise("B"))
+    val mo = users.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x_c").cast(dec)).as("sx"),
+      sum(col("y_c").cast(dec)).as("sy"),
+      sum((col("x_c") * col("y_c")).cast(dec)).as("sxy"),
+      sum((col("x_c") * col("x_c")).cast(dec)).as("sxx"),
+      sum((col("y_c") * col("y_c")).cast(dec)).as("syy"))
+    val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val c = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val scalars = mo.select(
+      (a / b).as("theta"),
+      (col("sx").cast("double") / col("n").cast("double")).as("mean_x_glob"),
+      ((a / b) * (a / c)).as("var_reduction"))
+    users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x_c")).as("sx_v"), sum(col("y_c")).as("sy_v"))
+      .crossJoin(broadcast(scalars))
+      .select(col("variant"), col("n_users"),
+        (col("sy_v").cast("double") / col("n_users")).as("mean_y_c"),
+        ((col("sy_v").cast("double") / col("n_users")) -
+          col("theta") * ((col("sx_v").cast("double") / col("n_users")) -
+            col("mean_x_glob"))).as("mean_y_adj_c"),
+        col("theta"), col("var_reduction"))
+  }
+
+  val q203Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |d0 AS (SELECT MIN(day) AS d0 FROM e),
+      |users AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase' AND day < d0 + $CupedPreDays
+      |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS x_c,
+      |    SUM(CASE WHEN event_type = 'purchase' AND day >= d0 + $CupedPreDays
+      |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS y_c,
+      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      |  FROM e, d0 GROUP BY user_id, variant),
+      |mo AS (
+      |  SELECT COUNT(*) AS n, SUM(x_c) AS sx, SUM(y_c) AS sy,
+      |    SUM(x_c * y_c) AS sxy, SUM(x_c * x_c) AS sxx, SUM(y_c * y_c) AS syy
+      |  FROM users),
+      |sc AS (
+      |  SELECT
+      |    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+      |      CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS theta,
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) /
+      |      CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mean_x_glob,
+      |    (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+      |      CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) *
+      |    (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+      |      CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS var_reduction
+      |  FROM mo)
+      |SELECT variant, COUNT(*) AS n_users,
+      |  CAST(CAST(SUM(y_c) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_y_c,
+      |  (CAST(CAST(SUM(y_c) AS VARCHAR) AS DOUBLE) / COUNT(*)) -
+      |    theta * ((CAST(CAST(SUM(x_c) AS VARCHAR) AS DOUBLE) / COUNT(*)) -
+      |      mean_x_glob) AS mean_y_adj_c,
+      |  theta, var_reduction
+      |FROM users, sc GROUP BY variant, theta, mean_x_glob, var_reduction""".stripMargin
+
   // --------------------------------------- q201: resurrection accounting
 
   /** Absence horizon (days) past which a returning user counts as
@@ -2949,6 +3108,8 @@ object EventQueries {
     "q196_dwell_times" -> q196DwellTimes,
     "q200_sequence_patterns" -> q200SequencePatterns,
     "q201_resurrection" -> q201Resurrection,
+    "q203_cuped" -> q203Cuped,
+    "q204_attr_sensitivity" -> q204AttributionSensitivity,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -2973,6 +3134,8 @@ object EventQueries {
     "q196_dwell_times" -> q196Sql,
     "q200_sequence_patterns" -> q200Sql,
     "q201_resurrection" -> q201Sql,
+    "q203_cuped" -> q203Sql,
+    "q204_attr_sensitivity" -> q204Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

@@ -993,6 +993,74 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q204 window sensitivity is monotone and consistent with q128") {
+    val rows = EventQueries.q204AttributionSensitivity(spark, sfDir).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    assert(rows.keySet === Set("click", "view"))
+    rows.values.foreach { r =>
+      // wider windows can only attribute more
+      assert(r.getAs[Long]("n_1h") <= r.getAs[Long]("n_6h"))
+      assert(r.getAs[Long]("n_6h") <= r.getAs[Long]("n_24h"))
+      assert(r.getAs[Long]("n_24h") <= r.getAs[Long]("n_touched"))
+      assert(r.getAs[Long]("rev_1h_c") <= r.getAs[Long]("rev_6h_c"))
+      assert(r.getAs[Long]("rev_6h_c") <= r.getAs[Long]("rev_24h_c"))
+    }
+    // consistency with q128: both derive the same last-touch keys, so
+    // q204's touched total equals q128's non-'none' purchase total
+    val base = EventQueries.q128Attribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = rows.values.map(_.getAs[Long]("n_touched")).sum
+    assert(touched === base.filter(_._1 != "none").values.sum,
+      "every purchase with a prior touch appears in exactly one channel")
+  }
+
+  test("q203 CUPED equals a serial recompute and shrinks the variant gap") {
+    val rows = EventQueries.q203Cuped(spark, sfDir).collect()
+      .map(r => r.getAs[String]("variant") -> r).toMap
+    assert(rows.keySet === Set("A", "B"))
+    // serial recompute from the same user rollup
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(round(value*100) as bigint)").as("v_c"),
+        expr("unix_timestamp(ts) DIV 86400").as("day")).collect()
+    val d0 = e.map(_.getLong(3)).min
+    val users = e.groupBy(_.getLong(0)).map { case (uid, rs) =>
+      val x = rs.filter(r => r.getString(1) == "purchase" &&
+        r.getLong(3) < d0 + EventQueries.CupedPreDays).map(_.getLong(2)).sum
+      val y = rs.filter(r => r.getString(1) == "purchase" &&
+        r.getLong(3) >= d0 + EventQueries.CupedPreDays).map(_.getLong(2)).sum
+      (uid, x, y)
+    }.toSeq
+    val n = BigInt(users.size)
+    val sx = users.map(u => BigInt(u._2)).sum
+    val sy = users.map(u => BigInt(u._3)).sum
+    val sxy = users.map(u => BigInt(u._2) * BigInt(u._3)).sum
+    val sxx = users.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(rows("A").getAs[Double]("theta") === theta)
+    assert(rows("A").getAs[Double]("var_reduction") > 0.0)
+    assert(rows("A").getAs[Double]("var_reduction") <= 1.0)
+    // A/B assignment is hash-deterministic: counts recompute exactly
+    def variant(uid: Long): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(md5, 16) % 2 == 0) "A" else "B"
+    }
+    val byV = users.groupBy(u => variant(u._1))
+    assert(rows("A").getAs[Long]("n_users") === byV("A").size.toLong)
+    assert(rows("B").getAs[Long]("n_users") === byV("B").size.toLong)
+    // adjusted means: |adjA - adjB| <= |rawA - rawB| is not guaranteed in
+    // general, but adj must equal the closed form
+    byV.foreach { case (v, us) =>
+      val meanY = us.map(u => BigInt(u._3)).sum.toDouble / us.size
+      val meanX = us.map(u => BigInt(u._2)).sum.toDouble / us.size
+      val meanXg = sx.toDouble / n.toDouble
+      val exp = meanY - theta * (meanX - meanXg)
+      assert(math.abs(rows(v).getAs[Double]("mean_y_adj_c") - exp) < 1e-6, v)
+    }
+  }
+
   test("q199 dedup accounting tiles the corpus; removals never exceed docs") {
     val rows = TextQueries.q199DedupEffectiveness(spark, sfDir).collect()
     val d = graft.Tables.documents(spark, sfDir)
