@@ -853,6 +853,110 @@ object CoreQueries {
       |  END AS BIGINT) AS lift_e6
       |FROM g WHERE pre_rev_c > 0""".stripMargin
 
+  // ------------------------------------------- q205: price dispersion
+
+  /** Minimum offers per part for the q205 dispersion report. */
+  val DispersionMinOffers = 5L
+
+  /** q205: price-dispersion / law-of-one-price audit — per part, how far
+    * apart are the unit prices its line items actually transacted at?
+    * Unit price is exact integer arithmetic (extended-price cents scaled
+    * ×100, truncating-divided by quantity cents — both engines on
+    * nonnegative operands), and the spread/median come from min/max and
+    * percentile_disc over those integers. Parts below
+    * [[DispersionMinOffers]] offers are excluded (a 2-offer "spread" is
+    * noise). A wide spread flags inconsistent pricing or data-quality
+    * problems upstream. One map-side-combined rollup keyed by part.
+    */
+  val q205PriceDispersion: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("""CAST(ROUND(l_extendedprice*100) AS BIGINT) * 100
+               | DIV CAST(ROUND(l_quantity*100) AS BIGINT)""".stripMargin)
+          .as("unit_c"))
+    li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_offers"),
+        min(col("unit_c")).as("min_unit_c"),
+        max(col("unit_c")).as("max_unit_c"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY unit_c)")
+          .cast("long").as("median_unit_c"))
+      .filter(col("n_offers") >= DispersionMinOffers)
+      .withColumn("spread_e6",
+        expr("(max_unit_c - min_unit_c) * 1000000 DIV min_unit_c"))
+  }
+
+  val q205Sql: String =
+    s"""WITH u AS (
+      |  SELECT l_partkey,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) * 100
+      |      // CAST(ROUND(l_quantity*100) AS BIGINT) AS unit_c
+      |  FROM lineitem)
+      |SELECT l_partkey, COUNT(*) AS n_offers,
+      |  MIN(unit_c) AS min_unit_c, MAX(unit_c) AS max_unit_c,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY unit_c) AS median_unit_c,
+      |  CAST((MAX(unit_c) - MIN(unit_c)) * 1000000 // MIN(unit_c) AS BIGINT)
+      |    AS spread_e6
+      |FROM u GROUP BY l_partkey
+      |HAVING COUNT(*) >= $DispersionMinOffers""".stripMargin
+
+  // --------------------------------------- q206: return-rate outliers
+
+  /** q206: supplier return-rate outliers — the forensic screen "which
+    * suppliers' goods come back too often?": per supplier, returned-line
+    * share versus the corpus rate, flagged when the deviation exceeds two
+    * binomial standard errors. The 2σ test runs ENTIRELY in integers
+    * (the q120 trick, lifted to proportions): with d = n_ret·N − R·n and
+    * variance term 4·R·(N−R)·n, the flag is d² > var — products
+    * accumulate in DECIMAL(38,0)/HUGEINT because d² overflows int64 at
+    * warehouse scale. No float means the page-someone bit is
+    * bit-identical on any engine. One supplier rollup plus a broadcast
+    * corpus scalar.
+    */
+  val q206ReturnOutliers: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+    val corpus = li.agg(count(lit(1)).cast(dec).as("n_tot"),
+      sum(col("ret")).cast(dec).as("r_tot"))
+    li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("ret")).as("n_returned"))
+      .crossJoin(broadcast(corpus))
+      .select(col("l_suppkey"), col("n_lines"), col("n_returned"),
+        expr("n_returned * 1000000 DIV n_lines").as("rate_e6"),
+        (col("n_tot") * col("n_returned") - col("r_tot") * col("n_lines"))
+          .as("d"),
+        (lit(4).cast(dec) * col("r_tot") * (col("n_tot") - col("r_tot")) *
+          col("n_lines")).as("v"))
+      .select(col("l_suppkey"), col("n_lines"), col("n_returned"),
+        col("rate_e6"),
+        (col("d") * col("d") > col("v")).as("is_outlier"),
+        when(col("d") > 0, "high").when(col("d") < 0, "low").otherwise("at_rate")
+          .as("direction"))
+  }
+
+  val q206Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      |  FROM lineitem),
+      |c AS (SELECT COUNT(*) AS n_tot, SUM(ret) AS r_tot FROM li),
+      |s AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_lines,
+      |    CAST(SUM(ret) AS BIGINT) AS n_returned
+      |  FROM li GROUP BY l_suppkey)
+      |SELECT l_suppkey, n_lines, n_returned,
+      |  CAST(n_returned * 1000000 // n_lines AS BIGINT) AS rate_e6,
+      |  (CAST(n_tot AS HUGEINT) * n_returned - CAST(r_tot AS HUGEINT) * n_lines)
+      |    * (CAST(n_tot AS HUGEINT) * n_returned - CAST(r_tot AS HUGEINT) * n_lines)
+      |    > 4 * CAST(r_tot AS HUGEINT) * (n_tot - r_tot) * n_lines AS is_outlier,
+      |  CASE WHEN CAST(n_tot AS HUGEINT) * n_returned
+      |            > CAST(r_tot AS HUGEINT) * n_lines THEN 'high'
+      |       WHEN CAST(n_tot AS HUGEINT) * n_returned
+      |            < CAST(r_tot AS HUGEINT) * n_lines THEN 'low'
+      |       ELSE 'at_rate' END AS direction
+      |FROM s, c""".stripMargin
+
   /** q117: correlation & regression — Pearson r, population covariance,
     * and the least-squares slope/intercept of price against quantity per
     * return flag. Spark's corr/covar/regr_* aggregates stream double
@@ -2746,6 +2850,8 @@ object CoreQueries {
     "q149_countmin" -> q149CountMin,
     "q150_incremental_rollup" -> q150IncrementalRollup,
     "q197_join_view_maintenance" -> q197JoinViewMaintenance,
+    "q205_price_dispersion" -> q205PriceDispersion,
+    "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
     "q118_benford" -> q118Benford,
@@ -2818,6 +2924,8 @@ object CoreQueries {
     "q149_countmin" -> q149Sql,
     "q150_incremental_rollup" -> q150Sql,
     "q197_join_view_maintenance" -> q197Sql,
+    "q205_price_dispersion" -> q205Sql,
+    "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,
     "q118_benford" -> q118Sql,

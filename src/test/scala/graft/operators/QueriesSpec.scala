@@ -993,6 +993,39 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q205 dispersion: bounds ordered, spread closed-form, floor respected") {
+    val rows = CoreQueries.q205PriceDispersion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, md, hi) = (r.getAs[Long]("min_unit_c"),
+        r.getAs[Long]("median_unit_c"), r.getAs[Long]("max_unit_c"))
+      assert(lo <= md && md <= hi, r)
+      assert(r.getAs[Long]("n_offers") >= CoreQueries.DispersionMinOffers)
+      assert(r.getAs[Long]("spread_e6") === (hi - lo) * 1000000L / lo)
+    }
+  }
+
+  test("q206 outliers: integer 2-sigma flag equals the float rule away from ties") {
+    val rows = CoreQueries.q206ReturnOutliers(spark, sfDir).collect()
+    val (nTot, rTot) = {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      (li.count(), li.filter(col("l_returnflag") === "R").count())
+    }
+    val p = rTot.toDouble / nTot
+    rows.foreach { r =>
+      val (n, ret) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_returned"))
+      val flag = r.getAs[Boolean]("is_outlier")
+      val dev = math.abs(ret.toDouble / n - p)
+      val se = math.sqrt(p * (1 - p) / n)
+      // the integer rule is exactly dev > 2·se (both sides squared exact)
+      assert(flag === (dev * dev > 4 * se * se * (1 + 1e-12)) ||
+        math.abs(dev * dev - 4 * se * se) < 1e-9, r)
+      assert(r.getAs[Long]("rate_e6") === ret * 1000000L / n)
+    }
+    // the corpus can't be ALL outliers
+    assert(rows.count(_.getAs[Boolean]("is_outlier")) < rows.length)
+  }
+
   test("q204 window sensitivity is monotone and consistent with q128") {
     val rows = EventQueries.q204AttributionSensitivity(spark, sfDir).collect()
       .map(r => r.getAs[String]("channel") -> r).toMap
