@@ -299,4 +299,36 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("Join"), s"single token pipeline, no joins:\n$p")
     assert(p.contains("partial_count"), "tf counting must map-side combine")
   }
+
+  test("q195/q206: scalar stitches stay broadcast; sums partial-aggregate") {
+    val p195 = plan("q195_hazard_curve")
+    assert(!p195.contains("CartesianProduct"), p195)
+    // two 1-row stitches may nested-loop: the corpus-end scalar and the
+    // max-week scalar the spine explodes from — both broadcast singletons
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p195).size <= 2, p195)
+    val p206 = plan("q206_return_outliers")
+    assert(!p206.contains("CartesianProduct"), p206)
+    assert(p206.contains("partial_sum") || p206.contains("partial_count"),
+      "supplier rollup must map-side combine")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p206).size <= 1, p206)
+  }
+
+  test("q200/q204: one user-keyed window pass each, candidates join-free") {
+    val p204 = plan("q204_attr_sensitivity")
+    assert("Window \\[".r.findAllIn(p204).size === 1,
+      s"all three windows must ride ONE last-touch pass:\n$p204")
+    assert(!p204.contains("Join"), "no self-joins in the sensitivity panel")
+    val p200 = plan("q200_sequence_patterns")
+    assert(!p200.contains("CartesianProduct"), p200)
+    assert(p200.contains("collect_list"),
+      "pair generation must be the grouped in-place shape")
+  }
+
+  test("q202/q205: per-key ranking is partitioned, dispersion joins nothing") {
+    val p202 = plan("q202_recsys_eval")
+    assert(!p202.contains("CartesianProduct"), p202)
+    assert(p202.contains("collect_list"), "basket pairs stay in-place")
+    val p205 = plan("q205_price_dispersion")
+    assert(!p205.contains("Join"), s"one rollup, no joins:\n$p205")
+  }
 }
