@@ -853,6 +853,48 @@ object CoreQueries {
       |  END AS BIGINT) AS lift_e6
       |FROM g WHERE pre_rev_c > 0""".stripMargin
 
+  // ------------------------------------------- q207: aggregate navigation
+
+  /** q207: summary-table routed aggregation — the gate-facing face of
+    * [[graft.plans.AggregateNavigator]]: the per-returnflag quantity
+    * report is answered from the (returnflag, linestatus) ROLLUP, not the
+    * fact table — the navigator picks it because the requested grain is a
+    * subset, then re-aggregates by the aggregate algebra (SUM/COUNT by
+    * SUM, MIN/MAX by MIN/MAX, AVG derived). The oracle computes the
+    * direct full-scan answer, so the rollup route's correctness IS the
+    * gate check (the q150/q197 pattern, lifted into a reusable router).
+    * A decoy summary at an incompatible grain is registered to prove
+    * selection, and QueriesSpec asserts the fact is scanned only to build
+    * the summary, never by the routed query.
+    */
+  val q207AggNavigator: Q = (s, dir) => {
+    import graft.plans.AggregateNavigator
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+        cents(col("l_quantity")).as("qty_c"))
+    val s1 = AggregateNavigator.Summary("s_flag_status",
+      Set("l_returnflag", "l_linestatus"),
+      AggregateNavigator.build(li, Seq("l_returnflag", "l_linestatus"),
+        Seq("qty_c")).localCheckpoint())
+    val s2 = AggregateNavigator.Summary("s_supp",
+      Set("l_suppkey"),
+      AggregateNavigator.build(li, Seq("l_suppkey"),
+        Seq("qty_c")).localCheckpoint())
+    val (src, out) = AggregateNavigator.route(Seq(s2, s1), li,
+      Seq("l_returnflag"), Seq("qty_c"))
+    require(src == "s_flag_status", s"router must pick the covering rollup, got $src")
+    out
+  }
+
+  val q207Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  MIN(CAST(ROUND(l_quantity*100) AS BIGINT)) AS min_qty_c,
+      |  MAX(CAST(ROUND(l_quantity*100) AS BIGINT)) AS max_qty_c,
+      |  CAST(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+      |    // COUNT(*) AS BIGINT) AS avg_qty_c
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------- q205: price dispersion
 
   /** Minimum offers per part for the q205 dispersion report. */
@@ -2851,6 +2893,7 @@ object CoreQueries {
     "q150_incremental_rollup" -> q150IncrementalRollup,
     "q197_join_view_maintenance" -> q197JoinViewMaintenance,
     "q205_price_dispersion" -> q205PriceDispersion,
+    "q207_agg_navigator" -> q207AggNavigator,
     "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
@@ -2925,6 +2968,7 @@ object CoreQueries {
     "q150_incremental_rollup" -> q150Sql,
     "q197_join_view_maintenance" -> q197Sql,
     "q205_price_dispersion" -> q205Sql,
+    "q207_agg_navigator" -> q207Sql,
     "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,
