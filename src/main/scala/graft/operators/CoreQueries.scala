@@ -853,6 +853,141 @@ object CoreQueries {
       |  END AS BIGINT) AS lift_e6
       |FROM g WHERE pre_rev_c > 0""".stripMargin
 
+  // ------------------------------------------- q209: skew partition plan
+
+  /** Heaviest keys reported by the q209 salting plan. */
+  val SkewPlanTopN = 10
+
+  /** q209: skew partition planner — the offline statistics pass behind
+    * [[SkewJoin]]: for the [[SkewPlanTopN]] heaviest join keys, the
+    * salting factor that levels each back to the MEDIAN key load
+    * (ceil division, exact integers — the target adapts to the data, so
+    * the plan is meaningful at any scale factor) and the resulting worst
+    * slice size. This is the reference's skew-detection view
+    * (vw_tables_with_skew) turned actionable: feed `salt_factor` straight
+    * into SkewJoin.saltedInner or a re-keyed CTAS; `is_skewed` marks keys
+    * that actually need it. One map-side-combined rollup; the median is a
+    * percentile_disc over the |keys|-sized rollup.
+    */
+  val q209SkewPlan: Q = (s, dir) => {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+    val med = counts.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_rows)")
+        .cast("long").as("median_rows"))
+    counts.crossJoin(broadcast(med))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_rows").desc, col("l_suppkey"))))
+      .filter(col("rk") <= SkewPlanTopN).drop("rk")
+      .withColumn("salt_factor",
+        expr("(n_rows + median_rows - 1) DIV median_rows"))
+      .withColumn("worst_slice_rows",
+        expr("(n_rows + salt_factor - 1) DIV salt_factor"))
+      .withColumn("is_skewed", col("salt_factor") > 1)
+  }
+
+  val q209Sql: String =
+    s"""WITH c AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_rows)
+      |    AS median_rows FROM c),
+      |top AS (
+      |  SELECT l_suppkey, n_rows, median_rows FROM (
+      |    SELECT c.*, m.median_rows,
+      |      ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_suppkey) AS rk
+      |    FROM c, m) t
+      |  WHERE rk <= $SkewPlanTopN)
+      |SELECT l_suppkey, n_rows, median_rows,
+      |  (n_rows + median_rows - 1) // median_rows AS salt_factor,
+      |  (n_rows + (n_rows + median_rows - 1) // median_rows - 1)
+      |    // ((n_rows + median_rows - 1) // median_rows) AS worst_slice_rows,
+      |  (n_rows + median_rows - 1) // median_rows > 1 AS is_skewed
+      |FROM top""".stripMargin
+
+  // ------------------------------------------- q208: ABC-XYZ matrix
+
+  /** q208: ABC-XYZ inventory classification — the two-axis segmentation
+    * planners actually use: ABC by cumulative revenue share (q112's
+    * running-share machinery, but with EXACT integer threshold compares:
+    * cum·10 ≤ total·8 for A, cum·20 ≤ total·19 for B) crossed with XYZ by
+    * demand variability over observed weeks (X steady, Z erratic), where
+    * the CV² thresholds are exact integer inequalities over the q117
+    * co-moment sums: with S = Σq and Q = Σq², CV² = (n·Q − S²)/S², so
+    * X ⇔ 4·(n·Q − S²) ≤ S² (CV ≤ ½) and Y ⇔ n·Q − S² ≤ S² (CV ≤ 1) —
+    * products in DECIMAL(38,0)/HUGEINT. Output is the 9-cell matrix with
+    * part counts and revenue mass. Two part-keyed rollups + one tiny
+    * running window over |parts|.
+    */
+  val q208AbcXyz: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val l = Tables.lineitem(s, dir)
+    val rev = l.groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
+    val total = rev.select(sum(col("revenue_c")).cast(dec).as("total_c"))
+    val running = Window.orderBy(col("revenue_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val abc = rev.crossJoin(broadcast(total))
+      .withColumn("cum_c", sum(col("revenue_c")).over(running).cast(dec))
+      .select(col("l_partkey"), col("revenue_c"),
+        when(col("cum_c") * 10 <= col("total_c") * 8, "A")
+          .when(col("cum_c") * 20 <= col("total_c") * 19, "B")
+          .otherwise("C").as("abc"))
+    val weekly = l.select(col("l_partkey"),
+        expr("unix_timestamp(l_shipdate) DIV 604800").as("wk"),
+        cents(col("l_quantity")).as("q_c"))
+      .groupBy(col("l_partkey"), col("wk"))
+      .agg(sum(col("q_c")).as("wq"))
+    val xyz = weekly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("wq").cast(dec)).as("sq"),
+        sum((col("wq") * col("wq")).cast(dec)).as("qq"))
+      .select(col("l_partkey"),
+        when((col("n") * col("qq") - col("sq") * col("sq")) * 4 <=
+          col("sq") * col("sq"), "X")
+          .when(col("n") * col("qq") - col("sq") * col("sq") <=
+            col("sq") * col("sq"), "Y")
+          .otherwise("Z").as("xyz"))
+    abc.join(xyz, "l_partkey")
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("revenue_c")).as("revenue_c"))
+  }
+
+  val q208Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_c
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(revenue_c) AS HUGEINT) AS total_c FROM rev),
+      |abc AS (
+      |  SELECT l_partkey, revenue_c,
+      |    CASE WHEN CAST(cum_c AS HUGEINT) * 10 <= total_c * 8 THEN 'A'
+      |         WHEN CAST(cum_c AS HUGEINT) * 20 <= total_c * 19 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM (SELECT l_partkey, revenue_c, total_c,
+      |          SUM(revenue_c) OVER (ORDER BY revenue_c DESC, l_partkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      |        FROM rev CROSS JOIN tot) t),
+      |weekly AS (
+      |  SELECT l_partkey,
+      |    CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 604800 AS wk,
+      |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS wq
+      |  FROM lineitem GROUP BY 1, 2),
+      |xyz AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN (n * qq - sq * sq) * 4 <= sq * sq THEN 'X'
+      |         WHEN n * qq - sq * sq <= sq * sq THEN 'Y'
+      |         ELSE 'Z' END AS xyz
+      |  FROM (SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS n,
+      |          CAST(SUM(wq) AS HUGEINT) AS sq,
+      |          CAST(SUM(CAST(wq AS HUGEINT) * wq) AS HUGEINT) AS qq
+      |        FROM weekly GROUP BY l_partkey) m)
+      |SELECT abc, xyz, COUNT(*) AS n_parts,
+      |  CAST(SUM(revenue_c) AS BIGINT) AS revenue_c
+      |FROM abc JOIN xyz USING (l_partkey)
+      |GROUP BY abc, xyz""".stripMargin
+
   // ------------------------------------------- q207: aggregate navigation
 
   /** q207: summary-table routed aggregation — the gate-facing face of
@@ -2894,6 +3029,8 @@ object CoreQueries {
     "q197_join_view_maintenance" -> q197JoinViewMaintenance,
     "q205_price_dispersion" -> q205PriceDispersion,
     "q207_agg_navigator" -> q207AggNavigator,
+    "q208_abc_xyz" -> q208AbcXyz,
+    "q209_skew_plan" -> q209SkewPlan,
     "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
@@ -2969,6 +3106,8 @@ object CoreQueries {
     "q197_join_view_maintenance" -> q197Sql,
     "q205_price_dispersion" -> q205Sql,
     "q207_agg_navigator" -> q207Sql,
+    "q208_abc_xyz" -> q208Sql,
+    "q209_skew_plan" -> q209Sql,
     "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,

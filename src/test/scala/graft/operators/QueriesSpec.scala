@@ -993,6 +993,37 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q208 ABC-XYZ: cells tile the part universe; thresholds are exact") {
+    val rows = CoreQueries.q208AbcXyz(spark, sfDir).collect()
+    val nParts = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === nParts)
+    val cells = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    cells.foreach { case (a, x) =>
+      assert(Set("A", "B", "C")(a) && Set("X", "Y", "Z")(x))
+    }
+    // revenue tiles too
+    val totalRev = graft.Tables.lineitem(spark, sfDir)
+      .agg(sum(expr("cast(round(l_extendedprice*100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("revenue_c")).sum === totalRev)
+  }
+
+  test("q209 skew plan: ceil arithmetic exact, slices level to the median") {
+    val rows = CoreQueries.q209SkewPlan(spark, sfDir).collect()
+    assert(rows.length === CoreQueries.SkewPlanTopN)
+    rows.foreach { r =>
+      val (n, med, k, worst) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("median_rows"), r.getAs[Long]("salt_factor"),
+        r.getAs[Long]("worst_slice_rows"))
+      assert(k === (n + med - 1) / med)
+      assert(worst === (n + k - 1) / k)
+      assert(worst <= med, "salting must level each key to the median load")
+      assert(k * worst >= n, "slices must cover every row")
+      assert(r.getAs[Boolean]("is_skewed") === (k > 1))
+    }
+  }
+
   test("q205 dispersion: bounds ordered, spread closed-form, floor respected") {
     val rows = CoreQueries.q205PriceDispersion(spark, sfDir).collect()
     assert(rows.nonEmpty)
