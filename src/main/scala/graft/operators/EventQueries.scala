@@ -1638,6 +1638,70 @@ object EventQueries {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------- q210: session flow edges
+
+  /** q210: session-flow (Sankey) edge list — every user journey rendered
+    * as a weighted graph: virtual START → first event, each adjacent
+    * in-session transition, and last event → virtual END, with flow
+    * counts per edge. This is q108's transition matrix extended with the
+    * entry/exit masses a flow diagram needs (where journeys begin,
+    * where they die). Sessionization is q71's gaps-and-islands; ONE
+    * ordered window pass yields both the lead edge and (via rn = 1) the
+    * START edge, so the event stream is scanned once. Flow conservation
+    * — in-flow = out-flow at every interior node — is the QueriesSpec
+    * invariant.
+    */
+  val q210SessionFlows: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("new_session",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val edged = sess
+      .withColumn("nxt", lead(col("event_type"), 1).over(wSess))
+      .withColumn("rn", row_number().over(wSess))
+    val transitions = edged.select(col("event_type").as("from_node"),
+      coalesce(col("nxt"), lit("END")).as("to_node"))
+    val starts = edged.filter(col("rn") === 1)
+      .select(lit("START").as("from_node"), col("event_type").as("to_node"))
+    transitions.unionByName(starts)
+      .groupBy(col("from_node"), col("to_node"))
+      .agg(count(lit(1)).as("n_flows"))
+  }
+
+  val q210Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_type, event_id,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts, event_type, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |edged AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER w AS nxt,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM numbered
+      |  WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+      |flows AS (
+      |  SELECT event_type AS from_node, COALESCE(nxt, 'END') AS to_node
+      |  FROM edged
+      |  UNION ALL
+      |  SELECT 'START', event_type FROM edged WHERE rn = 1)
+      |SELECT from_node, to_node, COUNT(*) AS n_flows
+      |FROM flows GROUP BY from_node, to_node""".stripMargin
+
   // ------------------------- q204: attribution-window sensitivity
 
   /** q204: attribution-window sensitivity — the robustness check every
@@ -3110,6 +3174,7 @@ object EventQueries {
     "q201_resurrection" -> q201Resurrection,
     "q203_cuped" -> q203Cuped,
     "q204_attr_sensitivity" -> q204AttributionSensitivity,
+    "q210_session_flows" -> q210SessionFlows,
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
@@ -3136,6 +3201,7 @@ object EventQueries {
     "q201_resurrection" -> q201Sql,
     "q203_cuped" -> q203Sql,
     "q204_attr_sensitivity" -> q204Sql,
+    "q210_session_flows" -> q210Sql,
     "q147_twap" -> q147Sql,
     "q148_mad_outliers" -> q148Sql,
     "q137_rolling_actives" -> q137Sql,

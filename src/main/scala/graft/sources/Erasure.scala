@@ -53,4 +53,33 @@ object Erasure {
       .agg(count(lit(1)).as("docs_removed"),
         sum(length(col("text")).cast("long")).as("chars_removed"))
   }
+
+  final case class RetentionPolicy(eventType: String, maxAgeDays: Long)
+
+  /** Retention-policy sweep over the event stream — the scheduled sibling
+    * of the on-demand takedown: each event type carries a maximum age
+    * (days before `asOfMs`), expired rows are dropped in one filtered
+    * copy-on-write rewrite of `<srcDir>/events.parquet` into `outDir`,
+    * and the returned audit reports kept/dropped counts and the dropped
+    * time range per type. Types without a policy are retained forever.
+    * The age predicate is a pure column expression (partition-prunable on
+    * a date-partitioned lake) and the audit is conditional aggregation
+    * over the same scan semantics — exact, like the erasure audit.
+    */
+  def retentionSweep(spark: SparkSession, srcDir: String, outDir: String,
+      policies: Seq[RetentionPolicy], asOfMs: Long): DataFrame = {
+    val events = graft.Tables.events(spark, srcDir)
+    val expired = policies.map { p =>
+      col("event_type") === p.eventType &&
+        unix_millis(col("ts")) < lit(asOfMs - p.maxAgeDays * 86400000L)
+    }.foldLeft(lit(false))(_ || _)
+    val flagged = events.withColumn("expired", expired)
+    flagged.filter(!col("expired")).drop("expired")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    flagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("expired").cast("long")).as("n_dropped"),
+        min(when(col("expired"), unix_millis(col("ts")))).as("oldest_dropped_ms"),
+        max(when(col("expired"), unix_millis(col("ts")))).as("newest_dropped_ms"))
+  }
 }

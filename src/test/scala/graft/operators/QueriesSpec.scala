@@ -993,6 +993,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q210 session flows conserve mass at every interior node") {
+    val rows = EventQueries.q210SessionFlows(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_flows"))
+      .toMap
+    val nodes = rows.keys.flatMap(k => Seq(k._1, k._2)).toSet -- Set("START", "END")
+    nodes.foreach { n =>
+      val in = rows.collect { case ((_, t), c) if t == n => c }.sum
+      val out = rows.collect { case ((f, _), c) if f == n => c }.sum
+      assert(in === out, s"node $n: in $in out $out")
+    }
+    // START mass = END mass = session count; edge mass = events + sessions
+    val starts = rows.collect { case (("START", _), c) => c }.sum
+    val ends = rows.collect { case ((_, "END"), c) => c }.sum
+    assert(starts === ends)
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(rows.values.sum === nEvents + starts,
+      "every event emits one out-edge; sessions add their START edge")
+  }
+
   test("q208 ABC-XYZ: cells tile the part universe; thresholds are exact") {
     val rows = CoreQueries.q208AbcXyz(spark, sfDir).collect()
     val nParts = graft.Tables.lineitem(spark, sfDir)

@@ -233,4 +233,29 @@ class IngestSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
   }
+
+  test("retention sweep drops exactly the expired rows per policy") {
+    import graft.sources.Erasure.RetentionPolicy
+    val out = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    val events = graft.Tables.events(spark, sfDir)
+    val asOf = events.agg(max(expr("unix_millis(ts)"))).collect()(0).getLong(0)
+    val policies = Seq(RetentionPolicy("view", 10), RetentionPolicy("click", 20))
+    val audit = graft.sources.Erasure
+      .retentionSweep(spark, sfDir, out, policies, asOf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_dropped"))).toMap
+    val after = spark.read.parquet(s"$out/events.parquet")
+    // every surviving governed row is inside its window; others untouched
+    policies.foreach { p =>
+      val cutoff = asOf - p.maxAgeDays * 86400000L
+      assert(after.filter(col("event_type") === p.eventType &&
+        expr("unix_millis(ts)") < cutoff).count() === 0, p.eventType)
+      val expectDrop = events.filter(col("event_type") === p.eventType &&
+        expr("unix_millis(ts)") < cutoff).count()
+      assert(audit(p.eventType)._2 === expectDrop, p.eventType)
+    }
+    val ungoverned = audit.filterNot(kv => policies.exists(_.eventType == kv._1))
+    assert(ungoverned.values.forall(_._2 == 0L), "no policy, no deletion")
+    assert(events.count() - after.count() === audit.values.map(_._2).sum)
+  }
 }
