@@ -853,6 +853,47 @@ object CoreQueries {
       |  END AS BIGINT) AS lift_e6
       |FROM g WHERE pre_rev_c > 0""".stripMargin
 
+  // ------------------------------------------- q211: rank migration
+
+  /** q211: brand rank migration — the "top movers" report: each brand's
+    * revenue rank within each ship month, with its previous-month rank
+    * and the signed delta (null on a brand's first month). Rank is
+    * ROW_NUMBER over (revenue desc, brand) — total order, so the gate
+    * hashes it. One fact rollup to |month × brand| rows; both windows
+    * (ranking, month-over-month lag) run on that rollup, never the fact.
+    */
+  val q211RankMigration: Q = (s, dir) => {
+    val monthly = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(expr("unix_timestamp(l_shipdate) DIV 86400 DIV 30").as("mon"),
+        col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
+    val rankW = Window.partitionBy(col("mon"))
+      .orderBy(col("revenue_c").desc, col("p_brand"))
+    val lagW = Window.partitionBy(col("p_brand")).orderBy(col("mon"))
+    monthly.withColumn("rnk", row_number().over(rankW))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(lagW))
+      .withColumn("rank_delta", col("prev_rnk") - col("rnk"))
+  }
+
+  val q211Sql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 // 30 AS mon,
+      |    p_brand,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY mon
+      |    ORDER BY revenue_c DESC, p_brand) AS INT) AS rnk
+      |  FROM monthly)
+      |SELECT mon, p_brand, revenue_c, rnk,
+      |  LAG(rnk) OVER (PARTITION BY p_brand ORDER BY mon) AS prev_rnk,
+      |  LAG(rnk) OVER (PARTITION BY p_brand ORDER BY mon) - rnk AS rank_delta
+      |FROM ranked""".stripMargin
+
   // ------------------------------------------- q209: skew partition plan
 
   /** Heaviest keys reported by the q209 salting plan. */
@@ -3031,6 +3072,7 @@ object CoreQueries {
     "q207_agg_navigator" -> q207AggNavigator,
     "q208_abc_xyz" -> q208AbcXyz,
     "q209_skew_plan" -> q209SkewPlan,
+    "q211_rank_migration" -> q211RankMigration,
     "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
@@ -3108,6 +3150,7 @@ object CoreQueries {
     "q207_agg_navigator" -> q207Sql,
     "q208_abc_xyz" -> q208Sql,
     "q209_skew_plan" -> q209Sql,
+    "q211_rank_migration" -> q211Sql,
     "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,

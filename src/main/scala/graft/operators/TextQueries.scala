@@ -1053,6 +1053,59 @@ object TextQueries {
        |    AS BIGINT) AS savings_share_e6
        |FROM marked GROUP BY source""".stripMargin
 
+  /** q212: quality-ranked canonical representative per near-dup cluster —
+    * q68 labels clusters by MIN doc_id (cheap, deterministic), but a real
+    * curation run keeps the BEST member: here the longest text (the
+    * C4-style keep-longest rule), ties to the smallest id. One window
+    * over the cluster map joined to document lengths; the output reports
+    * each cluster's label, its quality-chosen keeper, the member count,
+    * and whether quality ranking changed the choice — the audit of what
+    * switching selection policy would actually do. Only clustered docs
+    * (the candidate-graph members) flow through the window, so the pass
+    * is |clustered| sized, not corpus sized.
+    */
+  val q212QualityRep: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val members = q68DedupClusters(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("best_doc"),
+        min(when(col("rk") === 1, col("n_chars"))).as("best_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("selection_changed", col("best_doc") =!= col("cluster_rep"))
+  }
+
+  lazy val q212Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$q55Sql
+       |  ) q),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id),
+       |m AS (
+       |  SELECT cl.cluster_rep, cl.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+       |      ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN documents d USING (doc_id))
+       |SELECT cluster_rep, COUNT(*) AS n_members,
+       |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS best_doc,
+       |  MIN(CASE WHEN rk = 1 THEN n_chars END) AS best_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(CASE WHEN rk = 1 THEN doc_id END) <> cluster_rep
+       |    AS selection_changed
+       |FROM m GROUP BY cluster_rep""".stripMargin
+
   /** TF-IDF cosine top-k document similarity over 3-gram shingle terms —
     * the sparse-vector similarity search of a retrieval/dedup pipeline,
     * entirely in exact integer arithmetic so it passes the bit-exact gate:
@@ -1303,6 +1356,7 @@ object TextQueries {
     "q190_lexical_diversity" -> q190LexicalDiversity,
     "q191_cluster_split" -> q191ClusterSplit,
     "q199_dedup_effectiveness" -> q199DedupEffectiveness,
+    "q212_quality_rep" -> q212QualityRep,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q95_cc_starcontract" -> q95CcStarContract,
     "q102_incremental_dedup" -> q102IncrementalDedup,
@@ -1329,6 +1383,7 @@ object TextQueries {
     "q190_lexical_diversity" -> q190Sql,
     "q191_cluster_split" -> q191Sql,
     "q199_dedup_effectiveness" -> q199Sql,
+    "q212_quality_rep" -> q212Sql,
     "q68_dedup_clusters" -> q68Sql,
     // star contraction and propagation share one output contract, so the
     // recursive-CTE reachability oracle applies to both

@@ -993,6 +993,46 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q211 rank migration: dense month ranks, deltas reconcile with lags") {
+    val rows = CoreQueries.q211RankMigration(spark, sfDir).collect()
+    val byMonth = rows.groupBy(_.getAs[Long]("mon"))
+    byMonth.foreach { case (m, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rnk")).sorted
+      assert(ranks === (1 to rs.length).toArray.toSeq, s"month $m ranks dense")
+    }
+    val byBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    byBrand.foreach { case (b, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("mon"))
+      ordered.headOption.foreach(r => assert(r.isNullAt(r.fieldIndex("prev_rnk"))))
+      ordered.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (p, c) = (pair(0), pair(1))
+        assert(c.getAs[Int]("prev_rnk") === p.getAs[Int]("rnk"), b)
+        assert(c.getAs[Int]("rank_delta") ===
+          p.getAs[Int]("rnk") - c.getAs[Int]("rnk"), b)
+      }
+    }
+  }
+
+  test("q212 quality rep keeps the longest member; clusters tile q68") {
+    val rows = TextQueries.q212QualityRep(spark, sfDir).collect()
+    val cl = TextQueries.q68DedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = cl.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(rows.map(_.getAs[Long]("cluster_rep")).toSet === members.keySet)
+    rows.foreach { r =>
+      val rep = r.getAs[Long]("cluster_rep")
+      val ms = members(rep)
+      assert(r.getAs[Long]("n_members") === ms.length.toLong)
+      val best = ms.map(id => (chars(id), id)).sortBy(t => (-t._1, t._2)).head
+      assert(r.getAs[Long]("best_doc") === best._2, s"cluster $rep")
+      assert(r.getAs[Long]("best_chars") === best._1)
+      assert(r.getAs[Boolean]("selection_changed") === (best._2 != rep))
+    }
+  }
+
   test("q210 session flows conserve mass at every interior node") {
     val rows = EventQueries.q210SessionFlows(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_flows"))
