@@ -61,6 +61,15 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
     security.securityRoleMembers
       .createOrReplaceTempView("vw_security_role_members")
 
+  /** Register the pipeline-run journal view over an Orchestrator result —
+    * the ADF monitoring pane's "activity runs" grid as the same temp-view
+    * surface every other engine channel uses.
+    */
+  def registerPipelineViews(
+      result: graft.maintenance.Orchestrator.Result): Unit =
+    graft.maintenance.Orchestrator.journalDf(spark, result)
+      .createOrReplaceTempView("vw_pipeline_runs")
+
   /** Register the storage views for the given table → location map, plus the
     * reference's view-over-view space rollups as direct SQL transcriptions.
     */

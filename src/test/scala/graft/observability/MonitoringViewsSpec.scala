@@ -344,4 +344,24 @@ class MonitoringViewsSpec extends SparkSpec {
       assert(cols("vw_tables_with_skew") === cols("vw_table_sizes"))
     } finally j.stop()
   }
+
+  test("vw_pipeline_runs surfaces the orchestrator journal") {
+    import graft.maintenance.Orchestrator
+    import graft.maintenance.Orchestrator.{Activity, Policy}
+    val res = Orchestrator.run(spark, "monitored", Seq(
+      Activity("ok", Set("raw"), Set("out"))(_ => ()),
+      Activity("bad", Set("raw"), Set("x"), Policy(retry = 1))(
+        _ => sys.error("down"))))
+    val j = new QueryJournal(spark)
+    try {
+      new MonitoringViews(spark, j).registerPipelineViews(res)
+      val df = spark.table("vw_pipeline_runs")
+      assert(df.columns.toSet === Set("pipeline", "activity", "attempt",
+        "status", "start_ms", "duration_ms", "error"))
+      import org.apache.spark.sql.functions.col
+      assert(df.filter(col("activity") === "bad").count() === 2,
+        "one row per attempt")
+      assert(df.filter(col("status") === "Succeeded").count() === 1)
+    } finally j.stop()
+  }
 }
