@@ -853,6 +853,42 @@ object CoreQueries {
       |  END AS BIGINT) AS lift_e6
       |FROM g WHERE pre_rev_c > 0""".stripMargin
 
+  // ------------------------------------------- q213: top-k per group
+
+  /** q213: top-k per group — the canonical "best 3 parts per brand by
+    * revenue" report as a ranking window + rank filter. Worth a dedicated
+    * operator row because of how it EXECUTES at scale: Spark rewrites the
+    * rank predicate into WindowGroupLimit (partial group limits run
+    * map-side BEFORE the shuffle, so only ≤ k rows per brand per mapper
+    * move), which PlansSpec pins — the group-wise analog of q30's
+    * TakeOrderedAndProject. Total order (revenue desc, partkey) keeps the
+    * gate hashable.
+    */
+  val q213GroupTopK: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
+    rev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p_brand"))
+          .orderBy(col("revenue_c").desc, col("p_partkey"))))
+      .filter(col("rnk") <= 3)
+  }
+
+  val q213Sql: String =
+    """WITH rev AS (
+      |  SELECT p_brand, p_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey)
+      |SELECT p_brand, p_partkey, revenue_c, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+      |    ORDER BY revenue_c DESC, p_partkey) AS rnk
+      |  FROM rev) t
+      |WHERE rnk <= 3""".stripMargin
+
   // ------------------------------------------- q211: rank migration
 
   /** q211: brand rank migration — the "top movers" report: each brand's
@@ -3073,6 +3109,7 @@ object CoreQueries {
     "q208_abc_xyz" -> q208AbcXyz,
     "q209_skew_plan" -> q209SkewPlan,
     "q211_rank_migration" -> q211RankMigration,
+    "q213_group_topk" -> q213GroupTopK,
     "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
@@ -3151,6 +3188,7 @@ object CoreQueries {
     "q208_abc_xyz" -> q208Sql,
     "q209_skew_plan" -> q209Sql,
     "q211_rank_migration" -> q211Sql,
+    "q213_group_topk" -> q213Sql,
     "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,

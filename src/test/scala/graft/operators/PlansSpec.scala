@@ -324,6 +324,13 @@ class PlansSpec extends SparkSpec {
       "pair generation must be the grouped in-place shape")
   }
 
+  test("q213: rank filter pushes into WindowGroupLimit before the shuffle") {
+    val p = plan("q213_group_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per group must run partial group limits map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q202/q205: per-key ranking is partitioned, dispersion joins nothing") {
     val p202 = plan("q202_recsys_eval")
     assert(!p202.contains("CartesianProduct"), p202)
