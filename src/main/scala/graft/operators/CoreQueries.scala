@@ -853,6 +853,64 @@ object CoreQueries {
       |  END AS BIGINT) AS lift_e6
       |FROM g WHERE pre_rev_c > 0""".stripMargin
 
+  // ------------------------------------------- q214: Mann-Kendall trend
+
+  /** q214: Mann-Kendall trend detection — the NON-PARAMETRIC "is this
+    * series trending?" test, chosen here precisely because it is exact in
+    * integer arithmetic end to end (no mean, no variance estimate, no
+    * float): per order priority, the weekly order-count series yields
+    * S = Σ_{i<j} sgn(x_j − x_i) via the grouped in-place i<j pair
+    * generator over the week-ordered series (weeks per group are bounded
+    * — ~a hundred — so the quadratic is metadata-scale), and the 2σ
+    * significance test S² compares against the exact integer variance:
+    * 18·S² > 4·n(n−1)(2n+5) ⇔ |S| > 2·√Var. Tie-corrected variance is
+    * deliberately omitted (documented conservative bias toward "trend"
+    * when ties abound). One fact rollup; everything after runs on
+    * |priorities × weeks| rows.
+    */
+  val q214MannKendall: Q = (s, dir) => {
+    val weekly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        expr("unix_timestamp(o_orderdate) DIV 604800").as("wk"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = weekly.groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(struct(col("wk"), col("cnt"))))
+        .as("pts"))
+    val pairs = series.select(col("o_orderpriority"),
+        size(col("pts")).as("n"),
+        graft.functions.Pairs.inPlace(col("pts"), (x, y) =>
+          signum(y.getField("cnt") - x.getField("cnt")).cast("long")).as("sg"))
+    pairs.groupBy(col("o_orderpriority"), col("n"))
+      .agg(sum(col("sg")).as("s_stat"))
+      .select(col("o_orderpriority"), col("n").cast("long").as("n_weeks"),
+        col("s_stat"),
+        (col("s_stat") * col("s_stat") * 18 >
+          lit(4L) * col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5))
+          .as("is_trending"),
+        when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
+          .otherwise("flat").as("direction"))
+  }
+
+  val q214Sql: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 604800 AS wk,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.o_orderpriority,
+      |    CAST(SUM(SIGN(b.cnt - a.cnt)) AS BIGINT) AS s_stat
+      |  FROM w a JOIN w b
+      |    ON a.o_orderpriority = b.o_orderpriority AND a.wk < b.wk
+      |  GROUP BY 1),
+      |n AS (SELECT o_orderpriority, COUNT(*) AS n_weeks FROM w GROUP BY 1)
+      |SELECT o_orderpriority, n_weeks, s_stat,
+      |  s_stat * s_stat * 18 >
+      |    4 * n_weeks * (n_weeks - 1) * (2 * n_weeks + 5) AS is_trending,
+      |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+      |       ELSE 'flat' END AS direction
+      |FROM s JOIN n USING (o_orderpriority)""".stripMargin
+
   // ------------------------------------------- q213: top-k per group
 
   /** q213: top-k per group — the canonical "best 3 parts per brand by
@@ -3110,6 +3168,7 @@ object CoreQueries {
     "q209_skew_plan" -> q209SkewPlan,
     "q211_rank_migration" -> q211RankMigration,
     "q213_group_topk" -> q213GroupTopK,
+    "q214_mann_kendall" -> q214MannKendall,
     "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
@@ -3189,6 +3248,7 @@ object CoreQueries {
     "q209_skew_plan" -> q209Sql,
     "q211_rank_migration" -> q211Sql,
     "q213_group_topk" -> q213Sql,
+    "q214_mann_kendall" -> q214Sql,
     "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,
