@@ -911,6 +911,62 @@ object CoreQueries {
       |       ELSE 'flat' END AS direction
       |FROM s JOIN n USING (o_orderpriority)""".stripMargin
 
+  // ------------------------------------------- q215: Theil-Sen slope
+
+  /** q215: Theil–Sen slope — q214 answers "is it trending?"; this answers
+    * "how fast?", robustly: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(w_j − w_i) over the week-ordered series, immune to
+    * outlier weeks that wreck least squares. Each slope is quantized to
+    * an exact e6 integer with SIGN-FACTORED truncating division (Δy can
+    * be negative; Spark DIV truncates, DuckDB // floors, they agree only
+    * on non-negative operands), and the median is percentile_disc over
+    * those integers — an actual pair's slope, bit-portable. Same bounded
+    * in-place pair generation as q214; one rollup feeds both.
+    */
+  val q215TheilSen: Q = (s, dir) => {
+    val weekly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        expr("unix_timestamp(o_orderdate) DIV 604800").as("wk"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = weekly.groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(struct(col("wk"), col("cnt"))))
+        .as("pts"))
+    val slopes = series.select(col("o_orderpriority"),
+        graft.functions.Pairs.inPlace(col("pts"), (x, y) =>
+          struct((y.getField("cnt") - x.getField("cnt")).as("dy"),
+            (y.getField("wk") - x.getField("wk")).as("dw"))).as("p"))
+      .select(col("o_orderpriority"),
+        expr("""CASE WHEN p.dy >= 0 THEN p.dy * 1000000 DIV p.dw
+               |     ELSE -((-p.dy) * 1000000 DIV p.dw) END""".stripMargin)
+          .as("slope_e6"))
+    slopes.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6)")
+          .cast("long").as("median_slope_e6"),
+        min(col("slope_e6")).as("min_slope_e6"),
+        max(col("slope_e6")).as("max_slope_e6"))
+  }
+
+  val q215Sql: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 604800 AS wk,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |sl AS (
+      |  SELECT a.o_orderpriority,
+      |    CASE WHEN b.cnt - a.cnt >= 0
+      |         THEN (b.cnt - a.cnt) * 1000000 // (b.wk - a.wk)
+      |         ELSE -((a.cnt - b.cnt) * 1000000 // (b.wk - a.wk)) END
+      |      AS slope_e6
+      |  FROM w a JOIN w b
+      |    ON a.o_orderpriority = b.o_orderpriority AND a.wk < b.wk)
+      |SELECT o_orderpriority, COUNT(*) AS n_pairs,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6)
+      |    AS median_slope_e6,
+      |  MIN(slope_e6) AS min_slope_e6, MAX(slope_e6) AS max_slope_e6
+      |FROM sl GROUP BY o_orderpriority""".stripMargin
+
   // ------------------------------------------- q213: top-k per group
 
   /** q213: top-k per group — the canonical "best 3 parts per brand by
@@ -3169,6 +3225,7 @@ object CoreQueries {
     "q211_rank_migration" -> q211RankMigration,
     "q213_group_topk" -> q213GroupTopK,
     "q214_mann_kendall" -> q214MannKendall,
+    "q215_theil_sen" -> q215TheilSen,
     "q206_return_outliers" -> q206ReturnOutliers,
     "q198_event_study" -> q198EventStudy,
     "q146_snapshot_diff" -> q146SnapshotDiff,
@@ -3249,6 +3306,7 @@ object CoreQueries {
     "q211_rank_migration" -> q211Sql,
     "q213_group_topk" -> q213Sql,
     "q214_mann_kendall" -> q214Sql,
+    "q215_theil_sen" -> q215Sql,
     "q206_return_outliers" -> q206Sql,
     "q198_event_study" -> q198Sql,
     "q146_snapshot_diff" -> q146Sql,

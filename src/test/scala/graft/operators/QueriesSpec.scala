@@ -993,6 +993,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q215 Theil-Sen: serial recount, median is a member, consistent with q214") {
+    val rows = CoreQueries.q215TheilSen(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val weekly = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"),
+        expr("unix_timestamp(o_orderdate) DIV 604800").as("wk"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    weekly.groupBy(_._1).foreach { case (pri, pts) =>
+      val s = pts.sortBy(_._2)
+      val slopes = for {
+        i <- s.indices; j <- i + 1 until s.length
+      } yield {
+        val dy = s(j)._3 - s(i)._3; val dw = s(j)._2 - s(i)._2
+        if (dy >= 0) dy * 1000000L / dw else -((-dy) * 1000000L / dw)
+      }
+      val r = rows(pri)
+      assert(r.getAs[Long]("n_pairs") === slopes.size.toLong, pri)
+      val med = r.getAs[Long]("median_slope_e6")
+      assert(slopes.contains(med), s"$pri median must be a pair's slope")
+      val sorted = slopes.sorted
+      assert(med === sorted((slopes.size - 1) / 2), pri)
+      assert(r.getAs[Long]("min_slope_e6") === sorted.head)
+      assert(r.getAs[Long]("max_slope_e6") === sorted.last)
+    }
+  }
+
   test("q214 Mann-Kendall equals a serial pair count; detects a planted trend") {
     val rows = CoreQueries.q214MannKendall(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
