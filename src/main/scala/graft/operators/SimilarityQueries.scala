@@ -488,6 +488,72 @@ object SimilarityQueries {
        |FROM w WHERE rk = 1""".stripMargin
   }
 
+  // ------------------------------- q216: PQ quantization distortion
+
+  /** q216: product-quantization distortion report — the codebook-quality
+    * metric an ANN deployment tracks per build: for each of q82's
+    * [[PqM]] subquantizers, the total and mean squared reconstruction
+    * error ||x_sub − nearest codeword||² across the corpus. The per-row
+    * distortion is ||x||² + min_j(−2·x·c_j + |c_j|²) — the same adc-form
+    * identity q82 ranks with, and the min needs only VALUES (no argmin
+    * ties to resolve). Each row's double quantizes to an exact e6 integer
+    * BEFORE the rollup (the q62 posture: integer sums are
+    * order-independent; a double sum is not), so the report passes the
+    * exact gate with codebooks inlined into the oracle. A rising
+    * mean_distortion between builds means the codebooks no longer fit
+    * the data — retrain. One scan; stack unpivots M columns to rows.
+    */
+  val q216PqDistortion: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val cb = Pq.train(e, PqM, PqKsub, Dim, iters = IvfIters)
+    val v = col("embedding").cast("array<double>")
+    val perM = (0 until PqM).map { mi =>
+      val sub = slice(v, mi * cb.dsub + 1, cb.dsub)
+      val minVal = least(cb.books(mi).map { c =>
+        val cn2 = c.map(x => x * x).sum
+        lit(-2.0) * Vectors.dot(sub, array(c.map(lit): _*)) + lit(cn2)
+      }: _*)
+      round((Vectors.dot(sub, sub) + minVal) * 1000000, 0)
+        .cast("long").as(s"d_$mi")
+    }
+    val stacked = (0 until PqM).map(mi => s"$mi, d_$mi").mkString(", ")
+    e.select(perM: _*)
+      .select(expr(s"stack($PqM, $stacked) AS (m, dist_e6)"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist_e6")).as("total_dist_e6"))
+      .withColumn("mean_dist_e6", expr("total_dist_e6 DIV n_vecs"))
+  }
+
+  /** Data-generated oracle for q216 (codebooks inlined, q82's pattern). */
+  def q216SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val cb = Pq.train(Tables.embeddings(s, dir), PqM, PqKsub, Dim,
+      iters = IvfIters)
+    val pqRows = (for {
+      mi <- 0 until cb.m
+      (c, j) <- cb.books(mi).zipWithIndex
+    } yield s"($mi, $j, [${c.mkString(", ")}], ${c.map(x => x * x).sum})")
+      .mkString(",\n    ")
+    def sub(mi: Int) = s"[${mi * cb.dsub + 1}:${(mi + 1) * cb.dsub}]"
+    val branches = (0 until cb.m).map { mi =>
+      s"""SELECT $mi AS m,
+         |  CAST(ROUND((list_dot_product(b.v${sub(mi)}, b.v${sub(mi)}) +
+         |    (SELECT MIN(-2.0 * list_dot_product(b.v${sub(mi)}, c) + cn2)
+         |     FROM pq WHERE m = $mi)) * 1000000) AS BIGINT) AS dist_e6
+         |FROM base b""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pq(m, j, c, cn2) AS (SELECT * FROM (VALUES
+       |    $pqRows)),
+       |d AS (
+       |  $branches)
+       |SELECT m, COUNT(*) AS n_vecs,
+       |  CAST(SUM(dist_e6) AS BIGINT) AS total_dist_e6,
+       |  CAST(SUM(dist_e6) // COUNT(*) AS BIGINT) AS mean_dist_e6
+       |FROM d GROUP BY m""".stripMargin
+  }
+
   // ------------------------------- q194: MMR diversified top-k
 
   /** MMR pool size (candidates kept from the similarity cut) and the
@@ -602,6 +668,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "q194_mmr_diversify" -> q194MmrDiversify,
+    "q216_pq_distortion" -> q216PqDistortion,
     "q60_knn_brute" -> q60KnnBrute,
     "q61_ann_lsh" -> q61AnnLsh,
     "q62_norm_stats" -> q62NormStats,

@@ -182,6 +182,27 @@ class SimilaritySpec extends SparkSpec {
       s"cluster-majority total $majoritySum should beat base rate $base")
   }
 
+  test("q216 PQ distortion: nonnegative, one row per subquantizer, beats random") {
+    val rows = SimilarityQueries.q216PqDistortion(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("m") -> r).toMap
+    assert(rows.keySet === (0 until 8).toSet)
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("total_dist_e6") >= 0L)
+      assert(r.getAs[Long]("mean_dist_e6") ===
+        r.getAs[Long]("total_dist_e6") / n)
+    }
+    // trained codewords must beat quantizing everything to the zero vector:
+    // distortion < E||x_sub||^2 (the zero-codebook baseline)
+    val zeroBaseline = graft.Tables.embeddings(spark, sfDir)
+      .select(expr("""aggregate(slice(cast(embedding as array<double>), 1, 8),
+        0d, (acc, x) -> acc + x * x)""").as("n2"))
+      .agg(sum(expr("cast(round(n2 * 1000000) as bigint)"))).collect()(0).getLong(0)
+    assert(rows(0).getAs[Long]("total_dist_e6") < zeroBaseline,
+      "codebook must beat the zero-vector quantizer")
+  }
+
   test("q194 MMR equals the serial greedy trace and diversifies the set") {
     val rows = SimilarityQueries.q194MmrDiversify(spark, sfDir).collect()
       .sortBy(_.getAs[Int]("rank"))
