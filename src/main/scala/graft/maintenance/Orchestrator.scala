@@ -139,7 +139,8 @@ object Orchestrator {
     val runs = scala.collection.mutable.ArrayBuffer[ActivityRun]()
     var attempt = 0
     var done = false
-    while (!done && attempt < maxAttempts) {
+    var stop = false
+    while (!done && !stop && attempt < maxAttempts) {
       attempt += 1
       if (attempt > 1 + a.policy.retry && a.policy.longRetryIntervalMs > 0)
         Thread.sleep(a.policy.longRetryIntervalMs)
@@ -148,9 +149,18 @@ object Orchestrator {
       runs += ActivityRun(pipeline, a.name, attempt, status, t0,
         System.currentTimeMillis() - t0, err)
       done = status == "Succeeded"
+      // a timed-out body that ignored its interrupt may STILL be running;
+      // retrying would race two instances of the same activity against
+      // each other's outputs — suppress further attempts instead
+      stop = status == "TimedOutStuck"
     }
     runs.toSeq
   }
+
+  /** Grace period for a timed-out attempt to honor its interrupt before
+    * retries are suppressed.
+    */
+  private val InterruptGraceMs = 5000L
 
   private def runOnce(spark: SparkSession, a: Activity): (String, String) = {
     val single = Executors.newSingleThreadExecutor()
@@ -161,7 +171,15 @@ object Orchestrator {
       fut.get(a.policy.timeoutMs, TimeUnit.MILLISECONDS)
       ("Succeeded", "")
     } catch {
-      case _: TimeoutException => ("TimedOut", s"exceeded ${a.policy.timeoutMs} ms")
+      case _: TimeoutException =>
+        single.shutdownNow()
+        // only safe to retry once the attempt has provably stopped
+        if (single.awaitTermination(InterruptGraceMs, TimeUnit.MILLISECONDS))
+          ("TimedOut", s"exceeded ${a.policy.timeoutMs} ms")
+        else
+          ("TimedOutStuck",
+            s"exceeded ${a.policy.timeoutMs} ms and ignored the interrupt; " +
+              "retries suppressed to avoid concurrent duplicate runs")
       case e: java.util.concurrent.ExecutionException =>
         ("Failed", String.valueOf(e.getCause.getMessage))
     } finally single.shutdownNow()

@@ -296,8 +296,15 @@ object CodecDecoder extends MediaDecoder {
     * All comparisons are exact integer products.
     */
   def silenceRuns(b: Array[Byte], samplesPerFrame: Int,
+      silencePermille: Int): Seq[(Int, Int, Boolean)] =
+    silenceRuns(b, parseWav(b), samplesPerFrame, silencePermille)
+
+  /** Overload for callers that already parsed the header — one parse per
+    * media row on the hot decode path.
+    */
+  def silenceRuns(b: Array[Byte], w: Wav, samplesPerFrame: Int,
       silencePermille: Int): Seq[(Int, Int, Boolean)] = {
-    val e = energyFrames(b, parseWav(b), samplesPerFrame)
+    val e = energyFrames(b, w, samplesPerFrame)
     if (e.isEmpty) return Nil
     val emax = e.max
     // a silent recording (emax = 0) is one all-silent run

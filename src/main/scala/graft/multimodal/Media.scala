@@ -195,10 +195,14 @@ object Media {
     media.mapPartitions(_.flatMap { r =>
       val w = CodecDecoder.parseWav(r.media)
       val spf = math.max(1, w.sampleRate * frameMs / 1000)
-      CodecDecoder.silenceRuns(r.media, spf, silencePermille)
+      // boundaries derive from SAMPLE counts, not frameIndex × nominal ms:
+      // at rates where rate·frameMs isn't a multiple of 1000 the nominal
+      // stamp drifts linearly from real time
+      def ms(frame: Int): Long = frame.toLong * spf * 1000L / w.sampleRate
+      CodecDecoder.silenceRuns(r.media, w, spf, silencePermille)
         .zipWithIndex.map { case ((start, n, silent), i) =>
           AudioSegment(r.media_id, i, if (silent) "silence" else "speech",
-            start.toLong * frameMs, (start + n).toLong * frameMs, n)
+            ms(start), ms(start + n), n)
         }
     })
   }

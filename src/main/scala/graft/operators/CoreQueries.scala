@@ -1132,7 +1132,10 @@ object CoreQueries {
     val xyz = weekly.groupBy(col("l_partkey"))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("wq").cast(dec)).as("sq"),
-        sum((col("wq") * col("wq")).cast(dec)).as("qq"))
+        // cast BEFORE multiplying: wq is a per-group sum, and a Long×Long
+        // product wraps silently at warehouse scale (the oracle multiplies
+        // in HUGEINT)
+        sum(col("wq").cast(dec) * col("wq").cast(dec)).as("qq"))
       .select(col("l_partkey"),
         when((col("n") * col("qq") - col("sq") * col("sq")) * 4 <=
           col("sq") * col("sq"), "X")

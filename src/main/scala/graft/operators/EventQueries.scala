@@ -51,13 +51,13 @@ object EventQueries {
 
   val q71Sql: String =
     """WITH marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |numbered AS (
       |  SELECT user_id, ts, value,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM marked)
       |SELECT user_id,
@@ -1428,13 +1428,13 @@ object EventQueries {
 
   val q186Sql: String =
     """WITH marked AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |numbered AS (
       |  SELECT user_id, ts,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM marked),
       |sess AS (
@@ -1638,6 +1638,25 @@ object EventQueries {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY from_type, to_type""".stripMargin
 
+  /** Gaps-and-islands session ids (q71 semantics: 30-minute gap,
+    * (ts, event_id) order) appended as `sid` — the ONE definition of "a
+    * session" shared by every operator that cannot use session_window
+    * directly (q200's per-type extremes, q210's flow edges). Input must
+    * carry user_id, ts, event_id and a millisecond `ms` column.
+    */
+  private def withSessionIds(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    df.withColumn("new_session",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_session")
+  }
+
   // ------------------------------------------- q210: session flow edges
 
   /** q210: session-flow (Sankey) edge list — every user journey rendered
@@ -1653,16 +1672,9 @@ object EventQueries {
     */
   val q210SessionFlows: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val sess = Tables.events(s, dir)
+    val sess = withSessionIds(Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
-        unix_millis(col("ts")).as("ms"))
-      .withColumn("new_session",
-        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= 1800000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_session")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        unix_millis(col("ts")).as("ms")))
     val wSess = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))
     val edged = sess
@@ -1798,12 +1810,14 @@ object EventQueries {
       .withColumn("variant",
         when(graft.functions.Text.portableHash(
           col("user_id").cast("string")) % 2 === 0, "A").otherwise("B"))
+    // cast BEFORE multiplying: x_c/y_c are per-USER sums, so Long×Long
+    // products wrap at scale while the oracle multiplies in HUGEINT
     val mo = users.agg(count(lit(1)).cast(dec).as("n"),
       sum(col("x_c").cast(dec)).as("sx"),
       sum(col("y_c").cast(dec)).as("sy"),
-      sum((col("x_c") * col("y_c")).cast(dec)).as("sxy"),
-      sum((col("x_c") * col("x_c")).cast(dec)).as("sxx"),
-      sum((col("y_c") * col("y_c")).cast(dec)).as("syy"))
+      sum(col("x_c").cast(dec) * col("y_c").cast(dec)).as("sxy"),
+      sum(col("x_c").cast(dec) * col("x_c").cast(dec)).as("sxx"),
+      sum(col("y_c").cast(dec) * col("y_c").cast(dec)).as("syy"))
     val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val c = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
@@ -1840,7 +1854,9 @@ object EventQueries {
       |  FROM e, d0 GROUP BY user_id, variant),
       |mo AS (
       |  SELECT COUNT(*) AS n, SUM(x_c) AS sx, SUM(y_c) AS sy,
-      |    SUM(x_c * y_c) AS sxy, SUM(x_c * x_c) AS sxx, SUM(y_c * y_c) AS syy
+      |    SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy,
+      |    SUM(CAST(x_c AS HUGEINT) * x_c) AS sxx,
+      |    SUM(CAST(y_c AS HUGEINT) * y_c) AS syy
       |  FROM users),
       |sc AS (
       |  SELECT
@@ -1941,14 +1957,7 @@ object EventQueries {
         unix_millis(col("ts")).as("ms"), col("event_id"), col("ts"))
     // q71-identical sessionization, but as explicit gaps-and-islands: a
     // session_window grouped WITH event_type would sessionize per type
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val sess = e
-      .withColumn("new_session",
-        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= 1800000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_session")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = withSessionIds(e)
       .groupBy(col("user_id"), col("sid"), col("event_type"))
       .agg(min(struct(col("ms"), col("event_id"))).as("first_occ"),
         max(struct(col("ms"), col("event_id"))).as("last_occ"))

@@ -523,9 +523,14 @@ object TextQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
        |LEFT JOIN best b ON d.doc_id = b.inc_id""".stripMargin
 
-  // lazy: composes q55Sql, which is declared further down the object
-  lazy val q68Sql: String =
-    s"""WITH RECURSIVE pairs AS (
+  /** Shared oracle prelude: q55 candidate pairs -> undirected edges ->
+    * transitive reachability; MIN(rep) over `reach` labels connected
+    * components. Every cluster-consuming oracle (q68, q191, q199, q212)
+    * composes on this ONE text so the labelling rule cannot
+    * desynchronize across them.
+    */
+  private lazy val clusterReachCtes: String =
+    s"""pairs AS (
        |  SELECT doc_a, doc_b FROM (
        |$q55Sql
        |  ) q),
@@ -535,7 +540,11 @@ object TextQueries {
        |reach(id, rep) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id)
+       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
+
+  // lazy: composes q55Sql, which is declared further down the object
+  lazy val q68Sql: String =
+    s"""WITH RECURSIVE $clusterReachCtes
        |SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
   /** DuckDB oracle for q55, generated from the same hash-family constants. */
@@ -954,17 +963,7 @@ object TextQueries {
   }
 
   lazy val q191Sql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (
-       |$q55Sql
-       |  ) q),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(id, rep) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+    s"""WITH RECURSIVE $clusterReachCtes,
        |cl AS (SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id),
        |assigned AS (
        |  SELECT d.doc_id, d.n_chars,
@@ -1019,17 +1018,7 @@ object TextQueries {
   }
 
   lazy val q199Sql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (
-       |$q55Sql
-       |  ) q),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(id, rep) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+    s"""WITH RECURSIVE $clusterReachCtes,
        |cl AS (SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id),
        |d AS (
        |  SELECT doc_id, source,
@@ -1081,17 +1070,7 @@ object TextQueries {
   }
 
   lazy val q212Sql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (
-       |$q55Sql
-       |  ) q),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(id, rep) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, r.rep FROM edges e JOIN reach r ON e.dst = r.id),
+    s"""WITH RECURSIVE $clusterReachCtes,
        |cl AS (SELECT id AS doc_id, MIN(rep) AS cluster_rep FROM reach GROUP BY id),
        |m AS (
        |  SELECT cl.cluster_rep, cl.doc_id, d.n_chars,

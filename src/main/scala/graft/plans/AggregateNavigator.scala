@@ -57,7 +57,10 @@ object AggregateNavigator {
     */
   def route(summaries: Seq[Summary], base: DataFrame,
       dims: Seq[String], measures: Seq[String]): (String, DataFrame) = {
-    val needed = measures.map(m => s"sum_$m").toSet + "n_rows"
+    // the FULL structural layout must be present — reaggregate references
+    // min_/max_ too, so a partial summary must fall back, not fail later
+    val needed = measures.flatMap(m =>
+      Seq(s"sum_$m", s"min_$m", s"max_$m")).toSet + "n_rows"
     val covering = summaries.filter(s => dims.toSet.subsetOf(s.dims) &&
       needed.subsetOf(s.df.columns.toSet))
     val (name, summaryShaped) = covering match {

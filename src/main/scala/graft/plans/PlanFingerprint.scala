@@ -23,17 +23,22 @@ import org.apache.spark.sql.DataFrame
   */
 object PlanFingerprint {
 
-  /** The normalized plan text (exposed for diffing in drift reports). */
+  /** The normalized plan text (exposed for diffing in drift reports).
+    *
+    * Deliberately conservative: ONLY per-run artifacts are stripped.
+    * Scan locations, literal values, and filter constants all stay — two
+    * queries over different directories or with different `IN (...)`
+    * lists are different queries and must fingerprint differently
+    * (anything else would let [[ResultCache]] serve wrong results).
+    */
   def canonical(df: DataFrame): String = {
     val raw = df.queryExecution.executedPlan.toString
     raw
       .replaceAll("#\\d+", "#")             // expression ids
       .replaceAll("plan_id=\\d+", "plan_id=")
-      .replaceAll("\\[id=#?\\d+\\]", "[id=]") // exchange/codegen ids
-      .replaceAll("\\(\\d+\\)", "()")        // whole-stage codegen ids
+      .replaceAll("\\[id=#?\\d+\\]", "[id=]") // exchange ids
+      .replaceAll("\\*\\(\\d+\\)", "*()")    // whole-stage codegen stage ids
       .replaceAll("@[0-9a-f]{6,}", "@")      // object addresses
-      .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
-      .replaceAll("file:[^,\\]\\s]+", "file:") // staging/temp paths
   }
 
   /** 128-bit hex fingerprint of the canonical plan. */

@@ -19,11 +19,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class ResultCache(spark: SparkSession, maxEntries: Int = 64) {
 
+  // LRU eviction only FORGETS the entry — it never unpersists, because a
+  // caller may still hold the returned frame, and a localCheckpointed
+  // frame whose blocks are dropped cannot be recomputed (truncated
+  // lineage). Block reclamation belongs to Spark's storage eviction and
+  // to invalidate(), whose contract voids outstanding handles explicitly.
   private val entries =
     new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DataFrame]): Boolean =
-        if (size() > maxEntries) { e.getValue.unpersist(); true } else false
+        size() > maxEntries
     }
   private var hitCount = 0L
   private var missCount = 0L
@@ -46,7 +51,10 @@ final class ResultCache(spark: SparkSession, maxEntries: Int = 64) {
   def misses: Long = synchronized(missCount)
   def size: Int = synchronized(entries.size())
 
-  /** Drop every entry (the on-DDL invalidation path). */
+  /** Drop every entry AND its blocks (the on-DDL invalidation path).
+    * Frames previously returned by get() become unusable — invalidation
+    * means exactly that; callers re-fetch through the cache.
+    */
   def invalidate(): Unit = synchronized {
     entries.values().forEach(_.unpersist())
     entries.clear()

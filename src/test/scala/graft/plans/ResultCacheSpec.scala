@@ -16,6 +16,18 @@ class ResultCacheSpec extends SparkSpec {
     assert(PlanFingerprint.fingerprint(q1) === PlanFingerprint.fingerprint(q1))
   }
 
+  test("different source directories never share a fingerprint") {
+    // the cache-poisoning hazard: same query shape, different data
+    def shape(dir: String) = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(PlanFingerprint.fingerprint(shape(sfDir)) !==
+      PlanFingerprint.fingerprint(shape("/root/testdata/sf0.01")))
+    // and different literal constants must differ too
+    val in5 = q1.where(col("l_returnflag").isin("R"))
+    val in7 = q1.where(col("l_returnflag").isin("N"))
+    assert(PlanFingerprint.fingerprint(in5) !== PlanFingerprint.fingerprint(in7))
+  }
+
   test("fingerprint moves when the plan meaningfully changes") {
     val base = PlanFingerprint.fingerprint(q1)
     val filtered = PlanFingerprint.fingerprint(
