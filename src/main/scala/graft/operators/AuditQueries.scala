@@ -375,17 +375,156 @@ object AuditQueries {
       |ORDER BY d_num DESC, v_c
       |LIMIT 1""".stripMargin
 
+  // --------------------------------------- q218: functional-dependency audit
+
+  /** q218: functional-dependency discovery/audit — the data-profiling pass
+    * (Metanome/Tane-style, restricted to DECLARED candidates) that a
+    * warehouse runs before trusting a column as a key or a denormalized
+    * attribute as consistent. For each candidate FD `lhs → rhs` it reports
+    * how many lhs groups exist, how many VIOLATE the dependency (more than
+    * one distinct rhs), the worst group's distinct-rhs count, and whether
+    * the FD holds exactly. Candidates span held FDs (keys, 1:1 attribute
+    * carries) and deliberately violated ones (segment → nation), so the
+    * report shape exercises both outcomes.
+    *
+    * Scale: one hash aggregate per candidate, shuffled on its own lhs —
+    * the count-distinct is per-group (never global), and the per-candidate
+    * summary is ONE row, so the union is metadata-sized. Candidates on the
+    * same table still scan it once each by design: at 100 TB a shared scan
+    * with N simultaneous re-shuffles would not reduce the shuffle volume
+    * (each lhs needs its own key anyway) and would serialize the pipeline.
+    */
+  val q218FdAudit: Q = (s, dir) => {
+    def fd(tbl: String, df: DataFrame, lhsName: String, rhsName: String,
+           lhs: Column, rhs: Column): DataFrame =
+      df.groupBy(lhs.as("k"))
+        .agg(countDistinct(rhs).as("d"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("d")).as("max_rhs_distinct"))
+        .select(lit(tbl).as("tbl"), lit(lhsName).as("lhs"),
+          lit(rhsName).as("rhs"), col("n_groups"), col("n_violating"),
+          col("max_rhs_distinct"), (col("n_violating") === 0L).as("holds"))
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val p = Tables.part(s, dir)
+    val d = Tables.documents(s, dir)
+    fd("orders", o, "o_orderkey", "o_custkey", col("o_orderkey"), col("o_custkey"))
+      .unionAll(fd("customer", c, "c_mktsegment", "c_nationkey",
+        col("c_mktsegment"), col("c_nationkey")))
+      .unionAll(fd("part", p, "p_brand", "p_type", col("p_brand"), col("p_type")))
+      .unionAll(fd("part", p, "p_name", "p_brand", col("p_name"), col("p_brand")))
+      .unionAll(fd("documents", d, "doc_id", "lang", col("doc_id"), col("lang")))
+      .unionAll(fd("documents", d, "source", "lang", col("source"), col("lang")))
+      .orderBy(col("tbl"), col("lhs"), col("rhs"))
+  }
+
+  val q218Sql: String = {
+    def fd(tbl: String, lhs: String, rhs: String) =
+      s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+         |  COUNT(*) AS n_groups,
+         |  CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  MAX(d) AS max_rhs_distinct,
+         |  SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS d FROM $tbl
+         |      GROUP BY $lhs) g""".stripMargin
+    Seq(
+      fd("orders", "o_orderkey", "o_custkey"),
+      fd("customer", "c_mktsegment", "c_nationkey"),
+      fd("part", "p_brand", "p_type"),
+      fd("part", "p_name", "p_brand"),
+      fd("documents", "doc_id", "lang"),
+      fd("documents", "source", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+  }
+
+  // --------------------------------------- q219: inclusion-dependency scan
+
+  /** q219: inclusion-dependency (foreign-key) discovery — for each declared
+    * candidate `child.col ⊆ parent.col`, the fraction of DISTINCT child
+    * values present in the parent: 1.0 means a clean FK, anything less
+    * quantifies orphaned keys before a constraint or a join is trusted.
+    * Candidates cover the star's real FKs plus one reverse direction
+    * (p_partkey ⊆ l_partkey — "parts never ordered" shows up as partial
+    * containment) and one cross-domain probe (user ids against customer
+    * keys) that a profiler would reject.
+    *
+    * Scale: both sides are DISTINCT-reduced FIRST, so the containment join
+    * runs on key cardinalities, not fact rows — the child distinct is the
+    * only fact-sized shuffle, and the parent side of a star FK is a
+    * broadcastable dimension key list. No pass ever joins fact×fact.
+    */
+  val q219IndScan: Q = (s, dir) => {
+    def ind(childTbl: String, childCol: String, child: DataFrame,
+            parentTbl: String, parentCol: String, parent: DataFrame): DataFrame = {
+      val cd = child.select(col(childCol).as("v")).distinct()
+      val pd = parent.select(col(parentCol).as("pv")).distinct()
+      cd.join(pd, col("v") === col("pv"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          sum(when(col("pv").isNotNull, 1L).otherwise(0L)).as("n_contained"))
+        .select(lit(s"$childTbl.$childCol").as("child"),
+          lit(s"$parentTbl.$parentCol").as("parent"),
+          col("n_child_distinct"), col("n_contained"),
+          expr("n_contained * 1000000 DIV n_child_distinct")
+            .as("containment_e6"),
+          (col("n_contained") === col("n_child_distinct")).as("is_fk"))
+    }
+    val li = Tables.lineitem(s, dir)
+    ind("lineitem", "l_partkey", li, "part", "p_partkey", Tables.part(s, dir))
+      .unionAll(ind("lineitem", "l_suppkey", li,
+        "supplier", "s_suppkey", Tables.supplier(s, dir)))
+      .unionAll(ind("lineitem", "l_orderkey", li,
+        "orders", "o_orderkey", Tables.orders(s, dir)))
+      .unionAll(ind("orders", "o_custkey", Tables.orders(s, dir),
+        "customer", "c_custkey", Tables.customer(s, dir)))
+      .unionAll(ind("part", "p_partkey", Tables.part(s, dir),
+        "lineitem", "l_partkey", li))
+      .unionAll(ind("events", "user_id", Tables.events(s, dir),
+        "customer", "c_custkey", Tables.customer(s, dir)))
+      .orderBy(col("child"), col("parent"))
+  }
+
+  val q219Sql: String = {
+    def ind(childTbl: String, childCol: String, parentTbl: String,
+            parentCol: String) =
+      s"""SELECT '$childTbl.$childCol' AS child,
+         |  '$parentTbl.$parentCol' AS parent,
+         |  COUNT(*) AS n_child_distinct,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contained,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS containment_e6,
+         |  SUM(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END) = COUNT(*)
+         |    AS is_fk
+         |FROM (SELECT DISTINCT $childCol AS v FROM $childTbl) c
+         |LEFT JOIN (SELECT DISTINCT $parentCol AS pv FROM $parentTbl) p
+         |  ON c.v = p.pv""".stripMargin
+    Seq(
+      ind("lineitem", "l_partkey", "part", "p_partkey"),
+      ind("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ind("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ind("orders", "o_custkey", "customer", "c_custkey"),
+      ind("part", "p_partkey", "lineitem", "l_partkey"),
+      ind("events", "user_id", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY child, parent")
+  }
+
   val queries: Map[String, Q] = Map(
     "q139_quality_audit" -> q139QualityAudit,
     "q140_stats_histogram" -> q140Histogram,
     "q193_join_card_audit" -> q193JoinCardAudit,
     "q153_chi_square" -> q153ChiSquare,
-    "q157_ks_test" -> q157KsTest)
+    "q157_ks_test" -> q157KsTest,
+    "q218_fd_audit" -> q218FdAudit,
+    "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
     "q139_quality_audit" -> q139Sql,
     "q140_stats_histogram" -> q140Sql,
     "q193_join_card_audit" -> q193Sql,
     "q153_chi_square" -> q153Sql,
-    "q157_ks_test" -> q157Sql)
+    "q157_ks_test" -> q157Sql,
+    "q218_fd_audit" -> q218Sql,
+    "q219_ind_scan" -> q219Sql)
 }

@@ -1265,7 +1265,84 @@ object CurationQueries {
        |    AS BIGINT) AS compression_e6
        |FROM agg""".stripMargin
 
+  // ------------------------------------------- q223: readability panel
+
+  /** q223: readability scoring — the Flesch-reading-ease shape of signal
+    * (words/sentence, syllables/word) as a curation feature, in EXACT
+    * integer arithmetic: sentences are terminator counts ('.', '!', '?' —
+    * clamped to ≥ 1), the syllable proxy is vowel-group count (runs of
+    * [aeiouy] in the lowercased text — the standard cheap estimator), and
+    * the e3-scaled score is 206835 − 1015·W DIV S − 84600·Syl DIV W with
+    * truncating division on non-negative operands, identical in both
+    * engines. No floats, no libm. Reported per source with a banded grade
+    * so the panel is a bounded summary, not a per-doc dump: one conditional
+    * rollup per (source, band) after a shuffle-free per-row pass.
+    *
+    * The regexes are deliberately single-character-class ([aeiouy]+,
+    * [.!?]) — the subset where Java's regex and DuckDB's RE2 agree by
+    * construction.
+    */
+  val q223Readability: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).as("words"),
+        greatest(length(regexp_replace(col("text"), "[^.!?]", "")), lit(1))
+          .as("sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .as("syllables"))
+    val scored = d.select(col("doc_id"), col("source"), col("words"),
+      col("sentences"), col("syllables"),
+      expr("206835 - 1015 * words DIV sentences - 84600 * syllables DIV words")
+        .as("flesch_e3"))
+    scored
+      .groupBy(col("source"),
+        when(col("flesch_e3") >= 60000, "easy")
+          .when(col("flesch_e3") >= 30000, "standard")
+          .otherwise("difficult").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("total_words"),
+        expr("CAST(SUM(flesch_e3) AS BIGINT)").as("sum_flesch_e3"),
+        min(col("flesch_e3")).as("min_flesch_e3"),
+        max(col("flesch_e3")).as("max_flesch_e3"))
+      // sign-factored: the difficult band's sum can be negative, where
+      // Spark DIV truncates but DuckDB // floors — they agree only on
+      // non-negative operands
+      .withColumn("mean_flesch_e3",
+        expr("""CASE WHEN sum_flesch_e3 >= 0 THEN sum_flesch_e3 DIV n_docs
+               |     ELSE -((-sum_flesch_e3) DIV n_docs) END""".stripMargin))
+  }
+
+  val q223Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    LEN(STRING_SPLIT(text, ' ')) AS words,
+      |    GREATEST(LEN(REGEXP_REPLACE(text, '[^.!?]', '', 'g')), 1)
+      |      AS sentences,
+      |    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) AS syllables
+      |  FROM documents),
+      |sc AS (
+      |  SELECT source, words, sentences, syllables,
+      |    206835 - 1015 * words // sentences - 84600 * syllables // words
+      |      AS flesch_e3
+      |  FROM f)
+      |SELECT source,
+      |  CASE WHEN flesch_e3 >= 60000 THEN 'easy'
+      |       WHEN flesch_e3 >= 30000 THEN 'standard'
+      |       ELSE 'difficult' END AS band,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(words) AS BIGINT) AS total_words,
+      |  CAST(SUM(flesch_e3) AS BIGINT) AS sum_flesch_e3,
+      |  MIN(flesch_e3) AS min_flesch_e3,
+      |  MAX(flesch_e3) AS max_flesch_e3,
+      |  CAST(CASE WHEN SUM(flesch_e3) >= 0
+      |       THEN SUM(flesch_e3) // COUNT(*)
+      |       ELSE -((-SUM(flesch_e3)) // COUNT(*)) END AS BIGINT)
+      |    AS mean_flesch_e3
+      |FROM sc
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q223_readability" -> q223Readability,
     "q134_bpe_train" -> q134BpeTrain,
     "q135_bpe_apply" -> q135BpeApply,
     "q169_vocab_coverage" -> q169VocabCoverage,
@@ -1286,6 +1363,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q223_readability" -> q223Sql,
     "q134_bpe_train" -> q134Sql,
     "q135_bpe_apply" -> q135Sql,
     "q169_vocab_coverage" -> q169Sql,

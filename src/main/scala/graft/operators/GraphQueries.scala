@@ -624,7 +624,135 @@ object GraphQueries {
        |FROM te_dir t LEFT JOIN recs r ON t.a = r.a AND t.b = r.b""".stripMargin
   }
 
+  // ------------------------------------------- q217: ranking-metric panel
+
+  /** Recommendation-list depth evaluated by the q217 ranking metrics. */
+  private val RankK = 10
+
+  /** q217: ranking-metrics panel — MRR, precision@{1,3,10} and recall@10
+    * for the q202 recommender under the same leak-free temporal split.
+    * q202 answers "did ANY top-k rec co-occur?"; this grades WHERE in the
+    * list the relevant items landed, which is what distinguishes two
+    * recommenders with equal hit rate. All metrics are exact integers:
+    * reciprocal ranks and per-user ratios are e6-quantized with integer
+    * division (floor twice, identically in both engines) — no float mean.
+    * NDCG is deliberately absent: its log2 discount is a libm call that
+    * is not bit-portable; MRR + P@k + recall@k carry the same ordering
+    * signal in exact arithmetic.
+    *
+    * Plan shape: the ranked rec list is ONE window over the train edges
+    * (rk ≤ [[RankK]] kept), hits are a pair-keyed join of test pairs to
+    * recs (never a part×part product), and the per-user rollup runs on
+    * |test users| rows. At 100 TB each stage shuffles once on its key.
+    */
+  val q217RankingMetrics: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def itemsIn(test: Boolean) = {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val cond = if (test) col("o_orderdate") >= lit(recCutoff).cast("timestamp")
+        else col("o_orderdate") < lit(recCutoff).cast("timestamp")
+      Tables.lineitem(s, dir)
+        .join(o.filter(cond), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    }
+    def edges(items: org.apache.spark.sql.DataFrame) = items
+      .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("parts"))
+      .filter(size(col("parts")).between(2, BasketCap))
+      .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
+        struct(x.as("part_a"), y.as("part_b"))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    def directional(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
+        .union(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
+    val recs = directional(edges(itemsIn(test = false)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b"))))
+      .filter(col("rk") <= RankK)
+      .select(col("a"), col("b"), col("rk"))
+    val relevant = directional(edges(itemsIn(test = true)))
+      .select(col("a"), col("b"))
+    val perUserRel = relevant.groupBy(col("a"))
+      .agg(count(lit(1)).as("nrel"))
+    val hits = relevant.join(recs, Seq("a", "b"))
+      .groupBy(col("a"))
+      .agg(min(col("rk")).as("first_rk"),
+        sum(when(col("rk") <= 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("rk") <= 3, 1L).otherwise(0L)).as("h3"),
+        count(lit(1)).as("h10"))
+    perUserRel.join(hits, Seq("a"), "left")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("first_rk").isNotNull,
+          expr("1000000 DIV first_rk")).otherwise(0L)).as("sum_rr_e6"),
+        sum(coalesce(col("h1"), lit(0L))).as("sh1"),
+        sum(coalesce(col("h3"), lit(0L))).as("sh3"),
+        sum(coalesce(col("h10"), lit(0L))).as("sh10"),
+        sum(expr("coalesce(h10, 0L) * 1000000 DIV nrel")).as("sum_rec_e6"))
+      .select(col("n_users"),
+        expr("sum_rr_e6 DIV n_users").as("mrr_e6"),
+        expr("sh1 * 1000000 DIV n_users").as("p_at_1_e6"),
+        expr("sh3 * 1000000 DIV (3 * n_users)").as("p_at_3_e6"),
+        expr(s"sh10 * 1000000 DIV ($RankK * n_users)").as("p_at_10_e6"),
+        expr("sum_rec_e6 DIV n_users").as("recall_at_10_e6"))
+  }
+
+  def q217Sql: String = {
+    def edgeCte(name: String, cmp: String) =
+      s"""${name}_items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate $cmp TIMESTAMP '$recCutoff 00:00:00'),
+         |${name}_baskets AS (
+         |  SELECT o, LIST_SORT(LIST(p)) AS parts FROM ${name}_items
+         |  GROUP BY o HAVING COUNT(*) BETWEEN 2 AND $BasketCap),
+         |${name}_pairs AS (
+         |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+         |  FROM ${name}_items a JOIN ${name}_items b
+         |    ON a.o = b.o AND a.p < b.p
+         |  WHERE a.o IN (SELECT o FROM ${name}_baskets)
+         |  GROUP BY 1, 2),
+         |${name}_dir AS (
+         |  SELECT part_a AS a, part_b AS b, n_ab FROM ${name}_pairs
+         |  UNION ALL SELECT part_b, part_a, n_ab FROM ${name}_pairs)""".stripMargin
+    s"""WITH ${edgeCte("tr", "<")},
+       |${edgeCte("te", ">=")},
+       |recs AS (
+       |  SELECT a, b, rk FROM (
+       |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY n_ab DESC, b) AS rk
+       |    FROM tr_dir) t
+       |  WHERE rk <= $RankK),
+       |rel AS (SELECT a, b FROM te_dir),
+       |per_rel AS (SELECT a, COUNT(*) AS nrel FROM rel GROUP BY a),
+       |hits AS (
+       |  SELECT rel.a, MIN(rk) AS first_rk,
+       |    SUM(CASE WHEN rk <= 1 THEN 1 ELSE 0 END) AS h1,
+       |    SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS h3,
+       |    COUNT(*) AS h10
+       |  FROM rel JOIN recs ON rel.a = recs.a AND rel.b = recs.b
+       |  GROUP BY rel.a),
+       |roll AS (
+       |  SELECT COUNT(*) AS n_users,
+       |    SUM(CASE WHEN first_rk IS NOT NULL
+       |        THEN 1000000 // first_rk ELSE 0 END) AS sum_rr_e6,
+       |    SUM(COALESCE(h1, 0)) AS sh1,
+       |    SUM(COALESCE(h3, 0)) AS sh3,
+       |    SUM(COALESCE(h10, 0)) AS sh10,
+       |    SUM(COALESCE(h10, 0) * 1000000 // nrel) AS sum_rec_e6
+       |  FROM per_rel LEFT JOIN hits USING (a))
+       |SELECT n_users,
+       |  CAST(sum_rr_e6 // n_users AS BIGINT) AS mrr_e6,
+       |  CAST(sh1 * 1000000 // n_users AS BIGINT) AS p_at_1_e6,
+       |  CAST(sh3 * 1000000 // (3 * n_users) AS BIGINT) AS p_at_3_e6,
+       |  CAST(sh10 * 1000000 // ($RankK * n_users) AS BIGINT) AS p_at_10_e6,
+       |  CAST(sum_rec_e6 // n_users AS BIGINT) AS recall_at_10_e6
+       |FROM roll""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q217_ranking_metrics" -> q217RankingMetrics,
     "q202_recsys_eval" -> q202RecsysEval,
     "q188_assortativity" -> q188DegreeAssortativity,
     "q189_link_prediction" -> q189LinkPrediction,
@@ -636,6 +764,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q217_ranking_metrics" -> q217Sql,
     "q202_recsys_eval" -> q202Sql,
     "q188_assortativity" -> q188Sql,
     "q189_link_prediction" -> q189Sql,

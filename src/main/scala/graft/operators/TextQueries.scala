@@ -1327,7 +1327,140 @@ object TextQueries {
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
   }
 
+  // ------------------------------------------- q221: PMI collocations
+
+  /** Minimum corpus frequency for a q221 collocation candidate. */
+  private val PmiMinCount = 5
+
+  /** q221: collocation extraction — the corpus's top multi-word expressions
+    * ranked by pointwise mutual information. PMI(x,y) =
+    * log(c_xy·N / (c_x·c_y)) needs a log only to COMPARE, and log is
+    * monotone — so the engine ranks by the exact integer lift ratio
+    * c_xy·N·10⁶ / (c_x·c_y) instead and never calls libm: bit-portable,
+    * and the reported `lift_e6` IS e6-scaled exp(PMI). Low-count pairs are
+    * floored at [[PmiMinCount]] (classic PMI noise control: a 1-of-1
+    * bigram otherwise maxes the score). Accumulation runs in
+    * DECIMAL(38,0) — c_xy·N·10⁶ overflows int64 once the corpus passes
+    * ~10⁶ bigrams, which 100 TB does instantly.
+    *
+    * Plan: one bigram explode, two count rollups (bigram key, unigram
+    * key), a join of bigram counts to the two unigram counts (the unigram
+    * table is the corpus vocabulary — broadcastable at any realistic
+    * scale), and a global top-25. No pass is quadratic in anything.
+    */
+  val q221PmiCollocations: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val bigrams = toks
+      .select(explode(when(size(col("t")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"))))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val cBg = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    val cTok = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nTok = toks.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).as("n_tokens"))
+    cBg
+      .join(cTok.select(col("w").as("w1"), col("c_w").as("c_x")), Seq("w1"))
+      .join(cTok.select(col("w").as("w2"), col("c_w").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        // integral DIV, not decimal `/`: Spark rounds a decimal quotient
+        // HALF_UP at the result scale, which can differ from the floor
+        // DuckDB's // computes — DIV truncates identically in both.
+        expr("""CAST((CAST(c_xy AS DECIMAL(38,0)) * n_tokens * 1000000)
+               |  DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"""
+          .stripMargin).as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  val q221Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)),
+       |c_bg AS (
+       |  SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $PmiMinCount),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c_w
+       |  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w),
+       |n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tokens FROM uni)
+       |SELECT w1, w2, c_xy,
+       |  CAST(CAST(c_xy AS HUGEINT) * n_tokens * 1000000 //
+       |    (CAST(x.c_w AS HUGEINT) * y.c_w) AS BIGINT) AS lift_e6
+       |FROM c_bg JOIN uni x ON c_bg.w1 = x.w
+       |  JOIN uni y ON c_bg.w2 = y.w, n
+       |ORDER BY lift_e6 DESC, w1, w2
+       |LIMIT 25""".stripMargin
+
+  // ------------------------------------------- q222: Heaps-law vocab growth
+
+  /** Documents per q222 growth bucket. */
+  private val HeapsBucket = 25
+
+  /** q222: vocabulary-growth curve (Heaps' law audit) — cumulative distinct
+    * token types vs cumulative token count as the corpus is consumed in
+    * doc_id order, rolled up to [[HeapsBucket]]-document buckets. The
+    * curator's "is the corpus still contributing new vocabulary?" signal:
+    * a flattening curve means diminishing lexical returns; sub-Heaps
+    * growth flags template/boilerplate floods.
+    *
+    * "Running distinct" — normally a re-scan per prefix — collapses to ONE
+    * pass via first occurrences: a type is new in the bucket holding its
+    * MIN(doc_id). One shuffle on token for the min, one doc-bucket rollup,
+    * and the prefix sums run as windows over |buckets| rows (metadata
+    * scale — the 100 TB analog windows over thousands of bucket rows, not
+    * the corpus).
+    */
+  val q222HeapsGrowth: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val perBucketTokens = toks
+      .groupBy(expr(s"doc_id DIV $HeapsBucket").as("bucket"))
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val perBucketTypes = toks.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc DIV $HeapsBucket").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucketTokens.join(perBucketTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("bucket_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+  }
+
+  val q222Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |  FROM documents),
+       |bt AS (
+       |  SELECT doc_id // $HeapsBucket AS bucket, COUNT(*) AS bucket_tokens
+       |  FROM toks GROUP BY 1),
+       |ft AS (
+       |  SELECT MIN(doc_id) // $HeapsBucket AS bucket
+       |  FROM toks GROUP BY w),
+       |nt AS (SELECT bucket, COUNT(*) AS new_types FROM ft GROUP BY 1)
+       |SELECT bucket, bucket_tokens,
+       |  COALESCE(new_types, 0) AS new_types,
+       |  CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY bucket) AS BIGINT)
+       |    AS cum_types
+       |FROM bt LEFT JOIN nt USING (bucket)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q221_pmi_collocations" -> q221PmiCollocations,
+    "q222_heaps_growth" -> q222HeapsGrowth,
     "q136_dup_spans" -> q136DupSpans,
     "q133_lsh_quality" -> q133LshQuality,
     "q80_tfidf_topk" -> q80TfidfTopk,
@@ -1355,6 +1488,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q221_pmi_collocations" -> q221Sql,
+    "q222_heaps_growth" -> q222Sql,
     "q136_dup_spans" -> q136Sql,
     "q133_lsh_quality" -> q133Sql,
     "q80_tfidf_topk" -> q80Sql,

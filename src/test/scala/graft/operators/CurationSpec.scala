@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** End-to-end tests for the curation operators, on the driver corpus for
   * distribution invariants and on a handcrafted corpus (written as a real
@@ -173,5 +173,55 @@ class CurationSpec extends SparkSpec {
     val q83Keep = CurationQueries.q83RepetitionMetrics(spark, sfDir)
       .filter(col("rep_band") === "keep").count()
     assert(rows("1_rep_gate")._1 === q83Keep)
+  }
+
+  test("q221 collocations: support floor holds and lift ordering is exact") {
+    val rows = TextQueries.q221PmiCollocations(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach(r => assert(r.getAs[Long]("c_xy") >= 5L))
+    // returned in strict (lift desc, w1, w2) order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val la = a.getAs[Long]("lift_e6"); val lb = b.getAs[Long]("lift_e6")
+      assert(la > lb || (la == lb &&
+        (a.getString(1) < b.getString(1) ||
+          (a.getString(1) == b.getString(1) && a.getString(0) <= b.getString(0)))))
+    case _ => ()
+    }
+  }
+
+  test("q222 Heaps growth: prefix sums reconcile with corpus totals") {
+    val rows = TextQueries.q222HeapsGrowth(spark, sfDir)
+      .orderBy("bucket").collect()
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val totalTokens = toks.count()
+    val totalTypes = toks.distinct().count()
+    assert(rows.last.getAs[Long]("cum_tokens") === totalTokens)
+    assert(rows.last.getAs[Long]("cum_types") === totalTypes)
+    // vocabulary growth is monotone and sub-linear vs tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("cum_types") >= a.getAs[Long]("cum_types"))
+      assert(b.getAs[Long]("cum_tokens") > a.getAs[Long]("cum_tokens"))
+    case _ => ()
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("cum_types") <= r.getAs[Long]("cum_tokens")))
+  }
+
+  test("q223 readability: bands partition the corpus, panel is integer-exact") {
+    val rows = CurationQueries.q223Readability(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("min_flesch_e3")
+      val hi = r.getAs[Long]("max_flesch_e3")
+      val mean = r.getAs[Long]("mean_flesch_e3")
+      assert(lo <= hi)
+      // floor-mean sits within [min-1, max]
+      assert(mean >= lo - 1 && mean <= hi)
+      val band = r.getAs[String]("band")
+      if (band == "easy") assert(lo >= 60000L)
+      if (band == "difficult") assert(hi < 30000L)
+    }
   }
 }

@@ -260,4 +260,20 @@ class GraphSpec extends SparkSpec {
         adj(a).size.toLong * adj(b).size)
     }
   }
+  test("q217 ranking metrics: exact-arithmetic invariants vs q202") {
+    val m = GraphQueries.q217RankingMetrics(spark, sfDir).collect()(0)
+    val nUsers = m.getAs[Long]("n_users")
+    val mrr = m.getAs[Long]("mrr_e6")
+    val p1 = m.getAs[Long]("p_at_1_e6")
+    val rec10 = m.getAs[Long]("recall_at_10_e6")
+    assert(nUsers > 0)
+    // every metric is an e6 fraction
+    Seq(mrr, p1, m.getAs[Long]("p_at_3_e6"), m.getAs[Long]("p_at_10_e6"),
+      rec10).foreach(v => assert(v >= 0L && v <= 1000000L))
+    // a user's reciprocal rank is 1 exactly when the rank-1 rec is
+    // relevant, so MRR dominates precision@1 (floor rounding can only
+    // shave the same e6 units from both)
+    assert(mrr >= p1)
+  }
+
 }
