@@ -510,7 +510,79 @@ object AuditQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY child, parent")
   }
 
+  // --------------------------------------- q224: quantile normalization map
+
+  /** Decile grid evaluated by q224 (p0, p10, …, p100). */
+  private val QnGrid: Seq[Int] = 0 to 100 by 10
+
+  /** q224: per-source quantile-normalization map — the QQ table that aligns
+    * each source's document-length distribution onto the pooled corpus
+    * distribution (the batch-effect correction genomics calls quantile
+    * normalization, applied to corpus curation: a source whose lengths run
+    * long maps onto the pooled quantiles before length-based quality
+    * gates). For each source and each decile p: the source's
+    * percentile_disc(p), the pooled percentile_disc(p), and the signed
+    * shift — all ACTUAL data values (disc, not interpolated), so the whole
+    * table is exact integers.
+    *
+    * Plan: one aggregate per source computes all 11 quantiles in a single
+    * pass (11 sort-based agg buffers over the same shuffle), the pooled row
+    * is the same aggregate without keys, and the map+explode unpivot turns
+    * 11 columns into grid rows — metadata-sized from the rollup on. At
+    * 100 TB the exact percentile_disc per group is the only corpus-scale
+    * stage; swapping in q91's bottom-k sketch boundaries changes this
+    * table's producer, not its shape.
+    */
+  val q224QuantileMap: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    def quants(df: DataFrame, keys: Seq[Column]): DataFrame = {
+      val aggs = QnGrid.map(p =>
+        expr(s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as(s"p$p"))
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    def unpivot(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val pairs = QnGrid.flatMap(p => Seq(lit(p), col(s"p$p")))
+      df.select(extra :+ explode(map(pairs: _*)).as(Seq("p", "q")): _*)
+    }
+    val perSource = unpivot(quants(d, Seq(col("source"))), Seq(col("source")))
+      .withColumnRenamed("q", "source_q")
+    val pooled = unpivot(quants(d, Seq.empty), Seq.empty)
+      .withColumnRenamed("q", "pooled_q")
+    perSource.join(broadcast(pooled), Seq("p"))
+      .select(col("source"), col("p"), col("source_q"), col("pooled_q"),
+        (col("source_q") - col("pooled_q")).as("shift"))
+      .orderBy(col("source"), col("p"))
+  }
+
+  val q224Sql: String = {
+    def qexprs = QnGrid.map(p =>
+      s"CAST(percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p$p")
+      .mkString(",\n    ")
+    val srcL = QnGrid.map(p => s"SELECT source, $p AS p, p$p AS source_q FROM src")
+      .mkString("\n  UNION ALL ")
+    val poolL = QnGrid.map(p => s"SELECT $p AS p, p$p AS pooled_q FROM pool")
+      .mkString("\n  UNION ALL ")
+    s"""WITH src AS (
+       |  SELECT source,
+       |    $qexprs
+       |  FROM documents GROUP BY source),
+       |pool AS (
+       |  SELECT $qexprs
+       |  FROM documents),
+       |src_l AS (
+       |  $srcL),
+       |pool_l AS (
+       |  $poolL)
+       |SELECT source, p, source_q, pooled_q,
+       |  source_q - pooled_q AS shift
+       |FROM src_l JOIN pool_l USING (p)
+       |ORDER BY source, p""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_quantile_map" -> q224QuantileMap,
     "q139_quality_audit" -> q139QualityAudit,
     "q140_stats_histogram" -> q140Histogram,
     "q193_join_card_audit" -> q193JoinCardAudit,
@@ -520,6 +592,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q224_quantile_map" -> q224Sql,
     "q139_quality_audit" -> q139Sql,
     "q140_stats_histogram" -> q140Sql,
     "q193_join_card_audit" -> q193Sql,

@@ -569,6 +569,75 @@ object CurationQueries {
        |  CAST(SUM(resp) * n_all AS DOUBLE) / (COUNT(*) * resp_all) AS lift
        |FROM dec CROSS JOIN tot GROUP BY decile, n_all, resp_all""".stripMargin
 
+  // ------------------------------------- q226: calibration + Brier score
+
+  /** q226: classifier calibration audit — the reliability table + Brier
+    * score that complete the q114 (lift) / q164 (AUC) evaluation triple:
+    * AUC grades RANKING, this grades the PROBABILITIES. The q99 score maps
+    * to a predicted probability through the fixed monotone transform
+    * p̂_e6 = clamp(500000 + 1000·score, 0, 10⁶) (a linear link — the audit
+    * evaluates the transform, it does not fit one), documents land in ten
+    * fixed-width probability bins, and each bin reports predicted-vs-
+    * observed: mean p̂, event rate, and the signed calibration gap. The
+    * per-document Brier contribution (p̂_e6 − 10⁶·y)² is an exact integer
+    * accumulated in DECIMAL(38,0) (10¹² per row overflows int64 past ~10⁷
+    * rows), so the whole table is bit-portable — no float means anywhere.
+    * A well-calibrated transform shows gap ≈ 0 in every populated bin;
+    * the constant-width bins make drift between corpus snapshots directly
+    * comparable.
+    *
+    * Plan: the q99 map-only scoring pass, one broadcast label join, one
+    * 10-bin hash rollup — nothing after the scan is corpus-scale.
+    */
+  val q226Calibration: Q = (s, dir) => {
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("score"), (col("n_chars") >= 300).cast("long").as("resp"))
+      .select(col("resp"),
+        least(greatest(lit(500000L) + col("score") * 1000L, lit(0L)),
+          lit(1000000L)).as("phat_e6"))
+    scored
+      .groupBy(least(expr("phat_e6 DIV 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("resp")).as("n_events"),
+        sum(col("phat_e6")).as("sum_phat_e6"),
+        expr("""CAST(SUM(CAST((phat_e6 - 1000000 * resp) AS DECIMAL(38,0)) *
+               |         (phat_e6 - 1000000 * resp)) AS DECIMAL(38,0))"""
+          .stripMargin).as("brier_sum_dec"))
+      .select(col("bin"), col("n_docs"), col("n_events"),
+        expr("sum_phat_e6 DIV n_docs").as("mean_phat_e6"),
+        expr("n_events * 1000000 DIV n_docs").as("event_rate_e6"),
+        (expr("sum_phat_e6 DIV n_docs") -
+          expr("n_events * 1000000 DIV n_docs")).as("gap_e6"),
+        expr("CAST(brier_sum_dec DIV n_docs AS BIGINT)").as("mean_brier_e12"))
+      .orderBy(col("bin"))
+  }
+
+  val q226Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |j AS (
+       |  SELECT score, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS resp
+       |  FROM scored JOIN documents USING (doc_id)),
+       |p AS (
+       |  SELECT resp,
+       |    LEAST(GREATEST(500000 + 1000 * score, 0), 1000000) AS phat_e6
+       |  FROM j),
+       |b AS (
+       |  SELECT LEAST(phat_e6 // 100000, 9) AS bin, COUNT(*) AS n_docs,
+       |    CAST(SUM(resp) AS BIGINT) AS n_events,
+       |    CAST(SUM(phat_e6) AS BIGINT) AS sum_phat_e6,
+       |    SUM(CAST(phat_e6 - 1000000 * resp AS HUGEINT) *
+       |        (phat_e6 - 1000000 * resp)) AS brier_sum
+       |  FROM p GROUP BY 1)
+       |SELECT bin, n_docs, n_events,
+       |  CAST(sum_phat_e6 // n_docs AS BIGINT) AS mean_phat_e6,
+       |  CAST(n_events * 1000000 // n_docs AS BIGINT) AS event_rate_e6,
+       |  CAST(sum_phat_e6 // n_docs - n_events * 1000000 // n_docs AS BIGINT)
+       |    AS gap_e6,
+       |  CAST(brier_sum // n_docs AS BIGINT) AS mean_brier_e12
+       |FROM b
+       |ORDER BY bin""".stripMargin
+
   // ------------------------------------- q164: exact ROC AUC + KS separation
 
   /** Exact ROC AUC (Mann-Whitney) and KS separation for the q99 classifier
@@ -1343,6 +1412,7 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
     "q223_readability" -> q223Readability,
+    "q226_calibration" -> q226Calibration,
     "q134_bpe_train" -> q134BpeTrain,
     "q135_bpe_apply" -> q135BpeApply,
     "q169_vocab_coverage" -> q169VocabCoverage,
@@ -1364,6 +1434,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q223_readability" -> q223Sql,
+    "q226_calibration" -> q226Sql,
     "q134_bpe_train" -> q134Sql,
     "q135_bpe_apply" -> q135Sql,
     "q169_vocab_coverage" -> q169Sql,

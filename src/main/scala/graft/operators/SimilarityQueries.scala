@@ -666,7 +666,51 @@ object SimilarityQueries {
        |$all) f""".stripMargin
   }
 
+  // ------------------------------- q227: principal-axis projection (PCA)
+
+  /** q227: PCA principal-axis projection — the embedding-space health view
+    * an embedding pipeline tracks per snapshot: which vectors sit at the
+    * extremes of the corpus's dominant variance direction, and how strongly
+    * the labels separate along it. Training is [[Pca.train]]: ONE exact
+    * integer co-moment pass over the corpus (the only corpus-scale stage)
+    * plus a driver-side d×d power iteration — the same control-node split
+    * as the IVF coarse quantizer. Scoring is a shuffle-free codegen dot
+    * product of each row's e4 components against the inlined e6 axis, and
+    * the report is the global top-25 by projection (TakeOrderedAndProject,
+    * never a full sort). The oracle inlines the trained axis as literals
+    * (q64's centroid pattern) — everything after quantization is integer
+    * arithmetic, so the gate compares exact values.
+    */
+  val q227PcaProjection: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val model = Pca.train(e, Dim)
+    e.select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000, 0).cast("long")).as("q"))
+      .select(col("vec_id"), col("label"),
+        Pca.scoreExpr(col("q"), model).as("score_e10"))
+      .orderBy(col("score_e10").desc, col("vec_id"))
+      .limit(25)
+  }
+
+  /** Data-generated oracle for q227 (trained axis inlined as literals). */
+  def q227SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val model = Pca.train(Tables.embeddings(s, dir), Dim)
+    val w = model.wE6.mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT vec_id, label,
+       |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(ROUND(x * 10000) AS BIGINT)) AS q
+       |  FROM embeddings)
+       |SELECT vec_id, label,
+       |  CAST(list_dot_product(q, $w) AS BIGINT) AS score_e10
+       |FROM base
+       |ORDER BY score_e10 DESC, vec_id
+       |LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_pca_projection" -> q227PcaProjection,
     "q194_mmr_diversify" -> q194MmrDiversify,
     "q216_pq_distortion" -> q216PqDistortion,
     "q60_knn_brute" -> q60KnnBrute,

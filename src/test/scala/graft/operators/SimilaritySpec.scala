@@ -241,4 +241,46 @@ class SimilaritySpec extends SparkSpec {
     assert(picked.toSet !== topK,
       "on this corpus MMR should trade at least one nearest neighbor for coverage")
   }
+  test("q227 PCA axis: unit norm, eigen residual small, dominates coordinates") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val dim = 64
+    val model = Pca.train(e, dim)
+    val v = model.wE6.map(_.toDouble / 1e6)
+    val n2 = v.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 0.01, s"axis not unit: $n2")
+    // exact covariance recomputed independently from the quantized rows
+    val rows = e.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray.map(x => math.rint(x * 10000).toLong))
+    val n = rows.length
+    val sum = new Array[Long](dim)
+    rows.foreach(r => (0 until dim).foreach(i => sum(i) += r(i)))
+    val m = Array.fill(dim, dim)(BigInt(0))
+    rows.foreach { r =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { m(i)(j) += BigInt(r(i)) * r(j); j += 1 }
+        i += 1
+      }
+    }
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val mij = if (i <= j) m(i)(j) else m(j)(i)
+      (BigInt(n) * mij - BigInt(sum(i)) * sum(j)).toDouble
+    }
+    val cv = c.map(row => row.indices.map(j => row(j) * v(j)).sum)
+    val lambda = v.indices.map(i => v(i) * cv(i)).sum
+    // residual ||Cv - lambda v|| relative to ||Cv||: converged iteration
+    val res = math.sqrt(cv.indices.map(i => {
+      val d = cv(i) - lambda * v(i); d * d
+    }).sum) / math.sqrt(cv.map(x => x * x).sum)
+    assert(res < 0.05, s"power iteration residual $res")
+    // variance along the axis dominates every coordinate axis (v^T C v >= C_ii)
+    assert(c.indices.forall(i => lambda >= c(i)(i) - 1e-6),
+      "principal axis variance must dominate per-coordinate variances")
+    // the gate query projects with this exact axis
+    val top = SimilarityQueries.q227PcaProjection(spark, sfDir).collect()
+    assert(top.length <= 25 && top.nonEmpty)
+    val scores = top.map(_.getAs[Long]("score_e10"))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
