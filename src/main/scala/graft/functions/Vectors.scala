@@ -48,6 +48,31 @@ object Vectors {
     }
   }
 
+  /** Deterministic Achlioptas sparse sign matrix for Johnson–Lindenstrauss
+    * projection: entries in {−1, 0, +1} with probabilities {1/6, 2/3, 1/6}
+    * (Achlioptas 2001 — database-friendly random projections: 2/3 of the
+    * multiplies vanish and the rest are add/subtract). INTEGER entries are
+    * the point: projecting e4-quantized components stays exact integer
+    * arithmetic end to end, so a projection-space result can face the
+    * bit-exact oracle. Same splitmix64 derivation (distinct stream
+    * constant) as [[planeMatrix]].
+    */
+  def sparseSignMatrix(dim: Int, planes: Int): Seq[Seq[Long]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val h = java.lang.Long.remainderUnsigned(
+          splitmix64(p.toLong * 7368787L + d + 1777771L), 6L)
+        if (h == 0L) -1L else if (h == 5L) 1L else 0L
+      }
+    }
+  }
+
   /** Random-hyperplane LSH signature (Charikar 2002): signature bit p = sign
     * of the projection onto deterministic pseudo-random plane p. Vectors with
     * high cosine similarity agree on most bits. Projections run through the

@@ -3131,7 +3131,57 @@ object EventQueries {
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
 
+  // ------------------------------------------- q230: bitmap-index distinct
+
+  /** q230: bitmap-rollup distinct counting — the roaring-bitmap-style
+    * MERGEABLE exact-distinct mechanism, shown on daily/weekly active
+    * users: level 1 ORs each user's bit into a (day, 64-id block) word,
+    * the daily grain pops bits per day, and the WEEKLY grain re-ORs the
+    * SAME level-1 words — two exact grains from ONE corpus pass, which a
+    * plain COUNT(DISTINCT) rollup cannot do (distinct counts don't merge;
+    * bitmaps do, this is the exact-arithmetic sibling of the q101 HLL
+    * merge). Per-block words bound memory by construction: a block key
+    * never holds more than one int64 regardless of user-id skew, and the
+    * level-1 cardinality is |days| × |id-space|/64 — at 100 TB the block
+    * axis shards the bitmap exactly like a roaring container index.
+    * Level 1 localCheckpoints because both grains consume it.
+    */
+  val q230BitmapDistinct: Q = (s, dir) => {
+    val l1 = Tables.events(s, dir)
+      .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
+        expr("user_id DIV 64").as("blk"),
+        expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("b"))
+      .groupBy(col("day"), col("blk"))
+      .agg(expr("bit_or(b)").as("w"))
+      .localCheckpoint()
+    val daily = l1.groupBy(col("day"))
+      .agg(sum(expr("bit_count(w)")).cast("long").as("day_users"))
+    val weekly = l1
+      .groupBy(expr("day DIV 7").as("wk"), col("blk"))
+      .agg(expr("bit_or(w)").as("ww"))
+      .groupBy(col("wk"))
+      .agg(sum(expr("bit_count(ww)")).cast("long").as("week_users"))
+    daily.withColumn("wk", expr("day DIV 7"))
+      .join(weekly, Seq("wk"))
+      .select(col("day"), col("day_users"), col("wk"), col("week_users"))
+      .orderBy(col("day"))
+  }
+
+  val q230Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS day_users FROM d GROUP BY day),
+      |weekly AS (
+      |  SELECT day // 7 AS wk, COUNT(DISTINCT user_id) AS week_users
+      |  FROM d GROUP BY 1)
+      |SELECT day, day_users, wk, week_users
+      |FROM daily JOIN weekly ON day // 7 = wk
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q230_bitmap_distinct" -> q230BitmapDistinct,
     "q91_sketch_quantiles" -> q91SketchQuantiles,
     "q90_dedup_ingest" -> q90DedupIngest,
     "q76_asof_join" -> q76AsOfJoin,
@@ -3187,6 +3237,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q230_bitmap_distinct" -> q230Sql,
     "q151_scd_rebuild" -> q151Sql,
     "q156_interval_union" -> q156Sql,
     "q158_cdc_apply" -> q158Sql,

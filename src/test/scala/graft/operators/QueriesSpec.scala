@@ -1427,6 +1427,23 @@ class QueriesSpec extends SparkSpec {
         gaps.size.toLong * 1000000L / us.size)
     }
   }
+  test("q230 bitmap distinct equals plain COUNT(DISTINCT) at both grains") {
+    val rows = EventQueries.q230BitmapDistinct(spark, sfDir).collect()
+    val d = graft.Tables.events(spark, sfDir)
+      .select(expr("unix_timestamp(ts) DIV 86400").as("day"), col("user_id"))
+    val daily = d.groupBy("day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n")).toMap
+    val weekly = d.groupBy(expr("day DIV 7").as("wk"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[Long]("wk") -> r.getAs[Long]("n")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("day_users") === daily(r.getAs[Long]("day")))
+      assert(r.getAs[Long]("week_users") === weekly(r.getAs[Long]("wk")))
+      // a week's merged bitmap can never count fewer than any of its days
+      assert(r.getAs[Long]("week_users") >= r.getAs[Long]("day_users"))
+    }
+  }
 }
 
 /** Pulls q126's long-format profile into a keyed map for assertions. */

@@ -283,4 +283,20 @@ class SimilaritySpec extends SparkSpec {
     val scores = top.map(_.getAs[Long]("score_e10"))
     assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+  test("q229 JL harness: sparse matrix shape and refine beats raw projection") {
+    val m = graft.functions.Vectors.sparseSignMatrix(64, 16)
+    assert(m.length === 16 && m.forall(_.length === 64))
+    val flat = m.flatten
+    assert(flat.forall(v => v == -1L || v == 0L || v == 1L))
+    // Achlioptas density: about 1/3 nonzero (loose band for 1024 draws)
+    val nz = flat.count(_ != 0L)
+    assert(nz > 1024 / 5 && nz < 1024 / 2, s"nonzero density off: $nz/1024")
+    val rows = SimilarityQueries.q229RpRecall(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 5L)
+      assert(r.getAs[Long]("recall_e6") === h * 1000000L / 5L)
+    }
+  }
 }
