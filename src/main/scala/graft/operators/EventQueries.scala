@@ -189,6 +189,28 @@ object EventQueries {
       |  FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
       |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON TRUE""".stripMargin
 
+  /** q231: the q76 as-of join executed through the WHOLE-OPERATOR custom
+    * plan ([[graft.plans.AsOfMergeJoin]]: logical node → planner strategy →
+    * AsOfMergeJoinExec with declared distribution/ordering and a
+    * per-partition streaming merge) instead of the union+window
+    * composition. Same semantics, same oracle — the two formulations are
+    * equivalence-tested row-for-row in AsOfMergeJoinSpec, so q76's oracle
+    * applies verbatim; what this entry gates is that the custom physical
+    * operator ALSO survives the bit-exact DuckDB compare end to end.
+    */
+  val q231AsOfMerge: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.plans.AsOfMergeJoin.latestPrior(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("value"), tieBreak = Seq("event_id"))
+      .withColumnRenamed("prior_ts", "prior_purchase_ts")
+      .withColumnRenamed("prior_value", "prior_purchase_value")
+  }
+
   /** Idempotent-ingest accounting under at-least-once delivery: the source
     * redelivers every third event (a deterministic stand-in for the
     * retry-duplicates a streaming ingest sees), and the report counts
@@ -3182,6 +3204,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q230_bitmap_distinct" -> q230BitmapDistinct,
+    "q231_asof_merge" -> q231AsOfMerge,
     "q91_sketch_quantiles" -> q91SketchQuantiles,
     "q90_dedup_ingest" -> q90DedupIngest,
     "q76_asof_join" -> q76AsOfJoin,
@@ -3238,6 +3261,9 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q230_bitmap_distinct" -> q230Sql,
+    // the custom-exec formulation returns exactly the window formulation's
+    // rows (equivalence-tested in AsOfMergeJoinSpec), so q76's oracle applies
+    "q231_asof_merge" -> q76Sql,
     "q151_scd_rebuild" -> q151Sql,
     "q156_interval_union" -> q156Sql,
     "q158_cdc_apply" -> q158Sql,
