@@ -322,6 +322,31 @@ object CodecDecoder extends MediaDecoder {
     runs.toSeq
   }
 
+  /** Clipping scan: counts PCM16 samples at or beyond `clipLevel` absolute
+    * amplitude and the LONGEST consecutive clipped run — a sustained
+    * full-scale plateau is the audible artifact (a single peak sample is
+    * normal program material). Exact integer comparisons over one linear
+    * pass; multi-channel audio counts every channel's samples.
+    */
+  def clippingScan(b: Array[Byte], w: Wav,
+      clipLevel: Int = 32700): (Long, Long, Long) = {
+    require(w.bitsPerSample == 16, "only PCM16 supported")
+    val total = w.nSamples.toLong * w.channels
+    var i = 0L
+    var clipped = 0L
+    var run = 0L
+    var maxRun = 0L
+    while (i < total) {
+      val v = le16(b, w.dataOff + (i * 2).toInt).toShort.toInt
+      if (v >= clipLevel || v <= -clipLevel) {
+        clipped += 1; run += 1
+        if (run > maxRun) maxRun = run
+      } else run = 0
+      i += 1
+    }
+    (total, clipped, maxRun)
+  }
+
   /** 64-bit audio fingerprint: RMS energy over 65 equal time windows, each
     * bit the sign of the adjacent-window energy DELTA (rising = 1). Delta
     * signs are invariant to overall volume scaling and robust to mild

@@ -207,6 +207,29 @@ object Media {
     })
   }
 
+  final case class AudioClipReport(media_id: Long, n_samples: Long,
+      n_clipped: Long, max_run: Long, clipped_permille: Long)
+
+  /** Clipping QA over an audio corpus — the corrupt-capture screen a
+    * media-training pipeline runs at ingest: per recording, how many PCM16
+    * samples sit at full scale and the longest consecutive clipped run (a
+    * sustained plateau is the audible artifact; a lone peak is normal
+    * program material). Same decode seam as every media pass
+    * (mapPartitions over the binary column — one header parse + one linear
+    * sample scan per row, no shuffle), exact integer arithmetic throughout.
+    */
+  def clippingReport(spark: SparkSession, media: Dataset[MediaRow],
+      clipLevel: Int = 32700): Dataset[AudioClipReport] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val w = CodecDecoder.parseWav(r.media)
+      val (total, clipped, maxRun) =
+        CodecDecoder.clippingScan(r.media, w, clipLevel)
+      AudioClipReport(r.media_id, total, clipped, maxRun,
+        if (total == 0) 0L else clipped * 1000L / total)
+    })
+  }
+
   /** Near-duplicate detection over 64-bit perceptual hashes (images via
     * [[perceptualHashes]], audio via [[audioHashes]]) — the media twin of
     * the SimHash text path: the hash splits into 4 × 16-bit chunks,

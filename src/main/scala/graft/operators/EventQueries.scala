@@ -3153,6 +3153,90 @@ object EventQueries {
   val productionQueries: Map[String, Q] = Map(
     "q91_sketch_quantiles_prod" -> q91SketchQuantilesProd)
 
+  // ------------------------------------------- q232: SAX motif discovery
+
+  /** q232: SAX motif discovery over the hourly event-rate series — the
+    * time-series pattern-mining staple (Lin et al.'s Symbolic Aggregate
+    * approXimation): the series is piecewise-aggregated into time-anchored
+    * 4-hour means, discretized into a 4-letter alphabet at its own
+    * quartile breakpoints, and every 4-symbol sliding word is counted —
+    * recurring words are the series' motifs (daily load shapes, batch
+    * spikes), and their counts feed anomaly screens (a word seen once is
+    * a discord). Everything is exact: PAA means are fixed-denominator
+    * integer DIV (missing hours count as zero — the buckets are
+    * time-anchored, not row-anchored), breakpoints are percentile_disc
+    * values (actual data points), and words are strings.
+    *
+    * Plan: one hourly rollup (the only corpus-scale pass), a 4× smaller
+    * PAA rollup, quartiles + banding over |buckets| rows, and the sliding
+    * word via three leads over that same metadata-scale rollup. The
+    * global-order window runs on series-length rows — at 100 TB the
+    * per-series version partitions by series key exactly like q214.
+    */
+  val q232SaxMotifs: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("unix_timestamp(ts) DIV 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val paa = hourly.groupBy(expr("h DIV 4").as("p"))
+      .agg(expr("sum(cnt) DIV 4").as("m"))
+    val breaks = paa.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY m)").as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY m)").as("q3"))
+    val sym = paa.crossJoin(broadcast(breaks))
+      .select(col("p"),
+        when(col("m") <= col("q1"), "a")
+          .when(col("m") <= col("q2"), "b")
+          .when(col("m") <= col("q3"), "c")
+          .otherwise("d").as("sy"))
+    val w = Window.orderBy(col("p"))
+    val words = sym
+      .select(col("p"), col("sy"),
+        lead(col("sy"), 1).over(w).as("s1"),
+        lead(col("sy"), 2).over(w).as("s2"),
+        lead(col("sy"), 3).over(w).as("s3"),
+        lead(col("p"), 3).over(w).as("p3"))
+      // a word must span CONSECUTIVE buckets — gaps in the series break it
+      .filter(col("p3") === col("p") + 3)
+      .select(col("p"), concat(col("sy"), col("s1"), col("s2"), col("s3"))
+        .as("word"))
+    words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_p"))
+      .orderBy(col("n_occ").desc, col("word"))
+      .limit(10)
+  }
+
+  val q232Sql: String =
+    """WITH hourly AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |paa AS (
+      |  SELECT h // 4 AS p, CAST(SUM(cnt) // 4 AS BIGINT) AS m
+      |  FROM hourly GROUP BY 1),
+      |br AS (
+      |  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY m) AS q1,
+      |         percentile_disc(0.5) WITHIN GROUP (ORDER BY m) AS q2,
+      |         percentile_disc(0.75) WITHIN GROUP (ORDER BY m) AS q3
+      |  FROM paa),
+      |sym AS (
+      |  SELECT p, CASE WHEN m <= q1 THEN 'a' WHEN m <= q2 THEN 'b'
+      |                 WHEN m <= q3 THEN 'c' ELSE 'd' END AS sy
+      |  FROM paa CROSS JOIN br),
+      |words AS (
+      |  SELECT p, sy || s1 || s2 || s3 AS word FROM (
+      |    SELECT p, sy,
+      |      LEAD(sy, 1) OVER (ORDER BY p) AS s1,
+      |      LEAD(sy, 2) OVER (ORDER BY p) AS s2,
+      |      LEAD(sy, 3) OVER (ORDER BY p) AS s3,
+      |      LEAD(p, 3) OVER (ORDER BY p) AS p3
+      |    FROM sym) t
+      |  WHERE p3 = p + 3)
+      |SELECT word, COUNT(*) AS n_occ, MIN(p) AS first_p
+      |FROM words GROUP BY word
+      |ORDER BY n_occ DESC, word
+      |LIMIT 10""".stripMargin
+
   // ------------------------------------------- q230: bitmap-index distinct
 
   /** q230: bitmap-rollup distinct counting — the roaring-bitmap-style
@@ -3205,6 +3289,7 @@ object EventQueries {
   val queries: Map[String, Q] = Map(
     "q230_bitmap_distinct" -> q230BitmapDistinct,
     "q231_asof_merge" -> q231AsOfMerge,
+    "q232_sax_motifs" -> q232SaxMotifs,
     "q91_sketch_quantiles" -> q91SketchQuantiles,
     "q90_dedup_ingest" -> q90DedupIngest,
     "q76_asof_join" -> q76AsOfJoin,
@@ -3264,6 +3349,7 @@ object EventQueries {
     // the custom-exec formulation returns exactly the window formulation's
     // rows (equivalence-tested in AsOfMergeJoinSpec), so q76's oracle applies
     "q231_asof_merge" -> q76Sql,
+    "q232_sax_motifs" -> q232Sql,
     "q151_scd_rebuild" -> q151Sql,
     "q156_interval_union" -> q156Sql,
     "q158_cdc_apply" -> q158Sql,

@@ -344,6 +344,26 @@ object EventStream {
         .as("candidates"),
       count(lit(1)).as("total"))
 
+  /** Streaming daily-active bitmap blocks — the streaming PRODUCER of the
+    * batch q230 level-1 rollup: per (day window, 64-id block) one int64
+    * word accumulates `bit_or` votes in the state store (bounded state: a
+    * block's word never grows past 8 bytes no matter how many events
+    * re-set its bits), and append mode emits each word exactly once when
+    * the watermark closes its day. Downstream grains are batch queries
+    * over the landed words — daily popcounts, weekly re-ORs — the same
+    * drain-on-watermark/compose-at-the-sink split as [[backlogDeltas]];
+    * StreamingSpec proves both grains reproduce the batch q230 exactly.
+    */
+  def activeUserBitmaps(events: DataFrame,
+      watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        expr("user_id DIV 64").as("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").as("word"))
+      .select(
+        expr("unix_micros(w.start) DIV 86400000000").as("day"),
+        col("blk"), col("word"))
+
   /** Daily net order-flow from an order-lifecycle delta stream — the
     * streaming twin of the batch backlog query (operators/CoreQueries
     * q171): upstream emits +1 when an order opens and −1 the day after its

@@ -154,4 +154,37 @@ class MediaSpec extends SparkSpec {
       ("speech", 0L, 30L), ("silence", 30L, 70L), ("speech", 70L, 90L)))
     assert(segs.forall(_.media_id === 7L))
   }
+  test("clipping report: plateau run counted exactly, clean audio passes") {
+    import spark.implicits._
+    def pcm(vals: Seq[Short]): Array[Byte] = {
+      val d = new Array[Byte](vals.length * 2)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        d(i * 2) = (v & 0xFF).toByte; d(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + d.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + d.length); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(d.length); bb.put(d)
+      bb.array()
+    }
+    // clean: half-scale square wave; clipped: a 5-sample full-scale plateau
+    // (incl. one negative rail) inside otherwise clean material
+    val clean = pcm(Seq.tabulate(64)(i => (if (i % 8 < 4) 16384 else -16384).toShort))
+    val dirty = pcm(Seq[Short](100, 32767, 32767, -32768, 32767, 32700, 50,
+      200, 32767, 10))
+    val rows = Seq(Media.MediaRow(1L, "audio", clean),
+      Media.MediaRow(2L, "audio", dirty)).toDS()
+    val out = Media.clippingReport(spark, rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).n_clipped === 0L)
+    assert(out(1L).max_run === 0L)
+    assert(out(2L).n_samples === 10L)
+    // samples at |v| >= 32700: indices 1,2,3,4,5 and 8
+    assert(out(2L).n_clipped === 6L)
+    assert(out(2L).max_run === 5L)
+    assert(out(2L).clipped_permille === 600L)
+  }
 }

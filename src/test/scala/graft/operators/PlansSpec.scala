@@ -338,4 +338,54 @@ class PlansSpec extends SparkSpec {
     val p205 = plan("q205_price_dispersion")
     assert(!p205.contains("Join"), s"one rollup, no joins:\n$p205")
   }
+  test("q218/q219: FD rollups partial-aggregate; IND joins distinct-reduced sides") {
+    val fd = plan("q218_fd_audit")
+    assert(fd.contains("partial_count") || fd.contains("partial_sum"), fd)
+    val ind = plan("q219_ind_scan")
+    // containment joins run on DISTINCT-reduced key sets, never fact rows
+    assert(ind.contains("HashAggregate"), ind)
+    assert(!ind.contains("CartesianProduct"), ind)
+  }
+
+  test("q221/q222: corpus text passes shuffle once per key, scalars broadcast") {
+    val pmi = plan("q221_pmi_collocations")
+    assert(pmi.contains("partial_count"), "bigram counts must map-side combine")
+    assert(pmi.contains("BroadcastNestedLoopJoin") ||
+      pmi.contains("BroadcastExchange"), "the 1-row token total must broadcast")
+    assert(!pmi.contains("CartesianProduct"), pmi)
+    val heaps = plan("q222_heaps_growth")
+    // running distinct is the first-occurrence rollup, not a re-scan per prefix
+    assert(heaps.contains("partial_min") || heaps.contains("min("), heaps)
+    assert(!heaps.contains("CartesianProduct"), heaps)
+  }
+
+  test("q226/q224: ten-bin calibration rollup and per-source quantile agg") {
+    val cal = plan("q226_calibration")
+    assert(cal.contains("partial_count") || cal.contains("partial_sum"), cal)
+    assert(!cal.contains("CartesianProduct"), cal)
+    val qm = plan("q224_quantile_map")
+    // the pooled 11-quantile row broadcasts to the per-source rows
+    assert(qm.contains("BroadcastExchange") ||
+      qm.contains("BroadcastHashJoin"), qm)
+  }
+
+  test("q228: triple explode runs over PRUNED baskets behind a broadcast filter") {
+    val p = plan("q228_frequent_triples")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the frequent-item filter must broadcast into the incidence scan")
+    assert(p.contains("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q229/q230: probe batch broadcasts; bitmap grains reuse the checkpoint") {
+    val rp = plan("q229_rp_recall")
+    assert(rp.contains("BroadcastNestedLoopJoin") ||
+      rp.contains("BroadcastExchange"), "the 10-probe batch must broadcast")
+    val bm = graft.SparkEntry.queries("q230_bitmap_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // both grains read the localCheckpointed level-1 words, not the corpus
+    assert("Scan ExistingRDD".r.findAllIn(bm).size >= 2, bm)
+    assert(!bm.toLowerCase.contains("parquet"),
+      "no grain may rescan the event corpus")
+  }
 }

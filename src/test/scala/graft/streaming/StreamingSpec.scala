@@ -468,4 +468,44 @@ class StreamingSpec extends SparkSpec {
       carry += net
     }
   }
+  test("streaming bitmap blocks reproduce the batch q230 at both grains") {
+    val dir = Files.createTempDirectory("graft_bitmap_stream").toString
+    val real = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.mode("overwrite").parquet(dir)
+    val maxTs = real.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def flush(hoursAfter: Int): Unit = {
+      import spark.implicits._
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + hoursAfter * 3600000L),
+        -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = EventStream.activeUserBitmaps(EventStream.read(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_bitmap").start()
+    try {
+      q.processAllAvailable()
+      flush(72); q.processAllAvailable()
+      flush(120); q.processAllAvailable()
+    } finally q.stop()
+    val maxRealDay = maxTs.getTime / 86400000L
+    // drained words, sentinel flush rows excluded (user -1 -> blk -1)
+    val words = spark.table("t_bitmap")
+      .filter(col("day") <= maxRealDay && col("blk") >= 0)
+    // compose both grains AT THE SINK from the same landed words
+    val daily = words.groupBy("day")
+      .agg(sum(expr("bit_count(word)")).cast("long").as("day_users"))
+    val weekly = words.groupBy(expr("day DIV 7").as("wk"), col("blk"))
+      .agg(expr("bit_or(word)").as("ww"))
+      .groupBy("wk").agg(sum(expr("bit_count(ww)")).cast("long").as("week_users"))
+    val streamed = daily.withColumn("wk", expr("day DIV 7"))
+      .join(weekly, Seq("wk"))
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("day_users"), r.getAs[Long]("week_users"))).toMap
+    val batch = graft.operators.EventQueries.q230BitmapDistinct(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("day_users"), r.getAs[Long]("week_users"))).toMap
+    assert(streamed === batch)
+  }
 }
