@@ -44,5 +44,7 @@ object ReplicatedBroadcastRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => ReplicatedBroadcastRule)
+    e.injectOptimizerRule(_ => FkJoinEliminationRule)
+    e.injectPlannerStrategy(_ => AsOfMergeJoin.Strategy)
   }
 }
