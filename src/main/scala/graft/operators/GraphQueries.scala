@@ -389,6 +389,169 @@ object GraphQueries {
       |$select""".stripMargin
   }
 
+  // ---------------------------------------- q233: label spreading (semi-sup)
+
+  /** q233: semi-supervised label spreading over the co-purchase graph, run
+    * as an EVALUATION (the q165/q202 protocol): 10% of parts keep their
+    * catalog brand as seed labels (p_partkey % 10 = 0 — a deterministic
+    * holdout), labels spread for two rounds of weighted-majority votes
+    * (vote mass = co-purchase count; argmax per node with lexicographic
+    * label tie-break), and each round reports how many nodes it newly
+    * labeled and how often the spread label equals the held-out catalog
+    * brand. Exact throughout: integer vote sums, ROW_NUMBER argmax, e6
+    * accuracy by integer division.
+    *
+    * Scale shape per round: one join of the edge list to the labeled
+    * frontier (shuffle on src), one (node, label) vote rollup, one ranking
+    * window partitioned by node — the Pregel step lowered to
+    * relational form, same as [[Graph.pageRankInt]]; the anti-join keeps
+    * rounds semi-naive (settled nodes never recompute).
+    */
+  val q233LabelSpreading: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = copurchaseEdges(s, dir)
+    val und = e.select(col("part_a").as("src"), col("part_b").as("dst"), col("n_ab"))
+      .unionByName(e.select(col("part_b").as("src"), col("part_a").as("dst"), col("n_ab")))
+      .localCheckpoint()
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey").as("part"), col("p_brand").as("brand"))
+    val seeds = parts.filter(col("part") % 10 === 0)
+      .select(col("part"), col("brand").as("label"))
+    def spread(labeled: org.apache.spark.sql.DataFrame) = {
+      val votes = und.join(labeled.withColumnRenamed("part", "src"), "src")
+        .groupBy(col("dst").as("part"), col("label"))
+        .agg(sum(col("n_ab")).as("votes"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("part"), col("label"))
+        .join(labeled, Seq("part"), "left_anti")
+        .localCheckpoint()
+    }
+    val r1 = spread(seeds)
+    val r2 = spread(seeds.unionByName(r1))
+    def eval(round: Int, labeled: org.apache.spark.sql.DataFrame) =
+      labeled.join(parts, "part")
+        .agg(count(lit(1)).as("n_labeled"),
+          sum(when(col("label") === col("brand"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(lit(round).as("round"), col("n_labeled"), col("n_correct"),
+          expr("n_correct * 1000000 DIV n_labeled").as("accuracy_e6"))
+    eval(1, r1).unionByName(eval(2, r2)).orderBy(col("round"))
+  }
+
+  def q233Sql: String = {
+    def spreadCte(cur: String, labeledSql: String): String =
+      s"""v$cur AS (
+         |  SELECT und.dst AS part, l.label, CAST(SUM(und.n_ab) AS BIGINT) AS votes
+         |  FROM und JOIN ($labeledSql) l ON und.src = l.part
+         |  GROUP BY 1, 2),
+         |a$cur AS (
+         |  SELECT part, label FROM (
+         |    SELECT part, label, ROW_NUMBER() OVER (PARTITION BY part
+         |      ORDER BY votes DESC, label) AS rk FROM v$cur) t
+         |  WHERE rk = 1),
+         |r$cur AS (
+         |  SELECT part, label FROM a$cur
+         |  WHERE part NOT IN (SELECT part FROM ($labeledSql) k))""".stripMargin
+    s"""WITH $edgesCtes,
+       |und AS (
+       |  SELECT part_a AS src, part_b AS dst, n_ab FROM pairs
+       |  UNION ALL SELECT part_b, part_a, n_ab FROM pairs),
+       |seeds AS (
+       |  SELECT p_partkey AS part, p_brand AS label FROM part
+       |  WHERE p_partkey % 10 = 0),
+       |${spreadCte("1", "SELECT part, label FROM seeds")},
+       |${spreadCte("2",
+      "SELECT part, label FROM seeds UNION ALL SELECT part, label FROM r1")}
+       |SELECT round, n_labeled, n_correct,
+       |  CAST(n_correct * 1000000 // n_labeled AS BIGINT) AS accuracy_e6
+       |FROM (
+       |  SELECT 1 AS round, COUNT(*) AS n_labeled,
+       |    CAST(SUM(CASE WHEN r1.label = p.p_brand THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_correct
+       |  FROM r1 JOIN part p ON r1.part = p.p_partkey
+       |  UNION ALL
+       |  SELECT 2, COUNT(*),
+       |    CAST(SUM(CASE WHEN r2.label = p.p_brand THEN 1 ELSE 0 END)
+       |      AS BIGINT)
+       |  FROM r2 JOIN part p ON r2.part = p.p_partkey) t
+       |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------- q234: bounded shortest paths
+
+  /** Relaxation rounds for q234 (Bellman-Ford over the small-diameter
+    * co-purchase graph; paths longer than this stay at their best-so-far).
+    */
+  private val SpRounds = 3
+
+  /** q234: weighted shortest paths by bounded Bellman-Ford — the
+    * "affinity distance" ranking from an anchor part over the co-purchase
+    * graph, with edge cost 10⁶ DIV n_ab (stronger co-purchase = cheaper
+    * hop, the standard similarity→distance flip, exact by construction).
+    * Each of the [[SpRounds]] rounds relaxes EVERY edge against the
+    * current distance table and keeps the per-node minimum — the
+    * join-agg lowering of Bellman-Ford, whose round count bounds path
+    * length exactly like q143 bounds hop count. Top 25 nearest by
+    * (distance, part), anchor excluded.
+    *
+    * The anchor is data-derived but deterministic: the smallest part key
+    * in the edge list — mirrored verbatim in the oracle as a scalar
+    * subquery.
+    */
+  val q234ShortestPaths: Q = (s, dir) => {
+    val e = copurchaseEdges(s, dir)
+    val und = e.select(col("part_a").as("src"), col("part_b").as("dst"),
+        expr("1000000 DIV n_ab").as("cost"))
+      .unionByName(e.select(col("part_b").as("src"), col("part_a").as("dst"),
+        expr("1000000 DIV n_ab").as("cost")))
+      .localCheckpoint()
+    val anchor = und.agg(min(col("src")).as("part"))
+    var dist = anchor.withColumn("d", lit(0L)).localCheckpoint()
+    for (_ <- 1 to SpRounds) {
+      val relaxed = und
+        .join(dist.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), (col("d") + col("cost")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("part")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.join(anchor.withColumnRenamed("part", "a"),
+        col("part") === col("a"), "left_anti")
+      .orderBy(col("d"), col("part"))
+      .limit(25)
+      .select(col("part"), col("d").as("dist_e6"))
+  }
+
+  def q234Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""d$cur AS (
+         |  SELECT part, MIN(d) AS d FROM (
+         |    SELECT part, d FROM d$prev
+         |    UNION ALL
+         |    SELECT und.dst AS part, d$prev.d + und.cost AS d
+         |    FROM und JOIN d$prev ON und.src = d$prev.part) t
+         |  GROUP BY part)""".stripMargin
+    val rounds = (1 to SpRounds).map(h => round((h - 1).toString, h.toString))
+      .mkString(",\n")
+    s"""WITH $edgesCtes,
+       |und AS (
+       |  SELECT part_a AS src, part_b AS dst,
+       |    CAST(1000000 // n_ab AS BIGINT) AS cost FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, CAST(1000000 // n_ab AS BIGINT) FROM pairs),
+       |anchor AS (SELECT MIN(src) AS part FROM und),
+       |d0 AS (SELECT part, CAST(0 AS BIGINT) AS d FROM anchor),
+       |$rounds
+       |SELECT part, d AS dist_e6
+       |FROM d$SpRounds
+       |WHERE part <> (SELECT part FROM anchor)
+       |ORDER BY d, part
+       |LIMIT 25""".stripMargin
+  }
+
   // ------------------------------------------- q188: degree assortativity
 
   /** q188: graph topology panel — node/edge counts, degree extremes, leaf
@@ -815,6 +978,8 @@ object GraphQueries {
   def queries: Map[String, Q] = Map(
     "q217_ranking_metrics" -> q217RankingMetrics,
     "q228_frequent_triples" -> q228FrequentTriples,
+    "q233_label_spreading" -> q233LabelSpreading,
+    "q234_shortest_paths" -> q234ShortestPaths,
     "q202_recsys_eval" -> q202RecsysEval,
     "q188_assortativity" -> q188DegreeAssortativity,
     "q189_link_prediction" -> q189LinkPrediction,
@@ -828,6 +993,8 @@ object GraphQueries {
   def oracles: Map[String, String] = Map(
     "q217_ranking_metrics" -> q217Sql,
     "q228_frequent_triples" -> q228Sql,
+    "q233_label_spreading" -> q233Sql,
+    "q234_shortest_paths" -> q234Sql,
     "q202_recsys_eval" -> q202Sql,
     "q188_assortativity" -> q188Sql,
     "q189_link_prediction" -> q189Sql,

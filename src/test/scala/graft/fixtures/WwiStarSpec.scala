@@ -80,4 +80,35 @@ class WwiStarSpec extends SparkSpec {
           .partitionBy(col("`Sales Territory`")).orderBy(col("sales").desc)))
     assert(ranked.filter(col("rnk") === 1).count() > 0)
   }
+  test("dynamic partition pruning fires on a dim-filtered month join") {
+    if (!spark.catalog.tableExists("wwi_fact_sale")) WwiStar.build(spark, sfDir)
+    import spark.implicits._
+    // a month dimension with an attribute only the dim knows — the filter
+    // cannot be pushed statically into the fact scan, so pruning must be
+    // DYNAMIC (planned from the dim's broadcast at runtime)
+    val months = spark.table("wwi_fact_sale")
+      .select(col("graft_month")).distinct()
+      .orderBy(col("graft_month"))
+      .collect().map(_.getString(0))
+    val monthDim = months.zipWithIndex
+      .map { case (m, i) => (m, if (i % 4 == 0) "peak" else "normal") }
+      .toSeq.toDF("month", "season")
+    monthDim.write.mode("overwrite").saveAsTable("wwi_month_dim")
+    val q = spark.table("wwi_fact_sale")
+      .join(spark.table("wwi_month_dim"),
+        col("graft_month") === col("month"))
+      .filter(col("season") === "peak")
+      .agg(sum(col("Quantity")).as("qty"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected DPP on the fact's partition column: $plan")
+    // and the answer matches the statically-pruned equivalent
+    val peakMonths = months.zipWithIndex.collect {
+      case (m, i) if i % 4 == 0 => m
+    }
+    val expect = spark.table("wwi_fact_sale")
+      .filter(col("graft_month").isin(peakMonths: _*))
+      .agg(sum(col("Quantity")).as("qty")).collect()(0).get(0)
+    assert(q.collect()(0).get(0) === expect)
+  }
 }

@@ -291,4 +291,17 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+  test("q233 spreading labels only unlabeled nodes; q234 distances are metric") {
+    val rows = GraphQueries.q233LabelSpreading(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("round") ->
+        (r.getAs[Long]("n_labeled"), r.getAs[Long]("n_correct"))).toMap
+    rows.values.foreach { case (n, c) => assert(c >= 0L && c <= n) }
+    assert(rows.keySet === Set(1, 2))
+    val sp = GraphQueries.q234ShortestPaths(spark, sfDir).collect()
+    assert(sp.nonEmpty && sp.length <= 25)
+    val ds = sp.map(_.getAs[Long]("dist_e6"))
+    // sorted ascending, strictly positive (anchor itself excluded)
+    assert(ds.forall(_ > 0L))
+    assert(ds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
 }

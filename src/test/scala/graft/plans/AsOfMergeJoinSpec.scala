@@ -69,6 +69,32 @@ class AsOfMergeJoinSpec extends SparkSpec {
     assert(out("d") === (None, None))
   }
 
+  test("bucketed inputs collocate: the merge join plans with NO exchange") {
+    import graft.catalog.{Distribution, TablePolicy}
+    val (clicks, purchases) = clicksAndPurchases
+    val policy = TablePolicy(Distribution.Hash("user_id", 8))
+    if (!spark.catalog.tableExists("asof_clicks_b")) {
+      graft.sources.Ctas.create(spark, clicks, "asof_clicks_b", policy)
+      graft.sources.Ctas.create(spark, purchases, "asof_purch_b", policy)
+    }
+    val df = AsOfMergeJoin.latestPrior(
+      spark.table("asof_clicks_b"), spark.table("asof_purch_b"),
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      payload = Seq("value"), tieBreak = Seq("event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    // ClusteredDistribution is satisfied by the bucket layout on BOTH
+    // sides — the declared contract collocates for free, the 100 TB win
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join must be exchange-free:\n$plan")
+    // semantics unchanged by the physical path
+    val viaWindow = AsOfJoin.latestPrior(clicks, purchases,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      payload = Seq("value"), tieBreak = Seq("event_id"))
+    assert(df.count() === viaWindow.count())
+    assert(df.exceptAll(viaWindow).count() === 0)
+  }
+
   test("self-join shape: same base table on both sides resolves cleanly") {
     val e = graft.Tables.events(spark, sfDir)
       .filter(col("event_id") < 200)
