@@ -29,6 +29,32 @@ object Constraints {
     orphans == 0L
   }
 
+  /** Catalog view of every declared FK — the sys.foreign_keys analog: one
+    * row per (child_table, fk_column) with its parent, key, and the
+    * non-null assertion. Driver-side catalog enumeration (metadata-scale,
+    * like every monitoring view's control-plane read).
+    */
+  def foreignKeys(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val FkRe = """graft\.fk\.([^.]+)""".r
+    val rows = spark.catalog.listTables().collect().toSeq
+      .filter(_.tableType == "MANAGED")
+      .flatMap { t =>
+        val props = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t.name))
+          .properties
+        props.toSeq.collect {
+          case (FkRe(c), target) if !c.endsWith(".notnull") &&
+            target.contains(".") =>
+            val Array(pt, pk) = target.split("\\.", 2)
+            (t.name, c, pt, pk,
+              props.get(fkNotNullProp(c)).contains("true"))
+        }
+      }
+    rows.toDF("child_table", "fk_column", "parent_table", "parent_key",
+      "not_null")
+  }
+
   /** Declare child.fkCol → parent.parentKey. With `validate = true` the
     * declaration only lands if containment holds (returns whether it
     * landed). `notNull` additionally asserts the FK column carries no

@@ -61,6 +61,13 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
     security.securityRoleMembers
       .createOrReplaceTempView("vw_security_role_members")
 
+  /** Register the declared-constraint catalog view (sys.foreign_keys
+    * analog over [[graft.catalog.Constraints]] declarations).
+    */
+  def registerConstraintViews(): Unit =
+    graft.catalog.Constraints.foreignKeys(spark)
+      .createOrReplaceTempView("vw_foreign_keys")
+
   /** Register the pipeline-run journal view over an Orchestrator result —
     * the ADF monitoring pane's "activity runs" grid as the same temp-view
     * surface every other engine channel uses.

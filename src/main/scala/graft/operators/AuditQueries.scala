@@ -581,7 +581,72 @@ object AuditQueries {
        |ORDER BY source, p""".stripMargin
   }
 
+  // --------------------------------------- q238: categorical impurity profile
+
+  /** q238: categorical-column impurity profile — the statistics a
+    * cost-based optimizer and a feature pipeline both want per
+    * low-cardinality column: row count, distinct count, the dominant
+    * value's share, and the Gini impurity 1 − Σ(cᵢ/N)², all EXACT
+    * (impurity via Σcᵢ²·10⁶ DIV N² with DECIMAL(38,0) squares — cᵢ² alone
+    * overflows int64 past ~3·10⁹ rows of one value). Near-zero impurity
+    * flags a constant-like column (poor distribution key, uninformative
+    * feature); impurity ≈ 1−1/k flags uniform spread. Entropy is
+    * deliberately NOT reported: its log is a libm call with no bit-portable
+    * definition, and Gini carries the same ordering signal in exact
+    * integer arithmetic (the q221-lift / q96-bitlen posture).
+    *
+    * Plan: one value-counts rollup per column (shuffle on the value), then
+    * a 1-row re-aggregation of that rollup; the cross-column union is
+    * metadata-sized.
+    */
+  val q238ImpurityProfile: Q = (s, dir) => {
+    def profile(tbl: String, df: DataFrame, c: String): DataFrame =
+      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("sumsq"))
+        .select(lit(tbl).as("tbl"), lit(c).as("col"),
+          col("n_rows"), col("n_distinct"),
+          expr("top_cnt * 1000000 DIV n_rows").as("top_share_e6"),
+          expr("""CAST(1000000 - (sumsq * 1000000)
+                 |  DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)"""
+            .stripMargin).as("gini_impurity_e6"))
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    profile("lineitem", li, "l_returnflag")
+      .unionAll(profile("lineitem", li, "l_linestatus"))
+      .unionAll(profile("orders", o, "o_orderstatus"))
+      .unionAll(profile("orders", o, "o_orderpriority"))
+      .unionAll(profile("part", Tables.part(s, dir), "p_brand"))
+      .unionAll(profile("customer", Tables.customer(s, dir), "c_mktsegment"))
+      .unionAll(profile("documents", Tables.documents(s, dir), "lang"))
+      .orderBy(col("tbl"), col("col"))
+  }
+
+  val q238Sql: String = {
+    def profile(tbl: String, c: String) =
+      s"""SELECT '$tbl' AS tbl, '$c' AS col,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT) AS top_share_e6,
+         |  CAST(1000000 - (SUM(CAST(cnt AS HUGEINT) * cnt) * 1000000)
+         |    // (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT)
+         |    AS gini_impurity_e6
+         |FROM (SELECT $c AS v, COUNT(*) AS cnt FROM $tbl GROUP BY $c) g"""
+        .stripMargin
+    Seq(profile("lineitem", "l_returnflag"),
+      profile("lineitem", "l_linestatus"),
+      profile("orders", "o_orderstatus"),
+      profile("orders", "o_orderpriority"),
+      profile("part", "p_brand"),
+      profile("customer", "c_mktsegment"),
+      profile("documents", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q238_impurity_profile" -> q238ImpurityProfile,
     "q224_quantile_map" -> q224QuantileMap,
     "q139_quality_audit" -> q139QualityAudit,
     "q140_stats_histogram" -> q140Histogram,
@@ -592,6 +657,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q238_impurity_profile" -> q238Sql,
     "q224_quantile_map" -> q224Sql,
     "q139_quality_audit" -> q139Sql,
     "q140_stats_histogram" -> q140Sql,

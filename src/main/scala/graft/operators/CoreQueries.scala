@@ -3186,7 +3186,137 @@ object CoreQueries {
       |    AS beta_intercept
       |FROM dd""".stripMargin
 
+  // ----------------------------- q235: correlated aggregate subquery shape
+
+  /** q235: small-quantity-order revenue — the TPC-H Q17 query SHAPE: a
+    * predicate against a CORRELATED aggregate (each line compares to ITS
+    * part's average quantity). The Spark side writes the decorrelated plan
+    * directly — the per-part rollup joined back to the fact, which is
+    * exactly what a correct optimizer lowers the subquery to — while the
+    * ORACLE keeps the correlated-subquery syntax verbatim: the gate then
+    * proves the two formulations equivalent, not just self-consistent.
+    * The 50%-of-average predicate is the exact integer cross-multiply
+    * qty_c · 2n < Σqty_c (no division, no float boundary).
+    *
+    * Scale: one per-part rollup (shuffle on partkey), one fact join on the
+    * same key (collocatable), one scalar output row.
+    */
+  val q235CorrelatedAgg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        count(lit(1)).as("n_lines"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(cents(col("l_quantity")) * 2 * col("n_lines") < col("sum_qty_c"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(cents(col("l_extendedprice"))).as("revenue_c"))
+      .select(col("n_small_lines"),
+        coalesce(col("revenue_c"), lit(0L)).as("revenue_c"))
+  }
+
+  val q235Sql: String =
+    """SELECT COUNT(*) AS n_small_lines,
+      |  COALESCE(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+      |    AS BIGINT), 0) AS revenue_c
+      |FROM lineitem l1
+      |WHERE CAST(ROUND(l1.l_quantity*100) AS BIGINT) * 2 *
+      |  (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |  <
+      |  (SELECT CAST(SUM(CAST(ROUND(l3.l_quantity*100) AS BIGINT)) AS BIGINT)
+      |   FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
+
+  // ----------------------------- q236: multi-correlated EXISTS shape
+
+  /** Lateness horizon for q236 (days from order date to shipment). */
+  private val LateDays = 100
+
+  /** q236: suppliers who were the SOLE late shipper in a multi-supplier
+    * order — the TPC-H Q21 SHAPE, the canonical hard decorrelation case:
+    * one EXISTS (another supplier shipped in the same order) and one
+    * NOT EXISTS (no OTHER supplier shipped late in it) against the same
+    * fact under different aliases. The Spark side composes it as a
+    * semi-join plus an anti-join on (orderkey, supplier ≠) pairs — the
+    * plan decorrelation produces; the oracle keeps the nested
+    * EXISTS/NOT EXISTS text. Top 25 suppliers by offence count.
+    */
+  val q236SoleLateSupplier: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > expr(s"o_orderdate + INTERVAL $LateDays DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val anyOther = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      .distinct()
+    val lateOther = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    late
+      .join(anyOther, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(lateOther, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+        "left_anti")
+      .groupBy(col("sk").as("suppkey"))
+      .agg(count(lit(1)).as("n_sole_late"))
+      .orderBy(col("n_sole_late").desc, col("suppkey"))
+      .limit(25)
+  }
+
+  val q236Sql: String =
+    s"""WITH late AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_shipdate > o_orderdate + INTERVAL $LateDays DAY)
+       |SELECT sk AS suppkey, COUNT(*) AS n_sole_late
+       |FROM late l1
+       |WHERE EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM late l3
+       |    WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+       |GROUP BY sk
+       |ORDER BY n_sole_late DESC, suppkey
+       |LIMIT 25""".stripMargin
+
+  // ----------------------------- q237: HAVING vs global-threshold subquery
+
+  /** q237: important parts — the TPC-H Q11 SHAPE: a grouped aggregate
+    * filtered by a scalar subquery over the SAME aggregation (parts whose
+    * revenue exceeds 0.05% of total revenue). The Spark side computes the
+    * per-part rollup ONCE (localCheckpoint — the threshold re-aggregates
+    * the rollup, never the fact) and broadcasts the 1-row threshold; the
+    * oracle keeps the HAVING-with-subquery text. Exact integer comparison:
+    * part_c · 10⁴·2 > total_c ⇔ share > 0.05%.
+    */
+  val q237ImportantParts: Q = (s, dir) => {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("part_c"))
+      .localCheckpoint()
+    val total = perPart.agg(sum(col("part_c")).as("total_c"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_c") * 20000L > col("total_c"))
+      .select(col("l_partkey"), col("part_c"))
+      .orderBy(col("part_c").desc, col("l_partkey"))
+      .limit(25)
+  }
+
+  val q237Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS part_c
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, part_c
+      |FROM pp
+      |WHERE part_c * 20000 > (SELECT SUM(part_c) FROM pp)
+      |ORDER BY part_c DESC, l_partkey
+      |LIMIT 25""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q235_correlated_agg" -> q235CorrelatedAgg,
+    "q236_sole_late_supplier" -> q236SoleLateSupplier,
+    "q237_important_parts" -> q237ImportantParts,
     "q152_allocation" -> q152Allocation,
     "q154_ols2" -> q154Ols2,
     "q155_clamped_balance" -> q155ClampedBalance,
@@ -3266,6 +3396,9 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q235_correlated_agg" -> q235Sql,
+    "q236_sole_late_supplier" -> q236Sql,
+    "q237_important_parts" -> q237Sql,
     "q152_allocation" -> q152Sql,
     "q154_ols2" -> q154Sql,
     "q155_clamped_balance" -> q155Sql,

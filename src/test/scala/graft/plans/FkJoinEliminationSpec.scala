@@ -113,4 +113,21 @@ class FkJoinEliminationSpec extends SparkSpec {
       SparkSession.setDefaultSession(spark)
     }
   }
+  test("vw_foreign_keys lists the declaration in the reference catalog shape") {
+    setup()
+    val fks = Constraints.foreignKeys(spark)
+    assert(fks.columns.toSeq === Seq("child_table", "fk_column",
+      "parent_table", "parent_key", "not_null"))
+    val row = fks.filter(col("child_table") === "fk_li").collect()
+    assert(row.length === 1)
+    assert(row(0).getString(1) === "l_orderkey")
+    assert(row(0).getString(2) === "fk_ord")
+    assert(row(0).getString(3) === "o_orderkey")
+    assert(row(0).getBoolean(4))
+    // registered through the monitoring surface like every other view
+    new graft.observability.MonitoringViews(spark,
+      new graft.observability.QueryJournal(spark)).registerConstraintViews()
+    assert(spark.table("vw_foreign_keys")
+      .filter(col("child_table") === "fk_li").count() === 1)
+  }
 }
