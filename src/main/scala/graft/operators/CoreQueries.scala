@@ -3313,7 +3313,75 @@ object CoreQueries {
       |ORDER BY part_c DESC, l_partkey
       |LIMIT 25""".stripMargin
 
+  // ----------------------------- q239: drill-across two-fact report
+
+  /** q239: drill-across — the multi-fact BI pattern done right: SALES
+    * metrics (revenue, orders) and ENGAGEMENT metrics (events, actives,
+    * purchases) live in different fact tables at different grains, so each
+    * fact aggregates INDEPENDENTLY to the conformed customer-segment grain
+    * and only the metadata-sized rollups merge (full outer, zero-filled).
+    * The anti-pattern this exists to avoid is joining the two facts row to
+    * row — a |lineitem|×|events| blowup with double-counted measures; the
+    * drill-across merge is the textbook fix (Kimball's terminology),
+    * and at 100 TB it is the difference between two independent fact
+    * shuffles and a cross-fact join. All measures exact integers.
+    */
+  val q239DrillAcross: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sales = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(cents(col("l_extendedprice"))).as("revenue_c"))
+    val engagement = Tables.events(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase_events"))
+    sales.join(engagement, Seq("segment"), "full_outer")
+      .select(col("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue_c"), lit(0L)).as("revenue_c"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_active_users"), lit(0L)).as("n_active_users"),
+        coalesce(col("n_purchase_events"), lit(0L)).as("n_purchase_events"))
+      .orderBy(col("segment"))
+  }
+
+  val q239Sql: String =
+    """WITH sales AS (
+      |  SELECT c_mktsegment AS segment,
+      |    COUNT(DISTINCT o_orderkey) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |eng AS (
+      |  SELECT c_mktsegment AS segment,
+      |    COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS n_active_users,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchase_events
+      |  FROM events JOIN customer ON user_id = c_custkey
+      |  GROUP BY 1)
+      |SELECT COALESCE(sales.segment, eng.segment) AS segment,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(revenue_c, 0) AS revenue_c,
+      |  COALESCE(n_events, 0) AS n_events,
+      |  COALESCE(n_active_users, 0) AS n_active_users,
+      |  COALESCE(n_purchase_events, 0) AS n_purchase_events
+      |FROM sales FULL OUTER JOIN eng ON sales.segment = eng.segment
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q239_drill_across" -> q239DrillAcross,
     "q235_correlated_agg" -> q235CorrelatedAgg,
     "q236_sole_late_supplier" -> q236SoleLateSupplier,
     "q237_important_parts" -> q237ImportantParts,
@@ -3396,6 +3464,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q239_drill_across" -> q239Sql,
     "q235_correlated_agg" -> q235Sql,
     "q236_sole_late_supplier" -> q236Sql,
     "q237_important_parts" -> q237Sql,

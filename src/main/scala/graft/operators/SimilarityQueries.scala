@@ -831,7 +831,93 @@ object SimilarityQueries {
        |FROM refined GROUP BY probe_id""".stripMargin
   }
 
+  // ------------------------------- q240: contrastive triplet mining
+
+  /** Anchors mined by q240 (the smallest vec_ids, like q60's probe batch). */
+  private val TripletAnchors = 25
+
+  /** q240: contrastive triplet mining — the training-example assembly op
+    * behind metric learning: for each anchor, the nearest SAME-label
+    * neighbor (positive) and the nearest DIFFERENT-label neighbor (the
+    * hard negative — the one that violates the margin most), plus the
+    * margin between them. Distances are the exact integer squared L2 over
+    * e4 components (the q229 convention), so the mined triplets are
+    * bit-reproducible across engines and runs — training data as a
+    * deterministic query, no stored randomness (the q131/q132 posture).
+    * A negative margin flags anchors whose nearest neighbor is cross-label
+    * — exactly the examples a triplet loss learns most from.
+    *
+    * Plan: anchor batch broadcasts against the corpus (|corpus|×|anchors|,
+    * never corpus²); two ranking windows per anchor partition (same-label,
+    * different-label) on the scored stream. At real scale the candidate
+    * stream comes from the ANN cut (q61/q64/q229) instead of the full
+    * corpus — the mining logic after the cut is unchanged.
+    */
+  val q240TripletMining: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 10000, 0).cast("long")).as("q"))
+    val anchors = e.filter(col("vec_id") < TripletAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("q").as("qa"))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"),
+        col("vec_id"), col("label"), d2(col("qa"), col("q")).as("dist2"))
+    val wPos = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("dist2"), col("vec_id"))
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("vec_id").as("pos_id"), col("dist2").as("pos_d2"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("dist2").as("neg_d2"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"), col("pos_id"), col("pos_d2"),
+        col("neg_id"), col("neg_d2"),
+        (col("neg_d2") - col("pos_d2")).as("margin_d2"))
+      .orderBy(col("anchor_id"))
+  }
+
+  val q240Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label,
+       |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(ROUND(x * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS anchor_id, a.label AS a_label,
+       |    e.vec_id, e.label,
+       |    CAST(list_dot_product(a.q, a.q) + list_dot_product(e.q, e.q)
+       |      - 2 * list_dot_product(a.q, e.q) AS BIGINT) AS dist2
+       |  FROM base e CROSS JOIN base a
+       |  WHERE a.vec_id < $TripletAnchors AND e.vec_id <> a.vec_id),
+       |pos AS (
+       |  SELECT anchor_id, a_label AS label, vec_id AS pos_id,
+       |    dist2 AS pos_d2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |          ORDER BY dist2, vec_id) AS rk
+       |        FROM scored WHERE label = a_label) t
+       |  WHERE rk = 1),
+       |neg AS (
+       |  SELECT anchor_id, vec_id AS neg_id, dist2 AS neg_d2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |          ORDER BY dist2, vec_id) AS rk
+       |        FROM scored WHERE label <> a_label) t
+       |  WHERE rk = 1)
+       |SELECT anchor_id, label, pos_id, pos_d2, neg_id, neg_d2,
+       |  neg_d2 - pos_d2 AS margin_d2
+       |FROM pos JOIN neg USING (anchor_id)
+       |ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q240_triplet_mining" -> q240TripletMining,
     "q227_pca_projection" -> q227PcaProjection,
     "q229_rp_recall" -> q229RpRecall,
     "q194_mmr_diversify" -> q194MmrDiversify,
@@ -969,6 +1055,7 @@ object SimilarityQueries {
     */
   val oracles: Map[String, String] = Map(
     "q229_rp_recall" -> q229Sql,
+    "q240_triplet_mining" -> q240Sql,
     "q194_mmr_diversify" -> q194Sql,
     "q61_ann_lsh" -> q61Sql,
     "q177_class_separability" -> q177Sql,
