@@ -569,6 +569,147 @@ object CurationQueries {
        |  CAST(SUM(resp) * n_all AS DOUBLE) / (COUNT(*) * resp_all) AS lift
        |FROM dec CROSS JOIN tot GROUP BY decile, n_all, resp_all""".stripMargin
 
+  // ------------------------------------- q241: cross-source OOV audit
+
+  /** q241: cross-source out-of-vocabulary audit — the domain-shift screen a
+    * curation pipeline runs before mixing sources: the REFERENCE vocabulary
+    * is the largest source's distinct tokens (largest by document count,
+    * name tie-break — data-derived but deterministic, mirrored in the
+    * oracle), and every source reports its token-level and type-level OOV
+    * rates against it. High token-OOV means the source speaks a different
+    * vocabulary than the corpus backbone (new domain, different language,
+    * or noise); the type/token split separates "a few alien words used
+    * often" from "a long alien tail".
+    *
+    * Plan: one token explode, a distinct-reduced vocabulary (broadcastable
+    * — vocabularies grow sub-linearly, Heaps' law measured by q222), one
+    * anti-join-shaped membership via left join, per-source conditional
+    * rollups. Exact integer rates.
+    */
+  val q241OovAudit: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+    val docCounts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val base = docCounts
+      .orderBy(col("n_docs").desc, col("source")).limit(1)
+      .select(col("source").as("base_source"))
+    val vocab = toks.join(broadcast(base),
+        col("source") === col("base_source"))
+      .select(col("w")).distinct()
+      .withColumn("known", lit(1))
+    val marked = toks.join(vocab, Seq("w"), "left")
+    val tokenLevel = marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov_tokens"))
+    val typeLevel = marked.select(col("source"), col("w"), col("known"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+    tokenLevel.join(typeLevel, "source")
+      .crossJoin(broadcast(base))
+      .select(col("source"), col("base_source"),
+        col("n_tokens"), col("n_oov_tokens"),
+        expr("n_oov_tokens * 1000000 DIV n_tokens").as("oov_token_rate_e6"),
+        col("n_types"), col("n_oov_types"),
+        expr("n_oov_types * 1000000 DIV n_types").as("oov_type_rate_e6"))
+      .orderBy(col("source"))
+  }
+
+  val q241Sql: String =
+    """WITH toks AS (
+      |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      |base AS (
+      |  SELECT source AS base_source FROM documents
+      |  GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1),
+      |vocab AS (
+      |  SELECT DISTINCT w FROM toks WHERE source = (SELECT base_source FROM base)),
+      |marked AS (
+      |  SELECT t.source, t.w, v.w IS NOT NULL AS known
+      |  FROM toks t LEFT JOIN vocab v ON t.w = v.w),
+      |tok AS (
+      |  SELECT source, COUNT(*) AS n_tokens,
+      |    CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_oov_tokens
+      |  FROM marked GROUP BY source),
+      |typ AS (
+      |  SELECT source, COUNT(*) AS n_types,
+      |    CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_oov_types
+      |  FROM (SELECT DISTINCT source, w, known FROM marked) d
+      |  GROUP BY source)
+      |SELECT source, (SELECT base_source FROM base) AS base_source,
+      |  n_tokens, n_oov_tokens,
+      |  CAST(n_oov_tokens * 1000000 // n_tokens AS BIGINT)
+      |    AS oov_token_rate_e6,
+      |  n_types, n_oov_types,
+      |  CAST(n_oov_types * 1000000 // n_types AS BIGINT) AS oov_type_rate_e6
+      |FROM tok JOIN typ USING (source)
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------- q242: balanced shard planner
+
+  /** Shards planned by q242. */
+  private val NShards = 8
+
+  /** q242: balanced training-shard assignment — the "split the corpus into
+    * N shards of near-equal token mass" step before distributed training,
+    * done deterministically: documents rank by token count (desc, doc_id
+    * tie-break) and snake across shards (0..N−1 then N−1..0), the classic
+    * boustrophedon heuristic that lands within one document of perfect
+    * balance on sorted input — no greedy sequential state, so the plan is
+    * a rank window plus arithmetic, not a driver loop. Report: per shard,
+    * document count, token mass, and its e6 ratio to the ideal share.
+    *
+    * The ranking window is global; at 100 TB the same assignment runs as
+    * range-partitioned sort + [[graft.functions.Identity.zipDense]] (the
+    * q142 posture) — the snake arithmetic is unchanged.
+    */
+  val q242ShardPlanner: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tokens"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_tokens").desc, col("doc_id"))))
+    val assigned = ranked.withColumn("shard",
+      expr(s"""CASE WHEN ((rk - 1) DIV $NShards) % 2 = 0
+              |     THEN (rk - 1) % $NShards
+              |     ELSE $NShards - 1 - ((rk - 1) % $NShards) END"""
+        .stripMargin))
+    val total = docs.agg(sum(col("n_tokens")).as("grand_total"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        expr(s"shard_tokens * $NShards * 1000000 DIV grand_total")
+          .as("balance_e6"))
+      .orderBy(col("shard"))
+  }
+
+  val q242Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+       |  FROM d),
+       |a AS (
+       |  SELECT n_tokens,
+       |    CASE WHEN ((rk - 1) // $NShards) % 2 = 0
+       |         THEN (rk - 1) % $NShards
+       |         ELSE $NShards - 1 - ((rk - 1) % $NShards) END AS shard
+       |  FROM r),
+       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS grand_total FROM d)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  CAST(SUM(n_tokens) * $NShards * 1000000 // grand_total AS BIGINT)
+       |    AS balance_e6
+       |FROM a CROSS JOIN t
+       |GROUP BY shard, grand_total
+       |ORDER BY shard""".stripMargin
+
   // ------------------------------------- q226: calibration + Brier score
 
   /** q226: classifier calibration audit — the reliability table + Brier
@@ -1413,6 +1554,8 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     "q223_readability" -> q223Readability,
     "q226_calibration" -> q226Calibration,
+    "q241_oov_audit" -> q241OovAudit,
+    "q242_shard_planner" -> q242ShardPlanner,
     "q134_bpe_train" -> q134BpeTrain,
     "q135_bpe_apply" -> q135BpeApply,
     "q169_vocab_coverage" -> q169VocabCoverage,
@@ -1435,6 +1578,8 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q223_readability" -> q223Sql,
     "q226_calibration" -> q226Sql,
+    "q241_oov_audit" -> q241Sql,
+    "q242_shard_planner" -> q242Sql,
     "q134_bpe_train" -> q134Sql,
     "q135_bpe_apply" -> q135Sql,
     "q169_vocab_coverage" -> q169Sql,

@@ -224,4 +224,37 @@ class CurationSpec extends SparkSpec {
       if (band == "difficult") assert(hi < 30000L)
     }
   }
+  test("q241 OOV: base source is exactly zero-OOV, rates within bounds") {
+    val rows = CurationQueries.q241OovAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val base = rows(0).getAs[String]("base_source")
+    rows.foreach { r =>
+      assert(r.getAs[String]("base_source") === base)
+      val tokRate = r.getAs[Long]("oov_token_rate_e6")
+      val typRate = r.getAs[Long]("oov_type_rate_e6")
+      assert(tokRate >= 0L && tokRate <= 1000000L)
+      assert(typRate >= 0L && typRate <= 1000000L)
+      assert(r.getAs[Long]("n_oov_tokens") <= r.getAs[Long]("n_tokens"))
+      if (r.getAs[String]("source") == base) {
+        assert(r.getAs[Long]("n_oov_tokens") === 0L)
+        assert(r.getAs[Long]("n_oov_types") === 0L)
+      }
+    }
+  }
+
+  test("q242 shards: mass conserved, near-balanced, snake is deterministic") {
+    val rows = CurationQueries.q242ShardPlanner(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    val masses = rows.map(_.getAs[Long]("shard_tokens"))
+    val total = masses.sum
+    // snake on sorted input: every shard within 2% of the ideal share here
+    rows.foreach { r =>
+      val b = r.getAs[Long]("balance_e6")
+      assert(b > 980000L && b < 1020000L, s"shard ${r.get(0)} balance $b")
+    }
+    assert(masses.max - masses.min <= total / 50,
+      "max-min spread must stay a small fraction of the mass")
+  }
 }
