@@ -3380,7 +3380,71 @@ object CoreQueries {
       |FROM sales FULL OUTER JOIN eng ON sales.segment = eng.segment
       |ORDER BY 1""".stripMargin
 
+  // ----------------------------- q244: trimmed and winsorized means
+
+  /** q244: robust means report — the outlier-resistant location estimates
+    * next to q148's median/MAD screen: per return flag, the plain mean,
+    * the 5–95% TRIMMED mean (rows outside the percentile bounds dropped)
+    * and the WINSORIZED mean (rows clamped to the bounds) of the
+    * extended price, all in exact integer cents. Bounds are
+    * percentile_disc values (actual data points), so trimming/clamping
+    * compares integers to integers and every mean is an exact sum DIV
+    * count — a float trimmed mean would be partition-order-sensitive.
+    * Trimmed vs winsorized disagreement quantifies how much tail mass
+    * the clamp preserved.
+    *
+    * Plan: one per-group percentile rollup (broadcastable — |groups|
+    * rows), one conditional re-aggregation of the fact against the
+    * joined bounds. Two fact passes total, both single-shuffle.
+    */
+  val q244RobustMeans: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY c)")
+          .cast("long").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
+          .cast("long").as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sum_c"),
+        sum(when(col("c").between(col("lo"), col("hi")), col("c")))
+          .as("trim_sum_c"),
+        sum(when(col("c").between(col("lo"), col("hi")), 1L).otherwise(0L))
+          .as("trim_n"),
+        sum(greatest(least(col("c"), col("hi")), col("lo")))
+          .as("winsor_sum_c"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
+        expr("sum_c DIV n").as("mean_c"),
+        expr("trim_sum_c DIV trim_n").as("trimmed_mean_c"),
+        expr("winsor_sum_c DIV n").as("winsor_mean_c"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q244Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT l_returnflag,
+      |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY c) AS BIGINT) AS lo,
+      |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS BIGINT) AS hi
+      |  FROM li GROUP BY l_returnflag)
+      |SELECT li.l_returnflag, COUNT(*) AS n, MAX(lo) AS lo, MAX(hi) AS hi,
+      |  CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_c,
+      |  CAST(SUM(CASE WHEN c BETWEEN lo AND hi THEN c END) //
+      |    SUM(CASE WHEN c BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS trimmed_mean_c,
+      |  CAST(SUM(GREATEST(LEAST(c, hi), lo)) // COUNT(*) AS BIGINT)
+      |    AS winsor_mean_c
+      |FROM li JOIN b USING (l_returnflag)
+      |GROUP BY li.l_returnflag
+      |ORDER BY li.l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q244_robust_means" -> q244RobustMeans,
     "q239_drill_across" -> q239DrillAcross,
     "q235_correlated_agg" -> q235CorrelatedAgg,
     "q236_sole_late_supplier" -> q236SoleLateSupplier,
@@ -3464,6 +3528,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q244_robust_means" -> q244Sql,
     "q239_drill_across" -> q239Sql,
     "q235_correlated_agg" -> q235Sql,
     "q236_sole_late_supplier" -> q236Sql,

@@ -802,6 +802,73 @@ object EventQueries {
       |    AS cusum_dn
       |FROM m""".stripMargin
 
+  // ---------------------------------------------- q243: sample-ratio mismatch
+
+  /** q243: sample-ratio-mismatch (SRM) audit — the experimentation-ops
+    * health check that must PASS before any q127/q203 readout is trusted:
+    * does the realized arm split match the planned allocation? Evaluated
+    * for two designs over the same portable-hash assignment (50/50 via
+    * hash%2, 90/10 via hash%10), each reporting the one-df chi-square
+    * against its planned split in EXACT integers: with D = n_treat·td −
+    * N·tn (td/tn the design ratio), χ² = D²/(N·tn·(td−tn)) — e6-quantized
+    * by integer division, and the α=0.05 flag is the cross-multiplied
+    * comparison 100·D² > 384·N·tn·(td−tn), no floats anywhere. A flagged
+    * SRM means assignment or logging is broken — the readout is invalid
+    * regardless of its p-value.
+    *
+    * Plan: one user rollup (the q127 shuffle), then 1-row conditional
+    * aggregates per design — metadata-scale after the first pass.
+    */
+  val q243SrmAudit: Q = (s, dir) => {
+    val users = Tables.events(s, dir).select(col("user_id")).distinct()
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val marked = users.select(
+      when(hv % 2 === 0, 1L).otherwise(0L).as("t50"),
+      when(hv % 10 === 0, 1L).otherwise(0L).as("t10"))
+    def design(name: String, treatCol: String, tn: Long, td: Long) =
+      marked.agg(count(lit(1)).as("n_exposed"),
+        sum(col(treatCol)).as("n_treat"))
+        .select(lit(name).as("design"), col("n_exposed"), col("n_treat"),
+          (col("n_exposed") - col("n_treat")).as("n_control"),
+          lit(tn * 1000 / td).as("planned_treat_permille"),
+          expr(s"""(n_treat * $td - n_exposed * $tn) *
+                  |(n_treat * $td - n_exposed * $tn) * 1000000
+                  |DIV (n_exposed * $tn * ${td - tn})""".stripMargin)
+            .as("chi2_e6"),
+          expr(s"""100 * (n_treat * $td - n_exposed * $tn) *
+                  |(n_treat * $td - n_exposed * $tn) >
+                  |384 * n_exposed * $tn * ${td - tn}""".stripMargin)
+            .as("srm_flag"))
+    design("50_50", "t50", 1L, 2L)
+      .unionByName(design("90_10", "t10", 1L, 10L))
+      .orderBy(col("design"))
+  }
+
+  val q243Sql: String = {
+    def design(name: String, modClause: String, tn: Long, td: Long) =
+      s"""SELECT '$name' AS design, COUNT(*) AS n_exposed,
+         |  CAST(SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_treat,
+         |  COUNT(*) - CAST(SUM(CASE WHEN $modClause THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_control,
+         |  CAST(${tn * 1000 / td} AS BIGINT) AS planned_treat_permille,
+         |  CAST((SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |        - COUNT(*) * $tn) *
+         |       (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |        - COUNT(*) * $tn) * 1000000
+         |    // (COUNT(*) * $tn * ${td - tn}) AS BIGINT) AS chi2_e6,
+         |  100 * (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |         - COUNT(*) * $tn) *
+         |        (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |         - COUNT(*) * $tn) >
+         |    384 * COUNT(*) * $tn * ${td - tn} AS srm_flag
+         |FROM (SELECT DISTINCT user_id FROM events) u""".stripMargin
+    val h = "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    Seq(design("50_50", s"$h % 2 = 0", 1L, 2L),
+      design("90_10", s"$h % 10 = 0", 1L, 10L))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY design")
+  }
+
   // ---------------------------------------------- q127: A/B two-proportion z
 
   /** Conversion threshold for the experiment readout: a user "converts" when
@@ -3288,6 +3355,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q230_bitmap_distinct" -> q230BitmapDistinct,
+    "q243_srm_audit" -> q243SrmAudit,
     "q231_asof_merge" -> q231AsOfMerge,
     "q232_sax_motifs" -> q232SaxMotifs,
     "q91_sketch_quantiles" -> q91SketchQuantiles,
@@ -3346,6 +3414,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q230_bitmap_distinct" -> q230Sql,
+    "q243_srm_audit" -> q243Sql,
     // the custom-exec formulation returns exactly the window formulation's
     // rows (equivalence-tested in AsOfMergeJoinSpec), so q76's oracle applies
     "q231_asof_merge" -> q76Sql,
