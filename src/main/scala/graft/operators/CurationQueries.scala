@@ -569,6 +569,72 @@ object CurationQueries {
        |  CAST(SUM(resp) * n_all AS DOUBLE) / (COUNT(*) * resp_all) AS lift
        |FROM dec CROSS JOIN tot GROUP BY decile, n_all, resp_all""".stripMargin
 
+  // ------------------------------------- q245: mix-adjusted source comparison
+
+  /** q245: mix-adjusted quality comparison — indirect standardization (the
+    * SMR construction from epidemiology, applied to corpus curation):
+    * comparing sources' raw keep rates is confounded by language mix, so
+    * each source also reports the keeps it WOULD have produced if every
+    * language stratum kept at the corpus-wide rate, and the ratio
+    * observed/expected isolates the source effect from the mix effect.
+    * A source below 10⁶ underperforms its mix; the raw-vs-adjusted rank
+    * disagreements are precisely the Simpson's-paradox cases this exists
+    * to catch. Keep = the n_chars ≥ 300 response (the q114/q164 label).
+    * Exactness: expected keeps quantize per stratum to e6 by integer
+    * division (documented floor, identical in both engines); the SMR is
+    * one more integer division.
+    *
+    * Plan: one (source, lang) rollup; the global per-lang rates join back
+    * broadcast (|langs| rows); everything after the first pass is
+    * metadata-sized.
+    */
+  val q245MixAdjusted: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("keep"))
+    val cell = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("keep")).as("k"))
+      .localCheckpoint()
+    val global = cell.groupBy(col("lang"))
+      .agg(sum(col("n")).as("gn"), sum(col("k")).as("gk"))
+    cell.join(broadcast(global), "lang")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("k")).as("observed_keeps"),
+        sum(expr("n * gk * 1000000 DIV gn")).as("expected_keeps_e6"))
+      .select(col("source"), col("n_docs"), col("observed_keeps"),
+        col("expected_keeps_e6"),
+        expr("observed_keeps * 1000000 DIV n_docs").as("raw_rate_e6"),
+        expr("""CASE WHEN expected_keeps_e6 > 0
+               |THEN observed_keeps * 1000000000000 DIV expected_keeps_e6
+               |END""".stripMargin).as("smr_e6"))
+      .orderBy(col("source"))
+  }
+
+  val q245Sql: String =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS keep
+      |  FROM documents),
+      |cell AS (
+      |  SELECT source, lang, COUNT(*) AS n, CAST(SUM(keep) AS BIGINT) AS k
+      |  FROM d GROUP BY 1, 2),
+      |g AS (
+      |  SELECT lang, CAST(SUM(n) AS BIGINT) AS gn,
+      |    CAST(SUM(k) AS BIGINT) AS gk
+      |  FROM cell GROUP BY lang)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(k) AS BIGINT) AS observed_keeps,
+      |  CAST(SUM(n * gk * 1000000 // gn) AS BIGINT) AS expected_keeps_e6,
+      |  CAST(SUM(k) * 1000000 // SUM(n) AS BIGINT) AS raw_rate_e6,
+      |  CASE WHEN SUM(n * gk * 1000000 // gn) > 0
+      |       THEN CAST(SUM(k) * 1000000000000 //
+      |         SUM(n * gk * 1000000 // gn) AS BIGINT) END AS smr_e6
+      |FROM cell JOIN g USING (lang)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------- q241: cross-source OOV audit
 
   /** q241: cross-source out-of-vocabulary audit — the domain-shift screen a
@@ -1555,6 +1621,7 @@ object CurationQueries {
     "q223_readability" -> q223Readability,
     "q226_calibration" -> q226Calibration,
     "q241_oov_audit" -> q241OovAudit,
+    "q245_mix_adjusted" -> q245MixAdjusted,
     "q242_shard_planner" -> q242ShardPlanner,
     "q134_bpe_train" -> q134BpeTrain,
     "q135_bpe_apply" -> q135BpeApply,
@@ -1579,6 +1646,7 @@ object CurationQueries {
     "q223_readability" -> q223Sql,
     "q226_calibration" -> q226Sql,
     "q241_oov_audit" -> q241Sql,
+    "q245_mix_adjusted" -> q245Sql,
     "q242_shard_planner" -> q242Sql,
     "q134_bpe_train" -> q134Sql,
     "q135_bpe_apply" -> q135Sql,
