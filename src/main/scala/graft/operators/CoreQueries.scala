@@ -3443,7 +3443,73 @@ object CoreQueries {
       |GROUP BY li.l_returnflag
       |ORDER BY li.l_returnflag""".stripMargin
 
+  // ----------------------------- q246: Lorenz concentration curve
+
+  /** q246: the Lorenz curve behind q160's Gini coefficient — cumulative
+    * revenue share by customer decile, the concentration CURVE a revenue
+    * team reads ("the top decile carries 38% of revenue") where the
+    * coefficient only summarizes. Customers rank by ascending revenue
+    * (custkey tie-break), including zero-revenue customers via the left
+    * join, NTILE(10) forms deciles, and every share is an exact integer
+    * e6 division of cents sums; the running share comes from a window
+    * over the 10-row decile rollup. Spec-level identity: the last row's
+    * cum_share_e6 is exactly 10⁶.
+    *
+    * The ranking window is a global sort of the CUSTOMER rollup (not the
+    * fact); at 100 TB the same assignment runs from q91-style quantile
+    * boundaries exactly like q174's RFM banding.
+    */
+  val q246LorenzCurve: Q = (s, dir) => {
+    val rev = Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("rev_c"), lit(0L)).as("rev_c"))
+    val deciled = rev.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("rev_c"), col("c_custkey"))))
+    val rolled = deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_c")).as("decile_rev_c"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rolled
+      .withColumn("total_c", sum(col("decile_rev_c")).over(all))
+      .withColumn("cum_c", sum(col("decile_rev_c")).over(cum))
+      .select(col("decile"), col("n_customers"), col("decile_rev_c"),
+        expr("decile_rev_c * 1000000 DIV total_c").as("share_e6"),
+        expr("cum_c * 1000000 DIV total_c").as("cum_share_e6"))
+      .orderBy(col("decile"))
+  }
+
+  val q246Sql: String =
+    """WITH rev AS (
+      |  SELECT c_custkey, COALESCE(o.rev_c, 0) AS rev_c
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey,
+      |      CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |        AS rev_c
+      |    FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey),
+      |d AS (
+      |  SELECT c_custkey, rev_c,
+      |    NTILE(10) OVER (ORDER BY rev_c, c_custkey) AS decile
+      |  FROM rev),
+      |r AS (
+      |  SELECT decile, COUNT(*) AS n_customers,
+      |    CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c
+      |  FROM d GROUP BY decile)
+      |SELECT decile, n_customers, decile_rev_c,
+      |  CAST(decile_rev_c * 1000000 // SUM(decile_rev_c) OVER () AS BIGINT)
+      |    AS share_e6,
+      |  CAST(SUM(decile_rev_c) OVER (ORDER BY decile) * 1000000 //
+      |    SUM(decile_rev_c) OVER () AS BIGINT) AS cum_share_e6
+      |FROM r
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q246_lorenz_curve" -> q246LorenzCurve,
     "q244_robust_means" -> q244RobustMeans,
     "q239_drill_across" -> q239DrillAcross,
     "q235_correlated_agg" -> q235CorrelatedAgg,
@@ -3528,6 +3594,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q246_lorenz_curve" -> q246Sql,
     "q244_robust_means" -> q244Sql,
     "q239_drill_across" -> q239Sql,
     "q235_correlated_agg" -> q235Sql,

@@ -831,14 +831,17 @@ object EventQueries {
         .select(lit(name).as("design"), col("n_exposed"), col("n_treat"),
           (col("n_exposed") - col("n_treat")).as("n_control"),
           lit(tn * 1000 / td).as("planned_treat_permille"),
-          expr(s"""(n_treat * $td - n_exposed * $tn) *
+          // D² · 10⁶ overflows int64 once N passes ~10⁵ (the PropertySpec
+          // counterexample) — square and scale in DECIMAL(38,0)
+          expr(s"""CAST(CAST(n_treat * $td - n_exposed * $tn
+                  |  AS DECIMAL(38,0)) *
                   |(n_treat * $td - n_exposed * $tn) * 1000000
-                  |DIV (n_exposed * $tn * ${td - tn})""".stripMargin)
-            .as("chi2_e6"),
-          expr(s"""100 * (n_treat * $td - n_exposed * $tn) *
-                  |(n_treat * $td - n_exposed * $tn) >
-                  |384 * n_exposed * $tn * ${td - tn}""".stripMargin)
-            .as("srm_flag"))
+                  |DIV (n_exposed * $tn * ${td - tn}) AS BIGINT)"""
+            .stripMargin).as("chi2_e6"),
+          expr(s"""CAST(n_treat * $td - n_exposed * $tn AS DECIMAL(38,0)) *
+                  |(n_treat * $td - n_exposed * $tn) * 100 >
+                  |CAST(384 AS DECIMAL(38,0)) * n_exposed * $tn * ${td - tn}"""
+            .stripMargin).as("srm_flag"))
     design("50_50", "t50", 1L, 2L)
       .unionByName(design("90_10", "t10", 1L, 10L))
       .orderBy(col("design"))
@@ -852,16 +855,16 @@ object EventQueries {
          |  COUNT(*) - CAST(SUM(CASE WHEN $modClause THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_control,
          |  CAST(${tn * 1000 / td} AS BIGINT) AS planned_treat_permille,
-         |  CAST((SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
-         |        - COUNT(*) * $tn) *
+         |  CAST(CAST(SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |        - COUNT(*) * $tn AS HUGEINT) *
          |       (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
          |        - COUNT(*) * $tn) * 1000000
          |    // (COUNT(*) * $tn * ${td - tn}) AS BIGINT) AS chi2_e6,
-         |  100 * (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
-         |         - COUNT(*) * $tn) *
-         |        (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
-         |         - COUNT(*) * $tn) >
-         |    384 * COUNT(*) * $tn * ${td - tn} AS srm_flag
+         |  CAST(SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |       - COUNT(*) * $tn AS HUGEINT) *
+         |      (SUM(CASE WHEN $modClause THEN 1 ELSE 0 END) * $td
+         |       - COUNT(*) * $tn) * 100 >
+         |    CAST(384 AS HUGEINT) * COUNT(*) * $tn * ${td - tn} AS srm_flag
          |FROM (SELECT DISTINCT user_id FROM events) u""".stripMargin
     val h = "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     Seq(design("50_50", s"$h % 2 = 0", 1L, 2L),

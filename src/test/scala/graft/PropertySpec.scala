@@ -203,4 +203,60 @@ class PropertySpec extends SparkSpec {
       assert(acc === 0L, "every interval eventually closes")
     }
   }
+  test("SRM integer chi-square tracks the float statistic for any design") {
+    // chi2 = D^2 / (N*tn*(td-tn)) with D = a*td - N*tn (derived closed
+    // form); the e6 integer quantization must floor the float value
+    val g = for {
+      n <- Gen.choose(10L, 1000000L)
+      a <- Gen.choose(0L, 1000000L).suchThat(_ <= 1000000L)
+      (tn, td) <- Gen.oneOf((1L, 2L), (1L, 10L), (3L, 10L), (1L, 4L))
+    } yield (n, math.min(a, n), tn, td)
+    forAll(g, n = 200) { case (n, a, tn, td) =>
+      val d = a * td - n * tn
+      val chi2e6 = (BigInt(d) * d * 1000000 / (n * tn * (td - tn))).toLong
+      val ea = n.toDouble * tn / td
+      val eb = n.toDouble * (td - tn) / td
+      val fl = math.pow(a - ea, 2) / ea + math.pow(n - a - eb, 2) / eb
+      assert(math.abs(chi2e6 / 1e6 - fl) <= fl * 1e-9 + 2e-6,
+        s"n=$n a=$a $tn/$td int=${chi2e6 / 1e6} float=$fl")
+    }
+  }
+
+  test("snake sharding on sorted input stays within one item of balance") {
+    val g = Gen.listOfN(64, Gen.choose(1L, 10000L))
+    forAll(g, n = 50) { items0 =>
+      val items = items0.sortBy(-_)
+      val nsh = 8
+      val masses = new Array[Long](nsh)
+      items.zipWithIndex.foreach { case (tok, idx) =>
+        val shard = if ((idx / nsh) % 2 == 0) idx % nsh
+          else nsh - 1 - (idx % nsh)
+        masses(shard) += tok
+      }
+      // boustrophedon bound: spread never exceeds twice the largest item
+      assert(masses.max - masses.min <= 2 * items.head,
+        s"spread ${masses.max - masses.min} vs head ${items.head}")
+    }
+  }
+
+  test("integer lift ratio preserves PMI ordering for positive counts") {
+    val g = for {
+      n <- Gen.choose(1000L, 100000L)
+      cxy1 <- Gen.choose(5L, 100L); cx1 <- Gen.choose(100L, 1000L)
+      cy1 <- Gen.choose(100L, 1000L)
+      cxy2 <- Gen.choose(5L, 100L); cx2 <- Gen.choose(100L, 1000L)
+      cy2 <- Gen.choose(100L, 1000L)
+    } yield (n, cxy1, cx1, cy1, cxy2, cx2, cy2)
+    forAll(g, n = 200) { case (n, cxy1, cx1, cy1, cxy2, cx2, cy2) =>
+      def liftE6(cxy: Long, cx: Long, cy: Long) =
+        (BigInt(cxy) * n * 1000000 / (BigInt(cx) * cy)).toLong
+      def pmi(cxy: Long, cx: Long, cy: Long) =
+        math.log(cxy.toDouble * n / (cx.toDouble * cy))
+      val (l1, l2) = (liftE6(cxy1, cx1, cy1), liftE6(cxy2, cx2, cy2))
+      val (p1, p2) = (pmi(cxy1, cx1, cy1), pmi(cxy2, cx2, cy2))
+      // a strict integer-lift order can never contradict the PMI order
+      if (l1 > l2) assert(p1 >= p2 - 1e-12)
+      if (l2 > l1) assert(p2 >= p1 - 1e-12)
+    }
+  }
 }
