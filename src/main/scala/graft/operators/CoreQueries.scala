@@ -3407,19 +3407,21 @@ object CoreQueries {
           .cast("long").as("hi"))
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))
+      // cents sums accumulate in DECIMAL(38,0) - the q01 convention: a
+      // per-flag cents total wraps int64 in the 10^11-rows-per-group range
       .agg(count(lit(1)).as("n"),
-        sum(col("c")).as("sum_c"),
-        sum(when(col("c").between(col("lo"), col("hi")), col("c")))
-          .as("trim_sum_c"),
+        sum(col("c").cast("decimal(38,0)")).as("sum_c"),
+        sum(when(col("c").between(col("lo"), col("hi")), col("c"))
+          .cast("decimal(38,0)")).as("trim_sum_c"),
         sum(when(col("c").between(col("lo"), col("hi")), 1L).otherwise(0L))
           .as("trim_n"),
-        sum(greatest(least(col("c"), col("hi")), col("lo")))
-          .as("winsor_sum_c"),
+        sum(greatest(least(col("c"), col("hi")), col("lo"))
+          .cast("decimal(38,0)")).as("winsor_sum_c"),
         max(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
-        expr("sum_c DIV n").as("mean_c"),
-        expr("trim_sum_c DIV trim_n").as("trimmed_mean_c"),
-        expr("winsor_sum_c DIV n").as("winsor_mean_c"))
+        expr("CAST(sum_c DIV n AS BIGINT)").as("mean_c"),
+        expr("CAST(trim_sum_c DIV trim_n AS BIGINT)").as("trimmed_mean_c"),
+        expr("CAST(winsor_sum_c DIV n AS BIGINT)").as("winsor_mean_c"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -3478,9 +3480,12 @@ object CoreQueries {
     rolled
       .withColumn("total_c", sum(col("decile_rev_c")).over(all))
       .withColumn("cum_c", sum(col("decile_rev_c")).over(cum))
+      // DECIMAL: corpus-scale cents totals x 1e6 wrap int64
       .select(col("decile"), col("n_customers"), col("decile_rev_c"),
-        expr("decile_rev_c * 1000000 DIV total_c").as("share_e6"),
-        expr("cum_c * 1000000 DIV total_c").as("cum_share_e6"))
+        expr("""CAST(CAST(decile_rev_c AS DECIMAL(38,0)) * 1000000
+               |  DIV total_c AS BIGINT)""".stripMargin).as("share_e6"),
+        expr("""CAST(CAST(cum_c AS DECIMAL(38,0)) * 1000000
+               |  DIV total_c AS BIGINT)""".stripMargin).as("cum_share_e6"))
       .orderBy(col("decile"))
   }
 
@@ -3501,10 +3506,10 @@ object CoreQueries {
       |    CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c
       |  FROM d GROUP BY decile)
       |SELECT decile, n_customers, decile_rev_c,
-      |  CAST(decile_rev_c * 1000000 // SUM(decile_rev_c) OVER () AS BIGINT)
-      |    AS share_e6,
-      |  CAST(SUM(decile_rev_c) OVER (ORDER BY decile) * 1000000 //
-      |    SUM(decile_rev_c) OVER () AS BIGINT) AS cum_share_e6
+      |  CAST(CAST(decile_rev_c AS HUGEINT) * 1000000 //
+      |    SUM(decile_rev_c) OVER () AS BIGINT) AS share_e6,
+      |  CAST(CAST(SUM(decile_rev_c) OVER (ORDER BY decile) AS HUGEINT)
+      |    * 1000000 // SUM(decile_rev_c) OVER () AS BIGINT) AS cum_share_e6
       |FROM r
       |ORDER BY decile""".stripMargin
 

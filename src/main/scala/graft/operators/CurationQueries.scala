@@ -601,12 +601,18 @@ object CurationQueries {
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_docs"),
         sum(col("k")).as("observed_keeps"),
-        sum(expr("n * gk * 1000000 DIV gn")).as("expected_keeps_e6"))
+        // DECIMAL: stratum count x global keeps wraps int64 long before
+        // corpus scale
+        sum(expr("""CAST(CAST(n AS DECIMAL(38,0)) * gk * 1000000 DIV gn
+                   |  AS DECIMAL(38,0))""".stripMargin))
+          .cast("decimal(38,0)").as("expected_keeps_dec"))
       .select(col("source"), col("n_docs"), col("observed_keeps"),
-        col("expected_keeps_e6"),
-        expr("observed_keeps * 1000000 DIV n_docs").as("raw_rate_e6"),
-        expr("""CASE WHEN expected_keeps_e6 > 0
-               |THEN observed_keeps * 1000000000000 DIV expected_keeps_e6
+        expr("CAST(expected_keeps_dec AS BIGINT)").as("expected_keeps_e6"),
+        expr("""CAST(CAST(observed_keeps AS DECIMAL(38,0)) * 1000000
+               |  DIV n_docs AS BIGINT)""".stripMargin).as("raw_rate_e6"),
+        expr("""CASE WHEN expected_keeps_dec > 0
+               |THEN CAST(CAST(observed_keeps AS DECIMAL(38,0)) *
+               |  1000000000000 DIV expected_keeps_dec AS BIGINT)
                |END""".stripMargin).as("smr_e6"))
       .orderBy(col("source"))
   }
@@ -626,11 +632,14 @@ object CurationQueries {
       |SELECT source,
       |  CAST(SUM(n) AS BIGINT) AS n_docs,
       |  CAST(SUM(k) AS BIGINT) AS observed_keeps,
-      |  CAST(SUM(n * gk * 1000000 // gn) AS BIGINT) AS expected_keeps_e6,
-      |  CAST(SUM(k) * 1000000 // SUM(n) AS BIGINT) AS raw_rate_e6,
-      |  CASE WHEN SUM(n * gk * 1000000 // gn) > 0
-      |       THEN CAST(SUM(k) * 1000000000000 //
-      |         SUM(n * gk * 1000000 // gn) AS BIGINT) END AS smr_e6
+      |  CAST(SUM(CAST(n AS HUGEINT) * gk * 1000000 // gn) AS BIGINT)
+      |    AS expected_keeps_e6,
+      |  CAST(CAST(SUM(k) AS HUGEINT) * 1000000 // SUM(n) AS BIGINT)
+      |    AS raw_rate_e6,
+      |  CASE WHEN SUM(CAST(n AS HUGEINT) * gk * 1000000 // gn) > 0
+      |       THEN CAST(CAST(SUM(k) AS HUGEINT) * 1000000000000 //
+      |         SUM(CAST(n AS HUGEINT) * gk * 1000000 // gn) AS BIGINT)
+      |  END AS smr_e6
       |FROM cell JOIN g USING (lang)
       |GROUP BY source
       |ORDER BY source""".stripMargin
@@ -677,9 +686,15 @@ object CurationQueries {
       .crossJoin(broadcast(base))
       .select(col("source"), col("base_source"),
         col("n_tokens"), col("n_oov_tokens"),
-        expr("n_oov_tokens * 1000000 DIV n_tokens").as("oov_token_rate_e6"),
+        // DECIMAL: token counts pass 10^13 at corpus scale, and the e6
+        // product would wrap int64
+        expr("""CAST(CAST(n_oov_tokens AS DECIMAL(38,0)) * 1000000
+               |  DIV n_tokens AS BIGINT)""".stripMargin)
+          .as("oov_token_rate_e6"),
         col("n_types"), col("n_oov_types"),
-        expr("n_oov_types * 1000000 DIV n_types").as("oov_type_rate_e6"))
+        expr("""CAST(CAST(n_oov_types AS DECIMAL(38,0)) * 1000000
+               |  DIV n_types AS BIGINT)""".stripMargin)
+          .as("oov_type_rate_e6"))
       .orderBy(col("source"))
   }
 
@@ -707,10 +722,11 @@ object CurationQueries {
       |  GROUP BY source)
       |SELECT source, (SELECT base_source FROM base) AS base_source,
       |  n_tokens, n_oov_tokens,
-      |  CAST(n_oov_tokens * 1000000 // n_tokens AS BIGINT)
+      |  CAST(CAST(n_oov_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
       |    AS oov_token_rate_e6,
       |  n_types, n_oov_types,
-      |  CAST(n_oov_types * 1000000 // n_types AS BIGINT) AS oov_type_rate_e6
+      |  CAST(CAST(n_oov_types AS HUGEINT) * 1000000 // n_types AS BIGINT)
+      |    AS oov_type_rate_e6
       |FROM tok JOIN typ USING (source)
       |ORDER BY source""".stripMargin
 
@@ -748,7 +764,9 @@ object CurationQueries {
         sum(col("n_tokens")).as("shard_tokens"))
       .crossJoin(broadcast(total))
       .select(col("shard"), col("n_docs"), col("shard_tokens"),
-        expr(s"shard_tokens * $NShards * 1000000 DIV grand_total")
+        // DECIMAL: per-shard token mass at corpus scale * 8e6 wraps int64
+        expr(s"""CAST(CAST(shard_tokens AS DECIMAL(38,0)) * $NShards
+                |  * 1000000 DIV grand_total AS BIGINT)""".stripMargin)
           .as("balance_e6"))
       .orderBy(col("shard"))
   }
@@ -770,8 +788,8 @@ object CurationQueries {
        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS grand_total FROM d)
        |SELECT shard, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
-       |  CAST(SUM(n_tokens) * $NShards * 1000000 // grand_total AS BIGINT)
-       |    AS balance_e6
+       |  CAST(CAST(SUM(n_tokens) AS HUGEINT) * $NShards * 1000000
+       |    // grand_total AS BIGINT) AS balance_e6
        |FROM a CROSS JOIN t
        |GROUP BY shard, grand_total
        |ORDER BY shard""".stripMargin

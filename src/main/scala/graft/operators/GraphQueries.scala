@@ -914,11 +914,16 @@ object GraphQueries {
         sum(coalesce(col("h3"), lit(0L))).as("sh3"),
         sum(coalesce(col("h10"), lit(0L))).as("sh10"),
         sum(expr("coalesce(h10, 0L) * 1000000 DIV nrel")).as("sum_rec_e6"))
+      // DECIMAL on the e6 numerators: hit counts track user counts, and
+      // count x 1e6 wraps int64 in the 10^13-user range
       .select(col("n_users"),
         expr("sum_rr_e6 DIV n_users").as("mrr_e6"),
-        expr("sh1 * 1000000 DIV n_users").as("p_at_1_e6"),
-        expr("sh3 * 1000000 DIV (3 * n_users)").as("p_at_3_e6"),
-        expr(s"sh10 * 1000000 DIV ($RankK * n_users)").as("p_at_10_e6"),
+        expr("CAST(CAST(sh1 AS DECIMAL(38,0)) * 1000000 DIV n_users AS BIGINT)")
+          .as("p_at_1_e6"),
+        expr("CAST(CAST(sh3 AS DECIMAL(38,0)) * 1000000 DIV (3 * n_users) AS BIGINT)")
+          .as("p_at_3_e6"),
+        expr(s"CAST(CAST(sh10 AS DECIMAL(38,0)) * 1000000 DIV ($RankK * n_users) AS BIGINT)")
+          .as("p_at_10_e6"),
         expr("sum_rec_e6 DIV n_users").as("recall_at_10_e6"))
   }
 
@@ -968,9 +973,9 @@ object GraphQueries {
        |  FROM per_rel LEFT JOIN hits USING (a))
        |SELECT n_users,
        |  CAST(sum_rr_e6 // n_users AS BIGINT) AS mrr_e6,
-       |  CAST(sh1 * 1000000 // n_users AS BIGINT) AS p_at_1_e6,
-       |  CAST(sh3 * 1000000 // (3 * n_users) AS BIGINT) AS p_at_3_e6,
-       |  CAST(sh10 * 1000000 // ($RankK * n_users) AS BIGINT) AS p_at_10_e6,
+       |  CAST(CAST(sh1 AS HUGEINT) * 1000000 // n_users AS BIGINT) AS p_at_1_e6,
+       |  CAST(CAST(sh3 AS HUGEINT) * 1000000 // (3 * n_users) AS BIGINT) AS p_at_3_e6,
+       |  CAST(CAST(sh10 AS HUGEINT) * 1000000 // ($RankK * n_users) AS BIGINT) AS p_at_10_e6,
        |  CAST(sum_rec_e6 // n_users AS BIGINT) AS recall_at_10_e6
        |FROM roll""".stripMargin
   }
