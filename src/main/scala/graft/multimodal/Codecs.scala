@@ -134,6 +134,48 @@ object CodecDecoder extends MediaDecoder {
     h
   }
 
+  /** Letterbox/pillarbox margin scan: the count of uniformly-dark rows at
+    * the top and bottom and dark columns at the left and right edges — a
+    * row/column is dark when its brightest CHANNEL byte stays ≤ `thresh`
+    * (pure integer comparisons, no float luminance). The image-curation
+    * crop signal: encoded black bars waste tokens/pixels and skew feature
+    * grids, and the margins give the exact crop box. Returns
+    * (top, bottom, left, right); an all-dark image reports full-height
+    * top and 0 elsewhere (the degenerate case is "all margin").
+    */
+  def letterboxMargins(p: Ppm, thresh: Int = 24): (Int, Int, Int, Int) = {
+    def rowDark(y: Int): Boolean = {
+      var x = 0
+      while (x < p.width) {
+        val i = (y * p.width + x) * 3
+        if ((p.pixels(i) & 0xFF) > thresh || (p.pixels(i + 1) & 0xFF) > thresh ||
+          (p.pixels(i + 2) & 0xFF) > thresh) return false
+        x += 1
+      }
+      true
+    }
+    def colDark(x: Int): Boolean = {
+      var y = 0
+      while (y < p.height) {
+        val i = (y * p.width + x) * 3
+        if ((p.pixels(i) & 0xFF) > thresh || (p.pixels(i + 1) & 0xFF) > thresh ||
+          (p.pixels(i + 2) & 0xFF) > thresh) return false
+        y += 1
+      }
+      true
+    }
+    var top = 0
+    while (top < p.height && rowDark(top)) top += 1
+    if (top == p.height) return (p.height, 0, 0, 0)
+    var bottom = 0
+    while (bottom < p.height - top && rowDark(p.height - 1 - bottom)) bottom += 1
+    var left = 0
+    while (left < p.width && colDark(left)) left += 1
+    var right = 0
+    while (right < p.width - left && colDark(p.width - 1 - right)) right += 1
+    (top, bottom, left, right)
+  }
+
   // ------------------------------------------------------------------- PNG
 
   def isPng(b: Array[Byte]): Boolean =

@@ -207,6 +207,28 @@ object Media {
     })
   }
 
+  final case class LetterboxReport(media_id: Long, width: Int, height: Int,
+      top: Int, bottom: Int, left: Int, right: Int,
+      content_width: Int, content_height: Int, is_boxed: Boolean)
+
+  /** Letterbox/pillarbox QA over an image corpus — per image, the uniform
+    * dark margins ([[CodecDecoder.letterboxMargins]]) and the implied crop
+    * box; `is_boxed` flags images whose bars consume a detectable margin
+    * on either axis. Same decode seam as every media pass; pure integer
+    * channel comparisons.
+    */
+  def letterboxReport(spark: SparkSession, media: Dataset[MediaRow],
+      thresh: Int = 24): Dataset[LetterboxReport] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = CodecDecoder.decodeStill(r.media)
+      val (t, b, l, rt) = CodecDecoder.letterboxMargins(p, thresh)
+      LetterboxReport(r.media_id, p.width, p.height, t, b, l, rt,
+        p.width - l - rt, p.height - t - b,
+        t + b > 0 || l + rt > 0)
+    })
+  }
+
   final case class AudioClipReport(media_id: Long, n_samples: Long,
       n_clipped: Long, max_run: Long, clipped_permille: Long)
 

@@ -50,7 +50,8 @@ object AsOfMergeJoin {
   final case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       leftTime: Expression, rightTime: Expression,
-      rightTies: Seq[Expression]) extends BinaryNode {
+      rightTies: Seq[Expression],
+      toleranceMicros: Option[Long]) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -61,8 +62,9 @@ object AsOfMergeJoin {
   /** Plans the logical node into the physical merge join. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, ties) =>
-        AsOfMergeJoinExec(lk, rk, lt, rt, ties, planLater(l), planLater(r)) :: Nil
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, ties, tol) =>
+        AsOfMergeJoinExec(lk, rk, lt, rt, ties, tol,
+          planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -84,7 +86,8 @@ object AsOfMergeJoin {
     */
   def latestPrior(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     def timeCol(df: DataFrame, c: String): Column =
@@ -105,7 +108,7 @@ object AsOfMergeJoin {
     val node = AsOfJoinNode(lp, rp,
       keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
       attr(lp, "__asof_lt"), attr(rp, "__asof_rt"),
-      tieBreak.map(t => attr(rp, s"__r_$t")))
+      tieBreak.map(t => attr(rp, s"__r_$t")), toleranceMicros)
     val raw = org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, node)
     // positional selection — duplicate names are possible pre-rename
     val outCols = raw.columns
@@ -127,7 +130,8 @@ object AsOfMergeJoin {
 /** Physical streaming merge as-of join (see [[AsOfMergeJoin]]). */
 final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTime: Expression, rightTime: Expression,
-    rightTies: Seq[Expression], left: SparkPlan, right: SparkPlan)
+    rightTies: Seq[Expression], toleranceMicros: Option[Long],
+    left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -177,6 +181,7 @@ final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
         // last right row matching the left key group so far
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
+        private var lastMatchTime: Long = 0L
 
         private def advanceRight(): Unit = {
           rCur = null
@@ -213,15 +218,18 @@ final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
               } else if (cmp == 0 && rCurTime <= lTimeV) {
                 lastMatch = rCur
                 lastMatchKey = rCurKey
+                lastMatchTime = rCurTime
                 advanceRight()
               } else {
                 break = true
               }
             }
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
-              joined(l, lastMatch)
-            else
-              joined(l, nullRight)
+            // merge_asof tolerance: the LATEST prior being too old means
+            // every earlier one is too — null, not a further scan-back
+            val inWindow = lastMatch != null &&
+              keyOrd.compare(lastMatchKey, lKey) == 0 &&
+              toleranceMicros.forall(t => lastMatchTime >= lTimeV - t)
+            if (inWindow) joined(l, lastMatch) else joined(l, nullRight)
           }
         }
       }

@@ -187,4 +187,33 @@ class MediaSpec extends SparkSpec {
     assert(out(2L).max_run === 5L)
     assert(out(2L).clipped_permille === 600L)
   }
+  test("letterbox margins: bars measured exactly, clean image passes") {
+    import spark.implicits._
+    def ppm(w: Int, h: Int, bright: (Int, Int) => Boolean): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v: Byte = if (bright(x, y)) 200.toByte else 5.toByte
+        val i = (y * w + x) * 3
+        px(i) = v; px(i + 1) = v; px(i + 2) = v
+      }
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    }
+    // 16x12 with 2-row top bar, 3-row bottom bar, 1-col left pillar
+    val boxed = ppm(16, 12, (x, y) => y >= 2 && y < 9 && x >= 1)
+    val clean = ppm(8, 8, (_, _) => true)
+    val allDark = ppm(4, 4, (_, _) => false)
+    val rows = Seq(Media.MediaRow(1L, "image", boxed),
+      Media.MediaRow(2L, "image", clean),
+      Media.MediaRow(3L, "image", allDark)).toDS()
+    val out = Media.letterboxReport(spark, rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).top === 2 && out(1L).bottom === 3)
+    assert(out(1L).left === 1 && out(1L).right === 0)
+    assert(out(1L).content_width === 15 && out(1L).content_height === 7)
+    assert(out(1L).is_boxed)
+    assert(out(2L).top === 0 && out(2L).bottom === 0 &&
+      out(2L).left === 0 && out(2L).right === 0 && !out(2L).is_boxed)
+    // degenerate all-dark image: all margin, empty content box
+    assert(out(3L).top === 4 && out(3L).content_height === 0)
+  }
 }

@@ -105,4 +105,26 @@ class AsOfMergeJoinSpec extends SparkSpec {
     // every row matches at least itself (inclusive semantics)
     assert(out.filter(col("prior_event_id").isNull).count() === 0)
   }
+  test("tolerance: exec matches the window formulation's bounded lookback") {
+    val (clicks, purchases) = clicksAndPurchases
+    val hourUs = 3600L * 1000000L
+    val viaExec = AsOfMergeJoin.latestPrior(clicks, purchases,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      payload = Seq("value"), tieBreak = Seq("event_id"),
+      toleranceMicros = Some(hourUs))
+    val viaWindow = AsOfJoin.latestPrior(clicks, purchases,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      payload = Seq("value"), tieBreak = Seq("event_id"),
+      tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR")))
+    assert(viaExec.count() === viaWindow.count())
+    assert(viaExec.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaExec).count() === 0)
+    // the bound bites: strictly fewer matches than unbounded lookback
+    val unbounded = AsOfMergeJoin.latestPrior(clicks, purchases,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      payload = Seq("value"), tieBreak = Seq("event_id"))
+    import org.apache.spark.sql.functions.col
+    assert(viaExec.filter(col("prior_value").isNotNull).count() <
+      unbounded.filter(col("prior_value").isNotNull).count())
+  }
 }
