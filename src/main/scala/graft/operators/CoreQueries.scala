@@ -3513,7 +3513,65 @@ object CoreQueries {
       |FROM r
       |ORDER BY decile""".stripMargin
 
+  // ----------------------------- q248: like-for-like (comparable) growth
+
+  /** q248: like-for-like revenue growth — the retail "comparable sales"
+    * metric: naive YoY growth confounds customer-base changes with
+    * behavior changes, so each consecutive year pair reports growth ONLY
+    * over customers active in BOTH years (the comparable base), next to
+    * the raw totals. Both effects decompose: raw growth = comparable
+    * growth + base churn. Exact: cents sums in DECIMAL(38,0), growth as
+    * a sign-factored e6 ratio of exact integers.
+    *
+    * Plan: one (customer, year) rollup; the year-pair self-join runs on
+    * that rollup (|customers|·|years| rows), never on the fact.
+    */
+  val q248LikeForLike: Q = (s, dir) => {
+    val cy = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .localCheckpoint()
+    val paired = cy.select(col("cust"), col("yr"), col("rev_c"))
+      .join(cy.select(col("cust"), (col("yr") - 1).as("yr"),
+        col("rev_c").as("next_rev_c")), Seq("cust", "yr"))
+    paired.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_comparable"),
+        sum(col("rev_c").cast("decimal(38,0)")).as("prev_dec"),
+        sum(col("next_rev_c").cast("decimal(38,0)")).as("cur_dec"))
+      .select(col("yr").as("base_year"), col("n_comparable"),
+        expr("CAST(prev_dec AS BIGINT)").as("rev_base_c"),
+        expr("CAST(cur_dec AS BIGINT)").as("rev_next_c"),
+        expr("""CASE WHEN cur_dec >= prev_dec
+               |THEN CAST((cur_dec - prev_dec) * 1000000 DIV prev_dec AS BIGINT)
+               |ELSE -CAST((prev_dec - cur_dec) * 1000000 DIV prev_dec AS BIGINT)
+               |END""".stripMargin).as("growth_e6"))
+      .orderBy(col("base_year"))
+  }
+
+  val q248Sql: String =
+    """WITH cy AS (
+      |  SELECT o_custkey AS cust, EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.yr, a.rev_c, b.rev_c AS next_rev_c
+      |  FROM cy a JOIN cy b ON a.cust = b.cust AND b.yr = a.yr + 1)
+      |SELECT CAST(yr AS INT) AS base_year, COUNT(*) AS n_comparable,
+      |  CAST(SUM(CAST(rev_c AS HUGEINT)) AS BIGINT) AS rev_base_c,
+      |  CAST(SUM(CAST(next_rev_c AS HUGEINT)) AS BIGINT) AS rev_next_c,
+      |  CASE WHEN SUM(CAST(next_rev_c AS HUGEINT)) >= SUM(CAST(rev_c AS HUGEINT))
+      |    THEN CAST((SUM(CAST(next_rev_c AS HUGEINT)) - SUM(CAST(rev_c AS HUGEINT)))
+      |      * 1000000 // SUM(CAST(rev_c AS HUGEINT)) AS BIGINT)
+      |    ELSE -CAST((SUM(CAST(rev_c AS HUGEINT)) - SUM(CAST(next_rev_c AS HUGEINT)))
+      |      * 1000000 // SUM(CAST(rev_c AS HUGEINT)) AS BIGINT)
+      |  END AS growth_e6
+      |FROM p
+      |GROUP BY yr
+      |ORDER BY base_year""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q248_like_for_like" -> q248LikeForLike,
     "q246_lorenz_curve" -> q246LorenzCurve,
     "q244_robust_means" -> q244RobustMeans,
     "q239_drill_across" -> q239DrillAcross,
@@ -3599,6 +3657,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q248_like_for_like" -> q248Sql,
     "q246_lorenz_curve" -> q246Sql,
     "q244_robust_means" -> q244Sql,
     "q239_drill_across" -> q239Sql,

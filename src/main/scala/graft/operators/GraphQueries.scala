@@ -389,6 +389,162 @@ object GraphQueries {
       |$select""".stripMargin
   }
 
+  // ---------------------------------------- q249: rec coverage / exposure
+
+  /** q249: recommendation coverage and exposure-concentration diagnostics —
+    * the accuracy-orthogonal half of recommender evaluation (q217/q202
+    * grade relevance; this grades the CATALOG's treatment): how much of
+    * the catalog ever appears in a top-k list, what share of all exposure
+    * slots the ten most-exposed parts absorb, and the exposure Gini over
+    * the WHOLE catalog (zero-exposure parts included — excluding them
+    * hides exactly the popularity bias this measures). Gini uses q160's
+    * exact rank identity (2·Σrᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), e6-quantized,
+    * with the rank window over the per-part exposure rollup (|catalog|
+    * rows, not the rec stream) and DECIMAL(38,0) on the Σrᵢxᵢ
+    * cross-product. One summary row.
+    */
+  val q249RecCoverage: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = copurchaseEdges(s, dir)
+    val dir2 = e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
+      .unionByName(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
+    val recs = dir2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b"))))
+      .filter(col("rk") <= RecK)
+      .select(col("b").as("part"))
+    val exposure = Tables.part(s, dir).select(col("p_partkey").as("part"))
+      .join(recs.groupBy(col("part")).agg(count(lit(1)).as("x")),
+        Seq("part"), "left")
+      .select(col("part"), coalesce(col("x"), lit(0L)).as("x"))
+    val ranked = exposure.withColumn("r",
+      row_number().over(Window.orderBy(col("x"), col("part"))).cast("long"))
+    val topW = Window.orderBy(col("x").desc, col("part"))
+    val top10 = exposure.withColumn("tr", row_number().over(topW))
+      .filter(col("tr") <= 10)
+      .agg(sum(col("x")).as("top10_x"))
+    ranked.agg(count(lit(1)).as("n_catalog"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_recommended"),
+        sum(col("x")).as("total_x"),
+        sum((col("r").cast("decimal(38,0)")) * col("x")).as("rx_dec"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_catalog"), col("n_recommended"),
+        expr("n_recommended * 1000000 DIV n_catalog").as("coverage_e6"),
+        col("total_x"),
+        expr("""CAST((2 * rx_dec - CAST(n_catalog + 1 AS DECIMAL(38,0))
+               |  * total_x) * 1000000
+               |  DIV (CAST(n_catalog AS DECIMAL(38,0)) * total_x)
+               |  AS BIGINT)""".stripMargin).as("exposure_gini_e6"),
+        expr("top10_x * 1000000 DIV total_x").as("top10_share_e6"))
+  }
+
+  def q249Sql: String =
+    s"""WITH $edgesCtes,
+       |dir2 AS (
+       |  SELECT part_a AS a, part_b AS b, n_ab FROM pairs
+       |  UNION ALL SELECT part_b, part_a, n_ab FROM pairs),
+       |recs AS (
+       |  SELECT b AS part FROM (
+       |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY n_ab DESC, b) AS rk FROM dir2) t
+       |  WHERE rk <= $RecK),
+       |expo AS (
+       |  SELECT p_partkey AS part, COALESCE(c.x, 0) AS x
+       |  FROM part LEFT JOIN (
+       |    SELECT part, COUNT(*) AS x FROM recs GROUP BY part) c
+       |    ON p_partkey = c.part),
+       |ranked AS (
+       |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, part) AS r FROM expo),
+       |top10 AS (
+       |  SELECT CAST(SUM(x) AS BIGINT) AS top10_x FROM (
+       |    SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, part) AS tr
+       |    FROM expo) t WHERE tr <= 10)
+       |SELECT COUNT(*) AS n_catalog,
+       |  CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_recommended,
+       |  CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS coverage_e6,
+       |  CAST(SUM(x) AS BIGINT) AS total_x,
+       |  CAST((2 * SUM(CAST(r AS HUGEINT) * x)
+       |    - CAST(COUNT(*) + 1 AS HUGEINT) * SUM(x)) * 1000000
+       |    // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT)
+       |    AS exposure_gini_e6,
+       |  CAST(top10_x * 1000000 // SUM(x) AS BIGINT) AS top10_share_e6
+       |FROM ranked CROSS JOIN top10
+       |GROUP BY top10_x""".stripMargin
+
+  // ---------------------------------------- q247: sequential brand rules
+
+  /** Minimum customers supporting a q247 sequential rule. */
+  private val SeqMinSup = 5
+
+  /** q247: sequential association rules at BRAND grain — "customers who
+    * bought brand A later bought brand B": the cross-order complement of
+    * q107's same-basket rules and q200's event-type sequences. Working at
+    * brand grain is the scale design: a customer's (earlier, later)
+    * crossover pairs are bounded by |brands|² (≤ 625) regardless of how
+    * many orders they place — the per-customer DISTINCT (brand, first/last
+    * date) rollup collapses order volume before any pair forms. Support =
+    * customers with the A-then-B crossover (strictly later date),
+    * confidence = support / customers who ever bought A, both exact
+    * integers; top 25 rules by support with lexicographic tie-break.
+    */
+  val q247SequentialRules: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val custBrand = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+      .agg(min(col("o_orderdate")).as("first_dt"),
+        max(col("o_orderdate")).as("last_dt"))
+      .localCheckpoint()
+    val pairs = custBrand.select(col("cust"), col("brand").as("brand_a"),
+        col("first_dt"))
+      .join(custBrand.select(col("cust"), col("brand").as("brand_b"),
+        col("last_dt")), "cust")
+      .filter(col("brand_a") =!= col("brand_b") &&
+        col("last_dt") > col("first_dt"))
+      .select(col("cust"), col("brand_a"), col("brand_b"))
+      .distinct()
+    val aBuyers = custBrand.groupBy(col("brand").as("brand_a"))
+      .agg(count(lit(1)).as("n_a_buyers"))
+    pairs.groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= SeqMinSup)
+      .join(broadcast(aBuyers), "brand_a")
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        col("n_a_buyers"),
+        expr("support * 1000000 DIV n_a_buyers").as("confidence_e6"))
+      .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+      .limit(25)
+  }
+
+  val q247Sql: String =
+    s"""WITH cb AS (
+       |  SELECT o_custkey AS cust, p_brand AS brand,
+       |    MIN(o_orderdate) AS first_dt, MAX(o_orderdate) AS last_dt
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.cust, a.brand AS brand_a, b.brand AS brand_b
+       |  FROM cb a JOIN cb b ON a.cust = b.cust
+       |  WHERE a.brand <> b.brand AND b.last_dt > a.first_dt),
+       |ab AS (
+       |  SELECT brand AS brand_a, COUNT(*) AS n_a_buyers FROM cb GROUP BY 1)
+       |SELECT brand_a, brand_b, COUNT(*) AS support, n_a_buyers,
+       |  CAST(COUNT(*) * 1000000 // n_a_buyers AS BIGINT) AS confidence_e6
+       |FROM pairs JOIN ab USING (brand_a)
+       |GROUP BY brand_a, brand_b, n_a_buyers
+       |HAVING COUNT(*) >= $SeqMinSup
+       |ORDER BY support DESC, brand_a, brand_b
+       |LIMIT 25""".stripMargin
+
   // ---------------------------------------- q233: label spreading (semi-sup)
 
   /** q233: semi-supervised label spreading over the co-purchase graph, run
@@ -984,6 +1140,8 @@ object GraphQueries {
     "q217_ranking_metrics" -> q217RankingMetrics,
     "q228_frequent_triples" -> q228FrequentTriples,
     "q233_label_spreading" -> q233LabelSpreading,
+    "q247_sequential_rules" -> q247SequentialRules,
+    "q249_rec_coverage" -> q249RecCoverage,
     "q234_shortest_paths" -> q234ShortestPaths,
     "q202_recsys_eval" -> q202RecsysEval,
     "q188_assortativity" -> q188DegreeAssortativity,
@@ -999,6 +1157,8 @@ object GraphQueries {
     "q217_ranking_metrics" -> q217Sql,
     "q228_frequent_triples" -> q228Sql,
     "q233_label_spreading" -> q233Sql,
+    "q247_sequential_rules" -> q247Sql,
+    "q249_rec_coverage" -> q249Sql,
     "q234_shortest_paths" -> q234Sql,
     "q202_recsys_eval" -> q202Sql,
     "q188_assortativity" -> q188Sql,

@@ -916,7 +916,61 @@ object SimilarityQueries {
        |FROM pos JOIN neg USING (anchor_id)
        |ORDER BY anchor_id""".stripMargin
 
+  // ------------------------------- q250: IVF inverted-list balance
+
+  /** q250: IVF index health — the per-list balance report an ANN deployment
+    * tracks per build (the vector-index analog of the reference's
+    * table-skew monitoring, vw_tables_with_skew): every vector assigns to
+    * its nearest trained centroid (the q64 quantizer, bit-deterministic),
+    * and each cluster reports its population and e6 share of the ideal
+    * |corpus|/k load. A hot list slows every probe that touches it; an
+    * empty list wastes a partition — both are exactly what the skew-alarm
+    * threshold on `balance_e6` flags. Assignment is the one corpus-scale
+    * pass (shuffle-free codegen argmin); the rollup is k rows.
+    */
+  val q250IvfBalance: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val centroids = Ivf.train(e, IvfK, Dim, iters = IvfIters)
+    val total = e.agg(count(lit(1)).as("n_total"))
+    e.select(Ivf.assignExpr(col("embedding").cast("array<double>"),
+        centroids).as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster"), col("n_vecs"),
+        expr(s"""CAST(CAST(n_vecs AS DECIMAL(38,0)) * $IvfK * 1000000
+                |  DIV n_total AS BIGINT)""".stripMargin).as("balance_e6"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Data-generated oracle for q250 (trained centroids inlined). */
+  def q250SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val centroids = Ivf.train(Tables.embeddings(s, dir), IvfK, Dim, IvfIters)
+    val centRows = centroids.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}], $cn2)"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent(j, c, cn2) AS (SELECT * FROM (VALUES
+       |    $centRows)),
+       |assigned AS (
+       |  SELECT vec_id,
+       |    (SELECT j FROM cent
+       |     ORDER BY -2.0 * list_dot_product(b.v, c) + cn2, j LIMIT 1)
+       |      AS cluster
+       |  FROM base b),
+       |t AS (SELECT COUNT(*) AS n_total FROM base)
+       |SELECT cluster, COUNT(*) AS n_vecs,
+       |  CAST(CAST(COUNT(*) AS HUGEINT) * $IvfK * 1000000 // n_total
+       |    AS BIGINT) AS balance_e6
+       |FROM assigned CROSS JOIN t
+       |GROUP BY cluster, n_total
+       |ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q250_ivf_balance" -> q250IvfBalance,
     "q240_triplet_mining" -> q240TripletMining,
     "q227_pca_projection" -> q227PcaProjection,
     "q229_rp_recall" -> q229RpRecall,
