@@ -1458,7 +1458,80 @@ object TextQueries {
        |    AS cum_types
        |FROM bt LEFT JOIN nt USING (bucket)""".stripMargin
 
+  // ------------------------------------------- q251: per-class ID metrics
+
+  /** q251: per-class precision/recall/F1 for the q58 language identifier —
+    * the multi-class evaluation panel derived from the confusion matrix:
+    * per true language, support, predicted-positive count, true positives,
+    * and the three rates as exact e6 integers (F1's harmonic mean is
+    * 2·p·r DIV (p+r) over the already-quantized rates — bit-portable, no
+    * float mean). The 'und' fallback shows up as lost recall on every
+    * class rather than as its own row, which is exactly how a curation
+    * pipeline experiences it.
+    *
+    * Plan: the q58 per-doc prediction pass feeds one (lang, predicted)
+    * rollup; every metric after that computes on |langs|² rows.
+    */
+  val q251LangIdMetrics: Q = (s, dir) => {
+    val cm = q58LangId(s, dir) // (lang, predicted, n)
+      .localCheckpoint()
+    val truth = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    val pred = cm.groupBy(col("predicted")).agg(sum(col("n")).as("n_pred"))
+    val tp = cm.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    truth
+      .join(pred.withColumnRenamed("predicted", "lang"), Seq("lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .select(col("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_e6",
+        when(col("n_pred") > 0, expr("tp * 1000000 DIV n_pred"))
+          .otherwise(0L))
+      .withColumn("recall_e6", expr("tp * 1000000 DIV n_true"))
+      .withColumn("f1_e6",
+        when(col("precision_e6") + col("recall_e6") > 0,
+          expr("2 * precision_e6 * recall_e6 DIV (precision_e6 + recall_e6)"))
+          .otherwise(0L))
+      .orderBy(col("lang"))
+  }
+
+  val q251Sql: String = {
+    // the q58 confusion matrix as a CTE, then the metric panel over it
+    val cmSql = q58Sql.replace("\n", "\n  ")
+    s"""WITH cm AS (
+       |  $cmSql),
+       |truth AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+       |          FROM cm GROUP BY lang),
+       |pr AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+       |       FROM cm GROUP BY predicted),
+       |tp AS (SELECT lang, CAST(n AS BIGINT) AS tp FROM cm
+       |       WHERE lang = predicted)
+       |SELECT truth.lang, n_true,
+       |  COALESCE(n_pred, 0) AS n_pred,
+       |  COALESCE(tp, 0) AS tp,
+       |  CASE WHEN COALESCE(n_pred, 0) > 0
+       |       THEN CAST(COALESCE(tp, 0) * 1000000 // n_pred AS BIGINT)
+       |       ELSE 0 END AS precision_e6,
+       |  CAST(COALESCE(tp, 0) * 1000000 // n_true AS BIGINT) AS recall_e6,
+       |  CASE WHEN (CASE WHEN COALESCE(n_pred, 0) > 0
+       |             THEN COALESCE(tp, 0) * 1000000 // n_pred ELSE 0 END)
+       |          + COALESCE(tp, 0) * 1000000 // n_true > 0
+       |    THEN CAST(2 * (CASE WHEN COALESCE(n_pred, 0) > 0
+       |             THEN COALESCE(tp, 0) * 1000000 // n_pred ELSE 0 END)
+       |         * (COALESCE(tp, 0) * 1000000 // n_true)
+       |         // ((CASE WHEN COALESCE(n_pred, 0) > 0
+       |             THEN COALESCE(tp, 0) * 1000000 // n_pred ELSE 0 END)
+       |            + COALESCE(tp, 0) * 1000000 // n_true) AS BIGINT)
+       |    ELSE 0 END AS f1_e6
+       |FROM truth
+       |LEFT JOIN pr ON truth.lang = pr.lang
+       |LEFT JOIN tp ON truth.lang = tp.lang
+       |ORDER BY truth.lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q251_langid_metrics" -> q251LangIdMetrics,
     "q221_pmi_collocations" -> q221PmiCollocations,
     "q222_heaps_growth" -> q222HeapsGrowth,
     "q136_dup_spans" -> q136DupSpans,
@@ -1488,6 +1561,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q251_langid_metrics" -> q251Sql,
     "q221_pmi_collocations" -> q221Sql,
     "q222_heaps_growth" -> q222Sql,
     "q136_dup_spans" -> q136Sql,

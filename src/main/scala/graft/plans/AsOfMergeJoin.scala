@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -157,6 +158,11 @@ final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
       newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "left rows with a prior match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -164,6 +170,8 @@ final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
     val rk = rightKeys
     val lt = leftTime
     val rt = rightTime
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -206,6 +214,7 @@ final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
           val ltv = lTimeEval.eval(l)
           if (ltv == null) {
             // null left time matches nothing
+            outRows += 1
             joined(l, nullRight)
           } else {
             val lTimeV = ltv.asInstanceOf[Long]
@@ -229,7 +238,9 @@ final case class AsOfMergeJoinExec(leftKeys: Seq[Expression],
             val inWindow = lastMatch != null &&
               keyOrd.compare(lastMatchKey, lKey) == 0 &&
               toleranceMicros.forall(t => lastMatchTime >= lTimeV - t)
-            if (inWindow) joined(l, lastMatch) else joined(l, nullRight)
+            outRows += 1
+            if (inWindow) { matchedRows += 1; joined(l, lastMatch) }
+            else joined(l, nullRight)
           }
         }
       }

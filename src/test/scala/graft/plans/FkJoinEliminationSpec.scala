@@ -130,4 +130,37 @@ class FkJoinEliminationSpec extends SparkSpec {
     assert(spark.table("vw_foreign_keys")
       .filter(col("child_table") === "fk_li").count() === 1)
   }
+  test("a two-dimension star view chain loses BOTH untouched joins") {
+    setup()
+    if (!spark.catalog.tableExists("fk_li2")) {
+      graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .write.saveAsTable("fk_li2")
+      graft.Tables.part(spark, sfDir).write.saveAsTable("fk_part")
+      assert(Constraints.declareFk(spark, "fk_li2", "l_orderkey",
+        "fk_ord", "o_orderkey"))
+      assert(Constraints.declareFk(spark, "fk_li2", "l_partkey",
+        "fk_part", "p_partkey"))
+    }
+    // the BI-view shape: the whole star joined, two fact columns selected
+    val q = spark.table("fk_li2")
+      .join(spark.table("fk_ord"), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table("fk_part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    var plan = q.queryExecution.optimizedPlan
+    // the injected rule runs once per optimizer visit; fixed-point it here
+    var n = joins(plan).size
+    var guard = 0
+    while (guard < 5 && joins(FkJoinEliminationRule(plan)).size < n) {
+      plan = FkJoinEliminationRule(plan); n = joins(plan).size; guard += 1
+    }
+    assert(joins(FkJoinEliminationRule(plan)).isEmpty,
+      s"both dimension joins must go:\n${FkJoinEliminationRule(plan)}")
+    val direct = spark.table("fk_li2").groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaJoins = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaJoins === direct)
+  }
 }
