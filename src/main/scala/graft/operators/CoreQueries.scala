@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TSql._
+import graft.functions.Text
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -3570,7 +3571,175 @@ object CoreQueries {
       |GROUP BY yr
       |ORDER BY base_year""".stripMargin
 
+  // ----------------------------- q252: Poisson-bootstrap confidence interval
+
+  /** Replicate count for the bootstrap; ranks 2 and R-1 of the sorted
+    * replicate means bound a ~96% percentile interval.
+    */
+  private val BootReps = 48
+
+  /** Poisson(1) inverse-CDF thresholds, e6-quantized: a uniform draw
+    * u ∈ [0, 10⁶) maps to the count of thresholds ≤ u — the per-row
+    * replicate weight. Shared literals on both engines, so the "random"
+    * weights are bit-identical everywhere.
+    */
+  private val PoisT = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+    999406L, 999917L)
+
+  /** q252: Poisson-bootstrap CI for the mean order value per priority — THE
+    * resampling construction that survives scale (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): classical bootstrap
+    * resampling needs R full copies of the data, while Poisson bootstrap
+    * gives each row an independent Poisson(1) replicate weight, so all R
+    * replicates materialize from ONE corpus pass as a map-side explode —
+    * no data duplication, no sampling coordination across executors.
+    *
+    * Weights are a pure function of (order key, replicate) through the
+    * portable hash (q67's reproducible-randomness principle), so the CI is
+    * deterministic across runs, engines and cluster sizes, and the DuckDB
+    * oracle reproduces it bit-exactly. Replicate means are exact integer
+    * cents (DECIMAL(38,0) sums, truncating division of nonnegatives); the
+    * interval picks ranked replicate VALUES (ranks 2 / R-1 with a replicate-id
+    * tie-break), never interpolates. The R-fold expansion happens after
+    * projecting to (group, cents) — 48× a two-column stream, and the
+    * post-rollup is |groups|×R rows: metadata at any corpus size. At 100 TB
+    * swap the md5 portable hash for HashMode.Fast exactly as q55_prod does.
+    */
+  val q252PoissonBootstrap: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("pri"),
+      col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+    val full = o.groupBy(col("pri")).agg(count(lit(1)).as("n_orders"),
+      expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)")
+        .as("mean_c"))
+    val u = Text.portableHash(concat(col("o_orderkey").cast("string"),
+      lit("#"), col("r").cast("string"))) % lit(1000000L)
+    val w = PoisT.map(t => when(col("u") >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = o
+      .select(col("pri"), col("o_orderkey"), col("c"),
+        explode(expr(s"sequence(0, ${BootReps - 1})")).as("r"))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy(col("pri"), col("r"))
+      .agg(expr("""CAST(SUM(CAST(w * c AS DECIMAL(38,0)))
+                  | DIV NULLIF(SUM(w), 0) AS BIGINT)""".stripMargin)
+        .as("rep_mean_c"))
+    val rw = Window.partitionBy(col("pri"))
+      .orderBy(col("rep_mean_c"), col("r"))
+    val ci = reps.withColumn("rk", row_number().over(rw))
+      .groupBy(col("pri"))
+      .agg(max(when(col("rk") === 2, col("rep_mean_c"))).as("boot_lo_c"),
+        max(when(col("rk") === BootReps - 1, col("rep_mean_c")))
+          .as("boot_hi_c"))
+    full.join(ci, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n_orders"),
+        col("mean_c"), col("boot_lo_c"), col("boot_hi_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q252Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+       |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+       |  FROM orders),
+       |full_s AS (
+       |  SELECT pri, COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(c AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_c
+       |  FROM o GROUP BY pri),
+       |rep AS (
+       |  SELECT pri, c, r,
+       |    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || '#' ||
+       |      CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+       |  FROM o CROSS JOIN (SELECT unnest(range(${BootReps})) AS r) reps),
+       |wtd AS (
+       |  SELECT pri, r, c,
+       |    CASE WHEN u < ${PoisT(0)} THEN 0 WHEN u < ${PoisT(1)} THEN 1
+       |         WHEN u < ${PoisT(2)} THEN 2 WHEN u < ${PoisT(3)} THEN 3
+       |         WHEN u < ${PoisT(4)} THEN 4 WHEN u < ${PoisT(5)} THEN 5
+       |         WHEN u < ${PoisT(6)} THEN 6 ELSE 7 END AS w
+       |  FROM rep),
+       |rm AS (
+       |  SELECT pri, r,
+       |    CAST(SUM(CAST(w*c AS HUGEINT)) // NULLIF(SUM(w), 0) AS BIGINT)
+       |      AS rep_mean_c
+       |  FROM wtd GROUP BY pri, r),
+       |rk AS (
+       |  SELECT pri, rep_mean_c,
+       |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY rep_mean_c, r) AS rk
+       |  FROM rm)
+       |SELECT full_s.pri AS o_orderpriority, n_orders, mean_c,
+       |  MAX(CASE WHEN rk = 2 THEN rep_mean_c END) AS boot_lo_c,
+       |  MAX(CASE WHEN rk = ${BootReps - 1} THEN rep_mean_c END) AS boot_hi_c
+       |FROM full_s JOIN rk USING (pri)
+       |GROUP BY full_s.pri, n_orders, mean_c
+       |ORDER BY 1""".stripMargin
+
+  // ----------------------------- q255: l-diversity detail report
+
+  /** q255: per-group l-diversity detail — the drill-down behind q181's
+    * k-anonymity summary (Machanavajjhala et al., "l-Diversity: Privacy
+    * Beyond k-Anonymity", 2006). For every quasi-identifier group
+    * (nation × balance band) over the sensitive market segment: group size
+    * k, distinct-l, the dominant sensitive value's count and e6 share, the
+    * recursive disclosure ratio top/(k−top) (worst-case posterior odds an
+    * adversary gains from group membership), and a pass flag for
+    * distinct-3 + recursive (2,l) diversity (top < 2·rest). Every ratio is
+    * a truncating integer division of nonnegative counts — bit-exact across
+    * engines.
+    *
+    * Plan: two stacked hash aggregations, both keyed on the QI prefix, so
+    * the second is a near-local fold of the first; detail rows = |QI groups|
+    * — bounded by the QI domain, not the corpus, at any scale.
+    */
+  val q255LDiversity: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        expr("(CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) div 100000")
+          .as("bal_band"),
+        col("c_mktsegment"))
+    c.groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_sv"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("n_sv")).as("k"), count(lit(1)).as("l"),
+        max(col("n_sv")).as("top_n"))
+      .select(col("c_nationkey"), col("bal_band"), col("k"), col("l"),
+        col("top_n"),
+        expr("CAST(top_n * 1000000 DIV k AS BIGINT)").as("top_share_e6"),
+        expr("""CASE WHEN k > top_n
+                | THEN CAST(top_n * 1000000 DIV (k - top_n) AS BIGINT)
+                | END""".stripMargin).as("rec_ratio_e6"),
+        when(col("l") >= 3 &&
+            col("top_n") < (col("k") - col("top_n")) * 2, 1L)
+          .otherwise(0L).as("div_ok"))
+      .orderBy(col("c_nationkey"), col("bal_band"))
+  }
+
+  val q255Sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey,
+      |    (CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) // 100000 AS bal_band,
+      |    c_mktsegment
+      |  FROM customer),
+      |cell AS (
+      |  SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS n_sv
+      |  FROM c GROUP BY 1, 2, 3),
+      |grp AS (
+      |  SELECT c_nationkey, bal_band, SUM(n_sv) AS k, COUNT(*) AS l,
+      |    MAX(n_sv) AS top_n
+      |  FROM cell GROUP BY 1, 2)
+      |SELECT c_nationkey, bal_band, CAST(k AS BIGINT) AS k, l,
+      |  CAST(top_n AS BIGINT) AS top_n,
+      |  CAST(top_n * 1000000 // k AS BIGINT) AS top_share_e6,
+      |  CASE WHEN k > top_n
+      |    THEN CAST(top_n * 1000000 // (k - top_n) AS BIGINT) END
+      |    AS rec_ratio_e6,
+      |  CASE WHEN l >= 3 AND top_n < (k - top_n) * 2
+      |    THEN 1 ELSE 0 END AS div_ok
+      |FROM grp
+      |ORDER BY c_nationkey, bal_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q252_poisson_bootstrap" -> q252PoissonBootstrap,
+    "q255_l_diversity" -> q255LDiversity,
     "q248_like_for_like" -> q248LikeForLike,
     "q246_lorenz_curve" -> q246LorenzCurve,
     "q244_robust_means" -> q244RobustMeans,
@@ -3657,6 +3826,8 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q252_poisson_bootstrap" -> q252Sql,
+    "q255_l_diversity" -> q255Sql,
     "q248_like_for_like" -> q248Sql,
     "q246_lorenz_curve" -> q246Sql,
     "q244_robust_means" -> q244Sql,

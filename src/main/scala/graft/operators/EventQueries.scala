@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TSql._
+import graft.functions.Text
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -3356,7 +3357,259 @@ object EventQueries {
       |FROM daily JOIN weekly ON day // 7 = wk
       |ORDER BY day""".stripMargin
 
+  // ------------------------- q253: Markov removal-effect attribution
+
+  /** Fixed DP iteration count — identical on both engines, so the e6
+    * integer fixed-point is bit-equal regardless of convergence rate.
+    */
+  private val DpIters = 24
+
+  /** q253: Markov removal-effect attribution (Anderl et al., "Mapping the
+    * Customer Journey", 2016) — the data-driven sibling of q128's
+    * positional and q166's U-shape rules. User journeys (events up to and
+    * including the FIRST purchase; whole history for non-converters) feed a
+    * first-order Markov chain over channel states with absorbing `conv` /
+    * `null`; a channel's removal effect is how much the chain's start→conv
+    * absorption probability drops when that channel is short-circuited to
+    * `null`, and attribution shares normalize the removal effects.
+    *
+    * Absorption probabilities are an exact e6 integer dynamic program:
+    * x_{k+1}(s) = Σ_t cnt(s,t)·v_k(t) DIV n(s) over [[DpIters]] fixed
+    * iterations (all operands nonnegative, so truncation = floor on both
+    * engines); the oracle unrolls the identical iteration as chained CTEs.
+    * Removal monotonicity (p_removed ≤ p_full, elementwise induction over
+    * the monotone truncated map) keeps every division nonnegative.
+    *
+    * Plan shape: the corpus-scale work is ONE windowed pass over events
+    * (journey cut + lead) into a ≤(|states|+1)² transition matrix; like the
+    * IVF centroids, that matrix is control-plane metadata — collected to
+    * the driver, solved there in exact Long arithmetic, and returned as a
+    * literal frame. At 100 TB the event pass is the only distributed stage.
+    */
+  val q253RemovalEffect: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val rn = e.select(col("user_id"),
+      when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")).as("st"),
+      row_number().over(w).as("rn"))
+    val fp = rn.filter(col("st") === "conv")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fp_rn"))
+    val kept = rn.join(fp, Seq("user_id"), "left")
+      .filter(col("fp_rn").isNull || col("rn") <= col("fp_rn"))
+    val kw = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val steps = kept.withColumn("nxt", lead(col("st"), 1).over(kw))
+      .filter(col("st") =!= "conv")
+      .select(col("st").as("from_s"), coalesce(col("nxt"), lit("null")).as("to_s"))
+    val starts = kept.filter(col("rn") === 1)
+      .select(lit("start").as("from_s"), col("st").as("to_s"))
+    val trans = starts.union(steps).groupBy(col("from_s"), col("to_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val nTot = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val states = nTot.keys.toSeq.sorted
+    val channels = states.filter(_ != "start")
+    def absorb(removed: Option[String]): Long = {
+      var x = states.map(_ -> 0L).toMap
+      for (_ <- 1 to DpIters) {
+        x = states.map { st =>
+          if (removed.contains(st)) st -> 0L
+          else {
+            // BigInt accumulation: cnt·1e6 products at corpus-scale counts
+            // exceed int64 (the oracle's HUGEINT does the same widening)
+            val num = trans.collect { case ((f, t), n) if f == st =>
+              val v = t match {
+                case "conv" => 1000000L
+                case "null" => 0L
+                case tt if removed.contains(tt) => 0L
+                case tt => x.getOrElse(tt, 0L)
+              }
+              BigInt(n) * v
+            }.sum
+            st -> (num / nTot(st)).toLong
+          }
+        }.toMap
+      }
+      x("start")
+    }
+    val pFull = absorb(None)
+    val rows = channels.map { c =>
+      val pRm = absorb(Some(c))
+      (c, pFull, pRm, 1000000L - pRm * 1000000L / pFull)
+    }
+    val reTotal = rows.map(_._4).sum
+    val out = rows.map { case (c, pf, pr, re) =>
+      (c, pf, pr, re,
+        if (reTotal > 0) Some(re * 1000000L / reTotal) else None)
+    }
+    import s.implicits._
+    out.toDF("channel", "p_full_e6", "p_removed_e6", "removal_effect_e6",
+        "attr_share_e6")
+      .orderBy(col("channel"))
+  }
+
+  /** The oracle unrolls the identical e6 DP as [[DpIters]] chained CTEs —
+    * pure SQL, no data-dependent constants. Each iteration is MATERIALIZED:
+    * without the hint DuckDB re-inlines the 24-deep CTE chain during
+    * optimization and planning time explodes.
+    */
+  val q253Sql: String = {
+    val iters = (1 to DpIters).map { k =>
+      s"""x$k AS MATERIALIZED (
+         |  SELECT r.rm, t.from_s AS s,
+         |    CASE WHEN t.from_s = r.rm THEN CAST(0 AS BIGINT) ELSE
+         |      CAST(SUM(t.cnt * (CASE WHEN t.to_s = 'conv' THEN 1000000
+         |        WHEN t.to_s = 'null' OR t.to_s = r.rm THEN 0
+         |        ELSE COALESCE(p.x, 0) END)) // MAX(tn.n) AS BIGINT) END AS x
+         |  FROM rmv r
+         |  CROSS JOIN tc t
+         |  JOIN tn ON tn.from_s = t.from_s
+         |  LEFT JOIN x${k - 1} p ON p.rm = r.rm AND p.s = t.to_s
+         |  GROUP BY r.rm, t.from_s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS st,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, MIN(rn) AS fp_rn FROM ev WHERE st = 'conv'
+       |  GROUP BY user_id),
+       |kept AS (
+       |  SELECT ev.user_id, ev.st, ev.rn FROM ev LEFT JOIN fp USING (user_id)
+       |  WHERE fp.fp_rn IS NULL OR ev.rn <= fp.fp_rn),
+       |step AS (
+       |  SELECT user_id, st, rn,
+       |    LEAD(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+       |  FROM kept),
+       |trans AS (
+       |  SELECT 'start' AS from_s, st AS to_s FROM kept WHERE rn = 1
+       |  UNION ALL
+       |  SELECT st, COALESCE(nxt, 'null') FROM step WHERE st <> 'conv'),
+       |tc AS (SELECT from_s, to_s, COUNT(*) AS cnt FROM trans GROUP BY 1, 2),
+       |tn AS (SELECT from_s, SUM(cnt) AS n FROM tc GROUP BY 1),
+       |rmv AS (SELECT '<none>' AS rm UNION ALL
+       |  SELECT DISTINCT from_s FROM tc WHERE from_s <> 'start'),
+       |x0 AS (SELECT rm, from_s AS s, CAST(0 AS BIGINT) AS x
+       |  FROM rmv CROSS JOIN (SELECT DISTINCT from_s FROM tc) st),
+       |$iters,
+       |pf AS (SELECT x AS p_full FROM x$DpIters
+       |  WHERE rm = '<none>' AND s = 'start'),
+       |re AS (
+       |  SELECT rm AS channel, p_full, x AS p_removed,
+       |    1000000 - CAST(CAST(x AS HUGEINT) * 1000000 // p_full AS BIGINT)
+       |      AS re_e6
+       |  FROM x$DpIters CROSS JOIN pf
+       |  WHERE rm <> '<none>' AND s = 'start'),
+       |tot AS (SELECT SUM(re_e6) AS t FROM re)
+       |SELECT channel, p_full AS p_full_e6, p_removed AS p_removed_e6,
+       |  re_e6 AS removal_effect_e6,
+       |  CAST(CAST(re_e6 AS HUGEINT) * 1000000 // NULLIF(t, 0) AS BIGINT)
+       |    AS attr_share_e6
+       |FROM re CROSS JOIN tot
+       |ORDER BY channel""".stripMargin
+  }
+
+  // ------------------------- q254: Qini uplift curve
+
+  /** 50/50 split boundary over the 60-bit portable-hash space. */
+  private val HalfHash = (1L << 60) / 2
+
+  /** q254: Qini curve — the uplift-measurement harness (Radcliffe, "Using
+    * Control Groups to Target on Predicted Lift", 2007) that closes the
+    * A/B family (q127 z-test, q203 CUPED, q243 SRM): users split 50/50 by
+    * deterministic hash (q67's reproducible-assignment principle), ranked
+    * by a targeting score (pre-conversion engagement — stand-in for a
+    * frozen model score), cut into score deciles, and each cumulative
+    * prefix reports incremental conversions vs the control baseline
+    * Qini(k) = cumT_conv − cumC_conv·cumT/cumC, plus the rate-difference
+    * uplift. All counts are exact integers; the two e6 divisions are
+    * truncating on nonnegatives before an exact subtraction (the
+    * sign-factored rule), so the curve is bit-identical across engines.
+    *
+    * Plan: one event pass to user grain, one |users| rollup to deciles
+    * (NTILE over the user rollup — at 100 TB the decile assignment runs
+    * from q91-style sketch quantile boundaries exactly like q174's RFM
+    * bands), and the cumulative window runs over 10 rows.
+    */
+  val q254QiniUplift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+    val users = e.groupBy(col("user_id")).agg(
+      sum(when(col("event_type").isin("view", "click"), 1L).otherwise(0L))
+        .as("score"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    val armed = users.withColumn("treated",
+      when(Text.portableHash(col("user_id").cast("string")) < HalfHash, 1L)
+        .otherwise(0L))
+    val dec = armed.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+    val byDec = dec.groupBy(col("decile")).agg(
+      sum(col("treated")).as("n_t"),
+      sum(lit(1L) - col("treated")).as("n_c"),
+      sum(col("treated") * col("conv")).as("conv_t"),
+      sum((lit(1L) - col("treated")) * col("conv")).as("conv_c"))
+    val cw = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        sum(col("n_t")).over(cw).as("cum_nt"),
+        sum(col("n_c")).over(cw).as("cum_nc"),
+        sum(col("conv_t")).over(cw).as("cum_ct"),
+        sum(col("conv_c")).over(cw).as("cum_cc"))
+      .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        col("cum_nt"), col("cum_nc"), col("cum_ct"), col("cum_cc"),
+        // cum_cc·1e6·cum_nt squares corpus-scale counts — DECIMAL(38,0)
+        // per the q01 convention (DuckDB's window SUM is HUGEINT already)
+        expr("""CAST(CAST(cum_ct AS DECIMAL(38,0)) * 1000000
+               | - CAST(cum_cc AS DECIMAL(38,0)) * 1000000 * cum_nt
+               |   DIV NULLIF(cum_nc, 0) AS BIGINT)""".stripMargin)
+          .as("qini_e6"),
+        (expr("CAST(CAST(cum_ct AS DECIMAL(38,0)) * 1000000 DIV NULLIF(cum_nt, 0) AS BIGINT)") -
+          expr("CAST(CAST(cum_cc AS DECIMAL(38,0)) * 1000000 DIV NULLIF(cum_nc, 0) AS BIGINT)"))
+          .as("uplift_rate_e6"))
+      .orderBy(col("decile"))
+  }
+
+  val q254Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+       |      AS score,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |armed AS (
+       |  SELECT *, CASE WHEN CAST(concat('0x',
+       |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      < $HalfHash THEN 1 ELSE 0 END AS treated,
+       |    NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+       |  FROM u),
+       |d AS (
+       |  SELECT decile, SUM(treated) AS n_t, SUM(1 - treated) AS n_c,
+       |    SUM(treated * conv) AS conv_t, SUM((1 - treated) * conv) AS conv_c
+       |  FROM armed GROUP BY decile),
+       |c AS (
+       |  SELECT *,
+       |    SUM(n_t) OVER w AS cum_nt, SUM(n_c) OVER w AS cum_nc,
+       |    SUM(conv_t) OVER w AS cum_ct, SUM(conv_c) OVER w AS cum_cc
+       |  FROM d WINDOW w AS (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT decile, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       |  CAST(conv_t AS BIGINT) AS conv_t, CAST(conv_c AS BIGINT) AS conv_c,
+       |  CAST(cum_nt AS BIGINT) AS cum_nt, CAST(cum_nc AS BIGINT) AS cum_nc,
+       |  CAST(cum_ct AS BIGINT) AS cum_ct, CAST(cum_cc AS BIGINT) AS cum_cc,
+       |  CAST(cum_ct * 1000000 - cum_cc * 1000000 * cum_nt
+       |    // NULLIF(cum_nc, 0) AS BIGINT) AS qini_e6,
+       |  CAST(cum_ct * 1000000 // NULLIF(cum_nt, 0)
+       |    - cum_cc * 1000000 // NULLIF(cum_nc, 0) AS BIGINT)
+       |    AS uplift_rate_e6
+       |FROM c ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q253_removal_effect" -> q253RemovalEffect,
+    "q254_qini_uplift" -> q254QiniUplift,
     "q230_bitmap_distinct" -> q230BitmapDistinct,
     "q243_srm_audit" -> q243SrmAudit,
     "q231_asof_merge" -> q231AsOfMerge,
@@ -3416,6 +3669,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q253_removal_effect" -> q253Sql,
+    "q254_qini_uplift" -> q254Sql,
     "q230_bitmap_distinct" -> q230Sql,
     "q243_srm_audit" -> q243Sql,
     // the custom-exec formulation returns exactly the window formulation's

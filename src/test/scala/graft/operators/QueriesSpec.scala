@@ -1444,6 +1444,60 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("week_users") >= r.getAs[Long]("day_users"))
     }
   }
+
+  test("q252 bootstrap interval is ordered and brackets the sample mean") {
+    val rows = CoreQueries.q252PoissonBootstrap(spark, sfDir).collect()
+    assert(rows.length === 5) // one row per order priority
+    rows.foreach { r =>
+      val (lo, mean, hi) = (r.getAs[Long]("boot_lo_c"),
+        r.getAs[Long]("mean_c"), r.getAs[Long]("boot_hi_c"))
+      assert(lo <= hi)
+      // 46/48 inner replicate means straddle the point estimate at n≈600+
+      assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] misses mean $mean")
+    }
+  }
+
+  test("q253 removal effects are monotone and shares normalize") {
+    val rows = EventQueries.q253RemovalEffect(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ===
+      Seq("click", "error", "signup", "view"))
+    val shares = rows.map(_.getAs[Long]("attr_share_e6"))
+    rows.foreach { r =>
+      // removing a channel can only destroy converting paths
+      assert(r.getAs[Long]("p_removed_e6") <= r.getAs[Long]("p_full_e6"))
+      assert(r.getAs[Long]("removal_effect_e6") >= 0L)
+    }
+    // floor division loses < 1 ppm per channel
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length)
+  }
+
+  test("q254 qini curve accounts for every user and ends at the overall lift") {
+    val rows = EventQueries.q254QiniUplift(spark, sfDir)
+      .orderBy(col("decile")).collect()
+    assert(rows.length === 10)
+    val last = rows.last
+    val users = graft.Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(last.getAs[Long]("cum_nt") + last.getAs[Long]("cum_nc") === users)
+    // cumulative counts are nondecreasing in the decile order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("cum_nt") >= a.getAs[Long]("cum_nt"))
+      assert(b.getAs[Long]("cum_ct") >= a.getAs[Long]("cum_ct"))
+    }
+  }
+
+  test("q255 group identities hold and rows reconcile with the customer count") {
+    val rows = CoreQueries.q255LDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, l, top) = (r.getAs[Long]("k"), r.getAs[Long]("l"),
+        r.getAs[Long]("top_n"))
+      assert(top >= 1L && top <= k && l >= 1L && l * top >= k)
+      assert(r.getAs[Long]("top_share_e6") >= 1000000L / l)
+    }
+    val total = graft.Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("k")).sum === total)
+  }
 }
 
 /** Pulls q126's long-format profile into a keyed map for assertions. */
