@@ -270,4 +270,42 @@ object TSql {
       floor(a / lit(100)).cast("long").cast("string"), lit("."),
       lpad((a % 100).cast("string"), 2, "0"))
   }
+
+  /** American-soundex letter classes, A→Z (vowels + H/W/Y code 0). */
+  private val SoundexCodes = "01230120022455012623010202"
+
+  /** SOUNDEX-class phonetic key — the T-SQL SOUNDEX/DIFFERENCE surface
+    * (reference: the monitoring toolkit targets a T-SQL engine whose string
+    * family includes SOUNDEX; SURVEY.md §2.8). This is the engine-PORTABLE
+    * variant: standard soundex letter classes, adjacent-duplicate collapse,
+    * zero-drop, LETTER + 3 digits zero-padded — everything built from
+    * translate + positional array ops, because the collapse step cannot use
+    * backreference regex (DuckDB's RE2 has none) and Spark's builtin
+    * `soundex` applies the H/W-transparency rule no other engine's SQL can
+    * cheaply reproduce. Stays fully inside codegen (split/filter/transform
+    * HOFs, no UDF).
+    */
+  def phoneticKey(word: Column): Column = {
+    val w = upper(regexp_replace(word, "[^A-Za-z]", ""))
+    val d = translate(w, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", SoundexCodes)
+    val ds = split(d, "")
+    val n = size(ds)
+    // positions 2..n whose class differs from the previous position's
+    val kept = when(n >= 2,
+      filter(sequence(lit(2), n),
+        i => element_at(ds, i) =!= element_at(ds, i - 1)))
+      .otherwise(array().cast("array<int>"))
+    val tail = array_join(transform(kept, i => element_at(ds, i)), "")
+    concat(substring(w, 1, 1),
+      rpad(substring(regexp_replace(tail, "0", ""), 1, 3), 3, "0"))
+  }
+
+  /** T-SQL DIFFERENCE over two [[phoneticKey]]s: the count of positions
+    * (1..4) where the keys agree — 4 = phonetically identical, 0 = nothing
+    * shared.
+    */
+  def phoneticDifference(k1: Column, k2: Column): Column =
+    (1 to 4).map { i =>
+      when(substring(k1, i, 1) === substring(k2, i, 1), 1L).otherwise(0L)
+    }.reduce(_ + _)
 }

@@ -3737,7 +3737,62 @@ object CoreQueries {
       |FROM grp
       |ORDER BY c_nationkey, bal_band""".stripMargin
 
+  // ----------------------------- q258: dormant-capital report (TPC-H Q22 shape)
+
+  /** q258: the TPC-H Q22 "global sales opportunity" shape (scalar-subquery
+    * threshold + NOT EXISTS anti-join + rollup), completing the q235–q237
+    * subquery-shape panel: customers with above-average positive balances
+    * and NO orders in the trailing window (cutoff 2000-01-01 — Q22's
+    * "7 years" adapted to this corpus' date range), rolled up per nation.
+    * The average comparison never divides — `bal·n > Σbal` cross-multiplies
+    * the exact cents so the threshold predicate is pure int64 arithmetic (a
+    * float mean would make boundary customers engine-dependent); the
+    * count/sum pair rides one broadcast scalar. Plan: scalar agg broadcast
+    * to the customer scan, anti-join against the date-pruned orders key
+    * projection (the date filter reaches the parquet scan; Bloom-prunable
+    * at scale), one |nations| rollup.
+    */
+  val q258DormantCapital: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val thr = c.filter(col("bal_c") > 0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("bal_c").cast("decimal(38,0)")).as("sum_pos"))
+    val rich = c.crossJoin(broadcast(thr))
+      .filter(col("bal_c").cast("decimal(38,0)") * col("n_pos") > col("sum_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val dormant = rich.join(recent,
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    dormant.join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy(col("n_name"))
+  }
+
+  val q258Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |thr AS (
+      |  SELECT COUNT(*) AS n_pos, SUM(CAST(bal_c AS HUGEINT)) AS sum_pos
+      |  FROM c WHERE bal_c > 0)
+      |SELECT n_name, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(bal_c AS HUGEINT)) AS BIGINT) AS totacctbal_c
+      |FROM c CROSS JOIN thr
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(bal_c AS HUGEINT) * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q258_dormant_capital" -> q258DormantCapital,
     "q252_poisson_bootstrap" -> q252PoissonBootstrap,
     "q255_l_diversity" -> q255LDiversity,
     "q248_like_for_like" -> q248LikeForLike,
@@ -3826,6 +3881,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q258_dormant_capital" -> q258Sql,
     "q252_poisson_bootstrap" -> q252Sql,
     "q255_l_diversity" -> q255Sql,
     "q248_like_for_like" -> q248Sql,

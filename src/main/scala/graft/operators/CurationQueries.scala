@@ -1635,7 +1635,86 @@ object CurationQueries {
       |FROM sc
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------- q257: content-defined chunk deduplication
+
+  /** q257: content-defined chunking dedup — the storage-dedup construction
+    * (Muthitacharoen et al., LBFS SOSP 2001) next to q84's FIXED segments:
+    * chunk boundaries are declared wherever a token's hash falls in a 1/8
+    * band of the hash space, so boundaries are a pure function of CONTENT —
+    * an insertion resynchronizes after one chunk instead of shifting every
+    * downstream segment the way fixed-width splitting does. Chunk identity
+    * is an order-sensitive exact signature (Σ position·hash-low-bits — int64
+    * by construction at any chunk length), and the report ranks the most
+    * duplicated chunks with corpus totals attached.
+    *
+    * Plan: one token pass (posexplode stays codegen), two windows over the
+    * same (doc, pos) sort — Spark reuses one shuffle+sort for both — then a
+    * signature rollup whose key space is |distinct chunks|; the top-10 has
+    * a total order (occurrences desc, sig, len). At 100 TB the boundary
+    * draw uses HashMode.Fast exactly like the fingerprint twins.
+    */
+  val q257CdcChunks: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("th", Text.portableHash(col("tok")))
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ch = toks
+      .withColumn("bnd",
+        when(col("pos") === 0 || col("th") % 64 < 8, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("bnd")).over(dw))
+    val cw = Window.partitionBy(col("doc_id"), col("chunk")).orderBy(col("pos"))
+    val sigs = ch.withColumn("rn", row_number().over(cw))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("len"),
+        sum(col("rn") * (col("th") % 1048576)).as("sig"))
+    val byChunk = sigs.groupBy(col("sig"), col("len"))
+      .agg(count(lit(1)).as("occurrences"))
+    val summary = byChunk.agg(sum(col("occurrences")).as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"))
+      .select(col("total_chunks"), col("distinct_chunks"),
+        expr("""CAST((total_chunks - distinct_chunks) * 1000000
+               | DIV total_chunks AS BIGINT)""".stripMargin)
+          .as("dup_rate_e6"))
+    byChunk.orderBy(col("occurrences").desc, col("sig"), col("len"))
+      .limit(10)
+      .crossJoin(broadcast(summary))
+  }
+
+  val q257Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CAST(concat('0x', substr(md5(t[i]), 1, 15)) AS BIGINT) AS th
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t))) AS u(i)),
+      |ch AS (
+      |  SELECT doc_id, pos, th,
+      |    SUM(CASE WHEN pos = 0 OR th % 64 < 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      |  FROM tok),
+      |r AS (
+      |  SELECT doc_id, chunk, th,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+      |  FROM ch),
+      |sg AS (
+      |  SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS len,
+      |    CAST(SUM(rn * (th % 1048576)) AS BIGINT) AS sig
+      |  FROM r GROUP BY doc_id, chunk),
+      |byc AS (
+      |  SELECT sig, len, CAST(COUNT(*) AS BIGINT) AS occurrences
+      |  FROM sg GROUP BY sig, len),
+      |summ AS (
+      |  SELECT CAST(SUM(occurrences) AS BIGINT) AS total_chunks,
+      |    CAST(COUNT(*) AS BIGINT) AS distinct_chunks
+      |  FROM byc)
+      |SELECT sig, len, occurrences, total_chunks, distinct_chunks,
+      |  CAST((total_chunks - distinct_chunks) * 1000000 // total_chunks
+      |    AS BIGINT) AS dup_rate_e6
+      |FROM byc CROSS JOIN summ
+      |ORDER BY occurrences DESC, sig, len LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q257_cdc_chunks" -> q257CdcChunks,
     "q223_readability" -> q223Readability,
     "q226_calibration" -> q226Calibration,
     "q241_oov_audit" -> q241OovAudit,
@@ -1661,6 +1740,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q257_cdc_chunks" -> q257Sql,
     "q223_readability" -> q223Sql,
     "q226_calibration" -> q226Sql,
     "q241_oov_audit" -> q241Sql,

@@ -554,7 +554,64 @@ object FunctionQueries {
       |    ELSE mx END AS max_repr
       |FROM agg""".stripMargin
 
+  // ------------------------- q256: phonetic blocking (SOUNDEX surface)
+
+  /** q256: phonetic blocking audit — the SOUNDEX/DIFFERENCE member of the
+    * entity-resolution family (q92 edit-distance match, q142 sorted
+    * neighborhood): part names block by the portable phonetic key of their
+    * first word ([[TSql.phoneticKey]] — the T-SQL SOUNDEX-class function,
+    * built engine-portably since the collapse step can't use backreference
+    * regex). Per block: member/word counts, the lexical extremes, and the
+    * candidate-pair budget the blocker admits (n_words choose 2 — the
+    * number every downstream verifier must bound, pattern #1 in
+    * docs/SCALE.md). Keys are computed in one codegen-friendly map pass;
+    * the rollup shuffles once on the key; block detail rows are bounded by
+    * the phonetic key space (≤ 26·7³), never the corpus.
+    */
+  val q256PhoneticBlocking: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+      .select(upper(regexp_replace(split(col("p_name"), " ").getItem(0),
+        "[^A-Za-z]", "")).as("w"))
+    p.withColumn("pkey", TSql.phoneticKey(col("w")))
+      .groupBy(col("pkey"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("w")).as("n_words"),
+        min(col("w")).as("word_lo"), max(col("w")).as("word_hi"))
+      .select(col("pkey"), col("n_parts"), col("n_words"), col("word_lo"),
+        col("word_hi"),
+        expr("n_words * (n_words - 1) DIV 2").as("block_pairs"))
+      .orderBy(col("pkey"))
+  }
+
+  val q256Sql: String =
+    """WITH words AS (
+      |  SELECT upper(regexp_replace(string_split(p_name, ' ')[1],
+      |    '[^A-Za-z]', '', 'g')) AS w
+      |  FROM part),
+      |dw AS (SELECT DISTINCT w, translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |    '01230120022455012623010202') AS ds
+      |  FROM words),
+      |collapsed AS (
+      |  SELECT w, ds,
+      |    COALESCE(string_agg(CASE WHEN substr(ds, i, 1) <> substr(ds, i-1, 1)
+      |      THEN substr(ds, i, 1) END, '' ORDER BY i), '') AS tail
+      |  FROM dw, UNNEST(GENERATE_SERIES(2, LEN(ds))) AS u(i)
+      |  GROUP BY w, ds),
+      |keyed AS (
+      |  SELECT dw.w,
+      |    substr(dw.w, 1, 1) ||
+      |      rpad(substr(replace(COALESCE(c.tail, ''), '0', ''), 1, 3), 3, '0')
+      |      AS pkey
+      |  FROM dw LEFT JOIN collapsed c ON dw.w = c.w AND dw.ds = c.ds)
+      |SELECT pkey, COUNT(*) AS n_parts, COUNT(DISTINCT keyed.w) AS n_words,
+      |  MIN(keyed.w) AS word_lo, MAX(keyed.w) AS word_hi,
+      |  COUNT(DISTINCT keyed.w) * (COUNT(DISTINCT keyed.w) - 1) // 2
+      |    AS block_pairs
+      |FROM words JOIN keyed ON words.w = keyed.w
+      |GROUP BY pkey ORDER BY pkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q256_phonetic_blocking" -> q256PhoneticBlocking,
     "q126_column_profile" -> q126ColumnProfile,
     "q92_fuzzy_match" -> q92FuzzyMatch,
     "q142_sorted_neighborhood" -> q142SortedNeighborhood,
@@ -570,6 +627,7 @@ object FunctionQueries {
     "q46_predicates" -> q46Predicates)
 
   val oracles: Map[String, String] = Map(
+    "q256_phonetic_blocking" -> q256Sql,
     "q126_column_profile" -> q126Sql,
     "q92_fuzzy_match" -> q92Sql,
     "q142_sorted_neighborhood" -> q142Sql,

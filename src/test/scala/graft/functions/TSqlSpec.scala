@@ -128,4 +128,26 @@ class TSqlSpec extends SparkSpec {
     val sat = lit("2024-01-06 00:00:00").cast("timestamp")
     assert(one(TSql.datepart("weekday", sat)) === 7)
   }
+
+  test("phoneticKey matches classic soundex (minus the H/W-transparency rule)") {
+    assert(one(TSql.phoneticKey(lit("Robert"))) === "R163")
+    assert(one(TSql.phoneticKey(lit("Rupert"))) === "R163")
+    assert(one(TSql.phoneticKey(lit("Tymczak"))) === "T522")
+    // classic-with-H/W gives A261; the portable variant keeps S,C split
+    assert(one(TSql.phoneticKey(lit("Ashcraft"))) === "A226")
+    assert(one(TSql.phoneticKey(lit("Pfister"))) === "P236")
+    // short names zero-pad; non-letters strip before coding
+    assert(one(TSql.phoneticKey(lit("Lee"))) === "L000")
+    assert(one(TSql.phoneticKey(lit("O'Brien"))) === "O165")
+    assert(one(TSql.phoneticKey(lit("A"))) === "A000")
+  }
+
+  test("phoneticDifference counts agreeing key positions") {
+    def diff(a: String, b: String) =
+      one(TSql.phoneticDifference(TSql.phoneticKey(lit(a)),
+        TSql.phoneticKey(lit(b))))
+    assert(diff("Robert", "Rupert") === 4L)
+    assert(diff("Robert", "Robertson") === 4L) // both truncate to R163
+    assert(diff("Green", "Blotchet") === 0L) // G650 vs B432
+  }
 }

@@ -1498,6 +1498,33 @@ class QueriesSpec extends SparkSpec {
     val total = graft.Tables.customer(spark, sfDir).count()
     assert(rows.map(_.getAs[Long]("k")).sum === total)
   }
+
+  test("q256 blocks partition the parts and keys are letter+3digits") {
+    val rows = FunctionQueries.q256PhoneticBlocking(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pkey").matches("[A-Z][0-9]{3}"))
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_parts"))
+      val nw = r.getAs[Long]("n_words")
+      assert(r.getAs[Long]("block_pairs") === nw * (nw - 1) / 2)
+    }
+    assert(rows.map(_.getAs[Long]("n_parts")).sum ===
+      graft.Tables.part(spark, sfDir).count())
+  }
+
+  test("q257 top duplicated chunks carry consistent corpus totals") {
+    val rows = CurationQueries.q257CdcChunks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val occ = rows.map(_.getAs[Long]("occurrences"))
+    assert(occ.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // the corpus carries exact duplicate docs, so some chunk repeats
+    assert(occ.head >= 2L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_chunks") >= r.getAs[Long]("distinct_chunks"))
+      assert(r.getAs[Long]("dup_rate_e6") >= 0L)
+      assert(r.getAs[Long]("len") >= 1L)
+    }
+  }
 }
 
 /** Pulls q126's long-format profile into a keyed map for assertions. */
