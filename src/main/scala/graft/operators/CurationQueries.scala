@@ -1667,8 +1667,12 @@ object CurationQueries {
       .groupBy(col("doc_id"), col("chunk"))
       .agg(count(lit(1)).as("len"),
         sum(col("rn") * (col("th") % 1048576)).as("sig"))
+    // the chunk rollup feeds BOTH the top-10 and the corpus totals —
+    // localCheckpoint (docs/SCALE.md #3) so lineage can't replay the
+    // token pass per branch
     val byChunk = sigs.groupBy(col("sig"), col("len"))
       .agg(count(lit(1)).as("occurrences"))
+      .localCheckpoint()
     val summary = byChunk.agg(sum(col("occurrences")).as("total_chunks"),
       count(lit(1)).as("distinct_chunks"))
       .select(col("total_chunks"), col("distinct_chunks"),

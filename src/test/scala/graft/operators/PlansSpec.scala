@@ -388,4 +388,54 @@ class PlansSpec extends SparkSpec {
     assert(!bm.toLowerCase.contains("parquet"),
       "no grain may rescan the event corpus")
   }
+
+  test("q252: replicate expansion is one Generate; replicate means combine map-side") {
+    val p = plan("q252_poisson_bootstrap")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"exactly one R-fold explode:\n$p")
+    assert(p.contains("partial_sum"), "replicate sums must map-side combine")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q253: the attribution result is control-plane metadata (literal frame)") {
+    val p = plan("q253_removal_effect")
+    // the event pass ran eagerly into the driver DP; the returned frame is
+    // a literal — no distributed stage replays per consumer
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q254: uplift curve is windows over rollups — no join, no cartesian") {
+    val p = plan("q254_qini_uplift")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), "user rollup must map-side combine")
+  }
+
+  test("q256/q255: blocking and diversity run as stacked aggregates, no UDF") {
+    val p6 = plan("q256_phonetic_blocking")
+    // phonetic keys are pure Catalyst HOFs — no Python/Scala UDF seam
+    assert(!p6.contains("BatchEvalPython") && !p6.contains("UDF"), p6)
+    assert(p6.contains("partial_count"), p6)
+    val p5 = plan("q255_l_diversity")
+    // second-level group keys prefix the first's, so the QI shuffle is reused
+    assert("hashpartitioning".r.findAllIn(p5).size <= 2, p5)
+  }
+
+  test("q257: chunk windows and chunk rollup share the doc_id shuffle") {
+    val p = plan("q257_cdc_chunks")
+    // one doc_id exchange feeds boundary window, in-chunk rank AND the
+    // (doc, chunk) rollup (subset-clustering); sig rollup adds the second;
+    // the single-row summary agg adds its own single-partition exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"windows + chunk rollup must reuse the doc_id partitioning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not global-sort the chunk table")
+  }
+
+  test("q258: date filter reaches the orders scan; anti join stays anti") {
+    val p = plan("q258_dormant_capital")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recency filter must push into the orders scan:\n$p")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
