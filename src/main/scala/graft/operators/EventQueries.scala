@@ -3607,7 +3607,89 @@ object EventQueries {
        |    AS uplift_rate_e6
        |FROM c ORDER BY decile""".stripMargin
 
+  // ------------------------- q259: Kaplan-Meier survival curve
+
+  /** q259: Kaplan-Meier product-limit estimator (Kaplan & Meier 1958) for
+    * time-to-first-purchase with right censoring — the survival CURVE whose
+    * per-interval rates q195's hazard panel reports. Duration is exact
+    * day-bucket arithmetic; non-converters censor at their last observed
+    * day. Each step multiplies S by (n_at_risk − events)/n_at_risk in e6
+    * truncating integer arithmetic (BigInt-widened products), so the curve
+    * is monotone nonincreasing and bit-identical across engines; the DuckDB
+    * oracle replays the identical sequential product as a recursive CTE
+    * over the ranked duration table.
+    *
+    * Plan: the corpus-scale work is one user-grain rollup + one |durations|
+    * rollup; the duration table is bounded by the observation window in
+    * DAYS, so — like q253's transition matrix — it is control-plane
+    * metadata: collected, folded on the driver, returned as a literal frame.
+    */
+  val q259SurvivalKm: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val day = expr("unix_timestamp(ts) DIV 86400")
+    val byUser = e.groupBy(col("user_id")).agg(
+      min(day).as("d0"),
+      min(when(col("event_type") === "purchase", day)).as("dconv"),
+      max(day).as("dlast"))
+    val durs = byUser.select(
+      when(col("dconv").isNotNull, col("dconv") - col("d0"))
+        .otherwise(col("dlast") - col("d0")).as("dur"),
+      when(col("dconv").isNotNull, 1L).otherwise(0L).as("ev"))
+    val roll = durs.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d_ev"), sum(lit(1L) - col("ev")).as("c_cens"))
+      .orderBy(col("dur")).collect()
+    var atRisk = roll.map(r => r.getAs[Long]("d_ev") + r.getAs[Long]("c_cens")).sum
+    var sE6 = 1000000L
+    val out = roll.map { r =>
+      val (dur, dEv, cCens) = (r.getAs[Long]("dur"), r.getAs[Long]("d_ev"),
+        r.getAs[Long]("c_cens"))
+      val n = atRisk
+      sE6 = (BigInt(sE6) * (n - dEv) / n).toLong
+      atRisk -= (dEv + cCens)
+      (dur, n, dEv, cCens, sE6)
+    }
+    import s.implicits._
+    out.toSeq.toDF("dur_days", "n_risk", "d_ev", "c_cens", "s_e6")
+      .orderBy(col("dur_days"))
+  }
+
+  val q259Sql: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 END) AS dconv,
+      |    MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS dlast
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CASE WHEN dconv IS NOT NULL THEN dconv - d0
+      |    ELSE dlast - d0 END AS dur,
+      |    CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u),
+      |r AS (SELECT dur, SUM(ev) AS d_ev, SUM(1 - ev) AS c_cens
+      |  FROM d GROUP BY dur),
+      |t AS (
+      |  SELECT dur, d_ev, c_cens,
+      |    ROW_NUMBER() OVER (ORDER BY dur) AS rk,
+      |    tot.n - COALESCE(SUM(d_ev + c_cens) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM r CROSS JOIN (SELECT SUM(d_ev + c_cens) AS n FROM r) tot),
+      |km AS (
+      |  SELECT rk, dur, n_risk, d_ev, c_cens,
+      |    CAST((n_risk - d_ev) * 1000000 // n_risk AS BIGINT) AS s_e6
+      |  FROM t WHERE rk = 1
+      |  UNION ALL
+      |  SELECT t.rk, t.dur, t.n_risk, t.d_ev, t.c_cens,
+      |    CAST(CAST(km.s_e6 AS HUGEINT) * (t.n_risk - t.d_ev)
+      |      // t.n_risk AS BIGINT)
+      |  FROM km JOIN t ON t.rk = km.rk + 1)
+      |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d_ev AS BIGINT) AS d_ev, CAST(c_cens AS BIGINT) AS c_cens,
+      |  s_e6
+      |FROM km ORDER BY dur_days""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q259_survival_km" -> q259SurvivalKm,
     "q253_removal_effect" -> q253RemovalEffect,
     "q254_qini_uplift" -> q254QiniUplift,
     "q230_bitmap_distinct" -> q230BitmapDistinct,
@@ -3669,6 +3751,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q259_survival_km" -> q259Sql,
     "q253_removal_effect" -> q253Sql,
     "q254_qini_uplift" -> q254Sql,
     "q230_bitmap_distinct" -> q230Sql,

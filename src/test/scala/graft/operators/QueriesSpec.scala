@@ -1512,6 +1512,23 @@ class QueriesSpec extends SparkSpec {
       graft.Tables.part(spark, sfDir).count())
   }
 
+  test("q259 survival curve is monotone and risk sets telescope") {
+    val rows = EventQueries.q259SurvivalKm(spark, sfDir)
+      .orderBy(col("dur_days")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("n_risk") ===
+      graft.Tables.events(spark, sfDir)
+        .select(countDistinct(col("user_id"))).collect()(0).getLong(0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("s_e6") <= a.getAs[Long]("s_e6"),
+        "survival must be nonincreasing")
+      assert(b.getAs[Long]("n_risk") === a.getAs[Long]("n_risk") -
+        a.getAs[Long]("d_ev") - a.getAs[Long]("c_cens"),
+        "risk set must telescope by events + censored")
+      case _ => ()
+    }
+  }
+
   test("q257 top duplicated chunks carry consistent corpus totals") {
     val rows = CurationQueries.q257CdcChunks(spark, sfDir).collect()
     assert(rows.nonEmpty)
