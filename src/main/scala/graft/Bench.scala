@@ -27,7 +27,8 @@ object Bench {
     // Gate queries plus the production-hash fingerprint twins: the *_prod
     // numbers document what the md5 oracle portability costs at scale.
     val allBench = SparkEntry.queries ++ operators.TextQueries.productionQueries ++
-      operators.EventQueries.productionQueries
+      operators.EventQueries.productionQueries ++
+      operators.CoreQueries.productionQueries
     // Iteration knobs: ONLY=substring filter; SAMPLES=runs per query (the
     // reported number is the MIN across samples — steady-state behaviour,
     // not first-sample codegen/JIT noise; the default 2 was chosen after a

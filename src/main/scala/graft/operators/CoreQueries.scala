@@ -3605,19 +3605,28 @@ object CoreQueries {
     * post-rollup is |groups|×R rows: metadata at any corpus size. At 100 TB
     * swap the md5 portable hash for HashMode.Fast exactly as q55_prod does.
     */
-  val q252PoissonBootstrap: Q = (s, dir) => {
+  private def poissonBootstrap(mode: Text.HashMode): Q = (s, dir) => {
     val o = Tables.orders(s, dir).select(col("o_orderpriority").as("pri"),
       col("o_orderkey"), cents(col("o_totalprice")).as("c"))
     val full = o.groupBy(col("pri")).agg(count(lit(1)).as("n_orders"),
       expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)")
         .as("mean_c"))
-    val u = Text.portableHash(concat(col("o_orderkey").cast("string"),
-      lit("#"), col("r").cast("string"))) % lit(1000000L)
+    // three 20-bit draws per 60-bit digest: the digest count is rows×R/3,
+    // not rows×R — the hash is the dominant CPU term at corpus scale, so
+    // the two-level explode computes it once per draw-triple
+    val h = mode.hash(concat(col("o_orderkey").cast("string"),
+      lit("#"), col("g").cast("string")))
+    val u = expr("""(h DIV CASE j WHEN 0 THEN 1 WHEN 1 THEN 1048576
+                   | ELSE 1099511627776 END) % 1000000""".stripMargin)
     val w = PoisT.map(t => when(col("u") >= t, 1L).otherwise(0L))
       .reduce(_ + _)
     val reps = o
       .select(col("pri"), col("o_orderkey"), col("c"),
-        explode(expr(s"sequence(0, ${BootReps - 1})")).as("r"))
+        explode(expr(s"sequence(0, ${BootReps / 3 - 1})")).as("g"))
+      .withColumn("h", h)
+      .select(col("pri"), col("c"), col("h"), col("g"),
+        explode(expr("sequence(0, 2)")).as("j"))
+      .withColumn("r", col("g") * 3 + col("j"))
       .withColumn("u", u).withColumn("w", w)
       .groupBy(col("pri"), col("r"))
       .agg(expr("""CAST(SUM(CAST(w * c AS DECIMAL(38,0)))
@@ -3636,6 +3645,22 @@ object CoreQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Oracle mode: portable md5 hash, reproduced bit-exactly by DuckDB. */
+  val q252PoissonBootstrap: Q = poissonBootstrap(Text.HashMode.Portable)
+
+  /** Production mode: xxhash64 replicate draws — the 100 TB default; the
+    * bench twin documents what md5 oracle portability costs (the digest
+    * count is rows × R, the engine's single biggest avoidable CPU term
+    * here exactly as in the fingerprint stack).
+    */
+  val q252PoissonBootstrapProd: Q = poissonBootstrap(Text.HashMode.Fast)
+
+  /** Bench-only production-hash twins (never in the oracle gate — their
+    * draws are xxhash64-seeded, so no DuckDB reproduction exists).
+    */
+  val productionQueries: Map[String, Q] =
+    Map("q252_poisson_bootstrap_prod" -> q252PoissonBootstrapProd)
+
   val q252Sql: String =
     s"""WITH o AS (
        |  SELECT o_orderpriority AS pri, o_orderkey AS k,
@@ -3646,17 +3671,22 @@ object CoreQueries {
        |    CAST(SUM(CAST(c AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_c
        |  FROM o GROUP BY pri),
        |rep AS (
-       |  SELECT pri, c, r,
+       |  SELECT pri, c, g,
        |    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || '#' ||
-       |      CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
-       |  FROM o CROSS JOIN (SELECT unnest(range(${BootReps})) AS r) reps),
+       |      CAST(g AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM o CROSS JOIN (SELECT unnest(range(${BootReps / 3})) AS g) gs),
+       |dr AS (
+       |  SELECT pri, c, g*3 + j AS r,
+       |    (h // CASE j WHEN 0 THEN 1 WHEN 1 THEN 1048576
+       |      ELSE 1099511627776 END) % 1000000 AS u
+       |  FROM rep CROSS JOIN (SELECT unnest(range(3)) AS j) js),
        |wtd AS (
        |  SELECT pri, r, c,
        |    CASE WHEN u < ${PoisT(0)} THEN 0 WHEN u < ${PoisT(1)} THEN 1
        |         WHEN u < ${PoisT(2)} THEN 2 WHEN u < ${PoisT(3)} THEN 3
        |         WHEN u < ${PoisT(4)} THEN 4 WHEN u < ${PoisT(5)} THEN 5
        |         WHEN u < ${PoisT(6)} THEN 6 ELSE 7 END AS w
-       |  FROM rep),
+       |  FROM dr),
        |rm AS (
        |  SELECT pri, r,
        |    CAST(SUM(CAST(w*c AS HUGEINT)) // NULLIF(SUM(w), 0) AS BIGINT)

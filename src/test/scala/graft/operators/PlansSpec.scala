@@ -389,10 +389,12 @@ class PlansSpec extends SparkSpec {
       "no grain may rescan the event corpus")
   }
 
-  test("q252: replicate expansion is one Generate; replicate means combine map-side") {
+  test("q252: replicate expansion is two Generates; replicate means combine map-side") {
     val p = plan("q252_poisson_bootstrap")
-    assert("Generate explode".r.findAllIn(p).size === 1,
-      s"exactly one R-fold explode:\n$p")
+    // digest-triple explode + draw explode — the digest is computed once
+    // per triple, never once per replicate
+    assert("Generate explode".r.findAllIn(p).size === 2,
+      s"exactly the two-level R-fold explode:\n$p")
     assert(p.contains("partial_sum"), "replicate sums must map-side combine")
     assert(!p.contains("CartesianProduct"), p)
   }
