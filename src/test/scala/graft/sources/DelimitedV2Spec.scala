@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The DataSource V2 delimited scan: schema-on-read, parse-level column
+  * pruning, filter pushdown, quote-aware parsing, and REJECT accounting as
+  * a first-class SQL metric.
+  */
+class DelimitedV2Spec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("qty", DoubleType),
+    StructField("ts", TimestampType)))
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dsv2").toString
+    val rows = Seq(
+      "1,alpha,2.5,2024-01-01 00:00:00",
+      "2,\"be,ta\",7.0,2024-01-02 12:30:00",        // quoted embedded sep
+      "3,\"say \"\"hi\"\"\",1.0,2024-01-03 00:00:00", // escaped quote
+      "4,delta,not_a_number,2024-01-04 00:00:00",   // bad double -> reject
+      "5,echo,9.5",                                 // wrong arity -> reject
+      "6,,3.25,2024-01-06 06:00:00")                // empty name -> null
+    Files.write(java.nio.file.Paths.get(dir0(d)), rows.mkString("\n").getBytes)
+    d
+  }
+  private def dir0(d: String) = s"$d/part-0.csv"
+
+  private def readV2 =
+    spark.read.format("graft-delimited").schema(schema).load(dir)
+
+  test("reads good rows, rejects malformed ones, honors quotes") {
+    val rows = readV2.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 6L))
+    assert(rows(1).getString(1) === "be,ta")
+    assert(rows(2).getString(1) === "say \"hi\"")
+    assert(rows(3).isNullAt(1), "empty field must read as null")
+    assert(rows(1).getTimestamp(3).toString === "2024-01-02 12:30:00.0")
+  }
+
+  test("rejected rows surface as the scan's rejectedRows SQL metric") {
+    val df = readV2
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.metrics.contains("rejectedRows"),
+      s"custom metric missing: ${scan.metrics.keys}")
+    assert(scan.metrics("rejectedRows").value === 2L) // bad double + arity
+  }
+
+  test("column pruning reaches the scan output") {
+    val df = readV2.select("name")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.output.map(_.name) === Seq("name"),
+      "scan must emit only the projected column")
+    // parse-level pruning is VISIBLE here: row 4's malformed double is in
+    // an unprojected column, so it is never converted and the row survives
+    // (the same projection-dependent reject semantics as Spark's own CSV
+    // columnPruning); the wrong-arity row still rejects at any projection
+    assert(df.collect().length === 5)
+    assert(readV2.collect().length === 4,
+      "full projection must still reject the malformed double")
+  }
+
+  test("comparison filters push into the reader and stay correct") {
+    val df = readV2.filter(col("qty") > 2.0 && col("name").isNotNull)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.description().contains("GreaterThan(qty,2.0)"),
+      s"filter must report as pushed: ${scan.scan.description()}")
+    // row 3 fails qty>2, row 6's empty name fails IsNotNull inside the reader
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L))
+  }
+
+  test("agrees with the CSV path on a well-formed file, cell for cell") {
+    // on MALFORMED rows the two paths differ by design: Spark CSV pads a
+    // short row with nulls, while this source rejects it (PolyBase arity
+    // semantics) — so equivalence is asserted on clean data
+    val clean = Files.createTempDirectory("graft_dsv2_clean").toString
+    Files.write(java.nio.file.Paths.get(s"$clean/part-0.csv"),
+      Seq("1,alpha,2.5,2024-01-01 00:00:00",
+        "2,\"be,ta\",7.0,2024-01-02 12:30:00",
+        "6,,3.25,2024-01-06 06:00:00").mkString("\n").getBytes)
+    val viaV2 = spark.read.format("graft-delimited").schema(schema)
+      .load(clean).orderBy("id").collect()
+    val viaCsv = ExternalTable(clean, schema).readRaw(spark)
+      .drop("_graft_corrupt").orderBy("id").collect()
+    assert(viaV2.toSeq === viaCsv.toSeq)
+  }
+}
