@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TSql._
 import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -3688,7 +3689,100 @@ object EventQueries {
       |  s_e6
       |FROM km ORDER BY dur_days""".stripMargin
 
+  // ------------------------- q260: error-budget burn rate
+
+  /** SLO error budget: 22% of requests may error (the corpus runs ~20%, so
+    * healthy hours burn just under 1×).
+    */
+  private val SloE6 = 220000L
+
+  /** Multi-window burn composition over an HOURLY (hour, n_total, n_err)
+    * rollup — factored out so the streaming path composes the identical
+    * report from its landed rollup (StreamingSpec parity; docs/SCALE.md
+    * pattern #8: downstream grains compose from the landed output).
+    *
+    * The rollup joins a complete hour spine (empty hours carry zero traffic
+    * — a ROWS frame over present hours only would silently stretch the 6 h
+    * lookback across gaps), the trailing window runs over the spine rows,
+    * and every burn rate is an exact e6 integer: err·10¹² DIV (total·SLO).
+    * Alerting is the SRE multi-window rule: page when the 1 h burn ≥ 2×
+    * AND the trailing 6 h burn ≥ 1× (fast + sustained).
+    */
+  def burnFromHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(expr("sequence(h0, h1)")).as("hour"))
+    val filled = spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"))
+    val w6 = Window.orderBy(col("hour")).rowsBetween(-5, 0)
+    def burn(err: Column, tot: Column): Column =
+      expr(s"""CAST(CAST(${err.toString} AS DECIMAL(38,0)) * 1000000000000
+              | DIV NULLIF(${tot.toString} * $SloE6, 0) AS BIGINT)"""
+        .stripMargin)
+    filled
+      .withColumn("tot_6h", sum(col("n_total")).over(w6))
+      .withColumn("err_6h", sum(col("n_err")).over(w6))
+      .select(col("hour"), col("n_total"), col("n_err"),
+        burn(col("n_err"), col("n_total")).as("burn_1h_e6"),
+        col("tot_6h"), col("err_6h"),
+        burn(col("err_6h"), col("tot_6h")).as("burn_6h_e6"))
+      .withColumn("alert",
+        when(col("burn_1h_e6") >= 2000000L && col("burn_6h_e6") >= 1000000L,
+          1L).otherwise(0L))
+      .orderBy(col("hour"))
+  }
+
+  /** q260: SRE error-budget burn-rate panel (the multi-window multi-burn
+    * alerting rule, Google SRE Workbook ch.5) over the event stream's
+    * error/total hourly rates — the alerting layer above q170's SLA
+    * latencies. One corpus pass lands the hourly rollup; the spine,
+    * trailing windows and alert rule are metadata-scale composition
+    * ([[burnFromHourly]], shared verbatim with the streaming twin).
+    */
+  val q260BurnRate: Q = (s, dir) => {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("unix_timestamp(ts) DIV 3600").as("hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+    burnFromHourly(hourly)
+  }
+
+  val q260Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour,
+       |    COUNT(*) AS n_total,
+       |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series((SELECT MIN(hour) FROM hourly),
+       |    (SELECT MAX(hour) FROM hourly))) AS hour),
+       |filled AS (
+       |  SELECT spine.hour, COALESCE(n_total, 0) AS n_total,
+       |    COALESCE(n_err, 0) AS n_err
+       |  FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour),
+       |rolled AS (
+       |  SELECT hour, n_total, n_err,
+       |    SUM(n_total) OVER w AS tot_6h, SUM(n_err) OVER w AS err_6h
+       |  FROM filled WINDOW w AS (ORDER BY hour
+       |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+       |b AS (
+       |  SELECT hour, CAST(n_total AS BIGINT) AS n_total,
+       |    CAST(n_err AS BIGINT) AS n_err,
+       |    CAST(CAST(n_err AS HUGEINT) * 1000000000000
+       |      // NULLIF(n_total * $SloE6, 0) AS BIGINT) AS burn_1h_e6,
+       |    CAST(tot_6h AS BIGINT) AS tot_6h, CAST(err_6h AS BIGINT) AS err_6h,
+       |    CAST(CAST(err_6h AS HUGEINT) * 1000000000000
+       |      // NULLIF(tot_6h * $SloE6, 0) AS BIGINT) AS burn_6h_e6
+       |  FROM rolled)
+       |SELECT *, CASE WHEN burn_1h_e6 >= 2000000 AND burn_6h_e6 >= 1000000
+       |  THEN 1 ELSE 0 END AS alert
+       |FROM b ORDER BY hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q260_burn_rate" -> q260BurnRate,
     "q259_survival_km" -> q259SurvivalKm,
     "q253_removal_effect" -> q253RemovalEffect,
     "q254_qini_uplift" -> q254QiniUplift,
@@ -3751,6 +3845,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q260_burn_rate" -> q260Sql,
     "q259_survival_km" -> q259Sql,
     "q253_removal_effect" -> q253Sql,
     "q254_qini_uplift" -> q254Sql,

@@ -40,6 +40,23 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hourly error/total rollup — the landing half of the burn-rate panel
+    * (EventQueries.q260BurnRate). State is one (count, count) pair per open
+    * hour under the watermark; the multi-window burn composition
+    * (EventQueries.burnFromHourly) runs as a BATCH query over the LANDED
+    * rollup — docs/SCALE.md pattern #8: a 6-hour trailing view is a window
+    * over the appended hourly series, not 6 hours of streaming state.
+    */
+  def errorRates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+      .select(expr("unix_timestamp(window.start) DIV 3600").as("hour"),
+        col("n_total"), col("n_err"))
+
   /** Sliding-window counts (windowLen every slide) — the overlapping-window
     * twin of EventQueries.q75Sliding. Each event contributes to
     * windowLen/slide windows; the watermark still bounds state, which grows

@@ -508,4 +508,27 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("day_users"), r.getAs[Long]("week_users"))).toMap
     assert(streamed === batch)
   }
+
+  test("burn-rate panel composed from the landed streaming rollup equals batch q260") {
+    import org.apache.spark.sql.streaming.OutputMode
+    EventStream.runToMemory(
+      EventStream.errorRates(EventStream.read(spark, streamDir)),
+      "t_err_hourly", OutputMode.Append())
+    val landed = spark.table("t_err_hourly")
+    assert(landed.count() > 0)
+    // compose the multi-window burn report from the LANDED hourly series
+    // with the same helper the batch query uses
+    val streamed = graft.operators.EventQueries.burnFromHourly(landed)
+      .collect().map(r => r.getAs[Long]("hour") -> r.toSeq).toMap
+    val batch = graft.operators.EventQueries.q260BurnRate(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("hour") -> r.toSeq).toMap
+    // every hour the watermark closed must match batch cell-for-cell
+    // (burn windows whose 6h lookback is fully closed)
+    val closed = streamed.keys.filter(h =>
+      (h - 5 to h).forall(k => streamed.contains(k) == batch.contains(k)))
+    assert(closed.nonEmpty)
+    closed.foreach { h =>
+      assert(streamed(h) === batch(h), s"hour $h diverges")
+    }
+  }
 }
