@@ -3821,7 +3821,89 @@ object CoreQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ----------------------------- q261: Croston intermittent-demand forecast
+
+  /** q261: Croston's method (Croston 1972) for intermittent demand — the
+    * forecasting construction for sparse series where EWMA-on-zeros
+    * collapses (most part-weeks have NO demand): exponential smoothing of
+    * demand SIZE and demand INTERVAL separately, updated only on arrival
+    * weeks, forecast = size/interval, with the Syntetos-Boylan smooth vs
+    * intermittent classification (mean interval 1.32) closing the q208
+    * ABC-XYZ segmentation's forecastability axis.
+    *
+    * The scale shape is the point: a sequential per-series recurrence
+    * becomes ONE distributed pass — per-part arrival arrays (sort_array of
+    * (week, demand) structs) folded by a codegen `aggregate` HOF in exact
+    * e6 integer arithmetic (α=0.2 as ·2/·8 DIV 10, truncating on
+    * nonnegatives). No driver loop, no per-series shuffle: series state
+    * lives inside a partition-local fold, rows = |parts with demand|. The
+    * oracle replays the identical fold via list_reduce (element-shaped
+    * accumulator, so the init is the transformed first arrival on both
+    * engines). Per-week demand is int64; corpus-scale weekly demands
+    * beyond ~10¹⁷ units would need the DECIMAL widening of the q01
+    * convention inside the lambda.
+    */
+  val q261CrostonForecast: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("unix_timestamp(l_shipdate) DIV 604800").as("wk"),
+        expr("CAST(ROUND(l_quantity*100) AS BIGINT) DIV 100").as("qty"))
+    val weekly = li.groupBy(col("l_partkey"), col("wk"))
+      .agg(sum(col("qty")).as("d"))
+    val series = weekly.groupBy(col("l_partkey"))
+      .agg(sort_array(collect_list(struct(col("wk"), col("d")))).as("arr"),
+        count(lit(1)).as("n_weeks"))
+    series
+      .select(col("l_partkey"), col("n_weeks"),
+        expr("""aggregate(slice(arr, 2, size(arr) - 1),
+               |  named_struct(
+               |    'z', element_at(arr, 1).d * CAST(1000000 AS BIGINT),
+               |    'p', CAST(1000000 AS BIGINT),
+               |    'lastw', element_at(arr, 1).wk),
+               |  (acc, x) -> named_struct(
+               |    'z', (2 * x.d * 1000000 + 8 * acc.z) DIV 10,
+               |    'p', (2 * (x.wk - acc.lastw) * 1000000 + 8 * acc.p) DIV 10,
+               |    'lastw', x.wk))""".stripMargin).as("st"))
+      .select(col("l_partkey"), col("n_weeks"),
+        col("st.z").as("z_e6"), col("st.p").as("p_e6"),
+        expr("CAST(CAST(st.z AS DECIMAL(38,0)) * 1000000 DIV st.p AS BIGINT)")
+          .as("croston_e6"),
+        when(col("st.p") < 1320000L, "smooth").otherwise("intermittent")
+          .as("demand_class"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q261Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 604800 AS wk,
+      |    CAST(ROUND(l_quantity*100) AS BIGINT) // 100 AS qty
+      |  FROM lineitem),
+      |weekly AS (
+      |  SELECT l_partkey, wk, CAST(SUM(qty) AS BIGINT) AS d
+      |  FROM li GROUP BY 1, 2),
+      |series AS (
+      |  SELECT l_partkey, COUNT(*) AS n_weeks,
+      |    list_sort(list({'wk': wk, 'd': d})) AS arr
+      |  FROM weekly GROUP BY 1),
+      |folded AS (
+      |  SELECT l_partkey, n_weeks,
+      |    list_reduce(
+      |      list_transform(arr, e -> {'z': e.d * 1000000,
+      |        'p': CAST(1000000 AS BIGINT), 'lastw': e.wk}),
+      |      (acc, x) -> {'z': (2 * x.z + 8 * acc.z) // 10,
+      |        'p': (2 * (x.lastw - acc.lastw) * 1000000 + 8 * acc.p) // 10,
+      |        'lastw': x.lastw}) AS st
+      |  FROM series)
+      |SELECT l_partkey, n_weeks,
+      |  CAST(st.z AS BIGINT) AS z_e6, CAST(st.p AS BIGINT) AS p_e6,
+      |  CAST(CAST(st.z AS HUGEINT) * 1000000 // st.p AS BIGINT) AS croston_e6,
+      |  CASE WHEN st.p < 1320000 THEN 'smooth' ELSE 'intermittent' END
+      |    AS demand_class
+      |FROM folded ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q261_croston_forecast" -> q261CrostonForecast,
     "q258_dormant_capital" -> q258DormantCapital,
     "q252_poisson_bootstrap" -> q252PoissonBootstrap,
     "q255_l_diversity" -> q255LDiversity,
@@ -3911,6 +3993,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q261_croston_forecast" -> q261Sql,
     "q258_dormant_capital" -> q258Sql,
     "q252_poisson_bootstrap" -> q252Sql,
     "q255_l_diversity" -> q255Sql,

@@ -433,6 +433,15 @@ class PlansSpec extends SparkSpec {
       "top-10 must not global-sort the chunk table")
   }
 
+  test("q261: sequential smoothing is a partition-local array fold — no driver loop") {
+    val p = plan("q261_croston_forecast")
+    // per-series state lives inside the aggregate HOF over the collected
+    // arrival array: two rollup shuffles, zero joins, zero LocalTableScan
+    assert(p.contains("collect_list") && p.contains("aggregate("), p)
+    assert(!p.contains("LocalTableScan") && !p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q258: date filter reaches the orders scan; anti join stays anti") {
     val p = plan("q258_dormant_capital")
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),

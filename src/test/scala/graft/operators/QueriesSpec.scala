@@ -1529,6 +1529,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q261 croston outputs satisfy the fold identities") {
+    val rows = CoreQueries.q261CrostonForecast(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (z, p, cro) = (r.getAs[Long]("z_e6"), r.getAs[Long]("p_e6"),
+        r.getAs[Long]("croston_e6"))
+      assert(p >= 1000000L, "smoothed interval can never drop below 1 week")
+      assert(cro === (BigInt(z) * 1000000 / p).toLong)
+      assert((r.getAs[String]("demand_class") == "smooth") === (p < 1320000L))
+      if (r.getAs[Long]("n_weeks") === 1L)
+        assert(p === 1000000L, "single arrival keeps the init interval")
+    }
+  }
+
   test("q257 top duplicated chunks carry consistent corpus totals") {
     val rows = CurationQueries.q257CdcChunks(spark, sfDir).collect()
     assert(rows.nonEmpty)
