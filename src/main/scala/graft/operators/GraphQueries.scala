@@ -1009,6 +1009,35 @@ object GraphQueries {
   /** Recommendation-list depth evaluated by the q217 ranking metrics. */
   private val RankK = 10
 
+  // -- shared rec-evaluation builders (q217 MRR/P@k panel, q262 NDCG) --
+
+  /** Distinct (order, part) incidences on one side of the temporal split. */
+  private def recItems(s: org.apache.spark.sql.SparkSession, dir: String,
+      test: Boolean) = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val cond = if (test) col("o_orderdate") >= lit(recCutoff).cast("timestamp")
+      else col("o_orderdate") < lit(recCutoff).cast("timestamp")
+    Tables.lineitem(s, dir)
+      .join(o.filter(cond), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+  }
+
+  /** Co-occurrence pair counts from capped baskets (in-place i<j pairs). */
+  private def recPairEdges(items: org.apache.spark.sql.DataFrame) = items
+    .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("parts"))
+    .filter(size(col("parts")).between(2, BasketCap))
+    .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
+      struct(x.as("part_a"), y.as("part_b"))).as("pr"))
+    .select(col("pr.part_a"), col("pr.part_b"))
+    .groupBy(col("part_a"), col("part_b"))
+    .agg(count(lit(1)).as("n_ab"))
+
+  /** Both directions of the undirected co-occurrence edge list. */
+  private def recDirectional(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
+      .union(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
+
   /** q217: ranking-metrics panel — MRR, precision@{1,3,10} and recall@10
     * for the q202 recommender under the same leak-free temporal split.
     * q202 answers "did ANY top-k rec co-occur?"; this grades WHERE in the
@@ -1016,9 +1045,9 @@ object GraphQueries {
     * recommenders with equal hit rate. All metrics are exact integers:
     * reciprocal ranks and per-user ratios are e6-quantized with integer
     * division (floor twice, identically in both engines) — no float mean.
-    * NDCG is deliberately absent: its log2 discount is a libm call that
-    * is not bit-portable; MRR + P@k + recall@k carry the same ordering
-    * signal in exact arithmetic.
+    * NDCG lives in q262: its log2 discount is a libm call that is not
+    * bit-portable as an EXPRESSION, so q262 inlines the k discounts as
+    * shared e6 literals instead (the q61 plane-matrix pattern).
     *
     * Plan shape: the ranked rec list is ONE window over the train edges
     * (rk ≤ [[RankK]] kept), hits are a pair-keyed join of test pairs to
@@ -1027,32 +1056,12 @@ object GraphQueries {
     */
   val q217RankingMetrics: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    def itemsIn(test: Boolean) = {
-      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
-      val cond = if (test) col("o_orderdate") >= lit(recCutoff).cast("timestamp")
-        else col("o_orderdate") < lit(recCutoff).cast("timestamp")
-      Tables.lineitem(s, dir)
-        .join(o.filter(cond), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-    }
-    def edges(items: org.apache.spark.sql.DataFrame) = items
-      .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("parts"))
-      .filter(size(col("parts")).between(2, BasketCap))
-      .select(graft.functions.Pairs.inPlace(col("parts"), (x, y) =>
-        struct(x.as("part_a"), y.as("part_b"))).as("pr"))
-      .select(col("pr.part_a"), col("pr.part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    def directional(e: org.apache.spark.sql.DataFrame) =
-      e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
-        .union(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
-    val recs = directional(edges(itemsIn(test = false)))
+    val recs = recDirectional(recPairEdges(recItems(s, dir, test = false)))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b"))))
       .filter(col("rk") <= RankK)
       .select(col("a"), col("b"), col("rk"))
-    val relevant = directional(edges(itemsIn(test = true)))
+    val relevant = recDirectional(recPairEdges(recItems(s, dir, test = true)))
       .select(col("a"), col("b"))
     val perUserRel = relevant.groupBy(col("a"))
       .agg(count(lit(1)).as("nrel"))
@@ -1083,24 +1092,27 @@ object GraphQueries {
         expr("sum_rec_e6 DIV n_users").as("recall_at_10_e6"))
   }
 
+  /** Shared oracle CTE block: train/test co-occurrence edges (q217, q262). */
+  private def recEdgeCte(name: String, cmp: String) =
+    s"""${name}_items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate $cmp TIMESTAMP '$recCutoff 00:00:00'),
+       |${name}_baskets AS (
+       |  SELECT o, LIST_SORT(LIST(p)) AS parts FROM ${name}_items
+       |  GROUP BY o HAVING COUNT(*) BETWEEN 2 AND $BasketCap),
+       |${name}_pairs AS (
+       |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+       |  FROM ${name}_items a JOIN ${name}_items b
+       |    ON a.o = b.o AND a.p < b.p
+       |  WHERE a.o IN (SELECT o FROM ${name}_baskets)
+       |  GROUP BY 1, 2),
+       |${name}_dir AS (
+       |  SELECT part_a AS a, part_b AS b, n_ab FROM ${name}_pairs
+       |  UNION ALL SELECT part_b, part_a, n_ab FROM ${name}_pairs)""".stripMargin
+
   def q217Sql: String = {
-    def edgeCte(name: String, cmp: String) =
-      s"""${name}_items AS (
-         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |  WHERE o_orderdate $cmp TIMESTAMP '$recCutoff 00:00:00'),
-         |${name}_baskets AS (
-         |  SELECT o, LIST_SORT(LIST(p)) AS parts FROM ${name}_items
-         |  GROUP BY o HAVING COUNT(*) BETWEEN 2 AND $BasketCap),
-         |${name}_pairs AS (
-         |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
-         |  FROM ${name}_items a JOIN ${name}_items b
-         |    ON a.o = b.o AND a.p < b.p
-         |  WHERE a.o IN (SELECT o FROM ${name}_baskets)
-         |  GROUP BY 1, 2),
-         |${name}_dir AS (
-         |  SELECT part_a AS a, part_b AS b, n_ab FROM ${name}_pairs
-         |  UNION ALL SELECT part_b, part_a, n_ab FROM ${name}_pairs)""".stripMargin
+    def edgeCte(name: String, cmp: String) = recEdgeCte(name, cmp)
     s"""WITH ${edgeCte("tr", "<")},
        |${edgeCte("te", ">=")},
        |recs AS (
@@ -1136,7 +1148,97 @@ object GraphQueries {
        |FROM roll""".stripMargin
   }
 
+  // ------------------------------------------- q262: NDCG panel
+
+  /** e6-quantized log2 rank discounts 10⁶/log₂(r+1), r = 1..RankK — computed
+    * ONCE here and inlined as literals into BOTH the engine expression and
+    * the oracle SQL (the q61 plane-matrix pattern), which is what makes a
+    * log-based metric bit-portable: the libm call happens at PLAN-BUILD
+    * time, never per row in either engine.
+    */
+  private val DcgDisc: Seq[Long] = (1 to RankK).map(r =>
+    Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+
+  /** Ideal-DCG prefix sums: IDCG for a user with k relevant items. */
+  private val DcgCum: Seq[Long] = DcgDisc.scanLeft(0L)(_ + _).tail
+
+  /** Test hook: the discount table, for pinning the canonical constants. */
+  def dcgDiscForTest: Seq[Long] = DcgDisc
+
+  /** q262: NDCG@10 for the q202/q217 recommender — the graded-position
+    * metric q217's exact-arithmetic panel pointed at: binary-relevance DCG
+    * over the inlined discount table, IDCG from the prefix-sum table at
+    * min(nrel, k), per-user ndcg = dcg·10⁶ DIV idcg (dcg ≤ idcg by
+    * construction, so the ratio is a proper [0, 10⁶] integer). Rollup
+    * reports the user count, mean NDCG, perfect lists and complete misses.
+    *
+    * Plan shape is q217's: pair-keyed hit join, |test users| rollup,
+    * discount lookup is an element_at into a 10-literal array — free.
+    */
+  val q262Ndcg: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val recs = recDirectional(recPairEdges(recItems(s, dir, test = false)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b"))))
+      .filter(col("rk") <= RankK)
+      .select(col("a"), col("b"), col("rk"))
+    val relevant = recDirectional(recPairEdges(recItems(s, dir, test = true)))
+      .select(col("a"), col("b"))
+    val perUserRel = relevant.groupBy(col("a")).agg(count(lit(1)).as("nrel"))
+    val discArr = array(DcgDisc.map(lit): _*)
+    val cumArr = array(DcgCum.map(lit): _*)
+    val dcg = relevant.join(recs, Seq("a", "b"))
+      .select(col("a"), element_at(discArr, col("rk").cast("int")).as("disc"))
+      .groupBy(col("a")).agg(sum(col("disc")).as("dcg_e6"))
+    perUserRel.join(dcg, Seq("a"), "left")
+      .select(coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        element_at(cumArr, least(col("nrel"), lit(RankK.toLong)).cast("int"))
+          .as("idcg_e6"))
+      .withColumn("ndcg_e6",
+        expr("CAST(CAST(dcg_e6 AS DECIMAL(38,0)) * 1000000 DIV idcg_e6 AS BIGINT)"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(SUM(CAST(ndcg_e6 AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)")
+          .as("mean_ndcg_e6"),
+        sum(when(col("ndcg_e6") >= 1000000L, 1L).otherwise(0L))
+          .as("n_perfect"),
+        sum(when(col("dcg_e6") === 0L, 1L).otherwise(0L)).as("n_zero"))
+  }
+
+  def q262Sql: String = {
+    val d = DcgDisc.mkString("[", ", ", "]")
+    val c = DcgCum.mkString("[", ", ", "]")
+    s"""WITH ${recEdgeCte("tr", "<")},
+       |${recEdgeCte("te", ">=")},
+       |recs AS (
+       |  SELECT a, b, rk FROM (
+       |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY n_ab DESC, b) AS rk
+       |    FROM tr_dir) t
+       |  WHERE rk <= $RankK),
+       |rel AS (SELECT a, b FROM te_dir),
+       |per_rel AS (SELECT a, COUNT(*) AS nrel FROM rel GROUP BY a),
+       |dcg AS (
+       |  SELECT rel.a, SUM(($d)[CAST(rk AS INT)]) AS dcg_e6
+       |  FROM rel JOIN recs ON rel.a = recs.a AND rel.b = recs.b
+       |  GROUP BY rel.a),
+       |per AS (
+       |  SELECT COALESCE(dcg_e6, 0) AS dcg_e6,
+       |    ($c)[CAST(LEAST(nrel, $RankK) AS INT)] AS idcg_e6
+       |  FROM per_rel LEFT JOIN dcg USING (a)),
+       |scored AS (
+       |  SELECT dcg_e6,
+       |    CAST(CAST(dcg_e6 AS HUGEINT) * 1000000 // idcg_e6 AS BIGINT)
+       |      AS ndcg_e6
+       |  FROM per)
+       |SELECT COUNT(*) AS n_users,
+       |  CAST(SUM(ndcg_e6) // COUNT(*) AS BIGINT) AS mean_ndcg_e6,
+       |  SUM(CASE WHEN ndcg_e6 >= 1000000 THEN 1 ELSE 0 END) AS n_perfect,
+       |  SUM(CASE WHEN dcg_e6 = 0 THEN 1 ELSE 0 END) AS n_zero
+       |FROM scored""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q262_ndcg" -> q262Ndcg,
     "q217_ranking_metrics" -> q217RankingMetrics,
     "q228_frequent_triples" -> q228FrequentTriples,
     "q233_label_spreading" -> q233LabelSpreading,
@@ -1155,6 +1257,7 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "q217_ranking_metrics" -> q217Sql,
+    "q262_ndcg" -> q262Sql,
     "q228_frequent_triples" -> q228Sql,
     "q233_label_spreading" -> q233Sql,
     "q247_sequential_rules" -> q247Sql,

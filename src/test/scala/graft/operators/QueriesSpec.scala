@@ -1529,6 +1529,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q262 NDCG agrees with q217's population and stays in [0, 1e6]") {
+    val n = GraphQueries.q262Ndcg(spark, sfDir).collect()(0)
+    val r = GraphQueries.q217RankingMetrics(spark, sfDir).collect()(0)
+    assert(n.getAs[Long]("n_users") === r.getAs[Long]("n_users"))
+    val mean = n.getAs[Long]("mean_ndcg_e6")
+    assert(mean >= 0L && mean <= 1000000L)
+    assert(n.getAs[Long]("n_perfect") + n.getAs[Long]("n_zero") <=
+      n.getAs[Long]("n_users"))
+    // the inlined discount table is the canonical log2 sequence
+    assert(GraphQueries.dcgDiscForTest.take(3) ===
+      Seq(1000000L, 630930L, 500000L))
+  }
+
   test("q261 croston outputs satisfy the fold identities") {
     val rows = CoreQueries.q261CrostonForecast(spark, sfDir).collect()
     assert(rows.nonEmpty)
