@@ -3902,7 +3902,115 @@ object CoreQueries {
       |    AS demand_class
       |FROM folded ORDER BY l_partkey""".stripMargin
 
+  // ----------------------------- q263: Bloom-filter false-positive audit
+
+  /** Bloom geometry: m bits / k hashes sized for a measurable FP rate at
+    * the build-set cardinality (~hundreds of keys at sf0.01), so the audit
+    * exercises real collisions rather than reporting zero.
+    */
+  private val BloomAuditBits = 16384L
+  private val BloomAuditK = 3
+
+  /** q263: Bloom false-positive audit — the MEASURED companion to q145's
+    * bloom-pruned join and the BloomReduce runtime filter: the filter is
+    * rebuilt RELATIONALLY (per-key hash positions → word/bit → 64-word
+    * bit_or rollup), probed the same way, and compared against the exact
+    * semi-join, so the reported fp_rate is the one this geometry actually
+    * delivers on this data — not the textbook formula. Every step is
+    * portable-hash + integer bit arithmetic, so the DuckDB oracle
+    * reproduces the filter bit-for-bit.
+    *
+    * Scale shape: the build side folds to m/32 = 512 32-bit words (sign-safe shifts on every engine) (broadcast-sized
+    * control metadata — exactly what BloomReduce ships to the probe scan);
+    * the probe explodes k hashes per key against the BROADCAST word table
+    * and reduces per key; the exact semi-join runs once for ground truth.
+    * The FP accounting is what sizes m,k before a 100 TB run commits to a
+    * filter that would pass half the corpus.
+    */
+  val q263BloomAudit: Q = (s, dir) => {
+    val build = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val probe = Tables.customer(s, dir).select(col("c_custkey"))
+    def positions(key: org.apache.spark.sql.Column) =
+      (0 until BloomAuditK).map { i =>
+      Text.portableHash(concat(key.cast("string"), lit(s"#$i"))) %
+        BloomAuditBits
+    }
+    val words = build
+      .select(explode(array(positions(col("o_custkey")): _*)).as("idx"))
+      .select(expr("idx DIV 32").as("word"), (col("idx") % 32).as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
+        .as("w"))
+    val probeBits = probe
+      .select(col("c_custkey"),
+        explode(array(positions(col("c_custkey")): _*)).as("idx"))
+      .select(col("c_custkey"), expr("idx DIV 32").as("word"),
+        (col("idx") % 32).as("bit"))
+      .join(broadcast(words), Seq("word"), "left")
+      .select(col("c_custkey"),
+        when(col("w").isNull, 0L)
+          .when(expr("w & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            =!= 0L, 1L)
+          .otherwise(0L).as("hit"))
+    val passed = probeBits.groupBy(col("c_custkey"))
+      .agg(sum(col("hit")).as("nbits"))
+      .filter(col("nbits") === BloomAuditK.toLong)
+      .select(col("c_custkey"))
+    val trueKeys = probe.join(build,
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    val nBuild = build.count(); val nProbe = probe.count()
+    val nPass = passed.count(); val nTrue = trueKeys.count()
+    val nFp = nPass - nTrue
+    import s.implicits._
+    Seq((BloomAuditBits, BloomAuditK.toLong, nBuild, nProbe, nPass, nTrue,
+      nFp,
+      if (nProbe > nTrue) nFp * 1000000L / (nProbe - nTrue) else 0L))
+      .toDF("m_bits", "k_hashes", "n_build", "n_probe", "n_pass", "n_true",
+        "n_fp", "fp_rate_e6")
+  }
+
+  val q263Sql: String = {
+    val hash = (tbl: String, key: String) => (0 until BloomAuditK).map(i =>
+      s"SELECT $key AS key, CAST(concat('0x', substr(md5(CAST($key AS VARCHAR)" +
+        s" || '#$i'), 1, 15)) AS BIGINT) % $BloomAuditBits AS idx FROM $tbl")
+    s"""WITH build AS (
+       |  SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'),
+       |bpos AS (${hash("build", "o_custkey").mkString(" UNION ALL ")}),
+       |words AS (
+       |  SELECT idx // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS w
+       |  FROM bpos GROUP BY 1),
+       |ppos AS (${hash("customer", "c_custkey").mkString(" UNION ALL ")}),
+       |probe AS (
+       |  SELECT p.key,
+       |    CASE WHEN w IS NULL THEN 0
+       |      WHEN (w & (CAST(1 AS BIGINT) << CAST(idx % 32 AS INT))) <> 0 THEN 1
+       |      ELSE 0 END AS hit
+       |  FROM ppos p LEFT JOIN words ON idx // 32 = word),
+       |passed AS (
+       |  SELECT key FROM probe GROUP BY key
+       |  HAVING SUM(hit) = $BloomAuditK),
+       |agg AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM build) AS n_build,
+       |    (SELECT COUNT(*) FROM customer) AS n_probe,
+       |    (SELECT COUNT(*) FROM passed) AS n_pass,
+       |    (SELECT COUNT(*) FROM customer
+       |     WHERE c_custkey IN (SELECT o_custkey FROM build)) AS n_true)
+       |SELECT $BloomAuditBits AS m_bits, $BloomAuditK AS k_hashes,
+       |  CAST(n_build AS BIGINT) AS n_build, CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(n_pass AS BIGINT) AS n_pass, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_pass - n_true AS BIGINT) AS n_fp,
+       |  CASE WHEN n_probe > n_true
+       |    THEN CAST((n_pass - n_true) * 1000000 // (n_probe - n_true) AS BIGINT)
+       |    ELSE 0 END AS fp_rate_e6
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q263_bloom_audit" -> q263BloomAudit,
     "q261_croston_forecast" -> q261CrostonForecast,
     "q258_dormant_capital" -> q258DormantCapital,
     "q252_poisson_bootstrap" -> q252PoissonBootstrap,
@@ -3993,6 +4101,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q263_bloom_audit" -> q263Sql,
     "q261_croston_forecast" -> q261Sql,
     "q258_dormant_capital" -> q258Sql,
     "q252_poisson_bootstrap" -> q252Sql,

@@ -1529,6 +1529,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q263 bloom audit has zero false negatives by construction") {
+    val r = CoreQueries.q263BloomAudit(spark, sfDir).collect()(0)
+    // THE bloom property: every true member passes; FPs are the only slack
+    assert(r.getAs[Long]("n_pass") >= r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_fp") ===
+      r.getAs[Long]("n_pass") - r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_probe"))
+  }
+
   test("q262 NDCG agrees with q217's population and stays in [0, 1e6]") {
     val n = GraphQueries.q262Ndcg(spark, sfDir).collect()(0)
     val r = GraphQueries.q217RankingMetrics(spark, sfDir).collect()(0)
