@@ -3594,8 +3594,9 @@ object CoreQueries {
     * replicates materialize from ONE corpus pass as a map-side explode —
     * no data duplication, no sampling coordination across executors.
     *
-    * Weights are a pure function of (order key, replicate) through the
-    * portable hash (q67's reproducible-randomness principle), so the CI is
+    * Weights are a pure function of (order key, replicate): one portable
+    * digest per order seeds R universal-hash draws (q67's
+    * reproducible-randomness principle, q55's one-digest trick), so the CI is
     * deterministic across runs, engines and cluster sizes, and the DuckDB
     * oracle reproduces it bit-exactly. Replicate means are exact integer
     * cents (DECIMAL(38,0) sums, truncating division of nonnegatives); the
@@ -3611,23 +3612,23 @@ object CoreQueries {
     val full = o.groupBy(col("pri")).agg(count(lit(1)).as("n_orders"),
       expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)")
         .as("mean_c"))
-    // three 20-bit draws per 60-bit digest: the digest count is rows×R/3,
-    // not rows×R — the hash is the dominant CPU term at corpus scale, so
-    // the two-level explode computes it once per draw-triple
-    val h = mode.hash(concat(col("o_orderkey").cast("string"),
-      lit("#"), col("g").cast("string")))
-    val u = expr("""(h DIV CASE j WHEN 0 THEN 1 WHEN 1 THEN 1048576
-                   | ELSE 1099511627776 END) % 1000000""".stripMargin)
+    // ONE digest per order, R draws from the universal hash family
+    // (a_r·h32 + b_r) mod P — the MinHash trick: the cryptographic digest
+    // is the dominant CPU term, so replicate streams derive from cheap
+    // integer mixes of one 32-bit seed (exact in int64 by the family's
+    // a < 2^29 design, reproduced literal-for-literal in the oracle)
+    val fam = Text.hashFamily(BootReps)
+    val h32 = mode.hash(col("o_orderkey").cast("string"))
+      .bitwiseAND(lit(0xFFFFFFFFL))
+    val us = array((0 until BootReps).map { i =>
+      (col("h32") * fam(i)._1 + fam(i)._2) % Text.HashP % 1000000L
+    }: _*)
     val w = PoisT.map(t => when(col("u") >= t, 1L).otherwise(0L))
       .reduce(_ + _)
     val reps = o
-      .select(col("pri"), col("o_orderkey"), col("c"),
-        explode(expr(s"sequence(0, ${BootReps / 3 - 1})")).as("g"))
-      .withColumn("h", h)
-      .select(col("pri"), col("c"), col("h"), col("g"),
-        explode(expr("sequence(0, 2)")).as("j"))
-      .withColumn("r", col("g") * 3 + col("j"))
-      .withColumn("u", u).withColumn("w", w)
+      .withColumn("h32", h32)
+      .select(col("pri"), col("c"), posexplode(us).as(Seq("r", "u")))
+      .withColumn("w", w)
       .groupBy(col("pri"), col("r"))
       .agg(expr("""CAST(SUM(CAST(w * c AS DECIMAL(38,0)))
                   | DIV NULLIF(SUM(w), 0) AS BIGINT)""".stripMargin)
@@ -3670,16 +3671,16 @@ object CoreQueries {
        |  SELECT pri, COUNT(*) AS n_orders,
        |    CAST(SUM(CAST(c AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_c
        |  FROM o GROUP BY pri),
-       |rep AS (
-       |  SELECT pri, c, g,
-       |    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || '#' ||
-       |      CAST(g AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-       |  FROM o CROSS JOIN (SELECT unnest(range(${BootReps / 3})) AS g) gs),
+       |h AS (
+       |  SELECT pri, c,
+       |    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15))
+       |      AS BIGINT) & 4294967295 AS h32
+       |  FROM o),
+       |fam(r, fa, fb) AS (VALUES ${Text.hashFamily(BootReps).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
        |dr AS (
-       |  SELECT pri, c, g*3 + j AS r,
-       |    (h // CASE j WHEN 0 THEN 1 WHEN 1 THEN 1048576
-       |      ELSE 1099511627776 END) % 1000000 AS u
-       |  FROM rep CROSS JOIN (SELECT unnest(range(3)) AS j) js),
+       |  SELECT pri, c, r, ((h32 * fa + fb) % ${Text.HashP}) % 1000000 AS u
+       |  FROM h CROSS JOIN fam),
        |wtd AS (
        |  SELECT pri, r, c,
        |    CASE WHEN u < ${PoisT(0)} THEN 0 WHEN u < ${PoisT(1)} THEN 1

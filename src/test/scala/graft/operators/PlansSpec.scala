@@ -389,12 +389,14 @@ class PlansSpec extends SparkSpec {
       "no grain may rescan the event corpus")
   }
 
-  test("q252: replicate expansion is two Generates; replicate means combine map-side") {
+  test("q252: replicate expansion is one Generate; replicate means combine map-side") {
     val p = plan("q252_poisson_bootstrap")
-    // digest-triple explode + draw explode — the digest is computed once
-    // per triple, never once per replicate
-    assert("Generate explode".r.findAllIn(p).size === 2,
-      s"exactly the two-level R-fold explode:\n$p")
+    // one digest per order seeds all R draws; the only expansion is the
+    // posexplode of the precomputed draw array
+    assert("Generate posexplode".r.findAllIn(p).size === 1,
+      s"exactly the one-level R-fold explode:\n$p")
+    assert("md5".r.findAllIn(p).size <= 2, // one per branch, never per draw
+      s"the digest must not replicate with R:\n$p")
     assert(p.contains("partial_sum"), "replicate sums must map-side combine")
     assert(!p.contains("CartesianProduct"), p)
   }
