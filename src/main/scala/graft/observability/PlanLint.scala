@@ -1,0 +1,145 @@
+package graft.observability
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Physical-plan anti-pattern advisor — the engine-side analog of the
+  * reference's sqlops monitoring checks (reference:
+  * samples/sqlops/MonitoringScripts — the toolkit's queries exist to catch
+  * plans that won't survive production): walk an executed plan and report
+  * the shapes that kill 100 TB runs before the cluster finds out. The same
+  * rules PlansSpec pins for THIS library's queries, packaged for the
+  * library's USERS to run against their own composition.
+  *
+  * Rules:
+  *   - `cartesian-product`   — CartesianProductExec anywhere (O(n·m) rows).
+  *   - `nested-loop-join`    — BroadcastNestedLoopJoin with a non-equi
+  *                             condition (each probe row scans the build
+  *                             side; fine for scalar widgets, fatal on two
+  *                             large inputs) — severity info, since the
+  *                             deliberate scalar/probe-batch pattern is
+  *                             legitimate and small.
+  *   - `python-udf`          — BatchEvalPython / ArrowEvalPython stages
+  *                             (breaks WholeStageCodegen, serializes rows).
+  *   - `scala-udf`           — ScalaUDF expressions in any operator.
+  *   - `global-sort`         — a global SortExec not feeding a limit
+  *                             (TakeOrdered plans as its own node, so any
+  *                             surviving global sort is a full-data sort).
+  *   - `filter-above-scan`   — a file scan whose data filters did NOT push
+  *                             down (post-scan FilterExec carries work the
+  *                             format could have skipped).
+  *   - `shuffle-fanout`      — more than `maxShuffles` hash exchanges (each
+  *                             is a full materialization of the stream).
+  *
+  * The walk unwraps AQE (initial plan — lint is a pre-flight check, not a
+  * post-mortem; pair with QueryJournal metrics for the latter).
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, severity: String, detail: String)
+
+  val MaxShuffles = 8
+
+  def lint(df: DataFrame): Seq[Finding] = lintPlan(df.queryExecution.executedPlan)
+
+  def lintPlan(root: SparkPlan): Seq[Finding] = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val nodes = collectAll(unwrap(root)).map(unwrap)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+
+    nodes.foreach {
+      case c: CartesianProductExec =>
+        findings += Finding("cartesian-product", "error",
+          s"CartesianProduct over ${c.left.nodeName} x ${c.right.nodeName}")
+      case j: BroadcastNestedLoopJoinExec =>
+        findings += Finding("nested-loop-join", "info",
+          s"BroadcastNestedLoopJoin (${j.joinType}) — fine for scalar " +
+            "widgets, fatal on two large inputs")
+      case s: SortExec if s.global =>
+        findings += Finding("global-sort", "warn",
+          "global sort without a limit — TakeOrderedAndProject would plan " +
+            "as its own node, so this sorts the full stream")
+      case _ => ()
+    }
+
+    if (nodes.exists(n => n.nodeName.contains("BatchEvalPython") ||
+        n.nodeName.contains("ArrowEvalPython")))
+      findings += Finding("python-udf", "error",
+        "Python UDF stage breaks codegen and serializes every row")
+
+    if (nodes.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))))
+      findings += Finding("scala-udf", "warn",
+        "ScalaUDF in the plan — a Catalyst expression would stay in codegen")
+
+    // filter-above-scan: a FilterExec whose child scan reports no pushed
+    // data filters while the filter references scan attributes
+    nodes.foreach {
+      case f: org.apache.spark.sql.execution.FilterExec => f.child match {
+        case scan: org.apache.spark.sql.execution.FileSourceScanExec
+            if scan.dataFilters.isEmpty =>
+          findings += Finding("filter-above-scan", "warn",
+            s"filter ${f.condition.sql} sits above ${scan.nodeName} with " +
+              "no pushed data filters — the format scans rows the " +
+              "predicate could have skipped")
+        case scan: BatchScanExec if !scan.scan.description.contains("PushedFilters: [") ||
+            scan.scan.description.contains("PushedFilters: []") =>
+          findings += Finding("filter-above-scan", "warn",
+            s"filter ${f.condition.sql} sits above an unpushed V2 scan")
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    if (shuffles > MaxShuffles)
+      findings += Finding("shuffle-fanout", "info",
+        s"$shuffles shuffle exchanges — each materializes the full stream; " +
+          "check for reusable partitioning or missing pre-aggregation")
+
+    // final aggregate with no partial phase below it (map-side combine
+    // missing): flag Final-mode aggs whose subtree holds no Partial-mode agg
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    def aggModes(p: SparkPlan) = p match {
+      case h: HashAggregateExec => h.aggregateExpressions.map(_.mode)
+      case o: ObjectHashAggregateExec => o.aggregateExpressions.map(_.mode)
+      case s: SortAggregateExec => s.aggregateExpressions.map(_.mode)
+      case _ => Seq.empty
+    }
+    nodes.filter(aggModes(_).contains(Final)).foreach { fin =>
+      val hasPartial = collectAll(fin).drop(1).exists(aggModes(_).contains(Partial))
+      if (!hasPartial)
+        findings += Finding("no-partial-agg", "warn",
+          s"${fin.nodeName} finalizes with no map-side partial phase below " +
+            "it — the shuffle carries raw rows instead of partial states")
+    }
+
+    findings.toSeq
+  }
+
+  /** All nodes including those inside AQE-wrapped subtrees. */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.initialPlan)
+      case other => Seq(other) ++ other.children.flatMap(collectAll) ++
+        other.subqueries.flatMap(collectAll)
+    }
+    here
+  }
+
+  /** The findings as a frame, for dashboard surfacing next to the
+    * monitoring views.
+    */
+  def asFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    lint(df).toDF("rule", "severity", "detail")
+  }
+}
