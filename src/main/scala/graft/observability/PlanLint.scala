@@ -43,6 +43,12 @@ object PlanLint {
 
   final case class Finding(rule: String, severity: String, detail: String)
 
+  /** One journaled finding (top-level: Spark encoders cannot instantiate
+    * inner case classes).
+    */
+  final case class FindingRow(action: String, rule: String, severity: String,
+    detail: String)
+
   val MaxShuffles = 8
 
   def lint(df: DataFrame): Seq[Finding] = lintPlan(df.queryExecution.executedPlan)
@@ -141,5 +147,54 @@ object PlanLint {
   def asFrame(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     lint(df).toDF("rule", "severity", "detail")
+  }
+}
+
+/** Continuous lint: a QueryExecutionListener that lints EVERY query the
+  * session executes (the listener is the one Spark hook that hands over the
+  * real QueryExecution, unlike the event-bus SparkPlanInfo skeleton) and
+  * journals findings per action, surfaced as `vw_plan_findings` next to the
+  * QueryJournal's DMV analogs — the always-on version of the reference's
+  * run-the-monitoring-scripts-nightly workflow.
+  */
+final class PlanLintJournal(spark: SparkSession) {
+  import java.util.concurrent.ConcurrentLinkedQueue
+  import PlanLint.FindingRow
+
+  private val buf = new ConcurrentLinkedQueue[FindingRow]()
+
+  private val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      PlanLint.lintPlan(qe.executedPlan).foreach(f =>
+        buf.add(FindingRow(funcName, f.rule, f.severity, f.detail)): Unit)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        error: Exception): Unit = onSuccess(funcName, qe, 0L)
+  }
+
+  def start(): this.type = {
+    spark.listenerManager.register(listener); this
+  }
+  def stop(): Unit = spark.listenerManager.unregister(listener)
+
+  /** Drain the shared listener bus so `findings` reflects finished actions. */
+  def flush(): Unit = {
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(
+      spark.sparkContext, 10000L): Unit
+  }
+
+  def findings: DataFrame = {
+    import spark.implicits._
+    val rows = buf.iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[FindingRow]
+    while (rows.hasNext) out += rows.next()
+    out.toSeq.toDF("action", "rule", "severity", "detail")
+  }
+
+  /** Register the findings view under the monitoring-view convention. */
+  def registerView(): Unit = {
+    findings.createOrReplaceTempView("vw_plan_findings")
   }
 }

@@ -54,4 +54,18 @@ class PlanLintSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("rule", "severity", "detail"))
     assert(df.filter(col("rule") === "global-sort").count() === 1)
   }
+
+  test("the continuous lint journal records offenders per executed action") {
+    val j = new PlanLintJournal(spark).start()
+    try {
+      Tables.lineitem(spark, sfDir).orderBy(col("l_shipdate")).collect()
+      j.flush()
+      val f = j.findings.filter(col("rule") === "global-sort")
+      assert(f.count() >= 1, "the executed global sort must be journaled")
+      j.registerView()
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM vw_plan_findings WHERE rule = 'global-sort'")
+        .collect()(0).getLong(0) >= 1)
+    } finally j.stop()
+  }
 }
