@@ -259,4 +259,57 @@ class PropertySpec extends SparkSpec {
       if (l2 > l1) assert(p2 >= p1 - 1e-12)
     }
   }
+
+  test("phoneticKey is total and always letter + exactly 3 digits") {
+    forAll(Gen.asciiPrintableStr.suchThat(_.length <= 30), n = 100) { s =>
+      val k = evalOne(TSql.phoneticKey(lit(s))).asInstanceOf[String]
+      assert(k.matches("[A-Z]?[0-9]{3}"), s"input=<$s> key=<$k>")
+    }
+    // same word, any case or punctuation noise -> same key
+    forAll(Gen.alphaStr.suchThat(s => s.nonEmpty && s.length <= 15)) { w =>
+      val a = evalOne(TSql.phoneticKey(lit(w.toLowerCase))).asInstanceOf[String]
+      val b = evalOne(TSql.phoneticKey(lit(w.toUpperCase + "!?"))).asInstanceOf[String]
+      assert(a === b)
+    }
+  }
+
+  test("Poisson(1) threshold weights have mean near 1 over uniform draws") {
+    // the q252 replicate-weight map: over the whole e6 draw space the
+    // expected weight telescopes to Sum(1e6 - t_i)/1e6 ~ 0.99999
+    val ts = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L)
+    val total = ts.map(t => 1000000L - t).sum
+    assert(total > 995000L && total < 1005000L,
+      s"mean weight ${total / 1e6} drifted from 1")
+    // weights are monotone in the draw
+    forAll(Gen.choose(0L, 999998L)) { u =>
+      def w(x: Long) = ts.count(_ <= x)
+      assert(w(u) <= w(u + 1))
+    }
+  }
+
+  test("truncating product-limit survival is monotone for any event history") {
+    // the q259 fold: S' = S*(n-d) DIV n can never increase and never go
+    // negative, whatever the (n, d) sequence
+    forAll(Gen.listOfN(12, Gen.choose(0L, 50L)), n = 50) { ds =>
+      var n = ds.sum + 7
+      var s = 1000000L
+      ds.foreach { d =>
+        val s2 = s * (n - d) / n
+        assert(s2 <= s && s2 >= 0L)
+        s = s2; n -= d
+      }
+    }
+  }
+
+  test("croston interval smoothing never drops below one week") {
+    // p' = (2q*1e6 + 8p) DIV 10 with q >= 1 and p >= 1e6 stays >= 1e6
+    forAll(Gen.listOfN(10, Gen.choose(1L, 100L)), n = 50) { gaps =>
+      var p = 1000000L
+      gaps.foreach { q =>
+        p = (2 * q * 1000000L + 8 * p) / 10
+        assert(p >= 1000000L)
+      }
+    }
+  }
 }
