@@ -645,7 +645,127 @@ object AuditQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
   }
 
+  // ------------------------------------------- q264: decision-stump split
+
+  /** q264: decision-stump induction — the LEARNING sibling of q238's
+    * impurity profile (CART's root-node step, Breiman et al. 1984): for the
+    * binary target "customer has ordered", rank every candidate split —
+    * each account-balance decile threshold (percentile_disc values, so the
+    * cut points are actual data) and each market-segment one-vs-rest — by
+    * exact integer weighted Gini, reporting the top 5 against the
+    * unsplit baseline. gini = 10⁶ − (p² + q²)·10⁶ DIV n² and the weighted
+    * combination run in DECIMAL(38,0) (counts square per the q01
+    * convention), so the ranking is bit-identical across engines — no
+    * float impurity ties.
+    *
+    * Plan shape: ONE labeled-base pass computes every numeric candidate's
+    * left-side stats as a wide conditional aggregate against the broadcast
+    * decile row (adding a threshold adds a column, not a pass — the q139
+    * map-then-explode unpivot); the categorical candidates reuse a
+    * |segments| rollup; everything downstream of the two rollups is
+    * metadata-sized arithmetic.
+    */
+  val q264BestSplit: Q = (s, dir) => {
+    val custs = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val base = custs.join(buyers, col("c_custkey") === col("o_custkey"),
+        "left")
+      .select(col("c_mktsegment"), col("bal_c"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("label"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+    val thr = base.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY bal_c)")
+        .cast("long").as("t1"),
+      (2 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY bal_c)")
+          .cast("long").as(s"t$i")): _*)
+    val numericWide = base.crossJoin(broadcast(thr)).agg(
+      sum(when(col("bal_c") <= col("t1"), 1L).otherwise(0L)).as("nl1"),
+      ((2 to 9).map(i =>
+        sum(when(col("bal_c") <= col(s"t$i"), 1L).otherwise(0L))
+          .as(s"nl$i")) ++
+        (1 to 9).map(i =>
+          sum(when(col("bal_c") <= col(s"t$i"), col("label")).otherwise(0L))
+            .as(s"pl$i")) :+ max(col("t1")).as("v1") :++
+        (2 to 9).map(i => max(col(s"t$i")).as(s"v$i"))): _*)
+    val numeric = numericWide.select(explode(array((1 to 9).map(i =>
+        struct(concat(lit("bal_c<="), col(s"v$i").cast("string")).as("cand"),
+          col(s"nl$i").as("nl"), col(s"pl$i").as("pl"))): _*)).as("c"))
+      .select(col("c.cand"), col("c.nl"), col("c.pl"))
+    val categorical = base.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("nl"), sum(col("label")).as("pl"))
+      .select(concat(lit("seg="), col("c_mktsegment")).as("cand"),
+        col("nl"), col("pl"))
+    def gini(n: String, p: String) =
+      s"""CASE WHEN $n = 0 THEN 0 ELSE CAST(1000000 -
+         | (CAST($p AS DECIMAL(38,0)) * $p + CAST($n - $p AS DECIMAL(38,0))
+         |   * ($n - $p)) * 1000000
+         |  DIV (CAST($n AS DECIMAL(38,0)) * $n) AS BIGINT) END""".stripMargin
+    numeric.union(categorical).crossJoin(broadcast(tot))
+      .select(col("cand"), col("nl"), col("pl"),
+        (col("n") - col("nl")).as("nr"), (col("pos") - col("pl")).as("pr"),
+        col("n"), col("pos"))
+      .select(col("cand"), col("nl"), col("pl"), col("nr"), col("pr"),
+        expr(gini("nl", "pl")).as("gini_left_e6"),
+        expr(gini("nr", "pr")).as("gini_right_e6"),
+        expr(gini("n", "pos")).as("base_gini_e6"),
+        col("n"))
+      .select(col("cand"), col("nl"), col("pl"), col("nr"), col("pr"),
+        col("gini_left_e6"), col("gini_right_e6"), col("base_gini_e6"),
+        expr("""CAST((CAST(nl AS DECIMAL(38,0)) * gini_left_e6
+               | + CAST(nr AS DECIMAL(38,0)) * gini_right_e6)
+               | DIV n AS BIGINT)""".stripMargin).as("weighted_e6"))
+      .orderBy(col("weighted_e6"), col("cand")).limit(5)
+  }
+
+  val q264Sql: String = {
+    def gini(n: String, p: String) =
+      s"""CASE WHEN $n = 0 THEN 0 ELSE CAST(1000000 -
+         | (CAST($p AS HUGEINT) * $p + CAST($n - $p AS HUGEINT) * ($n - $p))
+         |  * 1000000 // (CAST($n AS HUGEINT) * $n) AS BIGINT) END"""
+        .stripMargin.replaceAll("\n", "")
+    s"""WITH base AS (
+       |  SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,
+       |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+       |      THEN 1 ELSE 0 END AS label
+       |  FROM customer),
+       |tot AS (SELECT COUNT(*) AS n, SUM(label) AS pos FROM base),
+       |thr AS (
+       |  SELECT ${(1 to 9).map(i =>
+      s"CAST(percentile_disc(0.$i) WITHIN GROUP (ORDER BY bal_c) AS BIGINT) AS t$i")
+      .mkString(", ")}
+       |  FROM base),
+       |numeric AS (
+       |  ${(1 to 9).map(i =>
+      s"""SELECT 'bal_c<=' || CAST(t$i AS VARCHAR) AS cand,
+         |    SUM(CASE WHEN bal_c <= t$i THEN 1 ELSE 0 END) AS nl,
+         |    SUM(CASE WHEN bal_c <= t$i THEN label ELSE 0 END) AS pl
+         |  FROM base CROSS JOIN thr GROUP BY t$i""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")}),
+       |categorical AS (
+       |  SELECT 'seg=' || c_mktsegment AS cand, COUNT(*) AS nl,
+       |    SUM(label) AS pl
+       |  FROM base GROUP BY c_mktsegment),
+       |cands AS (
+       |  SELECT cand, nl, pl, n - nl AS nr, pos - pl AS pr, n, pos
+       |  FROM (SELECT * FROM numeric UNION ALL SELECT * FROM categorical)
+       |  CROSS JOIN tot)
+       |SELECT cand, CAST(nl AS BIGINT) AS nl, CAST(pl AS BIGINT) AS pl,
+       |  CAST(nr AS BIGINT) AS nr, CAST(pr AS BIGINT) AS pr,
+       |  ${gini("nl", "pl")} AS gini_left_e6,
+       |  ${gini("nr", "pr")} AS gini_right_e6,
+       |  ${gini("n", "pos")} AS base_gini_e6,
+       |  CAST((CAST(nl AS HUGEINT) * (${gini("nl", "pl")})
+       |    + CAST(nr AS HUGEINT) * (${gini("nr", "pr")})) // n AS BIGINT)
+       |    AS weighted_e6
+       |FROM cands
+       |ORDER BY weighted_e6, cand LIMIT 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q264_best_split" -> q264BestSplit,
     "q238_impurity_profile" -> q238ImpurityProfile,
     "q224_quantile_map" -> q224QuantileMap,
     "q139_quality_audit" -> q139QualityAudit,
@@ -657,6 +777,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q264_best_split" -> q264Sql,
     "q238_impurity_profile" -> q238Sql,
     "q224_quantile_map" -> q224Sql,
     "q139_quality_audit" -> q139Sql,

@@ -1529,6 +1529,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q264 every ranked split weakly improves on the parent Gini") {
+    val rows = AuditQueries.q264BestSplit(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      // Gini concavity: a split's weighted impurity never exceeds the
+      // parent's (floor-quantization only pushes further down)
+      assert(r.getAs[Long]("weighted_e6") <= r.getAs[Long]("base_gini_e6"))
+      assert(r.getAs[Long]("nl") + r.getAs[Long]("nr") ===
+        graft.Tables.customer(spark, sfDir).count())
+    }
+  }
+
   test("q263 bloom audit has zero false negatives by construction") {
     val r = CoreQueries.q263BloomAudit(spark, sfDir).collect()(0)
     // THE bloom property: every true member passes; FPs are the only slack
