@@ -649,7 +649,7 @@ object AuditQueries {
 
   /** q264: decision-stump induction — the LEARNING sibling of q238's
     * impurity profile (CART's root-node step, Breiman et al. 1984): for the
-    * binary target "customer has ordered", rank every candidate split —
+    * binary target "customer ordered in the trailing window", rank every candidate split —
     * each account-balance decile threshold (percentile_disc values, so the
     * cut points are actual data) and each market-segment one-vs-rest — by
     * exact integer weighted Gini, reporting the top 5 against the
@@ -669,7 +669,12 @@ object AuditQueries {
     val custs = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         cents(col("c_acctbal")).as("bal_c"))
-    val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    // "recently active buyer" — every customer has SOME order in this
+    // corpus, so the all-time label is degenerate (all 1s); the trailing
+    // window gives a real ~80/20 target
+    val buyers = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
     val base = custs.join(buyers, col("c_custkey") === col("o_custkey"),
         "left")
       .select(col("c_mktsegment"), col("bal_c"),
@@ -728,7 +733,8 @@ object AuditQueries {
         .stripMargin.replaceAll("\n", "")
     s"""WITH base AS (
        |  SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,
-       |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+       |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+       |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
        |      THEN 1 ELSE 0 END AS label
        |  FROM customer),
        |tot AS (SELECT COUNT(*) AS n, SUM(label) AS pos FROM base),
@@ -764,7 +770,142 @@ object AuditQueries {
        |ORDER BY weighted_e6, cand LIMIT 5""".stripMargin
   }
 
+  // ------------------------------------------- q265: Holm multiple-testing
+
+  /** Standard-normal inverse CDF (Acklam's rational approximation, |ε| <
+    * 1.15e-9) — evaluated at PLAN-BUILD time only, to produce the critical
+    * values inlined into both engines (the q262 discount-table pattern: the
+    * special function never runs per row in either engine).
+    */
+  private def invNorm(p: Double): Double = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -invNorm(1 - p)
+  }
+
+  /** Tests = nations; family-wise error α. */
+  private val HolmM = 25
+  private val HolmAlpha = 0.05
+
+  /** Two-sided Holm critical values for rank k = 1..m: z(1 − α/(2(m−k+1))). */
+  private val HolmCrit: Seq[Double] =
+    (1 to HolmM).map(k => invNorm(1 - HolmAlpha / (2.0 * (HolmM - k + 1))))
+
+  /** q265: Holm–Bonferroni multiple-testing control — the hygiene layer
+    * over the per-segment z-test family (q127 single test, q243 SRM,
+    * q153/q157 independence/distribution): each nation's customer
+    * recent-buyer rate is z-tested against the rest of the population, the
+    * 25 tests rank by |z|, and Holm's step-down compares rank k against
+    * the inlined critical value for α/(m−k+1), rejecting while every
+    * earlier rank also rejected (the running-min window). Counts are exact
+    * integers; z is the one fixed IEEE expression both engines share; the
+    * critical values are build-time literals, so the reject set is
+    * bit-identical — no per-row special functions anywhere.
+    *
+    * Plan: one |nations| rollup; totals ride a single-partition window
+    * over 25 rows; ranking and the step-down run on metadata.
+    */
+  val q265HolmMultitest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val custs = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    // "recently active buyer" — every customer has SOME order in this
+    // corpus, so the all-time label is degenerate (all 1s); the trailing
+    // window gives a real ~80/20 target
+    val buyers = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val byNation = custs
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_conv"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_cust"), col("n_conv"))
+    val tw = Window.partitionBy(lit(1))
+    val withTot = byNation
+      .withColumn("tot_n", sum(col("n_cust")).over(tw))
+      .withColumn("tot_x", sum(col("n_conv")).over(tw))
+    val p1 = col("n_conv").cast("double") / col("n_cust")
+    val p2 = (col("tot_x") - col("n_conv")).cast("double") /
+      (col("tot_n") - col("n_cust"))
+    val pp = col("tot_x").cast("double") / col("tot_n")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_cust") +
+        lit(1.0) / (col("tot_n") - col("n_cust"))))
+    val scored = withTot.withColumn("z", (p1 - p2) / se)
+      .withColumn("rk_pos", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("n_name"))))
+      .withColumn("crit",
+        element_at(array(HolmCrit.map(lit): _*), col("rk_pos")))
+    scored
+      .withColumn("pass", when(abs(col("z")) >= col("crit"), 1L)
+        .otherwise(0L))
+      .withColumn("reject_holm", min(col("pass")).over(
+        Window.orderBy(col("rk_pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_name"), col("n_cust"), col("n_conv"), col("z"),
+        col("rk_pos"), col("crit"), col("reject_holm"),
+        when(abs(col("z")) >= lit(HolmCrit.head), 1L).otherwise(0L)
+          .as("reject_bonferroni"))
+      .orderBy(col("rk_pos"))
+  }
+
+  val q265Sql: String = {
+    val critArr = HolmCrit.mkString("[", ", ", "]")
+    s"""WITH byn AS (
+       |  SELECT n_name, COUNT(*) AS n_cust,
+       |    SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+       |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |      THEN 1 ELSE 0 END) AS n_conv
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name),
+       |tot AS (
+       |  SELECT *, SUM(n_cust) OVER () AS tot_n, SUM(n_conv) OVER () AS tot_x
+       |  FROM byn),
+       |z AS (
+       |  SELECT n_name, n_cust, n_conv,
+       |    (CAST(n_conv AS DOUBLE) / n_cust
+       |      - CAST(tot_x - n_conv AS DOUBLE) / (tot_n - n_cust))
+       |    / sqrt((CAST(tot_x AS DOUBLE) / tot_n)
+       |        * (1.0 - CAST(tot_x AS DOUBLE) / tot_n)
+       |        * (1.0 / n_cust + 1.0 / (tot_n - n_cust))) AS z
+       |  FROM tot),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, n_name) AS rk_pos,
+       |    ($critArr)[CAST(ROW_NUMBER()
+       |      OVER (ORDER BY ABS(z) DESC, n_name) AS INT)] AS crit
+       |  FROM z)
+       |SELECT n_name, CAST(n_cust AS BIGINT) AS n_cust,
+       |  CAST(n_conv AS BIGINT) AS n_conv, z, rk_pos, crit,
+       |  MIN(CASE WHEN ABS(z) >= crit THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY rk_pos ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS reject_holm,
+       |  CASE WHEN ABS(z) >= ${HolmCrit.head} THEN 1 ELSE 0 END
+       |    AS reject_bonferroni
+       |FROM rk ORDER BY rk_pos""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q265_holm_multitest" -> q265HolmMultitest,
     "q264_best_split" -> q264BestSplit,
     "q238_impurity_profile" -> q238ImpurityProfile,
     "q224_quantile_map" -> q224QuantileMap,
@@ -777,6 +918,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q265_holm_multitest" -> q265Sql,
     "q264_best_split" -> q264Sql,
     "q238_impurity_profile" -> q238Sql,
     "q224_quantile_map" -> q224Sql,

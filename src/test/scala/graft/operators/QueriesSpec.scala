@@ -1529,6 +1529,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q265 Holm step-down dominates Bonferroni and thresholds relax with rank") {
+    val rows = AuditQueries.q265HolmMultitest(spark, sfDir)
+      .orderBy(col("rk_pos")).collect()
+    assert(rows.length === 25)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      // critical values relax as the step-down walks down the ranking
+      assert(b.getAs[Double]("crit") <= a.getAs[Double]("crit"))
+      // once one rank fails, every later rank fails (step-down property)
+      assert(b.getAs[Long]("reject_holm") <= a.getAs[Long]("reject_holm"))
+      case _ => ()
+    }
+    // Holm rejects a superset of Bonferroni, row for row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("reject_bonferroni") <= r.getAs[Long]("reject_holm"))
+    }
+  }
+
   test("q264 every ranked split weakly improves on the parent Gini") {
     val rows = AuditQueries.q264BestSplit(spark, sfDir).collect()
     assert(rows.length === 5)
