@@ -904,7 +904,61 @@ object AuditQueries {
        |FROM rk ORDER BY rk_pos""".stripMargin
   }
 
+  // ------------------------------------------- q266: Benjamini-Hochberg FDR
+
+  /** Step-UP critical values for rank k = 1..m: z(1 − kα/(2m)). */
+  private val BhCrit: Seq[Double] =
+    (1 to HolmM).map(k => invNorm(1 - k * HolmAlpha / (2.0 * HolmM)))
+
+  /** q266: Benjamini–Hochberg FDR control over the same per-nation z-test
+    * family as q265 — the discovery-oriented sibling: Holm bounds the
+    * family-wise error (any false rejection), BH bounds the expected FALSE
+    * DISCOVERY RATE, rejecting every rank up to the LARGEST k whose |z|
+    * clears its step-up threshold (so an isolated failure mid-ranking does
+    * not stop later discoveries the way Holm's step-down does). Thresholds
+    * are the same build-time-inlined inverse-normal literals; the step-up
+    * cut is a whole-family MAX window over the 25-row ranking. Composes
+    * directly over q265's output — one extra metadata pass, no new corpus
+    * work.
+    */
+  val q266BhFdr: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = q265HolmMultitest(s, dir)
+      .select(col("n_name"), col("n_cust"), col("n_conv"), col("z"),
+        col("rk_pos"), col("reject_holm"))
+      .withColumn("crit_bh",
+        element_at(array(BhCrit.map(lit): _*), col("rk_pos")))
+    val kmax = base
+      .withColumn("k_pass",
+        when(abs(col("z")) >= col("crit_bh"), col("rk_pos")).otherwise(0L))
+      .withColumn("k_max", max(col("k_pass")).over(Window.partitionBy(lit(1))))
+    kmax.select(col("n_name"), col("n_cust"), col("n_conv"), col("z"),
+        col("rk_pos"), col("crit_bh"),
+        when(col("rk_pos") <= col("k_max"), 1L).otherwise(0L)
+          .as("reject_bh"),
+        col("reject_holm"))
+      .orderBy(col("rk_pos"))
+  }
+
+  val q266Sql: String = {
+    val critArr = BhCrit.mkString("[", ", ", "]")
+    s"""WITH holm AS ($q265Sql),
+       |bh AS (
+       |  SELECT n_name, n_cust, n_conv, z, rk_pos,
+       |    ($critArr)[CAST(rk_pos AS INT)] AS crit_bh, reject_holm
+       |  FROM holm),
+       |cut AS (
+       |  SELECT *, MAX(CASE WHEN ABS(z) >= crit_bh THEN rk_pos ELSE 0 END)
+       |    OVER () AS k_max
+       |  FROM bh)
+       |SELECT n_name, n_cust, n_conv, z, rk_pos, crit_bh,
+       |  CASE WHEN rk_pos <= k_max THEN 1 ELSE 0 END AS reject_bh,
+       |  reject_holm
+       |FROM cut ORDER BY rk_pos""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q266_bh_fdr" -> q266BhFdr,
     "q265_holm_multitest" -> q265HolmMultitest,
     "q264_best_split" -> q264BestSplit,
     "q238_impurity_profile" -> q238ImpurityProfile,
@@ -918,6 +972,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q266_bh_fdr" -> q266Sql,
     "q265_holm_multitest" -> q265Sql,
     "q264_best_split" -> q264Sql,
     "q238_impurity_profile" -> q238Sql,

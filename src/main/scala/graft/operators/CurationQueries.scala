@@ -1717,7 +1717,39 @@ object CurationQueries {
       |FROM byc CROSS JOIN summ
       |ORDER BY occurrences DESC, sig, len LIMIT 10""".stripMargin
 
+  // ------------------- q267: expected calibration error
+
+  /** q267: ECE/MCE summary — the single-number calibration verdict over
+    * q226's reliability bins (Naeini et al., "Obtaining Well Calibrated
+    * Probabilities Using Bayesian Binning", AAAI 2015 popularized the
+    * metric): expected calibration error is the bin-size-weighted mean
+    * |confidence − accuracy| gap, maximum calibration error the worst bin,
+    * plus the pooled Brier score. Every input is q226's exact e6/e12
+    * integer output, and |gap| of an exact integer is exact, so the
+    * summary needs no new corpus pass at all — one metadata fold over 10
+    * bins (DECIMAL products per the q01 convention).
+    */
+  val q267Ece: Q = (s, dir) =>
+    q226Calibration(s, dir).agg(
+      sum(col("n_docs")).as("n_total"),
+      expr("""CAST(SUM(CAST(n_docs AS DECIMAL(38,0)) * abs(gap_e6))
+             | DIV SUM(n_docs) AS BIGINT)""".stripMargin).as("ece_e6"),
+      max(abs(col("gap_e6"))).as("mce_e6"),
+      expr("""CAST(SUM(CAST(n_docs AS DECIMAL(38,0)) * mean_brier_e12)
+             | DIV SUM(n_docs) AS BIGINT)""".stripMargin).as("brier_e12"))
+
+  val q267Sql: String =
+    s"""WITH bins AS ($q226Sql)
+       |SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+       |  CAST(SUM(CAST(n_docs AS HUGEINT) * ABS(gap_e6)) // SUM(n_docs)
+       |    AS BIGINT) AS ece_e6,
+       |  CAST(MAX(ABS(gap_e6)) AS BIGINT) AS mce_e6,
+       |  CAST(SUM(CAST(n_docs AS HUGEINT) * mean_brier_e12) // SUM(n_docs)
+       |    AS BIGINT) AS brier_e12
+       |FROM bins""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q267_ece" -> q267Ece,
     "q257_cdc_chunks" -> q257CdcChunks,
     "q223_readability" -> q223Readability,
     "q226_calibration" -> q226Calibration,
@@ -1744,6 +1776,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q267_ece" -> q267Sql,
     "q257_cdc_chunks" -> q257Sql,
     "q223_readability" -> q223Sql,
     "q226_calibration" -> q226Sql,

@@ -1546,6 +1546,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q266 BH rejects a superset of Holm and q267 ECE is bounded by MCE") {
+    val bh = AuditQueries.q266BhFdr(spark, sfDir).collect()
+    assert(bh.length === 25)
+    bh.foreach { r =>
+      // FDR control is uniformly less conservative than FWER control
+      assert(r.getAs[Long]("reject_holm") <= r.getAs[Long]("reject_bh"))
+    }
+    val e = CurationQueries.q267Ece(spark, sfDir).collect()(0)
+    assert(e.getAs[Long]("ece_e6") <= e.getAs[Long]("mce_e6"))
+    assert(e.getAs[Long]("n_total") ===
+      graft.Tables.documents(spark, sfDir).count())
+  }
+
   test("q264 every ranked split weakly improves on the parent Gini") {
     val rows = AuditQueries.q264BestSplit(spark, sfDir).collect()
     assert(rows.length === 5)
