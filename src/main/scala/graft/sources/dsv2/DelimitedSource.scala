@@ -72,13 +72,22 @@ class DelimitedSource extends TableProvider
 }
 
 final case class DelimitedTable(declaredSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def schema(): StructType = declaredSchema
   override def name(): String = s"graft-delimited(${options.get("path")})"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     DelimitedScanBuilder(declaredSchema, o)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DelimitedWriteBuilder(info.schema(),
+      Option(options.get("path")).getOrElse(info.options.get("path")),
+      Option(options.get("sep")).getOrElse(","),
+      Option(options.get("quote")).getOrElse("\""))
 }
 
 final case class DelimitedScanBuilder(fullSchema: StructType,
