@@ -957,7 +957,89 @@ object AuditQueries {
        |FROM cut ORDER BY rk_pos""".stripMargin
   }
 
+  // ------------------------------------------- q268: one-way ANOVA
+
+  /** q268: one-way ANOVA of order value across priorities — the k-group
+    * generalization of q127's two-sample test, closing the classical
+    * test family (chi-square q153, KS q157, z q127/q265). The exactness
+    * problem ANOVA poses is that Σ S_g²/n_g mixes denominators, and a
+    * double summation over groups is partition-order-sensitive — so every
+    * sum-of-squares term is e6-floor-quantized PER GROUP first
+    * (DECIMAL(38,0) products; floors are order-free integers), and the F
+    * statistic and effect size are integer ratios of those: f_e6 =
+    * (ssb DIV (k−1))·10⁶ DIV (ssw DIV (N−k)), η²_e6 = ssb·10⁶ DIV
+    * (ssb+ssw).
+    * Digit budget: S_g² ·10⁶ stays under DECIMAL(38,0) while group cent
+    * sums are below ~10¹⁵·√10 — beyond that, re-center on the grand mean
+    * first.
+    *
+    * Plan: one fact pass to the |groups| rollup; everything after is a
+    * metadata fold.
+    */
+  val q268Anova: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      cents(col("o_totalprice")).as("c"))
+    // Spark's DIV yields BIGINT, so quotients beyond 2^63 (these SS terms
+    // reach ~10^24) silently corrupt; exact floor-division for positive
+    // decimals is (a − a % b)/b — the division is of an exact multiple, so
+    // its result is integral and representation-exact
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val grp = o.groupBy(col("g")).agg(count(lit(1)).as("n_g"),
+      sum(col("c").cast(dec)).as("s_g"),
+      sum(col("c").cast(dec) * col("c")).as("q_g"))
+    grp
+      .select(col("n_g"), col("s_g"), col("q_g"),
+        expr(fdiv("s_g * s_g * 1000000", "n_g")).as("t_g"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("n_g")).as("n_total"),
+        sum(col("s_g")).as("s_all"), sum(col("q_g")).as("q_all"),
+        sum(col("t_g")).as("t_all"))
+      .select(col("k_groups"), col("n_total"),
+        expr(s"CAST(t_all - ${fdiv("s_all * s_all * 1000000", "n_total")} AS DECIMAL(38,0))")
+          .as("ssb_e6"),
+        expr("CAST(q_all * 1000000 - t_all AS DECIMAL(38,0))").as("ssw_e6"),
+        col("n_total").as("n"), col("k_groups").as("k"))
+      // mean squares FIRST: ssb·(n−k)·10⁶ would square the digit budget
+      // (overflows DECIMAL(38,0) past sf0.1); msb·10⁶ DIV msw keeps every
+      // intermediate under ~10³⁷ through sf1
+      .select(col("k_groups"), col("n_total"),
+        expr(fdiv("ssb_e6", "k - 1")).as("msb_e6"),
+        expr(fdiv("ssw_e6", "n - k")).as("msw_e6"),
+        col("ssb_e6"), col("ssw_e6"))
+      .select(col("k_groups"), col("n_total"),
+        expr("CAST(msb_e6 * 1000000 DIV msw_e6 AS BIGINT)").as("f_e6"),
+        expr("CAST(ssb_e6 * 1000000 DIV (ssb_e6 + ssw_e6) AS BIGINT)")
+          .as("eta2_e6"))
+  }
+
+  val q268Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |grp AS (
+      |  SELECT g, COUNT(*) AS n_g, SUM(CAST(c AS HUGEINT)) AS s_g,
+      |    SUM(CAST(c AS HUGEINT) * c) AS q_g
+      |  FROM o GROUP BY g),
+      |terms AS (
+      |  SELECT n_g, s_g, q_g, s_g * s_g * 1000000 // n_g AS t_g FROM grp),
+      |roll AS (
+      |  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s_all,
+      |    SUM(q_g) AS q_all, SUM(t_g) AS t_all
+      |  FROM terms),
+      |ss AS (
+      |  SELECT k, n, t_all - s_all * s_all * 1000000 // n AS ssb_e6,
+      |    q_all * 1000000 - t_all AS ssw_e6
+      |  FROM roll)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+      |  CAST((ssb_e6 // (k - 1)) * 1000000 // (ssw_e6 // (n - k))
+      |    AS BIGINT) AS f_e6,
+      |  CAST(ssb_e6 * 1000000 // (ssb_e6 + ssw_e6) AS BIGINT) AS eta2_e6
+      |FROM ss""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q268_anova" -> q268Anova,
     "q266_bh_fdr" -> q266BhFdr,
     "q265_holm_multitest" -> q265HolmMultitest,
     "q264_best_split" -> q264BestSplit,
@@ -972,6 +1054,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q268_anova" -> q268Sql,
     "q266_bh_fdr" -> q266Sql,
     "q265_holm_multitest" -> q265Sql,
     "q264_best_split" -> q264Sql,

@@ -1546,6 +1546,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q268 ANOVA identities: positive mean squares, eta2 within [0, 1e6]") {
+    val r = AuditQueries.q268Anova(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("k_groups") === 5L)
+    assert(r.getAs[Long]("f_e6") > 0L)
+    val eta = r.getAs[Long]("eta2_e6")
+    assert(eta >= 0L && eta <= 1000000L)
+  }
+
   test("q266 BH rejects a superset of Holm and q267 ECE is bounded by MCE") {
     val bh = AuditQueries.q266BhFdr(spark, sfDir).collect()
     assert(bh.length === 25)
