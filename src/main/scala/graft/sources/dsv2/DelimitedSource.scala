@@ -78,7 +78,8 @@ final case class DelimitedTable(declaredSchema: StructType,
   override def name(): String = s"graft-delimited(${options.get("path")})"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     DelimitedScanBuilder(declaredSchema, o)
   override def newWriteBuilder(

@@ -30,6 +30,68 @@ final class DelimitedWriteBuilder(schema: StructType, path: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DelimitedBatchWrite(schema, path, sep, quote, doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new DelimitedStreamingWrite(schema, path, sep, quote)
+  }
+}
+
+/** Streaming sink: one file per (epoch, partition) with DETERMINISTIC final
+  * names, so a replayed epoch (post-crash micro-batch re-execution)
+  * overwrites its own output instead of duplicating it — the same
+  * idempotence contract EventStream.appendToTable keeps at the partition
+  * grain. Task attempts write to attempt-unique hidden temp files; epoch
+  * commit publishes them by rename-over.
+  */
+final class DelimitedStreamingWrite(schema: StructType, path: String,
+    sep: String, quote: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    DelimitedStreamingWriterFactory(schema, path, sep, quote)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    messages.collect { case DelimitedStreamCommit(tmp, fin) => (tmp, fin) }
+      .foreach { case (tmp, fin) =>
+        val tmpPath = new Path(dir, tmp)
+        val finPath = new Path(dir, fin)
+        if (fs.exists(tmpPath)) {
+          if (fs.exists(finPath)) { fs.delete(finPath, false): Unit }
+          fs.rename(tmpPath, finPath): Unit
+        }
+      }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    messages.collect { case DelimitedStreamCommit(tmp, _) => tmp }
+      .foreach { tmp =>
+        val p = new Path(dir, tmp)
+        if (fs.exists(p)) { fs.delete(p, false): Unit }
+      }
+  }
+}
+
+final case class DelimitedStreamCommit(tmpFile: String, finalFile: String)
+  extends WriterCommitMessage
+
+final case class DelimitedStreamingWriterFactory(schema: StructType,
+    path: String, sep: String, quote: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = {
+    val finalName = f"part-e$epochId%05d-$partitionId%05d.csv"
+    new DelimitedDataWriter(schema, path, sep, quote,
+      fileName = finalName, tmpName = s".$finalName.$taskId.inprogress",
+      msg = DelimitedStreamCommit(s".$finalName.$taskId.inprogress", finalName))
   }
 }
 
@@ -74,20 +136,23 @@ final class DelimitedBatchWrite(schema: StructType, path: String, sep: String,
 final case class DelimitedWriterFactory(schema: StructType, path: String,
     sep: String, quote: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : DataWriter[InternalRow] =
-    new DelimitedDataWriter(schema, path, sep, quote, partitionId, taskId)
+      : DataWriter[InternalRow] = {
+    val name = f"part-$partitionId%05d-$taskId.csv"
+    new DelimitedDataWriter(schema, path, sep, quote,
+      fileName = name, tmpName = s".$name.inprogress",
+      msg = DelimitedCommit(name))
+  }
 }
 
 final class DelimitedDataWriter(schema: StructType, path: String, sep: String,
-    quote: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+    quote: String, fileName: String, tmpName: String,
+    msg: WriterCommitMessage) extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.csv"
   private val conf = new org.apache.hadoop.conf.Configuration()
   private val dir = new Path(path)
   private val fs = FileSystem.get(dir.toUri, conf)
   fs.mkdirs(dir)
-  private val tmpPath = new Path(dir, s".$fileName.inprogress")
+  private val tmpPath = new Path(dir, tmpName)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     fs.create(tmpPath, true), java.nio.charset.StandardCharsets.UTF_8))
   private var firstRow = true
@@ -121,7 +186,7 @@ final class DelimitedDataWriter(schema: StructType, path: String, sep: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    DelimitedCommit(fileName)
+    msg
   }
 
   override def abort(): Unit = {

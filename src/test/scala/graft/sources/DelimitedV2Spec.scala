@@ -105,6 +105,29 @@ class DelimitedV2Spec extends SparkSpec {
     assert(after.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("streaming write lands epoch files readable through the V2 scan") {
+    val src = Files.createTempDirectory("graft_dsv2_src").toString
+    val out = Files.createTempDirectory("graft_dsv2_sink").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_ckpt").toString
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id").cast("long").as("id"),
+        col("event_type").as("name"),
+        col("value").cast("double").as("qty"), col("ts"))
+      .limit(500).coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    val q = stream.writeStream.format("graft-delimited")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.format("graft-delimited").schema(schema).load(out)
+    assert(back.count() === 500)
+    // deterministic epoch-partition names, no in-progress leftovers
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // Hadoop local-FS .crc shadows
+    assert(files.nonEmpty &&
+      files.forall(_.matches("part-e\\d{5}-\\d{5}\\.csv")), files.toSeq)
+  }
+
   test("agrees with the CSV path on a well-formed file, cell for cell") {
     // on MALFORMED rows the two paths differ by design: Spark CSV pads a
     // short row with nulls, while this source rejects it (PolyBase arity
