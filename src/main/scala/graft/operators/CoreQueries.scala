@@ -4010,7 +4010,161 @@ object CoreQueries {
        |FROM agg""".stripMargin
   }
 
+  // ----------------------------- q269: Laspeyres/Paasche/Fisher price index
+
+  /** q269: the classical price-index triple between consecutive years
+    * (Laspeyres base-weighted, Paasche current-weighted, Fisher their
+    * geometric mean — the "ideal" index): per (part, year) unit prices are
+    * exact integer cents-per-unit (cent sums DIV unit sums), the basket
+    * joins on parts present in BOTH years, and the two index ratios are
+    * e6 truncating divisions of DECIMAL(38,0) Σp·q sums. Fisher is the one
+    * IEEE sqrt of their exact product — the only float in the panel.
+    * The year-over-year revenue bridge (q175) decomposes a CHANGE;
+    * these indices price a constant basket, which is why both exist.
+    *
+    * Plan: one fact pass to the (part, year) grain, a consecutive-year
+    * self-join on the part key, |years| output rows.
+    */
+  val q269PriceIndex: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val py = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+      .agg(expr("""CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                  | DIV SUM(CAST(ROUND(l_quantity*100) AS BIGINT) DIV 100)
+                  | AS BIGINT)""".stripMargin).as("p"),
+        expr("CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT) DIV 100) AS BIGINT)")
+          .as("q"))
+    val a = py.select(col("l_partkey"), col("yr"), col("p").as("p0"),
+      col("q").as("q0"))
+    val b = py.select(col("l_partkey"), (col("yr") - 1).as("yr"),
+      col("p").as("p1"), col("q").as("q1"))
+    a.join(b, Seq("l_partkey", "yr"))
+      .groupBy(col("yr").as("base_year"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr(s"CAST(p1 AS $dec) * q0")).as("l_num"),
+        sum(expr(s"CAST(p0 AS $dec) * q0")).as("l_den"),
+        sum(expr(s"CAST(p1 AS $dec) * q1")).as("p_num"),
+        sum(expr(s"CAST(p0 AS $dec) * q1")).as("p_den"))
+      .select(col("base_year"), col("n_parts"),
+        expr("CAST(l_num * 1000000 DIV l_den AS BIGINT)").as("laspeyres_e6"),
+        expr("CAST(p_num * 1000000 DIV p_den AS BIGINT)").as("paasche_e6"))
+      .withColumn("fisher_e6",
+        sqrt(col("laspeyres_e6").cast("double") * col("paasche_e6")))
+      .orderBy(col("base_year"))
+  }
+
+  val q269Sql: String =
+    """WITH py AS (
+      |  SELECT l_partkey, year(l_shipdate) AS yr,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+      |      // SUM(CAST(ROUND(l_quantity*100) AS BIGINT) // 100) AS BIGINT)
+      |      AS p,
+      |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT) // 100) AS BIGINT)
+      |      AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.yr AS base_year, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+      |  FROM py a JOIN py b
+      |    ON a.l_partkey = b.l_partkey AND b.yr = a.yr + 1),
+      |agg AS (
+      |  SELECT base_year, COUNT(*) AS n_parts,
+      |    SUM(CAST(p1 AS HUGEINT) * q0) AS l_num,
+      |    SUM(CAST(p0 AS HUGEINT) * q0) AS l_den,
+      |    SUM(CAST(p1 AS HUGEINT) * q1) AS p_num,
+      |    SUM(CAST(p0 AS HUGEINT) * q1) AS p_den
+      |  FROM j GROUP BY base_year)
+      |SELECT base_year, CAST(n_parts AS BIGINT) AS n_parts,
+      |  CAST(l_num * 1000000 // l_den AS BIGINT) AS laspeyres_e6,
+      |  CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_e6,
+      |  sqrt(CAST(CAST(l_num * 1000000 // l_den AS BIGINT) AS DOUBLE)
+      |    * CAST(p_num * 1000000 // p_den AS BIGINT)) AS fisher_e6
+      |FROM agg ORDER BY base_year""".stripMargin
+
+  // ----------------------------- q270: autocorrelation function
+
+  /** Largest lag (days) in the ACF panel. */
+  private val AcfMaxLag = 7
+
+  /** q270: the autocorrelation function of daily revenue at lags 1..7 —
+    * the series-memory diagnostic behind q121's weekday seasonality and
+    * q167's decomposition (a weekly cycle shows as an ACF peak at lag 7).
+    * Each lag's Pearson correlation comes from exact DECIMAL(38,0)
+    * co-moments over the observed-day pairs (the non-centered cross-sum
+    * formula — no float accumulations, so the sums are partition-order
+    * free), and the correlation is the single shared IEEE expression of
+    * those integers, e6-rounded on output (above 2^53 DuckDB's
+    * integer→double cast is not correctly rounded, so raw doubles differ
+    * in terminal ULPs). Lag pairing joins the DAY ROLLUP to
+    * itself shifted by the exploded lag — metadata-scale at any corpus
+    * size; days without sales simply form no pair (documented: ACF over
+    * the observed-day series).
+    */
+  val q270Acf: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val d = Tables.lineitem(s, dir)
+      .groupBy(expr("unix_timestamp(l_shipdate) DIV 86400").as("day"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val lagged = d.select(col("day"), col("rev").as("x"))
+      .crossJoin(lagFrame(s))
+      .join(d.select(col("day").as("day2"), col("rev").as("y")),
+        col("day2") === col("day") + col("lag"))
+    lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),
+        sum(expr(s"CAST(y AS $dec) * y")).as("syy"),
+        sum(expr(s"CAST(x AS $dec) * y")).as("sxy"))
+      .select(col("lag"), col("n").as("n_pairs"),
+        // e6-rounded: the co-moments exceed 2^53, and DuckDB's
+        // HUGEINT→double cast is not correctly rounded, so the raw double
+        // correlations differ in their last ULPs across engines; the e6
+        // quantum is 10 orders above that noise
+        round(((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))) *
+          1000000d), 0).cast("long")
+          .as("acf_e6"))
+      .orderBy(col("lag"))
+  }
+
+  /** The 1..AcfMaxLag lag column as a one-row-per-lag literal frame. */
+  private def lagFrame(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (1 to AcfMaxLag).map(_.toLong).toDF("lag")
+  }
+
+  val q270Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+       |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
+       |p AS (
+       |  SELECT lag, a.rev AS x, b.rev AS y
+       |  FROM d a CROSS JOIN lags JOIN d b ON b.day = a.day + lag),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM p GROUP BY lag)
+       |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       |  CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000)
+       |    AS BIGINT) AS acf_e6
+       |FROM m ORDER BY lag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q269_price_index" -> q269PriceIndex,
+    "q270_acf" -> q270Acf,
     "q263_bloom_audit" -> q263BloomAudit,
     "q261_croston_forecast" -> q261CrostonForecast,
     "q258_dormant_capital" -> q258DormantCapital,
@@ -4102,6 +4256,8 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q269_price_index" -> q269Sql,
+    "q270_acf" -> q270Sql,
     "q263_bloom_audit" -> q263Sql,
     "q261_croston_forecast" -> q261Sql,
     "q258_dormant_capital" -> q258Sql,

@@ -1546,6 +1546,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q269 Fisher index sits between Laspeyres and Paasche; q270 ACF is bounded") {
+    CoreQueries.q269PriceIndex(spark, sfDir).collect().foreach { r =>
+      val (l, p, f) = (r.getAs[Long]("laspeyres_e6"),
+        r.getAs[Long]("paasche_e6"), r.getAs[Double]("fisher_e6"))
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1,
+        s"geometric mean $f outside [$l, $p]")
+      assert(l > 0L && p > 0L)
+    }
+    val acf = CoreQueries.q270Acf(spark, sfDir).collect()
+    assert(acf.length === 7)
+    acf.foreach { r =>
+      val a = r.getAs[Long]("acf_e6")
+      assert(a >= -1000000L && a <= 1000000L)
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+  }
+
   test("q268 ANOVA identities: positive mean squares, eta2 within [0, 1e6]") {
     val r = AuditQueries.q268Anova(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("k_groups") === 5L)
