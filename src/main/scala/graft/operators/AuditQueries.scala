@@ -976,10 +976,16 @@ object AuditQueries {
     * Plan: one fact pass to the |groups| rollup; everything after is a
     * metadata fold.
     */
-  val q268Anova: Q = (s, dir) => {
+  val q268Anova: Q = (s, dir) =>
+    oneWayPanel(Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      cents(col("o_totalprice")).as("c")))
+
+  /** Shared one-way F panel over rows (g: group, c: non-negative long):
+    * the exact-integer ANOVA fold q268 documents, reused by q277's
+    * Brown–Forsythe test (same algebra over absolute deviations).
+    */
+  private def oneWayPanel(o: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
-      cents(col("o_totalprice")).as("c"))
     // Spark's DIV yields BIGINT, so quotients beyond 2^63 (these SS terms
     // reach ~10^24) silently corrupt; exact floor-division for positive
     // decimals is (a − a % b)/b — the division is of an exact multiple, so
@@ -1038,7 +1044,266 @@ object AuditQueries {
       |  CAST(ssb_e6 * 1000000 // (ssb_e6 + ssw_e6) AS BIGINT) AS eta2_e6
       |FROM ss""".stripMargin
 
+  // -------------------------------------- q277: Brown–Forsythe homogeneity
+
+  /** q277: Brown–Forsythe variance-homogeneity test — "is order-value
+    * SPREAD the same across priorities?", the diagnostic a q268 reader
+    * asks next (ANOVA's F assumes equal variances; this is the robust
+    * Levene variant that tests exactly that assumption). Each row's
+    * dispersion score is |c − median_g| in integer cents (medians via
+    * percentile_disc — an exact order statistic, portable where a mean
+    * would re-open float accumulation), and the W statistic is the same
+    * exact-integer one-way F fold as q268 applied to those deviations.
+    *
+    * Plan: one |groups| percentile rollup broadcast back onto the fact
+    * scan, then the shared one-row ANOVA fold — two fact passes total, no
+    * wide shuffle (the percentile rollup carries 5 rows).
+    */
+  val q277BrownForsythe: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      cents(col("o_totalprice")).as("c"))
+    val med = o.groupBy(col("g"))
+      // Spark's percentile family returns doubles — the value is an exact
+      // order statistic (an integer), so the cast back is lossless
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("med_c"))
+    val dev = o.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("c") - col("med_c")).as("c"))
+    oneWayPanel(dev)
+      .select(col("k_groups"), col("n_total"), col("f_e6").as("w_e6"))
+  }
+
+  val q277Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |med AS (
+      |  SELECT g, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+      |    AS BIGINT) AS med_c
+      |  FROM o GROUP BY g),
+      |z AS (
+      |  SELECT o.g, ABS(c - med_c) AS c FROM o JOIN med ON o.g = med.g),
+      |grp AS (
+      |  SELECT g, COUNT(*) AS n_g, SUM(CAST(c AS HUGEINT)) AS s_g,
+      |    SUM(CAST(c AS HUGEINT) * c) AS q_g
+      |  FROM z GROUP BY g),
+      |terms AS (
+      |  SELECT n_g, s_g, q_g, s_g * s_g * 1000000 // n_g AS t_g FROM grp),
+      |roll AS (
+      |  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s_all,
+      |    SUM(q_g) AS q_all, SUM(t_g) AS t_all
+      |  FROM terms),
+      |ss AS (
+      |  SELECT k, n, t_all - s_all * s_all * 1000000 // n AS ssb_e6,
+      |    q_all * 1000000 - t_all AS ssw_e6
+      |  FROM roll)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+      |  CAST((ssb_e6 // (k - 1)) * 1000000 // (ssw_e6 // (n - k))
+      |    AS BIGINT) AS w_e6
+      |FROM ss""".stripMargin
+
+  // -------------------------------------- q271: Spearman rank correlation
+
+  /** q271: Spearman rank correlation of quantity vs price per return flag —
+    * the monotone-association companion to q117's Pearson r (outlier-robust,
+    * and the pair every metric dashboard reports together). Exactness:
+    * average ranks are rationals, so everything runs on DOUBLED ranks —
+    * for a value with cnt ties and `below` smaller rows, the doubled
+    * average rank is 2·below + cnt + 1, an integer — and on ranks CENTERED
+    * by the group's exact doubled mean (n_g + 1), which kills the n·Σxy
+    * cross-term: ρ = Σu_x·u_y / (√Σu_x²·√Σu_y²) over exact DECIMAL(38,0)
+    * sums, one IEEE division and two IEEE sqrts of exactly-represented
+    * integers — bit-portable.
+    *
+    * Plan: rank maps build on DISTINCT-VALUE rollups (the q164 posture —
+    * windows run over |distinct values|, never a corpus-wide sort), then
+    * join back onto the fact by value: two bounded rollups + two
+    * value-keyed joins + one co-moment fold.
+    */
+  val q271Spearman: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val rows = Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
+      cents(col("l_quantity")).as("xc"), cents(col("l_extendedprice")).as("yc"))
+
+    // (g, value) -> centered doubled rank u = 2·below + cnt − n_g
+    def rankMap(vcol: String): DataFrame = {
+      val byV = rows.groupBy(col("g"), col(vcol)).agg(count(lit(1)).as("cnt"))
+      val asc = Window.partitionBy(col("g")).orderBy(col(vcol))
+      val below = asc.rowsBetween(Window.unboundedPreceding, -1)
+      byV.withColumn("below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+        .withColumn("n_g", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+        .select(col("g"), col(vcol),
+          (lit(2L) * col("below") + col("cnt") - col("n_g")).as(s"u_$vcol"))
+    }
+
+    rows
+      .join(rankMap("xc"), Seq("g", "xc"))
+      .join(rankMap("yc"), Seq("g", "yc"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        // u ≤ n_g, so u² overflows int64 past ~3e9 rows/group: multiply in
+        // decimal, never in long
+        sum(col("u_xc").cast(dec) * col("u_yc").cast(dec)).as("sxy"),
+        sum(col("u_xc").cast(dec) * col("u_xc").cast(dec)).as("sxx"),
+        sum(col("u_yc").cast(dec) * col("u_yc").cast(dec)).as("syy"))
+      .select(col("g").as("l_returnflag"), col("n_rows"),
+        (col("sxy").cast("double") /
+          (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+          .as("rho_spearman"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q271Sql: String =
+    """WITH rws AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(ROUND(l_quantity*100) AS BIGINT) AS xc,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS yc
+      |  FROM lineitem),
+      |rx AS (SELECT g, xc, COUNT(*) AS cnt FROM rws GROUP BY g, xc),
+      |ux AS (
+      |  SELECT g, xc,
+      |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY xc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt - SUM(cnt) OVER (PARTITION BY g) AS u_xc
+      |  FROM rx),
+      |ry AS (SELECT g, yc, COUNT(*) AS cnt FROM rws GROUP BY g, yc),
+      |uy AS (
+      |  SELECT g, yc,
+      |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY yc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt - SUM(cnt) OVER (PARTITION BY g) AS u_yc
+      |  FROM ry),
+      |j AS (
+      |  SELECT r.g, u_xc, u_yc
+      |  FROM rws r
+      |  JOIN ux ON r.g = ux.g AND r.xc = ux.xc
+      |  JOIN uy ON r.g = uy.g AND r.yc = uy.yc),
+      |m AS (
+      |  SELECT g, COUNT(*) AS n_rows,
+      |    SUM(CAST(u_xc AS HUGEINT) * u_yc) AS sxy,
+      |    SUM(CAST(u_xc AS HUGEINT) * u_xc) AS sxx,
+      |    SUM(CAST(u_yc AS HUGEINT) * u_yc) AS syy
+      |  FROM j GROUP BY g)
+      |SELECT g AS l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(sxx AS VARCHAR) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(syy AS VARCHAR) AS DOUBLE))) AS rho_spearman
+      |FROM m ORDER BY g""".stripMargin
+
+  // -------------------------------------- q272: Kruskal–Wallis rank test
+
+  /** q272: Kruskal–Wallis H — the rank-based (distribution-free) sibling of
+    * q268's ANOVA over the same design, for when order values are heavy-
+    * tailed enough that mean-based F is the wrong test. Runs entirely in
+    * exact integers: global DOUBLED average ranks off the distinct-price
+    * rollup (q271's construction, unpartitioned), per-group rank sums
+    * R2_g = Σ n_gc·d_c in DECIMAL(38,0), then H = 12/(N(N+1))·Σ n_g·Δ²
+    * staged as e6 floor-divisions whose operand order keeps every
+    * intermediate under ~10³² at any corpus scale (divide by N+1, then by
+    * N, THEN sum). The tie correction 1 − Σ(t³−t)/(N³−N) applies as one
+    * integer ratio. Truncation error is defined arithmetic — the oracle
+    * floors in the same places.
+    *
+    * Plan: fact pass → (g, price) rollup; distinct-price rollup carries the
+    * one ordered window (bounded by price cardinality, not corpus rows);
+    * the rest is a |groups|-row fold with the (N, T) scalar riding a
+    * broadcast cross join.
+    */
+  val q272KruskalWallis: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      cents(col("o_totalprice")).as("c"))
+    val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n_gc"))
+    val byV = gc.groupBy(col("c")).agg(sum(col("n_gc")).as("cnt"))
+    val asc = Window.orderBy(col("c"))
+    val dRank = byV
+      .withColumn("below", coalesce(sum(col("cnt"))
+        .over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("c"), (lit(2L) * col("below") + col("cnt") + 1L).as("d"),
+        col("cnt"))
+    val scalars = dRank.agg(
+      sum(col("cnt")).cast(dec).as("n_all"),
+      sum(col("cnt").cast(dec) * col("cnt") * col("cnt") -
+        col("cnt").cast(dec)).as("ties"))
+    val perG = gc.join(dRank.select(col("c"), col("d")), Seq("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_gc")).cast(dec).as("n_g"),
+        sum(col("n_gc").cast(dec) * col("d")).as("r2_g"))
+    perG.crossJoin(broadcast(scalars))
+      // dev = e6-scaled doubled deviation of the group mean rank from the
+      // grand doubled mean (N+1, exact); Σ n_g·Δ²/(N(N+1)) staged so the
+      // largest product is n_g·(dev²/(N+1)) ≲ 10³² at N = 10¹⁰
+      .select(col("g"), col("n_g"), col("n_all"), col("ties"),
+        (expr(fdiv("r2_g * 1000000", "n_g")) -
+          (col("n_all") + lit(1)) * lit(1000000L)).as("dev"))
+      .select(col("g"), col("n_g"), col("n_all"), col("ties"),
+        expr(fdiv(fdiv("dev * dev", "n_all + 1") + " * n_g", "n_all"))
+          .as("t2"))
+      .agg(count(lit(1)).as("k_groups"), max(col("n_all")).as("n_all"),
+        max(col("ties")).as("ties"), sum(col("t2")).as("t2_sum"))
+      .select(col("k_groups"), col("n_all").cast("long").as("n_total"),
+        expr(fdiv("3 * t2_sum", "1000000")).as("h_raw_e6"),
+        expr(fdiv(
+          "(n_all * n_all * n_all - n_all - ties) * 1000000",
+          "n_all * n_all * n_all - n_all")).as("corr_e6"))
+      .select(col("k_groups"), col("n_total"),
+        col("h_raw_e6").cast("long").as("h_e6"),
+        expr(fdiv("h_raw_e6 * 1000000", "corr_e6")).cast("long")
+          .as("h_tied_e6"))
+  }
+
+  val q272Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |gc AS (SELECT g, c, COUNT(*) AS n_gc FROM o GROUP BY g, c),
+      |by_v AS (SELECT c, CAST(SUM(n_gc) AS BIGINT) AS cnt FROM gc GROUP BY c),
+      |d_rank AS (
+      |  SELECT c,
+      |    2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS d,
+      |    cnt
+      |  FROM by_v),
+      |scalars AS (
+      |  SELECT CAST(SUM(cnt) AS HUGEINT) AS n_all,
+      |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+      |  FROM d_rank),
+      |per_g AS (
+      |  SELECT g, CAST(SUM(n_gc) AS HUGEINT) AS n_g,
+      |    SUM(CAST(n_gc AS HUGEINT) * d) AS r2_g
+      |  FROM gc JOIN d_rank USING (c) GROUP BY g),
+      |dev AS (
+      |  SELECT g, n_g, n_all, ties,
+      |    r2_g * 1000000 // n_g - (n_all + 1) * 1000000 AS dev
+      |  FROM per_g CROSS JOIN scalars),
+      |t2 AS (
+      |  SELECT g, n_g, n_all, ties,
+      |    (dev * dev // (n_all + 1)) * n_g // n_all AS t2
+      |  FROM dev),
+      |agg AS (
+      |  SELECT COUNT(*) AS k_groups, MAX(n_all) AS n_all, MAX(ties) AS ties,
+      |    SUM(t2) AS t2_sum
+      |  FROM t2),
+      |h AS (
+      |  SELECT k_groups, n_all, 3 * t2_sum // 1000000 AS h_raw_e6,
+      |    (n_all * n_all * n_all - n_all - ties) * 1000000
+      |      // (n_all * n_all * n_all - n_all) AS corr_e6
+      |  FROM agg)
+      |SELECT CAST(k_groups AS BIGINT) AS k_groups,
+      |  CAST(n_all AS BIGINT) AS n_total,
+      |  CAST(h_raw_e6 AS BIGINT) AS h_e6,
+      |  CAST(h_raw_e6 * 1000000 // corr_e6 AS BIGINT) AS h_tied_e6
+      |FROM h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q277_brown_forsythe" -> q277BrownForsythe,
+    "q271_spearman" -> q271Spearman,
+    "q272_kruskal_wallis" -> q272KruskalWallis,
     "q268_anova" -> q268Anova,
     "q266_bh_fdr" -> q266BhFdr,
     "q265_holm_multitest" -> q265HolmMultitest,
@@ -1054,6 +1319,9 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q277_brown_forsythe" -> q277Sql,
+    "q271_spearman" -> q271Sql,
+    "q272_kruskal_wallis" -> q272Sql,
     "q268_anova" -> q268Sql,
     "q266_bh_fdr" -> q266Sql,
     "q265_holm_multitest" -> q265Sql,

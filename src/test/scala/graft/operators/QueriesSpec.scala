@@ -1563,6 +1563,56 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q271 Spearman matches the built-in corr-over-avg-ranks to 1e-9") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = AuditQueries.q271Spearman(spark, sfDir).collect()
+    assert(rows.length === 3)
+    // independent formulation: avg ranks via two double windows + corr
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("g"),
+      expr("CAST(ROUND(l_quantity*100) AS BIGINT)").as("xc"),
+      expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)").as("yc"))
+    def avgRank(v: String) = {
+      val asc = Window.partitionBy(col("g")).orderBy(col(v))
+      (rank().over(asc).cast("double") +
+        (count(lit(1)).over(Window.partitionBy(col("g"), col(v))) - 1)
+          .cast("double") / 2.0)
+    }
+    val expected = li
+      .withColumn("rx", avgRank("xc")).withColumn("ry", avgRank("yc"))
+      .groupBy(col("g")).agg(corr(col("rx"), col("ry")).as("rho"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("rho_spearman")
+      assert(rho >= -1.0 && rho <= 1.0)
+      assert(math.abs(rho - expected(r.getAs[String]("l_returnflag"))) < 1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      graft.Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("q272 Kruskal-Wallis: tie correction only inflates H, sane bounds") {
+    val r = AuditQueries.q272KruskalWallis(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("k_groups") === 5L)
+    assert(r.getAs[Long]("n_total") ===
+      graft.Tables.orders(spark, sfDir).count())
+    val h = r.getAs[Long]("h_e6")
+    val ht = r.getAs[Long]("h_tied_e6")
+    assert(h >= 0L)
+    assert(ht >= h) // dividing by a ≤1 correction can only grow H
+    // H is bounded by N−1 (attained when every group is a distinct block)
+    assert(ht <= (r.getAs[Long]("n_total") - 1) * 1000000L)
+  }
+
+  test("q277 Brown-Forsythe: W positive and groups complete") {
+    val r = AuditQueries.q277BrownForsythe(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("k_groups") === 5L)
+    assert(r.getAs[Long]("n_total") ===
+      graft.Tables.orders(spark, sfDir).count())
+    assert(r.getAs[Long]("w_e6") >= 0L)
+  }
+
   test("q268 ANOVA identities: positive mean squares, eta2 within [0, 1e6]") {
     val r = AuditQueries.q268Anova(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("k_groups") === 5L)
