@@ -4162,7 +4162,95 @@ object CoreQueries {
        |    AS BIGINT) AS acf_e6
        |FROM m ORDER BY lag""".stripMargin
 
+  // ------------------------------------------- q275: t-closeness audit
+
+  /** q275: t-closeness — the third leg of the publish-an-extract privacy
+    * trio (k-anonymity q181 guards group SIZE, l-diversity q255 guards
+    * sensitive-value VARIETY; t-closeness guards the sensitive-value
+    * DISTRIBUTION: a group can hold 3 distinct segments and still leak if
+    * 98% of it is one segment the population holds at 20%). Per q181's
+    * quasi-identifier groups (nation, balance band), the distance between
+    * the group's market-segment distribution and the global one is the
+    * variational distance ½·Σ_s |p_g(s) − p(s)| — the categorical EMD —
+    * computed on the common denominator n_g·N so every term is an exact
+    * integer: tvd_e6 = 10⁶·Σ_s |n_gs·N − N_s·n_g| DIV (2·n_g·N).
+    *
+    * Zero cells matter (an ABSENT segment contributes N_s·n_g), so groups
+    * cross-join the 5-row segment rollup before the left join onto the
+    * observed counts — fan-out is |groups|·|segments|, never corpus rows.
+    */
+  val q275TCloseness: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val rowsQ = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        expr("(CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) div 100000")
+          .as("bal_band"),
+        col("c_mktsegment").as("seg"))
+    // ONE corpus pass: the (QI, seg) cell rollup is checkpointed and every
+    // marginal (group sizes, segment totals, N) folds from it
+    val cells = rowsQ.groupBy(col("c_nationkey"), col("bal_band"), col("seg"))
+      .agg(count(lit(1)).as("n_gs"))
+      .localCheckpoint()
+    val groups = cells.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("n_gs")).as("n_g"))
+    val segs = cells.groupBy(col("seg")).agg(sum(col("n_gs")).as("n_s"))
+    val total = cells.agg(sum(col("n_gs")).as("n_all"))
+    groups.crossJoin(broadcast(segs)).crossJoin(broadcast(total))
+      .join(cells, Seq("c_nationkey", "bal_band", "seg"), "left")
+      .select(col("c_nationkey"), col("bal_band"), col("n_g"), col("n_all"),
+        abs(coalesce(col("n_gs"), lit(0L)).cast(dec) * col("n_all") -
+          col("n_s").cast(dec) * col("n_g")).as("dev"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_all")).as("n_all"),
+        sum(col("dev")).as("dev_sum"))
+      .select(col("c_nationkey"), col("bal_band"),
+        col("n_g").cast("long").as("n_g"),
+        expr("""CAST(CAST(dev_sum AS DECIMAL(38,0)) * 1000000
+                | DIV (2 * CAST(n_g AS DECIMAL(38,0)) * n_all)
+                | AS BIGINT)""".stripMargin).as("tvd_e6"))
+      .withColumn("t_breach", (col("tvd_e6") > 200000L).cast("int"))
+      .orderBy(col("c_nationkey"), col("bal_band"))
+  }
+
+  val q275Sql: String =
+    """WITH qi AS (
+      |  SELECT c_nationkey,
+      |    (CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000) // 100000
+      |      AS bal_band,
+      |    c_mktsegment AS seg
+      |  FROM customer),
+      |cells AS (
+      |  SELECT c_nationkey, bal_band, seg, COUNT(*) AS n_gs
+      |  FROM qi GROUP BY c_nationkey, bal_band, seg),
+      |groups AS (
+      |  SELECT c_nationkey, bal_band, CAST(SUM(n_gs) AS BIGINT) AS n_g
+      |  FROM cells GROUP BY c_nationkey, bal_band),
+      |segs AS (SELECT seg, COUNT(*) AS n_s FROM qi GROUP BY seg),
+      |total AS (SELECT COUNT(*) AS n_all FROM qi),
+      |dev AS (
+      |  SELECT g.c_nationkey, g.bal_band, g.n_g, n_all,
+      |    ABS(CAST(COALESCE(c.n_gs, 0) AS HUGEINT) * n_all
+      |        - CAST(s.n_s AS HUGEINT) * g.n_g) AS dev
+      |  FROM groups g
+      |  CROSS JOIN segs s
+      |  CROSS JOIN total
+      |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+      |    AND c.bal_band = g.bal_band AND c.seg = s.seg),
+      |roll AS (
+      |  SELECT c_nationkey, bal_band, MAX(n_g) AS n_g, MAX(n_all) AS n_all,
+      |    SUM(dev) AS dev_sum
+      |  FROM dev GROUP BY c_nationkey, bal_band)
+      |SELECT c_nationkey, bal_band, CAST(n_g AS BIGINT) AS n_g,
+      |  CAST(dev_sum * 1000000 // (2 * CAST(n_g AS HUGEINT) * n_all)
+      |    AS BIGINT) AS tvd_e6,
+      |  CAST(CASE WHEN dev_sum * 1000000
+      |      // (2 * CAST(n_g AS HUGEINT) * n_all) > 200000
+      |    THEN 1 ELSE 0 END AS INT) AS t_breach
+      |FROM roll
+      |ORDER BY c_nationkey, bal_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q275_t_closeness" -> q275TCloseness,
     "q269_price_index" -> q269PriceIndex,
     "q270_acf" -> q270Acf,
     "q263_bloom_audit" -> q263BloomAudit,
@@ -4256,6 +4344,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q275_t_closeness" -> q275Sql,
     "q269_price_index" -> q269Sql,
     "q270_acf" -> q270Sql,
     "q263_bloom_audit" -> q263Sql,

@@ -1530,7 +1530,77 @@ object TextQueries {
        |ORDER BY truth.lang""".stripMargin
   }
 
+  // ------------------------------------------- q273: Cohen's kappa
+
+  /** q273: Cohen's kappa for the q58 language identifier against the stored
+    * labels — chance-corrected agreement, the one summary number a rater-
+    * agreement or silver-label audit reports above raw accuracy (a
+    * classifier that always answers the majority language scores high
+    * accuracy but κ ≈ 0). Exact rationals all the way: observed agreement
+    * is the confusion diagonal, expected agreement is Σ_c row_c·col_c over
+    * the class marginals, and
+    *   κ = (N·diag − Σrc) / (N² − Σrc)
+    * lands as a sign-factored e6 integer division (κ can be negative;
+    * Spark DIV truncates toward zero while DuckDB // floors, so the
+    * division runs on |numerator| with the sign re-applied — the one
+    * construction where they agree).
+    *
+    * Plan: one document scan to the |langs|² confusion rollup
+    * (localCheckpointed — three marginal folds read it, none re-scan the
+    * corpus), then metadata-sized joins.
+    */
+  val q273CohensKappa: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val cm = q58LangId(s, dir).localCheckpoint() // (lang, predicted, n)
+    val rowS = cm.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+    val colS = cm.groupBy(col("predicted")).agg(sum(col("n")).as("col_n"))
+    val pe = rowS.join(colS, rowS("lang") === colS("predicted"))
+      .agg(coalesce(sum(col("row_n").cast(dec) * col("col_n")), lit(0).cast(dec))
+        .as("pe_num"))
+    cm.agg(sum(col("n")).cast(dec).as("n_docs"),
+        sum(when(col("lang") === col("predicted"), col("n")).otherwise(0L))
+          .cast(dec).as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_agree").cast("long").as("n_agree"),
+        expr("CAST(n_agree * 1000000 DIV n_docs AS BIGINT)").as("po_e6"),
+        expr("""CAST((pe_num * 1000000 - (pe_num * 1000000)
+                |  % (n_docs * n_docs)) / (n_docs * n_docs) AS BIGINT)"""
+          .stripMargin).as("pe_e6"),
+        expr("""CAST(CASE WHEN n_docs * n_agree >= pe_num THEN 1 ELSE -1 END
+                | * CAST((abs(n_docs * n_agree - pe_num) * 1000000
+                |    - (abs(n_docs * n_agree - pe_num) * 1000000)
+                |      % (n_docs * n_docs - pe_num))
+                |   / (n_docs * n_docs - pe_num) AS DECIMAL(38,0))
+                | AS BIGINT)""".stripMargin).as("kappa_e6"))
+  }
+
+  val q273Sql: String = {
+    val cmSql = q58Sql.replace("\n", "\n  ")
+    s"""WITH cm AS (
+       |  $cmSql),
+       |row_s AS (SELECT lang, CAST(SUM(n) AS HUGEINT) AS row_n
+       |          FROM cm GROUP BY lang),
+       |col_s AS (SELECT predicted AS lang, CAST(SUM(n) AS HUGEINT) AS col_n
+       |          FROM cm GROUP BY predicted),
+       |pe AS (SELECT COALESCE(SUM(row_n * col_n), 0) AS pe_num
+       |       FROM row_s JOIN col_s USING (lang)),
+       |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END) AS HUGEINT)
+       |    AS n_agree
+       |  FROM cm)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_agree AS BIGINT) AS n_agree,
+       |  CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_e6,
+       |  CAST(pe_num * 1000000 // (n_docs * n_docs) AS BIGINT) AS pe_e6,
+       |  CAST((CASE WHEN n_docs * n_agree >= pe_num THEN 1 ELSE -1 END)
+       |    * (ABS(n_docs * n_agree - pe_num) * 1000000
+       |       // (n_docs * n_docs - pe_num)) AS BIGINT) AS kappa_e6
+       |FROM tot CROSS JOIN pe""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q273_cohens_kappa" -> q273CohensKappa,
     "q251_langid_metrics" -> q251LangIdMetrics,
     "q221_pmi_collocations" -> q221PmiCollocations,
     "q222_heaps_growth" -> q222HeapsGrowth,
@@ -1561,6 +1631,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q273_cohens_kappa" -> q273Sql,
     "q251_langid_metrics" -> q251Sql,
     "q221_pmi_collocations" -> q221Sql,
     "q222_heaps_growth" -> q222Sql,

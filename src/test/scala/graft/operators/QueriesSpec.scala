@@ -1563,6 +1563,32 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q273 kappa: chance correction only lowers agreement") {
+    val r = TextQueries.q273CohensKappa(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_docs") ===
+      graft.Tables.documents(spark, sfDir).count())
+    val po = r.getAs[Long]("po_e6")
+    val pe = r.getAs[Long]("pe_e6")
+    val k = r.getAs[Long]("kappa_e6")
+    assert(po >= 0L && po <= 1000000L)
+    assert(pe > 0L && pe < 1000000L) // marginals overlap on real data
+    // κ − p_o = p_e(p_o − 1)/(1 − p_e) ≤ 0: κ never exceeds raw agreement
+    assert(k <= po)
+    assert(k >= -1000000L && k <= 1000000L)
+  }
+
+  test("q275 t-closeness: bounded distances, groups partition the table") {
+    val rows = CoreQueries.q275TCloseness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("tvd_e6")
+      assert(t >= 0L && t <= 1000000L)
+      assert((r.getAs[Int]("t_breach") == 1) === (t > 200000L))
+    }
+    assert(rows.map(_.getAs[Long]("n_g")).sum ===
+      graft.Tables.customer(spark, sfDir).count())
+  }
+
   test("q271 Spearman matches the built-in corr-over-avg-ranks to 1e-9") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
