@@ -129,6 +129,48 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs and authorities over a directed bipartite edge list
+    * (hub, auth) in the same exact integer fixed-point discipline as
+    * [[pageRankInt]]: each half-step sums the opposite side's scores along
+    * edges (associative integer sums — partition-order-free), then
+    * L1-normalizes to total mass 10¹² by one exact floor division per node
+    * (the classical L2 normalization needs a square root PER ITERATION,
+    * which would compound non-portable rounding; L1 keeps the same fixed
+    * point direction and stays in integers). Scores are ≤ 10¹² by
+    * construction (a node's raw sum never exceeds the total).
+    *
+    * Per round: two edge-keyed join+sum shuffles plus two broadcast scalar
+    * folds — the Pregel half-step pair. Raw sums and the normalization
+    * products run in DECIMAL(38,0): Σ over 10¹² edges of 10¹²-scaled
+    * scores passes int64 long before the graph is interesting.
+    *
+    * Returns (hubs(hub, h), auths(auth, a)) after `iters` full
+    * authority-then-hub rounds.
+    */
+  def hitsInt(edges: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = edges.toDF("hub", "auth").localCheckpoint()
+    var hubs = e.select(col("hub")).distinct()
+      .withColumn("h", lit(1000000000000L))
+    var auths: DataFrame = e.select(col("auth")).distinct()
+      .withColumn("a", lit(1000000000000L))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hubs, "hub").groupBy(col("auth"))
+        .agg(sum(col("h").cast(dec)).as("a_raw"))
+      val atot = araw.agg(sum(col("a_raw")).as("tot"))
+      auths = araw.crossJoin(broadcast(atot)).select(col("auth"),
+        expr(fdiv("a_raw * 1000000000000", "tot")).cast("long").as("a"))
+      val hraw = e.join(auths, "auth").groupBy(col("hub"))
+        .agg(sum(col("a").cast(dec)).as("h_raw"))
+      val htot = hraw.agg(sum(col("h_raw")).as("tot"))
+      hubs = hraw.crossJoin(broadcast(htot)).select(col("hub"),
+        expr(fdiv("h_raw * 1000000000000", "tot")).cast("long").as("h"))
+    }
+    (hubs, auths)
+  }
+
   /** k-core of an undirected graph by fixed-round simultaneous peeling:
     * each round drops every node whose degree in the surviving induced
     * subgraph is below k, then recomputes. Peeling is monotone (a dropped

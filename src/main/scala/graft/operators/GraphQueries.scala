@@ -1237,7 +1237,73 @@ object GraphQueries {
        |FROM scored""".stripMargin
   }
 
+  // ----------------------------------------- q274: HITS hubs/authorities
+
+  /** Top-list sizes for the HITS report. */
+  private val HitsTopK = 15
+  private val HitsIters = 2
+
+  /** q274: HITS over the customer→part purchase graph — hubs are customers
+    * whose baskets concentrate on authoritative parts, authorities are
+    * parts bought by the strongest hubs (the mutually-reinforcing pair
+    * PageRank's single score conflates; on a bipartite purchase graph this
+    * is the classic "core shoppers / flagship products" decomposition).
+    * [[Graph.hitsInt]] runs the authority↔hub rounds in exact L1-normalized
+    * integer fixed-point, so the unrolled-CTE oracle matches bit-for-bit.
+    * Output: top 15 of each side with a role tag, deterministic key
+    * tie-break.
+    */
+  val q274Hits: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+      .distinct()
+    val (hubs, auths) = Graph.hitsInt(edges, HitsIters)
+    val topA = auths.orderBy(col("a").desc, col("auth")).limit(HitsTopK)
+      .select(lit("part_authority").as("role"), col("auth").as("node_key"),
+        col("a").as("score_e12"))
+    val topH = hubs.orderBy(col("h").desc, col("hub")).limit(HitsTopK)
+      .select(lit("customer_hub").as("role"), col("hub").as("node_key"),
+        col("h").as("score_e12"))
+    topA.unionAll(topH)
+  }
+
+  /** Oracle generated by unrolling [[HitsIters]] rounds — the q105
+    * chained-CTE pattern; HUGEINT keeps the 10¹²-scaled products exact.
+    */
+  val q274Sql: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      val hPrev = if (i == 1) "hub0" else s"h${i - 1}"
+      s"""ar$i AS (SELECT auth, SUM(h) AS a_raw
+         |  FROM edges JOIN $hPrev USING (hub) GROUP BY auth),
+         |at$i AS (SELECT SUM(a_raw) AS tot FROM ar$i),
+         |a$i AS (SELECT auth, a_raw * 1000000000000 // tot AS a
+         |  FROM ar$i CROSS JOIN at$i),
+         |hr$i AS (SELECT hub, SUM(a) AS h_raw
+         |  FROM edges JOIN a$i USING (auth) GROUP BY hub),
+         |ht$i AS (SELECT SUM(h_raw) AS tot FROM hr$i),
+         |h$i AS (SELECT hub, h_raw * 1000000000000 // tot AS h
+         |  FROM hr$i CROSS JOIN ht$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |hub0 AS (
+       |  SELECT DISTINCT hub, CAST(1000000000000 AS HUGEINT) AS h
+       |  FROM edges),
+       |$rounds,
+       |ta AS (SELECT 'part_authority' AS role, auth AS node_key,
+       |    CAST(a AS BIGINT) AS score_e12
+       |  FROM a$HitsIters ORDER BY a DESC, auth LIMIT $HitsTopK),
+       |th AS (SELECT 'customer_hub' AS role, hub AS node_key,
+       |    CAST(h AS BIGINT) AS score_e12
+       |  FROM h$HitsIters ORDER BY h DESC, hub LIMIT $HitsTopK)
+       |SELECT * FROM ta UNION ALL SELECT * FROM th""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q274_hits" -> q274Hits,
     "q262_ndcg" -> q262Ndcg,
     "q217_ranking_metrics" -> q217RankingMetrics,
     "q228_frequent_triples" -> q228FrequentTriples,
@@ -1256,6 +1322,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q274_hits" -> q274Sql,
     "q217_ranking_metrics" -> q217Sql,
     "q262_ndcg" -> q262Sql,
     "q228_frequent_triples" -> q228Sql,

@@ -26,6 +26,42 @@ class GraphSpec extends SparkSpec {
     Graph.pageRankInt(edges.toDF("src", "dst"), iters)
       .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
 
+  /** Serial reference for HITS: same L1-normalized integer half-steps. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, BigInt], Map[Long, BigInt]) = {
+    val S = BigInt(1000000000000L)
+    var h: Map[Long, BigInt] = edges.map(_._1).distinct.map(_ -> S).toMap
+    var a: Map[Long, BigInt] = edges.map(_._2).distinct.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap
+      val atot = araw.values.sum
+      a = araw.view.mapValues(v => v * S / atot).toMap
+      val hraw = edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap
+      val htot = hraw.values.sum
+      h = hraw.view.mapValues(v => v * S / htot).toMap
+    }
+    (h, a)
+  }
+
+  test("HITS matches the serial reference and conserves L1 mass") {
+    // two hubs share authority 10; hub 1 also owns 11,12 (the stronger hub)
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 13L))
+    val (hubsDf, authsDf) = Graph.hitsInt(edges.toDF("hub", "auth"), 2)
+    val hubs = hubsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auths = authsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (refH, refA) = refHits(edges, 2)
+    assert(hubs === refH.view.mapValues(_.toLong).toMap)
+    assert(auths === refA.view.mapValues(_.toLong).toMap)
+    // shared authority 10 collects from both hubs: it must dominate
+    assert(auths(10L) === auths.values.max)
+    assert(hubs(1L) > hubs(2L))
+    // L1 normalization: total mass within |nodes| floor-truncations of 1e12
+    assert(math.abs(hubs.values.sum - 1000000000000L) <= hubs.size)
+    assert(math.abs(auths.values.sum - 1000000000000L) <= auths.size)
+  }
+
   test("matches the serial reference on a directed triangle with a tail") {
     // 1→2→3→1 cycle plus 4→1 (4 receives only the damping floor)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
