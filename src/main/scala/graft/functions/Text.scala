@@ -31,6 +31,56 @@ object Text {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ------------------------------------------------- portable e6 log2
+
+  /** Mantissa lookup for [[log2e6SparkSql]]: log2(i)·10⁶ rounded, for the
+    * 9-bit normalized leading window i ∈ [256, 511]. Computed ONCE at
+    * plan-build time in Scala and inlined as identical integer literals
+    * into both engines (the Benford/NDCG constants rule: runtime libm is
+    * not bit-portable, plan-build constants are).
+    */
+  val Log2LutE6: IndexedSeq[Long] =
+    (256 to 511).map(i => math.round(math.log(i) / math.log(2) * 1e6))
+
+  /** Engine-portable fixed-point log2 with ~0.003-bit resolution:
+    *
+    *   log2e6(x) = (bitlen(x) − 9)·10⁶ + LUT[norm9(x) − 255]
+    *
+    * where bitlen is binary-string length (q96's floor-log2 device) and
+    * norm9 shifts x so its leading 9 bits land in [256, 511] — shifts are
+    * exact, the table is inlined, so the value is the SAME integer in
+    * Spark and DuckDB. This is what makes log-scale SCORING (classifiers,
+    * entropy, perplexity) oracle-checkable where q96's whole-bit grain is
+    * too coarse: whole bits are fine for ranking common-vs-rare bigrams,
+    * but a Bayes argmin needs sub-bit resolution or the per-token baseline
+    * difference between classes swamps the evidence.
+    *
+    * `x` must be a SQL expression that is cheap to repeat (a column or
+    * column+literal) and ≥ 1. Spark spelling; [[log2e6DuckSql]] is the
+    * oracle twin.
+    */
+  def log2e6SparkSql(x: String): String = {
+    val lut = Log2LutE6.mkString(", ")
+    s"""CAST((CAST(length(bin($x)) AS BIGINT) - 9) * 1000000 +
+       | element_at(array($lut),
+       |   CAST((CASE WHEN length(bin($x)) <= 9
+       |     THEN shiftleft($x, 9 - length(bin($x)))
+       |     ELSE shiftright($x, length(bin($x)) - 9) END) - 255 AS INT))
+       | AS BIGINT)""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[log2e6SparkSql]] — same LUT literals, native shifts,
+    * 1-based list indexing like element_at.
+    */
+  def log2e6DuckSql(x: String): String = {
+    val lut = Log2LutE6.mkString(", ")
+    s"""CAST((LEN(BIN($x)) - 9) * 1000000 +
+       | ([$lut])[CAST((CASE WHEN LEN(BIN($x)) <= 9
+       |   THEN ($x) << (9 - LEN(BIN($x)))
+       |   ELSE ($x) >> (LEN(BIN($x)) - 9) END) - 255 AS INT)]
+       | AS BIGINT)""".stripMargin.replace("\n", " ")
+  }
+
   /** Hash-family switch for the fingerprint stack (MinHash / SimHash /
     * winnowing). Both members map a string column to a nonnegative 60-bit
     * long, so every downstream construction (32-bit masking, bit votes over

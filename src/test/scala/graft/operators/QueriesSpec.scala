@@ -1563,6 +1563,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q276 Naive Bayes: eval split is the hash bucket, accuracy beats chance") {
+    val rows = TextQueries.q276NaiveBayes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nEval = rows.map(_.getAs[Long]("n_eval")).sum
+    // the eval set is exactly the ≥95% portable-hash bucket
+    import org.apache.spark.sql.functions._
+    val expected = graft.Tables.documents(spark, sfDir)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") >= ((1L << 60) / 100) * 95)
+      .count()
+    assert(nEval === expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Long]("acc_e6") >= 0L && r.getAs[Long]("acc_e6") <= 1000000L)
+    }
+    // pooled accuracy must beat the 1-in-5 chance floor
+    val correct = rows.map(_.getAs[Long]("n_correct")).sum
+    assert(correct * 5 > nEval, s"pooled accuracy $correct/$nEval not above chance")
+  }
+
   test("q273 kappa: chance correction only lowers agreement") {
     val r = TextQueries.q273CohensKappa(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("n_docs") ===
