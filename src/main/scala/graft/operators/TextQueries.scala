@@ -1763,7 +1763,177 @@ object TextQueries {
        |FROM pred GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------- q278: source entropy + KL divergence
+
+  /** q278: per-source token entropy and KL divergence from the corpus
+    * distribution — the source-mixing diagnostic a curation pipeline reads
+    * before weighting sources (low entropy = repetitive/templated source;
+    * high KL = distribution shift vs the blend it will join). Both land as
+    * e6-bit integers through [[Text.log2e6SparkSql]]:
+    *
+    *   H_s  = log2(Z_s) − Σ_w c_sw·log2(c_sw) / Z_s
+    *   KL_s = Σ_w c_sw·(log2(c_sw) + log2(Z) − log2(Z_s) − log2(c_w)) / Z_s
+    *
+    * — exact integer products in DECIMAL(38,0), one floor division per
+    * statistic (KL's division is sign-factored: the true value is ≥ 0 but
+    * e6 rounding can push a near-identical source epsilon-negative, and
+    * Spark DIV truncates while DuckDB // floors).
+    *
+    * Plan: one token explode → (source, word) rollup; the word marginal
+    * and source totals fold FROM that rollup (no second corpus pass); the
+    * corpus scalar rides a broadcast cross join.
+    */
+  val q278SourceEntropy: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = Text.log2e6SparkSql(x)
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint()
+    // totals stay LONG: log2e6 lowers to bin()/shifts, which take BIGINT —
+    // and token totals fit int64 until ~9e18 occurrences
+    val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val corpus = wTot.agg(sum(col("c_w")).cast("long").as("z_all"))
+    val terms = sw.join(wTot, Seq("w")).crossJoin(broadcast(corpus))
+      .withColumn("l2_csw", expr(l2("c_sw")))
+      .withColumn("term_h", col("c_sw").cast(dec) * col("l2_csw"))
+      .withColumn("term_kl", col("c_sw").cast(dec) *
+        (col("l2_csw") + expr(l2("z_all")) - expr(l2("c_w"))))
+    val perSource = terms.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("z_s"),
+        count(lit(1)).as("v_types"),
+        sum(col("term_h")).as("h_num"),
+        sum(col("term_kl")).as("kl_num0"))
+    perSource
+      .withColumn("l2_zs", expr(l2("z_s")))
+      // KL numerator still owes the −log2(Z_s) per occurrence
+      .withColumn("kl_num",
+        col("kl_num0") - col("z_s").cast(dec) * col("l2_zs"))
+      .select(col("source"), col("z_s").as("z_tokens"),
+        col("v_types"),
+        expr("""CAST(l2_zs - CAST((h_num - h_num % z_s) / z_s
+                | AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("entropy_e6"),
+        expr("""CAST(CASE WHEN kl_num >= 0 THEN 1 ELSE -1 END *
+                | CAST((abs(kl_num) - abs(kl_num) % z_s) / z_s
+                |   AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("kl_vs_corpus_e6"))
+      .orderBy(col("source"))
+  }
+
+  val q278Sql: String = {
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    s"""WITH sw AS (
+       |  SELECT source, w, COUNT(*) AS c_sw
+       |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w),
+       |w_tot AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+       |          FROM sw GROUP BY w),
+       |corpus AS (SELECT CAST(SUM(c_w) AS BIGINT) AS z_all FROM w_tot),
+       |terms AS (
+       |  SELECT source, c_sw,
+       |    ${l2("c_sw")} AS l2_csw,
+       |    CAST(c_sw AS HUGEINT) * ${l2("c_sw")} AS term_h,
+       |    CAST(c_sw AS HUGEINT) *
+       |      (${l2("c_sw")} + ${l2("z_all")} - ${l2("c_w")}) AS term_kl
+       |  FROM sw JOIN w_tot USING (w) CROSS JOIN corpus),
+       |per_source AS (
+       |  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS z_s,
+       |    COUNT(*) AS v_types,
+       |    SUM(term_h) AS h_num, SUM(term_kl) AS kl_num0
+       |  FROM terms GROUP BY source),
+       |fin AS (
+       |  SELECT source, z_s, v_types, h_num,
+       |    ${l2("z_s")} AS l2_zs,
+       |    kl_num0 - CAST(z_s AS HUGEINT) * ${l2("z_s")} AS kl_num
+       |  FROM per_source)
+       |SELECT source, CAST(z_s AS BIGINT) AS z_tokens, v_types,
+       |  CAST(l2_zs - h_num // z_s AS BIGINT) AS entropy_e6,
+       |  CAST((CASE WHEN kl_num >= 0 THEN 1 ELSE -1 END)
+       |    * (ABS(kl_num) // z_s) AS BIGINT) AS kl_vs_corpus_e6
+       |FROM fin ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------ q279: word-language MI ranking
+
+  /** Top-k size for the MI feature ranking. */
+  private val MiTopK = 20
+
+  /** q279: mutual-information feature ranking — which words carry language
+    * signal, the feature-selection audit that explains (and debugs) q276's
+    * classifier: per word, its contribution to I(W; L),
+    *
+    *   mi(w) = Σ_l n_wl·(log2 n_wl + log2 N − log2 n_w − log2 n_l) / N
+    *         = p(w)·KL(p(l|w) ‖ p(l))  ≥ 0,
+    *
+    * in the same e6 integer log2 discipline (sign-factored final division:
+    * mathematically nonnegative, but e6 rounding can push an uninformative
+    * word epsilon-negative). Top 20 by contribution, word tie-break.
+    *
+    * Plan: the (word, lang) rollup IS q276's model shape — one token
+    * shuffle; marginals fold from it; the scalar rides broadcast; top-k is
+    * a TakeOrdered, never a global sort.
+    */
+  val q279FeatureMi: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = Text.log2e6SparkSql(x)
+    val wl = Tables.documents(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w"), col("lang")).agg(count(lit(1)).as("n_wl"))
+      .localCheckpoint()
+    val wTot = wl.groupBy(col("w")).agg(sum(col("n_wl")).as("n_w"))
+    val lTot = wl.groupBy(col("lang")).agg(sum(col("n_wl")).as("n_l"))
+    val nAll = lTot.agg(sum(col("n_l")).cast("long").as("n_all"))
+    wl.join(wTot, Seq("w")).join(broadcast(lTot), Seq("lang"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("term", col("n_wl").cast(dec) *
+        (expr(l2("n_wl")) + expr(l2("n_all")) -
+          expr(l2("n_w")) - expr(l2("n_l"))))
+      .groupBy(col("w"))
+      .agg(max(col("n_w")).as("n_w"), sum(col("term")).as("num"),
+        max(col("n_all")).as("n_all"))
+      .select(col("w"), col("n_w").cast("long").as("n_occurrences"),
+        expr("""CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END *
+                | CAST((abs(num) - abs(num) % n_all) / n_all
+                |   AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("mi_contrib_e6"))
+      .orderBy(col("mi_contrib_e6").desc, col("w"))
+      .limit(MiTopK)
+  }
+
+  val q279Sql: String = {
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    s"""WITH wl AS (
+       |  SELECT w, lang, COUNT(*) AS n_wl
+       |  FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY w, lang),
+       |w_tot AS (SELECT w, CAST(SUM(n_wl) AS BIGINT) AS n_w
+       |          FROM wl GROUP BY w),
+       |l_tot AS (SELECT lang, CAST(SUM(n_wl) AS BIGINT) AS n_l
+       |          FROM wl GROUP BY lang),
+       |n_tot AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n_all FROM l_tot),
+       |terms AS (
+       |  SELECT w, n_w, n_all,
+       |    CAST(n_wl AS HUGEINT) *
+       |      (${l2("n_wl")} + ${l2("n_all")} - ${l2("n_w")} - ${l2("n_l")})
+       |      AS term
+       |  FROM wl JOIN w_tot USING (w) JOIN l_tot USING (lang)
+       |  CROSS JOIN n_tot),
+       |per_w AS (
+       |  SELECT w, MAX(n_w) AS n_w, SUM(term) AS num, MAX(n_all) AS n_all
+       |  FROM terms GROUP BY w)
+       |SELECT w, CAST(n_w AS BIGINT) AS n_occurrences,
+       |  CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+       |    * (ABS(num) // n_all) AS BIGINT) AS mi_contrib_e6
+       |FROM per_w
+       |ORDER BY mi_contrib_e6 DESC, w LIMIT $MiTopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q278_source_entropy" -> q278SourceEntropy,
+    "q279_feature_mi" -> q279FeatureMi,
     "q276_naive_bayes" -> q276NaiveBayes,
     "q273_cohens_kappa" -> q273CohensKappa,
     "q251_langid_metrics" -> q251LangIdMetrics,
@@ -1796,6 +1966,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q278_source_entropy" -> q278Sql,
+    "q279_feature_mi" -> q279Sql,
     "q276_naive_bayes" -> q276Sql,
     "q273_cohens_kappa" -> q273Sql,
     "q251_langid_metrics" -> q251Sql,

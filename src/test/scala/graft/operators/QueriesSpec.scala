@@ -1563,6 +1563,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q278 entropy bounded by log2(V), KL nonnegative up to e6 rounding") {
+    val rows = TextQueries.q278SourceEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("entropy_e6")
+      val v = r.getAs[Long]("v_types")
+      assert(h >= 0L)
+      // H ≤ log2(V); +2000 covers two e6-LUT quantization steps
+      assert(h <= math.round(math.log(v.toDouble) / math.log(2) * 1e6) + 2000,
+        s"source ${r.getAs[String]("source")}: H=$h V=$v")
+      assert(r.getAs[Long]("kl_vs_corpus_e6") >= -2000L)
+    }
+  }
+
+  test("q279 MI ranking: descending, nonnegative up to rounding, full top-k") {
+    val rows = TextQueries.q279FeatureMi(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val mis = rows.map(_.getAs[Long]("mi_contrib_e6"))
+    assert(mis.sameElements(mis.sorted.reverse))
+    // per-word MI is p(w)·KL(p(l|w) ‖ p(l)) ≥ 0 up to e6 rounding
+    mis.foreach(m => assert(m >= -2000L))
+  }
+
   test("q276 Naive Bayes: eval split is the hash bucket, accuracy beats chance") {
     val rows = TextQueries.q276NaiveBayes(spark, sfDir).collect()
     assert(rows.nonEmpty)
