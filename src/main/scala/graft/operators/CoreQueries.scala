@@ -4249,7 +4249,117 @@ object CoreQueries {
       |FROM roll
       |ORDER BY c_nationkey, bal_band""".stripMargin
 
+  // ------------------------------------------- q281: Theil decomposition
+
+  /** q281: Theil-T inequality of supplier revenue, decomposed into
+    * between-nation and within-nation components — the concentration
+    * report q160's Gini cannot give (Gini does not decompose additively;
+    * Theil does: T = T_between + T_within exactly, so a sourcing team sees
+    * WHERE the concentration lives). Base-2 via the portable e6 log2, so
+    * the panel reads in bits:
+    *
+    *   T        = Σ_i x_i·(log2 x_i + log2 N − log2 X) / X
+    *   T_betw   = Σ_g X_g·(log2 X_g + log2 N − log2 X − log2 N_g) / X
+    *   T_within = Σ_i x_i·(log2 x_i + log2 N_g − log2 X_g) / X
+    *
+    * Individual terms go negative (below-mean suppliers), so all three
+    * final divisions are sign-factored; the additive identity holds to LUT
+    * quantization (~0.006 bits/log — QueriesSpec pins the gap).
+    *
+    * Plan: one lineitem pass to the supplier revenue rollup (nation rides
+    * the broadcast supplier dim), nation rollup + scalars fold from it,
+    * one term pass over |suppliers| rows.
+    */
+  val q281TheilDecomposition: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % $den) / $den AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("c"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val rev = li.groupBy(col("l_suppkey")).agg(sum(col("c")).as("x"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("supp"), col("s_nationkey").as("nat"), col("x"))
+      .localCheckpoint()
+    val byNat = rev.groupBy(col("nat"))
+      .agg(sum(col("x")).as("x_g"), count(lit(1)).as("n_g"))
+    val scal = byNat.agg(sum(col("x_g")).as("x_all"),
+      sum(col("n_g")).as("n_all"), count(lit(1)).as("k_nations"))
+    val terms = rev.join(broadcast(byNat), Seq("nat"))
+      .crossJoin(broadcast(scal))
+      .select(col("nat"), col("x"), col("x_g"), col("n_g"),
+        col("x_all"), col("n_all"), col("k_nations"),
+        (col("x").cast(dec) *
+          (expr(l2("x")) + expr(l2("n_all")) - expr(l2("x_all"))))
+          .as("t_tot"),
+        (col("x").cast(dec) *
+          (expr(l2("x")) + expr(l2("n_g")) - expr(l2("x_g"))))
+          .as("t_win"))
+    val natTerms = byNat.crossJoin(broadcast(scal))
+      .select(col("k_nations"),
+        (col("x_g").cast(dec) *
+          (expr(l2("x_g")) + expr(l2("n_all")) -
+            expr(l2("x_all")) - expr(l2("n_g")))).as("t_btw"))
+      .agg(max(col("k_nations")).as("k_nations"),
+        sum(col("t_btw")).as("btw_num"))
+    terms
+      .agg(count(lit(1)).as("n_suppliers"), max(col("x_all")).as("x_all"),
+        sum(col("t_tot")).as("tot_num"), sum(col("t_win")).as("win_num"))
+      .crossJoin(broadcast(natTerms))
+      .select(col("n_suppliers"), col("k_nations"),
+        expr(sdiv("tot_num", "x_all")).as("t_total_e6"),
+        expr(sdiv("btw_num", "x_all")).as("t_between_e6"),
+        expr(sdiv("win_num", "x_all")).as("t_within_e6"))
+  }
+
+  val q281Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    def sdiv(num: String, den: String) =
+      s"CAST((CASE WHEN $num >= 0 THEN 1 ELSE -1 END) * (ABS($num) // $den) AS BIGINT)"
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS supp, s_nationkey AS nat,
+       |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY l_suppkey, s_nationkey),
+       |by_nat AS (
+       |  SELECT nat, CAST(SUM(x) AS BIGINT) AS x_g, COUNT(*) AS n_g
+       |  FROM rev GROUP BY nat),
+       |scal AS (
+       |  SELECT CAST(SUM(x_g) AS BIGINT) AS x_all,
+       |    CAST(SUM(n_g) AS BIGINT) AS n_all, COUNT(*) AS k_nations
+       |  FROM by_nat),
+       |terms AS (
+       |  SELECT x_all,
+       |    CAST(x AS HUGEINT) *
+       |      (${l2("x")} + ${l2("n_all")} - ${l2("x_all")}) AS t_tot,
+       |    CAST(x AS HUGEINT) *
+       |      (${l2("x")} + ${l2("n_g")} - ${l2("x_g")}) AS t_win
+       |  FROM rev JOIN by_nat USING (nat) CROSS JOIN scal),
+       |nat_terms AS (
+       |  SELECT MAX(k_nations) AS k_nations,
+       |    SUM(CAST(x_g AS HUGEINT) *
+       |      (${l2("x_g")} + ${l2("n_all")} - ${l2("x_all")} - ${l2("n_g")}))
+       |      AS btw_num
+       |  FROM by_nat CROSS JOIN scal),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_suppliers, MAX(x_all) AS x_all,
+       |    SUM(t_tot) AS tot_num, SUM(t_win) AS win_num
+       |  FROM terms)
+       |SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       |  CAST(k_nations AS BIGINT) AS k_nations,
+       |  ${sdiv("tot_num", "x_all")} AS t_total_e6,
+       |  ${sdiv("btw_num", "x_all")} AS t_between_e6,
+       |  ${sdiv("win_num", "x_all")} AS t_within_e6
+       |FROM agg CROSS JOIN nat_terms""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q281_theil_decomposition" -> q281TheilDecomposition,
     "q275_t_closeness" -> q275TCloseness,
     "q269_price_index" -> q269PriceIndex,
     "q270_acf" -> q270Acf,
@@ -4344,6 +4454,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q281_theil_decomposition" -> q281Sql,
     "q275_t_closeness" -> q275Sql,
     "q269_price_index" -> q269Sql,
     "q270_acf" -> q270Sql,

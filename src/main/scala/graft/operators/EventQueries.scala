@@ -3781,7 +3781,90 @@ object EventQueries {
        |  THEN 1 ELSE 0 END AS alert
        |FROM b ORDER BY hour""".stripMargin
 
+  // ------------------------------------ q280: Markov entropy rate
+
+  /** q280: per-state conditional entropy and the chain's entropy rate over
+    * the q108 transition matrix — "how predictable is the next event?", the
+    * sequence-predictability score that separates deterministic funnels
+    * (H≈0: always view→click) from noise states, and the information-
+    * theoretic ceiling for any next-event predictor (q165's accuracy can
+    * be judged against it). In e6-bit integers via the portable log2:
+    *
+    *   H(next | cur=c) = Σ_t n_ct·(log2 n_c − log2 n_ct) / n_c
+    *   rate = Σ_ct n_ct·(log2 n_c − log2 n_ct) / N   (the '__ALL__' row)
+    *
+    * Terms are nonnegative by construction (n_ct ≤ n_c and log2e6 is
+    * monotone over integers), so no sign factoring is needed.
+    *
+    * Plan: ONE event lead pass (q108's window) to the |types|² rollup;
+    * per-state totals ride a whole-partition window over that rollup;
+    * both report grains fold from the same term column.
+    */
+  val q280EntropyRate: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    val e = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = e.select(col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n_ct"))
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cur"))
+    val terms = trans
+      .withColumn("n_c", sum(col("n_ct")).over(totals))
+      .withColumn("term",
+        col("n_ct").cast(dec) * (expr(l2("n_c")) - expr(l2("n_ct"))))
+    val perState = terms.groupBy(col("cur"))
+      .agg(max(col("n_c")).as("n_trans"), sum(col("term")).as("num"))
+      .select(col("cur").as("state"), col("n_trans"),
+        expr("""CAST(CAST((num - num % n_trans) / n_trans
+                | AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("h_bits_e6"))
+    val overall = terms
+      .agg(sum(col("n_ct")).as("n_trans"), sum(col("term")).as("num"))
+      .select(lit("__ALL__").as("state"), col("n_trans"),
+        expr("""CAST(CAST((num - num % n_trans) / n_trans
+                | AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("h_bits_e6"))
+    perState.unionAll(overall).orderBy(col("state"))
+  }
+
+  val q280Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    s"""WITH seq AS (
+       |  SELECT event_type AS cur,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |trans AS (
+       |  SELECT cur, nxt, COUNT(*) AS n_ct FROM seq
+       |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |totals AS (
+       |  SELECT cur, CAST(SUM(n_ct) AS BIGINT) AS n_c
+       |  FROM trans GROUP BY cur),
+       |terms AS (
+       |  SELECT cur, n_ct, n_c,
+       |    CAST(n_ct AS HUGEINT) * (${l2("n_c")} - ${l2("n_ct")}) AS term
+       |  FROM trans JOIN totals USING (cur)),
+       |per_state AS (
+       |  SELECT cur AS state, MAX(n_c) AS n_trans,
+       |    SUM(term) // MAX(n_c) AS h
+       |  FROM terms GROUP BY cur),
+       |overall AS (
+       |  SELECT '__ALL__' AS state, SUM(n_ct) AS n_trans,
+       |    SUM(term) // SUM(n_ct) AS h
+       |  FROM terms)
+       |SELECT state, CAST(n_trans AS BIGINT) AS n_trans,
+       |  CAST(h AS BIGINT) AS h_bits_e6
+       |FROM (SELECT * FROM per_state UNION ALL SELECT * FROM overall)
+       |ORDER BY state""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q280_entropy_rate" -> q280EntropyRate,
     "q260_burn_rate" -> q260BurnRate,
     "q259_survival_km" -> q259SurvivalKm,
     "q253_removal_effect" -> q253RemovalEffect,
@@ -3845,6 +3928,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q280_entropy_rate" -> q280Sql,
     "q260_burn_rate" -> q260Sql,
     "q259_survival_km" -> q259Sql,
     "q253_removal_effect" -> q253Sql,

@@ -1563,6 +1563,49 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q280 entropy rate: __ALL__ is the transition-weighted state mean") {
+    val rows = EventQueries.q280EntropyRate(spark, sfDir).collect()
+    val (all, states) = rows.partition(_.getAs[String]("state") == "__ALL__")
+    assert(all.length === 1 && states.nonEmpty)
+    states.foreach { r =>
+      assert(r.getAs[Long]("h_bits_e6") >= 0L)
+      // conditional entropy is at most log2(|alphabet|)
+      assert(r.getAs[Long]("h_bits_e6") <=
+        math.round(math.log(states.length.toDouble) / math.log(2) * 1e6) + 7000)
+    }
+    // the overall rate row aggregates the same integer terms: reproduce it
+    val num = states.map(r =>
+      BigInt(r.getAs[Long]("h_bits_e6")) * r.getAs[Long]("n_trans")).sum
+    val den = states.map(r => BigInt(r.getAs[Long]("n_trans"))).sum
+    val approx = (num / den).toLong
+    val rate = all.head.getAs[Long]("h_bits_e6")
+    // per-state h already floors once, so the recomposition drifts by at
+    // most 1 unit per state
+    assert(math.abs(rate - approx) <= states.length)
+    assert(all.head.getAs[Long]("n_trans") === den.toLong)
+  }
+
+  test("q281 Theil decomposition: T = between + within up to LUT rounding") {
+    val r = CoreQueries.q281TheilDecomposition(spark, sfDir).collect()(0)
+    val t = r.getAs[Long]("t_total_e6")
+    val b = r.getAs[Long]("t_between_e6")
+    val w = r.getAs[Long]("t_within_e6")
+    assert(t >= 0L && w >= 0L)
+    // additive identity: exact in real arithmetic, LUT-rounded here
+    assert(math.abs(t - b - w) <= 25000L, s"t=$t b=$b w=$w")
+    // independent double-precision cross-check of T
+    import org.apache.spark.sql.functions._
+    val rev = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)")).as("x"))
+      .collect().map(_.getAs[Long]("x").toDouble)
+    val n = rev.length.toDouble
+    val x = rev.sum
+    val tRef = rev.map(v => v * (math.log(v * n / x) / math.log(2))).sum / x
+    assert(math.abs(t / 1e6 - tRef) < 0.02, s"t=${t / 1e6} ref=$tRef")
+    assert(r.getAs[Long]("n_suppliers") === rev.length.toLong)
+  }
+
   test("q278 entropy bounded by log2(V), KL nonnegative up to e6 rounding") {
     val rows = TextQueries.q278SourceEntropy(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -1570,10 +1613,10 @@ class QueriesSpec extends SparkSpec {
       val h = r.getAs[Long]("entropy_e6")
       val v = r.getAs[Long]("v_types")
       assert(h >= 0L)
-      // H ≤ log2(V); +2000 covers two e6-LUT quantization steps
-      assert(h <= math.round(math.log(v.toDouble) / math.log(2) * 1e6) + 2000,
+      // H ≤ log2(V); slack covers the ~0.006-bit/log LUT truncation error
+      assert(h <= math.round(math.log(v.toDouble) / math.log(2) * 1e6) + 7000,
         s"source ${r.getAs[String]("source")}: H=$h V=$v")
-      assert(r.getAs[Long]("kl_vs_corpus_e6") >= -2000L)
+      assert(r.getAs[Long]("kl_vs_corpus_e6") >= -12000L)
     }
   }
 
@@ -1583,7 +1626,7 @@ class QueriesSpec extends SparkSpec {
     val mis = rows.map(_.getAs[Long]("mi_contrib_e6"))
     assert(mis.sameElements(mis.sorted.reverse))
     // per-word MI is p(w)·KL(p(l|w) ‖ p(l)) ≥ 0 up to e6 rounding
-    mis.foreach(m => assert(m >= -2000L))
+    mis.foreach(m => assert(m >= -12000L))
   }
 
   test("q276 Naive Bayes: eval split is the hash bucket, accuracy beats chance") {
