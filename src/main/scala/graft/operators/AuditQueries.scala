@@ -1103,6 +1103,44 @@ object AuditQueries {
       |    AS BIGINT) AS w_e6
       |FROM ss""".stripMargin
 
+  // ------------------------------ shared two-level distributed ranking
+
+  /** Distributed below-count over a (groupCols, valueCol, cnt) rollup —
+    * the primitive under every exact rank statistic (q271/q272). A plain
+    * `Window.partitionBy(groups).orderBy(value)` funnels each group's
+    * whole rollup through ONE sort task — 3 return flags means 3 tasks no
+    * matter how many executors, the same class of scale-killer as an
+    * unpartitioned window. Two levels restore parallelism with identical
+    * output:
+    *
+    *   below(v) = Σ cnt over buckets < bkt(v)   (prefix over the ~|range/W|
+    *              bucket rollup — metadata-sized, the only serial window)
+    *            + Σ cnt over values < v within bkt(v)  (windows partitioned
+    *              by (groups, bucket) — parallelism = groups × buckets)
+    *
+    * Values must be ≥ 0 (integer `div` bucketing). Returns the rollup
+    * columns plus `below`.
+    */
+  private def doubledRankBelow(byV: DataFrame, groupCols: Seq[String],
+      valueCol: String, bucketWidth: Long): DataFrame = {
+    val gCols = groupCols.map(col)
+    val bucketed = byV.withColumn("bkt", expr(s"$valueCol div $bucketWidth"))
+    val bAgg = bucketed.groupBy((gCols :+ col("bkt")): _*)
+      .agg(sum(col("cnt")).as("bcnt"))
+    val bPrefixW = Window.partitionBy(gCols: _*).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bPrefix = bAgg
+      .withColumn("bbelow", coalesce(sum(col("bcnt")).over(bPrefixW), lit(0L)))
+      .select((gCols :+ col("bkt") :+ col("bbelow")): _*)
+    val wIn = Window.partitionBy((gCols :+ col("bkt")): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("ibelow", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .join(bPrefix, groupCols :+ "bkt")
+      .withColumn("below", col("bbelow") + col("ibelow"))
+      .drop("bkt", "bbelow", "ibelow")
+  }
+
   // -------------------------------------- q271: Spearman rank correlation
 
   /** q271: Spearman rank correlation of quantity vs price per return flag —
@@ -1116,10 +1154,13 @@ object AuditQueries {
     * sums, one IEEE division and two IEEE sqrts of exactly-represented
     * integers — bit-portable.
     *
-    * Plan: rank maps build on DISTINCT-VALUE rollups (the q164 posture —
-    * windows run over |distinct values|, never a corpus-wide sort), then
-    * join back onto the fact by value: two bounded rollups + two
-    * value-keyed joins + one co-moment fold.
+    * Plan: rank maps build on DISTINCT-VALUE rollups via the TWO-LEVEL
+    * bucket construction of [[doubledRankBelow]] — a price-like column is
+    * nearly unique, so a per-group ordered window would funnel the whole
+    * rollup through |groups| sort tasks; bucketing restores parallelism
+    * while producing the IDENTICAL below-counts (the oracle keeps the
+    * plain one-window formulation). Then two value-keyed joins back onto
+    * the fact + one co-moment fold.
     */
   val q271Spearman: Q = (s, dir) => {
     val dec = "decimal(38,0)"
@@ -1127,19 +1168,20 @@ object AuditQueries {
       cents(col("l_quantity")).as("xc"), cents(col("l_extendedprice")).as("yc"))
 
     // (g, value) -> centered doubled rank u = 2·below + cnt − n_g
-    def rankMap(vcol: String): DataFrame = {
+    def rankMap(vcol: String, bucketWidth: Long): DataFrame = {
       val byV = rows.groupBy(col("g"), col(vcol)).agg(count(lit(1)).as("cnt"))
-      val asc = Window.partitionBy(col("g")).orderBy(col(vcol))
-      val below = asc.rowsBetween(Window.unboundedPreceding, -1)
-      byV.withColumn("below", coalesce(sum(col("cnt")).over(below), lit(0L)))
-        .withColumn("n_g", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      doubledRankBelow(byV, Seq("g"), vcol, bucketWidth)
+        .join(broadcast(byV.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))),
+          Seq("g"))
         .select(col("g"), col(vcol),
           (lit(2L) * col("below") + col("cnt") - col("n_g")).as(s"u_$vcol"))
     }
 
     rows
-      .join(rankMap("xc"), Seq("g", "xc"))
-      .join(rankMap("yc"), Seq("g", "yc"))
+      // widths sized to the column domains: quantity cents span ~5e3
+      // (50 buckets), price cents ~1e7 (1000 buckets)
+      .join(rankMap("xc", 100L), Seq("g", "xc"))
+      .join(rankMap("yc", 10000L), Seq("g", "yc"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_rows"),
         // u ≤ n_g, so u² overflows int64 past ~3e9 rows/group: multiply in
@@ -1205,8 +1247,9 @@ object AuditQueries {
     * integer ratio. Truncation error is defined arithmetic — the oracle
     * floors in the same places.
     *
-    * Plan: fact pass → (g, price) rollup; distinct-price rollup carries the
-    * one ordered window (bounded by price cardinality, not corpus rows);
+    * Plan: fact pass → (g, price) rollup; global ranks come from the
+    * two-level bucket construction ([[doubledRankBelow]] — the only serial
+    * window runs over the ~|range/width| bucket rollup, metadata-sized);
     * the rest is a |groups|-row fold with the (N, T) scalar riding a
     * broadcast cross join.
     */
@@ -1218,10 +1261,10 @@ object AuditQueries {
       cents(col("o_totalprice")).as("c"))
     val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n_gc"))
     val byV = gc.groupBy(col("c")).agg(sum(col("n_gc")).as("cnt"))
-    val asc = Window.orderBy(col("c"))
-    val dRank = byV
-      .withColumn("below", coalesce(sum(col("cnt"))
-        .over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // two-level ranking (doubledRankBelow): order totals are nearly unique,
+    // so a single ordered window over the rollup would be one sort task at
+    // any cluster size; the oracle keeps the plain formulation
+    val dRank = doubledRankBelow(byV, Seq.empty, "c", 100000L)
       .select(col("c"), (lit(2L) * col("below") + col("cnt") + 1L).as("d"),
         col("cnt"))
     val scalars = dRank.agg(

@@ -3813,10 +3813,13 @@ object EventQueries {
       .agg(count(lit(1)).as("n_ct"))
     val totals = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cur"))
+    // both report grains read the term rollup — checkpoint it so the union
+    // does not replay the corpus lead pass per branch
     val terms = trans
       .withColumn("n_c", sum(col("n_ct")).over(totals))
       .withColumn("term",
         col("n_ct").cast(dec) * (expr(l2("n_c")) - expr(l2("n_ct"))))
+      .localCheckpoint()
     val perState = terms.groupBy(col("cur"))
       .agg(max(col("n_c")).as("n_trans"), sum(col("term")).as("num"))
       .select(col("cur").as("state"), col("n_trans"),

@@ -332,6 +332,68 @@ object EventStream {
       }
   }
 
+  final case class SeqEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String)
+  final case class SeqState(lastType: Option[String], lastMs: Long,
+    pending: Seq[SeqEvent])
+  final case class Transition(user_id: Long, from_type: String,
+    to_type: String, ts: java.sql.Timestamp)
+
+  /** Per-user event-type transitions as keyed streaming state — the
+    * streaming twin of the batch q108/q280 lead pass: the sink-side
+    * (from, to) count rollup reproduces the batch transition matrix
+    * row-for-row (StreamingSpec proves it), so the Markov surface
+    * (q108 probabilities, q165 next-event accuracy, q280 entropy rate)
+    * can be maintained incrementally instead of replaying the event log.
+    *
+    * Transitions are order-sensitive (successor pairs), so the state
+    * buffers events still above the watermark and drains them in
+    * (ts, event_id) order once final — [[attributedPurchases]]'s
+    * buffer-until-finality discipline; across drains only the LAST drained
+    * type survives, which is all a successor pair needs. Retained state is
+    * one (type, ms) pair per active user plus the watermark-bounded
+    * buffer; idle users evict after `idleEvictMs` (event-time timeout),
+    * with the documented seam that a gap longer than the horizon drops
+    * that single spanning transition — the bounded-state trade, same
+    * family as attribution's evicted-touch seam.
+    */
+  def transitions(spark: SparkSession, events: DataFrame,
+      watermark: String = "2 hours",
+      idleEvictMs: Long = 30L * 86400000L): Dataset[Transition] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SeqState]) =>
+          val prev = state.getOption.getOrElse(SeqState(None, 0L, Nil))
+          val buffered = prev.pending ++ rows
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = buffered.partition(_.ts.getTime <= wm)
+          var lastType = prev.lastType
+          var lastMs = prev.lastMs
+          val out = ready.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val t = lastType.map(lt => Transition(uid, lt, e.event_type, e.ts))
+            lastType = Some(e.event_type)
+            lastMs = e.ts.getTime
+            t
+          }
+          val evictAt = lastMs + idleEvictMs + 1
+          if (pending.isEmpty && (lastType.isEmpty || evictAt <= wm)) {
+            state.remove()
+          } else {
+            state.update(SeqState(lastType, lastMs, pending))
+            val timeoutAt =
+              if (pending.nonEmpty) pending.map(_.ts.getTime).max + 1
+              else evictAt
+            state.setTimeoutTimestamp(math.max(timeoutAt, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Exactly-once ingest from an at-least-once source: drop redelivered
     * events by their idempotency key. `dropDuplicatesWithinWatermark` keeps
     * per-key state only until the watermark passes it, so state is bounded

@@ -451,4 +451,48 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q271/q272: rank maps build on rollups, co-moments combine map-side") {
+    val p = plan("q271_spearman")
+    // the fact joins two VALUE-keyed rank maps — no corpus-wide rank window
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), "rollups must partial-aggregate")
+    assert(p.contains("partial_sum"), "co-moments must map-side combine")
+    val k = plan("q272_kruskal_wallis")
+    // the one ordered window runs over the distinct-price ROLLUP, after a
+    // partial+final aggregate — never over raw order rows
+    assert(k.contains("partial_sum"), k)
+    assert(!k.contains("CartesianProduct") || k.contains("BroadcastNestedLoopJoin"),
+      "scalar stitches must broadcast")
+  }
+
+  test("q276: eval tokens join the pivoted model once, scalars broadcast") {
+    val p = plan("q276_naive_bayes")
+    // one model join keyed by word — never |langs| copies of the stream
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the two scalar stitches may nest-loop:\n$p")
+    assert(p.contains("partial_sum"), "surprisal sums must map-side combine")
+  }
+
+  test("q278/q279: one token shuffle each; marginals fold from the rollup") {
+    for (q <- Seq("q278_source_entropy", "q279_feature_mi")) {
+      val p = plan(q)
+      assert("Generate explode".r.findAllIn(p).size <= 1,
+        s"$q must explode the token stream once:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q280/q281: single lead pass; Theil folds ride broadcasts") {
+    val p = plan("q280_entropy_rate")
+    // the term rollup is checkpointed: the union's two grains must NOT
+    // replay the corpus lead pass, so no Window survives in the final plan
+    assert(!p.contains("Window"), s"grains must read the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val t = plan("q281_theil_decomposition")
+    assert(t.contains("BroadcastHashJoin") || t.contains("BroadcastNestedLoopJoin"),
+      s"supplier dim and scalars must broadcast:\n$t")
+    assert(!t.contains("CartesianProduct"), t)
+  }
 }

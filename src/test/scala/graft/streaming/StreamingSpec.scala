@@ -319,6 +319,40 @@ class StreamingSpec extends SparkSpec {
       === nPurchases)
   }
 
+  test("streaming transitions reproduce the batch q108 matrix row-for-row") {
+    val dir = Files.createTempDirectory("graft_trans").toString
+    val real = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.mode("overwrite").parquet(dir)
+    val maxTs = real.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def flush(hoursAfter: Int): Unit = {
+      import spark.implicits._
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + hoursAfter * 3600000L),
+        -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = EventStream.transitions(spark, EventStream.read(spark, dir))
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_stream").start()
+    try {
+      q.processAllAvailable()
+      flush(10); q.processAllAvailable()  // watermark passes every event
+      flush(20); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans_stream").filter(col("user_id") >= 0)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.operators.EventQueries
+      .q108MarkovTransitions(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) -> r.getAs[Long]("n_trans")).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming session windows reproduce the batch interval-union coverage") {
     import graft.operators.EventQueries
     import spark.implicits._
