@@ -969,7 +969,130 @@ object SimilarityQueries {
        |ORDER BY cluster""".stripMargin
   }
 
+  // --------------------------------- q282: relational Lloyd step + SSE
+
+  /** Cluster count for the relational Lloyd step. */
+  private val LloydK = 8
+
+  /** q282: ONE full Lloyd (k-means) iteration executed entirely as a
+    * query — no driver-side model state, unlike [[Ivf.train]] whose
+    * centroids are control metadata: seeds are the k lowest vec_ids
+    * (deterministic), assignment is an exact integer argmin over the
+    * broadcast seed frame, and the update step re-estimates centroids
+    * per (cluster, dim). The report is Lloyd's monotonicity made visible:
+    * per cluster, SSE against the seed vs against the updated centroid,
+    * both from the SAME rollup via the identity
+    *
+    *   SSE_d(c) = ss_d − 2·c·s_d + n·c²
+    *
+    * (exact integers — no re-join of the vectors to score the new
+    * centroid). Means use the sign-factored truncating division, so the
+    * updated coordinate sits within 1 of the true minimizer and
+    * sse_after ≤ sse_before + n·dims (the spec pins that bound; with the
+    * exact fractional mean it would be ≤ with no slack).
+    *
+    * Plan: one posexplode to the (vec, dim) stream; assignment joins the
+    * BROADCAST k·dim seed frame on dim (fan-out k per row — the dense
+    * O(N·k·dims) assign, same asymptotics as the codegen
+    * NearestCentroidsExpr path but expressed relationally); one
+    * (vec)-keyed argmin shuffle; one (cluster, dim) rollup that feeds
+    * both SSE evaluations.
+    */
+  val q282LloydStep: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+    val seedIds = Tables.embeddings(s, dir)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(LloydK)
+    // k·dims rows; checkpointed so its three consumers (assign fan-out,
+    // SSE join) never replay the seed scan
+    val cent0 = qv.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("c0"))
+      .localCheckpoint()
+    val assign = qv.join(broadcast(cent0), Seq("d"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("c0")) * (col("q") - col("c0")).cast(dec))
+        .as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    val roll = qv.join(assign, Seq("vec_id"))
+      .groupBy(col("cid"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum((col("q") * col("q")).cast(dec)).as("ss"))
+    def sdiv(num: String, den: String) =
+      s"""CASE WHEN $num < 0 THEN -CAST(((-($num)) div ($den)) AS BIGINT)
+         |     ELSE CAST((($num) div ($den)) AS BIGINT) END""".stripMargin
+    roll.join(broadcast(cent0), Seq("cid", "d"))
+      .withColumn("c1", expr(sdiv("s", "n")))
+      .withColumn("sse0", col("ss") -
+        (lit(2L) * col("c0")).cast(dec) * col("s").cast(dec) +
+        col("n").cast(dec) * col("c0").cast(dec) * col("c0").cast(dec))
+      .withColumn("sse1", col("ss") -
+        (lit(2L) * col("c1")).cast(dec) * col("s").cast(dec) +
+        col("n").cast(dec) * col("c1").cast(dec) * col("c1").cast(dec))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("sse0")).cast(dec).as("sse_before_e8"),
+        sum(col("sse1")).cast(dec).as("sse_after_e8"),
+        sum(abs(col("c1") - col("c0"))).as("shift_l1_e4"))
+      .select(col("cid"), col("n_vecs"),
+        col("sse_before_e8").cast("long").as("sse_before_e8"),
+        col("sse_after_e8").cast("long").as("sse_after_e8"),
+        col("shift_l1_e4"))
+      .orderBy(col("cid"))
+  }
+
+  val q282Sql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS d,
+       |    CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings),
+       |seed_ids AS (
+       |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $LloydK),
+       |cent0 AS (
+       |  SELECT qv.vec_id AS cid, d, q AS c0
+       |  FROM qv JOIN seed_ids ON qv.vec_id = seed_ids.vec_id),
+       |dists AS (
+       |  SELECT qv.vec_id, cid,
+       |    SUM(CAST((q - c0) AS HUGEINT) * (q - c0)) AS dist
+       |  FROM qv JOIN cent0 USING (d)
+       |  GROUP BY qv.vec_id, cid),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM dists)
+       |  WHERE rk = 1),
+       |roll AS (
+       |  SELECT cid, d, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s,
+       |    SUM(CAST(q AS HUGEINT) * q) AS ss
+       |  FROM qv JOIN assign USING (vec_id)
+       |  GROUP BY cid, d),
+       |upd AS (
+       |  SELECT cid, d, n, s, ss, c0,
+       |    CASE WHEN s < 0 THEN -CAST((-s) // n AS BIGINT)
+       |         ELSE CAST(s // n AS BIGINT) END AS c1
+       |  FROM roll JOIN cent0 USING (cid, d)),
+       |sse AS (
+       |  SELECT cid, n,
+       |    ss - 2 * CAST(c0 AS HUGEINT) * s + CAST(n AS HUGEINT) * c0 * c0
+       |      AS sse0,
+       |    ss - 2 * CAST(c1 AS HUGEINT) * s + CAST(n AS HUGEINT) * c1 * c1
+       |      AS sse1,
+       |    ABS(c1 - c0) AS shift_d
+       |  FROM upd)
+       |SELECT cid, MAX(n) AS n_vecs,
+       |  CAST(SUM(sse0) AS BIGINT) AS sse_before_e8,
+       |  CAST(SUM(sse1) AS BIGINT) AS sse_after_e8,
+       |  CAST(SUM(shift_d) AS BIGINT) AS shift_l1_e4
+       |FROM sse GROUP BY cid ORDER BY cid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q282_lloyd_step" -> q282LloydStep,
     "q250_ivf_balance" -> q250IvfBalance,
     "q240_triplet_mining" -> q240TripletMining,
     "q227_pca_projection" -> q227PcaProjection,
@@ -1108,6 +1231,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q282_lloyd_step" -> q282Sql,
     "q229_rp_recall" -> q229Sql,
     "q240_triplet_mining" -> q240Sql,
     "q194_mmr_diversify" -> q194Sql,

@@ -1563,6 +1563,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q282 Lloyd step: assignment partitions, SSE non-increasing") {
+    val rows = SimilarityQueries.q282LloydStep(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ===
+      graft.Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val before = r.getAs[Long]("sse_before_e8")
+      val after = r.getAs[Long]("sse_after_e8")
+      // truncated means sit within 1 of the true minimizer per dim, so the
+      // update can regress by at most n per dimension
+      assert(after <= before + r.getAs[Long]("n_vecs") * 64,
+        s"cid=${r.getAs[Long]("cid")}: before=$before after=$after")
+      assert(after >= 0L && before >= 0L)
+    }
+    // the update must actually move at least one centroid off its seed
+    assert(rows.map(_.getAs[Long]("shift_l1_e4")).sum > 0L)
+  }
+
   test("q280 entropy rate: __ALL__ is the transition-weighted state mean") {
     val rows = EventQueries.q280EntropyRate(spark, sfDir).collect()
     val (all, states) = rows.partition(_.getAs[String]("state") == "__ALL__")
