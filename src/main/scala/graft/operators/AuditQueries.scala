@@ -1141,6 +1141,104 @@ object AuditQueries {
       .drop("bkt", "bbelow", "ibelow")
   }
 
+  // ------------------------------------------ q283: Welch two-sample test
+
+  /** q283: Welch's unequal-variance two-sample test — do returned line
+    * items (R) carry different prices than kept ones (N)? — the mean-
+    * difference companion to q127's proportion z (Student's pooled t is
+    * wrong when group variances differ, and warehouse segments always
+    * differ). Entirely exact-integer staged:
+    *
+    *   t² = (m̄₁ − m̄₂)² / (v₁/n₁ + v₂/n₂),
+    *   df = (q₁+q₂)² / (q₁²/(n₁−1) + q₂²/(n₂−1))   (Welch–Satterthwaite)
+    *
+    * with means e6-quantized per group, vᵢ/nᵢ as e12 floor-divisions of
+    * the exact integer SS (staged B/(n(n−1)) then ·10¹²/n so nothing
+    * exceeds ~10³³ at any corpus scale), and df as one e3 ratio. The
+    * floors are defined arithmetic mirrored in the oracle.
+    *
+    * Plan: one fact pass to a 2-row conditional rollup; everything after
+    * is scalar algebra.
+    */
+  val q283WelchTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("c"))
+    l.groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c").cast(dec)).as("s"),
+        sum((col("c") * col("c")).cast(dec)).as("ss"))
+      .agg(
+        max(when(col("g") === "R", col("n"))).as("n1"),
+        max(when(col("g") === "R", col("s"))).as("s1"),
+        max(when(col("g") === "R", col("ss"))).as("ss1"),
+        max(when(col("g") === "N", col("n"))).as("n2"),
+        max(when(col("g") === "N", col("s"))).as("s2"),
+        max(when(col("g") === "N", col("ss"))).as("ss2"))
+      .select(col("n1").cast("long").as("n_returned"),
+        col("n2").cast("long").as("n_kept"),
+        (expr(fdiv("s1 * 1000000", "n1")) - expr(fdiv("s2 * 1000000", "n2")))
+          .as("dm_e6"),
+        expr(fdiv(fdiv("n1 * ss1 - s1 * s1", "n1 * (n1 - 1)") + " * 1000000000000",
+          "n1")).as("q1_e12"),
+        expr(fdiv(fdiv("n2 * ss2 - s2 * s2", "n2 * (n2 - 1)") + " * 1000000000000",
+          "n2")).as("q2_e12"))
+      // df restaged through the e6 variance-share r = q1/(q1+q2):
+      // df = 1/(r²/(n1−1) + (1−r)²/(n2−1)) — squaring the e12 q's directly
+      // would pass 10⁴⁰
+      .withColumn("r_e6", expr(fdiv("q1_e12 * 1000000", "q1_e12 + q2_e12")))
+      .select(col("n_returned"), col("n_kept"),
+        col("dm_e6").cast("long").as("mean_diff_e6"),
+        expr(fdiv("dm_e6 * dm_e6 * 1000000", "q1_e12 + q2_e12")).cast("long")
+          .as("t2_e6"),
+        expr(fdiv(
+          // leading decimal cast keeps the 10¹⁵·n² product out of int64
+          "CAST(1000000000000 AS DECIMAL(38,0)) * (n_returned - 1) * (n_kept - 1) * 1000",
+          "r_e6 * r_e6 * (n_kept - 1) + " +
+            "(1000000 - r_e6) * (1000000 - r_e6) * (n_returned - 1)"))
+          .cast("long").as("df_e3"))
+  }
+
+  val q283Sql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      |grp AS (
+      |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(c AS HUGEINT)) AS s, SUM(CAST(c AS HUGEINT) * c) AS ss
+      |  FROM l GROUP BY g),
+      |wide AS (
+      |  SELECT
+      |    MAX(CASE WHEN g = 'R' THEN n END) AS n1,
+      |    MAX(CASE WHEN g = 'R' THEN s END) AS s1,
+      |    MAX(CASE WHEN g = 'R' THEN ss END) AS ss1,
+      |    MAX(CASE WHEN g = 'N' THEN n END) AS n2,
+      |    MAX(CASE WHEN g = 'N' THEN s END) AS s2,
+      |    MAX(CASE WHEN g = 'N' THEN ss END) AS ss2
+      |  FROM grp),
+      |stage AS (
+      |  SELECT n1, n2,
+      |    s1 * 1000000 // n1 - s2 * 1000000 // n2 AS dm_e6,
+      |    ((n1 * ss1 - s1 * s1) // (n1 * (n1 - 1))) * 1000000000000 // n1
+      |      AS q1_e12,
+      |    ((n2 * ss2 - s2 * s2) // (n2 * (n2 - 1))) * 1000000000000 // n2
+      |      AS q2_e12
+      |  FROM wide),
+      |ratio AS (
+      |  SELECT *, q1_e12 * 1000000 // (q1_e12 + q2_e12) AS r_e6 FROM stage)
+      |SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_kept,
+      |  CAST(dm_e6 AS BIGINT) AS mean_diff_e6,
+      |  CAST(dm_e6 * dm_e6 * 1000000 // (q1_e12 + q2_e12) AS BIGINT)
+      |    AS t2_e6,
+      |  CAST(1000000000000 * (n1 - 1) * (n2 - 1) * 1000
+      |    // (r_e6 * r_e6 * (n2 - 1)
+      |        + (1000000 - r_e6) * (1000000 - r_e6) * (n1 - 1))
+      |    AS BIGINT) AS df_e3
+      |FROM ratio""".stripMargin
+
   // -------------------------------------- q271: Spearman rank correlation
 
   /** q271: Spearman rank correlation of quantity vs price per return flag —
@@ -1344,6 +1442,7 @@ object AuditQueries {
       |FROM h""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q283_welch_test" -> q283WelchTest,
     "q277_brown_forsythe" -> q277BrownForsythe,
     "q271_spearman" -> q271Spearman,
     "q272_kruskal_wallis" -> q272KruskalWallis,
@@ -1362,6 +1461,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q283_welch_test" -> q283Sql,
     "q277_brown_forsythe" -> q277Sql,
     "q271_spearman" -> q271Sql,
     "q272_kruskal_wallis" -> q272Sql,

@@ -3781,6 +3781,165 @@ object EventQueries {
        |  THEN 1 ELSE 0 END AS alert
        |FROM b ORDER BY hour""".stripMargin
 
+  // --------------------------- q284: group-sequential A/B monitoring
+
+  /** Number of interim looks. */
+  private val SeqLooks = 5
+
+  /** O'Brien–Fleming boundary constant for K=5 looks at two-sided α=0.05
+    * (published group-sequential tables), squared ONCE at plan-build time
+    * and inlined into both engines (oracle side through the CAST-VARCHAR
+    * double rule): the look-k critical value is c·√(K/k), so the squared
+    * boundary is c²·K/k — two IEEE ops on the shared constant.
+    */
+  private val ObfC2: Double = 2.0403 * 2.0403
+
+  /** q284: group-sequential A/B monitoring — q127's conversion z-test
+    * evaluated at 5 cumulative interim looks under O'Brien–Fleming
+    * spending boundaries, the "peek without p-hacking" discipline every
+    * experimentation platform enforces (naive repeated z>1.96 peeking
+    * inflates false positives ~3×; OBF spends almost no α early). Looks
+    * cut the event span into fifths by epoch day; a user enters at their
+    * first event and converts once cumulative purchases pass the q127
+    * threshold. z² per look is the identity
+    *
+    *   z² = (c₁n₂ − c₂n₁)²·N / (n₁·n₂·C·(N−C)),  N = n₁+n₂, C = c₁+c₂,
+    *
+    * evaluated as a fixed IEEE expression over exactly-represented
+    * integers (the q117 discipline — an e6 integer staging would truncate
+    * to zero whenever (c₁n₂−c₂n₁)² < n₁n₂), and the boundary test
+    * compares it against c²·K/k built from the inlined constant — both
+    * sides deterministic doubles. Degenerate looks (no entrants or no
+    * conversions) report z² = 0 rather than dividing by zero.
+    *
+    * Plan: one event pass to a per-user rollup (the 5 cumulative sums are
+    * conditional aggregates in ONE pass — adding a look adds a column);
+    * one 20-column scalar fold; the look panel unstacks via posexplode of
+    * a 5-element struct array. Span bounds ride a broadcast cross join.
+    */
+  val q284SequentialTest: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    def cut(k: Int) = s"d0 + (d1 - d0) * $k div $SeqLooks"
+    val perUserAggs =
+      Seq(min(col("day")).as("first_day"), max(col("d0")).as("d0"),
+        max(col("d1")).as("d1")) ++
+      (1 to SeqLooks).map(k =>
+        sum(when(col("event_type") === "purchase" &&
+            col("day") <= expr(cut(k)), cents(col("value"))).otherwise(0L))
+          .as(s"pc_$k"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(perUserAggs.head, perUserAggs.tail: _*)
+      .withColumn("variant",
+        when(graft.functions.Text.portableHash(col("user_id").cast("string"))
+          % 2 === 0, "A").otherwise("B"))
+    val wideAggs = (1 to SeqLooks).flatMap { k =>
+      val entered = col("first_day") <= expr(cut(k))
+      Seq(
+        sum(when(col("variant") === "A" && entered, 1L).otherwise(0L))
+          .as(s"na_$k"),
+        sum(when(col("variant") === "A" && entered &&
+          col(s"pc_$k") >= ConvThresholdC, 1L).otherwise(0L)).as(s"ca_$k"),
+        sum(when(col("variant") === "B" && entered, 1L).otherwise(0L))
+          .as(s"nb_$k"),
+        sum(when(col("variant") === "B" && entered &&
+          col(s"pc_$k") >= ConvThresholdC, 1L).otherwise(0L)).as(s"cb_$k"))
+    }
+    val wide = perUser.agg(wideAggs.head, wideAggs.tail: _*)
+    val looks = (1 to SeqLooks).map { k =>
+      struct(lit(k).as("look"), col(s"na_$k").as("n_a"),
+        col(s"ca_$k").as("conv_a"), col(s"nb_$k").as("n_b"),
+        col(s"cb_$k").as("conv_b"))
+    }
+    wide.select(explode(array(looks: _*)).as("l"))
+      .select(col("l.look").as("look"), col("l.n_a").as("n_a"),
+        col("l.conv_a").as("conv_a"), col("l.n_b").as("n_b"),
+        col("l.conv_b").as("conv_b"))
+      .withColumn("dnum",
+        col("conv_a").cast("decimal(38,0)") * col("n_b") -
+          col("conv_b").cast("decimal(38,0)") * col("n_a"))
+      .withColumn("z2", when(
+        col("n_a") * col("n_b") === 0L ||
+          col("conv_a") + col("conv_b") === 0L ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"), lit(0.0))
+        .otherwise(
+          col("dnum").cast("double") * col("dnum").cast("double") *
+            (col("n_a") + col("n_b")).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("conv_a") + col("conv_b")).cast("double") *
+              (col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
+                .cast("double"))))
+      .withColumn("crit2",
+        lit(ObfC2) * lit(SeqLooks.toDouble) / col("look").cast("double"))
+      .withColumn("reject", (col("z2") > col("crit2")).cast("int"))
+      .drop("dnum")
+      .orderBy(col("look"))
+  }
+
+  val q284Sql: String = {
+    def cut(k: Int) = s"d0 + (d1 - d0) * $k // $SeqLooks"
+    val pcCols = (1 to SeqLooks).map(k =>
+      s"""SUM(CASE WHEN event_type = 'purchase' AND day <= ${cut(k)}
+         |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS pc_$k"""
+        .stripMargin).mkString(",\n    ")
+    val wideCols = (1 to SeqLooks).flatMap { k =>
+      Seq(
+        s"SUM(CASE WHEN variant = 'A' AND first_day <= ${cut(k)} THEN 1 ELSE 0 END) AS na_$k",
+        s"SUM(CASE WHEN variant = 'A' AND first_day <= ${cut(k)} AND pc_$k >= $ConvThresholdC THEN 1 ELSE 0 END) AS ca_$k",
+        s"SUM(CASE WHEN variant = 'B' AND first_day <= ${cut(k)} THEN 1 ELSE 0 END) AS nb_$k",
+        s"SUM(CASE WHEN variant = 'B' AND first_day <= ${cut(k)} AND pc_$k >= $ConvThresholdC THEN 1 ELSE 0 END) AS cb_$k")
+    }.mkString(",\n    ")
+    val lookRows = (1 to SeqLooks).map(k =>
+      s"SELECT $k AS look, na_$k AS n_a, ca_$k AS conv_a, nb_$k AS n_b, cb_$k AS conv_b FROM wide")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, value,
+       |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+       |  FROM events),
+       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+       |per_user AS (
+       |  SELECT user_id, MIN(day) AS first_day, MAX(d0) AS d0, MAX(d1) AS d1,
+       |    $pcCols
+       |  FROM e CROSS JOIN bounds GROUP BY user_id),
+       |pu AS (
+       |  SELECT *, CASE WHEN CAST(concat('0x',
+       |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |    THEN 'A' ELSE 'B' END AS variant
+       |  FROM per_user),
+       |wide AS (
+       |  SELECT MAX(d0) AS d0, MAX(d1) AS d1,
+       |    $wideCols
+       |  FROM pu),
+       |looks AS (
+       |  $lookRows),
+       |wz AS (
+       |  SELECT look, CAST(n_a AS BIGINT) AS n_a,
+       |    CAST(conv_a AS BIGINT) AS conv_a,
+       |    CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       |    CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a
+       |      AS dnum
+       |  FROM looks),
+       |scored AS (
+       |  SELECT look, n_a, conv_a, n_b, conv_b,
+       |    CASE WHEN n_a * n_b = 0 OR conv_a + conv_b = 0
+       |           OR conv_a + conv_b = n_a + n_b THEN 0.0
+       |      ELSE CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+       |        * CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+       |        * CAST(n_a + n_b AS DOUBLE)
+       |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |           * CAST(conv_a + conv_b AS DOUBLE)
+       |           * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)) END AS z2,
+       |    CAST('$ObfC2' AS DOUBLE) * $SeqLooks / CAST(look AS DOUBLE)
+       |      AS crit2
+       |  FROM wz)
+       |SELECT look, n_a, conv_a, n_b, conv_b, z2, crit2,
+       |  CAST(CASE WHEN z2 > crit2 THEN 1 ELSE 0 END AS INT) AS reject
+       |FROM scored ORDER BY look""".stripMargin
+  }
+
   // ------------------------------------ q280: Markov entropy rate
 
   /** q280: per-state conditional entropy and the chain's entropy rate over
@@ -3867,6 +4026,7 @@ object EventQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q284_sequential_test" -> q284SequentialTest,
     "q280_entropy_rate" -> q280EntropyRate,
     "q260_burn_rate" -> q260BurnRate,
     "q259_survival_km" -> q259SurvivalKm,
@@ -3931,6 +4091,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q284_sequential_test" -> q284Sql,
     "q280_entropy_rate" -> q280Sql,
     "q260_burn_rate" -> q260Sql,
     "q259_survival_km" -> q259Sql,

@@ -1563,6 +1563,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q283 Welch: t2 matches doubles, df within the classical bounds") {
+    val r = AuditQueries.q283WelchTest(spark, sfDir).collect()(0)
+    val n1 = r.getAs[Long]("n_returned")
+    val n2 = r.getAs[Long]("n_kept")
+    val df = r.getAs[Long]("df_e3") / 1000.0
+    assert(df >= math.min(n1, n2) - 1 - 0.01 && df <= n1 + n2 - 2)
+    // double-precision cross-check
+    import org.apache.spark.sql.functions._
+    val stats = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        avg(expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)")).as("m"),
+        var_samp(expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)")).as("v"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    val (nr, mr, vr) = stats("R"); val (nk, mk, vk) = stats("N")
+    val t2Ref = math.pow(mr - mk, 2) / (vr / nr + vk / nk)
+    val t2 = r.getAs[Long]("t2_e6") / 1e6
+    assert(math.abs(t2 - t2Ref) <= 0.01 * math.max(t2Ref, 1.0),
+      s"t2=$t2 ref=$t2Ref")
+  }
+
+  test("q284 sequential looks nest; final look squares the q127 z") {
+    val rows = EventQueries.q284SequentialTest(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("look"))
+    assert(rows.length === 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      // cumulative looks: entrants and conversions only grow
+      assert(a.getAs[Long]("n_a") <= b.getAs[Long]("n_a"))
+      assert(a.getAs[Long]("conv_a") <= b.getAs[Long]("conv_a"))
+      // OBF boundary tightens monotonically toward the final look
+      assert(a.getAs[Double]("crit2") >= b.getAs[Double]("crit2"))
+    }
+    val last = rows.last
+    val z127 = EventQueries.q127AbZtest(spark, sfDir).collect()(0)
+      .getAs[Double]("z")
+    assert(math.abs(last.getAs[Double]("z2") - z127 * z127) < 1e-9,
+      s"final-look z2 must square q127's z")
+    assert(math.abs(last.getAs[Double]("crit2") - 2.0403 * 2.0403) < 1e-12)
+  }
+
   test("q282 Lloyd step: assignment partitions, SSE non-increasing") {
     val rows = SimilarityQueries.q282LloydStep(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 8)
