@@ -3187,6 +3187,126 @@ object CoreQueries {
       |    AS beta_intercept
       |FROM dd""".stripMargin
 
+  // ------------------------------- q285: market-share-by-year (Q8 shape)
+
+  /** q285: national market share — the TPC-H Q8 SHAPE: a 7-table snowflake
+    * (fact → orders → customer → nation → region, plus part and
+    * supplier → nation) with a conditional-aggregate ratio per year: of
+    * the ECONOMY-part revenue sold to EUROPE customers, what share came
+    * from NATION_3 suppliers? The share is the exact integer division of
+    * two e4 revenue sums; both legs of the CASE ride ONE aggregation, so
+    * the ratio costs nothing beyond the join tree.
+    *
+    * Scale: part and the two nation/region legs broadcast; the plan's
+    * only wide shuffles are fact⋈orders and the year rollup — the
+    * canonical snowflake lowering.
+    */
+  val q285MarketShare: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    val custEurope = cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNation = sup
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = (cents(col("l_extendedprice")) *
+      (lit(100L) - cents(col("l_discount")))).as("rev_e4")
+    li.join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custEurope, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"), rev, col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rev_e4")).as("total_rev_e4"),
+        sum(when(col("supp_nation") === "NATION_3", col("rev_e4"))
+          .otherwise(0L)).as("nation_rev_e4"))
+      .select(col("o_year"), col("total_rev_e4"), col("nation_rev_e4"),
+        expr("""CAST(CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000
+                | div total_rev_e4 AS BIGINT)""".stripMargin)
+          .as("mkt_share_e6"))
+      .orderBy(col("o_year"))
+  }
+
+  val q285Sql: String =
+    """WITH base AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_e4,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+      |SELECT CAST(o_year AS INT) AS o_year,
+      |  CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+      |    AS BIGINT) AS nation_rev_e4,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+      |    * 1000000 // SUM(rev_e4) AS BIGINT) AS mkt_share_e6
+      |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // --------------------------------- q286: top supplier view (Q15 shape)
+
+  /** q286: top supplier(s) by quarterly revenue — the TPC-H Q15 SHAPE: an
+    * aggregate VIEW consumed twice, once to find MAX(total_revenue) and
+    * once to select the supplier(s) attaining it (an equality join against
+    * a scalar subquery — ties all surface, no arbitrary LIMIT 1). Revenue
+    * is exact e4 integers, so "equals the max" is an integer comparison —
+    * the float-equality trap the textbook Q15 carries is structurally
+    * absent.
+    *
+    * Scale: one supplier rollup off the date-pruned fact scan (predicate
+    * pushed to parquet), the scalar max broadcast back over the rollup,
+    * supplier dim broadcast for names.
+    */
+  val q286TopSupplier: Q = (s, dir) => {
+    val lo = lit("2000-01-01").cast("timestamp")
+    val hi = lit("2000-04-01").cast("timestamp")
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))).as("total_rev_e4"))
+    val maxRev = revenue.agg(max(col("total_rev_e4")).as("max_rev"))
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev_e4") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q286Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+      |      AS total_rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      |    AND l_shipdate < TIMESTAMP '2000-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev_e4
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   // ----------------------------- q235: correlated aggregate subquery shape
 
   /** q235: small-quantity-order revenue — the TPC-H Q17 query SHAPE: a
@@ -4372,6 +4492,8 @@ object CoreQueries {
     "q246_lorenz_curve" -> q246LorenzCurve,
     "q244_robust_means" -> q244RobustMeans,
     "q239_drill_across" -> q239DrillAcross,
+    "q285_market_share" -> q285MarketShare,
+    "q286_top_supplier" -> q286TopSupplier,
     "q235_correlated_agg" -> q235CorrelatedAgg,
     "q236_sole_late_supplier" -> q236SoleLateSupplier,
     "q237_important_parts" -> q237ImportantParts,
@@ -4467,6 +4589,8 @@ object CoreQueries {
     "q246_lorenz_curve" -> q246Sql,
     "q244_robust_means" -> q244Sql,
     "q239_drill_across" -> q239Sql,
+    "q285_market_share" -> q285Sql,
+    "q286_top_supplier" -> q286Sql,
     "q235_correlated_agg" -> q235Sql,
     "q236_sole_late_supplier" -> q236Sql,
     "q237_important_parts" -> q237Sql,

@@ -1563,6 +1563,22 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q285 market share bounded; q286 winners attain the max exactly") {
+    val shares = CoreQueries.q285MarketShare(spark, sfDir).collect()
+    assert(shares.nonEmpty)
+    shares.foreach { r =>
+      assert(r.getAs[Long]("nation_rev_e4") <= r.getAs[Long]("total_rev_e4"))
+      val s = r.getAs[Long]("mkt_share_e6")
+      assert(s >= 0L && s <= 1000000L)
+      val y = r.getAs[Int]("o_year")
+      assert(y >= 1995 && y <= 2001)
+    }
+    val top = CoreQueries.q286TopSupplier(spark, sfDir).collect()
+    assert(top.nonEmpty)
+    val revs = top.map(_.getAs[Long]("total_rev_e4")).toSet
+    assert(revs.size === 1, "every winner carries the same (max) revenue")
+  }
+
   test("q283 Welch: t2 matches doubles, df within the classical bounds") {
     val r = AuditQueries.q283WelchTest(spark, sfDir).collect()(0)
     val n1 = r.getAs[Long]("n_returned")
