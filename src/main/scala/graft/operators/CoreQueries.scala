@@ -3260,6 +3260,62 @@ object CoreQueries {
       |    * 1000000 // SUM(rev_e4) AS BIGINT) AS mkt_share_e6
       |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ------------------------------- q287: volume shipping (Q7 shape)
+
+  /** q287: bilateral trade volume — the TPC-H Q7 SHAPE: supplier-nation ↔
+    * customer-nation flows for ONE unordered pair of nations, either
+    * direction, by year. The disjunctive pair predicate
+    * ((s=A ∧ c=B) ∨ (s=B ∧ c=A)) is applied AFTER two independent
+    * broadcast nation legs (never as a join condition — a disjunctive
+    * equi-join would fall off the hash-join path into a nested loop).
+    * Revenue in exact e4 integers.
+    */
+  val q287VolumeShipping: Q = (s, dir) => {
+    val natA = "NATION_1"
+    val natB = "NATION_3"
+    val li = Tables.lineitem(s, dir)
+    val nat = Tables.nation(s, dir)
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .filter(col("supp_nation").isin(natA, natB))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custN = Tables.customer(s, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .filter(col("cust_nation").isin(natA, natB))
+      .select(col("c_custkey"), col("cust_nation"))
+    li.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("rev_e4"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("volume_e4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q287Sql: String =
+    """WITH flows AS (
+      |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |    EXTRACT(year FROM l_shipdate) AS l_year,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_e4
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_3')
+      |      OR (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_1')))
+      |SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+      |  COUNT(*) AS n_lines, CAST(SUM(rev_e4) AS BIGINT) AS volume_e4
+      |FROM flows GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // --------------------------------- q286: top supplier view (Q15 shape)
 
   /** q286: top supplier(s) by quarterly revenue — the TPC-H Q15 SHAPE: an
@@ -4493,6 +4549,7 @@ object CoreQueries {
     "q244_robust_means" -> q244RobustMeans,
     "q239_drill_across" -> q239DrillAcross,
     "q285_market_share" -> q285MarketShare,
+    "q287_volume_shipping" -> q287VolumeShipping,
     "q286_top_supplier" -> q286TopSupplier,
     "q235_correlated_agg" -> q235CorrelatedAgg,
     "q236_sole_late_supplier" -> q236SoleLateSupplier,
@@ -4590,6 +4647,7 @@ object CoreQueries {
     "q244_robust_means" -> q244Sql,
     "q239_drill_across" -> q239Sql,
     "q285_market_share" -> q285Sql,
+    "q287_volume_shipping" -> q287Sql,
     "q286_top_supplier" -> q286Sql,
     "q235_correlated_agg" -> q235Sql,
     "q236_sole_late_supplier" -> q236Sql,

@@ -1579,6 +1579,16 @@ class QueriesSpec extends SparkSpec {
     assert(revs.size === 1, "every winner carries the same (max) revenue")
   }
 
+  test("q287 volume shipping: only the two nations, both directions") {
+    val rows = CoreQueries.q287VolumeShipping(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_3"), ("NATION_3", "NATION_1"))))
+    assert(pairs.size === 2, "both directions must appear")
+    rows.foreach(r => assert(r.getAs[Long]("volume_e4") > 0L))
+  }
+
   test("q283 Welch: t2 matches doubles, df within the classical bounds") {
     val r = AuditQueries.q283WelchTest(spark, sfDir).collect()(0)
     val n1 = r.getAs[Long]("n_returned")
