@@ -3940,6 +3940,183 @@ object EventQueries {
        |FROM scored ORDER BY look""".stripMargin
   }
 
+  // ------------------------- q288: funnel conversions with Wilson CIs
+
+  /** z² for the 95% Wilson interval, inlined at plan-build time. */
+  private val WilsonZ2: Double = 1.959963985 * 1.959963985
+
+  /** q288: funnel-step conversion rates WITH uncertainty — each step of
+    * the view→click→purchase funnel reports its conversion as a 95%
+    * Wilson score interval, the binomial CI that behaves at small n and
+    * extreme rates where the naive ±1.96·√(p̂q̂/n) (Wald) collapses. The
+    * interval is a fixed IEEE expression over exact integer (conv, n)
+    * pairs with the z² constant inlined — bit-portable like every q117-
+    * family statistic.
+    *
+    * Step semantics are ORDERED first-touch: a click counts only after
+    * the user's first view, a purchase only after that click (one
+    * conditional min-rollup per user — no joins, no window).
+    */
+  val q288FunnelWilson: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("fv"),
+        min(when(col("event_type") === "click", col("ms"))).as("fc0"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("fp0"))
+      .select(col("fv"),
+        when(col("fc0") > col("fv"), col("fc0")).as("fc"),
+        col("fp0"))
+      .select(col("fv"), col("fc"),
+        when(col("fp0") > col("fc"), col("fp0")).as("fp"))
+    val wide = perUser.agg(
+      sum(when(col("fv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+    val steps = Seq(("view_to_click", "n_view", "n_click"),
+      ("click_to_purchase", "n_click", "n_purchase"),
+      ("view_to_purchase", "n_view", "n_purchase"))
+    val rows = steps.map { case (name, nCol, cCol) =>
+      struct(lit(name).as("step"), col(nCol).as("n"), col(cCol).as("conv"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step").as("step"), col("r.n").as("n"),
+        col("r.conv").as("conv"))
+      .withColumn("p_hat", col("conv").cast("double") / col("n"))
+      .withColumn("wilson_lo", wilson(col("conv"), col("n"), lower = true))
+      .withColumn("wilson_hi", wilson(col("conv"), col("n"), lower = false))
+      .orderBy(col("step"))
+  }
+
+  /** Wilson score bound as one fixed IEEE expression over exact (conv, n). */
+  private def wilson(conv: Column, n: Column, lower: Boolean): Column = {
+    val z2 = lit(WilsonZ2)
+    val p = conv.cast("double") / n.cast("double")
+    val nd = n.cast("double")
+    val centre = p + z2 / (lit(2.0) * nd)
+    val half = sqrt(z2) *
+      sqrt(p * (lit(1.0) - p) / nd + z2 / (lit(4.0) * nd * nd))
+    val num = if (lower) centre - half else centre + half
+    num / (lit(1.0) + z2 / nd)
+  }
+
+  val q288Sql: String = {
+    val z2 = WilsonZ2
+    def wilsonSql(sign: String) =
+      s"""((CAST(conv AS DOUBLE) / n + CAST('$z2' AS DOUBLE) / (2.0 * n))
+         |  $sign sqrt(CAST('$z2' AS DOUBLE)) *
+         |    sqrt((CAST(conv AS DOUBLE) / n) * (1.0 - CAST(conv AS DOUBLE) / n) / n
+         |         + CAST('$z2' AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * n)))
+         | / (1.0 + CAST('$z2' AS DOUBLE) / n)""".stripMargin.replace("\n", " ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ms
+       |  FROM events),
+       |pu0 AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'view' THEN ms END) AS fv,
+       |    MIN(CASE WHEN event_type = 'click' THEN ms END) AS fc0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ms END) AS fp0
+       |  FROM e GROUP BY user_id),
+       |pu1 AS (
+       |  SELECT fv, CASE WHEN fc0 > fv THEN fc0 END AS fc, fp0 FROM pu0),
+       |pu AS (
+       |  SELECT fv, fc, CASE WHEN fp0 > fc THEN fp0 END AS fp FROM pu1),
+       |wide AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       |    CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       |    CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+       |  FROM pu),
+       |steps AS (
+       |  SELECT 'view_to_click' AS step, n_view AS n, n_click AS conv FROM wide
+       |  UNION ALL
+       |  SELECT 'click_to_purchase', n_click, n_purchase FROM wide
+       |  UNION ALL
+       |  SELECT 'view_to_purchase', n_view, n_purchase FROM wide)
+       |SELECT step, n, conv,
+       |  CAST(conv AS DOUBLE) / n AS p_hat,
+       |  ${wilsonSql("-")} AS wilson_lo,
+       |  ${wilsonSql("+")} AS wilson_hi
+       |FROM steps ORDER BY step""".stripMargin
+  }
+
+  // ------------------------- q289: minimum detectable effect panel
+
+  /** Inlined normal quantiles: z(0.975) for α=0.05 two-sided and z(0.80)
+    * for 80% power (published tables, plan-build constants).
+    */
+  private val Z975 = 1.959963985
+  private val Z80 = 0.841621234
+
+  /** q289: experiment sizing panel — given the q127 A/B arms as they
+    * stand, the minimum detectable effect at 80% power / α=0.05 and the
+    * sample size each arm would need to detect a 10% relative lift:
+    *
+    *   MDE  = (z_{0.975} + z_{0.80})·√(p̂(1−p̂)·(1/n_a + 1/n_b))
+    *   n/arm = (z_{0.975} + z_{0.80})²·2·p̂(1−p̂) / (0.1·p̂)²
+    *
+    * — the "is this experiment even worth running" readout every
+    * platform shows beside the live z; fixed IEEE expressions over the
+    * exact integer arm counts with inlined quantiles.
+    */
+  val q289MdePanel: Q = (s, dir) => {
+    val arms = q127AbZtest(s, dir)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"))
+    val zsum = lit(Z975 + Z80)
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val varTerm = p * (lit(1.0) - p)
+    arms
+      .withColumn("p_pool", p)
+      .withColumn("mde_abs", zsum * sqrt(varTerm *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))))
+      .withColumn("mde_rel", col("mde_abs") / col("p_pool"))
+      .withColumn("n_per_arm_10pct",
+        ceil(zsum * zsum * lit(2.0) * varTerm /
+          (lit(0.1) * col("p_pool") * lit(0.1) * col("p_pool")))
+          .cast("long"))
+  }
+
+  val q289Sql: String = {
+    val zsum = Z975 + Z80
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS purch_c
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT CASE WHEN CAST(concat('0x',
+       |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |      THEN 'A' ELSE 'B' END AS variant,
+       |    CASE WHEN purch_c >= $ConvThresholdC THEN 1 ELSE 0 END AS conv
+       |  FROM u),
+       |c AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM arms),
+       |panel AS (
+       |  SELECT n_a, conv_a, n_b, conv_b,
+       |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+       |      AS p_pool
+       |  FROM c)
+       |SELECT n_a, conv_a, n_b, conv_b, p_pool,
+       |  CAST('$zsum' AS DOUBLE) * sqrt(p_pool * (1.0 - p_pool)
+       |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |    AS mde_abs,
+       |  CAST('$zsum' AS DOUBLE) * sqrt(p_pool * (1.0 - p_pool)
+       |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |    / p_pool AS mde_rel,
+       |  CAST(ceil(CAST('$zsum' AS DOUBLE) * CAST('$zsum' AS DOUBLE) * 2.0
+       |    * p_pool * (1.0 - p_pool)
+       |    / (0.1 * p_pool * 0.1 * p_pool)) AS BIGINT) AS n_per_arm_10pct
+       |FROM panel""".stripMargin
+  }
+
   // ------------------------------------ q280: Markov entropy rate
 
   /** q280: per-state conditional entropy and the chain's entropy rate over
@@ -4027,6 +4204,8 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q284_sequential_test" -> q284SequentialTest,
+    "q288_funnel_wilson" -> q288FunnelWilson,
+    "q289_mde_panel" -> q289MdePanel,
     "q280_entropy_rate" -> q280EntropyRate,
     "q260_burn_rate" -> q260BurnRate,
     "q259_survival_km" -> q259SurvivalKm,
@@ -4092,6 +4271,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q284_sequential_test" -> q284Sql,
+    "q288_funnel_wilson" -> q288Sql,
+    "q289_mde_panel" -> q289Sql,
     "q280_entropy_rate" -> q280Sql,
     "q260_burn_rate" -> q260Sql,
     "q259_survival_km" -> q259Sql,

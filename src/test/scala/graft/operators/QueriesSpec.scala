@@ -1579,6 +1579,29 @@ class QueriesSpec extends SparkSpec {
     assert(revs.size === 1, "every winner carries the same (max) revenue")
   }
 
+  test("q288 Wilson intervals bracket the rate; q289 MDE panel sane") {
+    val rows = EventQueries.q288FunnelWilson(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_hat")
+      val lo = r.getAs[Double]("wilson_lo")
+      val hi = r.getAs[Double]("wilson_hi")
+      assert(lo <= p && p <= hi, s"${r.getAs[String]("step")}: $lo $p $hi")
+      assert(lo >= 0.0 && hi <= 1.0) // Wilson never leaves [0,1]
+      assert(r.getAs[Long]("conv") <= r.getAs[Long]("n"))
+    }
+    // the composed step cannot convert better than its weakest leg
+    val byStep = rows.map(r => r.getAs[String]("step") ->
+      r.getAs[Double]("p_hat")).toMap
+    assert(byStep("view_to_purchase") <=
+      math.min(byStep("view_to_click"), 1.0) + 1e-12)
+    val m = EventQueries.q289MdePanel(spark, sfDir).collect()(0)
+    assert(m.getAs[Double]("mde_abs") > 0.0)
+    assert(m.getAs[Double]("mde_rel") ===
+      m.getAs[Double]("mde_abs") / m.getAs[Double]("p_pool"))
+    assert(m.getAs[Long]("n_per_arm_10pct") > 0L)
+  }
+
   test("q287 volume shipping: only the two nations, both directions") {
     val rows = CoreQueries.q287VolumeShipping(spark, sfDir).collect()
     assert(rows.nonEmpty)
