@@ -157,13 +157,19 @@ object Graph {
     var auths: DataFrame = e.select(col("auth")).distinct()
       .withColumn("a", lit(1000000000000L))
     for (_ <- 1 to iters) {
+      // each raw-sum frame is read TWICE (its own normalization total and
+      // the normalized join) — without a per-half-step lineage cut the
+      // edge join would re-derive 2^(2·iters) times through the nested
+      // broadcast-scalar subtrees (measured 8.5 s → 3.8 s at sf0.1)
       val araw = e.join(hubs, "hub").groupBy(col("auth"))
         .agg(sum(col("h").cast(dec)).as("a_raw"))
+        .localCheckpoint()
       val atot = araw.agg(sum(col("a_raw")).as("tot"))
       auths = araw.crossJoin(broadcast(atot)).select(col("auth"),
         expr(fdiv("a_raw * 1000000000000", "tot")).cast("long").as("a"))
       val hraw = e.join(auths, "auth").groupBy(col("hub"))
         .agg(sum(col("a").cast(dec)).as("h_raw"))
+        .localCheckpoint()
       val htot = hraw.agg(sum(col("h_raw")).as("tot"))
       hubs = hraw.crossJoin(broadcast(htot)).select(col("hub"),
         expr(fdiv("h_raw * 1000000000000", "tot")).cast("long").as("h"))
