@@ -1267,7 +1267,11 @@ object AuditQueries {
 
     // (g, value) -> centered doubled rank u = 2·below + cnt − n_g
     def rankMap(vcol: String, bucketWidth: Long): DataFrame = {
+      // the rollup feeds the group totals, the bucket prefix AND the
+      // within-bucket windows — checkpoint it so the fact scan runs once
+      // per variable, not once per consumer
       val byV = rows.groupBy(col("g"), col(vcol)).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       doubledRankBelow(byV, Seq("g"), vcol, bucketWidth)
         .join(broadcast(byV.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))),
           Seq("g"))
