@@ -484,6 +484,32 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q285/q286/q287: snowflake dims broadcast, date filter reaches the scan") {
+    val p = plan("q285_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part + nation/region legs + supplier-nation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val t = plan("q286_top_supplier")
+    assert(t.contains("GreaterThanOrEqual(l_shipdate"),
+      s"quarter filter must push into the lineitem scan:\n$t")
+    assert(t.contains("partial_sum"), t)
+    val v = plan("q287_volume_shipping")
+    assert(v.contains("BroadcastHashJoin"), v)
+    assert(!v.contains("BroadcastNestedLoopJoin"),
+      "the disjunctive pair predicate must not fall off the hash-join path")
+  }
+
+  test("q282/q284: bounded k fan-out assign; looks fold from one pass") {
+    val p = plan("q282_lloyd_step")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), "distance sums must map-side combine")
+    val q = plan("q284_sequential_test")
+    // five looks = one per-user pass + one scalar fold + a 5-row Generate;
+    // the event table must appear in exactly one aggregation pipeline
+    assert("Generate explode".r.findAllIn(q).size === 1, q)
+    assert(!q.contains("CartesianProduct"), q)
+  }
+
   test("q280/q281: single lead pass; Theil folds ride broadcasts") {
     val p = plan("q280_entropy_rate")
     // the term rollup is checkpointed: the union's two grains must NOT
