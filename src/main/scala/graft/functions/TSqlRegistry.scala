@@ -57,7 +57,23 @@ object TSqlRegistry {
         expression(TSql.datepart(stringArg(exprs(0)), column(exprs(1))))
       },
       builder(1, "stdevp")(a => TSql.stdevp(a(0))),
-      builder(1, "stdev")(a => TSql.stdev(a(0))))
+      builder(1, "stdev")(a => TSql.stdev(a(0))),
+      // graft portable primitives, exposed to SQL users: the 60-bit
+      // md5-derived hash and the e6 fixed-point log2 — both lower to the
+      // same codegen'd builtin trees the Column/expr API builds
+      builder(1, "portable_hash")(a => Text.portableHash(a(0))),
+      "log2e6" -> { exprs =>
+        require(exprs.length == 1, "log2e6 expects 1 arg")
+        // parse the canonical SQL form once, then splice the argument in
+        // for the placeholder (the arg expression repeats 4×, same as the
+        // inline spelling)
+        val tree = spark.sessionState.sqlParser
+          .parseExpression(Text.log2e6SparkSql("__graft_log2e6_x__"))
+        tree.transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name.equalsIgnoreCase("__graft_log2e6_x__") => exprs.head
+        }
+      })
     val registry = spark.sessionState.functionRegistry
     entries.foreach { case (name, b) =>
       registry.createOrReplaceTempFunction(name, b, "internal")

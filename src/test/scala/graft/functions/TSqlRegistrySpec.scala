@@ -26,6 +26,24 @@ class TSqlRegistrySpec extends SparkSpec {
     assert(r.getInt(6) === 1)
   }
 
+  test("portable_hash and log2e6 reach SQL text and match their builders") {
+    TSqlRegistry.register(spark)
+    val r = spark.sql(
+      """SELECT log2e6(1) AS l1, log2e6(1024) AS l10,
+        |       log2e6(1000000) AS lm,
+        |       portable_hash('abc') AS h""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 10000000L) // exact power of two
+    // within the documented ~0.006-bit truncation of true log2(1e6)
+    val ref = math.round(math.log(1e6) / math.log(2) * 1e6)
+    assert(math.abs(r.getLong(2) - ref) <= 6000L, s"${r.getLong(2)} vs $ref")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val direct = Seq("abc").toDF("s")
+      .select(Text.portableHash(col("s"))).collect()(0).getLong(0)
+    assert(r.getLong(3) === direct)
+  }
+
   test("registered functions stay expression-native (no UDF in the plan)") {
     TSqlRegistry.register(spark)
     val plan = spark.sql("SELECT quotename(p_name) FROM parquet.`" +
