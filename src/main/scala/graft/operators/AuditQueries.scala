@@ -1141,6 +1141,111 @@ object AuditQueries {
       .drop("bkt", "bbelow", "ibelow")
   }
 
+  // -------------------------------- q290: histogram-sketch quantiles
+
+  /** Bucket count for the quantile sketch. */
+  private val SketchBuckets = 256L
+
+  /** q290: mergeable equal-width histogram sketch with measured quantile
+    * error — the third member of the sketch family next to bottom-k (q91)
+    * and count-min (q149): 256 bucket counts are associative (mergeable
+    * across partitions/days by plain addition, unlike a rank), and P50/
+    * P90/P99 read off the cumulative histogram with within-bucket linear
+    * interpolation. The report carries the sketch estimate NEXT TO the
+    * exact percentile_disc and the error in ppm of the value range — the
+    * sketch ships with its own accuracy audit (max error is one bucket
+    * width by construction).
+    *
+    * All integer: width = (max−min) div 256 + 1, the rank target is
+    * ceil(n·q/100) exactly as percentile_disc defines it, and the
+    * interpolation is one exact floor division.
+    *
+    * Plan: one fact pass for (min, max, n), one for bucket counts, one
+    * for the exact percentiles (the audit column — a production sketch
+    * drops it); the 256-row cumulative window is metadata-sized.
+    */
+  val q290HistQuantiles: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c"))
+    val scal = o.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("n"))
+    val hist = o.crossJoin(broadcast(scal))
+      .select(expr(s"(c - mn) div ((mx - mn) div $SketchBuckets + 1)").as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+    val asc = Window.orderBy(col("bkt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_below", col("cum") - col("cnt"))
+    val exact = o.agg(
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c)").cast("long")
+        .as("x50"),
+      expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY c)").cast("long")
+        .as("x90"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").cast("long")
+        .as("x99"))
+    cum.crossJoin(broadcast(scal)).crossJoin(broadcast(exact))
+      .select(col("*"), explode(array(lit(50L), lit(90L), lit(99L))).as("q_pct"))
+      .filter(col("cum_below") < expr("(n * q_pct + 99) div 100") &&
+        expr("(n * q_pct + 99) div 100") <= col("cum"))
+      .select(col("q_pct"),
+        expr(s"""mn + bkt * ((mx - mn) div $SketchBuckets + 1)
+                | + ((n * q_pct + 99) div 100 - cum_below)
+                |   * ((mx - mn) div $SketchBuckets + 1) div cnt"""
+          .stripMargin.replace("\n", " ")).as("est_c"),
+        expr("CASE WHEN q_pct = 50 THEN x50 WHEN q_pct = 90 THEN x90 ELSE x99 END")
+          .as("exact_c"),
+        col("mn"), col("mx"))
+      .select(col("q_pct"), col("est_c"), col("exact_c"),
+        abs(col("est_c") - col("exact_c")).as("abs_err_c"),
+        expr("""CAST(abs(est_c - (CASE WHEN mx = mn THEN est_c ELSE exact_c END))
+                | * 1000000 div (CASE WHEN mx = mn THEN 1 ELSE mx - mn END)
+                | AS BIGINT)""".stripMargin).as("err_ppm_of_range"))
+      .orderBy(col("q_pct"))
+  }
+
+  val q290Sql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders),
+       |scal AS (
+       |  SELECT MIN(c) AS mn, MAX(c) AS mx, COUNT(*) AS n FROM o),
+       |hist AS (
+       |  SELECT (c - mn) // ((mx - mn) // $SketchBuckets + 1) AS bkt,
+       |    COUNT(*) AS cnt
+       |  FROM o CROSS JOIN scal GROUP BY 1),
+       |cum AS (
+       |  SELECT bkt, cnt,
+       |    CAST(SUM(cnt) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (ORDER BY bkt) - cnt AS BIGINT) AS cum_below
+       |  FROM hist),
+       |exact AS (
+       |  SELECT
+       |    CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY c) AS BIGINT) AS x50,
+       |    CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY c) AS BIGINT) AS x90,
+       |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS x99
+       |  FROM o),
+       |qrows AS (
+       |  SELECT cum.*, mn, mx, n, x50, x90, x99, q_pct
+       |  FROM cum CROSS JOIN scal CROSS JOIN exact
+       |  CROSS JOIN (SELECT UNNEST([50, 90, 99]) AS q_pct)),
+       |hit AS (
+       |  SELECT q_pct,
+       |    mn + bkt * ((mx - mn) // $SketchBuckets + 1)
+       |      + ((n * q_pct + 99) // 100 - cum_below)
+       |        * ((mx - mn) // $SketchBuckets + 1) // cnt AS est_c,
+       |    CASE WHEN q_pct = 50 THEN x50 WHEN q_pct = 90 THEN x90
+       |         ELSE x99 END AS exact_c,
+       |    mn, mx
+       |  FROM qrows
+       |  WHERE cum_below < (n * q_pct + 99) // 100
+       |    AND (n * q_pct + 99) // 100 <= cum)
+       |SELECT CAST(q_pct AS BIGINT) AS q_pct, CAST(est_c AS BIGINT) AS est_c,
+       |  exact_c,
+       |  CAST(ABS(est_c - exact_c) AS BIGINT) AS abs_err_c,
+       |  CAST(ABS(est_c - (CASE WHEN mx = mn THEN est_c ELSE exact_c END))
+       |    * 1000000 // (CASE WHEN mx = mn THEN 1 ELSE mx - mn END)
+       |    AS BIGINT) AS err_ppm_of_range
+       |FROM hit ORDER BY q_pct""".stripMargin
+
   // ------------------------------------------ q283: Welch two-sample test
 
   /** q283: Welch's unequal-variance two-sample test — do returned line
@@ -1447,6 +1552,7 @@ object AuditQueries {
 
   val queries: Map[String, Q] = Map(
     "q283_welch_test" -> q283WelchTest,
+    "q290_hist_quantiles" -> q290HistQuantiles,
     "q277_brown_forsythe" -> q277BrownForsythe,
     "q271_spearman" -> q271Spearman,
     "q272_kruskal_wallis" -> q272KruskalWallis,
@@ -1466,6 +1572,7 @@ object AuditQueries {
 
   val oracles: Map[String, String] = Map(
     "q283_welch_test" -> q283Sql,
+    "q290_hist_quantiles" -> q290Sql,
     "q277_brown_forsythe" -> q277Sql,
     "q271_spearman" -> q271Sql,
     "q272_kruskal_wallis" -> q272Sql,

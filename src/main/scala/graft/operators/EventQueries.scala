@@ -4041,6 +4041,119 @@ object EventQueries {
        |FROM steps ORDER BY step""".stripMargin
   }
 
+  // ------------------------ q291: ratio-metric A/B via the delta method
+
+  /** q291: A/B readout for a RATIO metric — revenue per active day — via
+    * the delta-method linearization. Ratio metrics are where naive
+    * per-user averaging silently lies (users contribute different
+    * denominators), and where the variance needs the linearized residuals
+    * x_i − R·y_i: with R = Σx/Σy their mean is exactly zero, so
+    *
+    *   s² = (Sxx − 2R·Sxy + R²·Syy) / (n−1),   SE(R)² = s² / (n·ȳ²)
+    *
+    * Co-moments are exact DECIMAL(38,0) sums over integer (cents, days);
+    * R, s², SE, and z are fixed IEEE expressions over them (q117
+    * discipline), so the oracle matches bit-for-bit.
+    *
+    * Plan: one event pass → per-user (revenue, active days) rollup →
+    * 2-row arm fold → scalar algebra. Nothing wider than the user rollup
+    * shuffles.
+    */
+  val q291RatioMetric: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L)).as("x"),
+        countDistinct(expr("unix_millis(ts) div 86400000")).as("y"))
+      .withColumn("variant",
+        when(graft.functions.Text.portableHash(col("user_id").cast("string"))
+          % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    def armCols(v: String, suffix: String) = Seq(
+      max(when(col("variant") === v, col("n"))).as(s"n$suffix"),
+      max(when(col("variant") === v, col("sx"))).as(s"sx$suffix"),
+      max(when(col("variant") === v, col("sy"))).as(s"sy$suffix"),
+      max(when(col("variant") === v, col("sxx"))).as(s"sxx$suffix"),
+      max(when(col("variant") === v, col("syy"))).as(s"syy$suffix"),
+      max(when(col("variant") === v, col("sxy"))).as(s"sxy$suffix"))
+    val aggs = armCols("A", "_a") ++ armCols("B", "_b")
+    def ratio(sf: String) =
+      col(s"sx$sf").cast("double") / col(s"sy$sf").cast("double")
+    def se2(sf: String) = {
+      val r = ratio(sf)
+      val nD = col(s"n$sf").cast("double")
+      val s2 = (col(s"sxx$sf").cast("double") -
+        lit(2.0) * r * col(s"sxy$sf").cast("double") +
+        r * r * col(s"syy$sf").cast("double")) / (nD - lit(1.0))
+      val yBar = col(s"sy$sf").cast("double") / nD
+      s2 / (nD * yBar * yBar)
+    }
+    arms.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        ratio("_a").as("rpd_a"), ratio("_b").as("rpd_b"),
+        sqrt(se2("_a")).as("se_a"), sqrt(se2("_b")).as("se_b"),
+        (ratio("_a") - ratio("_b")).as("diff"),
+        ((ratio("_a") - ratio("_b")) / sqrt(se2("_a") + se2("_b"))).as("z"))
+  }
+
+  val q291Sql: String = {
+    def r(sf: String) =
+      s"CAST(CAST(sx$sf AS VARCHAR) AS DOUBLE) / CAST(CAST(sy$sf AS VARCHAR) AS DOUBLE)"
+    def se2(sf: String) =
+      s"""((CAST(CAST(sxx$sf AS VARCHAR) AS DOUBLE)
+         |  - 2.0 * (${r(sf)}) * CAST(CAST(sxy$sf AS VARCHAR) AS DOUBLE)
+         |  + (${r(sf)}) * (${r(sf)}) * CAST(CAST(syy$sf AS VARCHAR) AS DOUBLE))
+         | / (CAST(n$sf AS DOUBLE) - 1.0))
+         | / (CAST(n$sf AS DOUBLE)
+         |    * (CAST(CAST(sy$sf AS VARCHAR) AS DOUBLE) / CAST(n$sf AS DOUBLE))
+         |    * (CAST(CAST(sy$sf AS VARCHAR) AS DOUBLE) / CAST(n$sf AS DOUBLE)))"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS x,
+       |    COUNT(DISTINCT CAST(epoch_ms(ts) AS BIGINT) // 86400000) AS y,
+       |    CASE WHEN CAST(concat('0x',
+       |        substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |      THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT variant, COUNT(*) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pu GROUP BY variant),
+       |wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+       |    MAX(CASE WHEN variant = 'A' THEN sx END) AS sx_a,
+       |    MAX(CASE WHEN variant = 'A' THEN sy END) AS sy_a,
+       |    MAX(CASE WHEN variant = 'A' THEN sxx END) AS sxx_a,
+       |    MAX(CASE WHEN variant = 'A' THEN syy END) AS syy_a,
+       |    MAX(CASE WHEN variant = 'A' THEN sxy END) AS sxy_a,
+       |    MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+       |    MAX(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
+       |    MAX(CASE WHEN variant = 'B' THEN sy END) AS sy_b,
+       |    MAX(CASE WHEN variant = 'B' THEN sxx END) AS sxx_b,
+       |    MAX(CASE WHEN variant = 'B' THEN syy END) AS syy_b,
+       |    MAX(CASE WHEN variant = 'B' THEN sxy END) AS sxy_b
+       |  FROM arms)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ${r("_a")} AS rpd_a, ${r("_b")} AS rpd_b,
+       |  sqrt(${se2("_a")}) AS se_a, sqrt(${se2("_b")}) AS se_b,
+       |  ${r("_a")} - ${r("_b")} AS diff,
+       |  (${r("_a")} - ${r("_b")}) / sqrt(${se2("_a")} + ${se2("_b")}) AS z
+       |FROM wide""".stripMargin
+  }
+
   // ------------------------- q289: minimum detectable effect panel
 
   /** Inlined normal quantiles: z(0.975) for α=0.05 two-sided and z(0.80)
@@ -4205,6 +4318,7 @@ object EventQueries {
   val queries: Map[String, Q] = Map(
     "q284_sequential_test" -> q284SequentialTest,
     "q288_funnel_wilson" -> q288FunnelWilson,
+    "q291_ratio_metric" -> q291RatioMetric,
     "q289_mde_panel" -> q289MdePanel,
     "q280_entropy_rate" -> q280EntropyRate,
     "q260_burn_rate" -> q260BurnRate,
@@ -4272,6 +4386,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q284_sequential_test" -> q284Sql,
     "q288_funnel_wilson" -> q288Sql,
+    "q291_ratio_metric" -> q291Sql,
     "q289_mde_panel" -> q289Sql,
     "q280_entropy_rate" -> q280Sql,
     "q260_burn_rate" -> q260Sql,

@@ -1579,6 +1579,35 @@ class QueriesSpec extends SparkSpec {
     assert(revs.size === 1, "every winner carries the same (max) revenue")
   }
 
+  test("q290 sketch quantiles land within one bucket width of exact") {
+    val rows = AuditQueries.q290HistQuantiles(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("q_pct")).toSet === Set(50L, 90L, 99L))
+    // max error of a 256-bucket equal-width sketch is one bucket width =
+    // range/256 ≈ 3907 ppm of range
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err_ppm_of_range") <= 1000000L / 256 + 1,
+        s"q${r.getAs[Long]("q_pct")}: ${r.getAs[Long]("err_ppm_of_range")} ppm")
+    }
+    // quantile estimates are monotone in q
+    val byQ = rows.sortBy(_.getAs[Long]("q_pct")).map(_.getAs[Long]("est_c"))
+    assert(byQ.sameElements(byQ.sorted))
+  }
+
+  test("q291 ratio metric: R between arm extremes, z consistent with diff") {
+    val r = EventQueries.q291RatioMetric(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    assert(r.getAs[Double]("rpd_a") > 0.0 && r.getAs[Double]("rpd_b") > 0.0)
+    assert(r.getAs[Double]("se_a") > 0.0 && r.getAs[Double]("se_b") > 0.0)
+    val diff = r.getAs[Double]("diff")
+    assert(diff === r.getAs[Double]("rpd_a") - r.getAs[Double]("rpd_b"))
+    assert(math.signum(r.getAs[Double]("z")) === math.signum(diff))
+    // A/B split is a hash coin flip on the same population: the two arms'
+    // ratios agree to well within 5 combined SEs
+    val se = math.sqrt(r.getAs[Double]("se_a") * r.getAs[Double]("se_a") +
+      r.getAs[Double]("se_b") * r.getAs[Double]("se_b"))
+    assert(math.abs(diff) <= 5 * se, s"diff=$diff se=$se")
+  }
+
   test("q288 Wilson intervals bracket the rate; q289 MDE panel sane") {
     val rows = EventQueries.q288FunnelWilson(spark, sfDir).collect()
     assert(rows.length === 3)
