@@ -4041,7 +4041,154 @@ object EventQueries {
        |FROM steps ORDER BY step""".stripMargin
   }
 
-  // ------------------------ q291: ratio-metric A/B via the delta method
+  // ----------------------------- q292: two-arm log-rank survival test
+
+  /** q292: log-rank test — do the A/B arms differ in TIME-TO-FIRST-
+    * PURCHASE, not just in whether they purchase? The censoring-correct
+    * companion to q259's Kaplan-Meier curve and the survival leg of the
+    * experimentation suite (a conversion-rate z ignores that half the
+    * users are still mid-journey). Subjects enter at their first event,
+    * convert at their first purchase, censor at the corpus horizon. At
+    * each distinct conversion day t:
+    *
+    *   E₁t = dt·n₁t/nt,   Vt = dt·n₁t·n₂t·(nt−dt) / (nt²·(nt−1))
+    *
+    * with the at-risk counts n from suffix sums over the day rollup, and
+    * z² = (Σd₁t − ΣE₁t)² / ΣVt. Everything is e6-floor-quantized exact
+    * integer arithmetic staged under 10²⁵ at any corpus scale (V divides
+    * by nt² BEFORE multiplying by dt·(nt−dt)); the only IEEE op is none —
+    * the statistic lands as an integer, sign-factored since U can go
+    * either way.
+    *
+    * Plan: one event pass → per-user (arm, T, converted) rollup → per-day
+    * rollup (|days| rows) → windows over that rollup — corpus rows never
+    * re-shuffle after the user rollup.
+    */
+  val q292LogRank: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val horizon = e.agg(max(col("day")).as("maxday"))
+    val perUser = e.crossJoin(broadcast(horizon))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"),
+        max(col("maxday")).as("maxday"))
+      .select(col("user_id"),
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("maxday") - col("d0")).as("t"),
+        when(col("dp").isNotNull, 1L).otherwise(0L).as("evt"))
+      .withColumn("arm",
+        when(graft.functions.Text.portableHash(col("user_id").cast("string"))
+          % 2 === 0, "A").otherwise("B"))
+    val byDay = perUser.groupBy(col("t"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("out1"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("out2"),
+        sum(when(col("arm") === "A", col("evt")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === "B", col("evt")).otherwise(0L)).as("d2"))
+    val W = org.apache.spark.sql.expressions.Window
+    val asc = W.orderBy(col("t"))
+    val below = asc.rowsBetween(W.unboundedPreceding, -1)
+    val whole = asc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // at-risk at t = arm total − subjects whose T ended strictly before t
+    val risk = byDay
+      .withColumn("n1", sum(col("out1")).over(whole) -
+        coalesce(sum(col("out1")).over(below), lit(0L)))
+      .withColumn("n2", sum(col("out2")).over(whole) -
+        coalesce(sum(col("out2")).over(below), lit(0L)))
+      .filter(col("d1") + col("d2") > 0L)
+      .withColumn("dt", col("d1") + col("d2"))
+      .withColumn("nt", col("n1") + col("n2"))
+      .filter(col("nt") > 1L)
+    val terms = risk
+      .withColumn("e1_e6",
+        expr(fdiv("CAST(dt AS DECIMAL(38,0)) * n1 * 1000000", "nt")))
+      .withColumn("v1_e6",
+        expr(fdiv("CAST(n1 AS DECIMAL(38,0)) * n2 * 1000000", "nt * nt")))
+      .withColumn("v_e6",
+        expr(fdiv("CAST(dt AS DECIMAL(38,0)) * (nt - dt) * v1_e6", "nt - 1")))
+    // arm totals come from the UNFILTERED day rollup — the terms frame
+    // keeps only conversion days
+    val totals = byDay.agg(sum(col("out1")).cast("long").as("n_a"),
+      sum(col("out2")).cast("long").as("n_b"))
+    terms.agg(
+        sum(col("d1")).cast("long").as("events_a"),
+        sum(col("d2")).cast("long").as("events_b"),
+        (sum(col("d1").cast(dec) * 1000000L) - sum(col("e1_e6"))).as("u_e6"),
+        sum(col("v_e6")).as("v_sum_e6"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        col("u_e6").cast("long").as("u_e6"),
+        col("v_sum_e6").cast("long").as("v_e6"),
+        // U² is nonnegative, so the floor division needs no sign factoring
+        expr("""CAST(CAST((u_e6 * u_e6 - (u_e6 * u_e6) % v_sum_e6)
+                |   / v_sum_e6 AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin).as("logrank_z2_e6"))
+  }
+
+  val q292Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events),
+      |h AS (SELECT MAX(day) AS maxday FROM e),
+      |pu0 AS (
+      |  SELECT user_id, MIN(day) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS dp,
+      |    MAX(maxday) AS maxday
+      |  FROM e CROSS JOIN h GROUP BY user_id),
+      |pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE maxday - d0 END AS t,
+      |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS evt,
+      |    CASE WHEN CAST(concat('0x',
+      |        substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm
+      |  FROM pu0),
+      |by_day AS (
+      |  SELECT t,
+      |    SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS out1,
+      |    SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS out2,
+      |    SUM(CASE WHEN arm = 'A' THEN evt ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN arm = 'B' THEN evt ELSE 0 END) AS d2
+      |  FROM pu GROUP BY t),
+      |risk AS (
+      |  SELECT t, d1, d2, out1, out2,
+      |    CAST(SUM(out1) OVER () -
+      |      COALESCE(SUM(out1) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n1,
+      |    CAST(SUM(out2) OVER () -
+      |      COALESCE(SUM(out2) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n2
+      |  FROM by_day),
+      |terms AS (
+      |  SELECT *, d1 + d2 AS dt, n1 + n2 AS nt,
+      |    CAST(d1 + d2 AS HUGEINT) * n1 * 1000000 // (n1 + n2) AS e1_e6,
+      |    CAST(d1 + d2 AS HUGEINT) * ((n1 + n2) - (d1 + d2))
+      |      * (CAST(n1 AS HUGEINT) * n2 * 1000000
+      |         // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)))
+      |      // (n1 + n2 - 1) AS v_e6
+      |  FROM risk
+      |  WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+      |tot AS (
+      |  SELECT CAST(SUM(out1) AS BIGINT) AS n_a,
+      |    CAST(SUM(out2) AS BIGINT) AS n_b
+      |  FROM by_day)
+      |SELECT n_a, n_b,
+      |  CAST(SUM(d1) AS BIGINT) AS events_a,
+      |  CAST(SUM(d2) AS BIGINT) AS events_b,
+      |  CAST(SUM(CAST(d1 AS HUGEINT) * 1000000) - SUM(e1_e6) AS BIGINT)
+      |    AS u_e6,
+      |  CAST(SUM(v_e6) AS BIGINT) AS v_e6,
+      |  CAST((SUM(CAST(d1 AS HUGEINT) * 1000000) - SUM(e1_e6))
+      |    * (SUM(CAST(d1 AS HUGEINT) * 1000000) - SUM(e1_e6))
+      |    // SUM(v_e6) AS BIGINT) AS logrank_z2_e6
+      |FROM terms CROSS JOIN tot GROUP BY n_a, n_b""".stripMargin
 
   /** q291: A/B readout for a RATIO metric — revenue per active day — via
     * the delta-method linearization. Ratio metrics are where naive
@@ -4319,6 +4466,7 @@ object EventQueries {
     "q284_sequential_test" -> q284SequentialTest,
     "q288_funnel_wilson" -> q288FunnelWilson,
     "q291_ratio_metric" -> q291RatioMetric,
+    "q292_logrank_test" -> q292LogRank,
     "q289_mde_panel" -> q289MdePanel,
     "q280_entropy_rate" -> q280EntropyRate,
     "q260_burn_rate" -> q260BurnRate,
@@ -4387,6 +4535,7 @@ object EventQueries {
     "q284_sequential_test" -> q284Sql,
     "q288_funnel_wilson" -> q288Sql,
     "q291_ratio_metric" -> q291Sql,
+    "q292_logrank_test" -> q292Sql,
     "q289_mde_panel" -> q289Sql,
     "q280_entropy_rate" -> q280Sql,
     "q260_burn_rate" -> q260Sql,

@@ -1579,6 +1579,22 @@ class QueriesSpec extends SparkSpec {
     assert(revs.size === 1, "every winner carries the same (max) revenue")
   }
 
+  test("q292 log-rank: event accounting closes, null z2 on a coin-flip split") {
+    val r = EventQueries.q292LogRank(spark, sfDir).collect()(0)
+    import org.apache.spark.sql.functions._
+    val users = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    assert(r.getAs[Long]("events_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("events_b") <= r.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("v_e6") > 0L)
+    val z2 = r.getAs[Long]("logrank_z2_e6") / 1e6
+    assert(z2 >= 0.0)
+    // the arms are a hash coin flip over one population: z² should be far
+    // below any significance threshold (χ²₁ at p=0.001 is 10.8)
+    assert(z2 < 10.8, s"coin-flip split shows z2=$z2")
+  }
+
   test("q290 sketch quantiles land within one bucket width of exact") {
     val rows = AuditQueries.q290HistQuantiles(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("q_pct")).toSet === Set(50L, 90L, 99L))
