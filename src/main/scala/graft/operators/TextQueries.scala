@@ -1931,7 +1931,97 @@ object TextQueries {
        |ORDER BY mi_contrib_e6 DESC, w LIMIT $MiTopK""".stripMargin
   }
 
+  // ------------------------------------------------ q293: BM25 retrieval
+
+  /** How many query terms the rarest-term query selects, and how many
+    * documents the ranked result returns.
+    */
+  val Bm25QueryTerms = 3
+  val Bm25TopK = 20L
+
+  /** q293: BM25 document retrieval — the probabilistic ranking function
+    * production search stacks actually run (Lucene's default), next to
+    * q80's log-free tf-idf neighbor ranking. The query is selected
+    * relationally (the [[Bm25QueryTerms]] rarest corpus words — a
+    * rare-term query is where BM25's saturation and length normalization
+    * matter most), and each matching document scores
+    *
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with Lucene's always-positive idf = log((N+1)/(df+0.5)), k1 = 1.2,
+    * b = 0.75. Everything is exact integer arithmetic: the idf is the
+    * portable e6 fixed-point log2 ([[Text.log2e6SparkSql]] — base-2 scales
+    * every term by the same 1/ln2, preserving ranking and making the
+    * score engine-portable), and the rational k1/b fold into one integer
+    * ratio per (doc, term) by multiplying through by 10·T (T = corpus
+    * token count): score_t = ⌊idf_e6·22·tf·T / (10·T·tf + 3·T + 9·dl·N)⌋.
+    * The largest product idf_e6·22·tf·T stays under 10²⁵ at a 10¹³-token
+    * corpus — DECIMAL(38,0) territory, never wrapped.
+    *
+    * Plan: one tokenize pass → (doc, word) tf rollup; df rollup is
+    * vocabulary-sized; the query-term frame (LIMIT 3 of the df rollup) and
+    * the (N, T) scalar ride broadcasts, so scoring touches only postings
+    * of the 3 query terms; the final top-k is TakeOrdered (per-partition
+    * heads + one merge), never a global sort.
+    */
+  val q293Bm25: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val docLen = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scalars = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val qterms = df.orderBy(col("df").asc, col("word")).limit(Bm25QueryTerms)
+    val scored = tf.join(broadcast(qterms), "word")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_e6",
+        expr(Text.log2e6SparkSql("2 * n_docs + 2")) -
+          expr(Text.log2e6SparkSql("2 * df + 1")))
+      .withColumn("term_score_e6", expr(fdiv(
+        "CAST(idf_e6 AS DECIMAL(38,0)) * 22 * tf * t_toks",
+        "10 * CAST(t_toks AS DECIMAL(38,0)) * tf + 3 * t_toks + 9 * dl * n_docs")))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("terms_matched"),
+        max(col("dl")).as("dl"),
+        sum(col("term_score_e6")).cast("long").as("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(Bm25TopK.toInt)
+  }
+
+  val q293Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM d),
+       |words AS (SELECT doc_id, UNNEST(toks) AS word FROM d),
+       |tf AS (
+       |  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |scalars AS (
+       |  SELECT (SELECT COUNT(*) FROM dl) AS n_docs,
+       |    (SELECT SUM(dl) FROM dl) AS t_toks),
+       |qterms AS (SELECT word, df FROM df ORDER BY df ASC, word LIMIT $Bm25QueryTerms),
+       |scored AS (
+       |  SELECT tf.doc_id, dl.dl, tf.tf,
+       |    ${Text.log2e6DuckSql("2 * n_docs + 2")} -
+       |      ${Text.log2e6DuckSql("2 * df + 1")} AS idf_e6,
+       |    CAST(idf_e6 AS HUGEINT) * 22 * tf * t_toks //
+       |      (10 * CAST(t_toks AS HUGEINT) * tf + 3 * t_toks + 9 * dl * n_docs)
+       |      AS term_score_e6
+       |  FROM tf
+       |  JOIN qterms USING (word)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN scalars)
+       |SELECT doc_id, COUNT(*) AS terms_matched, MAX(dl) AS dl,
+       |  CAST(SUM(term_score_e6) AS BIGINT) AS bm25_e6
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25_e6 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q293_bm25" -> q293Bm25,
     "q278_source_entropy" -> q278SourceEntropy,
     "q279_feature_mi" -> q279FeatureMi,
     "q276_naive_bayes" -> q276NaiveBayes,
@@ -1966,6 +2056,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q293_bm25" -> q293Sql,
     "q278_source_entropy" -> q278Sql,
     "q279_feature_mi" -> q279Sql,
     "q276_naive_bayes" -> q276Sql,
