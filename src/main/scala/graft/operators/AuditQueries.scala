@@ -1550,7 +1550,185 @@ object AuditQueries {
       |  CAST(h_raw_e6 * 1000000 // corr_e6 AS BIGINT) AS h_tied_e6
       |FROM h""".stripMargin
 
+  // ----------------------------------- q294: OLS simple linear regression
+
+  /** q294: closed-form OLS — extendedprice regressed on quantity per return
+    * flag, the one-pass normal-equations shape every warehouse "trend line"
+    * widget runs. The five power sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * exactly in DECIMAL(38,0) over integer cents — at 10¹¹ rows/group the
+    * largest staged product n·Σxy stays ≲ 10³³ — and the three outputs are
+    * each ONE correctly-rounded IEEE division of exact integers:
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    *
+    * (r²'s numerator square would overflow DECIMAL(38,0), so each exact
+    * factor casts to double FIRST; the double square/product/divide are
+    * deterministic IEEE ops — the same rule as q291's delta-method SE.)
+    *
+    * Plan: one fact scan, one |groups|-row hash aggregate. No window, no
+    * join — the regression is a pure map-side-combinable fold, which is
+    * exactly why the closed form (not gradient iterations) is the 100 TB
+    * shape for simple regression.
+    */
+  val q294Ols: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+      cents(col("l_quantity")).cast(dec).as("x"),
+      cents(col("l_extendedprice")).cast(dec).as("y"))
+    li.groupBy(col("flag"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("flag"), col("n").cast("long").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("ic_n"))
+      .select(col("flag"), col("n"),
+        (col("cov_n").cast("double") / col("varx_n").cast("double")).as("slope"),
+        (col("ic_n").cast("double") / col("varx_n").cast("double")).as("intercept"),
+        (col("cov_n").cast("double") * col("cov_n").cast("double") /
+          (col("varx_n").cast("double") * col("vary_n").cast("double"))).as("r2"))
+      .orderBy(col("flag"))
+  }
+
+  val q294Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(ROUND(l_quantity*100) AS HUGEINT) AS x,
+      |    CAST(ROUND(l_extendedprice*100) AS HUGEINT) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+      |    SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM li GROUP BY flag),
+      |facs AS (
+      |  SELECT flag, n, n*sxy - sx*sy AS cov_n, n*sxx - sx*sx AS varx_n,
+      |    n*syy - sy*sy AS vary_n, sy*sxx - sx*sxy AS ic_n
+      |  FROM sums)
+      |SELECT flag, CAST(n AS BIGINT) AS n,
+      |  CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(varx_n AS VARCHAR) AS DOUBLE) AS slope,
+      |  CAST(CAST(ic_n AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(varx_n AS VARCHAR) AS DOUBLE) AS intercept,
+      |  CAST(CAST(cov_n AS VARCHAR) AS DOUBLE) * CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(varx_n AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(vary_n AS VARCHAR) AS DOUBLE)) AS r2
+      |FROM facs ORDER BY flag""".stripMargin
+
+  // ------------------------------------------ q295: Mann–Whitney U test
+
+  /** The two arms the rank-sum test compares (order priorities). */
+  val MwArmA = "1-URGENT"
+  val MwArmB = "5-LOW"
+
+  /** q295: Mann–Whitney U — the two-sample special case q272's Kruskal–
+    * Wallis generalizes, reported in its native U form (with the normal-
+    * approximation z² under ties) because U is what A/B dashboards quote:
+    * does URGENT-priority order value stochastically dominate LOW? Doubled
+    * global ranks come off the distinct-value rollup (two-level
+    * [[doubledRankBelow]] — no single-task sort), 2·U₁ = Σn₁c·d_c −
+    * n₁(n₁+1) exactly, and
+    *
+    *   z² = 3·(2U₁ − n₁n₂)² / (n₁n₂·((n+1) − Σ(t³−t)/(n(n−1))))
+    *
+    * stages as three e6 floor divisions over |ABS(2U₁ − n₁n₂)| (z² is even
+    * in the deviation, so the absolute value sidesteps the floor-vs-
+    * truncate divide divergence on negative numerators) with every
+    * intermediate ≤ 10³⁶ at 10¹⁰ rows per arm.
+    *
+    * Plan: priority filter pushes to the scan; one fact pass → (arm,
+    * value) rollup; ranks from the bucket construction; the finish is a
+    * 2-row pivot with broadcast scalars.
+    */
+  val q295MannWhitney: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin(MwArmA, MwArmB))
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+    val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n_gc"))
+    val byV = gc.groupBy(col("c")).agg(sum(col("n_gc")).as("cnt"))
+    val dRank = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+      .select(col("c"), (lit(2L) * col("below") + col("cnt") + 1L).as("d"),
+        col("cnt"))
+    val scalars = dRank.agg(sum(col("cnt")).cast(dec).as("n_all"),
+      sum(col("cnt").cast(dec) * col("cnt") * col("cnt") -
+        col("cnt").cast(dec)).as("ties"))
+    val arms = gc.join(dRank.select(col("c"), col("d")), Seq("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_gc")).cast(dec).as("n_g"),
+        sum(col("n_gc").cast(dec) * col("d")).as("r2_g"))
+    val pivoted = arms.agg(
+      max(when(col("g") === MwArmA, col("n_g"))).as("n1"),
+      max(when(col("g") === MwArmB, col("n_g"))).as("n2"),
+      max(when(col("g") === MwArmA, col("r2_g"))).as("r2_1"))
+    pivoted.crossJoin(broadcast(scalars))
+      .select(col("n1"), col("n2"), col("n_all"), col("ties"),
+        (col("r2_1") - col("n1") * (col("n1") + 1)).as("u2"))
+      .select(col("n1"), col("n2"), col("n_all"), col("ties"), col("u2"),
+        abs(col("u2") - col("n1") * col("n2")).as("a2"),
+        expr(fdiv("((n_all + 1) * n_all * (n_all - 1) - ties) * 1000000",
+          "n_all * (n_all - 1)")).as("t1_e6"))
+      .select(col("n1"), col("n2"), col("u2"), col("t1_e6"),
+        expr(fdiv(fdiv("a2 * 1000000", "n1") + " * a2", "n2")).as("s2_e6"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("u2").cast("long").as("u2"),
+        expr(fdiv("s2_e6 * 3 * 1000000", "t1_e6")).cast("long").as("z2_e6"))
+  }
+
+  val q295Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+       |  FROM orders
+       |  WHERE o_orderpriority IN ('$MwArmA', '$MwArmB')),
+       |gc AS (SELECT g, c, COUNT(*) AS n_gc FROM o GROUP BY g, c),
+       |by_v AS (SELECT c, CAST(SUM(n_gc) AS BIGINT) AS cnt FROM gc GROUP BY c),
+       |d_rank AS (
+       |  SELECT c,
+       |    2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + cnt + 1 AS d,
+       |    cnt
+       |  FROM by_v),
+       |scalars AS (
+       |  SELECT CAST(SUM(cnt) AS HUGEINT) AS n_all,
+       |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+       |  FROM d_rank),
+       |arms AS (
+       |  SELECT g, CAST(SUM(n_gc) AS HUGEINT) AS n_g,
+       |    SUM(CAST(n_gc AS HUGEINT) * d) AS r2_g
+       |  FROM gc JOIN d_rank USING (c) GROUP BY g),
+       |piv AS (
+       |  SELECT MAX(CASE WHEN g = '$MwArmA' THEN n_g END) AS n1,
+       |    MAX(CASE WHEN g = '$MwArmB' THEN n_g END) AS n2,
+       |    MAX(CASE WHEN g = '$MwArmA' THEN r2_g END) AS r2_1
+       |  FROM arms),
+       |u AS (
+       |  SELECT n1, n2, n_all, ties, r2_1 - n1 * (n1 + 1) AS u2
+       |  FROM piv CROSS JOIN scalars),
+       |stage AS (
+       |  SELECT n1, n2, u2,
+       |    ABS(u2 - n1 * n2) AS a2,
+       |    ((n_all + 1) * n_all * (n_all - 1) - ties) * 1000000
+       |      // (n_all * (n_all - 1)) AS t1_e6
+       |  FROM u),
+       |s2 AS (
+       |  SELECT n1, n2, u2, t1_e6,
+       |    (a2 * 1000000 // n1) * a2 // n2 AS s2_e6
+       |  FROM stage)
+       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  CAST(u2 AS BIGINT) AS u2,
+       |  CAST(s2_e6 * 3 * 1000000 // t1_e6 AS BIGINT) AS z2_e6
+       |FROM s2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q294_ols_regression" -> q294Ols,
+    "q295_mann_whitney" -> q295MannWhitney,
     "q283_welch_test" -> q283WelchTest,
     "q290_hist_quantiles" -> q290HistQuantiles,
     "q277_brown_forsythe" -> q277BrownForsythe,
@@ -1571,6 +1749,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q294_ols_regression" -> q294Sql,
+    "q295_mann_whitney" -> q295Sql,
     "q283_welch_test" -> q283Sql,
     "q290_hist_quantiles" -> q290Sql,
     "q277_brown_forsythe" -> q277Sql,
