@@ -4462,7 +4462,285 @@ object EventQueries {
        |ORDER BY state""".stripMargin
   }
 
+  // ---------------------------- q296: forecast-error panel (seasonal naive)
+
+  /** Seasonal period (days) of q296's naive forecast. */
+  val ForecastSeason = 7L
+
+  /** q296: the forecast-accuracy panel every demand/capacity pipeline runs
+    * after q261's Croston and the smoothing family: score the SEASONAL
+    * NAIVE forecast (predict day d with day d−7) on daily event volume,
+    * reporting MAE, MAPE, sMAPE and MASE in one row. Each metric is exact
+    * integer arithmetic with ONE e6 floor division per day-term and one
+    * per ratio-of-sums (MASE cross-multiplies the two sums — never a
+    * double divided by a double):
+    *
+    *   MASE = (Σ|a−f| / n_f) / (Σ|a_d−a_{d−1}| / n_n)
+    *        → ⌊Σ|a−f|·n_n·10⁶ / (Σ|a_d−a_{d−1}|·n_f)⌋
+    *
+    * The day spine is generated (sequence min..max) so gap days count as
+    * zero volume — a lag over observed-only rows would silently compare
+    * across gaps.
+    *
+    * Plan: one event pass → |days| rollup; the spine join broadcasts the
+    * (min, max) scalar; lags and sums run over the metadata-sized spine.
+    * Corpus rows are touched exactly once.
+    */
+  val q296ForecastEval: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+    val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("a"))
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val lagged = spine
+      .withColumn("f", lag(col("a"), ForecastSeason.toInt).over(W))
+      .withColumn("prev", lag(col("a"), 1).over(W))
+    val terms = lagged.select(col("a"), col("f"), col("prev"),
+      when(col("f").isNotNull, abs(col("a") - col("f"))).as("ae"),
+      when(col("f").isNotNull && col("a") > 0,
+        expr(fdiv("ABS(a - f) * 1000000", "a"))).as("ape_e6"),
+      when(col("f").isNotNull && (col("a") + col("f")) > 0,
+        expr(fdiv("2000000 * ABS(a - f)", "a + f"))).as("sape_e6"),
+      when(col("prev").isNotNull, abs(col("a") - col("prev"))).as("nae"))
+    terms.agg(
+        count(col("ae")).cast(dec).as("n_f"),
+        sum(col("ae")).cast(dec).as("s_ae"),
+        count(col("ape_e6")).cast(dec).as("n_p"),
+        sum(col("ape_e6")).cast(dec).as("s_ape"),
+        count(col("sape_e6")).cast(dec).as("n_s"),
+        sum(col("sape_e6")).cast(dec).as("s_sape"),
+        count(col("nae")).cast(dec).as("n_n"),
+        sum(col("nae")).cast(dec).as("s_nae"))
+      .select(col("n_f").cast("long").as("n_forecast"),
+        expr(fdiv("s_ae * 1000000", "n_f")).cast("long").as("mae_e6"),
+        expr(fdiv("s_ape", "n_p")).cast("long").as("mape_e6"),
+        expr(fdiv("s_sape", "n_s")).cast("long").as("smape_e6"),
+        expr(fdiv("s_ae * n_n * 1000000", "s_nae * n_f")).cast("long")
+          .as("mase_e6"))
+  }
+
+  val q296Sql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day FROM events),
+       |by_day AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY day),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM by_day),
+       |spine AS (
+       |  SELECT gs.day, COALESCE(cnt, 0) AS a
+       |  FROM (SELECT UNNEST(GENERATE_SERIES(d0, d1)) AS day FROM b) gs
+       |  LEFT JOIN by_day ON gs.day = by_day.day),
+       |lagged AS (
+       |  SELECT a,
+       |    LAG(a, ${ForecastSeason.toInt}) OVER (ORDER BY day) AS f,
+       |    LAG(a, 1) OVER (ORDER BY day) AS prev
+       |  FROM spine),
+       |terms AS (
+       |  SELECT a, f, prev,
+       |    CASE WHEN f IS NOT NULL THEN ABS(a - f) END AS ae,
+       |    CASE WHEN f IS NOT NULL AND a > 0
+       |      THEN ABS(a - f) * 1000000 // a END AS ape_e6,
+       |    CASE WHEN f IS NOT NULL AND a + f > 0
+       |      THEN 2000000 * ABS(a - f) // (a + f) END AS sape_e6,
+       |    CASE WHEN prev IS NOT NULL THEN ABS(a - prev) END AS nae
+       |  FROM lagged),
+       |agg AS (
+       |  SELECT CAST(COUNT(ae) AS HUGEINT) AS n_f, SUM(ae) AS s_ae,
+       |    CAST(COUNT(ape_e6) AS HUGEINT) AS n_p, SUM(ape_e6) AS s_ape,
+       |    CAST(COUNT(sape_e6) AS HUGEINT) AS n_s, SUM(sape_e6) AS s_sape,
+       |    CAST(COUNT(nae) AS HUGEINT) AS n_n, SUM(nae) AS s_nae
+       |  FROM terms)
+       |SELECT CAST(n_f AS BIGINT) AS n_forecast,
+       |  CAST(s_ae * 1000000 // n_f AS BIGINT) AS mae_e6,
+       |  CAST(s_ape // n_p AS BIGINT) AS mape_e6,
+       |  CAST(s_sape // n_s AS BIGINT) AS smape_e6,
+       |  CAST(s_ae * n_n * 1000000 // (s_nae * n_f) AS BIGINT) AS mase_e6
+       |FROM agg""".stripMargin
+
+  // ------------------------------------- q297: ROC-AUC ranking evaluation
+
+  /** q297: ROC-AUC of a behavioral score — does pre-purchase engagement
+    * (click+view count) RANK purchasers above non-purchasers? The
+    * evaluation leg of the scoring stack (q52's quality score, q276's
+    * classifier): AUC is computed exactly via its rank-sum identity over
+    * the score-value rollup,
+    *
+    *   AUC = Σ_s pos_s·(neg_below(s) + neg_s/2) / (n₊·n₋)
+    *
+    * doubled to stay integral (u2 = Σ pos_s·(2·neg_below + neg_s), AUC =
+    * u2/(2·n₊n₋)) — tie-correct by construction (each tied score
+    * contributes half), no per-row ranking, no probability model. Gini =
+    * 2·AUC − 1 rides along as the credit-scoring spelling. One e6 floor
+    * division total; u2 ≲ 2·(n/2)² stays inside DECIMAL(38,0) up to
+    * n ≈ 10¹⁹ units.
+    *
+    * Plan: one event pass → user rollup (the only corpus-scale shuffle) →
+    * score-value rollup (bounded by the max per-user event count —
+    * metadata-sized) → one ordered window over that rollup.
+    */
+  val q297RocAuc: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+    // label = q127's conversion (purchase total ≥ ConvThresholdC) — chosen
+    // there so both classes are non-empty at every SF; bare "ever
+    // purchased" is degenerate (n_neg = 0) and AUC undefined
+    val perUser = e.groupBy(col("user_id")).agg(
+      sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
+        .as("score"),
+      when(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L)) >= ConvThresholdC, 1L).otherwise(0L).as("label"))
+    val byScore = perUser.groupBy(col("score")).agg(
+      sum(col("label")).as("pos"),
+      sum(lit(1L) - col("label")).as("neg"))
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val terms = byScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(W), lit(0L)))
+      .select(col("pos"), col("neg"),
+        (col("pos").cast(dec) * (lit(2L) * col("neg_below") + col("neg")))
+          .as("u2_term"))
+    terms.agg(sum(col("pos")).cast(dec).as("n_pos"),
+        sum(col("neg")).cast(dec).as("n_neg"),
+        sum(col("u2_term")).as("u2"))
+      .select(col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        col("u2").cast("long").as("u2"),
+        expr(fdiv("u2 * 1000000", "2 * n_pos * n_neg")).cast("long")
+          .as("auc_e6"))
+      .withColumn("gini_e6", lit(2L) * col("auc_e6") - 1000000L)
+  }
+
+  val q297Sql: String =
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+      |      AS score,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) >= $ConvThresholdC
+      |      THEN 1 ELSE 0 END AS label
+      |  FROM events GROUP BY user_id),
+      |by_score AS (
+      |  SELECT score, SUM(label) AS pos, SUM(1 - label) AS neg
+      |  FROM u GROUP BY score),
+      |terms AS (
+      |  SELECT pos, neg,
+      |    CAST(pos AS HUGEINT) *
+      |      (2 * COALESCE(SUM(neg) OVER (ORDER BY score
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + neg)
+      |      AS u2_term
+      |  FROM by_score),
+      |agg AS (
+      |  SELECT CAST(SUM(pos) AS HUGEINT) AS n_pos,
+      |    CAST(SUM(neg) AS HUGEINT) AS n_neg, SUM(u2_term) AS u2
+      |  FROM terms)
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(u2 AS BIGINT) AS u2,
+      |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6,
+      |  CAST(2 * (u2 * 1000000 // (2 * n_pos * n_neg)) - 1000000 AS BIGINT)
+      |    AS gini_e6
+      |FROM agg""".stripMargin
+
+  // --------------------------------- q298: difference-in-differences
+
+  /** q298: difference-in-differences — the workhorse quasi-experimental
+    * readout when assignment isn't randomized per-unit: treated arm (the
+    * q127 hash split standing in for a rollout cohort) vs control, before
+    * vs after a cutover at the corpus midpoint day. The estimate is the
+    * classic 2×2:
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * over per-purchase value cents. Each cell mean is one e6 floor
+    * division of exact integer (sum, count); the DiD combines the four
+    * already-quantized means so both engines difference identical
+    * integers. Parallel-trends diagnostics ride along: the pre-period gap
+    * (T−C) the design assumes would have persisted.
+    *
+    * Plan: one event pass with the (midpoint) scalar broadcast → a 4-row
+    * conditional rollup. No window, no join beyond the scalar.
+    */
+  val q298DiffInDiff: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val cells = e.crossJoin(broadcast(mid))
+      .select(when(hv % 2 === 0, lit(1L)).otherwise(0L).as("treated"),
+        when(col("day") >= col("midday"), lit(1L)).otherwise(0L).as("post"),
+        col("v"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("v")).cast(dec).as("sv"))
+      .select(col("treated"), col("post"), col("n"),
+        expr(fdiv("sv * 1000000", "n")).as("m_e6"))
+    cells.agg(
+        sum(when(col("treated") === 1 && col("post") === 0, col("n"))).cast("long").as("n_t_pre"),
+        sum(when(col("treated") === 1 && col("post") === 1, col("n"))).cast("long").as("n_t_post"),
+        sum(when(col("treated") === 0 && col("post") === 0, col("n"))).cast("long").as("n_c_pre"),
+        sum(when(col("treated") === 0 && col("post") === 1, col("n"))).cast("long").as("n_c_post"),
+        sum(when(col("treated") === 1 && col("post") === 0, col("m_e6"))).cast("long").as("m_t_pre_e6"),
+        sum(when(col("treated") === 1 && col("post") === 1, col("m_e6"))).cast("long").as("m_t_post_e6"),
+        sum(when(col("treated") === 0 && col("post") === 0, col("m_e6"))).cast("long").as("m_c_pre_e6"),
+        sum(when(col("treated") === 0 && col("post") === 1, col("m_e6"))).cast("long").as("m_c_post_e6"))
+      .withColumn("pre_gap_e6", col("m_t_pre_e6") - col("m_c_pre_e6"))
+      .withColumn("did_e6",
+        (col("m_t_post_e6") - col("m_t_pre_e6")) -
+          (col("m_c_post_e6") - col("m_c_pre_e6")))
+  }
+
+  val q298Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+      |cells AS (
+      |  SELECT
+      |    CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE 0 END AS treated,
+      |    CASE WHEN day >= midday THEN 1 ELSE 0 END AS post,
+      |    v
+      |  FROM e CROSS JOIN mid),
+      |agg AS (
+      |  SELECT treated, post, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(v) AS HUGEINT) * 1000000 // COUNT(*) AS m_e6
+      |  FROM cells GROUP BY treated, post)
+      |SELECT
+      |  CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN n END) AS BIGINT) AS n_t_pre,
+      |  CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN n END) AS BIGINT) AS n_t_post,
+      |  CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN n END) AS BIGINT) AS n_c_pre,
+      |  CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN n END) AS BIGINT) AS n_c_post,
+      |  CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN m_e6 END) AS BIGINT) AS m_t_pre_e6,
+      |  CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN m_e6 END) AS BIGINT) AS m_t_post_e6,
+      |  CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN m_e6 END) AS BIGINT) AS m_c_pre_e6,
+      |  CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN m_e6 END) AS BIGINT) AS m_c_post_e6,
+      |  CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN m_e6 END)
+      |    - SUM(CASE WHEN treated = 0 AND post = 0 THEN m_e6 END) AS BIGINT)
+      |    AS pre_gap_e6,
+      |  CAST((SUM(CASE WHEN treated = 1 AND post = 1 THEN m_e6 END)
+      |    - SUM(CASE WHEN treated = 1 AND post = 0 THEN m_e6 END))
+      |    - (SUM(CASE WHEN treated = 0 AND post = 1 THEN m_e6 END)
+      |    - SUM(CASE WHEN treated = 0 AND post = 0 THEN m_e6 END)) AS BIGINT)
+      |    AS did_e6
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q296_forecast_eval" -> q296ForecastEval,
+    "q297_roc_auc" -> q297RocAuc,
+    "q298_diff_in_diff" -> q298DiffInDiff,
     "q284_sequential_test" -> q284SequentialTest,
     "q288_funnel_wilson" -> q288FunnelWilson,
     "q291_ratio_metric" -> q291RatioMetric,
@@ -4532,6 +4810,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q296_forecast_eval" -> q296Sql,
+    "q297_roc_auc" -> q297Sql,
+    "q298_diff_in_diff" -> q298Sql,
     "q284_sequential_test" -> q284Sql,
     "q288_funnel_wilson" -> q288Sql,
     "q291_ratio_metric" -> q291Sql,
