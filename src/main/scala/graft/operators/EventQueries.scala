@@ -4737,7 +4737,253 @@ object EventQueries {
       |    AS did_e6
       |FROM agg""".stripMargin
 
+  // ------------------------------------ q300: CUPED variance reduction
+
+  /** q300: CUPED — the variance-reduction readout every mature
+    * experimentation platform applies before quoting an A/B effect: regress
+    * the experiment-period metric y (post-midpoint purchase cents per user)
+    * on the pre-period covariate x (pre-midpoint purchase cents), compute
+    * θ = cov(x,y)/var(x) POOLED across arms, and report the adjusted
+    * arm difference (ȳ_T − θx̄_T) − (ȳ_C − θx̄_C) next to the raw one,
+    * plus the achieved variance-reduction factor ρ² = cov²/(var_x·var_y).
+    * All power sums are exact DECIMAL(38,0) integers off ONE user rollup;
+    * θ, ρ² and the two differences are fixed IEEE expression trees over
+    * those integers (the q294 normal-equations rule), so even the doubles
+    * are bit-identical across engines.
+    *
+    * Plan: one event pass (midpoint scalar broadcast) → user rollup (the
+    * only corpus shuffle) → a 2-row arm rollup + pooled scalars — no
+    * second pass, no join back.
+    */
+  val q300Cuped: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val perUser = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("midday"), col("v")).otherwise(0L))
+          .cast(dec).as("x"),
+        sum(when(col("day") >= col("midday"), col("v")).otherwise(0L))
+          .cast(dec).as("y"))
+      .select(when(hv % 2 === 0, 1L).otherwise(0L).as("treated"),
+        col("x"), col("y"))
+    val sums = perUser.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("treated")).cast(dec).as("n_t"),
+      sum(col("treated") * col("x")).as("sx_t"),
+      sum(col("treated") * col("y")).as("sy_t"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varxN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varyN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = covN / varxN
+    val nT = col("n_t").cast("double")
+    val nC = (col("n") - col("n_t")).cast("double")
+    val mxT = col("sx_t").cast("double") / nT
+    val myT = col("sy_t").cast("double") / nT
+    val mxC = (col("sx") - col("sx_t")).cast("double") / nC
+    val myC = (col("sy") - col("sy_t")).cast("double") / nC
+    sums.select(col("n_t").cast("long").as("n_t"),
+      (col("n") - col("n_t")).cast("long").as("n_c"),
+      theta.as("theta"),
+      (covN * covN / (varxN * varyN)).as("rho2"),
+      (myT - myC).as("diff_raw"),
+      ((myT - theta * mxT) - (myC - theta * mxC)).as("diff_cuped"))
+  }
+
+  val q300Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+      |pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE 0 END AS treated,
+      |    CAST(SUM(CASE WHEN day < midday THEN v ELSE 0 END) AS HUGEINT) AS x,
+      |    CAST(SUM(CASE WHEN day >= midday THEN v ELSE 0 END) AS HUGEINT) AS y
+      |  FROM e CROSS JOIN mid GROUP BY user_id),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+      |    CAST(SUM(treated) AS HUGEINT) AS n_t,
+      |    SUM(treated*x) AS sx_t, SUM(treated*y) AS sy_t
+      |  FROM pu),
+      |d AS (
+      |  SELECT n, n_t,
+      |    CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS cov_n,
+      |    CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS varx_n,
+      |    CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE) AS vary_n,
+      |    CAST(CAST(n_t AS VARCHAR) AS DOUBLE) AS nt,
+      |    CAST(CAST(n - n_t AS VARCHAR) AS DOUBLE) AS nc,
+      |    CAST(CAST(sx_t AS VARCHAR) AS DOUBLE) AS sxt,
+      |    CAST(CAST(sy_t AS VARCHAR) AS DOUBLE) AS syt,
+      |    CAST(CAST(sx - sx_t AS VARCHAR) AS DOUBLE) AS sxc,
+      |    CAST(CAST(sy - sy_t AS VARCHAR) AS DOUBLE) AS syc
+      |  FROM sums)
+      |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n - n_t AS BIGINT) AS n_c,
+      |  cov_n / varx_n AS theta,
+      |  cov_n * cov_n / (varx_n * vary_n) AS rho2,
+      |  syt / nt - syc / nc AS diff_raw,
+      |  (syt / nt - (cov_n / varx_n) * (sxt / nt))
+      |    - (syc / nc - (cov_n / varx_n) * (sxc / nc)) AS diff_cuped
+      |FROM d""".stripMargin
+
+  // ------------------------------ q301: Nelson–Aalen cumulative hazard
+
+  /** q301: Nelson–Aalen estimator — the cumulative-hazard companion to
+    * q259's Kaplan–Meier survival curve and q292's log-rank test, over the
+    * same subjects (entry at first event, conversion at first purchase,
+    * censoring at the corpus horizon): Ĥ(t) = Σ_{s≤t} d_s/n_s with its
+    * variance Σ d_s/n_s². Each increment floors once at e6 off exact
+    * integer (d, n); the running sums then add already-quantized integers,
+    * so both engines accumulate identical values.
+    *
+    * Plan: q292's — one event pass → user rollup → day rollup; at-risk
+    * counts and the running sums are windows over the metadata-sized day
+    * rollup.
+    */
+  val q301NelsonAalen: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val horizon = e.agg(max(col("day")).as("maxday"))
+    val perUser = e.crossJoin(broadcast(horizon))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"),
+        max(col("maxday")).as("maxday"))
+      .select(
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("maxday") - col("d0")).as("t"),
+        when(col("dp").isNotNull, 1L).otherwise(0L).as("evt"))
+    val byDay = perUser.groupBy(col("t"))
+      .agg(count(lit(1)).as("out"), sum(col("evt")).as("d"))
+    val W = org.apache.spark.sql.expressions.Window
+    val asc = W.orderBy(col("t"))
+    val below = asc.rowsBetween(W.unboundedPreceding, -1)
+    val whole = asc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val run = asc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    byDay
+      .withColumn("n", sum(col("out")).over(whole) -
+        coalesce(sum(col("out")).over(below), lit(0L)))
+      .filter(col("d") > 0L)
+      .withColumn("h_inc_e6", expr(fdiv("d * 1000000", "n")))
+      .withColumn("v_inc_e6", expr(fdiv("d * 1000000", "n * n")))
+      .select(col("t"), col("d"), col("n"),
+        sum(col("h_inc_e6")).over(run).cast("long").as("h_e6"),
+        sum(col("v_inc_e6")).over(run).cast("long").as("var_e6"))
+  }
+
+  val q301Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events),
+      |h AS (SELECT MAX(day) AS maxday FROM e),
+      |pu AS (
+      |  SELECT user_id, MIN(day) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS dp,
+      |    MAX(maxday) AS maxday
+      |  FROM e CROSS JOIN h GROUP BY user_id),
+      |subj AS (
+      |  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE maxday - d0 END AS t,
+      |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS evt
+      |  FROM pu),
+      |by_day AS (
+      |  SELECT t, COUNT(*) AS outc, SUM(evt) AS d FROM subj GROUP BY t),
+      |risk AS (
+      |  SELECT t, d,
+      |    CAST(SUM(outc) OVER () -
+      |      COALESCE(SUM(outc) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n
+      |  FROM by_day),
+      |inc AS (
+      |  SELECT t, d, n,
+      |    d * 1000000 // n AS h_inc,
+      |    d * 1000000 // (n * n) AS v_inc
+      |  FROM risk WHERE d > 0)
+      |SELECT t, CAST(d AS BIGINT) AS d, n,
+      |  CAST(SUM(h_inc) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h_e6,
+      |  CAST(SUM(v_inc) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS var_e6
+      |FROM inc""".stripMargin
+
+  // --------------------------- q302: sequential precedence patterns
+
+  /** Minimum user support for a reported precedence pattern. */
+  val SeqMinSupport = 5L
+
+  /** q302: frequent precedence patterns — for event-type pairs (a, b),
+    * how many users saw their FIRST a strictly before their FIRST b, and
+    * the confidence against users who saw both at all. The
+    * PrefixSpan-style 2-sequence mine (order matters, arbitrary gaps),
+    * complementary to q108's Markov matrix which only counts ADJACENT
+    * transitions. The pair fan-out is |types|² per user — bounded by the
+    * fixed event-type domain, never by corpus size — so the self-join
+    * stays inside each user's ≤ |types|-row group.
+    *
+    * Plan: one event pass → (user, type, first-ms) rollup (the corpus
+    * shuffle) → within-user pair join (both sides the same small rollup,
+    * co-partitioned on user_id — AQE sees one shuffle) → pair rollup.
+    * Exact integers; confidence floors once at e6.
+    */
+  val q302SeqPatterns: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val firsts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ms")).as("first_ms"))
+    val a = firsts.select(col("user_id"), col("event_type").as("a"),
+      col("first_ms").as("ta"))
+    val b = firsts.select(col("user_id"), col("event_type").as("b"),
+      col("first_ms").as("tb"))
+    a.join(b, Seq("user_id"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("ta") < col("tb"), 1L).otherwise(0L)).as("n_seq"))
+      .filter(col("n_seq") >= SeqMinSupport)
+      .select(col("a"), col("b"), col("n_seq"), col("n_both"),
+        expr(fdiv("n_seq * 1000000", "n_both")).cast("long").as("conf_e6"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q302Sql: String =
+    s"""WITH firsts AS (
+       |  SELECT user_id, event_type, MIN(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms
+       |  FROM events GROUP BY user_id, event_type),
+       |pairs AS (
+       |  SELECT x.event_type AS a, y.event_type AS b,
+       |    COUNT(*) AS n_both,
+       |    SUM(CASE WHEN x.first_ms < y.first_ms THEN 1 ELSE 0 END) AS n_seq
+       |  FROM firsts x JOIN firsts y ON x.user_id = y.user_id
+       |    AND x.event_type <> y.event_type
+       |  GROUP BY x.event_type, y.event_type)
+       |SELECT a, b, CAST(n_seq AS BIGINT) AS n_seq,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_seq * 1000000 // n_both AS BIGINT) AS conf_e6
+       |FROM pairs WHERE n_seq >= $SeqMinSupport
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q300_cuped" -> q300Cuped,
+    "q301_nelson_aalen" -> q301NelsonAalen,
+    "q302_seq_patterns" -> q302SeqPatterns,
     "q296_forecast_eval" -> q296ForecastEval,
     "q297_roc_auc" -> q297RocAuc,
     "q298_diff_in_diff" -> q298DiffInDiff,
@@ -4810,6 +5056,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q300_cuped" -> q300Sql,
+    "q301_nelson_aalen" -> q301Sql,
+    "q302_seq_patterns" -> q302Sql,
     "q296_forecast_eval" -> q296Sql,
     "q297_roc_auc" -> q297Sql,
     "q298_diff_in_diff" -> q298Sql,
