@@ -521,4 +521,45 @@ class PlansSpec extends SparkSpec {
       s"supplier dim and scalars must broadcast:\n$t")
     assert(!t.contains("CartesianProduct"), t)
   }
+
+  test("q293: query terms broadcast; top-k is TakeOrdered, not a global sort") {
+    val p = plan("q293_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the 3-term query frame must broadcast:\n$p")
+    assert(p.contains("partial_count"), "tf rollup must map-side combine")
+  }
+
+  test("q294/q300: regression sums fold in one pass — no window, no corpus join") {
+    val p = plan("q294_ols_regression")
+    assert(p.contains("partial_sum"), "power sums must map-side combine")
+    assert(!p.contains("Window"), s"closed-form OLS needs no window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-scale join:\n$p")
+    val c = plan("q300_cuped")
+    assert(c.contains("partial_sum"), "CUPED power sums must map-side combine")
+    assert(!c.contains("SortMergeJoin"), s"midpoint scalar must broadcast:\n$c")
+  }
+
+  test("q295/q297: rank statistics window only metadata-sized rollups") {
+    val p = plan("q295_mann_whitney")
+    // the corpus-scale rank map is the two-level bucket construction: the
+    // only unpartitioned window orders the bucket rollup
+    assert(p.contains("bkt"), s"doubled ranks must use the bucket prefix:\n$p")
+    assert(p.contains("PushedFilters: [In(o_orderpriority"),
+      s"the two-arm filter must reach the scan:\n$p")
+    val a = plan("q297_roc_auc")
+    assert(a.contains("partial_sum"), "user rollup must map-side combine")
+    assert(!a.contains("CartesianProduct"), a)
+  }
+
+  test("q299: skyline prefix-max is two-level; frontier joins the rollup") {
+    val p = plan("q299_skyline")
+    assert(p.contains("bkt"), s"prefix max must use the bucket construction:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q302: precedence pairs join inside the user key — one corpus shuffle pair") {
+    val p = plan("q302_seq_patterns")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), "first-occurrence rollup must map-side combine")
+  }
 }
