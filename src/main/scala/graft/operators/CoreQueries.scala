@@ -4534,7 +4534,55 @@ object CoreQueries {
        |FROM agg CROSS JOIN nat_terms""".stripMargin
   }
 
+  // ------------------------------------------- q305: grouped exact mode
+
+  /** q305: exact MODE per group — the most-frequent-value aggregate (SQL's
+    * MODE() WITHIN GROUP), which Spark lacks natively: the modal order
+    * priority per market segment, with a deterministic lowest-value
+    * tiebreak. The scale shape is the standard two-stage rollup: value
+    * counts first (map-side combinable), then a struct-min argmax over the
+    * (group, value) rollup — no window over corpus rows, no collect. The
+    * modal share floors once at e6.
+    */
+  val q305GroupedMode: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val joined = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("v"))
+    val counts = joined.groupBy(col("segment"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("segment"))
+      .agg(min(struct((-col("cnt")).as("negc"), col("v").as("v"))).as("best"),
+        sum(col("cnt")).as("n_total"))
+      .select(col("segment"), col("best.v").as("mode_value"),
+        (-col("best.negc")).as("mode_count"), col("n_total"),
+        expr(fdiv("(-best.negc) * 1000000", "n_total")).cast("long")
+          .as("share_e6"))
+      .orderBy(col("segment"))
+  }
+
+  val q305Sql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |counts AS (
+      |  SELECT segment, v, COUNT(*) AS cnt FROM j GROUP BY segment, v),
+      |ranked AS (
+      |  SELECT segment, v, cnt,
+      |    SUM(cnt) OVER (PARTITION BY segment) AS n_total,
+      |    ROW_NUMBER() OVER (PARTITION BY segment
+      |      ORDER BY cnt DESC, v) AS rk
+      |  FROM counts)
+      |SELECT segment, v AS mode_value, CAST(cnt AS BIGINT) AS mode_count,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(cnt * 1000000 // n_total AS BIGINT) AS share_e6
+      |FROM ranked WHERE rk = 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q305_grouped_mode" -> q305GroupedMode,
     "q281_theil_decomposition" -> q281TheilDecomposition,
     "q275_t_closeness" -> q275TCloseness,
     "q269_price_index" -> q269PriceIndex,
@@ -4633,6 +4681,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q305_grouped_mode" -> q305Sql,
     "q281_theil_decomposition" -> q281Sql,
     "q275_t_closeness" -> q275Sql,
     "q269_price_index" -> q269Sql,

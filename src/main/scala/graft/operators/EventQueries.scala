@@ -4980,7 +4980,114 @@ object EventQueries {
        |FROM pairs WHERE n_seq >= $SeqMinSupport
        |ORDER BY a, b""".stripMargin
 
+  // -------------------- q304: coarsened-exact-matching treatment effect
+
+  /** Activity-bucket width (events per user) for q304's matching strata. */
+  val CemBucket = 10L
+
+  /** Error-share threshold (ppm of a user's events) above which q304
+    * counts the user as "treated" (heavy error exposure). 20% splits the
+    * population near the median share at every SF — presence alone is
+    * degenerate here (every user hits every event type).
+    */
+  val CemErrShareE6 = 200000L
+
+  /** q304: coarsened exact matching — the observational companion to the
+    * randomized readouts (q127/q298/q300): "treatment" here is an OBSERVED
+    * exposure (error share ≥ [[CemErrShareE6]] ppm of the user's events —
+    * "did a degraded experience depress spend?"), so naive treated-vs-
+    * control comparison confounds with activity. CEM coarsens the
+    * confounder (total event count → width-[[CemBucket]] strata), keeps
+    * only strata containing
+    * BOTH groups, and weights per-stratum treated−control gaps by the
+    * treated count (the ATT estimand):
+    *
+    *   ATT = Σ_s n_Ts·(ȳ_Ts − ȳ_Cs) / Σ_s n_Ts
+    *
+    * Per-stratum means floor once at e6 (exact sums/counts); the weighted
+    * fold cross-multiplies so the final division is the only further
+    * floor. The naive unmatched gap rides along — the report IS the
+    * confounding correction, visible as naive−ATT.
+    *
+    * Plan: one event pass → user rollup (the corpus shuffle) → stratum
+    * rollup (≤ range/width rows) → 1-row fold. No join at all.
+    */
+  val q304CemAtt: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("y"))
+      .select(expr(s"n_ev div $CemBucket").as("stratum"),
+        when(expr("n_err * 1000000 div n_ev") >= CemErrShareE6, 1L)
+          .otherwise(0L).as("t"),
+        col("y"))
+    val strata = perUser.groupBy(col("stratum"))
+      .agg(sum(col("t")).cast(dec).as("n_t"),
+        sum(lit(1L) - col("t")).cast(dec).as("n_c"),
+        sum(col("t") * col("y")).cast(dec).as("sy_t"),
+        sum((lit(1L) - col("t")) * col("y")).cast(dec).as("sy_c"))
+    val matched = strata.filter(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("n_t"), col("n_c"),
+        (col("n_t") * (expr(fdiv("sy_t * 1000000", "n_t")) -
+          expr(fdiv("sy_c * 1000000", "n_c")))).as("w_gap_e6"))
+    val naive = strata.agg(sum(col("n_t")).as("nt_all"),
+      sum(col("n_c")).as("nc_all"), sum(col("sy_t")).as("syt_all"),
+      sum(col("sy_c")).as("syc_all"))
+    matched.agg(count(lit(1)).as("n_strata"),
+        sum(col("n_t")).cast(dec).as("n_t_matched"),
+        sum(col("w_gap_e6")).as("gap_sum_e6"))
+      .crossJoin(broadcast(naive))
+      .select(col("n_strata"),
+        col("n_t_matched").cast("long").as("n_t_matched"),
+        // the weighted gap sum can be negative — sign-factor the floor
+        // division so both engines floor the magnitude identically
+        (when(col("gap_sum_e6") < 0,
+          -expr(fdiv("-gap_sum_e6", "n_t_matched")))
+          .otherwise(expr(fdiv("gap_sum_e6", "n_t_matched"))))
+          .cast("long").as("att_e6"),
+        (expr(fdiv("syt_all * 1000000", "nt_all")) -
+          expr(fdiv("syc_all * 1000000", "nc_all"))).cast("long")
+          .as("naive_gap_e6"))
+  }
+
+  val q304Sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, COUNT(*) // $CemBucket AS stratum,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |        * 1000000 // COUNT(*) >= $CemErrShareE6 THEN 1 ELSE 0 END AS t,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS y
+       |  FROM events GROUP BY user_id),
+       |strata AS (
+       |  SELECT stratum, CAST(SUM(t) AS HUGEINT) AS n_t,
+       |    CAST(SUM(1 - t) AS HUGEINT) AS n_c,
+       |    CAST(SUM(t * y) AS HUGEINT) AS sy_t,
+       |    CAST(SUM((1 - t) * y) AS HUGEINT) AS sy_c
+       |  FROM pu GROUP BY stratum),
+       |matched AS (
+       |  SELECT n_t, n_c,
+       |    n_t * (sy_t * 1000000 // n_t - sy_c * 1000000 // n_c) AS w_gap_e6
+       |  FROM strata WHERE n_t > 0 AND n_c > 0),
+       |naive AS (
+       |  SELECT SUM(n_t) AS nt_all, SUM(n_c) AS nc_all,
+       |    SUM(sy_t) AS syt_all, SUM(sy_c) AS syc_all
+       |  FROM strata)
+       |SELECT COUNT(*) AS n_strata,
+       |  CAST(SUM(n_t) AS BIGINT) AS n_t_matched,
+       |  CAST(CASE WHEN SUM(w_gap_e6) < 0
+       |    THEN -((-SUM(w_gap_e6)) // SUM(n_t))
+       |    ELSE SUM(w_gap_e6) // SUM(n_t) END AS BIGINT) AS att_e6,
+       |  CAST((SELECT syt_all * 1000000 // nt_all - syc_all * 1000000 // nc_all
+       |    FROM naive) AS BIGINT) AS naive_gap_e6
+       |FROM matched""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q304_cem_att" -> q304CemAtt,
     "q300_cuped" -> q300Cuped,
     "q301_nelson_aalen" -> q301NelsonAalen,
     "q302_seq_patterns" -> q302SeqPatterns,
@@ -5056,6 +5163,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q304_cem_att" -> q304Sql,
     "q300_cuped" -> q300Sql,
     "q301_nelson_aalen" -> q301Sql,
     "q302_seq_patterns" -> q302Sql,

@@ -1091,7 +1091,93 @@ object SimilarityQueries {
        |  CAST(SUM(shift_d) AS BIGINT) AS shift_l1_e4
        |FROM sse GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ----------------------------- q303: simplified silhouette validation
+
+  /** q303: simplified silhouette — the cluster-validation score next to
+    * q88's label purity and q282's SSE monotonicity: for each vector,
+    * a = squared distance to its OWN (nearest) centroid, b = squared
+    * distance to the runner-up, s = (b−a)/max(a,b) ∈ [0,1] (the
+    * centroid-based "simplified" variant — the classic pairwise silhouette
+    * is O(N²) and not a 100 TB operator; over squared distances so the
+    * score is a ratio of EXACT integers, one e6 floor per vector).
+    * Centroids are q282's deterministic seeds (k lowest vec_ids), so the
+    * whole report is oracle-exact with no trained-constant inlining.
+    *
+    * Plan: one posexplode pass; assignment joins the broadcast k·dims seed
+    * frame; per-vector the k candidate distances collapse via
+    * sort_array(collect_list) — fan-in bounded by k, never by corpus — and
+    * the report is a |k|-row rollup.
+    */
+  val q303Silhouette: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+    val seedIds = Tables.embeddings(s, dir)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(LloydK)
+    val cent = qv.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
+      .localCheckpoint()
+    val two = qv.join(broadcast(cent), Seq("d"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c")).cast(dec))
+        .as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("dist"), col("cid")))).as("ds"))
+      .select(col("vec_id"), col("ds")(0).getField("cid").as("cid"),
+        col("ds")(0).getField("dist").as("a"),
+        col("ds")(1).getField("dist").as("b"))
+    val scored = two.select(col("cid"),
+      when(col("b") > 0,
+        expr(fdiv("(b - a) * 1000000", "CASE WHEN a > b THEN a ELSE b END")))
+        .otherwise(lit(0L).cast(dec)).as("s_e6"))
+    scored.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr(fdiv("SUM(s_e6)", "COUNT(1)")).cast("long").as("mean_sil_e6"),
+        min(col("s_e6")).cast("long").as("min_sil_e6"))
+      .orderBy(col("cid"))
+  }
+
+  val q303Sql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS d,
+       |    CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings),
+       |seed_ids AS (
+       |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $LloydK),
+       |cent AS (
+       |  SELECT qv.vec_id AS cid, d, q AS c
+       |  FROM qv JOIN seed_ids ON qv.vec_id = seed_ids.vec_id),
+       |dists AS (
+       |  SELECT qv.vec_id, cid,
+       |    SUM(CAST((q - c) AS HUGEINT) * (q - c)) AS dist
+       |  FROM qv JOIN cent USING (d)
+       |  GROUP BY qv.vec_id, cid),
+       |ranked AS (
+       |  SELECT vec_id, cid, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |  FROM dists),
+       |two AS (
+       |  SELECT r1.vec_id, r1.cid, r1.dist AS a, r2.dist AS b
+       |  FROM ranked r1 JOIN ranked r2
+       |    ON r1.vec_id = r2.vec_id AND r1.rk = 1 AND r2.rk = 2),
+       |scored AS (
+       |  SELECT cid,
+       |    CASE WHEN b > 0
+       |      THEN (b - a) * 1000000 // (CASE WHEN a > b THEN a ELSE b END)
+       |      ELSE 0 END AS s_e6
+       |  FROM two)
+       |SELECT cid, COUNT(*) AS n_vecs,
+       |  CAST(SUM(s_e6) // COUNT(*) AS BIGINT) AS mean_sil_e6,
+       |  CAST(MIN(s_e6) AS BIGINT) AS min_sil_e6
+       |FROM scored GROUP BY cid ORDER BY cid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q303_silhouette" -> q303Silhouette,
     "q282_lloyd_step" -> q282LloydStep,
     "q250_ivf_balance" -> q250IvfBalance,
     "q240_triplet_mining" -> q240TripletMining,
@@ -1231,6 +1317,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q303_silhouette" -> q303Sql,
     "q282_lloyd_step" -> q282Sql,
     "q229_rp_recall" -> q229Sql,
     "q240_triplet_mining" -> q240Sql,
