@@ -1794,7 +1794,80 @@ object AuditQueries {
       |FROM sky s JOIN cnt ON s.price_c = cnt.price_c AND s.size = cnt.sz
       |ORDER BY s.price_c""".stripMargin
 
+  // -------------------------------- q307: robust location/outlier panel
+
+  /** q307: the robust anomaly panel — per event type: exact MEDIAN of the
+    * value, MAD (median absolute deviation), and the count/share of values
+    * flagged by the standard robust rule |x − med| > 3·1.4826·MAD. Mean/
+    * stddev outlier rules (q206's z-scores) break down exactly when
+    * outliers are present — the median/MAD pair has a 50% breakdown point
+    * and is what monitoring pipelines actually deploy. The consistency
+    * constant applies as the exact rational 14826/10⁴ cross-multiplied
+    * into the integer comparison (|x−med|·10⁴ > 3·14826·MAD) — no float
+    * anywhere; both engines' `percentile_disc` pick the same actual data
+    * value (the q290-validated portability).
+    *
+    * Plan: grouped percentile_disc is a per-group sort-based aggregate —
+    * fine here because groups are the bounded event-type domain, and each
+    * group's sort distributes across its partitions' spill-merge. The
+    * deviation pass re-scans with the |groups|-row median frame broadcast;
+    * robust statistics are inherently two-pass (the streaming-sketch
+    * alternative is q290's histogram).
+    */
+  val q307RobustPanel: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .select(col("event_type").as("g"), cents(col("value")).as("c"))
+    val med = e.groupBy(col("g"))
+      .agg(expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("med_c"))
+    val dev = e.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("c"), col("med_c"),
+        abs(col("c") - col("med_c")).as("ad"))
+    val mad = dev.groupBy(col("g"))
+      .agg(expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY ad)")
+        .cast("long").as("mad_c"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("med_c")).as("median_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("ad") * 10000L > lit(3L) * 14826L * col("mad_c"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as("event_type"), col("n"), col("median_c"),
+        col("mad_c"), col("n_outliers"),
+        expr(fdiv("n_outliers * 1000000", "n")).cast("long")
+          .as("outlier_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q307Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS g, CAST(ROUND(value*100) AS BIGINT) AS c
+      |  FROM events),
+      |med AS (
+      |  SELECT g, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY c)
+      |    AS BIGINT) AS med_c
+      |  FROM e GROUP BY g),
+      |dev AS (
+      |  SELECT e.g, c, med_c, ABS(c - med_c) AS ad
+      |  FROM e JOIN med ON e.g = med.g),
+      |mad AS (
+      |  SELECT g, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY ad)
+      |    AS BIGINT) AS mad_c
+      |  FROM dev GROUP BY g)
+      |SELECT dev.g AS event_type, COUNT(*) AS n,
+      |  MAX(med_c) AS median_c, MAX(dev.mad_c) AS mad_c,
+      |  CAST(SUM(CASE WHEN ad * 10000 > 3 * 14826 * dev.mad_c
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN ad * 10000 > 3 * 14826 * dev.mad_c
+      |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+      |FROM (SELECT dev.*, mad.mad_c FROM dev JOIN mad ON dev.g = mad.g) dev
+      |GROUP BY dev.g
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q307_robust_panel" -> q307RobustPanel,
     "q299_skyline" -> q299Skyline,
     "q294_ols_regression" -> q294Ols,
     "q295_mann_whitney" -> q295MannWhitney,
@@ -1818,6 +1891,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q307_robust_panel" -> q307Sql,
     "q299_skyline" -> q299Sql,
     "q294_ols_regression" -> q294Sql,
     "q295_mann_whitney" -> q295Sql,

@@ -5086,7 +5086,201 @@ object EventQueries {
        |    FROM naive) AS BIGINT) AS naive_gap_e6
        |FROM matched""".stripMargin
 
+  // ------------------------- q306: seasonal decomposition (STL-lite)
+
+  /** q306: classical seasonal decomposition of daily event volume —
+    * trend (centered 7-day moving average) + seasonal (day-of-week mean
+    * of the detrended series) + residual, the additive decomposition
+    * behind every capacity-planning dashboard and the diagnostic q296's
+    * seasonal-naive forecast assumes. Exact integers: the trend floors
+    * once at e6 over the 7-day sum, detrended = a·10⁶ − trend_e6 exactly,
+    * and the seasonal day-of-week mean sign-factors its floor division
+    * (detrended values go negative). The decomposition identity
+    * a·10⁶ = trend + seasonal + residual holds exactly by construction
+    * (residual is defined as the remainder).
+    *
+    * Plan: one event pass → |days| rollup; the spine, moving window and
+    * day-of-week rollup all run over metadata-sized frames.
+    */
+  val q306SeasonalDecomp: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CASE WHEN $num < 0 THEN -(${fdiv(s"-($num)", den)})
+         |     ELSE ${fdiv(num, den)} END""".stripMargin.replace("\n", " ")
+    val e = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+    val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(byDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("a"))
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = spine
+      .withColumn("n7", count(lit(1)).over(W))
+      .withColumn("s7", sum(col("a")).over(W))
+      .filter(col("n7") === 7)
+      .withColumn("trend_e6", expr(fdiv("s7 * 1000000", "7")))
+      .withColumn("detr_e6", col("a") * 1000000L - col("trend_e6"))
+      .withColumn("dow", expr("day % 7"))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(sum(col("detr_e6")).as("sd"), count(lit(1)).as("nd"))
+      .select(col("dow"), expr(sdiv("sd", "nd")).as("seasonal_e6"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("a"),
+        col("trend_e6").cast("long").as("trend_e6"),
+        col("seasonal_e6").cast("long").as("seasonal_e6"),
+        (col("detr_e6") - col("seasonal_e6")).cast("long").as("resid_e6"))
+      .orderBy(col("day"))
+  }
+
+  val q306Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day FROM events),
+      |by_day AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY day),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM by_day),
+      |spine AS (
+      |  SELECT gs.day, COALESCE(cnt, 0) AS a
+      |  FROM (SELECT UNNEST(GENERATE_SERIES(d0, d1)) AS day FROM b) gs
+      |  LEFT JOIN by_day ON gs.day = by_day.day),
+      |tr AS (
+      |  SELECT day, a,
+      |    COUNT(*) OVER w AS n7, SUM(a) OVER w AS s7
+      |  FROM spine
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |trended AS (
+      |  SELECT day, a, s7 * 1000000 // 7 AS trend_e6,
+      |    a * 1000000 - s7 * 1000000 // 7 AS detr_e6,
+      |    day % 7 AS dow
+      |  FROM tr WHERE n7 = 7),
+      |seasonal AS (
+      |  SELECT dow,
+      |    CASE WHEN SUM(detr_e6) < 0
+      |      THEN -((-SUM(detr_e6)) // COUNT(*))
+      |      ELSE SUM(detr_e6) // COUNT(*) END AS seasonal_e6
+      |  FROM trended GROUP BY dow)
+      |SELECT day, a, CAST(trend_e6 AS BIGINT) AS trend_e6,
+      |  CAST(seasonal_e6 AS BIGINT) AS seasonal_e6,
+      |  CAST(detr_e6 - seasonal_e6 AS BIGINT) AS resid_e6
+      |FROM trended JOIN seasonal USING (dow)
+      |ORDER BY day""".stripMargin
+
+  // ----------------------- q308: off-policy evaluation (IPS estimator)
+
+  /** q308: inverse-propensity-scored off-policy evaluation — the
+    * counterfactual question every recommendation/ranking pipeline asks of
+    * its logs: "what conversion rate WOULD the greedy policy get?" without
+    * an online test. Logged action = the event's type (click/view/signup/
+    * error), reward = the user's very next event being a purchase, context
+    * = the user's activity stratum (q304's coarsening). The behavior
+    * propensity is the empirical action share per stratum, the target
+    * policy is per-stratum greedy (argmax observed conversion, lowest-name
+    * tiebreak), and the Horvitz–Thompson estimate
+    *
+    *   V̂ = (1/N) Σ 1{a = π(x)}·r / p̂(a|x)
+    *
+    * folds per (stratum, action) CELL — r-sums, counts and propensities
+    * all come off one rollup, so there is no per-row division anywhere:
+    * cell contribution = ⌊r_sum·n_x·10⁶ / n_ax⌋, V̂ floors once more over
+    * N. The logging policy's raw conversion rate rides along as the
+    * baseline the counterfactual is judged against.
+    *
+    * Plan: one event pass with a per-user ordered window (lead — the
+    * corpus shuffle, partitioned by user), a user-stratum join, then
+    * metadata-sized cell rollups; the policy argmax is a struct-min over
+    * the cell frame.
+    */
+  val q308IpsOffPolicy: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val logged = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(W))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("a"),
+        when(col("next_type") === "purchase", 1L).otherwise(0L).as("r"))
+    val strata = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(expr(s"count(1) div $CemBucket").as("x"))
+    val cells = logged.join(strata, Seq("user_id"))
+      .groupBy(col("x"), col("a"))
+      .agg(count(lit(1)).as("n_ax"), sum(col("r")).as("r_ax"))
+    val perX = cells.groupBy(col("x")).agg(sum(col("n_ax")).as("n_x"))
+    // greedy policy: argmax conversion rate per stratum — cross-multiplied
+    // comparison via struct-min over (−r/n) would divide, so rank on the
+    // exact e6-floored rate with action-name tiebreak
+    val pol = cells
+      .select(col("x"), col("a"),
+        expr(fdiv("r_ax * 1000000", "n_ax")).cast("long").as("rate_e6"))
+      .groupBy(col("x"))
+      .agg(min(struct((-col("rate_e6")).as("nr"), col("a").as("a"))).as("best"))
+      .select(col("x"), col("best.a").as("pi_a"))
+    val contrib = cells.join(broadcast(pol), Seq("x"))
+      .filter(col("a") === col("pi_a"))
+      .join(broadcast(perX), Seq("x"))
+      .select(expr(fdiv("r_ax * n_x * 1000000", "n_ax")).as("c_e6"))
+    // totals fold from the cell rollup — recomputing them from `logged`
+    // would replay the corpus lead pass a second time
+    val totals = cells.agg(sum(col("n_ax")).cast(dec).as("n_all"),
+      sum(col("r_ax")).cast(dec).as("r_all"))
+    contrib.agg(sum(col("c_e6")).as("c_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_all").cast("long").as("n_logged"),
+        expr(fdiv("r_all * 1000000", "n_all")).cast("long")
+          .as("v_logging_e6"),
+        expr(fdiv("c_sum", "n_all")).cast("long").as("v_ips_e6"))
+  }
+
+  val q308Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ms
+       |  FROM events),
+       |led AS (
+       |  SELECT user_id, event_type AS a,
+       |    CASE WHEN LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ms, event_id) = 'purchase' THEN 1 ELSE 0 END AS r,
+       |    event_type AS et
+       |  FROM ev),
+       |logged AS (SELECT user_id, a, r FROM led WHERE et <> 'purchase'),
+       |strata AS (
+       |  SELECT user_id, COUNT(*) // $CemBucket AS x
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT x, a, COUNT(*) AS n_ax, SUM(r) AS r_ax
+       |  FROM logged JOIN strata USING (user_id)
+       |  GROUP BY x, a),
+       |per_x AS (SELECT x, SUM(n_ax) AS n_x FROM cells GROUP BY x),
+       |pol AS (
+       |  SELECT x, a AS pi_a FROM (
+       |    SELECT x, a,
+       |      ROW_NUMBER() OVER (PARTITION BY x
+       |        ORDER BY r_ax * 1000000 // n_ax DESC, a) AS rk
+       |    FROM cells) t
+       |  WHERE rk = 1),
+       |contrib AS (
+       |  SELECT CAST(r_ax AS HUGEINT) * n_x * 1000000 // n_ax AS c_e6
+       |  FROM cells
+       |  JOIN pol ON cells.x = pol.x AND cells.a = pol.pi_a
+       |  JOIN per_x ON cells.x = per_x.x),
+       |tot AS (
+       |  SELECT CAST(SUM(n_ax) AS HUGEINT) AS n_all,
+       |    CAST(SUM(r_ax) AS HUGEINT) AS r_all
+       |  FROM cells)
+       |SELECT CAST(n_all AS BIGINT) AS n_logged,
+       |  CAST(r_all * 1000000 // n_all AS BIGINT) AS v_logging_e6,
+       |  CAST((SELECT SUM(c_e6) FROM contrib) // n_all AS BIGINT) AS v_ips_e6
+       |FROM tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q306_seasonal_decomp" -> q306SeasonalDecomp,
+    "q308_ips_offpolicy" -> q308IpsOffPolicy,
     "q304_cem_att" -> q304CemAtt,
     "q300_cuped" -> q300Cuped,
     "q301_nelson_aalen" -> q301NelsonAalen,
@@ -5163,6 +5357,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q306_seasonal_decomp" -> q306Sql,
+    "q308_ips_offpolicy" -> q308Sql,
     "q304_cem_att" -> q304Sql,
     "q300_cuped" -> q300Sql,
     "q301_nelson_aalen" -> q301Sql,
