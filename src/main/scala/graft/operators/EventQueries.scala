@@ -4562,35 +4562,36 @@ object EventQueries {
        |  CAST(s_ae * n_n * 1000000 // (s_nae * n_f) AS BIGINT) AS mase_e6
        |FROM agg""".stripMargin
 
-  // ------------------------------------- q297: ROC-AUC ranking evaluation
+  // ------------------------- q297: precision-recall evaluation (AP + F1)
 
-  /** q297: ROC-AUC of a behavioral score — does pre-purchase engagement
-    * (click+view count) RANK purchasers above non-purchasers? The
-    * evaluation leg of the scoring stack (q52's quality score, q276's
-    * classifier): AUC is computed exactly via its rank-sum identity over
-    * the score-value rollup,
+  /** q297: the precision-recall leg of the evaluation stack — q164's exact
+    * ROC-AUC is the wrong lens for an imbalanced label (ROC rewards
+    * true-negative mass the application never sees), so this computes
+    * AVERAGE PRECISION and the best-F1 operating point for a behavioral
+    * score (click+view engagement) predicting q127's conversion label.
+    * Both metrics come off the DESC-cumulative score rollup in exact
+    * integers:
     *
-    *   AUC = Σ_s pos_s·(neg_below(s) + neg_s/2) / (n₊·n₋)
+    *   AP = Σ_s (pos_s/n₊)·prec(s),   F1(s) = 2·cp(s) / (cp(s)+cn(s)+n₊)
     *
-    * doubled to stay integral (u2 = Σ pos_s·(2·neg_below + neg_s), AUC =
-    * u2/(2·n₊n₋)) — tie-correct by construction (each tied score
-    * contributes half), no per-row ranking, no probability model. Gini =
-    * 2·AUC − 1 rides along as the credit-scoring spelling. One e6 floor
-    * division total; u2 ≲ 2·(n/2)² stays inside DECIMAL(38,0) up to
-    * n ≈ 10¹⁹ units.
+    * — the F1 identity folds precision AND recall into one exact integer
+    * ratio (2pr/(p+r) algebraically cancels), so the operating-point scan
+    * needs no float comparison; precision floors once at e6 per distinct
+    * score, AP once more over n₊. The reported threshold is the highest
+    * score attaining the max F1 (deterministic tiebreak).
     *
     * Plan: one event pass → user rollup (the only corpus-scale shuffle) →
     * score-value rollup (bounded by the max per-user event count —
     * metadata-sized) → one ordered window over that rollup.
     */
-  val q297RocAuc: Q = (s, dir) => {
+  val q297PrCurve: Q = (s, dir) => {
     val dec = "decimal(38,0)"
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     val e = Tables.events(s, dir)
     // label = q127's conversion (purchase total ≥ ConvThresholdC) — chosen
     // there so both classes are non-empty at every SF; bare "ever
-    // purchased" is degenerate (n_neg = 0) and AUC undefined
+    // purchased" is degenerate (n_neg = 0)
     val perUser = e.groupBy(col("user_id")).agg(
       sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
         .as("score"),
@@ -4599,22 +4600,27 @@ object EventQueries {
     val byScore = perUser.groupBy(col("score")).agg(
       sum(col("label")).as("pos"),
       sum(lit(1L) - col("label")).as("neg"))
-    val W = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val terms = byScore
-      .withColumn("neg_below", coalesce(sum(col("neg")).over(W), lit(0L)))
-      .select(col("pos"), col("neg"),
-        (col("pos").cast(dec) * (lit(2L) * col("neg_below") + col("neg")))
-          .as("u2_term"))
-    terms.agg(sum(col("pos")).cast(dec).as("n_pos"),
-        sum(col("neg")).cast(dec).as("n_neg"),
-        sum(col("u2_term")).as("u2"))
-      .select(col("n_pos").cast("long").as("n_pos"),
+    val W = org.apache.spark.sql.expressions.Window
+    val desc = W.orderBy(col("score").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val whole = W.orderBy(col("score").desc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cum = byScore
+      .withColumn("cp", sum(col("pos")).over(desc))
+      .withColumn("cn", sum(col("neg")).over(desc))
+      .withColumn("n_pos", sum(col("pos")).over(whole))
+      .withColumn("n_neg", sum(col("neg")).over(whole))
+      .withColumn("prec_e6", expr(fdiv("cp * 1000000", "cp + cn")))
+      .withColumn("f1_e6", expr(fdiv("2 * cp * 1000000", "cp + cn + n_pos")))
+    cum.agg(max(col("n_pos")).cast(dec).as("np"),
+        max(col("n_neg")).as("n_neg"),
+        sum(col("pos").cast(dec) * col("prec_e6")).as("ap_num"),
+        max(struct(col("f1_e6").as("f1"), col("score").as("sc"))).as("best"))
+      .select(col("np").cast("long").as("n_pos"),
         col("n_neg").cast("long").as("n_neg"),
-        col("u2").cast("long").as("u2"),
-        expr(fdiv("u2 * 1000000", "2 * n_pos * n_neg")).cast("long")
-          .as("auc_e6"))
-      .withColumn("gini_e6", lit(2L) * col("auc_e6") - 1000000L)
+        expr(fdiv("ap_num", "np")).cast("long").as("ap_e6"),
+        col("best.f1").cast("long").as("best_f1_e6"),
+        col("best.sc").cast("long").as("best_f1_at_score"))
   }
 
   val q297Sql: String =
@@ -4629,23 +4635,28 @@ object EventQueries {
       |by_score AS (
       |  SELECT score, SUM(label) AS pos, SUM(1 - label) AS neg
       |  FROM u GROUP BY score),
-      |terms AS (
-      |  SELECT pos, neg,
-      |    CAST(pos AS HUGEINT) *
-      |      (2 * COALESCE(SUM(neg) OVER (ORDER BY score
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + neg)
-      |      AS u2_term
+      |cum AS (
+      |  SELECT score, pos, neg,
+      |    SUM(pos) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+      |    SUM(neg) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |    SUM(pos) OVER () AS n_pos, SUM(neg) OVER () AS n_neg
       |  FROM by_score),
-      |agg AS (
-      |  SELECT CAST(SUM(pos) AS HUGEINT) AS n_pos,
-      |    CAST(SUM(neg) AS HUGEINT) AS n_neg, SUM(u2_term) AS u2
-      |  FROM terms)
-      |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-      |  CAST(u2 AS BIGINT) AS u2,
-      |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6,
-      |  CAST(2 * (u2 * 1000000 // (2 * n_pos * n_neg)) - 1000000 AS BIGINT)
-      |    AS gini_e6
-      |FROM agg""".stripMargin
+      |scored AS (
+      |  SELECT score, pos, n_pos, n_neg,
+      |    cp * 1000000 // (cp + cn) AS prec_e6,
+      |    2 * cp * 1000000 // (cp + cn + n_pos) AS f1_e6
+      |  FROM cum)
+      |SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+      |  CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+      |  CAST(SUM(CAST(pos AS HUGEINT) * prec_e6) // MAX(n_pos) AS BIGINT)
+      |    AS ap_e6,
+      |  CAST(MAX(f1_e6) AS BIGINT) AS best_f1_e6,
+      |  CAST((SELECT MAX(score) FROM scored
+      |    WHERE f1_e6 = (SELECT MAX(f1_e6) FROM scored)) AS BIGINT)
+      |    AS best_f1_at_score
+      |FROM scored""".stripMargin
 
   // --------------------------------- q298: difference-in-differences
 
@@ -5286,7 +5297,7 @@ object EventQueries {
     "q301_nelson_aalen" -> q301NelsonAalen,
     "q302_seq_patterns" -> q302SeqPatterns,
     "q296_forecast_eval" -> q296ForecastEval,
-    "q297_roc_auc" -> q297RocAuc,
+    "q297_pr_curve" -> q297PrCurve,
     "q298_diff_in_diff" -> q298DiffInDiff,
     "q284_sequential_test" -> q284SequentialTest,
     "q288_funnel_wilson" -> q288FunnelWilson,
@@ -5364,7 +5375,7 @@ object EventQueries {
     "q301_nelson_aalen" -> q301Sql,
     "q302_seq_patterns" -> q302Sql,
     "q296_forecast_eval" -> q296Sql,
-    "q297_roc_auc" -> q297Sql,
+    "q297_pr_curve" -> q297Sql,
     "q298_diff_in_diff" -> q298Sql,
     "q284_sequential_test" -> q284Sql,
     "q288_funnel_wilson" -> q288Sql,

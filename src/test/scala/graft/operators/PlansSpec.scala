@@ -546,7 +546,7 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("bkt"), s"doubled ranks must use the bucket prefix:\n$p")
     assert(p.contains("PushedFilters: [In(o_orderpriority"),
       s"the two-arm filter must reach the scan:\n$p")
-    val a = plan("q297_roc_auc")
+    val a = plan("q297_pr_curve")
     assert(a.contains("partial_sum"), "user rollup must map-side combine")
     assert(!a.contains("CartesianProduct"), a)
   }
