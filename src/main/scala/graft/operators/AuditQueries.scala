@@ -1550,73 +1550,91 @@ object AuditQueries {
       |  CAST(h_raw_e6 * 1000000 // corr_e6 AS BIGINT) AS h_tied_e6
       |FROM h""".stripMargin
 
-  // ----------------------------------- q294: OLS simple linear regression
+  // ------------------------------- q294: power-law (Zipf) exponent fit
 
-  /** q294: closed-form OLS — extendedprice regressed on quantity per return
-    * flag, the one-pass normal-equations shape every warehouse "trend line"
-    * widget runs. The five power sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
-    * exactly in DECIMAL(38,0) over integer cents — at 10¹¹ rows/group the
-    * largest staged product n·Σxy stays ≲ 10³³ — and the three outputs are
-    * each ONE correctly-rounded IEEE division of exact integers:
+  /** q294: power-law exponent estimation — fit log₂(freq) = α + s·log₂(rank)
+    * by closed-form OLS over the corpus word-frequency rollup. q190's Zipf
+    * panel EYEBALLS the head; this ESTIMATES the exponent (slope ≈ −1 for
+    * Zipfian text — corpus-drift monitoring watches s move) with R² as the
+    * goodness-of-fit. Both coordinates are the portable e6 fixed-point log₂
+    * ([[graft.functions.Text.log2e6SparkSql]]), so the regression inputs
+    * are identical integers in both engines; the five power sums accumulate
+    * exactly in DECIMAL(38,0) (x ≲ 5·10⁷ even at a 10¹² vocabulary, so
+    * Σx² ≲ 10²⁷), and slope/intercept/R² are each a fixed IEEE expression
+    * over exact integers:
     *
-    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
-    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
-    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    *   s = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),   R² = (nΣxy−ΣxΣy)² / (B·C)
     *
-    * (r²'s numerator square would overflow DECIMAL(38,0), so each exact
-    * factor casts to double FIRST; the double square/product/divide are
-    * deterministic IEEE ops — the same rule as q291's delta-method SE.)
+    * (R²'s square runs in IEEE after casting each exact factor — the q291
+    * delta-method rule.)
     *
-    * Plan: one fact scan, one |groups|-row hash aggregate. No window, no
-    * join — the regression is a pure map-side-combinable fold, which is
-    * exactly why the closed form (not gradient iterations) is the 100 TB
-    * shape for simple regression.
+    * Plan: one tokenize pass → vocabulary-sized frequency rollup; the rank
+    * window and the OLS fold run over that rollup, never over corpus rows.
+    * The e6 outputs of the log are plan-build-inlined LUT integers — no
+    * libm at runtime.
     */
-  val q294Ols: Q = (s, dir) => {
+  val q294PowerlawFit: Q = (s, dir) => {
     val dec = "decimal(38,0)"
-    val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
-      cents(col("l_quantity")).cast(dec).as("x"),
-      cents(col("l_extendedprice")).cast(dec).as("y"))
-    li.groupBy(col("flag"))
-      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
+    import graft.functions.Text
+    val tf = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val ranked = tf.withColumn("rnk",
+      row_number().over(Window.orderBy(col("freq").desc, col("word")))
+        .cast("long"))
+    val xy = ranked.select(
+      expr(Text.log2e6SparkSql("rnk")).cast(dec).as("x"),
+      expr(Text.log2e6SparkSql("freq")).cast(dec).as("y"))
+    xy.agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-      .select(col("flag"), col("n").cast("long").as("n"),
+      .select(col("n").cast("long").as("n_words"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"),
         (col("sy") * col("sxx") - col("sx") * col("sxy")).as("ic_n"))
-      .select(col("flag"), col("n"),
-        (col("cov_n").cast("double") / col("varx_n").cast("double")).as("slope"),
-        (col("ic_n").cast("double") / col("varx_n").cast("double")).as("intercept"),
+      .select(col("n_words"),
+        (col("cov_n").cast("double") / col("varx_n").cast("double"))
+          .as("zipf_slope"),
+        (col("ic_n").cast("double") / col("varx_n").cast("double") / 1e6)
+          .as("log2_intercept"),
         (col("cov_n").cast("double") * col("cov_n").cast("double") /
-          (col("varx_n").cast("double") * col("vary_n").cast("double"))).as("r2"))
-      .orderBy(col("flag"))
+          (col("varx_n").cast("double") * col("vary_n").cast("double")))
+          .as("r2"))
   }
 
-  val q294Sql: String =
-    """WITH li AS (
-      |  SELECT l_returnflag AS flag,
-      |    CAST(ROUND(l_quantity*100) AS HUGEINT) AS x,
-      |    CAST(ROUND(l_extendedprice*100) AS HUGEINT) AS y
-      |  FROM lineitem),
-      |sums AS (
-      |  SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
-      |    SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
-      |  FROM li GROUP BY flag),
-      |facs AS (
-      |  SELECT flag, n, n*sxy - sx*sy AS cov_n, n*sxx - sx*sx AS varx_n,
-      |    n*syy - sy*sy AS vary_n, sy*sxx - sx*sxy AS ic_n
-      |  FROM sums)
-      |SELECT flag, CAST(n AS BIGINT) AS n,
-      |  CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
-      |    / CAST(CAST(varx_n AS VARCHAR) AS DOUBLE) AS slope,
-      |  CAST(CAST(ic_n AS VARCHAR) AS DOUBLE)
-      |    / CAST(CAST(varx_n AS VARCHAR) AS DOUBLE) AS intercept,
-      |  CAST(CAST(cov_n AS VARCHAR) AS DOUBLE) * CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
-      |    / (CAST(CAST(varx_n AS VARCHAR) AS DOUBLE)
-      |       * CAST(CAST(vary_n AS VARCHAR) AS DOUBLE)) AS r2
-      |FROM facs ORDER BY flag""".stripMargin
+  val q294Sql: String = {
+    import graft.functions.Text
+    s"""WITH words AS (
+       |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+       |ranked AS (
+       |  SELECT freq,
+       |    ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk
+       |  FROM tf),
+       |xy AS (
+       |  SELECT CAST(${Text.log2e6DuckSql("rnk")} AS HUGEINT) AS x,
+       |    CAST(${Text.log2e6DuckSql("freq")} AS HUGEINT) AS y
+       |  FROM ranked),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+       |  FROM xy),
+       |facs AS (
+       |  SELECT n, n*sxy - sx*sy AS cov_n, n*sxx - sx*sx AS varx_n,
+       |    n*syy - sy*sy AS vary_n, sy*sxx - sx*sxy AS ic_n
+       |  FROM sums)
+       |SELECT CAST(n AS BIGINT) AS n_words,
+       |  CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(varx_n AS VARCHAR) AS DOUBLE) AS zipf_slope,
+       |  CAST(CAST(ic_n AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(varx_n AS VARCHAR) AS DOUBLE) / 1e6 AS log2_intercept,
+       |  CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
+       |    * CAST(CAST(cov_n AS VARCHAR) AS DOUBLE)
+       |    / (CAST(CAST(varx_n AS VARCHAR) AS DOUBLE)
+       |       * CAST(CAST(vary_n AS VARCHAR) AS DOUBLE)) AS r2
+       |FROM facs""".stripMargin
+  }
 
   // ------------------------------------------ q295: Mann–Whitney U test
 
@@ -1869,7 +1887,7 @@ object AuditQueries {
   val queries: Map[String, Q] = Map(
     "q307_robust_panel" -> q307RobustPanel,
     "q299_skyline" -> q299Skyline,
-    "q294_ols_regression" -> q294Ols,
+    "q294_powerlaw_fit" -> q294PowerlawFit,
     "q295_mann_whitney" -> q295MannWhitney,
     "q283_welch_test" -> q283WelchTest,
     "q290_hist_quantiles" -> q290HistQuantiles,
@@ -1893,7 +1911,7 @@ object AuditQueries {
   val oracles: Map[String, String] = Map(
     "q307_robust_panel" -> q307Sql,
     "q299_skyline" -> q299Sql,
-    "q294_ols_regression" -> q294Sql,
+    "q294_powerlaw_fit" -> q294Sql,
     "q295_mann_whitney" -> q295Sql,
     "q283_welch_test" -> q283Sql,
     "q290_hist_quantiles" -> q290Sql,

@@ -529,11 +529,11 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_count"), "tf rollup must map-side combine")
   }
 
-  test("q294/q300: regression sums fold in one pass — no window, no corpus join") {
-    val p = plan("q294_ols_regression")
-    assert(p.contains("partial_sum"), "power sums must map-side combine")
-    assert(!p.contains("Window"), s"closed-form OLS needs no window:\n$p")
+  test("q294/q300: regression sums fold from rollups — no corpus join or sort") {
+    val p = plan("q294_powerlaw_fit")
+    assert(p.contains("partial_count"), "frequency rollup must map-side combine")
     assert(!p.contains("SortMergeJoin"), s"no corpus-scale join:\n$p")
+    assert(!p.contains("ScalaUDF"), "log2e6 must stay a codegen expression")
     val c = plan("q300_cuped")
     assert(c.contains("partial_sum"), "CUPED power sums must map-side combine")
     assert(!c.contains("SortMergeJoin"), s"midpoint scalar must broadcast:\n$c")
