@@ -1744,74 +1744,6 @@ object AuditQueries {
        |  CAST(s2_e6 * 3 * 1000000 // t1_e6 AS BIGINT) AS z2_e6
        |FROM s2""".stripMargin
 
-  // ----------------------------------------- q299: Pareto skyline (2D)
-
-  /** Price-bucket width (cents) for q299's two-level prefix-max. */
-  val SkyBucketC = 100000L
-
-  /** q299: the skyline operator — parts not dominated on (cheaper price,
-    * larger size): q dominates p when price_q ≤ price_p, size_q ≥ size_p,
-    * one strictly. The catalog "efficient frontier" query (and the shape
-    * under Pareto-optimal model/checkpoint selection). 2D skyline reduces
-    * to a prefix max: p survives iff its size strictly exceeds the max
-    * size over all STRICTLY cheaper prices (and p carries its price's max
-    * size, which kills equal-price domination).
-    *
-    * The prefix max runs two-level like [[doubledRankBelow]]: distinct
-    * prices are corpus-scale, so a single ordered window would serialize —
-    * instead a bucket rollup carries the cross-bucket prefix max
-    * (metadata-sized serial window) and the within-bucket window
-    * partitions by bucket. Output rows are the frontier points with the
-    * count of parts sitting exactly on each.
-    */
-  val q299Skyline: Q = (s, dir) => {
-    val pr = Tables.part(s, dir)
-      .select(cents(col("p_retailprice")).as("price_c"),
-        col("p_size").cast("long").as("sz"))
-    val byP = pr.groupBy(col("price_c"))
-      .agg(max(col("sz")).as("msize"))
-      .withColumn("bkt", expr(s"price_c div $SkyBucketC"))
-    val bAgg = byP.groupBy(col("bkt")).agg(max(col("msize")).as("bmax"))
-    val bW = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bPrefix = bAgg
-      .withColumn("bbelow", max(col("bmax")).over(bW))
-      .select(col("bkt"), col("bbelow"))
-    val inW = Window.partitionBy(col("bkt")).orderBy(col("price_c"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = byP
-      .withColumn("ibelow", max(col("msize")).over(inW))
-      .join(bPrefix, Seq("bkt"))
-      .withColumn("below", greatest(coalesce(col("bbelow"), lit(Long.MinValue)),
-        coalesce(col("ibelow"), lit(Long.MinValue))))
-      .filter(col("msize") > col("below"))
-      .select(col("price_c"), col("msize").as("size"))
-    val cnt = pr.groupBy(col("price_c"), col("sz")).agg(count(lit(1)).as("n_parts"))
-    sky.join(cnt, sky("price_c") === cnt("price_c") && sky("size") === cnt("sz"))
-      .select(sky("price_c"), sky("size"), col("n_parts"))
-      .orderBy(col("price_c"))
-  }
-
-  val q299Sql: String =
-    """WITH pr AS (
-      |  SELECT CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c,
-      |    CAST(p_size AS BIGINT) AS sz
-      |  FROM part),
-      |byp AS (SELECT price_c, MAX(sz) AS msize FROM pr GROUP BY price_c),
-      |w AS (
-      |  SELECT price_c, msize,
-      |    MAX(msize) OVER (ORDER BY price_c
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
-      |  FROM byp),
-      |sky AS (
-      |  SELECT price_c, msize AS size FROM w
-      |  WHERE below IS NULL OR msize > below),
-      |cnt AS (
-      |  SELECT price_c, sz, COUNT(*) AS n_parts FROM pr GROUP BY price_c, sz)
-      |SELECT s.price_c, s.size, n_parts
-      |FROM sky s JOIN cnt ON s.price_c = cnt.price_c AND s.size = cnt.sz
-      |ORDER BY s.price_c""".stripMargin
-
   // -------------------------------- q307: robust location/outlier panel
 
   /** q307: the robust anomaly panel — per event type: exact MEDIAN of the
@@ -1886,7 +1818,6 @@ object AuditQueries {
 
   val queries: Map[String, Q] = Map(
     "q307_robust_panel" -> q307RobustPanel,
-    "q299_skyline" -> q299Skyline,
     "q294_powerlaw_fit" -> q294PowerlawFit,
     "q295_mann_whitney" -> q295MannWhitney,
     "q283_welch_test" -> q283WelchTest,
@@ -1910,7 +1841,6 @@ object AuditQueries {
 
   val oracles: Map[String, String] = Map(
     "q307_robust_panel" -> q307Sql,
-    "q299_skyline" -> q299Sql,
     "q294_powerlaw_fit" -> q294Sql,
     "q295_mann_whitney" -> q295Sql,
     "q283_welch_test" -> q283Sql,

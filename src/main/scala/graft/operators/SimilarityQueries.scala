@@ -1176,7 +1176,141 @@ object SimilarityQueries {
        |  CAST(MIN(s_e6) AS BIGINT) AS min_sil_e6
        |FROM scored GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ------------------------- q299: DBSCAN density census (grid-blocked)
+
+  /** DBSCAN radius in e4 embedding units — sized so the sf0.01 census shows
+    * all three classes (ε too wide marks everything core).
+    */
+  private val DbEps = 300L
+  /** Core-point threshold: neighbors within ε, self included. */
+  private val DbMinPts = 6L
+
+  /** q299: density-based clustering census — the DBSCAN complement to the
+    * centroid family (Lloyd q282, silhouette q303): per ground-truth
+    * label, how many points are CORE (≥ [[DbMinPts]] neighbors within
+    * [[DbEps]]), BORDER (non-core with a core neighbor), and NOISE, on the
+    * (dim0, dim1) coordinate plane quantized to e4 integers. Density
+    * classification is what centroid methods cannot give — noise has no
+    * centroid.
+    *
+    * The ε-neighborhood never scans pairwise: points key by ε-width grid
+    * cell, each probe explodes to its 3×3 neighbor cells (a constant 9×
+    * fan-out), the candidate join runs on the cell key, and the exact
+    * integer test dx²+dy² ≤ ε² prunes the corners. Neighborhood size is
+    * output-bounded — a cell whose density makes it quadratic is DBSCAN
+    * saying "lower ε or raise MinPts", not a plan defect; the two
+    * neighbor joins (count pass, core-reachability pass) are the
+    * textbook two-round distributed DBSCAN.
+    */
+  val q299DbscanCensus: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(element_at(col("embedding"), 1).cast("double") * 10000, 0)
+          .cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 10000, 0)
+          .cast("long").as("y"))
+      // floor-divide the possibly-negative coordinates: integer `div`
+      // truncates toward zero, so shift into the positive range first
+      // (coordinates are within ±10⁵ e4 units by construction)
+      .withColumn("cx", expr(s"(x + 1000000) div $DbEps"))
+      .withColumn("cy", expr(s"(y + 1000000) div $DbEps"))
+    val members = pts.select(col("vec_id").as("m_id"), col("cx"), col("cy"),
+      col("x").as("mx"), col("y").as("my"))
+    def neighbors(probe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = probe
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
+          .as("c"))
+      .select(col("vec_id"), col("x"), col("y"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .join(members, Seq("cx", "cy"))
+      .filter((col("x") - col("mx")) * (col("x") - col("mx")) +
+        (col("y") - col("my")) * (col("y") - col("my")) <= DbEps * DbEps)
+    val counts = neighbors(pts).groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_nb"))
+    val flagged = pts.join(counts, Seq("vec_id"))
+      .withColumn("core", (col("n_nb") >= DbMinPts).cast("long"))
+      .localCheckpoint()
+    val coreMembers = flagged.filter(col("core") === 1L)
+      .select(col("vec_id").as("m_id"), col("cx"), col("cy"),
+        col("x").as("mx"), col("y").as("my"))
+    val borderIds = flagged.filter(col("core") === 0L)
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
+          .as("c"))
+      .select(col("vec_id"), col("x"), col("y"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .join(coreMembers, Seq("cx", "cy"))
+      .filter(col("vec_id") =!= col("m_id") &&
+        (col("x") - col("mx")) * (col("x") - col("mx")) +
+        (col("y") - col("my")) * (col("y") - col("my")) <= DbEps * DbEps)
+      .select(col("vec_id")).distinct()
+      .withColumn("border", lit(1L))
+    flagged.join(borderIds, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("core")).as("n_core"),
+        sum(coalesce(col("border"), lit(0L))).as("n_border"))
+      .select(col("label"), col("n_points"), col("n_core"), col("n_border"),
+        (col("n_points") - col("n_core") - col("n_border")).as("n_noise"),
+        expr(fdiv("n_core * 1000000", "n_points")).cast("long")
+          .as("core_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val q299Sql: String =
+    s"""WITH pts AS (
+       |  SELECT vec_id, label,
+       |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS x,
+       |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) AS y
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT *, (x + 1000000) // $DbEps AS cx, (y + 1000000) // $DbEps AS cy
+       |  FROM pts),
+       |probe AS (
+       |  SELECT vec_id, x, y, cx + dx.g AS cx, cy + dy.g AS cy
+       |  FROM cells,
+       |    (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dx,
+       |    (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dy),
+       |nb AS (
+       |  SELECT p.vec_id, COUNT(*) AS n_nb
+       |  FROM probe p JOIN cells m ON p.cx = m.cx AND p.cy = m.cy
+       |  WHERE (p.x - m.x) * (p.x - m.x) + (p.y - m.y) * (p.y - m.y)
+       |    <= ${DbEps * DbEps}
+       |  GROUP BY p.vec_id),
+       |flagged AS (
+       |  SELECT cells.*, CASE WHEN n_nb >= $DbMinPts THEN 1 ELSE 0 END AS core
+       |  FROM cells JOIN nb USING (vec_id)),
+       |border_ids AS (
+       |  SELECT DISTINCT p.vec_id
+       |  FROM (SELECT f.vec_id, f.x, f.y, f.cx + dx.g AS cx, f.cy + dy.g AS cy
+       |        FROM flagged f,
+       |          (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dx,
+       |          (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dy
+       |        WHERE f.core = 0) p
+       |  JOIN (SELECT vec_id AS m_id, cx, cy, x AS mx, y AS my
+       |        FROM flagged WHERE core = 1) m
+       |    ON p.cx = m.cx AND p.cy = m.cy
+       |  WHERE p.vec_id <> m.m_id
+       |    AND (p.x - mx) * (p.x - mx) + (p.y - my) * (p.y - my)
+       |      <= ${DbEps * DbEps})
+       |SELECT label, COUNT(*) AS n_points,
+       |  CAST(SUM(core) AS BIGINT) AS n_core,
+       |  CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_border,
+       |  CAST(COUNT(*) - SUM(core)
+       |    - SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_noise,
+       |  CAST(SUM(core) * 1000000 // COUNT(*) AS BIGINT) AS core_ppm
+       |FROM flagged LEFT JOIN border_ids b ON flagged.vec_id = b.vec_id
+       |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q299_dbscan_census" -> q299DbscanCensus,
     "q303_silhouette" -> q303Silhouette,
     "q282_lloyd_step" -> q282LloydStep,
     "q250_ivf_balance" -> q250IvfBalance,
@@ -1317,6 +1451,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q299_dbscan_census" -> q299Sql,
     "q303_silhouette" -> q303Sql,
     "q282_lloyd_step" -> q282Sql,
     "q229_rp_recall" -> q229Sql,

@@ -551,10 +551,11 @@ class PlansSpec extends SparkSpec {
     assert(!a.contains("CartesianProduct"), a)
   }
 
-  test("q299: skyline prefix-max is two-level; frontier joins the rollup") {
-    val p = plan("q299_skyline")
-    assert(p.contains("bkt"), s"prefix max must use the bucket construction:\n$p")
+  test("q299: DBSCAN neighbors join on grid cells, never cartesian") {
+    val p = plan("q299_dbscan_census")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must equi-join on the cell key:\n$p")
   }
 
   test("q302: precedence pairs join inside the user key — one corpus shuffle pair") {
