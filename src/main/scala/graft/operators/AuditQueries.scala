@@ -1744,80 +1744,98 @@ object AuditQueries {
        |  CAST(s2_e6 * 3 * 1000000 // t1_e6 AS BIGINT) AS z2_e6
        |FROM s2""".stripMargin
 
-  // -------------------------------- q307: robust location/outlier panel
+  // ------------------------------ q307: Pettitt changepoint test
 
-  /** q307: the robust anomaly panel — per event type: exact MEDIAN of the
-    * value, MAD (median absolute deviation), and the count/share of values
-    * flagged by the standard robust rule |x − med| > 3·1.4826·MAD. Mean/
-    * stddev outlier rules (q206's z-scores) break down exactly when
-    * outliers are present — the median/MAD pair has a 50% breakdown point
-    * and is what monitoring pipelines actually deploy. The consistency
-    * constant applies as the exact rational 14826/10⁴ cross-multiplied
-    * into the integer comparison (|x−med|·10⁴ > 3·14826·MAD) — no float
-    * anywhere; both engines' `percentile_disc` pick the same actual data
-    * value (the q290-validated portability).
+  /** q307: Pettitt's rank-based changepoint test — DID the daily purchase-
+    * revenue level shift, and WHEN? q124's CUSUM series visualizes drift;
+    * Pettitt is the nonparametric TEST for a single unknown changepoint:
+    * over daily revenue x_1..x_n, U_t = Σ_{i≤t,j>t} sign(x_i − x_j), the
+    * change day is argmax|U_t| and K = max|U_t| is the statistic (the
+    * classic significance map is p ≈ 2·exp(−6K²/(n³+n²)); the exponent
+    * argument ships as the portable e6 integer — exp itself is libm).
     *
-    * Plan: grouped percentile_disc is a per-group sort-based aggregate —
-    * fine here because groups are the bounded event-type domain, and each
-    * group's sort distributes across its partitions' spill-merge. The
-    * deviation pass re-scans with the |groups|-row median frame broadcast;
-    * robust statistics are inherently two-pass (the streaming-sketch
-    * alternative is q290's histogram).
+    * U_t folds from global DOUBLED average ranks without the O(n²) pair
+    * sum: U2_t = 2·Σ_{i≤t} d_i... exactly, u2_t = Σ_{i≤t}(d_i − (n+1)),
+    * where d is the doubled rank of x_i — tie-correct by construction.
+    * Everything is exact integers; the one e6 floor produces the exponent
+    * argument 6K²/(n³+n²) with the square staged through n first so the
+    * largest product stays ≲ 10³⁰ at a 10⁸-day spine.
+    *
+    * Plan: one event pass → |days| rollup; ranks, the cumulative u2 walk
+    * and the argmax all run over that metadata-sized frame (the serial
+    * window is |days| rows — the corpus never re-shuffles).
     */
-  val q307RobustPanel: Q = (s, dir) => {
+  val q307Pettitt: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
-    val e = Tables.events(s, dir)
-      .select(col("event_type").as("g"), cents(col("value")).as("c"))
-    val med = e.groupBy(col("g"))
-      .agg(expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c)")
-        .cast("long").as("med_c"))
-    val dev = e.join(broadcast(med), Seq("g"))
-      .select(col("g"), col("c"), col("med_c"),
-        abs(col("c") - col("med_c")).as("ad"))
-    val mad = dev.groupBy(col("g"))
-      .agg(expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY ad)")
-        .cast("long").as("mad_c"))
-    dev.join(broadcast(mad), Seq("g"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), max(col("med_c")).as("median_c"),
-        max(col("mad_c")).as("mad_c"),
-        sum(when(col("ad") * 10000L > lit(3L) * 14826L * col("mad_c"), 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .select(col("g").as("event_type"), col("n"), col("median_c"),
-        col("mad_c"), col("n_outliers"),
-        expr(fdiv("n_outliers * 1000000", "n")).cast("long")
-          .as("outlier_ppm"))
-      .orderBy(col("event_type"))
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+    val byV = byDay.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val vW = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val dRank = byV
+      .withColumn("below", coalesce(sum(col("cnt")).over(vW), lit(0L)))
+      .select(col("x"), (lit(2L) * col("below") + col("cnt") + 1L).as("d"))
+    val n = byDay.agg(count(lit(1)).as("n"))
+    val dayW = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the last day's u2 is identically 0 (Σd = n(n+1)); Pettitt scans
+    // t = 1..n−1, so the max excludes the final row via d < max(day)
+    val walk = byDay.join(dRank, Seq("x"))
+      .crossJoin(broadcast(n))
+      .withColumn("u2", sum(col("d") - (col("n") + 1L)).over(dayW))
+      .withColumn("maxday", max(col("day")).over(whole))
+      .filter(col("day") < col("maxday"))
+      .withColumn("k2", max(abs(col("u2"))).over(whole))
+    walk.filter(abs(col("u2")) === col("k2"))
+      .groupBy(col("n"), col("k2"))
+      .agg(min(col("day")).as("change_day"))
+      .select(col("n").cast("long").as("n_days"),
+        col("change_day"),
+        col("k2").cast("long").as("u2_max"),
+        // exponent argument 6K²/(n³+n²) with K = k2/2: 3·k2²/(2n²(n+1)),
+        // staged k2²→/n²→·3e6→/2(n+1) so nothing tops ~10³⁰ at n = 10⁸
+        expr(fdiv(fdiv("CAST(k2 AS DECIMAL(38,0)) * k2", "n * n") +
+          " * 3000000", "2 * (n + 1)")).cast("long").as("pettitt_arg_e6"))
   }
 
   val q307Sql: String =
-    """WITH e AS (
-      |  SELECT event_type AS g, CAST(ROUND(value*100) AS BIGINT) AS c
-      |  FROM events),
-      |med AS (
-      |  SELECT g, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY c)
-      |    AS BIGINT) AS med_c
-      |  FROM e GROUP BY g),
-      |dev AS (
-      |  SELECT e.g, c, med_c, ABS(c - med_c) AS ad
-      |  FROM e JOIN med ON e.g = med.g),
-      |mad AS (
-      |  SELECT g, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY ad)
-      |    AS BIGINT) AS mad_c
-      |  FROM dev GROUP BY g)
-      |SELECT dev.g AS event_type, COUNT(*) AS n,
-      |  MAX(med_c) AS median_c, MAX(dev.mad_c) AS mad_c,
-      |  CAST(SUM(CASE WHEN ad * 10000 > 3 * 14826 * dev.mad_c
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  CAST(SUM(CASE WHEN ad * 10000 > 3 * 14826 * dev.mad_c
-      |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
-      |FROM (SELECT dev.*, mad.mad_c FROM dev JOIN mad ON dev.g = mad.g) dev
-      |GROUP BY dev.g
-      |ORDER BY event_type""".stripMargin
+    """WITH by_day AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+      |by_v AS (SELECT x, COUNT(*) AS cnt FROM by_day GROUP BY x),
+      |d_rank AS (
+      |  SELECT x,
+      |    2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS d
+      |  FROM by_v),
+      |nn AS (SELECT COUNT(*) AS n FROM by_day),
+      |walk AS (
+      |  SELECT day,
+      |    SUM(d - (n + 1)) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u2,
+      |    MAX(day) OVER () AS maxday, n
+      |  FROM by_day JOIN d_rank USING (x) CROSS JOIN nn),
+      |trimmed AS (SELECT * FROM walk WHERE day < maxday),
+      |k AS (SELECT MAX(ABS(u2)) AS k2 FROM trimmed)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  MIN(day) AS change_day,
+      |  CAST(k2 AS BIGINT) AS u2_max,
+      |  CAST((CAST(k2 AS HUGEINT) * k2 // (CAST(n AS HUGEINT) * n))
+      |    * 3000000 // (2 * (n + 1)) AS BIGINT) AS pettitt_arg_e6
+      |FROM trimmed CROSS JOIN k
+      |WHERE ABS(u2) = k2
+      |GROUP BY n, k2""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q307_robust_panel" -> q307RobustPanel,
+    "q307_pettitt_changepoint" -> q307Pettitt,
     "q294_powerlaw_fit" -> q294PowerlawFit,
     "q295_mann_whitney" -> q295MannWhitney,
     "q283_welch_test" -> q283WelchTest,
@@ -1840,7 +1858,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
-    "q307_robust_panel" -> q307Sql,
+    "q307_pettitt_changepoint" -> q307Sql,
     "q294_powerlaw_fit" -> q294Sql,
     "q295_mann_whitney" -> q295Sql,
     "q283_welch_test" -> q283Sql,

@@ -563,4 +563,33 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_min"), "first-occurrence rollup must map-side combine")
   }
+
+  test("q303: candidate distances fan out k per row off a broadcast seed frame") {
+    val p = plan("q303_silhouette")
+    assert(p.contains("BroadcastHashJoin"), s"seed frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q304/q306/q308: user/day rollups fold map-side, scalars broadcast") {
+    val c = plan("q304_cem_att")
+    assert(c.contains("partial_sum"), "stratum rollup must map-side combine")
+    assert(!c.contains("SortMergeJoin"), s"no corpus-scale join in CEM:\n$c")
+    val d = plan("q306_seasonal_decomp")
+    assert(d.contains("partial_count"), "day rollup must map-side combine")
+    assert(d.contains("BroadcastHashJoin") || d.contains("BroadcastNestedLoopJoin"),
+      s"the day-of-week seasonal frame must broadcast:\n$d")
+    val i = plan("q308_ips_offpolicy")
+    assert(!i.contains("CartesianProduct"), i)
+    assert(i.contains("BroadcastHashJoin"),
+      s"policy and per-stratum frames must broadcast:\n$i")
+  }
+
+  test("q307: Pettitt walk runs over the day rollup with a broadcast scalar") {
+    val p = plan("q307_pettitt_changepoint")
+    assert(p.contains("partial_sum"), "day rollup must map-side combine")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the n scalar must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"the purchase filter must reach the scan:\n$p")
+  }
 }
