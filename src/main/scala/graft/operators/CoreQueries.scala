@@ -4581,7 +4581,259 @@ object CoreQueries {
       |  CAST(cnt * 1000000 // n_total AS BIGINT) AS share_e6
       |FROM ranked WHERE rk = 1 ORDER BY segment""".stripMargin
 
+  // ------------------- q309-q314: remaining distinctive TPC-H shapes
+
+  /** q309: TPC-H Q13 shape — the distribution of orders-per-customer
+    * (including zero-order customers), the "histogram of a histogram"
+    * reporting staple. Two stacked rollups: customer LEFT JOIN orders →
+    * per-customer count (the corpus shuffle), then the count-of-counts
+    * (metadata-sized). The left join is what makes it Q13: an inner join
+    * silently drops the c_count = 0 bar.
+    */
+  val q309CustDist: Q = (s, dir) => {
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q309Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q310: TPC-H Q9 shape — product-line profit by supplier nation and
+    * order year. The testdata has no partsupp, so cost is modeled as 80%
+    * of the part's retail price per unit — the SHAPE is Q9's: a 5-table
+    * join with a computed profit expression aggregated over two derived
+    * dimensions. Exact integers: profit_e4 = ext_c·(100−disc_c) −
+    * 80·qty·retail_c (both e4 money units), summed in DECIMAL(38,0).
+    * Dims broadcast; the lineitem→orders join is the one corpus shuffle.
+    */
+  val q310ProfitMix: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val profit = (cents(col("l_extendedprice")) *
+      (lit(100L) - cents(col("l_discount"))) -
+      lit(80L) * expr("CAST(ROUND(l_quantity) AS BIGINT)") *
+        cents(col("p_retailprice"))).as("profit_e4")
+    li.join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"), col("o_year"), profit)
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("profit_e4").cast("decimal(38,0)")).cast("long")
+        .as("profit_e4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q310Sql: String =
+    """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)
+      |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+      |    - 80 * CAST(ROUND(l_quantity) AS HUGEINT)
+      |      * CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT)
+      |    AS profit_e4
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2 DESC""".stripMargin
+
+  /** q311: TPC-H Q3 shape — shipping-priority top 10: revenue of
+    * still-unshipped lineitems (ordered before the cutoff, shipped after)
+    * for one market segment. Segment and the two date predicates push to
+    * the scans; the top-10 is TakeOrdered, never a global sort.
+    */
+  val q311ShippingPriority: Q = (s, dir) => {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val rev = (cents(col("l_extendedprice")) *
+      (lit(100L) - cents(col("l_discount")))).as("rev_e4")
+    Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"), rev)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_e4").cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q311Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)
+      |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q312: TPC-H Q16 shape — supplier diversity per (brand, type, size
+    * band): how many DISTINCT suppliers can furnish each part class,
+    * excluding one brand and excluding flagged suppliers via NOT IN (the
+    * testdata's negative-balance suppliers standing in for Q16's
+    * complaint-comment filter). The anti-subquery stays an anti-join;
+    * supplier keys arrive distinct-reduced before the count.
+    */
+  val q312SupplierDiversity: Q = (s, dir) => {
+    val flagged = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_key"))
+    val pt = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "BRAND_0" && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("bad_key"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q312Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'BRAND_0' AND p_size <= 25
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Quantity threshold for q313's large-volume orders. */
+  val Q18QtyThreshold = 150L
+
+  /** q313: TPC-H Q18 shape — large-volume customers: orders whose total
+    * quantity clears a threshold, joined back to the customer. The HAVING
+    * subquery runs as one rollup; the order/customer joins touch only the
+    * few surviving keys (the rollup filter is the reducer — Q18's whole
+    * point). Integer quantity units end to end.
+    */
+  val q313LargeVolume: Q = (s, dir) => {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(ROUND(l_quantity) AS BIGINT)")).as("total_qty"))
+      .filter(col("total_qty") >= Q18QtyThreshold)
+    big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("totalprice_c"),
+        col("total_qty"))
+      .orderBy(col("totalprice_c").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q313Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+       |  total_qty
+       |FROM (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) >= $Q18QtyThreshold) big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_c DESC, o_orderdate, o_orderkey
+       |LIMIT 20""".stripMargin
+
+  /** q314: TPC-H Q2 shape — minimum-cost supplier per part in one region.
+    * No partsupp table here, so supply cost is the observed floor unit
+    * price (⌊100·ext_c/qty⌋, exact defined arithmetic) per (part,
+    * supplier) from lineitem; the correlated MIN runs as a struct-min
+    * argmin per part (one rollup — no correlated re-scan), region
+    * suppliers broadcast, and the report orders by supplier balance like
+    * Q2. Top 20 for a bounded report.
+    */
+  val q314MinCostSupplier: Q = (s, dir) => {
+    val supEurope = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val unit = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("""CAST((100 * CAST(ROUND(l_extendedprice*100) AS DECIMAL(38,0)))
+                | div CAST(ROUND(l_quantity) AS BIGINT) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("unit_c2"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_c2")).as("min_unit_c2"))
+    unit.join(broadcast(supEurope), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("min_unit_c2").as("u"), col("s_suppkey").as("k"),
+        col("s_name").as("nm"), col("s_acctbal").as("bal"),
+        col("n_name").as("nat"))).as("best"))
+      .select(col("l_partkey").as("p_partkey"), col("best.u").as("unit_c2"),
+        col("best.nm").as("s_name"), col("best.nat").as("nation"),
+        cents(col("best.bal")).as("s_acctbal_c"))
+      .orderBy(col("s_acctbal_c").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  val q314Sql: String =
+    """WITH sup_eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |unit AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(100 * CAST(ROUND(l_extendedprice*100) AS HUGEINT)
+      |      // CAST(ROUND(l_quantity) AS BIGINT) AS BIGINT)) AS min_unit_c2
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |ranked AS (
+      |  SELECT l_partkey, min_unit_c2, s_suppkey, s_name, s_acctbal, n_name,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |      ORDER BY min_unit_c2, s_suppkey) AS rk
+      |  FROM unit JOIN sup_eu ON l_suppkey = s_suppkey)
+      |SELECT l_partkey AS p_partkey, min_unit_c2 AS unit_c2, s_name,
+      |  n_name AS nation,
+      |  CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_c
+      |FROM ranked WHERE rk = 1
+      |ORDER BY s_acctbal_c DESC, p_partkey
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q309_custdist" -> q309CustDist,
+    "q310_profit_mix" -> q310ProfitMix,
+    "q311_shipping_priority" -> q311ShippingPriority,
+    "q312_supplier_diversity" -> q312SupplierDiversity,
+    "q313_large_volume" -> q313LargeVolume,
+    "q314_mincost_supplier" -> q314MinCostSupplier,
     "q305_grouped_mode" -> q305GroupedMode,
     "q281_theil_decomposition" -> q281TheilDecomposition,
     "q275_t_closeness" -> q275TCloseness,
@@ -4681,6 +4933,12 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q309_custdist" -> q309Sql,
+    "q310_profit_mix" -> q310Sql,
+    "q311_shipping_priority" -> q311Sql,
+    "q312_supplier_diversity" -> q312Sql,
+    "q313_large_volume" -> q313Sql,
+    "q314_mincost_supplier" -> q314Sql,
     "q305_grouped_mode" -> q305Sql,
     "q281_theil_decomposition" -> q281Sql,
     "q275_t_closeness" -> q275Sql,
