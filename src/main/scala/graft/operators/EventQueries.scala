@@ -5289,7 +5289,121 @@ object EventQueries {
        |  CAST((SELECT SUM(c_e6) FROM contrib) // n_all AS BIGINT) AS v_ips_e6
        |FROM tot""".stripMargin
 
+  // ------------------------------ q316: XmR (individuals) control chart
+
+  /** Consecutive same-side days that trigger the run rule (Western
+    * Electric rule 4's classic 8).
+    */
+  val XmrRunLen = 8
+
+  /** q316: the XmR individuals control chart — Shewhart process control
+    * over daily purchase revenue, the SPC complement to q120's 2σ scan
+    * (which estimates σ from the data it polices — inflated by the very
+    * shifts it should catch) and q124's CUSUM drift series: control
+    * limits come from the MOVING RANGE, x̄ ± 2.66·M̄R (2.66 exactly as the
+    * rational 266/100), which a level shift cannot inflate. Reports the
+    * limits, the beyond-limit day count, and the run-rule count (days
+    * ending [[XmrRunLen]] consecutive same-side-of-center observations).
+    * Exact integers: the two means floor once at e6; limits and every
+    * comparison are integer arithmetic on those.
+    *
+    * Plan: one event pass → |days| rollup; lags, the run window and the
+    * one-row summary all run over the metadata-sized day frame.
+    */
+  val q316XmrChart: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val mr = byDay.withColumn("prev", lag(col("x"), 1).over(W))
+      .withColumn("mrng", abs(col("x") - col("prev")))
+    val scal = mr.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("mrng")).cast(dec).as("smr"))
+      .select(col("n"),
+        expr(fdiv("sx * 1000000", "n")).as("xbar_e6"),
+        expr(fdiv("smr * 1000000", "n - 1")).as("mrbar_e6"))
+      .select(col("n"), col("xbar_e6"), col("mrbar_e6"),
+        (col("xbar_e6") + expr(fdiv("266 * mrbar_e6", "100"))).as("ucl_e6"),
+        (col("xbar_e6") - expr(fdiv("266 * mrbar_e6", "100"))).as("lcl_e6"))
+    val flagged = mr.crossJoin(broadcast(scal))
+      .withColumn("side",
+        when(col("x") * 1000000L > col("xbar_e6"), 1L)
+          .when(col("x") * 1000000L < col("xbar_e6"), -1L).otherwise(0L))
+      .withColumn("beyond",
+        (col("x") * 1000000L > col("ucl_e6") ||
+          col("x") * 1000000L < col("lcl_e6")).cast("long"))
+      .withColumn("run_min", min(col("side")).over(
+        W.rowsBetween(-(XmrRunLen - 1), 0)))
+      .withColumn("run_max", max(col("side")).over(
+        W.rowsBetween(-(XmrRunLen - 1), 0)))
+      .withColumn("run_n", count(lit(1)).over(
+        W.rowsBetween(-(XmrRunLen - 1), 0)))
+      .withColumn("run_hit",
+        (col("run_n") === XmrRunLen && col("run_min") === col("run_max") &&
+          col("run_min") =!= 0L).cast("long"))
+    flagged.groupBy(col("n"), col("xbar_e6"), col("mrbar_e6"),
+        col("ucl_e6"), col("lcl_e6"))
+      .agg(sum(col("beyond")).cast("long").as("n_beyond_limits"),
+        sum(col("run_hit")).cast("long").as("n_run_signals"))
+      .select(col("n").cast("long").as("n_days"),
+        col("xbar_e6").cast("long").as("xbar_c_e6"),
+        col("mrbar_e6").cast("long").as("mrbar_c_e6"),
+        col("ucl_e6").cast("long").as("ucl_c_e6"),
+        col("lcl_e6").cast("long").as("lcl_c_e6"),
+        col("n_beyond_limits"), col("n_run_signals"))
+  }
+
+  val q316Sql: String =
+    s"""WITH by_day AS (
+       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+       |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+       |mr AS (
+       |  SELECT day, x, ABS(x - LAG(x, 1) OVER (ORDER BY day)) AS mrng
+       |  FROM by_day),
+       |scal AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) * 1000000 // COUNT(*) AS xbar_e6,
+       |    SUM(CAST(mrng AS HUGEINT)) * 1000000 // (COUNT(*) - 1) AS mrbar_e6
+       |  FROM mr),
+       |lim AS (
+       |  SELECT n, xbar_e6, mrbar_e6,
+       |    xbar_e6 + 266 * mrbar_e6 // 100 AS ucl_e6,
+       |    xbar_e6 - 266 * mrbar_e6 // 100 AS lcl_e6
+       |  FROM scal),
+       |flagged AS (
+       |  SELECT day, x, n, xbar_e6, mrbar_e6, ucl_e6, lcl_e6,
+       |    CASE WHEN x * 1000000 > xbar_e6 THEN 1
+       |         WHEN x * 1000000 < xbar_e6 THEN -1 ELSE 0 END AS side,
+       |    CASE WHEN x * 1000000 > ucl_e6 OR x * 1000000 < lcl_e6
+       |      THEN 1 ELSE 0 END AS beyond
+       |  FROM mr CROSS JOIN lim),
+       |runs AS (
+       |  SELECT *,
+       |    MIN(side) OVER w AS run_min, MAX(side) OVER w AS run_max,
+       |    COUNT(*) OVER w AS run_n
+       |  FROM flagged
+       |  WINDOW w AS (ORDER BY day
+       |    ROWS BETWEEN ${XmrRunLen - 1} PRECEDING AND CURRENT ROW))
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CAST(xbar_e6 AS BIGINT) AS xbar_c_e6,
+       |  CAST(mrbar_e6 AS BIGINT) AS mrbar_c_e6,
+       |  CAST(ucl_e6 AS BIGINT) AS ucl_c_e6,
+       |  CAST(lcl_e6 AS BIGINT) AS lcl_c_e6,
+       |  CAST(SUM(beyond) AS BIGINT) AS n_beyond_limits,
+       |  CAST(SUM(CASE WHEN run_n = $XmrRunLen AND run_min = run_max
+       |    AND run_min <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_run_signals
+       |FROM runs
+       |GROUP BY n, xbar_e6, mrbar_e6, ucl_e6, lcl_e6""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q316_xmr_chart" -> q316XmrChart,
     "q306_seasonal_decomp" -> q306SeasonalDecomp,
     "q308_ips_offpolicy" -> q308IpsOffPolicy,
     "q304_cem_att" -> q304CemAtt,
@@ -5368,6 +5482,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q316_xmr_chart" -> q316Sql,
     "q306_seasonal_decomp" -> q306Sql,
     "q308_ips_offpolicy" -> q308Sql,
     "q304_cem_att" -> q304Sql,

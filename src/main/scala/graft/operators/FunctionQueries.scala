@@ -610,7 +610,122 @@ object FunctionQueries {
       |FROM words JOIN keyed ON words.w = keyed.w
       |GROUP BY pkey ORDER BY pkey""".stripMargin
 
+  // ------------------- q315: Fellegi-Sunter probabilistic linkage scoring
+
+  /** Match/possible decision thresholds (e6 bits of evidence). */
+  private val FsMatchE6 = 3000000L
+
+  /** q315: Fellegi–Sunter match scoring — the PROBABILISTIC leg of the
+    * record-linkage stack (q92 blocks + edit distance, q142 windows,
+    * q256 phonetic keys; this one turns field agreements into calibrated
+    * log-likelihood evidence): for candidate pairs inside q92's bounded
+    * prefix blocks, each comparison field f contributes
+    *
+    *   agree:    w_f = log2(m_f / u_f)
+    *   disagree: w̄_f = log2((1−m_f) / (1−u_f))
+    *
+    * with m = 0.9 and u ESTIMATED FROM THE DATA as the chance-agreement
+    * probability Σ_v freq_v² / N² per field (nation, segment, $1000
+    * balance band). The u's floor once at e12; the weights are portable
+    * e6 log2 integers ([[graft.functions.Text.log2e6SparkSql]] — e.g.
+    * w = log2e6(9·10¹¹) − log2e6(u_e12), exactly the same integer in both
+    * engines), so every pair's total evidence and its match/possible/
+    * non-match class are exact.
+    *
+    * Plan: three value rollups → one broadcast u-scalar row; candidate
+    * pairs generate IN PLACE from the grouped block member list (block
+    * size ≤ 100 by construction of the 16-char prefix — bounded fan-out,
+    * the q55/q63 discipline); top-20 is TakeOrdered.
+    */
+  val q315FellegiSunter: Q = (s, dir) => {
+    import graft.functions.{Pairs, Text}
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val c = Tables.customer(s, dir).select(col("c_custkey"),
+      substring(col("c_name"), 1, 16).as("blk"),
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(ROUND(c_acctbal*100) AS BIGINT) div 100000").as("bb"))
+    def uOf(field: String) = c.groupBy(col(field)).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f").cast("decimal(38,0)") * col("f")).as("sf2"),
+        sum(col("f")).cast("decimal(38,0)").as("n"))
+      .select(expr(fdiv("sf2 * 1000000000000", "n * n")).cast("long")
+        .as(s"u_$field"))
+    val us = uOf("nat").crossJoin(uOf("seg")).crossJoin(uOf("bb"))
+    def wa(u: String) = expr(Text.log2e6SparkSql("900000000000")) -
+      expr(Text.log2e6SparkSql(u))
+    def wd(u: String) = expr(Text.log2e6SparkSql("100000000000")) -
+      expr(Text.log2e6SparkSql(s"1000000000000 - $u"))
+    val pairs = c.groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("c_custkey").as("k"),
+        col("nat").as("nat"), col("seg").as("seg"), col("bb").as("bb"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(Pairs.inPlace(col("ms"), (x, y) =>
+        struct(x.getField("k").as("cust_a"), y.getField("k").as("cust_b"),
+          (x.getField("nat") === y.getField("nat")).cast("long").as("ag_nat"),
+          (x.getField("seg") === y.getField("seg")).cast("long").as("ag_seg"),
+          (x.getField("bb") === y.getField("bb")).cast("long").as("ag_bb")))
+        .as("p"))
+      .select(col("p.*"))
+    pairs.crossJoin(broadcast(us))
+      .select(col("cust_a"), col("cust_b"),
+        col("ag_nat"), col("ag_seg"), col("ag_bb"),
+        (when(col("ag_nat") === 1, wa("u_nat")).otherwise(wd("u_nat")) +
+          when(col("ag_seg") === 1, wa("u_seg")).otherwise(wd("u_seg")) +
+          when(col("ag_bb") === 1, wa("u_bb")).otherwise(wd("u_bb")))
+          .cast("long").as("weight_e6"))
+      .withColumn("class",
+        when(col("weight_e6") >= FsMatchE6, "match")
+          .when(col("weight_e6") >= 0L, "possible").otherwise("nonmatch"))
+      .orderBy(col("weight_e6").desc, col("cust_a"), col("cust_b"))
+      .limit(20)
+  }
+
+  val q315Sql: String = {
+    import graft.functions.Text
+    def u(field: String, alias: String) =
+      s"""(SELECT CAST(SUM(CAST(f AS HUGEINT) * f) * 1000000000000
+         |   // (SUM(CAST(f AS HUGEINT)) * SUM(CAST(f AS HUGEINT))) AS BIGINT)
+         | FROM (SELECT COUNT(*) AS f FROM base GROUP BY $field)) AS $alias"""
+        .stripMargin.replace("\n", " ")
+    def wa(uc: String) = s"(${Text.log2e6DuckSql("900000000000")} - " +
+      s"${Text.log2e6DuckSql(uc)})"
+    def wd(uc: String) = s"(${Text.log2e6DuckSql("100000000000")} - " +
+      s"${Text.log2e6DuckSql(s"1000000000000 - $uc")})"
+    s"""WITH base AS (
+       |  SELECT c_custkey, substr(c_name, 1, 16) AS blk,
+       |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |    CAST(ROUND(c_acctbal*100) AS BIGINT) // 100000 AS bb
+       |  FROM customer),
+       |us AS (SELECT ${u("nat", "u_nat")}, ${u("seg", "u_seg")},
+       |  ${u("bb", "u_bb")}),
+       |pairs AS (
+       |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       |    CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS ag_nat,
+       |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+       |    CASE WHEN a.bb = b.bb THEN 1 ELSE 0 END AS ag_bb
+       |  FROM base a JOIN base b
+       |    ON a.blk = b.blk AND a.c_custkey < b.c_custkey),
+       |scored AS (
+       |  SELECT cust_a, cust_b, ag_nat, ag_seg, ag_bb,
+       |    (CASE WHEN ag_nat = 1 THEN ${wa("u_nat")} ELSE ${wd("u_nat")} END
+       |     + CASE WHEN ag_seg = 1 THEN ${wa("u_seg")} ELSE ${wd("u_seg")} END
+       |     + CASE WHEN ag_bb = 1 THEN ${wa("u_bb")} ELSE ${wd("u_bb")} END)
+       |      AS weight_e6
+       |  FROM pairs CROSS JOIN us)
+       |SELECT cust_a, cust_b, ag_nat, ag_seg, ag_bb,
+       |  CAST(weight_e6 AS BIGINT) AS weight_e6,
+       |  CASE WHEN weight_e6 >= $FsMatchE6 THEN 'match'
+       |       WHEN weight_e6 >= 0 THEN 'possible'
+       |       ELSE 'nonmatch' END AS class
+       |FROM scored
+       |ORDER BY weight_e6 DESC, cust_a, cust_b
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q315_fellegi_sunter" -> q315FellegiSunter,
     "q256_phonetic_blocking" -> q256PhoneticBlocking,
     "q126_column_profile" -> q126ColumnProfile,
     "q92_fuzzy_match" -> q92FuzzyMatch,
@@ -627,6 +742,7 @@ object FunctionQueries {
     "q46_predicates" -> q46Predicates)
 
   val oracles: Map[String, String] = Map(
+    "q315_fellegi_sunter" -> q315Sql,
     "q256_phonetic_blocking" -> q256Sql,
     "q126_column_profile" -> q126Sql,
     "q92_fuzzy_match" -> q92Sql,
