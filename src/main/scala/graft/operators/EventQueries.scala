@@ -5402,7 +5402,106 @@ object EventQueries {
        |FROM runs
        |GROUP BY n, xbar_e6, mrbar_e6, ucl_e6, lcl_e6""".stripMargin
 
+  // ------------------------------------ q317: Wald SPRT sequential test
+
+  /** q317's hypotheses and error rates: H0 p=1/4 vs H1 p=3/8 (bracketing
+    * the corpus conversion base rate), α = β = 0.05. The per-observation
+    * log-likelihood weights and the decision boundary are PLAN-BUILD
+    * constants (the Benford/NDCG rule: libm at plan build, identical
+    * inlined literals at runtime): w₁ = log2(p1/p0), w₀ =
+    * log2((1−p1)/(1−p0)), A = log2((1−β)/α) = log2(19).
+    */
+  val SprtW1E6: Long = Math.round(Math.log(3.0 / 2.0) / Math.log(2.0) * 1e6)
+  val SprtW0E6: Long = Math.round(Math.log(5.0 / 6.0) / Math.log(2.0) * 1e6)
+  val SprtBoundE6: Long = Math.round(Math.log(19.0) / Math.log(2.0) * 1e6)
+
+  /** q317: Wald's SPRT — the continuous-monitoring counterpart to q284's
+    * group-sequential looks: instead of five pre-registered O'Brien-
+    * Fleming boundaries, the cumulative log-likelihood ratio
+    *
+    *   LLR_t = k_t·log2(p1/p0) + (n_t−k_t)·log2((1−p1)/(1−p0))
+    *
+    * walks daily (users enter at their first event, convert by the
+    * corpus horizon) and the test stops the first day LLR leaves
+    * (−log2 19, +log2 19). Every term is k·const + n·const over exact
+    * cumulative integers — the walk, the per-day state and the overall
+    * first-crossing decision are bit-exact.
+    *
+    * Plan: one event pass → user rollup → |days| rollup; cumulative sums
+    * and the first-crossing scalar run over the metadata-sized walk.
+    */
+  val q317Sprt: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"),
+        when(sum(when(col("event_type") === "purchase", col("v"))
+          .otherwise(0L)) >= ConvThresholdC, 1L).otherwise(0L).as("conv"))
+    val byDay = perUser.groupBy(col("d0").as("day"))
+      .agg(count(lit(1)).as("n_d"), sum(col("conv")).as("k_d"))
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val walk = byDay
+      .withColumn("n_t", sum(col("n_d")).over(W))
+      .withColumn("k_t", sum(col("k_d")).over(W))
+      .withColumn("llr_e6",
+        col("k_t") * SprtW1E6 + (col("n_t") - col("k_t")) * SprtW0E6)
+      .withColumn("state",
+        when(col("llr_e6") >= SprtBoundE6, "accept_h1")
+          .when(col("llr_e6") <= -SprtBoundE6, "accept_h0")
+          .otherwise("continue"))
+    val firstCross = walk.filter(col("state") =!= "continue")
+      .agg(min(col("day")).as("cross_day"))
+    walk.crossJoin(broadcast(firstCross))
+      .select(col("day"), col("n_t"), col("k_t"), col("llr_e6"),
+        col("state"),
+        coalesce(col("day") >= col("cross_day"), lit(false)).cast("long")
+          .as("decided"))
+      .orderBy(col("day"))
+  }
+
+  val q317Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+       |    CAST(ROUND(value*100) AS BIGINT) AS v
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id, MIN(day) AS d0,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)
+       |      >= $ConvThresholdC THEN 1 ELSE 0 END AS conv
+       |  FROM e GROUP BY user_id),
+       |by_day AS (
+       |  SELECT d0 AS day, COUNT(*) AS n_d, SUM(conv) AS k_d
+       |  FROM pu GROUP BY d0),
+       |walk AS (
+       |  SELECT day,
+       |    SUM(n_d) OVER w AS n_t, SUM(k_d) OVER w AS k_t
+       |  FROM by_day
+       |  WINDOW w AS (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |scored AS (
+       |  SELECT day, n_t, k_t,
+       |    k_t * $SprtW1E6 + (n_t - k_t) * $SprtW0E6 AS llr_e6,
+       |    CASE WHEN k_t * $SprtW1E6 + (n_t - k_t) * $SprtW0E6
+       |           >= $SprtBoundE6 THEN 'accept_h1'
+       |         WHEN k_t * $SprtW1E6 + (n_t - k_t) * $SprtW0E6
+       |           <= -$SprtBoundE6 THEN 'accept_h0'
+       |         ELSE 'continue' END AS state
+       |  FROM walk),
+       |fc AS (SELECT MIN(day) AS cross_day FROM scored
+       |  WHERE state <> 'continue')
+       |SELECT day, CAST(n_t AS BIGINT) AS n_t, CAST(k_t AS BIGINT) AS k_t,
+       |  CAST(llr_e6 AS BIGINT) AS llr_e6, state,
+       |  CAST(CASE WHEN cross_day IS NOT NULL AND day >= cross_day
+       |    THEN 1 ELSE 0 END AS BIGINT) AS decided
+       |FROM scored CROSS JOIN fc
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q317_sprt" -> q317Sprt,
     "q316_xmr_chart" -> q316XmrChart,
     "q306_seasonal_decomp" -> q306SeasonalDecomp,
     "q308_ips_offpolicy" -> q308IpsOffPolicy,
@@ -5482,6 +5581,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q317_sprt" -> q317Sql,
     "q316_xmr_chart" -> q316Sql,
     "q306_seasonal_decomp" -> q306Sql,
     "q308_ips_offpolicy" -> q308Sql,
