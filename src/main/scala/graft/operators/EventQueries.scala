@@ -5500,7 +5500,91 @@ object EventQueries {
        |FROM scored CROSS JOIN fc
        |ORDER BY day""".stripMargin
 
+  // --------------------------- q318: rank-1 ALS step (implicit factors)
+
+  /** q318: one rank-1 ALS iteration on the user × event-type count matrix
+    * — matrix factorization executed as queries, the recommender-system
+    * sibling of q282's relational Lloyd step: with item factors fixed at
+    * v⁰ = 1 (e4), the user half-step u_i = Σ_j r_ij·v_j / Σ_j v_j² is a
+    * closed-form per-user fold, and the item half-step v¹_j =
+    * Σ_i r_ij·u_i / Σ_i u_i² a per-item fold over the user factors. The
+    * report makes the alternating-minimization guarantee visible per
+    * item: SSE(u¹, v⁰) vs SSE(u¹, v¹) folded from the SAME rollups via
+    * the q282 identity Σ(r−uv)² = Σr² − 2vΣru + v²Σu² — the r = 0 cells
+    * (most of the implicit matrix) enter through Σu² without ever being
+    * materialized. Exact e4/e8/e16 integer staging throughout; the two
+    * floor divisions (u, v¹) are the only quantizations, so v¹ sits
+    * within 1 e4-ulp of the true minimizer.
+    *
+    * Plan: one event pass → (user, type) rollup → per-user fold (the
+    * corpus shuffle) → |types|-row item rollup riding the broadcast Σu²
+    * scalar. No iteration driver-side, no collect.
+    */
+  val q318AlsStep: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val r = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("r"))
+    val nTypes = 5L
+    // with v0 = 1 (real) on every type, u = Σr·v0/Σv0² = Σr/5; e4-scaled
+    val u = r.groupBy(col("user_id"))
+      .agg(expr(fdiv(s"SUM(r) * CAST(10000 AS DECIMAL(38,0))", s"$nTypes"))
+        .as("u_e4"))
+    val su2 = u.agg(sum((col("u_e4") * col("u_e4")).cast(dec)).as("su2"))
+    val perItem = r.join(u, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users_present"),
+        sum((col("r").cast(dec) * 100000000L) *
+          (col("r").cast(dec) * 100000000L)).as("sr8_2"),
+        sum(col("r").cast(dec) * col("u_e4")).as("sru"))
+    perItem.crossJoin(broadcast(su2))
+      .withColumn("v1_e4", expr(fdiv("sru * 100000000", "su2")))
+      .select(col("event_type"), col("n_users_present"),
+        lit(10000L).as("v0_e4"), col("v1_e4").cast("long").as("v1_e4"),
+        // constants pre-folded: 2·v0·1e8 = 2e12 (an INT literal product
+        // would overflow before widening), v0² = 1e8
+        expr(fdiv(
+          "sr8_2 - CAST(2000000000000 AS DECIMAL(38,0)) * sru + 100000000 * su2",
+          "100000000")).cast("long").as("sse_before_e8"),
+        expr(fdiv(
+          "sr8_2 - 2 * v1_e4 * CAST(100000000 AS DECIMAL(38,0)) * sru + v1_e4 * v1_e4 * su2",
+          "100000000")).cast("long").as("sse_after_e8"))
+      .orderBy(col("event_type"))
+  }
+
+  val q318Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, COUNT(*) AS r
+      |  FROM events GROUP BY user_id, event_type),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(r) AS HUGEINT) * 10000 // 5 AS u_e4
+      |  FROM r GROUP BY user_id),
+      |su2 AS (SELECT SUM(CAST(u_e4 AS HUGEINT) * u_e4) AS su2 FROM u),
+      |per_item AS (
+      |  SELECT event_type, COUNT(*) AS n_users_present,
+      |    SUM((CAST(r.r AS HUGEINT) * 100000000)
+      |      * (CAST(r.r AS HUGEINT) * 100000000)) AS sr8_2,
+      |    SUM(CAST(r.r AS HUGEINT) * u_e4) AS sru
+      |  FROM r JOIN u USING (user_id)
+      |  GROUP BY event_type)
+      |SELECT event_type, n_users_present,
+      |  CAST(10000 AS BIGINT) AS v0_e4,
+      |  CAST(sru * 100000000 // su2 AS BIGINT) AS v1_e4,
+      |  CAST((sr8_2 - CAST(2000000000000 AS HUGEINT) * sru
+      |      + 100000000 * su2)
+      |    // 100000000 AS BIGINT) AS sse_before_e8,
+      |  CAST((sr8_2
+      |    - 2 * (sru * 100000000 // su2) * CAST(100000000 AS HUGEINT) * sru
+      |    + (sru * 100000000 // su2) * (sru * 100000000 // su2) * su2)
+      |    // 100000000 AS BIGINT) AS sse_after_e8
+      |FROM per_item CROSS JOIN su2
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q318_als_step" -> q318AlsStep,
     "q317_sprt" -> q317Sprt,
     "q316_xmr_chart" -> q316XmrChart,
     "q306_seasonal_decomp" -> q306SeasonalDecomp,
@@ -5581,6 +5665,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q318_als_step" -> q318Sql,
     "q317_sprt" -> q317Sql,
     "q316_xmr_chart" -> q316Sql,
     "q306_seasonal_decomp" -> q306Sql,

@@ -584,6 +584,18 @@ class PlansSpec extends SparkSpec {
       s"policy and per-stratum frames must broadcast:\n$i")
   }
 
+  test("q315/q318: pairs generate in place; factor folds ride broadcasts") {
+    val p = plan("q315_fellegi_sunter")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row u-scalar may nest:\n$p")
+    assert(p.contains("collect_list"),
+      "block pairs must generate in place from the grouped member list")
+    val a = plan("q318_als_step")
+    assert(a.contains("partial_sum"), "factor folds must map-side combine")
+    assert(a.contains("BroadcastHashJoin") || a.contains("BroadcastNestedLoopJoin"),
+      s"the user-factor join keys on user_id; Σu² broadcasts:\n$a")
+  }
+
   test("q307: Pettitt walk runs over the day rollup with a broadcast scalar") {
     val p = plan("q307_pettitt_changepoint")
     assert(p.contains("partial_sum"), "day rollup must map-side combine")
