@@ -5311,14 +5311,23 @@ object EventQueries {
     * one-row summary all run over the metadata-sized day frame.
     */
   val q316XmrChart: Q = (s, dir) => {
-    val dec = "decimal(38,0)"
-    def fdiv(a: String, b: String) =
-      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     val byDay = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(expr("unix_millis(ts) div 86400000").as("day"),
         cents(col("value")).as("v"))
       .groupBy(col("day")).agg(sum(col("v")).as("x"))
+    xmrFromDays(byDay)
+  }
+
+  /** q316's composition over a landed (day, x) rollup — shared with the
+    * streaming twin (the q260 burnFromHourly pattern): the sink lands the
+    * watermark-finalized daily totals, and this same fold produces the
+    * identical control-chart row from either source.
+    */
+  def xmrFromDays(byDay: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     val W = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
     val mr = byDay.withColumn("prev", lag(col("x"), 1).over(W))
       .withColumn("mrng", abs(col("x") - col("prev")))

@@ -57,6 +57,22 @@ object EventStream {
       .select(expr("unix_timestamp(window.start) DIV 3600").as("hour"),
         col("n_total"), col("n_err"))
 
+  /** Watermark-finalized DAILY purchase revenue (integer cents) — the
+    * landing rollup under the q316 XmR control chart: append mode emits a
+    * day only once its watermark passes, so the sink accumulates the
+    * exact (day, x) series and `EventQueries.xmrFromDays` reproduces the
+    * batch control-chart row from the landed table (the errorRates/q260
+    * composition pattern). State = one open day per key-less window.
+    */
+  def dailyRevenue(events: DataFrame, watermark: String = "25 hours"): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("x"))
+      .select(expr("unix_timestamp(window.start) DIV 86400").as("day"),
+        col("x"))
+
   /** Sliding-window counts (windowLen every slide) — the overlapping-window
     * twin of EventQueries.q75Sliding. Each event contributes to
     * windowLen/slide windows; the watermark still bounds state, which grows

@@ -565,4 +565,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(h) === batch(h), s"hour $h diverges")
     }
   }
+
+  test("XmR panel composed from the landed daily revenue equals batch q316") {
+    EventStream.runToMemory(
+      EventStream.dailyRevenue(EventStream.read(spark, streamDir)),
+      "t_daily_rev", OutputMode.Append())
+    val landed = spark.table("t_daily_rev")
+    assert(landed.count() > 0)
+    // every landed day must carry the exact batch total (cell parity)
+    val batchDays = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(ROUND(value*100) AS BIGINT)").as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+    val diverging = landed.as("s")
+      .join(batchDays.as("b"), Seq("day"))
+      .filter(col("s.x") =!= col("b.x")).count()
+    assert(diverging === 0, "landed daily totals must equal batch")
+    // the shared composition over the landed slice equals the batch
+    // composition over the SAME slice (the watermark may hold back the
+    // final day, so restrict batch to landed days)
+    val landedDays = landed.select(col("day"))
+    val streamedPanel = graft.operators.EventQueries
+      .xmrFromDays(landed).collect().map(_.toSeq)
+    val batchPanel = graft.operators.EventQueries
+      .xmrFromDays(batchDays.join(landedDays, Seq("day")))
+      .collect().map(_.toSeq)
+    assert(streamedPanel === batchPanel, "XmR panel diverges on the landed slice")
+  }
 }
