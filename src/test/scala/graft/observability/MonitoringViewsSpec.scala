@@ -34,6 +34,34 @@ class MonitoringViewsSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM vw_rowgroup_details").count() >= 1)
       assert(spark.sql(
         "SELECT rebuild_recommended FROM vw_table_health").count() === 1)
+
+      // value-level accounting for the query-journal views: three MORE
+      // labeled actions must appear as exactly three more labeled journal
+      // requests, all succeeded, and the activity summary must equal the
+      // journal's own raw request count (view-over-journal consistency)
+      val before = spark.sql(
+        """SELECT COUNT(*) FROM vw_active_queries
+          |WHERE label = 'mv-exact'""".stripMargin).collect()(0).getLong(0)
+      spark.sparkContext.setJobDescription("mv-exact")
+      (1 to 3).foreach(_ => Tables.orders(spark, sfDir).limit(5).collect())
+      spark.sparkContext.setJobDescription(null)
+      j.flush()
+      mv.registerQueryViews() // refresh the snapshot views
+      val after = spark.sql(
+        """SELECT COUNT(*) FROM vw_active_queries
+          |WHERE label = 'mv-exact'""".stripMargin).collect()(0).getLong(0)
+      assert(after - before === 3L,
+        s"labeled request accounting must be exact: $before -> $after")
+      val failed = spark.sql(
+        """SELECT COUNT(*) FROM vw_active_queries
+          |WHERE label = 'mv-exact' AND status <> 'Completed'""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(failed === 0L)
+      val act2 = mv.activitySummary().collect()(0)
+      val raw = spark.sql("SELECT COUNT(*) FROM vw_active_queries")
+        .collect()(0).getLong(0)
+      assert(act2.getAs[Long]("n_requests") === raw,
+        "activity summary must equal the journal row count")
     } finally j.stop()
   }
 
