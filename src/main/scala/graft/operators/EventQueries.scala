@@ -5592,7 +5592,102 @@ object EventQueries {
       |FROM per_item CROSS JOIN su2
       |ORDER BY event_type""".stripMargin
 
+  // --------------------- q319: single-frequency periodogram (Goertzel)
+
+  /** q319: how much of the daily-volume variance is the WEEKLY cycle? The
+    * single-frequency periodogram share at period 7 (with period 5 as the
+    * non-harmonic control) — the frequency-domain answer to q121's
+    * weekday-means table and the test q296's seasonal-naive forecaster
+    * implicitly assumes. For period p:
+    *
+    *   share(p) = 2·(S_c² + S_s²) / (n·10¹²·Σx̃²),
+    *   S_c = Σ x̃_t·cos(2πt/p)·10⁶  (x̃ = n·x − Σx, the n-scaled centering
+    *                                 that stays integer)
+    *
+    * The 2p trig values are PLAN-BUILD constants inlined as identical e6
+    * literals into both engines (the Benford/NDCG rule) and keyed by t mod
+    * p, so the whole spectrum probe is exact integer arithmetic with ONE
+    * floor division per period; share ≈ 10⁶ for a pure p-cycle, ≈ 0 for
+    * none (Parseval).
+    *
+    * Plan: one event pass → |days| spine; the trig fold is a
+    * map-side-combinable aggregate over the spine.
+    */
+  val q319Periodogram: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def trigCase(p: Int, fn: Double => Double): String =
+      (0 until p).map(k =>
+        s"WHEN ${k}L THEN ${Math.round(fn(2 * Math.PI * k / p) * 1e6)}L")
+        .mkString(s"CASE t % $p ", " ", " END")
+    val e = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+    val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1)")).as("day"), col("d0"))
+      .join(byDay, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val scal = spine.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"))
+    def shares(p: Int) = {
+      val c = trigCase(p, Math.cos)
+      val sn = trigCase(p, Math.sin)
+      (sum(expr(s"(n * x - sx) * ($c)").cast(dec)).as(s"sc$p"),
+        sum(expr(s"(n * x - sx) * ($sn)").cast(dec)).as(s"ss$p"))
+    }
+    val (sc7, ss7) = shares(7)
+    val (sc5, ss5) = shares(5)
+    spine.crossJoin(broadcast(scal))
+      .agg(max(col("n")).as("n"), sc7, ss7, sc5, ss5,
+        sum(((col("n") * col("x") - col("sx")) *
+          (col("n") * col("x") - col("sx"))).cast(dec)).as("sxx"))
+      .select(col("n").cast("long").as("n_days"),
+        expr(fdiv("(sc7 * sc7 + ss7 * ss7) * 2000000",
+          "n * 1000000000000 * sxx")).cast("long").as("share_p7_e6"),
+        expr(fdiv("(sc5 * sc5 + ss5 * ss5) * 2000000",
+          "n * 1000000000000 * sxx")).cast("long").as("share_p5_e6"))
+  }
+
+  val q319Sql: String = {
+    def trigCase(p: Int, fn: Double => Double): String =
+      (0 until p).map(k =>
+        s"WHEN $k THEN ${Math.round(fn(2 * Math.PI * k / p) * 1e6)}")
+        .mkString(s"CASE t % $p ", " ", " END")
+    val c7 = trigCase(7, Math.cos); val s7 = trigCase(7, Math.sin)
+    val c5 = trigCase(5, Math.cos); val s5 = trigCase(5, Math.sin)
+    s"""WITH e AS (
+       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day FROM events),
+       |by_day AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY day),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM by_day),
+       |spine AS (
+       |  SELECT gs.day - d0 AS t, COALESCE(cnt, 0) AS x
+       |  FROM (SELECT UNNEST(GENERATE_SERIES(d0, d1)) AS day, d0 FROM b) gs
+       |  LEFT JOIN by_day ON gs.day = by_day.day),
+       |scal AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(x) AS HUGEINT) AS sx
+       |  FROM spine),
+       |folds AS (
+       |  SELECT MAX(n) AS n,
+       |    SUM((n * x - sx) * ($c7)) AS sc7,
+       |    SUM((n * x - sx) * ($s7)) AS ss7,
+       |    SUM((n * x - sx) * ($c5)) AS sc5,
+       |    SUM((n * x - sx) * ($s5)) AS ss5,
+       |    SUM((n * x - sx) * (n * x - sx)) AS sxx
+       |  FROM spine CROSS JOIN scal)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CAST((sc7 * sc7 + ss7 * ss7) * 2000000
+       |    // (n * 1000000000000 * sxx) AS BIGINT) AS share_p7_e6,
+       |  CAST((sc5 * sc5 + ss5 * ss5) * 2000000
+       |    // (n * 1000000000000 * sxx) AS BIGINT) AS share_p5_e6
+       |FROM folds""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q319_periodogram" -> q319Periodogram,
     "q318_als_step" -> q318AlsStep,
     "q317_sprt" -> q317Sprt,
     "q316_xmr_chart" -> q316XmrChart,
@@ -5674,6 +5769,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q319_periodogram" -> q319Sql,
     "q318_als_step" -> q318Sql,
     "q317_sprt" -> q317Sql,
     "q316_xmr_chart" -> q316Sql,

@@ -2020,7 +2020,70 @@ object TextQueries {
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25_e6 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
+  // ---------------- q320: capture-recapture dedup-coverage estimation
+
+  /** q320: how many near-dup pairs does NO detector find? Chapman's
+    * capture-recapture estimator over the two independent LSH families —
+    * MinHash candidates (q55) as capture one, SimHash candidates (q56) as
+    * capture two:
+    *
+    *   N̂ = ⌊(n_A+1)(n_B+1)/(m+1)⌋ − 1
+    *
+    * with m the pairs both found. q133 measures each detector against
+    * exact ground truth (affordable at test SF); this is the estimator a
+    * 100 TB pipeline can afford — the ground truth never materializes, yet
+    * the undetected mass gets a defensible estimate (the two detectors
+    * hash DIFFERENT features — independence is the Chapman assumption,
+    * stated, not hidden). Coverage ratios floor once at e6.
+    *
+    * Plan: the two candidate pipelines (each the bounded-fan-out banded
+    * construction), one pair-key join for m, a 1-row fold.
+    */
+  val q320CaptureRecapture: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val a = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val b = q56Simhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val m = a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("m"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+      .select(col("n_a"), col("n_b"), col("m").as("n_both"),
+        (expr(fdiv(
+          "(CAST(n_a AS DECIMAL(38,0)) + 1) * (CAST(n_b AS DECIMAL(38,0)) + 1)",
+          "m + 1")) - 1L).as("est_total"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        col("est_total").cast("long").as("est_total"),
+        expr(fdiv("n_a * 1000000", "est_total")).cast("long").as("cov_a_e6"),
+        expr(fdiv("n_b * 1000000", "est_total")).cast("long").as("cov_b_e6"),
+        expr(fdiv("(n_a + n_b - n_both) * 1000000", "est_total"))
+          .cast("long").as("cov_union_e6"))
+  }
+
+  val q320Sql: String =
+    s"""WITH a AS (SELECT doc_a, doc_b FROM ($q55Sql) qa),
+       |b AS (SELECT doc_a, doc_b FROM ($q56Sql) qb),
+       |counts AS (
+       |  SELECT (SELECT COUNT(*) FROM a) AS n_a,
+       |    (SELECT COUNT(*) FROM b) AS n_b,
+       |    (SELECT COUNT(*) FROM a JOIN b USING (doc_a, doc_b)) AS m),
+       |est AS (
+       |  SELECT n_a, n_b, m,
+       |    (CAST(n_a AS HUGEINT) + 1) * (CAST(n_b AS HUGEINT) + 1)
+       |      // (m + 1) - 1 AS est_total
+       |  FROM counts)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(m AS BIGINT) AS n_both,
+       |  CAST(est_total AS BIGINT) AS est_total,
+       |  CAST(n_a * 1000000 // est_total AS BIGINT) AS cov_a_e6,
+       |  CAST(n_b * 1000000 // est_total AS BIGINT) AS cov_b_e6,
+       |  CAST((n_a + n_b - m) * 1000000 // est_total AS BIGINT)
+       |    AS cov_union_e6
+       |FROM est""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q320_capture_recapture" -> q320CaptureRecapture,
     "q293_bm25" -> q293Bm25,
     "q278_source_entropy" -> q278SourceEntropy,
     "q279_feature_mi" -> q279FeatureMi,
@@ -2056,6 +2119,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q320_capture_recapture" -> q320Sql,
     "q293_bm25" -> q293Sql,
     "q278_source_entropy" -> q278Sql,
     "q279_feature_mi" -> q279Sql,
