@@ -4581,6 +4581,97 @@ object CoreQueries {
       |  CAST(cnt * 1000000 // n_total AS BIGINT) AS share_e6
       |FROM ranked WHERE rk = 1 ORDER BY segment""".stripMargin
 
+  // ----------------------- q321: PACF via unrolled Durbin-Levinson
+
+  /** Lags the PACF recursion unrolls to. */
+  private val PacfMaxLag = 5
+
+  /** Symbolic Durbin–Levinson unroll shared by both engines: returns
+    * (column, expression) steps in dependency order, over e6-integer
+    * autocorrelations r1..rK and previously emitted φ columns. Every
+    * division routes through the TRUNCATE-TOWARD-ZERO spelling
+    * sign·(|n| div |d|), the one integer-division semantics both engines
+    * can express identically for arbitrary operand signs.
+    */
+  private def dlSteps(maxLag: Int, div: (String, String) => String)
+    : Seq[(String, String)] = {
+    def mulE6(a: String, b: String) = div(s"($a) * ($b)", "1000000")
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    steps += (("p_1_1", "r1"))
+    for (k <- 2 to maxLag) {
+      val num = (1 until k).map(j => mulE6(s"p_${k - 1}_$j", s"r${k - j}"))
+        .mkString(s"r$k - (", " + ", ")")
+      val den = (1 until k).map(j => mulE6(s"p_${k - 1}_$j", s"r$j"))
+        .mkString("1000000 - (", " + ", ")")
+      steps += ((s"p_${k}_$k", div(s"($num) * 1000000", den)))
+      for (j <- 1 until k)
+        steps += ((s"p_${k}_$j",
+          s"p_${k - 1}_$j - ${mulE6(s"p_${k}_$k", s"p_${k - 1}_${k - j}")}"))
+    }
+    steps.toSeq
+  }
+
+  /** q321: partial autocorrelation — the AR-order identification companion
+    * to q270's ACF (an AR(p) process has PACF ≈ 0 past lag p, where the
+    * ACF only decays): the Durbin–Levinson recursion unrolled to lag
+    * [[PacfMaxLag]] as a symbolic expression chain over q270's e6
+    * autocorrelations. The recursion's divisions are each the
+    * sign·(|n| div |d|) truncating form — the only integer-division
+    * spelling whose semantics both engines share for signed operands — so
+    * every φ_kj is the same integer in both, and the PACF column is
+    * exact. Defined (quantized) arithmetic, mirrored: each e6·e6 product
+    * re-quantizes once.
+    *
+    * Plan: q270's lag rollup (the corpus work) → a 1-row pivoted scalar
+    * frame → a pure expression chain (no further shuffle at all).
+    */
+  val q321Pacf: Q = (s, dir) => {
+    def sdiv(n: String, d: String) =
+      s"""(CASE WHEN (($n) < 0) != (($d) < 0) THEN -1 ELSE 1 END *
+         | (ABS(CAST(($n) AS DECIMAL(38,0)))
+         |  div ABS(CAST(($d) AS DECIMAL(38,0)))))"""
+        .stripMargin.replace("\n", " ")
+    val acf = q270Acf(s, dir).select(col("lag"), col("acf_e6"))
+    val base = acf.groupBy().pivot("lag", 1 to PacfMaxLag)
+      .agg(first(col("acf_e6")))
+      .select((1 to PacfMaxLag).map(k => col(k.toString).as(s"r$k")): _*)
+    val chained = dlSteps(PacfMaxLag, sdiv).foldLeft(base) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }
+    val stacked = chained.select(explode(array(
+      (1 to PacfMaxLag).map(k =>
+        struct(lit(k.toLong).as("lag"),
+          col(s"p_${k}_$k").cast("long").as("pacf_e6"))): _*)).as("s"))
+      .select(col("s.lag"), col("s.pacf_e6"))
+    stacked.join(acf, Seq("lag")).select(col("lag"), col("acf_e6"),
+      col("pacf_e6")).orderBy(col("lag"))
+  }
+
+  val q321Sql: String = {
+    def sdiv(n: String, d: String) =
+      s"""((CASE WHEN (($n) < 0) != (($d) < 0) THEN -1 ELSE 1 END) *
+         | (ABS(CAST(($n) AS HUGEINT)) // ABS(CAST(($d) AS HUGEINT))))"""
+        .stripMargin.replace("\n", " ")
+    val steps = dlSteps(PacfMaxLag, sdiv)
+    val chain = steps.zipWithIndex.map { case ((name, e), i) =>
+      s"s$i AS (SELECT *, $e AS $name FROM ${if (i == 0) "base" else s"s${i - 1}"})"
+    }.mkString(",\n")
+    val last = s"s${steps.size - 1}"
+    val rows = (1 to PacfMaxLag)
+      .map(k => s"SELECT $k AS lag, p_${k}_$k AS pacf_e6 FROM $last")
+      .mkString(" UNION ALL ")
+    s"""WITH acf AS (SELECT lag, acf_e6 FROM ($q270Sql) qa),
+       |base AS (
+       |  SELECT ${(1 to PacfMaxLag).map(k =>
+            s"MAX(CASE WHEN lag = $k THEN acf_e6 END) AS r$k").mkString(", ")}
+       |  FROM acf),
+       |$chain,
+       |stacked AS ($rows)
+       |SELECT stacked.lag AS lag, acf_e6, CAST(pacf_e6 AS BIGINT) AS pacf_e6
+       |FROM stacked JOIN acf ON stacked.lag = acf.lag
+       |ORDER BY stacked.lag""".stripMargin
+  }
+
   // ------------------- q309-q314: remaining distinctive TPC-H shapes
 
   /** q309: TPC-H Q13 shape — the distribution of orders-per-customer
@@ -4828,6 +4919,7 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q321_pacf" -> q321Pacf,
     "q309_custdist" -> q309CustDist,
     "q310_profit_mix" -> q310ProfitMix,
     "q311_shipping_priority" -> q311ShippingPriority,
@@ -4933,6 +5025,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q321_pacf" -> q321Sql,
     "q309_custdist" -> q309Sql,
     "q310_profit_mix" -> q310Sql,
     "q311_shipping_priority" -> q311Sql,
