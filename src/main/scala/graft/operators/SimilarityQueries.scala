@@ -1309,7 +1309,140 @@ object SimilarityQueries {
        |FROM flagged LEFT JOIN border_ids b ON flagged.vec_id = b.vec_id
        |GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------- q324: Adjusted Rand Index (chance-corrected)
+
+  /** q324: Adjusted Rand Index between the deterministic-seed cluster
+    * assignment (q282/q303's argmin) and the ground-truth labels — the
+    * CHANCE-CORRECTED agreement q88's purity lacks (purity rewards many
+    * tiny clusters; ARI is 0 in expectation under random assignment).
+    * From the k × |labels| contingency rollup, with pair counts kept
+    * doubled until the exactly-even halving:
+    *
+    *   ARI = 2·(C·S_ij − S_a·S_b) / (C·(S_a+S_b) − 2·S_a·S_b)
+    *
+    * — exact integers end to end; the one division is the signed
+    * truncate-toward-zero spelling both engines share (the numerator goes
+    * negative for worse-than-chance assignments). The plain Rand index
+    * rides along. Every staged product stays under 10³⁶ below ~10⁹
+    * vectors (C ≈ n²/2); past that the pair counts themselves need
+    * rescaling — stated, not hidden.
+    *
+    * Plan: the q303 assignment pipeline → a (cluster, label) rollup
+    * (k·|labels| rows) → three marginal folds → a 1-row finish.
+    */
+  val q324AdjustedRand: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(n: String, d: String) =
+      s"""(CASE WHEN (($n) < 0) != (($d) < 0) THEN -1 ELSE 1 END *
+         | (ABS(CAST(($n) AS DECIMAL(38,0)))
+         |  div ABS(CAST(($d) AS DECIMAL(38,0)))))"""
+        .stripMargin.replace("\n", " ")
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+    val seedIds = Tables.embeddings(s, dir)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(LloydK)
+    val cent = qv.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("c"))
+      .localCheckpoint()
+    val assign = qv.join(broadcast(cent), Seq("d"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c")).cast(dec))
+        .as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    val cont = assign
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n_ij"))
+    // pair counts are even before each halving, so `div 2` is exact; the
+    // long-valued div bounds the construction at ~10⁹ vectors (stated in
+    // the scaladoc)
+    val folds = cont.agg(
+      sum(col("n_ij")).cast(dec).as("n"),
+      expr("CAST(SUM(CAST(n_ij AS DECIMAL(38,0)) * (n_ij - 1)) div 2" +
+        " AS DECIMAL(38,0))").as("s_ij"))
+    val sa = cont.groupBy(col("cid")).agg(sum(col("n_ij")).as("a"))
+      .agg(expr("CAST(SUM(CAST(a AS DECIMAL(38,0)) * (a - 1)) div 2" +
+        " AS DECIMAL(38,0))").as("s_a"),
+        count(lit(1)).as("k_clusters"))
+    val sb = cont.groupBy(col("label")).agg(sum(col("n_ij")).as("b"))
+      .agg(expr("CAST(SUM(CAST(b AS DECIMAL(38,0)) * (b - 1)) div 2" +
+        " AS DECIMAL(38,0))").as("s_b"),
+        count(lit(1)).as("n_labels"))
+    folds.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("c_pairs",
+        expr("CAST((n * (n - 1)) div 2 AS DECIMAL(38,0))"))
+      .select(col("n").cast("long").as("n_vecs"),
+        col("k_clusters"), col("n_labels"),
+        (lit(1000000L) + expr(sdiv(
+          "(2 * s_ij - s_a - s_b) * 1000000", "c_pairs"))).cast("long")
+          .as("rand_e6"),
+        expr(sdiv("2 * (c_pairs * s_ij - s_a * s_b) * 1000000",
+          "c_pairs * (s_a + s_b) - 2 * s_a * s_b")).cast("long")
+          .as("ari_e6"))
+  }
+
+  val q324Sql: String = {
+    def sdiv(n: String, d: String) =
+      s"""((CASE WHEN (($n) < 0) != (($d) < 0) THEN -1 ELSE 1 END) *
+         | (ABS(CAST(($n) AS HUGEINT)) // ABS(CAST(($d) AS HUGEINT))))"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH qv AS (
+       |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS d,
+       |    CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings),
+       |seed_ids AS (
+       |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $LloydK),
+       |cent AS (
+       |  SELECT qv.vec_id AS cid, d, q AS c
+       |  FROM qv JOIN seed_ids ON qv.vec_id = seed_ids.vec_id),
+       |dists AS (
+       |  SELECT qv.vec_id, cid,
+       |    SUM(CAST((q - c) AS HUGEINT) * (q - c)) AS dist
+       |  FROM qv JOIN cent USING (d)
+       |  GROUP BY qv.vec_id, cid),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM dists)
+       |  WHERE rk = 1),
+       |cont AS (
+       |  SELECT cid, label, COUNT(*) AS n_ij
+       |  FROM assign JOIN embeddings USING (vec_id)
+       |  GROUP BY cid, label),
+       |folds AS (
+       |  SELECT CAST(SUM(n_ij) AS HUGEINT) AS n,
+       |    SUM(CAST(n_ij AS HUGEINT) * (n_ij - 1)) / 2 AS s_ij
+       |  FROM cont),
+       |sa AS (
+       |  SELECT SUM(CAST(a AS HUGEINT) * (a - 1)) / 2 AS s_a,
+       |    COUNT(*) AS k_clusters
+       |  FROM (SELECT cid, SUM(n_ij) AS a FROM cont GROUP BY cid)),
+       |sb AS (
+       |  SELECT SUM(CAST(b AS HUGEINT) * (b - 1)) / 2 AS s_b,
+       |    COUNT(*) AS n_labels
+       |  FROM (SELECT label, SUM(n_ij) AS b FROM cont GROUP BY label)),
+       |fin AS (
+       |  SELECT n, s_ij, s_a, s_b, k_clusters, n_labels,
+       |    n * (n - 1) / 2 AS c_pairs
+       |  FROM folds CROSS JOIN sa CROSS JOIN sb)
+       |SELECT CAST(n AS BIGINT) AS n_vecs,
+       |  CAST(k_clusters AS BIGINT) AS k_clusters,
+       |  CAST(n_labels AS BIGINT) AS n_labels,
+       |  CAST(1000000 + ${sdiv("(2 * s_ij - s_a - s_b) * 1000000", "c_pairs")}
+       |    AS BIGINT) AS rand_e6,
+       |  CAST(${sdiv("2 * (c_pairs * s_ij - s_a * s_b) * 1000000",
+          "c_pairs * (s_a + s_b) - 2 * s_a * s_b")} AS BIGINT) AS ari_e6
+       |FROM fin""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q324_adjusted_rand" -> q324AdjustedRand,
     "q299_dbscan_census" -> q299DbscanCensus,
     "q303_silhouette" -> q303Silhouette,
     "q282_lloyd_step" -> q282LloydStep,
@@ -1451,6 +1584,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q324_adjusted_rand" -> q324Sql,
     "q299_dbscan_census" -> q299Sql,
     "q303_silhouette" -> q303Sql,
     "q282_lloyd_step" -> q282Sql,

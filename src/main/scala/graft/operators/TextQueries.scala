@@ -2082,7 +2082,117 @@ object TextQueries {
        |    AS cov_union_e6
        |FROM est""".stripMargin
 
+  // --------------------------- q322: McNemar paired detector comparison
+
+  /** q322: McNemar's test on the two near-dup detectors — given the pairs
+    * at least one detector finds, is MinHash (q55) finding significantly
+    * MORE of them than SimHash (q56)? The paired-binary companion to
+    * q320's population estimate: only the DISCORDANT counts matter
+    * (b = MinHash-only, c = SimHash-only), and the continuity-corrected
+    * statistic χ² = (|b−c|−1)²/(b+c) is one e6 floor division over exact
+    * integers. The full-outer pair join IS the pairing.
+    */
+  val q322McNemar: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val a = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_a", lit(1L))
+    val b = q56Simhash(s, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_b", lit(1L))
+    a.join(b, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L)
+          .otherwise(0L)).as("b_only"),
+        sum(when(col("in_a").isNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("c_only"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("b_only"), col("c_only"), col("n_both"),
+        when(col("b_only") + col("c_only") > 0,
+          expr(fdiv(
+            "(ABS(b_only - c_only) - 1) * (ABS(b_only - c_only) - 1) * 1000000",
+            "b_only + c_only")))
+          .otherwise(lit(0L).cast("decimal(38,0)")).cast("long")
+          .as("mcnemar_chi2_e6"))
+  }
+
+  val q322Sql: String =
+    s"""WITH a AS (SELECT doc_a, doc_b, 1 AS in_a FROM ($q55Sql) qa),
+       |b AS (SELECT doc_a, doc_b, 1 AS in_b FROM ($q56Sql) qb),
+       |u AS (
+       |  SELECT COALESCE(a.in_a, 0) AS ia, COALESCE(b.in_b, 0) AS ib
+       |  FROM a FULL OUTER JOIN b USING (doc_a, doc_b)),
+       |cnt AS (
+       |  SELECT CAST(SUM(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b_only,
+       |    CAST(SUM(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c_only,
+       |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both
+       |  FROM u)
+       |SELECT b_only, c_only, n_both,
+       |  CAST(CASE WHEN b_only + c_only > 0
+       |    THEN (ABS(b_only - c_only) - 1) * (ABS(b_only - c_only) - 1)
+       |      * 1000000 // (b_only + c_only)
+       |    ELSE 0 END AS BIGINT) AS mcnemar_chi2_e6
+       |FROM cnt""".stripMargin
+
+  // ------------------- q323: Chao1 / Good-Turing vocabulary coverage
+
+  /** q323: how much vocabulary has the corpus NOT yet seen? Chao1's
+    * richness estimate V̂ = V + f1²/(2f2) and the Good–Turing coverage
+    * 1 − f1/N, from the frequency-of-frequencies rollup (f1 = hapax
+    * count, f2 = dis legomena) — the species-estimation answer to q222's
+    * Heaps-law growth CURVE (Heaps extrapolates the trend; Chao1 bounds
+    * the destination). q190 reports the hapax SHARE as a quality signal;
+    * this turns the same masses into the estimator a crawl-planning
+    * pipeline actually wants. Exact integers, two e6 floors.
+    *
+    * Plan: one tokenize pass → vocabulary rollup → frequency-of-
+    * frequencies rollup (≤ max-freq rows) → 1-row fold.
+    */
+  val q323Chao1: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val tf = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val ff = tf.groupBy(col("freq")).agg(count(lit(1)).as("n_words"))
+    ff.agg(sum(col("freq") * col("n_words")).cast("decimal(38,0)").as("n_tok"),
+        sum(col("n_words")).as("vocab"),
+        sum(when(col("freq") === 1L, col("n_words")).otherwise(0L)).as("f1"),
+        sum(when(col("freq") === 2L, col("n_words")).otherwise(0L)).as("f2"))
+      .select(col("n_tok").cast("long").as("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        (col("vocab") + when(col("f2") > 0,
+          expr(fdiv("CAST(f1 AS DECIMAL(38,0)) * f1", "2 * f2")))
+          .otherwise(expr(fdiv("CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)", "2"))))
+          .cast("long").as("chao1_est"),
+        (lit(1000000L) - expr(fdiv("CAST(f1 AS DECIMAL(38,0)) * 1000000",
+          "n_tok"))).cast("long").as("gt_coverage_e6"))
+  }
+
+  val q323Sql: String =
+    """WITH words AS (
+      |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+      |ff AS (SELECT freq, COUNT(*) AS n_words FROM tf GROUP BY freq),
+      |agg AS (
+      |  SELECT CAST(SUM(freq * n_words) AS HUGEINT) AS n_tok,
+      |    CAST(SUM(n_words) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN freq = 1 THEN n_words ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN freq = 2 THEN n_words ELSE 0 END) AS BIGINT) AS f2
+      |  FROM ff)
+      |SELECT CAST(n_tok AS BIGINT) AS n_tokens, vocab, f1, f2,
+      |  CAST(vocab + CASE WHEN f2 > 0
+      |    THEN CAST(f1 AS HUGEINT) * f1 // (2 * f2)
+      |    ELSE CAST(f1 AS HUGEINT) * (f1 - 1) // 2 END AS BIGINT) AS chao1_est,
+      |  CAST(1000000 - CAST(f1 AS HUGEINT) * 1000000 // n_tok AS BIGINT)
+      |    AS gt_coverage_e6
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q322_mcnemar" -> q322McNemar,
+    "q323_chao1" -> q323Chao1,
     "q320_capture_recapture" -> q320CaptureRecapture,
     "q293_bm25" -> q293Bm25,
     "q278_source_entropy" -> q278SourceEntropy,
@@ -2119,6 +2229,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q322_mcnemar" -> q322Sql,
+    "q323_chao1" -> q323Sql,
     "q320_capture_recapture" -> q320Sql,
     "q293_bm25" -> q293Sql,
     "q278_source_entropy" -> q278Sql,
