@@ -5686,7 +5686,124 @@ object EventQueries {
        |FROM folds""".stripMargin
   }
 
+  // --------------------- q325: population stability index (PSI) drift
+
+  /** q325: PSI — the binned drift metric production scoring pipelines
+    * actually alert on (q161's total variation weighs all mass moves
+    * equally; PSI's log weight punishes moves into near-empty bins, which
+    * is what breaks models): purchase values binned by the PRE-period
+    * deciles (portable percentile_disc cutpoints), then per bin
+    *
+    *   PSI₂_bin = (s_post − s_pre) · log2(s_post / s_pre)
+    *
+    * in e6 fixed point over the portable log2 — base-2 throughout and
+    * named so (ln-based PSI is this × ln2). Shares clamp at 1 ppm so an
+    * emptied bin contributes large-but-finite evidence; the two factors
+    * always share a sign, so the product needs no sign-factoring. The
+    * summary row rides along as bin = −1.
+    *
+    * Plan: one pre-period pass for the cutpoints (broadcast), one full
+    * pass binning via 9 integer comparisons, a 10-row rollup.
+    */
+  val q325Psi: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val staged = e.crossJoin(broadcast(mid))
+      .select(col("v"), (col("day") >= col("midday")).cast("long").as("post"))
+    val cutCols = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as(s"c$i"))
+    val cuts = staged.filter(col("post") === 0L)
+      .agg(cutCols.head, cutCols.tail: _*)
+    val binExpr = (1 to 9).map(i => s"CAST(v > c$i AS INT)").mkString(" + ")
+    val bins = staged.crossJoin(broadcast(cuts))
+      .select(expr(binExpr).cast("long").as("bin"), col("post"))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("post")).as("n_pre"),
+        sum(col("post")).as("n_post"))
+    val totals = bins.agg(sum(col("n_pre")).cast(dec).as("t_pre"),
+      sum(col("n_post")).cast(dec).as("t_post"))
+    val scored = bins.crossJoin(broadcast(totals))
+      .withColumn("s_pre_e6", greatest(lit(1L).cast(dec),
+        expr(fdiv("n_pre * 1000000", "t_pre"))))
+      .withColumn("s_post_e6", greatest(lit(1L).cast(dec),
+        expr(fdiv("n_post * 1000000", "t_post"))))
+      .withColumn("psi2_bin_e6", expr(fdiv(
+        s"ABS(s_post_e6 - s_pre_e6) * ABS(" +
+          Text.log2e6SparkSql("CAST(s_post_e6 AS BIGINT)") + " - " +
+          Text.log2e6SparkSql("CAST(s_pre_e6 AS BIGINT)") + ")",
+        "1000000")))
+    scored.select(col("bin"), col("n_pre"), col("n_post"),
+        col("s_pre_e6").cast("long").as("s_pre_e6"),
+        col("s_post_e6").cast("long").as("s_post_e6"),
+        col("psi2_bin_e6").cast("long").as("psi2_bin_e6"))
+      .unionByName(scored.agg(sum(col("n_pre")).as("n_pre"),
+        sum(col("n_post")).as("n_post"),
+        sum(col("psi2_bin_e6")).cast("long").as("psi2_bin_e6"))
+        .select(lit(-1L).as("bin"), col("n_pre"), col("n_post"),
+          lit(1000000L).as("s_pre_e6"), lit(1000000L).as("s_post_e6"),
+          col("psi2_bin_e6")))
+      .orderBy(col("bin"))
+  }
+
+  val q325Sql: String = {
+    val binExpr = (1 to 9).map(i => s"CAST(v > c$i AS INT)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT CAST(ROUND(value*100) AS BIGINT) AS v,
+       |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+       |  FROM events WHERE event_type = 'purchase'),
+       |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+       |staged AS (
+       |  SELECT v, CASE WHEN day >= midday THEN 1 ELSE 0 END AS post
+       |  FROM e CROSS JOIN mid),
+       |cuts AS (
+       |  SELECT ${(1 to 9).map(i =>
+            s"CAST(percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c$i")
+            .mkString(", ")}
+       |  FROM staged WHERE post = 0),
+       |bins AS (
+       |  SELECT $binExpr AS bin,
+       |    CAST(SUM(1 - post) AS BIGINT) AS n_pre,
+       |    CAST(SUM(post) AS BIGINT) AS n_post
+       |  FROM staged CROSS JOIN cuts
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(n_pre) AS HUGEINT) AS t_pre,
+       |    CAST(SUM(n_post) AS HUGEINT) AS t_post
+       |  FROM bins),
+       |scored AS (
+       |  SELECT bin, n_pre, n_post,
+       |    GREATEST(1, CAST(n_pre AS HUGEINT) * 1000000 // t_pre) AS s_pre_e6,
+       |    GREATEST(1, CAST(n_post AS HUGEINT) * 1000000 // t_post) AS s_post_e6
+       |  FROM bins CROSS JOIN tot),
+       |psi AS (
+       |  SELECT bin, n_pre, n_post, s_pre_e6, s_post_e6,
+       |    ABS(s_post_e6 - s_pre_e6) * ABS(
+       |      ${Text.log2e6DuckSql("CAST(s_post_e6 AS BIGINT)")} -
+       |      ${Text.log2e6DuckSql("CAST(s_pre_e6 AS BIGINT)")})
+       |      // 1000000 AS psi2_bin_e6
+       |  FROM scored)
+       |SELECT CAST(bin AS BIGINT) AS bin, n_pre, n_post,
+       |  CAST(s_pre_e6 AS BIGINT) AS s_pre_e6,
+       |  CAST(s_post_e6 AS BIGINT) AS s_post_e6,
+       |  CAST(psi2_bin_e6 AS BIGINT) AS psi2_bin_e6
+       |FROM psi
+       |UNION ALL
+       |SELECT -1, CAST(SUM(n_pre) AS BIGINT), CAST(SUM(n_post) AS BIGINT),
+       |  1000000, 1000000, CAST(SUM(psi2_bin_e6) AS BIGINT)
+       |FROM psi
+       |ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q325_psi_drift" -> q325Psi,
     "q319_periodogram" -> q319Periodogram,
     "q318_als_step" -> q318AlsStep,
     "q317_sprt" -> q317Sprt,
@@ -5769,6 +5886,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q325_psi_drift" -> q325Sql,
     "q319_periodogram" -> q319Sql,
     "q318_als_step" -> q318Sql,
     "q317_sprt" -> q317Sql,

@@ -1441,7 +1441,125 @@ object SimilarityQueries {
        |FROM fin""".stripMargin
   }
 
+  // --------------------- q326: Moran's I spatial autocorrelation
+
+  /** Grid-cell width (e4 embedding units) for q326's lattice. */
+  private val MoranCellW = 2000L
+
+  /** q326: Moran's I — ARE the embeddings spatially clumped, or spread
+    * like noise? Spatial autocorrelation of grid-cell densities on the
+    * (dim0, dim1) plane: the complete lattice (empty cells included —
+    * omitting them biases I upward), rook adjacency, and
+    *
+    *   I = n·Σᵢ x̃ᵢ·(Σ_{j∈nbr(i)} x̃ⱼ) / (W·Σ x̃²)
+    *
+    * with x̃ = n·x − Σx (the q319 n-scaled exact centering) and W the
+    * adjacent-pair count. One signed truncating division; E[I] = −1/(n−1)
+    * rides along as the null reference. Positive I = density clumps
+    * (clusterable structure), ≈ E[I] = spatial noise — the
+    * cheap-to-monitor precursor to running q282/q299 at all.
+    *
+    * Plan: one posexplode-free pass (two element_at's) → cell rollup →
+    * lattice spine (bounds broadcast) → neighbor-sum via the 4-offset
+    * explode joined on the cell key (the q299 discipline) → 1-row fold.
+    */
+  val q326MoransI: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(n: String, d: String) =
+      s"""(CASE WHEN (($n) < 0) != (($d) < 0) THEN -1 ELSE 1 END *
+         | (ABS(CAST(($n) AS DECIMAL(38,0)))
+         |  div ABS(CAST(($d) AS DECIMAL(38,0)))))"""
+        .stripMargin.replace("\n", " ")
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cells = Tables.embeddings(s, dir)
+      .select(
+        expr(s"(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 10000)" +
+          s" AS BIGINT) + 1000000) div $MoranCellW").as("cx"),
+        expr(s"(CAST(ROUND(CAST(element_at(embedding, 2) AS DOUBLE) * 10000)" +
+          s" AS BIGINT) + 1000000) div $MoranCellW").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cnt"))
+    val bounds = cells.agg(min(col("cx")).as("x0"), max(col("cx")).as("x1"),
+      min(col("cy")).as("y0"), max(col("cy")).as("y1"))
+    val lattice = bounds
+      .select(explode(expr("sequence(x0, x1)")).as("cx"),
+        col("y0"), col("y1"))
+      .select(col("cx"), explode(expr("sequence(y0, y1)")).as("cy"))
+      .join(cells, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val scal = lattice.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"))
+    val centered = lattice.crossJoin(broadcast(scal))
+      .select(col("cx"), col("cy"),
+        (col("n") * col("x") - col("sx")).as("xt"), col("n"))
+    val nbrSum = centered
+      .select(col("cx"), col("cy"), col("xt"),
+        explode(expr("array(struct(cx + 1 AS nx, cy AS ny)," +
+          " struct(cx - 1 AS nx, cy AS ny), struct(cx AS nx, cy + 1 AS ny)," +
+          " struct(cx AS nx, cy - 1 AS ny))")).as("nb"))
+      .select(col("nb.nx").as("cx2"), col("nb.ny").as("cy2"), col("xt"))
+      .join(centered.select(col("cx").as("cx2"), col("cy").as("cy2"),
+        col("xt").as("xt2")), Seq("cx2", "cy2"))
+    val cross = nbrSum.agg(
+      sum(col("xt").cast(dec) * col("xt2")).as("s_cross"),
+      count(lit(1)).cast(dec).as("w_pairs"))
+    val sxx = centered.agg(sum(col("xt").cast(dec) * col("xt")).as("s_xx"),
+      max(col("n")).as("n"))
+    sxx.crossJoin(broadcast(cross))
+      .select(col("n").cast("long").as("n_cells"),
+        col("w_pairs").cast("long").as("w_pairs"),
+        expr(sdiv("n * s_cross * 1000000", "w_pairs * s_xx")).cast("long")
+          .as("morans_i_e6"),
+        (-expr(fdiv("1000000", "n - 1"))).cast("long").as("expected_i_e6"))
+  }
+
+  val q326Sql: String =
+    s"""WITH cells AS (
+       |  SELECT
+       |    (CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+       |      + 1000000) // $MoranCellW AS cx,
+       |    (CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT)
+       |      + 1000000) // $MoranCellW AS cy,
+       |    COUNT(*) AS cnt
+       |  FROM embeddings GROUP BY 1, 2),
+       |b AS (SELECT MIN(cx) AS x0, MAX(cx) AS x1, MIN(cy) AS y0,
+       |  MAX(cy) AS y1 FROM cells),
+       |lattice AS (
+       |  SELECT gx.cx, gy.cy, COALESCE(cnt, 0) AS x
+       |  FROM (SELECT UNNEST(GENERATE_SERIES(x0, x1)) AS cx FROM b) gx
+       |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(y0, y1)) AS cy FROM b) gy
+       |  LEFT JOIN cells ON gx.cx = cells.cx AND gy.cy = cells.cy),
+       |scal AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx
+       |  FROM lattice),
+       |centered AS (
+       |  SELECT cx, cy, n * x - sx AS xt, n
+       |  FROM lattice CROSS JOIN scal),
+       |nbr_off AS (
+       |  SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)),
+       |nbr AS (
+       |  SELECT c1.xt AS xt, c2.xt AS xt2
+       |  FROM centered c1 CROSS JOIN nbr_off
+       |  JOIN centered c2 ON c1.cx + dx = c2.cx AND c1.cy + dy = c2.cy),
+       |cross_f AS (
+       |  SELECT SUM(CAST(xt AS HUGEINT) * xt2) AS s_cross,
+       |    CAST(COUNT(*) AS HUGEINT) AS w_pairs
+       |  FROM nbr),
+       |sxx AS (
+       |  SELECT SUM(CAST(xt AS HUGEINT) * xt) AS s_xx, MAX(n) AS n
+       |  FROM centered)
+       |SELECT CAST(n AS BIGINT) AS n_cells,
+       |  CAST(w_pairs AS BIGINT) AS w_pairs,
+       |  CAST((CASE WHEN ((n * s_cross * 1000000) < 0)
+       |        != ((w_pairs * s_xx) < 0) THEN -1 ELSE 1 END) *
+       |    (ABS(n * s_cross * 1000000) // ABS(w_pairs * s_xx)) AS BIGINT)
+       |    AS morans_i_e6,
+       |  CAST(-(1000000 // (n - 1)) AS BIGINT) AS expected_i_e6
+       |FROM sxx CROSS JOIN cross_f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q326_morans_i" -> q326MoransI,
     "q324_adjusted_rand" -> q324AdjustedRand,
     "q299_dbscan_census" -> q299DbscanCensus,
     "q303_silhouette" -> q303Silhouette,
@@ -1584,6 +1702,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q326_morans_i" -> q326Sql,
     "q324_adjusted_rand" -> q324Sql,
     "q299_dbscan_census" -> q299Sql,
     "q303_silhouette" -> q303Sql,
