@@ -596,6 +596,25 @@ class PlansSpec extends SparkSpec {
       s"the user-factor join keys on user_id; Σu² broadcasts:\n$a")
   }
 
+  test("q319/q321/q325: constants inline, folds combine map-side, no UDF") {
+    val p = plan("q319_periodogram")
+    assert(p.contains("partial_sum"), "trig folds must map-side combine")
+    assert(!p.contains("ScalaUDF"), "trig must be inlined CASE literals")
+    val q = plan("q321_pacf")
+    assert(!q.contains("ScalaUDF") && !q.contains("CartesianProduct"), q)
+    val r = plan("q325_psi_drift")
+    assert(r.contains("BroadcastHashJoin") || r.contains("BroadcastNestedLoopJoin"),
+      s"decile cutpoints must broadcast:\n$r")
+    assert(!r.contains("ScalaUDF"), "log2 must stay inlined")
+  }
+
+  test("q326: lattice neighbor join keys on cells; checkpoint feeds both folds") {
+    val p = plan("q326_morans_i")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"neighbors must equi-join:\n$p")
+  }
+
   test("q307: Pettitt walk runs over the day rollup with a broadcast scalar") {
     val p = plan("q307_pettitt_changepoint")
     assert(p.contains("partial_sum"), "day rollup must map-side combine")
