@@ -1834,7 +1834,113 @@ object AuditQueries {
       |WHERE ABS(u2) = k2
       |GROUP BY n, k2""".stripMargin
 
+  // ------------------ q327: Kendall tau-b from the 2D contingency
+
+  /** q327: Kendall's τ-b between quantity and price — the third rank
+    * correlation next to Pearson (q117) and Spearman (q271), and the one
+    * whose naive form is an O(n²) pair scan. Both variables discretize
+    * (quantity is already 1..50; price through its decile cutpoints), so
+    * concordant/discordant pair counts fold EXACTLY from the ≤ 500-cell
+    * contingency via 2D prefix sums:
+    *
+    *   C = Σ nᵢⱼ·nᵢ′ⱼ′ over i′>i, j′>j,   D = over i′>i, j′<j
+    *
+    * via the cell PAIR join — ≤ 500² metadata rows, never corpus pairs.
+    * τ-b = (C−D)/√((T₀−T₁)(T₀−T₂)) applies the tie corrections from the
+    * marginals and is one
+    * fixed IEEE expression over exact integers (the q117 rule); pair
+    * counts stay in DECIMAL(38,0) (≈ n²/2). Binning y is part of the
+    * operator's contract (exact τ-b on continuous y is inherently
+    * pairwise); the bins are the same portable percentile_disc deciles
+    * the q224 normalization map uses.
+    *
+    * Plan: one cutpoint pass (broadcast), one fact pass → contingency
+    * rollup; everything after runs on ≤ 500 rows.
+    */
+  val q327KendallTau: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .select(expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
+        cents(col("l_extendedprice")).as("p"))
+    val cutCols = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY p)")
+        .cast("long").as(s"c$i"))
+    val cuts = li.agg(cutCols.head, cutCols.tail: _*)
+    val binExpr = (1 to 9).map(i => s"CAST(p > c$i AS INT)").mkString(" + ")
+    val cells = li.crossJoin(broadcast(cuts))
+      .select(col("x"), expr(binExpr).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val scal = cells.agg(sum(col("n")).cast(dec).as("t"))
+    val rm = cells.groupBy(col("x")).agg(sum(col("n")).as("rmarg"))
+      .agg(sum(col("rmarg").cast(dec) * (col("rmarg") - 1)).as("t1_2"))
+    val cm = cells.groupBy(col("y")).agg(sum(col("n")).as("cmarg"))
+      .agg(sum(col("cmarg").cast(dec) * (col("cmarg") - 1)).as("t2_2"))
+    // C and D fold from the cell PAIR join — ≤ 500² = 250k rows of
+    // metadata, never corpus pairs; the contingency is what made the
+    // quadratic affordable
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("n").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("n").as("nb"))
+    val pairs = a.join(b, col("xb") > col("xa"))
+      .select(col("na"), col("nb"),
+        when(col("yb") > col("ya"), 1L).when(col("yb") < col("ya"), -1L)
+          .otherwise(0L).as("sgn"))
+      .agg(sum(when(col("sgn") === 1L,
+          col("na").cast(dec) * col("nb")).otherwise(lit(0L).cast(dec)))
+          .as("c_pairs"),
+        sum(when(col("sgn") === -1L,
+          col("na").cast(dec) * col("nb")).otherwise(lit(0L).cast(dec)))
+          .as("d_pairs"))
+    pairs.crossJoin(broadcast(scal)).crossJoin(broadcast(rm))
+      .crossJoin(broadcast(cm))
+      .select(col("t").cast("long").as("n_rows"),
+        col("c_pairs").cast("long").as("c_pairs"),
+        col("d_pairs").cast("long").as("d_pairs"),
+        ((col("c_pairs") - col("d_pairs")).cast("double") /
+          (sqrt((col("t") * (col("t") - 1) - col("t1_2")).cast("double")) *
+            sqrt((col("t") * (col("t") - 1) - col("t2_2")).cast("double")) / 2))
+          .as("tau_b"))
+  }
+
+  val q327Sql: String = {
+    val binExpr = (1 to 9).map(i => s"CAST(p > c$i AS INT)").mkString(" + ")
+    s"""WITH li AS (
+       |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+       |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p
+       |  FROM lineitem),
+       |cuts AS (
+       |  SELECT ${(1 to 9).map(i =>
+            s"CAST(percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY p) AS BIGINT) AS c$i")
+            .mkString(", ")}
+       |  FROM li),
+       |cells AS (
+       |  SELECT x, $binExpr AS y, COUNT(*) AS n
+       |  FROM li CROSS JOIN cuts GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT
+       |    SUM(CASE WHEN b.y > a.y THEN CAST(a.n AS HUGEINT) * b.n
+       |        ELSE 0 END) AS c_pairs,
+       |    SUM(CASE WHEN b.y < a.y THEN CAST(a.n AS HUGEINT) * b.n
+       |        ELSE 0 END) AS d_pairs
+       |  FROM cells a JOIN cells b ON b.x > a.x),
+       |scal AS (SELECT CAST(SUM(n) AS HUGEINT) AS t FROM cells),
+       |rm AS (
+       |  SELECT SUM(CAST(rmarg AS HUGEINT) * (rmarg - 1)) AS t1_2
+       |  FROM (SELECT x, SUM(n) AS rmarg FROM cells GROUP BY x)),
+       |cm AS (
+       |  SELECT SUM(CAST(cmarg AS HUGEINT) * (cmarg - 1)) AS t2_2
+       |  FROM (SELECT y, SUM(n) AS cmarg FROM cells GROUP BY y))
+       |SELECT CAST(t AS BIGINT) AS n_rows,
+       |  CAST(c_pairs AS BIGINT) AS c_pairs,
+       |  CAST(d_pairs AS BIGINT) AS d_pairs,
+       |  CAST(CAST(c_pairs - d_pairs AS VARCHAR) AS DOUBLE) /
+       |    (sqrt(CAST(CAST(t * (t - 1) - t1_2 AS VARCHAR) AS DOUBLE)) *
+       |     sqrt(CAST(CAST(t * (t - 1) - t2_2 AS VARCHAR) AS DOUBLE)) / 2)
+       |    AS tau_b
+       |FROM pairs CROSS JOIN scal CROSS JOIN rm CROSS JOIN cm""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q327_kendall_tau" -> q327KendallTau,
     "q307_pettitt_changepoint" -> q307Pettitt,
     "q294_powerlaw_fit" -> q294PowerlawFit,
     "q295_mann_whitney" -> q295MannWhitney,
@@ -1858,6 +1964,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q327_kendall_tau" -> q327Sql,
     "q307_pettitt_changepoint" -> q307Sql,
     "q294_powerlaw_fit" -> q294Sql,
     "q295_mann_whitney" -> q295Sql,
