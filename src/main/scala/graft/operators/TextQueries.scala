@@ -2190,7 +2190,98 @@ object TextQueries {
       |    AS gt_coverage_e6
       |FROM agg""".stripMargin
 
+  // ----------------- q328: raking (IPF) training-mix reweighting
+
+  /** q328: iterative proportional fitting — per-document weights that
+    * pull BOTH the source marginal and the language marginal of the
+    * corpus toward uniform targets at once, the survey-statistics raking
+    * that training-mix rebalancing actually is (q86's temperature
+    * resample reshapes ONE marginal by dropping documents; raking
+    * reweights on two, keeping everything). Two sweeps unrolled on the
+    * (source, lang) cell rollup:
+    *
+    *   w¹ = w⁰·t_s/Σ_l n·w⁰,   w² = w¹·t_l/Σ_s n·w¹
+    *
+    * in e6 fixed point (each sweep one floor division per factor, one per
+    * cell — defined arithmetic, mirrored). The report carries the
+    * residual row-marginal error after the column sweep — the quantity
+    * further sweeps would shrink — so convergence is visible, not
+    * asserted.
+    *
+    * Plan: one corpus pass → |sources|·|langs| cell rollup; both sweeps
+    * and the error fold are metadata-sized joins on broadcast marginals.
+    */
+  val q328Raking: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val scal = cells.agg(sum(col("n")).cast(dec).as("n_all"),
+      countDistinct(col("source")).cast(dec).as("n_src"),
+      countDistinct(col("lang")).cast(dec).as("n_lang"))
+    val base = cells.crossJoin(broadcast(scal))
+      .withColumn("t_s_e6", expr(fdiv("n_all * 1000000", "n_src")))
+      .withColumn("t_l_e6", expr(fdiv("n_all * 1000000", "n_lang")))
+      .withColumn("w0", lit(1000000L).cast(dec))
+    val rowFac = base.groupBy(col("source"))
+      .agg(expr(fdiv("MAX(t_s_e6) * 1000000", "SUM(n * w0)")).as("f_s_e6"))
+    val w1 = base.join(broadcast(rowFac), Seq("source"))
+      .withColumn("w1", expr(fdiv("w0 * f_s_e6", "1000000")))
+    val colFac = w1.groupBy(col("lang"))
+      .agg(expr(fdiv("MAX(t_l_e6) * 1000000", "SUM(n * w1)")).as("f_l_e6"))
+    val w2 = w1.join(broadcast(colFac), Seq("lang"))
+      .withColumn("w2", expr(fdiv("w1 * f_l_e6", "1000000")))
+    val rowErr = w2.groupBy(col("source"))
+      .agg(expr(fdiv("ABS(SUM(n * w2) - MAX(t_s_e6)) * 1000000",
+        "MAX(t_s_e6)")).as("row_err_ppm"))
+    w2.join(broadcast(rowErr), Seq("source"))
+      .select(col("source"), col("lang"), col("n").as("n_docs"),
+        col("w2").cast("long").as("w_e6"),
+        col("row_err_ppm").cast("long").as("row_err_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q328Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS n
+      |  FROM documents GROUP BY source, lang),
+      |scal AS (
+      |  SELECT CAST(SUM(n) AS HUGEINT) AS n_all,
+      |    CAST(COUNT(DISTINCT source) AS HUGEINT) AS n_src,
+      |    CAST(COUNT(DISTINCT lang) AS HUGEINT) AS n_lang
+      |  FROM cells),
+      |base AS (
+      |  SELECT source, lang, n,
+      |    n_all * 1000000 // n_src AS t_s_e6,
+      |    n_all * 1000000 // n_lang AS t_l_e6,
+      |    CAST(1000000 AS HUGEINT) AS w0
+      |  FROM cells CROSS JOIN scal),
+      |row_fac AS (
+      |  SELECT source, MAX(t_s_e6) * 1000000 // SUM(n * w0) AS f_s_e6
+      |  FROM base GROUP BY source),
+      |w1 AS (
+      |  SELECT base.*, w0 * f_s_e6 // 1000000 AS w1
+      |  FROM base JOIN row_fac USING (source)),
+      |col_fac AS (
+      |  SELECT lang, MAX(t_l_e6) * 1000000 // SUM(n * w1) AS f_l_e6
+      |  FROM w1 GROUP BY lang),
+      |w2 AS (
+      |  SELECT w1.*, w1 * f_l_e6 // 1000000 AS w2
+      |  FROM w1 JOIN col_fac USING (lang)),
+      |row_err AS (
+      |  SELECT source,
+      |    ABS(SUM(n * w2) - MAX(t_s_e6)) * 1000000 // MAX(t_s_e6)
+      |      AS row_err_ppm
+      |  FROM w2 GROUP BY source)
+      |SELECT w2.source, lang, CAST(n AS BIGINT) AS n_docs,
+      |  CAST(w2 AS BIGINT) AS w_e6,
+      |  CAST(row_err_ppm AS BIGINT) AS row_err_ppm
+      |FROM w2 JOIN row_err ON w2.source = row_err.source
+      |ORDER BY w2.source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q328_raking" -> q328Raking,
     "q322_mcnemar" -> q322McNemar,
     "q323_chao1" -> q323Chao1,
     "q320_capture_recapture" -> q320CaptureRecapture,
@@ -2229,6 +2320,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q328_raking" -> q328Sql,
     "q322_mcnemar" -> q322Sql,
     "q323_chao1" -> q323Sql,
     "q320_capture_recapture" -> q320Sql,
