@@ -5802,7 +5802,212 @@ object EventQueries {
        |ORDER BY bin""".stripMargin
   }
 
+  // ----------------- q329: quintile mobility matrix + Shorrocks index
+
+  /** q329: rank mobility — do users move between spend quintiles from the
+    * pre to the post period, or is the hierarchy frozen? The row-
+    * stochastic quintile transition matrix (each period binned by its OWN
+    * portable percentile_disc cutpoints — rank mobility, not level
+    * change) plus Shorrocks' index M = (k − tr P)/(k − 1): 0 = everyone
+    * stays put, 10⁶ ≈ perfect churn. Cell shares and the trace fold in
+    * e6 exact integers; the summary rides as the (−1, −1) row.
+    *
+    * Plan: one event pass → user rollup (the corpus shuffle) → two
+    * broadcast cutpoint rows → a 25-cell rollup.
+    */
+  val q329Mobility: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val pu = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("midday"), col("v")).otherwise(0L))
+          .as("pre"),
+        sum(when(col("day") >= col("midday"), col("v")).otherwise(0L))
+          .as("post"))
+    def cutsOf(c: String) = {
+      val cols = (1 to 4).map(i =>
+        expr(s"percentile_disc(0.${i * 2}0) WITHIN GROUP (ORDER BY $c)")
+          .cast("long").as(s"${c}_c$i"))
+      pu.agg(cols.head, cols.tail: _*)
+    }
+    def binExpr(c: String) =
+      (1 to 4).map(i => s"CAST($c > ${c}_c$i AS INT)").mkString(" + ")
+    val binned = pu.crossJoin(broadcast(cutsOf("pre")))
+      .crossJoin(broadcast(cutsOf("post")))
+      .select(expr(binExpr("pre")).cast("long").as("pre_bin"),
+        expr(binExpr("post")).cast("long").as("post_bin"))
+    val cellsM = binned.groupBy(col("pre_bin"), col("post_bin"))
+      .agg(count(lit(1)).as("n_users"))
+    val rows = cellsM.groupBy(col("pre_bin")).agg(sum(col("n_users")).as("rn"))
+    val scored = cellsM.join(broadcast(rows), Seq("pre_bin"))
+      .withColumn("p_e6", expr(fdiv("n_users * 1000000", "rn")))
+    val trace = scored.filter(col("pre_bin") === col("post_bin"))
+      .agg(sum(col("p_e6")).as("tr_e6"), sum(lit(0L)).as("z"))
+    val total = scored.agg(sum(col("n_users")).as("n_all"))
+    scored.select(col("pre_bin"), col("post_bin"), col("n_users"),
+        col("p_e6").cast("long").as("p_e6"))
+      .unionByName(trace.crossJoin(broadcast(total))
+        .select(lit(-1L).as("pre_bin"), lit(-1L).as("post_bin"),
+          col("n_all").as("n_users"),
+          expr(fdiv("(5000000 - tr_e6) * 1000000", "4000000")).cast("long")
+            .as("p_e6")))
+      .orderBy(col("pre_bin"), col("post_bin"))
+  }
+
+  val q329Sql: String = {
+    def binExpr(c: String) =
+      (1 to 4).map(i => s"CAST($c > ${c}_c$i AS INT)").mkString(" + ")
+    def cuts(c: String) = (1 to 4).map(i =>
+      s"CAST(percentile_disc(0.${i * 2}0) WITHIN GROUP (ORDER BY $c)" +
+        s" AS BIGINT) AS ${c}_c$i").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+       |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+       |  FROM events WHERE event_type = 'purchase'),
+       |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+       |pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN day < midday THEN v ELSE 0 END) AS pre,
+       |    SUM(CASE WHEN day >= midday THEN v ELSE 0 END) AS post
+       |  FROM e CROSS JOIN mid GROUP BY user_id),
+       |pc AS (SELECT ${cuts("pre")} FROM pu),
+       |qc AS (SELECT ${cuts("post")} FROM pu),
+       |binned AS (
+       |  SELECT ${binExpr("pre")} AS pre_bin, ${binExpr("post")} AS post_bin
+       |  FROM pu CROSS JOIN pc CROSS JOIN qc),
+       |cells AS (
+       |  SELECT pre_bin, post_bin, COUNT(*) AS n_users
+       |  FROM binned GROUP BY pre_bin, post_bin),
+       |rows_m AS (SELECT pre_bin, SUM(n_users) AS rn FROM cells GROUP BY pre_bin),
+       |scored AS (
+       |  SELECT pre_bin, post_bin, n_users,
+       |    CAST(n_users AS HUGEINT) * 1000000 // rn AS p_e6
+       |  FROM cells JOIN rows_m USING (pre_bin)),
+       |tr AS (
+       |  SELECT CAST(SUM(CASE WHEN pre_bin = post_bin THEN p_e6 ELSE 0 END)
+       |    AS HUGEINT) AS tr_e6, CAST(SUM(n_users) AS BIGINT) AS n_all
+       |  FROM scored)
+       |SELECT CAST(pre_bin AS BIGINT) AS pre_bin,
+       |  CAST(post_bin AS BIGINT) AS post_bin,
+       |  CAST(n_users AS BIGINT) AS n_users, CAST(p_e6 AS BIGINT) AS p_e6
+       |FROM scored
+       |UNION ALL
+       |SELECT -1, -1, n_all,
+       |  CAST((5000000 - tr_e6) * 1000000 // 4000000 AS BIGINT)
+       |FROM tr
+       |ORDER BY pre_bin, post_bin""".stripMargin
+  }
+
+  // ------------------ q330: split-conformal interval calibration audit
+
+  /** Nominal coverage (ppm) of the q330 conformal band. */
+  val ConformalNominalE6 = 900000L
+
+  /** q330: split conformal prediction — the distribution-free interval
+    * recipe modern forecasting stacks wrap around ANY point model, here
+    * the day-of-week mean from the CALIBRATION half of the day spine:
+    * nonconformity = |actual − dow mean|, q̂ = the ⌈(n+1)·0.9⌉-th smallest
+    * calibration score (the exact finite-sample quantile, selected
+    * relationally from the score rollup's below-counts — q290's device),
+    * and the audit = the TEST-half coverage of [μ_dow ± q̂] next to the
+    * nominal 90%. Conformal's marginal-coverage guarantee is
+    * finite-sample and assumption-free — which is exactly why the audit
+    * column belongs in the output. Integer throughout (means floor at
+    * e6; scores compare in the same units).
+    *
+    * Plan: one event pass → |days| rollup; calibration means, the score
+    * rollup and the selection all run on metadata frames.
+    */
+  val q330Conformal: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+    val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("a"))
+    val mid = byDay.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val marked = byDay.crossJoin(broadcast(mid))
+      .select(col("day"), col("a"), expr("day % 7").as("dow"),
+        (col("day") >= col("midday")).cast("long").as("is_test"))
+    val dowMeans = marked.filter(col("is_test") === 0L)
+      .groupBy(col("dow"))
+      .agg(expr(fdiv("SUM(a) * 1000000", "COUNT(1)")).as("mu_e6"))
+    val scoredAll = marked.join(broadcast(dowMeans), Seq("dow"))
+      .select(col("day"), col("is_test"),
+        abs(col("a") * 1000000L - col("mu_e6")).as("score"))
+    val cal = scoredAll.filter(col("is_test") === 0L)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val byScore = cal.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val qhat = byScore
+      .withColumn("below", coalesce(sum(col("cnt")).over(W), lit(0L)))
+      .crossJoin(broadcast(nCal))
+      // rank target = ⌈(n+1)·0.9⌉ (capped at n), the split-conformal
+      // finite-sample quantile
+      .withColumn("target",
+        least(expr("CAST(((n_cal + 1) * 9 + 9) div 10 AS BIGINT)"),
+          col("n_cal")))
+      .filter(col("below") < col("target") &&
+        col("target") <= col("below") + col("cnt"))
+      .select(col("score").as("qhat_e6"), col("n_cal"))
+    scoredAll.filter(col("is_test") === 1L)
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).cast("long").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("qhat_e6")).cast("long").as("qhat_e6"),
+        expr(fdiv("SUM(CAST(score <= qhat_e6 AS INT)) * 1000000", "COUNT(1)"))
+          .cast("long").as("coverage_e6"))
+      .withColumn("nominal_e6", lit(ConformalNominalE6))
+  }
+
+  val q330Sql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day FROM events),
+       |by_day AS (SELECT day, COUNT(*) AS a FROM e GROUP BY day),
+       |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM by_day),
+       |marked AS (
+       |  SELECT day, a, day % 7 AS dow,
+       |    CASE WHEN day >= midday THEN 1 ELSE 0 END AS is_test
+       |  FROM by_day CROSS JOIN mid),
+       |dow_means AS (
+       |  SELECT dow, CAST(SUM(a) AS HUGEINT) * 1000000 // COUNT(*) AS mu_e6
+       |  FROM marked WHERE is_test = 0 GROUP BY dow),
+       |scored AS (
+       |  SELECT day, is_test, ABS(a * 1000000 - mu_e6) AS score
+       |  FROM marked JOIN dow_means USING (dow)),
+       |n_cal AS (SELECT COUNT(*) AS n_cal FROM scored WHERE is_test = 0),
+       |by_score AS (
+       |  SELECT score, COUNT(*) AS cnt FROM scored WHERE is_test = 0
+       |  GROUP BY score),
+       |qhat AS (
+       |  SELECT score AS qhat_e6, n_cal FROM (
+       |    SELECT score, cnt, n_cal,
+       |      COALESCE(SUM(cnt) OVER (ORDER BY score
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+       |      LEAST(((n_cal + 1) * 9 + 9) // 10, n_cal) AS target
+       |    FROM by_score CROSS JOIN n_cal) t
+       |  WHERE below < target AND target <= below + cnt)
+       |SELECT CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+       |  COUNT(*) AS n_test,
+       |  CAST(MAX(qhat_e6) AS BIGINT) AS qhat_e6,
+       |  CAST(SUM(CASE WHEN score <= qhat_e6 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS coverage_e6,
+       |  CAST($ConformalNominalE6 AS BIGINT) AS nominal_e6
+       |FROM scored CROSS JOIN qhat
+       |WHERE is_test = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q329_mobility" -> q329Mobility,
+    "q330_conformal" -> q330Conformal,
     "q325_psi_drift" -> q325Psi,
     "q319_periodogram" -> q319Periodogram,
     "q318_als_step" -> q318AlsStep,
@@ -5886,6 +6091,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q329_mobility" -> q329Sql,
+    "q330_conformal" -> q330Sql,
     "q325_psi_drift" -> q325Sql,
     "q319_periodogram" -> q319Sql,
     "q318_als_step" -> q318Sql,
