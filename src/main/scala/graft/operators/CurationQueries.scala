@@ -1748,7 +1748,85 @@ object CurationQueries {
        |    AS BIGINT) AS brier_e12
        |FROM bins""".stripMargin
 
+  // ------------- q331: binned cross-entropy + Hosmer-Lemeshow statistic
+
+  /** log2(10⁶)·10⁶, the fixed-point rebase constant for probabilities
+    * stored at e6 (plan-build libm, inlined identically in both engines).
+    */
+  val Log2MillionE6: Long =
+    Math.round(Math.log(1e6) / Math.log(2.0) * 1e6)
+
+  /** q331: the two calibration readouts q226/q267 still lacked — the
+    * binned CROSS-ENTROPY (log-loss, base 2: mean bits per document of
+    * the calibrated binwise forecaster — the proper scoring rule that
+    * punishes confident misses where Brier saturates) and the
+    * Hosmer–Lemeshow χ² = Σ (k − n·p̄)²/(n·p̄·(1−p̄)) over the same ten
+    * bins, the classical named test for "is the calibration curve
+    * consistent with the predictions". Bin probabilities clamp to
+    * [1, 10⁶−1] ppm so empty-side bins contribute large-but-finite bits;
+    * logs are the portable e6 log2 rebased by [[Log2MillionE6]];
+    * everything else is exact integer staging with one floor per term.
+    *
+    * Plan: rides q226's 10-bin rollup — nothing after the scored scan is
+    * corpus-scale; the finish is a 1-row fold.
+    */
+  val q331LoglossHl: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val bins = q226Calibration(s, dir)
+      .select(col("bin"), col("n_docs"), col("n_events"),
+        least(greatest(col("mean_phat_e6"), lit(1L)), lit(999999L))
+          .as("p_e6"))
+      .withColumn("q_e6", lit(1000000L) - col("p_e6"))
+    val terms = bins
+      .withColumn("xent_e6",
+        col("n_events") * (lit(Log2MillionE6) -
+          expr(Text.log2e6SparkSql("p_e6"))) +
+        (col("n_docs") - col("n_events")) * (lit(Log2MillionE6) -
+          expr(Text.log2e6SparkSql("q_e6"))))
+      .withColumn("hl_num",
+        ((col("n_events") * 1000000L - col("n_docs") * col("p_e6"))
+          .cast("decimal(38,0)") *
+          (col("n_events") * 1000000L - col("n_docs") * col("p_e6"))))
+      .withColumn("hl_den",
+        expr(fdiv("CAST(n_docs AS DECIMAL(38,0)) * p_e6 * q_e6", "1000000")))
+      .withColumn("hl_e6", expr(fdiv("hl_num", "hl_den")))
+    terms.agg(sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_bins"),
+        sum(col("xent_e6").cast("decimal(38,0)")).as("xent_sum"),
+        sum(col("hl_e6")).as("hl_sum"))
+      .select(col("n_total").cast("long").as("n_total"),
+        col("n_bins").cast("long").as("n_bins"),
+        expr(fdiv("xent_sum", "n_total")).cast("long")
+          .as("xent2_bits_e6"),
+        col("hl_sum").cast("long").as("hl_chi2_e6"))
+  }
+
+  val q331Sql: String =
+    s"""WITH bins0 AS ($q226Sql),
+       |bins AS (
+       |  SELECT bin, n_docs, n_events,
+       |    LEAST(GREATEST(mean_phat_e6, 1), 999999) AS p_e6,
+       |    1000000 - LEAST(GREATEST(mean_phat_e6, 1), 999999) AS q_e6
+       |  FROM bins0),
+       |terms AS (
+       |  SELECT n_docs, n_events,
+       |    n_events * ($Log2MillionE6 - ${Text.log2e6DuckSql("p_e6")})
+       |      + (n_docs - n_events)
+       |        * ($Log2MillionE6 - ${Text.log2e6DuckSql("q_e6")}) AS xent_e6,
+       |    (CAST(n_events * 1000000 - n_docs * p_e6 AS HUGEINT)
+       |      * (n_events * 1000000 - n_docs * p_e6))
+       |      // (CAST(n_docs AS HUGEINT) * p_e6 * q_e6 // 1000000) AS hl_e6
+       |  FROM bins)
+       |SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+       |  COUNT(*) AS n_bins,
+       |  CAST(SUM(CAST(xent_e6 AS HUGEINT)) // SUM(n_docs) AS BIGINT)
+       |    AS xent2_bits_e6,
+       |  CAST(SUM(hl_e6) AS BIGINT) AS hl_chi2_e6
+       |FROM terms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q331_logloss_hl" -> q331LoglossHl,
     "q267_ece" -> q267Ece,
     "q257_cdc_chunks" -> q257CdcChunks,
     "q223_readability" -> q223Readability,
@@ -1776,6 +1854,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q331_logloss_hl" -> q331Sql,
     "q267_ece" -> q267Sql,
     "q257_cdc_chunks" -> q257Sql,
     "q223_readability" -> q223Sql,
