@@ -1851,8 +1851,9 @@ object AuditQueries {
     * fixed IEEE expression over exact integers (the q117 rule); pair
     * counts stay in DECIMAL(38,0) (≈ n²/2). Binning y is part of the
     * operator's contract (exact τ-b on continuous y is inherently
-    * pairwise); the bins are the same portable percentile_disc deciles
-    * the q224 normalization map uses.
+    * pairwise); the decile cutpoints come from the two-level rank-target
+    * selection over the value rollup — the distributed exact-quantile
+    * construction — with the oracle selecting by the identical targets.
     *
     * Plan: one cutpoint pass (broadcast), one fact pass → contingency
     * rollup; everything after runs on ≤ 500 rows.
@@ -1862,10 +1863,22 @@ object AuditQueries {
     val li = Tables.lineitem(s, dir)
       .select(expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
         cents(col("l_extendedprice")).as("p"))
-    val cutCols = (1 to 9).map(i =>
-      expr(s"percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY p)")
-        .cast("long").as(s"c$i"))
-    val cuts = li.agg(cutCols.head, cutCols.tail: _*)
+    // decile cutpoints via the two-level rank selection, NOT ungrouped
+    // percentile_disc: nine sort-based aggregates over a near-unique
+    // corpus column buffer the whole column in ONE task (measured 14.7 s
+    // at sf0.1); the value rollup + bucket below-counts is the
+    // distributed exact construction (q290's device), and the oracle
+    // selects by the identical rank targets
+    val byV = li.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val ranked = doubledRankBelow(byV, Seq.empty, "p", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val cuts = ranked.crossJoin(broadcast(nAll))
+      .select(col("p"), col("below"), col("cnt"),
+        explode(expr("sequence(1, 9)")).as("i"))
+      .filter(col("below") < expr("(n_all * i + 9) div 10") &&
+        expr("(n_all * i + 9) div 10") <= col("below") + col("cnt"))
+      .groupBy().pivot("i", 1 to 9).agg(first(col("p")))
+      .select((1 to 9).map(i => col(i.toString).as(s"c$i")): _*)
     val binExpr = (1 to 9).map(i => s"CAST(p > c$i AS INT)").mkString(" + ")
     val cells = li.crossJoin(broadcast(cuts))
       .select(col("x"), expr(binExpr).cast("long").as("y"))
@@ -1907,11 +1920,22 @@ object AuditQueries {
        |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p
        |  FROM lineitem),
+       |by_v AS (SELECT p, COUNT(*) AS cnt FROM li GROUP BY p),
+       |ranked AS (
+       |  SELECT p, cnt,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+       |    SUM(cnt) OVER () AS n_all
+       |  FROM by_v),
+       |cutrows AS (
+       |  SELECT i, p FROM ranked,
+       |    (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS i) gi
+       |  WHERE below < (n_all * i + 9) // 10
+       |    AND (n_all * i + 9) // 10 <= below + cnt),
        |cuts AS (
        |  SELECT ${(1 to 9).map(i =>
-            s"CAST(percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY p) AS BIGINT) AS c$i")
-            .mkString(", ")}
-       |  FROM li),
+            s"MAX(CASE WHEN i = $i THEN p END) AS c$i").mkString(", ")}
+       |  FROM cutrows),
        |cells AS (
        |  SELECT x, $binExpr AS y, COUNT(*) AS n
        |  FROM li CROSS JOIN cuts GROUP BY 1, 2),

@@ -615,6 +615,28 @@ class PlansSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"neighbors must equi-join:\n$p")
   }
 
+  test("q327-q331: contingency folds stay metadata-side; cutpoints broadcast") {
+    val k = plan("q327_kendall_tau")
+    assert(k.contains("partial_count"), "cell rollup must map-side combine")
+    // the C/D pair join runs on the ≤500-row cell frame — the corpus never
+    // appears on either side of a non-equi join
+    assert(k.contains("BroadcastNestedLoopJoin") || k.contains("BroadcastHashJoin"),
+      s"cell pairs must broadcast, never shuffle:\n$k")
+    val r = plan("q328_raking")
+    assert(r.contains("BroadcastHashJoin"),
+      s"sweep factors must broadcast onto the cell frame:\n$r")
+    val m = plan("q329_mobility")
+    assert(m.contains("BroadcastNestedLoopJoin") || m.contains("BroadcastHashJoin"),
+      s"quintile cutpoints must broadcast:\n$m")
+    val c = plan("q330_conformal")
+    assert(c.contains("partial_count"), "day rollup must map-side combine")
+    assert(!c.contains("CartesianProduct"), c)
+    val l = plan("q331_logloss_hl")
+    assert(!l.contains("ScalaUDF"), "log2 must stay inlined")
+    assert(l.contains("partial_count") || l.contains("partial_sum"),
+      "bin rollup must map-side combine")
+  }
+
   test("q307: Pettitt walk runs over the day rollup with a broadcast scalar") {
     val p = plan("q307_pettitt_changepoint")
     assert(p.contains("partial_sum"), "day rollup must map-side combine")
