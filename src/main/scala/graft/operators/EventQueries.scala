@@ -4522,7 +4522,10 @@ object EventQueries {
         expr(fdiv("s_ae * 1000000", "n_f")).cast("long").as("mae_e6"),
         expr(fdiv("s_ape", "n_p")).cast("long").as("mape_e6"),
         expr(fdiv("s_sape", "n_s")).cast("long").as("smape_e6"),
-        expr(fdiv("s_ae * n_n * 1000000", "s_nae * n_f")).cast("long")
+        // a constant series has zero naive error — MASE is undefined
+        // there, and an unguarded division would raise under ANSI mode
+        when(col("s_nae") > 0,
+          expr(fdiv("s_ae * n_n * 1000000", "s_nae * n_f"))).cast("long")
           .as("mase_e6"))
   }
 
@@ -4559,7 +4562,8 @@ object EventQueries {
        |  CAST(s_ae * 1000000 // n_f AS BIGINT) AS mae_e6,
        |  CAST(s_ape // n_p AS BIGINT) AS mape_e6,
        |  CAST(s_sape // n_s AS BIGINT) AS smape_e6,
-       |  CAST(s_ae * n_n * 1000000 // (s_nae * n_f) AS BIGINT) AS mase_e6
+       |  CAST(CASE WHEN s_nae > 0
+       |    THEN s_ae * n_n * 1000000 // (s_nae * n_f) END AS BIGINT) AS mase_e6
        |FROM agg""".stripMargin
 
   // ------------------------- q297: precision-recall evaluation (AP + F1)
@@ -5645,10 +5649,12 @@ object EventQueries {
         sum(((col("n") * col("x") - col("sx")) *
           (col("n") * col("x") - col("sx"))).cast(dec)).as("sxx"))
       .select(col("n").cast("long").as("n_days"),
-        expr(fdiv("(sc7 * sc7 + ss7 * ss7) * 2000000",
-          "n * 1000000000000 * sxx")).cast("long").as("share_p7_e6"),
-        expr(fdiv("(sc5 * sc5 + ss5 * ss5) * 2000000",
-          "n * 1000000000000 * sxx")).cast("long").as("share_p5_e6"))
+        // a constant series has zero variance — the spectrum share is
+        // undefined, not zero; NULL in both engines
+        when(col("sxx") > 0, expr(fdiv("(sc7 * sc7 + ss7 * ss7) * 2000000",
+          "n * 1000000000000 * sxx"))).cast("long").as("share_p7_e6"),
+        when(col("sxx") > 0, expr(fdiv("(sc5 * sc5 + ss5 * ss5) * 2000000",
+          "n * 1000000000000 * sxx"))).cast("long").as("share_p5_e6"))
   }
 
   val q319Sql: String = {
@@ -5679,10 +5685,10 @@ object EventQueries {
        |    SUM((n * x - sx) * (n * x - sx)) AS sxx
        |  FROM spine CROSS JOIN scal)
        |SELECT CAST(n AS BIGINT) AS n_days,
-       |  CAST((sc7 * sc7 + ss7 * ss7) * 2000000
-       |    // (n * 1000000000000 * sxx) AS BIGINT) AS share_p7_e6,
-       |  CAST((sc5 * sc5 + ss5 * ss5) * 2000000
-       |    // (n * 1000000000000 * sxx) AS BIGINT) AS share_p5_e6
+       |  CAST(CASE WHEN sxx > 0 THEN (sc7 * sc7 + ss7 * ss7) * 2000000
+       |    // (n * 1000000000000 * sxx) END AS BIGINT) AS share_p7_e6,
+       |  CAST(CASE WHEN sxx > 0 THEN (sc5 * sc5 + ss5 * ss5) * 2000000
+       |    // (n * 1000000000000 * sxx) END AS BIGINT) AS share_p5_e6
        |FROM folds""".stripMargin
   }
 

@@ -1509,7 +1509,10 @@ object SimilarityQueries {
     sxx.crossJoin(broadcast(cross))
       .select(col("n").cast("long").as("n_cells"),
         col("w_pairs").cast("long").as("w_pairs"),
-        expr(sdiv("n * s_cross * 1000000", "w_pairs * s_xx")).cast("long")
+        // a constant lattice (s_xx = 0) has no spatial structure to
+        // measure — NULL, not a division error
+        when(col("s_xx") > 0,
+          expr(sdiv("n * s_cross * 1000000", "w_pairs * s_xx"))).cast("long")
           .as("morans_i_e6"),
         (-expr(fdiv("1000000", "n - 1"))).cast("long").as("expected_i_e6"))
   }
@@ -1551,9 +1554,9 @@ object SimilarityQueries {
        |  FROM centered)
        |SELECT CAST(n AS BIGINT) AS n_cells,
        |  CAST(w_pairs AS BIGINT) AS w_pairs,
-       |  CAST((CASE WHEN ((n * s_cross * 1000000) < 0)
+       |  CAST(CASE WHEN s_xx > 0 THEN (CASE WHEN ((n * s_cross * 1000000) < 0)
        |        != ((w_pairs * s_xx) < 0) THEN -1 ELSE 1 END) *
-       |    (ABS(n * s_cross * 1000000) // ABS(w_pairs * s_xx)) AS BIGINT)
+       |    (ABS(n * s_cross * 1000000) // ABS(w_pairs * s_xx)) END AS BIGINT)
        |    AS morans_i_e6,
        |  CAST(-(1000000 // (n - 1)) AS BIGINT) AS expected_i_e6
        |FROM sxx CROSS JOIN cross_f""".stripMargin
