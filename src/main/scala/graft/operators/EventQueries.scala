@@ -5340,7 +5340,9 @@ object EventQueries {
         sum(col("mrng")).cast(dec).as("smr"))
       .select(col("n"),
         expr(fdiv("sx * 1000000", "n")).as("xbar_e6"),
-        expr(fdiv("smr * 1000000", "n - 1")).as("mrbar_e6"))
+        // a single-day series has no moving range (n−1 = 0 would raise)
+        expr(s"CASE WHEN n > 1 THEN ${fdiv("smr * 1000000", "n - 1")} END")
+          .as("mrbar_e6"))
       .select(col("n"), col("xbar_e6"), col("mrbar_e6"),
         (col("xbar_e6") + expr(fdiv("266 * mrbar_e6", "100"))).as("ucl_e6"),
         (col("xbar_e6") - expr(fdiv("266 * mrbar_e6", "100"))).as("lcl_e6"))
@@ -5383,7 +5385,9 @@ object EventQueries {
        |scal AS (
        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
        |    SUM(CAST(x AS HUGEINT)) * 1000000 // COUNT(*) AS xbar_e6,
-       |    SUM(CAST(mrng AS HUGEINT)) * 1000000 // (COUNT(*) - 1) AS mrbar_e6
+       |    CASE WHEN COUNT(*) > 1 THEN
+       |      SUM(CAST(mrng AS HUGEINT)) * 1000000 // (COUNT(*) - 1)
+       |    END AS mrbar_e6
        |  FROM mr),
        |lim AS (
        |  SELECT n, xbar_e6, mrbar_e6,
