@@ -4631,7 +4631,10 @@ object CoreQueries {
          | (ABS(CAST(($n) AS DECIMAL(38,0)))
          |  div ABS(CAST(($d) AS DECIMAL(38,0)))))"""
         .stripMargin.replace("\n", " ")
+    // the ACF frame feeds the pivot AND the final join — checkpoint so
+    // q270's corpus co-moment pass runs once
     val acf = q270Acf(s, dir).select(col("lag"), col("acf_e6"))
+      .localCheckpoint()
     val base = acf.groupBy().pivot("lag", 1 to PacfMaxLag)
       .agg(first(col("acf_e6")))
       .select((1 to PacfMaxLag).map(k => col(k.toString).as(s"r$k")): _*)

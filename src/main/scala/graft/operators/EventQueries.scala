@@ -4492,7 +4492,10 @@ object EventQueries {
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     val e = Tables.events(s, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"))
+    // metadata rollup consumed by bounds AND the spine join — checkpoint
+    // so neither branch replays the corpus pass
     val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = bounds
       .select(explode(expr("sequence(d0, d1)")).as("day"))
@@ -5125,7 +5128,10 @@ object EventQueries {
          |     ELSE ${fdiv(num, den)} END""".stripMargin.replace("\n", " ")
     val e = Tables.events(s, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"))
+    // metadata rollup consumed by bounds AND the spine join — checkpoint
+    // so neither branch replays the corpus pass
     val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = bounds
       .select(explode(expr("sequence(d0, d1)")).as("day"))
@@ -5140,6 +5146,7 @@ object EventQueries {
       .withColumn("trend_e6", expr(fdiv("s7 * 1000000", "7")))
       .withColumn("detr_e6", col("a") * 1000000L - col("trend_e6"))
       .withColumn("dow", expr("day % 7"))
+      .localCheckpoint() // consumed by the seasonal rollup AND the join
     val seasonal = trended.groupBy(col("dow"))
       .agg(sum(col("detr_e6")).as("sd"), count(lit(1)).as("nd"))
       .select(col("dow"), expr(sdiv("sd", "nd")).as("seasonal_e6"))
@@ -5335,6 +5342,7 @@ object EventQueries {
     val W = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
     val mr = byDay.withColumn("prev", lag(col("x"), 1).over(W))
       .withColumn("mrng", abs(col("x") - col("prev")))
+      .localCheckpoint() // consumed by the limits fold AND the flagging
     val scal = mr.agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x")).cast(dec).as("sx"),
         sum(col("mrng")).cast(dec).as("smr"))
@@ -5469,6 +5477,7 @@ object EventQueries {
         when(col("llr_e6") >= SprtBoundE6, "accept_h1")
           .when(col("llr_e6") <= -SprtBoundE6, "accept_h0")
           .otherwise("continue"))
+      .localCheckpoint() // consumed by the first-crossing scalar AND the walk
     val firstCross = walk.filter(col("state") =!= "continue")
       .agg(min(col("day")).as("cross_day"))
     walk.crossJoin(broadcast(firstCross))
@@ -5544,6 +5553,7 @@ object EventQueries {
     val r = Tables.events(s, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("r"))
+      .localCheckpoint() // consumed by the user fold AND the item fold
     val nTypes = 5L
     // with v0 = 1 (real) on every type, u = Σr·v0/Σv0² = Σr/5; e4-scaled
     val u = r.groupBy(col("user_id"))
@@ -5631,13 +5641,17 @@ object EventQueries {
         .mkString(s"CASE t % $p ", " ", " END")
     val e = Tables.events(s, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"))
+    // metadata rollup consumed by bounds AND the spine join — checkpoint
+    // so neither branch replays the corpus pass
     val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = bounds
       .select(explode(expr("sequence(d0, d1)")).as("day"), col("d0"))
       .join(byDay, Seq("day"), "left")
       .select((col("day") - col("d0")).as("t"),
         coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // consumed by the (n, sx) scalar AND the trig fold
     val scal = spine.agg(count(lit(1)).cast(dec).as("n"),
       sum(col("x")).cast(dec).as("sx"))
     def shares(p: Int) = {
@@ -5738,6 +5752,7 @@ object EventQueries {
       .groupBy(col("bin"))
       .agg(sum(lit(1L) - col("post")).as("n_pre"),
         sum(col("post")).as("n_post"))
+      .localCheckpoint() // consumed by the totals scalar AND the scoring
     val totals = bins.agg(sum(col("n_pre")).cast(dec).as("t_pre"),
       sum(col("n_post")).cast(dec).as("t_post"))
     val scored = bins.crossJoin(broadcast(totals))
@@ -5841,6 +5856,7 @@ object EventQueries {
           .as("pre"),
         sum(when(col("day") >= col("midday"), col("v")).otherwise(0L))
           .as("post"))
+      .localCheckpoint() // consumed by BOTH cutpoint rows AND the binning
     def cutsOf(c: String) = {
       val cols = (1 to 4).map(i =>
         expr(s"percentile_disc(0.${i * 2}0) WITHIN GROUP (ORDER BY $c)")
@@ -5942,11 +5958,13 @@ object EventQueries {
     val e = Tables.events(s, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"))
     val byDay = e.groupBy(col("day")).agg(count(lit(1)).as("a"))
+      .localCheckpoint() // consumed by the midpoint scalar AND the marking
     val mid = byDay.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
       .as("midday"))
     val marked = byDay.crossJoin(broadcast(mid))
       .select(col("day"), col("a"), expr("day % 7").as("dow"),
         (col("day") >= col("midday")).cast("long").as("is_test"))
+      .localCheckpoint() // consumed by the calibration means AND the scoring
     val dowMeans = marked.filter(col("is_test") === 0L)
       .groupBy(col("dow"))
       .agg(expr(fdiv("SUM(a) * 1000000", "COUNT(1)")).as("mu_e6"))

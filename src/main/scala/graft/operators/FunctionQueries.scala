@@ -646,6 +646,7 @@ object FunctionQueries {
       col("c_nationkey").cast("long").as("nat"),
       col("c_mktsegment").as("seg"),
       expr("CAST(ROUND(c_acctbal*100) AS BIGINT) div 100000").as("bb"))
+      .localCheckpoint() // three u rollups + the block grouping read it
     def uOf(field: String) = c.groupBy(col(field)).agg(count(lit(1)).as("f"))
       .agg(sum(col("f").cast("decimal(38,0)") * col("f")).as("sf2"),
         sum(col("f")).cast("decimal(38,0)").as("n"))

@@ -1357,6 +1357,7 @@ object SimilarityQueries {
       .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
         Seq("vec_id"))
       .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint() // three marginal folds read it — assignment runs once
     // pair counts are even before each halving, so `div 2` is exact; the
     // long-valued div bounds the construction at ~10⁹ vectors (stated in
     // the scaladoc)
@@ -1479,6 +1480,7 @@ object SimilarityQueries {
         expr(s"(CAST(ROUND(CAST(element_at(embedding, 2) AS DOUBLE) * 10000)" +
           s" AS BIGINT) + 1000000) div $MoranCellW").as("cy"))
       .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumed by the bounds scalar AND the lattice join
     val bounds = cells.agg(min(col("cx")).as("x0"), max(col("cx")).as("x1"),
       min(col("cy")).as("y0"), max(col("cy")).as("y1"))
     val lattice = bounds

@@ -1967,8 +1967,11 @@ object TextQueries {
   val q293Bm25: Q = (s, dir) => {
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    // the tokenized frame feeds BOTH the length projection and the tf
+    // rollup — checkpoint so the corpus tokenizes once (the index-build seam)
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint()
     val docLen = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -2043,8 +2046,12 @@ object TextQueries {
     val dec = "decimal(38,0)"
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    // each detector's pair set is consumed by its count AND the overlap
+    // join — checkpoint so neither LSH pipeline runs twice
     val a = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val b = q56Simhash(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val m = a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("m"))
     val na = a.agg(count(lit(1)).as("n_a"))
     val nb = b.agg(count(lit(1)).as("n_b"))

@@ -611,8 +611,10 @@ class PlansSpec extends SparkSpec {
   test("q326: lattice neighbor join keys on cells; checkpoint feeds both folds") {
     val p = plan("q326_morans_i")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), s"neighbors must equi-join:\n$p")
+    // the neighbor join is an EQUI-join on the cell key (hash or merge);
+    // the only nested-loop is the 1-row scalar cross at the finish
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"neighbors must equi-join:\n$p")
   }
 
   test("q327-q331: contingency folds stay metadata-side; cutpoints broadcast") {
