@@ -1121,7 +1121,7 @@ object AuditQueries {
     * Values must be ≥ 0 (integer `div` bucketing). Returns the rollup
     * columns plus `below`.
     */
-  private def doubledRankBelow(byV: DataFrame, groupCols: Seq[String],
+  private[operators] def doubledRankBelow(byV: DataFrame, groupCols: Seq[String],
       valueCol: String, bucketWidth: Long): DataFrame = {
     val gCols = groupCols.map(col)
     val bucketed = byV.withColumn("bkt", expr(s"$valueCol div $bucketWidth"))

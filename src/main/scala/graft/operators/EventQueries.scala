@@ -5716,7 +5716,7 @@ object EventQueries {
     * actually alert on (q161's total variation weighs all mass moves
     * equally; PSI's log weight punishes moves into near-empty bins, which
     * is what breaks models): purchase values binned by the PRE-period
-    * deciles (portable percentile_disc cutpoints), then per bin
+    * deciles (two-level rank-target cutpoints, mirrored in the oracle), then per bin
     *
     *   PSI₂_bin = (s_post − s_pre) · log2(s_post / s_pre)
     *
@@ -5741,11 +5741,20 @@ object EventQueries {
       .as("midday"))
     val staged = e.crossJoin(broadcast(mid))
       .select(col("v"), (col("day") >= col("midday")).cast("long").as("post"))
-    val cutCols = (1 to 9).map(i =>
-      expr(s"percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY v)")
-        .cast("long").as(s"c$i"))
-    val cuts = staged.filter(col("post") === 0L)
-      .agg(cutCols.head, cutCols.tail: _*)
+    // decile cutpoints via the two-level rank-target selection (the q327
+    // fix): nine ungrouped percentile_disc aggregates over a corpus-scale
+    // column would buffer it in one task
+    val byV = staged.filter(col("post") === 0L)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val ranked = AuditQueries.doubledRankBelow(byV, Seq.empty, "v", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val cuts = ranked.crossJoin(broadcast(nAll))
+      .select(col("v"), col("below"), col("cnt"),
+        explode(expr("sequence(1, 9)")).as("i"))
+      .filter(col("below") < expr("(n_all * i + 9) div 10") &&
+        expr("(n_all * i + 9) div 10") <= col("below") + col("cnt"))
+      .groupBy().pivot("i", 1 to 9).agg(first(col("v")))
+      .select((1 to 9).map(i => col(i.toString).as(s"c$i")): _*)
     val binExpr = (1 to 9).map(i => s"CAST(v > c$i AS INT)").mkString(" + ")
     val bins = staged.crossJoin(broadcast(cuts))
       .select(expr(binExpr).cast("long").as("bin"), col("post"))
@@ -5788,11 +5797,23 @@ object EventQueries {
        |staged AS (
        |  SELECT v, CASE WHEN day >= midday THEN 1 ELSE 0 END AS post
        |  FROM e CROSS JOIN mid),
+       |by_v AS (
+       |  SELECT v, COUNT(*) AS cnt FROM staged WHERE post = 0 GROUP BY v),
+       |ranked AS (
+       |  SELECT v, cnt,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+       |    SUM(cnt) OVER () AS n_all
+       |  FROM by_v),
+       |cutrows AS (
+       |  SELECT i, v FROM ranked,
+       |    (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS i) gi
+       |  WHERE below < (n_all * i + 9) // 10
+       |    AND (n_all * i + 9) // 10 <= below + cnt),
        |cuts AS (
        |  SELECT ${(1 to 9).map(i =>
-            s"CAST(percentile_disc(0.${i}0) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c$i")
-            .mkString(", ")}
-       |  FROM staged WHERE post = 0),
+            s"MAX(CASE WHEN i = $i THEN v END) AS c$i").mkString(", ")}
+       |  FROM cutrows),
        |bins AS (
        |  SELECT $binExpr AS bin,
        |    CAST(SUM(1 - post) AS BIGINT) AS n_pre,
@@ -5832,7 +5853,7 @@ object EventQueries {
   /** q329: rank mobility — do users move between spend quintiles from the
     * pre to the post period, or is the hierarchy frozen? The row-
     * stochastic quintile transition matrix (each period binned by its OWN
-    * portable percentile_disc cutpoints — rank mobility, not level
+    * two-level rank-target cutpoints — rank mobility, not level
     * change) plus Shorrocks' index M = (k − tr P)/(k − 1): 0 = everyone
     * stays put, 10⁶ ≈ perfect churn. Cell shares and the trace fold in
     * e6 exact integers; the summary rides as the (−1, −1) row.
@@ -5857,11 +5878,20 @@ object EventQueries {
         sum(when(col("day") >= col("midday"), col("v")).otherwise(0L))
           .as("post"))
       .localCheckpoint() // consumed by BOTH cutpoint rows AND the binning
+    // quintile cutpoints by the two-level rank-target selection (the
+    // q327 fix) — the user frame is corpus-scale, so an ungrouped
+    // percentile_disc would single-task-sort it
     def cutsOf(c: String) = {
-      val cols = (1 to 4).map(i =>
-        expr(s"percentile_disc(0.${i * 2}0) WITHIN GROUP (ORDER BY $c)")
-          .cast("long").as(s"${c}_c$i"))
-      pu.agg(cols.head, cols.tail: _*)
+      val byV = pu.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val ranked = AuditQueries.doubledRankBelow(byV, Seq.empty, c, 100000L)
+      val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+      ranked.crossJoin(broadcast(nAll))
+        .select(col(c), col("below"), col("cnt"),
+          explode(expr("sequence(1, 4)")).as("i"))
+        .filter(col("below") < expr("(n_all * i + 4) div 5") &&
+          expr("(n_all * i + 4) div 5") <= col("below") + col("cnt"))
+        .groupBy().pivot("i", 1 to 4).agg(first(col(c)))
+        .select((1 to 4).map(i => col(i.toString).as(s"${c}_c$i")): _*)
     }
     def binExpr(c: String) =
       (1 to 4).map(i => s"CAST($c > ${c}_c$i AS INT)").mkString(" + ")
@@ -5890,9 +5920,22 @@ object EventQueries {
   val q329Sql: String = {
     def binExpr(c: String) =
       (1 to 4).map(i => s"CAST($c > ${c}_c$i AS INT)").mkString(" + ")
-    def cuts(c: String) = (1 to 4).map(i =>
-      s"CAST(percentile_disc(0.${i * 2}0) WITHIN GROUP (ORDER BY $c)" +
-        s" AS BIGINT) AS ${c}_c$i").mkString(", ")
+    // quintile cutpoints by the identical rank targets the engine selects
+    def cuts(c: String) =
+      s"""SELECT ${(1 to 4).map(i =>
+           s"MAX(CASE WHEN i = $i THEN $c END) AS ${c}_c$i").mkString(", ")}
+         | FROM (
+         |  SELECT i, $c FROM (
+         |    SELECT $c, cnt,
+         |      COALESCE(SUM(cnt) OVER (ORDER BY $c
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS below,
+         |      SUM(cnt) OVER () AS n_all
+         |    FROM (SELECT $c, COUNT(*) AS cnt FROM pu GROUP BY $c)) r,
+         |    (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS i) gi
+         |  WHERE below < (n_all * i + 4) // 5
+         |    AND (n_all * i + 4) // 5 <= below + cnt)""".stripMargin
+        .replace("\n", " ")
     s"""WITH e AS (
        |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
        |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
@@ -5903,8 +5946,8 @@ object EventQueries {
        |    SUM(CASE WHEN day < midday THEN v ELSE 0 END) AS pre,
        |    SUM(CASE WHEN day >= midday THEN v ELSE 0 END) AS post
        |  FROM e CROSS JOIN mid GROUP BY user_id),
-       |pc AS (SELECT ${cuts("pre")} FROM pu),
-       |qc AS (SELECT ${cuts("post")} FROM pu),
+       |pc AS (${cuts("pre")}),
+       |qc AS (${cuts("post")}),
        |binned AS (
        |  SELECT ${binExpr("pre")} AS pre_bin, ${binExpr("post")} AS post_bin
        |  FROM pu CROSS JOIN pc CROSS JOIN qc),
