@@ -6076,7 +6076,123 @@ object EventQueries {
        |FROM scored CROSS JOIN qhat
        |WHERE is_test = 1""".stripMargin
 
+  // --------------- q332: competing-risks cumulative incidence (CIF)
+
+  /** q332: the Aalen–Johansen cumulative incidence functions for two
+    * COMPETING first events — purchase vs error, whichever strikes first
+    * (same-day ties resolve to purchase, stated) — completing the
+    * survival family: q259's KM answers "how long until ANY event";
+    * 1−KM OVERSTATES each cause's incidence when causes compete, and the
+    * CIF is the correct decomposition:
+    *
+    *   CIF_k(t) = Σ_{s≤t} Ŝ(s−)·d_ks/n_s,   Ŝ = all-cause KM
+    *
+    * By construction CIF₁ + CIF₂ + Ŝ accounts for all probability mass
+    * (up to the per-step e6 floors). The day rollup is control metadata
+    * (the q259/Ivf.train precedent), so the sequential product/sum folds
+    * run driver-side in BigInt with e6 floors the recursive-CTE oracle
+    * reproduces step for step.
+    *
+    * Plan: one event pass → user rollup → |durations| rollup collected as
+    * control metadata; output is a literal frame.
+    */
+  val q332CompetingRisks: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val day = expr("unix_timestamp(ts) DIV 86400")
+    val byUser = e.groupBy(col("user_id")).agg(
+      min(day).as("d0"),
+      min(when(col("event_type") === "purchase", day)).as("dp"),
+      min(when(col("event_type") === "error", day)).as("de"),
+      max(day).as("dlast"))
+    val durs = byUser.select(
+      when(col("dp").isNotNull &&
+          (col("de").isNull || col("dp") <= col("de")),
+        struct((col("dp") - col("d0")).as("dur"), lit(1L).as("k")))
+        .when(col("de").isNotNull,
+          struct((col("de") - col("d0")).as("dur"), lit(2L).as("k")))
+        .otherwise(struct((col("dlast") - col("d0")).as("dur"),
+          lit(0L).as("k"))).as("o"))
+      .select(col("o.dur").as("dur"), col("o.k").as("k"))
+    val roll = durs.groupBy(col("dur"))
+      .agg(sum(when(col("k") === 1L, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("k") === 2L, 1L).otherwise(0L)).as("d2"),
+        sum(when(col("k") === 0L, 1L).otherwise(0L)).as("cens"))
+      .orderBy(col("dur")).collect()
+    var atRisk = roll.map(r => r.getAs[Long]("d1") + r.getAs[Long]("d2") +
+      r.getAs[Long]("cens")).sum
+    var sE6 = 1000000L
+    var cif1 = 0L
+    var cif2 = 0L
+    val out = roll.map { r =>
+      val (dur, d1, d2, cens) = (r.getAs[Long]("dur"), r.getAs[Long]("d1"),
+        r.getAs[Long]("d2"), r.getAs[Long]("cens"))
+      val n = atRisk
+      cif1 += (BigInt(sE6) * d1 / n).toLong
+      cif2 += (BigInt(sE6) * d2 / n).toLong
+      sE6 = (BigInt(sE6) * (n - d1 - d2) / n).toLong
+      atRisk -= (d1 + d2 + cens)
+      (dur, n, d1, d2, cens, sE6, cif1, cif2)
+    }
+    import s.implicits._
+    out.toSeq.toDF("dur_days", "n_risk", "d_purchase", "d_error", "c_cens",
+      "s_e6", "cif_purchase_e6", "cif_error_e6")
+  }
+
+  val q332Sql: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 END) AS dp,
+      |    MIN(CASE WHEN event_type = 'error'
+      |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 END) AS de,
+      |    MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS dlast
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CASE
+      |      WHEN dp IS NOT NULL AND (de IS NULL OR dp <= de) THEN dp - d0
+      |      WHEN de IS NOT NULL THEN de - d0
+      |      ELSE dlast - d0 END AS dur,
+      |    CASE
+      |      WHEN dp IS NOT NULL AND (de IS NULL OR dp <= de) THEN 1
+      |      WHEN de IS NOT NULL THEN 2
+      |      ELSE 0 END AS k
+      |  FROM u),
+      |r AS (
+      |  SELECT dur,
+      |    SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS d2,
+      |    SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS cens
+      |  FROM d GROUP BY dur),
+      |t AS (
+      |  SELECT dur, d1, d2, cens,
+      |    ROW_NUMBER() OVER (ORDER BY dur) AS rk,
+      |    tot.n - COALESCE(SUM(d1 + d2 + cens) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM r CROSS JOIN (SELECT SUM(d1 + d2 + cens) AS n FROM r) tot),
+      |aj AS (
+      |  SELECT rk, dur, n_risk, d1, d2, cens,
+      |    CAST(1000000 * (n_risk - d1 - d2) // n_risk AS BIGINT) AS s_e6,
+      |    CAST(1000000 * d1 // n_risk AS BIGINT) AS cif1_e6,
+      |    CAST(1000000 * d2 // n_risk AS BIGINT) AS cif2_e6
+      |  FROM t WHERE rk = 1
+      |  UNION ALL
+      |  SELECT t.rk, t.dur, t.n_risk, t.d1, t.d2, t.cens,
+      |    CAST(CAST(aj.s_e6 AS HUGEINT) * (t.n_risk - t.d1 - t.d2)
+      |      // t.n_risk AS BIGINT),
+      |    CAST(aj.cif1_e6
+      |      + CAST(aj.s_e6 AS HUGEINT) * t.d1 // t.n_risk AS BIGINT),
+      |    CAST(aj.cif2_e6
+      |      + CAST(aj.s_e6 AS HUGEINT) * t.d2 // t.n_risk AS BIGINT)
+      |  FROM aj JOIN t ON t.rk = aj.rk + 1)
+      |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d1 AS BIGINT) AS d_purchase, CAST(d2 AS BIGINT) AS d_error,
+      |  CAST(cens AS BIGINT) AS c_cens, s_e6,
+      |  cif1_e6 AS cif_purchase_e6, cif2_e6 AS cif_error_e6
+      |FROM aj ORDER BY dur_days""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q332_competing_risks" -> q332CompetingRisks,
     "q329_mobility" -> q329Mobility,
     "q330_conformal" -> q330Conformal,
     "q325_psi_drift" -> q325Psi,
@@ -6162,6 +6278,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q332_competing_risks" -> q332Sql,
     "q329_mobility" -> q329Sql,
     "q330_conformal" -> q330Sql,
     "q325_psi_drift" -> q325Sql,
