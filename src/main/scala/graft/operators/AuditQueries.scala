@@ -1963,7 +1963,84 @@ object AuditQueries {
        |FROM pairs CROSS JOIN scal CROSS JOIN rm CROSS JOIN cm""".stripMargin
   }
 
+  // -------------- q333: distribution-free median confidence interval
+
+  /** q333: the median of order value with its DISTRIBUTION-FREE 95%
+    * confidence interval — the order-statistic construction (no normality,
+    * no bootstrap): the CI endpoints are the sample values at ranks
+    *
+    *   r_lo = ⌊(n − 1.96·√n)/2⌋,   r_hi = ⌈(n + 1.96·√n)/2⌉ + 1
+    *
+    * (the binomial(n, ½) normal approximation; 1.96 as the exact rational
+    * 196/100 against the correctly-rounded IEEE √n, floored identically in
+    * both engines). All three order statistics select via the two-level
+    * rank construction — the q327/q290 device — so nothing sorts
+    * corpus-scale. The interval width next to the point estimate is what
+    * a reporting pipeline needs before quoting a median at all.
+    */
+  val q333MedianCi: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c"))
+    val byV = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val ranked = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val targets = nAll.select(col("n_all"),
+      expr("CAST(FLOOR((n_all - 1.96 * SQRT(CAST(n_all AS DOUBLE))) / 2)" +
+        " AS BIGINT)").as("r_lo"),
+      expr("CAST((n_all + 1) div 2 AS BIGINT)").as("r_med"),
+      expr("CAST(CEIL((n_all + 1.96 * SQRT(CAST(n_all AS DOUBLE))) / 2)" +
+        " + 1 AS BIGINT)").as("r_hi"))
+    val picks = ranked.crossJoin(broadcast(targets))
+      .select(col("c"), col("below"), col("cnt"), col("n_all"),
+        explode(expr("array(struct('lo' AS w, r_lo AS t)," +
+          " struct('med' AS w, r_med AS t), struct('hi' AS w, r_hi AS t))"))
+          .as("x"))
+      .filter(col("below") < col("x.t") &&
+        col("x.t") <= col("below") + col("cnt"))
+      .groupBy(col("n_all"))
+      .agg(max(when(col("x.w") === "lo", col("c"))).as("ci_lo_c"),
+        max(when(col("x.w") === "med", col("c"))).as("median_c"),
+        max(when(col("x.w") === "hi", col("c"))).as("ci_hi_c"))
+    picks.select(col("n_all").cast("long").as("n"),
+      col("median_c"), col("ci_lo_c"), col("ci_hi_c"),
+      (col("ci_hi_c") - col("ci_lo_c")).as("ci_width_c"))
+  }
+
+  val q333Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders),
+      |by_v AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c),
+      |ranked AS (
+      |  SELECT c, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |targets AS (
+      |  SELECT n_all,
+      |    CAST(FLOOR((n_all - 1.96 * SQRT(CAST(n_all AS DOUBLE))) / 2)
+      |      AS BIGINT) AS r_lo,
+      |    (n_all + 1) // 2 AS r_med,
+      |    CAST(CEIL((n_all + 1.96 * SQRT(CAST(n_all AS DOUBLE))) / 2) + 1
+      |      AS BIGINT) AS r_hi
+      |  FROM (SELECT MAX(n_all) AS n_all FROM ranked)),
+      |picks AS (
+      |  SELECT ranked.n_all,
+      |    MAX(CASE WHEN w = 'lo' THEN c END) AS ci_lo_c,
+      |    MAX(CASE WHEN w = 'med' THEN c END) AS median_c,
+      |    MAX(CASE WHEN w = 'hi' THEN c END) AS ci_hi_c
+      |  FROM ranked CROSS JOIN targets,
+      |    (VALUES ('lo'), ('med'), ('hi')) ws(w)
+      |  WHERE (CASE w WHEN 'lo' THEN r_lo WHEN 'med' THEN r_med
+      |         ELSE r_hi END) > below
+      |    AND (CASE w WHEN 'lo' THEN r_lo WHEN 'med' THEN r_med
+      |         ELSE r_hi END) <= below + cnt
+      |  GROUP BY ranked.n_all)
+      |SELECT CAST(n_all AS BIGINT) AS n, median_c, ci_lo_c, ci_hi_c,
+      |  ci_hi_c - ci_lo_c AS ci_width_c
+      |FROM picks""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q333_median_ci" -> q333MedianCi,
     "q327_kendall_tau" -> q327KendallTau,
     "q307_pettitt_changepoint" -> q307Pettitt,
     "q294_powerlaw_fit" -> q294PowerlawFit,
@@ -1988,6 +2065,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q333_median_ci" -> q333Sql,
     "q327_kendall_tau" -> q327Sql,
     "q307_pettitt_changepoint" -> q307Sql,
     "q294_powerlaw_fit" -> q294Sql,
