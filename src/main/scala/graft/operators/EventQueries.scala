@@ -6191,7 +6191,245 @@ object EventQueries {
       |  cif1_e6 AS cif_purchase_e6, cif2_e6 AS cif_error_e6
       |FROM aj ORDER BY dur_days""".stripMargin
 
+  // ------------------- q334: doubly-robust off-policy evaluation
+
+  /** q334: the doubly-robust estimator — the modern completion of q308's
+    * IPS: fit the reward model r̂(x, a) on the HASH-SPLIT model half
+    * (leak-free, q276's discipline — DR with model and evaluation on the
+    * same rows collapses to the direct method by construction), then on
+    * the evaluation half
+    *
+    *   V̂_DR = (1/N) Σ [ r̂(x, π(x)) + 1{a = π(x)}·(r − r̂(x, a))/p̂(a|x) ]
+    *
+    * with the behavior propensity p̂ and target policy π estimated on the
+    * eval half's own cells. The direct-method and IPS estimates ride
+    * along, so the report shows all three estimators disagreeing exactly
+    * as much as they should — including the textbook identity the output
+    * PROVES: with exact empirical propensities and fully-supported logs
+    * (every (x, π(x)) cell observed), the model terms cancel and
+    * V̂_DR = V̂_IPS to the last integer; DR pulls away from IPS exactly
+    * when support fails (the DM term then carries the unsupported
+    * strata), which this construction surfaces rather than hides. The
+    * target policy is fit on the MODEL half too — an eval-half greedy
+    * would peek. Cell-level folds only — the model rates, propensities
+    * and corrections all combine per (stratum, action), one e6 floor
+    * each; no per-row division anywhere.
+    *
+    * Plan: two corpus passes (model half, eval half — inherent to the
+    * split), each to a lead-windowed user-partitioned frame → cell
+    * rollups; everything downstream is metadata joined on broadcast.
+    */
+  val q334DoublyRobust: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(n: String, d: String) =
+      s"""(CASE WHEN (($n) < 0) != (($d) < 0) THEN -1 ELSE 1 END *
+         | (ABS(CAST(($n) AS DECIMAL(38,0)))
+         |  div ABS(CAST(($d) AS DECIMAL(38,0)))))"""
+        .stripMargin.replace("\n", " ")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val logged = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(W))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("a"),
+        when(col("next_type") === "purchase", 1L).otherwise(0L).as("r"),
+        (graft.functions.Text.portableHash(col("user_id").cast("string"))
+          % 2 === 0).cast("long").as("is_model"))
+      .localCheckpoint() // consumed by the model half and the eval half
+    // strata from ALL events (q308's definition) — the logged frame
+    // excludes purchases and would shift the activity buckets
+    val strata = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(expr(s"count(1) div $CemBucket").as("x"))
+    val keyed = logged.join(strata, Seq("user_id"))
+    // reward model from the MODEL half: r̂(x, a) at e6
+    val model = keyed.filter(col("is_model") === 1L)
+      .groupBy(col("x"), col("a"))
+      .agg(expr(fdiv("SUM(r) * 1000000", "COUNT(1)")).as("rhat_e6"))
+    // eval-half cells: counts, rewards, propensity denominator
+    val cells = keyed.filter(col("is_model") === 0L)
+      .groupBy(col("x"), col("a"))
+      .agg(count(lit(1)).as("n_ax"), sum(col("r")).as("r_ax"))
+      .localCheckpoint() // per-x totals, the policy argmax and the fold read it
+    val perX = cells.groupBy(col("x")).agg(sum(col("n_ax")).as("n_x"))
+    // greedy policy from the MODEL half's rates — never from eval rewards
+    val pol = model
+      .groupBy(col("x"))
+      .agg(min(struct((-col("rhat_e6")).as("nr"), col("a").as("a"))).as("best"))
+      .select(col("x"), col("best.a").as("pi_a"))
+    val joined = cells.join(broadcast(pol), Seq("x"))
+      .join(broadcast(perX), Seq("x"))
+      .join(broadcast(model.select(col("x"), col("a"), col("rhat_e6"))),
+        Seq("x", "a"), "left")
+      .withColumn("rhat_e6", coalesce(col("rhat_e6"), lit(0L).cast(dec)))
+    // DM term: every row in stratum x contributes r̂(x, π(x))
+    val dmTerm = joined.filter(col("a") === col("pi_a"))
+      .select((col("n_x").cast(dec) * col("rhat_e6")).as("dm_e6"),
+        col("x"))
+    // correction + IPS terms live on the matched cells only
+    val corr = joined.filter(col("a") === col("pi_a"))
+      .select(col("x"),
+        expr(fdiv("r_ax * n_x * 1000000", "n_ax")).as("ips_e6"),
+        expr(sdiv("(r_ax * 1000000 - CAST(n_ax AS DECIMAL(38,0)) * rhat_e6)" +
+          " * n_x", "n_ax")).as("corr_e6"))
+    val totals = cells.agg(sum(col("n_ax")).cast(dec).as("n_all"))
+    dmTerm.join(corr, Seq("x"))
+      .agg(sum(col("dm_e6")).as("dm_sum"), sum(col("ips_e6")).as("ips_sum"),
+        sum(col("corr_e6")).as("corr_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_all").cast("long").as("n_eval"),
+        expr(fdiv("dm_sum", "n_all")).cast("long").as("v_dm_e6"),
+        expr(fdiv("ips_sum", "n_all")).cast("long").as("v_ips_e6"),
+        expr(sdiv("dm_sum + corr_sum", "n_all")).cast("long").as("v_dr_e6"))
+  }
+
+  val q334Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(epoch_ms(ts) AS BIGINT) AS ms
+       |  FROM events),
+       |led AS (
+       |  SELECT user_id, event_type AS a,
+       |    CASE WHEN LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ms, event_id) = 'purchase' THEN 1 ELSE 0 END AS r,
+       |    event_type AS et,
+       |    CASE WHEN CAST(concat('0x',
+       |        substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |      THEN 1 ELSE 0 END AS is_model
+       |  FROM ev),
+       |logged AS (SELECT user_id, a, r, is_model FROM led
+       |  WHERE et <> 'purchase'),
+       |strata AS (
+       |  SELECT user_id, COUNT(*) // $CemBucket AS x
+       |  FROM events GROUP BY user_id),
+       |keyed AS (SELECT x, a, r, is_model FROM logged JOIN strata USING (user_id)),
+       |model AS (
+       |  SELECT x, a, CAST(SUM(r) AS HUGEINT) * 1000000 // COUNT(*) AS rhat_e6
+       |  FROM keyed WHERE is_model = 1 GROUP BY x, a),
+       |cells AS (
+       |  SELECT x, a, COUNT(*) AS n_ax, SUM(r) AS r_ax
+       |  FROM keyed WHERE is_model = 0 GROUP BY x, a),
+       |per_x AS (SELECT x, SUM(n_ax) AS n_x FROM cells GROUP BY x),
+       |pol AS (
+       |  SELECT x, a AS pi_a FROM (
+       |    SELECT x, a,
+       |      ROW_NUMBER() OVER (PARTITION BY x
+       |        ORDER BY rhat_e6 DESC, a) AS rk
+       |    FROM model) t
+       |  WHERE rk = 1),
+       |joined AS (
+       |  SELECT cells.x, cells.a, n_ax, r_ax, n_x, pi_a,
+       |    COALESCE(rhat_e6, 0) AS rhat_e6
+       |  FROM cells
+       |  JOIN pol ON cells.x = pol.x
+       |  JOIN per_x ON cells.x = per_x.x
+       |  LEFT JOIN model ON cells.x = model.x AND cells.a = model.a),
+       |matched AS (
+       |  SELECT x,
+       |    CAST(n_x AS HUGEINT) * rhat_e6 AS dm_e6,
+       |    CAST(r_ax AS HUGEINT) * n_x * 1000000 // n_ax AS ips_e6,
+       |    ((CASE WHEN ((r_ax * 1000000 - CAST(n_ax AS HUGEINT) * rhat_e6)
+       |          * n_x < 0) != (n_ax < 0) THEN -1 ELSE 1 END) *
+       |      (ABS((r_ax * 1000000 - CAST(n_ax AS HUGEINT) * rhat_e6) * n_x)
+       |       // ABS(CAST(n_ax AS HUGEINT)))) AS corr_e6
+       |  FROM joined WHERE a = pi_a),
+       |tot AS (SELECT CAST(SUM(n_ax) AS HUGEINT) AS n_all FROM cells)
+       |SELECT CAST(n_all AS BIGINT) AS n_eval,
+       |  CAST((SELECT SUM(dm_e6) FROM matched) // n_all AS BIGINT) AS v_dm_e6,
+       |  CAST((SELECT SUM(ips_e6) FROM matched) // n_all AS BIGINT)
+       |    AS v_ips_e6,
+       |  CAST((CASE WHEN ((SELECT SUM(dm_e6) + SUM(corr_e6) FROM matched)
+       |      < 0) != (n_all < 0) THEN -1 ELSE 1 END) *
+       |    (ABS((SELECT SUM(dm_e6) + SUM(corr_e6) FROM matched)) // n_all)
+       |    AS BIGINT) AS v_dr_e6
+       |FROM tot""".stripMargin
+
+  // ---------------------- q335: effect size (Cohen's d / Hedges' g)
+
+  /** q335: HOW BIG is the arm difference — Cohen's d with the small-sample
+    * Hedges correction, the effect-size companion every q127-style z-test
+    * readout should carry (significance without magnitude invites shipping
+    * trivial wins): per-user revenue by hash arm,
+    *
+    *   d = (m̄_A − m̄_B)/s_p,   g = d·(1 − 3/(4(n_A+n_B) − 9))
+    *
+    * with the pooled s_p from exact DECIMAL power sums and the whole
+    * result one fixed IEEE expression tree over exact integers (the
+    * q127/q294 rule — even the doubles are bit-identical).
+    *
+    * Plan: one event pass → user rollup → a 1-row conditional fold.
+    */
+  val q335EffectSize: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val pu = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(0L)).as("y"))
+      .select(when(hv % 2 === 0, 1L).otherwise(0L).as("arm_a"),
+        col("y").cast(dec).as("y"))
+    val sums = pu.agg(
+      sum(col("arm_a")).cast(dec).as("na"),
+      sum(lit(1L) - col("arm_a")).cast(dec).as("nb"),
+      sum(col("arm_a") * col("y")).as("sa"),
+      sum((lit(1L) - col("arm_a")) * col("y")).as("sb"),
+      sum(col("arm_a") * col("y") * col("y")).as("ssa"),
+      sum((lit(1L) - col("arm_a")) * col("y") * col("y")).as("ssb"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val ma = col("sa").cast("double") / na
+    val mb = col("sb").cast("double") / nb
+    val ssqA = col("ssa").cast("double") - col("sa").cast("double") * ma
+    val ssqB = col("ssb").cast("double") - col("sb").cast("double") * mb
+    val sp = sqrt((ssqA + ssqB) / (na + nb - lit(2.0)))
+    val d = (ma - mb) / sp
+    sums.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      (ma - mb).as("mean_diff_c"),
+      d.as("cohens_d"),
+      (d * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - lit(9.0))))
+        .as("hedges_g"))
+  }
+
+  val q335Sql: String =
+    """WITH pu AS (
+      |  SELECT
+      |    CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE 0 END AS arm_a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+      |  FROM events GROUP BY user_id),
+      |sums AS (
+      |  SELECT CAST(SUM(arm_a) AS HUGEINT) AS na,
+      |    CAST(SUM(1 - arm_a) AS HUGEINT) AS nb,
+      |    SUM(arm_a * y) AS sa, SUM((1 - arm_a) * y) AS sb,
+      |    SUM(arm_a * y * y) AS ssa, SUM((1 - arm_a) * y * y) AS ssb
+      |  FROM pu),
+      |d AS (
+      |  SELECT CAST(CAST(na AS VARCHAR) AS DOUBLE) AS na,
+      |    CAST(CAST(nb AS VARCHAR) AS DOUBLE) AS nb,
+      |    CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sa,
+      |    CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sb,
+      |    CAST(CAST(ssa AS VARCHAR) AS DOUBLE) AS ssa,
+      |    CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ssb
+      |  FROM sums)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  sa / na - sb / nb AS mean_diff_c,
+      |  (sa / na - sb / nb) /
+      |    sqrt(((ssa - sa * (sa / na)) + (ssb - sb * (sb / nb)))
+      |      / (na + nb - 2)) AS cohens_d,
+      |  ((sa / na - sb / nb) /
+      |    sqrt(((ssa - sa * (sa / na)) + (ssb - sb * (sb / nb)))
+      |      / (na + nb - 2)))
+      |    * (1 - 3 / (4 * (na + nb) - 9)) AS hedges_g
+      |FROM d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q334_doubly_robust" -> q334DoublyRobust,
+    "q335_effect_size" -> q335EffectSize,
     "q332_competing_risks" -> q332CompetingRisks,
     "q329_mobility" -> q329Mobility,
     "q330_conformal" -> q330Conformal,
@@ -6278,6 +6516,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q334_doubly_robust" -> q334Sql,
+    "q335_effect_size" -> q335Sql,
     "q332_competing_risks" -> q332Sql,
     "q329_mobility" -> q329Sql,
     "q330_conformal" -> q330Sql,
