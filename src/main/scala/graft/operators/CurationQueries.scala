@@ -1825,7 +1825,96 @@ object CurationQueries {
        |  CAST(SUM(hl_e6) AS BIGINT) AS hl_chi2_e6
        |FROM terms""".stripMargin
 
+  // --------------- q336: isotonic (PAVA) recalibration of the q226 curve
+
+  /** q336: isotonic-regression recalibration — the FIX for what q226 only
+    * measures: fit the best monotone-nondecreasing event-rate curve to the
+    * ten reliability bins (weights = bin counts), i.e. the
+    * pool-adjacent-violators solution, via its closed min-max form
+    *
+    *   ŷ_k = max_{i≤k} min_{j≥k} ( Σ_{t∈[i,j]} events_t / Σ_{t∈[i,j]} docs_t )
+    *
+    * — no iteration, no order-dependent pooling loop: every one of the
+    * ≤ 55 bin intervals gets its exact weighted mean floored at e12, and
+    * because floor is nondecreasing it COMMUTES with min and max, so the
+    * integer max-min equals ⌊true PAVA value⌋ exactly — the quantization
+    * is provably the floor of the real fit, not an approximation of it.
+    * Each bin reports raw vs fitted rate and whether PAVA pooled it (the
+    * fitted value moved), giving the monotone probability map a production
+    * scorer would apply (Zadrozny–Elkan binning + isotonic calibration).
+    *
+    * Plan: rides q226's single corpus pass; everything after is metadata —
+    * 10 rows → 55 intervals → ≤ 220 (i,k,j) triples, all broadcast joins.
+    */
+  val q336Isotonic: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val rateE12 =
+      fdiv("CAST(n_events AS DECIMAL(38,0)) * 1000000000000", "n_docs")
+    // the 10-bin rollup feeds the i/j/k sides and the final report —
+    // checkpoint so the corpus scan behind it runs once
+    val bins = q226Calibration(s, dir)
+      .select(col("bin"), col("n_docs"), col("n_events"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global window over the 10-row metadata frame, never the corpus
+    val pre = bins
+      .withColumn("cd", sum(col("n_docs")).over(w))
+      .withColumn("ce", sum(col("n_events")).over(w))
+    val iv = pre
+      .select(col("bin").as("i"), col("cd").as("cdi"), col("ce").as("cei"),
+        col("n_docs").as("ndi"), col("n_events").as("nei"))
+      .join(broadcast(pre.select(col("bin").as("j"), col("cd").as("cdj"),
+        col("ce").as("cej"))), col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        (col("cdj") - col("cdi") + col("ndi")).as("n_docs"),
+        (col("cej") - col("cei") + col("nei")).as("n_events"))
+      .withColumn("avg_e12", expr(rateE12))
+    val fitted = iv
+      .join(broadcast(pre.select(col("bin").as("k"))),
+        col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy(col("i"), col("k")).agg(min(col("avg_e12")).as("mn"))
+      .groupBy(col("k")).agg(max(col("mn")).as("iso_e12"))
+    bins.join(broadcast(fitted), col("bin") === col("k"))
+      .withColumn("rate_e12", expr(rateE12))
+      .select(col("bin"), col("n_docs"), col("n_events"),
+        col("rate_e12").cast("long").as("rate_e12"),
+        col("iso_e12").cast("long").as("iso_e12"),
+        (col("iso_e12") =!= col("rate_e12")).cast("long").as("pooled"))
+      .orderBy(col("bin"))
+  }
+
+  val q336Sql: String =
+    s"""WITH bins AS ($q226Sql),
+       |pre AS (
+       |  SELECT bin, n_docs, n_events,
+       |    SUM(n_docs) OVER (ORDER BY bin) AS cd,
+       |    SUM(n_events) OVER (ORDER BY bin) AS ce
+       |  FROM bins),
+       |iv AS (
+       |  SELECT i.bin AS i, j.bin AS j,
+       |    CAST(j.ce - i.ce + i.n_events AS HUGEINT) * 1000000000000
+       |      // (j.cd - i.cd + i.n_docs) AS avg_e12
+       |  FROM pre i JOIN pre j ON i.bin <= j.bin),
+       |fit AS (
+       |  SELECT k, MAX(mn) AS iso_e12 FROM (
+       |    SELECT iv.i, k.bin AS k, MIN(avg_e12) AS mn
+       |    FROM iv JOIN pre k ON iv.i <= k.bin AND k.bin <= iv.j
+       |    GROUP BY iv.i, k.bin) m
+       |  GROUP BY k)
+       |SELECT bin, n_docs, n_events,
+       |  CAST(CAST(n_events AS HUGEINT) * 1000000000000 // n_docs AS BIGINT)
+       |    AS rate_e12,
+       |  CAST(iso_e12 AS BIGINT) AS iso_e12,
+       |  CASE WHEN iso_e12 <>
+       |      CAST(n_events AS HUGEINT) * 1000000000000 // n_docs
+       |    THEN 1 ELSE 0 END AS pooled
+       |FROM bins JOIN fit ON bins.bin = fit.k
+       |ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q336_isotonic" -> q336Isotonic,
     "q331_logloss_hl" -> q331LoglossHl,
     "q267_ece" -> q267Ece,
     "q257_cdc_chunks" -> q257CdcChunks,
@@ -1854,6 +1943,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q336_isotonic" -> q336Sql,
     "q331_logloss_hl" -> q331Sql,
     "q267_ece" -> q267Sql,
     "q257_cdc_chunks" -> q257Sql,
