@@ -2039,7 +2039,106 @@ object AuditQueries {
       |  ci_hi_c - ci_lo_c AS ci_width_c
       |FROM picks""".stripMargin
 
+  // ------------------ q338: Friedman test (ranks within year blocks)
+
+  /** q338: Friedman's rank test — do the five order priorities keep the
+    * SAME price ordering year after year, or does the ranking move? The
+    * k-treatment repeated-measures companion to q295 (two independent
+    * samples) and q337 (two paired samples): block = order year,
+    * treatment = priority, observation = the year×priority mean price
+    * (e6-floored — exact), RANKED WITHIN each year with tie-average
+    * doubled ranks, restricted to complete blocks (years where all five
+    * priorities traded — the relational spelling of the complete-block
+    * design Friedman assumes). With D_j = Σ_blocks (doubled rank of
+    * treatment j) = 2R_j,
+    *
+    *   χ²_F = 12·ΣR_j²/(n·k·(k+1)) − 3n(k+1) = 3·ΣD_j²/(30n) − 18n
+    *
+    * (k = 5), all exact integers with one e6 floor. Ties across
+    * treatments within a year get average ranks; the classical
+    * uncorrected denominator is kept (exact under no ties, conservative
+    * under ties) and ΣD_j always equals n·k(k+1) as a built-in check.
+    *
+    * Plan: one orders pass → year×priority rollup (metadata-sized);
+    * within-block ranks come from windows PARTITIONED BY year over ≤ k
+    * rows each — parallelism = #years, never a global sort; a k-row fold
+    * with a broadcast year count finishes.
+    */
+  val q338Friedman: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cell = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("v"))
+      .groupBy(col("yr"), col("g"))
+      .agg(expr(fdiv("CAST(SUM(v) AS DECIMAL(38,0)) * 1000000", "COUNT(1)"))
+        .cast("long").as("mv"))
+    val compl = cell.groupBy(col("yr")).agg(count(lit(1)).as("kk"))
+      .filter(col("kk") === 5L).select(col("yr"))
+    val belowW = Window.partitionBy(col("yr")).orderBy(col("mv"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val peerW = Window.partitionBy(col("yr")).orderBy(col("mv"))
+      .rangeBetween(0, 0)
+    val ranked = cell.join(broadcast(compl), Seq("yr"))
+      .withColumn("below", count(lit(1)).over(belowW))
+      .withColumn("t", count(lit(1)).over(peerW))
+      .select(col("g"), (lit(2L) * col("below") + col("t") + 1L).as("dd"))
+    val byG = ranked.groupBy(col("g")).agg(sum(col("dd")).cast(dec).as("dsum"))
+    val n = compl.agg(count(lit(1)).cast(dec).as("n"))
+    def dOf(p: String) = max(when(col("g") === p, col("dsum")))
+    byG.crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n"),
+        dOf("1-URGENT").as("d1"), dOf("2-HIGH").as("d2"),
+        dOf("3-MEDIUM").as("d3"), dOf("4-NOT SPECIFIED").as("d4"),
+        dOf("5-LOW").as("d5"),
+        sum(col("dsum") * col("dsum")).as("sd2"))
+      .select(col("n").cast("long").as("n_years"),
+        col("d1").cast("long").as("d_urgent"),
+        col("d2").cast("long").as("d_high"),
+        col("d3").cast("long").as("d_medium"),
+        col("d4").cast("long").as("d_notspec"),
+        col("d5").cast("long").as("d_low"),
+        (expr(fdiv("sd2 * 100000", "n")) -
+          lit(18000000).cast(dec) * col("n")).cast("long").as("chi2_e6"))
+  }
+
+  val q338Sql: String =
+    """WITH o AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS v
+      |  FROM orders),
+      |cell AS (
+      |  SELECT yr, g,
+      |    CAST(CAST(SUM(v) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+      |      AS mv
+      |  FROM o GROUP BY yr, g),
+      |compl AS (SELECT yr FROM cell GROUP BY yr HAVING COUNT(*) = 5),
+      |ranked AS (
+      |  SELECT g,
+      |    2 * COUNT(*) OVER (PARTITION BY yr ORDER BY mv
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    + COUNT(*) OVER (PARTITION BY yr ORDER BY mv
+      |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS dd
+      |  FROM cell JOIN compl USING (yr)),
+      |by_g AS (SELECT g, CAST(SUM(dd) AS HUGEINT) AS dsum
+      |  FROM ranked GROUP BY g),
+      |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM compl)
+      |SELECT CAST(n AS BIGINT) AS n_years,
+      |  CAST(MAX(CASE WHEN g = '1-URGENT' THEN dsum END) AS BIGINT)
+      |    AS d_urgent,
+      |  CAST(MAX(CASE WHEN g = '2-HIGH' THEN dsum END) AS BIGINT) AS d_high,
+      |  CAST(MAX(CASE WHEN g = '3-MEDIUM' THEN dsum END) AS BIGINT)
+      |    AS d_medium,
+      |  CAST(MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN dsum END) AS BIGINT)
+      |    AS d_notspec,
+      |  CAST(MAX(CASE WHEN g = '5-LOW' THEN dsum END) AS BIGINT) AS d_low,
+      |  CAST(SUM(dsum * dsum) * 100000 // n - 18000000 * n AS BIGINT)
+      |    AS chi2_e6
+      |FROM by_g CROSS JOIN n GROUP BY n""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q338_friedman" -> q338Friedman,
     "q333_median_ci" -> q333MedianCi,
     "q327_kendall_tau" -> q327KendallTau,
     "q307_pettitt_changepoint" -> q307Pettitt,
@@ -2065,6 +2164,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q338_friedman" -> q338Sql,
     "q333_median_ci" -> q333Sql,
     "q327_kendall_tau" -> q327Sql,
     "q307_pettitt_changepoint" -> q307Sql,

@@ -6427,7 +6427,266 @@ object EventQueries {
       |    * (1 - 3 / (4 * (na + nb) - 9)) AS hedges_g
       |FROM d""".stripMargin
 
+  // --------------- q337: Wilcoxon signed-rank test (paired pre/post)
+
+  /** q337: Wilcoxon signed-rank — the PAIRED companion to q295's
+    * Mann–Whitney: each user is their own control. The pair is the user's
+    * purchase cents before vs after the global midpoint day (the q298
+    * cut), d = post − pre, zero differences dropped per the classic
+    * Wilcoxon treatment, and |d| ranked globally with tie-average DOUBLED
+    * ranks off the distinct-value rollup ([[AuditQueries.doubledRankBelow]]
+    * — no single-task sort). With 2W⁺ = Σ_{d>0} drank exactly,
+    *
+    *   z² = 12·(2W⁺ − n(n+1)/2)² / (2n(n+1)(2n+1) − Σ(t³−t))
+    *
+    * staged through n first (two e6 floor divisions) so every intermediate
+    * stays ≤ 3·10³³ at 10⁹ pairs; the denominator equals 3n³+6n²+3n even
+    * when ALL differences tie, so it never vanishes for n ≥ 1.
+    *
+    * Plan: one event pass → per-user pre/post rollup; ranks from the
+    * two-level bucket construction over the |d| rollup; a 1-row fold with
+    * broadcast scalars finishes.
+    */
+  val q337SignedRank: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val pairs = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") >= col("midday"), col("v")).otherwise(0L))
+        .as("post"),
+        sum(when(col("day") < col("midday"), col("v")).otherwise(0L))
+          .as("pre"))
+      .select((col("post") - col("pre")).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("c"), (col("d") > 0L).cast("long").as("pos"))
+    val byV = pairs.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val dRank = AuditQueries.doubledRankBelow(byV, Seq.empty, "c", 100000L)
+      .select(col("c"), (lit(2L) * col("below") + col("cnt") + 1L).as("dd"))
+    val scalars = byV.agg(
+      sum(col("cnt")).cast(dec).as("n1"),
+      sum(col("cnt").cast(dec) * col("cnt") * col("cnt") -
+        col("cnt").cast(dec)).as("ties"))
+    val w = pairs.join(dRank, Seq("c"))
+      .agg(sum(col("pos").cast(dec) * col("dd")).as("w2"))
+    w.crossJoin(broadcast(scalars))
+      .select(col("n1"), col("ties"), col("w2"),
+        abs(col("w2") - expr(fdiv("n1 * (n1 + 1)", "2"))).as("a2"),
+        (lit(2).cast(dec) * col("n1") * (col("n1") + lit(1)) *
+          (lit(2).cast(dec) * col("n1") + lit(1)) - col("ties")).as("dd0"))
+      .select(col("n1"), col("ties"), col("w2"), col("a2"),
+        expr(fdiv("a2 * 1000000", "n1")).as("t1_e6"),
+        expr(fdiv("dd0", "n1")).as("dn"))
+      .select(col("n1").cast("long").as("n_pairs"),
+        col("w2").cast("long").as("w_plus_2"),
+        col("ties").cast("long").as("ties_t"),
+        expr(fdiv("t1_e6 * a2 * 12", "dn")).cast("long").as("z2_e6"))
+  }
+
+  val q337Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+      |pairs0 AS (
+      |  SELECT SUM(CASE WHEN day >= midday THEN v ELSE 0 END)
+      |    - SUM(CASE WHEN day < midday THEN v ELSE 0 END) AS d
+      |  FROM e CROSS JOIN mid GROUP BY user_id),
+      |pairs AS (
+      |  SELECT ABS(d) AS c, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      |  FROM pairs0 WHERE d <> 0),
+      |by_v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY c),
+      |d_rank AS (
+      |  SELECT c, 2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS dd
+      |  FROM by_v),
+      |scalars AS (
+      |  SELECT CAST(SUM(cnt) AS HUGEINT) AS n1,
+      |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+      |  FROM by_v),
+      |w AS (
+      |  SELECT SUM(CAST(pos AS HUGEINT) * dd) AS w2
+      |  FROM pairs JOIN d_rank USING (c)),
+      |st AS (
+      |  SELECT n1, ties, w2,
+      |    ABS(w2 - (n1 * (n1 + 1) // 2)) AS a2,
+      |    2 * n1 * (n1 + 1) * (2 * n1 + 1) - ties AS dd0
+      |  FROM w CROSS JOIN scalars),
+      |st2 AS (
+      |  SELECT n1, ties, w2, a2, a2 * 1000000 // n1 AS t1_e6,
+      |    dd0 // n1 AS dn
+      |  FROM st)
+      |SELECT CAST(n1 AS BIGINT) AS n_pairs, CAST(w2 AS BIGINT) AS w_plus_2,
+      |  CAST(ties AS BIGINT) AS ties_t,
+      |  CAST(t1_e6 * a2 * 12 // dn AS BIGINT) AS z2_e6
+      |FROM st2""".stripMargin
+
+  // ------------------- q339: Cochran's Q test (k matched proportions)
+
+  /** The k = 3 binary "treatments" Cochran's Q compares. */
+  val CochranTypes: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q339: Cochran's Q — does the DAILY INCIDENCE of viewing, clicking
+    * and purchasing differ, matched within (user, day) blocks? The k-
+    * treatment extension of q322's McNemar (k = 2 reduces to it exactly):
+    * x_{bt} = 1 if block b saw ≥ 1 event of type t, column totals C_t,
+    * row totals R_b, N = ΣR, and
+    *
+    *   Q = (k−1)·(k·ΣC_t² − N²) / (k·ΣR_b − ΣR_b²)
+    *
+    * — every term an exact integer, the numerator non-negative by
+    * Cauchy–Schwarz. Q is algebraically INVARIANT to all-zero and all-k
+    * rows (both changes cancel term-for-term), so restricting blocks to
+    * the (user, day) cells actually observed loses nothing — the
+    * block universe never has to be enumerated, which is what makes the
+    * statistic computable without a calendar×user cross join at 100 TB.
+    *
+    * Plan: type filter pushes to the scan; one pass → (user, day) flag
+    * rollup → a 1-row fold. One shuffle total.
+    */
+  val q339CochranQ: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def flag(t: String) =
+      max(when(col("event_type") === t, 1L).otherwise(0L))
+    val f = Tables.events(s, dir)
+      .filter(col("event_type").isin(CochranTypes: _*))
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(flag("view").as("xv"), flag("click").as("xc"),
+        flag("purchase").as("xp"))
+      .withColumn("r", col("xv") + col("xc") + col("xp"))
+    f.agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("r") > 0L && col("r") < 3L, 1L).otherwise(0L))
+          .as("n_informative"),
+        sum(col("xv")).cast(dec).as("cv"),
+        sum(col("xc")).cast(dec).as("cc"),
+        sum(col("xp")).cast(dec).as("cp"),
+        sum(col("r")).cast(dec).as("nn"),
+        sum(col("r").cast(dec) * col("r")).as("r2"))
+      .select(col("n_blocks").cast("long").as("n_blocks"),
+        col("n_informative").cast("long").as("n_informative"),
+        col("cv").cast("long").as("c_view"),
+        col("cc").cast("long").as("c_click"),
+        col("cp").cast("long").as("c_purchase"),
+        expr(fdiv("(3 * (cv*cv + cc*cc + cp*cp) - nn*nn) * 2000000",
+          "3 * nn - r2")).cast("long").as("q_e6"))
+  }
+
+  val q339Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS xv,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xc,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS xp
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    CAST(SUM(CASE WHEN xv+xc+xp BETWEEN 1 AND 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_informative,
+      |    CAST(SUM(xv) AS HUGEINT) AS cv,
+      |    CAST(SUM(xc) AS HUGEINT) AS cc,
+      |    CAST(SUM(xp) AS HUGEINT) AS cp,
+      |    CAST(SUM(xv+xc+xp) AS HUGEINT) AS nn,
+      |    CAST(SUM((xv+xc+xp)*(xv+xc+xp)) AS HUGEINT) AS r2
+      |  FROM f)
+      |SELECT n_blocks, n_informative,
+      |  CAST(cv AS BIGINT) AS c_view, CAST(cc AS BIGINT) AS c_click,
+      |  CAST(cp AS BIGINT) AS c_purchase,
+      |  CAST((3 * (cv*cv + cc*cc + cp*cp) - nn*nn) * 2000000
+      |    // (3 * nn - r2) AS BIGINT) AS q_e6
+      |FROM a""".stripMargin
+
+  // --------------- q340: delete-one-day jackknife for a ratio metric
+
+  /** q340: cluster jackknife over days — the RESAMPLING-FREE variance
+    * estimate for the ratio metric revenue-per-purchase, the classical
+    * complement to q252's Poisson bootstrap and the linearization behind
+    * q291: delete one day-cluster at a time, recompute the ratio in
+    * closed form from the totals (R₍ᵢ₎ = (ΣY−yᵢ)/(ΣX−xᵢ) — no
+    * re-aggregation, no loop), then
+    *
+    *   var_jk = (G−1)/G · Σᵢ (R₍ᵢ₎ − R̄₍·₎)²,
+    *   bias_jk = (G−1)·(R̄₍·₎ − R̂).
+    *
+    * Every leave-one-out ratio is floored at e12 BEFORE the moment sums,
+    * so the cross-group additions are exact integers (a double Σ over
+    * groups would be addition-order-dependent and non-portable); the one
+    * double appears in the final √, which IEEE defines bit-exactly.
+    *
+    * Plan: one event pass → day rollup (checkpointed — totals, LOO
+    * ratios, mean and deviations all ride it); everything after is
+    * |days|-sized metadata with broadcast scalars.
+    */
+  val q340JackknifeRatio: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val bd = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day"))
+      .agg(sum(col("v")).cast(dec).as("y"), count(lit(1)).cast(dec).as("x"))
+      .localCheckpoint()
+    val tot = bd.agg(sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+      count(lit(1)).cast(dec).as("g"))
+    val loo = bd.crossJoin(broadcast(tot))
+      .select(expr(fdiv("(sy - y) * 1000000000000", "sx - x")).as("r"))
+      .localCheckpoint()
+    val mean = loo.agg(sum(col("r")).as("sr"), count(lit(1)).cast(dec).as("g2"))
+      .select(expr(fdiv("sr", "g2")).as("mean_r"))
+    val dev = loo.crossJoin(broadcast(mean))
+      .agg(sum((col("r") - col("mean_r")) * (col("r") - col("mean_r")))
+        .as("ss"), max(col("mean_r")).as("mean_r"))
+    dev.crossJoin(broadcast(tot))
+      .select(col("g").cast("long").as("n_days"),
+        expr(fdiv("sy * 1000000000000", "sx")).cast("long").as("ratio_e12"),
+        col("mean_r").cast("long").as("loo_mean_e12"),
+        ((col("g") - lit(1)) * (col("mean_r") -
+          expr(fdiv("sy * 1000000000000", "sx")))).cast("long")
+          .as("jk_bias_e12"),
+        expr("CAST(FLOOR(SQRT(CAST(" + fdiv("ss * (g - 1)", "g") +
+          " AS DOUBLE))) AS BIGINT)").as("jk_se_e12"))
+  }
+
+  val q340Sql: String =
+    """WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS y,
+      |    CAST(COUNT(*) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT SUM(y) AS sy, SUM(x) AS sx,
+      |  CAST(COUNT(*) AS HUGEINT) AS g FROM bd),
+      |loo AS (SELECT (sy - y) * 1000000000000 // (sx - x) AS r
+      |  FROM bd CROSS JOIN tot),
+      |m AS (SELECT SUM(r) // COUNT(*) AS mean_r FROM loo),
+      |dev AS (SELECT SUM((r - mean_r) * (r - mean_r)) AS ss,
+      |  MAX(mean_r) AS mean_r FROM loo CROSS JOIN m)
+      |SELECT CAST(g AS BIGINT) AS n_days,
+      |  CAST(sy * 1000000000000 // sx AS BIGINT) AS ratio_e12,
+      |  CAST(mean_r AS BIGINT) AS loo_mean_e12,
+      |  CAST((g - 1) * (mean_r - sy * 1000000000000 // sx) AS BIGINT)
+      |    AS jk_bias_e12,
+      |  CAST(FLOOR(SQRT(CAST(CAST(ss * (g - 1) // g AS VARCHAR) AS DOUBLE)))
+      |    AS BIGINT) AS jk_se_e12
+      |FROM dev CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q337_signed_rank" -> q337SignedRank,
+    "q339_cochran_q" -> q339CochranQ,
+    "q340_jackknife_ratio" -> q340JackknifeRatio,
     "q334_doubly_robust" -> q334DoublyRobust,
     "q335_effect_size" -> q335EffectSize,
     "q332_competing_risks" -> q332CompetingRisks,
@@ -6516,6 +6775,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q337_signed_rank" -> q337Sql,
+    "q339_cochran_q" -> q339Sql,
+    "q340_jackknife_ratio" -> q340Sql,
     "q334_doubly_robust" -> q334Sql,
     "q335_effect_size" -> q335Sql,
     "q332_competing_risks" -> q332Sql,
