@@ -1913,7 +1913,94 @@ object CurationQueries {
        |FROM bins JOIN fit ON bins.bin = fit.k
        |ORDER BY bin""".stripMargin
 
+  // ----------------- q343: Fleiss' kappa over three quality raters
+
+  /** Average-token-length threshold (×100) for rater 2's low vote. */
+  val FleissAvgLenX100 = 470L
+
+  /** q343: Fleiss' kappa — do the three DETERMINISTIC quality raters
+    * (short-doc rule: n_tokens < 40; dense-token rule: avg token length
+    * × 100 > [[FleissAvgLenX100]]; no-stopword rule: zero 'the') agree
+    * beyond chance when flagging low-quality documents? The n-rater
+    * generalization of q273's Cohen (two raters), over ALL documents so
+    * the subject universe needs no sampling frame. With n = 3 raters,
+    * n_b = low votes on doc b, S = Σn_b, A = Σ[n_b(n_b−1)+(3−n_b)(2−n_b)]
+    * (A is even — each term is a product of consecutive integers):
+    *
+    *   P̄ = A/(6N),  P_e = (S² + (3N−S)²)/(9N²),
+    *   κ = (3·N·A/2 − S² − (3N−S)²) / (9N² − S² − (3N−S)²)
+    *
+    * — exact integers end to end, one signed e6 floor for κ (negative
+    * when raters agree LESS than chance). Disagreement between cheap
+    * heuristic filters is exactly what decides whether a curation
+    * pipeline needs a learned judge or majority vote suffices.
+    *
+    * Plan: one documents pass with codegen token counts → a 1-row fold.
+    */
+  val q343FleissKappa: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val t = Text.tokens(col("text"))
+    val nTok = size(t)
+    val nChars = length(col("text"))
+    val votes = Tables.documents(s, dir)
+      .select(
+        (when(nTok < 40, 1L).otherwise(0L) +
+          when((nChars - nTok + 1) * 100 > lit(FleissAvgLenX100) * nTok, 1L)
+            .otherwise(0L) +
+          when(size(filter(t, x => x === "the")) === 0, 1L).otherwise(0L))
+          .as("nl"))
+    votes.agg(count(lit(1)).cast(dec).as("nn"),
+        sum(col("nl")).cast(dec).as("s"),
+        sum(col("nl").cast(dec) * (col("nl") - 1) +
+          (lit(3).cast(dec) - col("nl")) * (lit(2).cast(dec) - col("nl")))
+          .as("a"))
+      .select(col("nn"), col("s"), col("a"),
+        (col("s") * col("s") +
+          (lit(3).cast(dec) * col("nn") - col("s")) *
+          (lit(3).cast(dec) * col("nn") - col("s"))).as("b"))
+      .select(col("nn").cast("long").as("n_docs"),
+        col("s").cast("long").as("s_low"),
+        expr(fdiv("a * 1000000", "6 * nn")).cast("long").as("p_bar_e6"),
+        expr(fdiv("b * 1000000", "9 * nn * nn")).cast("long").as("p_e_e6"),
+        expr(sdiv(s"(3 * nn * ${fdiv("a", "2")} - b) * 1000000",
+          "9 * nn * nn - b")).as("kappa_e6"))
+  }
+
+  val q343Sql: String =
+    s"""WITH v AS (
+       |  SELECT
+       |    (CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 40 THEN 1 ELSE 0 END
+       |     + CASE WHEN (LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1)
+       |         * 100 > $FleissAvgLenX100 * LEN(STRING_SPLIT(text, ' '))
+       |         THEN 1 ELSE 0 END
+       |     + CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+       |         x -> x = 'the')) = 0 THEN 1 ELSE 0 END) AS nl
+       |  FROM documents),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+       |    CAST(SUM(nl) AS HUGEINT) AS s,
+       |    CAST(SUM(nl * (nl - 1) + (3 - nl) * (2 - nl)) AS HUGEINT) AS a
+       |  FROM v),
+       |st AS (
+       |  SELECT nn, s, a,
+       |    s * s + (3 * nn - s) * (3 * nn - s) AS b
+       |  FROM agg)
+       |SELECT CAST(nn AS BIGINT) AS n_docs, CAST(s AS BIGINT) AS s_low,
+       |  CAST(a * 1000000 // (6 * nn) AS BIGINT) AS p_bar_e6,
+       |  CAST(b * 1000000 // (9 * nn * nn) AS BIGINT) AS p_e_e6,
+       |  CAST(CASE WHEN 3 * nn * (a // 2) - b >= 0 THEN 1 ELSE -1 END *
+       |    (ABS((3 * nn * (a // 2) - b) * 1000000) // (9 * nn * nn - b))
+       |    AS BIGINT) AS kappa_e6
+       |FROM st""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q343_fleiss_kappa" -> q343FleissKappa,
     "q336_isotonic" -> q336Isotonic,
     "q331_logloss_hl" -> q331LoglossHl,
     "q267_ece" -> q267Ece,
@@ -1943,6 +2030,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q343_fleiss_kappa" -> q343Sql,
     "q336_isotonic" -> q336Sql,
     "q331_logloss_hl" -> q331Sql,
     "q267_ece" -> q267Sql,

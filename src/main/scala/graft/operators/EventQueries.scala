@@ -6683,7 +6683,230 @@ object EventQueries {
       |    AS BIGINT) AS jk_se_e12
       |FROM dev CROSS JOIN tot""".stripMargin
 
+  // ------------- q342: Harrell's concordance index (censored c-index)
+
+  /** Risk-score cap — click counts bucket into [0, [[CIndexScoreCap]]];
+    * the cap IS the score definition (deterministic, documented), and it
+    * is what bounds the per-time join fan-out at the cap+1 score rows.
+    */
+  val CIndexScoreCap = 15L
+
+  /** q342: Harrell's c-index — q164's AUC generalized to CENSORED
+    * time-to-event data, the standard discrimination readout for any
+    * churn/conversion-time model: does a higher click count predict a
+    * FASTER first purchase? Subject = user, time t = days from first
+    * event to first purchase (censored at last observed day), risk score
+    * = clicks capped at [[CIndexScoreCap]]. Over comparable pairs
+    * (i purchased, t_i < t_j):
+    *
+    *   c = (concordant + ties/2) / comparable
+    *     = (2·conc + tied) / (2·(conc + tied + disc))
+    *
+    * The O(n²) pair sum folds relationally: later(t, s) = #subjects of
+    * score s still under observation after t is a per-score suffix sum
+    * over the DENSIFIED time×score rollup (missing cells zero-filled so
+    * the suffix is defined everywhere), and each event cell meets exactly
+    * score-cap+1 suffix rows — candidate generation bounded by
+    * construction, never n².
+    *
+    * Plan: one event pass → user rollup → time×score rollup
+    * (metadata-sized); suffix windows PARTITIONED BY score (parallelism
+    * = scores, each |times| rows); a bounded join and a 1-row fold end it.
+    */
+  val q342CIndex: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val u = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"),
+        max(col("day")).as("dmax"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+      .select(coalesce(col("dp") - col("d0"), col("dmax") - col("d0"))
+        .as("t"),
+        col("dp").isNotNull.cast("long").as("ev"),
+        least(col("clicks"), lit(CIndexScoreCap)).as("sc"))
+      .localCheckpoint()
+    val allCells = u.groupBy(col("t"), col("sc")).agg(count(lit(1)).as("n_all"))
+    val dense = u.select(col("t")).distinct()
+      .crossJoin(u.select(col("sc")).distinct())
+      .join(allCells, Seq("t", "sc"), "left")
+      .select(col("t"), col("sc"), coalesce(col("n_all"), lit(0L)).as("n_all"))
+    val sufW = Window.partitionBy(col("sc")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val later = dense
+      .withColumn("later", coalesce(sum(col("n_all")).over(sufW), lit(0L)))
+      .select(col("t"), col("sc").as("sc_j"), col("later"))
+    val evCells = u.filter(col("ev") === 1L)
+      .groupBy(col("t"), col("sc")).agg(count(lit(1)).as("n_ev"))
+    evCells.join(later, Seq("t"))
+      .agg(
+        sum(when(col("sc_j") < col("sc"),
+          col("n_ev").cast(dec) * col("later")).otherwise(lit(0).cast(dec)))
+          .as("conc"),
+        sum(when(col("sc_j") === col("sc"),
+          col("n_ev").cast(dec) * col("later")).otherwise(lit(0).cast(dec)))
+          .as("tied"),
+        sum(when(col("sc_j") > col("sc"),
+          col("n_ev").cast(dec) * col("later")).otherwise(lit(0).cast(dec)))
+          .as("disc"))
+      .select(col("conc").cast("long").as("conc"),
+        col("tied").cast("long").as("tied"),
+        col("disc").cast("long").as("disc"),
+        expr(fdiv("(2 * conc + tied) * 1000000",
+          "2 * (conc + tied + disc)")).cast("long").as("c_e6"))
+  }
+
+  val q342Sql: String =
+    s"""WITH ue AS (
+      |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    event_type
+      |  FROM events),
+      |u0 AS (
+      |  SELECT MIN(day) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS dp,
+      |    MAX(day) AS dmax,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+      |  FROM ue GROUP BY user_id),
+      |u AS (
+      |  SELECT COALESCE(dp - d0, dmax - d0) AS t,
+      |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |    LEAST(clicks, ${CIndexScoreCap}) AS sc
+      |  FROM u0),
+      |all_cells AS (SELECT t, sc, COUNT(*) AS n_all FROM u GROUP BY t, sc),
+      |dense AS (
+      |  SELECT tt.t, ss.sc, COALESCE(n_all, 0) AS n_all
+      |  FROM (SELECT DISTINCT t FROM u) tt
+      |  CROSS JOIN (SELECT DISTINCT sc FROM u) ss
+      |  LEFT JOIN all_cells ac ON ac.t = tt.t AND ac.sc = ss.sc),
+      |later AS (
+      |  SELECT t, sc AS sc_j,
+      |    COALESCE(SUM(n_all) OVER (PARTITION BY sc ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS later
+      |  FROM dense),
+      |ev_cells AS (
+      |  SELECT t, sc, COUNT(*) AS n_ev FROM u WHERE ev = 1 GROUP BY t, sc),
+      |agg AS (
+      |  SELECT
+      |    SUM(CASE WHEN sc_j < sc THEN CAST(n_ev AS HUGEINT) * later
+      |      ELSE 0 END) AS conc,
+      |    SUM(CASE WHEN sc_j = sc THEN CAST(n_ev AS HUGEINT) * later
+      |      ELSE 0 END) AS tied,
+      |    SUM(CASE WHEN sc_j > sc THEN CAST(n_ev AS HUGEINT) * later
+      |      ELSE 0 END) AS disc
+      |  FROM ev_cells JOIN later USING (t))
+      |SELECT CAST(conc AS BIGINT) AS conc, CAST(tied AS BIGINT) AS tied,
+      |  CAST(disc AS BIGINT) AS disc,
+      |  CAST((2 * conc + tied) * 1000000 // (2 * (conc + tied + disc))
+      |    AS BIGINT) AS c_e6
+      |FROM agg""".stripMargin
+
+  // ---------------- q344: Durbin–Watson serial-correlation statistic
+
+  /** q344: Durbin–Watson — ARE the residuals of the daily-revenue trend
+    * fit independent? The classical post-regression diagnostic q117/q154
+    * never report: fit y = a + b·x by exact OLS sums (x = day offset),
+    * form cents-resolution residuals with the SIGNED floor division
+    * (r = (D·y − numA − numB·x) / D, D = nΣx²−(Σx)² > 0), then
+    *
+    *   DW = Σ(r_t − r_{t−1})² / Σr_t²,   ρ̂₁ = Σ r_t·r_{t−1} / Σr_t²
+    *
+    * — integer sums of integer residuals, one e6 floor each (ρ̂ signed).
+    * Residuals stay at CENTS resolution, not e6, so Σr² is bounded by
+    * 10³⁸ even at 10¹⁰-cent days × 10⁶-day spines.
+    *
+    * Plan: one event pass → day rollup (checkpointed — sums and the
+    * residual series both ride it); the lag walk is a |days|-row
+    * metadata window (the Pettitt precedent), never the corpus.
+    */
+  val q344DurbinWatson: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("y"))
+      .localCheckpoint()
+    val mn = byDay.agg(min(col("day")).as("d0"))
+    val xd = byDay.crossJoin(broadcast(mn))
+      .select((col("day") - col("d0")).cast(dec).as("x"), col("y"))
+      .localCheckpoint()
+    val sums = xd.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dd"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("num_a"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num_b"))
+    val r = xd.crossJoin(broadcast(sums))
+      .select(col("x"),
+        expr(sdiv("dd * y - num_a - num_b * x", "dd")).as("rc"))
+    val lagW = Window.orderBy(col("x"))
+    r.withColumn("rp", lag(col("rc"), 1).over(lagW))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rc") * col("rc")).as("srr"),
+        sum(when(col("rp").isNotNull,
+          (col("rc") - col("rp")) * (col("rc") - col("rp")))
+          .otherwise(lit(0).cast(dec))).as("sdd"),
+        sum(when(col("rp").isNotNull, col("rc") * col("rp"))
+          .otherwise(lit(0).cast(dec))).as("scr"))
+      .select(col("n_days").cast("long").as("n_days"),
+        expr(fdiv("sdd * 1000000", "srr")).cast("long").as("dw_e6"),
+        expr(sdiv("scr * 1000000", "srr")).cast("long").as("rho1_e6"))
+  }
+
+  val q344Sql: String =
+    """WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mn AS (SELECT MIN(day) AS d0 FROM bd),
+      |xd AS (SELECT CAST(day - d0 AS HUGEINT) AS x, y
+      |  FROM bd CROSS JOIN mn),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      |  FROM xd),
+      |co AS (
+      |  SELECT n, n * sxx - sx * sx AS dd,
+      |    sy * sxx - sx * sxy AS num_a,
+      |    n * sxy - sx * sy AS num_b
+      |  FROM sums),
+      |r AS (
+      |  SELECT x,
+      |    CASE WHEN dd * y - num_a - num_b * x >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(dd * y - num_a - num_b * x) // dd) AS rc
+      |  FROM xd CROSS JOIN co),
+      |ser AS (
+      |  SELECT rc, LAG(rc, 1) OVER (ORDER BY x) AS rp FROM r),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    SUM(rc * rc) AS srr,
+      |    SUM(CASE WHEN rp IS NOT NULL THEN (rc - rp) * (rc - rp)
+      |      ELSE 0 END) AS sdd,
+      |    SUM(CASE WHEN rp IS NOT NULL THEN rc * rp ELSE 0 END) AS scr
+      |  FROM ser)
+      |SELECT n_days,
+      |  CAST(sdd * 1000000 // srr AS BIGINT) AS dw_e6,
+      |  CAST(CASE WHEN scr >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(scr * 1000000) // srr) AS BIGINT) AS rho1_e6
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q342_c_index" -> q342CIndex,
+    "q344_durbin_watson" -> q344DurbinWatson,
     "q337_signed_rank" -> q337SignedRank,
     "q339_cochran_q" -> q339CochranQ,
     "q340_jackknife_ratio" -> q340JackknifeRatio,
@@ -6775,6 +6998,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q342_c_index" -> q342Sql,
+    "q344_durbin_watson" -> q344Sql,
     "q337_signed_rank" -> q337Sql,
     "q339_cochran_q" -> q339Sql,
     "q340_jackknife_ratio" -> q340Sql,

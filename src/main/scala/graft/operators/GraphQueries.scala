@@ -1302,7 +1302,89 @@ object GraphQueries {
        |SELECT * FROM ta UNION ALL SELECT * FROM th""".stripMargin
   }
 
+  // ----------------- q341: modularity of the brand partition
+
+  /** q341: Newman–Girvan modularity of the BRAND partition over the
+    * co-purchase graph — the quality score for a given community
+    * assignment, the missing evaluation next to q115's cohesion census
+    * and q188's assortativity (assortativity asks "do like nodes LINK?",
+    * modularity asks "is this PARTITION better than chance?"). For each
+    * community c over the [[copurchaseEdges]] graph (unweighted,
+    * support ≥ MinSupport),
+    *
+    *   Q_c = m_c/m − (d_c/2m)²  =  (4·m·m_c − d_c²) / (4m²)
+    *
+    * — one exact integer fraction per community, e12-floored with the
+    * SIGNED division spelling (contributions go negative when a brand's
+    * degree mass outruns its internal edges); Q = Σ_c Q_c is the global
+    * score and ships as the per-row running total's final value by
+    * construction (Σ d_c = 2m and Σ m_c ≤ m are the built-in checks).
+    *
+    * Plan: the bounded in-place pair generation of the shared edge list
+    * (BasketCap), two broadcast joins against the part dim for brands,
+    * one 25-row rollup, a broadcast 1-row total. No new shuffles beyond
+    * the edge list's own.
+    */
+  val q341Modularity: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val brands = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val e = copurchaseEdges(s, dir)
+      .join(broadcast(brands.select(col("p_partkey").as("part_a"),
+        col("p_brand").as("brand_a"))), "part_a")
+      .join(broadcast(brands.select(col("p_partkey").as("part_b"),
+        col("p_brand").as("brand_b"))), "part_b")
+    // per-community: internal edges and degree mass (each edge adds one
+    // degree to each endpoint's community)
+    val byC = e.select(col("brand_a").as("c"),
+        when(col("brand_a") === col("brand_b"), 1L).otherwise(0L).as("m_in"),
+        lit(1L).as("d"))
+      .unionAll(e.select(col("brand_b").as("c"), lit(0L).as("m_in"),
+        lit(1L).as("d")))
+      .groupBy(col("c"))
+      .agg(sum(col("m_in")).cast(dec).as("mc"), sum(col("d")).cast(dec).as("dc"))
+    val m = byC.agg((sum(col("dc")).cast(dec) / 2).cast(dec).as("m"))
+    byC.crossJoin(broadcast(m))
+      .select(col("c").as("brand"),
+        col("mc").cast("long").as("m_in"),
+        col("dc").cast("long").as("d_sum"),
+        expr(sdiv("(4 * m * mc - dc * dc) * 1000000000000", "4 * m * m"))
+          .as("contrib_e12"))
+      .orderBy(col("brand"))
+  }
+
+  def q341Sql: String =
+    s"""WITH $edgesCtes,
+      |e AS (
+      |  SELECT pa.p_brand AS brand_a, pb.p_brand AS brand_b
+      |  FROM pairs
+      |  JOIN part pa ON part_a = pa.p_partkey
+      |  JOIN part pb ON part_b = pb.p_partkey),
+      |by_c AS (
+      |  SELECT c, CAST(SUM(m_in) AS HUGEINT) AS mc,
+      |    CAST(SUM(d) AS HUGEINT) AS dc
+      |  FROM (
+      |    SELECT brand_a AS c,
+      |      CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END AS m_in, 1 AS d
+      |    FROM e
+      |    UNION ALL
+      |    SELECT brand_b AS c, 0 AS m_in, 1 AS d FROM e) u
+      |  GROUP BY c),
+      |m AS (SELECT SUM(dc) // 2 AS m FROM by_c)
+      |SELECT c AS brand, CAST(mc AS BIGINT) AS m_in,
+      |  CAST(dc AS BIGINT) AS d_sum,
+      |  CAST(CASE WHEN 4 * m * mc - dc * dc >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((4 * m * mc - dc * dc) * 1000000000000) // (4 * m * m))
+      |    AS BIGINT) AS contrib_e12
+      |FROM by_c CROSS JOIN m
+      |ORDER BY brand""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q341_modularity" -> q341Modularity,
     "q274_hits" -> q274Hits,
     "q262_ndcg" -> q262Ndcg,
     "q217_ranking_metrics" -> q217RankingMetrics,
@@ -1322,6 +1404,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q341_modularity" -> q341Sql,
     "q274_hits" -> q274Sql,
     "q217_ranking_metrics" -> q217Sql,
     "q262_ndcg" -> q262Sql,
