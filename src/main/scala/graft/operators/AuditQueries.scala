@@ -2137,7 +2137,154 @@ object AuditQueries {
       |    AS chi2_e6
       |FROM by_g CROSS JOIN n GROUP BY n""".stripMargin
 
+  // -------------- q346: partial correlation (controlling for a third)
+
+  /** q346: partial correlation — does price correlate with quantity AFTER
+    * controlling for discount? q117's raw correlation cannot separate a
+    * direct relationship from one routed through a confounder; the
+    * first-order partial
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+    *
+    * does, and is the standard screen before any "price drives volume"
+    * claim. Every pairwise r comes from exact integer power sums (cents ×
+    * integer quantity × discount basis points — C_ab = n·S_ab − S_a·S_b
+    * stays ≤ 10³² at 10¹² rows); the doubles form one fixed IEEE tree
+    * over those exact integers, so both engines agree bit-for-bit.
+    *
+    * Plan: ONE corpus pass computing all ten power sums map-side
+    * (a single partial-aggregate — no second scan, no join), then a
+    * 1-row finish.
+    */
+  val q346PartialCorr: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .select(cents(col("l_extendedprice")).cast(dec).as("x"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").cast(dec).as("y"),
+        expr("CAST(ROUND(l_discount * 10000) AS BIGINT)").cast(dec).as("z"))
+    val sums = li.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    def c(ab: String, a: String, b: String) =
+      (col("n") * col(ab) - col(a) * col(b)).cast("double")
+    val rxy = c("sxy", "sx", "sy") / sqrt(c("sxx", "sx", "sx") * c("syy", "sy", "sy"))
+    val rxz = c("sxz", "sx", "sz") / sqrt(c("sxx", "sx", "sx") * c("szz", "sz", "sz"))
+    val ryz = c("syz", "sy", "sz") / sqrt(c("syy", "sy", "sy") * c("szz", "sz", "sz"))
+    sums.select(col("n").cast("long").as("n_rows"),
+      rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+      ((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))).as("r_xy_z"))
+  }
+
+  val q346Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def c(ab: String, a: String, b: String) = d(s"n * $ab - $a * $b")
+    val rxy = s"(${c("sxy", "sx", "sy")} / sqrt(${c("sxx", "sx", "sx")} * ${c("syy", "sy", "sy")}))"
+    val rxz = s"(${c("sxz", "sx", "sz")} / sqrt(${c("sxx", "sx", "sx")} * ${c("szz", "sz", "sz")}))"
+    val ryz = s"(${c("syz", "sy", "sz")} / sqrt(${c("syy", "sy", "sy")} * ${c("szz", "sz", "sz")}))"
+    s"""WITH li AS (
+       |  SELECT CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT) AS x,
+       |    CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT) AS y,
+       |    CAST(CAST(ROUND(l_discount * 10000) AS BIGINT) AS HUGEINT) AS z
+       |  FROM lineitem),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+       |    SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+       |  FROM li)
+       |SELECT CAST(n AS BIGINT) AS n_rows,
+       |  $rxy AS r_xy, $rxz AS r_xz, $ryz AS r_yz,
+       |  ($rxy - $rxz * $ryz) /
+       |    sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)) AS r_xy_z
+       |FROM sums""".stripMargin
+  }
+
+  // ------------------ q347: Mood's median test across k groups
+
+  /** q347: Mood's median test — the COUNTS-ONLY k-group location test:
+    * split every order at the grand median price and ask whether the five
+    * priorities land above it at the same rate (a 2×k chi-square on
+    * above/below counts). Where q272's Kruskal–Wallis uses full rank
+    * information, Mood's test uses one bit per row — far less power, but
+    * immune to outliers and the textbook cross-check when KW significance
+    * is suspected to ride extreme values. The grand median is selected
+    * RELATIONALLY (smallest value whose cumulative count reaches
+    * ⌈N/2⌉ off the two-level rank construction — the q333 selection, no
+    * corpus sort; the oracle states the same row as percentile_disc).
+    * The statistic folds per group with the identity
+    *
+    *   χ² = Σ_g (N·a_g − A·n_g)²/n_g / (A·B)
+    *
+    * staged so every intermediate stays ≤ 10³⁵ at 10¹⁰ rows.
+    *
+    * Plan: one orders pass → value rollup (for the median) + group
+    * rollup; a 5-row fold with broadcast scalars ends it.
+    */
+  val q347MoodMedian: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+    val byV = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val nTot = byV.agg(sum(col("cnt")).as("n"))
+    val med = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+      .crossJoin(broadcast(nTot))
+      .filter(col("below") + col("cnt") >= expr("(n + 1) div 2"))
+      .agg(min(col("c")).as("med"))
+    val byG = o.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("n_g"),
+        sum(when(col("c") > col("med"), 1L).otherwise(0L)).cast(dec).as("a_g"))
+    val tot = byG.agg(sum(col("n_g")).as("nn"), sum(col("a_g")).as("aa"))
+    val terms = byG.crossJoin(broadcast(tot))
+      .select(col("g"), col("n_g"), col("a_g"), col("nn"), col("aa"),
+        expr(fdiv("abs(nn * a_g - aa * n_g) * 1000", "n_g")).as("u_g"))
+    val chi = terms
+      .agg(max(col("nn")).as("nn"), max(col("aa")).as("aa"),
+        sum(col("u_g") * col("u_g") * col("n_g")).as("su"))
+      .select(expr(fdiv("su", "aa * (nn - aa)")).cast("long").as("chi2_e6"))
+    byG.crossJoin(broadcast(med)).crossJoin(broadcast(chi))
+      .select(col("g").as("priority"),
+        col("n_g").cast("long").as("n_g"),
+        col("a_g").cast("long").as("n_above"),
+        col("med").as("median_c"),
+        col("chi2_e6"))
+      .orderBy(col("priority"))
+  }
+
+  val q347Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |med AS (
+      |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS med
+      |  FROM o),
+      |by_g AS (
+      |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+      |    CAST(SUM(CASE WHEN c > med THEN 1 ELSE 0 END) AS HUGEINT) AS a_g
+      |  FROM o CROSS JOIN med GROUP BY g),
+      |tot AS (SELECT SUM(n_g) AS nn, SUM(a_g) AS aa FROM by_g),
+      |terms AS (
+      |  SELECT g, n_g, a_g, nn, aa,
+      |    ABS(nn * a_g - aa * n_g) * 1000 // n_g AS u_g
+      |  FROM by_g CROSS JOIN tot),
+      |chi AS (
+      |  SELECT CAST(SUM(u_g * u_g * n_g) // (MAX(aa) * (MAX(nn) - MAX(aa)))
+      |    AS BIGINT) AS chi2_e6
+      |  FROM terms)
+      |SELECT g AS priority, CAST(n_g AS BIGINT) AS n_g,
+      |  CAST(a_g AS BIGINT) AS n_above, med AS median_c, chi2_e6
+      |FROM by_g CROSS JOIN med CROSS JOIN chi
+      |ORDER BY priority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q346_partial_corr" -> q346PartialCorr,
+    "q347_mood_median" -> q347MoodMedian,
     "q338_friedman" -> q338Friedman,
     "q333_median_ci" -> q333MedianCi,
     "q327_kendall_tau" -> q327KendallTau,
@@ -2164,6 +2311,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q346_partial_corr" -> q346Sql,
+    "q347_mood_median" -> q347Sql,
     "q338_friedman" -> q338Sql,
     "q333_median_ci" -> q333Sql,
     "q327_kendall_tau" -> q327Sql,

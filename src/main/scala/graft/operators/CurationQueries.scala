@@ -1999,7 +1999,88 @@ object CurationQueries {
        |    AS BIGINT) AS kappa_e6
        |FROM st""".stripMargin
 
+  // ----------- q348: G-test (log-likelihood ratio) of lang × source
+
+  /** q348: the likelihood-ratio G-test on the language × source
+    * contingency — the information-theoretic twin of q153's Pearson χ²,
+    * and the one a curation pipeline should prefer when cells are small
+    * or imbalanced (G is additive across partitions of the table, χ² is
+    * not). In base-2 form with the portable LUT log,
+    *
+    *   G_bits = Σ_cells O·(log2 O + log2 N − log2 R − log2 C),
+    *   G = 2·ln2 · G_bits
+    *
+    * — the decomposed spelling keeps every log2e6 argument ≤ N (no O·N
+    * product that would overflow bin()'s BIGINT at corpus scale), each
+    * cell term is a signed exact integer at e6, and 2·ln2 is an inlined
+    * plan-time e6 constant. Zero cells contribute exactly their
+    * mathematical limit (0) by never appearing in the rollup.
+    *
+    * Plan: one documents pass → cell/row/column rollups (metadata-sized;
+    * the two margins broadcast onto the cells); a 1-row fold ends it.
+    */
+  val q348GTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = Text.log2e6SparkSql(x)
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val d = Tables.documents(s, dir).select(col("lang"), col("source"))
+    val cells = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rows = d.groupBy(col("lang")).agg(count(lit(1)).as("rl"))
+    val cols = d.groupBy(col("source")).agg(count(lit(1)).as("cl"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    val terms = cells
+      .join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("o"),
+        expr(s"CAST(o AS DECIMAL(38,0)) * (${l2("o")} + ${l2("nn")} - " +
+          s"${l2("rl")} - ${l2("cl")})").as("t"))
+    val folded = terms.agg(count(lit(1)).as("n_cells"),
+      sum(col("t")).as("gbits"))
+    val df = rows.agg(count(lit(1)).as("nr"))
+      .crossJoin(cols.agg(count(lit(1)).as("nc")))
+      .select(((col("nr") - 1) * (col("nc") - 1)).as("df"))
+    folded.crossJoin(broadcast(df))
+      .select(col("n_cells").cast("long").as("n_cells"),
+        col("df").cast("long").as("df"),
+        col("gbits").cast("long").as("g_bits_e6"),
+        expr(sdiv("gbits * 1386294", "1000000")).as("g_e6"))
+  }
+
+  val q348Sql: String = {
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    s"""WITH d AS (SELECT lang, source FROM documents),
+       |cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM d GROUP BY lang, source),
+       |rws AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS rl
+       |  FROM d GROUP BY lang),
+       |cls AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cl
+       |  FROM d GROUP BY source),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+       |terms AS (
+       |  SELECT CAST(o AS HUGEINT) *
+       |    (${l2("o")} + ${l2("nn")} - ${l2("rl")} - ${l2("cl")}) AS t
+       |  FROM cells JOIN rws USING (lang) JOIN cls USING (source)
+       |  CROSS JOIN n),
+       |folded AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(t) AS gbits
+       |  FROM terms),
+       |df AS (
+       |  SELECT ((SELECT COUNT(*) FROM rws) - 1) *
+       |    ((SELECT COUNT(*) FROM cls) - 1) AS df)
+       |SELECT n_cells, CAST(df AS BIGINT) AS df,
+       |  CAST(gbits AS BIGINT) AS g_bits_e6,
+       |  CAST(CASE WHEN gbits >= 0 THEN 1 ELSE -1 END *
+       |    (ABS(gbits * 1386294) // 1000000) AS BIGINT) AS g_e6
+       |FROM folded CROSS JOIN df""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q348_g_test" -> q348GTest,
     "q343_fleiss_kappa" -> q343FleissKappa,
     "q336_isotonic" -> q336Isotonic,
     "q331_logloss_hl" -> q331LoglossHl,
@@ -2030,6 +2111,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q348_g_test" -> q348Sql,
     "q343_fleiss_kappa" -> q343Sql,
     "q336_isotonic" -> q336Sql,
     "q331_logloss_hl" -> q331Sql,

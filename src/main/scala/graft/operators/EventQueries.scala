@@ -6806,6 +6806,76 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // --------- q345: Gumbel block-maxima fit + 12-month return level
+
+  /** Plan-time EVT constants, inlined as IDENTICAL double literals in both
+    * engines (libm at plan build is allowed; runtime arithmetic is fixed
+    * IEEE ops over them — the q294/q317 rule).
+    */
+  private val GumbelGamma = 0.5772156649015329           // Euler–Mascheroni
+  private val GumbelBetaK = math.sqrt(6.0) / math.Pi     // s → scale
+  private val GumbelC12 = -math.log(math.log(90.0 / 89.0)) // T = 90 quantile
+
+  /** q345: extreme-value analysis — fit a Gumbel distribution to the DAILY
+    * MAXIMUM single-purchase value by the method of moments and report the
+    * 90-day return level (the transaction size exceeded about once a
+    * quarter), the capacity-planning question none of the mean/variance
+    * readouts answer (means say nothing about the worst transaction):
+    *
+    *   β = s·√6/π,  μ = x̄ − γβ,  x_T = μ + β·(−ln ln(T/(T−1)))
+    *
+    * Moments come from exact integer block sums (Σx, Σx² in DECIMAL); the
+    * doubles appear only in one fixed IEEE tree over those exact integers
+    * and the three inlined plan-time constants, so both engines produce
+    * bit-identical output. Block maxima are the one EVT statistic that is
+    * embarrassingly parallel — max is associative, so the day rollup
+    * needs no order or window at any scale.
+    *
+    * Plan: one event pass → day maxima (metadata-sized) → a 1-row fold.
+    */
+  val q345GumbelMaxima: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val bm = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(max(col("v")).cast(dec).as("x"))
+    val sums = bm.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val sDev = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double") / (col("n") * (col("n") - 1)).cast("double"))
+    val beta = sDev * lit(GumbelBetaK)
+    val mu = mean - lit(GumbelGamma) * beta
+    sums.select(col("n").cast("long").as("n_blocks"),
+      mean.as("mean_c"), sDev.as("sd_c"), beta.as("beta_c"), mu.as("mu_c"),
+      (mu + beta * lit(GumbelC12)).as("rl90_c"))
+  }
+
+  val q345Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val mean = s"${d("sx")} / ${d("n")}"
+    val sd = s"sqrt(${d("n * sxx - sx * sx")} / ${d("n * (n - 1)")})"
+    val beta = s"($sd) * $GumbelBetaK"
+    val mu = s"($mean) - $GumbelGamma * ($beta)"
+    s"""WITH bm AS (
+       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+       |    CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+       |    SUM(x * x) AS sxx
+       |  FROM bm)
+       |SELECT CAST(n AS BIGINT) AS n_blocks,
+       |  $mean AS mean_c,
+       |  $sd AS sd_c,
+       |  $beta AS beta_c,
+       |  $mu AS mu_c,
+       |  ($mu) + ($beta) * $GumbelC12 AS rl90_c
+       |FROM sums""".stripMargin
+  }
+
   // ---------------- q344: Durbin–Watson serial-correlation statistic
 
   /** q344: Durbin–Watson — ARE the residuals of the daily-revenue trend
@@ -6905,6 +6975,7 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q345_gumbel_maxima" -> q345GumbelMaxima,
     "q342_c_index" -> q342CIndex,
     "q344_durbin_watson" -> q344DurbinWatson,
     "q337_signed_rank" -> q337SignedRank,
@@ -6998,6 +7069,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q345_gumbel_maxima" -> q345Sql,
     "q342_c_index" -> q342Sql,
     "q344_durbin_watson" -> q344Sql,
     "q337_signed_rank" -> q337Sql,
