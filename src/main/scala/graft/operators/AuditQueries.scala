@@ -2282,7 +2282,106 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ---------- q352: two-sample Cramér–von Mises (EDF distance test)
+
+  /** q352: the two-sample Cramér–von Mises test on URGENT vs LOW order
+    * values — the INTEGRATED companion to q157's KS (KS reads the single
+    * worst EDF gap, CvM the mean-squared gap over the whole curve, so it
+    * sees broad shape differences KS misses). The classical form
+    *
+    *   T = [n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²]/(nm(n+m)) − (4nm−1)/(6(n+m))
+    *
+    * is an O(N) pass over sorted elements; here the element sum collapses
+    * PER TIE-CELL in closed form: a cell of t elements of group g at
+    * doubled-average global rank d̄ and within-group doubled offset 2w
+    * contributes Σ_{j=1..t}(d̄−2(w+j))² = t·A² − 2A·t(t+1) +
+    * 4·(t(t+1)(2t+1)/6) with A = d̄−2w — the sum-of-squares identity as
+    * a symbolic unroll, so no per-element expansion ever materializes
+    * (ties use average doubled ranks, the deterministic convention shared
+    * with q295/q337). Both rank families come from the two-level bucket
+    * construction; every term is an exact integer ≤ 4·10³¹ at 10¹⁰ rows
+    * per arm, and the two e6 floors subtract to the signed statistic.
+    *
+    * Plan: priority filter pushes to the scan; one fact pass → (arm,
+    * value) rollup; global + per-arm ranks off the rollups; a cell-level
+    * fold and a 2-row pivot finish.
+    */
+  val q352CramerVonMises: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin(MwArmA, MwArmB))
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+    val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
+    val byV = gc.groupBy(col("c")).agg(sum(col("cnt")).as("cnt"))
+    val gRank = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+      .select(col("c"),
+        (lit(2L) * col("below") + col("cnt") + 1L).as("dbar"))
+    val cells = doubledRankBelow(gc, Seq("g"), "c", 100000L)
+      .join(gRank, Seq("c"))
+      .select(col("g"), col("cnt").cast(dec).as("t"),
+        (col("dbar").cast(dec) - lit(2).cast(dec) * col("below")).as("a"))
+    val perG = cells
+      .select(col("g"),
+        (col("t") * col("a") * col("a") -
+          lit(2).cast(dec) * col("a") * col("t") * (col("t") + 1) +
+          lit(4).cast(dec) *
+            expr(fdiv("t * (t + 1) * (2 * t + 1)", "6"))).as("u4"),
+        col("t"))
+      .groupBy(col("g"))
+      .agg(sum(col("u4")).as("u4"), sum(col("t")).as("n_g"))
+    perG.agg(
+        max(when(col("g") === MwArmA, col("n_g"))).as("n"),
+        max(when(col("g") === MwArmB, col("n_g"))).as("m"),
+        max(when(col("g") === MwArmA, col("u4"))).as("u41"),
+        max(when(col("g") === MwArmB, col("u4"))).as("u42"))
+      .select(col("n").cast("long").as("n1"), col("m").cast("long").as("n2"),
+        (expr(fdiv("u41 * 1000000", "4 * m * (n + m)")) +
+          expr(fdiv("u42 * 1000000", "4 * n * (n + m)")) -
+          expr(fdiv("(4 * n * m - 1) * 1000000", "6 * (n + m)")))
+          .cast("long").as("t_e6"))
+  }
+
+  val q352Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+       |  FROM orders
+       |  WHERE o_orderpriority IN ('$MwArmA', '$MwArmB')),
+       |gc AS (SELECT g, c, CAST(COUNT(*) AS HUGEINT) AS cnt
+       |  FROM o GROUP BY g, c),
+       |by_v AS (SELECT c, SUM(cnt) AS cnt FROM gc GROUP BY c),
+       |g_rank AS (
+       |  SELECT c, 2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + cnt + 1 AS dbar
+       |  FROM by_v),
+       |cells AS (
+       |  SELECT g, cnt AS t,
+       |    dbar - 2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+       |  FROM gc JOIN g_rank USING (c)),
+       |per_g AS (
+       |  SELECT g,
+       |    SUM(t * a * a - 2 * a * t * (t + 1)
+       |      + 4 * (t * (t + 1) * (2 * t + 1) // 6)) AS u4,
+       |    SUM(t) AS n_g
+       |  FROM cells GROUP BY g),
+       |piv AS (
+       |  SELECT MAX(CASE WHEN g = '$MwArmA' THEN n_g END) AS n,
+       |    MAX(CASE WHEN g = '$MwArmB' THEN n_g END) AS m,
+       |    MAX(CASE WHEN g = '$MwArmA' THEN u4 END) AS u41,
+       |    MAX(CASE WHEN g = '$MwArmB' THEN u4 END) AS u42
+       |  FROM per_g)
+       |SELECT CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
+       |  CAST(u41 * 1000000 // (4 * m * (n + m))
+       |    + u42 * 1000000 // (4 * n * (n + m))
+       |    - (4 * n * m - 1) * 1000000 // (6 * (n + m)) AS BIGINT) AS t_e6
+       |FROM piv""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q352_cramer_von_mises" -> q352CramerVonMises,
     "q346_partial_corr" -> q346PartialCorr,
     "q347_mood_median" -> q347MoodMedian,
     "q338_friedman" -> q338Friedman,
@@ -2311,6 +2410,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q352_cramer_von_mises" -> q352Sql,
     "q346_partial_corr" -> q346Sql,
     "q347_mood_median" -> q347Sql,
     "q338_friedman" -> q338Sql,

@@ -6806,6 +6806,288 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // ------------------- q349: Wald–Wolfowitz runs test on daily revenue
+
+  /** q349: the runs test — is the SEQUENCE of above/below-median revenue
+    * days random, or do good days clump? q162 reports streak lengths,
+    * q124/q316 chart drift; this is the significance TEST for serial
+    * clumping that needs no distributional assumption at all. Days at the
+    * exact median are dropped (the classical treatment); with n₁ above,
+    * n₂ below, n = n₁+n₂ and R observed runs,
+    *
+    *   z² = ((R−1)·n − 2n₁n₂)²·(n−1) / (2n₁n₂·(2n₁n₂ − n))
+    *
+    * — the n-cleared spelling of ((R−μ)/σ)², exact integers end to end
+    * with one e6 floor; every intermediate ≤ 4·10³⁶ at a 10⁶-day spine.
+    *
+    * Plan: one event pass → day rollup; the median selection rides the
+    * two-level rank construction (no corpus sort); the run walk is a
+    * |days|-row metadata window (Pettitt precedent).
+    */
+  val q349RunsTest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      .localCheckpoint()
+    val byV = byDay.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val nTot = byV.agg(sum(col("cnt")).as("n"))
+    val med = AuditQueries.doubledRankBelow(byV, Seq.empty, "x", 100000L)
+      .crossJoin(broadcast(nTot))
+      .filter(col("below") + col("cnt") >= expr("(n + 1) div 2"))
+      .agg(min(col("x")).as("med"))
+    val signs = byDay.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("day"), (col("x") > col("med")).cast("long").as("s"))
+    val runW = Window.orderBy(col("day"))
+    val folded = signs
+      .withColumn("sp", lag(col("s"), 1).over(runW))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("s")).cast(dec).as("n1"),
+        (sum(when(col("sp").isNull || col("sp") =!= col("s"), 1L)
+          .otherwise(0L))).cast(dec).as("r"))
+    folded
+      .select(col("n"), col("n1"), (col("n") - col("n1")).as("n2"), col("r"))
+      .select(col("n"), col("n1"), col("n2"), col("r"),
+        abs((col("r") - 1) * col("n") - lit(2).cast(dec) * col("n1") * col("n2"))
+          .as("a"),
+        (lit(2).cast(dec) * col("n1") * col("n2")).as("p2"))
+      .select(col("n").cast("long").as("n_days_used"),
+        col("n1").cast("long").as("n_above"),
+        col("n2").cast("long").as("n_below"),
+        col("r").cast("long").as("n_runs"),
+        expr(fdiv("a * a * (n - 1) * 1000000", "p2 * (p2 - n)"))
+          .cast("long").as("z2_e6"))
+  }
+
+  val q349Sql: String =
+    """WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |med AS (
+      |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS med
+      |  FROM bd),
+      |signs AS (
+      |  SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+      |  FROM bd CROSS JOIN med WHERE x <> med),
+      |ser AS (SELECT s, LAG(s, 1) OVER (ORDER BY day) AS sp FROM signs),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(s) AS HUGEINT) AS n1,
+      |    CAST(SUM(CASE WHEN sp IS NULL OR sp <> s THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS r
+      |  FROM ser),
+      |st AS (
+      |  SELECT n, n1, n - n1 AS n2, r,
+      |    ABS((r - 1) * n - 2 * n1 * (n - n1)) AS a,
+      |    2 * n1 * (n - n1) AS p2
+      |  FROM folded)
+      |SELECT CAST(n AS BIGINT) AS n_days_used, CAST(n1 AS BIGINT) AS n_above,
+      |  CAST(n2 AS BIGINT) AS n_below, CAST(r AS BIGINT) AS n_runs,
+      |  CAST(a * a * (n - 1) * 1000000 // (p2 * (p2 - n)) AS BIGINT)
+      |    AS z2_e6
+      |FROM st""".stripMargin
+
+  // ------- q350: 2×2 effect measures — odds ratio / relative risk
+
+  /** q350: the epidemiologist's 2×2 panel for a binary outcome — odds
+    * ratio, relative risk and risk difference of "active user-day saw a
+    * purchase" across the hash arms, with Woolf's log-scale standard
+    * error — the binary-outcome companion to q335's continuous effect
+    * size (q127's z-test says WHETHER arms differ; OR/RR/RD say by HOW
+    * MUCH in the units decision-makers quote). The unit is the ACTIVE
+    * (user, day) block — per-user lifetime purchase is ~1 for everyone
+    * and would degenerate the table. All three measures are exact
+    * integer rationals with one e6 floor each (RD signed); the single
+    * double is Woolf's √(1/a+1/b+1/c+1/d), a fixed IEEE tree.
+    *
+    * Plan: one event pass → (user, day) rollup → a 1-row conditional
+    * fold. One shuffle.
+    */
+  val q350OddsRatio: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val pu = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("y"))
+      .select(when(hv % 2 === 0, 1L).otherwise(0L).as("arm_a"), col("y"))
+    pu.agg(
+        sum(when(col("arm_a") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .cast(dec).as("a"),
+        sum(when(col("arm_a") === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .cast(dec).as("b"),
+        sum(when(col("arm_a") === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .cast(dec).as("c"),
+        sum(when(col("arm_a") === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .cast(dec).as("d"))
+      .select(col("a").cast("long").as("n11"),
+        col("b").cast("long").as("n10"),
+        col("c").cast("long").as("n01"),
+        col("d").cast("long").as("n00"),
+        expr(fdiv("a * d * 1000000", "b * c")).cast("long").as("or_e6"),
+        expr(fdiv("a * (c + d) * 1000000", "c * (a + b)")).cast("long")
+          .as("rr_e6"),
+        expr(sdiv("(a * (c + d) - c * (a + b)) * 1000000",
+          "(a + b) * (c + d)")).as("rd_e6"),
+        sqrt(lit(1.0) / col("a").cast("double") +
+          lit(1.0) / col("b").cast("double") +
+          lit(1.0) / col("c").cast("double") +
+          lit(1.0) / col("d").cast("double")).as("log_se_woolf"))
+  }
+
+  val q350Sql: String =
+    """WITH pu AS (
+      |  SELECT
+      |    CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE 0 END AS arm_a,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events
+      |  GROUP BY user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000),
+      |cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm_a = 1 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS a,
+      |    CAST(SUM(CASE WHEN arm_a = 1 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS b,
+      |    CAST(SUM(CASE WHEN arm_a = 0 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS c,
+      |    CAST(SUM(CASE WHEN arm_a = 0 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS d
+      |  FROM pu)
+      |SELECT CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+      |  CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+      |  CAST(a * d * 1000000 // (b * c) AS BIGINT) AS or_e6,
+      |  CAST(a * (c + d) * 1000000 // (c * (a + b)) AS BIGINT) AS rr_e6,
+      |  CAST(CASE WHEN a * (c + d) - c * (a + b) >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((a * (c + d) - c * (a + b)) * 1000000)
+      |      // ((a + b) * (c + d))) AS BIGINT) AS rd_e6,
+      |  sqrt(1.0 / CAST(CAST(a AS VARCHAR) AS DOUBLE)
+      |    + 1.0 / CAST(CAST(b AS VARCHAR) AS DOUBLE)
+      |    + 1.0 / CAST(CAST(c AS VARCHAR) AS DOUBLE)
+      |    + 1.0 / CAST(CAST(d AS VARCHAR) AS DOUBLE)) AS log_se_woolf
+      |FROM cells""".stripMargin
+
+  // ---------- q351: Mantel–Haenszel pooled odds ratio across strata
+
+  /** Activity-band edges (active days per user) for the MH strata. */
+  val MhBandLow = 27L
+  val MhBandHigh = 29L
+
+  /** q351: the Mantel–Haenszel pooled odds ratio — q350's crude OR
+    * adjusted for an observed confounder, the 2×2 analog of q304's CEM
+    * (binary outcome instead of continuous): stratify q350's active
+    * (user, day) units into three bands of the user's ACTIVITY (active
+    * days < [[MhBandLow]], < [[MhBandHigh]], else), form each stratum's
+    * arm × purchased table, and pool
+    *
+    *   OR_MH = Σ_i (aᵢdᵢ/nᵢ) / Σ_i (bᵢcᵢ/nᵢ)
+    *
+    * next to the crude OR computed from the collapsed table — the
+    * side-by-side IS the confounding readout (activity drives both the
+    * number of units a user contributes and purchase propensity).
+    * Per-stratum quotients are e6-floored before summing so the
+    * cross-stratum additions stay exact integers; the two pools meet in
+    * one final floor division.
+    *
+    * Plan: one event pass → (user, day) rollup (checkpointed — it feeds
+    * both the band rollup and the stratum fold) → per-user band join →
+    * 3-row stratum fold → 1-row finish.
+    */
+  val q351MantelHaenszel: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val ud = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("y"))
+      .localCheckpoint()
+    val ub = ud.groupBy(col("user_id")).agg(count(lit(1)).as("nd"))
+      .select(col("user_id"),
+        when(col("nd") < MhBandLow, "low")
+          .when(col("nd") < MhBandHigh, "mid").otherwise("high").as("band"))
+    val pu = ud.join(ub, Seq("user_id"))
+      .select(when(hv % 2 === 0, 1L).otherwise(0L).as("arm_a"), col("y"),
+        col("band"))
+    val strata = pu.groupBy(col("band"))
+      .agg(
+        sum(when(col("arm_a") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .cast(dec).as("a"),
+        sum(when(col("arm_a") === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .cast(dec).as("b"),
+        sum(when(col("arm_a") === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .cast(dec).as("c"),
+        sum(when(col("arm_a") === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .cast(dec).as("d"))
+      .select(col("band"), col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("nn"))
+    strata.agg(
+        sum(expr(fdiv("a * d * 1000000", "nn"))).as("x_e6"),
+        sum(expr(fdiv("b * c * 1000000", "nn"))).as("y_e6"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+        count(lit(1)).as("n_strata"))
+      .select(col("n_strata").cast("long").as("n_strata"),
+        expr(fdiv("sa * sd * 1000000", "sb * sc")).cast("long")
+          .as("crude_or_e6"),
+        expr(fdiv("x_e6 * 1000000", "y_e6")).cast("long").as("mh_or_e6"))
+  }
+
+  val q351Sql: String =
+    s"""WITH ud AS (
+      |  SELECT user_id,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1, 2),
+      |ub AS (
+      |  SELECT user_id,
+      |    CASE WHEN COUNT(*) < $MhBandLow THEN 'low'
+      |         WHEN COUNT(*) < $MhBandHigh THEN 'mid' ELSE 'high' END AS band
+      |  FROM ud GROUP BY user_id),
+      |pb AS (
+      |  SELECT
+      |    CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE 0 END AS arm_a,
+      |    y, band
+      |  FROM ud JOIN ub USING (user_id)),
+      |strata AS (
+      |  SELECT band,
+      |    CAST(SUM(CASE WHEN arm_a = 1 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS a,
+      |    CAST(SUM(CASE WHEN arm_a = 1 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS b,
+      |    CAST(SUM(CASE WHEN arm_a = 0 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS c,
+      |    CAST(SUM(CASE WHEN arm_a = 0 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS d
+      |  FROM pb GROUP BY band),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    SUM(a * d * 1000000 // (a + b + c + d)) AS x_e6,
+      |    SUM(b * c * 1000000 // (a + b + c + d)) AS y_e6,
+      |    SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd
+      |  FROM strata)
+      |SELECT n_strata,
+      |  CAST(sa * sd * 1000000 // (sb * sc) AS BIGINT) AS crude_or_e6,
+      |  CAST(x_e6 * 1000000 // y_e6 AS BIGINT) AS mh_or_e6
+      |FROM folded""".stripMargin
+
   // --------- q345: Gumbel block-maxima fit + 12-month return level
 
   /** Plan-time EVT constants, inlined as IDENTICAL double literals in both
@@ -6975,6 +7257,9 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q349_runs_test" -> q349RunsTest,
+    "q350_odds_ratio" -> q350OddsRatio,
+    "q351_mantel_haenszel" -> q351MantelHaenszel,
     "q345_gumbel_maxima" -> q345GumbelMaxima,
     "q342_c_index" -> q342CIndex,
     "q344_durbin_watson" -> q344DurbinWatson,
@@ -7069,6 +7354,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q349_runs_test" -> q349Sql,
+    "q350_odds_ratio" -> q350Sql,
+    "q351_mantel_haenszel" -> q351Sql,
     "q345_gumbel_maxima" -> q345Sql,
     "q342_c_index" -> q342Sql,
     "q344_durbin_watson" -> q344Sql,
