@@ -2282,6 +2282,84 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ------- q354: empirical-Bayes beta-binomial shrinkage of rates
+
+  /** q354: empirical-Bayes shrinkage — the fix for every "top return-rate
+    * parts" leaderboard that q30-style raw TOP-k gets wrong: a part with
+    * 2/3 returns outranks one with 40/100 on the raw rate but carries far
+    * less evidence. Fit a beta prior to the per-part return rates by the
+    * method of moments (K = m(1−m)/v − 1, α = mK) and report each part's
+    * posterior mean (x+α)/(n+K) next to the raw x/n — small-n rates pull
+    * hard toward the corpus mean, large-n rates barely move, and the
+    * leaderboard reorders accordingly. Everything is exact-integer e6
+    * fixed point (rates floored BEFORE the moment sums — the q340 rule,
+    * so cross-part additions are exact).
+    *
+    * Plan: one fact pass → part rollup (checkpointed — MoM fold and
+    * per-part output both ride it); the prior is a broadcast 1-row
+    * scalar; the leaderboard is a distributed TakeOrdered top-15.
+    */
+  val q354EbShrinkage: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val rates = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .select(col("l_partkey"), col("n"), col("x"),
+        expr(fdiv("CAST(x AS DECIMAL(38,0)) * 1000000", "n")).as("p"))
+      .localCheckpoint()
+    val mom = rates
+      .agg(count(lit(1)).cast(dec).as("cnt"),
+        sum(col("p")).as("sp"), sum(col("p") * col("p")).as("spp"))
+      .select(expr(fdiv("sp", "cnt")).as("m_e6"),
+        expr(fdiv("cnt * spp - sp * sp", "cnt * (cnt - 1)")).as("v_e12"))
+      .select(col("m_e6"),
+        (expr(fdiv("m_e6 * (1000000 - m_e6) * 1000000", "v_e12")) -
+          lit(1000000).cast(dec)).as("k_e6"))
+      .select(col("m_e6"), col("k_e6"),
+        expr(fdiv("m_e6 * k_e6", "1000000")).as("alpha_e6"))
+    rates.crossJoin(broadcast(mom))
+      .select(col("l_partkey").as("part"), col("n"), col("x"),
+        col("p").cast("long").as("raw_e6"),
+        expr(fdiv("(CAST(x AS DECIMAL(38,0)) * 1000000 + alpha_e6) * 1000000",
+          "CAST(n AS DECIMAL(38,0)) * 1000000 + k_e6")).cast("long")
+          .as("shrunk_e6"),
+        col("k_e6").cast("long").as("prior_k_e6"))
+      .orderBy(col("raw_e6").desc, col("part"))
+      .limit(15)
+  }
+
+  val q354Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey AS part, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS x
+      |  FROM lineitem GROUP BY l_partkey),
+      |rates AS (SELECT part, n, x, x * 1000000 // n AS p FROM pp),
+      |mom0 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS cnt, SUM(p) AS sp,
+      |    SUM(p * p) AS spp
+      |  FROM rates),
+      |mom1 AS (
+      |  SELECT sp // cnt AS m_e6,
+      |    (cnt * spp - sp * sp) // (cnt * (cnt - 1)) AS v_e12
+      |  FROM mom0),
+      |mom2 AS (
+      |  SELECT m_e6,
+      |    m_e6 * (1000000 - m_e6) * 1000000 // v_e12 - 1000000 AS k_e6
+      |  FROM mom1),
+      |mom AS (SELECT m_e6, k_e6, m_e6 * k_e6 // 1000000 AS alpha_e6
+      |  FROM mom2)
+      |SELECT CAST(part AS BIGINT) AS part, CAST(n AS BIGINT) AS n,
+      |  CAST(x AS BIGINT) AS x, CAST(p AS BIGINT) AS raw_e6,
+      |  CAST((x * 1000000 + alpha_e6) * 1000000 // (n * 1000000 + k_e6)
+      |    AS BIGINT) AS shrunk_e6,
+      |  CAST(k_e6 AS BIGINT) AS prior_k_e6
+      |FROM rates CROSS JOIN mom
+      |ORDER BY raw_e6 DESC, part LIMIT 15""".stripMargin
+
   // ---------- q352: two-sample Cramér–von Mises (EDF distance test)
 
   /** q352: the two-sample Cramér–von Mises test on URGENT vs LOW order
@@ -2381,6 +2459,7 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q354_eb_shrinkage" -> q354EbShrinkage,
     "q352_cramer_von_mises" -> q352CramerVonMises,
     "q346_partial_corr" -> q346PartialCorr,
     "q347_mood_median" -> q347MoodMedian,
@@ -2410,6 +2489,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q354_eb_shrinkage" -> q354Sql,
     "q352_cramer_von_mises" -> q352Sql,
     "q346_partial_corr" -> q346Sql,
     "q347_mood_median" -> q347Sql,

@@ -6806,6 +6806,270 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // ------------- q353: drawdown / risk panel over the daily series
+
+  /** q353: the financial risk panel — maximum drawdown (largest drop of
+    * daily revenue below its running peak), its share of the all-time
+    * high, and the Sharpe-style mean/σ ratio of day-over-day changes: the
+    * "how bad does it get, and is growth worth the volatility" readout
+    * next to q109's OHLC bars and q260's burn rate. Running peak and lag
+    * are exact-integer windows; mean, σ and the ratio form one fixed IEEE
+    * tree over exact sums (n·Σd² − (Σd)² etc.), so both engines agree
+    * bit-for-bit.
+    *
+    * Plan: one event pass → day rollup; peak/lag/folds are |days|-row
+    * metadata windows (Pettitt precedent) — the corpus never re-shuffles.
+    */
+  val q353Drawdown: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lagW = Window.orderBy(col("day"))
+    val ser = byDay
+      .withColumn("peak", max(col("x")).over(w))
+      .withColumn("xp", lag(col("x"), 1).over(lagW))
+    val folded = ser.agg(count(lit(1)).cast(dec).as("n"),
+      max(col("x")).cast(dec).as("max_x"),
+      max(col("peak") - col("x")).cast(dec).as("max_dd"),
+      sum(when(col("xp").isNotNull, (col("x") - col("xp")).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("sd1"),
+      sum(when(col("xp").isNotNull,
+        (col("x") - col("xp")).cast(dec) * (col("x") - col("xp")))
+        .otherwise(lit(0).cast(dec))).as("sd2"),
+      sum(when(col("xp").isNotNull, 1L).otherwise(0L)).cast(dec).as("nd"))
+    val meanD = col("sd1").cast("double") / col("nd").cast("double")
+    val sdD = sqrt((col("nd") * col("sd2") - col("sd1") * col("sd1"))
+      .cast("double") / (col("nd") * (col("nd") - 1)).cast("double"))
+    folded.select(col("n").cast("long").as("n_days"),
+      col("max_x").cast("long").as("max_day_c"),
+      col("max_dd").cast("long").as("max_dd_c"),
+      expr(fdiv("max_dd * 1000000", "max_x")).cast("long")
+        .as("dd_share_e6"),
+      meanD.as("mean_diff_c"), sdD.as("sd_diff_c"),
+      (meanD / sdD).as("sharpe_d"))
+  }
+
+  val q353Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ser AS (
+      |  SELECT x,
+      |    MAX(x) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+      |    LAG(x, 1) OVER (ORDER BY day) AS xp
+      |  FROM bd),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(MAX(x) AS HUGEINT) AS max_x,
+      |    CAST(MAX(peak - x) AS HUGEINT) AS max_dd,
+      |    CAST(SUM(CASE WHEN xp IS NOT NULL THEN x - xp ELSE 0 END)
+      |      AS HUGEINT) AS sd1,
+      |    CAST(SUM(CASE WHEN xp IS NOT NULL THEN (x - xp) * (x - xp)
+      |      ELSE 0 END) AS HUGEINT) AS sd2,
+      |    CAST(SUM(CASE WHEN xp IS NOT NULL THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS nd
+      |  FROM ser)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(max_x AS BIGINT) AS max_day_c,
+      |  CAST(max_dd AS BIGINT) AS max_dd_c,
+      |  CAST(max_dd * 1000000 // max_x AS BIGINT) AS dd_share_e6,
+      |  ${d("sd1")} / ${d("nd")} AS mean_diff_c,
+      |  sqrt(${d("nd * sd2 - sd1 * sd1")} / ${d("nd * (nd - 1)")})
+      |    AS sd_diff_c,
+      |  (${d("sd1")} / ${d("nd")}) /
+      |    sqrt(${d("nd * sd2 - sd1 * sd1")} / ${d("nd * (nd - 1)")})
+      |    AS sharpe_d
+      |FROM folded""".stripMargin
+  }
+
+  // --------------- q355: Page–Hinkley drift detector on daily revenue
+
+  /** Drift allowance δ (e6 cents) and the alarm threshold as a share of
+    * mean daily revenue (percent).
+    */
+  val PhDeltaE6 = 0L
+  val PhLambdaPct = 20L
+
+  /** q355: Page–Hinkley — the STREAMING drift detector (the standard
+    * mean-shift monitor in ML model-observability stacks) as a batch
+    * twin: m_T = Σ_{t≤T}(x_t − x̄_t − δ) accumulates deviations from the
+    * RUNNING mean, and the alarm fires when PH_T = m_T − min_{t≤T} m_t
+    * exceeds λ. Unlike q124's CUSUM (deviation from the GLOBAL mean —
+    * it needs the whole series first), Page–Hinkley only ever sees the
+    * prefix, which is what makes it deployable on a stream; the batch
+    * spelling here is its exact replay. Each term (x_t·t − C_t)/t is
+    * floored signed at e6, so the cumulative walk is exact integers; λ
+    * is [[PhLambdaPct]]% of mean daily revenue, computed relationally
+    * and broadcast.
+    *
+    * Plan: one event pass → day rollup; cumulative sums, the running
+    * min and the first-crossing selection are |days|-row metadata
+    * windows.
+    */
+  val q355PageHinkley: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .localCheckpoint()
+    val lam = byDay.agg(
+      expr(fdiv(s"SUM(x) * 1000000 * $PhLambdaPct", "COUNT(1) * 100"))
+        .as("lambda_e6"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ser = byDay
+      .withColumn("t", count(lit(1)).over(w).cast(dec))
+      .withColumn("c", sum(col("x")).over(w))
+      .withColumn("term",
+        expr(sdiv("(x * t - c) * 1000000", "t")) - lit(PhDeltaE6))
+      .withColumn("m", sum(col("term")).over(w))
+      .withColumn("mmin", min(col("m")).over(w))
+      .withColumn("ph", col("m") - col("mmin"))
+    val peak = ser.agg(max(col("ph")).as("max_ph_e6"))
+    val alarm = ser.crossJoin(broadcast(lam))
+      .filter(col("ph") > col("lambda_e6"))
+      .agg(min(col("day")).as("alarm0"))
+      .select(coalesce(col("alarm0"), lit(-1L)).as("alarm_day"))
+    byDay.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(peak)).crossJoin(broadcast(alarm))
+      .crossJoin(broadcast(lam))
+      .select(col("n_days").cast("long").as("n_days"),
+        col("max_ph_e6").cast("long").as("max_ph_e6"),
+        col("lambda_e6").cast("long").as("lambda_e6"),
+        col("alarm_day").cast("long").as("alarm_day"))
+  }
+
+  val q355Sql: String =
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |lam AS (
+      |  SELECT SUM(x) * 1000000 * $PhLambdaPct // (COUNT(*) * 100)
+      |    AS lambda_e6
+      |  FROM bd),
+      |ser AS (
+      |  SELECT day, x,
+      |    CAST(COUNT(*) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+      |      AS t,
+      |    SUM(x) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM bd),
+      |terms AS (
+      |  SELECT day,
+      |    CASE WHEN x * t - c >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((x * t - c) * 1000000) // t) - $PhDeltaE6 AS term
+      |  FROM ser),
+      |walk AS (
+      |  SELECT day,
+      |    SUM(term) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM terms),
+      |ph AS (
+      |  SELECT day, m - MIN(m) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+      |  FROM walk),
+      |peak AS (SELECT MAX(ph) AS max_ph_e6 FROM ph),
+      |alarm AS (
+      |  SELECT COALESCE(MIN(CASE WHEN ph > lambda_e6 THEN day END), -1)
+      |    AS alarm_day
+      |  FROM ph CROSS JOIN lam),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
+      |SELECT n_days, CAST(max_ph_e6 AS BIGINT) AS max_ph_e6,
+      |  CAST(lambda_e6 AS BIGINT) AS lambda_e6, alarm_day
+      |FROM n CROSS JOIN peak CROSS JOIN alarm CROSS JOIN lam""".stripMargin
+
+  // -------------- q356: quantile treatment effects across the arms
+
+  /** q356: quantile treatment effects — WHERE in the distribution does
+    * the arm difference live? q335's Cohen's d and q127's z-test compare
+    * means; a treatment that moves only the tail is invisible to both.
+    * For each decile q = 1..9, both arms' per-user revenue quantile is
+    * selected RELATIONALLY (smallest value whose cumulative count reaches
+    * ⌈q·n_g/10⌉ — exactly percentile_disc's rule, off the two-level rank
+    * construction, no corpus sort), and QTE(q) = Q_A(q) − Q_B(q).
+    *
+    * Plan: one event pass → user rollup → per-arm value rollup; the
+    * 9-target spine joins the rollup cells with bounded ×9 fan-out; a
+    * (arm, decile) min-fold and a 9-row pivot finish.
+    */
+  val q356Qte: Q = (s, dir) => {
+    val hv = graft.functions.Text.portableHash(col("user_id").cast("string"))
+    val pu = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value"))).as("y"))
+      .select(when(hv % 2 === 0, "A").otherwise("B").as("g"), col("y"))
+    val gc = pu.groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
+    val ng = gc.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val ranked = AuditQueries.doubledRankBelow(gc, Seq("g"), "y", 100000L)
+      .join(broadcast(ng), Seq("g"))
+    val spine = ranked.crossJoin(broadcast(
+      s.range(1, 10).select(col("id").as("q"))))
+    val sel = spine
+      .filter(col("below") + col("cnt") >=
+        expr("(q * n_g + 9) div 10"))
+      .groupBy(col("g"), col("q")).agg(min(col("y")).as("qv"))
+    sel.groupBy(col("q"))
+      .agg(max(when(col("g") === "A", col("qv"))).as("q_a_c"),
+        max(when(col("g") === "B", col("qv"))).as("q_b_c"))
+      .select(col("q").cast("long").as("decile"), col("q_a_c"), col("q_b_c"),
+        (col("q_a_c") - col("q_b_c")).as("qte_c"))
+      .orderBy(col("decile"))
+  }
+
+  val q356Sql: String =
+    """WITH pu AS (
+      |  SELECT
+      |    CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS g,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |gc AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pu GROUP BY g, y),
+      |rk AS (
+      |  SELECT g, y, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM gc),
+      |ng AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g FROM gc GROUP BY g),
+      |qs AS (SELECT UNNEST(range(1, 10)) AS q),
+      |sel AS (
+      |  SELECT g, q, MIN(y) AS qv
+      |  FROM rk JOIN ng USING (g) CROSS JOIN qs
+      |  WHERE below + cnt >= (q * n_g + 9) // 10
+      |  GROUP BY g, q),
+      |piv AS (
+      |  SELECT q,
+      |    MAX(CASE WHEN g = 'A' THEN qv END) AS q_a_c,
+      |    MAX(CASE WHEN g = 'B' THEN qv END) AS q_b_c
+      |  FROM sel GROUP BY q)
+      |SELECT CAST(q AS BIGINT) AS decile, q_a_c, q_b_c,
+      |  q_a_c - q_b_c AS qte_c
+      |FROM piv ORDER BY decile""".stripMargin
+
   // ------------------- q349: Wald–Wolfowitz runs test on daily revenue
 
   /** q349: the runs test — is the SEQUENCE of above/below-median revenue
@@ -7257,6 +7521,9 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q353_drawdown" -> q353Drawdown,
+    "q355_page_hinkley" -> q355PageHinkley,
+    "q356_qte" -> q356Qte,
     "q349_runs_test" -> q349RunsTest,
     "q350_odds_ratio" -> q350OddsRatio,
     "q351_mantel_haenszel" -> q351MantelHaenszel,
@@ -7354,6 +7621,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q353_drawdown" -> q353Sql,
+    "q355_page_hinkley" -> q355Sql,
+    "q356_qte" -> q356Sql,
     "q349_runs_test" -> q349Sql,
     "q350_odds_ratio" -> q350Sql,
     "q351_mantel_haenszel" -> q351Sql,
