@@ -6806,6 +6806,387 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // ----------- q357: restricted mean survival time (RMST) at τ days
+
+  /** RMST horizon τ (days). */
+  val RmstTau = 28L
+
+  /** q357: restricted mean survival time — ∫₀^τ S(t)dt, the "average
+    * conversion-free days in the first [[RmstTau]]" readout that modern
+    * causal survival analysis prefers over hazard ratios (it is a
+    * collapsible, unit-interpretable effect even when proportional
+    * hazards fails). Rides q259's Kaplan–Meier machinery: the duration
+    * rollup is metadata-sized control data, so the product-limit fold
+    * runs driver-side exactly like q259/q332 (documented seam, not a
+    * corpus collect), accumulating s_e6 · Δt interval areas with the
+    * same integer floor products the recursive-CTE oracle replays
+    * step-for-step.
+    *
+    * Plan: one event pass → user rollup → duration rollup (metadata);
+    * the fold touches only that rollup.
+    */
+  val q357Rmst: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val day = expr("unix_timestamp(ts) DIV 86400")
+    val byUser = e.groupBy(col("user_id")).agg(
+      min(day).as("d0"),
+      min(when(col("event_type") === "purchase", day)).as("dconv"),
+      max(day).as("dlast"))
+    val durs = byUser.select(
+      when(col("dconv").isNotNull, col("dconv") - col("d0"))
+        .otherwise(col("dlast") - col("d0")).as("dur"),
+      when(col("dconv").isNotNull, 1L).otherwise(0L).as("ev"))
+    val roll = durs.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d_ev"), sum(lit(1L) - col("ev")).as("c_cens"))
+      .orderBy(col("dur")).collect()
+    var atRisk = roll.map(r => r.getAs[Long]("d_ev") + r.getAs[Long]("c_cens")).sum
+    val nAll = atRisk
+    var sE6 = 1000000L
+    var prevT = 0L
+    var rmstE6 = 0L
+    roll.foreach { r =>
+      val (dur, dEv, cCens) = (r.getAs[Long]("dur"), r.getAs[Long]("d_ev"),
+        r.getAs[Long]("c_cens"))
+      val dt = math.min(dur, RmstTau) - math.min(prevT, RmstTau)
+      rmstE6 += sE6 * dt
+      sE6 = (BigInt(sE6) * (atRisk - dEv) / atRisk).toLong
+      atRisk -= (dEv + cCens)
+      prevT = dur
+    }
+    if (prevT < RmstTau) rmstE6 += sE6 * (RmstTau - math.min(prevT, RmstTau))
+    import s.implicits._
+    Seq((nAll, RmstTau, rmstE6, sE6))
+      .toDF("n_users", "tau_days", "rmst_e6_days", "s_final_e6")
+  }
+
+  val q357Sql: String =
+    s"""WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 END) AS dconv,
+      |    MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS dlast
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CASE WHEN dconv IS NOT NULL THEN dconv - d0
+      |    ELSE dlast - d0 END AS dur,
+      |    CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u),
+      |r AS (SELECT dur, SUM(ev) AS d_ev, SUM(1 - ev) AS c_cens
+      |  FROM d GROUP BY dur),
+      |t AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rk, dur, d_ev, c_cens,
+      |    COALESCE(LAG(dur) OVER (ORDER BY dur), 0) AS dur_prev,
+      |    tot.n - COALESCE(SUM(d_ev + c_cens) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM r CROSS JOIN (SELECT SUM(d_ev + c_cens) AS n FROM r) tot),
+      |km AS (
+      |  SELECT rk, dur,
+      |    CAST((n_risk - d_ev) * 1000000 // n_risk AS BIGINT) AS s_e6,
+      |    CAST(1000000 * (LEAST(dur, $RmstTau) - LEAST(dur_prev, $RmstTau))
+      |      AS BIGINT) AS rmst_e6
+      |  FROM t WHERE rk = 1
+      |  UNION ALL
+      |  SELECT t.rk, t.dur,
+      |    CAST(CAST(km.s_e6 AS HUGEINT) * (t.n_risk - t.d_ev)
+      |      // t.n_risk AS BIGINT),
+      |    km.rmst_e6 + km.s_e6 *
+      |      (LEAST(t.dur, $RmstTau) - LEAST(t.dur_prev, $RmstTau))
+      |  FROM km JOIN t ON t.rk = km.rk + 1),
+      |last AS (
+      |  SELECT dur, s_e6, rmst_e6 FROM km ORDER BY rk DESC LIMIT 1),
+      |n AS (SELECT CAST(SUM(d_ev + c_cens) AS BIGINT) AS n_users FROM r)
+      |SELECT n_users, CAST($RmstTau AS BIGINT) AS tau_days,
+      |  CAST(rmst_e6 + CASE WHEN dur < $RmstTau
+      |    THEN s_e6 * ($RmstTau - LEAST(dur, $RmstTau)) ELSE 0 END
+      |    AS BIGINT) AS rmst_e6_days,
+      |  s_e6 AS s_final_e6
+      |FROM last CROSS JOIN n""".stripMargin
+
+  // ------- q358: Newey–West (HAC) long-run variance of daily revenue
+
+  /** Bartlett-kernel lag window for the HAC estimate. */
+  val NwLags = 5
+
+  /** q358: Newey–West — the autocorrelation-robust variance every
+    * daily-mean confidence interval on a SERIALLY DEPENDENT series needs
+    * (q344 shows ρ₁ ≠ 0 is real; a naive s²/n interval is then wrong by
+    * exactly the factor this query reports):
+    *
+    *   σ²_NW = γ₀ + 2·Σ_{l≤L} (1 − l/(L+1))·γ_l,   L = 5 (Bartlett)
+    *
+    * Deviations are cents-resolution signed floors (x_t − Σx/n — the
+    * q344 residual trick with a constant-only regression), lag products
+    * come from |days|-row metadata windows, and the one division by
+    * 6n is the signed floor spelling. The ratio σ²_NW/γ₀ IS the variance
+    * inflation factor; its reciprocal scales n to the effective sample
+    * size.
+    *
+    * Plan: one event pass → day rollup (checkpointed); five lag columns
+    * over the metadata series; a 1-row fold.
+    */
+  val q358NeweyWest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .localCheckpoint()
+    val tot = byDay.agg(sum(col("x")).as("sx"),
+      count(lit(1)).cast(dec).as("n"))
+    val devs = byDay.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        expr(sdiv("x * n - sx", "n")).as("d0"))
+    val w = Window.orderBy(col("day"))
+    val lagged = (1 to NwLags).foldLeft(devs) { (df, l) =>
+      df.withColumn(s"d$l", lag(col("d0"), l).over(w))
+    }
+    val gCols = Seq(max(col("n")).as("n"),
+      sum(col("d0") * col("d0")).as("g0")) ++
+      (1 to NwLags).map(l =>
+        sum(when(col(s"d$l").isNotNull, col("d0") * col(s"d$l"))
+          .otherwise(lit(0).cast(dec))).as(s"g$l"))
+    val gs = lagged.agg(gCols.head, gCols.tail: _*)
+    val nwNum = (s"6 * g0 + 2 * (" +
+      (1 to NwLags).map(l => s"${6 - l} * g$l").mkString(" + ") + ")")
+    gs.select(col("n").cast("long").as("n_days"),
+        expr(sdiv("g0", "n")).cast("long").as("gamma0_c2"),
+        expr(sdiv(nwNum, "6 * n")).cast("long").as("nw_c2"),
+        expr(sdiv(sdiv(nwNum, "6 * n") + " * 1000000",
+          sdiv("g0", "n"))).cast("long").as("vif_e6"))
+  }
+
+  val q358Sql: String = {
+    val nwNum = "6 * g0 + 2 * (" +
+      (1 to NwLags).map(l => s"${6 - l} * g$l").mkString(" + ") + ")"
+    def sd(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (ABS($num) // ($den))""".stripMargin.replace("\n", " ")
+    val lagCols = (1 to NwLags)
+      .map(l => s"LAG(d0, $l) OVER (ORDER BY day) AS d$l").mkString(",\n      |    ")
+    val gCols = (1 to NwLags)
+      .map(l => s"SUM(CASE WHEN d$l IS NOT NULL THEN d0 * d$l ELSE 0 END) AS g$l")
+      .mkString(",\n      |    ")
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n FROM bd),
+      |devs AS (
+      |  SELECT day, n, ${sd("x * n - sx", "n")} AS d0
+      |  FROM bd CROSS JOIN tot),
+      |lagged AS (
+      |  SELECT day, n, d0,
+      |    $lagCols
+      |  FROM devs),
+      |gs AS (
+      |  SELECT MAX(n) AS n, SUM(d0 * d0) AS g0,
+      |    $gCols
+      |  FROM lagged)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(${sd("g0", "n")} AS BIGINT) AS gamma0_c2,
+      |  CAST(${sd(nwNum, "6 * n")} AS BIGINT) AS nw_c2,
+      |  CAST(${sd(s"(${sd(nwNum, "6 * n")}) * 1000000", sd("g0", "n"))}
+      |    AS BIGINT) AS vif_e6
+      |FROM gs""".stripMargin
+  }
+
+  // -------- q359: Bowker symmetry test on the event-transition matrix
+
+  /** q359: Bowker's test of symmetry — is the event-flow matrix in
+    * DETAILED BALANCE (every i→j flow matched by j→i), or does traffic
+    * circulate? The k×k generalization of q322's McNemar (k = 2 recovers
+    * it exactly), applied to q108's user-session transition counts:
+    *
+    *   χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji),  df = k(k−1)/2
+    *
+    * — one exact e6 floor per unordered pair, summed over the ≤ k²
+    * metadata cells. A significant χ² here is what licenses directional
+    * funnel language ("view → purchase, not back").
+    *
+    * Plan: one event pass with per-user LEAD (windows partitioned by
+    * user — parallelism = users); the matrix is k² metadata; the pair
+    * self-join is on the 25-cell rollup, broadcast.
+    */
+  val q359BowkerSymmetry: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("f"))
+      .withColumn("t", lead(col("f"), 1).over(w))
+      .filter(col("t").isNotNull)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      // the 25-cell matrix feeds both sides of the pair join — checkpoint
+      // so the per-user window pass runs once
+      .localCheckpoint()
+    val pairs = trans.filter(col("f") < col("t"))
+      .join(broadcast(trans.select(col("t").as("f"), col("f").as("t"),
+        col("n").as("n_rev"))), Seq("f", "t"), "left")
+      .select(col("f").as("from_type"), col("t").as("to_type"),
+        col("n").cast(dec).as("n_fwd"),
+        coalesce(col("n_rev"), lit(0L)).cast(dec).as("n_rev"))
+    val chi = pairs.agg(sum(
+      expr(fdiv("(n_fwd - n_rev) * (n_fwd - n_rev) * 1000000",
+        "n_fwd + n_rev"))).as("chi2"),
+      count(lit(1)).as("df"))
+    pairs.crossJoin(broadcast(chi))
+      .select(col("from_type"), col("to_type"),
+        col("n_fwd").cast("long").as("n_fwd"),
+        col("n_rev").cast("long").as("n_rev"),
+        expr(fdiv("(n_fwd - n_rev) * (n_fwd - n_rev) * 1000000",
+          "n_fwd + n_rev")).cast("long").as("term_e6"),
+        col("chi2").cast("long").as("chi2_e6"),
+        col("df").cast("long").as("df"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q359Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS f,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |trans AS (
+      |  SELECT f, t, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM seq WHERE t IS NOT NULL GROUP BY f, t),
+      |pairs AS (
+      |  SELECT a.f AS from_type, a.t AS to_type, a.n AS n_fwd,
+      |    COALESCE(b.n, 0) AS n_rev
+      |  FROM trans a LEFT JOIN trans b ON b.f = a.t AND b.t = a.f
+      |  WHERE a.f < a.t),
+      |chi AS (
+      |  SELECT SUM((n_fwd - n_rev) * (n_fwd - n_rev) * 1000000
+      |    // (n_fwd + n_rev)) AS chi2,
+      |    CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM pairs)
+      |SELECT from_type, to_type, CAST(n_fwd AS BIGINT) AS n_fwd,
+      |  CAST(n_rev AS BIGINT) AS n_rev,
+      |  CAST((n_fwd - n_rev) * (n_fwd - n_rev) * 1000000
+      |    // (n_fwd + n_rev) AS BIGINT) AS term_e6,
+      |  CAST(chi2 AS BIGINT) AS chi2_e6, df
+      |FROM pairs CROSS JOIN chi
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // --------------- q360: Kupiec proportion-of-failures VaR backtest
+
+  /** Nominal tail probability (1/20 = P5) for the revenue floor. */
+  val KupiecP = 20L
+  private val KupiecLog2P = -4.321928094887363   // log2(1/20)
+  private val KupiecLog2Q = -0.07400058144377693 // log2(19/20)
+
+  /** q360: Kupiec's proportion-of-failures test — does the P5 revenue
+    * floor estimated on the FIRST half of the series keep its promised
+    * 5% exceedance rate on the SECOND half? The canonical VaR backtest,
+    * and the leak-free out-of-sample audit q290's in-sample quantile
+    * error cannot give. With x breaches in n test days, p = 1/20:
+    *
+    *   LR = 2[x·ln(x/n) + (n−x)·ln(1−x/n) − x·ln p − (n−x)·ln(1−p)]
+    *
+    * spelled in base-2 with the portable LUT log (x=0 and x=n branches
+    * take their exact limits), the plan-time constants log2(p), log2(1−p)
+    * inlined e6, and 2·ln2 applied as one signed floor. The floor itself
+    * is selected relationally at rank ⌈n₁/20⌉ (no corpus sort).
+    *
+    * Plan: one event pass → day rollup (checkpointed); the floor comes
+    * off the first-half value rollup; the test fold is 1-row.
+    */
+  val q360KupiecPof: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val l2pE6 = math.round(KupiecLog2P * 1e6)
+    val l2qE6 = math.round(KupiecLog2Q * 1e6)
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      .localCheckpoint()
+    val mid = byDay.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val half1 = byDay.crossJoin(broadcast(mid))
+      .filter(col("day") < col("midday"))
+    val byV = half1.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val n1 = byV.agg(sum(col("cnt")).as("n1"))
+    val thr = AuditQueries.doubledRankBelow(byV, Seq.empty, "x", 100000L)
+      .crossJoin(broadcast(n1))
+      .filter(col("below") + col("cnt") >= expr(s"(n1 + ${KupiecP - 1}) div $KupiecP"))
+      .agg(min(col("x")).as("thr"))
+    val test = byDay.crossJoin(broadcast(mid)).filter(col("day") >= col("midday"))
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(when(col("x") < col("thr"), 1L).otherwise(0L)).cast(dec).as("xx"))
+    test.crossJoin(broadcast(thr))
+      .select(col("n"), col("xx"), col("thr"),
+        expr(s"""CASE
+          | WHEN xx = 0 THEN -(n * $l2qE6)
+          | WHEN xx = n THEN -(n * $l2pE6)
+          | ELSE xx * (${l2("CAST(xx AS BIGINT)")} - ${l2("CAST(n AS BIGINT)")} - $l2pE6)
+          |   + (n - xx) * (${l2("CAST((n - xx) AS BIGINT)")} - ${l2("CAST(n AS BIGINT)")} - $l2qE6)
+          | END""".stripMargin.replace("\n", " ")).as("bits_e6"))
+      .select(col("n").cast("long").as("n_test"),
+        col("xx").cast("long").as("n_breach"),
+        col("thr").cast("long").as("floor_c"),
+        expr(fdiv("n * 1000000", KupiecP.toString)).cast("long")
+          .as("expected_breach_e6"),
+        expr(sdiv("bits_e6 * 1386294", "1000000")).as("lr_e6"))
+  }
+
+  val q360Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    val l2pE6 = math.round(KupiecLog2P * 1e6)
+    val l2qE6 = math.round(KupiecLog2Q * 1e6)
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM bd),
+      |h1 AS (SELECT x FROM bd CROSS JOIN mid WHERE day < midday),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM h1),
+      |rk AS (
+      |  SELECT x, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM h1 GROUP BY x)),
+      |thr AS (
+      |  SELECT MIN(x) AS thr FROM rk CROSS JOIN n1
+      |  WHERE below + cnt >= (n1 + ${KupiecP - 1}) // $KupiecP),
+      |test AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CASE WHEN x < thr THEN 1 ELSE 0 END) AS HUGEINT) AS xx
+      |  FROM bd CROSS JOIN mid CROSS JOIN thr WHERE day >= midday),
+      |bits AS (
+      |  SELECT n, xx,
+      |    CASE
+      |      WHEN xx = 0 THEN -(n * $l2qE6)
+      |      WHEN xx = n THEN -(n * $l2pE6)
+      |      ELSE xx * (${l2("CAST(xx AS BIGINT)")} - ${l2("CAST(n AS BIGINT)")} - $l2pE6)
+      |        + (n - xx) * (${l2("CAST((n - xx) AS BIGINT)")} - ${l2("CAST(n AS BIGINT)")} - $l2qE6)
+      |      END AS bits_e6
+      |  FROM test)
+      |SELECT CAST(n AS BIGINT) AS n_test, CAST(xx AS BIGINT) AS n_breach,
+      |  (SELECT CAST(thr AS BIGINT) FROM thr) AS floor_c,
+      |  CAST(n * 1000000 // $KupiecP AS BIGINT) AS expected_breach_e6,
+      |  CAST(CASE WHEN bits_e6 >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(bits_e6 * 1386294) // 1000000) AS BIGINT) AS lr_e6
+      |FROM bits""".stripMargin
+  }
+
   // ------------- q353: drawdown / risk panel over the daily series
 
   /** q353: the financial risk panel — maximum drawdown (largest drop of
@@ -7521,6 +7902,10 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q357_rmst" -> q357Rmst,
+    "q358_newey_west" -> q358NeweyWest,
+    "q359_bowker_symmetry" -> q359BowkerSymmetry,
+    "q360_kupiec_pof" -> q360KupiecPof,
     "q353_drawdown" -> q353Drawdown,
     "q355_page_hinkley" -> q355PageHinkley,
     "q356_qte" -> q356Qte,
@@ -7621,6 +8006,10 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q357_rmst" -> q357Sql,
+    "q358_newey_west" -> q358Sql,
+    "q359_bowker_symmetry" -> q359Sql,
+    "q360_kupiec_pof" -> q360Sql,
     "q353_drawdown" -> q353Sql,
     "q355_page_hinkley" -> q355Sql,
     "q356_qte" -> q356Sql,
