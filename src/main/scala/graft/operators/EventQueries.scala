@@ -6806,6 +6806,329 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // -------- q361: Breusch–Pagan heteroskedasticity test (aux LM form)
+
+  /** q361: Breusch–Pagan — does the VARIANCE of the daily-revenue trend
+    * residuals grow with time? q344 checks residual independence; this
+    * checks homoskedasticity, the other OLS standard-error assumption.
+    * The LM form regresses squared residuals on the regressor:
+    * BP = n·R²_aux, with the residuals the exact cents-resolution
+    * signed floors of q344 and R² one fixed IEEE tree over exact
+    * covariance sums (the q346 pattern).
+    *
+    * Plan: one event pass → day rollup (checkpointed); two 1-row folds.
+    */
+  val q361BreuschPagan: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("y"))
+      .localCheckpoint()
+    val mn = byDay.agg(min(col("day")).as("d0"))
+    val xd = byDay.crossJoin(broadcast(mn))
+      .select((col("day") - col("d0")).cast(dec).as("x"), col("y"))
+      .localCheckpoint()
+    val sums = xd.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dd"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("num_a"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num_b"))
+    val aux = xd.crossJoin(broadcast(sums))
+      .select(col("x"),
+        expr(sdiv("dd * y - num_a - num_b * x", "dd")).as("rc"))
+      .select(col("x"), (col("rc") * col("rc")).as("z"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("z")).as("sxz"))
+    def c(ab: String, a: String, b: String) =
+      (col("n") * col(ab) - col(a) * col(b)).cast("double")
+    val r2 = (c("sxz", "sx", "sz") * c("sxz", "sx", "sz")) /
+      (c("sxx", "sx", "sx") * c("szz", "sz", "sz"))
+    aux.select(col("n").cast("long").as("n_days"),
+      r2.as("r2_aux"), (col("n").cast("double") * r2).as("bp_lm"))
+  }
+
+  val q361Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def c(ab: String, a: String, b: String) = d(s"n * $ab - $a * $b")
+    val r2 = s"((${c("sxz", "sx", "sz")} * ${c("sxz", "sx", "sz")}) / " +
+      s"(${c("sxx", "sx", "sx")} * ${c("szz", "sz", "sz")}))"
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mn AS (SELECT MIN(day) AS d0 FROM bd),
+      |xd AS (SELECT CAST(day - d0 AS HUGEINT) AS x, y
+      |  FROM bd CROSS JOIN mn),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      |  FROM xd),
+      |co AS (
+      |  SELECT n * sxx - sx * sx AS dd, sy * sxx - sx * sxy AS num_a,
+      |    n * sxy - sx * sy AS num_b
+      |  FROM sums),
+      |r AS (
+      |  SELECT x,
+      |    CASE WHEN dd * y - num_a - num_b * x >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(dd * y - num_a - num_b * x) // dd) AS rc
+      |  FROM xd CROSS JOIN co),
+      |aux AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+      |    SUM(rc * rc) AS sz, SUM(x * x) AS sxx,
+      |    SUM(rc * rc * rc * rc) AS szz, SUM(x * rc * rc) AS sxz
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_days, $r2 AS r2_aux,
+      |  ${d("n")} * $r2 AS bp_lm
+      |FROM aux""".stripMargin
+  }
+
+  // ------------ q362: Jarque–Bera normality test (skewness/kurtosis)
+
+  /** q362: Jarque–Bera — is daily revenue NORMAL enough for the ±2σ
+    * habits every dashboard applies to it? The moment-based normality
+    * test from exact integer power sums of cents-resolution deviations
+    * (the q344/q358 signed-floor trick keeps Σd⁴ ≤ 10³⁷ at a 10⁶-day
+    * spine where n-scaled deviations would overflow at d⁴):
+    *
+    *   JB = n/6·(S² + K²/4),  S = m₃/m₂^{3/2},  K = m₄/m₂² − 3
+    *
+    * with the only irrational op the IEEE √ in m₂^{3/2} = m₂·√m₂.
+    *
+    * Plan: one event pass → day rollup (checkpointed); two 1-row folds.
+    */
+  val q362JarqueBera: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .localCheckpoint()
+    val tot = byDay.agg(sum(col("x")).as("sx"),
+      count(lit(1)).cast(dec).as("n"))
+    val moms = byDay.crossJoin(broadcast(tot))
+      .select(expr(sdiv("x * n - sx", "n")).as("d"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
+    val nD = col("n").cast("double")
+    val m2 = col("s2").cast("double") / nD
+    val m3 = col("s3").cast("double") / nD
+    val m4 = col("s4").cast("double") / nD
+    val skew = m3 / (m2 * sqrt(m2))
+    val exk = m4 / (m2 * m2) - lit(3.0)
+    moms.select(col("n").cast("long").as("n_days"),
+      skew.as("skew_d"), exk.as("exkurt_d"),
+      (nD / lit(6.0) * (skew * skew + exk * exk / lit(4.0))).as("jb_d"))
+  }
+
+  val q362Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val m2 = s"(${d("s2")} / ${d("n")})"
+    val m3 = s"(${d("s3")} / ${d("n")})"
+    val m4 = s"(${d("s4")} / ${d("n")})"
+    val skew = s"($m3 / ($m2 * sqrt($m2)))"
+    val exk = s"($m4 / ($m2 * $m2) - 3.0)"
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n FROM bd),
+      |devs AS (
+      |  SELECT CASE WHEN x * n - sx >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(x * n - sx) // n) AS d
+      |  FROM bd CROSS JOIN tot),
+      |moms AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(d * d) AS s2,
+      |    SUM(d * d * d) AS s3, SUM(d * d * d * d) AS s4
+      |  FROM devs)
+      |SELECT CAST(n AS BIGINT) AS n_days, $skew AS skew_d, $exk AS exkurt_d,
+      |  ${d("n")} / 6.0 * ($skew * $skew + $exk * $exk / 4.0) AS jb_d
+      |FROM moms""".stripMargin
+  }
+
+  // ----------------- q363: Engle's ARCH LM test (volatility clustering)
+
+  /** q363: Engle's ARCH test — does a big revenue SWING predict another
+    * big swing tomorrow? q344 tests level autocorrelation; this tests
+    * VOLATILITY clustering (the ARCH effect), the reason naive daily
+    * alert thresholds fire in bursts. Day-over-day changes are demeaned
+    * with the signed cents floor, squared exactly, and the lag-1 aux
+    * regression LM = n·R² forms one fixed IEEE tree over exact sums.
+    *
+    * Plan: one event pass → day rollup; the diff/lag walk is a
+    * |days|-row metadata window; one 1-row fold.
+    */
+  val q363ArchLm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val w = Window.orderBy(col("day"))
+    val diffs = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .filter(col("xp").isNotNull)
+      .select(col("day"), (col("x") - col("xp")).as("r"))
+      .localCheckpoint()
+    val tot = diffs.agg(sum(col("r")).as("sr"),
+      count(lit(1)).cast(dec).as("n"))
+    val zs = diffs.crossJoin(broadcast(tot))
+      .select(col("day"), expr(sdiv("r * n - sr", "n")).as("e"))
+      .select(col("day"), (col("e") * col("e")).as("z"))
+      .withColumn("zp", lag(col("z"), 1).over(w))
+      .filter(col("zp").isNotNull)
+    val sums = zs.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("z")).as("sy"), sum(col("zp")).as("sx"),
+      sum(col("z") * col("z")).as("syy"), sum(col("zp") * col("zp")).as("sxx"),
+      sum(col("z") * col("zp")).as("sxy"))
+    def c(ab: String, a: String, b: String) =
+      (col("n") * col(ab) - col(a) * col(b)).cast("double")
+    val r2 = (c("sxy", "sx", "sy") * c("sxy", "sx", "sy")) /
+      (c("sxx", "sx", "sx") * c("syy", "sy", "sy"))
+    sums.select(col("n").cast("long").as("n_pairs"),
+      r2.as("r2_aux"), (col("n").cast("double") * r2).as("arch_lm"))
+  }
+
+  val q363Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def c(ab: String, a: String, b: String) = d(s"n * $ab - $a * $b")
+    val r2 = s"((${c("sxy", "sx", "sy")} * ${c("sxy", "sx", "sy")}) / " +
+      s"(${c("sxx", "sx", "sx")} * ${c("syy", "sy", "sy")}))"
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |df AS (
+      |  SELECT day, x - LAG(x, 1) OVER (ORDER BY day) AS r FROM bd),
+      |diffs AS (SELECT day, r FROM df WHERE r IS NOT NULL),
+      |tot AS (SELECT SUM(r) AS sr, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM diffs),
+      |es AS (
+      |  SELECT day,
+      |    CASE WHEN r * n - sr >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(r * n - sr) // n) AS e
+      |  FROM diffs CROSS JOIN tot),
+      |zs0 AS (
+      |  SELECT day, e * e AS z,
+      |    LAG(e * e, 1) OVER (ORDER BY day) AS zp
+      |  FROM es),
+      |zs AS (SELECT z, zp FROM zs0 WHERE zp IS NOT NULL),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(z) AS sy,
+      |    SUM(zp) AS sx, SUM(z * z) AS syy, SUM(zp * zp) AS sxx,
+      |    SUM(z * zp) AS sxy
+      |  FROM zs)
+      |SELECT CAST(n AS BIGINT) AS n_pairs, $r2 AS r2_aux,
+      |  ${d("n")} * $r2 AS arch_lm
+      |FROM sums""".stripMargin
+  }
+
+  // ------------- q364: Lo–MacKinlay variance-ratio random-walk test
+
+  /** q364: the variance-ratio test — does daily revenue follow a random
+    * walk (VR ≈ 1), mean-revert (VR < 1) or trend (VR > 1)? For period
+    * q, VR(q) = Var(q-day overlapping sums)/(q·Var(1-day diffs)), both
+    * variances one fixed IEEE tree over exact integer sums; reported at
+    * q = 2 and q = 5. The market-efficiency companion to q344/q358
+    * (all three read serial dependence, each in the units its audience
+    * expects).
+    *
+    * Plan: one event pass → day rollup; overlapping sums are 2- and
+    * 5-row metadata windows; three 1-row folds meet in a broadcast
+    * finish.
+    */
+  val q364VarianceRatio: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("day"))
+    val diffs = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .filter(col("xp").isNotNull)
+      .select(col("day"), (col("x") - col("xp")).as("r"))
+      .localCheckpoint()
+    def varOf(df: DataFrame, c: String) = df.agg(
+      count(lit(1)).cast(dec).as("n"), sum(col(c)).as("s"),
+      sum(col(c) * col(c)).as("ss"))
+      .select(((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double")).as("v"),
+        col("n"))
+    val v1 = varOf(diffs, "r").select(col("v").as("v1"),
+      col("n").cast("long").as("n_diffs"))
+    def sumK(k: Int) = {
+      val kw = Window.orderBy(col("day")).rowsBetween(-(k - 1), 0)
+      val agg = diffs
+        .withColumn("cnt", count(lit(1)).over(kw))
+        .withColumn("sk", sum(col("r")).over(kw))
+        .filter(col("cnt") === k)
+        .select(col("sk").as("y"))
+      varOf(agg, "y").select(col("v").as(s"v$k"))
+    }
+    v1.crossJoin(broadcast(sumK(2))).crossJoin(broadcast(sumK(5)))
+      .select(col("n_diffs"),
+        (col("v2") / (lit(2.0) * col("v1"))).as("vr2_d"),
+        (col("v5") / (lit(5.0) * col("v1"))).as("vr5_d"))
+  }
+
+  val q364Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def varSel(src: String, c: String) =
+      s"""(SELECT ${d(s"n * ss - s * s")} / ${d("n * (n - 1)")} AS v,
+         | CAST(n AS BIGINT) AS n FROM (
+         | SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM($c) AS s,
+         |   SUM($c * $c) AS ss FROM $src))""".stripMargin.replace("\n", " ")
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |df AS (SELECT day, x - LAG(x, 1) OVER (ORDER BY day) AS r FROM bd),
+      |diffs AS (SELECT day, r FROM df WHERE r IS NOT NULL),
+      |k2 AS (
+      |  SELECT sk AS y FROM (
+      |    SELECT SUM(r) OVER (ORDER BY day
+      |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sk,
+      |    COUNT(*) OVER (ORDER BY day
+      |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS cnt
+      |    FROM diffs) WHERE cnt = 2),
+      |k5 AS (
+      |  SELECT sk AS y FROM (
+      |    SELECT SUM(r) OVER (ORDER BY day
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sk,
+      |    COUNT(*) OVER (ORDER BY day
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt
+      |    FROM diffs) WHERE cnt = 5),
+      |v1 AS ${varSel("diffs", "r")},
+      |v2 AS ${varSel("k2", "y")},
+      |v5 AS ${varSel("k5", "y")}
+      |SELECT v1.n AS n_diffs, v2.v / (2.0 * v1.v) AS vr2_d,
+      |  v5.v / (5.0 * v1.v) AS vr5_d
+      |FROM v1, v2, v5""".stripMargin
+  }
+
   // ----------- q357: restricted mean survival time (RMST) at τ days
 
   /** RMST horizon τ (days). */
@@ -7902,6 +8225,10 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q361_breusch_pagan" -> q361BreuschPagan,
+    "q362_jarque_bera" -> q362JarqueBera,
+    "q363_arch_lm" -> q363ArchLm,
+    "q364_variance_ratio" -> q364VarianceRatio,
     "q357_rmst" -> q357Rmst,
     "q358_newey_west" -> q358NeweyWest,
     "q359_bowker_symmetry" -> q359BowkerSymmetry,
@@ -8006,6 +8333,10 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q361_breusch_pagan" -> q361Sql,
+    "q362_jarque_bera" -> q362Sql,
+    "q363_arch_lm" -> q363Sql,
+    "q364_variance_ratio" -> q364Sql,
     "q357_rmst" -> q357Sql,
     "q358_newey_west" -> q358Sql,
     "q359_bowker_symmetry" -> q359Sql,
