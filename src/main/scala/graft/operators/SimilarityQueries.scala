@@ -1563,7 +1563,184 @@ object SimilarityQueries {
        |  CAST(-(1000000 // (n - 1)) AS BIGINT) AS expected_i_e6
        |FROM sxx CROSS JOIN cross_f""".stripMargin
 
+  // --------- q365: embedding isotropy / effective dimensionality
+
+  /** q365: embedding-health panel — three one-pass diagnostics of the
+    * vector space every ANN index in this engine (q61/q64/q82) assumes
+    * to be well-behaved: ANISOTROPY ‖μ‖²/E‖v‖² (a common-direction bias
+    * near 1 collapses cosine contrast; near 0 is centered), the
+    * PARTICIPATION RATIO (Σv_d)²/Σv_d² of per-dimension variances (the
+    * diagonal effective dimensionality — if 5 of 64 dims carry the
+    * variance, recall targets calibrated at d=64 are lies), and the top
+    * dimension's variance share with its index. All exact e4-quantized
+    * integer sums (the q177 convention); per-dim variances floor at
+    * n²-clearing so every term stays ≤ 10²⁷ at 10⁹ vectors.
+    *
+    * Plan: one posexplode pass → 64-row dim rollup (checkpointed); the
+    * panel is a 64-row fold.
+    */
+  val q365Isotropy: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val pd = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("q")).cast(dec).as("s"),
+        sum((col("q") * col("q")).cast(dec)).as("ss"))
+      .select(col("d"), col("n"), col("s"), col("ss"),
+        expr(fdiv("n * ss - s * s", "n * n")).as("vn"))
+      .localCheckpoint()
+    val folded = pd.agg(max(col("n")).as("n"),
+      count(lit(1)).as("n_dims"),
+      sum(col("s") * col("s")).as("s2"), sum(col("ss")).as("sss"),
+      sum(col("vn")).as("sv"), sum(col("vn") * col("vn")).as("sv2"),
+      max(col("vn")).as("mx"))
+    val topDim = pd.crossJoin(broadcast(folded.select(col("mx"))))
+      .filter(col("vn") === col("mx"))
+      .agg(max(col("d")).as("top_dim"))
+    folded.crossJoin(broadcast(topDim))
+      .select(col("n").cast("long").as("n_vecs"),
+        col("n_dims").cast("long").as("n_dims"),
+        expr(fdiv("s2 * 1000000", "n * sss")).cast("long").as("aniso_e6"),
+        expr(fdiv("sv * sv * 1000000", "sv2")).cast("long").as("pr_e6"),
+        expr(fdiv("mx * 1000000", "sv")).cast("long").as("top_share_e6"),
+        col("top_dim").cast("long").as("top_dim"))
+  }
+
+  val q365Sql: String =
+    """WITH qv AS (
+      |  SELECT GENERATE_SUBSCRIPTS(embedding, 1) AS d,
+      |    CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings),
+      |pd AS (
+      |  SELECT d, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(q) AS HUGEINT) AS s,
+      |    SUM(CAST(q AS HUGEINT) * q) AS ss
+      |  FROM qv GROUP BY d),
+      |pv AS (
+      |  SELECT d, n, s, ss, (n * ss - s * s) // (n * n) AS vn FROM pd),
+      |folded AS (
+      |  SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |    SUM(s * s) AS s2, SUM(ss) AS sss, SUM(vn) AS sv,
+      |    SUM(vn * vn) AS sv2, MAX(vn) AS mx
+      |  FROM pv),
+      |top AS (
+      |  SELECT MAX(d) AS top_dim FROM pv CROSS JOIN folded WHERE vn = mx)
+      |SELECT CAST(n AS BIGINT) AS n_vecs, n_dims,
+      |  CAST(s2 * 1000000 // (n * sss) AS BIGINT) AS aniso_e6,
+      |  CAST(sv * sv * 1000000 // sv2 AS BIGINT) AS pr_e6,
+      |  CAST(mx * 1000000 // sv AS BIGINT) AS top_share_e6,
+      |  CAST(top_dim AS BIGINT) - 1 AS top_dim
+      |FROM folded CROSS JOIN top""".stripMargin
+
+  // ---------- q366: covariate-balance audit (standardized mean diffs)
+
+  /** |SMD| threshold above which a dimension counts as imbalanced. */
+  val SmdThreshold = 0.1
+
+  /** q366: the covariate-balance table — the love-plot audit every
+    * matched/weighted causal readout (q304 CEM, q308 IPS, q334 DR)
+    * assumes but none verifies: split vectors by the portable hash (the
+    * engine's randomization device) and compute each dimension's
+    * standardized mean difference
+    *
+    *   SMD_d = (μ_Ad − μ_Bd) / √((v_Ad + v_Bd)/2)
+    *
+    * — under true randomization every |SMD| should sit well under 0.1;
+    * the count of violations and the worst dimension are the actionable
+    * readout (a violating hash split means the "device" leaks structure).
+    * Per-arm sums are exact e4 integers; each SMD is one fixed IEEE tree;
+    * the fold takes max/count over 64 doubles (comparisons only — no
+    * float additions cross rows).
+    *
+    * Plan: one posexplode pass → (arm, dim) rollup → 64-row join and
+    * fold. One shuffle.
+    */
+  val q366BalanceSmd: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val hv = graft.functions.Text.portableHash(col("vec_id").cast("string"))
+    val ad = Tables.embeddings(s, dir)
+      .select(when(hv % 2 === 0, 1L).otherwise(0L).as("a"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("a"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+      .groupBy(col("a"), col("d"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("q")).cast(dec).as("s"),
+        sum((col("q") * col("q")).cast(dec)).as("ss"))
+    val joined = ad.filter(col("a") === 1L)
+      .select(col("d"), col("n").as("na"), col("s").as("sa"),
+        col("ss").as("ssa"))
+      .join(ad.filter(col("a") === 0L)
+        .select(col("d"), col("n").as("nb"), col("s").as("sb"),
+          col("ss").as("ssb")), Seq("d"))
+    val va = (col("na") * col("ssa") - col("sa") * col("sa")).cast("double") /
+      (col("na") * col("na")).cast("double")
+    val vb = (col("nb") * col("ssb") - col("sb") * col("sb")).cast("double") /
+      (col("nb") * col("nb")).cast("double")
+    val smd = (col("sa").cast("double") / col("na").cast("double") -
+      col("sb").cast("double") / col("nb").cast("double")) /
+      sqrt((va + vb) / lit(2.0))
+    val perDim = joined.select(col("d"), smd.as("smd"),
+      abs(smd).as("asmd")).localCheckpoint()
+    val folded = perDim.agg(count(lit(1)).as("n_dims"),
+      max(col("asmd")).as("max_abs_smd"),
+      sum(when(col("asmd") > SmdThreshold, 1L).otherwise(0L))
+        .as("n_violations"))
+    val worst = perDim.crossJoin(broadcast(folded.select(col("max_abs_smd"))))
+      .filter(col("asmd") === col("max_abs_smd"))
+      .agg(max(col("d")).as("worst_dim"))
+    folded.crossJoin(broadcast(worst))
+      .select(col("n_dims").cast("long").as("n_dims"),
+        col("max_abs_smd"),
+        col("n_violations").cast("long").as("n_violations"),
+        col("worst_dim").cast("long").as("worst_dim"))
+  }
+
+  val q366Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val va = s"(${d("na * ssa - sa * sa")} / ${d("na * na")})"
+    val vb = s"(${d("nb * ssb - sb * sb")} / ${d("nb * nb")})"
+    val smd = s"((${d("sa")} / ${d("na")} - ${d("sb")} / ${d("nb")}) / " +
+      s"sqrt(($va + $vb) / 2.0))"
+    s"""WITH qv AS (
+      |  SELECT CASE WHEN CAST(concat('0x',
+      |      substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE 0 END AS a,
+      |    GENERATE_SUBSCRIPTS(embedding, 1) AS d,
+      |    CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 10000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings),
+      |ad AS (
+      |  SELECT a, d, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(q) AS HUGEINT) AS s, SUM(CAST(q AS HUGEINT) * q) AS ss
+      |  FROM qv GROUP BY a, d),
+      |joined AS (
+      |  SELECT x.d, x.n AS na, x.s AS sa, x.ss AS ssa,
+      |    y.n AS nb, y.s AS sb, y.ss AS ssb
+      |  FROM ad x JOIN ad y ON x.d = y.d AND x.a = 1 AND y.a = 0),
+      |per_dim AS (
+      |  SELECT d, $smd AS smd, ABS($smd) AS asmd FROM joined),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |    MAX(asmd) AS max_abs_smd,
+      |    CAST(SUM(CASE WHEN asmd > $SmdThreshold THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_violations
+      |  FROM per_dim),
+      |worst AS (
+      |  SELECT MAX(d) AS worst_dim FROM per_dim CROSS JOIN folded
+      |  WHERE asmd = max_abs_smd)
+      |SELECT n_dims, max_abs_smd, n_violations,
+      |  CAST(worst_dim AS BIGINT) - 1 AS worst_dim
+      |FROM folded CROSS JOIN worst""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q365_isotropy" -> q365Isotropy,
+    "q366_balance_smd" -> q366BalanceSmd,
     "q326_morans_i" -> q326MoransI,
     "q324_adjusted_rand" -> q324AdjustedRand,
     "q299_dbscan_census" -> q299DbscanCensus,
@@ -1707,6 +1884,8 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q365_isotropy" -> q365Sql,
+    "q366_balance_smd" -> q366Sql,
     "q326_morans_i" -> q326Sql,
     "q324_adjusted_rand" -> q324Sql,
     "q299_dbscan_census" -> q299Sql,

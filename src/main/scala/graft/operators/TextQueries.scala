@@ -2287,7 +2287,93 @@ object TextQueries {
       |FROM w2 JOIN row_err ON w2.source = row_err.source
       |ORDER BY w2.source, lang""".stripMargin
 
+  // ---------- q367: term burstiness + Gries dispersion for top terms
+
+  /** How many top-frequency terms the dispersion panel reports. */
+  val DispersionTopK = 15
+
+  /** q367: term dispersion — raw frequency ranks lie about IMPORTANCE: a
+    * term can earn its count from two obsessive documents (bursty) or
+    * from everywhere (dispersed), and stopword lists, keyword extractors
+    * and df-cap choices (q54's DfCap) all hinge on the difference. For
+    * the top [[DispersionTopK]] terms, two complementary readouts:
+    * burstiness as the variance-to-mean ratio over ALL documents
+    * (VMR = (D·Σtf² − F²)/(D·F), 1 = Poisson), and Gries' deviation of
+    * proportions DP = ½·Σ_docs |tf/F − len/L| ∈ [0 even, →1 concentrated]
+    * — the absent-doc mass folds in CLOSED FORM ((L − Σ_present len)·F)
+    * so the sum never densifies over documents that lack the term.
+    * All exact integers, two e6 floors per term.
+    *
+    * Plan: one tokenize pass → (doc, term) rollup (checkpointed — doc
+    * lengths, term totals and the per-term fold all ride it); the top-K
+    * set broadcasts; per-term folds touch only present (doc, term) rows.
+    */
+  val q367TermDispersion: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val totals = docLen.agg(sum(col("len")).cast(dec).as("ltot"),
+      count(lit(1)).cast(dec).as("dtot"))
+    val top = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).cast(dec).as("f"), count(lit(1)).as("df"),
+        sum(col("tf").cast(dec) * col("tf")).as("stf2"))
+      .orderBy(col("f").desc, col("term")).limit(DispersionTopK)
+      .localCheckpoint()
+    val per = tf.join(broadcast(top.select(col("term"), col("f"))), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("term"))
+      .agg(sum(abs(col("tf").cast(dec) * col("ltot") -
+        col("len").cast(dec) * col("f"))).as("adev"),
+        sum(col("len")).cast(dec).as("lpres"))
+    top.join(per, Seq("term")).crossJoin(broadcast(totals))
+      .select(col("term"), col("f").cast("long").as("n_total"),
+        col("df").cast("long").as("df"),
+        expr(fdiv("(dtot * stf2 - f * f) * 1000000", "dtot * f"))
+          .cast("long").as("vmr_e6"),
+        expr(fdiv("(adev + (ltot - lpres) * f) * 1000000", "2 * f * ltot"))
+          .cast("long").as("dp_e6"))
+      .orderBy(col("n_total").desc, col("term"))
+  }
+
+  val q367Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |doc_len AS (SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY doc_id),
+      |totals AS (SELECT SUM(len) AS ltot,
+      |  CAST(COUNT(*) AS HUGEINT) AS dtot FROM doc_len),
+      |top AS (
+      |  SELECT term, SUM(tf) AS f, CAST(COUNT(*) AS BIGINT) AS df,
+      |    SUM(tf * tf) AS stf2
+      |  FROM tf GROUP BY term
+      |  ORDER BY f DESC, term LIMIT $DispersionTopK),
+      |per AS (
+      |  SELECT term,
+      |    SUM(ABS(tf * ltot - len * top.f)) AS adev,
+      |    SUM(len) AS lpres
+      |  FROM tf JOIN top USING (term) JOIN doc_len USING (doc_id)
+      |  CROSS JOIN totals
+      |  GROUP BY term, top.f),
+      |final AS (
+      |  SELECT term, f, df, stf2, adev, lpres FROM top JOIN per USING (term))
+      |SELECT term, CAST(f AS BIGINT) AS n_total, df,
+      |  CAST((dtot * stf2 - f * f) * 1000000 // (dtot * f) AS BIGINT)
+      |    AS vmr_e6,
+      |  CAST((adev + (ltot - lpres) * f) * 1000000 // (2 * f * ltot)
+      |    AS BIGINT) AS dp_e6
+      |FROM final CROSS JOIN totals
+      |ORDER BY n_total DESC, term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q367_term_dispersion" -> q367TermDispersion,
     "q328_raking" -> q328Raking,
     "q322_mcnemar" -> q322McNemar,
     "q323_chao1" -> q323Chao1,
@@ -2327,6 +2413,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q367_term_dispersion" -> q367Sql,
     "q328_raking" -> q328Sql,
     "q322_mcnemar" -> q322Sql,
     "q323_chao1" -> q323Sql,
