@@ -2282,6 +2282,87 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // --------- q368: post-hoc pairwise comparisons (Tukey q statistics)
+
+  /** q368: the post-hoc pairwise panel — q268's ANOVA says SOME priority
+    * differs in mean price; this says WHICH pairs, via the studentized-
+    * range numerators Tukey's HSD compares: for every unordered pair,
+    *
+    *   q_ab = |x̄_a − x̄_b| / √(MSW/2·(1/n_a + 1/n_b))
+    *
+    * with MSW the pooled within-group mean square from exact per-group
+    * power sums (each within-SS n-cleared with one floor). The mean
+    * difference ships as a signed e6 integer; the q statistic is one
+    * fixed IEEE tree. k = 5 groups → a 10-row broadcast self-join on the
+    * 5-row rollup — post-hoc comparisons cost nothing beyond the one
+    * fact pass.
+    */
+  val q368TukeyPairs: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val byG = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("ss"))
+      .select(col("g"), col("n"), col("s"), col("ss"),
+        expr(fdiv("n * ss - s * s", "n")).as("w"))
+      .localCheckpoint()
+    val msw = byG.agg(sum(col("w")).as("sw"), sum(col("n")).as("nn"),
+        count(lit(1)).cast(dec).as("k"))
+      .select(((col("sw")).cast("double") /
+        (col("nn") - col("k")).cast("double")).as("msw_d"))
+    val pairs = byG.select(col("g").as("g_a"), col("n").as("na"),
+        col("s").as("sa"))
+      .join(broadcast(byG.select(col("g").as("g_b"), col("n").as("nb"),
+        col("s").as("sb"))), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(msw))
+    val diffD = (col("sa").cast("double") / col("na").cast("double")) -
+      (col("sb").cast("double") / col("nb").cast("double"))
+    pairs.select(col("g_a"), col("g_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        expr(sdiv("(sa * nb - sb * na) * 1000000", "na * nb")).as("diff_e6"),
+        (abs(diffD) / sqrt(col("msw_d") / lit(2.0) *
+          (lit(1.0) / col("na").cast("double") +
+            lit(1.0) / col("nb").cast("double")))).as("q_stat_d"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  val q368Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |by_g AS (
+      |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(c) AS HUGEINT)
+      |      AS s,
+      |    SUM(CAST(c AS HUGEINT) * c) AS ss
+      |  FROM o GROUP BY g),
+      |bw AS (SELECT g, n, s, ss, (n * ss - s * s) // n AS w FROM by_g),
+      |msw AS (
+      |  SELECT ${d("SUM(w)")} / ${d("SUM(n) - COUNT(*)")} AS msw_d
+      |  FROM bw),
+      |pairs AS (
+      |  SELECT a.g AS g_a, b.g AS g_b, a.n AS na, b.n AS nb,
+      |    a.s AS sa, b.s AS sb
+      |  FROM bw a JOIN bw b ON a.g < b.g)
+      |SELECT g_a, g_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(CASE WHEN sa * nb - sb * na >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sa * nb - sb * na) * 1000000) // (na * nb)) AS BIGINT)
+      |    AS diff_e6,
+      |  ABS(${d("sa")} / ${d("na")} - ${d("sb")} / ${d("nb")}) /
+      |    sqrt(msw_d / 2.0 * (1.0 / ${d("na")} + 1.0 / ${d("nb")}))
+      |    AS q_stat_d
+      |FROM pairs CROSS JOIN msw
+      |ORDER BY g_a, g_b""".stripMargin
+  }
+
   // ------- q354: empirical-Bayes beta-binomial shrinkage of rates
 
   /** q354: empirical-Bayes shrinkage — the fix for every "top return-rate
@@ -2459,6 +2540,7 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q368_tukey_pairs" -> q368TukeyPairs,
     "q354_eb_shrinkage" -> q354EbShrinkage,
     "q352_cramer_von_mises" -> q352CramerVonMises,
     "q346_partial_corr" -> q346PartialCorr,
@@ -2489,6 +2571,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q368_tukey_pairs" -> q368Sql,
     "q354_eb_shrinkage" -> q354Sql,
     "q352_cramer_von_mises" -> q352Sql,
     "q346_partial_corr" -> q346Sql,

@@ -6806,6 +6806,138 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // ------ q369: intraclass correlation + cluster design effect
+
+  /** q369: ICC(1) and the Kish design effect — how much purchase value
+    * clusters WITHIN users, and what that clustering costs any analysis
+    * that treats purchases as independent (every per-event z-test here
+    * does). From the one-way unbalanced ANOVA decomposition with exact
+    * n-cleared floors,
+    *
+    *   ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW),
+    *   k₀ = (N − Σn_g²/N)/(G−1),  DEFF = 1 + (m̄−1)·ICC
+    *
+    * and N/DEFF is the EFFECTIVE sample size — the number a cluster-
+    * aware q127 should use. Doubles form one fixed IEEE tree over exact
+    * integer sums.
+    *
+    * Plan: one event pass → user rollup → a 1-row fold.
+    */
+  val q369IccDeff: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val byU = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("ss"))
+    val folded = byU.agg(sum(col("n")).as("nn"),
+        count(lit(1)).cast(dec).as("g"),
+        sum(col("s")).as("stot"), sum(col("ss")).as("sstot"),
+        sum(expr(fdiv("s * s", "n"))).as("tg"),
+        sum(col("n") * col("n")).as("n2"))
+      .select(col("nn"), col("g"),
+        (col("tg") - expr(fdiv("stot * stot", "nn"))).as("ssb"),
+        (col("sstot") - col("tg")).as("ssw"), col("n2"))
+    val msb = col("ssb").cast("double") / (col("g") - 1).cast("double")
+    val msw = col("ssw").cast("double") /
+      (col("nn") - col("g")).cast("double")
+    val k0 = (col("nn").cast("double") -
+      col("n2").cast("double") / col("nn").cast("double")) /
+      (col("g") - 1).cast("double")
+    val icc = (msb - msw) / (msb + (k0 - lit(1.0)) * msw)
+    val mbar = col("nn").cast("double") / col("g").cast("double")
+    val deff = lit(1.0) + (mbar - lit(1.0)) * icc
+    folded.select(col("nn").cast("long").as("n_obs"),
+      col("g").cast("long").as("n_users"),
+      icc.as("icc_d"), deff.as("deff_d"),
+      (col("nn").cast("double") / deff).as("ess_d"))
+  }
+
+  val q369Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val msb = s"(${d("ssb")} / ${d("g - 1")})"
+    val msw = s"(${d("ssw")} / ${d("nn - g")})"
+    val k0 = s"((${d("nn")} - ${d("n2")} / ${d("nn")}) / ${d("g - 1")})"
+    val icc = s"(($msb - $msw) / ($msb + ($k0 - 1.0) * $msw))"
+    val deff = s"(1.0 + (${d("nn")} / ${d("g")} - 1.0) * $icc)"
+    s"""WITH by_u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS s,
+      |    SUM(CAST(CAST(ROUND(value*100) AS BIGINT) AS HUGEINT)
+      |      * CAST(ROUND(value*100) AS BIGINT)) AS ss
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |folded AS (
+      |  SELECT SUM(n) AS nn, CAST(COUNT(*) AS HUGEINT) AS g,
+      |    SUM(s) AS stot, SUM(ss) AS sstot,
+      |    SUM(s * s // n) AS tg, SUM(n * n) AS n2
+      |  FROM by_u),
+      |co AS (
+      |  SELECT nn, g, n2, tg - stot * stot // nn AS ssb,
+      |    sstot - tg AS ssw
+      |  FROM folded)
+      |SELECT CAST(nn AS BIGINT) AS n_obs, CAST(g AS BIGINT) AS n_users,
+      |  $icc AS icc_d, $deff AS deff_d,
+      |  ${d("nn")} / $deff AS ess_d
+      |FROM co""".stripMargin
+  }
+
+  // ------------------ q370: sign test on the paired pre/post split
+
+  /** q370: the sign test — the assumption-free floor of the paired
+    * family: q337's Wilcoxon uses the magnitudes of the pre/post
+    * differences, this uses ONLY their directions (valid even when
+    * magnitudes are incomparable across users). S = #{d > 0} among the
+    * n nonzero differences; under H₀ S ~ Binomial(n, ½), so
+    * z² = (2S − n)²/n exactly — one e6 floor, nothing else.
+    *
+    * Plan: one event pass → user pre/post rollup → a 1-row fold.
+    */
+  val q370SignTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("day") >= col("midday"), col("v")).otherwise(0L)) -
+        sum(when(col("day") < col("midday"), col("v")).otherwise(0L)))
+        .as("d"))
+      .filter(col("d") =!= 0L)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).cast(dec).as("sp"))
+      .select(col("n").cast("long").as("n_pairs"),
+        col("sp").cast("long").as("n_pos"),
+        expr(fdiv("(2 * sp - n) * (2 * sp - n) * 1000000", "n"))
+          .cast("long").as("z2_e6"))
+  }
+
+  val q370Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+      |pairs AS (
+      |  SELECT SUM(CASE WHEN day >= midday THEN v ELSE 0 END)
+      |    - SUM(CASE WHEN day < midday THEN v ELSE 0 END) AS d
+      |  FROM e CROSS JOIN mid GROUP BY user_id),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS sp
+      |  FROM pairs WHERE d <> 0)
+      |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(sp AS BIGINT) AS n_pos,
+      |  CAST((2 * sp - n) * (2 * sp - n) * 1000000 // n AS BIGINT)
+      |    AS z2_e6
+      |FROM folded""".stripMargin
+
   // -------- q361: Breusch–Pagan heteroskedasticity test (aux LM form)
 
   /** q361: Breusch–Pagan — does the VARIANCE of the daily-revenue trend
@@ -8225,6 +8357,8 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q369_icc_deff" -> q369IccDeff,
+    "q370_sign_test" -> q370SignTest,
     "q361_breusch_pagan" -> q361BreuschPagan,
     "q362_jarque_bera" -> q362JarqueBera,
     "q363_arch_lm" -> q363ArchLm,
@@ -8333,6 +8467,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q369_icc_deff" -> q369Sql,
+    "q370_sign_test" -> q370Sql,
     "q361_breusch_pagan" -> q361Sql,
     "q362_jarque_bera" -> q362Sql,
     "q363_arch_lm" -> q363Sql,
