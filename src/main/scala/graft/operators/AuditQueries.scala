@@ -2282,6 +2282,138 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ------------ q371: price elasticity by log-log regression
+
+  /** q371: own-price elasticity of demand — the slope of log-quantity on
+    * log-price across parts, the number every pricing decision quotes
+    * and q175's price/volume/mix decomposition cannot give (it
+    * attributes, it doesn't extrapolate). Both logs ride the portable
+    * LUT log2 (the BASE CANCELS in a log-log slope, so log2 elasticity
+    * IS natural-log elasticity), per-part aggregates are exact integer
+    * floors, and the slope/R² are one signed e6 floor and one fixed
+    * IEEE tree over exact sums.
+    *
+    * Plan: one fact pass → part rollup → a 1-row fold.
+    */
+  val q371PriceElasticity: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val pp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sc"),
+        count(lit(1)).as("nl"),
+        sum(expr("CAST(ROUND(l_quantity) AS BIGINT)")).as("q"))
+      .select(
+        expr("CAST(" +
+          l2(s"CAST(${fdiv("CAST(sc AS DECIMAL(38,0))", "nl")} AS BIGINT)") +
+          " AS DECIMAL(38,0))").as("x"),
+        expr(s"CAST(${l2("q")} AS DECIMAL(38,0))").as("y"))
+    val sums = pp.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def c(ab: String, a: String, b: String) =
+      (col("n") * col(ab) - col(a) * col(b)).cast("double")
+    val r2 = (c("sxy", "sx", "sy") * c("sxy", "sx", "sy")) /
+      (c("sxx", "sx", "sx") * c("syy", "sy", "sy"))
+    sums.select(col("n").cast("long").as("n_parts"),
+      expr(sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx"))
+        .as("elasticity_e6"),
+      r2.as("r2_d"))
+  }
+
+  val q371Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def c(ab: String, a: String, b: String) = d(s"n * $ab - $a * $b")
+    val r2 = s"((${c("sxy", "sx", "sy")} * ${c("sxy", "sx", "sy")}) / " +
+      s"(${c("sxx", "sx", "sx")} * ${c("syy", "sy", "sy")}))"
+    s"""WITH pp0 AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+      |      // COUNT(*) AS avgp,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_partkey),
+      |pp AS (
+      |  SELECT CAST(${l2("CAST(avgp AS BIGINT)")} AS HUGEINT) AS x,
+      |    CAST(${l2("q")} AS HUGEINT) AS y
+      |  FROM pp0),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM pp)
+      |SELECT CAST(n AS BIGINT) AS n_parts,
+      |  CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+      |    AS BIGINT) AS elasticity_e6,
+      |  $r2 AS r2_d
+      |FROM sums""".stripMargin
+  }
+
+  // ----------- q372: last-two-digit forensic audit (cents uniformity)
+
+  /** q372: the cents-digit audit — Benford (q118) reads FIRST digits,
+    * forensic accounting's other standard screen reads the LAST two:
+    * organic amounts spread the trailing cents uniformly, while invented
+    * or policy-priced amounts pile on .00/.99. Reports the exact
+    * chi-square against uniform over the 100 cells,
+    * χ² = (100·ΣO² − N²)/N (df = 99), the .00/.99 shares, and the
+    * modal digit pair.
+    *
+    * Plan: one fact pass → 100-cell rollup → 100-row folds. One shuffle.
+    */
+  val q372LastDigitAudit: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cells = Tables.orders(s, dir)
+      .select((cents(col("o_totalprice")) % 100).as("dd"))
+      .groupBy(col("dd")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val folded = cells.agg(sum(col("o")).cast(dec).as("n"),
+      sum(col("o").cast(dec) * col("o")).as("so2"),
+      max(col("o")).as("mx"),
+      sum(when(col("dd") === 0L, col("o")).otherwise(0L)).cast(dec).as("c00"),
+      sum(when(col("dd") === 99L, col("o")).otherwise(0L)).cast(dec).as("c99"))
+    val top = cells.crossJoin(broadcast(folded.select(col("mx"))))
+      .filter(col("o") === col("mx")).agg(max(col("dd")).as("top_pair"))
+    folded.crossJoin(broadcast(top))
+      .select(col("n").cast("long").as("n_rows"),
+        expr(fdiv("(100 * so2 - n * n) * 1000000", "n")).cast("long")
+          .as("chi2_e6"),
+        expr(fdiv("c00 * 1000000", "n")).cast("long").as("share_00_e6"),
+        expr(fdiv("c99 * 1000000", "n")).cast("long").as("share_99_e6"),
+        col("top_pair").cast("long").as("top_pair"),
+        expr(fdiv("mx * 1000000", "n")).cast("long").as("top_share_e6"))
+  }
+
+  val q372Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) % 100 AS dd,
+      |    CAST(COUNT(*) AS HUGEINT) AS o
+      |  FROM orders GROUP BY 1),
+      |folded AS (
+      |  SELECT SUM(o) AS n, SUM(o * o) AS so2, MAX(o) AS mx,
+      |    SUM(CASE WHEN dd = 0 THEN o ELSE 0 END) AS c00,
+      |    SUM(CASE WHEN dd = 99 THEN o ELSE 0 END) AS c99
+      |  FROM cells),
+      |top AS (
+      |  SELECT MAX(dd) AS top_pair FROM cells CROSS JOIN folded
+      |  WHERE o = mx)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  CAST((100 * so2 - n * n) * 1000000 // n AS BIGINT) AS chi2_e6,
+      |  CAST(c00 * 1000000 // n AS BIGINT) AS share_00_e6,
+      |  CAST(c99 * 1000000 // n AS BIGINT) AS share_99_e6,
+      |  CAST(top_pair AS BIGINT) AS top_pair,
+      |  CAST(mx * 1000000 // n AS BIGINT) AS top_share_e6
+      |FROM folded CROSS JOIN top""".stripMargin
+
   // --------- q368: post-hoc pairwise comparisons (Tukey q statistics)
 
   /** q368: the post-hoc pairwise panel — q268's ANOVA says SOME priority
@@ -2540,6 +2672,8 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q371_price_elasticity" -> q371PriceElasticity,
+    "q372_last_digit_audit" -> q372LastDigitAudit,
     "q368_tukey_pairs" -> q368TukeyPairs,
     "q354_eb_shrinkage" -> q354EbShrinkage,
     "q352_cramer_von_mises" -> q352CramerVonMises,
@@ -2571,6 +2705,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q371_price_elasticity" -> q371Sql,
+    "q372_last_digit_audit" -> q372Sql,
     "q368_tukey_pairs" -> q368Sql,
     "q354_eb_shrinkage" -> q354Sql,
     "q352_cramer_von_mises" -> q352Sql,

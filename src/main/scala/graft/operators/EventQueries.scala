@@ -6806,6 +6806,108 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // -------- q373: Kaplan–Meier with Greenwood confidence band
+
+  /** q373: the Greenwood band — q259's KM curve with the standard error
+    * every published survival plot shades:
+    *
+    *   Var(Ŝ(t)) = Ŝ(t)²·Σ_{t_k ≤ t} d_k/(n_k(n_k − d_k)),
+    *
+    * accumulated at e12 fixed point inside the same driver-side
+    * product-limit fold over the metadata-sized duration rollup (the
+    * q259/q332 seam), with the plain ±1.96·SE band clamped to [0, 1].
+    * The recursive-CTE oracle replays every integer floor — including
+    * the √ which both engines take as IEEE-exact FLOOR(SQRT(double))
+    * on values ≤ 10¹² (< 2⁵³, so the double is the integer).
+    *
+    * Plan: one event pass → user rollup → duration rollup (metadata);
+    * the fold touches only that rollup.
+    */
+  val q373GreenwoodCi: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val day = expr("unix_timestamp(ts) DIV 86400")
+    val byUser = e.groupBy(col("user_id")).agg(
+      min(day).as("d0"),
+      min(when(col("event_type") === "purchase", day)).as("dconv"),
+      max(day).as("dlast"))
+    val durs = byUser.select(
+      when(col("dconv").isNotNull, col("dconv") - col("d0"))
+        .otherwise(col("dlast") - col("d0")).as("dur"),
+      when(col("dconv").isNotNull, 1L).otherwise(0L).as("ev"))
+    val roll = durs.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d_ev"), sum(lit(1L) - col("ev")).as("c_cens"))
+      .orderBy(col("dur")).collect()
+    var atRisk = roll.map(r => r.getAs[Long]("d_ev") + r.getAs[Long]("c_cens")).sum
+    var sE6 = 1000000L
+    var gwE12 = BigInt(0)
+    val out = roll.map { r =>
+      val (dur, dEv, cCens) = (r.getAs[Long]("dur"), r.getAs[Long]("d_ev"),
+        r.getAs[Long]("c_cens"))
+      val n = atRisk
+      sE6 = (BigInt(sE6) * (n - dEv) / n).toLong
+      if (dEv < n)
+        gwE12 += BigInt(dEv) * 1000000000000L / (BigInt(n) * (n - dEv))
+      val v = BigInt(sE6) * sE6 * gwE12 / 1000000000000L
+      val se = math.floor(math.sqrt(v.toDouble)).toLong
+      val lo = math.max(0L, sE6 - se * 196L / 100L)
+      val hi = math.min(1000000L, sE6 + se * 196L / 100L)
+      atRisk -= (dEv + cCens)
+      (dur, n, dEv, sE6, se, lo, hi)
+    }
+    import s.implicits._
+    out.toSeq
+      .toDF("dur_days", "n_risk", "d_ev", "s_e6", "se_e6", "ci_lo_e6",
+        "ci_hi_e6")
+      .orderBy(col("dur_days"))
+  }
+
+  val q373Sql: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS d0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 END) AS dconv,
+      |    MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS dlast
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CASE WHEN dconv IS NOT NULL THEN dconv - d0
+      |    ELSE dlast - d0 END AS dur,
+      |    CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u),
+      |r AS (SELECT dur, SUM(ev) AS d_ev, SUM(1 - ev) AS c_cens
+      |  FROM d GROUP BY dur),
+      |t AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rk, dur, d_ev, c_cens,
+      |    tot.n - COALESCE(SUM(d_ev + c_cens) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM r CROSS JOIN (SELECT SUM(d_ev + c_cens) AS n FROM r) tot),
+      |km AS (
+      |  SELECT rk, dur, n_risk, d_ev,
+      |    CAST((n_risk - d_ev) * 1000000 // n_risk AS BIGINT) AS s_e6,
+      |    CAST(CASE WHEN d_ev < n_risk THEN CAST(d_ev AS HUGEINT)
+      |      * 1000000000000 // (CAST(n_risk AS HUGEINT) * (n_risk - d_ev))
+      |      ELSE 0 END AS BIGINT) AS gw_e12
+      |  FROM t WHERE rk = 1
+      |  UNION ALL
+      |  SELECT t.rk, t.dur, t.n_risk, t.d_ev,
+      |    CAST(CAST(km.s_e6 AS HUGEINT) * (t.n_risk - t.d_ev)
+      |      // t.n_risk AS BIGINT),
+      |    km.gw_e12 + CAST(CASE WHEN t.d_ev < t.n_risk
+      |      THEN CAST(t.d_ev AS HUGEINT) * 1000000000000
+      |        // (CAST(t.n_risk AS HUGEINT) * (t.n_risk - t.d_ev))
+      |      ELSE 0 END AS BIGINT)
+      |  FROM km JOIN t ON t.rk = km.rk + 1),
+      |banded AS (
+      |  SELECT dur, n_risk, d_ev, s_e6,
+      |    CAST(FLOOR(SQRT(CAST(CAST(s_e6 AS HUGEINT) * s_e6 * gw_e12
+      |      // 1000000000000 AS DOUBLE))) AS BIGINT) AS se_e6
+      |  FROM km)
+      |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d_ev AS BIGINT) AS d_ev, s_e6, se_e6,
+      |  GREATEST(0, s_e6 - se_e6 * 196 // 100) AS ci_lo_e6,
+      |  LEAST(1000000, s_e6 + se_e6 * 196 // 100) AS ci_hi_e6
+      |FROM banded ORDER BY dur_days""".stripMargin
+
   // ------ q369: intraclass correlation + cluster design effect
 
   /** q369: ICC(1) and the Kish design effect — how much purchase value
@@ -8357,6 +8459,7 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q373_greenwood_ci" -> q373GreenwoodCi,
     "q369_icc_deff" -> q369IccDeff,
     "q370_sign_test" -> q370SignTest,
     "q361_breusch_pagan" -> q361BreuschPagan,
@@ -8467,6 +8570,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q373_greenwood_ci" -> q373Sql,
     "q369_icc_deff" -> q369Sql,
     "q370_sign_test" -> q370Sql,
     "q361_breusch_pagan" -> q361Sql,
