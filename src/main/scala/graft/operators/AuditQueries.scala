@@ -2282,6 +2282,210 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ------- q374: rendezvous (HRW) placement audit with node removal
+
+  /** Virtual node count for the placement ring. */
+  val HrwNodes = 8
+
+  /** q374: rendezvous-hashing placement — the data-placement policy a
+    * 1000-executor deployment of this engine would use for sticky
+    * assignment (cache affinity, shard ownership): each part lands on
+    * argmax_node hash(part:node). The audit proves the two properties
+    * that justify HRW IN THE OUTPUT: balance (per-node counts) and
+    * MINIMAL MOVEMENT — after removing the last node, `n_non7_moved`
+    * counts survivors whose assignment changed and is ZERO by
+    * construction (only the removed node's keys move, exactly its
+    * count). Scores are the portable hash, the 8-way argmax is an
+    * inline greatest + first-match CASE (ties break to the lowest
+    * node, spelled identically in both engines) — no explode, no
+    * shuffle beyond the final 8-row rollup.
+    */
+  val q374HrwPlacement: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def score(i: Int) = graft.functions.Text.portableHash(
+      concat(col("p_partkey").cast("string"), lit(s":$i")))
+    val scored = Tables.part(s, dir).select(
+      (col("p_partkey") +: (0 until HrwNodes).map(i => score(i).as(s"s$i"))): _*)
+    def argmaxOver(n: Int): Column = {
+      val mx = greatest((0 until n).map(i => col(s"s$i")): _*)
+      (0 until n).foldRight(lit(-1L): Column) { (i, acc) =>
+        when(col(s"s$i") === mx, i.toLong).otherwise(acc)
+      }
+    }
+    val assigned = scored
+      .select(argmaxOver(HrwNodes).as("node_b"),
+        argmaxOver(HrwNodes - 1).as("node_a"))
+      .localCheckpoint()
+    val inv = assigned.agg(
+      sum(when(col("node_b") =!= HrwNodes - 1 &&
+        col("node_a") =!= col("node_b"), 1L).otherwise(0L))
+        .as("n_non7_moved"),
+      count(lit(1)).cast(dec).as("n_total"))
+    val byNode = assigned.groupBy(col("node_a").as("node"))
+      .agg(sum(when(col("node_b") === col("node_a"), 1L).otherwise(0L))
+        .as("n_before"),
+        count(lit(1)).as("n_after"))
+    byNode.crossJoin(broadcast(inv))
+      .select(col("node"), col("n_before").cast("long").as("n_before"),
+        col("n_after").cast("long").as("n_after"),
+        (col("n_after") - col("n_before")).cast("long").as("n_gained"),
+        col("n_non7_moved").cast("long").as("n_non7_moved"),
+        expr(fdiv("CAST(n_after - n_before AS DECIMAL(38,0)) * 1000000",
+          "n_total")).cast("long").as("gained_share_e6"))
+      .orderBy(col("node"))
+  }
+
+  val q374Sql: String = {
+    def score(i: Int) =
+      s"""CAST(concat('0x', substr(md5(concat(CAST(p_partkey AS VARCHAR),
+         | ':$i')), 1, 15)) AS BIGINT)""".stripMargin.replace("\n", " ")
+    val sCols = (0 until HrwNodes).map(i => s"${score(i)} AS s$i")
+      .mkString(",\n      |    ")
+    def argmax(n: Int): String = {
+      val mx = "GREATEST(" + (0 until n).map(i => s"s$i").mkString(", ") + ")"
+      "CASE " + (0 until n).map(i => s"WHEN s$i = $mx THEN $i")
+        .mkString(" ") + " END"
+    }
+    s"""WITH scored AS (
+      |  SELECT $sCols
+      |  FROM part),
+      |assigned AS (
+      |  SELECT ${argmax(HrwNodes)} AS node_b,
+      |    ${argmax(HrwNodes - 1)} AS node_a
+      |  FROM scored),
+      |inv AS (
+      |  SELECT CAST(SUM(CASE WHEN node_b <> ${HrwNodes - 1}
+      |      AND node_a <> node_b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_non7_moved,
+      |    CAST(COUNT(*) AS HUGEINT) AS n_total
+      |  FROM assigned),
+      |by_node AS (
+      |  SELECT node_a AS node,
+      |    CAST(SUM(CASE WHEN node_b = node_a THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_before,
+      |    CAST(COUNT(*) AS BIGINT) AS n_after
+      |  FROM assigned GROUP BY node_a)
+      |SELECT node, n_before, n_after, n_after - n_before AS n_gained,
+      |  n_non7_moved,
+      |  CAST(CAST(n_after - n_before AS HUGEINT) * 1000000 // n_total
+      |    AS BIGINT) AS gained_share_e6
+      |FROM by_node CROSS JOIN inv
+      |ORDER BY node""".stripMargin
+  }
+
+  // ------------- q375: data-contract expectation suite (GE-style)
+
+  /** q375: the expectation suite — the data-contract runner a warehouse
+    * load pipeline gates on (the operational twin of q126's passive
+    * profile): eight typed assertions over the star — non-null keys,
+    * foreign-key coverage (anti-join spelled as unmatched count),
+    * domain ranges, enumerated values, and key uniqueness — each a row
+    * with checked/violation counts and a PASS/FAIL verdict. Every check
+    * is a pushed-down, column-pruned aggregate; the union is 8 rows.
+    */
+  val q375Expectations: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val ev = Tables.events(s, dir)
+    def row(name: String, table: String, checked: Column, viol: Column,
+        df: DataFrame) =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("check_name"), lit(table).as("table_name"),
+          col("n_checked").cast("long").as("n_checked"),
+          col("n_violations").cast("long").as("n_violations"),
+          when(col("n_violations") === 0L, "PASS").otherwise("FAIL")
+            .as("status"))
+    val cnt = count(lit(1))
+    val checks = Seq(
+      row("orderkey_not_null", "lineitem", cnt,
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)), li),
+      row("orderkey_fk_orders", "lineitem", cnt,
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+        li.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")),
+      row("custkey_fk_customer", "orders", cnt,
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)),
+        o.join(broadcast(c.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")),
+      row("totalprice_positive", "orders", cnt,
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)), o),
+      row("discount_in_range", "lineitem", cnt,
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)), li),
+      row("quantity_in_range", "lineitem", cnt,
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)), li),
+      row("orderkey_unique", "orders", cnt,
+        (cnt - countDistinct(col("o_orderkey"))), o),
+      row("event_type_enum", "events", cnt,
+        sum(when(!col("event_type").isin("view", "click", "purchase",
+          "signup", "error"), 1L).otherwise(0L)), ev))
+    checks.reduce(_ unionAll _).orderBy(col("check_name"))
+  }
+
+  val q375Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'orderkey_not_null' AS check_name, 'lineitem' AS table_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_violations,
+      |    CASE WHEN SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+      |      THEN 'PASS' ELSE 'FAIL' END AS status
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orderkey_fk_orders', 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CASE WHEN SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      = 0 THEN 'PASS' ELSE 'FAIL' END
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'custkey_fk_customer', 'orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CASE WHEN SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      = 0 THEN 'PASS' ELSE 'FAIL' END
+      |  FROM orders od LEFT JOIN customer c ON od.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'totalprice_positive', 'orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CASE WHEN SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+      |      = 0 THEN 'PASS' ELSE 'FAIL' END
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'discount_in_range', 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT),
+      |    CASE WHEN SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) = 0 THEN 'PASS' ELSE 'FAIL' END
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'quantity_in_range', 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+      |      THEN 1 ELSE 0 END) AS BIGINT),
+      |    CASE WHEN SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+      |      THEN 1 ELSE 0 END) = 0 THEN 'PASS' ELSE 'FAIL' END
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orderkey_unique', 'orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+      |    CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey)
+      |      THEN 'PASS' ELSE 'FAIL' END
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'event_type_enum', 'events', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click',
+      |      'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS BIGINT),
+      |    CASE WHEN SUM(CASE WHEN event_type NOT IN ('view', 'click',
+      |      'purchase', 'signup', 'error') THEN 1 ELSE 0 END) = 0
+      |      THEN 'PASS' ELSE 'FAIL' END
+      |  FROM events)
+      |ORDER BY check_name""".stripMargin
+
   // ------------ q371: price elasticity by log-log regression
 
   /** q371: own-price elasticity of demand — the slope of log-quantity on
@@ -2672,6 +2876,8 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q374_hrw_placement" -> q374HrwPlacement,
+    "q375_expectations" -> q375Expectations,
     "q371_price_elasticity" -> q371PriceElasticity,
     "q372_last_digit_audit" -> q372LastDigitAudit,
     "q368_tukey_pairs" -> q368TukeyPairs,
@@ -2705,6 +2911,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q374_hrw_placement" -> q374Sql,
+    "q375_expectations" -> q375Sql,
     "q371_price_elasticity" -> q371Sql,
     "q372_last_digit_audit" -> q372Sql,
     "q368_tukey_pairs" -> q368Sql,
