@@ -2282,6 +2282,151 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ---------- q376: 1-D Wasserstein (earth mover's) distance
+
+  /** Bucket width (cents) for the Wasserstein value grid. */
+  val W1Bucket = 10000L
+
+  /** q376: the 1-D Wasserstein-1 distance between URGENT and LOW order
+    * prices — the EDF family's third member with its third question:
+    * KS (q157) reads the worst gap, CvM (q352) the mean-squared gap,
+    * W₁ the COST of morphing one distribution into the other in actual
+    * dollars (∫|F_A − F_B| dv — same units as the value axis, the only
+    * one of the three a finance reader can act on). Computed exactly on
+    * the [[W1Bucket]]-cent value grid (the metric is DEFINED on the
+    * bucketed values — a documented quantization, not an approximation
+    * of it): one cross-multiplied integer |cumA·n_B − cumB·n_A| per
+    * grid step, Δv from LEAD over the ≤ range/W1Bucket-row bucket
+    * rollup — metadata-sized, so the serial walk never touches the
+    * corpus.
+    */
+  val q376Wasserstein: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin(MwArmA, MwArmB))
+      .select((col("o_orderpriority") === MwArmA).cast("long").as("a"),
+        expr(s"CAST(ROUND(o_totalprice*100) AS BIGINT) div $W1Bucket")
+          .as("b"))
+    val cells = o.groupBy(col("b"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lagW = Window.orderBy(col("b"))
+    val walk = cells
+      .withColumn("cuma", sum(col("ca")).over(w).cast(dec))
+      .withColumn("cumb", sum(col("cb")).over(w).cast(dec))
+      .withColumn("nextb", lead(col("b"), 1).over(lagW))
+      .filter(col("nextb").isNotNull)
+    val tot = cells.agg(sum(col("ca")).cast(dec).as("na"),
+      sum(col("cb")).cast(dec).as("nb"))
+    walk.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
+          (col("nextb") - col("b")).cast(dec)).as("term"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("term")).as("st"))
+      .select(col("na").cast("long").as("n1"),
+        col("nb").cast("long").as("n2"),
+        expr(fdiv(s"st * $W1Bucket", "na * nb")).cast("long").as("w1_c"))
+  }
+
+  val q376Sql: String =
+    s"""WITH o AS (
+      |  SELECT CASE WHEN o_orderpriority = '$MwArmA' THEN 1 ELSE 0 END
+      |      AS a,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) // $W1Bucket AS b
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('$MwArmA', '$MwArmB')),
+      |cells AS (
+      |  SELECT b, CAST(SUM(a) AS HUGEINT) AS ca,
+      |    CAST(SUM(1 - a) AS HUGEINT) AS cb
+      |  FROM o GROUP BY b),
+      |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM cells),
+      |walk AS (
+      |  SELECT b,
+      |    SUM(ca) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    LEAD(b, 1) OVER (ORDER BY b) AS nextb
+      |  FROM cells),
+      |terms AS (
+      |  SELECT ABS(cuma * nb - cumb * na) * (nextb - b) AS term, na, nb
+      |  FROM walk CROSS JOIN tot WHERE nextb IS NOT NULL)
+      |SELECT CAST(na AS BIGINT) AS n1, CAST(nb AS BIGINT) AS n2,
+      |  CAST(SUM(term) * $W1Bucket // (na * nb) AS BIGINT) AS w1_c
+      |FROM terms GROUP BY na, nb""".stripMargin
+
+  // --------- q377: Cochran–Armitage trend test (ordered proportions)
+
+  /** q377: Cochran–Armitage — do ORDERED groups trend in a binary rate?
+    * q347's Mood and q272's KW treat the five priorities as unordered;
+    * CA spends its single degree of freedom on the monotone alternative
+    * ("the more urgent, the likelier an above-median price"), which is
+    * the question the priority ladder actually poses. Scores w = 1..5
+    * by priority order, y = price above the grand median (the q347
+    * relational selection):
+    *
+    *   z² = T₁²·N / (A(N−A)·(N·Σw²n_g − (Σw·n_g)²)),
+    *   T₁ = N·Σw·a_g − A·Σw·n_g
+    *
+    * — every term an exact DECIMAL integer (T₁ ≤ 5N² stays ≤ 10³⁸ to
+    * 10¹⁸ rows); the final z² is one fixed IEEE tree.
+    */
+  val q377CochranArmitage: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+    val byV = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val nTot = byV.agg(sum(col("cnt")).as("n"))
+    val med = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+      .crossJoin(broadcast(nTot))
+      .filter(col("below") + col("cnt") >= expr("(n + 1) div 2"))
+      .agg(min(col("c")).as("med"))
+    val byG = o.crossJoin(broadcast(med))
+      .select(substring(col("g"), 1, 1).cast(dec).as("w"),
+        when(col("c") > col("med"), 1L).otherwise(0L).as("y"))
+      .agg(count(lit(1)).cast(dec).as("nn"),
+        sum(col("y")).cast(dec).as("aa"),
+        sum(col("w") * col("y")).as("swa"),
+        sum(col("w")).as("swn"),
+        sum(col("w") * col("w")).as("sw2n"))
+    val t1 = (col("nn") * col("swa") - col("aa") * col("swn")).cast("double")
+    val den = (col("aa") * (col("nn") - col("aa"))).cast("double") *
+      (col("nn") * col("sw2n") - col("swn") * col("swn")).cast("double")
+    byG.select(col("nn").cast("long").as("n_rows"),
+      col("aa").cast("long").as("n_above"),
+      (t1 * t1 * col("nn").cast("double") / den).as("z2_d"))
+  }
+
+  val q377Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |med AS (
+      |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS med
+      |  FROM o),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+      |    CAST(SUM(CASE WHEN c > med THEN 1 ELSE 0 END) AS HUGEINT) AS aa,
+      |    CAST(SUM(CAST(substr(g, 1, 1) AS BIGINT) *
+      |      CASE WHEN c > med THEN 1 ELSE 0 END) AS HUGEINT) AS swa,
+      |    CAST(SUM(CAST(substr(g, 1, 1) AS BIGINT)) AS HUGEINT) AS swn,
+      |    CAST(SUM(CAST(substr(g, 1, 1) AS BIGINT) *
+      |      CAST(substr(g, 1, 1) AS BIGINT)) AS HUGEINT) AS sw2n
+      |  FROM o CROSS JOIN med)
+      |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(aa AS BIGINT) AS n_above,
+      |  ${d("nn * swa - aa * swn")} * ${d("nn * swa - aa * swn")} *
+      |    ${d("nn")} /
+      |    (${d("aa * (nn - aa)")} * ${d("nn * sw2n - swn * swn")}) AS z2_d
+      |FROM folded""".stripMargin
+  }
+
   // ------- q374: rendezvous (HRW) placement audit with node removal
 
   /** Virtual node count for the placement ring. */
@@ -2876,6 +3021,8 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q376_wasserstein" -> q376Wasserstein,
+    "q377_cochran_armitage" -> q377CochranArmitage,
     "q374_hrw_placement" -> q374HrwPlacement,
     "q375_expectations" -> q375Expectations,
     "q371_price_elasticity" -> q371PriceElasticity,
@@ -2911,6 +3058,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q376_wasserstein" -> q376Sql,
+    "q377_cochran_armitage" -> q377Sql,
     "q374_hrw_placement" -> q374Sql,
     "q375_expectations" -> q375Sql,
     "q371_price_elasticity" -> q371Sql,

@@ -6806,6 +6806,121 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // -------- q378: quadratic-weighted kappa of pre/post quintiles
+
+  /** q378: quadratic-weighted kappa — HOW STABLE is the user revenue
+    * hierarchy, scored the way ordinal agreement should be: q329's
+    * mobility matrix shows WHERE users move between their pre- and
+    * post-period quintiles; QWK compresses it to one chance-corrected
+    * number where a 1→2 slip costs 1 and a 1→5 flip costs 16
+    * (w_ij = (i−j)²) — the ordinal upgrade of q273's unweighted Cohen:
+    *
+    *   κ_w = 1 − N·Σ w_ij O_ij / Σ w_ij R_i C_j
+    *
+    * Quintiles come from EACH period's own rank-target cutpoints
+    * (⌈q·n/5⌉ off the two-level construction — the q329/q356 rule); the
+    * expected term runs over the full 5×5 margin grid so missing
+    * observed cells cost nothing. All exact integers, one signed e6
+    * floor.
+    *
+    * Plan: one event pass → (user, period) rollup (checkpointed); cuts
+    * are 8 broadcast rows; the matrix is ≤ 25 metadata cells.
+    */
+  val q378WeightedKappa: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val mid = e.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val pu = e.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(col("day") >= col("midday"), "post").otherwise("pre").as("p"),
+        col("v"))
+      .groupBy(col("user_id"), col("p")).agg(sum(col("v")).as("y"))
+      .localCheckpoint()
+    val gc = pu.groupBy(col("p"), col("y")).agg(count(lit(1)).as("cnt"))
+    val np = gc.groupBy(col("p")).agg(sum(col("cnt")).as("n_p"))
+    val cuts = AuditQueries.doubledRankBelow(gc, Seq("p"), "y", 100000L)
+      .join(broadcast(np), Seq("p"))
+      .crossJoin(broadcast(s.range(1, 5).select(col("id").as("q"))))
+      .filter(col("below") + col("cnt") >= expr("(q * n_p + 4) div 5"))
+      .groupBy(col("p"), col("q")).agg(min(col("y")).as("cut"))
+    val quint = pu.join(broadcast(cuts), Seq("p"))
+      .groupBy(col("user_id"), col("p"))
+      .agg((sum(when(col("y") > col("cut"), 1L).otherwise(0L)) + 1L)
+        .as("qt"))
+    val matrix = quint.filter(col("p") === "pre")
+      .select(col("user_id"), col("qt").as("i"))
+      .join(quint.filter(col("p") === "post")
+        .select(col("user_id"), col("qt").as("j")), Seq("user_id"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val ri = matrix.groupBy(col("i")).agg(sum(col("o")).as("r"))
+    val cj = matrix.groupBy(col("j")).agg(sum(col("o")).as("c"))
+    val swo = matrix.agg(sum(col("o").cast(dec) *
+        (col("i") - col("j")) * (col("i") - col("j"))).as("swo"),
+      sum(col("o")).cast(dec).as("n"))
+    val swrc = ri.crossJoin(broadcast(cj))
+      .agg(sum(col("r").cast(dec) * col("c") *
+        (col("i") - col("j")) * (col("i") - col("j"))).as("swrc"))
+    swo.crossJoin(broadcast(swrc))
+      .select(col("n").cast("long").as("n_users"),
+        col("swo").cast("long").as("sum_w_obs"),
+        expr(sdiv("(swrc - n * swo) * 1000000", "swrc")).as("kappa_e6"))
+  }
+
+  val q378Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+      |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM e),
+      |pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN day >= midday THEN 'post' ELSE 'pre' END AS p,
+      |    CAST(SUM(v) AS BIGINT) AS y
+      |  FROM e CROSS JOIN mid GROUP BY 1, 2),
+      |gc AS (SELECT p, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pu GROUP BY p, y),
+      |np AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n_p FROM gc GROUP BY p),
+      |rk AS (
+      |  SELECT p, y, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY p ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM gc),
+      |qs AS (SELECT UNNEST(range(1, 5)) AS q),
+      |cuts AS (
+      |  SELECT p, q, MIN(y) AS cut
+      |  FROM rk JOIN np USING (p) CROSS JOIN qs
+      |  WHERE below + cnt >= (q * n_p + 4) // 5
+      |  GROUP BY p, q),
+      |quint AS (
+      |  SELECT user_id, p,
+      |    SUM(CASE WHEN y > cut THEN 1 ELSE 0 END) + 1 AS qt
+      |  FROM pu JOIN cuts USING (p) GROUP BY user_id, p),
+      |matrix AS (
+      |  SELECT a.qt AS i, b.qt AS j, CAST(COUNT(*) AS HUGEINT) AS o
+      |  FROM quint a JOIN quint b ON a.user_id = b.user_id
+      |    AND a.p = 'pre' AND b.p = 'post'
+      |  GROUP BY a.qt, b.qt),
+      |ri AS (SELECT i, SUM(o) AS r FROM matrix GROUP BY i),
+      |cj AS (SELECT j, SUM(o) AS c FROM matrix GROUP BY j),
+      |swo AS (
+      |  SELECT SUM(o * (i - j) * (i - j)) AS swo, SUM(o) AS n FROM matrix),
+      |swrc AS (
+      |  SELECT SUM(r * c * (i - j) * (i - j)) AS swrc
+      |  FROM ri CROSS JOIN cj)
+      |SELECT CAST(n AS BIGINT) AS n_users, CAST(swo AS BIGINT) AS sum_w_obs,
+      |  CAST(CASE WHEN swrc - n * swo >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((swrc - n * swo) * 1000000) // swrc) AS BIGINT) AS kappa_e6
+      |FROM swo CROSS JOIN swrc""".stripMargin
+
   // -------- q373: Kaplan–Meier with Greenwood confidence band
 
   /** q373: the Greenwood band — q259's KM curve with the standard error
@@ -8459,6 +8574,7 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q378_weighted_kappa" -> q378WeightedKappa,
     "q373_greenwood_ci" -> q373GreenwoodCi,
     "q369_icc_deff" -> q369IccDeff,
     "q370_sign_test" -> q370SignTest,
@@ -8570,6 +8686,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q378_weighted_kappa" -> q378Sql,
     "q373_greenwood_ci" -> q373Sql,
     "q369_icc_deff" -> q369Sql,
     "q370_sign_test" -> q370Sql,
