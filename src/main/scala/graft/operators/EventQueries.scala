@@ -6806,6 +6806,167 @@ object EventQueries {
       |    AS BIGINT) AS c_e6
       |FROM agg""".stripMargin
 
+  // ---------- q379: Chatterjee's ξ — rank correlation of revenue on time
+
+  /** q379: Chatterjee's ξ (2020) — the modern dependence coefficient
+    * that detects ANY measurable relationship of Y on X, not just
+    * monotone ones (q271's Spearman and q327's Kendall read 0 on a
+    * perfect U-shape; ξ reads it): order the days by X = time, rank the
+    * revenues with tie-average DOUBLED ranks, and
+    *
+    *   ξ = 1 − 3·Σ|r_{t+1} − r_t| / (n² − 1)
+    *
+    * (doubled ranks make the numerator 2Σ|Δr|, folded with one e6
+    * floor). ξ ≈ 0 means revenue is independent of time, ξ → 1 means
+    * revenue is a measurable function of time.
+    *
+    * Plan: one event pass → day rollup; ranks from the two-level
+    * construction; the Δ-walk is a |days|-row metadata window.
+    */
+  val q379ChatterjeeXi: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      .localCheckpoint()
+    val byV = byDay.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val dRank = AuditQueries.doubledRankBelow(byV, Seq.empty, "x", 100000L)
+      .select(col("x"), (lit(2L) * col("below") + col("cnt") + 1L).as("r2"))
+    val w = Window.orderBy(col("day"))
+    byDay.join(dRank, Seq("x"))
+      .withColumn("rp", lag(col("r2"), 1).over(w))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(when(col("rp").isNotNull, abs(col("r2") - col("rp")))
+          .otherwise(0L)).cast(dec).as("s2"))
+      .select(col("n").cast("long").as("n_days"),
+        col("s2").cast("long").as("sum_abs_dr2"),
+        (lit(1000000L) - expr(fdiv("s2 * 3 * 1000000",
+          "2 * (n * n - 1)")).cast("long")).as("xi_e6"))
+  }
+
+  val q379Sql: String =
+    """WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |by_v AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM bd GROUP BY x),
+      |d_rank AS (
+      |  SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS r2
+      |  FROM by_v),
+      |ser AS (
+      |  SELECT r2, LAG(r2, 1) OVER (ORDER BY day) AS rp
+      |  FROM bd JOIN d_rank USING (x)),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CASE WHEN rp IS NOT NULL THEN ABS(r2 - rp) ELSE 0 END)
+      |      AS HUGEINT) AS s2
+      |  FROM ser)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(s2 AS BIGINT) AS sum_abs_dr2,
+      |  1000000 - CAST(s2 * 3 * 1000000 // (2 * (n * n - 1)) AS BIGINT)
+      |    AS xi_e6
+      |FROM folded""".stripMargin
+
+  // ------------- q380: Ljung–Box omnibus autocorrelation test
+
+  /** Lag depth for the Ljung–Box statistic. */
+  val LbLags = 5
+
+  /** q380: Ljung–Box — the OMNIBUS "is this series white noise?" test
+    * that aggregates what q344 (lag 1) and q358 (weighted lags) read
+    * piecemeal:
+    *
+    *   Q_LB = n(n+2)·Σ_{k≤L} ρ̂_k²/(n−k),  ρ̂_k = γ̂_k/γ̂₀
+    *
+    * Each autocovariance is an exact integer sum of cents-resolution
+    * signed-floor deviations (q358's machinery verbatim); each ρ̂² term
+    * stages as two e6 floors (ρ² is even in γ_k, so ABS sidesteps the
+    * signed-divide divergence), and the lag weights 1/(n−k) clear
+    * denominators exactly.
+    *
+    * Plan: one event pass → day rollup (checkpointed); five lag columns
+    * over the metadata series; a 1-row fold.
+    */
+  val q380LjungBox: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .localCheckpoint()
+    val tot = byDay.agg(sum(col("x")).as("sx"),
+      count(lit(1)).cast(dec).as("n"))
+    val devs = byDay.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), expr(sdiv("x * n - sx", "n")).as("d0"))
+    val w = Window.orderBy(col("day"))
+    val lagged = (1 to LbLags).foldLeft(devs) { (df, l) =>
+      df.withColumn(s"d$l", lag(col("d0"), l).over(w))
+    }
+    val aggCols = Seq(max(col("n")).as("n"),
+      sum(col("d0") * col("d0")).as("g0")) ++
+      (1 to LbLags).map(l =>
+        sum(when(col(s"d$l").isNotNull, col("d0") * col(s"d$l"))
+          .otherwise(lit(0).cast(dec))).as(s"g$l"))
+    val gs = lagged.agg(aggCols.head, aggCols.tail: _*)
+    // ρ̂_k²·e12 = (|γ_k|·e6/γ0)² staged as two floors; the k-th term then
+    // scales by n(n+2)/(n−k) with one more floor
+    val terms = (1 to LbLags).map { k =>
+      val rho2 = fdiv(fdiv(s"abs(g$k) * 1000000", "g0") + s" * ${fdiv(s"abs(g$k) * 1000000", "g0")}", "1000000")
+      expr(fdiv(s"$rho2 * n * (n + 2)", s"n - $k"))
+    }.reduce(_ + _)
+    gs.select(col("n").cast("long").as("n_days"),
+      terms.cast("long").as("q_lb_e6"))
+  }
+
+  val q380Sql: String = {
+    def sd(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (ABS($num) // ($den))""".stripMargin.replace("\n", " ")
+    val lagCols = (1 to LbLags)
+      .map(l => s"LAG(d0, $l) OVER (ORDER BY day) AS d$l")
+      .mkString(",\n      |    ")
+    val gCols = (1 to LbLags)
+      .map(l => s"SUM(CASE WHEN d$l IS NOT NULL THEN d0 * d$l ELSE 0 END) AS g$l")
+      .mkString(",\n      |    ")
+    val terms = (1 to LbLags).map { k =>
+      val rho2 = s"(((ABS(g$k) * 1000000 // g0) * (ABS(g$k) * 1000000 // g0)) // 1000000)"
+      s"($rho2 * n * (n + 2) // (n - $k))"
+    }.mkString(" + ")
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n FROM bd),
+      |devs AS (
+      |  SELECT day, n, ${sd("x * n - sx", "n")} AS d0
+      |  FROM bd CROSS JOIN tot),
+      |lagged AS (
+      |  SELECT day, n, d0,
+      |    $lagCols
+      |  FROM devs),
+      |gs AS (
+      |  SELECT MAX(n) AS n, SUM(d0 * d0) AS g0,
+      |    $gCols
+      |  FROM lagged)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST($terms AS BIGINT) AS q_lb_e6
+      |FROM gs""".stripMargin
+  }
+
   // -------- q378: quadratic-weighted kappa of pre/post quintiles
 
   /** q378: quadratic-weighted kappa — HOW STABLE is the user revenue
@@ -8574,6 +8735,8 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q379_chatterjee_xi" -> q379ChatterjeeXi,
+    "q380_ljung_box" -> q380LjungBox,
     "q378_weighted_kappa" -> q378WeightedKappa,
     "q373_greenwood_ci" -> q373GreenwoodCi,
     "q369_icc_deff" -> q369IccDeff,
@@ -8686,6 +8849,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q379_chatterjee_xi" -> q379Sql,
+    "q380_ljung_box" -> q380Sql,
     "q378_weighted_kappa" -> q378Sql,
     "q373_greenwood_ci" -> q373Sql,
     "q369_icc_deff" -> q369Sql,
