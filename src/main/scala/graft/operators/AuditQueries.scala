@@ -2282,6 +2282,184 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // --------- q381: LMDI (log-mean Divisia) revenue decomposition
+
+  /** q381: the LMDI-I decomposition — how much of each segment's revenue
+    * change is VOLUME and how much is PRICE, with the property q175's
+    * Laspeyres decomposition lacks: log-mean weights make the effects
+    * ADD UP with no interaction term (in real arithmetic; the portable
+    * LUT log leaves a small residual which ships as its own column —
+    * the honesty line). Per return-flag segment, pre vs post median
+    * ship-day, with V = Q·P:
+    *
+    *   ΔV_qty = L(V¹,V⁰)·ln(Q¹/Q⁰),  ΔV_price = L(V¹,V⁰)·ln(P¹/P⁰),
+    *   L(a,b) = (a−b)/(ln a − ln b)  (= a when a = b)
+    *
+    * ln ratios decompose into LUT log2 differences of BIGINT-safe
+    * single terms (never an a·b product that could overflow bin()), and
+    * every division is a signed e6 floor.
+    *
+    * Plan: one fact pass → 3×2 segment-period rollup; everything after
+    * is a 3-row metadata fold.
+    */
+  val q381Lmdi: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("unix_millis(l_shipdate) div 86400000").as("day"),
+        cents(col("l_extendedprice")).as("v"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+    val mid = li.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val cells = li.crossJoin(broadcast(mid))
+      .groupBy(col("flag"),
+        (col("day") >= col("midday")).cast("long").as("t"))
+      .agg(sum(col("v")).cast(dec).as("vv"), sum(col("q")).cast(dec).as("qq"))
+    val wide = cells.filter(col("t") === 1L)
+      .select(col("flag"), col("vv").as("v1"), col("qq").as("q1"))
+      .join(cells.filter(col("t") === 0L)
+        .select(col("flag"), col("vv").as("v0"), col("qq").as("q0")),
+        Seq("flag"))
+      // ln ratios in e6 nats: ln2 * (log2 a - log2 b), single-term args
+      .withColumn("lnv", expr(sdiv(
+        s"(${l2("CAST(v1 AS BIGINT)")} - ${l2("CAST(v0 AS BIGINT)")}) * 693147",
+        "1000000")))
+      .withColumn("lnq", expr(sdiv(
+        s"(${l2("CAST(q1 AS BIGINT)")} - ${l2("CAST(q0 AS BIGINT)")}) * 693147",
+        "1000000")))
+      .withColumn("lnp", col("lnv") - col("lnq"))
+      // log-mean weight L(v1, v0), e0 cents; LUT resolution can zero the
+      // denominator while v1 != v0 — take the a = b limit there
+      .withColumn("lw", when(col("lnv") === 0L, col("v1")).otherwise(
+        expr(sdiv("(v1 - v0) * 1000000", "lnv"))))
+    wide.select(col("flag"),
+        col("v0").cast("long").as("v0_c"), col("v1").cast("long").as("v1_c"),
+        (col("v1") - col("v0")).cast("long").as("dv_c"),
+        expr(sdiv("lw * lnq", "1000000")).cast("long").as("eff_qty_c"),
+        expr(sdiv("lw * lnp", "1000000")).cast("long").as("eff_price_c"),
+        ((col("v1") - col("v0")) -
+          expr(sdiv("lw * lnq", "1000000")).cast(dec) -
+          expr(sdiv("lw * lnp", "1000000")).cast(dec)).cast("long")
+          .as("residual_c"))
+      .orderBy(col("flag"))
+  }
+
+  val q381Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    def sd(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (ABS($num) // ($den))""".stripMargin.replace("\n", " ")
+    s"""WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS day,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM li),
+      |cells AS (
+      |  SELECT flag, CASE WHEN day >= midday THEN 1 ELSE 0 END AS t,
+      |    CAST(SUM(v) AS HUGEINT) AS vv, CAST(SUM(q) AS HUGEINT) AS qq
+      |  FROM li CROSS JOIN mid GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT a.flag, a.vv AS v1, a.qq AS q1, b.vv AS v0, b.qq AS q0
+      |  FROM cells a JOIN cells b ON a.flag = b.flag
+      |    AND a.t = 1 AND b.t = 0),
+      |lns AS (
+      |  SELECT flag, v0, v1,
+      |    ${sd(s"(${l2("CAST(v1 AS BIGINT)")} - ${l2("CAST(v0 AS BIGINT)")}) * 693147", "1000000")} AS lnv,
+      |    ${sd(s"(${l2("CAST(q1 AS BIGINT)")} - ${l2("CAST(q0 AS BIGINT)")}) * 693147", "1000000")} AS lnq
+      |  FROM wide),
+      |lw AS (
+      |  SELECT flag, v0, v1, lnq, lnv - lnq AS lnp,
+      |    CASE WHEN lnv = 0 THEN v1
+      |      ELSE ${sd("(v1 - v0) * 1000000", "lnv")} END AS lw
+      |  FROM lns)
+      |SELECT flag, CAST(v0 AS BIGINT) AS v0_c, CAST(v1 AS BIGINT) AS v1_c,
+      |  CAST(v1 - v0 AS BIGINT) AS dv_c,
+      |  CAST(${sd("lw * lnq", "1000000")} AS BIGINT) AS eff_qty_c,
+      |  CAST(${sd("lw * lnp", "1000000")} AS BIGINT) AS eff_price_c,
+      |  CAST((v1 - v0) - (${sd("lw * lnq", "1000000")})
+      |    - (${sd("lw * lnp", "1000000")}) AS BIGINT) AS residual_c
+      |FROM lw
+      |ORDER BY flag""".stripMargin
+  }
+
+  // -------- q382: compaction planner — next-fit-decreasing bin pack
+
+  /** Rowgroup target (rows per output file) for the packing plan. */
+  val PackTarget = 1048576L
+
+  /** q382: the compaction PLANNER — before `Compaction.rebuild` rewrites
+    * anything, plan how today's per-day row counts pack into
+    * [[PackTarget]]-row files with next-fit-decreasing (sort descending,
+    * keep one open bin, ≤ 2·OPT by the classical bound) and report the
+    * plan's efficiency against the volume lower bound ⌈total/target⌉.
+    * The greedy is inherently sequential, so it folds driver-side over
+    * the metadata-sized day rollup (the q259/q357 seam) while the
+    * recursive-CTE oracle replays the identical (bin, load) walk.
+    */
+  val q382PackPlanner: Q = (s, dir) => {
+    val roll = Tables.lineitem(s, dir)
+      .select(expr("unix_millis(l_shipdate) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("day")).collect()
+    var bins = 0L
+    var load = 0L
+    var maxLoad = 0L
+    roll.foreach { r =>
+      val n = r.getAs[Long]("n")
+      if (bins == 0L || load + n > PackTarget) { bins += 1; load = n }
+      else load += n
+      if (load > maxLoad) maxLoad = load
+    }
+    val total = roll.map(_.getAs[Long]("n")).sum
+    val lb = (total + PackTarget - 1) / PackTarget
+    import s.implicits._
+    Seq((roll.length.toLong, total, PackTarget, bins, lb,
+      if (bins == 0) 0L else lb * 1000000L / bins, maxLoad))
+      .toDF("n_files", "total_rows", "target_rows", "bins_used",
+        "lower_bound", "efficiency_e6", "max_bin_rows")
+  }
+
+  val q382Sql: String =
+    s"""WITH RECURSIVE roll AS (
+      |  SELECT CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |ordered AS (
+      |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, day) AS rk
+      |  FROM roll),
+      |walk AS (
+      |  SELECT rk, n, 1 AS bins, n AS load, n AS max_load
+      |  FROM ordered WHERE rk = 1
+      |  UNION ALL
+      |  SELECT o.rk, o.n,
+      |    CASE WHEN w.load + o.n > $PackTarget THEN w.bins + 1
+      |      ELSE w.bins END,
+      |    CASE WHEN w.load + o.n > $PackTarget THEN o.n
+      |      ELSE w.load + o.n END,
+      |    GREATEST(w.max_load,
+      |      CASE WHEN w.load + o.n > $PackTarget THEN o.n
+      |        ELSE w.load + o.n END)
+      |  FROM walk w JOIN ordered o ON o.rk = w.rk + 1),
+      |last AS (SELECT bins, max_load FROM walk ORDER BY rk DESC LIMIT 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(n) AS BIGINT) AS total_rows FROM roll)
+      |SELECT n_files, total_rows, CAST($PackTarget AS BIGINT)
+      |    AS target_rows,
+      |  CAST(bins AS BIGINT) AS bins_used,
+      |  (total_rows + $PackTarget - 1) // $PackTarget AS lower_bound,
+      |  CASE WHEN bins = 0 THEN 0 ELSE
+      |    ((total_rows + $PackTarget - 1) // $PackTarget) * 1000000 // bins
+      |    END AS efficiency_e6,
+      |  CAST(max_load AS BIGINT) AS max_bin_rows
+      |FROM last CROSS JOIN tot""".stripMargin
+
   // ---------- q376: 1-D Wasserstein (earth mover's) distance
 
   /** Bucket width (cents) for the Wasserstein value grid. */
@@ -3021,6 +3199,8 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q381_lmdi" -> q381Lmdi,
+    "q382_pack_planner" -> q382PackPlanner,
     "q376_wasserstein" -> q376Wasserstein,
     "q377_cochran_armitage" -> q377CochranArmitage,
     "q374_hrw_placement" -> q374HrwPlacement,
@@ -3058,6 +3238,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q381_lmdi" -> q381Sql,
+    "q382_pack_planner" -> q382Sql,
     "q376_wasserstein" -> q376Sql,
     "q377_cochran_armitage" -> q377Sql,
     "q374_hrw_placement" -> q374Sql,
