@@ -2282,6 +2282,162 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ---------- q383: trending parts by smoothed log-frequency ratio
+
+  /** How many movers to report in each direction. */
+  val TrendTopK = 10
+
+  /** q383: trend detection — which parts are HEATING UP or COOLING OFF
+    * between the pre- and post-median halves of the order stream? The
+    * raw count ratio explodes on small counts; the standard fix is
+    * additive smoothing inside a log ratio,
+    *
+    *   score = log₂(c_post + 1) − log₂(c_pre + 1)
+    *
+    * (the portable LUT log), reported for the [[TrendTopK]] biggest
+    * movers each way. Unlike q146's snapshot diff (absolute deltas),
+    * the log ratio ranks a 3→30 jump above a 1000→1100 drift — trend,
+    * not volume.
+    *
+    * Plan: one lineitem pass → (part, half) rollup → part-wide rows;
+    * two TakeOrdered top-Ks — never a global sort.
+    */
+  val q383TrendingParts: Q = (s, dir) => {
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"),
+        expr("unix_millis(l_shipdate) div 86400000").as("day"))
+    val mid = li.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val wide = li.crossJoin(broadcast(mid))
+      .groupBy(col("part"))
+      .agg(sum(when(col("day") < col("midday"), 1L).otherwise(0L)).as("c0"),
+        sum(when(col("day") >= col("midday"), 1L).otherwise(0L)).as("c1"))
+      .select(col("part"), col("c0"), col("c1"),
+        (expr(l2("c1 + 1")) - expr(l2("c0 + 1"))).as("score_e6"))
+      .localCheckpoint()
+    val up = wide.orderBy(col("score_e6").desc, col("part"))
+      .limit(TrendTopK).withColumn("direction", lit("up"))
+    val down = wide.orderBy(col("score_e6").asc, col("part"))
+      .limit(TrendTopK).withColumn("direction", lit("down"))
+    up.unionAll(down)
+      .select(col("direction"), col("part"), col("c0"), col("c1"),
+        col("score_e6"))
+      .orderBy(col("direction").desc, col("score_e6").desc, col("part"))
+  }
+
+  val q383Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    s"""WITH li AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS day
+      |  FROM lineitem),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM li),
+      |wide AS (
+      |  SELECT part,
+      |    CAST(SUM(CASE WHEN day < midday THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(SUM(CASE WHEN day >= midday THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1
+      |  FROM li CROSS JOIN mid GROUP BY part),
+      |scored AS (
+      |  SELECT part, c0, c1,
+      |    ${l2("c1 + 1")} - ${l2("c0 + 1")} AS score_e6
+      |  FROM wide),
+      |up AS (SELECT 'up' AS direction, part, c0, c1, score_e6
+      |  FROM scored ORDER BY score_e6 DESC, part LIMIT $TrendTopK),
+      |down AS (SELECT 'down' AS direction, part, c0, c1, score_e6
+      |  FROM scored ORDER BY score_e6 ASC, part LIMIT $TrendTopK)
+      |SELECT * FROM (SELECT * FROM up UNION ALL SELECT * FROM down)
+      |ORDER BY direction DESC, score_e6 DESC, part""".stripMargin
+  }
+
+  // ------------ q384: rank-biased overlap of pre/post leaderboards
+
+  /** RBO persistence parameter and evaluation depth. */
+  val RboP = 0.9
+  val RboDepth = 20
+
+  /** Per-entry RBO weights W(m) = (1−p)/p · Σ_{d=m..D} p^d/d at e12,
+    * computed ONCE at plan build (libm allowed there) and inlined as the
+    * same integer literals in both engines — an item first covered by
+    * both prefixes at depth m contributes exactly W(m).
+    */
+  private val RboW: IndexedSeq[Long] = {
+    val sums = (1 to RboDepth).map { m =>
+      (m to RboDepth).map(d => math.pow(RboP, d) / d).sum
+    }
+    sums.map(s => math.round(s * (1 - RboP) / RboP * 1e12))
+  }
+
+  /** q384: rank-biased overlap — did the revenue leaderboard CHANGE, in
+    * the metric IR uses to compare indefinite rankings? Top-[[RboDepth]]
+    * parts by revenue in each half; RBO(p = [[RboP]]) weights agreement
+    * at depth d by p^d, so rank-1 churn matters and rank-20 churn
+    * barely does — unlike q378's kappa (cell-level) or set Jaccard
+    * (unordered). The whole truncated series collapses to one integer
+    * lookup per common item: an item entering both prefixes at depth
+    * m = max(rank_A, rank_B) contributes the plan-time weight W(m),
+    * so RBO@20 = Σ W(max(ra, rb)) exactly — no per-depth loop, no
+    * runtime pow.
+    *
+    * Plan: one fact pass → (part, half) revenue rollup; two TakeOrdered
+    * top-20s; a 20×20-bounded join and a 1-row fold.
+    */
+  val q384Rbo: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wArr = RboW.mkString(", ")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"),
+        expr("unix_millis(l_shipdate) div 86400000").as("day"),
+        cents(col("l_extendedprice")).as("v"))
+    val mid = li.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
+      .as("midday"))
+    val halves = li.crossJoin(broadcast(mid))
+      .groupBy(col("part"), (col("day") >= col("midday")).cast("long").as("t"))
+      .agg(sum(col("v")).as("rev"))
+      .localCheckpoint()
+    def topOf(t: Long, rCol: String) = halves.filter(col("t") === t)
+      .orderBy(col("rev").desc, col("part")).limit(RboDepth)
+      .select(col("part"),
+        row_number().over(Window.orderBy(col("rev").desc, col("part")))
+          .as(rCol))
+    val joined = topOf(0L, "ra").join(topOf(1L, "rb"), Seq("part"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    joined
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum(expr(s"element_at(array($wArr), CAST(m AS INT))")),
+          lit(0L)).as("rbo"))
+      .select(col("n_common").cast("long").as("n_common"),
+        col("rbo").cast("long").as("rbo_e12"))
+  }
+
+  val q384Sql: String = {
+    val wArr = RboW.mkString(", ")
+    s"""WITH li AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS day,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM li),
+      |halves AS (
+      |  SELECT part, CASE WHEN day >= midday THEN 1 ELSE 0 END AS t,
+      |    CAST(SUM(v) AS HUGEINT) AS rev
+      |  FROM li CROSS JOIN mid GROUP BY 1, 2),
+      |ta AS (
+      |  SELECT part, ROW_NUMBER() OVER (ORDER BY rev DESC, part) AS ra
+      |  FROM halves WHERE t = 0 ORDER BY rev DESC, part LIMIT $RboDepth),
+      |tb AS (
+      |  SELECT part, ROW_NUMBER() OVER (ORDER BY rev DESC, part) AS rb
+      |  FROM halves WHERE t = 1 ORDER BY rev DESC, part LIMIT $RboDepth),
+      |joined AS (
+      |  SELECT GREATEST(ra, rb) AS m FROM ta JOIN tb USING (part))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  CAST(COALESCE(SUM(([$wArr])[CAST(m AS INT)]), 0) AS BIGINT)
+      |    AS rbo_e12
+      |FROM joined""".stripMargin
+  }
+
   // --------- q381: LMDI (log-mean Divisia) revenue decomposition
 
   /** q381: the LMDI-I decomposition — how much of each segment's revenue
@@ -3199,6 +3355,8 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q383_trending_parts" -> q383TrendingParts,
+    "q384_rbo" -> q384Rbo,
     "q381_lmdi" -> q381Lmdi,
     "q382_pack_planner" -> q382PackPlanner,
     "q376_wasserstein" -> q376Wasserstein,
@@ -3238,6 +3396,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q383_trending_parts" -> q383Sql,
+    "q384_rbo" -> q384Sql,
     "q381_lmdi" -> q381Sql,
     "q382_pack_planner" -> q382Sql,
     "q376_wasserstein" -> q376Sql,
