@@ -2356,7 +2356,7 @@ object AuditQueries {
 
   /** RBO persistence parameter and evaluation depth. */
   val RboP = 0.9
-  val RboDepth = 20
+  val RboDepth = 10
 
   /** Per-entry RBO weights W(m) = (1−p)/p · Σ_{d=m..D} p^d/d at e12,
     * computed ONCE at plan build (libm allowed there) and inlined as the
@@ -2372,7 +2372,9 @@ object AuditQueries {
 
   /** q384: rank-biased overlap — did the revenue leaderboard CHANGE, in
     * the metric IR uses to compare indefinite rankings? Top-[[RboDepth]]
-    * parts by revenue in each half; RBO(p = [[RboP]]) weights agreement
+    * BRANDS by revenue in each half (the brand grain keeps the two
+    * prefixes comparable — part-grain leaderboards at this cardinality
+    * share almost nothing and read a degenerate 0); RBO(p = [[RboP]]) weights agreement
     * at depth d by p^d, so rank-1 churn matters and rank-20 churn
     * barely does — unlike q378's kappa (cell-level) or set Jaccard
     * (unordered). The whole truncated series collapses to one integer
@@ -2388,21 +2390,24 @@ object AuditQueries {
     import org.apache.spark.sql.expressions.Window
     val wArr = RboW.mkString(", ")
     val li = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("part"),
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
         expr("unix_millis(l_shipdate) div 86400000").as("day"),
         cents(col("l_extendedprice")).as("v"))
     val mid = li.agg(expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)")
       .as("midday"))
     val halves = li.crossJoin(broadcast(mid))
-      .groupBy(col("part"), (col("day") >= col("midday")).cast("long").as("t"))
+      .groupBy(col("brand"), (col("day") >= col("midday")).cast("long").as("t"))
       .agg(sum(col("v")).as("rev"))
       .localCheckpoint()
     def topOf(t: Long, rCol: String) = halves.filter(col("t") === t)
-      .orderBy(col("rev").desc, col("part")).limit(RboDepth)
-      .select(col("part"),
-        row_number().over(Window.orderBy(col("rev").desc, col("part")))
+      .orderBy(col("rev").desc, col("brand")).limit(RboDepth)
+      .select(col("brand"),
+        row_number().over(Window.orderBy(col("rev").desc, col("brand")))
           .as(rCol))
-    val joined = topOf(0L, "ra").join(topOf(1L, "rb"), Seq("part"))
+    val joined = topOf(0L, "ra").join(topOf(1L, "rb"), Seq("brand"))
       .select(greatest(col("ra"), col("rb")).as("m"))
     joined
       .agg(count(lit(1)).as("n_common"),
@@ -2415,23 +2420,23 @@ object AuditQueries {
   val q384Sql: String = {
     val wArr = RboW.mkString(", ")
     s"""WITH li AS (
-      |  SELECT l_partkey AS part,
+      |  SELECT p.p_brand AS brand,
       |    CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS day,
       |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
-      |  FROM lineitem),
+      |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
       |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS midday FROM li),
       |halves AS (
-      |  SELECT part, CASE WHEN day >= midday THEN 1 ELSE 0 END AS t,
+      |  SELECT brand, CASE WHEN day >= midday THEN 1 ELSE 0 END AS t,
       |    CAST(SUM(v) AS HUGEINT) AS rev
       |  FROM li CROSS JOIN mid GROUP BY 1, 2),
       |ta AS (
-      |  SELECT part, ROW_NUMBER() OVER (ORDER BY rev DESC, part) AS ra
-      |  FROM halves WHERE t = 0 ORDER BY rev DESC, part LIMIT $RboDepth),
+      |  SELECT brand, ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS ra
+      |  FROM halves WHERE t = 0 ORDER BY rev DESC, brand LIMIT $RboDepth),
       |tb AS (
-      |  SELECT part, ROW_NUMBER() OVER (ORDER BY rev DESC, part) AS rb
-      |  FROM halves WHERE t = 1 ORDER BY rev DESC, part LIMIT $RboDepth),
+      |  SELECT brand, ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS rb
+      |  FROM halves WHERE t = 1 ORDER BY rev DESC, brand LIMIT $RboDepth),
       |joined AS (
-      |  SELECT GREATEST(ra, rb) AS m FROM ta JOIN tb USING (part))
+      |  SELECT GREATEST(ra, rb) AS m FROM ta JOIN tb USING (brand))
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
       |  CAST(COALESCE(SUM(([$wArr])[CAST(m AS INT)]), 0) AS BIGINT)
       |    AS rbo_e12
