@@ -2079,7 +2079,130 @@ object CurationQueries {
        |FROM folded CROSS JOIN df""".stripMargin
   }
 
+  // ----------- q385: Spiegelhalter's Z calibration test (doc-level)
+
+  /** q385: Spiegelhalter's Z — the calibration test that needs NO
+    * binning: where q331's Hosmer–Lemeshow inherits q226's ten-bin
+    * choice, Spiegelhalter tests the raw per-document forecasts,
+    *
+    *   Z = Σ(y − p̂)(1 − 2p̂) / √(Σ(1 − 2p̂)²·p̂(1 − p̂))
+    *
+    * — the numerator is exactly zero in expectation for a calibrated
+    * forecaster REGARDLESS of discrimination, which is what makes it the
+    * sharpest of the three calibration reads. Both sums are exact
+    * integer folds of the e6 probabilities (numerator e12, denominator
+    * e24, ≤ 10³⁶ at 10¹² docs); the single √ is IEEE.
+    *
+    * Plan: the q99 map-only scoring pass + broadcast label join → one
+    * 1-row fold. Nothing after the scan is corpus-scale.
+    */
+  val q385Spiegelhalter: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val scored = q99HashClassifier(s, dir)
+      .select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .select((col("n_chars") >= 300).cast("long").as("resp"),
+        least(greatest(lit(500000L) + col("score") * 1000L, lit(0L)),
+          lit(1000000L)).as("p"))
+    val folded = scored.agg(count(lit(1)).as("n"),
+      sum((lit(1000000L) * col("resp") - col("p")).cast(dec) *
+        (lit(1000000L) - lit(2L) * col("p"))).as("num_e12"),
+      sum((lit(1000000L) - lit(2L) * col("p")).cast(dec) *
+        (lit(1000000L) - lit(2L) * col("p")) * col("p") *
+        (lit(1000000L) - col("p"))).as("den_e24"))
+    folded.select(col("n").cast("long").as("n_docs"),
+      (col("num_e12").cast("double") /
+        sqrt(col("den_e24").cast("double"))).as("z_d"))
+  }
+
+  val q385Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH $q99ScoreCtes,
+       |pd AS (
+       |  SELECT CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS resp,
+       |    LEAST(GREATEST(500000 + s.score * 1000, 0), 1000000) AS p
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |folded AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(1000000 * resp - p AS HUGEINT) * (1000000 - 2 * p))
+       |      AS num_e12,
+       |    SUM(CAST(1000000 - 2 * p AS HUGEINT) * (1000000 - 2 * p)
+       |      * p * (1000000 - p)) AS den_e24
+       |  FROM pd)
+       |SELECT n AS n_docs,
+       |  ${d("num_e12")} / sqrt(${d("den_e24")}) AS z_d
+       |FROM folded""".stripMargin
+  }
+
+  // -------- q386: Cox calibration slope/intercept on the logit scale
+
+  /** q386: the Cox recalibration line — regress observed bin log-odds on
+    * predicted bin log-odds over q226's ten reliability bins: slope 1 /
+    * intercept 0 is perfect calibration, slope < 1 is overconfidence
+    * (the common failure q336's isotonic fit repairs), intercept ≠ 0 is
+    * base-rate shift. Logits ride the portable LUT log
+    * (logit p = ln2·(log2 p_e6 − log2(10⁶ − p_e6))), rates clamp at
+    * 1 ppm (the q331 rule), and the 10-point OLS is exact integer
+    * sums with signed e6 floors.
+    *
+    * Plan: rides q226's single corpus pass; the fit is 10-row metadata.
+    */
+  val q386CoxCalibration: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = Text.log2e6SparkSql(x)
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    def logit(p: String) =
+      s"""CAST(CASE WHEN (${l2(p)} - ${l2(s"1000000 - ($p)")}) >= 0 THEN 1
+         | ELSE -1 END * CAST((abs((${l2(p)} - ${l2(s"1000000 - ($p)")})
+         | * 693147) - abs((${l2(p)} - ${l2(s"1000000 - ($p)")}) * 693147)
+         | % 1000000) / 1000000 AS DECIMAL(38,0)) AS DECIMAL(38,0))"""
+        .stripMargin.replace("\n", " ")
+    val pts = q226Calibration(s, dir)
+      .select(
+        expr("GREATEST(LEAST(mean_phat_e6, 999999), 1)").as("pp"),
+        expr("GREATEST(LEAST(event_rate_e6, 999999), 1)").as("oo"))
+      .select(expr(logit("pp")).as("x"), expr(logit("oo")).as("y"))
+    val sums = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    sums.select(col("n").cast("long").as("n_bins"),
+      expr(sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx"))
+        .as("slope_e6"),
+      expr(sdiv("(sy * sxx - sx * sxy) * 1000000", "n * sxx - sx * sx"))
+        .as("intercept_ln_e6"))
+  }
+
+  val q386Sql: String = {
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    def sd(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (ABS($num) // ($den))""".stripMargin.replace("\n", " ")
+    def logit(p: String) =
+      s"(${sd(s"(${l2(p)} - ${l2(s"1000000 - ($p)")}) * 693147", "1000000")})"
+    s"""WITH bins AS ($q226Sql),
+       |pts AS (
+       |  SELECT ${logit("GREATEST(LEAST(mean_phat_e6, 999999), 1)")} AS x,
+       |    ${logit("GREATEST(LEAST(event_rate_e6, 999999), 1)")} AS y
+       |  FROM bins),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+       |  FROM pts)
+       |SELECT CAST(n AS BIGINT) AS n_bins,
+       |  CAST(${sd("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx")}
+       |    AS BIGINT) AS slope_e6,
+       |  CAST(${sd("(sy * sxx - sx * sxy) * 1000000", "n * sxx - sx * sx")}
+       |    AS BIGINT) AS intercept_ln_e6
+       |FROM sums""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q385_spiegelhalter" -> q385Spiegelhalter,
+    "q386_cox_calibration" -> q386CoxCalibration,
     "q348_g_test" -> q348GTest,
     "q343_fleiss_kappa" -> q343FleissKappa,
     "q336_isotonic" -> q336Isotonic,
@@ -2111,6 +2234,8 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q385_spiegelhalter" -> q385Sql,
+    "q386_cox_calibration" -> q386Sql,
     "q348_g_test" -> q348Sql,
     "q343_fleiss_kappa" -> q343Sql,
     "q336_isotonic" -> q336Sql,

@@ -6873,6 +6873,99 @@ object EventQueries {
       |    AS xi_e6
       |FROM folded""".stripMargin
 
+  // ------------- q387: Yule–Walker AR(2) fit with stationarity check
+
+  /** q387: the Yule–Walker AR(2) fit — where q270/q321 DIAGNOSE
+    * autocorrelation and q380 tests it, this FITS the model those
+    * diagnostics suggest: from the exact lag-0/1/2 autocovariances,
+    *
+    *   φ₁ = (γ₁γ₀ − γ₁γ₂)/(γ₀² − γ₁²),  φ₂ = (γ₂γ₀ − γ₁²)/(γ₀² − γ₁²)
+    *
+    * with the stationarity-triangle verdict (φ₂ < 1−|φ₁| wedge) as an
+    * in-output flag. Autocovariances are n-floored integer sums of
+    * cents-resolution deviations (the q358 machinery), the two closed-
+    * form divisions signed e6 floors.
+    *
+    * Plan: one event pass → day rollup (checkpointed); two lag columns;
+    * a 1-row fold.
+    */
+  val q387YuleWalker: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .localCheckpoint()
+    val tot = byDay.agg(sum(col("x")).as("sx"),
+      count(lit(1)).cast(dec).as("n"))
+    val w = Window.orderBy(col("day"))
+    val gs = byDay.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), expr(sdiv("x * n - sx", "n")).as("d0"))
+      .withColumn("d1", lag(col("d0"), 1).over(w))
+      .withColumn("d2", lag(col("d0"), 2).over(w))
+      .agg(max(col("n")).as("n"),
+        sum(col("d0") * col("d0")).as("s0"),
+        sum(when(col("d1").isNotNull, col("d0") * col("d1"))
+          .otherwise(lit(0).cast(dec))).as("s1"),
+        sum(when(col("d2").isNotNull, col("d0") * col("d2"))
+          .otherwise(lit(0).cast(dec))).as("s2"))
+      .select(col("n"), expr(sdiv("s0", "n")).as("g0"),
+        expr(sdiv("s1", "n")).as("g1"), expr(sdiv("s2", "n")).as("g2"))
+    gs.select(col("n").cast("long").as("n_days"),
+        expr(sdiv("(g1 * g0 - g1 * g2) * 1000000", "g0 * g0 - g1 * g1"))
+          .cast("long").as("phi1_e6"),
+        expr(sdiv("(g2 * g0 - g1 * g1) * 1000000", "g0 * g0 - g1 * g1"))
+          .cast("long").as("phi2_e6"))
+      .withColumn("stationary",
+        (col("phi2_e6") + abs(col("phi1_e6")) < 1000000L &&
+          abs(col("phi2_e6")) < 1000000L).cast("long"))
+  }
+
+  val q387Sql: String = {
+    def sd(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (ABS($num) // ($den))""".stripMargin.replace("\n", " ")
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n FROM bd),
+      |devs AS (
+      |  SELECT day, n, ${sd("x * n - sx", "n")} AS d0
+      |  FROM bd CROSS JOIN tot),
+      |lagged AS (
+      |  SELECT day, n, d0,
+      |    LAG(d0, 1) OVER (ORDER BY day) AS d1,
+      |    LAG(d0, 2) OVER (ORDER BY day) AS d2
+      |  FROM devs),
+      |sums AS (
+      |  SELECT MAX(n) AS n, SUM(d0 * d0) AS s0,
+      |    SUM(CASE WHEN d1 IS NOT NULL THEN d0 * d1 ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN d2 IS NOT NULL THEN d0 * d2 ELSE 0 END) AS s2
+      |  FROM lagged),
+      |gs AS (
+      |  SELECT n, ${sd("s0", "n")} AS g0, ${sd("s1", "n")} AS g1,
+      |    ${sd("s2", "n")} AS g2
+      |  FROM sums),
+      |fit AS (
+      |  SELECT CAST(n AS BIGINT) AS n_days,
+      |    CAST(${sd("(g1 * g0 - g1 * g2) * 1000000", "g0 * g0 - g1 * g1")}
+      |      AS BIGINT) AS phi1_e6,
+      |    CAST(${sd("(g2 * g0 - g1 * g1) * 1000000", "g0 * g0 - g1 * g1")}
+      |      AS BIGINT) AS phi2_e6
+      |  FROM gs)
+      |SELECT n_days, phi1_e6, phi2_e6,
+      |  CASE WHEN phi2_e6 + ABS(phi1_e6) < 1000000
+      |    AND ABS(phi2_e6) < 1000000 THEN 1 ELSE 0 END AS stationary
+      |FROM fit""".stripMargin
+  }
+
   // ------------- q380: Ljung–Box omnibus autocorrelation test
 
   /** Lag depth for the Ljung–Box statistic. */
@@ -8735,6 +8828,7 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q387_yule_walker" -> q387YuleWalker,
     "q379_chatterjee_xi" -> q379ChatterjeeXi,
     "q380_ljung_box" -> q380LjungBox,
     "q378_weighted_kappa" -> q378WeightedKappa,
@@ -8849,6 +8943,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q387_yule_walker" -> q387Sql,
     "q379_chatterjee_xi" -> q379Sql,
     "q380_ljung_box" -> q380Sql,
     "q378_weighted_kappa" -> q378Sql,
