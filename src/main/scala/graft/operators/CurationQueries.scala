@@ -2172,7 +2172,9 @@ object CurationQueries {
     sums.select(col("n").cast("long").as("n_bins"),
       expr(sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx"))
         .as("slope_e6"),
-      expr(sdiv("(sy * sxx - sx * sxy) * 1000000", "n * sxx - sx * sx"))
+      // x/y already carry e6, so the intercept ratio is e6 without a
+      // further scale factor (the slope ratio is dimensionless and needs it)
+      expr(sdiv("sy * sxx - sx * sxy", "n * sxx - sx * sx"))
         .as("intercept_ln_e6"))
   }
 
@@ -2195,7 +2197,7 @@ object CurationQueries {
        |SELECT CAST(n AS BIGINT) AS n_bins,
        |  CAST(${sd("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx")}
        |    AS BIGINT) AS slope_e6,
-       |  CAST(${sd("(sy * sxx - sx * sxy) * 1000000", "n * sxx - sx * sx")}
+       |  CAST(${sd("sy * sxx - sx * sxy", "n * sxx - sx * sx")}
        |    AS BIGINT) AS intercept_ln_e6
        |FROM sums""".stripMargin
   }
