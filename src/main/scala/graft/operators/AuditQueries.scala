@@ -2282,6 +2282,160 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // --------- q388: two-way ANOVA cell decomposition with interaction
+
+  /** q388: the two-way factorial decomposition — q268 is one-way; real
+    * warehouses ask two-factor questions ("does the priority effect on
+    * price DEPEND on order status?"). The cell-means decomposition over
+    * priority × status:
+    *
+    *   SS_cells = Σ n_ij(x̄_ij − x̄)²,  SS_AB = SS_cells − SS_A − SS_B,
+    *   SS_W = SS_T − SS_cells
+    *
+    * (the interaction term signed — with unbalanced cells the main
+    * effects here are the marginal, ignoring-the-other sums of squares;
+    * documented). Every SS comes from exact integer power sums via the
+    * n-cleared t = s²/n floors; mean squares are BIGINT cents², the two
+    * F ratios fixed IEEE trees.
+    *
+    * Plan: one orders pass → 15-cell rollup; marginals and the fold are
+    * metadata. One shuffle.
+    */
+  val q388TwoWayAnova: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"),
+        cents(col("o_totalprice")).as("c"))
+    val cells = o.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("ss"))
+      .localCheckpoint()
+    val grand = cells.agg(sum(col("n")).as("nn"), sum(col("s")).as("st"),
+      sum(col("ss")).as("sst"),
+      countDistinct(col("a")).cast(dec).as("ka"),
+      countDistinct(col("b")).cast(dec).as("kb"))
+    val tCells = cells.agg(sum(expr(fdiv("s * s", "n"))).as("tc"))
+    val tA = cells.groupBy(col("a"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .agg(sum(expr(fdiv("s * s", "n"))).as("ta"))
+    val tB = cells.groupBy(col("b"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .agg(sum(expr(fdiv("s * s", "n"))).as("tb"))
+    grand.crossJoin(broadcast(tCells)).crossJoin(broadcast(tA))
+      .crossJoin(broadcast(tB))
+      .select(col("nn"), col("ka"), col("kb"),
+        (col("ta") - expr(fdiv("st * st", "nn"))).as("ss_a"),
+        (col("tb") - expr(fdiv("st * st", "nn"))).as("ss_b"),
+        (col("tc") - expr(fdiv("st * st", "nn"))).as("ss_cells"),
+        (col("sst") - col("tc")).as("ss_w"))
+      .select(col("nn").cast("long").as("n_rows"),
+        expr(fdiv("ss_a", "ka - 1")).cast("long").as("ms_a_c2"),
+        expr(fdiv("ss_b", "kb - 1")).cast("long").as("ms_b_c2"),
+        expr(fdiv("ss_cells - ss_a - ss_b", "(ka - 1) * (kb - 1)"))
+          .cast("long").as("ms_ab_c2"),
+        expr(fdiv("ss_w", "nn - ka * kb")).cast("long").as("ms_w_c2"),
+        (expr(fdiv("ss_a", "ka - 1")).cast("double") /
+          expr(fdiv("ss_w", "nn - ka * kb")).cast("double")).as("f_a_d"),
+        (expr(fdiv("ss_b", "kb - 1")).cast("double") /
+          expr(fdiv("ss_w", "nn - ka * kb")).cast("double")).as("f_b_d"))
+  }
+
+  val q388Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |cells AS (
+      |  SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(c) AS HUGEINT) AS s, SUM(CAST(c AS HUGEINT) * c) AS ss
+      |  FROM o GROUP BY a, b),
+      |grand AS (
+      |  SELECT SUM(n) AS nn, SUM(s) AS st, SUM(ss) AS sst,
+      |    CAST(COUNT(DISTINCT a) AS HUGEINT) AS ka,
+      |    CAST(COUNT(DISTINCT b) AS HUGEINT) AS kb
+      |  FROM cells),
+      |tc AS (SELECT SUM(s * s // n) AS tc FROM cells),
+      |ta AS (SELECT SUM(s * s // n) AS ta FROM (
+      |  SELECT SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY a)),
+      |tb AS (SELECT SUM(s * s // n) AS tb FROM (
+      |  SELECT SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY b)),
+      |sss AS (
+      |  SELECT nn, ka, kb,
+      |    ta - st * st // nn AS ss_a,
+      |    tb - st * st // nn AS ss_b,
+      |    tc - st * st // nn AS ss_cells,
+      |    sst - tc AS ss_w
+      |  FROM grand CROSS JOIN tc CROSS JOIN ta CROSS JOIN tb)
+      |SELECT CAST(nn AS BIGINT) AS n_rows,
+      |  CAST(ss_a // (ka - 1) AS BIGINT) AS ms_a_c2,
+      |  CAST(ss_b // (kb - 1) AS BIGINT) AS ms_b_c2,
+      |  CAST((ss_cells - ss_a - ss_b) // ((ka - 1) * (kb - 1)) AS BIGINT)
+      |    AS ms_ab_c2,
+      |  CAST(ss_w // (nn - ka * kb) AS BIGINT) AS ms_w_c2,
+      |  ${d("ss_a // (ka - 1)")} / ${d("ss_w // (nn - ka * kb)")} AS f_a_d,
+      |  ${d("ss_b // (kb - 1)")} / ${d("ss_w // (nn - ka * kb)")} AS f_b_d
+      |FROM sss""".stripMargin
+  }
+
+  // --------------- q390: birthday-bound hash-collision audit
+
+  /** Truncated hash space for the collision audit. */
+  val BirthdayM = 65536L
+
+  /** q390: the birthday audit — when the engine buckets keys into a
+    * truncated hash space (LSH bands, shard counts, bitmap universes),
+    * how many collisions should it EXPECT, and does the portable hash
+    * deliver? Observed colliding pairs Σ C(c_m, 2) over the
+    * [[BirthdayM]]-bucket histogram of the UNIQUE order keys vs the
+    * birthday bound
+    * E = n(n−1)/(2M); a healthy hash reads ratio ≈ 1, a broken one
+    * reads far above (structure) or below (hidden regularity, equally
+    * suspicious). Complements q366 (bit balance) with PAIRWISE balance.
+    *
+    * Plan: one lineitem pass → bucket histogram → 1-row fold.
+    */
+  val q390HashBirthday: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val h = graft.functions.Text.portableHash(col("o_orderkey").cast("string"))
+    val buckets = Tables.orders(s, dir)
+      .select((h % BirthdayM).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    buckets.agg(sum(col("c")).cast(dec).as("n"),
+        count(lit(1)).as("n_buckets"),
+        sum(expr(fdiv("CAST(c AS DECIMAL(38,0)) * (c - 1)", "2"))).as("obs"))
+      .select(col("n").cast("long").as("n_keys"),
+        col("n_buckets").cast("long").as("n_buckets"),
+        col("obs").cast("long").as("obs_pairs"),
+        expr(fdiv("n * (n - 1) * 1000000", s"2 * $BirthdayM")).cast("long")
+          .as("expected_pairs_e6"),
+        expr(fdiv(s"obs * 2 * $BirthdayM * 1000000", "n * (n - 1)"))
+          .cast("long").as("ratio_e6"))
+  }
+
+  val q390Sql: String =
+    s"""WITH b AS (
+      |  SELECT CAST(concat('0x',
+      |      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    % $BirthdayM AS m
+      |  FROM orders),
+      |hist AS (SELECT m, CAST(COUNT(*) AS HUGEINT) AS c FROM b GROUP BY m),
+      |folded AS (
+      |  SELECT SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    SUM(c * (c - 1) // 2) AS obs
+      |  FROM hist)
+      |SELECT CAST(n AS BIGINT) AS n_keys, n_buckets,
+      |  CAST(obs AS BIGINT) AS obs_pairs,
+      |  CAST(n * (n - 1) * 1000000 // (2 * $BirthdayM) AS BIGINT)
+      |    AS expected_pairs_e6,
+      |  CAST(obs * 2 * $BirthdayM * 1000000 // (n * (n - 1)) AS BIGINT)
+      |    AS ratio_e6
+      |FROM folded""".stripMargin
+
   // ---------- q383: trending parts by smoothed log-frequency ratio
 
   /** How many movers to report in each direction. */
@@ -3360,6 +3514,8 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q388_two_way_anova" -> q388TwoWayAnova,
+    "q390_hash_birthday" -> q390HashBirthday,
     "q383_trending_parts" -> q383TrendingParts,
     "q384_rbo" -> q384Rbo,
     "q381_lmdi" -> q381Lmdi,
@@ -3401,6 +3557,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q388_two_way_anova" -> q388Sql,
+    "q390_hash_birthday" -> q390Sql,
     "q383_trending_parts" -> q383Sql,
     "q384_rbo" -> q384Sql,
     "q381_lmdi" -> q381Sql,

@@ -2372,7 +2372,83 @@ object TextQueries {
       |FROM final CROSS JOIN totals
       |ORDER BY n_total DESC, term""".stripMargin
 
+  // ------------ q389: Good–Turing frequency re-estimation
+
+  /** q389: Good–Turing — the classical answer to "how much probability
+    * mass belongs to words we have NEVER seen?", the quantity every
+    * smoothed language model (q96's surprisal, q276's Naive Bayes)
+    * implicitly allocates and q222's Heaps curve only hints at. From the
+    * frequency-of-frequencies table n_r:
+    *
+    *   P(unseen) = n₁/N,   r* = (r+1)·n_{r+1}/n_r  (r = 1..5)
+    *
+    * — the r* discounts are what turn raw counts into Good–Turing
+    * estimates. All exact integers with one e6 floor per row.
+    *
+    * Plan: one tokenize pass → term rollup → frequency-of-frequencies
+    * rollup (metadata-sized); a 6-row spine join finishes.
+    */
+  val q389GoodTuring: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    // bigram species — every unigram in this corpus repeats, so the
+    // unigram n_1..n_5 table is empty; bigrams are also the LM use case
+    val tf = Tables.documents(s, dir)
+      .select(Text.tokens(col("text")).as("tokens"))
+      // Spark's sequence(1, 0) DESCENDS — keep single-token docs out
+      .filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          | i -> concat(tokens[i - 1], ' ', tokens[i]))"""
+          .stripMargin.replace("\n", " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("r"))
+    val fof = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
+    val nTok = fof.agg(sum(col("r").cast(dec) * col("n_r")).as("n"))
+    val spine = s.range(0, 6).select(col("id").as("r"))
+    spine
+      .join(broadcast(fof), Seq("r"), "left")
+      .join(broadcast(fof.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r1"))), Seq("r"), "left")
+      .crossJoin(broadcast(nTok))
+      .select(col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        when(col("r") === 0L,
+          expr(fdiv("CAST(n_r1 AS DECIMAL(38,0)) * 1000000", "n")))
+          .when(coalesce(col("n_r"), lit(0L)) === 0L, lit(null))
+          .otherwise(expr(fdiv(
+            "(r + 1) * CAST(COALESCE(n_r1, 0) AS DECIMAL(38,0)) * 1000000",
+            "n_r"))).cast("long").as("r_star_e6"))
+      .orderBy(col("r"))
+  }
+
+  val q389Sql: String =
+    """WITH toks AS (
+      |  SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT UNNEST(LIST_TRANSFORM(range(1, LEN(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS term
+      |  FROM toks),
+      |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM bg
+      |  GROUP BY term),
+      |fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+      |n AS (SELECT SUM(CAST(r AS HUGEINT) * n_r) AS n FROM fof),
+      |spine AS (SELECT UNNEST(range(0, 6)) AS r)
+      |SELECT s.r, COALESCE(f.n_r, 0) AS n_r,
+      |  CAST(CASE WHEN s.r = 0
+      |    THEN CAST(f1.n_r AS HUGEINT) * 1000000 // n
+      |    WHEN COALESCE(f.n_r, 0) = 0 THEN NULL
+      |    ELSE (s.r + 1) * CAST(COALESCE(f1.n_r, 0) AS HUGEINT) * 1000000
+      |      // f.n_r END AS BIGINT) AS r_star_e6
+      |FROM spine s
+      |LEFT JOIN fof f ON f.r = s.r
+      |LEFT JOIN fof f1 ON f1.r = s.r + 1
+      |CROSS JOIN n
+      |ORDER BY s.r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q389_good_turing" -> q389GoodTuring,
     "q367_term_dispersion" -> q367TermDispersion,
     "q328_raking" -> q328Raking,
     "q322_mcnemar" -> q322McNemar,
@@ -2413,6 +2489,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q389_good_turing" -> q389Sql,
     "q367_term_dispersion" -> q367Sql,
     "q328_raking" -> q328Sql,
     "q322_mcnemar" -> q322Sql,
