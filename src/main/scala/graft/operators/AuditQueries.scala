@@ -2282,6 +2282,90 @@ object AuditQueries {
       |FROM by_g CROSS JOIN med CROSS JOIN chi
       |ORDER BY priority""".stripMargin
 
+  // ------------- q391: Taylor's power law across part demand
+
+  /** q391: Taylor's law — does demand variance scale as a POWER of mean
+    * demand across parts (V = a·m^b)? The ecology-famous scaling law is
+    * the right aggregate view where q179's per-segment VMR reads one
+    * group at a time: b ≈ 1 is Poisson-like demand, b → 2 is
+    * proportional (bursty) demand, and the exponent sets how safety
+    * stock must scale with velocity. Per-part quantity mean and variance
+    * are exact e6 floors; the log-log OLS rides the portable LUT log
+    * (base cancels in the slope), zero-variance parts are excluded by
+    * construction (documented).
+    *
+    * Plan: one fact pass → part rollup → a 1-row fold.
+    */
+  val q391TaylorsLaw: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val pp = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), expr("CAST(ROUND(l_quantity) AS BIGINT)")
+        .as("q"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("q")).cast(dec).as("sq"),
+        sum(col("q").cast(dec) * col("q")).as("sqq"))
+      .filter(col("n") >= 2)
+      .select(expr(fdiv("sq * 1000000", "n")).as("m_e6"),
+        expr(fdiv("(n * sqq - sq * sq) * 1000000", "n * (n - 1)"))
+          .as("v_e6"))
+      .filter(col("v_e6") >= 1L)
+      .select(
+        expr(s"CAST(${l2("CAST(m_e6 AS BIGINT)")} AS DECIMAL(38,0))").as("x"),
+        expr(s"CAST(${l2("CAST(v_e6 AS BIGINT)")} AS DECIMAL(38,0))").as("y"))
+    val sums = pp.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def c(ab: String, a: String, b: String) =
+      (col("n") * col(ab) - col(a) * col(b)).cast("double")
+    val r2 = (c("sxy", "sx", "sy") * c("sxy", "sx", "sy")) /
+      (c("sxx", "sx", "sx") * c("syy", "sy", "sy"))
+    sums.select(col("n").cast("long").as("n_parts"),
+      expr(sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx"))
+        .as("taylor_b_e6"),
+      r2.as("r2_d"))
+  }
+
+  val q391Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def c(ab: String, a: String, b: String) = d(s"n * $ab - $a * $b")
+    val r2 = s"((${c("sxy", "sx", "sy")} * ${c("sxy", "sx", "sy")}) / " +
+      s"(${c("sxx", "sx", "sx")} * ${c("syy", "sy", "sy")}))"
+    s"""WITH pp0 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sq,
+      |    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+      |      * CAST(ROUND(l_quantity) AS BIGINT)) AS sqq
+      |  FROM lineitem GROUP BY l_partkey),
+      |mv AS (
+      |  SELECT CAST(sq * 1000000 // n AS BIGINT) AS m_e6,
+      |    CAST((n * sqq - sq * sq) * 1000000 // (n * (n - 1)) AS BIGINT)
+      |      AS v_e6
+      |  FROM pp0 WHERE n >= 2),
+      |pts AS (
+      |  SELECT CAST(${l2("m_e6")} AS HUGEINT) AS x,
+      |    CAST(${l2("v_e6")} AS HUGEINT) AS y
+      |  FROM mv WHERE v_e6 >= 1),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_parts,
+      |  CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+      |    AS BIGINT) AS taylor_b_e6,
+      |  $r2 AS r2_d
+      |FROM sums""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -3514,6 +3598,7 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
     "q383_trending_parts" -> q383TrendingParts,
@@ -3557,6 +3642,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,
     "q383_trending_parts" -> q383Sql,

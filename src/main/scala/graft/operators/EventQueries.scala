@@ -7277,6 +7277,67 @@ object EventQueries {
       |  LEAST(1000000, s_e6 + se_e6 * 196 // 100) AS ci_hi_e6
       |FROM banded ORDER BY dur_days""".stripMargin
 
+  // ------- q393: median survival time with Greenwood-band CI
+
+  /** q393: the median conversion time with its confidence interval —
+    * the one-line summary every q259/q373 curve gets quoted as: the
+    * median is the first duration where Ŝ ≤ ½, and the band inversion
+    * gives its CI (first crossings of the lower and upper Greenwood
+    * bands, lo ≤ Ŝ ≤ hi ⇒ t_lo ≤ median ≤ t_hi; an unreached upper
+    * crossing reports −1). Rides the identical driver-side
+    * product-limit fold as q373; the oracle wraps the same
+    * recursive-CTE band as a derived table.
+    */
+  val q393MedianSurvival: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val day = expr("unix_timestamp(ts) DIV 86400")
+    val byUser = e.groupBy(col("user_id")).agg(
+      min(day).as("d0"),
+      min(when(col("event_type") === "purchase", day)).as("dconv"),
+      max(day).as("dlast"))
+    val durs = byUser.select(
+      when(col("dconv").isNotNull, col("dconv") - col("d0"))
+        .otherwise(col("dlast") - col("d0")).as("dur"),
+      when(col("dconv").isNotNull, 1L).otherwise(0L).as("ev"))
+    val roll = durs.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d_ev"), sum(lit(1L) - col("ev")).as("c_cens"))
+      .orderBy(col("dur")).collect()
+    var atRisk = roll.map(r => r.getAs[Long]("d_ev") + r.getAs[Long]("c_cens")).sum
+    val nAll = atRisk
+    var sE6 = 1000000L
+    var gwE12 = BigInt(0)
+    var med = -1L; var tLo = -1L; var tHi = -1L
+    roll.foreach { r =>
+      val (dur, dEv, cCens) = (r.getAs[Long]("dur"), r.getAs[Long]("d_ev"),
+        r.getAs[Long]("c_cens"))
+      val n = atRisk
+      sE6 = (BigInt(sE6) * (n - dEv) / n).toLong
+      if (dEv < n)
+        gwE12 += BigInt(dEv) * 1000000000000L / (BigInt(n) * (n - dEv))
+      val v = BigInt(sE6) * sE6 * gwE12 / 1000000000000L
+      val se = math.floor(math.sqrt(v.toDouble)).toLong
+      val lo = math.max(0L, sE6 - se * 196L / 100L)
+      val hi = math.min(1000000L, sE6 + se * 196L / 100L)
+      if (med < 0 && sE6 <= 500000L) med = dur
+      if (tLo < 0 && lo <= 500000L) tLo = dur
+      if (tHi < 0 && hi <= 500000L) tHi = dur
+      atRisk -= (dEv + cCens)
+    }
+    import s.implicits._
+    Seq((nAll, med, tLo, tHi))
+      .toDF("n_users", "median_days", "ci_lo_days", "ci_hi_days")
+  }
+
+  val q393Sql: String =
+    s"""SELECT CAST(MAX(n_risk) AS BIGINT) AS n_users,
+       |  COALESCE(MIN(CASE WHEN s_e6 <= 500000 THEN dur_days END), -1)
+       |    AS median_days,
+       |  COALESCE(MIN(CASE WHEN ci_lo_e6 <= 500000 THEN dur_days END), -1)
+       |    AS ci_lo_days,
+       |  COALESCE(MIN(CASE WHEN ci_hi_e6 <= 500000 THEN dur_days END), -1)
+       |    AS ci_hi_days
+       |FROM ($q373Sql) band""".stripMargin
+
   // ------ q369: intraclass correlation + cluster design effect
 
   /** q369: ICC(1) and the Kish design effect — how much purchase value
@@ -8828,6 +8889,7 @@ object EventQueries {
       |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q393_median_survival" -> q393MedianSurvival,
     "q387_yule_walker" -> q387YuleWalker,
     "q379_chatterjee_xi" -> q379ChatterjeeXi,
     "q380_ljung_box" -> q380LjungBox,
@@ -8943,6 +9005,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q393_median_survival" -> q393Sql,
     "q387_yule_walker" -> q387Sql,
     "q379_chatterjee_xi" -> q379Sql,
     "q380_ljung_box" -> q380Sql,

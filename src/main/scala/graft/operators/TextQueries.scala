@@ -2372,6 +2372,60 @@ object TextQueries {
       |FROM final CROSS JOIN totals
       |ORDER BY n_total DESC, term""".stripMargin
 
+  // ---------- q392: Yule's K and Simpson's D lexical richness
+
+  /** q392: Yule's characteristic K per source — the LENGTH-ROBUST
+    * vocabulary-richness number (q190's type-token ratios shrink as
+    * documents grow; K does not, which is why stylometry uses it):
+    *
+    *   K = 10⁴·(Σ r²·n_r − N)/N²,   D = Σ r(r−1)/(N(N−1))
+    *
+    * over each source's term-frequency spectrum (Simpson's repeat
+    * probability D rides along — K ≈ 10⁴·D for large N, an in-output
+    * sanity identity). Exact integers, one e6 floor each.
+    *
+    * Plan: one tokenize pass → (source, term) rollup → per-source
+    * frequency spectrum (metadata); a per-source fold.
+    */
+  val q392YulesK: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("r"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("r")).cast(dec).as("nn"),
+        count(lit(1)).as("vocab"),
+        sum(col("r").cast(dec) * col("r")).as("sr2"))
+      .select(col("source"),
+        col("nn").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("vocab"),
+        expr(fdiv("(sr2 - nn) * 10000000000", "nn * nn")).cast("long")
+          .as("yule_k_e6"),
+        expr(fdiv("(sr2 - nn) * 1000000000", "nn * (nn - 1)")).cast("long")
+          .as("simpson_d_e9"))
+      .orderBy(col("source"))
+  }
+
+  val q392Sql: String =
+    """WITH tf AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS r FROM (
+      |    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY source, term),
+      |folded AS (
+      |  SELECT source, CAST(SUM(r) AS HUGEINT) AS nn,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    SUM(CAST(r AS HUGEINT) * r) AS sr2
+      |  FROM tf GROUP BY source)
+      |SELECT source, CAST(nn AS BIGINT) AS n_tokens, vocab,
+      |  CAST((sr2 - nn) * 10000000000 // (nn * nn) AS BIGINT) AS yule_k_e6,
+      |  CAST((sr2 - nn) * 1000000000 // (nn * (nn - 1)) AS BIGINT)
+      |    AS simpson_d_e9
+      |FROM folded
+      |ORDER BY source""".stripMargin
+
   // ------------ q389: Good–Turing frequency re-estimation
 
   /** q389: Good–Turing — the classical answer to "how much probability
@@ -2448,6 +2502,7 @@ object TextQueries {
       |ORDER BY s.r""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q392_yules_k" -> q392YulesK,
     "q389_good_turing" -> q389GoodTuring,
     "q367_term_dispersion" -> q367TermDispersion,
     "q328_raking" -> q328Raking,
@@ -2489,6 +2544,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q392_yules_k" -> q392Sql,
     "q389_good_turing" -> q389Sql,
     "q367_term_dispersion" -> q367Sql,
     "q328_raking" -> q328Sql,
