@@ -1383,7 +1383,81 @@ object GraphQueries {
       |FROM by_c CROSS JOIN m
       |ORDER BY brand""".stripMargin
 
+  // -------------- q394: rich-club coefficient of the co-purchase graph
+
+  /** Degree thresholds for the rich-club ladder. */
+  val RichClubKs: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** q394: the rich-club coefficient — do HIGH-DEGREE parts co-purchase
+    * with EACH OTHER more densely than chance? φ(k) = 2·E_k/(N_k(N_k−1))
+    * over the subgraph of nodes with degree > k, evaluated on the
+    * [[RichClubKs]] ladder: a rising φ(k) is the "core elite" structure
+    * that q188's assortativity summarizes in one number and q122's
+    * k-core carves by membership. Degrees come off the shared edge list;
+    * each rung is one broadcast semi-filter of the edges by the rich
+    * set — candidate work bounded by the edge count, never re-derived.
+    *
+    * Plan: the bounded edge list once (checkpointed) → degree rollup →
+    * per-rung broadcast filters and 1-row folds, unioned (4 metadata
+    * rows).
+    */
+  val q394RichClub: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val edges = copurchaseEdges(s, dir)
+      .select(col("part_a"), col("part_b")).localCheckpoint()
+    val deg = edges.select(col("part_a").as("p"))
+      .unionAll(edges.select(col("part_b").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val rungs = RichClubKs.map { k =>
+      val rich = deg.filter(col("d") > k).select(col("p"))
+      val nK = rich.agg(count(lit(1)).cast(dec).as("n_k"))
+      val eK = edges
+        .join(broadcast(rich.select(col("p").as("part_a"))), Seq("part_a"))
+        .join(broadcast(rich.select(col("p").as("part_b"))), Seq("part_b"))
+        .agg(count(lit(1)).cast(dec).as("e_k"))
+      eK.crossJoin(broadcast(nK))
+        .select(lit(k.toLong).as("k"), col("n_k").cast("long").as("n_nodes"),
+          col("e_k").cast("long").as("n_edges"),
+          when(col("n_k") >= 2,
+            expr(fdiv("e_k * 2 * 1000000", "n_k * (n_k - 1)")).cast("long"))
+            .otherwise(lit(null)).as("phi_e6"))
+    }
+    rungs.reduce(_ unionAll _).orderBy(col("k"))
+  }
+
+  def q394Sql: String = {
+    val rung = RichClubKs.map { k =>
+      s"""SELECT $k AS k,
+         |  (SELECT COUNT(*) FROM rich_$k) AS n_nodes,
+         |  (SELECT COUNT(*) FROM pairs e
+         |     WHERE e.part_a IN (SELECT p FROM rich_$k)
+         |       AND e.part_b IN (SELECT p FROM rich_$k)) AS n_edges,
+         |  CASE WHEN (SELECT COUNT(*) FROM rich_$k) >= 2 THEN
+         |    CAST((SELECT COUNT(*) FROM pairs e
+         |       WHERE e.part_a IN (SELECT p FROM rich_$k)
+         |         AND e.part_b IN (SELECT p FROM rich_$k))
+         |      * 2 * 1000000 //
+         |      ((SELECT CAST(COUNT(*) AS HUGEINT) FROM rich_$k) *
+         |       ((SELECT COUNT(*) FROM rich_$k) - 1)) AS BIGINT)
+         |    ELSE NULL END AS phi_e6""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val richCtes = RichClubKs.map(k =>
+      s"rich_$k AS (SELECT p FROM deg WHERE d > $k)").mkString(",\n")
+    s"""WITH $edgesCtes,
+      |deg AS (
+      |  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT part_a AS p FROM pairs
+      |    UNION ALL SELECT part_b AS p FROM pairs) u
+      |  GROUP BY p),
+      |$richCtes
+      |SELECT * FROM ($rung) ORDER BY k""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q394_rich_club" -> q394RichClub,
     "q341_modularity" -> q341Modularity,
     "q274_hits" -> q274Hits,
     "q262_ndcg" -> q262Ndcg,
@@ -1404,6 +1478,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q394_rich_club" -> q394Sql,
     "q341_modularity" -> q341Sql,
     "q274_hits" -> q274Sql,
     "q217_ranking_metrics" -> q217Sql,

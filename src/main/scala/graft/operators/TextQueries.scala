@@ -2372,6 +2372,114 @@ object TextQueries {
       |FROM final CROSS JOIN totals
       |ORDER BY n_total DESC, term""".stripMargin
 
+  // --------------- q395: Burrows' Delta stylometric source distance
+
+  /** Number of top function words the Delta profile uses. */
+  val DeltaTopTerms = 30
+  /** How many closest source pairs to report. */
+  val DeltaTopPairs = 5
+
+  /** q395: Burrows' Delta — the authorship-attribution distance applied
+    * to CURATION: two "sources" whose function-word profiles are
+    * near-identical are one upstream crawler wearing two names (q125
+    * compares vocabularies — WHAT is said; Delta compares relative
+    * function-word RATES — HOW it is said, the signature that survives
+    * topic shift). Per-source shares of the [[DeltaTopTerms]] most
+    * frequent terms are z-scored ACROSS sources (sd floored from the
+    * exact variance via the portable FLOOR(SQRT(double))), and
+    *
+    *   Δ(A, B) = mean_terms |z_A − z_B|
+    *
+    * — exact e6 integers end to end; the [[DeltaTopPairs]] closest
+    * pairs ship. The densified source×term grid keeps absent terms at
+    * share 0 (30×|sources| metadata rows).
+    *
+    * Plan: one tokenize pass → (source, term) rollup; the profile,
+    * z-grid and the 190-pair fold are metadata-sized.
+    */
+  val q395BurrowsDelta: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = tf.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val top = tf.groupBy(col("term")).agg(sum(col("cnt")).as("g"))
+      .orderBy(col("g").desc, col("term")).limit(DeltaTopTerms)
+      .select(col("term"))
+    val grid = totals.select(col("source"), col("tot"))
+      .crossJoin(broadcast(top))
+      .join(tf, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        expr(fdiv("CAST(COALESCE(cnt, 0) AS DECIMAL(38,0)) * 1000000000",
+          "tot")).as("sh"))
+      .localCheckpoint()
+    val stats = grid.groupBy(col("term"))
+      .agg(count(lit(1)).cast(dec).as("ns"), sum(col("sh")).as("ssh"),
+        sum(col("sh") * col("sh")).as("ssh2"))
+      .select(col("term"), expr(fdiv("ssh", "ns")).as("mean_sh"),
+        expr("CAST(FLOOR(SQRT(CAST(" +
+          fdiv("ns * ssh2 - ssh * ssh", "ns * (ns - 1)") +
+          " AS DOUBLE))) AS DECIMAL(38,0))").as("sd_sh"))
+    val z = grid.join(broadcast(stats), Seq("term"))
+      .select(col("term"), col("source"),
+        expr(sdiv("(sh - mean_sh) * 1000000", "GREATEST(sd_sh, 1)"))
+          .as("z"))
+    z.select(col("term"), col("source").as("src_a"), col("z").as("za"))
+      .join(z.select(col("term"), col("source").as("src_b"),
+        col("z").as("zb")), Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(expr(fdiv(s"SUM(abs(za - zb))", DeltaTopTerms.toString))
+        .cast("long").as("delta_e6"))
+      .orderBy(col("delta_e6"), col("src_a"), col("src_b"))
+      .limit(DeltaTopPairs)
+  }
+
+  val q395Sql: String =
+    s"""WITH tf AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY source, term),
+      |totals AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+      |  FROM tf GROUP BY source),
+      |top AS (
+      |  SELECT term FROM (
+      |    SELECT term, SUM(cnt) AS g FROM tf GROUP BY term
+      |    ORDER BY g DESC, term LIMIT $DeltaTopTerms)),
+      |grid AS (
+      |  SELECT t.source, tp.term,
+      |    CAST(COALESCE(f.cnt, 0) AS HUGEINT) * 1000000000 // t.tot AS sh
+      |  FROM totals t CROSS JOIN top tp
+      |  LEFT JOIN tf f ON f.source = t.source AND f.term = tp.term),
+      |stats AS (
+      |  SELECT term, CAST(COUNT(*) AS HUGEINT) AS ns, SUM(sh) AS ssh,
+      |    SUM(sh * sh) AS ssh2
+      |  FROM grid GROUP BY term),
+      |st2 AS (
+      |  SELECT term, ssh // ns AS mean_sh,
+      |    CAST(FLOOR(SQRT(CAST(CAST((ns * ssh2 - ssh * ssh)
+      |      // (ns * (ns - 1)) AS VARCHAR) AS DOUBLE))) AS HUGEINT)
+      |      AS sd_sh
+      |  FROM stats),
+      |z AS (
+      |  SELECT g.term, g.source,
+      |    CASE WHEN g.sh - mean_sh >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((g.sh - mean_sh) * 1000000) // GREATEST(sd_sh, 1)) AS z
+      |  FROM grid g JOIN st2 USING (term))
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(SUM(ABS(a.z - b.z)) // $DeltaTopTerms AS BIGINT) AS delta_e6
+      |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY delta_e6, src_a, src_b LIMIT $DeltaTopPairs""".stripMargin
+
   // ---------- q392: Yule's K and Simpson's D lexical richness
 
   /** q392: Yule's characteristic K per source — the LENGTH-ROBUST
@@ -2502,6 +2610,7 @@ object TextQueries {
       |ORDER BY s.r""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q395_burrows_delta" -> q395BurrowsDelta,
     "q392_yules_k" -> q392YulesK,
     "q389_good_turing" -> q389GoodTuring,
     "q367_term_dispersion" -> q367TermDispersion,
@@ -2544,6 +2653,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q395_burrows_delta" -> q395Sql,
     "q392_yules_k" -> q392Sql,
     "q389_good_turing" -> q389Sql,
     "q367_term_dispersion" -> q367Sql,
