@@ -8888,7 +8888,237 @@ object EventQueries {
       |    (ABS(scr * 1000000) // srr) AS BIGINT) AS rho1_e6
       |FROM agg""".stripMargin
 
+  // ------------ q399: Hurst exponent of daily revenue (rescaled range)
+
+  /** Block sizes for the R/S ladder — plan-time constants sized to the
+    * ~30-day event horizon (6 + 3 + 2 = 11 full blocks).
+    */
+  val HurstSizes: Seq[Int] = Seq(5, 10, 15)
+
+  /** q399: the Hurst exponent by classical rescaled-range (R/S)
+    * analysis — the long-memory diagnostic that places daily revenue on
+    * the mean-reverting (H < ½) / random-walk (H = ½) / trending
+    * (H > ½) axis. q364's variance ratios test ONE aggregation step;
+    * the R/S ladder fits the whole scaling law log(R/S) ~ H·log(m)
+    * across block sizes [[HurstSizes]]. Per block, the range of the
+    * m-cleared cumulative deviation walk (m·Z_k = m·Σ_{i≤k}x_i − k·S,
+    * exact integers — the m denominator cancels against the std's) over
+    * the integer √ of the n-cleared second moment (bit-portable
+    * FLOOR(SQRT) — daily revenue is floored to whole dollars so
+    * m·ΣX² stays far under 2⁵³ through sf1); block R/S values land as
+    * e6 floors BEFORE the per-size mean (the q340 sum-order rule), and
+    * the 3-point log-log slope rides the LUT log pair.
+    *
+    * Plan: one event pass → day rollup (checkpointed) → a ×3 block
+    * spine (bounded by the plan-time ladder) → per-block windows
+    * PARTITIONED by (size, block) → metadata folds.
+    */
+  val q399Hurst: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(expr("SUM(v) div 100").as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      .localCheckpoint()
+    val spine = s.createDataFrame(HurstSizes.map(Tuple1(_)))
+      .toDF("m").select(col("m").cast("long").as("m"))
+    val rows = byDay.crossJoin(broadcast(spine))
+      .withColumn("blk", expr("(rn - 1) div m"))
+    val tot = rows.groupBy(col("m"), col("blk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("cnt") === col("m") &&
+        col("m") * col("sxx") - col("sx") * col("sx") > 0L)
+    val wblk = Window.partitionBy(col("m"), col("blk")).orderBy(col("rn"))
+    val walk = rows.join(tot, Seq("m", "blk"))
+      .withColumn("k", row_number().over(wblk).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        wblk.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("mz", col("m") * col("cum") - col("k") * col("sx"))
+    val blocks = walk.groupBy(col("m"), col("blk"))
+      .agg(max(col("mz")).as("mzmax"), min(col("mz")).as("mzmin"),
+        first(col("sx")).as("sx"), first(col("sxx")).as("sxx"))
+      .select(col("m"),
+        expr("""CAST((mzmax - mzmin) * 1000000 div
+               | CAST(FLOOR(SQRT(CAST(m * sxx - sx * sx AS DOUBLE)))
+               |   AS BIGINT) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("rs_e6"))
+    val perSize = blocks.groupBy(col("m"))
+      .agg(count(lit(1)).as("nblk"), sum(col("rs_e6")).as("srs"))
+      .select(col("m"), expr(fdiv("srs", "nblk")).cast("long").as("avg_rs_e6"))
+      .localCheckpoint()
+    val pts = perSize.select(expr(s"CAST(${l2("m")} AS DECIMAL(38,0))").as("lx"),
+      expr(s"CAST(${l2("avg_rs_e6")} AS DECIMAL(38,0))").as("ly"))
+    val slope = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"))
+      .select(expr(sdiv("(n * sxy - sx * sy) * 1000000",
+        "n * sxx - sx * sx")).as("hurst_e6"))
+    val piv = perSize.agg(
+      sum(when(col("m") === 5L, col("avg_rs_e6"))).as("rs5_e6"),
+      sum(when(col("m") === 10L, col("avg_rs_e6"))).as("rs10_e6"),
+      sum(when(col("m") === 15L, col("avg_rs_e6"))).as("rs15_e6"))
+    byDay.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(piv)).crossJoin(broadcast(slope))
+      .select(col("n_days").cast("long").as("n_days"),
+        col("rs5_e6").cast("long").as("rs5_e6"),
+        col("rs10_e6").cast("long").as("rs10_e6"),
+        col("rs15_e6").cast("long").as("rs15_e6"),
+        col("hurst_e6"))
+  }
+
+  val q399Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) // 100 AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ser AS (
+      |  SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM bd),
+      |rows0 AS (
+      |  SELECT rn, x, m, (rn - 1) // m AS blk
+      |  FROM ser CROSS JOIN (SELECT UNNEST([5, 10, 15]) AS m)),
+      |tot AS (
+      |  SELECT m, blk, COUNT(*) AS cnt, SUM(x) AS sx, SUM(x * x) AS sxx
+      |  FROM rows0 GROUP BY m, blk
+      |  HAVING COUNT(*) = m AND m * SUM(x * x) - SUM(x) * SUM(x) > 0),
+      |walk AS (
+      |  SELECT r.m, r.blk, t.sx, t.sxx,
+      |    r.m * SUM(r.x) OVER (PARTITION BY r.m, r.blk ORDER BY r.rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - ROW_NUMBER() OVER (PARTITION BY r.m, r.blk ORDER BY r.rn)
+      |      * t.sx AS mz
+      |  FROM rows0 r JOIN tot t ON t.m = r.m AND t.blk = r.blk),
+      |blocks AS (
+      |  SELECT m,
+      |    CAST((MAX(mz) - MIN(mz)) * 1000000 //
+      |      CAST(FLOOR(SQRT(CAST(ANY_VALUE(m * sxx - sx * sx) AS DOUBLE)))
+      |        AS BIGINT) AS BIGINT) AS rs_e6
+      |  FROM walk GROUP BY m, blk),
+      |per_size AS (
+      |  SELECT m, CAST(SUM(rs_e6) // COUNT(*) AS BIGINT) AS avg_rs_e6
+      |  FROM blocks GROUP BY m),
+      |pts AS (
+      |  SELECT CAST(${l2("m")} AS HUGEINT) AS lx,
+      |    CAST(${l2("avg_rs_e6")} AS HUGEINT) AS ly
+      |  FROM per_size),
+      |slope AS (
+      |  SELECT CAST(CASE WHEN COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly)
+      |      >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly)) * 1000000)
+      |     // (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)))
+      |    AS BIGINT) AS hurst_e6
+      |  FROM pts),
+      |piv AS (
+      |  SELECT CAST(SUM(CASE WHEN m = 5 THEN avg_rs_e6 END) AS BIGINT)
+      |      AS rs5_e6,
+      |    CAST(SUM(CASE WHEN m = 10 THEN avg_rs_e6 END) AS BIGINT)
+      |      AS rs10_e6,
+      |    CAST(SUM(CASE WHEN m = 15 THEN avg_rs_e6 END) AS BIGINT)
+      |      AS rs15_e6
+      |  FROM per_size),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
+      |SELECT n_days, rs5_e6, rs10_e6, rs15_e6, hurst_e6
+      |FROM n CROSS JOIN piv CROSS JOIN slope""".stripMargin
+  }
+
+  // -------------- q400: Holt double-exponential smoothing forecast
+
+  /** Holt smoothing weights as exact tenths: α = 3/10, β = 1/10. */
+  val HoltAlphaTenths = 3L
+  val HoltBetaTenths = 1L
+
+  /** q400: Holt's linear-trend (double) exponential smoothing over the
+    * daily-revenue series — the level+trend forecaster the seasonal-naive
+    * panel (q296) benchmarks against and Croston (q261) specializes for
+    * intermittent demand. The recursion
+    *
+    *   l_t = ⌊(α·x_t + (10−α)·(l_{t−1} + b_{t−1})) / 10⌋
+    *   b_t = ⌊(β·(l_t − l_{t−1}) + (10−β)·b_{t−1}) / 10⌋
+    *
+    * (weights exact tenths, state TRUNCATED to whole cents each step —
+    * plain Long division here, the signed |n|-division spelling in the
+    * oracle, identical on negatives) is inherently sequential, so it
+    * rides the q357
+    * device: the day rollup is metadata-sized (one row per DAY, not per
+    * event), the fold runs on the driver, and the oracle replays the
+    * identical recursion as a recursive CTE. Init l₁ = x₁, b₁ = 0
+    * (documented); one-step-ahead errors accumulate SSE in exact cents².
+    *
+    * Plan: one event pass → day rollup → |days|-row driver fold.
+    */
+  val q400Holt: Q = (s, dir) => {
+    val roll = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      .orderBy(col("day")).collect()
+    val xs = roll.map(_.getAs[Long]("x"))
+    var lev = xs.head
+    var tr = 0L
+    var sse = BigInt(0)
+    xs.tail.foreach { x =>
+      val pred = lev + tr
+      sse += BigInt(x - pred) * BigInt(x - pred)
+      val lPrev = lev
+      lev = (HoltAlphaTenths * x + (10 - HoltAlphaTenths) * pred) / 10L
+      tr = (HoltBetaTenths * (lev - lPrev) +
+        (10 - HoltBetaTenths) * tr) / 10L
+    }
+    import s.implicits._
+    Seq((xs.length.toLong, lev, tr, lev + 7L * tr, sse.toLong))
+      .toDF("n_days", "level_cents", "trend_cents", "forecast_7d_cents",
+        "sse_cents2")
+  }
+
+  val q400Sql: String =
+    s"""WITH RECURSIVE bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rk, x FROM bd),
+      |holt AS (
+      |  SELECT rk, x AS lev, CAST(0 AS BIGINT) AS tr,
+      |    CAST(0 AS HUGEINT) AS sse
+      |  FROM ser WHERE rk = 1
+      |  UNION ALL
+      |  SELECT s.rk, pl.lev2,
+      |    CAST(CASE WHEN $HoltBetaTenths * (pl.lev2 - h.lev)
+      |        + (10 - $HoltBetaTenths) * h.tr >= 0 THEN 1 ELSE -1 END *
+      |      (ABS($HoltBetaTenths * (pl.lev2 - h.lev)
+      |        + (10 - $HoltBetaTenths) * h.tr) // 10) AS BIGINT),
+      |    h.sse + CAST(s.x - (h.lev + h.tr) AS HUGEINT)
+      |      * (s.x - (h.lev + h.tr))
+      |  FROM holt h JOIN ser s ON s.rk = h.rk + 1
+      |  CROSS JOIN LATERAL (SELECT
+      |    CAST(CASE WHEN $HoltAlphaTenths * s.x
+      |        + (10 - $HoltAlphaTenths) * (h.lev + h.tr) >= 0
+      |      THEN 1 ELSE -1 END *
+      |      (ABS($HoltAlphaTenths * s.x
+      |        + (10 - $HoltAlphaTenths) * (h.lev + h.tr)) // 10)
+      |      AS BIGINT) AS lev2) pl),
+      |last AS (SELECT lev, tr, sse FROM holt ORDER BY rk DESC LIMIT 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
+      |SELECT n_days, lev AS level_cents, tr AS trend_cents,
+      |  lev + 7 * tr AS forecast_7d_cents,
+      |  CAST(sse AS BIGINT) AS sse_cents2
+      |FROM n CROSS JOIN last""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q399_hurst" -> q399Hurst,
+    "q400_holt" -> q400Holt,
     "q393_median_survival" -> q393MedianSurvival,
     "q387_yule_walker" -> q387YuleWalker,
     "q379_chatterjee_xi" -> q379ChatterjeeXi,
@@ -9005,6 +9235,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q399_hurst" -> q399Sql,
+    "q400_holt" -> q400Sql,
     "q393_median_survival" -> q393Sql,
     "q387_yule_walker" -> q387Sql,
     "q379_chatterjee_xi" -> q379Sql,
