@@ -2462,6 +2462,168 @@ object AuditQueries {
       |    AS BIGINT) AS hoeffding_d_e6
       |FROM sums""".stripMargin
 
+  // ------ q403: Mahalanobis outlier screen on (quantity, price)
+
+  /** q403: the 2-D Mahalanobis distance screen over lineitem
+    * (quantity, extended price) — the engine's first MULTIVARIATE
+    * outlier operator: q120/q148/q206 all flag one column at a time,
+    * but a 49-unit order at a 100-unit price is only anomalous
+    * JOINTLY. The 2×2 covariance inverts in closed form, so
+    *
+    *   D² = (B·dx² − 2C·dx·dy + A·dy²) / (AB − C²)
+    *
+    * with A/B/C the e4-staged covariance entries from exact n-cleared
+    * moments (the signed sdiv for C — covariance may be negative),
+    * deviations at centi resolution, and one signed e6 floor per row.
+    * Price is floored to whole dollars so every product stays inside
+    * DECIMAL(38,0) through sf1 (bound documented at each stage). Top
+    * 20 rows by D² with full deterministic tiebreak.
+    *
+    * Plan: one fact pass → 1-row moment fold (broadcast back) → one
+    * more streaming pass scoring rows → TakeOrdered(20) — no global
+    * sort materialization.
+    */
+  val q403Mahalanobis: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_linenumber"),
+      expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
+      expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) div 100").as("y"))
+      .localCheckpoint()
+    val m = li.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .select(col("n"),
+        expr(fdiv("100 * sx", "n")).as("mx2"),
+        expr(fdiv("100 * sy", "n")).as("my2"),
+        expr(fdiv("10000 * (n * sxx - sx * sx)", "n * n")).as("a2"),
+        expr(fdiv("10000 * (n * syy - sy * sy)", "n * n")).as("b2"),
+        expr(sdiv("10000 * (n * sxy - sx * sy)", "n * n")).as("c2"))
+    li.crossJoin(broadcast(m))
+      .withColumn("dx2", lit(100L) * col("x") - col("mx2"))
+      .withColumn("dy2", lit(100L) * col("y") - col("my2"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("x").as("qty"),
+        col("y").as("price_dollars"),
+        expr(sdiv("(b2 * dx2 * dx2 - 2 * c2 * dx2 * dy2 + a2 * dy2 * dy2)" +
+          " * 1000000", "a2 * b2 - c2 * c2")).cast("long").as("d2_e6"))
+      .orderBy(col("d2_e6").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  val q403Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS y
+      |  FROM lineitem),
+      |m0 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM li),
+      |m AS (
+      |  SELECT n, 100 * sx // n AS mx2, 100 * sy // n AS my2,
+      |    10000 * (n * sxx - sx * sx) // (n * n) AS a2,
+      |    10000 * (n * syy - sy * sy) // (n * n) AS b2,
+      |    CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(10000 * (n * sxy - sx * sy)) // (n * n)) AS c2
+      |  FROM m0),
+      |scored AS (
+      |  SELECT l_orderkey, l_linenumber, x AS qty, y AS price_dollars,
+      |    CAST(CASE WHEN b2 * dx2 * dx2 - 2 * c2 * dx2 * dy2
+      |        + a2 * dy2 * dy2 >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((b2 * dx2 * dx2 - 2 * c2 * dx2 * dy2 + a2 * dy2 * dy2)
+      |        * 1000000) // (a2 * b2 - c2 * c2)) AS BIGINT) AS d2_e6
+      |  FROM (SELECT li.*, m.*, 100 * x - mx2 AS dx2, 100 * y - my2 AS dy2
+      |        FROM li CROSS JOIN m))
+      |SELECT * FROM scored
+      |ORDER BY d2_e6 DESC, l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin
+
+  // ---------- q404: Grubbs' max-studentized-deviate outlier test
+
+  /** Conservative large-n Grubbs critical value G = 4 (G² = 16),
+    * inlined at plan-build time — the exact t-based critical value is
+    * not bit-portable (libm), and by n ≈ 500 the α = 0.05 threshold
+    * sits below 4, so the fixed bound only under-flags, never
+    * over-flags.
+    */
+  val GrubbsG2E6 = 16000000L
+
+  /** q404: Grubbs' test — where q120's 2σ screen FLAGS every point
+    * beyond a band, Grubbs is the hypothesis TEST for the single most
+    * extreme observation ("is the worst order in this priority class
+    * explainable by chance?"). Per priority class, the squared
+    * studentized deviate of the extreme point,
+    *
+    *   G² = max((n·x − S)²) · (n−1) / (n · (n·Σx² − S²))
+    *
+    * is exact-integer up to one signed e6 floor (n-cleared deviations,
+    * sample-variance denominator), compared against the plan-time
+    * [[GrubbsG2E6]] bound.
+    *
+    * Plan: one orders pass → 5-row class moments (broadcast) → one
+    * scoring pass folding max deviation per class. Two scans, no sort.
+    */
+  val q404Grubbs: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+    val m = o.groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("q"))
+    o.join(broadcast(m), Seq("g"))
+      .groupBy(col("g"))
+      .agg(first(col("n")).as("n"), first(col("s")).as("s"),
+        first(col("q")).as("q"),
+        max(abs(col("n") * col("c") - col("s"))).as("maxdev"))
+      .select(col("g").as("priority"), col("n").cast("long").as("n_orders"),
+        expr(sdiv("maxdev * maxdev * (n - 1) * 1000000",
+          "n * (n * q - s * s)")).as("g2_e6"))
+      .withColumn("is_outlier",
+        when(col("g2_e6") > GrubbsG2E6, 1L).otherwise(0L))
+      .orderBy(col("priority"))
+  }
+
+  val q404Sql: String =
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |m AS (
+      |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(c) AS HUGEINT) AS s,
+      |    SUM(CAST(c AS HUGEINT) * c) AS q
+      |  FROM o GROUP BY g),
+      |dev AS (
+      |  SELECT o.g, ANY_VALUE(n) AS n, ANY_VALUE(s) AS s, ANY_VALUE(q) AS q,
+      |    MAX(ABS(n * o.c - s)) AS maxdev
+      |  FROM o JOIN m ON m.g = o.g
+      |  GROUP BY o.g)
+      |SELECT g AS priority, CAST(n AS BIGINT) AS n_orders,
+      |  CAST(CASE WHEN maxdev >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(maxdev * maxdev * (n - 1) * 1000000)
+      |     // (n * (n * q - s * s))) AS BIGINT) AS g2_e6,
+      |  CASE WHEN CAST(CASE WHEN maxdev >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(maxdev * maxdev * (n - 1) * 1000000)
+      |     // (n * (n * q - s * s))) AS BIGINT) > $GrubbsG2E6
+      |    THEN 1 ELSE 0 END AS is_outlier
+      |FROM dev ORDER BY priority""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -3695,6 +3857,8 @@ object AuditQueries {
 
   val queries: Map[String, Q] = Map(
     "q396_hoeffdings_d" -> q396HoeffdingsD,
+    "q403_mahalanobis" -> q403Mahalanobis,
+    "q404_grubbs" -> q404Grubbs,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -3740,6 +3904,8 @@ object AuditQueries {
 
   val oracles: Map[String, String] = Map(
     "q396_hoeffdings_d" -> q396Sql,
+    "q403_mahalanobis" -> q403Sql,
+    "q404_grubbs" -> q404Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

@@ -2776,7 +2776,217 @@ object TextQueries {
       |JOIN tot tb ON tb.source = per.src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ------- q401: Krippendorff's alpha over three language raters
+
+  /** q401: Krippendorff's α (nominal) — the inter-rater reliability
+    * coefficient that, unlike Cohen's κ (q273, exactly 2 raters, no
+    * missing data) and Fleiss' κ (q343, every rater rates every unit),
+    * absorbs BOTH n raters and abstentions through its coincidence
+    * matrix. Raters per document: (1) the metadata `lang` label, (2)
+    * q58's distinct-stopword language ID ('und' = a CATEGORY), and (3)
+    * an occurrence-count variant (total stopword hits, repeats counted)
+    * that ABSTAINS when no lexicon fires — so units genuinely vary in
+    * m_u ∈ {2, 3} and the missing-data weighting is exercised, not
+    * decorative. Coincidences are doubled (×2/(m_u−1) ∈ {1, 2} — exact
+    * integers); with o2/n2 the doubled matrix and marginals, nominal α
+    * collapses to
+    *
+    *   α = 1 − D_o2·(n2 − 2) / (n2² − Σ_c n2_c²)
+    *
+    * — one signed e6 floor at the end, everything else integer.
+    *
+    * Plan: one documents pass emits all three ratings (no re-scan per
+    * rater) → per-doc ordered pairs (fan-out ≤ 6, bounded by the rater
+    * count) → two metadata folds.
+    */
+  val q401Krippendorff: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val toks = Text.tokens(col("text"))
+    def occHits(l: String): org.apache.spark.sql.Column =
+      size(filter(toks, t => t.isin(Text.stopwords(l): _*)))
+    val occBest = langs.map(occHits).reduce((a, b) => greatest(a, b))
+    val occGuess = langs.foldRight(lit(null).cast("string")) { (l, els) =>
+      when(occHits(l) === occBest && occBest > 0, lit(l)).otherwise(els)
+    }
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("r1"),
+        Text.langId(toks).as("r2"), occGuess.as("r3"))
+      .localCheckpoint()
+    val ratings = d.select(col("doc_id"), lit(1L).as("rater"),
+      col("r1").as("cat"))
+      .union(d.select(col("doc_id"), lit(2L), col("r2")))
+      .union(d.filter(col("r3").isNotNull)
+        .select(col("doc_id"), lit(3L), col("r3")))
+    val mu = ratings.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2L)
+    val prs = ratings.join(mu, Seq("doc_id"))
+      .select(col("doc_id"), col("rater"), col("cat"),
+        expr("2 div (m - 1)").as("w2"))
+    val pairs = prs.select(col("doc_id"), col("rater").as("ra"),
+      col("cat").as("ca"), col("w2"))
+      .join(prs.select(col("doc_id"), col("rater").as("rb"),
+        col("cat").as("cb")), Seq("doc_id"))
+      .filter(col("ra") =!= col("rb"))
+    val marg = pairs.groupBy(col("ca")).agg(sum(col("w2")).as("n2c"))
+    val units = mu.agg(count(lit(1)).as("n_units"))
+    val disagree = pairs.filter(col("ca") =!= col("cb"))
+      .agg(coalesce(sum(col("w2")), lit(0L)).as("d_o2"))
+    marg.agg(sum(col("n2c")).cast(dec).as("n2"),
+      sum(col("n2c").cast(dec) * col("n2c")).as("s2"))
+      .crossJoin(broadcast(disagree)).crossJoin(broadcast(units))
+      .select(col("n_units").cast("long").as("n_units"),
+        col("n2").cast("long").as("n2_coincidence"),
+        col("d_o2").cast("long").as("d_o_x2"),
+        (lit(1000000L) - expr(sdiv("d_o2 * (n2 - 2) * 1000000",
+          "n2 * n2 - s2"))).as("alpha_e6"))
+  }
+
+  val q401Sql: String = {
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val occExprs = langs.map { l =>
+      val words = Text.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"LEN(LIST_FILTER(dt, t -> LIST_CONTAINS([$words], t))) AS o_$l"
+    }.mkString(",\n    ")
+    val hitExprs = langs.map { l =>
+      val words = Text.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"LEN(LIST_INTERSECT(LIST_DISTINCT(dt), [$words])) AS h_$l"
+    }.mkString(",\n    ")
+    val predArms = langs.map(l =>
+      s"WHEN h_$l = hbest AND hbest > 0 THEN '$l'").mkString("\n         ")
+    val occArms = langs.map(l =>
+      s"WHEN o_$l = obest AND obest > 0 THEN '$l'").mkString("\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS dt FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $hitExprs,
+       |    $occExprs
+       |  FROM toks),
+       |rated AS (
+       |  SELECT doc_id, lang AS r1,
+       |    CASE $predArms
+       |         ELSE 'und' END AS r2,
+       |    CASE $occArms
+       |         ELSE NULL END AS r3
+       |  FROM (SELECT *, GREATEST(h_en, h_fr, h_es, h_de, h_zh) AS hbest,
+       |          GREATEST(o_en, o_fr, o_es, o_de, o_zh) AS obest
+       |        FROM scored)),
+       |ratings AS (
+       |  SELECT doc_id, 1 AS rater, r1 AS cat FROM rated
+       |  UNION ALL SELECT doc_id, 2, r2 FROM rated
+       |  UNION ALL SELECT doc_id, 3, r3 FROM rated WHERE r3 IS NOT NULL),
+       |mu AS (
+       |  SELECT doc_id, COUNT(*) AS m FROM ratings GROUP BY doc_id
+       |  HAVING COUNT(*) >= 2),
+       |prs AS (
+       |  SELECT r.doc_id, r.rater, r.cat, 2 // (m - 1) AS w2
+       |  FROM ratings r JOIN mu USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id, a.cat AS ca, b.cat AS cb, a.w2
+       |  FROM prs a JOIN prs b
+       |    ON a.doc_id = b.doc_id AND a.rater <> b.rater),
+       |marg AS (SELECT ca, CAST(SUM(w2) AS HUGEINT) AS n2c
+       |         FROM pairs GROUP BY ca),
+       |units AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM mu),
+       |dis AS (SELECT CAST(COALESCE(SUM(w2), 0) AS HUGEINT) AS d_o2
+       |        FROM pairs WHERE ca <> cb),
+       |fin AS (
+       |  SELECT SUM(n2c) AS n2, SUM(n2c * n2c) AS s2 FROM marg)
+       |SELECT n_units, CAST(n2 AS BIGINT) AS n2_coincidence,
+       |  CAST(d_o2 AS BIGINT) AS d_o_x2,
+       |  1000000 - CAST(CASE WHEN d_o2 * (n2 - 2) >= 0 THEN 1 ELSE -1 END *
+       |    (ABS(d_o2 * (n2 - 2) * 1000000) // (n2 * n2 - s2)) AS BIGINT)
+       |    AS alpha_e6
+       |FROM fin CROSS JOIN dis CROSS JOIN units""".stripMargin
+  }
+
+  // --------- q402: Cronbach's alpha over the document size items
+
+  /** q402: Cronbach's α — internal-consistency reliability of a
+    * multi-item scale, the measurement-theory companion the agreement
+    * family (κ/α-inter-rater) doesn't cover: those ask "do RATERS
+    * agree?", this asks "do the ITEMS of a composite score hang
+    * together?". The scale under test is the document size/quality
+    * composite: items are (1) character count, (2) token count ×10,
+    * (3) distinct-token count ×20, (4) summed token length — four
+    * views of the same latent "document volume" construct on
+    * comparable scales (raw-score α, documented — the standardized
+    * variant would need the correlation matrix).
+    *
+    *   α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(Σᵢ itemᵢ))
+    *
+    * with every variance n-cleared (n·Σx² − (Σx)² — exact integers) so
+    * the n² denominators cancel and ONE signed e6 floor lands α.
+    *
+    * Plan: one documents pass computes all four items and their row
+    * total (no per-item scan) → a 1-row moment fold.
+    */
+  val q402Cronbach: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val toks = Text.tokens(col("text"))
+    val items = Tables.documents(s, dir).select(
+      col("n_chars").cast("long").as("i1"),
+      (size(toks) * 10L).cast("long").as("i2"),
+      (size(array_distinct(toks)) * 20L).cast("long").as("i3"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("i4"))
+      .withColumn("t", col("i1") + col("i2") + col("i3") + col("i4"))
+    val m = items.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("i1")).as("s1"), sum(col("i1").cast(dec) * col("i1")).as("q1"),
+      sum(col("i2")).as("s2"), sum(col("i2").cast(dec) * col("i2")).as("q2"),
+      sum(col("i3")).as("s3"), sum(col("i3").cast(dec) * col("i3")).as("q3"),
+      sum(col("i4")).as("s4"), sum(col("i4").cast(dec) * col("i4")).as("q4"),
+      sum(col("t")).as("st"), sum(col("t").cast(dec) * col("t")).as("qt"))
+    m.select(col("n").cast("long").as("n_docs"),
+      lit(4L).as("k_items"),
+      (lit(1333333L) - expr(sdiv(
+        """((n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+          | + (n * q4 - s4 * s4)) * 1333333""".stripMargin.replace("\n", " "),
+        "n * qt - st * st"))).as("alpha_e6"))
+  }
+
+  val q402Sql: String =
+    """WITH items AS (
+      |  SELECT n_chars AS i1,
+      |    LEN(STRING_SPLIT(text, ' ')) * 10 AS i2,
+      |    LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 20 AS i3,
+      |    LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+      |      t -> LEN(t))) AS i4
+      |  FROM documents),
+      |wt AS (SELECT i1, i2, i3, i4, i1 + i2 + i3 + i4 AS t FROM items),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(i1) AS HUGEINT) AS s1,
+      |    SUM(CAST(i1 AS HUGEINT) * i1) AS q1,
+      |    CAST(SUM(i2) AS HUGEINT) AS s2,
+      |    SUM(CAST(i2 AS HUGEINT) * i2) AS q2,
+      |    CAST(SUM(i3) AS HUGEINT) AS s3,
+      |    SUM(CAST(i3 AS HUGEINT) * i3) AS q3,
+      |    CAST(SUM(i4) AS HUGEINT) AS s4,
+      |    SUM(CAST(i4 AS HUGEINT) * i4) AS q4,
+      |    CAST(SUM(t) AS HUGEINT) AS st,
+      |    SUM(CAST(t AS HUGEINT) * t) AS qt
+      |  FROM wt)
+      |SELECT CAST(n AS BIGINT) AS n_docs, CAST(4 AS BIGINT) AS k_items,
+      |  1333333 - CAST(CASE WHEN (n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+      |      + (n * q3 - s3 * s3) + (n * q4 - s4 * s4) >= 0
+      |      THEN 1 ELSE -1 END *
+      |    (ABS(((n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+      |      + (n * q4 - s4 * s4)) * 1333333) // (n * qt - st * st))
+      |    AS BIGINT) AS alpha_e6
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q402_cronbach" -> q402Cronbach,
+    "q401_krippendorff" -> q401Krippendorff,
     "q397_jensen_shannon" -> q397JensenShannon,
     "q398_hellinger" -> q398Hellinger,
     "q395_burrows_delta" -> q395BurrowsDelta,
@@ -2822,6 +3032,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q402_cronbach" -> q402Sql,
+    "q401_krippendorff" -> q401Sql,
     "q397_jensen_shannon" -> q397Sql,
     "q398_hellinger" -> q398Sql,
     "q395_burrows_delta" -> q395Sql,
