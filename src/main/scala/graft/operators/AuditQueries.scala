@@ -2624,6 +2624,86 @@ object AuditQueries {
       |    THEN 1 ELSE 0 END AS is_outlier
       |FROM dev ORDER BY priority""".stripMargin
 
+  // ------- q406: EOQ + newsvendor order policy for the top movers
+
+  /** Ordering cost S ($/order) and annual holding cost H ($/unit) —
+    * plan-time policy constants; 2S/H folds to one integer. Newsvendor
+    * critical fractile Cu/(Cu+Co) = 3/4.
+    */
+  val EoqTwoSOverH = 100L
+
+  /** q406: the two classical inventory-policy quantities per
+    * top-moving part — where q179/q391 DESCRIBE demand (VMR, Taylor
+    * exponent), this PRESCRIBES the order policy: EOQ = √(2DS/H)
+    * (square-root law — the deterministic-demand batch size) and the
+    * newsvendor quantile Q* = F⁻¹(Cu/(Cu+Co)) (the stochastic
+    * single-period cover at the 3/4 critical fractile). EOQ rides the
+    * bit-portable FLOOR(SQRT(·)) at e3 (D·2S/H·10⁶ < 2⁵³ through
+    * sf10); Q* is the relational percentile_disc selection (smallest
+    * quantity whose cumulative line count reaches ⌈3n/4⌉) over the
+    * per-part quantity rollup — never a data sort.
+    *
+    * Plan: one fact pass → part rollup → TakeOrdered(10) broadcast
+    * back to filter the (part, qty) rollup (distinct-quantity grain,
+    * ≤ 50 cells/part) → windowed selection PARTITIONED by part.
+    */
+  val q406EoqNewsvendor: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), expr("CAST(ROUND(l_quantity) AS BIGINT)")
+        .as("q"))
+      .localCheckpoint()
+    val byPart = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("q")).as("d"))
+    val top = byPart.orderBy(col("d").desc, col("l_partkey")).limit(10)
+      .localCheckpoint()
+    val qd = li.join(broadcast(top.select(col("l_partkey"))), Seq("l_partkey"))
+      .groupBy(col("l_partkey"), col("q")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sel = qd.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(top), Seq("l_partkey"))
+      .filter(col("cum") >= expr("(3 * n_lines + 3) div 4"))
+      .groupBy(col("l_partkey")).agg(min(col("q")).as("q75_newsvendor"))
+    top.join(sel, Seq("l_partkey"))
+      .select(col("l_partkey").as("p_partkey"), col("n_lines"),
+        col("d").as("total_qty"),
+        expr(s"CAST(FLOOR(SQRT(CAST(d * $EoqTwoSOverH * 1000000 AS DOUBLE)))" +
+          " AS BIGINT)").as("eoq_units_e3"),
+        col("q75_newsvendor"))
+      .orderBy(col("total_qty").desc, col("p_partkey"))
+  }
+
+  val q406Sql: String =
+    s"""WITH li AS (
+      |  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem),
+      |by_part AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(q) AS BIGINT) AS d
+      |  FROM li GROUP BY l_partkey),
+      |top AS (
+      |  SELECT * FROM by_part ORDER BY d DESC, l_partkey LIMIT 10),
+      |qd AS (
+      |  SELECT li.l_partkey, q, COUNT(*) AS cnt
+      |  FROM li JOIN top ON top.l_partkey = li.l_partkey
+      |  GROUP BY li.l_partkey, q),
+      |sel AS (
+      |  SELECT c.l_partkey, MIN(c.q) AS q75_newsvendor
+      |  FROM (SELECT l_partkey, q, SUM(cnt) OVER (PARTITION BY l_partkey
+      |          ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS cum
+      |        FROM qd) c
+      |  JOIN top ON top.l_partkey = c.l_partkey
+      |  WHERE c.cum >= (3 * top.n_lines + 3) // 4
+      |  GROUP BY c.l_partkey)
+      |SELECT top.l_partkey AS p_partkey, n_lines, d AS total_qty,
+      |  CAST(FLOOR(SQRT(CAST(d * $EoqTwoSOverH * 1000000 AS DOUBLE)))
+      |    AS BIGINT) AS eoq_units_e3,
+      |  q75_newsvendor
+      |FROM top JOIN sel ON sel.l_partkey = top.l_partkey
+      |ORDER BY total_qty DESC, p_partkey""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -3859,6 +3939,7 @@ object AuditQueries {
     "q396_hoeffdings_d" -> q396HoeffdingsD,
     "q403_mahalanobis" -> q403Mahalanobis,
     "q404_grubbs" -> q404Grubbs,
+    "q406_eoq_newsvendor" -> q406EoqNewsvendor,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -3906,6 +3987,7 @@ object AuditQueries {
     "q396_hoeffdings_d" -> q396Sql,
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,
+    "q406_eoq_newsvendor" -> q406Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

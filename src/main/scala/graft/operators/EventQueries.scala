@@ -9116,7 +9116,323 @@ object EventQueries {
       |  CAST(sse AS BIGINT) AS sse_cents2
       |FROM n CROSS JOIN last""".stripMargin
 
+  // ---------- q405: Granger causality — do clicks predict revenue?
+
+  /** q405: the Granger test "does yesterday's CLICK volume improve the
+    * forecast of today's revenue beyond yesterday's revenue alone?" —
+    * the directional, predictive question q411-style cross-correlation
+    * can only hint at. Restricted (rev_t ~ rev_{t−1}) vs unrestricted
+    * (rev_t ~ rev_{t−1} + clk_{t−1}) OLS, both in closed form from
+    * n-cleared integer co-moments (validated against lstsq to 1e-11):
+    *
+    *   RSSr_s = Sww·Suu − Suw²            (∝ RSS_r·n·Suu)
+    *   RSSu_s = Sww·D2 − Suw(Suw·Svv − Svw·Suv) − Svw(Svw·Suu − Suw·Suv)
+    *   F = (RSS_r − RSS_u)(n−3)/RSS_u
+    *
+    * with D2 = Suu·Svv − Suv². Revenue folds to thousand-dollar units
+    * and both RSS ratios stage through one e6 floor each BEFORE the F
+    * division, keeping every product inside DECIMAL(38,0) through sf1
+    * (the unstaged rational form overflows at sf0.1).
+    *
+    * Plan: one event pass → two day rollups from the SAME shuffle
+    * grain, inner-joined (metadata) → lag window → 1-row fold.
+    */
+  val q405Granger: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("day"))
+      .agg(expr("SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)" +
+        " div 100000").as("rev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clk"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("day"))
+    val ser = byDay
+      .withColumn("u", lag(col("rev"), 1).over(w))
+      .withColumn("vv", lag(col("clk"), 1).over(w))
+      .filter(col("u").isNotNull)
+      .select(col("rev").as("y"), col("u"), col("vv"))
+    val mo = ser.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("u")).cast(dec).as("su"), sum(col("vv")).cast(dec).as("sv"),
+      sum(col("y")).cast(dec).as("sw"),
+      sum(col("u").cast(dec) * col("u")).as("quu"),
+      sum(col("vv").cast(dec) * col("vv")).as("qvv"),
+      sum(col("u").cast(dec) * col("vv")).as("quv"),
+      sum(col("u").cast(dec) * col("y")).as("quw"),
+      sum(col("vv").cast(dec) * col("y")).as("qvw"),
+      sum(col("y").cast(dec) * col("y")).as("qww"))
+    val cm = mo.select(col("n"),
+      (col("n") * col("quu") - col("su") * col("su")).as("suu"),
+      (col("n") * col("qvv") - col("sv") * col("sv")).as("svv"),
+      (col("n") * col("quv") - col("su") * col("sv")).as("suv"),
+      (col("n") * col("quw") - col("su") * col("sw")).as("suw"),
+      (col("n") * col("qvw") - col("sv") * col("sw")).as("svw"),
+      (col("n") * col("qww") - col("sw") * col("sw")).as("sww"))
+      .withColumn("d2", col("suu") * col("svv") - col("suv") * col("suv"))
+      .withColumn("rr_e6", expr(fdiv("(sww * suu - suw * suw) * 1000000",
+        "suu")))
+      .withColumn("ru_e6", expr(fdiv(
+        """(sww * d2 - suw * (suw * svv - svw * suv)
+          | - svw * (svw * suu - suw * suv)) * 1000000"""
+          .stripMargin.replace("\n", " "), "d2")))
+    cm.select(col("n").cast("long").as("n_eff"),
+      col("rr_e6").cast("long").as("rss_restricted_e6"),
+      col("ru_e6").cast("long").as("rss_unrestricted_e6"),
+      expr(sdiv("(rr_e6 - ru_e6) * (n - 3) * 1000000", "ru_e6"))
+        .as("f_granger_e6"))
+  }
+
+  val q405Sql: String =
+    """WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) // 100000
+      |      AS rev,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk
+      |  FROM events GROUP BY 1),
+      |ser AS (
+      |  SELECT rev AS y, LAG(rev, 1) OVER (ORDER BY day) AS u,
+      |    LAG(clk, 1) OVER (ORDER BY day) AS vv
+      |  FROM bd),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(vv) AS HUGEINT) AS sv,
+      |    CAST(SUM(y) AS HUGEINT) AS sw,
+      |    SUM(CAST(u AS HUGEINT) * u) AS quu,
+      |    SUM(CAST(vv AS HUGEINT) * vv) AS qvv,
+      |    SUM(CAST(u AS HUGEINT) * vv) AS quv,
+      |    SUM(CAST(u AS HUGEINT) * y) AS quw,
+      |    SUM(CAST(vv AS HUGEINT) * y) AS qvw,
+      |    SUM(CAST(y AS HUGEINT) * y) AS qww
+      |  FROM ser WHERE u IS NOT NULL),
+      |cm AS (
+      |  SELECT n, n * quu - su * su AS suu, n * qvv - sv * sv AS svv,
+      |    n * quv - su * sv AS suv, n * quw - su * sw AS suw,
+      |    n * qvw - sv * sw AS svw, n * qww - sw * sw AS sww
+      |  FROM mo),
+      |st AS (
+      |  SELECT n,
+      |    (sww * suu - suw * suw) * 1000000 // suu AS rr_e6,
+      |    (sww * (suu * svv - suv * suv)
+      |      - suw * (suw * svv - svw * suv)
+      |      - svw * (svw * suu - suw * suv)) * 1000000
+      |      // (suu * svv - suv * suv) AS ru_e6
+      |  FROM cm)
+      |SELECT CAST(n AS BIGINT) AS n_eff,
+      |  CAST(rr_e6 AS BIGINT) AS rss_restricted_e6,
+      |  CAST(ru_e6 AS BIGINT) AS rss_unrestricted_e6,
+      |  CAST(CASE WHEN rr_e6 - ru_e6 >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((rr_e6 - ru_e6) * (n - 3) * 1000000) // ru_e6) AS BIGINT)
+      |    AS f_granger_e6
+      |FROM st""".stripMargin
+
+  // ------- q407: Shapley-value channel attribution for conversions
+
+  /** The four pre-purchase "channels" and their mask bits. */
+  val ShapleyChannels: Seq[(String, Int)] =
+    Seq("click" -> 1, "view" -> 2, "signup" -> 4, "error" -> 8)
+
+  private def shapFact(n: Int): Long = (1 to n).map(_.toLong).product
+
+  /** Per-mask integer coefficient such that 24·φ_channel =
+    * Σ_mask coef(channel, mask)·count(mask): the whole 2⁴-coalition
+    * Shapley sum collapsed at PLAN TIME (the q384 weight-table device) —
+    * the engine never enumerates coalitions at run time.
+    */
+  private def shapCoef(bit: Int, mask: Int): Long = {
+    val others = ShapleyChannels.map(_._2).filter(_ != bit)
+    (0 until 8).map { sIdx =>
+      val s = others.zipWithIndex
+        .filter { case (_, i) => (sIdx & (1 << i)) != 0 }.map(_._1).sum
+      val sz = Integer.bitCount(sIdx)
+      val w = shapFact(sz) * shapFact(3 - sz)
+      (if ((mask & ~(s | bit)) == 0) w else 0L) -
+        (if ((mask & ~s) == 0) w else 0L)
+    }.sum
+  }
+
+  private def shapArmSql(bit: Int): String =
+    "SUM((CASE mask " + (0 until 16).map(m =>
+      s"WHEN $m THEN ${shapCoef(bit, m)}").mkString(" ") +
+      " ELSE 0 END) * cnt)"
+
+  /** q407: Shapley-value attribution of conversions to the four
+    * pre-purchase channel touches — the game-theoretic split marketing
+    * stacks use where last-touch (the naive argmax) over-credits the
+    * final click. Coalition value v(S) = converters whose touched-set
+    * ⊆ S (they would still have converted with only S available,
+    * documented); each channel's exact Shapley share
+    *
+    *   φ_c = Σ_{S ⊆ C∖c} |S|!(3−|S|)!/4! · (v(S∪c) − v(S))
+    *
+    * collapses — because v is a subset-sum of the 16 mask counts — to
+    * ONE plan-time integer weight per (channel, mask) ([[shapCoef]]),
+    * so the run-time plan is: user fold → 16-row mask rollup → a
+    * 1-row weighted sum. ×24 keeps everything integer; the in-output
+    * invariant Σφ = v(full) − v(∅) lands as shapley_gap_x24 = 0 (the
+    * q374 prove-it-in-the-output convention).
+    *
+    * Plan: one event pass → per-user first-purchase fold + pre-purchase
+    * bitmask (left join keeps empty-mask converters) → metadata fold.
+    */
+  val q407Shapley: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint()
+    val firstP = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val bits = ShapleyChannels.foldRight(lit(0L)) { case ((n, b), els) =>
+      when(col("event_type") === n, lit(b.toLong)).otherwise(els)
+    }
+    val masks = e.join(firstP, Seq("user_id"))
+      .filter(col("ts") < col("tp"))
+      .select(col("user_id"), bits.as("b"))
+      .groupBy(col("user_id")).agg(expr("bit_or(b)").as("mask0"))
+    val mcnt = firstP.join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask0"), lit(0L)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val arms = ShapleyChannels.map { case (n, b) =>
+      expr(shapArmSql(b)).as(s"phi24_$n")
+    }
+    val vEmpty = sum(when(col("mask") === 0L, col("cnt")).otherwise(0L))
+    val aggCols = Seq(vEmpty.as("v_empty")) ++ arms
+    mcnt.agg(sum(col("cnt")).as("n_conv"), aggCols: _*)
+      .withColumn("shapley_gap_x24",
+        col("phi24_click") + col("phi24_view") + col("phi24_signup") +
+          col("phi24_error") - lit(24L) * (col("n_conv") - col("v_empty")))
+  }
+
+  val q407Sql: String = {
+    val arms = ShapleyChannels.map { case (n, b) =>
+      s"${shapArmSql(b)} AS phi24_$n"
+    }.mkString(",\n  ")
+    """WITH fp AS (
+      |  SELECT user_id, MIN(ts) AS tp FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |pre AS (
+      |  SELECT e.user_id,
+      |    CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |      WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END AS b
+      |  FROM events e JOIN fp ON fp.user_id = e.user_id
+      |  WHERE e.ts < fp.tp),
+      |masks AS (
+      |  SELECT user_id, BIT_OR(b) AS mask0 FROM pre GROUP BY user_id),
+      |mc AS (
+      |  SELECT COALESCE(mask0, 0) AS mask, COUNT(*) AS cnt
+      |  FROM fp LEFT JOIN masks USING (user_id)
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_conv,
+      |    CAST(SUM(CASE WHEN mask = 0 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS v_empty,
+      |  """.stripMargin + arms + """
+      |  FROM mc)
+      |SELECT n_conv, v_empty,
+      |  CAST(phi24_click AS BIGINT) AS phi24_click,
+      |  CAST(phi24_view AS BIGINT) AS phi24_view,
+      |  CAST(phi24_signup AS BIGINT) AS phi24_signup,
+      |  CAST(phi24_error AS BIGINT) AS phi24_error,
+      |  CAST(phi24_click + phi24_view + phi24_signup + phi24_error
+      |    - 24 * (n_conv - v_empty) AS BIGINT) AS shapley_gap_x24
+      |FROM agg""".stripMargin
+  }
+
+  // ------ q408: Little's law day ledger over 30-minute sessions
+
+  /** q408: the Little's-law ledger — per DAY, the two accountings of
+    * session time that the law L̄ = λ·W̄ equates at the horizon:
+    * time-IN-system (the concurrency integral of q71-style 30-minute
+    * sessions clipped to the day — what q185's PEAK concurrency
+    * time-averages) versus time-BY-arrivals (total duration of sessions
+    * STARTING that day — the λ·W̄ side). Their per-day difference is
+    * the boundary carry (sessions straddling midnight); it telescopes,
+    * so Σ_days little_gap_ms = 0 is the in-output certificate that both
+    * accountings cover every session-millisecond exactly once.
+    *
+    * Plan: one event pass → per-user gaps-and-islands session fold
+    * (windows PARTITIONED by user) → session × spanned-day explode
+    * (fan-out bounded by the horizon day count) → day rollup.
+    */
+  val q408LittlesLaw: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"), col("ts"))
+      .withColumn("prev", lag(col("ms"), 1).over(wU))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ms") - col("prev") >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+      .localCheckpoint()
+    val spans = sess
+      .withColumn("day", explode(sequence(expr("st div 86400000"),
+        expr("en div 86400000"))))
+      .withColumn("lo", greatest(col("st"), col("day") * 86400000L))
+      .withColumn("hi", least(col("en"), (col("day") + 1L) * 86400000L))
+    spans.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions_touching"),
+        sum(when(expr("st div 86400000") === col("day"), 1L).otherwise(0L))
+          .as("n_starts"),
+        sum(col("hi") - col("lo")).as("integral_ms"),
+        sum(when(expr("st div 86400000") === col("day"),
+          col("en") - col("st")).otherwise(0L)).as("start_dur_ms"))
+      .withColumn("little_gap_ms", col("integral_ms") - col("start_dur_ms"))
+      .orderBy(col("day"))
+  }
+
+  val q408Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, ms,
+      |    CASE WHEN ms - LAG(ms) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+      |      OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT user_id, ts, event_id, CAST(epoch_ms(ts) AS BIGINT)
+      |          AS ms FROM events)),
+      |numbered AS (
+      |  SELECT user_id, ms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ms) AS st, MAX(ms) AS en
+      |  FROM numbered GROUP BY user_id, sid),
+      |spans0 AS (
+      |  SELECT st, en,
+      |    UNNEST(generate_series(st // 86400000, en // 86400000)) AS day
+      |  FROM sess),
+      |spans AS (
+      |  SELECT st, en, day,
+      |    GREATEST(st, day * 86400000) AS lo,
+      |    LEAST(en, (day + 1) * 86400000) AS hi
+      |  FROM spans0)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions_touching,
+      |  CAST(SUM(CASE WHEN st // 86400000 = day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_starts,
+      |  CAST(SUM(hi - lo) AS BIGINT) AS integral_ms,
+      |  CAST(SUM(CASE WHEN st // 86400000 = day THEN en - st ELSE 0 END)
+      |    AS BIGINT) AS start_dur_ms,
+      |  CAST(SUM(hi - lo) - SUM(CASE WHEN st // 86400000 = day
+      |    THEN en - st ELSE 0 END) AS BIGINT) AS little_gap_ms
+      |FROM spans GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q407_shapley" -> q407Shapley,
+    "q408_littles_law" -> q408LittlesLaw,
+    "q405_granger" -> q405Granger,
     "q399_hurst" -> q399Hurst,
     "q400_holt" -> q400Holt,
     "q393_median_survival" -> q393MedianSurvival,
@@ -9235,6 +9551,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q407_shapley" -> q407Sql,
+    "q408_littles_law" -> q408Sql,
+    "q405_granger" -> q405Sql,
     "q399_hurst" -> q399Sql,
     "q400_holt" -> q400Sql,
     "q393_median_survival" -> q393Sql,
