@@ -2704,6 +2704,111 @@ object AuditQueries {
       |FROM top JOIN sel ON sel.l_partkey = top.l_partkey
       |ORDER BY total_qty DESC, p_partkey""".stripMargin
 
+  // ------ q409: two-sample Anderson–Darling on the same arm pair
+
+  /** q409: the two-sample Anderson–Darling statistic (Scholz–Stephens
+    * A²akN, midrank/tie-adjusted) on URGENT vs LOW order totals —
+    * completing the EDF triptych: KS (q157) reads the WORST gap, CvM
+    * (q352) the MEAN-SQUARED gap, AD re-weights that square by
+    * 1/(H(N−H)) so the TAILS — where revenue risk actually lives —
+    * dominate. Doubling the midrank cumulatives (B2 = 2b_< + l,
+    * M2ᵢ = 2m_{i,<} + mᵢ) clears every ½ and ¼, so each tie-cell term
+    *
+    *   l·(n₂A₁² + n₁A₂²) / (n₁n₂·(B2(2N−B2) − N·l)),  Aᵢ = N·M2ᵢ − nᵢ·B2
+    *
+    * is one exact integer ratio, e6-floored per cell BEFORE the sum
+    * (validated against the textbook float formula to 1e-6). The final
+    * (N−1)/N² scale is one more floor. Prefix counts come from the
+    * two-level rank construction over a zero-filled arm×value grid —
+    * no global sort, no single-partition window.
+    *
+    * Plan: one orders pass → value-cell rollup → grid + two-level
+    * below-counts → cell-term fold. Shuffles only on value cells.
+    */
+  val q409AndersonDarling: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin(MwArmA, MwArmB))
+      .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("c"))
+    val cells = o.groupBy(col("c")).agg(
+      sum(when(col("g") === MwArmA, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("g") === MwArmB, 1L).otherwise(0L)).as("m2"))
+      .localCheckpoint()
+    val grid = cells.select(lit("A").as("g"), col("c"), col("m1").as("cnt"))
+      .union(cells.select(lit("B").as("g"), col("c"), col("m2").as("cnt")))
+    val below = doubledRankBelow(grid, Seq("g"), "c", 100000L)
+      .groupBy(col("c")).agg(
+        max(when(col("g") === "A", col("below"))).as("m1b"),
+        max(when(col("g") === "B", col("below"))).as("m2b"))
+    val tot = cells.agg(sum(col("m1")).as("n1"), sum(col("m2")).as("n2"))
+    val terms = cells.join(below, Seq("c")).crossJoin(broadcast(tot))
+      .select(
+        col("n1").cast(dec).as("n1"), col("n2").cast(dec).as("n2"),
+        (col("m1") + col("m2")).cast(dec).as("l"),
+        (lit(2L) * (col("m1b") + col("m2b")) + col("m1") + col("m2"))
+          .cast(dec).as("b2"),
+        (lit(2L) * col("m1b") + col("m1")).cast(dec).as("m21"),
+        (lit(2L) * col("m2b") + col("m2")).cast(dec).as("m22"))
+      .select(col("n1"), col("n2"),
+        expr(fdiv(
+          """l * (n2 * ((n1 + n2) * m21 - n1 * b2)
+            |       * ((n1 + n2) * m21 - n1 * b2)
+            |   + n1 * ((n1 + n2) * m22 - n2 * b2)
+            |       * ((n1 + n2) * m22 - n2 * b2)) * 1000000"""
+            .stripMargin.replace("\n", " "),
+          "n1 * n2 * (b2 * (2 * (n1 + n2) - b2) - (n1 + n2) * l)"))
+          .as("term_e6"))
+    terms.groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term_e6")).as("s"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("n_cells"),
+        expr(fdiv("s * (n1 + n2 - 1)", "(n1 + n2) * (n1 + n2)"))
+          .cast("long").as("a2kn_e6"))
+  }
+
+  val q409Sql: String =
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('$MwArmA', '$MwArmB')),
+      |cells AS (
+      |  SELECT c,
+      |    CAST(SUM(CASE WHEN g = '$MwArmA' THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS m1,
+      |    CAST(SUM(CASE WHEN g = '$MwArmB' THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS m2
+      |  FROM o GROUP BY c),
+      |pre AS (
+      |  SELECT c, m1, m2,
+      |    COALESCE(SUM(m1) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m1b,
+      |    COALESCE(SUM(m2) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m2b
+      |  FROM cells),
+      |tot AS (SELECT SUM(m1) AS n1, SUM(m2) AS n2 FROM cells),
+      |terms AS (
+      |  SELECT n1, n2,
+      |    (m1 + m2) * (n2 * ((n1 + n2) * (2 * m1b + m1) - n1 *
+      |        (2 * (m1b + m2b) + m1 + m2))
+      |        * ((n1 + n2) * (2 * m1b + m1) - n1 *
+      |        (2 * (m1b + m2b) + m1 + m2))
+      |      + n1 * ((n1 + n2) * (2 * m2b + m2) - n2 *
+      |        (2 * (m1b + m2b) + m1 + m2))
+      |        * ((n1 + n2) * (2 * m2b + m2) - n2 *
+      |        (2 * (m1b + m2b) + m1 + m2))) * 1000000
+      |    // (n1 * n2 * ((2 * (m1b + m2b) + m1 + m2)
+      |        * (2 * (n1 + n2) - (2 * (m1b + m2b) + m1 + m2))
+      |        - (n1 + n2) * (m1 + m2))) AS term_e6
+      |  FROM pre CROSS JOIN tot)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(term_e6) * (n1 + n2 - 1) // ((n1 + n2) * (n1 + n2))
+      |    AS BIGINT) AS a2kn_e6
+      |FROM terms GROUP BY n1, n2""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -3940,6 +4045,7 @@ object AuditQueries {
     "q403_mahalanobis" -> q403Mahalanobis,
     "q404_grubbs" -> q404Grubbs,
     "q406_eoq_newsvendor" -> q406EoqNewsvendor,
+    "q409_anderson_darling" -> q409AndersonDarling,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -3988,6 +4094,7 @@ object AuditQueries {
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,
     "q406_eoq_newsvendor" -> q406Sql,
+    "q409_anderson_darling" -> q409Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

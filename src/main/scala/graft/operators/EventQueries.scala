@@ -9429,7 +9429,91 @@ object EventQueries {
       |    THEN en - st ELSE 0 END) AS BIGINT) AS little_gap_ms
       |FROM spans GROUP BY day ORDER BY day""".stripMargin
 
+  // ------ q410: cross-correlation function clicks ↔ revenue at lags
+
+  /** Lag window for the CCF panel (±3 days). */
+  val CcfMaxLag = 3L
+
+  /** q410: the cross-correlation function between daily click volume
+    * and daily purchase revenue at lags −3..+3 — the SYMMETRIC
+    * descriptive panel behind q405's directional Granger test: ACF
+    * (q270) correlates a series with its own past; CCF asks WHICH SIDE
+    * leads (ρ at lag +l = corr(clicks_t, revenue_{t+l}) — a peak at
+    * positive l means clicks lead revenue by l days). Each lag's
+    * correlation uses its OWN aligned-pair means (the textbook CCF,
+    * not the fixed-mean shortcut): n-cleared integer co-moments per
+    * lag, one signed e6 floor against the bit-portable FLOOR(SQRT(·))
+    * of the variance product (through the VARCHAR-exact double cast on
+    * the DuckDB side).
+    *
+    * Plan: one event pass → day rollup (checkpointed) → a ×7 lag
+    * spine (bounded by the plan-time window) self-join on day+lag →
+    * 7-row fold.
+    */
+  val q410Ccf: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("day"))
+      .agg(expr("SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)" +
+        " div 100").as("rev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clk"))
+      .localCheckpoint()
+    val spine = s.range(-CcfMaxLag, CcfMaxLag + 1L)
+      .select(col("id").as("lag"))
+    val aligned = byDay.select(col("day"), col("clk").as("x"))
+      .crossJoin(broadcast(spine))
+      .join(byDay.select(col("day").as("dy"), col("rev").as("y")),
+        col("dy") === col("day") + col("lag"))
+    val mo = aligned.groupBy(col("lag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("qxx"),
+        sum(col("y").cast(dec) * col("y")).as("qyy"),
+        sum(col("x").cast(dec) * col("y")).as("qxy"))
+    mo.select(col("lag").cast("long").as("lag"),
+      col("n").cast("long").as("n_pairs"),
+      expr(sdiv("(n * qxy - sx * sy) * 1000000",
+        """CAST(FLOOR(SQRT(CAST((n * qxx - sx * sx) * (n * qyy - sy * sy)
+          | AS DOUBLE))) AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")))
+        .as("rho_e6"))
+      .orderBy(col("lag"))
+  }
+
+  val q410Sql: String =
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) // 100 AS rev,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk
+      |  FROM events GROUP BY 1),
+      |spine AS (SELECT UNNEST(range(-$CcfMaxLag, ${CcfMaxLag + 1})) AS lag),
+      |aligned AS (
+      |  SELECT s.lag, a.clk AS x, b.rev AS y
+      |  FROM bd a CROSS JOIN spine s
+      |  JOIN bd b ON b.day = a.day + s.lag),
+      |mo AS (
+      |  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS qxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS qyy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS qxy
+      |  FROM aligned GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN n * qxy - sx * sy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((n * qxy - sx * sy) * 1000000) //
+      |     CAST(FLOOR(SQRT(CAST(CAST((n * qxx - sx * sx)
+      |       * (n * qyy - sy * sy) AS VARCHAR) AS DOUBLE))) AS HUGEINT))
+      |    AS BIGINT) AS rho_e6
+      |FROM mo ORDER BY lag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q410_ccf" -> q410Ccf,
     "q407_shapley" -> q407Shapley,
     "q408_littles_law" -> q408LittlesLaw,
     "q405_granger" -> q405Granger,
@@ -9551,6 +9635,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q410_ccf" -> q410Sql,
     "q407_shapley" -> q407Sql,
     "q408_littles_law" -> q408Sql,
     "q405_granger" -> q405Sql,
