@@ -2809,6 +2809,181 @@ object AuditQueries {
       |    AS BIGINT) AS a2kn_e6
       |FROM terms GROUP BY n1, n2""".stripMargin
 
+  // -------- q413: Laspeyres / Paasche / Fisher price-index panel
+
+  /** q413: the classical bilateral price indices between the first and
+    * second halves of the shipping horizon — the INDEX-NUMBER view of
+    * price change where q371 fits an elasticity and q381's LMDI
+    * decomposes a difference: Laspeyres (base-period basket — what the
+    * old mix costs now), Paasche (current basket), and Fisher (their
+    * geometric mean — the superlative index that bounds both biases).
+    * Brand-grain unit values (revenue/quantity, one e4 floor each) keep
+    * every basket term an exact integer product; the period split is
+    * the data-driven midpoint month (the q298 cutover device) so both
+    * halves are guaranteed non-empty; only brands trading in BOTH
+    * periods enter (matched-items rule, count in-output). Fisher rides
+    * the bit-portable FLOOR(SQRT(L·P)).
+    *
+    * Plan: one fact pass joined to the broadcast part dim → brand ×
+    * period rollup (metadata) → matched-brand fold. One shuffle.
+    */
+  val q413PriceIndices: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").as("m"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"),
+        cents(col("l_extendedprice")).as("c"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        Seq("l_partkey"))
+    val mid = li.agg(expr("CAST((min(m) + max(m) + 1) div 2 AS BIGINT)")
+      .as("mid"))
+    val bp = li.crossJoin(broadcast(mid))
+      .withColumn("per", when(col("m") < col("mid"), 0L).otherwise(1L))
+      .groupBy(col("p_brand"), col("per"))
+      .agg(sum(col("q")).as("qty"), sum(col("c")).as("rev"))
+      .withColumn("u_e4", expr(fdiv("rev * 10000", "qty")).cast("long"))
+    val matched = bp.filter(col("per") === 0L)
+      .select(col("p_brand"), col("qty").as("q0"), col("u_e4").as("u0"))
+      .join(bp.filter(col("per") === 1L)
+        .select(col("p_brand"), col("qty").as("q1"), col("u_e4").as("u1")),
+        Seq("p_brand"))
+    matched.agg(count(lit(1)).as("n_brands"),
+      sum(col("u1").cast(dec) * col("q0")).as("l_num"),
+      sum(col("u0").cast(dec) * col("q0")).as("l_den"),
+      sum(col("u1").cast(dec) * col("q1")).as("p_num"),
+      sum(col("u0").cast(dec) * col("q1")).as("p_den"))
+      .select(col("n_brands"),
+        expr(fdiv("l_num * 1000000", "l_den")).cast("long")
+          .as("laspeyres_e6"),
+        expr(fdiv("p_num * 1000000", "p_den")).cast("long").as("paasche_e6"))
+      .withColumn("fisher_e6",
+        expr("""CAST(FLOOR(SQRT(CAST(laspeyres_e6 * paasche_e6 AS DOUBLE)))
+               | AS BIGINT)""".stripMargin.replace("\n", " ")))
+  }
+
+  val q413Sql: String =
+    """WITH li AS (
+      |  SELECT p.p_brand, year(l_shipdate) * 12 + month(l_shipdate) AS m,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS q,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |mid AS (SELECT (MIN(m) + MAX(m) + 1) // 2 AS mid FROM li),
+      |bp AS (
+      |  SELECT p_brand, CASE WHEN m < mid THEN 0 ELSE 1 END AS per,
+      |    CAST(SUM(q) AS BIGINT) AS qty, CAST(SUM(c) AS BIGINT) AS rev
+      |  FROM li CROSS JOIN mid
+      |  GROUP BY p_brand, per),
+      |uv AS (
+      |  SELECT p_brand, per, qty,
+      |    CAST(CAST(rev AS HUGEINT) * 10000 // qty AS BIGINT) AS u_e4
+      |  FROM bp),
+      |matched AS (
+      |  SELECT a.p_brand, a.qty AS q0, a.u_e4 AS u0,
+      |    b.qty AS q1, b.u_e4 AS u1
+      |  FROM uv a JOIN uv b ON a.p_brand = b.p_brand
+      |  WHERE a.per = 0 AND b.per = 1),
+      |fold AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+      |    SUM(CAST(u1 AS HUGEINT) * q0) AS l_num,
+      |    SUM(CAST(u0 AS HUGEINT) * q0) AS l_den,
+      |    SUM(CAST(u1 AS HUGEINT) * q1) AS p_num,
+      |    SUM(CAST(u0 AS HUGEINT) * q1) AS p_den
+      |  FROM matched)
+      |SELECT n_brands,
+      |  CAST(l_num * 1000000 // l_den AS BIGINT) AS laspeyres_e6,
+      |  CAST(p_num * 1000000 // p_den AS BIGINT) AS paasche_e6,
+      |  CAST(FLOOR(SQRT(CAST((l_num * 1000000 // l_den)
+      |    * (p_num * 1000000 // p_den) AS DOUBLE))) AS BIGINT) AS fisher_e6
+      |FROM fold""".stripMargin
+
+  // ------- q414: Hill tail-index + mean-excess of customer revenue
+
+  /** Hill exceedance count (top-k over the (k+1)-th order statistic). */
+  val HillK = 100L
+
+  /** q414: extreme-value TAIL measurement of per-customer lifetime
+    * revenue — q345's Gumbel fit models block MAXIMA; the Hill
+    * estimator reads the tail INDEX from the top order statistics
+    * (α ≈ 1/H, H = mean ln(X₍ᵢ₎/X₍ₖ₊₁₎) over the k largest), the
+    * standard "how Pareto is the whale curve" diagnostic for revenue
+    * concentration risk, plus the mean-excess e(u) = E[X−u | X>u]
+    * whose linearity in u is the POT/GPD signature. Logs ride the LUT
+    * pair; ln converts by the shared 693147 literal; ties at the
+    * threshold contribute exactly zero so the top-(k+1) selection is
+    * tie-invariant. Threshold selection is TakeOrdered(k+1), never a
+    * global sort; the mean-excess pass streams with a broadcast
+    * threshold.
+    *
+    * Plan: one orders pass → customer rollup (checkpointed) →
+    * TakeOrdered(k+1) fold (broadcast) → one streaming excess pass.
+    */
+  val q414HillTail: Q = (s, dir) => {
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .localCheckpoint()
+    val top = cust.orderBy(col("rev").desc, col("o_custkey"))
+      .limit((HillK + 1L).toInt)
+    val thr = top.agg(min(col("rev")).as("u"))
+    val hill = top.crossJoin(broadcast(thr))
+      .select((expr(s"CAST(${l2("rev")} AS BIGINT)") -
+        expr(s"CAST(${l2("u")} AS BIGINT)")).as("dl2"))
+      .agg(sum(col("dl2")).as("sdl2"))
+      .select(expr(fdiv("sdl2", HillK.toString)).as("h_l2_e6"))
+      .withColumn("h_ln_e6", expr(fdiv("h_l2_e6 * 693147", "1000000")))
+      .withColumn("alpha_e6",
+        expr(fdiv("1000000000000", "GREATEST(h_ln_e6, 1)")))
+    val excess = cust.crossJoin(broadcast(thr))
+      .filter(col("rev") > col("u"))
+      .agg(count(lit(1)).as("n_exceed"), sum(col("rev") - col("u")).as("se"))
+      .select(col("n_exceed"),
+        expr(fdiv("se", "GREATEST(n_exceed, 1)")).as("mean_excess_cents"))
+    thr.crossJoin(broadcast(hill)).crossJoin(broadcast(excess))
+      .select(lit(HillK).as("k"), col("u").as("threshold_cents"),
+        col("n_exceed"), col("mean_excess_cents"), col("h_l2_e6"),
+        col("alpha_e6"))
+  }
+
+  val q414Sql: String = {
+    def l2(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    s"""WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |top AS (
+      |  SELECT rev FROM cust ORDER BY rev DESC, o_custkey
+      |  LIMIT ${HillK + 1}),
+      |thr AS (SELECT MIN(rev) AS u FROM top),
+      |hill0 AS (
+      |  SELECT CAST(SUM(${l2("rev")} - ${l2("u")}) AS BIGINT) // $HillK
+      |    AS h_l2_e6
+      |  FROM top CROSS JOIN thr),
+      |hill AS (
+      |  SELECT h_l2_e6, h_l2_e6 * 693147 // 1000000 AS h_ln_e6
+      |  FROM hill0),
+      |hill2 AS (
+      |  SELECT h_l2_e6,
+      |    1000000000000 // GREATEST(h_ln_e6, 1) AS alpha_e6
+      |  FROM hill),
+      |excess AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exceed,
+      |    CAST(SUM(rev - u) AS BIGINT) // GREATEST(COUNT(*), 1)
+      |      AS mean_excess_cents
+      |  FROM cust CROSS JOIN thr WHERE rev > u)
+      |SELECT CAST($HillK AS BIGINT) AS k, u AS threshold_cents, n_exceed,
+      |  CAST(mean_excess_cents AS BIGINT) AS mean_excess_cents,
+      |  h_l2_e6, CAST(alpha_e6 AS BIGINT) AS alpha_e6
+      |FROM thr CROSS JOIN hill2 CROSS JOIN excess""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -4046,6 +4221,8 @@ object AuditQueries {
     "q404_grubbs" -> q404Grubbs,
     "q406_eoq_newsvendor" -> q406EoqNewsvendor,
     "q409_anderson_darling" -> q409AndersonDarling,
+    "q413_price_indices" -> q413PriceIndices,
+    "q414_hill_tail" -> q414HillTail,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -4095,6 +4272,8 @@ object AuditQueries {
     "q404_grubbs" -> q404Sql,
     "q406_eoq_newsvendor" -> q406Sql,
     "q409_anderson_darling" -> q409Sql,
+    "q413_price_indices" -> q413Sql,
+    "q414_hill_tail" -> q414Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

@@ -9512,7 +9512,150 @@ object EventQueries {
       |    AS BIGINT) AS rho_e6
       |FROM mo ORDER BY lag""".stripMargin
 
+  // ----- q412: Aalen–Johansen competing-risks cumulative incidence
+
+  /** Evaluation horizon for the cumulative-incidence read, in days. */
+  val CifTau = 28L
+
+  /** q412: competing-risks cumulative incidence by the Aalen–Johansen
+    * estimator — the survival question q259's KM CANNOT answer
+    * correctly: when two event types compete (first PURCHASE vs first
+    * ERROR ends a user's journey), 1−KM per cause OVER-estimates each
+    * cause's incidence (it treats the competitor as censoring); AJ
+    * allocates incidence so the causes and residual survival sum to 1:
+    *
+    *   CIF_k(τ) = Σ_{t≤τ} S(t−)·d_k(t)/n(t)
+    *
+    * First-of-either-event per user (tie on the same millisecond →
+    * purchase, documented), censored at last activity otherwise. The
+    * sequential product-limit fold rides the q357 device: day-grain
+    * rollup is metadata, the fold runs on the driver with truncating
+    * integer steps, the oracle replays it as a recursive CTE. The
+    * closure gap 10⁶ − (CIF₁+CIF₂+S) lands in-output (floor drift
+    * only — the estimator's additivity certificate).
+    *
+    * Plan: one event pass → user fold → day rollup → |days|-row
+    * driver fold.
+    */
+  val q412CompetingRisks: Q = (s, dir) => {
+    val day = expr("unix_millis(ts) div 86400000")
+    val byUser = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(
+        min(expr("unix_millis(ts)")).as("t0"),
+        min(when(col("event_type") === "purchase",
+          expr("unix_millis(ts)"))).as("tp"),
+        min(when(col("event_type") === "error",
+          expr("unix_millis(ts)"))).as("te"),
+        max(expr("unix_millis(ts)")).as("tl"))
+      .select(
+        when(col("tp").isNotNull &&
+          (col("te").isNull || col("tp") <= col("te")),
+          expr("(tp - t0) div 86400000"))
+          .when(col("te").isNotNull, expr("(te - t0) div 86400000"))
+          .otherwise(expr("(tl - t0) div 86400000")).as("dur"),
+        when(col("tp").isNotNull &&
+          (col("te").isNull || col("tp") <= col("te")), 1L)
+          .when(col("te").isNotNull, 2L).otherwise(0L).as("ev"))
+    val roll = byUser.groupBy(col("dur")).agg(
+      sum(when(col("ev") === 1L, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("ev") === 2L, 1L).otherwise(0L)).as("d2"),
+      sum(when(col("ev") === 0L, 1L).otherwise(0L)).as("c"))
+      .orderBy(col("dur")).collect()
+    var atRisk = roll.map(r => r.getAs[Long]("d1") + r.getAs[Long]("d2") +
+      r.getAs[Long]("c")).sum
+    val nAll = atRisk
+    var sE6 = 1000000L
+    var cif1 = 0L
+    var cif2 = 0L
+    var n1 = 0L
+    var n2 = 0L
+    var nc = 0L
+    roll.foreach { r =>
+      val (dur, d1, d2, c) = (r.getAs[Long]("dur"), r.getAs[Long]("d1"),
+        r.getAs[Long]("d2"), r.getAs[Long]("c"))
+      if (dur <= CifTau) {
+        cif1 += (BigInt(sE6) * d1 / atRisk).toLong
+        cif2 += (BigInt(sE6) * d2 / atRisk).toLong
+        sE6 = (BigInt(sE6) * (atRisk - d1 - d2) / atRisk).toLong
+      }
+      n1 += d1; n2 += d2; nc += c
+      atRisk -= (d1 + d2 + c)
+    }
+    import s.implicits._
+    Seq((nAll, n1, n2, nc, cif1, cif2, sE6,
+      1000000L - cif1 - cif2 - sE6))
+      .toDF("n_users", "n_purchase_first", "n_error_first", "n_censored",
+        "cif_purchase_28_e6", "cif_error_28_e6", "surv_28_e6",
+        "closure_gap_e6")
+  }
+
+  val q412Sql: String =
+    s"""WITH RECURSIVE u AS (
+      |  SELECT user_id,
+      |    MIN(CAST(epoch_ms(ts) AS BIGINT)) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(epoch_ms(ts) AS BIGINT) END) AS tp,
+      |    MIN(CASE WHEN event_type = 'error'
+      |      THEN CAST(epoch_ms(ts) AS BIGINT) END) AS te,
+      |    MAX(CAST(epoch_ms(ts) AS BIGINT)) AS tl
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT CASE
+      |      WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+      |        THEN (tp - t0) // 86400000
+      |      WHEN te IS NOT NULL THEN (te - t0) // 86400000
+      |      ELSE (tl - t0) // 86400000 END AS dur,
+      |    CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+      |      WHEN te IS NOT NULL THEN 2 ELSE 0 END AS ev
+      |  FROM u),
+      |r AS (
+      |  SELECT dur,
+      |    SUM(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS d2,
+      |    SUM(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS c
+      |  FROM d GROUP BY dur),
+      |t AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY dur) AS rk, dur, d1, d2, c,
+      |    tot.n - COALESCE(SUM(d1 + d2 + c) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM r CROSS JOIN (SELECT SUM(d1 + d2 + c) AS n FROM r) tot),
+      |walk AS (
+      |  SELECT rk, dur,
+      |    CASE WHEN dur <= $CifTau
+      |      THEN CAST(1000000 * d1 // n_risk AS BIGINT) ELSE 0 END AS cif1,
+      |    CASE WHEN dur <= $CifTau
+      |      THEN CAST(1000000 * d2 // n_risk AS BIGINT) ELSE 0 END AS cif2,
+      |    CASE WHEN dur <= $CifTau
+      |      THEN CAST(1000000 * (n_risk - d1 - d2) // n_risk AS BIGINT)
+      |      ELSE 1000000 END AS s_e6
+      |  FROM t WHERE rk = 1
+      |  UNION ALL
+      |  SELECT t.rk, t.dur,
+      |    w.cif1 + CASE WHEN t.dur <= $CifTau
+      |      THEN CAST(CAST(w.s_e6 AS HUGEINT) * t.d1 // t.n_risk AS BIGINT)
+      |      ELSE 0 END,
+      |    w.cif2 + CASE WHEN t.dur <= $CifTau
+      |      THEN CAST(CAST(w.s_e6 AS HUGEINT) * t.d2 // t.n_risk AS BIGINT)
+      |      ELSE 0 END,
+      |    CASE WHEN t.dur <= $CifTau
+      |      THEN CAST(CAST(w.s_e6 AS HUGEINT) * (t.n_risk - t.d1 - t.d2)
+      |        // t.n_risk AS BIGINT)
+      |      ELSE w.s_e6 END
+      |  FROM walk w JOIN t ON t.rk = w.rk + 1),
+      |last AS (SELECT cif1, cif2, s_e6 FROM walk ORDER BY rk DESC LIMIT 1),
+      |cnt AS (
+      |  SELECT CAST(SUM(d1 + d2 + c) AS BIGINT) AS n_users,
+      |    CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+      |    CAST(SUM(c) AS BIGINT) AS nc
+      |  FROM r)
+      |SELECT n_users, n1 AS n_purchase_first, n2 AS n_error_first,
+      |  nc AS n_censored, cif1 AS cif_purchase_28_e6,
+      |  cif2 AS cif_error_28_e6, s_e6 AS surv_28_e6,
+      |  1000000 - cif1 - cif2 - s_e6 AS closure_gap_e6
+      |FROM cnt CROSS JOIN last""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q412_competing_risks" -> q412CompetingRisks,
     "q410_ccf" -> q410Ccf,
     "q407_shapley" -> q407Shapley,
     "q408_littles_law" -> q408LittlesLaw,
@@ -9635,6 +9778,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q412_competing_risks" -> q412Sql,
     "q410_ccf" -> q410Sql,
     "q407_shapley" -> q407Sql,
     "q408_littles_law" -> q408Sql,

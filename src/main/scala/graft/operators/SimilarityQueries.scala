@@ -1738,7 +1738,165 @@ object SimilarityQueries {
       |FROM folded CROSS JOIN worst""".stripMargin
   }
 
+  // ------------- q411: ε-bounded local outlier factor (grid LOF)
+
+  /** LOF neighborhood horizon (e4 embedding units — q299's ε) and the
+    * kNN depth.
+    */
+  private val LofEps = 300L
+  private val LofK = 5L
+  /** Horizon distance in e2 units: FLOOR(√(ε²·10⁴)) = ε·100. */
+  private val LofEps100 = LofEps * 100L
+  /** lrd assigned to sparse neighbors (< k neighbors within ε): the
+    * horizon density k·10¹⁰/(k·ε₁₀₀), folded at plan time.
+    */
+  private val LofHorizonLrd = 10000000000L / LofEps100
+
+  /** q411: the Local Outlier Factor — the DENSITY-RATIO outlier scorer
+    * the screen family still lacked: q120/q148/q206/q403/q404 all
+    * measure deviation from a GLOBAL center, and q299's DBSCAN census
+    * gives a ternary core/border/noise verdict; LOF scores each point
+    * by how much sparser its neighborhood is than its neighbors'
+    * neighborhoods (LOF ≈ 1 inlier, ≫ 1 local outlier) — the standard
+    * tool when clusters have different densities. This is the
+    * ε-BOUNDED variant (documented): kNN, k-distances and
+    * reachabilities are all taken within q299's ε grid horizon, which
+    * is what keeps the candidate join an equi-join on cell keys with a
+    * constant 3×3 fan-out — no pairwise scan; sparse points (< k
+    * neighbors within ε) sit at the horizon density [[LofHorizonLrd]].
+    * Distances are bit-portable FLOOR(√(d²·10⁴)) at e2; lrd and LOF
+    * land as one e8 and one e6 floor.
+    *
+    * Plan: grid cells → 3×3 candidate equi-join → per-point kNN via a
+    * window PARTITIONED by point (bounded by the cell population) →
+    * kdist join → lrd fold → LOF fold → TakeOrdered(20).
+    */
+  val q411Lof: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(element_at(col("embedding"), 1).cast("double") * 10000, 0)
+          .cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 10000, 0)
+          .cast("long").as("y"))
+      .withColumn("cx", expr(s"(x + 1000000) div $LofEps"))
+      .withColumn("cy", expr(s"(y + 1000000) div $LofEps"))
+      .localCheckpoint()
+    val members = pts.select(col("vec_id").as("m_id"), col("cx"), col("cy"),
+      col("x").as("mx"), col("y").as("my"))
+    val nb = pts
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
+          .as("c"))
+      .select(col("vec_id"), col("x"), col("y"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .join(members, Seq("cx", "cy"))
+      .filter(col("m_id") =!= col("vec_id") &&
+        (col("x") - col("mx")) * (col("x") - col("mx")) +
+          (col("y") - col("my")) * (col("y") - col("my")) <= LofEps * LofEps)
+      .select(col("vec_id"), col("m_id"),
+        expr("""CAST(FLOOR(SQRT(CAST(((x - mx) * (x - mx)
+               | + (y - my) * (y - my)) * 10000 AS DOUBLE))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("dist_e2"))
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_e2"), col("m_id"))
+    val ranked = nb.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= LofK)
+      .localCheckpoint()
+    val kd = ranked.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_nb"),
+        max(when(col("rn") === LofK, col("dist_e2"))).as("kd"))
+      .filter(col("n_nb") === LofK)
+      .localCheckpoint()
+    val lrd = ranked
+      .join(kd.select(col("vec_id").as("m_id"), col("kd").as("kdq")),
+        Seq("m_id"), "left")
+      .withColumn("reach",
+        greatest(coalesce(col("kdq"), lit(LofEps100)), col("dist_e2")))
+      .groupBy(col("vec_id")).agg(sum(col("reach")).as("sreach"))
+      .join(kd.select(col("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"),
+        expr(fdiv(s"$LofK * 10000000000", "GREATEST(sreach, 1)"))
+          .as("lrd_e8"))
+      .localCheckpoint()
+    val lof = ranked
+      .join(lrd.select(col("vec_id").as("m_id"), col("lrd_e8").as("lrdq")),
+        Seq("m_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(sum(coalesce(col("lrdq"), lit(LofHorizonLrd))).as("slrdq"))
+      .join(lrd, Seq("vec_id"))
+      .select(col("vec_id"),
+        expr(fdiv("slrdq * 1000000", s"$LofK * lrd_e8")).as("lof_e6"),
+        col("lrd_e8"))
+    lof.orderBy(col("lof_e6").desc, col("vec_id")).limit(20)
+      .join(pts.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("lrd_e8"), col("lof_e6"))
+      .orderBy(col("lof_e6").desc, col("vec_id"))
+  }
+
+  val q411Sql: String =
+    s"""WITH pts AS (
+       |  SELECT vec_id, label,
+       |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS x,
+       |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) AS y
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT *, (x + 1000000) // $LofEps AS cx,
+       |    (y + 1000000) // $LofEps AS cy
+       |  FROM pts),
+       |nb AS (
+       |  SELECT p.vec_id, m.vec_id AS m_id,
+       |    CAST(FLOOR(SQRT(CAST(((p.x - m.x) * (p.x - m.x)
+       |      + (p.y - m.y) * (p.y - m.y)) * 10000 AS DOUBLE))) AS BIGINT)
+       |      AS dist_e2
+       |  FROM (SELECT c.vec_id, c.x, c.y, c.cx + dx.g AS cx,
+       |          c.cy + dy.g AS cy
+       |        FROM cells c,
+       |          (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dx,
+       |          (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dy) p
+       |  JOIN cells m ON p.cx = m.cx AND p.cy = m.cy
+       |  WHERE m.vec_id <> p.vec_id
+       |    AND (p.x - m.x) * (p.x - m.x) + (p.y - m.y) * (p.y - m.y)
+       |      <= ${LofEps * LofEps}),
+       |ranked AS (
+       |  SELECT vec_id, m_id, dist_e2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e2, m_id) AS rn
+       |  FROM nb QUALIFY rn <= $LofK),
+       |kd AS (
+       |  SELECT vec_id, COUNT(*) AS n_nb,
+       |    MAX(CASE WHEN rn = $LofK THEN dist_e2 END) AS kd
+       |  FROM ranked GROUP BY vec_id
+       |  HAVING COUNT(*) = $LofK),
+       |lrd AS (
+       |  SELECT r.vec_id,
+       |    ($LofK * 10000000000) //
+       |      GREATEST(SUM(GREATEST(COALESCE(kq.kd, $LofEps100),
+       |        r.dist_e2)), 1) AS lrd_e8
+       |  FROM ranked r
+       |  LEFT JOIN kd kq ON kq.vec_id = r.m_id
+       |  JOIN kd kp ON kp.vec_id = r.vec_id
+       |  GROUP BY r.vec_id),
+       |lof AS (
+       |  SELECT r.vec_id,
+       |    SUM(COALESCE(lq.lrd_e8, $LofHorizonLrd)) * 1000000
+       |      // ($LofK * lp.lrd_e8) AS lof_e6,
+       |    lp.lrd_e8
+       |  FROM ranked r
+       |  LEFT JOIN lrd lq ON lq.vec_id = r.m_id
+       |  JOIN lrd lp ON lp.vec_id = r.vec_id
+       |  GROUP BY r.vec_id, lp.lrd_e8)
+       |SELECT l.vec_id, p.label, CAST(l.lrd_e8 AS BIGINT) AS lrd_e8,
+       |  CAST(l.lof_e6 AS BIGINT) AS lof_e6
+       |FROM (SELECT * FROM lof ORDER BY lof_e6 DESC, vec_id LIMIT 20) l
+       |JOIN pts p ON p.vec_id = l.vec_id
+       |ORDER BY l.lof_e6 DESC, l.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q411_lof" -> q411Lof,
     "q365_isotropy" -> q365Isotropy,
     "q366_balance_smd" -> q366BalanceSmd,
     "q326_morans_i" -> q326MoransI,
@@ -1884,6 +2042,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q411_lof" -> q411Sql,
     "q365_isotropy" -> q365Sql,
     "q366_balance_smd" -> q366Sql,
     "q326_morans_i" -> q326Sql,
