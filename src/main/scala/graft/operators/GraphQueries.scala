@@ -1456,7 +1456,134 @@ object GraphQueries {
       |SELECT * FROM ($rung) ORDER BY k""".stripMargin
   }
 
+  // ------- q415: seeded Brandes betweenness on the co-purchase graph
+
+  /** Betweenness seed-sample size (top-degree pivots, deterministic)
+    * and the hop bound shared with q143's BFS.
+    */
+  val BetwSeedK = 4
+  val BetwDepth = 3
+
+  /** q415: betweenness centrality by the Brandes algorithm — the one
+    * classical centrality the graph family still lacked: degree (q188)
+    * counts neighbors, PageRank (q105) counts endorsement flow, but
+    * brokerage — "which parts sit ON the shortest paths between other
+    * parts" — needs the Brandes two-pass: a forward BFS that counts
+    * shortest paths (σ accumulates over frontier predecessors — the
+    * semi-naive shape of q143, now keyed by (seed, node)), then a
+    * BACKWARD dependency sweep δ(v) = Σ_succ (σ_v/σ_w)(1 + δ(w))
+    * unrolled from the deepest layer, each edge term one e6 floor
+    * division (both engines identical). Exact all-pairs Brandes is
+    * O(V·E) — the standard at-scale posture is pivot SAMPLING, here the
+    * [[BetwSeedK]] top-degree pivots (deterministic tiebreak), depth-
+    * bounded at [[BetwDepth]] like every traversal in this file.
+    *
+    * Plan: forward = [[BetwDepth]] frontier×edge joins keyed by
+    * (seed, node) with per-round checkpoints; backward = layer-to-layer
+    * keyed joins; TakeOrdered(20) tail. No cartesians, no global sort.
+    */
+  val q415Betweenness: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val e = copurchaseEdges(s, dir)
+    val und = e.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(e.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .localCheckpoint()
+    val seeds = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(BetwSeedK)
+      .select(col("src").as("seed"))
+    var layers = Vector(
+      seeds.select(col("seed"), col("seed").as("part"), lit(1L).as("sigma"))
+        .localCheckpoint())
+    var settled = layers(0)
+    for (_ <- 1 to BetwDepth) {
+      val nxt = layers.last.select(col("seed"), col("part").as("v"),
+        col("sigma"))
+        .join(und, col("v") === col("src"))
+        .groupBy(col("seed"), col("dst").as("part"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled.select(col("seed"), col("part")), Seq("seed", "part"),
+          "left_anti")
+        .localCheckpoint()
+      layers = layers :+ nxt
+      settled = settled.unionByName(nxt).localCheckpoint()
+    }
+    var deltas = Vector.empty[org.apache.spark.sql.DataFrame]
+    var deeperDelta: Option[org.apache.spark.sql.DataFrame] = None
+    for (d <- (BetwDepth - 1) to 1 by -1) {
+      val w0 = layers(d + 1).select(col("seed"), col("part").as("wpart"),
+        col("sigma").as("wsigma"))
+      val w = (deeperDelta match {
+        case Some(dd) => w0.join(dd.select(col("seed"),
+          col("part").as("wpart"), col("delta").as("wdelta")),
+          Seq("seed", "wpart"), "left")
+          .select(col("seed"), col("wpart"), col("wsigma"),
+            coalesce(col("wdelta"), lit(0L)).as("wdelta"))
+        case None => w0.withColumn("wdelta", lit(0L))
+      }).withColumnRenamed("seed", "wseed")
+      val dl = layers(d).select(col("seed"), col("part"), col("sigma"))
+        .join(und, col("part") === col("src"))
+        .join(w, col("seed") === col("wseed") && col("dst") === col("wpart"))
+        .select(col("seed"), col("part"),
+          expr(fdiv("sigma * (1000000 + wdelta)", "wsigma")).as("term"))
+        .groupBy(col("seed"), col("part"))
+        .agg(sum(col("term")).as("delta"))
+        .localCheckpoint()
+      deltas = deltas :+ dl
+      deeperDelta = Some(dl)
+    }
+    deltas.reduce(_.unionByName(_))
+      .groupBy(col("part")).agg(sum(col("delta")).as("bc_e6"))
+      .orderBy(col("bc_e6").desc, col("part")).limit(20)
+  }
+
+  def q415Sql: String = {
+    val fwd = (1 to BetwDepth).map { d =>
+      val known = (0 until d).map(i => s"SELECT seed, part FROM f$i")
+        .mkString(" UNION ALL ")
+      s"""f$d AS (
+         |  SELECT g.seed, g.part, g.sigma FROM (
+         |    SELECT f.seed, und.dst AS part, SUM(f.sigma) AS sigma
+         |    FROM f${d - 1} f JOIN und ON und.src = f.part
+         |    GROUP BY f.seed, und.dst) g
+         |  LEFT JOIN ($known) k ON k.seed = g.seed AND k.part = g.part
+         |  WHERE k.part IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BetwDepth - 1) to 1 by -1).map { d =>
+      val wdelta =
+        if (d == BetwDepth - 1) "0"
+        else s"COALESCE(dd${d + 1}.delta, 0)"
+      val ddJoin =
+        if (d == BetwDepth - 1) ""
+        else
+          s"\n  LEFT JOIN dd${d + 1} ON dd${d + 1}.seed = w.seed" +
+            s" AND dd${d + 1}.part = w.part"
+      s"""dd$d AS (
+         |  SELECT v.seed, v.part,
+         |    SUM(v.sigma * (1000000 + $wdelta) // w.sigma) AS delta
+         |  FROM f$d v
+         |  JOIN und ON und.src = v.part
+         |  JOIN f${d + 1} w ON w.seed = v.seed AND w.part = und.dst$ddJoin
+         |  GROUP BY v.seed, v.part)""".stripMargin
+    }.mkString(",\n")
+    val bcUnion = ((BetwDepth - 1) to 1 by -1)
+      .map(d => s"SELECT part, delta FROM dd$d").mkString(" UNION ALL ")
+    s"""WITH $edgesCtes,
+      |und AS (SELECT part_a AS src, part_b AS dst FROM pairs
+      |        UNION ALL SELECT part_b, part_a FROM pairs),
+      |f0 AS (
+      |  SELECT src AS seed, src AS part, CAST(1 AS BIGINT) AS sigma
+      |  FROM (SELECT src, COUNT(*) AS deg FROM und GROUP BY src
+      |        ORDER BY deg DESC, src LIMIT $BetwSeedK)),
+      |$fwd,
+      |$bwd
+      |SELECT part, CAST(SUM(delta) AS BIGINT) AS bc_e6
+      |FROM ($bcUnion)
+      |GROUP BY part ORDER BY bc_e6 DESC, part LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q415_betweenness" -> q415Betweenness,
     "q394_rich_club" -> q394RichClub,
     "q341_modularity" -> q341Modularity,
     "q274_hits" -> q274Hits,
@@ -1478,6 +1605,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q415_betweenness" -> q415Sql,
     "q394_rich_club" -> q394Sql,
     "q341_modularity" -> q341Sql,
     "q274_hits" -> q274Sql,
