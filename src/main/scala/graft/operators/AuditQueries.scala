@@ -2984,6 +2984,161 @@ object AuditQueries {
       |FROM thr CROSS JOIN hill2 CROSS JOIN excess""".stripMargin
   }
 
+  // -------- q418: chain-ladder development backtest on the ship flow
+
+  /** Development horizon (dev years 0..[[ClMaxDev]]−1) for the
+    * chain-ladder unroll — fixed at plan time, identity factors pad
+    * the unused tail.
+    */
+  val ClMaxDev = 8
+
+  /** q418: the chain-ladder method — actuarial run-off projection
+    * applied to the order→ship revenue flow: order-year cohorts
+    * develop as their lineitems ship in later years, the
+    * volume-weighted development factors f_k = ΣC_{i,k+1}/ΣC_{i,k}
+    * (computed ONLY from cells a reserver standing at the latest
+    * order year could see — i + k ≤ Y) project each cohort's
+    * ultimate. Because this dataset is COMPLETE, the projection is a
+    * BACKTEST: the masked lower triangle is projected, then compared
+    * against the actual ultimates in-output (err_e6 per cohort) — the
+    * operator certifies its own accuracy, the q374 convention. The
+    * per-cohort factor product unrolls over the plan-time
+    * [[ClMaxDev]] ladder (one e6 floor per applied factor, identity
+    * 10⁶ padding), so no recursion is needed anywhere.
+    *
+    * Plan: one fact-orders join (the one real shuffle) → (cohort,
+    * dev) rollup → dense 7×8 grid windows PARTITIONED by cohort →
+    * metadata folds.
+    */
+  val q418ChainLadder: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val cells = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("oy")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("dev", year(col("l_shipdate")) - col("oy"))
+      .filter(col("dev") >= 0)
+      .groupBy(col("oy"), col("dev"))
+      .agg(sum(cents(col("l_extendedprice"))).as("v"))
+      .localCheckpoint()
+    val years = cells.select(col("oy")).distinct().localCheckpoint()
+    val maxY = cells.agg(max(col("oy")).as("max_y"))
+    val devSpine = s.range(0L, ClMaxDev.toLong).select(col("id").cast("int")
+      .as("dev"))
+    val dense = years.crossJoin(broadcast(devSpine))
+      .join(cells, Seq("oy", "dev"), "left")
+      .select(col("oy"), col("dev"), coalesce(col("v"), lit(0L)).as("v"))
+    val wC = Window.partitionBy(col("oy")).orderBy(col("dev"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = dense.withColumn("c", sum(col("v")).over(wC))
+      .withColumn("cn", lead(col("c"), 1).over(
+        Window.partitionBy(col("oy")).orderBy(col("dev"))))
+      .crossJoin(broadcast(maxY))
+      .localCheckpoint()
+    val factors = cum
+      .filter(col("oy") + col("dev") + 1 <= col("max_y") &&
+        col("cn").isNotNull && col("c") > 0L)
+      .groupBy(col("dev"))
+      .agg(sum(col("cn").cast("decimal(38,0)")).as("num"),
+        sum(col("c").cast("decimal(38,0)")).as("den"))
+      .select(col("dev"), expr(fdiv("num * 1000000", "den")).cast("long")
+        .as("f_e6"))
+    val fArm = (0 until ClMaxDev).map { k =>
+      max(when(col("dev") === k, col("f_e6"))).as(s"f_$k")
+    }
+    val fRow = factors.agg(fArm.head, fArm.tail: _*)
+      .select((0 until ClMaxDev).map(k =>
+        coalesce(col(s"f_$k"), lit(1000000L)).as(s"f_$k")): _*)
+    val latest = cum.filter(col("dev") === col("max_y") - col("oy"))
+      .select(col("oy"), col("dev").as("latest_dev"), col("c").as("latest_c"))
+    val actual = cum.groupBy(col("oy")).agg(max(col("c")).as("actual_ult"))
+    var proj = latest.crossJoin(broadcast(fRow))
+      .withColumn("ult", col("latest_c").cast("decimal(38,0)"))
+    for (k <- 0 until ClMaxDev) {
+      proj = proj.withColumn("ult",
+        when(col("latest_dev") <= k,
+          expr(fdiv(s"ult * f_$k", "1000000"))).otherwise(col("ult")))
+    }
+    proj.join(actual, Seq("oy"))
+      .select(col("oy").as("order_year"), col("latest_dev"),
+        col("latest_c").cast("long").as("latest_cum_cents"),
+        col("ult").cast("long").as("projected_ult_cents"),
+        col("actual_ult").cast("long").as("actual_ult_cents"),
+        expr(sdiv("(ult - actual_ult) * 1000000", "actual_ult"))
+          .as("err_e6"))
+      .orderBy(col("order_year"))
+  }
+
+  val q418Sql: String = {
+    val fCase = (0 until ClMaxDev).map(k =>
+      s"MAX(CASE WHEN dev = $k THEN f_e6 END)").mkString(", ")
+    val fCols = (0 until ClMaxDev).map(k =>
+      s"COALESCE(f[${k + 1}], 1000000) AS f_$k").mkString(", ")
+    val steps = (0 until ClMaxDev).map { k =>
+      s"""p$k AS (SELECT * REPLACE (CASE WHEN latest_dev <= $k
+         |  THEN (ult * f_$k) // 1000000 ELSE ult END AS ult)
+         |  FROM p${k - 1})""".stripMargin
+    }.map(_.replace("FROM p-1", "FROM p_init")).mkString(",\n")
+    s"""WITH cells AS (
+      |  SELECT year(o.o_orderdate) AS oy,
+      |    year(l.l_shipdate) - year(o.o_orderdate) AS dev,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+      |      AS HUGEINT) AS v
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE year(l.l_shipdate) >= year(o.o_orderdate)
+      |  GROUP BY 1, 2),
+      |years AS (SELECT DISTINCT oy FROM cells),
+      |max_y AS (SELECT MAX(oy) AS max_y FROM cells),
+      |dense AS (
+      |  SELECT y.oy, d.dev, COALESCE(c.v, 0) AS v
+      |  FROM years y
+      |  CROSS JOIN (SELECT UNNEST(range(0, $ClMaxDev)) AS dev) d
+      |  LEFT JOIN cells c ON c.oy = y.oy AND c.dev = d.dev),
+      |cum0 AS (
+      |  SELECT oy, dev,
+      |    SUM(v) OVER (PARTITION BY oy ORDER BY dev
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM dense),
+      |cum AS (
+      |  SELECT oy, dev, c,
+      |    LEAD(c, 1) OVER (PARTITION BY oy ORDER BY dev) AS cn
+      |  FROM cum0),
+      |factors AS (
+      |  SELECT dev, CAST(SUM(cn) * 1000000 // SUM(c) AS BIGINT) AS f_e6
+      |  FROM cum CROSS JOIN max_y
+      |  WHERE oy + dev + 1 <= max_y AND cn IS NOT NULL AND c > 0
+      |  GROUP BY dev),
+      |f_list AS (
+      |  SELECT [$fCase] AS f
+      |  FROM (SELECT UNNEST(range(0, $ClMaxDev)) AS dev) s
+      |  LEFT JOIN factors USING (dev)),
+      |f_row AS (SELECT $fCols FROM f_list),
+      |latest AS (
+      |  SELECT oy, dev AS latest_dev, c AS latest_c
+      |  FROM cum CROSS JOIN max_y WHERE dev = max_y - oy),
+      |actual AS (SELECT oy, MAX(c) AS actual_ult FROM cum GROUP BY oy),
+      |p_init AS (
+      |  SELECT oy, latest_dev, latest_c, CAST(latest_c AS HUGEINT) AS ult,
+      |    f_row.*
+      |  FROM latest CROSS JOIN f_row),
+      |$steps
+      |SELECT p.oy AS order_year, p.latest_dev,
+      |  CAST(p.latest_c AS BIGINT) AS latest_cum_cents,
+      |  CAST(p.ult AS BIGINT) AS projected_ult_cents,
+      |  CAST(a.actual_ult AS BIGINT) AS actual_ult_cents,
+      |  CAST(CASE WHEN p.ult - a.actual_ult >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((p.ult - a.actual_ult) * 1000000) // a.actual_ult)
+      |    AS BIGINT) AS err_e6
+      |FROM p${ClMaxDev - 1} p JOIN actual a ON a.oy = p.oy
+      |ORDER BY order_year""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -4223,6 +4378,7 @@ object AuditQueries {
     "q409_anderson_darling" -> q409AndersonDarling,
     "q413_price_indices" -> q413PriceIndices,
     "q414_hill_tail" -> q414HillTail,
+    "q418_chain_ladder" -> q418ChainLadder,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -4274,6 +4430,7 @@ object AuditQueries {
     "q409_anderson_darling" -> q409Sql,
     "q413_price_indices" -> q413Sql,
     "q414_hill_tail" -> q414Sql,
+    "q418_chain_ladder" -> q418Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

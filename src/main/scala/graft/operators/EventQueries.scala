@@ -9654,7 +9654,211 @@ object EventQueries {
       |  1000000 - cif1 - cif2 - s_e6 AS closure_gap_e6
       |FROM cnt CROSS JOIN last""".stripMargin
 
+  // -------- q416: Kalman local-level filter over daily revenue
+
+  /** Local-level Kalman noise ratio Q/R = 1/10 (only the ratio enters
+    * the gain sequence) and the maximum unrolled horizon.
+    */
+  val KalmanMaxT = 120
+  /** Plan-time Kalman gain table K_t·10⁶ for t = 2..[[KalmanMaxT]]:
+    * with plan-time Q/R the variance recursion P' = P+Q,
+    * K = P'/(P'+R), P = (1−K)P' is DATA-INDEPENDENT, so the whole
+    * gain sequence folds at plan build (the q384 weight-table device)
+    * and the run-time recursion touches only the level. P₁ = R after
+    * the diffuse first step (K₁ = 1).
+    */
+  val KalmanGainsE6: IndexedSeq[Long] = {
+    val q = 0.1; val r = 1.0
+    var p = r
+    (2 to KalmanMaxT).map { _ =>
+      val pp = p + q
+      val k = pp / (pp + r)
+      p = (1 - k) * pp
+      math.round(k * 1e6)
+    }
+  }
+
+  /** q416: the Kalman filter (local-level / random-walk-plus-noise
+    * model) over daily purchase revenue — OPTIMAL recursive state
+    * estimation where q400's Holt is a fixed-weight heuristic: the
+    * gain K_t starts at 1 (diffuse prior) and CONVERGES to the
+    * steady-state discount the noise ratio implies, so early days are
+    * trusted fully and later days shrink toward the filtered level.
+    * Because Q/R is a plan-time constant, the entire gain sequence
+    * [[KalmanGainsE6]] is inlined into BOTH engines as a literal
+    * table; the level recursion m_t = m_{t−1} + K_t(x_t − m_{t−1})
+    * (truncating signed e6 steps, identical both sides) rides the
+    * q357 device — metadata-sized day rollup, driver fold, recursive
+    * CTE replay joined to a VALUES gain table. Innovations accumulate
+    * SSE in exact cents².
+    *
+    * Plan: one event pass → day rollup → |days|-row driver fold.
+    */
+  val q416Kalman: Q = (s, dir) => {
+    val roll = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      .orderBy(col("day")).collect()
+    val xs = roll.map(_.getAs[Long]("x"))
+    var m = xs.head
+    var sse = BigInt(0)
+    var lastGain = 1000000L
+    xs.tail.zipWithIndex.foreach { case (x, i) =>
+      val k = KalmanGainsE6(i)
+      lastGain = k
+      val e = x - m
+      sse += BigInt(e) * BigInt(e)
+      m = m + k * e / 1000000L
+    }
+    import s.implicits._
+    Seq((xs.length.toLong, m, lastGain, sse.toLong))
+      .toDF("n_days", "level_cents", "gain_final_e6", "sse_cents2")
+  }
+
+  val q416Sql: String = {
+    val gains = KalmanGainsE6.zipWithIndex
+      .map { case (g, i) => s"(${i + 2}, $g)" }.mkString(", ")
+    s"""WITH RECURSIVE bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ser AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rk, x FROM bd),
+      |gains(rk, k) AS (VALUES $gains),
+      |walk AS (
+      |  SELECT rk, x AS m, CAST(1000000 AS BIGINT) AS gain,
+      |    CAST(0 AS HUGEINT) AS sse
+      |  FROM ser WHERE rk = 1
+      |  UNION ALL
+      |  SELECT s.rk,
+      |    w.m + CAST(CASE WHEN g.k * (s.x - w.m) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(g.k * (s.x - w.m)) // 1000000) AS BIGINT),
+      |    g.k,
+      |    w.sse + CAST(s.x - w.m AS HUGEINT) * (s.x - w.m)
+      |  FROM walk w
+      |  JOIN ser s ON s.rk = w.rk + 1
+      |  JOIN gains g ON g.rk = s.rk),
+      |last AS (SELECT m, gain, sse FROM walk ORDER BY rk DESC LIMIT 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
+      |SELECT n_days, m AS level_cents, gain AS gain_final_e6,
+      |  CAST(sse AS BIGINT) AS sse_cents2
+      |FROM n CROSS JOIN last""".stripMargin
+  }
+
+  // ------ q417: Erlang-B/C staffing ladder from measured sessions
+
+  /** Server-count ladder for the Erlang staffing audit. */
+  val ErlangMaxC = 10
+
+  /** q417: the Erlang-B/C staffing ladder — classical queueing theory
+    * on MEASURED traffic: q408's ledger observes the offered load
+    * A = λ·W̄ (time-average concurrent 30-minute sessions); this asks
+    * the capacity-planning question "how many parallel servers c keep
+    * blocking/waiting acceptable for that load?". The Erlang-B
+    * recursion B_c = A·B_{c−1}/(c + A·B_{c−1}) runs [[ErlangMaxC]]
+    * plan-time steps — a LINEAR chain, unrolled symbolically in both
+    * engines with one e6 floor per step — and Erlang-C converts each
+    * rung: C_c = B_c/(1 − ρ(1−B_c)), ρ = A/c, with C = −1 flagged on
+    * unstable rungs (ρ ≥ 1). The whole ladder is metadata after one
+    * session fold.
+    *
+    * Plan: one event pass → per-user session islands (windows
+    * partitioned by user) → 1-row load fold → 10-row plan-time spine.
+    */
+  val q417Erlang: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"), col("ts"))
+      .withColumn("prev", lag(col("ms"), 1).over(wU))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ms") - col("prev") >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+    var load = sess.agg(count(lit(1)).as("n_sessions"),
+      sum(col("en") - col("st")).as("dur_ms"),
+      (max(col("en")) - min(col("st"))).as("horizon_ms"))
+      .select(col("n_sessions"),
+        expr(fdiv("dur_ms * 1000000", "horizon_ms")).as("a_e6"))
+      .withColumn("b_0", lit(1000000L))
+    for (c <- 1 to ErlangMaxC) {
+      load = load
+        .withColumn(s"ab_$c", expr(fdiv(s"a_e6 * b_${c - 1}", "1000000")))
+        .withColumn(s"b_$c",
+          expr(fdiv(s"ab_$c * 1000000", s"$c * 1000000 + ab_$c")))
+    }
+    val bArm = (1 to ErlangMaxC).foldRight(lit(-1L)) { (c, els) =>
+      when(col("c") === c.toLong, col(s"b_$c")).otherwise(els)
+    }
+    load.crossJoin(broadcast(
+      s.range(1L, ErlangMaxC + 1L).select(col("id").as("c"))))
+      .withColumn("b_e6", bArm)
+      .withColumn("rho_e6", expr(fdiv("a_e6", "c")))
+      .withColumn("wait_prob_e6",
+        when(col("rho_e6") >= 1000000L, lit(-1L))
+          .otherwise(expr(fdiv("b_e6 * 1000000",
+            s"GREATEST(1000000 - ${fdiv("rho_e6 * (1000000 - b_e6)", "1000000")}, 1)"))))
+      .select(col("c"), col("n_sessions"), col("a_e6"), col("b_e6"),
+        col("wait_prob_e6"))
+      .orderBy(col("c"))
+  }
+
+  val q417Sql: String = {
+    val chain = (1 to ErlangMaxC).map { c =>
+      s"""e$c AS (SELECT *,
+         |  (a_e6 * b_${c - 1}) // 1000000 AS ab_$c,
+         |  (((a_e6 * b_${c - 1}) // 1000000) * 1000000)
+         |    // ($c * 1000000 + (a_e6 * b_${c - 1}) // 1000000) AS b_$c
+         |  FROM e${c - 1})""".stripMargin
+    }.mkString(",\n")
+    val bCase = (1 to ErlangMaxC).map(c => s"WHEN $c THEN b_$c")
+      .mkString(" ")
+    s"""WITH marked AS (
+      |  SELECT user_id, ts, event_id, ms,
+      |    CASE WHEN ms - LAG(ms) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+      |      OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT user_id, ts, event_id, CAST(epoch_ms(ts) AS BIGINT)
+      |          AS ms FROM events)),
+      |numbered AS (
+      |  SELECT user_id, ms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ms) AS st, MAX(ms) AS en
+      |  FROM numbered GROUP BY user_id, sid),
+      |e0 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |    CAST(SUM(en - st) * 1000000 // (MAX(en) - MIN(st)) AS BIGINT)
+      |      AS a_e6,
+      |    CAST(1000000 AS BIGINT) AS b_0
+      |  FROM sess),
+      |$chain,
+      |spine AS (SELECT UNNEST(range(1, ${ErlangMaxC + 1})) AS c)
+      |SELECT c, n_sessions, a_e6,
+      |  CASE c $bCase ELSE -1 END AS b_e6,
+      |  CASE WHEN a_e6 // c >= 1000000 THEN -1
+      |    ELSE (CASE c $bCase ELSE -1 END) * 1000000 //
+      |      GREATEST(1000000 - ((a_e6 // c)
+      |        * (1000000 - (CASE c $bCase ELSE -1 END))) // 1000000, 1)
+      |    END AS wait_prob_e6
+      |FROM e$ErlangMaxC CROSS JOIN spine
+      |ORDER BY c""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q417_erlang" -> q417Erlang,
+    "q416_kalman" -> q416Kalman,
     "q412_competing_risks" -> q412CompetingRisks,
     "q410_ccf" -> q410Ccf,
     "q407_shapley" -> q407Shapley,
@@ -9778,6 +9982,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q417_erlang" -> q417Sql,
+    "q416_kalman" -> q416Sql,
     "q412_competing_risks" -> q412Sql,
     "q410_ccf" -> q410Sql,
     "q407_shapley" -> q407Sql,
