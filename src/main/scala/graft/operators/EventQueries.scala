@@ -9856,7 +9856,210 @@ object EventQueries {
       |ORDER BY c""".stripMargin
   }
 
+  // ------ q419: randomization test via hash pseudo-permutations
+
+  /** Pseudo-permutation count: p-value resolution 1/(B+1) = 1/20. */
+  val PermB = 19
+
+  /** q419: design-based randomization inference — the
+    * assumption-free sibling of the parametric arm comparisons
+    * (q127 z, q283 Welch, q335 d): is the observed A/B revenue gap
+    * larger than gaps under RANDOM relabelings? True permutations
+    * need RNG; the engine's deterministic stand-in re-labels each
+    * user by the portable hash of (user, b) for b = 1..[[PermB]] —
+    * each b an exchangeable-under-null relabeling both engines
+    * reproduce bit-exactly. The statistic is |mean_A − mean_B| as
+    * one e6 floor per relabeling; p = (1 + #{T_b ≥ T_obs})/(B+1)
+    * exact. Fan-out is the bounded ×B spine on the USER rollup, not
+    * the event stream.
+    *
+    * Plan: one event pass → user rollup (checkpointed) → ×B spine
+    * rollup keyed by (b, arm) → metadata fold.
+    */
+  val q419PermutationTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val pu = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(cents(col("value"))).as("y"))
+      .localCheckpoint()
+    val spine = s.range(0L, PermB + 1L).select(col("id").as("b"))
+    val armed = pu.crossJoin(broadcast(spine))
+      .withColumn("arm",
+        when(col("b") === 0L,
+          graft.functions.Text.portableHash(col("user_id").cast("string"))
+            % 2L)
+          .otherwise(graft.functions.Text.portableHash(
+            concat(col("user_id").cast("string"), lit("#"),
+              col("b").cast("string"))) % 2L))
+    val stats = armed.groupBy(col("b"))
+      .agg(sum(when(col("arm") === 0L, col("y")).otherwise(0L)).cast(dec)
+        .as("sa"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).cast(dec).as("na"),
+        sum(when(col("arm") === 1L, col("y")).otherwise(0L)).cast(dec)
+          .as("sb"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).cast(dec).as("nb"))
+      .select(col("b"),
+        abs(expr(fdiv("sa * 1000000", "na")) -
+          expr(fdiv("sb * 1000000", "nb"))).cast("long").as("t_e6"))
+      .localCheckpoint()
+    val obs = stats.filter(col("b") === 0L)
+      .select(col("t_e6").as("t_obs_e6"))
+    stats.filter(col("b") > 0L).crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("t_e6") >= col("t_obs_e6"), 1L).otherwise(0L))
+          .as("n_ge"),
+        first(col("t_obs_e6")).as("t_obs_e6"))
+      .select(col("t_obs_e6"), col("n_perm"), col("n_ge"),
+        expr(s"CAST((1 + n_ge) * 1000000 div (1 + n_perm) AS BIGINT)")
+          .as("p_e6"))
+  }
+
+  val q419Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id, SUM(CAST(ROUND(value*100) AS BIGINT)) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |armed AS (
+      |  SELECT b, y,
+      |    CASE WHEN b = 0 THEN
+      |      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2
+      |    ELSE
+      |      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '#'
+      |        || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 2
+      |    END AS arm
+      |  FROM pu CROSS JOIN (SELECT UNNEST(range(0, ${PermB + 1})) AS b)),
+      |stats AS (
+      |  SELECT b,
+      |    ABS(CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT)
+      |        * 1000000 // SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+      |      - CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT)
+      |        * 1000000 // SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END))
+      |      AS t_e6
+      |  FROM armed GROUP BY b),
+      |obs AS (SELECT t_e6 AS t_obs_e6 FROM stats WHERE b = 0)
+      |SELECT CAST(ANY_VALUE(t_obs_e6) AS BIGINT) AS t_obs_e6,
+      |  CAST(COUNT(*) AS BIGINT) AS n_perm,
+      |  CAST(SUM(CASE WHEN t_e6 >= t_obs_e6 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ge,
+      |  CAST((1 + SUM(CASE WHEN t_e6 >= t_obs_e6 THEN 1 ELSE 0 END))
+      |    * 1000000 // (1 + COUNT(*)) AS BIGINT) AS p_e6
+      |FROM stats CROSS JOIN obs WHERE b > 0""".stripMargin
+
+  // ------- q420: fixed-frequency periodogram of daily revenue
+
+  /** Candidate seasonal periods for the spectral probe. */
+  val PgPeriods: Seq[Int] = Seq(7, 14, 28)
+
+  /** Plan-time trig weight tables cos/sin(2πk/p)·10⁶ for each probe
+    * period — libm at PLAN BUILD, identical literals in both engines
+    * (the Benford/NDCG constants rule).
+    */
+  def pgCosE6(p: Int): IndexedSeq[Long] =
+    (0 until p).map(k => math.round(math.cos(2 * math.Pi * k / p) * 1e6))
+  def pgSinE6(p: Int): IndexedSeq[Long] =
+    (0 until p).map(k => math.round(math.sin(2 * math.Pi * k / p) * 1e6))
+
+  /** q420: the periodogram at the calendar periods that matter —
+    * SPECTRAL seasonality measurement where q121/q306 estimate
+    * day-of-week INDICES: the squared projection of the (centered)
+    * daily-revenue series onto the cos/sin pair at period p,
+    * I(p) = (C² + S²)/n, read as a share of total variance. Because
+    * the probe periods are plan-time constants, cos/sin reduce to
+    * p-entry weight TABLES on (t mod p) (the Log2Lut device) — exact
+    * integer dot products, no runtime trig, both engines identical.
+    * n-cleared centering (n·x_t − Σx) avoids the mean division.
+    *
+    * Plan: one event pass → day rollup (checkpointed) → ×3 period
+    * spine with table lookups → 3-row fold.
+    */
+  val q420Periodogram: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdivB(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(expr("SUM(v) div 100").as("x"))
+      .withColumn("t",
+        (row_number().over(Window.orderBy(col("day"))) - 1L).cast("long"))
+      .localCheckpoint()
+    val tot = byDay.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"))
+    val perPeriod = PgPeriods.map { p =>
+      val cosArr = pgCosE6(p).mkString(", ")
+      val sinArr = pgSinE6(p).mkString(", ")
+      byDay
+        .withColumn("c6", expr(
+          s"element_at(array($cosArr), CAST(t % $p AS INT) + 1)"))
+        .withColumn("s6", expr(
+          s"element_at(array($sinArr), CAST(t % $p AS INT) + 1)"))
+        .crossJoin(broadcast(tot))
+        .agg(first(col("n")).as("n"), first(col("sx")).as("sx"),
+          first(col("sxx")).as("sxx"),
+          sum((col("n") * col("x") - col("sx")) * col("c6")).as("cproj"),
+          sum((col("n") * col("x") - col("sx")) * col("s6")).as("sproj"))
+        .select(lit(p.toLong).as("period"),
+          col("n").cast("long").as("n_days"),
+          expr(sdivB("cproj", "n * 1000000")).as("c_units"),
+          expr(sdivB("sproj", "n * 1000000")).as("s_units"),
+          // R² share of SS at this harmonic: 2(C²+S²)/(n·SS), with
+          // cproj = n·10⁶·C and n·SS = n·Σx²−(Σx)²
+          expr(fdiv(
+            "2 * (cproj * cproj + sproj * sproj)",
+            "n * n * (n * sxx - sx * sx) * CAST(1000000 AS DECIMAL(38,0))"))
+            .cast("long").as("var_share_e6"))
+    }
+    perPeriod.reduce(_.unionByName(_)).orderBy(col("period"))
+  }
+
+  val q420Sql: String = {
+    val arms = PgPeriods.map { p =>
+      val cosArr = pgCosE6(p).mkString(", ")
+      val sinArr = pgSinE6(p).mkString(", ")
+      s"""SELECT $p AS period, CAST(n AS BIGINT) AS n_days,
+         |  CAST(CASE WHEN cproj >= 0 THEN 1 ELSE -1 END *
+         |    (ABS(cproj) // (n * 1000000)) AS BIGINT) AS c_units,
+         |  CAST(CASE WHEN sproj >= 0 THEN 1 ELSE -1 END *
+         |    (ABS(sproj) // (n * 1000000)) AS BIGINT) AS s_units,
+         |  CAST(2 * (cproj * cproj + sproj * sproj)
+         |    // (n * n * (n * sxx - sx * sx) * CAST(1000000 AS HUGEINT))
+         |    AS BIGINT) AS var_share_e6
+         |FROM (
+         |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(sx) AS sx,
+         |    ANY_VALUE(sxx) AS sxx,
+         |    SUM((n * x - sx) * ([$cosArr])[CAST(t % $p AS INT) + 1])
+         |      AS cproj,
+         |    SUM((n * x - sx) * ([$sinArr])[CAST(t % $p AS INT) + 1])
+         |      AS sproj
+         |  FROM ser CROSS JOIN tot)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) // 100 AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ser AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM bd),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM bd)
+      |$arms
+      |ORDER BY period""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q419_permutation_test" -> q419PermutationTest,
+    "q420_periodogram" -> q420Periodogram,
     "q417_erlang" -> q417Erlang,
     "q416_kalman" -> q416Kalman,
     "q412_competing_risks" -> q412CompetingRisks,
@@ -9982,6 +10185,8 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q419_permutation_test" -> q419Sql,
+    "q420_periodogram" -> q420Sql,
     "q417_erlang" -> q417Sql,
     "q416_kalman" -> q416Sql,
     "q412_competing_risks" -> q412Sql,
