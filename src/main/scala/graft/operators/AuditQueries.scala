@@ -3139,6 +3139,233 @@ object AuditQueries {
       |ORDER BY order_year""".stripMargin
   }
 
+  // ----- q422: OLS influence diagnostics (leverage + Cook's D)
+
+  /** q422: regression influence diagnostics — which MONTHS drive the
+    * fitted revenue trend? Every OLS in the inventory (q117, q371,
+    * q391, q405) reports coefficients; none yet reports how fragile
+    * they are to single observations. Per month of the monthly-revenue
+    * trend fit: leverage h_i = 1/n + (t_i−t̄)²/Σ(t−t̄)² and Cook's
+    * distance D_i = e_i²·h_i/(2s²(1−h_i)²), both exact rationals in
+    * the n·D-cleared integers (E_i = D·(n·y_i−Σy) − N_b·(n·t_i−Σt),
+    * H_i = D + (n·t_i−Σt)², nD·h_i = H_i), staged through two e6
+    * floors sized to stay inside DECIMAL(38,0) through sf1. Top 5
+    * influential months with deterministic tiebreak.
+    *
+    * Plan: one orders pass → month rollup (metadata) → 1-row moment
+    * fold broadcast back → scoring pass → TakeOrdered(5).
+    */
+  val q422Influence: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val bm = Tables.orders(s, dir)
+      .select(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("m")).agg(expr("SUM(c) div 100000").as("y"))
+      .localCheckpoint()
+    val t0 = bm.agg(min(col("m")).as("m0"))
+    val pts = bm.crossJoin(broadcast(t0))
+      .select(col("m"), (col("m") - col("m0") + 1L).as("t"), col("y"))
+    val mo = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("t").cast(dec) * col("t")).as("stt"),
+      sum(col("t").cast(dec) * col("y")).as("sty"))
+      .select(col("n"), col("st"), col("sy"),
+        (col("n") * col("stt") - col("st") * col("st")).as("d"),
+        (col("n") * col("sty") - col("st") * col("sy")).as("nb"))
+    val scored = pts.crossJoin(broadcast(mo))
+      .withColumn("ei",
+        col("d") * (col("n") * col("y") - col("sy")) -
+          col("nb") * (col("n") * col("t") - col("st")))
+      .withColumn("hi", col("d") +
+        (col("n") * col("t") - col("st")) * (col("n") * col("t") - col("st")))
+      .localCheckpoint()
+    val sse = scored.agg(sum(col("ei") * col("ei")).as("sse_s"))
+    scored.crossJoin(broadcast(sse))
+      .withColumn("q", expr(fdiv("ei * ei * 1000000", "sse_s")))
+      .select(col("m").as("month"), col("t").cast("long").as("t"),
+        col("y").cast("long").as("rev_kusd"),
+        expr(fdiv("hi * 1000000", "n * d")).cast("long").as("leverage_e6"),
+        expr(fdiv("q * hi * (n * d) * (n - 2)",
+          "2 * (n * d - hi) * (n * d - hi)")).cast("long").as("cook_e6"))
+      .orderBy(col("cook_e6").desc, col("month"))
+      .limit(5)
+  }
+
+  val q422Sql: String =
+    """WITH bm AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT m, m - (SELECT MIN(m) FROM bm) + 1 AS t, y FROM bm),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(t AS HUGEINT) * t) AS stt,
+      |    SUM(CAST(t AS HUGEINT) * y) AS sty
+      |  FROM pts),
+      |cm AS (
+      |  SELECT n, st, sy, n * stt - st * st AS d,
+      |    n * sty - st * sy AS nb
+      |  FROM mo),
+      |scored AS (
+      |  SELECT m, t, y,
+      |    d * (n * y - sy) - nb * (n * t - st) AS ei,
+      |    d + (n * t - st) * (n * t - st) AS hi,
+      |    n, d
+      |  FROM pts CROSS JOIN cm),
+      |sse AS (SELECT SUM(ei * ei) AS sse_s FROM scored)
+      |SELECT m AS month, CAST(t AS BIGINT) AS t,
+      |  CAST(y AS BIGINT) AS rev_kusd,
+      |  CAST(hi * 1000000 // (n * d) AS BIGINT) AS leverage_e6,
+      |  CAST(((ei * ei * 1000000) // sse_s) * hi * (n * d) * (n - 2)
+      |    // (2 * (n * d - hi) * (n * d - hi)) AS BIGINT) AS cook_e6
+      |FROM scored CROSS JOIN sse
+      |ORDER BY cook_e6 DESC, month LIMIT 5""".stripMargin
+
+  // ------ q423: segmented trend regression with estimated breakpoint
+
+  /** Minimum points on each side of the candidate breakpoint. */
+  val SegMinSide = 3L
+
+  /** q423: segmented (broken-stick) regression over the monthly
+    * revenue trend — q307's Pettitt finds a MEAN shift and q317's
+    * SPRT a drift alarm; this estimates WHERE the trend itself bends
+    * by profiling the breakpoint: for every candidate split c the
+    * two-segment SSE is the closed form (A·B − C²)/(m·B) per side
+    * from PREFIX co-moments (one windowed pass over the ~80-row month
+    * panel — candidate generation bounded by the calendar), each side
+    * one e6 floor, argmin with smallest-c tiebreak. Slopes of both
+    * segments and the SSE reduction against the single fit land
+    * in-output.
+    *
+    * Plan: one orders pass → month rollup → windowed prefix moments
+    * (metadata) → candidate fold → argmin select.
+    */
+  val q423Segmented: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val bm = Tables.orders(s, dir)
+      .select(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("m")).agg(expr("SUM(c) div 100000").as("y"))
+      .localCheckpoint()
+    val t0 = bm.agg(min(col("m")).as("m0"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pref = bm.crossJoin(broadcast(t0))
+      .select(col("m"), (col("m") - col("m0") + 1L).as("t"), col("y"))
+      .withColumn("k", count(lit(1)).over(w).cast(dec))
+      .withColumn("pt", sum(col("t")).over(w).cast(dec))
+      .withColumn("py", sum(col("y")).over(w).cast(dec))
+      .withColumn("ptt", sum(col("t").cast(dec) * col("t")).over(w))
+      .withColumn("pty", sum(col("t").cast(dec) * col("y")).over(w))
+      .withColumn("pyy", sum(col("y").cast(dec) * col("y")).over(w))
+      .localCheckpoint()
+    val tot = pref.orderBy(col("t").desc).limit(1)
+      .select(col("k").as("nn"), col("pt").as("tt"), col("py").as("ty"),
+        col("ptt").as("ttt"), col("pty").as("tty"), col("pyy").as("tyy"))
+    def sseExpr(kk: String, a: String, b: String, c: String) =
+      // (A·B − C²)·10⁶ / (m·B) with A = mΣy²−(Σy)², B = mΣt²−(Σt)²,
+      // C = mΣty−ΣtΣy — all exact integers from the prefix moments
+      fdiv(s"(($a) * ($b) - ($c) * ($c)) * 1000000", s"($kk) * ($b)")
+    val cand = pref.crossJoin(broadcast(tot))
+      .filter(col("k") >= SegMinSide &&
+        col("nn") - col("k") >= SegMinSide)
+      .withColumn("al", col("k") * col("pyy") - col("py") * col("py"))
+      .withColumn("bl", col("k") * col("ptt") - col("pt") * col("pt"))
+      .withColumn("cl", col("k") * col("pty") - col("pt") * col("py"))
+      .withColumn("kr", col("nn") - col("k"))
+      .withColumn("syr", col("ty") - col("py"))
+      .withColumn("str2", col("tt") - col("pt"))
+      .withColumn("sttr", col("ttt") - col("ptt"))
+      .withColumn("styr", col("tty") - col("pty"))
+      .withColumn("syyr", col("tyy") - col("pyy"))
+      .withColumn("ar", col("kr") * col("syyr") - col("syr") * col("syr"))
+      .withColumn("br", col("kr") * col("sttr") - col("str2") * col("str2"))
+      .withColumn("cr", col("kr") * col("styr") - col("str2") * col("syr"))
+      .withColumn("sse_l", expr(sseExpr("k", "al", "bl", "cl")).cast(dec))
+      .withColumn("sse_r", expr(sseExpr("kr", "ar", "br", "cr")).cast(dec))
+      .withColumn("sse2", col("sse_l") + col("sse_r"))
+      .localCheckpoint()
+    val best = cand.orderBy(col("sse2"), col("m")).limit(1)
+    val single = tot.select(expr(sseExpr("nn",
+      "nn * tyy - ty * ty", "nn * ttt - tt * tt",
+      "nn * tty - tt * ty")).cast(dec).as("sse1"))
+    best.crossJoin(broadcast(single))
+      .select(col("m").as("break_month"), col("k").cast("long").as("n_left"),
+        expr(sdiv("cl * 1000000", "bl")).as("slope_left_e6"),
+        expr(sdiv("cr * 1000000", "br")).as("slope_right_e6"),
+        col("sse1").cast("long").as("sse_single_e6"),
+        col("sse2").cast("long").as("sse_segmented_e6"),
+        expr(sdiv("(sse1 - sse2) * 1000000", "sse1")).as("reduction_e6"))
+  }
+
+  val q423Sql: String =
+    s"""WITH bm AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT m, m - (SELECT MIN(m) FROM bm) + 1 AS t, y FROM bm),
+      |pref AS (
+      |  SELECT m, t, y,
+      |    CAST(COUNT(*) OVER wp AS HUGEINT) AS k,
+      |    CAST(SUM(t) OVER wp AS HUGEINT) AS pt,
+      |    CAST(SUM(y) OVER wp AS HUGEINT) AS py,
+      |    SUM(CAST(t AS HUGEINT) * t) OVER wp AS ptt,
+      |    SUM(CAST(t AS HUGEINT) * y) OVER wp AS pty,
+      |    SUM(CAST(y AS HUGEINT) * y) OVER wp AS pyy
+      |  FROM pts
+      |  WINDOW wp AS (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT k AS nn, pt AS tt, py AS ty, ptt AS ttt, pty AS tty,
+      |    pyy AS tyy
+      |  FROM pref ORDER BY t DESC LIMIT 1),
+      |cand AS (
+      |  SELECT m, k,
+      |    k * pyy - py * py AS al, k * ptt - pt * pt AS bl,
+      |    k * pty - pt * py AS cl,
+      |    nn - k AS kr, ty - py AS syr, tt - pt AS str2,
+      |    ttt - ptt AS sttr, tty - pty AS styr, tyy - pyy AS syyr
+      |  FROM pref CROSS JOIN tot
+      |  WHERE k >= $SegMinSide AND nn - k >= $SegMinSide),
+      |scored AS (
+      |  SELECT m, k, cl, bl,
+      |    kr * syyr - syr * syr AS ar, kr * sttr - str2 * str2 AS br,
+      |    kr * styr - str2 * syr AS cr,
+      |    (al * bl - cl * cl) * 1000000 // (k * bl) AS sse_l
+      |  FROM cand),
+      |scored2 AS (
+      |  SELECT m, k, cl, bl, cr, br,
+      |    sse_l + (ar * br - cr * cr) * 1000000 // (kr2 * br) AS sse2
+      |  FROM (SELECT *, (SELECT nn FROM tot) - k AS kr2 FROM scored)),
+      |best AS (SELECT * FROM scored2 ORDER BY sse2, m LIMIT 1),
+      |single AS (
+      |  SELECT ((nn * tyy - ty * ty) * (nn * ttt - tt * tt)
+      |    - (nn * tty - tt * ty) * (nn * tty - tt * ty)) * 1000000
+      |    // (nn * (nn * ttt - tt * tt)) AS sse1
+      |  FROM tot)
+      |SELECT m AS break_month, CAST(k AS BIGINT) AS n_left,
+      |  CAST(CASE WHEN cl >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cl * 1000000) // bl) AS BIGINT) AS slope_left_e6,
+      |  CAST(CASE WHEN cr >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cr * 1000000) // br) AS BIGINT) AS slope_right_e6,
+      |  CAST(sse1 AS BIGINT) AS sse_single_e6,
+      |  CAST(sse2 AS BIGINT) AS sse_segmented_e6,
+      |  CAST(CASE WHEN sse1 - sse2 >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sse1 - sse2) * 1000000) // sse1) AS BIGINT) AS reduction_e6
+      |FROM best CROSS JOIN single""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -4379,6 +4606,8 @@ object AuditQueries {
     "q413_price_indices" -> q413PriceIndices,
     "q414_hill_tail" -> q414HillTail,
     "q418_chain_ladder" -> q418ChainLadder,
+    "q422_influence" -> q422Influence,
+    "q423_segmented" -> q423Segmented,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -4431,6 +4660,8 @@ object AuditQueries {
     "q413_price_indices" -> q413Sql,
     "q414_hill_tail" -> q414Sql,
     "q418_chain_ladder" -> q418Sql,
+    "q422_influence" -> q422Sql,
+    "q423_segmented" -> q423Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,
