@@ -10057,7 +10057,110 @@ object EventQueries {
       |ORDER BY period""".stripMargin
   }
 
+  // ------ q421: banded dynamic time warping clicks ↔ revenue
+
+  /** Sakoe–Chiba band half-width for the DTW grid. */
+  val DtwBand = 5L
+
+  /** q421: dynamic time warping between the daily click-share and
+    * revenue-share curves — ELASTIC alignment where q410's CCF can
+    * only shift rigidly: if the click→revenue lag varies over the
+    * month (payday bursts convert same-day, weekend browsing
+    * converts Monday), a single best lag under-reads the coupling;
+    * DTW warps the time axis within a Sakoe–Chiba band of
+    * [[DtwBand]] days and reports the residual distance. Both series
+    * are normalized to exact e6 shares of their totals (scale-free,
+    * no z-score floors), costs are integer |Δshare|, and the DP runs
+    * anti-diagonal by anti-diagonal — on the driver over the
+    * metadata-sized day grid, and in the oracle as a recursive CTE
+    * whose working set carries exactly the last TWO diagonals (fresh
+    * + re-emitted rows), so each generation completes the next
+    * diagonal with full predecessors. The straight-diagonal L1 cost
+    * lands in-output with gain = L1 − DTW ≥ 0 as the certificate.
+    *
+    * Plan: one event pass → two day rollups joined (metadata) →
+    * |days|²-band driver fold.
+    */
+  val q421Dtw: Q = (s, dir) => {
+    val byDay = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("day"))
+      .agg(expr("SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)")
+        .as("rev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clk"))
+      .orderBy(col("day")).collect()
+    val rev = byDay.map(_.getAs[Long]("rev"))
+    val clk = byDay.map(_.getAs[Long]("clk"))
+    val n = rev.length
+    val sr = rev.sum
+    val sc = clk.sum
+    val xs = rev.map(r => r * 1000000L / sr)
+    val ys = clk.map(c => c * 1000000L / sc)
+    val big = Long.MaxValue / 4
+    val d = Array.fill(n + 1, n + 1)(big)
+    for (i <- 1 to n; j <- 1 to n if math.abs(i - j) <= DtwBand) {
+      val cost = math.abs(xs(i - 1) - ys(j - 1))
+      val prev =
+        if (i == 1 && j == 1) 0L
+        else math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+      d(i)(j) = cost + prev
+    }
+    val dtw = d(n)(n)
+    val diag = (0 until n).map(i => math.abs(xs(i) - ys(i))).sum
+    import s.implicits._
+    Seq((n.toLong, dtw, diag, diag - dtw))
+      .toDF("n_days", "dtw_e6", "diag_l1_e6", "alignment_gain_e6")
+  }
+
+  val q421Sql: String =
+    s"""WITH RECURSIVE bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS rev,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk
+      |  FROM events GROUP BY 1),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev, clk FROM bd),
+      |tot AS (SELECT SUM(rev) AS sr, SUM(clk) AS sc,
+      |  CAST(COUNT(*) AS BIGINT) AS n FROM bd),
+      |shares AS (
+      |  SELECT i, CAST(rev AS HUGEINT) * 1000000 // sr AS xs,
+      |    CAST(clk AS HUGEINT) * 1000000 // sc AS ys
+      |  FROM ser CROSS JOIN tot),
+      |cost AS (
+      |  SELECT a.i, b.i AS j, CAST(ABS(a.xs - b.ys) AS BIGINT) AS cost
+      |  FROM shares a JOIN shares b ON ABS(a.i - b.i) <= $DtwBand),
+      |walk AS (
+      |  SELECT CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+      |    CAST(cost AS BIGINT) AS v, 1 AS fresh
+      |  FROM cost WHERE i = 1 AND j = 1
+      |  UNION ALL
+      |  SELECT u.i, u.j, u.v, u.fresh FROM (
+      |    SELECT nc.i, nc.j, nc.mn + c.cost AS v, 1 AS fresh
+      |    FROM (SELECT i, j, MIN(v) AS mn FROM (
+      |        SELECT i + 1 AS i, j, v FROM walk WHERE fresh = 1
+      |        UNION ALL
+      |        SELECT i, j + 1 AS j, v FROM walk WHERE fresh = 1
+      |        UNION ALL
+      |        SELECT i + 1 AS i, j + 1 AS j, v FROM walk WHERE fresh = 0)
+      |      GROUP BY i, j) nc
+      |    JOIN cost c ON c.i = nc.i AND c.j = nc.j
+      |    UNION ALL
+      |    SELECT i, j, v, 0 AS fresh FROM walk WHERE fresh = 1) u),
+      |fin AS (
+      |  SELECT MIN(v) AS dtw_e6
+      |  FROM walk CROSS JOIN tot WHERE walk.i = tot.n AND walk.j = tot.n),
+      |diag AS (
+      |  SELECT CAST(SUM(ABS(xs - ys)) AS BIGINT) AS diag_l1_e6
+      |  FROM shares),
+      |nn AS (SELECT n AS n_days FROM tot)
+      |SELECT n_days, dtw_e6, diag_l1_e6,
+      |  diag_l1_e6 - dtw_e6 AS alignment_gain_e6
+      |FROM nn CROSS JOIN fin CROSS JOIN diag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q421_dtw" -> q421Dtw,
     "q419_permutation_test" -> q419PermutationTest,
     "q420_periodogram" -> q420Periodogram,
     "q417_erlang" -> q417Erlang,
@@ -10185,6 +10288,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q421_dtw" -> q421Sql,
     "q419_permutation_test" -> q419Sql,
     "q420_periodogram" -> q420Sql,
     "q417_erlang" -> q417Sql,

@@ -2984,7 +2984,115 @@ object TextQueries {
       |    AS BIGINT) AS alpha_e6
       |FROM m""".stripMargin
 
+  // --------- q424: RAKE keyphrase extraction over the corpus
+
+  /** Maximum RAKE phrase length (longer runs are discarded — the
+    * standard cap against stopword-free degenerate docs).
+    */
+  val RakeMaxLen = 4
+  /** Top-k phrases reported. */
+  val RakeK = 15
+
+  /** q424: RAKE (Rapid Automatic Keyword Extraction) — corpus-level
+    * keyPHRASE mining where q279's MI and q221's PMI rank single
+    * words and bigrams by association: RAKE segments each document
+    * at stopwords, treats the maximal content-word runs as candidate
+    * phrases (length ≤ [[RakeMaxLen]]), and scores each word by
+    * degree/frequency (degree = summed length of phrases it appears
+    * in — co-occurrence credit) and each phrase by the sum of its
+    * words' scores. Scores are one e6 floor per word, summed
+    * exactly; phrase text reassembles ORDER-DETERMINISTICALLY
+    * (array_sort over (pos, word) structs / LIST(... ORDER BY pos)).
+    *
+    * Plan: one posexplode → stopword islands via windows PARTITIONED
+    * by doc → (phrase, word) grain joins keyed by word → top-k
+    * TakeOrdered. Fan-out bounded by document length.
+    */
+  val q424Rake: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val stops = Text.stopwords("en")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text")))
+        .as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stops: _*))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = toks
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(wDoc))
+      .filter(!col("is_stop"))
+      .localCheckpoint()
+    val phrases = runs.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("len"),
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(pos, w))), x -> x.w))").as("phrase"))
+      .filter(col("len") <= RakeMaxLen)
+      .localCheckpoint()
+    val phraseWords = runs
+      .join(phrases.select(col("doc_id"), col("pid"), col("len")),
+        Seq("doc_id", "pid"))
+    val wordStats = phraseWords.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore_e6", expr(fdiv("deg * 1000000", "freq")))
+    val phraseScores = phraseWords.join(wordStats, Seq("w"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sum(col("wscore_e6")).as("score_e6"))
+      .join(phrases, Seq("doc_id", "pid"))
+    phraseScores.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(RakeK)
+  }
+
+  val q424Sql: String = {
+    val stops = Text.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, t.pos, t.w,
+      |    t.w IN ($stops) AS is_stop
+      |  FROM (SELECT doc_id,
+      |          UNNEST(STRING_SPLIT(text, ' ')) AS w,
+      |          UNNEST(range(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
+      |        FROM documents) t),
+      |runs AS (
+      |  SELECT doc_id, pos, w, pid FROM (
+      |    SELECT doc_id, pos, w, is_stop,
+      |      SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER
+      |        (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      |    FROM toks)
+      |  WHERE NOT is_stop),
+      |phrases AS (
+      |  SELECT doc_id, pid, COUNT(*) AS len,
+      |    ARRAY_TO_STRING(LIST(w ORDER BY pos), ' ') AS phrase
+      |  FROM runs GROUP BY doc_id, pid
+      |  HAVING COUNT(*) <= $RakeMaxLen),
+      |pw AS (
+      |  SELECT r.doc_id, r.pid, r.w, p.len
+      |  FROM runs r JOIN phrases p ON p.doc_id = r.doc_id
+      |    AND p.pid = r.pid),
+      |word_stats AS (
+      |  SELECT w, COUNT(*) AS freq,
+      |    CAST(SUM(len) AS HUGEINT) AS deg,
+      |    CAST(CAST(SUM(len) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+      |      AS wscore_e6
+      |  FROM pw GROUP BY w),
+      |ps AS (
+      |  SELECT pw.doc_id, pw.pid,
+      |    CAST(SUM(ws.wscore_e6) AS BIGINT) AS score_e6
+      |  FROM pw JOIN word_stats ws ON ws.w = pw.w
+      |  GROUP BY pw.doc_id, pw.pid)
+      |SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(MAX(ps.score_e6) AS BIGINT) AS score_e6
+      |FROM ps JOIN phrases p ON p.doc_id = ps.doc_id AND p.pid = ps.pid
+      |GROUP BY p.phrase
+      |ORDER BY score_e6 DESC, phrase LIMIT $RakeK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q424_rake" -> q424Rake,
     "q402_cronbach" -> q402Cronbach,
     "q401_krippendorff" -> q401Krippendorff,
     "q397_jensen_shannon" -> q397JensenShannon,
@@ -3032,6 +3140,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q424_rake" -> q424Sql,
     "q402_cronbach" -> q402Sql,
     "q401_krippendorff" -> q401Sql,
     "q397_jensen_shannon" -> q397Sql,
