@@ -10159,7 +10159,97 @@ object EventQueries {
       |  diag_l1_e6 - dtw_e6 AS alignment_gain_e6
       |FROM nn CROSS JOIN fin CROSS JOIN diag""".stripMargin
 
+  // ------ q426: Lindley waiting-time walk over sharded job queues
+
+  /** Queue shard count and the cents→milliseconds service mapping. */
+  val LindleyShards = 8L
+  val LindleyMsPerCent = 1000L
+
+  /** q426: the Lindley recursion W_{n+1} = max(0, W_n + S_n − A_{n+1})
+    * — the exact FIFO waiting-time replay that complements q417's
+    * steady-state Erlang formulas with a trajectory: purchases are
+    * jobs, service time is value-proportional ([[LindleyMsPerCent]] ms
+    * per cent, a documented synthetic mapping), and each of the
+    * [[LindleyShards]] hash shards is its own single-server queue —
+    * the per-queue decomposition real systems use, which is ALSO what
+    * makes the replay distributed. The recursion never runs
+    * sequentially: by the Lindley–Loynes identity W_n = P_n − min_{k≤n}
+    * P_k over the walk P_n = Σ(S_{i−1} − A_i), so one cumulative sum
+    * and one running min per shard (the q355 walk device, windows
+    * PARTITIONED by shard) replace the fold.
+    *
+    * Plan: one event pass → per-shard ordered walk windows → shard
+    * rollup. One shuffle.
+    */
+  val q426Lindley: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val wS = Window.partitionBy(col("shard"))
+      .orderBy(col("ms"), col("event_id"))
+    val jobs = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), expr("unix_millis(ts)").as("ms"),
+        (graft.functions.Text.portableHash(col("user_id").cast("string"))
+          % LindleyShards).as("shard"),
+        (cents(col("value")) * LindleyMsPerCent).as("svc"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(wS))
+      .withColumn("prev_svc", lag(col("svc"), 1).over(wS))
+      .withColumn("u",
+        when(col("prev_ms").isNull, 0L)
+          .otherwise(col("prev_svc") - (col("ms") - col("prev_ms"))))
+      .withColumn("p", sum(col("u")).over(
+        wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("pmin", min(col("p")).over(
+        wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("w", col("p") - col("pmin"))
+    jobs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_jobs"), sum(col("svc")).as("ssvc"),
+        (max(col("ms")) - min(col("ms"))).as("horizon_ms"),
+        sum(col("w")).as("sw"), max(col("w")).as("max_wait_ms"),
+        sum(when(col("w") > 0L, 1L).otherwise(0L)).as("n_delayed"))
+      .select(col("shard"), col("n_jobs"),
+        expr(fdiv("ssvc * 1000000", "GREATEST(horizon_ms, 1)"))
+          .as("util_e6"),
+        expr(fdiv("sw", "n_jobs")).as("mean_wait_ms"),
+        col("max_wait_ms"), col("n_delayed"))
+      .orderBy(col("shard"))
+  }
+
+  val q426Sql: String =
+    s"""WITH jobs AS (
+      |  SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % $LindleyShards AS shard,
+      |    CAST(ROUND(value*100) AS BIGINT) * $LindleyMsPerCent AS svc
+      |  FROM events WHERE event_type = 'purchase'),
+      |walk AS (
+      |  SELECT shard, ms, event_id, svc,
+      |    CASE WHEN LAG(ms) OVER ws IS NULL THEN 0
+      |      ELSE LAG(svc) OVER ws - (ms - LAG(ms) OVER ws) END AS u
+      |  FROM jobs
+      |  WINDOW ws AS (PARTITION BY shard ORDER BY ms, event_id)),
+      |cum0 AS (
+      |  SELECT shard, ms, event_id, svc,
+      |    SUM(u) OVER (PARTITION BY shard ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM walk),
+      |cum AS (
+      |  SELECT shard, ms, svc, p,
+      |    MIN(p) OVER (PARTITION BY shard ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+      |  FROM cum0)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_jobs,
+      |  CAST(CAST(SUM(svc) AS HUGEINT) * 1000000
+      |    // GREATEST(MAX(ms) - MIN(ms), 1) AS BIGINT) AS util_e6,
+      |  CAST(SUM(p - pmin) // COUNT(*) AS BIGINT) AS mean_wait_ms,
+      |  CAST(MAX(p - pmin) AS BIGINT) AS max_wait_ms,
+      |  CAST(SUM(CASE WHEN p - pmin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_delayed
+      |FROM cum GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q426_lindley" -> q426Lindley,
     "q421_dtw" -> q421Dtw,
     "q419_permutation_test" -> q419PermutationTest,
     "q420_periodogram" -> q420Periodogram,
@@ -10288,6 +10378,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q426_lindley" -> q426Sql,
     "q421_dtw" -> q421Sql,
     "q419_permutation_test" -> q419Sql,
     "q420_periodogram" -> q420Sql,

@@ -1895,7 +1895,147 @@ object SimilarityQueries {
        |JOIN pts p ON p.vec_id = l.vec_id
        |ORDER BY l.lof_e6 DESC, l.vec_id""".stripMargin
 
+  // ---------- q425: kNN hubness audit over the embedding space
+
+  /** q425: hubness — the high-dimensional pathology vector search
+    * stacks must monitor: as dimensionality concentrates distances, a
+    * few points become HUBS appearing in a disproportionate share of
+    * other points' kNN lists (and many become orphans appearing in
+    * none), silently skewing ANN recall and dedup candidate quality.
+    * Over q411's ε-bounded grid kNN lists (k = 5), the in-list
+    * occurrence count N_k per point is folded into the hubness panel:
+    * orphan share, max N_k and its argmax, and the SKEWNESS of N_k
+    * (the standard hubness score — positive skew = hubby space) via
+    * truncated-deviation integer moments and a fixed IEEE tree (the
+    * q362 device).
+    *
+    * Plan: grid cells → 3×3 candidate equi-join → per-point kNN
+    * window → occurrence rollup keyed by neighbor id → 1-row moment
+    * fold. No cartesians, no global sort.
+    */
+  val q425Hubness: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double") * 10000, 0)
+          .cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 10000, 0)
+          .cast("long").as("y"))
+      .withColumn("cx", expr(s"(x + 1000000) div $LofEps"))
+      .withColumn("cy", expr(s"(y + 1000000) div $LofEps"))
+      .localCheckpoint()
+    val members = pts.select(col("vec_id").as("m_id"), col("cx"), col("cy"),
+      col("x").as("mx"), col("y").as("my"))
+    val nb = pts
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
+          .as("c"))
+      .select(col("vec_id"), col("x"), col("y"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .join(members, Seq("cx", "cy"))
+      .filter(col("m_id") =!= col("vec_id") &&
+        (col("x") - col("mx")) * (col("x") - col("mx")) +
+          (col("y") - col("my")) * (col("y") - col("my")) <= LofEps * LofEps)
+      .select(col("vec_id"), col("m_id"),
+        ((col("x") - col("mx")) * (col("x") - col("mx")) +
+          (col("y") - col("my")) * (col("y") - col("my"))).as("d2"))
+    val ranked = nb.withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("m_id"))))
+      .filter(col("rn") <= LofK)
+    val nk = pts.select(col("vec_id"))
+      .join(ranked.groupBy(col("m_id").as("vec_id"))
+        .agg(count(lit(1)).as("nk0")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("nk0"), lit(0L)).as("nk"))
+      .localCheckpoint()
+    val hub = nk.orderBy(col("nk").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("hub_vec_id"), col("nk").as("max_nk"))
+    val tot = nk.agg(sum(col("nk")).cast(dec).as("snk"),
+      count(lit(1)).cast(dec).as("n"),
+      sum(when(col("nk") === 0L, 1L).otherwise(0L)).as("n_orphans"))
+    val moms = nk.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_orphans"), col("snk"),
+        expr(sdiv("nk * n - snk", "n")).as("d"))
+      .groupBy(col("n"), col("n_orphans"), col("snk"))
+      .agg(sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"))
+    val nD = col("n").cast("double")
+    val m2 = col("s2").cast("double") / nD
+    val m3 = col("s3").cast("double") / nD
+    moms.crossJoin(broadcast(hub))
+      .select(col("n").cast("long").as("n_points"),
+        col("n_orphans").cast("long").as("n_orphans"),
+        col("hub_vec_id"), col("max_nk"),
+        expr("""CAST(CAST((snk * 1000000 - snk * 1000000 % n) / n
+               | AS DECIMAL(38,0)) AS BIGINT)""".stripMargin
+          .replace("\n", " ")).as("mean_nk_e6"),
+        (m3 / (m2 * sqrt(m2))).as("skew_nk_d"))
+  }
+
+  val q425Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val m2 = s"(${d("s2")} / ${d("n")})"
+    val m3 = s"(${d("s3")} / ${d("n")})"
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS x,
+       |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) AS y
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT *, (x + 1000000) // $LofEps AS cx,
+       |    (y + 1000000) // $LofEps AS cy
+       |  FROM pts),
+       |nb AS (
+       |  SELECT p.vec_id, m.vec_id AS m_id,
+       |    (p.x - m.x) * (p.x - m.x) + (p.y - m.y) * (p.y - m.y) AS d2
+       |  FROM (SELECT c.vec_id, c.x, c.y, c.cx + dx.g AS cx,
+       |          c.cy + dy.g AS cy
+       |        FROM cells c,
+       |          (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dx,
+       |          (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS g) dy) p
+       |  JOIN cells m ON p.cx = m.cx AND p.cy = m.cy
+       |  WHERE m.vec_id <> p.vec_id
+       |    AND (p.x - m.x) * (p.x - m.x) + (p.y - m.y) * (p.y - m.y)
+       |      <= ${LofEps * LofEps}),
+       |ranked AS (
+       |  SELECT vec_id, m_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, m_id) AS rn
+       |  FROM nb QUALIFY rn <= $LofK),
+       |nk AS (
+       |  SELECT p.vec_id, CAST(COALESCE(r.nk0, 0) AS BIGINT) AS nk
+       |  FROM pts p
+       |  LEFT JOIN (SELECT m_id, COUNT(*) AS nk0 FROM ranked GROUP BY m_id)
+       |    r ON r.m_id = p.vec_id),
+       |hub AS (
+       |  SELECT vec_id AS hub_vec_id, nk AS max_nk
+       |  FROM nk ORDER BY nk DESC, vec_id LIMIT 1),
+       |tot AS (
+       |  SELECT CAST(SUM(nk) AS HUGEINT) AS snk,
+       |    CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_orphans
+       |  FROM nk),
+       |moms AS (
+       |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(n_orphans) AS n_orphans,
+       |    ANY_VALUE(snk) AS snk,
+       |    SUM(dd * dd) AS s2, SUM(dd * dd * dd) AS s3
+       |  FROM (SELECT n, n_orphans, snk,
+       |          CASE WHEN nk * n - snk >= 0 THEN 1 ELSE -1 END *
+       |            (ABS(nk * n - snk) // n) AS dd
+       |        FROM nk CROSS JOIN tot))
+       |SELECT CAST(n AS BIGINT) AS n_points, n_orphans, hub_vec_id, max_nk,
+       |  CAST(snk * 1000000 // n AS BIGINT) AS mean_nk_e6,
+       |  ($m3 / ($m2 * sqrt($m2))) AS skew_nk_d
+       |FROM moms CROSS JOIN hub""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q425_hubness" -> q425Hubness,
     "q411_lof" -> q411Lof,
     "q365_isotropy" -> q365Isotropy,
     "q366_balance_smd" -> q366BalanceSmd,
@@ -2042,6 +2182,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q425_hubness" -> q425Sql,
     "q411_lof" -> q411Sql,
     "q365_isotropy" -> q365Sql,
     "q366_balance_smd" -> q366Sql,
