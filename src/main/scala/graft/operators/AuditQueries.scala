@@ -3366,6 +3366,230 @@ object AuditQueries {
       |    (ABS((sse1 - sse2) * 1000000) // sse1) AS BIGINT) AS reduction_e6
       |FROM best CROSS JOIN single""".stripMargin
 
+  // ------ q427: empirical tail-dependence of (quantity, price)
+
+  /** Tail quantile levels (per mille) for the dependence probe. */
+  val TailLevels: Seq[Long] = Seq(900L, 950L)
+
+  /** q427: empirical tail-dependence coefficients — the COPULA view of
+    * association that correlation (q271/q327/q396) cannot give: two
+    * variables can be strongly correlated in the bulk yet independent
+    * in the tails (or vice versa — where joint extremes, the risk
+    * events, live). For (line quantity, extended price) at each level
+    * q ∈ {0.90, 0.95}: λ_U(q) = P(X > x_q ∧ Y > y_q)/(1−q) and the
+    * lower mirror λ_L — both → 1 under perfect tail comonotonicity,
+    * → 0 under tail independence. Thresholds are relational
+    * percentile_disc selections off the two-level rank construction
+    * (never a corpus sort); the joint-exceedance counts are one
+    * conditional-aggregate pass; each λ is one e6 floor.
+    *
+    * Plan: one fact pass → two value rollups → rank-target threshold
+    * selection (broadcast) → one counting pass. Two shuffles.
+    */
+  val q427TailDependence: Q = (s, dir) => {
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+    val li = Tables.lineitem(s, dir)
+      .select(expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      .localCheckpoint()
+    val n = li.agg(count(lit(1)).as("n"))
+    def thresholds(c: String) = {
+      val byV = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val ranked = doubledRankBelow(byV, Seq.empty, c, 100000L)
+        .crossJoin(broadcast(n))
+      val spine = s.createDataFrame(TailLevels.map(Tuple1(_))).toDF("lvl")
+      ranked.crossJoin(broadcast(spine))
+        .filter(col("below") + col("cnt") >=
+          expr("(lvl * n + 999) div 1000"))
+        .groupBy(col("lvl")).agg(min(col(c)).as(s"thr_$c"))
+    }
+    val thr = thresholds("x").join(thresholds("y"), Seq("lvl"))
+      .localCheckpoint()
+    li.crossJoin(broadcast(thr)).crossJoin(broadcast(n))
+      .groupBy(col("lvl"), col("thr_x"), col("thr_y"), col("n"))
+      .agg(sum(when(col("x") > col("thr_x") && col("y") > col("thr_y"), 1L)
+        .otherwise(0L)).as("n_joint_u"),
+        sum(when(col("x") <= col("thr_x") && col("y") <= col("thr_y"), 1L)
+          .otherwise(0L)).as("n_joint_l"))
+      .select(col("lvl").as("level_pm"), col("thr_x").as("x_threshold"),
+        col("thr_y").as("y_threshold_cents"),
+        expr(fdiv("n_joint_u * 1000 * 1000000", "(1000 - lvl) * n"))
+          .as("lambda_upper_e6"),
+        expr(fdiv("n_joint_l * 1000 * 1000000", "lvl * n"))
+          .as("lambda_lower_e6"))
+      .orderBy(col("level_pm"))
+  }
+
+  val q427Sql: String = {
+    val lvls = TailLevels.mkString(", ")
+    s"""WITH li AS (
+      |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+      |spine AS (SELECT UNNEST([$lvls]) AS lvl),
+      |tx AS (
+      |  SELECT lvl, MIN(x) AS thr_x
+      |  FROM (SELECT x, SUM(cnt) OVER (ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+      |              FROM li GROUP BY x))
+      |  CROSS JOIN spine CROSS JOIN n
+      |  WHERE cum >= (lvl * n + 999) // 1000
+      |  GROUP BY lvl),
+      |ty AS (
+      |  SELECT lvl, MIN(y) AS thr_y
+      |  FROM (SELECT y, SUM(cnt) OVER (ORDER BY y
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |              FROM li GROUP BY y))
+      |  CROSS JOIN spine CROSS JOIN n
+      |  WHERE cum >= (lvl * n + 999) // 1000
+      |  GROUP BY lvl),
+      |joint AS (
+      |  SELECT lvl, thr_x, thr_y, ANY_VALUE(n) AS n,
+      |    SUM(CASE WHEN x > thr_x AND y > thr_y THEN 1 ELSE 0 END)
+      |      AS n_joint_u,
+      |    SUM(CASE WHEN x <= thr_x AND y <= thr_y THEN 1 ELSE 0 END)
+      |      AS n_joint_l
+      |  FROM (SELECT * FROM tx JOIN ty USING (lvl)) thr
+      |  CROSS JOIN li CROSS JOIN n
+      |  GROUP BY lvl, thr_x, thr_y)
+      |SELECT lvl AS level_pm, thr_x AS x_threshold,
+      |  thr_y AS y_threshold_cents,
+      |  CAST(CAST(n_joint_u AS HUGEINT) * 1000 * 1000000
+      |    // ((1000 - lvl) * n) AS BIGINT) AS lambda_upper_e6,
+      |  CAST(CAST(n_joint_l AS HUGEINT) * 1000 * 1000000
+      |    // (lvl * n) AS BIGINT) AS lambda_lower_e6
+      |FROM joint ORDER BY level_pm""".stripMargin
+  }
+
+  // ----- q429: panel fixed-effects (within) trend estimator
+
+  /** q429: the panel-data within estimator — econometrics' answer to
+    * confounded trends that q117-style pooled OLS cannot separate: on
+    * the (nation, month) revenue panel, the POOLED slope mixes
+    * between-nation level differences into the time trend; the
+    * fixed-effects WITHIN estimator demeans inside each nation first,
+    * so only common-time variation identifies the slope. Per-nation
+    * n_i-cleared co-moments fold to one e6-floored contribution pair
+    * per nation (exact integers, no demeaned doubles), and the within,
+    * between (group-means OLS) and pooled slopes land side by side —
+    * the spread IS the omitted-heterogeneity diagnostic.
+    *
+    * Plan: orders ⋈ broadcast customer dim → (nation, month) rollup →
+    * per-nation fold (metadata) → 1-row estimator fold. One shuffle.
+    */
+  val q429FixedEffects: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nat"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("nat"), col("m"))
+      .agg(expr("SUM(c) div 100").as("y"))
+      .localCheckpoint()
+    val t0 = cells.agg(min(col("m")).as("m0"))
+    val pts = cells.crossJoin(broadcast(t0))
+      .select(col("nat"), (col("m") - col("m0") + 1L).as("t"), col("y"))
+    val perNat = pts.groupBy(col("nat"))
+      .agg(count(lit(1)).cast(dec).as("ni"),
+        sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
+        sum(col("t").cast(dec) * col("t")).as("stt"),
+        sum(col("t").cast(dec) * col("y")).as("sty"))
+      .select(col("nat"), col("ni"), col("st"), col("sy"),
+        expr(sdiv("(ni * sty - st * sy) * 1000000", "ni")).as("wnum_e6"),
+        expr(fdiv("(ni * stt - st * st) * 1000000", "ni")).as("wden_e6"),
+        expr(fdiv("st * 1000000", "ni")).as("tbar_e6"),
+        expr(fdiv("sy * 1000000", "ni")).as("ybar_e6"))
+      .localCheckpoint()
+    val within = perNat.agg(count(lit(1)).as("n_nations"),
+      sum(col("wnum_e6")).as("wn"), sum(col("wden_e6")).as("wd"))
+      .select(col("n_nations"),
+        expr(sdiv("wn * 1000000", "wd")).cast("long").as("beta_within_e6"))
+    val between = perNat.agg(count(lit(1)).cast(dec).as("g"),
+      sum(col("tbar_e6")).as("sb"), sum(col("ybar_e6")).as("yb"),
+      sum(col("tbar_e6").cast(dec) * col("tbar_e6")).as("sbb"),
+      sum(col("tbar_e6").cast(dec) * col("ybar_e6")).as("sby"))
+      .select(expr(sdiv("(g * sby - sb * yb) * 1000000", "g * sbb - sb * sb"))
+        .cast("long").as("beta_between_e6"))
+    val pooled = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("t").cast(dec) * col("t")).as("stt"),
+      sum(col("t").cast(dec) * col("y")).as("sty"))
+      .select(col("n").cast("long").as("n_cells"),
+        expr(sdiv("(n * sty - st * sy) * 1000000", "n * stt - st * st"))
+          .cast("long").as("beta_pooled_e6"))
+    within.crossJoin(broadcast(between)).crossJoin(broadcast(pooled))
+      .select(col("n_nations"), col("n_cells"), col("beta_within_e6"),
+        col("beta_between_e6"), col("beta_pooled_e6"))
+  }
+
+  val q429Sql: String =
+    """WITH cells AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT nat, m - (SELECT MIN(m) FROM cells) + 1 AS t, y FROM cells),
+      |per_nat AS (
+      |  SELECT nat, CAST(COUNT(*) AS HUGEINT) AS ni,
+      |    CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(t AS HUGEINT) * t) AS stt,
+      |    SUM(CAST(t AS HUGEINT) * y) AS sty
+      |  FROM pts GROUP BY nat),
+      |staged AS (
+      |  SELECT nat,
+      |    CASE WHEN ni * sty - st * sy >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((ni * sty - st * sy) * 1000000) // ni) AS wnum_e6,
+      |    (ni * stt - st * st) * 1000000 // ni AS wden_e6,
+      |    st * 1000000 // ni AS tbar_e6,
+      |    sy * 1000000 // ni AS ybar_e6
+      |  FROM per_nat),
+      |within AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+      |    CAST(CASE WHEN SUM(wnum_e6) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(SUM(wnum_e6) * 1000000) // SUM(wden_e6)) AS BIGINT)
+      |      AS beta_within_e6
+      |  FROM staged),
+      |between0 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS g,
+      |    CAST(SUM(tbar_e6) AS HUGEINT) AS sb,
+      |    CAST(SUM(ybar_e6) AS HUGEINT) AS yb,
+      |    SUM(CAST(tbar_e6 AS HUGEINT) * tbar_e6) AS sbb,
+      |    SUM(CAST(tbar_e6 AS HUGEINT) * ybar_e6) AS sby
+      |  FROM staged),
+      |between1 AS (
+      |  SELECT CAST(CASE WHEN g * sby - sb * yb >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((g * sby - sb * yb) * 1000000) // (g * sbb - sb * sb))
+      |    AS BIGINT) AS beta_between_e6
+      |  FROM between0),
+      |pooled AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |    CAST(CASE WHEN CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * y)
+      |        - CAST(SUM(t) AS HUGEINT) * SUM(y) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * y)
+      |        - CAST(SUM(t) AS HUGEINT) * SUM(y)) * 1000000)
+      |       // (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * t)
+      |        - CAST(SUM(t) AS HUGEINT) * SUM(t))) AS BIGINT)
+      |      AS beta_pooled_e6
+      |  FROM pts)
+      |SELECT n_nations, n_cells, beta_within_e6, beta_between_e6,
+      |  beta_pooled_e6
+      |FROM within CROSS JOIN between1 CROSS JOIN pooled""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -4608,6 +4832,8 @@ object AuditQueries {
     "q418_chain_ladder" -> q418ChainLadder,
     "q422_influence" -> q422Influence,
     "q423_segmented" -> q423Segmented,
+    "q427_tail_dependence" -> q427TailDependence,
+    "q429_fixed_effects" -> q429FixedEffects,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -4662,6 +4888,8 @@ object AuditQueries {
     "q418_chain_ladder" -> q418Sql,
     "q422_influence" -> q422Sql,
     "q423_segmented" -> q423Sql,
+    "q427_tail_dependence" -> q427Sql,
+    "q429_fixed_effects" -> q429Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

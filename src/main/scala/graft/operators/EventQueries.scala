@@ -10248,7 +10248,135 @@ object EventQueries {
       |    AS n_delayed
       |FROM cum GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------ q428: mediation analysis signups → clicks → revenue
+
+  /** q428: Baron–Kenny / Sobel mediation — the causal-chain question
+    * q405's Granger cannot decompose: how much of the daily
+    * signup→revenue association flows THROUGH click activity
+    * (indirect a·b) versus directly (c′)? Three closed-form OLS fits
+    * share ONE n-cleared co-moment fold (X = signups, M = clicks,
+    * Y = revenue in $10 units): a from M~X, (c′, b) from Y~X+M by the q405
+    * determinant algebra, c from Y~X — and the exact OLS identity
+    * c = c′ + a·b lands in-output as decomposition_gap_e6 (floor
+    * drift only). The Sobel statistic z = a·b/√(b²·V_a + a²·V_b)
+    * composes a fixed IEEE tree over the exact integers (VARCHAR-
+    * exact casts on the oracle side).
+    *
+    * Plan: one event pass → day rollup → 1-row co-moment fold.
+    */
+  val q428Mediation: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("m"),
+        expr("SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)" +
+          " div 1000").as("y"))
+      .localCheckpoint()
+    val mo = byDay.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("m")).cast(dec).as("sm"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("qxx"),
+      sum(col("m").cast(dec) * col("m")).as("qmm"),
+      sum(col("y").cast(dec) * col("y")).as("qyy"),
+      sum(col("x").cast(dec) * col("m")).as("qxm"),
+      sum(col("x").cast(dec) * col("y")).as("qxy"),
+      sum(col("m").cast(dec) * col("y")).as("qmy"))
+    val cm = mo.select(col("n"),
+      (col("n") * col("qxx") - col("sx") * col("sx")).as("dx"),
+      (col("n") * col("qmm") - col("sm") * col("sm")).as("dm"),
+      (col("n") * col("qyy") - col("sy") * col("sy")).as("dy"),
+      (col("n") * col("qxm") - col("sx") * col("sm")).as("cxm"),
+      (col("n") * col("qxy") - col("sx") * col("sy")).as("cxy"),
+      (col("n") * col("qmy") - col("sm") * col("sy")).as("cmy"))
+      .withColumn("d2", col("dx") * col("dm") - col("cxm") * col("cxm"))
+    def dd(c: String) = col(c).cast("double")
+    val aD = dd("cxm") / dd("dx")
+    val bD = (dd("cmy") * dd("dx") - dd("cxy") * dd("cxm")) / dd("d2")
+    val rssA = (dd("dm") * dd("dx") - dd("cxm") * dd("cxm")) /
+      (dd("n") * dd("dx"))
+    val rssY = (dd("dy") * dd("d2") - dd("cxy") *
+      (dd("cxy") * dd("dm") - dd("cmy") * dd("cxm")) - dd("cmy") *
+      (dd("cmy") * dd("dx") - dd("cxy") * dd("cxm"))) / (dd("n") * dd("d2"))
+    val vA = dd("n") * rssA / ((dd("n") - 2) * dd("dx"))
+    val vB = dd("n") * rssY / (dd("n") - 3) * dd("dx") / dd("d2")
+    val sobel = aD * bD / sqrt(bD * bD * vA + aD * aD * vB)
+    cm.select(col("n").cast("long").as("n_days"),
+      expr(sdiv("cxm * 1000000", "dx")).as("a_e6"),
+      expr(sdiv("(cmy * dx - cxy * cxm) * 1000000", "d2")).as("b_e6"),
+      expr(sdiv("(cxy * dm - cmy * cxm) * 1000000", "d2")).as("cprime_e6"),
+      expr(sdiv("cxy * 1000000", "dx")).as("c_total_e6"),
+      (expr(sdiv("cxy * 1000000", "dx")) -
+        expr(sdiv("(cxy * dm - cmy * cxm) * 1000000", "d2")) -
+        expr(sdiv("cxm * (cmy * dx - cxy * cxm) * 1000000", "dx * d2")))
+        .as("decomposition_gap_e6"),
+      sobel.as("sobel_z_d"))
+  }
+
+  val q428Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val aD = s"(${d("cxm")} / ${d("dx")})"
+    val bD = s"((${d("cmy")} * ${d("dx")} - ${d("cxy")} * ${d("cxm")}) / ${d("d2")})"
+    val rssA = s"((${d("dm")} * ${d("dx")} - ${d("cxm")} * ${d("cxm")}) / (${d("n")} * ${d("dx")}))"
+    val rssY = s"((${d("dy")} * ${d("d2")} - ${d("cxy")} * (${d("cxy")} * ${d("dm")} - ${d("cmy")} * ${d("cxm")}) - ${d("cmy")} * (${d("cmy")} * ${d("dx")} - ${d("cxy")} * ${d("cxm")})) / (${d("n")} * ${d("d2")}))"
+    val vA = s"(${d("n")} * $rssA / ((${d("n")} - 2) * ${d("dx")}))"
+    val vB = s"(${d("n")} * $rssY / (${d("n")} - 3) * ${d("dx")} / ${d("d2")})"
+    val sobel = s"($aD * $bD / sqrt($bD * $bD * $vA + $aD * $aD * $vB))"
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) // 1000
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(m) AS HUGEINT) AS sm,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS qxx,
+      |    SUM(CAST(m AS HUGEINT) * m) AS qmm,
+      |    SUM(CAST(y AS HUGEINT) * y) AS qyy,
+      |    SUM(CAST(x AS HUGEINT) * m) AS qxm,
+      |    SUM(CAST(x AS HUGEINT) * y) AS qxy,
+      |    SUM(CAST(m AS HUGEINT) * y) AS qmy
+      |  FROM bd),
+      |cm AS (
+      |  SELECT n, n * qxx - sx * sx AS dx, n * qmm - sm * sm AS dm,
+      |    n * qyy - sy * sy AS dy, n * qxm - sx * sm AS cxm,
+      |    n * qxy - sx * sy AS cxy, n * qmy - sm * sy AS cmy
+      |  FROM mo),
+      |cm2 AS (SELECT *, dx * dm - cxm * cxm AS d2 FROM cm)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(CASE WHEN cxm >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxm * 1000000) // dx) AS BIGINT) AS a_e6,
+      |  CAST(CASE WHEN cmy * dx - cxy * cxm >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cmy * dx - cxy * cxm) * 1000000) // d2) AS BIGINT) AS b_e6,
+      |  CAST(CASE WHEN cxy * dm - cmy * cxm >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cxy * dm - cmy * cxm) * 1000000) // d2) AS BIGINT)
+      |    AS cprime_e6,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx) AS BIGINT) AS c_total_e6,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx)
+      |   - CASE WHEN cxy * dm - cmy * cxm >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cxy * dm - cmy * cxm) * 1000000) // d2)
+      |   - CASE WHEN cxm * (cmy * dx - cxy * cxm) >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxm * (cmy * dx - cxy * cxm) * 1000000) // (dx * d2))
+      |    AS BIGINT) AS decomposition_gap_e6,
+      |  $sobel AS sobel_z_d
+      |FROM cm2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q428_mediation" -> q428Mediation,
     "q426_lindley" -> q426Lindley,
     "q421_dtw" -> q421Dtw,
     "q419_permutation_test" -> q419PermutationTest,
@@ -10378,6 +10506,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q428_mediation" -> q428Sql,
     "q426_lindley" -> q426Sql,
     "q421_dtw" -> q421Sql,
     "q419_permutation_test" -> q419Sql,
