@@ -3590,6 +3590,498 @@ object AuditQueries {
       |  beta_pooled_e6
       |FROM within CROSS JOIN between1 CROSS JOIN pooled""".stripMargin
 
+  // ------ q433: shift-share decomposition of nation revenue growth
+
+  /** Period boundary for the shift-share halves (orders span 1992-1998;
+    * the boundary is the reference TPC-H mid-date used by q298's DiD).
+    */
+  val ShiftShareBreak = "1995-07-01"
+
+  /** q433: classical shift-share analysis — the REGIONAL-economics
+    * growth decomposition next to q381's LMDI (which decomposes by
+    * FACTOR, not by region): each nation's revenue change between the
+    * two halves splits into the national-growth effect (what growing
+    * with the grand total would give), the industry-mix effect (the
+    * nation's brand portfolio growing at brand-level rates), and the
+    * competitive effect (the residual nation-specific performance).
+    * Per-cell terms telescope — ns + mix + comp = (r1−r0)·10⁶ EXACTLY,
+    * because the two floored middle terms cancel pairwise — so the
+    * decomposition is residual-free by construction and the identity
+    * is checkable in-output.
+    *
+    * Plan: lineitem ⋈ orders (the one big-big shuffle) with broadcast
+    * customer/part dims → 625-cell rollup (checkpointed: grand/brand
+    * totals and the output all ride it) → metadata folds.
+    */
+  val q433ShiftShare: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("r"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") < lit(ShiftShareBreak)).cast("long").as("pre")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_nationkey").as("nat"), col("p_brand").as("brand"))
+      .agg(sum(when(col("pre") === 1L, col("r")).otherwise(0L)).cast(dec)
+        .as("r0"),
+        sum(when(col("pre") === 0L, col("r")).otherwise(0L)).cast(dec)
+          .as("r1"))
+      .localCheckpoint()
+    val grand = cells.agg(sum(col("r0")).as("g0"), sum(col("r1")).as("g1"))
+    val byBrand = cells.groupBy(col("brand"))
+      .agg(sum(col("r0")).as("b0"), sum(col("r1")).as("b1"))
+    val terms = cells.join(broadcast(byBrand), Seq("brand"))
+      .crossJoin(broadcast(grand))
+      .select(col("nat"), col("r0"), col("r1"),
+        expr(sdiv("r0 * (g1 - g0) * 1000000", "g0")).as("ns"),
+        expr(sdiv("r0 * (b1 - b0) * 1000000", "b0")).as("bs"))
+    terms.groupBy(col("nat"))
+      .agg(sum(col("r0")).as("r0c"), sum(col("r1")).as("r1c"),
+        sum(col("ns")).as("national"),
+        sum(col("bs") - col("ns")).as("mix"),
+        sum((col("r1") - col("r0")) * 1000000L - col("bs"))
+          .as("competitive"))
+      .select(col("nat").as("nation"),
+        col("r0c").cast("long").as("rev_pre_cents"),
+        col("r1c").cast("long").as("rev_post_cents"),
+        col("national").cast("long").as("national_e6c"),
+        col("mix").cast("long").as("mix_e6c"),
+        col("competitive").cast("long").as("competitive_e6c"),
+        (col("national") + col("mix") + col("competitive") -
+          (col("r1c") - col("r0c")) * 1000000L).cast("long")
+          .as("identity_gap_e6c"))
+      .orderBy(col("nation"))
+  }
+
+  val q433Sql: String =
+    s"""WITH cells AS (
+      |  SELECT c.c_nationkey AS nat, p.p_brand AS brand,
+      |    CAST(SUM(CASE WHEN o.o_orderdate < DATE '$ShiftShareBreak'
+      |      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE 0 END) AS HUGEINT) AS r0,
+      |    CAST(SUM(CASE WHEN o.o_orderdate >= DATE '$ShiftShareBreak'
+      |      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE 0 END) AS HUGEINT) AS r1
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |grand AS (SELECT SUM(r0) AS g0, SUM(r1) AS g1 FROM cells),
+      |by_brand AS (
+      |  SELECT brand, SUM(r0) AS b0, SUM(r1) AS b1 FROM cells GROUP BY 1),
+      |terms AS (
+      |  SELECT nat, r0, r1,
+      |    CASE WHEN r0 * (g1 - g0) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(r0 * (g1 - g0) * 1000000) // g0) AS ns,
+      |    CASE WHEN r0 * (b1 - b0) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(r0 * (b1 - b0) * 1000000) // b0) AS bs
+      |  FROM cells JOIN by_brand USING (brand) CROSS JOIN grand)
+      |SELECT nat AS nation,
+      |  CAST(SUM(r0) AS BIGINT) AS rev_pre_cents,
+      |  CAST(SUM(r1) AS BIGINT) AS rev_post_cents,
+      |  CAST(SUM(ns) AS BIGINT) AS national_e6c,
+      |  CAST(SUM(bs - ns) AS BIGINT) AS mix_e6c,
+      |  CAST(SUM((r1 - r0) * 1000000 - bs) AS BIGINT) AS competitive_e6c,
+      |  CAST(SUM(ns) + SUM(bs - ns) + SUM((r1 - r0) * 1000000 - bs)
+      |    - (SUM(r1) - SUM(r0)) * 1000000 AS BIGINT) AS identity_gap_e6c
+      |FROM terms GROUP BY nat ORDER BY nation""".stripMargin
+
+  // ------ q434: Bray–Curtis dissimilarity between nation brand mixes
+
+  /** Shared construction for q434/q435: the (nation, brand) quantity
+    * composition matrix — one fact pass, 625-cell metadata rollup.
+    */
+  private def brandMixCells(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_nationkey").as("nat"), col("p_brand").as("brand"))
+      .agg(sum(col("q")).as("q"))
+
+  /** The (nation, nation) Bray–Curtis matrix at e6 off [[brandMixCells]]
+    * via the min-overlap identity BC = 1 − 2·Σ_b min(x_b,y_b)/(X+Y) —
+    * absent brands contribute min = 0, so the inner brand join IS the
+    * union-complete numerator.
+    */
+  private def brayCurtisPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val cells = brandMixCells(s, dir).localCheckpoint()
+    val tot = cells.groupBy(col("nat")).agg(sum(col("q")).as("qt"))
+    val a = cells.select(col("nat").as("na"), col("brand"),
+      col("q").as("qa"))
+    val b = cells.select(col("nat").as("nb"), col("brand"),
+      col("q").as("qb"))
+    val shared = a.join(b, Seq("brand")).filter(col("na") < col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared_brands"),
+        sum(least(col("qa"), col("qb"))).as("smin"))
+    shared
+      .join(broadcast(tot.select(col("nat").as("na"), col("qt").as("ta"))),
+        Seq("na"))
+      .join(broadcast(tot.select(col("nat").as("nb"), col("qt").as("tb"))),
+        Seq("nb"))
+      .select(col("na"), col("nb"), col("shared_brands"),
+        (lit(1000000L) - expr(
+          "CAST((2 * smin * 1000000 - (2 * smin * 1000000) % (ta + tb))" +
+            " / (ta + tb) AS BIGINT)")).as("bc_e6"))
+  }
+
+  /** The matching oracle CTEs for [[brayCurtisPairs]] (terminated by a
+    * `bc(na, nb, shared_brands, bc_e6)` relation).
+    */
+  private val BrayCurtisCtes: String =
+    """cells AS (
+      |  SELECT c.c_nationkey AS nat, p.p_brand AS brand,
+      |    CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT nat, SUM(q) AS qt FROM cells GROUP BY 1),
+      |bc AS (
+      |  SELECT a.nat AS na, b.nat AS nb,
+      |    CAST(COUNT(*) AS BIGINT) AS shared_brands,
+      |    1000000 - (2 * SUM(LEAST(a.q, b.q)) * 1000000)
+      |      // (ANY_VALUE(ta.qt) + ANY_VALUE(tb.qt)) AS bc_e6
+      |  FROM cells a
+      |  JOIN cells b ON b.brand = a.brand AND a.nat < b.nat
+      |  JOIN tot ta ON ta.nat = a.nat
+      |  JOIN tot tb ON tb.nat = b.nat
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q434: Bray–Curtis compositional dissimilarity between nation
+    * brand mixes — the ecologist's abundance-weighted distance next to
+    * the engine's set distances (Jaccard q54, cosine q63): two nations
+    * buying the same brands in the same PROPORTIONS score 0 even at
+    * different volumes... the min-overlap identity makes the numerator
+    * union-complete off the shared-brand inner join alone, so the pair
+    * pass never leaves the 625-cell metadata rollup.
+    *
+    * Plan: one fact pass → 625-cell rollup (checkpointed) → grouped
+    * self-join pair fold (≤ 25² metadata rows). One corpus shuffle.
+    */
+  val q434BrayCurtis: Q = (s, dir) =>
+    brayCurtisPairs(s, dir)
+      .select(col("na").as("nation_a"), col("nb").as("nation_b"),
+        col("shared_brands"), col("bc_e6"))
+      .orderBy(col("nation_a"), col("nation_b"))
+
+  val q434Sql: String =
+    s"""WITH $BrayCurtisCtes
+      |SELECT na AS nation_a, nb AS nation_b, shared_brands,
+      |  CAST(bc_e6 AS BIGINT) AS bc_e6
+      |FROM bc ORDER BY nation_a, nation_b""".stripMargin
+
+  // ------ q435: Mantel test between two nation-distance matrices
+
+  /** Pseudo-permutation count for the Mantel test (resolution 1/20). */
+  val MantelB = 19
+
+  /** q435: the Mantel matrix-correlation test — "do nations with
+    * similar brand MIXES also sit at similar PRICE levels?" is a
+    * question about two DISTANCE MATRICES, and naive pairwise
+    * correlation is invalid because the n(n−1)/2 pair values share
+    * rows. Mantel's fix is a permutation null that relabels NATIONS
+    * (not pairs). A nation permutation induces a bijection on
+    * unordered pairs, so Σx, Σx² are invariant and comparing the raw
+    * cross products Σ x_σ·y suffices — each permuted statistic is an
+    * EXACT integer. Relabelings are the q419 hash device: nation ranks
+    * under the portable hash of (nation, b). The observed r lands as
+    * one IEEE expression over exact pair sums.
+    *
+    * Plan: the q434 pair matrix (one corpus pass) ⋈ an orders rollup
+    * (second corpus pass) → 300-row pair table (checkpointed) → ×B
+    * broadcast spine fold. Everything after the rollups is metadata.
+    */
+  val q435MantelTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val d1 = brayCurtisPairs(s, dir).select(col("na"), col("nb"),
+      col("bc_e6"))
+    val aov = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nat"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))" +
+        " div COUNT(*)").as("aov"))
+      .localCheckpoint()
+    val pairs = d1
+      .join(broadcast(aov.select(col("nat").as("na"), col("aov").as("pa"))),
+        Seq("na"))
+      .join(broadcast(aov.select(col("nat").as("nb"), col("aov").as("pb"))),
+        Seq("nb"))
+      .select(col("na"), col("nb"), col("bc_e6").as("x"),
+        abs(col("pa") - col("pb")).as("y"))
+      .localCheckpoint()
+    val spine = s.range(0L, MantelB + 1L).select(col("id").as("b"))
+    val nats = aov.select(col("nat"))
+    val labels = nats.crossJoin(broadcast(spine))
+      .withColumn("hk",
+        when(col("b") === 0L, col("nat"))
+          .otherwise(graft.functions.Text.portableHash(
+            concat(lit("mantel#"), col("nat").cast("string"), lit("#"),
+              col("b").cast("string")))))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+          .orderBy(col("hk"), col("nat"))))
+    val natOfRank = labels.filter(col("b") === 0L)
+      .select(col("r"), col("nat").as("target"))
+    val sigma = labels.join(broadcast(natOfRank), Seq("r"))
+      .select(col("b"), col("nat"), col("target"))
+    val permuted = pairs.select(col("na"), col("nb"), col("y"))
+      .crossJoin(broadcast(spine))
+      .join(broadcast(sigma.select(col("b"), col("nat").as("na"),
+        col("target").as("sa"))), Seq("b", "na"))
+      .join(broadcast(sigma.select(col("b"), col("nat").as("nb"),
+        col("target").as("sb"))), Seq("b", "nb"))
+      .select(col("b"), col("y"),
+        least(col("sa"), col("sb")).as("pna"),
+        greatest(col("sa"), col("sb")).as("pnb"))
+      .join(broadcast(pairs.select(col("na").as("pna"),
+        col("nb").as("pnb"), col("x").as("xp"))), Seq("pna", "pnb"))
+    val stats = permuted.groupBy(col("b"))
+      .agg(sum(col("xp").cast(dec) * col("y")).as("s"))
+      .localCheckpoint()
+    val obs = stats.filter(col("b") === 0L).select(col("s").as("s_obs"))
+    val mo = pairs.agg(count(lit(1)).cast(dec).as("p"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("qxx"),
+      sum(col("y").cast(dec) * col("y")).as("qyy"))
+    def d(c: String) = col(c).cast("double")
+    stats.filter(col("b") > 0L).crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("s") >= col("s_obs"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("s_obs")).as("s_obs"))
+      .crossJoin(broadcast(mo))
+      .select(col("p").cast("long").as("n_pairs"),
+        ((d("p") * d("s_obs") - d("sx") * d("sy")) /
+          (sqrt(d("p") * d("qxx") - d("sx") * d("sx")) *
+            sqrt(d("p") * d("qyy") - d("sy") * d("sy"))))
+          .as("mantel_r_d"),
+        col("n_perm"), col("n_ge"),
+        expr("CAST((1 + n_ge) * 1000000 div (1 + n_perm) AS BIGINT)")
+          .as("p_e6"))
+  }
+
+  val q435Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH $BrayCurtisCtes,
+      |aov AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // COUNT(*)
+      |      AS aov
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT na, nb, bc_e6 AS x, ABS(pa.aov - pb.aov) AS y
+      |  FROM bc
+      |  JOIN aov pa ON pa.nat = bc.na
+      |  JOIN aov pb ON pb.nat = bc.nb),
+      |spine AS (SELECT UNNEST(range(0, ${MantelB + 1})) AS b),
+      |labels AS (
+      |  SELECT b, nat,
+      |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY
+      |      CASE WHEN b = 0 THEN nat
+      |        ELSE CAST(concat('0x', substr(md5('mantel#' ||
+      |          CAST(nat AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 15))
+      |          AS BIGINT) END, nat) AS r
+      |  FROM aov CROSS JOIN spine),
+      |nat_of_rank AS (SELECT r, nat AS target FROM labels WHERE b = 0),
+      |sigma AS (
+      |  SELECT b, nat, target FROM labels JOIN nat_of_rank USING (r)),
+      |permuted AS (
+      |  SELECT sp.b, p.y,
+      |    LEAST(sa.target, sb.target) AS pna,
+      |    GREATEST(sa.target, sb.target) AS pnb
+      |  FROM pairs p CROSS JOIN spine sp
+      |  JOIN sigma sa ON sa.b = sp.b AND sa.nat = p.na
+      |  JOIN sigma sb ON sb.b = sp.b AND sb.nat = p.nb),
+      |stats AS (
+      |  SELECT b, SUM(CAST(x2.x AS HUGEINT) * permuted.y) AS s
+      |  FROM permuted
+      |  JOIN pairs x2 ON x2.na = permuted.pna AND x2.nb = permuted.pnb
+      |  GROUP BY b),
+      |obs AS (SELECT s AS s_obs FROM stats WHERE b = 0),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS p,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS qxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS qyy
+      |  FROM pairs),
+      |fin AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_perm,
+      |    CAST(SUM(CASE WHEN s >= s_obs THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ge,
+      |    ANY_VALUE(s_obs) AS s_obs
+      |  FROM stats CROSS JOIN obs WHERE b > 0)
+      |SELECT CAST(p AS BIGINT) AS n_pairs,
+      |  (${d("p")} * ${d("s_obs")} - ${d("sx")} * ${d("sy")}) /
+      |    (sqrt(${d("p")} * ${d("qxx")} - ${d("sx")} * ${d("sx")}) *
+      |     sqrt(${d("p")} * ${d("qyy")} - ${d("sy")} * ${d("sy")}))
+      |    AS mantel_r_d,
+      |  n_perm, n_ge,
+      |  CAST((1 + n_ge) * 1000000 // (1 + n_perm) AS BIGINT) AS p_e6
+      |FROM fin CROSS JOIN mo""".stripMargin
+  }
+
+  // ------ q436: ordinal association panel (gamma / Somers' D / tau-c)
+
+  /** q436: the ordinal-association panel — γ, Somers' D (both
+    * directions) and Stuart's τ-c between order PRIORITY (a genuinely
+    * ordinal 1..5 scale) and order-value quintile, all from ONE set of
+    * concordance counts that q327's τ-b construction pioneered: the
+    * contingency is ≤ 25 cells, so concordant/discordant/tied-pair
+    * masses fold exactly from the cell pair join. The three statistics
+    * differ ONLY in how ties enter the denominator — reporting them
+    * side by side is the point (γ ignores all ties and flatters;
+    * Somers' picks a dependent variable; τ-c corrects for the
+    * rectangular table).
+    *
+    * Plan: one cutpoint pass (broadcast), one fact pass → ≤ 25-cell
+    * rollup; the pair fold is metadata.
+    */
+  val q436OrdinalAssoc: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val ord = Tables.orders(s, dir)
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("x"), cents(col("o_totalprice")).as("c"))
+    val byV = ord.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val ranked = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val cuts = ranked.crossJoin(broadcast(nAll))
+      .select(col("c"), col("below"), col("cnt"),
+        explode(expr("sequence(1, 4)")).as("i"))
+      .filter(col("below") < expr("(n_all * i + 4) div 5") &&
+        expr("(n_all * i + 4) div 5") <= col("below") + col("cnt"))
+      .groupBy().pivot("i", 1 to 4).agg(first(col("c")))
+      .select((1 to 4).map(i => col(i.toString).as(s"k$i")): _*)
+    val binExpr = (1 to 4).map(i => s"CAST(c > k$i AS INT)").mkString(" + ")
+    val cells = ord.crossJoin(broadcast(cuts))
+      .select(col("x"), expr(binExpr).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("n").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("n").as("nb"))
+    val m = col("na").cast(dec) * col("nb")
+    val cross = a.join(b,
+      col("xb") > col("xa") ||
+        (col("xb") === col("xa") && col("yb") > col("ya")))
+      .agg(sum(when(col("xb") > col("xa") && col("yb") > col("ya"), m)
+        .otherwise(lit(0).cast(dec))).as("cc"),
+        sum(when(col("xb") > col("xa") && col("yb") < col("ya"), m)
+          .otherwise(lit(0).cast(dec))).as("dd"),
+        sum(when(col("xb") === col("xa"), m)
+          .otherwise(lit(0).cast(dec))).as("tx"),
+        sum(when(col("xb") > col("xa") && col("yb") === col("ya"), m)
+          .otherwise(lit(0).cast(dec))).as("ty"))
+    val within = cells.agg(
+      sum(expr("n * (n - 1) div 2")).cast(dec).as("txy"),
+      sum(col("n")).cast(dec).as("nn"))
+    cross.crossJoin(broadcast(within))
+      .select(col("nn").cast("long").as("n_orders"),
+        col("cc").cast("long").as("c_pairs"),
+        col("dd").cast("long").as("d_pairs"),
+        col("tx").cast("long").as("tied_x_only"),
+        col("ty").cast("long").as("tied_y_only"),
+        col("txy").cast("long").as("tied_both"),
+        expr(sdiv("(cc - dd) * 1000000", "cc + dd")).cast("long")
+          .as("gamma_e6"),
+        expr(sdiv("(cc - dd) * 1000000", "cc + dd + ty")).cast("long")
+          .as("somers_d_yx_e6"),
+        expr(sdiv("(cc - dd) * 1000000", "cc + dd + tx"))
+          .cast("long").as("somers_d_xy_e6"),
+        expr(sdiv("2 * 5 * (cc - dd) * 1000000", "nn * nn * (5 - 1)"))
+          .cast("long").as("tau_c_e6"))
+  }
+
+  val q436Sql: String = {
+    val binExpr = (1 to 4).map(i => s"CAST(c > k$i AS INT)").mkString(" + ")
+    s"""WITH ord AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |by_v AS (SELECT c, COUNT(*) AS cnt FROM ord GROUP BY c),
+      |ranked AS (
+      |  SELECT c, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |cutrows AS (
+      |  SELECT i, c FROM ranked,
+      |    (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS i) gi
+      |  WHERE below < (n_all * i + 4) // 5
+      |    AND (n_all * i + 4) // 5 <= below + cnt),
+      |cuts AS (
+      |  SELECT ${(1 to 4).map(i =>
+          s"MAX(CASE WHEN i = $i THEN c END) AS k$i").mkString(", ")}
+      |  FROM cutrows),
+      |cells AS (
+      |  SELECT x, $binExpr AS y, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ord CROSS JOIN cuts GROUP BY 1, 2),
+      |cross_f AS (
+      |  SELECT
+      |    SUM(CASE WHEN b.x > a.x AND b.y > a.y
+      |      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS cc,
+      |    SUM(CASE WHEN b.x > a.x AND b.y < a.y
+      |      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS dd,
+      |    SUM(CASE WHEN b.x = a.x
+      |      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS tx,
+      |    SUM(CASE WHEN b.x > a.x AND b.y = a.y
+      |      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS ty
+      |  FROM cells a JOIN cells b
+      |    ON b.x > a.x OR (b.x = a.x AND b.y > a.y)),
+      |within AS (
+      |  SELECT SUM(n * (n - 1) // 2) AS txy,
+      |    CAST(SUM(n) AS HUGEINT) AS nn
+      |  FROM cells)
+      |SELECT CAST(nn AS BIGINT) AS n_orders,
+      |  CAST(cc AS BIGINT) AS c_pairs, CAST(dd AS BIGINT) AS d_pairs,
+      |  CAST(tx AS BIGINT) AS tied_x_only,
+      |  CAST(ty AS BIGINT) AS tied_y_only,
+      |  CAST(txy AS BIGINT) AS tied_both,
+      |  CAST(CASE WHEN cc - dd >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cc - dd) * 1000000) // (cc + dd)) AS BIGINT) AS gamma_e6,
+      |  CAST(CASE WHEN cc - dd >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cc - dd) * 1000000) // (cc + dd + ty)) AS BIGINT)
+      |    AS somers_d_yx_e6,
+      |  CAST(CASE WHEN cc - dd >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cc - dd) * 1000000) // (cc + dd + tx)) AS BIGINT)
+      |    AS somers_d_xy_e6,
+      |  CAST(CASE WHEN cc - dd >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(2 * 5 * (cc - dd) * 1000000) // (nn * nn * (5 - 1)))
+      |    AS BIGINT) AS tau_c_e6
+      |FROM cross_f CROSS JOIN within""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -4834,6 +5326,10 @@ object AuditQueries {
     "q423_segmented" -> q423Segmented,
     "q427_tail_dependence" -> q427TailDependence,
     "q429_fixed_effects" -> q429FixedEffects,
+    "q433_shift_share" -> q433ShiftShare,
+    "q434_bray_curtis" -> q434BrayCurtis,
+    "q435_mantel_test" -> q435MantelTest,
+    "q436_ordinal_assoc" -> q436OrdinalAssoc,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -4890,6 +5386,10 @@ object AuditQueries {
     "q423_segmented" -> q423Sql,
     "q427_tail_dependence" -> q427Sql,
     "q429_fixed_effects" -> q429Sql,
+    "q433_shift_share" -> q433Sql,
+    "q434_bray_curtis" -> q434Sql,
+    "q435_mantel_test" -> q435Sql,
+    "q436_ordinal_assoc" -> q436Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

@@ -10375,7 +10375,328 @@ object EventQueries {
       |FROM cm2""".stripMargin
   }
 
+  // -------- q431: KPSS level-stationarity statistic over daily revenue
+
+  /** Bartlett kernel truncation lag for the KPSS long-run variance. */
+  val KpssLag = 3
+
+  /** q431: the KPSS statistic (Kwiatkowski–Phillips–Schmidt–Shin 1992)
+    * over daily purchase revenue — the stationarity test with the
+    * REVERSED null: ADF-style tests (q432's residual regression) take
+    * "unit root" as the null, KPSS takes "level-stationary", so the two
+    * bracket the series from opposite sides. η = Σ_t S_t² / (n²·s̄²)
+    * with S_t the partial sums of mean residuals and s̄² the Bartlett
+    * long-run variance at lag [[KpssLag]]. Everything is EXACT
+    * integers: residuals are n-cleared (E_t = n·x_t − Σx), partial
+    * sums fold to P_t = n·C_t − t·Σx, and with Bartlett weights
+    * w_l = (L+1−l)/(L+1) the whole statistic collapses to ONE floor:
+    * η·10⁶ = ⌊ΣP²·(L+1)·10⁶ / (n·[(L+1)A + 2Σ(L+1−l)G_l])⌋ where
+    * A = ΣE², G_l = Σ E_t·E_{t−l}. The 5% critical value 0.463 is a
+    * published constant, so the verdict lands in-output.
+    *
+    * Plan: one event pass → day rollup (metadata) → lag windows over
+    * ≤ |days| rows → 1-row fold. One shuffle.
+    */
+  val q431Kpss: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val byDay = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).cast(dec).as("x"))
+      .localCheckpoint()
+    val sc = byDay.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"))
+    val w = Window.orderBy(col("day"))
+    val ser = byDay.crossJoin(broadcast(sc))
+      .withColumn("rk", row_number().over(w).cast(dec))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("n"), col("day"),
+        (col("n") * col("x") - col("sx")).as("e"),
+        (col("n") * col("cum") - col("rk") * col("sx")).as("p"))
+    val lagged = (1 to KpssLag).foldLeft(ser) { (df, l) =>
+      df.withColumn(s"e_$l", lag(col("e"), l).over(w))
+    }
+    val gTerms = (1 to KpssLag).map(l =>
+      sum(when(col(s"e_$l").isNotNull, col("e") * col(s"e_$l"))
+        .otherwise(lit(0).cast(dec))).as(s"g_$l"))
+    val aggExprs = Seq(sum(col("p") * col("p")).as("sp2"),
+      sum(col("e") * col("e")).as("a")) ++ gTerms
+    val folded = lagged.groupBy(col("n"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val lp1 = KpssLag + 1
+    val dSum = (1 to KpssLag)
+      .map(l => s"2 * ${lp1 - l} * g_$l").mkString(" + ")
+    folded
+      .withColumn("d", expr(s"$lp1 * a + $dSum"))
+      .select(col("n").cast("long").as("n_days"),
+        expr(fdiv(s"sp2 * $lp1 * 1000000", "n * d")).cast("long")
+          .as("kpss_eta_e6"),
+        expr(fdiv("a", "n * n * n")).cast("long").as("gamma0_cents2"),
+        when(expr(fdiv(s"sp2 * $lp1 * 1000000", "n * d")) > 463000L,
+          lit("reject_level_stationarity")).otherwise(lit("consistent"))
+          .as("verdict_5pct"))
+  }
+
+  val q431Sql: String = {
+    val lp1 = KpssLag + 1
+    val lagCols = (1 to KpssLag).map(l =>
+      s"LAG(e, $l) OVER (ORDER BY day) AS e_$l").mkString(", ")
+    val gCols = (1 to KpssLag).map(l =>
+      s"SUM(CASE WHEN e_$l IS NOT NULL THEN e * e_$l ELSE 0 END) AS g_$l")
+      .mkString(", ")
+    val dSum = (1 to KpssLag)
+      .map(l => s"2 * ${lp1 - l} * g_$l").mkString(" + ")
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS HUGEINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |         CAST(SUM(x) AS HUGEINT) AS sx FROM bd),
+      |ser AS (
+      |  SELECT n, day, n * x - sx AS e,
+      |    n * SUM(x) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - ROW_NUMBER() OVER (ORDER BY day) * sx AS p
+      |  FROM bd CROSS JOIN sc),
+      |lagged AS (SELECT n, e, p, $lagCols FROM ser),
+      |folded AS (
+      |  SELECT n, SUM(p * p) AS sp2, SUM(e * e) AS a, $gCols
+      |  FROM lagged GROUP BY n),
+      |fin AS (SELECT *, $lp1 * a + $dSum AS d FROM folded)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(sp2 * $lp1 * 1000000 // (n * d) AS BIGINT) AS kpss_eta_e6,
+      |  CAST(a // (n * n * n) AS BIGINT) AS gamma0_cents2,
+      |  CASE WHEN sp2 * $lp1 * 1000000 // (n * d) > 463000
+      |    THEN 'reject_level_stationarity' ELSE 'consistent' END
+      |    AS verdict_5pct
+      |FROM fin""".stripMargin
+  }
+
+  // ------ q432: Engle–Granger cointegration of clicks and revenue
+
+  /** q432: the Engle–Granger two-step cointegration probe — the
+    * LEVELS counterpart of q405's differenced Granger regression: two
+    * trending series can each be non-stationary yet share one
+    * stochastic trend, and the test is whether the OLS residual of
+    * daily purchase revenue on daily click volume mean-reverts. Step 1
+    * is the exact co-moment OLS (α, β as single floors of integer
+    * determinants); step 2 regresses Δu_t on u_{t−1} with no constant
+    * — the Dickey–Fuller shape — where residuals u are exact e6
+    * integers (one floor per row), so ρ̂ and its t-statistic are a
+    * fixed IEEE tree over exact sums. The t-stat is reported against
+    * the Engle–Granger 5% critical value −3.37 (2 variables, n→40
+    * regime, published constant).
+    *
+    * Plan: one event pass → day rollup → 1-row co-moment fold →
+    * residual lag window over ≤ |days| rows → 1-row fold.
+    */
+  val q432EngleGranger: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val byDay = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .cast(dec).as("x"),
+        expr("CAST(SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END)" +
+          " div 1000 AS DECIMAL(38,0))").as("y"))
+      .localCheckpoint()
+    val mo = byDay.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("qxx"), sum(col("x") * col("y")).as("qxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("qxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("qxy") - col("sx") * col("sy")).as("cxy"))
+    val w = Window.orderBy(col("day"))
+    val resid = byDay.crossJoin(broadcast(mo))
+      .select(col("day"), col("n"), col("dx"), col("cxy"), col("sx"),
+        col("sy"),
+        (col("y") * 1000000L -
+          expr(sdiv("(sy * dx - cxy * sx) * 1000000", "n * dx")) -
+          expr(sdiv("cxy * x * 1000000", "dx"))).as("u"))
+      .withColumn("up", lag(col("u"), 1).over(w))
+    val fold = resid.groupBy(col("n"), col("dx"), col("cxy"), col("sx"),
+      col("sy"))
+      .agg(sum(when(col("up").isNotNull, col("up") * col("up"))
+        .otherwise(lit(0).cast(dec))).as("den"),
+        sum(when(col("up").isNotNull, col("up") * (col("u") - col("up")))
+          .otherwise(lit(0).cast(dec))).as("num"),
+        sum(when(col("up").isNotNull,
+          (col("u") - col("up")) * (col("u") - col("up")))
+          .otherwise(lit(0).cast(dec))).as("sdd"))
+    def dd(c: String) = col(c).cast("double")
+    val m = col("n").cast("double") - 1.0
+    val tStat = (dd("num") / dd("den")) /
+      sqrt((dd("sdd") - dd("num") * dd("num") / dd("den")) /
+        ((m - 1.0) * dd("den")))
+    fold.select(col("n").cast("long").as("n_days"),
+      expr(sdiv("cxy * 1000000", "dx")).cast("long").as("beta_e6"),
+      expr(sdiv("(sy * dx - cxy * sx) * 1000000", "n * dx")).cast("long")
+        .as("alpha_e6"),
+      expr(sdiv("num * 1000000", "den")).cast("long").as("rho_e6"),
+      tStat.as("adf_t_d"),
+      when(tStat < -3.37, lit("cointegrated_5pct"))
+        .otherwise(lit("no_cointegration")).as("verdict"))
+  }
+
+  val q432Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val tStat = s"((${d("num")} / ${d("den")}) / " +
+      s"sqrt((${d("sdd")} - ${d("num")} * ${d("num")} / ${d("den")}) / " +
+      s"((${d("n")} - 1.0 - 1.0) * ${d("den")})))"
+    s"""WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) // 1000
+      |      AS HUGEINT) AS y
+      |  FROM events GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(x * x) - SUM(x) * SUM(x) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(x * y) - SUM(x) * SUM(y) AS cxy
+      |  FROM bd),
+      |resid AS (
+      |  SELECT day, n, dx, cxy, sx, sy,
+      |    y * 1000000
+      |      - CASE WHEN sy * dx - cxy * sx >= 0 THEN 1 ELSE -1 END *
+      |        (ABS((sy * dx - cxy * sx) * 1000000) // (n * dx))
+      |      - CASE WHEN cxy * x >= 0 THEN 1 ELSE -1 END *
+      |        (ABS(cxy * x * 1000000) // dx) AS u
+      |  FROM bd CROSS JOIN mo),
+      |lagged AS (
+      |  SELECT n, dx, cxy, sx, sy, u, LAG(u, 1) OVER (ORDER BY day) AS up
+      |  FROM resid),
+      |fold AS (
+      |  SELECT n, dx, cxy, sx, sy,
+      |    SUM(CASE WHEN up IS NOT NULL THEN up * up ELSE 0 END) AS den,
+      |    SUM(CASE WHEN up IS NOT NULL THEN up * (u - up) ELSE 0 END)
+      |      AS num,
+      |    SUM(CASE WHEN up IS NOT NULL THEN (u - up) * (u - up) ELSE 0 END)
+      |      AS sdd
+      |  FROM lagged GROUP BY 1, 2, 3, 4, 5)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx) AS BIGINT) AS beta_e6,
+      |  CAST(CASE WHEN sy * dx - cxy * sx >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sy * dx - cxy * sx) * 1000000) // (n * dx)) AS BIGINT)
+      |    AS alpha_e6,
+      |  CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(num * 1000000) // den) AS BIGINT) AS rho_e6,
+      |  $tStat AS adf_t_d,
+      |  CASE WHEN $tStat < -3.37 THEN 'cointegrated_5pct'
+      |    ELSE 'no_cointegration' END AS verdict
+      |FROM fold""".stripMargin
+  }
+
+  // -------- q439: GARCH(1,1) volatility filter replay
+
+  /** Plan-time GARCH(1,1) coefficients at e6: α (news) and β
+    * (persistence); ω is tied to the sample unconditional variance so
+    * the filter is variance-targeted.
+    */
+  val GarchAlphaE6 = 100000L
+  val GarchBetaE6 = 850000L
+
+  /** q439: the GARCH(1,1) conditional-variance replay — the FILTER
+    * counterpart of q363's ARCH-LM test: where q363 only asks "is
+    * there volatility clustering", this runs Bollerslev's recursion
+    * σ²_t = ω + α·e²_{t−1} + β·σ²_{t−1} over daily revenue first
+    * differences (dollars) and reports the terminal and peak
+    * conditional variance plus the 2σ breach count — the day-level
+    * volatility audit. ω is variance-targeted at plan shape
+    * (ω = (1−α−β)·σ̄², σ̄² the sample mean of e² — computed once,
+    * identically in both engines), and the whole walk is nonnegative
+    * integer arithmetic with one floor per term, so it rides the q416
+    * device exactly: metadata-sized day rollup, driver fold, recursive
+    * CTE replay carrying (σ², prev e², breaches, max).
+    *
+    * Plan: one event pass → day rollup → |days|-row driver fold.
+    */
+  val q439Garch: Q = (s, dir) => {
+    val roll = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(expr("SUM(v) div 100").as("x"))
+      .orderBy(col("day")).collect()
+    val xs = roll.map(_.getAs[Long]("x"))
+    val es = xs.sliding(2).map(p => p(1) - p(0)).toArray
+    val m0 = es.map(e => BigInt(e) * BigInt(e)).sum / es.length
+    val omega = (BigInt(1000000L) - GarchAlphaE6 - GarchBetaE6) * m0 /
+      1000000L
+    var s2 = m0
+    var nb = if (BigInt(es.head) * es.head > 4 * m0) 1L else 0L
+    var mx = m0
+    es.zip(es.tail).foreach { case (ePrev, e) =>
+      s2 = omega + GarchAlphaE6 * (BigInt(ePrev) * ePrev) / 1000000L +
+        GarchBetaE6 * s2 / 1000000L
+      if (s2 > mx) mx = s2
+      if (BigInt(e) * e > 4 * s2) nb += 1L
+    }
+    import s.implicits._
+    Seq((xs.length.toLong, omega.toLong, s2.toLong, mx.toLong, nb))
+      .toDF("n_days", "omega_d2", "sigma2_final_d2", "sigma2_max_d2",
+        "n_2sigma_breaches")
+  }
+
+  val q439Sql: String =
+    s"""WITH RECURSIVE bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) // 100 AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ser AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rk, x FROM bd),
+      |es AS (
+      |  SELECT rk - 1 AS ek, CAST(x - LAG(x, 1) OVER (ORDER BY rk)
+      |    AS HUGEINT) AS e
+      |  FROM ser QUALIFY LAG(x, 1) OVER (ORDER BY rk) IS NOT NULL),
+      |m0 AS (SELECT SUM(e * e) // COUNT(*) AS m0 FROM es),
+      |om AS (SELECT m0,
+      |    (1000000 - $GarchAlphaE6 - $GarchBetaE6) * m0 // 1000000
+      |      AS omega FROM m0),
+      |walk AS (
+      |  SELECT CAST(1 AS BIGINT) AS ek, m0 AS s2, e * e AS pe2,
+      |    CASE WHEN e * e > 4 * m0 THEN CAST(1 AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS nb,
+      |    m0 AS mx
+      |  FROM es CROSS JOIN om WHERE ek = 1
+      |  UNION ALL
+      |  SELECT s.ek,
+      |    o.omega + $GarchAlphaE6 * w.pe2 // 1000000
+      |      + $GarchBetaE6 * w.s2 // 1000000,
+      |    s.e * s.e,
+      |    w.nb + CASE WHEN s.e * s.e >
+      |      4 * (o.omega + $GarchAlphaE6 * w.pe2 // 1000000
+      |           + $GarchBetaE6 * w.s2 // 1000000) THEN 1 ELSE 0 END,
+      |    GREATEST(w.mx, o.omega + $GarchAlphaE6 * w.pe2 // 1000000
+      |      + $GarchBetaE6 * w.s2 // 1000000)
+      |  FROM walk w
+      |  JOIN es s ON s.ek = w.ek + 1
+      |  CROSS JOIN om o),
+      |last AS (SELECT s2, nb, mx FROM walk ORDER BY ek DESC LIMIT 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
+      |SELECT n_days, CAST(omega AS BIGINT) AS omega_d2,
+      |  CAST(s2 AS BIGINT) AS sigma2_final_d2,
+      |  CAST(mx AS BIGINT) AS sigma2_max_d2,
+      |  CAST(nb AS BIGINT) AS n_2sigma_breaches
+      |FROM n CROSS JOIN om CROSS JOIN last""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q431_kpss" -> q431Kpss,
+    "q432_engle_granger" -> q432EngleGranger,
+    "q439_garch" -> q439Garch,
     "q428_mediation" -> q428Mediation,
     "q426_lindley" -> q426Lindley,
     "q421_dtw" -> q421Dtw,
@@ -10506,6 +10827,9 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q431_kpss" -> q431Sql,
+    "q432_engle_granger" -> q432Sql,
+    "q439_garch" -> q439Sql,
     "q428_mediation" -> q428Sql,
     "q426_lindley" -> q426Sql,
     "q421_dtw" -> q421Sql,
