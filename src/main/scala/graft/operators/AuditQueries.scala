@@ -4082,6 +4082,255 @@ object AuditQueries {
       |FROM cross_f CROSS JOIN within""".stripMargin
   }
 
+  // ------ q437: Bradley–Terry strengths from monthly head-to-heads
+
+  /** Fixed MM iteration count for the Bradley–Terry fit. */
+  val BtIters = 15
+
+  /** q437: Bradley–Terry paired-comparison strengths — the principled
+    * aggregation of HEAD-TO-HEAD outcomes that leaderboards by raw
+    * totals (q286) get wrong when schedules are unbalanced: nation i
+    * "beats" nation j in any month its order revenue is higher, and
+    * the BT model P(i beats j) = π_i/(π_i+π_j) is fit by Hunter's MM
+    * iteration π_i ← W_i / Σ_j n_ij/(π_i+π_j), run [[BtIters]] fixed
+    * steps in exact integer arithmetic (one floor per pair term, one
+    * per update; unnormalized scale is self-preserving, normalization
+    * is a single final floor). The duel matrix folds distributed
+    * (month self-join → ≤ 625 metadata rows); the iteration is a
+    * driver fold over that metadata — replayed in the oracle as a
+    * recursive CTE carrying the strength vector as a LIST.
+    *
+    * Plan: one orders pass → (month, nation) rollup → month-grouped
+    * pair fold → 625-row collect → driver MM → 25-row output.
+    */
+  val q437BradleyTerry: Q = (s, dir) => {
+    val mn = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val a = mn.select(col("m"), col("nat").as("i"), col("rev").as("ra"))
+    val b = mn.select(col("m"), col("nat").as("j"), col("rev").as("rb"))
+    val duels = a.join(b, Seq("m")).filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(when(col("ra") > col("rb"), 1L).otherwise(0L)).as("w"),
+        sum(when(col("ra") =!= col("rb"), 1L).otherwise(0L)).as("n"))
+      .collect()
+    val nats = duels.flatMap(r => Seq(r.getAs[Long]("i"), r.getAs[Long]("j")))
+      .distinct.sorted
+    val g = nats.length
+    val kOf = nats.zipWithIndex.toMap
+    val wM = Array.ofDim[Long](g, g)
+    val nM = Array.ofDim[Long](g, g)
+    duels.foreach { r =>
+      val i = kOf(r.getAs[Long]("i")); val j = kOf(r.getAs[Long]("j"))
+      wM(i)(j) = r.getAs[Long]("w"); nM(i)(j) = r.getAs[Long]("n")
+    }
+    val wins = (0 until g).map(i => (0 until g).map(wM(i)).sum).toArray
+    val nTot = (0 until g).map(i => (0 until g).map(nM(i)).sum).toArray
+    var pi = Array.fill(g)(1000000L)
+    (1 to BtIters).foreach { _ =>
+      pi = (0 until g).map { i =>
+        if (wins(i) == 0L) pi(i)
+        else {
+          val denom = (0 until g).map { j =>
+            if (j == i || nM(i)(j) == 0L) 0L
+            else nM(i)(j) * 1000000000000L / math.max(pi(i) + pi(j), 1L)
+          }.sum
+          wins(i) * 1000000000000L / math.max(denom, 1L)
+        }
+      }.toArray
+    }
+    val sp = pi.map(BigInt(_)).sum
+    val norm = pi.map(p => (BigInt(p) * g * 1000000L / sp).toLong)
+    val ranked = nats.indices
+      .sortBy(i => (-norm(i), nats(i)))
+      .zipWithIndex.map { case (i, r) => (i, r + 1L) }.toMap
+    import s.implicits._
+    nats.indices.map(i =>
+      (nats(i), wins(i), nTot(i), norm(i), ranked(i)))
+      .toDF("nation", "wins", "duels", "pi_e6", "rnk")
+      .orderBy(col("nation"))
+  }
+
+  val q437Sql: String = {
+    val g = "(SELECT g FROM gc)"
+    s"""WITH RECURSIVE mn AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |duel AS (
+      |  SELECT a.nat AS i, b.nat AS j,
+      |    SUM(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END) AS w,
+      |    SUM(CASE WHEN a.rev <> b.rev THEN 1 ELSE 0 END) AS n
+      |  FROM mn a JOIN mn b ON b.m = a.m AND a.nat <> b.nat
+      |  GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT nat, ROW_NUMBER() OVER (ORDER BY nat) AS k
+      |  FROM (SELECT DISTINCT nat FROM mn)),
+      |gc AS (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM idx),
+      |grid AS (
+      |  SELECT gi.i, gj.j,
+      |    COALESCE(d.w, 0) AS w, COALESCE(d.n, 0) AS n
+      |  FROM (SELECT UNNEST(range(1, $g + 1)) AS i) gi
+      |  CROSS JOIN (SELECT UNNEST(range(1, $g + 1)) AS j) gj
+      |  LEFT JOIN (SELECT ia.k AS ki, ib.k AS kj, d0.w, d0.n
+      |             FROM duel d0
+      |             JOIN idx ia ON ia.nat = d0.i
+      |             JOIN idx ib ON ib.nat = d0.j) d
+      |    ON d.ki = gi.i AND d.kj = gj.j),
+      |mats AS (
+      |  SELECT list(w ORDER BY i, j) AS wf, list(n ORDER BY i, j) AS nf
+      |  FROM grid),
+      |wtot AS (
+      |  SELECT list(sw ORDER BY i) AS wt, list(sn ORDER BY i) AS nt
+      |  FROM (SELECT i, SUM(w) AS sw, SUM(n) AS sn FROM grid GROUP BY i)),
+      |walk AS (
+      |  SELECT 0 AS it,
+      |    list_transform(range(1, g + 1),
+      |      x -> CAST(1000000 AS BIGINT)) AS pi,
+      |    range(1, g + 1) AS idxs, g AS gl
+      |  FROM gc
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    list_transform(idxs, i ->
+      |      CASE WHEN wt[i] = 0 THEN pi[i] ELSE
+      |        wt[i] * 1000000000000 // GREATEST(
+      |          list_sum(list_transform(idxs, j ->
+      |            CASE WHEN j = i OR nf[(i - 1) * gl + j] = 0 THEN 0
+      |              ELSE nf[(i - 1) * gl + j] * 1000000000000
+      |                // GREATEST(pi[i] + pi[j], 1) END)), 1) END),
+      |    idxs, gl
+      |  FROM walk, mats, wtot WHERE it < $BtIters),
+      |last AS (SELECT pi FROM walk ORDER BY it DESC LIMIT 1),
+      |sp AS (SELECT list_sum(list_transform(pi, x -> CAST(x AS HUGEINT)))
+      |         AS sp FROM last),
+      |rows0 AS (
+      |  SELECT idx.nat AS nation, CAST(wt[idx.k] AS BIGINT) AS wins,
+      |    CAST(nt[idx.k] AS BIGINT) AS duels,
+      |    CAST(CAST(pi[idx.k] AS HUGEINT) * $g * 1000000 // sp AS BIGINT)
+      |      AS pi_e6
+      |  FROM idx, last, sp, wtot)
+      |SELECT nation, wins, duels, pi_e6,
+      |  ROW_NUMBER() OVER (ORDER BY pi_e6 DESC, nation) AS rnk
+      |FROM rows0 ORDER BY nation""".stripMargin
+  }
+
+  // ------ q438: Chow structural-break F-test at a known date
+
+  /** The Chow break date (first month of 1995, encoded y·12+m). */
+  val ChowBreakMonth: Long = 1995L * 12L + 1L
+
+  /** 5% critical value for F(2, ~76) — published table constant. */
+  val ChowCrit5 = 3.13
+
+  /** q438: the Chow test — the HYPOTHESIS-TEST counterpart of q423's
+    * segmented fit: q423 PROFILES the best breakpoint, Chow asks
+    * whether a break at a KNOWN date (policy change, regime start —
+    * here 1995-01) is statistically real, via
+    * F = ((RSS_p − RSS₁ − RSS₂)/k) / ((RSS₁+RSS₂)/(n−2k)), k = 2.
+    * Each segment's RSS is the exact determinant form
+    * (D_y·D_x − C_xy²)/(n·D_x) over n-cleared integer co-moments, so
+    * F is one fixed IEEE tree over exact integers, and the per-segment
+    * slopes land beside it.
+    *
+    * Plan: one orders pass → month rollup → three 1-row co-moment
+    * folds off one checkpointed rollup. One shuffle.
+    */
+  val q438ChowTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .localCheckpoint()
+    val t0 = cells.agg(min(col("m")).as("m0"))
+    val pts = cells.crossJoin(broadcast(t0))
+      .select((col("m") - col("m0") + 1L).as("t"), col("y"),
+        (col("m") < ChowBreakMonth).cast("long").as("pre"))
+    def fold(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).cast(dec).as(s"n_$tag"),
+        sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
+        sum(col("t").cast(dec) * col("t")).as("qtt"),
+        sum(col("t").cast(dec) * col("y")).as("qty"),
+        sum(col("y").cast(dec) * col("y")).as("qyy"))
+        .select(col(s"n_$tag"),
+          (col(s"n_$tag") * col("qtt") - col("st") * col("st"))
+            .as(s"dx_$tag"),
+          (col(s"n_$tag") * col("qyy") - col("sy") * col("sy"))
+            .as(s"dy_$tag"),
+          (col(s"n_$tag") * col("qty") - col("st") * col("sy"))
+            .as(s"c_$tag"))
+    val fp = fold(pts, "p")
+    val f1 = fold(pts.filter(col("pre") === 1L), "1")
+    val f2 = fold(pts.filter(col("pre") === 0L), "2")
+    def d(c: String) = col(c).cast("double")
+    def rss(tag: String) =
+      (d(s"dy_$tag") * d(s"dx_$tag") - d(s"c_$tag") * d(s"c_$tag")) /
+        (d(s"n_$tag") * d(s"dx_$tag"))
+    val fStat = ((rss("p") - rss("1") - rss("2")) / 2.0) /
+      ((rss("1") + rss("2")) / (d("n_p") - 4.0))
+    fp.crossJoin(broadcast(f1)).crossJoin(broadcast(f2))
+      .select(col("n_p").cast("long").as("n_months"),
+        col("n_1").cast("long").as("n_pre"),
+        col("n_2").cast("long").as("n_post"),
+        expr(sdiv("c_1 * 1000000", "dx_1")).cast("long")
+          .as("slope_pre_e6"),
+        expr(sdiv("c_2 * 1000000", "dx_2")).cast("long")
+          .as("slope_post_e6"),
+        fStat.as("f_chow_d"),
+        when(fStat > ChowCrit5, lit("break_at_1995_01"))
+          .otherwise(lit("no_break")).as("verdict_5pct"))
+  }
+
+  val q438Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def rss(tag: String) =
+      s"((${d(s"dy_$tag")} * ${d(s"dx_$tag")} - ${d(s"c_$tag")} * " +
+        s"${d(s"c_$tag")}) / (${d(s"n_$tag")} * ${d(s"dx_$tag")}))"
+    val fStat = s"(((${rss("p")} - ${rss("1")} - ${rss("2")}) / 2.0) / " +
+      s"((${rss("1")} + ${rss("2")}) / (${d("n_p")} - 4.0)))"
+    def foldSql(tag: String, where: String) =
+      s"""f$tag AS (
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n_$tag,
+         |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * t)
+         |      - CAST(SUM(t) AS HUGEINT) * SUM(t) AS dx_$tag,
+         |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(y AS HUGEINT) * y)
+         |      - CAST(SUM(y) AS HUGEINT) * SUM(y) AS dy_$tag,
+         |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * y)
+         |      - CAST(SUM(t) AS HUGEINT) * SUM(y) AS c_$tag
+         |  FROM pts $where)""".stripMargin
+    s"""WITH cells AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT m - (SELECT MIN(m) FROM cells) + 1 AS t, y,
+      |    CASE WHEN m < $ChowBreakMonth THEN 1 ELSE 0 END AS pre
+      |  FROM cells),
+      |${foldSql("p", "")},
+      |${foldSql("1", "WHERE pre = 1")},
+      |${foldSql("2", "WHERE pre = 0")}
+      |SELECT CAST(n_p AS BIGINT) AS n_months,
+      |  CAST(n_1 AS BIGINT) AS n_pre, CAST(n_2 AS BIGINT) AS n_post,
+      |  CAST(CASE WHEN c_1 >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(c_1 * 1000000) // dx_1) AS BIGINT) AS slope_pre_e6,
+      |  CAST(CASE WHEN c_2 >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(c_2 * 1000000) // dx_2) AS BIGINT) AS slope_post_e6,
+      |  $fStat AS f_chow_d,
+      |  CASE WHEN $fStat > $ChowCrit5 THEN 'break_at_1995_01'
+      |    ELSE 'no_break' END AS verdict_5pct
+      |FROM fp CROSS JOIN f1 CROSS JOIN f2""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -5330,6 +5579,8 @@ object AuditQueries {
     "q434_bray_curtis" -> q434BrayCurtis,
     "q435_mantel_test" -> q435MantelTest,
     "q436_ordinal_assoc" -> q436OrdinalAssoc,
+    "q437_bradley_terry" -> q437BradleyTerry,
+    "q438_chow_test" -> q438ChowTest,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -5390,6 +5641,8 @@ object AuditQueries {
     "q434_bray_curtis" -> q434Sql,
     "q435_mantel_test" -> q435Sql,
     "q436_ordinal_assoc" -> q436Sql,
+    "q437_bradley_terry" -> q437Sql,
+    "q438_chow_test" -> q438Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,

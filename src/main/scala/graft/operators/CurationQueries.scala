@@ -1748,6 +1748,89 @@ object CurationQueries {
        |    AS BIGINT) AS brier_e12
        |FROM bins""".stripMargin
 
+  // ---------- q430: Murphy decomposition of the Brier score
+
+  /** q430: the Murphy (1973) decomposition — the classic answer to
+    * "WHY is the Brier score what it is": over q226's ten reliability
+    * bins, Brier = REL − RES + UNC splits the binned forecaster's
+    * score into reliability (calibration gap mass — lower is better),
+    * resolution (how far bin outcome rates spread from the base rate —
+    * higher is better) and uncertainty (the base rate's own variance,
+    * a property of the data the forecaster cannot change). q267 gives
+    * the single number; this explains it, and the in-output identity
+    * column pins the algebra. Each term stages as ONE floor per bin
+    * over exact integers (n_k-cleared squared gaps), then one floor at
+    * the fold, so both engines agree bit-for-bit.
+    *
+    * Plan: rides q226's 10-bin rollup — a metadata fold, no new
+    * corpus pass.
+    */
+  val q430BrierDecomposition: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val bins = q226Calibration(s, dir)
+      .select(col("n_docs"), col("n_events"), col("mean_phat_e6"))
+    val tot = bins.agg(sum(col("n_docs")).cast(dec).as("nn"),
+      sum(col("n_events")).cast(dec).as("kk"))
+      .withColumn("obar_e6", expr("kk * 1000000 DIV nn"))
+    val staged = bins.crossJoin(broadcast(tot))
+      .select(col("nn"), col("kk"), col("obar_e6"),
+        expr(fdiv(
+          """(CAST(mean_phat_e6 AS DECIMAL(38,0)) * n_docs
+            | - CAST(n_events AS DECIMAL(38,0)) * 1000000) *
+            |(CAST(mean_phat_e6 AS DECIMAL(38,0)) * n_docs
+            | - CAST(n_events AS DECIMAL(38,0)) * 1000000)"""
+            .stripMargin.replace("\n", " "), "n_docs")).as("rel_t"),
+        expr(fdiv(
+          """(CAST(n_events AS DECIMAL(38,0)) * 1000000
+            | - CAST(n_docs AS DECIMAL(38,0)) * obar_e6) *
+            |(CAST(n_events AS DECIMAL(38,0)) * 1000000
+            | - CAST(n_docs AS DECIMAL(38,0)) * obar_e6)"""
+            .stripMargin.replace("\n", " "), "n_docs")).as("res_t"))
+    staged.groupBy(col("nn"), col("kk"), col("obar_e6"))
+      .agg(sum(col("rel_t")).as("rel_s"), sum(col("res_t")).as("res_s"))
+      .select(col("nn").cast("long").as("n_total"),
+        col("obar_e6").cast("long").as("base_rate_e6"),
+        expr(fdiv("rel_s", "nn")).cast("long").as("reliability_e12"),
+        expr(fdiv("res_s", "nn")).cast("long").as("resolution_e12"),
+        expr(fdiv("kk * (nn - kk) * 1000000000000", "nn * nn"))
+          .cast("long").as("uncertainty_e12"),
+        (expr(fdiv("rel_s", "nn")) - expr(fdiv("res_s", "nn")) +
+          expr(fdiv("kk * (nn - kk) * 1000000000000", "nn * nn")))
+          .cast("long").as("brier_binned_e12"))
+  }
+
+  val q430Sql: String =
+    s"""WITH bins AS ($q226Sql),
+      |tot AS (
+      |  SELECT CAST(SUM(n_docs) AS HUGEINT) AS nn,
+      |    CAST(SUM(n_events) AS HUGEINT) AS kk,
+      |    CAST(SUM(n_events) AS HUGEINT) * 1000000 // SUM(n_docs)
+      |      AS obar_e6
+      |  FROM bins),
+      |staged AS (
+      |  SELECT nn, kk, obar_e6,
+      |    (CAST(mean_phat_e6 AS HUGEINT) * n_docs
+      |      - CAST(n_events AS HUGEINT) * 1000000) *
+      |    (CAST(mean_phat_e6 AS HUGEINT) * n_docs
+      |      - CAST(n_events AS HUGEINT) * 1000000) // n_docs AS rel_t,
+      |    (CAST(n_events AS HUGEINT) * 1000000
+      |      - CAST(n_docs AS HUGEINT) * obar_e6) *
+      |    (CAST(n_events AS HUGEINT) * 1000000
+      |      - CAST(n_docs AS HUGEINT) * obar_e6) // n_docs AS res_t
+      |  FROM bins CROSS JOIN tot)
+      |SELECT CAST(nn AS BIGINT) AS n_total,
+      |  CAST(obar_e6 AS BIGINT) AS base_rate_e6,
+      |  CAST(SUM(rel_t) // nn AS BIGINT) AS reliability_e12,
+      |  CAST(SUM(res_t) // nn AS BIGINT) AS resolution_e12,
+      |  CAST(kk * (nn - kk) * 1000000000000 // (nn * nn) AS BIGINT)
+      |    AS uncertainty_e12,
+      |  CAST(SUM(rel_t) // nn - SUM(res_t) // nn
+      |    + kk * (nn - kk) * 1000000000000 // (nn * nn) AS BIGINT)
+      |    AS brier_binned_e12
+      |FROM staged GROUP BY nn, kk, obar_e6""".stripMargin
+
   // ------------- q331: binned cross-entropy + Hosmer-Lemeshow statistic
 
   /** log2(10⁶)·10⁶, the fixed-point rebase constant for probabilities
@@ -2210,6 +2293,7 @@ object CurationQueries {
     "q336_isotonic" -> q336Isotonic,
     "q331_logloss_hl" -> q331LoglossHl,
     "q267_ece" -> q267Ece,
+    "q430_brier_decomposition" -> q430BrierDecomposition,
     "q257_cdc_chunks" -> q257CdcChunks,
     "q223_readability" -> q223Readability,
     "q226_calibration" -> q226Calibration,
@@ -2243,6 +2327,7 @@ object CurationQueries {
     "q336_isotonic" -> q336Sql,
     "q331_logloss_hl" -> q331Sql,
     "q267_ece" -> q267Sql,
+    "q430_brier_decomposition" -> q430Sql,
     "q257_cdc_chunks" -> q257Sql,
     "q223_readability" -> q223Sql,
     "q226_calibration" -> q226Sql,
