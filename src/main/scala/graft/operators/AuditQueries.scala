@@ -4331,6 +4331,206 @@ object AuditQueries {
       |FROM fp CROSS JOIN f1 CROSS JOIN f2""".stripMargin
   }
 
+  // ------ q440: Gale–Shapley stable matching of suppliers to nations
+
+  /** Market size for the stable-matching exercise (G proposers × G
+    * receivers; the algorithm makes ≤ G² proposals).
+    */
+  val GsG = 8
+
+  /** q440: Gale–Shapley deferred acceptance — assign each of the
+    * [[GsG]] largest suppliers an exclusive home nation such that NO
+    * supplier/nation pair would both rather defect (the stability
+    * guarantee greedy revenue assignment (q152's allocation) cannot
+    * give). Suppliers rank nations by revenue shipped; nations rank
+    * suppliers by quantity received (ties → key order, so every
+    * preference list is a deterministic total order). The proposer-
+    * optimal algorithm runs as a driver fold over the collected G×G
+    * metadata matrices — one proposal per step, lowest free supplier
+    * first — and the oracle replays the IDENTICAL proposal sequence
+    * as a recursive CTE carrying (next-proposal, engagements) as
+    * LISTs. The blocking-pair count is re-audited RELATIONALLY over
+    * the grid and lands in-output as the stability certificate (0).
+    *
+    * Plan: one lineitem ⋈ orders ⋈ customer pass → (supplier, nation)
+    * rollup; top-G margins, the G² grid, and the ≤ G² proposal walk
+    * are all metadata.
+    */
+  val q440StableMatching: Q = (s, dir) => {
+    val g = GsG
+    val cells0 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"),
+        cents(col("l_extendedprice")).as("r"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("sk"), col("nk"))
+      .agg(sum(col("r")).as("rev"), sum(col("q")).as("qty"))
+      .localCheckpoint()
+    val topS = cells0.groupBy(col("sk")).agg(sum(col("rev")).as("t"))
+      .orderBy(col("t").desc, col("sk")).limit(g)
+      .collect().map(_.getAs[Long]("sk"))
+    val topN = cells0.groupBy(col("nk")).agg(sum(col("rev")).as("t"))
+      .orderBy(col("t").desc, col("nk")).limit(g)
+      .collect().map(_.getAs[Long]("nk"))
+    val sOf = topS.zipWithIndex.toMap; val nOf = topN.zipWithIndex.toMap
+    val revM = Array.ofDim[Long](g, g); val qtyM = Array.ofDim[Long](g, g)
+    cells0.filter(col("sk").isin(topS: _*) && col("nk").isin(topN: _*))
+      .collect().foreach { r =>
+        val i = sOf(r.getAs[Long]("sk")); val j = nOf(r.getAs[Long]("nk"))
+        revM(i)(j) = r.getAs[Long]("rev"); qtyM(i)(j) = r.getAs[Long]("qty")
+      }
+    // preference orders (0-based indices), ties broken by key order
+    val sPref = (0 until g).map(i =>
+      (0 until g).sortBy(j => (-revM(i)(j), j)).toArray).toArray
+    val sRank = (0 until g).map { i =>
+      val a = Array.ofDim[Int](g)
+      sPref(i).zipWithIndex.foreach { case (j, r) => a(j) = r }; a
+    }.toArray
+    val nRank = (0 until g).map { j =>
+      val order = (0 until g).sortBy(i => (-qtyM(i)(j), i))
+      val a = Array.ofDim[Int](g)
+      order.zipWithIndex.foreach { case (i, r) => a(i) = r }; a
+    }.toArray
+    val nextP = Array.fill(g)(0)
+    val engN = Array.fill(g)(-1) // nation j -> supplier i
+    val engS = Array.fill(g)(-1) // supplier i -> nation j
+    var steps = 0L
+    while (engS.indexOf(-1) >= 0) {
+      val si = engS.indexOf(-1)
+      val nj = sPref(si)(nextP(si)); nextP(si) += 1; steps += 1
+      val cur = engN(nj)
+      if (cur < 0 || nRank(nj)(si) < nRank(nj)(cur)) {
+        if (cur >= 0) engS(cur) = -1
+        engN(nj) = si; engS(si) = nj
+      }
+    }
+    val blocking = (for {
+      i <- 0 until g; j <- 0 until g
+      if j != engS(i)
+      if sRank(i)(j) < sRank(i)(engS(i))
+      if nRank(j)(i) < nRank(j)(engN(j))
+    } yield 1).size.toLong
+    import s.implicits._
+    (0 until g).map { i =>
+      val j = engS(i)
+      (i + 1L, topS(i), j + 1L, topN(j), sRank(i)(j) + 1L,
+        nRank(j)(i) + 1L, steps, blocking)
+    }.toDF("sup_rank", "suppkey", "nat_rank", "nationkey",
+      "s_choice_rank", "n_choice_rank", "n_proposals", "blocking_pairs")
+      .orderBy(col("sup_rank"))
+  }
+
+  val q440Sql: String = {
+    val g = GsG
+    s"""WITH RECURSIVE base AS (
+      |  SELECT l.l_suppkey AS sk, c.c_nationkey AS nk,
+      |    CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS r,
+      |    CAST(ROUND(l.l_quantity) AS BIGINT) AS q
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey),
+      |cells0 AS (
+      |  SELECT sk, nk, SUM(r) AS rev, SUM(q) AS qty
+      |  FROM base GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT sk, si FROM (
+      |    SELECT sk, ROW_NUMBER() OVER (ORDER BY SUM(rev) DESC, sk) AS si
+      |    FROM cells0 GROUP BY sk) WHERE si <= $g),
+      |tn AS (
+      |  SELECT nk, ni FROM (
+      |    SELECT nk, ROW_NUMBER() OVER (ORDER BY SUM(rev) DESC, nk) AS ni
+      |    FROM cells0 GROUP BY nk) WHERE ni <= $g),
+      |grid AS (
+      |  SELECT ts.si, tn.ni, ts.sk, tn.nk,
+      |    COALESCE(c.rev, 0) AS rev, COALESCE(c.qty, 0) AS qty
+      |  FROM ts CROSS JOIN tn
+      |  LEFT JOIN cells0 c ON c.sk = ts.sk AND c.nk = tn.nk),
+      |spl AS (
+      |  SELECT flatten(list(pl ORDER BY si)) AS sp FROM (
+      |    SELECT si, list(ni ORDER BY rev DESC, ni) AS pl
+      |    FROM grid GROUP BY si)),
+      |srk AS (
+      |  SELECT list(rr ORDER BY si, ni) AS sr FROM (
+      |    SELECT si, ni, ROW_NUMBER() OVER
+      |      (PARTITION BY si ORDER BY rev DESC, ni) AS rr FROM grid)),
+      |nrk AS (
+      |  SELECT list(rr ORDER BY ni, si) AS nr FROM (
+      |    SELECT ni, si, ROW_NUMBER() OVER
+      |      (PARTITION BY ni ORDER BY qty DESC, si) AS rr FROM grid)),
+      |walk AS (
+      |  SELECT 0 AS step,
+      |    list_transform(range(1, ${g + 1}), x -> CAST(1 AS BIGINT))
+      |      AS nextp,
+      |    list_transform(range(1, ${g + 1}), x -> CAST(0 AS BIGINT))
+      |      AS eng,
+      |    list_transform(range(1, ${g + 1}), x -> CAST(0 AS BIGINT))
+      |      AS meng
+      |  UNION ALL
+      |  SELECT w3.step + 1,
+      |    list_transform(range(1, ${g + 1}), i ->
+      |      CASE WHEN i = w3.s THEN w3.nextp[i] + 1 ELSE w3.nextp[i] END),
+      |    list_transform(range(1, ${g + 1}), i ->
+      |      CASE WHEN i = w3.n THEN
+      |        (CASE WHEN w3.acc THEN w3.s ELSE w3.eng[i] END)
+      |      ELSE w3.eng[i] END),
+      |    list_transform(range(1, ${g + 1}), i ->
+      |      CASE WHEN w3.acc AND i = w3.s THEN w3.n
+      |        WHEN w3.acc AND w3.cur > 0 AND i = w3.cur THEN 0
+      |        ELSE w3.meng[i] END)
+      |  FROM (
+      |    SELECT w2.*,
+      |      (w2.cur = 0 OR nr[(w2.n - 1) * $g + w2.s]
+      |        < nr[(w2.n - 1) * $g + w2.cur]) AS acc
+      |    FROM (
+      |      SELECT w1.*, w1.eng[w1.n] AS cur
+      |      FROM (
+      |        SELECT w0.*,
+      |          sp[(w0.s - 1) * $g + w0.nextp[w0.s]] AS n
+      |        FROM (
+      |          SELECT w.*,
+      |            list_filter(range(1, ${g + 1}),
+      |              i -> w.meng[i] = 0)[1] AS s
+      |          FROM walk w
+      |          WHERE len(list_filter(range(1, ${g + 1}),
+      |            i -> w.meng[i] = 0)) > 0
+      |        ) w0, spl
+      |      ) w1
+      |    ) w2, nrk
+      |  ) w3),
+      |last AS (SELECT * FROM walk ORDER BY step DESC LIMIT 1),
+      |matched AS (
+      |  SELECT gi.i AS si, last.meng[gi.i] AS ni, last.step AS steps
+      |  FROM last, (SELECT UNNEST(range(1, ${g + 1})) AS i) gi),
+      |blocking AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS bp
+      |  FROM grid gr
+      |  JOIN matched ms ON ms.si = gr.si
+      |  JOIN matched mn ON mn.ni = gr.ni
+      |  CROSS JOIN srk CROSS JOIN nrk
+      |  WHERE gr.ni <> ms.ni
+      |    AND sr[(gr.si - 1) * $g + gr.ni]
+      |      < sr[(gr.si - 1) * $g + ms.ni]
+      |    AND nr[(gr.ni - 1) * $g + gr.si]
+      |      < nr[(gr.ni - 1) * $g + mn.si])
+      |SELECT CAST(m.si AS BIGINT) AS sup_rank,
+      |  CAST(ts.sk AS BIGINT) AS suppkey,
+      |  CAST(m.ni AS BIGINT) AS nat_rank,
+      |  CAST(tn.nk AS BIGINT) AS nationkey,
+      |  CAST(sr[(m.si - 1) * $g + m.ni] AS BIGINT) AS s_choice_rank,
+      |  CAST(nr[(m.ni - 1) * $g + m.si] AS BIGINT) AS n_choice_rank,
+      |  CAST(m.steps AS BIGINT) AS n_proposals, bp AS blocking_pairs
+      |FROM matched m
+      |JOIN ts ON ts.si = m.si
+      |JOIN tn ON tn.ni = m.ni
+      |CROSS JOIN srk CROSS JOIN nrk CROSS JOIN blocking
+      |ORDER BY sup_rank""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -5581,6 +5781,7 @@ object AuditQueries {
     "q436_ordinal_assoc" -> q436OrdinalAssoc,
     "q437_bradley_terry" -> q437BradleyTerry,
     "q438_chow_test" -> q438ChowTest,
+    "q440_stable_matching" -> q440StableMatching,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -5643,6 +5844,7 @@ object AuditQueries {
     "q436_ordinal_assoc" -> q436Sql,
     "q437_bradley_terry" -> q437Sql,
     "q438_chow_test" -> q438Sql,
+    "q440_stable_matching" -> q440Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,
