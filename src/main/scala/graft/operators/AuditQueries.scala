@@ -4531,6 +4531,408 @@ object AuditQueries {
       |ORDER BY sup_rank""".stripMargin
   }
 
+  // ------ q441: Jonckheere–Terpstra ordered-alternative test
+
+  /** q441: the Jonckheere–Terpstra test — the ORDERED-alternative
+    * sibling of Kruskal–Wallis (q272): KW asks "do the five priority
+    * classes differ at all in order value", JT asks the sharper
+    * monotone question "does order value RISE with priority", which
+    * has more power when the alternative really is ordered. The
+    * statistic is the sum of pairwise Mann–Whitney counts across
+    * group pairs in priority order; on the decile-binned outcome
+    * (binning is the operator's contract, q327's rule) every count
+    * folds EXACTLY from the 5×10 contingency — doubled (2·JT) so the
+    * ½-tie credits stay integer. The tie-corrected null variance is
+    * the standard three-term form over group and tie marginals, and
+    * z composes as one fixed IEEE tree over exact integers.
+    *
+    * Plan: one cutpoint pass, one orders pass → 50-cell rollup;
+    * everything after is metadata.
+    */
+  val q441Jonckheere: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val ord = Tables.orders(s, dir)
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("g"), cents(col("o_totalprice")).as("c"))
+    val byV = ord.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val ranked = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val cuts = ranked.crossJoin(broadcast(nAll))
+      .select(col("c"), col("below"), col("cnt"),
+        explode(expr("sequence(1, 9)")).as("i"))
+      .filter(col("below") < expr("(n_all * i + 9) div 10") &&
+        expr("(n_all * i + 9) div 10") <= col("below") + col("cnt"))
+      .groupBy().pivot("i", 1 to 9).agg(first(col("c")))
+      .select((1 to 9).map(i => col(i.toString).as(s"c$i")): _*)
+    val binExpr = (1 to 9).map(i => s"CAST(c > c$i AS INT)").mkString(" + ")
+    val cells = ord.crossJoin(broadcast(cuts))
+      .select(col("g"), expr(binExpr).cast("long").as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wg = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = cells
+      .withColumn("below", coalesce(sum(col("n")).over(wg), lit(0L)))
+    val a = withBelow.select(col("g").as("ga"), col("b"),
+      col("n").as("na"), col("below").as("bla"))
+    val bb = cells.select(col("g").as("gb"), col("b"), col("n").as("nb"))
+    val jt = a.join(bb, Seq("b")).filter(col("ga") < col("gb"))
+      .agg(sum(lit(2L).cast(dec) * col("nb") * col("bla") +
+        col("na").cast(dec) * col("nb")).as("jt2"))
+    val gm = cells.groupBy(col("g")).agg(sum(col("n")).as("ng"))
+      .agg(sum(col("ng")).cast(dec).as("nn"),
+        sum(col("ng").cast(dec) * col("ng")).as("sn2"),
+        sum(col("ng").cast(dec) * (col("ng") - 1) * (col("ng") * 2 + 5))
+          .as("gA"),
+        sum(col("ng").cast(dec) * (col("ng") - 1) * (col("ng") - 2))
+          .as("gB"),
+        sum(col("ng").cast(dec) * (col("ng") - 1)).as("gC"))
+    val tm = cells.groupBy(col("b")).agg(sum(col("n")).as("tb"))
+      .agg(sum(col("tb").cast(dec) * (col("tb") - 1) * (col("tb") * 2 + 5))
+        .as("tA"),
+        sum(col("tb").cast(dec) * (col("tb") - 1) * (col("tb") - 2))
+          .as("tB"),
+        sum(col("tb").cast(dec) * (col("tb") - 1)).as("tC"))
+    def d(c: String) = col(c).cast("double")
+    val aTerm = (d("nn") * (d("nn") - 1.0) * (d("nn") * 2.0 + 5.0) -
+      d("gA") - d("tA")) / 72.0
+    val bTerm = d("gB") * d("tB") /
+      (d("nn") * 36.0 * (d("nn") - 1.0) * (d("nn") - 2.0))
+    val cTerm = d("gC") * d("tC") / (d("nn") * 8.0 * (d("nn") - 1.0))
+    val z = (d("jt2") / 2.0 - (d("nn") * d("nn") - d("sn2")) / 4.0) /
+      sqrt(aTerm + bTerm + cTerm)
+    jt.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+      .select(col("nn").cast("long").as("n_orders"),
+        col("jt2").cast("long").as("jt_doubled"),
+        (col("nn") * col("nn") - col("sn2")).cast("long")
+          .as("e_jt_quadrupled"),
+        z.as("z_d"),
+        when(z > 1.6449, lit("rising_with_priority"))
+          .otherwise(lit("no_ordered_trend")).as("verdict_5pct"))
+  }
+
+  val q441Sql: String = {
+    val binExpr = (1 to 9).map(i => s"CAST(c > c$i AS INT)").mkString(" + ")
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val aTerm = s"((${d("nn")} * (${d("nn")} - 1.0) * (2.0 * ${d("nn")}" +
+      s" + 5.0) - ${d("gA")} - ${d("tA")}) / 72.0)"
+    val bTerm = s"(${d("gB")} * ${d("tB")} / (36.0 * ${d("nn")} *" +
+      s" (${d("nn")} - 1.0) * (${d("nn")} - 2.0)))"
+    val cTerm =
+      s"(${d("gC")} * ${d("tC")} / (8.0 * ${d("nn")} * (${d("nn")} - 1.0)))"
+    val z = s"((${d("jt2")} / 2.0 - (${d("nn")} * ${d("nn")} -" +
+      s" ${d("sn2")}) / 4.0) / sqrt($aTerm + $bTerm + $cTerm))"
+    s"""WITH ord AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |by_v AS (SELECT c, COUNT(*) AS cnt FROM ord GROUP BY c),
+      |ranked AS (
+      |  SELECT c, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |cutrows AS (
+      |  SELECT i, c FROM ranked,
+      |    (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS i) gi
+      |  WHERE below < (n_all * i + 9) // 10
+      |    AND (n_all * i + 9) // 10 <= below + cnt),
+      |cuts AS (
+      |  SELECT ${(1 to 9).map(i =>
+          s"MAX(CASE WHEN i = $i THEN c END) AS c$i").mkString(", ")}
+      |  FROM cutrows),
+      |cells AS (
+      |  SELECT g, $binExpr AS b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ord CROSS JOIN cuts GROUP BY 1, 2),
+      |wb AS (
+      |  SELECT g, b, n,
+      |    COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bla
+      |  FROM cells),
+      |jt AS (
+      |  SELECT SUM(2 * CAST(bb.n AS HUGEINT) * a.bla
+      |      + CAST(a.n AS HUGEINT) * bb.n) AS jt2
+      |  FROM wb a JOIN cells bb ON bb.b = a.b AND a.g < bb.g),
+      |gm AS (
+      |  SELECT CAST(SUM(ng) AS HUGEINT) AS nn,
+      |    SUM(CAST(ng AS HUGEINT) * ng) AS sn2,
+      |    SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS gA,
+      |    SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS gB,
+      |    SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS gC
+      |  FROM (SELECT g, SUM(n) AS ng FROM cells GROUP BY g)),
+      |tm AS (
+      |  SELECT SUM(CAST(tb AS HUGEINT) * (tb - 1) * (2 * tb + 5)) AS tA,
+      |    SUM(CAST(tb AS HUGEINT) * (tb - 1) * (tb - 2)) AS tB,
+      |    SUM(CAST(tb AS HUGEINT) * (tb - 1)) AS tC
+      |  FROM (SELECT b, SUM(n) AS tb FROM cells GROUP BY b))
+      |SELECT CAST(nn AS BIGINT) AS n_orders,
+      |  CAST(jt2 AS BIGINT) AS jt_doubled,
+      |  CAST(nn * nn - sn2 AS BIGINT) AS e_jt_quadrupled,
+      |  $z AS z_d,
+      |  CASE WHEN $z > 1.6449 THEN 'rising_with_priority'
+      |    ELSE 'no_ordered_trend' END AS verdict_5pct
+      |FROM jt CROSS JOIN gm CROSS JOIN tm""".stripMargin
+  }
+
+  // ------ q442: Kendall's W — seasonal concordance of brand rankings
+
+  /** q442: Kendall's coefficient of concordance W — "do the twelve
+    * calendar months AGREE on how brands rank?" is an m-rater
+    * agreement question over k items, the rank analog of the
+    * inter-rater family (q343 Fleiss, q369 ICC operate on labels and
+    * variance components; W operates on RANKINGS). Each month-of-year
+    * ranks the brands by pooled revenue (a deterministic total order:
+    * revenue desc, brand asc — so no mid-rank halves are needed), and
+    * W = 12·S/(m²(k³−k)) where S is the squared deviation of brand
+    * rank sums from their grand mean, which is integer because
+    * m(k+1) is even here. χ² = m(k−1)·W lands beside it.
+    *
+    * Plan: one orders+lineitem pass → (month, brand) rollup →
+    * 25-row-per-month rank windows (bounded partitions) → 1-row fold.
+    */
+  val q442KendallW: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val mb = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("r"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), expr("month(o_orderdate)").as("mo")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("mo"), col("p_brand").as("brand"))
+      .agg(sum(col("r")).as("rev"))
+    val ranked = mb.withColumn("rk",
+      row_number().over(Window.partitionBy(col("mo"))
+        .orderBy(col("rev").desc, col("brand"))).cast("long"))
+    val sums = ranked.groupBy(col("brand"))
+      .agg(sum(col("rk")).as("rsum"), count(lit(1)).as("m"))
+    val fold = sums.agg(count(lit(1)).cast(dec).as("k"),
+      first(col("m")).cast(dec).as("m"),
+      sum(col("rsum")).cast(dec).as("tot"),
+      sum(col("rsum").cast(dec) * col("rsum")).as("q"))
+      .select(col("k"), col("m"),
+        (col("k") * col("q") - col("tot") * col("tot")).as("s_k"))
+    fold.select(col("k").cast("long").as("n_brands"),
+      col("m").cast("long").as("n_months"),
+      expr(fdiv("12 * s_k * 1000000",
+        "m * m * (k * k * k - k) * k")).cast("long").as("w_e6"),
+      expr(fdiv("12 * s_k * 1000000 * (k - 1)",
+        "m * (k * k * k - k) * k")).cast("long").as("chi2_e6"))
+  }
+
+  val q442Sql: String =
+    """WITH mb AS (
+      |  SELECT month(o.o_orderdate) AS mo, p.p_brand AS brand,
+      |    SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT brand,
+      |    ROW_NUMBER() OVER (PARTITION BY mo ORDER BY rev DESC, brand)
+      |      AS rk
+      |  FROM mb),
+      |sums AS (
+      |  SELECT brand, CAST(SUM(rk) AS HUGEINT) AS rsum,
+      |    CAST(COUNT(*) AS HUGEINT) AS m
+      |  FROM ranked GROUP BY brand),
+      |fold AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS k, ANY_VALUE(m) AS m,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(rsum * rsum)
+      |      - SUM(rsum) * SUM(rsum) AS s_k
+      |  FROM sums)
+      |SELECT CAST(k AS BIGINT) AS n_brands, CAST(m AS BIGINT) AS n_months,
+      |  CAST(12 * s_k * 1000000 // (m * m * (k * k * k - k) * k)
+      |    AS BIGINT) AS w_e6,
+      |  CAST(12 * s_k * 1000000 * (k - 1) // (m * (k * k * k - k) * k)
+      |    AS BIGINT) AS chi2_e6
+      |FROM fold""".stripMargin
+
+  // ------ q443: Cliff's delta / Vargha–Delaney A dominance panel
+
+  /** q443: the rank dominance effect sizes — Cliff's δ and
+    * Vargha–Delaney Â answer "how often does an AIR-shipped line
+    * outweigh a SHIP-shipped one in quantity" WITHOUT the normality
+    * q335's Cohen's d borrows: δ = (#(x>y) − #(x<y))/(n₁n₂) and
+    * Â = (#(x>y) + ½ties)/(n₁n₂) are pure pair counts. Quantity is
+    * discrete (1..50), so the counts fold exactly from the 2×50
+    * contingency via per-value cumulatives — doubled where ½ enters.
+    *
+    * Plan: one lineitem pass → ≤ 100-cell rollup → metadata fold.
+    */
+  val q443CliffsDelta: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").cast("long").as("a"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("v"))
+      .groupBy(col("a"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val xa = li.filter(col("a") === 1L).select(col("v"), col("n").as("nx"))
+    val yb = li.filter(col("a") === 0L).select(col("v").as("w"),
+      col("n").as("ny"))
+    val f = xa.crossJoin(yb)
+      .agg(sum(when(col("v") > col("w"),
+        col("nx").cast(dec) * col("ny")).otherwise(lit(0).cast(dec)))
+        .as("gt"),
+        sum(when(col("v") < col("w"),
+          col("nx").cast(dec) * col("ny")).otherwise(lit(0).cast(dec)))
+          .as("lt"),
+        sum(when(col("v") === col("w"),
+          col("nx").cast(dec) * col("ny")).otherwise(lit(0).cast(dec)))
+          .as("ties"))
+    val counts = li.agg(
+      sum(when(col("a") === 1L, col("n")).otherwise(0L)).cast(dec)
+        .as("n1"),
+      sum(when(col("a") === 0L, col("n")).otherwise(0L)).cast(dec)
+        .as("n2"))
+    f.crossJoin(broadcast(counts))
+      .select(col("n1").cast("long").as("n_returned"),
+        col("n2").cast("long").as("n_regular"),
+        col("gt").cast("long").as("pairs_gt"),
+        col("lt").cast("long").as("pairs_lt"),
+        col("ties").cast("long").as("pairs_tied"),
+        expr(sdiv("(gt - lt) * 1000000", "n1 * n2")).cast("long")
+          .as("cliffs_delta_e6"),
+        expr(fdiv("(2 * gt + ties) * 1000000", "2 * n1 * n2"))
+          .cast("long").as("vargha_delaney_a_e6"))
+  }
+
+  val q443Sql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT
+      |    SUM(CASE WHEN x.v > y.v THEN CAST(x.n AS HUGEINT) * y.n
+      |      ELSE 0 END) AS gt,
+      |    SUM(CASE WHEN x.v < y.v THEN CAST(x.n AS HUGEINT) * y.n
+      |      ELSE 0 END) AS lt,
+      |    SUM(CASE WHEN x.v = y.v THEN CAST(x.n AS HUGEINT) * y.n
+      |      ELSE 0 END) AS ties
+      |  FROM (SELECT v, n FROM li WHERE a = 1) x
+      |  CROSS JOIN (SELECT v, n FROM li WHERE a = 0) y),
+      |counts AS (
+      |  SELECT CAST(SUM(CASE WHEN a = 1 THEN n ELSE 0 END) AS HUGEINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN a = 0 THEN n ELSE 0 END) AS HUGEINT) AS n2
+      |  FROM li)
+      |SELECT CAST(n1 AS BIGINT) AS n_returned,
+      |  CAST(n2 AS BIGINT) AS n_regular,
+      |  CAST(gt AS BIGINT) AS pairs_gt, CAST(lt AS BIGINT) AS pairs_lt,
+      |  CAST(ties AS BIGINT) AS pairs_tied,
+      |  CAST(CASE WHEN gt - lt >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((gt - lt) * 1000000) // (n1 * n2)) AS BIGINT)
+      |    AS cliffs_delta_e6,
+      |  CAST((2 * gt + ties) * 1000000 // (2 * n1 * n2) AS BIGINT)
+      |    AS vargha_delaney_a_e6
+      |FROM f CROSS JOIN counts""".stripMargin
+
+  // ------ q448: Lin's concordance correlation between period halves
+
+  /** q448: Lin's concordance correlation coefficient — the
+    * REPRODUCIBILITY statistic Pearson r (q117) overstates: r is
+    * blind to scale and location shifts, while Lin's CCC
+    * 2s_xy/(s_x²+s_y²+(x̄−ȳ)²) penalizes any departure from the 45°
+    * line, which is exactly the "does the first half of the history
+    * predict the second half brand-for-brand" question. With
+    * n-cleared co-moments every term shares the same n² denominator,
+    * so CCC is ONE exact rational — a single e6 floor, no doubles at
+    * all — alongside Pearson r for the accuracy/precision contrast.
+    *
+    * Plan: one lineitem ⋈ orders pass → 25-brand two-period rollup →
+    * 1-row fold.
+    */
+  val q448LinCcc: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("r"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_orderdate") < lit(ShiftShareBreak)).cast("long").as("pre")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(expr("SUM(CASE WHEN pre = 1 THEN r ELSE 0 END) div 1000")
+        .as("x"),
+        expr("SUM(CASE WHEN pre = 0 THEN r ELSE 0 END) div 1000").as("y"))
+    val mo = cells.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("qxx"),
+      sum(col("y").cast(dec) * col("y")).as("qyy"),
+      sum(col("x").cast(dec) * col("y")).as("qxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("qxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("qyy") - col("sy") * col("sy")).as("dy"),
+        (col("n") * col("qxy") - col("sx") * col("sy")).as("cxy"),
+        ((col("sx") - col("sy")) * (col("sx") - col("sy"))).as("loc2"))
+    def d(c: String) = col(c).cast("double")
+    mo.select(col("n").cast("long").as("n_brands"),
+      expr(sdiv("2 * cxy * 1000000", "dx + dy + loc2")).cast("long")
+        .as("ccc_e6"),
+      (d("cxy") / (sqrt(d("dx")) * sqrt(d("dy")))).as("pearson_r_d"),
+      expr(sdiv("(sx - sy) * 1000000", "sy")).cast("long")
+        .as("level_shift_e6"))
+  }
+
+  val q448Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH cells AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(SUM(CASE WHEN o.o_orderdate < DATE '$ShiftShareBreak'
+      |      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE 0 END) // 1000 AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN o.o_orderdate >= DATE '$ShiftShareBreak'
+      |      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE 0 END) // 1000 AS BIGINT) AS y
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+      |      - SUM(x) * SUM(x) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(y AS HUGEINT) * y)
+      |      - SUM(y) * SUM(y) AS dy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+      |      - SUM(x) * SUM(y) AS cxy,
+      |    (CAST(SUM(x) AS HUGEINT) - SUM(y))
+      |      * (CAST(SUM(x) AS HUGEINT) - SUM(y)) AS loc2
+      |  FROM cells)
+      |SELECT CAST(n AS BIGINT) AS n_brands,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(2 * cxy * 1000000) // (dx + dy + loc2)) AS BIGINT)
+      |    AS ccc_e6,
+      |  (${d("cxy")} / (sqrt(${d("dx")}) * sqrt(${d("dy")})))
+      |    AS pearson_r_d,
+      |  CAST(CASE WHEN sx - sy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sx - sy) * 1000000) // sy) AS BIGINT) AS level_shift_e6
+      |FROM mo""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -5782,6 +6184,10 @@ object AuditQueries {
     "q437_bradley_terry" -> q437BradleyTerry,
     "q438_chow_test" -> q438ChowTest,
     "q440_stable_matching" -> q440StableMatching,
+    "q441_jonckheere" -> q441Jonckheere,
+    "q442_kendall_w" -> q442KendallW,
+    "q443_cliffs_delta" -> q443CliffsDelta,
+    "q448_lin_ccc" -> q448LinCcc,
     "q391_taylors_law" -> q391TaylorsLaw,
     "q388_two_way_anova" -> q388TwoWayAnova,
     "q390_hash_birthday" -> q390HashBirthday,
@@ -5845,6 +6251,10 @@ object AuditQueries {
     "q437_bradley_terry" -> q437Sql,
     "q438_chow_test" -> q438Sql,
     "q440_stable_matching" -> q440Sql,
+    "q441_jonckheere" -> q441Sql,
+    "q442_kendall_w" -> q442Sql,
+    "q443_cliffs_delta" -> q443Sql,
+    "q448_lin_ccc" -> q448Sql,
     "q391_taylors_law" -> q391Sql,
     "q388_two_way_anova" -> q388Sql,
     "q390_hash_birthday" -> q390Sql,
