@@ -4933,6 +4933,429 @@ object AuditQueries {
       |FROM mo""".stripMargin
   }
 
+  // ------ q444: Cucconi location-scale omnibus test
+
+  /** q444: the Cucconi test (1968) — the one-statistic LOCATION-AND-
+    * SCALE omnibus the two-sample toolbox lacked: Mann–Whitney (q295)
+    * sees only shifts, Brown–Forsythe (q277) only spread; Cucconi's
+    * C = (Ũ² + Ṽ² − 2ρŨṼ)/(2(1−ρ²)) combines squared ranks U and
+    * contrary squared ranks V and catches either. Mid-ranks ride the
+    * DOUBLED-rank device (2R stays integer under ties), so U·4 and
+    * V·4 fold exactly from the ≤ 50-cell quantity contingency; the
+    * null moments and ρ are the standard closed forms, composed as
+    * one fixed IEEE tree over exact integers. P(C ≥ c) ≈ e^{−c}
+    * under the null, so the 5% cut is ln 20.
+    *
+    * Plan: one lineitem pass → 100-cell rollup → metadata fold.
+    */
+  val q444Cucconi: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").cast("long").as("a"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("v"))
+      .groupBy(col("a"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val byV = li.groupBy(col("v")).agg(sum(col("n")).as("cnt"))
+    val w = Window.orderBy(col("v")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val dr = byV
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("v"),
+        (col("below") * 2 + col("cnt") + 1).as("dr"))
+    val counts = li.agg(
+      sum(when(col("a") === 1L, col("n")).otherwise(0L)).cast(dec)
+        .as("n2"),
+      sum(when(col("a") === 0L, col("n")).otherwise(0L)).cast(dec)
+        .as("m1"),
+      sum(col("n")).cast(dec).as("nn"))
+    val folds = li.filter(col("a") === 1L).join(dr, Seq("v"))
+      .crossJoin(broadcast(counts))
+      .agg(first(col("n2")).as("n2"), first(col("m1")).as("m1"),
+        first(col("nn")).as("nn"),
+        sum(col("n").cast(dec) * col("dr") * col("dr")).as("u4"),
+        sum(col("n").cast(dec) *
+          ((col("nn") + 1) * 2 - col("dr")) *
+          ((col("nn") + 1) * 2 - col("dr"))).as("v4"))
+    def d(c: String) = col(c).cast("double")
+    val e = d("n2") * (d("nn") + 1.0) * (d("nn") * 2.0 + 1.0) / 6.0
+    val vr = d("m1") * d("n2") * (d("nn") + 1.0) * (d("nn") * 2.0 + 1.0) *
+      (d("nn") * 8.0 + 11.0) / 180.0
+    val uT = (d("u4") / 4.0 - e) / sqrt(vr)
+    val vT = (d("v4") / 4.0 - e) / sqrt(vr)
+    val rho = (d("nn") * d("nn") - 4.0) * 2.0 /
+      ((d("nn") * 2.0 + 1.0) * (d("nn") * 8.0 + 11.0)) - 1.0
+    val cStat = (uT * uT + vT * vT - rho * uT * vT * 2.0) /
+      ((lit(1.0) - rho * rho) * 2.0)
+    folds.select(col("m1").cast("long").as("n_regular"),
+      col("n2").cast("long").as("n_returned"),
+      col("u4").cast("long").as("u_quadrupled"),
+      col("v4").cast("long").as("v_quadrupled"),
+      cStat.as("c_d"),
+      when(cStat > 2.9957, lit("location_scale_shift"))
+        .otherwise(lit("homogeneous")).as("verdict_5pct"))
+  }
+
+  val q444Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val e = s"(${d("n2")} * (${d("nn")} + 1.0) * (${d("nn")} * 2.0 + 1.0)" +
+      " / 6.0)"
+    val vr = s"(${d("m1")} * ${d("n2")} * (${d("nn")} + 1.0) *" +
+      s" (${d("nn")} * 2.0 + 1.0) * (${d("nn")} * 8.0 + 11.0) / 180.0)"
+    val uT = s"((${d("u4")} / 4.0 - $e) / sqrt($vr))"
+    val vT = s"((${d("v4")} / 4.0 - $e) / sqrt($vr))"
+    val rho = s"((${d("nn")} * ${d("nn")} - 4.0) * 2.0 /" +
+      s" ((${d("nn")} * 2.0 + 1.0) * (${d("nn")} * 8.0 + 11.0)) - 1.0)"
+    val cS = s"(($uT * $uT + $vT * $vT - $rho * $uT * $vT * 2.0)" +
+      s" / ((1.0 - $rho * $rho) * 2.0))"
+    s"""WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      |  GROUP BY 1, 2),
+      |by_v AS (SELECT v, SUM(n) AS cnt FROM li GROUP BY v),
+      |dr AS (
+      |  SELECT v,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |      + cnt + 1 AS dr
+      |  FROM by_v),
+      |counts AS (
+      |  SELECT CAST(SUM(CASE WHEN a = 1 THEN n ELSE 0 END) AS HUGEINT)
+      |      AS n2,
+      |    CAST(SUM(CASE WHEN a = 0 THEN n ELSE 0 END) AS HUGEINT) AS m1,
+      |    CAST(SUM(n) AS HUGEINT) AS nn
+      |  FROM li),
+      |folds AS (
+      |  SELECT ANY_VALUE(n2) AS n2, ANY_VALUE(m1) AS m1,
+      |    ANY_VALUE(nn) AS nn,
+      |    SUM(CAST(li.n AS HUGEINT) * dr.dr * dr.dr) AS u4,
+      |    SUM(CAST(li.n AS HUGEINT) * ((nn + 1) * 2 - dr.dr)
+      |      * ((nn + 1) * 2 - dr.dr)) AS v4
+      |  FROM li JOIN dr USING (v) CROSS JOIN counts WHERE li.a = 1)
+      |SELECT CAST(m1 AS BIGINT) AS n_regular,
+      |  CAST(n2 AS BIGINT) AS n_returned,
+      |  CAST(u4 AS BIGINT) AS u_quadrupled,
+      |  CAST(v4 AS BIGINT) AS v_quadrupled,
+      |  $cS AS c_d,
+      |  CASE WHEN $cS > 2.9957 THEN 'location_scale_shift'
+      |    ELSE 'homogeneous' END AS verdict_5pct
+      |FROM folds""".stripMargin
+  }
+
+  // ------ q445: Cochrane–Orcutt AR(1)-corrected trend regression
+
+  /** q445: the Cochrane–Orcutt procedure — q344's Durbin–Watson
+    * DETECTS serial correlation in the monthly-revenue trend
+    * residuals; this is the classical FIX: estimate ρ from the lag-1
+    * residual regression, quasi-difference both sides
+    * (y*_t = y_t − ρ y_{t−1}, x*_t = t − ρ(t−1)) and re-fit, which
+    * restores valid OLS inference under AR(1) errors. Residuals are
+    * exact e6 integers (q432's device), ρ is one floor, the
+    * transformed series are exact integers again (e6-scaled), so the
+    * corrected slope is one more floor — no doubles anywhere.
+    *
+    * Plan: one orders pass → month rollup (checkpointed; the
+    * residual pass and the transformed fold both ride it) → lag
+    * windows over ≤ |months| metadata rows.
+    */
+  val q445CochraneOrcutt: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .localCheckpoint()
+    val t0 = cells.agg(min(col("m")).as("m0"))
+    val pts = cells.crossJoin(broadcast(t0))
+      .select((col("m") - col("m0") + 1L).as("t"), col("y"))
+      .localCheckpoint()
+    val mo = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("t").cast(dec) * col("t")).as("qtt"),
+      sum(col("t").cast(dec) * col("y")).as("qty"))
+      .select(col("n"), col("st"), col("sy"),
+        (col("n") * col("qtt") - col("st") * col("st")).as("dx"),
+        (col("n") * col("qty") - col("st") * col("sy")).as("cxy"))
+    val w = Window.orderBy(col("t"))
+    val resid = pts.crossJoin(broadcast(mo))
+      .select(col("t"), col("y"), col("n"), col("dx"), col("cxy"),
+        col("st"), col("sy"),
+        (col("y") * 1000000L -
+          expr(sdiv("(sy * dx - cxy * st) * 1000000", "n * dx")) -
+          expr(sdiv("cxy * t * 1000000", "dx"))).as("e"))
+      .withColumn("ep", lag(col("e"), 1).over(w))
+    val rho = resid.filter(col("ep").isNotNull)
+      .agg(sum(col("ep") * col("e")).as("num"),
+        sum(col("ep") * col("ep")).as("den"))
+      .select(expr(sdiv("num * 1000000", "den")).as("rho_e6"))
+    val trans = pts.crossJoin(broadcast(rho))
+      .withColumn("tp", lag(col("t"), 1).over(w))
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .filter(col("tp").isNotNull)
+      .select(col("rho_e6"),
+        (col("t") * 1000000L - col("rho_e6") * col("tp")).cast(dec)
+          .as("xs"),
+        (col("y") * 1000000L - col("rho_e6") * col("yp")).cast(dec)
+          .as("ys"))
+    val co = trans.groupBy(col("rho_e6"))
+      .agg(count(lit(1)).cast(dec).as("m"),
+        sum(col("xs")).as("sxs"), sum(col("ys")).as("sys"),
+        sum(col("xs") * col("xs")).as("qxx"),
+        sum(col("xs") * col("ys")).as("qxy"))
+    co.crossJoin(broadcast(mo))
+      .select(col("n").cast("long").as("n_months"),
+        expr(sdiv("cxy * 1000000", "dx")).cast("long").as("beta_ols_e6"),
+        col("rho_e6").cast("long").as("rho_e6"),
+        expr(sdiv("(m * qxy - sxs * sys) * 1000000",
+          "m * qxx - sxs * sxs")).cast("long").as("beta_co_e6"))
+  }
+
+  val q445Sql: String =
+    """WITH cells AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT m - (SELECT MIN(m) FROM cells) + 1 AS t, y FROM cells),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * t)
+      |      - CAST(SUM(t) AS HUGEINT) * SUM(t) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * y)
+      |      - CAST(SUM(t) AS HUGEINT) * SUM(y) AS cxy
+      |  FROM pts),
+      |resid AS (
+      |  SELECT t,
+      |    y * 1000000
+      |      - CASE WHEN sy * dx - cxy * st >= 0 THEN 1 ELSE -1 END *
+      |        (ABS((sy * dx - cxy * st) * 1000000) // (n * dx))
+      |      - CASE WHEN cxy * t >= 0 THEN 1 ELSE -1 END *
+      |        (ABS(cxy * t * 1000000) // dx) AS e
+      |  FROM pts CROSS JOIN mo),
+      |lagged AS (
+      |  SELECT e, LAG(e, 1) OVER (ORDER BY t) AS ep FROM resid),
+      |rho AS (
+      |  SELECT CASE WHEN SUM(ep * e) >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(SUM(ep * e) * 1000000) // SUM(ep * ep)) AS rho_e6
+      |  FROM lagged WHERE ep IS NOT NULL),
+      |trans AS (
+      |  SELECT rho_e6,
+      |    CAST(t AS HUGEINT) * 1000000 - rho_e6 * tp AS xs,
+      |    CAST(y AS HUGEINT) * 1000000 - rho_e6 * yp AS ys
+      |  FROM (SELECT t, y, LAG(t, 1) OVER (ORDER BY t) AS tp,
+      |          LAG(y, 1) OVER (ORDER BY t) AS yp FROM pts)
+      |  CROSS JOIN rho WHERE tp IS NOT NULL),
+      |co AS (
+      |  SELECT rho_e6, CAST(COUNT(*) AS HUGEINT) AS m,
+      |    SUM(xs) AS sxs, SUM(ys) AS sys,
+      |    SUM(xs * xs) AS qxx, SUM(xs * ys) AS qxy
+      |  FROM trans GROUP BY rho_e6)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx) AS BIGINT) AS beta_ols_e6,
+      |  CAST(rho_e6 AS BIGINT) AS rho_e6,
+      |  CAST(CASE WHEN m * qxy - sxs * sys >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((m * qxy - sxs * sys) * 1000000) // (m * qxx - sxs * sxs))
+      |    AS BIGINT) AS beta_co_e6
+      |FROM co CROSS JOIN mo""".stripMargin
+
+  // ------ q446: Oaxaca–Blinder decomposition of the segment gap
+
+  /** q446: the Oaxaca–Blinder twofold decomposition — the econometric
+    * answer to "WHY do BUILDING-segment orders run larger": how much
+    * of the mean order-value gap is ENDOWMENT (BUILDING orders simply
+    * contain more lineitems, priced at the reference slope) versus
+    * UNEXPLAINED (same basket size, different price structure)?
+    * Explained = β_ref·(x̄_A − x̄_B) with the non-BUILDING slope as
+    * reference; unexplained is the remainder of the exact gap — each
+    * a single floor over exact integer co-moments, so the identity
+    * explained + unexplained = gap holds BY CONSTRUCTION in-output.
+    *
+    * Plan: lineitem order-size rollup ⋈ orders (big-big) with the
+    * broadcast customer dim → two group folds. Two shuffles.
+    */
+  val q446OaxacaBlinder: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val sized = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), cents(col("o_totalprice")).as("y")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("grp"))),
+        col("o_custkey") === col("c_custkey"))
+    val folds = sized.groupBy(col("grp"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("qxx"),
+        sum(col("x").cast(dec) * col("y")).as("qxy"))
+      .select(col("grp"), col("n"), col("sx"), col("sy"),
+        (col("n") * col("qxx") - col("sx") * col("sx")).as("d"),
+        (col("n") * col("qxy") - col("sx") * col("sy")).as("c"))
+    val a = folds.filter(col("grp") === 1L)
+      .select(col("n").as("na"), col("sx").as("sxa"), col("sy").as("sya"),
+        col("d").as("da"), col("c").as("ca"))
+    val b = folds.filter(col("grp") === 0L)
+      .select(col("n").as("nb"), col("sx").as("sxb"), col("sy").as("syb"),
+        col("d").as("db"), col("c").as("cb"))
+    a.crossJoin(broadcast(b))
+      .select(col("na").cast("long").as("n_building"),
+        col("nb").cast("long").as("n_other"),
+        expr(sdiv("ca * 1000000", "da")).cast("long")
+          .as("beta_building_e6"),
+        expr(sdiv("cb * 1000000", "db")).cast("long").as("beta_other_e6"),
+        expr(sdiv("(sxa * nb - sxb * na) * 1000000", "na * nb"))
+          .cast("long").as("xbar_gap_e6"),
+        expr(sdiv("(sya * nb - syb * na) * 1000000", "na * nb"))
+          .cast("long").as("gap_e6c"),
+        expr(sdiv("cb * (sxa * nb - sxb * na) * 1000000", "db * na * nb"))
+          .cast("long").as("explained_e6c"),
+        (expr(sdiv("(sya * nb - syb * na) * 1000000", "na * nb")) -
+          expr(sdiv("cb * (sxa * nb - sxb * na) * 1000000",
+            "db * na * nb"))).cast("long").as("unexplained_e6c"))
+  }
+
+  val q446Sql: String =
+    """WITH sized AS (
+      |  SELECT o.o_custkey,
+      |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y, l.x
+      |  FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+      |        FROM lineitem GROUP BY 1) l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |grouped AS (
+      |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+      |      AS grp, s.x, s.y
+      |  FROM sized s JOIN customer c ON c.c_custkey = s.o_custkey),
+      |folds AS (
+      |  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(x) AS d,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(y) AS c
+      |  FROM grouped GROUP BY grp),
+      |a AS (SELECT n AS na, sx AS sxa, sy AS sya, d AS da, c AS ca
+      |      FROM folds WHERE grp = 1),
+      |b AS (SELECT n AS nb, sx AS sxb, sy AS syb, d AS db, c AS cb
+      |      FROM folds WHERE grp = 0)
+      |SELECT CAST(na AS BIGINT) AS n_building,
+      |  CAST(nb AS BIGINT) AS n_other,
+      |  CAST(CASE WHEN ca >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(ca * 1000000) // da) AS BIGINT) AS beta_building_e6,
+      |  CAST(CASE WHEN cb >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cb * 1000000) // db) AS BIGINT) AS beta_other_e6,
+      |  CAST(CASE WHEN sxa * nb - sxb * na >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sxa * nb - sxb * na) * 1000000) // (na * nb)) AS BIGINT)
+      |    AS xbar_gap_e6,
+      |  CAST(CASE WHEN sya * nb - syb * na >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sya * nb - syb * na) * 1000000) // (na * nb)) AS BIGINT)
+      |    AS gap_e6c,
+      |  CAST(CASE WHEN cb * (sxa * nb - sxb * na) >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cb * (sxa * nb - sxb * na) * 1000000) // (db * na * nb))
+      |    AS BIGINT) AS explained_e6c,
+      |  CAST(CASE WHEN sya * nb - syb * na >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sya * nb - syb * na) * 1000000) // (na * nb))
+      |   - CASE WHEN cb * (sxa * nb - sxb * na) >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cb * (sxa * nb - sxb * na) * 1000000) // (db * na * nb))
+      |    AS BIGINT) AS unexplained_e6c
+      |FROM a CROSS JOIN b""".stripMargin
+
+  // ------ q447: 0/1 knapsack assortment planner
+
+  /** Knapsack capacity (weight units = retail-price hundreds). */
+  val KnapCap = 100
+  /** Number of candidate items (largest parts by revenue). */
+  val KnapItems = 12
+
+  /** q447: exact 0/1 knapsack over the top revenue parts — the
+    * OPTIMAL counterpart of q382's next-fit-decreasing packer (a
+    * heuristic with a proven bound): pick the subset of the
+    * [[KnapItems]] biggest parts maximizing corpus revenue subject to
+    * a retail-price budget of [[KnapCap]] hundred dollars. The DP
+    * table over capacities 0..W is the textbook Bellman recursion —
+    * a driver fold over [[KnapItems]] collected metadata rows,
+    * replayed in the oracle as a recursive CTE carrying the DP row
+    * as a LIST (one list_transform per item). The full value-by-
+    * capacity frontier is the output, so the budget-sensitivity
+    * curve is checkable row by row.
+    *
+    * Plan: one lineitem pass → part rollup → top-K collect → K-step
+    * driver DP → (W+1)-row output.
+    */
+  val q447Knapsack: Q = (s, dir) => {
+    val items = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(
+        expr("SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) div 1000")
+          .as("v"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").cast("long").as("pk"), col("v"),
+        greatest(expr(
+          "CAST(ROUND(p_retailprice * 100) AS BIGINT) div 10000"),
+          lit(1L)).as("w"))
+      .orderBy(col("v").desc, col("pk")).limit(KnapItems)
+      .orderBy(col("pk"))
+      .collect()
+    val ws = items.map(_.getAs[Long]("w"))
+    val vs = items.map(_.getAs[Long]("v"))
+    var dp = Array.fill(KnapCap + 1)(0L)
+    ws.indices.foreach { k =>
+      dp = (0 to KnapCap).map { c =>
+        if (c >= ws(k)) math.max(dp(c), dp(c - ws(k).toInt) + vs(k))
+        else dp(c)
+      }.toArray
+    }
+    import s.implicits._
+    (0 to KnapCap).map(c => (c.toLong, dp(c)))
+      .toDF("capacity_hundreds", "best_value")
+      .orderBy(col("capacity_hundreds"))
+  }
+
+  val q447Sql: String =
+    s"""WITH RECURSIVE items0 AS (
+      |  SELECT CAST(l.l_partkey AS BIGINT) AS pk,
+      |    SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) // 1000
+      |      AS v,
+      |    GREATEST(CAST(ROUND(ANY_VALUE(p.p_retailprice) * 100)
+      |      AS BIGINT) // 10000, 1) AS w
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1),
+      |topk AS (
+      |  SELECT pk, v, w,
+      |    ROW_NUMBER() OVER (ORDER BY pk) AS k
+      |  FROM (SELECT * FROM items0 ORDER BY v DESC, pk LIMIT $KnapItems)),
+      |mats AS (
+      |  SELECT list(w ORDER BY k) AS wl, list(v ORDER BY k) AS vl
+      |  FROM topk),
+      |walk AS (
+      |  SELECT 0 AS k,
+      |    list_transform(range(0, ${KnapCap + 1}),
+      |      c -> CAST(0 AS BIGINT)) AS dp
+      |  UNION ALL
+      |  SELECT k + 1,
+      |    list_transform(range(0, ${KnapCap + 1}), c ->
+      |      CASE WHEN c >= wl[k + 1]
+      |        THEN GREATEST(dp[c + 1], dp[c - wl[k + 1] + 1] + vl[k + 1])
+      |        ELSE dp[c + 1] END)
+      |  FROM walk, mats WHERE k < $KnapItems),
+      |last AS (SELECT dp FROM walk ORDER BY k DESC LIMIT 1)
+      |SELECT CAST(c.c AS BIGINT) AS capacity_hundreds,
+      |  CAST(dp[c.c + 1] AS BIGINT) AS best_value
+      |FROM last, (SELECT UNNEST(range(0, ${KnapCap + 1})) AS c) c
+      |ORDER BY capacity_hundreds""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -6185,6 +6608,10 @@ object AuditQueries {
     "q438_chow_test" -> q438ChowTest,
     "q440_stable_matching" -> q440StableMatching,
     "q441_jonckheere" -> q441Jonckheere,
+    "q444_cucconi" -> q444Cucconi,
+    "q445_cochrane_orcutt" -> q445CochraneOrcutt,
+    "q446_oaxaca_blinder" -> q446OaxacaBlinder,
+    "q447_knapsack" -> q447Knapsack,
     "q442_kendall_w" -> q442KendallW,
     "q443_cliffs_delta" -> q443CliffsDelta,
     "q448_lin_ccc" -> q448LinCcc,
@@ -6252,6 +6679,10 @@ object AuditQueries {
     "q438_chow_test" -> q438Sql,
     "q440_stable_matching" -> q440Sql,
     "q441_jonckheere" -> q441Sql,
+    "q444_cucconi" -> q444Sql,
+    "q445_cochrane_orcutt" -> q445Sql,
+    "q446_oaxaca_blinder" -> q446Sql,
+    "q447_knapsack" -> q447Sql,
     "q442_kendall_w" -> q442Sql,
     "q443_cliffs_delta" -> q443Sql,
     "q448_lin_ccc" -> q448Sql,
