@@ -4783,7 +4783,7 @@ object AuditQueries {
     val xa = li.filter(col("a") === 1L).select(col("v"), col("n").as("nx"))
     val yb = li.filter(col("a") === 0L).select(col("v").as("w"),
       col("n").as("ny"))
-    val f = xa.crossJoin(yb)
+    val f = xa.crossJoin(broadcast(yb))
       .agg(sum(when(col("v") > col("w"),
         col("nx").cast(dec) * col("ny")).otherwise(lit(0).cast(dec)))
         .as("gt"),

@@ -2,12 +2,13 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Plan pins for the ninth-session families (q396–q414) — the 100 TB
-  * posture assertions: pruned scans, partial+final aggregation,
-  * broadcast-only pair grids and moment joins, TakeOrdered instead of
-  * global sorts, and no cartesians anywhere. Queries whose heads ride a
-  * localCheckpoint assert on the visible (post-checkpoint) tail only
-  * where that is still meaningful.
+/** Plan pins + semantic invariants for the ninth-session families
+  * (q427–q448) — the same 100 TB posture assertions
+  * NewFamiliesPlanSpec holds for the eighth session: pushed filters,
+  * pruned scans, partial aggregation, broadcast-only metadata joins,
+  * no cartesians; plus output-level certificates for the two
+  * combinatorial drivers (stable matching, knapsack) whose physical
+  * plan is a driver fold by design.
   */
 class NinthFamiliesPlanSpec extends SparkSpec {
 
@@ -15,89 +16,117 @@ class NinthFamiliesPlanSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
 
-  test("q396: the 80-row month self-grid broadcasts, never sort-merges") {
-    val p = plan("q396_hoeffdings_d")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin"),
-      "a calendar-bounded pair grid must never sort-merge")
-  }
-
-  test("q397: JSD pair fan-out is keyed by word — no cartesian") {
-    val p = plan("q397_jensen_shannon")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
-  }
-
-  test("q398: Hellinger keeps the word self-join keyed and partial-aggregated") {
-    val p = plan("q398_hellinger")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
-  }
-
-  test("q399: Hurst block windows stay partitioned — no cartesian tail") {
-    val p = plan("q399_hurst")
+  test("q427: tail-dependence prunes lineitem to quantity+price") {
+    val p = plan("q427_tail_dependence")
+    assert(!p.contains("l_suppkey"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q403: Mahalanobis scoring joins the 1-row moments broadcast") {
-    val p = plan("q403_mahalanobis")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
-    assert(p.contains("TakeOrderedAndProject"),
-      "top-20 selection must be TakeOrdered, not a global sort")
+  test("q431: KPSS statistic is nonnegative with a coherent verdict") {
+    // the day rollup is checkpointed, so the scan-side assertions live
+    // in the oracle gate; pin the statistic's sign/verdict contract
+    val r = graft.SparkEntry.queries("q431_kpss")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val eta = r.head.getAs[Long]("kpss_eta_e6")
+    val v = r.head.getAs[String]("verdict_5pct")
+    assert(eta >= 0L)
+    assert(if (eta > 463000L) v == "reject_level_stationarity"
+      else v == "consistent")
   }
 
-  test("q404: Grubbs joins the 5-row class moments broadcast off a pruned scan") {
-    val p = plan("q404_grubbs")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("o_orderdate"),
-      "unused orders columns must be pruned from the scan")
-    assert(p.contains("partial_sum") || p.contains("partial_max"), p)
-  }
-
-  test("q405: Granger day-rollup tail is join-light and cartesian-free") {
-    val p = plan("q405_granger")
-    assert(!p.contains("CartesianProduct"), p)
-  }
-
-  test("q406: EOQ panel broadcasts the top-10 filter back to the rollup") {
-    val p = plan("q406_eoq_newsvendor")
+  test("q433: shift-share broadcasts both dims, no cartesian") {
+    val p = plan("q433_shift_share")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q409: AD cells never cartesian and never globally sort the corpus") {
-    val p = plan("q409_anderson_darling")
+  test("q434: Bray-Curtis pair pass stays on the rollup, no cartesian") {
+    val p = plan("q434_bray_curtis")
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q410: CCF lag spine broadcasts; the aligned join is keyed") {
-    val p = plan("q410_ccf")
+  test("q435: Mantel permutation spine is broadcast-only") {
+    val p = plan("q435_mantel_test")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q411: LOF candidate join is a cell-key equi-join, windows partitioned") {
-    val p = plan("q411_lof")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("TakeOrderedAndProject"),
-      "top-20 LOF selection must be TakeOrdered")
-  }
-
-  test("q413: price indices join the part dim broadcast off a pruned fact scan") {
-    val p = plan("q413_price_indices")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("l_suppkey"),
-      "unused lineitem columns must be pruned from the scan")
-  }
-
-  test("q414: Hill threshold is TakeOrdered(k+1), orders scan pruned") {
-    val p = plan("q414_hill_tail")
-    assert(p.contains("TakeOrderedAndProject"), p)
+  test("q436: ordinal panel keeps the orders scan two-column") {
+    val p = plan("q436_ordinal_assoc")
     assert(!p.contains("o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q441: Jonckheere folds the contingency map-side") {
+    val p = plan("q441_jonckheere")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q443: Cliff's delta pair accounting is complete and bounded") {
+    val r = graft.SparkEntry.queries("q443_cliffs_delta")(spark, sfDir)
+      .collect().head
+    val n1 = r.getAs[Long]("n_returned"); val n2 = r.getAs[Long]("n_regular")
+    assert(r.getAs[Long]("pairs_gt") + r.getAs[Long]("pairs_lt") +
+      r.getAs[Long]("pairs_tied") == n1 * n2,
+      "every cross pair must be classified exactly once")
+    val d = r.getAs[Long]("cliffs_delta_e6")
+    assert(d >= -1000000L && d <= 1000000L)
+    val a = r.getAs[Long]("vargha_delaney_a_e6")
+    assert(a >= 0L && a <= 1000000L)
+  }
+
+  test("q444: Cucconi statistic is nonnegative (it is a quadratic form)") {
+    val r = graft.SparkEntry.queries("q444_cucconi")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Double]("c_d") >= 0.0)
+  }
+
+  test("q445: Cochrane-Orcutt month rollup prunes to date+price") {
+    val p = plan("q445_cochrane_orcutt")
+    assert(!p.contains("o_custkey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q446: Oaxaca-Blinder joins the customer dim broadcast") {
+    val p = plan("q446_oaxaca_blinder")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q448: Lin CCC folds both halves in one fact pass") {
+    val p = plan("q448_lin_ccc")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q440: matching is perfect, stable, proposer-rank consistent") {
+    val out = graft.SparkEntry.queries("q440_stable_matching")(spark, sfDir)
+      .collect()
+    assert(out.length == AuditQueries.GsG)
+    assert(out.map(_.getAs[Long]("nationkey")).distinct.length ==
+      AuditQueries.GsG, "matching must be a bijection")
+    assert(out.forall(_.getAs[Long]("blocking_pairs") == 0L),
+      "Gale-Shapley output must certify zero blocking pairs")
+  }
+
+  test("q447: knapsack frontier is monotone and capacity-bounded") {
+    val out = graft.SparkEntry.queries("q447_knapsack")(spark, sfDir)
+      .orderBy("capacity_hundreds").collect()
+      .map(_.getAs[Long]("best_value"))
+    assert(out.length == AuditQueries.KnapCap + 1)
+    assert(out.head == 0L, "zero capacity holds nothing")
+    assert(out.zip(out.tail).forall { case (a, b) => a <= b },
+      "the DP value frontier must be non-decreasing in capacity")
+  }
+
+  test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
+    val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
+      .collect()
+    val g = out.length
+    val total = out.map(_.getAs[Long]("pi_e6")).sum
+    assert(math.abs(total - g * 1000000L) <= g,
+      s"normalized strengths must sum to ~g*1e6 (floor drift <= g): $total")
+    assert(out.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+      (1L to g.toLong).toSeq, "ranks must be a permutation")
   }
 }
