@@ -5356,6 +5356,347 @@ object AuditQueries {
       |FROM last, (SELECT UNNEST(range(0, ${KnapCap + 1})) AS c) c
       |ORDER BY capacity_hundreds""".stripMargin
 
+  // ------ q449: Fisher's exact test on the region × AOV-tier table
+
+  /** Plan-time factorial table 0!..25! — exact BigInt literals inlined
+    * into both engines (25! has 26 digits; fits HUGEINT/DECIMAL(38)).
+    */
+  val FactTable: IndexedSeq[BigInt] =
+    (0 to 25).scanLeft(BigInt(1))((a, i) => a * i.max(1)).tail
+
+  /** q449: Fisher's exact test — the EXACT small-table independence
+    * test the asymptotic family (χ² q153, G q348, McNemar q322)
+    * approximates: on the 25-nation table of (nation in region 0) ×
+    * (nation AOV above the median nation), the one-sided
+    * hypergeometric tail p = Σ_{k≥a} C(K,k)C(N−K,n−k)/C(N,n) is an
+    * EXACT RATIONAL, because N = 25 keeps every binomial inside
+    * 26-digit integers: the [[FactTable]] literals are inlined into
+    * both engines and the whole test is integer arithmetic — one e6
+    * floor at the end. The driver fold mirrors the oracle's VALUES
+    * table term by term.
+    *
+    * Plan: one orders pass → 25-row nation AOV panel (metadata
+    * collect) → driver tail sum.
+    */
+  val q449FisherExact: Q = (s, dir) => {
+    val panel = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))" +
+        " div COUNT(*)").as("aov"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nat"),
+          col("n_regionkey").cast("long").as("rk"))), Seq("nat"))
+      .collect()
+    val nN = panel.length
+    val aovs = panel.map(_.getAs[Long]("aov")).sorted
+    val med = aovs((nN + 1) / 2 - 1) // rank-target ceil(N/2) selection
+    val kRegion = panel.count(_.getAs[Long]("rk") == 0L)
+    val nHigh = panel.count(_.getAs[Long]("aov") > med)
+    val aObs = panel.count(r =>
+      r.getAs[Long]("rk") == 0L && r.getAs[Long]("aov") > med)
+    def c(a: Int, b: Int): BigInt =
+      if (b < 0 || b > a) BigInt(0)
+      else FactTable(a) / (FactTable(b) * FactTable(a - b))
+    val num = (aObs to math.min(kRegion, nHigh))
+      .map(k => c(kRegion, k) * c(nN - kRegion, nHigh - k)).sum
+    val pE6 = (num * 1000000L / c(nN, nHigh)).toLong
+    import s.implicits._
+    Seq((nN.toLong, kRegion.toLong, nHigh.toLong, aObs.toLong, pE6))
+      .toDF("n_nations", "k_region0", "n_high_aov", "a_observed",
+        "p_one_sided_e6")
+  }
+
+  val q449Sql: String = {
+    val facts = FactTable.zipWithIndex
+      .map { case (f, i) => s"($i, CAST('$f' AS HUGEINT))" }.mkString(", ")
+    """WITH panel AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // COUNT(*)
+      |      AS aov
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |tagged AS (
+      |  SELECT p.nat, p.aov, n.n_regionkey AS rk
+      |  FROM panel p JOIN nation n ON n.n_nationkey = p.nat),
+      |med AS (
+      |  SELECT aov AS med FROM (
+      |    SELECT aov, ROW_NUMBER() OVER (ORDER BY aov) AS r,
+      |      COUNT(*) OVER () AS nn
+      |    FROM tagged) WHERE r = (nn + 1) // 2),
+      |counts AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+      |    CAST(SUM(CASE WHEN rk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kr,
+      |    CAST(SUM(CASE WHEN aov > med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nh,
+      |    CAST(SUM(CASE WHEN rk = 0 AND aov > med THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a
+      |  FROM tagged CROSS JOIN med),
+      |""".stripMargin +
+    s"""facts(i, f) AS (VALUES $facts),
+      |terms AS (
+      |  SELECT c.a, c.kr, c.nh, c.nn,
+      |    ((SELECT f FROM facts WHERE i = c.kr) //
+      |      ((SELECT f FROM facts WHERE i = k.k) *
+      |       (SELECT f FROM facts WHERE i = c.kr - k.k))) *
+      |    ((SELECT f FROM facts WHERE i = c.nn - c.kr) //
+      |      ((SELECT f FROM facts WHERE i = c.nh - k.k) *
+      |       (SELECT f FROM facts WHERE i = c.nn - c.kr - (c.nh - k.k))))
+      |      AS term
+      |  FROM counts c
+      |  JOIN (SELECT UNNEST(range(0, 26)) AS k) k
+      |    ON k.k >= c.a AND k.k <= LEAST(c.kr, c.nh)
+      |      AND c.nh - k.k >= 0 AND c.nn - c.kr - (c.nh - k.k) >= 0),
+      |denom AS (
+      |  SELECT (SELECT f FROM facts WHERE i = c.nn) //
+      |    ((SELECT f FROM facts WHERE i = c.nh) *
+      |     (SELECT f FROM facts WHERE i = c.nn - c.nh)) AS d
+      |  FROM counts c)
+      |SELECT ANY_VALUE(nn) AS n_nations, ANY_VALUE(kr) AS k_region0,
+      |  ANY_VALUE(nh) AS n_high_aov, ANY_VALUE(a) AS a_observed,
+      |  CAST(SUM(term) * 1000000 // ANY_VALUE(d.d) AS BIGINT)
+      |    AS p_one_sided_e6
+      |FROM terms CROSS JOIN denom d""".stripMargin
+  }
+
+  // ------ q450: Wald instrumental-variable estimator
+
+  /** q450: the Wald IV estimator — when order size x is endogenous to
+    * order value y (big orders are big for unobserved reasons), the
+    * OLS slope (q154) is biased; with a binary INSTRUMENT z (urgent/
+    * high order priority, which shifts basket size but is plausibly
+    * unrelated to the residual price structure) the Wald ratio
+    * β_IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) identifies the causal slope. The ratio
+    * of n-cleared mean gaps is ONE exact rational (a single e6
+    * floor), shown against the OLS slope; the first-stage F (the
+    * weak-instrument diagnostic every IV report needs) composes as
+    * an IEEE tree over the exact group moments.
+    *
+    * Plan: lineitem order-size rollup ⋈ orders (one big-big shuffle)
+    * → two group folds. Everything after is metadata.
+    */
+  val q450WaldIv: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN ($num) * CASE WHEN $den >= 0 THEN 1 ELSE -1 END
+         | >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % abs($den)) / abs($den)
+         |   AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val sized = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("y"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2")
+          .cast("long").as("z")),
+        col("l_orderkey") === col("o_orderkey"))
+    val folds = sized.groupBy(col("z"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("qxx"),
+        sum(col("x").cast(dec) * col("y")).as("qxy"))
+    val a = folds.filter(col("z") === 1L).select(col("n").as("n1"),
+      col("sx").as("sx1"), col("sy").as("sy1"), col("qxx").as("qxx1"))
+    val b = folds.filter(col("z") === 0L).select(col("n").as("n0"),
+      col("sx").as("sx0"), col("sy").as("sy0"), col("qxx").as("qxx0"))
+    val all = sized.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("qxx"),
+      sum(col("x").cast(dec) * col("y")).as("qxy"))
+      .select(col("n"),
+        (col("n") * col("qxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("qxy") - col("sx") * col("sy")).as("cxy"))
+    def d(c: String) = col(c).cast("double")
+    // first-stage F: pooled-variance two-sample t² for x on z
+    val ssw = (d("qxx1") - d("sx1") * d("sx1") / d("n1")) +
+      (d("qxx0") - d("sx0") * d("sx0") / d("n0"))
+    val gap = d("sx1") / d("n1") - d("sx0") / d("n0")
+    val fStat = gap * gap /
+      ((ssw / (d("n1") + d("n0") - 2.0)) * (lit(1.0) / d("n1") +
+        lit(1.0) / d("n0")))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(all))
+      .select(col("n1").cast("long").as("n_urgent"),
+        col("n0").cast("long").as("n_regular"),
+        expr(sdiv("cxy * 1000000", "dx")).cast("long").as("beta_ols_e6"),
+        expr(sdiv("(sy1 * n0 - sy0 * n1) * 1000000",
+          "sx1 * n0 - sx0 * n1")).cast("long").as("beta_iv_e6"),
+        fStat.as("first_stage_f_d"),
+        when(fStat > 10.0, lit("instrument_strong"))
+          .otherwise(lit("instrument_weak")).as("relevance_verdict"))
+  }
+
+  val q450Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val ssw = s"((${d("qxx1")} - ${d("sx1")} * ${d("sx1")} / ${d("n1")})" +
+      s" + (${d("qxx0")} - ${d("sx0")} * ${d("sx0")} / ${d("n0")}))"
+    val gap = s"(${d("sx1")} / ${d("n1")} - ${d("sx0")} / ${d("n0")})"
+    val f = s"($gap * $gap / (($ssw / (${d("n1")} + ${d("n0")} - 2.0))" +
+      s" * (1.0 / ${d("n1")} + 1.0 / ${d("n0")})))"
+    s"""WITH sized AS (
+      |  SELECT l.x, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y,
+      |    CASE WHEN CAST(substring(o.o_orderpriority, 1, 1) AS INT) <= 2
+      |      THEN 1 ELSE 0 END AS z
+      |  FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+      |        FROM lineitem GROUP BY 1) l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |folds AS (
+      |  SELECT z, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS qxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS qxy
+      |  FROM sized GROUP BY z),
+      |a AS (SELECT n AS n1, sx AS sx1, sy AS sy1, qxx AS qxx1
+      |      FROM folds WHERE z = 1),
+      |b AS (SELECT n AS n0, sx AS sx0, sy AS sy0, qxx AS qxx0
+      |      FROM folds WHERE z = 0),
+      |alls AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(x) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(y) AS cxy
+      |  FROM sized)
+      |SELECT CAST(n1 AS BIGINT) AS n_urgent,
+      |  CAST(n0 AS BIGINT) AS n_regular,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx) AS BIGINT) AS beta_ols_e6,
+      |  CAST(CASE WHEN (sy1 * n0 - sy0 * n1) *
+      |      CASE WHEN sx1 * n0 - sx0 * n1 >= 0 THEN 1 ELSE -1 END >= 0
+      |      THEN 1 ELSE -1 END *
+      |    (ABS((sy1 * n0 - sy0 * n1) * 1000000)
+      |      // ABS(sx1 * n0 - sx0 * n1)) AS BIGINT) AS beta_iv_e6,
+      |  $f AS first_stage_f_d,
+      |  CASE WHEN $f > 10.0 THEN 'instrument_strong'
+      |    ELSE 'instrument_weak' END AS relevance_verdict
+      |FROM a CROSS JOIN b CROSS JOIN alls""".stripMargin
+  }
+
+  // ------ q451: sharp regression discontinuity at the median order
+
+  /** q451: sharp regression-discontinuity design — the third causal
+    * identification strategy next to DiD (q298) and IV (q450): if
+    * treatment switches at a known cutoff of a running variable, the
+    * outcome JUMP at the cutoff identifies the local effect. Running
+    * variable = order value, cutoff = its exact median (rank-target
+    * selection), outcome = basket size; local linear fits on the
+    * [P25, cutoff) and [cutoff, P75] windows — each intercept AT the
+    * cutoff is one exact-integer determinant floor, and the jump is
+    * their difference (here ≈ 0: the in-output placebo certificate
+    * on synthetic data with no true discontinuity).
+    *
+    * Plan: one cutpoint pass, lineitem rollup ⋈ orders (one big-big
+    * shuffle) → two windowed folds. Metadata after.
+    */
+  val q451RegressionDiscontinuity: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val ord = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("yv"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("r")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("r"), col("yv"))
+    val byV = ord.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+    val ranked = doubledRankBelow(byV, Seq.empty, "r", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val cuts = ranked.crossJoin(broadcast(nAll))
+      .select(col("r"), col("below"), col("cnt"),
+        explode(expr("sequence(1, 3)")).as("i"))
+      .filter(col("below") < expr("(n_all * i + 3) div 4") &&
+        expr("(n_all * i + 3) div 4") <= col("below") + col("cnt"))
+      .groupBy().pivot("i", 1 to 3).agg(first(col("r")))
+      .select(col("1").as("p25"), col("2").as("p50"), col("3").as("p75"))
+    val windowed = ord.crossJoin(broadcast(cuts))
+      .filter(col("r") >= col("p25") && col("r") <= col("p75"))
+      .select((col("r") >= col("p50")).cast("long").as("side"),
+        (col("r") - col("p50")).cast(dec).as("x"),
+        col("yv").cast(dec).as("y"))
+    val folds = windowed.groupBy(col("side"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("qxx"),
+        sum(col("x") * col("y")).as("qxy"))
+      .select(col("side"), col("n"),
+        (col("n") * col("qxx") - col("sx") * col("sx")).as("d"),
+        (col("n") * col("qxy") - col("sx") * col("sy")).as("c"),
+        (col("sy") * col("qxx") - col("sx") * col("qxy")).as("anum"))
+    val l = folds.filter(col("side") === 0L).select(col("n").as("nl"),
+      col("d").as("dl"), col("c").as("cl"), col("anum").as("al"))
+    val rr = folds.filter(col("side") === 1L).select(col("n").as("nr"),
+      col("d").as("dr"), col("c").as("cr"), col("anum").as("ar"))
+    l.crossJoin(broadcast(rr))
+      .select(col("nl").cast("long").as("n_left"),
+        col("nr").cast("long").as("n_right"),
+        expr(sdiv("al * 1000000", "dl")).cast("long")
+          .as("alpha_left_e6"),
+        expr(sdiv("ar * 1000000", "dr")).cast("long")
+          .as("alpha_right_e6"),
+        (expr(sdiv("ar * 1000000", "dr")) -
+          expr(sdiv("al * 1000000", "dl"))).cast("long").as("jump_e6"),
+        expr(sdiv("cl * 1000000000", "dl")).cast("long")
+          .as("slope_left_e9"),
+        expr(sdiv("cr * 1000000000", "dr")).cast("long")
+          .as("slope_right_e9"))
+  }
+
+  val q451Sql: String =
+    """WITH ord AS (
+      |  SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS r, l.yv
+      |  FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS yv
+      |        FROM lineitem GROUP BY 1) l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |by_v AS (SELECT r, COUNT(*) AS cnt FROM ord GROUP BY r),
+      |ranked AS (
+      |  SELECT r, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY r
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |cutrows AS (
+      |  SELECT i, r FROM ranked,
+      |    (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS i) gi
+      |  WHERE below < (n_all * i + 3) // 4
+      |    AND (n_all * i + 3) // 4 <= below + cnt),
+      |cuts AS (
+      |  SELECT MAX(CASE WHEN i = 1 THEN r END) AS p25,
+      |    MAX(CASE WHEN i = 2 THEN r END) AS p50,
+      |    MAX(CASE WHEN i = 3 THEN r END) AS p75
+      |  FROM cutrows),
+      |windowed AS (
+      |  SELECT CASE WHEN r >= p50 THEN 1 ELSE 0 END AS side,
+      |    CAST(r - p50 AS HUGEINT) AS x, CAST(yv AS HUGEINT) AS y
+      |  FROM ord CROSS JOIN cuts
+      |  WHERE r >= p25 AND r <= p75),
+      |folds AS (
+      |  SELECT side, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(x * x) - SUM(x) * SUM(x) AS d,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(x * y) - SUM(x) * SUM(y) AS c,
+      |    SUM(y) * SUM(x * x) - SUM(x) * SUM(x * y) AS anum
+      |  FROM windowed GROUP BY side),
+      |l AS (SELECT n AS nl, d AS dl, c AS cl, anum AS al
+      |      FROM folds WHERE side = 0),
+      |rr AS (SELECT n AS nr, d AS dr, c AS cr, anum AS ar
+      |       FROM folds WHERE side = 1)
+      |SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+      |  CAST(CASE WHEN al >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(al * 1000000) // dl) AS BIGINT) AS alpha_left_e6,
+      |  CAST(CASE WHEN ar >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(ar * 1000000) // dr) AS BIGINT) AS alpha_right_e6,
+      |  CAST(CASE WHEN ar >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(ar * 1000000) // dr)
+      |   - CASE WHEN al >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(al * 1000000) // dl) AS BIGINT) AS jump_e6,
+      |  CAST(CASE WHEN cl >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cl * 1000000000) // dl) AS BIGINT) AS slope_left_e9,
+      |  CAST(CASE WHEN cr >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cr * 1000000000) // dr) AS BIGINT) AS slope_right_e9
+      |FROM l CROSS JOIN rr""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -6612,6 +6953,9 @@ object AuditQueries {
     "q445_cochrane_orcutt" -> q445CochraneOrcutt,
     "q446_oaxaca_blinder" -> q446OaxacaBlinder,
     "q447_knapsack" -> q447Knapsack,
+    "q449_fisher_exact" -> q449FisherExact,
+    "q450_wald_iv" -> q450WaldIv,
+    "q451_regression_discontinuity" -> q451RegressionDiscontinuity,
     "q442_kendall_w" -> q442KendallW,
     "q443_cliffs_delta" -> q443CliffsDelta,
     "q448_lin_ccc" -> q448LinCcc,
@@ -6683,6 +7027,9 @@ object AuditQueries {
     "q445_cochrane_orcutt" -> q445Sql,
     "q446_oaxaca_blinder" -> q446Sql,
     "q447_knapsack" -> q447Sql,
+    "q449_fisher_exact" -> q449Sql,
+    "q450_wald_iv" -> q450Sql,
+    "q451_regression_discontinuity" -> q451Sql,
     "q442_kendall_w" -> q442Sql,
     "q443_cliffs_delta" -> q443Sql,
     "q448_lin_ccc" -> q448Sql,
