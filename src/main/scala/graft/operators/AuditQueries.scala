@@ -5697,6 +5697,307 @@ object AuditQueries {
       |    (ABS(cr * 1000000000) // dr) AS BIGINT) AS slope_right_e9
       |FROM l CROSS JOIN rr""".stripMargin
 
+  // ------ q452: Wagner–Whitin dynamic lot sizing
+
+  /** q452: the Wagner–Whitin algorithm — OPTIMAL dynamic lot sizing
+    * where q406's EOQ assumes stationary demand: given the real
+    * monthly quantity series, when should replenishment batches be
+    * placed to minimize setup + holding cost? The Bellman recursion
+    * f(t) = min_{j≤t} f(j−1) + K + h·Σ(i−j)dᵢ runs over prefix sums
+    * (the holding term telescopes to two cumulative lookups), with
+    * the setup cost variance-targeted at plan shape (K = 3× average
+    * monthly demand, h = 1 — computed once, identically in both
+    * engines). The oracle replays the DP as a recursive CTE whose
+    * state is the growing f(·) LIST; every cost is exact integer.
+    * Output is the full cost-to-horizon curve month by month.
+    *
+    * Plan: one orders+lineitem pass → month rollup → T-step driver
+    * DP over metadata.
+    */
+  val q452WagnerWhitin: Q = (s, dir) => {
+    val months = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("m")).agg(sum(col("q")).as("d"))
+      .orderBy(col("m")).collect()
+    val ds = months.map(_.getAs[Long]("d"))
+    val t = ds.length
+    val setup = ds.sum / t * 3L
+    val cumD = ds.scanLeft(0L)(_ + _)
+    val cumID = ds.zipWithIndex.scanLeft(0L) { case (a, (d, i)) =>
+      a + (i + 1L) * d
+    }
+    val f = Array.ofDim[Long](t + 1)
+    (1 to t).foreach { tt =>
+      f(tt) = (1 to tt).map { j =>
+        f(j - 1) + setup +
+          (cumID(tt) - cumID(j - 1)) - j * (cumD(tt) - cumD(j - 1))
+      }.min
+    }
+    import s.implicits._
+    (1 to t).map(tt => (tt.toLong, ds(tt - 1), f(tt)))
+      .toDF("month_idx", "demand", "min_cost_to_month")
+      .orderBy(col("month_idx"))
+  }
+
+  val q452Sql: String =
+    """WITH RECURSIVE months AS (
+      |  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+      |    SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS d
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY m) AS t, d FROM months),
+      |mats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS tl,
+      |    SUM(d) // COUNT(*) * 3 AS setup,
+      |    list_prepend(CAST(0 AS BIGINT), list(cd ORDER BY t)) AS cum_d,
+      |    list_prepend(CAST(0 AS BIGINT), list(cid ORDER BY t)) AS cum_id
+      |  FROM (SELECT t, d,
+      |          SUM(d) OVER (ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+      |          SUM(t * d) OVER (ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+      |        FROM ser)),
+      |walk AS (
+      |  SELECT 0 AS t, [CAST(0 AS BIGINT)] AS f
+      |  UNION ALL
+      |  SELECT w.t + 1,
+      |    list_append(w.f, list_min(list_transform(range(1, w.t + 2),
+      |      j -> w.f[j] + mats.setup
+      |        + (mats.cum_id[w.t + 2] - mats.cum_id[j])
+      |        - j * (mats.cum_d[w.t + 2] - mats.cum_d[j]))))
+      |  FROM walk w, mats WHERE w.t < mats.tl),
+      |last AS (SELECT f FROM walk ORDER BY t DESC LIMIT 1)
+      |SELECT ser.t AS month_idx, CAST(ser.d AS BIGINT) AS demand,
+      |  CAST(last.f[ser.t + 1] AS BIGINT) AS min_cost_to_month
+      |FROM ser, last
+      |ORDER BY month_idx""".stripMargin
+
+  // ------ q453: Holt–Winters additive seasonal replay + forecast
+
+  /** Plan-time Holt–Winters smoothing weights at e6. */
+  val HwAlphaE6 = 200000L
+  val HwBetaE6 = 100000L
+  val HwGammaE6 = 300000L
+
+  /** q453: additive Holt–Winters — the SEASONAL completion of the
+    * filter family (q400 Holt = level+trend, q416 Kalman = optimal
+    * level, q439 GARCH = variance): monthly revenue carries a real
+    * 12-month cycle, and HW maintains level, trend AND a 12-slot
+    * seasonal vector. The recursion is the textbook triple with
+    * plan-time weights and the first-year initialization; every
+    * update is a signed e6 floor, and the state (l, b, s[12]) rides
+    * the LIST-state walk device — driver fold in Spark, recursive
+    * CTE carrying the seasonal LIST in the oracle. Output is the
+    * 12-month-ahead forecast vector, the shippable artifact.
+    *
+    * Plan: one orders pass → month rollup → T-step driver fold →
+    * 12-row output.
+    */
+  val q453HoltWinters: Q = (s, dir) => {
+    val months = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .orderBy(col("m")).collect()
+    val ys = months.map(_.getAs[Long]("y"))
+    val t = ys.length
+    def sdivL(num: Long, den: Long): Long =
+      (if (num >= 0) 1L else -1L) * (math.abs(num) / den)
+    var l = ys.take(12).sum / 12L
+    var b = sdivL(ys.slice(12, 24).sum / 12L - l, 12L)
+    val sArr = Array.tabulate(12)(i => ys(i) - l)
+    (13 to t).foreach { tt =>
+      val idx = (tt - 1) % 12
+      val y = ys(tt - 1)
+      val lNew = sdivL(HwAlphaE6 * (y - sArr(idx)) +
+        (1000000L - HwAlphaE6) * (l + b), 1000000L)
+      val bNew = sdivL(HwBetaE6 * (lNew - l) +
+        (1000000L - HwBetaE6) * b, 1000000L)
+      sArr(idx) = sdivL(HwGammaE6 * (y - lNew) +
+        (1000000L - HwGammaE6) * sArr(idx), 1000000L)
+      l = lNew; b = bNew
+    }
+    import s.implicits._
+    (1 to 12).map { h =>
+      (h.toLong, l + h * b + sArr((t + h - 1) % 12))
+    }.toDF("horizon", "forecast_dollars").orderBy(col("horizon"))
+  }
+
+  val q453Sql: String = {
+    val a = HwAlphaE6; val bb = HwBetaE6; val g = HwGammaE6
+    def sd(num: String) =
+      s"CASE WHEN ($num) >= 0 THEN 1 ELSE -1 END * (ABS($num) // 1000000)"
+    val lNew = sd(s"$a * (s.y - w.sv[(s.t - 1) % 12 + 1])" +
+      s" + ${1000000L - a} * (w.l + w.b)")
+    s"""WITH RECURSIVE months AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |ser AS (SELECT ROW_NUMBER() OVER (ORDER BY m) AS t, y FROM months),
+      |tl AS (SELECT CAST(COUNT(*) AS BIGINT) AS tl FROM ser),
+      |init AS (
+      |  SELECT
+      |    (SELECT SUM(y) FROM ser WHERE t <= 12) // 12 AS l0,
+      |    CASE WHEN (SELECT SUM(y) FROM ser WHERE t BETWEEN 13 AND 24)
+      |        // 12 - (SELECT SUM(y) FROM ser WHERE t <= 12) // 12 >= 0
+      |      THEN 1 ELSE -1 END *
+      |    (ABS((SELECT SUM(y) FROM ser WHERE t BETWEEN 13 AND 24) // 12
+      |      - (SELECT SUM(y) FROM ser WHERE t <= 12) // 12) // 12) AS b0,
+      |    (SELECT list(y - ((SELECT SUM(y2.y) FROM ser y2
+      |        WHERE y2.t <= 12) // 12) ORDER BY t)
+      |     FROM ser WHERE t <= 12) AS s0),
+      |walk AS (
+      |  SELECT 12 AS t, l0 AS l, b0 AS b, s0 AS sv FROM init
+      |  UNION ALL
+      |  SELECT s.t, $lNew, ${sd(s"$bb * (($lNew) - w.l)" +
+          s" + ${1000000L - bb} * w.b")},
+      |    list_transform(range(1, 13), i ->
+      |      CASE WHEN i = (s.t - 1) % 12 + 1
+      |        THEN ${sd(s"$g * (s.y - ($lNew))" +
+               s" + ${1000000L - g} * w.sv[(s.t - 1) % 12 + 1]")}
+      |        ELSE w.sv[i] END)
+      |  FROM walk w
+      |  JOIN ser s ON s.t = w.t + 1),
+      |last AS (SELECT l, b, sv FROM walk ORDER BY t DESC LIMIT 1)
+      |SELECT CAST(h.h AS BIGINT) AS horizon,
+      |  CAST(last.l + h.h * last.b
+      |    + last.sv[(tl.tl + h.h - 1) % 12 + 1] AS BIGINT)
+      |    AS forecast_dollars
+      |FROM last, tl, (SELECT UNNEST(range(1, 13)) AS h) h
+      |ORDER BY horizon""".stripMargin
+  }
+
+  // ------ q454: Dunn's rank-based post-hoc pairwise panel
+
+  /** q454: Dunn's test — the nonparametric POST-HOC q272's
+    * Kruskal–Wallis omnibus needs: KW says "the five priority
+    * classes differ somewhere", Dunn says WHERE, comparing mean
+    * ranks pairwise with the tie-corrected pooled variance and a
+    * Bonferroni-guarded cut (q368's Tukey panel is its parametric
+    * twin). Doubled mid-ranks keep every rank sum integer on the
+    * decile-binned outcome; each z is one IEEE expression over
+    * exact group sums.
+    *
+    * Plan: rides the q441 contingency (one cutpoint pass, one
+    * orders pass, ≤ 50-cell rollup) → 10-row pair panel.
+    */
+  val q454DunnTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val ord = Tables.orders(s, dir)
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("g"), cents(col("o_totalprice")).as("c"))
+    val byV = ord.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val ranked = doubledRankBelow(byV, Seq.empty, "c", 100000L)
+    val nAll = byV.agg(sum(col("cnt")).as("n_all"))
+    val cuts = ranked.crossJoin(broadcast(nAll))
+      .select(col("c"), col("below"), col("cnt"),
+        explode(expr("sequence(1, 9)")).as("i"))
+      .filter(col("below") < expr("(n_all * i + 9) div 10") &&
+        expr("(n_all * i + 9) div 10") <= col("below") + col("cnt"))
+      .groupBy().pivot("i", 1 to 9).agg(first(col("c")))
+      .select((1 to 9).map(i => col(i.toString).as(s"c$i")): _*)
+    val binExpr = (1 to 9).map(i => s"CAST(c > c$i AS INT)").mkString(" + ")
+    val cells = ord.crossJoin(broadcast(cuts))
+      .select(col("g"), expr(binExpr).cast("long").as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wAll = Window.orderBy(col("b")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val dr = cells.groupBy(col("b")).agg(sum(col("n")).as("tb"))
+      .withColumn("below", coalesce(sum(col("tb")).over(wAll), lit(0L)))
+      .select(col("b"), col("tb"),
+        (col("below") * 2 + col("tb") + 1).as("drv"))
+    val gsum = cells.join(dr, Seq("b"))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).cast(dec).as("ng"),
+        sum(col("n").cast(dec) * col("drv")).as("r2"))
+      .localCheckpoint()
+    val ties = dr.agg(
+      sum(col("tb").cast(dec) * col("tb") * col("tb") - col("tb"))
+        .as("t3t"),
+      sum(col("tb")).cast(dec).as("nn"))
+    val a = gsum.select(col("g").as("ga"), col("ng").as("na"),
+      col("r2").as("ra"))
+    val b2 = gsum.select(col("g").as("gb"), col("ng").as("nb"),
+      col("r2").as("rb"))
+    def d(c: String) = col(c).cast("double")
+    val meanGap = (d("ra") / (d("na") * 2.0)) - (d("rb") / (d("nb") * 2.0))
+    val varTerm = (d("nn") * (d("nn") + 1.0) / 12.0 -
+      d("t3t") / ((d("nn") - 1.0) * 12.0)) *
+      (lit(1.0) / d("na") + lit(1.0) / d("nb"))
+    val z = meanGap / sqrt(varTerm)
+    a.join(b2, col("ga") < col("gb")).crossJoin(broadcast(ties))
+      .select(col("ga").as("priority_a"), col("gb").as("priority_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        z.as("z_d"),
+        when(abs(z) > 2.807, lit("different"))
+          .otherwise(lit("not_separated")).as("bonferroni_5pct"))
+      .orderBy(col("priority_a"), col("priority_b"))
+  }
+
+  val q454Sql: String = {
+    val binExpr = (1 to 9).map(i => s"CAST(c > c$i AS INT)").mkString(" + ")
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val meanGap = s"(${d("ra")} / (${d("na")} * 2.0)" +
+      s" - ${d("rb")} / (${d("nb")} * 2.0))"
+    val varTerm = s"((${d("nn")} * (${d("nn")} + 1.0) / 12.0" +
+      s" - ${d("t3t")} / ((${d("nn")} - 1.0) * 12.0))" +
+      s" * (1.0 / ${d("na")} + 1.0 / ${d("nb")}))"
+    val z = s"($meanGap / sqrt($varTerm))"
+    s"""WITH ord AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |by_v AS (SELECT c, COUNT(*) AS cnt FROM ord GROUP BY c),
+      |ranked AS (
+      |  SELECT c, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |cutrows AS (
+      |  SELECT i, c FROM ranked,
+      |    (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS i) gi
+      |  WHERE below < (n_all * i + 9) // 10
+      |    AND (n_all * i + 9) // 10 <= below + cnt),
+      |cuts AS (
+      |  SELECT ${(1 to 9).map(i =>
+          s"MAX(CASE WHEN i = $i THEN c END) AS c$i").mkString(", ")}
+      |  FROM cutrows),
+      |cells AS (
+      |  SELECT g, $binExpr AS b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ord CROSS JOIN cuts GROUP BY 1, 2),
+      |dr AS (
+      |  SELECT b, tb,
+      |    COALESCE(SUM(tb) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |      + tb + 1 AS drv
+      |  FROM (SELECT b, SUM(n) AS tb FROM cells GROUP BY b)),
+      |gsum AS (
+      |  SELECT g, CAST(SUM(n) AS HUGEINT) AS ng,
+      |    SUM(CAST(cells.n AS HUGEINT) * dr.drv) AS r2
+      |  FROM cells JOIN dr USING (b) GROUP BY g),
+      |ties AS (
+      |  SELECT SUM(CAST(tb AS HUGEINT) * tb * tb - tb) AS t3t,
+      |    CAST(SUM(tb) AS HUGEINT) AS nn
+      |  FROM (SELECT b, SUM(n) AS tb FROM cells GROUP BY b))
+      |SELECT ga AS priority_a, gb AS priority_b,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  $z AS z_d,
+      |  CASE WHEN ABS($z) > 2.807 THEN 'different'
+      |    ELSE 'not_separated' END AS bonferroni_5pct
+      |FROM (SELECT g AS ga, ng AS na, r2 AS ra FROM gsum) a
+      |JOIN (SELECT g AS gb, ng AS nb, r2 AS rb FROM gsum) b2
+      |  ON ga < gb
+      |CROSS JOIN ties
+      |ORDER BY priority_a, priority_b""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -6954,6 +7255,9 @@ object AuditQueries {
     "q446_oaxaca_blinder" -> q446OaxacaBlinder,
     "q447_knapsack" -> q447Knapsack,
     "q449_fisher_exact" -> q449FisherExact,
+    "q452_wagner_whitin" -> q452WagnerWhitin,
+    "q453_holt_winters" -> q453HoltWinters,
+    "q454_dunn_test" -> q454DunnTest,
     "q450_wald_iv" -> q450WaldIv,
     "q451_regression_discontinuity" -> q451RegressionDiscontinuity,
     "q442_kendall_w" -> q442KendallW,
@@ -7028,6 +7332,9 @@ object AuditQueries {
     "q446_oaxaca_blinder" -> q446Sql,
     "q447_knapsack" -> q447Sql,
     "q449_fisher_exact" -> q449Sql,
+    "q452_wagner_whitin" -> q452Sql,
+    "q453_holt_winters" -> q453Sql,
+    "q454_dunn_test" -> q454Sql,
     "q450_wald_iv" -> q450Sql,
     "q451_regression_discontinuity" -> q451Sql,
     "q442_kendall_w" -> q442Sql,
