@@ -119,6 +119,54 @@ class NinthFamiliesPlanSpec extends SparkSpec {
       "the DP value frontier must be non-decreasing in capacity")
   }
 
+  test("q449: Fisher exact p is a probability and a-obs is feasible") {
+    val r = graft.SparkEntry.queries("q449_fisher_exact")(spark, sfDir)
+      .collect().head
+    val p = r.getAs[Long]("p_one_sided_e6")
+    assert(p >= 0L && p <= 1000000L)
+    assert(r.getAs[Long]("a_observed") <=
+      math.min(r.getAs[Long]("k_region0"), r.getAs[Long]("n_high_aov")))
+  }
+
+  test("q450: Wald IV runs on one shuffle pair, no cartesian") {
+    val p = plan("q450_wald_iv")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q451: RD jump equals the intercept difference in-output") {
+    val r = graft.SparkEntry
+      .queries("q451_regression_discontinuity")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("jump_e6") ==
+      r.getAs[Long]("alpha_right_e6") - r.getAs[Long]("alpha_left_e6"))
+  }
+
+  test("q452: Wagner-Whitin cost-to-horizon is positive and monotone") {
+    val out = graft.SparkEntry.queries("q452_wagner_whitin")(spark, sfDir)
+      .orderBy("month_idx").collect()
+      .map(_.getAs[Long]("min_cost_to_month"))
+    assert(out.head > 0L, "one month of demand still pays one setup")
+    assert(out.zip(out.tail).forall { case (a, b) => a <= b },
+      "serving a longer horizon can never get cheaper")
+  }
+
+  test("q453: Holt-Winters emits exactly the 12-month forecast vector") {
+    val out = graft.SparkEntry.queries("q453_holt_winters")(spark, sfDir)
+      .orderBy("horizon").collect()
+    assert(out.map(_.getAs[Long]("horizon")).toSeq == (1L to 12L).toSeq)
+  }
+
+  test("q454: Dunn panel covers all 10 priority pairs with coherent flags") {
+    val out = graft.SparkEntry.queries("q454_dunn_test")(spark, sfDir)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall { r =>
+      val sig = r.getAs[String]("bonferroni_5pct") == "different"
+      sig == (math.abs(r.getAs[Double]("z_d")) > 2.807)
+    })
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
