@@ -5998,6 +5998,295 @@ object AuditQueries {
       |ORDER BY priority_a, priority_b""".stripMargin
   }
 
+  // ------ q456: Bland–Altman agreement analysis between halves
+
+  /** q456: Bland–Altman analysis — the method-comparison companion of
+    * q448's CCC, and the one clinicians actually plot: per brand, the
+    * DIFFERENCE between the second- and first-half revenue against
+    * their mean, summarized by the bias (mean difference, one exact
+    * floor), the SD of differences, the 95% limits of agreement
+    * bias ± 1.96·SD, and how many brands fall OUTSIDE their own
+    * limits — the disagreement census. Differences are exact
+    * integers; the limits are one IEEE tree over exact moments, and
+    * the outside-count comparison uses the identical expression in
+    * both engines.
+    *
+    * Plan: one lineitem ⋈ orders pass → 25-brand rollup
+    * (checkpointed; the limit fold and the census both ride it).
+    */
+  val q456BlandAltman: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("r"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_orderdate") < lit(ShiftShareBreak)).cast("long").as("pre")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(expr("""SUM(CASE WHEN pre = 0 THEN r ELSE -r END)
+                  | div 1000""".stripMargin.replace("\n", " ")).as("d"))
+      .localCheckpoint()
+    val mo = cells.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("d")).cast(dec).as("sd_sum"),
+      sum(col("d").cast(dec) * col("d")).as("qdd"))
+    def dd(c: String) = col(c).cast("double")
+    val sdD = sqrt((dd("qdd") - dd("sd_sum") * dd("sd_sum") / dd("n")) /
+      (dd("n") - 1.0))
+    val biasD = dd("sd_sum") / dd("n")
+    val withLim = cells.crossJoin(broadcast(mo))
+      .select(col("n"), col("sd_sum"), col("qdd"), col("d"),
+        (abs(dd("d") - biasD) > sdD * 1.96).cast("long").as("outside"))
+    withLim.groupBy(col("n"), col("sd_sum"), col("qdd"))
+      .agg(sum(col("outside")).as("n_outside"))
+      .select(col("n").cast("long").as("n_brands"),
+        expr(sdiv("sd_sum * 1000000", "n")).cast("long").as("bias_e6"),
+        sdD.as("sd_diff_d"),
+        (biasD - sdD * 1.96).as("loa_low_d"),
+        (biasD + sdD * 1.96).as("loa_high_d"),
+        col("n_outside"))
+  }
+
+  val q456Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sdD = s"sqrt((${d("qdd")} - ${d("sd_sum")} * ${d("sd_sum")}" +
+      s" / ${d("n")}) / (${d("n")} - 1.0))"
+    val biasD = s"(${d("sd_sum")} / ${d("n")})"
+    s"""WITH cells AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(SUM(CASE WHEN o.o_orderdate < DATE '$ShiftShareBreak'
+      |      THEN -CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) END)
+      |      AS BIGINT) AS dr
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1),
+      |dd AS (
+      |  SELECT brand,
+      |    CAST(CASE WHEN dr >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(dr) - ABS(dr) % 1000) / 1000 AS BIGINT) AS d
+      |  FROM cells),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(d) AS HUGEINT) AS sd_sum,
+      |    SUM(CAST(d AS HUGEINT) * d) AS qdd
+      |  FROM dd),
+      |census AS (
+      |  SELECT SUM(CASE WHEN ABS(${d("d")} - $biasD) > $sdD * 1.96
+      |    THEN 1 ELSE 0 END) AS n_outside
+      |  FROM dd CROSS JOIN mo)
+      |SELECT CAST(n AS BIGINT) AS n_brands,
+      |  CAST(CASE WHEN sd_sum >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(sd_sum * 1000000) // n) AS BIGINT) AS bias_e6,
+      |  $sdD AS sd_diff_d,
+      |  ($biasD - $sdD * 1.96) AS loa_low_d,
+      |  ($biasD + $sdD * 1.96) AS loa_high_d,
+      |  CAST(n_outside AS BIGINT) AS n_outside
+      |FROM mo CROSS JOIN census""".stripMargin
+  }
+
+  // ------ q457: Deming errors-in-variables regression
+
+  /** q457: Deming regression (λ = 1) — when BOTH variables carry
+    * error, OLS (q154) attenuates the slope toward zero; Deming's
+    * orthogonal fit β = (D_y − D_x + √((D_y−D_x)² + 4C²)) / (2C) is
+    * the maximum-likelihood errors-in-variables slope and the
+    * standard method-comparison line next to q456's Bland–Altman.
+    * The n-cleared co-moments share one n² scale, so β is one fixed
+    * IEEE tree over exact integers, shown against the OLS slope —
+    * the attenuation gap IS the measurement-error diagnostic.
+    *
+    * Plan: rides the q448 brand half-pair rollup — one fact pass,
+    * 1-row fold.
+    */
+  val q457Deming: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("r"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_orderdate") < lit(ShiftShareBreak)).cast("long").as("pre")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(expr("SUM(CASE WHEN pre = 1 THEN r ELSE 0 END) div 1000")
+        .as("x"),
+        expr("SUM(CASE WHEN pre = 0 THEN r ELSE 0 END) div 1000").as("y"))
+    val mo = cells.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("qxx"),
+      sum(col("y").cast(dec) * col("y")).as("qyy"),
+      sum(col("x").cast(dec) * col("y")).as("qxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("qxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("qyy") - col("sy") * col("sy")).as("dy"),
+        (col("n") * col("qxy") - col("sx") * col("sy")).as("cxy"))
+    def d(c: String) = col(c).cast("double")
+    val beta = (d("dy") - d("dx") +
+      sqrt((d("dy") - d("dx")) * (d("dy") - d("dx")) +
+        d("cxy") * d("cxy") * 4.0)) / (d("cxy") * 2.0)
+    val alpha = (d("sy") - beta * d("sx")) / d("n")
+    mo.select(col("n").cast("long").as("n_brands"),
+      beta.as("deming_slope_d"),
+      alpha.as("deming_intercept_d"),
+      expr(sdiv("cxy * 1000000", "dx")).cast("long").as("beta_ols_e6"))
+  }
+
+  val q457Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val beta = s"((${d("dy")} - ${d("dx")} + sqrt((${d("dy")} - " +
+      s"${d("dx")}) * (${d("dy")} - ${d("dx")}) + ${d("cxy")} * " +
+      s"${d("cxy")} * 4.0)) / (${d("cxy")} * 2.0))"
+    s"""WITH cells AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(SUM(CASE WHEN o.o_orderdate < DATE '$ShiftShareBreak'
+      |      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE 0 END) // 1000 AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN o.o_orderdate >= DATE '$ShiftShareBreak'
+      |      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      ELSE 0 END) // 1000 AS BIGINT) AS y
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+      |      - SUM(x) * SUM(x) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(y AS HUGEINT) * y)
+      |      - SUM(y) * SUM(y) AS dy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+      |      - SUM(x) * SUM(y) AS cxy
+      |  FROM cells)
+      |SELECT CAST(n AS BIGINT) AS n_brands,
+      |  $beta AS deming_slope_d,
+      |  ((${d("sy")} - $beta * ${d("sx")}) / ${d("n")})
+      |    AS deming_intercept_d,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx) AS BIGINT) AS beta_ols_e6
+      |FROM mo""".stripMargin
+  }
+
+  // ------ q458: Theta-method forecast of monthly revenue
+
+  /** Theta-method SES weight (α = 0.5) and forecast horizon. */
+  val ThetaSesAlphaE6 = 500000L
+  val ThetaHorizon = 6
+
+  /** q458: the Theta method (Assimakopoulos & Nikolopoulos 2000, the
+    * M3 competition winner) — the counter-intuitively strong
+    * forecaster the filter family (q400/q416/q453) should be judged
+    * against: decompose the series into the θ=0 line (the pure
+    * linear trend) and the θ=2 line (2y − trend, doubled
+    * curvature), forecast the first by extrapolation and the second
+    * by simple exponential smoothing, and average. Trend values are
+    * exact e6 floors of the OLS determinants (the q445 device), the
+    * θ₂ series is exact integer, the SES walk is one signed floor
+    * per month (driver fold + recursive-CTE oracle), and each
+    * horizon forecast is one final floor.
+    *
+    * Plan: one orders pass → month rollup → T-step driver fold →
+    * [[ThetaHorizon]]-row output.
+    */
+  val q458ThetaMethod: Q = (s, dir) => {
+    val months = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .orderBy(col("m")).collect()
+    val ys = months.map(_.getAs[Long]("y"))
+    val t = ys.length.toLong
+    def sdivL(num: BigInt, den: BigInt): Long =
+      ((if (num >= 0) BigInt(1) else BigInt(-1)) *
+        (num.abs / den)).toLong
+    val n = BigInt(t); val st = ys.indices.map(i => BigInt(i + 1)).sum
+    val sy = ys.map(BigInt(_)).sum
+    val qtt = ys.indices.map(i => BigInt(i + 1) * (i + 1)).sum
+    val qty = ys.zipWithIndex.map { case (y, i) => BigInt(i + 1) * y }.sum
+    val dx = n * qtt - st * st
+    val cxy = n * qty - st * sy
+    val alphaE6 = sdivL((sy * dx - cxy * st) * 1000000L, n * dx)
+    def trendE6(tt: Long): Long =
+      alphaE6 + sdivL(cxy * tt * 1000000L, dx)
+    var l = 2L * ys.head * 1000000L - trendE6(1L) // SES seeded at z_1
+    (2 to t.toInt).foreach { tt =>
+      val z = 2L * ys(tt - 1) * 1000000L - trendE6(tt.toLong)
+      val num = BigInt(ThetaSesAlphaE6) * z +
+        BigInt(1000000L - ThetaSesAlphaE6) * l
+      l = sdivL(num, BigInt(1000000L))
+    }
+    import s.implicits._
+    (1 to ThetaHorizon).map { h =>
+      val f = BigInt(trendE6(t + h)) + BigInt(l)
+      (h.toLong, sdivL(f, BigInt(2L)))
+    }.toDF("horizon", "forecast_e6").orderBy(col("horizon"))
+  }
+
+  val q458Sql: String = {
+    val a = ThetaSesAlphaE6
+    s"""WITH RECURSIVE months AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |ser AS (SELECT ROW_NUMBER() OVER (ORDER BY m) AS t, y FROM months),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * t)
+      |      - CAST(SUM(t) AS HUGEINT) * SUM(t) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * y)
+      |      - CAST(SUM(t) AS HUGEINT) * SUM(y) AS cxy
+      |  FROM ser),
+      |ab AS (
+      |  SELECT n, dx, cxy,
+      |    CASE WHEN sy * dx - cxy * st >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((sy * dx - cxy * st) * 1000000) // (n * dx)) AS alpha_e6
+      |  FROM mo),
+      |z AS (
+      |  SELECT ser.t,
+      |    2 * CAST(ser.y AS HUGEINT) * 1000000
+      |      - (ab.alpha_e6 + CASE WHEN ab.cxy * ser.t >= 0
+      |          THEN 1 ELSE -1 END *
+      |          (ABS(ab.cxy * ser.t * 1000000) // ab.dx)) AS zv
+      |  FROM ser CROSS JOIN ab),
+      |walk AS (
+      |  SELECT 1 AS t, zv AS l FROM z WHERE t = 1
+      |  UNION ALL
+      |  SELECT s.t,
+      |    CASE WHEN $a * s.zv + ${1000000L - a} * w.l >= 0
+      |      THEN 1 ELSE -1 END *
+      |    (ABS($a * s.zv + ${1000000L - a} * w.l) // 1000000)
+      |  FROM walk w JOIN z s ON s.t = w.t + 1),
+      |last AS (SELECT l FROM walk ORDER BY t DESC LIMIT 1)
+      |SELECT CAST(h.h AS BIGINT) AS horizon,
+      |  CAST(CASE WHEN (ab.alpha_e6 +
+      |      CASE WHEN ab.cxy * (mo2.tl + h.h) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(ab.cxy * (mo2.tl + h.h) * 1000000) // ab.dx)) + last.l
+      |      >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((ab.alpha_e6 +
+      |      CASE WHEN ab.cxy * (mo2.tl + h.h) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(ab.cxy * (mo2.tl + h.h) * 1000000) // ab.dx)) + last.l)
+      |      // 2) AS BIGINT) AS forecast_e6
+      |FROM last, ab,
+      |  (SELECT CAST(COUNT(*) AS HUGEINT) AS tl FROM ser) mo2,
+      |  (SELECT UNNEST(range(1, ${ThetaHorizon + 1})) AS h) h
+      |ORDER BY horizon""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -7256,6 +7545,9 @@ object AuditQueries {
     "q447_knapsack" -> q447Knapsack,
     "q449_fisher_exact" -> q449FisherExact,
     "q452_wagner_whitin" -> q452WagnerWhitin,
+    "q456_bland_altman" -> q456BlandAltman,
+    "q457_deming" -> q457Deming,
+    "q458_theta_method" -> q458ThetaMethod,
     "q453_holt_winters" -> q453HoltWinters,
     "q454_dunn_test" -> q454DunnTest,
     "q450_wald_iv" -> q450WaldIv,
@@ -7333,6 +7625,9 @@ object AuditQueries {
     "q447_knapsack" -> q447Sql,
     "q449_fisher_exact" -> q449Sql,
     "q452_wagner_whitin" -> q452Sql,
+    "q456_bland_altman" -> q456Sql,
+    "q457_deming" -> q457Sql,
+    "q458_theta_method" -> q458Sql,
     "q453_holt_winters" -> q453Sql,
     "q454_dunn_test" -> q454Sql,
     "q450_wald_iv" -> q450Sql,

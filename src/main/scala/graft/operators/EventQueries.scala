@@ -10693,7 +10693,127 @@ object EventQueries {
       |  CAST(nb AS BIGINT) AS n_2sigma_breaches
       |FROM n CROSS JOIN om CROSS JOIN last""".stripMargin
 
+  // -------- q455: Viterbi HMM decode of the daily revenue regime
+
+  /** Plan-time 2-state HMM log-scores at e6 (libm at plan build,
+    * inlined as identical integer literals — the q416 constants
+    * rule): symmetric emissions P(match) = 0.7, transitions
+    * P(stay) = 0.8, uniform prior.
+    */
+  val HmmLnStayE6: Long = math.round(math.log(0.8) * 1e6)
+  val HmmLnSwitchE6: Long = math.round(math.log(0.2) * 1e6)
+  val HmmLnMatchE6: Long = math.round(math.log(0.7) * 1e6)
+  val HmmLnMissE6: Long = math.round(math.log(0.3) * 1e6)
+  val HmmLnInitE6: Long = math.round(math.log(0.5) * 1e6)
+
+  /** q455: Viterbi decoding of a 2-state HMM — the MODEL-BASED regime
+    * segmentation next to the changepoint family (q124 CUSUM, q307
+    * Pettitt, q355 Page–Hinkley): days are binarized against the
+    * median daily revenue, a HIGH/LOW regime chain with plan-time
+    * transition/emission probabilities is assumed, and the maximum-
+    * a-posteriori state PATH is decoded. Because all probabilities
+    * are plan-time constants, every Viterbi score is a SUM OF INTEGER
+    * LITERALS — max-product in the log domain is exact integer
+    * arithmetic, no floats anywhere. The walk carries both
+    * running best paths as LISTs (ties break toward staying), so
+    * driver fold and recursive-CTE oracle replay identically; the
+    * decoded path's regime census and switch count land in-output.
+    *
+    * Plan: one event pass → day rollup → |days|-row driver fold.
+    */
+  val q455ViterbiHmm: Q = (s, dir) => {
+    val roll = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        cents(col("value")).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      .orderBy(col("day")).collect()
+    val xs = roll.map(_.getAs[Long]("x"))
+    val n = xs.length
+    val med = xs.sorted.apply((n + 1) / 2 - 1)
+    val obs = xs.map(x => if (x > med) 1 else 0)
+    // state 1 = HIGH (emits above-median w.p. 0.7), state 0 = LOW
+    def emit(st: Int, o: Int): Long =
+      if (st == o) HmmLnMatchE6 else HmmLnMissE6
+    var s1 = HmmLnInitE6 + emit(1, obs(0))
+    var s0 = HmmLnInitE6 + emit(0, obs(0))
+    var p1 = List(1); var p0 = List(0) // reversed paths
+    obs.tail.foreach { o =>
+      val stay1 = s1 + HmmLnStayE6 >= s0 + HmmLnSwitchE6
+      val stay0 = s0 + HmmLnStayE6 >= s1 + HmmLnSwitchE6
+      val n1 = (if (stay1) s1 + HmmLnStayE6 else s0 + HmmLnSwitchE6) +
+        emit(1, o)
+      val n0 = (if (stay0) s0 + HmmLnStayE6 else s1 + HmmLnSwitchE6) +
+        emit(0, o)
+      val q1 = 1 :: (if (stay1) p1 else p0)
+      val q0 = 0 :: (if (stay0) p0 else p1)
+      s1 = n1; s0 = n0; p1 = q1; p0 = q0
+    }
+    val (score, path) = if (s1 >= s0) (s1, p1.reverse) else (s0, p0.reverse)
+    val nHigh = path.count(_ == 1).toLong
+    val nSwitch = path.zip(path.tail).count { case (a, b) => a != b }.toLong
+    import s.implicits._
+    Seq((n.toLong, nHigh, nSwitch, score,
+      if (path.last == 1) "high" else "low"))
+      .toDF("n_days", "n_high_days", "n_switches", "viterbi_score_e6",
+        "final_regime")
+  }
+
+  val q455Sql: String =
+    s"""WITH RECURSIVE bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |med AS (
+      |  SELECT x AS med FROM (
+      |    SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+      |      COUNT(*) OVER () AS nn
+      |    FROM bd) WHERE r = (nn + 1) // 2),
+      |obs AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+      |    CASE WHEN x > med THEN 1 ELSE 0 END AS o
+      |  FROM bd CROSS JOIN med),
+      |walk AS (
+      |  SELECT 1 AS t,
+      |    $HmmLnInitE6 + CASE WHEN o = 1 THEN $HmmLnMatchE6
+      |      ELSE $HmmLnMissE6 END AS s1,
+      |    $HmmLnInitE6 + CASE WHEN o = 0 THEN $HmmLnMatchE6
+      |      ELSE $HmmLnMissE6 END AS s0,
+      |    [CAST(1 AS BIGINT)] AS p1, [CAST(0 AS BIGINT)] AS p0
+      |  FROM obs WHERE t = 1
+      |  UNION ALL
+      |  SELECT s.t,
+      |    CASE WHEN w.s1 + $HmmLnStayE6 >= w.s0 + $HmmLnSwitchE6
+      |      THEN w.s1 + $HmmLnStayE6 ELSE w.s0 + $HmmLnSwitchE6 END
+      |      + CASE WHEN s.o = 1 THEN $HmmLnMatchE6
+      |        ELSE $HmmLnMissE6 END,
+      |    CASE WHEN w.s0 + $HmmLnStayE6 >= w.s1 + $HmmLnSwitchE6
+      |      THEN w.s0 + $HmmLnStayE6 ELSE w.s1 + $HmmLnSwitchE6 END
+      |      + CASE WHEN s.o = 0 THEN $HmmLnMatchE6
+      |        ELSE $HmmLnMissE6 END,
+      |    list_append(CASE WHEN w.s1 + $HmmLnStayE6 >=
+      |      w.s0 + $HmmLnSwitchE6 THEN w.p1 ELSE w.p0 END,
+      |      CAST(1 AS BIGINT)),
+      |    list_append(CASE WHEN w.s0 + $HmmLnStayE6 >=
+      |      w.s1 + $HmmLnSwitchE6 THEN w.p0 ELSE w.p1 END,
+      |      CAST(0 AS BIGINT))
+      |  FROM walk w JOIN obs s ON s.t = w.t + 1),
+      |last AS (SELECT * FROM walk ORDER BY t DESC LIMIT 1),
+      |best AS (
+      |  SELECT t, CASE WHEN s1 >= s0 THEN s1 ELSE s0 END AS score,
+      |    CASE WHEN s1 >= s0 THEN p1 ELSE p0 END AS path
+      |  FROM last)
+      |SELECT CAST(t AS BIGINT) AS n_days,
+      |  CAST(list_sum(path) AS BIGINT) AS n_high_days,
+      |  CAST(list_sum(list_transform(range(2, t + 1), i ->
+      |    CASE WHEN path[i] <> path[i - 1] THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS n_switches,
+      |  CAST(score AS BIGINT) AS viterbi_score_e6,
+      |  CASE WHEN path[t] = 1 THEN 'high' ELSE 'low' END AS final_regime
+      |FROM best""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q455_viterbi_hmm" -> q455ViterbiHmm,
     "q431_kpss" -> q431Kpss,
     "q432_engle_granger" -> q432EngleGranger,
     "q439_garch" -> q439Garch,
@@ -10827,6 +10947,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q455_viterbi_hmm" -> q455Sql,
     "q431_kpss" -> q431Sql,
     "q432_engle_granger" -> q432Sql,
     "q439_garch" -> q439Sql,
