@@ -167,6 +167,40 @@ class NinthFamiliesPlanSpec extends SparkSpec {
     })
   }
 
+  test("q455: Viterbi decode is a feasible path with negative log-score") {
+    val r = graft.SparkEntry.queries("q455_viterbi_hmm")(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_high_days") <= n)
+    assert(r.getAs[Long]("n_switches") <= n - 1)
+    assert(r.getAs[Long]("viterbi_score_e6") < 0L,
+      "a log-probability score is strictly negative")
+  }
+
+  test("q456: Bland-Altman limits bracket the bias") {
+    val r = graft.SparkEntry.queries("q456_bland_altman")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Double]("loa_low_d") < r.getAs[Double]("loa_high_d"))
+    assert(r.getAs[Long]("n_outside") <= r.getAs[Long]("n_brands"))
+  }
+
+  test("q457: Deming slope counteracts OLS attenuation") {
+    val r = graft.SparkEntry.queries("q457_deming")(spark, sfDir)
+      .collect().head
+    val ols = r.getAs[Long]("beta_ols_e6") / 1e6
+    val deming = r.getAs[Double]("deming_slope_d")
+    assert(ols > 0.0 && deming >= ols,
+      s"with positive association Deming >= OLS: $deming vs $ols")
+  }
+
+  test("q458: Theta method emits the full horizon vector") {
+    val out = graft.SparkEntry.queries("q458_theta_method")(spark, sfDir)
+      .orderBy("horizon").collect()
+    assert(out.map(_.getAs[Long]("horizon")).toSeq == (1L to 6L).toSeq)
+    assert(out.forall(_.getAs[Long]("forecast_e6") > 0L),
+      "revenue forecasts must stay positive on this data")
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
