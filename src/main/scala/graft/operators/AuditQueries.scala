@@ -6287,6 +6287,310 @@ object AuditQueries {
       |ORDER BY horizon""".stripMargin
   }
 
+  // ------ q459: Bühlmann–Straub credibility premiums
+
+  /** q459: Bühlmann–Straub credibility — the actuarial answer to the
+    * question q354's EB shrinkage answers for binomials, posed for
+    * CONTINUOUS per-nation monthly revenue: how much should a
+    * nation's own history count against the collective mean? The
+    * variance components (EPV within, VHM between) come from the
+    * classical unbiased estimators; every per-nation term is staged
+    * as ONE e6 integer floor (so the cross-engine sum order cannot
+    * matter), and the credibility weight Z = m/(m+k) and premium
+    * Z·ȳᵢ + (1−Z)·ȳ finish as one fixed IEEE tree per nation.
+    *
+    * Plan: one orders pass → (nation, month) rollup → per-nation
+    * fold (metadata) → scalar k broadcast → 25-row premium panel.
+    */
+  val q459Buhlmann: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val panel = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+    val perNat = panel.groupBy(col("nat"))
+      .agg(count(lit(1)).cast(dec).as("mi"),
+        sum(col("y")).cast(dec).as("syi"),
+        sum(col("y").cast(dec) * col("y")).as("qyyi"))
+      .localCheckpoint()
+    val tot = perNat.agg(count(lit(1)).cast(dec).as("g"),
+      sum(col("mi")).as("mm"), sum(col("syi")).as("ss"),
+      sum(col("mi") * col("mi")).as("m2"))
+    val staged = perNat.crossJoin(broadcast(tot))
+      .select(col("nat"), col("mi"), col("syi"), col("g"), col("mm"),
+        col("ss"), col("m2"),
+        expr(fdiv("(mi * qyyi - syi * syi) * 1000000", "mi")).as("epv_t"),
+        expr(fdiv("(syi * mm - mi * ss) * (syi * mm - mi * ss) * 1000000",
+          "mi")).as("bt"))
+    val scal = staged.groupBy(col("g"), col("mm"), col("ss"), col("m2"))
+      .agg(sum(col("epv_t")).as("sepv"), sum(col("bt")).as("sbt"))
+    def d(c: String) = col(c).cast("double")
+    val epvD = d("sepv") / ((d("mm") - d("g")) * 1e6)
+    val bD = d("sbt") / (d("mm") * d("mm") * 1e6)
+    val vhmD = (bD - (d("g") - 1.0) * epvD) /
+      (d("mm") - d("m2") / d("mm"))
+    val kD = epvD / vhmD
+    staged.select(col("nat"), col("mi"), col("syi"), col("mm"), col("ss"))
+      .crossJoin(broadcast(scal.select(col("g"), col("mm").as("mm2"),
+        col("m2"), col("sepv"), col("sbt"))))
+      .withColumn("k_d", kD.as("k_d"))
+      .select(col("nat").as("nation"), col("mi").cast("long")
+        .as("n_months"),
+        expr(fdiv("syi * 1000000", "mi")).cast("long").as("own_mean_e6"),
+        (d("mi") / (d("mi") + col("k_d"))).as("z_d"),
+        ((d("mi") / (d("mi") + col("k_d"))) * (d("syi") / d("mi")) +
+          (lit(1.0) - d("mi") / (d("mi") + col("k_d"))) *
+            (d("ss") / d("mm"))).as("premium_d"))
+      .orderBy(col("nation"))
+  }
+
+  val q459Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val epvD = s"(${d("sepv")} / ((${d("mm2")} - ${d("g")}) * 1e6))"
+    val bD = s"(${d("sbt")} / (${d("mm2")} * ${d("mm2")} * 1e6))"
+    val vhmD = s"(($bD - (${d("g")} - 1.0) * $epvD)" +
+      s" / (${d("mm2")} - ${d("m2")} / ${d("mm2")}))"
+    val kD = s"($epvD / $vhmD)"
+    val zD = s"(${d("mi")} / (${d("mi")} + k_d))"
+    s"""WITH panel AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |per_nat AS (
+      |  SELECT nat, CAST(COUNT(*) AS HUGEINT) AS mi,
+      |    CAST(SUM(y) AS HUGEINT) AS syi,
+      |    SUM(CAST(y AS HUGEINT) * y) AS qyyi
+      |  FROM panel GROUP BY nat),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS g, SUM(mi) AS mm,
+      |    SUM(syi) AS ss, SUM(mi * mi) AS m2
+      |  FROM per_nat),
+      |staged AS (
+      |  SELECT nat, mi, syi, g, mm, ss, m2,
+      |    (mi * qyyi - syi * syi) * 1000000 // mi AS epv_t,
+      |    (syi * mm - mi * ss) * (syi * mm - mi * ss) * 1000000 // mi
+      |      AS bt
+      |  FROM per_nat CROSS JOIN tot),
+      |scal AS (
+      |  SELECT ANY_VALUE(g) AS g, ANY_VALUE(mm) AS mm2,
+      |    ANY_VALUE(m2) AS m2, SUM(epv_t) AS sepv, SUM(bt) AS sbt
+      |  FROM staged),
+      |kv AS (SELECT $kD AS k_d FROM scal)
+      |SELECT st.nat AS nation, CAST(st.mi AS BIGINT) AS n_months,
+      |  CAST(st.syi * 1000000 // st.mi AS BIGINT) AS own_mean_e6,
+      |  $zD AS z_d,
+      |  ($zD * (${d("syi")} / ${d("mi")})
+      |    + (1.0 - $zD) * (${d("ss")} / ${d("mm")})) AS premium_d
+      |FROM staged st CROSS JOIN kv
+      |ORDER BY nation""".stripMargin
+  }
+
+  // ------ q460: Rayleigh test of seasonal uniformity
+
+  /** Plan-time unit-circle table for the 12 calendar months:
+    * cos/sin(2π(m−1)/12)·10⁶ (plan-build libm, the q420 trig-table
+    * device).
+    */
+  val MonthCosE6: IndexedSeq[Long] =
+    (0 until 12).map(i => math.round(math.cos(2 * math.Pi * i / 12) * 1e6))
+  val MonthSinE6: IndexedSeq[Long] =
+    (0 until 12).map(i => math.round(math.sin(2 * math.Pi * i / 12) * 1e6))
+
+  /** q460: the Rayleigh test — DIRECTIONAL statistics for
+    * seasonality, where q121's calendar profile only eyeballs it: map
+    * the 12 calendar months onto the unit circle (plan-time trig
+    * table, q420's device), fold the exact resultant vector (C, S)
+    * of monthly order counts, and test uniformity with
+    * z = n·R̄² = (C²+S²)/(n·10¹²), whose null tail is ≈ e^(−z) (5%
+    * cut = ln 20). The peak season needs atan2 — NOT bit-portable —
+    * so instead the mean direction is reported as the ARGMAX month
+    * of the integer projection C·cos_m + S·sin_m: pure integer
+    * arithmetic, same answer both engines.
+    *
+    * Plan: one orders pass → 12-row month rollup ⋈ broadcast trig
+    * table → 1-row fold.
+    */
+  val q460Rayleigh: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val trig = s.createDataFrame((1 to 12).map(m =>
+      (m.toLong, MonthCosE6(m - 1), MonthSinE6(m - 1))))
+      .toDF("mo", "cos_e6", "sin_e6")
+    val counts = Tables.orders(s, dir)
+      .groupBy(expr("month(o_orderdate)").cast("long").as("mo"))
+      .agg(count(lit(1)).as("nm"))
+      .join(broadcast(trig), Seq("mo"))
+      .localCheckpoint()
+    val fold = counts.agg(sum(col("nm")).cast(dec).as("n"),
+      sum(col("nm").cast(dec) * col("cos_e6")).as("cc"),
+      sum(col("nm").cast(dec) * col("sin_e6")).as("ss"))
+    def d(c: String) = col(c).cast("double")
+    val z = (d("cc") * d("cc") + d("ss") * d("ss")) / (d("n") * 1e12)
+    val peak = counts.crossJoin(broadcast(fold))
+      .select(col("mo"),
+        (col("cc") * col("cos_e6") + col("ss") * col("sin_e6"))
+          .as("proj"))
+      .orderBy(col("proj").desc, col("mo")).limit(1)
+      .select(col("mo").as("peak_month"))
+    fold.crossJoin(broadcast(peak))
+      .select(col("n").cast("long").as("n_orders"),
+        col("cc").cast("long").as("c_e6"),
+        col("ss").cast("long").as("s_e6"),
+        z.as("rayleigh_z_d"),
+        col("peak_month"),
+        when(z > 2.9957, lit("seasonal")).otherwise(lit("uniform"))
+          .as("verdict_5pct"))
+  }
+
+  val q460Sql: String = {
+    val trig = (1 to 12).map(m =>
+      s"($m, ${MonthCosE6(m - 1)}, ${MonthSinE6(m - 1)})").mkString(", ")
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val z = s"((${d("cc")} * ${d("cc")} + ${d("ss")} * ${d("ss")})" +
+      s" / (${d("n")} * 1e12))"
+    s"""WITH trig(mo, cos_e6, sin_e6) AS (VALUES $trig),
+      |counts AS (
+      |  SELECT month(o_orderdate) AS mo, CAST(COUNT(*) AS BIGINT) AS nm
+      |  FROM orders GROUP BY 1),
+      |joined AS (
+      |  SELECT c.mo, c.nm, t.cos_e6, t.sin_e6
+      |  FROM counts c JOIN trig t ON t.mo = c.mo),
+      |fold AS (
+      |  SELECT CAST(SUM(nm) AS HUGEINT) AS n,
+      |    SUM(CAST(nm AS HUGEINT) * cos_e6) AS cc,
+      |    SUM(CAST(nm AS HUGEINT) * sin_e6) AS ss
+      |  FROM joined),
+      |peak AS (
+      |  SELECT j.mo AS peak_month
+      |  FROM joined j CROSS JOIN fold
+      |  ORDER BY cc * j.cos_e6 + ss * j.sin_e6 DESC, j.mo LIMIT 1)
+      |SELECT CAST(n AS BIGINT) AS n_orders, CAST(cc AS BIGINT) AS c_e6,
+      |  CAST(ss AS BIGINT) AS s_e6,
+      |  $z AS rayleigh_z_d,
+      |  CAST(peak_month AS BIGINT) AS peak_month,
+      |  CASE WHEN $z > 2.9957 THEN 'seasonal' ELSE 'uniform' END
+      |    AS verdict_5pct
+      |FROM fold CROSS JOIN peak""".stripMargin
+  }
+
+  // ------ q461: Banzhaf and Shapley–Shubik voting power indices
+
+  /** Number of weighted voters for the power-index audit. */
+  val PowerG = 8
+
+  /** q461: weighted-voting power indices — cooperative game theory
+    * on the supplier concentration question q172's HHI only scores:
+    * with the top-[[PowerG]] suppliers as voters weighted by revenue
+    * and a majority quota, a supplier's MARKET POWER is not its
+    * share but how often it SWINGS a coalition. Banzhaf counts
+    * swings uniformly; Shapley–Shubik weights them by coalition size
+    * through (s−1)!(G−s)!/G! — the [[FactTable]] literals again. The
+    * full 2⁸ coalition lattice is a 255-row broadcast spine crossed
+    * with the 8-row voter panel — pure relational enumeration, no
+    * driver fold, identical in both engines, everything exact
+    * integers.
+    *
+    * Plan: one lineitem pass → supplier rollup → top-8 → 255×8
+    * metadata lattice → 8-row index panel.
+    */
+  val q461PowerIndices: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val g = PowerG
+    val voters = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").cast("long").as("sk"))
+      .agg(expr("SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))" +
+        " div 1000").as("w"))
+      .orderBy(col("w").desc, col("sk")).limit(g)
+      .withColumn("si", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w").desc, col("sk"))).cast("long"))
+      .localCheckpoint()
+    val quota = voters.agg(expr("SUM(w) div 2 + 1").cast("long").as("q"))
+    val masks = s.range(1L, (1L << g)).select(col("id").as("mask"))
+    val lattice = masks.crossJoin(broadcast(voters))
+      .withColumn("inm", expr("(mask div CAST(pow(2, si - 1) AS BIGINT))" +
+        " % 2"))
+    val byMask = lattice.groupBy(col("mask"))
+      .agg(sum(when(col("inm") === 1L, col("w")).otherwise(0L)).as("cw"),
+        sum(col("inm")).as("sz"))
+    val swings = lattice.filter(col("inm") === 1L)
+      .join(broadcast(byMask), Seq("mask"))
+      .crossJoin(broadcast(quota))
+      .filter(col("cw") >= col("q") && col("cw") - col("w") < col("q"))
+    val factDf = s.createDataFrame((0 to g).map(i =>
+      (i.toLong, FactTable(i).toLong))).toDF("i", "f")
+    val perVoter = swings
+      .join(broadcast(factDf.select(col("i").as("szm1"), col("f")
+        .as("f1"))), col("sz") - 1 === col("szm1"))
+      .join(broadcast(factDf.select(col("i").as("gmsz"), col("f")
+        .as("f2"))), lit(g.toLong) - col("sz") === col("gmsz"))
+      .groupBy(col("si"), col("sk"), col("w"))
+      .agg(count(lit(1)).as("n_swings"),
+        sum(col("f1").cast(dec) * col("f2")).as("ss_num"))
+    val totSwings = perVoter.agg(sum(col("n_swings")).as("tot"))
+    perVoter.crossJoin(broadcast(totSwings))
+      .select(col("si").as("voter_rank"), col("sk").as("suppkey"),
+        col("w").as("weight"), col("n_swings"),
+        expr("CAST(n_swings * 1000000 div tot AS BIGINT)")
+          .as("banzhaf_e6"),
+        expr(fdiv(s"ss_num * 1000000", FactTable(g).toLong.toString))
+          .cast("long").as("shapley_shubik_e6"))
+      .orderBy(col("voter_rank"))
+  }
+
+  val q461Sql: String = {
+    val g = PowerG
+    val facts = (0 to g).map(i => s"($i, ${FactTable(i)})").mkString(", ")
+    s"""WITH voters AS (
+      |  SELECT sk, w, ROW_NUMBER() OVER (ORDER BY w DESC, sk) AS si
+      |  FROM (
+      |    SELECT CAST(l_suppkey AS BIGINT) AS sk,
+      |      SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // 1000
+      |        AS w
+      |    FROM lineitem GROUP BY 1
+      |    ORDER BY w DESC, sk LIMIT $g)),
+      |quota AS (SELECT SUM(w) // 2 + 1 AS q FROM voters),
+      |masks AS (SELECT UNNEST(range(1, ${1L << g})) AS mask),
+      |lattice AS (
+      |  SELECT m.mask, v.si, v.sk, v.w,
+      |    (m.mask // CAST(pow(2, v.si - 1) AS BIGINT)) % 2 AS inm
+      |  FROM masks m CROSS JOIN voters v),
+      |by_mask AS (
+      |  SELECT mask,
+      |    SUM(CASE WHEN inm = 1 THEN w ELSE 0 END) AS cw,
+      |    CAST(SUM(inm) AS BIGINT) AS sz
+      |  FROM lattice GROUP BY mask),
+      |facts(i, f) AS (VALUES $facts),
+      |swings AS (
+      |  SELECT l.si, l.sk, l.w, b.sz
+      |  FROM lattice l
+      |  JOIN by_mask b USING (mask)
+      |  CROSS JOIN quota
+      |  WHERE l.inm = 1 AND b.cw >= q AND b.cw - l.w < q),
+      |per_voter AS (
+      |  SELECT si, sk, w, CAST(COUNT(*) AS BIGINT) AS n_swings,
+      |    SUM((SELECT CAST(f AS HUGEINT) FROM facts WHERE i = sz - 1) *
+      |        (SELECT CAST(f AS HUGEINT) FROM facts WHERE i = $g - sz))
+      |      AS ss_num
+      |  FROM swings GROUP BY si, sk, w),
+      |tot AS (SELECT SUM(n_swings) AS tot FROM per_voter)
+      |SELECT si AS voter_rank, sk AS suppkey, w AS weight, n_swings,
+      |  CAST(n_swings * 1000000 // tot AS BIGINT) AS banzhaf_e6,
+      |  CAST(ss_num * 1000000 // ${FactTable(g)} AS BIGINT)
+      |    AS shapley_shubik_e6
+      |FROM per_voter CROSS JOIN tot
+      |ORDER BY voter_rank""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -7546,6 +7850,9 @@ object AuditQueries {
     "q449_fisher_exact" -> q449FisherExact,
     "q452_wagner_whitin" -> q452WagnerWhitin,
     "q456_bland_altman" -> q456BlandAltman,
+    "q459_buhlmann" -> q459Buhlmann,
+    "q460_rayleigh" -> q460Rayleigh,
+    "q461_power_indices" -> q461PowerIndices,
     "q457_deming" -> q457Deming,
     "q458_theta_method" -> q458ThetaMethod,
     "q453_holt_winters" -> q453HoltWinters,
@@ -7626,6 +7933,9 @@ object AuditQueries {
     "q449_fisher_exact" -> q449Sql,
     "q452_wagner_whitin" -> q452Sql,
     "q456_bland_altman" -> q456Sql,
+    "q459_buhlmann" -> q459Sql,
+    "q460_rayleigh" -> q460Sql,
+    "q461_power_indices" -> q461Sql,
     "q457_deming" -> q457Sql,
     "q458_theta_method" -> q458Sql,
     "q453_holt_winters" -> q453Sql,
