@@ -201,6 +201,37 @@ class NinthFamiliesPlanSpec extends SparkSpec {
       "revenue forecasts must stay positive on this data")
   }
 
+  test("q459: credibility premium is a convex blend of own and grand mean") {
+    val rows = graft.SparkEntry.queries("q459_buhlmann")(spark, sfDir)
+      .collect()
+    assert(rows.forall { r =>
+      val z = r.getAs[Double]("z_d"); z > 0.0 && z < 1.0
+    }, "credibility weights must lie strictly inside (0,1)")
+  }
+
+  test("q460: Rayleigh z is nonnegative and the peak month is a month") {
+    val r = graft.SparkEntry.queries("q460_rayleigh")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Double]("rayleigh_z_d") >= 0.0)
+    val pm = r.getAs[Long]("peak_month")
+    assert(pm >= 1L && pm <= 12L)
+  }
+
+  test("q461: both power indices normalize and follow the weights") {
+    val rows = graft.SparkEntry.queries("q461_power_indices")(spark, sfDir)
+      .orderBy("voter_rank").collect()
+    val g = rows.length
+    val bz = rows.map(_.getAs[Long]("banzhaf_e6")).sum
+    val ss = rows.map(_.getAs[Long]("shapley_shubik_e6")).sum
+    assert(math.abs(bz - 1000000L) <= g, s"Banzhaf must sum to ~1e6: $bz")
+    assert(math.abs(ss - 1000000L) <= g,
+      s"Shapley-Shubik must sum to ~1e6: $ss")
+    val byW = rows.sortBy(-_.getAs[Long]("weight"))
+      .map(_.getAs[Long]("banzhaf_e6"))
+    assert(byW.zip(byW.tail).forall { case (a, b) => a >= b },
+      "a heavier voter can never hold less Banzhaf power")
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
