@@ -6591,6 +6591,379 @@ object AuditQueries {
       |ORDER BY voter_rank""".stripMargin
   }
 
+  // ------ q462: Bornhuetter–Ferguson blended reserving backtest
+
+  /** q462: the Bornhuetter–Ferguson method — the reserving blend that
+    * fixes chain-ladder's (q418) leverage problem: for green cohorts
+    * CL multiplies a tiny observed base by a huge factor product,
+    * while BF adds the UNREPORTED share q = 1 − 1/CDF of an exposure-
+    * based prior (dev-0 revenue × the expected ultimate-to-dev0 ratio
+    * taken from the oldest, fully developed cohort). Same masked
+    * triangle, same plan-time factor ladder, one extra e6 ladder for
+    * the CDF seeded at 10⁶ — and the backtest reports CL error and
+    * BF error side by side per cohort, so the variance-bias trade is
+    * visible in-output.
+    *
+    * Plan: rides q418's construction — one fact-orders shuffle,
+    * dense-grid windows per cohort, metadata folds after.
+    */
+  val q462BornhuetterFerguson: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS BIGINT)""".stripMargin.replace("\n", " ")
+    val cells = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("oy")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("dev", year(col("l_shipdate")) - col("oy"))
+      .filter(col("dev") >= 0)
+      .groupBy(col("oy"), col("dev"))
+      .agg(sum(cents(col("l_extendedprice"))).as("v"))
+      .localCheckpoint()
+    val years = cells.select(col("oy")).distinct().localCheckpoint()
+    val maxY = cells.agg(max(col("oy")).as("max_y"),
+      min(col("oy")).as("min_y"))
+    val devSpine = s.range(0L, ClMaxDev.toLong)
+      .select(col("id").cast("int").as("dev"))
+    val dense = years.crossJoin(broadcast(devSpine))
+      .join(cells, Seq("oy", "dev"), "left")
+      .select(col("oy"), col("dev"), coalesce(col("v"), lit(0L)).as("v"))
+    val wC = Window.partitionBy(col("oy")).orderBy(col("dev"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = dense.withColumn("c", sum(col("v")).over(wC))
+      .withColumn("cn", lead(col("c"), 1).over(
+        Window.partitionBy(col("oy")).orderBy(col("dev"))))
+      .crossJoin(broadcast(maxY))
+      .localCheckpoint()
+    val factors = cum
+      .filter(col("oy") + col("dev") + 1 <= col("max_y") &&
+        col("cn").isNotNull && col("c") > 0L)
+      .groupBy(col("dev"))
+      .agg(sum(col("cn").cast("decimal(38,0)")).as("num"),
+        sum(col("c").cast("decimal(38,0)")).as("den"))
+      .select(col("dev"), expr(fdiv("num * 1000000", "den")).cast("long")
+        .as("f_e6"))
+    val fArm = (0 until ClMaxDev).map { k =>
+      max(when(col("dev") === k, col("f_e6"))).as(s"f_$k")
+    }
+    val fRow = factors.agg(fArm.head, fArm.tail: _*)
+      .select((0 until ClMaxDev).map(k =>
+        coalesce(col(s"f_$k"), lit(1000000L)).as(s"f_$k")): _*)
+    val latest = cum.filter(col("dev") === col("max_y") - col("oy"))
+      .select(col("oy"), col("dev").as("latest_dev"),
+        col("c").as("latest_c"))
+    val base0 = cum.filter(col("dev") === 0)
+      .select(col("oy"), col("c").as("c0"))
+    val actual = cum.groupBy(col("oy")).agg(max(col("c")).as("actual_ult"))
+    // expected loss ratio from the OLDEST (fully developed) cohort
+    val elr = actual.join(base0, Seq("oy"))
+      .crossJoin(broadcast(maxY)).filter(col("oy") === col("min_y"))
+      .select(expr(fdiv("actual_ult * 1000000", "c0")).as("elr_e6"))
+    var proj = latest.crossJoin(broadcast(fRow))
+      .withColumn("ult", col("latest_c").cast("decimal(38,0)"))
+      .withColumn("cdf", lit(1000000L).cast("decimal(38,0)"))
+    for (k <- 0 until ClMaxDev) {
+      proj = proj
+        .withColumn("ult", when(col("latest_dev") <= k,
+          expr(fdiv(s"ult * f_$k", "1000000"))).otherwise(col("ult")))
+        .withColumn("cdf", when(col("latest_dev") <= k,
+          expr(fdiv(s"cdf * f_$k", "1000000"))).otherwise(col("cdf")))
+    }
+    proj.join(base0, Seq("oy")).join(actual, Seq("oy"))
+      .crossJoin(broadcast(elr))
+      .withColumn("prior", expr(fdiv("c0 * elr_e6", "1000000")))
+      .withColumn("q_e6",
+        lit(1000000L) - expr(fdiv("1000000000000", "cdf")))
+      .withColumn("bf_ult",
+        col("latest_c") + expr(fdiv("prior * q_e6", "1000000")))
+      .select(col("oy").as("order_year"), col("latest_dev"),
+        col("ult").cast("long").as("cl_ult_cents"),
+        col("bf_ult").cast("long").as("bf_ult_cents"),
+        col("actual_ult").cast("long").as("actual_ult_cents"),
+        expr(sdiv("(ult - actual_ult) * 1000000", "actual_ult"))
+          .as("cl_err_e6"),
+        expr(sdiv("(bf_ult - actual_ult) * 1000000", "actual_ult"))
+          .as("bf_err_e6"))
+      .orderBy(col("order_year"))
+  }
+
+  val q462Sql: String = {
+    val steps = (0 until ClMaxDev).map { k =>
+      val prev = if (k == 0) "p_init" else s"p${k - 1}"
+      s"""p$k AS (SELECT * REPLACE (
+         |  CASE WHEN latest_dev <= $k THEN (ult * f[${k + 1}]) // 1000000
+         |    ELSE ult END AS ult,
+         |  CASE WHEN latest_dev <= $k THEN (cdf * f[${k + 1}]) // 1000000
+         |    ELSE cdf END AS cdf)
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (
+      |  SELECT year(o.o_orderdate) AS oy,
+      |    year(l.l_shipdate) - year(o.o_orderdate) AS dev,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+      |      AS HUGEINT) AS v
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE year(l.l_shipdate) >= year(o.o_orderdate)
+      |  GROUP BY 1, 2),
+      |years AS (SELECT DISTINCT oy FROM cells),
+      |my AS (SELECT MAX(oy) AS max_y, MIN(oy) AS min_y FROM cells),
+      |dense AS (
+      |  SELECT y.oy, d.dev, COALESCE(c.v, 0) AS v
+      |  FROM years y
+      |  CROSS JOIN (SELECT UNNEST(range(0, $ClMaxDev)) AS dev) d
+      |  LEFT JOIN cells c ON c.oy = y.oy AND c.dev = d.dev),
+      |cum0 AS (
+      |  SELECT oy, dev,
+      |    SUM(v) OVER (PARTITION BY oy ORDER BY dev
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM dense),
+      |cum AS (
+      |  SELECT oy, dev, c,
+      |    LEAD(c, 1) OVER (PARTITION BY oy ORDER BY dev) AS cn
+      |  FROM cum0),
+      |factors AS (
+      |  SELECT cum.dev,
+      |    SUM(cn) * 1000000 // SUM(c) AS f_e6
+      |  FROM cum CROSS JOIN my
+      |  WHERE oy + dev + 1 <= max_y AND cn IS NOT NULL AND c > 0
+      |  GROUP BY cum.dev),
+      |frow AS (
+      |  SELECT list(fe ORDER BY dev) AS f FROM (
+      |    SELECT d.dev, COALESCE(fx.f_e6, CAST(1000000 AS HUGEINT)) AS fe
+      |    FROM (SELECT UNNEST(range(0, $ClMaxDev)) AS dev) d
+      |    LEFT JOIN factors fx ON fx.dev = d.dev)),
+      |latest AS (
+      |  SELECT oy, dev AS latest_dev, c AS latest_c
+      |  FROM cum CROSS JOIN my WHERE dev = max_y - oy),
+      |base0 AS (SELECT oy, c AS c0 FROM cum WHERE dev = 0),
+      |actual AS (SELECT oy, MAX(c) AS actual_ult FROM cum GROUP BY oy),
+      |elr AS (
+      |  SELECT a.actual_ult * 1000000 // b.c0 AS elr_e6
+      |  FROM actual a JOIN base0 b USING (oy) CROSS JOIN my
+      |  WHERE a.oy = min_y),
+      |p_init AS (
+      |  SELECT l.oy, l.latest_dev, l.latest_c,
+      |    CAST(l.latest_c AS HUGEINT) AS ult,
+      |    CAST(1000000 AS HUGEINT) AS cdf, f
+      |  FROM latest l CROSS JOIN frow),
+      |$steps
+      |SELECT p.oy AS order_year, p.latest_dev,
+      |  CAST(p.ult AS BIGINT) AS cl_ult_cents,
+      |  CAST(p.latest_c + (b.c0 * e.elr_e6 // 1000000)
+      |    * (1000000 - 1000000000000 // p.cdf) // 1000000 AS BIGINT)
+      |    AS bf_ult_cents,
+      |  CAST(a.actual_ult AS BIGINT) AS actual_ult_cents,
+      |  CAST(CASE WHEN p.ult - a.actual_ult >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((p.ult - a.actual_ult) * 1000000) // a.actual_ult)
+      |    AS BIGINT) AS cl_err_e6,
+      |  CAST(CASE WHEN p.latest_c + (b.c0 * e.elr_e6 // 1000000)
+      |      * (1000000 - 1000000000000 // p.cdf) // 1000000
+      |      - a.actual_ult >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((p.latest_c + (b.c0 * e.elr_e6 // 1000000)
+      |      * (1000000 - 1000000000000 // p.cdf) // 1000000
+      |      - a.actual_ult) * 1000000) // a.actual_ult) AS BIGINT)
+      |    AS bf_err_e6
+      |FROM p${ClMaxDev - 1} p
+      |JOIN base0 b USING (oy)
+      |JOIN actual a USING (oy)
+      |CROSS JOIN elr e
+      |ORDER BY order_year""".stripMargin
+  }
+
+  // ------ q463: social-choice panel over the monthly brand ballots
+
+  /** q463: social-choice aggregation — the twelve calendar months
+    * rank the brands by revenue (q442 measured whether they AGREE;
+    * this asks who should WIN): plurality (first places), the Borda
+    * count (positional), the Copeland score (pairwise-majority wins
+    * minus losses) and the Condorcet-winner certificate (beats every
+    * rival head-to-head). The three rules disagree in general —
+    * reporting them side by side on the same ballots is the point.
+    * Ballots are deterministic total orders, so every score is exact
+    * integer counting on the (month, brand) rollup and its ≤ 12·k²
+    * metadata pair join.
+    *
+    * Plan: one lineitem ⋈ orders pass → (month, brand) rollup →
+    * bounded rank windows → metadata pair fold.
+    */
+  val q463SocialChoice: Q = (s, dir) => {
+    val mb = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("r"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), expr("month(o_orderdate)").as("mo")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("mo"), col("p_brand").as("brand"))
+      .agg(sum(col("r")).as("rev"))
+    val ranked = mb.withColumn("rk",
+      row_number().over(Window.partitionBy(col("mo"))
+        .orderBy(col("rev").desc, col("brand"))).cast("long"))
+      .localCheckpoint()
+    val k = ranked.agg(countDistinct(col("brand")).as("k"))
+    val positional = ranked.crossJoin(broadcast(k))
+      .groupBy(col("brand"), col("k"))
+      .agg(sum(col("k") - col("rk")).as("borda"),
+        sum(when(col("rk") === 1L, 1L).otherwise(0L)).as("plurality"))
+    val a = ranked.select(col("mo"), col("brand").as("ba"),
+      col("rk").as("ra"))
+    val b = ranked.select(col("mo"), col("brand").as("bb"),
+      col("rk").as("rb"))
+    val duels = a.join(b, Seq("mo")).filter(col("ba") =!= col("bb"))
+      .groupBy(col("ba"), col("bb"))
+      .agg(sum(when(col("ra") < col("rb"), 1L).otherwise(0L)).as("w"),
+        count(lit(1)).as("nm"))
+    val copeland = duels
+      .groupBy(col("ba").as("brand"))
+      .agg(sum(when(col("w") * 2 > col("nm"), 1L)
+        .when(col("w") * 2 < col("nm"), -1L).otherwise(0L))
+        .as("copeland"),
+        sum(when(col("w") * 2 > col("nm"), 1L).otherwise(0L))
+          .as("pairwise_wins"))
+    positional.join(copeland, Seq("brand"))
+      .select(col("brand"), col("plurality"), col("borda"),
+        col("copeland"), col("pairwise_wins"),
+        (col("pairwise_wins") === col("k") - 1).cast("long")
+          .as("is_condorcet_winner"))
+      .orderBy(col("borda").desc, col("brand"))
+  }
+
+  val q463Sql: String =
+    """WITH mb AS (
+      |  SELECT month(o.o_orderdate) AS mo, p.p_brand AS brand,
+      |    SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT mo, brand,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY mo
+      |      ORDER BY rev DESC, brand) AS BIGINT) AS rk
+      |  FROM mb),
+      |kk AS (SELECT CAST(COUNT(DISTINCT brand) AS BIGINT) AS k
+      |       FROM ranked),
+      |pos_scores AS (
+      |  SELECT brand, ANY_VALUE(k) AS k,
+      |    CAST(SUM(k - rk) AS BIGINT) AS borda,
+      |    CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS plurality
+      |  FROM ranked CROSS JOIN kk GROUP BY brand),
+      |duels AS (
+      |  SELECT a.brand AS ba, b.brand AS bb,
+      |    SUM(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) AS w,
+      |    COUNT(*) AS nm
+      |  FROM ranked a JOIN ranked b
+      |    ON b.mo = a.mo AND a.brand <> b.brand
+      |  GROUP BY 1, 2),
+      |copeland AS (
+      |  SELECT ba AS brand,
+      |    CAST(SUM(CASE WHEN w * 2 > nm THEN 1
+      |      WHEN w * 2 < nm THEN -1 ELSE 0 END) AS BIGINT) AS copeland,
+      |    CAST(SUM(CASE WHEN w * 2 > nm THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pairwise_wins
+      |  FROM duels GROUP BY ba)
+      |SELECT p.brand, p.plurality, p.borda, c.copeland, c.pairwise_wins,
+      |  CAST(CASE WHEN c.pairwise_wins = p.k - 1 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_condorcet_winner
+      |FROM pos_scores p JOIN copeland c ON c.brand = p.brand
+      |ORDER BY borda DESC, p.brand""".stripMargin
+
+  // ------ q464: concentration index and Kakwani-style progressivity
+
+  /** q464: the health-economics concentration index — q160's Gini
+    * ranks spend BY ITSELF; the concentration index ranks customer
+    * spend by a DIFFERENT welfare variable (account balance), so it
+    * measures whether revenue concentrates among the wealthy, and
+    * the Kakwani-style gap CI − Gini says whether spend is more or
+    * less concentrated than spend inequality alone implies. Both
+    * indices use the doubled-mid-rank device over value rollups
+    * (ties exact), so each is ONE exact-integer floor:
+    * CI = (Σy·(2R̄) − (n+1)·Σy) / (n·Σy) with 2R̄ the doubled
+    * fractional rank.
+    *
+    * Plan: one orders pass → customer rollup (checkpointed) → two
+    * value-rollup rank windows → 1-row fold.
+    */
+  val q464ConcentrationIndex: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(
+        expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+      .join(broadcast(Tables.customer(s, dir).select(
+        col("c_custkey").as("o_custkey"),
+        cents(col("c_acctbal")).as("bal"))), Seq("o_custkey"))
+      .localCheckpoint()
+    def index(rankCol: String): DataFrame = {
+      val byV = cust.groupBy(col(rankCol).as("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sy"))
+      val w = Window.orderBy(col("v")).rowsBetween(
+        Window.unboundedPreceding, -1)
+      byV.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select((col("below") * 2 + col("cnt") + 1).cast(dec).as("dr"),
+          col("sy").cast(dec).as("sy"), col("cnt").cast(dec).as("cnt"))
+        .agg(sum(col("cnt")).as("n"), sum(col("sy")).as("ty"),
+          sum(col("dr") * col("sy")).as("ydr"))
+        .select(col("n"),
+          expr(sdiv("(ydr - (n + 1) * ty) * 1000000", "n * ty"))
+            .cast("long").as("idx_e6"))
+    }
+    val ci = index("bal").select(col("n"), col("idx_e6").as("ci_e6"))
+    val gini = index("y").select(col("idx_e6").as("gini_e6"))
+    ci.crossJoin(broadcast(gini))
+      .select(col("n").cast("long").as("n_customers"), col("ci_e6"),
+        col("gini_e6"),
+        (col("ci_e6") - col("gini_e6")).as("kakwani_gap_e6"))
+  }
+
+  val q464Sql: String = {
+    def idx(rankCol: String) =
+      s"""SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+         |    CAST(SUM(sy) AS HUGEINT) AS ty,
+         |    SUM(CAST(below * 2 + cnt + 1 AS HUGEINT) * sy) AS ydr
+         |  FROM (
+         |    SELECT cnt, sy,
+         |      COALESCE(SUM(cnt) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS below
+         |    FROM (SELECT $rankCol AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |            SUM(y) AS sy
+         |          FROM cust GROUP BY 1))""".stripMargin
+    s"""WITH cust AS (
+      |  SELECT o.o_custkey,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // 100 AS y,
+      |    CAST(ROUND(ANY_VALUE(c.c_acctbal) * 100) AS BIGINT) AS bal
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |ci0 AS (${idx("bal")}),
+      |gi0 AS (${idx("y")}),
+      |ci AS (
+      |  SELECT n,
+      |    CAST(CASE WHEN ydr - (n + 1) * ty >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((ydr - (n + 1) * ty) * 1000000) // (n * ty)) AS BIGINT)
+      |      AS ci_e6
+      |  FROM ci0),
+      |gi AS (
+      |  SELECT CAST(CASE WHEN ydr - (n + 1) * ty >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((ydr - (n + 1) * ty) * 1000000) // (n * ty)) AS BIGINT)
+      |      AS gini_e6
+      |  FROM gi0)
+      |SELECT CAST(n AS BIGINT) AS n_customers, ci_e6, gini_e6,
+      |  ci_e6 - gini_e6 AS kakwani_gap_e6
+      |FROM ci CROSS JOIN gi""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -7851,6 +8224,9 @@ object AuditQueries {
     "q452_wagner_whitin" -> q452WagnerWhitin,
     "q456_bland_altman" -> q456BlandAltman,
     "q459_buhlmann" -> q459Buhlmann,
+    "q462_bornhuetter_ferguson" -> q462BornhuetterFerguson,
+    "q463_social_choice" -> q463SocialChoice,
+    "q464_concentration_index" -> q464ConcentrationIndex,
     "q460_rayleigh" -> q460Rayleigh,
     "q461_power_indices" -> q461PowerIndices,
     "q457_deming" -> q457Deming,
@@ -7934,6 +8310,9 @@ object AuditQueries {
     "q452_wagner_whitin" -> q452Sql,
     "q456_bland_altman" -> q456Sql,
     "q459_buhlmann" -> q459Sql,
+    "q462_bornhuetter_ferguson" -> q462Sql,
+    "q463_social_choice" -> q463Sql,
+    "q464_concentration_index" -> q464Sql,
     "q460_rayleigh" -> q460Sql,
     "q461_power_indices" -> q461Sql,
     "q457_deming" -> q457Sql,
