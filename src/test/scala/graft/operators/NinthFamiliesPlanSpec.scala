@@ -232,6 +232,36 @@ class NinthFamiliesPlanSpec extends SparkSpec {
       "a heavier voter can never hold less Banzhaf power")
   }
 
+  test("q462: the fully developed cohort is exact under both methods") {
+    val rows = graft.SparkEntry
+      .queries("q462_bornhuetter_ferguson")(spark, sfDir)
+      .orderBy("order_year").collect()
+    val oldest = rows.head
+    assert(oldest.getAs[Long]("cl_err_e6") == 0L,
+      "chain ladder is exact when nothing is left to develop")
+    assert(oldest.getAs[Long]("bf_err_e6") == 0L,
+      "BF adds q = 0 unreported share for a complete cohort")
+  }
+
+  test("q463: Borda mass is conserved and Condorcet winners are unique") {
+    val rows = graft.SparkEntry.queries("q463_social_choice")(spark, sfDir)
+      .collect()
+    val k = rows.length.toLong
+    assert(rows.map(_.getAs[Long]("borda")).sum == 12L * k * (k - 1) / 2,
+      "every ballot hands out 0..k-1 points exactly once")
+    assert(rows.map(_.getAs[Long]("is_condorcet_winner")).sum <= 1L,
+      "at most one brand can beat every rival head-to-head")
+  }
+
+  test("q464: the concentration index is bounded by the Gini") {
+    val r = graft.SparkEntry
+      .queries("q464_concentration_index")(spark, sfDir).collect().head
+    val gini = r.getAs[Long]("gini_e6")
+    assert(gini >= 0L && gini <= 1000000L)
+    assert(math.abs(r.getAs[Long]("ci_e6")) <= gini,
+      "re-ranking by a different variable can only shrink concentration")
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
