@@ -6964,6 +6964,321 @@ object AuditQueries {
       |FROM ci CROSS JOIN gi""".stripMargin
   }
 
+  // ------ q465: FGT poverty panel + Sen index
+
+  /** q465: the Foster–Greer–Thorbecke poverty family and Sen's index
+    * — welfare measurement beyond inequality (q160/q464 measure
+    * SPREAD; these measure SHORTFALL below a line): with the poverty
+    * line at HALF THE MEDIAN customer spend (the OECD convention),
+    * FGT(0) is the headcount, FGT(1) the normalized gap, FGT(2) the
+    * squared-gap severity, and Sen's 1976 index H·(I + (1−I)·G_p)
+    * re-weights the gap by the Gini AMONG THE POOR. The line is a
+    * rank-target selection; every FGT term is one integer floor per
+    * customer (sum-order safe); G_p rides the doubled-mid-rank
+    * device on the poor subset; Sen finishes as one IEEE tree.
+    *
+    * Plan: one orders pass → customer rollup (checkpointed) → line
+    * selection → one counting pass + one poor-subset rank fold.
+    */
+  val q465FgtSen: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(
+        expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+      .localCheckpoint()
+    val byV = cust.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("y")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val rankedV = byV
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(byV.agg(sum(col("cnt")).as("n_all"))))
+      .localCheckpoint()
+    val line = rankedV
+      .filter(col("below") < expr("(n_all + 1) div 2") &&
+        expr("(n_all + 1) div 2") <= col("below") + col("cnt"))
+      .select(expr("y div 2").as("z"))
+    val terms = cust.crossJoin(broadcast(line))
+      .select(col("y"), col("z"),
+        when(col("y") < col("z"), 1L).otherwise(0L).as("poor"),
+        when(col("y") < col("z"), col("z") - col("y")).otherwise(0L)
+          .as("gap"),
+        when(col("y") < col("z"),
+          expr(fdiv("(z - y) * (z - y) * 1000000", "z * z")))
+          .otherwise(lit(0L).cast(dec)).as("fgt2_t"))
+    val agg = terms.groupBy(col("z"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("poor")).cast(dec).as("q"),
+        sum(col("gap")).cast(dec).as("sgap"),
+        sum(col("fgt2_t")).as("sfgt2"))
+    // Gini among the poor (doubled-mid-rank device on the subset)
+    val poorV = cust.crossJoin(broadcast(line)).filter(col("y") < col("z"))
+      .groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+    val wp = Window.orderBy(col("y")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val gp = poorV
+      .withColumn("below", coalesce(sum(col("cnt")).over(wp), lit(0L)))
+      .select((col("below") * 2 + col("cnt") + 1).cast(dec).as("dr"),
+        (col("y").cast(dec) * col("cnt")).as("sy"),
+        col("cnt").cast(dec).as("cnt"))
+      .agg(sum(col("cnt")).as("qn"), sum(col("sy")).as("ty"),
+        sum(col("dr") * col("sy")).as("ydr"))
+      .select(col("qn"),
+        expr(
+          "CAST(((ydr - (qn + 1) * ty) * 1000000 - " +
+            "((ydr - (qn + 1) * ty) * 1000000) % (qn * ty)) / (qn * ty)" +
+            " AS DECIMAL(38,0))").as("gini_poor_e6"))
+    def d(c: String) = col(c).cast("double")
+    agg.crossJoin(broadcast(gp))
+      .select(col("n").cast("long").as("n_customers"),
+        col("z").cast("long").as("poverty_line_dollars"),
+        expr(fdiv("q * 1000000", "n")).cast("long").as("fgt0_e6"),
+        expr(fdiv("sgap * 1000000", "n * z")).cast("long").as("fgt1_e6"),
+        expr(fdiv("sfgt2", "n")).cast("long").as("fgt2_e6"),
+        col("gini_poor_e6").cast("long").as("gini_poor_e6"),
+        ((d("q") / d("n")) * (d("sgap") / (d("q") * d("z")) +
+          (lit(1.0) - d("sgap") / (d("q") * d("z"))) *
+            (d("gini_poor_e6") / 1e6))).as("sen_index_d"))
+  }
+
+  val q465Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val iRatio = s"(${d("sgap")} / (${d("q")} * ${d("z")}))"
+    s"""WITH cust AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |by_v AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM cust GROUP BY y),
+      |ranked AS (
+      |  SELECT y, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |line AS (
+      |  SELECT y // 2 AS z FROM ranked
+      |  WHERE below < (n_all + 1) // 2
+      |    AND (n_all + 1) // 2 <= below + cnt),
+      |terms AS (
+      |  SELECT z, CASE WHEN y < z THEN 1 ELSE 0 END AS poor,
+      |    CASE WHEN y < z THEN z - y ELSE 0 END AS gap,
+      |    CASE WHEN y < z THEN
+      |      CAST(z - y AS HUGEINT) * (z - y) * 1000000 // (z * z)
+      |      ELSE 0 END AS fgt2_t
+      |  FROM cust CROSS JOIN line),
+      |agg AS (
+      |  SELECT ANY_VALUE(z) AS z, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(poor) AS HUGEINT) AS q,
+      |    CAST(SUM(gap) AS HUGEINT) AS sgap,
+      |    CAST(SUM(fgt2_t) AS HUGEINT) AS sfgt2
+      |  FROM terms),
+      |poor_v AS (
+      |  SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM cust CROSS JOIN line WHERE y < z GROUP BY y),
+      |gp0 AS (
+      |  SELECT CAST(SUM(cnt) AS HUGEINT) AS qn,
+      |    CAST(SUM(CAST(y AS HUGEINT) * cnt) AS HUGEINT) AS ty,
+      |    SUM(CAST(below * 2 + cnt + 1 AS HUGEINT) *
+      |        (CAST(y AS HUGEINT) * cnt)) AS ydr
+      |  FROM (
+      |    SELECT y, cnt,
+      |      COALESCE(SUM(cnt) OVER (ORDER BY y
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS below
+      |    FROM poor_v)),
+      |gp AS (
+      |  SELECT qn,
+      |    (ydr - (qn + 1) * ty) * 1000000 // (qn * ty) AS gini_poor_e6
+      |  FROM gp0)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  CAST(z AS BIGINT) AS poverty_line_dollars,
+      |  CAST(q * 1000000 // n AS BIGINT) AS fgt0_e6,
+      |  CAST(sgap * 1000000 // (n * z) AS BIGINT) AS fgt1_e6,
+      |  CAST(sfgt2 // n AS BIGINT) AS fgt2_e6,
+      |  CAST(gini_poor_e6 AS BIGINT) AS gini_poor_e6,
+      |  ((${d("q")} / ${d("n")}) * ($iRatio + (1.0 - $iRatio) *
+      |    (${d("gini_poor_e6")} / 1e6))) AS sen_index_d
+      |FROM agg CROSS JOIN gp""".stripMargin
+  }
+
+  // ------ q467: Page's L trend test over monthly blocks
+
+  /** q467: Page's L — the ORDERED-treatment test for REPEATED
+    * MEASURES, completing the trend-test triptych: q214's
+    * Mann–Kendall is one series, q441's Jonckheere is independent
+    * groups, Page's L is b blocks × k ordered treatments. Each
+    * calendar month (block) ranks the five priority classes by mean
+    * order value — a deterministic total order, so no mid-ranks —
+    * and L = Σ j·R_j against the exact null moments
+    * E = b·k(k+1)²/4, Var = b·k²(k+1)(k²−1)/144. L and E·4 are
+    * exact integers; z is one IEEE expression.
+    *
+    * Plan: one orders pass → 60-cell (month, priority) rollup →
+    * bounded rank windows → 1-row fold.
+    */
+  val q467PageL: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("month(o_orderdate)").as("mo"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))" +
+        " div COUNT(*)").as("avg_c"))
+    val ranked = cells.withColumn("rk",
+      row_number().over(Window.partitionBy(col("mo"))
+        .orderBy(col("avg_c"), col("g"))).cast("long"))
+    val fold = ranked.groupBy(col("g")).agg(sum(col("rk")).as("rsum"))
+      .agg(count(lit(1)).cast(dec).as("k"),
+        sum(col("g").cast(dec) * col("rsum")).as("l"),
+        sum(col("rsum")).cast(dec).as("tot"))
+      .withColumn("b", expr("tot * 2 div (k * (k + 1))"))
+    def d(c: String) = col(c).cast("double")
+    val e = d("b") * d("k") * (d("k") + 1.0) * (d("k") + 1.0) / 4.0
+    val vr = d("b") * d("k") * d("k") * (d("k") + 1.0) *
+      (d("k") * d("k") - 1.0) / 144.0
+    val z = (d("l") - e) / sqrt(vr)
+    fold.select(col("k").cast("long").as("n_priorities"),
+      col("b").cast("long").as("n_blocks"),
+      col("l").cast("long").as("page_l"),
+      z.as("z_d"),
+      when(z > 1.6449, lit("value_rises_with_priority"))
+        .otherwise(lit("no_ordered_trend")).as("verdict_5pct"))
+  }
+
+  val q467Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val e = s"(${d("b")} * ${d("k")} * (${d("k")} + 1.0) *" +
+      s" (${d("k")} + 1.0) / 4.0)"
+    val vr = s"(${d("b")} * ${d("k")} * ${d("k")} * (${d("k")} + 1.0) *" +
+      s" (${d("k")} * ${d("k")} - 1.0) / 144.0)"
+    val z = s"((${d("l")} - $e) / sqrt($vr))"
+    s"""WITH cells AS (
+      |  SELECT month(o_orderdate) AS mo,
+      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // COUNT(*)
+      |      AS avg_c
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT g, CAST(ROW_NUMBER() OVER (PARTITION BY mo
+      |    ORDER BY avg_c, g) AS BIGINT) AS rk
+      |  FROM cells),
+      |gs AS (SELECT g, CAST(SUM(rk) AS HUGEINT) AS rsum
+      |       FROM ranked GROUP BY g),
+      |fold AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+      |    SUM(CAST(g AS HUGEINT) * rsum) AS l,
+      |    CAST(SUM(rsum) AS HUGEINT) AS tot
+      |  FROM gs),
+      |fb AS (SELECT *, tot * 2 // (k * (k + 1)) AS b FROM fold)
+      |SELECT CAST(k AS BIGINT) AS n_priorities,
+      |  CAST(b AS BIGINT) AS n_blocks,
+      |  CAST(l AS BIGINT) AS page_l,
+      |  $z AS z_d,
+      |  CASE WHEN $z > 1.6449 THEN 'value_rises_with_priority'
+      |    ELSE 'no_ordered_trend' END AS verdict_5pct
+      |FROM fb""".stripMargin
+  }
+
+  // ------ q468: orthogonal polynomial contrasts over priority
+
+  /** Orthogonal polynomial contrast coefficients for k = 5 ordered
+    * levels (the classical integer tables).
+    */
+  val Poly5: Seq[(String, Seq[Long])] = Seq(
+    ("linear", Seq(-2L, -1L, 0L, 1L, 2L)),
+    ("quadratic", Seq(2L, -1L, -2L, -1L, 2L)),
+    ("cubic", Seq(-1L, 2L, 0L, -2L, 1L)),
+    ("quartic", Seq(1L, -4L, 6L, -4L, 1L)))
+
+  /** q468: orthogonal polynomial contrasts — the DECOMPOSITION of
+    * q268's one-way ANOVA between-group sum of squares into trend
+    * SHAPES: with the five priority classes ordered, the classical
+    * integer contrast vectors split the group signal into linear,
+    * quadratic, cubic and quartic components, each tested with one
+    * degree of freedom against the pooled within-group MSE. Every
+    * contrast estimate stages as one e6 floor per group (exact
+    * sums); the F ratios finish as one IEEE tree over exact
+    * integers.
+    *
+    * Plan: one orders pass → 5-group moment fold → 4-row broadcast
+    * contrast panel.
+    */
+  val q468PolyContrasts: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val folds = Tables.orders(s, dir)
+      .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("g"))
+      .agg(count(lit(1)).cast(dec).as("ng"),
+        sum(cents(col("o_totalprice"))).cast(dec).as("sy"),
+        sum(cents(col("o_totalprice")).cast(dec) *
+          cents(col("o_totalprice"))).as("qyy"))
+      .localCheckpoint()
+    val within = folds.agg(sum(col("ng")).cast(dec).as("n"),
+      sum(col("qyy") - expr(
+        "CAST((sy * sy - (sy * sy) % ng) / ng AS DECIMAL(38,0))"))
+        .as("ssw"))
+    val contrasts = s.createDataFrame(Poly5.flatMap { case (nm, cs) =>
+      cs.zipWithIndex.map { case (c, i) => (nm, i + 1L, c) }
+    }).toDF("contrast", "g", "cg")
+    val staged = folds.join(broadcast(contrasts), Seq("g"))
+      .groupBy(col("contrast"))
+      .agg(sum(expr(sdiv("cg * sy * 1000000", "ng"))).as("l_e6"),
+        sum(expr(
+          "CAST((cg * cg * 1000000 - (cg * cg * 1000000) % ng) / ng" +
+            " AS DECIMAL(38,0))")).as("den_e6"))
+    def d(c: String) = col(c).cast("double")
+    val ssC = (d("l_e6") / 1e6) * (d("l_e6") / 1e6) / (d("den_e6") / 1e6)
+    val fStat = ssC / ((d("ssw") / (d("n") - 5.0)))
+    staged.crossJoin(broadcast(within))
+      .select(col("contrast"), col("l_e6").cast("long").as("l_e6"),
+        ssC.as("ss_contrast_d"), fStat.as("f_d"),
+        when(fStat > 3.84, lit("significant"))
+          .otherwise(lit("ns")).as("verdict_5pct"))
+      .orderBy(col("contrast"))
+  }
+
+  val q468Sql: String = {
+    val cvals = Poly5.flatMap { case (nm, cs) =>
+      cs.zipWithIndex.map { case (c, i) => s"('$nm', ${i + 1}, $c)" }
+    }.mkString(", ")
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val ssC = s"((${d("l_e6")} / 1e6) * (${d("l_e6")} / 1e6)" +
+      s" / (${d("den_e6")} / 1e6))"
+    val f = s"($ssC / ((${d("ssw")} / (${d("n")} - 5.0))))"
+    s"""WITH folds AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      |    CAST(COUNT(*) AS HUGEINT) AS ng,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS HUGEINT) AS sy,
+      |    SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS qyy
+      |  FROM orders GROUP BY 1),
+      |within AS (
+      |  SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+      |    SUM(qyy - sy * sy // ng) AS ssw
+      |  FROM folds),
+      |contrasts(contrast, g, cg) AS (VALUES $cvals),
+      |staged AS (
+      |  SELECT contrast,
+      |    SUM(CASE WHEN cg * sy >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(cg * sy * 1000000) // ng)) AS l_e6,
+      |    SUM(cg * cg * 1000000 // ng) AS den_e6
+      |  FROM folds JOIN contrasts USING (g)
+      |  GROUP BY contrast)
+      |SELECT contrast, CAST(l_e6 AS BIGINT) AS l_e6,
+      |  $ssC AS ss_contrast_d, $f AS f_d,
+      |  CASE WHEN $f > 3.84 THEN 'significant' ELSE 'ns' END
+      |    AS verdict_5pct
+      |FROM staged CROSS JOIN within
+      |ORDER BY contrast""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -8225,6 +8540,9 @@ object AuditQueries {
     "q456_bland_altman" -> q456BlandAltman,
     "q459_buhlmann" -> q459Buhlmann,
     "q462_bornhuetter_ferguson" -> q462BornhuetterFerguson,
+    "q465_fgt_sen" -> q465FgtSen,
+    "q467_page_l" -> q467PageL,
+    "q468_poly_contrasts" -> q468PolyContrasts,
     "q463_social_choice" -> q463SocialChoice,
     "q464_concentration_index" -> q464ConcentrationIndex,
     "q460_rayleigh" -> q460Rayleigh,
@@ -8311,6 +8629,9 @@ object AuditQueries {
     "q456_bland_altman" -> q456Sql,
     "q459_buhlmann" -> q459Sql,
     "q462_bornhuetter_ferguson" -> q462Sql,
+    "q465_fgt_sen" -> q465Sql,
+    "q467_page_l" -> q467Sql,
+    "q468_poly_contrasts" -> q468Sql,
     "q463_social_choice" -> q463Sql,
     "q464_concentration_index" -> q464Sql,
     "q460_rayleigh" -> q460Sql,
