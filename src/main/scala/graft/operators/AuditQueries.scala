@@ -7279,6 +7279,334 @@ object AuditQueries {
       |ORDER BY contrast""".stripMargin
   }
 
+  // ------ q466: Wolfson bipolarization index
+
+  /** q466: the Wolfson polarization index — inequality (q160) and
+    * polarization are DIFFERENT things: a transfer from the middle
+    * class to both tails can leave the Gini flat while hollowing out
+    * the middle, and Wolfson's W = (μ/m)·(2T − Gini) with
+    * T = ½ − L(½) (the share the bottom half is missing) is the
+    * canonical bipolarization measure. The median and the bottom-
+    * half share come from the same value-rollup rank construction as
+    * the Gini, every component is one exact-integer floor, and W
+    * finishes as one IEEE tree.
+    *
+    * Plan: one orders pass → customer rollup → one value-rollup rank
+    * window feeding median, L(½) and Gini together → 1-row fold.
+    */
+  val q466Wolfson: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(
+        expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+      .localCheckpoint()
+    val byV = cust.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("y")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(byV.agg(sum(col("cnt")).as("n_all"))))
+      .localCheckpoint()
+    val med = ranked
+      .filter(col("below") < expr("(n_all + 1) div 2") &&
+        expr("(n_all + 1) div 2") <= col("below") + col("cnt"))
+      .select(col("y").as("m"))
+    // bottom-half mass: whole value-groups below the median rank plus
+    // the partial group straddling it (exact by construction)
+    val half = ranked.crossJoin(broadcast(med))
+      .select(col("y"), col("cnt"), col("below"), col("n_all"),
+        when(col("below") + col("cnt") <= expr("n_all div 2"), col("cnt"))
+          .when(col("below") >= expr("n_all div 2"), lit(0L))
+          .otherwise(expr("n_all div 2") - col("below")).as("take"))
+      .agg(first(col("n_all")).cast(dec).as("n"),
+        sum(col("y").cast(dec) * col("cnt")).as("ty"),
+        sum(col("y").cast(dec) * col("take")).as("bh"),
+        sum((col("below") * 2 + col("cnt") + 1).cast(dec) *
+          (col("y").cast(dec) * col("cnt"))).as("ydr"))
+    def d(c: String) = col(c).cast("double")
+    val giniD = (d("ydr") - (d("n") + 1.0) * d("ty")) / (d("n") * d("ty"))
+    val tD = lit(0.5) - d("bh") / d("ty")
+    val muOverM = d("ty") / d("n") / d("m")
+    val wD = (tD * 2.0 - giniD) * muOverM
+    half.crossJoin(broadcast(med))
+      .select(col("n").cast("long").as("n_customers"),
+        col("m").cast("long").as("median_dollars"),
+        expr(fdiv("bh * 1000000", "ty")).cast("long")
+          .as("bottom_half_share_e6"),
+        giniD.as("gini_d"), wD.as("wolfson_w_d"))
+  }
+
+  val q466Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val gini = s"((${d("ydr")} - (${d("n")} + 1.0) * ${d("ty")})" +
+      s" / (${d("n")} * ${d("ty")}))"
+    val tD = s"(0.5 - ${d("bh")} / ${d("ty")})"
+    val wD = s"(($tD * 2.0 - $gini) * (${d("ty")} / ${d("n")}" +
+      s" / ${d("m")}))"
+    s"""WITH cust AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |by_v AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM cust GROUP BY y),
+      |ranked AS (
+      |  SELECT y, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER () AS n_all
+      |  FROM by_v),
+      |med AS (
+      |  SELECT y AS m FROM ranked
+      |  WHERE below < (n_all + 1) // 2
+      |    AND (n_all + 1) // 2 <= below + cnt),
+      |half AS (
+      |  SELECT ANY_VALUE(n_all) AS n,
+      |    CAST(SUM(CAST(y AS HUGEINT) * cnt) AS HUGEINT) AS ty,
+      |    SUM(CAST(y AS HUGEINT) *
+      |      CASE WHEN below + cnt <= n_all // 2 THEN cnt
+      |        WHEN below >= n_all // 2 THEN 0
+      |        ELSE n_all // 2 - below END) AS bh,
+      |    SUM(CAST(below * 2 + cnt + 1 AS HUGEINT) *
+      |        (CAST(y AS HUGEINT) * cnt)) AS ydr
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  CAST(m AS BIGINT) AS median_dollars,
+      |  CAST(bh * 1000000 // ty AS BIGINT) AS bottom_half_share_e6,
+      |  $gini AS gini_d, $wD AS wolfson_w_d
+      |FROM half CROSS JOIN med""".stripMargin
+  }
+
+  // ------ q469: Bass diffusion fit of customer acquisition
+
+  /** q469: the Bass diffusion model — the innovation-adoption
+    * counterpart of the retention family (q104 cohorts, q110 growth
+    * accounting): monthly NEW customers n_t regress on installed
+    * base N and N² (Bass's discrete form n = pM + (q−p)N − (q/M)N²),
+    * a two-regressor OLS the q428 determinant algebra solves in
+    * closed form; the structural parameters recover as
+    * M = (−b − √(b²−4ca))/(2c), p = a/M, q = −cM — one IEEE tree.
+    * Innovation p vs imitation q is THE word-of-mouth diagnostic.
+    *
+    * Plan: one orders pass → first-order month per customer → dense
+    * month spine rollup (metadata) → 1-row co-moment fold.
+    */
+  val q469BassDiffusion: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val firstM = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+        .as("fm"))
+      .groupBy(col("fm")).agg(count(lit(1)).as("nt"))
+    val allM = Tables.orders(s, dir)
+      .select(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .distinct()
+    val dense = allM.join(firstM, col("m") === col("fm"), "left")
+      .select(col("m"), coalesce(col("nt"), lit(0L)).as("nt"))
+    val w = Window.orderBy(col("m")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val pts = dense
+      .withColumn("nprev", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(col("nt").cast(dec).as("y"), col("nprev").cast(dec).as("x"),
+        (col("nprev").cast(dec) * col("nprev")).as("x2"))
+      .localCheckpoint()
+    val mo = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("x2")).as("sm"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("qxx"),
+      sum(col("x2") * col("x2")).as("qmm"),
+      sum(col("x") * col("x2")).as("qxm"),
+      sum(col("x") * col("y")).as("qxy"),
+      sum(col("x2") * col("y")).as("qmy"))
+    val cm = mo.select(col("n"),
+      (col("n") * col("qxx") - col("sx") * col("sx")).as("dx"),
+      (col("n") * col("qmm") - col("sm") * col("sm")).as("dm"),
+      (col("n") * col("qxm") - col("sx") * col("sm")).as("cxm"),
+      (col("n") * col("qxy") - col("sx") * col("sy")).as("cxy"),
+      (col("n") * col("qmy") - col("sm") * col("sy")).as("cmy"),
+      col("sx"), col("sm"), col("sy"))
+      .withColumn("d2", col("dx") * col("dm") - col("cxm") * col("cxm"))
+    def d(c: String) = col(c).cast("double")
+    val bD = (d("cxy") * d("dm") - d("cmy") * d("cxm")) / d("d2")
+    val cD = (d("cmy") * d("dx") - d("cxy") * d("cxm")) / d("d2")
+    val aD = (d("sy") - bD * d("sx") - cD * d("sm")) / d("n")
+    val mHat = (-bD - sqrt(bD * bD - cD * aD * 4.0)) / (cD * 2.0)
+    cm.select(col("n").cast("long").as("n_months"),
+      expr(sdiv("(cxy * dm - cmy * cxm) * 1000000", "d2")).cast("long")
+        .as("b_e6"),
+      expr(sdiv("(cmy * dx - cxy * cxm) * 1000000000000", "d2"))
+        .cast("long").as("c_e12"),
+      mHat.as("market_size_d"),
+      (aD / mHat).as("p_innovation_d"),
+      (cD * mHat * -1.0).as("q_imitation_d"))
+  }
+
+  val q469Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val bD = s"((${d("cxy")} * ${d("dm")} - ${d("cmy")} * ${d("cxm")})" +
+      s" / ${d("d2")})"
+    val cD = s"((${d("cmy")} * ${d("dx")} - ${d("cxy")} * ${d("cxm")})" +
+      s" / ${d("d2")})"
+    val aD = s"((${d("sy")} - $bD * ${d("sx")} - $cD * ${d("sm")})" +
+      s" / ${d("n")})"
+    val mHat = s"((-$bD - sqrt($bD * $bD - $cD * $aD * 4.0))" +
+      s" / ($cD * 2.0))"
+    s"""WITH first_m AS (
+      |  SELECT fm, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+      |    SELECT o_custkey,
+      |      MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS fm
+      |    FROM orders GROUP BY 1) GROUP BY fm),
+      |all_m AS (
+      |  SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) AS m
+      |  FROM orders),
+      |dense AS (
+      |  SELECT a.m, COALESCE(f.nt, 0) AS nt
+      |  FROM all_m a LEFT JOIN first_m f ON f.fm = a.m),
+      |pts AS (
+      |  SELECT CAST(nt AS HUGEINT) AS y,
+      |    CAST(COALESCE(SUM(nt) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS HUGEINT) AS x
+      |  FROM dense),
+      |pts2 AS (SELECT y, x, x * x AS x2 FROM pts),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(x) AS sx, SUM(x2) AS sm, SUM(y) AS sy,
+      |    SUM(x * x) AS qxx, SUM(x2 * x2) AS qmm, SUM(x * x2) AS qxm,
+      |    SUM(x * y) AS qxy, SUM(x2 * y) AS qmy
+      |  FROM pts2),
+      |cm AS (
+      |  SELECT n, sx, sm, sy,
+      |    n * qxx - sx * sx AS dx, n * qmm - sm * sm AS dm,
+      |    n * qxm - sx * sm AS cxm, n * qxy - sx * sy AS cxy,
+      |    n * qmy - sm * sy AS cmy
+      |  FROM mo),
+      |cm2 AS (SELECT *, dx * dm - cxm * cxm AS d2 FROM cm)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CAST(CASE WHEN cxy * dm - cmy * cxm >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cxy * dm - cmy * cxm) * 1000000) // d2) AS BIGINT)
+      |    AS b_e6,
+      |  CAST(CASE WHEN cmy * dx - cxy * cxm >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((cmy * dx - cxy * cxm) * 1000000000000) // d2) AS BIGINT)
+      |    AS c_e12,
+      |  $mHat AS market_size_d,
+      |  ($aD / $mHat) AS p_innovation_d,
+      |  ($cD * $mHat * -1.0) AS q_imitation_d
+      |FROM cm2""".stripMargin
+  }
+
+  // ------ q470: Tukey's one degree of freedom for non-additivity
+
+  /** q470: Tukey's 1963 non-additivity test — q388's two-way ANOVA
+    * ASSUMES the interaction it reports is real structure; with one
+    * mean per cell the full interaction is saturated, and Tukey's
+    * insight is to spend exactly ONE degree of freedom on the
+    * multiplicative alternative y_ij ≈ μ + αᵢ + βⱼ + λαᵢβⱼ. On the
+    * month × priority grid of mean order values (exact floored
+    * integers), the scaled identity
+    * SS_na = P²/(Q_a·Q_b) with P = Σ(rRᵢ−G)(cCⱼ−G)yᵢⱼ makes the
+    * whole statistic a ratio of EXACT integers (the (rc)² scale
+    * factors cancel), and F compares it with the remaining additive
+    * residual.
+    *
+    * Plan: one orders pass → 60-cell rollup → metadata marginal
+    * joins → 1-row fold.
+    */
+  val q470TukeyNonadditivity: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("month(o_orderdate)").cast("long").as("mo"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))" +
+        " div (100 * COUNT(*))").as("y"))
+      .localCheckpoint()
+    val dims = cells.agg(countDistinct(col("mo")).cast(dec).as("r"),
+      countDistinct(col("g")).cast(dec).as("c"),
+      sum(col("y")).cast(dec).as("gt"))
+    val rows = cells.groupBy(col("mo")).agg(sum(col("y")).as("ri"))
+    val cols = cells.groupBy(col("g")).agg(sum(col("y")).as("cj"))
+    val joined = cells.join(broadcast(rows), Seq("mo"))
+      .join(broadcast(cols), Seq("g"))
+      .crossJoin(broadcast(dims))
+    val folded = joined.agg(
+      first(col("r")).as("r"), first(col("c")).as("c"),
+      first(col("gt")).as("gt"),
+      sum((col("r") * col("ri") - col("gt")) *
+        (col("c") * col("cj") - col("gt")) * col("y")).as("p"),
+      sum((col("r") * col("c") * col("y") - col("r") * col("ri") -
+        col("c") * col("cj") + col("gt")) *
+        (col("r") * col("c") * col("y") - col("r") * col("ri") -
+          col("c") * col("cj") + col("gt"))).as("e2"))
+    val qa = joined.select(col("mo"), col("r"), col("ri"), col("gt"))
+      .distinct()
+      .agg(sum((col("r") * col("ri") - col("gt")) *
+        (col("r") * col("ri") - col("gt"))).as("qa"))
+    val qb = joined.select(col("g"), col("c"), col("cj"), col("gt"))
+      .distinct()
+      .agg(sum((col("c") * col("cj") - col("gt")) *
+        (col("c") * col("cj") - col("gt"))).as("qb"))
+    def d(c: String) = col(c).cast("double")
+    val ssNa = d("p") * d("p") / (d("qa") * d("qb"))
+    val ssRes = d("e2") / (d("r") * d("r") * d("c") * d("c"))
+    val dfRes = (d("r") - 1.0) * (d("c") - 1.0) - 1.0
+    val fStat = ssNa / ((ssRes - ssNa) / dfRes)
+    folded.crossJoin(broadcast(qa)).crossJoin(broadcast(qb))
+      .select(col("r").cast("long").as("n_months"),
+        col("c").cast("long").as("n_priorities"),
+        ssNa.as("ss_nonadditivity_d"), fStat.as("f_d"),
+        when(fStat > 4.07, lit("multiplicative_interaction"))
+          .otherwise(lit("additive")).as("verdict_5pct"))
+  }
+
+  val q470Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val ssNa = s"(${d("p")} * ${d("p")} / (${d("qa")} * ${d("qb")}))"
+    val ssRes = s"(${d("e2")} / (${d("r")} * ${d("r")} * ${d("c")}" +
+      s" * ${d("c")}))"
+    val f = s"($ssNa / (($ssRes - $ssNa) /" +
+      s" ((${d("r")} - 1.0) * (${d("c")} - 1.0) - 1.0)))"
+    s"""WITH cells AS (
+      |  SELECT month(o_orderdate) AS mo,
+      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      // (100 * COUNT(*)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |dims AS (
+      |  SELECT CAST(COUNT(DISTINCT mo) AS HUGEINT) AS r,
+      |    CAST(COUNT(DISTINCT g) AS HUGEINT) AS c,
+      |    CAST(SUM(y) AS HUGEINT) AS gt
+      |  FROM cells),
+      |rws AS (SELECT mo, CAST(SUM(y) AS HUGEINT) AS ri
+      |        FROM cells GROUP BY mo),
+      |cls AS (SELECT g, CAST(SUM(y) AS HUGEINT) AS cj
+      |        FROM cells GROUP BY g),
+      |folded AS (
+      |  SELECT ANY_VALUE(r) AS r, ANY_VALUE(c) AS c,
+      |    SUM((r * ri - gt) * (c * cj - gt) * y) AS p,
+      |    SUM((r * c * y - r * ri - c * cj + gt) *
+      |        (r * c * y - r * ri - c * cj + gt)) AS e2
+      |  FROM cells JOIN rws USING (mo) JOIN cls USING (g)
+      |  CROSS JOIN dims),
+      |qa AS (
+      |  SELECT SUM((r * ri - gt) * (r * ri - gt)) AS qa
+      |  FROM rws CROSS JOIN dims),
+      |qb AS (
+      |  SELECT SUM((c * cj - gt) * (c * cj - gt)) AS qb
+      |  FROM cls CROSS JOIN dims)
+      |SELECT CAST(r AS BIGINT) AS n_months,
+      |  CAST(c AS BIGINT) AS n_priorities,
+      |  $ssNa AS ss_nonadditivity_d, $f AS f_d,
+      |  CASE WHEN $f > 4.07 THEN 'multiplicative_interaction'
+      |    ELSE 'additive' END AS verdict_5pct
+      |FROM folded CROSS JOIN qa CROSS JOIN qb""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -8541,6 +8869,9 @@ object AuditQueries {
     "q459_buhlmann" -> q459Buhlmann,
     "q462_bornhuetter_ferguson" -> q462BornhuetterFerguson,
     "q465_fgt_sen" -> q465FgtSen,
+    "q466_wolfson" -> q466Wolfson,
+    "q469_bass_diffusion" -> q469BassDiffusion,
+    "q470_tukey_nonadditivity" -> q470TukeyNonadditivity,
     "q467_page_l" -> q467PageL,
     "q468_poly_contrasts" -> q468PolyContrasts,
     "q463_social_choice" -> q463SocialChoice,
@@ -8630,6 +8961,9 @@ object AuditQueries {
     "q459_buhlmann" -> q459Sql,
     "q462_bornhuetter_ferguson" -> q462Sql,
     "q465_fgt_sen" -> q465Sql,
+    "q466_wolfson" -> q466Sql,
+    "q469_bass_diffusion" -> q469Sql,
+    "q470_tukey_nonadditivity" -> q470Sql,
     "q467_page_l" -> q467Sql,
     "q468_poly_contrasts" -> q468Sql,
     "q463_social_choice" -> q463Sql,
