@@ -262,6 +262,56 @@ class NinthFamiliesPlanSpec extends SparkSpec {
       "re-ranking by a different variable can only shrink concentration")
   }
 
+  test("q465: FGT ladder is monotone and Sen sits inside [FGT1, FGT0]") {
+    val r = graft.SparkEntry.queries("q465_fgt_sen")(spark, sfDir)
+      .collect().head
+    val h = r.getAs[Long]("fgt0_e6"); val g1 = r.getAs[Long]("fgt1_e6")
+    val g2 = r.getAs[Long]("fgt2_e6")
+    assert(h >= g1 && g1 >= g2,
+      "squared gaps can never exceed gaps, gaps never exceed headcount")
+    val sen = r.getAs[Double]("sen_index_d")
+    assert(sen >= g1 / 1e6 - 1e-9 && sen <= h / 1e6 + 1e-9,
+      s"Sen must interpolate the FGT bracket: $sen vs [$g1, $h]")
+  }
+
+  test("q466: the bottom half holds at most half the mass") {
+    val r = graft.SparkEntry.queries("q466_wolfson")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("bottom_half_share_e6") <= 500000L)
+    val g = r.getAs[Double]("gini_d")
+    assert(g >= 0.0 && g <= 1.0)
+  }
+
+  test("q467: Page's L sees 12 blocks of 5 ordered treatments") {
+    val r = graft.SparkEntry.queries("q467_page_l")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 12L)
+    assert(r.getAs[Long]("n_priorities") == 5L)
+  }
+
+  test("q468: all four polynomial contrasts report") {
+    val out = graft.SparkEntry.queries("q468_poly_contrasts")(spark, sfDir)
+      .collect()
+    assert(out.map(_.getAs[String]("contrast")).sorted.toSeq ==
+      Seq("cubic", "linear", "quadratic", "quartic"))
+    assert(out.forall(_.getAs[Double]("ss_contrast_d") >= 0.0))
+  }
+
+  test("q469: Bass fit recovers a positive innovation rate") {
+    val r = graft.SparkEntry.queries("q469_bass_diffusion")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_months") >= 24L)
+    assert(r.getAs[Double]("p_innovation_d") > 0.0,
+      "acquisition starts from somewhere: p > 0")
+  }
+
+  test("q470: non-additivity SS is a nonnegative one-df component") {
+    val r = graft.SparkEntry
+      .queries("q470_tukey_nonadditivity")(spark, sfDir).collect().head
+    assert(r.getAs[Double]("ss_nonadditivity_d") >= 0.0)
+    assert(r.getAs[Long]("n_months") == 12L)
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
