@@ -7607,6 +7607,316 @@ object AuditQueries {
       |FROM folded CROSS JOIN qa CROSS JOIN qb""".stripMargin
   }
 
+  // ------ q471: circular uniformity panel (Kuiper + Hodges–Ajne)
+
+  /** q471: circular uniformity — the TEST counterpart of q460's
+    * Rayleigh: Rayleigh only sees a FIRST-harmonic concentration,
+    * while Kuiper's V = D⁺ + D⁻ (the rotation-invariant KS) and the
+    * Hodges–Ajne half-circle count catch multimodal departures
+    * (e.g., two opposite busy seasons) that leave the resultant at
+    * zero. On the 12-bin month lattice both statistics are PURE
+    * INTEGER folds: V's sup-deviations are maxima of 12·cum − k·N
+    * over the lattice, and Hodges–Ajne's m is the minimum count over
+    * the 12 half-circle rotations (six consecutive bins, modular).
+    *
+    * Plan: one orders pass → 12-row month rollup → 12×12 modular
+    * window spine (metadata) → 1-row fold.
+    */
+  val q471CircularPanel: Q = (s, dir) => {
+    val counts = Tables.orders(s, dir)
+      .groupBy(expr("month(o_orderdate)").cast("long").as("mo"))
+      .agg(count(lit(1)).as("nm"))
+      .localCheckpoint()
+    val n = counts.agg(sum(col("nm")).as("n"))
+    val w = Window.orderBy(col("mo")).rowsBetween(
+      Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("cum", sum(col("nm")).over(w))
+      .crossJoin(broadcast(n))
+    val kuiper = cum.agg(
+      max(col("cum") * 12 - col("mo") * col("n")).as("dp"),
+      max(col("mo") * col("n") - (col("cum") - col("nm")) * 12
+        + col("n") - col("n")).as("dm0"),
+      first(col("n")).as("n"))
+      .select(col("n"),
+        expr("CAST((dp + dm0) * 1000000 div (12 * n) AS BIGINT)")
+          .as("kuiper_v_e6"))
+    val spine = s.range(1L, 13L).select(col("id").as("rot"))
+    val halves = counts.crossJoin(broadcast(spine))
+      .filter(expr("pmod(mo - rot, 12)") < 6)
+      .groupBy(col("rot")).agg(sum(col("nm")).as("half"))
+      .agg(min(col("half")).as("hodges_m"))
+    kuiper.crossJoin(broadcast(halves))
+      .select(col("n").cast("long").as("n_orders"), col("kuiper_v_e6"),
+        col("hodges_m"))
+  }
+
+  val q471Sql: String =
+    """WITH counts AS (
+      |  SELECT month(o_orderdate) AS mo, CAST(COUNT(*) AS BIGINT) AS nm
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(SUM(nm) AS BIGINT) AS n FROM counts),
+      |cum AS (
+      |  SELECT mo, nm,
+      |    SUM(nm) OVER (ORDER BY mo
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM counts),
+      |kuiper AS (
+      |  SELECT ANY_VALUE(n.n) AS n,
+      |    MAX(cum * 12 - mo * n.n) AS dp,
+      |    MAX(mo * n.n - (cum - nm) * 12) AS dm0
+      |  FROM cum CROSS JOIN n),
+      |halves AS (
+      |  SELECT MIN(half) AS hodges_m FROM (
+      |    SELECT r.rot, SUM(c.nm) AS half
+      |    FROM counts c
+      |    CROSS JOIN (SELECT UNNEST(range(1, 13)) AS rot) r
+      |    WHERE ((c.mo - r.rot) % 12 + 12) % 12 < 6
+      |    GROUP BY r.rot))
+      |SELECT CAST(n AS BIGINT) AS n_orders,
+      |  CAST((dp + dm0) * 1000000 // (12 * n) AS BIGINT) AS kuiper_v_e6,
+      |  CAST(hodges_m AS BIGINT) AS hodges_m
+      |FROM kuiper CROSS JOIN halves""".stripMargin
+
+  // ------ q472: process capability (Cp / Cpk) of shipping delay
+
+  /** Shipping-delay specification limits, in days (business spec,
+    * plan-time constants).
+    */
+  val SpecLslDays = 0L
+  val SpecUslDays = 120L
+
+  /** q472: process capability indices — the SPC summary q316's XmR
+    * chart doesn't give: the chart asks "is the process stable", Cp/
+    * Cpk ask "does the stable process FIT the spec": with shipping
+    * delay specified to [[[SpecLslDays]], [[SpecUslDays]]] days,
+    * Cp = (USL−LSL)/6σ is the potential and Cpk = min(USL−μ, μ−LSL)/
+    * 3σ the centered capability; the observed out-of-spec ppm rides
+    * beside them as the empirical check. Moments are exact integer
+    * sums; the indices are one IEEE tree.
+    *
+    * Plan: lineitem ⋈ orders (one shuffle) → 1-row moment fold +
+    * exact spec census.
+    */
+  val q472ProcessCapability: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val delays = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("datediff(l_shipdate, o_orderdate)")
+        .cast("long").as("d"))
+    val fold = delays.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("d")).cast(dec).as("sd"),
+      sum(col("d").cast(dec) * col("d")).as("qdd"),
+      sum(when(col("d") < SpecLslDays || col("d") > SpecUslDays, 1L)
+        .otherwise(0L)).cast(dec).as("oos"))
+    def d(c: String) = col(c).cast("double")
+    val sigma = sqrt((d("qdd") - d("sd") * d("sd") / d("n")) /
+      (d("n") - 1.0))
+    val mu = d("sd") / d("n")
+    val cp = lit((SpecUslDays - SpecLslDays).toDouble) / (sigma * 6.0)
+    val cpk = least(lit(SpecUslDays.toDouble) - mu,
+      mu - SpecLslDays.toDouble) / (sigma * 3.0)
+    fold.select(col("n").cast("long").as("n_lines"),
+      mu.as("mean_delay_d"), sigma.as("sigma_d"),
+      cp.as("cp_d"), cpk.as("cpk_d"),
+      expr("CAST(oos * 1000000 DIV n AS BIGINT)").as("observed_oos_ppm"),
+      when(cpk >= 1.33, lit("capable"))
+        .when(cpk >= 1.0, lit("marginal"))
+        .otherwise(lit("incapable")).as("verdict"))
+  }
+
+  val q472Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sigma = s"sqrt((${d("qdd")} - ${d("sd")} * ${d("sd")} /" +
+      s" ${d("n")}) / (${d("n")} - 1.0))"
+    val mu = s"(${d("sd")} / ${d("n")})"
+    val cp = s"(${(SpecUslDays - SpecLslDays).toDouble} / ($sigma * 6.0))"
+    val cpk = s"(LEAST(${SpecUslDays.toDouble} - $mu," +
+      s" $mu - ${SpecLslDays.toDouble}) / ($sigma * 3.0))"
+    s"""WITH delays AS (
+      |  SELECT CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+      |    AS BIGINT) AS d
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |fold AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(d) AS HUGEINT) AS sd,
+      |    SUM(CAST(d AS HUGEINT) * d) AS qdd,
+      |    CAST(SUM(CASE WHEN d < $SpecLslDays OR d > $SpecUslDays
+      |      THEN 1 ELSE 0 END) AS HUGEINT) AS oos
+      |  FROM delays)
+      |SELECT CAST(n AS BIGINT) AS n_lines,
+      |  $mu AS mean_delay_d, $sigma AS sigma_d,
+      |  $cp AS cp_d, $cpk AS cpk_d,
+      |  CAST(oos * 1000000 // n AS BIGINT) AS observed_oos_ppm,
+      |  CASE WHEN $cpk >= 1.33 THEN 'capable'
+      |    WHEN $cpk >= 1.0 THEN 'marginal'
+      |    ELSE 'incapable' END AS verdict
+      |FROM fold""".stripMargin
+  }
+
+  // ------ q473: Diebold–Mariano forecast comparison
+
+  /** q473: the Diebold–Mariano test — the forecast-evaluation family
+    * (q182 scorecard, q296 accuracy metrics) reports WHO has lower
+    * error; DM asks whether the difference is STATISTICALLY real:
+    * on monthly revenue, the naive forecast (last month) and the
+    * seasonal-naive forecast (same month last year) produce aligned
+    * squared-error series, and DM = d̄/√(Var(d)/m) on their exact
+    * integer difference series d_t = e₁² − e₂² decides. Everything
+    * before the final IEEE tree is exact (lags are windows over the
+    * metadata month rollup).
+    *
+    * Plan: one orders pass → month rollup → two lag windows →
+    * 1-row fold.
+    */
+  val q473DieboldMariano: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("m"))
+    val dd = cells
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .withColumn("y12", lag(col("y"), 12).over(w))
+      .filter(col("y1").isNotNull && col("y12").isNotNull)
+      .select(((col("y") - col("y1")).cast(dec) * (col("y") - col("y1")) -
+        (col("y") - col("y12")).cast(dec) * (col("y") - col("y12")))
+        .as("dt"))
+    val fold = dd.agg(count(lit(1)).cast(dec).as("m"),
+      sum(col("dt")).as("sdt"),
+      sum(col("dt") * col("dt")).as("qdt"))
+    def d(c: String) = col(c).cast("double")
+    val dm = (d("sdt") / d("m")) /
+      sqrt((d("qdt") - d("sdt") * d("sdt") / d("m")) /
+        ((d("m") - 1.0) * d("m")))
+    fold.select(col("m").cast("long").as("n_forecasts"),
+      col("sdt").cast("long").as("loss_diff_sum"),
+      dm.as("dm_stat_d"),
+      when(dm > 1.96, lit("seasonal_naive_better"))
+        .when(dm < -1.96, lit("naive_better"))
+        .otherwise(lit("no_significant_difference")).as("verdict_5pct"))
+  }
+
+  val q473Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val dm = s"((${d("sdt")} / ${d("m")}) / sqrt((${d("qdt")} -" +
+      s" ${d("sdt")} * ${d("sdt")} / ${d("m")}) /" +
+      s" ((${d("m")} - 1.0) * ${d("m")})))"
+    s"""WITH cells AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT y, LAG(y, 1) OVER (ORDER BY m) AS y1,
+      |    LAG(y, 12) OVER (ORDER BY m) AS y12
+      |  FROM cells),
+      |dd AS (
+      |  SELECT CAST(y - y1 AS HUGEINT) * (y - y1)
+      |    - CAST(y - y12 AS HUGEINT) * (y - y12) AS dt
+      |  FROM lagged WHERE y1 IS NOT NULL AND y12 IS NOT NULL),
+      |fold AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(dt) AS sdt,
+      |    SUM(dt * dt) AS qdt
+      |  FROM dd)
+      |SELECT CAST(m AS BIGINT) AS n_forecasts,
+      |  CAST(sdt AS BIGINT) AS loss_diff_sum,
+      |  $dm AS dm_stat_d,
+      |  CASE WHEN $dm > 1.96 THEN 'seasonal_naive_better'
+      |    WHEN $dm < -1.96 THEN 'naive_better'
+      |    ELSE 'no_significant_difference' END AS verdict_5pct
+      |FROM fold""".stripMargin
+  }
+
+  // ------ q474: Mincer–Zarnowitz forecast rationality regression
+
+  /** q474: the Mincer–Zarnowitz regression — the RATIONALITY test
+    * behind every forecast scorecard: regress the realization on the
+    * forecast (here the seasonal-naive y_{t−12}) and test the joint
+    * null (α, β) = (0, 1); a rational forecast leaves no exploitable
+    * bias. The restricted SSE is the exact Σ(y−f)², the unrestricted
+    * SSE comes from the OLS determinant form, and
+    * F = ((SSE_r − SSE_u)/2)/(SSE_u/(m−2)) is one IEEE tree over
+    * exact integers, with α and β floors beside it.
+    *
+    * Plan: one orders pass → month rollup → lag window → 1-row
+    * co-moment fold.
+    */
+  val q474MincerZarnowitz: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("m"))
+    val pts = cells.withColumn("f", lag(col("y"), 12).over(w))
+      .filter(col("f").isNotNull)
+      .select(col("y").cast(dec).as("y"), col("f").cast(dec).as("f"))
+    val mo = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("f")).as("sf"), sum(col("y")).as("sy"),
+      sum(col("f") * col("f")).as("qff"),
+      sum(col("y") * col("y")).as("qyy"),
+      sum(col("f") * col("y")).as("qfy"),
+      sum((col("y") - col("f")) * (col("y") - col("f"))).as("sser"))
+      .select(col("n"), col("sf"), col("sy"), col("sser"),
+        (col("n") * col("qff") - col("sf") * col("sf")).as("dx"),
+        (col("n") * col("qyy") - col("sy") * col("sy")).as("dy"),
+        (col("n") * col("qfy") - col("sf") * col("sy")).as("cxy"))
+    def d(c: String) = col(c).cast("double")
+    val sseU = (d("dy") * d("dx") - d("cxy") * d("cxy")) /
+      (d("n") * d("dx"))
+    val fStat = ((d("sser") - sseU) / 2.0) / (sseU / (d("n") - 2.0))
+    mo.select(col("n").cast("long").as("n_forecasts"),
+      expr(sdiv("(sy * dx - cxy * sf) * 1000000", "n * dx")).cast("long")
+        .as("alpha_e6"),
+      expr(sdiv("cxy * 1000000", "dx")).cast("long").as("beta_e6"),
+      fStat.as("mz_f_d"),
+      when(fStat > 3.13, lit("forecast_irrational"))
+        .otherwise(lit("rational")).as("verdict_5pct"))
+  }
+
+  val q474Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sseU = s"((${d("dy")} * ${d("dx")} - ${d("cxy")} * ${d("cxy")})" +
+      s" / (${d("n")} * ${d("dx")}))"
+    val f = s"(((${d("sser")} - $sseU) / 2.0) / ($sseU / (${d("n")}" +
+      s" - 2.0)))"
+    s"""WITH cells AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT CAST(y AS HUGEINT) AS y, CAST(f AS HUGEINT) AS f
+      |  FROM (SELECT y, LAG(y, 12) OVER (ORDER BY m) AS f FROM cells)
+      |  WHERE f IS NOT NULL),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(f) AS sf, SUM(y) AS sy,
+      |    SUM((y - f) * (y - f)) AS sser,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(f * f) - SUM(f) * SUM(f) AS dx,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(y * y) - SUM(y) * SUM(y) AS dy,
+      |    CAST(COUNT(*) AS HUGEINT) * SUM(f * y) - SUM(f) * SUM(y) AS cxy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_forecasts,
+      |  CAST(CASE WHEN sy * dx - cxy * sf >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((sy * dx - cxy * sf) * 1000000) // (n * dx)) AS BIGINT)
+      |    AS alpha_e6,
+      |  CAST(CASE WHEN cxy >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(cxy * 1000000) // dx) AS BIGINT) AS beta_e6,
+      |  $f AS mz_f_d,
+      |  CASE WHEN $f > 3.13 THEN 'forecast_irrational'
+      |    ELSE 'rational' END AS verdict_5pct
+      |FROM mo""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -8870,6 +9180,10 @@ object AuditQueries {
     "q462_bornhuetter_ferguson" -> q462BornhuetterFerguson,
     "q465_fgt_sen" -> q465FgtSen,
     "q466_wolfson" -> q466Wolfson,
+    "q471_circular_panel" -> q471CircularPanel,
+    "q472_process_capability" -> q472ProcessCapability,
+    "q473_diebold_mariano" -> q473DieboldMariano,
+    "q474_mincer_zarnowitz" -> q474MincerZarnowitz,
     "q469_bass_diffusion" -> q469BassDiffusion,
     "q470_tukey_nonadditivity" -> q470TukeyNonadditivity,
     "q467_page_l" -> q467PageL,
@@ -8962,6 +9276,10 @@ object AuditQueries {
     "q462_bornhuetter_ferguson" -> q462Sql,
     "q465_fgt_sen" -> q465Sql,
     "q466_wolfson" -> q466Sql,
+    "q471_circular_panel" -> q471Sql,
+    "q472_process_capability" -> q472Sql,
+    "q473_diebold_mariano" -> q473Sql,
+    "q474_mincer_zarnowitz" -> q474Sql,
     "q469_bass_diffusion" -> q469Sql,
     "q470_tukey_nonadditivity" -> q470Sql,
     "q467_page_l" -> q467Sql,
