@@ -312,6 +312,40 @@ class NinthFamiliesPlanSpec extends SparkSpec {
     assert(r.getAs[Long]("n_months") == 12L)
   }
 
+  test("q471: Kuiper V dominates either one-sided deviation") {
+    val r = graft.SparkEntry.queries("q471_circular_panel")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("kuiper_v_e6") >= 0L)
+    val m = r.getAs[Long]("hodges_m")
+    assert(m >= 0L && m <= r.getAs[Long]("n_orders") / 2 + 1)
+  }
+
+  test("q472: Cpk never exceeds Cp and the ppm census is a proportion") {
+    val r = graft.SparkEntry
+      .queries("q472_process_capability")(spark, sfDir).collect().head
+    assert(r.getAs[Double]("cpk_d") <= r.getAs[Double]("cp_d") + 1e-12,
+      "centering can only lose capability")
+    val ppm = r.getAs[Long]("observed_oos_ppm")
+    assert(ppm >= 0L && ppm <= 1000000L)
+  }
+
+  test("q473: DM verdict is coherent with the statistic's sign") {
+    val r = graft.SparkEntry
+      .queries("q473_diebold_mariano")(spark, sfDir).collect().head
+    val dm = r.getAs[Double]("dm_stat_d")
+    val v = r.getAs[String]("verdict_5pct")
+    assert(if (dm > 1.96) v == "seasonal_naive_better"
+      else if (dm < -1.96) v == "naive_better"
+      else v == "no_significant_difference")
+  }
+
+  test("q474: MZ regression aligns 12-month-lag forecast pairs") {
+    val r = graft.SparkEntry
+      .queries("q474_mincer_zarnowitz")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_forecasts") >= 24L)
+    assert(r.getAs[Double]("mz_f_d") >= 0.0)
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
