@@ -7917,6 +7917,437 @@ object AuditQueries {
       |FROM mo""".stripMargin
   }
 
+  // ------ q475: directional forecast skill (Pesaran–Timmermann + U2)
+
+  /** q475: directional accuracy — q473's DM weighs squared losses,
+    * but traders and planners often only need the DIRECTION right:
+    * the Pesaran–Timmermann test asks whether the momentum rule
+    * "this month moves the way last month moved" beats the hit rate
+    * its marginals would produce by luck, with the full four-term
+    * variance; Theil's U2 rides beside it, scoring the seasonal-
+    * naive forecast against the naive benchmark in RMSE ratio terms.
+    * All counts and sums fold exactly; both statistics finish as one
+    * IEEE tree each.
+    *
+    * Plan: one orders pass → month rollup → lag windows over
+    * metadata → 1-row fold.
+    */
+  val q475DirectionalSkill: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("m"))
+    val lagged = cells
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .withColumn("y2", lag(col("y"), 2).over(w))
+      .withColumn("y12", lag(col("y"), 12).over(w))
+    val dirs = lagged.filter(col("y2").isNotNull)
+      .select((col("y") > col("y1")).cast("long").as("up"),
+        (col("y1") > col("y2")).cast("long").as("fup"))
+    val ptFold = dirs.agg(count(lit(1)).cast(dec).as("m"),
+      sum(when(col("up") === col("fup"), 1L).otherwise(0L)).cast(dec)
+        .as("h"),
+      sum(col("up")).cast(dec).as("nu"), sum(col("fup")).cast(dec)
+        .as("nf"))
+    val u2Fold = lagged.filter(col("y12").isNotNull)
+      .agg(sum((col("y") - col("y12")).cast(dec) *
+        (col("y") - col("y12"))).as("ssn"),
+        sum((col("y") - col("y1")).cast(dec) * (col("y") - col("y1")))
+          .as("ss1"))
+    def d(c: String) = col(c).cast("double")
+    val py = d("nu") / d("m"); val pf = d("nf") / d("m")
+    val pHat = d("h") / d("m")
+    val pStar = py * pf + (lit(1.0) - py) * (lit(1.0) - pf)
+    val vHat = pStar * (lit(1.0) - pStar) / d("m")
+    val vStar = (py * 2.0 - 1.0) * (py * 2.0 - 1.0) * pf *
+      (lit(1.0) - pf) / d("m") +
+      (pf * 2.0 - 1.0) * (pf * 2.0 - 1.0) * py * (lit(1.0) - py) /
+        d("m") +
+      py * pf * (lit(1.0) - py) * (lit(1.0) - pf) * 4.0 /
+        (d("m") * d("m"))
+    val ptZ = (pHat - pStar) / sqrt(vHat - vStar)
+    val u2 = sqrt(d("ssn") / d("ss1"))
+    ptFold.crossJoin(broadcast(u2Fold))
+      .select(col("m").cast("long").as("n_signs"),
+        col("h").cast("long").as("n_hits"),
+        ptZ.as("pt_z_d"), u2.as("theil_u2_d"),
+        when(ptZ > 1.6449, lit("momentum_has_skill"))
+          .otherwise(lit("no_directional_skill")).as("verdict_5pct"))
+  }
+
+  val q475Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val py = s"(${d("nu")} / ${d("m")})"
+    val pf = s"(${d("nf")} / ${d("m")})"
+    val pHat = s"(${d("h")} / ${d("m")})"
+    val pStar = s"($py * $pf + (1.0 - $py) * (1.0 - $pf))"
+    val vHat = s"($pStar * (1.0 - $pStar) / ${d("m")})"
+    val vStar = s"(($py * 2.0 - 1.0) * ($py * 2.0 - 1.0) * $pf *" +
+      s" (1.0 - $pf) / ${d("m")} + ($pf * 2.0 - 1.0) * ($pf * 2.0 - 1.0)" +
+      s" * $py * (1.0 - $py) / ${d("m")} + $py * $pf * (1.0 - $py) *" +
+      s" (1.0 - $pf) * 4.0 / (${d("m")} * ${d("m")}))"
+    val ptZ = s"(($pHat - $pStar) / sqrt($vHat - $vStar))"
+    val u2 = s"sqrt(${d("ssn")} / ${d("ss1")})"
+    s"""WITH cells AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT y, LAG(y, 1) OVER (ORDER BY m) AS y1,
+      |    LAG(y, 2) OVER (ORDER BY m) AS y2,
+      |    LAG(y, 12) OVER (ORDER BY m) AS y12
+      |  FROM cells),
+      |dirs AS (
+      |  SELECT CASE WHEN y > y1 THEN 1 ELSE 0 END AS up,
+      |    CASE WHEN y1 > y2 THEN 1 ELSE 0 END AS fup
+      |  FROM lagged WHERE y2 IS NOT NULL),
+      |pt AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |    CAST(SUM(CASE WHEN up = fup THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS h,
+      |    CAST(SUM(up) AS HUGEINT) AS nu,
+      |    CAST(SUM(fup) AS HUGEINT) AS nf
+      |  FROM dirs),
+      |u2f AS (
+      |  SELECT SUM(CAST(y - y12 AS HUGEINT) * (y - y12)) AS ssn,
+      |    SUM(CAST(y - y1 AS HUGEINT) * (y - y1)) AS ss1
+      |  FROM lagged WHERE y12 IS NOT NULL)
+      |SELECT CAST(m AS BIGINT) AS n_signs, CAST(h AS BIGINT) AS n_hits,
+      |  $ptZ AS pt_z_d, $u2 AS theil_u2_d,
+      |  CASE WHEN $ptZ > 1.6449 THEN 'momentum_has_skill'
+      |    ELSE 'no_directional_skill' END AS verdict_5pct
+      |FROM pt CROSS JOIN u2f""".stripMargin
+  }
+
+  // ------ q476: Ansari–Bradley scale test with hash-permutation p
+
+  /** Pseudo-permutation count for the Ansari–Bradley null. */
+  val AbPermB = 19
+
+  /** q476: the Ansari–Bradley test — the RANK test of SCALE (q444's
+    * Cucconi is the location-scale omnibus; AB isolates dispersion):
+    * scores fold toward the ends, s = min(2R̄, 2(N+1) − 2R̄) on
+    * doubled mid-ranks, so a group whose values crowd the extremes
+    * scores low. Heavy quantity ties make the textbook variance
+    * wrong, so the null is the q419 HASH-PERMUTATION device instead:
+    * B relabelings by portable hash, each statistic centered as the
+    * exact integer |T·N − n₂·S| so varying relabeled group sizes
+    * cancel, p exact at 1/(B+1) resolution.
+    *
+    * Plan: one lineitem pass → value rollup scores (broadcast) →
+    * ×B spine fold on the row stream. Bounded fan-out.
+    */
+  val q476AnsariBradley: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_returnflag") === "R").cast("long").as("grp"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("v"))
+    val byV = li.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val nAll = byV.agg(sum(col("cnt")).as("n"))
+    val scores = byV
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(nAll))
+      .select(col("v"),
+        least(col("below") * 2 + col("cnt") + 1,
+          (col("n") + 1) * 2 - (col("below") * 2 + col("cnt") + 1))
+          .as("sc"),
+        col("n"))
+    val totS = byV.join(scores, Seq("v"))
+      .agg(sum(col("cnt").cast(dec) * col("sc")).as("s_all"))
+    val spine = s.range(0L, AbPermB + 1L).select(col("id").as("b"))
+    val armed = li.crossJoin(broadcast(spine))
+      .withColumn("g2",
+        when(col("b") === 0L, col("grp"))
+          .otherwise(graft.functions.Text.portableHash(
+            concat(col("l_orderkey").cast("string"), lit("#"),
+              col("l_linenumber").cast("string"), lit("#"),
+              col("b").cast("string"))) % 2L))
+      .join(broadcast(scores.select(col("v"), col("sc"), col("n"))),
+        Seq("v"))
+    val stats = armed.groupBy(col("b"))
+      .agg(sum(when(col("g2") === 1L, col("sc")).otherwise(0L)).cast(dec)
+        .as("t"),
+        sum(when(col("g2") === 1L, 1L).otherwise(0L)).cast(dec).as("n2"),
+        first(col("n")).cast(dec).as("n"))
+      .crossJoin(broadcast(totS))
+      .select(col("b"),
+        abs(col("t") * col("n") - col("n2") * col("s_all")).as("cstat"))
+      .localCheckpoint()
+    val obs = stats.filter(col("b") === 0L).select(col("cstat")
+      .as("c_obs"))
+    stats.filter(col("b") > 0L).crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("cstat") >= col("c_obs"), 1L).otherwise(0L))
+          .as("n_ge"),
+        first(col("c_obs")).as("c_obs"))
+      .select(col("c_obs").cast("long").as("centered_stat_obs"),
+        col("n_perm"), col("n_ge"),
+        expr("CAST((1 + n_ge) * 1000000 div (1 + n_perm) AS BIGINT)")
+          .as("p_e6"))
+  }
+
+  val q476Sql: String =
+    s"""WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      |by_v AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM li GROUP BY v),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM by_v),
+      |scores AS (
+      |  SELECT v,
+      |    LEAST(below * 2 + cnt + 1, (n.n + 1) * 2
+      |      - (below * 2 + cnt + 1)) AS sc, n.n
+      |  FROM (
+      |    SELECT v, cnt,
+      |      COALESCE(SUM(cnt) OVER (ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS below
+      |    FROM by_v) b CROSS JOIN n),
+      |tot_s AS (
+      |  SELECT SUM(CAST(by_v.cnt AS HUGEINT) * scores.sc) AS s_all
+      |  FROM by_v JOIN scores USING (v)),
+      |armed AS (
+      |  SELECT sp.b, s.sc, s.n,
+      |    CASE WHEN sp.b = 0 THEN li.grp
+      |      ELSE CAST(concat('0x', substr(md5(
+      |        CAST(li.l_orderkey AS VARCHAR) || '#' ||
+      |        CAST(li.l_linenumber AS VARCHAR) || '#' ||
+      |        CAST(sp.b AS VARCHAR)), 1, 15)) AS BIGINT) % 2 END AS g2
+      |  FROM li
+      |  CROSS JOIN (SELECT UNNEST(range(0, ${AbPermB + 1})) AS b) sp
+      |  JOIN scores s ON s.v = li.v),
+      |stats AS (
+      |  SELECT b,
+      |    ABS(CAST(SUM(CASE WHEN g2 = 1 THEN sc ELSE 0 END) AS HUGEINT)
+      |        * ANY_VALUE(n)
+      |      - CAST(SUM(CASE WHEN g2 = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+      |        * (SELECT s_all FROM tot_s)) AS cstat
+      |  FROM armed GROUP BY b),
+      |obs AS (SELECT cstat AS c_obs FROM stats WHERE b = 0)
+      |SELECT CAST(ANY_VALUE(c_obs) AS BIGINT) AS centered_stat_obs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_perm,
+      |  CAST(SUM(CASE WHEN cstat >= c_obs THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ge,
+      |  CAST((1 + SUM(CASE WHEN cstat >= c_obs THEN 1 ELSE 0 END))
+      |    * 1000000 // (1 + COUNT(*)) AS BIGINT) AS p_e6
+      |FROM stats CROSS JOIN obs WHERE b > 0""".stripMargin
+
+  // ------ q477: Quade test — weighted blocked ranks
+
+  /** q477: the Quade test — Friedman (q338) weights every block
+    * equally; Quade's refinement weights blocks by the RANGE of what
+    * happened inside them, so months where priorities actually
+    * differ count more. Within-block ranks and the block-range ranks
+    * are both deterministic total orders on the (month, priority)
+    * mean-value grid, S_ij = Q_i·(r_ij − (k+1)/2) stays integer
+    * (k = 5 ⇒ (k+1)/2 = 3), and the F statistic
+    * (b−1)·ΣS_j² / (b·A − ΣS_j²) is ONE exact rational — a single
+    * e6 floor, no doubles at all.
+    *
+    * Plan: one orders pass → 60-cell rollup → bounded rank windows
+    * → 1-row fold.
+    */
+  val q477Quade: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("month(o_orderdate)").cast("long").as("mo"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))" +
+        " div COUNT(*)").as("y"))
+      .localCheckpoint()
+    val ranked = cells.withColumn("r",
+      row_number().over(Window.partitionBy(col("mo"))
+        .orderBy(col("y"), col("g"))).cast("long"))
+    val ranges = cells.groupBy(col("mo"))
+      .agg((max(col("y")) - min(col("y"))).as("rng"))
+      .withColumn("q", row_number().over(
+        Window.orderBy(col("rng"), col("mo"))).cast("long"))
+    val sij = ranked.join(broadcast(ranges), Seq("mo"))
+      .select(col("g"), (col("q") * (col("r") - 3L)).cast(dec).as("s"))
+    val byTreat = sij.groupBy(col("g")).agg(sum(col("s")).as("sj"))
+    val fold = sij.agg(sum(col("s") * col("s")).as("a"),
+      count(lit(1)).cast(dec).as("cells"))
+      .crossJoin(broadcast(byTreat.agg(
+        sum(col("sj") * col("sj")).as("bsum"),
+        count(lit(1)).cast(dec).as("k"))))
+      .withColumn("b", expr(fdiv("cells", "k")))
+    fold.select(col("b").cast("long").as("n_blocks"),
+      col("k").cast("long").as("n_treatments"),
+      expr(fdiv("(b - 1) * bsum * 1000000", "b * a - bsum"))
+        .cast("long").as("quade_f_e6"),
+      when(expr(fdiv("(b - 1) * bsum * 1000000", "b * a - bsum")) >
+        2580000L, lit("priorities_differ"))
+        .otherwise(lit("homogeneous")).as("verdict_5pct"))
+  }
+
+  val q477Sql: String =
+    """WITH cells AS (
+      |  SELECT month(o_orderdate) AS mo,
+      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // COUNT(*)
+      |      AS y
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT mo, g,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY mo ORDER BY y, g)
+      |      AS BIGINT) AS r
+      |  FROM cells),
+      |ranges AS (
+      |  SELECT mo,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY MAX(y) - MIN(y), mo)
+      |      AS BIGINT) AS q
+      |  FROM cells GROUP BY mo),
+      |sij AS (
+      |  SELECT g, CAST(q * (r - 3) AS HUGEINT) AS s
+      |  FROM ranked JOIN ranges USING (mo)),
+      |by_treat AS (SELECT g, SUM(s) AS sj FROM sij GROUP BY g),
+      |fold AS (
+      |  SELECT (SELECT SUM(s * s) FROM sij) AS a,
+      |    (SELECT CAST(COUNT(*) AS HUGEINT) FROM sij) AS cells,
+      |    SUM(sj * sj) AS bsum,
+      |    CAST(COUNT(*) AS HUGEINT) AS k
+      |  FROM by_treat),
+      |fb AS (SELECT *, cells // k AS b FROM fold)
+      |SELECT CAST(b AS BIGINT) AS n_blocks,
+      |  CAST(k AS BIGINT) AS n_treatments,
+      |  CAST((b - 1) * bsum * 1000000 // (b * a - bsum) AS BIGINT)
+      |    AS quade_f_e6,
+      |  CASE WHEN (b - 1) * bsum * 1000000 // (b * a - bsum) > 2580000
+      |    THEN 'priorities_differ' ELSE 'homogeneous' END
+      |    AS verdict_5pct
+      |FROM fb""".stripMargin
+
+  // ------ q478: distance correlation between quantity and discount
+
+  /** q478: distance correlation (Székely–Rizzo 2007) — the modern
+    * DEPENDENCE measure that is ZERO if and only if the variables
+    * are independent, catching the nonlinear structure Pearson
+    * (q117), Spearman (q271) and even Hoeffding's D (q396) can
+    * miss. Quantity (50 values) and discount (11 cent values) have
+    * small native supports, so the O(n²) double-centering collapses
+    * onto the ≤ 550-cell joint contingency: row means and the grand
+    * mean stage as one e6 floor per cell (sum-order safe), the three
+    * dCov numerators fold over cell PAIRS (≤ 550² metadata rows),
+    * and dCor = V_xy/√(V_xx·V_yy) finishes as one IEEE tree — the
+    * N²·10¹² scale factors cancel.
+    *
+    * Plan: one lineitem pass → 550-cell rollup (checkpointed) → two
+    * bounded pair passes → 1-row fold.
+    */
+  val q478DistanceCorrelation: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nTot = cells.agg(sum(col("n")).as("nn"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("n").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("n").as("nb"))
+    val rowm = a.join(broadcast(b), lit(true))
+      .groupBy(col("xa"), col("ya"))
+      .agg(sum(col("nb").cast(dec) * abs(col("xa") - col("xb")))
+        .as("sax"),
+        sum(col("nb").cast(dec) * abs(col("ya") - col("yb"))).as("say"))
+      .crossJoin(broadcast(nTot))
+      .select(col("xa"), col("ya"),
+        expr(fdiv("sax * 1000000", "nn")).as("abar"),
+        expr(fdiv("say * 1000000", "nn")).as("bbar"))
+      .localCheckpoint()
+    val grand2 = rowm.join(cells, col("xa") === col("x") &&
+      col("ya") === col("y"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n"), col("abar"), col("bbar"), col("nn"))
+      .agg(first(col("nn")).cast(dec).as("nn"),
+        sum(col("n").cast(dec) * col("abar")).as("sna"),
+        sum(col("n").cast(dec) * col("bbar")).as("snb"))
+      .select(col("nn"),
+        expr(fdiv("sna", "nn")).as("agbar"),
+        expr(fdiv("snb", "nn")).as("bgbar"))
+    val la = rowm.select(col("xa"), col("ya"), col("abar").as("abar_a"),
+      col("bbar").as("bbar_a"))
+    val lb = rowm.select(col("xa").as("xb"), col("ya").as("yb"),
+      col("abar").as("abar_b"), col("bbar").as("bbar_b"))
+    val paired = a.join(broadcast(la), Seq("xa", "ya"))
+      .join(broadcast(lb.join(b, Seq("xb", "yb"))), lit(true))
+      .crossJoin(broadcast(grand2))
+      .select(col("na").cast(dec) * col("nb") as "w",
+        (abs(col("xa") - col("xb")) * 1000000 - col("abar_a") -
+          col("abar_b") + col("agbar")).as("ac"),
+        (abs(col("ya") - col("yb")) * 1000000 - col("bbar_a") -
+          col("bbar_b") + col("bgbar")).as("bc"))
+    val folds = paired.agg(
+      sum(col("w") * col("ac") * col("bc")).as("vxy"),
+      sum(col("w") * col("ac") * col("ac")).as("vxx"),
+      sum(col("w") * col("bc") * col("bc")).as("vyy"))
+    def d(c: String) = col(c).cast("double")
+    val dcor = d("vxy") / sqrt(d("vxx") * d("vyy"))
+    folds.crossJoin(broadcast(nTot))
+      .select(col("nn").cast("long").as("n_lines"),
+        dcor.as("dcor_d"),
+        (d("vxy") / (d("nn") * d("nn") * 1e12)).as("dcov2_d"))
+  }
+
+  val q478Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH cells AS (
+      |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |nt AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn FROM cells),
+      |rowm AS (
+      |  SELECT a.x AS xa, a.y AS ya,
+      |    SUM(CAST(b.n AS HUGEINT) * ABS(a.x - b.x)) * 1000000
+      |      // ANY_VALUE(nt.nn) AS abar,
+      |    SUM(CAST(b.n AS HUGEINT) * ABS(a.y - b.y)) * 1000000
+      |      // ANY_VALUE(nt.nn) AS bbar
+      |  FROM cells a CROSS JOIN cells b CROSS JOIN nt
+      |  GROUP BY a.x, a.y),
+      |grand AS (
+      |  SELECT ANY_VALUE(nt.nn) AS nn,
+      |    SUM(CAST(c.n AS HUGEINT) * r.abar) // ANY_VALUE(nt.nn)
+      |      AS agbar,
+      |    SUM(CAST(c.n AS HUGEINT) * r.bbar) // ANY_VALUE(nt.nn)
+      |      AS bgbar
+      |  FROM rowm r JOIN cells c ON c.x = r.xa AND c.y = r.ya
+      |  CROSS JOIN nt),
+      |paired AS (
+      |  SELECT CAST(ca.n AS HUGEINT) * cb.n AS w,
+      |    ABS(ca.x - cb.x) * 1000000 - ra.abar - rb.abar + g.agbar
+      |      AS ac,
+      |    ABS(ca.y - cb.y) * 1000000 - ra.bbar - rb.bbar + g.bgbar
+      |      AS bc
+      |  FROM cells ca
+      |  JOIN rowm ra ON ra.xa = ca.x AND ra.ya = ca.y
+      |  CROSS JOIN cells cb
+      |  JOIN rowm rb ON rb.xa = cb.x AND rb.ya = cb.y
+      |  CROSS JOIN grand g),
+      |folds AS (
+      |  SELECT SUM(w * ac * bc) AS vxy, SUM(w * ac * ac) AS vxx,
+      |    SUM(w * bc * bc) AS vyy
+      |  FROM paired)
+      |SELECT CAST(nn AS BIGINT) AS n_lines,
+      |  (${d("vxy")} / sqrt(${d("vxx")} * ${d("vyy")})) AS dcor_d,
+      |  (${d("vxy")} / (${d("nn")} * ${d("nn")} * 1e12)) AS dcov2_d
+      |FROM folds CROSS JOIN nt""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -9181,6 +9612,10 @@ object AuditQueries {
     "q465_fgt_sen" -> q465FgtSen,
     "q466_wolfson" -> q466Wolfson,
     "q471_circular_panel" -> q471CircularPanel,
+    "q475_directional_skill" -> q475DirectionalSkill,
+    "q476_ansari_bradley" -> q476AnsariBradley,
+    "q477_quade" -> q477Quade,
+    "q478_distance_correlation" -> q478DistanceCorrelation,
     "q472_process_capability" -> q472ProcessCapability,
     "q473_diebold_mariano" -> q473DieboldMariano,
     "q474_mincer_zarnowitz" -> q474MincerZarnowitz,
@@ -9277,6 +9712,10 @@ object AuditQueries {
     "q465_fgt_sen" -> q465Sql,
     "q466_wolfson" -> q466Sql,
     "q471_circular_panel" -> q471Sql,
+    "q475_directional_skill" -> q475Sql,
+    "q476_ansari_bradley" -> q476Sql,
+    "q477_quade" -> q477Sql,
+    "q478_distance_correlation" -> q478Sql,
     "q472_process_capability" -> q472Sql,
     "q473_diebold_mariano" -> q473Sql,
     "q474_mincer_zarnowitz" -> q474Sql,
