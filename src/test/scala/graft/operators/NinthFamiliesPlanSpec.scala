@@ -346,6 +346,40 @@ class NinthFamiliesPlanSpec extends SparkSpec {
     assert(r.getAs[Double]("mz_f_d") >= 0.0)
   }
 
+  test("q475: directional hit count is bounded by the sign count") {
+    val r = graft.SparkEntry
+      .queries("q475_directional_skill")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_signs"))
+    assert(r.getAs[Double]("theil_u2_d") >= 0.0)
+  }
+
+  test("q476: Ansari-Bradley permutation p has 1/20 resolution") {
+    val r = graft.SparkEntry
+      .queries("q476_ansari_bradley")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_perm") == 19L)
+    val p = r.getAs[Long]("p_e6")
+    assert(p >= 50000L && p <= 1000000L,
+      "p = (1+n_ge)/20 lives on the 1/20 lattice")
+  }
+
+  test("q477: Quade F is nonnegative with the full 12x5 grid") {
+    val r = graft.SparkEntry.queries("q477_quade")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 12L)
+    assert(r.getAs[Long]("n_treatments") == 5L)
+    assert(r.getAs[Long]("quade_f_e6") >= 0L)
+  }
+
+  test("q478: distance correlation lives in [0, 1]") {
+    val r = graft.SparkEntry
+      .queries("q478_distance_correlation")(spark, sfDir).collect().head
+    val dcor = r.getAs[Double]("dcor_d")
+    assert(dcor >= 0.0 && dcor <= 1.0 + 1e-9,
+      s"dCor is a normalized dependence measure: $dcor")
+    assert(r.getAs[Double]("dcov2_d") >= -1e-12,
+      "the dCov^2 numerator is a squared-type quantity")
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
