@@ -8348,6 +8348,232 @@ object AuditQueries {
       |FROM folds CROSS JOIN nt""".stripMargin
   }
 
+  // ------ q479: PERMANOVA over the Bray–Curtis nation matrix
+
+  /** Pseudo-permutation count for the PERMANOVA null. */
+  val PermanovaB = 19
+
+  /** q479: PERMANOVA (Anderson 2001) — the distance-matrix ANOVA
+    * that finishes what q434/q435 started: do REGIONS explain the
+    * Bray–Curtis structure between nation brand mixes? The pseudo-F
+    * needs only pairwise d²: SS_total = Σd²/n and SS_within from
+    * region-internal pairs; labels permute via the q435 nation hash
+    * device, and because SS_total is permutation-INVARIANT,
+    * comparing SS_within alone decides F_b ≥ F_obs — every
+    * comparison an exact integer after one floor per region. p exact
+    * at 1/(B+1).
+    *
+    * Plan: the q434 pair matrix (one corpus pass) ⋈ broadcast nation
+    * dim → 300-row pair table → ×B broadcast spine fold.
+    */
+  val q479Permanova: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val d1 = brayCurtisPairs(s, dir)
+      .select(col("na"), col("nb"),
+        (col("bc_e6").cast(dec) * col("bc_e6")).as("d2"))
+      .localCheckpoint()
+    val regions = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("rg"))
+    val nats = d1.select(col("na").as("nat"))
+      .union(d1.select(col("nb").as("nat"))).distinct()
+      .join(broadcast(regions), Seq("nat"))
+      .localCheckpoint()
+    val nG = nats.groupBy(col("rg")).agg(count(lit(1)).as("nr"))
+    val nAll = nats.agg(count(lit(1)).as("n"),
+      countDistinct(col("rg")).as("g"))
+    val spine = s.range(0L, PermanovaB + 1L).select(col("id").as("b"))
+    val labels = nats.select(col("nat")).crossJoin(broadcast(spine))
+      .withColumn("hk",
+        when(col("b") === 0L, col("nat"))
+          .otherwise(graft.functions.Text.portableHash(
+            concat(lit("permanova#"), col("nat").cast("string"),
+              lit("#"), col("b").cast("string")))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("hk"), col("nat"))))
+    val natOfRank = labels.filter(col("b") === 0L)
+      .select(col("r"), col("nat").as("target"))
+    val sigma = labels.join(broadcast(natOfRank), Seq("r"))
+      .join(broadcast(nats.select(col("nat").as("target"),
+        col("rg"))), Seq("target"))
+      .select(col("b"), col("nat"), col("rg"))
+    val within = d1.crossJoin(broadcast(spine))
+      .join(broadcast(sigma.select(col("b"), col("nat").as("na"),
+        col("rg").as("ra"))), Seq("b", "na"))
+      .join(broadcast(sigma.select(col("b"), col("nat").as("nb"),
+        col("rg").as("rb"))), Seq("b", "nb"))
+      .filter(col("ra") === col("rb"))
+      .groupBy(col("b"), col("ra"))
+      .agg(sum(col("d2")).as("sd2"))
+      .join(broadcast(nG.select(col("rg").as("ra"), col("nr"))),
+        Seq("ra"))
+      .groupBy(col("b"))
+      .agg(sum(expr(fdiv("sd2 * 1000000", "nr"))).as("w"))
+      .localCheckpoint()
+    val tot = d1.crossJoin(broadcast(nAll))
+      .agg(first(col("n")).cast(dec).as("n"),
+        first(col("g")).cast(dec).as("g"),
+        expr(fdiv("SUM(d2) * 1000000", "first(n)")).as("t"))
+    val obs = within.filter(col("b") === 0L).select(col("w").as("w_obs"))
+    def d(c: String) = col(c).cast("double")
+    val fStat = ((d("t") - d("w_obs")) / (d("g") - 1.0)) /
+      (d("w_obs") / (d("n") - d("g")))
+    within.filter(col("b") > 0L).crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("w") <= col("w_obs"), 1L).otherwise(0L)).as("n_le"),
+        first(col("w_obs")).as("w_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").cast("long").as("n_nations"),
+        col("g").cast("long").as("n_regions"),
+        fStat.as("pseudo_f_d"),
+        col("n_perm"), col("n_le"),
+        expr("CAST((1 + n_le) * 1000000 div (1 + n_perm) AS BIGINT)")
+          .as("p_e6"))
+  }
+
+  val q479Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val fStat = s"(((${d("t")} - ${d("w_obs")}) / (${d("g")} - 1.0))" +
+      s" / (${d("w_obs")} / (${d("n")} - ${d("g")})))"
+    s"""WITH $BrayCurtisCtes,
+      |d1 AS (
+      |  SELECT na, nb, CAST(bc_e6 AS HUGEINT) * bc_e6 AS d2 FROM bc),
+      |nats AS (
+      |  SELECT DISTINCT nat, n.n_regionkey AS rg FROM (
+      |    SELECT na AS nat FROM d1 UNION SELECT nb FROM d1) u
+      |  JOIN nation n ON n.n_nationkey = u.nat),
+      |ng AS (SELECT rg, CAST(COUNT(*) AS BIGINT) AS nr
+      |       FROM nats GROUP BY rg),
+      |nall AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |  CAST(COUNT(DISTINCT rg) AS HUGEINT) AS g FROM nats),
+      |spine AS (SELECT UNNEST(range(0, ${PermanovaB + 1})) AS b),
+      |labels AS (
+      |  SELECT b, nat,
+      |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY
+      |      CASE WHEN b = 0 THEN nat
+      |        ELSE CAST(concat('0x', substr(md5('permanova#' ||
+      |          CAST(nat AS VARCHAR) || '#' || CAST(b AS VARCHAR)),
+      |          1, 15)) AS BIGINT) END, nat) AS r
+      |  FROM nats CROSS JOIN spine),
+      |nat_of_rank AS (SELECT r, nat AS target FROM labels WHERE b = 0),
+      |sigma AS (
+      |  SELECT l.b, l.nat, t.rg
+      |  FROM labels l
+      |  JOIN nat_of_rank nr0 USING (r)
+      |  JOIN nats t ON t.nat = nr0.target),
+      |within AS (
+      |  SELECT sp.b, SUM(per_r.wr) AS w FROM (
+      |    SELECT sa.b AS b2, sa.rg AS ra,
+      |      SUM(d1.d2) * 1000000 // ANY_VALUE(ng.nr) AS wr
+      |    FROM d1
+      |    CROSS JOIN spine sp2
+      |    JOIN sigma sa ON sa.b = sp2.b AND sa.nat = d1.na
+      |    JOIN sigma sb ON sb.b = sp2.b AND sb.nat = d1.nb
+      |    JOIN ng ON ng.rg = sa.rg
+      |    WHERE sa.rg = sb.rg
+      |    GROUP BY sa.b, sa.rg) per_r
+      |  JOIN (SELECT b FROM spine) sp ON sp.b = per_r.b2
+      |  GROUP BY sp.b),
+      |ptot AS (
+      |  SELECT ANY_VALUE(nall.n) AS n, ANY_VALUE(nall.g) AS g,
+      |    SUM(d2) * 1000000 // ANY_VALUE(nall.n) AS t
+      |  FROM d1 CROSS JOIN nall),
+      |obs AS (SELECT w AS w_obs FROM within WHERE b = 0),
+      |fin AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_perm,
+      |    CAST(SUM(CASE WHEN w <= w_obs THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_le,
+      |    ANY_VALUE(w_obs) AS w_obs
+      |  FROM within CROSS JOIN obs WHERE b > 0)
+      |SELECT CAST(n AS BIGINT) AS n_nations,
+      |  CAST(g AS BIGINT) AS n_regions,
+      |  $fStat AS pseudo_f_d, n_perm, n_le,
+      |  CAST((1 + n_le) * 1000000 // (1 + n_perm) AS BIGINT) AS p_e6
+      |FROM fin CROSS JOIN ptot""".stripMargin
+  }
+
+  // ------ q480: Hodges–Lehmann shift estimator
+
+  /** q480: the Hodges–Lehmann estimator — q295's Mann–Whitney tests
+    * WHETHER returned lines differ in quantity; HL says BY HOW MUCH,
+    * as the median of all n₁·n₂ pairwise differences — the robust
+    * location-shift estimate with the same breakdown pedigree as the
+    * median itself. Quantity's 50-value support turns the O(n²) pair
+    * set into a 99-row difference spectrum with exact integer
+    * masses, and the median difference is one rank-target selection
+    * (lower median at even counts, documented).
+    *
+    * Plan: one lineitem pass → 100-cell rollup → bounded difference
+    * fold → rank-target pick.
+    */
+  val q480HodgesLehmann: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").cast("long").as("a"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("v"))
+      .groupBy(col("a"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val xr = li.filter(col("a") === 1L).select(col("v").as("vr"),
+      col("n").as("nr"))
+    val xn = li.filter(col("a") === 0L).select(col("v").as("vn"),
+      col("n").as("nn"))
+    val diffs = xr.crossJoin(broadcast(xn))
+      .groupBy((col("vr") - col("vn")).as("dv"))
+      .agg(sum(col("nr") * col("nn")).as("m"))
+      .localCheckpoint()
+    val tot = diffs.agg(sum(col("m")).as("tm"))
+    val w = Window.orderBy(col("dv")).rowsBetween(
+      Window.unboundedPreceding, -1)
+    val hl = diffs.withColumn("below",
+      coalesce(sum(col("m")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(col("below") < expr("(tm + 1) div 2") &&
+        expr("(tm + 1) div 2") <= col("below") + col("m"))
+      .select(col("dv").as("hl_shift"), col("tm"))
+    val counts = li.agg(
+      sum(when(col("a") === 1L, col("n")).otherwise(0L)).as("n_returned"),
+      sum(when(col("a") === 0L, col("n")).otherwise(0L)).as("n_regular"))
+    hl.crossJoin(broadcast(counts))
+      .select(col("n_returned"), col("n_regular"),
+        col("tm").cast("long").as("n_pairs"),
+        col("hl_shift"))
+  }
+
+  val q480Sql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      |  GROUP BY 1, 2),
+      |diffs AS (
+      |  SELECT r.v - q.v AS dv, SUM(CAST(r.n AS HUGEINT) * q.n) AS m
+      |  FROM (SELECT v, n FROM li WHERE a = 1) r
+      |  CROSS JOIN (SELECT v, n FROM li WHERE a = 0) q
+      |  GROUP BY 1),
+      |tot AS (SELECT SUM(m) AS tm FROM diffs),
+      |ranked AS (
+      |  SELECT dv, m,
+      |    COALESCE(SUM(m) OVER (ORDER BY dv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below
+      |  FROM diffs),
+      |hl AS (
+      |  SELECT dv AS hl_shift, tot.tm
+      |  FROM ranked CROSS JOIN tot
+      |  WHERE below < (tm + 1) // 2 AND (tm + 1) // 2 <= below + m),
+      |counts AS (
+      |  SELECT CAST(SUM(CASE WHEN a = 1 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_returned,
+      |    CAST(SUM(CASE WHEN a = 0 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_regular
+      |  FROM li)
+      |SELECT n_returned, n_regular, CAST(tm AS BIGINT) AS n_pairs,
+      |  CAST(hl_shift AS BIGINT) AS hl_shift
+      |FROM hl CROSS JOIN counts""".stripMargin
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -9613,6 +9839,8 @@ object AuditQueries {
     "q466_wolfson" -> q466Wolfson,
     "q471_circular_panel" -> q471CircularPanel,
     "q475_directional_skill" -> q475DirectionalSkill,
+    "q479_permanova" -> q479Permanova,
+    "q480_hodges_lehmann" -> q480HodgesLehmann,
     "q476_ansari_bradley" -> q476AnsariBradley,
     "q477_quade" -> q477Quade,
     "q478_distance_correlation" -> q478DistanceCorrelation,
@@ -9713,6 +9941,8 @@ object AuditQueries {
     "q466_wolfson" -> q466Sql,
     "q471_circular_panel" -> q471Sql,
     "q475_directional_skill" -> q475Sql,
+    "q479_permanova" -> q479Sql,
+    "q480_hodges_lehmann" -> q480Sql,
     "q476_ansari_bradley" -> q476Sql,
     "q477_quade" -> q477Sql,
     "q478_distance_correlation" -> q478Sql,
