@@ -380,6 +380,24 @@ class NinthFamiliesPlanSpec extends SparkSpec {
       "the dCov^2 numerator is a squared-type quantity")
   }
 
+  test("q479: PERMANOVA keeps within-SS at most total-SS") {
+    val r = graft.SparkEntry.queries("q479_permanova")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_regions") >= 2L)
+    assert(r.getAs[Double]("pseudo_f_d") >= 0.0)
+    assert(r.getAs[Long]("n_perm") == 19L)
+  }
+
+  test("q480: Hodges-Lehmann shift stays inside the support range") {
+    val r = graft.SparkEntry.queries("q480_hodges_lehmann")(spark, sfDir)
+      .collect().head
+    val hl = r.getAs[Long]("hl_shift")
+    assert(hl >= -49L && hl <= 49L,
+      "a quantity shift cannot exceed the support width")
+    assert(r.getAs[Long]("n_pairs") ==
+      r.getAs[Long]("n_returned") * r.getAs[Long]("n_regular"))
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
