@@ -8574,6 +8574,354 @@ object AuditQueries {
       |  CAST(hl_shift AS BIGINT) AS hl_shift
       |FROM hl CROSS JOIN counts""".stripMargin
 
+  // ------ q481: Rosner's generalized ESD outlier procedure
+
+  /** Rosner λ critical values for n = 25, α = 0.05, rounds 1..3
+    * (published ESD tables — plan-time constants).
+    */
+  val EsdLambdas: Seq[Double] = Seq(2.82, 2.80, 2.78)
+
+  /** q481: Rosner's generalized ESD test — q404's Grubbs checks ONE
+    * suspected outlier and is notoriously masked by a second;
+    * Rosner's procedure tests up to k=3 sequentially, recomputing
+    * mean and spread after each removal, and the DECISION rule runs
+    * backwards (the largest i with R_i > λ_i wins), immune to
+    * masking. Three unrolled rounds over the 25-nation AOV panel:
+    * each argmax |y·n − Σy| is an exact n-cleared integer ordering
+    * (ties → nation), each R_i one IEEE expression over exact
+    * moments, each λ a plan-time table constant.
+    *
+    * Plan: one orders pass → 25-row panel (checkpointed) → three
+    * metadata argmax rounds.
+    */
+  val q481RosnerEsd: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val panel = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))" +
+        " div COUNT(*)").as("y"))
+      .localCheckpoint()
+    def d(c: String) = col(c).cast("double")
+    var active = panel
+    var outRows: Seq[DataFrame] = Seq.empty
+    for (k <- 1 to 3) {
+      val mo = active.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("y").cast(dec) * col("y")).as("qyy"))
+      val cand = active.crossJoin(broadcast(mo))
+        .withColumn("dev",
+          abs(col("y").cast(dec) * col("n") - col("sy")))
+        .orderBy(col("dev").desc, col("nat")).limit(1)
+      val sD = sqrt((d("qyy") - d("sy") * d("sy") / d("n")) /
+        (d("n") - 1.0))
+      val rD = (d("dev") / d("n")) / sD
+      val lam = EsdLambdas(k - 1)
+      outRows = outRows :+ cand.select(lit(k.toLong).as("round"),
+        col("nat").as("nation"), col("y").as("aov"),
+        rD.as("r_stat_d"), lit(lam).as("lambda_d"),
+        (rD > lam).cast("long").as("is_outlier"))
+      active = active.join(cand.select(col("nat")), Seq("nat"),
+        "left_anti").localCheckpoint()
+    }
+    outRows.reduce(_ unionAll _)
+      .select(col("round"), col("nation"), col("aov").cast("long")
+        .as("aov"), col("r_stat_d"), col("lambda_d"), col("is_outlier"))
+      .orderBy(col("round"))
+  }
+
+  val q481Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def round(k: Int, from: String): String = {
+      val lam = EsdLambdas(k - 1)
+      val sD = s"sqrt((${d("qyy")} - ${d("sy")} * ${d("sy")} /" +
+        s" ${d("n")}) / (${d("n")} - 1.0))"
+      s"""mo$k AS (
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(y) AS HUGEINT) AS sy,
+         |    SUM(CAST(y AS HUGEINT) * y) AS qyy
+         |  FROM $from),
+         |cand$k AS (
+         |  SELECT $k AS round, a.nat, a.y,
+         |    ABS(CAST(a.y AS HUGEINT) * mo$k.n - mo$k.sy) AS dev,
+         |    mo$k.n, mo$k.sy, mo$k.qyy
+         |  FROM $from a CROSS JOIN mo$k
+         |  ORDER BY dev DESC, a.nat LIMIT 1),
+         |out$k AS (
+         |  SELECT round, nat AS nation, y AS aov,
+         |    ((${d("dev")} / ${d("n")}) / $sD) AS r_stat_d,
+         |    CAST('$lam' AS DOUBLE) AS lambda_d,
+         |    CASE WHEN (${d("dev")} / ${d("n")}) / $sD > $lam
+         |      THEN 1 ELSE 0 END AS is_outlier
+         |  FROM cand$k),
+         |act${k + 1} AS (
+         |  SELECT p.* FROM $from p
+         |  WHERE p.nat NOT IN (SELECT nat FROM cand$k))""".stripMargin
+    }
+    s"""WITH panel AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // COUNT(*)
+      |      AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |act1 AS (SELECT * FROM panel),
+      |${round(1, "act1")},
+      |${round(2, "act2")},
+      |${round(3, "act3")}
+      |SELECT CAST(round AS BIGINT) AS round,
+      |  CAST(nation AS BIGINT) AS nation, CAST(aov AS BIGINT) AS aov,
+      |  r_stat_d, lambda_d, CAST(is_outlier AS BIGINT) AS is_outlier
+      |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+      |      UNION ALL SELECT * FROM out3)
+      |ORDER BY round""".stripMargin
+  }
+
+  // ------ q482: Siegel repeated-medians robust slope
+
+  /** q482: Siegel's repeated-medians regression — q215's Theil–Sen
+    * survives 29% contamination; Siegel's nested median (median over
+    * i of the median over j of pairwise slopes) survives 50%, the
+    * best possible breakdown. On the monthly revenue series the
+    * 80×79 slope grid is metadata; both median layers are
+    * deterministic rank-target selections over (slope, index) —
+    * identical IEEE slope values and tie-breaks in both engines —
+    * and the intercept repeats the device on y − β̂t.
+    *
+    * Plan: one orders pass → month rollup → bounded pair grid →
+    * two rank-window medians.
+    */
+  val q482SiegelSlope: Q = (s, dir) => {
+    val cells = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"))
+      .agg(expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+      .localCheckpoint()
+    val t0 = cells.agg(min(col("m")).as("m0"),
+      count(lit(1)).as("tn"))
+    val pts = cells.crossJoin(broadcast(t0))
+      .select((col("m") - col("m0") + 1L).as("t"), col("y"), col("tn"))
+      .localCheckpoint()
+    val a = pts.select(col("t").as("ti"), col("y").as("yi"), col("tn"))
+    val b = pts.select(col("t").as("tj"), col("y").as("yj"))
+    val slopes = a.join(broadcast(b), col("ti") =!= col("tj"))
+      .select(col("ti"), col("tj"), col("tn"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("tj") - col("ti")).cast("double")).as("sl"))
+    val wI = Window.partitionBy(col("ti")).orderBy(col("sl"), col("tj"))
+    val perI = slopes.withColumn("rk", row_number().over(wI))
+      .filter(col("rk") === expr("(tn - 1 + 1) div 2"))
+      .select(col("ti"), col("sl").as("med_i"), col("tn"))
+    val wAll = Window.orderBy(col("med_i"), col("ti"))
+    val beta = perI.withColumn("rk", row_number().over(wAll))
+      .filter(col("rk") === expr("(tn + 1) div 2"))
+      .select(col("med_i").as("beta_d"))
+    val wInt = Window.orderBy(col("ic"), col("t"))
+    val alpha = pts.crossJoin(broadcast(beta))
+      .select(col("t"), col("tn"),
+        (col("y").cast("double") - col("beta_d") *
+          col("t").cast("double")).as("ic"))
+      .withColumn("rk", row_number().over(wInt))
+      .filter(col("rk") === expr("(tn + 1) div 2"))
+      .select(col("ic").as("alpha_d"))
+    beta.crossJoin(broadcast(alpha)).crossJoin(broadcast(
+      pts.agg(count(lit(1)).as("n_months"))))
+      .select(col("n_months"), col("beta_d"), col("alpha_d"))
+  }
+
+  val q482Sql: String =
+    """WITH cells AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |t0 AS (SELECT MIN(m) AS m0, CAST(COUNT(*) AS BIGINT) AS tn
+      |       FROM cells),
+      |pts AS (
+      |  SELECT m - m0 + 1 AS t, y, tn FROM cells CROSS JOIN t0),
+      |slopes AS (
+      |  SELECT a.t AS ti, b.t AS tj, a.tn,
+      |    CAST(CAST(b.y - a.y AS VARCHAR) AS DOUBLE) /
+      |      CAST(CAST(b.t - a.t AS VARCHAR) AS DOUBLE) AS sl
+      |  FROM pts a JOIN pts b ON b.t <> a.t),
+      |per_i AS (
+      |  SELECT ti, sl AS med_i, tn FROM (
+      |    SELECT ti, sl, tn,
+      |      ROW_NUMBER() OVER (PARTITION BY ti ORDER BY sl, tj) AS rk
+      |    FROM slopes)
+      |  WHERE rk = (tn - 1 + 1) // 2),
+      |beta AS (
+      |  SELECT med_i AS beta_d FROM (
+      |    SELECT med_i, ti, tn,
+      |      ROW_NUMBER() OVER (ORDER BY med_i, ti) AS rk
+      |    FROM per_i)
+      |  WHERE rk = (tn + 1) // 2),
+      |alpha AS (
+      |  SELECT ic AS alpha_d FROM (
+      |    SELECT CAST(CAST(y AS VARCHAR) AS DOUBLE)
+      |        - beta_d * CAST(CAST(t AS VARCHAR) AS DOUBLE) AS ic,
+      |      t, tn,
+      |      ROW_NUMBER() OVER (ORDER BY
+      |        CAST(CAST(y AS VARCHAR) AS DOUBLE)
+      |          - beta_d * CAST(CAST(t AS VARCHAR) AS DOUBLE), t) AS rk
+      |    FROM pts CROSS JOIN beta)
+      |  WHERE rk = (tn + 1) // 2),
+      |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM pts)
+      |SELECT n_months, beta_d, alpha_d
+      |FROM beta CROSS JOIN alpha CROSS JOIN nm""".stripMargin
+
+  // ------ q483: Yuen's trimmed-means robust two-sample test
+
+  /** Trim fraction numerator for Yuen's test (20% each tail). */
+  val YuenTrimPct = 20L
+
+  /** q483: Yuen's test — q283's Welch t still worships the mean;
+    * with 20% trimming Yuen compares TRIMMED means using WINSORIZED
+    * variances, keeping the test honest under heavy tails. On the
+    * quantity contingency everything is exact: the trim boundaries
+    * are rank-target selections, the middle mass and the winsorized
+    * moments are cumulative-count arithmetic with partial cells, and
+    * t = (x̄ₜ₁ − x̄ₜ₂)/√(d₁+d₂) with d = s²w(n−1)/(h(h−1)) finishes
+    * as one IEEE tree.
+    *
+    * Plan: one lineitem pass → 100-cell rollup → per-group
+    * cumulative folds (metadata).
+    */
+  val q483YuenTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").cast("long").as("a"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("v"))
+      .groupBy(col("a"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def groupFold(grp: Long): DataFrame = {
+      val g = li.filter(col("a") === grp)
+      val nTot = g.agg(sum(col("n")).as("ng"))
+      val w = Window.orderBy(col("v")).rowsBetween(
+        Window.unboundedPreceding, -1)
+      val cum = g.withColumn("below", coalesce(sum(col("n")).over(w),
+        lit(0L))).crossJoin(broadcast(nTot))
+        .withColumn("trim", expr(s"ng * $YuenTrimPct div 100"))
+      // middle take per cell: overlap of [below, below+n) with
+      // [trim, ng - trim)
+      val taken = cum.withColumn("lo",
+        greatest(col("below"), col("trim")))
+        .withColumn("hi", least(col("below") + col("n"),
+          col("ng") - col("trim")))
+        .withColumn("take", greatest(col("hi") - col("lo"), lit(0L)))
+      val bounds = cum
+        .filter(col("below") < col("trim") + 1 &&
+          col("trim") + 1 <= col("below") + col("n"))
+        .select(col("v").as("vlo"))
+        .crossJoin(broadcast(cum
+          .filter(col("below") < col("ng") - col("trim") &&
+            col("ng") - col("trim") <= col("below") + col("n"))
+          .select(col("v").as("vhi"))))
+      taken.crossJoin(broadcast(bounds))
+        .agg(first(col("ng")).cast(dec).as(s"n$grp"),
+          first(col("trim")).cast(dec).as(s"g$grp"),
+          sum(col("take").cast(dec) * col("v")).as(s"mid$grp"),
+          (sum(col("take").cast(dec) * col("v") * col("v")) +
+            first(col("trim")).cast(dec) * first(col("vlo")) *
+              first(col("vlo")) +
+            first(col("trim")).cast(dec) * first(col("vhi")) *
+              first(col("vhi"))).as(s"wss$grp"),
+          (sum(col("take").cast(dec) * col("v")) +
+            first(col("trim")).cast(dec) * first(col("vlo")) +
+            first(col("trim")).cast(dec) * first(col("vhi")))
+            .as(s"ws$grp"))
+    }
+    val f1 = groupFold(1L); val f0 = groupFold(0L)
+    def d(c: String) = col(c).cast("double")
+    def h(g: String, n: String) = d(n) - d(g) * 2.0
+    val tm1 = d("mid1") / h("g1", "n1")
+    val tm0 = d("mid0") / h("g0", "n0")
+    val sw1 = (d("wss1") - d("ws1") * d("ws1") / d("n1")) /
+      (d("n1") - 1.0)
+    val sw0 = (d("wss0") - d("ws0") * d("ws0") / d("n0")) /
+      (d("n0") - 1.0)
+    val d1 = sw1 * (d("n1") - 1.0) /
+      (h("g1", "n1") * (h("g1", "n1") - 1.0))
+    val d0 = sw0 * (d("n0") - 1.0) /
+      (h("g0", "n0") * (h("g0", "n0") - 1.0))
+    val t = (tm1 - tm0) / sqrt(d1 + d0)
+    f1.crossJoin(broadcast(f0))
+      .select(col("n1").cast("long").as("n_returned"),
+        col("n0").cast("long").as("n_regular"),
+        tm1.as("trimmed_mean_returned_d"),
+        tm0.as("trimmed_mean_regular_d"),
+        t.as("yuen_t_d"),
+        when(abs(t) > 1.96, lit("robustly_different"))
+          .otherwise(lit("no_robust_difference")).as("verdict_5pct"))
+  }
+
+  val q483Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def h(g: String, n: String) = s"(${d(n)} - ${d(g)} * 2.0)"
+    def gf(grp: Int) =
+      s"""cum$grp AS (
+         |  SELECT v, n,
+         |    COALESCE(SUM(n) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS below,
+         |    SUM(n) OVER () AS ng
+         |  FROM li WHERE a = $grp),
+         |cum${grp}t AS (
+         |  SELECT *, ng * $YuenTrimPct // 100 AS trim FROM cum$grp),
+         |bounds$grp AS (
+         |  SELECT lo.v AS vlo, hi.v AS vhi
+         |  FROM (SELECT v FROM cum${grp}t
+         |        WHERE below < trim + 1 AND trim + 1 <= below + n) lo
+         |  CROSS JOIN (SELECT v FROM cum${grp}t
+         |        WHERE below < ng - trim
+         |          AND ng - trim <= below + n) hi),
+         |fold$grp AS (
+         |  SELECT ANY_VALUE(CAST(ng AS HUGEINT)) AS n$grp,
+         |    ANY_VALUE(CAST(trim AS HUGEINT)) AS g$grp,
+         |    SUM(CAST(GREATEST(LEAST(below + n, ng - trim)
+         |      - GREATEST(below, trim), 0) AS HUGEINT) * v) AS mid$grp,
+         |    SUM(CAST(GREATEST(LEAST(below + n, ng - trim)
+         |      - GREATEST(below, trim), 0) AS HUGEINT) * v * v)
+         |      + ANY_VALUE(CAST(trim AS HUGEINT)) * ANY_VALUE(b.vlo)
+         |        * ANY_VALUE(b.vlo)
+         |      + ANY_VALUE(CAST(trim AS HUGEINT)) * ANY_VALUE(b.vhi)
+         |        * ANY_VALUE(b.vhi) AS wss$grp,
+         |    SUM(CAST(GREATEST(LEAST(below + n, ng - trim)
+         |      - GREATEST(below, trim), 0) AS HUGEINT) * v)
+         |      + ANY_VALUE(CAST(trim AS HUGEINT)) * ANY_VALUE(b.vlo)
+         |      + ANY_VALUE(CAST(trim AS HUGEINT)) * ANY_VALUE(b.vhi)
+         |      AS ws$grp
+         |  FROM cum${grp}t CROSS JOIN bounds$grp b)""".stripMargin
+    val tm1 = s"(${d("mid1")} / ${h("g1", "n1")})"
+    val tm0 = s"(${d("mid0")} / ${h("g0", "n0")})"
+    val sw1 = s"((${d("wss1")} - ${d("ws1")} * ${d("ws1")} /" +
+      s" ${d("n1")}) / (${d("n1")} - 1.0))"
+    val sw0 = s"((${d("wss0")} - ${d("ws0")} * ${d("ws0")} /" +
+      s" ${d("n0")}) / (${d("n0")} - 1.0))"
+    val d1 = s"($sw1 * (${d("n1")} - 1.0) / (${h("g1", "n1")} *" +
+      s" (${h("g1", "n1")} - 1.0)))"
+    val d0 = s"($sw0 * (${d("n0")} - 1.0) / (${h("g0", "n0")} *" +
+      s" (${h("g0", "n0")} - 1.0)))"
+    val t = s"(($tm1 - $tm0) / sqrt($d1 + $d0))"
+    s"""WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      |  GROUP BY 1, 2),
+      |${gf(1)},
+      |${gf(0)}
+      |SELECT CAST(n1 AS BIGINT) AS n_returned,
+      |  CAST(n0 AS BIGINT) AS n_regular,
+      |  $tm1 AS trimmed_mean_returned_d,
+      |  $tm0 AS trimmed_mean_regular_d,
+      |  $t AS yuen_t_d,
+      |  CASE WHEN ABS($t) > 1.96 THEN 'robustly_different'
+      |    ELSE 'no_robust_difference' END AS verdict_5pct
+      |FROM fold1 CROSS JOIN fold0""".stripMargin
+  }
+
   // --------- q388: two-way ANOVA cell decomposition with interaction
 
   /** q388: the two-way factorial decomposition — q268 is one-way; real
@@ -9841,6 +10189,9 @@ object AuditQueries {
     "q475_directional_skill" -> q475DirectionalSkill,
     "q479_permanova" -> q479Permanova,
     "q480_hodges_lehmann" -> q480HodgesLehmann,
+    "q481_rosner_esd" -> q481RosnerEsd,
+    "q482_siegel_slope" -> q482SiegelSlope,
+    "q483_yuen_test" -> q483YuenTest,
     "q476_ansari_bradley" -> q476AnsariBradley,
     "q477_quade" -> q477Quade,
     "q478_distance_correlation" -> q478DistanceCorrelation,
@@ -9943,6 +10294,9 @@ object AuditQueries {
     "q475_directional_skill" -> q475Sql,
     "q479_permanova" -> q479Sql,
     "q480_hodges_lehmann" -> q480Sql,
+    "q481_rosner_esd" -> q481Sql,
+    "q482_siegel_slope" -> q482Sql,
+    "q483_yuen_test" -> q483Sql,
     "q476_ansari_bradley" -> q476Sql,
     "q477_quade" -> q477Sql,
     "q478_distance_correlation" -> q478Sql,
