@@ -398,6 +398,31 @@ class NinthFamiliesPlanSpec extends SparkSpec {
       r.getAs[Long]("n_returned") * r.getAs[Long]("n_regular"))
   }
 
+  test("q481: ESD rounds shrink the deviate or keep it comparable") {
+    val out = graft.SparkEntry.queries("q481_rosner_esd")(spark, sfDir)
+      .orderBy("round").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("nation")).distinct.length == 3,
+      "each round must remove a different nation")
+    assert(out.forall(_.getAs[Double]("r_stat_d") >= 0.0))
+  }
+
+  test("q482: Siegel slope stays finite and alpha reconstructs a level") {
+    val r = graft.SparkEntry.queries("q482_siegel_slope")(spark, sfDir)
+      .collect().head
+    assert(!r.getAs[Double]("beta_d").isNaN)
+    assert(!r.getAs[Double]("alpha_d").isNaN)
+  }
+
+  test("q483: trimmed means sit inside the quantity support") {
+    val r = graft.SparkEntry.queries("q483_yuen_test")(spark, sfDir)
+      .collect().head
+    val t1 = r.getAs[Double]("trimmed_mean_returned_d")
+    val t0 = r.getAs[Double]("trimmed_mean_regular_d")
+    assert(t1 >= 1.0 && t1 <= 50.0)
+    assert(t0 >= 1.0 && t0 <= 50.0)
+  }
+
   test("q437: Bradley-Terry strengths normalize to mean 1e6 and rank") {
     val out = graft.SparkEntry.queries("q437_bradley_terry")(spark, sfDir)
       .collect()
