@@ -8061,20 +8061,29 @@ object AuditQueries {
         col("n"))
     val totS = byV.join(scores, Seq("v"))
       .agg(sum(col("cnt").cast(dec) * col("sc")).as("s_all"))
-    val spine = s.range(0L, AbPermB + 1L).select(col("id").as("b"))
-    val armed = li.crossJoin(broadcast(spine))
-      .withColumn("g2",
-        when(col("b") === 0L, col("grp"))
-          .otherwise(graft.functions.Text.portableHash(
-            concat(col("l_orderkey").cast("string"), lit("#"),
-              col("l_linenumber").cast("string"), lit("#"),
-              col("b").cast("string"))) % 2L))
+    // scale shape: ONE corpus pass computes, per value, the observed
+    // group-1 count AND all B bit-sums of the per-row hash (bit b of
+    // one md5 IS relabeling b) — the xB spine never touches the fact
+    // stream, it unfolds on the ~50-row value rollup
+    val hashed = li.withColumn("h",
+      graft.functions.Text.portableHash(
+        concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))))
+    val bitSums = (1 to AbPermB).map(b =>
+      sum(expr(s"(h div ${1L << b}) % 2")).as(s"sb_$b"))
+    val aggAll = Seq(sum(col("grp")).as("sb_0")) ++ bitSums
+    val perV = hashed.groupBy(col("v"))
+      .agg(aggAll.head, aggAll.tail: _*)
+      .localCheckpoint()
+    val arms = perV.select(col("v"), explode(map(
+      (0 to AbPermB).flatMap(b =>
+        Seq(lit(b.toLong), col(s"sb_$b"))): _*)).as(Seq("b", "cnt")))
+    val stats = arms
       .join(broadcast(scores.select(col("v"), col("sc"), col("n"))),
         Seq("v"))
-    val stats = armed.groupBy(col("b"))
-      .agg(sum(when(col("g2") === 1L, col("sc")).otherwise(0L)).cast(dec)
-        .as("t"),
-        sum(when(col("g2") === 1L, 1L).otherwise(0L)).cast(dec).as("n2"),
+      .groupBy(col("b"))
+      .agg(sum(col("cnt").cast(dec) * col("sc")).as("t"),
+        sum(col("cnt")).cast(dec).as("n2"),
         first(col("n")).cast(dec).as("n"))
       .crossJoin(broadcast(totS))
       .select(col("b"),
@@ -8115,23 +8124,29 @@ object AuditQueries {
       |tot_s AS (
       |  SELECT SUM(CAST(by_v.cnt AS HUGEINT) * scores.sc) AS s_all
       |  FROM by_v JOIN scores USING (v)),
-      |armed AS (
-      |  SELECT sp.b, s.sc, s.n,
-      |    CASE WHEN sp.b = 0 THEN li.grp
-      |      ELSE CAST(concat('0x', substr(md5(
-      |        CAST(li.l_orderkey AS VARCHAR) || '#' ||
-      |        CAST(li.l_linenumber AS VARCHAR) || '#' ||
-      |        CAST(sp.b AS VARCHAR)), 1, 15)) AS BIGINT) % 2 END AS g2
-      |  FROM li
-      |  CROSS JOIN (SELECT UNNEST(range(0, ${AbPermB + 1})) AS b) sp
-      |  JOIN scores s ON s.v = li.v),
+      |hashed AS (
+      |  SELECT li.*, CAST(concat('0x', substr(md5(
+      |      CAST(li.l_orderkey AS VARCHAR) || '#' ||
+      |      CAST(li.l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM li),
+      |per_v AS (
+      |  SELECT v, CAST(SUM(grp) AS BIGINT) AS sb_0,
+      |    ${(1 to AbPermB).map(b =>
+             s"CAST(SUM((h // ${1L << b}) % 2) AS BIGINT) AS sb_$b")
+             .mkString(", ")}
+      |  FROM hashed GROUP BY v),
+      |arms AS (
+      |  SELECT v, sp.b,
+      |    CASE sp.b ${(0 to AbPermB).map(b =>
+             s"WHEN $b THEN sb_$b").mkString(" ")} END AS cnt
+      |  FROM per_v
+      |  CROSS JOIN (SELECT UNNEST(range(0, ${AbPermB + 1})) AS b) sp),
       |stats AS (
       |  SELECT b,
-      |    ABS(CAST(SUM(CASE WHEN g2 = 1 THEN sc ELSE 0 END) AS HUGEINT)
-      |        * ANY_VALUE(n)
-      |      - CAST(SUM(CASE WHEN g2 = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+      |    ABS(SUM(CAST(cnt AS HUGEINT) * s.sc) * ANY_VALUE(s.n)
+      |      - CAST(SUM(cnt) AS HUGEINT)
       |        * (SELECT s_all FROM tot_s)) AS cstat
-      |  FROM armed GROUP BY b),
+      |  FROM arms JOIN scores s USING (v) GROUP BY b),
       |obs AS (SELECT cstat AS c_obs FROM stats WHERE b = 0)
       |SELECT CAST(ANY_VALUE(c_obs) AS BIGINT) AS centered_stat_obs,
       |  CAST(COUNT(*) AS BIGINT) AS n_perm,
