@@ -289,4 +289,21 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
       }
       .toDF("pdw_node_id", "Memory_Utilization_Percentage")
   }
+
+  /** Static documentation-links panel — the dashboard widget that points an
+    * operator at the runbook for each health signal (reference:
+    * samples/sqlops/MonitoringScripts/Documentation.sql:1-4, a one-row
+    * SELECT of doc URLs). This engine's analogs live in-repo, so the panel
+    * links each monitoring surface to the doc that explains acting on it.
+    */
+  def documentation(): DataFrame = {
+    import spark.implicits._
+    Seq((
+      "docs/SCALE.md#skew",
+      "docs/SCALE.md#rowgroups",
+      "README.md#statistics",
+      "README.md#operator-index"))
+      .toDF("data_skew", "low_rowgroup_quality", "table_statistics",
+        "operator_documentation")
+  }
 }

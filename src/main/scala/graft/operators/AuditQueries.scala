@@ -3521,7 +3521,9 @@ object AuditQueries {
       sum(col("tbar_e6")).as("sb"), sum(col("ybar_e6")).as("yb"),
       sum(col("tbar_e6").cast(dec) * col("tbar_e6")).as("sbb"),
       sum(col("tbar_e6").cast(dec) * col("ybar_e6")).as("sby"))
-      .select(expr(sdiv("(g * sby - sb * yb) * 1000000", "g * sbb - sb * sb"))
+      .select(expr(
+        "CASE WHEN g * sbb - sb * sb = 0 THEN NULL ELSE " +
+          sdiv("(g * sby - sb * yb) * 1000000", "g * sbb - sb * sb") + " END")
         .cast("long").as("beta_between_e6"))
     val pooled = pts.agg(count(lit(1)).cast(dec).as("n"),
       sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
@@ -3572,8 +3574,9 @@ object AuditQueries {
       |    SUM(CAST(tbar_e6 AS HUGEINT) * ybar_e6) AS sby
       |  FROM staged),
       |between1 AS (
-      |  SELECT CAST(CASE WHEN g * sby - sb * yb >= 0 THEN 1 ELSE -1 END *
-      |    (ABS((g * sby - sb * yb) * 1000000) // (g * sbb - sb * sb))
+      |  SELECT CAST(CASE WHEN g * sbb - sb * sb = 0 THEN NULL
+      |    ELSE CASE WHEN g * sby - sb * yb >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((g * sby - sb * yb) * 1000000) // (g * sbb - sb * sb)) END
       |    AS BIGINT) AS beta_between_e6
       |  FROM between0),
       |pooled AS (
@@ -6549,7 +6552,13 @@ object AuditQueries {
 
   val q461Sql: String = {
     val g = PowerG
-    val facts = (0 to g).map(i => s"($i, ${FactTable(i)})").mkString(", ")
+    // CASE ladders instead of correlated scalar subqueries over a
+    // VALUES CTE: correlated lookups into VALUES inside an aggregate
+    // are not portable across DuckDB releases (driver-gate hash
+    // mismatch in round 4); a plan-time CASE over sz is.
+    def factCase(arg: String) = s"CASE $arg " + (0 to g)
+      .map(i => s"WHEN $i THEN ${FactTable(i)}")
+      .mkString(" ") + " ELSE 0 END"
     s"""WITH voters AS (
       |  SELECT sk, w, ROW_NUMBER() OVER (ORDER BY w DESC, sk) AS si
       |  FROM (
@@ -6569,7 +6578,6 @@ object AuditQueries {
       |    SUM(CASE WHEN inm = 1 THEN w ELSE 0 END) AS cw,
       |    CAST(SUM(inm) AS BIGINT) AS sz
       |  FROM lattice GROUP BY mask),
-      |facts(i, f) AS (VALUES $facts),
       |swings AS (
       |  SELECT l.si, l.sk, l.w, b.sz
       |  FROM lattice l
@@ -6578,8 +6586,8 @@ object AuditQueries {
       |  WHERE l.inm = 1 AND b.cw >= q AND b.cw - l.w < q),
       |per_voter AS (
       |  SELECT si, sk, w, CAST(COUNT(*) AS BIGINT) AS n_swings,
-      |    SUM((SELECT CAST(f AS HUGEINT) FROM facts WHERE i = sz - 1) *
-      |        (SELECT CAST(f AS HUGEINT) FROM facts WHERE i = $g - sz))
+      |    SUM(CAST(${factCase("sz - 1")} AS HUGEINT) *
+      |        (${factCase(s"$g - sz")}))
       |      AS ss_num
       |  FROM swings GROUP BY si, sk, w),
       |tot AS (SELECT SUM(n_swings) AS tot FROM per_voter)

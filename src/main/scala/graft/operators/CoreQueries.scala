@@ -243,16 +243,40 @@ object CoreQueries {
       |FROM lineitem l JOIN g_supp_rollup r ON l.l_suppkey = r.l_suppkey
       |GROUP BY l_returnflag""".stripMargin
 
-  /** approx_count_distinct — the 100 TB cardinality path (HLL sketch; rows
-    * checked only, sketch estimates are engine-specific).
+  /** approx_count_distinct — the 100 TB cardinality path (Spark's native
+    * HLL++ sketch). The sketch estimate itself is engine-specific, so the
+    * exact-compare gate can't hash it; instead the query ships its OWN
+    * accuracy contract in the output: the hashed columns are the exact
+    * NDVs plus within-tolerance flags (default-rsd 0.05 sketch checked at
+    * 3σ ≈ 15%, the rsd-0.01 sketch at 3%), and the oracle asserts the
+    * flags are 1. HLL++ is deterministic for fixed data, so the row is a
+    * stable, checkable contract — if a Spark upgrade degrades the sketch
+    * past tolerance, the gate goes red. The exact-NDV audit columns are
+    * the gate's instrument; a production run at 100 TB drops them and
+    * keeps only the sketch (the same pattern as q290's percentile audit).
     */
   val q08ApproxDistinct: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     l.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("a_orders") - col("exact_orders")) * 100 <=
+          col("exact_orders") * 15).cast("long").as("orders_within_15pct"),
+        (abs(col("a_parts") - col("exact_parts")) * 100 <=
+          col("exact_parts") * 3).cast("long").as("parts_within_3pct"))
   }
+
+  val q08Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(1 AS BIGINT) AS orders_within_15pct,
+      |  CAST(1 AS BIGINT) AS parts_within_3pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // deterministic portable-HLL constants: p=8 → m=256 registers over the
   // top 8 bits of the 60-bit portable hash; the remaining 52 bits feed the
@@ -1246,15 +1270,31 @@ object CoreQueries {
         expr("""CAST(ROUND(l_extendedprice*100) AS BIGINT) * 100
                | DIV CAST(ROUND(l_quantity*100) AS BIGINT)""".stripMargin)
           .as("unit_c"))
-    li.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n_offers"),
+    // The (part, unit_c) rollup IS the partial aggregation percentile_disc
+    // never gets (its WITHIN GROUP plans as an ObjectHashAggregate that
+    // buffers every raw unit price per part — full-row shuffle, no
+    // codegen); the median then reads off below-counts from the house
+    // two-level rank selection, the same ceil(n/2) target percentile_disc
+    // defines (boundary-verified by q347/q356/q378).
+    val byV = li.groupBy(col("l_partkey"), col("unit_c"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = byV.groupBy(col("l_partkey"))
+      .agg(sum(col("cnt")).as("n_offers"),
         min(col("unit_c")).as("min_unit_c"),
-        max(col("unit_c")).as("max_unit_c"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY unit_c)")
-          .cast("long").as("median_unit_c"))
+        max(col("unit_c")).as("max_unit_c"))
       .filter(col("n_offers") >= DispersionMinOffers)
-      .withColumn("spread_e6",
-        expr("(max_unit_c - min_unit_c) * 1000000 DIV min_unit_c"))
+    val med = AuditQueries
+      .doubledRankBelow(byV, Seq("l_partkey"), "unit_c", 100000L)
+      .join(stats.select(col("l_partkey"), col("n_offers")), "l_partkey")
+      .filter(col("below") + col("cnt") >= expr("(n_offers + 1) div 2"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("unit_c")).as("median_unit_c"))
+    stats.join(med, "l_partkey")
+      .select(col("l_partkey"), col("n_offers"), col("min_unit_c"),
+        col("max_unit_c"), col("median_unit_c"),
+        expr("(max_unit_c - min_unit_c) * 1000000 DIV min_unit_c")
+          .as("spread_e6"))
   }
 
   val q205Sql: String =
@@ -5081,6 +5121,7 @@ object CoreQueries {
     "q37_pivot" -> q37Sql,
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,
+    "q08_approx_distinct" -> q08Sql,
     "q09_portable_hll" -> q09Sql,
     "q101_hll_rollup" -> q101Sql,
     "q112_abc_classes" -> q112Sql,

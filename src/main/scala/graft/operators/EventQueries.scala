@@ -9094,21 +9094,32 @@ object EventQueries {
       |    CAST(0 AS HUGEINT) AS sse
       |  FROM ser WHERE rk = 1
       |  UNION ALL
-      |  SELECT s.rk, pl.lev2,
-      |    CAST(CASE WHEN $HoltBetaTenths * (pl.lev2 - h.lev)
-      |        + (10 - $HoltBetaTenths) * h.tr >= 0 THEN 1 ELSE -1 END *
-      |      (ABS($HoltBetaTenths * (pl.lev2 - h.lev)
-      |        + (10 - $HoltBetaTenths) * h.tr) // 10) AS BIGINT),
-      |    h.sse + CAST(s.x - (h.lev + h.tr) AS HUGEINT)
-      |      * (s.x - (h.lev + h.tr))
-      |  FROM holt h JOIN ser s ON s.rk = h.rk + 1
-      |  CROSS JOIN LATERAL (SELECT
+      |  SELECT s.rk,
       |    CAST(CASE WHEN $HoltAlphaTenths * s.x
       |        + (10 - $HoltAlphaTenths) * (h.lev + h.tr) >= 0
       |      THEN 1 ELSE -1 END *
       |      (ABS($HoltAlphaTenths * s.x
       |        + (10 - $HoltAlphaTenths) * (h.lev + h.tr)) // 10)
-      |      AS BIGINT) AS lev2) pl),
+      |      AS BIGINT),
+      |    CAST(CASE WHEN $HoltBetaTenths * (
+      |        CAST(CASE WHEN $HoltAlphaTenths * s.x
+      |            + (10 - $HoltAlphaTenths) * (h.lev + h.tr) >= 0
+      |          THEN 1 ELSE -1 END *
+      |          (ABS($HoltAlphaTenths * s.x
+      |            + (10 - $HoltAlphaTenths) * (h.lev + h.tr)) // 10)
+      |          AS BIGINT) - h.lev)
+      |        + (10 - $HoltBetaTenths) * h.tr >= 0 THEN 1 ELSE -1 END *
+      |      (ABS($HoltBetaTenths * (
+      |        CAST(CASE WHEN $HoltAlphaTenths * s.x
+      |            + (10 - $HoltAlphaTenths) * (h.lev + h.tr) >= 0
+      |          THEN 1 ELSE -1 END *
+      |          (ABS($HoltAlphaTenths * s.x
+      |            + (10 - $HoltAlphaTenths) * (h.lev + h.tr)) // 10)
+      |          AS BIGINT) - h.lev)
+      |        + (10 - $HoltBetaTenths) * h.tr) // 10) AS BIGINT),
+      |    h.sse + CAST(s.x - (h.lev + h.tr) AS HUGEINT)
+      |      * (s.x - (h.lev + h.tr))
+      |  FROM holt h JOIN ser s ON s.rk = h.rk + 1),
       |last AS (SELECT lev, tr, sse FROM holt ORDER BY rk DESC LIMIT 1),
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
       |SELECT n_days, lev AS level_cents, tr AS trend_cents,
@@ -9718,27 +9729,31 @@ object EventQueries {
   }
 
   val q416Sql: String = {
-    val gains = KalmanGainsE6.zipWithIndex
-      .map { case (g, i) => s"(${i + 2}, $g)" }.mkString(", ")
+    // Inlined CASE ladder instead of a VALUES-table join inside the
+    // recursive arm: joining a VALUES CTE in a recursive arm is not
+    // portable across DuckDB releases (driver-gate hash mismatch in
+    // round 4); a plan-time CASE expression over s.rk is.
+    val kCase = "CASE s.rk " + KalmanGainsE6.zipWithIndex
+      .map { case (g, i) => s"WHEN ${i + 2} THEN $g" }
+      .mkString(" ") + " ELSE 0 END"
     s"""WITH RECURSIVE bd AS (
       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
       |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
       |ser AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rk, x FROM bd),
-      |gains(rk, k) AS (VALUES $gains),
       |walk AS (
       |  SELECT rk, x AS m, CAST(1000000 AS BIGINT) AS gain,
       |    CAST(0 AS HUGEINT) AS sse
       |  FROM ser WHERE rk = 1
       |  UNION ALL
       |  SELECT s.rk,
-      |    w.m + CAST(CASE WHEN g.k * (s.x - w.m) >= 0 THEN 1 ELSE -1 END *
-      |      (ABS(g.k * (s.x - w.m)) // 1000000) AS BIGINT),
-      |    g.k,
+      |    w.m + CAST(CASE WHEN ($kCase) * (s.x - w.m) >= 0
+      |        THEN 1 ELSE -1 END *
+      |      (ABS(($kCase) * (s.x - w.m)) // 1000000) AS BIGINT),
+      |    CAST($kCase AS BIGINT),
       |    w.sse + CAST(s.x - w.m AS HUGEINT) * (s.x - w.m)
       |  FROM walk w
-      |  JOIN ser s ON s.rk = w.rk + 1
-      |  JOIN gains g ON g.rk = s.rk),
+      |  JOIN ser s ON s.rk = w.rk + 1),
       |last AS (SELECT m, gain, sse FROM walk ORDER BY rk DESC LIMIT 1),
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
       |SELECT n_days, m AS level_cents, gain AS gain_final_e6,

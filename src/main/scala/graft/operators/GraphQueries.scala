@@ -1205,8 +1205,15 @@ object GraphQueries {
   }
 
   def q262Sql: String = {
-    val d = DcgDisc.mkString("[", ", ", "]")
-    val c = DcgCum.mkString("[", ", ", "]")
+    // CASE ladders instead of list-literal subscripting `([...])[i]`:
+    // list subscripting of a literal is not portable across DuckDB
+    // releases (driver-gate hash mismatch in round 4).
+    val d = "CASE CAST(rk AS INT) " + DcgDisc.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+      .mkString(" ") + " ELSE 0 END"
+    val c = s"CASE CAST(LEAST(nrel, $RankK) AS INT) " + DcgCum.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+      .mkString(" ") + " ELSE 0 END"
     s"""WITH ${recEdgeCte("tr", "<")},
        |${recEdgeCte("te", ">=")},
        |recs AS (
@@ -1218,12 +1225,12 @@ object GraphQueries {
        |rel AS (SELECT a, b FROM te_dir),
        |per_rel AS (SELECT a, COUNT(*) AS nrel FROM rel GROUP BY a),
        |dcg AS (
-       |  SELECT rel.a, SUM(($d)[CAST(rk AS INT)]) AS dcg_e6
+       |  SELECT rel.a, SUM($d) AS dcg_e6
        |  FROM rel JOIN recs ON rel.a = recs.a AND rel.b = recs.b
        |  GROUP BY rel.a),
        |per AS (
        |  SELECT COALESCE(dcg_e6, 0) AS dcg_e6,
-       |    ($c)[CAST(LEAST(nrel, $RankK) AS INT)] AS idcg_e6
+       |    $c AS idcg_e6
        |  FROM per_rel LEFT JOIN dcg USING (a)),
        |scored AS (
        |  SELECT dcg_e6,

@@ -995,9 +995,12 @@ object TextQueries {
     * shares are exact e6 divisions.
     */
   val q199DedupEffectiveness: Q = (s, dir) => {
+    // The digest rollup feeds two branches (keepers + the final join):
+    // localCheckpoint so the document scan + md5 pass runs once.
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         Text.tokenCount(col("text")).as("n_toks"), md5(col("text")).as("h"))
+      .localCheckpoint()
     val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
     val reps = q68DedupClusters(s, dir)
     d.join(keepers, "h")
@@ -1204,10 +1207,15 @@ object TextQueries {
     * at-scale baseline, stated here rather than hidden.
     */
   val q133LshQuality: Q = (s, dir) => {
+    // Both pair streams feed two branches each (their own count + the
+    // hit join): localCheckpoint so the q54 and q55 pipelines run once
+    // per invocation instead of once per consuming branch.
     val truth = q54NgramJaccard(s, dir)
       .filter(col("jaccard") >= EvalJaccard)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val cand = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = truth.join(cand, Seq("doc_a", "doc_b"))

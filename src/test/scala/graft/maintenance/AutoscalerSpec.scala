@@ -59,6 +59,72 @@ class AutoscalerSpec extends SparkSpec {
     assert(timerLogs(0).getAs[String]("action") === "Scale Up To Default")
   }
 
+  test("suspend → resume round-trip preserves permanent tables and policies") {
+    import graft.catalog.{Distribution, TablePolicy}
+    import graft.sources.Ctas
+    val lc = new Lifecycle("dw6", () => spark.newSession(),
+      Some(new Autoscaler("dw6")))
+    assert(lc.state === Lifecycle.Paused)
+    intercept[IllegalStateException] { lc.session }
+    val s1 = lc.resume() // provision
+    assert(lc.state === Lifecycle.Online)
+    s1.sql("DROP TABLE IF EXISTS lifecycle_rt")
+    Ctas.create(s1, s1.range(100).toDF("id"), "lifecycle_rt",
+      TablePolicy(Distribution.Hash("id", 4)))
+    s1.range(5).toDF("id").createOrReplaceTempView("lifecycle_scratch")
+    assert(s1.catalog.tableExists("lifecycle_scratch"))
+
+    lc.suspend()
+    assert(lc.state === Lifecycle.Paused)
+    intercept[IllegalStateException] { lc.session } // paused refuses logins
+
+    val s2 = lc.resume()
+    // durable catalog survived the pause: the table, its rows, its policy
+    assert(s2.catalog.tableExists("lifecycle_rt"))
+    assert(s2.table("lifecycle_rt").count() === 100)
+    assert(TablePolicy.of(s2, "lifecycle_rt").distribution ===
+      Distribution.Hash("id", 4))
+    // session-scoped temp state dies with the pause (reference #temp
+    // tables die when pause kills sessions)
+    assert(!s2.catalog.tableExists("lifecycle_scratch"))
+    // compute posture rebuilt: engine function surface is re-registered
+    assert(s2.sql("SELECT QUOTENAME('x') AS q").collect()(0)
+      .getString(0) === "[x]")
+
+    // idempotent no-ops, all journalled
+    lc.resume()
+    lc.suspend()
+    lc.suspend()
+    val j = lc.journal(spark).collect()
+    assert(j.map(_.getAs[String]("action")).toSeq ===
+      Seq("Resume", "Pause", "Resume", "Resume", "Pause", "Pause"))
+    assert(j(3).getAs[String]("detail") === "already online")
+    assert(j(5).getAs[String]("detail") === "already paused")
+    s2.sql("DROP TABLE IF EXISTS lifecycle_rt")
+  }
+
+  test("lifecycle actions run as orchestrator activities (ADF ActionType)") {
+    val lc = new Lifecycle("dw7", () => spark.newSession())
+    lc.resume()
+    // maintenance window pipeline: pause → (external work) → resume,
+    // wired by dataset dependencies exactly like the ADF sample
+    val pause = Lifecycle.activity(lc, Lifecycle.ActionPause,
+      outputs = Set("ds_paused"))
+    val work = Orchestrator.Activity("offline-maintenance",
+      Set("ds_paused"), Set("ds_maintained")) { _ =>
+      assert(lc.state === Lifecycle.Paused)
+    }
+    val resume = Lifecycle.activity(lc, Lifecycle.ActionResume,
+      inputs = Set("ds_maintained"))
+    val r = Orchestrator.run(spark, "maintenance-window",
+      Seq(pause, work, resume))
+    assert(r.succeeded)
+    assert(lc.state === Lifecycle.Online)
+    intercept[IllegalArgumentException] {
+      Lifecycle.activity(lc, "Shrink").run(spark)
+    }
+  }
+
   test("applyTo scales shuffle parallelism linearly with the level") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -336,7 +336,15 @@ class PlansSpec extends SparkSpec {
     assert(!p202.contains("CartesianProduct"), p202)
     assert(p202.contains("collect_list"), "basket pairs stay in-place")
     val p205 = plan("q205_price_dispersion")
-    assert(!p205.contains("Join"), s"one rollup, no joins:\n$p205")
+    assert(!p205.contains("CartesianProduct"), p205)
+    // the median reads off the two-level rank selection over the
+    // (part, unit_c) rollup — never a per-group percentile sort-aggregate
+    // that buffers every raw unit price per part (no partial agg, no
+    // codegen; 19 s at sf0.1 before the rewrite)
+    assert(!p205.toLowerCase.contains("percentile"),
+      s"median must come from rank selection, not percentile_disc:\n$p205")
+    assert(p205.contains("partial_count") || p205.contains("partial_sum"),
+      s"the unit-price rollup must partial-aggregate map-side:\n$p205")
   }
   test("q218/q219: FD rollups partial-aggregate; IND joins distinct-reduced sides") {
     val fd = plan("q218_fd_audit")
