@@ -10176,7 +10176,774 @@ object AuditQueries {
        |    - (4 * n * m - 1) * 1000000 // (6 * (n + m)) AS BIGINT) AS t_e6
        |FROM piv""".stripMargin
 
+  // ------ q485: Neyman-allocation stratified sampling design
+
+  /** Total sample budget the allocation distributes across strata. */
+  val SampleBudget = 1000L
+
+  /** q485: Neyman (optimal) allocation for stratified sampling — the
+    * SURVEY-DESIGN operator the engine's resampling family (q86/q328
+    * rake to known margins) still lacked: given strata (order priority)
+    * and a budget of [[SampleBudget]] draws, allocate n_h ∝ N_h·S_h so
+    * the stratified mean's variance is minimized, next to the
+    * proportional allocation (n_h ∝ N_h) it beats exactly when
+    * within-stratum spreads differ. N_h·S_h = √(N_h·Σx² − (Σx)²) comes
+    * out as ONE bit-portable FLOOR(SQRT(·)) per stratum (the q373 band
+    * device; staged //10⁴ to stay under 2⁵³), and the integer budget is
+    * apportioned by largest remainder — floor shares plus +1 to the
+    * biggest remainders, deterministic priority tie-break — so the five
+    * allocations sum to the budget EXACTLY in both engines, no float
+    * rounding anywhere.
+    *
+    * Plan: one orders pass → 5-row stratum rollup (checkpointed) →
+    * metadata windows for the apportionment.
+    */
+  val q485NeymanAllocation: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val B = SampleBudget
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 100000").as("x"))
+    val per = o.groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("nh"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      .select(col("g"), col("nh").cast("long").as("nh"),
+        expr("CAST(FLOOR(SQRT(CAST(" +
+          fdiv("nh * sxx - sx * sx", "10000") +
+          " AS DOUBLE))) AS BIGINT)").as("w"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("w")).as("wt"), sum(col("nh")).as("nt"))
+    val staged = per.crossJoin(broadcast(tot))
+      .select(col("g"), col("nh"), col("w"),
+        expr(s"CASE WHEN wt = 0 THEN NULL ELSE ($B * w) div wt END")
+          .as("base_n"),
+        expr(s"CASE WHEN wt = 0 THEN NULL ELSE ($B * w) % wt END")
+          .as("rem_n"),
+        expr(s"($B * nh) div nt").as("base_p"),
+        expr(s"($B * nh) % nt").as("rem_p"))
+      .localCheckpoint()
+    val left = staged.agg((lit(B) - sum(col("base_n"))).as("ln"),
+      (lit(B) - sum(col("base_p"))).as("lp"))
+    staged.crossJoin(broadcast(left))
+      .withColumn("rk_n", row_number().over(
+        Window.orderBy(col("rem_n").desc, col("g"))))
+      .withColumn("rk_p", row_number().over(
+        Window.orderBy(col("rem_p").desc, col("g"))))
+      .select(col("g").as("priority"), col("nh").as("n_h"),
+        col("w").as("ns_weight"),
+        (col("base_n") + (col("rk_n") <= col("ln")).cast("long"))
+          .as("alloc_neyman"),
+        (col("base_p") + (col("rk_p") <= col("lp")).cast("long"))
+          .as("alloc_prop"))
+      .orderBy(col("priority"))
+  }
+
+  val q485Sql: String = {
+    val B = SampleBudget
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) // 100000 AS x
+      |  FROM orders),
+      |per AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS nh,
+      |    CAST(FLOOR(SQRT(CAST(CAST(
+      |      (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+      |        - CAST(SUM(x) AS HUGEINT) * SUM(x)) // 10000
+      |      AS VARCHAR) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM o GROUP BY g),
+      |tot AS (SELECT SUM(w) AS wt, SUM(nh) AS nt FROM per),
+      |staged AS (
+      |  SELECT g, nh, w,
+      |    CASE WHEN wt = 0 THEN NULL ELSE ($B * w) // wt END AS base_n,
+      |    CASE WHEN wt = 0 THEN NULL ELSE ($B * w) % wt END AS rem_n,
+      |    ($B * nh) // nt AS base_p,
+      |    ($B * nh) % nt AS rem_p
+      |  FROM per CROSS JOIN tot),
+      |leftov AS (
+      |  SELECT $B - SUM(base_n) AS ln, $B - SUM(base_p) AS lp
+      |  FROM staged),
+      |ranked AS (
+      |  SELECT g, nh, w, base_n, base_p, ln, lp,
+      |    ROW_NUMBER() OVER (ORDER BY rem_n DESC, g) AS rk_n,
+      |    ROW_NUMBER() OVER (ORDER BY rem_p DESC, g) AS rk_p
+      |  FROM staged CROSS JOIN leftov)
+      |SELECT g AS priority, nh AS n_h, w AS ns_weight,
+      |  CAST(base_n + CASE WHEN rk_n <= ln THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_neyman,
+      |  CAST(base_p + CASE WHEN rk_p <= lp THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_prop
+      |FROM ranked ORDER BY priority""".stripMargin
+  }
+
+  // ------ q486: Breslow-Day homogeneity of stratified odds ratios
+
+  /** q486: the Breslow–Day test — the companion question to the engine's
+    * Mantel–Haenszel common odds ratio (q-MH family): MH ASSUMES the
+    * exposure→outcome odds ratio is the same in every stratum; BD TESTS
+    * that assumption, per region, before anyone quotes the pooled OR.
+    * Exposure = urgent/high order priority, outcome = order value above
+    * the grand mean, strata = customer regions. The common OR stages as
+    * exact e6-floored MH sums; each stratum's expected exposed-case
+    * count solves the OR-constrained quadratic — ONE IEEE tree
+    * ((−b−√(b²−4ac))/2a over exact integers and the shared or_e6, with
+    * the R=1 degenerate root m₁n₁/n guarded exactly) — and each BD term
+    * (a−x)²/V floors to e6 BEFORE the cross-stratum sum, so the chi²
+    * total is an exact integer sum of identically-rounded terms, never
+    * an order-dependent float reduction.
+    *
+    * Plan: one orders scalar (threshold) + one orders⋈broadcast-customer
+    * pass → 5-region cell rollup → metadata folds.
+    */
+  val q486BreslowDay: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2")
+        .cast("long").as("e"),
+      cents(col("o_totalprice")).as("c"))
+    val thr = o.agg(expr("SUM(c) div COUNT(*)").as("t"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_regionkey").as("r"))
+    val cells = o.crossJoin(broadcast(thr))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("r"), col("e"), (col("c") > col("t")).cast("long").as("y"))
+      .groupBy(col("r"))
+      .agg(sum(col("e") * col("y")).as("a"),
+        sum(col("e") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("e")) * col("y")).as("cc"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).as("d"))
+      .localCheckpoint()
+    val mh = cells.agg(
+      sum(expr(fdiv("CAST(a AS DECIMAL(38,0)) * d * 1000000",
+        "a + b + cc + d"))).as("num_e6"),
+      sum(expr(fdiv("CAST(b AS DECIMAL(38,0)) * cc * 1000000",
+        "a + b + cc + d"))).as("den_e6"))
+      .select(expr("CASE WHEN den_e6 = 0 THEN NULL ELSE " +
+        fdiv("num_e6 * 1000000", "den_e6") + " END")
+        .cast("long").as("or_e6"))
+    val terms = cells.crossJoin(broadcast(mh))
+      .withColumn("n", col("a") + col("b") + col("cc") + col("d"))
+      .withColumn("m1", col("a") + col("b"))
+      .withColumn("n1", col("a") + col("cc"))
+      .withColumn("rd", col("or_e6").cast("double") / 1000000.0)
+      .withColumn("x",
+        when(col("or_e6") === 1000000L,
+          col("m1").cast("double") * col("n1") / col("n"))
+          .otherwise {
+            val a2 = col("rd") - 1.0
+            val b2 = (col("m1") + col("n1")).cast("double") * col("rd") * -1.0 -
+              (col("n") - col("m1") - col("n1")).cast("double")
+            val c2 = col("rd") * col("m1") * col("n1")
+            (b2 * -1.0 - sqrt(b2 * b2 - a2 * c2 * 4.0)) / (a2 * 2.0)
+          })
+      .withColumn("v", lit(1.0) / (lit(1.0) / col("x") +
+        lit(1.0) / (col("m1") - col("x")) +
+        lit(1.0) / (col("n1") - col("x")) +
+        lit(1.0) / (col("n") - col("m1") - col("n1") + col("x"))))
+      .withColumn("bd_term_e6", expr(
+        "CAST(FLOOR((a - x) * (a - x) / v * 1000000) AS BIGINT)"))
+      .localCheckpoint()
+    val chi = terms.agg(sum(col("bd_term_e6")).as("chi2_e6"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("r").as("region"), col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"), col("cc").cast("long").as("c"),
+        col("d").cast("long").as("d"), col("or_e6"),
+        col("x").as("expected_a_d"), col("bd_term_e6"), col("chi2_e6"))
+      .orderBy(col("region"))
+  }
+
+  val q486Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
+      |      THEN 1 ELSE 0 END AS e,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |thr AS (SELECT SUM(c) // COUNT(*) AS t FROM o),
+      |dim AS (
+      |  SELECT c_custkey, n_regionkey AS r
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |cells AS (
+      |  SELECT r,
+      |    CAST(SUM(e * y) AS BIGINT) AS a,
+      |    CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - e) * y) AS BIGINT) AS cc,
+      |    CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+      |  FROM (
+      |    SELECT dim.r, o.e, CASE WHEN o.c > thr.t THEN 1 ELSE 0 END AS y
+      |    FROM o CROSS JOIN thr JOIN dim ON o.o_custkey = dim.c_custkey)
+      |  GROUP BY r),
+      |mh AS (
+      |  SELECT CAST(CASE WHEN SUM(CAST(b AS HUGEINT) * cc * 1000000
+      |        // (a + b + cc + d)) = 0 THEN NULL
+      |    ELSE SUM(CAST(a AS HUGEINT) * d * 1000000
+      |        // (a + b + cc + d)) * 1000000
+      |      // SUM(CAST(b AS HUGEINT) * cc * 1000000 // (a + b + cc + d))
+      |    END AS BIGINT) AS or_e6
+      |  FROM cells),
+      |terms AS (
+      |  SELECT r, a, b, cc, d, or_e6,
+      |    a + b + cc + d AS n, a + b AS m1, a + cc AS n1,
+      |    or_e6 / 1000000.0 AS rd
+      |  FROM cells CROSS JOIN mh),
+      |solved AS (
+      |  SELECT r, a, b, cc, d, or_e6, n, m1, n1,
+      |    CASE WHEN or_e6 = 1000000
+      |      THEN CAST(m1 AS DOUBLE) * n1 / n
+      |      ELSE (-1.0 * (CAST(m1 + n1 AS DOUBLE) * rd * -1.0
+      |          - CAST(n - m1 - n1 AS DOUBLE))
+      |        - SQRT((CAST(m1 + n1 AS DOUBLE) * rd * -1.0
+      |            - CAST(n - m1 - n1 AS DOUBLE))
+      |          * (CAST(m1 + n1 AS DOUBLE) * rd * -1.0
+      |            - CAST(n - m1 - n1 AS DOUBLE))
+      |          - (rd - 1.0) * (rd * m1 * n1) * 4.0))
+      |        / ((rd - 1.0) * 2.0) END AS x
+      |  FROM terms),
+      |scored AS (
+      |  SELECT r, a, b, cc, d, or_e6, x,
+      |    CAST(FLOOR((a - x) * (a - x) /
+      |      (1.0 / (1.0 / x + 1.0 / (m1 - x) + 1.0 / (n1 - x)
+      |        + 1.0 / (n - m1 - n1 + x))) * 1000000) AS BIGINT)
+      |      AS bd_term_e6
+      |  FROM solved),
+      |chi AS (SELECT SUM(bd_term_e6) AS chi2_e6 FROM scored)
+      |SELECT r AS region, a, b, cc AS c, d, or_e6, x AS expected_a_d,
+      |  bd_term_e6, CAST(chi2_e6 AS BIGINT) AS chi2_e6
+      |FROM scored CROSS JOIN chi
+      |ORDER BY region""".stripMargin
+
+  // ------ q487: weight-of-evidence / information-value screening
+
+  /** q487: WoE/IV — credit scoring's standard supervised feature screen,
+    * the missing member next to the engine's classifier-evaluation suite
+    * (q99/q114/q164 score, lift, AUC): per feature bin b (market
+    * segment), WoE_b = ln(p_b/q_b) compares the bin's share of GOODS
+    * (orders above the grand mean) against its share of BADS, and
+    * IV = Σ(p_b − q_b)·WoE_b grades the whole feature (rule of thumb:
+    * < 0.02 useless, > 0.3 strong). Both logs ride the portable e6 log2
+    * LUT — woe_e6 = (l2(G_b·B) − l2(B_b·G))·ln2, every l2 argument one
+    * BIGINT-safe product — and each IV term is one signed e6 floor, so
+    * the cross-bin IV total is an exact integer sum. Empty cells
+    * NULL-guard the logs (ANSI rule).
+    *
+    * Plan: one orders scalar (threshold) + one orders⋈broadcast-customer
+    * pass → 5-bin rollup → metadata folds.
+    */
+  val q487WoeIv: Q = (s, dir) => {
+    import graft.functions.Text
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      cents(col("o_totalprice")).as("c"))
+    val thr = o.agg(expr("SUM(c) div COUNT(*)").as("t"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val bins = o.crossJoin(broadcast(thr))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"))
+      .agg(sum((col("c") > col("t")).cast("long")).as("gb"),
+        sum((col("c") <= col("t")).cast("long")).as("bb"))
+      .localCheckpoint()
+    val tot = bins.agg(sum(col("gb")).as("gt"), sum(col("bb")).as("bt"))
+    val staged = bins.crossJoin(broadcast(tot))
+      .withColumn("gx", col("gb") * col("bt"))
+      .withColumn("bx", col("bb") * col("gt"))
+      .withColumn("woe_e6", expr(
+        "CASE WHEN gx = 0 OR bx = 0 THEN NULL ELSE " +
+          sdiv(s"(${Text.log2e6SparkSql("gx")} - " +
+            s"${Text.log2e6SparkSql("bx")}) * 693147", "1000000") +
+          " END").cast("long"))
+      .withColumn("iv_term_e6", expr(
+        "CASE WHEN woe_e6 IS NULL THEN NULL ELSE " +
+          sdiv("(gx - bx) * CAST(woe_e6 AS DECIMAL(38,0))",
+            "CAST(gt AS DECIMAL(38,0)) * bt") + " END").cast("long"))
+      .localCheckpoint()
+    val iv = staged.agg(sum(col("iv_term_e6")).as("iv_total_e6"))
+    staged.crossJoin(broadcast(iv))
+      .select(col("seg").as("segment"), col("gb").as("n_good"),
+        col("bb").as("n_bad"), col("woe_e6"), col("iv_term_e6"),
+        col("iv_total_e6"))
+      .orderBy(col("segment"))
+  }
+
+  val q487Sql: String = {
+    import graft.functions.Text
+    s"""WITH o AS (
+      |  SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |thr AS (SELECT SUM(c) // COUNT(*) AS t FROM o),
+      |bins AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(SUM(CASE WHEN c > t THEN 1 ELSE 0 END) AS BIGINT) AS gb,
+      |    CAST(SUM(CASE WHEN c <= t THEN 1 ELSE 0 END) AS BIGINT) AS bb
+      |  FROM o CROSS JOIN thr
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |tot AS (SELECT SUM(gb) AS gt, SUM(bb) AS bt FROM bins),
+      |staged AS (
+      |  SELECT seg, gb, bb, gb * bt AS gx, bb * gt AS bx, gt, bt
+      |  FROM bins CROSS JOIN tot),
+      |woe AS (
+      |  SELECT seg, gb, bb, gx, bx, gt, bt,
+      |    CASE WHEN gx = 0 OR bx = 0 THEN NULL ELSE
+      |      CAST(CASE WHEN ${Text.log2e6DuckSql("gx")}
+      |          - ${Text.log2e6DuckSql("bx")} >= 0 THEN 1 ELSE -1 END *
+      |        (ABS((${Text.log2e6DuckSql("gx")}
+      |          - ${Text.log2e6DuckSql("bx")}) * 693147) // 1000000)
+      |        AS BIGINT) END AS woe_e6
+      |  FROM staged),
+      |terms AS (
+      |  SELECT seg, gb, bb, woe_e6,
+      |    CASE WHEN woe_e6 IS NULL THEN NULL ELSE
+      |      CAST(CASE WHEN (gx - bx) * woe_e6 >= 0 THEN 1 ELSE -1 END *
+      |        (ABS(CAST(gx - bx AS HUGEINT) * woe_e6)
+      |          // (CAST(gt AS HUGEINT) * bt)) AS BIGINT) END
+      |      AS iv_term_e6
+      |  FROM woe),
+      |iv AS (SELECT CAST(SUM(iv_term_e6) AS BIGINT) AS iv_total_e6
+      |       FROM terms)
+      |SELECT seg AS segment, gb AS n_good, bb AS n_bad, woe_e6,
+      |  iv_term_e6, iv_total_e6
+      |FROM terms CROSS JOIN iv
+      |ORDER BY segment""".stripMargin
+  }
+
+  // ------ q488: count-data overdispersion diagnostics
+
+  /** q488: overdispersion diagnostics for count data — before anyone
+    * fits a Poisson model to per-customer order counts, this asks the
+    * prerequisite question the engine's continuous-variance tests
+    * (ARCH, variance-ratio) don't: is Var(y) > E(y)? Two classical
+    * statistics side by side: Fisher's dispersion index
+    * D = Σ(y−ȳ)²/ȳ = (nΣy² − (Σy)²)/Σy (EXACT e6 rational, ~χ²_{n−1}
+    * under Poisson) with its normal standardization
+    * z = (D − (n−1))/√(2(n−1)), and the Cameron–Trivedi score
+    * T = (Σ(y−ȳ)² − Σy)/(ȳ·√(2n)) for the NB-variance alternative.
+    * Both z and T are single IEEE trees over the same three exact
+    * integer moments; the overdispersed flag compares identical
+    * doubles, so it is bit-stable.
+    *
+    * Plan: one orders pass → customer rollup → 1-row moment fold.
+    */
+  val q488Overdispersion: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val y = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+    val m = y.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+      .withColumn("num", col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("n").cast("long").as("n_customers"),
+      col("sy").cast("long").as("n_orders"),
+      expr(fdiv("sy * 1000000", "n")).cast("long").as("mean_y_e6"),
+      expr(fdiv("num * 1000000", "sy")).cast("long").as("disp_index_e6"),
+      ((col("num").cast("double") / col("sy").cast("double") -
+        (col("n").cast("double") - 1.0)) /
+        sqrt((col("n").cast("double") - 1.0) * 2.0)).as("z_fisher_d"),
+      ((col("num").cast("double") / col("n").cast("double") -
+        col("sy").cast("double")) /
+        (col("sy").cast("double") / col("n").cast("double") *
+          sqrt(col("n").cast("double") * 2.0))).as("t_ct_d"))
+      .withColumn("overdispersed",
+        (col("z_fisher_d") > 3.0).cast("long"))
+  }
+
+  val q488Sql: String =
+    """WITH y AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY o_custkey),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM y),
+      |st AS (SELECT n, sy, syy, n * syy - sy * sy AS num FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  CAST(sy AS BIGINT) AS n_orders,
+      |  CAST(sy * 1000000 // n AS BIGINT) AS mean_y_e6,
+      |  CAST(num * 1000000 // sy AS BIGINT) AS disp_index_e6,
+      |  (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |      - (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0))
+      |    / SQRT((CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0) * 2.0)
+      |    AS z_fisher_d,
+      |  (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |    / (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+      |      * SQRT(CAST(CAST(n AS VARCHAR) AS DOUBLE) * 2.0))
+      |    AS t_ct_d,
+      |  CAST(CASE WHEN (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |      - (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0))
+      |    / SQRT((CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0) * 2.0) > 3.0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+      |FROM st""".stripMargin
+
+  // ------ q489: two-proportion sample-size / MDE design panel
+
+  /** Relative-lift ladder (percent) for the q489 design panel. */
+  val MdeLiftsPct: Seq[Int] = Seq(2, 5, 10, 20)
+
+  /** z_{α/2} for α = 5% and z_β for 80% power — plan-time constants,
+    * inlined as identical CAST('…' AS DOUBLE) literals in both engines
+    * (runtime inverse-normal is not bit-portable; these are the published
+    * two-sided-5%/80% values every power calculator hard-codes).
+    */
+  val ZAlphaHalf = "1.959963984540054"
+  val ZBeta = "0.8416212335729143"
+
+  /** q489: the two-proportion sample-size / minimum-detectable-effect
+    * panel — EXPERIMENT DESIGN, the step before every A/B readout the
+    * engine already evaluates (q-CUPED, q298 DiD, QTE): from the
+    * measured baseline conversion p₀ (share of user-days with a
+    * purchase — the (user, day) grain the data supports), how many
+    * user-days per arm does each relative lift on the [[MdeLiftsPct]]
+    * ladder need at α = 5%, power 80%?
+    *
+    *   n = ⌈(z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀ + p₁q₁))² / (p₁−p₀)²⌉
+    *
+    * p₀ = a/b is one double division of exact counters, the z's are
+    * plan-time literals, so the whole tree is identical IEEE in both
+    * engines and the CEIL lands on the same integer. Lifts that push
+    * p₁ ≥ 1 return NULL (undetectable rung).
+    *
+    * Plan: one events pass → (user, day) rollup → 1-row counter fold ×
+    * 4-row plan-time spine.
+    */
+  val q489SampleSize: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("p")).as("purch"))
+    val base = ud.agg(count(lit(1)).cast(dec).as("b"),
+      sum(col("purch")).cast(dec).as("a"))
+    val spine = s.createDataFrame(MdeLiftsPct.map(l => Tuple1(l.toLong)))
+      .toDF("lift_pct")
+    val za = s"CAST('$ZAlphaHalf' AS DOUBLE)"
+    val zb = s"CAST('$ZBeta' AS DOUBLE)"
+    spine.crossJoin(broadcast(base))
+      .withColumn("p0", col("a").cast("double") / col("b").cast("double"))
+      .withColumn("p1", col("p0") * (lit(1.0) + col("lift_pct") / 100.0))
+      .select(col("lift_pct"),
+        expr(fdiv("a * 1000000", "b")).cast("long").as("p0_e6"),
+        expr(fdiv("a * (100 + lift_pct) * 1000000", "b * 100"))
+          .cast("long").as("p1_e6"),
+        expr(s"""CASE WHEN p1 >= 1.0 THEN NULL ELSE
+          | CAST(CEIL(($za * SQRT(2.0 * ((p0 + p1) / 2.0)
+          |     * (1.0 - (p0 + p1) / 2.0))
+          |   + $zb * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+          |  * ($za * SQRT(2.0 * ((p0 + p1) / 2.0)
+          |     * (1.0 - (p0 + p1) / 2.0))
+          |   + $zb * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+          |  / ((p1 - p0) * (p1 - p0))) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("n_per_arm"))
+      .withColumn("n_total", col("n_per_arm") * 2)
+      .orderBy(col("lift_pct"))
+  }
+
+  val q489Sql: String = {
+    val za = s"CAST('$ZAlphaHalf' AS DOUBLE)"
+    val zb = s"CAST('$ZBeta' AS DOUBLE)"
+    val rungs = MdeLiftsPct.map(l => s"($l)").mkString(", ")
+    s"""WITH ud AS (
+      |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS purch
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+      |    CAST(SUM(purch) AS HUGEINT) AS a
+      |  FROM ud),
+      |rungs(lift_pct) AS (VALUES $rungs),
+      |staged AS (
+      |  SELECT CAST(lift_pct AS BIGINT) AS lift_pct, a, b,
+      |    CAST(CAST(a AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(b AS VARCHAR) AS DOUBLE) AS p0,
+      |    CAST(CAST(a AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(b AS VARCHAR) AS DOUBLE)
+      |      * (1.0 + lift_pct / 100.0) AS p1
+      |  FROM rungs CROSS JOIN base)
+      |SELECT lift_pct,
+      |  CAST(a * 1000000 // b AS BIGINT) AS p0_e6,
+      |  CAST(a * (100 + lift_pct) * 1000000 // (b * 100) AS BIGINT)
+      |    AS p1_e6,
+      |  CASE WHEN p1 >= 1.0 THEN NULL ELSE
+      |    CAST(CEIL(($za * SQRT(2.0 * ((p0 + p1) / 2.0)
+      |        * (1.0 - (p0 + p1) / 2.0))
+      |      + $zb * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+      |     * ($za * SQRT(2.0 * ((p0 + p1) / 2.0)
+      |        * (1.0 - (p0 + p1) / 2.0))
+      |      + $zb * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+      |     / ((p1 - p0) * (p1 - p0))) AS BIGINT) END AS n_per_arm,
+      |  CASE WHEN p1 >= 1.0 THEN NULL ELSE
+      |    CAST(CEIL(($za * SQRT(2.0 * ((p0 + p1) / 2.0)
+      |        * (1.0 - (p0 + p1) / 2.0))
+      |      + $zb * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+      |     * ($za * SQRT(2.0 * ((p0 + p1) / 2.0)
+      |        * (1.0 - (p0 + p1) / 2.0))
+      |      + $zb * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+      |     / ((p1 - p0) * (p1 - p0))) AS BIGINT) * 2 END AS n_total
+      |FROM staged ORDER BY lift_pct""".stripMargin
+  }
+
+  // ------ q490: Brown-Forsythe variance-homogeneity test
+
+  /** q490: the Brown–Forsythe test (Levene with median centers) — the
+    * PARAMETRIC variance-homogeneity screen next to the engine's
+    * rank-based scale tests (Ansari–Bradley q476, Mood): one-way ANOVA
+    * on z = |x − median_g|, the robust form every "can I pool these
+    * variances?" check (and ANOVA's own homoscedasticity prerequisite)
+    * uses. Group medians are rank-target picks off the house two-level
+    * below-count device — never a per-group sort — and z inherits the
+    * (g, x) rollup's exact counts, so SSB/SSW stage as the engine's
+    * standard n-cleared e6 ANOVA fold and F is one exact rational.
+    *
+    * Plan: one orders pass → (priority, value) rollup (checkpointed) →
+    * two-level medians → rollup-grain |deviation| fold → 5-row ANOVA.
+    */
+  val q490BrownForsythe: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+      expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 100").as("x"))
+    val byV = o.groupBy(col("g"), col("x")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val nG = byV.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val med = doubledRankBelow(byV, Seq("g"), "x", 100000L)
+      .join(nG, "g")
+      .filter(col("below") + col("cnt") >= expr("(n_g + 1) div 2"))
+      .groupBy(col("g")).agg(min(col("x")).as("med"))
+    val zRoll = byV.join(med, "g")
+      .select(col("g"), abs(col("x") - col("med")).as("z"), col("cnt"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).cast(dec).as("n"),
+        sum(col("z").cast(dec) * col("cnt")).as("sz"),
+        sum(col("z").cast(dec) * col("z") * col("cnt")).as("szz"))
+      .withColumn("t_g", expr(fdiv("sz * sz * 1000000", "n")))
+      .localCheckpoint()
+    val roll = zRoll.agg(count(lit(1)).cast(dec).as("k"),
+      sum(col("n")).as("nn"), sum(col("sz")).as("s_all"),
+      sum(col("szz")).as("q_all"), sum(col("t_g")).as("t_all"))
+      .select(col("k"), col("nn"),
+        expr(s"CAST(t_all - ${fdiv("s_all * s_all * 1000000", "nn")}" +
+          " AS DECIMAL(38,0))").as("ssb_e6"),
+        (expr("q_all * 1000000") - col("t_all")).as("ssw_e6"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("nn").cast("long").as("n_total"),
+        expr("CASE WHEN " + fdiv("ssw_e6", "nn - k") + " = 0 THEN NULL " +
+          "ELSE " + fdiv(fdiv("ssb_e6", "k - 1") + " * 1000000",
+            fdiv("ssw_e6", "nn - k")) + " END").cast("long").as("f_e6"))
+    zRoll.crossJoin(broadcast(roll))
+      .join(med, "g")
+      .select(col("g").as("priority"), col("n").cast("long").as("n_g"),
+        col("med").as("median_c2"),
+        expr(fdiv("sz * 1000000", "n")).cast("long").as("zbar_e6"),
+        col("k_groups"), col("n_total"), col("f_e6"))
+      .orderBy(col("priority"))
+  }
+
+  val q490Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) // 100 AS x
+      |  FROM orders),
+      |by_v AS (
+      |  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT g, x, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(cnt) OVER (PARTITION BY g) AS n_g
+      |  FROM by_v),
+      |med AS (
+      |  SELECT g, MIN(x) AS med FROM ranked
+      |  WHERE below + cnt >= (n_g + 1) // 2 GROUP BY g),
+      |z_roll AS (
+      |  SELECT by_v.g, CAST(SUM(cnt) AS HUGEINT) AS n,
+      |    SUM(CAST(ABS(x - med) AS HUGEINT) * cnt) AS sz,
+      |    SUM(CAST(ABS(x - med) AS HUGEINT) * ABS(x - med) * cnt) AS szz,
+      |    ANY_VALUE(med) AS med
+      |  FROM by_v JOIN med ON by_v.g = med.g
+      |  GROUP BY by_v.g),
+      |staged AS (
+      |  SELECT g, n, sz, szz, med, sz * sz * 1000000 // n AS t_g
+      |  FROM z_roll),
+      |roll AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n) AS nn,
+      |    SUM(t_g) - SUM(sz) * SUM(sz) * 1000000 // SUM(n) AS ssb_e6,
+      |    SUM(szz) * 1000000 - SUM(t_g) AS ssw_e6
+      |  FROM staged),
+      |fstat AS (
+      |  SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT)
+      |      AS n_total,
+      |    CAST(CASE WHEN ssw_e6 // (nn - k) = 0 THEN NULL
+      |      ELSE (ssb_e6 // (k - 1)) * 1000000 // (ssw_e6 // (nn - k))
+      |      END AS BIGINT) AS f_e6
+      |  FROM roll)
+      |SELECT g AS priority, CAST(n AS BIGINT) AS n_g, med AS median_c2,
+      |  CAST(sz * 1000000 // n AS BIGINT) AS zbar_e6,
+      |  k_groups, n_total, f_e6
+      |FROM staged CROSS JOIN fstat
+      |ORDER BY priority""".stripMargin
+
+  // ------ q491: win ratio over a hierarchical composite endpoint
+
+  /** q491: the win ratio (Pocock 2012) — the composite-endpoint
+    * comparison that respects PRIORITY where a weighted sum cannot:
+    * every (A, B) customer pair is decided first on the more serious
+    * endpoint (any returned merchandise), and only e1-ties fall through
+    * to total spend; WR = wins/losses. The n_A·n_B pair space never
+    * materializes: e1-level wins are products of four stratum counts,
+    * and the spend tiebreak inside each e1 stratum is a Mann–Whitney
+    * below-count fold off the house two-level rank device over the
+    * (stratum, value) rollup — counts, never pairs, the same discipline
+    * as q480's difference spectrum. wins + losses + ties = n_A·n_B
+    * tiles exactly, checkable in-output.
+    *
+    * Plan: orders/lineitem rollups → customer-grain table → (stratum,
+    * value) rollup (checkpointed) → two-level below-counts → 1-row fold.
+    */
+  val q491WinRatio: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val reg = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        (col("n_regionkey") === 0).cast("long").as("grp"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), expr("CAST(ROUND(o_totalprice*100) AS BIGINT)" +
+        " div 100").as("v0"))
+    val retCust = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+      .join(ord.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("rc")).distinct()
+    val cust = ord.groupBy(col("o_custkey")).agg(sum(col("v0")).as("v"))
+      .join(retCust, col("o_custkey") === col("rc"), "left")
+      .join(broadcast(reg), col("o_custkey") === col("c_custkey"))
+      .select(col("grp"), col("rc").isNotNull.cast("long").as("strat"),
+        col("v"))
+    val byV = cust.groupBy(col("strat"), col("v"))
+      .agg(sum(col("grp")).as("cnt_a"),
+        sum(lit(1L) - col("grp")).as("cnt"))
+      .localCheckpoint()
+    val strata = byV.groupBy(col("strat"))
+      .agg(sum(col("cnt_a")).as("na_s"), sum(col("cnt")).as("nb_s"))
+      .localCheckpoint()
+    val lvl1 = strata.agg(
+      sum(when(col("strat") === 0L, col("na_s")).otherwise(0L)).as("na0"),
+      sum(when(col("strat") === 1L, col("na_s")).otherwise(0L)).as("na1"),
+      sum(when(col("strat") === 0L, col("nb_s")).otherwise(0L)).as("nb0"),
+      sum(when(col("strat") === 1L, col("nb_s")).otherwise(0L)).as("nb1"))
+      .select((col("na0").cast(dec) * col("nb1")).as("w1"),
+        (col("na1").cast(dec) * col("nb0")).as("l1"),
+        (col("na0") + col("na1")).as("n_a"),
+        (col("nb0") + col("nb1")).as("n_b"))
+    val within = doubledRankBelow(byV, Seq("strat"), "v", 100000L)
+      .join(strata.select(col("strat"), col("nb_s")), "strat")
+      .agg(sum(col("cnt_a").cast(dec) * col("below")).as("gt"),
+        sum(col("cnt_a").cast(dec) *
+          (col("nb_s") - col("below") - col("cnt"))).as("lt"),
+        sum(col("cnt_a").cast(dec) * col("cnt")).as("tt"))
+    lvl1.crossJoin(broadcast(within))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        (col("w1") + col("gt")).cast("long").as("wins"),
+        (col("l1") + col("lt")).cast("long").as("losses"),
+        col("tt").cast("long").as("ties"),
+        expr("CASE WHEN l1 + lt = 0 THEN NULL ELSE " +
+          fdiv("(w1 + gt) * 1000000", "l1 + lt") + " END")
+          .cast("long").as("win_ratio_e6"))
+  }
+
+  val q491Sql: String =
+    """WITH reg AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS grp
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |ord AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) // 100 AS v0
+      |  FROM orders),
+      |ret AS (
+      |  SELECT DISTINCT o_custkey AS rc
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+      |        WHERE l_returnflag = 'R') r
+      |  JOIN ord ON r.l_orderkey = ord.o_orderkey),
+      |cust AS (
+      |  SELECT reg.grp,
+      |    CASE WHEN ret.rc IS NULL THEN 0 ELSE 1 END AS strat,
+      |    t.v
+      |  FROM (SELECT o_custkey, SUM(v0) AS v FROM ord GROUP BY o_custkey) t
+      |  LEFT JOIN ret ON t.o_custkey = ret.rc
+      |  JOIN reg ON t.o_custkey = reg.c_custkey),
+      |by_v AS (
+      |  SELECT strat, v, CAST(SUM(grp) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(1 - grp) AS BIGINT) AS cnt
+      |  FROM cust GROUP BY 1, 2),
+      |strata AS (
+      |  SELECT strat, SUM(cnt_a) AS na_s, SUM(cnt) AS nb_s
+      |  FROM by_v GROUP BY strat),
+      |lvl1 AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN strat = 0 THEN na_s ELSE 0 END) AS HUGEINT)
+      |      * SUM(CASE WHEN strat = 1 THEN nb_s ELSE 0 END) AS w1,
+      |    CAST(SUM(CASE WHEN strat = 1 THEN na_s ELSE 0 END) AS HUGEINT)
+      |      * SUM(CASE WHEN strat = 0 THEN nb_s ELSE 0 END) AS l1,
+      |    CAST(SUM(na_s) AS BIGINT) AS n_a,
+      |    CAST(SUM(nb_s) AS BIGINT) AS n_b
+      |  FROM strata),
+      |ranked AS (
+      |  SELECT strat, v, cnt_a, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY strat ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM by_v),
+      |within AS (
+      |  SELECT SUM(CAST(cnt_a AS HUGEINT) * below) AS gt,
+      |    SUM(CAST(cnt_a AS HUGEINT) * (nb_s - below - cnt)) AS lt,
+      |    SUM(CAST(cnt_a AS HUGEINT) * cnt) AS tt
+      |  FROM ranked JOIN strata USING (strat))
+      |SELECT n_a, n_b,
+      |  CAST(w1 + gt AS BIGINT) AS wins,
+      |  CAST(l1 + lt AS BIGINT) AS losses,
+      |  CAST(tt AS BIGINT) AS ties,
+      |  CAST(CASE WHEN l1 + lt = 0 THEN NULL
+      |    ELSE (w1 + gt) * 1000000 // (l1 + lt) END AS BIGINT)
+      |    AS win_ratio_e6
+      |FROM lvl1 CROSS JOIN within""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q491_win_ratio" -> q491WinRatio,
+    "q489_sample_size" -> q489SampleSize,
+    "q490_brown_forsythe" -> q490BrownForsythe,
+    "q487_woe_iv" -> q487WoeIv,
+    "q488_overdispersion" -> q488Overdispersion,
+    "q485_neyman_allocation" -> q485NeymanAllocation,
+    "q486_breslow_day" -> q486BreslowDay,
     "q396_hoeffdings_d" -> q396HoeffdingsD,
     "q403_mahalanobis" -> q403Mahalanobis,
     "q404_grubbs" -> q404Grubbs,
@@ -10282,6 +11049,13 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q485_neyman_allocation" -> q485Sql,
+    "q486_breslow_day" -> q486Sql,
+    "q487_woe_iv" -> q487Sql,
+    "q488_overdispersion" -> q488Sql,
+    "q489_sample_size" -> q489Sql,
+    "q490_brown_forsythe" -> q490Sql,
+    "q491_win_ratio" -> q491Sql,
     "q396_hoeffdings_d" -> q396Sql,
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,

