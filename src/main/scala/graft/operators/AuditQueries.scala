@@ -10936,7 +10936,711 @@ object AuditQueries {
       |    AS win_ratio_e6
       |FROM lvl1 CROSS JOIN within""".stripMargin
 
+  // ------ q492: gravity model of inter-nation trade flows
+
+  /** q492: the gravity model — international economics' workhorse
+    * regression, run on the supplier-nation → customer-nation revenue
+    * matrix (the TPC-H q7 shipping shape promoted to ALL 625 lanes):
+    * log flow against log (origin mass × destination mass), where the
+    * masses are the matrix's own row/column sums (total exports /
+    * total imports). Both logs ride the portable e6 log2 LUT — the
+    * elasticity β is log-base invariant, so the combined-mass
+    * coefficient reads in natural units and the classical "unitary
+    * elasticity" hypothesis is the β_e6 = 10⁶ line. OLS over the ≤625
+    * lanes is the engine's standard n-cleared e6 fold; R² composes as
+    * one IEEE ratio of the same exact co-moments.
+    *
+    * Plan: one lineitem⋈orders shuffle with broadcast supplier/
+    * customer/nation dims → 625-row flow matrix (checkpointed) →
+    * metadata mass joins + 1-row OLS fold.
+    */
+  val q492GravityModel: Q = (s, dir) => {
+    import graft.functions.Text
+    val dec = "decimal(38,0)"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("sn"))
+    val cus = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("cn"))
+    val flows = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("c"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("sn"), col("cn"))
+      .agg(expr("SUM(c) div 100000").as("f"))
+      .localCheckpoint()
+    val mOut = flows.groupBy(col("sn")).agg(sum(col("f")).as("m"))
+    val mIn = flows.groupBy(col("cn")).agg(sum(col("f")).as("w"))
+    val pts = flows.join(mOut, "sn").join(mIn, "cn")
+      .filter(col("f") >= 1L && col("m") >= 1L && col("w") >= 1L)
+      .withColumn("mw", col("m") * col("w"))
+      .select(expr(Text.log2e6SparkSql("mw")).cast(dec).as("x"),
+        expr(Text.log2e6SparkSql("f")).cast(dec).as("y"))
+    val mo = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def c(ab: String, a: String, b: String) =
+      (col("n") * col(ab) - col(a) * col(b)).cast("double")
+    mo.select(col("n").cast("long").as("n_lanes"),
+      expr("CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+        sdiv("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx") +
+        " END").cast("long").as("beta_e6"),
+      expr(sdiv("sy - " +
+        "CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE " +
+        sdiv("(n * sxy - sx * sy) * sx", "n * sxx - sx * sx") +
+        " END", "n")).cast("long").as("alpha_l2e6"),
+      ((c("sxy", "sx", "sy") * c("sxy", "sx", "sy")) /
+        (c("sxx", "sx", "sx") * c("syy", "sy", "sy"))).as("r2_d"))
+  }
+
+  val q492Sql: String = {
+    import graft.functions.Text
+    def sd(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (ABS($num) // ($den)) AS HUGEINT)""".stripMargin
+        .replace("\n", " ")
+    s"""WITH flows AS (
+      |  SELECT s_nationkey AS sn, c_nationkey AS cn,
+      |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) // 100000 AS f
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |m_out AS (SELECT sn, SUM(f) AS m FROM flows GROUP BY sn),
+      |m_in AS (SELECT cn, SUM(f) AS w FROM flows GROUP BY cn),
+      |pts AS (
+      |  SELECT ${Text.log2e6DuckSql("m * w")} AS x,
+      |    ${Text.log2e6DuckSql("f")} AS y
+      |  FROM flows JOIN m_out USING (sn) JOIN m_in USING (cn)
+      |  WHERE f >= 1 AND m >= 1 AND w >= 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_lanes,
+      |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+      |    ${sd("(n * sxy - sx * sy) * 1000000", "n * sxx - sx * sx")}
+      |    END AS BIGINT) AS beta_e6,
+      |  CAST(${sd(
+        "sy - CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE " +
+          sd("(n * sxy - sx * sy) * sx", "n * sxx - sx * sx") + " END",
+        "n")} AS BIGINT) AS alpha_l2e6,
+      |  (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+      |    / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS r2_d
+      |FROM mo""".stripMargin
+  }
+
+  // ------ q493: Kemeny-optimal rank aggregation over a permutation lattice
+
+  /** Number of brands ranked in the q493 Kemeny aggregation. */
+  val KemenyItems = 5
+
+  /** The full S₅ lattice as plan-time (perm_id, ahead, behind) pairs:
+    * for permutation π (lexicographic id), one row per ordered item
+    * pair (a, b) with π placing a ahead of b — 120·10 rows, the q461
+    * mask-lattice device applied to rankings.
+    */
+  private lazy val KemenyPairRows: Seq[(Int, Int, Int)] =
+    (0 until KemenyItems).permutations.toSeq.sortBy(_.mkString)
+      .zipWithIndex.flatMap { case (perm, pid) =>
+        for {
+          i <- 0 until KemenyItems
+          j <- (i + 1) until KemenyItems
+        } yield (pid, perm(i), perm(j))
+      }
+
+  /** q493: Kemeny-optimal rank aggregation — the MEDIAN ranking, next
+    * to q463's positional Borda/Copeland: five regional rankings of
+    * the top-5 brands (by regional revenue) aggregate into the
+    * permutation minimizing total Kendall disagreement. NP-hard in
+    * general, EXACT here: the S₅ lattice inlines as 1200 plan-time
+    * (perm, ahead, behind) rows (the q461 mask-lattice device), each
+    * permutation's cost is one join against the 20-cell pairwise
+    * disagreement matrix, and the argmin is a rank-1 pick with
+    * deterministic id tie-break. Everything is exact integer counts.
+    *
+    * Plan: one orders⋈dims rollup → 25-cell regional revenue matrix →
+    * top-5 brands (broadcast) → 20-cell vote matrix × 1200-row
+    * plan-time lattice → metadata argmin.
+    */
+  val q493KemenyRanking: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("c"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_regionkey").as("r"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r"), col("p_brand")).agg(sum(col("c")).as("rev"))
+      .localCheckpoint()
+    val top = rev.groupBy(col("p_brand")).agg(sum(col("rev")).as("t"))
+      .orderBy(col("t").desc, col("p_brand")).limit(KemenyItems)
+      .withColumn("item", row_number().over(
+        Window.orderBy(col("t").desc, col("p_brand"))) - 1)
+      .select(col("p_brand"), col("item"))
+    val ranked = rev.join(broadcast(top), "p_brand")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("r"))
+          .orderBy(col("rev").desc, col("p_brand"))))
+    val votes = ranked.select(col("r"), col("item").as("a"), col("rk").as("rka"))
+      .join(ranked.select(col("r"), col("item").as("b"), col("rk").as("rkb")),
+        "r")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum((col("rka") < col("rkb")).cast("long")).as("v"))
+    val lattice = s.createDataFrame(KemenyPairRows)
+      .toDF("pid", "ahead", "behind")
+    // cost of π = Σ over π's (ahead, behind) pairs of the voters who
+    // rank behind ABOVE ahead
+    val costs = lattice
+      .join(broadcast(votes.select(col("b").as("ahead"),
+        col("a").as("behind"), col("v"))), Seq("ahead", "behind"))
+      .groupBy(col("pid")).agg(sum(col("v")).as("cost"))
+    val best = costs.orderBy(col("cost"), col("pid")).limit(1)
+    val perm = s.createDataFrame(
+      (0 until KemenyItems).permutations.toSeq.sortBy(_.mkString)
+        .zipWithIndex.flatMap { case (p, pid) =>
+          p.zipWithIndex.map { case (item, pos) =>
+            (pid, item, pos + 1) } })
+      .toDF("pid", "item", "position")
+    best.join(broadcast(perm), "pid")
+      .join(broadcast(top.select(col("p_brand"), col("item").as("titem"))),
+        col("item") === col("titem"))
+      .select(col("position"), col("p_brand").as("brand"),
+        col("cost").as("kemeny_cost"))
+      .orderBy(col("position"))
+  }
+
+  val q493Sql: String = {
+    val pairRows = KemenyPairRows
+      .map { case (p, a, b) => s"($p, $a, $b)" }.mkString(", ")
+    val permRows = (0 until KemenyItems).permutations.toSeq
+      .sortBy(_.mkString).zipWithIndex
+      .flatMap { case (p, pid) =>
+        p.zipWithIndex.map { case (item, pos) => s"($pid, $item, ${pos + 1})" } }
+      .mkString(", ")
+    s"""WITH rev AS (
+      |  SELECT n_regionkey AS r, p_brand,
+      |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT p_brand,
+      |    ROW_NUMBER() OVER (ORDER BY SUM(rev) DESC, p_brand) - 1 AS item
+      |  FROM rev GROUP BY p_brand
+      |  ORDER BY SUM(rev) DESC, p_brand LIMIT $KemenyItems),
+      |ranked AS (
+      |  SELECT r, item,
+      |    ROW_NUMBER() OVER (PARTITION BY r
+      |      ORDER BY rev DESC, p_brand) AS rk
+      |  FROM rev JOIN top USING (p_brand)),
+      |votes AS (
+      |  SELECT x.item AS a, y.item AS b,
+      |    CAST(SUM(CASE WHEN x.rk < y.rk THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v
+      |  FROM ranked x JOIN ranked y ON x.r = y.r AND x.item <> y.item
+      |  GROUP BY 1, 2),
+      |lattice(pid, ahead, behind) AS (VALUES $pairRows),
+      |costs AS (
+      |  SELECT pid, SUM(v.v) AS cost
+      |  FROM lattice l
+      |  JOIN votes v ON v.b = l.ahead AND v.a = l.behind
+      |  GROUP BY pid),
+      |best AS (SELECT pid, cost FROM costs ORDER BY cost, pid LIMIT 1),
+      |perm(pid, item, position) AS (VALUES $permRows)
+      |SELECT position, p_brand AS brand,
+      |  CAST(cost AS BIGINT) AS kemeny_cost
+      |FROM best JOIN perm USING (pid) JOIN top USING (item)
+      |ORDER BY position""".stripMargin
+  }
+
+  // ------ q494: Johnson's rule two-machine flow-shop schedule
+
+  /** Number of brand-jobs scheduled by q494. */
+  val FlowShopJobs = 10
+
+  /** q494: Johnson's rule — the classical two-machine flow-shop
+    * schedule that provably minimizes makespan, joining the engine's
+    * OR family (knapsack q447, Wagner–Whitin q452, bin packing): the
+    * top-10 brands are jobs whose stage-1/stage-2 processing times are
+    * their average quantity and average line value; Johnson's order
+    * (min(m₁,m₂) ascending — m₁-side first ascending, m₂-side last
+    * descending) is ONE deterministic sort key, and the makespan needs
+    * no sequential simulation because the two-machine critical path
+    * has the closed form max_j (Σ_{i≤j} m₁ + Σ_{i≥j} m₂) — two windows
+    * over the 10-row schedule. FCFS (brand order) makespan sits beside
+    * it as the baseline the rule beats.
+    *
+    * Plan: one lineitem rollup → 10-row job table (checkpointed) →
+    * metadata windows, everything exact integers.
+    */
+  val q494JohnsonRule: Q = (s, dir) => {
+    val jobs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), expr("CAST(ROUND(l_quantity) AS BIGINT)")
+        .as("q"), expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)" +
+        " div 10000").as("v"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), expr("SUM(q) div COUNT(*)").as("m1"),
+        expr("SUM(v) div COUNT(*)").as("m2"))
+      .orderBy(col("cnt").desc, col("p_brand")).limit(FlowShopJobs)
+      .select(col("p_brand"), col("m1"), col("m2"))
+      .localCheckpoint()
+    def makespan(ordered: DataFrame): DataFrame = {
+      val w = Window.orderBy(col("pos"))
+      ordered
+        .withColumn("pre1", sum(col("m1")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("suf2", sum(col("m2")).over(
+          w.rowsBetween(0, Window.unboundedFollowing)))
+        .agg(max(col("pre1") + col("suf2")).as("ms"))
+    }
+    val johnson = jobs.withColumn("pos", row_number().over(Window.orderBy(
+      (col("m1") > col("m2")).cast("int"),
+      when(col("m1") <= col("m2"), col("m1")).otherwise(-col("m2")),
+      col("p_brand"))))
+      .localCheckpoint()
+    val fcfs = jobs.withColumn("pos",
+      row_number().over(Window.orderBy(col("p_brand"))))
+    val msJ = makespan(johnson).withColumnRenamed("ms", "johnson_makespan")
+    val msF = makespan(fcfs).withColumnRenamed("ms", "fcfs_makespan")
+    johnson.crossJoin(broadcast(msJ)).crossJoin(broadcast(msF))
+      .select(col("pos").cast("long").as("position"),
+        col("p_brand").as("brand"), col("m1"), col("m2"),
+        col("johnson_makespan"), col("fcfs_makespan"))
+      .orderBy(col("position"))
+  }
+
+  val q494Sql: String =
+    s"""WITH jobs AS (
+      |  SELECT p_brand,
+      |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) // COUNT(*) AS m1,
+      |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) // 10000)
+      |      // COUNT(*) AS m2
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand
+      |  ORDER BY COUNT(*) DESC, p_brand LIMIT $FlowShopJobs),
+      |johnson AS (
+      |  SELECT p_brand, m1, m2,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      CASE WHEN m1 > m2 THEN 1 ELSE 0 END,
+      |      CASE WHEN m1 <= m2 THEN m1 ELSE -m2 END,
+      |      p_brand) AS pos
+      |  FROM jobs),
+      |fcfs AS (
+      |  SELECT m1, m2,
+      |    ROW_NUMBER() OVER (ORDER BY p_brand) AS pos
+      |  FROM jobs),
+      |ms_j AS (
+      |  SELECT MAX(pre1 + suf2) AS johnson_makespan FROM (
+      |    SELECT SUM(m1) OVER (ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre1,
+      |      SUM(m2) OVER (ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf2
+      |    FROM johnson)),
+      |ms_f AS (
+      |  SELECT MAX(pre1 + suf2) AS fcfs_makespan FROM (
+      |    SELECT SUM(m1) OVER (ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre1,
+      |      SUM(m2) OVER (ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf2
+      |    FROM fcfs))
+      |SELECT CAST(pos AS BIGINT) AS position, p_brand AS brand,
+      |  CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+      |  CAST(johnson_makespan AS BIGINT) AS johnson_makespan,
+      |  CAST(fcfs_makespan AS BIGINT) AS fcfs_makespan
+      |FROM johnson CROSS JOIN ms_j CROSS JOIN ms_f
+      |ORDER BY position""".stripMargin
+
+  // ------ q495: acceptance-sampling operating-characteristic curve
+
+  /** Plan-time defect-rate grid (per-mille) for the q495 OC curve. */
+  val OcGridPm: Seq[Int] = Seq(10, 25, 50, 100, 150, 200, 300)
+
+  /** q495: the operating-characteristic curve of a single acceptance-
+    * sampling plan (n = 10, c = 1) — classical quality engineering
+    * next to the engine's process-capability panel (q472): for each
+    * lot defect rate p, the probability a 10-item sample with at most
+    * one defective accepts the lot, P = q¹⁰ + 10·p·q⁹, evaluated over
+    * a plan-time rate grid AND at the corpus's measured returned-line
+    * share. The binomial polynomial is written as explicit repeated
+    * multiplication (no libm POW), so both engines evaluate the same
+    * IEEE tree; the measured rate enters as one exact a/b division.
+    *
+    * Plan: one lineitem counter fold × 8-row plan-time spine.
+    */
+  val q495OcCurve: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val base = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).cast(dec).as("b"),
+        sum((col("l_returnflag") === "R").cast("long")).cast(dec).as("a"))
+    val grid = s.createDataFrame(OcGridPm.map(p => (p.toLong, "grid")))
+      .toDF("p_pm", "source")
+    val pAcc = "(q*q*q*q*q*q*q*q*q) * q + 10.0 * p * (q*q*q*q*q*q*q*q*q)"
+    val gridRows = grid.crossJoin(broadcast(base))
+      .withColumn("p", col("p_pm").cast("double") / 1000.0)
+      .withColumn("q", lit(1.0) - col("p"))
+      .select(col("source"), col("p_pm"), expr(pAcc).as("p_accept_d"))
+    val measured = base
+      .withColumn("p", col("a").cast("double") / col("b").cast("double"))
+      .withColumn("q", lit(1.0) - col("p"))
+      .select(lit("measured").as("source"),
+        expr(fdiv("a * 1000", "b")).cast("long").as("p_pm"),
+        expr(pAcc).as("p_accept_d"))
+    gridRows.unionAll(measured).orderBy(col("source"), col("p_pm"))
+  }
+
+  val q495Sql: String = {
+    val rows = OcGridPm.map(p => s"($p)").mkString(", ")
+    val pAcc = "(q*q*q*q*q*q*q*q*q) * q + 10.0 * p * (q*q*q*q*q*q*q*q*q)"
+    s"""WITH base AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS a
+      |  FROM lineitem),
+      |grid(p_pm) AS (VALUES $rows),
+      |grid_rows AS (
+      |  SELECT 'grid' AS source, CAST(p_pm AS BIGINT) AS p_pm,
+      |    CAST(p_pm AS DOUBLE) / 1000.0 AS p,
+      |    1.0 - CAST(p_pm AS DOUBLE) / 1000.0 AS q
+      |  FROM grid),
+      |measured AS (
+      |  SELECT 'measured' AS source,
+      |    CAST(a * 1000 // b AS BIGINT) AS p_pm,
+      |    CAST(CAST(a AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(b AS VARCHAR) AS DOUBLE) AS p,
+      |    1.0 - CAST(CAST(a AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(b AS VARCHAR) AS DOUBLE) AS q
+      |  FROM base),
+      |unioned AS (
+      |  SELECT source, p_pm, p, q FROM grid_rows
+      |  UNION ALL SELECT source, p_pm, p, q FROM measured)
+      |SELECT source, p_pm, $pAcc AS p_accept_d
+      |FROM unioned ORDER BY source, p_pm""".stripMargin
+  }
+
+  // ------ q496: adstock decay selection for media-mix response
+
+  /** Plan-time adstock decay grid (per-mille retention). */
+  val AdstockGridPm: Seq[Long] = Seq(0L, 300L, 500L, 700L, 900L)
+
+  /** q496: adstock decay selection — media-mix modeling's carryover
+    * question, new next to the engine's lag/cross-correlation family
+    * (q405 Granger, q411): today's purchases respond to a geometric
+    * memory of clicks, a_t = x_t + λ·a_{t−1}, not to today's clicks
+    * alone. For each λ on the plan-time grid the adstock walk runs as
+    * exact floored integers over the ~30-day series (driver fold; the
+    * oracle replays it as a recursive CTE carrying all five states —
+    * the q416 device), then slope and R² of revenue on adstock come
+    * from exact co-moments with one e6 floor each, and the best λ is
+    * an exact integer argmax (tie → smaller λ). The λ ladder is the
+    * whole hypothesis space, stated in-output rather than fitted
+    * opaquely.
+    *
+    * Plan: one events pass → day rollup (calendar-bounded) → 5
+    * plan-time walks → 5-row report.
+    */
+  val q496AdstockSelection: Q = (s, dir) => {
+    val roll = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        (col("event_type") === "click").cast("long").as("ck"),
+        when(col("event_type") === "purchase",
+          expr("CAST(ROUND(value*100) AS BIGINT) div 100")).otherwise(0L)
+          .as("rv"))
+      .groupBy(col("day"))
+      .agg(sum(col("ck")).as("x"), sum(col("rv")).as("y"))
+      .orderBy(col("day")).collect()
+    val xs = roll.map(_.getAs[Long]("x"))
+    val ys = roll.map(_.getAs[Long]("y"))
+    val n = BigInt(xs.length)
+    val sy = ys.map(BigInt(_)).sum
+    val syy = ys.map(v => BigInt(v) * v).sum
+    val rows = AdstockGridPm.map { lam =>
+      var a = 0L
+      var sa, saa, say = BigInt(0)
+      xs.indices.foreach { i =>
+        a = xs(i) + lam * a / 1000L
+        sa += a; saa += BigInt(a) * a; say += BigInt(a) * ys(i)
+      }
+      val cxy = n * say - sa * sy
+      val cxx = n * saa - sa * sa
+      val cyy = n * syy - sy * sy
+      val slope = if (cxx == 0) None
+        else Some((cxy.abs * 1000000 / cxx * cxy.signum).toLong)
+      val r2 = if (cxx == 0 || cyy == 0) None
+        else Some((cxy * cxy * 1000000 / (cxx * cyy)).toLong)
+      (lam, slope, r2)
+    }
+    val bestR2 = rows.flatMap(_._3).maxOption.getOrElse(0L)
+    val best = rows.find(_._3.contains(bestR2)).map(_._1).getOrElse(-1L)
+    import s.implicits._
+    rows.map { case (lam, sl, r2) =>
+      (lam, sl, r2, if (lam == best) 1L else 0L) }
+      .toDF("lambda_pm", "slope_e6", "r2_e6", "is_best")
+  }
+
+  val q496Sql: String = {
+    val lams = AdstockGridPm
+    val initCols = lams.map(l => s"x AS a_$l").mkString(", ")
+    val stepCols = lams.map(l =>
+      s"s.x + ($l * w.a_$l) // 1000 AS a_$l").mkString(",\n      |    ")
+    val branches = lams.map { l =>
+      s"""SELECT $l AS lambda_pm,
+         |    CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(a_$l) AS HUGEINT) AS sa,
+         |    SUM(CAST(a_$l AS HUGEINT) * a_$l) AS saa,
+         |    SUM(CAST(a_$l AS HUGEINT) * y) AS say,
+         |    CAST(SUM(y) AS HUGEINT) AS sy,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM joined""".stripMargin
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH RECURSIVE bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value*100) AS BIGINT) // 100 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rk, x, y FROM bd),
+      |walk AS (
+      |  SELECT rk, $initCols FROM ser WHERE rk = 1
+      |  UNION ALL
+      |  SELECT s.rk,
+      |    $stepCols
+      |  FROM walk w JOIN ser s ON s.rk = w.rk + 1),
+      |joined AS (SELECT w.*, s.y FROM walk w JOIN ser s USING (rk)),
+      |mo AS (
+      |  $branches),
+      |scored AS (
+      |  SELECT lambda_pm,
+      |    CASE WHEN n * saa - sa * sa = 0 THEN NULL ELSE
+      |      CAST(CASE WHEN n * say - sa * sy >= 0 THEN 1 ELSE -1 END *
+      |        (ABS((n * say - sa * sy) * 1000000) // (n * saa - sa * sa))
+      |        AS BIGINT) END AS slope_e6,
+      |    CASE WHEN n * saa - sa * sa = 0 OR n * syy - sy * sy = 0
+      |      THEN NULL ELSE
+      |      CAST((n * say - sa * sy) * (n * say - sa * sy) * 1000000
+      |        // ((n * saa - sa * sa) * (n * syy - sy * sy)) AS BIGINT)
+      |      END AS r2_e6
+      |  FROM mo),
+      |best AS (
+      |  SELECT lambda_pm AS best_lam FROM scored
+      |  WHERE r2_e6 IS NOT NULL
+      |  ORDER BY r2_e6 DESC, lambda_pm LIMIT 1)
+      |SELECT lambda_pm, slope_e6, r2_e6,
+      |  CAST(CASE WHEN lambda_pm = best_lam THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_best
+      |FROM scored CROSS JOIN best
+      |ORDER BY lambda_pm""".stripMargin
+  }
+
+  // ------ q497: UCB1 bandit replay over the order stream
+
+  /** Engine-side twin of the portable e6 log2 LUT formula
+    * ([[graft.functions.Text.log2e6SparkSql]]) for driver folds: the
+    * SAME integer in Scala, SQL-Spark and SQL-DuckDB.
+    */
+  private def l2e6Scala(x: Long): Long = {
+    require(x >= 1, s"l2e6 needs x >= 1, got $x")
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val norm = if (bl <= 9) x << (9 - bl) else x >> (bl - 9)
+    (bl - 9).toLong * 1000000L +
+      graft.functions.Text.Log2LutE6((norm - 256).toInt)
+  }
+
+  /** q497: UCB1 replay — an ONLINE-LEARNING audit, a family the engine
+    * did not have: treating the five order priorities as arms and each
+    * day's high-value-order share as that arm's payout, the replay
+    * asks what the classic UCB1 policy (mean + √(2·ln t / n_k), Auer
+    * 2002) would have earned against the day-batched order stream. The
+    * walk is exact integer arithmetic end to end — means are e6
+    * floors, ln t rides the portable log2 LUT, the bonus is one
+    * bit-portable FLOOR(SQRT(·)) — so the driver fold and the oracle's
+    * recursive-CTE replay (the q416 device, with the argmax unrolled
+    * as a 5-way CASE) agree bit-for-bit. Each arm's replay mean lands
+    * next to its full-data mean: exploration cost made visible.
+    *
+    * Plan: one orders pass → (day, arm) rollup (calendar×5-bounded) →
+    * T-step driver fold → 5-row report.
+    */
+  val q497UcbReplay: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderdate").as("d"),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("arm"),
+      cents(col("o_totalprice")).as("c"))
+    val thr = o.agg(expr("SUM(c) div COUNT(*)").as("t"))
+    val rwExprs = (1 to 5).map(k =>
+      expr(s"""CASE WHEN SUM(CASE WHEN arm = $k THEN 1 ELSE 0 END) = 0
+        | THEN 0 ELSE SUM(CASE WHEN arm = $k THEN h ELSE 0 END)
+        |   * 1000000 div SUM(CASE WHEN arm = $k THEN 1 ELSE 0 END)
+        | END""".stripMargin.replace("\n", " ")).as(s"rw$k"))
+    val byDay = o.crossJoin(broadcast(thr))
+      .select(col("d"), col("arm"), (col("c") > col("t")).cast("long").as("h"))
+      .groupBy(col("d"))
+      .agg(rwExprs.head, rwExprs.tail: _*)
+      .orderBy(col("d")).collect()
+    val overall = o.crossJoin(broadcast(thr))
+      .select(col("arm"), (col("c") > col("t")).cast("long").as("h"))
+      .groupBy(col("arm"))
+      .agg(expr("SUM(h) * 1000000 div COUNT(*)").as("om"))
+      .collect().map(r => r.getAs[Int]("arm") -> r.getAs[Long]("om")).toMap
+    val plays = Array.fill(6)(0L)
+    val sums = Array.fill(6)(0L)
+    byDay.zipWithIndex.foreach { case (row, i) =>
+      val t = i + 1L
+      val choice =
+        if (t <= 5) t.toInt
+        else {
+          val lnE6 = l2e6Scala(t) * 693147L / 1000000L
+          val ucb = (1 to 5).map { k =>
+            val mean = sums(k) / plays(k)
+            val bonus = math.floor(math.sqrt(
+              (2L * lnE6 * 1000000L / plays(k)).toDouble)).toLong
+            k -> (mean + bonus)
+          }
+          val mx = ucb.map(_._2).max
+          ucb.find(_._2 == mx).get._1
+        }
+      plays(choice) += 1
+      sums(choice) += row.getAs[Long](s"rw$choice")
+    }
+    import s.implicits._
+    (1 to 5).map { k =>
+      (k.toLong, plays(k), sums(k),
+        if (plays(k) == 0) None else Some(sums(k) / plays(k)),
+        overall.getOrElse(k, 0L))
+    }.toDF("arm", "plays", "sum_reward_e6", "replay_mean_e6",
+      "fulldata_mean_e6")
+  }
+
+  val q497Sql: String = {
+    import graft.functions.Text
+    val rwDefs = (1 to 5).map(k =>
+      s"""CASE WHEN SUM(CASE WHEN arm = $k THEN 1 ELSE 0 END) = 0
+         | THEN 0 ELSE SUM(CASE WHEN arm = $k THEN h ELSE 0 END)
+         |   * 1000000 // SUM(CASE WHEN arm = $k THEN 1 ELSE 0 END)
+         | END AS rw$k""".stripMargin.replace("\n", " "))
+      .mkString(",\n      |    ")
+    // No LATERAL and no repeated-choice column: the recursive state
+    // carries `nc`, the choice ALREADY MADE for this step (computed at
+    // the previous step from the then-current state), so the p/s
+    // updates read a plain column. The next step's choice nc' inlines
+    // the updated counters directly — the same inline-the-expression
+    // medicine the q400 oracle got, applied by construction.
+    def pU(k: Int) = s"(w.p$k + CASE WHEN w.nc = $k THEN 1 ELSE 0 END)"
+    def sU(k: Int) = s"(w.s$k + CASE WHEN w.nc = $k THEN s.rw$k ELSE 0 END)"
+    val lnNext =
+      s"((${Text.log2e6DuckSql("s.rk + 1")}) * 693147 // 1000000)"
+    def ucbU(k: Int) =
+      s"""((${sU(k)} // ${pU(k)}) + CAST(FLOOR(SQRT(CAST(
+         |(2 * $lnNext * 1000000) // ${pU(k)} AS DOUBLE))) AS BIGINT))"""
+        .stripMargin.replace("\n", " ")
+    val ncNext =
+      s"""CASE WHEN s.rk + 1 <= 5 THEN s.rk + 1
+         | WHEN ${ucbU(1)} >= ${ucbU(2)} AND ${ucbU(1)} >= ${ucbU(3)}
+         |   AND ${ucbU(1)} >= ${ucbU(4)} AND ${ucbU(1)} >= ${ucbU(5)}
+         |   THEN 1
+         | WHEN ${ucbU(2)} >= ${ucbU(3)} AND ${ucbU(2)} >= ${ucbU(4)}
+         |   AND ${ucbU(2)} >= ${ucbU(5)} THEN 2
+         | WHEN ${ucbU(3)} >= ${ucbU(4)} AND ${ucbU(3)} >= ${ucbU(5)}
+         |   THEN 3
+         | WHEN ${ucbU(4)} >= ${ucbU(5)} THEN 4
+         | ELSE 5 END""".stripMargin.replace("\n", " ")
+    val stepP = (1 to 5).map(k => s"${pU(k)} AS p$k")
+      .mkString(",\n      |    ")
+    val stepS = (1 to 5).map(k => s"${sU(k)} AS s$k")
+      .mkString(",\n      |    ")
+    val outRows = (1 to 5).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS arm, CAST(p$k AS BIGINT) AS plays,
+         |    CAST(s$k AS BIGINT) AS sum_reward_e6,
+         |    CAST(CASE WHEN p$k = 0 THEN NULL ELSE s$k // p$k END
+         |      AS BIGINT) AS replay_mean_e6
+         |  FROM fin""".stripMargin)
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH RECURSIVE o AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS arm,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |thr AS (SELECT SUM(c) // COUNT(*) AS t FROM o),
+      |by_day AS (
+      |  SELECT d,
+      |    $rwDefs
+      |  FROM (SELECT d, arm, CASE WHEN c > t THEN 1 ELSE 0 END AS h
+      |        FROM o CROSS JOIN thr)
+      |  GROUP BY d),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rk,
+      |    rw1, rw2, rw3, rw4, rw5
+      |  FROM by_day),
+      |walk AS (
+      |  SELECT CAST(1 AS BIGINT) AS rk,
+      |    CAST(1 AS BIGINT) AS p1, CAST(0 AS BIGINT) AS p2,
+      |    CAST(0 AS BIGINT) AS p3, CAST(0 AS BIGINT) AS p4,
+      |    CAST(0 AS BIGINT) AS p5,
+      |    CAST(rw1 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+      |    CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+      |    CAST(0 AS BIGINT) AS s5,
+      |    CAST(2 AS BIGINT) AS nc
+      |  FROM ser WHERE rk = 1
+      |  UNION ALL
+      |  SELECT s.rk,
+      |    $stepP,
+      |    $stepS,
+      |    CAST($ncNext AS BIGINT) AS nc
+      |  FROM walk w
+      |  JOIN ser s ON s.rk = w.rk + 1),
+      |fin AS (
+      |  SELECT * FROM walk ORDER BY rk DESC LIMIT 1),
+      |overall AS (
+      |  SELECT arm,
+      |    SUM(CASE WHEN c > t THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |      AS fulldata_mean_e6
+      |  FROM o CROSS JOIN thr
+      |  GROUP BY arm),
+      |rep AS (
+      |  $outRows)
+      |SELECT rep.arm, rep.plays, rep.sum_reward_e6, rep.replay_mean_e6,
+      |  CAST(overall.fulldata_mean_e6 AS BIGINT) AS fulldata_mean_e6
+      |FROM rep JOIN overall ON rep.arm = overall.arm
+      |ORDER BY rep.arm""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q496_adstock_selection" -> q496AdstockSelection,
+    "q497_ucb_replay" -> q497UcbReplay,
+    "q494_johnson_rule" -> q494JohnsonRule,
+    "q495_oc_curve" -> q495OcCurve,
+    "q492_gravity_model" -> q492GravityModel,
+    "q493_kemeny_ranking" -> q493KemenyRanking,
     "q491_win_ratio" -> q491WinRatio,
     "q489_sample_size" -> q489SampleSize,
     "q490_brown_forsythe" -> q490BrownForsythe,
@@ -11056,6 +11760,12 @@ object AuditQueries {
     "q489_sample_size" -> q489Sql,
     "q490_brown_forsythe" -> q490Sql,
     "q491_win_ratio" -> q491Sql,
+    "q492_gravity_model" -> q492Sql,
+    "q493_kemeny_ranking" -> q493Sql,
+    "q494_johnson_rule" -> q494Sql,
+    "q495_oc_curve" -> q495Sql,
+    "q496_adstock_selection" -> q496Sql,
+    "q497_ucb_replay" -> q497Sql,
     "q396_hoeffdings_d" -> q396Sql,
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,

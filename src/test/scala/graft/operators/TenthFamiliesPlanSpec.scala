@@ -98,6 +98,68 @@ class TenthFamiliesPlanSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("zbar_e6") >= 0L))
   }
 
+  test("q492: gravity elasticity is finite and R² is a proper fraction") {
+    val p = plan("q492_gravity_model")
+    assert(!p.contains("CartesianProduct"), p)
+    val r = rows("q492_gravity_model")
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_lanes") > 0L)
+    val r2 = r.head.getAs[Double]("r2_d")
+    assert(r2 >= 0.0 && r2 <= 1.0, r2.toString)
+  }
+
+  test("q493: the Kemeny winner is a true permutation of the top brands") {
+    val r = rows("q493_kemeny_ranking")
+    assert(r.length == AuditQueries.KemenyItems)
+    assert(r.map(_.getAs[Int]("position")).sorted.toSeq ==
+      (1 to AuditQueries.KemenyItems))
+    assert(r.map(_.getAs[String]("brand")).distinct.length ==
+      AuditQueries.KemenyItems)
+    // one cost for the whole aggregate ranking
+    assert(r.map(_.getAs[Long]("kemeny_cost")).distinct.length == 1)
+  }
+
+  test("q494: Johnson's schedule never loses to FCFS") {
+    val r = rows("q494_johnson_rule")
+    assert(r.length == AuditQueries.FlowShopJobs)
+    val h = r.head
+    assert(h.getAs[Long]("johnson_makespan") <=
+      h.getAs[Long]("fcfs_makespan"))
+    // makespan is at least the bottleneck machine's total load
+    val m1tot = r.map(_.getAs[Long]("m1")).sum
+    val m2tot = r.map(_.getAs[Long]("m2")).sum
+    assert(h.getAs[Long]("johnson_makespan") >= math.max(m1tot, m2tot))
+  }
+
+  test("q495: the OC curve decreases as the defect rate grows") {
+    val r = rows("q495_oc_curve").filter(_.getAs[String]("source") == "grid")
+    val ps = r.sortBy(_.getAs[Long]("p_pm")).map(_.getAs[Double]("p_accept_d"))
+    assert(ps.sliding(2).forall(w => w(0) >= w(1)), ps.mkString(","))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("q496: exactly one best decay; zero-decay slope is the plain OLS") {
+    val r = rows("q496_adstock_selection")
+    assert(r.length == AuditQueries.AdstockGridPm.length)
+    assert(r.map(_.getAs[Long]("is_best")).sum == 1L)
+    // best row carries the maximum R² on the ladder
+    val best = r.find(_.getAs[Long]("is_best") == 1L).get
+    assert(r.forall(row => Option(row.getAs[Any]("r2_e6")).fold(true)(_ =>
+      row.getAs[Long]("r2_e6") <= best.getAs[Long]("r2_e6"))))
+  }
+
+  test("q497: UCB replay plays every day exactly once across arms") {
+    val r = rows("q497_ucb_replay")
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Long]("plays") >= 1L)) // init plays all arms
+    // total plays = number of order days (each day plays one arm)
+    val totalPlays = r.map(_.getAs[Long]("plays")).sum
+    val days = graft.Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("o_orderdate"))
+      .distinct().count()
+    assert(totalPlays == days, s"$totalPlays vs $days")
+  }
+
   test("q491: wins + losses + ties tile the pair space exactly") {
     val r = rows("q491_win_ratio")
     assert(r.length == 1)
