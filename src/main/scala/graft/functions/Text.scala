@@ -81,6 +81,43 @@ object Text {
        | AS BIGINT)""".stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------------------- portable e6 exp2
+
+  /** Mantissa lookup for [[exp2e6SparkSql]]: 2^(i/256)·10⁶ rounded, for
+    * the 8-bit fractional window i ∈ [0, 255]. Plan-time constants, the
+    * inverse device of [[Log2LutE6]] — together they make power-law
+    * arithmetic (x^α, 2^H effective counts, BLEU-style geometric means)
+    * oracle-checkable without runtime libm.
+    */
+  val Exp2LutE6: IndexedSeq[Long] =
+    (0 to 255).map(i => math.round(math.pow(2.0, i / 256.0) * 1e6))
+
+  /** Engine-portable fixed-point exp2 with 8-bit fractional resolution:
+    *
+    *   exp2e6(y) = LUT[(y mod 10⁶)·256 div 10⁶] << (y div 10⁶), then /10⁶
+    *
+    * for y = (exponent·10⁶) ≥ 0 with y div 10⁶ ≤ 43 (keeps the shifted
+    * mantissa in int64). Returns 2^(y/10⁶) as a plain BIGINT (unit
+    * scale). Spark spelling; [[exp2e6DuckSql]] is the oracle twin.
+    */
+  def exp2e6SparkSql(y: String): String = {
+    val lut = Exp2LutE6.mkString(", ")
+    s"""CAST(shiftleft(element_at(array($lut),
+       | CAST((($y) % 1000000) * 256 div 1000000 AS INT) + 1),
+       | CAST(($y) div 1000000 AS INT)) div 1000000 AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[exp2e6SparkSql]] — same LUT literals, native
+    * shifts, 1-based list indexing like element_at.
+    */
+  def exp2e6DuckSql(y: String): String = {
+    val lut = Exp2LutE6.mkString(", ")
+    s"""CAST((([$lut])[CAST((($y) % 1000000) * 256 // 1000000 AS INT) + 1]
+       | << CAST(($y) // 1000000 AS INT)) // 1000000 AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Hash-family switch for the fingerprint stack (MinHash / SimHash /
     * winnowing). Both members map a string column to a nonnegative 60-bit
     * long, so every downstream construction (32-bit masking, bit votes over

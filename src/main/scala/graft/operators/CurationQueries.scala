@@ -2285,7 +2285,173 @@ object CurationQueries {
        |FROM sums""".stripMargin
   }
 
+  // ------ q498: general-α mixture weights via the portable exp2 LUT
+
+  /** Plan-time α ladder (per-mille) for the q498 mixing panel. */
+  val MixAlphaPm: Seq[Long] = Seq(1000L, 700L, 500L, 300L)
+
+  /** q498: temperature-weighted SOURCE mixing for a general α ladder —
+    * q86's resampler is the α = ½ special case (√n weights exist
+    * without a power function); the general w_s ∝ T_s^α every
+    * multilingual-sampling recipe sweeps (Conneau et al. 2020) needs
+    * x^α = exp2(α·log2 x), which the new portable exp2 LUT
+    * ([[Text.exp2e6SparkSql]], the inverse of the log2 LUT) makes
+    * bit-portable. Per α: integer weights, a largest-remainder
+    * per-mille allocation that sums to 1000 EXACTLY (the q485
+    * apportionment), and the mixture's effective source count
+    * 2^H(shares) — the diversity a flatter α buys, made visible.
+    *
+    * Plan: one documents pass → per-source token rollup
+    * (checkpointed) → 4-α plan-time spine × metadata windows.
+    */
+  val q498MixtureWeights: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), Text.tokenCount(col("text")).as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("t_s"))
+      .localCheckpoint()
+    val alphas = s.createDataFrame(MixAlphaPm.map(Tuple1(_)))
+      .toDF("alpha_pm")
+    val weighted = alphas.crossJoin(toks)
+      .withColumn("w", expr(Text.exp2e6SparkSql(
+        s"CAST(alpha_pm * (${Text.log2e6SparkSql("t_s")}) div 1000" +
+          " AS BIGINT)")))
+      .localCheckpoint()
+    val tot = weighted.groupBy(col("alpha_pm"))
+      .agg(sum(col("w")).as("wt"),
+        sum(col("w").cast(dec) *
+          expr(Text.log2e6SparkSql("w"))).as("swl"))
+      .withColumn("h_e6",
+        expr(Text.log2e6SparkSql("wt")).cast(dec) -
+          expr(fdiv("swl", "wt")))
+      .select(col("alpha_pm"), col("wt"),
+        expr(Text.exp2e6SparkSql("CAST(h_e6 AS BIGINT)"))
+          .as("eff_sources"))
+    val staged = weighted.join(tot, "alpha_pm")
+      .withColumn("base", expr("(1000 * w) div wt"))
+      .withColumn("rem", expr("(1000 * w) % wt"))
+      .localCheckpoint()
+    val left = staged.groupBy(col("alpha_pm"))
+      .agg((lit(1000L) - sum(col("base"))).as("lv"))
+    staged.join(left, "alpha_pm")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("alpha_pm"))
+          .orderBy(col("rem").desc, col("source"))))
+      .select(col("alpha_pm"), col("source"), col("t_s").as("tokens"),
+        col("w").as("weight_raw"),
+        (col("base") + (col("rk") <= col("lv")).cast("long"))
+          .as("alloc_pm"),
+        col("eff_sources"))
+      .orderBy(col("alpha_pm"), col("source"))
+  }
+
+  val q498Sql: String = {
+    val rungs = MixAlphaPm.map(a => s"($a)").mkString(", ")
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    def e2(y: String) = Text.exp2e6DuckSql(y)
+    s"""WITH toks AS (
+      |  SELECT source,
+      |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS t_s
+      |  FROM documents GROUP BY source),
+      |alphas(alpha_pm) AS (VALUES $rungs),
+      |weighted AS (
+      |  SELECT CAST(alpha_pm AS BIGINT) AS alpha_pm, source, t_s,
+      |    ${e2(s"CAST(alpha_pm * (${l2("t_s")}) // 1000 AS BIGINT)")}
+      |      AS w
+      |  FROM alphas CROSS JOIN toks),
+      |tot AS (
+      |  SELECT alpha_pm, SUM(w) AS wt,
+      |    SUM(CAST(w AS HUGEINT) * (${l2("w")})) AS swl
+      |  FROM weighted GROUP BY alpha_pm),
+      |hh AS (
+      |  SELECT alpha_pm, wt,
+      |    CAST((${l2("wt")}) - swl // wt AS BIGINT) AS h_e6
+      |  FROM tot),
+      |eff AS (
+      |  SELECT alpha_pm, wt, ${e2("h_e6")} AS eff_sources FROM hh),
+      |staged AS (
+      |  SELECT w.alpha_pm, w.source, w.t_s, w.w, e.eff_sources,
+      |    (1000 * w.w) // e.wt AS base, (1000 * w.w) % e.wt AS rem
+      |  FROM weighted w JOIN eff e USING (alpha_pm)),
+      |leftov AS (
+      |  SELECT alpha_pm, 1000 - SUM(base) AS lv
+      |  FROM staged GROUP BY alpha_pm),
+      |ranked AS (
+      |  SELECT s.*, l.lv,
+      |    ROW_NUMBER() OVER (PARTITION BY s.alpha_pm
+      |      ORDER BY s.rem DESC, s.source) AS rk
+      |  FROM staged s JOIN leftov l USING (alpha_pm))
+      |SELECT alpha_pm, source, t_s AS tokens,
+      |  CAST(w AS BIGINT) AS weight_raw,
+      |  CAST(base + CASE WHEN rk <= lv THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_pm,
+      |  CAST(eff_sources AS BIGINT) AS eff_sources
+      |FROM ranked ORDER BY alpha_pm, source""".stripMargin
+  }
+
+  // ------ q499: per-document character-entropy gibberish screen
+
+  /** Suspect threshold: character entropy below 3.2 bits flags
+    * mojibake/gibberish (natural-language text runs ~4–4.5 bits/char).
+    */
+  val CharEntropySuspectE6 = 3200000L
+
+  /** q499: the character-entropy gibberish screen — the per-DOCUMENT
+    * information-theoretic quality gate next to the corpus-level
+    * entropy family (q276/q278) and the heuristic quality scorer:
+    * H(doc) = log₂n − (Σ c·log₂c)/n over the document's character
+    * counts, entirely on the portable log2 LUT, so the flag that
+    * drops a document is bit-identical in both engines. Too-low
+    * entropy marks repeated-character junk and mojibake; the panel
+    * carries the exact entropy so thresholds can be re-cut without
+    * recomputing.
+    *
+    * Plan: one char-grain explode (the q136 shape — linear, heavy,
+    * honest), (doc, char) partial-agg rollup, doc-grain fold. The
+    * shuffle carries counts, never text.
+    */
+  val q499CharEntropy: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(dec) *
+          expr(Text.log2e6SparkSql("c"))).as("sl"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        (expr(Text.log2e6SparkSql("n")).cast(dec) -
+          expr(fdiv("sl", "n"))).cast("long").as("entropy_e6"))
+      .withColumn("is_suspect",
+        (col("entropy_e6") < CharEntropySuspectE6).cast("long"))
+  }
+
+  val q499Sql: String = {
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    s"""WITH chars AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch
+      |  FROM documents),
+      |cc AS (
+      |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM chars GROUP BY 1, 2),
+      |docs AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(CAST(c AS HUGEINT) * (${l2("c")})) AS sl
+      |  FROM cc GROUP BY doc_id)
+      |SELECT doc_id, n AS n_chars,
+      |  CAST((${l2("n")}) - sl // n AS BIGINT) AS entropy_e6,
+      |  CAST(CASE WHEN (${l2("n")}) - sl // n < $CharEntropySuspectE6
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_suspect
+      |FROM docs""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q498_mixture_weights" -> q498MixtureWeights,
+    "q499_char_entropy" -> q499CharEntropy,
     "q385_spiegelhalter" -> q385Spiegelhalter,
     "q386_cox_calibration" -> q386CoxCalibration,
     "q348_g_test" -> q348GTest,
@@ -2320,6 +2486,8 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q498_mixture_weights" -> q498Sql,
+    "q499_char_entropy" -> q499Sql,
     "q385_spiegelhalter" -> q385Sql,
     "q386_cox_calibration" -> q386Sql,
     "q348_g_test" -> q348Sql,

@@ -160,6 +160,39 @@ class TenthFamiliesPlanSpec extends SparkSpec {
     assert(totalPlays == days, s"$totalPlays vs $days")
   }
 
+  test("q498: every alpha rung allocates exactly 1000 permille; flatter alpha never concentrates more") {
+    val r = rows("q498_mixture_weights")
+    val byAlpha = r.groupBy(_.getAs[Long]("alpha_pm"))
+    byAlpha.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("alloc_pm")).sum == 1000L)
+    }
+    // effective source count grows (weakly) as alpha flattens toward 0
+    val eff = byAlpha.map { case (a, g) =>
+      a -> g.head.getAs[Long]("eff_sources") }.toSeq.sortBy(-_._1)
+    assert(eff.map(_._2).sliding(2).forall(w => w(0) <= w(1)),
+      eff.mkString(","))
+    // alpha=1000 is proportional weighting: exp2(log2 t) recovers ~t
+    val a1 = byAlpha(1000L)
+    a1.foreach { row =>
+      val t = row.getAs[Long]("tokens"); val w = row.getAs[Long]("weight_raw")
+      assert(math.abs(w - t) <= t / 100 + 2, s"t=$t w=$w") // LUT grain
+    }
+  }
+
+  test("q499: char entropy is bounded by log2 of the alphabet and length") {
+    val r = rows("q499_char_entropy")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val h = row.getAs[Long]("entropy_e6")
+      assert(h >= 0L && h <= 8000000L, row.toString) // <= 256-char alphabet
+      assert((row.getAs[Long]("is_suspect") == 1L) ==
+        (h < CurationQueries.CharEntropySuspectE6))
+    }
+    val p = plan("q499_char_entropy")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the (doc, char) rollup must partial-aggregate map-side:\n$p")
+  }
+
   test("q491: wins + losses + ties tile the pair space exactly") {
     val r = rows("q491_win_ratio")
     assert(r.length == 1)
