@@ -11634,7 +11634,213 @@ object AuditQueries {
       |ORDER BY rep.arm""".stripMargin
   }
 
+  // ------ q501: MMD two-sample test with an explicit quadratic kernel
+
+  /** q501: maximum mean discrepancy between returned and kept lines —
+    * the KERNEL two-sample test next to the engine's CDF-based ones
+    * (Wasserstein, CvM, Kuiper): with the quadratic kernel
+    * k(u,v) = (1 + ⟨u,v⟩)², the feature map is EXPLICIT —
+    * (1, √2u₁, √2u₂, u₁², u₂², √2u₁u₂) — so the biased V-statistic
+    * MMD² = ‖φ̄_x − φ̄_y‖² collapses to five exact moment means per
+    * group (coefficients 2,2,1,1,2; the constant feature cancels): no
+    * pair enumeration, no Gram matrix, just two map-side moment folds
+    * over (quantity, value-in-thousands). Each moment mean is one e6
+    * floor; MMD² composes as one fixed-shape IEEE expression over the
+    * ten exact integers, identical in both engines.
+    *
+    * Plan: one lineitem pass → 2-group moment rollup → 1-row stitch.
+    */
+  val q501MmdTest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val li = Tables.lineitem(s, dir)
+      .select((col("l_returnflag") === "R").cast("long").as("g"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("u1"),
+        expr("CAST(ROUND(l_extendedprice*100) AS BIGINT) div 100000")
+          .as("u2"))
+    val m = li.groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("u1")).cast(dec).as("s1"),
+        sum(col("u2")).cast(dec).as("s2"),
+        sum(col("u1").cast(dec) * col("u1")).as("s11"),
+        sum(col("u2").cast(dec) * col("u2")).as("s22"),
+        sum(col("u1").cast(dec) * col("u2")).as("s12"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        expr(fdiv("s1 * 1000000", "n")).cast("long").as("m1"),
+        expr(fdiv("s2 * 1000000", "n")).cast("long").as("m2"),
+        expr(fdiv("s11 * 1000000", "n")).cast("long").as("m11"),
+        expr(fdiv("s22 * 1000000", "n")).cast("long").as("m22"),
+        expr(fdiv("s12 * 1000000", "n")).cast("long").as("m12"))
+    val wide = m.agg(
+      sum(when(col("g") === 1L, col("n")).otherwise(0L)).as("n_x"),
+      sum(when(col("g") === 0L, col("n")).otherwise(0L)).as("n_y"),
+      sum(when(col("g") === 1L, col("m1")).otherwise(0L)).as("x1"),
+      sum(when(col("g") === 1L, col("m2")).otherwise(0L)).as("x2"),
+      sum(when(col("g") === 1L, col("m11")).otherwise(0L)).as("x11"),
+      sum(when(col("g") === 1L, col("m22")).otherwise(0L)).as("x22"),
+      sum(when(col("g") === 1L, col("m12")).otherwise(0L)).as("x12"),
+      sum(when(col("g") === 0L, col("m1")).otherwise(0L)).as("y1"),
+      sum(when(col("g") === 0L, col("m2")).otherwise(0L)).as("y2"),
+      sum(when(col("g") === 0L, col("m11")).otherwise(0L)).as("y11"),
+      sum(when(col("g") === 0L, col("m22")).otherwise(0L)).as("y22"),
+      sum(when(col("g") === 0L, col("m12")).otherwise(0L)).as("y12"))
+    wide.select(col("n_x").cast("long").as("n_x"),
+      col("n_y").cast("long").as("n_y"),
+      (col("x1") - col("y1")).cast("long").as("gap_m1_e6"),
+      (col("x2") - col("y2")).cast("long").as("gap_m2_e6"),
+      (col("x11") - col("y11")).cast("long").as("gap_m11_e6"),
+      (col("x22") - col("y22")).cast("long").as("gap_m22_e6"),
+      (col("x12") - col("y12")).cast("long").as("gap_m12_e6"),
+      expr("""(2.0 * (CAST(x1 - y1 AS DOUBLE) * CAST(x1 - y1 AS DOUBLE))
+        | + 2.0 * (CAST(x2 - y2 AS DOUBLE) * CAST(x2 - y2 AS DOUBLE))
+        | + CAST(x11 - y11 AS DOUBLE) * CAST(x11 - y11 AS DOUBLE)
+        | + CAST(x22 - y22 AS DOUBLE) * CAST(x22 - y22 AS DOUBLE)
+        | + 2.0 * (CAST(x12 - y12 AS DOUBLE) * CAST(x12 - y12 AS DOUBLE)))
+        | / 1e12""".stripMargin.replace("\n", " ")).as("mmd2_d"))
+  }
+
+  val q501Sql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS u1,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) // 100000 AS u2
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(CAST(SUM(u1) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+      |      AS m1,
+      |    CAST(CAST(SUM(u2) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+      |      AS m2,
+      |    CAST(SUM(CAST(u1 AS HUGEINT) * u1) * 1000000 // COUNT(*)
+      |      AS BIGINT) AS m11,
+      |    CAST(SUM(CAST(u2 AS HUGEINT) * u2) * 1000000 // COUNT(*)
+      |      AS BIGINT) AS m22,
+      |    CAST(SUM(CAST(u1 AS HUGEINT) * u2) * 1000000 // COUNT(*)
+      |      AS BIGINT) AS m12
+      |  FROM li GROUP BY g),
+      |wide AS (
+      |  SELECT
+      |    SUM(CASE WHEN g = 1 THEN n ELSE 0 END) AS n_x,
+      |    SUM(CASE WHEN g = 0 THEN n ELSE 0 END) AS n_y,
+      |    SUM(CASE WHEN g = 1 THEN m1 ELSE 0 END)
+      |      - SUM(CASE WHEN g = 0 THEN m1 ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN g = 1 THEN m2 ELSE 0 END)
+      |      - SUM(CASE WHEN g = 0 THEN m2 ELSE 0 END) AS d2,
+      |    SUM(CASE WHEN g = 1 THEN m11 ELSE 0 END)
+      |      - SUM(CASE WHEN g = 0 THEN m11 ELSE 0 END) AS d11,
+      |    SUM(CASE WHEN g = 1 THEN m22 ELSE 0 END)
+      |      - SUM(CASE WHEN g = 0 THEN m22 ELSE 0 END) AS d22,
+      |    SUM(CASE WHEN g = 1 THEN m12 ELSE 0 END)
+      |      - SUM(CASE WHEN g = 0 THEN m12 ELSE 0 END) AS d12
+      |  FROM m)
+      |SELECT CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+      |  CAST(d1 AS BIGINT) AS gap_m1_e6, CAST(d2 AS BIGINT) AS gap_m2_e6,
+      |  CAST(d11 AS BIGINT) AS gap_m11_e6,
+      |  CAST(d22 AS BIGINT) AS gap_m22_e6,
+      |  CAST(d12 AS BIGINT) AS gap_m12_e6,
+      |  (2.0 * (CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE))
+      |   + 2.0 * (CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE))
+      |   + CAST(d11 AS DOUBLE) * CAST(d11 AS DOUBLE)
+      |   + CAST(d22 AS DOUBLE) * CAST(d22 AS DOUBLE)
+      |   + 2.0 * (CAST(d12 AS DOUBLE) * CAST(d12 AS DOUBLE)))
+      |  / 1e12 AS mmd2_d
+      |FROM wide""".stripMargin
+
+  // ------ q502: energy-distance two-sample test on the value spectrum
+
+  /** q502: Székely's energy distance between returned and kept
+    * quantity distributions — the DISTANCE-based two-sample test whose
+    * correlation cousin (dCor, q478) the engine already has:
+    * D² = 2E|X−Y| − E|X−X′| − E|Y−Y′|, zero iff the distributions
+    * match. Quantity's 50-value support turns all three expectations
+    * into exact integer folds over difference spectra (the q480
+    * Hodges–Lehmann device — counts times |v−w|, never row pairs),
+    * each staged through one e6 floor; the test statistic
+    * T = (n_x·n_y/(n_x+n_y))·D² is one more exact division.
+    *
+    * Plan: one lineitem pass → 100-cell rollup → bounded spectrum
+    * folds, all metadata.
+    */
+  val q502EnergyDistance: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").cast("long").as("g"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def spectrum(ga: Long, gb: Long, asName: String) = {
+      val xa = li.filter(col("g") === ga)
+        .select(col("v").as("va"), col("n").as("na"))
+      val xb = li.filter(col("g") === gb)
+        .select(col("v").as("vb"), col("n").as("nb"))
+      xa.crossJoin(broadcast(xb))
+        .agg(sum(col("na").cast(dec) * col("nb") *
+          abs(col("va") - col("vb"))).as(asName))
+    }
+    val counts = li.groupBy(col("g")).agg(sum(col("n")).as("tot"))
+      .agg(sum(when(col("g") === 1L, col("tot")).otherwise(0L))
+        .cast(dec).as("nx"),
+        sum(when(col("g") === 0L, col("tot")).otherwise(0L))
+          .cast(dec).as("ny"))
+    counts
+      .crossJoin(broadcast(spectrum(1L, 0L, "sxy")))
+      .crossJoin(broadcast(spectrum(1L, 1L, "sxx")))
+      .crossJoin(broadcast(spectrum(0L, 0L, "syy")))
+      .select(col("nx").cast("long").as("n_x"),
+        col("ny").cast("long").as("n_y"),
+        expr(fdiv("sxy * 1000000", "nx * ny")).cast("long").as("exy_e6"),
+        expr(fdiv("sxx * 1000000", "nx * nx")).cast("long").as("exx_e6"),
+        expr(fdiv("syy * 1000000", "ny * ny")).cast("long").as("eyy_e6"))
+      .withColumn("energy_e6",
+        lit(2L) * col("exy_e6") - col("exx_e6") - col("eyy_e6"))
+      .withColumn("t_stat_e6", expr(
+        "CAST(CAST(n_x AS DECIMAL(38,0)) * n_y * energy_e6" +
+          " DIV (CAST(n_x AS DECIMAL(38,0)) + n_y) AS BIGINT)"))
+  }
+
+  val q502Sql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      |  GROUP BY 1, 2),
+      |counts AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN g = 1 THEN n ELSE 0 END) AS HUGEINT) AS nx,
+      |    CAST(SUM(CASE WHEN g = 0 THEN n ELSE 0 END) AS HUGEINT) AS ny
+      |  FROM li),
+      |sxy AS (
+      |  SELECT SUM(CAST(a.n AS HUGEINT) * b.n * ABS(a.v - b.v)) AS s
+      |  FROM (SELECT v, n FROM li WHERE g = 1) a
+      |  CROSS JOIN (SELECT v, n FROM li WHERE g = 0) b),
+      |sxx AS (
+      |  SELECT SUM(CAST(a.n AS HUGEINT) * b.n * ABS(a.v - b.v)) AS s
+      |  FROM (SELECT v, n FROM li WHERE g = 1) a
+      |  CROSS JOIN (SELECT v, n FROM li WHERE g = 1) b),
+      |syy AS (
+      |  SELECT SUM(CAST(a.n AS HUGEINT) * b.n * ABS(a.v - b.v)) AS s
+      |  FROM (SELECT v, n FROM li WHERE g = 0) a
+      |  CROSS JOIN (SELECT v, n FROM li WHERE g = 0) b),
+      |staged AS (
+      |  SELECT CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+      |    CAST(sxy.s * 1000000 // (nx * ny) AS BIGINT) AS exy_e6,
+      |    CAST(sxx.s * 1000000 // (nx * nx) AS BIGINT) AS exx_e6,
+      |    CAST(syy.s * 1000000 // (ny * ny) AS BIGINT) AS eyy_e6
+      |  FROM counts CROSS JOIN sxy CROSS JOIN sxx CROSS JOIN syy)
+      |SELECT n_x, n_y, exy_e6, exx_e6, eyy_e6,
+      |  2 * exy_e6 - exx_e6 - eyy_e6 AS energy_e6,
+      |  CAST(CAST(n_x AS HUGEINT) * n_y * (2 * exy_e6 - exx_e6 - eyy_e6)
+      |    // (CAST(n_x AS HUGEINT) + n_y) AS BIGINT) AS t_stat_e6
+      |FROM staged""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q501_mmd_test" -> q501MmdTest,
+    "q502_energy_distance" -> q502EnergyDistance,
     "q496_adstock_selection" -> q496AdstockSelection,
     "q497_ucb_replay" -> q497UcbReplay,
     "q494_johnson_rule" -> q494JohnsonRule,
@@ -11766,6 +11972,8 @@ object AuditQueries {
     "q495_oc_curve" -> q495Sql,
     "q496_adstock_selection" -> q496Sql,
     "q497_ucb_replay" -> q497Sql,
+    "q501_mmd_test" -> q501Sql,
+    "q502_energy_distance" -> q502Sql,
     "q396_hoeffdings_d" -> q396Sql,
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,

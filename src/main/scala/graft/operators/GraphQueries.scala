@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the star schema: the supply network ranked as a
@@ -1589,7 +1590,142 @@ object GraphQueries {
       |GROUP BY part ORDER BY bc_e6 DESC, part LIMIT 20""".stripMargin
   }
 
+  // ------------- q500: minimum spanning tree of the co-purchase core
+
+  /** Vertex count of the q500 MST core (top parts by line count). */
+  val MstK = 20
+
+  /** q500: Prim's minimum spanning tree over the top-[[MstK]]
+    * co-purchase core — the graph family's missing SKELETON operator
+    * (components q68/q95, PageRank, HITS, k-core, betweenness all
+    * exist; none exposes the cheapest connected backbone): vertices
+    * are the 20 highest-volume parts, the distance between two parts
+    * shrinks with their order co-occurrence (10⁹ div (1+count), the
+    * complete K₂₀ so connectivity is guaranteed), and every edge packs
+    * (dist, a, b) into ONE integer key so min-selection carries its
+    * own deterministic tie-break. The engine replays Prim as a driver
+    * fold over the 190-cell matrix (bounded top-k grain); the oracle
+    * replays the SAME algorithm as 19 UNROLLED plain CTE layers —
+    * aggregate + join + IN over a growing tree CTE, zero exotic
+    * constructs — so both engines trace identical picks even where
+    * the MST is non-unique.
+    *
+    * Plan: one lineitem rollup → top-20 → tiny basket self-join →
+    * 190-cell matrix → metadata fold.
+    */
+  val q500MstBackbone: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_partkey")).limit(MstK)
+      .withColumn("v", row_number().over(
+        Window.orderBy(col("n").desc, col("l_partkey"))))
+      .select(col("l_partkey"), col("v"))
+      .localCheckpoint()
+    val tagged = li.join(broadcast(top), "l_partkey")
+      .select(col("l_orderkey"), col("v"))
+    val co = tagged.as("x").join(tagged.as("y"), "l_orderkey")
+      .filter(col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(countDistinct(col("l_orderkey")).as("cnt"))
+    val lat = top.select(col("v").as("a"))
+      .crossJoin(broadcast(top.select(col("v").as("b"))))
+      .filter(col("a") < col("b"))
+      .join(co, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        expr("1000000000 div (1 + coalesce(cnt, 0))").as("dist"))
+      .withColumn("key", col("dist") * 1024L + col("a") * 32L + col("b"))
+    val edges = lat.collect()
+      .map(r => (r.getAs[Int]("a").toLong, r.getAs[Int]("b").toLong,
+        r.getAs[Long]("dist"), r.getAs[Long]("key")))
+    val inTree = scala.collection.mutable.Set(1L)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (1 until MstK).foreach { step =>
+      val cand = edges.filter { case (a, b, _, _) =>
+        inTree(a) != inTree(b) }
+      val k = cand.map(_._4).min
+      val (a, b, _, _) = cand.find(_._4 == k).get
+      inTree += (if (inTree(a)) b else a)
+      picks += ((step.toLong, k))
+    }
+    val total = picks.map(_._2 / 1024L).sum
+    import s.implicits._
+    picks.toSeq.map { case (st, k) =>
+      (st, (k % 1024L) / 32L, k % 32L, k / 1024L, total) }
+      .toDF("step", "a", "b", "dist", "total_dist")
+  }
+
+  val q500Sql: String = {
+    // LIST-state recursive walk (the proven q437/q440 device): the 380
+    // directed edges pack (u, w, key) into one BIGINT each and ride the
+    // walk as a list computed ONCE, so no CTE is referenced twice —
+    // chained-CTE formulations inline exponentially in DuckDB (the
+    // first draft re-scanned lineitem per level, 456 s). The per-step
+    // min is list_min over a filter/transform pair on carried state —
+    // lambdas over walk-state lists, no subqueries inside them.
+    val p45 = 35184372088832L // 2^45 (u field)
+    val p40 = 1099511627776L // 2^40 (w field; key < 2^40)
+    val kk =
+      s"""list_min(list_transform(list_filter(w.eds,
+         | x -> list_contains(w.tree, x // $p45)
+         |  AND NOT list_contains(w.tree, (x // $p40) % 32)),
+         | x -> x % $p40))""".stripMargin.replace("\n", " ")
+    s"""WITH RECURSIVE t20 AS (
+      |  SELECT l_partkey,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey) AS v
+      |  FROM lineitem GROUP BY l_partkey
+      |  ORDER BY COUNT(*) DESC, l_partkey LIMIT $MstK),
+      |tagged AS (
+      |  SELECT l_orderkey, v FROM lineitem JOIN t20 USING (l_partkey)),
+      |co AS (
+      |  SELECT x.v AS a, y.v AS b,
+      |    CAST(COUNT(DISTINCT x.l_orderkey) AS BIGINT) AS cnt
+      |  FROM tagged x JOIN tagged y
+      |    ON x.l_orderkey = y.l_orderkey AND x.v < y.v
+      |  GROUP BY 1, 2),
+      |lat AS (
+      |  SELECT va.v AS a, vb.v AS b,
+      |    1000000000 // (1 + COALESCE(cnt, 0)) AS dist
+      |  FROM t20 va JOIN t20 vb ON va.v < vb.v
+      |  LEFT JOIN co ON co.a = va.v AND co.b = vb.v),
+      |ed AS (
+      |  SELECT a AS u, b AS w, dist * 1024 + a * 32 + b AS key FROM lat
+      |  UNION ALL
+      |  SELECT b AS u, a AS w, dist * 1024 + a * 32 + b AS key FROM lat),
+      |init AS (
+      |  SELECT list(CAST(u AS BIGINT) * $p45 + CAST(w AS BIGINT) * $p40
+      |      + key ORDER BY u, w) AS eds
+      |  FROM ed),
+      |walk AS (
+      |  SELECT CAST(1 AS BIGINT) AS step,
+      |    [CAST(1 AS BIGINT)] AS tree,
+      |    CAST([] AS BIGINT[]) AS ks, eds
+      |  FROM init
+      |  UNION ALL
+      |  SELECT w.step + 1,
+      |    list_append(w.tree,
+      |      CASE WHEN list_contains(w.tree, ($kk % 1024) // 32)
+      |        THEN $kk % 32 ELSE ($kk % 1024) // 32 END),
+      |    list_append(w.ks, $kk),
+      |    w.eds
+      |  FROM walk w WHERE w.step < $MstK),
+      |fin AS (SELECT ks FROM walk WHERE step = $MstK),
+      |spine AS (SELECT UNNEST(range(1, $MstK)) AS step),
+      |picks AS (
+      |  SELECT step, ks[CAST(step AS INT)] AS k
+      |  FROM fin CROSS JOIN spine),
+      |tot AS (SELECT SUM(k // 1024) AS total_dist FROM picks)
+      |SELECT CAST(step AS BIGINT) AS step,
+      |  CAST((k % 1024) // 32 AS BIGINT) AS a,
+      |  CAST(k % 32 AS BIGINT) AS b,
+      |  CAST(k // 1024 AS BIGINT) AS dist,
+      |  CAST(total_dist AS BIGINT) AS total_dist
+      |FROM picks CROSS JOIN tot
+      |ORDER BY step""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q500_mst_backbone" -> q500MstBackbone,
     "q415_betweenness" -> q415Betweenness,
     "q394_rich_club" -> q394RichClub,
     "q341_modularity" -> q341Modularity,
@@ -1612,6 +1748,7 @@ object GraphQueries {
     "q116_related_products" -> q116RelatedProducts)
 
   def oracles: Map[String, String] = Map(
+    "q500_mst_backbone" -> q500Sql,
     "q415_betweenness" -> q415Sql,
     "q394_rich_club" -> q394Sql,
     "q341_modularity" -> q341Sql,

@@ -193,6 +193,42 @@ class TenthFamiliesPlanSpec extends SparkSpec {
       s"the (doc, char) rollup must partial-aggregate map-side:\n$p")
   }
 
+  test("q500: the MST has k-1 edges, spans all vertices, and sums its picks") {
+    val r = rows("q500_mst_backbone")
+    assert(r.length == GraphQueries.MstK - 1)
+    // spanning: every vertex 1..k appears in some picked edge
+    val touched = r.flatMap(row =>
+      Seq(row.getAs[Long]("a"), row.getAs[Long]("b"))).toSet
+    assert(touched == (1 to GraphQueries.MstK).map(_.toLong).toSet)
+    assert(r.map(_.getAs[Long]("dist")).sum ==
+      r.head.getAs[Long]("total_dist"))
+  }
+
+  test("q501: MMD² equals its own five-gap composition and is nonnegative") {
+    val r = rows("q501_mmd_test")
+    assert(r.length == 1)
+    val h = r.head
+    val expect = (2.0 * math.pow(h.getAs[Long]("gap_m1_e6").toDouble, 2)
+      + 2.0 * math.pow(h.getAs[Long]("gap_m2_e6").toDouble, 2)
+      + math.pow(h.getAs[Long]("gap_m11_e6").toDouble, 2)
+      + math.pow(h.getAs[Long]("gap_m22_e6").toDouble, 2)
+      + 2.0 * math.pow(h.getAs[Long]("gap_m12_e6").toDouble, 2)) / 1e12
+    assert(math.abs(h.getAs[Double]("mmd2_d") - expect) < 1e-9)
+    assert(h.getAs[Double]("mmd2_d") >= 0.0)
+  }
+
+  test("q502: energy distance is nonnegative and zero against itself") {
+    val r = rows("q502_energy_distance")
+    assert(r.length == 1)
+    val h = r.head
+    // D² ≥ 0 for any pair of distributions (within e6 floor slack)
+    assert(h.getAs[Long]("energy_e6") >= -3L, h.toString)
+    assert(h.getAs[Long]("exy_e6") >= 0L)
+    val p = plan("q502_energy_distance")
+    // the pair folds run on the 50-value spectra, never on row pairs
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q491: wins + losses + ties tile the pair space exactly") {
     val r = rows("q491_win_ratio")
     assert(r.length == 1)
