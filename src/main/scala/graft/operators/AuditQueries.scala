@@ -11838,7 +11838,446 @@ object AuditQueries {
       |    // (CAST(n_x AS HUGEINT) + n_y) AS BIGINT) AS t_stat_e6
       |FROM staged""".stripMargin
 
+  // ------ q503: DerSimonian-Laird random-effects meta-analysis
+
+  /** q503: random-effects meta-analysis (DerSimonian–Laird 1986) — the
+    * EVIDENCE-POOLING layer the engine's per-group tests stop short
+    * of: treating each region as a study measuring the returned-vs-
+    * kept quantity gap, the panel pools the five effects under fixed
+    * effect, tests their homogeneity (Cochran's Q against k−1), turns
+    * the excess into the between-study variance τ² (the DL moment
+    * estimator), and re-pools with τ²-widened weights — with I²
+    * reporting how much of the spread is real heterogeneity. Every
+    * study row is exact integer moments; weights are e6 floors of
+    * reciprocal variances, Q/τ²/I² floor per term before the
+    * cross-study sums, so the whole ladder is order-safe integers.
+    *
+    * Plan: one lineitem⋈broadcast-dims pass → 5-study moment rollup
+    * (checkpointed) → metadata pooling folds.
+    */
+  val q503MetaAnalysis: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_regionkey").as("r"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("long").as("g"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+    val studies = li.groupBy(col("r"))
+      .agg(sum(col("g")).cast(dec).as("nx"),
+        sum(lit(1L) - col("g")).cast(dec).as("ny"),
+        sum(col("g") * col("q")).cast(dec).as("sx"),
+        sum((lit(1L) - col("g")) * col("q")).cast(dec).as("sy"),
+        sum(col("g") * col("q") * col("q")).cast(dec).as("ssx"),
+        sum((lit(1L) - col("g")) * col("q") * col("q")).cast(dec).as("ssy"))
+      .select(col("r"), col("nx"), col("ny"),
+        (expr(fdiv("sx * 1000000", "nx")) -
+          expr(fdiv("sy * 1000000", "ny"))).as("d_e6"),
+        (expr(fdiv(fdiv("(nx * ssx - sx * sx) * 1000000", "nx * (nx - 1)")
+          + " * 1000000", "nx")) +
+          expr(fdiv(fdiv("(ny * ssy - sy * sy) * 1000000", "ny * (ny - 1)")
+            + " * 1000000", "ny"))).as("v_e12"))
+      .withColumn("w_fe", expr(fdiv("1000000000000000000", "v_e12")))
+      .localCheckpoint()
+    val fe = studies.agg(count(lit(1)).cast(dec).as("k"),
+      sum(col("w_fe")).as("sw"),
+      sum(col("w_fe") * col("d_e6")).as("swd"),
+      sum(col("w_fe") * col("w_fe")).as("sww"))
+      .select(col("k"), col("sw"), col("sww"),
+        expr(sdiv("swd", "sw")).as("pooled_fe_e6"))
+      .localCheckpoint()
+    val q = studies.crossJoin(broadcast(fe))
+      .select(expr(fdiv(
+        "w_fe * (d_e6 - pooled_fe_e6) * (d_e6 - pooled_fe_e6)",
+        "1000000000000")).as("qterm"))
+      .agg(sum(col("qterm")).as("q_e6"))
+    val tau = fe.crossJoin(broadcast(q))
+      .select(col("k"), col("pooled_fe_e6"), col("q_e6"),
+        expr("CASE WHEN q_e6 <= (k - 1) * 1000000 THEN CAST(0 AS " +
+          "DECIMAL(38,0)) ELSE " +
+          fdiv("(q_e6 - (k - 1) * 1000000) * 1000000000000",
+            "sw - " + fdiv("sww", "sw")) + " END").as("tau2_e12"),
+        expr("CASE WHEN q_e6 = 0 THEN 0 ELSE " +
+          "GREATEST(0, CAST(" + fdiv("(q_e6 - (k - 1) * 1000000) * 1000000",
+          "q_e6") + " AS BIGINT)) END").as("i2_e6"))
+      .localCheckpoint()
+    val re = studies.crossJoin(broadcast(tau))
+      .select(expr(fdiv("1000000000000000000", "v_e12 + tau2_e12"))
+        .as("w_re"), col("d_e6"))
+      .agg(expr("CAST(" + sdiv("SUM(w_re * d_e6)", "SUM(w_re)") +
+        " AS BIGINT)").as("pooled_re_e6"))
+    studies.crossJoin(broadcast(tau)).crossJoin(broadcast(re))
+      .select(col("r").as("region"),
+        col("nx").cast("long").as("n_returned"),
+        col("ny").cast("long").as("n_kept"),
+        col("d_e6").cast("long").as("effect_e6"),
+        col("v_e12").cast("long").as("var_e12"),
+        col("pooled_fe_e6").cast("long").as("pooled_fe_e6"),
+        col("q_e6").cast("long").as("q_e6"),
+        col("tau2_e12").cast("long").as("tau2_e12"),
+        col("i2_e6").cast("long").as("i2_e6"),
+        col("pooled_re_e6"))
+      .orderBy(col("region"))
+  }
+
+  val q503Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, n_regionkey AS r
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |li AS (
+      |  SELECT dim.r,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN dim ON o_custkey = dim.c_custkey
+      |  WHERE l_returnflag IN ('R', 'N')),
+      |studies AS (
+      |  SELECT r,
+      |    CAST(SUM(g) AS HUGEINT) AS nx,
+      |    CAST(SUM(1 - g) AS HUGEINT) AS ny,
+      |    CAST(SUM(g * q) AS HUGEINT) AS sx,
+      |    CAST(SUM((1 - g) * q) AS HUGEINT) AS sy,
+      |    SUM(CAST(g AS HUGEINT) * q * q) AS ssx,
+      |    SUM(CAST(1 - g AS HUGEINT) * q * q) AS ssy
+      |  FROM li GROUP BY r),
+      |eff AS (
+      |  SELECT r, nx, ny,
+      |    sx * 1000000 // nx - sy * 1000000 // ny AS d_e6,
+      |    ((nx * ssx - sx * sx) * 1000000 // (nx * (nx - 1))) * 1000000
+      |        // nx
+      |      + ((ny * ssy - sy * sy) * 1000000 // (ny * (ny - 1)))
+      |        * 1000000 // ny AS v_e12
+      |  FROM studies),
+      |wgt AS (
+      |  SELECT r, nx, ny, d_e6, v_e12,
+      |    1000000000000000000 // v_e12 AS w_fe
+      |  FROM eff),
+      |fe AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(w_fe) AS sw,
+      |    SUM(w_fe * w_fe) AS sww,
+      |    CAST(CASE WHEN SUM(w_fe * d_e6) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(SUM(w_fe * d_e6)) // SUM(w_fe)) AS HUGEINT)
+      |      AS pooled_fe_e6
+      |  FROM wgt),
+      |qq AS (
+      |  SELECT SUM(w_fe * (d_e6 - pooled_fe_e6) * (d_e6 - pooled_fe_e6)
+      |    // 1000000000000) AS q_e6
+      |  FROM wgt CROSS JOIN fe),
+      |tau AS (
+      |  SELECT k, pooled_fe_e6, q_e6,
+      |    CASE WHEN q_e6 <= (k - 1) * 1000000 THEN CAST(0 AS HUGEINT)
+      |      ELSE (q_e6 - (k - 1) * 1000000) * 1000000000000
+      |        // (sw - sww // sw) END AS tau2_e12,
+      |    CASE WHEN q_e6 = 0 THEN 0
+      |      ELSE GREATEST(0, (q_e6 - (k - 1) * 1000000) * 1000000
+      |        // q_e6) END AS i2_e6
+      |  FROM fe CROSS JOIN qq),
+      |re AS (
+      |  SELECT CAST(CASE WHEN SUM(w_re * d_e6) >= 0 THEN 1 ELSE -1 END *
+      |    (ABS(SUM(w_re * d_e6)) // SUM(w_re)) AS BIGINT)
+      |    AS pooled_re_e6
+      |  FROM (
+      |    SELECT 1000000000000000000 // (v_e12 + tau2_e12) AS w_re, d_e6
+      |    FROM wgt CROSS JOIN tau))
+      |SELECT r AS region, CAST(nx AS BIGINT) AS n_returned,
+      |  CAST(ny AS BIGINT) AS n_kept,
+      |  CAST(d_e6 AS BIGINT) AS effect_e6,
+      |  CAST(v_e12 AS BIGINT) AS var_e12,
+      |  CAST(pooled_fe_e6 AS BIGINT) AS pooled_fe_e6,
+      |  CAST(q_e6 AS BIGINT) AS q_e6,
+      |  CAST(tau2_e12 AS BIGINT) AS tau2_e12,
+      |  CAST(i2_e6 AS BIGINT) AS i2_e6,
+      |  pooled_re_e6
+      |FROM wgt CROSS JOIN tau CROSS JOIN re
+      |ORDER BY region""".stripMargin
+
+  // ------ q504: (s, S) inventory-policy replay on measured demand
+
+  /** q504: base-stock (s, S) policy simulation — INVENTORY CONTROL
+    * next to the engine's lot-sizing operators (Wagner–Whitin q452,
+    * newsvendor): the top brand's daily shipped quantity is the
+    * measured demand stream; the policy reviews daily, serves what
+    * stock allows, and when the position falls below the reorder
+    * point s = 2·mean it orders up to S = 4·mean with one day of
+    * lead time (yesterday's order arrives this morning). The replay
+    * is a driver fold over the calendar-bounded day series, the
+    * oracle the same walk as a recursive CTE with plain joins (the
+    * q416 device) — fill rate, stockout days, order count and
+    * holding all exact integers, so service-vs-holding reads
+    * directly off the output.
+    *
+    * Plan: one lineitem rollup → top-brand day series (calendar-
+    * bounded) → T-step fold → 1-row report.
+    */
+  val q504InventoryPolicy: Q = (s, dir) => {
+    val topBrand = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand")).limit(1)
+      .localCheckpoint()
+    val series = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(topBrand.select(col("p_brand"))), "p_brand")
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(expr("SUM(CAST(ROUND(l_quantity) AS BIGINT))").as("dem"))
+      .orderBy(col("d")).collect()
+    val dems = series.map(_.getAs[Long]("dem"))
+    val n = dems.length.toLong
+    val mean = dems.sum / n
+    val sLow = 2L * mean
+    val sUp = 4L * mean
+    var inv = sUp
+    var onOrder = 0L
+    var served, lost, holding, orders = 0L
+    var stockoutDays = 0L
+    dems.foreach { d =>
+      inv += onOrder; onOrder = 0L
+      val sv = math.min(d, inv)
+      served += sv
+      if (d > inv) { lost += d - inv; stockoutDays += 1 }
+      inv -= sv
+      holding += inv
+      if (inv < sLow) { onOrder = sUp - inv; orders += 1 }
+    }
+    import s.implicits._
+    Seq((n, dems.sum, sLow, sUp, served, lost, stockoutDays, orders,
+      holding, served * 1000000L / dems.sum))
+      .toDF("n_days", "total_demand", "s_reorder", "s_upto", "served",
+        "lost", "stockout_days", "n_orders", "holding_unit_days",
+        "fill_rate_e6")
+  }
+
+  val q504Sql: String =
+    """WITH RECURSIVE tb AS (
+      |  SELECT p_brand FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand ORDER BY COUNT(*) DESC, p_brand LIMIT 1),
+      |bd AS (
+      |  SELECT l_shipdate AS d,
+      |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS dem
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN tb USING (p_brand)
+      |  GROUP BY 1),
+      |ser AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rk, dem FROM bd),
+      |par AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(dem) AS BIGINT) AS tot,
+      |    2 * (SUM(dem) // COUNT(*)) AS s_low,
+      |    4 * (SUM(dem) // COUNT(*)) AS s_up
+      |  FROM ser),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS rk, s_up AS inv,
+      |    CAST(0 AS BIGINT) AS onord, CAST(0 AS BIGINT) AS served,
+      |    CAST(0 AS BIGINT) AS lost, CAST(0 AS BIGINT) AS so_days,
+      |    CAST(0 AS BIGINT) AS orders, CAST(0 AS BIGINT) AS holding,
+      |    s_low, s_up
+      |  FROM par
+      |  UNION ALL
+      |  SELECT s.rk,
+      |    CASE WHEN (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord)
+      |        < w.s_low
+      |      THEN (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord)
+      |      ELSE (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord) END,
+      |    CASE WHEN (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord)
+      |        < w.s_low
+      |      THEN w.s_up - ((w.inv + w.onord)
+      |        - LEAST(s.dem, w.inv + w.onord))
+      |      ELSE 0 END,
+      |    w.served + LEAST(s.dem, w.inv + w.onord),
+      |    w.lost + s.dem - LEAST(s.dem, w.inv + w.onord),
+      |    w.so_days + CASE WHEN s.dem > w.inv + w.onord
+      |      THEN 1 ELSE 0 END,
+      |    w.orders + CASE WHEN (w.inv + w.onord)
+      |        - LEAST(s.dem, w.inv + w.onord) < w.s_low
+      |      THEN 1 ELSE 0 END,
+      |    w.holding + (w.inv + w.onord)
+      |      - LEAST(s.dem, w.inv + w.onord),
+      |    w.s_low, w.s_up
+      |  FROM walk w JOIN ser s ON s.rk = w.rk + 1),
+      |fin AS (SELECT * FROM walk ORDER BY rk DESC LIMIT 1)
+      |SELECT par.n AS n_days, par.tot AS total_demand,
+      |  par.s_low AS s_reorder, par.s_up AS s_upto,
+      |  fin.served, fin.lost, fin.so_days AS stockout_days,
+      |  fin.orders AS n_orders, fin.holding AS holding_unit_days,
+      |  CAST(fin.served * 1000000 // par.tot AS BIGINT) AS fill_rate_e6
+      |FROM fin CROSS JOIN par""".stripMargin
+
+  // ------ q505: Walker alias-table construction for O(1) sampling
+
+  /** Items in the q505 alias table (top brands by line count). */
+  val AliasK = 20
+
+  /** q505: Walker's alias method — the SAMPLING-INFRASTRUCTURE
+    * operator behind every O(1) weighted draw a trillion-token mixer
+    * makes (q86/q98/q498 decide WEIGHTS; this builds the structure
+    * that samples from them in constant time): brand weights scale to
+    * per-item probabilities summing to k·10⁶ EXACTLY (largest
+    * remainder, the q485 device), then the classic pairing finalizes
+    * one below-mean item per step against an above-mean donor
+    * (argmin/argmax with packed-key tie-breaks; the all-equal tail
+    * self-aliases). The construction INVARIANT ships in the output:
+    * own-cell probability plus donated residue reconstructs every
+    * item's scaled weight exactly — recon_e6 = scaled_e6, integer
+    * equality, no float anywhere. Engine = driver fold over the
+    * 20-row table; oracle = the same walk as a LIST-state recursive
+    * CTE (probs as a carried list, lambda indexing, no subqueries in
+    * lambdas).
+    *
+    * Plan: one lineitem rollup → 20-row apportionment → k-step fold.
+    */
+  val q505AliasTable: Q = (s, dir) => {
+    val k = AliasK
+    val top = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("p_brand")).limit(k)
+      .withColumn("item", row_number().over(
+        Window.orderBy(col("w").desc, col("p_brand"))))
+      .localCheckpoint()
+    val tot = top.agg(sum(col("w")).as("wt"))
+    val staged = top.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($k * 1000000 * w) div wt"))
+      .withColumn("rem", expr(s"($k * 1000000 * w) % wt"))
+    val left = staged.agg((lit(k * 1000000L) - sum(col("base"))).as("lv"))
+    val scaled = staged.crossJoin(broadcast(left))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("item"))))
+      .select(col("item"), col("p_brand"), col("w"),
+        (col("base") + (col("rk") <= col("lv")).cast("long"))
+          .as("scaled_e6"))
+      .orderBy(col("item"))
+      .collect()
+    val ps = Array.fill(k + 1)(0L)
+    scaled.foreach(r => ps(r.getAs[Int]("item")) = r.getAs[Long]("scaled_e6"))
+    val fin = Array.fill(k + 1)(false)
+    val alias = Array.fill(k + 1)(0)
+    val pFinal = Array.fill(k + 1)(0L)
+    (1 to k).foreach { _ =>
+      val open = (1 to k).filterNot(fin)
+      val sI = open.minBy(i => (ps(i), i))
+      val lI = if (ps(sI) == 1000000L) sI
+        else open.filter(_ != sI).minBy(i => (-ps(i), i))
+      fin(sI) = true
+      alias(sI) = lI
+      pFinal(sI) = ps(sI)
+      if (lI != sI) ps(lI) += ps(sI) - 1000000L
+    }
+    val recon = (1 to k).map { i =>
+      pFinal(i) + (1 to k).filter(j => j != i && alias(j) == i)
+        .map(1000000L - pFinal(_)).sum
+    }
+    import s.implicits._
+    scaled.toSeq.map { r =>
+      val i = r.getAs[Int]("item")
+      (i.toLong, r.getAs[String]("p_brand"), r.getAs[Long]("w"),
+        r.getAs[Long]("scaled_e6"), pFinal(i), alias(i).toLong,
+        recon(i - 1))
+    }.toDF("item", "brand", "weight", "scaled_e6", "p_final_e6",
+      "alias_item", "recon_e6")
+  }
+
+  val q505Sql: String = {
+    val k = AliasK
+    val idx = (1 to k).mkString("[", ", ", "]")
+    // packed keys: argmin by (p, i) ascending, argmax by (p, k-i) so
+    // ties break toward the SMALLEST index on both sides; p ≤ k·10⁶
+    // fits far below the 2^26 field
+    val smin = s"""list_min(list_transform(list_filter($idx,
+      | i -> NOT list_contains(w.fin, i)),
+      | i -> w.ps[i] * 32 + i))""".stripMargin.replace("\n", " ")
+    def sOf(e: String) = s"(($e) % 32)"
+    val lmax = s"""list_min(list_transform(list_filter($idx,
+      | i -> NOT list_contains(w.fin, i) AND i <> ${sOf(smin)}),
+      | i -> (20000001 - w.ps[i]) * 32 + i))""".stripMargin
+      .replace("\n", " ")
+    val sExpr = sOf(smin)
+    val lExpr = s"""CASE WHEN w.ps[${sOf(smin)}] = 1000000
+      | THEN ${sOf(smin)} ELSE ($lmax) % 32 END""".stripMargin
+      .replace("\n", " ")
+    s"""WITH RECURSIVE top AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS w,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_brand) AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand ORDER BY COUNT(*) DESC, p_brand LIMIT $k),
+      |tot AS (SELECT SUM(w) AS wt FROM top),
+      |staged AS (
+      |  SELECT item, p_brand, w,
+      |    ($k * 1000000 * w) // wt AS base,
+      |    ($k * 1000000 * w) % wt AS rem
+      |  FROM top CROSS JOIN tot),
+      |leftov AS (SELECT $k * 1000000 - SUM(base) AS lv FROM staged),
+      |scaled AS (
+      |  SELECT item, p_brand, w,
+      |    CAST(base + CASE WHEN ROW_NUMBER()
+      |        OVER (ORDER BY rem DESC, item) <= lv
+      |      THEN 1 ELSE 0 END AS BIGINT) AS scaled_e6
+      |  FROM staged CROSS JOIN leftov),
+      |init AS (
+      |  SELECT list(scaled_e6 ORDER BY item) AS ps FROM scaled),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS step, ps,
+      |    CAST([] AS BIGINT[]) AS fin, CAST([] AS BIGINT[]) AS pairs
+      |  FROM init
+      |  UNION ALL
+      |  SELECT w.step + 1,
+      |    list_transform($idx, i -> CASE
+      |      WHEN i = $lExpr AND i <> $sExpr
+      |        THEN w.ps[i] + w.ps[$sExpr] - 1000000
+      |      ELSE w.ps[i] END),
+      |    list_append(w.fin, $sExpr),
+      |    list_append(w.pairs,
+      |      ($sExpr) * 4294967296 + ($lExpr) * 67108864
+      |        + w.ps[$sExpr])
+      |  FROM walk w WHERE w.step < $k),
+      |fin AS (SELECT pairs FROM walk WHERE step = $k),
+      |spine AS (SELECT UNNEST(range(1, ${k + 1})) AS j),
+      |picked AS (
+      |  SELECT CAST(pairs[CAST(j AS INT)] // 4294967296 AS BIGINT)
+      |      AS item,
+      |    CAST((pairs[CAST(j AS INT)] // 67108864) % 64 AS BIGINT)
+      |      AS alias_item,
+      |    CAST(pairs[CAST(j AS INT)] % 67108864 AS BIGINT)
+      |      AS p_final_e6
+      |  FROM fin CROSS JOIN spine),
+      |recon AS (
+      |  SELECT p.item,
+      |    p.p_final_e6 + COALESCE(SUM(1000000 - d.p_final_e6), 0)
+      |      AS recon_e6
+      |  FROM picked p
+      |  LEFT JOIN picked d ON d.alias_item = p.item AND d.item <> p.item
+      |  GROUP BY p.item, p.p_final_e6)
+      |SELECT s.item, s.p_brand AS brand, s.w AS weight, s.scaled_e6,
+      |  p.p_final_e6, p.alias_item, CAST(r.recon_e6 AS BIGINT)
+      |    AS recon_e6
+      |FROM scaled s
+      |JOIN picked p ON p.item = s.item
+      |JOIN recon r ON r.item = s.item
+      |ORDER BY s.item""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q505_alias_table" -> q505AliasTable,
+    "q503_meta_analysis" -> q503MetaAnalysis,
+    "q504_inventory_policy" -> q504InventoryPolicy,
     "q501_mmd_test" -> q501MmdTest,
     "q502_energy_distance" -> q502EnergyDistance,
     "q496_adstock_selection" -> q496AdstockSelection,
@@ -11974,6 +12413,9 @@ object AuditQueries {
     "q497_ucb_replay" -> q497Sql,
     "q501_mmd_test" -> q501Sql,
     "q502_energy_distance" -> q502Sql,
+    "q503_meta_analysis" -> q503Sql,
+    "q504_inventory_policy" -> q504Sql,
+    "q505_alias_table" -> q505Sql,
     "q396_hoeffdings_d" -> q396Sql,
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,

@@ -229,6 +229,44 @@ class TenthFamiliesPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q503: RE pooling sits between FE pooling and the raw mean; I2 in [0,1]") {
+    val r = rows("q503_meta_analysis")
+    assert(r.length == 5)
+    val h = r.head
+    val i2 = h.getAs[Long]("i2_e6")
+    assert(i2 >= 0L && i2 <= 1000000L)
+    assert(h.getAs[Long]("tau2_e12") >= 0L)
+    // every region carries the same pooled summary columns
+    assert(r.map(_.getAs[Long]("pooled_fe_e6")).distinct.length == 1)
+    assert(r.map(_.getAs[Long]("pooled_re_e6")).distinct.length == 1)
+  }
+
+  test("q504: demand conservation — served + lost = total demand") {
+    val r = rows("q504_inventory_policy")
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("served") + h.getAs[Long]("lost") ==
+      h.getAs[Long]("total_demand"))
+    val fr = h.getAs[Long]("fill_rate_e6")
+    assert(fr >= 0L && fr <= 1000000L)
+    assert(h.getAs[Long]("s_upto") == 2 * h.getAs[Long]("s_reorder"))
+  }
+
+  test("q505: alias table reconstructs every scaled weight exactly") {
+    val r = rows("q505_alias_table")
+    assert(r.length == AuditQueries.AliasK)
+    // the construction invariant, exact integer equality per item
+    r.foreach { row =>
+      assert(row.getAs[Long]("recon_e6") == row.getAs[Long]("scaled_e6"),
+        row.toString)
+      val p = row.getAs[Long]("p_final_e6")
+      assert(p >= 0L && p <= 1000000L, row.toString)
+    }
+    // scaled probabilities exhaust k per-mille mass exactly
+    assert(r.map(_.getAs[Long]("scaled_e6")).sum ==
+      AuditQueries.AliasK * 1000000L)
+  }
+
   test("q491: wins + losses + ties tile the pair space exactly") {
     val r = rows("q491_win_ratio")
     assert(r.length == 1)
