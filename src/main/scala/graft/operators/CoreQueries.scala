@@ -5045,7 +5045,122 @@ object CoreQueries {
       |FROM sums CROSS JOIN med CROSS JOIN exact""".stripMargin
   }
 
+  // ----------------- q508: histogram bin-width advisor (FD/Scott/Sturges)
+
+  /** q508: the histogram DESIGN advisor — q290's sketch takes its 256
+    * buckets on faith; this computes what the three classical rules
+    * actually prescribe for the order-value distribution: Freedman–
+    * Diaconis (2·IQR·n^(−1/3), outlier-robust), Scott (3.49·σ·n^(−1/3),
+    * variance-based) and Sturges (⌈log₂n⌉+1 bins, small-n). The cube
+    * root rides the NEW exp2/log2 LUT pair (n^(1/3) = 2^(log₂n/3) — the
+    * first consumer of exp2e6 outside mixing), σ is one bit-portable
+    * FLOOR(SQRT(·)) of the exact integer variance, the IQR reads off
+    * two rank-target selections on the house two-level device, and
+    * every derived width/bin-count is an exact integer division — so
+    * the advisor's recommendation is bit-identical in both engines.
+    *
+    * Plan: one orders pass → value rollup (checkpointed) → rank
+    * targets + 1-row moment fold.
+    */
+  val q508BinAdvisor: Q = (s, dir) => {
+    import graft.functions.Text
+    val dec = "decimal(38,0)"
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+    val o = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c"))
+    val byV = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val mom = byV.agg(sum(col("cnt")).cast(dec).as("n"),
+      sum(col("c").cast(dec) * col("cnt")).as("sx"),
+      sum(col("c").cast(dec) * col("c") * col("cnt")).as("sxx"),
+      min(col("c")).as("mn"), max(col("c")).as("mx"))
+    val ranked = AuditQueries.doubledRankBelow(byV, Seq.empty, "c", 100000L)
+      .crossJoin(broadcast(mom.select(col("n").cast("long").as("nn"))))
+      .localCheckpoint()
+    val q25 = ranked.filter(col("below") + col("cnt") >=
+      expr("(nn + 3) div 4")).agg(min(col("c")).as("p25"))
+    val q75 = ranked.filter(col("below") + col("cnt") >=
+      expr("(3 * nn + 3) div 4")).agg(min(col("c")).as("p75"))
+    mom.crossJoin(broadcast(q25)).crossJoin(broadcast(q75))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("cbrt_n", expr(Text.exp2e6SparkSql(
+        s"CAST((${Text.log2e6SparkSql("CAST(n AS BIGINT)")}) div 3" +
+          " AS BIGINT)")))
+      .withColumn("sigma", expr(
+        "CAST(FLOOR(SQRT(CAST(" +
+          fdiv("n * sxx - sx * sx", "n * n") + " AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_fd", expr("CASE WHEN cbrt_n = 0 THEN NULL " +
+        "ELSE (2 * iqr) div cbrt_n END"))
+      .withColumn("w_scott", expr("CASE WHEN cbrt_n = 0 THEN NULL " +
+        "ELSE (349 * sigma) div (100 * cbrt_n) END"))
+      .select(col("n").cast("long").as("n_orders"),
+        col("iqr").as("iqr_c"), col("sigma").as("sigma_c"),
+        col("w_fd").as("w_fd_c"), col("w_scott").as("w_scott_c"),
+        expr("CASE WHEN w_fd = 0 THEN NULL " +
+          "ELSE (mx - mn + w_fd - 1) div w_fd END").as("bins_fd"),
+        expr("CASE WHEN w_scott = 0 THEN NULL " +
+          "ELSE (mx - mn + w_scott - 1) div w_scott END").as("bins_scott"),
+        expr(s"1 + CAST((${Text.log2e6SparkSql("CAST(n AS BIGINT)")})" +
+          " div 1000000 + CASE WHEN " +
+          s"(${Text.log2e6SparkSql("CAST(n AS BIGINT)")}) % 1000000 > 0" +
+          " THEN 1 ELSE 0 END AS BIGINT)").as("bins_sturges"))
+  }
+
+  val q508Sql: String = {
+    import graft.functions.Text
+    def l2(x: String) = Text.log2e6DuckSql(x)
+    def e2(y: String) = Text.exp2e6DuckSql(y)
+    s"""WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders),
+      |by_v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM o GROUP BY c),
+      |mom AS (
+      |  SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(c AS HUGEINT) * cnt) AS HUGEINT) AS sx,
+      |    SUM(CAST(c AS HUGEINT) * c * cnt) AS sxx,
+      |    MIN(c) AS mn, MAX(c) AS mx
+      |  FROM by_v),
+      |ranked AS (
+      |  SELECT c, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below
+      |  FROM by_v),
+      |p25 AS (
+      |  SELECT MIN(c) AS p25 FROM ranked CROSS JOIN mom
+      |  WHERE below + cnt >= (CAST(n AS BIGINT) + 3) // 4),
+      |p75 AS (
+      |  SELECT MIN(c) AS p75 FROM ranked CROSS JOIN mom
+      |  WHERE below + cnt >= (3 * CAST(n AS BIGINT) + 3) // 4),
+      |staged AS (
+      |  SELECT CAST(n AS BIGINT) AS n, mn, mx, p75 - p25 AS iqr,
+      |    ${e2(s"CAST((${l2("CAST(n AS BIGINT)")}) // 3 AS BIGINT)")}
+      |      AS cbrt_n,
+      |    CAST(FLOOR(SQRT(CAST(CAST(
+      |      (n * sxx - sx * sx) // (n * n) AS VARCHAR) AS DOUBLE)))
+      |      AS BIGINT) AS sigma
+      |  FROM mom CROSS JOIN p25 CROSS JOIN p75),
+      |widths AS (
+      |  SELECT n, mn, mx, iqr, sigma,
+      |    CASE WHEN cbrt_n = 0 THEN NULL
+      |      ELSE (2 * iqr) // cbrt_n END AS w_fd,
+      |    CASE WHEN cbrt_n = 0 THEN NULL
+      |      ELSE (349 * sigma) // (100 * cbrt_n) END AS w_scott
+      |  FROM staged)
+      |SELECT n AS n_orders, iqr AS iqr_c, sigma AS sigma_c,
+      |  w_fd AS w_fd_c, w_scott AS w_scott_c,
+      |  CASE WHEN w_fd = 0 THEN NULL
+      |    ELSE (mx - mn + w_fd - 1) // w_fd END AS bins_fd,
+      |  CASE WHEN w_scott = 0 THEN NULL
+      |    ELSE (mx - mn + w_scott - 1) // w_scott END AS bins_scott,
+      |  1 + CAST((${l2("n")}) // 1000000
+      |    + CASE WHEN (${l2("n")}) % 1000000 > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS bins_sturges
+      |FROM widths""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q508_bin_advisor" -> q508BinAdvisor,
     "q484_ams_f2" -> q484AmsF2,
     "q321_pacf" -> q321Pacf,
     "q309_custdist" -> q309CustDist,
@@ -5208,6 +5323,7 @@ object CoreQueries {
     "q01_pricing_summary" -> q01Sql,
     "q08_approx_distinct" -> q08Sql,
     "q484_ams_f2" -> q484Sql,
+    "q508_bin_advisor" -> q508Sql,
     "q09_portable_hll" -> q09Sql,
     "q101_hll_rollup" -> q101Sql,
     "q112_abc_classes" -> q112Sql,

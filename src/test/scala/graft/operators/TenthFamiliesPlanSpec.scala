@@ -291,6 +291,23 @@ class TenthFamiliesPlanSpec extends SparkSpec {
     assert(math.abs(h.getAs[Long]("slope_e6")) < 1000000000000L)
   }
 
+  test("q508: the three binning rules are ordered sensibly and positive") {
+    val r = rows("q508_bin_advisor")
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("iqr_c") > 0L)
+    assert(h.getAs[Long]("sigma_c") > 0L)
+    assert(h.getAs[Long]("w_fd_c") > 0L)
+    assert(h.getAs[Long]("w_scott_c") > 0L)
+    // Sturges is exactly ceil(log2 n) + 1 (LUT whole-bit grain agrees
+    // with the real log at integer boundaries)
+    val n = h.getAs[Long]("n_orders")
+    val expect = 1 + math.ceil(math.log(n.toDouble) / math.log(2.0)).toLong
+    assert(math.abs(h.getAs[Long]("bins_sturges") - expect) <= 1,
+      s"sturges=${h.getAs[Long]("bins_sturges")} expect=$expect")
+    assert(h.getAs[Long]("bins_fd") > 0L && h.getAs[Long]("bins_scott") > 0L)
+  }
+
   test("q491: wins + losses + ties tile the pair space exactly") {
     val r = rows("q491_win_ratio")
     assert(r.length == 1)
