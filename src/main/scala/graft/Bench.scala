@@ -35,10 +35,14 @@ object Bench {
     // single-sample driver run showed 3-8× inflation on the MinHash family
     // from cold classloading). REPS>1 instead reports every rep separately
     // (warm-vs-cold inspection; overrides SAMPLES).
+    // env knobs parse defensively (toIntOption + default): a malformed
+    // value must degrade to the default, never crash the whole bench run
+    def envInt(name: String, default: Int): Int =
+      sys.env.get(name).flatMap(_.toIntOption).getOrElse(default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 1)
     val samples =
-      if (reps > 1) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
+      if (reps > 1) 1 else envInt("SPARK_GRAFT_BENCH_SAMPLES", 2)
     require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
     val benchSet = only.fold(allBench)(f => allBench.filter(_._1.contains(f)))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
@@ -85,8 +89,11 @@ object Bench {
     // and keep the min, so the headline per-query numbers track isolated
     // runs instead of run-order accidents, and round-over-round regressions
     // on the slow tier are real plan changes. SPARK_GRAFT_BENCH_RERUN=0
-    // disables.
-    val rerunK = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN", "12").toInt
+    // disables. Default widened 12→25 after r5 adjudication found q24-class
+    // ghosts (4.35 s reported vs 0.52 s isolated) sitting just past the
+    // rerun cutoff; the artifact carries rerun_k so round-over-round deltas
+    // are interpretable against the methodology that produced them.
+    val rerunK = envInt("SPARK_GRAFT_BENCH_RERUN", 25)
     val results = if (reps > 1 || rerunK <= 0) firstPass else {
       val byName = scala.collection.mutable.LinkedHashMap(firstPass: _*)
       firstPass.filterNot(r => failed(r._1)).sortBy(-_._2).take(rerunK)
@@ -103,8 +110,9 @@ object Bench {
     val agg = if (reps > 1) "reps" else "min"
     val sampleCount = if (reps > 1) reps else samples
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rerunTag = if (reps > 1) 0 else math.max(rerunK, 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","samples":$sampleCount,"agg":"$agg","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","samples":$sampleCount,"agg":"$agg","rerun_k":$rerunTag,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail (all ~200 entries, full precision) goes to the
     // file channel; it is far too long for the driver's stdout tail.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -127,7 +135,7 @@ object Bench {
     def compactLine(entries: Seq[(String, Double)]): String = {
       val hq = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","samples":$sampleCount,"agg":"$agg","n_queries":${results.size},"failed":$failedJson,"detail":"$out","queries":$hq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","samples":$sampleCount,"agg":"$agg","rerun_k":$rerunTag,"n_queries":${results.size},"failed":$failedJson,"detail":"$out","queries":$hq,"sf":"$sfDir"}"""
     }
     // Hard cap well under the 2000-char tail so the sbt [success] epilogue
     // never pushes the line's head out of the buffer.

@@ -96,9 +96,15 @@ object Text {
     *
     *   exp2e6(y) = LUT[(y mod 10⁶)·256 div 10⁶] << (y div 10⁶), then /10⁶
     *
-    * for y = (exponent·10⁶) ≥ 0 with y div 10⁶ ≤ 43 (keeps the shifted
-    * mantissa in int64). Returns 2^(y/10⁶) as a plain BIGINT (unit
-    * scale). Spark spelling; [[exp2e6DuckSql]] is the oracle twin.
+    * for y = (exponent·10⁶) ≥ 0 with y div 10⁶ ≤ 42 — the safe bound is
+    * 42, not 43: the max LUT mantissa 1,994,588 shifted by 43 is
+    * ~1.75e19 > 2⁶³−1, so Spark's shiftleft would wrap silently while
+    * DuckDB may error or diverge, breaking bit-portability for
+    * exponents in [43.07, 44). Callers must keep the integer part of
+    * the exponent ≤ 42 (every current caller is far below; q498's
+    * α·log2(tokens) would need a ~2⁴²-token source to reach it).
+    * Returns 2^(y/10⁶) as a plain BIGINT (unit scale). Spark spelling;
+    * [[exp2e6DuckSql]] is the oracle twin.
     */
   def exp2e6SparkSql(y: String): String = {
     val lut = Exp2LutE6.mkString(", ")

@@ -100,11 +100,20 @@ final class Lifecycle(val dwName: String, builder: () => SparkSession,
         "already paused")
       state
     case Some(s) =>
-      // dynamic-allocation-to-zero posture: drop every cached block this
+      // dynamic-allocation-to-zero posture: drop the cached blocks THIS
       // session pinned before detaching it, so a paused warehouse holds
-      // no executor memory. The shared catalog (permanent tables +
-      // policies) is durable storage and survives.
-      s.catalog.clearCache()
+      // no executor memory. Eviction is scoped to the session's own
+      // cached tables/views (per-name uncache over the session catalog)
+      // — NOT catalog.clearCache(), which clears the SparkContext-GLOBAL
+      // cache manager and would evict blocks owned by other warehouses
+      // sharing the context in the local model. The shared catalog
+      // (permanent tables + policies) is durable storage and survives.
+      s.catalog.listTables().collect().foreach { t =>
+        val ident = Option(t.database).filter(_.nonEmpty)
+          .map(d => s"$d.${t.name}").getOrElse(t.name)
+        if (scala.util.Try(s.catalog.isCached(ident)).getOrElse(false))
+          s.catalog.uncacheTable(ident)
+      }
       current = None
       logs += LifecycleLog(dwName, ActionPause, Online.name, Paused.name,
         "compute released; catalog retained")

@@ -11549,42 +11549,70 @@ object AuditQueries {
          |   * 1000000 // SUM(CASE WHEN arm = $k THEN 1 ELSE 0 END)
          | END AS rw$k""".stripMargin.replace("\n", " "))
       .mkString(",\n      |    ")
-    // No LATERAL and no repeated-choice column: the recursive state
-    // carries `nc`, the choice ALREADY MADE for this step (computed at
-    // the previous step from the then-current state), so the p/s
-    // updates read a plain column. The next step's choice nc' inlines
-    // the updated counters directly — the same inline-the-expression
-    // medicine the q400 oracle got, applied by construction.
-    def pU(k: Int) = s"(w.p$k + CASE WHEN w.nc = $k THEN 1 ELSE 0 END)"
-    def sU(k: Int) = s"(w.s$k + CASE WHEN w.nc = $k THEN s.rw$k ELSE 0 END)"
-    val lnNext =
-      s"((${Text.log2e6DuckSql("s.rk + 1")}) * 693147 // 1000000)"
-    def ucbU(k: Int) =
-      s"""((${sU(k)} // ${pU(k)}) + CAST(FLOOR(SQRT(CAST(
-         |(2 * $lnNext * 1000000) // ${pU(k)} AS DOUBLE))) AS BIGINT))"""
-        .stripMargin.replace("\n", " ")
+    // Oracle-latency contract (the round-5 lesson: this oracle at
+    // >7 min standalone likely blew the driver's whole gate). Three
+    // costs are designed out, measured individually at sf0.01:
+    // (1) DuckDB re-evaluates any CTE subtree referenced inside a
+    // recursive arm on EVERY iteration — so the day series is folded
+    // into LIST state columns in the base case (the q500/q505 device)
+    // and the arm references nothing but `walk` (245 s → 12.5 s);
+    // (2) DuckDB also INLINES a multiply-referenced CTE, so `rep`
+    // reads `fin` ONCE through a 5-row UNNEST unpivot instead of five
+    // UNION ALL branches — five branches re-ran the whole recursion
+    // five times (the four extra REC_CTEs were ~3.3 s each);
+    // (3) the per-day rewards and the LUT-built ln value ride as TWO
+    // bit-packed lists (rw ≤ 10⁶ < 2²⁰ → 20-bit lanes; lt < 2²³ in
+    // the 2⁴⁰ lane, total < 2⁶³) to halve per-iteration state copy,
+    // and the 256-entry log2 LUT plus each UCB score is evaluated
+    // ONCE per step via nested derived tables. 3.2 s standalone.
+    // The recursive state still carries `nc`, the choice ALREADY MADE
+    // for this step, so updates read a plain column.
+    val lt = s"((${Text.log2e6DuckSql("rk + 1")}) * 693147 // 1000000)"
+    val p20 = 1048576L
+    val p40 = 1099511627776L
+    val innerP = (1 to 5).map(k =>
+      s"t.p$k + CASE WHEN t.nc = $k THEN 1 ELSE 0 END AS p$k")
+      .mkString(",\n      |        ")
+    val innerS = (1 to 5).map(k =>
+      s"t.s$k + CASE WHEN t.nc = $k THEN t.rsel ELSE 0 END AS s$k")
+      .mkString(",\n      |        ")
+    // reward of the chosen arm, unpacked from the two 20-bit-lane
+    // lists with one subscript per list (multiplying by 0/1 indicator
+    // terms keeps it a single expression with no nested CASE)
+    val rsel = Seq(
+      s"w.la[w.rk + 1] % $p20 * (CASE WHEN w.nc = 1 THEN 1 ELSE 0 END)",
+      s"(w.la[w.rk + 1] // $p20) % $p20 * (CASE WHEN w.nc = 2 THEN 1 ELSE 0 END)",
+      s"w.la[w.rk + 1] // $p40 * (CASE WHEN w.nc = 3 THEN 1 ELSE 0 END)",
+      s"w.lb[w.rk + 1] % $p20 * (CASE WHEN w.nc = 4 THEN 1 ELSE 0 END)",
+      s"(w.lb[w.rk + 1] // $p20) % $p20 * (CASE WHEN w.nc = 5 THEN 1 ELSE 0 END)")
+      .mkString("\n      |          + ")
+    val midU = (1 to 5).map(k =>
+      s"""CASE WHEN u.p$k = 0 THEN 0 ELSE (u.s$k // u.p$k)
+         | + CAST(FLOOR(SQRT(CAST((2 * u.lt * 1000000) // u.p$k
+         | AS DOUBLE))) AS BIGINT) END AS u$k"""
+        .stripMargin.replace("\n", " "))
+      .mkString(",\n      |      ")
+    val midCarry = ((1 to 5).map(k => s"u.p$k") ++
+      (1 to 5).map(k => s"u.s$k")).mkString(", ")
     val ncNext =
-      s"""CASE WHEN s.rk + 1 <= 5 THEN s.rk + 1
-         | WHEN ${ucbU(1)} >= ${ucbU(2)} AND ${ucbU(1)} >= ${ucbU(3)}
-         |   AND ${ucbU(1)} >= ${ucbU(4)} AND ${ucbU(1)} >= ${ucbU(5)}
-         |   THEN 1
-         | WHEN ${ucbU(2)} >= ${ucbU(3)} AND ${ucbU(2)} >= ${ucbU(4)}
-         |   AND ${ucbU(2)} >= ${ucbU(5)} THEN 2
-         | WHEN ${ucbU(3)} >= ${ucbU(4)} AND ${ucbU(3)} >= ${ucbU(5)}
-         |   THEN 3
-         | WHEN ${ucbU(4)} >= ${ucbU(5)} THEN 4
+      s"""CASE WHEN v.rk + 1 <= 5 THEN v.rk + 1
+         | WHEN v.u1 >= v.u2 AND v.u1 >= v.u3
+         |   AND v.u1 >= v.u4 AND v.u1 >= v.u5 THEN 1
+         | WHEN v.u2 >= v.u3 AND v.u2 >= v.u4
+         |   AND v.u2 >= v.u5 THEN 2
+         | WHEN v.u3 >= v.u4 AND v.u3 >= v.u5 THEN 3
+         | WHEN v.u4 >= v.u5 THEN 4
          | ELSE 5 END""".stripMargin.replace("\n", " ")
-    val stepP = (1 to 5).map(k => s"${pU(k)} AS p$k")
-      .mkString(",\n      |    ")
-    val stepS = (1 to 5).map(k => s"${sU(k)} AS s$k")
-      .mkString(",\n      |    ")
-    val outRows = (1 to 5).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS arm, CAST(p$k AS BIGINT) AS plays,
-         |    CAST(s$k AS BIGINT) AS sum_reward_e6,
-         |    CAST(CASE WHEN p$k = 0 THEN NULL ELSE s$k // p$k END
-         |      AS BIGINT) AS replay_mean_e6
-         |  FROM fin""".stripMargin)
-      .mkString("\n      |  UNION ALL ")
+    // fin is read ONCE (cost lesson #2): a 5-row UNNEST unpivot with
+    // CASE lane selection, not five UNION ALL branches over fin
+    def lane(col: String) =
+      s"""CASE g.arm WHEN 1 THEN ${col}1 WHEN 2 THEN ${col}2
+         | WHEN 3 THEN ${col}3 WHEN 4 THEN ${col}4
+         | ELSE ${col}5 END""".stripMargin.replace("\n", " ")
+    val meanLane = (1 to 4).map(k =>
+      s"WHEN $k THEN CASE WHEN p$k = 0 THEN NULL ELSE s$k // p$k END")
+      .mkString("CASE g.arm ", " ",
+        " ELSE CASE WHEN p5 = 0 THEN NULL ELSE s5 // p5 END END")
     s"""WITH RECURSIVE o AS (
       |  SELECT o_orderdate AS d,
       |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS arm,
@@ -11598,26 +11626,45 @@ object AuditQueries {
       |        FROM o CROSS JOIN thr)
       |  GROUP BY d),
       |ser AS (
-      |  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rk,
-      |    rw1, rw2, rw3, rw4, rw5
-      |  FROM by_day),
+      |  SELECT rk, rw1, rw2, rw3, rw4, rw5, $lt AS lt
+      |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rk,
+      |          rw1, rw2, rw3, rw4, rw5
+      |        FROM by_day)),
+      |sl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    list(rw1 + $p20 * rw2 + $p40 * rw3 ORDER BY rk) AS la,
+      |    list(rw4 + $p20 * rw5 + $p40 * lt ORDER BY rk) AS lb
+      |  FROM ser),
       |walk AS (
-      |  SELECT CAST(1 AS BIGINT) AS rk,
+      |  SELECT CAST(1 AS BIGINT) AS rk, n, la, lb,
       |    CAST(1 AS BIGINT) AS p1, CAST(0 AS BIGINT) AS p2,
       |    CAST(0 AS BIGINT) AS p3, CAST(0 AS BIGINT) AS p4,
       |    CAST(0 AS BIGINT) AS p5,
-      |    CAST(rw1 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+      |    CAST(la[1] % $p20 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
       |    CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
       |    CAST(0 AS BIGINT) AS s5,
       |    CAST(2 AS BIGINT) AS nc
-      |  FROM ser WHERE rk = 1
+      |  FROM sl
       |  UNION ALL
-      |  SELECT s.rk,
-      |    $stepP,
-      |    $stepS,
+      |  SELECT v.rk, v.n, v.la, v.lb,
+      |    v.p1, v.p2, v.p3, v.p4, v.p5,
+      |    v.s1, v.s2, v.s3, v.s4, v.s5,
       |    CAST($ncNext AS BIGINT) AS nc
-      |  FROM walk w
-      |  JOIN ser s ON s.rk = w.rk + 1),
+      |  FROM (
+      |    SELECT $midCarry, u.rk, u.n, u.la, u.lb,
+      |      $midU
+      |    FROM (
+      |      SELECT t.rk, t.n, t.la, t.lb,
+      |        t.pb // $p40 AS lt,
+      |        $innerP,
+      |        $innerS
+      |      FROM (
+      |        SELECT w.rk + 1 AS rk, w.n, w.la, w.lb, w.nc,
+      |          w.p1, w.p2, w.p3, w.p4, w.p5,
+      |          w.s1, w.s2, w.s3, w.s4, w.s5,
+      |          $rsel AS rsel,
+      |          w.lb[w.rk + 1] AS pb
+      |        FROM walk w WHERE w.rk < w.n) t) u) v),
       |fin AS (
       |  SELECT * FROM walk ORDER BY rk DESC LIMIT 1),
       |overall AS (
@@ -11627,7 +11674,11 @@ object AuditQueries {
       |  FROM o CROSS JOIN thr
       |  GROUP BY arm),
       |rep AS (
-      |  $outRows)
+      |  SELECT CAST(g.arm AS BIGINT) AS arm,
+      |    ${lane("p")} AS plays,
+      |    ${lane("s")} AS sum_reward_e6,
+      |    $meanLane AS replay_mean_e6
+      |  FROM fin CROSS JOIN (SELECT UNNEST(range(1, 6)) AS arm) g)
       |SELECT rep.arm, rep.plays, rep.sum_reward_e6, rep.replay_mean_e6,
       |  CAST(overall.fulldata_mean_e6 AS BIGINT) AS fulldata_mean_e6
       |FROM rep JOIN overall ON rep.arm = overall.arm
@@ -11798,8 +11849,14 @@ object AuditQueries {
       .withColumn("energy_e6",
         lit(2L) * col("exy_e6") - col("exx_e6") - col("eyy_e6"))
       .withColumn("t_stat_e6", expr(
-        "CAST(CAST(n_x AS DECIMAL(38,0)) * n_y * energy_e6" +
-          " DIV (CAST(n_x AS DECIMAL(38,0)) + n_y) AS BIGINT)"))
+        // sign-ABS sdiv device: energy_e6 ~ 0 for identically
+        // distributed groups and can land negative at other scales;
+        // Spark DIV truncates while DuckDB // floors, so divide the
+        // absolute value and re-apply the sign on both sides.
+        """CAST(CASE WHEN energy_e6 >= 0 THEN 1 ELSE -1 END *
+          | (CAST(n_x AS DECIMAL(38,0)) * n_y * abs(energy_e6)
+          |  DIV (CAST(n_x AS DECIMAL(38,0)) + n_y)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
   }
 
   val q502Sql: String =
@@ -11834,8 +11891,10 @@ object AuditQueries {
       |  FROM counts CROSS JOIN sxy CROSS JOIN sxx CROSS JOIN syy)
       |SELECT n_x, n_y, exy_e6, exx_e6, eyy_e6,
       |  2 * exy_e6 - exx_e6 - eyy_e6 AS energy_e6,
-      |  CAST(CAST(n_x AS HUGEINT) * n_y * (2 * exy_e6 - exx_e6 - eyy_e6)
-      |    // (CAST(n_x AS HUGEINT) + n_y) AS BIGINT) AS t_stat_e6
+      |  CAST(CASE WHEN 2 * exy_e6 - exx_e6 - eyy_e6 >= 0
+      |      THEN 1 ELSE -1 END *
+      |    (CAST(n_x AS HUGEINT) * n_y * ABS(2 * exy_e6 - exx_e6 - eyy_e6)
+      |     // (CAST(n_x AS HUGEINT) + n_y)) AS BIGINT) AS t_stat_e6
       |FROM staged""".stripMargin
 
   // ------ q503: DerSimonian-Laird random-effects meta-analysis
@@ -12023,6 +12082,10 @@ object AuditQueries {
     *
     * Plan: one lineitem rollup → top-brand day series (calendar-
     * bounded) → T-step fold → 1-row report.
+    *
+    * Oracle-latency contract (round-5 lesson — this oracle ran 29 s):
+    * the end-of-day inventory expression is computed ONCE per step in
+    * a nested derived table, not re-expanded eight times in the arm.
     */
   val q504InventoryPolicy: Q = (s, dir) => {
     val topBrand = Tables.lineitem(s, dir)
@@ -12081,37 +12144,38 @@ object AuditQueries {
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(dem) AS BIGINT) AS tot,
       |    2 * (SUM(dem) // COUNT(*)) AS s_low,
-      |    4 * (SUM(dem) // COUNT(*)) AS s_up
+      |    4 * (SUM(dem) // COUNT(*)) AS s_up,
+      |    list(CAST(dem AS BIGINT) ORDER BY rk) AS dems
       |  FROM ser),
       |walk AS (
-      |  SELECT CAST(0 AS BIGINT) AS rk, s_up AS inv,
+      |  SELECT CAST(0 AS BIGINT) AS rk, n, dems, s_up AS inv,
       |    CAST(0 AS BIGINT) AS onord, CAST(0 AS BIGINT) AS served,
       |    CAST(0 AS BIGINT) AS lost, CAST(0 AS BIGINT) AS so_days,
       |    CAST(0 AS BIGINT) AS orders, CAST(0 AS BIGINT) AS holding,
       |    s_low, s_up
       |  FROM par
       |  UNION ALL
-      |  SELECT s.rk,
-      |    CASE WHEN (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord)
-      |        < w.s_low
-      |      THEN (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord)
-      |      ELSE (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord) END,
-      |    CASE WHEN (w.inv + w.onord) - LEAST(s.dem, w.inv + w.onord)
-      |        < w.s_low
-      |      THEN w.s_up - ((w.inv + w.onord)
-      |        - LEAST(s.dem, w.inv + w.onord))
+      |  SELECT v.rk, v.n, v.dems,
+      |    v.endinv,
+      |    CASE WHEN v.endinv < v.s_low THEN v.s_up - v.endinv
       |      ELSE 0 END,
-      |    w.served + LEAST(s.dem, w.inv + w.onord),
-      |    w.lost + s.dem - LEAST(s.dem, w.inv + w.onord),
-      |    w.so_days + CASE WHEN s.dem > w.inv + w.onord
-      |      THEN 1 ELSE 0 END,
-      |    w.orders + CASE WHEN (w.inv + w.onord)
-      |        - LEAST(s.dem, w.inv + w.onord) < w.s_low
-      |      THEN 1 ELSE 0 END,
-      |    w.holding + (w.inv + w.onord)
-      |      - LEAST(s.dem, w.inv + w.onord),
-      |    w.s_low, w.s_up
-      |  FROM walk w JOIN ser s ON s.rk = w.rk + 1),
+      |    v.served + v.sv,
+      |    v.lost + v.dem - v.sv,
+      |    v.so_days + CASE WHEN v.dem > v.pos THEN 1 ELSE 0 END,
+      |    v.orders + CASE WHEN v.endinv < v.s_low THEN 1 ELSE 0 END,
+      |    v.holding + v.endinv,
+      |    v.s_low, v.s_up
+      |  FROM (
+      |    SELECT u.rk, u.n, u.dems, u.dem, u.served, u.lost, u.so_days,
+      |      u.orders, u.holding, u.s_low, u.s_up, u.pos, u.sv,
+      |      u.pos - u.sv AS endinv
+      |    FROM (
+      |      SELECT w.rk + 1 AS rk, w.n, w.dems,
+      |        w.dems[w.rk + 1] AS dem, w.served, w.lost, w.so_days,
+      |        w.orders, w.holding, w.s_low, w.s_up,
+      |        w.inv + w.onord AS pos,
+      |        LEAST(w.dems[w.rk + 1], w.inv + w.onord) AS sv
+      |      FROM walk w WHERE w.rk < w.n) u) v),
       |fin AS (SELECT * FROM walk ORDER BY rk DESC LIMIT 1)
       |SELECT par.n AS n_days, par.tot AS total_demand,
       |  par.s_low AS s_reorder, par.s_up AS s_upto,

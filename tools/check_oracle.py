@@ -7,13 +7,25 @@ Reads each <name>.parquet under verifyOutDir (written by graft.Verify), runs
 the matching oracle SQL from oracle_sql.json in DuckDB against the same
 tables, and compares: row count, column names/order-insensitive, and exact
 values after sorting columns by name and rows by all columns.
+
+Oracles have a LATENCY CONTRACT, same as engine plans: each oracle's DuckDB
+wall-time is printed, and any oracle slower than ORACLE_BUDGET_SEC (default
+10 s, env-overridable) FAILS the check even when its values match — a slow
+oracle can blow the driver's whole gate (round 5: q497 at >7 min left
+CORRECTNESS_r05.json empty). Rule of thumb: no oracle may re-evaluate an
+expression ladder per recursive step; hoist LUTs/ladders into non-recursive
+CTE columns and compute each derived value once via nested derived tables.
 """
 import json
 import math
+import os
 import sys
+import time
 
 import duckdb
 import pyarrow.parquet as pq
+
+BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "10"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -54,6 +66,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    slow = []
     import glob
     import os
     got_dirs = sorted(
@@ -67,10 +80,19 @@ def main():
                   f"{'OK' if len(spark_tbl) >= 0 else ''}")
             continue
         try:
+            t0 = time.monotonic()
             duck_tbl = con.sql(oracle[name]).arrow()
+            oracle_sec = time.monotonic() - t0
         except Exception as e:
             failures.append(name)
             print(f"✗ {name}: oracle SQL failed: {e}")
+            continue
+        slow.append((oracle_sec, name))
+        if oracle_sec > BUDGET_SEC:
+            failures.append(name)
+            print(f"✗ {name}: ORACLE OVER BUDGET — {oracle_sec:.1f}s "
+                  f"(budget {BUDGET_SEC:.0f}s); a slow oracle can blow the "
+                  f"driver's gate even when values match")
             continue
         sc, sr = canon(spark_tbl)
         dc, dr = canon(duck_tbl)
@@ -91,8 +113,15 @@ def main():
             print(f"    spark: {sr[i]}")
             print(f"    duck : {dr[i]}")
         else:
-            print(f"✓ {name}: {len(sr)} rows match")
+            print(f"✓ {name}: {len(sr)} rows match"
+                  + (f" [oracle {oracle_sec:.1f}s]" if oracle_sec >= 1 else ""))
     print()
+    if slow:
+        print("slowest oracles (budget {:.0f}s):".format(BUDGET_SEC))
+        for sec, name in sorted(slow, reverse=True)[:10]:
+            flag = " ← OVER BUDGET" if sec > BUDGET_SEC else ""
+            print(f"  {sec:6.2f}s  {name}{flag}")
+        print()
     if failures:
         print(f"FAILED: {len(failures)} queries: {failures}")
         sys.exit(1)
