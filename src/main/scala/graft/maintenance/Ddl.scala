@@ -33,6 +33,29 @@ object Ddl {
     spark.sql(s"DROP DATABASE IF EXISTS ${quote(name)}" +
       (if (cascade) " CASCADE" else ""))
 
+  /** Database-level encryption posture — the engine's analog of the
+    * reference's per-database TDE flag (`sys.databases.is_encrypted`,
+    * reference: samples/scripts/monitor/transparent_data_encryption/
+    * transparent_data_encryption_status.sql:1-9). At-rest encryption in
+    * the lake model is a storage-platform property, so the catalog
+    * records the declared posture as a database property; the
+    * MonitoringViews widget renders it in the reference's exact shape.
+    */
+  val PropEncryption = "graft.encryption"
+
+  def setEncryption(spark: SparkSession, database: String,
+      encrypted: Boolean): Unit =
+    spark.sql(s"ALTER DATABASE ${quote(database)} SET DBPROPERTIES " +
+      s"('$PropEncryption' = '$encrypted')")
+
+  /** Read a database's declared encryption posture back (false when the
+    * property was never set — the reference's default is_encrypted = 0).
+    */
+  def databaseEncrypted(spark: SparkSession, database: String): Boolean =
+    spark.sql(s"DESCRIBE DATABASE EXTENDED ${quote(database)}").collect()
+      .exists(r => r.getString(0) == "Properties" &&
+        r.getString(1).contains(s"$PropEncryption,true"))
+
   private def quoteQualified(name: String): String =
     name.split('.').map(quote).mkString(".")
 

@@ -290,6 +290,26 @@ final class MonitoringViews(spark: SparkSession, journal: QueryJournal,
       .toDF("pdw_node_id", "Memory_Utilization_Percentage")
   }
 
+  /** Encryption-status widget — the TDE dashboard analog (reference:
+    * samples/scripts/monitor/transparent_data_encryption/
+    * transparent_data_encryption_status.sql:1-9: every database with
+    * `is_encrypted` rendered 'TRUE'/'FALSE', ordered by name). The lake
+    * model's at-rest encryption is a storage-platform property, so the
+    * posture each database DECLARES (graft.encryption, set via
+    * [[graft.maintenance.Ddl.setEncryption]]) is what a security review
+    * audits — the same once-per-review catalog fold as the reference
+    * script, over the bounded database list.
+    */
+  def encryptionStatus(): DataFrame = {
+    import graft.maintenance.Ddl
+    import spark.implicits._
+    spark.catalog.listDatabases().collect().toSeq
+      .map(d => (d.name, if (Ddl.databaseEncrypted(spark, d.name)) "TRUE"
+        else "FALSE"))
+      .sortBy(_._1)
+      .toDF("name", "Encrypted")
+  }
+
   /** Static documentation-links panel — the dashboard widget that points an
     * operator at the runbook for each health signal (reference:
     * samples/sqlops/MonitoringScripts/Documentation.sql:1-4, a one-row

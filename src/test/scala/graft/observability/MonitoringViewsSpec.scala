@@ -373,6 +373,36 @@ class MonitoringViewsSpec extends SparkSpec {
     } finally j.stop()
   }
 
+  test("encryption-status widget mirrors the TDE monitor script") {
+    import graft.maintenance.Ddl
+    Ddl.createSchema(spark, "tde_on")
+    Ddl.createSchema(spark, "tde_off")
+    try {
+      Ddl.setEncryption(spark, "tde_on", encrypted = true)
+      val j = new QueryJournal(spark)
+      val mv = new MonitoringViews(spark, j)
+      val df = mv.encryptionStatus()
+      // golden column contract (transparent_data_encryption_status.sql:1-9:
+      // name + CASE is_encrypted 'TRUE'/'FALSE', ordered by name)
+      assert(df.columns.toSeq === Seq("name", "Encrypted"))
+      val rows = df.collect().map(r => r.getString(0) -> r.getString(1))
+      assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted,
+        "ordered by database name like the reference")
+      val m = rows.toMap
+      assert(m("tde_on") === "TRUE")
+      assert(m("tde_off") === "FALSE", "unset posture reads FALSE " +
+        "(reference default is_encrypted = 0)")
+      // posture is mutable, like turning TDE off after an audit
+      Ddl.setEncryption(spark, "tde_on", encrypted = false)
+      assert(mv.encryptionStatus().collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .apply("tde_on") === "FALSE")
+    } finally {
+      Ddl.dropSchema(spark, "tde_on", cascade = true)
+      Ddl.dropSchema(spark, "tde_off", cascade = true)
+    }
+  }
+
   test("vw_pipeline_runs surfaces the orchestrator journal") {
     import graft.maintenance.Orchestrator
     import graft.maintenance.Orchestrator.{Activity, Policy}
