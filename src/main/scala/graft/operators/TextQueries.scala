@@ -241,9 +241,9 @@ object TextQueries {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.6""".stripMargin
 
-  private val MinhashK = 32
-  private val MinhashBands = 8
-  private val MinhashRows = MinhashK / MinhashBands
+  private[graft] val MinhashK = 32
+  private[graft] val MinhashBands = 8
+  private[graft] val MinhashRows = MinhashK / MinhashBands
 
   /** q54's output through AllPairs/PPJoin-style prefix filtering (Bayardo et
     * al. 2007; Xiao et al. 2008) — the exact set-similarity-join pruner:

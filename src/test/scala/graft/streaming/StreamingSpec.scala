@@ -154,6 +154,42 @@ class StreamingSpec extends SparkSpec {
     assert(kept.select("event_id").distinct().count() === e.count())
   }
 
+  test("streaming MinHash candidates recount to the batch q102 classification") {
+    import graft.operators.TextQueries
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    val seen = docs.filter(col("doc_id") % 4 =!= 0)
+    // fixture precondition that makes the parity claim exact: no band bucket
+    // anywhere near the BandCap valve (q55 caps combined buckets, the index
+    // caps seen-member buckets; with all buckets far below the cap both
+    // valves are inactive and the candidate sets coincide)
+    val maxBucket = DocStream.bandedSignature(docs)
+      .groupBy(col("band_idx"), col("band_val")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket <= TextQueries.BandCap / 2, "fixture must stay clear of the cap")
+    val dir = Files.createTempDirectory("graft_docstream").toString
+    incoming.coalesce(2).write.mode("overwrite").parquet(dir)
+    val index = DocStream.signatureIndex(seen).localCheckpoint()
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    EventStream.runToMemory(
+      DocStream.candidateEmitter(stream, index), "t_minhash_cands",
+      OutputMode.Append())
+    val cands = spark.table("t_minhash_cands")
+    assert(cands.count() > 0, "the crawl fixture must produce candidates")
+    // the emitter is per-band by design (stateless); the recount dedups
+    val streamed = DocStream.classify(incoming, cands)
+    val batch = TextQueries.q102IncrementalDedup(spark, sfDir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "ingest-time classification must equal the batch q102 row-for-row")
+    // and the flagging is non-trivial both ways on this fixture
+    val statuses = streamed.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.getOrElse("duplicate", 0L) > 0)
+    assert(statuses.getOrElse("novel", 0L) > 0)
+  }
+
   test("foreachBatch streaming load appends micro-batches into a table") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val stream = EventStream.read(spark, streamDir)
