@@ -124,6 +124,37 @@ object Text {
       .stripMargin.replace("\n", " ")
   }
 
+  /** e6-SCALE variant of [[exp2e6SparkSql]]: returns 2^(y/10⁶)·10⁶
+    * (no final unit-scale division), preserving the 8-bit fractional
+    * resolution for consumers that need sub-unit powers — logistic
+    * expectations (Elo), probability ratios. Same domain rules; the
+    * caller must keep y div 10⁶ small enough that mantissa·2^shift
+    * stays in int64 (≤ 42).
+    */
+  def exp2e6ScaledSparkSql(y: String): String = {
+    val lut = Exp2LutE6.mkString(", ")
+    s"""CAST(shiftleft(element_at(array($lut),
+       | CAST((($y) % 1000000) * 256 div 1000000 AS INT) + 1),
+       | CAST(($y) div 1000000 AS INT)) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[exp2e6ScaledSparkSql]]. */
+  def exp2e6ScaledDuckSql(y: String): String = {
+    val lut = Exp2LutE6.mkString(", ")
+    s"""CAST(([$lut])[CAST((($y) % 1000000) * 256 // 1000000 AS INT) + 1]
+       | << CAST(($y) // 1000000 AS INT) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Scala twin of [[exp2e6ScaledSparkSql]] for driver folds — the SAME
+    * integer as the SQL spellings (the l2e6Scala pattern).
+    */
+  def exp2e6ScaledScala(y: Long): Long = {
+    require(y >= 0 && y / 1000000L <= 42, s"exp2e6 domain: got $y")
+    Exp2LutE6(((y % 1000000L) * 256L / 1000000L).toInt) << (y / 1000000L).toInt
+  }
+
   /** Hash-family switch for the fingerprint stack (MinHash / SimHash /
     * winnowing). Both members map a string column to a nonnegative 60-bit
     * long, so every downstream construction (32-bit masking, bit votes over

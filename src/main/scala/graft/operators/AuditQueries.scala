@@ -12471,7 +12471,479 @@ object AuditQueries {
       |    AS se_cr1_e6_d
       |FROM agg""".stripMargin
 
+  // ------ q509: Elo rating replay over daily priority contests
+
+  /** Elo logistic-expectation slope as a plan-time constant:
+    * round(log2(10)/400 · 10⁶), so 10^(d/400) = 2^(d·EloC/10⁶) rides
+    * the exp2 LUT identically in the Scala fold and the DuckDB walk.
+    */
+  val EloC = 8305L
+
+  /** Elo K-factor (classic 32) and the rating-gap clamp that keeps the
+    * exp2 argument in the LUT's int64-safe window (E saturates at
+    * ±800 anyway: 10^(800/400) = 100 → E < 0.01).
+    */
+  val EloK = 32L
+  val EloDCap = 800L
+
+  /** q509: Elo rating replay — the SEQUENTIAL pairwise-skill ladder
+    * next to the batch Bradley–Terry fit (q437 estimates strengths
+    * from the full pair matrix at once; Elo walks the match stream
+    * one day at a time, the ONLINE shape a live leaderboard runs).
+    * Each day the two most-active order priorities play one match
+    * (winner = higher e6-floored mean order value, ties to the
+    * first-ranked arm); ratings move by K·(S − E) with
+    * E = 1/(1 + 10^((R_b−R_a)/400)). The power rides the e6-scale
+    * exp2 LUT ([[graft.functions.Text.exp2e6ScaledScala]]) and the
+    * update divides through the sign-ABS sdiv, so every rating is the
+    * SAME integer in the fold and the oracle's list-state walk.
+    * Updates are antisymmetric, so Σ ratings = 5·1000 exactly — the
+    * in-output conservation certificate (plan-pinned).
+    *
+    * Plan: one orders pass → (day, arm) rollup (calendar×5-bounded)
+    * → top-2-per-day match series → T-step driver fold → 5-row
+    * report; match/win counts come relationally from the series, so
+    * the walk carries only the five ratings.
+    */
+  val q509EloReplay: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderdate").as("d"),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("arm"),
+      cents(col("o_totalprice")).as("c"))
+    val byDay = o.groupBy(col("d"), col("arm"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c")).as("sumc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d"))
+          .orderBy(col("cnt").desc, col("arm"))))
+      .filter(col("rn") <= 2)
+    val matches = byDay.groupBy(col("d"))
+      .agg(
+        max(when(col("rn") === 1, col("arm"))).as("a"),
+        max(when(col("rn") === 2, col("arm"))).as("b"),
+        max(when(col("rn") === 1, expr("sumc div cnt"))).as("mva"),
+        max(when(col("rn") === 2, expr("sumc div cnt"))).as("mvb"))
+      .filter(col("b").isNotNull)
+      .select(col("d"), col("a"), col("b"),
+        when(col("mva") >= col("mvb"), 1L).otherwise(0L).as("s"))
+      .orderBy(col("d")).collect()
+    val r = Array.fill(6)(1000L)
+    val plays = Array.fill(6)(0L)
+    val wins = Array.fill(6)(0L)
+    matches.foreach { row =>
+      val a = row.getAs[Int]("a"); val b = row.getAs[Int]("b")
+      val sWin = row.getAs[Long]("s")
+      val dGap = r(b) - r(a)
+      val y = math.min(math.abs(dGap), EloDCap) * EloC
+      val t = graft.functions.Text.exp2e6ScaledScala(y)
+      val ea =
+        if (dGap >= 0) 1000000000000L / (1000000L + t)
+        else t * 1000000L / (1000000L + t)
+      val num = EloK * (sWin * 1000000L - ea)
+      val delta = (if (num >= 0) 1L else -1L) * (math.abs(num) / 1000000L)
+      r(a) += delta; r(b) -= delta
+      plays(a) += 1; plays(b) += 1
+      if (sWin == 1) wins(a) += 1 else wins(b) += 1
+    }
+    import s.implicits._
+    (1 to 5).map(k => (k.toLong, r(k), plays(k), wins(k)))
+      .toDF("arm", "rating", "matches", "wins")
+  }
+
+  val q509Sql: String = {
+    import graft.functions.Text
+    // list-state walk (the q497 cost rules): the match stream packs
+    // (a, b, s) into one small-int list carried from the base case;
+    // the exp2 LUT and every derived value evaluate ONCE per step in
+    // nested derived tables (tx level holds the single LUT instance);
+    // fin is read once through the UNNEST unpivot; matches/wins fold
+    // relationally outside the walk.
+    val tExpr = Text.exp2e6ScaledDuckSql("t1.y")
+    def rLane(src: String, idx: String) =
+      s"""CASE $idx WHEN 1 THEN $src.r1 WHEN 2 THEN $src.r2
+         | WHEN 3 THEN $src.r3 WHEN 4 THEN $src.r4
+         | ELSE $src.r5 END""".stripMargin.replace("\n", " ")
+    val rUpd = (1 to 5).map(k =>
+      s"""t3.r$k + CASE WHEN t3.ma = $k THEN t3.delta
+         | WHEN t3.mb = $k THEN -t3.delta ELSE 0 END"""
+        .stripMargin.replace("\n", " "))
+      .mkString(",\n      |    ")
+    val finLane = (1 to 4).map(k => s"WHEN $k THEN r$k")
+      .mkString("CASE g.arm ", " ", " ELSE r5 END")
+    s"""WITH RECURSIVE o AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS arm,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      |  FROM orders),
+      |byday AS (
+      |  SELECT d, arm, COUNT(*) AS cnt, SUM(c) AS sumc,
+      |    ROW_NUMBER() OVER (PARTITION BY d
+      |      ORDER BY COUNT(*) DESC, arm) AS rn
+      |  FROM o GROUP BY d, arm),
+      |mt AS (
+      |  SELECT x.d, x.arm AS a, y.arm AS b,
+      |    CASE WHEN x.sumc // x.cnt >= y.sumc // y.cnt
+      |      THEN 1 ELSE 0 END AS s
+      |  FROM (SELECT * FROM byday WHERE rn = 1) x
+      |  JOIN (SELECT * FROM byday WHERE rn = 2) y ON x.d = y.d),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rk,
+      |    CAST(a + 8*b + 64*s AS BIGINT) AS m
+      |  FROM mt),
+      |sl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    list(m ORDER BY rk) AS lm
+      |  FROM ser),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS rk, n, lm,
+      |    CAST(1000 AS BIGINT) AS r1, CAST(1000 AS BIGINT) AS r2,
+      |    CAST(1000 AS BIGINT) AS r3, CAST(1000 AS BIGINT) AS r4,
+      |    CAST(1000 AS BIGINT) AS r5
+      |  FROM sl
+      |  UNION ALL
+      |  SELECT t3.rk, t3.n, t3.lm,
+      |    $rUpd
+      |  FROM (
+      |    SELECT t2.*,
+      |      CASE WHEN t2.num >= 0 THEN 1 ELSE -1 END
+      |        * (ABS(t2.num) // 1000000) AS delta
+      |    FROM (
+      |      SELECT tx.*,
+      |        $EloK * (tx.s * 1000000 - CASE WHEN tx.dg >= 0
+      |          THEN 1000000000000 // (1000000 + tx.t)
+      |          ELSE tx.t * 1000000 // (1000000 + tx.t)
+      |          END) AS num
+      |      FROM (
+      |        SELECT t1.*, $tExpr AS t
+      |        FROM (
+      |          SELECT t0.*,
+      |            ${rLane("t0", "t0.mb")} - ${rLane("t0", "t0.ma")} AS dg,
+      |            LEAST(ABS(${rLane("t0", "t0.mb")}
+      |              - ${rLane("t0", "t0.ma")}), $EloDCap) * $EloC AS y
+      |          FROM (
+      |            SELECT w.rk + 1 AS rk, w.n, w.lm,
+      |              w.r1, w.r2, w.r3, w.r4, w.r5,
+      |              CAST(w.lm[w.rk + 1] % 8 AS INT) AS ma,
+      |              CAST((w.lm[w.rk + 1] // 8) % 8 AS INT) AS mb,
+      |              w.lm[w.rk + 1] // 64 AS s
+      |            FROM walk w WHERE w.rk < w.n) t0) t1) tx) t2) t3),
+      |fin AS (SELECT * FROM walk ORDER BY rk DESC LIMIT 1),
+      |tal AS (
+      |  SELECT arm, COUNT(*) AS matches, SUM(w) AS wins FROM (
+      |    SELECT a AS arm, s AS w FROM mt
+      |    UNION ALL
+      |    SELECT b AS arm, 1 - s AS w FROM mt)
+      |  GROUP BY arm)
+      |SELECT CAST(g.arm AS BIGINT) AS arm,
+      |  CAST($finLane AS BIGINT) AS rating,
+      |  CAST(COALESCE(tal.matches, 0) AS BIGINT) AS matches,
+      |  CAST(COALESCE(tal.wins, 0) AS BIGINT) AS wins
+      |FROM (SELECT UNNEST(range(1, 6)) AS arm) g
+      |CROSS JOIN fin
+      |LEFT JOIN tal ON tal.arm = g.arm
+      |ORDER BY g.arm""".stripMargin
+  }
+
+  // ------ q510: s–t min-cut of the fulfillment network by lattice scan
+
+  /** Fraction (numerator over 10) of observed nation throughput the
+    * network model treats as committable source/sink capacity — the
+    * knob that keeps terminal edges from trivially dominating.
+    */
+  val MinCutCapPct = 6L
+
+  /** q510: s–t minimum cut — WHERE does the supplier→customer network
+    * bottleneck? The flow network is source → 5 supply nations →
+    * 5 demand nations → sink (capacities from one lineitem⋈orders
+    * pass; terminal capacities at 60% of observed throughput), and
+    * instead of an augmenting-path walk the cut is found by scanning
+    * the FULL 2⁵×2⁵ source-side lattice — 1,024 cuts, each a masked
+    * sum over 35 edge weights, the Kemeny-style bounded-enumeration
+    * device that stays one broadcast join at any data scale (masks ×
+    * edges is 35K rows of metadata regardless of corpus size). By
+    * max-flow/min-cut duality the reported value also bounds every
+    * feasible flow; the output carries the three cut components
+    * (sum = cut value), the runner-up value and the argmin
+    * multiplicity as in-output certificates.
+    *
+    * Plan: one lineitem⋈orders pass → 5×5 cell rollup → 1,024-mask
+    * lattice scan (metadata) → 1-row report.
+    */
+  val q510MinCut: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_suppkey"), expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("na"))
+    val cus = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("nb"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val flows = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("na"), col("nb")).agg(sum(col("q")).as("v"))
+      .localCheckpoint()
+    def top5(key: String, as: String) = flows.groupBy(col(key))
+      .agg(sum(col("v")).as("tot"))
+      .orderBy(col("tot").desc, col(key))
+      .limit(5)
+      .withColumn(as, row_number().over(
+        Window.orderBy(col("tot").desc, col(key))) - 1)
+    val ta = top5("na", "ia").localCheckpoint()
+    val tb = top5("nb", "ib").localCheckpoint()
+    val cells = flows.join(broadcast(ta.select(col("na"), col("ia"))), "na")
+      .join(broadcast(tb.select(col("nb"), col("ib"))), "nb")
+      .select(col("ia"), col("ib"), col("v"))
+      .localCheckpoint()
+    val eMid = cells.select(lit("m").as("kind"), col("ia").as("i"),
+      col("ib").as("j"), col("v").as("w"))
+    val eSrc = cells.groupBy(col("ia")).agg(
+        expr(s"$MinCutCapPct * SUM(v) div 10").as("w"))
+      .select(lit("s").as("kind"), col("ia").as("i"), lit(0).as("j"), col("w"))
+    val eSnk = cells.groupBy(col("ib")).agg(
+        expr(s"$MinCutCapPct * SUM(v) div 10").as("w"))
+      .select(lit("t").as("kind"), lit(0).as("i"), col("ib").as("j"), col("w"))
+    val edges = eSrc.unionAll(eMid).unionAll(eSnk)
+    val masks = s.range(0, 1024).select(
+      expr("id div 32").as("ma"), expr("id % 32").as("mb"))
+    val cuts = masks.crossJoin(broadcast(edges))
+      .filter(
+        (col("kind") === "s" && expr("(ma div shiftleft(1, i)) % 2 = 0")) ||
+        (col("kind") === "m" && expr("(ma div shiftleft(1, i)) % 2 = 1") &&
+          expr("(mb div shiftleft(1, j)) % 2 = 0")) ||
+        (col("kind") === "t" && expr("(mb div shiftleft(1, j)) % 2 = 1")))
+      .groupBy(col("ma"), col("mb"))
+      .agg(sum(col("w")).as("cut"),
+        count(lit(1)).as("n_cut_edges"),
+        sum(when(col("kind") === "s", col("w")).otherwise(0L)).as("cut_src"),
+        sum(when(col("kind") === "m", col("w")).otherwise(0L)).as("cut_mid"),
+        sum(when(col("kind") === "t", col("w")).otherwise(0L)).as("cut_snk"))
+      .localCheckpoint()
+    val bestRow = cuts.orderBy(col("cut"), col("ma"), col("mb")).limit(1)
+    val stats = cuts.crossJoin(broadcast(
+        bestRow.select(col("cut").as("best"))))
+      .agg(sum((col("cut") === col("best")).cast("long")).as("n_optimal"),
+        min(when(col("cut") > col("best"), col("cut"))).as("runner_up"))
+    bestRow.crossJoin(broadcast(stats))
+      .crossJoin(broadcast(flows.agg(sum(col("v")).as("total_volume"))))
+      .select(col("cut").as("min_cut"), col("ma").as("mask_a"),
+        col("mb").as("mask_b"), col("n_cut_edges"),
+        col("cut_src"), col("cut_mid"), col("cut_snk"),
+        col("n_optimal"), col("runner_up"), col("total_volume"))
+  }
+
+  val q510Sql: String =
+    s"""WITH flows AS (
+      |  SELECT s_nationkey AS na, c_nationkey AS nb,
+      |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ta AS (
+      |  SELECT na, ROW_NUMBER() OVER (ORDER BY SUM(v) DESC, na) - 1 AS ia
+      |  FROM flows GROUP BY na ORDER BY SUM(v) DESC, na LIMIT 5),
+      |tb AS (
+      |  SELECT nb, ROW_NUMBER() OVER (ORDER BY SUM(v) DESC, nb) - 1 AS ib
+      |  FROM flows GROUP BY nb ORDER BY SUM(v) DESC, nb LIMIT 5),
+      |cells AS (
+      |  SELECT ia, ib, v FROM flows
+      |  JOIN ta USING (na) JOIN tb USING (nb)),
+      |edges AS (
+      |  SELECT 's' AS kind, ia AS i, 0 AS j,
+      |    $MinCutCapPct * SUM(v) // 10 AS w
+      |  FROM cells GROUP BY ia
+      |  UNION ALL
+      |  SELECT 'm', ia, ib, v FROM cells
+      |  UNION ALL
+      |  SELECT 't', 0, ib, $MinCutCapPct * SUM(v) // 10
+      |  FROM cells GROUP BY ib),
+      |masks AS (
+      |  SELECT mid // 32 AS ma, mid % 32 AS mb
+      |  FROM (SELECT UNNEST(range(0, 1024)) AS mid)),
+      |cuts AS (
+      |  SELECT ma, mb, SUM(w) AS cut, COUNT(*) AS n_cut_edges,
+      |    SUM(CASE WHEN kind = 's' THEN w ELSE 0 END) AS cut_src,
+      |    SUM(CASE WHEN kind = 'm' THEN w ELSE 0 END) AS cut_mid,
+      |    SUM(CASE WHEN kind = 't' THEN w ELSE 0 END) AS cut_snk
+      |  FROM masks JOIN edges ON
+      |    (kind = 's' AND (ma // (1 << i)) % 2 = 0)
+      |    OR (kind = 'm' AND (ma // (1 << i)) % 2 = 1
+      |        AND (mb // (1 << j)) % 2 = 0)
+      |    OR (kind = 't' AND (mb // (1 << j)) % 2 = 1)
+      |  GROUP BY ma, mb),
+      |best AS (
+      |  SELECT * FROM cuts ORDER BY cut, ma, mb LIMIT 1),
+      |stats AS (
+      |  SELECT SUM(CASE WHEN cuts.cut = best.cut THEN 1 ELSE 0 END)
+      |      AS n_optimal,
+      |    MIN(CASE WHEN cuts.cut > best.cut THEN cuts.cut END) AS runner_up
+      |  FROM cuts CROSS JOIN best),
+      |tot AS (SELECT SUM(v) AS total_volume FROM flows)
+      |SELECT CAST(best.cut AS BIGINT) AS min_cut,
+      |  CAST(best.ma AS BIGINT) AS mask_a, CAST(best.mb AS BIGINT) AS mask_b,
+      |  CAST(best.n_cut_edges AS BIGINT) AS n_cut_edges,
+      |  CAST(best.cut_src AS BIGINT) AS cut_src,
+      |  CAST(best.cut_mid AS BIGINT) AS cut_mid,
+      |  CAST(best.cut_snk AS BIGINT) AS cut_snk,
+      |  CAST(stats.n_optimal AS BIGINT) AS n_optimal,
+      |  CAST(stats.runner_up AS BIGINT) AS runner_up,
+      |  CAST(tot.total_volume AS BIGINT) AS total_volume
+      |FROM best CROSS JOIN stats CROSS JOIN tot""".stripMargin
+
+  // ------ q511: differential-privacy budget ledger (composition)
+
+  /** Per-release base privacy cost ε₀ = 0.1 (e6) and the plan-time
+    * composition constants: ln(1/δ′)·10⁶ for δ′ = 10⁻⁶, and
+    * (e^{ε₀} − 1)·10⁶ — libm evaluated ONCE at plan build (the
+    * Benford-constants rule), identical literals in both engines.
+    */
+  val DpEps0E6 = 100000L
+  val DpLnInvDeltaE6 = 13815511L
+  val DpExpEps0M1E6 = 105171L
+  /** Docs per counted release: one mechanism invocation per 256 docs. */
+  val DpDocsPerQuery = 256L
+
+  /** q511: the DP budget accountant — the PRIVACY-ACCOUNTING layer the
+    * engine's anonymity suite (k-anon/l-div/t-close, q181/q255) stops
+    * short of: if every source's statistics were released through an
+    * ε₀-DP mechanism once per 256 documents, what privacy has each
+    * source SPENT? Basic composition adds k·ε₀; the advanced
+    * composition theorem (Dwork–Roth) charges
+    * ε₀·√(2k·ln(1/δ′)) + k·ε₀·(e^{ε₀}−1) — sublinear in k, so it
+    * overtakes basic at a data-determined crossover the ledger makes
+    * visible per source. All integer: the square root is one
+    * bit-portable FLOOR(SQRT(·)) over an exact product, the two
+    * transcendental constants are plan-time literals.
+    *
+    * Plan: one documents rollup (20 sources) → metadata arithmetic.
+    */
+  val q511DpLedger: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("k_queries",
+        expr(s"1 + (n_docs - 1) div $DpDocsPerQuery"))
+      .withColumn("eps_basic_e6", col("k_queries") * DpEps0E6)
+      .withColumn("eps_adv_e6",
+        expr(s"""100 * CAST(FLOOR(SQRT(CAST(
+          | 2 * k_queries * $DpLnInvDeltaE6 AS DOUBLE))) AS BIGINT)
+          | + (k_queries * $DpExpEps0M1E6) div 10"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("eps_effective_e6", least(col("eps_basic_e6"), col("eps_adv_e6")))
+      .withColumn("tighter",
+        when(col("eps_adv_e6") < col("eps_basic_e6"), "advanced")
+          .otherwise("basic"))
+      .withColumn("delta_total_e9", (col("k_queries") + 1L) * 1000L)
+      .select(col("source"), col("n_docs"), col("k_queries"),
+        col("eps_basic_e6"), col("eps_adv_e6"), col("eps_effective_e6"),
+        col("tighter"), col("delta_total_e9"))
+  }
+
+  val q511Sql: String =
+    s"""WITH per_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    1 + (COUNT(*) - 1) // $DpDocsPerQuery AS k
+      |  FROM documents GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(k AS BIGINT) AS k_queries,
+      |  CAST(k * $DpEps0E6 AS BIGINT) AS eps_basic_e6,
+      |  CAST(100 * CAST(FLOOR(SQRT(CAST(
+      |      2 * k * $DpLnInvDeltaE6 AS DOUBLE))) AS BIGINT)
+      |    + (k * $DpExpEps0M1E6) // 10 AS BIGINT) AS eps_adv_e6,
+      |  CAST(LEAST(k * $DpEps0E6,
+      |    100 * CAST(FLOOR(SQRT(CAST(
+      |      2 * k * $DpLnInvDeltaE6 AS DOUBLE))) AS BIGINT)
+      |    + (k * $DpExpEps0M1E6) // 10) AS BIGINT) AS eps_effective_e6,
+      |  CASE WHEN 100 * CAST(FLOOR(SQRT(CAST(
+      |      2 * k * $DpLnInvDeltaE6 AS DOUBLE))) AS BIGINT)
+      |    + (k * $DpExpEps0M1E6) // 10 < k * $DpEps0E6
+      |    THEN 'advanced' ELSE 'basic' END AS tighter,
+      |  CAST((k + 1) * 1000 AS BIGINT) AS delta_total_e9
+      |FROM per_source""".stripMargin
+
+  // ------ q513: negative-binomial fit of daily order counts
+
+  /** q513: negative-binomial method-of-moments fit — the DISTRIBUTION
+    * model for the overdispersion q488 only indexes: per priority,
+    * daily order counts over the full calendar spine (absent days
+    * count ZERO — the spine join is what makes the moments honest),
+    * mean and variance as exact integer co-moments, then the MoM
+    * inversion r = m²/(s²−m), p = m/s² — defined exactly when the
+    * variance-mean ratio exceeds 1, which the output flags per group
+    * (Poisson-compatible groups report NULL r/p rather than a
+    * fabricated fit).
+    *
+    * Plan: one orders pass → (day, arm) rollup → calendar×5 spine
+    * join (metadata) → 5-row moment fold.
+    */
+  val q513NegBinomial: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderdate").as("d"),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("arm"))
+    val cellsNb = o.groupBy(col("d"), col("arm")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val spine = cellsNb.select(col("d")).distinct()
+    val arms = s.range(1, 6).select(col("id").cast("int").as("arm"))
+    val full = spine.crossJoin(broadcast(arms))
+      .join(cellsNb, Seq("d", "arm"), "left")
+      .select(col("arm"), coalesce(col("c"), lit(0L)).as("c"))
+    full.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("arm").cast("long").as("arm"), col("n").as("n_days"),
+        expr("sc * 1000000 div n").as("mean_e6"),
+        expr("(n * scc - sc * sc) * 1000000 div (n * (n - 1))").as("var_e6"))
+      .withColumn("vmr_e6",
+        when(col("mean_e6") > 0,
+          expr("var_e6 * 1000000 div mean_e6")))
+      .withColumn("r_e6",
+        when(col("var_e6") > col("mean_e6"),
+          expr("mean_e6 * mean_e6 div (var_e6 - mean_e6)")))
+      .withColumn("p_e6",
+        when(col("var_e6") > col("mean_e6"),
+          expr("mean_e6 * 1000000 div var_e6")))
+      .withColumn("overdispersed",
+        (col("var_e6") > col("mean_e6")).cast("long"))
+      .orderBy(col("arm"))
+  }
+
+  val q513Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS arm
+      |  FROM orders),
+      |cells AS (SELECT d, arm, COUNT(*) AS c FROM o GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT d FROM cells),
+      |arms AS (SELECT UNNEST(range(1, 6)) AS arm),
+      |full_grid AS (
+      |  SELECT spine.d, arms.arm, COALESCE(cells.c, 0) AS c
+      |  FROM spine CROSS JOIN arms
+      |  LEFT JOIN cells ON cells.d = spine.d AND cells.arm = arms.arm),
+      |mom AS (
+      |  SELECT arm, COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS scc
+      |  FROM full_grid GROUP BY arm),
+      |st AS (
+      |  SELECT arm, n,
+      |    sc * 1000000 // n AS mean_e6,
+      |    (n * scc - sc * sc) * 1000000 // (n * (n - 1)) AS var_e6
+      |  FROM mom)
+      |SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_days,
+      |  CAST(mean_e6 AS BIGINT) AS mean_e6, CAST(var_e6 AS BIGINT) AS var_e6,
+      |  CAST(CASE WHEN mean_e6 > 0
+      |    THEN var_e6 * 1000000 // mean_e6 END AS BIGINT) AS vmr_e6,
+      |  CAST(CASE WHEN var_e6 > mean_e6
+      |    THEN mean_e6 * mean_e6 // (var_e6 - mean_e6) END AS BIGINT) AS r_e6,
+      |  CAST(CASE WHEN var_e6 > mean_e6
+      |    THEN mean_e6 * 1000000 // var_e6 END AS BIGINT) AS p_e6,
+      |  CAST(CASE WHEN var_e6 > mean_e6 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS overdispersed
+      |FROM st ORDER BY arm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q509_elo_replay" -> q509EloReplay,
+    "q510_min_cut" -> q510MinCut,
+    "q511_dp_ledger" -> q511DpLedger,
+    "q513_neg_binomial" -> q513NegBinomial,
     "q507_cluster_robust" -> q507ClusterRobust,
     "q505_alias_table" -> q505AliasTable,
     "q503_meta_analysis" -> q503MetaAnalysis,
@@ -12596,6 +13068,10 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q509_elo_replay" -> q509Sql,
+    "q510_min_cut" -> q510Sql,
+    "q511_dp_ledger" -> q511Sql,
+    "q513_neg_binomial" -> q513Sql,
     "q485_neyman_allocation" -> q485Sql,
     "q486_breslow_day" -> q486Sql,
     "q487_woe_iv" -> q487Sql,

@@ -10827,7 +10827,107 @@ object EventQueries {
       |  CASE WHEN path[t] = 1 THEN 'high' ELSE 'low' END AS final_regime
       |FROM best""".stripMargin
 
+  // ------ q512: LZ78 phrase complexity of the busiest user's stream
+
+  /** Sequence-length cap: the complexity is measured over the user's
+    * first 512 events (by event_id) so the driver fold and the oracle
+    * walk are bounded regardless of corpus scale.
+    */
+  val Lz78Cap = 512
+
+  /** q512: Lempel–Ziv 78 phrase complexity — the SEQUENCE-structure
+    * complexity measure next to the engine's distributional ones
+    * (char entropy q499, Markov transitions q108): parse the busiest
+    * user's event-type initial stream into the LZ78 phrase dictionary
+    * (longest known prefix + one extension per step) and count
+    * phrases. A repetitive session script compresses to few long
+    * phrases; an erratic one mints a phrase almost every step — the
+    * normalized phrase rate is the behavioral randomness score. The
+    * walk is a bounded driver fold (≤ 512 steps); the oracle replays
+    * it as a list-state recursive walk carrying the dictionary as one
+    * delimited string probed with strpos — no lambdas, no per-step
+    * CTE re-scan (the q497 cost rules).
+    *
+    * Plan: one events rollup picks the user (top-1 by count, ties to
+    * the smallest id) → ≤512-char sequence collect → driver fold →
+    * 1-row report.
+    */
+  val q512Lz78: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val topUser = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(1)
+      .collect()(0).getAs[Long]("user_id")
+    val seq = e.filter(col("user_id") === topUser)
+      .select(col("event_id"), substring(col("event_type"), 1, 1).as("ch"))
+      .orderBy(col("event_id")).limit(Lz78Cap)
+      .collect().map(_.getAs[String]("ch")).mkString
+    var dict = "|"
+    var w = ""
+    var phrases = 0L
+    var maxLen = 0L
+    seq.foreach { c =>
+      val w2 = w + c
+      if (dict.contains("|" + w2 + "|")) w = w2
+      else {
+        dict = dict + w2 + "|"
+        phrases += 1
+        maxLen = math.max(maxLen, w2.length.toLong)
+        w = ""
+      }
+    }
+    if (w.nonEmpty) { phrases += 1; maxLen = math.max(maxLen, w.length.toLong) }
+    import s.implicits._
+    Seq((topUser, seq.length.toLong, phrases, maxLen,
+      if (seq.nonEmpty) phrases * 1000000L / seq.length else 0L))
+      .toDF("user_id", "seq_len", "n_phrases", "max_phrase_len",
+        "phrase_rate_e6")
+  }
+
+  val q512Sql: String =
+    s"""WITH RECURSIVE tu AS (
+      |  SELECT user_id FROM events GROUP BY user_id
+      |  ORDER BY COUNT(*) DESC, user_id LIMIT 1),
+      |seq AS (
+      |  SELECT tu.user_id, COALESCE(string_agg(x.ch, '' ORDER BY x.event_id), '') AS sq
+      |  FROM tu LEFT JOIN (
+      |    SELECT user_id, event_id, substring(event_type, 1, 1) AS ch,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |    FROM events) x
+      |  ON x.user_id = tu.user_id AND x.rn <= $Lz78Cap
+      |  GROUP BY tu.user_id),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, CAST(LEN(sq) AS BIGINT) AS n, sq,
+      |    '|' AS dict, '' AS w,
+      |    CAST(0 AS BIGINT) AS phrases, CAST(0 AS BIGINT) AS maxlen
+      |  FROM seq
+      |  UNION ALL
+      |  SELECT v.i, v.n, v.sq,
+      |    CASE WHEN v.hit THEN v.dict ELSE v.dict || v.w2 || '|' END,
+      |    CASE WHEN v.hit THEN v.w2 ELSE '' END,
+      |    v.phrases + CASE WHEN v.hit THEN 0 ELSE 1 END,
+      |    GREATEST(v.maxlen,
+      |      CASE WHEN v.hit THEN 0 ELSE LEN(v.w2) END)
+      |  FROM (
+      |    SELECT u.*, strpos(u.dict, '|' || u.w2 || '|') > 0 AS hit
+      |    FROM (
+      |      SELECT w.i + 1 AS i, w.n, w.sq, w.dict,
+      |        w.w || substr(w.sq, CAST(w.i + 1 AS INT), 1) AS w2,
+      |        w.phrases, w.maxlen
+      |      FROM walk w WHERE w.i < w.n) u) v),
+      |fin AS (SELECT * FROM walk ORDER BY i DESC LIMIT 1)
+      |SELECT CAST(tu.user_id AS BIGINT) AS user_id,
+      |  CAST(fin.n AS BIGINT) AS seq_len,
+      |  CAST(fin.phrases + CASE WHEN fin.w <> '' THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_phrases,
+      |  CAST(GREATEST(fin.maxlen, CASE WHEN fin.w <> '' THEN LEN(fin.w)
+      |    ELSE 0 END) AS BIGINT) AS max_phrase_len,
+      |  CAST(CASE WHEN fin.n > 0 THEN (fin.phrases
+      |      + CASE WHEN fin.w <> '' THEN 1 ELSE 0 END) * 1000000 // fin.n
+      |    ELSE 0 END AS BIGINT) AS phrase_rate_e6
+      |FROM fin CROSS JOIN tu""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q512_lz78" -> q512Lz78,
     "q455_viterbi_hmm" -> q455ViterbiHmm,
     "q431_kpss" -> q431Kpss,
     "q432_engle_granger" -> q432EngleGranger,
@@ -10962,6 +11062,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q512_lz78" -> q512Sql,
     "q455_viterbi_hmm" -> q455Sql,
     "q431_kpss" -> q431Sql,
     "q432_engle_granger" -> q432Sql,

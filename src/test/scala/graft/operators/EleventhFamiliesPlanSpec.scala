@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan pins + semantic invariants for the round-6 families (q509+):
+  * the standing 100 TB posture assertions (no cartesians on fact
+  * streams, bounded walks, metadata-scale lattices) plus the
+  * in-output certificates each construction ships — Elo rating
+  * conservation, cut-component reconstruction, composition-bound
+  * crossover, LZ78 dictionary accounting, MoM admissibility.
+  */
+class EleventhFamiliesPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def rows(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("q509: antisymmetric updates conserve total rating exactly") {
+    val r = rows("q509_elo_replay")
+    assert(r.length == 5)
+    // zero-sum certificate: every match moves +delta/-delta
+    assert(r.map(_.getAs[Long]("rating")).sum == 5 * 1000L)
+    // every played match has exactly one winner
+    assert(r.map(_.getAs[Long]("wins")).sum * 2 ==
+      r.map(_.getAs[Long]("matches")).sum)
+    assert(r.forall(row => row.getAs[Long]("wins") <=
+      row.getAs[Long]("matches")))
+  }
+
+  test("q510: lattice scan is metadata-scale; components rebuild the cut") {
+    val p = plan("q510_min_cut")
+    assert(!p.contains("CartesianProduct"),
+      s"the mask×edge scan must be a broadcast join, not a cartesian:\n$p")
+    val r = rows("q510_min_cut")
+    assert(r.length == 1)
+    val row = r.head
+    // reconstruction certificate: the three cut components sum exactly
+    assert(row.getAs[Long]("cut_src") + row.getAs[Long]("cut_mid") +
+      row.getAs[Long]("cut_snk") == row.getAs[Long]("min_cut"))
+    // the all-sink-side cut (mask 0/0: every source edge) bounds the min,
+    // and the runner-up (when present) sits strictly above it
+    assert(row.getAs[Long]("min_cut") >= 0L)
+    Option(row.getAs[java.lang.Long]("runner_up")).foreach(ru =>
+      assert(ru > row.getAs[Long]("min_cut")))
+    assert(row.getAs[Long]("n_optimal") >= 1L)
+  }
+
+  test("q511: advanced composition overtakes basic exactly at the crossover") {
+    val r = rows("q511_dp_ledger")
+    assert(r.length == 20)
+    r.foreach { row =>
+      val basic = row.getAs[Long]("eps_basic_e6")
+      val adv = row.getAs[Long]("eps_adv_e6")
+      val eff = row.getAs[Long]("eps_effective_e6")
+      assert(eff == math.min(basic, adv))
+      assert((row.getAs[String]("tighter") == "advanced") == (adv < basic))
+      // basic composition is linear in k by construction
+      assert(basic == row.getAs[Long]("k_queries") * AuditQueries.DpEps0E6)
+    }
+  }
+
+  test("q512: phrase accounting is consistent with the parse") {
+    val r = rows("q512_lz78")
+    assert(r.length == 1)
+    val row = r.head
+    val len = row.getAs[Long]("seq_len")
+    val ph = row.getAs[Long]("n_phrases")
+    // every phrase consumes >= 1 char and the longest fits the stream
+    assert(ph >= 1L && ph <= len)
+    assert(row.getAs[Long]("max_phrase_len") >= 1L)
+    assert(row.getAs[Long]("max_phrase_len") <= len)
+    assert(row.getAs[Long]("phrase_rate_e6") == ph * 1000000L / len)
+  }
+
+  test("q513: MoM fit is admissible exactly on the overdispersed groups") {
+    val r = rows("q513_neg_binomial")
+    assert(r.length == 5)
+    r.foreach { row =>
+      val over = row.getAs[Long]("overdispersed") == 1L
+      assert(over == (row.getAs[Long]("var_e6") > row.getAs[Long]("mean_e6")))
+      val rE6 = Option(row.getAs[java.lang.Long]("r_e6"))
+      val pE6 = Option(row.getAs[java.lang.Long]("p_e6"))
+      assert(rE6.isDefined == over && pE6.isDefined == over,
+        "r/p exist iff the group is overdispersed")
+      // p = m/s² lands strictly inside (0, 1) when defined
+      pE6.foreach(p => assert(p > 0L && p < 1000000L))
+      rE6.foreach(rv => assert(rv > 0L))
+    }
+  }
+}
