@@ -12939,7 +12939,219 @@ object AuditQueries {
       |    AS overdispersed
       |FROM st ORDER BY arm""".stripMargin
 
+  // ------ q516: circuit routing (TSP) over the nation trade graph
+
+  /** Cities in the q516 tour (top supply nations); (n−1)! = 720 tours. */
+  val TspN = 7
+
+  /** All (TspN−1)! tours from fixed city 0, one row per leg:
+    * (packed tour id, from, to). Packing is position-major base-8, so
+    * numeric tid order IS lexicographic tour order — the tie-break
+    * both engines share. Plan-time structure (the q493 Kemeny-lattice
+    * device): the tour lattice is literals; only leg costs are data.
+    */
+  lazy val TspLegRows: Seq[(Long, Int, Int)] =
+    (1 until TspN).permutations.flatMap { p =>
+      val tour = 0 +: p
+      val tid = p.zipWithIndex.map { case (c, i) =>
+        c.toLong * math.pow(8, i).toLong }.sum
+      (0 until TspN).map(i =>
+        (tid, tour(i), tour((i + 1) % TspN)))
+    }.toSeq
+
+  /** q516: shortest trade circuit — the TSP over the top-7 supply
+    * nations with leg cost sup_i + sup_j − v(i,j) − v(j,i) (heavily
+    * trading pairs are CHEAP to chain, so the optimal circuit is the
+    * supply chain a coordinator would actually route; costs are
+    * nonnegative because mutual flow never exceeds either side's
+    * throughput). Solved by the bounded-enumeration lattice (the q493
+    * device at 720 tours × 7 legs = 5,040 plan-time rows joined to 49
+    * data cells — metadata at any corpus scale; past n ≈ 9 the same
+    * operator would switch to Held–Karp subset DP, the documented
+    * growth path). Symmetric costs make every tour's reversal a tie,
+    * so the argmin multiplicity is ALWAYS ≥ 2 — shipped in-output and
+    * plan-pinned, along with the runner-up gap.
+    *
+    * Plan: one lineitem⋈orders pass → 7×7 cell rollup → lattice join
+    * (broadcast) → 1-row report.
+    */
+  val q516TspCircuit: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_suppkey"), expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+    val flows = li
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("na"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nb"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("na"), col("nb")).agg(sum(col("q")).as("v"))
+      .localCheckpoint()
+    val topN = flows.groupBy(col("na")).agg(sum(col("v")).as("sup"))
+      .orderBy(col("sup").desc, col("na")).limit(TspN)
+      .withColumn("city", row_number().over(
+        Window.orderBy(col("sup").desc, col("na"))) - 1)
+      .localCheckpoint()
+    val cellsT = topN.select(col("na").as("ni"), col("city").as("i"),
+        col("sup").as("supi"))
+      .crossJoin(broadcast(topN.select(col("na").as("nj"),
+        col("city").as("j"), col("sup").as("supj"))))
+      .filter(col("i") =!= col("j"))
+      .join(flows.select(col("na").as("ni"), col("nb").as("nj"),
+        col("v").as("vij")), Seq("ni", "nj"), "left")
+      .join(flows.select(col("na").as("nj"), col("nb").as("ni"),
+        col("v").as("vji")), Seq("ni", "nj"), "left")
+      .select(col("i"), col("j"),
+        (col("supi") + col("supj") - coalesce(col("vij"), lit(0L))
+          - coalesce(col("vji"), lit(0L))).as("cost"))
+    import s.implicits._
+    val legs = TspLegRows.toDF("tid", "i", "j")
+    val tours = legs.join(broadcast(cellsT), Seq("i", "j"))
+      .groupBy(col("tid")).agg(sum(col("cost")).as("tc"))
+      .localCheckpoint()
+    val best = tours.orderBy(col("tc"), col("tid")).limit(1)
+    val statsT = tours.crossJoin(broadcast(best.select(col("tc").as("bt"))))
+      .agg(sum((col("tc") === col("bt")).cast("long")).as("n_optimal"),
+        min(when(col("tc") > col("bt"), col("tc"))).as("runner_up"),
+        count(lit(1)).as("n_tours"))
+    best.crossJoin(broadcast(statsT))
+      .select(lit(TspN.toLong).as("n_cities"), col("tc").as("tour_cost"),
+        col("tid").as("tour_packed"), col("n_optimal"),
+        col("runner_up"), col("n_tours"))
+  }
+
+  val q516Sql: String = {
+    // the same plan-time lattice, rendered as literal rows
+    val legLits = TspLegRows.map { case (t, i, j) => s"($t,$i,$j)" }
+      .grouped(64).map(_.mkString(",")).mkString(",\n      |    ")
+    s"""WITH flows AS (
+      |  SELECT s_nationkey AS na, c_nationkey AS nb,
+      |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |topn AS (
+      |  SELECT na, SUM(v) AS sup,
+      |    ROW_NUMBER() OVER (ORDER BY SUM(v) DESC, na) - 1 AS city
+      |  FROM flows GROUP BY na ORDER BY SUM(v) DESC, na LIMIT $TspN),
+      |cells AS (
+      |  SELECT a.city AS i, b.city AS j,
+      |    a.sup + b.sup - COALESCE(f1.v, 0) - COALESCE(f2.v, 0) AS cost
+      |  FROM topn a CROSS JOIN topn b
+      |  LEFT JOIN flows f1 ON f1.na = a.na AND f1.nb = b.na
+      |  LEFT JOIN flows f2 ON f2.na = b.na AND f2.nb = a.na
+      |  WHERE a.city <> b.city),
+      |legs(tid, i, j) AS (VALUES
+      |    $legLits),
+      |tours AS (
+      |  SELECT tid, SUM(cost) AS tc
+      |  FROM legs JOIN cells USING (i, j) GROUP BY tid),
+      |best AS (SELECT * FROM tours ORDER BY tc, tid LIMIT 1),
+      |stats AS (
+      |  SELECT SUM(CASE WHEN tours.tc = best.tc THEN 1 ELSE 0 END)
+      |      AS n_optimal,
+      |    MIN(CASE WHEN tours.tc > best.tc THEN tours.tc END) AS runner_up,
+      |    COUNT(*) AS n_tours
+      |  FROM tours CROSS JOIN best)
+      |SELECT CAST($TspN AS BIGINT) AS n_cities,
+      |  CAST(best.tc AS BIGINT) AS tour_cost,
+      |  CAST(best.tid AS BIGINT) AS tour_packed,
+      |  CAST(stats.n_optimal AS BIGINT) AS n_optimal,
+      |  CAST(stats.runner_up AS BIGINT) AS runner_up,
+      |  CAST(stats.n_tours AS BIGINT) AS n_tours
+      |FROM best CROSS JOIN stats""".stripMargin
+  }
+
+  // ------ q517: longest monotone runs of the daily revenue series
+
+  /** q517: longest increasing / decreasing subsequence — the ORDER-
+    * structure statistic of the revenue series that trend tests
+    * (Mann–Kendall q214) summarize away: patience sorting over the
+    * daily order-value totals gives the exact LIS and LDS lengths in
+    * one pass each, and the Erdős–Szekeres theorem guarantees
+    * lis·lds ≥ n — a mathematical identity the output must satisfy,
+    * shipped as the in-output certificate (plan-pinned). Both folds
+    * use the same "first tail ≥ x" replacement rule (strict
+    * monotonicity; duplicates never extend), which the oracle's
+    * list-state walk reproduces with a count-below position — the
+    * binary search and the count agree exactly on a sorted tails
+    * list.
+    *
+    * Plan: one orders pass → calendar-bounded day series → two
+    * patience folds → 1-row report.
+    */
+  val q517LisLds: Q = (s, dir) => {
+    val xs = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("x"))
+      .orderBy(col("d")).collect().map(_.getAs[Long]("x"))
+    def lisLen(v: Array[Long]): Long = {
+      val tails = scala.collection.mutable.ArrayBuffer.empty[Long]
+      v.foreach { x =>
+        var lo = 0; var hi = tails.length
+        while (lo < hi) {
+          val m = (lo + hi) / 2
+          if (tails(m) < x) lo = m + 1 else hi = m
+        }
+        if (lo == tails.length) tails += x else tails(lo) = x
+      }
+      tails.length.toLong
+    }
+    val n = xs.length.toLong
+    val lis = lisLen(xs)
+    val lds = lisLen(xs.map(x => -x))
+    import s.implicits._
+    Seq((n, lis, lds, lis * lds, if (lis * lds >= n) 1L else 0L))
+      .toDF("n_days", "lis_len", "lds_len", "erdos_product", "erdos_ok")
+  }
+
+  val q517Sql: String =
+    """WITH RECURSIVE bd AS (
+      |  SELECT o_orderdate AS d,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |sl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    list(x ORDER BY d) AS vals
+      |  FROM bd),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, n, vals,
+      |    CAST([] AS BIGINT[]) AS t1, CAST([] AS BIGINT[]) AS t2
+      |  FROM sl
+      |  UNION ALL
+      |  SELECT v.i, v.n, v.vals,
+      |    list_transform(range(1, CAST(v.nl1 + 1 AS BIGINT)),
+      |      k -> CASE WHEN k = v.p1 THEN v.x ELSE v.t1[CAST(k AS INT)] END),
+      |    list_transform(range(1, CAST(v.nl2 + 1 AS BIGINT)),
+      |      k -> CASE WHEN k = v.p2 THEN -v.x ELSE v.t2[CAST(k AS INT)] END)
+      |  FROM (
+      |    SELECT u.*,
+      |      GREATEST(LEN(u.t1), u.p1) AS nl1,
+      |      GREATEST(LEN(u.t2), u.p2) AS nl2
+      |    FROM (
+      |      SELECT t0.*,
+      |        LEN(list_filter(t0.t1, y -> y < t0.x)) + 1 AS p1,
+      |        LEN(list_filter(t0.t2, y -> y < -t0.x)) + 1 AS p2
+      |      FROM (
+      |        SELECT w.i + 1 AS i, w.n, w.vals, w.t1, w.t2,
+      |          w.vals[w.i + 1] AS x
+      |        FROM walk w WHERE w.i < w.n) t0) u) v),
+      |fin AS (SELECT * FROM walk ORDER BY i DESC LIMIT 1)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(LEN(t1) AS BIGINT) AS lis_len,
+      |  CAST(LEN(t2) AS BIGINT) AS lds_len,
+      |  CAST(LEN(t1) * LEN(t2) AS BIGINT) AS erdos_product,
+      |  CAST(CASE WHEN LEN(t1) * LEN(t2) >= n THEN 1 ELSE 0 END AS BIGINT)
+      |    AS erdos_ok
+      |FROM fin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q517_lis_lds" -> q517LisLds,
+    "q516_tsp_circuit" -> q516TspCircuit,
     "q509_elo_replay" -> q509EloReplay,
     "q510_min_cut" -> q510MinCut,
     "q511_dp_ledger" -> q511DpLedger,
@@ -13068,6 +13280,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q517_lis_lds" -> q517Sql,
+    "q516_tsp_circuit" -> q516Sql,
     "q509_elo_replay" -> q509Sql,
     "q510_min_cut" -> q510Sql,
     "q511_dp_ledger" -> q511Sql,

@@ -3099,7 +3099,176 @@ object TextQueries {
       |ORDER BY score_e6 DESC, phrase LIMIT $RakeK""".stripMargin
   }
 
+  // ------ q514: Kneser-Ney smoothed bigram probabilities
+
+  /** Absolute discount D = 0.75 in e6 (the standard KN value). */
+  val KnDiscountE6 = 750000L
+  /** Report grain: top bigrams by raw count, ties lexicographic. */
+  val KnTopK = 20
+
+  /** q514: interpolated Kneser–Ney smoothing — the CONTINUATION-count
+    * language model the engine's surprisal scorer (q96) approximates
+    * with raw frequencies: KN discounts every observed bigram by a
+    * fixed D and redistributes the freed mass through the continuation
+    * probability P_cont(w₂) = |distinct left contexts of w₂| / |distinct
+    * bigram types| — the "how many situations has this word completed"
+    * signal that separates 'Francisco' (frequent but one-context) from
+    * genuinely productive words. Both smoothed terms are single
+    * integer-floored e6 expressions (c₁₂ ≥ 1 keeps c₁₂ − D positive, so
+    * the max() in the textbook formula is vacuous and documented away);
+    * the report carries raw vs smoothed probability and both
+    * continuation counts for the top-20 bigrams.
+    *
+    * Plan: one token explode → bigram rollup; continuation/context
+    * counts are two more aggregations of the SAME bigram-type rollup
+    * (no second corpus pass); top-k via TakeOrderedAndProject.
+    */
+  val q514KneserNey: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = toks.select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          | i -> struct(element_at(t, i) AS w1,
+          |             element_at(t, i + 1) AS w2))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val cells = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val ctx = cells.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1r"))
+    val cont = cells.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    val b = cells.agg(count(lit(1)).as("btypes"))
+    cells
+      .join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(b))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(KnTopK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1r"), col("n1l"), col("btypes"),
+        expr("c12 * 1000000 div c1").as("p_ml_e6"),
+        expr(s"""(c12 * 1000000 - $KnDiscountE6) div c1
+          | + ($KnDiscountE6 * n1r * n1l) div (c1 * btypes)"""
+          .stripMargin.replace("\n", " ")).as("p_kn_e6"))
+  }
+
+  val q514Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)),
+      |cells AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1r FROM cells GROUP BY w1),
+      |cont AS (SELECT w2, COUNT(*) AS n1l FROM cells GROUP BY w2),
+      |b AS (SELECT COUNT(*) AS btypes FROM cells)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(n1r AS BIGINT) AS n1r, CAST(n1l AS BIGINT) AS n1l,
+      |  CAST(btypes AS BIGINT) AS btypes,
+      |  CAST(c12 * 1000000 // c1 AS BIGINT) AS p_ml_e6,
+      |  CAST((c12 * 1000000 - $KnDiscountE6) // c1
+      |    + ($KnDiscountE6 * n1r * n1l) // (c1 * btypes) AS BIGINT)
+      |    AS p_kn_e6
+      |FROM cells JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN b
+      |ORDER BY c12 DESC, w1, w2 LIMIT $KnTopK""".stripMargin
+
+  // ------ q515: Huffman code for the top token alphabet
+
+  /** Alphabet size for the q515 code (top tokens by frequency). */
+  val HuffK = 16
+
+  /** q515: Huffman coding — the OPTIMAL prefix code over the corpus's
+    * top-16 token alphabet, the construction that turns the engine's
+    * entropy readouts (q222, q499) into an achievable storage plan.
+    * Deterministic greedy: slots are fixed by (freq DESC, token), each
+    * of the 15 merges takes the two ACTIVE slots with minimal
+    * (weight, slot index) — first-position argmin, the rule both the
+    * Scala fold and the oracle's list_transform walk implement
+    * verbatim. Two in-output certificates: the Kraft sum
+    * Σ 2^(Lmax−lᵢ) = 2^Lmax EXACTLY (the code is a full prefix tree),
+    * and H ≤ L̄ < H+1 (Shannon optimality band, LUT-portable entropy).
+    *
+    * Plan: one token explode → top-16 rollup → 15-step driver fold →
+    * 16-row report.
+    */
+  val q515Huffman: Q = (s, dir) => {
+    val freqs = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(HuffK)
+      .collect().map(r => r.getAs[String]("w") -> r.getAs[Long]("f"))
+    val k = freqs.length
+    val Big = Long.MaxValue / 4
+    val ws = Array.tabulate(k)(i => freqs(i)._2)
+    val grp = Array.tabulate(k)(identity)
+    val dep = Array.fill(k)(0L)
+    (1 until k).foreach { _ =>
+      val i1 = ws.zipWithIndex.minBy { case (w, i) => (w, i) }._2
+      val w1 = ws(i1); ws(i1) = Big
+      val i2 = ws.zipWithIndex.minBy { case (w, i) => (w, i) }._2
+      val w2 = ws(i2)
+      ws(i1) = w1 + w2; ws(i2) = Big
+      (0 until k).foreach { j =>
+        if (grp(j) == i1 || grp(j) == i2) { dep(j) += 1; grp(j) = i1 }
+      }
+    }
+    import s.implicits._
+    (0 until k).map(i => (freqs(i)._1, freqs(i)._2, dep(i)))
+      .toDF("token", "freq", "code_len")
+  }
+
+  val q515Sql: String = {
+    val big = Long.MaxValue / 4
+    val idx = s"range(1, ${HuffK + 1})"
+    s"""WITH RECURSIVE tf AS (
+      |  SELECT w AS token, COUNT(*) AS f FROM (
+      |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      |  GROUP BY w ORDER BY f DESC, w LIMIT $HuffK),
+      |slots AS (
+      |  SELECT list(token ORDER BY f DESC, token) AS toks,
+      |    list(CAST(f AS BIGINT) ORDER BY f DESC, token) AS fs
+      |  FROM tf),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS step, toks, fs AS ws,
+      |    $idx AS gs,
+      |    list_transform($idx, x -> CAST(0 AS BIGINT)) AS ds
+      |  FROM slots
+      |  UNION ALL
+      |  SELECT v.step, v.toks,
+      |    list_transform($idx, i -> CASE WHEN i = v.i1
+      |      THEN v.w1 + v.w2 WHEN i = v.i2
+      |      THEN CAST($big AS BIGINT) ELSE v.ws[i] END),
+      |    list_transform($idx, j -> CASE WHEN v.gs[j] = v.i1
+      |      OR v.gs[j] = v.i2 THEN v.i1 ELSE v.gs[j] END),
+      |    list_transform($idx, j -> CASE WHEN v.gs[j] = v.i1
+      |      OR v.gs[j] = v.i2 THEN v.ds[j] + 1 ELSE v.ds[j] END)
+      |  FROM (
+      |    SELECT u.*, u.ws[u.i2] AS w2
+      |    FROM (
+      |      SELECT t1.*,
+      |        list_position(list_transform($idx, i ->
+      |          CASE WHEN i = t1.i1 THEN CAST($big AS BIGINT)
+      |          ELSE t1.ws[i] END),
+      |          list_min(list_transform($idx, i ->
+      |            CASE WHEN i = t1.i1 THEN CAST($big AS BIGINT)
+      |            ELSE t1.ws[i] END))) AS i2
+      |      FROM (
+      |        SELECT w.step + 1 AS step, w.toks, w.ws, w.gs, w.ds,
+      |          list_position(w.ws, list_min(w.ws)) AS i1,
+      |          list_min(w.ws) AS w1
+      |        FROM walk w WHERE w.step < ${HuffK - 1}) t1) u) v),
+      |fin AS (SELECT * FROM walk ORDER BY step DESC LIMIT 1)
+      |SELECT fin.toks[g.i] AS token,
+      |  CAST(sl.fs[g.i] AS BIGINT) AS freq,
+      |  CAST(fin.ds[g.i] AS BIGINT) AS code_len
+      |FROM fin
+      |CROSS JOIN (SELECT CAST(UNNEST($idx) AS INT) AS i) g
+      |CROSS JOIN (SELECT fs FROM slots) sl""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q514_kneser_ney" -> q514KneserNey,
+    "q515_huffman" -> q515Huffman,
     "q424_rake" -> q424Rake,
     "q402_cronbach" -> q402Cronbach,
     "q401_krippendorff" -> q401Krippendorff,
@@ -3148,6 +3317,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q514_kneser_ney" -> q514Sql,
+    "q515_huffman" -> q515Sql,
     "q424_rake" -> q424Sql,
     "q402_cronbach" -> q402Sql,
     "q401_krippendorff" -> q401Sql,

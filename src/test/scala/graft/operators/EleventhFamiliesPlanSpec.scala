@@ -75,6 +75,67 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
     assert(row.getAs[Long]("phrase_rate_e6") == ph * 1000000L / len)
   }
 
+  test("q514: KN smoothing moves mass exactly as the discount dictates") {
+    val r = rows("q514_kneser_ney")
+    assert(r.length == TextQueries.KnTopK)
+    r.foreach { row =>
+      val pMl = row.getAs[Long]("p_ml_e6")
+      val pKn = row.getAs[Long]("p_kn_e6")
+      val c12 = row.getAs[Long]("c12")
+      assert(c12 >= 1L, "observed bigrams only — the max() is vacuous")
+      // smoothing discounts the head: for the TOP bigrams the direct
+      // term loses D/c1 and regains only the continuation share
+      assert(pKn > 0L && pMl > 0L)
+      assert(row.getAs[Long]("n1l") >= 1L && row.getAs[Long]("n1r") >= 1L)
+      assert(row.getAs[Long]("n1l") <= row.getAs[Long]("btypes"))
+    }
+  }
+
+  test("q515: Kraft equality and the Shannon band hold exactly") {
+    val r = rows("q515_huffman")
+    assert(r.length == TextQueries.HuffK)
+    val maxL = r.map(_.getAs[Long]("code_len")).max
+    // Kraft sum with the full prefix tree: sum 2^(Lmax-l) = 2^Lmax
+    val kraft = r.map(row => 1L << (maxL - row.getAs[Long]("code_len"))).sum
+    assert(kraft == (1L << maxL), s"Kraft sum $kraft != 2^$maxL")
+    // expected length within one bit of the alphabet entropy
+    val tot = r.map(_.getAs[Long]("freq")).sum.toDouble
+    val lbar = r.map(row =>
+      row.getAs[Long]("freq") * row.getAs[Long]("code_len")).sum / tot
+    val h = r.map { row =>
+      val p = row.getAs[Long]("freq") / tot
+      -p * math.log(p) / math.log(2)
+    }.sum
+    assert(lbar >= h - 1e-9 && lbar < h + 1.0, s"L=$lbar H=$h")
+  }
+
+  test("q516: reversal symmetry doubles every optimum; lattice is metadata") {
+    val p = plan("q516_tsp_circuit")
+    assert(!p.contains("CartesianProduct"), p)
+    val r = rows("q516_tsp_circuit")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_tours") == 720L, "(7-1)! tours scanned")
+    // symmetric leg costs: every optimal tour's reversal is optimal too
+    assert(row.getAs[Long]("n_optimal") >= 2L &&
+      row.getAs[Long]("n_optimal") % 2 == 0L)
+    Option(row.getAs[java.lang.Long]("runner_up")).foreach(ru =>
+      assert(ru > row.getAs[Long]("tour_cost")))
+  }
+
+  test("q517: Erdős–Szekeres holds and the runs fit the series") {
+    val r = rows("q517_lis_lds")
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    val lis = row.getAs[Long]("lis_len")
+    val lds = row.getAs[Long]("lds_len")
+    assert(row.getAs[Long]("erdos_product") == lis * lds)
+    assert(lis * lds >= n, "Erdős–Szekeres is an identity, not a heuristic")
+    assert(row.getAs[Long]("erdos_ok") == 1L)
+    assert(lis >= 1L && lis <= n && lds >= 1L && lds <= n)
+  }
+
   test("q513: MoM fit is admissible exactly on the overdispersed groups") {
     val r = rows("q513_neg_binomial")
     assert(r.length == 5)
