@@ -13149,7 +13149,248 @@ object AuditQueries {
       |    AS erdos_ok
       |FROM fin""".stripMargin
 
+  // ------ q518: optimal-stopping (secretary rule) replay
+
+  /** 1/e in e6 — the classical observation fraction, a plan-time
+    * constant literal in both engines.
+    */
+  val SecretaryInvEE6 = 367879L
+
+  /** q518: the secretary 1/e stopping rule replayed against the real
+    * daily order-value stream — the ONLINE-DECISION audit for "when do
+    * we commit?" questions (vendor selection, spot pricing): observe
+    * the first ⌊n/e⌋ days without committing, then take the first day
+    * that beats everything seen. Fully RELATIONAL — one prefix-max
+    * over the observation window and one first-crossing pick; no walk,
+    * no state, so it runs as two windowed passes at any scale. The
+    * output carries the chosen day's true rank among all days and the
+    * success flag (did the rule catch the global maximum), plus the
+    * forced-last-day fallback when nothing beats the threshold.
+    *
+    * Plan: one orders pass → calendar-bounded day series → two window
+    * functions → 1-row report.
+    */
+  val q518Secretary: Q = (s, dir) => {
+    val bd = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("x"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("d"))))
+      .localCheckpoint()
+    val n = bd.agg(count(lit(1)).as("n"))
+    val withN = bd.crossJoin(broadcast(n))
+      .withColumn("obs", expr(s"(n * $SecretaryInvEE6) div 1000000"))
+    val thr = withN.filter(col("rk") <= col("obs"))
+      .agg(max(col("x")).as("thr"))
+    val cand = withN.crossJoin(broadcast(thr))
+      .filter(col("rk") > col("obs") && col("x") > col("thr"))
+      .orderBy(col("rk")).limit(1)
+      .select(col("rk").as("pick_rk"))
+    val lastRk = withN.agg(max(col("rk")).as("last_rk"))
+    val pick = lastRk.crossJoin(broadcast(cand.agg(min(col("pick_rk"))
+        .as("first_beat"))))
+      .select(coalesce(col("first_beat"), col("last_rk")).as("chosen_rk"),
+        (col("first_beat").isNotNull).cast("long").as("beat_threshold"))
+    val ranked = bd.withColumn("vrank", row_number().over(
+      Window.orderBy(col("x").desc, col("d"))))
+    pick.join(ranked, col("chosen_rk") === col("rk"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(thr))
+      .select(col("n").as("n_days"),
+        expr(s"(n * $SecretaryInvEE6) div 1000000").as("n_observed"),
+        col("thr").as("threshold_c"), col("d").as("chosen_day"),
+        col("x").as("chosen_value_c"),
+        col("vrank").cast("long").as("chosen_rank"),
+        (col("vrank") === 1L).cast("long").as("success"),
+        col("beat_threshold"))
+  }
+
+  val q518Sql: String =
+    s"""WITH bd AS (
+      |  SELECT o_orderdate AS d,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderdate) AS rk
+      |  FROM orders GROUP BY o_orderdate),
+      |nn AS (SELECT COUNT(*) AS n,
+      |  (COUNT(*) * $SecretaryInvEE6) // 1000000 AS obs FROM bd),
+      |thr AS (
+      |  SELECT MAX(x) AS thr FROM bd CROSS JOIN nn WHERE rk <= obs),
+      |cand AS (
+      |  SELECT MIN(rk) AS first_beat
+      |  FROM bd CROSS JOIN nn CROSS JOIN thr
+      |  WHERE rk > obs AND x > thr),
+      |pick AS (
+      |  SELECT COALESCE(cand.first_beat, nn.n) AS chosen_rk,
+      |    CASE WHEN cand.first_beat IS NULL THEN 0 ELSE 1 END
+      |      AS beat_threshold
+      |  FROM cand CROSS JOIN nn),
+      |ranked AS (
+      |  SELECT d, x, rk,
+      |    ROW_NUMBER() OVER (ORDER BY x DESC, d) AS vrank
+      |  FROM bd)
+      |SELECT CAST(nn.n AS BIGINT) AS n_days,
+      |  CAST(nn.obs AS BIGINT) AS n_observed,
+      |  CAST(thr.thr AS BIGINT) AS threshold_c,
+      |  ranked.d AS chosen_day,
+      |  CAST(ranked.x AS BIGINT) AS chosen_value_c,
+      |  CAST(ranked.vrank AS BIGINT) AS chosen_rank,
+      |  CAST(CASE WHEN ranked.vrank = 1 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS success,
+      |  CAST(pick.beat_threshold AS BIGINT) AS beat_threshold
+      |FROM pick
+      |JOIN ranked ON ranked.rk = pick.chosen_rk
+      |CROSS JOIN nn CROSS JOIN thr""".stripMargin
+
+  // ------ q519: Pareto skyline of the part catalog
+
+  /** q519: the skyline operator — the classic "no part is both cheaper
+    * and bigger" Pareto frontier over (retail price ↓, size ↑), the
+    * multi-objective shortlist every procurement or curation pass
+    * wants (the document analog: quality ↑ vs length ↓). Computed
+    * WITHOUT a pairwise dominance join: one price-grain rollup (best
+    * size per price point), one running max over the price order, and
+    * a join back — a part is on the frontier iff it achieves its price
+    * group's best size AND beats every strictly-cheaper group's best.
+    * Equal (price, size) twins are all kept (neither dominates — no
+    * strict coordinate), the textbook definition.
+    *
+    * Plan: one part pass → price-grain rollup (bounded by distinct
+    * prices) → windowed prefix max → broadcast join back.
+    */
+  val q519Skyline: Q = (s, dir) => {
+    val p = Tables.part(s, dir).select(col("p_partkey"),
+      cents(col("p_retailprice")).as("price_c"), col("p_size"))
+    val grain = p.groupBy(col("price_c")).agg(max(col("p_size")).as("best"))
+    val front = grain.withColumn("mprev",
+        max(col("best")).over(Window.orderBy(col("price_c"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("mprev").isNull || col("best") > col("mprev"))
+      .select(col("price_c"), col("best"))
+    p.as("pp").join(broadcast(front.as("fr")),
+        col("pp.price_c") === col("fr.price_c") &&
+          col("pp.p_size") === col("fr.best"))
+      .select(col("pp.p_partkey"), col("pp.price_c"),
+        col("pp.p_size").cast("long").as("size"))
+      .orderBy(col("price_c"), col("p_partkey"))
+  }
+
+  val q519Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c,
+      |    p_size
+      |  FROM part),
+      |grain AS (SELECT price_c, MAX(p_size) AS best FROM p GROUP BY price_c),
+      |front AS (
+      |  SELECT price_c, best FROM (
+      |    SELECT price_c, best,
+      |      MAX(best) OVER (ORDER BY price_c
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+      |    FROM grain)
+      |  WHERE mprev IS NULL OR best > mprev)
+      |SELECT p.p_partkey, p.price_c, CAST(p.p_size AS BIGINT) AS size
+      |FROM p JOIN front ON p.price_c = front.price_c AND p.p_size = front.best
+      |ORDER BY p.price_c, p.p_partkey""".stripMargin
+
+  // ------ q520: interval scheduling (earliest-finish greedy)
+
+  /** q520: maximum non-overlapping job set — the classic activity-
+    * selection greedy over the busiest supplier's fulfillment
+    * intervals (order date → ship date): sort by finish and take
+    * every job whose start does not precede the running end
+    * (same-day handoff allowed).
+    * Earliest-finish-first is PROVABLY optimal, so n_selected is the
+    * true maximum, not a heuristic — and the walk is bounded by the
+    * per-supplier row count, which TPC-H holds roughly constant at
+    * every scale factor (suppliers grow with the data). The oracle
+    * replays the fold as a list-state walk over the day-number pairs.
+    *
+    * Plan: one lineitem rollup picks the supplier → per-supplier
+    * interval collect (bounded) → greedy fold → 1-row report.
+    */
+  val q520IntervalSchedule: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val topSupp = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_suppkey")).limit(1)
+      .collect()(0).getAs[Long]("l_suppkey")
+    val ivs = li.filter(col("l_suppkey") === topSupp)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("datediff(o_orderdate, DATE '1970-01-01')").as("sd"),
+        expr("datediff(l_shipdate, DATE '1970-01-01')").as("rd"),
+        col("l_orderkey"), col("l_linenumber"))
+      .filter(col("rd") >= col("sd"))
+      .orderBy(col("rd"), col("sd"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getAs[Int]("sd").toLong, r.getAs[Int]("rd").toLong))
+    var cur = Long.MinValue
+    var nSel = 0L
+    var busy = 0L
+    var firstStart = -1L
+    var lastEnd = -1L
+    ivs.foreach { case (sd, rd) =>
+      if (sd >= cur) {
+        if (nSel == 0) firstStart = sd
+        nSel += 1; busy += rd - sd; cur = rd; lastEnd = rd
+      }
+    }
+    import s.implicits._
+    val span = if (nSel > 0) lastEnd - firstStart else 0L
+    Seq((topSupp, ivs.length.toLong, nSel, busy, firstStart, lastEnd,
+      if (span > 0) busy * 1000000L / span else 0L))
+      .toDF("s_suppkey", "n_intervals", "n_selected", "busy_days",
+        "first_start_day", "last_end_day", "utilization_e6")
+  }
+
+  val q520Sql: String =
+    """WITH RECURSIVE ts AS (
+      |  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY COUNT(*) DESC, l_suppkey LIMIT 1),
+      |iv AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS sd,
+      |    date_diff('day', DATE '1970-01-01', l_shipdate) AS rd,
+      |    ROW_NUMBER() OVER (ORDER BY l_shipdate, o_orderdate,
+      |      l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem JOIN ts USING (l_suppkey)
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate >= o_orderdate),
+      |sl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    list(CAST(sd AS BIGINT) ORDER BY rk) AS sds,
+      |    list(CAST(rd AS BIGINT) ORDER BY rk) AS rds
+      |  FROM iv),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, n, sds, rds,
+      |    CAST(-4611686018427387904 AS BIGINT) AS cur,
+      |    CAST(0 AS BIGINT) AS nsel, CAST(0 AS BIGINT) AS busy,
+      |    CAST(-1 AS BIGINT) AS fs, CAST(-1 AS BIGINT) AS le
+      |  FROM sl
+      |  UNION ALL
+      |  SELECT v.i, v.n, v.sds, v.rds,
+      |    CASE WHEN v.take THEN v.rd ELSE v.cur END,
+      |    v.nsel + CASE WHEN v.take THEN 1 ELSE 0 END,
+      |    v.busy + CASE WHEN v.take THEN v.rd - v.sd ELSE 0 END,
+      |    CASE WHEN v.take AND v.nsel = 0 THEN v.sd ELSE v.fs END,
+      |    CASE WHEN v.take THEN v.rd ELSE v.le END
+      |  FROM (
+      |    SELECT u.*, u.sd >= u.cur AS take
+      |    FROM (
+      |      SELECT w.i + 1 AS i, w.n, w.sds, w.rds, w.cur, w.nsel,
+      |        w.busy, w.fs, w.le,
+      |        w.sds[w.i + 1] AS sd, w.rds[w.i + 1] AS rd
+      |      FROM walk w WHERE w.i < w.n) u) v),
+      |fin AS (SELECT * FROM walk ORDER BY i DESC LIMIT 1)
+      |SELECT CAST(ts.l_suppkey AS BIGINT) AS s_suppkey,
+      |  CAST(fin.n AS BIGINT) AS n_intervals,
+      |  CAST(fin.nsel AS BIGINT) AS n_selected,
+      |  CAST(fin.busy AS BIGINT) AS busy_days,
+      |  CAST(fin.fs AS BIGINT) AS first_start_day,
+      |  CAST(fin.le AS BIGINT) AS last_end_day,
+      |  CAST(CASE WHEN fin.le - fin.fs > 0 AND fin.nsel > 0
+      |    THEN fin.busy * 1000000 // (fin.le - fin.fs)
+      |    ELSE 0 END AS BIGINT) AS utilization_e6
+      |FROM fin CROSS JOIN ts""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q518_secretary" -> q518Secretary,
+    "q519_skyline" -> q519Skyline,
+    "q520_interval_schedule" -> q520IntervalSchedule,
     "q517_lis_lds" -> q517LisLds,
     "q516_tsp_circuit" -> q516TspCircuit,
     "q509_elo_replay" -> q509EloReplay,
@@ -13280,6 +13521,9 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q518_secretary" -> q518Sql,
+    "q519_skyline" -> q519Sql,
+    "q520_interval_schedule" -> q520Sql,
     "q517_lis_lds" -> q517Sql,
     "q516_tsp_circuit" -> q516Sql,
     "q509_elo_replay" -> q509Sql,

@@ -2034,7 +2034,112 @@ object SimilarityQueries {
        |FROM moms CROSS JOIN hub""".stripMargin
   }
 
+  // ------ q521: k-center greedy (farthest-point) coverage selection
+
+  /** Centers selected by the q521 farthest-point sweep. */
+  val KCenterK = 8
+
+  /** The greedy k-center trace: seed = smallest vec_id, then each step
+    * adds the vector farthest from the chosen set (max–min distance,
+    * ties to the smallest id). Distances are e4-quantized integer
+    * squared Euclidean (the q177 device: float→double→round once per
+    * component), so the trace is the SAME integers in the engine sweep
+    * and the DuckDB re-derivation. Shared by the operator and its
+    * data-oracle.
+    */
+  def kcenterTrace(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Long, Option[Long])] = {
+    val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("""transform(embedding,
+          | x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))"""
+          .stripMargin.replace("\n", " ")).as("qv"))
+      .withColumn("qq",
+        expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .localCheckpoint()
+    val seed = q.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    var chosen = Vector[(Long, Long, Option[Long])]((1L, seed, None))
+    (2 to KCenterK).foreach { k =>
+      val ids = chosen.map(_._2)
+      val cents = q.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+          col("qq").as("cqq"))
+      val best = q.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (col("qq") + col("cqq") - lit(2L) * expr(
+            """aggregate(zip_with(qv, cqv, (a, b) -> a * b),
+              | CAST(0 AS BIGINT), (a, x) -> a + x)"""
+              .stripMargin.replace("\n", " "))).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      chosen :+= ((k.toLong, best.getLong(0), Some(best.getLong(1))))
+    }
+    chosen
+  }
+
+  /** q521: k-center (farthest-point) selection — the DIVERSITY-side
+    * data-selection operator next to the coverage greedy (q506 picks
+    * what REPRESENTS the mass; k-center picks what SPANS the space —
+    * the 2-approximation to the NP-hard covering radius, Gonzalez
+    * 1985). Each of the k−1 sweeps is one distributed pass (corpus ×
+    * ≤k broadcast centers, map-side min, one TakeOrdered), so the
+    * operator scales as k linear scans with no pairwise explosion.
+    * The emitted radius ladder is the coverage story: radius(k) is
+    * non-increasing in k for the part that matters (each new center
+    * can only shrink every point's min distance), the certificate the
+    * plan spec pins.
+    *
+    * Plan: one embeddings quantize pass (checkpointed) → k−1
+    * broadcast sweeps → k-row report. Oracle: the trace ids become
+    * literals and DuckDB re-derives every step's argmax from the
+    * prefix — a true replay, not an echo.
+    */
+  val q521KCenterGreedy: Q = (s, dir) => {
+    import s.implicits._
+    kcenterTrace(s, dir).toDF("k", "vec_id", "radius2")
+  }
+
+  def q521SqlFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val trace = kcenterTrace(s, dir)
+    val centRows = trace.map { case (k, id, _) => s"($k, $id)" }
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> ROUND(x * 10000)) AS qv
+       |  FROM embeddings),
+       |b2 AS (SELECT vec_id, qv,
+       |  CAST(list_dot_product(qv, qv) AS BIGINT) AS qq FROM base),
+       |cent(k, cid) AS (SELECT * FROM (VALUES $centRows)),
+       |d AS (
+       |  SELECT x.vec_id, c.k AS ck,
+       |    x.qq + cb.qq - 2 * CAST(list_dot_product(x.qv, cb.qv) AS BIGINT)
+       |      AS d2
+       |  FROM b2 x
+       |  CROSS JOIN cent c
+       |  JOIN b2 cb ON cb.vec_id = c.cid),
+       |steps AS (
+       |  SELECT s.k AS k, d.vec_id, MIN(d.d2) AS md
+       |  FROM (SELECT UNNEST(range(2, ${KCenterK + 1})) AS k) s
+       |  JOIN d ON d.ck < s.k
+       |  LEFT JOIN cent ex ON ex.cid = d.vec_id AND ex.k < s.k
+       |  WHERE ex.cid IS NULL
+       |  GROUP BY 1, 2),
+       |argmax AS (
+       |  SELECT k, vec_id, md,
+       |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY md DESC, vec_id) AS rn
+       |  FROM steps)
+       |SELECT CAST(1 AS BIGINT) AS k,
+       |  CAST((SELECT MIN(vec_id) FROM embeddings) AS BIGINT) AS vec_id,
+       |  CAST(NULL AS BIGINT) AS radius2
+       |UNION ALL
+       |SELECT CAST(k AS BIGINT), CAST(vec_id AS BIGINT), CAST(md AS BIGINT)
+       |FROM argmax WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q521_kcenter_greedy" -> q521KCenterGreedy,
     "q425_hubness" -> q425Hubness,
     "q411_lof" -> q411Lof,
     "q365_isotropy" -> q365Isotropy,

@@ -136,6 +136,66 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
     assert(lis >= 1L && lis <= n && lds >= 1L && lds <= n)
   }
 
+  test("q518: the stop rule's pick is consistent with its threshold") {
+    val r = rows("q518_secretary")
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    val obs = row.getAs[Long]("n_observed")
+    assert(obs == n * 367879L / 1000000L, "observation window is n/e")
+    if (row.getAs[Long]("beat_threshold") == 1L)
+      assert(row.getAs[Long]("chosen_value_c") > row.getAs[Long]("threshold_c"))
+    assert(row.getAs[Long]("chosen_rank") >= 1L &&
+      row.getAs[Long]("chosen_rank") <= n)
+    assert((row.getAs[Long]("success") == 1L) ==
+      (row.getAs[Long]("chosen_rank") == 1L))
+  }
+
+  test("q519: the skyline is mutually non-dominated and nothing above it") {
+    val r = rows("q519_skyline")
+    assert(r.nonEmpty)
+    val pts = r.map(row =>
+      (row.getAs[Long]("price_c"), row.getAs[Long]("size")))
+    // pairwise: no frontier point dominates another
+    for (a <- pts; b <- pts if a != b)
+      assert(!(a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)),
+        s"$a dominates $b inside the frontier")
+    // frontier is a strictly decreasing staircase in (price, size)
+    val dedup = pts.distinct.sortBy(_._1).toSeq
+    dedup.sliding(2).foreach {
+      case Seq((p1, s1), (p2, s2)) => assert(p1 < p2 && s1 < s2)
+      case _ =>
+    }
+  }
+
+  test("q520: greedy selection accounting is internally consistent") {
+    val r = rows("q520_interval_schedule")
+    assert(r.length == 1)
+    val row = r.head
+    val sel = row.getAs[Long]("n_selected")
+    assert(sel >= 1L && sel <= row.getAs[Long]("n_intervals"))
+    val span = row.getAs[Long]("last_end_day") - row.getAs[Long]("first_start_day")
+    assert(row.getAs[Long]("busy_days") <= span.max(0L) ||
+      sel == 1L, "selected busy time fits the selected span")
+    if (span > 0)
+      assert(row.getAs[Long]("utilization_e6") ==
+        row.getAs[Long]("busy_days") * 1000000L / span)
+  }
+
+  test("q521: the coverage radius ladder never widens") {
+    val r = rows("q521_kcenter_greedy").sortBy(_.getAs[Long]("k"))
+    assert(r.length == SimilarityQueries.KCenterK)
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length == r.length,
+      "centers are distinct")
+    val radii = r.drop(1).map(_.getAs[Long]("radius2")).toSeq
+    radii.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a,
+        "each added center can only shrink the farthest gap")
+      case _ =>
+    }
+    assert(radii.forall(_ > 0L))
+  }
+
   test("q513: MoM fit is admissible exactly on the overdispersed groups") {
     val r = rows("q513_neg_binomial")
     assert(r.length == 5)
