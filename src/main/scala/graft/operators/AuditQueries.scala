@@ -13387,7 +13387,284 @@ object AuditQueries {
       |    ELSE 0 END AS BIGINT) AS utilization_e6
       |FROM fin CROSS JOIN ts""".stripMargin
 
+  // ------ q523: Page's trend test (ordered alternatives in blocks)
+
+  /** q523: Page's L — the ORDERED-alternative sibling of Friedman
+    * (q338): within each order-year block the five priorities are
+    * ranked by mean order value, and L = Σ_j j·R_j asks whether the
+    * ranks TREND with the priority index rather than merely differ.
+    * Under H₀, μ_L = b·k(k+1)²/4 and σ²_L = b·k²(k+1)²(k−1)/144 —
+    * both exact integers for k = 5 — so the standardization is one
+    * IEEE division over exact moments. Ties rank deterministically
+    * (mean, then priority), and only complete blocks (all five arms
+    * present) enter, exactly like the textbook balanced design.
+    *
+    * Plan: one orders pass → (year, priority) rollup (calendar×5) →
+    * within-block ranks → metadata fold.
+    */
+  val q523PageTrend: Q = (s, dir) => {
+    val cellsP = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("arm"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("yr"), col("arm"))
+      .agg(expr("SUM(c) div COUNT(*)").as("mc"))
+    val complete = cellsP.groupBy(col("yr")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === 5).select(col("yr"))
+    val ranked = cellsP.join(broadcast(complete), "yr")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("yr")).orderBy(col("mc"), col("arm"))))
+    ranked.agg(
+        (count(lit(1)) / 5).cast("long").as("b_blocks"),
+        sum(col("arm").cast("long") * col("rnk")).as("l_stat"))
+      .select(col("b_blocks"), lit(5L).as("k_treatments"), col("l_stat"),
+        (col("b_blocks") * 45L).as("mu_l"),
+        (col("b_blocks") * 25L).as("var_l"),
+        expr("""CAST(l_stat - b_blocks * 45 AS DOUBLE)
+          | / SQRT(CAST(b_blocks * 25 AS DOUBLE))"""
+          .stripMargin.replace("\n", " ")).as("z_d"))
+  }
+
+  val q523Sql: String =
+    """WITH cells AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS arm,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // COUNT(*) AS mc
+      |  FROM orders GROUP BY 1, 2),
+      |complete AS (
+      |  SELECT yr FROM cells GROUP BY yr HAVING COUNT(*) = 5),
+      |ranked AS (
+      |  SELECT cells.yr, arm, mc,
+      |    ROW_NUMBER() OVER (PARTITION BY cells.yr ORDER BY mc, arm) AS rnk
+      |  FROM cells JOIN complete ON cells.yr = complete.yr),
+      |agg AS (
+      |  SELECT COUNT(*) // 5 AS b, SUM(arm * rnk) AS l FROM ranked)
+      |SELECT CAST(b AS BIGINT) AS b_blocks, CAST(5 AS BIGINT) AS k_treatments,
+      |  CAST(l AS BIGINT) AS l_stat,
+      |  CAST(b * 45 AS BIGINT) AS mu_l,
+      |  CAST(b * 25 AS BIGINT) AS var_l,
+      |  CAST(l - b * 45 AS DOUBLE) / SQRT(CAST(b * 25 AS DOUBLE)) AS z_d
+      |FROM agg""".stripMargin
+
+  // ------ q524: regression discontinuity at the discount threshold
+
+  /** RD design constants: cutoff at 5% discount, ±4-point bandwidth. */
+  val RdCutoff = 5L
+
+  /** q524: sharp regression discontinuity — does quantity JUMP at the
+    * 5% discount threshold, beyond what the trend on either side
+    * explains? Local linear fits on the two sides of the cutoff
+    * (running variable centered at the cutoff, so each intercept IS
+    * the boundary estimate), both from exact integer moments with the
+    * sign-ABS division device; the RD effect is the intercept gap.
+    * The quasi-experimental member of the causal suite (DiD q298,
+    * IV q450, CUPED q203) the engine lacked.
+    *
+    * Plan: one lineitem pass → per-side moment rollup (two cells) →
+    * metadata arithmetic.
+    */
+  val q524RegressionDiscontinuity: Q = (s, dir) => {
+    def sdivE(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (abs($num) div ($den)) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    val li = Tables.lineitem(s, dir)
+      .select(expr("CAST(ROUND(l_discount*100) AS BIGINT)").as("d100"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("y"))
+      .filter(col("d100").between(RdCutoff - 4, RdCutoff + 4))
+      .select((col("d100") >= RdCutoff).cast("long").as("side"),
+        (col("d100") - RdCutoff).as("x"), col("y"))
+    val mom = li.groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("det", expr("n * sxx - sx * sx"))
+      .withColumn("slope_e6",
+        expr(sdivE("(n * sxy - sx * sy) * 1000000", "det")))
+      .withColumn("b0_e6",
+        expr(sdivE("(sy * sxx - sx * sxy) * 1000000", "det")))
+    val wideRd = mom.agg(
+      sum(when(col("side") === 0L, col("n")).otherwise(0L)).as("n_left"),
+      sum(when(col("side") === 1L, col("n")).otherwise(0L)).as("n_right"),
+      sum(when(col("side") === 0L, col("slope_e6")).otherwise(0L))
+        .as("slope_left_e6"),
+      sum(when(col("side") === 1L, col("slope_e6")).otherwise(0L))
+        .as("slope_right_e6"),
+      sum(when(col("side") === 0L, col("b0_e6")).otherwise(0L))
+        .as("b0_left_e6"),
+      sum(when(col("side") === 1L, col("b0_e6")).otherwise(0L))
+        .as("b0_right_e6"))
+    wideRd.select(col("n_left").cast("long").as("n_left"),
+      col("n_right").cast("long").as("n_right"),
+      col("slope_left_e6").cast("long").as("slope_left_e6"),
+      col("slope_right_e6").cast("long").as("slope_right_e6"),
+      col("b0_left_e6").cast("long").as("b0_left_e6"),
+      col("b0_right_e6").cast("long").as("b0_right_e6"),
+      (col("b0_right_e6") - col("b0_left_e6")).cast("long")
+        .as("rd_effect_e6"))
+  }
+
+  val q524Sql: String =
+    s"""WITH li AS (
+      |  SELECT CASE WHEN d100 >= $RdCutoff THEN 1 ELSE 0 END AS side,
+      |    d100 - $RdCutoff AS x, y
+      |  FROM (SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS d100,
+      |          CAST(ROUND(l_quantity) AS BIGINT) AS y
+      |        FROM lineitem)
+      |  WHERE d100 BETWEEN ${RdCutoff - 4} AND ${RdCutoff + 4}),
+      |mom AS (
+      |  SELECT side, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      |  FROM li GROUP BY side),
+      |fit AS (
+      |  SELECT side, n,
+      |    CASE WHEN (n * sxy - sx * sy) >= 0 THEN 1 ELSE -1 END
+      |      * (ABS(n * sxy - sx * sy) * 1000000
+      |         // (n * sxx - sx * sx)) AS slope_e6,
+      |    CASE WHEN (sy * sxx - sx * sxy) >= 0 THEN 1 ELSE -1 END
+      |      * (ABS(sy * sxx - sx * sxy) * 1000000
+      |         // (n * sxx - sx * sx)) AS b0_e6
+      |  FROM mom)
+      |SELECT
+      |  CAST(SUM(CASE WHEN side = 0 THEN n ELSE 0 END) AS BIGINT) AS n_left,
+      |  CAST(SUM(CASE WHEN side = 1 THEN n ELSE 0 END) AS BIGINT) AS n_right,
+      |  CAST(SUM(CASE WHEN side = 0 THEN slope_e6 ELSE 0 END) AS BIGINT)
+      |    AS slope_left_e6,
+      |  CAST(SUM(CASE WHEN side = 1 THEN slope_e6 ELSE 0 END) AS BIGINT)
+      |    AS slope_right_e6,
+      |  CAST(SUM(CASE WHEN side = 0 THEN b0_e6 ELSE 0 END) AS BIGINT)
+      |    AS b0_left_e6,
+      |  CAST(SUM(CASE WHEN side = 1 THEN b0_e6 ELSE 0 END) AS BIGINT)
+      |    AS b0_right_e6,
+      |  CAST(SUM(CASE WHEN side = 1 THEN b0_e6 ELSE 0 END)
+      |    - SUM(CASE WHEN side = 0 THEN b0_e6 ELSE 0 END) AS BIGINT)
+      |    AS rd_effect_e6
+      |FROM fit""".stripMargin
+
+  // ------ q525: nearest-neighbor covariate matching (ATT)
+
+  /** q525: 1-NN covariate matching — the MATCHING estimator of the
+    * causal suite: every urgent order (treated) is paired with the
+    * low-priority order (control) nearest in total value, and the ATT
+    * is the mean difference in line counts between the pairs. The
+    * match is found WITHOUT a pairwise join: controls dedupe to one
+    * representative per value point, the interleaved (value, side)
+    * sort gives each treated row its below-index via a running
+    * control count, and two index equi-joins fetch the below/above
+    * candidates (nearer wins, ties below) — the sort-merge shape that
+    * scales where a distance cross join cannot. Determinism: control
+    * representative = smallest orderkey per value; every tie rule is
+    * total.
+    *
+    * Plan: one orders⋈line-count pass → interleaved sort + running
+    * count → two index joins → 1-row report.
+    */
+  val q525NnMatching: Q = (s, dir) => {
+    val lc = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("y"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("pr"),
+        cents(col("o_totalprice")).as("x"))
+      .filter(col("pr").isin(1, 5))
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("pr"), col("x"), col("y"))
+      .localCheckpoint()
+    val ctrl = o.filter(col("pr") === 5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("x")).orderBy(col("o_orderkey"))))
+      .filter(col("rn") === 1)
+      .withColumn("idx", row_number().over(Window.orderBy(col("x"))))
+      .select(col("idx"), col("x").as("cx"), col("y").as("cy"))
+      .localCheckpoint()
+    val treatedRaw = o.filter(col("pr") === 1)
+      .select(col("o_orderkey"), col("x"), col("y"))
+    val mixed = ctrl.select(col("cx").as("x"), lit(0L).as("flag"),
+        col("idx").cast("long").as("key"), lit(0L).as("y"))
+      .unionAll(treatedRaw.select(col("x"), lit(1L).as("flag"),
+        col("o_orderkey").as("key"), col("y")))
+      .withColumn("cc", sum((col("flag") === 0L).cast("long")).over(
+        Window.orderBy(col("x"), col("flag"), col("key"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val t = mixed.filter(col("flag") === 1L)
+      .select(col("key").as("t_key"), col("x").as("tx"),
+        col("y").as("ty"), col("cc"))
+    val paired = t
+      .join(ctrl.select(col("idx").as("i0"), col("cx").as("px"),
+        col("cy").as("py")), col("cc") === col("i0"), "left")
+      .join(ctrl.select(col("idx").as("i1"), col("cx").as("nx"),
+        col("cy").as("ny")), col("cc") + 1L === col("i1"), "left")
+      .select(col("t_key"), col("tx"), col("ty"),
+        when(col("px").isNull, col("ny"))
+          .when(col("nx").isNull, col("py"))
+          .when(col("tx") - col("px") <= col("nx") - col("tx"), col("py"))
+          .otherwise(col("ny")).as("my"),
+        when(col("px").isNull, col("nx") - col("tx"))
+          .when(col("nx").isNull, col("tx") - col("px"))
+          .when(col("tx") - col("px") <= col("nx") - col("tx"),
+            col("tx") - col("px"))
+          .otherwise(col("nx") - col("tx")).as("gap"))
+    paired.agg(count(lit(1)).as("n_treated"),
+        sum(col("ty") - col("my")).as("sdiff"),
+        sum(col("gap")).as("sgap"))
+      .crossJoin(broadcast(ctrl.agg(count(lit(1)).as("n_controls"))))
+      .select(col("n_treated"), col("n_controls"),
+        expr("""CAST(CASE WHEN sdiff >= 0 THEN 1 ELSE -1 END *
+          | (abs(sdiff) * 1000000 div n_treated) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("att_e6"),
+        expr("sgap div n_treated").as("mean_gap_c"))
+  }
+
+  val q525Sql: String =
+    """WITH lc AS (
+      |  SELECT l_orderkey, COUNT(*) AS y FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT o_orderkey,
+      |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS pr,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS x, lc.y
+      |  FROM orders JOIN lc ON o_orderkey = l_orderkey
+      |  WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) IN (1, 5)),
+      |ctrl AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY x) AS idx, x AS cx, y AS cy
+      |  FROM (
+      |    SELECT x, y,
+      |      ROW_NUMBER() OVER (PARTITION BY x ORDER BY o_orderkey) AS rn
+      |    FROM o WHERE pr = 5)
+      |  WHERE rn = 1),
+      |mixed AS (
+      |  SELECT x, flag, key, y,
+      |    SUM(CASE WHEN flag = 0 THEN 1 ELSE 0 END) OVER (
+      |      ORDER BY x, flag, key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM (
+      |    SELECT cx AS x, 0 AS flag, idx AS key, CAST(0 AS BIGINT) AS y
+      |    FROM ctrl
+      |    UNION ALL
+      |    SELECT x, 1, o_orderkey, y FROM o WHERE pr = 1)),
+      |paired AS (
+      |  SELECT t.x AS tx, t.y AS ty,
+      |    CASE WHEN c0.cx IS NULL THEN c1.cy
+      |      WHEN c1.cx IS NULL THEN c0.cy
+      |      WHEN t.x - c0.cx <= c1.cx - t.x THEN c0.cy
+      |      ELSE c1.cy END AS my,
+      |    CASE WHEN c0.cx IS NULL THEN c1.cx - t.x
+      |      WHEN c1.cx IS NULL THEN t.x - c0.cx
+      |      WHEN t.x - c0.cx <= c1.cx - t.x THEN t.x - c0.cx
+      |      ELSE c1.cx - t.x END AS gap
+      |  FROM (SELECT * FROM mixed WHERE flag = 1) t
+      |  LEFT JOIN ctrl c0 ON c0.idx = t.cc
+      |  LEFT JOIN ctrl c1 ON c1.idx = t.cc + 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+      |  CAST((SELECT COUNT(*) FROM ctrl) AS BIGINT) AS n_controls,
+      |  CAST(CASE WHEN SUM(ty - my) >= 0 THEN 1 ELSE -1 END
+      |    * (ABS(SUM(ty - my)) * 1000000 // COUNT(*)) AS BIGINT) AS att_e6,
+      |  CAST(SUM(gap) // COUNT(*) AS BIGINT) AS mean_gap_c
+      |FROM paired""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q523_page_trend" -> q523PageTrend,
+    "q524_regression_discontinuity" -> q524RegressionDiscontinuity,
+    "q525_nn_matching" -> q525NnMatching,
     "q518_secretary" -> q518Secretary,
     "q519_skyline" -> q519Skyline,
     "q520_interval_schedule" -> q520IntervalSchedule,
@@ -13521,6 +13798,9 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q523_page_trend" -> q523Sql,
+    "q524_regression_discontinuity" -> q524Sql,
+    "q525_nn_matching" -> q525Sql,
     "q518_secretary" -> q518Sql,
     "q519_skyline" -> q519Sql,
     "q520_interval_schedule" -> q520Sql,

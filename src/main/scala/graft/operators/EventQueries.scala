@@ -10926,7 +10926,132 @@ object EventQueries {
       |    ELSE 0 END AS BIGINT) AS phrase_rate_e6
       |FROM fin CROSS JOIN tu""".stripMargin
 
+  // ------ q522: Smith-Waterman local alignment of behavior streams
+
+  /** Per-user sequence cap for the q522 alignment (cells = cap²). */
+  val SwCap = 48
+  /** Classic scores: match +2, mismatch −1, gap −1. */
+  val SwMatch = 2L
+  val SwMiss = -1L
+  val SwGap = -1L
+
+  /** q522: Smith–Waterman local alignment — do the two busiest users
+    * share a behavioral MOTIF? Where DTW (q421) elastically aligns
+    * whole numeric series, Smith–Waterman finds the best-scoring LOCAL
+    * stretch of two symbol streams (event-type initials, first
+    * [[SwCap]] events by event_id), the classic dynamic program with
+    * zero-floored cells. The engine folds the (cap+1)-cell rolling
+    * buffer in Scala; the oracle replays the SAME buffer cell-by-cell
+    * as a list-state walk (cap² steps, one list update per step — the
+    * q497 cost rules). Certificate: the score is bounded by
+    * match·min(len) and positive only when some character matches,
+    * both pinned.
+    *
+    * Plan: one events rollup picks two users → two ≤48-char collects
+    * → cap² driver fold → 1-row report.
+    */
+  val q522SmithWaterman: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val topTwo = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(2)
+      .collect().map(_.getAs[Long]("user_id"))
+    def seqOf(u: Long): String = e.filter(col("user_id") === u)
+      .select(col("event_id"), substring(col("event_type"), 1, 1).as("ch"))
+      .orderBy(col("event_id")).limit(SwCap)
+      .collect().map(_.getAs[String]("ch")).mkString
+    val (ua, ub) = (topTwo(0), topTwo(1))
+    val (a, b) = (seqOf(ua), seqOf(ub))
+    val m = a.length; val n = b.length
+    val row = Array.fill(n + 1)(0L)
+    var dg = 0L
+    var best = 0L
+    var t = 0
+    while (t < m * n) {
+      val i = t / n + 1; val j = t % n + 1
+      val sc = if (a(i - 1) == b(j - 1)) SwMatch else SwMiss
+      val left = if (j == 1) 0L else row(j - 1)
+      val up = row(j)
+      val nw = math.max(math.max(0L, dg + sc),
+        math.max(up + SwGap, left + SwGap))
+      dg = if (j == n) 0L else up
+      row(j) = nw
+      if (nw > best) best = nw
+      t += 1
+    }
+    import s.implicits._
+    Seq((ua, ub, m.toLong, n.toLong, best,
+      if (math.min(m, n) > 0) best * 1000000L / (SwMatch * math.min(m, n))
+      else 0L))
+      .toDF("user_a", "user_b", "len_a", "len_b", "best_score",
+        "normalized_e6")
+  }
+
+  val q522Sql: String =
+    s"""WITH RECURSIVE tu AS (
+      |  SELECT user_id, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+      |  FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+      |  ORDER BY n DESC, user_id LIMIT 2),
+      |sq AS (
+      |  SELECT tu.rnk, tu.user_id,
+      |    COALESCE(string_agg(x.ch, '' ORDER BY x.event_id), '') AS sq
+      |  FROM tu LEFT JOIN (
+      |    SELECT user_id, event_id, substring(event_type, 1, 1) AS ch,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |    FROM events) x
+      |  ON x.user_id = tu.user_id AND x.rn <= $SwCap
+      |  GROUP BY tu.rnk, tu.user_id),
+      |ab AS (
+      |  SELECT
+      |    (SELECT user_id FROM sq WHERE rnk = 1) AS ua,
+      |    (SELECT user_id FROM sq WHERE rnk = 2) AS ub,
+      |    (SELECT sq FROM sq WHERE rnk = 1) AS a,
+      |    (SELECT sq FROM sq WHERE rnk = 2) AS b),
+      |dims AS (
+      |  SELECT ua, ub, a, b, CAST(LEN(a) AS BIGINT) AS m,
+      |    CAST(LEN(b) AS BIGINT) AS n
+      |  FROM ab),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS t, m, n, a, b,
+      |    list_transform(range(0, CAST(n + 1 AS BIGINT)),
+      |      x -> CAST(0 AS BIGINT)) AS row,
+      |    CAST(0 AS BIGINT) AS dg, CAST(0 AS BIGINT) AS best
+      |  FROM dims
+      |  UNION ALL
+      |  SELECT v.t, v.m, v.n, v.a, v.b,
+      |    list_transform(range(1, CAST(v.n + 2 AS BIGINT)),
+      |      x -> CASE WHEN x = v.j + 1 THEN v.nw
+      |        ELSE v.row[CAST(x AS INT)] END),
+      |    CASE WHEN v.j = v.n THEN CAST(0 AS BIGINT)
+      |      ELSE v.up END,
+      |    GREATEST(v.best, v.nw)
+      |  FROM (
+      |    SELECT u.*,
+      |      GREATEST(0, u.dg + u.sc, u.up + $SwGap, u.lf + $SwGap) AS nw
+      |    FROM (
+      |      SELECT t1.*,
+      |        CASE WHEN substring(t1.a, CAST(t1.i AS INT), 1)
+      |            = substring(t1.b, CAST(t1.j AS INT), 1)
+      |          THEN $SwMatch ELSE $SwMiss END AS sc,
+      |        t1.row[CAST(t1.j + 1 AS INT)] AS up,
+      |        CASE WHEN t1.j = 1 THEN 0
+      |          ELSE t1.row[CAST(t1.j AS INT)] END AS lf
+      |      FROM (
+      |        SELECT w.t + 1 AS t, w.m, w.n, w.a, w.b, w.row, w.dg,
+      |          w.best,
+      |          w.t // w.n + 1 AS i, w.t % w.n + 1 AS j
+      |        FROM walk w WHERE w.t < w.m * w.n) t1) u) v),
+      |fin AS (SELECT * FROM walk ORDER BY t DESC LIMIT 1)
+      |SELECT CAST(dims.ua AS BIGINT) AS user_a,
+      |  CAST(dims.ub AS BIGINT) AS user_b,
+      |  CAST(dims.m AS BIGINT) AS len_a, CAST(dims.n AS BIGINT) AS len_b,
+      |  CAST(fin.best AS BIGINT) AS best_score,
+      |  CAST(CASE WHEN LEAST(dims.m, dims.n) > 0
+      |    THEN fin.best * 1000000 // ($SwMatch * LEAST(dims.m, dims.n))
+      |    ELSE 0 END AS BIGINT) AS normalized_e6
+      |FROM fin CROSS JOIN dims""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q522_smith_waterman" -> q522SmithWaterman,
     "q512_lz78" -> q512Lz78,
     "q455_viterbi_hmm" -> q455ViterbiHmm,
     "q431_kpss" -> q431Kpss,
@@ -11062,6 +11187,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q522_smith_waterman" -> q522Sql,
     "q512_lz78" -> q512Sql,
     "q455_viterbi_hmm" -> q455Sql,
     "q431_kpss" -> q431Sql,

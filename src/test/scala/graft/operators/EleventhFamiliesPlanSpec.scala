@@ -196,6 +196,52 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
     assert(radii.forall(_ > 0L))
   }
 
+  test("q522: local alignment score sits in its provable band") {
+    val r = rows("q522_smith_waterman")
+    assert(r.length == 1)
+    val row = r.head
+    val best = row.getAs[Long]("best_score")
+    val minLen = math.min(row.getAs[Long]("len_a"), row.getAs[Long]("len_b"))
+    // zero-floored cells: never negative; match-run bound from above
+    assert(best >= 0L && best <= EventQueries.SwMatch * minLen)
+    // the event alphabet is tiny, so two 48-char streams must share
+    // at least one character — a positive local alignment exists
+    assert(best > 0L)
+    assert(row.getAs[Long]("normalized_e6") ==
+      best * 1000000L / (EventQueries.SwMatch * minLen))
+  }
+
+  test("q523: Page moments are the closed forms; L sits in its range") {
+    val r = rows("q523_page_trend")
+    assert(r.length == 1)
+    val row = r.head
+    val b = row.getAs[Long]("b_blocks")
+    assert(row.getAs[Long]("mu_l") == 45L * b)
+    assert(row.getAs[Long]("var_l") == 25L * b)
+    val l = row.getAs[Long]("l_stat")
+    // extreme orderings: perfectly reversed 35b <= L <= perfectly agreeing 55b
+    assert(l >= 35L * b && l <= 55L * b)
+  }
+
+  test("q524: RD intercepts are the boundary values of their own fits") {
+    val r = rows("q524_regression_discontinuity")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_left") > 0L && row.getAs[Long]("n_right") > 0L)
+    assert(row.getAs[Long]("rd_effect_e6") ==
+      row.getAs[Long]("b0_right_e6") - row.getAs[Long]("b0_left_e6"))
+  }
+
+  test("q525: every treated order finds a control; the gap is a distance") {
+    val r = rows("q525_nn_matching")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_treated") > 0L)
+    assert(row.getAs[Long]("n_controls") > 0L)
+    assert(row.getAs[Long]("mean_gap_c") >= 0L,
+      "nearest-neighbor distance is nonnegative by construction")
+  }
+
   test("q513: MoM fit is admissible exactly on the overdispersed groups") {
     val r = rows("q513_neg_binomial")
     assert(r.length == 5)
