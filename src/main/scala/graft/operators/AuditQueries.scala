@@ -13661,7 +13661,405 @@ object AuditQueries {
       |  CAST(SUM(gap) // COUNT(*) AS BIGINT) AS mean_gap_c
       |FROM paired""".stripMargin
 
+  // ------ q526: weighted interval scheduling (DP twin of q520)
+
+  /** q526: weighted interval scheduling — the DP upgrade of q520's
+    * greedy: when each fulfillment window carries revenue, earliest-
+    * finish-first is no longer optimal and the classic p(i) dynamic
+    * program is (dp[i] = max(dp[i−1], wᵢ + dp[p(i)]), intervals
+    * finish-sorted, p(i) = latest compatible predecessor). Same
+    * per-supplier-bounded interval set as q520, weights = line
+    * revenue cents. The oracle replays the DP as a list-state walk
+    * whose dp list grows by one exact cell per step (p(i) located by
+    * a prefix count on the finish-sorted ends — identical to the
+    * fold's binary search on a sorted array).
+    *
+    * Plan: one lineitem⋈orders rollup (bounded per supplier) →
+    * |intervals|-step fold → 1-row report.
+    */
+  val q526WeightedSchedule: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val topSupp = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_suppkey")).limit(1)
+      .collect()(0).getAs[Long]("l_suppkey")
+    val ivs = li.filter(col("l_suppkey") === topSupp)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("datediff(o_orderdate, DATE '1970-01-01')").as("sd"),
+        expr("datediff(l_shipdate, DATE '1970-01-01')").as("rd"),
+        cents(col("l_extendedprice")).as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      .filter(col("rd") >= col("sd"))
+      .orderBy(col("rd"), col("sd"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getAs[Int]("sd").toLong,
+        r.getAs[Int]("rd").toLong, r.getAs[Long]("w")))
+    val n = ivs.length
+    val dp = Array.fill(n + 1)(0L)
+    (1 to n).foreach { i =>
+      val (sd, _, w) = ivs(i - 1)
+      // p(i): count of finish-sorted predecessors with rd <= sd
+      var lo = 0; var hi = i - 1
+      while (lo < hi) {
+        val m = (lo + hi) / 2
+        if (ivs(m)._2 <= sd) lo = m + 1 else hi = m
+      }
+      dp(i) = math.max(dp(i - 1), w + dp(lo))
+    }
+    val total = ivs.map(_._3).sum
+    import s.implicits._
+    Seq((topSupp, n.toLong, total, dp(n),
+      if (total > 0) dp(n) * 1000000L / total else 0L))
+      .toDF("s_suppkey", "n_intervals", "total_weight_c", "best_value_c",
+        "kept_frac_e6")
+  }
+
+  val q526Sql: String =
+    """WITH RECURSIVE ts AS (
+      |  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY COUNT(*) DESC, l_suppkey LIMIT 1),
+      |iv AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS sd,
+      |    date_diff('day', DATE '1970-01-01', l_shipdate) AS rd,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS w,
+      |    ROW_NUMBER() OVER (ORDER BY l_shipdate, o_orderdate,
+      |      l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem JOIN ts USING (l_suppkey)
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate >= o_orderdate),
+      |sl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    list(CAST(sd AS BIGINT) ORDER BY rk) AS sds,
+      |    list(CAST(rd AS BIGINT) ORDER BY rk) AS rds,
+      |    list(w ORDER BY rk) AS ws,
+      |    CAST(SUM(w) AS BIGINT) AS tot
+      |  FROM iv),
+      |walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, n, sds, rds, ws, tot,
+      |    CAST([0] AS BIGINT[]) AS dp
+      |  FROM sl
+      |  UNION ALL
+      |  SELECT v.i, v.n, v.sds, v.rds, v.ws, v.tot,
+      |    list_append(v.dp, GREATEST(v.dp[CAST(v.i AS INT)],
+      |      v.wt + v.dp[CAST(v.p + 1 AS INT)]))
+      |  FROM (
+      |    SELECT u.*,
+      |      LEN(list_filter(range(1, u.i),
+      |        k -> u.rds[CAST(k AS INT)] <= u.sd)) AS p
+      |    FROM (
+      |      SELECT w.i + 1 AS i, w.n, w.sds, w.rds, w.ws, w.tot, w.dp,
+      |        w.sds[w.i + 1] AS sd, w.ws[w.i + 1] AS wt
+      |      FROM walk w WHERE w.i < w.n) u) v),
+      |fin AS (SELECT * FROM walk ORDER BY i DESC LIMIT 1)
+      |SELECT CAST(ts.l_suppkey AS BIGINT) AS s_suppkey,
+      |  CAST(fin.n AS BIGINT) AS n_intervals,
+      |  CAST(fin.tot AS BIGINT) AS total_weight_c,
+      |  CAST(fin.dp[CAST(fin.n + 1 AS INT)] AS BIGINT) AS best_value_c,
+      |  CAST(CASE WHEN fin.tot > 0
+      |    THEN fin.dp[CAST(fin.n + 1 AS INT)] * 1000000 // fin.tot
+      |    ELSE 0 END AS BIGINT) AS kept_frac_e6
+      |FROM fin CROSS JOIN ts""".stripMargin
+
+  // ------ q527: Kelly criterion from the daily revenue tape
+
+  /** q527: the Kelly fraction — from the measured win rate and payoff
+    * ratio of day-over-day revenue moves (ties excluded), how much of
+    * a bankroll would the growth-optimal bettor stake on "tomorrow is
+    * an up day"? f* = p − q/b with b = mean win / mean loss, and the
+    * expected log-growth g = p·ln(1+f·b) + q·ln(1−f) rides the log2
+    * LUT — fully RELATIONAL (one lag window + aggregates + scalar
+    * arithmetic), no driver fold. A negative edge clamps to f = 0
+    * with the flag set, never a fabricated stake.
+    *
+    * Plan: one orders pass → day series → lag-window deltas → 1-row
+    * scalar ladder.
+    */
+  val q527Kelly: Q = (s, dir) => {
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    def sdivK(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (abs($num) div ($den)) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    val bd = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("x"))
+      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("px").isNotNull && col("x") =!= col("px"))
+    val agg = bd.agg(
+      sum((col("x") > col("px")).cast("long")).as("up"),
+      sum((col("x") < col("px")).cast("long")).as("down"),
+      sum(when(col("x") > col("px"), col("x") - col("px")).otherwise(0L))
+        .as("sumwin"),
+      sum(when(col("x") < col("px"), col("px") - col("x")).otherwise(0L))
+        .as("sumloss"))
+    agg
+      // degenerate tapes (all-up / all-down) surface as NULLs, never a
+      // divide-by-zero; b is staged division-first (avg win, avg loss)
+      // so no product crosses int64 at any realistic revenue scale
+      .withColumn("p_e6",
+        expr("CASE WHEN up + down = 0 THEN NULL" +
+          " ELSE up * 1000000 div (up + down) END"))
+      .withColumn("b_e6",
+        expr("""CASE WHEN up = 0 OR down = 0 THEN NULL
+          | ELSE (sumwin div up) * 1000000 div (sumloss div down) END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("f_raw_e6", expr(
+        "p_e6 - ((1000000 - p_e6) * 1000000) div b_e6"))
+      .withColumn("f_e6", greatest(col("f_raw_e6"), lit(0L)))
+      .withColumn("has_edge", (col("f_raw_e6") > 0L).cast("long"))
+      .withColumn("fb_e6", expr("f_e6 * b_e6 div 1000000"))
+      .withColumn("g_e6", expr(
+        sdivK(s"""p_e6 * (((${l2("1000000 + fb_e6")}) - (${l2("1000000")}))
+          | * 693147 div 1000000)
+          | + (1000000 - p_e6) * (((${l2("1000000 - f_e6")})
+          | - (${l2("1000000")})) * 693147 div 1000000)"""
+          .stripMargin.replace("\n", " "), "1000000")))
+      .select(col("up").as("up_days"), col("down").as("down_days"),
+        col("p_e6"), col("b_e6"), col("f_e6"), col("has_edge"),
+        col("g_e6"))
+  }
+
+  val q527Sql: String = {
+    def l2d(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    s"""WITH bd AS (
+      |  SELECT d, x, LAG(x) OVER (ORDER BY d) AS px FROM (
+      |    SELECT o_orderdate AS d,
+      |      SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+      |    FROM orders GROUP BY 1)),
+      |agg AS (
+      |  SELECT
+      |    SUM(CASE WHEN x > px THEN 1 ELSE 0 END) AS up,
+      |    SUM(CASE WHEN x < px THEN 1 ELSE 0 END) AS down,
+      |    SUM(CASE WHEN x > px THEN x - px ELSE 0 END) AS sumwin,
+      |    SUM(CASE WHEN x < px THEN px - x ELSE 0 END) AS sumloss
+      |  FROM bd WHERE px IS NOT NULL AND x <> px),
+      |st AS (
+      |  SELECT up, down,
+      |    CASE WHEN up + down = 0 THEN NULL
+      |      ELSE up * 1000000 // (up + down) END AS p_e6,
+      |    CASE WHEN up = 0 OR down = 0 THEN NULL
+      |      ELSE (sumwin // up) * 1000000 // (sumloss // down) END AS b_e6
+      |  FROM agg),
+      |st2 AS (
+      |  SELECT st.*,
+      |    GREATEST(p_e6 - ((1000000 - p_e6) * 1000000) // b_e6, 0) AS f_e6,
+      |    CASE WHEN p_e6 - ((1000000 - p_e6) * 1000000) // b_e6 > 0
+      |      THEN 1 ELSE 0 END AS has_edge
+      |  FROM st),
+      |st3 AS (
+      |  SELECT st2.*, f_e6 * b_e6 // 1000000 AS fb_e6 FROM st2),
+      |st4 AS (
+      |  SELECT st3.*,
+      |    p_e6 * (((${l2d("1000000 + fb_e6")}) - (${l2d("1000000")}))
+      |      * 693147 // 1000000)
+      |    + (1000000 - p_e6) * (((${l2d("1000000 - f_e6")})
+      |      - (${l2d("1000000")})) * 693147 // 1000000) AS gnum
+      |  FROM st3)
+      |SELECT CAST(up AS BIGINT) AS up_days, CAST(down AS BIGINT) AS down_days,
+      |  CAST(p_e6 AS BIGINT) AS p_e6, CAST(b_e6 AS BIGINT) AS b_e6,
+      |  CAST(f_e6 AS BIGINT) AS f_e6, CAST(has_edge AS BIGINT) AS has_edge,
+      |  CAST(CASE WHEN gnum >= 0 THEN 1 ELSE -1 END
+      |    * (ABS(gnum) // 1000000) AS BIGINT) AS g_e6
+      |FROM st4""".stripMargin
+  }
+
+  // ------ q528: German-tank keyspace estimate from a hash sample
+
+  /** q528: the German-tank (serial-number) estimator — how big is a
+    * table whose keys you only SAMPLE? From a deterministic 1%
+    * portable-hash sample of order keys, the frequentist MVUE
+    * N̂ = m(1 + 1/k) − 1 estimates the keyspace ceiling, audited
+    * in-output against the true maximum the full pass knows — the
+    * "estimate the catalog from the crawl" primitive, with the
+    * relative error carried as the certificate.
+    *
+    * Plan: one orders pass (sample predicate pushes to the scan) →
+    * scalar moments; the truth branch is the same pass unfiltered.
+    */
+  val q528GermanTank: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"))
+    val samp = o.filter(
+        graft.functions.Text.portableHash(col("o_orderkey").cast("string"))
+          % 100 === 0)
+      .agg(max(col("o_orderkey")).as("m"), count(lit(1)).as("k"))
+    val truth = o.agg(max(col("o_orderkey")).as("true_max"),
+      count(lit(1)).as("n_total"))
+    samp.crossJoin(broadcast(truth))
+      .withColumn("n_hat", expr("m + m div k - 1"))
+      .select(col("k").as("sample_k"), col("m").as("sample_max"),
+        col("n_hat"), col("true_max"), col("n_total"),
+        expr("""CAST(CASE WHEN n_hat - true_max >= 0 THEN 1 ELSE -1 END *
+          | (abs(n_hat - true_max) * 1000000 div true_max) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("rel_err_e6"))
+  }
+
+  val q528Sql: String =
+    """WITH o AS (SELECT o_orderkey FROM orders),
+      |samp AS (
+      |  SELECT MAX(o_orderkey) AS m, COUNT(*) AS k FROM o
+      |  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+      |    1, 15)) AS BIGINT) % 100 = 0),
+      |truth AS (
+      |  SELECT MAX(o_orderkey) AS true_max, COUNT(*) AS n_total FROM o)
+      |SELECT CAST(k AS BIGINT) AS sample_k, CAST(m AS BIGINT) AS sample_max,
+      |  CAST(m + m // k - 1 AS BIGINT) AS n_hat,
+      |  CAST(true_max AS BIGINT) AS true_max,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(CASE WHEN (m + m // k - 1) - true_max >= 0 THEN 1 ELSE -1 END
+      |    * (ABS((m + m // k - 1) - true_max) * 1000000 // true_max)
+      |    AS BIGINT) AS rel_err_e6
+      |FROM samp CROSS JOIN truth""".stripMargin
+
+  // ------ q529: coupon-collector audit over customer nations
+
+  /** q529: coupon collecting the nations — how many orders did it
+    * ACTUALLY take to hear from all 25 customer nations, against the
+    * classical expectation n·H_n? The expectation is an exact integer
+    * fold (Σ n·10⁶ div i over the observed nation count, each term
+    * one floor), the actual is one window pass (first-occurrence rank
+    * per nation, then the max) — the "time to full coverage" audit a
+    * crawl scheduler runs against source discovery.
+    *
+    * Plan: one orders⋈broadcast-customer pass → per-nation first
+    * ranks (25 rows) → metadata fold.
+    */
+  val q529CouponCollector: Q = (s, dir) => {
+    val seqd = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+    val firsts = seqd.groupBy(col("c_nationkey")).agg(min(col("rn")).as("fr"))
+    val base = firsts.agg(count(lit(1)).as("n_seen"),
+        max(col("fr")).as("actual_draws"))
+    val expected = base.select(col("n_seen"),
+        explode(expr("sequence(1, CAST(n_seen AS INT))")).as("i"))
+      .groupBy(col("n_seen"))
+      .agg(sum(expr("n_seen * 1000000 div i")).as("expected_draws_e6"))
+    base.join(expected, "n_seen")
+      .select(col("n_seen"), col("actual_draws").cast("long").as("actual_draws"),
+        col("expected_draws_e6"),
+        expr("actual_draws * 1000000000000 div expected_draws_e6")
+          .as("ratio_e6"))
+  }
+
+  val q529Sql: String =
+    """WITH seqd AS (
+      |  SELECT c_nationkey,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |firsts AS (
+      |  SELECT c_nationkey, MIN(rn) AS fr FROM seqd GROUP BY 1),
+      |base AS (
+      |  SELECT COUNT(*) AS n_seen, MAX(fr) AS actual_draws FROM firsts),
+      |expected AS (
+      |  SELECT base.n_seen,
+      |    SUM(base.n_seen * 1000000 // i.i) AS expected_draws_e6
+      |  FROM base CROSS JOIN
+      |    (SELECT UNNEST(range(1, 26)) AS i) i
+      |  WHERE i.i <= base.n_seen
+      |  GROUP BY base.n_seen)
+      |SELECT CAST(base.n_seen AS BIGINT) AS n_seen,
+      |  CAST(base.actual_draws AS BIGINT) AS actual_draws,
+      |  CAST(expected.expected_draws_e6 AS BIGINT) AS expected_draws_e6,
+      |  CAST(base.actual_draws * 1000000000000
+      |    // expected.expected_draws_e6 AS BIGINT) AS ratio_e6
+      |FROM base JOIN expected ON base.n_seen = expected.n_seen""".stripMargin
+
+  // ------ q530: gambler's-ruin absorption from the daily tape
+
+  /** Ruin-model levels: start z = 10 units, absorb at 0 or N = 20. */
+  val RuinZ = 10
+  val RuinN = 20
+
+  /** q530: gambler's ruin — with the up/down odds MEASURED from the
+    * daily revenue tape (ties excluded), what is the probability a
+    * ±1 random walk from z = 10 reaches 20 before 0? The classical
+    * closed form P = (1 − r^z)/(1 − r^N) with r = q/p is computed as
+    * an e6-floored SQUARING CHAIN (r² , r⁴, r⁸, r¹⁰, r²⁰ — five
+    * multiplies, each floored once, identical in both engines), with
+    * the symmetric p = ½ case handled by its exact limit z/N. The
+    * ratio clamps to [0.25, 4] so the chain stays in int64 by
+    * construction — the clamp is part of the model, documented, and
+    * inert on any realistically balanced tape.
+    *
+    * Plan: one orders pass → lag-window deltas → 1-row scalar chain.
+    */
+  val q530GamblersRuin: Q = (s, dir) => {
+    val bd = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("x"))
+      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("px").isNotNull && col("x") =!= col("px"))
+    bd.agg(sum((col("x") > col("px")).cast("long")).as("up"),
+        sum((col("x") < col("px")).cast("long")).as("down"))
+      .withColumn("p_e6", expr("up * 1000000 div (up + down)"))
+      .withColumn("r_e6", expr(
+        "GREATEST(LEAST(down * 1000000 div up, 4000000), 250000)"))
+      .withColumn("r2", expr("r_e6 * r_e6 div 1000000"))
+      .withColumn("r4", expr("r2 * r2 div 1000000"))
+      .withColumn("r8", expr("r4 * r4 div 1000000"))
+      .withColumn("r10", expr("r8 * r2 div 1000000"))
+      .withColumn("r20", expr("r10 * r10 div 1000000"))
+      .withColumn("pwin_e6", expr(
+        """CASE WHEN r_e6 = 1000000 THEN 500000
+          | ELSE CAST(CASE WHEN (1000000 - r10) >= 0 THEN 1 ELSE -1 END *
+          |   CASE WHEN (1000000 - r20) >= 0 THEN 1 ELSE -1 END *
+          |   (abs(1000000 - r10) * 1000000 div abs(1000000 - r20))
+          |   AS BIGINT) END""".stripMargin.replace("\n", " ")))
+      .select(col("up").as("up_days"), col("down").as("down_days"),
+        col("p_e6"), col("r_e6"), col("r10"), col("r20"),
+        col("pwin_e6"), (lit(1000000L) - col("pwin_e6")).as("pruin_e6"))
+  }
+
+  val q530Sql: String =
+    """WITH bd AS (
+      |  SELECT d, x, LAG(x) OVER (ORDER BY d) AS px FROM (
+      |    SELECT o_orderdate AS d,
+      |      SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+      |    FROM orders GROUP BY 1)),
+      |agg AS (
+      |  SELECT SUM(CASE WHEN x > px THEN 1 ELSE 0 END) AS up,
+      |    SUM(CASE WHEN x < px THEN 1 ELSE 0 END) AS down
+      |  FROM bd WHERE px IS NOT NULL AND x <> px),
+      |st AS (
+      |  SELECT up, down, up * 1000000 // (up + down) AS p_e6,
+      |    GREATEST(LEAST(down * 1000000 // up, 4000000), 250000) AS r_e6
+      |  FROM agg),
+      |ch AS (
+      |  SELECT s2.*, s2.r8 * s2.r2 // 1000000 AS r10,
+      |    (s2.r8 * s2.r2 // 1000000) * (s2.r8 * s2.r2 // 1000000)
+      |      // 1000000 AS r20
+      |  FROM (
+      |    SELECT st.*,
+      |      r_e6 * r_e6 // 1000000 AS r2,
+      |      (r_e6 * r_e6 // 1000000) * (r_e6 * r_e6 // 1000000)
+      |        // 1000000 AS r4,
+      |      ((r_e6 * r_e6 // 1000000) * (r_e6 * r_e6 // 1000000)
+      |        // 1000000) * ((r_e6 * r_e6 // 1000000)
+      |        * (r_e6 * r_e6 // 1000000) // 1000000) // 1000000 AS r8
+      |    FROM st) s2)
+      |SELECT CAST(up AS BIGINT) AS up_days, CAST(down AS BIGINT) AS down_days,
+      |  CAST(p_e6 AS BIGINT) AS p_e6, CAST(r_e6 AS BIGINT) AS r_e6,
+      |  CAST(r10 AS BIGINT) AS r10, CAST(r20 AS BIGINT) AS r20,
+      |  CAST(CASE WHEN r_e6 = 1000000 THEN 500000
+      |    ELSE CAST(CASE WHEN (1000000 - r10) >= 0 THEN 1 ELSE -1 END *
+      |      CASE WHEN (1000000 - r20) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(1000000 - r10) * 1000000 // ABS(1000000 - r20))
+      |      AS BIGINT) END AS BIGINT) AS pwin_e6,
+      |  CAST(1000000 - CASE WHEN r_e6 = 1000000 THEN 500000
+      |    ELSE CAST(CASE WHEN (1000000 - r10) >= 0 THEN 1 ELSE -1 END *
+      |      CASE WHEN (1000000 - r20) >= 0 THEN 1 ELSE -1 END *
+      |      (ABS(1000000 - r10) * 1000000 // ABS(1000000 - r20))
+      |      AS BIGINT) END AS BIGINT) AS pruin_e6
+      |FROM ch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q526_weighted_schedule" -> q526WeightedSchedule,
+    "q527_kelly" -> q527Kelly,
+    "q528_german_tank" -> q528GermanTank,
+    "q529_coupon_collector" -> q529CouponCollector,
+    "q530_gamblers_ruin" -> q530GamblersRuin,
     "q523_page_trend" -> q523PageTrend,
     "q524_regression_discontinuity" -> q524RegressionDiscontinuity,
     "q525_nn_matching" -> q525NnMatching,
@@ -13798,6 +14196,11 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q526_weighted_schedule" -> q526Sql,
+    "q527_kelly" -> q527Sql,
+    "q528_german_tank" -> q528Sql,
+    "q529_coupon_collector" -> q529Sql,
+    "q530_gamblers_ruin" -> q530Sql,
     "q523_page_trend" -> q523Sql,
     "q524_regression_discontinuity" -> q524Sql,
     "q525_nn_matching" -> q525Sql,

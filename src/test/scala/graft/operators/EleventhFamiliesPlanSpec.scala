@@ -242,6 +242,68 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
       "nearest-neighbor distance is nonnegative by construction")
   }
 
+  test("q526: the DP dominates q520's unweighted pick count in value") {
+    val r = rows("q526_weighted_schedule")
+    assert(r.length == 1)
+    val row = r.head
+    val best = row.getAs[Long]("best_value_c")
+    val total = row.getAs[Long]("total_weight_c")
+    // optimal substructure certificates: 0 < best <= total weight
+    assert(best > 0L && best <= total)
+    assert(row.getAs[Long]("kept_frac_e6") == best * 1000000L / total)
+  }
+
+  test("q527: Kelly fraction and growth are sign-consistent") {
+    val r = rows("q527_kelly")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("up_days") > 0L && row.getAs[Long]("down_days") > 0L)
+    val f = row.getAs[Long]("f_e6")
+    assert(f >= 0L && f < 1000000L, "stake is a fraction of bankroll")
+    if (row.getAs[Long]("has_edge") == 0L)
+      assert(f == 0L, "no edge → no stake, never a fabricated bet")
+    // betting the Kelly fraction never has negative expected log-growth
+    // in exact arithmetic; the e6 LUT logs and the floored f introduce
+    // up to ~0.01 nat of quantization, so the pin allows that slack
+    if (f > 0L) assert(row.getAs[Long]("g_e6") >= -10000L)
+  }
+
+  test("q528: the tank estimate is bracketed by the observed sample") {
+    val r = rows("q528_german_tank")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("sample_k") > 0L)
+    // the estimator can never undershoot its own observed maximum
+    assert(row.getAs[Long]("n_hat") >= row.getAs[Long]("sample_max"))
+    assert(row.getAs[Long]("true_max") >= row.getAs[Long]("sample_max"))
+  }
+
+  test("q529: full coverage needs at least one draw per coupon") {
+    val r = rows("q529_coupon_collector")
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_seen")
+    assert(n == 25L, "all nations appear in the order stream")
+    assert(row.getAs[Long]("actual_draws") >= n)
+    // expected = n * H_n exceeds n log n for n = 25
+    assert(row.getAs[Long]("expected_draws_e6") > n * 1000000L)
+  }
+
+  test("q530: win and ruin probabilities partition certainty") {
+    val r = rows("q530_gamblers_ruin")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("pwin_e6") + row.getAs[Long]("pruin_e6")
+      == 1000000L)
+    assert(row.getAs[Long]("pwin_e6") >= 0L &&
+      row.getAs[Long]("pwin_e6") <= 1000000L)
+    // more down-days than up-days → r > 1 → win prob below the fair half
+    val rr = row.getAs[Long]("r_e6")
+    val pw = row.getAs[Long]("pwin_e6")
+    if (rr > 1000000L) assert(pw <= 500000L)
+    if (rr < 1000000L) assert(pw >= 500000L)
+  }
+
   test("q513: MoM fit is admissible exactly on the overdispersed groups") {
     val r = rows("q513_neg_binomial")
     assert(r.length == 5)
