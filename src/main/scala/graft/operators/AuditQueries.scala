@@ -14054,7 +14054,357 @@ object AuditQueries {
       |      AS BIGINT) END AS BIGINT) AS pruin_e6
       |FROM ch""".stripMargin
 
+  // ------ q531: Fellegi-Sunter record-linkage weights
+
+  /** Declared per-field match probability m = 0.95 (the classic FS
+    * default when no labeled pairs exist) and the block-size valve.
+    */
+  val FsME6 = 950000L
+  val FsBlockCap = 200L
+
+  /** q531: Fellegi–Sunter linkage weights — the PROBABILISTIC layer
+    * over the engine's deterministic matchers (Levenshtein q-series,
+    * phonetic q256): each comparison field earns log-likelihood
+    * weights w⁺ = ln(m/u), w⁻ = ln((1−m)/(1−u)), with u estimated
+    * EXACTLY from the data as the random-pair agreement probability
+    * Σ nᵥ(nᵥ−1)/N(N−1) per field and m the declared 0.95. Candidate
+    * pairs come from (nation, balance-bucket) blocks with the
+    * BlockCap valve (the house ER bound), and the report is the full
+    * 2³ agreement-pattern lattice — every pattern row carries its
+    * pair count and composite weight, zero-count patterns included so
+    * the shape is fixed. Weights ride the log2 LUT; u floors guard at
+    * 1 so the log argument never degenerates.
+    *
+    * Plan: three marginal rollups (u's) + one blocked pair pass
+    * (capped) → 8-row lattice join.
+    */
+  val q531FellegiSunter: Q = (s, dir) => {
+    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
+    val c = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      expr("CAST(ROUND(c_acctbal*100) AS BIGINT) div 100000").as("bb"),
+      expr("CAST(ROUND(c_acctbal*100) AS BIGINT) div 10000").as("fb"),
+      expr("substring(c_name, length(c_name), 1)").as("lc"))
+      .localCheckpoint()
+    val n = c.count()
+    def uOf(field: String): Long = {
+      val agree = c.groupBy(col(field)).agg(count(lit(1)).as("nv"))
+        .agg(sum(expr("nv * (nv - 1)")).as("a")).collect()(0).getAs[Long]("a")
+      math.max(agree * 1000000L / (n * (n - 1L)), 1L)
+    }
+    val us = Seq(uOf("seg"), uOf("fb"), uOf("lc"))
+    def wPlus(u: Long): Long =
+      (l2e6ScalaPub(FsME6) - l2e6ScalaPub(u)) * 693147L / 1000000L
+    def wMinus(u: Long): Long =
+      (l2e6ScalaPub(1000000L - FsME6) - l2e6ScalaPub(
+        math.max(1000000L - u, 1L))) * 693147L / 1000000L
+    val blocked = c
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("nk"), col("bb"))))
+      .filter(col("bn") <= FsBlockCap)
+    val pairs = blocked.as("a").join(blocked.as("b"),
+        col("a.nk") === col("b.nk") && col("a.bb") === col("b.bb") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(
+        (col("a.seg") === col("b.seg")).cast("long").as("f1"),
+        (col("a.fb") === col("b.fb")).cast("long").as("f2"),
+        (col("a.lc") === col("b.lc")).cast("long").as("f3"))
+      .groupBy(col("f1"), col("f2"), col("f3"))
+      .agg(count(lit(1)).as("n_pairs"))
+    import s.implicits._
+    val lattice = (for (a <- 0 to 1; bb <- 0 to 1; cc <- 0 to 1)
+      yield (a.toLong, bb.toLong, cc.toLong))
+      .toDF("f1", "f2", "f3")
+    val weights = Seq(("f1", us(0)), ("f2", us(1)), ("f3", us(2)))
+    val wCols = weights.zipWithIndex.map { case ((f, u), i) =>
+      when(col(f) === 1L, lit(wPlus(u))).otherwise(lit(wMinus(u)))
+        .as(s"w$i")
+    }
+    lattice.join(pairs, Seq("f1", "f2", "f3"), "left")
+      .select((col("f1") * 4 + col("f2") * 2 + col("f3")).as("pattern"),
+        col("f1"), col("f2"), col("f3"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (wCols(0) + wCols(1) + wCols(2)).as("weight_e6"))
+      .orderBy(col("pattern"))
+  }
+
+  /** Scala twin of the log2 LUT formula, public for plan-time weight
+    * folds (same integer as l2e6Scala above).
+    */
+  private def l2e6ScalaPub(x: Long): Long = {
+    require(x >= 1)
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val norm = if (bl <= 9) x << (9 - bl) else x >> (bl - 9)
+    (bl - 9).toLong * 1000000L +
+      graft.functions.Text.Log2LutE6((norm - 256).toInt)
+  }
+
+  val q531Sql: String = {
+    def l2d(x: String) = graft.functions.Text.log2e6DuckSql(x)
+    def wp(u: String) =
+      s"(((${l2d(FsME6.toString)}) - (${l2d(s"GREATEST($u, 1)")}))" +
+        " * 693147 // 1000000)"
+    def wm(u: String) =
+      s"(((${l2d((1000000L - FsME6).toString)})" +
+        s" - (${l2d(s"GREATEST(1000000 - ($u), 1)")})) * 693147 // 1000000)"
+    s"""WITH c AS (
+      |  SELECT c_custkey, c_nationkey AS nk, c_mktsegment AS seg,
+      |    CAST(ROUND(c_acctbal*100) AS BIGINT) // 100000 AS bb,
+      |    CAST(ROUND(c_acctbal*100) AS BIGINT) // 10000 AS fb,
+      |    substring(c_name, LEN(c_name), 1) AS lc
+      |  FROM customer),
+      |nn AS (SELECT COUNT(*) AS n FROM c),
+      |u1 AS (SELECT GREATEST(SUM(nv * (nv - 1)) * 1000000
+      |    // (SELECT n * (n - 1) FROM nn), 1) AS u
+      |  FROM (SELECT COUNT(*) AS nv FROM c GROUP BY seg)),
+      |u2 AS (SELECT GREATEST(SUM(nv * (nv - 1)) * 1000000
+      |    // (SELECT n * (n - 1) FROM nn), 1) AS u
+      |  FROM (SELECT COUNT(*) AS nv FROM c GROUP BY fb)),
+      |u3 AS (SELECT GREATEST(SUM(nv * (nv - 1)) * 1000000
+      |    // (SELECT n * (n - 1) FROM nn), 1) AS u
+      |  FROM (SELECT COUNT(*) AS nv FROM c GROUP BY lc)),
+      |blocked AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, COUNT(*) OVER (PARTITION BY nk, bb) AS bn FROM c)
+      |  WHERE bn <= $FsBlockCap),
+      |pairs AS (
+      |  SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS f1,
+      |    CASE WHEN a.fb = b.fb THEN 1 ELSE 0 END AS f2,
+      |    CASE WHEN a.lc = b.lc THEN 1 ELSE 0 END AS f3
+      |  FROM blocked a JOIN blocked b
+      |  ON a.nk = b.nk AND a.bb = b.bb AND a.c_custkey < b.c_custkey),
+      |pc AS (SELECT f1, f2, f3, COUNT(*) AS n_pairs
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |lattice AS (
+      |  SELECT g.i // 4 AS f1, (g.i // 2) % 2 AS f2, g.i % 2 AS f3
+      |  FROM (SELECT UNNEST(range(0, 8)) AS i) g)
+      |SELECT CAST(l.f1 * 4 + l.f2 * 2 + l.f3 AS BIGINT) AS pattern,
+      |  CAST(l.f1 AS BIGINT) AS f1, CAST(l.f2 AS BIGINT) AS f2,
+      |  CAST(l.f3 AS BIGINT) AS f3,
+      |  CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST((CASE WHEN l.f1 = 1 THEN ${wp("u1.u")} ELSE ${wm("u1.u")} END)
+      |    + (CASE WHEN l.f2 = 1 THEN ${wp("u2.u")} ELSE ${wm("u2.u")} END)
+      |    + (CASE WHEN l.f3 = 1 THEN ${wp("u3.u")} ELSE ${wm("u3.u")} END)
+      |    AS BIGINT) AS weight_e6
+      |FROM lattice l
+      |LEFT JOIN pc ON pc.f1 = l.f1 AND pc.f2 = l.f2 AND pc.f3 = l.f3
+      |CROSS JOIN u1 CROSS JOIN u2 CROSS JOIN u3
+      |ORDER BY pattern""".stripMargin
+  }
+
+  // ------ q532: p-chart (attribute control) on the daily return rate
+
+  /** q532: the p-chart — SPC for ATTRIBUTE data, completing the
+    * engine's control-chart suite (XmR q316 for individuals, CUSUM
+    * q124 for level shifts, Cp/Cpk q472 for capability): per ship-day
+    * the returned-line fraction against 3σ binomial limits around the
+    * grand rate, with the out-of-control decision made in EXACT
+    * integer arithmetic — (x_d·N − n_d·X)² > 9·X·(N−X)·n_d is the
+    * ±3σ test cleared of every division and square root, so the chart
+    * never touches a float. The worst day ships with its violation
+    * margin as the certificate.
+    *
+    * Plan: one lineitem pass → per-day (n, x) rollup → exact
+    * integer flagging → 1-row summary.
+    */
+  val q532PChart: Q = (s, dir) => {
+    val day = Tables.lineitem(s, dir)
+      .select(col("l_shipdate").as("d"),
+        (col("l_returnflag") === "R").cast("long").as("r"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("nd"), sum(col("r")).as("xd"))
+      .localCheckpoint()
+    val tot = day.agg(sum(col("nd")).as("nn"), sum(col("xd")).as("xx"))
+    val flagged = day.crossJoin(broadcast(tot))
+      .withColumn("lhs", expr(
+        "(xd * nn - nd * xx) * (xd * nn - nd * xx)"))
+      .withColumn("rhs", expr("9 * xx * (nn - xx) * nd"))
+      .withColumn("viol", (col("lhs") > col("rhs")).cast("long"))
+      .withColumn("high", (col("xd") * col("nn") > col("nd") * col("xx"))
+        .cast("long"))
+    val worst = flagged.orderBy((col("lhs") - col("rhs")).desc, col("d"))
+      .limit(1).select(col("d").as("worst_day"),
+        col("lhs").as("worst_lhs"), col("rhs").as("worst_rhs"))
+    flagged.agg(count(lit(1)).as("n_days"),
+        sum(col("viol") * col("high")).as("n_out_high"),
+        sum(col("viol") * (lit(1L) - col("high"))).as("n_out_low"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(worst))
+      .select(col("n_days"), col("nn").as("total_lines"),
+        col("xx").as("total_returned"),
+        expr("xx * 1000000 div nn").as("pbar_e6"),
+        col("n_out_high"), col("n_out_low"),
+        col("worst_day"), col("worst_lhs"), col("worst_rhs"))
+  }
+
+  val q532Sql: String =
+    """WITH day AS (
+      |  SELECT l_shipdate AS d, COUNT(*) AS nd,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS xd
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(nd) AS nn, SUM(xd) AS xx FROM day),
+      |fl AS (
+      |  SELECT d, nd, xd, nn, xx,
+      |    (xd * nn - nd * xx) * (xd * nn - nd * xx) AS lhs,
+      |    9 * xx * (nn - xx) * nd AS rhs
+      |  FROM day CROSS JOIN tot),
+      |worst AS (
+      |  SELECT d AS worst_day, lhs AS worst_lhs, rhs AS worst_rhs
+      |  FROM fl ORDER BY lhs - rhs DESC, d LIMIT 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(MAX(nn) AS BIGINT) AS total_lines,
+      |  CAST(MAX(xx) AS BIGINT) AS total_returned,
+      |  CAST(MAX(xx) * 1000000 // MAX(nn) AS BIGINT) AS pbar_e6,
+      |  CAST(SUM(CASE WHEN lhs > rhs AND xd * nn > nd * xx
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high,
+      |  CAST(SUM(CASE WHEN lhs > rhs AND xd * nn <= nd * xx
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+      |  MAX(worst.worst_day) AS worst_day,
+      |  CAST(MAX(worst.worst_lhs) AS BIGINT) AS worst_lhs,
+      |  CAST(MAX(worst.worst_rhs) AS BIGINT) AS worst_rhs
+      |FROM fl CROSS JOIN worst""".stripMargin
+
+  // ------ q534: record statistics of the daily revenue series
+
+  /** q534: how many RECORD days does the tape hold, against theory?
+    * For an exchangeable series the count of running maxima has mean
+    * H_n and variance H_n − H_n⁽²⁾ (the harmonic numbers) — one of
+    * the cleanest distribution-free laws there is, so the gap between
+    * the observed record count and H_n is a direct exchangeability /
+    * trend probe (a trending tape mints records far above H_n ≈ 8.4
+    * at n ≈ 2,400). Exact: records via one window pass, harmonic
+    * sums as per-term integer floors, z as a single IEEE expression.
+    *
+    * Plan: one orders pass → day series window → harmonic fold
+    * (sequence explode, calendar-bounded) → 1-row report.
+    */
+  val q534RecordStats: Q = (s, dir) => {
+    val bd = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("x"))
+      .withColumn("pm", max(col("x")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("rec", (col("pm").isNull || col("x") > col("pm"))
+        .cast("long"))
+    val base = bd.agg(count(lit(1)).as("n"), sum(col("rec")).as("n_records"),
+      max(when(col("rec") === 1L, col("d"))).as("last_record_day"))
+    val harm = base.select(col("n"),
+        explode(expr("sequence(1, CAST(n AS INT))")).as("i"))
+      .groupBy(col("n"))
+      .agg(sum(expr("1000000 div i")).as("h1_e6"),
+        sum(expr("1000000 div (i * i)")).as("h2_e6"))
+    base.join(harm, "n")
+      .select(col("n").as("n_days"), col("n_records"),
+        col("last_record_day"), col("h1_e6"), col("h2_e6"),
+        expr("""CAST(n_records * 1000000 - h1_e6 AS DOUBLE)
+          | / SQRT(CAST(h1_e6 - h2_e6 AS DOUBLE) * 1e6)"""
+          .stripMargin.replace("\n", " ")).as("z_d"))
+  }
+
+  val q534Sql: String =
+    """WITH bd AS (
+      |  SELECT d, x,
+      |    MAX(x) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM (SELECT o_orderdate AS d,
+      |          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+      |        FROM orders GROUP BY 1)),
+      |marked AS (
+      |  SELECT d, CASE WHEN pm IS NULL OR x > pm THEN 1 ELSE 0 END AS rec
+      |  FROM bd),
+      |base AS (
+      |  SELECT COUNT(*) AS n, SUM(rec) AS n_records,
+      |    MAX(CASE WHEN rec = 1 THEN d END) AS last_record_day
+      |  FROM marked),
+      |harm AS (
+      |  SELECT base.n, SUM(1000000 // i.i) AS h1_e6,
+      |    SUM(1000000 // (i.i * i.i)) AS h2_e6
+      |  FROM base CROSS JOIN (SELECT UNNEST(range(1, 3000)) AS i) i
+      |  WHERE i.i <= base.n
+      |  GROUP BY base.n)
+      |SELECT CAST(base.n AS BIGINT) AS n_days,
+      |  CAST(base.n_records AS BIGINT) AS n_records,
+      |  base.last_record_day,
+      |  CAST(harm.h1_e6 AS BIGINT) AS h1_e6,
+      |  CAST(harm.h2_e6 AS BIGINT) AS h2_e6,
+      |  CAST(base.n_records * 1000000 - harm.h1_e6 AS DOUBLE)
+      |    / SQRT(CAST(harm.h1_e6 - harm.h2_e6 AS DOUBLE) * 1e6) AS z_d
+      |FROM base JOIN harm ON base.n = harm.n""".stripMargin
+
+  // ------ q535: Allan variance ladder of the daily revenue
+
+  /** Averaging times for the q535 stability ladder. */
+  val AllanTaus: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** q535: Allan variance — the time-domain STABILITY ladder borrowed
+    * from clock metrology: block the daily revenue into τ-day
+    * averages and take half the mean squared successive difference,
+    * for τ = 1, 2, 4, 8, 16. White noise decays as 1/τ; drift keeps
+    * the ladder flat or growing — the diagnostic that separates the
+    * two without any spectral machinery (and the τ-domain complement
+    * of q319's periodogram). Block means floor to whole dollars so
+    * every squared difference is exact int64 at any realistic scale;
+    * incomplete tail blocks are dropped, textbook-style. One grid
+    * pass computes all five rungs: days × τ-literals, (τ, block)
+    * rollup, lag window per τ.
+    *
+    * Plan: one orders pass → day series (checkpointed) → 5×
+    * (τ, block) rollup in one grid → 5-row ladder.
+    */
+  val q535AllanVariance: Q = (s, dir) => {
+    import s.implicits._
+    val bd = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(expr("SUM(c) div 100").as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+      .localCheckpoint()
+    val taus = AllanTaus.toDF("tau")
+    val blocks = bd.crossJoin(broadcast(taus))
+      .withColumn("bid", expr("(rn - 1) div tau"))
+      .groupBy(col("tau"), col("bid"))
+      .agg(count(lit(1)).as("cnt"), expr("SUM(x) div COUNT(*)").as("bm"))
+      .filter(col("cnt") === col("tau"))
+    val diffs = blocks
+      .withColumn("pbm", lag(col("bm"), 1).over(
+        Window.partitionBy(col("tau")).orderBy(col("bid"))))
+      .filter(col("pbm").isNotNull)
+    diffs.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(expr("(bm - pbm) * (bm - pbm)")).as("ss"))
+      .select(col("tau").cast("long").as("tau"),
+        (col("n_diffs") + 1L).as("m_blocks"),
+        expr("ss div (2 * n_diffs)").as("avar_dollars2"))
+      .orderBy(col("tau"))
+  }
+
+  val q535Sql: String = {
+    val tauList = AllanTaus.mkString(", ")
+    s"""WITH bd AS (
+      |  SELECT SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100 AS x,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderdate) AS rn
+      |  FROM orders GROUP BY o_orderdate),
+      |blocks AS (
+      |  SELECT t.tau, (rn - 1) // t.tau AS bid, COUNT(*) AS cnt,
+      |    SUM(x) // COUNT(*) AS bm
+      |  FROM bd CROSS JOIN (SELECT UNNEST([$tauList]) AS tau) t
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) = t.tau),
+      |diffs AS (
+      |  SELECT tau, bm,
+      |    LAG(bm) OVER (PARTITION BY tau ORDER BY bid) AS pbm
+      |  FROM blocks)
+      |SELECT CAST(tau AS BIGINT) AS tau,
+      |  CAST(COUNT(*) + 1 AS BIGINT) AS m_blocks,
+      |  CAST(SUM((bm - pbm) * (bm - pbm)) // (2 * COUNT(*)) AS BIGINT)
+      |    AS avar_dollars2
+      |FROM diffs WHERE pbm IS NOT NULL
+      |GROUP BY tau ORDER BY tau""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q531_fellegi_sunter" -> q531FellegiSunter,
+    "q532_p_chart" -> q532PChart,
+    "q534_record_stats" -> q534RecordStats,
+    "q535_allan_variance" -> q535AllanVariance,
     "q526_weighted_schedule" -> q526WeightedSchedule,
     "q527_kelly" -> q527Kelly,
     "q528_german_tank" -> q528GermanTank,
@@ -14196,6 +14546,10 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q531_fellegi_sunter" -> q531Sql,
+    "q532_p_chart" -> q532Sql,
+    "q534_record_stats" -> q534Sql,
+    "q535_allan_variance" -> q535Sql,
     "q526_weighted_schedule" -> q526Sql,
     "q527_kelly" -> q527Sql,
     "q528_german_tank" -> q528Sql,

@@ -3266,7 +3266,78 @@ object TextQueries {
       |CROSS JOIN (SELECT fs FROM slots) sl""".stripMargin
   }
 
+  // ------ q533: suffix-stripping stemmer (vocabulary normalization)
+
+  /** q533: a Porter-step-1 suffix stripper as a VOCABULARY
+    * NORMALIZATION audit — the curation step between raw tokens and
+    * every type-grain statistic (Heaps q294, Chao1 q323, TTR): apply
+    * the deterministic rule cascade (sses→ss, ies→i, ss kept, trailing
+    * s dropped; then ing/ed stripped off long-enough stems) and report
+    * per language how much of the type space collapses. The cascade is
+    * pure substring/LIKE logic, written once per engine with identical
+    * semantics — no dictionaries, no libs — so the oracle is exact.
+    * Types-after can never exceed types-before (stemming is a
+    * function), the monotonicity the plan spec pins.
+    *
+    * Plan: one token explode → per-lang distinct counts before/after
+    * (type-grain rollups) → 5-row report.
+    */
+  val q533Stemmer: Q = (s, dir) => {
+    val step1a =
+      """CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
+        | WHEN w LIKE '%ies' THEN substring(w, 1, length(w) - 2)
+        | WHEN w LIKE '%ss' THEN w
+        | WHEN w LIKE '%s' AND length(w) > 1
+        |   THEN substring(w, 1, length(w) - 1)
+        | ELSE w END""".stripMargin.replace("\n", " ")
+    val step1b =
+      """CASE WHEN v LIKE '%ing' AND length(v) > 5
+        |   THEN substring(v, 1, length(v) - 3)
+        | WHEN v LIKE '%ed' AND length(v) > 4
+        |   THEN substring(v, 1, length(v) - 2)
+        | ELSE v END""".stripMargin.replace("\n", " ")
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("v", expr(step1a))
+      .withColumn("stem", expr(step1b))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("types_before"),
+        countDistinct(col("stem")).as("types_after"))
+      .withColumn("reduction_e6",
+        expr("(types_before - types_after) * 1000000 div types_before"))
+      .orderBy(col("lang"))
+  }
+
+  val q533Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      |s1 AS (
+      |  SELECT lang, w,
+      |    CASE WHEN w LIKE '%sses' THEN substring(w, 1, LEN(w) - 2)
+      |      WHEN w LIKE '%ies' THEN substring(w, 1, LEN(w) - 2)
+      |      WHEN w LIKE '%ss' THEN w
+      |      WHEN w LIKE '%s' AND LEN(w) > 1
+      |        THEN substring(w, 1, LEN(w) - 1)
+      |      ELSE w END AS v
+      |  FROM toks),
+      |s2 AS (
+      |  SELECT lang, w,
+      |    CASE WHEN v LIKE '%ing' AND LEN(v) > 5
+      |        THEN substring(v, 1, LEN(v) - 3)
+      |      WHEN v LIKE '%ed' AND LEN(v) > 4
+      |        THEN substring(v, 1, LEN(v) - 2)
+      |      ELSE v END AS stem
+      |  FROM s1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT w) AS BIGINT) AS types_before,
+      |  CAST(COUNT(DISTINCT stem) AS BIGINT) AS types_after,
+      |  CAST((COUNT(DISTINCT w) - COUNT(DISTINCT stem)) * 1000000
+      |    // COUNT(DISTINCT w) AS BIGINT) AS reduction_e6
+      |FROM s2 GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q533_stemmer" -> q533Stemmer,
     "q514_kneser_ney" -> q514KneserNey,
     "q515_huffman" -> q515Huffman,
     "q424_rake" -> q424Rake,
@@ -3317,6 +3388,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q533_stemmer" -> q533Sql,
     "q514_kneser_ney" -> q514Sql,
     "q515_huffman" -> q515Sql,
     "q424_rake" -> q424Sql,

@@ -304,6 +304,71 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
     if (rr < 1000000L) assert(pw >= 500000L)
   }
 
+  test("q531: the pattern lattice is complete and weights are monotone") {
+    val r = rows("q531_fellegi_sunter").sortBy(_.getAs[Long]("pattern"))
+    assert(r.length == 8, "all 2^3 agreement patterns, zero-count included")
+    assert(r.map(_.getAs[Long]("pattern")).toSeq == (0L to 7L))
+    // flipping any field from disagree to agree can only raise the weight
+    val wByPattern = r.map(row =>
+      row.getAs[Long]("pattern") -> row.getAs[Long]("weight_e6")).toMap
+    for (p <- 0 to 7; bit <- Seq(1, 2, 4) if (p & bit) == 0)
+      assert(wByPattern(p.toLong) <= wByPattern((p | bit).toLong),
+        s"agreement on a field must not lower the score ($p vs ${p | bit})")
+    assert(r.map(_.getAs[Long]("n_pairs")).sum > 0L)
+  }
+
+  test("q532: the integer 3-sigma test never flags both sides at once") {
+    val r = rows("q532_p_chart")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_out_high") + row.getAs[Long]("n_out_low")
+      <= row.getAs[Long]("n_days"))
+    assert(row.getAs[Long]("pbar_e6") > 0L &&
+      row.getAs[Long]("pbar_e6") < 1000000L)
+    assert(row.getAs[Long]("total_returned") <= row.getAs[Long]("total_lines"))
+  }
+
+  test("q533: stemming is a function — the type space can only shrink") {
+    val r = rows("q533_stemmer")
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getAs[Long]("types_after") <= row.getAs[Long]("types_before"))
+      assert(row.getAs[Long]("types_before") <= row.getAs[Long]("n_tokens"))
+      assert(row.getAs[Long]("reduction_e6") >= 0L)
+    }
+    // no rules-must-fire assertion: the synthetic fixture's 31-token
+    // vocabulary happens to contain no s/ed/ing merge pairs — pin the
+    // function identity (monotone, nonnegative), not fixture folklore
+  }
+
+  test("q534: the first day is always a record; counts fit the series") {
+    val r = rows("q534_record_stats")
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    val rec = row.getAs[Long]("n_records")
+    assert(rec >= 1L && rec <= n)
+    // H_n(2) < H_n always; both positive
+    assert(row.getAs[Long]("h2_e6") < row.getAs[Long]("h1_e6"))
+    assert(row.getAs[Long]("h1_e6") > 0L)
+  }
+
+  test("q535: the Allan ladder is positive with the block accounting right") {
+    val r = rows("q535_allan_variance").sortBy(_.getAs[Long]("tau"))
+    assert(r.map(_.getAs[Long]("tau")).toSeq ==
+      AuditQueries.AllanTaus.map(_.toLong))
+    r.foreach { row =>
+      assert(row.getAs[Long]("avar_dollars2") >= 0L)
+      assert(row.getAs[Long]("m_blocks") >= 2L)
+    }
+    // block counts halve (to within truncation) as tau doubles
+    val m = r.map(_.getAs[Long]("m_blocks"))
+    m.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a / 2 + 1)
+      case _ =>
+    }
+  }
+
   test("q513: MoM fit is admissible exactly on the overdispersed groups") {
     val r = rows("q513_neg_binomial")
     assert(r.length == 5)
