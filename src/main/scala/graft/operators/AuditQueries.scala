@@ -14054,144 +14054,6 @@ object AuditQueries {
       |      AS BIGINT) END AS BIGINT) AS pruin_e6
       |FROM ch""".stripMargin
 
-  // ------ q531: Fellegi-Sunter record-linkage weights
-
-  /** Declared per-field match probability m = 0.95 (the classic FS
-    * default when no labeled pairs exist) and the block-size valve.
-    */
-  val FsME6 = 950000L
-  val FsBlockCap = 200L
-
-  /** q531: Fellegi–Sunter linkage weights — the PROBABILISTIC layer
-    * over the engine's deterministic matchers (Levenshtein q-series,
-    * phonetic q256): each comparison field earns log-likelihood
-    * weights w⁺ = ln(m/u), w⁻ = ln((1−m)/(1−u)), with u estimated
-    * EXACTLY from the data as the random-pair agreement probability
-    * Σ nᵥ(nᵥ−1)/N(N−1) per field and m the declared 0.95. Candidate
-    * pairs come from (nation, balance-bucket) blocks with the
-    * BlockCap valve (the house ER bound), and the report is the full
-    * 2³ agreement-pattern lattice — every pattern row carries its
-    * pair count and composite weight, zero-count patterns included so
-    * the shape is fixed. Weights ride the log2 LUT; u floors guard at
-    * 1 so the log argument never degenerates.
-    *
-    * Plan: three marginal rollups (u's) + one blocked pair pass
-    * (capped) → 8-row lattice join.
-    */
-  val q531FellegiSunter: Q = (s, dir) => {
-    def l2(x: String) = graft.functions.Text.log2e6SparkSql(x)
-    val c = Tables.customer(s, dir).select(col("c_custkey"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      expr("CAST(ROUND(c_acctbal*100) AS BIGINT) div 100000").as("bb"),
-      expr("CAST(ROUND(c_acctbal*100) AS BIGINT) div 10000").as("fb"),
-      expr("substring(c_name, length(c_name), 1)").as("lc"))
-      .localCheckpoint()
-    val n = c.count()
-    def uOf(field: String): Long = {
-      val agree = c.groupBy(col(field)).agg(count(lit(1)).as("nv"))
-        .agg(sum(expr("nv * (nv - 1)")).as("a")).collect()(0).getAs[Long]("a")
-      math.max(agree * 1000000L / (n * (n - 1L)), 1L)
-    }
-    val us = Seq(uOf("seg"), uOf("fb"), uOf("lc"))
-    def wPlus(u: Long): Long =
-      (l2e6ScalaPub(FsME6) - l2e6ScalaPub(u)) * 693147L / 1000000L
-    def wMinus(u: Long): Long =
-      (l2e6ScalaPub(1000000L - FsME6) - l2e6ScalaPub(
-        math.max(1000000L - u, 1L))) * 693147L / 1000000L
-    val blocked = c
-      .withColumn("bn", count(lit(1)).over(
-        Window.partitionBy(col("nk"), col("bb"))))
-      .filter(col("bn") <= FsBlockCap)
-    val pairs = blocked.as("a").join(blocked.as("b"),
-        col("a.nk") === col("b.nk") && col("a.bb") === col("b.bb") &&
-          col("a.c_custkey") < col("b.c_custkey"))
-      .select(
-        (col("a.seg") === col("b.seg")).cast("long").as("f1"),
-        (col("a.fb") === col("b.fb")).cast("long").as("f2"),
-        (col("a.lc") === col("b.lc")).cast("long").as("f3"))
-      .groupBy(col("f1"), col("f2"), col("f3"))
-      .agg(count(lit(1)).as("n_pairs"))
-    import s.implicits._
-    val lattice = (for (a <- 0 to 1; bb <- 0 to 1; cc <- 0 to 1)
-      yield (a.toLong, bb.toLong, cc.toLong))
-      .toDF("f1", "f2", "f3")
-    val weights = Seq(("f1", us(0)), ("f2", us(1)), ("f3", us(2)))
-    val wCols = weights.zipWithIndex.map { case ((f, u), i) =>
-      when(col(f) === 1L, lit(wPlus(u))).otherwise(lit(wMinus(u)))
-        .as(s"w$i")
-    }
-    lattice.join(pairs, Seq("f1", "f2", "f3"), "left")
-      .select((col("f1") * 4 + col("f2") * 2 + col("f3")).as("pattern"),
-        col("f1"), col("f2"), col("f3"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        (wCols(0) + wCols(1) + wCols(2)).as("weight_e6"))
-      .orderBy(col("pattern"))
-  }
-
-  /** Scala twin of the log2 LUT formula, public for plan-time weight
-    * folds (same integer as l2e6Scala above).
-    */
-  private def l2e6ScalaPub(x: Long): Long = {
-    require(x >= 1)
-    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
-    val norm = if (bl <= 9) x << (9 - bl) else x >> (bl - 9)
-    (bl - 9).toLong * 1000000L +
-      graft.functions.Text.Log2LutE6((norm - 256).toInt)
-  }
-
-  val q531Sql: String = {
-    def l2d(x: String) = graft.functions.Text.log2e6DuckSql(x)
-    def wp(u: String) =
-      s"(((${l2d(FsME6.toString)}) - (${l2d(s"GREATEST($u, 1)")}))" +
-        " * 693147 // 1000000)"
-    def wm(u: String) =
-      s"(((${l2d((1000000L - FsME6).toString)})" +
-        s" - (${l2d(s"GREATEST(1000000 - ($u), 1)")})) * 693147 // 1000000)"
-    s"""WITH c AS (
-      |  SELECT c_custkey, c_nationkey AS nk, c_mktsegment AS seg,
-      |    CAST(ROUND(c_acctbal*100) AS BIGINT) // 100000 AS bb,
-      |    CAST(ROUND(c_acctbal*100) AS BIGINT) // 10000 AS fb,
-      |    substring(c_name, LEN(c_name), 1) AS lc
-      |  FROM customer),
-      |nn AS (SELECT COUNT(*) AS n FROM c),
-      |u1 AS (SELECT GREATEST(SUM(nv * (nv - 1)) * 1000000
-      |    // (SELECT n * (n - 1) FROM nn), 1) AS u
-      |  FROM (SELECT COUNT(*) AS nv FROM c GROUP BY seg)),
-      |u2 AS (SELECT GREATEST(SUM(nv * (nv - 1)) * 1000000
-      |    // (SELECT n * (n - 1) FROM nn), 1) AS u
-      |  FROM (SELECT COUNT(*) AS nv FROM c GROUP BY fb)),
-      |u3 AS (SELECT GREATEST(SUM(nv * (nv - 1)) * 1000000
-      |    // (SELECT n * (n - 1) FROM nn), 1) AS u
-      |  FROM (SELECT COUNT(*) AS nv FROM c GROUP BY lc)),
-      |blocked AS (
-      |  SELECT * FROM (
-      |    SELECT c.*, COUNT(*) OVER (PARTITION BY nk, bb) AS bn FROM c)
-      |  WHERE bn <= $FsBlockCap),
-      |pairs AS (
-      |  SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS f1,
-      |    CASE WHEN a.fb = b.fb THEN 1 ELSE 0 END AS f2,
-      |    CASE WHEN a.lc = b.lc THEN 1 ELSE 0 END AS f3
-      |  FROM blocked a JOIN blocked b
-      |  ON a.nk = b.nk AND a.bb = b.bb AND a.c_custkey < b.c_custkey),
-      |pc AS (SELECT f1, f2, f3, COUNT(*) AS n_pairs
-      |  FROM pairs GROUP BY 1, 2, 3),
-      |lattice AS (
-      |  SELECT g.i // 4 AS f1, (g.i // 2) % 2 AS f2, g.i % 2 AS f3
-      |  FROM (SELECT UNNEST(range(0, 8)) AS i) g)
-      |SELECT CAST(l.f1 * 4 + l.f2 * 2 + l.f3 AS BIGINT) AS pattern,
-      |  CAST(l.f1 AS BIGINT) AS f1, CAST(l.f2 AS BIGINT) AS f2,
-      |  CAST(l.f3 AS BIGINT) AS f3,
-      |  CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
-      |  CAST((CASE WHEN l.f1 = 1 THEN ${wp("u1.u")} ELSE ${wm("u1.u")} END)
-      |    + (CASE WHEN l.f2 = 1 THEN ${wp("u2.u")} ELSE ${wm("u2.u")} END)
-      |    + (CASE WHEN l.f3 = 1 THEN ${wp("u3.u")} ELSE ${wm("u3.u")} END)
-      |    AS BIGINT) AS weight_e6
-      |FROM lattice l
-      |LEFT JOIN pc ON pc.f1 = l.f1 AND pc.f2 = l.f2 AND pc.f3 = l.f3
-      |CROSS JOIN u1 CROSS JOIN u2 CROSS JOIN u3
-      |ORDER BY pattern""".stripMargin
-  }
-
   // ------ q532: p-chart (attribute control) on the daily return rate
 
   /** q532: the p-chart — SPC for ATTRIBUTE data, completing the
@@ -14401,7 +14263,6 @@ object AuditQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    "q531_fellegi_sunter" -> q531FellegiSunter,
     "q532_p_chart" -> q532PChart,
     "q534_record_stats" -> q534RecordStats,
     "q535_allan_variance" -> q535AllanVariance,
@@ -14546,7 +14407,6 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
-    "q531_fellegi_sunter" -> q531Sql,
     "q532_p_chart" -> q532Sql,
     "q534_record_stats" -> q534Sql,
     "q535_allan_variance" -> q535Sql,

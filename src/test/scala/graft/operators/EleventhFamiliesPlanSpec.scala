@@ -304,19 +304,6 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
     if (rr < 1000000L) assert(pw >= 500000L)
   }
 
-  test("q531: the pattern lattice is complete and weights are monotone") {
-    val r = rows("q531_fellegi_sunter").sortBy(_.getAs[Long]("pattern"))
-    assert(r.length == 8, "all 2^3 agreement patterns, zero-count included")
-    assert(r.map(_.getAs[Long]("pattern")).toSeq == (0L to 7L))
-    // flipping any field from disagree to agree can only raise the weight
-    val wByPattern = r.map(row =>
-      row.getAs[Long]("pattern") -> row.getAs[Long]("weight_e6")).toMap
-    for (p <- 0 to 7; bit <- Seq(1, 2, 4) if (p & bit) == 0)
-      assert(wByPattern(p.toLong) <= wByPattern((p | bit).toLong),
-        s"agreement on a field must not lower the score ($p vs ${p | bit})")
-    assert(r.map(_.getAs[Long]("n_pairs")).sum > 0L)
-  }
-
   test("q532: the integer 3-sigma test never flags both sides at once") {
     val r = rows("q532_p_chart")
     assert(r.length == 1)
