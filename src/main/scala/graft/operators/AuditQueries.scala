@@ -14054,6 +14054,286 @@ object AuditQueries {
       |      AS BIGINT) END AS BIGINT) AS pruin_e6
       |FROM ch""".stripMargin
 
+  // ------ q531: bullwhip effect (order-vs-fulfillment variability)
+
+  /** q531: the bullwhip ratio — does variability AMPLIFY moving up
+    * the chain? The same shipped quantities are laid on two clocks:
+    * the day the order was PLACED (upstream signal) and the day the
+    * line actually SHIPPED (downstream fulfillment), both on the
+    * union calendar with explicit zeros so the variances are honest.
+    * Bullwhip = CV²(placed) / CV²(shipped), the classic Lee et al.
+    * measure, staged in two exact divisions (mean² rescale first, so
+    * no product leaves int64). A ratio above 10⁶ says order batching
+    * amplifies demand noise before it ever reaches the dock.
+    *
+    * Plan: one lineitem⋈orders pass → two (day) rollups on the shared
+    * spine → 1-row moment arithmetic.
+    */
+  val q531Bullwhip: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderdate").as("pd"), col("l_shipdate").as("sd2"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+      .localCheckpoint()
+    val placed = li.groupBy(col("pd").as("d")).agg(sum(col("q")).as("qp"))
+    val shipped = li.groupBy(col("sd2").as("d")).agg(sum(col("q")).as("qs"))
+    val spine = placed.select(col("d")).unionAll(shipped.select(col("d")))
+      .distinct()
+    val grid = spine.join(placed, Seq("d"), "left")
+      .join(shipped, Seq("d"), "left")
+      .select(coalesce(col("qp"), lit(0L)).as("qp"),
+        coalesce(col("qs"), lit(0L)).as("qs"))
+    grid.agg(count(lit(1)).as("n"),
+        sum(col("qp")).as("sp"), sum(col("qp") * col("qp")).as("spp"),
+        sum(col("qs")).as("ss"), sum(col("qs") * col("qs")).as("sss"))
+      .select(col("n").as("n_days"),
+        expr("sp * 1000000 div n").as("mean_placed_e6"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * spp
+          | - CAST(sp AS DECIMAL(38,0)) * sp) * 1000000
+          | div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("var_placed_e6"),
+        expr("ss * 1000000 div n").as("mean_shipped_e6"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sss
+          | - CAST(ss AS DECIMAL(38,0)) * ss) * 1000000
+          | div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("var_shipped_e6"))
+      .withColumn("cv2_placed_e6", expr(
+        """CAST(CAST(var_placed_e6 AS DECIMAL(38,0)) * 1000000 div
+          | (CAST(mean_placed_e6 AS DECIMAL(38,0)) * mean_placed_e6
+          |  div 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("cv2_shipped_e6", expr(
+        """CAST(CAST(var_shipped_e6 AS DECIMAL(38,0)) * 1000000 div
+          | (CAST(mean_shipped_e6 AS DECIMAL(38,0)) * mean_shipped_e6
+          |  div 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("bullwhip_e6",
+        expr("cv2_placed_e6 * 1000000 div cv2_shipped_e6"))
+  }
+
+  val q531Sql: String =
+    """WITH li AS (
+      |  SELECT o_orderdate AS pd, l_shipdate AS sd2,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |placed AS (SELECT pd AS d, SUM(q) AS qp FROM li GROUP BY 1),
+      |shipped AS (SELECT sd2 AS d, SUM(q) AS qs FROM li GROUP BY 1),
+      |spine AS (
+      |  SELECT d FROM placed UNION SELECT d FROM shipped),
+      |grid AS (
+      |  SELECT COALESCE(placed.qp, 0) AS qp, COALESCE(shipped.qs, 0) AS qs
+      |  FROM spine LEFT JOIN placed USING (d) LEFT JOIN shipped USING (d)),
+      |mom AS (
+      |  SELECT COUNT(*) AS n, SUM(qp) AS sp, SUM(qp * qp) AS spp,
+      |    SUM(qs) AS ss, SUM(qs * qs) AS sss
+      |  FROM grid),
+      |st AS (
+      |  SELECT n,
+      |    sp * 1000000 // n AS mean_placed_e6,
+      |    (CAST(n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp) * 1000000
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS var_placed_e6,
+      |    ss * 1000000 // n AS mean_shipped_e6,
+      |    (CAST(n AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss) * 1000000
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS var_shipped_e6
+      |  FROM mom),
+      |cv AS (
+      |  SELECT st.*,
+      |    CAST(var_placed_e6 AS HUGEINT) * 1000000
+      |      // (CAST(mean_placed_e6 AS HUGEINT) * mean_placed_e6
+      |          // 1000000) AS cv2_placed_e6,
+      |    CAST(var_shipped_e6 AS HUGEINT) * 1000000
+      |      // (CAST(mean_shipped_e6 AS HUGEINT) * mean_shipped_e6
+      |          // 1000000) AS cv2_shipped_e6
+      |  FROM st)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(mean_placed_e6 AS BIGINT) AS mean_placed_e6,
+      |  CAST(var_placed_e6 AS BIGINT) AS var_placed_e6,
+      |  CAST(mean_shipped_e6 AS BIGINT) AS mean_shipped_e6,
+      |  CAST(var_shipped_e6 AS BIGINT) AS var_shipped_e6,
+      |  CAST(cv2_placed_e6 AS BIGINT) AS cv2_placed_e6,
+      |  CAST(cv2_shipped_e6 AS BIGINT) AS cv2_shipped_e6,
+      |  CAST(cv2_placed_e6 * 1000000 // cv2_shipped_e6 AS BIGINT)
+      |    AS bullwhip_e6
+      |FROM cv""".stripMargin
+
+  // ------ q536: hierarchical forecast reconciliation (region ⊃ nation)
+
+  /** q536: coherent forecasting — nation forecasts must SUM to their
+    * region's, or planners double-count. The last day is held out;
+    * drift forecasts (last + mean daily increment, the textbook
+    * baseline) are fit per nation and per region on the training
+    * days; bottom-up reconciles by summation (coherent by
+    * construction), top-down re-apportions the region forecast by
+    * training-mass shares through the largest-remainder device
+    * (q485), so the nation-level TD splits rebuild the region number
+    * EXACTLY — both coherence certificates ship in-output, along with
+    * each method's absolute error against the held-out actual.
+    *
+    * Plan: one orders⋈broadcast-dims pass → (region, nation, day)
+    * rollup (checkpointed) → metadata drift fits + apportionment →
+    * 5-row report.
+    */
+  val q536ForecastReconcile: Q = (s, dir) => {
+    def sdivF(num: String, den: String) =
+      s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
+         | (abs($num) div ($den)) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    val geo = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("nk"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey").as("rk2"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("c_custkey"), col("nk"), col("rk2"))
+    val nd = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate").as("d"),
+        cents(col("o_totalprice")).as("c"))
+      .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("rk2"), col("nk"), col("d")).agg(sum(col("c")).as("x"))
+      .localCheckpoint()
+    val ldDf = nd.agg(max(col("d")).as("ld"))
+    val train = nd.crossJoin(broadcast(ldDf))
+      .filter(col("d") < col("ld")).drop("ld")
+    val actual = nd.crossJoin(broadcast(ldDf))
+      .filter(col("d") === col("ld"))
+      .groupBy(col("rk2")).agg(sum(col("x")).as("actual_c"))
+    // drift fit per nation: last + (last - first) div (spanDays)
+    def drift(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("d"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy(keys.map(col): _*)))
+        .filter(col("rn") === 1 || col("rn") === col("nn"))
+        .groupBy(keys.map(col): _*)
+        .agg(max(when(col("rn") === col("nn"), col("x"))).as("lastv"),
+          max(when(col("rn") === 1, col("x"))).as("firstv"),
+          max(col("nn")).as("nn"))
+        .withColumn("fc", when(col("nn") === 1, col("lastv"))
+          .otherwise(col("lastv") + expr(
+            sdivF("lastv - firstv", "nn - 1"))))
+        .withColumn("fc", greatest(col("fc"), lit(0L)))
+    }
+    val natTrainDay = train.groupBy(col("rk2"), col("nk"), col("d"))
+      .agg(sum(col("x")).as("x"))
+    val regTrainDay = train.groupBy(col("rk2"), col("d"))
+      .agg(sum(col("x")).as("x"))
+    val natFc = drift(natTrainDay, Seq("rk2", "nk"))
+      .select(col("rk2"), col("nk"), col("fc").as("nat_fc"))
+      .localCheckpoint()
+    val regFc = drift(regTrainDay, Seq("rk2"))
+      .select(col("rk2"), col("fc").as("reg_fc"))
+      .localCheckpoint()
+    val bu = natFc.groupBy(col("rk2")).agg(sum(col("nat_fc")).as("bu_c"))
+    // top-down: largest-remainder apportionment of reg_fc by train mass
+    val mass = train.groupBy(col("rk2"), col("nk")).agg(sum(col("x")).as("t"))
+    val massTot = mass.groupBy(col("rk2")).agg(sum(col("t")).as("tt"))
+    val tdBase = mass.join(broadcast(massTot), "rk2")
+      .join(broadcast(regFc), "rk2")
+      .withColumn("base", expr(
+        "CAST((CAST(reg_fc AS DECIMAL(38,0)) * t) div tt AS BIGINT)"))
+      .withColumn("rem", expr(
+        "CAST((CAST(reg_fc AS DECIMAL(38,0)) * t) % tt AS BIGINT)"))
+    val tdLeft = tdBase.groupBy(col("rk2"))
+      .agg((max(col("reg_fc")) - sum(col("base"))).as("lv"))
+    val td = tdBase.join(broadcast(tdLeft), "rk2")
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("rk2"))
+          .orderBy(col("rem").desc, col("nk"))))
+      .withColumn("td_i", col("base") + (col("rr") <= col("lv")).cast("long"))
+      .groupBy(col("rk2")).agg(sum(col("td_i")).as("td_sum_c"))
+    actual.join(bu, "rk2").join(broadcast(regFc), "rk2").join(td, "rk2")
+      .select(col("rk2").cast("long").as("region"),
+        col("actual_c"), col("bu_c"),
+        col("reg_fc").as("td_region_c"), col("td_sum_c"),
+        abs(col("bu_c") - col("actual_c")).as("err_bu_c"),
+        abs(col("reg_fc") - col("actual_c")).as("err_td_c"),
+        (col("td_sum_c") === col("reg_fc")).cast("long").as("td_coherent"))
+      .orderBy(col("region"))
+  }
+
+  val q536Sql: String =
+    """WITH geo AS (
+      |  SELECT c_custkey, c_nationkey AS nk, n_regionkey AS rk2
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |nd AS (
+      |  SELECT rk2, nk, o_orderdate AS d,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+      |  FROM orders JOIN geo ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3),
+      |ld AS (SELECT MAX(d) AS ld FROM nd),
+      |train AS (SELECT nd.* FROM nd CROSS JOIN ld WHERE nd.d < ld.ld),
+      |actual AS (
+      |  SELECT rk2, SUM(x) AS actual_c
+      |  FROM nd CROSS JOIN ld WHERE nd.d = ld.ld GROUP BY rk2),
+      |ntd AS (
+      |  SELECT rk2, nk, d, SUM(x) AS x FROM train GROUP BY 1, 2, 3),
+      |nat_ends AS (
+      |  SELECT rk2, nk,
+      |    MAX(CASE WHEN rn = nn THEN x END) AS lastv,
+      |    MAX(CASE WHEN rn = 1 THEN x END) AS firstv,
+      |    MAX(nn) AS nn
+      |  FROM (SELECT rk2, nk, x,
+      |          ROW_NUMBER() OVER (PARTITION BY rk2, nk ORDER BY d) AS rn,
+      |          COUNT(*) OVER (PARTITION BY rk2, nk) AS nn
+      |        FROM ntd)
+      |  WHERE rn = 1 OR rn = nn
+      |  GROUP BY 1, 2),
+      |nat_fc AS (
+      |  SELECT rk2, nk,
+      |    GREATEST(CASE WHEN nn = 1 THEN lastv
+      |      ELSE lastv + CASE WHEN lastv - firstv >= 0 THEN 1 ELSE -1 END
+      |        * (ABS(lastv - firstv) // (nn - 1)) END, 0) AS nat_fc
+      |  FROM nat_ends),
+      |rtd AS (SELECT rk2, d, SUM(x) AS x FROM train GROUP BY 1, 2),
+      |reg_ends AS (
+      |  SELECT rk2,
+      |    MAX(CASE WHEN rn = nn THEN x END) AS lastv,
+      |    MAX(CASE WHEN rn = 1 THEN x END) AS firstv,
+      |    MAX(nn) AS nn
+      |  FROM (SELECT rk2, x,
+      |          ROW_NUMBER() OVER (PARTITION BY rk2 ORDER BY d) AS rn,
+      |          COUNT(*) OVER (PARTITION BY rk2) AS nn
+      |        FROM rtd)
+      |  WHERE rn = 1 OR rn = nn
+      |  GROUP BY 1),
+      |reg_fc AS (
+      |  SELECT rk2,
+      |    GREATEST(CASE WHEN nn = 1 THEN lastv
+      |      ELSE lastv + CASE WHEN lastv - firstv >= 0 THEN 1 ELSE -1 END
+      |        * (ABS(lastv - firstv) // (nn - 1)) END, 0) AS reg_fc
+      |  FROM reg_ends),
+      |bu AS (SELECT rk2, SUM(nat_fc) AS bu_c FROM nat_fc GROUP BY rk2),
+      |mass AS (SELECT rk2, nk, SUM(x) AS t FROM train GROUP BY 1, 2),
+      |mtot AS (SELECT rk2, SUM(t) AS tt FROM mass GROUP BY rk2),
+      |td_base AS (
+      |  SELECT mass.rk2, mass.nk, reg_fc.reg_fc,
+      |    reg_fc.reg_fc * mass.t // mtot.tt AS base,
+      |    (reg_fc.reg_fc * mass.t) % mtot.tt AS rem
+      |  FROM mass JOIN mtot USING (rk2) JOIN reg_fc USING (rk2)),
+      |td_left AS (
+      |  SELECT rk2, MAX(reg_fc) - SUM(base) AS lv FROM td_base GROUP BY rk2),
+      |td AS (
+      |  SELECT rk2, SUM(base + CASE WHEN rr <= lv THEN 1 ELSE 0 END)
+      |    AS td_sum_c
+      |  FROM (
+      |    SELECT td_base.*, td_left.lv,
+      |      ROW_NUMBER() OVER (PARTITION BY td_base.rk2
+      |        ORDER BY rem DESC, nk) AS rr
+      |    FROM td_base JOIN td_left USING (rk2))
+      |  GROUP BY rk2)
+      |SELECT CAST(actual.rk2 AS BIGINT) AS region,
+      |  CAST(actual.actual_c AS BIGINT) AS actual_c,
+      |  CAST(bu.bu_c AS BIGINT) AS bu_c,
+      |  CAST(reg_fc.reg_fc AS BIGINT) AS td_region_c,
+      |  CAST(td.td_sum_c AS BIGINT) AS td_sum_c,
+      |  CAST(ABS(bu.bu_c - actual.actual_c) AS BIGINT) AS err_bu_c,
+      |  CAST(ABS(reg_fc.reg_fc - actual.actual_c) AS BIGINT) AS err_td_c,
+      |  CAST(CASE WHEN td.td_sum_c = reg_fc.reg_fc THEN 1 ELSE 0 END
+      |    AS BIGINT) AS td_coherent
+      |FROM actual JOIN bu USING (rk2) JOIN reg_fc USING (rk2)
+      |JOIN td USING (rk2)
+      |ORDER BY region""".stripMargin
+
   // ------ q532: p-chart (attribute control) on the daily return rate
 
   /** q532: the p-chart — SPC for ATTRIBUTE data, completing the
@@ -14263,6 +14543,8 @@ object AuditQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q531_bullwhip" -> q531Bullwhip,
+    "q536_forecast_reconcile" -> q536ForecastReconcile,
     "q532_p_chart" -> q532PChart,
     "q534_record_stats" -> q534RecordStats,
     "q535_allan_variance" -> q535AllanVariance,
@@ -14407,6 +14689,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q531_bullwhip" -> q531Sql,
+    "q536_forecast_reconcile" -> q536Sql,
     "q532_p_chart" -> q532Sql,
     "q534_record_stats" -> q534Sql,
     "q535_allan_variance" -> q535Sql,

@@ -304,6 +304,32 @@ class EleventhFamiliesPlanSpec extends SparkSpec {
     if (rr < 1000000L) assert(pw >= 500000L)
   }
 
+  test("q531: CV ladder components reconstruct the bullwhip ratio") {
+    val r = rows("q531_bullwhip")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("var_placed_e6") >= 0L &&
+      row.getAs[Long]("var_shipped_e6") >= 0L)
+    assert(row.getAs[Long]("cv2_placed_e6") > 0L &&
+      row.getAs[Long]("cv2_shipped_e6") > 0L)
+    assert(row.getAs[Long]("bullwhip_e6") ==
+      row.getAs[Long]("cv2_placed_e6") * 1000000L /
+        row.getAs[Long]("cv2_shipped_e6"))
+  }
+
+  test("q536: both reconciliations are coherent by construction") {
+    val r = rows("q536_forecast_reconcile")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // top-down nation splits rebuild the region forecast EXACTLY
+      assert(row.getAs[Long]("td_coherent") == 1L)
+      assert(row.getAs[Long]("td_sum_c") == row.getAs[Long]("td_region_c"))
+      assert(row.getAs[Long]("err_bu_c") >= 0L &&
+        row.getAs[Long]("err_td_c") >= 0L)
+      assert(row.getAs[Long]("bu_c") >= 0L)
+    }
+  }
+
   test("q532: the integer 3-sigma test never flags both sides at once") {
     val r = rows("q532_p_chart")
     assert(r.length == 1)
