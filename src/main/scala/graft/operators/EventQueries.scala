@@ -9188,16 +9188,17 @@ object EventQueries {
       (col("n") * col("qvw") - col("sv") * col("sw")).as("svw"),
       (col("n") * col("qww") - col("sw") * col("sw")).as("sww"))
       .withColumn("d2", col("suu") * col("svv") - col("suv") * col("suv"))
-      .withColumn("rr_e6", expr(fdiv("(sww * suu - suw * suw) * 1000000",
-        "suu")))
-      .withColumn("ru_e6", expr(fdiv(
+      .withColumn("rr_e6", expr("CASE WHEN suu = 0 THEN NULL ELSE " +
+        fdiv("(sww * suu - suw * suw) * 1000000", "suu") + " END"))
+      .withColumn("ru_e6", expr("CASE WHEN d2 = 0 THEN NULL ELSE " + fdiv(
         """(sww * d2 - suw * (suw * svv - svw * suv)
           | - svw * (svw * suu - suw * suv)) * 1000000"""
-          .stripMargin.replace("\n", " "), "d2")))
+          .stripMargin.replace("\n", " "), "d2") + " END"))
     cm.select(col("n").cast("long").as("n_eff"),
       col("rr_e6").cast("long").as("rss_restricted_e6"),
       col("ru_e6").cast("long").as("rss_unrestricted_e6"),
-      expr(sdiv("(rr_e6 - ru_e6) * (n - 3) * 1000000", "ru_e6"))
+      expr("CASE WHEN ru_e6 IS NULL OR ru_e6 = 0 THEN NULL ELSE " +
+        sdiv("(rr_e6 - ru_e6) * (n - 3) * 1000000", "ru_e6") + " END")
         .as("f_granger_e6"))
   }
 
@@ -9231,17 +9232,20 @@ object EventQueries {
       |  FROM mo),
       |st AS (
       |  SELECT n,
-      |    (sww * suu - suw * suw) * 1000000 // suu AS rr_e6,
-      |    (sww * (suu * svv - suv * suv)
+      |    CASE WHEN suu = 0 THEN NULL
+      |      ELSE (sww * suu - suw * suw) * 1000000 // suu END AS rr_e6,
+      |    CASE WHEN suu * svv - suv * suv = 0 THEN NULL
+      |      ELSE (sww * (suu * svv - suv * suv)
       |      - suw * (suw * svv - svw * suv)
       |      - svw * (svw * suu - suw * suv)) * 1000000
-      |      // (suu * svv - suv * suv) AS ru_e6
+      |      // (suu * svv - suv * suv) END AS ru_e6
       |  FROM cm)
       |SELECT CAST(n AS BIGINT) AS n_eff,
       |  CAST(rr_e6 AS BIGINT) AS rss_restricted_e6,
       |  CAST(ru_e6 AS BIGINT) AS rss_unrestricted_e6,
-      |  CAST(CASE WHEN rr_e6 - ru_e6 >= 0 THEN 1 ELSE -1 END *
-      |    (ABS((rr_e6 - ru_e6) * (n - 3) * 1000000) // ru_e6) AS BIGINT)
+      |  CAST(CASE WHEN ru_e6 IS NULL OR ru_e6 = 0 THEN NULL ELSE
+      |    CASE WHEN rr_e6 - ru_e6 >= 0 THEN 1 ELSE -1 END *
+      |    (ABS((rr_e6 - ru_e6) * (n - 3) * 1000000) // ru_e6) END AS BIGINT)
       |    AS f_granger_e6
       |FROM st""".stripMargin
 

@@ -1,0 +1,767 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TSql._
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and compression advisors — the physical-design surface a
+  * warehouse exposes next to its logical operators: the reference tunes
+  * columnstore quality with ALTER INDEX REBUILD and ordered CTAS (reference:
+  * samples/scripts/create-table-as-select/CTAS-Examples.sql,
+  * solutions/monitoring/scripts/views/microsoft.vw_rowgroup_health.sql);
+  * these operators quantify WHAT that physical order is worth, with exact
+  * integer models of the standard encodings:
+  *
+  *   - q537 Z-order (Morton) clustering vs row-major: distinct fixed-size
+  *     blocks touched by rectangle predicates under each layout — the
+  *     data-skipping argument behind Z-ORDER table maintenance.
+  *   - q538 delta bit-packing (Parquet DELTA_BINARY_PACKED shape): per-
+  *     miniblock min-delta + bit-width, summed to an exact encoded size.
+  *   - q539 posting-list compression: per-term d-gaps costed under Rice
+  *     (optimal k = floor(log2 avg-gap)), Elias gamma and fixed-width.
+  *   - q540 RLE ordering advisor: run counts for the same column under
+  *     three physical orders, computed scalably by block-local transitions
+  *     plus metadata-scale boundary stitching.
+  *
+  * Everything is integer-exact (bit ops, floor division, length-of-binary
+  * for floor(log2)) so the DuckDB oracle verifies bit-for-bit. Scale
+  * posture (100 TB): no global row_number over the fact stream — q537 ranks
+  * DISTINCT cell codes through the two-level rank-below device and expands
+  * each cell's contiguous block range arithmetically; q538/q540 confine
+  * windows to key-range blocks and stitch block summaries (a metadata-scale
+  * rollup); q539 shuffles the token stream once on term.
+  */
+object LayoutQueries {
+
+  /** Bit-spread for 16-bit Morton interleave: moves bit i of x to bit 2i.
+    * The classic mask ladder; pure int64 shifts/ands so Spark and DuckDB
+    * compute identical codes.
+    */
+  private def spread(x: Column): Column = {
+    val a = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The same spread ladder as staged SQL expressions over column `c`. */
+  private def spreadSqlStages(c: String, out: String): Seq[String] = Seq(
+    s"($c & 65535) AS ${out}_a",
+    s"((${out}_a | (${out}_a << 8)) & 16711935) AS ${out}_b",
+    s"((${out}_b | (${out}_b << 4)) & 252645135) AS ${out}_c",
+    s"((${out}_c | (${out}_c << 2)) & 858993459) AS ${out}_d",
+    s"((${out}_d | (${out}_d << 1)) & 1431655765) AS $out")
+
+  // ------- q537: Z-order clustering locality vs row-major (data skipping)
+
+  /** Rows per block in the layout model (a "file" of the clustered table). */
+  private val ZBlockRows = 512L
+
+  /** q537: how many fixed-size blocks does a rectangle predicate touch when
+    * lineitem is laid out row-major on (ship-day, partkey) vs Z-ordered on
+    * the Morton interleave of the same two keys? Six probe rectangles
+    * (narrow date window × low-partkey quarter, staggered across the date
+    * span) are evaluated against both layouts; the report carries blocks
+    * touched under each and the skip ratio — the exact quantity a Z-ORDER
+    * maintenance job is buying.
+    *
+    * Scale: the fact stream is never globally row-numbered. Rows collapse
+    * to distinct (day, partkey) cell codes with counts; the two-level
+    * rank-below device ([[AuditQueries.doubledRankBelow]]) assigns each
+    * cell its exact prefix-count, from which the cell's contiguous block
+    * range [below div B, (below+cnt−1) div B] follows arithmetically —
+    * blocks touched per rectangle is then a bounded explode of short
+    * ranges. Both layouts run the same routine, only the code differs.
+    */
+  val q537ZorderLocality: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_shipdate"), col("l_partkey"))
+    val mind = li.agg(min(col("l_shipdate")).as("md"))
+    val base = li.crossJoin(broadcast(mind))
+      .select(
+        expr("datediff(l_shipdate, md)").cast("long")
+          .bitwiseAND(lit(4095L)).as("d"),
+        col("l_partkey").cast("long").bitwiseAND(lit(4095L)).as("p"))
+    val ext = base.agg(max(col("d")).as("dmax"), max(col("p")).as("pmax"))
+    val rects = s.range(6).toDF("rid").crossJoin(broadcast(ext))
+      .select(col("rid"),
+        expr("rid * dmax div 6").as("dlo"),
+        expr("rid * dmax div 6 + dmax div 8 + 1").as("dhi"),
+        expr("(pmax + 1) div 4").as("phi"))
+    def touched(byCode: DataFrame): DataFrame =
+      AuditQueries.doubledRankBelow(byCode, Seq.empty, "code", 65536L)
+        .join(broadcast(rects),
+          col("d") >= col("dlo") && col("d") < col("dhi") &&
+            col("p") < col("phi"))
+        .withColumn("blk", explode(sequence(
+          expr(s"below div $ZBlockRows"),
+          expr(s"(below + cnt - 1) div $ZBlockRows"))))
+        .groupBy(col("rid"), col("dlo"), col("dhi"), col("phi"))
+        .agg(countDistinct(col("blk")).as("blocks"),
+          sum(when(col("blk") === expr(s"below div $ZBlockRows"), col("cnt"))
+            .otherwise(lit(0L))).as("rows_hit"))
+    val rm = touched(base
+      .groupBy((col("d") * 4096L + col("p")).as("code"), col("d"), col("p"))
+      .agg(count(lit(1)).as("cnt")))
+      .select(col("rid"), col("dlo"), col("dhi"), col("phi"),
+        col("rows_hit"), col("blocks").as("blocks_rowmajor"))
+    val zo = touched(base
+      .groupBy(spread(col("d"))
+        .bitwiseOR(shiftleft(spread(col("p")), 1)).as("code"),
+        col("d"), col("p"))
+      .agg(count(lit(1)).as("cnt")))
+      .select(col("rid").as("rid2"), col("blocks").as("blocks_zorder"))
+    rm.join(zo, col("rid") === col("rid2")).drop("rid2")
+      .withColumn("zo_vs_rm_e6",
+        expr("blocks_zorder * 1000000 div blocks_rowmajor"))
+      .orderBy(col("rid"))
+  }
+
+  val q537Sql: String = {
+    val dStages = spreadSqlStages("d", "ds").mkString(", ")
+    val pStages = spreadSqlStages("p", "ps").mkString(", ")
+    s"""WITH mind AS (SELECT MIN(l_shipdate) AS md FROM lineitem),
+       |base AS (
+       |  SELECT CAST(datediff('day', md, l_shipdate) AS BIGINT) & 4095 AS d,
+       |    CAST(l_partkey AS BIGINT) & 4095 AS p
+       |  FROM lineitem CROSS JOIN mind),
+       |ext AS (SELECT MAX(d) AS dmax, MAX(p) AS pmax FROM base),
+       |rects AS (
+       |  SELECT CAST(r.range AS BIGINT) AS rid,
+       |    CAST(r.range AS BIGINT) * dmax // 6 AS dlo,
+       |    CAST(r.range AS BIGINT) * dmax // 6 + dmax // 8 + 1 AS dhi,
+       |    (pmax + 1) // 4 AS phi
+       |  FROM range(0, 6) r CROSS JOIN ext),
+       |s1 AS (SELECT d, p, $dStages, $pStages FROM base),
+       |coded AS (
+       |  SELECT d, p, d * 4096 + p AS rm_code,
+       |    ds | (ps << 1) AS zo_code
+       |  FROM s1),
+       |rm_rn AS (
+       |  SELECT d, p,
+       |    (ROW_NUMBER() OVER (ORDER BY rm_code) - 1) // $ZBlockRows AS blk
+       |  FROM coded),
+       |zo_rn AS (
+       |  SELECT d, p,
+       |    (ROW_NUMBER() OVER (ORDER BY zo_code) - 1) // $ZBlockRows AS blk
+       |  FROM coded),
+       |rm AS (
+       |  SELECT rid, dlo, dhi, phi, COUNT(*) AS rows_hit,
+       |    COUNT(DISTINCT blk) AS blocks_rowmajor
+       |  FROM rm_rn JOIN rects ON d >= dlo AND d < dhi AND p < phi
+       |  GROUP BY 1, 2, 3, 4),
+       |zo AS (
+       |  SELECT rid, COUNT(DISTINCT blk) AS blocks_zorder
+       |  FROM zo_rn JOIN rects ON d >= dlo AND d < dhi AND p < phi
+       |  GROUP BY 1)
+       |SELECT rm.rid, rm.dlo, rm.dhi, rm.phi,
+       |  CAST(rm.rows_hit AS BIGINT) AS rows_hit,
+       |  CAST(rm.blocks_rowmajor AS BIGINT) AS blocks_rowmajor,
+       |  CAST(zo.blocks_zorder AS BIGINT) AS blocks_zorder,
+       |  CAST(zo.blocks_zorder * 1000000 // rm.blocks_rowmajor AS BIGINT)
+       |    AS zo_vs_rm_e6
+       |FROM rm JOIN zo USING (rid)
+       |ORDER BY rm.rid""".stripMargin
+  }
+
+  // --------------- q538: delta bit-packing size (DELTA_BINARY_PACKED shape)
+
+  /** Key-range rows per miniblock: deltas never cross a block boundary, so
+    * the encoder parallelizes per block — the same reason Parquet pages
+    * reset the delta chain.
+    */
+  private val DeltaBlockKeys = 2048L
+
+  /** q538: exact encoded size of three orders columns under Parquet-style
+    * delta bit-packing — per miniblock: first value raw (64), min-delta
+    * header (64 + 8-bit width), then (cnt−1) offsets at width =
+    * bits(max-delta − min-delta). The three configs span the interesting
+    * regimes: a sorted key (tiny positive deltas), a date in key order
+    * (small mixed deltas), and a price in key order (effectively random —
+    * delta packing buys nothing, the advisor's negative result).
+    *
+    * Scale: blocks are o_orderkey ranges, so the lag window is partitioned
+    * (no global sort); the per-block rollup is one aggregate.
+    */
+  val q538DeltaBitpack: Q = (s, dir) => {
+    val mind = Tables.orders(s, dir).agg(min(col("o_orderdate")).as("md"))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("price_c"))
+      .crossJoin(broadcast(mind))
+      .select(col("k"),
+        expr("datediff(o_orderdate, md)").cast("long").as("dday"),
+        col("price_c"))
+      .withColumn("blk", expr(s"k div $DeltaBlockKeys"))
+    val configs = Seq(
+      ("orderkey_sorted", col("k")),
+      ("orderdate_by_key", col("dday")),
+      ("totalprice_by_key", col("price_c")))
+    configs.map { case (name, v) =>
+      val w = Window.partitionBy(col("blk")).orderBy(col("k"))
+      val d = base.select(col("blk"), col("k"), v.as("v"))
+        .withColumn("dv", col("v") - lag(col("v"), 1).over(w))
+      val per = d.groupBy(col("blk")).agg(
+        count(lit(1)).as("cnt"),
+        min(col("dv")).as("dmin"),
+        max(col("dv")).as("dmaxv"))
+        .withColumn("width", expr(
+          """CASE WHEN cnt = 1 OR dmaxv = dmin THEN 0
+            | ELSE length(bin(dmaxv - dmin)) END"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("block_bits",
+          expr("64 + 64 + 8 + (cnt - 1) * width"))
+      per.agg(
+        sum(col("cnt")).as("n_vals"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("block_bits")).as("packed_bits"),
+        sum(expr("(cnt - 1) * width")).as("payload_bits"),
+        sum(col("cnt") - 1).as("n_deltas"))
+        .select(lit(name).as("config"), col("n_vals"), col("n_blocks"),
+          col("packed_bits"),
+          expr("n_vals * 64").as("plain_bits"),
+          expr("packed_bits * 1000000 div (n_vals * 64)").as("ratio_e6"),
+          expr("CASE WHEN n_deltas = 0 THEN 0 ELSE payload_bits * 1000 div n_deltas END")
+            .as("avg_width_e3"))
+    }.reduce(_.unionAll(_)).orderBy(col("config"))
+  }
+
+  val q538Sql: String =
+    s"""WITH mind AS (SELECT MIN(o_orderdate) AS md FROM orders),
+       |base AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+       |    CAST(datediff('day', md, o_orderdate) AS BIGINT) AS dday,
+       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+       |    CAST(o_orderkey AS BIGINT) // $DeltaBlockKeys AS blk
+       |  FROM orders CROSS JOIN mind),
+       |uni AS (
+       |  SELECT 'orderkey_sorted' AS config, blk, k, k AS v FROM base
+       |  UNION ALL
+       |  SELECT 'orderdate_by_key', blk, k, dday FROM base
+       |  UNION ALL
+       |  SELECT 'totalprice_by_key', blk, k, price_c FROM base),
+       |d AS (
+       |  SELECT config, blk,
+       |    v - LAG(v) OVER (PARTITION BY config, blk ORDER BY k) AS dv
+       |  FROM uni),
+       |per AS (
+       |  SELECT config, blk, COUNT(*) AS cnt,
+       |    MIN(dv) AS dmin, MAX(dv) AS dmaxv
+       |  FROM d GROUP BY 1, 2),
+       |wid AS (
+       |  SELECT config, cnt,
+       |    CASE WHEN cnt = 1 OR dmaxv = dmin THEN 0
+       |      ELSE length(bin(dmaxv - dmin)) END AS width
+       |  FROM per),
+       |tot AS (
+       |  SELECT config, SUM(cnt) AS n_vals, COUNT(*) AS n_blocks,
+       |    SUM(64 + 64 + 8 + (cnt - 1) * width) AS packed_bits,
+       |    SUM((cnt - 1) * width) AS payload_bits,
+       |    SUM(cnt - 1) AS n_deltas
+       |  FROM wid GROUP BY 1)
+       |SELECT config, CAST(n_vals AS BIGINT) AS n_vals,
+       |  CAST(n_blocks AS BIGINT) AS n_blocks,
+       |  CAST(packed_bits AS BIGINT) AS packed_bits,
+       |  CAST(n_vals * 64 AS BIGINT) AS plain_bits,
+       |  CAST(packed_bits * 1000000 // (n_vals * 64) AS BIGINT) AS ratio_e6,
+       |  CAST(CASE WHEN n_deltas = 0 THEN 0
+       |    ELSE payload_bits * 1000 // n_deltas END AS BIGINT) AS avg_width_e3
+       |FROM tot
+       |ORDER BY config""".stripMargin
+
+  // ----------------- q539: posting-list d-gap compression (Rice vs gamma)
+
+  /** q539: inverted-index size advisor over the documents corpus. Each
+    * term's posting list (distinct doc_ids, sorted) becomes d-gaps; the
+    * report costs them under Rice coding at the per-term optimal parameter
+    * k = floor(log2(avg gap)) — quotient in unary, k remainder bits —
+    * against Elias gamma (2·floor(log2 gap)+1) and fixed 32-bit postings,
+    * for the ten highest-df terms plus the corpus total. floor(log2 x) is
+    * length(bin(x))−1, the repo's bit-portable device.
+    *
+    * Scale: one shuffle of the token stream on term; gaps come from a
+    * term-partitioned lag window; the report is vocabulary-bounded.
+    */
+  val q539RicePostings: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val gaps = toks.withColumn("gap",
+      coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+        col("doc_id") + 1))
+    val stats = gaps.groupBy(col("term")).agg(
+      count(lit(1)).as("df"), sum(col("gap")).as("sumg"))
+      .withColumn("k", expr(
+        """CASE WHEN sumg div df <= 1 THEN 0
+          | ELSE length(bin(sumg div df)) - 1 END"""
+          .stripMargin.replace("\n", " ")))
+    val costed = gaps.join(stats, "term")
+      .groupBy(col("term"), col("df"), col("k"))
+      .agg(
+        (sum(expr("shiftright(gap, k)")) + col("df") * (col("k") + 1))
+          .as("rice_bits"),
+        sum(expr("2 * (length(bin(gap)) - 1) + 1")).as("gamma_bits"))
+      .withColumn("fixed_bits", col("df") * 32L)
+    val top = costed
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("rnk") <= 10).drop("rnk")
+    val total = costed.agg(
+      sum(col("df")).as("df"), sum(col("rice_bits")).as("rice_bits"),
+      sum(col("gamma_bits")).as("gamma_bits"),
+      sum(col("fixed_bits")).as("fixed_bits"))
+      .select(lit("~TOTAL").as("term"), col("df"), lit(-1L).as("k"),
+        col("rice_bits"), col("gamma_bits"), col("fixed_bits"))
+    top.select(col("term"), col("df"), col("k").cast("long").as("k"),
+      col("rice_bits"), col("gamma_bits"), col("fixed_bits"))
+      .unionAll(total)
+      .withColumn("winner", expr(
+        """CASE WHEN rice_bits <= gamma_bits AND rice_bits <= fixed_bits
+          | THEN 'rice' WHEN gamma_bits <= fixed_bits THEN 'gamma'
+          | ELSE 'fixed32' END"""
+          .stripMargin.replace("\n", " ")))
+      .orderBy(col("term"))
+  }
+
+  val q539Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, t.term
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  WHERE length(t.term) > 0),
+      |gaps AS (
+      |  SELECT term, COALESCE(
+      |    doc_id - LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+      |    doc_id + 1) AS gap
+      |  FROM toks),
+      |stats AS (
+      |  SELECT term, COUNT(*) AS df, SUM(gap) AS sumg,
+      |    CASE WHEN SUM(gap) // COUNT(*) <= 1 THEN 0
+      |      ELSE length(bin(SUM(gap) // COUNT(*))) - 1 END AS k
+      |  FROM gaps GROUP BY 1),
+      |costed AS (
+      |  SELECT g.term, s.df, s.k,
+      |    SUM(g.gap >> s.k) + s.df * (s.k + 1) AS rice_bits,
+      |    SUM(2 * (length(bin(g.gap)) - 1) + 1) AS gamma_bits,
+      |    s.df * 32 AS fixed_bits
+      |  FROM gaps g JOIN stats s USING (term)
+      |  GROUP BY 1, 2, 3),
+      |top AS (
+      |  SELECT term, df, k, rice_bits, gamma_bits, fixed_bits
+      |  FROM (SELECT costed.*, ROW_NUMBER() OVER
+      |          (ORDER BY df DESC, term) AS rnk FROM costed)
+      |  WHERE rnk <= 10),
+      |uni AS (
+      |  SELECT * FROM top
+      |  UNION ALL
+      |  SELECT '~TOTAL', SUM(df), -1, SUM(rice_bits), SUM(gamma_bits),
+      |    SUM(fixed_bits)
+      |  FROM costed)
+      |SELECT term, CAST(df AS BIGINT) AS df, CAST(k AS BIGINT) AS k,
+      |  CAST(rice_bits AS BIGINT) AS rice_bits,
+      |  CAST(gamma_bits AS BIGINT) AS gamma_bits,
+      |  CAST(fixed_bits AS BIGINT) AS fixed_bits,
+      |  CASE WHEN rice_bits <= gamma_bits AND rice_bits <= fixed_bits
+      |    THEN 'rice' WHEN gamma_bits <= fixed_bits THEN 'gamma'
+      |    ELSE 'fixed32' END AS winner
+      |FROM uni
+      |ORDER BY term""".stripMargin
+
+  // --------------------- q540: RLE run counts under three physical orders
+
+  /** q540: what is l_returnflag's run-length encoding worth under (a) the
+    * natural load order, (b) clustering on the flag itself, (c) clustering
+    * on ship date? Runs are counted scalably: transitions inside key-range
+    * blocks via a partitioned lag window, plus boundary transitions from a
+    * metadata-scale block-summary stitch (first/last value per block,
+    * compared in block order) — the one-pass + stitch pattern from
+    * docs/SCALE.md. The oracle counts the same runs with one global window,
+    * so the gate doubles as a stitch-correctness certificate.
+    */
+  val q540RleOrdering: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"),
+        col("l_shipdate"), col("l_returnflag").as("v"))
+      .withColumn("mm",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long"))
+    // (name, block key, intra-block order) — block key must be a prefix of
+    // the global order so block-lexicographic stitching is sound.
+    val configs = Seq(
+      ("a_natural", expr("ok div 2048"),
+        Seq(col("ok"), col("ln"))),
+      ("b_by_flag", expr("CAST(ascii(v) AS BIGINT) * 1000000 + mm"),
+        Seq(col("v"), col("l_shipdate"), col("ok"), col("ln"))),
+      ("c_by_date", col("mm"),
+        Seq(col("l_shipdate"), col("ok"), col("ln"))))
+    configs.map { case (name, blkE, ord) =>
+      val w = Window.partitionBy(col("blk")).orderBy(ord: _*)
+      val t = li.withColumn("blk", blkE)
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      val per = t.groupBy(col("blk")).agg(
+        sum(when(col("prev").isNotNull && col("prev") =!= col("v"), 1L)
+          .otherwise(0L)).as("trans"),
+        count(lit(1)).as("cnt"),
+        max(when(col("rn") === 1, col("v"))).as("firstv"),
+        max(when(col("rn") === col("nn"), col("v"))).as("lastv"))
+      val stitched = per
+        .withColumn("prevlast",
+          lag(col("lastv"), 1).over(Window.orderBy(col("blk"))))
+        .agg(sum(col("trans")).as("inner_trans"),
+          sum(when(col("prevlast").isNotNull &&
+            col("prevlast") =!= col("firstv"), 1L).otherwise(0L))
+            .as("boundary_trans"),
+          sum(col("cnt")).as("n_rows"))
+      stitched.select(lit(name).as("ordering"), col("n_rows"),
+        (col("inner_trans") + col("boundary_trans") + 1L).as("runs"))
+    }.reduce(_.unionAll(_))
+      .withColumn("rle_bytes", col("runs") * 3L)
+      .withColumn("plain_bytes", col("n_rows"))
+      .withColumn("ratio_e6", expr("rle_bytes * 1000000 div plain_bytes"))
+      .orderBy(col("ordering"))
+  }
+
+  val q540Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+      |    CAST(l_linenumber AS BIGINT) AS ln,
+      |    l_shipdate, l_returnflag AS v
+      |  FROM lineitem),
+      |runs AS (
+      |  SELECT 'a_natural' AS ordering, COUNT(*) AS n_rows,
+      |    1 + COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev <> v) AS runs
+      |  FROM (SELECT v, LAG(v) OVER (ORDER BY ok, ln) AS prev FROM li)
+      |  UNION ALL
+      |  SELECT 'b_by_flag', COUNT(*),
+      |    1 + COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev <> v)
+      |  FROM (SELECT v, LAG(v) OVER
+      |          (ORDER BY v, l_shipdate, ok, ln) AS prev FROM li)
+      |  UNION ALL
+      |  SELECT 'c_by_date', COUNT(*),
+      |    1 + COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev <> v)
+      |  FROM (SELECT v, LAG(v) OVER
+      |          (ORDER BY l_shipdate, ok, ln) AS prev FROM li))
+      |SELECT ordering, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(runs AS BIGINT) AS runs,
+      |  CAST(runs * 3 AS BIGINT) AS rle_bytes,
+      |  CAST(n_rows AS BIGINT) AS plain_bytes,
+      |  CAST(runs * 3 * 1000000 // n_rows AS BIGINT) AS ratio_e6
+      |FROM runs
+      |ORDER BY ordering""".stripMargin
+
+  // ------------------- q541: historical VaR / CVaR on daily revenue moves
+
+  /** Sign-safe floor division: both engines floor |num| then re-apply the
+    * sign, so negative sums divide identically (Spark `div` truncates
+    * toward zero, DuckDB `//` floors — the repo's standard sdiv device).
+    */
+  private def sdiv(num: String, den: String): String =
+    s"""CASE WHEN $num >= 0 THEN $num div ($den)
+       | ELSE -(abs($num) div ($den)) END"""
+      .stripMargin.replace("\n", " ")
+
+  /** q541: historical value-at-risk and expected shortfall of day-over-day
+    * revenue changes — the risk readout a warehouse's finance mart serves.
+    * The empirical method exactly: for confidence α, the tail is the m =
+    * max(1, ⌊n(100−α)/100⌋) worst deltas; VaR is the tail's best member
+    * (the m-th smallest delta), CVaR its mean — rank-based, so integer
+    * cents end-to-end, no distributional assumption.
+    *
+    * Scale: deltas live on the daily rollup (calendar-bounded), so the
+    * rank window is metadata-scale by construction.
+    */
+  val q541Cvar: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val deltas = rev
+      .withColumn("delta",
+        col("rev") - lag(col("rev"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("delta").isNotNull)
+    val nDf = deltas.agg(count(lit(1)).as("n"))
+    val ranked = deltas.withColumn("rn",
+      row_number().over(Window.orderBy(col("delta"), col("d"))))
+    val alphas = s.range(2).toDF("i")
+      .select((lit(95L) + col("i") * 4L).as("alpha"))
+    ranked.crossJoin(broadcast(alphas)).crossJoin(broadcast(nDf))
+      .withColumn("m", greatest(expr("n * (100 - alpha) div 100"), lit(1L)))
+      .filter(col("rn") <= col("m"))
+      .groupBy(col("alpha"))
+      .agg(max(col("n")).as("n_days"), max(col("m")).as("m"),
+        max(col("delta")).as("var_c"), sum(col("delta")).as("sum_tail"))
+      .withColumn("cvar_c", expr(sdiv("sum_tail", "m")))
+      .drop("sum_tail")
+      .orderBy(col("alpha"))
+  }
+
+  val q541Sql: String =
+    """WITH rev AS (
+      |  SELECT l_shipdate AS d,
+      |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |deltas AS (
+      |  SELECT d, delta FROM (
+      |    SELECT d, rev - LAG(rev) OVER (ORDER BY d) AS delta FROM rev)
+      |  WHERE delta IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n FROM deltas),
+      |ranked AS (
+      |  SELECT delta, ROW_NUMBER() OVER (ORDER BY delta, d) AS rn
+      |  FROM deltas),
+      |al AS (SELECT 95 AS alpha UNION ALL SELECT 99),
+      |tail AS (
+      |  SELECT alpha, n, GREATEST(n * (100 - alpha) // 100, 1) AS m,
+      |    delta, rn
+      |  FROM ranked CROSS JOIN al CROSS JOIN n)
+      |SELECT CAST(alpha AS BIGINT) AS alpha, CAST(MAX(n) AS BIGINT) AS n_days,
+      |  CAST(MAX(m) AS BIGINT) AS m, CAST(MAX(delta) AS BIGINT) AS var_c,
+      |  CAST(CASE WHEN SUM(delta) >= 0 THEN SUM(delta) // MAX(m)
+      |    ELSE -(ABS(SUM(delta)) // MAX(m)) END AS BIGINT) AS cvar_c
+      |FROM tail WHERE rn <= m
+      |GROUP BY alpha
+      |ORDER BY alpha""".stripMargin
+
+  // ------------------ q542: dictionary-encoding advisor (per-column plan)
+
+  /** The candidate columns: (label, table loader, column). */
+  private val DictCols: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(
+      ("lineitem.l_returnflag", Tables.lineitem _, "l_returnflag"),
+      ("lineitem.l_linestatus", Tables.lineitem _, "l_linestatus"),
+      ("orders.o_orderstatus", Tables.orders _, "o_orderstatus"),
+      ("orders.o_orderpriority", Tables.orders _, "o_orderpriority"),
+      ("part.p_brand", Tables.part _, "p_brand"),
+      ("part.p_name", Tables.part _, "p_name"),
+      ("part.p_type", Tables.part _, "p_type"))
+
+  /** q542: the Parquet/columnstore dictionary-vs-plain decision, exactly:
+    * per string column, dictionary cost = distinct literals (8 bits/char +
+    * 8-bit length each) + one ⌈log2 ndv⌉-bit code per row; plain cost =
+    * every value spelled out (+8-bit length). The decision and the ratio
+    * ship per column — the advisor a rowgroup-health view acts on.
+    *
+    * Scale: one groupBy(value) per column — the same pass a dictionary
+    * builder runs; everything after is on the (bounded) distinct set.
+    */
+  val q542DictAdvisor: Q = (s, dir) => {
+    DictCols.map { case (label, loader, c) =>
+      loader(s, dir).groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
+          sum(col("cnt") * length(col("v"))).as("sum_len"),
+          sum(length(col("v")).cast("long")).as("dlen"))
+        .select(lit(label).as("column_name"), col("n"), col("ndv"),
+          expr("CASE WHEN ndv <= 1 THEN 0 ELSE length(bin(ndv - 1)) END")
+            .cast("long").as("code_width"),
+          expr("dlen * 8 + ndv * 8").as("dict_lit_bits"),
+          col("sum_len"), col("dlen"))
+        .withColumn("dict_bits", expr(
+          "dict_lit_bits + n * code_width"))
+        .withColumn("plain_bits", expr("sum_len * 8 + n * 8"))
+        .withColumn("choice",
+          when(col("dict_bits") < col("plain_bits"), lit("dict"))
+            .otherwise(lit("plain")))
+        .withColumn("ratio_e6", expr("dict_bits * 1000000 div plain_bits"))
+        .drop("sum_len", "dlen", "dict_lit_bits")
+    }.reduce(_.unionAll(_)).orderBy(col("column_name"))
+  }
+
+  val q542Sql: String = {
+    val branches = DictCols.map { case (label, _, c) =>
+      val table = label.split('.').head
+      s"""SELECT '$label' AS column_name, SUM(cnt) AS n, COUNT(*) AS ndv,
+         |  SUM(cnt * len) AS sum_len, SUM(len) AS dlen
+         |FROM (SELECT $c AS v, COUNT(*) AS cnt, length($c) AS len
+         |      FROM $table GROUP BY 1, 3)
+         |GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per AS (
+       |$branches),
+       |w AS (
+       |  SELECT column_name, n, ndv,
+       |    CASE WHEN ndv <= 1 THEN 0 ELSE length(bin(ndv - 1)) END
+       |      AS code_width,
+       |    dlen * 8 + ndv * 8 + n *
+       |      (CASE WHEN ndv <= 1 THEN 0 ELSE length(bin(ndv - 1)) END)
+       |      AS dict_bits,
+       |    sum_len * 8 + n * 8 AS plain_bits
+       |  FROM per)
+       |SELECT column_name, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+       |  CAST(code_width AS BIGINT) AS code_width,
+       |  CAST(dict_bits AS BIGINT) AS dict_bits,
+       |  CAST(plain_bits AS BIGINT) AS plain_bits,
+       |  CASE WHEN dict_bits < plain_bits THEN 'dict' ELSE 'plain' END
+       |    AS choice,
+       |  CAST(dict_bits * 1000000 // plain_bits AS BIGINT) AS ratio_e6
+       |FROM w
+       |ORDER BY column_name""".stripMargin
+  }
+
+  // -------------------- q543: front-coded sorted dictionary size estimate
+
+  /** q543: front coding of the sorted p_type dictionary — each entry stores
+    * the common-prefix length with its predecessor plus the suffix, the
+    * standard sorted-string-table trick. The common-prefix length is the
+    * COUNT of positions p where the two prefixes of length p agree (prefix
+    * equality is monotone, so the count IS the longest match) — a pure
+    * higher-order-function fold both engines evaluate identically.
+    */
+  val q543FrontCoding: Q = (s, dir) => {
+    val terms = Tables.part(s, dir).select(col("p_type").as("t")).distinct()
+    val lagd = terms.withColumn("pt",
+      lag(col("t"), 1).over(Window.orderBy(col("t"))))
+    lagd.withColumn("cpl", coalesce(expr(
+      """aggregate(sequence(1, int(least(length(t), length(pt)))), 0,
+        | (acc, p) -> acc + IF(substr(t, 1, p) = substr(pt, 1, p), 1, 0))"""
+        .stripMargin.replace("\n", " ")).cast("long"), lit(0L)))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(length(col("t")) + lit(1)).cast("long").as("plain_bytes"),
+        sum(lit(2L) + length(col("t")) - col("cpl")).as("front_bytes"),
+        max(col("cpl")).as("max_cpl"),
+        sum(col("cpl")).as("sum_cpl"))
+      .withColumn("avg_cpl_e3", expr("sum_cpl * 1000 div n_terms"))
+      .withColumn("saved_e6",
+        expr("(plain_bytes - front_bytes) * 1000000 div plain_bytes"))
+      .drop("sum_cpl")
+  }
+
+  val q543Sql: String =
+    """WITH terms AS (SELECT DISTINCT p_type AS t FROM part),
+      |lagd AS (
+      |  SELECT t, LAG(t) OVER (ORDER BY t) AS pt FROM terms),
+      |cpl AS (
+      |  SELECT t, COALESCE(list_sum(list_transform(
+      |    range(1, least(length(t), length(pt)) + 1),
+      |    p -> CASE WHEN substr(t, 1, p) = substr(pt, 1, p)
+      |      THEN 1 ELSE 0 END)), 0) AS cpl
+      |  FROM lagd)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(length(t) + 1) AS BIGINT) AS plain_bytes,
+      |  CAST(SUM(2 + length(t) - cpl) AS BIGINT) AS front_bytes,
+      |  CAST(MAX(cpl) AS BIGINT) AS max_cpl,
+      |  CAST(SUM(cpl) * 1000 // COUNT(*) AS BIGINT) AS avg_cpl_e3,
+      |  CAST((SUM(length(t) + 1) - SUM(2 + length(t) - cpl)) * 1000000
+      |    // SUM(length(t) + 1) AS BIGINT) AS saved_e6
+      |FROM cpl""".stripMargin
+
+  // --------------- q544: bloom-filter join-pruning advisor (runtime filter)
+
+  /** Filter size in bits (2^13) and hash count. */
+  private val BloomBits = 8192L
+
+  /** q544: sizing a runtime bloom filter for a semi-join — the structure
+    * Spark's own runtime row-level filtering injects on shuffle joins. The
+    * build side is the first-90-days orders subset; k=2 positions per key
+    * come from the md5-derived portable hash family; the probe side is a
+    * disjoint deterministic sample of later orders (all true negatives),
+    * so every bloom hit is a measured false positive. The report carries
+    * the measurement NEXT TO the occupancy prediction (bits_set/m)^k — the
+    * advisor's accuracy certificate.
+    *
+    * Scale: the filter is a distinct-position set (≤ m rows — metadata),
+    * broadcast into the probe; one shuffle on position, no per-row state.
+    */
+  val q544BloomAdvisor: Q = (s, dir) => {
+    val mind = Tables.orders(s, dir).agg(min(col("o_orderdate")).as("md"))
+    val ods = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("k"), col("o_orderdate"))
+      .crossJoin(broadcast(mind))
+      .withColumn("age", expr("datediff(o_orderdate, md)"))
+    def pos(salt: String): Column =
+      Text.portableHash(concat(lit(salt), col("k").cast("string"))) % BloomBits
+    val build = ods.filter(col("age") < 90)
+    val bits = build.select(explode(array(pos("g1|"), pos("g2|"))).as("pos"))
+      .distinct()
+    val nBuild = build.agg(count(lit(1)).as("n_build"))
+    val bitsSet = bits.agg(count(lit(1)).as("bits_set"))
+    val probePos = ods.filter(col("age") >= 90 && col("k") % 3 === 0)
+      .select(col("k"), explode(array(pos("g1|"), pos("g2|"))).as("pos"))
+      .distinct()
+    val tot = probePos.groupBy(col("k")).agg(count(lit(1)).as("np"))
+    val hit = probePos.join(bits, "pos").groupBy(col("k"))
+      .agg(count(lit(1)).as("nh"))
+    val meas = tot.join(hit, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum((coalesce(col("nh"), lit(0L)) === col("np")).cast("long"))
+          .as("false_pos"))
+    meas.crossJoin(broadcast(nBuild)).crossJoin(broadcast(bitsSet))
+      .select(col("n_build"), lit(BloomBits).as("m_bits"), lit(2L).as("k"),
+        col("bits_set"), col("n_probe"), col("false_pos"),
+        expr("false_pos * 1000000 div n_probe").as("fpp_meas_e6"),
+        expr(s"bits_set * bits_set * 1000000 div ($BloomBits * $BloomBits)")
+          .as("fpp_pred_e6"))
+  }
+
+  val q544Sql: String =
+    s"""WITH mind AS (SELECT MIN(o_orderdate) AS md FROM orders),
+       |ods AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+       |    datediff('day', md, o_orderdate) AS age
+       |  FROM orders CROSS JOIN mind),
+       |build AS (SELECT k FROM ods WHERE age < 90),
+       |bpos AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT CAST(('0x' || substr(md5('g1|' || CAST(k AS VARCHAR)), 1,
+       |      15)) AS BIGINT) % $BloomBits AS pos FROM build
+       |    UNION ALL
+       |    SELECT CAST(('0x' || substr(md5('g2|' || CAST(k AS VARCHAR)), 1,
+       |      15)) AS BIGINT) % $BloomBits FROM build)),
+       |nb AS (SELECT COUNT(*) AS n_build FROM build),
+       |bs AS (SELECT COUNT(*) AS bits_set FROM bpos),
+       |probe AS (SELECT k FROM ods WHERE age >= 90 AND k % 3 = 0),
+       |ppos AS (
+       |  SELECT DISTINCT k, pos FROM (
+       |    SELECT k, CAST(('0x' || substr(md5('g1|' || CAST(k AS VARCHAR)),
+       |      1, 15)) AS BIGINT) % $BloomBits AS pos FROM probe
+       |    UNION ALL
+       |    SELECT k, CAST(('0x' || substr(md5('g2|' || CAST(k AS VARCHAR)),
+       |      1, 15)) AS BIGINT) % $BloomBits FROM probe)),
+       |tot AS (SELECT k, COUNT(*) AS np FROM ppos GROUP BY 1),
+       |hit AS (
+       |  SELECT ppos.k, COUNT(*) AS nh FROM ppos JOIN bpos USING (pos)
+       |  GROUP BY 1),
+       |meas AS (
+       |  SELECT COUNT(*) AS n_probe,
+       |    SUM(CASE WHEN COALESCE(hit.nh, 0) = tot.np THEN 1 ELSE 0 END)
+       |      AS false_pos
+       |  FROM tot LEFT JOIN hit USING (k))
+       |SELECT CAST(n_build AS BIGINT) AS n_build,
+       |  CAST($BloomBits AS BIGINT) AS m_bits, CAST(2 AS BIGINT) AS k,
+       |  CAST(bits_set AS BIGINT) AS bits_set,
+       |  CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(false_pos AS BIGINT) AS false_pos,
+       |  CAST(false_pos * 1000000 // n_probe AS BIGINT) AS fpp_meas_e6,
+       |  CAST(bits_set * bits_set * 1000000 // ($BloomBits * $BloomBits)
+       |    AS BIGINT) AS fpp_pred_e6
+       |FROM meas CROSS JOIN nb CROSS JOIN bs""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, Q] = Map(
+    "q537_zorder_locality" -> q537ZorderLocality,
+    "q538_delta_bitpack" -> q538DeltaBitpack,
+    "q539_rice_postings" -> q539RicePostings,
+    "q540_rle_ordering" -> q540RleOrdering,
+    "q541_cvar" -> q541Cvar,
+    "q542_dict_advisor" -> q542DictAdvisor,
+    "q543_front_coding" -> q543FrontCoding,
+    "q544_bloom_advisor" -> q544BloomAdvisor)
+
+  def oracles: Map[String, String] = Map(
+    "q537_zorder_locality" -> q537Sql,
+    "q538_delta_bitpack" -> q538Sql,
+    "q539_rice_postings" -> q539Sql,
+    "q540_rle_ordering" -> q540Sql,
+    "q541_cvar" -> q541Sql,
+    "q542_dict_advisor" -> q542Sql,
+    "q543_front_coding" -> q543Sql,
+    "q544_bloom_advisor" -> q544Sql)
+}
