@@ -1,0 +1,319 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TSql._
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Planner-statistics audits — the estimator formulas a cost-based
+  * optimizer runs against CREATE STATISTICS output (reference:
+  * samples/scripts/statistics/Statistics-Examples.sql), each reported NEXT
+  * TO the exact answer so the estimate ships with its own error audit:
+  *
+  *   - q545 System-R join-cardinality estimate |R ⋈ S| ≈ |R||S| /
+  *     max(ndv_R, ndv_S) vs the actual join count, per join pair.
+  *   - q546 equi-width-histogram range selectivity (with partial-bucket
+  *     interpolation, exact floor arithmetic) vs the actual row count.
+  *   - q547 functional-dependency discovery: FD a→b holds iff
+  *     ndv(a) = ndv(a,b); the strength ratio grades soft dependencies —
+  *     what multi-column statistics and dictionary layouts key on.
+  *   - q548 hash-distribution-column advisor over the reference's 60
+  *     distributions (whitepaper.md:37, `catalog/TablePolicy.Hash`):
+  *     per candidate column, balance across portable-hash buckets plus
+  *     the low-NDV trap check — the DISTRIBUTION = HASH(col) decision.
+  *
+  * Scale posture: every audit column marked "exact" (actual join counts,
+  * exact NDVs) is the VERIFICATION half; the estimator half is one
+  * metadata-scale formula. At 100 TB production reads the estimator from
+  * sketches (q09's portable HLL) and skips the exact pass; here both run
+  * so the gate can certify the formulas.
+  */
+object EstimatorQueries {
+
+  // ----------------- q545: System-R join-cardinality estimate vs actual
+
+  /** q545: the selinger selectivity 1/max(ndv₁, ndv₂) applied to three
+    * equi-joins of the star schema, against the true join cardinality.
+    * FK joins (lineitem→orders) land exactly; the estimate's miss on
+    * filtered or skewed keys is the number a plan-regression triage reads.
+    */
+  val q545JoinCardEstimate: Q = (s, dir) => {
+    def pair(label: String, left: DataFrame, lk: String,
+             right: DataFrame, rk: String): DataFrame = {
+      val lStats = left.agg(count(lit(1)).as("n1"),
+        countDistinct(col(lk)).as("ndv1"))
+      val rStats = right.agg(count(lit(1)).as("n2"),
+        countDistinct(col(rk)).as("ndv2"))
+      val actual = left.join(right, col(lk) === col(rk))
+        .agg(count(lit(1)).as("actual_rows"))
+      lStats.crossJoin(broadcast(rStats)).crossJoin(broadcast(actual))
+        .select(lit(label).as("join_pair"), col("n1"), col("n2"),
+          col("ndv1"), col("ndv2"),
+          expr("n1 * n2 div greatest(ndv1, ndv2)").as("est_rows"),
+          col("actual_rows"))
+        .withColumn("est_vs_actual_e6",
+          expr("est_rows * 1000000 div actual_rows"))
+    }
+    Seq(
+      pair("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      pair("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      pair("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .reduce(_.unionAll(_)).orderBy(col("join_pair"))
+  }
+
+  val q545Sql: String = {
+    def branch(label: String, lt: String, lk: String,
+               rt: String, rk: String): String =
+      s"""SELECT '$label' AS join_pair,
+         |  (SELECT COUNT(*) FROM $lt) AS n1,
+         |  (SELECT COUNT(*) FROM $rt) AS n2,
+         |  (SELECT COUNT(DISTINCT $lk) FROM $lt) AS ndv1,
+         |  (SELECT COUNT(DISTINCT $rk) FROM $rt) AS ndv2,
+         |  (SELECT COUNT(*) FROM $lt JOIN $rt ON $lk = $rk) AS actual_rows"""
+        .stripMargin
+    val branches = Seq(
+      branch("lineitem_orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      branch("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      branch("orders_customer", "orders", "o_custkey",
+        "customer", "c_custkey")).mkString("\nUNION ALL\n")
+    s"""WITH per AS (
+       |$branches)
+       |SELECT join_pair, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  CAST(ndv1 AS BIGINT) AS ndv1, CAST(ndv2 AS BIGINT) AS ndv2,
+       |  CAST(n1 * n2 // GREATEST(ndv1, ndv2) AS BIGINT) AS est_rows,
+       |  CAST(actual_rows AS BIGINT) AS actual_rows,
+       |  CAST((n1 * n2 // GREATEST(ndv1, ndv2)) * 1000000 // actual_rows
+       |    AS BIGINT) AS est_vs_actual_e6
+       |FROM per
+       |ORDER BY join_pair""".stripMargin
+  }
+
+  // ------------- q546: histogram range-selectivity estimate vs actual
+
+  /** Equi-width bucket count for the selectivity histogram. */
+  private val HistBuckets = 64L
+
+  /** q546: a 64-bucket equi-width histogram on o_totalprice answers six
+    * range predicates by full buckets + linear interpolation on the two
+    * partial ones (cnt·overlap div width — exact floor arithmetic), each
+    * next to the true count. The error column is what decides whether the
+    * histogram needs more buckets (q508's bin-width advisor feeds this).
+    */
+  val q546SelectivityHist: Q = (s, dir) => {
+    val vals = Tables.orders(s, dir)
+      .select(cents(col("o_totalprice")).as("v"))
+    val ext = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("width", expr(s"(vmax - vmin) div $HistBuckets + 1"))
+    val hist = vals.crossJoin(broadcast(ext))
+      .groupBy(expr("(v - vmin) div width").as("b"),
+        col("vmin"), col("width"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("b_lo", expr("vmin + b * width"))
+    val ranges = s.range(6).toDF("rid").crossJoin(broadcast(ext))
+      .select(col("rid"),
+        expr("vmin + rid * (vmax - vmin + 1) div 6").as("lo"),
+        expr("vmin + rid * (vmax - vmin + 1) div 6 + " +
+          "(vmax - vmin + 1) div 8").as("hi"))
+    val est = hist.join(broadcast(ranges),
+      col("b_lo") < col("hi") && col("b_lo") + col("width") > col("lo"))
+      .withColumn("overlap",
+        least(col("hi"), col("b_lo") + col("width")) -
+          greatest(col("lo"), col("b_lo")))
+      .groupBy(col("rid"))
+      .agg(sum(expr("cnt * overlap div width")).as("est_rows"))
+    val actual = vals.join(broadcast(ranges),
+      col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("rid"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("actual_rows"))
+    actual.join(est, "rid")
+      .select(col("rid"), col("lo"), col("hi"), col("est_rows"),
+        col("actual_rows"),
+        expr("""CASE WHEN actual_rows = 0 THEN NULL
+          | WHEN est_rows - actual_rows >= 0
+          | THEN (est_rows - actual_rows) * 1000000 div actual_rows
+          | ELSE -((actual_rows - est_rows) * 1000000 div actual_rows)
+          | END""".stripMargin.replace("\n", " ")).as("err_e6"))
+      .orderBy(col("rid"))
+  }
+
+  val q546Sql: String =
+    s"""WITH vals AS (
+       |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |ext AS (
+       |  SELECT MIN(v) AS vmin, MAX(v) AS vmax,
+       |    (MAX(v) - MIN(v)) // $HistBuckets + 1 AS width
+       |  FROM vals),
+       |hist AS (
+       |  SELECT (v - vmin) // width AS b, vmin, width, COUNT(*) AS cnt,
+       |    vmin + ((v - vmin) // width) * width AS b_lo
+       |  FROM vals CROSS JOIN ext GROUP BY 1, 2, 3, 5),
+       |ranges AS (
+       |  SELECT CAST(r.range AS BIGINT) AS rid,
+       |    vmin + CAST(r.range AS BIGINT) * (vmax - vmin + 1) // 6 AS lo,
+       |    vmin + CAST(r.range AS BIGINT) * (vmax - vmin + 1) // 6
+       |      + (vmax - vmin + 1) // 8 AS hi
+       |  FROM range(0, 6) r CROSS JOIN ext),
+       |est AS (
+       |  SELECT rid,
+       |    SUM(cnt * (LEAST(hi, b_lo + width) - GREATEST(lo, b_lo))
+       |      // width) AS est_rows
+       |  FROM hist JOIN ranges ON b_lo < hi AND b_lo + width > lo
+       |  GROUP BY 1),
+       |actual AS (
+       |  SELECT rid, lo, hi, COUNT(*) AS actual_rows
+       |  FROM vals JOIN ranges ON v >= lo AND v < hi
+       |  GROUP BY 1, 2, 3)
+       |SELECT rid, lo, hi, CAST(est_rows AS BIGINT) AS est_rows,
+       |  CAST(actual_rows AS BIGINT) AS actual_rows,
+       |  CAST(CASE WHEN actual_rows = 0 THEN NULL
+       |    WHEN est_rows - actual_rows >= 0
+       |    THEN (est_rows - actual_rows) * 1000000 // actual_rows
+       |    ELSE -((actual_rows - est_rows) * 1000000 // actual_rows)
+       |    END AS BIGINT) AS err_e6
+       |FROM actual JOIN est USING (rid)
+       |ORDER BY rid""".stripMargin
+
+  // ---------------------------- q547: functional-dependency discovery
+
+  /** The candidate (table, determinant, dependent) pairs. */
+  private val FdPairs: Seq[(String, (SparkSession, String) => DataFrame, String, String)] =
+    Seq(
+      ("part.p_name->p_brand", Tables.part _, "p_name", "p_brand"),
+      ("part.p_name->p_type", Tables.part _, "p_name", "p_type"),
+      ("part.p_brand->p_type", Tables.part _, "p_brand", "p_type"),
+      ("orders.o_custkey->o_orderpriority", Tables.orders _,
+        "o_custkey", "o_orderpriority"),
+      ("nation.n_nationkey->n_regionkey", Tables.nation _,
+        "n_nationkey", "n_regionkey"),
+      ("lineitem.l_orderkey->l_returnflag", Tables.lineitem _,
+        "l_orderkey", "l_returnflag"))
+
+  /** q547: FD mining by the NDV identity — a→b holds exactly when every
+    * determinant value maps to one dependent value, i.e. ndv(a) =
+    * ndv(a,b); strength_e6 = ndv(a)/ndv(a,b) grades near-dependencies.
+    * One distinct-pair shuffle per candidate; everything downstream is on
+    * the distinct set.
+    */
+  val q547FdDiscovery: Q = (s, dir) => {
+    FdPairs.map { case (label, loader, a, b) =>
+      loader(s, dir).select(col(a).as("a"), col(b).as("b")).distinct()
+        .agg(count(lit(1)).as("ndv_pair"), countDistinct(col("a")).as("ndv_lhs"))
+        .select(lit(label).as("candidate"), col("ndv_lhs"), col("ndv_pair"),
+          (col("ndv_lhs") === col("ndv_pair")).cast("long").as("fd_holds"),
+          expr("ndv_lhs * 1000000 div ndv_pair").as("strength_e6"))
+    }.reduce(_.unionAll(_)).orderBy(col("candidate"))
+  }
+
+  val q547Sql: String = {
+    val branches = FdPairs.map { case (label, _, a, b) =>
+      val table = label.split('.').head
+      s"""SELECT '$label' AS candidate,
+         |  COUNT(DISTINCT a) AS ndv_lhs, COUNT(*) AS ndv_pair
+         |FROM (SELECT DISTINCT $a AS a, $b AS b FROM $table)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per AS (
+       |$branches)
+       |SELECT candidate, CAST(ndv_lhs AS BIGINT) AS ndv_lhs,
+       |  CAST(ndv_pair AS BIGINT) AS ndv_pair,
+       |  CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT)
+       |    AS fd_holds,
+       |  CAST(ndv_lhs * 1000000 // ndv_pair AS BIGINT) AS strength_e6
+       |FROM per
+       |ORDER BY candidate""".stripMargin
+  }
+
+  // ------------- q548: hash-distribution-column advisor (60 distributions)
+
+  /** The reference's fixed distribution count (whitepaper.md:37). */
+  private val Distributions = 60L
+
+  /** Candidate (table, column) distribution keys. */
+  private val DistCols: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(
+      ("orders.o_custkey", Tables.orders _, "o_custkey"),
+      ("orders.o_orderkey", Tables.orders _, "o_orderkey"),
+      ("orders.o_orderdate", Tables.orders _, "o_orderdate"),
+      ("lineitem.l_orderkey", Tables.lineitem _, "l_orderkey"),
+      ("lineitem.l_partkey", Tables.lineitem _, "l_partkey"),
+      ("lineitem.l_suppkey", Tables.lineitem _, "l_suppkey"))
+
+  /** q548: which column should DISTRIBUTION = HASH(col) use? Per candidate:
+    * rows land in 60 portable-hash buckets; the advisor reports occupancy
+    * (distributions hit), the largest distribution, the skew ratio
+    * max·60/n (1.0e6 = perfectly level), exact column NDV for the low-NDV
+    * trap (fewer distinct values than distributions guarantees idle
+    * distributions), and the verdict a CTAS policy would act on — the
+    * monitoring toolkit's vw_tables_with_skew turned prescriptive.
+    */
+  val q548DistributionAdvisor: Q = (s, dir) => {
+    DistCols.map { case (label, loader, c) =>
+      val hashed = loader(s, dir).select(
+        (Text.portableHash(concat(lit("d|"), col(c).cast("string")))
+          % Distributions).as("d"),
+        col(c).as("v"))
+      val perD = hashed.groupBy(col("d")).agg(count(lit(1)).as("rows"))
+      val ndv = hashed.agg(countDistinct(col("v")).as("ndv"))
+      perD.agg(count(lit(1)).as("distributions_hit"),
+        sum(col("rows")).as("n"), max(col("rows")).as("max_rows"))
+        .crossJoin(broadcast(ndv))
+        .select(lit(label).as("candidate"), col("n"), col("ndv"),
+          col("distributions_hit"), col("max_rows"),
+          expr(s"max_rows * $Distributions * 1000000 div n").as("skew_e6"))
+        .withColumn("verdict", expr(
+          s"""CASE WHEN ndv < $Distributions * 10 THEN 'low_ndv'
+             | WHEN max_rows * $Distributions * 1000000 div n > 2000000
+             | THEN 'skewed' ELSE 'good' END"""
+            .stripMargin.replace("\n", " ")))
+    }.reduce(_.unionAll(_)).orderBy(col("candidate"))
+  }
+
+  val q548Sql: String = {
+    val branches = DistCols.map { case (label, _, c) =>
+      val table = label.split('.').head
+      s"""SELECT '$label' AS candidate, COUNT(*) AS n,
+         |  COUNT(DISTINCT v) AS ndv,
+         |  COUNT(DISTINCT d) AS distributions_hit,
+         |  MAX(per_rows) AS max_rows
+         |FROM (
+         |  SELECT v, d, COUNT(*) OVER (PARTITION BY d) AS per_rows
+         |  FROM (SELECT $c AS v,
+         |    CAST(('0x' || substr(md5('d|' || CAST($c AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % $Distributions AS d
+         |    FROM $table))"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per AS (
+       |$branches)
+       |SELECT candidate, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+       |  CAST(distributions_hit AS BIGINT) AS distributions_hit,
+       |  CAST(max_rows AS BIGINT) AS max_rows,
+       |  CAST(max_rows * $Distributions * 1000000 // n AS BIGINT)
+       |    AS skew_e6,
+       |  CASE WHEN ndv < $Distributions * 10 THEN 'low_ndv'
+       |    WHEN max_rows * $Distributions * 1000000 // n > 2000000
+       |    THEN 'skewed' ELSE 'good' END AS verdict
+       |FROM per
+       |ORDER BY candidate""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, Q] = Map(
+    "q545_join_card_estimate" -> q545JoinCardEstimate,
+    "q546_selectivity_hist" -> q546SelectivityHist,
+    "q547_fd_discovery" -> q547FdDiscovery,
+    "q548_distribution_advisor" -> q548DistributionAdvisor)
+
+  def oracles: Map[String, String] = Map(
+    "q545_join_card_estimate" -> q545Sql,
+    "q546_selectivity_hist" -> q546Sql,
+    "q547_fd_discovery" -> q547Sql,
+    "q548_distribution_advisor" -> q548Sql)
+}

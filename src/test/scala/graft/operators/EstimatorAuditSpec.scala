@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantic certificates for the planner-statistics audit family
+  * (q545–q548): the Selinger FK identity, pigeonhole bounds on hash
+  * distributions, and label/formula consistency recomputed from the
+  * reported columns.
+  */
+class EstimatorAuditSpec extends SparkSpec {
+
+  private def rows(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("q545: the Selinger estimate is exact on the FK join") {
+    val r = rows("q545_join_card_estimate")
+    assert(r.length == 3)
+    val fk = r.find(_.getAs[String]("join_pair") == "lineitem_orders").get
+    // |L ⋈ O| = |L|·|O| / max(ndv) is an identity when the key is an FK
+    // onto O's primary key: ndv_L = ndv_O = |O|
+    assert(fk.getAs[Long]("est_rows") == fk.getAs[Long]("actual_rows"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("est_rows") >= 1)
+      assert(row.getAs[Long]("actual_rows") >= 1)
+      assert(row.getAs[Long]("est_vs_actual_e6") ==
+        row.getAs[Long]("est_rows") * 1000000L /
+          row.getAs[Long]("actual_rows"))
+    }
+  }
+
+  test("q546: interpolation stays within the histogram's mass") {
+    val r = rows("q546_selectivity_hist")
+    assert(r.nonEmpty && r.length <= 6)
+    val n = graft.Tables.orders(spark, sfDir).count()
+    r.foreach { row =>
+      assert(row.getAs[Long]("est_rows") >= 0)
+      assert(row.getAs[Long]("est_rows") <= n)
+      assert(row.getAs[Long]("actual_rows") >= 1)
+      assert(row.getAs[Long]("lo") < row.getAs[Long]("hi"))
+    }
+  }
+
+  test("q547: the schema FD holds; strength never exceeds 1.0") {
+    val r = rows("q547_fd_discovery")
+    assert(r.length == 6)
+    val nk = r.find(_.getAs[String]("candidate") ==
+      "nation.n_nationkey->n_regionkey").get
+    assert(nk.getAs[Long]("fd_holds") == 1L)
+    assert(nk.getAs[Long]("strength_e6") == 1000000L)
+    r.foreach { row =>
+      assert(row.getAs[Long]("strength_e6") <= 1000000L)
+      assert(row.getAs[Long]("ndv_lhs") <= row.getAs[Long]("ndv_pair"))
+      assert((row.getAs[Long]("fd_holds") == 1L) ==
+        (row.getAs[Long]("ndv_lhs") == row.getAs[Long]("ndv_pair")))
+    }
+  }
+
+  test("q548: pigeonhole bounds and verdict consistency per candidate") {
+    val r = rows("q548_distribution_advisor")
+    assert(r.length == 6)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n")
+      val hit = row.getAs[Long]("distributions_hit")
+      val maxR = row.getAs[Long]("max_rows")
+      val skew = row.getAs[Long]("skew_e6")
+      assert(hit >= 1 && hit <= 60)
+      // pigeonhole: the largest of the hit distributions holds >= n/hit
+      assert(maxR >= (n + hit - 1) / hit)
+      // a level filter floors at exactly 1.0e6
+      assert(skew >= 1000000L)
+      assert(skew == maxR * 60L * 1000000L / n)
+      val expected =
+        if (row.getAs[Long]("ndv") < 600) "low_ndv"
+        else if (skew > 2000000L) "skewed" else "good"
+      assert(row.getAs[String]("verdict") == expected)
+    }
+  }
+}
