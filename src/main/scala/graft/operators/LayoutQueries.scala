@@ -743,9 +743,242 @@ object LayoutQueries {
        |    AS BIGINT) AS fpp_pred_e6
        |FROM meas CROSS JOIN nb CROSS JOIN bs""".stripMargin
 
+  // --------------- q549: result-set cache sizing (static-admission model)
+
+  /** Cache capacities (distinct result signatures) to evaluate. */
+  private val CacheKs = Seq(8L, 32L, 128L)
+
+  /** q549: sizing the result-set cache — the reference's result caching
+    * stores one entry per distinct query signature. The trace is the
+    * events stream keyed to a signature (type × value bucket); for each
+    * capacity K the report gives the STATIC-admission hit count (keep the
+    * K most frequent signatures; each costs one compulsory miss) against
+    * the infinite-cache ceiling n − ndv — the two bounds any real policy
+    * (LRU, LFU, cost-aware) lands between. One signature rollup; the
+    * capacity table is a 3-row broadcast.
+    */
+  val q549ResultCacheAdvisor: Q = (s, dir) => {
+    val sigs = Tables.events(s, dir)
+      .select(concat(col("event_type"), lit("|"),
+        coalesce(expr("CAST(round(value * 100, 0) AS BIGINT) div 2000")
+          .cast("string"), lit("x"))).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("sig"))))
+    val tot = sigs.agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"))
+    val ks = s.range(3).toDF("i")
+      .select(when(col("i") === 0, CacheKs(0))
+        .when(col("i") === 1, CacheKs(1))
+        .otherwise(CacheKs(2)).as("k"))
+    sigs.crossJoin(broadcast(ks)).filter(col("rk") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("cnt") - 1L).as("hits"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n").as("n_accesses"),
+        col("ndv").as("ndv_signatures"), col("hits"),
+        expr("hits * 1000000 div n").as("hit_rate_e6"),
+        (col("n") - col("ndv")).as("ceiling_hits"),
+        expr("(n - ndv) * 1000000 div n").as("ceiling_rate_e6"),
+        expr("""CASE WHEN n - ndv = 0 THEN NULL
+          | ELSE hits * 1000000 div (n - ndv) END"""
+          .stripMargin.replace("\n", " ")).as("capture_e6"))
+      .orderBy(col("k"))
+  }
+
+  val q549Sql: String =
+    """WITH sigs AS (
+      |  SELECT event_type || '|' || COALESCE(
+      |    CAST(CAST(ROUND(value * 100) AS BIGINT) // 2000 AS VARCHAR), 'x')
+      |    AS sig, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sig) AS rk
+      |  FROM sigs),
+      |tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS ndv FROM sigs),
+      |ks AS (SELECT 8 AS k UNION ALL SELECT 32 UNION ALL SELECT 128),
+      |hits AS (
+      |  SELECT k, SUM(cnt - 1) AS hits
+      |  FROM ranked CROSS JOIN ks WHERE rk <= k GROUP BY 1)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_accesses,
+      |  CAST(ndv AS BIGINT) AS ndv_signatures, CAST(hits AS BIGINT) AS hits,
+      |  CAST(hits * 1000000 // n AS BIGINT) AS hit_rate_e6,
+      |  CAST(n - ndv AS BIGINT) AS ceiling_hits,
+      |  CAST((n - ndv) * 1000000 // n AS BIGINT) AS ceiling_rate_e6,
+      |  CAST(CASE WHEN n - ndv = 0 THEN NULL
+      |    ELSE hits * 1000000 // (n - ndv) END AS BIGINT) AS capture_e6
+      |FROM hits CROSS JOIN tot
+      |ORDER BY k""".stripMargin
+
+  // ------------------ q550: small-file compaction advisor (OPTIMIZE model)
+
+  /** Target rows per compacted file. */
+  private val CompactTarget = 4096L
+
+  /** q550: the daily-append small-file problem, quantified — each load day
+    * is one "file" of the orders table; compaction rewrites the stream
+    * into target-size files in date order (rows may cross day boundaries,
+    * exactly what an OPTIMIZE rewrite does). The report carries the
+    * before/after file counts, the small-file census, the exact median
+    * file size, and the post-compaction read amplification for one-day
+    * probes (how many merged files a daily query now opens) — the cost
+    * side of merging. Everything reads off ONE calendar-bounded rollup
+    * and a prefix-sum window over it.
+    */
+  val q550CompactionAdvisor: Q = (s, dir) => {
+    val files = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = files
+      .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("bin_lo", expr(s"before div $CompactTarget"))
+      .withColumn("bin_hi",
+        expr(s"(before + cnt - 1) div $CompactTarget"))
+    packed.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("cnt")).as("total_rows"),
+      sum((col("cnt") < CompactTarget / 2).cast("long")).as("small_files"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+        .cast("long").as("p50_file_rows"),
+      sum(col("bin_hi") - col("bin_lo") + 1L).as("day_bin_touches"))
+      .select(col("n_days").as("current_files"), col("total_rows"),
+        lit(CompactTarget).as("target_rows"),
+        expr(s"(total_rows + $CompactTarget - 1) div $CompactTarget")
+          .as("packed_files"),
+        col("small_files"), col("p50_file_rows"),
+        expr("day_bin_touches * 1000 div n_days").as("avg_files_per_day_e3"))
+  }
+
+  val q550Sql: String =
+    s"""WITH files AS (
+       |  SELECT o_orderdate AS d, COUNT(*) AS cnt FROM orders GROUP BY 1),
+       |packed AS (
+       |  SELECT cnt,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS before
+       |  FROM files),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_days, SUM(cnt) AS total_rows,
+       |    SUM(CASE WHEN cnt < $CompactTarget // 2 THEN 1 ELSE 0 END)
+       |      AS small_files,
+       |    percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)
+       |      AS p50_file_rows,
+       |    SUM((before + cnt - 1) // $CompactTarget
+       |      - before // $CompactTarget + 1) AS day_bin_touches
+       |  FROM packed)
+       |SELECT CAST(n_days AS BIGINT) AS current_files,
+       |  CAST(total_rows AS BIGINT) AS total_rows,
+       |  CAST($CompactTarget AS BIGINT) AS target_rows,
+       |  CAST((total_rows + $CompactTarget - 1) // $CompactTarget AS BIGINT)
+       |    AS packed_files,
+       |  CAST(small_files AS BIGINT) AS small_files,
+       |  CAST(p50_file_rows AS BIGINT) AS p50_file_rows,
+       |  CAST(day_bin_touches * 1000 // n_days AS BIGINT)
+       |    AS avg_files_per_day_e3
+       |FROM agg""".stripMargin
+
+  // ----------- q551: partition-granularity advisor (pruning vs file count)
+
+  /** q551: daily vs monthly partitioning of lineitem by ship date — the
+    * two-sided tradeoff: fine partitions prune ranges tightly but
+    * multiply partition/file count (q550's problem); coarse partitions
+    * read rows the predicate never needed. Six staggered date-window
+    * probes (q537's rectangles restricted to time) are answered under
+    * both grains with exact partition-touch counts and read
+    * amplification. Both grains read off the SAME daily rollup —
+    * the month grain is a second metadata-scale fold over it.
+    */
+  val q551PartitionGranularity: Q = (s, dir) => {
+    val mind = Tables.lineitem(s, dir).agg(min(col("l_shipdate")).as("md"))
+    val daily = Tables.lineitem(s, dir).crossJoin(broadcast(mind))
+      .groupBy(expr("datediff(l_shipdate, md)").cast("long").as("d"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("mm"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ext = daily.agg(max(col("d")).as("dmax"))
+    val probes = s.range(6).toDF("rid").crossJoin(broadcast(ext))
+      .select(col("rid"),
+        expr("rid * dmax div 6").as("dlo"),
+        expr("rid * dmax div 6 + dmax div 8 + 1").as("dhi"))
+    def grain(name: String, pcol: Column): DataFrame = {
+      val parts = daily.groupBy(pcol.as("p"))
+        .agg(sum(col("cnt")).as("rows"), min(col("d")).as("pdlo"),
+          max(col("d")).as("pdhi"))
+      val nParts = parts.agg(count(lit(1)).as("n_partitions"))
+      parts.crossJoin(broadcast(probes))
+        .filter(col("pdhi") >= col("dlo") && col("pdlo") < col("dhi"))
+        .groupBy(col("rid"))
+        .agg(count(lit(1)).as("parts_touched"),
+          sum(col("rows")).as("rows_read"))
+        .crossJoin(broadcast(nParts))
+        .select(lit(name).as("grain"), col("rid"), col("n_partitions"),
+          col("parts_touched"), col("rows_read"))
+    }
+    val hit = daily.crossJoin(broadcast(probes))
+      .filter(col("d") >= col("dlo") && col("d") < col("dhi"))
+      .groupBy(col("rid").as("rid2")).agg(sum(col("cnt")).as("rows_hit"))
+    grain("daily", col("d")).unionAll(grain("monthly", col("mm")))
+      .join(hit, col("rid") === col("rid2")).drop("rid2")
+      .withColumn("read_amp_e6",
+        expr("""CASE WHEN rows_hit = 0 THEN NULL
+          | ELSE rows_read * 1000000 div rows_hit END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("prune_e6", expr(
+        "(n_partitions - parts_touched) * 1000000 div n_partitions"))
+      .orderBy(col("grain"), col("rid"))
+  }
+
+  val q551Sql: String =
+    """WITH mind AS (SELECT MIN(l_shipdate) AS md FROM lineitem),
+      |daily AS (
+      |  SELECT CAST(datediff('day', md, l_shipdate) AS BIGINT) AS d,
+      |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS mm,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem CROSS JOIN mind GROUP BY 1, 2),
+      |ext AS (SELECT MAX(d) AS dmax FROM daily),
+      |probes AS (
+      |  SELECT CAST(r.range AS BIGINT) AS rid,
+      |    CAST(r.range AS BIGINT) * dmax // 6 AS dlo,
+      |    CAST(r.range AS BIGINT) * dmax // 6 + dmax // 8 + 1 AS dhi
+      |  FROM range(0, 6) r CROSS JOIN ext),
+      |grains AS (
+      |  SELECT 'daily' AS grain, d AS p, SUM(cnt) AS rows_p,
+      |    MIN(d) AS pdlo, MAX(d) AS pdhi
+      |  FROM daily GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'monthly', mm, SUM(cnt), MIN(d), MAX(d)
+      |  FROM daily GROUP BY 1, 2),
+      |nparts AS (
+      |  SELECT grain, COUNT(*) AS n_partitions FROM grains GROUP BY 1),
+      |touched AS (
+      |  SELECT grain, rid, COUNT(*) AS parts_touched,
+      |    SUM(rows_p) AS rows_read
+      |  FROM grains JOIN probes ON pdhi >= dlo AND pdlo < dhi
+      |  GROUP BY 1, 2),
+      |hit AS (
+      |  SELECT rid, SUM(cnt) AS rows_hit
+      |  FROM daily JOIN probes ON d >= dlo AND d < dhi
+      |  GROUP BY 1)
+      |SELECT t.grain, t.rid,
+      |  CAST(np.n_partitions AS BIGINT) AS n_partitions,
+      |  CAST(t.parts_touched AS BIGINT) AS parts_touched,
+      |  CAST(t.rows_read AS BIGINT) AS rows_read,
+      |  CAST(h.rows_hit AS BIGINT) AS rows_hit,
+      |  CAST(CASE WHEN h.rows_hit = 0 THEN NULL
+      |    ELSE t.rows_read * 1000000 // h.rows_hit END AS BIGINT)
+      |    AS read_amp_e6,
+      |  CAST((np.n_partitions - t.parts_touched) * 1000000
+      |    // np.n_partitions AS BIGINT) AS prune_e6
+      |FROM touched t JOIN nparts np USING (grain) JOIN hit h USING (rid)
+      |ORDER BY t.grain, t.rid""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
+    "q549_result_cache" -> q549ResultCacheAdvisor,
+    "q550_compaction_advisor" -> q550CompactionAdvisor,
+    "q551_partition_granularity" -> q551PartitionGranularity,
     "q537_zorder_locality" -> q537ZorderLocality,
     "q538_delta_bitpack" -> q538DeltaBitpack,
     "q539_rice_postings" -> q539RicePostings,
@@ -756,6 +989,9 @@ object LayoutQueries {
     "q544_bloom_advisor" -> q544BloomAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q549_result_cache" -> q549Sql,
+    "q550_compaction_advisor" -> q550Sql,
+    "q551_partition_granularity" -> q551Sql,
     "q537_zorder_locality" -> q537Sql,
     "q538_delta_bitpack" -> q538Sql,
     "q539_rice_postings" -> q539Sql,

@@ -128,6 +128,62 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(row.getAs[Long]("fpp_pred_e6") == bits * bits * 1000000L / (m * m))
   }
 
+  test("q549: static hits are monotone in K and never beat the ceiling") {
+    val r = rows("q549_result_cache")
+    assert(r.length == 3)
+    val sorted = r.sortBy(_.getAs[Long]("k"))
+    sorted.foreach { row =>
+      assert(row.getAs[Long]("hits") <= row.getAs[Long]("ceiling_hits"))
+      assert(row.getAs[Long]("hit_rate_e6") <=
+        row.getAs[Long]("ceiling_rate_e6"))
+    }
+    // more capacity never hurts a static policy
+    assert(sorted.map(_.getAs[Long]("hits")).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    // capacity >= ndv captures the whole ceiling
+    sorted.filter(row => row.getAs[Long]("k") >=
+      row.getAs[Long]("ndv_signatures")).foreach(row =>
+      assert(row.getAs[Long]("hits") == row.getAs[Long]("ceiling_hits")))
+  }
+
+  test("q550: packing conserves rows and cannot grow the file count") {
+    val r = rows("q550_compaction_advisor")
+    assert(r.length == 1)
+    val row = r.head
+    val total = row.getAs[Long]("total_rows")
+    val target = row.getAs[Long]("target_rows")
+    assert(row.getAs[Long]("packed_files") == (total + target - 1) / target)
+    // each day opens at least one post-compaction file
+    assert(row.getAs[Long]("avg_files_per_day_e3") >= 1000L)
+    assert(row.getAs[Long]("small_files") <= row.getAs[Long]("current_files"))
+    assert(row.getAs[Long]("p50_file_rows") >= 1)
+  }
+
+  test("q551: finer grain prunes at least as well but costs partitions") {
+    val r = rows("q551_partition_granularity")
+    val daily = r.filter(_.getAs[String]("grain") == "daily")
+    val monthly = r.filter(_.getAs[String]("grain") == "monthly")
+    assert(daily.nonEmpty && monthly.nonEmpty)
+    assert(daily.length == monthly.length)
+    val dN = daily.head.getAs[Long]("n_partitions")
+    val mN = monthly.head.getAs[Long]("n_partitions")
+    assert(dN >= mN)
+    r.foreach { row =>
+      assert(row.getAs[Long]("rows_read") >= row.getAs[Long]("rows_hit"))
+      assert(row.getAs[Long]("parts_touched") <=
+        row.getAs[Long]("n_partitions"))
+      assert(row.getAs[Long]("read_amp_e6") >= 1000000L)
+    }
+    // day-aligned probes read exactly what they need under the daily grain
+    daily.foreach(row =>
+      assert(row.getAs[Long]("read_amp_e6") == 1000000L))
+    val byRid = monthly.map(x => x.getAs[Long]("rid") -> x).toMap
+    daily.foreach { row =>
+      val m = byRid(row.getAs[Long]("rid"))
+      assert(row.getAs[Long]("rows_read") <= m.getAs[Long]("rows_read"))
+    }
+  }
+
   test("q540: clustered runs equal NDV — the stitch certificate") {
     val r = rows("q540_rle_ordering")
     assert(r.length == 3)
