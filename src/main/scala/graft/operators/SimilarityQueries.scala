@@ -2138,7 +2138,211 @@ object SimilarityQueries {
        |FROM argmax WHERE rn = 1""".stripMargin
   }
 
+  // ----------- q552: Matryoshka dimension-truncation recall (prefix dims)
+
+  /** Truncation widths audited (plus the full width as the identity row). */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** q552: how much nearest-neighbor quality survives keeping only the
+    * FIRST d dimensions of each embedding — the Matryoshka-representation
+    * question every tiered retrieval stack asks before shipping a cheap
+    * prefix index. Vectors quantize to e4 integers (the q229 device), so
+    * every distance — full and truncated — is exact int64 arithmetic and
+    * both engines rank identically with no float-noise risk. One exploded
+    * pass computes all four prefix distances as conditional sums; recall@5
+    * per width ships with the d=64 identity row (recall exactly 1.0) as
+    * the in-output certificate.
+    *
+    * Plan: probe batch (10) broadcast into the exploded stream; one
+    * (probe, candidate) rollup carries d2_8/16/32/64 together; ranking is
+    * per-(probe, width) on the bounded candidate set.
+    */
+  val q552MrlTruncation: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("d").as("pd"),
+        col("q").as("qp"))
+    val pair = base.join(broadcast(probes),
+      col("d") === col("pd") && col("vec_id") =!= col("probe_id"))
+      .withColumn("sq", (col("q") - col("qp")) * (col("q") - col("qp")))
+    val d2 = pair.groupBy(col("probe_id"), col("vec_id"))
+      .agg(
+        sum(when(col("d") < 8, col("sq")).otherwise(0L)).as("d2_8"),
+        sum(when(col("d") < 16, col("sq")).otherwise(0L)).as("d2_16"),
+        sum(when(col("d") < 32, col("sq")).otherwise(0L)).as("d2_32"),
+        sum(col("sq")).as("d2_64"))
+      .localCheckpoint()
+    val long = d2.select(col("probe_id"), col("vec_id"), col("d2_64"),
+      explode(array(
+        struct(lit(8).as("dims"), col("d2_8").as("d2t")),
+        struct(lit(16).as("dims"), col("d2_16").as("d2t")),
+        struct(lit(32).as("dims"), col("d2_32").as("d2t")),
+        struct(lit(64).as("dims"), col("d2_64").as("d2t")))).as("e"))
+      .select(col("probe_id"), col("vec_id"), col("d2_64"),
+        col("e.dims").as("dims"), col("e.d2t").as("d2t"))
+    val wt = Window.partitionBy(col("probe_id"), col("dims"))
+      .orderBy(col("d2t"), col("vec_id"))
+    val wf = Window.partitionBy(col("probe_id"), col("dims"))
+      .orderBy(col("d2_64"), col("vec_id"))
+    long
+      .withColumn("rk_trunc", row_number().over(wt))
+      .withColumn("rk_full", row_number().over(wf))
+      .filter(col("rk_trunc") <= K || col("rk_full") <= K)
+      .groupBy(col("dims"))
+      .agg(sum(when(col("rk_trunc") <= K && col("rk_full") <= K, 1L)
+        .otherwise(0L)).as("hits"),
+        countDistinct(col("probe_id")).as("n_probes"))
+      .select(col("dims").cast("long").as("dims_kept"), col("n_probes"),
+        lit(K.toLong).as("k"), col("hits"),
+        expr(s"hits * 1000000 div (n_probes * $K)").as("recall_e6"))
+      .orderBy(col("dims_kept"))
+  }
+
+  val q552Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(r.range AS INT) - 1 AS d,
+       |    CAST(ROUND(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+       |      * 10000) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN range(1, 65) r),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, d AS pd, q AS qp FROM base
+       |  WHERE vec_id < 10),
+       |pair AS (
+       |  SELECT b.probe_id, a.vec_id,
+       |    SUM(CASE WHEN a.d < 8 THEN (a.q - b.qp) * (a.q - b.qp)
+       |      ELSE 0 END) AS d2_8,
+       |    SUM(CASE WHEN a.d < 16 THEN (a.q - b.qp) * (a.q - b.qp)
+       |      ELSE 0 END) AS d2_16,
+       |    SUM(CASE WHEN a.d < 32 THEN (a.q - b.qp) * (a.q - b.qp)
+       |      ELSE 0 END) AS d2_32,
+       |    SUM((a.q - b.qp) * (a.q - b.qp)) AS d2_64
+       |  FROM base a JOIN probes b
+       |    ON a.d = b.pd AND a.vec_id <> b.probe_id
+       |  GROUP BY 1, 2),
+       |lng AS (
+       |  SELECT probe_id, vec_id, d2_64, u.dims,
+       |    CASE u.dims WHEN 8 THEN d2_8 WHEN 16 THEN d2_16
+       |      WHEN 32 THEN d2_32 ELSE d2_64 END AS d2t
+       |  FROM pair CROSS JOIN
+       |    (SELECT UNNEST([8, 16, 32, 64]) AS dims) u),
+       |ranked AS (
+       |  SELECT dims, probe_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id, dims
+       |      ORDER BY d2t, vec_id) AS rk_trunc,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id, dims
+       |      ORDER BY d2_64, vec_id) AS rk_full
+       |  FROM lng)
+       |SELECT CAST(dims AS BIGINT) AS dims_kept,
+       |  CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       |  CAST($K AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN rk_trunc <= $K AND rk_full <= $K THEN 1
+       |    ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN rk_trunc <= $K AND rk_full <= $K THEN 1
+       |    ELSE 0 END) * 1000000
+       |    // (COUNT(DISTINCT probe_id) * $K) AS BIGINT) AS recall_e6
+       |FROM ranked
+       |WHERE rk_trunc <= $K OR rk_full <= $K
+       |GROUP BY dims
+       |ORDER BY dims_kept""".stripMargin
+
+  // ------------- q553: int8 scalar-quantization recall (per-dim symmetric)
+
+  /** q553: the int8 scalar-quantization audit — per-dimension symmetric
+    * scales from the corpus max |value| (computed on the e4-integer grid,
+    * so the scale itself is an exact integer), codes v = ±(|q|·127 div
+    * scale) in [−127, 127], and the top-5-by-quantized-distance compared
+    * to the full-precision top-5 per probe. Everything after the one e4
+    * rounding is pure int64 arithmetic — the oracle certifies the whole
+    * quantize→rank→recall pipeline bit-for-bit. Complements q216 (product
+    * quantization distortion) with the cheaper scalar path every vector
+    * store offers first.
+    */
+  val q553Int8Recall: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 10000, 0).cast("long").as("q"))
+      .localCheckpoint()
+    val scales = base.groupBy(col("d"))
+      .agg(greatest(max(abs(col("q"))), lit(1L)).as("sc"))
+    val quant = base.join(broadcast(scales), "d")
+      .withColumn("v", expr(
+        """CASE WHEN q >= 0 THEN (q * 127) div sc
+          | ELSE -(((-q) * 127) div sc) END"""
+          .stripMargin.replace("\n", " ")))
+    val probes = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("d").as("pd"),
+        col("q").as("qp"), col("v").as("vp"))
+    val d2 = quant.join(broadcast(probes),
+      col("d") === col("pd") && col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum((col("q") - col("qp")) * (col("q") - col("qp"))).as("d2_full"),
+        sum((col("v") - col("vp")) * (col("v") - col("vp"))).as("d2_int8"))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2_int8"), col("vec_id"))
+    val wf = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2_full"), col("vec_id"))
+    d2
+      .withColumn("rk_int8", row_number().over(wq))
+      .withColumn("rk_full", row_number().over(wf))
+      .filter(col("rk_int8") <= K || col("rk_full") <= K)
+      .groupBy(col("probe_id"))
+      .agg(sum(when(col("rk_int8") <= K && col("rk_full") <= K, 1L)
+        .otherwise(0L)).as("n_hits"))
+      .select(col("probe_id"), col("n_hits"), lit(K.toLong).as("k"),
+        expr(s"n_hits * 1000000 div $K").as("recall_e6"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q553Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(r.range AS INT) - 1 AS d,
+       |    CAST(ROUND(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)
+       |      * 10000) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN range(1, 65) r),
+       |scales AS (
+       |  SELECT d, GREATEST(MAX(ABS(q)), 1) AS sc FROM base GROUP BY 1),
+       |quant AS (
+       |  SELECT vec_id, base.d, q,
+       |    CASE WHEN q >= 0 THEN (q * 127) // sc
+       |      ELSE -(((-q) * 127) // sc) END AS v
+       |  FROM base JOIN scales ON base.d = scales.d),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, d AS pd, q AS qp, v AS vp FROM quant
+       |  WHERE vec_id < 10),
+       |d2 AS (
+       |  SELECT b.probe_id, a.vec_id,
+       |    SUM((a.q - b.qp) * (a.q - b.qp)) AS d2_full,
+       |    SUM((a.v - b.vp) * (a.v - b.vp)) AS d2_int8
+       |  FROM quant a JOIN probes b
+       |    ON a.d = b.pd AND a.vec_id <> b.probe_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT probe_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY d2_int8, vec_id) AS rk_int8,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY d2_full, vec_id) AS rk_full
+       |  FROM d2)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |  CAST(SUM(CASE WHEN rk_int8 <= $K AND rk_full <= $K THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST($K AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN rk_int8 <= $K AND rk_full <= $K THEN 1
+       |    ELSE 0 END) * 1000000 // $K AS BIGINT) AS recall_e6
+       |FROM ranked
+       |WHERE rk_int8 <= $K OR rk_full <= $K
+       |GROUP BY probe_id
+       |ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q552_mrl_truncation" -> q552MrlTruncation,
+    "q553_int8_recall" -> q553Int8Recall,
     "q521_kcenter_greedy" -> q521KCenterGreedy,
     "q425_hubness" -> q425Hubness,
     "q411_lof" -> q411Lof,
@@ -2287,6 +2491,8 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q552_mrl_truncation" -> q552Sql,
+    "q553_int8_recall" -> q553Sql,
     "q425_hubness" -> q425Sql,
     "q411_lof" -> q411Sql,
     "q365_isotropy" -> q365Sql,

@@ -55,6 +55,31 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q552: the full-width row is the identity; recall never exceeds 1") {
+    val r = rows("q552_mrl_truncation")
+    assert(r.length == 4)
+    val full = r.find(_.getAs[Long]("dims_kept") == 64L).get
+    // truncating to all 64 dims IS the exact ranking — recall exactly 1.0
+    assert(full.getAs[Long]("recall_e6") == 1000000L)
+    assert(full.getAs[Long]("hits") ==
+      full.getAs[Long]("n_probes") * full.getAs[Long]("k"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("recall_e6") <= 1000000L)
+      assert(row.getAs[Long]("hits") <=
+        row.getAs[Long]("n_probes") * row.getAs[Long]("k"))
+    }
+  }
+
+  test("q553: per-probe hits respect k; recall formula consistent") {
+    val r = rows("q553_int8_recall")
+    assert(r.length == 10)
+    r.foreach { row =>
+      val h = row.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= row.getAs[Long]("k"))
+      assert(row.getAs[Long]("recall_e6") == h * 1000000L / 5L)
+    }
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
