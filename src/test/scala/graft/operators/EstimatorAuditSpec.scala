@@ -80,6 +80,37 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q554: row conservation and the synthetic-drift deltas") {
+    val r = rows("q554_table_diff")
+    val byA = r.map(x => x.getAs[String]("action") -> x).toMap
+    assert(byA.keySet == Set("insert", "delete", "update", "unchanged"))
+    val aRows = r.head.getAs[Long]("a_rows")
+    val bRows = r.head.getAs[Long]("b_rows")
+    assert(bRows == aRows - byA("delete").getAs[Long]("n") +
+      byA("insert").getAs[Long]("n"))
+    // every update is exactly the +500c bump; unchanged rows carry no delta
+    assert(byA("update").getAs[Long]("delta_c") ==
+      byA("update").getAs[Long]("n") * 500L)
+    assert(byA("unchanged").getAs[Long]("delta_c") == 0L)
+    assert(byA("delete").getAs[Long]("delta_c") < 0L)
+  }
+
+  test("q555: fingerprints agree exactly on matching months") {
+    val r = rows("q555_checksum_reconcile")
+    assert(r.nonEmpty)
+    // at least one month drifted (the synthetic rules guarantee changes)
+    assert(r.exists(_.getAs[Long]("matches") == 0L))
+    r.foreach { row =>
+      val eq = row.getAs[Long]("n_a") == row.getAs[Long]("n_b") &&
+        row.getAs[String]("fp_a") == row.getAs[String]("fp_b")
+      assert((row.getAs[Long]("matches") == 1L) == eq)
+    }
+    // the fingerprint pass conserves both sides' row totals
+    val diff = rows("q554_table_diff")
+    assert(r.map(_.getAs[Long]("n_a")).sum == diff.head.getAs[Long]("a_rows"))
+    assert(r.map(_.getAs[Long]("n_b")).sum == diff.head.getAs[Long]("b_rows"))
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
