@@ -81,12 +81,17 @@ object LayoutQueries {
     val li = Tables.lineitem(s, dir)
       .select(col("l_shipdate"), col("l_partkey"))
     val mind = li.agg(min(col("l_shipdate")).as("md"))
-    val base = li.crossJoin(broadcast(mind))
+    // ONE fact shuffle: the (day, partkey) cell rollup. Both layout codes
+    // are bijections of the cell key, so each layout is a computed column
+    // over the checkpointed cells — never a second pass over lineitem.
+    val cells = li.crossJoin(broadcast(mind))
       .select(
         expr("datediff(l_shipdate, md)").cast("long")
           .bitwiseAND(lit(4095L)).as("d"),
         col("l_partkey").cast("long").bitwiseAND(lit(4095L)).as("p"))
-    val ext = base.agg(max(col("d")).as("dmax"), max(col("p")).as("pmax"))
+      .groupBy(col("d"), col("p")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ext = cells.agg(max(col("d")).as("dmax"), max(col("p")).as("pmax"))
     val rects = s.range(6).toDF("rid").crossJoin(broadcast(ext))
       .select(col("rid"),
         expr("rid * dmax div 6").as("dlo"),
@@ -104,16 +109,13 @@ object LayoutQueries {
         .agg(countDistinct(col("blk")).as("blocks"),
           sum(when(col("blk") === expr(s"below div $ZBlockRows"), col("cnt"))
             .otherwise(lit(0L))).as("rows_hit"))
-    val rm = touched(base
-      .groupBy((col("d") * 4096L + col("p")).as("code"), col("d"), col("p"))
-      .agg(count(lit(1)).as("cnt")))
+    val rm = touched(cells
+      .withColumn("code", col("d") * 4096L + col("p")))
       .select(col("rid"), col("dlo"), col("dhi"), col("phi"),
         col("rows_hit"), col("blocks").as("blocks_rowmajor"))
-    val zo = touched(base
-      .groupBy(spread(col("d"))
-        .bitwiseOR(shiftleft(spread(col("p")), 1)).as("code"),
-        col("d"), col("p"))
-      .agg(count(lit(1)).as("cnt")))
+    val zo = touched(cells
+      .withColumn("code", spread(col("d"))
+        .bitwiseOR(shiftleft(spread(col("p")), 1))))
       .select(col("rid").as("rid2"), col("blocks").as("blocks_zorder"))
     rm.join(zo, col("rid") === col("rid2")).drop("rid2")
       .withColumn("zo_vs_rm_e6",
