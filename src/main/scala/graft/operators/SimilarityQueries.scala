@@ -2340,7 +2340,104 @@ object SimilarityQueries {
        |GROUP BY probe_id
        |ORDER BY probe_id""".stripMargin
 
+  // ------------------- q556: label-noise audit (1-NN leave-one-out vote)
+
+  /** q556: the label-hygiene pass a training pipeline runs before trusting
+    * a labelled table — every vector's label is checked against its
+    * nearest OTHER vector's label (1-NN leave-one-out). Per class: size,
+    * 1-NN agreement count/rate, and the modal confusion target — rows
+    * whose neighborhood systematically votes another class are the
+    * mislabel suspects (the instance-level complement of q88's
+    * cluster-level purity and q177's class separability).
+    *
+    * The pair scan uses the codegen'd dot-product expression with
+    * precomputed norms (the q60 device, gate-proven for cross-engine
+    * rank agreement); ranking is rank-only output so last-ulp float noise
+    * cannot surface. At 100 TB the same audit runs against the IVF/LSH
+    * candidate sets (q61/q64) instead of the full cross product — the
+    * brute pass here is the correctness baseline.
+    */
+  val q556LabelNoise: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val probes = e.select(col("vec_id").as("pid"), col("label").as("plab"),
+      col("embedding").as("pv"), col("nrm").as("pn"))
+    val sims = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("plab"), col("label").as("nlab"),
+        col("vec_id").as("nid"),
+        (Vectors.dot(col("embedding"), col("pv")) /
+          (col("nrm") * col("pn"))).as("sim"))
+    val nn = sims.withColumn("rk", row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rk") === 1)
+    val conf = nn.groupBy(col("plab"), col("nlab"))
+      .agg(count(lit(1)).as("c"))
+    val agree = conf.groupBy(col("plab").as("label"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("plab") === col("nlab"), col("c")).otherwise(0L))
+          .as("nn_agree"))
+    val confused = conf.filter(col("plab") =!= col("nlab"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("plab"))
+          .orderBy(col("c").desc, col("nlab"))))
+      .filter(col("rk") === 1)
+      .select(col("plab").as("label2"), col("nlab").as("top_confusion"),
+        col("c").as("confusion_n"))
+    agree.join(confused, col("label") === col("label2"), "left")
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("nn_agree"),
+        expr("nn_agree * 1000000 div n").as("agree_e6"),
+        col("top_confusion").cast("long").as("top_confusion"),
+        coalesce(col("confusion_n"), lit(0L)).as("confusion_n"))
+      .orderBy(col("label"))
+  }
+
+  val q556Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT p.vec_id AS pid, p.label AS plab, a.label AS nlab,
+      |    a.vec_id AS nid,
+      |    list_dot_product(a.v, p.v) / (a.nrm * p.nrm) AS sim
+      |  FROM e a CROSS JOIN e p
+      |  WHERE a.vec_id <> p.vec_id),
+      |nn AS (
+      |  SELECT plab, nlab FROM (
+      |    SELECT plab, nlab,
+      |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, nid)
+      |        AS rk
+      |    FROM sims)
+      |  WHERE rk = 1),
+      |conf AS (
+      |  SELECT plab, nlab, COUNT(*) AS c FROM nn GROUP BY 1, 2),
+      |agree AS (
+      |  SELECT plab AS label, SUM(c) AS n,
+      |    SUM(CASE WHEN plab = nlab THEN c ELSE 0 END) AS nn_agree
+      |  FROM conf GROUP BY 1),
+      |confused AS (
+      |  SELECT plab AS label, nlab AS top_confusion, c AS confusion_n
+      |  FROM (
+      |    SELECT conf.*, ROW_NUMBER() OVER (PARTITION BY plab
+      |      ORDER BY c DESC, nlab) AS rk
+      |    FROM conf WHERE plab <> nlab)
+      |  WHERE rk = 1)
+      |SELECT CAST(a.label AS BIGINT) AS label, CAST(a.n AS BIGINT) AS n,
+      |  CAST(a.nn_agree AS BIGINT) AS nn_agree,
+      |  CAST(a.nn_agree * 1000000 // a.n AS BIGINT) AS agree_e6,
+      |  CAST(c.top_confusion AS BIGINT) AS top_confusion,
+      |  CAST(COALESCE(c.confusion_n, 0) AS BIGINT) AS confusion_n
+      |FROM agree a LEFT JOIN confused c USING (label)
+      |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q556_label_noise" -> q556LabelNoise,
     "q552_mrl_truncation" -> q552MrlTruncation,
     "q553_int8_recall" -> q553Int8Recall,
     "q521_kcenter_greedy" -> q521KCenterGreedy,
@@ -2491,6 +2588,7 @@ object SimilarityQueries {
     * ordinality — exact same IEEE operation order as the Spark side.
     */
   val oracles: Map[String, String] = Map(
+    "q556_label_noise" -> q556Sql,
     "q552_mrl_truncation" -> q552Sql,
     "q553_int8_recall" -> q553Sql,
     "q425_hubness" -> q425Sql,

@@ -111,6 +111,21 @@ class EstimatorAuditSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_b")).sum == diff.head.getAs[Long]("b_rows"))
   }
 
+  test("q556: every vector votes exactly once; confusion excludes self") {
+    val r = rows("q556_label_noise")
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n")).sum == total)
+    r.foreach { row =>
+      assert(row.getAs[Long]("nn_agree") <= row.getAs[Long]("n"))
+      assert(row.getAs[Long]("agree_e6") ==
+        row.getAs[Long]("nn_agree") * 1000000L / row.getAs[Long]("n"))
+      Option(row.getAs[java.lang.Long]("top_confusion")).foreach(tc =>
+        assert(tc != row.getAs[Long]("label")))
+      assert(row.getAs[Long]("confusion_n") <=
+        row.getAs[Long]("n") - row.getAs[Long]("nn_agree"))
+    }
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
