@@ -303,15 +303,188 @@ object EstimatorQueries {
        |ORDER BY candidate""".stripMargin
   }
 
+  // ------------- q557: rendezvous-hash rebalance audit (elastic scale-out)
+
+  /** Cluster sizes before/after the scale-out step. */
+  private val RvNodesBefore = 12
+  private val RvNodesAfter = 13
+
+  /** q557: what does adding one node to a rendezvous-hashed (HRW) cluster
+    * move? Every key is assigned to argmax over nodes of the portable
+    * hash(node, key), at 12 and at 13 nodes; the defining property —
+    * keys move ONLY to the new node, about 1/13 of them — is counted
+    * exactly and shipped as the moved = new-node-load certificate, next
+    * to the load spread at both sizes. This is the elasticity story the
+    * reference's service-objective scaling (D8) tells at the storage
+    * layer: scale-out cost is bounded and predictable.
+    *
+    * Plan: keys × 26 node scores generated in place (explode of a
+    * 26-literal array), two argmax windows per key, one rollup.
+    */
+  val q557RendezvousRebalance: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("k"))
+      .select(col("k"), explode(array(
+        (0 until RvNodesAfter).map(n => struct(lit(n).as("node"),
+          Text.portableHash(concat(lit(s"r|$n|"), col("k").cast("string")))
+            .as("sc"))): _*)).as("e"))
+      .select(col("k"), col("e.node").as("node"), col("e.sc").as("sc"))
+    val w13 = Window.partitionBy(col("k"))
+      .orderBy(col("sc").desc, col("node"))
+    val w12 = Window.partitionBy(col("k"))
+      .orderBy(col("sc").desc, col("node"))
+    val a13 = scored.withColumn("rk", row_number().over(w13))
+      .filter(col("rk") === 1).select(col("k"), col("node").as("n13"))
+    val a12 = scored.filter(col("node") < RvNodesBefore)
+      .withColumn("rk", row_number().over(w12))
+      .filter(col("rk") === 1).select(col("k").as("k2"), col("node").as("n12"))
+    val j = a13.join(a12, col("k") === col("k2")).localCheckpoint()
+    val loads = j.groupBy(col("n13")).agg(count(lit(1)).as("l"))
+    j.agg(count(lit(1)).as("n_keys"),
+      sum((col("n13") =!= col("n12")).cast("long")).as("moved"),
+      sum((col("n13") === lit(RvNodesBefore)).cast("long"))
+        .as("new_node_load"))
+      .crossJoin(broadcast(loads.agg(max(col("l")).as("max_load13"),
+        min(col("l")).as("min_load13"))))
+      .select(col("n_keys"), col("moved"), col("new_node_load"),
+        expr("moved * 1000000 div n_keys").as("moved_e6"),
+        lit(1000000L / RvNodesAfter).as("expected_moved_e6"),
+        col("max_load13"), col("min_load13"))
+  }
+
+  val q557Sql: String = {
+    val scoreRows = (0 until RvNodesAfter).map(n =>
+      s"""SELECT k, $n AS node,
+         |CAST(('0x' || substr(md5('r|$n|' || CAST(k AS VARCHAR)), 1, 15))
+         |  AS BIGINT) AS sc FROM keys""".stripMargin.replace("\n", " "))
+      .mkString("\nUNION ALL\n")
+    s"""WITH keys AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+       |scored AS (
+       |$scoreRows),
+       |a13 AS (
+       |  SELECT k, node AS n13 FROM (
+       |    SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+       |      ORDER BY sc DESC, node) AS rk FROM scored)
+       |  WHERE rk = 1),
+       |a12 AS (
+       |  SELECT k, node AS n12 FROM (
+       |    SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+       |      ORDER BY sc DESC, node) AS rk
+       |    FROM scored WHERE node < $RvNodesBefore)
+       |  WHERE rk = 1),
+       |j AS (SELECT a13.k, n13, n12 FROM a13 JOIN a12 USING (k)),
+       |loads AS (
+       |  SELECT MAX(l) AS max_load13, MIN(l) AS min_load13
+       |  FROM (SELECT n13, COUNT(*) AS l FROM j GROUP BY 1))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CASE WHEN n13 <> n12 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moved,
+       |  CAST(SUM(CASE WHEN n13 = $RvNodesBefore THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS new_node_load,
+       |  CAST(SUM(CASE WHEN n13 <> n12 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS moved_e6,
+       |  CAST(${1000000L / RvNodesAfter} AS BIGINT) AS expected_moved_e6,
+       |  CAST(MAX(max_load13) AS BIGINT) AS max_load13,
+       |  CAST(MAX(min_load13) AS BIGINT) AS min_load13
+       |FROM j CROSS JOIN loads""".stripMargin
+  }
+
+  // ---------- q558: consistent-hash ring balance vs virtual-node count
+
+  /** Ring nodes and the virtual-node ladder audited. */
+  private val RingNodes = 12
+  private val VnodeLadder = Seq(1, 4, 16)
+
+  /** q558: the classic consistent-hash balance defect and its vnode cure,
+    * measured exactly — each key goes to the first ring point clockwise
+    * from its own hash (min (ring − key) mod 2⁶⁰); with 1 vnode per node
+    * arc lengths are wildly uneven, and the max/avg skew ratio falls as
+    * virtual nodes multiply. All ring points are plan-time literals of
+    * the portable hash, so both engines place every key identically.
+    *
+    * Plan: per ladder rung, keys join a broadcast ring-point table and
+    * take one argmin window; rollups are node-bounded.
+    */
+  val q558RingBalance: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("k"),
+        Text.portableHash(concat(lit("k|"), col("c_custkey").cast("string")))
+          .as("kh"))
+      .localCheckpoint()
+    VnodeLadder.map { v =>
+      val ring = keys.sparkSession.range(RingNodes * v).toDF("i")
+        .select((col("i") % RingNodes).cast("int").as("node"),
+          col("i"))
+        .withColumn("rh",
+          Text.portableHash(concat(lit("v|"), col("i").cast("string"))))
+        .drop("i")
+      val assigned = keys.crossJoin(broadcast(ring))
+        .withColumn("gap", expr(
+          "pmod(rh - kh, 1152921504606846976)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("gap"), col("node"))))
+        .filter(col("rk") === 1)
+      assigned.groupBy(col("node")).agg(count(lit(1)).as("l"))
+        .agg(count(lit(1)).as("nodes_hit"), sum(col("l")).as("n_keys"),
+          max(col("l")).as("max_load"), min(col("l")).as("min_load"))
+        .select(lit(v.toLong).as("vnodes"), col("n_keys"), col("nodes_hit"),
+          col("max_load"), col("min_load"),
+          expr(s"max_load * $RingNodes * 1000000 div n_keys").as("skew_e6"))
+    }.reduce(_.unionAll(_)).orderBy(col("vnodes"))
+  }
+
+  val q558Sql: String = {
+    val branches = VnodeLadder.map { v =>
+      val ringRows = (0 until RingNodes * v).map(i =>
+        s"SELECT ${i % RingNodes} AS node, CAST(('0x' || " +
+          s"substr(md5('v|$i'), 1, 15)) AS BIGINT) AS rh")
+        .mkString(" UNION ALL ")
+      s"""SELECT $v AS vnodes, COUNT(*) AS nodes_hit, SUM(l) AS n_keys,
+         |  MAX(l) AS max_load, MIN(l) AS min_load
+         |FROM (
+         |  SELECT node, COUNT(*) AS l FROM (
+         |    SELECT k, node FROM (
+         |      SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+         |        ORDER BY (rh - kh) % 1152921504606846976
+         |          + CASE WHEN rh < kh THEN 1152921504606846976 ELSE 0 END,
+         |          node) AS rk
+         |      FROM keys CROSS JOIN ($ringRows) r)
+         |    WHERE rk = 1)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH keys AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS k,
+       |    CAST(('0x' || substr(md5('k|' || CAST(c_custkey AS VARCHAR)), 1,
+       |      15)) AS BIGINT) AS kh
+       |  FROM customer),
+       |per AS (
+       |$branches)
+       |SELECT CAST(vnodes AS BIGINT) AS vnodes,
+       |  CAST(n_keys AS BIGINT) AS n_keys,
+       |  CAST(nodes_hit AS BIGINT) AS nodes_hit,
+       |  CAST(max_load AS BIGINT) AS max_load,
+       |  CAST(min_load AS BIGINT) AS min_load,
+       |  CAST(max_load * $RingNodes * 1000000 // n_keys AS BIGINT)
+       |    AS skew_e6
+       |FROM per
+       |ORDER BY vnodes""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
+    "q557_rendezvous_rebalance" -> q557RendezvousRebalance,
+    "q558_ring_balance" -> q558RingBalance,
     "q545_join_card_estimate" -> q545JoinCardEstimate,
     "q546_selectivity_hist" -> q546SelectivityHist,
     "q547_fd_discovery" -> q547FdDiscovery,
     "q548_distribution_advisor" -> q548DistributionAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q557_rendezvous_rebalance" -> q557Sql,
+    "q558_ring_balance" -> q558Sql,
     "q545_join_card_estimate" -> q545Sql,
     "q546_selectivity_hist" -> q546Sql,
     "q547_fd_discovery" -> q547Sql,

@@ -126,6 +126,35 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q557: keys move ONLY to the new node — the rendezvous property") {
+    val r = rows("q557_rendezvous_rebalance")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("moved") == row.getAs[Long]("new_node_load"))
+    assert(row.getAs[Long]("moved_e6") ==
+      row.getAs[Long]("moved") * 1000000L / row.getAs[Long]("n_keys"))
+    // the moved fraction tracks 1/13 (loose 2x band — it's a hash draw)
+    val exp = row.getAs[Long]("expected_moved_e6")
+    assert(row.getAs[Long]("moved_e6") >= exp / 2)
+    assert(row.getAs[Long]("moved_e6") <= exp * 2)
+    assert(row.getAs[Long]("max_load13") >= row.getAs[Long]("min_load13"))
+  }
+
+  test("q558: virtual nodes level the ring; loads respect pigeonhole") {
+    val r = rows("q558_ring_balance")
+    assert(r.length == 3)
+    val byV = r.map(x => x.getAs[Long]("vnodes") -> x).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("nodes_hit") >= 1)
+      assert(row.getAs[Long]("nodes_hit") <= 12)
+      assert(row.getAs[Long]("max_load") >= row.getAs[Long]("min_load"))
+      // skew floors at 1.0e6 by pigeonhole over <= 12 nodes
+      assert(row.getAs[Long]("skew_e6") >= 1000000L)
+    }
+    // 16 vnodes never balance worse than the raw ring
+    assert(byV(16L).getAs[Long]("skew_e6") <= byV(1L).getAs[Long]("skew_e6"))
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
