@@ -73,6 +73,28 @@ object EventStream {
       .select(expr("unix_timestamp(window.start) DIV 86400").as("day"),
         col("x"))
 
+  /** Watermark-finalized per-day reconciliation fingerprints — the
+    * streaming twin of q555's partition-checksum pass: (count, Σ portable
+    * row-hash) per day, where the hash sum is a PLAIN associative
+    * aggregate, so the fingerprint maintains itself incrementally with one
+    * open day of state and merges across partitions by addition — the
+    * property that makes checksum reconciliation the 100 TB path. A CDC
+    * consumer compares landed fingerprints against the replica's batch
+    * fingerprints and row-diffs only the days that disagree.
+    */
+  def dayFingerprints(events: DataFrame,
+      watermark: String = "25 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Text.portableHash(concat_ws("|",
+          col("event_id").cast("string"),
+          expr("CAST(ROUND(value*100) AS BIGINT)").cast("string")))
+          .cast("decimal(38,0)")).as("fp"))
+      .select(expr("unix_timestamp(window.start) DIV 86400").as("day"),
+        col("n"), col("fp").cast("decimal(38,0)").as("fp"))
+
   /** Sliding-window counts (windowLen every slide) — the overlapping-window
     * twin of EventQueries.q75Sliding. Each event contributes to
     * windowLen/slide windows; the watermark still bounds state, which grows

@@ -12,6 +12,20 @@ class EstimatorAuditSpec extends SparkSpec {
   private def rows(name: String) =
     graft.SparkEntry.queries(name)(spark, sfDir).collect()
 
+  test("q537-q558: no cartesian product anywhere in the advisor families") {
+    val names = graft.SparkEntry.queries.keys.filter { n =>
+      val id = n.drop(1).takeWhile(_.isDigit)
+      id.nonEmpty && id.toInt >= 537 && id.toInt <= 558
+    }
+    assert(names.size >= 18, s"expected the advisor families, got $names")
+    names.foreach { n =>
+      val p = graft.SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("q545: the Selinger estimate is exact on the FK join") {
     val r = rows("q545_join_card_estimate")
     assert(r.length == 3)

@@ -602,6 +602,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("landed day fingerprints equal batch; a tampered replica is located") {
+    EventStream.runToMemory(
+      EventStream.dayFingerprints(EventStream.read(spark, streamDir)),
+      "t_day_fp", OutputMode.Append())
+    val landed = spark.table("t_day_fp")
+    assert(landed.count() > 0)
+    def batchFp(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        graft.functions.Text.portableHash(concat_ws("|",
+          col("event_id").cast("string"),
+          expr("CAST(ROUND(value*100) AS BIGINT)").cast("string")))
+          .cast("decimal(38,0)").as("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).cast("decimal(38,0)").as("fp"))
+    // parity: every landed day carries the exact batch fingerprint
+    val batch = batchFp(Tables.events(spark, sfDir))
+    assert(landed.as("s").join(batch.as("b"), Seq("day"))
+      .filter(col("s.n") =!= col("b.n") ||
+        col("s.fp") =!= col("b.fp")).count() === 0L,
+      "landed fingerprints must equal batch recompute")
+    // reconciliation: a replica with one-cent tampering on a key slice is
+    // located to exactly the days that contain tampered rows
+    val tampered = Tables.events(spark, sfDir)
+      .withColumn("value", when(col("event_id") % 1009 === 0,
+        col("value") + 0.01).otherwise(col("value")))
+    val tamperedDays = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 1009 === 0)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val flagged = batch.as("a").join(batchFp(tampered).as("t"), Seq("day"))
+      .filter(col("a.fp") =!= col("t.fp"))
+      .select(col("day")).collect().map(_.getLong(0)).toSet
+    assert(flagged == tamperedDays,
+      s"checksum pass must locate exactly the tampered days: $flagged vs $tamperedDays")
+  }
+
   test("XmR panel composed from the landed daily revenue equals batch q316") {
     EventStream.runToMemory(
       EventStream.dailyRevenue(EventStream.read(spark, streamDir)),
