@@ -2584,7 +2584,81 @@ object CurationQueries {
       |ORDER BY round""".stripMargin
   }
 
+  // -------------- q559: randomized-response local-DP prevalence estimator
+
+  /** q559: Warner's randomized response — the local-DP collection scheme a
+    * telemetry pipeline uses when individual bits must never be trusted to
+    * the collector. Each customer's sensitive bit (market segment =
+    * BUILDING) is reported truthfully with p = 3/4 and inverted otherwise
+    * (coin = portable-hash residue, so the "randomness" is deterministic
+    * and both engines replay the identical survey); the collector debiases
+    * with t̂ = (4r − n) / (2n). The per-nation report carries the true
+    * prevalence (the audit column a real deployment never sees), the raw
+    * reported rate, the debiased estimate and its signed error — showing
+    * the estimator recovering the truth it was never told — plus the
+    * mechanism's ε = ln 3 as a plan-time literal.
+    *
+    * Scale: one customer-dimension pass, nation-bounded rollup.
+    */
+  val q559RandomizedResponse: Q = (s, dir) => {
+    def sdivQ(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN ($num) div ($den)
+         | ELSE -((-($num)) div ($den)) END"""
+        .stripMargin.replace("\n", " ")
+    Tables.customer(s, dir)
+      .select(col("c_nationkey").cast("long").as("nk"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("t"),
+        (Text.portableHash(concat(lit("rr|"),
+          col("c_custkey").cast("string"))) % 4L < 3L).cast("long")
+          .as("keep"))
+      .withColumn("r", when(col("keep") === 1L, col("t"))
+        .otherwise(lit(1L) - col("t")))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("true_cnt"),
+        sum(col("r")).as("reported_cnt"))
+      .select(col("nk").as("nation"), col("n"), col("true_cnt"),
+        col("reported_cnt"),
+        expr("true_cnt * 1000000 div n").as("true_e6"),
+        expr(sdivQ("(4 * reported_cnt - n) * 1000000", "2 * n"))
+          .as("est_e6"))
+      .withColumn("err_e6", col("est_e6") - col("true_e6"))
+      .withColumn("epsilon_e6", lit(1098612L)) // ln 3, plan-time literal
+      .orderBy(col("nation"))
+  }
+
+  val q559Sql: String =
+    """WITH survey AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN CAST(('0x' || substr(md5('rr|' ||
+      |      CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 4 < 3
+      |      THEN 1 ELSE 0 END AS keep
+      |  FROM customer),
+      |rep AS (
+      |  SELECT nk, t, CASE WHEN keep = 1 THEN t ELSE 1 - t END AS r
+      |  FROM survey),
+      |agg AS (
+      |  SELECT nk, COUNT(*) AS n, SUM(t) AS true_cnt,
+      |    SUM(r) AS reported_cnt
+      |  FROM rep GROUP BY 1)
+      |SELECT nk AS nation, CAST(n AS BIGINT) AS n,
+      |  CAST(true_cnt AS BIGINT) AS true_cnt,
+      |  CAST(reported_cnt AS BIGINT) AS reported_cnt,
+      |  CAST(true_cnt * 1000000 // n AS BIGINT) AS true_e6,
+      |  CAST(CASE WHEN 4 * reported_cnt - n >= 0
+      |    THEN (4 * reported_cnt - n) * 1000000 // (2 * n)
+      |    ELSE -((-((4 * reported_cnt - n) * 1000000)) // (2 * n)) END
+      |    AS BIGINT) AS est_e6,
+      |  CAST(CASE WHEN 4 * reported_cnt - n >= 0
+      |    THEN (4 * reported_cnt - n) * 1000000 // (2 * n)
+      |    ELSE -((-((4 * reported_cnt - n) * 1000000)) // (2 * n)) END
+      |    - true_cnt * 1000000 // n AS BIGINT) AS err_e6,
+      |  CAST(1098612 AS BIGINT) AS epsilon_e6
+      |FROM agg
+      |ORDER BY nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q559_randomized_response" -> q559RandomizedResponse,
     "q506_coverage_select" -> q506CoverageSelect,
     "q498_mixture_weights" -> q498MixtureWeights,
     "q499_char_entropy" -> q499CharEntropy,
@@ -2622,6 +2696,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q559_randomized_response" -> q559Sql,
     "q506_coverage_select" -> q506Sql,
     "q498_mixture_weights" -> q498Sql,
     "q499_char_entropy" -> q499Sql,

@@ -169,6 +169,26 @@ class EstimatorAuditSpec extends SparkSpec {
     assert(byV(16L).getAs[Long]("skew_e6") <= byV(1L).getAs[Long]("skew_e6"))
   }
 
+  test("q559: debiasing identity and the corpus-level estimate quality") {
+    val r = rows("q559_randomized_response")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n")
+      val rep = row.getAs[Long]("reported_cnt")
+      assert(rep >= 0 && rep <= n)
+      assert(row.getAs[Long]("err_e6") ==
+        row.getAs[Long]("est_e6") - row.getAs[Long]("true_e6"))
+      assert(row.getAs[Long]("epsilon_e6") == 1098612L)
+    }
+    // pooled over all nations the estimator tracks the truth within 10pp
+    val n = r.map(_.getAs[Long]("n")).sum
+    val t = r.map(_.getAs[Long]("true_cnt")).sum
+    val rep = r.map(_.getAs[Long]("reported_cnt")).sum
+    val est = (4 * rep - n).toDouble / (2 * n)
+    assert(math.abs(est - t.toDouble / n) < 0.10,
+      s"pooled RR estimate $est vs truth ${t.toDouble / n}")
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
