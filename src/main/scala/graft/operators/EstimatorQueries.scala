@@ -472,9 +472,169 @@ object EstimatorQueries {
        |ORDER BY vnodes""".stripMargin
   }
 
+  // ----------------- q560: join-order cost audit (estimate vs actual)
+
+  /** q560: the two left-deep orders of customer ⋈ orders ⋈ lineitem,
+    * costed as the sum of intermediate + final cardinalities — first with
+    * the Selinger estimates an optimizer would use (q545's formula), then
+    * with the true cardinalities. The report shows whether the estimate
+    * RANKS the orders correctly (the only thing an optimizer needs it
+    * for), which is the join-enumeration story told with data instead of
+    * plan dumps.
+    */
+  val q560JoinOrderCost: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val stats = li.agg(count(lit(1)).as("nl"),
+      countDistinct(col("l_orderkey")).as("ndv_lo"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("no"),
+        countDistinct(col("o_orderkey")).as("ndv_oo"),
+        countDistinct(col("o_custkey")).as("ndv_oc"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"),
+        countDistinct(col("c_custkey")).as("ndv_cc"))))
+    val actLO = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("a_lo"))
+    val actOC = o.join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("a_oc"))
+    val actFinal = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("a_fin"))
+    val base = stats.crossJoin(broadcast(actLO))
+      .crossJoin(broadcast(actOC)).crossJoin(broadcast(actFinal))
+      .withColumn("e_lo", expr("nl * no div greatest(ndv_lo, ndv_oo)"))
+      .withColumn("e_oc", expr("no * nc div greatest(ndv_oc, ndv_cc)"))
+      .withColumn("e_fin", expr("e_lo * nc div greatest(ndv_oc, ndv_cc)"))
+      .localCheckpoint()
+    val a = base.select(lit("lineitem_orders_first").as("join_order"),
+      col("e_lo").as("inter_est"), col("a_lo").as("inter_actual"),
+      col("e_fin"), col("a_fin"),
+      (col("e_lo") + col("e_fin")).as("cost_est"),
+      (col("a_lo") + col("a_fin")).as("cost_actual"))
+    val b = base.select(lit("orders_customer_first").as("join_order"),
+      col("e_oc").as("inter_est"), col("a_oc").as("inter_actual"),
+      col("e_fin"), col("a_fin"),
+      (col("e_oc") + col("e_fin")).as("cost_est"),
+      (col("a_oc") + col("a_fin")).as("cost_actual"))
+    val both = a.unionAll(b)
+    val mins = both.agg(min(col("cost_est")).as("min_e"),
+      min(col("cost_actual")).as("min_a"))
+    both.crossJoin(broadcast(mins))
+      .select(col("join_order"), col("inter_est"), col("inter_actual"),
+        col("a_fin").as("final_rows"), col("cost_est"), col("cost_actual"),
+        (col("cost_est") === col("min_e")).cast("long").as("est_picks"),
+        (col("cost_actual") === col("min_a")).cast("long").as("truth_picks"))
+      .orderBy(col("join_order"))
+  }
+
+  val q560Sql: String =
+    """WITH st AS (
+      |  SELECT (SELECT COUNT(*) FROM lineitem) AS nl,
+      |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_lo,
+      |    (SELECT COUNT(*) FROM orders) AS no,
+      |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_oo,
+      |    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_oc,
+      |    (SELECT COUNT(*) FROM customer) AS nc,
+      |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_cc,
+      |    (SELECT COUNT(*) FROM lineitem JOIN orders
+      |      ON l_orderkey = o_orderkey) AS a_lo,
+      |    (SELECT COUNT(*) FROM orders JOIN customer
+      |      ON o_custkey = c_custkey) AS a_oc,
+      |    (SELECT COUNT(*) FROM lineitem JOIN orders
+      |      ON l_orderkey = o_orderkey JOIN customer
+      |      ON o_custkey = c_custkey) AS a_fin),
+      |est AS (
+      |  SELECT st.*,
+      |    nl * no // GREATEST(ndv_lo, ndv_oo) AS e_lo,
+      |    no * nc // GREATEST(ndv_oc, ndv_cc) AS e_oc,
+      |    (nl * no // GREATEST(ndv_lo, ndv_oo)) * nc
+      |      // GREATEST(ndv_oc, ndv_cc) AS e_fin
+      |  FROM st),
+      |ords AS (
+      |  SELECT 'lineitem_orders_first' AS join_order, e_lo AS inter_est,
+      |    a_lo AS inter_actual, e_fin, a_fin,
+      |    e_lo + e_fin AS cost_est, a_lo + a_fin AS cost_actual
+      |  FROM est
+      |  UNION ALL
+      |  SELECT 'orders_customer_first', e_oc, a_oc, e_fin, a_fin,
+      |    e_oc + e_fin, a_oc + a_fin
+      |  FROM est),
+      |mins AS (
+      |  SELECT MIN(cost_est) AS min_e, MIN(cost_actual) AS min_a
+      |  FROM ords)
+      |SELECT join_order, CAST(inter_est AS BIGINT) AS inter_est,
+      |  CAST(inter_actual AS BIGINT) AS inter_actual,
+      |  CAST(a_fin AS BIGINT) AS final_rows,
+      |  CAST(cost_est AS BIGINT) AS cost_est,
+      |  CAST(cost_actual AS BIGINT) AS cost_actual,
+      |  CAST(CASE WHEN cost_est = min_e THEN 1 ELSE 0 END AS BIGINT)
+      |    AS est_picks,
+      |  CAST(CASE WHEN cost_actual = min_a THEN 1 ELSE 0 END AS BIGINT)
+      |    AS truth_picks
+      |FROM ords CROSS JOIN mins
+      |ORDER BY join_order""".stripMargin
+
+  // ------------- q561: eager-aggregation (group-by pushdown) equivalence
+
+  /** q561: the eager/lazy aggregation transformation, certified on data —
+    * brand quantity totals computed BOTH ways: lazy (join lineitem to
+    * part, then aggregate — the fact stream crosses the join at full
+    * width) and eager (pre-aggregate lineitem by partkey first — only
+    * |parts| rows cross). Each brand row carries both totals and their
+    * equality flag; the intermediate row counts quantify what the rewrite
+    * saves. This is the rewrite [[plans/ViewAdvisor]] and partial
+    * aggregation rely on, shipped as a verifiable query instead of a
+    * claim.
+    */
+  val q561EagerAgg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val lazyAgg = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(sum(col("qty")).as("qty_lazy"))
+    val pre = li.groupBy(col("l_partkey")).agg(sum(col("qty")).as("q1"))
+    val eagerAgg = pre.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand2")).agg(sum(col("q1")).as("qty_eager"))
+    val inter = li.agg(count(lit(1)).as("rows_lazy"))
+      .crossJoin(broadcast(pre.agg(count(lit(1)).as("rows_eager"))))
+    lazyAgg.join(eagerAgg, col("p_brand") === col("brand2"))
+      .crossJoin(broadcast(inter))
+      .select(col("p_brand").as("brand"), col("qty_lazy"), col("qty_eager"),
+        (col("qty_lazy") === col("qty_eager")).cast("long").as("equal"),
+        col("rows_lazy"), col("rows_eager"))
+      .orderBy(col("brand"))
+  }
+
+  val q561Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |lazy AS (
+      |  SELECT p_brand, SUM(qty) AS qty_lazy
+      |  FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |pre AS (
+      |  SELECT l_partkey, SUM(qty) AS q1 FROM li GROUP BY 1),
+      |eager AS (
+      |  SELECT p_brand, SUM(q1) AS qty_eager
+      |  FROM pre JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |inter AS (
+      |  SELECT (SELECT COUNT(*) FROM li) AS rows_lazy,
+      |    (SELECT COUNT(*) FROM pre) AS rows_eager)
+      |SELECT lazy.p_brand AS brand, CAST(qty_lazy AS BIGINT) AS qty_lazy,
+      |  CAST(qty_eager AS BIGINT) AS qty_eager,
+      |  CAST(CASE WHEN qty_lazy = qty_eager THEN 1 ELSE 0 END AS BIGINT)
+      |    AS equal,
+      |  CAST(rows_lazy AS BIGINT) AS rows_lazy,
+      |  CAST(rows_eager AS BIGINT) AS rows_eager
+      |FROM lazy JOIN eager USING (p_brand) CROSS JOIN inter
+      |ORDER BY brand""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
+    "q560_join_order_cost" -> q560JoinOrderCost,
+    "q561_eager_agg" -> q561EagerAgg,
     "q557_rendezvous_rebalance" -> q557RendezvousRebalance,
     "q558_ring_balance" -> q558RingBalance,
     "q545_join_card_estimate" -> q545JoinCardEstimate,
@@ -483,6 +643,8 @@ object EstimatorQueries {
     "q548_distribution_advisor" -> q548DistributionAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q560_join_order_cost" -> q560Sql,
+    "q561_eager_agg" -> q561Sql,
     "q557_rendezvous_rebalance" -> q557Sql,
     "q558_ring_balance" -> q558Sql,
     "q545_join_card_estimate" -> q545Sql,

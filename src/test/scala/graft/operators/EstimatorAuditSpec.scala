@@ -189,6 +189,35 @@ class EstimatorAuditSpec extends SparkSpec {
       s"pooled RR estimate $est vs truth ${t.toDouble / n}")
   }
 
+  test("q560: cost labels match the arg-min; FK estimates land exactly") {
+    val r = rows("q560_join_order_cost")
+    assert(r.length == 2)
+    val minE = r.map(_.getAs[Long]("cost_est")).min
+    val minA = r.map(_.getAs[Long]("cost_actual")).min
+    r.foreach { row =>
+      assert((row.getAs[Long]("est_picks") == 1L) ==
+        (row.getAs[Long]("cost_est") == minE))
+      assert((row.getAs[Long]("truth_picks") == 1L) ==
+        (row.getAs[Long]("cost_actual") == minA))
+      // both joins are FK joins, so the Selinger estimate is exact here
+      assert(row.getAs[Long]("inter_est") == row.getAs[Long]("inter_actual"))
+    }
+    // the estimate must agree with the truth on the winner
+    assert(r.forall(row => row.getAs[Long]("est_picks") ==
+      row.getAs[Long]("truth_picks")))
+  }
+
+  test("q561: eager aggregation is an equivalence, not an approximation") {
+    val r = rows("q561_eager_agg")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("equal") == 1L)
+      assert(row.getAs[Long]("qty_lazy") == row.getAs[Long]("qty_eager"))
+      // the rewrite strictly shrinks what crosses the join
+      assert(row.getAs[Long]("rows_eager") < row.getAs[Long]("rows_lazy"))
+    }
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
