@@ -975,9 +975,134 @@ object LayoutQueries {
       |FROM touched t JOIN nparts np USING (grain) JOIN hit h USING (rid)
       |ORDER BY t.grain, t.rid""".stripMargin
 
+  // ------------- q562: zone-map (min/max segment elimination) effectiveness
+
+  /** q562: do per-block (min, max) ship-date zone maps actually skip
+    * anything? Segment elimination — the columnstore trick behind the
+    * reference's rowgroup-health tooling — only works when the block
+    * layout correlates with the predicate column. Measured here on both
+    * layouts over the same six date probes (q537's windows): the natural
+    * orderkey-range blocks (orderkey is uncorrelated with ship date in
+    * this schema, so nearly every block straddles every probe — zone maps
+    * skip ~nothing and most rows read are false reads) and date-clustered
+    * blocks (zone maps collapse to exact pruning). The key↔date rank-free
+    * Pearson correlation (exact integer co-moment ladder) rides along as
+    * the advisor signal: correlate-or-cluster, else zone maps are dead
+    * weight.
+    */
+  val q562ZoneMapSkipping: Q = (s, dir) => {
+    val mind = Tables.lineitem(s, dir).agg(min(col("l_shipdate")).as("md"))
+    val base = Tables.lineitem(s, dir).crossJoin(broadcast(mind))
+      .select(col("l_orderkey").cast("long").as("ok"),
+        expr("datediff(l_shipdate, md)").cast("long").as("d"))
+      .localCheckpoint()
+    val ext = base.agg(max(col("d")).as("dmax"))
+    val probes = s.range(6).toDF("rid").crossJoin(broadcast(ext))
+      .select(col("rid"),
+        expr("rid * dmax div 6").as("lo"),
+        expr("rid * dmax div 6 + dmax div 8 + 1").as("hi"))
+    def layout(name: String, blkE: Column): DataFrame = {
+      val blocks = base.groupBy(blkE.as("blk"))
+        .agg(min(col("d")).as("bmin"), max(col("d")).as("bmax"),
+          count(lit(1)).as("rows"))
+      val nb = blocks.agg(count(lit(1)).as("n_blocks"))
+      val read = blocks.crossJoin(broadcast(probes))
+        .filter(col("bmax") >= col("lo") && col("bmin") < col("hi"))
+        .agg(count(lit(1)).as("blocks_read"), sum(col("rows")).as("rows_read"))
+      val hit = base.crossJoin(broadcast(probes))
+        .filter(col("d") >= col("lo") && col("d") < col("hi"))
+        .agg(count(lit(1)).as("rows_hit"))
+      read.crossJoin(broadcast(nb)).crossJoin(broadcast(hit))
+        .select(lit(name).as("layout"), col("n_blocks"),
+          expr("n_blocks * 6 - blocks_read").as("blocks_skipped"),
+          col("blocks_read"), col("rows_read"), col("rows_hit"),
+          expr("(rows_read - rows_hit) * 1000000 div rows_read")
+            .as("false_read_e6"))
+    }
+    val mo = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("ok")).cast("decimal(38,0)").as("sk"),
+      sum(col("d")).cast("decimal(38,0)").as("sd"),
+      sum(col("ok").cast("decimal(38,0)") * col("d")).as("skd"),
+      sum(col("ok").cast("decimal(38,0)") * col("ok")).as("skk"),
+      sum(col("d").cast("decimal(38,0)") * col("d")).as("sdd"))
+      // staged e6 reduction BEFORE squaring keeps every product inside
+      // DECIMAL(38,0)/HUGEINT through sf1 (the unstaged square overflows
+      // at sf0.1); sign is factored so truncation is symmetric
+      .select(expr(
+        """CAST(CASE WHEN (n * skk - sk * sk) div 1000000 = 0
+          |  OR (n * sdd - sd * sd) div 1000000 = 0 THEN NULL ELSE
+          | CASE WHEN n * skd - sk * sd >= 0 THEN 1 ELSE -1 END *
+          | (CAST(abs(n * skd - sk * sd) div 1000000 AS DECIMAL(38,0))
+          |  * (abs(n * skd - sk * sd) div 1000000) * 1000000
+          |  div (CAST((n * skk - sk * sk) div 1000000 AS DECIMAL(38,0))
+          |       * ((n * sdd - sd * sd) div 1000000))) END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("corr2_e6"))
+    layout("a_natural", expr("ok div 2048"))
+      .unionAll(layout("b_date_clustered", expr("d div 16")))
+      .crossJoin(broadcast(mo))
+      .orderBy(col("layout"))
+  }
+
+  val q562Sql: String =
+    """WITH mind AS (SELECT MIN(l_shipdate) AS md FROM lineitem),
+      |base AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+      |    CAST(datediff('day', md, l_shipdate) AS BIGINT) AS d
+      |  FROM lineitem CROSS JOIN mind),
+      |ext AS (SELECT MAX(d) AS dmax FROM base),
+      |probes AS (
+      |  SELECT CAST(r.range AS BIGINT) AS rid,
+      |    CAST(r.range AS BIGINT) * dmax // 6 AS lo,
+      |    CAST(r.range AS BIGINT) * dmax // 6 + dmax // 8 + 1 AS hi
+      |  FROM range(0, 6) r CROSS JOIN ext),
+      |lay AS (
+      |  SELECT 'a_natural' AS layout, ok // 2048 AS blk, d FROM base
+      |  UNION ALL
+      |  SELECT 'b_date_clustered', d // 16, d FROM base),
+      |blocks AS (
+      |  SELECT layout, blk, MIN(d) AS bmin, MAX(d) AS bmax,
+      |    COUNT(*) AS rows_b
+      |  FROM lay GROUP BY 1, 2),
+      |nb AS (SELECT layout, COUNT(*) AS n_blocks FROM blocks GROUP BY 1),
+      |readp AS (
+      |  SELECT layout, COUNT(*) AS blocks_read, SUM(rows_b) AS rows_read
+      |  FROM blocks JOIN probes ON bmax >= lo AND bmin < hi
+      |  GROUP BY 1),
+      |hit AS (
+      |  SELECT COUNT(*) AS rows_hit
+      |  FROM base JOIN probes ON d >= lo AND d < hi),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(ok) AS HUGEINT) AS sk, CAST(SUM(d) AS HUGEINT) AS sd,
+      |    SUM(CAST(ok AS HUGEINT) * d) AS skd,
+      |    SUM(CAST(ok AS HUGEINT) * ok) AS skk,
+      |    SUM(CAST(d AS HUGEINT) * d) AS sdd
+      |  FROM base),
+      |corr AS (
+      |  SELECT CAST(CASE WHEN (n * skk - sk * sk) // 1000000 = 0
+      |      OR (n * sdd - sd * sd) // 1000000 = 0 THEN NULL ELSE
+      |    CASE WHEN n * skd - sk * sd >= 0 THEN 1 ELSE -1 END *
+      |    ((ABS(n * skd - sk * sd) // 1000000)
+      |     * (ABS(n * skd - sk * sd) // 1000000) * 1000000
+      |     // ((n * skk - sk * sk) // 1000000
+      |          * ((n * sdd - sd * sd) // 1000000))) END AS BIGINT)
+      |    AS corr2_e6
+      |  FROM mo)
+      |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(n_blocks * 6 - blocks_read AS BIGINT) AS blocks_skipped,
+      |  CAST(blocks_read AS BIGINT) AS blocks_read,
+      |  CAST(rows_read AS BIGINT) AS rows_read,
+      |  CAST(rows_hit AS BIGINT) AS rows_hit,
+      |  CAST((rows_read - rows_hit) * 1000000 // rows_read AS BIGINT)
+      |    AS false_read_e6,
+      |  corr2_e6
+      |FROM readp JOIN nb USING (layout) CROSS JOIN hit CROSS JOIN corr
+      |ORDER BY layout""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
+    "q562_zone_map_skipping" -> q562ZoneMapSkipping,
     "q549_result_cache" -> q549ResultCacheAdvisor,
     "q550_compaction_advisor" -> q550CompactionAdvisor,
     "q551_partition_granularity" -> q551PartitionGranularity,
@@ -991,6 +1116,7 @@ object LayoutQueries {
     "q544_bloom_advisor" -> q544BloomAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q562_zone_map_skipping" -> q562Sql,
     "q549_result_cache" -> q549Sql,
     "q550_compaction_advisor" -> q550Sql,
     "q551_partition_granularity" -> q551Sql,

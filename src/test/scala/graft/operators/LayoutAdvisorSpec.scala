@@ -184,6 +184,26 @@ class LayoutAdvisorSpec extends SparkSpec {
     }
   }
 
+  test("q562: clustering is what makes zone maps work") {
+    val r = rows("q562_zone_map_skipping")
+    assert(r.length == 2)
+    val byL = r.map(x => x.getAs[String]("layout") -> x).toMap
+    val nat = byL("a_natural")
+    val clu = byL("b_date_clustered")
+    // both layouts serve the same probes: identical true hit mass
+    assert(nat.getAs[Long]("rows_hit") == clu.getAs[Long]("rows_hit"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("rows_read") >= row.getAs[Long]("rows_hit"))
+      assert(row.getAs[Long]("blocks_skipped") + row.getAs[Long]("blocks_read")
+        == row.getAs[Long]("n_blocks") * 6)
+    }
+    // the clustered layout never reads more than the natural one, and
+    // skips strictly more block-probe pairs
+    assert(clu.getAs[Long]("rows_read") <= nat.getAs[Long]("rows_read"))
+    assert(clu.getAs[Long]("false_read_e6") <=
+      nat.getAs[Long]("false_read_e6"))
+  }
+
   test("q540: clustered runs equal NDV — the stitch certificate") {
     val r = rows("q540_rle_ordering")
     assert(r.length == 3)
