@@ -630,9 +630,112 @@ object EstimatorQueries {
       |FROM lazy JOIN eager USING (p_brand) CROSS JOIN inter
       |ORDER BY brand""".stripMargin
 
+  // ----------------- q563: max-min fair share (water-filling) allocation
+
+  /** Capacity as a fraction (e6) of total demand. */
+  private val FairCapE6 = 600000L
+
+  /** q563: max-min fairness — the allocation rule behind every multi-tenant
+    * resource governor (the reference's WLM shares, YARN/K8s fair
+    * schedulers): tenants (nations, demand = revenue cents) below the
+    * water level keep their full demand; the rest split what remains
+    * equally, with the integer residue handed out deterministically
+    * (first-k by demand desc, key asc — the largest-remainder device).
+    * The water level comes from the closed form over the demand-sorted
+    * prefix sums (tenant i is uncapped iff P_i + d_i·(n−i) ≤ C), so the
+    * whole allocation is one sorted window over a tenant-bounded rollup.
+    * Conservation (Σ alloc = min(C, Σ demand)) ships in-output.
+    */
+  val q563FairShare: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    // demand = (nationkey+1)-weighted revenue: TPC-H nations are uniform,
+    // so the weights create the demand spread that exercises BOTH sides of
+    // the water level (small tenants fully served, large ones capped)
+    val dem = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nk")).agg(sum(cents(col("o_totalprice"))).as("d0"))
+      .withColumn("d", col("d0") * (col("nk") + 1L)).drop("d0")
+    val tot = dem.agg(sum(col("d")).as("td"), count(lit(1)).as("n"))
+      .withColumn("cap", expr(s"CAST(CAST(td AS DECIMAL(38,0)) " +
+        s"* $FairCapE6 div 1000000 AS BIGINT)"))
+    val w = Window.orderBy(col("d"), col("nk"))
+    val ranked = dem.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w))
+      .withColumn("pfx", sum(col("d")).over(
+        Window.orderBy(col("d"), col("nk"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("uncapped",
+        (col("pfx") + col("d") * (col("n") - col("i")) <= col("cap"))
+          .cast("long"))
+    val kStats = ranked.agg(sum(col("uncapped")).as("k"),
+      sum(when(col("uncapped") === 1, col("d")).otherwise(0L)).as("pk"))
+    val alloc = ranked.crossJoin(broadcast(kStats))
+      .withColumn("n_capped", col("n") - col("k"))
+      .withColumn("base", when(col("n_capped") > 0,
+        expr("(cap - pk) div n_capped")).otherwise(lit(0L)))
+      .withColumn("resid", when(col("n_capped") > 0,
+        expr("(cap - pk) % n_capped")).otherwise(lit(0L)))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("d").desc, col("nk"))))
+      .withColumn("alloc_c", when(col("uncapped") === 1, col("d"))
+        .otherwise(col("base") +
+          (col("rr") <= col("resid")).cast("long")))
+    alloc.select(col("nk").cast("long").as("nation"), col("d").as("demand_c"),
+      col("alloc_c"), (lit(1L) - col("uncapped")).as("capped"),
+      col("cap").as("capacity_c"))
+      .withColumn("alloc_total_c",
+        sum(col("alloc_c")).over(Window.partitionBy()))
+      .orderBy(col("nation"))
+  }
+
+  val q563Sql: String =
+    s"""WITH dem AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |      * (CAST(c_nationkey AS BIGINT) + 1) AS d
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(d) AS td, COUNT(*) AS n,
+       |    CAST(CAST(SUM(d) AS HUGEINT) * $FairCapE6 // 1000000 AS BIGINT)
+       |      AS cap
+       |  FROM dem),
+       |ranked AS (
+       |  SELECT nk, d, n, cap,
+       |    ROW_NUMBER() OVER (ORDER BY d, nk) AS i,
+       |    SUM(d) OVER (ORDER BY d, nk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+       |  FROM dem CROSS JOIN tot),
+       |flagged AS (
+       |  SELECT ranked.*,
+       |    CASE WHEN pfx + d * (n - i) <= cap THEN 1 ELSE 0 END AS uncapped
+       |  FROM ranked),
+       |ks AS (
+       |  SELECT SUM(uncapped) AS k,
+       |    SUM(CASE WHEN uncapped = 1 THEN d ELSE 0 END) AS pk
+       |  FROM flagged),
+       |alloc AS (
+       |  SELECT f.nk, f.d, f.cap, f.uncapped,
+       |    CASE WHEN f.uncapped = 1 THEN f.d
+       |      ELSE (f.cap - ks.pk) // (f.n - ks.k)
+       |        + CASE WHEN ROW_NUMBER() OVER (ORDER BY f.d DESC, f.nk)
+       |          <= (f.cap - ks.pk) % (f.n - ks.k) THEN 1 ELSE 0 END
+       |      END AS alloc_c
+       |  FROM flagged f CROSS JOIN ks)
+       |SELECT nk AS nation, CAST(d AS BIGINT) AS demand_c,
+       |  CAST(alloc_c AS BIGINT) AS alloc_c,
+       |  CAST(1 - uncapped AS BIGINT) AS capped,
+       |  CAST(cap AS BIGINT) AS capacity_c,
+       |  CAST(SUM(alloc_c) OVER () AS BIGINT) AS alloc_total_c
+       |FROM alloc
+       |ORDER BY nation""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
+    "q563_fair_share" -> q563FairShare,
     "q560_join_order_cost" -> q560JoinOrderCost,
     "q561_eager_agg" -> q561EagerAgg,
     "q557_rendezvous_rebalance" -> q557RendezvousRebalance,
@@ -643,6 +746,7 @@ object EstimatorQueries {
     "q548_distribution_advisor" -> q548DistributionAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q563_fair_share" -> q563Sql,
     "q560_join_order_cost" -> q560Sql,
     "q561_eager_agg" -> q561Sql,
     "q557_rendezvous_rebalance" -> q557Sql,

@@ -218,6 +218,29 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q563: max-min fairness — conservation, dominance, level equality") {
+    val r = rows("q563_fair_share")
+    assert(r.nonEmpty)
+    val cap = r.head.getAs[Long]("capacity_c")
+    val total = r.map(_.getAs[Long]("alloc_c")).sum
+    assert(total == r.head.getAs[Long]("alloc_total_c"))
+    assert(total == math.min(cap, r.map(_.getAs[Long]("demand_c")).sum))
+    val (capped, uncapped) = r.partition(_.getAs[Long]("capped") == 1L)
+    // uncapped tenants keep their full demand; capped never exceed it
+    uncapped.foreach(row =>
+      assert(row.getAs[Long]("alloc_c") == row.getAs[Long]("demand_c")))
+    capped.foreach(row =>
+      assert(row.getAs[Long]("alloc_c") <= row.getAs[Long]("demand_c")))
+    if (capped.nonEmpty) {
+      val allocs = capped.map(_.getAs[Long]("alloc_c"))
+      // the water level: capped allocations are equal up to the residue
+      assert(allocs.max - allocs.min <= 1)
+      // no uncapped tenant sits above the level (max-min dominance)
+      uncapped.foreach(row =>
+        assert(row.getAs[Long]("demand_c") <= allocs.max))
+    }
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
