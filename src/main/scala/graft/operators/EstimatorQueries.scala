@@ -732,9 +732,74 @@ object EstimatorQueries {
        |FROM alloc
        |ORDER BY nation""".stripMargin
 
+  // ----------------------- q564: cohort retention matrix (first-seen day)
+
+  /** Retention offsets (days after first activity). */
+  private val RetentionOffsets = Seq(0L, 1L, 3L, 7L, 14L)
+
+  /** q564: the cohort retention triangle — users grouped by first-active
+    * day, each cohort's share still active k days later for k ∈
+    * {0, 1, 3, 7, 14}. The k = 0 row is the identity (every cohort is
+    * fully active on its birth day) and ships as the certificate; the
+    * decay down each column is the retention curve a growth dashboard
+    * plots. One shuffle to the (user, day) activity rollup; cohorts and
+    * offsets are calendar-bounded metadata.
+    */
+  val q564CohortRetention: Q = (s, dir) => {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val ks = s.range(RetentionOffsets.size.toLong).toDF("i")
+      .select(element_at(
+        typedLit(RetentionOffsets), col("i").cast("int") + 1).as("k"))
+    val active = first.crossJoin(broadcast(ks))
+      .join(ud.select(col("user_id").as("u2"), col("day")),
+        col("user_id") === col("u2") && col("day") === col("cohort") + col("k"))
+      .groupBy(col("cohort").as("cohort2"), col("k").as("k2"))
+      .agg(count(lit(1)).as("active"))
+    sizes.crossJoin(broadcast(ks))
+      .join(active, col("cohort") === col("cohort2") && col("k") === col("k2"),
+        "left")
+      .select(col("cohort"), col("k"), col("cohort_size"),
+        coalesce(col("active"), lit(0L)).as("active"))
+      .withColumn("rate_e6", expr("active * 1000000 div cohort_size"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
+  val q564Sql: String = {
+    val kList = RetentionOffsets.mkString(", ")
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+       |  FROM events),
+       |first AS (
+       |  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY 1),
+       |sizes AS (
+       |  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+       |ks AS (SELECT UNNEST([$kList]) AS k),
+       |active AS (
+       |  SELECT f.cohort, ks.k, COUNT(*) AS active
+       |  FROM first f CROSS JOIN ks
+       |  JOIN ud ON ud.user_id = f.user_id AND ud.day = f.cohort + ks.k
+       |  GROUP BY 1, 2)
+       |SELECT s.cohort, CAST(ks.k AS BIGINT) AS k,
+       |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       |  CAST(COALESCE(a.active, 0) AS BIGINT) AS active,
+       |  CAST(COALESCE(a.active, 0) * 1000000 // s.cohort_size AS BIGINT)
+       |    AS rate_e6
+       |FROM sizes s CROSS JOIN ks
+       |LEFT JOIN active a ON a.cohort = s.cohort AND a.k = ks.k
+       |ORDER BY s.cohort, k""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
+    "q564_cohort_retention" -> q564CohortRetention,
     "q563_fair_share" -> q563FairShare,
     "q560_join_order_cost" -> q560JoinOrderCost,
     "q561_eager_agg" -> q561EagerAgg,
@@ -746,6 +811,7 @@ object EstimatorQueries {
     "q548_distribution_advisor" -> q548DistributionAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q564_cohort_retention" -> q564Sql,
     "q563_fair_share" -> q563Sql,
     "q560_join_order_cost" -> q560Sql,
     "q561_eager_agg" -> q561Sql,

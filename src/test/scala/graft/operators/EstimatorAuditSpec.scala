@@ -241,6 +241,22 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q564: k=0 is the identity; sizes conserve the user population") {
+    val r = rows("q564_cohort_retention")
+    assert(r.nonEmpty)
+    val k0 = r.filter(_.getAs[Long]("k") == 0L)
+    assert(k0.nonEmpty)
+    k0.foreach { row =>
+      assert(row.getAs[Long]("active") == row.getAs[Long]("cohort_size"))
+      assert(row.getAs[Long]("rate_e6") == 1000000L)
+    }
+    r.foreach(row =>
+      assert(row.getAs[Long]("active") <= row.getAs[Long]("cohort_size")))
+    val users = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(k0.map(_.getAs[Long]("cohort_size")).sum == users)
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
