@@ -2657,7 +2657,70 @@ object CurationQueries {
       |FROM agg
       |ORDER BY nation""".stripMargin
 
+  // -------------- q565: binary-blob manifest audit (multimodal byte layer)
+
+  /** q565: the byte-layer manifest every multimodal ingest runs before any
+    * decode — blob sizes, magic-byte codec classification, and an
+    * order-independent content checksum — certified cross-engine on
+    * BINARY columns. Payloads are synthesized deterministically (unhex of
+    * repeated md5 hex, length varying with the document), so both engines
+    * materialize byte-identical blobs and the oracle checks the binary
+    * plumbing itself: unhex, blob length, byte slicing, hex round-trip.
+    * The real decode stays behind the mapPartitions seam
+    * ([[graft.multimodal.Codecs]]); this is the half a SQL engine CAN
+    * verify, now gate-checked instead of spec-only.
+    */
+  val q565BinaryManifest: Q = (s, dir) => {
+    val blobs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("""unhex(substr(repeat(md5(text), 4), 1,
+          | 2 * (16 + pmod(n_chars, 48))))"""
+          .stripMargin.replace("\n", " ")).as("blob"))
+      .select(col("doc_id"), col("blob"),
+        length(col("blob")).cast("long").as("bytes"),
+        expr("conv(substr(hex(blob), 1, 2), 16, 10)").cast("long")
+          .as("magic"))
+      .withColumn("codec", expr(
+        """CASE magic div 64 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          | WHEN 2 THEN 'video' ELSE 'binary' END"""
+          .stripMargin.replace("\n", " ")))
+    blobs.groupBy(col("codec"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes"),
+        sum(Text.portableHash(expr("hex(blob)")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("content_fp"))
+      .orderBy(col("codec"))
+  }
+
+  val q565Sql: String =
+    """WITH blobs AS (
+      |  SELECT doc_id,
+      |    unhex(substr(repeat(md5(text), 4), 1,
+      |      2 * (16 + n_chars % 48))) AS blob
+      |  FROM documents),
+      |typed AS (
+      |  SELECT doc_id, blob, octet_length(blob) AS bytes,
+      |    CAST(('0x' || substr(hex(blob), 1, 2)) AS BIGINT) AS magic
+      |  FROM blobs),
+      |lab AS (
+      |  SELECT typed.*,
+      |    CASE magic // 64 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      WHEN 2 THEN 'video' ELSE 'binary' END AS codec
+      |  FROM typed)
+      |SELECT codec, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+      |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+      |  CAST(MIN(bytes) AS BIGINT) AS min_bytes,
+      |  CAST(MAX(bytes) AS BIGINT) AS max_bytes,
+      |  CAST(SUM(CAST(('0x' || substr(md5(hex(blob)), 1, 15)) AS BIGINT)
+      |    :: HUGEINT) AS VARCHAR) AS content_fp
+      |FROM lab
+      |GROUP BY 1
+      |ORDER BY codec""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q565_binary_manifest" -> q565BinaryManifest,
     "q559_randomized_response" -> q559RandomizedResponse,
     "q506_coverage_select" -> q506CoverageSelect,
     "q498_mixture_weights" -> q498MixtureWeights,
@@ -2696,6 +2759,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q565_binary_manifest" -> q565Sql,
     "q559_randomized_response" -> q559Sql,
     "q506_coverage_select" -> q506Sql,
     "q498_mixture_weights" -> q498Sql,

@@ -257,6 +257,23 @@ class EstimatorAuditSpec extends SparkSpec {
     assert(k0.map(_.getAs[Long]("cohort_size")).sum == users)
   }
 
+  test("q565: the manifest partitions the corpus; sizes respect the recipe") {
+    val r = rows("q565_binary_manifest")
+    assert(r.nonEmpty && r.length <= 4)
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n_blobs")).sum == docs)
+    r.foreach { row =>
+      // the synthesis recipe bounds every payload to [16, 63] bytes
+      assert(row.getAs[Long]("min_bytes") >= 16)
+      assert(row.getAs[Long]("max_bytes") <= 63)
+      assert(row.getAs[Long]("total_bytes") >=
+        row.getAs[Long]("n_blobs") * row.getAs[Long]("min_bytes"))
+      assert(row.getAs[Long]("total_bytes") <=
+        row.getAs[Long]("n_blobs") * row.getAs[Long]("max_bytes"))
+      assert(BigInt(row.getAs[String]("content_fp")) > 0)
+    }
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
