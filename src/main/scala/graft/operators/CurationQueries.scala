@@ -2719,7 +2719,60 @@ object CurationQueries {
       |GROUP BY 1
       |ORDER BY codec""".stripMargin
 
+  // ---------- q566: importance-weight ESS (Kish) for source rebalancing
+
+  /** q566: when the corpus is re-weighted from its source proportions to a
+    * uniform target (the q86/q498 mixing move), how much sample is
+    * EFFECTIVELY left? Kish's effective sample size (Σw)²/Σw² — the
+    * diagnostic every importance-weighted pipeline reports before
+    * trusting a re-weighted estimate. Weights are per-source rationals
+    * w_s = target/proposal = N/(S·n_s) carried at e6, so ESS reduces to
+    * exact integer arithmetic: ESS = (Σ n_s w_s)²/(Σ n_s w_s²), and the
+    * e6 scales cancel. Each source row carries its share and weight; the
+    * corpus ESS and its ratio to N ride along as repeated audit columns
+    * (1.0 iff the corpus was already uniform).
+    */
+  val q566ImportanceEss: Q = (s, dir) => {
+    val bySrc = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .localCheckpoint()
+    val tot = bySrc.agg(sum(col("n_s")).as("nn"), count(lit(1)).as("ss"))
+    val weighted = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w_e6", expr("nn * 1000000 div (ss * n_s)"))
+    val ess = weighted.agg(
+      sum(expr("n_s * w_e6")).cast("decimal(38,0)").as("a_e6"),
+      sum(expr("CAST(n_s AS DECIMAL(38,0)) * w_e6 * w_e6")).as("b_e12"))
+      .select(expr("CAST(a_e6 * a_e6 div b_e12 AS BIGINT)").as("ess"))
+    weighted.crossJoin(broadcast(ess))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("n_s * 1000000 div nn").as("share_e6"), col("w_e6"),
+        col("ess"), expr("ess * 1000000 div nn").as("ess_ratio_e6"))
+      .orderBy(col("source"))
+  }
+
+  val q566Sql: String =
+    """WITH by_src AS (
+      |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n_s) AS nn, COUNT(*) AS ss FROM by_src),
+      |weighted AS (
+      |  SELECT source, n_s, nn, ss,
+      |    nn * 1000000 // (ss * n_s) AS w_e6
+      |  FROM by_src CROSS JOIN tot),
+      |ess AS (
+      |  SELECT CAST(
+      |    CAST(SUM(n_s * w_e6) AS HUGEINT) * SUM(n_s * w_e6)
+      |      // SUM(CAST(n_s AS HUGEINT) * w_e6 * w_e6) AS BIGINT) AS ess
+      |  FROM weighted)
+      |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+      |  CAST(n_s * 1000000 // nn AS BIGINT) AS share_e6,
+      |  CAST(w_e6 AS BIGINT) AS w_e6,
+      |  CAST(ess AS BIGINT) AS ess,
+      |  CAST(ess * 1000000 // nn AS BIGINT) AS ess_ratio_e6
+      |FROM weighted CROSS JOIN ess
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q566_importance_ess" -> q566ImportanceEss,
     "q565_binary_manifest" -> q565BinaryManifest,
     "q559_randomized_response" -> q559RandomizedResponse,
     "q506_coverage_select" -> q506CoverageSelect,
@@ -2759,6 +2812,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q566_importance_ess" -> q566Sql,
     "q565_binary_manifest" -> q565Sql,
     "q559_randomized_response" -> q559Sql,
     "q506_coverage_select" -> q506Sql,

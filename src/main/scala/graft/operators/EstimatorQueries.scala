@@ -330,16 +330,15 @@ object EstimatorQueries {
           Text.portableHash(concat(lit(s"r|$n|"), col("k").cast("string")))
             .as("sc"))): _*)).as("e"))
       .select(col("k"), col("e.node").as("node"), col("e.sc").as("sc"))
-    val w13 = Window.partitionBy(col("k"))
-      .orderBy(col("sc").desc, col("node"))
-    val w12 = Window.partitionBy(col("k"))
-      .orderBy(col("sc").desc, col("node"))
-    val a13 = scored.withColumn("rk", row_number().over(w13))
-      .filter(col("rk") === 1).select(col("k"), col("node").as("n13"))
-    val a12 = scored.filter(col("node") < RvNodesBefore)
-      .withColumn("rk", row_number().over(w12))
-      .filter(col("rk") === 1).select(col("k").as("k2"), col("node").as("n12"))
-    val j = a13.join(a12, col("k") === col("k2")).localCheckpoint()
+    // both argmaxes come out of ONE partial-aggregating max (struct max,
+    // tiebreak (sc desc, node asc) via the negated node) — map-side
+    // combine instead of two rank windows over keys × 26 scores
+    val j = scored.groupBy(col("k")).agg(
+      max(struct(col("sc"), (-col("node")).as("nn"))).as("m13"),
+      max(when(col("node") < RvNodesBefore,
+        struct(col("sc"), (-col("node")).as("nn")))).as("m12"))
+      .select(col("k"), (-col("m13.nn")).as("n13"), (-col("m12.nn")).as("n12"))
+      .localCheckpoint()
     val loads = j.groupBy(col("n13")).agg(count(lit(1)).as("l"))
     j.agg(count(lit(1)).as("n_keys"),
       sum((col("n13") =!= col("n12")).cast("long")).as("moved"),

@@ -274,6 +274,20 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q566: ESS never exceeds N and equals N only under uniformity") {
+    val r = rows("q566_importance_ess")
+    assert(r.nonEmpty)
+    val n = r.map(_.getAs[Long]("n_docs")).sum
+    val ess = r.head.getAs[Long]("ess")
+    // Cauchy-Schwarz: (sum w)^2 <= n * sum w^2, so ESS <= N (floors only
+    // pull it further down)
+    assert(ess >= 1 && ess <= n)
+    assert(r.head.getAs[Long]("ess_ratio_e6") == ess * 1000000L / n)
+    val uniform = r.map(_.getAs[Long]("n_docs")).distinct.size == 1
+    if (!uniform) assert(ess < n)
+    r.foreach(row => assert(row.getAs[Long]("share_e6") <= 1000000L))
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
