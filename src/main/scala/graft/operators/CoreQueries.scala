@@ -5159,7 +5159,107 @@ object CoreQueries {
       |FROM widths""".stripMargin
   }
 
+  // ------------- q567: ROLLUP / grouping-sets lattice with level markers
+
+  /** q567: the GROUP BY ROLLUP lattice — (region, nation) detail, per-
+    * region subtotals, and the grand total in ONE aggregation pass with
+    * explicit level markers, the multidimensional-subtotal surface T-SQL
+    * warehouses serve to reporting layers. Spark's rollup() emits the
+    * lattice from a single shuffle (partial aggregation per grouping set);
+    * the level derives from grouping_id(), the oracle derives the same
+    * marker from the NULL pattern — bit-identical because the name
+    * columns are never null at detail level. Subtotal-consistency (each
+    * region row equals the sum of its nations, the grand row equals the
+    * sum of regions) is pinned in the spec.
+    */
+  val q567RollupLattice: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        cents(col("o_totalprice")).as("c"))
+    base.rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("c")).as("revenue_c"), count(lit(1)).as("n_orders"),
+        grouping_id().as("lvl"))
+      .select(coalesce(col("r_name"), lit("~ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("~ALL")).as("nation_name"),
+        col("lvl").cast("long").as("lvl"),
+        col("revenue_c"), col("n_orders"))
+      .orderBy(col("lvl"), col("region_name"), col("nation_name"))
+  }
+
+  val q567Sql: String =
+    """WITH base AS (
+      |  SELECT r_name, n_name,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT COALESCE(r_name, '~ALL') AS region_name,
+      |  COALESCE(n_name, '~ALL') AS nation_name,
+      |  CAST(CASE WHEN r_name IS NULL AND n_name IS NULL THEN 3
+      |    WHEN n_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+      |  CAST(SUM(c) AS BIGINT) AS revenue_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM base
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY lvl, region_name, nation_name""".stripMargin
+
+  // --------------------- q568: PIVOT (priority columns per order year)
+
+  /** The fixed pivot-column domain (T-SQL PIVOT requires it too). */
+  private val PivotPriorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** q568: PIVOT — order revenue per year spread across priority columns,
+    * the crosstab shape T-SQL's PIVOT operator produces. Spark's
+    * Dataset.pivot with an explicit value list compiles to ONE hash
+    * aggregate with conditional sums (no extra shuffle per column); the
+    * oracle spells the same conditional aggregation, the dialect-portable
+    * form. A row-total column rides along so the spec can pin that the
+    * pivot partitions each year's revenue exactly.
+    */
+  val q568PivotPriorities: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("pri"), cents(col("o_totalprice")).as("c"))
+    val cols = PivotPriorities.map(p =>
+      "p" + p.charAt(0) + "_c")
+    base.groupBy(col("yr")).pivot("pri", PivotPriorities).agg(sum(col("c")))
+      .toDF(("yr" +: cols): _*)
+      .na.fill(0L, cols)
+      .withColumn("total_c", cols.map(col).reduce(_ + _))
+      .orderBy(col("yr"))
+  }
+
+  val q568Sql: String = {
+    val sums = PivotPriorities.map(p =>
+      s"""CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '$p' THEN c END), 0)
+         |    AS BIGINT) AS p${p.charAt(0)}_c""".stripMargin.replace("\n", " "))
+      .mkString(",\n      |  ")
+    s"""WITH base AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |  FROM orders)
+       |SELECT yr,
+       |  $sums,
+       |  CAST(SUM(c) AS BIGINT) AS total_c
+       |FROM base
+       |GROUP BY yr
+       |ORDER BY yr""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q567_rollup_lattice" -> q567RollupLattice,
+    "q568_pivot_priorities" -> q568PivotPriorities,
     "q508_bin_advisor" -> q508BinAdvisor,
     "q484_ams_f2" -> q484AmsF2,
     "q321_pacf" -> q321Pacf,
@@ -5268,6 +5368,8 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q567_rollup_lattice" -> q567Sql,
+    "q568_pivot_priorities" -> q568Sql,
     "q321_pacf" -> q321Sql,
     "q309_custdist" -> q309Sql,
     "q310_profit_mix" -> q310Sql,

@@ -288,6 +288,36 @@ class EstimatorAuditSpec extends SparkSpec {
     r.foreach(row => assert(row.getAs[Long]("share_e6") <= 1000000L))
   }
 
+  test("q567: rollup subtotals reconstruct exactly at every level") {
+    val r = rows("q567_rollup_lattice")
+    val detail = r.filter(_.getAs[Long]("lvl") == 0L)
+    val regions = r.filter(_.getAs[Long]("lvl") == 1L)
+    val grand = r.filter(_.getAs[Long]("lvl") == 3L)
+    assert(detail.nonEmpty && regions.nonEmpty && grand.length == 1)
+    // each region subtotal = sum of its nations' detail rows
+    regions.foreach { reg =>
+      val name = reg.getAs[String]("region_name")
+      val kids = detail.filter(_.getAs[String]("region_name") == name)
+      assert(reg.getAs[Long]("revenue_c") ==
+        kids.map(_.getAs[Long]("revenue_c")).sum)
+      assert(reg.getAs[Long]("n_orders") ==
+        kids.map(_.getAs[Long]("n_orders")).sum)
+    }
+    // grand total = sum of region subtotals
+    assert(grand.head.getAs[Long]("revenue_c") ==
+      regions.map(_.getAs[Long]("revenue_c")).sum)
+  }
+
+  test("q568: the pivot partitions each year's revenue exactly") {
+    val r = rows("q568_pivot_priorities")
+    assert(r.nonEmpty)
+    val cols = Seq("p1_c", "p2_c", "p3_c", "p4_c", "p5_c")
+    r.foreach { row =>
+      assert(cols.map(row.getAs[Long](_)).sum == row.getAs[Long]("total_c"))
+      cols.foreach(c => assert(row.getAs[Long](c) >= 0))
+    }
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
