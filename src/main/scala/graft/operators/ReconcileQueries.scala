@@ -194,13 +194,126 @@ object ReconcileQueries {
        |FROM fa FULL OUTER JOIN fb USING (mm)
        |ORDER BY mm""".stripMargin
 
+  // ---------------- q569: MERGE replay — the diff stream rebuilds the target
+
+  /** q569: the MERGE/CDC-apply certification — the change stream q554
+    * classifies (inserts, updates, deletes) is applied back onto snapshot
+    * A with one MERGE-shaped pass (anti-join the deletes, overlay the
+    * update images, append the inserts), and the rebuilt table is
+    * compared against the true B by count and order-independent content
+    * fingerprint. fp_match = 1 proves the diff stream is SUFFICIENT to
+    * replay the target — the property a CDC pipeline needs before it
+    * trusts incremental apply over full reload. All counts and both
+    * fingerprints ship in-output.
+    */
+  val q569MergeReplay: Q = (s, dir) => {
+    val a = snapA(s, dir)
+    val b = snapB(s, dir)
+    val changes = a.select(col("k").as("ka"), col("price_c").as("pa"))
+      .join(b.select(col("k").as("kb"), col("mm").as("mmb"),
+        col("price_c").as("pb")), col("ka") === col("kb"), "full_outer")
+      .select(
+        when(col("ka").isNull, lit("insert"))
+          .when(col("kb").isNull, lit("delete"))
+          .when(col("pa") =!= col("pb"), lit("update"))
+          .otherwise(lit("unchanged")).as("action"),
+        coalesce(col("kb"), col("ka")).as("k"), col("mmb"), col("pb"))
+      .filter(col("action") =!= "unchanged")
+      .localCheckpoint()
+    // MERGE-shaped apply: delete, overlay updates, append inserts
+    val deletes = changes.filter(col("action") === "delete")
+      .select(col("k").as("kd"))
+    val updates = changes.filter(col("action") === "update")
+      .select(col("k").as("ku"), col("pb").as("pu"))
+    val inserts = changes.filter(col("action") === "insert")
+      .select(col("k"), col("mmb").as("mm"), col("pb").as("price_c"))
+    val replayed = a.join(deletes, col("k") === col("kd"), "left_anti")
+      .join(updates, col("k") === col("ku"), "left")
+      .select(col("k"), col("mm"),
+        coalesce(col("pu"), col("price_c")).as("price_c"))
+      .unionAll(inserts)
+    def fp(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        sum(Text.portableHash(concat_ws("|", col("k").cast("string"),
+          col("price_c").cast("string"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("fp"))
+    val counts = changes.groupBy().agg(
+      sum((col("action") === "insert").cast("long")).as("n_ins"),
+      sum((col("action") === "update").cast("long")).as("n_upd"),
+      sum((col("action") === "delete").cast("long")).as("n_del"))
+    fp(replayed).select(col("n").as("n_replayed"), col("fp").as("replay_fp"))
+      .crossJoin(broadcast(fp(b)
+        .select(col("n").as("n_target"), col("fp").as("target_fp"))))
+      .crossJoin(broadcast(counts))
+      .select(col("n_replayed"), col("n_target"),
+        col("n_ins"), col("n_upd"), col("n_del"),
+        col("replay_fp"), col("target_fp"),
+        (col("n_replayed") === col("n_target") &&
+          col("replay_fp") === col("target_fp")).cast("long").as("fp_match"))
+  }
+
+  val q569Sql: String =
+    s"""WITH a AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+       |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+       |      AS mm,
+       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+       |  FROM orders),
+       |b AS (
+       |$snapBSql),
+       |changes AS (
+       |  SELECT CASE WHEN a.k IS NULL THEN 'insert'
+       |      WHEN b.k IS NULL THEN 'delete'
+       |      WHEN a.price_c <> b.price_c THEN 'update'
+       |      ELSE 'unchanged' END AS action,
+       |    COALESCE(b.k, a.k) AS k, b.mm AS mmb, b.price_c AS pb
+       |  FROM a FULL OUTER JOIN b ON a.k = b.k),
+       |ch AS (SELECT * FROM changes WHERE action <> 'unchanged'),
+       |replayed AS (
+       |  SELECT a.k, a.mm,
+       |    COALESCE(u.pb, a.price_c) AS price_c
+       |  FROM a
+       |  LEFT JOIN (SELECT k, pb FROM ch WHERE action = 'update') u
+       |    ON a.k = u.k
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ch d WHERE d.action = 'delete' AND d.k = a.k)
+       |  UNION ALL
+       |  SELECT k, mmb, pb FROM ch WHERE action = 'insert'),
+       |fpr AS (
+       |  SELECT COUNT(*) AS n_replayed,
+       |    CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+       |      || CAST(price_c AS VARCHAR)), 1, 15)) AS BIGINT) AS HUGEINT))
+       |      AS VARCHAR) AS replay_fp
+       |  FROM replayed),
+       |fpt AS (
+       |  SELECT COUNT(*) AS n_target,
+       |    CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+       |      || CAST(price_c AS VARCHAR)), 1, 15)) AS BIGINT) AS HUGEINT))
+       |      AS VARCHAR) AS target_fp
+       |  FROM b),
+       |cnt AS (
+       |  SELECT SUM(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS n_ins,
+       |    SUM(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS n_upd,
+       |    SUM(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS n_del
+       |  FROM ch)
+       |SELECT CAST(n_replayed AS BIGINT) AS n_replayed,
+       |  CAST(n_target AS BIGINT) AS n_target,
+       |  CAST(n_ins AS BIGINT) AS n_ins, CAST(n_upd AS BIGINT) AS n_upd,
+       |  CAST(n_del AS BIGINT) AS n_del,
+       |  replay_fp, target_fp,
+       |  CAST(CASE WHEN n_replayed = n_target AND replay_fp = target_fp
+       |    THEN 1 ELSE 0 END AS BIGINT) AS fp_match
+       |FROM fpr CROSS JOIN fpt CROSS JOIN cnt""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, Q] = Map(
     "q554_table_diff" -> q554TableDiff,
-    "q555_checksum_reconcile" -> q555ChecksumReconcile)
+    "q555_checksum_reconcile" -> q555ChecksumReconcile,
+    "q569_merge_replay" -> q569MergeReplay)
 
   def oracles: Map[String, String] = Map(
     "q554_table_diff" -> q554Sql,
-    "q555_checksum_reconcile" -> q555Sql)
+    "q555_checksum_reconcile" -> q555Sql,
+    "q569_merge_replay" -> q569Sql)
 }

@@ -318,6 +318,21 @@ class EstimatorAuditSpec extends SparkSpec {
     }
   }
 
+  test("q569: the diff stream replays the target bit-for-bit") {
+    val r = rows("q569_merge_replay")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("fp_match") == 1L)
+    assert(row.getAs[Long]("n_replayed") == row.getAs[Long]("n_target"))
+    assert(row.getAs[String]("replay_fp") == row.getAs[String]("target_fp"))
+    // the action counts agree with q554's classification
+    val diff = rows("q554_table_diff")
+      .map(x => x.getAs[String]("action") -> x.getAs[Long]("n")).toMap
+    assert(row.getAs[Long]("n_ins") == diff("insert"))
+    assert(row.getAs[Long]("n_upd") == diff("update"))
+    assert(row.getAs[Long]("n_del") == diff("delete"))
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
