@@ -5257,7 +5257,69 @@ object CoreQueries {
        |ORDER BY yr""".stripMargin
   }
 
+  // ------------ q570: UNPIVOT round-trip (PIVOT∘UNPIVOT = identity)
+
+  /** q570: UNPIVOT — the crosstab from q568's PIVOT folded back to rows
+    * with one `stack` generator (T-SQL UNPIVOT's engine shape), then
+    * certified against the direct (year, priority) rollup cell-for-cell.
+    * The round-trip equality column IS the operator's correctness
+    * argument: pivot and unpivot are mutual inverses on this data, so a
+    * reporting layer can freely cross between shapes. Zero-revenue cells
+    * surface as explicit zeros on the unpivot side and missing rows on
+    * the direct side — the LEFT join + coalesce makes that edge exact.
+    */
+  val q570UnpivotRoundtrip: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("pri"), cents(col("o_totalprice")).as("c"))
+    val cols = PivotPriorities.map(p => "p" + p.charAt(0) + "_c")
+    val pivoted = base.groupBy(col("yr"))
+      .pivot("pri", PivotPriorities).agg(sum(col("c")))
+      .toDF(("yr" +: cols): _*)
+      .na.fill(0L, cols)
+    val stackArgs = PivotPriorities.zip(cols)
+      .map { case (p, c) => s"'$p', $c" }.mkString(", ")
+    val unpivoted = pivoted.selectExpr("yr",
+      s"stack(${PivotPriorities.size}, $stackArgs) AS (pri, revenue_unpiv_c)")
+    val direct = base.groupBy(col("yr").as("yr2"), col("pri").as("pri2"))
+      .agg(sum(col("c")).as("revenue_direct_c"))
+    unpivoted.join(direct,
+      col("yr") === col("yr2") && col("pri") === col("pri2"), "left")
+      .select(col("yr"), col("pri").as("priority"),
+        col("revenue_unpiv_c"),
+        coalesce(col("revenue_direct_c"), lit(0L)).as("revenue_direct_c"))
+      .withColumn("roundtrip_ok",
+        (col("revenue_unpiv_c") === col("revenue_direct_c")).cast("long"))
+      .orderBy(col("yr"), col("priority"))
+  }
+
+  val q570Sql: String = {
+    val branches = PivotPriorities.map(p =>
+      s"""SELECT yr, '$p' AS pri,
+         |  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '$p' THEN c END),
+         |    0) AS BIGINT) AS revenue_unpiv_c
+         |FROM base GROUP BY yr""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |  FROM orders),
+       |unpiv AS (
+       |$branches),
+       |direct AS (
+       |  SELECT yr, o_orderpriority AS pri, SUM(c) AS revenue_direct_c
+       |  FROM base GROUP BY 1, 2)
+       |SELECT u.yr, u.pri AS priority,
+       |  CAST(u.revenue_unpiv_c AS BIGINT) AS revenue_unpiv_c,
+       |  CAST(COALESCE(d.revenue_direct_c, 0) AS BIGINT)
+       |    AS revenue_direct_c,
+       |  CAST(CASE WHEN u.revenue_unpiv_c = COALESCE(d.revenue_direct_c, 0)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+       |FROM unpiv u LEFT JOIN direct d ON u.yr = d.yr AND u.pri = d.pri
+       |ORDER BY u.yr, priority""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q570_unpivot_roundtrip" -> q570UnpivotRoundtrip,
     "q567_rollup_lattice" -> q567RollupLattice,
     "q568_pivot_priorities" -> q568PivotPriorities,
     "q508_bin_advisor" -> q508BinAdvisor,
@@ -5368,6 +5430,7 @@ object CoreQueries {
     "q97_interval_overlap" -> q97IntervalOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q570_unpivot_roundtrip" -> q570Sql,
     "q567_rollup_lattice" -> q567Sql,
     "q568_pivot_priorities" -> q568Sql,
     "q321_pacf" -> q321Sql,

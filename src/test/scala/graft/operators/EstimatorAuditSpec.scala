@@ -333,6 +333,19 @@ class EstimatorAuditSpec extends SparkSpec {
     assert(row.getAs[Long]("n_del") == diff("delete"))
   }
 
+  test("q570: pivot and unpivot are mutual inverses on every cell") {
+    val r = rows("q570_unpivot_roundtrip")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("roundtrip_ok") == 1L)
+      assert(row.getAs[Long]("revenue_unpiv_c") ==
+        row.getAs[Long]("revenue_direct_c"))
+    }
+    // the unpivot emits the full (year x priority) grid
+    val years = r.map(_.getAs[Long]("yr")).distinct.size
+    assert(r.length == years * 5)
+  }
+
   test("q548: pigeonhole bounds and verdict consistency per candidate") {
     val r = rows("q548_distribution_advisor")
     assert(r.length == 6)
