@@ -5,10 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional third arg (unused by the driver): substring filter over query
-    // names, for fast single-query iteration
+    // optional third arg (unused by the driver): comma-separated substring
+    // filters over query names (OR), for fast single-query iteration
     val Array(sfDir, outDir) = args.take(2)
-    val only = args.drop(2).headOption
+    val only = args.drop(2).headOption.map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

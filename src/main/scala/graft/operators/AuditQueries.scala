@@ -6591,7 +6591,8 @@ object AuditQueries {
       |      AS ss_num
       |  FROM swings GROUP BY si, sk, w),
       |tot AS (SELECT SUM(n_swings) AS tot FROM per_voter)
-      |SELECT si AS voter_rank, sk AS suppkey, w AS weight, n_swings,
+      |SELECT si AS voter_rank, sk AS suppkey,
+      |  CAST(w AS BIGINT) AS weight, n_swings,
       |  CAST(n_swings * 1000000 // tot AS BIGINT) AS banzhaf_e6,
       |  CAST(ss_num * 1000000 // ${FactTable(g)} AS BIGINT)
       |    AS shapley_shubik_e6
@@ -12178,7 +12179,8 @@ object AuditQueries {
       |      FROM walk w WHERE w.rk < w.n) u) v),
       |fin AS (SELECT * FROM walk ORDER BY rk DESC LIMIT 1)
       |SELECT par.n AS n_days, par.tot AS total_demand,
-      |  par.s_low AS s_reorder, par.s_up AS s_upto,
+      |  CAST(par.s_low AS BIGINT) AS s_reorder,
+      |  CAST(par.s_up AS BIGINT) AS s_upto,
       |  fin.served, fin.lost, fin.so_days AS stockout_days,
       |  fin.orders AS n_orders, fin.holding AS holding_unit_days,
       |  CAST(fin.served * 1000000 // par.tot AS BIGINT) AS fill_rate_e6

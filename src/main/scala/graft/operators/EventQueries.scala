@@ -9122,8 +9122,9 @@ object EventQueries {
       |  FROM holt h JOIN ser s ON s.rk = h.rk + 1),
       |last AS (SELECT lev, tr, sse FROM holt ORDER BY rk DESC LIMIT 1),
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
-      |SELECT n_days, lev AS level_cents, tr AS trend_cents,
-      |  lev + 7 * tr AS forecast_7d_cents,
+      |SELECT n_days, CAST(lev AS BIGINT) AS level_cents,
+      |  CAST(tr AS BIGINT) AS trend_cents,
+      |  CAST(lev + 7 * tr AS BIGINT) AS forecast_7d_cents,
       |  CAST(sse AS BIGINT) AS sse_cents2
       |FROM n CROSS JOIN last""".stripMargin
 
@@ -9760,7 +9761,8 @@ object EventQueries {
       |  JOIN ser s ON s.rk = w.rk + 1),
       |last AS (SELECT m, gain, sse FROM walk ORDER BY rk DESC LIMIT 1),
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM bd)
-      |SELECT n_days, m AS level_cents, gain AS gain_final_e6,
+      |SELECT n_days, CAST(m AS BIGINT) AS level_cents,
+      |  CAST(gain AS BIGINT) AS gain_final_e6,
       |  CAST(sse AS BIGINT) AS sse_cents2
       |FROM n CROSS JOIN last""".stripMargin
   }

@@ -1240,8 +1240,10 @@ object GraphQueries {
        |  FROM per)
        |SELECT COUNT(*) AS n_users,
        |  CAST(SUM(ndcg_e6) // COUNT(*) AS BIGINT) AS mean_ndcg_e6,
-       |  SUM(CASE WHEN ndcg_e6 >= 1000000 THEN 1 ELSE 0 END) AS n_perfect,
-       |  SUM(CASE WHEN dcg_e6 = 0 THEN 1 ELSE 0 END) AS n_zero
+       |  CAST(SUM(CASE WHEN ndcg_e6 >= 1000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_perfect,
+       |  CAST(SUM(CASE WHEN dcg_e6 = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_zero
        |FROM scored""".stripMargin
   }
 

@@ -60,7 +60,14 @@ def canon(tbl):
             elif isinstance(v, float):
                 row.append(repr(v))
             elif isinstance(v, decimal.Decimal):
-                row.append(str(v.normalize()))
+                # Mirror the DRIVER's hasher, which canonicalizes any
+                # decimal-typed cell THROUGH FLOAT ("305911" -> "305911.0").
+                # Round 6 lesson: str(v.normalize()) made a DECIMAL(38,0)
+                # oracle column hash-equal to a Spark BIGINT locally while
+                # the driver flagged it — every integral oracle output
+                # column must be CAST(... AS BIGINT) in its final
+                # projection, and this canon keeps the local gate honest.
+                row.append(repr(float(v)))
             elif isinstance(v, (datetime.datetime, datetime.date)):
                 row.append(v.isoformat())
             elif isinstance(v, bytes):
@@ -111,6 +118,21 @@ def main():
             continue
         sc, sr = canon(spark_tbl)
         dc, dr = canon(duck_tbl)
+        # Type-drift tripwire: a DECIMAL/float oracle column whose Spark
+        # twin is integral WILL fail the driver's hash even when every
+        # value matches (round-6 q262/q400/q416/q461/q504). Name the
+        # drifting columns so the fix (CAST ... AS BIGINT in the oracle's
+        # final projection) is obvious.
+        import pyarrow.types as pt
+        for c in sc:
+            if c not in duck_tbl.column_names:
+                continue
+            dt = duck_tbl.schema.field(c).type
+            st = spark_tbl.schema.field(c).type
+            if (pt.is_decimal(dt) or pt.is_floating(dt)) \
+                    and pt.is_integer(st):
+                print(f"  ⚠ {name}.{c}: oracle type {dt} vs spark {st} — "
+                      f"CAST the oracle column AS BIGINT")
         if sc != dc:
             failures.append(name)
             print(f"✗ {name}: column mismatch spark={sc} duck={dc}")
