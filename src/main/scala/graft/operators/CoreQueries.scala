@@ -1138,8 +1138,9 @@ object CoreQueries {
     * co-moment sums: with S = Σq and Q = Σq², CV² = (n·Q − S²)/S², so
     * X ⇔ 4·(n·Q − S²) ≤ S² (CV ≤ ½) and Y ⇔ n·Q − S² ≤ S² (CV ≤ 1) —
     * products in DECIMAL(38,0)/HUGEINT. Output is the 9-cell matrix with
-    * part counts and revenue mass. Two part-keyed rollups + one tiny
-    * running window over |parts|.
+    * part counts and revenue mass. Two part-keyed rollups; the running
+    * share uses the two-level [[descPrefixSum]] device, so the |parts|
+    * rollup never funnels through one sort task.
     */
   val q208AbcXyz: Q = (s, dir) => {
     val dec = "decimal(38,0)"
@@ -1147,10 +1148,11 @@ object CoreQueries {
     val rev = l.groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
     val total = rev.select(sum(col("revenue_c")).cast(dec).as("total_c"))
-    val running = Window.orderBy(col("revenue_c").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val abc = rev.crossJoin(broadcast(total))
-      .withColumn("cum_c", sum(col("revenue_c")).over(running).cast(dec))
+    // two-level prefix (descPrefixSum), not a global window: the running
+    // share parallelizes across value buckets instead of one sort task
+    val abc = descPrefixSum(rev, "revenue_c", "l_partkey", "cum_raw")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_c", col("cum_raw").cast(dec))
       .select(col("l_partkey"), col("revenue_c"),
         when(col("cum_c") * 10 <= col("total_c") * 8, "A")
           .when(col("cum_c") * 20 <= col("total_c") * 19, "B")
@@ -1503,26 +1505,76 @@ object CoreQueries {
       |FROM s""".stripMargin
   }
 
+  // ------------------- shared two-level distributed prefix sum
+
+  /** Prefix total over a METADATA-SIZED bucket rollup via a broadcast
+    * non-equi self-join — the serial step of the two-level prefix devices.
+    * An unpartitioned window would be correct too, but it funnels even the
+    * rollup through one task and trips the single-partition plan lint; the
+    * triangle join stays a broadcast nested loop over ≤~4k rows. Returns
+    * (bktCol, prior) where prior sums `sumCol` over buckets strictly
+    * BEFORE bkt in the given direction (0 when none).
+    */
+  private def bucketPrior(bRoll: org.apache.spark.sql.DataFrame,
+      bktCol: String, sumCol: String, desc: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val other = bRoll.select(col(bktCol).as("pfx_ob"), col(sumCol).as("pfx_os"))
+    val cond =
+      if (desc) col("pfx_ob") > col(bktCol) else col("pfx_ob") < col(bktCol)
+    bRoll.join(broadcast(other), cond, "left")
+      .groupBy(col(bktCol))
+      .agg(coalesce(sum(col("pfx_os")), lit(0L)).as("prior"))
+  }
+
+  /** Distributed running sum of `valueCol` over (valueCol DESC, tieCol
+    * ASC), ROWS UNBOUNDED PRECEDING..CURRENT — the Pareto/ABC cumulative
+    * device. A plain `Window.orderBy` funnels the whole entity rollup
+    * through ONE sort task no matter how many executors; two levels
+    * restore parallelism with bit-identical output (int64 addition is
+    * associative): ≤1025 value-range buckets give a metadata rollup whose
+    * prior totals come from [[bucketPrior]], and the within-bucket running
+    * window partitions by bucket (parallelism = #buckets, each holding a
+    * ~1/1024 value slice). Requires valueCol ≥ 0; ties on valueCol land in
+    * one bucket, so the tie-break never crosses buckets.
+    */
+  private def descPrefixSum(df: org.apache.spark.sql.DataFrame,
+      valueCol: String, tieCol: String, out: String)
+      : org.apache.spark.sql.DataFrame = {
+    val scal = df.agg(min(col(valueCol)).as("pfx_mn"),
+      max(col(valueCol)).as("pfx_mx"))
+    val bucketed = df.crossJoin(broadcast(scal))
+      .withColumn("pfx_bkt",
+        expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
+      .drop("pfx_mn", "pfx_mx")
+    val bRoll = bucketed.groupBy(col("pfx_bkt"))
+      .agg(sum(col(valueCol)).as("pfx_bsum"))
+    val prior = bucketPrior(bRoll, "pfx_bkt", "pfx_bsum", desc = true)
+    val inW = Window.partitionBy(col("pfx_bkt"))
+      .orderBy(col(valueCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(prior), Seq("pfx_bkt"))
+      .withColumn(out, col("prior") + sum(col(valueCol)).over(inW))
+      .drop("pfx_bkt", "prior")
+  }
+
   /** q112: Pareto / ABC classification — parts ranked by revenue with the
     * cumulative revenue share banded into A (first 80%), B (to 95%), C
     * (tail): the inventory-analysis staple. The heavy pass is the per-part
-    * revenue rollup (exact integer cents); the running share is a window
-    * over the ROLLUP (|parts| rows, not lineitems) ordered with a unique
-    * tie-break, and the grand total broadcasts. At a part dimension too
-    * large for one window partition, the prefix-sum would range-partition
-    * exactly like q89's spine — the banding arithmetic is unchanged.
+    * revenue rollup (exact integer cents); the running share comes from
+    * [[descPrefixSum]] — the two-level bucket device, NOT a global window,
+    * so the |parts| rollup never funnels through one sort task — and the
+    * grand total broadcasts. The banding arithmetic is unchanged from the
+    * single-window formulation and bit-identical to it.
     */
   val q112AbcClasses: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     val rev = l.groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
     val total = rev.select(sum(col("revenue_c")).as("total_c"))
-    val running = Window.orderBy(col("revenue_c").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    rev.crossJoin(broadcast(total))
+    descPrefixSum(rev, "revenue_c", "l_partkey", "cum_c")
+      .crossJoin(broadcast(total))
       .select(col("l_partkey"), col("revenue_c"),
-        (sum(col("revenue_c")).over(running).cast("double") /
-          col("total_c")).as("cum_share"))
+        (col("cum_c").cast("double") / col("total_c")).as("cum_share"))
       .select(col("l_partkey"), col("revenue_c"), col("cum_share"),
         when(col("cum_share") <= 0.8, lit("A"))
           .when(col("cum_share") <= 0.95, lit("B"))
@@ -2911,22 +2963,43 @@ object CoreQueries {
     * sequence — the load-audit that catches silently dropped batches and
     * childless orders: every missing run in the orderkey sequence observed
     * in lineitem (the driver data has 27 such keys per 1500 at sf0.001)
-    * reports its bounds and size via the sorted-lag formulation. The
-    * window runs over the distinct-key stream — at scale this is the one
-    * global sort the audit genuinely needs, and it carries one BIGINT per
-    * key. Output is one row per GAP (rare by construction), not per key.
+    * reports its bounds and size. NOT a global sorted lag: keys bucket
+    * into ≤4097 ranges, in-bucket gaps come from a lag window PARTITIONED
+    * by bucket (parallelism = #buckets), and the gaps that straddle bucket
+    * boundaries come from the (bkt, min, max) metadata rollup joined to
+    * the next non-empty bucket's min — a broadcast non-equi join over ≤4k
+    * rows. Bit-identical to the single-sort formulation: every gap lies
+    * either inside one bucket or between consecutive non-empty buckets.
+    * Output is one row per GAP (rare by construction), not per key.
     */
   val q176KeyGaps: Q = (s, dir) => {
     val keys = Tables.lineitem(s, dir).select(col("l_orderkey")
       .as("o_orderkey")).distinct()
-    val w = Window.orderBy(col("o_orderkey"))
-    keys
-      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+    val scal = keys.agg(min(col("o_orderkey")).as("kmn"),
+      max(col("o_orderkey")).as("kmx"))
+    val bucketed = keys.crossJoin(broadcast(scal))
+      .withColumn("bkt",
+        expr("(o_orderkey - kmn) div ((kmx - kmn) div 4096 + 1)"))
+      .drop("kmn", "kmx")
+    val inW = Window.partitionBy(col("bkt")).orderBy(col("o_orderkey"))
+    val inner = bucketed
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(inW))
       .filter(col("prev_key").isNotNull &&
         col("o_orderkey") - col("prev_key") > 1L)
       .select((col("prev_key") + 1L).as("gap_start"),
         (col("o_orderkey") - 1L).as("gap_end"),
         (col("o_orderkey") - col("prev_key") - 1L).as("n_missing"))
+    val bRoll = bucketed.groupBy(col("bkt"))
+      .agg(min(col("o_orderkey")).as("bmin"), max(col("o_orderkey")).as("bmax"))
+    val nxt = bRoll.select(col("bkt").as("nb"), col("bmin").as("nmin"))
+    val border = bRoll.join(broadcast(nxt), col("nb") > col("bkt"))
+      .groupBy(col("bkt"), col("bmax"))
+      .agg(min_by(col("nmin"), col("nb")).as("next_min"))
+      .filter(col("next_min") - col("bmax") > 1L)
+      .select((col("bmax") + 1L).as("gap_start"),
+        (col("next_min") - 1L).as("gap_end"),
+        (col("next_min") - col("bmax") - 1L).as("n_missing"))
+    inner.unionAll(border)
   }
 
   val q176Sql: String =
@@ -3675,14 +3748,20 @@ object CoreQueries {
     * team reads ("the top decile carries 38% of revenue") where the
     * coefficient only summarizes. Customers rank by ascending revenue
     * (custkey tie-break), including zero-revenue customers via the left
-    * join, NTILE(10) forms deciles, and every share is an exact integer
-    * e6 division of cents sums; the running share comes from a window
-    * over the 10-row decile rollup. Spec-level identity: the last row's
-    * cum_share_e6 is exactly 10⁶.
+    * join, exact NTILE(10) deciles form without any global sort, and
+    * every share is an exact integer e6 division of cents sums.
+    * Spec-level identity: the last row's cum_share_e6 is exactly 10⁶.
     *
-    * The ranking window is a global sort of the CUSTOMER rollup (not the
-    * fact); at 100 TB the same assignment runs from q91-style quantile
-    * boundaries exactly like q174's RFM banding.
+    * NTILE reconstruction (bit-identical to the window form): each
+    * customer's row number under (rev_c, c_custkey) is
+    * rn = #customers with smaller rev (two-level value-bucket prefix over
+    * the DISTINCT-value rollup, serial step = [[bucketPrior]] join)
+    * + #same-rev customers with smaller key ([[graft.operators.AuditQueries.doubledRankBelow]]
+    * partitioned by (rev, key-bucket) — the zero-revenue cluster, the one
+    * skewed value at corpus scale, shards across key buckets)
+    * + 1, and NTILE(k) is closed-form in (rn, n): the first n%k deciles
+    * take n/k+1 rows, the rest n/k. The 10-row decile rollup then
+    * accumulates via a broadcast triangle join, not a window.
     */
   val q246LorenzCurve: Q = (s, dir) => {
     val rev = Tables.customer(s, dir).select(col("c_custkey"))
@@ -3691,18 +3770,44 @@ object CoreQueries {
           .agg(sum(cents(col("o_totalprice"))).as("rev_c")),
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("rev_c"), lit(0L)).as("rev_c"))
-    val deciled = rev.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("rev_c"), col("c_custkey"))))
+    val vc = rev.groupBy(col("rev_c")).agg(count(lit(1)).as("cnt"))
+    val scal = vc.agg(min(col("rev_c")).as("pfx_mn"),
+      max(col("rev_c")).as("pfx_mx"))
+    val vb = vc.crossJoin(broadcast(scal))
+      .withColumn("pfx_bkt",
+        expr("(rev_c - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
+      .drop("pfx_mn", "pfx_mx")
+    val bRoll = vb.groupBy(col("pfx_bkt")).agg(sum(col("cnt")).as("pfx_bsum"))
+    val prior = bucketPrior(bRoll, "pfx_bkt", "pfx_bsum", desc = false)
+    val inW = Window.partitionBy(col("pfx_bkt")).orderBy(col("rev_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val belowV = vb.join(broadcast(prior), Seq("pfx_bkt"))
+      .withColumn("below_v",
+        col("prior") + coalesce(sum(col("cnt")).over(inW), lit(0L)))
+      .select(col("rev_c"), col("below_v"))
+    val withinRank = AuditQueries.doubledRankBelow(
+      rev.withColumn("cnt", lit(1L)), Seq("rev_c"), "c_custkey", 100000L)
+    val n = rev.agg(count(lit(1)).as("n_cust"))
+    val deciled = withinRank.join(belowV, Seq("rev_c"))
+      .withColumn("rn", col("below_v") + col("below") + 1L)
+      .crossJoin(broadcast(n))
+      .withColumn("nt_base", expr("n_cust div 10"))
+      .withColumn("nt_rem", expr("n_cust % 10"))
+      .withColumn("decile",
+        when(col("rn") <= col("nt_rem") * (col("nt_base") + 1L),
+          expr("(rn - 1) div (nt_base + 1) + 1"))
+          .otherwise(expr("""nt_rem + (rn - nt_rem * (nt_base + 1) - 1)
+            | div greatest(nt_base, 1) + 1""".stripMargin.replace("\n", " "))))
     val rolled = deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rev_c")).as("decile_rev_c"))
-    val all = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val cum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rolled
-      .withColumn("total_c", sum(col("decile_rev_c")).over(all))
-      .withColumn("cum_c", sum(col("decile_rev_c")).over(cum))
+    val total = rolled.agg(sum(col("decile_rev_c")).as("total_c"))
+    val cumSrc = rolled.select(col("decile").as("ob"),
+      col("decile_rev_c").as("os"))
+    rolled.join(broadcast(cumSrc), col("ob") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("decile_rev_c"))
+      .agg(sum(col("os")).as("cum_c"))
+      .crossJoin(broadcast(total))
       // DECIMAL: corpus-scale cents totals x 1e6 wrap int64
       .select(col("decile"), col("n_customers"), col("decile_rev_c"),
         expr("""CAST(CAST(decile_rev_c AS DECIMAL(38,0)) * 1000000
