@@ -46,6 +46,28 @@ object Bench {
     require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
     val benchSet = only.fold(allBench)(f => allBench.filter(_._1.contains(f)))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Plan-lint gate: every benched query's EXECUTED plan is checked for
+    // corpus-scale unpartitioned-window funnels (PlanLint.windowFunnels —
+    // runtime row counts, so tiny post-rollup windows don't false-positive).
+    // Findings land in plan_lint.json beside bench_out.json and as a
+    // lint_hits count on the summary line; the artifact must stay empty.
+    val lintMinRows =
+      sys.env.get("SPARK_GRAFT_LINT_WINDOW_ROWS").flatMap(_.toLongOption)
+        .getOrElse(10000L)
+    val lintBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lintHits = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val lintListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        try observability.PlanLint.windowFunnels(qe.executedPlan, lintMinRows)
+          .foreach(f => lintBuf.add(f.detail): Unit)
+        catch { case _: Throwable => () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(lintListener)
     // returns (elapsed, succeeded) — a failed sample must never win the
     // min (its early abort looks fast), and failures are surfaced in the
     // machine-readable JSON, not only on stderr
@@ -62,6 +84,12 @@ object Bench {
       // persistent RDD) so later queries never pay for earlier ones' state
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // drain the async listener bus OUTSIDE the timed section so funnel
+      // findings attribute to the query that produced them
+      org.apache.spark.graft.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 2000L): Unit
+      var d = lintBuf.poll()
+      while (d != null) { lintHits += name -> d; d = lintBuf.poll() }
       (elapsed, ok)
     }
     // Periodic quiesce: a monolithic multi-hundred-query run accumulates
@@ -117,6 +145,19 @@ object Bench {
     // file channel; it is far too long for the driver's stdout tail.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // Plan-lint artifact: one entry per corpus-scale window funnel observed
+    // during the run. De-duplicated per (query, detail); expected EMPTY.
+    def jq(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val lintJson = lintHits.distinct
+      .map { case (q2, d2) => s"""{"query":${jq(q2)},"detail":${jq(d2)}}""" }
+      .mkString("[", ",", "]")
+    val lintOut = sys.env.getOrElse("SPARK_GRAFT_LINT_OUT", "plan_lint.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(lintOut),
+      s"""{"rule":"global-window-funnel","min_rows":$lintMinRows,"hits":$lintJson}\n""")
     // The driver captures only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01–r03 all recorded "parsed": null because the
     // full queries map overflowed that buffer mid-line). Print a compact
@@ -135,7 +176,7 @@ object Bench {
     def compactLine(entries: Seq[(String, Double)]): String = {
       val hq = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","samples":$sampleCount,"agg":"$agg","rerun_k":$rerunTag,"n_queries":${results.size},"failed":$failedJson,"detail":"$out","queries":$hq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","samples":$sampleCount,"agg":"$agg","rerun_k":$rerunTag,"n_queries":${results.size},"failed":$failedJson,"lint_hits":${lintHits.distinct.size},"detail":"$out","queries":$hq,"sf":"$sfDir"}"""
     }
     // Hard cap well under the 2000-char tail so the sbt [success] epilogue
     // never pushes the line's head out of the buffer.

@@ -131,6 +131,42 @@ object PlanLint {
     findings.toSeq
   }
 
+  /** Runtime funnel rule over an EXECUTED plan: an unpartitioned WindowExec
+    * is only a scale-killer when the stream it funnels into one task grows
+    * with the corpus — a 10-row decile rollup is fine, a |parts| rollup is
+    * not, and no static rule can tell them apart. So this reads the
+    * single-partition exchange's post-run `shuffleRecordsWritten` metric
+    * (the rows that actually crossed into the funnel) and flags windows
+    * whose input met `minRows`. Walks the FINAL adaptive plan (metrics live
+    * there), descending into AQE query-stage wrappers.
+    */
+  def windowFunnels(root: SparkPlan, minRows: Long): Seq[Finding] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allFinal(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allFinal(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ allFinal(q.plan)
+      case other => Seq(other) ++ other.children.flatMap(allFinal) ++
+        other.subqueries.flatMap(allFinal)
+    }
+    allFinal(root)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .flatMap { w =>
+        val rows = allFinal(w.child).collectFirst {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.numPartitions == 1 =>
+            Seq("shuffleRecordsWritten", "numOutputRows", "recordsRead")
+              .collectFirst(Function.unlift(e.metrics.get))
+              .map(_.value)
+        }.flatten
+        rows.filter(_ >= minRows).map(n =>
+          Finding("global-window-funnel", "error",
+            s"unpartitioned window funneled $n rows into one task — " +
+              "two-level bucket device (descPrefixSum/doubledRankBelow) " +
+              "restores parallelism"))
+      }
+  }
+
   /** All nodes including those inside AQE-wrapped subtrees. */
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

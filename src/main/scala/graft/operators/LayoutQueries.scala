@@ -760,9 +760,16 @@ object LayoutQueries {
     * capacity table is a 3-row broadcast.
     */
   val q549ResultCacheAdvisor: Q = (s, dir) => {
+    // sign-safe bucketing (the q541 sdiv device): Spark div truncates
+    // toward zero while DuckDB // floors, so a negative cents value would
+    // bucket differently — factor the sign on BOTH sides instead of
+    // relying on events.value staying non-negative
     val sigs = Tables.events(s, dir)
       .select(concat(col("event_type"), lit("|"),
-        coalesce(expr("CAST(round(value * 100, 0) AS BIGINT) div 2000")
+        coalesce(expr("""CASE WHEN round(value * 100, 0) >= 0
+          | THEN CAST(round(value * 100, 0) AS BIGINT) div 2000
+          | ELSE -(abs(CAST(round(value * 100, 0) AS BIGINT)) div 2000)
+          | END""".stripMargin.replace("\n", " "))
           .cast("string"), lit("x"))).as("sig"))
       .groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -788,9 +795,11 @@ object LayoutQueries {
 
   val q549Sql: String =
     """WITH sigs AS (
-      |  SELECT event_type || '|' || COALESCE(
-      |    CAST(CAST(ROUND(value * 100) AS BIGINT) // 2000 AS VARCHAR), 'x')
-      |    AS sig, COUNT(*) AS cnt
+      |  SELECT event_type || '|' || COALESCE(CAST(
+      |    CASE WHEN ROUND(value * 100) >= 0
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) // 2000
+      |      ELSE -(ABS(CAST(ROUND(value * 100) AS BIGINT)) // 2000) END
+      |    AS VARCHAR), 'x') AS sig, COUNT(*) AS cnt
       |  FROM events GROUP BY 1),
       |ranked AS (
       |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sig) AS rk
@@ -1019,23 +1028,32 @@ object LayoutQueries {
           expr("(rows_read - rows_hit) * 1000000 div rows_read")
             .as("false_read_e6"))
     }
+    // Staged e8 reduction, DECIMAL-PRESERVING: Spark `div` returns LONG
+    // even on DECIMAL operands, so the old `x div 1e6` ladder crashed with
+    // ARITHMETIC_OVERFLOW once the reduced factor passed 9.2e18 (~sf0.5;
+    // round-6 advice). The fdiv device divides inside DECIMAL(38,0), and
+    // R² = Sk·Sd (1e8 on the numerator, 1e8 per variance factor) keeps the
+    // staged ratio exact: worst case (|ρ|=1) at sf1 the squared numerator
+    // term is ~2e35 and the denominator product ~2e29, both inside 38
+    // digits with >100× headroom; sign is factored so truncation is
+    // symmetric. Oracle mirrors the identical staging over HUGEINT.
+    def fdiv8(a: String) =
+      s"CAST((($a) - ($a) % 100000000) / 100000000 AS DECIMAL(38,0))"
+    val vkR = fdiv8("n * skk - sk * sk")
+    val vdR = fdiv8("n * sdd - sd * sd")
+    val nmR = fdiv8("abs(n * skd - sk * sd)")
     val mo = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("ok")).cast("decimal(38,0)").as("sk"),
       sum(col("d")).cast("decimal(38,0)").as("sd"),
       sum(col("ok").cast("decimal(38,0)") * col("d")).as("skd"),
       sum(col("ok").cast("decimal(38,0)") * col("ok")).as("skk"),
       sum(col("d").cast("decimal(38,0)") * col("d")).as("sdd"))
-      // staged e6 reduction BEFORE squaring keeps every product inside
-      // DECIMAL(38,0)/HUGEINT through sf1 (the unstaged square overflows
-      // at sf0.1); sign is factored so truncation is symmetric
       .select(expr(
-        """CAST(CASE WHEN (n * skk - sk * sk) div 1000000 = 0
-          |  OR (n * sdd - sd * sd) div 1000000 = 0 THEN NULL ELSE
+        s"""CAST(CASE WHEN $vkR = 0 OR $vdR = 0 THEN NULL ELSE
           | CASE WHEN n * skd - sk * sd >= 0 THEN 1 ELSE -1 END *
-          | (CAST(abs(n * skd - sk * sd) div 1000000 AS DECIMAL(38,0))
-          |  * (abs(n * skd - sk * sd) div 1000000) * 1000000
-          |  div (CAST((n * skk - sk * sk) div 1000000 AS DECIMAL(38,0))
-          |       * ((n * sdd - sd * sd) div 1000000))) END AS BIGINT)"""
+          | CAST((($nmR * $nmR * 1000000)
+          |   - ($nmR * $nmR * 1000000) % ($vkR * $vdR))
+          |  / ($vkR * $vdR) AS DECIMAL(38,0)) END AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("corr2_e6"))
     layout("a_natural", expr("ok div 2048"))
       .unionAll(layout("b_date_clustered", expr("d div 16")))
@@ -1079,13 +1097,13 @@ object LayoutQueries {
       |    SUM(CAST(d AS HUGEINT) * d) AS sdd
       |  FROM base),
       |corr AS (
-      |  SELECT CAST(CASE WHEN (n * skk - sk * sk) // 1000000 = 0
-      |      OR (n * sdd - sd * sd) // 1000000 = 0 THEN NULL ELSE
+      |  SELECT CAST(CASE WHEN (n * skk - sk * sk) // 100000000 = 0
+      |      OR (n * sdd - sd * sd) // 100000000 = 0 THEN NULL ELSE
       |    CASE WHEN n * skd - sk * sd >= 0 THEN 1 ELSE -1 END *
-      |    ((ABS(n * skd - sk * sd) // 1000000)
-      |     * (ABS(n * skd - sk * sd) // 1000000) * 1000000
-      |     // ((n * skk - sk * sk) // 1000000
-      |          * ((n * sdd - sd * sd) // 1000000))) END AS BIGINT)
+      |    ((ABS(n * skd - sk * sd) // 100000000)
+      |     * (ABS(n * skd - sk * sd) // 100000000) * 1000000
+      |     // ((n * skk - sk * sk) // 100000000
+      |          * ((n * sdd - sd * sd) // 100000000))) END AS BIGINT)
       |    AS corr2_e6
       |  FROM mo)
       |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,

@@ -107,4 +107,73 @@ object LoadScriptGenerator {
     LoadReport(target, rows, (System.nanoTime() - start) / 1000000L,
       externalDdl(t), ctasSql(t, targetSchema))
   }
+
+  // ------------------- V3: container-subfolders variant
+
+  /** The V3 loop's whole-run output: the ONE data-source DDL emitted up
+    * front, plus per-table reports whose external DDL carries the
+    * subfolder LOCATION template and whose drop DDL records the V3
+    * cleanup step.
+    */
+  final case class SubfolderLoad(dataSourceDdl: String,
+      reports: Seq[LoadReport], dropDdls: Seq[String])
+
+  /** The once-per-run external data source rooted at the CONTAINER
+    * (reference: GenerateLoadScript-V3-ContainerSubfolders.sql:77-80 —
+    * "create the external data source (once - since all files are in
+    * 'subfolders')"). V1/V2 bind a data source per location; V3's one
+    * source + relative LOCATIONs is the layout a per-table-folder
+    * container uses.
+    */
+  def dataSourceDdl(container: String): String =
+    s"CREATE EXTERNAL DATA SOURCE AzureStorage2 WITH (TYPE = HADOOP, " +
+      s"LOCATION = '$container', CREDENTIAL = AzureStorageCredential);"
+
+  /** The V3 per-table LOCATION: '/<schema>/<table>/' (reference:
+    * GenerateLoadScript-V3-ContainerSubfolders.sql:117).
+    */
+  def subfolderLocation(sourceSchema: String, table: String): String =
+    s"/$sourceSchema/$table/"
+
+  /** CREATE EXTERNAL TABLE DDL in the V3 shape: subfolder LOCATION
+    * relative to the shared container source (not an absolute per-table
+    * path), DATA_SOURCE = AzureStorage2.
+    */
+  def externalDdlSubfolder(t: SourceTable, sourceSchema: String): String = {
+    val cols = t.schema.fields.map(sqlTypeName).mkString(", ")
+    val rejectClause = t.reject match {
+      case RejectType.Value(n) => s"REJECT_TYPE = VALUE, REJECT_VALUE = $n"
+      case RejectType.Percentage(p) =>
+        s"REJECT_TYPE = PERCENTAGE, REJECT_VALUE = $p"
+    }
+    s"CREATE EXTERNAL TABLE [ASB].[${t.name}] ($cols) WITH " +
+      s"(LOCATION='${subfolderLocation(sourceSchema, t.name)}', " +
+      s"DATA_SOURCE = AzureStorage2, FILE_FORMAT = TextFileFormat, " +
+      s"$rejectClause);"
+  }
+
+  /** The V3 container-subfolders loop (reference:
+    * samples/scripts/data-load/GenerateLoadScript-V3-ContainerSubfolders.sql:1):
+    * one external data source rooted at `containerRoot` is declared up
+    * front, every table reads from the DERIVED subfolder
+    * `containerRoot/<sourceSchema>/<table>/` (each SourceTable's own
+    * `location` is ignored — the template IS the variant), and after each
+    * load the external table is dropped (V3's per-iteration cleanup,
+    * recorded as drop DDL; the Spark scan holds no persistent external
+    * object, so the echo is the whole analog).
+    */
+  def loadAllSubfolders(spark: SparkSession, containerRoot: String,
+      sourceSchema: String, tables: Seq[SourceTable],
+      targetSchema: String = "dw"): SubfolderLoad = {
+    val derived = tables.map { t =>
+      t.copy(location = containerRoot.stripSuffix("/") +
+        subfolderLocation(sourceSchema, t.name))
+    }
+    val reports = loadAll(spark, derived, targetSchema).zip(tables).map {
+      case (r, t) =>
+        r.copy(externalDdl = externalDdlSubfolder(t, sourceSchema))
+    }
+    SubfolderLoad(dataSourceDdl(containerRoot), reports,
+      tables.map(t => s"DROP EXTERNAL TABLE [ASB].[${t.name}]"))
+  }
 }

@@ -69,4 +69,50 @@ class LoadScriptGeneratorSpec extends SparkSpec {
     // the loop's label is journaled on the load (D12 tracing contract)
     assert(reports.forall(_.elapsedMs >= 0))
   }
+
+  test("V3 container-subfolders loop derives per-table LOCATIONs from one source") {
+    // container/<schema>/<table>/ layout — the V3 precondition
+    val container = Files.createTempDirectory("graft_lsg_v3")
+    val stage = container.resolve("STAGE")
+    Files.createDirectories(stage.resolve("customers"))
+    Files.createDirectories(stage.resolve("sales"))
+    Files.write(stage.resolve("customers/part-0.csv"),
+      "1,alice\n2,null\n3,carol".getBytes("UTF-8"))
+    Files.write(stage.resolve("sales/part-0.csv"),
+      "1,99.99\n2,149.50".getBytes("UTF-8"))
+
+    val tables = Seq(
+      SourceTable("customers", location = "",
+        StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("name", StringType)))),
+      SourceTable("sales", location = "",
+        StructType(Seq(
+          StructField("sale_id", LongType, nullable = false),
+          StructField("amount", DoubleType))),
+        policy = TablePolicy(Distribution.Hash("sale_id", 4))))
+
+    val run = LoadScriptGenerator.loadAllSubfolders(
+      spark, container.toString, "STAGE", tables, targetSchema = "v3")
+
+    // loads executed from the DERIVED subfolder locations
+    assert(run.reports.map(_.rows) === Seq(3L, 2L))
+    assert(spark.table("v3_customers").orderBy("id").collect()(1).isNullAt(1))
+    assert(spark.table("v3_sales").schema("amount").dataType === DoubleType)
+
+    // ONE data source rooted at the container, declared once for the run
+    assert(run.dataSourceDdl ===
+      s"CREATE EXTERNAL DATA SOURCE AzureStorage2 WITH (TYPE = HADOOP, " +
+        s"LOCATION = '$container', CREDENTIAL = AzureStorageCredential);")
+
+    // per-table DDL carries the subfolder LOCATION template, not a path
+    val ext = run.reports.map(_.externalDdl)
+    assert(ext.head.contains("LOCATION='/STAGE/customers/'"))
+    assert(ext(1).contains("LOCATION='/STAGE/sales/'"))
+    assert(ext.forall(_.contains("DATA_SOURCE = AzureStorage2")))
+
+    // V3's per-iteration cleanup is echoed
+    assert(run.dropDdls === Seq("DROP EXTERNAL TABLE [ASB].[customers]",
+      "DROP EXTERNAL TABLE [ASB].[sales]"))
+  }
 }
