@@ -44,7 +44,11 @@ object Bench {
     val samples =
       if (reps > 1) 1 else envInt("SPARK_GRAFT_BENCH_SAMPLES", 2)
     require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
-    val benchSet = only.fold(allBench)(f => allBench.filter(_._1.contains(f)))
+    // comma-separated substring filters (OR), matching Verify's third arg
+    val benchSet = only.fold(allBench) { f =>
+      val fs = f.split(',').toSeq
+      allBench.filter(kv => fs.exists(kv._1.contains))
+    }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Plan-lint gate: every benched query's EXECUTED plan is checked for
     // corpus-scale unpartitioned-window funnels (PlanLint.windowFunnels —

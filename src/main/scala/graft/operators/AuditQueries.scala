@@ -144,13 +144,19 @@ object AuditQueries {
     * sketch; stats builds are scheduled maintenance, not hot-path queries.
     */
   val q140Histogram: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+    // exact NTILE over the FACT stream without the global sort: the
+    // two-level Prefix row number (value buckets over the cents range,
+    // ties broken by the unique line key inside each bucket's partitioned
+    // window) + the closed-form tile from (rn, n). Bit-identical to
+    // ntile(); parallelism = value buckets instead of one task.
     val li = Tables.lineitem(s, dir).select(
       cents(col("l_extendedprice")).as("c"),
       col("l_orderkey"), col("l_linenumber"))
-    val nt = ntile(HistBuckets).over(
-      Window.orderBy(col("c"), col("l_orderkey"), col("l_linenumber")))
-    li.withColumn("bucket", nt)
+    val nDf = li.agg(count(lit(1)).as("n"))
+    Prefix.rowNumber(li, "c", Seq("l_orderkey", "l_linenumber"), "rn")
+      .crossJoin(broadcast(nDf))
+      .withColumn("bucket",
+        Prefix.ntileExpr("rn", "n", HistBuckets).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
@@ -323,15 +329,16 @@ object AuditQueries {
       .select(cents(col("o_totalprice")).as("v_c"),
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
           .as("is_a"))
-    val byV = Window.partitionBy().orderBy(col("v_c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    val g = o.groupBy(col("v_c"))
+    // inclusive running sums via the two-level device (the distinct-value
+    // rollup grows with |orders|); totals broadcast instead of windowing
+    val g0 = o.groupBy(col("v_c"))
       .agg(sum(col("is_a")).as("c1"), sum(lit(1L) - col("is_a")).as("c2"))
-      .withColumn("cum1", sum(col("c1")).over(byV))
-      .withColumn("cum2", sum(col("c2")).over(byV))
-      .withColumn("n1", sum(col("c1")).over(all))
-      .withColumn("n2", sum(col("c2")).over(all))
+    val tot = g0.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val g = Prefix.runningSum(
+      Prefix.runningSum(g0, "v_c", Seq.empty, "c1", "cum1",
+        includeCurrent = true),
+      "v_c", Seq.empty, "c2", "cum2", includeCurrent = true)
+      .crossJoin(broadcast(tot))
     g.select(col("v_c"), col("n1"), col("n2"),
         abs(col("cum1").cast(dec) * col("n2").cast(dec) -
           col("cum2").cast(dec) * col("n1").cast(dec)).as("d_num"))
@@ -6917,9 +6924,9 @@ object AuditQueries {
     def index(rankCol: String): DataFrame = {
       val byV = cust.groupBy(col(rankCol).as("v"))
         .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sy"))
-      val w = Window.orderBy(col("v")).rowsBetween(
-        Window.unboundedPreceding, -1)
-      byV.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      // two-level below-count (Prefix.runningSum), not a global window:
+      // the distinct-value rollup grows with |customers|
+      Prefix.runningSum(byV, "v", Seq.empty, "cnt", "below")
         .select((col("below") * 2 + col("cnt") + 1).cast(dec).as("dr"),
           col("sy").cast(dec).as("sy"), col("cnt").cast(dec).as("cnt"))
         .agg(sum(col("cnt")).as("n"), sum(col("sy")).as("ty"),
@@ -6999,10 +7006,9 @@ object AuditQueries {
           .as("y"))
       .localCheckpoint()
     val byV = cust.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("y")).rowsBetween(
-      Window.unboundedPreceding, -1)
-    val rankedV = byV
-      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // two-level below-count over the distinct-income rollup (grows with
+    // |customers|) — no global window
+    val rankedV = Prefix.runningSum(byV, "y", Seq.empty, "cnt", "below")
       .crossJoin(broadcast(byV.agg(sum(col("cnt")).as("n_all"))))
       .localCheckpoint()
     val line = rankedV
@@ -7025,10 +7031,7 @@ object AuditQueries {
     // Gini among the poor (doubled-mid-rank device on the subset)
     val poorV = cust.crossJoin(broadcast(line)).filter(col("y") < col("z"))
       .groupBy(col("y")).agg(count(lit(1)).as("cnt"))
-    val wp = Window.orderBy(col("y")).rowsBetween(
-      Window.unboundedPreceding, -1)
-    val gp = poorV
-      .withColumn("below", coalesce(sum(col("cnt")).over(wp), lit(0L)))
+    val gp = Prefix.runningSum(poorV, "y", Seq.empty, "cnt", "below")
       .select((col("below") * 2 + col("cnt") + 1).cast(dec).as("dr"),
         (col("y").cast(dec) * col("cnt")).as("sy"),
         col("cnt").cast(dec).as("cnt"))
@@ -7313,10 +7316,9 @@ object AuditQueries {
           .as("y"))
       .localCheckpoint()
     val byV = cust.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("y")).rowsBetween(
-      Window.unboundedPreceding, -1)
-    val ranked = byV
-      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // two-level below-count over the distinct-income rollup — no global
+    // window (grows with |customers|)
+    val ranked = Prefix.runningSum(byV, "y", Seq.empty, "cnt", "below")
       .crossJoin(broadcast(byV.agg(sum(col("cnt")).as("n_all"))))
       .localCheckpoint()
     val med = ranked
@@ -13572,22 +13574,25 @@ object AuditQueries {
       .join(lc, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("pr"), col("x"), col("y"))
       .localCheckpoint()
-    val ctrl = o.filter(col("pr") === 5)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("x")).orderBy(col("o_orderkey"))))
-      .filter(col("rn") === 1)
-      .withColumn("idx", row_number().over(Window.orderBy(col("x"))))
+    // both global sorts (control index, merged cumulative-control count)
+    // run through the two-level Prefix device — they grow with |orders|
+    val ctrl = Prefix.rowNumber(
+      o.filter(col("pr") === 5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("o_orderkey"))))
+        .filter(col("rn") === 1).drop("rn"),
+      "x", Seq.empty, "idx")
       .select(col("idx"), col("x").as("cx"), col("y").as("cy"))
       .localCheckpoint()
     val treatedRaw = o.filter(col("pr") === 1)
       .select(col("o_orderkey"), col("x"), col("y"))
-    val mixed = ctrl.select(col("cx").as("x"), lit(0L).as("flag"),
+    val mixed = Prefix.runningSum(
+      ctrl.select(col("cx").as("x"), lit(0L).as("flag"),
         col("idx").cast("long").as("key"), lit(0L).as("y"))
-      .unionAll(treatedRaw.select(col("x"), lit(1L).as("flag"),
-        col("o_orderkey").as("key"), col("y")))
-      .withColumn("cc", sum((col("flag") === 0L).cast("long")).over(
-        Window.orderBy(col("x"), col("flag"), col("key"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        .unionAll(treatedRaw.select(col("x"), lit(1L).as("flag"),
+          col("o_orderkey").as("key"), col("y")))
+        .withColumn("w0", (col("flag") === 0L).cast("long")),
+      "x", Seq("flag", "key"), "w0", "cc", includeCurrent = true)
     val t = mixed.filter(col("flag") === 1L)
       .select(col("key").as("t_key"), col("x").as("tx"),
         col("y").as("ty"), col("cc"))
@@ -13930,8 +13935,16 @@ object AuditQueries {
       .join(broadcast(Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
-    val firsts = seqd.groupBy(col("c_nationkey")).agg(min(col("rn")).as("fr"))
+      .localCheckpoint()
+    // the global row_number was only read as MIN(rn) per nation, and rn is
+    // monotone in the unique orderkey — so fr(nation) = #orders with
+    // orderkey <= the nation's first orderkey: a ≤25-row broadcast and one
+    // counting pass replace the |orders| single-task sort
+    val mins = seqd.groupBy(col("c_nationkey"))
+      .agg(min(col("o_orderkey")).as("mk"))
+    val firsts = seqd.select(col("o_orderkey").as("k"))
+      .join(broadcast(mins), col("k") <= col("mk"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("fr"))
     val base = firsts.agg(count(lit(1)).as("n_seen"),
         max(col("fr")).as("actual_draws"))
     val expected = base.select(col("n_seen"),
@@ -14544,7 +14557,246 @@ object AuditQueries {
       |GROUP BY tau ORDER BY tau""".stripMargin
   }
 
+  // ------ q572: synthetic control on the national revenue panel
+
+  /** q572: the synthetic-control gap — the panel-data causal device for a
+    * single treated unit: the top-revenue nation's daily series is matched
+    * in the PRE period (first 70% of the observed span) by the best convex
+    * blend of the two next-largest donor nations, the weight swept over an
+    * exact integer percent grid (101 candidates, min SSE, tie to the
+    * smaller weight), and the POST-period mean gap between treated and
+    * synthetic series is the effect readout. Everything is exact integer
+    * cents: residuals are 100·t − w·a − (100−w)·b (so the grid needs no
+    * fractions), SSE accumulates in DECIMAL(38,0)/HUGEINT, the one
+    * fractional output (pre-RMSE) is sqrt of an IEEE division of exact
+    * integers through the VARCHAR bridge, and the effect is a sign-factored
+    * floor division.
+    *
+    * Plan: one orders pass into the (nation, day) rollup; the 3-series
+    * panel and 101-weight sweep are calendar-bounded metadata.
+    */
+  val q572SyntheticControl: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val nd = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"),
+        col("o_orderdate").as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .localCheckpoint()
+    val top3 = nd.groupBy(col("nat")).agg(sum(col("rev")).as("tot"))
+      .orderBy(col("tot").desc, col("nat")).limit(3)
+      .select(col("nat")).collect().map(_.getLong(0))
+    val Array(tn, da, db) = top3
+    val days = nd.filter(col("nat").isin(top3.map(Long.box): _*))
+      .select(col("day")).distinct()
+    def series(n: Long, cn: String) =
+      days.join(nd.filter(col("nat") === n)
+        .select(col("day"), col("rev")), Seq("day"), "left")
+        .select(col("day"), coalesce(col("rev"), lit(0L)).as(cn))
+    val tri = series(tn, "t").join(series(da, "a"), "day")
+      .join(series(db, "b"), "day")
+    val ext = tri.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    val wd = tri.crossJoin(broadcast(ext))
+      .withColumn("d", expr("datediff(day, mnd)"))
+      .withColumn("cut", expr("datediff(mxd, mnd) * 7 div 10"))
+      .localCheckpoint()
+    val ws = s.range(0L, 101L).toDF("w")
+    def resid = (col("t") * 100L - col("w") * col("a") -
+      (lit(100L) - col("w")) * col("b")).cast(dec)
+    val sse = wd.filter(col("d") < col("cut")).crossJoin(broadcast(ws))
+      .select(col("w"), resid.as("r"))
+      .groupBy(col("w"))
+      .agg(sum(col("r") * col("r")).as("sse"), count(lit(1)).as("n_pre"))
+    val bw = sse.orderBy(col("sse"), col("w")).limit(1)
+    wd.filter(col("d") >= col("cut")).crossJoin(broadcast(bw))
+      .select(col("w"), col("sse"), col("n_pre"), resid.as("g"))
+      .groupBy(col("w"), col("sse"), col("n_pre"))
+      .agg(count(lit(1)).as("n_post"), sum(col("g")).as("gap"))
+      .select(lit(tn).as("treated_nation"), lit(da).as("donor_a"),
+        lit(db).as("donor_b"), col("w").as("best_w_pct"),
+        col("n_pre"), col("n_post"),
+        expr("sqrt(CAST(CAST(sse AS STRING) AS DOUBLE) / (n_pre * 10000.0D))")
+          .as("pre_rmse_c"),
+        expr("""CAST(CASE WHEN gap >= 0 THEN
+          |   CAST((gap - gap % (100 * n_post)) / (100 * n_post)
+          |     AS DECIMAL(38,0))
+          | ELSE -CAST(((-gap) - (-gap) % (100 * n_post)) / (100 * n_post)
+          |     AS DECIMAL(38,0)) END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("post_effect_c"))
+  }
+
+  val q572Sql: String =
+    """WITH nd AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nat, o_orderdate AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |top3 AS (
+      |  SELECT nat, rk FROM (
+      |    SELECT nat, ROW_NUMBER() OVER (ORDER BY SUM(rev) DESC, nat)
+      |      AS rk
+      |    FROM nd GROUP BY nat) t WHERE rk <= 3),
+      |days AS (SELECT DISTINCT day FROM nd JOIN top3 USING (nat)),
+      |tri AS (
+      |  SELECT days.day, COALESCE(t.rev, 0) AS t, COALESCE(a.rev, 0) AS a,
+      |    COALESCE(b.rev, 0) AS b
+      |  FROM days
+      |  LEFT JOIN (SELECT day, rev FROM nd JOIN top3 USING (nat)
+      |    WHERE rk = 1) t USING (day)
+      |  LEFT JOIN (SELECT day, rev FROM nd JOIN top3 USING (nat)
+      |    WHERE rk = 2) a USING (day)
+      |  LEFT JOIN (SELECT day, rev FROM nd JOIN top3 USING (nat)
+      |    WHERE rk = 3) b USING (day)),
+      |ext AS (SELECT MIN(day) AS mnd, MAX(day) AS mxd FROM tri),
+      |wd AS (
+      |  SELECT tri.*, datediff('day', mnd, day) AS d,
+      |    datediff('day', mnd, mxd) * 7 // 10 AS cut
+      |  FROM tri CROSS JOIN ext),
+      |sse AS (
+      |  SELECT w.w,
+      |    SUM(CAST(t*100 - w.w*a - (100 - w.w)*b AS HUGEINT)
+      |      * (t*100 - w.w*a - (100 - w.w)*b)) AS sse,
+      |    COUNT(*) AS n_pre
+      |  FROM wd CROSS JOIN (SELECT UNNEST(range(0, 101)) AS w) w
+      |  WHERE d < cut GROUP BY 1),
+      |bw AS (SELECT w, sse, n_pre FROM sse ORDER BY sse, w LIMIT 1),
+      |post AS (
+      |  SELECT bw.w, bw.sse, bw.n_pre, COUNT(*) AS n_post,
+      |    SUM(CAST(t*100 - bw.w*a - (100 - bw.w)*b AS HUGEINT)) AS gap
+      |  FROM wd CROSS JOIN bw WHERE d >= cut GROUP BY 1, 2, 3),
+      |tn AS (
+      |  SELECT MAX(CASE WHEN rk = 1 THEN nat END) AS tnat,
+      |    MAX(CASE WHEN rk = 2 THEN nat END) AS anat,
+      |    MAX(CASE WHEN rk = 3 THEN nat END) AS bnat
+      |  FROM top3)
+      |SELECT CAST(tnat AS BIGINT) AS treated_nation,
+      |  CAST(anat AS BIGINT) AS donor_a, CAST(bnat AS BIGINT) AS donor_b,
+      |  CAST(w AS BIGINT) AS best_w_pct, CAST(n_pre AS BIGINT) AS n_pre,
+      |  CAST(n_post AS BIGINT) AS n_post,
+      |  sqrt(CAST(CAST(sse AS VARCHAR) AS DOUBLE) / (n_pre * 10000.0))
+      |    AS pre_rmse_c,
+      |  CAST(CASE WHEN gap >= 0 THEN gap // (100 * n_post)
+      |    ELSE -((-gap) // (100 * n_post)) END AS BIGINT) AS post_effect_c
+      |FROM post CROSS JOIN tn""".stripMargin
+
+  // ------ q573: doubly-robust ATE on the priority treatment
+
+  /** q573: the doubly-robust (AIPW) average treatment effect — the
+    * estimator that stays consistent if EITHER the propensity model OR the
+    * outcome model is right, here both fit exactly per market-segment
+    * stratum: e(x) = n₁/n and m₁/m₀ = floored stratum outcome means. With
+    * those plug-ins the stratum IPW correction collapses to an exact
+    * integer form — Σ t(y−m₁)/e = (S₁ mod n₁)·n div n₁ (the floor
+    * remainder scaled by the inverse propensity) — so the whole estimator
+    * is closed-form integer per stratum, next to the naive m₁−m₀ gap it
+    * corrects. Strata missing a treatment arm report NULL and drop from
+    * the pooled estimate (their weight is excluded from the denominator).
+    *
+    * Treatment: order priority 1-URGENT/2-HIGH. Outcome: order value in
+    * cents. Plan: one orders⋈customer pass into the 5-row stratum rollup;
+    * everything after is metadata.
+    */
+  val q573DoublyRobust: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        when(expr("CAST(substring(o_orderpriority, 1, 1) AS INT)") <= 2, 1L)
+          .otherwise(0L).as("t"),
+        cents(col("o_totalprice")).as("y"))
+    val g = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("n1"),
+        sum((col("t") * col("y")).cast(dec)).as("s1"),
+        sum(((lit(1L) - col("t")) * col("y")).cast(dec)).as("s0"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("m1", expr("CAST(CASE WHEN n1 = 0 THEN NULL ELSE " +
+        "(s1 - s1 % n1) / n1 END AS DECIMAL(38,0))"))
+      .withColumn("m0", expr("CAST(CASE WHEN n0 = 0 THEN NULL ELSE " +
+        "(s0 - s0 % n0) / n0 END AS DECIMAL(38,0))"))
+      .withColumn("dr_num", expr(
+        """CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+          |  CAST(((s1 % n1) * n - ((s1 % n1) * n) % n1) / n1
+          |    AS DECIMAL(38,0))
+          |  - CAST(((s0 % n0) * n - ((s0 % n0) * n) % n0) / n0
+          |    AS DECIMAL(38,0))
+          |  + n * (m1 - m0) END""".stripMargin.replace("\n", " ")))
+      .localCheckpoint()
+    val pooled = g.agg(
+      sum(when(col("dr_num").isNotNull, col("n")).otherwise(0L))
+        .cast(dec).as("nw"),
+      sum(col("dr_num")).as("drs"))
+      .select(expr("""CAST(CASE WHEN nw = 0 OR drs IS NULL THEN NULL
+        | WHEN drs >= 0 THEN CAST((drs - drs % nw) / nw AS DECIMAL(38,0))
+        | ELSE -CAST(((-drs) - (-drs) % nw) / nw AS DECIMAL(38,0))
+        | END AS BIGINT)""".stripMargin.replace("\n", " ")).as("ate_c"))
+    g.crossJoin(broadcast(pooled))
+      .select(col("seg"), col("n"), col("n1"),
+        expr("n1 * 1000000 div n").as("e_e6"),
+        col("m1").cast("long").as("m1_c"),
+        col("m0").cast("long").as("m0_c"),
+        (col("m1") - col("m0")).cast("long").as("naive_gap_c"),
+        expr("""CAST(CASE WHEN dr_num IS NULL THEN NULL
+          | WHEN dr_num >= 0 THEN
+          |   CAST((dr_num - dr_num % n) / n AS DECIMAL(38,0))
+          | ELSE -CAST(((-dr_num) - (-dr_num) % n) / n AS DECIMAL(38,0))
+          | END AS BIGINT)""".stripMargin.replace("\n", " ")).as("dr_c"),
+        col("ate_c"))
+      .orderBy(col("seg"))
+  }
+
+  val q573Sql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
+      |      THEN 1 ELSE 0 END AS t,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(t) AS HUGEINT) AS n1,
+      |    CAST(SUM(t * y) AS HUGEINT) AS s1,
+      |    CAST(SUM((1 - t) * y) AS HUGEINT) AS s0
+      |  FROM base GROUP BY seg),
+      |gm AS (
+      |  SELECT seg, n, n1, n - n1 AS n0, s1, s0,
+      |    CASE WHEN n1 = 0 THEN NULL ELSE s1 // n1 END AS m1,
+      |    CASE WHEN n - n1 = 0 THEN NULL ELSE s0 // (n - n1) END AS m0
+      |  FROM g),
+      |gd AS (
+      |  SELECT gm.*,
+      |    CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+      |      ((s1 % n1) * n) // n1 - ((s0 % n0) * n) // n0
+      |      + n * (m1 - m0) END AS dr_num
+      |  FROM gm),
+      |pooled AS (
+      |  SELECT CAST(CASE
+      |    WHEN SUM(CASE WHEN dr_num IS NOT NULL THEN n ELSE 0 END) = 0
+      |      OR SUM(dr_num) IS NULL THEN NULL
+      |    WHEN SUM(dr_num) >= 0 THEN SUM(dr_num)
+      |      // SUM(CASE WHEN dr_num IS NOT NULL THEN n ELSE 0 END)
+      |    ELSE -((-SUM(dr_num))
+      |      // SUM(CASE WHEN dr_num IS NOT NULL THEN n ELSE 0 END))
+      |    END AS BIGINT) AS ate_c
+      |  FROM gd)
+      |SELECT seg, CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n1 * 1000000 // n AS BIGINT) AS e_e6,
+      |  CAST(m1 AS BIGINT) AS m1_c, CAST(m0 AS BIGINT) AS m0_c,
+      |  CAST(m1 - m0 AS BIGINT) AS naive_gap_c,
+      |  CAST(CASE WHEN dr_num IS NULL THEN NULL
+      |    WHEN dr_num >= 0 THEN dr_num // n
+      |    ELSE -((-dr_num) // n) END AS BIGINT) AS dr_c,
+      |  ate_c
+      |FROM gd CROSS JOIN pooled
+      |ORDER BY seg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q572_synthetic_control" -> q572SyntheticControl,
+    "q573_doubly_robust" -> q573DoublyRobust,
     "q531_bullwhip" -> q531Bullwhip,
     "q536_forecast_reconcile" -> q536ForecastReconcile,
     "q532_p_chart" -> q532PChart,
@@ -14691,6 +14943,8 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q572_synthetic_control" -> q572Sql,
+    "q573_doubly_robust" -> q573Sql,
     "q531_bullwhip" -> q531Sql,
     "q536_forecast_reconcile" -> q536Sql,
     "q532_p_chart" -> q532Sql,

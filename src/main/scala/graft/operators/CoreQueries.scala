@@ -1517,14 +1517,8 @@ object CoreQueries {
     */
   private def bucketPrior(bRoll: org.apache.spark.sql.DataFrame,
       bktCol: String, sumCol: String, desc: Boolean)
-      : org.apache.spark.sql.DataFrame = {
-    val other = bRoll.select(col(bktCol).as("pfx_ob"), col(sumCol).as("pfx_os"))
-    val cond =
-      if (desc) col("pfx_ob") > col(bktCol) else col("pfx_ob") < col(bktCol)
-    bRoll.join(broadcast(other), cond, "left")
-      .groupBy(col(bktCol))
-      .agg(coalesce(sum(col("pfx_os")), lit(0L)).as("prior"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    Prefix.bucketPrior(bRoll, bktCol, sumCol, desc)
 
   /** Distributed running sum of `valueCol` over (valueCol DESC, tieCol
     * ASC), ROWS UNBOUNDED PRECEDING..CURRENT — the Pareto/ABC cumulative
@@ -1539,23 +1533,9 @@ object CoreQueries {
     */
   private def descPrefixSum(df: org.apache.spark.sql.DataFrame,
       valueCol: String, tieCol: String, out: String)
-      : org.apache.spark.sql.DataFrame = {
-    val scal = df.agg(min(col(valueCol)).as("pfx_mn"),
-      max(col(valueCol)).as("pfx_mx"))
-    val bucketed = df.crossJoin(broadcast(scal))
-      .withColumn("pfx_bkt",
-        expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
-      .drop("pfx_mn", "pfx_mx")
-    val bRoll = bucketed.groupBy(col("pfx_bkt"))
-      .agg(sum(col(valueCol)).as("pfx_bsum"))
-    val prior = bucketPrior(bRoll, "pfx_bkt", "pfx_bsum", desc = true)
-    val inW = Window.partitionBy(col("pfx_bkt"))
-      .orderBy(col(valueCol).desc, col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    bucketed.join(broadcast(prior), Seq("pfx_bkt"))
-      .withColumn(out, col("prior") + sum(col(valueCol)).over(inW))
-      .drop("pfx_bkt", "prior")
-  }
+      : org.apache.spark.sql.DataFrame =
+    Prefix.runningSum(df, valueCol, Seq(tieCol), valueCol, out,
+      desc = true, includeCurrent = true)
 
   /** q112: Pareto / ABC classification — parts ranked by revenue with the
     * cumulative revenue share banded into A (first 80%), B (to 95%), C

@@ -1457,10 +1457,11 @@ object EventQueries {
         struct(col("close_ms").as("ms"), lit(-1L).as("delta")))).as("x"))
       .select(col("x.ms").as("ms"), col("x.delta").as("delta"))
       .groupBy(col("ms")).agg(sum(col("delta")).as("net"))
-    val run = Window.orderBy(col("ms"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .withColumn("level", sum(col("net")).over(run))
+    // signed running sum via the two-level Prefix device: the boundary
+    // stream is 2×|events| and a global window would funnel it through
+    // one task (the device's bucket sums carry negative deltas fine)
+    Prefix.runningSum(deltas, "ms", Seq.empty, "net", "level",
+        includeCurrent = true)
       .groupBy(expr("ms DIV 86400000").as("day"))
       .agg(max(col("level")).as("peak_concurrency"),
         count(lit(1)).as("n_changes"))

@@ -418,11 +418,11 @@ object GraphQueries {
       .join(recs.groupBy(col("part")).agg(count(lit(1)).as("x")),
         Seq("part"), "left")
       .select(col("part"), coalesce(col("x"), lit(0L)).as("x"))
-    val ranked = exposure.withColumn("r",
-      row_number().over(Window.orderBy(col("x"), col("part"))).cast("long"))
-    val topW = Window.orderBy(col("x").desc, col("part"))
-    val top10 = exposure.withColumn("tr", row_number().over(topW))
-      .filter(col("tr") <= 10)
+    // exposure rank via the two-level Prefix device (|parts| rollup — a
+    // global row_number window funnels it through one task); the top-10
+    // slice plans as TakeOrderedAndProject instead of a ranked window
+    val ranked = Prefix.rowNumber(exposure, "x", Seq("part"), "r")
+    val top10 = exposure.orderBy(col("x").desc, col("part")).limit(10)
       .agg(sum(col("x")).as("top10_x"))
     ranked.agg(count(lit(1)).as("n_catalog"),
         sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_recommended"),

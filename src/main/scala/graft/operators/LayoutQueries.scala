@@ -1119,7 +1119,130 @@ object LayoutQueries {
 
   // ------------------------------------------------------------- registry
 
+  // --------------- q571: optimal supplier↔brand assignment (placement)
+
+  /** Assignment size: top-k suppliers × top-k brands. 8! = 40320 plans —
+    * exhaustive and exact at this size; larger instances would swap in the
+    * Hungarian method without changing the contract.
+    */
+  private val AssignK = 8
+
+  /** Missing (supplier, brand) pair penalty: e2 cents of 10¹⁰ (far above
+    * any observed mean line value).
+    */
+  private val AssignPenaltyE2 = 1000000000000L
+
+  /** q571: optimal dedicated-supplier assignment — the placement question
+    * behind single-sourcing: give each of the top-8 brands (by line
+    * volume) ONE dedicated top-8 supplier so that the total observed mean
+    * line value (e2 cents — the procurement-cost proxy this schema
+    * carries) is minimal, each supplier serving exactly one brand. This is the
+    * assignment problem; at k = 8 the exact optimum enumerates (8! plans)
+    * with a deterministic tie-break (packed base-9 permutation key), so
+    * the oracle can walk the same lattice level by level. The heavy work
+    * is ONE fact pass into the (supplier, brand) value rollup; the
+    * 8×8 cost matrix is metadata by construction (the q505 driver-fold
+    * posture), and unobserved pairs price at a prohibitive constant.
+    *
+    * Plan: lineitem⋈part rollup (shuffle on the pair key) → two top-8
+    * TakeOrdered slices → 64-cell matrix collect → driver enumeration →
+    * 8-row result.
+    */
+  val q571OptimalAssignment: Q = (s, dir) => {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey").cast("long").as("sk"),
+        col("p_brand").as("brand"),
+        cents(col("l_extendedprice")).as("v"))
+      .localCheckpoint()
+    val sup = base.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sk")).limit(AssignK)
+      .select(col("sk")).collect().map(_.getLong(0))
+    val br = base.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("brand")).limit(AssignK)
+      .select(col("brand")).collect().map(_.getString(0))
+    val cells = base
+      .filter(col("sk").isin(sup.map(Long.box): _*) &&
+        col("brand").isin(br: _*))
+      .groupBy(col("sk"), col("brand"))
+      .agg(expr("sum(v) * 100 div count(1)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def cost(bi: Int, si: Int): Long =
+      cells.getOrElse((sup(si - 1), br(bi - 1)), AssignPenaltyE2)
+    // exhaustive argmin over permutations, tie-broken by the packed
+    // base-9 digit key (brand-rank order) — the same total order the
+    // oracle's level-by-level lattice walk minimizes
+    val best = (1 to AssignK).permutations.map { p =>
+      val c = p.zipWithIndex.map { case (si, b) => cost(b + 1, si) }.sum
+      val key = p.foldLeft(0L)((k, si) => k * 9 + si)
+      (c, key, p)
+    }.minBy(t => (t._1, t._2))
+    import s.implicits._
+    best._3.zipWithIndex.map { case (si, b) =>
+      ((b + 1).toLong, br(b), si.toLong, sup(si - 1),
+        cost(b + 1, si), best._1)
+    }.toSeq.toDF("brand_rank", "brand", "supplier_rank", "suppkey",
+      "pair_cost_e2", "total_cost_e2")
+  }
+
+  /** Oracle: the same top-8 ranking and cost matrix, then the permutation
+    * lattice grown one brand per CTE level (mask-excluded suppliers), the
+    * minimum by (cost, base-9 key), and the per-level unpivot decoded
+    * from the key digits.
+    */
+  val q571Sql: String = {
+    val levels = (2 to AssignK).map { l =>
+      s"""l$l AS (
+         |  SELECT (p.mask | (CAST(1 AS BIGINT) << (c.si - 1))) AS mask,
+         |    p.cost + c.c AS cost, p.key * 9 + c.si AS key
+         |  FROM l${l - 1} p JOIN cfull c
+         |    ON c.bi = $l AND (p.mask >> (c.si - 1)) % 2 = 0)"""
+        .stripMargin
+    }.mkString(",\n")
+    val digit = s"CAST((best.key // CAST(pow(9, $AssignK - r.i) AS BIGINT))" +
+      " % 9 AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS sk, p_brand AS brand,
+       |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |sup AS (
+       |  SELECT sk, si FROM (
+       |    SELECT sk, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, sk)
+       |      AS si
+       |    FROM base GROUP BY sk) t WHERE si <= $AssignK),
+       |br AS (
+       |  SELECT brand, bi FROM (
+       |    SELECT brand, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, brand)
+       |      AS bi
+       |    FROM base GROUP BY brand) t WHERE bi <= $AssignK),
+       |cm AS (
+       |  SELECT bi, si, CAST(SUM(v) * 100 // COUNT(*) AS BIGINT) AS c
+       |  FROM base JOIN sup USING (sk) JOIN br USING (brand)
+       |  GROUP BY 1, 2),
+       |cfull AS (
+       |  SELECT b.bi, s.si, COALESCE(cm.c, $AssignPenaltyE2) AS c
+       |  FROM br b CROSS JOIN sup s
+       |  LEFT JOIN cm ON cm.bi = b.bi AND cm.si = s.si),
+       |l1 AS (
+       |  SELECT (CAST(1 AS BIGINT) << (si - 1)) AS mask, c AS cost,
+       |    CAST(si AS BIGINT) AS key
+       |  FROM cfull WHERE bi = 1),
+       |$levels,
+       |best AS (SELECT cost, key FROM l$AssignK ORDER BY cost, key LIMIT 1)
+       |SELECT CAST(r.i AS BIGINT) AS brand_rank, br.brand,
+       |  $digit AS supplier_rank, sup.sk AS suppkey,
+       |  cf.c AS pair_cost_e2, CAST(best.cost AS BIGINT) AS total_cost_e2
+       |FROM (SELECT UNNEST(range(1, ${AssignK + 1})) AS i) r
+       |CROSS JOIN best
+       |JOIN br ON br.bi = r.i
+       |JOIN sup ON sup.si = $digit
+       |JOIN cfull cf ON cf.bi = r.i AND cf.si = $digit""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "q571_optimal_assignment" -> q571OptimalAssignment,
     "q562_zone_map_skipping" -> q562ZoneMapSkipping,
     "q549_result_cache" -> q549ResultCacheAdvisor,
     "q550_compaction_advisor" -> q550CompactionAdvisor,
@@ -1134,6 +1257,7 @@ object LayoutQueries {
     "q544_bloom_advisor" -> q544BloomAdvisor)
 
   def oracles: Map[String, String] = Map(
+    "q571_optimal_assignment" -> q571Sql,
     "q562_zone_map_skipping" -> q562Sql,
     "q549_result_cache" -> q549Sql,
     "q550_compaction_advisor" -> q550Sql,
