@@ -2447,6 +2447,7 @@ object SimilarityQueries {
     "q366_balance_smd" -> q366BalanceSmd,
     "q326_morans_i" -> q326MoransI,
     "q324_adjusted_rand" -> q324AdjustedRand,
+    "q574_knn_shapley" -> q574KnnShapley,
     "q299_dbscan_census" -> q299DbscanCensus,
     "q303_silhouette" -> q303Silhouette,
     "q282_lloyd_step" -> q282LloydStep,
@@ -2464,6 +2465,77 @@ object SimilarityQueries {
     "q64_ann_ivf" -> q64AnnIvf,
     "q82_ann_ivfpq" -> q82AnnIvfPq,
     "q88_cluster_purity" -> q88ClusterPurity)
+
+  /** Probe panel stride for kNN-Shapley: every 20th vector is a "test"
+    * point, the rest are the valued training corpus.
+    */
+  private val ShapStride = 20
+
+  /** q574: exact kNN-Shapley data valuation (Jia et al., "Towards
+    * Efficient Data Valuation Based on the Shapley Value", AISTATS 2019) —
+    * the per-EXAMPLE worth of every training vector to a K-NN classifier,
+    * the data-market/curation question ("which examples earn their storage
+    * at 100 TB?") answered in closed form instead of exponential
+    * retraining: with neighbors of test t sorted by similarity, s_(N) =
+    * 𝟙[y_(N)=y_t]/N and s_(i) = s_(i+1) + (𝟙[y_(i)]−𝟙[y_(i+1)])·
+    * min(K,i)/(K·i). Each rank's increment is floored ONCE at e12
+    * (sign-factored, so both engines truncate identically) and the suffix
+    * accumulates by exact integer addition — the telescoping recurrence
+    * becomes a per-probe suffix sum, every window PARTITIONED by probe.
+    * Values aggregate across the probe panel; the report is the 15 most
+    * and 15 least valuable training vectors (the least-valuable tail is
+    * the curation drop list — mislabeled/near-adversarial points go
+    * NEGATIVE, since they flip their neighborhoods' votes).
+    *
+    * Scale posture: the probe panel is a fixed-stride slice (bounded by
+    * construction — a production valuation samples probes the same way);
+    * cost is |train|×|probes| codegen'd dot products, rank windows shard
+    * per probe, and the rollup is train-keyed. No global window, no
+    * driver-side data.
+    */
+  lazy val q574KnnShapley: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      col("label"), Vectors.norm(col("embedding")).as("nrm"))
+    val tests = e.filter(col("vec_id") % ShapStride === 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("tvec"),
+        col("label").as("tlabel"), col("nrm").as("tnrm"))
+    val train = e.filter(col("vec_id") % ShapStride =!= 0)
+    val nDf = train.agg(count(lit(1)).as("n_train"))
+    val pairs = train.crossJoin(broadcast(tests))
+      .select(col("tid"), col("vec_id"), col("label"),
+        (col("label") === col("tlabel")).cast("long").as("m"),
+        (Vectors.dot(col("embedding"), col("tvec")) /
+          (col("nrm") * col("tnrm"))).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ranked = pairs
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("mnext", lead(col("m"), 1).over(w))
+    val terms = ranked.crossJoin(broadcast(nDf))
+      .withColumn("term", expr(
+        s"""CASE WHEN mnext IS NULL THEN CAST(0 AS BIGINT)
+           | WHEN m >= mnext THEN
+           |   ((m - mnext) * least(rnk, $K) * 1000000000000) div ($K * rnk)
+           | ELSE -(((mnext - m) * least(rnk, $K) * 1000000000000)
+           |   div ($K * rnk)) END""".stripMargin.replace("\n", " ")))
+      .withColumn("base", max(when(col("mnext").isNull,
+        expr("m * 1000000000000 div n_train")))
+        .over(Window.partitionBy(col("tid"))))
+    val wSuf = Window.partitionBy(col("tid")).orderBy(col("rnk").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sv = terms
+      .withColumn("sv_e12", col("base") + sum(col("term")).over(wSuf))
+    val byTrain = sv.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("sv_e12")).as("sv_e12"))
+    val top = byTrain.orderBy(col("sv_e12").desc, col("vec_id")).limit(15)
+      .select(lit("most_valuable").as("role"), col("vec_id"), col("label"),
+        col("sv_e12"))
+    val bottom = byTrain.orderBy(col("sv_e12").asc, col("vec_id")).limit(15)
+      .select(lit("least_valuable").as("role"), col("vec_id"), col("label"),
+        col("sv_e12"))
+    top.unionAll(bottom)
+  }
 
   /** SQL fragments shared by the q61/q63 oracles, generated from the same
     * deterministic plane matrix the Spark side uses (Vectors.planeMatrix) —
@@ -2606,6 +2678,55 @@ object SimilarityQueries {
     "q61_ann_lsh" -> q61Sql,
     "q177_class_separability" -> q177Sql,
     "q63_cosine_neardup" -> q63Sql,
+    "q574_knn_shapley" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |tests AS (
+        |  SELECT vec_id AS tid, v AS tv, label AS tl FROM e
+        |  WHERE vec_id % $ShapStride = 0),
+        |train AS (SELECT * FROM e WHERE vec_id % $ShapStride <> 0),
+        |nt AS (SELECT COUNT(*) AS n_train FROM train),
+        |pairs AS (
+        |  SELECT t.tid, tr.vec_id, tr.label,
+        |    CASE WHEN tr.label = t.tl THEN 1 ELSE 0 END AS m,
+        |    list_dot_product(tr.v, t.tv) /
+        |      (sqrt(list_dot_product(tr.v, tr.v)) *
+        |       sqrt(list_dot_product(t.tv, t.tv))) AS sim
+        |  FROM train tr CROSS JOIN tests t),
+        |ranked AS (
+        |  SELECT tid, vec_id, label, m,
+        |    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY sim DESC, vec_id)
+        |      AS rnk,
+        |    LEAD(m) OVER (PARTITION BY tid ORDER BY sim DESC, vec_id)
+        |      AS mnext
+        |  FROM pairs),
+        |terms AS (
+        |  SELECT tid, vec_id, label, rnk,
+        |    CASE WHEN mnext IS NULL THEN 0
+        |      WHEN m >= mnext THEN
+        |        ((m - mnext) * LEAST(rnk, $K) * 1000000000000) // ($K * rnk)
+        |      ELSE -(((mnext - m) * LEAST(rnk, $K) * 1000000000000)
+        |        // ($K * rnk)) END AS term,
+        |    MAX(CASE WHEN mnext IS NULL
+        |      THEN m * 1000000000000 // n_train END)
+        |      OVER (PARTITION BY tid) AS base
+        |  FROM ranked CROSS JOIN nt),
+        |sv AS (
+        |  SELECT tid, vec_id, label,
+        |    base + SUM(term) OVER (PARTITION BY tid ORDER BY rnk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_e12
+        |  FROM terms),
+        |bt AS (
+        |  SELECT vec_id, label, CAST(SUM(sv_e12) AS BIGINT) AS sv_e12
+        |  FROM sv GROUP BY 1, 2),
+        |top AS (
+        |  SELECT 'most_valuable' AS role, vec_id, label, sv_e12 FROM bt
+        |  ORDER BY sv_e12 DESC, vec_id LIMIT 15),
+        |bot AS (
+        |  SELECT 'least_valuable' AS role, vec_id, label, sv_e12 FROM bt
+        |  ORDER BY sv_e12 ASC, vec_id LIMIT 15)
+        |SELECT * FROM top UNION ALL SELECT * FROM bot""".stripMargin,
     "q60_knn_brute" ->
       """WITH probes AS (
         |  SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 10),
