@@ -3669,18 +3669,31 @@ object CoreQueries {
     * Trimmed vs winsorized disagreement quantifies how much tail mass
     * the clamp preserved.
     *
-    * Plan: one per-group percentile rollup (broadcastable — |groups|
-    * rows), one conditional re-aggregation of the fact against the
-    * joined bounds. Two fact passes total, both single-shuffle.
+    * Plan: the percentile bounds come from the two-level rank-target
+    * device over the (flag, value) rollup — percentile_disc(p) selects
+    * the smallest value whose inclusive below-count reaches ceil(p·n),
+    * and a native per-group percentile aggregate would buffer each
+    * group's whole value stream in one task (3 groups = 3 tasks at any
+    * cluster size). Then one conditional re-aggregation of the fact
+    * against the broadcast bounds.
     */
   val q244RobustMeans: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
-    val bounds = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY c)")
-          .cast("long").as("lo"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
-          .cast("long").as("hi"))
+    val byV = li.groupBy(col("l_returnflag"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ranked = AuditQueries.doubledRankBelow(
+      byV, Seq("l_returnflag"), "c", 100000L)
+    val nPer = byV.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("ng"))
+    val bounds = ranked.join(broadcast(nPer), "l_returnflag")
+      .withColumn("t05", expr("(ng * 5 + 99) div 100"))
+      .withColumn("t95", expr("(ng * 95 + 99) div 100"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("below") < col("t05") &&
+          col("t05") <= col("below") + col("cnt"), col("c"))).as("lo"),
+        min(when(col("below") < col("t95") &&
+          col("t95") <= col("below") + col("cnt"), col("c"))).as("hi"))
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))
       // cents sums accumulate in DECIMAL(38,0) - the q01 convention: a
