@@ -14794,7 +14794,120 @@ object AuditQueries {
       |FROM gd CROSS JOIN pooled
       |ORDER BY seg""".stripMargin
 
+  // ------ q575: pinball-loss quantile forecaster backtest
+
+  /** q575: quantile model selection under the pinball (quantile) loss —
+    * the proper scoring rule for a τ-quantile forecast: per market
+    * segment, three constant forecasters of order value are FIT on the
+    * odd-orderkey half (mean, median, p90 — the location ladder) and
+    * SCORED on the even-orderkey half under τ = 0.9, where
+    * pin(y,q)·10 = 9(y−q) for y ≥ q else (q−y). The p90 candidate should
+    * win by construction (the τ-quantile minimizes expected pinball
+    * loss); a segment where it loses flags train/test drift. Medians and
+    * p90s come from the two-level rank-target device (no per-group value
+    * buffering), means are exact floor divisions, losses exact integer
+    * sums in DECIMAL(38,0).
+    *
+    * Plan: one orders⋈customer pass split in two; a (segment, value)
+    * rollup for the rank targets; the 5-row candidate table broadcasts
+    * back onto the test half.
+    */
+  val q575PinballBacktest: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val base = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_orderkey") % 2).as("split"),
+        cents(col("o_totalprice")).as("y"))
+    val train = base.filter(col("split") === 1)
+    val test = base.filter(col("split") === 0)
+    val mn = train.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(y) div count(1)").as("mean_c"))
+    val byV = train.groupBy(col("seg"), col("y")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ranked = doubledRankBelow(byV, Seq("seg"), "y", 100000L)
+    val nt = byV.groupBy(col("seg")).agg(sum(col("cnt")).as("ng"))
+    val qs = ranked.join(broadcast(nt), "seg")
+      .withColumn("t50", expr("(ng + 1) div 2"))
+      .withColumn("t90", expr("(9 * ng + 9) div 10"))
+      .groupBy(col("seg"))
+      .agg(min(when(col("below") < col("t50") &&
+          col("t50") <= col("below") + col("cnt"), col("y"))).as("median_c"),
+        min(when(col("below") < col("t90") &&
+          col("t90") <= col("below") + col("cnt"), col("y"))).as("p90_c"))
+    val cands = mn.join(qs, "seg")
+    def pin(q: String) =
+      expr(s"""sum(CAST(CASE WHEN y >= $q THEN 9 * (y - $q)
+        | ELSE $q - y END AS DECIMAL(38,0)))"""
+        .stripMargin.replace("\n", " "))
+    test.join(broadcast(cands), "seg")
+      .groupBy(col("seg"), col("n_train"), col("mean_c"), col("median_c"),
+        col("p90_c"))
+      .agg(count(lit(1)).as("n_test"),
+        pin("mean_c").as("lm"), pin("median_c").as("lmed"),
+        pin("p90_c").as("lp"))
+      .select(col("seg"), col("n_train"), col("n_test"), col("mean_c"),
+        col("median_c"), col("p90_c"),
+        col("lm").cast("long").as("loss_mean_e1"),
+        col("lmed").cast("long").as("loss_median_e1"),
+        col("lp").cast("long").as("loss_p90_e1"),
+        expr("""CASE WHEN lm <= lmed AND lm <= lp THEN 'mean'
+          | WHEN lmed <= lp THEN 'median' ELSE 'p90' END"""
+          .stripMargin.replace("\n", " ")).as("winner"))
+      .orderBy(col("seg"))
+  }
+
+  val q575Sql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS seg, o_orderkey % 2 AS split,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |train AS (SELECT * FROM base WHERE split = 1),
+      |test AS (SELECT * FROM base WHERE split = 0),
+      |mn AS (
+      |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_c
+      |  FROM train GROUP BY 1),
+      |byv AS (SELECT seg, y, COUNT(*) AS cnt FROM train GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT seg, y, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY seg ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM byv),
+      |nt AS (SELECT seg, SUM(cnt) AS ng FROM byv GROUP BY 1),
+      |qs AS (
+      |  SELECT seg,
+      |    MIN(CASE WHEN below < (ng + 1) // 2
+      |      AND (ng + 1) // 2 <= below + cnt THEN y END) AS median_c,
+      |    MIN(CASE WHEN below < (9 * ng + 9) // 10
+      |      AND (9 * ng + 9) // 10 <= below + cnt THEN y END) AS p90_c
+      |  FROM rk JOIN nt USING (seg) GROUP BY seg),
+      |cands AS (SELECT * FROM mn JOIN qs USING (seg)),
+      |sc AS (
+      |  SELECT t.seg, c.n_train, c.mean_c, c.median_c, c.p90_c,
+      |    COUNT(*) AS n_test,
+      |    SUM(CAST(CASE WHEN y >= mean_c THEN 9 * (y - mean_c)
+      |      ELSE mean_c - y END AS HUGEINT)) AS lm,
+      |    SUM(CAST(CASE WHEN y >= median_c THEN 9 * (y - median_c)
+      |      ELSE median_c - y END AS HUGEINT)) AS lmed,
+      |    SUM(CAST(CASE WHEN y >= p90_c THEN 9 * (y - p90_c)
+      |      ELSE p90_c - y END AS HUGEINT)) AS lp
+      |  FROM test t JOIN cands c USING (seg)
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT seg, n_train, CAST(n_test AS BIGINT) AS n_test, mean_c,
+      |  median_c, p90_c,
+      |  CAST(lm AS BIGINT) AS loss_mean_e1,
+      |  CAST(lmed AS BIGINT) AS loss_median_e1,
+      |  CAST(lp AS BIGINT) AS loss_p90_e1,
+      |  CASE WHEN lm <= lmed AND lm <= lp THEN 'mean'
+      |    WHEN lmed <= lp THEN 'median' ELSE 'p90' END AS winner
+      |FROM sc ORDER BY seg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q575_pinball_backtest" -> q575PinballBacktest,
     "q572_synthetic_control" -> q572SyntheticControl,
     "q573_doubly_robust" -> q573DoublyRobust,
     "q531_bullwhip" -> q531Bullwhip,
@@ -14943,6 +15056,7 @@ object AuditQueries {
     "q219_ind_scan" -> q219IndScan)
 
   val oracles: Map[String, String] = Map(
+    "q575_pinball_backtest" -> q575Sql,
     "q572_synthetic_control" -> q572Sql,
     "q573_doubly_robust" -> q573Sql,
     "q531_bullwhip" -> q531Sql,
