@@ -11057,7 +11057,72 @@ object EventQueries {
       |    ELSE 0 END AS BIGINT) AS normalized_e6
       |FROM fin CROSS JOIN dims""".stripMargin
 
+  // ------ q576: negative-binomial overdispersion fit on daily counts
+
+  /** q576: negative-binomial method-of-moments fit of the daily
+    * purchase-count process — the count-model selection a demand
+    * forecaster runs before q400-style smoothing: Poisson predicts
+    * var = mean; real traffic is usually OVERdispersed, and the NB(r, p)
+    * moments give r = m²/(v−m), p = m/v in closed form. Everything stays
+    * an exact staged integer of the raw co-moments (S = Σc, Q = Σc²,
+    * n days): dispersion v/m = (nQ−S²)·10⁶ // (nS), r and p likewise,
+    * with the r fit guarded NULL when the data is NOT overdispersed
+    * (nQ − S² ≤ nS — then Poisson suffices and the flag says so).
+    *
+    * Plan: one events pass into the daily rollup (map-side combined);
+    * the fit is a 1-row fold. Calendar-bounded — metadata at any scale.
+    */
+  val q576NegBinomial: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val bd = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_millis(ts) DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    bd.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("c")).cast(dec).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("q"))
+      .select(
+        col("n").cast("long").as("n_days"),
+        col("s").cast("long").as("total_events"),
+        expr("""CAST(CAST(((n*q - s*s) * 1000000
+          | - ((n*q - s*s) * 1000000) % (n*s)) / (n*s) AS DECIMAL(38,0))
+          | AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("dispersion_e6"),
+        expr("""CAST(CASE WHEN n*q - s*s - n*s <= 0 THEN NULL ELSE
+          | CAST((s*s * 1000000 - (s*s * 1000000) % (n*q - s*s - n*s))
+          |   / (n*q - s*s - n*s) AS DECIMAL(38,0)) END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("nb_r_e6"),
+        expr("""CAST(CASE WHEN n*q - s*s <= 0 THEN NULL ELSE
+          | CAST((s*n * 1000000 - (s*n * 1000000) % (n*q - s*s))
+          |   / (n*q - s*s) AS DECIMAL(38,0)) END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("nb_p_e6"),
+        expr("CAST(CASE WHEN n*q - s*s - n*s > 0 THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("overdispersed"))
+  }
+
+  val q576Sql: String =
+    """WITH bd AS (
+      |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+      |    COUNT(*) AS c
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(c) AS HUGEINT) AS s,
+      |    SUM(CAST(c AS HUGEINT) * c) AS q
+      |  FROM bd)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS total_events,
+      |  CAST((n*q - s*s) * 1000000 // (n*s) AS BIGINT) AS dispersion_e6,
+      |  CAST(CASE WHEN n*q - s*s - n*s <= 0 THEN NULL
+      |    ELSE s*s * 1000000 // (n*q - s*s - n*s) END AS BIGINT)
+      |    AS nb_r_e6,
+      |  CAST(CASE WHEN n*q - s*s <= 0 THEN NULL
+      |    ELSE s*n * 1000000 // (n*q - s*s) END AS BIGINT) AS nb_p_e6,
+      |  CAST(CASE WHEN n*q - s*s - n*s > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS overdispersed
+      |FROM mo""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q576_neg_binomial" -> q576NegBinomial,
     "q522_smith_waterman" -> q522SmithWaterman,
     "q512_lz78" -> q512Lz78,
     "q455_viterbi_hmm" -> q455ViterbiHmm,
@@ -11194,6 +11259,7 @@ object EventQueries {
     "q168_lead_lag" -> q168LeadLag)
 
   val oracles: Map[String, String] = Map(
+    "q576_neg_binomial" -> q576Sql,
     "q522_smith_waterman" -> q522Sql,
     "q512_lz78" -> q512Sql,
     "q455_viterbi_hmm" -> q455Sql,
