@@ -153,7 +153,8 @@ object AuditQueries {
       cents(col("l_extendedprice")).as("c"),
       col("l_orderkey"), col("l_linenumber"))
     val nDf = li.agg(count(lit(1)).as("n"))
-    Prefix.rowNumber(li, "c", Seq("l_orderkey", "l_linenumber"), "rn")
+    Prefix.rowNumber(li, "c", Seq("l_orderkey", "l_linenumber"), "rn",
+      materialize = false)
       .crossJoin(broadcast(nDf))
       .withColumn("bucket",
         Prefix.ntileExpr("rn", "n", HistBuckets).cast("int"))
@@ -13581,7 +13582,7 @@ object AuditQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("x")).orderBy(col("o_orderkey"))))
         .filter(col("rn") === 1).drop("rn"),
-      "x", Seq.empty, "idx")
+      "x", Seq.empty, "idx", materialize = false)
       .select(col("idx"), col("x").as("cx"), col("y").as("cy"))
       .localCheckpoint()
     val treatedRaw = o.filter(col("pr") === 1)
@@ -13592,7 +13593,8 @@ object AuditQueries {
         .unionAll(treatedRaw.select(col("x"), lit(1L).as("flag"),
           col("o_orderkey").as("key"), col("y")))
         .withColumn("w0", (col("flag") === 0L).cast("long")),
-      "x", Seq("flag", "key"), "w0", "cc", includeCurrent = true)
+      "x", Seq("flag", "key"), "w0", "cc", includeCurrent = true,
+      materialize = false)
     val t = mixed.filter(col("flag") === 1L)
       .select(col("key").as("t_key"), col("x").as("tx"),
         col("y").as("ty"), col("cc"))

@@ -1461,7 +1461,7 @@ object EventQueries {
     // stream is 2×|events| and a global window would funnel it through
     // one task (the device's bucket sums carry negative deltas fine)
     Prefix.runningSum(deltas, "ms", Seq.empty, "net", "level",
-        includeCurrent = true)
+        includeCurrent = true, materialize = false)
       .groupBy(expr("ms DIV 86400000").as("day"))
       .agg(max(col("level")).as("peak_concurrency"),
         count(lit(1)).as("n_changes"))

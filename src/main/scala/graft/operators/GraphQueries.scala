@@ -414,14 +414,18 @@ object GraphQueries {
         Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b"))))
       .filter(col("rk") <= RecK)
       .select(col("b").as("part"))
+    // checkpoint ONCE: the co-purchase candidate stream above is the
+    // expensive part, and rank + top-10 both consume this rollup
     val exposure = Tables.part(s, dir).select(col("p_partkey").as("part"))
       .join(recs.groupBy(col("part")).agg(count(lit(1)).as("x")),
         Seq("part"), "left")
       .select(col("part"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
     // exposure rank via the two-level Prefix device (|parts| rollup — a
     // global row_number window funnels it through one task); the top-10
     // slice plans as TakeOrderedAndProject instead of a ranked window
-    val ranked = Prefix.rowNumber(exposure, "x", Seq("part"), "r")
+    val ranked = Prefix.rowNumber(exposure, "x", Seq("part"), "r",
+      materialize = false)
     val top10 = exposure.orderBy(col("x").desc, col("part")).limit(10)
       .agg(sum(col("x")).as("top10_x"))
     ranked.agg(count(lit(1)).as("n_catalog"),

@@ -51,12 +51,22 @@ object Prefix {
     * by the global min. Adds `out` to the input frame, preserving all
     * columns.
     */
+  /** When `materialize`, the INPUT is localCheckpoint'd up front so the
+    * device's three consumers (range scalar, bucket rollup, window input)
+    * re-run only narrow ops over cached blocks instead of the upstream
+    * lineage — one upstream traversal total; the right default for the
+    * usual rollup-grain inputs (and for chained calls, whose lineage
+    * compounds). Pass false for raw-fact-grain inputs where caching the
+    * stream costs more than rescanning the columnar source.
+    */
   def runningSum(df: DataFrame, valueCol: String, tieCols: Seq[String],
       weightCol: String, out: String, desc: Boolean = false,
-      includeCurrent: Boolean = false): DataFrame = {
-    val scal = df.agg(min(col(valueCol)).as("pfx_mn"),
+      includeCurrent: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
+    val src = if (materialize) df.localCheckpoint() else df
+    val scal = src.agg(min(col(valueCol)).as("pfx_mn"),
       max(col(valueCol)).as("pfx_mx"))
-    val bucketed = df.crossJoin(broadcast(scal))
+    val bucketed = src.crossJoin(broadcast(scal))
       .withColumn("pfx_bkt",
         expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
       .drop("pfx_mn", "pfx_mx")
@@ -79,9 +89,11 @@ object Prefix {
     * result to be deterministic.
     */
   def rowNumber(df: DataFrame, valueCol: String, tieCols: Seq[String],
-      out: String, desc: Boolean = false): DataFrame =
+      out: String, desc: Boolean = false,
+      materialize: Boolean = true): DataFrame =
     runningSum(df.withColumn("pfx_one", lit(1L)), valueCol, tieCols,
-      "pfx_one", out, desc, includeCurrent = true).drop("pfx_one")
+      "pfx_one", out, desc, includeCurrent = true, materialize)
+      .drop("pfx_one")
 
   /** Exact NTILE(k) bucket from a 1-based row number `rn` and the total
     * row count `n` — closed form: the first n%k tiles take n/k+1 rows,
