@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-level prefix device against the naive global-window truth it
+  * replaces — the device now backs every formerly single-task running
+  * statistic (q112/q140/q157/q176/q185/q208/q246/q249/q464–466/q525/
+  * q575), so its equivalence is pinned directly, on adversarial shapes:
+  * duplicate values (tie-break crossing), negative weights (signed
+  * walks), negative values (shifted bucketing), and a constant column
+  * (every row in ONE bucket — the degenerate range).
+  */
+class PrefixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random rows: (value, tie, weight)
+  private def rows(n: Int, valueMod: Long): Seq[(Long, Long, Long)] =
+    (1 to n).map { i =>
+      val h = ((i * 2654435761L) ^ (i << 7)).abs
+      (h % valueMod - valueMod / 3, i.toLong, (h / 7 % 19) - 9)
+    }
+
+  test("runningSum matches the global window on ties, signs, both orders") {
+    for (desc <- Seq(false, true); inc <- Seq(false, true)) {
+      val df = rows(500, 37).toDF("v", "t", "w").repartition(4)
+      val got = Prefix.runningSum(df, "v", Seq("t"), "w", "run",
+        desc = desc, includeCurrent = inc)
+      val ord = if (desc) Seq(col("v").desc, col("t")) else Seq(col("v"), col("t"))
+      val frame = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, if (inc) 0 else -1)
+      val want = df.withColumn("run",
+        coalesce(sum(col("w")).over(frame), lit(0L)))
+      assert(got.select(col("v"), col("t"), col("w"), col("run"))
+        .exceptAll(want).isEmpty && want.exceptAll(
+        got.select(col("v"), col("t"), col("w"), col("run"))).isEmpty,
+        s"desc=$desc includeCurrent=$inc")
+    }
+  }
+
+  test("runningSum survives a constant value column (one bucket)") {
+    val df = (1 to 100).map(i => (7L, i.toLong, i.toLong)).toDF("v", "t", "w")
+    val got = Prefix.runningSum(df, "v", Seq("t"), "w", "run",
+      includeCurrent = true)
+    val want = df.withColumn("run", sum(col("w")).over(
+      Window.orderBy(col("v"), col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("rowNumber and ntileExpr reproduce row_number and ntile exactly") {
+    for (k <- Seq(3, 10, 16); n <- Seq(97, 160)) {
+      val df = rows(n, 23).toDF("v", "t", "w").repartition(4)
+      val rn = Prefix.rowNumber(df, "v", Seq("t"), "rn")
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+        .withColumn("tile", Prefix.ntileExpr("rn", "n", k))
+        .select(col("v"), col("t"), col("rn"), col("tile"))
+      val w = Window.orderBy(col("v"), col("t"))
+      val want = df.select(col("v"), col("t"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(k).over(w).cast("long").as("tile"))
+      assert(rn.exceptAll(want).isEmpty && want.exceptAll(rn).isEmpty,
+        s"k=$k n=$n")
+    }
+  }
+}
