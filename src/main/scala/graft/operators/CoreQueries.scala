@@ -5311,6 +5311,49 @@ object CoreQueries {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY lvl, region_name, nation_name""".stripMargin
 
+  // ------------- q577: CUBE lattice (all four grouping combinations)
+
+  /** q577: GROUP BY CUBE — the full 2ᵏ grouping lattice over
+    * (returnflag, linestatus): detail cells, both one-way margins, and
+    * the grand total in ONE pass, with the packed grouping_id as the
+    * level marker (computed INSIDE the cube's agg — the q567 rule).
+    * Completes the reporting family next to ROLLUP (q567), PIVOT (q568)
+    * and UNPIVOT (q570); like q567's oracle, the level derives from the
+    * key NULLs (both columns are NOT NULL in the schema, so the marker
+    * is unambiguous). Spark executes the cube as one Expand + hash
+    * aggregate — 4× the rollup rows map-side, still a single shuffle.
+    */
+  val q577CubeLattice: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("q_c"),
+        cents(col("l_extendedprice")).as("rev_c"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        sum(col("q_c")).as("qty_c"),
+        sum(col("rev_c").cast("decimal(38,0)")).cast("long").as("revenue_c"))
+      .select(coalesce(col("l_returnflag"), lit("~ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("~ALL")).as("linestatus"),
+        col("gid").cast("long").as("gid"), col("n_rows"), col("qty_c"),
+        col("revenue_c"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+  }
+
+  val q577Sql: String =
+    """SELECT COALESCE(l_returnflag, '~ALL') AS returnflag,
+      |  COALESCE(l_linestatus, '~ALL') AS linestatus,
+      |  CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+      |    + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+      |    AS qty_c,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_c
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   // --------------------- q568: PIVOT (priority columns per order year)
 
   /** The fixed pivot-column domain (T-SQL PIVOT requires it too). */
@@ -5419,6 +5462,7 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     "q570_unpivot_roundtrip" -> q570UnpivotRoundtrip,
     "q567_rollup_lattice" -> q567RollupLattice,
+    "q577_cube_lattice" -> q577CubeLattice,
     "q568_pivot_priorities" -> q568PivotPriorities,
     "q508_bin_advisor" -> q508BinAdvisor,
     "q484_ams_f2" -> q484AmsF2,
@@ -5530,6 +5574,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q570_unpivot_roundtrip" -> q570Sql,
     "q567_rollup_lattice" -> q567Sql,
+    "q577_cube_lattice" -> q577Sql,
     "q568_pivot_priorities" -> q568Sql,
     "q321_pacf" -> q321Sql,
     "q309_custdist" -> q309Sql,
