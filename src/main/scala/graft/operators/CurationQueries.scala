@@ -527,18 +527,21 @@ object CurationQueries {
     * as lift. The "response" is a deterministic corpus property (long
     * document, n_chars ≥ 300) so the evaluation is self-contained and
     * oracle-exact: rates and lift are single IEEE divisions of exact
-    * integer products. The ranking window runs over the per-doc SCORE
-    * rollup (one row per document), not raw tokens; at a corpus too large
-    * for one ntile partition the decile boundaries would come from q91's
-    * quantile machinery instead — the lift arithmetic is unchanged.
+    * integer products. The decile rank is [[Prefix.rowNumber]] (two-level
+    * score-bucket device — document grain is the 100 TB axis, so no
+    * global ntile sort exists) + the closed-form [[Prefix.ntileExpr]];
+    * bit-identical to `ntile(10) OVER (ORDER BY score DESC, doc_id)` by
+    * PrefixSpec's pin and q246's identical migration.
     */
   val q114DecileLift: Q = (s, dir) => {
     val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
-    val rankW = Window.orderBy(col("score").desc, col("doc_id"))
-    val deciles = scored
+    val nAll = scored.agg(count(lit(1)).as("n_all"))
+    val deciles = Prefix
+      .rowNumber(scored, "score", Seq("doc_id"), "rn", desc = true)
+      .crossJoin(broadcast(nAll))
       .select(col("doc_id"), col("score"), col("n_chars"),
-        ntile(10).over(rankW).as("decile"),
+        Prefix.ntileExpr("rn", "n_all", 10).cast("int").as("decile"),
         (col("n_chars") >= 300).cast("long").as("resp"))
     // global totals come from the 10-row decile rollup itself (a whole-
     // frame window), never by re-deriving the per-document scoring chain
@@ -744,15 +747,20 @@ object CurationQueries {
     * a rank window plus arithmetic, not a driver loop. Report: per shard,
     * document count, token mass, and its e6 ratio to the ideal share.
     *
-    * The ranking window is global; at 100 TB the same assignment runs as
-    * range-partitioned sort + [[graft.functions.Identity.zipDense]] (the
-    * q142 posture) — the snake arithmetic is unchanged.
+    * The rank is [[Prefix.rowNumber]] — the two-level bucket device, NOT a
+    * global `row_number()` window: documents are exactly the axis that
+    * grows to 100 TB, so the rank must shard by token-count buckets
+    * (parallelism ≈ 1024) instead of funneling the whole corpus through
+    * one sort task. Bit-identical by PrefixSpec's pin, and `rk` is LONG
+    * where `row_number()` was INT — at corpus scale the rank itself
+    * outgrows int32, so the wider type is the correct one. The snake
+    * arithmetic is unchanged.
     */
   val q242ShardPlanner: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tokens"))
-    val ranked = docs.withColumn("rk",
-      row_number().over(Window.orderBy(col("n_tokens").desc, col("doc_id"))))
+    val ranked = Prefix.rowNumber(docs, "n_tokens", Seq("doc_id"), "rk",
+      desc = true)
     val assigned = ranked.withColumn("shard",
       expr(s"""CASE WHEN ((rk - 1) DIV $NShards) % 2 = 0
               |     THEN (rk - 1) % $NShards
@@ -871,11 +879,17 @@ object CurationQueries {
     * whole score axis.
     *
     * Arithmetic stays exact until one final division: per-score positive /
-    * negative counts roll up first, cumulative windows run over that
-    * DISTINCT-SCORE rollup (cardinality bounded by the score range, never
-    * the corpus — this is what makes the window survive 100 TB; a per-row
-    * rank() would be a global sort of the corpus), and the tie-corrected
-    * rank identity
+    * negative counts roll up first, and the cumulative sums over that
+    * DISTINCT-SCORE rollup run through [[Prefix.runningSum]] (two-level
+    * score-bucket device). The rollup's cardinality is bounded by the
+    * score RANGE, but q99 scores are integer sums of ±1000-weight features
+    * and land near-unique per document — the rollup ≈ |documents|, the
+    * 100 TB axis, so a global cumulative window here would funnel the
+    * corpus through one sort task; the bucket device keeps parallelism
+    * ≈ 1024 and is bit-identical (LONG addition is associative; scores
+    * are unique after the groupBy, so the order is total). Grand totals
+    * come from a broadcast scalar aggregate, not a whole-frame window.
+    * The tie-corrected rank identity
     *
     *   2·U = Σ_s pos_s · (2·neg_below(s) + neg_s)
     *
@@ -891,19 +905,21 @@ object CurationQueries {
     val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
       .select(col("score"), (col("n_chars") >= 300).cast("long").as("resp"))
+    // one upstream traversal: the rollup is checkpointed once and shared
+    // by the grand-total scalar and both prefix devices
     val byScore = scored.groupBy(col("score"))
       .agg(sum(col("resp")).as("pos"), sum(lit(1L) - col("resp")).as("neg"))
-    val asc = Window.orderBy(col("score"))
-    val below = asc.rowsBetween(Window.unboundedPreceding, -1)
-    val upto = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = asc.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val cum = byScore
-      .withColumn("neg_below", coalesce(sum(col("neg")).over(below), lit(0L)))
-      .withColumn("cum_pos", sum(col("pos")).over(upto))
-      .withColumn("cum_neg", sum(col("neg")).over(upto))
-      .withColumn("tot_pos", sum(col("pos")).over(whole))
-      .withColumn("tot_neg", sum(col("neg")).over(whole))
+      .localCheckpoint()
+    val tot = byScore.agg(sum(col("pos")).as("tot_pos"),
+      sum(col("neg")).as("tot_neg"))
+    // cum_neg = neg_below + neg, so one exclusive prefix (neg) and one
+    // inclusive prefix (pos) cover all three cumulative columns
+    val cum = Prefix.runningSum(
+        Prefix.runningSum(byScore, "score", Nil, "neg", "neg_below",
+          materialize = false),
+        "score", Nil, "pos", "cum_pos", includeCurrent = true)
+      .withColumn("cum_neg", col("neg_below") + col("neg"))
+      .crossJoin(broadcast(tot))
     cum.agg(
         max(col("tot_pos")).as("n_pos"), max(col("tot_neg")).as("n_neg"),
         sum(col("pos").cast(dec) *
