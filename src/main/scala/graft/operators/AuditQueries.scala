@@ -9470,15 +9470,20 @@ object AuditQueries {
       .select((col("o_orderpriority") === MwArmA).cast("long").as("a"),
         expr(s"CAST(ROUND(o_totalprice*100) AS BIGINT) div $W1Bucket")
           .as("b"))
+    // the value-grid rollup grows with the money domain (4990 rows at
+    // sf0.1) — cumulative sums and the grid-step LEAD run through the
+    // two-level bucket devices, checkpointed once and shared
     val cells = o.groupBy(col("b"))
       .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
-    val w = Window.orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val lagW = Window.orderBy(col("b"))
-    val walk = cells
-      .withColumn("cuma", sum(col("ca")).over(w).cast(dec))
-      .withColumn("cumb", sum(col("cb")).over(w).cast(dec))
-      .withColumn("nextb", lead(col("b"), 1).over(lagW))
+      .localCheckpoint()
+    val walk = Prefix.leadOver(
+        Prefix.runningSum(
+          Prefix.runningSum(cells, "b", Nil, "ca", "cuma_l",
+            includeCurrent = true, materialize = false),
+          "b", Nil, "cb", "cumb_l", includeCurrent = true),
+        "b", Nil, "b", "nextb")
+      .withColumn("cuma", col("cuma_l").cast(dec))
+      .withColumn("cumb", col("cumb_l").cast(dec))
       .filter(col("nextb").isNotNull)
     val tot = cells.agg(sum(col("ca")).cast(dec).as("na"),
       sum(col("cb")).cast(dec).as("nb"))
@@ -13176,10 +13181,15 @@ object AuditQueries {
     * functions → 1-row report.
     */
   val q518Secretary: Q = (s, dir) => {
-    val bd = Tables.orders(s, dir)
-      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
-      .groupBy(col("d")).agg(sum(col("c")).as("x"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("d"))))
+    // both ranks ride the two-level day/value-bucket device — the day
+    // spine funnels >1k rows, the gate's floor for single-task windows
+    val bd = Prefix.rowNumber(
+        Tables.orders(s, dir)
+          .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+          .groupBy(col("d")).agg(sum(col("c")).as("x"))
+          .withColumn("dd", expr("datediff(d, DATE '1970-01-01')")),
+        "dd", Nil, "rk")
+      .drop("dd")
       .localCheckpoint()
     val n = bd.agg(count(lit(1)).as("n"))
     val withN = bd.crossJoin(broadcast(n))
@@ -13195,8 +13205,7 @@ object AuditQueries {
         .as("first_beat"))))
       .select(coalesce(col("first_beat"), col("last_rk")).as("chosen_rk"),
         (col("first_beat").isNotNull).cast("long").as("beat_threshold"))
-    val ranked = bd.withColumn("vrank", row_number().over(
-      Window.orderBy(col("x").desc, col("d"))))
+    val ranked = Prefix.rowNumber(bd, "x", Seq("d"), "vrank", desc = true)
     pick.join(ranked, col("chosen_rk") === col("rk"))
       .crossJoin(broadcast(n)).crossJoin(broadcast(thr))
       .select(col("n").as("n_days"),
@@ -13264,9 +13273,9 @@ object AuditQueries {
     val p = Tables.part(s, dir).select(col("p_partkey"),
       cents(col("p_retailprice")).as("price_c"), col("p_size"))
     val grain = p.groupBy(col("price_c")).agg(max(col("p_size")).as("best"))
-    val front = grain.withColumn("mprev",
-        max(col("best")).over(Window.orderBy(col("price_c"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    // prefix max via the two-level price-bucket device (distinct prices
+    // grow with the catalog; empty-prefix NULL preserved)
+    val front = Prefix.runningMax(grain, "price_c", Nil, "best", "mprev")
       .filter(col("mprev").isNull || col("best") > col("mprev"))
       .select(col("price_c"), col("best"))
     p.as("pp").join(broadcast(front.as("fr")),
@@ -13788,10 +13797,14 @@ object AuditQueries {
       s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
          | (abs($num) div ($den)) AS BIGINT)"""
         .stripMargin.replace("\n", " ")
-    val bd = Tables.orders(s, dir)
-      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
-      .groupBy(col("d")).agg(sum(col("c")).as("x"))
-      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("d"))))
+    // day-over-day lag via the two-level day-bucket device (the day spine
+    // funnels >1k rows through a single-task window otherwise)
+    val bd = Prefix.lagOver(
+        Tables.orders(s, dir)
+          .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+          .groupBy(col("d")).agg(sum(col("c")).as("x"))
+          .withColumn("dd", expr("datediff(d, DATE '1970-01-01')")),
+        "dd", Nil, "x", "px")
       .filter(col("px").isNotNull && col("x") =!= col("px"))
     val agg = bd.agg(
       sum((col("x") > col("px")).cast("long")).as("up"),
@@ -14003,10 +14016,13 @@ object AuditQueries {
     * Plan: one orders pass → lag-window deltas → 1-row scalar chain.
     */
   val q530GamblersRuin: Q = (s, dir) => {
-    val bd = Tables.orders(s, dir)
-      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
-      .groupBy(col("d")).agg(sum(col("c")).as("x"))
-      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("d"))))
+    // same two-level lag device as q527 (single-task day window otherwise)
+    val bd = Prefix.lagOver(
+        Tables.orders(s, dir)
+          .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+          .groupBy(col("d")).agg(sum(col("c")).as("x"))
+          .withColumn("dd", expr("datediff(d, DATE '1970-01-01')")),
+        "dd", Nil, "x", "px")
       .filter(col("px").isNotNull && col("x") =!= col("px"))
     bd.agg(sum((col("x") > col("px")).cast("long")).as("up"),
         sum((col("x") < col("px")).cast("long")).as("down"))
@@ -14437,11 +14453,14 @@ object AuditQueries {
     * (sequence explode, calendar-bounded) → 1-row report.
     */
   val q534RecordStats: Q = (s, dir) => {
-    val bd = Tables.orders(s, dir)
-      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
-      .groupBy(col("d")).agg(sum(col("c")).as("x"))
-      .withColumn("pm", max(col("x")).over(Window.orderBy(col("d"))
-        .rowsBetween(Window.unboundedPreceding, -1)))
+    // running record max via the two-level day-bucket device (exclusive
+    // prefix, NULL on day one — identical to the global window's frame)
+    val bd = Prefix.runningMax(
+        Tables.orders(s, dir)
+          .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+          .groupBy(col("d")).agg(sum(col("c")).as("x"))
+          .withColumn("dd", expr("datediff(d, DATE '1970-01-01')")),
+        "dd", Nil, "x", "pm")
       .withColumn("rec", (col("pm").isNull || col("x") > col("pm"))
         .cast("long"))
     val base = bd.agg(count(lit(1)).as("n"), sum(col("rec")).as("n_records"),
@@ -14511,10 +14530,15 @@ object AuditQueries {
     */
   val q535AllanVariance: Q = (s, dir) => {
     import s.implicits._
-    val bd = Tables.orders(s, dir)
-      .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
-      .groupBy(col("d")).agg(expr("SUM(c) div 100").as("x"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+    // day rank via the two-level device; the τ-partitioned lag below was
+    // never a funnel (partitionSpec non-empty)
+    val bd = Prefix.rowNumber(
+        Tables.orders(s, dir)
+          .select(col("o_orderdate").as("d"), cents(col("o_totalprice")).as("c"))
+          .groupBy(col("d")).agg(expr("SUM(c) div 100").as("x"))
+          .withColumn("dd", expr("datediff(d, DATE '1970-01-01')")),
+        "dd", Nil, "rn")
+      .drop("dd")
       .localCheckpoint()
     val taus = AllanTaus.toDF("tau")
     val blocks = bd.crossJoin(broadcast(taus))
@@ -14590,6 +14614,10 @@ object AuditQueries {
     val top3 = nd.groupBy(col("nat")).agg(sum(col("rev")).as("tot"))
       .orderBy(col("tot").desc, col("nat")).limit(3)
       .select(col("nat")).collect().map(_.getLong(0))
+    // degenerate-input guard: a filtered panel with <3 nations must fail
+    // with a diagnosis, not a MatchError (r7 advice)
+    require(top3.length == 3,
+      s"q572 needs >=3 nations in orders⋈customer, found ${top3.length}")
     val Array(tn, da, db) = top3
     val days = nd.filter(col("nat").isin(top3.map(Long.box): _*))
       .select(col("day")).distinct()

@@ -2362,10 +2362,10 @@ object CoreQueries {
         col("p_size"))
     val perPrice = p.groupBy(col("price_c"))
       .agg(max(col("p_size")).as("best_sz"))
-    val cheaper = Window.orderBy(col("price_c"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val thresholds = perPrice
-      .withColumn("best_cheaper", max(col("best_sz")).over(cheaper))
+    // prefix max over the price grain via the two-level bucket device —
+    // distinct prices grow with the catalog, so no global-window funnel
+    val thresholds =
+      Prefix.runningMax(perPrice, "price_c", Nil, "best_sz", "best_cheaper")
     p.join(broadcast(thresholds), Seq("price_c"))
       .filter(col("p_size") === col("best_sz") &&
         (col("best_cheaper").isNull || col("p_size") > col("best_cheaper")))
@@ -2762,9 +2762,11 @@ object CoreQueries {
         .as("e"))
       .select(col("e.day").as("day"), col("e.delta").as("delta"))
       .groupBy(col("day")).agg(sum(col("delta")).as("net_change"))
-    val byDay = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("open_orders", sum(col("net_change")).over(byDay))
+    // running balance via the two-level day-bucket device: the day spine
+    // is calendar-bounded but grows with retention horizon, and the gate
+    // treats every >1k-row single-task window as a funnel
+    Prefix.runningSum(deltas, "day", Nil, "net_change", "open_orders",
+      includeCurrent = true)
   }
 
   val q171Sql: String =

@@ -3543,11 +3543,19 @@ object EventQueries {
         .as("score"),
       max(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("conv"))
+    // checkpointed once: the ntile device and the row-count scalar share
+    // the user rollup instead of re-running the corpus-scale groupBy
     val armed = users.withColumn("treated",
       when(Text.portableHash(col("user_id").cast("string")) < HalfHash, 1L)
         .otherwise(0L))
-    val dec = armed.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+      .localCheckpoint()
+    // user-grain ntile via the two-level device + closed form (the q114
+    // construction) — users are a corpus-growing axis, no global sort
+    val dec = Prefix.rowNumber(armed, "score", Seq("user_id"), "pfx_rn",
+        desc = true, materialize = false)
+      .crossJoin(broadcast(armed.agg(count(lit(1)).as("pfx_n"))))
+      .withColumn("decile",
+        Prefix.ntileExpr("pfx_rn", "pfx_n", 10).cast("int"))
     val byDec = dec.groupBy(col("decile")).agg(
       sum(col("treated")).as("n_t"),
       sum(lit(1L) - col("treated")).as("n_c"),
@@ -4589,8 +4597,13 @@ object EventQueries {
     * score attaining the max F1 (deterministic tiebreak).
     *
     * Plan: one event pass → user rollup (the only corpus-scale shuffle) →
-    * score-value rollup (bounded by the max per-user event count —
-    * metadata-sized) → one ordered window over that rollup.
+    * score-value rollup (bounded by the max per-user event count — grows
+    * with per-user ACTIVITY, not user count, but at 100 TB the most
+    * active user can carry millions of events, so the rollup is not
+    * metadata-sized by construction) → cumulative sums via
+    * [[Prefix.runningSum]] (two-level score-bucket device, bit-identical
+    * to the desc windows it replaces; grand totals broadcast) — the same
+    * near-unique-rollup migration as q164 (r7 verdict item 6).
     */
   val q297PrCurve: Q = (s, dir) => {
     val dec = "decimal(38,0)"
@@ -4605,19 +4618,20 @@ object EventQueries {
         .as("score"),
       when(sum(when(col("event_type") === "purchase", cents(col("value")))
         .otherwise(0L)) >= ConvThresholdC, 1L).otherwise(0L).as("label"))
+    // rollup checkpointed once, shared by the grand-total scalar and both
+    // prefix devices (scores are unique post-groupBy, so the order is
+    // total and the device is bit-identical to the desc windows)
     val byScore = perUser.groupBy(col("score")).agg(
       sum(col("label")).as("pos"),
       sum(lit(1L) - col("label")).as("neg"))
-    val W = org.apache.spark.sql.expressions.Window
-    val desc = W.orderBy(col("score").desc)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val whole = W.orderBy(col("score").desc)
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    val cum = byScore
-      .withColumn("cp", sum(col("pos")).over(desc))
-      .withColumn("cn", sum(col("neg")).over(desc))
-      .withColumn("n_pos", sum(col("pos")).over(whole))
-      .withColumn("n_neg", sum(col("neg")).over(whole))
+      .localCheckpoint()
+    val tot = byScore.agg(sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"))
+    val cum = Prefix.runningSum(
+        Prefix.runningSum(byScore, "score", Nil, "pos", "cp",
+          desc = true, includeCurrent = true, materialize = false),
+        "score", Nil, "neg", "cn", desc = true, includeCurrent = true)
+      .crossJoin(broadcast(tot))
       .withColumn("prec_e6", expr(fdiv("cp * 1000000", "cp + cn")))
       .withColumn("f1_e6", expr(fdiv("2 * cp * 1000000", "cp + cn + n_pos")))
     cum.agg(max(col("n_pos")).cast(dec).as("np"),

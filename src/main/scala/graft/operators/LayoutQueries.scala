@@ -482,16 +482,20 @@ object LayoutQueries {
     * rank window is metadata-scale by construction.
     */
   val q541Cvar: Q = (s, dir) => {
+    // both day-spine windows (lag, rank) ride the two-level bucket
+    // devices; deltas checkpointed once for the count scalar + the rank
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_shipdate").as("d"))
       .agg(sum(cents(col("l_extendedprice"))).as("rev"))
-    val deltas = rev
-      .withColumn("delta",
-        col("rev") - lag(col("rev"), 1).over(Window.orderBy(col("d"))))
+      .withColumn("dd", expr("datediff(d, DATE '1970-01-01')"))
+    val deltas = Prefix.lagOver(rev, "dd", Nil, "rev", "prev")
+      .withColumn("delta", col("rev") - col("prev"))
       .filter(col("delta").isNotNull)
+      .drop("dd", "prev")
+      .localCheckpoint()
     val nDf = deltas.agg(count(lit(1)).as("n"))
-    val ranked = deltas.withColumn("rn",
-      row_number().over(Window.orderBy(col("delta"), col("d"))))
+    val ranked = Prefix.rowNumber(deltas, "delta", Seq("d"), "rn",
+      materialize = false)
     val alphas = s.range(2).toDF("i")
       .select((lit(95L) + col("i") * 4L).as("alpha"))
     ranked.crossJoin(broadcast(alphas)).crossJoin(broadcast(nDf))
@@ -835,12 +839,11 @@ object LayoutQueries {
     * and a prefix-sum window over it.
     */
   val q550CompactionAdvisor: Q = (s, dir) => {
+    // exclusive prefix sum over the day spine via the two-level device
     val files = Tables.orders(s, dir)
       .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = files
-      .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("dd", expr("datediff(d, DATE '1970-01-01')"))
+    val packed = Prefix.runningSum(files, "dd", Nil, "cnt", "before")
       .withColumn("bin_lo", expr(s"before div $CompactTarget"))
       .withColumn("bin_hi",
         expr(s"(before + cnt - 1) div $CompactTarget"))
@@ -1162,6 +1165,12 @@ object LayoutQueries {
     val br = base.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("brand")).limit(AssignK)
       .select(col("brand")).collect().map(_.getString(0))
+    // degenerate-input guard: the 8!-enumeration indexes sup/br by rank,
+    // so a filtered input with fewer than AssignK suppliers or brands
+    // must fail with a diagnosis, not an out-of-bounds (r7 advice)
+    require(sup.length == AssignK && br.length == AssignK,
+      s"q571 needs >=$AssignK suppliers and brands in lineitem⋈part, " +
+        s"found ${sup.length} suppliers / ${br.length} brands")
     val cells = base
       .filter(col("sk").isin(sup.map(Long.box): _*) &&
         col("brand").isin(br: _*))

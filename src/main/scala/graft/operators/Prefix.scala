@@ -50,6 +50,19 @@ object Prefix {
     * be integral (LONG-compatible) but may be negative — bucketing shifts
     * by the global min. Adds `out` to the input frame, preserving all
     * columns.
+    *
+    * PRECONDITIONS (the bit-identical-to-global-window contract holds
+    * only under them; r7 advice):
+    *   - `valueCol` must be NON-NULL on every row: a null value lands in
+    *     a null bucket whose weight [[bucketPrior]]'s non-equi condition
+    *     excludes from every other bucket's prior (NULL compares false),
+    *     whereas `Window.orderBy` sorts nulls FIRST and counts them in
+    *     every prefix — nulls silently under-count. Filter them or
+    *     coalesce to a sentinel below the min before calling.
+    *   - the value RANGE must fit in int64: `pfx_mx - pfx_mn` overflows
+    *     LONG when min and max straddle ±2^62-class extremes, silently
+    *     corrupting bucket assignment. Every in-repo caller passes
+    *     bounded rollup keys (scores, counts, cents); keep it that way.
     */
   /** When `materialize`, the INPUT is localCheckpoint'd up front so the
     * device's three consumers (range scalar, bucket rollup, window input)
@@ -94,6 +107,110 @@ object Prefix {
     runningSum(df.withColumn("pfx_one", lit(1L)), valueCol, tieCols,
       "pfx_one", out, desc, includeCurrent = true, materialize)
       .drop("pfx_one")
+
+  /** Prefix MAX of `aggCol` over (valueCol asc/desc, tieCols...) order —
+    * `out` = max of aggCol over rows strictly before this one (plus this
+    * row when `includeCurrent`), NULL when the prefix is empty — the
+    * two-level replacement for `max(...).over(Window.orderBy(...)
+    * .rowsBetween(unboundedPreceding, -1))` (running records, skyline
+    * thresholds). Same preconditions as [[runningSum]]: non-null
+    * integral `valueCol`, int64-bounded range; `aggCol` must also be
+    * non-null. Exact: max is associative and the (bucket, within-bucket)
+    * order refines the requested order; `greatest` skips nulls, so the
+    * empty-prefix NULL survives both levels.
+    */
+  def runningMax(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      aggCol: String, out: String, desc: Boolean = false,
+      includeCurrent: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
+    val src = if (materialize) df.localCheckpoint() else df
+    val scal = src.agg(min(col(valueCol)).as("pfx_mn"),
+      max(col(valueCol)).as("pfx_mx"))
+    val bucketed = src.crossJoin(broadcast(scal))
+      .withColumn("pfx_bkt",
+        expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
+      .drop("pfx_mn", "pfx_mx")
+    val bRoll = bucketed.groupBy(col("pfx_bkt"))
+      .agg(max(col(aggCol)).as("pfx_bmax"))
+    val other = bRoll.select(col("pfx_bkt").as("pfx_ob"),
+      col("pfx_bmax").as("pfx_om"))
+    val cond =
+      if (desc) col("pfx_ob") > col("pfx_bkt") else col("pfx_ob") < col("pfx_bkt")
+    // max over an all-null (no earlier bucket) group is NULL — preserved
+    val prior = bRoll.join(broadcast(other), cond, "left")
+      .groupBy(col("pfx_bkt")).agg(max(col("pfx_om")).as("pfx_prior"))
+    val ord = (if (desc) col(valueCol).desc else col(valueCol).asc) +:
+      tieCols.map(col)
+    val inW = Window.partitionBy(col("pfx_bkt")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, if (includeCurrent) 0 else -1)
+    bucketed.join(broadcast(prior), Seq("pfx_bkt"))
+      .withColumn(out, greatest(col("pfx_prior"), max(col(aggCol)).over(inW)))
+      .drop("pfx_bkt", "pfx_prior")
+  }
+
+  /** LAG(srcCol, 1) over (valueCol asc, tieCols...) order, NULL on the
+    * first row — two-level: a lag window PARTITIONED by value bucket
+    * covers every row but each bucket's first, which takes the nearest
+    * earlier non-empty bucket's LAST value (per-bucket `max_by` on the
+    * metadata rollup + a broadcast non-equi join). Preconditions as
+    * [[runningSum]], plus `srcCol` must be non-null (a null srcCol value
+    * is indistinguishable from a bucket boundary to the coalesce).
+    */
+  def lagOver(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      srcCol: String, out: String, materialize: Boolean = true): DataFrame = {
+    val src = if (materialize) df.localCheckpoint() else df
+    val scal = src.agg(min(col(valueCol)).as("pfx_mn"),
+      max(col(valueCol)).as("pfx_mx"))
+    val bucketed = src.crossJoin(broadcast(scal))
+      .withColumn("pfx_bkt",
+        expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
+      .drop("pfx_mn", "pfx_mx")
+    val ordCols = col(valueCol) +: tieCols.map(col)
+    val bLast = bucketed.groupBy(col("pfx_bkt"))
+      .agg(max_by(col(srcCol), struct(ordCols: _*)).as("pfx_bval"))
+    val other = bLast.select(col("pfx_bkt").as("pfx_ob"),
+      col("pfx_bval").as("pfx_ov"))
+    // nearest earlier non-empty bucket's last value; buckets with no
+    // earlier bucket drop out of the inner join and rejoin as NULL
+    val prior = bLast.join(broadcast(other),
+        col("pfx_ob") < col("pfx_bkt"), "inner")
+      .groupBy(col("pfx_bkt"))
+      .agg(max_by(col("pfx_ov"), col("pfx_ob")).as("pfx_prev"))
+    val inW = Window.partitionBy(col("pfx_bkt")).orderBy(ordCols: _*)
+    bucketed.join(broadcast(prior), Seq("pfx_bkt"), "left")
+      .withColumn(out,
+        coalesce(lag(col(srcCol), 1).over(inW), col("pfx_prev")))
+      .drop("pfx_bkt", "pfx_prev")
+  }
+
+  /** LEAD(srcCol, 1) over (valueCol asc, tieCols...) order, NULL on the
+    * last row — the mirror of [[lagOver]] (per-bucket FIRST via `min_by`,
+    * nearest LATER non-empty bucket). Same preconditions.
+    */
+  def leadOver(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      srcCol: String, out: String, materialize: Boolean = true): DataFrame = {
+    val src = if (materialize) df.localCheckpoint() else df
+    val scal = src.agg(min(col(valueCol)).as("pfx_mn"),
+      max(col(valueCol)).as("pfx_mx"))
+    val bucketed = src.crossJoin(broadcast(scal))
+      .withColumn("pfx_bkt",
+        expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
+      .drop("pfx_mn", "pfx_mx")
+    val ordCols = col(valueCol) +: tieCols.map(col)
+    val bFirst = bucketed.groupBy(col("pfx_bkt"))
+      .agg(min_by(col(srcCol), struct(ordCols: _*)).as("pfx_bval"))
+    val other = bFirst.select(col("pfx_bkt").as("pfx_ob"),
+      col("pfx_bval").as("pfx_ov"))
+    val nxt = bFirst.join(broadcast(other),
+        col("pfx_ob") > col("pfx_bkt"), "inner")
+      .groupBy(col("pfx_bkt"))
+      .agg(min_by(col("pfx_ov"), col("pfx_ob")).as("pfx_next"))
+    val inW = Window.partitionBy(col("pfx_bkt")).orderBy(ordCols: _*)
+    bucketed.join(broadcast(nxt), Seq("pfx_bkt"), "left")
+      .withColumn(out,
+        coalesce(lead(col(srcCol), 1).over(inW), col("pfx_next")))
+      .drop("pfx_bkt", "pfx_next")
+  }
 
   /** Exact NTILE(k) bucket from a 1-based row number `rn` and the total
     * row count `n` — closed form: the first n%k tiles take n/k+1 rows,

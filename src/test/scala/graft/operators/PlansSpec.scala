@@ -331,6 +331,20 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q539/q209: rank-then-filter top-k stays WindowGroupLimit-protected") {
+    // These two global rank()<=k sites are scale-safe ONLY because
+    // InferWindowGroupLimit rewrites them to partial group limits before
+    // the single-partition exchange — a Spark version bump or a refactor
+    // that breaks the pattern would silently restore a corpus-wide funnel
+    // (r7 verdict item 5). Pin the executed shape.
+    val p539 = plan("q539_rice_postings")
+    assert(p539.contains("WindowGroupLimit"),
+      s"q539 df-rank top-10 must run partial group limits map-side:\n$p539")
+    val p209 = plan("q209_skew_plan")
+    assert(p209.contains("WindowGroupLimit"),
+      s"q209 skew-rank top-k must run partial group limits map-side:\n$p209")
+  }
+
   test("q202/q205: per-key ranking is partitioned, dispersion joins nothing") {
     val p202 = plan("q202_recsys_eval")
     assert(!p202.contains("CartesianProduct"), p202)

@@ -49,6 +49,50 @@ class PrefixSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("runningMax matches the global window incl. the empty-prefix NULL") {
+    for (desc <- Seq(false, true); inc <- Seq(false, true)) {
+      val df = rows(500, 37).toDF("v", "t", "w").repartition(4)
+      val got = Prefix.runningMax(df, "v", Seq("t"), "w", "run",
+        desc = desc, includeCurrent = inc)
+      val ord = if (desc) Seq(col("v").desc, col("t")) else Seq(col("v"), col("t"))
+      val frame = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, if (inc) 0 else -1)
+      val want = df.withColumn("run", max(col("w")).over(frame))
+      assert(got.select(col("v"), col("t"), col("w"), col("run"))
+        .exceptAll(want).isEmpty && want.exceptAll(
+        got.select(col("v"), col("t"), col("w"), col("run"))).isEmpty,
+        s"desc=$desc includeCurrent=$inc")
+    }
+  }
+
+  test("lagOver/leadOver match lag/lead across bucket boundaries") {
+    // valueMod 3000 on 500 rows spreads values across many near-empty
+    // buckets, so bucket-boundary stitching (nearest earlier/later
+    // NON-EMPTY bucket) is exercised, not just the within-bucket path
+    for (mod <- Seq(7L, 3000L)) {
+      val df = rows(500, mod).toDF("v", "t", "w").repartition(4)
+      val gotLag = Prefix.lagOver(df, "v", Seq("t"), "w", "p")
+      val gotLead = Prefix.leadOver(df, "v", Seq("t"), "w", "nx")
+      val w = Window.orderBy(col("v"), col("t"))
+      val wantLag = df.withColumn("p", lag(col("w"), 1).over(w))
+      val wantLead = df.withColumn("nx", lead(col("w"), 1).over(w))
+      assert(gotLag.select(col("v"), col("t"), col("w"), col("p"))
+        .exceptAll(wantLag).isEmpty && wantLag.exceptAll(
+        gotLag.select(col("v"), col("t"), col("w"), col("p"))).isEmpty,
+        s"lag mod=$mod")
+      assert(gotLead.select(col("v"), col("t"), col("w"), col("nx"))
+        .exceptAll(wantLead).isEmpty && wantLead.exceptAll(
+        gotLead.select(col("v"), col("t"), col("w"), col("nx"))).isEmpty,
+        s"lead mod=$mod")
+    }
+  }
+
+  test("lagOver on a single row returns NULL (no predecessor)") {
+    val df = Seq((5L, 1L, 42L)).toDF("v", "t", "w")
+    val got = Prefix.lagOver(df, "v", Seq("t"), "w", "p").select(col("p"))
+    assert(got.collect().map(_.isNullAt(0)).toSeq === Seq(true))
+  }
+
   test("rowNumber and ntileExpr reproduce row_number and ntile exactly") {
     for (k <- Seq(3, 10, 16); n <- Seq(97, 160)) {
       val df = rows(n, 23).toDF("v", "t", "w").repartition(4)

@@ -45,8 +45,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(tbl):
-    """pyarrow Table -> (sorted col names, sorted canonical rows)."""
+def canon(tbl, exact_decimals=False):
+    """pyarrow Table -> (sorted col names, sorted canonical rows).
+
+    exact_decimals=False mirrors the DRIVER's hasher (decimals through
+    float); True renders decimals as exact normalized strings — used only
+    by the secondary masking tripwire below, never for the verdict.
+    """
     import decimal, datetime
     cols = sorted(tbl.column_names)
     tbl = tbl.select(cols)
@@ -67,7 +72,8 @@ def canon(tbl):
                 # the driver flagged it — every integral oracle output
                 # column must be CAST(... AS BIGINT) in its final
                 # projection, and this canon keeps the local gate honest.
-                row.append(repr(float(v)))
+                row.append(str(v.normalize()) if exact_decimals
+                           else repr(float(v)))
             elif isinstance(v, (datetime.datetime, datetime.date)):
                 row.append(v.isoformat())
             elif isinstance(v, bytes):
@@ -150,6 +156,26 @@ def main():
             print(f"    spark: {sr[i]}")
             print(f"    duck : {dr[i]}")
         else:
+            # Masking tripwire (r7 advice): the float canon collapses
+            # decimals beyond 2^53, so two genuinely different DECIMAL
+            # cells can compare equal above. When BOTH sides carry a
+            # decimal column, re-compare with exact decimal rendering and
+            # warn if float-canon equality masked a real difference —
+            # driver parity keeps this a warning, not a verdict.
+            both_dec = [c for c in sc if c in duck_tbl.column_names
+                        and pt.is_decimal(duck_tbl.schema.field(c).type)
+                        and pt.is_decimal(spark_tbl.schema.field(c).type)]
+            if both_dec:
+                _, sxr = canon(spark_tbl, exact_decimals=True)
+                _, dxr = canon(duck_tbl, exact_decimals=True)
+                if sxr != dxr:
+                    i = next(j for j, (a, b) in enumerate(zip(sxr, dxr))
+                             if a != b)
+                    print(f"  ⚠ {name}: float-canon equality MASKS an "
+                          f"exact decimal difference (cols {both_dec}); "
+                          f"first at row {i}:")
+                    print(f"    spark: {sxr[i]}")
+                    print(f"    duck : {dxr[i]}")
             print(f"✓ {name}: {len(sr)} rows match"
                   + (f" [oracle {oracle_sec:.1f}s]" if oracle_sec >= 1 else ""))
     print()
