@@ -2787,7 +2787,160 @@ object CurationQueries {
       |FROM weighted CROSS JOIN ess
       |ORDER BY source""".stripMargin
 
+  // --------------- q578/q579: token-budget selection + its mix shift
+
+  /** Per-document selection frame shared by q578/q579: q99 scores join
+    * (lang, token count), the greedy quality-first rule marks a document
+    * selected iff the token mass of strictly-better documents (score
+    * desc, doc_id tie-break) is still under the budget — i.e. the
+    * classic "take best documents until N tokens" curation step, with
+    * budget = half the corpus token mass (data-derived, exact). The
+    * prior-mass cumulative runs through [[Prefix.runningSum]] at
+    * DOCUMENT grain — the 100 TB axis, so no global sort exists; the
+    * rule is exactly the window formulation's greedy prefix.
+    */
+  private def budgetSelection(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    val cum = Prefix.runningSum(scored, "score", Seq("doc_id"), "n_tokens",
+      "cum_before", desc = true)
+    val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_docs_all"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total_tokens div 2"))
+      .withColumn("selected",
+        (col("cum_before") < col("budget")).cast("long"))
+  }
+
+  /** Shared oracle CTE chain: the q99 scoring plus the same greedy
+    * prefix rule in window form.
+    */
+  private val budgetSelectionCtes: String =
+    s"""$q99ScoreCtes,
+       |toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT scored.doc_id, score, lang, n_tokens
+       |  FROM scored JOIN toks USING (doc_id)),
+       |tk AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    COUNT(*) AS n_docs_all
+       |  FROM j),
+       |c AS (
+       |  SELECT j.*, tk.total_tokens, tk.n_docs_all,
+       |    tk.total_tokens // 2 AS budget,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM j CROSS JOIN tk),
+       |sel AS (
+       |  SELECT *, CASE WHEN cum_before < budget THEN 1 ELSE 0 END
+       |    AS selected
+       |  FROM c)""".stripMargin
+
+  /** q578: the token-budget selection report — one row: the budget, the
+    * documents/tokens the greedy quality-first rule takes, the score
+    * cutoff (the last selected document's score — the operating point a
+    * quality-threshold deployment would use), and exact e6 fractions of
+    * the corpus. DECIMAL staging on the token ratio: corpus token mass ×
+    * 10⁶ wraps int64 long before 100 TB.
+    */
+  val q578TokenBudget: Q = (s, dir) => {
+    budgetSelection(s, dir).filter(col("selected") === 1L)
+      .agg(max(col("budget")).as("budget_tokens"),
+        max(col("total_tokens")).as("total_tokens"),
+        max(col("n_docs_all")).as("n_docs_all"),
+        count(lit(1)).as("n_docs_selected"),
+        sum(col("n_tokens")).as("tokens_selected"),
+        min(col("score")).as("cutoff_score"))
+      .select(col("budget_tokens"), col("n_docs_all"),
+        col("n_docs_selected"), col("total_tokens"),
+        col("tokens_selected"), col("cutoff_score"),
+        expr("""CAST(CAST(n_docs_selected AS DECIMAL(38,0)) * 1000000
+               |  DIV n_docs_all AS BIGINT)""".stripMargin)
+          .as("frac_docs_e6"),
+        expr("""CAST(CAST(tokens_selected AS DECIMAL(38,0)) * 1000000
+               |  DIV total_tokens AS BIGINT)""".stripMargin)
+          .as("frac_tokens_e6"))
+  }
+
+  val q578Sql: String =
+    s"""WITH $budgetSelectionCtes
+       |SELECT CAST(MAX(budget) AS BIGINT) AS budget_tokens,
+       |  CAST(MAX(n_docs_all) AS BIGINT) AS n_docs_all,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+       |  CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       |  CAST(MIN(score) AS BIGINT) AS cutoff_score,
+       |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // MAX(n_docs_all)
+       |    AS BIGINT) AS frac_docs_e6,
+       |  CAST(CAST(SUM(n_tokens) AS HUGEINT) * 1000000
+       |    // MAX(total_tokens) AS BIGINT) AS frac_tokens_e6
+       |FROM sel WHERE selected = 1""".stripMargin
+
+  /** q579: the distribution shift the q578 selection induces — quality
+    * filters skew language mix, and this is the per-language audit: each
+    * language's share of documents in the full corpus vs the selected
+    * set, the signed delta, and the total-variation distance (half the
+    * L1 of the share deltas, on the floored e6 shares — a documented
+    * quantization identical in both engines) repeated as the corpus-level
+    * headline. Everything after the shared selection pass is a |langs|
+    * rollup.
+    */
+  val q579SelectionShift: Q = (s, dir) => {
+    val byLang = budgetSelection(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_all"), sum(col("selected")).as("n_sel"))
+      .localCheckpoint()
+    val tot = byLang.agg(sum(col("n_all")).as("t_all"),
+      sum(col("n_sel")).as("t_sel"))
+    val shares = byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_all"), col("n_sel"),
+        expr("""CAST(CAST(n_all AS DECIMAL(38,0)) * 1000000 DIV t_all
+               |  AS BIGINT)""".stripMargin).as("share_all_e6"),
+        expr("""CAST(CAST(n_sel AS DECIMAL(38,0)) * 1000000 DIV t_sel
+               |  AS BIGINT)""".stripMargin).as("share_sel_e6"))
+      .withColumn("delta_e6", col("share_sel_e6") - col("share_all_e6"))
+    val tv = shares.agg(expr("SUM(ABS(delta_e6)) div 2").as("tv_e6"))
+    shares.crossJoin(broadcast(tv)).orderBy(col("lang"))
+  }
+
+  val q579Sql: String =
+    s"""WITH $budgetSelectionCtes,
+       |by_lang AS (
+       |  SELECT lang, COUNT(*) AS n_all,
+       |    CAST(SUM(selected) AS BIGINT) AS n_sel
+       |  FROM sel GROUP BY lang),
+       |tot AS (
+       |  SELECT CAST(SUM(n_all) AS BIGINT) AS t_all,
+       |    CAST(SUM(n_sel) AS BIGINT) AS t_sel
+       |  FROM by_lang),
+       |shares AS (
+       |  SELECT lang, n_all, n_sel,
+       |    CAST(CAST(n_all AS HUGEINT) * 1000000 // t_all AS BIGINT)
+       |      AS share_all_e6,
+       |    CAST(CAST(n_sel AS HUGEINT) * 1000000 // t_sel AS BIGINT)
+       |      AS share_sel_e6
+       |  FROM by_lang CROSS JOIN tot),
+       |d AS (
+       |  SELECT *, share_sel_e6 - share_all_e6 AS delta_e6 FROM shares),
+       |tv AS (
+       |  SELECT CAST(SUM(ABS(delta_e6)) // 2 AS BIGINT) AS tv_e6 FROM d)
+       |SELECT lang, CAST(n_all AS BIGINT) AS n_all,
+       |  CAST(n_sel AS BIGINT) AS n_sel,
+       |  CAST(share_all_e6 AS BIGINT) AS share_all_e6,
+       |  CAST(share_sel_e6 AS BIGINT) AS share_sel_e6,
+       |  CAST(delta_e6 AS BIGINT) AS delta_e6, tv.tv_e6
+       |FROM d CROSS JOIN tv
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q578_token_budget" -> q578TokenBudget,
+    "q579_selection_shift" -> q579SelectionShift,
     "q566_importance_ess" -> q566ImportanceEss,
     "q565_binary_manifest" -> q565BinaryManifest,
     "q559_randomized_response" -> q559RandomizedResponse,
@@ -2828,6 +2981,8 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q578_token_budget" -> q578Sql,
+    "q579_selection_shift" -> q579Sql,
     "q566_importance_ess" -> q566Sql,
     "q565_binary_manifest" -> q565Sql,
     "q559_randomized_response" -> q559Sql,

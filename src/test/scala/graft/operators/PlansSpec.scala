@@ -244,10 +244,14 @@ class PlansSpec extends SparkSpec {
     assert("events\\.parquet".r.findAllIn(p).isEmpty, p)
   }
 
-  test("q171: backlog join is key-equi, never day-by-order nested loop") {
+  test("q171: backlog join is key-equi; balance rides the bucket device") {
     val p = plan("q171_backlog")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only nested loop allowed is the device's 1-row scalar stitch
+    // (min/max range broadcast) — the r8 migration replaced the global
+    // day window with the two-level bucket device
+    assert(p.contains("pfx_bkt"),
+      s"running balance must ride the two-level device:\n$p")
     assert(p.contains("partial_sum") || p.contains("partial_max"), p)
   }
 
@@ -337,12 +341,17 @@ class PlansSpec extends SparkSpec {
     // the single-partition exchange — a Spark version bump or a refactor
     // that breaks the pattern would silently restore a corpus-wide funnel
     // (r7 verdict item 5). Pin the executed shape.
+    // a GLOBAL rank()<=k rewrites to TakeOrderedAndProject (top-k without
+    // a full sort); a PARTITIONED one to WindowGroupLimit — either marker
+    // proves the funnel is gone, its absence means a corpus-wide sort
+    def protected_(p: String) =
+      p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject")
     val p539 = plan("q539_rice_postings")
-    assert(p539.contains("WindowGroupLimit"),
-      s"q539 df-rank top-10 must run partial group limits map-side:\n$p539")
+    assert(protected_(p539),
+      s"q539 df-rank top-10 must run as a pushed group/global limit:\n$p539")
     val p209 = plan("q209_skew_plan")
-    assert(p209.contains("WindowGroupLimit"),
-      s"q209 skew-rank top-k must run partial group limits map-side:\n$p209")
+    assert(protected_(p209),
+      s"q209 skew-rank top-k must run as a pushed group/global limit:\n$p209")
   }
 
   test("q202/q205: per-key ranking is partitioned, dispersion joins nothing") {

@@ -4,13 +4,17 @@ import graft.SparkSpec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The two-level prefix device against the naive global-window truth it
-  * replaces — the device now backs every formerly single-task running
-  * statistic (q112/q140/q157/q176/q185/q208/q246/q249/q464–466/q525/
-  * q575), so its equivalence is pinned directly, on adversarial shapes:
+/** The two-level prefix devices against the naive global-window truth
+  * they replace — runningSum/rowNumber/ntileExpr back every formerly
+  * single-task running statistic (q112/q140/q157/q176/q185/q208/q246/
+  * q249/q464–466/q525/q575 in r7; q114/q164/q242/q254/q297 and the
+  * day/price/grid-spine q123/q171/q376/q518/q519/q527/q530/q534/q535/
+  * q541/q550/q578 in r8 — runningMax and lagOver/leadOver landed for
+  * those), so equivalence is pinned directly, on adversarial shapes:
   * duplicate values (tie-break crossing), negative weights (signed
-  * walks), negative values (shifted bucketing), and a constant column
-  * (every row in ONE bucket — the degenerate range).
+  * walks), negative values (shifted bucketing), a constant column
+  * (every row in ONE bucket — the degenerate range), and sparse
+  * buckets (boundary stitching for lag/lead).
   */
 class PrefixSpec extends SparkSpec {
   import spark.implicits._
