@@ -3336,7 +3336,72 @@ object TextQueries {
       |    // COUNT(DISTINCT w) AS BIGINT) AS reduction_e6
       |FROM s2 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------- q580: memorization / duplicate-gram rate audit
+
+  /** q580: the RefinedWeb/Gopher-style duplication-rate audit — for each
+    * document, the fraction of its DISTINCT 5-gram shingles that also
+    * appear in at least one OTHER document, reported as a 10-band
+    * histogram (e6 rate deciles) with per-band document counts and mean
+    * rate. The signal curation reads before choosing dedup aggression:
+    * a corpus with mass in the 90–100% band is re-crawl/mirror-heavy;
+    * near-zero bands mean exact dedup already sufficed. Documents under
+    * 5 tokens have no shingles and are excluded by construction
+    * (documented; they carry no 5-gram evidence either way).
+    *
+    * Exact: each document's distinct-gram set is exact (array_distinct),
+    * doc frequency counts each document once per gram, rate floors at
+    * e6, band = rate div 10⁵ capped at 9, per-band mean floors once
+    * more (DECIMAL staging — Σ rate_e6 tracks corpus-scale doc counts).
+    *
+    * Plan (100 TB): one corpus pass explodes distinct shingles; ONE
+    * shuffle on the gram key builds doc frequency; the join back is
+    * key-equi on the same gram key (AQE skew-splits any hot gram — no
+    * pair formation anywhere, unlike the q54 family this never
+    * enumerates doc pairs); the per-document rollup shuffles doc_id
+    * once; the band rollup is 10 rows.
+    */
+  val q580DupGramRate: Q = (s, dir) => {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.shingleSet(col("text"), 5))
+        .as("shingle"))
+    val gdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
+    val perDoc = sh.join(gdf, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("gdf") >= 2L).cast("long")).as("n_shared"))
+      .select(expr("n_shared * 1000000 div n_grams").as("rate_e6"))
+    perDoc
+      .groupBy(least(expr("rate_e6 div 100000"), lit(9L)).as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rate_e6")).cast("decimal(38,0)").as("sum_rate"))
+      .select(col("band"), col("n_docs"),
+        expr("CAST(sum_rate DIV n_docs AS BIGINT)").as("mean_rate_e6"))
+      .orderBy(col("band"))
+  }
+
+  val q580Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4] AS shingle
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS u(i)),
+      |gdf AS (SELECT shingle, COUNT(*) AS gdf FROM sh GROUP BY shingle),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_shared
+      |  FROM sh JOIN gdf USING (shingle) GROUP BY doc_id),
+      |r AS (
+      |  SELECT n_shared * 1000000 // n_grams AS rate_e6 FROM per_doc)
+      |SELECT CAST(LEAST(rate_e6 // 100000, 9) AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(rate_e6) // COUNT(*) AS BIGINT) AS mean_rate_e6
+      |FROM r GROUP BY 1 ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q580_dup_gram_rate" -> q580DupGramRate,
     "q533_stemmer" -> q533Stemmer,
     "q514_kneser_ney" -> q514KneserNey,
     "q515_huffman" -> q515Huffman,
@@ -3388,6 +3453,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q580_dup_gram_rate" -> q580Sql,
     "q533_stemmer" -> q533Sql,
     "q514_kneser_ney" -> q514Sql,
     "q515_huffman" -> q515Sql,
