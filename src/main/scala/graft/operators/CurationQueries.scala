@@ -2938,7 +2938,89 @@ object CurationQueries {
        |FROM d CROSS JOIN tv
        |ORDER BY lang""".stripMargin
 
+  // --------------------------- q581: source-mixing epochs planner
+
+  /** Repetition cap, e6 (4 epochs — past it, repeated data stops paying
+    * for itself in the repetition-value literature).
+    */
+  val MaxEpochsE6 = 4000000L
+
+  /** q581: the source-mixing epochs planner — given per-source available
+    * token mass, a training budget (2× the corpus here, so upsampling is
+    * exercised), and a uniform target mix, each source reports its
+    * allocation: target tokens (budget div S), the repetition factor
+    * epochs_e6 = target·10⁶ div available (>10⁶ means the source must
+    * repeat), the cap at [[MaxEpochsE6]], the ALLOCATED tokens after the
+    * cap, and the shortfall the cap leaves unfilled — the "can we even
+    * hit this mix with this corpus" report that precedes every
+    * pretraining data plan (q86/q498 choose the weights; this prices
+    * them in epochs). Exact integers end-to-end; DECIMAL staging where
+    * token masses multiply e6.
+    *
+    * Plan: one corpus pass into the |sources| rollup; everything after
+    * is metadata-sized.
+    */
+  val q581MixingEpochs: Q = (s, dir) => {
+    val bySrc = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(Text.tokens(col("text"))).cast("long")).as("avail"))
+      .localCheckpoint()
+    val tot = bySrc.agg(sum(col("avail")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens", expr("corpus_tokens * 2"))
+      .withColumn("target_tokens", expr("budget_tokens div n_sources"))
+      .withColumn("epochs_raw_e6",
+        expr("""CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000
+               |  DIV avail AS BIGINT)""".stripMargin))
+      .withColumn("epochs_e6",
+        least(col("epochs_raw_e6"), lit(MaxEpochsE6)))
+      .withColumn("allocated_tokens",
+        expr(s"""CAST(CAST(avail AS DECIMAL(38,0)) *
+                |  LEAST(epochs_raw_e6, $MaxEpochsE6) DIV 1000000
+                |  AS BIGINT)""".stripMargin))
+      .withColumn("shortfall_tokens",
+        greatest(col("target_tokens") - col("allocated_tokens"), lit(0L)))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("target_tokens"), col("epochs_raw_e6"), col("epochs_e6"),
+        col("allocated_tokens"), col("shortfall_tokens"),
+        (col("epochs_raw_e6") > MaxEpochsE6).cast("long").as("capped"))
+      .orderBy(col("source"))
+  }
+
+  val q581Sql: String =
+    s"""WITH by_src AS (
+       |  SELECT source,
+       |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(avail) AS BIGINT) AS corpus_tokens,
+       |    COUNT(*) AS n_sources
+       |  FROM by_src),
+       |pl AS (
+       |  SELECT source, avail,
+       |    corpus_tokens * 2 AS budget_tokens,
+       |    (corpus_tokens * 2) // n_sources AS target_tokens,
+       |    CAST(CAST((corpus_tokens * 2) // n_sources AS HUGEINT)
+       |      * 1000000 // avail AS BIGINT) AS epochs_raw_e6
+       |  FROM by_src CROSS JOIN tot)
+       |SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+       |  CAST(target_tokens AS BIGINT) AS target_tokens,
+       |  CAST(epochs_raw_e6 AS BIGINT) AS epochs_raw_e6,
+       |  CAST(LEAST(epochs_raw_e6, $MaxEpochsE6) AS BIGINT) AS epochs_e6,
+       |  CAST(CAST(avail AS HUGEINT)
+       |    * LEAST(epochs_raw_e6, $MaxEpochsE6) // 1000000 AS BIGINT)
+       |    AS allocated_tokens,
+       |  CAST(GREATEST(target_tokens - CAST(avail AS HUGEINT)
+       |    * LEAST(epochs_raw_e6, $MaxEpochsE6) // 1000000, 0) AS BIGINT)
+       |    AS shortfall_tokens,
+       |  CAST(CASE WHEN epochs_raw_e6 > $MaxEpochsE6 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS capped
+       |FROM pl
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q581_mixing_epochs" -> q581MixingEpochs,
     "q578_token_budget" -> q578TokenBudget,
     "q579_selection_shift" -> q579SelectionShift,
     "q566_importance_ess" -> q566ImportanceEss,
@@ -2981,6 +3063,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q581_mixing_epochs" -> q581Sql,
     "q578_token_budget" -> q578Sql,
     "q579_selection_shift" -> q579Sql,
     "q566_importance_ess" -> q566Sql,
