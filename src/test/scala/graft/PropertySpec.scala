@@ -312,4 +312,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Prefix devices equal their global windows on random frames") {
+    // randomized complement to PrefixSpec's deterministic adversarial
+    // shapes: frame size, value range (duplicates vs sparse), and signed
+    // weights all drawn per iteration; all four devices checked against
+    // the single-window truth they replace
+    import org.apache.spark.sql.expressions.Window
+    val genFrame = for {
+      n <- Gen.choose(2, 120)
+      mod <- Gen.oneOf(3L, 17L, 5000L)
+      seed <- Gen.choose(1L, 1000000L)
+    } yield (n, mod, seed)
+    forAll(genFrame, n = 5) { case (n, mod, seed) =>
+      val rows = (1 to n).map { i =>
+        val h = ((i * 2654435761L) ^ (i.toLong * seed)).abs
+        (h % mod - mod / 3, i.toLong, (h / 11 % 21) - 10)
+      }
+      val df = rows.toDF("v", "t", "w").repartition(3)
+      val asc = Window.orderBy(col("v"), col("t"))
+      val excl = asc.rowsBetween(Window.unboundedPreceding, -1)
+      def same(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$tag n=$n mod=$mod seed=$seed")
+      val cols = Seq(col("v"), col("t"), col("w"), col("o"))
+      same(operators.Prefix.runningSum(df, "v", Seq("t"), "w", "o")
+          .select(cols: _*),
+        df.withColumn("o", coalesce(sum(col("w")).over(excl), lit(0L))),
+        "runningSum")
+      same(operators.Prefix.runningMax(df, "v", Seq("t"), "w", "o")
+          .select(cols: _*),
+        df.withColumn("o", max(col("w")).over(excl)), "runningMax")
+      same(operators.Prefix.lagOver(df, "v", Seq("t"), "w", "o")
+          .select(cols: _*),
+        df.withColumn("o", lag(col("w"), 1).over(asc)), "lagOver")
+      same(operators.Prefix.leadOver(df, "v", Seq("t"), "w", "o")
+          .select(cols: _*),
+        df.withColumn("o", lead(col("w"), 1).over(asc)), "leadOver")
+    }
+  }
 }
