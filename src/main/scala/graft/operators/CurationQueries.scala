@@ -3019,7 +3019,90 @@ object CurationQueries {
        |FROM pl
        |ORDER BY source""".stripMargin
 
+  // ------------- q582: mix-preserving per-language budget selection
+
+  /** q582: the production fix for the skew q579 detects — quality-first
+    * selection run WITHIN each language at half that language's token
+    * mass, so the output mix equals the input mix by construction. The
+    * per-language greedy prefix rides [[Prefix.runningSumBy]] (the
+    * GROUPED two-level device: a language can be half the corpus, so
+    * even per-group streams must not funnel through one sort task).
+    * Report per language: documents/tokens selected, the language-local
+    * score cutoff (cutoffs DIFFER across languages — exactly what the
+    * global q578 rule cannot give), the realized token fraction
+    * (≈ 500000 e6 by construction — the mix-preservation audit), and
+    * the doc-level selectivity.
+    */
+  val q582BudgetByLang: Q = (s, dir) => {
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .localCheckpoint()
+    val langTot = scored.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"),
+        count(lit(1)).as("lang_docs"))
+    val cum = Prefix.runningSumBy(scored, Seq("lang"), "score",
+      Seq("doc_id"), "n_tokens", "cum_before", desc = true,
+      materialize = false)
+    cum.join(broadcast(langTot), "lang")
+      .withColumn("budget", expr("lang_tokens div 2"))
+      .filter(col("cum_before") < col("budget"))
+      .groupBy(col("lang"))
+      .agg(max(col("lang_docs")).as("lang_docs"),
+        max(col("lang_tokens")).as("lang_tokens"),
+        max(col("budget")).as("budget_tokens"),
+        count(lit(1)).as("n_docs_sel"),
+        sum(col("n_tokens")).as("tokens_sel"),
+        min(col("score")).as("cutoff_score"))
+      .select(col("lang"), col("lang_docs"), col("lang_tokens"),
+        col("budget_tokens"), col("n_docs_sel"), col("tokens_sel"),
+        col("cutoff_score"),
+        expr("""CAST(CAST(tokens_sel AS DECIMAL(38,0)) * 1000000
+               |  DIV lang_tokens AS BIGINT)""".stripMargin)
+          .as("frac_tokens_e6"),
+        expr("""CAST(CAST(n_docs_sel AS DECIMAL(38,0)) * 1000000
+               |  DIV lang_docs AS BIGINT)""".stripMargin)
+          .as("frac_docs_e6"))
+      .orderBy(col("lang"))
+  }
+
+  val q582Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT scored.doc_id, score, lang, n_tokens
+       |  FROM scored JOIN toks USING (doc_id)),
+       |lt AS (
+       |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+       |    COUNT(*) AS lang_docs
+       |  FROM j GROUP BY lang),
+       |c AS (
+       |  SELECT j.*, lt.lang_tokens, lt.lang_docs,
+       |    lt.lang_tokens // 2 AS budget,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY j.lang
+       |      ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM j JOIN lt USING (lang))
+       |SELECT lang, CAST(MAX(lang_docs) AS BIGINT) AS lang_docs,
+       |  CAST(MAX(lang_tokens) AS BIGINT) AS lang_tokens,
+       |  CAST(MAX(budget) AS BIGINT) AS budget_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_sel,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_sel,
+       |  CAST(MIN(score) AS BIGINT) AS cutoff_score,
+       |  CAST(CAST(SUM(n_tokens) AS HUGEINT) * 1000000
+       |    // MAX(lang_tokens) AS BIGINT) AS frac_tokens_e6,
+       |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // MAX(lang_docs)
+       |    AS BIGINT) AS frac_docs_e6
+       |FROM c WHERE cum_before < budget
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q582_budget_by_lang" -> q582BudgetByLang,
     "q581_mixing_epochs" -> q581MixingEpochs,
     "q578_token_budget" -> q578TokenBudget,
     "q579_selection_shift" -> q579SelectionShift,
@@ -3063,6 +3146,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q582_budget_by_lang" -> q582Sql,
     "q581_mixing_epochs" -> q581Sql,
     "q578_token_budget" -> q578Sql,
     "q579_selection_shift" -> q579Sql,

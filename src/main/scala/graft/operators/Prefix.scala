@@ -108,6 +108,50 @@ object Prefix {
       "pfx_one", out, desc, includeCurrent = true, materialize)
       .drop("pfx_one")
 
+  /** GROUPED running sum: [[runningSum]] computed independently per
+    * `groupCols` key — the replacement for `Window.partitionBy(groups)
+    * .orderBy(...)` when single groups grow with the corpus (a language
+    * can be half the documents), so even the per-group stream must not
+    * funnel through one task. Buckets come from the GLOBAL value range
+    * (per-group ranges would need a per-group scalar join; global
+    * boundaries partition each group's order just as well since the
+    * within-bucket window also partitions by group), the bucket rollup is
+    * |groups|×1024 metadata, and its per-group prefix is a key-equi +
+    * non-equi broadcast self-join. Same preconditions as [[runningSum]].
+    */
+  def runningSumBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], weightCol: String, out: String,
+      desc: Boolean = false, includeCurrent: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
+    val src = if (materialize) df.localCheckpoint() else df
+    val gCols = groupCols.map(col)
+    val scal = src.agg(min(col(valueCol)).as("pfx_mn"),
+      max(col(valueCol)).as("pfx_mx"))
+    val bucketed = src.crossJoin(broadcast(scal))
+      .withColumn("pfx_bkt",
+        expr(s"($valueCol - pfx_mn) div ((pfx_mx - pfx_mn) div 1024 + 1)"))
+      .drop("pfx_mn", "pfx_mx")
+    val bRoll = bucketed.groupBy((gCols :+ col("pfx_bkt")): _*)
+      .agg(sum(col(weightCol)).as("pfx_bsum"))
+    val other = bRoll.select((groupCols.map(g => col(g).as(s"pfx_g_$g")) :+
+      col("pfx_bkt").as("pfx_ob") :+ col("pfx_bsum").as("pfx_os")): _*)
+    val bktCond =
+      if (desc) col("pfx_ob") > col("pfx_bkt") else col("pfx_ob") < col("pfx_bkt")
+    val cond = groupCols.map(g => col(s"pfx_g_$g") === col(g))
+      .foldLeft(bktCond)(_ && _)
+    val prior = bRoll.join(broadcast(other), cond, "left")
+      .groupBy((gCols :+ col("pfx_bkt")): _*)
+      .agg(coalesce(sum(col("pfx_os")), lit(0L)).as("pfx_prior"))
+    val ord = (if (desc) col(valueCol).desc else col(valueCol).asc) +:
+      tieCols.map(col)
+    val inW = Window.partitionBy((gCols :+ col("pfx_bkt")): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, if (includeCurrent) 0 else -1)
+    bucketed.join(broadcast(prior), groupCols :+ "pfx_bkt")
+      .withColumn(out,
+        col("pfx_prior") + coalesce(sum(col(weightCol)).over(inW), lit(0L)))
+      .drop("pfx_bkt", "pfx_prior")
+  }
+
   /** Prefix MAX of `aggCol` over (valueCol asc/desc, tieCols...) order —
     * `out` = max of aggCol over rows strictly before this one (plus this
     * row when `includeCurrent`), NULL when the prefix is empty — the

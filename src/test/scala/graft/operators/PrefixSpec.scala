@@ -53,6 +53,24 @@ class PrefixSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("runningSumBy matches the partitioned window per group") {
+    for (desc <- Seq(false, true); inc <- Seq(false, true)) {
+      val df = rows(400, 29).toDF("v", "t", "w")
+        .withColumn("g", col("t") % 5).repartition(4)
+      val got = Prefix.runningSumBy(df, Seq("g"), "v", Seq("t"), "w", "run",
+        desc = desc, includeCurrent = inc)
+      val ord = if (desc) Seq(col("v").desc, col("t")) else Seq(col("v"), col("t"))
+      val frame = Window.partitionBy(col("g")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, if (inc) 0 else -1)
+      val want = df.withColumn("run",
+        coalesce(sum(col("w")).over(frame), lit(0L)))
+      val sel = Seq(col("g"), col("v"), col("t"), col("w"), col("run"))
+      assert(got.select(sel: _*).exceptAll(want.select(sel: _*)).isEmpty &&
+        want.select(sel: _*).exceptAll(got.select(sel: _*)).isEmpty,
+        s"desc=$desc includeCurrent=$inc")
+    }
+  }
+
   test("runningMax matches the global window incl. the empty-prefix NULL") {
     for (desc <- Seq(false, true); inc <- Seq(false, true)) {
       val df = rows(500, 37).toDF("v", "t", "w").repartition(4)
