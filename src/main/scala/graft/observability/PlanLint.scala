@@ -149,12 +149,42 @@ object PlanLint {
       case other => Seq(other) ++ other.children.flatMap(allFinal) ++
         other.subqueries.flatMap(allFinal)
     }
-    allFinal(root)
-      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    val nodes = allFinal(root)
+    // a constant partition key is materialized as an aliased project
+    // column (_w0 = lit(...)) below the window, so foldability must be
+    // resolved through the plan's alias definitions
+    val aliasDefs: Map[Long, org.apache.spark.sql.catalyst.expressions.Expression] =
+      nodes.flatMap {
+        case p: org.apache.spark.sql.execution.ProjectExec =>
+          p.projectList.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.exprId.id -> a.child
+          }
+        case _ => Seq.empty
+      }.toMap
+    def constKey(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.foldable || (e match {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          aliasDefs.get(a.exprId.id).exists(_.foldable)
+        case _ => false
+      })
+    nodes
+      // an all-constant partitionSpec (e.g. partitionBy(lit(1))) is the
+      // same single-task funnel as no spec at all — hash(constant) sends
+      // every row to one partition
+      .collect { case w: WindowExec if w.partitionSpec.forall(constKey) => w }
       .flatMap { w =>
+        def oneBucket(e: ShuffleExchangeExec): Boolean =
+          e.outputPartitioning.numPartitions == 1 ||
+            (e.outputPartitioning match {
+              // hash(constants) sends every row to a single bucket even
+              // when numPartitions is the session default
+              case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+                h.expressions.forall(constKey)
+              case _ => false
+            })
         val rows = allFinal(w.child).collectFirst {
-          case e: ShuffleExchangeExec
-              if e.outputPartitioning.numPartitions == 1 =>
+          case e: ShuffleExchangeExec if oneBucket(e) =>
             Seq("shuffleRecordsWritten", "numOutputRows", "recordsRead")
               .collectFirst(Function.unlift(e.metrics.get))
               .map(_.value)

@@ -55,6 +55,32 @@ class PlanLintSpec extends SparkSpec {
     assert(df.filter(col("rule") === "global-sort").count() === 1)
   }
 
+  test("windowFunnels catches constant-key windows, not real partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    def funnels(df: org.apache.spark.sql.DataFrame): Seq[PlanLint.Finding] = {
+      // collect() executes THIS QueryExecution (a write action would plan
+      // its own, leaving df's metrics empty)
+      df.collect()
+      PlanLint.windowFunnels(df.queryExecution.executedPlan, 1000L)
+    }
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    // partitionBy(lit(1)) hashes every row into ONE bucket of a
+    // default-width exchange — same funnel as no partitioning at all
+    val constant = li.withColumn("s",
+      sum(col("l_quantity")).over(Window.partitionBy(lit(1))))
+    assert(funnels(constant).nonEmpty,
+      "constant-key window over the fact table must flag")
+    val unpart = li.withColumn("s",
+      sum(col("l_quantity")).over(Window.partitionBy()))
+    assert(funnels(unpart).nonEmpty,
+      "unpartitioned window over the fact table must flag")
+    val keyed = li.withColumn("s",
+      sum(col("l_quantity")).over(Window.partitionBy(col("l_orderkey"))))
+    assert(funnels(keyed).isEmpty,
+      "a genuinely keyed window must stay clean")
+  }
+
   test("the continuous lint journal records offenders per executed action") {
     val j = new PlanLintJournal(spark).start()
     try {
