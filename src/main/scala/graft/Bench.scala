@@ -63,10 +63,16 @@ object Bench {
         if (!java.nio.file.Files.exists(p)) Map.empty
         else try {
           val txt = java.nio.file.Files.readString(p)
-          val qseg = txt.substring(txt.indexOf("\"queries\":{") + 11)
-          "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(
-            qseg.substring(0, qseg.indexOf('}'))
-          ).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // times from a DIFFERENT scale factor are not a baseline — a
+          // local sf0.001 sweep compared against the sf0.1 round artifact
+          // would tag every device-taxed query suspect
+          if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+          else {
+            val qseg = txt.substring(txt.indexOf("\"queries\":{") + 11)
+            "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(
+              qseg.substring(0, qseg.indexOf('}'))
+            ).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         } catch { case _: Throwable => Map.empty }
       val curPath = java.nio.file.Paths.get(out)
       val prevPath = java.nio.file.Paths.get(out + ".prev")

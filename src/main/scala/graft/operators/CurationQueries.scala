@@ -269,17 +269,18 @@ object CurationQueries {
     * bins can overfill by at most one document — the standard greedy
     * stream-packing contract. Output is per-bin occupancy accounting.
     *
-    * The prefix sum is windowed PER LANGUAGE — no global sort; in production
-    * the partition key is (lang, shard) so each sort stays executor-sized.
+    * The prefix sum rides [[Prefix.runningSumBy]]: a per-language window
+    * alone still funnels each language through ONE task, and a language can
+    * be half the corpus — the grouped two-level device keeps every sort
+    * bucket-sized while staying bit-identical to the window.
     */
   val q87SequencePacking: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.select(col("doc_id"), col("lang"),
-        Text.tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin_id", expr(s"(cum - n_tok) DIV $PackCapacity"))
+    val toks = d.select(col("doc_id"), col("lang"),
+      Text.tokenCount(col("text")).cast("long").as("n_tok"))
+    Prefix.runningSumBy(toks, Seq("lang"), "doc_id", Seq(), "n_tok",
+        "cum_before")
+      .withColumn("bin_id", expr(s"cum_before DIV $PackCapacity"))
       .groupBy(col("lang"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("bin_tokens"),
@@ -1059,12 +1060,13 @@ object CurationQueries {
       .selectExpr("stack(5, '0_raw', n0, t0, '1_rep_gate', n1, t1, " +
         "'2_exact_dedup', n2, t2, '3_decontam', n3, t3, '4_resample', n4, t4) " +
         "AS (stage, n_docs, n_tokens)")
-    // stage 5: q87 packing of the survivors
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bins = sampled.filter(col("p4"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin_id", expr(s"(cum - n_tok) DIV $PackCapacity"))
+    // stage 5: q87 packing of the survivors — the grouped two-level device
+    // (per-language windows funnel one task per language; a language can be
+    // half the corpus). Input rides the stage-4 checkpoint, so no re-pass.
+    val bins = Prefix.runningSumBy(sampled.filter(col("p4")),
+        Seq("lang"), "doc_id", Seq(), "n_tok", "cum_before",
+        materialize = false)
+      .withColumn("bin_id", expr(s"cum_before DIV $PackCapacity"))
       .groupBy(col("lang"), col("bin_id")).agg(count(lit(1)).as("nd"))
     val packed = bins.agg(count(lit(1)).as("n_docs"))
       .crossJoin(sampled.filter(col("p4"))

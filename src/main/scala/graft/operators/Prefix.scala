@@ -117,7 +117,11 @@ object Prefix {
     * boundaries partition each group's order just as well since the
     * within-bucket window also partitions by group), the bucket rollup is
     * |groups|×1024 metadata, and its per-group prefix is a key-equi +
-    * non-equi broadcast self-join. Same preconditions as [[runningSum]].
+    * non-equi broadcast self-join. Same preconditions as [[runningSum]],
+    * plus `groupCols` must be NON-NULL on every row: the prior join is
+    * key-equi, and a null group key never matches itself, so null-group
+    * rows would silently lose their prior (a global `Window.partitionBy`
+    * groups nulls together instead).
     */
   def runningSumBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCols: Seq[String], weightCol: String, out: String,

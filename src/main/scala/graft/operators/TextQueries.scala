@@ -883,25 +883,32 @@ object TextQueries {
     * low hapax share), and the token-mass share captured by the 10 most
     * frequent types (the Zipf head — near 1 means the source is
     * repeating itself). All counts are exact integers from ONE
-    * (source, token) aggregation; the head share is a source-partitioned
-    * rank window over the |vocabulary|-sized rollup (tiny next to the
-    * token stream), and every ratio is a single e6 integer division on
-    * nonnegative operands. Scale: the only big shuffle is keyed by
-    * (source, token) — map-side combining absorbs the token stream.
+    * (source, token) aggregation; every ratio is a single e6 integer
+    * division on nonnegative operands. Scale: the only big shuffle is
+    * keyed by (source, token) — map-side combining absorbs the token
+    * stream. The Zipf head is a rank-then-FILTER top-10 per source
+    * (Spark plans it as WindowGroupLimit: per-task partial top-10, so no
+    * task ever sorts a whole source's vocabulary — which grows with the
+    * corpus under Heaps' law), joined back to the plain rollup; the
+    * rollup frame is checkpointed once so its two consumers share the
+    * token-explode pass.
     */
   val q190LexicalDiversity: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, dir)
       .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("source"))
       .orderBy(col("cnt").desc, col("tok"))
-    tf.withColumn("rnk", row_number().over(w))
-      .groupBy(col("source"))
+    val head = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .groupBy(col("source")).agg(sum(col("cnt")).as("top10_mass"))
+    tf.groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_types"),
-        sum((col("cnt") === 1).cast("long")).as("n_hapax"),
-        sum(when(col("rnk") <= 10, col("cnt")).otherwise(0L)).as("top10_mass"))
+        sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+      .join(broadcast(head), Seq("source"))
       .select(col("source"), col("n_tokens"), col("n_types"),
         expr("n_types * 1000000 DIV n_tokens").as("ttr_e6"),
         col("n_hapax"),

@@ -354,6 +354,30 @@ class PlansSpec extends SparkSpec {
       s"q209 skew-rank top-k must run as a pushed group/global limit:\n$p209")
   }
 
+  test("corpus-axis windows: q69 group-limited, q87/q190 device-bucketed") {
+    // lang/source are LOW-cardinality keys on the axis that grows to
+    // 100 TB — a window partitioned only by them funnels a corpus-sized
+    // group through one task. q69's per-lang top-50 must keep the
+    // WindowGroupLimit rewrite; q190's Zipf head is rank-then-filter and
+    // must group-limit too; q87/q100's packing prefix sums ride the
+    // grouped bucket device, so every surviving Window must be
+    // pfx_bkt-partitioned.
+    assert(plan("q69_stratified_sample").contains("WindowGroupLimit"),
+      "q69 per-lang hash top-50 must run partial group limits map-side")
+    val p190 = plan("q190_lexical_diversity")
+    assert(p190.contains("WindowGroupLimit"),
+      s"q190 Zipf head must run partial group limits map-side:\n$p190")
+    for (q <- Seq("q87_sequence_packing", "q100_curation_funnel")) {
+      // q100 also runs a legitimate fine-grain md5(text) dedup window, so
+      // the rule is: any window touching the lang key must be the device's
+      // (lang, pfx_bkt) inner pass, never lang alone
+      val windows = "Window \\[[^\\n]*".r.findAllIn(plan(q)).toSeq
+      assert(windows.nonEmpty && windows.filter(_.contains("lang#"))
+          .forall(_.contains("pfx_bkt")),
+        s"$q lang-keyed windows must stay bucket-partitioned:\n${windows.mkString("\n")}")
+    }
+  }
+
   test("q202/q205: per-key ranking is partitioned, dispersion joins nothing") {
     val p202 = plan("q202_recsys_eval")
     assert(!p202.contains("CartesianProduct"), p202)
