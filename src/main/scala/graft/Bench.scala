@@ -100,6 +100,18 @@ object Bench {
     val lintMinRows =
       sys.env.get("SPARK_GRAFT_LINT_WINDOW_ROWS").flatMap(_.toLongOption)
         .getOrElse(1000L)
+    // Task-grain skew gate (complements the plan-grain funnel rule): a
+    // stage whose max task reads >= LINT_TASK_ROWS shuffle rows AND >=
+    // LINT_SKEW_RATIO x the stage mean is one hot key owning the stream.
+    // 0 disables. Defaults calibrated on the full sf0.1 bench.
+    val skewMinRows =
+      sys.env.get("SPARK_GRAFT_LINT_TASK_ROWS").flatMap(_.toLongOption)
+        .getOrElse(20000L)
+    val skewRatio =
+      sys.env.get("SPARK_GRAFT_LINT_SKEW_RATIO").flatMap(_.toDoubleOption)
+        .getOrElse(8.0)
+    val skewListener = new observability.TaskSkewListener
+    if (skewMinRows > 0) spark.sparkContext.addSparkListener(skewListener)
     val lintBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val lintHits = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val lintListener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -144,6 +156,9 @@ object Bench {
       val attributeTo = if (drained) name else "(unattributed)"
       var d = lintBuf.poll()
       while (d != null) { lintHits += attributeTo -> d; d = lintBuf.poll() }
+      if (skewMinRows > 0)
+        skewListener.drain(skewMinRows, skewRatio)
+          .foreach(f => lintHits += attributeTo -> f.detail)
       (elapsed, ok)
     }
     // Periodic quiesce: a monolithic multi-hundred-query run accumulates
@@ -211,6 +226,7 @@ object Bench {
       byName.toSeq
     }
     spark.listenerManager.unregister(lintListener)
+    if (skewMinRows > 0) spark.sparkContext.removeSparkListener(skewListener)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -236,7 +252,7 @@ object Bench {
       .mkString("[", ",", "]")
     val lintOut = sys.env.getOrElse("SPARK_GRAFT_LINT_OUT", "plan_lint.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(lintOut),
-      s"""{"rule":"global-window-funnel","min_rows":$lintMinRows,"hits":$lintJson}\n""")
+      s"""{"rules":["global-window-funnel","task-skew"],"min_rows":$lintMinRows,"task_min_rows":$skewMinRows,"skew_ratio":$skewRatio,"hits":$lintJson}\n""")
     // The driver captures only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01–r03 all recorded "parsed": null because the
     // full queries map overflowed that buffer mid-line). Print a compact
