@@ -3103,7 +3103,104 @@ object CurationQueries {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ------------- q585: one domain-reweighting step (multiplicative update)
+
+  /** q585: one multiplicative domain-reweighting step — each source's
+    * token-share weight is scaled by how far its mean quality score (q99
+    * classifier) sits above or below the corpus mean, then renormalized:
+    * the DoReMi-style "move budget toward domains the proxy says are
+    * underweighted" primitive, with the exponential update replaced by a
+    * clamped LINEAR multiplier (1e6 + delta/1e4, clamped to [0, 5e6]) so
+    * every step is exact integer arithmetic both engines reproduce
+    * bit-for-bit (libm exp is not cross-engine portable) and the e12
+    * renormalization numerator provably fits int64. Sign-factored CASE
+    * division keeps Spark's truncating `div` and DuckDB's flooring `//`
+    * identical on negative score sums.
+    *
+    * Plan (100 TB): one corpus pass to the |sources| rollup (map-side
+    * combine absorbs the stream); everything after is metadata-sized
+    * broadcast scalars.
+    */
+  val q585DomainReweight: Q = (s, dir) => {
+    def sdivE6(num: String, den: String) =
+      s"""CASE WHEN $num >= 0
+         |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |END""".stripMargin
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    val bySrc = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("score")).as("sum_score"))
+      .localCheckpoint() // feeds the global rollup AND the projection
+    val glob = bySrc.agg(sum(col("n_docs")).as("g_docs"),
+      sum(col("n_tokens")).as("g_tokens"), sum(col("sum_score")).as("g_score"))
+    val st = bySrc.crossJoin(broadcast(glob))
+      .withColumn("mean_s_e6", expr(sdivE6("sum_score", "n_docs")))
+      .withColumn("mean_g_e6", expr(sdivE6("g_score", "g_docs")))
+      .withColumn("w0_e6", expr(sdivE6("n_tokens", "g_tokens")))
+      .withColumn("delta_e6", col("mean_s_e6") - col("mean_g_e6"))
+      .withColumn("step_e6", expr("CASE WHEN delta_e6 >= 0 " +
+        "THEN delta_e6 div 10000 ELSE -((-delta_e6) div 10000) END"))
+      .withColumn("mult_e6",
+        least(greatest(lit(0L), lit(1000000L) + col("step_e6")),
+          lit(5000000L)))
+      .withColumn("raw", col("w0_e6") * col("mult_e6"))
+    val totRaw = st.agg(sum(col("raw")).as("t_raw"))
+    st.crossJoin(broadcast(totRaw))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w0_e6"),
+        col("mean_s_e6"), col("delta_e6"), col("mult_e6"),
+        expr(sdivE6("raw", "t_raw")).as("w1_e6"))
+      .orderBy(col("source"))
+  }
+
+  val q585Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |j AS (
+       |  SELECT scored.doc_id, score, source,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM scored JOIN documents USING (doc_id)),
+       |bs AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(score) AS BIGINT) AS sum_score
+       |  FROM j GROUP BY source),
+       |g AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS g_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS g_tokens,
+       |    CAST(SUM(sum_score) AS BIGINT) AS g_score
+       |  FROM bs),
+       |st AS (
+       |  SELECT source, n_docs, bs.n_tokens,
+       |    CASE WHEN sum_score >= 0
+       |      THEN CAST(CAST(sum_score AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       |      ELSE -CAST(CAST(-sum_score AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       |    END AS mean_s_e6,
+       |    CASE WHEN g_score >= 0
+       |      THEN CAST(CAST(g_score AS HUGEINT) * 1000000 // g_docs AS BIGINT)
+       |      ELSE -CAST(CAST(-g_score AS HUGEINT) * 1000000 // g_docs AS BIGINT)
+       |    END AS mean_g_e6,
+       |    CAST(CAST(bs.n_tokens AS HUGEINT) * 1000000 // g_tokens AS BIGINT)
+       |      AS w0_e6
+       |  FROM bs CROSS JOIN g),
+       |up AS (
+       |  SELECT *,
+       |    LEAST(GREATEST(0, 1000000 + CASE WHEN mean_s_e6 - mean_g_e6 >= 0
+       |      THEN (mean_s_e6 - mean_g_e6) // 10000
+       |      ELSE -((-(mean_s_e6 - mean_g_e6)) // 10000) END), 5000000)
+       |      AS mult_e6
+       |  FROM st),
+       |r AS (SELECT *, w0_e6 * mult_e6 AS raw FROM up)
+       |SELECT source, n_docs, n_tokens, w0_e6, mean_s_e6,
+       |  CAST(mean_s_e6 - mean_g_e6 AS BIGINT) AS delta_e6,
+       |  CAST(mult_e6 AS BIGINT) AS mult_e6,
+       |  CAST(CAST(raw AS HUGEINT) * 1000000 //
+       |    (SELECT CAST(SUM(raw) AS HUGEINT) FROM r) AS BIGINT) AS w1_e6
+       |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q585_domain_reweight" -> q585DomainReweight,
     "q582_budget_by_lang" -> q582BudgetByLang,
     "q581_mixing_epochs" -> q581MixingEpochs,
     "q578_token_budget" -> q578TokenBudget,
@@ -3148,6 +3245,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q585_domain_reweight" -> q585Sql,
     "q582_budget_by_lang" -> q582Sql,
     "q581_mixing_epochs" -> q581Sql,
     "q578_token_budget" -> q578Sql,

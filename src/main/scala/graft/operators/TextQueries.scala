@@ -3407,7 +3407,128 @@ object TextQueries {
       |  CAST(SUM(rate_e6) // COUNT(*) AS BIGINT) AS mean_rate_e6
       |FROM r GROUP BY 1 ORDER BY band""".stripMargin
 
+  // -------------- q583: tokenizer fertility by language
+
+  /** The sub-token pre-tokenizer: letter runs, digit runs, and single
+    * punctuation marks — the GPT-2-style pre-tokenization boundary
+    * (before BPE merges), kept ASCII-simple so Java regex and RE2 agree
+    * byte-for-byte.
+    */
+  val SubTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** q583: tokenizer fertility panel by language — sub-tokens per
+    * whitespace word (fertility) and characters per sub-token, the two
+    * numbers multilingual tokenizer evaluation reads to find languages a
+    * vocabulary underserves (high fertility = more pieces per word =
+    * more sequence length burned per sentence). Sub-tokens are the fixed
+    * [[SubTokenRegex]] pre-tokenizer (applying the TRAINED q134 BPE here
+    * would make the report depend on merge state; the pre-tokenizer
+    * boundary is the stable upper bound both share). All counts exact
+    * integers in one corpus pass; ratios are e6 floor divisions on
+    * nonnegative operands.
+    */
+  val q583TokenizerFertility: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit(SubTokenRegex), lit(0)))
+          .cast("long").as("n_subtok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subtok")).as("n_subtok"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtok"),
+        expr("n_subtok * 1000000 div n_words").as("fertility_e6"),
+        expr("n_chars * 1000000 div n_subtok").as("chars_per_subtok_e6"))
+      .orderBy(col("lang"))
+  }
+
+  val q583Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |      AS BIGINT) AS n_subtok,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+      |  FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_subtok) AS BIGINT) AS n_subtok,
+      |  CAST(SUM(n_subtok) * 1000000 // SUM(n_words) AS BIGINT)
+      |    AS fertility_e6,
+      |  CAST(SUM(n_chars) * 1000000 // SUM(n_subtok) AS BIGINT)
+      |    AS chars_per_subtok_e6
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------- q584: marginal gram novelty per ingestion batch
+
+  /** q584: the "is more data still adding content" curve — documents are
+    * cut into 10 ingestion batches by doc_id range (the synthetic
+    * corpus's arrival order), and each batch reports how many of its
+    * distinct 5-gram shingles were never seen in an earlier batch. A
+    * novelty share collapsing toward zero says the marginal crawl is
+    * re-serving known content and the token budget should move to other
+    * sources; q580 reports duplication at DOCUMENT grain, this reports
+    * the same memorization axis at ACQUISITION grain. Exact integer
+    * counts; the cumulative column is a 10-row bounded-domain window.
+    *
+    * Plan (100 TB): one corpus pass explodes distinct shingles; the
+    * (batch, gram) dedup and the gram-grain first-batch rollup are both
+    * keyed by the gram — no pair formation, no corpus-grain window; the
+    * per-batch report is 10 rows.
+    */
+  val q584GramNovelty: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val width = d.agg(expr("CAST(max(doc_id) AS BIGINT) div 10 + 1").as("w"))
+    val bg = d.crossJoin(broadcast(width))
+      .select(expr("doc_id div w").as("batch"),
+        explode(Text.shingleSet(col("text"), 5)).as("gram"))
+      .groupBy(col("batch"), col("gram")).agg(count(lit(1)).as("n_docs_b"))
+    val first = bg.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
+    val perBatch = bg.join(first, "gram")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("fb") === col("batch")).cast("long")).as("n_new"))
+    perBatch
+      .withColumn("cum_new", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("batch"), col("n_grams"), col("n_new"),
+        expr("n_new * 1000000 div n_grams").as("novelty_e6"),
+        col("cum_new"))
+      .orderBy(col("batch"))
+  }
+
+  val q584Sql: String =
+    """WITH w AS (
+      |  SELECT CAST(MAX(doc_id) AS BIGINT) // 10 + 1 AS w FROM documents),
+      |toks AS (
+      |  SELECT doc_id // (SELECT w FROM w) AS batch,
+      |    STRING_SPLIT(text, ' ') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT batch,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4] AS gram
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS u(i)),
+      |f AS (SELECT gram, MIN(batch) AS fb FROM bg GROUP BY gram),
+      |pb AS (
+      |  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new
+      |  FROM bg JOIN f USING (gram) GROUP BY batch)
+      |SELECT CAST(batch AS BIGINT) AS batch, n_grams, n_new,
+      |  CAST(n_new * 1000000 // n_grams AS BIGINT) AS novelty_e6,
+      |  CAST(SUM(n_new) OVER (ORDER BY batch
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new
+      |FROM pb ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q583_tokenizer_fertility" -> q583TokenizerFertility,
+    "q584_gram_novelty" -> q584GramNovelty,
     "q580_dup_gram_rate" -> q580DupGramRate,
     "q533_stemmer" -> q533Stemmer,
     "q514_kneser_ney" -> q514KneserNey,
@@ -3460,6 +3581,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q583_tokenizer_fertility" -> q583Sql,
+    "q584_gram_novelty" -> q584Sql,
     "q580_dup_gram_rate" -> q580Sql,
     "q533_stemmer" -> q533Sql,
     "q514_kneser_ney" -> q514Sql,
