@@ -3199,7 +3199,109 @@ object CurationQueries {
        |    (SELECT CAST(SUM(raw) AS HUGEINT) FROM r) AS BIGINT) AS w1_e6
        |FROM r ORDER BY source""".stripMargin
 
+  // ------------- q587: scorer-robustness (two-salt classifier agreement)
+
+  /** q587: how much of the curated set survives swapping the quality
+    * scorer? Two q99-family hash classifiers that differ ONLY in their
+    * feature-weight salt ("w" vs "v" — independent weight tables over the
+    * same features) each keep score ≥ 0 documents; the audit reports the
+    * 2×2 keep/drop agreement, the Jaccard of the two keep sets, raw
+    * agreement, and Cohen's κ — the "is my selection a property of the
+    * data or of the scorer's arbitrary choices" number curation reads
+    * before trusting a single classifier's cut. Everything is exact: both
+    * scores come from ONE corpus pass (two fold expressions over the same
+    * distinct-token array), κ's chance term stages through DECIMAL so n²
+    * never overflows, and the final ratio is the sign-factored e6
+    * division with a CASE-zero-NULL guard on the degenerate pe = 1 frame.
+    */
+  val q587ScorerAgreement: Q = (s, dir) => {
+    def weightOf(salt: String)(t: org.apache.spark.sql.Column) =
+      pmod(Text.portableHash(concat(lit(salt),
+        pmod(Text.portableHash(t), lit(FeatBuckets)).cast("string"))),
+        lit(2001L)) - 1000L
+    val feats = array_distinct(Text.tokens(col("text")))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        aggregate(transform(feats, weightOf("w") _), lit(0L),
+          (acc, x) => acc + x).as("sa"),
+        aggregate(transform(feats, weightOf("v") _), lit(0L),
+          (acc, x) => acc + x).as("sb"))
+      .select((col("sa") >= 0).cast("long").as("ka"),
+        (col("sb") >= 0).cast("long").as("kb"))
+    scored.agg(count(lit(1)).as("n_docs"),
+        sum(expr("ka * kb")).as("n_both"),
+        sum(expr("ka * (1 - kb)")).as("n_only_a"),
+        sum(expr("(1 - ka) * kb")).as("n_only_b"),
+        sum(expr("(1 - ka) * (1 - kb)")).as("n_neither"))
+      .withColumn("jaccard_e6",
+        expr("n_both * 1000000 div (n_both + n_only_a + n_only_b)"))
+      .withColumn("po_e6",
+        expr("(n_both + n_neither) * 1000000 div n_docs"))
+      .withColumn("pe_e6", expr(
+        """CAST((CAST((n_both + n_only_a) AS DECIMAL(38,0)) * (n_both + n_only_b)
+          |  + CAST((n_neither + n_only_b) AS DECIMAL(38,0)) * (n_neither + n_only_a))
+          |  * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs)
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("kappa_e6", expr(
+        """CASE WHEN pe_e6 = 1000000 THEN NULL
+          |  WHEN po_e6 >= pe_e6
+          |    THEN (po_e6 - pe_e6) * 1000000 div (1000000 - pe_e6)
+          |  ELSE -((-(po_e6 - pe_e6)) * 1000000 div (1000000 - pe_e6))
+          |END""".stripMargin))
+      .select(col("n_docs"), col("n_both"), col("n_only_a"),
+        col("n_only_b"), col("n_neither"), col("jaccard_e6"),
+        col("po_e6"), col("pe_e6"), col("kappa_e6"))
+  }
+
+  val q587Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS feats
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
+       |      CAST(concat('0x', substr(md5('w' ||
+       |        CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+       |          % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 2001 - 1000)), 0) AS BIGINT) AS sa,
+       |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(feats, t ->
+       |      CAST(concat('0x', substr(md5('v' ||
+       |        CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+       |          % $FeatBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 2001 - 1000)), 0) AS BIGINT) AS sb
+       |  FROM f),
+       |k AS (
+       |  SELECT CASE WHEN sa >= 0 THEN 1 ELSE 0 END AS ka,
+       |    CASE WHEN sb >= 0 THEN 1 ELSE 0 END AS kb
+       |  FROM sc),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ka * kb) AS BIGINT) AS n_both,
+       |    CAST(SUM(ka * (1 - kb)) AS BIGINT) AS n_only_a,
+       |    CAST(SUM((1 - ka) * kb) AS BIGINT) AS n_only_b,
+       |    CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT) AS n_neither
+       |  FROM k),
+       |d AS (
+       |  SELECT *,
+       |    CAST(n_both * 1000000 // (n_both + n_only_a + n_only_b) AS BIGINT)
+       |      AS jaccard_e6,
+       |    CAST((n_both + n_neither) * 1000000 // n_docs AS BIGINT) AS po_e6,
+       |    CAST((CAST(n_both + n_only_a AS HUGEINT) * (n_both + n_only_b)
+       |      + CAST(n_neither + n_only_b AS HUGEINT) * (n_neither + n_only_a))
+       |      * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+       |      AS pe_e6
+       |  FROM c)
+       |SELECT n_docs, n_both, n_only_a, n_only_b, n_neither, jaccard_e6,
+       |  po_e6, pe_e6,
+       |  CASE WHEN pe_e6 = 1000000 THEN NULL
+       |    WHEN po_e6 >= pe_e6
+       |      THEN CAST((po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6) AS BIGINT)
+       |    ELSE -CAST((-(po_e6 - pe_e6)) * 1000000 // (1000000 - pe_e6) AS BIGINT)
+       |  END AS kappa_e6
+       |FROM d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q587_scorer_agreement" -> q587ScorerAgreement,
     "q585_domain_reweight" -> q585DomainReweight,
     "q582_budget_by_lang" -> q582BudgetByLang,
     "q581_mixing_epochs" -> q581MixingEpochs,
@@ -3245,6 +3347,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q587_scorer_agreement" -> q587Sql,
     "q585_domain_reweight" -> q585Sql,
     "q582_budget_by_lang" -> q582Sql,
     "q581_mixing_epochs" -> q581Sql,

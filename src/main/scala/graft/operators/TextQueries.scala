@@ -3526,7 +3526,79 @@ object TextQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new
       |FROM pb ORDER BY batch""".stripMargin
 
+  // -------------- q586: LSH banding parameter planner (S-curves)
+
+  /** q586: the planning table read before choosing a MinHash banding (the
+    * knob behind q55/q102): for every (bands, rows-per-band) split of a
+    * 128-hash signature with power-of-two rows, the candidate-pair
+    * probability 1 − (1 − s^r)^b on a 5%-step Jaccard grid. The operating
+    * point is where the curve crosses ~0.5 — more rows per band moves the
+    * threshold right (fewer false candidates, more misses). Powers are
+    * evaluated by STAGED SQUARINGS (x², x⁴, … x³²; then the same ladder on
+    * 1 − s^r), so every value is a fixed tree of IEEE multiplications both
+    * engines execute identically — no libm pow anywhere. Pure metadata
+    * (95 rows); reads no table by design, the corpus enters through where
+    * you want the threshold, not through this grid.
+    */
+  val q586LshPlan: Q = (s, dir) => {
+    import s.implicits._
+    val splits = Seq((64L, 2L), (32L, 4L), (16L, 8L), (8L, 16L), (4L, 32L))
+      .toDF("bands", "rows_per_band")
+    val grid = s.range(1L, 20L).select((col("id") * 5).as("s_pct"),
+      (col("id").cast("double") / 20.0).as("sim"))
+    splits.crossJoin(grid)
+      .withColumn("x2", col("sim") * col("sim"))
+      .withColumn("x4", col("x2") * col("x2"))
+      .withColumn("x8", col("x4") * col("x4"))
+      .withColumn("x16", col("x8") * col("x8"))
+      .withColumn("x32", col("x16") * col("x16"))
+      .withColumn("y", lit(1.0) - expr("CASE rows_per_band WHEN 2 THEN x2 " +
+        "WHEN 4 THEN x4 WHEN 8 THEN x8 WHEN 16 THEN x16 ELSE x32 END"))
+      .withColumn("y2", col("y") * col("y"))
+      .withColumn("y4", col("y2") * col("y2"))
+      .withColumn("y8", col("y4") * col("y4"))
+      .withColumn("y16", col("y8") * col("y8"))
+      .withColumn("y32", col("y16") * col("y16"))
+      .withColumn("y64", col("y32") * col("y32"))
+      .select(col("bands"), col("rows_per_band"), col("s_pct"),
+        (lit(1.0) - expr("CASE bands WHEN 4 THEN y4 WHEN 8 THEN y8 " +
+          "WHEN 16 THEN y16 WHEN 32 THEN y32 ELSE y64 END"))
+          .as("p_candidate"))
+      .orderBy(col("bands"), col("s_pct"))
+  }
+
+  val q586Sql: String =
+    """WITH splits(bands, rows_per_band) AS (
+      |  VALUES (64, 2), (32, 4), (16, 8), (8, 16), (4, 32)),
+      |grid AS (
+      |  SELECT k * 5 AS s_pct, CAST(k AS DOUBLE) / 20.0 AS sim
+      |  FROM UNNEST(GENERATE_SERIES(1, 19)) AS g(k)),
+      |p1 AS (
+      |  SELECT bands, rows_per_band, s_pct, sim,
+      |    sim * sim AS x2 FROM splits CROSS JOIN grid),
+      |p2 AS (SELECT *, x2 * x2 AS x4 FROM p1),
+      |p3 AS (SELECT *, x4 * x4 AS x8 FROM p2),
+      |p4 AS (SELECT *, x8 * x8 AS x16 FROM p3),
+      |p5 AS (SELECT *, x16 * x16 AS x32 FROM p4),
+      |q1 AS (
+      |  SELECT *, 1.0 - (CASE rows_per_band WHEN 2 THEN x2 WHEN 4 THEN x4
+      |    WHEN 8 THEN x8 WHEN 16 THEN x16 ELSE x32 END) AS y
+      |  FROM p5),
+      |q2 AS (SELECT *, y * y AS y2 FROM q1),
+      |q3 AS (SELECT *, y2 * y2 AS y4 FROM q2),
+      |q4 AS (SELECT *, y4 * y4 AS y8 FROM q3),
+      |q5 AS (SELECT *, y8 * y8 AS y16 FROM q4),
+      |q6 AS (SELECT *, y16 * y16 AS y32 FROM q5),
+      |q7 AS (SELECT *, y32 * y32 AS y64 FROM q6)
+      |SELECT CAST(bands AS BIGINT) AS bands,
+      |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+      |  CAST(s_pct AS BIGINT) AS s_pct,
+      |  1.0 - (CASE bands WHEN 4 THEN y4 WHEN 8 THEN y8 WHEN 16 THEN y16
+      |    WHEN 32 THEN y32 ELSE y64 END) AS p_candidate
+      |FROM q7 ORDER BY bands, s_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q586_lsh_plan" -> q586LshPlan,
     "q583_tokenizer_fertility" -> q583TokenizerFertility,
     "q584_gram_novelty" -> q584GramNovelty,
     "q580_dup_gram_rate" -> q580DupGramRate,
@@ -3581,6 +3653,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q586_lsh_plan" -> q586Sql,
     "q583_tokenizer_fertility" -> q583Sql,
     "q584_gram_novelty" -> q584Sql,
     "q580_dup_gram_rate" -> q580Sql,
