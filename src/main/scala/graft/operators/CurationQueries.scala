@@ -3300,7 +3300,68 @@ object CurationQueries {
        |  END AS kappa_e6
        |FROM d""".stripMargin
 
+  // ------------- q588: batch padding-waste planner (length bucketing)
+
+  /** q588: how much of a training batch is padding under each length-
+    * bucketing strategy? Documents pad to the longest sequence in their
+    * bucket; the planner sweeps 1/4/16/64 equal-width length buckets and
+    * reports, per strategy, the padded token volume and the waste share —
+    * the table read before fixing a dataloader's bucket count (1 bucket =
+    * pad-to-global-max worst case; more buckets approach zero waste at
+    * the cost of smaller same-shape batches). Exact: lengths and bucket
+    * maxima are integers, the waste share is one e6 floor division.
+    *
+    * Plan (100 TB): ONE corpus pass to per-doc lengths (checkpointed);
+    * each strategy is a low-cardinality keyed aggregate the map side
+    * absorbs — no windows, no pair formation, the report is 4 rows.
+    */
+  val q588PadWaste: Q = (s, dir) => {
+    val lens = Tables.documents(s, dir)
+      .select(size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val mx = lens.agg(max(col("n_tok")).as("max_tok"))
+    val strategies = Seq(1L, 4L, 16L, 64L)
+    strategies.map { nb =>
+      lens.crossJoin(broadcast(mx))
+        .select(expr(s"n_tok * $nb div (max_tok + 1)").as("bucket"),
+          col("n_tok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"),
+          max(col("n_tok")).as("bmax"))
+        .agg(lit(nb).as("n_buckets"),
+          count(lit(1)).as("buckets_used"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("n") * col("bmax")).as("padded_tokens"))
+        .select(col("n_buckets"), col("buckets_used"), col("total_tokens"),
+          col("padded_tokens"),
+          expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens")
+            .as("waste_e6"))
+    }.reduce(_ unionAll _).orderBy(col("n_buckets"))
+  }
+
+  val q588Sql: String =
+    """WITH lens AS (
+      |  SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |mx AS (SELECT MAX(n_tok) AS max_tok FROM lens),
+      |strat(nb) AS (VALUES (1), (4), (16), (64)),
+      |b AS (
+      |  SELECT nb, n_tok * nb // (max_tok + 1) AS bucket, n_tok
+      |  FROM lens CROSS JOIN mx CROSS JOIN strat),
+      |r AS (
+      |  SELECT nb, bucket, COUNT(*) AS n, SUM(n_tok) AS toks,
+      |    MAX(n_tok) AS bmax
+      |  FROM b GROUP BY nb, bucket)
+      |SELECT CAST(nb AS BIGINT) AS n_buckets,
+      |  CAST(COUNT(*) AS BIGINT) AS buckets_used,
+      |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n * bmax) AS BIGINT) AS padded_tokens,
+      |  CAST((SUM(n * bmax) - SUM(toks)) * 1000000 // SUM(n * bmax)
+      |    AS BIGINT) AS waste_e6
+      |FROM r GROUP BY nb ORDER BY n_buckets""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q588_pad_waste" -> q588PadWaste,
     "q587_scorer_agreement" -> q587ScorerAgreement,
     "q585_domain_reweight" -> q585DomainReweight,
     "q582_budget_by_lang" -> q582BudgetByLang,
@@ -3347,6 +3408,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q588_pad_waste" -> q588Sql,
     "q587_scorer_agreement" -> q587Sql,
     "q585_domain_reweight" -> q585Sql,
     "q582_budget_by_lang" -> q582Sql,

@@ -3597,7 +3597,76 @@ object TextQueries {
       |    WHEN 32 THEN y32 ELSE y64 END) AS p_candidate
       |FROM q7 ORDER BY bands, s_pct""".stripMargin
 
+  // -------------- q589: vocabulary-size planner (OOV mass per cutoff)
+
+  /** q589: the "how big must the vocabulary be" planning table — token
+    * types rank by corpus frequency, and for each candidate vocabulary
+    * size (1k/2k/4k/8k/16k) the planner reports the out-of-vocabulary
+    * token MASS share (what fraction of running text falls back to
+    * unknown pieces) and the type count actually used. Complements q169
+    * (coverage of the TRAINED BPE vocab) by sweeping the size axis before
+    * any training. Exact integer counts; shares are e6 floor divisions.
+    *
+    * Plan (100 TB): the type rollup is one gram-keyed aggregate;
+    * `orderBy(...).limit(16384)` plans as TakeOrderedAndProject (top-k
+    * without a global sort), and ranks WITHIN the 16k head come from the
+    * bucket device — [[Prefix.rowNumber]] — because even a bounded 16k-row
+    * global window would funnel one task (and trip the bench's own lint).
+    * The cutoff sweep is a 5×16k broadcast conditional aggregate.
+    */
+  val q589VocabPlanner: Q = (s, dir) => {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the global totals AND the head
+    val tot = tf.agg(sum(col("cnt")).as("g_mass"),
+      count(lit(1)).as("g_types"))
+    val head = Prefix.rowNumber(
+      tf.orderBy(col("cnt").desc, col("tok")).limit(16384),
+      "cnt", Seq("tok"), "rnk", desc = true)
+    val cuts = Seq(1024L, 2048L, 4096L, 8192L, 16384L).toDF("vocab_size")
+    head.crossJoin(broadcast(cuts))
+      .filter(col("rnk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_types_used"),
+        sum(col("cnt")).as("covered_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_types_used"), col("g_types"),
+        col("covered_mass"), col("g_mass"),
+        expr("(g_mass - covered_mass) * 1000000 div g_mass")
+          .as("oov_mass_e6"))
+      .orderBy(col("vocab_size"))
+  }
+
+  val q589Sql: String =
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM (
+      |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS g_mass,
+      |    CAST(COUNT(*) AS BIGINT) AS g_types
+      |  FROM tf),
+      |head AS (
+      |  SELECT tok, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      |  FROM tf ORDER BY cnt DESC, tok LIMIT 16384),
+      |cuts(vocab_size) AS (
+      |  VALUES (1024), (2048), (4096), (8192), (16384))
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types_used,
+      |  CAST(MAX(g_types) AS BIGINT) AS g_types,
+      |  CAST(SUM(cnt) AS BIGINT) AS covered_mass,
+      |  CAST(MAX(g_mass) AS BIGINT) AS g_mass,
+      |  CAST((MAX(g_mass) - SUM(cnt)) * 1000000 // MAX(g_mass) AS BIGINT)
+      |    AS oov_mass_e6
+      |FROM head CROSS JOIN cuts CROSS JOIN tot
+      |WHERE rnk <= vocab_size
+      |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q589_vocab_planner" -> q589VocabPlanner,
     "q586_lsh_plan" -> q586LshPlan,
     "q583_tokenizer_fertility" -> q583TokenizerFertility,
     "q584_gram_novelty" -> q584GramNovelty,
@@ -3653,6 +3722,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q589_vocab_planner" -> q589Sql,
     "q586_lsh_plan" -> q586Sql,
     "q583_tokenizer_fertility" -> q583Sql,
     "q584_gram_novelty" -> q584Sql,
