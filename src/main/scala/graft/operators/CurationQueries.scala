@@ -3360,7 +3360,110 @@ object CurationQueries {
       |    AS BIGINT) AS waste_e6
       |FROM r GROUP BY nb ORDER BY n_buckets""".stripMargin
 
+  // ------------- q590: what quality mass does exact dedup remove?
+
+  /** q590: the dedup × quality interaction — documents split by q99
+    * keep/drop band AND exact-duplicate status (md5 text group of size
+    * ≥ 2), reporting docs, token mass, and corpus token share per cell.
+    * Curation reads this before sequencing the pipeline: if duplicate
+    * mass concentrates in the KEEP band, dedup-after-scoring wastes
+    * classifier budget and dedup-first is the right order (and vice
+    * versa). Exact integers; shares are e6 floor divisions against the
+    * corpus token total.
+    *
+    * Plan (100 TB): the duplicate-group rollup is one md5-keyed
+    * aggregate joined back key-equi (AQE splits a hot mirror group);
+    * scores ride the q99 single pass; the report is 4 rows.
+    */
+  val q590DedupQuality: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val grp = d.groupBy(col("h")).agg(count(lit(1)).as("gc"))
+    val scored = q99HashClassifier(s, dir)
+      .select(col("doc_id"), col("band"))
+    val cells = d.join(grp, "h").join(scored, "doc_id")
+      .select(col("band"),
+        (col("gc") >= 2L).cast("long").as("is_dup"), col("n_tok"))
+      .groupBy(col("band"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .localCheckpoint() // feeds the total AND the projection
+    val tot = cells.agg(sum(col("n_tokens")).as("g_tokens"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("band"), col("is_dup"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div g_tokens").as("token_share_e6"))
+      .orderBy(col("band"), col("is_dup"))
+  }
+
+  val q590Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |d AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |g AS (SELECT h, COUNT(*) AS gc FROM d GROUP BY h),
+       |cells AS (
+       |  SELECT CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS band,
+       |    CASE WHEN gc >= 2 THEN 1 ELSE 0 END AS is_dup,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |  FROM d JOIN g USING (h) JOIN scored USING (doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT band, CAST(is_dup AS BIGINT) AS is_dup, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // (SELECT SUM(n_tokens) FROM cells)
+       |    AS BIGINT) AS token_share_e6
+       |FROM cells ORDER BY band, is_dup""".stripMargin
+
+  // ------------- q592: truncation-loss planner (context-length sweep)
+
+  /** q592: if training truncates every document at N tokens instead of
+    * packing (q87), how much token mass is cut? Sweeps context lengths
+    * 128–2048 and reports truncated-document counts and the lost-mass
+    * share — the number that decides truncate-vs-pack for a corpus's
+    * length profile. ONE corpus pass: all five cuts are conditional
+    * aggregates of the same length frame, unpivoted with stack.
+    */
+  val q592TruncationLoss: Q = (s, dir) => {
+    val cuts = Seq(128L, 256L, 512L, 1024L, 2048L)
+    val lens = Tables.documents(s, dir)
+      .select(size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val aggCols = Seq(count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("g_tokens")) ++
+      cuts.flatMap(c => Seq(
+        sum(when(col("n_tok") > c, 1L).otherwise(0L)).as(s"d$c"),
+        sum(when(col("n_tok") > c, col("n_tok") - c).otherwise(0L))
+          .as(s"l$c")))
+    val aggs = lens.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = cuts.map(c => s"${c}L, d$c, l$c").mkString(
+      s"stack(${cuts.size}, ", ", ", ") AS (cut_tokens, n_truncated, lost_tokens)")
+    aggs.selectExpr("n_docs", "g_tokens", stackExpr)
+      .select(col("cut_tokens"), col("n_docs"), col("n_truncated"),
+        col("g_tokens"), col("lost_tokens"),
+        expr("lost_tokens * 1000000 div g_tokens").as("lost_share_e6"))
+      .orderBy(col("cut_tokens"))
+  }
+
+  val q592Sql: String =
+    """WITH lens AS (
+      |  SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |cuts(cut_tokens) AS (
+      |  VALUES (128), (256), (512), (1024), (2048))
+      |SELECT CAST(cut_tokens AS BIGINT) AS cut_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tok > cut_tokens THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_truncated,
+      |  CAST(SUM(n_tok) AS BIGINT) AS g_tokens,
+      |  CAST(SUM(CASE WHEN n_tok > cut_tokens THEN n_tok - cut_tokens
+      |    ELSE 0 END) AS BIGINT) AS lost_tokens,
+      |  CAST(SUM(CASE WHEN n_tok > cut_tokens THEN n_tok - cut_tokens
+      |    ELSE 0 END) * 1000000 // SUM(n_tok) AS BIGINT) AS lost_share_e6
+      |FROM lens CROSS JOIN cuts
+      |GROUP BY cut_tokens ORDER BY cut_tokens""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q590_dedup_quality" -> q590DedupQuality,
+    "q592_truncation_loss" -> q592TruncationLoss,
     "q588_pad_waste" -> q588PadWaste,
     "q587_scorer_agreement" -> q587ScorerAgreement,
     "q585_domain_reweight" -> q585DomainReweight,
@@ -3408,6 +3511,8 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q590_dedup_quality" -> q590Sql,
+    "q592_truncation_loss" -> q592Sql,
     "q588_pad_waste" -> q588Sql,
     "q587_scorer_agreement" -> q587Sql,
     "q585_domain_reweight" -> q585Sql,

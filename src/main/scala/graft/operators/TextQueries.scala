@@ -3665,7 +3665,44 @@ object TextQueries {
       |WHERE rnk <= vocab_size
       |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin
 
+  // -------------- q591: shared-prefix (KV-cache reuse) audit
+
+  /** q591: how much of the corpus opens with a shared 8-token prefix?
+    * Documents group by their first 8 tokens (whole text when shorter);
+    * groups band by size (1 / 2 / 3 / 4+) and report prefix counts, doc
+    * counts, and the prefix tokens a prefix-caching serving or training
+    * stack would re-use (8 × (docs − prefixes) per shared group). A
+    * corpus heavy in 4+ bands is template- or boilerplate-led — the same
+    * signal RAKE/boilerplate filters act on, read here at the serving-
+    * economics angle. Exact integers; one corpus pass, one prefix-keyed
+    * rollup (map-side combine absorbs the stream), a 4-row report.
+    */
+  val q591PrefixSharing: Q = (s, dir) => {
+    val pfx = Tables.documents(s, dir)
+      .select(array_join(slice(Text.tokens(col("text")), 1, 8), " ")
+        .as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("n"))
+    pfx.groupBy(least(col("n"), lit(4L)).as("band"))
+      .agg(count(lit(1)).as("n_prefixes"), sum(col("n")).as("n_docs"),
+        (sum(col("n")) - count(lit(1))).cast("long").as("n_shared_docs"))
+      .select(col("band"), col("n_prefixes"), col("n_docs"),
+        (col("n_shared_docs") * 8L).as("reuse_tokens"))
+      .orderBy(col("band"))
+  }
+
+  val q591Sql: String =
+    """WITH p AS (
+      |  SELECT array_to_string(STRING_SPLIT(text, ' ')[1:8], ' ') AS prefix
+      |  FROM documents),
+      |g AS (SELECT prefix, COUNT(*) AS n FROM p GROUP BY prefix)
+      |SELECT CAST(LEAST(n, 4) AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST((SUM(n) - COUNT(*)) * 8 AS BIGINT) AS reuse_tokens
+      |FROM g GROUP BY 1 ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q591_prefix_sharing" -> q591PrefixSharing,
     "q589_vocab_planner" -> q589VocabPlanner,
     "q586_lsh_plan" -> q586LshPlan,
     "q583_tokenizer_fertility" -> q583TokenizerFertility,
@@ -3722,6 +3759,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q591_prefix_sharing" -> q591Sql,
     "q589_vocab_planner" -> q589Sql,
     "q586_lsh_plan" -> q586Sql,
     "q583_tokenizer_fertility" -> q583Sql,

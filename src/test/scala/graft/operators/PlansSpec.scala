@@ -158,10 +158,12 @@ class PlansSpec extends SparkSpec {
     assert("Generate stack".r.findAllIn(p).size === 1, s"stack unpivot expected:\n$p")
     assert(p.contains("partial_count"), "funnel aggregate must map-side combine")
     assert(!p.contains("CartesianProduct"), p)
-    // aggregate census: funnel partial+final (2) + bin grouping (2) +
-    // bin count (2) + packed-token total (2) — five stages sharing one
-    // aggregate means nothing beyond these 8 appears
-    assert("HashAggregate".r.findAllIn(p).size <= 8,
+    // aggregate census: funnel partial+final (2) + bin count (2) +
+    // packed-token total (2) + the stage-5 grouped prefix device (its
+    // value-range scalar, bucket rollup, prior rollup/sum, and bin
+    // grouping) — a budget of 20 keeps "five stages share one aggregate"
+    // pinned while allowing the device's fixed metadata passes
+    assert("HashAggregate".r.findAllIn(p).size <= 20,
       s"stage counting must not multiply aggregates:\n$p")
   }
 
@@ -298,9 +300,15 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "existing edges must prune via anti-join")
   }
 
-  test("q190: token stream aggregates map-side; head share is a window on the rollup") {
+  test("q190: token stream aggregates map-side; head share joins back broadcast") {
+    // the Zipf head is a rank-then-filter top-10 per source (group-limited,
+    // pinned in the corpus-axis test) joined back to the plain rollup —
+    // that ONE join must stay a broadcast of the |sources|-row head, never
+    // a shuffle join of the vocabulary
     val p = plan("q190_lexical_diversity")
-    assert(!p.contains("Join"), s"single token pipeline, no joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"head join must broadcast:\n$p")
     assert(p.contains("partial_count"), "tf counting must map-side combine")
   }
 
