@@ -3701,7 +3701,144 @@ object TextQueries {
       |  CAST((SUM(n) - COUNT(*)) * 8 AS BIGINT) AS reuse_tokens
       |FROM g GROUP BY 1 ORDER BY band""".stripMargin
 
+  // -------------- q593: cross-lingual gram sharing matrix
+
+  /** q593: which language pairs share 5-gram content? Distinct
+    * (lang, gram) pairs self-join on the gram key with an ordered
+    * lang < lang condition, rolling up to a language-pair matrix of
+    * shared gram counts plus a containment share against the smaller
+    * side's gram inventory — the signal that catches translation
+    * mirrors, code-switched spans, and mislabeled-language shards
+    * before per-language budgets (q582) treat them as disjoint pools.
+    *
+    * Plan (100 TB): everything is keyed by the gram — the distinct
+    * rollup and the self-join both shuffle on it, and a gram's join
+    * fan-out is bounded by |langs|², not the corpus; the per-lang
+    * inventory is a broadcast row per language. No pair-of-documents
+    * formation anywhere.
+    */
+  val q593CrossLingualGrams: Q = (s, dir) => {
+    val bg = Tables.documents(s, dir)
+      .select(col("lang"), explode(Text.shingleSet(col("text"), 5))
+        .as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("gram"))
+      .localCheckpoint() // both join sides and the inventory share the pass
+    val inv = bg.groupBy(col("lang")).agg(count(lit(1)).as("n_grams"))
+    val pairs = bg.select(col("lang").as("lang_a"), col("gram"))
+      .join(bg.select(col("lang").as("lang_b"), col("gram")), "gram")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    pairs
+      .join(broadcast(inv.select(col("lang").as("lang_a"),
+        col("n_grams").as("ga"))), "lang_a")
+      .join(broadcast(inv.select(col("lang").as("lang_b"),
+        col("n_grams").as("gb"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("n_shared_grams"),
+        col("ga").as("n_grams_a"), col("gb").as("n_grams_b"),
+        expr("n_shared_grams * 1000000 div least(ga, gb)")
+          .as("containment_e6"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  val q593Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT lang,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4] AS gram
+      |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS u(i)),
+      |inv AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM bg GROUP BY lang),
+      |p AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+      |  FROM bg a JOIN bg b ON a.gram = b.gram AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, n_shared_grams,
+      |  ia.n_grams AS n_grams_a, ib.n_grams AS n_grams_b,
+      |  CAST(n_shared_grams * 1000000 // LEAST(ia.n_grams, ib.n_grams)
+      |    AS BIGINT) AS containment_e6
+      |FROM p
+      |JOIN inv ia ON ia.lang = lang_a
+      |JOIN inv ib ON ib.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
+  // -------------- q594: deletion-key vocabulary merge candidates
+
+  /** q594: near-miss vocabulary audit via SymSpell-style deletion keys —
+    * every type of length ≥ 4 emits itself plus each single-character
+    * deletion as a key; two types sharing ANY key are edit-distance ≤ 1
+    * candidates (substitution = shared deletion, insert/delete = one's
+    * key equals the other), found WITHOUT any pairwise distance scan.
+    * Reported per frequency band (1 / 2–9 / 10+): type counts and how
+    * many have at least one merge candidate — the "is my vocabulary
+    * fragmented by typos and OCR noise" number read before committing a
+    * vocab size (q589).
+    *
+    * Plan (100 TB): keys explode ≤ len+1 per type from the |vocab|
+    * rollup (sub-corpus scale by Heaps' law); the candidate test is one
+    * key-equi self-join whose fan-out per key is the handful of types
+    * one deletion apart — no all-pairs anywhere.
+    */
+  val q594VocabMergeCandidates: Q = (s, dir) => {
+    val tf = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("tok")) >= 4)
+      .localCheckpoint() // feeds keys AND the band census
+    val keys = tf.select(col("tok"),
+      explode(expr("""array_union(array(tok),
+        |transform(sequence(1, length(tok)), i ->
+        |  concat(substring(tok, 1, i - 1),
+        |    substring(tok, i + 1, length(tok)))))""".stripMargin))
+        .as("k"))
+    val cands = keys.select(col("tok").as("tok_a"), col("k"))
+      .join(keys.select(col("tok").as("tok_b"), col("k")), "k")
+      .filter(col("tok_a") =!= col("tok_b"))
+      .select(col("tok_a").as("tok")).distinct()
+      .withColumn("has_cand", lit(1L))
+    tf.join(cands, Seq("tok"), "left")
+      .groupBy(when(col("cnt") >= 10, lit(10L))
+        .when(col("cnt") >= 2, lit(2L)).otherwise(lit(1L)).as("freq_band"))
+      .agg(count(lit(1)).as("n_types"),
+        coalesce(sum(col("has_cand")), lit(0L)).as("n_with_candidate"))
+      .select(col("freq_band"), col("n_types"), col("n_with_candidate"),
+        expr("n_with_candidate * 1000000 div n_types").as("cand_share_e6"))
+      .orderBy(col("freq_band"))
+  }
+
+  val q594Sql: String =
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM (
+      |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY tok HAVING LENGTH(tok) >= 4),
+      |keys AS (
+      |  SELECT tok, UNNEST(LIST_DISTINCT(LIST_APPEND(
+      |    LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(tok)), i ->
+      |      substr(tok, 1, i - 1) || substr(tok, i + 1, LENGTH(tok))),
+      |    tok))) AS k
+      |  FROM tf),
+      |c AS (
+      |  SELECT DISTINCT a.tok
+      |  FROM keys a JOIN keys b ON a.k = b.k AND a.tok <> b.tok),
+      |j AS (
+      |  SELECT tf.tok, cnt,
+      |    CASE WHEN c.tok IS NULL THEN 0 ELSE 1 END AS has_cand
+      |  FROM tf LEFT JOIN c ON tf.tok = c.tok)
+      |SELECT CAST(CASE WHEN cnt >= 10 THEN 10 WHEN cnt >= 2 THEN 2
+      |    ELSE 1 END AS BIGINT) AS freq_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(has_cand) AS BIGINT) AS n_with_candidate,
+      |  CAST(SUM(has_cand) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS cand_share_e6
+      |FROM j GROUP BY 1 ORDER BY freq_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q593_cross_lingual_grams" -> q593CrossLingualGrams,
+    "q594_vocab_merge_candidates" -> q594VocabMergeCandidates,
     "q591_prefix_sharing" -> q591PrefixSharing,
     "q589_vocab_planner" -> q589VocabPlanner,
     "q586_lsh_plan" -> q586LshPlan,
@@ -3759,6 +3896,8 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q593_cross_lingual_grams" -> q593Sql,
+    "q594_vocab_merge_candidates" -> q594Sql,
     "q591_prefix_sharing" -> q591Sql,
     "q589_vocab_planner" -> q589Sql,
     "q586_lsh_plan" -> q586Sql,
