@@ -3461,7 +3461,70 @@ object CurationQueries {
       |FROM lens CROSS JOIN cuts
       |GROUP BY cut_tokens ORDER BY cut_tokens""".stripMargin
 
+  // ------------- q595: classifier length-bias audit
+
+  /** q595: is the q99 quality score a length proxy? Documents band by
+    * power-of-two token length (a BOUNDED domain — never a corpus-grain
+    * decile window), and each band reports its mean score and keep rate.
+    * A keep rate that slopes monotonically with length means the
+    * classifier mostly measures document size — the bias every
+    * fasttext-style quality filter must be audited for before its cut
+    * reshapes the corpus's length profile (which q588/q592 then plan
+    * around). Mean scores use the sign-factored DECIMAL-staged division;
+    * everything else is nonnegative integer arithmetic.
+    */
+  val q595LengthBias: Q = (s, dir) => {
+    def sdivE6(num: String, den: String) =
+      s"""CASE WHEN $num >= 0
+         |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |END""".stripMargin
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+    scored
+      .withColumn("len_band", expr(
+        """CASE WHEN n_tok >= 4096 THEN 4096 WHEN n_tok >= 2048 THEN 2048
+          |  WHEN n_tok >= 1024 THEN 1024 WHEN n_tok >= 512 THEN 512
+          |  WHEN n_tok >= 256 THEN 256 WHEN n_tok >= 128 THEN 128
+          |  WHEN n_tok >= 64 THEN 64 WHEN n_tok >= 32 THEN 32
+          |  WHEN n_tok >= 16 THEN 16 ELSE 1 END""".stripMargin))
+      .groupBy(col("len_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_score"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("len_band"), col("n_docs"),
+        expr(sdivE6("sum_score", "n_docs")).as("mean_score_e6"),
+        expr("n_keep * 1000000 div n_docs").as("keep_rate_e6"))
+      .orderBy(col("len_band"))
+  }
+
+  val q595Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |j AS (
+       |  SELECT scored.doc_id, score,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM scored JOIN documents USING (doc_id)),
+       |b AS (
+       |  SELECT score,
+       |    CASE WHEN n_tok >= 4096 THEN 4096 WHEN n_tok >= 2048 THEN 2048
+       |      WHEN n_tok >= 1024 THEN 1024 WHEN n_tok >= 512 THEN 512
+       |      WHEN n_tok >= 256 THEN 256 WHEN n_tok >= 128 THEN 128
+       |      WHEN n_tok >= 64 THEN 64 WHEN n_tok >= 32 THEN 32
+       |      WHEN n_tok >= 16 THEN 16 ELSE 1 END AS len_band
+       |  FROM j)
+       |SELECT CAST(len_band AS BIGINT) AS len_band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CASE WHEN SUM(score) >= 0
+       |    THEN CAST(CAST(SUM(score) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+       |    ELSE -CAST(CAST(-SUM(score) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+       |  END AS mean_score_e6,
+       |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS keep_rate_e6
+       |FROM b GROUP BY len_band ORDER BY len_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q595_length_bias" -> q595LengthBias,
     "q590_dedup_quality" -> q590DedupQuality,
     "q592_truncation_loss" -> q592TruncationLoss,
     "q588_pad_waste" -> q588PadWaste,
@@ -3511,6 +3574,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q595_length_bias" -> q595Sql,
     "q590_dedup_quality" -> q590Sql,
     "q592_truncation_loss" -> q592Sql,
     "q588_pad_waste" -> q588Sql,
