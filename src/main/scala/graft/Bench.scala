@@ -110,6 +110,12 @@ object Bench {
     val skewRatio =
       sys.env.get("SPARK_GRAFT_LINT_SKEW_RATIO").flatMap(_.toDoubleOption)
         .getOrElse(8.0)
+    // byte floor: below this, row imbalance is the AQE coalescer packing
+    // byte-small map outputs, not a hot key (a hot key is the one thing
+    // coalescing can't split, so it exceeds the advisory size at scale)
+    val skewMinBytes =
+      sys.env.get("SPARK_GRAFT_LINT_TASK_BYTES").flatMap(_.toLongOption)
+        .getOrElse(32L * 1024 * 1024)
     val skewListener = new observability.TaskSkewListener
     if (skewMinRows > 0) spark.sparkContext.addSparkListener(skewListener)
     val lintBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -157,7 +163,7 @@ object Bench {
       var d = lintBuf.poll()
       while (d != null) { lintHits += attributeTo -> d; d = lintBuf.poll() }
       if (skewMinRows > 0)
-        skewListener.drain(skewMinRows, skewRatio)
+        skewListener.drain(skewMinRows, skewRatio, skewMinBytes)
           .foreach(f => lintHits += attributeTo -> f.detail)
       (elapsed, ok)
     }
@@ -252,7 +258,7 @@ object Bench {
       .mkString("[", ",", "]")
     val lintOut = sys.env.getOrElse("SPARK_GRAFT_LINT_OUT", "plan_lint.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(lintOut),
-      s"""{"rules":["global-window-funnel","task-skew"],"min_rows":$lintMinRows,"task_min_rows":$skewMinRows,"skew_ratio":$skewRatio,"hits":$lintJson}\n""")
+      s"""{"rules":["global-window-funnel","task-skew"],"min_rows":$lintMinRows,"task_min_rows":$skewMinRows,"task_min_bytes":$skewMinBytes,"skew_ratio":$skewRatio,"hits":$lintJson}\n""")
     // The driver captures only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01–r03 all recorded "parsed": null because the
     // full queries map overflowed that buffer mid-line). Print a compact

@@ -28,6 +28,7 @@ final class TaskSkewListener extends SparkListener {
   private final class Acc {
     var maxRows = 0L
     var totRows = 0L
+    var maxBytes = 0L
     var nTasks = 0L
   }
 
@@ -37,11 +38,13 @@ final class TaskSkewListener extends SparkListener {
     val m = t.taskMetrics
     if (m != null) {
       val rows = m.shuffleReadMetrics.recordsRead
+      val bytes = m.shuffleReadMetrics.totalBytesRead
       val acc = stages.computeIfAbsent(t.stageId, _ => new Acc)
       acc.synchronized {
         acc.nTasks += 1
         acc.totRows += rows
         if (rows > acc.maxRows) acc.maxRows = rows
+        if (bytes > acc.maxBytes) acc.maxBytes = bytes
       }
     }
   }
@@ -49,20 +52,32 @@ final class TaskSkewListener extends SparkListener {
   /** Snapshot skew findings and reset. Call after the listener bus has
     * drained (ListenerBridge.waitUntilEmpty) so task events attribute to
     * the action that ran them.
+    *
+    * `minBytes` separates hot keys from AQE coalescing artifacts: the
+    * coalescer packs byte-SMALL map outputs into few tasks, so a
+    * byte-tiny stage can show an extreme row ratio that means nothing at
+    * scale (the first full-bench run flagged two unique-key stages whose
+    * "skew" was 1 MB of coalesced longs), while a genuinely hot key is
+    * the one thing coalescing can never split — it exceeds the advisory
+    * partition size by construction. Pass 0 to disable the byte floor
+    * (tests with synthetic byte-tiny fixtures).
     */
-  def drain(minRows: Long, ratio: Double): Seq[PlanLint.Finding] = {
+  def drain(minRows: Long, ratio: Double,
+      minBytes: Long = 0L): Seq[PlanLint.Finding] = {
     val out = Seq.newBuilder[PlanLint.Finding]
     val it = stages.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       it.remove()
       val a = e.getValue
-      val (mx, tot, n) = a.synchronized((a.maxRows, a.totRows, a.nTasks))
+      val (mx, tot, mxB, n) =
+        a.synchronized((a.maxRows, a.totRows, a.maxBytes, a.nTasks))
       val restMean = math.max(1.0, (tot - mx).toDouble / math.max(1L, n - 1))
-      if (n >= 2 && mx >= minRows && mx.toDouble >= ratio * restMean)
+      if (n >= 2 && mx >= minRows && mxB >= minBytes &&
+          mx.toDouble >= ratio * restMean)
         out += PlanLint.Finding("task-skew", "warn",
-          s"stage ${e.getKey}: max task read $mx shuffle rows vs " +
-            s"${restMean.toLong} mean across the other ${n - 1} tasks — " +
+          s"stage ${e.getKey}: max task read $mx shuffle rows ($mxB bytes) " +
+            s"vs ${restMean.toLong} mean across the other ${n - 1} tasks — " +
             "one key owns the stream; salt it, bucket it, or move the hot " +
             "group through the two-level device")
     }

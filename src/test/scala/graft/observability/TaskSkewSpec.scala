@@ -46,6 +46,27 @@ class TaskSkewSpec extends SparkSpec {
       s"hot-key stage must flag, got $found")
   }
 
+  test("the byte floor silences coalescing-artifact row imbalance") {
+    import spark.implicits._
+    // same hot-key shape, but judged with a bench-default byte floor: a
+    // 50k-row long column is ~1 MB — the AQE-coalescing regime where row
+    // ratios are meaningless — so the rule must stay quiet
+    def df = (1 to 50500).map(i =>
+      (if (i <= 50000) 0L else i.toLong % 500, i.toLong)).toDF("k", "v")
+      .repartition(8)
+      .withColumn("r", sum(col("v"))
+        .over(Window.partitionBy(col("k")).orderBy(col("v"))))
+    val l = new TaskSkewListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      assert(org.apache.spark.graft.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 10000L))
+      assert(l.drain(10000L, 8.0, 32L * 1024 * 1024).isEmpty,
+        "byte-tiny stages must not flag under the byte floor")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("stays quiet on evenly keyed shuffles at the same thresholds") {
     import spark.implicits._
     val even = (1 to 50500).map(i => (i.toLong, i.toLong)).toDF("k", "v")
