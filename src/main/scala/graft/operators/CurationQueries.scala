@@ -3523,7 +3523,104 @@ object CurationQueries {
        |    // COUNT(*) AS BIGINT) AS keep_rate_e6
        |FROM b GROUP BY len_band ORDER BY len_band""".stripMargin
 
+  // ------------- q597: quality-proportional epoch allocator
+
+  /** q597: the quality-weighted sibling of q581's uniform-target epochs
+    * planner — sources rank by mean q99 score and the token budget
+    * (half the corpus) allocates by LINEAR RANK WEIGHT (best source
+    * weight |S|, worst weight 1), so higher-quality sources repeat more,
+    * capped at 4 epochs with the residual reported as shortfall. Rank
+    * weights rather than score weights keep the allocation exact-integer
+    * and robust to score scale (scores are salt-dependent sums; their
+    * ORDER is the signal, q587 measures how stable it is). The source
+    * rollup is the only corpus pass; ranking is a |sources|-row window
+    * (bounded domain); every division is DECIMAL-staged floor division
+    * on nonnegative operands.
+    */
+  val q597QualityEpochs: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def sdivE6(num: String, den: String) =
+      s"""CASE WHEN $num >= 0
+         |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |END""".stripMargin
+    val bySrc = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("score")).as("sum_score"))
+      .withColumn("mean_score_e6", expr(sdivE6("sum_score", "n_docs")))
+    val ranked = bySrc.withColumn("rnk", row_number().over(
+      Window.orderBy(col("mean_score_e6").desc, col("source"))))
+      .localCheckpoint() // |sources| rows; feeds scalars AND the projection
+    ranked.crossJoin(broadcast(ranked.agg(
+        sum(col("n_tokens")).as("g_tokens"), count(lit(1)).as("n_src"))))
+      .withColumn("weight", col("n_src") - col("rnk") + 1L)
+      .crossJoin(broadcast(ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("ns2"))))
+        .select((col("ns2") - col("rnk") + 1L).as("w2"))
+        .agg(sum(col("w2")).as("sum_w"))))
+      .withColumn("budget", expr("g_tokens div 2"))
+      .withColumn("alloc_tokens", expr(
+        "CAST(CAST(budget AS DECIMAL(38,0)) * weight DIV sum_w AS BIGINT)"))
+      .withColumn("rep_e6", least(lit(4000000L), expr(
+        "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")))
+      .withColumn("used_tokens", expr(
+        "CAST(CAST(rep_e6 AS DECIMAL(38,0)) * n_tokens DIV 1000000 AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_score_e6"), col("rnk"), col("weight"),
+        col("alloc_tokens"), col("rep_e6"),
+        (col("alloc_tokens") - col("used_tokens")).as("shortfall_tokens"))
+      .orderBy(col("rnk"))
+  }
+
+  val q597Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |j AS (
+       |  SELECT scored.doc_id, score, source,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM scored JOIN documents USING (doc_id)),
+       |bs AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(score) AS BIGINT) AS sum_score
+       |  FROM j GROUP BY source),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN sum_score >= 0
+       |      THEN CAST(CAST(sum_score AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       |      ELSE -CAST(CAST(-sum_score AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+       |    END AS mean_score_e6
+       |  FROM bs),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY mean_score_e6 DESC, source)
+       |    AS rnk
+       |  FROM m),
+       |g AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS g_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_src,
+       |    CAST(SUM(n_src_all - rnk + 1) AS BIGINT) AS sum_w
+       |  FROM r CROSS JOIN (SELECT COUNT(*) AS n_src_all FROM r) t),
+       |a AS (
+       |  SELECT r.*, g.n_src - rnk + 1 AS weight, g_tokens // 2 AS budget,
+       |    CAST(CAST(g_tokens // 2 AS HUGEINT) * (g.n_src - rnk + 1)
+       |      // sum_w AS BIGINT) AS alloc_tokens
+       |  FROM r CROSS JOIN g),
+       |e AS (
+       |  SELECT *,
+       |    LEAST(4000000, CAST(CAST(alloc_tokens AS HUGEINT) * 1000000
+       |      // n_tokens AS BIGINT)) AS rep_e6
+       |  FROM a)
+       |SELECT source, n_docs, n_tokens, mean_score_e6,
+       |  CAST(rnk AS BIGINT) AS rnk, CAST(weight AS BIGINT) AS weight,
+       |  alloc_tokens, CAST(rep_e6 AS BIGINT) AS rep_e6,
+       |  CAST(alloc_tokens - CAST(CAST(rep_e6 AS HUGEINT) * n_tokens
+       |    // 1000000 AS BIGINT) AS BIGINT) AS shortfall_tokens
+       |FROM e ORDER BY rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q597_quality_epochs" -> q597QualityEpochs,
     "q595_length_bias" -> q595LengthBias,
     "q590_dedup_quality" -> q590DedupQuality,
     "q592_truncation_loss" -> q592TruncationLoss,
@@ -3574,6 +3671,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q597_quality_epochs" -> q597Sql,
     "q595_length_bias" -> q595Sql,
     "q590_dedup_quality" -> q590Sql,
     "q592_truncation_loss" -> q592Sql,

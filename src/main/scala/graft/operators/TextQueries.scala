@@ -3836,7 +3836,73 @@ object TextQueries {
       |    AS cand_share_e6
       |FROM j GROUP BY 1 ORDER BY freq_band""".stripMargin
 
+  // -------------- q596: shard-local vs global dedup efficiency
+
+  /** q596: can exact dedup run shard-local, or does it need the global
+    * shuffle? Documents hash into 8 shards (doc_id mod 8 — the layout a
+    * pipeline would get from any id-hash placement) and the audit
+    * compares global md5-group dedup against per-shard dedup: duplicate
+    * documents each finds, documents each removes (group size − 1 per
+    * group), the duplicates shard-local dedup MISSES (their twins live
+    * in other shards), and local efficiency as a share of global
+    * removals. High efficiency says the corpus's duplicates are
+    * shard-colocated (mirrors crawled together) and the cheap topology
+    * suffices; low says pay the global shuffle. One corpus pass, two
+    * md5-keyed rollups, one-row report; divisions CASE-guard empty
+    * duplicate sets.
+    */
+  val q596ShardDedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        pmod(col("doc_id"), lit(8L)).as("shard"))
+      .localCheckpoint() // three consumers of the hash pass
+    val g = d.groupBy(col("h")).agg(count(lit(1)).as("gc"))
+    val l = d.groupBy(col("h"), col("shard")).agg(count(lit(1)).as("lc"))
+    d.join(g, "h").join(l, Seq("h", "shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("gc") >= 2L).cast("long")).as("n_gdup_docs"),
+        sum((col("lc") >= 2L).cast("long")).as("n_ldup_docs"),
+        sum((col("gc") >= 2L && col("lc") < 2L).cast("long"))
+          .as("n_missed_docs"))
+      .crossJoin(broadcast(g.agg(count(lit(1)).as("n_groups"))))
+      .crossJoin(broadcast(l.agg(count(lit(1)).as("n_local_groups"))))
+      .select(col("n_docs"), col("n_gdup_docs"), col("n_ldup_docs"),
+        col("n_missed_docs"),
+        (col("n_docs") - col("n_groups")).as("removed_global"),
+        (col("n_docs") - col("n_local_groups")).as("removed_local"),
+        expr("""CASE WHEN n_docs - n_groups = 0 THEN NULL
+               |  ELSE (n_docs - n_local_groups) * 1000000
+               |    div (n_docs - n_groups) END""".stripMargin)
+          .as("local_efficiency_e6"))
+  }
+
+  val q596Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h, doc_id % 8 AS shard
+      |  FROM documents),
+      |g AS (SELECT h, COUNT(*) AS gc FROM d GROUP BY h),
+      |l AS (SELECT h, shard, COUNT(*) AS lc FROM d GROUP BY h, shard),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN gc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_gdup_docs,
+      |    CAST(SUM(CASE WHEN lc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ldup_docs,
+      |    CAST(SUM(CASE WHEN gc >= 2 AND lc < 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_missed_docs,
+      |    CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_groups,
+      |    CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_local_groups
+      |  FROM d JOIN g USING (h) JOIN l USING (h, shard))
+      |SELECT n_docs, n_gdup_docs, n_ldup_docs, n_missed_docs,
+      |  CAST(n_docs - n_groups AS BIGINT) AS removed_global,
+      |  CAST(n_docs - n_local_groups AS BIGINT) AS removed_local,
+      |  CASE WHEN n_docs - n_groups = 0 THEN NULL
+      |    ELSE CAST((n_docs - n_local_groups) * 1000000
+      |      // (n_docs - n_groups) AS BIGINT) END AS local_efficiency_e6
+      |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q596_shard_dedup" -> q596ShardDedup,
     "q593_cross_lingual_grams" -> q593CrossLingualGrams,
     "q594_vocab_merge_candidates" -> q594VocabMergeCandidates,
     "q591_prefix_sharing" -> q591PrefixSharing,
@@ -3896,6 +3962,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q596_shard_dedup" -> q596Sql,
     "q593_cross_lingual_grams" -> q593Sql,
     "q594_vocab_merge_candidates" -> q594Sql,
     "q591_prefix_sharing" -> q591Sql,
