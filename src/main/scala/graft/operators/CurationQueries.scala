@@ -3619,7 +3619,118 @@ object CurationQueries {
        |    // 1000000 AS BIGINT) AS BIGINT) AS shortfall_tokens
        |FROM e ORDER BY rnk""".stripMargin
 
+  // ------------- q598: quality drift across acquisition batches
+
+  /** q598: is the crawl getting worse? Documents cut into 10 doc_id-range
+    * acquisition batches (q584's axis) report mean q99 score, keep rate,
+    * and token mass per batch — the trend curation watches to decide when
+    * a source's marginal crawl should stop feeding the corpus (q584
+    * answers "is it new", this answers "is it good"). Sign-factored
+    * DECIMAL-staged mean; one corpus pass; 10-row report.
+    */
+  val q598QualityDrift: Q = (s, dir) => {
+    def sdivE6(num: String, den: String) =
+      s"""CASE WHEN $num >= 0
+         |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
+         |END""".stripMargin
+    val d = Tables.documents(s, dir)
+    val width = d.agg(expr("CAST(max(doc_id) AS BIGINT) div 10 + 1").as("w"))
+    q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(d.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+      .crossJoin(broadcast(width))
+      .groupBy(expr("doc_id div w").as("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("score")).as("sum_score"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("batch"), col("n_docs"), col("n_tokens"),
+        expr(sdivE6("sum_score", "n_docs")).as("mean_score_e6"),
+        expr("n_keep * 1000000 div n_docs").as("keep_rate_e6"))
+      .orderBy(col("batch"))
+  }
+
+  val q598Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |w AS (
+       |  SELECT CAST(MAX(doc_id) AS BIGINT) // 10 + 1 AS w FROM documents),
+       |j AS (
+       |  SELECT scored.doc_id // (SELECT w FROM w) AS batch, score,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM scored JOIN documents USING (doc_id))
+       |SELECT CAST(batch AS BIGINT) AS batch,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CASE WHEN SUM(score) >= 0
+       |    THEN CAST(CAST(SUM(score) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+       |    ELSE -CAST(CAST(-SUM(score) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+       |  END AS mean_score_e6,
+       |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS keep_rate_e6
+       |FROM j GROUP BY batch ORDER BY batch""".stripMargin
+
+  // ------------- q599: benchmark-gram coverage pressure
+
+  /** q599: how much of each held-out benchmark document is already
+    * SPELLED OUT inside the training corpus? For every benchmark doc
+    * (the q85/q100 holdout family, doc_id % [[BenchMod]] = 0), the share
+    * of its distinct 3-grams that appear anywhere in the non-benchmark
+    * corpus, reported as a 10-band containment histogram. q85 flags the
+    * TRAINING docs that carry benchmark grams (what to drop); this
+    * measures the EVALUATION side — a benchmark whose docs sit in the
+    * 90-100% band is effectively memorizable from the corpus even after
+    * doc-level decontamination, and its scores should be read
+    * accordingly. One corpus pass per side, gram-keyed join, 10-row
+    * report; mean containment DECIMAL-staged like q580.
+    */
+  val q599BenchCoverage: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val bg = d.filter(col("doc_id") % BenchMod === 0)
+      .select(col("doc_id"), explode(Text.shingleSet(col("text"), 3))
+        .as("gram"))
+    val train = d.filter(col("doc_id") % BenchMod =!= 0)
+      .select(explode(Text.shingleSet(col("text"), 3)).as("gram"))
+      .distinct()
+      .withColumn("covered", lit(1L))
+    bg.join(train, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("covered")), lit(0L)).as("n_covered"))
+      .select(expr("n_covered * 1000000 div n_grams").as("cont_e6"))
+      .groupBy(least(expr("cont_e6 div 100000"), lit(9L)).as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cont_e6")).cast("decimal(38,0)").as("sum_cont"))
+      .select(col("band"), col("n_docs"),
+        expr("CAST(sum_cont DIV n_docs AS BIGINT)").as("mean_cont_e6"))
+      .orderBy(col("band"))
+  }
+
+  val q599Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)),
+       |bg AS (SELECT doc_id, gram FROM sh WHERE doc_id % $BenchMod = 0),
+       |train AS (
+       |  SELECT DISTINCT gram FROM sh WHERE doc_id % $BenchMod <> 0),
+       |per_doc AS (
+       |  SELECT bg.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_covered
+       |  FROM bg LEFT JOIN train ON bg.gram = train.gram
+       |  GROUP BY bg.doc_id),
+       |r AS (
+       |  SELECT n_covered * 1000000 // n_grams AS cont_e6 FROM per_doc)
+       |SELECT CAST(LEAST(cont_e6 // 100000, 9) AS BIGINT) AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(cont_e6) // COUNT(*) AS BIGINT) AS mean_cont_e6
+       |FROM r GROUP BY 1 ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q599_bench_coverage" -> q599BenchCoverage,
+    "q598_quality_drift" -> q598QualityDrift,
     "q597_quality_epochs" -> q597QualityEpochs,
     "q595_length_bias" -> q595LengthBias,
     "q590_dedup_quality" -> q590DedupQuality,
@@ -3671,6 +3782,8 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q598_quality_drift" -> q598Sql,
+    "q599_bench_coverage" -> q599Sql,
     "q597_quality_epochs" -> q597Sql,
     "q595_length_bias" -> q595Sql,
     "q590_dedup_quality" -> q590Sql,
