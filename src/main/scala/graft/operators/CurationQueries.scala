@@ -3728,7 +3728,92 @@ object CurationQueries {
        |  CAST(SUM(cont_e6) // COUNT(*) AS BIGINT) AS mean_cont_e6
        |FROM r GROUP BY 1 ORDER BY band""".stripMargin
 
+  // ------------- q601: selection curve — budget sweep
+
+  /** q601: the selection curve behind q578's single operating point —
+    * quality-first greedy selection evaluated at 10/25/50/75% token
+    * budgets in ONE device pass (the cumulative prefix is computed once;
+    * each budget is a conditional aggregate over the same frame, q592
+    * style). Per budget: selected docs/tokens, the score cutoff, and
+    * realized doc/token fractions — the table that shows how fast the
+    * cutoff decays as the budget grows, i.e. how much quality headroom
+    * the corpus actually has.
+    */
+  val q601BudgetSweep: Q = (s, dir) => {
+    val pcts = Seq(10L, 25L, 50L, 75L)
+    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    val cum = Prefix.runningSum(scored, "score", Seq("doc_id"), "n_tokens",
+      "cum_before", desc = true)
+    val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_docs_all"))
+    val withB = cum.crossJoin(broadcast(tot))
+    val aggCols = Seq(max(col("total_tokens")).as("total_tokens"),
+      max(col("n_docs_all")).as("n_docs_all")) ++
+      pcts.flatMap { p =>
+        val sel = col("cum_before") <
+          expr(s"CAST(CAST(total_tokens AS DECIMAL(38,0)) * $p DIV 100 AS BIGINT)")
+        Seq(sum(when(sel, 1L).otherwise(0L)).as(s"n$p"),
+          coalesce(sum(when(sel, col("n_tokens"))), lit(0L)).as(s"t$p"),
+          min(when(sel, col("score"))).as(s"c$p"))
+      }
+    val aggs = withB.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = pcts.map(p => s"${p}L, n$p, t$p, c$p").mkString(
+      s"stack(${pcts.size}, ", ", ",
+      ") AS (budget_pct, n_docs_selected, tokens_selected, cutoff_score)")
+    aggs.selectExpr("total_tokens", "n_docs_all", stackExpr)
+      .select(col("budget_pct"),
+        expr("""CAST(CAST(total_tokens AS DECIMAL(38,0)) * budget_pct
+               |  DIV 100 AS BIGINT)""".stripMargin).as("budget_tokens"),
+        col("n_docs_selected"), col("tokens_selected"), col("cutoff_score"),
+        expr("""CAST(CAST(n_docs_selected AS DECIMAL(38,0)) * 1000000
+               |  DIV n_docs_all AS BIGINT)""".stripMargin).as("frac_docs_e6"),
+        expr("""CAST(CAST(tokens_selected AS DECIMAL(38,0)) * 1000000
+               |  DIV total_tokens AS BIGINT)""".stripMargin)
+          .as("frac_tokens_e6"))
+      .orderBy(col("budget_pct"))
+  }
+
+  val q601Sql: String =
+    s"""WITH $q99ScoreCtes,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT scored.doc_id, score, n_tokens
+       |  FROM scored JOIN toks USING (doc_id)),
+       |tk AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs_all
+       |  FROM j),
+       |c AS (
+       |  SELECT j.*, total_tokens, n_docs_all,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM j CROSS JOIN tk),
+       |p(budget_pct) AS (VALUES (10), (25), (50), (75)),
+       |sel AS (
+       |  SELECT budget_pct, total_tokens, n_docs_all, n_tokens, score,
+       |    CAST(CAST(total_tokens AS HUGEINT) * budget_pct // 100 AS BIGINT)
+       |      AS budget_tokens, cum_before
+       |  FROM c CROSS JOIN p)
+       |SELECT CAST(budget_pct AS BIGINT) AS budget_pct,
+       |  CAST(MAX(budget_tokens) AS BIGINT) AS budget_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       |  CAST(MIN(score) AS BIGINT) AS cutoff_score,
+       |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // MAX(n_docs_all)
+       |    AS BIGINT) AS frac_docs_e6,
+       |  CAST(CAST(SUM(n_tokens) AS HUGEINT) * 1000000
+       |    // MAX(total_tokens) AS BIGINT) AS frac_tokens_e6
+       |FROM sel WHERE cum_before < budget_tokens
+       |GROUP BY budget_pct ORDER BY budget_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q601_budget_sweep" -> q601BudgetSweep,
     "q599_bench_coverage" -> q599BenchCoverage,
     "q598_quality_drift" -> q598QualityDrift,
     "q597_quality_epochs" -> q597QualityEpochs,
@@ -3782,6 +3867,7 @@ object CurationQueries {
     "q100_curation_funnel" -> q100CurationFunnel)
 
   val oracles: Map[String, String] = Map(
+    "q601_budget_sweep" -> q601Sql,
     "q598_quality_drift" -> q598Sql,
     "q599_bench_coverage" -> q599Sql,
     "q597_quality_epochs" -> q597Sql,

@@ -3901,7 +3901,60 @@ object TextQueries {
       |      // (n_docs - n_groups) AS BIGINT) END AS local_efficiency_e6
       |FROM c""".stripMargin
 
+  // -------------- q600: what does normalization buy exact dedup?
+
+  /** q600: exact dedup on raw text vs on NORMALIZED text (lowercase,
+    * non-alphanumeric runs collapsed to one space, trimmed) — the knob
+    * most pipelines silently turn, measured: duplicate documents and
+    * removable documents under each policy, and the extra removals
+    * normalization buys. The normalizer is a single regex both engines
+    * share on ASCII. One corpus pass computing both keys, two md5-keyed
+    * rollups, a one-row report.
+    */
+  val q600NormDedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h_raw"),
+        md5(trim(regexp_replace(lower(col("text")),
+          lit("[^a-z0-9]+"), lit(" ")))).as("h_norm"))
+      .localCheckpoint()
+    val gr = d.groupBy(col("h_raw")).agg(count(lit(1)).as("rc"))
+    val gn = d.groupBy(col("h_norm")).agg(count(lit(1)).as("nc"))
+    d.join(gr, "h_raw").join(gn, "h_norm")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rc") >= 2L).cast("long")).as("dup_raw_docs"),
+        sum((col("nc") >= 2L).cast("long")).as("dup_norm_docs"))
+      .crossJoin(broadcast(gr.agg(count(lit(1)).as("n_raw_groups"))))
+      .crossJoin(broadcast(gn.agg(count(lit(1)).as("n_norm_groups"))))
+      .select(col("n_docs"), col("dup_raw_docs"), col("dup_norm_docs"),
+        (col("n_docs") - col("n_raw_groups")).as("removed_raw"),
+        (col("n_docs") - col("n_norm_groups")).as("removed_norm"),
+        (col("n_raw_groups") - col("n_norm_groups"))
+          .as("extra_norm_removals"))
+  }
+
+  val q600Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h_raw,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |      AS h_norm
+      |  FROM documents),
+      |gr AS (SELECT h_raw, COUNT(*) AS rc FROM d GROUP BY h_raw),
+      |gn AS (SELECT h_norm, COUNT(*) AS nc FROM d GROUP BY h_norm)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_raw_docs,
+      |  CAST(SUM(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_norm_docs,
+      |  CAST(COUNT(*) - (SELECT COUNT(*) FROM gr) AS BIGINT)
+      |    AS removed_raw,
+      |  CAST(COUNT(*) - (SELECT COUNT(*) FROM gn) AS BIGINT)
+      |    AS removed_norm,
+      |  CAST((SELECT COUNT(*) FROM gr) - (SELECT COUNT(*) FROM gn)
+      |    AS BIGINT) AS extra_norm_removals
+      |FROM d JOIN gr USING (h_raw) JOIN gn USING (h_norm)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q600_norm_dedup" -> q600NormDedup,
     "q596_shard_dedup" -> q596ShardDedup,
     "q593_cross_lingual_grams" -> q593CrossLingualGrams,
     "q594_vocab_merge_candidates" -> q594VocabMergeCandidates,
@@ -3962,6 +4015,7 @@ object TextQueries {
     "q58_lang_id" -> q58LangId)
 
   val oracles: Map[String, String] = Map(
+    "q600_norm_dedup" -> q600Sql,
     "q596_shard_dedup" -> q596Sql,
     "q593_cross_lingual_grams" -> q593Sql,
     "q594_vocab_merge_candidates" -> q594Sql,
