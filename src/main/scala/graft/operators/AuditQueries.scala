@@ -9409,11 +9409,11 @@ object AuditQueries {
   }
 
   val q382Sql: String =
-    s"""WITH RECURSIVE roll AS (
+    s"""WITH RECURSIVE roll AS MATERIALIZED (
       |  SELECT CAST(epoch_ms(l_shipdate) AS BIGINT) // 86400000 AS day,
       |    CAST(COUNT(*) AS BIGINT) AS n
       |  FROM lineitem GROUP BY 1),
-      |ordered AS (
+      |ordered AS MATERIALIZED (
       |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, day) AS rk
       |  FROM roll),
       |walk AS (

@@ -1447,16 +1447,17 @@ object CurationQueries {
          |p$r AS (SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS freq
          |  FROM s$r, UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS g(i)
          |  GROUP BY 1, 2),
-         |b$r AS (SELECT l, r, freq FROM p$r ORDER BY freq DESC, l, r LIMIT 1),
-         |w$r AS (SELECT word,
+         |b$r AS MATERIALIZED (
+         |  SELECT l, r, freq FROM p$r ORDER BY freq DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word,
          |    REPLACE(ws, '|'||l||'||'||r||'|', '|'||l||r||'|') AS ws, cnt
          |  FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    s"""words AS (
+    s"""words AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(w)
        |  GROUP BY 1),
-       |w0 AS (
+       |w0 AS MATERIALIZED (
        |  SELECT word,
        |    '|' || LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(word)),
        |      i -> word[i]), 'string_agg', '||') || '|' AS ws, cnt

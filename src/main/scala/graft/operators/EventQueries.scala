@@ -3489,11 +3489,12 @@ object EventQueries {
        |  SELECT 'start' AS from_s, st AS to_s FROM kept WHERE rn = 1
        |  UNION ALL
        |  SELECT st, COALESCE(nxt, 'null') FROM step WHERE st <> 'conv'),
-       |tc AS (SELECT from_s, to_s, COUNT(*) AS cnt FROM trans GROUP BY 1, 2),
-       |tn AS (SELECT from_s, SUM(cnt) AS n FROM tc GROUP BY 1),
-       |rmv AS (SELECT '<none>' AS rm UNION ALL
+       |tc AS MATERIALIZED (
+       |  SELECT from_s, to_s, COUNT(*) AS cnt FROM trans GROUP BY 1, 2),
+       |tn AS MATERIALIZED (SELECT from_s, SUM(cnt) AS n FROM tc GROUP BY 1),
+       |rmv AS MATERIALIZED (SELECT '<none>' AS rm UNION ALL
        |  SELECT DISTINCT from_s FROM tc WHERE from_s <> 'start'),
-       |x0 AS (SELECT rm, from_s AS s, CAST(0 AS BIGINT) AS x
+       |x0 AS MATERIALIZED (SELECT rm, from_s AS s, CAST(0 AS BIGINT) AS x
        |  FROM rmv CROSS JOIN (SELECT DISTINCT from_s FROM tc) st),
        |$iters,
        |pf AS (SELECT x AS p_full FROM x$DpIters

@@ -311,15 +311,15 @@ object GraphQueries {
       s"""e$cur AS (
          |  SELECT bi.u, bi.v FROM bi
          |  JOIN n$prev a ON bi.u = a.u JOIN n$prev b ON bi.v = b.u),
-         |n$cur AS (
+         |n$cur AS MATERIALIZED (
          |  SELECT u, COUNT(*) AS deg FROM e$cur
          |  GROUP BY u HAVING COUNT(*) >= $CoreK)""".stripMargin
     val rounds = (2 to CoreRounds)
       .map(i => round((i - 1).toString, i.toString)).mkString(",\n")
     s"""WITH $edgesCtes,
       |e AS (SELECT part_a AS u, part_b AS v FROM pairs),
-      |bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-      |n1 AS (
+      |bi AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |n1 AS MATERIALIZED (
       |  SELECT u, COUNT(*) AS deg FROM bi
       |  GROUP BY u HAVING COUNT(*) >= $CoreK),
       |$rounds

@@ -27,18 +27,16 @@ import pyarrow.parquet as pq
 
 BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "10"))
 
-# Legacy slow tier: these five oracles predate the latency budget and
-# already passed the DRIVER's own gate at this cost in round 4 (the
-# gate artifact populated green with them present), so they are
-# exempted at their measured ceilings rather than rewritten — a
-# rewrite of a driver-confirmed oracle risks more than it saves.
-# Every oracle ADDED after round 5 must meet the default budget.
+# Legacy slow tier: q382's oracle carries a genuine 2,400-step serial
+# recursion (~12 s after its CTEs were MATERIALIZED) and keeps a wider
+# ceiling. The other four former members (q122/q134/q135/q169) were
+# cured by the same fix — DuckDB inlines multiply-referenced CTEs, so
+# an iterative chain re-ran its whole upstream per round (q122's
+# double n$prev reference was 2^rounds) — and now meet the default
+# budget with two orders of magnitude to spare; their exemptions are
+# gone so a regression cannot hide under an old ceiling.
 LEGACY_BUDGET_SEC = {
-    "q122_kcore": 120.0,
-    "q169_vocab_coverage": 45.0,
     "q382_pack_planner": 45.0,
-    "q134_bpe_train": 45.0,
-    "q135_bpe_apply": 45.0,
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -114,13 +112,28 @@ def main():
             failures.append(name)
             print(f"✗ {name}: oracle SQL failed: {e}")
             continue
-        slow.append((oracle_sec, name))
         budget = LEGACY_BUDGET_SEC.get(name, BUDGET_SEC)
+        # Self-defense against machine noise (the same policy Bench
+        # applies to suspect regressions): the sandbox shows sustained
+        # multi-minute load spikes that inflate wall-clock 5x (q253 read
+        # 20.1s in one gate pass and 3.8-5.1s isolated; q496 failed one
+        # pass at >10s and re-ran at 2.9s). An over-budget reading gets
+        # up to two re-timings with a settling pause; the verdict is the
+        # MIN — a genuinely slow oracle is slow every time.
+        retries = 0
+        while oracle_sec > budget and retries < 2:
+            time.sleep(2.0)
+            t0 = time.monotonic()
+            con.sql(oracle[name]).arrow()
+            oracle_sec = min(oracle_sec, time.monotonic() - t0)
+            retries += 1
+        slow.append((oracle_sec, name))
         if oracle_sec > budget:
             failures.append(name)
             print(f"✗ {name}: ORACLE OVER BUDGET — {oracle_sec:.1f}s "
-                  f"(budget {budget:.0f}s); a slow oracle can blow the "
-                  f"driver's gate even when values match")
+                  f"min of {retries + 1} (budget {budget:.0f}s); a slow "
+                  f"oracle can blow the driver's gate even when values "
+                  f"match")
             continue
         sc, sr = canon(spark_tbl)
         dc, dr = canon(duck_tbl)
