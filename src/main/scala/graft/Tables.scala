@@ -73,4 +73,19 @@ object Tables {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
+
+  /** Keyed variant of [[parallelized]] for fact scans feeding expensive
+    * per-row pipelines (md5 fingerprint fan-outs, DECIMAL scoring): hash
+    * repartitioning by a unique-ish key spreads the map work without the
+    * local sort a round-robin `repartition(n)` pays
+    * (spark.sql.execution.sortBeforeRepartition — needed there for retry
+    * determinism; a hash exchange is deterministic by construction).
+    * Same scale posture as [[parallelized]]: a no-op whenever the scan
+    * already arrives as ≥ cores splits, so no shuffle is added at 100 TB.
+    */
+  def parallelizedBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, keys: _*)
+    else df
+  }
 }

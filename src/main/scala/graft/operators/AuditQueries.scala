@@ -2499,10 +2499,16 @@ object AuditQueries {
       s"""CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END *
          | CAST((abs($num) - abs($num) % ($den)) / ($den) AS DECIMAL(38,0))
          | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-      col("l_linenumber"),
-      expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
-      expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) div 100").as("y"))
+    // parallelizedBy before the checkpoint: the single-row-group scan is one
+    // split, and both passes (moment fold + the DECIMAL scoring pass) would
+    // otherwise run on one core (guide §2.5 unsplittable input; measured
+    // 1.6 s single-task scoring stage at sf0.1). No-op at scale.
+    val li = Tables.parallelizedBy(
+      Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) div 100").as("y")),
+      col("l_orderkey"), col("l_linenumber"))
       .localCheckpoint()
     val m = li.agg(count(lit(1)).cast(dec).as("n"),
       sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),

@@ -3929,8 +3929,12 @@ object CoreQueries {
     * swap the md5 portable hash for HashMode.Fast exactly as q55_prod does.
     */
   private def poissonBootstrap(mode: Text.HashMode): Q = (s, dir) => {
-    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("pri"),
-      col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+    // R-replicate hash fan-out over a single-split scan ran one-task
+    // (2.05 s at sf0.1) — spread keys first (guide §2.5); no-op at scale
+    val o = Tables.parallelizedBy(
+      Tables.orders(s, dir).select(col("o_orderpriority").as("pri"),
+        col("o_orderkey"), cents(col("o_totalprice")).as("c")),
+      col("o_orderkey"))
     val full = o.groupBy(col("pri")).agg(count(lit(1)).as("n_orders"),
       expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)")
         .as("mean_c"))

@@ -323,8 +323,12 @@ object EstimatorQueries {
     */
   val q557RendezvousRebalance: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.orders(s, dir)
-      .select(col("o_orderkey").cast("long").as("k"))
+    // the 26-node md5 fan-out ran on the scan's single split (2.3 s, one
+    // task, at sf0.1) — spread the keys before the explode (guide §2.5);
+    // hash exchange on the unique key, no-op at scale
+    val scored = Tables.parallelizedBy(
+        Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("k")),
+        col("k"))
       .select(col("k"), explode(array(
         (0 until RvNodesAfter).map(n => struct(lit(n).as("node"),
           Text.portableHash(concat(lit(s"r|$n|"), col("k").cast("string")))
