@@ -18,6 +18,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor, env-overridable for experiments. Keep the
+      // Spark default 1m: a full q1xx/q2xx sweep at 64k measured +34 s
+      // net — the per-stage task overhead across hundreds of byte-small
+      // shuffles outweighs the parallelism it buys the few CPU-dense ones
+      // (those get an explicit spread at the operator instead).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

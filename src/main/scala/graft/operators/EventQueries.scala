@@ -5896,23 +5896,31 @@ object EventQueries {
       .localCheckpoint() // consumed by BOTH cutpoint rows AND the binning
     // quintile cutpoints by the two-level rank-target selection (the
     // q327 fix) — the user frame is corpus-scale, so an ungrouped
-    // percentile_disc would single-task-sort it
-    def cutsOf(c: String) = {
-      val byV = pu.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      val ranked = AuditQueries.doubledRankBelow(byV, Seq.empty, c, 100000L)
-      val nAll = byV.agg(sum(col("cnt")).as("n_all"))
-      ranked.crossJoin(broadcast(nAll))
-        .select(col(c), col("below"), col("cnt"),
+    // percentile_disc would single-task-sort it. r8: BOTH columns ride ONE
+    // grouped rank pass (unpivot to (which, v), group the device by
+    // `which`) instead of two per-column pipelines — identical per-group
+    // arithmetic, half the shuffles (guide §2.4).
+    val cuts = {
+      val byV = pu
+        .select(explode(array(
+          struct(lit("pre").as("which"), col("pre").as("v")),
+          struct(lit("post").as("which"), col("post").as("v")))).as("e"))
+        .groupBy(col("e.which").as("which"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = AuditQueries.doubledRankBelow(byV, Seq("which"), "v", 100000L)
+      val nAll = byV.groupBy(col("which")).agg(sum(col("cnt")).as("n_all"))
+      ranked.join(broadcast(nAll), Seq("which"))
+        .select(col("which"), col("v"), col("below"), col("cnt"),
           explode(expr("sequence(1, 4)")).as("i"))
         .filter(col("below") < expr("(n_all * i + 4) div 5") &&
           expr("(n_all * i + 4) div 5") <= col("below") + col("cnt"))
-        .groupBy().pivot("i", 1 to 4).agg(first(col(c)))
-        .select((1 to 4).map(i => col(i.toString).as(s"${c}_c$i")): _*)
+        .groupBy().pivot(concat_ws("_c", col("which"), col("i")),
+          Seq("pre", "post").flatMap(w => (1 to 4).map(i => s"${w}_c$i")))
+        .agg(first(col("v")))
     }
     def binExpr(c: String) =
       (1 to 4).map(i => s"CAST($c > ${c}_c$i AS INT)").mkString(" + ")
-    val binned = pu.crossJoin(broadcast(cutsOf("pre")))
-      .crossJoin(broadcast(cutsOf("post")))
+    val binned = pu.crossJoin(broadcast(cuts))
       .select(expr(binExpr("pre")).cast("long").as("pre_bin"),
         expr(binExpr("post")).cast("long").as("post_bin"))
     val cellsM = binned.groupBy(col("pre_bin"), col("post_bin"))

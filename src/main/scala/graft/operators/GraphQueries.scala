@@ -24,10 +24,14 @@ object GraphQueries {
   val q105PageRank: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    // pairs is consumed by BOTH union directions, and pageRankInt's degree
+    // join + node set read the union twice more — checkpoint the (small,
+    // post-distinct) pair list so the fact join runs once, not per consumer
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"),
         (col("o_custkey") * 2 + 1).as("dst"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRankInt(edges, PrIters)
       .orderBy(col("r").desc, col("id"))
@@ -235,7 +239,10 @@ object GraphQueries {
     * bit-exact; top 50 with id tie-break.
     */
   val q116RelatedProducts: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir)
+    // both union directions re-derive the pair-generation pipeline, and the
+    // rank device's weight join reads it again — checkpoint the (supported,
+    // small) edge list once
+    val e = copurchaseEdges(s, dir).localCheckpoint()
     val edges = e.select(col("part_a").as("src"), col("part_b").as("dst"),
         col("n_ab").as("w"))
       .union(e.select(col("part_b").as("src"), col("part_a").as("dst"),
@@ -570,7 +577,9 @@ object GraphQueries {
     */
   val q233LabelSpreading: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val e = copurchaseEdges(s, dir)
+    // checkpoint BEFORE the symmetrizing union (r8): both branches re-ran
+    // the pair-generation reduce; the swap projection itself is trivial
+    val e = copurchaseEdges(s, dir).localCheckpoint()
     val und = e.select(col("part_a").as("src"), col("part_b").as("dst"), col("n_ab"))
       .unionByName(e.select(col("part_b").as("src"), col("part_a").as("dst"), col("n_ab")))
       .localCheckpoint()
