@@ -143,6 +143,9 @@ object Bench {
     // min (its early abort looks fast), and failures are surfaced in the
     // machine-readable JSON, not only on stderr
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      // per-query tuning declarations (Tuning.cpuDenseShuffles) must never
+      // leak into the next query's execution
+      Tuning.reset(spark)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

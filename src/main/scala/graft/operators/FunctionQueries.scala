@@ -638,6 +638,9 @@ object FunctionQueries {
     * the q55/q63 discipline); top-20 is TakeOrdered.
     */
   val q315FellegiSunter: Q = (s, dir) => {
+    // blocked pair comparison stages are CPU-dense on byte-small keys
+    // (measured 3.75 -> 1.60 s at a 64k coalescing floor); inert at scale
+    graft.Tuning.cpuDenseShuffles(s)
     import graft.functions.{Pairs, Text}
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"

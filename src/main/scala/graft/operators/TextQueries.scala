@@ -266,6 +266,10 @@ object TextQueries {
     * the engine can pick per workload.
     */
   val q65PpjoinJaccard: Q = (s, dir) => {
+    // the dominant stage is the candidate-pair array_intersect verification
+    // — CPU-dense on byte-small rows (measured 6.4 s CPU coalesced onto 5
+    // tasks at sf0.1); see Tuning.cpuDenseShuffles (inert at scale)
+    graft.Tuning.cpuDenseShuffles(s)
     val d = Tables.documents(s, dir)
     val sh = d.select(col("doc_id"),
         explode(Text.shingleSet(col("text"), 3)).as("shingle"))
@@ -277,11 +281,17 @@ object TextQueries {
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("df") <= DfCap)
+    // consumed THREE times (prefix explode + both verify-join sides): the
+    // shingle explode + df window + collect_list otherwise re-run per
+    // consumer (r8; the exchange is reused but the per-doc aggregation and
+    // window are not). |docs| rows of ranked arrays — small at any scale
+    // relative to the shingle stream.
     val docs = kept.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
       .select(col("doc_id"),
         transform(col("ranked"), r => r.getField("h")).as("arr"),
         size(col("ranked")).as("n_sh"))
+      .localCheckpoint()
     // exact ⌈3n/10⌉ via floor((3n+9)/10): IEEE division of exact ints is
     // correctly rounded, so the floor is the true integer quotient
     val prefixLen =
@@ -297,10 +307,10 @@ object TextQueries {
       .dropDuplicates("doc_a", "doc_b")
     val inter = size(array_intersect(col("arr_a"), col("arr_b")))
     cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
-        col("n_sh").as("na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
-        col("n_sh").as("nb")), "doc_b")
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n_sh").as("na"))), "doc_a")
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n_sh").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         inter.cast("long").as("n_inter"),
         (col("na") + col("nb") - inter).cast("long").as("n_union"),
@@ -1116,6 +1126,9 @@ object TextQueries {
     * driver-side count action).
     */
   val q80TfidfTopk: Q = (s, dir) => {
+    // term-level tf-idf folds are CPU-dense on byte-small rows; see
+    // Tuning.cpuDenseShuffles (inert at scale)
+    graft.Tuning.cpuDenseShuffles(s)
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))

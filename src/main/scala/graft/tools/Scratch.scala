@@ -48,6 +48,7 @@ object Scratch {
             .find(_._1.startsWith(n))
             .getOrElse(sys.error(s"no query matching $n"))
           // warm run: JIT + codegen cache, matches the bench's min-of-2
+          graft.Tuning.reset(spark)
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
@@ -115,6 +116,7 @@ object Scratch {
             .find(_._1.startsWith(n))
             .getOrElse(sys.error(s"no query matching $n"))
           for (rep <- 1 to 3) time(s"$full #$rep") {
+            graft.Tuning.reset(spark)
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
         }
