@@ -3408,18 +3408,27 @@ object AuditQueries {
         cents(col("l_extendedprice")).as("y"))
       .localCheckpoint()
     val n = li.agg(count(lit(1)).as("n"))
-    def thresholds(c: String) = {
-      val byV = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      val ranked = doubledRankBelow(byV, Seq.empty, c, 100000L)
+    // r8: both tails' rank thresholds ride ONE grouped rank pass (unpivot
+    // to (which, v), group the device by `which`) instead of two per-column
+    // pipelines — identical per-group arithmetic, half the shuffles.
+    val thr = {
+      val byV = li
+        .select(explode(array(
+          struct(lit("x").as("which"), col("x").as("v")),
+          struct(lit("y").as("which"), col("y").as("v")))).as("e"))
+        .groupBy(col("e.which").as("which"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = doubledRankBelow(byV, Seq("which"), "v", 100000L)
         .crossJoin(broadcast(n))
       val spine = s.createDataFrame(TailLevels.map(Tuple1(_))).toDF("lvl")
       ranked.crossJoin(broadcast(spine))
         .filter(col("below") + col("cnt") >=
           expr("(lvl * n + 999) div 1000"))
-        .groupBy(col("lvl")).agg(min(col(c)).as(s"thr_$c"))
+        .groupBy(col("lvl")).pivot(col("which"), Seq("x", "y"))
+        .agg(min(col("v")))
+        .select(col("lvl"), col("x").as("thr_x"), col("y").as("thr_y"))
+        .localCheckpoint()
     }
-    val thr = thresholds("x").join(thresholds("y"), Seq("lvl"))
-      .localCheckpoint()
     li.crossJoin(broadcast(thr)).crossJoin(broadcast(n))
       .groupBy(col("lvl"), col("thr_x"), col("thr_y"), col("n"))
       .agg(sum(when(col("x") > col("thr_x") && col("y") > col("thr_y"), 1L)

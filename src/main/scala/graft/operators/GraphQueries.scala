@@ -502,8 +502,11 @@ object GraphQueries {
     * integers; top 25 rules by support with lexicographic tie-break.
     */
   val q247SequentialRules: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
+    // the broadcast-join + (cust, brand) rollup map stage ran on the scan's
+    // single split (guide §2.5); spread by the join key — no-op at scale
+    val li = Tables.parallelizedBy(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
