@@ -1378,25 +1378,41 @@ object AuditQueries {
     val rows = Tables.lineitem(s, dir).select(col("l_returnflag").as("g"),
       cents(col("l_quantity")).as("xc"), cents(col("l_extendedprice")).as("yc"))
 
-    // (g, value) -> centered doubled rank u = 2·below + cnt − n_g
-    def rankMap(vcol: String, bucketWidth: Long): DataFrame = {
-      // the rollup feeds the group totals, the bucket prefix AND the
-      // within-bucket windows — checkpoint it so the fact scan runs once
-      // per variable, not once per consumer
-      val byV = rows.groupBy(col("g"), col(vcol)).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
-      doubledRankBelow(byV, Seq("g"), vcol, bucketWidth)
-        .join(broadcast(byV.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))),
-          Seq("g"))
-        .select(col("g"), col(vcol),
-          (lit(2L) * col("below") + col("cnt") - col("n_g")).as(s"u_$vcol"))
-    }
+    // r8: both variables' centered doubled-rank maps u = 2·below + cnt −
+    // n_g ride ONE grouped rank pass (the q329/q427 unpivot-fusion
+    // device): explode to (g, which, v), one value rollup, one grouped
+    // two-level cascade — identical u values (below-counts are
+    // width-independent), half the fact rollups. The rollup feeds the
+    // bucket prefix, the within-bucket windows AND the per-(g, which)
+    // totals; the u map feeds both variable joins — checkpoint each once.
+    val byV = rows
+      .select(col("g"), explode(array(
+        struct(lit("x").as("which"), col("xc").as("v")),
+        struct(lit("y").as("which"), col("yc").as("v")))).as("e"))
+      .select(col("g"), col("e.which").as("which"), col("e.v").as("v"))
+      .groupBy(col("g"), col("which"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val uMap = doubledRankBelow(byV, Seq("g", "which"), "v", 10000L)
+      .join(broadcast(byV.groupBy(col("g"), col("which"))
+        .agg(sum(col("cnt")).as("n_g"))), Seq("g", "which"))
+      .select(col("g"), col("which"), col("v"),
+        (lit(2L) * col("below") + col("cnt") - col("n_g")).as("u"))
+      .localCheckpoint()
+    def rankMap(w: String, vcol: String) = uMap.filter(col("which") === w)
+      .select(col("g"), col("v").as(vcol), col("u").as(s"u_$vcol"))
 
     rows
-      // widths sized to the column domains: quantity cents span ~5e3
-      // (50 buckets), price cents ~1e7 (1000 buckets)
-      .join(rankMap("xc", 100L), Seq("g", "xc"))
-      .join(rankMap("yc", 10000L), Seq("g", "yc"))
+      // Join strategy is picked deliberately (guide §3): price is
+      // near-unique so its rank map is CORPUS-scale — broadcast is wrong
+      // at 100 TB and, left to size estimates, Catalyst instead
+      // broadcast the single-split FACT and streamed the rank map's
+      // AQE-coalesced single partition, running the whole 600k-row probe
+      // + co-moment fold on ONE task (profiled 1.5 s at sf0.1). A
+      // shuffled-hash hint exchanges both corpus-scale sides by (g, yc)
+      // — parallel probe at every scale. The quantity map (≤ ~50 values
+      // per group) is metadata: broadcast.
+      .join(rankMap("y", "yc").hint("shuffle_hash"), Seq("g", "yc"))
+      .join(broadcast(rankMap("x", "xc")), Seq("g", "xc"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_rows"),
         // u ≤ n_g, so u² overflows int64 past ~3e9 rows/group: multiply in

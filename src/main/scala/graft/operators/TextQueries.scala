@@ -149,8 +149,16 @@ object TextQueries {
       .select(col("p.doc_a"), col("p.doc_b"))
     val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = d.select(col("doc_id"),
-      size(Text.shingleSet(col("text"), 3)).as("n_sh"))
+    // r8: n_sh counts the already-exploded sh rows (shingleSet is distinct,
+    // so COUNT(*) per doc == size(shingleSet) exactly — and this is the
+    // oracle's own sizes CTE). The old size(shingleSet(text)) re-projection
+    // re-ran the whole shingle build, and the jaccard filter's inferred
+    // isnotnull(size(...)) pushed that expression BELOW the spread exchange
+    // into the unsplittable scan stage — 1.47 s on ONE task at sf0.1
+    // (guide §2.5/§4). Counting sh reuses the spread exchange, map-side
+    // partial agg keeps the shuffle at (doc, cnt) grain. 0-shingle docs
+    // can't appear in pairs, so the inner joins are unaffected.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -206,8 +214,9 @@ object TextQueries {
       .select(col("p.doc_a"), col("p.doc_b"))
     val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = d.select(col("doc_id"),
-      size(Text.shingleSet(col("text"), 3)).as("n_sh"))
+    // r8: sizes from the exploded sh rows, exactly as in q54 (and as the
+    // oracle's sizes CTE) — kills the single-task re-shingling scan stage
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
