@@ -1023,6 +1023,9 @@ object TextQueries {
   val q199DedupEffectiveness: Q = (s, dir) => {
     // The digest rollup feeds two branches (keepers + the final join):
     // localCheckpoint so the document scan + md5 pass runs once.
+    // (r8: overlapping this with the q68 pipeline via Tuning.overlap was
+    // measured WORSE — 2.27 -> 2.84 s — both legs scan documents, and the
+    // concurrent scans contend; left sequential.)
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         Text.tokenCount(col("text")).as("n_toks"), md5(col("text")).as("h"))
@@ -1238,13 +1241,15 @@ object TextQueries {
   val q133LshQuality: Q = (s, dir) => {
     // Both pair streams feed two branches each (their own count + the
     // hit join): localCheckpoint so the q54 and q55 pipelines run once
-    // per invocation instead of once per consuming branch.
-    val truth = q54NgramJaccard(s, dir)
-      .filter(col("jaccard") >= EvalJaccard)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val cand = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    // per invocation instead of once per consuming branch. The two legs
+    // are independent — materialize them CONCURRENTLY (r8: the eager
+    // checkpoints serialized 1.8 s + 1.3 s of pipeline on an idle
+    // cluster; overlapped they cost ~max of the two).
+    val Seq(truth, cand) = graft.Tuning.checkpointAll(
+      q54NgramJaccard(s, dir)
+        .filter(col("jaccard") >= EvalJaccard)
+        .select(col("doc_a"), col("doc_b")),
+      q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
@@ -2084,11 +2089,11 @@ object TextQueries {
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
     // each detector's pair set is consumed by its count AND the overlap
-    // join — checkpoint so neither LSH pipeline runs twice
-    val a = q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val b = q56Simhash(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    // join — checkpoint so neither LSH pipeline runs twice; the two
+    // detectors are independent, so materialize them concurrently (r8)
+    val Seq(a, b) = graft.Tuning.checkpointAll(
+      q55MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")),
+      q56Simhash(s, dir).select(col("doc_a"), col("doc_b")))
     val m = a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("m"))
     val na = a.agg(count(lit(1)).as("n_a"))
     val nb = b.agg(count(lit(1)).as("n_b"))
