@@ -1893,7 +1893,11 @@ object AuditQueries {
     // at sf0.1); the value rollup + bucket below-counts is the
     // distributed exact construction (q290's device), and the oracle
     // selects by the identical rank targets
+    // r8: the price rollup feeds the rank device's two window legs AND the
+    // grand total — checkpoint so the fact scan + (p) reduce runs once per
+    // query, not once per consumer (the q271 posture)
     val byV = li.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val ranked = doubledRankBelow(byV, Seq.empty, "p", 100000L)
     val nAll = byV.agg(sum(col("cnt")).as("n_all"))
     val cuts = ranked.crossJoin(broadcast(nAll))
