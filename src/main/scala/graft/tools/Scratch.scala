@@ -120,8 +120,36 @@ object Scratch {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
         }
+      case "gen10x" :: outDir :: Nil =>
+        // Synthesize the 10x documents slice for the SCALE.md probe
+        // (r7 verdict stretch item): 10 replicas of the sf documents,
+        // replica 0 verbatim, replicas 1-9 with every token suffixed
+        // "_r<k>" so replicas are token-DISJOINT — within-replica
+        // near-dup structure is preserved, cross-replica shingles never
+        // collide. This measures how the dedup/ANN machinery's shuffles,
+        // windows and candidate generation scale with VOLUME; it does
+        // not add cross-replica duplicate discovery (stated in SCALE.md).
+        // doc_id offset 10M per replica keeps ids disjoint.
+        import org.apache.spark.sql.functions._
+        val d = graft.Tables.documents(spark, sfDir)
+        val out = d
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            explode(expr("sequence(0, 9)")).as("r"))
+          .select(
+            (col("doc_id") + col("r") * 10000000L).as("doc_id"),
+            when(col("r") === 0, col("text"))
+              .otherwise(array_join(expr(
+                "transform(split(text, ' '), x -> concat(x, '_r', r))"),
+                " ")).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .repartition(8)
+        out.write.mode("overwrite").parquet(outDir)
+        println(s"[scratch] gen10x: wrote ${spark.read.parquet(outDir).count()} docs to $outDir")
       case _ =>
-        println("usage: Scratch explain|time <query-prefix>...")
+        println("usage: Scratch explain|time|profile|dump|gen10x ...")
     }
     spark.stop()
   }
