@@ -33,7 +33,10 @@ object Tuning {
     sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_DENSE", "64k")
 
   /** Declare the calling query's shuffles CPU-dense for this execution.
-    * Harnesses call [[reset]] before each query's build.
+    * Harnesses (Bench, Scratch, Verify) call [[reset]] before each query's
+    * build. Note this mutates session conf from inside a query builder —
+    * safe under the per-query reset, but a concurrent-query harness would
+    * need per-thread sessions (`SparkSession.newSession`).
     */
   def cpuDenseShuffles(s: SparkSession): Unit =
     s.conf.set(FloorKey, denseFloor)
@@ -52,11 +55,14 @@ object Tuning {
     */
   def checkpointAll(dfs: org.apache.spark.sql.DataFrame*)
       : Seq[org.apache.spark.sql.DataFrame] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // blocking{}: localCheckpoint is a blocking Spark action, and the
+    // shared fork-join pool would starve if this helper were ever nested
+    // or given more legs than pool threads — blocking() grows the pool.
     Await.result(
-      Future.sequence(dfs.map(df => Future(df.localCheckpoint()))),
+      Future.sequence(dfs.map(df => Future(blocking { df.localCheckpoint() }))),
       Duration.Inf)
   }
 }

@@ -21,6 +21,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
+      // same invariant as Bench/Scratch: a query's Tuning declaration
+      // (e.g. q65's cpuDenseShuffles floor) must not leak into the next
+      Tuning.reset(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

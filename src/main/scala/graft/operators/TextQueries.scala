@@ -274,6 +274,35 @@ object TextQueries {
     * where q54's Σdf² candidate blowup bites; both formulations are kept so
     * the engine can pick per workload.
     */
+  /** Max |docs| for which q65's verify joins may broadcast the per-document
+    * ranked-array frame. 2^21 rows of ~30-shingle long arrays is ~500 MB
+    * framed — inside the guide's "a few hundred MB is usually fine" band
+    * and far under the 8 GB broadcast cap; anything larger goes through
+    * shuffle_hash instead. Env-overridable for experiments.
+    */
+  val VerifyBroadcastMaxDocs: Long =
+    sys.env.get("SPARK_GRAFT_VERIFY_BCAST_MAX_DOCS")
+      .flatMap(_.toLongOption).getOrElse(1L << 21)
+
+  /** The q65 verify decoration: attach each candidate side's ranked shingle
+    * array + size. `useBroadcast` picks broadcast (small corpora: zero
+    * shuffles of the pair stream) vs shuffle_hash (corpus-scale docs: the
+    * hint keeps the join hash-build-on-docs and sort-free, and never
+    * collects a corpus-scale relation to the driver). Factored out so the
+    * plan shape of BOTH branches is pinned in PlansSpec.
+    */
+  private[operators] def verifyDecorate(cands: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame,
+      useBroadcast: Boolean): org.apache.spark.sql.DataFrame = {
+    def side(k: String, arr: String, n: String) = {
+      val p = docs.select(col("doc_id").as(k), col("arr").as(arr),
+        col("n_sh").as(n))
+      if (useBroadcast) broadcast(p) else p.hint("shuffle_hash")
+    }
+    cands.join(side("doc_a", "arr_a", "na"), "doc_a")
+      .join(side("doc_b", "arr_b", "nb"), "doc_b")
+  }
+
   val q65PpjoinJaccard: Q = (s, dir) => {
     // the dominant stage is the candidate-pair array_intersect verification
     // — CPU-dense on byte-small rows (measured 6.4 s CPU coalesced onto 5
@@ -315,11 +344,17 @@ object TextQueries {
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val inter = size(array_intersect(col("arr_a"), col("arr_b")))
-    cands
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
-        col("n_sh").as("na"))), "doc_a")
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
-        col("n_sh").as("nb"))), "doc_b")
+    // docs is one row per DOCUMENT — corpus-scale in absolute terms, so an
+    // unconditional broadcast() hint (which overrides the size threshold)
+    // would OOM the driver at 100 TB (r8 verdict). But the shuffle-only
+    // posture measured ~1 s worse locally: the second verify join re-
+    // exchanges the pair stream with arr_a already attached (262 MB at
+    // sf0.1 vs 0 broadcast). So the broadcast is GATED on the actual row
+    // count of the (already checkpointed, so the count is a metadata-cheap
+    // job) docs frame: small corpus → broadcast both probes; big corpus →
+    // shuffle_hash, hash-build on the docs side, sort-free at any scale.
+    verifyDecorate(cands, docs,
+      useBroadcast = docs.count() <= VerifyBroadcastMaxDocs)
       .select(col("doc_a"), col("doc_b"),
         inter.cast("long").as("n_inter"),
         (col("na") + col("nb") - inter).cast("long").as("n_union"),
@@ -3395,6 +3430,12 @@ object TextQueries {
     * once; the band rollup is 10 rows.
     */
   val q580DupGramRate: Q = (s, dir) => {
+    // COUNTER-MEASURED (r9): the algebraic "n_shared = n_grams − n_unique
+    // via min(doc_id) of gdf=1 grams" rewrite avoided the stream join but
+    // re-shingled every document for the per-doc totals and measured 1.10
+    // → 1.98 s — the shingle build is the expensive op, so the original
+    // join-back shape (one explode per branch, AQE skew-split on any hot
+    // gram) stays.
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Text.shingleSet(col("text"), 5))
         .as("shingle"))
@@ -3510,12 +3551,20 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
     val width = d.agg(expr("CAST(max(doc_id) AS BIGINT) div 10 + 1").as("w"))
-    val bg = d.crossJoin(broadcast(width))
+    // ONE gram-keyed pass (r9): collect_set(batch) per gram gives both the
+    // distinct (batch, gram) incidence (explode of the ≤10-element set)
+    // and the first batch (array_min) — the old (batch, gram) rollup +
+    // gram-grain min + join-back shape ran the corpus explode twice (4
+    // parquet scans, no exchange reuse in the before plan) and paid two
+    // more gram-keyed exchanges for the rollup's two consumers. The set is
+    // bounded by the 10 fixed batches, so the aggregate state is O(1) per
+    // gram at any corpus size.
+    val perBatch = d.crossJoin(broadcast(width))
       .select(expr("doc_id div w").as("batch"),
         explode(Text.shingleSet(col("text"), 5)).as("gram"))
-      .groupBy(col("batch"), col("gram")).agg(count(lit(1)).as("n_docs_b"))
-    val first = bg.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
-    val perBatch = bg.join(first, "gram")
+      .groupBy(col("gram"))
+      .agg(collect_set(col("batch")).as("bs"))
+      .select(explode(col("bs")).as("batch"), array_min(col("bs")).as("fb"))
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_grams"),
         sum((col("fb") === col("batch")).cast("long")).as("n_new"))

@@ -710,4 +710,54 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
       s"the purchase filter must reach the scan:\n$p")
   }
+
+  // ---------------- r8/r9 scale-guard pins (r8 verdict item 7): a Spark
+  // bump or refactor must not silently restore the funnel/broadcast shapes
+  // these optimizations removed.
+
+  test("parallelizedBy: no exchange added when splits already cover the cores") {
+    import org.apache.spark.sql.functions._
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000).repartition(cores + 2)
+      .select(col("id"), (col("id") * 2).as("v"))
+    val spread = graft.Tables.parallelizedBy(wide, col("id"))
+    assert(spread.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange")) ===
+      wide.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange")),
+      "parallelizedBy must be a NO-OP once the input has >= cores splits")
+    // and it DOES add the hash exchange on a single-split input
+    val narrow = spark.range(0, 1000).coalesce(1)
+      .select(col("id"), (col("id") * 2).as("v"))
+    assert(graft.Tables.parallelizedBy(narrow, col("id"))
+        .queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+      "single-split inputs must spread by the unique key")
+  }
+
+  test("q271: the corpus-scale price rank map joins shuffle_hash, never broadcast") {
+    val p = plan("q271_spearman")
+    assert(p.contains("ShuffledHashJoin"),
+      s"price rank-map join must stay ShuffledHashJoin:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the fact side must never stream against a broadcast:\n$p")
+  }
+
+  test("q65: the shuffle branch of the verify decoration never broadcasts docs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 64).select(col("id").as("doc_id"),
+      array(col("id"), col("id") + 1).as("arr"), lit(2).as("n_sh"))
+    val cands = spark.range(0, 64).select(col("id").as("doc_a"),
+      (col("id") + 1).as("doc_b"))
+    val shuffled = TextQueries.verifyDecorate(cands, docs, useBroadcast = false)
+      .queryExecution.executedPlan.toString
+    assert(shuffled.contains("ShuffledHashJoin"),
+      s"gate-off branch must shuffle-hash the docs probes:\n$shuffled")
+    assert(!shuffled.contains("BroadcastExchange"),
+      s"gate-off branch must never broadcast the per-document frame:\n$shuffled")
+    val bcast = TextQueries.verifyDecorate(cands, docs, useBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"),
+      s"gate-on branch must broadcast:\n$bcast")
+  }
 }
