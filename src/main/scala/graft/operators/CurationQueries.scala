@@ -484,16 +484,28 @@ object CurationQueries {
     * weight-of-bucket expression with a broadcast 2^16-row join, same
     * shape.
     */
-  val q99HashClassifier: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
+  /** The q99 score as a COLUMN over a `text` column. Scoring consumers
+    * (q114/q164/q226/q385 and the q578–q601 curation family) decorate ONE
+    * documents scan with this instead of joining q99HashClassifier back to
+    * documents on doc_id: doc_id is the table's unique key, so that
+    * self-join is the identity — inlining the column removes a corpus-scale
+    * join (two per-document exchanges at 100 TB) and a second documents
+    * scan + md5 scoring pass from every consumer (r9, guide §1.2/§2.4).
+    */
+  private[operators] def q99ScoreCol: org.apache.spark.sql.Column = {
     def weightOf(t: org.apache.spark.sql.Column) =
       pmod(Text.portableHash(concat(lit("w"),
         pmod(Text.portableHash(t), lit(FeatBuckets)).cast("string"))),
         lit(2001L)) - 1000L
+    aggregate(transform(array_distinct(Text.tokens(col("text"))), weightOf _),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  val q99HashClassifier: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
     val feats = array_distinct(Text.tokens(col("text")))
     d.select(col("doc_id"), size(feats).as("n_feats"),
-        aggregate(transform(feats, weightOf _), lit(0L),
-          (acc, x) => acc + x).as("score"))
+        q99ScoreCol.as("score"))
       .withColumn("band", when(col("score") >= 0, "keep").otherwise("drop"))
   }
 
@@ -535,11 +547,15 @@ object CurationQueries {
     * PrefixSpec's pin and q246's identical migration.
     */
   val q114DecileLift: Q = (s, dir) => {
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+    // single checkpointed documents scan (q99ScoreCol inlined — no doc_id
+    // self-join) shared by the prefix device and the count scalar (r9)
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), q99ScoreCol.as("score"), col("n_chars"))
+      .localCheckpoint()
     val nAll = scored.agg(count(lit(1)).as("n_all"))
     val deciles = Prefix
-      .rowNumber(scored, "score", Seq("doc_id"), "rn", desc = true)
+      .rowNumber(scored, "score", Seq("doc_id"), "rn", desc = true,
+        materialize = false)
       .crossJoin(broadcast(nAll))
       .select(col("doc_id"), col("score"), col("n_chars"),
         Prefix.ntileExpr("rn", "n_all", 10).cast("int").as("decile"),
@@ -824,9 +840,10 @@ object CurationQueries {
     * 10-bin hash rollup — nothing after the scan is corpus-scale.
     */
   val q226Calibration: Q = (s, dir) => {
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
-      .select(col("score"), (col("n_chars") >= 300).cast("long").as("resp"))
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val scored = Tables.documents(s, dir)
+      .select(q99ScoreCol.as("score"),
+        (col("n_chars") >= 300).cast("long").as("resp"))
       .select(col("resp"),
         least(greatest(lit(500000L) + col("score") * 1000L, lit(0L)),
           lit(1000000L)).as("phat_e6"))
@@ -903,9 +920,10 @@ object CurationQueries {
     */
   val q164Auc: Q = (s, dir) => {
     val dec = "decimal(38,0)"
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
-      .select(col("score"), (col("n_chars") >= 300).cast("long").as("resp"))
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val scored = Tables.documents(s, dir)
+      .select(q99ScoreCol.as("score"),
+        (col("n_chars") >= 300).cast("long").as("resp"))
     // one upstream traversal: the rollup is checkpointed once and shared
     // by the grand-total scalar and both prefix devices
     val byScore = scored.groupBy(col("score"))
@@ -2200,12 +2218,10 @@ object CurationQueries {
     */
   val q385Spiegelhalter: Q = (s, dir) => {
     val dec = "decimal(38,0)"
-    val scored = q99HashClassifier(s, dir)
-      .select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
-        "doc_id")
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val scored = Tables.documents(s, dir)
       .select((col("n_chars") >= 300).cast("long").as("resp"),
-        least(greatest(lit(500000L) + col("score") * 1000L, lit(0L)),
+        least(greatest(lit(500000L) + q99ScoreCol * 1000L, lit(0L)),
           lit(1000000L)).as("p"))
     val folded = scored.agg(count(lit(1)).as("n"),
       sum((lit(1000000L) * col("resp") - col("p")).cast(dec) *
@@ -2804,11 +2820,16 @@ object CurationQueries {
     */
   private def budgetSelection(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // one documents scan (q99ScoreCol inlined — no self-join back on
+    // doc_id), checkpointed ONCE for its two consumers: the prefix device
+    // (materialize=false — it would otherwise checkpoint a second copy)
+    // and the totals scalar, which previously re-ran the md5 scoring pass
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), q99ScoreCol.as("score"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val cum = Prefix.runningSum(scored, "score", Seq("doc_id"), "n_tokens",
-      "cum_before", desc = true)
+      "cum_before", desc = true, materialize = false)
     val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_docs_all"))
     cum.crossJoin(broadcast(tot))
@@ -3037,9 +3058,10 @@ object CurationQueries {
     * the doc-level selectivity.
     */
   val q582BudgetByLang: Q = (s, dir) => {
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), q99ScoreCol.as("score"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .localCheckpoint()
     val langTot = scored.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("lang_tokens"),
@@ -3128,9 +3150,10 @@ object CurationQueries {
          |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
          |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
          |END""".stripMargin
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val scored = Tables.documents(s, dir)
+      .select(col("source"), q99ScoreCol.as("score"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
     val bySrc = scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("score")).as("sum_score"))
@@ -3377,13 +3400,15 @@ object CurationQueries {
     * scores ride the q99 single pass; the report is 4 rows.
     */
   val q590DedupQuality: Q = (s, dir) => {
+    // single documents scan: the md5 group key, the token count, AND the
+    // q99 band ride one projection — no doc_id self-join back to the
+    // scoring pass (r9)
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), md5(col("text")).as("h"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+        when(q99ScoreCol >= 0, "keep").otherwise("drop").as("band"))
     val grp = d.groupBy(col("h")).agg(count(lit(1)).as("gc"))
-    val scored = q99HashClassifier(s, dir)
-      .select(col("doc_id"), col("band"))
-    val cells = d.join(grp, "h").join(scored, "doc_id")
+    val cells = d.join(grp, "h")
       .select(col("band"),
         (col("gc") >= 2L).cast("long").as("is_dup"), col("n_tok"))
       .groupBy(col("band"), col("is_dup"))
@@ -3480,9 +3505,10 @@ object CurationQueries {
          |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
          |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
          |END""".stripMargin
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val scored = Tables.documents(s, dir)
+      .select(q99ScoreCol.as("score"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
     scored
       .withColumn("len_band", expr(
         """CASE WHEN n_tok >= 4096 THEN 4096 WHEN n_tok >= 2048 THEN 2048
@@ -3545,9 +3571,10 @@ object CurationQueries {
          |  THEN CAST(CAST($num AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
          |  ELSE -CAST(CAST(-($num) AS DECIMAL(38,0)) * 1000000 DIV $den AS BIGINT)
          |END""".stripMargin
-    val bySrc = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    val bySrc = Tables.documents(s, dir)
+      .select(col("source"), q99ScoreCol.as("score"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("score")).as("sum_score"))
@@ -3637,9 +3664,9 @@ object CurationQueries {
          |END""".stripMargin
     val d = Tables.documents(s, dir)
     val width = d.agg(expr("CAST(max(doc_id) AS BIGINT) div 10 + 1").as("w"))
-    q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(d.select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+    // single documents scan: q99ScoreCol inlined, no doc_id self-join (r9)
+    d.select(col("doc_id"), q99ScoreCol.as("score"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
       .crossJoin(broadcast(width))
       .groupBy(expr("doc_id div w").as("batch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
@@ -3742,11 +3769,14 @@ object CurationQueries {
     */
   val q601BudgetSweep: Q = (s, dir) => {
     val pcts = Seq(10L, 25L, 50L, 75L)
-    val scored = q99HashClassifier(s, dir).select(col("doc_id"), col("score"))
-      .join(Tables.documents(s, dir).select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // single checkpointed documents scan shared by the prefix device and
+    // the totals scalar (the budgetSelection posture, r9)
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), q99ScoreCol.as("score"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val cum = Prefix.runningSum(scored, "score", Seq("doc_id"), "n_tokens",
-      "cum_before", desc = true)
+      "cum_before", desc = true, materialize = false)
     val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_docs_all"))
     val withB = cum.crossJoin(broadcast(tot))
