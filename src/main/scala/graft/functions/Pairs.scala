@@ -24,4 +24,21 @@ object Pairs {
     explode(flatten(transform(members, (x, i) =>
       transform(slice(members, i + lit(2), size(members)),
         y => pair(x, y)))))
+
+  /** Both orientations of an undirected edge row IN PLACE — the
+    * replacement for the `e.union(e.select(b, a))` idiom, which re-derives
+    * the whole upstream edge pipeline once per union branch (the flipped
+    * projections defeat exchange reuse; measured 2× the edge-rollup scans
+    * in every before-plan that used it, r9). One explode over a 2-element
+    * array keeps a single derivation and doubles rows in place. `a` / `b`
+    * are the endpoint column names (emitted under the same names, swapped
+    * in the second orientation); `carry` columns ride along unchanged.
+    */
+  def bothOrientations(df: org.apache.spark.sql.DataFrame, a: String,
+      b: String, carry: String*): org.apache.spark.sql.DataFrame = {
+    def side(x: String, y: String) =
+      struct((col(x).as(a) +: col(y).as(b) +: carry.map(col)): _*)
+    df.select(explode(array(side(a, b), side(b, a))).as("pfx_e"))
+      .select(col("pfx_e.*"))
+  }
 }

@@ -156,23 +156,33 @@ object Graph {
       .withColumn("h", lit(1000000000000L))
     var auths: DataFrame = e.select(col("auth")).distinct()
       .withColumn("a", lit(1000000000000L))
+    // Each raw-sum frame needs (a) a lineage cut — it is read by its own
+    // normalization and the next half-step's edge join, and without the
+    // cut the edge join re-derives 2^(2·iters) times (measured 8.5 s →
+    // 3.8 s at sf0.1) — and (b) its L1 total. The total rides the
+    // CHECKPOINT job itself via observe() (bounded metadata: one decimal
+    // scalar), so a half-step is ONE Spark job instead of checkpoint +
+    // separate total aggregation — half the per-round job count (r9,
+    // guide §2.6 round-cost reduction). The literal total is cast back to
+    // DECIMAL(38,0), so the floor-division expression is typed exactly as
+    // the old broadcast-scalar cross join and the fixed-point values are
+    // bit-identical (oracle-pinned).
+    def normalized(raw: DataFrame, key: String, rawCol: String,
+        out: String): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = raw.observe(obs, sum(col(rawCol)).as("tot")).localCheckpoint()
+      val tot = Option(obs.get("tot")).map(_.toString).getOrElse("NULL")
+      ck.select(col(key),
+        expr(fdiv(s"$rawCol * 1000000000000",
+          s"CAST($tot AS DECIMAL(38,0))")).cast("long").as(out))
+    }
     for (_ <- 1 to iters) {
-      // each raw-sum frame is read TWICE (its own normalization total and
-      // the normalized join) — without a per-half-step lineage cut the
-      // edge join would re-derive 2^(2·iters) times through the nested
-      // broadcast-scalar subtrees (measured 8.5 s → 3.8 s at sf0.1)
       val araw = e.join(hubs, "hub").groupBy(col("auth"))
         .agg(sum(col("h").cast(dec)).as("a_raw"))
-        .localCheckpoint()
-      val atot = araw.agg(sum(col("a_raw")).as("tot"))
-      auths = araw.crossJoin(broadcast(atot)).select(col("auth"),
-        expr(fdiv("a_raw * 1000000000000", "tot")).cast("long").as("a"))
+      auths = normalized(araw, "auth", "a_raw", "a")
       val hraw = e.join(auths, "auth").groupBy(col("hub"))
         .agg(sum(col("a").cast(dec)).as("h_raw"))
-        .localCheckpoint()
-      val htot = hraw.agg(sum(col("h_raw")).as("tot"))
-      hubs = hraw.crossJoin(broadcast(htot)).select(col("hub"),
-        expr(fdiv("h_raw * 1000000000000", "tot")).cast("long").as("h"))
+      hubs = normalized(hraw, "hub", "h_raw", "h")
     }
     (hubs, auths)
   }
@@ -208,11 +218,31 @@ object Graph {
     // materializes its (small, shrinking) survivor set; this is the
     // standard per-iteration lineage cut, unlike PageRank where the rank
     // frame is consumed once per round and the chain stays linear.
-    var nodes = degrees(bi).localCheckpoint()
-    for (_ <- 2 to rounds) {
+    //
+    // EARLY EXIT (r9): peeling is monotone — survivors(i+1) ⊆ survivors(i)
+    // — so an unchanged survivor COUNT means an unchanged SET, i.e. the
+    // fixpoint: every remaining budgeted round is a no-op and is skipped
+    // with a bit-identical result (same set ⇒ same induced subgraph ⇒ same
+    // degrees). The count rides the checkpoint job itself via observe()
+    // (bounded metadata, one long), so convergence detection costs zero
+    // extra jobs and the query stops paying per-round job latency the
+    // moment the core settles (guide §2.6 round-cost reduction).
+    def materialize(n: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = n.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (nodes, nAlive) = materialize(degrees(bi))
+    var round = 2
+    var converged = false
+    while (round <= rounds && !converged) {
       val induced = bi.join(nodes.select(col("u")), Seq("u"))
         .join(nodes.select(col("u").as("v")), Seq("v"))
-      nodes = degrees(induced).localCheckpoint()
+      val (nxt, n2) = materialize(degrees(induced))
+      converged = n2 == nAlive
+      nodes = nxt
+      nAlive = n2
+      round += 1
     }
     nodes.select(col("u").as("id"), col("deg"))
   }

@@ -675,11 +675,13 @@ object GraphQueries {
     * subquery.
     */
   val q234ShortestPaths: Q = (s, dir) => {
-    val e = copurchaseEdges(s, dir)
-    val und = e.select(col("part_a").as("src"), col("part_b").as("dst"),
-        expr("1000000 DIV n_ab").as("cost"))
-      .unionByName(e.select(col("part_b").as("src"), col("part_a").as("dst"),
-        expr("1000000 DIV n_ab").as("cost")))
+    // both orientations IN PLACE — one co-purchase derivation, not two
+    // union branches (Pairs.bothOrientations, r9)
+    val und = graft.functions.Pairs.bothOrientations(
+        copurchaseEdges(s, dir)
+          .select(col("part_a").as("src"), col("part_b").as("dst"),
+            expr("1000000 DIV n_ab").as("cost")),
+        "src", "dst", "cost")
       .localCheckpoint()
     val anchor = und.agg(min(col("src")).as("part"))
     var dist = anchor.withColumn("d", lit(0L)).localCheckpoint()
@@ -751,7 +753,9 @@ object GraphQueries {
       .join(deg.select(col("n").as("part_a"), col("deg").as("da")), "part_a")
       .join(deg.select(col("n").as("part_b"), col("deg").as("db")), "part_b")
       .select(col("da"), col("db"))
-    val sym = directed.union(directed.select(col("db").as("da"), col("da").as("db")))
+    // in place, not union-of-flips: directed's two degree joins would
+    // otherwise run once per branch (r9)
+    val sym = graft.functions.Pairs.bothOrientations(directed, "da", "db")
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
       sum((col("deg") === 1).cast("long")).as("n_leaves"))
@@ -907,8 +911,9 @@ object GraphQueries {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
     def directional(e: org.apache.spark.sql.DataFrame) =
-      e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
-        .union(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
+      graft.functions.Pairs.bothOrientations(
+        e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab")),
+        "a", "b", "n_ab")
     val train = directional(edges(itemsIn(test = false)))
     val recs = train
       .withColumn("rk", row_number().over(
@@ -1050,10 +1055,14 @@ object GraphQueries {
     .groupBy(col("part_a"), col("part_b"))
     .agg(count(lit(1)).as("n_ab"))
 
-  /** Both directions of the undirected co-occurrence edge list. */
+  /** Both directions of the undirected co-occurrence edge list — in place
+    * (Pairs.bothOrientations), so the pair-generation pipeline upstream is
+    * derived once, not once per union branch (r9).
+    */
   private def recDirectional(e: org.apache.spark.sql.DataFrame) =
-    e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab"))
-      .union(e.select(col("part_b").as("a"), col("part_a").as("b"), col("n_ab")))
+    graft.functions.Pairs.bothOrientations(
+      e.select(col("part_a").as("a"), col("part_b").as("b"), col("n_ab")),
+      "a", "b", "n_ab")
 
   /** q217: ranking-metrics panel — MRR, precision@{1,3,10} and recall@10
     * for the q202 recommender under the same leak-free temporal split.
@@ -1080,22 +1089,35 @@ object GraphQueries {
       .select(col("a"), col("b"), col("rk"))
     val relevant = recDirectional(recPairEdges(recItems(s, dir, test = true)))
       .select(col("a"), col("b"))
-    val perUserRel = relevant.groupBy(col("a"))
-      .agg(count(lit(1)).as("nrel"))
-    val hits = relevant.join(recs, Seq("a", "b"))
+    // LEFT-JOIN-FIRST (r9): the old shape consumed `relevant` twice (per-
+    // user relevance rollup + inner hit join) and re-derived the whole test
+    // pair pipeline per consumer (materializing it was counter-measured
+    // worse in r8 — the list is big). One left join then ONE per-user
+    // rollup computes nrel and the hit columns in a single pass: min/count
+    // skip nulls and the when() conditions are null-false, so every value
+    // is identical to the perUserRel⟕hits formulation. Also one fewer
+    // shuffle of `relevant` (no separate nrel exchange).
+    // rk must be re-projected through when(isNotNull): row_number()'s
+    // non-nullable metadata survives the left join in the expression tree,
+    // and codegen then elides null checks on unmatched rows and reads a
+    // stale value slot (caught live in q262's element_at — the comparisons
+    // here are one optimizer change away from the same misread).
+    val perUser = relevant.join(recs, Seq("a", "b"), "left")
+      .select(col("a"), when(col("rk").isNotNull, col("rk")).as("rk"))
       .groupBy(col("a"))
-      .agg(min(col("rk")).as("first_rk"),
+      .agg(count(lit(1)).as("nrel"),
+        min(col("rk")).as("first_rk"),
         sum(when(col("rk") <= 1, 1L).otherwise(0L)).as("h1"),
         sum(when(col("rk") <= 3, 1L).otherwise(0L)).as("h3"),
-        count(lit(1)).as("h10"))
-    perUserRel.join(hits, Seq("a"), "left")
+        count(col("rk")).as("h10"))
+    perUser
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("first_rk").isNotNull,
           expr("1000000 DIV first_rk")).otherwise(0L)).as("sum_rr_e6"),
-        sum(coalesce(col("h1"), lit(0L))).as("sh1"),
-        sum(coalesce(col("h3"), lit(0L))).as("sh3"),
-        sum(coalesce(col("h10"), lit(0L))).as("sh10"),
-        sum(expr("coalesce(h10, 0L) * 1000000 DIV nrel")).as("sum_rec_e6"))
+        sum(col("h1")).as("sh1"),
+        sum(col("h3")).as("sh3"),
+        sum(col("h10")).as("sh10"),
+        sum(expr("h10 * 1000000 DIV nrel")).as("sum_rec_e6"))
       // DECIMAL on the e6 numerators: hit counts track user counts, and
       // count x 1e6 wraps int64 in the 10^13-user range
       .select(col("n_users"),
@@ -1201,13 +1223,24 @@ object GraphQueries {
       .select(col("a"), col("b"), col("rk"))
     val relevant = recDirectional(recPairEdges(recItems(s, dir, test = true)))
       .select(col("a"), col("b"))
-    val perUserRel = relevant.groupBy(col("a")).agg(count(lit(1)).as("nrel"))
     val discArr = array(DcgDisc.map(lit): _*)
     val cumArr = array(DcgCum.map(lit): _*)
-    val dcg = relevant.join(recs, Seq("a", "b"))
-      .select(col("a"), element_at(discArr, col("rk").cast("int")).as("disc"))
-      .groupBy(col("a")).agg(sum(col("disc")).as("dcg_e6"))
-    perUserRel.join(dcg, Seq("a"), "left")
+    // LEFT-JOIN-FIRST (r9, the q217 rewrite): one derivation of the test
+    // pair list, one per-user rollup computing nrel AND the dcg sum —
+    // element_at of a null rk is null and sum skips nulls, so the coalesced
+    // dcg is identical to the perUserRel⟕dcg formulation.
+    // the explicit isNotNull guard is LOAD-BEARING: rk is row_number(),
+    // whose non-nullable metadata survives the left join in the expression
+    // tree, so an unguarded element_at(discArr, rk) compiles WITHOUT a
+    // null check and reads a stale slot (the last discount) on unmatched
+    // rows — measured returning disc=289065 for every miss. when() forces
+    // nullable semantics and the miss contributes NULL (skipped by sum).
+    val dcg = relevant.join(recs, Seq("a", "b"), "left")
+      .select(col("a"), when(col("rk").isNotNull,
+        element_at(discArr, col("rk").cast("int"))).as("disc"))
+      .groupBy(col("a")).agg(count(lit(1)).as("nrel"),
+        sum(col("disc")).as("dcg_e6"))
+    dcg
       .select(coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
         element_at(cumArr, least(col("nrel"), lit(RankK.toLong)).cast("int"))
           .as("idcg_e6"))
@@ -1511,9 +1544,13 @@ object GraphQueries {
   val q415Betweenness: Q = (s, dir) => {
     def fdiv(a: String, b: String) =
       s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
-    val e = copurchaseEdges(s, dir)
-    val und = e.select(col("part_a").as("src"), col("part_b").as("dst"))
-      .unionByName(e.select(col("part_b").as("src"), col("part_a").as("dst")))
+    // both orientations IN PLACE (Pairs.bothOrientations): the union-of-
+    // flipped-projections idiom re-ran the whole co-purchase pipeline once
+    // per branch inside this checkpoint job (r9)
+    val und = graft.functions.Pairs.bothOrientations(
+        copurchaseEdges(s, dir)
+          .select(col("part_a").as("src"), col("part_b").as("dst")),
+        "src", "dst")
       .localCheckpoint()
     val seeds = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("src")).limit(BetwSeedK)
@@ -1532,7 +1569,10 @@ object GraphQueries {
           "left_anti")
         .localCheckpoint()
       layers = layers :+ nxt
-      settled = settled.unionByName(nxt).localCheckpoint()
+      // plain union of ALREADY-CHECKPOINTED layers: re-deriving it is a
+      // narrow re-read, and dropping its own checkpoint saves one blocking
+      // job per forward round (r9)
+      settled = settled.unionByName(nxt)
     }
     var deltas = Vector.empty[org.apache.spark.sql.DataFrame]
     var deeperDelta: Option[org.apache.spark.sql.DataFrame] = None
