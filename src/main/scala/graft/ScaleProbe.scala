@@ -40,7 +40,18 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val line = run(spark, baseDir, outRoot, factor, queriesCsv, samples)
+    spark.stop()
+    println(line)
+  }
 
+  /** The probe body, reusable from Bench's env-gated mode (r9, r8 verdict
+    * item 6): builds (or reuses) the factor× documents slice, times each
+    * matching query on base and scaled dirs, prints one JSON line per
+    * query, and RETURNS the summary JSON line with observed exponents.
+    */
+  def run(spark: SparkSession, baseDir: String, outRoot: String,
+      factor: Int, queriesCsv: String, samples: Int): String = {
     val scaledDir = s"$outRoot/x$factor"
     val fs = java.nio.file.Paths.get(scaledDir)
     if (!java.nio.file.Files.exists(fs.resolve("documents.parquet"))) {
@@ -95,7 +106,6 @@ object ScaleProbe {
     }
     val line = rows.map { case (n, a, b, e) =>
       f""""$n":[$a%.2f,$b%.2f,$e%.2f]""" }.mkString("{", ",", "}")
-    spark.stop()
-    println(s"""{"probe":"scale","factor":$factor,"base":"$baseDir","results":$line}""")
+    s"""{"probe":"scale","factor":$factor,"base":"$baseDir","results":$line}"""
   }
 }
