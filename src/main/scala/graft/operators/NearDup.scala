@@ -31,9 +31,12 @@ object NearDup {
     * are trivially their own cluster).
     */
   def clusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
-    val edges = pairs.toDF("a", "b")
-    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    // both orientations IN PLACE (Pairs.bothOrientations): the old
+    // union-of-flips re-ran the whole candidate-pair pipeline (the MinHash
+    // banding in q68/q199) once per branch inside this checkpoint job (r9)
+    val directed = graft.functions.Pairs.bothOrientations(
+        pairs.toDF("a", "b").select(col("a").as("src"), col("b").as("dst")),
+        "src", "dst")
       .distinct()
       .localCheckpoint()
     var labels = directed.select(col("src").as("id")).distinct()
@@ -50,15 +53,19 @@ object NearDup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("rep")).as("nbr_rep"))
-      // old and new label ride the same checkpointed frame, so the
-      // convergence test scans materialized blocks instead of re-running
-      // the join a second time per round
+      // the changed-label count rides the checkpoint job itself via
+      // observe() (bounded metadata: one long), so a round is ONE Spark job
+      // — the former filter(...).isEmpty convergence scan was a second job
+      // per round (r9, guide §2.6 round-cost reduction)
+      val obs = org.apache.spark.sql.Observation()
       val step = labels.withColumnRenamed("rep", "old")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr_rep"), col("old"))).as("rep"))
+        .observe(obs, sum((col("rep") =!= col("old")).cast("long"))
+          .as("changed"))
         .localCheckpoint()
-      converged = step.filter(col("rep") =!= col("old")).isEmpty
+      converged = Option(obs.get("changed")).forall(_ == 0L)
       labels = step.select(col("id"), col("rep"))
       backing.unpersist()
       backing = step
@@ -112,11 +119,15 @@ object NearDup {
         .distinct()
       // small-star on canonical edges: for each hub v its neighbours u are
       // all smaller; m = min of them. Re-hang every u (and v itself) on m.
+      // Both re-hang rows ride ONE explode (r9): the former union of two
+      // projections re-ran the large-star window pipeline once per branch.
       val withM = large
         .withColumn("m", min(col("u")).over(Window.partitionBy(col("v"))))
       val small = canon(
-        withM.select(col("m").as("u"), col("u").as("v"))
-          .union(withM.select(col("m").as("u"), col("v"))))
+        withM.select(explode(array(
+            struct(col("m").as("u"), col("u").as("v")),
+            struct(col("m").as("u"), col("v").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v")))
         .localCheckpoint()
       // Fixpoint test in ONE job: the contraction is complete exactly when
       // the edge set is a star forest — every leaf v hangs off a single
