@@ -3928,20 +3928,29 @@ object TextQueries {
     * duplicate sets.
     */
   val q596ShardDedup: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        pmod(col("doc_id"), lit(8L)).as("shard"))
-      .localCheckpoint() // three consumers of the hash pass
-    val g = d.groupBy(col("h")).agg(count(lit(1)).as("gc"))
-    val l = d.groupBy(col("h"), col("shard")).agg(count(lit(1)).as("lc"))
-    d.join(g, "h").join(l, Seq("h", "shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum((col("gc") >= 2L).cast("long")).as("n_gdup_docs"),
-        sum((col("lc") >= 2L).cast("long")).as("n_ldup_docs"),
-        sum((col("gc") >= 2L && col("lc") < 2L).cast("long"))
-          .as("n_missed_docs"))
-      .crossJoin(broadcast(g.agg(count(lit(1)).as("n_groups"))))
-      .crossJoin(broadcast(l.agg(count(lit(1)).as("n_local_groups"))))
+    // Everything derives from the (h, shard) rollup `l` (r9): gc is the
+    // window-sum of lc over h, each (h, shard) cell contributes lc docs to
+    // every per-doc count, and both group totals fall out of the same
+    // frame (n_local_groups = rows, n_groups = cells with rn=1). One
+    // corpus pass, one exchange — the old shape checkpointed the hash
+    // frame and re-read it four times (g, l, the 3-way join probe, plus
+    // two scalar count jobs).
+    val l = Tables.documents(s, dir)
+      .select(md5(col("text")).as("h"), pmod(col("doc_id"), lit(8L))
+        .as("shard"))
+      .groupBy(col("h"), col("shard")).agg(count(lit(1)).as("lc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    l.withColumn("gc", sum(col("lc")).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("shard"))))
+      .agg(sum(col("lc")).as("n_docs"),
+        sum(when(col("gc") >= 2L, col("lc")).otherwise(0L))
+          .as("n_gdup_docs"),
+        sum(when(col("lc") >= 2L, col("lc")).otherwise(0L))
+          .as("n_ldup_docs"),
+        sum(when(col("gc") >= 2L && col("lc") < 2L, col("lc")).otherwise(0L))
+          .as("n_missed_docs"),
+        sum((col("rn") === 1).cast("long")).as("n_groups"),
+        count(lit(1)).as("n_local_groups"))
       .select(col("n_docs"), col("n_gdup_docs"), col("n_ldup_docs"),
         col("n_missed_docs"),
         (col("n_docs") - col("n_groups")).as("removed_global"),
@@ -3988,19 +3997,29 @@ object TextQueries {
     * rollups, a one-row report.
     */
   val q600NormDedup: Q = (s, dir) => {
+    // Two windows over ONE checkpointed hash pass (r9): rc / nc are
+    // per-group counts on independent axes, so each rides a partitioned
+    // window instead of a groupBy + join-back; group totals come from the
+    // same frame (first-of-group markers), so the two scalar count jobs
+    // and the 3-way join are gone. The checkpoint stays: the md5 + regex
+    // normalization pass is the expensive op and feeds both windows.
+    val w = org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), md5(col("text")).as("h_raw"),
         md5(trim(regexp_replace(lower(col("text")),
           lit("[^a-z0-9]+"), lit(" ")))).as("h_norm"))
       .localCheckpoint()
-    val gr = d.groupBy(col("h_raw")).agg(count(lit(1)).as("rc"))
-    val gn = d.groupBy(col("h_norm")).agg(count(lit(1)).as("nc"))
-    d.join(gr, "h_raw").join(gn, "h_norm")
+    d.withColumn("rc", count(lit(1)).over(w.partitionBy(col("h_raw"))))
+      .withColumn("rn_r", row_number().over(
+        w.partitionBy(col("h_raw")).orderBy(col("doc_id"))))
+      .withColumn("nc", count(lit(1)).over(w.partitionBy(col("h_norm"))))
+      .withColumn("rn_n", row_number().over(
+        w.partitionBy(col("h_norm")).orderBy(col("doc_id"))))
       .agg(count(lit(1)).as("n_docs"),
         sum((col("rc") >= 2L).cast("long")).as("dup_raw_docs"),
-        sum((col("nc") >= 2L).cast("long")).as("dup_norm_docs"))
-      .crossJoin(broadcast(gr.agg(count(lit(1)).as("n_raw_groups"))))
-      .crossJoin(broadcast(gn.agg(count(lit(1)).as("n_norm_groups"))))
+        sum((col("nc") >= 2L).cast("long")).as("dup_norm_docs"),
+        sum((col("rn_r") === 1).cast("long")).as("n_raw_groups"),
+        sum((col("rn_n") === 1).cast("long")).as("n_norm_groups"))
       .select(col("n_docs"), col("dup_raw_docs"), col("dup_norm_docs"),
         (col("n_docs") - col("n_raw_groups")).as("removed_raw"),
         (col("n_docs") - col("n_norm_groups")).as("removed_norm"),
