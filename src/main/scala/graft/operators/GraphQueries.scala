@@ -502,6 +502,10 @@ object GraphQueries {
     * integers; top 25 rules by support with lexicographic tie-break.
     */
   val q247SequentialRules: Q = (s, dir) => {
+    // the crossover self-join + distinct is CPU-dense on byte-small rows
+    // (profiled: 14 s CPU coalesced onto 8 tasks over a 9 MB read at
+    // sf0.1); see Tuning.cpuDenseShuffles (inert at scale)
+    graft.Tuning.cpuDenseShuffles(s)
     // the broadcast-join + (cust, brand) rollup map stage ran on the scan's
     // single split (guide §2.5); spread by the join key — no-op at scale
     val li = Tables.parallelizedBy(

@@ -2894,13 +2894,21 @@ object TextQueries {
       .select(col("doc_id"), col("lang").as("r1"),
         Text.langId(toks).as("r2"), occGuess.as("r3"))
       .localCheckpoint()
-    val ratings = d.select(col("doc_id"), lit(1L).as("rater"),
-      col("r1").as("cat"))
-      .union(d.select(col("doc_id"), lit(2L), col("r2")))
-      .union(d.filter(col("r3").isNotNull)
-        .select(col("doc_id"), lit(3L), col("r3")))
+    // all three ratings ride ONE explode over the cached scan (r9): the
+    // 3-branch union tripled the partition count (96 tiny tasks per
+    // consumer pass) and re-read the cached frame once per branch
+    val ratings = d.select(col("doc_id"), explode(array(
+        struct(lit(1L).as("rater"), col("r1").as("cat")),
+        struct(lit(2L).as("rater"), col("r2").as("cat")),
+        struct(lit(3L).as("rater"), col("r3").as("cat")))).as("e"))
+      .select(col("doc_id"), col("e.rater").as("rater"),
+        col("e.cat").as("cat"))
+      .filter(col("rater") =!= 3L || col("cat").isNotNull)
+    // mu feeds the pair weights AND the unit count — checkpointed once so
+    // neither consumer re-derives the ratings union (r9)
     val mu = ratings.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
       .filter(col("m") >= 2L)
+      .localCheckpoint()
     val prs = ratings.join(mu, Seq("doc_id"))
       .select(col("doc_id"), col("rater"), col("cat"),
         expr("2 div (m - 1)").as("w2"))
@@ -2909,13 +2917,16 @@ object TextQueries {
       .join(prs.select(col("doc_id"), col("rater").as("rb"),
         col("cat").as("cb")), Seq("doc_id"))
       .filter(col("ra") =!= col("rb"))
-    val marg = pairs.groupBy(col("ca")).agg(sum(col("w2")).as("n2c"))
+    // ONE grouped pass over the pair stream computes the marginals AND the
+    // per-category disagreement mass (the old shape derived the self-join
+    // once per consumer); D_o2 = Σ_c d_c exactly (r9)
+    val marg = pairs.groupBy(col("ca")).agg(sum(col("w2")).as("n2c"),
+      sum(when(col("ca") =!= col("cb"), col("w2")).otherwise(0L)).as("d_c"))
     val units = mu.agg(count(lit(1)).as("n_units"))
-    val disagree = pairs.filter(col("ca") =!= col("cb"))
-      .agg(coalesce(sum(col("w2")), lit(0L)).as("d_o2"))
     marg.agg(sum(col("n2c")).cast(dec).as("n2"),
-      sum(col("n2c").cast(dec) * col("n2c")).as("s2"))
-      .crossJoin(broadcast(disagree)).crossJoin(broadcast(units))
+      sum(col("n2c").cast(dec) * col("n2c")).as("s2"),
+      coalesce(sum(col("d_c")), lit(0L)).as("d_o2"))
+      .crossJoin(broadcast(units))
       .select(col("n_units").cast("long").as("n_units"),
         col("n2").cast("long").as("n2_coincidence"),
         col("d_o2").cast("long").as("d_o_x2"),
