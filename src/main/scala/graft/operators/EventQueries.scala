@@ -6269,15 +6269,20 @@ object EventQueries {
     val strata = Tables.events(s, dir).groupBy(col("user_id"))
       .agg(expr(s"count(1) div $CemBucket").as("x"))
     val keyed = logged.join(strata, Seq("user_id"))
-    // reward model from the MODEL half: r̂(x, a) at e6
-    val model = keyed.filter(col("is_model") === 1L)
-      .groupBy(col("x"), col("a"))
-      .agg(expr(fdiv("SUM(r) * 1000000", "COUNT(1)")).as("rhat_e6"))
-    // eval-half cells: counts, rewards, propensity denominator
-    val cells = keyed.filter(col("is_model") === 0L)
-      .groupBy(col("x"), col("a"))
+    // ONE (x, a, is_model) rollup serves BOTH halves (r9): the former
+    // per-half groupBys each re-ran the events⋈strata join — two full
+    // events scans (profiled 9.0 + 8.9 s CPU twins at sf0.1). The halves
+    // are filters of the checkpointed rollup; the model rate
+    // r_ax·10⁶ div n_ax ≡ SUM(r)·10⁶ div COUNT(1) per cell exactly.
+    val cellsAll = keyed.groupBy(col("x"), col("a"), col("is_model"))
       .agg(count(lit(1)).as("n_ax"), sum(col("r")).as("r_ax"))
-      .localCheckpoint() // per-x totals, the policy argmax and the fold read it
+      .localCheckpoint() // both halves, per-x totals, argmax and fold read it
+    val model = cellsAll.filter(col("is_model") === 1L)
+      .select(col("x"), col("a"),
+        expr(fdiv("r_ax * 1000000", "n_ax")).as("rhat_e6"))
+    // eval-half cells: counts, rewards, propensity denominator
+    val cells = cellsAll.filter(col("is_model") === 0L)
+      .select(col("x"), col("a"), col("n_ax"), col("r_ax"))
     val perX = cells.groupBy(col("x")).agg(sum(col("n_ax")).as("n_x"))
     // greedy policy from the MODEL half's rates — never from eval rewards
     val pol = model
