@@ -14285,12 +14285,13 @@ object AuditQueries {
       .agg(sum(col("x")).as("x"))
     val regTrainDay = train.groupBy(col("rk2"), col("d"))
       .agg(sum(col("x")).as("x"))
-    val natFc = drift(natTrainDay, Seq("rk2", "nk"))
-      .select(col("rk2"), col("nk"), col("fc").as("nat_fc"))
-      .localCheckpoint()
-    val regFc = drift(regTrainDay, Seq("rk2"))
-      .select(col("rk2"), col("fc").as("reg_fc"))
-      .localCheckpoint()
+    // the two drift fits are independent legs over the checkpointed day
+    // rollup — materialize them concurrently (Tuning.checkpointAll, r9)
+    val Seq(natFc, regFc) = graft.Tuning.checkpointAll(
+      drift(natTrainDay, Seq("rk2", "nk"))
+        .select(col("rk2"), col("nk"), col("fc").as("nat_fc")),
+      drift(regTrainDay, Seq("rk2"))
+        .select(col("rk2"), col("fc").as("reg_fc")))
     val bu = natFc.groupBy(col("rk2")).agg(sum(col("nat_fc")).as("bu_c"))
     // top-down: largest-remainder apportionment of reg_fc by train mass
     val mass = train.groupBy(col("rk2"), col("nk")).agg(sum(col("x")).as("t"))
